@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core helpers shared by every operator.
+  *
+  * Output contract (mirrors the reference's tagged-line contract,
+  * /root/reference/spark/src/main/scala/org/beymani/spark/dist/StatsBasedOutlierPredictor.scala:278):
+  * input columns + `score: double` + `tag: string` where tag ∈
+  * {"O" outlier, "N" normal, "I" invalid/missing-model, "A" ambiguous}.
+  */
+package object core {
+
+  /** Read one driver-generated parquet table (TESTDATA.md).
+    * events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects unless
+    * nanos are read as long — set it here so it also holds when the
+    * driver hands us its own session. `ts` then arrives as epoch-nanos
+    * LongType. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Exponential rescale to [0,1): 1 - exp(-c*x).
+    * Behavior of chombo MathUtils.expScale inferred from call site
+    * ZscorePredictor.java:195-197 ("exponential normalization", score in [0,1]).
+    */
+  def expScale(c: Double, x: Column): Column = lit(1.0) - exp(lit(-c) * x)
+
+  /** Logistic rescale: 1/(1+exp(-c*x)). Call site: InRangeBasedPredictor.scala:94. */
+  def logisticScale(c: Double, x: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(lit(-c) * x))
+
+  /** Multi-attribute score aggregation with missing-score skip.
+    * Mirrors OutlierScoreAggregator.java:80-166 (average / weightedAverage /
+    * median / max / min over the non-null per-attribute scores).
+    * `scores` are per-attribute score expressions; null = missing (skipped).
+    * Stays inside whole-stage codegen (array higher-order functions, no UDF).
+    */
+  def aggregateScores(
+      scores: Seq[Column],
+      strategy: String = "average",
+      weights: Seq[Double] = Nil): Column = {
+    val arr = filter(array(scores: _*), x => x.isNotNull)
+    val n = size(arr)
+    val res = strategy match {
+      case "average" =>
+        aggregate(arr, lit(0.0), (acc, x) => acc + x) / n
+      case "weightedAverage" =>
+        val w = if (weights.nonEmpty) weights else Seq.fill(scores.size)(1.0)
+        val pairs = scores.zip(w)
+        val num = pairs.map { case (s, wi) => when(s.isNotNull, s * wi).otherwise(lit(0.0)) }
+          .reduce(_ + _)
+        val den = pairs.map { case (s, wi) => when(s.isNotNull, lit(wi)).otherwise(lit(0.0)) }
+          .reduce(_ + _)
+        num / den
+      case "median" =>
+        val sorted = array_sort(arr)
+        val half = (n / 2).cast("int")
+        when(n % 2 === 1, element_at(sorted, half + 1))
+          .otherwise((element_at(sorted, half) + element_at(sorted, half + 1)) / 2.0)
+      case "max" => array_max(arr)
+      case "min" => array_min(arr)
+      case other => throw new IllegalArgumentException(s"unknown aggregation strategy $other")
+    }
+    when(n === 0, lit(null).cast("double")).otherwise(res)
+  }
+
+  /** Threshold → O/N/I labeling (StatsBasedOutlierPredictor.scala:261-277;
+    * OutlierUtility.scala:135-165). Null score (missing model) → "I".
+    * An optional per-key threshold column overrides the global threshold
+    * (OutlierUtility.scala:101-124); null override + requireThreshold → "A".
+    */
+  def label(score: Column, threshold: Column): Column =
+    when(score.isNull, lit("I"))
+      .when(threshold.isNull, lit("A"))
+      .when(score > threshold, lit("O"))
+      .otherwise(lit("N"))
+
+  /** Append score + tag to data given a score expression and fixed threshold. */
+  def tagged(df: DataFrame, score: Column, threshold: Double): DataFrame =
+    df.withColumn("score", score)
+      .withColumn("tag", label(col("score"), lit(threshold)))
+
+  /** Round every double column to `p` places — canonical form for the
+    * DuckDB-oracle hash compare (both sides round identically so
+    * last-ulp float divergence cannot flip the hash). */
+  def canon(df: DataFrame, p: Int = 4): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.DoubleType)
+        round(col(f.name), p).as(f.name)
+      else col(f.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+}

@@ -1,0 +1,196 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model fitters. Each fit produces a small keyed model DataFrame that
+  * scorers broadcast-join back to the data — the Spark-native replacement
+  * for the reference's driver-loaded flat model files
+  * (SURVEY.md §1 "Models = flat keyed text files").
+  *
+  * All fits are single hash-aggregations (map-side partial agg, one
+  * shuffle on the model key) — at 100 TB the shuffle carries only the
+  * pre-aggregated per-key partials, and the resulting model is tiny
+  * (|keys| × |attrs| rows), safe to broadcast.
+  */
+object Fitters {
+
+  /** Mean/stddev/count/min/max per (key, attribute) — long format.
+    * Replaces chombo NumericalAttrStats (resource/and_spark.sh:46-48).
+    * Output: keyCols..., attr, mean, std, cnt, vmin, vmax
+    */
+  def stats(df: DataFrame, keyCols: Seq[String], attrCols: Seq[String]): DataFrame = {
+    val melted = melt(df, keyCols, attrCols)
+    melted
+      .groupBy((keyCols :+ "attr").map(col): _*)
+      .agg(
+        avg("value").as("mean"),
+        stddev_samp("value").as("std"),
+        count("value").as("cnt"),
+        min("value").as("vmin"),
+        max("value").as("vmax"))
+  }
+
+  /** Median + MAD (median absolute deviation) per (key, attribute).
+    * Replaces chombo NumericalAttrMedian (resource/ecomm.sh:19,29; consumed by
+    * RobustZscorePredictor.java:100-102). Exact interpolated percentile
+    * (matches DuckDB percentile_cont). Two passes: median, then MAD.
+    * Output: keyCols..., attr, med, mad
+    */
+  def robustStats(df: DataFrame, keyCols: Seq[String], attrCols: Seq[String]): DataFrame = {
+    val melted = melt(df, keyCols, attrCols)
+    val gcols = (keyCols :+ "attr").map(col)
+    val med = melted.groupBy(gcols: _*)
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    melted.join(med, keyCols :+ "attr")
+      .groupBy(gcols: _*)
+      .agg(
+        first("med").as("med"),
+        percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+  }
+
+  /** Q1/Q3/IQR per (key, attribute) — model for the
+    * interPercentileDifference scorer (InterPercentileDifferenceBasedPredictor.java:85-122).
+    * Output: keyCols..., attr, q1, q3, iqr
+    */
+  def quantiles(df: DataFrame, keyCols: Seq[String], attrCols: Seq[String]): DataFrame =
+    melt(df, keyCols, attrCols)
+      .groupBy((keyCols :+ "attr").map(col): _*)
+      .agg(
+        percentile(col("value"), lit(0.25)).as("q1"),
+        percentile(col("value"), lit(0.75)).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+
+  /** Multivariate histogram: bucket = floor(value/bucketWidth) per numeric
+    * attr (categorical attrs pass through as-is), count per (key, bucket
+    * vector), normalized by per-key total.
+    * Semantics: spark/.../dist/MultiVariateDistribution.scala:147-212.
+    * Output: keyCols..., bucket (string "b1:b2:..."), cnt, freq
+    */
+  def histogram(
+      df: DataFrame,
+      keyCols: Seq[String],
+      numericAttrs: Seq[(String, Double)],
+      categoricalAttrs: Seq[String] = Nil): DataFrame = {
+    val bucketParts: Seq[Column] =
+      numericAttrs.map { case (c, w) => floor(col(c) / w).cast("long").cast("string") } ++
+        categoricalAttrs.map(col)
+    val bucket = concat_ws(":", bucketParts: _*).as("bucket")
+    val counts = df.select(keyCols.map(col) :+ bucket: _*)
+      .groupBy((keyCols :+ "bucket").map(col): _*)
+      .count().withColumnRenamed("count", "cnt")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    counts.withColumn("freq", col("cnt") / sum("cnt").over(w))
+  }
+
+  /** Per-attribute histogram (one histogram per (key, attr), scalar buckets)
+    * — model for estimatedAttributeProbability
+    * (EsimatedAttrtibuteProbabilityBasedPredictor.java:175-212).
+    * Also emits the cumulative distribution (cumFreq, frequency mass at
+    * buckets <= this bucket) for the CDF scorer
+    * (EstimatedCumProbabilityBasedPredictor.java:72-97).
+    * Output: keyCols..., attr, bucket, cnt, freq, cumFreq
+    */
+  def attrHistogram(
+      df: DataFrame,
+      keyCols: Seq[String],
+      attrs: Seq[(String, Double)]): DataFrame = {
+    val melted = meltWithWidth(df, keyCols, attrs)
+    val counts = melted
+      .withColumn("bucket", floor(col("value") / col("width")).cast("long"))
+      .groupBy((keyCols ++ Seq("attr", "bucket")).map(col): _*)
+      .count().withColumnRenamed("count", "cnt")
+    val wKey = Window.partitionBy((keyCols :+ "attr").map(col): _*)
+    val wCum = wKey.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("freq", col("cnt") / sum("cnt").over(wKey))
+      .withColumn("cumFreq", sum("cnt").over(wCum) / sum("cnt").over(wKey))
+  }
+
+  /** Histogram-of-histogram ("meta" distribution): distribution over the
+    * frequency values themselves — model for estimatedMetaProbability
+    * (EstimatedMetaProbabilityBasedPredictor.java:77-115). Buckets the
+    * per-bucket frequencies of `attrHistogram` with width `metaWidth` and
+    * returns the probability mass of each frequency bucket.
+    * Output: keyCols..., attr, fbucket, metaFreq
+    */
+  def metaHistogram(attrHist: DataFrame, keyCols: Seq[String], metaWidth: Double): DataFrame = {
+    val wKey = Window.partitionBy((keyCols :+ "attr").map(col): _*)
+    attrHist
+      .withColumn("fbucket", floor(col("freq") / metaWidth).cast("long"))
+      .groupBy((keyCols ++ Seq("attr", "fbucket")).map(col): _*)
+      .agg(sum("cnt").as("fcnt"))
+      .withColumn("metaFreq", col("fcnt") / sum("fcnt").over(wKey))
+      .drop("fcnt")
+  }
+
+  /** Markov state-transition matrix per key: P(toState | fromState).
+    * Replaces avenir MarkovStateTransitionModel; consumed shape matches
+    * MarkovModelPredictor.java:500-543 (row-stochastic matrix).
+    * Laplace-smoothed with `smoothing` pseudo-count so -log(p) is finite.
+    * Output: keyCols..., fromState, toState, prob
+    *
+    * Scale note: one shuffle for the lag (window by key) + one hash agg;
+    * the model is |keys|×|states|² rows — broadcastable.
+    */
+  def markovTransitions(
+      df: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      stateCol: String,
+      smoothing: Double = 0.0): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(seqCol)
+    val pairs = df
+      .withColumn("fromState", lag(col(stateCol), 1).over(w))
+      .withColumnRenamed(stateCol, "toState")
+      .where(col("fromState").isNotNull)
+    val states = df.select(col(stateCol).as("s")).distinct()
+    val nStates = states.count() // tiny cardinality; model fit is offline
+    val counts = pairs.groupBy((keyCols ++ Seq("fromState", "toState")).map(col): _*)
+      .count().withColumnRenamed("count", "cnt")
+    // dense (key, from, to) grid so unseen transitions get the smoothing mass
+    val keys = df.select(keyCols.map(col): _*).distinct()
+    val grid = keys
+      .crossJoin(broadcast(states.select(col("s").as("fromState"))))
+      .crossJoin(broadcast(states.select(col("s").as("toState"))))
+    val wFrom = Window.partitionBy((keyCols :+ "fromState").map(col): _*)
+    grid.join(counts, keyCols ++ Seq("fromState", "toState"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("prob",
+        (col("cnt") + smoothing) /
+          (sum("cnt").over(wFrom) + lit(smoothing * nStates)))
+      .drop("cnt")
+  }
+
+  /** Equal-probability quantile boundaries per (key, attr): `n` buckets,
+    * boundaries at i/n percentiles — the quantization model for
+    * NgramFrequencyPredictor.scala:79,110.
+    * Output: keyCols..., attr, qidx (1..n-1), boundary
+    */
+  def equalProbBoundaries(
+      df: DataFrame, keyCols: Seq[String], attrCols: Seq[String], n: Int): DataFrame = {
+    val melted = melt(df, keyCols, attrCols)
+    val fracs = (1 until n).map(i => i.toDouble / n)
+    melted.groupBy((keyCols :+ "attr").map(col): _*)
+      .agg(percentile(col("value"), typedLit(fracs)).as("bs"))
+      .select((keyCols :+ "attr").map(col) :+ posexplode(col("bs")): _*)
+      .withColumnRenamed("pos", "qidx")
+      .withColumn("qidx", col("qidx") + 1)
+      .withColumnRenamed("col", "boundary")
+  }
+
+  /** Wide → long melt: one row per (row, attr). */
+  private[graft] def melt(df: DataFrame, keyCols: Seq[String], attrCols: Seq[String]): DataFrame = {
+    val kvs = attrCols.flatMap(c => Seq(lit(c), col(c).cast("double")))
+    df.select(keyCols.map(col) :+ explode(map(kvs: _*)).as(Seq("attr", "value")): _*)
+  }
+
+  private def meltWithWidth(
+      df: DataFrame, keyCols: Seq[String], attrs: Seq[(String, Double)]): DataFrame = {
+    val widths = map(attrs.flatMap { case (c, w) => Seq(lit(c), lit(w)) }: _*)
+    melt(df, keyCols, attrs.map(_._1))
+      .withColumn("width", element_at(widths, col("attr")))
+  }
+}

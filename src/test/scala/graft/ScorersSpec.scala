@@ -1,0 +1,92 @@
+package graft
+
+import graft.core._
+import graft.model.Fitters
+import graft.score.Scorers
+import graft.score.Scorers.Cfg
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class ScorersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tiny = Seq(
+    ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 2.0), ("a", 100.0),
+    ("b", 10.0), ("b", 10.0), ("b", 10.0)
+  ).toDF("k", "x")
+
+  test("stats fit: mean/std/count per key") {
+    val m = Fitters.stats(tiny, Seq("k"), Seq("x")).where($"k" === "a").head()
+    assert(math.abs(m.getAs[Double]("mean") - 21.6) < 1e-9)
+    assert(m.getAs[Long]("cnt") == 5)
+  }
+
+  test("zscore: hand-computed score and O/N tags; zero-variance key -> I") {
+    val stats = Fitters.stats(tiny, Seq("k"), Seq("x"))
+    val out = Scorers.zscore(tiny, stats, Cfg(Seq("k"), Seq("x"), threshold = 1.5))
+    val rows = out.collect()
+    val a100 = rows.find(r => r.getAs[String]("k") == "a" && r.getAs[Double]("x") == 100.0).get
+    // mean=21.6, std=sqrt(sum((x-21.6)^2)/4)=43.84... score=|100-21.6|/std
+    val std = math.sqrt(Seq(1.0, 2.0, 3.0, 2.0, 100.0).map(v => math.pow(v - 21.6, 2)).sum / 4)
+    assert(math.abs(a100.getAs[Double]("score") - 78.4 / std) < 1e-9)
+    assert(a100.getAs[String]("tag") == "O")
+    // key b has zero variance -> per-attr score skipped -> null score -> I
+    assert(rows.filter(_.getAs[String]("k") == "b").forall(_.getAs[String]("tag") == "I"))
+  }
+
+  test("robust zscore: median/MAD") {
+    val m = Fitters.robustStats(tiny, Seq("k"), Seq("x")).where($"k" === "a").head()
+    assert(m.getAs[Double]("med") == 2.0)
+    assert(m.getAs[Double]("mad") == 1.0) // |x-2| = 1,0,1,0,98 -> median 1
+  }
+
+  test("score aggregation strategies over multi-attr with missing skip") {
+    val df = Seq((1.0, 5.0)).toDF("s1", "s2")
+      .withColumn("avg", aggregateScores(Seq($"s1", $"s2")))
+      .withColumn("mx", aggregateScores(Seq($"s1", $"s2"), "max"))
+      .withColumn("med", aggregateScores(Seq($"s1", $"s2", lit(null).cast("double")), "median"))
+      .withColumn("wavg", aggregateScores(Seq($"s1", $"s2"), "weightedAverage", Seq(3.0, 1.0)))
+      .withColumn("nulls", aggregateScores(Seq(lit(null).cast("double"))))
+    val r = df.head()
+    assert(r.getAs[Double]("avg") == 3.0)
+    assert(r.getAs[Double]("mx") == 5.0)
+    assert(r.getAs[Double]("med") == 3.0)
+    assert(r.getAs[Double]("wavg") == 2.0)
+    assert(r.isNullAt(r.fieldIndex("nulls")))
+  }
+
+  test("expScale bounds score into [0,1)") {
+    val r = Seq(0.0, 1.0, 100.0).toDF("x")
+      .select(expScale(1.0, $"x").as("s")).collect().map(_.getDouble(0))
+    assert(r(0) == 0.0 && r(1) > 0.6 && r(1) < 0.64 && r(2) > 0.999)
+  }
+
+  test("histogram fit frequencies sum to 1 per key") {
+    val h = Fitters.histogram(tiny, Seq("k"), Seq(("x", 10.0)))
+    val sums = h.groupBy("k").agg(sum("freq").as("s")).collect()
+    assert(sums.forall(r => math.abs(r.getAs[Double]("s") - 1.0) < 1e-9))
+  }
+
+  test("iqr score zero inside band, positive outside") {
+    val q = Fitters.quantiles(tiny, Seq("k"), Seq("x"))
+    val out = Scorers.iqrScore(tiny, q, Cfg(Seq("k"), Seq("x"), threshold = 1.5))
+    val a100 = out.where($"k" === "a" && $"x" === 100.0).head()
+    assert(a100.getAs[Double]("score") > 1.5 && a100.getAs[String]("tag") == "O")
+    val a2 = out.where($"k" === "a" && $"x" === 2.0).head()
+    assert(a2.getAs[Double]("score") == 0.0)
+  }
+
+  test("mahalanobis: identity-covariance case reduces to euclidean") {
+    val df = Seq(
+      (1.0, 0.0), (-1.0, 0.0), (0.0, 1.0), (0.0, -1.0),
+      (1.0, 1.0), (-1.0, -1.0), (1.0, -1.0), (-1.0, 1.0)
+    ).toDF("x", "y").withColumn("k", lit("g"))
+    val out = Scorers.mahalanobis(df, Cfg(Seq("k"), Seq("x", "y"), threshold = 10.0))
+    assert(out.count() == 8)
+    assert(out.select(min($"score")).head().getDouble(0) >= 0.0)
+  }
+
+  test("entry returns outliers on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate: run Verify output
+parquet against the DuckDB oracle and diff. Usage:
+  python3 tools/check.py [sfDir] [outDir] [query...]
+(Verify must have been run into outDir first.)"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+only = set(sys.argv[3:])
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = 0
+for name in sorted(oracle):
+    if only and name not in only:
+        continue
+    sql = oracle[name]
+    pq = f"{outdir}/{name}"
+    if not glob.glob(f"{pq}/*.parquet"):
+        print(f"FAIL {name}: no spark output")
+        fails += 1
+        continue
+    try:
+        exp = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle sql error: {e}")
+        fails += 1
+        continue
+    got = con.execute(f"SELECT * FROM '{pq}/*.parquet'").df()
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(exp.columns) != list(got.columns):
+        print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+        fails += 1
+        continue
+    if len(exp) != len(got):
+        print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+        fails += 1
+        continue
+    exp_s = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+    got_s = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    mismatch = 0
+    for c in exp.columns:
+        a, b = exp_s[c], got_s[c]
+        if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+            bad = ~((a.isna() & b.isna()) | (abs(a.astype(float) - b.astype(float)) < 1e-9))
+        else:
+            bad = ~((a.isna() & b.isna()) | (a.astype(str) == b.astype(str)))
+        if bad.any():
+            mismatch += int(bad.sum())
+            i = bad.idxmax()
+            print(f"  {name}.{c}: {int(bad.sum())} diffs, first at row {i}: exp={a[i]} got={b[i]}")
+    if mismatch:
+        print(f"FAIL {name}: {mismatch} value diffs ({len(exp)} rows)")
+        fails += 1
+    else:
+        print(f"OK   {name} ({len(exp)} rows)")
+print("RESULT:", "FAIL" if fails else "PASS", f"({len(oracle) if not only else len(only)} queries, {fails} failed)")
+sys.exit(1 if fails else 0)
