@@ -137,26 +137,28 @@ object Fitters {
     */
   def markovTransitions(
       df: DataFrame,
-      keyCols: Seq[String],
+      seqKeyCols: Seq[String],
       seqCol: String,
       stateCol: String,
-      smoothing: Double = 0.0): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(seqCol)
+      smoothing: Double = 0.0,
+      modelKeyCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(seqKeyCols.map(col): _*).orderBy(seqCol)
     val pairs = df
       .withColumn("fromState", lag(col(stateCol), 1).over(w))
       .withColumnRenamed(stateCol, "toState")
       .where(col("fromState").isNotNull)
     val states = df.select(col(stateCol).as("s")).distinct()
     val nStates = states.count() // tiny cardinality; model fit is offline
-    val counts = pairs.groupBy((keyCols ++ Seq("fromState", "toState")).map(col): _*)
+    val counts = pairs.groupBy((modelKeyCols ++ Seq("fromState", "toState")).map(col): _*)
       .count().withColumnRenamed("count", "cnt")
     // dense (key, from, to) grid so unseen transitions get the smoothing mass
-    val keys = df.select(keyCols.map(col): _*).distinct()
-    val grid = keys
-      .crossJoin(broadcast(states.select(col("s").as("fromState"))))
+    val fromTo = states.select(col("s").as("fromState"))
       .crossJoin(broadcast(states.select(col("s").as("toState"))))
-    val wFrom = Window.partitionBy((keyCols :+ "fromState").map(col): _*)
-    grid.join(counts, keyCols ++ Seq("fromState", "toState"), "left")
+    val grid =
+      if (modelKeyCols.isEmpty) fromTo
+      else df.select(modelKeyCols.map(col): _*).distinct().crossJoin(broadcast(fromTo))
+    val wFrom = Window.partitionBy((modelKeyCols :+ "fromState").map(col): _*)
+    grid.join(counts, modelKeyCols ++ Seq("fromState", "toState"), "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .withColumn("prob",
         (col("cnt") + smoothing) /

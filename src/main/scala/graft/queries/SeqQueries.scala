@@ -1,0 +1,272 @@
+package graft.queries
+
+import graft.core._
+import graft.model.Fitters
+import graft.seq.{SeqOps, SeriesKernels}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries + DuckDB oracles for the sequence/time-series family
+  * (SURVEY.md §2.5). Window-expressible ops carry full SQL oracles;
+  * whole-series kernels (FFT, KS/CVM/AD, discord, feedback forecast)
+  * are registered without oracle SQL → driver rows-only check, with
+  * ScalaTest kernels specs covering the math. */
+object SeqQueries {
+
+  private def ev(s: SparkSession, dir: String) = table(s, dir, "events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_markov_fit" -> ((s, dir) =>
+      canon(Fitters.markovTransitions(ev(s, dir), Seq("user_id"), "event_id",
+        "event_type", smoothing = 1.0))),
+    "q13_markov_chain" -> ((s, dir) => {
+      val data = ev(s, dir)
+      val model = Fitters.markovTransitions(data, Seq("user_id"), "event_id",
+        "event_type", smoothing = 1.0)
+      canon(SeqOps.markovChainScore(data, model, Seq("user_id"), "event_id",
+        "event_type", window = 5, metric = "condProb", threshold = 1.5)
+        .select("user_id", "event_id", "score", "tag"))
+    }),
+    "q14_markov_missrate" -> ((s, dir) => {
+      val data = ev(s, dir)
+      val model = Fitters.markovTransitions(data, Seq("user_id"), "event_id",
+        "event_type", smoothing = 1.0)
+      canon(SeqOps.markovChainScore(data, model, Seq("user_id"), "event_id",
+        "event_type", window = 5, metric = "missRate", threshold = 0.9)
+        .select("user_id", "event_id", "score", "tag"))
+    }),
+    "q15_level_shift" -> ((s, dir) =>
+      canon(SeqOps.scoreLevelShift(StatQueries.zscored(s, dir), Seq("user_id"),
+        "event_id", longWin = 20, shortWin = 5, minZ = 2.0)
+        .select("user_id", "event_id", "score", "z", "tag"))),
+    "q16_local_neighborhood" -> ((s, dir) =>
+      canon(SeqOps.localNeighborhood(ev(s, dir), Seq("user_id"), "event_id",
+        "value", half = 2, threshold = 60.0)
+        .select("user_id", "event_id", "value", "score", "tag"))),
+    "q17_outlier_cluster" -> ((s, dir) =>
+      canon(SeqOps.outlierCluster(StatQueries.zscored(s, dir), Seq("user_id"),
+        "event_id", maxGap = 300L)
+        .select("user_id", "event_id", "value", "score", "tag"))),
+    "q18_changepoint_meanshift" -> ((s, dir) =>
+      canon(SeqOps.changePointMeanShift(ev(s, dir), Seq("event_type"), "event_id",
+        "value", window = 30, critValue = 3.0)
+        .select("event_type", "event_id", "value", "stat"))),
+    "q19_one_step_ahead" -> ((s, dir) =>
+      canon(SeqOps.oneStepAhead(ev(s, dir), Seq("user_id"), "event_id", "value",
+        window = 10, threshold = 3.0)
+        .select("user_id", "event_id", "value", "predicted", "score", "tag"))),
+    "q20_levelshift_segments" -> ((s, dir) =>
+      canon(SeqOps.levelShiftSegments(ev(s, dir), Seq("event_type"), "event_id",
+        "value", window = 20, minZ = 3.0))),
+    "q21_autocorrelation" -> ((s, dir) =>
+      canon(SeqOps.autocorrelation(ev(s, dir), Seq("event_type"), "event_id",
+        "value", Seq(1, 2, 3)))),
+    "q22_temporal_agg" -> ((s, dir) =>
+      canon(SeqOps.temporalAggregate(ev(s, dir), Seq("event_type"), "ts", "value",
+        bucketSec = 3600L))),
+    "q23_multigram" -> ((s, dir) =>
+      canon(SeqOps.multigramDistribution(ev(s, dir), Seq("user_id"), "event_id",
+        "event_type", n = 2))),
+    // ---- whole-series kernels: rows-only driver check, spec-tested ----
+    "q24_spectral_residue" -> ((s, dir) =>
+      canon(SeriesKernels.spectralResidue(ev(s, dir), Seq("event_type"), "event_id",
+        "value", window = 64).toDF())),
+    "q25_changepoint_ks" -> ((s, dir) =>
+      canon(SeriesKernels.changePoint(ev(s, dir), Seq("event_type"), "event_id",
+        "value", window = 50, stat = "ks", critValue = 0.25).toDF())),
+    "q26_subseq_discord" -> ((s, dir) =>
+      canon(SeriesKernels.subSequenceDistance(ev(s, dir), Seq("user_id"), "event_id",
+        "value", window = 8).toDF())),
+    "q27_one_step_ahead_fb" -> ((s, dir) =>
+      canon(SeriesKernels.oneStepAhead(ev(s, dir), Seq("user_id"), "event_id",
+        "value", window = 10, threshold = 3.0).toDF())),
+    "q28_ngram_freq" -> ((s, dir) =>
+      canon(SeriesKernels.ngramFrequency(ev(s, dir), Seq("user_id"), "event_id",
+        "value", numBuckets = 4, n = 2, window = 20).toDF())),
+  )
+
+  // transitions + smoothed probabilities, per-user sequences, global model
+  private val mkProbs =
+    """trans AS (SELECT user_id, event_id, event_type AS toState,
+      |  lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS fromState
+      | FROM events),
+      |tcounts AS (SELECT fromState, toState, count(*) AS cnt FROM trans
+      | WHERE fromState IS NOT NULL GROUP BY 1,2),
+      |states AS (SELECT DISTINCT event_type AS s FROM events),
+      |grid AS (SELECT f.s AS fromState, t.s AS toState FROM states f CROSS JOIN states t),
+      |probs AS (SELECT g.fromState, g.toState,
+      |  (coalesce(c.cnt,0) + 1.0) /
+      |   (sum(coalesce(c.cnt,0)) OVER (PARTITION BY g.fromState)
+      |     + (SELECT count(*) FROM states)) AS prob
+      | FROM grid g LEFT JOIN tcounts c
+      |   ON g.fromState = c.fromState AND g.toState = c.toState)"""
+      .stripMargin.replace("\n", " ")
+
+  private val zCte =
+    """zstats AS (SELECT event_type, avg(value) AS mean, stddev_samp(value) AS std
+      | FROM events GROUP BY event_type),
+      |z AS (SELECT e.user_id, e.event_id, e.value,
+      |  abs(e.value - s.mean)/s.std AS score,
+      |  CASE WHEN abs(e.value - s.mean)/s.std > 2.0 THEN 'O' ELSE 'N' END AS tag
+      | FROM events e JOIN zstats s USING (event_type))"""
+      .stripMargin.replace("\n", " ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q12_markov_fit" ->
+      s"""WITH $mkProbs
+         |SELECT fromState, toState, round(prob,4) AS prob FROM probs"""
+        .stripMargin.replace("\n", " "),
+    "q13_markov_chain" ->
+      s"""WITH $mkProbs,
+         |scored AS (SELECT t.user_id, t.event_id,
+         |  CASE WHEN count(p.prob) OVER w5 = 5 THEN avg(-ln(p.prob)) OVER w5 END AS score
+         | FROM trans t LEFT JOIN probs p
+         |   ON t.fromState = p.fromState AND t.toState = p.toState
+         | WINDOW w5 AS (PARTITION BY t.user_id ORDER BY t.event_id
+         |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, event_id, round(score,4) AS score,
+         | CASE WHEN score IS NULL THEN 'I'
+         |  WHEN max(CASE WHEN score > 1.5 THEN 1 ELSE 0 END) OVER
+         |   (PARTITION BY user_id ORDER BY event_id
+         |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) = 1 THEN 'O'
+         |  ELSE 'N' END AS tag
+         |FROM scored""".stripMargin.replace("\n", " "),
+    "q14_markov_missrate" ->
+      s"""WITH $mkProbs,
+         |probx AS (SELECT *, max(prob) OVER (PARTITION BY fromState) AS mxp FROM probs),
+         |scored AS (SELECT t.user_id, t.event_id,
+         |  CASE WHEN count(p.prob) OVER w5 = 5
+         |   THEN avg(CASE WHEN p.prob = p.mxp THEN 0.0 ELSE 1.0 END) OVER w5 END AS score
+         | FROM trans t LEFT JOIN probx p
+         |   ON t.fromState = p.fromState AND t.toState = p.toState
+         | WINDOW w5 AS (PARTITION BY t.user_id ORDER BY t.event_id
+         |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, event_id, round(score,4) AS score,
+         | CASE WHEN score IS NULL THEN 'I'
+         |  WHEN max(CASE WHEN score > 0.9 THEN 1 ELSE 0 END) OVER
+         |   (PARTITION BY user_id ORDER BY event_id
+         |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) = 1 THEN 'O'
+         |  ELSE 'N' END AS tag
+         |FROM scored""".stripMargin.replace("\n", " "),
+    "q15_level_shift" ->
+      s"""WITH $zCte,
+         |f AS (SELECT user_id, event_id, score, tag,
+         |  CASE WHEN count(score) OVER lw = 20 AND stddev_samp(score) OVER lw > 0
+         |   THEN (avg(score) OVER sw - avg(score) OVER lw) / (stddev_samp(score) OVER lw)
+         |  END AS z
+         | FROM z
+         | WINDOW lw AS (PARTITION BY user_id ORDER BY event_id
+         |   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         |  sw AS (PARTITION BY user_id ORDER BY event_id
+         |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+         |g AS (SELECT *, CASE WHEN z IS NOT NULL AND z > 2.0 THEN 1 ELSE 0 END AS shifted FROM f)
+         |SELECT user_id, event_id, round(score,4) AS score, round(z,4) AS z,
+         | CASE WHEN max(shifted) OVER (PARTITION BY user_id ORDER BY event_id
+         |   ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) = 1 THEN 'O' ELSE tag END AS tag
+         |FROM g""".stripMargin.replace("\n", " "),
+    "q16_local_neighborhood" ->
+      """WITH n AS (SELECT user_id, event_id, value,
+        |  list(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS l
+        | FROM events),
+        |sc AS (SELECT user_id, event_id, value,
+        |  CASE WHEN len(l) = 5
+        |   THEN list_sum(list_transform(l, e -> abs(e - value))) / 4.0 END AS score
+        | FROM n)
+        |SELECT user_id, event_id, round(value,4) AS value, round(score,4) AS score,
+        | CASE WHEN score IS NULL THEN 'I' WHEN score > 60.0 THEN 'O' ELSE 'N' END AS tag
+        |FROM sc""".stripMargin.replace("\n", " "),
+    "q17_outlier_cluster" ->
+      s"""WITH $zCte,
+         |o AS (SELECT *, CASE WHEN lag(event_id) OVER w IS NULL
+         |    OR event_id - lag(event_id) OVER w > 300 THEN 1 ELSE 0 END AS newc
+         |  FROM z WHERE tag = 'O'
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+         |oc AS (SELECT *, sum(newc) OVER (PARTITION BY user_id ORDER BY event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid FROM o),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id, cid
+         |   ORDER BY score DESC, event_id) AS rn FROM oc)
+         |SELECT user_id, event_id, round(value,4) AS value, round(score,4) AS score,
+         | CASE WHEN rn = 1 THEN 'O' ELSE 'N' END AS tag FROM rk
+         |UNION ALL
+         |SELECT user_id, event_id, round(value,4), round(score,4), tag
+         | FROM z WHERE tag <> 'O'""".stripMargin.replace("\n", " "),
+    "q18_changepoint_meanshift" ->
+      """WITH s AS (SELECT event_type, event_id, value,
+        |  count(value) OVER lw AS cnt_l, count(value) OVER rw AS cnt_r,
+        |  abs(avg(value) OVER rw - avg(value) OVER lw) /
+        |   sqrt(var_samp(value) OVER lw / 30.0 + var_samp(value) OVER rw / 30.0) AS stat
+        | FROM events
+        | WINDOW lw AS (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING),
+        |  rw AS (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN CURRENT ROW AND 29 FOLLOWING))
+        |SELECT event_type, event_id, round(value,4) AS value, round(stat,4) AS stat
+        |FROM s WHERE cnt_l = 30 AND cnt_r = 30 AND stat >= 3.0"""
+        .stripMargin.replace("\n", " "),
+    "q19_one_step_ahead" ->
+      """WITH p AS (SELECT user_id, event_id, value,
+        |  CASE WHEN count(value) OVER pw = 10 THEN avg(value) OVER pw END AS predicted
+        | FROM events
+        | WINDOW pw AS (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+        |r AS (SELECT *, value - predicted AS resid FROM p),
+        |sc AS (SELECT user_id, event_id, value, predicted,
+        |  CASE WHEN resid IS NOT NULL AND stddev_samp(resid) OVER hw > 0
+        |   THEN abs(resid) / (stddev_samp(resid) OVER hw) END AS score
+        | FROM r
+        | WINDOW hw AS (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, round(value,4) AS value, round(predicted,4) AS predicted,
+        | round(score,4) AS score,
+        | CASE WHEN score IS NULL THEN 'I' WHEN score > 3.0 THEN 'O' ELSE 'N' END AS tag
+        |FROM sc""".stripMargin.replace("\n", " "),
+    "q20_levelshift_segments" ->
+      """WITH s AS (SELECT event_type, event_id,
+        |  CASE WHEN count(value) OVER lw = 20 AND count(value) OVER rw = 20
+        |   THEN (avg(value) OVER rw - avg(value) OVER lw) /
+        |    sqrt(var_samp(value) OVER lw / 20.0 + var_samp(value) OVER rw / 20.0)
+        |  END AS z
+        | FROM events
+        | WINDOW lw AS (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING),
+        |  rw AS (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN CURRENT ROW AND 19 FOLLOWING)),
+        |f AS (SELECT *, CASE WHEN z IS NOT NULL AND abs(z) >= 3.0 THEN 1 ELSE 0 END AS shifted FROM s),
+        |g AS (SELECT *, CASE WHEN shifted = 1 AND
+        |   coalesce(lag(shifted) OVER (PARTITION BY event_type ORDER BY event_id), 0) = 0
+        |  THEN 1 ELSE 0 END AS newSeg FROM f),
+        |h AS (SELECT *, sum(newSeg) OVER (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segId FROM g)
+        |SELECT event_type, min(event_id) AS segStart, max(event_id) AS segEnd,
+        | count(*) AS n, round(avg(z),4) AS avgShift
+        |FROM h WHERE shifted = 1 GROUP BY event_type, segId"""
+        .stripMargin.replace("\n", " "),
+    "q21_autocorrelation" ->
+      """WITH l AS (SELECT event_type, value,
+        |  lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+        |  lag(value, 3) OVER w AS l3
+        | FROM events WINDOW w AS (PARTITION BY event_type ORDER BY event_id))
+        |SELECT event_type, 1 AS lag, round(corr(value, l1),4) AS ac FROM l GROUP BY 1
+        |UNION ALL
+        |SELECT event_type, 2, round(corr(value, l2),4) FROM l GROUP BY 1
+        |UNION ALL
+        |SELECT event_type, 3, round(corr(value, l3),4) FROM l GROUP BY 1"""
+        .stripMargin.replace("\n", " "),
+    "q22_temporal_agg" ->
+      """SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket,
+        | count(value) AS n, round(avg(value),4) AS avgVal,
+        | round(max(value),4) AS maxVal, round(min(value),4) AS minVal
+        |FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    "q23_multigram" ->
+      """WITH t AS (SELECT user_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS g1,
+        |  event_type AS g2
+        | FROM events),
+        |c AS (SELECT user_id, g1 || '>' || g2 AS gram, count(*) AS cnt
+        | FROM t WHERE g1 IS NOT NULL GROUP BY 1, 2)
+        |SELECT user_id, gram, cnt,
+        | round(cnt / (sum(cnt) OVER (PARTITION BY user_id))::DOUBLE, 4) AS freq
+        |FROM c""".stripMargin.replace("\n", " "),
+  )
+}

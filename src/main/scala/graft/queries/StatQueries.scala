@@ -1,0 +1,310 @@
+package graft.queries
+
+import graft.core._
+import graft.model.Fitters
+import graft.score.Scorers
+import graft.score.Scorers.Cfg
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries + DuckDB oracles for the statistical fit/score families
+  * (SURVEY.md §2.3 fitters, §2.4 scorers, §2.2 filters). */
+object StatQueries {
+
+  private def ev(s: SparkSession, dir: String) = table(s, dir, "events")
+
+  private[graft] def zscored(s: SparkSession, dir: String): DataFrame = {
+    val data = ev(s, dir)
+    val stats = Fitters.stats(data, Seq("event_type"), Seq("value"))
+    Scorers.zscore(data, stats, Cfg(Seq("event_type"), Seq("value"), threshold = 2.0))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_stats_fit" -> ((s, dir) =>
+      canon(Fitters.stats(ev(s, dir), Seq("event_type"), Seq("value")))),
+    "q02_robust_fit" -> ((s, dir) =>
+      canon(Fitters.robustStats(ev(s, dir), Seq("event_type"), Seq("value")))),
+    "q03_quantile_fit" -> ((s, dir) =>
+      canon(Fitters.quantiles(ev(s, dir), Seq("event_type"), Seq("value")))),
+    "q04_histogram_fit" -> ((s, dir) =>
+      canon(Fitters.histogram(ev(s, dir), Seq("event_type"), Seq(("value", 10.0))))),
+    "q05_zscore" -> ((s, dir) =>
+      canon(zscored(s, dir).select("event_id", "event_type", "value", "score", "tag"))),
+    "q06_robust_zscore" -> ((s, dir) => {
+      val data = ev(s, dir)
+      val model = Fitters.robustStats(data, Seq("event_type"), Seq("value"))
+      canon(Scorers.robustZscore(data, model, Cfg(Seq("event_type"), Seq("value"), threshold = 3.0))
+        .select("event_id", "event_type", "value", "score", "tag"))
+    }),
+    "q07_extreme_value" -> ((s, dir) => {
+      val data = ev(s, dir)
+      val stats = Fitters.stats(data, Seq("event_type"), Seq("value"))
+      canon(Scorers.extremeValue(data, stats, Cfg(Seq("event_type"), Seq("value"), threshold = 0.9))
+        .select("event_id", "event_type", "value", "score", "tag"))
+    }),
+    "q08_est_prob" -> ((s, dir) => {
+      val data = ev(s, dir)
+      val hist = Fitters.histogram(data, Seq("event_type"), Seq(("value", 10.0)))
+      canon(Scorers.estimatedProbability(
+        data, hist, Cfg(Seq("event_type"), Seq("value"), threshold = 0.99),
+        Seq(("value", 10.0)))
+        .select("event_id", "event_type", "value", "score", "tag"))
+    }),
+    "q09_iqr_score" -> ((s, dir) => {
+      val data = ev(s, dir)
+      val model = Fitters.quantiles(data, Seq("event_type"), Seq("value"))
+      canon(Scorers.iqrScore(data, model, Cfg(Seq("event_type"), Seq("value"), threshold = 1.5))
+        .select("event_id", "event_type", "value", "score", "tag"))
+    }),
+    "q10_outliers_only" -> ((s, dir) =>
+      canon(Scorers.outliersOnly(zscored(s, dir))
+        .select("event_id", "event_type", "value", "score", "tag"))),
+    "q11_clean_data" -> ((s, dir) =>
+      Scorers.cleanData(zscored(s, dir)).select("event_id", "event_type", "value")),
+    "q29_est_attr_prob" -> ((s, dir) => {
+      val data = ev(s, dir)
+      val hist = Fitters.attrHistogram(data, Seq("event_type"), Seq(("value", 10.0)))
+      canon(Scorers.estimatedAttrProbability(
+        data, hist, Cfg(Seq("event_type"), Seq("value"), threshold = 6.0),
+        Map("value" -> 10.0), useLog = true)
+        .select("event_id", "event_type", "value", "score", "tag"))
+    }),
+    "q30_est_cum_prob" -> ((s, dir) => {
+      val data = ev(s, dir)
+      val hist = Fitters.attrHistogram(data, Seq("event_type"), Seq(("value", 10.0)))
+      canon(Scorers.estimatedCumProbability(
+        data, hist, Cfg(Seq("event_type"), Seq("value"), threshold = 0.99),
+        Map("value" -> 10.0))
+        .select("event_id", "event_type", "value", "score", "tag"))
+    }),
+    "q31_est_meta_prob" -> ((s, dir) => {
+      val data = ev(s, dir)
+      val hist = Fitters.attrHistogram(data, Seq("event_type"), Seq(("value", 10.0)))
+      val meta = Fitters.metaHistogram(hist, Seq("event_type"), 0.02)
+      canon(Scorers.estimatedMetaProbability(
+        data, hist, meta, Cfg(Seq("event_type"), Seq("value"), threshold = 6.0),
+        Map("value" -> 10.0), 0.02, useLog = true)
+        .select("event_id", "event_type", "value", "score", "tag"))
+    }),
+    "q32_mahalanobis" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      canon(Scorers.mahalanobis(
+        li, Cfg(Seq("l_returnflag"), Seq("l_quantity", "l_extendedprice"), threshold = 3.0))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+          "l_extendedprice", "score", "tag"))
+    }),
+    "q33_out_range" -> ((s, dir) => {
+      val data = ev(s, dir)
+      val spark = s
+      import spark.implicits._
+      val ranges = Seq(("click", "value", 0.0, 150.0), ("view", "value", 0.0, 150.0),
+        ("error", "value", 0.0, 150.0), ("purchase", "value", 0.0, 150.0),
+        ("signup", "value", 0.0, 150.0))
+        .toDF("event_type", "attr", "lo", "hi")
+      canon(Scorers.outOfRange(data, ranges,
+        Cfg(Seq("event_type"), Seq("value"), expConst = 0.05, threshold = 0.8))
+        .select("event_id", "event_type", "value", "score", "tag"))
+    }),
+    "q34_in_range" -> ((s, dir) => {
+      val data = ev(s, dir)
+      val spark = s
+      import spark.implicits._
+      val ranges = Seq(("click", "value", 200.0, 300.0), ("view", "value", 200.0, 300.0),
+        ("error", "value", 200.0, 300.0), ("purchase", "value", 200.0, 300.0),
+        ("signup", "value", 200.0, 300.0))
+        .toDF("event_type", "attr", "lo", "hi")
+      canon(Scorers.inRange(data, ranges,
+        Cfg(Seq("event_type"), Seq("value"), expConst = 0.05, threshold = 0.8))
+        .select("event_id", "event_type", "value", "score", "tag"))
+    }),
+    "q35_polarity_suppress" -> ((s, dir) => {
+      val data = ev(s, dir)
+      val stats = Fitters.stats(data, Seq("event_type"), Seq("value"))
+      val tagged = Scorers.zscore(data, stats, Cfg(Seq("event_type"), Seq("value"), threshold = 2.0))
+      canon(Scorers.suppressPolarity(tagged, stats, Seq("event_type"), "value", "high")
+        .select("event_id", "event_type", "value", "score", "tag"))
+    }),
+  )
+
+  private val evStats =
+    """stats AS (SELECT event_type, avg(value) AS mean, stddev_samp(value) AS std,
+      | count(value) AS cnt, min(value) AS vmin, max(value) AS vmax
+      | FROM events GROUP BY event_type)""".stripMargin.replace("\n", " ")
+
+  private val evRobust =
+    """med AS (SELECT event_type, percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+      | FROM events GROUP BY event_type),
+      |rob AS (SELECT e.event_type, any_value(m.med) AS med,
+      |  percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(e.value - m.med)) AS mad
+      | FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)"""
+      .stripMargin.replace("\n", " ")
+
+  private val evQuant =
+    """quant AS (SELECT event_type,
+      | percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+      | percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS q3
+      | FROM events GROUP BY event_type)""".stripMargin.replace("\n", " ")
+
+  private val evHist =
+    """hist AS (SELECT event_type, CAST(floor(value/10.0) AS BIGINT)::VARCHAR AS bucket,
+      | count(*) AS cnt
+      | FROM events GROUP BY 1, 2),
+      |histn AS (SELECT event_type, bucket, cnt,
+      | cnt / (sum(cnt) OVER (PARTITION BY event_type))::DOUBLE AS freq FROM hist)"""
+      .stripMargin.replace("\n", " ")
+
+  // per-attr scalar-bucket histogram + cumulative (attrHistogram semantics)
+  private val evAttrHist =
+    """ahist AS (SELECT event_type, CAST(floor(value/10.0) AS BIGINT) AS bucket, count(*) AS cnt
+      | FROM events GROUP BY 1, 2),
+      |ahistn AS (SELECT event_type, bucket, cnt,
+      | cnt / (sum(cnt) OVER (PARTITION BY event_type))::DOUBLE AS freq,
+      | (sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |  / (sum(cnt) OVER (PARTITION BY event_type))::DOUBLE AS cumFreq
+      | FROM ahist)""".stripMargin.replace("\n", " ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_stats_fit" ->
+      s"""WITH $evStats
+         |SELECT event_type, 'value' AS attr, round(mean,4) AS mean, round(std,4) AS std,
+         | cnt, round(vmin,4) AS vmin, round(vmax,4) AS vmax FROM stats""".stripMargin.replace("\n", " "),
+    "q02_robust_fit" ->
+      s"""WITH $evRobust
+         |SELECT event_type, 'value' AS attr, round(med,4) AS med, round(mad,4) AS mad
+         | FROM rob""".stripMargin.replace("\n", " "),
+    "q03_quantile_fit" ->
+      s"""WITH $evQuant
+         |SELECT event_type, 'value' AS attr, round(q1,4) AS q1, round(q3,4) AS q3,
+         | round(q3-q1,4) AS iqr FROM quant""".stripMargin.replace("\n", " "),
+    "q04_histogram_fit" ->
+      s"""WITH $evHist
+         |SELECT event_type, bucket, cnt, round(freq,4) AS freq FROM histn"""
+        .stripMargin.replace("\n", " "),
+    "q05_zscore" ->
+      s"""WITH $evStats
+         |SELECT e.event_id, e.event_type, round(e.value,4) AS value,
+         | round(abs(e.value - s.mean)/s.std, 4) AS score,
+         | CASE WHEN abs(e.value - s.mean)/s.std > 2.0 THEN 'O' ELSE 'N' END AS tag
+         |FROM events e JOIN stats s USING (event_type)""".stripMargin.replace("\n", " "),
+    "q06_robust_zscore" ->
+      s"""WITH $evRobust
+         |SELECT e.event_id, e.event_type, round(e.value,4) AS value,
+         | round(abs(e.value - r.med)/r.mad, 4) AS score,
+         | CASE WHEN abs(e.value - r.med)/r.mad > 3.0 THEN 'O' ELSE 'N' END AS tag
+         |FROM events e JOIN rob r USING (event_type)""".stripMargin.replace("\n", " "),
+    "q07_extreme_value" ->
+      s"""WITH $evStats
+         |SELECT e.event_id, e.event_type, round(e.value,4) AS value,
+         | round(exp(-exp(-abs(e.value - s.mean)/s.std)), 4) AS score,
+         | CASE WHEN exp(-exp(-abs(e.value - s.mean)/s.std)) > 0.9 THEN 'O' ELSE 'N' END AS tag
+         |FROM events e JOIN stats s USING (event_type)""".stripMargin.replace("\n", " "),
+    "q08_est_prob" ->
+      s"""WITH $evHist
+         |SELECT e.event_id, e.event_type, round(e.value,4) AS value,
+         | round(1.0 - coalesce(h.freq, 0.0), 4) AS score,
+         | CASE WHEN 1.0 - coalesce(h.freq, 0.0) > 0.99 THEN 'O' ELSE 'N' END AS tag
+         |FROM events e LEFT JOIN histn h
+         | ON e.event_type = h.event_type
+         | AND CAST(floor(e.value/10.0) AS BIGINT)::VARCHAR = h.bucket"""
+        .stripMargin.replace("\n", " "),
+    "q09_iqr_score" ->
+      s"""WITH $evQuant
+         |SELECT e.event_id, e.event_type, round(e.value,4) AS value,
+         | round(CASE WHEN e.value < q.q1 THEN (q.q1 - e.value)/(q.q3 - q.q1)
+         |            WHEN e.value > q.q3 THEN (e.value - q.q3)/(q.q3 - q.q1)
+         |            ELSE 0.0 END, 4) AS score,
+         | CASE WHEN (CASE WHEN e.value < q.q1 THEN (q.q1 - e.value)/(q.q3 - q.q1)
+         |            WHEN e.value > q.q3 THEN (e.value - q.q3)/(q.q3 - q.q1)
+         |            ELSE 0.0 END) > 1.5 THEN 'O' ELSE 'N' END AS tag
+         |FROM events e JOIN quant q USING (event_type)""".stripMargin.replace("\n", " "),
+    "q10_outliers_only" ->
+      s"""WITH $evStats
+         |SELECT e.event_id, e.event_type, round(e.value,4) AS value,
+         | round(abs(e.value - s.mean)/s.std, 4) AS score, 'O' AS tag
+         |FROM events e JOIN stats s USING (event_type)
+         |WHERE abs(e.value - s.mean)/s.std > 2.0""".stripMargin.replace("\n", " "),
+    "q11_clean_data" ->
+      s"""WITH $evStats
+         |SELECT e.event_id, e.event_type, e.value
+         |FROM events e JOIN stats s USING (event_type)
+         |WHERE abs(e.value - s.mean)/s.std <= 2.0""".stripMargin.replace("\n", " "),
+    "q29_est_attr_prob" ->
+      s"""WITH $evAttrHist
+         |SELECT e.event_id, e.event_type, round(e.value,4) AS value,
+         | round(least(-ln(greatest(coalesce(h.freq,0.0), 1e-12)), 20.0), 4) AS score,
+         | CASE WHEN least(-ln(greatest(coalesce(h.freq,0.0), 1e-12)), 20.0) > 6.0
+         |   THEN 'O' ELSE 'N' END AS tag
+         |FROM events e LEFT JOIN ahistn h
+         | ON e.event_type = h.event_type AND CAST(floor(e.value/10.0) AS BIGINT) = h.bucket"""
+        .stripMargin.replace("\n", " "),
+    "q30_est_cum_prob" ->
+      s"""WITH $evAttrHist
+         |SELECT e.event_id, e.event_type, round(e.value,4) AS value,
+         | round(CASE WHEN h.cumFreq IS NULL THEN NULL
+         |   WHEN h.cumFreq < 0.5 THEN 1.0 - h.cumFreq ELSE h.cumFreq END, 4) AS score,
+         | CASE WHEN h.cumFreq IS NULL THEN 'I'
+         |   WHEN (CASE WHEN h.cumFreq < 0.5 THEN 1.0 - h.cumFreq ELSE h.cumFreq END) > 0.99
+         |   THEN 'O' ELSE 'N' END AS tag
+         |FROM events e LEFT JOIN ahistn h
+         | ON e.event_type = h.event_type AND CAST(floor(e.value/10.0) AS BIGINT) = h.bucket"""
+        .stripMargin.replace("\n", " "),
+    "q31_est_meta_prob" ->
+      s"""WITH $evAttrHist,
+         |meta AS (SELECT event_type, CAST(floor(freq/0.02) AS BIGINT) AS fbucket,
+         |  sum(cnt) AS fcnt FROM ahistn GROUP BY 1,2),
+         |metan AS (SELECT event_type, fbucket,
+         |  fcnt / (sum(fcnt) OVER (PARTITION BY event_type))::DOUBLE AS metaFreq FROM meta)
+         |SELECT e.event_id, e.event_type, round(e.value,4) AS value,
+         | round(least(-ln(greatest(coalesce(m.metaFreq,0.0), 1e-12)), 20.0), 4) AS score,
+         | CASE WHEN least(-ln(greatest(coalesce(m.metaFreq,0.0), 1e-12)), 20.0) > 6.0
+         |   THEN 'O' ELSE 'N' END AS tag
+         |FROM events e
+         |LEFT JOIN ahistn h ON e.event_type = h.event_type
+         |  AND CAST(floor(e.value/10.0) AS BIGINT) = h.bucket
+         |LEFT JOIN metan m ON e.event_type = m.event_type
+         |  AND CAST(floor(coalesce(h.freq,0.0)/0.02) AS BIGINT) = m.fbucket"""
+        .stripMargin.replace("\n", " "),
+    "q32_mahalanobis" ->
+      """WITH m AS (SELECT l_returnflag, avg(l_quantity) AS mu1, avg(l_extendedprice) AS mu2,
+        |  covar_samp(l_quantity, l_quantity) AS c11,
+        |  covar_samp(l_quantity, l_extendedprice) AS c12,
+        |  covar_samp(l_extendedprice, l_extendedprice) AS c22
+        | FROM lineitem GROUP BY 1),
+        |inv AS (SELECT l_returnflag, mu1, mu2,
+        |  c22/(c11*c22 - c12*c12) AS i11, -c12/(c11*c22 - c12*c12) AS i12,
+        |  c11/(c11*c22 - c12*c12) AS i22 FROM m),
+        |sc AS (SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+        |  l.l_extendedprice,
+        |  sqrt(greatest(
+        |    (l.l_quantity - i.mu1)*(l.l_quantity - i.mu1)*i.i11
+        |    + 2*(l.l_quantity - i.mu1)*(l.l_extendedprice - i.mu2)*i.i12
+        |    + (l.l_extendedprice - i.mu2)*(l.l_extendedprice - i.mu2)*i.i22, 0.0)) AS score
+        | FROM lineitem l JOIN inv i USING (l_returnflag))
+        |SELECT l_orderkey, l_linenumber, l_returnflag, round(l_quantity,4) AS l_quantity,
+        | round(l_extendedprice,4) AS l_extendedprice, round(score,4) AS score,
+        | CASE WHEN score > 3.0 THEN 'O' ELSE 'N' END AS tag FROM sc"""
+        .stripMargin.replace("\n", " "),
+    "q33_out_range" ->
+      """SELECT event_id, event_type, round(value,4) AS value,
+        | round(1.0/(1.0+exp(-0.05*(CASE WHEN value > 75.0 THEN value - 150.0
+        |   ELSE 0.0 - value END))), 4) AS score,
+        | CASE WHEN 1.0/(1.0+exp(-0.05*(CASE WHEN value > 75.0 THEN value - 150.0
+        |   ELSE 0.0 - value END))) > 0.8 THEN 'O' ELSE 'N' END AS tag
+        |FROM events""".stripMargin.replace("\n", " "),
+    "q34_in_range" ->
+      """SELECT event_id, event_type, round(value,4) AS value,
+        | round(1.0 - 1.0/(1.0+exp(-0.05*(CASE WHEN value > 250.0 THEN value - 300.0
+        |   ELSE 200.0 - value END))), 4) AS score,
+        | CASE WHEN 1.0 - 1.0/(1.0+exp(-0.05*(CASE WHEN value > 250.0 THEN value - 300.0
+        |   ELSE 200.0 - value END))) > 0.8 THEN 'O' ELSE 'N' END AS tag
+        |FROM events""".stripMargin.replace("\n", " "),
+    "q35_polarity_suppress" ->
+      s"""WITH $evStats
+         |SELECT e.event_id, e.event_type, round(e.value,4) AS value,
+         | round(abs(e.value - s.mean)/s.std, 4) AS score,
+         | CASE WHEN abs(e.value - s.mean)/s.std > 2.0 AND e.value > s.mean
+         |   THEN 'O' ELSE 'N' END AS tag
+         |FROM events e JOIN stats s USING (event_type)""".stripMargin.replace("\n", " "),
+  )
+}

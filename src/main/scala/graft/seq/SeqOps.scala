@@ -1,0 +1,320 @@
+package graft.seq
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence / time-series operators (SURVEY.md §2.5) expressed as Spark
+  * window functions wherever the algorithm allows.
+  *
+  * The reference materializes each whole per-key series in one executor
+  * (`groupByKey` + in-memory sort, e.g. MarkovChainPredictor.scala:101-107)
+  * — a scalability ceiling. Window functions instead sort within the
+  * shuffle (one exchange + sort per lineage, spillable, no per-key memory
+  * ceiling) and stay inside whole-stage codegen. Kernels that genuinely
+  * need the whole series (FFT, two-sample stats, discord search) live in
+  * [[SeriesKernels]].
+  *
+  * All window orderings use a unique seq column — callers must pass a
+  * tie-free ordering column or window contents (and scores) would be
+  * nondeterministic across engines/runs.
+  */
+object SeqOps {
+
+  private def byKey(keyCols: Seq[String], seqCol: String) =
+    Window.partitionBy(keyCols.map(col): _*).orderBy(seqCol)
+
+  /** Markov-chain sequence scorer — windowed variant of
+    * seq/MarkovChainPredictor.scala:92-137 + MarkovModelPredictor.java:395-482.
+    * Emits all four metrics over a sliding window of `window` transitions:
+    * missProb (avg 1-p), missRate (avg target != argmax), entropyRed
+    * (sum non-target entropy / sum full entropy), condProb (avg -ln p).
+    * `score` = the chosen metric; rows whose window is not yet full score null/I.
+    * Back-propagates O over the window via a forward-looking max
+    * (anti-causal tag spread, MarkovChainPredictor.scala:122-129).
+    *
+    * `transitions` model: (modelKeyCols...,) fromState, toState, prob —
+    * broadcast-joined (tiny: |states|² rows per model key).
+    */
+  def markovChainScore(
+      data: DataFrame,
+      transitions: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      stateCol: String,
+      window: Int,
+      metric: String = "condProb",
+      threshold: Double = 1.5,
+      modelKeyCols: Seq[String] = Nil): DataFrame = {
+    val w = byKey(keyCols, seqCol)
+    // per-fromState derived stats: entropy H(from), argmax target
+    val mw = Window.partitionBy((modelKeyCols :+ "fromState").map(col): _*)
+    val enriched = transitions
+      .withColumn("h", sum(-col("prob") * log(col("prob"))).over(mw))
+      .withColumn("isMax",
+        (col("prob") === max("prob").over(mw)).cast("int"))
+    val withFrom = data.withColumn("fromState", lag(col(stateCol), 1).over(w))
+    val joined = withFrom.join(
+      broadcast(enriched
+        .withColumnRenamed("toState", stateCol)),
+      modelKeyCols ++ Seq("fromState", stateCol), "left")
+    val frame = w.rowsBetween(-(window - 1), 0)
+    val nTrans = count("prob").over(frame)
+    val scoreExpr = metric match {
+      case "missProb" => avg(lit(1.0) - col("prob")).over(frame)
+      case "missRate" => avg(lit(1) - col("isMax")).over(frame)
+      case "entropyRed" =>
+        sum(col("h") - (-col("prob") * log(col("prob")))).over(frame) /
+          sum(col("h")).over(frame)
+      case "condProb" => avg(-log(col("prob"))).over(frame)
+      case other => throw new IllegalArgumentException(s"unknown metric $other")
+    }
+    val scored = joined
+      .withColumn("score", when(nTrans === window, scoreExpr))
+      .withColumn("rawTag", label(col("score"), lit(threshold)))
+    // spread O back over the window: row i is O if any of rows i..i+w-1 raw-O
+    val fwd = byKey(keyCols, seqCol).rowsBetween(0, window - 1)
+    scored
+      .withColumn("tag",
+        when(col("rawTag") === "I", "I")
+          .when(max((col("rawTag") === "O").cast("int")).over(fwd) === 1, "O")
+          .otherwise("N"))
+      .drop("fromState", "prob", "h", "isMax", "rawTag")
+  }
+
+  /** Outlier-score level shift (common/OutlierScoreLevelShift.scala:35-120):
+    * z = (mean_short - mean_long) / stddev_long over two trailing windows of
+    * the score column; retag O when z > minZ, back-propagated over the short
+    * window (:92-101). */
+  def scoreLevelShift(
+      tagged: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      longWin: Int,
+      shortWin: Int,
+      minZ: Double): DataFrame = {
+    val w = byKey(keyCols, seqCol)
+    val lw = w.rowsBetween(-(longWin - 1), 0)
+    val sw = w.rowsBetween(-(shortWin - 1), 0)
+    val z = (avg("score").over(sw) - avg("score").over(lw)) /
+      stddev_samp(col("score")).over(lw)
+    val flagged = tagged
+      .withColumn("z",
+        when(count("score").over(lw) === longWin && stddev_samp(col("score")).over(lw) > 0, z))
+      .withColumn("shifted", (col("z").isNotNull && col("z") > minZ).cast("int"))
+    val fwd = byKey(keyCols, seqCol).rowsBetween(0, shortWin - 1)
+    flagged
+      .withColumn("tag",
+        when(max("shifted").over(fwd) === 1, "O").otherwise(col("tag")))
+      .drop("shifted")
+  }
+
+  /** Local neighborhood detector (seq/LocalNeighborhoodDetector.scala:78-110):
+    * centered odd window of `2*half+1`; score = average distance to
+    * neighbors, or neighbor count within `dist` when `byCount`. */
+  def localNeighborhood(
+      data: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      valCol: String,
+      half: Int,
+      byCount: Boolean = false,
+      dist: Double = 1.0,
+      threshold: Double = 3.0): DataFrame = {
+    val frame = byKey(keyCols, seqCol).rowsBetween(-half, half)
+    val lst = collect_list(col(valCol)).over(frame)
+    val withN = data.withColumn("_nbrs", lst)
+    val x = col(valCol)
+    val full = size(col("_nbrs")) === 2 * half + 1
+    val score =
+      if (byCount) {
+        // low neighbor count = anomalous → score is inverted count fraction
+        val cnt = size(filter(col("_nbrs"), e => abs(e - x) <= lit(dist))) - 1
+        lit(1.0) - cnt.cast("double") / (2.0 * half)
+      } else {
+        (aggregate(col("_nbrs"), lit(0.0), (acc, e) => acc + abs(e - x))) / (2.0 * half)
+      }
+    withN
+      .withColumn("score", when(full, score))
+      .withColumn("tag", label(col("score"), lit(threshold)))
+      .drop("_nbrs")
+  }
+
+  /** Temporal outlier clustering (common/OutlierCluster.scala:35-115):
+    * sessionize the O-tagged rows of each key by inter-arrival gap; inside
+    * each cluster keep only the prototype (max score, earliest on ties) as
+    * O and demote the rest to N — anti-flooding. */
+  def outlierCluster(
+      tagged: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      maxGap: Long): DataFrame = {
+    val w = byKey(keyCols, seqCol)
+    val outliers = tagged.where(col("tag") === "O")
+      .withColumn("newC",
+        (coalesce(col(seqCol) - lag(col(seqCol), 1).over(w), lit(Long.MaxValue)) > maxGap).cast("int"))
+      .withColumn("cid", sum("newC").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val cw = Window.partitionBy((keyCols :+ "cid").map(col): _*)
+      .orderBy(col("score").desc, col(seqCol))
+    val keep = outliers
+      .withColumn("rn", row_number().over(cw))
+      .withColumn("tag", when(col("rn") === 1, "O").otherwise(lit("N")))
+      .drop("newC", "cid", "rn")
+    tagged.where(col("tag") =!= "O").unionByName(keep)
+  }
+
+  /** Change-point via mean-shift statistic (window-expressible variant of
+    * misc/ChangePointDetector.scala:108-139 — the exact KS/CVM/AD kernels
+    * live in SeriesKernels.changePoint): Welch-style
+    * |mean_R - mean_L| / sqrt(varL/w + varR/w) over the two w-row windows
+    * flanking each position; emit positions where stat >= critValue. */
+  def changePointMeanShift(
+      data: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      valCol: String,
+      window: Int,
+      critValue: Double): DataFrame = {
+    val w = byKey(keyCols, seqCol)
+    val left = w.rowsBetween(-window, -1)
+    val right = w.rowsBetween(0, window - 1)
+    val x = col(valCol)
+    // ANSI mode: guard the denominator (constant windows → zero variance)
+    val den = sqrt(var_samp(x).over(left) / window + var_samp(x).over(right) / window)
+    val diff = abs(avg(x).over(right) - avg(x).over(left))
+    val stat = when(den > 0, diff / den)
+      .when(diff > 0, lit(Double.PositiveInfinity))
+      .otherwise(lit(0.0))
+    data
+      .withColumn("cnt_l", count(x).over(left))
+      .withColumn("cnt_r", count(x).over(right))
+      .withColumn("stat", stat)
+      .where(col("cnt_l") === window && col("cnt_r") === window &&
+        col("stat") >= critValue)
+      .drop("cnt_l", "cnt_r")
+  }
+
+  /** One-step-ahead forecast score, causal-window variant of
+    * seq/OneStepAheadPredictor.scala:111-147 with replace-on-outlier off:
+    * prediction = mean of the previous `window` values; score =
+    * |actual - predicted| / stddev of all previous residuals. The
+    * replace-on-outlier feedback variant (inherently sequential) is
+    * SeriesKernels.oneStepAhead. */
+  def oneStepAhead(
+      data: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      valCol: String,
+      window: Int,
+      threshold: Double = 3.0): DataFrame = {
+    val w = byKey(keyCols, seqCol)
+    val prev = w.rowsBetween(-window, -1)
+    val hist = w.rowsBetween(Window.unboundedPreceding, -1)
+    val pred = avg(col(valCol)).over(prev)
+    val withPred = data
+      .withColumn("predicted", when(count(col(valCol)).over(prev) === window, pred))
+      .withColumn("resid", col(valCol) - col("predicted"))
+    val residStd = stddev_samp(col("resid")).over(hist)
+    withPred
+      .withColumn("score",
+        when(col("resid").isNotNull && residStd > 0, abs(col("resid")) / residStd))
+      .withColumn("tag", label(col("score"), lit(threshold)))
+      .drop("resid")
+  }
+
+  /** Level-shift segments (level/OutlierLevelShift.scala:104-147):
+    * shifted-positions (two-window z above `minZ`) merged into contiguous
+    * [start,end] segments per key via the gaps-and-islands pattern.
+    * Output: keyCols..., segStart, segEnd, n, avgShift. */
+  def levelShiftSegments(
+      data: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      valCol: String,
+      window: Int,
+      minZ: Double): DataFrame = {
+    val w = byKey(keyCols, seqCol)
+    val left = w.rowsBetween(-window, -1)
+    val right = w.rowsBetween(0, window - 1)
+    val x = col(valCol)
+    val zden = sqrt(var_samp(x).over(left) / window + var_samp(x).over(right) / window)
+    val z = when(zden > 0, (avg(x).over(right) - avg(x).over(left)) / zden)
+    val flagged = data
+      .withColumn("z", when(count(x).over(left) === window && count(x).over(right) === window, z))
+      .withColumn("shifted", (col("z").isNotNull && abs(col("z")) >= minZ).cast("int"))
+      .withColumn("newSeg",
+        (col("shifted") === 1 &&
+          coalesce(lag(col("shifted"), 1).over(w), lit(0)) === 0).cast("int"))
+      .withColumn("segId", sum("newSeg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.where(col("shifted") === 1)
+      .groupBy((keyCols :+ "segId").map(col): _*)
+      .agg(
+        min(seqCol).as("segStart"),
+        max(seqCol).as("segEnd"),
+        count(lit(1)).as("n"),
+        avg("z").as("avgShift"))
+      .drop("segId")
+  }
+
+  /** Autocorrelation at the given lags per key (chombo AutoCorrelation,
+    * resource/cyd.sh:46 — cycle detection). Output: keyCols..., lag, ac. */
+  def autocorrelation(
+      data: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      valCol: String,
+      lags: Seq[Int]): DataFrame = {
+    val w = byKey(keyCols, seqCol)
+    var df = data
+    lags.foreach(l => df = df.withColumn(s"_lag$l", lag(col(valCol), l).over(w)))
+    val aggs = lags.map(l => corr(col(valCol), col(s"_lag$l")).as(s"ac$l"))
+    val wide = df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val kvs = lags.flatMap(l => Seq(lit(l), col(s"ac$l")))
+    wide.select(keyCols.map(col) :+ explode(map(kvs.map(c => c: Column): _*)).as(Seq("lag", "ac")): _*)
+  }
+
+  /** Temporal aggregation into fixed time buckets per key (chombo
+    * TemporalAggregator, resource/cyd.sh:29). `tsCol` in epoch-nanos,
+    * bucket width in seconds. Integer division keeps bucket ids exact. */
+  def temporalAggregate(
+      data: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valCol: String,
+      bucketSec: Long): DataFrame = {
+    val bucket = expr(s"$tsCol div ${bucketSec * 1000000000L}").as("bucket")
+    data.select((keyCols.map(col) :+ bucket :+ col(valCol)): _*)
+      .groupBy((keyCols :+ "bucket").map(col): _*)
+      .agg(
+        count(valCol).as("n"),
+        avg(valCol).as("avgVal"),
+        max(valCol).as("maxVal"),
+        min(valCol).as("minVal"))
+  }
+
+  /** Sequence multigram distribution (§2.3,
+    * src/.../dist/MultigramMultiVariateDistribution.java:54-261): sliding
+    * n-grams of the per-key ordered state sequence → counts + per-key
+    * normalized frequency. */
+  def multigramDistribution(
+      data: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      stateCol: String,
+      n: Int): DataFrame = {
+    val w = byKey(keyCols, seqCol)
+    var df = data
+    (1 until n).foreach(i =>
+      df = df.withColumn(s"_g$i", lag(col(stateCol), n - i).over(w)))
+    val parts = (1 until n).map(i => col(s"_g$i")) :+ col(stateCol)
+    val gram = concat_ws(">", parts: _*)
+    val full = (1 until n).map(i => col(s"_g$i").isNotNull).reduceOption(_ && _).getOrElse(lit(true))
+    val counts = df.where(full)
+      .select(keyCols.map(col) :+ gram.as("gram"): _*)
+      .groupBy((keyCols :+ "gram").map(col): _*)
+      .count().withColumnRenamed("count", "cnt")
+    val kw = Window.partitionBy(keyCols.map(col): _*)
+    counts.withColumn("freq", col("cnt") / sum("cnt").over(kw))
+  }
+}

@@ -1,0 +1,362 @@
+package graft.seq
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Whole-series kernels that cannot be expressed as window aggregates
+  * (SURVEY.md §4 item 2): FFT saliency, two-sample statistics, discord
+  * search, feedback forecasting. Run via `Dataset.groupByKey.flatMapGroups`
+  * — one shuffle on the series key, kernel local per key.
+  *
+  * Scale contract: one key's series must fit in one task (same contract as
+  * the reference's groupByKey jobs, MarkovChainPredictor.scala:101-107).
+  * At 100 TB this holds when series are bounded per entity (e.g. bounded
+  * retention); unbounded series should be pre-chunked by
+  * [[SeqOps.temporalAggregate]]-style bucketing before scoring.
+  */
+object SeriesKernels {
+
+  case class SPoint(key: String, seq: Long, value: Double)
+  case class SScore(key: String, seq: Long, value: Double, score: Double)
+  case class Segment(key: String, segStart: Long, segEnd: Long, stat: Double)
+
+  /** Generic per-key sorted-series runner. */
+  def run(data: DataFrame, keyCols: Seq[String], seqCol: String, valCol: String)(
+      kernel: (String, Array[SPoint]) => Iterator[SScore]): Dataset[SScore] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val pts = data.select(
+      concat_ws("|", keyCols.map(c => col(c).cast("string")): _*).as("key"),
+      col(seqCol).cast("long").as("seq"),
+      col(valCol).cast("double").as("value")).as[SPoint]
+    pts.groupByKey(_.key).flatMapGroups { (k, it) =>
+      kernel(k, it.toArray.sortBy(p => (p.seq, p.value)))
+    }
+  }
+
+  // ---------- spectral residue (seq/SpectralResiduePredictor.scala:37-155) ----------
+
+  /** Saliency-map anomaly score per point: sliding FFT window → spectral
+    * residue (log-amplitude minus its moving average) → inverse FFT with
+    * original phases → saliency; score = saliency amplitude minus
+    * neighborhood average (algorithm :140-153). Window must be a power of 2. */
+  def spectralResidue(
+      data: DataFrame, keyCols: Seq[String], seqCol: String, valCol: String,
+      window: Int, avgWindow: Int = 3): Dataset[SScore] = {
+    require((window & (window - 1)) == 0, "window must be a power of 2")
+    run(data, keyCols, seqCol, valCol) { (k, pts) =>
+      if (pts.length < window) Iterator.empty
+      else {
+        val n = pts.length
+        val sal = new Array[Double](n)
+        val cnt = new Array[Int](n)
+        var off = 0
+        while (off + window <= n) {
+          val re = Array.tabulate(window)(i => pts(off + i).value)
+          val im = new Array[Double](window)
+          fft(re, im, inverse = false)
+          val amp = Array.tabulate(window)(i => math.hypot(re(i), im(i)))
+          val logAmp = amp.map(a => math.log(a + 1e-12))
+          // moving average of log amplitude
+          val ma = movingAvg(logAmp, avgWindow)
+          val resid = Array.tabulate(window)(i => logAmp(i) - ma(i))
+          // back to time domain keeping phases
+          val re2 = Array.tabulate(window)(i => math.exp(resid(i)) * (if (amp(i) > 1e-12) re(i) / amp(i) else 0.0))
+          val im2 = Array.tabulate(window)(i => math.exp(resid(i)) * (if (amp(i) > 1e-12) im(i) / amp(i) else 0.0))
+          fft(re2, im2, inverse = true)
+          var i = 0
+          while (i < window) {
+            sal(off + i) += math.hypot(re2(i), im2(i)); cnt(off + i) += 1; i += 1
+          }
+          off += window / 2 // half-overlapping windows
+        }
+        val s = Array.tabulate(n)(i => if (cnt(i) > 0) sal(i) / cnt(i) else 0.0)
+        val nbrAvg = movingAvg(s, 2 * avgWindow + 1)
+        Iterator.tabulate(n) { i =>
+          SScore(k, pts(i).seq, pts(i).value, math.max(0.0, s(i) - nbrAvg(i)))
+        }
+      }
+    }
+  }
+
+  /** Iterative radix-2 Cooley-Tukey FFT, in place. */
+  private[graft] def fft(re: Array[Double], im: Array[Double], inverse: Boolean): Unit = {
+    val n = re.length
+    var j = 0
+    for (i <- 1 until n) { // bit reversal
+      var bit = n >> 1
+      while (j >= bit) { j -= bit; bit >>= 1 }
+      j += bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = 2 * math.Pi / len * (if (inverse) 1 else -1)
+      val (wr, wi) = (math.cos(ang), math.sin(ang))
+      var i = 0
+      while (i < n) {
+        var (cwr, cwi) = (1.0, 0.0)
+        var k = 0
+        while (k < len / 2) {
+          val (ur, ui) = (re(i + k), im(i + k))
+          val (vr0, vi0) = (re(i + k + len / 2), im(i + k + len / 2))
+          val vr = vr0 * cwr - vi0 * cwi
+          val vi = vr0 * cwi + vi0 * cwr
+          re(i + k) = ur + vr; im(i + k) = ui + vi
+          re(i + k + len / 2) = ur - vr; im(i + k + len / 2) = ui - vi
+          val ncwr = cwr * wr - cwi * wi
+          cwi = cwr * wi + cwi * wr; cwr = ncwr
+          k += 1
+        }
+        i += len
+      }
+      len <<= 1
+    }
+    if (inverse) {
+      var i = 0
+      while (i < n) { re(i) /= n; im(i) /= n; i += 1 }
+    }
+  }
+
+  private def movingAvg(a: Array[Double], w: Int): Array[Double] = {
+    val n = a.length
+    Array.tabulate(n) { i =>
+      val lo = math.max(0, i - w / 2)
+      val hi = math.min(n - 1, i + w / 2)
+      var s = 0.0
+      var j = lo
+      while (j <= hi) { s += a(j); j += 1 }
+      s / (hi - lo + 1)
+    }
+  }
+
+  // ---------- two-sample change point (misc/ChangePointDetector.scala:108-139) ----------
+
+  /** Sliding two-sample change-point statistics: at each position the
+    * preceding `window` vs following `window` values are compared with the
+    * chosen statistic ∈ {ks, cvm, ad}; emits positions with stat ≥ crit. */
+  def changePoint(
+      data: DataFrame, keyCols: Seq[String], seqCol: String, valCol: String,
+      window: Int, stat: String, critValue: Double): Dataset[SScore] = {
+    run(data, keyCols, seqCol, valCol) { (k, pts) =>
+      val n = pts.length
+      val out = Iterator.range(window, n - window + 1).flatMap { i =>
+        val a = Array.tabulate(window)(j => pts(i - window + j).value)
+        val b = Array.tabulate(window)(j => pts(i + j).value)
+        val s = stat match {
+          case "ks" => ksStat(a, b)
+          case "cvm" => cvmStat(a, b)
+          case "ad" => adStat(a, b)
+          case o => throw new IllegalArgumentException(s"unknown stat $o")
+        }
+        if (s >= critValue) Some(SScore(k, pts(i).seq, pts(i).value, s)) else None
+      }
+      out
+    }
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic (max ECDF gap). */
+  private[graft] def ksStat(a: Array[Double], b: Array[Double]): Double = {
+    val sa = a.sorted; val sb = b.sorted
+    val (n, m) = (sa.length, sb.length)
+    var (i, j) = (0, 0)
+    var d = 0.0
+    while (i < n && j < m) {
+      val v = math.min(sa(i), sb(j))
+      while (i < n && sa(i) == v) i += 1 // consume full tie groups before
+      while (j < m && sb(j) == v) j += 1 // measuring the ECDF gap
+      d = math.max(d, math.abs(i.toDouble / n - j.toDouble / m))
+    }
+    d
+  }
+
+  /** Two-sample Cramér–von Mises statistic (rank form). */
+  private[graft] def cvmStat(a: Array[Double], b: Array[Double]): Double = {
+    val n = a.length; val m = b.length
+    val all = (a.map((_, 0)) ++ b.map((_, 1))).sortBy(_._1)
+    var (ia, ib) = (0, 0)
+    var t = 0.0
+    all.foreach { case (_, src) =>
+      if (src == 0) ia += 1 else ib += 1
+      val d = ia.toDouble / n - ib.toDouble / m
+      t += d * d
+    }
+    t * n.toDouble * m / ((n + m).toDouble * (n + m)) // T = nm/N² · Σ d²
+  }
+
+  /** Two-sample Anderson-Darling statistic (k-sample AD with k=2,
+    * unadjusted). */
+  private[graft] def adStat(a: Array[Double], b: Array[Double]): Double = {
+    val n = a.length; val m = b.length
+    val nt = n + m
+    val all = (a.map((_, 0)) ++ b.map((_, 1))).sortBy(_._1)
+    var ca = 0
+    var s = 0.0
+    var i = 0
+    while (i < nt - 1) {
+      if (all(i)._2 == 0) ca += 1
+      val h = i + 1
+      val d = ca.toDouble * nt - n.toDouble * h
+      s += d * d / (h.toDouble * (nt - h))
+      i += 1
+    }
+    s / (n.toDouble * m)
+  }
+
+  // ---------- discord / subsequence distance (seq/SubSequenceDistanceDetector.scala:193-216) ----------
+
+  /** Score of the window starting at i = min over all non-overlapping
+    * reference windows of RMS distance (early-abandon search). O(n²·w) per
+    * key like the reference; keys process in parallel. */
+  def subSequenceDistance(
+      data: DataFrame, keyCols: Seq[String], seqCol: String, valCol: String,
+      window: Int): Dataset[SScore] = {
+    run(data, keyCols, seqCol, valCol) { (k, pts) =>
+      val n = pts.length - window + 1
+      if (n <= 1) Iterator.empty
+      else Iterator.range(0, n).map { i =>
+        var best = Double.MaxValue
+        var j = 0
+        while (j < n) {
+          if (math.abs(j - i) >= window) { // exclude self-overlap
+            var d = 0.0
+            var t = 0
+            while (t < window && d < best) { // early abandon
+              val diff = pts(i + t).value - pts(j + t).value
+              d += diff * diff
+              t += 1
+            }
+            if (d < best) best = d
+          }
+          j += 1
+        }
+        SScore(k, pts(i).seq, pts(i).value, math.sqrt(best / window))
+      }
+    }
+  }
+
+  // ---------- one-step-ahead with outlier replacement (seq/OneStepAheadPredictor.scala:111-151) ----------
+
+  /** Sequential forecast with replace-on-outlier feedback: prediction =
+    * mean of the trailing window; score = |x-x̂|/σ_resid (running); when a
+    * point scores above `threshold` the *predicted* value replaces it in
+    * the window so one outlier doesn't poison subsequent forecasts (:150-151). */
+  def oneStepAhead(
+      data: DataFrame, keyCols: Seq[String], seqCol: String, valCol: String,
+      window: Int, threshold: Double): Dataset[SScore] = {
+    run(data, keyCols, seqCol, valCol) { (k, pts) =>
+      val buf = new Array[Double](window)
+      var filled = 0
+      var residSum = 0.0
+      var residSq = 0.0
+      var residN = 0
+      pts.iterator.map { p =>
+        var score = 0.0
+        var store = p.value
+        if (filled >= window) {
+          val pred = buf.sum / window
+          val resid = p.value - pred
+          val std =
+            if (residN > 1) math.sqrt((residSq - residSum * residSum / residN) / (residN - 1))
+            else 0.0
+          score = if (std > 0) math.abs(resid) / std else 0.0
+          residSum += resid; residSq += resid * resid; residN += 1
+          if (score > threshold) store = pred // feedback: replace outlier
+        }
+        buf(filled % window) = store
+        filled += 1
+        SScore(k, p.seq, p.value, score)
+      }
+    }
+  }
+
+  // ---------- n-gram frequency (seq/NgramFrequencyPredictor.scala:79-223) ----------
+
+  /** Quantize values to per-key equal-probability buckets, maintain a
+    * sliding window's n-gram frequency map, score = max-normalized sum of
+    * squared differences vs the key's overall n-gram distribution
+    * (findNgramDiff :195-205, maxNormalize :212-223). */
+  def ngramFrequency(
+      data: DataFrame, keyCols: Seq[String], seqCol: String, valCol: String,
+      numBuckets: Int, n: Int, window: Int): Dataset[SScore] = {
+    run(data, keyCols, seqCol, valCol) { (k, pts) =>
+      val m = pts.length
+      if (m < window || window <= n) Iterator.empty
+      else {
+        // equal-probability quantization boundaries from this key's values
+        val sorted = pts.map(_.value).sorted
+        def bucket(v: Double): Int = {
+          var b = 0
+          var i = 1
+          while (i < numBuckets) {
+            val q = quantile(sorted, i.toDouble / numBuckets)
+            if (v > q) b = i
+            i += 1
+          }
+          b
+        }
+        val syms = pts.map(p => bucket(p.value))
+        def gram(i: Int): String = syms.slice(i - n + 1, i + 1).mkString(">")
+        // reference distribution: n-gram freq over the whole series
+        val ref = collection.mutable.Map.empty[String, Double]
+        for (i <- (n - 1) until m) ref(gram(i)) = ref.getOrElse(gram(i), 0.0) + 1.0
+        val refTot = ref.values.sum
+        val refNorm = ref.map { case (g, c) => g -> c / refTot }
+        val cur = collection.mutable.Map.empty[String, Double]
+        val scores = new Array[Double](m)
+        for (i <- (n - 1) until m) {
+          val g = gram(i)
+          cur(g) = cur.getOrElse(g, 0.0) + 1.0
+          if (i - n + 1 >= window) { // slide: drop oldest gram
+            val old = gram(i - window)
+            cur(old) = cur(old) - 1.0
+            if (cur(old) <= 0) cur.remove(old)
+          }
+          val tot = cur.values.sum
+          var d = 0.0
+          (cur.keySet ++ refNorm.keySet).foreach { gk =>
+            val diff = cur.getOrElse(gk, 0.0) / tot - refNorm.getOrElse(gk, 0.0)
+            d += diff * diff
+          }
+          scores(i) = d
+        }
+        val mx = scores.max
+        Iterator.tabulate(m) { i =>
+          SScore(k, pts(i).seq, pts(i).value, if (mx > 0) scores(i) / mx else 0.0)
+        }
+      }
+    }
+  }
+
+  private def quantile(sorted: Array[Double], f: Double): Double = {
+    val pos = f * (sorted.length - 1)
+    val lo = pos.toInt
+    val frac = pos - lo
+    if (lo + 1 < sorted.length) sorted(lo) * (1 - frac) + sorted(lo + 1) * frac
+    else sorted(lo)
+  }
+
+  /** Sequence matchers (src/.../util/SequenceMatcher.java:58-110):
+    * positional match count and longest-common-subsequence similarity over
+    * two symbol arrays — exposed as column functions for paired
+    * collect_list arrays. */
+  def positionalSimilarity(a: Seq[String], b: Seq[String]): Double = {
+    val n = math.min(a.length, b.length)
+    if (n == 0) 0.0
+    else a.zip(b).count { case (x, y) => x == y }.toDouble / math.max(a.length, b.length)
+  }
+
+  def lcsSimilarity(a: Seq[String], b: Seq[String]): Double = {
+    val (n, m) = (a.length, b.length)
+    if (n == 0 || m == 0) return 0.0
+    val dp = Array.ofDim[Int](n + 1, m + 1)
+    for (i <- 1 to n; j <- 1 to m)
+      dp(i)(j) =
+        if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(n)(m).toDouble / math.max(n, m)
+  }
+}

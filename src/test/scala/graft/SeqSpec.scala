@@ -1,0 +1,86 @@
+package graft
+
+import graft.model.Fitters
+import graft.seq.{SeqOps, SeriesKernels}
+import org.apache.spark.sql.functions._
+
+class SeqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fft roundtrip recovers the signal") {
+    val re = Array(1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0, 0.0)
+    val im = new Array[Double](8)
+    val orig = re.clone()
+    SeriesKernels.fft(re, im, inverse = false)
+    SeriesKernels.fft(re, im, inverse = true)
+    orig.zip(re).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("ks statistic: identical samples 0, disjoint samples 1") {
+    val a = Array(1.0, 2.0, 3.0, 4.0)
+    assert(SeriesKernels.ksStat(a, a.clone()) == 0.0)
+    assert(SeriesKernels.ksStat(a, Array(10.0, 11.0, 12.0, 13.0)) == 1.0)
+    assert(SeriesKernels.cvmStat(a, Array(10.0, 11.0, 12.0, 13.0)) >
+      SeriesKernels.cvmStat(a, Array(2.0, 3.0, 4.0, 5.0)))
+    assert(SeriesKernels.adStat(a, Array(10.0, 11.0, 12.0, 13.0)) > 0)
+  }
+
+  test("markov transitions are row-stochastic") {
+    val data = core.table(spark, sfDir, "events")
+    val m = Fitters.markovTransitions(data, Seq("user_id"), "event_id", "event_type", 1.0)
+    val sums = m.groupBy("fromState").agg(sum("prob").as("s")).collect()
+    assert(sums.nonEmpty)
+    sums.foreach(r => assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-9))
+  }
+
+  test("markov chain: improbable window scores higher than probable one") {
+    val seq = (1 to 40).map(i => ("e1", i.toLong, if (i % 2 == 0) "A" else "B")) ++
+      (41 to 45).map(i => ("e1", i.toLong, "C")) // rare state burst
+    val df = seq.toDF("id", "seq", "state")
+    val model = Fitters.markovTransitions(df, Seq("id"), "seq", "state", 0.5)
+    val out = SeqOps.markovChainScore(df, model, Seq("id"), "seq", "state",
+      window = 3, metric = "condProb", threshold = 100.0)
+    val scores = out.orderBy("seq").select("score").as[Option[Double]].collect()
+    assert(scores(44).get > scores(20).get) // C-burst window ≫ alternating window
+  }
+
+  test("subsequence discord: injected anomaly has the max score") {
+    val base = (0 until 200).map(i => ("d", i.toLong, math.sin(i * 0.3)))
+    val anom = base.map { case (k, s, v) => if (s >= 100 && s < 108) (k, s, v + 5.0) else (k, s, v) }
+    val out = SeriesKernels.subSequenceDistance(anom.toDF("k", "s", "v"), Seq("k"), "s", "v", 8)
+      .collect()
+    val top = out.maxBy(_.score)
+    assert(top.seq >= 93 && top.seq <= 107) // discord window overlaps the injection
+  }
+
+  test("one-step-ahead feedback: outlier replaced, scores finite") {
+    val pts = (0 until 60).map(i => ("k", i.toLong, if (i == 40) 500.0 else 10.0 + (i % 3)))
+    val out = SeriesKernels.oneStepAhead(pts.toDF("k", "s", "v"), Seq("k"), "s", "v", 5, 3.0)
+      .collect().sortBy(_.seq)
+    assert(out(40).score > 3.0)       // spike detected
+    assert(out(45).score < 3.0)       // post-spike forecasts recovered (replacement worked)
+  }
+
+  test("changepoint mean-shift flags an injected level shift") {
+    val pts = (0 until 200).map(i => ("k", i.toLong, if (i < 100) 10.0 else 30.0))
+      .toDF("k", "s", "v")
+    val cp = SeqOps.changePointMeanShift(pts, Seq("k"), "s", "v", 30, 10.0)
+      .select("s").as[Long].collect()
+    assert(cp.contains(100L))
+  }
+
+  test("outlier cluster keeps one prototype per burst") {
+    val rows = Seq(
+      ("k", 1L, 1.0, 5.0, "O"), ("k", 2L, 1.0, 9.0, "O"), ("k", 3L, 1.0, 7.0, "O"),
+      ("k", 500L, 1.0, 4.0, "O"), ("k", 600L, 1.0, 2.0, "N")
+    ).toDF("id", "seq", "value", "score", "tag")
+    val out = SeqOps.outlierCluster(rows, Seq("id"), "seq", maxGap = 100L)
+    val os = out.where($"tag" === "O").select("seq").as[Long].collect().sorted
+    assert(os.toSeq == Seq(2L, 500L)) // burst prototype = max score; singleton kept
+  }
+
+  test("sequence matchers") {
+    assert(SeriesKernels.positionalSimilarity(Seq("a", "b", "c"), Seq("a", "x", "c")) == 2.0 / 3)
+    assert(SeriesKernels.lcsSimilarity(Seq("a", "b", "c", "d"), Seq("a", "c", "d")) == 3.0 / 4)
+  }
+}
