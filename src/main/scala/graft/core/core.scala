@@ -85,12 +85,22 @@ package object core {
       .withColumn("tag", label(col("score"), lit(threshold)))
 
   /** Round every double column to `p` places — canonical form for the
-    * DuckDB-oracle hash compare (both sides round identically so
-    * last-ulp float divergence cannot flip the hash). */
+    * DuckDB-oracle hash compare. NOT Spark's `round` (BigDecimal
+    * HALF_UP on the shortest decimal string): DuckDB rounds the float
+    * product (std::round(x·10^p)/10^p), and the two disagree on
+    * exact-half decimals (e.g. avg over 16 rows → 44.06625). Replicate
+    * DuckDB's arithmetic bit-for-bit: half away from zero on x·10^p. */
+  def roundLikeDuck(c: Column, p: Int): Column = {
+    val f = math.pow(10, p)
+    when(c.isNull, c)
+      .when(c >= 0, floor(c * f + 0.5) / f)
+      .otherwise(-floor(-c * f + 0.5) / f)
+  }
+
   def canon(df: DataFrame, p: Int = 4): DataFrame = {
     val cols = df.schema.fields.map { f =>
       if (f.dataType == org.apache.spark.sql.types.DoubleType)
-        round(col(f.name), p).as(f.name)
+        roundLikeDuck(col(f.name), p).as(f.name)
       else col(f.name)
     }
     df.select(cols.toSeq: _*)

@@ -1,0 +1,75 @@
+package graft.multi
+
+import graft.core.linalg
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cluster- and projection-based scorers (SURVEY.md §2.4/§2.6):
+  * CBLOF over MLlib KMeans and PCA-reconstruction error. */
+object ClusterScore {
+
+  /** CBLOF (cluster/ClusterBasedPredictor.scala:41-130): fit KMeans; large
+    * clusters = the biggest clusters covering `largeFraction` of the data
+    * (:89-110). Score = distance to own centroid for members of large
+    * clusters; distance to the nearest *large* centroid otherwise. */
+  def cblof(data: DataFrame, attrCols: Seq[String], k: Int,
+      largeFraction: Double, seed: Long): DataFrame = {
+    val asm = new VectorAssembler().setInputCols(attrCols.toArray).setOutputCol("_fv")
+    val fv = asm.transform(data)
+    val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("_fv").setPredictionCol("_cluster")
+    val model = km.fit(fv)
+    val assigned = model.transform(fv)
+    val sizes = assigned.groupBy("_cluster").count().collect()
+      .map(r => r.getAs[Int]("_cluster") -> r.getAs[Long]("count")).toMap
+    val total = sizes.values.sum.toDouble
+    val bySize = sizes.toSeq.sortBy(-_._2)
+    val cum = bySize.scanLeft(0L)(_ + _._2).tail
+    val nLarge = math.max(1, cum.indexWhere(_ >= largeFraction * total) + 1)
+    val large = bySize.take(nLarge).map(_._1).toSet
+    val cents = model.clusterCenters
+    val dist = (ci: Int) => {
+      val c = cents(ci)
+      attrCols.zipWithIndex
+        .map { case (a, i) => (col(a) - c(i)) * (col(a) - c(i)) }
+        .reduce(_ + _)
+    }
+    val nearestLarge: Column = large.toSeq.map(dist).reduce((a, b) => least(a, b))
+    val own: Column = coalesce(
+      cents.indices.map(ci => when(col("_cluster") === ci, dist(ci))): _*)
+    val isLarge = col("_cluster").isin(large.toSeq: _*)
+    assigned
+      .withColumn("score", sqrt(when(isLarge, own).otherwise(nearestLarge)))
+      .drop("_fv")
+  }
+
+  /** PCA reconstruction error (pc/PrincipalComponentPredictor.scala:38-120):
+    * fit covariance per data set, project onto the top `nComponents`
+    * principal axes, score = ‖x − x̂‖ (regen :85-96). Covariance + eigen
+    * run on the fitted model (d×d), data side is a codegen expression. */
+  def pcaScore(data: DataFrame, attrCols: Seq[String], nComponents: Int): DataFrame = {
+    val d = attrCols.length
+    require(nComponents < d, "nComponents must be < #attrs")
+    val aggs = attrCols.map(a => avg(col(a)).as(s"mu_$a")) ++
+      (for (i <- 0 until d; j <- i until d) yield
+        covar_samp(col(attrCols(i)), col(attrCols(j))).as(s"c_${i}_$j"))
+    val m = data.agg(aggs.head, aggs.tail: _*).head()
+    val mus = attrCols.map(a => m.getAs[Double](s"mu_$a"))
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      m.getAs[Double](s"c_${a}_$b")
+    }
+    val (_, vecs) = linalg.symEigen(cov)
+    val diffs = attrCols.zip(mus).map { case (a, mu) => col(a) - mu }
+    // residual² = Σ_{discarded axes} ((x−μ)·v_k)² — computed directly on the
+    // minor axes; the algebraically equal ‖x−μ‖²−Σ_top(…)² cancels
+    // catastrophically when the residual is small vs the data scale
+    val resid2 = (nComponents until d).map { kI =>
+      val p = diffs.zipWithIndex.map { case (c, i) => c * vecs(kI)(i) }.reduce(_ + _)
+      p * p
+    }.reduce(_ + _)
+    data.withColumn("score", sqrt(resid2))
+  }
+}

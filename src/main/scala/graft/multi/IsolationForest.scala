@@ -1,0 +1,151 @@
+package graft.multi
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Isolation forest (SURVEY.md §2.6, multi/IsolationForestModel.scala:54-377,
+  * IsolationForestPredictor.scala:76-175, IsolationForestMerge.scala:68-190).
+  *
+  * The reference grows all trees with a cluster-wide shuffle **per tree
+  * level** (groupByKey loop :136-254). Since each tree sees only
+  * `subsampleSize` rows (default 100, :54-57), a whole forest fits easily
+  * in one task — so we build each key's forest locally inside one
+  * flatMapGroups pass (zero iterative shuffles) and broadcast the model
+  * back for scoring, replacing the reference's data×model cartesian
+  * (:108) with a map-side traversal. Seeded RNG (the reference's unseeded
+  * Math.random, :203, made deterministic per SURVEY §7 hard-part d).
+  */
+object IsolationForest {
+
+  /** One internal node or leaf of one tree, in the flat path encoding the
+    * reference persists (:257-271): nodeId is the bit path from the root
+    * (left=0/LT, right=1/GE). */
+  case class IsoNode(key: String, treeId: Int, path: String, attr: Int,
+      split: Double, isLeaf: Boolean, size: Int, depth: Int)
+
+  case class IsoScore(key: String, rowId: Long, score: Double)
+
+  /** c(n): average unsuccessful-search path length of a BST
+    * (avgPathLength :366-369). */
+  def c(n: Double): Double =
+    if (n <= 1) 0.0 else 2 * (math.log(n - 1) + 0.5772156649) - 2 * (n - 1) / n
+
+  /** Fit per-key forests. `rows` must carry (key: String, rowId: Long,
+    * attrs: Array[Double]); model returned as a small DataFrame. */
+  def fit(data: DataFrame, keyCols: Seq[String], attrCols: Seq[String],
+      numTrees: Int, subsampleSize: Int, maxDepth: Int, seed: Long): Dataset[IsoNode] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val rows = data.select(
+      concat_ws("|", keyCols.map(c => col(c).cast("string")): _*).as("key"),
+      array(attrCols.map(c => col(c).cast("double")): _*).as("attrs"))
+      .as[(String, Seq[Double])]
+    rows.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val all = it.map(_._2.toArray).toArray
+      val rng = new Random(seed ^ key.hashCode.toLong)
+      val nodes = collection.mutable.ArrayBuffer.empty[IsoNode]
+      for (t <- 0 until numTrees) {
+        val sample = Array.fill(math.min(subsampleSize, all.length))(all(rng.nextInt(all.length)))
+        grow(key, t, "R", sample, 0, maxDepth, rng, nodes)
+      }
+      nodes.iterator
+    }
+  }
+
+  private def grow(key: String, treeId: Int, path: String, rows: Array[Array[Double]],
+      depth: Int, maxDepth: Int, rng: Random,
+      out: collection.mutable.ArrayBuffer[IsoNode]): Unit = {
+    // terminal: depth cap, singleton, or unsplittable (isTerminal :371-376)
+    val splittable = rows.nonEmpty && (0 until rows(0).length)
+      .exists(a => rows.map(_(a)).distinct.length > 1)
+    if (depth >= maxDepth || rows.length <= 1 || !splittable) {
+      out += IsoNode(key, treeId, path, -1, 0.0, isLeaf = true, rows.length, depth)
+    } else {
+      // random attr with spread, random split in its range (:161-226)
+      val attrs = (0 until rows(0).length).filter { a =>
+        val v = rows.map(_(a)); v.max > v.min
+      }
+      val a = attrs(rng.nextInt(attrs.length))
+      val (lo, hi) = (rows.map(_(a)).min, rows.map(_(a)).max)
+      val split = lo + rng.nextDouble() * (hi - lo)
+      val (lt, ge) = rows.partition(_(a) < split)
+      if (lt.isEmpty || ge.isEmpty) {
+        out += IsoNode(key, treeId, path, -1, 0.0, isLeaf = true, rows.length, depth)
+      } else {
+        out += IsoNode(key, treeId, path, a, split, isLeaf = false, rows.length, depth)
+        grow(key, treeId, path + "0", lt, depth + 1, maxDepth, rng, out)
+        grow(key, treeId, path + "1", ge, depth + 1, maxDepth, rng, out)
+      }
+    }
+  }
+
+  /** Score each row: average tree path length (leaf depth + c(leafSize)
+    * continuation, scoring :291-353) → score = 2^(−avgLen/c(subsample)). */
+  def score(data: DataFrame, model: Dataset[IsoNode], keyCols: Seq[String],
+      attrCols: Seq[String], idCol: String, subsampleSize: Int): Dataset[IsoScore] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    // model is tiny (keys × trees × ≤2^depth nodes): broadcast as a map
+    val trees: Map[String, Map[(Int, String), IsoNode]] = model.collect()
+      .groupBy(_.key)
+      .map { case (k, ns) => k -> ns.map(n => (n.treeId, n.path) -> n).toMap }
+    val bc = spark.sparkContext.broadcast(trees)
+    val cn = c(subsampleSize.toDouble)
+    val rows = data.select(
+      concat_ws("|", keyCols.map(c => col(c).cast("string")): _*).as("key"),
+      col(idCol).cast("long").as("rowId"),
+      array(attrCols.map(c => col(c).cast("double")): _*).as("attrs"))
+      .as[(String, Long, Seq[Double])]
+    rows.map { case (key, id, attrsSeq) =>
+      val attrs = attrsSeq.toArray
+      val forest = bc.value.getOrElse(key, Map.empty)
+      val treeIds = forest.keys.map(_._1).toArray.distinct
+      val lens = treeIds.map { t =>
+        var path = "R"
+        var node = forest((t, path))
+        while (!node.isLeaf) {
+          path = path + (if (attrs(node.attr) < node.split) "0" else "1")
+          node = forest((t, path))
+        }
+        node.depth + c(node.size.toDouble)
+      }
+      val avgLen = if (lens.nonEmpty) lens.sum / lens.length else 0.0
+      IsoScore(key, id, if (cn > 0) math.pow(2, -avgLen / cn) else 0.0)
+    }
+  }
+
+  /** Incremental merge (multi/IsolationForestMerge.scala:68-190): route new
+    * records down the existing trees and grow the leaf sizes they land in —
+    * returns the updated model. Traversal only; no re-shuffle. */
+  def merge(model: Dataset[IsoNode], newData: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String]): Dataset[IsoNode] = {
+    val spark = model.sparkSession
+    import spark.implicits._
+    val trees = model.collect().groupBy(_.key)
+      .map { case (k, ns) => k -> ns.map(n => (n.treeId, n.path) -> n).toMap }
+    val bc = spark.sparkContext.broadcast(trees)
+    val rows = newData.select(
+      concat_ws("|", keyCols.map(c => col(c).cast("string")): _*).as("key"),
+      array(attrCols.map(c => col(c).cast("double")): _*).as("attrs"))
+      .as[(String, Seq[Double])]
+    val hits = rows.flatMap { case (key, attrsSeq) =>
+      val attrs = attrsSeq.toArray
+      val forest = bc.value.getOrElse(key, Map.empty)
+      forest.keys.map(_._1).toSeq.distinct.map { t =>
+        var path = "R"
+        var node = forest((t, path))
+        while (!node.isLeaf) {
+          path = path + (if (attrs(node.attr) < node.split) "0" else "1")
+          node = forest((t, path))
+        }
+        (key, t, path)
+      }
+    }.toDF("key", "treeId", "path")
+      .groupBy("key", "treeId", "path").agg(count(lit(1)).as("hits"))
+    model.toDF().join(hits, Seq("key", "treeId", "path"), "left")
+      .withColumn("size", (col("size") + coalesce(col("hits"), lit(0L))).cast("int"))
+      .drop("hits")
+      .as[IsoNode]
+  }
+}

@@ -1,0 +1,89 @@
+package graft.multi
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Proximity / density operators (SURVEY.md §2.6): pair distances, kNN
+  * aggregates, relative density, Local Outlier Factor.
+  *
+  * The reference consumes a precomputed pair-distance file and hand-rolls
+  * joins as union+reduceByKey (knn/LocalDensityBasedPredictor.scala:76-240);
+  * here the whole chain is DataFrame joins + window top-k so Catalyst picks
+  * the join strategy. Pair generation is the quadratic step — at 100 TB
+  * replace `pairDistances` with an LSH-bucketed candidate join
+  * (graft.sim.Similarity.lshNearDup) so only in-bucket pairs materialize. */
+object Proximity {
+
+  /** Euclidean distance between two float-array columns, computed in
+    * double (cast first — float subtraction would diverge from the oracle). */
+  def euclidean(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    sqrt(aggregate(zip_with(ad, bd, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+  }
+
+  /** All-pairs distance table from an embedding table: (src, trg, dist),
+    * src != trg. Quadratic — bench/test scale only; see scaladoc above. */
+  def pairDistances(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val a = vecs.select(col(idCol).as("src"), col(vecCol).as("va"))
+    val b = vecs.select(col(idCol).as("trg"), col(vecCol).as("vb"))
+    a.join(b, col("src") =!= col("trg"))
+      .withColumn("dist", euclidean(col("va"), col("vb")))
+      .drop("va", "vb")
+  }
+
+  /** Top-k nearest neighbors per src from a pair-distance table
+    * (secondary-sort top-k, proximity/AverageDistance.java:152-200).
+    * Adds `rank` 1..k. */
+  def knn(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("src").orderBy(col("dist").asc, col("trg"))
+    pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** kNN average distance / density per entity
+    * (proximity/AverageDistance.java:46-244): avgDist = mean of k nearest
+    * distances; density = scale / avgDist. */
+  def averageDistance(pairs: DataFrame, k: Int, scale: Double = 1.0): DataFrame =
+    knn(pairs, k).groupBy("src")
+      .agg(avg("dist").as("avgDist"))
+      .withColumn("density", when(col("avgDist") > 0, lit(scale) / col("avgDist")))
+
+  /** Neighbor-density join (proximity/NeighborDensity.java:48-176): each
+    * (src, trg) neighborhood edge annotated with the target's density. */
+  def neighborDensity(pairs: DataFrame, k: Int, scale: Double = 1.0): DataFrame = {
+    val dens = averageDistance(pairs, k, scale).select(col("src").as("trg"), col("density"))
+    knn(pairs, k).select("src", "trg", "dist", "rank").join(dens, "trg")
+  }
+
+  /** Relative density (proximity/RelativeDensity.java:40-134):
+    * relDensity = ownDensity * k / Σ(neighbor densities). ≈ LOF precursor. */
+  def relativeDensity(pairs: DataFrame, k: Int, scale: Double = 1.0): DataFrame = {
+    val dens = averageDistance(pairs, k, scale).select("src", "density")
+    val nbrSum = neighborDensity(pairs, k, scale)
+      .groupBy("src").agg(sum("density").as("nbrDensity"))
+    dens.join(nbrSum, "src")
+      .withColumn("relDensity", col("density") * k / col("nbrDensity"))
+  }
+
+  /** Local Outlier Factor (knn/LocalDensityBasedPredictor.scala:41-240):
+    * kNN → k-distance (:109-113) → reachability distance
+    * reach(a,b) = max(dist(a,b), kdist(b)) (:116-141) → local reachability
+    * density lrd(a) = k / Σ reach(a,·) (:144-158) → LOF(a) = mean lrd of
+    * neighbors / lrd(a) (:184-220). Output: src, lof. */
+  def lof(pairs: DataFrame, k: Int): DataFrame = {
+    val nn = knn(pairs, k).select("src", "trg", "dist")
+    val kdist = nn.groupBy("src").agg(max("dist").as("kdist"))
+    val reach = nn
+      .join(kdist.select(col("src").as("trg"), col("kdist")), "trg")
+      .withColumn("reach", greatest(col("dist"), col("kdist")))
+    val lrd = reach.groupBy("src")
+      .agg((lit(k) / sum("reach")).as("lrd"))
+    val nbrLrd = nn
+      .join(lrd.select(col("src").as("trg"), col("lrd").as("trgLrd")), "trg")
+      .groupBy("src").agg(avg("trgLrd").as("nbrLrd"))
+    lrd.join(nbrLrd, "src")
+      .withColumn("lof", col("nbrLrd") / col("lrd"))
+      .select("src", "lof")
+  }
+}

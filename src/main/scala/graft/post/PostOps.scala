@@ -1,0 +1,141 @@
+package graft.post
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Post-processing operators over tagged scorer output (SURVEY.md §2.3):
+  * counters, hierarchy roll-up, threshold learning. All single hash
+  * aggregations / broadcast joins — shuffle only on the (small) group keys. */
+object PostOps {
+
+  /** Per-key counts + percentages of O/N/I tags and total
+    * (common/OutlierCounter.scala:33-125). */
+  def outlierCounter(tagged: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val n = count(lit(1))
+    tagged.groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(when(col("tag") === "O", 1).otherwise(0)).as("nO"),
+        sum(when(col("tag") === "N", 1).otherwise(0)).as("nN"),
+        sum(when(col("tag") === "I", 1).otherwise(0)).as("nI"),
+        n.as("total"))
+      .withColumn("pctO", col("nO") / col("total").cast("double") * 100.0)
+  }
+
+  /** Hierarchy roll-up (common/OutlierAggregator.scala:37-143): map each
+    * tagged child record to its parent stream via the hierarchy table
+    * (childType, childId — '*' wildcard —, parentType, parentId;
+    * DataStreamSchema.findParent, src/.../util/DataStreamSchema.java:123),
+    * group by (parent, seq bucket); if any child is O aggregate over the
+    * outliers only and tag O, else over all and tag N (:83-93). `strategy`
+    * ∈ {average, max} (:131-141). */
+  def hierarchyRollup(
+      tagged: DataFrame,
+      hierarchy: DataFrame,
+      typeCol: String,
+      idCol: String,
+      seqBucket: Column,
+      valCol: String,
+      strategy: String = "average"): DataFrame = {
+    val joined = tagged.withColumn("_seqb", seqBucket)
+      .join(broadcast(hierarchy),
+        col(typeCol) === col("childType") &&
+          (col("childId") === col(idCol).cast("string") || col("childId") === "*"))
+    val isO = col("tag") === "O"
+    def aggOf(c: Column) = strategy match {
+      case "average" => avg(c)
+      case "max" => max(c)
+      case o => throw new IllegalArgumentException(s"unknown strategy $o")
+    }
+    joined.groupBy(col("parentType"), col("parentId"), col("_seqb").as("seqb"))
+      .agg(
+        max(isO.cast("int")).as("anyO"),
+        aggOf(when(isO, col(valCol))).as("aggO"),
+        aggOf(col(valCol)).as("aggAll"),
+        count(lit(1)).as("n"))
+      .withColumn("value", when(col("anyO") === 1, col("aggO")).otherwise(col("aggAll")))
+      .withColumn("tag", when(col("anyO") === 1, "O").otherwise(lit("N")))
+      .drop("anyO", "aggO", "aggAll")
+  }
+
+  /** Pseudo-relevance threshold finder
+    * (common/PseudoRelevanceThresholdFinder.scala:34-106): per key, sort
+    * scores descending; threshold = mean of the 3 scores around the
+    * top-`topFrac` index; keys with fewer than `minCount` scores fall back
+    * to `defaultThreshold` (:64-97). Output: keyCols..., n, threshold. */
+  def pseudoRelevanceThreshold(
+      scored: DataFrame,
+      keyCols: Seq[String],
+      topFrac: Double,
+      minCount: Long,
+      defaultThreshold: Double): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("score").desc, monotonically_increasing_id())
+    val ranked = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
+      .withColumn("idx", greatest(lit(2L), floor(col("n") * topFrac)))
+    val found = ranked
+      .where(col("n") >= minCount && col("rn") >= col("idx") - 1 && col("rn") <= col("idx") + 1)
+      .groupBy(keyCols.map(col): _*)
+      .agg(first("n").as("n"), avg("score").as("threshold"))
+    val fallback = ranked.where(col("n") < minCount)
+      .groupBy(keyCols.map(col): _*)
+      .agg(first("n").as("n"), lit(defaultThreshold).as("threshold"))
+    found.unionByName(fallback)
+  }
+
+  /** Decision-stump threshold learner (common/ThresholdLearner.scala:33-159):
+    * for each candidate split of the score range, two-way partition of the
+    * labeled scores; emit the weighted entropy of the split per (key, split)
+    * (label ∈ {T,F}; split fan-out :73-95, info :106-126, combine :129-149).
+    * Lower = better split. Output: keyCols..., split, wEntropy. */
+  def thresholdLearner(
+      labeled: DataFrame,
+      keyCols: Seq[String],
+      scoreCol: String,
+      labelCol: String,
+      splits: Seq[Double]): DataFrame = {
+    val exploded = labeled.withColumn("split", explode(lit(splits.toArray)))
+      .withColumn("side", (col(scoreCol) >= col("split")).cast("int"))
+    def cnt(cond: Column) = sum(cond.cast("int")).cast("double")
+    val grouped = exploded
+      .groupBy((keyCols :+ "split").map(col): _*)
+      .agg(
+        cnt(col("side") === 1 && col(labelCol) === "T").as("hiT"),
+        cnt(col("side") === 1 && col(labelCol) === "F").as("hiF"),
+        cnt(col("side") === 0 && col(labelCol) === "T").as("loT"),
+        cnt(col("side") === 0 && col(labelCol) === "F").as("loF"))
+    def ent(a: Column, b: Column): Column = {
+      val n = a + b
+      def term(p: Column) = when(p > 0, -p * log(p)).otherwise(lit(0.0))
+      when(n > 0, term(a / n) + term(b / n)).otherwise(lit(0.0))
+    }
+    val nTot = col("hiT") + col("hiF") + col("loT") + col("loF")
+    grouped.withColumn("wEntropy",
+      (col("hiT") + col("hiF")) / nTot * ent(col("hiT"), col("hiF")) +
+        (col("loT") + col("loF")) / nTot * ent(col("loT"), col("loF")))
+      .drop("hiT", "hiF", "loT", "loF")
+  }
+
+  /** Distribution sorter (src/.../dist/DistributionSorter.java:49-184):
+    * histogram buckets ranked by descending count per key (ties broken by
+    * bucket for determinism). */
+  def distributionSorter(hist: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("cnt").desc, col("bucket"))
+    hist.withColumn("rank", row_number().over(w))
+  }
+
+  /** Entropy-based distribution sorter
+    * (src/.../dist/EntropyBasedDistributionSorter.java:95-183): per-bucket
+    * entropy -p·ln p, ascending (rarest-information first), capped at
+    * `maxItems` per key (:157-172). */
+  def entropySorter(hist: DataFrame, keyCols: Seq[String], maxItems: Int): DataFrame = {
+    val withE = hist.withColumn("entropy", -col("freq") * log(col("freq")))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("entropy").asc, col("bucket"))
+    withE.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= maxItems)
+  }
+}

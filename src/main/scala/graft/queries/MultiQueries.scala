@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.core._
+import graft.model.Fitters
+import graft.multi.{ClusterScore, IsolationForest, Proximity}
+import graft.post.PostOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries + oracles for post-processing (§2.3 roll-ups/thresholds) and
+  * proximity/multivariate operators (§2.6). KMeans/isolation-forest are
+  * seeded-random model fits with no SQL equivalent → rows-only checks. */
+object MultiQueries {
+
+  private def ev(s: SparkSession, dir: String) = table(s, dir, "events")
+  private def emb(s: SparkSession, dir: String) = table(s, dir, "embeddings")
+
+  private def hierarchyDf(s: SparkSession) = {
+    val spark = s
+    import spark.implicits._
+    Seq(
+      ("click", "*", "traffic", "web"), ("view", "*", "traffic", "web"),
+      ("error", "*", "ops", "backend"),
+      ("purchase", "*", "rev", "sales"), ("signup", "*", "rev", "sales"))
+      .toDF("childType", "childId", "parentType", "parentId")
+  }
+
+  private def pairs(s: SparkSession, dir: String) =
+    Proximity.pairDistances(emb(s, dir).select("vec_id", "embedding"), "vec_id", "embedding")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_outlier_counter" -> ((s, dir) =>
+      canon(PostOps.outlierCounter(StatQueries.zscored(s, dir), Seq("event_type")))),
+    "q37_hierarchy_rollup" -> ((s, dir) =>
+      canon(PostOps.hierarchyRollup(StatQueries.zscored(s, dir), hierarchyDf(s),
+        "event_type", "user_id", expr("ts div 3600000000000"), "value"))),
+    "q38_pseudo_relevance" -> ((s, dir) =>
+      canon(PostOps.pseudoRelevanceThreshold(StatQueries.zscored(s, dir),
+        Seq("event_type"), topFrac = 0.05, minCount = 100L, defaultThreshold = 3.0))),
+    "q39_threshold_learner" -> ((s, dir) => {
+      val labeled = StatQueries.zscored(s, dir)
+        .withColumn("label", when(col("value") > 100.0, "T").otherwise("F"))
+      canon(PostOps.thresholdLearner(labeled, Seq("event_type"), "score", "label",
+        Seq(0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0)))
+    }),
+    "q40_dist_sorter" -> ((s, dir) =>
+      canon(PostOps.distributionSorter(
+        Fitters.histogram(ev(s, dir), Seq("event_type"), Seq(("value", 10.0))),
+        Seq("event_type")))),
+    "q41_entropy_sorter" -> ((s, dir) =>
+      canon(PostOps.entropySorter(
+        Fitters.histogram(ev(s, dir), Seq("event_type"), Seq(("value", 10.0))),
+        Seq("event_type"), maxItems = 10))),
+    "q42_knn_avg_dist" -> ((s, dir) =>
+      canon(Proximity.averageDistance(pairs(s, dir), k = 5))),
+    "q43_neighbor_density" -> ((s, dir) =>
+      canon(Proximity.neighborDensity(pairs(s, dir), k = 5))),
+    "q44_relative_density" -> ((s, dir) =>
+      canon(Proximity.relativeDensity(pairs(s, dir), k = 5))),
+    "q45_lof" -> ((s, dir) =>
+      canon(Proximity.lof(pairs(s, dir), k = 5))),
+    // ---- seeded-random model fits: rows-only driver check, spec-tested ----
+    "q46_iforest" -> ((s, dir) => {
+      val data = ev(s, dir)
+      val model = IsolationForest.fit(data, Seq("event_type"), Seq("value"),
+        numTrees = 50, subsampleSize = 64, maxDepth = 6, seed = 42L)
+      canon(IsolationForest.score(data, model, Seq("event_type"), Seq("value"),
+        "event_id", subsampleSize = 64).toDF())
+    }),
+    "q47_cblof" -> ((s, dir) =>
+      canon(ClusterScore.cblof(table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), k = 8,
+        largeFraction = 0.9, seed = 42L)
+        .select("l_orderkey", "l_linenumber", "score"))),
+    "q48_pca_score" -> ((s, dir) =>
+      canon(ClusterScore.pcaScore(table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice"), nComponents = 1)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "score"))),
+  )
+
+  private val zCte =
+    """zstats AS (SELECT event_type, avg(value) AS mean, stddev_samp(value) AS std
+      | FROM events GROUP BY event_type),
+      |z AS (SELECT e.*, abs(e.value - s.mean)/s.std AS score,
+      |  CASE WHEN abs(e.value - s.mean)/s.std > 2.0 THEN 'O' ELSE 'N' END AS tag
+      | FROM events e JOIN zstats s USING (event_type))"""
+      .stripMargin.replace("\n", " ")
+
+  private val histCte =
+    """hist AS (SELECT event_type, CAST(floor(value/10.0) AS BIGINT)::VARCHAR AS bucket,
+      | count(*) AS cnt FROM events GROUP BY 1, 2),
+      |histn AS (SELECT event_type, bucket, cnt,
+      | cnt / (sum(cnt) OVER (PARTITION BY event_type))::DOUBLE AS freq FROM hist)"""
+      .stripMargin.replace("\n", " ")
+
+  private val pairsCte =
+    """p AS (SELECT a.vec_id AS src, b.vec_id AS trg,
+      |  list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS dist
+      | FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+      |nn AS (SELECT src, trg, dist,
+      |  row_number() OVER (PARTITION BY src ORDER BY dist ASC, trg) AS rank
+      | FROM p QUALIFY rank <= 5),
+      |dens AS (SELECT src, avg(dist) AS avgDist,
+      |  CASE WHEN avg(dist) > 0 THEN 1.0/avg(dist) END AS density
+      | FROM nn GROUP BY src)""".stripMargin.replace("\n", " ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q36_outlier_counter" ->
+      s"""WITH $zCte
+         |SELECT event_type,
+         | sum(CASE WHEN tag='O' THEN 1 ELSE 0 END) AS nO,
+         | sum(CASE WHEN tag='N' THEN 1 ELSE 0 END) AS nN,
+         | sum(CASE WHEN tag='I' THEN 1 ELSE 0 END) AS nI,
+         | count(*) AS total,
+         | round(sum(CASE WHEN tag='O' THEN 1 ELSE 0 END) / count(*)::DOUBLE * 100.0, 4) AS pctO
+         |FROM z GROUP BY event_type""".stripMargin.replace("\n", " "),
+    "q37_hierarchy_rollup" ->
+      s"""WITH $zCte,
+         |h(childType, childId, parentType, parentId) AS (VALUES
+         | ('click','*','traffic','web'), ('view','*','traffic','web'),
+         | ('error','*','ops','backend'),
+         | ('purchase','*','rev','sales'), ('signup','*','rev','sales')),
+         |j AS (SELECT z.*, h.parentType, h.parentId,
+         |  epoch_ns(z.ts) // 3600000000000 AS seqb
+         | FROM z JOIN h ON z.event_type = h.childType
+         |  AND (h.childId = CAST(z.user_id AS VARCHAR) OR h.childId = '*')),
+         |g AS (SELECT parentType, parentId, seqb,
+         |  max(CASE WHEN tag='O' THEN 1 ELSE 0 END) AS anyO,
+         |  avg(CASE WHEN tag='O' THEN value END) AS aggO,
+         |  avg(value) AS aggAll, count(*) AS n
+         | FROM j GROUP BY 1,2,3)
+         |SELECT parentType, parentId, seqb, n,
+         | round(CASE WHEN anyO=1 THEN aggO ELSE aggAll END, 4) AS value,
+         | CASE WHEN anyO=1 THEN 'O' ELSE 'N' END AS tag
+         |FROM g""".stripMargin.replace("\n", " "),
+    "q38_pseudo_relevance" ->
+      s"""WITH $zCte,
+         |rk AS (SELECT event_type, score,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY score DESC) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS n
+         | FROM z)
+         |SELECT event_type, any_value(n) AS n, round(avg(score),4) AS threshold
+         | FROM rk WHERE n >= 100
+         |  AND rn BETWEEN greatest(2, floor(n*0.05)) - 1 AND greatest(2, floor(n*0.05)) + 1
+         | GROUP BY event_type
+         |UNION ALL
+         |SELECT event_type, any_value(n) AS n, 3.0 AS threshold
+         | FROM rk WHERE n < 100 GROUP BY event_type"""
+        .stripMargin.replace("\n", " "),
+    "q39_threshold_learner" ->
+      s"""WITH $zCte,
+         |lab AS (SELECT *, CASE WHEN value > 100.0 THEN 'T' ELSE 'F' END AS label FROM z),
+         |sp(split) AS (VALUES (0.5),(1.0),(1.5),(2.0),(2.5),(3.0),(3.5),(4.0)),
+         |g AS (SELECT event_type, split,
+         |  sum(CASE WHEN score >= split AND label='T' THEN 1 ELSE 0 END)::DOUBLE AS hiT,
+         |  sum(CASE WHEN score >= split AND label='F' THEN 1 ELSE 0 END)::DOUBLE AS hiF,
+         |  sum(CASE WHEN score < split AND label='T' THEN 1 ELSE 0 END)::DOUBLE AS loT,
+         |  sum(CASE WHEN score < split AND label='F' THEN 1 ELSE 0 END)::DOUBLE AS loF
+         | FROM lab CROSS JOIN sp GROUP BY 1,2)
+         |SELECT event_type, split,
+         | round(
+         |  (hiT+hiF)/(hiT+hiF+loT+loF) *
+         |   (CASE WHEN hiT+hiF > 0 AND hiT > 0 THEN -(hiT/(hiT+hiF))*ln(hiT/(hiT+hiF)) ELSE 0 END
+         |    + CASE WHEN hiT+hiF > 0 AND hiF > 0 THEN -(hiF/(hiT+hiF))*ln(hiF/(hiT+hiF)) ELSE 0 END)
+         |  + (loT+loF)/(hiT+hiF+loT+loF) *
+         |   (CASE WHEN loT+loF > 0 AND loT > 0 THEN -(loT/(loT+loF))*ln(loT/(loT+loF)) ELSE 0 END
+         |    + CASE WHEN loT+loF > 0 AND loF > 0 THEN -(loF/(loT+loF))*ln(loF/(loT+loF)) ELSE 0 END)
+         | , 4) AS wEntropy
+         |FROM g""".stripMargin.replace("\n", " "),
+    "q40_dist_sorter" ->
+      s"""WITH $histCte
+         |SELECT event_type, bucket, cnt, round(freq,4) AS freq,
+         | row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, bucket) AS rank
+         |FROM histn""".stripMargin.replace("\n", " "),
+    "q41_entropy_sorter" ->
+      s"""WITH $histCte,
+         |e AS (SELECT event_type, bucket, cnt, freq, -freq*ln(freq) AS entropy,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY -freq*ln(freq) ASC, bucket) AS rank
+         | FROM histn)
+         |SELECT event_type, bucket, cnt, round(freq,4) AS freq,
+         | round(entropy,4) AS entropy, rank
+         |FROM e WHERE rank <= 10""".stripMargin.replace("\n", " "),
+    "q42_knn_avg_dist" ->
+      s"""WITH $pairsCte
+         |SELECT src, round(avgDist,4) AS avgDist, round(density,4) AS density FROM dens"""
+        .stripMargin.replace("\n", " "),
+    "q43_neighbor_density" ->
+      s"""WITH $pairsCte
+         |SELECT n.trg, n.src, round(n.dist,4) AS dist, n.rank,
+         | round(d.density,4) AS density
+         |FROM nn n JOIN dens d ON n.trg = d.src""".stripMargin.replace("\n", " "),
+    "q44_relative_density" ->
+      s"""WITH $pairsCte,
+         |nb AS (SELECT n.src, sum(d.density) AS nbrDensity
+         | FROM nn n JOIN dens d ON n.trg = d.src GROUP BY n.src)
+         |SELECT d.src, round(d.density,4) AS density, round(nb.nbrDensity,4) AS nbrDensity,
+         | round(d.density * 5 / nb.nbrDensity, 4) AS relDensity
+         |FROM dens d JOIN nb USING (src)""".stripMargin.replace("\n", " "),
+    "q45_lof" ->
+      s"""WITH $pairsCte,
+         |kd AS (SELECT src, max(dist) AS kdist FROM nn GROUP BY src),
+         |rch AS (SELECT n.src, n.trg, greatest(n.dist, k.kdist) AS reach
+         | FROM nn n JOIN kd k ON n.trg = k.src),
+         |lrd AS (SELECT src, 5 / sum(reach) AS lrd FROM rch GROUP BY src),
+         |nl AS (SELECT n.src, avg(l.lrd) AS nbrLrd
+         | FROM nn n JOIN lrd l ON n.trg = l.src GROUP BY n.src)
+         |SELECT l.src, round(nl.nbrLrd / l.lrd, 4) AS lof
+         |FROM lrd l JOIN nl USING (src)""".stripMargin.replace("\n", " "),
+    "q48_pca_score" ->
+      """WITH m AS (SELECT avg(l_quantity) AS mu1, avg(l_extendedprice) AS mu2,
+        |  covar_samp(l_quantity, l_quantity) AS c11,
+        |  covar_samp(l_quantity, l_extendedprice) AS c12,
+        |  covar_samp(l_extendedprice, l_extendedprice) AS c22
+        | FROM lineitem),
+        |t AS (SELECT *, 0.5*atan2(2*c12, c11-c22) AS th FROM m)
+        |SELECT l.l_orderkey, l.l_linenumber, round(l.l_quantity,4) AS l_quantity,
+        | round(l.l_extendedprice,4) AS l_extendedprice,
+        | round(abs(-sin(t.th)*(l.l_quantity - t.mu1) + cos(t.th)*(l.l_extendedprice - t.mu2)), 4) AS score
+        |FROM lineitem l CROSS JOIN t""".stripMargin.replace("\n", " "),
+  )
+}

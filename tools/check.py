@@ -50,7 +50,8 @@ for name in sorted(oracle):
     for c in exp.columns:
         a, b = exp_s[c], got_s[c]
         if a.dtype.kind == 'f' or b.dtype.kind == 'f':
-            bad = ~((a.isna() & b.isna()) | (abs(a.astype(float) - b.astype(float)) < 1e-9))
+            # exact compare — the driver hashes values, so ulp != equal
+            bad = ~((a.isna() & b.isna()) | (a.astype(float) == b.astype(float)))
         else:
             bad = ~((a.isna() & b.isna()) | (a.astype(str) == b.astype(str)))
         if bad.any():
