@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.core._
+import graft.sim.Similarity
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries + oracles for the LLM-pipeline extensions: dedup (exact /
+  * MinHash-LSH / SimHash / n-gram Jaccard / embedding cosine), similarity
+  * search, text analysis. Hashing is md5-derived on both engines so even
+  * the LSH pipelines have exact oracles; only the seeded-random paths
+  * (hyperplane LSH, IVF KMeans) are rows-only. */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = table(s, dir, "embeddings")
+
+  private val NumHashes = 16
+  private val BandSize = 4
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_dedup_exact" -> ((s, dir) =>
+      TextOps.exactDedup(docs(s, dir), "doc_id", "text")),
+    "q50_token_count" -> ((s, dir) =>
+      TextOps.tokenCount(docs(s, dir), "doc_id", "text")),
+    "q51_quality" -> ((s, dir) =>
+      canon(TextOps.qualityScore(docs(s, dir), "doc_id", "text"))),
+    "q52_langid" -> ((s, dir) =>
+      TextOps.langId(docs(s, dir), "doc_id", "text")),
+    "q53_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(docs(s, dir), "doc_id", "text")),
+    "q54_minhash_sig" -> ((s, dir) =>
+      TextOps.minhash(docs(s, dir), "doc_id", "text", shingleSize = 3, NumHashes)),
+    "q55_minhash_pairs" -> ((s, dir) =>
+      TextOps.minhashPairs(docs(s, dir), "doc_id", "text", shingleSize = 3,
+        NumHashes, BandSize)),
+    "q56_simhash" -> ((s, dir) =>
+      TextOps.simhash(docs(s, dir), "doc_id", "text", bits = 16)),
+    "q57_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cand = TextOps.minhashPairs(d, "doc_id", "text", shingleSize = 3,
+        NumHashes, BandSize)
+      canon(TextOps.ngramJaccard(d, "doc_id", "text", n = 3, cand))
+    }),
+    "q58_embed_neardup" -> ((s, dir) =>
+      canon(Similarity.cosineNearDup(emb(s, dir), "vec_id", "embedding", 0.4))),
+    "q59_ann_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      canon(Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 10))
+    }),
+    // seeded-random scale paths: rows-only check, spec-tested
+    "q60_ann_lsh" -> ((s, dir) =>
+      canon(Similarity.lshNearDup(emb(s, dir), "vec_id", "embedding",
+        dim = 64, planes = 8, seed = 42L, threshold = 0.3))),
+    "q61_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      canon(Similarity.ivfTopK(e.where(col("vec_id") < 20), e, "vec_id",
+        "embedding", dim = 64, nCells = 8, nProbe = 2, k = 10, seed = 42L))
+    }),
+  )
+
+  private val toks = """regexp_extract_all(lower(text), '\S+')"""
+  private def h56(e: String) = s"('0x'||substr(md5($e),1,14))::BIGINT"
+
+  // distinct 3-shingles with 56-bit hashes reduced mod P
+  private val shingleCte =
+    s"""tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  unnest(CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [] END) AS shingle
+       | FROM tk),
+       |shx AS (SELECT doc_id, ${h56("shingle")} % ${TextOps.P} AS x FROM sh)"""
+      .stripMargin.replace("\n", " ")
+
+  private val paramValues = TextOps.hashParams(NumHashes).zipWithIndex
+    .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
+
+  private val sigCte =
+    s"""$shingleCte,
+       |hp(hashIdx, a, b) AS (VALUES $paramValues),
+       |sig AS (SELECT doc_id, hashIdx, min((a*x+b) % ${TextOps.P}) AS minHash
+       | FROM shx CROSS JOIN hp GROUP BY doc_id, hashIdx)"""
+      .stripMargin.replace("\n", " ")
+
+  private val markers = TextOps.langMarkers.toSeq.sortBy(_._1)
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(",")
+
+  val oracleSql: Map[String, String] = Map(
+    "q49_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS h,
+        | count(*) OVER (PARTITION BY md5(text)) AS dupCount,
+        | doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        |FROM documents""".stripMargin.replace("\n", " "),
+    "q50_token_count" ->
+      s"""SELECT doc_id, len($toks)::BIGINT AS nWords,
+         | ceil(length(text)/4.0)::BIGINT AS nSubTokens FROM documents"""
+        .stripMargin.replace("\n", " "),
+    "q51_quality" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  len($toks)::DOUBLE AS nTok,
+         |  len(list_filter($toks, t -> t IN (${inList(TextOps.langMarkers("en"))})))::DOUBLE AS nStop,
+         |  len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS nPunct,
+         |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS nDigit,
+         |  length(text)::DOUBLE AS nChars
+         | FROM documents)
+         |SELECT doc_id, nTok, nStop, nPunct, nDigit,
+         | round((least(nTok/50.0, 1.0)
+         |  + least(nStop/greatest(nTok,1.0)*10.0, 1.0)
+         |  + (1.0 - least(nPunct/greatest(nChars,1.0)*20.0, 1.0))
+         |  + (1.0 - least(nDigit/greatest(nChars,1.0)*10.0, 1.0))) / 4.0, 4) AS quality
+         |FROM b""".stripMargin.replace("\n", " "),
+    "q52_langid" ->
+      s"""WITH c AS (SELECT doc_id,
+         |${markers.map { case (l, ws) =>
+             s" len(list_filter($toks, t -> t IN (${inList(ws)})))::INT AS n_$l" }
+             .mkString(",")}
+         | FROM documents)
+         |SELECT doc_id, ${markers.map(m => s"n_${m._1}").mkString(", ")},
+         | CASE WHEN greatest(${markers.map(m => s"n_${m._1}").mkString(",")}) = 0 THEN 'unknown'
+         |${markers.map { case (l, _) =>
+             s" WHEN n_$l = greatest(${markers.map(m => s"n_${m._1}").mkString(",")}) THEN '$l'" }
+             .mkString}
+         | ELSE 'unknown' END AS predLang
+         |FROM c""".stripMargin.replace("\n", " "),
+    "q53_fingerprint" ->
+      s"""SELECT doc_id, md5(array_to_string($toks, ' ')) AS fp,
+         | list_min(list_transform($toks, t -> ${h56("t")})) AS minTokenHash
+         |FROM documents""".stripMargin.replace("\n", " "),
+    "q54_minhash_sig" ->
+      s"""WITH $sigCte SELECT doc_id, hashIdx, minHash FROM sig"""
+        .stripMargin.replace("\n", " "),
+    "q55_minhash_pairs" ->
+      s"""WITH $sigCte,
+         |bands AS (SELECT doc_id, hashIdx // $BandSize AS band,
+         |  array_to_string(list(minHash ORDER BY hashIdx), ':') AS bucket
+         | FROM sig GROUP BY doc_id, band)
+         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+         |WHERE l.doc_id < r.doc_id""".stripMargin.replace("\n", " "),
+    "q56_simhash" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |hx AS (SELECT doc_id, ${h56("tok")} AS h FROM t),
+         |s AS (SELECT doc_id,
+         |${(0 until 16).map(b =>
+             s" sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",")}
+         | FROM hx GROUP BY doc_id)
+         |SELECT doc_id,
+         | (${(0 until 16).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+             .mkString(" + ")})::BIGINT AS simhash
+         |FROM s""".stripMargin.replace("\n", " "),
+    "q57_ngram_jaccard" ->
+      s"""WITH $sigCte,
+         |bands AS (SELECT doc_id, hashIdx // $BandSize AS band,
+         |  array_to_string(list(minHash ORDER BY hashIdx), ':') AS bucket
+         | FROM sig GROUP BY doc_id, band),
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         | FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+         | WHERE l.doc_id < r.doc_id),
+         |n AS (SELECT doc_id, count(*) AS ng FROM sh GROUP BY doc_id),
+         |i AS (SELECT c.a, c.b, count(sb.shingle) AS inter
+         | FROM cand c
+         | LEFT JOIN sh sa ON sa.doc_id = c.a
+         | LEFT JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+         | GROUP BY 1, 2)
+         |SELECT i.a, i.b, i.inter, na.ng AS na, nb.ng AS nb,
+         | round(i.inter / (na.ng + nb.ng - i.inter)::DOUBLE, 4) AS jaccard
+         |FROM i JOIN n na ON i.a = na.doc_id JOIN n nb ON i.b = nb.doc_id"""
+        .stripMargin.replace("\n", " "),
+    "q58_embed_neardup" ->
+      """WITH p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+        | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |SELECT a, b, round(cos,4) AS cos FROM p WHERE cos >= 0.4"""
+        .stripMargin.replace("\n", " "),
+    "q59_ann_topk" ->
+      """WITH p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |   (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+        |    * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
+        | FROM embeddings q, embeddings c
+        | WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+        | FROM p QUALIFY rank <= 10)
+        |SELECT qid, cid, round(cos,4) AS cos, rank FROM r"""
+        .stripMargin.replace("\n", " "),
+  )
+}

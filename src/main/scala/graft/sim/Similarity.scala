@@ -1,0 +1,111 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Similarity search over embedding columns (north-star extension):
+  * brute-force cosine top-k as the exact baseline, random-hyperplane LSH
+  * bucketing and IVF (KMeans-partitioned) as the 100 TB scale paths —
+  * candidates materialize per bucket/cell instead of all-pairs. */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns in double precision
+    * (dot/(‖a‖·‖b‖), sequential sums — matches the DuckDB oracle
+    * bit-for-bit). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Exact brute-force top-k by cosine for each query vector. Queries are
+    * broadcast (small), corpus streams — one pass, no shuffle on the
+    * corpus beyond the final per-query top-k. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val scored = broadcast(q).join(c, col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("qid", "cid", "cos", "rank")
+  }
+
+  /** All near-duplicate pairs with cosine ≥ threshold (exact, quadratic —
+    * the oracle baseline; use `lshNearDup` at scale). */
+  def cosineNearDup(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = vecs.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val b = vecs.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+
+  /** Random-hyperplane LSH signature: `planes` sign bits of dot products
+    * with seeded Gaussian hyperplanes → one integer bucket per vector.
+    * Collision probability = (1 − θ/π)^planes. */
+  def lshBuckets(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int, seed: Long): DataFrame = {
+    val rng = new Random(seed)
+    val hp = Array.fill(planes, dim)(rng.nextGaussian())
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val bucket = (0 until planes).map { p =>
+      val d = (0 until dim).map(i => element_at(vd, i + 1) * hp(p)(i)).reduce(_ + _)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    vecs.select(col(idCol), col(vecCol), bucket.as("bucket"))
+  }
+
+  /** Approximate near-dup via LSH: exact cosine only within buckets. */
+  def lshNearDup(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      planes: Int, seed: Long, threshold: Double): DataFrame = {
+    val b = lshBuckets(vecs, idCol, vecCol, dim, planes, seed)
+    val l = b.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
+    val r = b.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, Seq("bucket")).where(col("a") < col("b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+
+  /** IVF index: KMeans-partition the corpus into `nCells` cells; search
+    * probes only the `nProbe` nearest cells per query. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, nCells: Int, nProbe: Int, k: Int, seed: Long): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idCol).as("cid"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+      .withColumn("fv", array_to_vector(col("cv")))
+    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(c)
+    val assigned = model.transform(c).drop("fv")
+    val cents = model.clusterCenters.map(_.toArray)
+    // nearest nProbe cells per query, via literal centroid distances
+    val q = queries.select(col(idCol).as("qid"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val cellDists = cents.indices.map { ci =>
+      val d = (0 until dim).map(i => {
+        val diff = element_at(col("qv"), i + 1) - cents(ci)(i)
+        diff * diff
+      }).reduce(_ + _)
+      struct(d.as("d"), lit(ci).as("cell"))
+    }
+    val probed = q.withColumn("cells",
+      slice(array_sort(array(cellDists: _*)), 1, nProbe))
+      .select(col("qid"), col("qv"), explode(col("cells.cell")).as("cell"))
+    val scored = probed.join(assigned, Seq("cell"))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("qid", "cid", "cos", "rank")
+  }
+}

@@ -1,0 +1,202 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators for large-scale training-data
+  * pipelines (north-star extension beyond the reference surface; see
+  * BASELINE.json). All hashing is MD5-derived so every op has an exact
+  * cross-engine oracle: hash56(s) = first 14 hex chars of md5 → 56-bit int,
+  * identical in Spark (`conv`) and DuckDB (`('0x'||…)::BIGINT`).
+  *
+  * Scale notes: every op is a single explode → hash-aggregate (map-side
+  * combine) or broadcast join; near-dup candidate generation is LSH-banded
+  * so only same-bucket pairs materialize (no all-pairs join at 100 TB).
+  */
+object TextOps {
+
+  /** Mersenne prime modulus for the affine MinHash permutations — keeps
+    * a·x+b inside int64 ((2³¹)² < 2⁶³). */
+  val P: Long = 2147483647L
+
+  /** Deterministic affine-permutation constants, shared with the oracle
+    * SQL (interpolated as literals there). */
+  def hashParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a = (((i + 1).toLong * 1103515245L + 12345L) % P).max(1L)
+      val b = ((i + 1).toLong * 69069L + 7L) % P
+      (a, b)
+    }
+
+  def tokens(c: Column): Column = regexp_extract_all(lower(c), lit("\\S+"), lit(0))
+
+  /** 56-bit integer hash from the md5 hex prefix — exact cross-engine. */
+  def hash56(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+
+  /** Exact deduplication: md5-hash groups; `keep` marks the minimum doc id
+    * of each content group (the survivor), dupCount the group size. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("h")
+    docs.withColumn("h", md5(col(textCol)))
+      .withColumn("dupCount", count(lit(1)).over(w))
+      .withColumn("keep", col(idCol) === min(col(idCol)).over(w))
+      .select(col(idCol), col("h"), col("dupCount"), col("keep"))
+  }
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val t = tokens(col(textCol))
+    val grams = when(size(t) >= n,
+      transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+      .otherwise(array())
+    docs.select(col(idCol), explode(grams).as("shingle")).distinct()
+  }
+
+  /** MinHash signature: numHashes minima of affine permutations of the
+    * 56-bit shingle hashes. Output: id, hashIdx (0-based), minHash.
+    * One explode + one hash aggregate; signature is numHashes longs/doc. */
+  def minhash(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleSize)
+      .withColumn("x", hash56(col("shingle")) % P)
+    val params = hashParams(numHashes)
+    val hashes = params.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("hashIdx"), ((col("x") * a + b) % P).as("h"))
+    }
+    sh.select(col(idCol), explode(array(hashes: _*)).as("hx"))
+      .groupBy(col(idCol), col("hx.hashIdx").as("hashIdx"))
+      .agg(min("hx.h").as("minHash"))
+  }
+
+  /** LSH banding of a MinHash signature: band bucket = the band's minhash
+    * values joined into one key. Output: id, band, bucket. */
+  def lshBuckets(sig: DataFrame, idCol: String, bandSize: Int): DataFrame =
+    sig.withColumn("band", (col("hashIdx") / bandSize).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("hashIdx"), col("minHash")))),
+          s => s.getField("minHash").cast("string")),
+        ":").as("bucket"))
+
+  /** Near-duplicate candidate pairs: documents sharing any LSH band bucket
+    * (a < b, distinct). The quadratic blow-up is bounded per bucket —
+    * at scale this is the shuffle-friendly alternative to all-pairs. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, bandSize: Int): DataFrame = {
+    val sig = minhash(docs, idCol, textCol, shingleSize, numHashes)
+    val b = lshBuckets(sig, idCol, bandSize)
+    val l = b.select(col("band"), col("bucket"), col(idCol).as("a"))
+    val r = b.select(col("band"), col("bucket"), col(idCol).as("b"))
+    l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact word n-gram Jaccard for given candidate pairs (a, b) — the
+    * verify stage after LSH candidate generation: jaccard =
+    * |A∩B| / |A∪B| over distinct n-gram shingles. Candidates without a
+    * shared shingle keep jaccard 0. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      pairs: DataFrame): DataFrame = {
+    val g = shingles(docs, idCol, textCol, n)
+    val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("ng"))
+    val ga = g.select(col(idCol).as("a"), col("shingle"))
+    val gb = g.select(col(idCol).as("b"), col("shingle"))
+    val inter = pairs.join(ga, "a").join(gb, Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    pairs
+      .join(inter, Seq("a", "b"), "left")
+      .withColumn("inter", coalesce(col("i"), lit(0L)))
+      .join(sizes.select(col(idCol).as("a"), col("ng").as("na")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("ng").as("nb")), "b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .select("a", "b", "inter", "na", "nb", "jaccard")
+  }
+
+  /** SimHash (`bits`-bit): per token-hash bit, sum ±1 over the token
+    * multiset; bit set where the sum is positive. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", hash56(col("tok")))
+    val bitSums = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until bits).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.withColumn("simhash", sh).select(col(idCol), col("simhash"))
+  }
+
+  /** Hamming distance between two simhash values (for near-dup pairing). */
+  def hamming(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map(i =>
+      shiftright(a.bitwiseXOR(b), i).bitwiseAND(1).cast("int")).reduce(_ + _)
+
+  /** Language markers for the stopword-ratio language id heuristic. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "y", "de", "un", "una", "es", "por", "que"))
+
+  /** Language-ID heuristic: argmax of language marker-token hit counts;
+    * `unknown` when nothing matches. Ties resolve in fixed lang order. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val langs = langMarkers.keys.toSeq.sorted
+    val counted = langMarkers.toSeq.sortBy(_._1).foldLeft(docs) { case (df, (l, words)) =>
+      df.withColumn(s"n_$l",
+        size(filter(t, tk => words.map(w => tk === w).reduce(_ || _))))
+    }
+    val best = langs.map(l => col(s"n_$l")).reduce((a, b) => greatest(a, b))
+    // ties resolve to the alphabetically first language (same rule in SQL)
+    val predFirst = langs.reverse.foldLeft(lit("unknown")) { (acc, l) =>
+      when(col(s"n_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    counted.withColumn("predLang", predFirst)
+      .select(col(idCol) +: langs.map(l => col(s"n_$l")) :+ col("predLang"): _*)
+  }
+
+  /** Quality scoring (length / punctuation / stopword / digit signals) —
+    * a composite in [0,1], higher = cleaner prose-like text. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    val nChars = length(txt).cast("double")
+    val toks = tokens(txt)
+    val nTok = size(toks).cast("double")
+    val nPunct = size(regexp_extract_all(txt, lit("[.,;:!?]"), lit(0))).cast("double")
+    val nDigit = size(regexp_extract_all(txt, lit("[0-9]"), lit(0))).cast("double")
+    val stop = langMarkers("en")
+    val nStop = size(filter(toks, t => stop.map(w => t === w).reduce(_ || _))).cast("double")
+    val lenScore = least(nTok / 50.0, lit(1.0))
+    val stopScore = least(nStop / greatest(nTok, lit(1.0)) * 10.0, lit(1.0))
+    val punctPen = least(nPunct / greatest(nChars, lit(1.0)) * 20.0, lit(1.0))
+    val digitPen = least(nDigit / greatest(nChars, lit(1.0)) * 10.0, lit(1.0))
+    docs.select(col(idCol), nTok.as("nTok"), nStop.as("nStop"),
+      nPunct.as("nPunct"), nDigit.as("nDigit"),
+      ((lenScore + stopScore + (lit(1.0) - punctPen) + (lit(1.0) - digitPen)) / 4.0).as("quality"))
+  }
+
+  /** Token count (whitespace tokenizer + a BPE-ish subword estimate:
+    * ceil(chars/4) blended with word count — the common LLM heuristic). */
+  def tokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = size(tokens(col(textCol)))
+    val sub = ceil(length(col(textCol)).cast("double") / 4.0).cast("long")
+    docs.select(col(idCol), words.cast("long").as("nWords"), sub.as("nSubTokens"))
+  }
+
+  /** Document fingerprint: md5 over the normalized token stream (stable
+    * under whitespace/case noise), plus the minimum token-hash (winnowing
+    * prototype selection). */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    docs.select(col(idCol),
+      md5(concat_ws(" ", t)).as("fp"),
+      array_min(transform(t, tk => conv(substring(md5(tk), 1, 14), 16, 10).cast("long"))).as("minTokenHash"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.sim.Similarity
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),  // near dup
+    (4L, "completely different content about spark engines and shuffles here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val d = TextOps.exactDedup(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(d(1L).getAs[Long]("dupCount") == 2 && d(1L).getAs[Boolean]("keep"))
+    assert(d(2L).getAs[Long]("dupCount") == 2 && !d(2L).getAs[Boolean]("keep"))
+    assert(d(3L).getAs[Long]("dupCount") == 1 && d(3L).getAs[Boolean]("keep"))
+  }
+
+  test("minhash: identical docs share full signature; near-dups share most") {
+    val sig = TextOps.minhash(docs, "doc_id", "text", 3, 16).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (k, rs) => k -> rs.sortBy(_.getAs[Int]("hashIdx")).map(_.getAs[Long]("minHash")).toSeq }
+    assert(sig(1L) == sig(2L))
+    val sharedNear = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
+    val sharedFar = sig(1L).zip(sig(4L)).count { case (a, b) => a == b }
+    assert(sharedNear > sharedFar)
+  }
+
+  test("minhash LSH pairs surface the duplicate pair") {
+    val pairs = TextOps.minhashPairs(docs, "doc_id", "text", 3, 16, 4)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("ngram jaccard: dup pair 1.0, near-dup high, verified via candidates") {
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val j = TextOps.ngramJaccard(docs, "doc_id", "text", 2, cand).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0)
+    assert(j((1L, 4L)) == 0.0)
+  }
+
+  test("simhash: near-dups closer in hamming than unrelated docs") {
+    val sh = TextOps.simhash(docs, "doc_id", "text", 16).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) == 0)
+    assert(ham(sh(1L), sh(3L)) <= ham(sh(1L), sh(4L)))
+  }
+
+  test("langid flags english stopword-rich text") {
+    val d = Seq((1L, "the cat and the dog in the house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val out = TextOps.langId(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predLang")).toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "unknown")
+  }
+
+  test("quality score favors prose over punctuation soup") {
+    val d = Seq((1L, "the data pipeline processes a batch of documents and writes the results to the table for it"),
+      (2L, ";;;,,,!!!??? 123 456 789 .,;")).toDF("doc_id", "text")
+    val q = TextOps.qualityScore(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    assert(q(1L) > q(2L) + 0.3)
+  }
+
+  test("cosine top-k: self-similar vector ranks first") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.99f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs.where($"vec_id" === 0), vecs,
+      "vec_id", "embedding", 2).collect().sortBy(_.getAs[Int]("rank"))
+    assert(top.head.getAs[Long]("cid") == 1L)
+    assert(top.head.getAs[Double]("cos") > 0.99)
+  }
+
+  test("lsh near-dup finds what brute force finds (high threshold)") {
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(16)(rng.nextGaussian().toFloat)
+    val vecs = ((0 until 30).map { i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))
+    } ++ Seq((100L, base), (101L, base.map(x => x * 1.01f)))).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDup(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val approx = Similarity.lshNearDup(vecs, "vec_id", "embedding", 16, 6, 42L, 0.99)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(exact.contains((100L, 101L)))
+    assert(approx.contains((100L, 101L))) // identical-direction vectors share every bucket
+  }
+
+  test("ivf top-k approximates brute force on clustered data") {
+    val rng = new scala.util.Random(3)
+    val vecs = (0 until 60).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(8)(d => (if (d == c) 10f else 0f) + rng.nextGaussian().toFloat * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" === 0)
+    val exact = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 5)
+      .collect().map(_.getAs[Long]("cid")).toSet
+    val ivf = Similarity.ivfTopK(q, vecs, "vec_id", "embedding", 8, 3, 1, 5, 42L)
+      .collect().map(_.getAs[Long]("cid")).toSet
+    assert((exact & ivf).size >= 4) // ≥80% recall probing 1 of 3 cells
+  }
+}
