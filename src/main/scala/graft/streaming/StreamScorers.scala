@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming scorers (SURVEY.md §2.8) — the Spark-native
+  * replacement for the reference's Storm+Redis topology
+  * (predictor/OutlierPredictor.java:40-113): per-entity keyed scoring with
+  * broadcast models, sliding per-entity state, threshold alerts, plus
+  * watermarked event-time windows (absent in the reference — engine-level
+  * improvement over its processing-time/in-order assumption).
+  *
+  * Sources are any streaming DataFrame (Kafka via
+  * `readStream.format("kafka")` in production; MemoryStream in specs —
+  * the transforms are source-agnostic).
+  */
+object StreamScorers {
+
+  /** Stateless model-apply on a stream: z-score against a *static*
+    * broadcast stats model (stream-static join — no state, no shuffle on
+    * the stream side beyond the broadcast hash join). Mirrors the Storm
+    * bolt + Redis model cache (ZscorePredictor.java:51-68). */
+  def zscoreStream(stream: DataFrame, stats: DataFrame, keyCols: Seq[String],
+      valCol: String, threshold: Double): DataFrame = {
+    val m = stats.select(keyCols.map(col) :+ col("mean") :+ col("std"): _*)
+    stream.join(broadcast(m), keyCols, "left")
+      .withColumn("score", when(col("std") > 0, abs(col(valCol) - col("mean")) / col("std")))
+      .withColumn("tag", label(col("score"), lit(threshold)))
+      .drop("mean", "std")
+  }
+
+  /** Alert stream: rows whose score exceeds the threshold (the reference's
+    * out-queue emission, MarkovModelPredictor.java:318-327). */
+  def alerts(scored: DataFrame, threshold: Double): DataFrame =
+    scored.where(col("score") > threshold)
+
+  /** Watermarked event-time windowed aggregation (engine improvement —
+    * SURVEY.md §2.8 last row): per (key, window) mean/stddev/count. */
+  def windowedStats(stream: DataFrame, tsCol: String, keyCols: Seq[String],
+      valCol: String, windowDur: String, watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy((keyCols.map(col) :+ window(col(tsCol), windowDur)): _*)
+      .agg(
+        avg(valCol).as("mean"),
+        stddev_samp(col(valCol)).as("std"),
+        count(valCol).as("cnt"))
+
+  case class SeqEvent(entity: String, seq: Long, state: String)
+  case class SeqScore(entity: String, seq: Long, state: String, score: Double, tag: String)
+  case class MarkovBuf(lastState: String, window: List[Double])
+
+  /** Per-entity sliding-window Markov scoring with explicit state —
+    * `flatMapGroupsWithState` replacing the Storm bolt's in-memory
+    * per-entity window (MarkovModelPredictor.java:273-313). The transition
+    * model is a broadcast map ((from,to) → prob); score = mean −ln p over
+    * the last `window` transitions. */
+  def markovStream(events: Dataset[SeqEvent],
+      transitions: Map[(String, String), Double],
+      window: Int, threshold: Double): Dataset[SeqScore] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(transitions)
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (entity: String, it: Iterator[SeqEvent], st: GroupState[MarkovBuf]) => {
+          var buf = st.getOption.getOrElse(MarkovBuf(null, Nil))
+          val out = it.toSeq.sortBy(_.seq).map { e =>
+            val nll = Option(buf.lastState)
+              .map(ls => -math.log(bc.value.getOrElse((ls, e.state), 1e-12)))
+            val win = (nll.toList ::: buf.window).take(window)
+            buf = MarkovBuf(e.state, win)
+            val score = if (win.size == window) win.sum / window else Double.NaN
+            val tag =
+              if (score.isNaN) "I" else if (score > threshold) "O" else "N"
+            SeqScore(e.entity, e.seq, e.state, score, tag)
+          }
+          st.update(buf)
+          out.iterator
+        })
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.model.Fitters
+import graft.streaming.StreamScorers
+import graft.streaming.StreamScorers.{SeqEvent, SeqScore}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zscore stream-static join scores and tags a memory stream") {
+    implicit val sc = spark.sqlContext
+    val stats = Seq(("a", 10.0, 2.0), ("b", 100.0, 5.0)).toDF("k", "mean", "std")
+    val in = MemoryStream[(String, Double)]
+    val scored = StreamScorers.zscoreStream(
+      in.toDF().toDF("k", "v"), stats, Seq("k"), "v", threshold = 3.0)
+    val q = scored.writeStream.format("memory").queryName("zs").outputMode("append").start()
+    in.addData(("a", 10.0), ("a", 20.0), ("b", 101.0), ("c", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("zs").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Double]("v")) -> r.getAs[String]("tag")).toMap
+    q.stop()
+    assert(rows(("a", 10.0)) == "N")
+    assert(rows(("a", 20.0)) == "O")   // z = 5
+    assert(rows(("b", 101.0)) == "N")
+    assert(rows(("c", 5.0)) == "I")    // no model for key c
+  }
+
+  test("windowed stats aggregate per event-time window with watermark") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamScorers.windowedStats(
+      in.toDF().toDF("ts", "k", "v"), "ts", Seq("k"), "v", "10 minutes", "1 minute")
+    val q = agg.writeStream.format("memory").queryName("ws").outputMode("complete").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    in.addData((t(1), "a", 1.0), (t(2), "a", 3.0), (t(11), "a", 10.0))
+    q.processAllAvailable()
+    val rows = spark.table("ws").collect()
+    q.stop()
+    assert(rows.length == 2)
+    val first = rows.minBy(_.getAs[org.apache.spark.sql.Row]("window").getAs[java.sql.Timestamp]("start").getTime)
+    assert(first.getAs[Double]("mean") == 2.0 && first.getAs[Long]("cnt") == 2)
+  }
+
+  test("markov stream keeps per-entity window state across batches") {
+    implicit val sc = spark.sqlContext
+    val trans = Map(("A", "B") -> 0.9, ("B", "A") -> 0.9, ("A", "A") -> 0.05,
+      ("B", "B") -> 0.05, ("B", "C") -> 0.05, ("A", "C") -> 0.05)
+    val in = MemoryStream[SeqEvent]
+    val scored = StreamScorers.markovStream(in.toDS(), trans, window = 2, threshold = 2.0)
+    val q = scored.writeStream.format("memory").queryName("mk").outputMode("append").start()
+    in.addData(SeqEvent("e1", 1, "A"), SeqEvent("e1", 2, "B"), SeqEvent("e1", 3, "A"))
+    q.processAllAvailable()
+    in.addData(SeqEvent("e1", 4, "C"), SeqEvent("e1", 5, "C")) // improbable transitions
+    q.processAllAvailable()
+    val rows = spark.table("mk").as[SeqScore].collect().sortBy(_.seq)
+    q.stop()
+    assert(rows.map(_.seq).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(rows(0).tag == "I" && rows(1).tag == "I") // window not yet full
+    assert(rows(2).tag == "N")                        // probable A→B→A
+    assert(rows(4).tag == "O")                        // B→C then C→C (unseen)
+    assert(rows(4).score > rows(2).score)
+  }
+}
