@@ -1,0 +1,105 @@
+package graft.drift
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Concept-drift detectors (SURVEY.md §2.9, reference python/lib/sucodr.py)
+  * re-expressed as cumulative window analytics over a keyed error/metric
+  * stream — one sort-within-shuffle per key, no driver loops.
+  *
+  * Input convention: (keyCols..., seqCol, errCol) where errCol is the
+  * 0/1 prediction-error indicator (supervised drift) or a numeric metric
+  * (EWMA drift).
+  */
+object Drift {
+
+  private def byKey(keyCols: Seq[String], seqCol: String) =
+    Window.partitionBy(keyCols.map(col): _*).orderBy(seqCol)
+
+  /** DDM — drift detection method (sucodr.py:59-101): running error rate
+    * pᵢ and std sᵢ = √(pᵢ(1−pᵢ)/i); warn when pᵢ+sᵢ > p_min+2·s_min,
+    * drift when > p_min+3·s_min (strict — a zero-error prefix must stay stable). Emits level ∈ {stable, warn, drift}. */
+  def ddm(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      errCol: String): DataFrame = {
+    val w = byKey(keyCols, seqCol)
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val i = count(col(errCol)).over(cum)
+    val p = avg(col(errCol)).over(cum)
+    val s = sqrt(p * (lit(1.0) - p) / i)
+    val ps = p + s
+    val flagged = data
+      .withColumn("i", i)
+      .withColumn("p", p)
+      .withColumn("s", s)
+      .withColumn("minPS", min(ps).over(cum))
+      // p_min+k·s_min at the argmin of p+s: track min of p+s and of s jointly
+      .withColumn("sAtMin", min(struct(ps.as("ps"), s.as("s"))).over(cum).getField("s"))
+      .withColumn("pAtMin", col("minPS") - col("sAtMin"))
+    flagged.withColumn("level",
+      when(col("i") < 30, "stable")
+        .when(col("p") + col("s") > col("pAtMin") + lit(3.0) * col("sAtMin"), "drift")
+        .when(col("p") + col("s") > col("pAtMin") + lit(2.0) * col("sAtMin"), "warn")
+        .otherwise(lit("stable")))
+      .drop("minPS", "sAtMin", "pAtMin")
+  }
+
+  /** FHDDM — fast Hoeffding drift detection (sucodr.py:186-228): sliding
+    * accuracy over `window` rows vs the running max; drift when
+    * maxAcc − acc > √(ln(1/δ)/(2·window)). */
+  def fhddm(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      errCol: String, window: Int, delta: Double): DataFrame = {
+    val w = byKey(keyCols, seqCol)
+    val frame = w.rowsBetween(-(window - 1), 0)
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val acc = lit(1.0) - avg(col(errCol)).over(frame)
+    val full = count(col(errCol)).over(frame) === window
+    val eps = math.sqrt(math.log(1.0 / delta) / (2.0 * window))
+    val withAcc = data
+      .withColumn("acc", when(full, acc))
+      .withColumn("maxAcc", max(when(full, acc)).over(cum))
+    withAcc.withColumn("drift",
+      col("acc").isNotNull && (col("maxAcc") - col("acc") > eps))
+  }
+
+  /** ECDD-style EWMA drift (sucodr.py:281-325): exponentially weighted
+    * moving average of the metric vs its long-run mean/std; drift when
+    * |z − μ| > L·σ·√(λ/(2−λ)). Recursive EWMA runs per key in one
+    * flatMapGroups pass (order-dependent recurrence). */
+  case class EwmaOut(key: String, seq: Long, value: Double, ewma: Double, drift: Boolean)
+
+  def ewmaDrift(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      valCol: String, lambda: Double, L: Double): Dataset[EwmaOut] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val pts = data.select(
+      concat_ws("|", keyCols.map(c => col(c).cast("string")): _*).as("key"),
+      col(seqCol).cast("long").as("seq"),
+      col(valCol).cast("double").as("value"))
+      .as[(String, Long, Double)]
+    pts.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val sorted = it.toArray.sortBy(_._2)
+      var n = 0
+      var mean = 0.0
+      var m2 = 0.0
+      var z = 0.0
+      sorted.iterator.map { case (_, seq, x) =>
+        n += 1
+        val d = x - mean
+        mean += d / n
+        m2 += d * (x - mean)
+        z = if (n == 1) x else lambda * x + (1 - lambda) * z
+        val sd = if (n > 1) math.sqrt(m2 / (n - 1)) else 0.0
+        val lim = L * sd * math.sqrt(lambda / (2 - lambda))
+        EwmaOut(k, seq, x, z, n > 30 && sd > 0 && math.abs(z - mean) > lim)
+      }
+    }
+  }
+
+  /** Drift consensus (sucodr.py:335-360): majority vote across detector
+    * boolean columns. */
+  def consensus(df: DataFrame, detectorCols: Seq[String], quorum: Int): DataFrame =
+    df.withColumn("driftVotes",
+      detectorCols.map(c => col(c).cast("int")).reduce(_ + _))
+      .withColumn("driftConsensus", col("driftVotes") >= quorum)
+}

@@ -80,16 +80,45 @@ object IsolationForest {
     }
   }
 
+  /** Pointer-array form of one tree for the scoring hot loop: node i has
+    * attr/split and left/right child indices (-1 = leaf), leaves carry
+    * depth + c(size) precomputed. */
+  private case class FlatTree(attr: Array[Int], split: Array[Double],
+      left: Array[Int], right: Array[Int], leafLen: Array[Double])
+
+  private def flatten(nodes: Seq[IsoNode]): FlatTree = {
+    val byPath = nodes.map(n => n.path -> n).toMap
+    val order = nodes.sortBy(_.path).map(_.path).toArray // parent before child
+    val idx = order.zipWithIndex.toMap
+    val t = FlatTree(new Array(order.length), new Array(order.length),
+      Array.fill(order.length)(-1), Array.fill(order.length)(-1),
+      new Array(order.length))
+    order.zipWithIndex.foreach { case (p, i) =>
+      val n = byPath(p)
+      t.attr(i) = n.attr
+      t.split(i) = n.split
+      t.leafLen(i) = n.depth + c(n.size.toDouble)
+      if (!n.isLeaf) {
+        t.left(i) = idx(p + "0")
+        t.right(i) = idx(p + "1")
+      }
+    }
+    t
+  }
+
   /** Score each row: average tree path length (leaf depth + c(leafSize)
-    * continuation, scoring :291-353) → score = 2^(−avgLen/c(subsample)). */
+    * continuation, scoring :291-353) → score = 2^(−avgLen/c(subsample)).
+    * The broadcast forest is pre-flattened to int-indexed arrays so the
+    * per-row loop is pure primitive ops (no string paths, no map lookups). */
   def score(data: DataFrame, model: Dataset[IsoNode], keyCols: Seq[String],
       attrCols: Seq[String], idCol: String, subsampleSize: Int): Dataset[IsoScore] = {
     val spark = data.sparkSession
     import spark.implicits._
-    // model is tiny (keys × trees × ≤2^depth nodes): broadcast as a map
-    val trees: Map[String, Map[(Int, String), IsoNode]] = model.collect()
+    val trees: Map[String, Array[FlatTree]] = model.collect()
       .groupBy(_.key)
-      .map { case (k, ns) => k -> ns.map(n => (n.treeId, n.path) -> n).toMap }
+      .map { case (k, ns) =>
+        k -> ns.groupBy(_.treeId).toSeq.sortBy(_._1).map(g => flatten(g._2.toSeq)).toArray
+      }
     val bc = spark.sparkContext.broadcast(trees)
     val cn = c(subsampleSize.toDouble)
     val rows = data.select(
@@ -99,18 +128,19 @@ object IsolationForest {
       .as[(String, Long, Seq[Double])]
     rows.map { case (key, id, attrsSeq) =>
       val attrs = attrsSeq.toArray
-      val forest = bc.value.getOrElse(key, Map.empty)
-      val treeIds = forest.keys.map(_._1).toArray.distinct
-      val lens = treeIds.map { t =>
-        var path = "R"
-        var node = forest((t, path))
-        while (!node.isLeaf) {
-          path = path + (if (attrs(node.attr) < node.split) "0" else "1")
-          node = forest((t, path))
+      val forest = bc.value.getOrElse(key, Array.empty[FlatTree])
+      var sum = 0.0
+      var t = 0
+      while (t < forest.length) {
+        val tr = forest(t)
+        var i = 0
+        while (tr.left(i) >= 0) {
+          i = if (attrs(tr.attr(i)) < tr.split(i)) tr.left(i) else tr.right(i)
         }
-        node.depth + c(node.size.toDouble)
+        sum += tr.leafLen(i)
+        t += 1
       }
-      val avgLen = if (lens.nonEmpty) lens.sum / lens.length else 0.0
+      val avgLen = if (forest.nonEmpty) sum / forest.length else 0.0
       IsoScore(key, id, if (cn > 0) math.pow(2, -avgLen / cn) else 0.0)
     }
   }

@@ -45,22 +45,32 @@ object Proximity {
     * (proximity/AverageDistance.java:46-244): avgDist = mean of k nearest
     * distances; density = scale / avgDist. */
   def averageDistance(pairs: DataFrame, k: Int, scale: Double = 1.0): DataFrame =
-    knn(pairs, k).groupBy("src")
+    averageDistanceFromKnn(knn(pairs, k), k, scale)
+
+  /** Same, over a precomputed top-k table (e.g. Blocked.knn). */
+  def averageDistanceFromKnn(nn: DataFrame, k: Int, scale: Double = 1.0): DataFrame =
+    nn.groupBy("src")
       .agg(avg("dist").as("avgDist"))
       .withColumn("density", when(col("avgDist") > 0, lit(scale) / col("avgDist")))
 
   /** Neighbor-density join (proximity/NeighborDensity.java:48-176): each
     * (src, trg) neighborhood edge annotated with the target's density. */
-  def neighborDensity(pairs: DataFrame, k: Int, scale: Double = 1.0): DataFrame = {
-    val dens = averageDistance(pairs, k, scale).select(col("src").as("trg"), col("density"))
-    knn(pairs, k).select("src", "trg", "dist", "rank").join(dens, "trg")
+  def neighborDensity(pairs: DataFrame, k: Int, scale: Double = 1.0): DataFrame =
+    neighborDensityFromKnn(knn(pairs, k), k, scale)
+
+  def neighborDensityFromKnn(nn: DataFrame, k: Int, scale: Double = 1.0): DataFrame = {
+    val dens = averageDistanceFromKnn(nn, k, scale).select(col("src").as("trg"), col("density"))
+    nn.select("src", "trg", "dist", "rank").join(dens, "trg")
   }
 
   /** Relative density (proximity/RelativeDensity.java:40-134):
     * relDensity = ownDensity * k / Σ(neighbor densities). ≈ LOF precursor. */
-  def relativeDensity(pairs: DataFrame, k: Int, scale: Double = 1.0): DataFrame = {
-    val dens = averageDistance(pairs, k, scale).select("src", "density")
-    val nbrSum = neighborDensity(pairs, k, scale)
+  def relativeDensity(pairs: DataFrame, k: Int, scale: Double = 1.0): DataFrame =
+    relativeDensityFromKnn(knn(pairs, k), k, scale)
+
+  def relativeDensityFromKnn(nn: DataFrame, k: Int, scale: Double = 1.0): DataFrame = {
+    val dens = averageDistanceFromKnn(nn, k, scale).select("src", "density")
+    val nbrSum = neighborDensityFromKnn(nn, k, scale)
       .groupBy("src").agg(sum("density").as("nbrDensity"))
     dens.join(nbrSum, "src")
       .withColumn("relDensity", col("density") * k / col("nbrDensity"))
@@ -71,8 +81,10 @@ object Proximity {
     * reach(a,b) = max(dist(a,b), kdist(b)) (:116-141) → local reachability
     * density lrd(a) = k / Σ reach(a,·) (:144-158) → LOF(a) = mean lrd of
     * neighbors / lrd(a) (:184-220). Output: src, lof. */
-  def lof(pairs: DataFrame, k: Int): DataFrame = {
-    val nn = knn(pairs, k).select("src", "trg", "dist")
+  def lof(pairs: DataFrame, k: Int): DataFrame = lofFromKnn(knn(pairs, k), k)
+
+  def lofFromKnn(nnIn: DataFrame, k: Int): DataFrame = {
+    val nn = nnIn.select("src", "trg", "dist")
     val kdist = nn.groupBy("src").agg(max("dist").as("kdist"))
     val reach = nn
       .join(kdist.select(col("src").as("trg"), col("kdist")), "trg")

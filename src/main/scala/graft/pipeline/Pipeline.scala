@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import graft.model.Fitters
+import graft.score.Scorers
+import graft.score.Scorers.Cfg
+import graft.post.PostOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Library-level pipeline composition (SURVEY.md §3 "pipeline-of-jobs"):
+  * the reference chains spark-submit jobs through files
+  * (resource/and_spark.sh fit → score → count loop); here stages chain as
+  * DataFrames inside one Spark application — models stay cached/broadcast,
+  * no intermediate file handoffs.
+  */
+object Pipeline {
+
+  /** fit-stats → score → tag → side outputs, as one lazily-planned flow. */
+  case class ZscoreResult(stats: DataFrame, tagged: DataFrame,
+      outliers: DataFrame, clean: DataFrame, counts: DataFrame)
+
+  def zscorePipeline(data: DataFrame, keyCols: Seq[String], attrCols: Seq[String],
+      threshold: Double, expConst: Double = 0.0): ZscoreResult = {
+    val stats = Fitters.stats(data, keyCols, attrCols)
+    val tagged = Scorers.zscore(data, stats,
+      Cfg(keyCols, attrCols, threshold = threshold, expConst = expConst))
+    ZscoreResult(stats, tagged,
+      Scorers.outliersOnly(tagged), Scorers.cleanData(tagged),
+      PostOps.outlierCounter(tagged, keyCols))
+  }
+
+  /** Checkpoint filter (misc/ChangePointDetector.scala:75-88): drop rows
+    * below each key's resume checkpoint (broadcast join, no shuffle on
+    * data). Keys absent from the checkpoint table pass through. */
+  def checkpointFilter(data: DataFrame, checkpoints: DataFrame,
+      keyCols: Seq[String], seqCol: String): DataFrame =
+    data.join(broadcast(checkpoints), keyCols, "left")
+      .where(col("chkpt").isNull || col(seqCol) >= col("chkpt"))
+      .drop("chkpt")
+
+  /** Partition filter (multi/IsolationForestPredictor.scala:76-103): one
+    * key slice — a plain filter so partition/file pruning applies. */
+  def partitionFilter(data: DataFrame, keyCol: String, value: String): DataFrame =
+    data.where(col(keyCol) === value)
+}
+
+/** Config-compatible entry point: accepts the reference's property
+  * vocabulary (attr.ordinals, id.fieldOrdinals, score.threshold,
+  * score.aggregation.strategy, exp.const — resource/and.conf:1-15,
+  * rt_predict.properties) as a plain key→value map and dispatches to the
+  * equivalent engine operator, so a beymani job invocation maps 1:1 onto
+  * this library. */
+object ConfigRunner {
+
+  def columnsByOrdinal(df: DataFrame, ords: Seq[Int]): Seq[String] =
+    ords.map(df.columns(_))
+
+  /** Run one scoring job described by a reference-style config. Supported
+    * `predictor.model` values mirror StatsBasedOutlierPredictor.scala:48-56. */
+  def run(spark: SparkSession, data: DataFrame, conf: Map[String, String]): DataFrame = {
+    def ints(p: String): Seq[Int] =
+      conf(p).split(",").map(_.trim.toInt).toSeq
+    val keyCols = columnsByOrdinal(data, ints("id.fieldOrdinals"))
+    val attrCols = columnsByOrdinal(data, ints("attr.ordinals"))
+    val cfg = Cfg(
+      keyCols, attrCols,
+      weights = conf.get("attr.weights")
+        .map(_.split(",").map(_.trim.toDouble).toSeq).getOrElse(Nil),
+      strategy = conf.getOrElse("score.aggregation.strategy", "average"),
+      expConst = conf.get("exp.const").map(_.toDouble).getOrElse(0.0),
+      threshold = conf("score.threshold").toDouble)
+    conf("predictor.model") match {
+      case "zscore" =>
+        Scorers.zscore(data, Fitters.stats(data, keyCols, attrCols), cfg)
+      case "robustZscore" =>
+        Scorers.robustZscore(data, Fitters.robustStats(data, keyCols, attrCols), cfg)
+      case "extremeValueProbablity" => // reference spelling
+        Scorers.extremeValue(data, Fitters.stats(data, keyCols, attrCols), cfg)
+      case "interPercentileDifference" =>
+        Scorers.iqrScore(data, Fitters.quantiles(data, keyCols, attrCols), cfg)
+      case "estimatedProbablity" =>
+        val width = conf("bucket.width").toDouble
+        val hist = Fitters.histogram(data, keyCols, attrCols.map(_ -> width))
+        Scorers.estimatedProbability(data, hist, cfg, attrCols.map(_ -> width))
+      case other => throw new IllegalArgumentException(s"unknown predictor.model $other")
+    }
+  }
+
+  /** Parse a reference .properties/.conf-style text blob. */
+  def fromProperties(text: String): Map[String, String] =
+    text.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains("="))
+      .map { l =>
+        val i = l.indexOf('=')
+        l.substring(0, i).trim -> l.substring(i + 1).trim.stripPrefix("[").stripSuffix("]")
+      }.toMap
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core._
 import graft.model.Fitters
-import graft.multi.{ClusterScore, IsolationForest, Proximity}
+import graft.multi.{Blocked, ClusterScore, IsolationForest, Proximity}
 import graft.post.PostOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -25,8 +25,9 @@ object MultiQueries {
       .toDF("childType", "childId", "parentType", "parentId")
   }
 
-  private def pairs(s: SparkSession, dir: String) =
-    Proximity.pairDistances(emb(s, dir).select("vec_id", "embedding"), "vec_id", "embedding")
+  private def nn5(s: SparkSession, dir: String) =
+    Blocked.knn(emb(s, dir).select("vec_id", "embedding"), "vec_id", "embedding",
+      k = 5).select("src", "trg", "dist", "rank")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_outlier_counter" -> ((s, dir) =>
@@ -52,13 +53,13 @@ object MultiQueries {
         Fitters.histogram(ev(s, dir), Seq("event_type"), Seq(("value", 10.0))),
         Seq("event_type"), maxItems = 10))),
     "q42_knn_avg_dist" -> ((s, dir) =>
-      canon(Proximity.averageDistance(pairs(s, dir), k = 5))),
+      canon(Proximity.averageDistanceFromKnn(nn5(s, dir), k = 5))),
     "q43_neighbor_density" -> ((s, dir) =>
-      canon(Proximity.neighborDensity(pairs(s, dir), k = 5))),
+      canon(Proximity.neighborDensityFromKnn(nn5(s, dir), k = 5))),
     "q44_relative_density" -> ((s, dir) =>
-      canon(Proximity.relativeDensity(pairs(s, dir), k = 5))),
+      canon(Proximity.relativeDensityFromKnn(nn5(s, dir), k = 5))),
     "q45_lof" -> ((s, dir) =>
-      canon(Proximity.lof(pairs(s, dir), k = 5))),
+      canon(Proximity.lofFromKnn(nn5(s, dir), k = 5))),
     // ---- seeded-random model fits: rows-only driver check, spec-tested ----
     "q46_iforest" -> ((s, dir) => {
       val data = ev(s, dir)

@@ -44,7 +44,7 @@ object TextQueries {
       canon(TextOps.ngramJaccard(d, "doc_id", "text", n = 3, cand))
     }),
     "q58_embed_neardup" -> ((s, dir) =>
-      canon(Similarity.cosineNearDup(emb(s, dir), "vec_id", "embedding", 0.4))),
+      canon(graft.multi.Blocked.cosineNearDup(emb(s, dir), "vec_id", "embedding", 0.4).toDF())),
     "q59_ann_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       canon(Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e,

@@ -64,12 +64,16 @@ object TextOps {
     val sh = shingles(docs, idCol, textCol, shingleSize)
       .withColumn("x", hash56(col("shingle")) % P)
     val params = hashParams(numHashes)
-    val hashes = params.zipWithIndex.map { case ((a, b), i) =>
-      struct(lit(i).as("hashIdx"), ((col("x") * a + b) % P).as("h"))
+    // all minima in ONE hash aggregate (map-side combine), melted after —
+    // not an explode to numHashes× rows before the shuffle
+    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
+      min((col("x") * a + b) % P).as(s"m$i")
     }
-    sh.select(col(idCol), explode(array(hashes: _*)).as("hx"))
-      .groupBy(col(idCol), col("hx.hashIdx").as("hashIdx"))
-      .agg(min("hx.h").as("minHash"))
+    val wide = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val kvs = params.indices.flatMap(i => Seq(lit(i), col(s"m$i")))
+    wide.select(col(idCol),
+      explode(map(kvs.map(c => c: org.apache.spark.sql.Column): _*))
+        .as(Seq("hashIdx", "minHash")))
   }
 
   /** LSH banding of a MinHash signature: band bucket = the band's minhash

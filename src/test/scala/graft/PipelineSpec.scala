@@ -1,0 +1,85 @@
+package graft
+
+import graft.drift.Drift
+import graft.pipeline.{ConfigRunner, Pipeline}
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("json schema loader maps the reference's RichAttributeSchema") {
+    val json =
+      """{"fields":[
+        |{"name":"serverId","ordinal":0,"dataType":"string","id":true},
+        |{"name":"usage","ordinal":2,"dataType":"double","bucketWidth":5.0},
+        |{"name":"ts","ordinal":1,"dataType":"long"}]}""".stripMargin
+    val st = Sources.toStructType(Sources.parseSchema(json))
+    assert(st.fieldNames.toSeq == Seq("serverId", "ts", "usage")) // ordinal order
+    assert(st("serverId").metadata.getBoolean("id"))
+    assert(st("usage").metadata.getDouble("bucketWidth") == 5.0)
+    assert(st("ts").dataType.typeName == "long")
+  }
+
+  test("config runner maps reference property vocabulary to the zscore op") {
+    val data = core.table(spark, sfDir, "events")
+      .select("event_type", "value") // ordinals: 0=event_type, 1=value
+    val conf = ConfigRunner.fromProperties(
+      """# reference-style job config
+        |predictor.model=zscore
+        |id.fieldOrdinals=[0]
+        |attr.ordinals=[1]
+        |score.threshold=2.0
+        |""".stripMargin)
+    val out = ConfigRunner.run(spark, data, conf)
+    assert(out.columns.contains("score") && out.columns.contains("tag"))
+    assert(out.where($"tag" === "O").count() > 0)
+  }
+
+  test("zscore pipeline composes fit/score/filter/count without file handoffs") {
+    val data = core.table(spark, sfDir, "events")
+    val r = Pipeline.zscorePipeline(data, Seq("event_type"), Seq("value"), 2.0)
+    val n = data.count()
+    assert(r.outliers.count() + r.clean.count() == n)
+    assert(r.counts.agg(sum("total")).head().getLong(0) == n)
+  }
+
+  test("checkpoint filter drops rows below per-key checkpoint") {
+    val data = Seq(("a", 1L), ("a", 5L), ("b", 1L), ("c", 9L)).toDF("k", "seq")
+    val ck = Seq(("a", 3L)).toDF("k", "chkpt")
+    val out = Pipeline.checkpointFilter(data, ck, Seq("k"), "seq")
+      .select("k", "seq").as[(String, Long)].collect().toSet
+    assert(out == Set(("a", 5L), ("b", 1L), ("c", 9L)))
+  }
+
+  test("ddm flags drift after an error burst") {
+    val rows = ((1 to 200).map(i => ("k", i.toLong, 0)) ++
+      (201 to 260).map(i => ("k", i.toLong, 1))).toDF("k", "seq", "err")
+    val out = Drift.ddm(rows, Seq("k"), "seq", "err")
+    val levels = out.orderBy("seq").select("level").as[String].collect()
+    assert(levels.take(200).forall(_ == "stable"))
+    assert(levels.drop(210).exists(_ == "drift"))
+  }
+
+  test("ewma drift detects a level change, none on stationary series") {
+    val rows = ((1 to 100).map(i => ("k", i.toLong, 10.0 + (i % 3))) ++
+      (101 to 140).map(i => ("k", i.toLong, 25.0))).toDF("k", "seq", "v")
+    val out = Drift.ewmaDrift(rows, Seq("k"), "seq", "v", 0.2, 3.0).collect().sortBy(_.seq)
+    assert(!out.take(100).exists(_.drift))
+    assert(out.drop(105).exists(_.drift))
+  }
+
+  test("stats model file reader parses the reference layout") {
+    val dir = java.nio.file.Files.createTempDirectory("statsmodel").toFile
+    val f = new java.io.File(dir, "stats.txt")
+    // key, fieldOrd, count, sum, sumSq, mean, variance, stddev
+    // (mean at keyLen+4, stddev at keyLen+6 — StatsBasedOutlierPredictor.scala:116-120)
+    java.nio.file.Files.writeString(f.toPath,
+      "srv1,3,100,5000,260000,50.0,156.25,12.5\nsrv2,3,100,3000,95000,30.0,64.0,8.0\n")
+    val m = Sources.readStatsModel(spark, f.getAbsolutePath, Seq("serverId"), "usage")
+    val byKey = m.collect().map(r => r.getAs[String]("serverId") ->
+      (r.getAs[Double]("mean"), r.getAs[Double]("std"))).toMap
+    assert(byKey("srv1") == (50.0, 12.5))
+    assert(byKey("srv2") == (30.0, 8.0))
+  }
+}
