@@ -47,13 +47,16 @@ object TextOps {
 
   /** Distinct word n-gram shingles per document: (id, shingle). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val t = tokens(col(textCol))
+    // materialize the token array once — element_at inside the lambda would
+    // otherwise re-run the regex tokenizer per shingle element
+    val withT = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val t = col("_toks")
     val grams = when(size(t) >= n,
       transform(
         sequence(lit(0), size(t) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
       .otherwise(array())
-    docs.select(col(idCol), explode(grams).as("shingle")).distinct()
+    withT.select(col(idCol), explode(grams).as("shingle")).distinct()
   }
 
   /** MinHash signature: numHashes minima of affine permutations of the
