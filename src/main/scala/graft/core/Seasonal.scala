@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Seasonal cycle keying (SURVEY.md §1 composite-key row): the reference
+  * extends every model key with (cycleType, cycleIndex) derived from the
+  * record timestamp (StatsBasedOutlierPredictor.scala:209-246; cycle types
+  * in resource/and.conf:8, ecomm.conf:8), so models are fitted and applied
+  * per seasonal regime (e.g. hour-of-day, weekday-vs-weekend).
+  *
+  * `tsCol` is an epoch-nanos long column (TESTDATA events.ts after
+  * nanosAsLong); `div` integer arithmetic throughout — double division
+  * would lose nanosecond precision and flip floor at boundaries. */
+object Seasonal {
+
+  /** Cycle index for a reference cycle type name. Day/week arithmetic is
+    * UTC; epoch day 0 (1970-01-01) was a Thursday → dayOfWeek 0=Monday
+    * matches (epochDay + 3) mod 7. */
+  def cycleIndex(tsCol: String, cycleType: String): Column = {
+    val sec = s"($tsCol div 1000000000)"
+    cycleType match {
+      case "hourOfDay" => expr(s"($sec div 3600) % 24")
+      case "dayOfWeek" => expr(s"(($sec div 86400) + 3) % 7")
+      case "weekDayOrWeekendOfWeek" =>
+        when(expr(s"(($sec div 86400) + 3) % 7") >= 5, lit(1L)).otherwise(lit(0L))
+      case "hourOfWeek" =>
+        expr(s"((($sec div 86400) + 3) % 7) * 24 + ($sec div 3600) % 24")
+      case other => throw new IllegalArgumentException(s"unknown cycle type $other")
+    }
+  }
+
+  /** Append (cycleType, cycleIndex) columns — the seasonal key extension:
+    * downstream fit/score key = idCols :+ "cycleType" :+ "cycleIndex". */
+  def withCycle(df: DataFrame, tsCol: String, cycleType: String): DataFrame =
+    df.withColumn("cycleType", lit(cycleType))
+      .withColumn("cycleIndex", cycleIndex(tsCol, cycleType))
+}

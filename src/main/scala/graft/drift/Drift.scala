@@ -44,6 +44,34 @@ object Drift {
       .drop("minPS", "sAtMin", "pAtMin")
   }
 
+  /** EDDM — drift detection from the distance between errors
+    * (sucodr.py:115-175): over the error rows only, dᵢ = instance gap to
+    * the previous error; running mean p′ and std s′ of d; track
+    * max(p′+2s′); warn when (p′+2s′)/max < `alpha`, drift when < `beta`.
+    * Shrinking gaps between errors ⇒ rising error rate. */
+  def eddm(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      errCol: String, alpha: Double = 0.95, beta: Double = 0.9): DataFrame = {
+    val w = byKey(keyCols, seqCol)
+    val indexed = data.withColumn("idx", row_number().over(w))
+    val errs = indexed.where(col(errCol) === 1)
+      .withColumn("d", (col("idx") - lag(col("idx"), 1).over(w)).cast("double"))
+      .where(col("d").isNotNull)
+    val cum = byKey(keyCols, seqCol).rowsBetween(Window.unboundedPreceding, 0)
+    val m = avg(col("d")).over(cum)
+    val s = stddev_samp(col("d")).over(cum)
+    val p2s = m + lit(2.0) * s
+    val flagged = errs
+      .withColumn("nErr", count(col("d")).over(cum))
+      .withColumn("p2s", p2s)
+      .withColumn("maxP2s", max(p2s).over(cum))
+      .withColumn("ratio", col("p2s") / col("maxP2s"))
+    flagged.withColumn("level",
+      when(col("nErr") < 30 || col("maxP2s").isNull, "stable")
+        .when(col("ratio") < beta, "drift")
+        .when(col("ratio") < alpha, "warn")
+        .otherwise(lit("stable")))
+  }
+
   /** FHDDM — fast Hoeffding drift detection (sucodr.py:186-228): sliding
     * accuracy over `window` rows vs the running max; drift when
     * maxAcc − acc > √(ln(1/δ)/(2·window)). */

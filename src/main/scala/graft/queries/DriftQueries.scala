@@ -26,6 +26,18 @@ object DriftQueries {
     "q66_drift_ewma" -> ((s, dir) =>
       canon(Drift.ewmaDrift(errStream(s, dir), Seq("event_type"), "event_id",
         "value", lambda = 0.1, L = 3.0).toDF())),
+    "q68_drift_eddm" -> ((s, dir) =>
+      canon(Drift.eddm(errStream(s, dir), Seq("event_type"), "event_id", "err")
+        .select("event_type", "event_id", "nErr", "d", "p2s", "maxP2s", "level"))),
+    "q69_seasonal_zscore" -> ((s, dir) => {
+      val data = graft.core.Seasonal.withCycle(
+        table(s, dir, "events"), "ts", "hourOfDay")
+      val keys = Seq("event_type", "cycleType", "cycleIndex")
+      val stats = graft.model.Fitters.stats(data, keys, Seq("value"))
+      canon(graft.score.Scorers.zscore(data, stats,
+        graft.score.Scorers.Cfg(keys, Seq("value"), threshold = 2.5))
+        .select("event_id", "event_type", "cycleIndex", "value", "score", "tag"))
+    }),
     "q67_drift_consensus" -> ((s, dir) => {
       val ddm = Drift.ddm(errStream(s, dir), Seq("event_type"), "event_id", "err")
         .select(col("event_type"), col("event_id"), (col("level") === "drift").as("d1"))
@@ -61,6 +73,41 @@ object DriftQueries {
       .stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    "q68_drift_eddm" ->
+      s"""WITH $errCte,
+         |ix AS (SELECT *, row_number() OVER w AS idx FROM es
+         | WINDOW w AS (PARTITION BY event_type ORDER BY event_id)),
+         |er AS (SELECT event_type, event_id,
+         |  (idx - lag(idx) OVER w)::DOUBLE AS d
+         | FROM ix WHERE err = 1
+         | WINDOW w AS (PARTITION BY event_type ORDER BY event_id)),
+         |st AS (SELECT event_type, event_id, d,
+         |  count(d) OVER cum AS nErr,
+         |  avg(d) OVER cum + 2.0 * stddev_samp(d) OVER cum AS p2s
+         | FROM er WHERE d IS NOT NULL
+         | WINDOW cum AS (PARTITION BY event_type ORDER BY event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |mx AS (SELECT *, max(p2s) OVER (PARTITION BY event_type ORDER BY event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS maxP2s FROM st)
+         |SELECT event_type, event_id, nErr, round(d,4) AS d, round(p2s,4) AS p2s,
+         | round(maxP2s,4) AS maxP2s,
+         | CASE WHEN nErr < 30 OR maxP2s IS NULL THEN 'stable'
+         |  WHEN p2s / maxP2s < 0.9 THEN 'drift'
+         |  WHEN p2s / maxP2s < 0.95 THEN 'warn'
+         |  ELSE 'stable' END AS level
+         |FROM mx""".stripMargin.replace("\n", " "),
+    "q69_seasonal_zscore" ->
+      """WITH c AS (SELECT *,
+        |  ((epoch_ns(ts) // 1000000000) // 3600) % 24 AS cycleIndex
+        | FROM events),
+        |st AS (SELECT event_type, cycleIndex, avg(value) AS mean,
+        |  stddev_samp(value) AS std
+        | FROM c GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type, e.cycleIndex, round(e.value,4) AS value,
+        | round(abs(e.value - s.mean)/s.std, 4) AS score,
+        | CASE WHEN abs(e.value - s.mean)/s.std > 2.5 THEN 'O' ELSE 'N' END AS tag
+        |FROM c e JOIN st s USING (event_type, cycleIndex)"""
+        .stripMargin.replace("\n", " "),
     "q64_drift_ddm" ->
       s"""WITH $ddmCte
          |SELECT event_type, event_id, err, i, round(p,4) AS p, round(s,4) AS s,

@@ -18,6 +18,9 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
+for name in sorted(only - set(oracle)):
+    print(f"FAIL {name}: not in oracle_sql.json (stale Verify output?)")
+    fails += 1
 for name in sorted(oracle):
     if only and name not in only:
         continue
