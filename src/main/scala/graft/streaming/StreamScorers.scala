@@ -48,6 +48,71 @@ object StreamScorers {
         stddev_samp(col(valCol)).as("std"),
         count(valCol).as("cnt"))
 
+  case class ValueEvent(entity: String, seq: Long, value: Double)
+  case class EntropyScore(entity: String, seq: Long, value: Double, score: Double)
+  case class HistState(counts: Map[Long, Long], total: Long)
+
+  /** entropyIncrease predictor (EntropyIncreaseBasedPredictor.java:44-76,
+    * Storm-only in the reference): per entity, maintain a running value
+    * histogram; score = relative entropy increase if this record's bucket
+    * were added — high when the value lands off the learned distribution. */
+  def entropyIncreaseStream(events: Dataset[ValueEvent], bucketWidth: Double,
+      minCount: Long): Dataset[EntropyScore] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def entropy(counts: Iterable[Long], total: Long): Double =
+      counts.foldLeft(0.0) { (acc, c) =>
+        val p = c.toDouble / total
+        acc - p * math.log(p)
+      }
+    events.groupByKey(_.entity)
+      .flatMapGroups { (entity, it) =>
+        var st = HistState(Map.empty, 0L)
+        it.toSeq.sortBy(_.seq).iterator.map { e =>
+          val b = math.floor(e.value / bucketWidth).toLong
+          val withB = st.counts.updated(b, st.counts.getOrElse(b, 0L) + 1)
+          val before = entropy(st.counts.values, st.total)
+          val after = entropy(withB.values, st.total + 1)
+          val score =
+            if (st.total < minCount || before <= 0) 0.0
+            else math.max(0.0, (after - before) / before)
+          st = HistState(withB, st.total + 1)
+          EntropyScore(entity, e.seq, e.value, score)
+        }
+      }
+  }
+
+  /** Streaming variant with explicit GroupState (same math, incremental
+    * across micro-batches). */
+  def entropyIncreaseStreaming(events: Dataset[ValueEvent], bucketWidth: Double,
+      minCount: Long): Dataset[EntropyScore] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def entropy(counts: Iterable[Long], total: Long): Double =
+      counts.foldLeft(0.0) { (acc, c) =>
+        val p = c.toDouble / total
+        acc - p * math.log(p)
+      }
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (entity: String, it: Iterator[ValueEvent], gs: GroupState[HistState]) => {
+          var st = gs.getOption.getOrElse(HistState(Map.empty, 0L))
+          val out = it.toSeq.sortBy(_.seq).map { e =>
+            val b = math.floor(e.value / bucketWidth).toLong
+            val withB = st.counts.updated(b, st.counts.getOrElse(b, 0L) + 1)
+            val before = entropy(st.counts.values, st.total)
+            val after = entropy(withB.values, st.total + 1)
+            val score =
+              if (st.total < minCount || before <= 0) 0.0
+              else math.max(0.0, (after - before) / before)
+            st = HistState(withB, st.total + 1)
+            EntropyScore(entity, e.seq, e.value, score)
+          }
+          gs.update(st)
+          out.iterator
+        })
+  }
+
   case class SeqEvent(entity: String, seq: Long, state: String)
   case class SeqScore(entity: String, seq: Long, state: String, score: Double, tag: String)
   case class MarkovBuf(lastState: String, window: List[Double])

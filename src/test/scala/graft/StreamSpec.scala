@@ -2,7 +2,7 @@ package graft
 
 import graft.model.Fitters
 import graft.streaming.StreamScorers
-import graft.streaming.StreamScorers.{SeqEvent, SeqScore}
+import graft.streaming.StreamScorers.{EntropyScore, SeqEvent, SeqScore, ValueEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -61,5 +61,22 @@ class StreamSpec extends SparkSpec {
     assert(rows(2).tag == "N")                        // probable A→B→A
     assert(rows(4).tag == "O")                        // B→C then C→C (unseen)
     assert(rows(4).score > rows(2).score)
+  }
+
+  test("entropy-increase stream: off-distribution value scores high") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[ValueEvent]
+    val scored = StreamScorers.entropyIncreaseStreaming(in.toDS(), bucketWidth = 10.0,
+      minCount = 20)
+    val q = scored.writeStream.format("memory").queryName("ei").outputMode("append").start()
+    in.addData((1 to 40).map(i => ValueEvent("e1", i.toLong, 15.0 + (i % 2) * 10.0)): _*)
+    q.processAllAvailable()
+    in.addData(ValueEvent("e1", 41, 990.0), ValueEvent("e1", 42, 15.5))
+    q.processAllAvailable()
+    val rows = spark.table("ei").as[EntropyScore].collect().sortBy(_.seq)
+    q.stop()
+    assert(rows(40).value == 990.0 && rows(40).score > 0.1)  // new bucket: entropy jump
+    assert(rows(41).score < rows(40).score)                  // familiar bucket: small
+    assert(rows.take(20).forall(_.score == 0.0))             // warm-up window
   }
 }
