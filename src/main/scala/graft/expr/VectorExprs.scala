@@ -1,0 +1,107 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expressions for the vector hot path (SURVEY.md §4
+  * custom-physical list, preference ladder "(b) custom Expression").
+  * Catalyst higher-order functions (`zip_with` + `aggregate`) evaluate an
+  * interpreted lambda per element; these generate a tight Java loop inside
+  * whole-stage codegen instead. Summation is sequential ascending-index —
+  * bit-identical to both the HOF formulation and DuckDB's list_dot_product,
+  * so oracle parity is preserved. */
+
+/** Σ aᵢ·bᵢ over two double arrays (shorter length wins; null → null). */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot = copy(newLeft, newRight)
+}
+
+/** Hamming distance of two int64 bit patterns (SimHash comparison). */
+case class BitHamming(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bit_hamming"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long]).toLong
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (long) java.lang.Long.bitCount($a ^ $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitHamming = copy(newLeft, newRight)
+}
+
+/** Function registration: session-local (`GraftFunctions.register`) or via
+  * `spark.sql.extensions=graft.expr.GraftExtensions` for SQL users. */
+object GraftFunctions {
+  // explicit input casts (AbstractDataType/ExpectsInputTypes are
+  // private[sql], so implicit-cast declaration isn't available here)
+  private def asDoubles(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
+  private def asLong(e: Expression): Expression = Cast(e, LongType)
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (es => VecDot(asDoubles(es(0)), asDoubles(es(1)))),
+    "bit_hamming" -> (es => BitHamming(asLong(es(0)), asLong(es(1)))))
+
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
+  }
+
+  def vecDot(a: Column, b: Column)(implicit spark: SparkSession): Column = {
+    register(spark)
+    call_function("vec_dot", a, b)
+  }
+}
+
+/** `SparkSessionExtensions` hook so the functions exist in every session
+  * of a cluster configured with spark.sql.extensions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (es: Seq[Expression]) => VecDot(Cast(es(0), ArrayType(DoubleType)),
+        Cast(es(1), ArrayType(DoubleType)))))
+    ext.injectFunction((FunctionIdentifier("bit_hamming"),
+      new ExpressionInfo(classOf[BitHamming].getName, "bit_hamming"),
+      (es: Seq[Expression]) => BitHamming(Cast(es(0), LongType), Cast(es(1), LongType))))
+  }
+}

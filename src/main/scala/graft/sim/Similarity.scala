@@ -13,10 +13,21 @@ object Similarity {
 
   /** Cosine similarity of two float-array columns in double precision
     * (dot/(‖a‖·‖b‖), sequential sums — matches the DuckDB oracle
-    * bit-for-bit). */
+    * bit-for-bit). Interpreted-HOF fallback; prefer [[cosineFast]]. */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Same math through the codegen'd native expression
+    * [[graft.expr.VecDot]] — identical summation order, whole-stage
+    * codegen loop instead of an interpreted lambda per element. */
+  def cosineFast(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
+    graft.expr.GraftFunctions.register(spark)
+    def dot(x: Column, y: Column): Column = call_function("vec_dot", x, y)
     val ad = transform(a, x => x.cast("double"))
     val bd = transform(b, x => x.cast("double"))
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
@@ -30,7 +41,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val scored = broadcast(q).join(c, col("qid") =!= col("cid"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosineFast(queries.sparkSession, col("qv"), col("cv")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select("qid", "cid", "cos", "rank")
