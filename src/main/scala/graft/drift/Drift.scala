@@ -1,6 +1,6 @@
 package graft.drift
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -122,6 +122,39 @@ object Drift {
         EwmaOut(k, seq, x, z, n > 30 && sd > 0 && math.abs(z - mean) > lim)
       }
     }
+  }
+
+  /** Linear-four-rates drift (simplified LFR, sucodr.py:235-273): track
+    * TPR/TNR/PPV/NPV over a sliding window vs their cumulative values;
+    * drift when any |window − cumulative| exceeds the Hoeffding bound
+    * √(ln(2/δ)/2·window) (the reference's Monte-Carlo bound replaced by
+    * the closed-form Hoeffding bound — same detection shape, deterministic). */
+  def linearFourRates(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      labelCol: String, predCol: String, window: Int, delta: Double): DataFrame = {
+    val w = byKey(keyCols, seqCol)
+    val frame = w.rowsBetween(-(window - 1), 0)
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val lab = col(labelCol)
+    val prd = col(predCol)
+    def cnt(c: Column, over: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(c.cast("int")).over(over).cast("double")
+    def rate(num: Column, den: Column): Column = when(den > 0, num / den)
+    val eps = math.sqrt(math.log(2.0 / delta) / (2.0 * window))
+    def pair(name: String, num: Column, den: Column): Seq[(String, Column)] = Seq(
+      s"${name}W" -> rate(cnt(num, frame), cnt(den, frame)),
+      s"${name}C" -> rate(cnt(num, cum), cnt(den, cum)))
+    val rates =
+      pair("tpr", lab && prd, lab) ++ pair("tnr", !lab && !prd, !lab) ++
+        pair("ppv", lab && prd, prd) ++ pair("npv", !lab && !prd, !prd)
+    val withRates = rates.foldLeft(data) { case (df, (n, c)) => df.withColumn(n, c) }
+    val full = count(lit(1)).over(frame) === window
+    val devs = Seq("tpr", "tnr", "ppv", "npv").map { n =>
+      when(col(s"${n}W").isNotNull && col(s"${n}C").isNotNull,
+        abs(col(s"${n}W") - col(s"${n}C"))).otherwise(lit(0.0))
+    }
+    withRates
+      .withColumn("maxDev", greatest(devs: _*))
+      .withColumn("drift", full && col("maxDev") > eps)
   }
 
   /** Drift consensus (sucodr.py:335-360): majority vote across detector

@@ -38,6 +38,26 @@ object DriftQueries {
         graft.score.Scorers.Cfg(keys, Seq("value"), threshold = 2.5))
         .select("event_id", "event_type", "cycleIndex", "value", "score", "tag"))
     }),
+    "q70_drift_lfr" -> ((s, dir) => {
+      val labeled = StatQueries.zscored(s, dir)
+        .withColumn("label", col("value") > 100.0)
+        .withColumn("pred", col("tag") === "O")
+        .select("event_type", "event_id", "label", "pred")
+      canon(Drift.linearFourRates(labeled, Seq("event_type"), "event_id",
+        "label", "pred", window = 200, delta = 0.01)
+        .select("event_type", "event_id", "tprW", "tprC", "ppvW", "ppvC",
+          "maxDev", "drift"))
+    }),
+    "q71_multiattr_zscore" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val keys = Seq("l_returnflag")
+      val attrs = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val stats = graft.model.Fitters.stats(li, keys, attrs)
+      canon(graft.score.Scorers.zscore(li, stats,
+        graft.score.Scorers.Cfg(keys, attrs, weights = Seq(2.0, 1.0, 1.0),
+          strategy = "weightedAverage", expConst = 0.5, threshold = 0.75))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "score", "tag"))
+    }),
     "q67_drift_consensus" -> ((s, dir) => {
       val ddm = Drift.ddm(errStream(s, dir), Seq("event_type"), "event_id", "err")
         .select(col("event_type"), col("event_id"), (col("level") === "drift").as("d1"))
@@ -73,6 +93,62 @@ object DriftQueries {
       .stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    "q70_drift_lfr" ->
+      s"""WITH $errCte,
+         |lab AS (SELECT event_type, event_id, value > 100.0 AS label, err = 1 AS pred FROM es),
+         |r AS (SELECT event_type, event_id,
+         |  count(*) OVER fr AS nfr,
+         |  sum(CASE WHEN label AND pred THEN 1 ELSE 0 END) OVER fr AS tp_w,
+         |  sum(CASE WHEN label THEN 1 ELSE 0 END) OVER fr AS p_w,
+         |  sum(CASE WHEN NOT label AND NOT pred THEN 1 ELSE 0 END) OVER fr AS tn_w,
+         |  sum(CASE WHEN NOT label THEN 1 ELSE 0 END) OVER fr AS n_w,
+         |  sum(CASE WHEN pred THEN 1 ELSE 0 END) OVER fr AS pp_w,
+         |  sum(CASE WHEN NOT pred THEN 1 ELSE 0 END) OVER fr AS np_w,
+         |  sum(CASE WHEN label AND pred THEN 1 ELSE 0 END) OVER cu AS tp_c,
+         |  sum(CASE WHEN label THEN 1 ELSE 0 END) OVER cu AS p_c,
+         |  sum(CASE WHEN NOT label AND NOT pred THEN 1 ELSE 0 END) OVER cu AS tn_c,
+         |  sum(CASE WHEN NOT label THEN 1 ELSE 0 END) OVER cu AS n_c,
+         |  sum(CASE WHEN pred THEN 1 ELSE 0 END) OVER cu AS pp_c,
+         |  sum(CASE WHEN NOT pred THEN 1 ELSE 0 END) OVER cu AS np_c
+         | FROM lab
+         | WINDOW fr AS (PARTITION BY event_type ORDER BY event_id
+         |   ROWS BETWEEN 199 PRECEDING AND CURRENT ROW),
+         |  cu AS (PARTITION BY event_type ORDER BY event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |s AS (SELECT event_type, event_id, nfr,
+         |  CASE WHEN p_w > 0 THEN tp_w::DOUBLE / p_w::DOUBLE END AS tprW,
+         |  CASE WHEN p_c > 0 THEN tp_c::DOUBLE / p_c::DOUBLE END AS tprC,
+         |  CASE WHEN n_w > 0 THEN tn_w::DOUBLE / n_w::DOUBLE END AS tnrW,
+         |  CASE WHEN n_c > 0 THEN tn_c::DOUBLE / n_c::DOUBLE END AS tnrC,
+         |  CASE WHEN pp_w > 0 THEN tp_w::DOUBLE / pp_w::DOUBLE END AS ppvW,
+         |  CASE WHEN pp_c > 0 THEN tp_c::DOUBLE / pp_c::DOUBLE END AS ppvC,
+         |  CASE WHEN np_w > 0 THEN tn_w::DOUBLE / np_w::DOUBLE END AS npvW,
+         |  CASE WHEN np_c > 0 THEN tn_c::DOUBLE / np_c::DOUBLE END AS npvC
+         | FROM r),
+         |d AS (SELECT *, greatest(
+         |  coalesce(CASE WHEN tprW IS NOT NULL AND tprC IS NOT NULL THEN abs(tprW-tprC) END, 0.0),
+         |  coalesce(CASE WHEN tnrW IS NOT NULL AND tnrC IS NOT NULL THEN abs(tnrW-tnrC) END, 0.0),
+         |  coalesce(CASE WHEN ppvW IS NOT NULL AND ppvC IS NOT NULL THEN abs(ppvW-ppvC) END, 0.0),
+         |  coalesce(CASE WHEN npvW IS NOT NULL AND npvC IS NOT NULL THEN abs(npvW-npvC) END, 0.0)
+         |  ) AS maxDev FROM s)
+         |SELECT event_type, event_id, round(tprW,4) AS tprW, round(tprC,4) AS tprC,
+         | round(ppvW,4) AS ppvW, round(ppvC,4) AS ppvC, round(maxDev,4) AS maxDev,
+         | nfr = 200 AND maxDev > sqrt(ln(2.0/0.01)/400.0) AS drift
+         |FROM d""".stripMargin.replace("\n", " "),
+    "q71_multiattr_zscore" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  avg(l_quantity) AS m1, stddev_samp(l_quantity) AS s1,
+        |  avg(l_extendedprice) AS m2, stddev_samp(l_extendedprice) AS s2,
+        |  avg(l_discount) AS m3, stddev_samp(l_discount) AS s3
+        | FROM lineitem GROUP BY 1),
+        |sc AS (SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  1.0 - exp(-0.5 * ((abs(l.l_quantity - m.m1)/m.s1 * 2.0
+        |    + abs(l.l_extendedprice - m.m2)/m.s2 * 1.0
+        |    + abs(l.l_discount - m.m3)/m.s3 * 1.0) / (2.0 + 1.0 + 1.0))) AS score
+        | FROM lineitem l JOIN m USING (l_returnflag))
+        |SELECT l_orderkey, l_linenumber, l_returnflag, round(score,4) AS score,
+        | CASE WHEN score > 0.75 THEN 'O' ELSE 'N' END AS tag FROM sc"""
+        .stripMargin.replace("\n", " "),
     "q68_drift_eddm" ->
       s"""WITH $errCte,
          |ix AS (SELECT *, row_number() OVER w AS idx FROM es
