@@ -19,7 +19,8 @@ object ClusterScore {
       largeFraction: Double, seed: Long): DataFrame = {
     val asm = new VectorAssembler().setInputCols(attrCols.toArray).setOutputCol("_fv")
     val fv = asm.transform(data)
-    val km = new KMeans().setK(k).setSeed(seed).setFeaturesCol("_fv").setPredictionCol("_cluster")
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("_fv").setPredictionCol("_cluster")
     val model = km.fit(fv)
     val assigned = model.transform(fv)
     val sizes = assigned.groupBy("_cluster").count().collect()

@@ -60,6 +60,18 @@ object MultiQueries {
       canon(Proximity.relativeDensityFromKnn(nn5(s, dir), k = 5))),
     "q45_lof" -> ((s, dir) =>
       canon(Proximity.lofFromKnn(nn5(s, dir), k = 5))),
+    "q72_perkey_threshold_tag" -> ((s, dir) => {
+      // per-key threshold override path (OutlierUtility.scala:101-124):
+      // learn a threshold per key via pseudo-relevance, retag scores with it
+      val scored = StatQueries.zscored(s, dir)
+      val thr = PostOps.pseudoRelevanceThreshold(scored, Seq("event_type"),
+        topFrac = 0.05, minCount = 100L, defaultThreshold = 3.0)
+        .select(col("event_type"), col("threshold"))
+      canon(scored.drop("tag")
+        .join(broadcast(thr), Seq("event_type"), "left")
+        .withColumn("tag", graft.core.label(col("score"), col("threshold")))
+        .select("event_id", "event_type", "score", "threshold", "tag"))
+    }),
     // ---- seeded-random model fits: rows-only driver check, spec-tested ----
     "q46_iforest" -> ((s, dir) => {
       val data = ev(s, dir)
@@ -134,6 +146,24 @@ object MultiQueries {
          | round(CASE WHEN anyO=1 THEN aggO ELSE aggAll END, 4) AS value,
          | CASE WHEN anyO=1 THEN 'O' ELSE 'N' END AS tag
          |FROM g""".stripMargin.replace("\n", " "),
+    "q72_perkey_threshold_tag" ->
+      s"""WITH $zCte,
+         |rk AS (SELECT event_type, score,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY score DESC) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS n
+         | FROM z),
+         |thr AS (
+         | SELECT event_type, avg(score) AS threshold FROM rk WHERE n >= 100
+         |  AND rn BETWEEN greatest(2, floor(n*0.05)) - 1 AND greatest(2, floor(n*0.05)) + 1
+         | GROUP BY event_type
+         | UNION ALL
+         | SELECT event_type, 3.0 FROM rk WHERE n < 100 GROUP BY event_type)
+         |SELECT z.event_id, z.event_type, round(z.score,4) AS score,
+         | round(t.threshold,4) AS threshold,
+         | CASE WHEN z.score IS NULL THEN 'I'
+         |  WHEN t.threshold IS NULL THEN 'A'
+         |  WHEN z.score > t.threshold THEN 'O' ELSE 'N' END AS tag
+         |FROM z LEFT JOIN thr t USING (event_type)""".stripMargin.replace("\n", " "),
     "q38_pseudo_relevance" ->
       s"""WITH $zCte,
          |rk AS (SELECT event_type, score,
