@@ -1,0 +1,45 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for hot keys at cluster scale.
+  *
+  * AQE's skew-join splitting handles joins; heavy *aggregations* over a
+  * skewed key (one entity owning a large share of 100 TB) still route the
+  * whole key through one task. `saltedAgg` runs the classic two-phase
+  * form: partial aggregate over (key, salt) — fan-out `salts` tasks per
+  * key — then merge partials per key. Only algebraic aggregates (sum,
+  * count, min, max, and avg via sum/count) compose this way. */
+object Skew {
+
+  case class Algebraic(name: String, partial: Column => Column, merge: Column => Column)
+
+  def sumOf(c: String) = Algebraic(s"sum_$c", _ => sum(col(c)), p => sum(p))
+  def countAll = Algebraic("cnt", _ => count(lit(1)), p => sum(p))
+  def minOf(c: String) = Algebraic(s"min_$c", _ => min(col(c)), p => min(p))
+  def maxOf(c: String) = Algebraic(s"max_$c", _ => max(col(c)), p => max(p))
+
+  /** Two-phase salted aggregation: groupBy(key, salt).agg(partials) →
+    * groupBy(key).agg(merges). Result equals a direct groupBy for the
+    * supported algebraic aggregates, with per-key parallelism = `salts`. */
+  def saltedAgg(df: DataFrame, keyCols: Seq[String], salts: Int,
+      aggs: Seq[Algebraic]): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val partials = salted
+      .groupBy((keyCols :+ "_salt").map(col): _*)
+      .agg(aggs.head.partial(col("_salt")).as(aggs.head.name),
+        aggs.tail.map(a => a.partial(col("_salt")).as(a.name)): _*)
+    partials
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head.merge(col(aggs.head.name)).as(aggs.head.name),
+        aggs.tail.map(a => a.merge(col(a.name)).as(a.name)): _*)
+  }
+
+  /** Salted average: exact via salted sum + count. */
+  def saltedAvg(df: DataFrame, keyCols: Seq[String], valCol: String,
+      salts: Int): DataFrame =
+    saltedAgg(df, keyCols, salts, Seq(sumOf(valCol), countAll))
+      .withColumn(s"avg_$valCol", col(s"sum_$valCol") / col("cnt"))
+}
