@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core._
 import graft.model.Fitters
-import graft.seq.{SeqOps, SeriesKernels}
+import graft.seq.{AsOfJoin, SeqOps, SeriesKernels}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -67,6 +67,15 @@ object SeqQueries {
     "q23_multigram" -> ((s, dir) =>
       canon(SeqOps.multigramDistribution(ev(s, dir), Seq("user_id"), "event_id",
         "event_type", n = 2))),
+    "q73_asof_join" -> ((s, dir) => {
+      // events as-of joined to hourly model snapshots (latest ≤ event ts)
+      val events = ev(s, dir)
+      val snaps = SeqOps.temporalAggregate(events, Seq("event_type"), "ts", "value", 3600L)
+        .select(col("event_type"), (col("bucket") * 3600000000000L).as("ts"),
+          col("avgVal").as("snapAvg"))
+      canon(AsOfJoin.asOf(events, snaps, Seq("event_type"), "ts", Seq("snapAvg"))
+        .select("event_id", "event_type", "value", "snapAvg"))
+    }),
     // ---- whole-series kernels: rows-only driver check, spec-tested ----
     "q24_spectral_residue" -> ((s, dir) =>
       canon(SeriesKernels.spectralResidue(ev(s, dir), Seq("event_type"), "event_id",
@@ -112,6 +121,16 @@ object SeqQueries {
       .stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    "q73_asof_join" ->
+      """WITH snap AS (SELECT event_type,
+        |  (epoch_ns(ts) // 3600000000000) * 3600000000000 AS sts,
+        |  avg(value) AS snapAvg
+        | FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type, round(e.value,4) AS value,
+        | round(s.snapAvg,4) AS snapAvg
+        |FROM events e ASOF LEFT JOIN snap s
+        | ON e.event_type = s.event_type AND epoch_ns(e.ts) >= s.sts"""
+        .stripMargin.replace("\n", " "),
     "q12_markov_fit" ->
       s"""WITH $mkProbs
          |SELECT fromState, toState, round(prob,4) AS prob FROM probs"""
