@@ -84,6 +84,21 @@ object Fitters {
     counts.withColumn("freq", col("cnt") / sum("cnt").over(w))
   }
 
+  /** Id-list histogram variant (src/.../dist/MultiVariateDistribution.java:165-185
+    * MR reducer's id-concatenation mode): per bucket, the member ids. */
+  def histogramWithIds(
+      df: DataFrame,
+      keyCols: Seq[String],
+      numericAttrs: Seq[(String, Double)],
+      idCol: String): DataFrame = {
+    val bucketParts: Seq[Column] =
+      numericAttrs.map { case (c, w) => floor(col(c) / w).cast("long").cast("string") }
+    val bucket = concat_ws(":", bucketParts: _*).as("bucket")
+    df.select(keyCols.map(col) :+ bucket :+ col(idCol): _*)
+      .groupBy((keyCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sort_array(collect_list(col(idCol))).as("ids"))
+  }
+
   /** Per-attribute histogram (one histogram per (key, attr), scalar buckets)
     * — model for estimatedAttributeProbability
     * (EsimatedAttrtibuteProbabilityBasedPredictor.java:175-212).
