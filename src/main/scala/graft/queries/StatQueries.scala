@@ -69,6 +69,15 @@ object StatQueries {
         Map("value" -> 10.0), useLog = true)
         .select("event_id", "event_type", "value", "score", "tag"))
     }),
+    "q74_est_attr_prob_inverse" -> ((s, dir) => {
+      // the reference's "inverse" (1-p) scoring strategy, vs q29's -ln p
+      val data = ev(s, dir)
+      val hist = Fitters.attrHistogram(data, Seq("event_type"), Seq(("value", 10.0)))
+      canon(Scorers.estimatedAttrProbability(
+        data, hist, Cfg(Seq("event_type"), Seq("value"), threshold = 0.99),
+        Map("value" -> 10.0), useLog = false)
+        .select("event_id", "event_type", "value", "score", "tag"))
+    }),
     "q30_est_cum_prob" -> ((s, dir) => {
       val data = ev(s, dir)
       val hist = Fitters.attrHistogram(data, Seq("event_type"), Seq(("value", 10.0)))
@@ -235,6 +244,14 @@ object StatQueries {
          | round(least(-ln(greatest(coalesce(h.freq,0.0), 1e-12)), 20.0), 4) AS score,
          | CASE WHEN least(-ln(greatest(coalesce(h.freq,0.0), 1e-12)), 20.0) > 6.0
          |   THEN 'O' ELSE 'N' END AS tag
+         |FROM events e LEFT JOIN ahistn h
+         | ON e.event_type = h.event_type AND CAST(floor(e.value/10.0) AS BIGINT) = h.bucket"""
+        .stripMargin.replace("\n", " "),
+    "q74_est_attr_prob_inverse" ->
+      s"""WITH $evAttrHist
+         |SELECT e.event_id, e.event_type, round(e.value,4) AS value,
+         | round(1.0 - coalesce(h.freq, 0.0), 4) AS score,
+         | CASE WHEN 1.0 - coalesce(h.freq, 0.0) > 0.99 THEN 'O' ELSE 'N' END AS tag
          |FROM events e LEFT JOIN ahistn h
          | ON e.event_type = h.event_type AND CAST(floor(e.value/10.0) AS BIGINT) = h.bucket"""
         .stripMargin.replace("\n", " "),
