@@ -48,6 +48,14 @@ object StreamScorers {
         stddev_samp(col(valCol)).as("std"),
         count(valCol).as("cnt"))
 
+  /** Streaming exact deduplication for ingest pipelines: drop repeats of
+    * `idCols` (e.g. a content hash) arriving within the watermark horizon —
+    * state is bounded by the watermark, unlike batch dedup. */
+  def streamingDedup(stream: DataFrame, tsCol: String, watermark: String,
+      idCols: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   case class ValueEvent(entity: String, seq: Long, value: Double)
   case class EntropyScore(entity: String, seq: Long, value: Double, score: Double)
   case class HistState(counts: Map[Long, Long], total: Long)

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Regression guards on physical plan shape — the engine's performance
+  * promises (model joins broadcast, pruned scans, no data-side shuffle in
+  * scoring) asserted against the actual planned queries. */
+class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def plan(q: String) =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+
+  test("zscore scoring: model broadcast-joined, data side scan is pruned and unshuffled") {
+    val p = plan("q05_zscore").toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // data-side scan reads only the needed columns
+    assert(p.contains("ReadSchema: struct<event_id:bigint,event_type:string,value:double>"))
+  }
+
+  test("stats fit: partial aggregation before the exchange (map-side combine)") {
+    val p = plan("q01_stats_fit").toString
+    assert(p.contains("partial_avg") || p.contains("partial_"))
+  }
+
+  test("est-prob scoring: histogram model join is broadcast") {
+    val p = plan("q08_est_prob").toString
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("rounding parity: roundLikeDuck halves away from zero on the float product") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 705.06/16 = 44.06625 — the case where Spark round() (BigDecimal
+    // HALF_UP on the shortest decimal string) disagrees with DuckDB
+    // (std::round(x·10⁴)): DuckDB yields 44.0662 because the float product
+    // 440662.49999... is below the half
+    val x = 705.06 / 16
+    val r = Seq(x, -x).toDF("v")
+      .select(core.roundLikeDuck(col("v"), 4).as("d"), round(col("v"), 4).as("s"))
+      .collect()
+    assert(r(0).getDouble(0) == 44.0662) // duck semantics
+    assert(r(0).getDouble(1) == 44.0663) // spark round() differs -> why canon exists
+    assert(r(1).getDouble(0) == -44.0662) // symmetric
+  }
+}

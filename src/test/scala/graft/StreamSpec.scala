@@ -79,4 +79,18 @@ class StreamSpec extends SparkSpec {
     assert(rows(41).score < rows(40).score)                  // familiar bucket: small
     assert(rows.take(20).forall(_.score == 0.0))             // warm-up window
   }
+
+  test("streaming dedup drops repeats within the watermark") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = StreamScorers.streamingDedup(
+      in.toDF().toDF("ts", "h"), "ts", "10 minutes", Seq("h"))
+    val q = deduped.writeStream.format("memory").queryName("dd").outputMode("append").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    in.addData((t(1), "a"), (t(2), "a"), (t(3), "b"), (t(4), "a"))
+    q.processAllAvailable()
+    val rows = spark.table("dd").collect()
+    q.stop()
+    assert(rows.map(_.getString(1)).sorted.toSeq == Seq("a", "b"))
+  }
 }
