@@ -1,0 +1,95 @@
+package graft.expr
+
+import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** MinHash signature as ONE native expression over the token array.
+  *
+  * The shuffle-based formulation (explode shingles → distinct → groupBy(doc)
+  * with numHashes min() aggregates) moves every shingle of every document
+  * through two exchanges. But a document's shingles live in its own row —
+  * the whole signature is a per-row scalar computation. This expression
+  * evaluates it in one tight loop inside whole-stage codegen: shuffle
+  * volume drops from O(docs·shingles) to zero (the signature itself is the
+  * only thing downstream ops exchange).
+  *
+  * Math is bit-identical to the SQL oracle (TextQueries.sigCte): shingle =
+  * space-joined n-gram of tokens, x = int(md5(shingle)[0:14 hex]) mod P,
+  * sig[i] = min over shingles of (a_i·x + b_i) mod P. min over the shingle
+  * multiset equals min over the distinct set, so no dedup pass is needed.
+  * Returns an empty array when the document has < shingleSize tokens
+  * (posexplode then emits no rows — same semantics as exploding no
+  * shingles). */
+case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  private lazy val (aArr, bArr) = {
+    val ps = MinHashSig.hashParams(numHashes)
+    (ps.map(_._1).toArray, ps.map(_._2).toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], shingleSize, aArr, bArr)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+      s"${ev.value} = graft.expr.MinHashSig.compute($c, $shingleSize, $aRef, $bRef);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Mersenne prime modulus; (2³¹−1)² < 2⁶³ keeps a·x+b inside int64. */
+  val P: Long = 2147483647L
+
+  /** Deterministic affine-permutation constants (same series as
+    * TextOps.hashParams / the oracle SQL literals). */
+  def hashParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a = (((i + 1).toLong * 1103515245L + 12345L) % P).max(1L)
+      val b = ((i + 1).toLong * 69069L + 7L) % P
+      (a, b)
+    }
+
+  def compute(toks: ArrayData, n: Int, a: Array[Long], b: Array[Long]): ArrayData = {
+    val nTok = toks.numElements()
+    if (nTok < n) return new GenericArrayData(Array.empty[Long])
+    val nh = a.length
+    val minima = Array.fill(nh)(Long.MaxValue)
+    val md = MessageDigest.getInstance("MD5")
+    val sep = ' '.toByte
+    var i = 0
+    while (i <= nTok - n) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(sep)
+        md.update(toks.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val dig = md.digest()
+      // first 14 hex chars of the md5 = high 56 bits = first 7 bytes
+      var x = 0L
+      var k = 0
+      while (k < 7) { x = (x << 8) | (dig(k) & 0xffL); k += 1 }
+      x %= P
+      var h = 0
+      while (h < nh) {
+        val v = (x * a(h) + b(h)) % P
+        if (v < minima(h)) minima(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(minima)
+  }
+}

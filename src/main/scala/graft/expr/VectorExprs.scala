@@ -77,9 +77,12 @@ object GraftFunctions {
   private def asDoubles(e: Expression): Expression =
     Cast(e, ArrayType(DoubleType))
   private def asLong(e: Expression): Expression = Cast(e, LongType)
+  private def litInt(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(asDoubles(es(0)), asDoubles(es(1)))),
-    "bit_hamming" -> (es => BitHamming(asLong(es(0)), asLong(es(1)))))
+    "bit_hamming" -> (es => BitHamming(asLong(es(0)), asLong(es(1)))),
+    "minhash_sig" -> (es => MinHashSig(es(0), litInt(es(1)), litInt(es(2)))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -103,5 +106,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("bit_hamming"),
       new ExpressionInfo(classOf[BitHamming].getName, "bit_hamming"),
       (es: Seq[Expression]) => BitHamming(Cast(es(0), LongType), Cast(es(1), LongType))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (es: Seq[Expression]) => MinHashSig(es(0),
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue())))
   }
 }

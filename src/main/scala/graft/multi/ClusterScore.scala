@@ -1,28 +1,41 @@
 package graft.multi
 
-import graft.core.linalg
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.linalg.Vectors
+import graft.core.{linalg, LocalKMeans}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Cluster- and projection-based scorers (SURVEY.md §2.4/§2.6):
-  * CBLOF over MLlib KMeans and PCA-reconstruction error. */
+  * CBLOF over sample-fitted KMeans and PCA-reconstruction error. */
 object ClusterScore {
 
   /** CBLOF (cluster/ClusterBasedPredictor.scala:41-130): fit KMeans; large
     * clusters = the biggest clusters covering `largeFraction` of the data
     * (:89-110). Score = distance to own centroid for members of large
-    * clusters; distance to the nearest *large* centroid otherwise. */
+    * clusters; distance to the nearest *large* centroid otherwise.
+    *
+    * Centroids come from [[LocalKMeans]] on a driver-side sample (the
+    * reference likewise scores against a pre-trained bounded cluster
+    * file). The full data sees exactly two passes, both shuffle-free on
+    * the data side: one hash-agg for cluster sizes, one codegen scoring
+    * pass — no per-iteration scans. */
   def cblof(data: DataFrame, attrCols: Seq[String], k: Int,
-      largeFraction: Double, seed: Long): DataFrame = {
-    val asm = new VectorAssembler().setInputCols(attrCols.toArray).setOutputCol("_fv")
-    val fv = asm.transform(data)
-    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("_fv").setPredictionCol("_cluster")
-    val model = km.fit(fv)
-    val assigned = model.transform(fv)
+      largeFraction: Double, seed: Long,
+      sampleFraction: Double = 1.0, maxSample: Int = 20000): DataFrame = {
+    val pts = LocalKMeans.sampleCols(data, attrCols, maxSample, sampleFraction, seed)
+    val cents = LocalKMeans.fit(pts, k, seed)
+    val dist = (ci: Int) => {
+      val c = cents(ci)
+      attrCols.zipWithIndex
+        .map { case (a, i) => (col(a) - c(i)) * (col(a) - c(i)) }
+        .reduce(_ + _)
+    }
+    val dists = cents.indices.map(dist)
+    val minDist = dists.reduce((a, b) => least(a, b))
+    // argmin with ties to the lowest cluster index
+    val cluster = dists.zipWithIndex.reverse.foldLeft(lit(-1)) {
+      case (acc, (d, ci)) => when(d === minDist, lit(ci)).otherwise(acc)
+    }
+    val assigned = data.withColumn("_cluster", cluster).withColumn("_d2", minDist)
     val sizes = assigned.groupBy("_cluster").count().collect()
       .map(r => r.getAs[Int]("_cluster") -> r.getAs[Long]("count")).toMap
     val total = sizes.values.sum.toDouble
@@ -30,20 +43,11 @@ object ClusterScore {
     val cum = bySize.scanLeft(0L)(_ + _._2).tail
     val nLarge = math.max(1, cum.indexWhere(_ >= largeFraction * total) + 1)
     val large = bySize.take(nLarge).map(_._1).toSet
-    val cents = model.clusterCenters
-    val dist = (ci: Int) => {
-      val c = cents(ci)
-      attrCols.zipWithIndex
-        .map { case (a, i) => (col(a) - c(i)) * (col(a) - c(i)) }
-        .reduce(_ + _)
-    }
     val nearestLarge: Column = large.toSeq.map(dist).reduce((a, b) => least(a, b))
-    val own: Column = coalesce(
-      cents.indices.map(ci => when(col("_cluster") === ci, dist(ci))): _*)
     val isLarge = col("_cluster").isin(large.toSeq: _*)
     assigned
-      .withColumn("score", sqrt(when(isLarge, own).otherwise(nearestLarge)))
-      .drop("_fv")
+      .withColumn("score", sqrt(when(isLarge, col("_d2")).otherwise(nearestLarge)))
+      .drop("_d2")
   }
 
   /** PCA reconstruction error (pc/PrincipalComponentPredictor.scala:38-120):

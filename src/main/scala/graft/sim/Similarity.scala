@@ -1,5 +1,6 @@
 package graft.sim
 
+import graft.core.LocalKMeans
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -87,27 +88,37 @@ object Similarity {
   }
 
   /** IVF index: KMeans-partition the corpus into `nCells` cells; search
-    * probes only the `nProbe` nearest cells per query. */
+    * probes only the `nProbe` nearest cells per query.
+    *
+    * The coarse quantizer is [[graft.core.LocalKMeans]] on a driver-side
+    * corpus sample (how FAISS trains IVF at scale) — no iterative
+    * distributed fit. Cell assignment and probe selection both reduce to
+    * ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖², evaluated per centroid with the
+    * codegen'd `vec_dot` against literal centroid arrays; the row-constant
+    * ‖x‖² term cancels in the argmin/ordering and is dropped. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, dim: Int, nCells: Int, nProbe: Int, k: Int, seed: Long): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      vecCol: String, dim: Int, nCells: Int, nProbe: Int, k: Int, seed: Long,
+      sampleFraction: Double = 1.0, maxSample: Int = 20000): DataFrame = {
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("cid"),
       transform(col(vecCol), x => x.cast("double")).as("cv"))
-      .withColumn("fv", array_to_vector(col("cv")))
-    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("fv").setPredictionCol("cell")
-    val model = km.fit(c)
-    val assigned = model.transform(c).drop("fv")
-    val cents = model.clusterCenters.map(_.toArray)
-    // nearest nProbe cells per query, via literal centroid distances
+    val pts = LocalKMeans.sampleVectors(c, "cv", maxSample, sampleFraction, seed)
+    val cents = LocalKMeans.fit(pts, nCells, seed)
+    val cc = cents.map(ct => ct.map(x => x * x).sum)
+    // ‖v−c_ci‖² − ‖v‖² (row-constant term dropped; ordering preserved)
+    def relD2(v: Column, ci: Int): Column =
+      lit(cc(ci)) - lit(2.0) * call_function("vec_dot", v,
+        array(cents(ci).map(lit(_)): _*))
+    val corpusDists = cents.indices.map(ci => relD2(col("cv"), ci))
+    val minD = corpusDists.reduce((a, b) => least(a, b))
+    val cell = corpusDists.zipWithIndex.reverse.foldLeft(lit(-1)) {
+      case (acc, (d, ci)) => when(d === minD, lit(ci)).otherwise(acc)
+    }
+    val assigned = c.withColumn("cell", cell)
     val q = queries.select(col(idCol).as("qid"),
       transform(col(vecCol), x => x.cast("double")).as("qv"))
     val cellDists = cents.indices.map { ci =>
-      val d = (0 until dim).map(i => {
-        val diff = element_at(col("qv"), i + 1) - cents(ci)(i)
-        diff * diff
-      }).reduce(_ + _)
-      struct(d.as("d"), lit(ci).as("cell"))
+      struct(relD2(col("qv"), ci).as("d"), lit(ci).as("cell"))
     }
     val probed = q.withColumn("cells",
       slice(array_sort(array(cellDists: _*)), 1, nProbe))

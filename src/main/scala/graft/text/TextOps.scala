@@ -61,22 +61,19 @@ object TextOps {
 
   /** MinHash signature: numHashes minima of affine permutations of the
     * 56-bit shingle hashes. Output: id, hashIdx (0-based), minHash.
-    * One explode + one hash aggregate; signature is numHashes longs/doc. */
+    *
+    * A document's shingles live inside its own row, so the signature is a
+    * per-row scalar — computed by the native codegen'd expression
+    * [[graft.expr.MinHashSig]] in one pass with ZERO shuffles (the earlier
+    * explode → distinct → groupBy formulation exchanged every shingle of
+    * every document twice). Documents with fewer than `shingleSize` tokens
+    * produce an empty signature array and therefore no rows. */
   def minhash(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, shingleSize)
-      .withColumn("x", hash56(col("shingle")) % P)
-    val params = hashParams(numHashes)
-    // all minima in ONE hash aggregate (map-side combine), melted after —
-    // not an explode to numHashes× rows before the shuffle
-    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
-      min((col("x") * a + b) % P).as(s"m$i")
-    }
-    val wide = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    val kvs = params.indices.flatMap(i => Seq(lit(i), col(s"m$i")))
-    wide.select(col(idCol),
-      explode(map(kvs.map(c => c: org.apache.spark.sql.Column): _*))
-        .as(Seq("hashIdx", "minHash")))
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol),
+      posexplode(call_function("minhash_sig", tokens(col(textCol)),
+        lit(shingleSize), lit(numHashes))).as(Seq("hashIdx", "minHash")))
   }
 
   /** LSH banding of a MinHash signature: band bucket = the band's minhash

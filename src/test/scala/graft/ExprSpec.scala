@@ -41,6 +41,48 @@ class ExprSpec extends SparkSpec {
     assert(r.getLong(0) == 4L)
   }
 
+  test("minhash_sig matches the shuffle-based formulation exactly") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "pack my box with five dozen liquor jugs today"),
+      (4L, "too few")).toDF("doc_id", "text")
+    val fast = graft.text.TextOps.minhash(docs, "doc_id", "text", 3, 16)
+    // reference formulation: explode shingles → min per (doc, hashIdx)
+    val sh = graft.text.TextOps.shingles(docs, "doc_id", "text", 3)
+      .withColumn("x", graft.text.TextOps.hash56($"shingle") % graft.text.TextOps.P)
+    val slow = graft.text.TextOps.hashParams(16).zipWithIndex.map { case ((a, b), i) =>
+      sh.groupBy($"doc_id").agg(min(($"x" * a + b) % graft.text.TextOps.P).as("minHash"))
+        .withColumn("hashIdx", lit(i))
+    }.reduce(_ unionByName _).select("doc_id", "hashIdx", "minHash")
+    assert(fast.count() == 3 * 16) // doc 4 has < 3 tokens → no signature
+    assert(fast.except(slow).count() == 0 && slow.except(fast).count() == 0)
+  }
+
+  test("minhash_sig stays inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = graft.text.TextOps.minhash(df, "doc_id", "text", 3, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange")) // signature is per-row: zero shuffles
+    assert(plan.contains("minhash_sig"))
+  }
+
+  test("local kmeans recovers well-separated clusters, deterministic") {
+    val rng = new scala.util.Random(7)
+    val pts = Array.tabulate(300) { i =>
+      val c = i % 3
+      Array(c * 100.0 + rng.nextGaussian(), c * 100.0 + rng.nextGaussian())
+    }
+    val c1 = core.LocalKMeans.fit(pts, 3, seed = 42L)
+    val c2 = core.LocalKMeans.fit(pts, 3, seed = 42L)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    val found = c1.map(c => math.round(c(0) / 100.0)).sorted.toSeq
+    assert(found == Seq(0L, 1L, 2L))
+    c1.foreach { c => assert(math.abs(c(0) - c(1)) < 5.0) } // on the diagonal
+  }
+
   test("cosineFast == cosine on the embeddings table") {
     val e = core.table(spark, sfDir, "embeddings").limit(50)
     val pairs = e.select($"vec_id".as("i"), $"embedding".as("va"))
