@@ -29,13 +29,15 @@ object ClusterScore {
         .map { case (a, i) => (col(a) - c(i)) * (col(a) - c(i)) }
         .reduce(_ + _)
     }
-    val dists = cents.indices.map(dist)
-    val minDist = dists.reduce((a, b) => least(a, b))
-    // argmin with ties to the lowest cluster index
-    val cluster = dists.zipWithIndex.reverse.foldLeft(lit(-1)) {
-      case (acc, (d, ci)) => when(d === minDist, lit(ci)).otherwise(acc)
-    }
-    val assigned = data.withColumn("_cluster", cluster).withColumn("_d2", minDist)
+    // argmin via one array_min over (dist, idx) structs — each distance is
+    // evaluated once (a least() + when-chain re-inlines every distance per
+    // branch, exploding the codegen'd method past JIT limits); struct
+    // comparison is lexicographic, so ties go to the lowest cluster index
+    val best = array_min(array(cents.indices.map(ci =>
+      struct(dist(ci).as("d"), lit(ci).as("cell"))): _*))
+    val assigned = data.withColumn("_best", best)
+      .withColumn("_cluster", col("_best.cell"))
+      .withColumn("_d2", col("_best.d")).drop("_best")
     val sizes = assigned.groupBy("_cluster").count().collect()
       .map(r => r.getAs[Int]("_cluster") -> r.getAs[Long]("count")).toMap
     val total = sizes.values.sum.toDouble

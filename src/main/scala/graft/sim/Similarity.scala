@@ -109,12 +109,11 @@ object Similarity {
     def relD2(v: Column, ci: Int): Column =
       lit(cc(ci)) - lit(2.0) * call_function("vec_dot", v,
         array(cents(ci).map(lit(_)): _*))
-    val corpusDists = cents.indices.map(ci => relD2(col("cv"), ci))
-    val minD = corpusDists.reduce((a, b) => least(a, b))
-    val cell = corpusDists.zipWithIndex.reverse.foldLeft(lit(-1)) {
-      case (acc, (d, ci)) => when(d === minD, lit(ci)).otherwise(acc)
-    }
-    val assigned = c.withColumn("cell", cell)
+    // argmin via one array_min over (dist, cell) structs — single
+    // evaluation per centroid, ties to the lowest cell index
+    val assigned = c.withColumn("cell",
+      array_min(array(cents.indices.map(ci =>
+        struct(relD2(col("cv"), ci).as("d"), lit(ci).as("cell"))): _*)).getField("cell"))
     val q = queries.select(col(idCol).as("qid"),
       transform(col(vecCol), x => x.cast("double")).as("qv"))
     val cellDists = cents.indices.map { ci =>
