@@ -55,7 +55,7 @@ object Similarity {
     val a = vecs.select(col(idCol).as("a"), col(vecCol).as("va"))
     val b = vecs.select(col(idCol).as("b"), col(vecCol).as("vb"))
     a.join(b, col("a") < col("b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", cosineFast(vecs.sparkSession, col("va"), col("vb")))
       .where(col("cos") >= threshold)
       .select("a", "b", "cos")
   }
@@ -82,7 +82,7 @@ object Similarity {
     val l = b.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
     val r = b.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
     l.join(r, Seq("bucket")).where(col("a") < col("b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", cosineFast(vecs.sparkSession, col("va"), col("vb")))
       .where(col("cos") >= threshold)
       .select("a", "b", "cos")
   }
@@ -124,7 +124,7 @@ object Similarity {
       .select(col("qid"), col("qv"), explode(col("cells.cell")).as("cell"))
     val scored = probed.join(assigned, Seq("cell"))
       .where(col("qid") =!= col("cid"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosineFast(corpus.sparkSession, col("qv"), col("cv")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select("qid", "cid", "cos", "rank")
