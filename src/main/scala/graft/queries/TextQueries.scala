@@ -50,6 +50,18 @@ object TextQueries {
       canon(Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e,
         "vec_id", "embedding", k = 10))
     }),
+    "q75_dup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cand = TextOps.minhashPairs(d, "doc_id", "text", shingleSize = 3,
+        NumHashes, BandSize)
+      TextOps.dupClusters(d, "doc_id", cand)
+    }),
+    "q76_dedup_survivors" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cand = TextOps.minhashPairs(d, "doc_id", "text", shingleSize = 3,
+        NumHashes, BandSize)
+      TextOps.dedupSurvivors(TextOps.dupClusters(d, "doc_id", cand))
+    }),
     // seeded-random scale paths: rows-only check, spec-tested
     "q60_ann_lsh" -> ((s, dir) =>
       canon(Similarity.lshNearDup(emb(s, dir), "vec_id", "embedding",
@@ -83,6 +95,25 @@ object TextQueries {
        |hp(hashIdx, a, b) AS (VALUES $paramValues),
        |sig AS (SELECT doc_id, hashIdx, min((a*x+b) % ${TextOps.P}) AS minHash
        | FROM shx CROSS JOIN hp GROUP BY doc_id, hashIdx)"""
+      .stripMargin.replace("\n", " ")
+
+  // connected components over the LSH candidate pairs via a recursive
+  // transitive-closure CTE (small at oracle scale; the Spark side uses
+  // hash-to-min label propagation instead)
+  private val clusterSql =
+    s"""WITH RECURSIVE $sigCte,
+       |bands AS (SELECT doc_id, hashIdx // $BandSize AS band,
+       |  array_to_string(list(minHash ORDER BY hashIdx), ':') AS bucket
+       | FROM sig GROUP BY doc_id, band),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       | FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+       | WHERE l.doc_id < r.doc_id),
+       |edges AS (SELECT a, b FROM cand UNION ALL SELECT b AS a, a AS b FROM cand),
+       |reach(id, label) AS (
+       | SELECT doc_id, doc_id FROM documents
+       | UNION
+       | SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.id),
+       |comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)"""
       .stripMargin.replace("\n", " ")
 
   private val markers = TextOps.langMarkers.toSeq.sortBy(_._1)
@@ -140,6 +171,12 @@ object TextQueries {
          |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
          |WHERE l.doc_id < r.doc_id""".stripMargin.replace("\n", " "),
+    "q75_dup_clusters" ->
+      s"""$clusterSql SELECT id, cluster FROM comp""",
+    "q76_dedup_survivors" ->
+      s"""$clusterSql
+         |SELECT cluster AS doc_id, count(*) AS clusterSize
+         |FROM comp GROUP BY cluster""".stripMargin.replace("\n", " "),
     "q56_simhash" ->
       s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
          |hx AS (SELECT doc_id, ${h56("tok")} AS h FROM t),

@@ -100,6 +100,45 @@ object TextOps {
       .select("a", "b").distinct()
   }
 
+  /** Duplicate clusters = connected components over candidate pairs, via
+    * hash-to-min label propagation: every doc starts labeled with its own
+    * id; each round a doc takes the min label over itself and its
+    * neighbors; fixpoint = per-component min doc id. Docs in no pair form
+    * singleton clusters.
+    *
+    * Scale: converges in O(component diameter) rounds (near-dup clusters
+    * are shallow — typically 2-4 rounds); each round shuffles only the
+    * edge list + label table, never document content. `localCheckpoint`
+    * truncates the iterative lineage. Output: id, cluster. */
+  def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).cache()
+    var labels = docs.select(col(idCol).cast("long").as("id"),
+      col(idCol).cast("long").as("cluster")).localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbr = sym.join(labels, sym("b") === labels("id"))
+        .select(sym("a").as("id"), col("cluster"))
+      val upd = labels.union(nbr).groupBy("id")
+        .agg(min("cluster").as("cluster")).localCheckpoint(true)
+      changed = upd.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .where(col("cluster") =!= col("old")).count()
+      labels = upd
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Survivor view of the clusters: one row per cluster — the kept doc
+    * (= min id, the cluster label) and the cluster size. Join back to
+    * `docs` on doc_id to materialize the deduplicated corpus. */
+  def dedupSurvivors(clusters: DataFrame): DataFrame =
+    clusters.groupBy(col("cluster").as("doc_id"))
+      .agg(count(lit(1)).as("clusterSize"))
+
   /** Exact word n-gram Jaccard for given candidate pairs (a, b) — the
     * verify stage after LSH candidate generation: jaccard =
     * |A∩B| / |A∪B| over distinct n-gram shingles. Candidates without a

@@ -39,6 +39,26 @@ class TextSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("dup clusters: transitive closure over pairs, singletons kept") {
+    // chain 1-2, 2-3 → one component {1,2,3} labeled 1; 4 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val c = TextOps.dupClusters(docs, "doc_id", pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+    val s = TextOps.dedupSurvivors(
+      TextOps.dupClusters(docs, "doc_id", pairs)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("clusterSize")).toMap
+    assert(s == Map(1L -> 3L, 4L -> 1L))
+  }
+
+  test("dup clusters: long chain converges (diameter > 1 round)") {
+    val n = 12
+    val chain = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val d2 = (1 to n).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val c = TextOps.dupClusters(d2, "doc_id", chain).collect()
+    assert(c.forall(_.getAs[Long]("cluster") == 1L))
+  }
+
   test("ngram jaccard: dup pair 1.0, near-dup high, verified via candidates") {
     val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
     val j = TextOps.ngramJaccard(docs, "doc_id", "text", 2, cand).collect()
