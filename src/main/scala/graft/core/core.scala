@@ -17,10 +17,23 @@ package object core {
     * nanos are read as long — set it here so it also holds when the
     * driver hands us its own session. `ts` then arrives as epoch-nanos
     * LongType. */
+  // memoize the (immutable) logical plan per session+path: each
+  // spark.read.parquet builds a fresh FileIndex (directory listing +
+  // footer schema read) — measurable fixed cost when a session runs the
+  // whole query suite against the same tables. Weak keys: entries die
+  // with their session (identity-based would risk stale plans bound to a
+  // stopped SparkContext after hash reuse)
+  private val tableCache =
+    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, DataFrame]]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    tableCache.synchronized {
+      tableCache.computeIfAbsent(spark, _ => collection.mutable.Map.empty)
+        .getOrElseUpdate(path, spark.read.parquet(path))
+    }
   }
 
   /** Exponential rescale to [0,1): 1 - exp(-c*x).

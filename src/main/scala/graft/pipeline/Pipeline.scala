@@ -82,6 +82,26 @@ object ConfigRunner {
         val width = conf("bucket.width").toDouble
         val hist = Fitters.histogram(data, keyCols, attrCols.map(_ -> width))
         Scorers.estimatedProbability(data, hist, cfg, attrCols.map(_ -> width))
+      case "estimatedAttributeProbablity" =>
+        val width = conf("bucket.width").toDouble
+        val hist = Fitters.attrHistogram(data, keyCols, attrCols.map(_ -> width))
+        Scorers.estimatedAttrProbability(data, hist, cfg,
+          attrCols.map(_ -> width).toMap,
+          useLog = conf.getOrElse("attr.prob.scoring.strategy", "inverseLog") != "inverse")
+      case "estimatedCumProbablity" =>
+        val width = conf("bucket.width").toDouble
+        val hist = Fitters.attrHistogram(data, keyCols, attrCols.map(_ -> width))
+        Scorers.estimatedCumProbability(data, hist, cfg, attrCols.map(_ -> width).toMap)
+      case "estimatedMetaProbablity" =>
+        val width = conf("bucket.width").toDouble
+        val metaWidth = conf.getOrElse("meta.bucket.width", "0.1").toDouble
+        val hist = Fitters.attrHistogram(data, keyCols, attrCols.map(_ -> width))
+        val meta = Fitters.metaHistogram(hist, keyCols, metaWidth)
+        Scorers.estimatedMetaProbability(data, hist, meta, cfg,
+          attrCols.map(_ -> width).toMap, metaWidth,
+          useLog = conf.getOrElse("attr.prob.scoring.strategy", "inverseLog") != "inverse")
+      case "mahalanobisDistance" =>
+        Scorers.mahalanobis(data, cfg)
       case other => throw new IllegalArgumentException(s"unknown predictor.model $other")
     }
   }

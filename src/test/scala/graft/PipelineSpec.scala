@@ -36,6 +36,29 @@ class PipelineSpec extends SparkSpec {
     assert(out.where($"tag" === "O").count() > 0)
   }
 
+  test("config runner covers every reference dispatcher strategy") {
+    val data = core.table(spark, sfDir, "events")
+      .selectExpr("event_type", "value", "value * 0.5 + user_id % 7 as value2")
+    // StatsBasedOutlierPredictor.scala:48-56 strategy names (ref spelling)
+    val strategies = Seq(
+      "zscore", "robustZscore", "extremeValueProbablity",
+      "interPercentileDifference", "estimatedProbablity",
+      "estimatedAttributeProbablity", "estimatedCumProbablity",
+      "estimatedMetaProbablity", "mahalanobisDistance")
+    strategies.foreach { m =>
+      val conf = ConfigRunner.fromProperties(
+        s"""predictor.model=$m
+           |id.fieldOrdinals=[0]
+           |attr.ordinals=[1,2]
+           |bucket.width=10.0
+           |score.threshold=0.5
+           |""".stripMargin)
+      val out = ConfigRunner.run(spark, data, conf)
+      assert(out.columns.contains("score") && out.columns.contains("tag"), m)
+      assert(out.limit(5).count() > 0, m)
+    }
+  }
+
   test("zscore pipeline composes fit/score/filter/count without file handoffs") {
     val data = core.table(spark, sfDir, "events")
     val r = Pipeline.zscorePipeline(data, Seq("event_type"), Seq("value"), 2.0)
