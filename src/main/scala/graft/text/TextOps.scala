@@ -114,8 +114,11 @@ object TextOps {
       maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).cache()
-    var labels = docs.select(col(idCol).cast("long").as("id"),
-      col(idCol).cast("long").as("cluster")).localCheckpoint(true)
+    // the loop only touches the pair-connected subgraph (usually a tiny
+    // fraction of the corpus); unpaired docs are trivially their own
+    // cluster and join back in one final pass
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -129,7 +132,9 @@ object TextOps {
       i += 1
     }
     sym.unpersist()
-    labels
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
   }
 
   /** Survivor view of the clusters: one row per cluster — the kept doc
