@@ -47,6 +47,84 @@ case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+  * algorithm): hash every k-gram of the token array, slide a window of
+  * `winSize` hashes, select each window's minimum; the fingerprint is the
+  * distinct selected hashes (sorted ascending for determinism). Guarantees
+  * any shared run of ≥ winSize+k-1 tokens yields a shared fingerprint.
+  * Hashes are the 56-bit md5 prefix — exact cross-engine vs the DuckDB
+  * list_transform/list_min oracle (tie positions don't matter because only
+  * hash VALUES are kept). Fewer than winSize k-grams → one window over all
+  * of them; fewer than k tokens → empty. Sliding min is a monotonic deque,
+  * O(#grams) per row, inside whole-stage codegen. */
+case class Winnow(child: Expression, k: Int, winSize: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fp"
+
+  override def nullSafeEval(input: Any): Any =
+    Winnow.compute(input.asInstanceOf[ArrayData], k, winSize)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.Winnow.compute($c, $k, $winSize);")
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+}
+
+object Winnow {
+  def compute(toks: ArrayData, k: Int, w: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < k) return new GenericArrayData(Array.empty[Long])
+    val n = m - k + 1
+    val hs = new Array[Long](n)
+    val md = MessageDigest.getInstance("MD5")
+    val sep = ' '.toByte
+    var i = 0
+    while (i < n) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(sep)
+        md.update(toks.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val dig = md.digest()
+      var x = 0L
+      var b = 0
+      while (b < 7) { x = (x << 8) | (dig(b) & 0xffL); b += 1 }
+      hs(i) = x
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (n <= w) {
+      var mn = hs(0)
+      i = 1
+      while (i < n) { if (hs(i) < mn) mn = hs(i); i += 1 }
+      sel.add(mn)
+    } else {
+      // monotonic deque of indices, increasing hash value front-to-back
+      val dq = new Array[Int](n)
+      var head = 0
+      var tail = 0 // exclusive
+      i = 0
+      while (i < n) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) sel.add(hs(dq(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 object MinHashSig {
   /** Mersenne prime modulus; (2³¹−1)² < 2⁶³ keeps a·x+b inside int64. */
   val P: Long = 2147483647L

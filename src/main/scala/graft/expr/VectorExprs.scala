@@ -82,7 +82,8 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(asDoubles(es(0)), asDoubles(es(1)))),
     "bit_hamming" -> (es => BitHamming(asLong(es(0)), asLong(es(1)))),
-    "minhash_sig" -> (es => MinHashSig(es(0), litInt(es(1)), litInt(es(2)))))
+    "minhash_sig" -> (es => MinHashSig(es(0), litInt(es(1)), litInt(es(2)))),
+    "winnow_fp" -> (es => Winnow(es(0), litInt(es(1)), litInt(es(2)))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -50,6 +50,8 @@ object TextQueries {
       canon(Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e,
         "vec_id", "embedding", k = 10))
     }),
+    "q77_winnow" -> ((s, dir) =>
+      TextOps.winnow(docs(s, dir), "doc_id", "text", k = 3, winSize = 4)),
     "q75_dup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
       val cand = TextOps.minhashPairs(d, "doc_id", "text", shingleSize = 3,
@@ -171,6 +173,20 @@ object TextQueries {
          |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
          |WHERE l.doc_id < r.doc_id""".stripMargin.replace("\n", " "),
+    // winnowing (k=3 grams, window 4): fingerprint = distinct per-window
+    // minima of the 56-bit gram hashes; < 4 grams → one window over all
+    "q77_winnow" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(t) >= 3
+         |  THEN list_transform(range(1, len(t)-1),
+         |       i -> ${h56("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")})
+         |  ELSE [] END AS h FROM tk),
+         |m AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN []
+         |  WHEN len(h) <= 4 THEN [list_min(h)]
+         |  ELSE list_transform(range(1, len(h)-2), i -> list_min(h[i:i+3]))
+         |  END AS mins FROM g)
+         |SELECT DISTINCT doc_id, unnest(mins) AS fp FROM m"""
+        .stripMargin.replace("\n", " "),
     "q75_dup_clusters" ->
       s"""$clusterSql SELECT id, cluster FROM comp""",
     "q76_dedup_survivors" ->

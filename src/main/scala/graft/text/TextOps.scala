@@ -185,6 +185,18 @@ object TextOps {
     (0 until bits).map(i =>
       shiftright(a.bitwiseXOR(b), i).bitwiseAND(1).cast("int")).reduce(_ + _)
 
+  /** Winnowing fingerprints (MOSS): one row per distinct selected k-gram
+    * hash per doc — the position-robust fingerprint set for plagiarism /
+    * overlap detection. Per-row native expression, zero shuffles
+    * ([[graft.expr.Winnow]]). */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, winSize: Int): DataFrame = {
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol),
+      explode(call_function("winnow_fp", tokens(col(textCol)),
+        lit(k), lit(winSize))).as("fp"))
+  }
+
   /** Language markers for the stopword-ratio language id heuristic. */
   val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),

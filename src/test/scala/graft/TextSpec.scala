@@ -39,6 +39,17 @@ class TextSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("winnow: identical docs share fingerprints; shared run guarantees overlap") {
+    val fp = TextOps.winnow(docs, "doc_id", "text", 3, 4).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("fp")).toSet }
+    assert(fp(1L) == fp(2L)) // exact dups → identical fingerprint sets
+    assert((fp(1L) & fp(3L)).nonEmpty) // near dup shares ≥ 1 (common run ≥ w+k-1 tokens)
+    assert((fp(1L) & fp(4L)).isEmpty)  // unrelated shares none
+    // winnowing density: ≤ #windows, ≥ #grams/(w) selections
+    assert(fp(1L).size <= 9 - 3 + 1)
+  }
+
   test("dup clusters: transitive closure over pairs, singletons kept") {
     // chain 1-2, 2-3 → one component {1,2,3} labeled 1; 4 is a singleton
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
