@@ -42,4 +42,23 @@ object Skew {
       salts: Int): DataFrame =
     saltedAgg(df, keyCols, salts, Seq(sumOf(valCol), countAll))
       .withColumn(s"avg_$valCol", col(s"sum_$valCol") / col("cnt"))
+
+  /** Salted equi-join for a skewed big side when the small side is too
+    * large to broadcast: every big-side row gets a random salt in
+    * [0, salts), the small side is replicated `salts` times, and the join
+    * keys on (key..., salt) — a hot key's rows spread over `salts` tasks
+    * instead of one. Exact same rows as `big.join(small, keys, "inner"/
+    * "left")`. Shuffle cost: small side × salts (choose salts ≈ hot-key
+    * share ÷ task budget; AQE's skew splitting covers moderate skew — this
+    * is for the pathological single-entity case). */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    val spark = big.sparkSession
+    import spark.implicits._
+    val saltedBig = big.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+    val replicated = small.crossJoin(
+      (0 until salts).toDF("_salt"))
+    saltedBig.join(replicated, keyCols :+ "_salt", joinType).drop("_salt")
+  }
 }

@@ -26,6 +26,21 @@ class SkewSpec extends SparkSpec {
     assert(math.abs(avg - 25000.5) < 1e-9)
   }
 
+  test("salted join equals direct join on skewed data (inner + left)") {
+    val big = ((1 to 20000).map(i => ("hot", i)) ++
+      (1 to 200).map(i => (s"k$i", i)) :+ (("orphan", 0))).toDF("k", "v")
+    val small = (Seq("hot") ++ (1 to 200).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i * 10) }.toDF("k", "m")
+    def canonize(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "m").collect()
+        .map(r => (r.getString(0), r.getInt(1), if (r.isNullAt(2)) -1 else r.getInt(2)))
+        .sorted.toSeq
+    assert(canonize(Skew.saltedJoin(big, small, Seq("k"), salts = 8)) ==
+      canonize(big.join(small, Seq("k"), "inner")))
+    assert(canonize(Skew.saltedJoin(big, small, Seq("k"), salts = 8, "left")) ==
+      canonize(big.join(small, Seq("k"), "left")))
+  }
+
   test("salting actually fans a hot key across partial groups") {
     val df = (1 to 10000).map(i => ("hot", 1.0)).toDF("k", "v")
     val salted = df.withColumn("_salt",
