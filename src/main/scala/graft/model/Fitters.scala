@@ -50,6 +50,25 @@ object Fitters {
         percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
   }
 
+  /** Sketch-based median+MAD — the 100 TB path for extreme per-key
+    * cardinality, where the exact percentile's per-group sort would spill.
+    * `percentile_approx` merges bounded KLL-style sketches instead
+    * (map-side combine, O(1/accuracy) state per group). `accuracy` is
+    * Spark's contract: rank error ≤ 1/accuracy (10000 → 0.01%). Same
+    * schema as [[robustStats]], drop-in for the robust z-score scorer. */
+  def robustStatsApprox(df: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String], accuracy: Int = 10000): DataFrame = {
+    val melted = melt(df, keyCols, attrCols)
+    val gcols = (keyCols :+ "attr").map(col)
+    val med = melted.groupBy(gcols: _*)
+      .agg(percentile_approx(col("value"), lit(0.5), lit(accuracy)).as("med"))
+    melted.join(med, keyCols :+ "attr")
+      .groupBy(gcols: _*)
+      .agg(
+        first("med").as("med"),
+        percentile_approx(abs(col("value") - col("med")), lit(0.5), lit(accuracy)).as("mad"))
+  }
+
   /** Q1/Q3/IQR per (key, attribute) — model for the
     * interPercentileDifference scorer (InterPercentileDifferenceBasedPredictor.java:85-122).
     * Output: keyCols..., attr, q1, q3, iqr

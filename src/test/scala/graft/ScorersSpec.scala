@@ -40,6 +40,19 @@ class ScorersSpec extends SparkSpec {
     assert(m.getAs[Double]("mad") == 1.0) // |x-2| = 1,0,1,0,98 -> median 1
   }
 
+  test("approx robust fit tracks exact on real data (sketch scale path)") {
+    val data = core.table(spark, sfDir, "events")
+    val exact = Fitters.robustStats(data, Seq("event_type"), Seq("value"))
+      .collect().map(r => r.getString(0) -> (r.getAs[Double]("med"), r.getAs[Double]("mad"))).toMap
+    val approx = Fitters.robustStatsApprox(data, Seq("event_type"), Seq("value"), 10000)
+      .collect().map(r => r.getString(0) -> (r.getAs[Double]("med"), r.getAs[Double]("mad"))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (med, mad)) =>
+      assert(math.abs(approx(k)._1 - med) <= 0.05 * math.max(mad, 1e-9), s"med@$k")
+      assert(math.abs(approx(k)._2 - mad) <= 0.05 * math.max(mad, 1e-9), s"mad@$k")
+    }
+  }
+
   test("score aggregation strategies over multi-attr with missing skip") {
     val df = Seq((1.0, 5.0)).toDF("s1", "s2")
       .withColumn("avg", aggregateScores(Seq($"s1", $"s2")))
