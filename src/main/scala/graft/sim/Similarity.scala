@@ -65,11 +65,13 @@ object Similarity {
     * Collision probability = (1 − θ/π)^planes. */
   def lshBuckets(vecs: DataFrame, idCol: String, vecCol: String,
       dim: Int, planes: Int, seed: Long): DataFrame = {
+    graft.expr.GraftFunctions.register(vecs.sparkSession)
     val rng = new Random(seed)
     val hp = Array.fill(planes, dim)(rng.nextGaussian())
-    val vd = transform(col(vecCol), x => x.cast("double"))
+    // one codegen'd vec_dot per hyperplane (literal array), not dim
+    // element_at terms per plane
     val bucket = (0 until planes).map { p =>
-      val d = (0 until dim).map(i => element_at(vd, i + 1) * hp(p)(i)).reduce(_ + _)
+      val d = call_function("vec_dot", col(vecCol), array(hp(p).map(lit(_)): _*))
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     vecs.select(col(idCol), col(vecCol), bucket.as("bucket"))
