@@ -28,6 +28,22 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("top-k windows get the rank-filter pushdown (WindowGroupLimit)") {
+    // row_number <= k over a window must NOT sort whole partitions at
+    // scale: Spark inserts WindowGroupLimitExec (per-partition top-k heap
+    // before the final sort) when the rank filter is statically visible —
+    // a property every kNN/top-k path here relies on
+    import org.apache.spark.sql.functions._
+    val e = core.table(spark, sfDir, "embeddings")
+    val p1 = graft.sim.Similarity.bruteForceTopK(
+      e.where(col("vec_id") < 5), e, "vec_id", "embedding", 3)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("WindowGroupLimit"))
+    val p2 = graft.multi.Blocked.knn(e, "vec_id", "embedding", 3)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("WindowGroupLimit"))
+  }
+
   test("rounding parity: roundLikeDuck halves away from zero on the float product") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
