@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve probe: runs headline operators at 1×/2×/4× of
+  * SPARK_GRAFT_SF_DIR (rows and entities both scale — unioned copies are
+  * re-keyed) and prints sec + rows/s per (operator, scale). Near-constant
+  * rows/s across scales = the plan scales linearly in data volume;
+  * super-linear fall-off exposes an operator that would not survive
+  * 100 TB. Results are recorded in SCALING.md. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def scaled(name: String, idCols: Seq[String], n: Int): DataFrame = {
+      val base = core.table(spark, sfDir, name)
+      (0 until n).map { i =>
+        idCols.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(i.toLong * 1000000000L)))
+      }.reduce(_ unionByName _)
+    }
+
+    def time(op: String, n: Int, rows: Long)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val out = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $op%-16s x$n rows=$rows%9d out=$out%9d ${s}%6.2f s ${rows / s / 1e6}%6.2f Mrows/s")
+    }
+
+    for (n <- Seq(1, 2, 4)) {
+      val ev = scaled("events", Seq("event_id", "user_id"), n)
+      val nEv = ev.count()
+      time("zscore_fit_score", n, nEv) {
+        val stats = model.Fitters.stats(ev, Seq("event_type"), Seq("value"))
+        score.Scorers.zscore(ev, stats,
+          score.Scorers.Cfg(Seq("event_type"), Seq("value"), threshold = 2.0)).count()
+      }
+      time("window_chgpoint", n, nEv) {
+        seq.SeqOps.changePointMeanShift(ev, Seq("event_type"), "event_id",
+          "value", window = 30, critValue = 3.0).count()
+      }
+      val docs = scaled("documents", Seq("doc_id"), n)
+      val nDocs = docs.count()
+      time("minhash_sig", n, nDocs) {
+        text.TextOps.minhash(docs, "doc_id", "text", 3, 16).count()
+      }
+      time("dedup_pipeline", n, nDocs) {
+        val cand = text.TextOps.minhashPairs(docs, "doc_id", "text", 3, 16, 4)
+        text.TextOps.dedupSurvivors(
+          text.TextOps.dupClusters(docs, "doc_id", cand)).count()
+      }
+    }
+    spark.stop()
+  }
+}
