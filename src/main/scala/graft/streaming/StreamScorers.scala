@@ -121,6 +121,47 @@ object StreamScorers {
         })
   }
 
+  case class ErrEvent(entity: String, seq: Long, err: Double)
+  case class DdmOut(entity: String, seq: Long, err: Double, p: Double, s: Double, level: String)
+  case class DdmState(n: Long, errs: Double, minPS: Double, sAtMin: Double)
+
+  /** Streaming DDM concept-drift detector (drift family §2.9 lifted to
+    * Structured Streaming): per entity, running error rate p and std
+    * s=√(p(1-p)/n); track the minimum of p+s (and s at that argmin);
+    * warn when p+s exceeds p_min+2·s_min, drift at p_min+3·s_min.
+    * Same math as the batch `Drift.ddm` cumulative-window form, held in
+    * GroupState across micro-batches. */
+  def ddmStream(events: Dataset[ErrEvent]): Dataset[DdmOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (entity: String, it: Iterator[ErrEvent], gs: GroupState[DdmState]) => {
+          var st = gs.getOption.getOrElse(
+            DdmState(0L, 0.0, Double.MaxValue, Double.MaxValue))
+          val out = it.toSeq.sortBy(_.seq).map { e =>
+            val n = st.n + 1
+            val errs = st.errs + e.err
+            val p = errs / n
+            val s = math.sqrt(p * (1.0 - p) / n)
+            val ps = p + s
+            val (minPS, sAtMin) =
+              if (ps < st.minPS || (ps == st.minPS && s < st.sAtMin)) (ps, s)
+              else (st.minPS, st.sAtMin)
+            st = DdmState(n, errs, minPS, sAtMin)
+            val pAtMin = minPS - sAtMin
+            val level =
+              if (n < 30) "stable"
+              else if (ps > pAtMin + 3.0 * sAtMin) "drift"
+              else if (ps > pAtMin + 2.0 * sAtMin) "warn"
+              else "stable"
+            DdmOut(entity, e.seq, e.err, p, s, level)
+          }
+          gs.update(st)
+          out.iterator
+        })
+  }
+
   case class SeqEvent(entity: String, seq: Long, state: String)
   case class SeqScore(entity: String, seq: Long, state: String, score: Double, tag: String)
   case class MarkovBuf(lastState: String, window: List[Double])

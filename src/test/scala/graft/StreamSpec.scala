@@ -2,7 +2,7 @@ package graft
 
 import graft.model.Fitters
 import graft.streaming.StreamScorers
-import graft.streaming.StreamScorers.{EntropyScore, SeqEvent, SeqScore, ValueEvent}
+import graft.streaming.StreamScorers.{DdmOut, EntropyScore, ErrEvent, SeqEvent, SeqScore, ValueEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -61,6 +61,32 @@ class StreamSpec extends SparkSpec {
     assert(rows(2).tag == "N")                        // probable A→B→A
     assert(rows(4).tag == "O")                        // B→C then C→C (unseen)
     assert(rows(4).score > rows(2).score)
+  }
+
+  test("ddm stream flags drift after an error burst, state survives batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[ErrEvent]
+    val out = StreamScorers.ddmStream(in.toDS())
+    val q = out.writeStream.format("memory").queryName("ddm").outputMode("append").start()
+    // 60 mostly-clean rows (~5% errors, one at row 1 so the p+s minimum is
+    // never the degenerate 0 of an error-free prefix), then a hard burst
+    in.addData((1 to 60).map(i =>
+      ErrEvent("e1", i.toLong, if (i == 1 || i % 20 == 0) 1.0 else 0.0)): _*)
+    q.processAllAvailable()
+    in.addData((61 to 90).map(i => ErrEvent("e1", i.toLong, 1.0)): _*)
+    q.processAllAvailable()
+    val rows = spark.table("ddm").as[DdmOut].collect().sortBy(_.seq)
+    q.stop()
+    assert(rows.take(29).forall(_.level == "stable"))   // warm-up
+    assert(rows.take(60).count(_.level == "drift") == 0) // clean regime
+    assert(rows.drop(70).exists(_.level == "drift"))     // burst detected
+    // same math as the batch detector on the same sequence
+    import org.apache.spark.sql.functions._
+    val batch = graft.drift.Drift.ddm(
+      rows.map(r => (r.entity, r.seq, r.err)).toSeq.toDF("k", "seq", "err"),
+      Seq("k"), "seq", "err").orderBy("seq")
+      .select("level").collect().map(_.getString(0)).toSeq
+    assert(batch == rows.map(_.level).toSeq)
   }
 
   test("entropy-increase stream: off-distribution value scores high") {
