@@ -111,8 +111,36 @@ object TextOps {
     * edge list + label table, never document content. `localCheckpoint`
     * truncates the iterative lineage. Output: id, cluster. */
   def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, maxLocalEdges: Int = 1 << 20): DataFrame = {
     val edges = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    // near-dup edge lists are tiny relative to the corpus: up to
+    // maxLocalEdges the components resolve by driver-side union-find in
+    // one pass (no iterative jobs), like the sample-based model fits —
+    // the label-propagation loop below is the >1M-edge fallback
+    val head = edges.limit(maxLocalEdges + 1).collect()
+    if (head.length <= maxLocalEdges) {
+      val parent = collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      head.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) { // union by min id = the survivor rule
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val labels = parent.keys.map(x => (x, find(x))).toSeq
+        .toDF("id", "cluster")
+      return docs.select(col(idCol).cast("long").as("id"))
+        .join(broadcast(labels.where(col("id") =!= col("cluster"))), Seq("id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("id")))
+    }
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).cache()
     // the loop only touches the pair-connected subgraph (usually a tiny
     // fraction of the corpus); unpaired docs are trivially their own

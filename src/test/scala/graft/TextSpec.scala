@@ -62,12 +62,15 @@ class TextSpec extends SparkSpec {
     assert(s == Map(1L -> 3L, 4L -> 1L))
   }
 
-  test("dup clusters: long chain converges (diameter > 1 round)") {
+  test("dup clusters: long chain converges on both paths (union-find + label prop)") {
     val n = 12
     val chain = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
     val d2 = (1 to n).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
-    val c = TextOps.dupClusters(d2, "doc_id", chain).collect()
-    assert(c.forall(_.getAs[Long]("cluster") == 1L))
+    val local = TextOps.dupClusters(d2, "doc_id", chain).collect()
+    assert(local.forall(_.getAs[Long]("cluster") == 1L))
+    // force the distributed label-propagation fallback (diameter > 1 round)
+    val dist = TextOps.dupClusters(d2, "doc_id", chain, maxLocalEdges = 0).collect()
+    assert(dist.forall(_.getAs[Long]("cluster") == 1L))
   }
 
   test("ngram jaccard: dup pair 1.0, near-dup high, verified via candidates") {
