@@ -121,6 +121,53 @@ object StreamScorers {
         })
   }
 
+  case class PairHit(a: Long, b: Long, band: Int)
+
+  /** Streaming MinHash/LSH near-duplicate detection for ingest pipelines:
+    * per incoming doc, the native `minhash_sig` expression computes the
+    * signature statelessly (zero shuffles), band buckets are sliced from
+    * the signature per row, and a per-(band, bucket) membership set held
+    * in GroupState emits a candidate pair whenever a new doc lands in a
+    * bucket that already has members — the streaming face of the batch
+    * `TextOps.minhashPairs`. Bucket membership is capped at `maxBucket`
+    * (degenerate buckets are dropped from pairing — standard dedup
+    * practice, and the state-size bound). Pairs may repeat across bands;
+    * dedup downstream if exactness is needed. */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, bandSize: Int,
+      maxBucket: Int = 1024): Dataset[PairHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.expr.GraftFunctions.register(spark)
+    val nBands = numHashes / bandSize
+    val sig = docs.select(col(idCol).cast("long").as("id"),
+      call_function("minhash_sig", graft.text.TextOps.tokens(col(textCol)),
+        lit(shingleSize), lit(numHashes)).as("sig"))
+      .where(size(col("sig")) > 0)
+    val bands = sig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(nBands - 1)),
+        b => array_join(slice(col("sig"), b * bandSize + 1, lit(bandSize)), ":")))
+      .as(Seq("band", "bucket")))
+    bands.as[(Long, Int, String)]
+      .groupByKey { case (_, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: (Int, String), it: Iterator[(Long, Int, String)],
+            gs: GroupState[List[Long]]) => {
+          var seen = gs.getOption.getOrElse(Nil)
+          val out = collection.mutable.Buffer[PairHit]()
+          it.foreach { case (id, band, _) =>
+            if (!seen.contains(id)) {
+              if (seen.size < maxBucket) {
+                seen.foreach(s => out += PairHit(math.min(s, id), math.max(s, id), band))
+                seen = id :: seen
+              }
+            }
+          }
+          gs.update(seen)
+          out.iterator
+        })
+  }
+
   case class ErrEvent(entity: String, seq: Long, err: Double)
   case class DdmOut(entity: String, seq: Long, err: Double, p: Double, s: Double, level: String)
   case class DdmState(n: Long, errs: Double, minPS: Double, sAtMin: Double)

@@ -63,6 +63,26 @@ class StreamSpec extends SparkSpec {
     assert(rows(4).score > rows(2).score)
   }
 
+  test("streaming LSH near-dup pairs a late duplicate with its earlier twin") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val pairs = StreamScorers.nearDupStream(
+      in.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bandSize = 4)
+    val q = pairs.writeStream.format("memory").queryName("nd").outputMode("append").start()
+    in.addData(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about distributed query engines"))
+    q.processAllAvailable()
+    val afterBatch1 = spark.table("nd").count()
+    in.addData((3L, "the quick brown fox jumps over the lazy dog tonight")) // twin of 1
+    q.processAllAvailable()
+    val hits = spark.table("nd").as[StreamScorers.PairHit].collect()
+    q.stop()
+    assert(afterBatch1 == 0) // no dups yet
+    assert(hits.nonEmpty && hits.forall(h => h.a == 1L && h.b == 3L)) // cross-batch state
+  }
+
   test("ddm stream flags drift after an error burst, state survives batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[ErrEvent]
