@@ -52,6 +52,8 @@ object TextQueries {
     }),
     "q77_winnow" -> ((s, dir) =>
       TextOps.winnow(docs(s, dir), "doc_id", "text", k = 3, winSize = 4)),
+    "q78_tfidf" -> ((s, dir) =>
+      canon(TextOps.tfidf(docs(s, dir), "doc_id", "text", topK = 5))),
     "q75_dup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
       val cand = TextOps.minhashPairs(d, "doc_id", "text", shingleSize = 3,
@@ -186,6 +188,21 @@ object TextQueries {
          |  ELSE list_transform(range(1, len(h)-2), i -> list_min(h[i:i+3]))
          |  END AS mins FROM g)
          |SELECT DISTINCT doc_id, unnest(mins) AS fp FROM m"""
+        .stripMargin.replace("\n", " "),
+    // rank on the RAW double (identical arithmetic both engines), round
+    // only in the final projection — rounding first could reorder ties
+    "q78_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |w AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         |  tf.tf * ln(n.n::DOUBLE / dfq.df) AS raw
+         | FROM tf, dfq, n WHERE tf.term = dfq.term),
+         |r AS (SELECT *, row_number() OVER
+         |  (PARTITION BY doc_id ORDER BY raw DESC, term) AS rank
+         | FROM w QUALIFY rank <= 5)
+         |SELECT doc_id, term, tf, df, round(raw, 4) AS tfidf, rank FROM r"""
         .stripMargin.replace("\n", " "),
     "q75_dup_clusters" ->
       s"""$clusterSql SELECT id, cluster FROM comp""",

@@ -225,6 +225,25 @@ object TextOps {
         lit(k), lit(winSize))).as("fp"))
   }
 
+  /** TF-IDF: top `topK` terms per document by tf·ln(N/df). Two hash
+    * aggregations (term frequency per doc, document frequency per term)
+    * + a join on term + a per-doc top-k window (rank-filter pushdown
+    * applies). Ranking uses the raw double; ties break on term. */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+
   /** Language markers for the stopword-ratio language id heuristic. */
   val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),

@@ -39,6 +39,22 @@ class TextSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("tfidf: rare distinctive terms outrank ubiquitous ones") {
+    val d = Seq(
+      (1L, "spark spark spark common"),
+      (2L, "flink flink common"),
+      (3L, "common common common")).toDF("doc_id", "text")
+    val top = TextOps.tfidf(d, "doc_id", "text", 2).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (k, rs) => k -> rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[String]("term")).toSeq }
+    assert(top(1L).head == "spark") // df=1, tf=3 beats 'common' (df=3)
+    assert(top(2L).head == "flink")
+    // 'common' appears in every doc → idf = ln(1) = 0 → weight 0
+    val commonW = TextOps.tfidf(d, "doc_id", "text", 2).collect()
+      .filter(_.getAs[String]("term") == "common").map(_.getAs[Double]("tfidf"))
+    assert(commonW.forall(_ == 0.0))
+  }
+
   test("winnow: identical docs share fingerprints; shared run guarantees overlap") {
     val fp = TextOps.winnow(docs, "doc_id", "text", 3, 4).collect()
       .groupBy(_.getAs[Long]("doc_id"))
