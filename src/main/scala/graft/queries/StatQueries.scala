@@ -78,6 +78,15 @@ object StatQueries {
         Map("value" -> 10.0), useLog = false)
         .select("event_id", "event_type", "value", "score", "tag"))
     }),
+    "q79_histogram_ids" -> ((s, dir) =>
+      // MR reducer id-concatenation mode: bucket members as one joined field
+      Fitters.histogramWithIds(ev(s, dir), Seq("event_type"),
+        Seq(("value", 10.0)), "event_id")
+        .select(col("event_type"), col("bucket"), col("cnt"),
+          array_join(transform(col("ids"), i => i.cast("string")), ":").as("idList"))),
+    "q80_eqprob_boundaries" -> ((s, dir) =>
+      canon(Fitters.equalProbBoundaries(ev(s, dir), Seq("event_type"),
+        Seq("value"), n = 4))),
     "q30_est_cum_prob" -> ((s, dir) => {
       val data = ev(s, dir)
       val hist = Fitters.attrHistogram(data, Seq("event_type"), Seq(("value", 10.0)))
@@ -189,6 +198,19 @@ object StatQueries {
     "q04_histogram_fit" ->
       s"""WITH $evHist
          |SELECT event_type, bucket, cnt, round(freq,4) AS freq FROM histn"""
+        .stripMargin.replace("\n", " "),
+    "q79_histogram_ids" ->
+      """SELECT event_type, CAST(floor(value/10.0) AS BIGINT)::VARCHAR AS bucket,
+        | count(*) AS cnt,
+        | array_to_string(list(event_id ORDER BY event_id), ':') AS idList
+        |FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    "q80_eqprob_boundaries" ->
+      """WITH q AS (SELECT event_type,
+        |  quantile_cont(value, [0.25, 0.5, 0.75]) AS bs
+        | FROM events GROUP BY 1)
+        |SELECT event_type, 'value' AS attr, v.i AS qidx,
+        | round(bs[v.i], 4) AS boundary
+        |FROM q CROSS JOIN (VALUES (1), (2), (3)) v(i)"""
         .stripMargin.replace("\n", " "),
     "q05_zscore" ->
       s"""WITH $evStats
