@@ -54,6 +54,21 @@ object TextQueries {
       TextOps.winnow(docs(s, dir), "doc_id", "text", k = 3, winSize = 4)),
     "q78_tfidf" -> ((s, dir) =>
       canon(TextOps.tfidf(docs(s, dir), "doc_id", "text", topK = 5))),
+    // the end-to-end curation composition: quality gate ∧ language gate ∧
+    // near-dup survivorship — the operators composing as one DataFrame flow
+    "q81_corpus_curation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = TextOps.qualityScore(d, "doc_id", "text").select(col("doc_id"), col("quality"))
+      val l = TextOps.langId(d, "doc_id", "text").select(col("doc_id"), col("predLang"))
+      val cand = TextOps.minhashPairs(d, "doc_id", "text", shingleSize = 3,
+        NumHashes, BandSize)
+      val surv = TextOps.dedupSurvivors(TextOps.dupClusters(d, "doc_id", cand))
+        .select(col("doc_id"))
+      canon(d.select(col("doc_id"))
+        .join(q, "doc_id").join(l, "doc_id").join(surv, "doc_id")
+        .where(col("quality") >= 0.5 && col("predLang") === "en")
+        .select(col("doc_id"), col("predLang"), col("quality")))
+    }),
     "q75_dup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
       val cand = TextOps.minhashPairs(d, "doc_id", "text", shingleSize = 3,
@@ -203,6 +218,41 @@ object TextQueries {
          |  (PARTITION BY doc_id ORDER BY raw DESC, term) AS rank
          | FROM w QUALIFY rank <= 5)
          |SELECT doc_id, term, tf, df, round(raw, 4) AS tfidf, rank FROM r"""
+        .stripMargin.replace("\n", " "),
+    // curation: filter on the RAW quality double (like the Spark side),
+    // round only in the final projection
+    "q81_corpus_curation" ->
+      s"""$clusterSql,
+         |qb AS (SELECT doc_id,
+         |  len($toks)::DOUBLE AS nTok,
+         |  len(list_filter($toks, t -> t IN (${inList(TextOps.langMarkers("en"))})))::DOUBLE AS nStop,
+         |  len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS nPunct,
+         |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS nDigit,
+         |  length(text)::DOUBLE AS nChars
+         | FROM documents),
+         |qual AS (SELECT doc_id,
+         | (least(nTok/50.0, 1.0)
+         |  + least(nStop/greatest(nTok,1.0)*10.0, 1.0)
+         |  + (1.0 - least(nPunct/greatest(nChars,1.0)*20.0, 1.0))
+         |  + (1.0 - least(nDigit/greatest(nChars,1.0)*10.0, 1.0))) / 4.0 AS rawq
+         | FROM qb),
+         |lc AS (SELECT doc_id,
+         |${markers.map { case (l, ws) =>
+             s" len(list_filter($toks, t -> t IN (${inList(ws)})))::INT AS n_$l" }
+             .mkString(",")}
+         | FROM documents),
+         |lang AS (SELECT doc_id,
+         | CASE WHEN greatest(${markers.map(m => s"n_${m._1}").mkString(",")}) = 0 THEN 'unknown'
+         |${markers.map { case (l, _) =>
+             s" WHEN n_$l = greatest(${markers.map(m => s"n_${m._1}").mkString(",")}) THEN '$l'" }
+             .mkString}
+         | ELSE 'unknown' END AS predLang FROM lc)
+         |SELECT d.doc_id, lang.predLang, round(qual.rawq, 4) AS quality
+         |FROM documents d
+         |JOIN qual ON d.doc_id = qual.doc_id
+         |JOIN lang ON d.doc_id = lang.doc_id
+         |WHERE qual.rawq >= 0.5 AND lang.predLang = 'en'
+         | AND d.doc_id IN (SELECT DISTINCT cluster FROM comp)"""
         .stripMargin.replace("\n", " "),
     "q75_dup_clusters" ->
       s"""$clusterSql SELECT id, cluster FROM comp""",
