@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Concept-drift detectors (SURVEY.md §2.9, reference python/lib/sucodr.py)
+/** Concept-drift detectors — DDM (Gama et al., SBIA'04), EDDM
+  * (Baena-García et al. '06), FHDDM (Pesaranghader & Viktor, '16), ECDD
+  * EWMA (Ross et al. '12), LFR (Wang & Abraham '15) (SURVEY.md §2.9, reference python/lib/sucodr.py)
   * re-expressed as cumulative window analytics over a keyed error/metric
   * stream — one sort-within-shuffle per key, no driver loops.
   *

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import scala.util.Random
 
-/** Isolation forest (SURVEY.md §2.6, multi/IsolationForestModel.scala:54-377,
+/** Isolation forest (Liu/Ting/Zhou, ICDM'08) (SURVEY.md §2.6, multi/IsolationForestModel.scala:54-377,
   * IsolationForestPredictor.scala:76-175, IsolationForestMerge.scala:68-190).
   *
   * The reference grows all trees with a cluster-wide shuffle **per tree

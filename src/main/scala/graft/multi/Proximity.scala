@@ -76,7 +76,8 @@ object Proximity {
       .withColumn("relDensity", col("density") * k / col("nbrDensity"))
   }
 
-  /** Local Outlier Factor (knn/LocalDensityBasedPredictor.scala:41-240):
+  /** Local Outlier Factor (Breunig et al., SIGMOD'00;
+    * knn/LocalDensityBasedPredictor.scala:41-240):
     * kNN → k-distance (:109-113) → reachability distance
     * reach(a,b) = max(dist(a,b), kdist(b)) (:116-141) → local reachability
     * density lrd(a) = k / Σ reach(a,·) (:144-158) → LOF(a) = mean lrd of

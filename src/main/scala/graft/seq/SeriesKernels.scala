@@ -36,7 +36,10 @@ object SeriesKernels {
 
   // ---------- spectral residue (seq/SpectralResiduePredictor.scala:37-155) ----------
 
-  /** Saliency-map anomaly score per point: sliding FFT window → spectral
+  /** Saliency-map anomaly score per point (spectral-residual saliency,
+    * Hou & Zhang CVPR'07, applied to time series as in Ren et al. KDD'19
+    * "Time-Series Anomaly Detection Service at Microsoft"): sliding FFT
+    * window → spectral
     * residue (log-amplitude minus its moving average) → inverse FFT with
     * original phases → saliency; score = saliency amplitude minus
     * neighborhood average (algorithm :140-153). Window must be a power of 2. */

@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Text-analysis + deduplication operators for large-scale training-data
+/** Text-analysis + deduplication operators — MinHash (Broder, SEQUENCES'97),
+  * LSH banding (Indyk/Motwani '98; ch.3 of Mining of Massive Datasets),
+  * SimHash (Charikar, STOC'02) for large-scale training-data
   * pipelines (north-star extension beyond the reference surface; see
   * BASELINE.json). All hashing is MD5-derived so every op has an exact
   * cross-engine oracle: hash56(s) = first 14 hex chars of md5 → 56-bit int,
