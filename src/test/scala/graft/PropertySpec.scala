@@ -20,6 +20,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("minhash agreement estimates shingle jaccard (Broder property)") {
+    import graft.text.TextOps
+    val rng = new scala.util.Random(7)
+    val vocab = (1 to 200).map(i => s"w$i")
+    // doc pairs with controlled token overlap
+    val docs = (0 until 4).flatMap { p =>
+      val shared = rng.shuffle(vocab).take(30)
+      val aOnly = rng.shuffle(vocab).take(10 + p * 8)
+      val bOnly = rng.shuffle(vocab).take(10 + p * 8)
+      Seq((p * 2L, (shared ++ aOnly).mkString(" ")),
+        (p * 2L + 1, (shared ++ bOnly).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val nh = 64
+    val sig = TextOps.minhash(docs, "doc_id", "text", 3, nh).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (k, rs) => k -> rs.sortBy(_.getAs[Int]("hashIdx")).map(_.getAs[Long]("minHash")).toSeq }
+    val sh = TextOps.shingles(docs, "doc_id", "text", 3).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[String]("shingle")).toSet }
+    (0 until 4).foreach { p =>
+      val (a, b) = (p * 2L, p * 2L + 1)
+      val trueJ = (sh(a) & sh(b)).size.toDouble / (sh(a) | sh(b)).size
+      val est = sig(a).zip(sig(b)).count { case (x, y) => x == y }.toDouble / nh
+      // E[est] = J; with 64 hashes σ = √(J(1-J)/64) ≤ 0.0625 — allow 3σ
+      assert(math.abs(est - trueJ) < 0.2, s"pair $p: est=$est true=$trueJ")
+    }
+  }
+
   test("zscore with expConst: all scores in [0,1), labels in {O,N,I}") {
     val data = core.table(spark, sfDir, "events")
     val stats = Fitters.stats(data, Seq("event_type"), Seq("value"))
