@@ -92,6 +92,22 @@ class PipelineSpec extends SparkSpec {
     assert(out.drop(105).exists(_.drift))
   }
 
+  test("stats model roundtrips through the reference flat-file layout") {
+    val data = core.table(spark, sfDir, "events")
+    val fitted = graft.model.Fitters.stats(data, Seq("event_type"), Seq("value"))
+    val dir = java.nio.file.Files.createTempDirectory("statsrt").toString + "/m"
+    Sources.writeStatsModel(fitted, dir, Seq("event_type"), attrOrd = 2)
+    val back = Sources.readStatsModel(spark, dir, Seq("event_type"), "value")
+    val exp = fitted.collect().map(r => r.getAs[String]("event_type") ->
+      (r.getAs[Double]("mean"), r.getAs[Double]("std"))).toMap
+    val got = back.collect().map(r => r.getAs[String]("event_type") ->
+      (r.getAs[Double]("mean"), r.getAs[Double]("std"))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (k, (m, s)) =>
+      assert(math.abs(got(k)._1 - m) < 1e-9 && math.abs(got(k)._2 - s) < 1e-9, k)
+    }
+  }
+
   test("stats model file reader parses the reference layout") {
     val dir = java.nio.file.Files.createTempDirectory("statsmodel").toFile
     val f = new java.io.File(dir, "stats.txt")
