@@ -41,13 +41,26 @@ object Fitters {
   def robustStats(df: DataFrame, keyCols: Seq[String], attrCols: Seq[String]): DataFrame = {
     val melted = melt(df, keyCols, attrCols)
     val gcols = (keyCols :+ "attr").map(col)
-    val med = melted.groupBy(gcols: _*)
-      .agg(percentile(col("value"), lit(0.5)).as("med"))
-    melted.join(med, keyCols :+ "attr")
-      .groupBy(gcols: _*)
-      .agg(
-        first("med").as("med"),
-        percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+    // ONE scan + ONE shuffle: collect the sorted values per (key, attr)
+    // (what a percentile aggregate materializes internally anyway) and
+    // derive median AND MAD from the array — the previous two-aggregation
+    // + rejoin form scanned and shuffled the melted data twice.
+    // Interpolation formula lo + (hi-lo)·frac matches Spark's Percentile
+    // and DuckDB's quantile_cont bit-for-bit.
+    def interp(arr: Column, cnt: Column, frac: Double): Column = {
+      val idx = (cnt - 1).cast("double") * frac
+      val lo = floor(idx).cast("int")
+      val vlo = element_at(arr, lo + 1)
+      val vhi = element_at(arr, ceil(idx).cast("int") + 1)
+      vlo + (vhi - vlo) * (idx - lo.cast("double"))
+    }
+    melted.groupBy(gcols: _*)
+      .agg(sort_array(collect_list(col("value"))).as("vs"))
+      .withColumn("med", interp(col("vs"), size(col("vs")), 0.5))
+      .withColumn("mad", interp(
+        array_sort(transform(col("vs"), x => abs(x - col("med")))),
+        size(col("vs")), 0.5))
+      .drop("vs")
   }
 
   /** Sketch-based median+MAD — the 100 TB path for extreme per-key
