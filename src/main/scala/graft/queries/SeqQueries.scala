@@ -84,7 +84,7 @@ object SeqQueries {
       canon(SeriesKernels.changePoint(ev(s, dir), Seq("event_type"), "event_id",
         "value", window = 50, stat = "ks", critValue = 0.25).toDF())),
     "q26_subseq_discord" -> ((s, dir) =>
-      canon(SeriesKernels.subSequenceDistance(ev(s, dir), Seq("user_id"), "event_id",
+      canon(SeriesKernels.subSequenceDistanceFast(ev(s, dir), Seq("user_id"), "event_id",
         "value", window = 8).toDF())),
     "q27_one_step_ahead_fb" -> ((s, dir) =>
       canon(SeriesKernels.oneStepAhead(ev(s, dir), Seq("user_id"), "event_id",

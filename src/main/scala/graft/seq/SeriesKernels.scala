@@ -241,6 +241,58 @@ object SeriesKernels {
     }
   }
 
+  /** Matrix-profile-style discord search (STOMP diagonal recurrence, Zhu
+    * et al. ICDM'16, applied to the reference's UN-normalized RMS
+    * distance): dist²(i,j) = ssq(i)+ssq(j)−2·QT(i,j), and along a
+    * diagonal QT updates in O(1) — total O(n²) instead of the naive
+    * O(n²·w). Identical semantics to [[subSequenceDistance]] (min over
+    * |j−i| ≥ window of RMS distance), equal within fp tolerance
+    * (spec-asserted); this is the long-series scale path. */
+  def subSequenceDistanceFast(
+      data: DataFrame, keyCols: Seq[String], seqCol: String, valCol: String,
+      window: Int): Dataset[SScore] = {
+    run(data, keyCols, seqCol, valCol) { (k, pts) =>
+      val m = window
+      val x = pts.map(_.value)
+      val n = x.length - m + 1
+      if (n <= 1) Iterator.empty
+      else {
+        val ssq = new Array[Double](n)
+        var s = 0.0
+        var t = 0
+        while (t < m) { s += x(t) * x(t); t += 1 }
+        ssq(0) = s
+        var i = 1
+        while (i < n) {
+          s += x(i + m - 1) * x(i + m - 1) - x(i - 1) * x(i - 1)
+          ssq(i) = s
+          i += 1
+        }
+        val best = Array.fill(n)(Double.MaxValue)
+        var d = m // self-overlap excluded: |j−i| ≥ window
+        while (d < n) {
+          var qt = 0.0
+          t = 0
+          while (t < m) { qt += x(t) * x(d + t); t += 1 }
+          var dist = ssq(0) + ssq(d) - 2 * qt
+          if (dist < best(0)) best(0) = dist
+          if (dist < best(d)) best(d) = dist
+          i = 1
+          while (i + d < n) {
+            qt += x(i + m - 1) * x(i + d + m - 1) - x(i - 1) * x(i + d - 1)
+            dist = ssq(i) + ssq(i + d) - 2 * qt
+            if (dist < best(i)) best(i) = dist
+            if (dist < best(i + d)) best(i + d) = dist
+            i += 1
+          }
+          d += 1
+        }
+        Iterator.range(0, n).map(i =>
+          SScore(k, pts(i).seq, pts(i).value, math.sqrt(math.max(best(i), 0.0) / m)))
+      }
+    }
+  }
+
   // ---------- one-step-ahead with outlier replacement (seq/OneStepAheadPredictor.scala:111-151) ----------
 
   /** Sequential forecast with replace-on-outlier feedback: prediction =

@@ -53,6 +53,21 @@ class SeqSpec extends SparkSpec {
     assert(top.seq >= 93 && top.seq <= 107) // discord window overlaps the injection
   }
 
+  test("STOMP-style discord equals the naive kernel within fp tolerance") {
+    val rng = new scala.util.Random(11)
+    val series = (0 until 300).map(i =>
+      ("k", i.toLong, math.sin(i * 0.2) * 3 + rng.nextGaussian()))
+    val df = series.toDF("k", "s", "v")
+    val naive = SeriesKernels.subSequenceDistance(df, Seq("k"), "s", "v", 12)
+      .collect().map(p => p.seq -> p.score).toMap
+    val fast = SeriesKernels.subSequenceDistanceFast(df, Seq("k"), "s", "v", 12)
+      .collect().map(p => p.seq -> p.score).toMap
+    assert(fast.keySet == naive.keySet)
+    naive.foreach { case (seqId, sc) =>
+      assert(math.abs(fast(seqId) - sc) < 1e-8, s"seq $seqId: $sc vs ${fast(seqId)}")
+    }
+  }
+
   test("one-step-ahead feedback: outlier replaced, scores finite") {
     val pts = (0 until 60).map(i => ("k", i.toLong, if (i == 40) 500.0 else 10.0 + (i % 3)))
     val out = SeriesKernels.oneStepAhead(pts.toDF("k", "s", "v"), Seq("k"), "s", "v", 5, 3.0)
