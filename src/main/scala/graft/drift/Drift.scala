@@ -159,6 +159,34 @@ object Drift {
       .withColumn("drift", full && col("maxDev") > eps)
   }
 
+  /** Unsupervised local density drift (sucodr.py:363-412, which compares
+    * local sample densities via a KDTree; here the space is grid-bucketed
+    * — the distributed analogue): bucket both samples on a fixed grid,
+    * normalize counts to densities, score each cell by the absolute
+    * density difference. Cells with score above `threshold` (and enough
+    * mass) are the locally-drifted regions. Two hash aggregations + one
+    * join on cell — no driver-side structure. */
+  def localDensityDrift(ref: DataFrame, cur: DataFrame, attrCols: Seq[String],
+      widths: Seq[Double], threshold: Double, minCount: Long = 5L): DataFrame = {
+    require(attrCols.length == widths.length)
+    def cell(df: DataFrame): Column = concat_ws(":",
+      attrCols.zip(widths).map { case (a, w) =>
+        floor(col(a) / w).cast("long").cast("string") }: _*)
+    val rc = ref.select(cell(ref).as("cell")).groupBy("cell")
+      .agg(count(lit(1)).as("refCnt"))
+    val cc = cur.select(cell(cur).as("cell")).groupBy("cell")
+      .agg(count(lit(1)).as("curCnt"))
+    val all = Window.partitionBy()
+    rc.join(cc, Seq("cell"), "full_outer")
+      .withColumn("refCnt", coalesce(col("refCnt"), lit(0L)))
+      .withColumn("curCnt", coalesce(col("curCnt"), lit(0L)))
+      .withColumn("refP", col("refCnt") / sum("refCnt").over(all))
+      .withColumn("curP", col("curCnt") / sum("curCnt").over(all))
+      .withColumn("score", abs(col("curP") - col("refP")))
+      .withColumn("drift",
+        col("score") > threshold && (col("refCnt") + col("curCnt")) >= minCount)
+  }
+
   /** Drift consensus (sucodr.py:335-360): majority vote across detector
     * boolean columns. */
   def consensus(df: DataFrame, detectorCols: Seq[String], quorum: Int): DataFrame =

@@ -48,6 +48,13 @@ object DriftQueries {
         .select("event_type", "event_id", "tprW", "tprC", "ppvW", "ppvC",
           "maxDev", "drift"))
     }),
+    "q82_density_drift" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      // deterministic two-sample split by event_id parity
+      canon(Drift.localDensityDrift(
+        e.where(col("event_id") % 2 === 0), e.where(col("event_id") % 2 === 1),
+        Seq("value"), Seq(10.0), threshold = 0.002))
+    }),
     "q71_multiattr_zscore" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       val keys = Seq("l_returnflag")
@@ -93,6 +100,21 @@ object DriftQueries {
       .stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    "q82_density_drift" ->
+      """WITH r AS (SELECT CAST(floor(value/10.0) AS BIGINT)::VARCHAR AS cell,
+        |  count(*) AS refCnt FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+        |c AS (SELECT CAST(floor(value/10.0) AS BIGINT)::VARCHAR AS cell,
+        |  count(*) AS curCnt FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT coalesce(r.cell, c.cell) AS cell,
+        |  coalesce(refCnt, 0) AS refCnt, coalesce(curCnt, 0) AS curCnt
+        | FROM r FULL OUTER JOIN c ON r.cell = c.cell),
+        |p AS (SELECT cell, refCnt, curCnt,
+        |  refCnt::DOUBLE / sum(refCnt) OVER () AS refP,
+        |  curCnt::DOUBLE / sum(curCnt) OVER () AS curP FROM j)
+        |SELECT cell, refCnt, curCnt, round(refP, 4) AS refP,
+        | round(curP, 4) AS curP, round(abs(curP - refP), 4) AS score,
+        | (abs(curP - refP) > 0.002 AND refCnt + curCnt >= 5) AS drift
+        |FROM p""".stripMargin.replace("\n", " "),
     "q70_drift_lfr" ->
       s"""WITH $errCte,
          |lab AS (SELECT event_type, event_id, value > 100.0 AS label, err = 1 AS pred FROM es),

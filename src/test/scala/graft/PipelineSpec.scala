@@ -84,6 +84,19 @@ class PipelineSpec extends SparkSpec {
     assert(levels.drop(210).exists(_ == "drift"))
   }
 
+  test("local density drift flags the shifted region, quiet on identical samples") {
+    import graft.drift.Drift
+    val ref = (1 to 2000).map(i => (i % 100).toDouble).toDF("v")
+    val shifted = (1 to 2000).map(i => (i % 100).toDouble + 50.0).toDF("v")
+    val d = Drift.localDensityDrift(ref, shifted, Seq("v"), Seq(10.0), 0.01)
+      .collect().map(r => r.getAs[String]("cell") -> r.getAs[Boolean]("drift")).toMap
+    assert(d.values.exists(identity)) // mass moved between cells
+    assert(d("0") && d("14"))         // ref-only and cur-only extremes drifted
+    val same = Drift.localDensityDrift(ref, ref, Seq("v"), Seq(10.0), 0.01)
+      .collect()
+    assert(same.forall(!_.getAs[Boolean]("drift"))) // identical → no drift
+  }
+
   test("ewma drift detects a level change, none on stationary series") {
     val rows = ((1 to 100).map(i => ("k", i.toLong, 10.0 + (i % 3))) ++
       (101 to 140).map(i => ("k", i.toLong, 25.0))).toDF("k", "seq", "v")
