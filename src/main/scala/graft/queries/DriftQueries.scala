@@ -48,6 +48,15 @@ object DriftQueries {
         .select("event_type", "event_id", "tprW", "tprC", "ppvW", "ppvC",
           "maxDev", "drift"))
     }),
+    "q83_salted_agg" -> ((s, dir) =>
+      // two-phase salted aggregation == direct groupBy (hot-key path);
+      // only exact-algebraic aggregates (integral sums, count, min, max)
+      // so the oracle holds bit-for-bit under any partial grouping
+      graft.core.Skew.saltedAgg(table(s, dir, "lineitem"),
+        Seq("l_returnflag"), salts = 16,
+        Seq(graft.core.Skew.sumOf("l_quantity"), graft.core.Skew.countAll,
+          graft.core.Skew.minOf("l_extendedprice"),
+          graft.core.Skew.maxOf("l_extendedprice")))),
     "q82_density_drift" -> ((s, dir) => {
       val e = table(s, dir, "events")
       // deterministic two-sample split by event_id parity
@@ -100,6 +109,11 @@ object DriftQueries {
       .stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    "q83_salted_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity,
+        | count(*) AS cnt, min(l_extendedprice) AS min_l_extendedprice,
+        | max(l_extendedprice) AS max_l_extendedprice
+        |FROM lineitem GROUP BY 1""".stripMargin.replace("\n", " "),
     "q82_density_drift" ->
       """WITH r AS (SELECT CAST(floor(value/10.0) AS BIGINT)::VARCHAR AS cell,
         |  count(*) AS refCnt FROM events WHERE event_id % 2 = 0 GROUP BY 1),
