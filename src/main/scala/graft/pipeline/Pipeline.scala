@@ -106,6 +106,32 @@ object ConfigRunner {
     }
   }
 
+  /** Sequence-job dispatch (seq/MarkovChainPredictor.scala config surface):
+    * `predictor.model=markovChainProb` with `seq.fieldOrd`, `state.fieldOrd`,
+    * `window.size`, `markov.metric` (condProb/missProb/missRate/
+    * entropyReduction). The transition model fits from the data itself when
+    * no pre-fitted `model` DataFrame is supplied (the reference trains it
+    * in a separate avenir job). */
+  def runSequence(spark: SparkSession, data: DataFrame,
+      conf: Map[String, String], model: Option[DataFrame] = None): DataFrame = {
+    def ints(p: String): Seq[Int] =
+      conf(p).split(",").map(_.trim.toInt).toSeq
+    val keyCols = columnsByOrdinal(data, ints("id.fieldOrdinals"))
+    val seqCol = data.columns(conf("seq.fieldOrd").toInt)
+    conf("predictor.model") match {
+      case "markovChainProb" =>
+        val stateCol = data.columns(conf("state.fieldOrd").toInt)
+        val trans = model.getOrElse(
+          graft.model.Fitters.markovTransitions(data, keyCols, seqCol, stateCol,
+            smoothing = conf.getOrElse("laplace.smoothing", "0.5").toDouble))
+        graft.seq.SeqOps.markovChainScore(data, trans, keyCols, seqCol, stateCol,
+          window = conf.getOrElse("window.size", "5").toInt,
+          metric = conf.getOrElse("markov.metric", "condProb"),
+          threshold = conf("score.threshold").toDouble)
+      case other => throw new IllegalArgumentException(s"unknown sequence predictor.model $other")
+    }
+  }
+
   /** Parse a reference .properties/.conf-style text blob. */
   def fromProperties(text: String): Map[String, String] =
     text.linesIterator

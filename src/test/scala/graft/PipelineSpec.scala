@@ -59,6 +59,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("config runner dispatches the markov sequence job") {
+    val data = core.table(spark, sfDir, "events")
+      .select("user_id", "event_id", "event_type") // 0=key, 1=seq, 2=state
+    val conf = ConfigRunner.fromProperties(
+      """predictor.model=markovChainProb
+        |id.fieldOrdinals=[0]
+        |seq.fieldOrd=1
+        |state.fieldOrd=2
+        |window.size=3
+        |score.threshold=5.0
+        |""".stripMargin)
+    val out = ConfigRunner.runSequence(spark, data, conf)
+    assert(out.columns.contains("score") && out.columns.contains("tag"))
+    assert(out.limit(5).count() > 0)
+  }
+
   test("zscore pipeline composes fit/score/filter/count without file handoffs") {
     val data = core.table(spark, sfDir, "events")
     val r = Pipeline.zscorePipeline(data, Seq("event_type"), Seq("value"), 2.0)
