@@ -16,15 +16,21 @@ class StreamSpec extends SparkSpec {
     val scored = StreamScorers.zscoreStream(
       in.toDF().toDF("k", "v"), stats, Seq("k"), "v", threshold = 3.0)
     val q = scored.writeStream.format("memory").queryName("zs").outputMode("append").start()
+    val alertQ = StreamScorers.alerts(scored, threshold = 3.0)
+      .writeStream.format("memory").queryName("zsa").outputMode("append").start()
     in.addData(("a", 10.0), ("a", 20.0), ("b", 101.0), ("c", 5.0))
     q.processAllAvailable()
+    alertQ.processAllAvailable()
     val rows = spark.table("zs").collect()
       .map(r => (r.getAs[String]("k"), r.getAs[Double]("v")) -> r.getAs[String]("tag")).toMap
-    q.stop()
+    val alerts = spark.table("zsa").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Double]("v")))
+    q.stop(); alertQ.stop()
     assert(rows(("a", 10.0)) == "N")
     assert(rows(("a", 20.0)) == "O")   // z = 5
     assert(rows(("b", 101.0)) == "N")
     assert(rows(("c", 5.0)) == "I")    // no model for key c
+    assert(alerts.toSeq == Seq(("a", 20.0))) // only the outlier reaches the alert sink
   }
 
   test("windowed stats aggregate per event-time window with watermark") {
