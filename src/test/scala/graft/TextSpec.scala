@@ -133,6 +133,33 @@ class TextSpec extends SparkSpec {
     assert(top.head.getAs[Double]("cos") > 0.99)
   }
 
+  test("int8 quantization: small reconstruction error, top-k recall >= 0.9") {
+    val e = core.table(spark, sfDir, "embeddings")
+    val q = Similarity.quantizeInt8(e, "vec_id", "embedding")
+    // per-element reconstruction error ≤ scale/2 (half a quantization step)
+    val errs = Similarity.dequantizeInt8(q, "vec_id")
+      .join(e.select($"vec_id", $"embedding"), "vec_id")
+      .select(aggregate(
+        zip_with($"vec", transform($"embedding", x => x.cast("double")),
+          (a, b) => abs(a - b)),
+        lit(0.0), (acc, x) => greatest(acc, x)).as("maxErr"),
+        $"vec_id")
+      .join(q.select($"vec_id", $"scale"), "vec_id")
+      .where($"maxErr" > $"scale" * 0.5 + 1e-12)
+    assert(errs.count() == 0)
+    // ranking survives quantization: top-10 recall vs exact
+    val queries = e.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deq = Similarity.dequantizeInt8(q, "vec_id")
+      .withColumnRenamed("vec", "embedding")
+    val approx = Similarity.bruteForceTopK(
+      deq.where($"vec_id" < 10), deq, "vec_id", "embedding", 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("lsh near-dup finds what brute force finds (high threshold)") {
     val rng = new scala.util.Random(7)
     val base = Array.fill(16)(rng.nextGaussian().toFloat)
