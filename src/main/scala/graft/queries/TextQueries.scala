@@ -54,6 +54,9 @@ object TextQueries {
       TextOps.winnow(docs(s, dir), "doc_id", "text", k = 3, winSize = 4)),
     "q78_tfidf" -> ((s, dir) =>
       canon(TextOps.tfidf(docs(s, dir), "doc_id", "text", topK = 5))),
+    "q84_winnow_pairs" -> ((s, dir) =>
+      TextOps.winnowPairs(docs(s, dir), "doc_id", "text", k = 3, winSize = 4,
+        minShared = 3L)),
     // the end-to-end curation composition: quality gate ∧ language gate ∧
     // near-dup survivorship — the operators composing as one DataFrame flow
     "q81_corpus_curation" -> ((s, dir) => {
@@ -253,6 +256,21 @@ object TextQueries {
          |JOIN lang ON d.doc_id = lang.doc_id
          |WHERE qual.rawq >= 0.5 AND lang.predLang = 'en'
          | AND d.doc_id IN (SELECT DISTINCT cluster FROM comp)"""
+        .stripMargin.replace("\n", " "),
+    "q84_winnow_pairs" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(t) >= 3
+         |  THEN list_transform(range(1, len(t)-1),
+         |       i -> ${h56("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")})
+         |  ELSE [] END AS h FROM tk),
+         |m AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN []
+         |  WHEN len(h) <= 4 THEN [list_min(h)]
+         |  ELSE list_transform(range(1, len(h)-2), i -> list_min(h[i:i+3]))
+         |  END AS mins FROM g),
+         |fp AS (SELECT DISTINCT doc_id, unnest(mins) AS fp FROM m)
+         |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS sharedFp
+         |FROM fp l JOIN fp r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3"""
         .stripMargin.replace("\n", " "),
     "q75_dup_clusters" ->
       s"""$clusterSql SELECT id, cluster FROM comp""",

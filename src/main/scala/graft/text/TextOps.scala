@@ -246,6 +246,19 @@ object TextOps {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
   }
 
+  /** Overlap candidate pairs from winnowing fingerprints: docs sharing at
+    * least `minShared` selected hashes (a < b). The per-fingerprint join
+    * is bounded by fingerprint-bucket sizes, like the LSH-band join. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, winSize: Int, minShared: Long): DataFrame = {
+    val fp = winnow(docs, idCol, textCol, k, winSize)
+    val l = fp.select(col("fp"), col(idCol).as("a"))
+    val r = fp.select(col("fp"), col(idCol).as("b"))
+    l.join(r, "fp").where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("sharedFp"))
+      .where(col("sharedFp") >= minShared)
+  }
+
   /** Language markers for the stopword-ratio language id heuristic. */
   val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
