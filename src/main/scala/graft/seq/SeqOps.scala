@@ -186,9 +186,13 @@ object SeqOps {
     val stat = when(den > 0, diff / den)
       .when(diff > 0, lit(Double.PositiveInfinity))
       .otherwise(lit(0.0))
+    // frame fullness from row position, not frame-count windows — bounded
+    // sliding counts recompute O(window) per row, row_number is O(1)
+    val n = count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*))
+    val rn = row_number().over(w)
     data
-      .withColumn("cnt_l", count(x).over(left))
-      .withColumn("cnt_r", count(x).over(right))
+      .withColumn("cnt_l", least(rn - 1, lit(window)))
+      .withColumn("cnt_r", least(n - rn + 1, lit(window)))
       .withColumn("stat", stat)
       .where(col("cnt_l") === window && col("cnt_r") === window &&
         col("stat") >= critValue)
