@@ -36,7 +36,9 @@ object ScaleProbe {
       println(f"[scale] $op%-16s x$n rows=$rows%9d out=$out%9d ${s}%6.2f s ${rows / s / 1e6}%6.2f Mrows/s")
     }
 
-    for (n <- Seq(1, 2, 4)) {
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,2,4")
+      .split(",").map(_.trim.toInt).toSeq
+    for (n <- scales) {
       val ev = scaled("events", Seq("event_id", "user_id"), n)
       val nEv = ev.count()
       time("zscore_fit_score", n, nEv) {
