@@ -14,11 +14,20 @@ import org.apache.spark.sql.functions._
   * would lose nanosecond precision and flip floor at boundaries. */
 object Seasonal {
 
+  /** Seconds-divisor for a timestamp unit — the reference's `time.inMili`
+    * config generalized (and.conf:10-11); driver parquet carries nanos. */
+  private def divisor(unit: String): Long = unit match {
+    case "nanos" => 1000000000L
+    case "millis" => 1000L
+    case "sec" => 1L
+    case other => throw new IllegalArgumentException(s"unknown ts unit $other")
+  }
+
   /** Cycle index for a reference cycle type name. Day/week arithmetic is
     * UTC; epoch day 0 (1970-01-01) was a Thursday → dayOfWeek 0=Monday
     * matches (epochDay + 3) mod 7. */
-  def cycleIndex(tsCol: String, cycleType: String): Column = {
-    val sec = s"($tsCol div 1000000000)"
+  def cycleIndex(tsCol: String, cycleType: String, unit: String = "nanos"): Column = {
+    val sec = s"($tsCol div ${divisor(unit)})"
     cycleType match {
       case "hourOfDay" => expr(s"($sec div 3600) % 24")
       case "dayOfWeek" => expr(s"(($sec div 86400) + 3) % 7")
@@ -32,7 +41,8 @@ object Seasonal {
 
   /** Append (cycleType, cycleIndex) columns — the seasonal key extension:
     * downstream fit/score key = idCols :+ "cycleType" :+ "cycleIndex". */
-  def withCycle(df: DataFrame, tsCol: String, cycleType: String): DataFrame =
+  def withCycle(df: DataFrame, tsCol: String, cycleType: String,
+      unit: String = "nanos"): DataFrame =
     df.withColumn("cycleType", lit(cycleType))
-      .withColumn("cycleIndex", cycleIndex(tsCol, cycleType))
+      .withColumn("cycleIndex", cycleIndex(tsCol, cycleType, unit))
 }
