@@ -79,7 +79,7 @@ object Winnow {
     if (m < k) return new GenericArrayData(Array.empty[Long])
     val n = m - k + 1
     val hs = new Array[Long](n)
-    val md = MessageDigest.getInstance("MD5")
+    val md = MinHashSig.md5.get()
     val sep = ' '.toByte
     var i = 0
     while (i < n) {
@@ -129,6 +129,12 @@ object MinHashSig {
   /** Mersenne prime modulus; (2³¹−1)² < 2⁶³ keeps a·x+b inside int64. */
   val P: Long = 2147483647L
 
+  /** MessageDigest.getInstance does a provider lookup — per-task, not
+    * per-row (expressions evaluate on many rows per thread). */
+  private[expr] val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
   /** Deterministic affine-permutation constants (same series as
     * TextOps.hashParams / the oracle SQL literals). */
   def hashParams(numHashes: Int): Seq[(Long, Long)] =
@@ -143,7 +149,7 @@ object MinHashSig {
     if (nTok < n) return new GenericArrayData(Array.empty[Long])
     val nh = a.length
     val minima = Array.fill(nh)(Long.MaxValue)
-    val md = MessageDigest.getInstance("MD5")
+    val md = md5.get()
     val sep = ' '.toByte
     var i = 0
     while (i <= nTok - n) {
