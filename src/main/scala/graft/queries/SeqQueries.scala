@@ -89,6 +89,27 @@ object SeqQueries {
     "q27_one_step_ahead_fb" -> ((s, dir) =>
       canon(SeriesKernels.oneStepAhead(ev(s, dir), Seq("user_id"), "event_id",
         "value", window = 10, threshold = 3.0).toDF())),
+    "q85_seq_similarity" -> ((s, dir) => {
+      // sequence matchers (SequenceMatcher.java:58-110) as a query: each
+      // user's event-type sequence vs the next user's (rows-only check —
+      // LCS is not SQL-expressible). Sequences stay distributed; the
+      // matcher kernels run as UDFs over the paired state arrays.
+      val posSim = udf((a: Seq[String], b: Seq[String]) =>
+        SeriesKernels.positionalSimilarity(a, b))
+      val lcsSim = udf((a: Seq[String], b: Seq[String]) =>
+        SeriesKernels.lcsSimilarity(a, b))
+      val seqs = ev(s, dir).where(col("user_id") <= 20)
+        .groupBy("user_id")
+        .agg(transform(
+          sort_array(collect_list(struct(col("event_id"), col("event_type")))),
+          x => x.getField("event_type")).as("states"))
+      val a = seqs.select(col("user_id").as("a"), col("states").as("sa"))
+      val b = seqs.select(col("user_id").as("b"), col("states").as("sb"))
+      a.join(b, col("b") === col("a") + 1)
+        .select(col("a"), col("b"),
+          posSim(col("sa"), col("sb")).as("posSim"),
+          lcsSim(col("sa"), col("sb")).as("lcsSim"))
+    }),
     "q28_ngram_freq" -> ((s, dir) =>
       canon(SeriesKernels.ngramFrequency(ev(s, dir), Seq("user_id"), "event_id",
         "value", numBuckets = 4, n = 2, window = 20).toDF())),
