@@ -20,19 +20,26 @@ package object core {
   // memoize the (immutable) logical plan per session+path: each
   // spark.read.parquet builds a fresh FileIndex (directory listing +
   // footer schema read) — measurable fixed cost when a session runs the
-  // whole query suite against the same tables. Weak keys: entries die
-  // with their session (identity-based would risk stale plans bound to a
-  // stopped SparkContext after hash reuse)
-  private val tableCache =
-    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, DataFrame]]()
+  // whole query suite against the same tables. Weak keys alone would
+  // never evict (the cached DataFrames strongly reference their session,
+  // pinning the key); holding the inner map softly breaks that cycle —
+  // under memory pressure the plans are dropped, the session becomes
+  // weakly reachable, and the entry dies.
+  private val tableCache = new java.util.WeakHashMap[
+    SparkSession, java.lang.ref.SoftReference[collection.mutable.Map[String, DataFrame]]]()
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
     val path = s"$sfDir/$name.parquet"
     tableCache.synchronized {
-      tableCache.computeIfAbsent(spark, _ => collection.mutable.Map.empty)
-        .getOrElseUpdate(path, spark.read.parquet(path))
+      val ref = tableCache.get(spark)
+      val inner = Option(ref).flatMap(r => Option(r.get)).getOrElse {
+        val m = collection.mutable.Map.empty[String, DataFrame]
+        tableCache.put(spark, new java.lang.ref.SoftReference(m))
+        m
+      }
+      inner.getOrElseUpdate(path, spark.read.parquet(path))
     }
   }
 
@@ -102,12 +109,17 @@ package object core {
     * HALF_UP on the shortest decimal string): DuckDB rounds the float
     * product (std::round(x·10^p)/10^p), and the two disagree on
     * exact-half decimals (e.g. avg over 16 rows → 44.06625). Replicate
-    * DuckDB's arithmetic bit-for-bit: half away from zero on x·10^p. */
+    * DuckDB's arithmetic bit-for-bit: half away from zero on x·10^p.
+    * Signed zero is normalized to +0.0: a value that differs from the
+    * oracle's only below the rounding threshold must not leak its sign
+    * through the hash compare (the oracle SQL normalizes the same way
+    * where a -0.0 can arise). */
   def roundLikeDuck(c: Column, p: Int): Column = {
     val f = math.pow(10, p)
-    when(c.isNull, c)
+    val r = when(c.isNull, c)
       .when(c >= 0, floor(c * f + 0.5) / f)
       .otherwise(-floor(-c * f + 0.5) / f)
+    when(r === 0.0, lit(0.0)).otherwise(r)
   }
 
   def canon(df: DataFrame, p: Int = 4): DataFrame = {

@@ -112,5 +112,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => MinHashSig(es(0),
         es(1).eval().asInstanceOf[Number].intValue(),
         es(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(classOf[Winnow].getName, "winnow_fp"),
+      (es: Seq[Expression]) => Winnow(es(0),
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue())))
   }
 }

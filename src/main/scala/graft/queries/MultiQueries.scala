@@ -121,9 +121,9 @@ object MultiQueries {
     "q36_outlier_counter" ->
       s"""WITH $zCte
          |SELECT event_type,
-         | sum(CASE WHEN tag='O' THEN 1 ELSE 0 END) AS nO,
-         | sum(CASE WHEN tag='N' THEN 1 ELSE 0 END) AS nN,
-         | sum(CASE WHEN tag='I' THEN 1 ELSE 0 END) AS nI,
+         | sum(CASE WHEN tag='O' THEN 1 ELSE 0 END)::BIGINT AS nO,
+         | sum(CASE WHEN tag='N' THEN 1 ELSE 0 END)::BIGINT AS nN,
+         | sum(CASE WHEN tag='I' THEN 1 ELSE 0 END)::BIGINT AS nI,
          | count(*) AS total,
          | round(sum(CASE WHEN tag='O' THEN 1 ELSE 0 END) / count(*)::DOUBLE * 100.0, 4) AS pctO
          |FROM z GROUP BY event_type""".stripMargin.replace("\n", " "),

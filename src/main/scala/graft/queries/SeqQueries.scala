@@ -200,7 +200,7 @@ object SeqQueries {
          |  sw AS (PARTITION BY user_id ORDER BY event_id
          |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
          |g AS (SELECT *, CASE WHEN z IS NOT NULL AND z > 2.0 THEN 1 ELSE 0 END AS shifted FROM f)
-         |SELECT user_id, event_id, round(score,4) AS score, round(z,4) AS z,
+         |SELECT user_id, event_id, round(score,4) AS score, round(z,4) + 0.0 AS z,
          | CASE WHEN max(shifted) OVER (PARTITION BY user_id ORDER BY event_id
          |   ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) = 1 THEN 'O' ELSE tag END AS tag
          |FROM g""".stripMargin.replace("\n", " "),
@@ -236,7 +236,7 @@ object SeqQueries {
         |  count(value) OVER lw AS cnt_l, count(value) OVER rw AS cnt_r,
         |  abs(avg(value) OVER rw - avg(value) OVER lw) /
         |   sqrt(var_samp(value) OVER lw / 30.0 + var_samp(value) OVER rw / 30.0) AS stat
-        | FROM events
+        | FROM events WHERE value IS NOT NULL
         | WINDOW lw AS (PARTITION BY event_type ORDER BY event_id
         |   ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING),
         |  rw AS (PARTITION BY event_type ORDER BY event_id

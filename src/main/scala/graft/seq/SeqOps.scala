@@ -180,6 +180,10 @@ object SeqOps {
     val left = w.rowsBetween(-window, -1)
     val right = w.rowsBetween(0, window - 1)
     val x = col(valCol)
+    // drop null values up front so the row-position fullness counts below
+    // agree with count-of-non-null semantics (avg/var_samp skip nulls; a
+    // null row must not count toward frame fullness)
+    val data0 = data.where(x.isNotNull)
     // ANSI mode: guard the denominator (constant windows → zero variance)
     val den = sqrt(var_samp(x).over(left) / window + var_samp(x).over(right) / window)
     val diff = abs(avg(x).over(right) - avg(x).over(left))
@@ -190,7 +194,7 @@ object SeqOps {
     // sliding counts recompute O(window) per row, row_number is O(1)
     val n = count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*))
     val rn = row_number().over(w)
-    data
+    data0
       .withColumn("cnt_l", least(rn - 1, lit(window)))
       .withColumn("cnt_r", least(n - rn + 1, lit(window)))
       .withColumn("stat", stat)

@@ -131,11 +131,15 @@ object StreamScorers {
     * bucket that already has members — the streaming face of the batch
     * `TextOps.minhashPairs`. Bucket membership is capped at `maxBucket`
     * (degenerate buckets are dropped from pairing — standard dedup
-    * practice, and the state-size bound). Pairs may repeat across bands;
+    * practice, and the per-bucket state-size bound). The number of bucket
+    * groups is bounded by `idleTtlMs`: a bucket that receives no doc for
+    * that long is evicted via ProcessingTimeTimeout, so state no longer
+    * grows without bound over the stream's lifetime (timeouts are inert
+    * when executed as a batch query). Pairs may repeat across bands;
     * dedup downstream if exactness is needed. */
   def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int, bandSize: Int,
-      maxBucket: Int = 1024): Dataset[PairHit] = {
+      maxBucket: Int = 1024, idleTtlMs: Long = 6L * 3600 * 1000): Dataset[PairHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.expr.GraftFunctions.register(spark)
@@ -150,21 +154,28 @@ object StreamScorers {
       .as(Seq("band", "bucket")))
     bands.as[(Long, Int, String)]
       .groupByKey { case (_, band, bucket) => (band, bucket) }
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
         (key: (Int, String), it: Iterator[(Long, Int, String)],
             gs: GroupState[List[Long]]) => {
-          var seen = gs.getOption.getOrElse(Nil)
-          val out = collection.mutable.Buffer[PairHit]()
-          it.foreach { case (id, band, _) =>
-            if (!seen.contains(id)) {
-              if (seen.size < maxBucket) {
+          if (gs.hasTimedOut) {
+            gs.remove()
+            Iterator.empty
+          } else {
+            val stored = gs.getOption.getOrElse(Nil)
+            var seen = stored.toSet
+            var order = stored
+            val out = collection.mutable.Buffer[PairHit]()
+            it.foreach { case (id, band, _) =>
+              if (!seen.contains(id) && seen.size < maxBucket) {
                 seen.foreach(s => out += PairHit(math.min(s, id), math.max(s, id), band))
-                seen = id :: seen
+                seen += id
+                order = id :: order
               }
             }
+            gs.update(order)
+            gs.setTimeoutDuration(idleTtlMs)
+            out.iterator
           }
-          gs.update(seen)
-          out.iterator
         })
   }
 
