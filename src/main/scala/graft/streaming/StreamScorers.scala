@@ -131,15 +131,20 @@ object StreamScorers {
     * bucket that already has members — the streaming face of the batch
     * `TextOps.minhashPairs`. Bucket membership is capped at `maxBucket`
     * (degenerate buckets are dropped from pairing — standard dedup
-    * practice, and the per-bucket state-size bound). The number of bucket
-    * groups is bounded by `idleTtlMs`: a bucket that receives no doc for
-    * that long is evicted via ProcessingTimeTimeout, so state no longer
-    * grows without bound over the stream's lifetime (timeouts are inert
-    * when executed as a batch query). Pairs may repeat across bands;
+    * practice, and the per-bucket state-size bound). Idle-bucket eviction
+    * is opt-in: `idleTtlMs > 0` registers a ProcessingTimeTimeout that
+    * removes a bucket's state after that long without arrivals, bounding
+    * total state over the stream's lifetime. The default is 0 = NoTimeout
+    * because a registered processing-time timeout makes the micro-batch
+    * engine's `shouldRunAnotherBatch` permanently true — the query then
+    * busy-loops empty micro-batches between data arrivals (and
+    * `processAllAvailable()` never returns in tests); only enable the TTL
+    * under a non-zero `Trigger.ProcessingTime`, where batches are paced
+    * and the eviction actually runs. Pairs may repeat across bands;
     * dedup downstream if exactness is needed. */
   def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int, bandSize: Int,
-      maxBucket: Int = 1024, idleTtlMs: Long = 6L * 3600 * 1000): Dataset[PairHit] = {
+      maxBucket: Int = 1024, idleTtlMs: Long = 0L): Dataset[PairHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.expr.GraftFunctions.register(spark)
@@ -152,9 +157,12 @@ object StreamScorers {
       transform(sequence(lit(0), lit(nBands - 1)),
         b => array_join(slice(col("sig"), b * bandSize + 1, lit(bandSize)), ":")))
       .as(Seq("band", "bucket")))
+    val timeoutConf =
+      if (idleTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     bands.as[(Long, Int, String)]
       .groupByKey { case (_, band, bucket) => (band, bucket) }
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
         (key: (Int, String), it: Iterator[(Long, Int, String)],
             gs: GroupState[List[Long]]) => {
           if (gs.hasTimedOut) {
@@ -173,7 +181,7 @@ object StreamScorers {
               }
             }
             gs.update(order)
-            gs.setTimeoutDuration(idleTtlMs)
+            if (idleTtlMs > 0) gs.setTimeoutDuration(idleTtlMs)
             out.iterator
           }
         })

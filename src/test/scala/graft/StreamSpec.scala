@@ -89,6 +89,19 @@ class StreamSpec extends SparkSpec {
     assert(hits.nonEmpty && hits.forall(h => h.a == 1L && h.b == 3L)) // cross-batch state
   }
 
+  test("near-dup opt-in TTL path pairs twins when run as a batch query") {
+    // idleTtlMs > 0 registers ProcessingTimeTimeout; executed as a batch
+    // query the timeout is inert, so this pins the TTL code path without
+    // a streaming busy-loop (the default-0 streaming path is covered above)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about distributed query engines"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val hits = StreamScorers.nearDupStream(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bandSize = 4, idleTtlMs = 60000L).collect()
+    assert(hits.nonEmpty && hits.forall(h => h.a == 1L && h.b == 3L))
+  }
+
   test("ddm stream flags drift after an error burst, state survives batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[ErrEvent]
