@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 
 /** Queries + oracles for the concept-drift family (§2.9). Error stream =
   * outlier indicator from the z-score pipeline, per event_type over
-  * event_id order. EWMA drift is a per-key recurrence → rows-only. */
+  * event_id order. EWMA drift is a per-key recurrence — its oracle runs
+  * the recurrence as a DuckDB recursive CTE. */
 object DriftQueries {
 
   private def errStream(s: SparkSession, dir: String): DataFrame =
@@ -109,6 +110,27 @@ object DriftQueries {
       .stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    // ECDD EWMA (sucodr.py:281-325): the per-key recurrence
+    // z_i = λ·x_i + (1−λ)·z_{i−1} runs as a DuckDB recursive CTE (one row
+    // per key per step); running mean/std are cumulative window aggregates.
+    "q66_drift_ewma" ->
+      """WITH RECURSIVE e AS (SELECT event_type::VARCHAR AS key,
+        |  event_id AS seq, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+        | FROM events),
+        |r AS (
+        | SELECT key, seq, value, rn, value AS z FROM e WHERE rn = 1
+        | UNION ALL
+        | SELECT e.key, e.seq, e.value, e.rn, 0.1 * e.value + 0.9 * r.z AS z
+        | FROM r JOIN e ON e.key = r.key AND e.rn = r.rn + 1),
+        |s AS (SELECT key, seq, value, z, rn,
+        |  avg(value) OVER cum AS mean, stddev_samp(value) OVER cum AS sd
+        | FROM r
+        | WINDOW cum AS (PARTITION BY key ORDER BY seq
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT key, seq, round(value,4) AS value, round(z,4) AS ewma,
+        | (rn > 30 AND sd > 0 AND abs(z - mean) > 3.0 * sd * sqrt(0.1 / 1.9)) AS drift
+        |FROM s""".stripMargin.replace("\n", " "),
     "q83_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity,
         | count(*) AS cnt, min(l_extendedprice) AS min_l_extendedprice,

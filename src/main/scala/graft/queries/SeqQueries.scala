@@ -15,6 +15,20 @@ object SeqQueries {
 
   private def ev(s: SparkSession, dir: String) = table(s, dir, "events")
 
+  /** Adjacent-user pairs of event-type sequences (users ≤ 20), each
+    * sequence ordered by (event_id, event_type) — shared by the two
+    * sequence-matcher queries. */
+  private def seqPairs(s: SparkSession, dir: String): DataFrame = {
+    val seqs = ev(s, dir).where(col("user_id") <= 20)
+      .groupBy("user_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("event_id"), col("event_type")))),
+        x => x.getField("event_type")).as("states"))
+    val a = seqs.select(col("user_id").as("a"), col("states").as("sa"))
+    val b = seqs.select(col("user_id").as("b"), col("states").as("sb"))
+    a.join(b, col("b") === col("a") + 1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_markov_fit" -> ((s, dir) =>
       canon(Fitters.markovTransitions(ev(s, dir), Seq("user_id"), "event_id",
@@ -89,26 +103,26 @@ object SeqQueries {
     "q27_one_step_ahead_fb" -> ((s, dir) =>
       canon(SeriesKernels.oneStepAhead(ev(s, dir), Seq("user_id"), "event_id",
         "value", window = 10, threshold = 3.0).toDF())),
-    "q85_seq_similarity" -> ((s, dir) => {
-      // sequence matchers (SequenceMatcher.java:58-110) as a query: each
-      // user's event-type sequence vs the next user's (rows-only check —
-      // LCS is not SQL-expressible). Sequences stay distributed; the
-      // matcher kernels run as UDFs over the paired state arrays.
-      val posSim = udf((a: Seq[String], b: Seq[String]) =>
-        SeriesKernels.positionalSimilarity(a, b))
+    "q85a_seq_positional" -> ((s, dir) => {
+      // positional sequence matcher (SequenceMatcher.java:58-79) as a
+      // query: each user's event-type sequence vs the next user's.
+      // Pure built-ins (zip_with + filter over the paired state arrays)
+      // — SQL-expressible, so it carries a full DuckDB oracle.
+      val paired = seqPairs(s, dir)
+      canon(paired.select(col("a"), col("b"),
+        (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          h => h)).cast("double") /
+          greatest(size(col("sa")), size(col("sb")))).as("posSim")))
+    }),
+    "q85b_seq_lcs" -> ((s, dir) => {
+      // LCS sequence matcher (SequenceMatcher.java:81-110): the DP kernel
+      // runs as a UDF over the paired state arrays (no SQL equivalent →
+      // rows-only driver check; SeqSpec pins the math).
       val lcsSim = udf((a: Seq[String], b: Seq[String]) =>
         SeriesKernels.lcsSimilarity(a, b))
-      val seqs = ev(s, dir).where(col("user_id") <= 20)
-        .groupBy("user_id")
-        .agg(transform(
-          sort_array(collect_list(struct(col("event_id"), col("event_type")))),
-          x => x.getField("event_type")).as("states"))
-      val a = seqs.select(col("user_id").as("a"), col("states").as("sa"))
-      val b = seqs.select(col("user_id").as("b"), col("states").as("sb"))
-      a.join(b, col("b") === col("a") + 1)
-        .select(col("a"), col("b"),
-          posSim(col("sa"), col("sb")).as("posSim"),
-          lcsSim(col("sa"), col("sb")).as("lcsSim"))
+      val paired = seqPairs(s, dir)
+      canon(paired.select(col("a"), col("b"),
+        lcsSim(col("sa"), col("sb")).as("lcsSim")))
     }),
     "q28_ngram_freq" -> ((s, dir) =>
       canon(SeriesKernels.ngramFrequency(ev(s, dir), Seq("user_id"), "event_id",
@@ -142,6 +156,63 @@ object SeqQueries {
       .stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    // two-sample KS changepoint (misc/ChangePointDetector.scala:108-139):
+    // for each position with full 50-row flanking windows, D = max ECDF
+    // gap over the union of both windows; RANGE frame consumes tie groups
+    // exactly like the kernel's merge walk. Emit positions with D ≥ 0.25.
+    "q25_changepoint_ks" ->
+      """WITH e AS (SELECT event_type::VARCHAR AS key, event_id AS seq, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY event_id, value) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events),
+        |w AS (SELECT i.key, i.rn AS c, i.seq, i.value,
+        |  CASE WHEN j.rn < i.rn THEN 0 ELSE 1 END AS src, j.value AS v
+        | FROM e i JOIN e j ON i.key = j.key AND j.rn BETWEEN i.rn - 50 AND i.rn + 49
+        | WHERE i.rn > 50 AND i.rn + 49 <= i.n),
+        |g AS (SELECT key, c, seq, value,
+        |  abs(sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) OVER cw / 50.0
+        |    - sum(src) OVER cw / 50.0) AS gap
+        | FROM w
+        | WINDOW cw AS (PARTITION BY key, c ORDER BY v
+        |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT key, c, seq, value, max(gap) AS score FROM g GROUP BY 1, 2, 3, 4)
+        |SELECT key, seq, round(value,4) AS value, round(score,4) AS score
+        |FROM d WHERE score >= 0.25""".stripMargin.replace("\n", " "),
+    // subsequence discord (seq/SubSequenceDistanceDetector.scala:193-216):
+    // per window start, min RMS distance to every window ≥ 8 apart —
+    // quadratic self-join over window-value lists (fine at sf0.01).
+    "q26_subseq_discord" ->
+      """WITH e AS (SELECT user_id::VARCHAR AS key, event_id AS seq, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id, value) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n
+        | FROM events),
+        |w AS (SELECT key, seq, value, rn, n,
+        |  list(value) OVER (PARTITION BY key ORDER BY rn
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win
+        | FROM e),
+        |v AS (SELECT * FROM w WHERE rn + 7 <= n),
+        |p AS (SELECT a.key, a.seq, a.value,
+        |  min(list_sum(list_transform(range(8),
+        |    t -> (a.win[t+1] - b.win[t+1]) * (a.win[t+1] - b.win[t+1])))) AS best
+        | FROM v a JOIN v b ON a.key = b.key AND abs(a.rn - b.rn) >= 8
+        | GROUP BY 1, 2, 3)
+        |SELECT key, seq, round(value,4) AS value,
+        | round(sqrt(best / 8.0),4) AS score FROM p"""
+        .stripMargin.replace("\n", " "),
+    "q85a_seq_positional" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY event_id, event_type) AS pos
+        | FROM events WHERE user_id <= 20),
+        |n AS (SELECT user_id, count(*) AS len FROM s GROUP BY 1),
+        |eq AS (SELECT a.user_id AS a, b.user_id AS b,
+        |  sum(CASE WHEN a.event_type = b.event_type THEN 1 ELSE 0 END) AS hits
+        | FROM s a JOIN s b ON b.user_id = a.user_id + 1 AND a.pos = b.pos
+        | GROUP BY 1, 2)
+        |SELECT e.a, e.b,
+        | round(e.hits / greatest(na.len, nb.len)::DOUBLE, 4) AS posSim
+        |FROM eq e JOIN n na ON na.user_id = e.a JOIN n nb ON nb.user_id = e.b"""
+        .stripMargin.replace("\n", " "),
     "q73_asof_join" ->
       """WITH snap AS (SELECT event_type,
         |  (epoch_ns(ts) // 3600000000000) * 3600000000000 AS sts,
