@@ -127,6 +127,12 @@ object SeqQueries {
     "q28_ngram_freq" -> ((s, dir) =>
       canon(SeriesKernels.ngramFrequency(ev(s, dir), Seq("user_id"), "event_id",
         "value", numBuckets = 4, n = 2, window = 20).toDF())),
+    "q86_osa_resid_stats" -> ((s, dir) =>
+      // one-step-ahead residual-stats side output (rows-only: the
+      // replace-on-outlier feedback recurrence is not SQL-expressible;
+      // SeqSpec pins the math against an independent replay)
+      canon(SeriesKernels.oneStepAheadResidStats(ev(s, dir), Seq("user_id"),
+        "event_id", "value", window = 10, threshold = 3.0).toDF())),
   )
 
   // transitions + smoothed probabilities, per-user sequences, global model

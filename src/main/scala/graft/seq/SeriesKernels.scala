@@ -303,29 +303,79 @@ object SeriesKernels {
       data: DataFrame, keyCols: Seq[String], seqCol: String, valCol: String,
       window: Int, threshold: Double): Dataset[SScore] = {
     run(data, keyCols, seqCol, valCol) { (k, pts) =>
-      val buf = new Array[Double](window)
-      var filled = 0
-      var residSum = 0.0
-      var residSq = 0.0
-      var residN = 0
-      pts.iterator.map { p =>
-        var score = 0.0
-        var store = p.value
-        if (filled >= window) {
-          val pred = buf.sum / window
-          val resid = p.value - pred
-          val std =
-            if (residN > 1) math.sqrt((residSq - residSum * residSum / residN) / (residN - 1))
-            else 0.0
-          score = if (std > 0) math.abs(resid) / std else 0.0
-          residSum += resid; residSq += resid * resid; residN += 1
-          if (score > threshold) store = pred // feedback: replace outlier
-        }
-        buf(filled % window) = store
-        filled += 1
-        SScore(k, p.seq, p.value, score)
-      }
+      val (scores, _) = osaWalk(pts, window, threshold)
+      Iterator.tabulate(pts.length)(i => SScore(k, pts(i).seq, pts(i).value, scores(i)))
     }
+  }
+
+  case class ResidStat(key: String, n: Long, mean: Double, std: Double)
+
+  /** Residual-stats side output of the one-step-ahead predictor
+    * (seq/OneStepAheadPredictor.scala:156,166-182): the running residual
+    * (count, mean, std) per key after the final point — the reference
+    * appends these as tagged lines and splits them to a second output
+    * dir; here they are their own Dataset. Shares [[osaWalk]] with
+    * [[oneStepAhead]], so the emitted stats are exactly the ones the
+    * score pass accumulated. */
+  def oneStepAheadResidStats(
+      data: DataFrame, keyCols: Seq[String], seqCol: String, valCol: String,
+      window: Int, threshold: Double): Dataset[ResidStat] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val pts = data.select(
+      concat_ws("|", keyCols.map(c => col(c).cast("string")): _*).as("key"),
+      col(seqCol).cast("long").as("seq"),
+      col(valCol).cast("double").as("value")).as[SPoint]
+    pts.groupByKey(_.key).mapGroups { (k, it) =>
+      val (_, (n, mean, std)) = osaWalk(it.toArray.sortBy(p => (p.seq, p.value)), window, threshold)
+      ResidStat(k, n, mean, std)
+    }
+  }
+
+  /** Scores + residual stats in one call (the reference's two output
+    * dirs). Two grouped passes over the input — each is a single shuffle
+    * on the key, and the stats pass's output is one row per key. */
+  def oneStepAheadWithStats(
+      data: DataFrame, keyCols: Seq[String], seqCol: String, valCol: String,
+      window: Int, threshold: Double): (Dataset[SScore], Dataset[ResidStat]) =
+    (oneStepAhead(data, keyCols, seqCol, valCol, window, threshold),
+      oneStepAheadResidStats(data, keyCols, seqCol, valCol, window, threshold))
+
+  /** The shared one-step-ahead walk: returns per-point scores and the
+    * final running residual stats (n, mean, sample std). */
+  private def osaWalk(pts: Array[SPoint], window: Int,
+      threshold: Double): (Array[Double], (Long, Double, Double)) = {
+    val buf = new Array[Double](window)
+    var filled = 0
+    var residSum = 0.0
+    var residSq = 0.0
+    var residN = 0
+    val scores = new Array[Double](pts.length)
+    var i = 0
+    while (i < pts.length) {
+      val p = pts(i)
+      var score = 0.0
+      var store = p.value
+      if (filled >= window) {
+        val pred = buf.sum / window
+        val resid = p.value - pred
+        val std =
+          if (residN > 1) math.sqrt((residSq - residSum * residSum / residN) / (residN - 1))
+          else 0.0
+        score = if (std > 0) math.abs(resid) / std else 0.0
+        residSum += resid; residSq += resid * resid; residN += 1
+        if (score > threshold) store = pred // feedback: replace outlier
+      }
+      buf(filled % window) = store
+      filled += 1
+      scores(i) = score
+      i += 1
+    }
+    val mean = if (residN > 0) residSum / residN else 0.0
+    val std =
+      if (residN > 1) math.sqrt((residSq - residSum * residSum / residN) / (residN - 1))
+      else 0.0
+    (scores, (residN.toLong, mean, std))
   }
 
   // ---------- n-gram frequency (seq/NgramFrequencyPredictor.scala:79-223) ----------
@@ -333,7 +383,9 @@ object SeriesKernels {
   /** Quantize values to per-key equal-probability buckets, maintain a
     * sliding window's n-gram frequency map, score = max-normalized sum of
     * squared differences vs the key's overall n-gram distribution
-    * (findNgramDiff :195-205, maxNormalize :212-223). */
+    * (findNgramDiff :195-205, maxNormalize :212-223), spread over each
+    * window's members via [[spreadScores]]
+    * (util/SeequenceScoreAggregator.java:48-59). */
   def ngramFrequency(
       data: DataFrame, keyCols: Seq[String], seqCol: String, valCol: String,
       numBuckets: Int, n: Int, window: Int): Dataset[SScore] = {
@@ -378,12 +430,40 @@ object SeriesKernels {
           }
           scores(i) = d
         }
-        val mx = scores.max
+        // spread each window's score over its members (window max), then
+        // max-normalize — spreading preserves the max, so the normalized
+        // range stays [0, 1]
+        val spread = spreadScores(scores, window)
+        val mx = spread.max
         Iterator.tabulate(m) { i =>
-          SScore(k, pts(i).seq, pts(i).value, if (mx > 0) scores(i) / mx else 0.0)
+          SScore(k, pts(i).seq, pts(i).value, if (mx > 0) spread(i) / mx else 0.0)
         }
       }
     }
+  }
+
+  /** Window-max score spreading (util/SeequenceScoreAggregator.java:48-59):
+    * replay of the reference's add() sequence — once more than `window`
+    * scores exist, each newly added score raises the trailing `window`
+    * positions (itself included) to at least its value, so a window's
+    * anomaly score marks every point that belongs to the window. Order
+    * of replay is immaterial: every update is a max against the raw
+    * incoming score, so the result is max(raw(i), raw(j) for the
+    * spreading j > window-edge with i in j's trailing window). */
+  private[graft] def spreadScores(raw: Array[Double], window: Int): Array[Double] = {
+    val out = raw.clone()
+    var p = 0
+    while (p < out.length) {
+      if (p + 1 > window) {
+        var i = p + 1 - window
+        while (i <= p) {
+          if (out(i) < raw(p)) out(i) = raw(p)
+          i += 1
+        }
+      }
+      p += 1
+    }
+    out
   }
 
   private def quantile(sorted: Array[Double], f: Double): Double = {

@@ -230,17 +230,20 @@ object TextOps {
   /** TF-IDF: top `topK` terms per document by tf·ln(N/df). Two hash
     * aggregations (term frequency per doc, document frequency per term)
     * + a join on term + a per-doc top-k window (rank-filter pushdown
-    * applies). Ranking uses the raw double; ties break on term. */
+    * applies). The corpus size N is a 1-row aggregate broadcast into the
+    * same plan rather than a separate `count()` action — one job, not
+    * two. Ranking uses the raw double; ties break on term. */
   def tfidf(docs: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count()
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tok.select(col(idCol), col("term")).distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
     tf.join(dfreq, "term")
-      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= topK)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))

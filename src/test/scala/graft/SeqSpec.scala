@@ -94,6 +94,45 @@ class SeqSpec extends SparkSpec {
     assert(os.toSeq == Seq(2L, 500L)) // burst prototype = max score; singleton kept
   }
 
+  test("score spread raises the trailing window to the incoming score") {
+    // replay semantics of SeequenceScoreAggregator.add: a spike at p
+    // raises positions p-w+1..p once more than w scores exist
+    assert(SeriesKernels.spreadScores(Array(1.0, 1.0, 1.0, 9.0, 1.0, 1.0), 3).toSeq ==
+      Seq(1.0, 9.0, 9.0, 9.0, 1.0, 1.0))
+    // no spreading until more than `window` scores have been added
+    assert(SeriesKernels.spreadScores(Array(5.0, 1.0, 1.0), 3).toSeq ==
+      Seq(5.0, 1.0, 1.0))
+    assert(SeriesKernels.spreadScores(Array(0.0, 0.0, 2.0, 0.0, 0.0), 2).toSeq ==
+      Seq(0.0, 2.0, 2.0, 0.0, 0.0))
+  }
+
+  test("one-step-ahead residual stats match a hand-rolled recurrence") {
+    val vals = (0 until 60).map(i => if (i == 40) 500.0 else 10.0 + (i % 3))
+    val pts = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+    val (scored, stats) = SeriesKernels.oneStepAheadWithStats(
+      pts.toDF("k", "s", "v"), Seq("k"), "s", "v", 5, 3.0)
+    assert(scored.count() == 60)
+    val st = stats.collect().head
+    // independent replay: list-based trailing window with replace-on-outlier
+    var win = List.empty[Double]
+    var n = 0; var sum = 0.0; var sq = 0.0
+    vals.foreach { x =>
+      var store = x
+      if (win.size >= 5) {
+        val pred = win.sum / 5
+        val resid = x - pred
+        val std = if (n > 1) math.sqrt((sq - sum * sum / n) / (n - 1)) else 0.0
+        val score = if (std > 0) math.abs(resid) / std else 0.0
+        sum += resid; sq += resid * resid; n += 1
+        if (score > 3.0) store = pred
+      }
+      win = (store :: win).take(5)
+    }
+    assert(st.n == n && n == 55)
+    assert(math.abs(st.mean - sum / n) < 1e-9)
+    assert(math.abs(st.std - math.sqrt((sq - sum * sum / n) / (n - 1))) < 1e-9)
+  }
+
   test("sequence matchers") {
     assert(SeriesKernels.positionalSimilarity(Seq("a", "b", "c"), Seq("a", "x", "c")) == 2.0 / 3)
     assert(SeriesKernels.lcsSimilarity(Seq("a", "b", "c", "d"), Seq("a", "c", "d")) == 3.0 / 4)
