@@ -7,10 +7,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Queries + DuckDB oracles for the sequence/time-series family
-  * (SURVEY.md §2.5). Window-expressible ops carry full SQL oracles;
-  * whole-series kernels (FFT, KS/CVM/AD, discord, feedback forecast)
-  * are registered without oracle SQL → driver rows-only check, with
-  * ScalaTest kernels specs covering the math. */
+  * (SURVEY.md §2.5). Window-expressible ops carry full SQL oracles, as do
+  * the KS/CVM/AD change-point statistics, discord, n-gram frequency and
+  * both sequence matchers (LCS via a recursive-CTE DP). Only the FFT
+  * saliency and the replace-on-outlier feedback recurrences remain
+  * rows-only, with ScalaTest kernel specs covering the math. */
 object SeqQueries {
 
   private def ev(s: SparkSession, dir: String) = table(s, dir, "events")
@@ -97,6 +98,12 @@ object SeqQueries {
     "q25_changepoint_ks" -> ((s, dir) =>
       canon(SeriesKernels.changePoint(ev(s, dir), Seq("event_type"), "event_id",
         "value", window = 50, stat = "ks", critValue = 0.25).toDF())),
+    "q25b_changepoint_cvm" -> ((s, dir) =>
+      canon(SeriesKernels.changePoint(ev(s, dir), Seq("event_type"), "event_id",
+        "value", window = 50, stat = "cvm", critValue = 0.5).toDF())),
+    "q25c_changepoint_ad" -> ((s, dir) =>
+      canon(SeriesKernels.changePoint(ev(s, dir), Seq("event_type"), "event_id",
+        "value", window = 50, stat = "ad", critValue = 2.5).toDF())),
     "q26_subseq_discord" -> ((s, dir) =>
       canon(SeriesKernels.subSequenceDistanceFast(ev(s, dir), Seq("user_id"), "event_id",
         "value", window = 8).toDF())),
@@ -116,17 +123,28 @@ object SeqQueries {
     }),
     "q85b_seq_lcs" -> ((s, dir) => {
       // LCS sequence matcher (SequenceMatcher.java:81-110): the DP kernel
-      // runs as a UDF over the paired state arrays (no SQL equivalent →
-      // rows-only driver check; SeqSpec pins the math).
+      // runs as a UDF over the paired state arrays; oracled by a DuckDB
+      // recursive CTE that walks the DP grid one anti-diagonal per
+      // iteration (cells on a diagonal are independent, so each row's
+      // state is just the previous two diagonals as lists).
       val lcsSim = udf((a: Seq[String], b: Seq[String]) =>
         SeriesKernels.lcsSimilarity(a, b))
       val paired = seqPairs(s, dir)
       canon(paired.select(col("a"), col("b"),
         lcsSim(col("sa"), col("sb")).as("lcsSim")))
     }),
+    // full DuckDB oracle: eq-prob buckets (quantile_cont), bigram window
+    // counts vs the key's overall distribution, window-max spread,
+    // per-key max-normalize — every stage is SQL (see oracleSql below)
+    // score + 1e-9 on BOTH sides before the 4dp round: the max-normalized
+    // score is a ratio of small-denominator rationals, which can land
+    // exactly on a .00005 rounding boundary where 1e-16 float-summation
+    // noise flips the two engines apart; the common nudge moves the
+    // boundary off every such rational
     "q28_ngram_freq" -> ((s, dir) =>
       canon(SeriesKernels.ngramFrequency(ev(s, dir), Seq("user_id"), "event_id",
-        "value", numBuckets = 4, n = 2, window = 20).toDF())),
+        "value", numBuckets = 4, n = 2, window = 20).toDF()
+        .withColumn("score", col("score") + lit(1e-9)))),
     "q86_osa_resid_stats" -> ((s, dir) =>
       // one-step-ahead residual-stats side output (rows-only: the
       // replace-on-outlier feedback recurrence is not SQL-expressible;
@@ -184,6 +202,55 @@ object SeqQueries {
         |d AS (SELECT key, c, seq, value, max(gap) AS score FROM g GROUP BY 1, 2, 3, 4)
         |SELECT key, seq, round(value,4) AS value, round(score,4) AS score
         |FROM d WHERE score >= 0.25""".stripMargin.replace("\n", " "),
+    // two-sample Cramér–von Mises over the same 50/50 flanking windows
+    // (ChangePointDetector.scala:108-112 stat family): walk the combined
+    // 100 values in (value, src) order — src breaks ties left-window-first,
+    // matching the kernel's stable sort of a ++ b — accumulating
+    // d = ECDF_a − ECDF_b after each element; T = nm/N² · Σ d² = Σ d²/4.
+    "q25b_changepoint_cvm" ->
+      """WITH e AS (SELECT event_type::VARCHAR AS key, event_id AS seq, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY event_id, value) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events),
+        |w AS (SELECT i.key, i.rn AS c, i.seq, i.value,
+        |  CASE WHEN j.rn < i.rn THEN 0 ELSE 1 END AS src, j.value AS v
+        | FROM e i JOIN e j ON i.key = j.key AND j.rn BETWEEN i.rn - 50 AND i.rn + 49
+        | WHERE i.rn > 50 AND i.rn + 49 <= i.n),
+        |r AS (SELECT key, c, seq, value,
+        |  row_number() OVER cw AS h,
+        |  sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) OVER
+        |   (PARTITION BY key, c ORDER BY v, src
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+        | FROM w WINDOW cw AS (PARTITION BY key, c ORDER BY v, src)),
+        |d AS (SELECT key, seq, value,
+        |  sum(pow(ca/50.0 - (h - ca)/50.0, 2)) / 4.0 AS score
+        | FROM r GROUP BY 1, 2, 3)
+        |SELECT key, seq, round(value,4) AS value, round(score,4) AS score
+        |FROM d WHERE score >= 0.5""".stripMargin.replace("\n", " "),
+    // two-sample Anderson-Darling (k=2, unadjusted) over the same windows:
+    // same (value, src) tie-ordered walk; for each of the first N−1
+    // positions h, term = (ca·N − n·h)²/(h·(N−h)); A² = Σ term/(n·m).
+    "q25c_changepoint_ad" ->
+      """WITH e AS (SELECT event_type::VARCHAR AS key, event_id AS seq, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY event_id, value) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events),
+        |w AS (SELECT i.key, i.rn AS c, i.seq, i.value,
+        |  CASE WHEN j.rn < i.rn THEN 0 ELSE 1 END AS src, j.value AS v
+        | FROM e i JOIN e j ON i.key = j.key AND j.rn BETWEEN i.rn - 50 AND i.rn + 49
+        | WHERE i.rn > 50 AND i.rn + 49 <= i.n),
+        |r AS (SELECT key, c, seq, value,
+        |  row_number() OVER cw AS h,
+        |  sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) OVER
+        |   (PARTITION BY key, c ORDER BY v, src
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+        | FROM w WINDOW cw AS (PARTITION BY key, c ORDER BY v, src)),
+        |d AS (SELECT key, seq, value,
+        |  sum(CASE WHEN h < 100
+        |   THEN pow(ca*100.0 - 50.0*h, 2) / (h*(100.0-h)) END) / 2500.0 AS score
+        | FROM r GROUP BY 1, 2, 3)
+        |SELECT key, seq, round(value,4) AS value, round(score,4) AS score
+        |FROM d WHERE score >= 2.5""".stripMargin.replace("\n", " "),
     // subsequence discord (seq/SubSequenceDistanceDetector.scala:193-216):
     // per window start, min RMS distance to every window ≥ 8 apart —
     // quadratic self-join over window-value lists (fine at sf0.01).
@@ -219,6 +286,92 @@ object SeqQueries {
         | round(e.hits / greatest(na.len, nb.len)::DOUBLE, 4) AS posSim
         |FROM eq e JOIN n na ON na.user_id = e.a JOIN n nb ON nb.user_id = e.b"""
         .stripMargin.replace("\n", " "),
+    // LCS similarity (SequenceMatcher.java:81-110) as a recursive CTE:
+    // one row per pair per iteration, carrying the previous two DP
+    // anti-diagonals as lists. Cells on diagonal d+1 depend only on
+    // diagonals d (up/left) and d−1 (diagonal match), so each is a pure
+    // list_transform — no within-row recurrence. dp[la][lb] is the single
+    // cell of the last diagonal; sim = LCS / max(la, lb).
+    "q85b_seq_lcs" ->
+      """WITH RECURSIVE
+        |s AS (SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY event_id, event_type) AS pos
+        | FROM events WHERE user_id <= 20),
+        |seqs AS (SELECT user_id, list(event_type ORDER BY pos) AS st,
+        |  count(*) AS len FROM s GROUP BY 1),
+        |pairs AS (SELECT a.user_id AS a, b.user_id AS b, a.st AS sa,
+        |  b.st AS sb, a.len AS la, b.len AS lb
+        | FROM seqs a JOIN seqs b ON b.user_id = a.user_id + 1),
+        |dp AS (
+        | SELECT a, b, la, lb, sa, sb, 0 AS d,
+        |  CAST(NULL AS BIGINT[]) AS prev, [CAST(0 AS BIGINT)] AS cur
+        | FROM pairs
+        | UNION ALL
+        | SELECT a, b, la, lb, sa, sb, d + 1, cur,
+        |  list_transform(range(greatest(0, d + 1 - lb), least(d + 1, la) + 1), i ->
+        |   CASE WHEN i = 0 OR d + 1 - i = 0 THEN 0
+        |   ELSE greatest(
+        |    cur[(i - 1 - greatest(0, d - lb) + 1)::INT],
+        |    cur[(i - greatest(0, d - lb) + 1)::INT],
+        |    prev[(i - 1 - greatest(0, d - 1 - lb) + 1)::INT]
+        |     + CASE WHEN sa[i::INT] = sb[(d + 1 - i)::INT] THEN 1 ELSE 0 END)
+        |   END)
+        | FROM dp WHERE d < la + lb)
+        |SELECT a, b, round(cur[1]::DOUBLE / greatest(la, lb), 4) AS lcsSim
+        |FROM dp WHERE d = la + lb""".stripMargin.replace("\n", " "),
+    // n-gram frequency anomaly (seq/NgramFrequencyPredictor.scala:79-223)
+    // end-to-end: per-user eq-prob quartile symbols (quantile_cont matches
+    // the kernel's linear interpolation), bigram strings via lag, the
+    // sliding 20-gram window's counts vs the user's overall bigram
+    // distribution (Σ (cur/tot − ref)² over the union = window part +
+    // Σ ref² − window-ref overlap), window-max spread
+    // (SeequenceScoreAggregator.java:48-59: only spreader positions
+    // p ≥ window raise their trailing 20 rows), per-user max-normalize.
+    "q28_ngram_freq" ->
+      """WITH q AS (SELECT user_id,
+        |  quantile_cont(value, [0.25, 0.5, 0.75]) AS bs
+        | FROM events GROUP BY 1),
+        |e AS (SELECT ev.user_id, ev.event_id, ev.value,
+        |  row_number() OVER (PARTITION BY ev.user_id
+        |    ORDER BY ev.event_id, ev.value) AS p,
+        |  count(*) OVER (PARTITION BY ev.user_id) AS m,
+        |  (CASE WHEN ev.value > q.bs[1] THEN 1 ELSE 0 END
+        |   + CASE WHEN ev.value > q.bs[2] THEN 1 ELSE 0 END
+        |   + CASE WHEN ev.value > q.bs[3] THEN 1 ELSE 0 END) AS sym
+        | FROM events ev JOIN q USING (user_id)
+        | QUALIFY m >= 20),
+        |g AS (SELECT user_id, p, m,
+        |  lag(sym) OVER (PARTITION BY user_id ORDER BY p) || '>' || sym AS gram
+        | FROM e QUALIFY p >= 2),
+        |ref AS (SELECT user_id, gram,
+        |  count(*)::DOUBLE / (max(m) - 1) AS rf FROM g GROUP BY 1, 2),
+        |sr2 AS (SELECT user_id, sum(rf * rf) AS sumref2 FROM ref GROUP BY 1),
+        |wc AS (SELECT a.user_id, a.p AS c, b.gram, count(*)::DOUBLE AS cnt,
+        |  least(a.p - 1, 20) AS tot
+        | FROM g a JOIN g b ON a.user_id = b.user_id
+        |   AND b.p BETWEEN a.p - 19 AND a.p
+        | GROUP BY 1, 2, 3, a.p),
+        |agg AS (SELECT w.user_id, w.c,
+        |  sum(pow(w.cnt / w.tot - r.rf, 2)) AS part1,
+        |  sum(r.rf * r.rf) AS winref
+        | FROM wc w JOIN ref r ON w.user_id = r.user_id AND w.gram = r.gram
+        | GROUP BY 1, 2),
+        |raw AS (SELECT e.user_id, e.event_id, e.value, e.p,
+        |  coalesce(a.part1 + s.sumref2 - a.winref, 0.0) AS raw
+        | FROM e JOIN sr2 s USING (user_id)
+        | LEFT JOIN agg a ON a.user_id = e.user_id AND a.c = e.p),
+        |sp AS (SELECT user_id, event_id, value,
+        |  greatest(raw, coalesce(max(CASE WHEN p >= 21 THEN raw END)
+        |    OVER (PARTITION BY user_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 19 FOLLOWING), 0.0)) AS spread
+        | FROM raw),
+        |mx AS (SELECT user_id, max(spread) AS mxs FROM sp GROUP BY 1)
+        |SELECT sp.user_id::VARCHAR AS key, sp.event_id AS seq,
+        | round(sp.value, 4) AS value,
+        | round((CASE WHEN mx.mxs > 0 THEN sp.spread / mx.mxs ELSE 0.0 END)
+        |   + 1e-9, 4) AS score
+        |FROM sp JOIN mx USING (user_id)""".stripMargin.replace("\n", " "),
     "q73_asof_join" ->
       """WITH snap AS (SELECT event_type,
         |  (epoch_ns(ts) // 3600000000000) * 3600000000000 AS sts,

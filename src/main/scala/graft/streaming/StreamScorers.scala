@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.core._
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -12,11 +12,71 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * watermarked event-time windows (absent in the reference — engine-level
   * improvement over its processing-time/in-order assumption).
   *
-  * Sources are any streaming DataFrame (Kafka via
-  * `readStream.format("kafka")` in production; MemoryStream in specs —
-  * the transforms are source-agnostic).
+  * Sources are any streaming DataFrame ([[StreamScorers.kafkaSource]] in
+  * production; MemoryStream in specs — the transforms are
+  * source-agnostic) decoded by the `parse*` helpers below.
   */
 object StreamScorers {
+
+  /** Kafka source — the production replacement for the reference's
+    * Redis/Kafka spouts (PredictorSpout.java:52-62; kafka declared at
+    * spark/build.sbt:14). Compiles against spark-sql alone: the
+    * `"kafka"` format is resolved at runtime through the DataSource
+    * registry, so this entry point works on any cluster with the
+    * spark-sql-kafka-0-10 connector on the classpath (spark-submit
+    * `--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark
+    * version>`); it is not invoked in this repo's offline CI, where the
+    * parse seams below are pinned via MemoryStream instead.
+    *
+    * {{{
+    * val raw = StreamScorers.kafkaSource(spark, "broker:9092", "events")
+    * val recs = StreamScorers.parseEntityRecord(raw) // or parseDelimited
+    * val scored = StreamScorers.zscoreStream(recs, statsModel, Seq("entityID"), "value", 3.0)
+    * scored.writeStream.format("kafka")... // alerts back out
+    * }}}
+    */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String,
+      topics: String, startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    val reader = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics)
+      .option("startingOffsets", startingOffsets)
+    maxOffsetsPerTrigger
+      .fold(reader)(n => reader.option("maxOffsetsPerTrigger", n))
+      .load()
+      .select(col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"),
+        col("topic"), col("partition"), col("offset"), col("timestamp"))
+  }
+
+  /** The spout's first-comma split (PredictorSpout.java:55-59): message
+    * "entityID,field,field,..." → (entityID, recordData). Source-agnostic:
+    * works on [[kafkaSource]] output or any DataFrame with a string
+    * `value` column (MemoryStream in specs). Lines without a delimiter
+    * (the reference would throw on substring) yield null recordData. */
+  def parseEntityRecord(raw: DataFrame, valueCol: String = "value"): DataFrame = {
+    val v = col(valueCol)
+    raw
+      .withColumn("entityID", substring_index(v, ",", 1))
+      .withColumn("recordData",
+        when(instr(v, ",") > 0, expr(s"substring($valueCol, instr($valueCol, ',') + 1)")))
+  }
+
+  /** Typed field parsing of a delimited line into columns per `schema` —
+    * the bolt-side record decode the reference does by hand
+    * (ZscorePredictor.java:155-170 splits on a configured delimiter). */
+  def parseDelimited(raw: DataFrame, schema: org.apache.spark.sql.types.StructType,
+      delim: String = ",", valueCol: String = "value"): DataFrame =
+    raw.withColumn("rec",
+        from_csv(col(valueCol), schema, Map("delimiter" -> delim)))
+      .select(col("*"), col("rec.*")).drop("rec")
+
+  /** JSON-line parsing for JSON-valued topics. */
+  def parseJsonLines(raw: DataFrame, schema: org.apache.spark.sql.types.StructType,
+      valueCol: String = "value"): DataFrame =
+    raw.withColumn("rec", from_json(col(valueCol), schema))
+      .select(col("*"), col("rec.*")).drop("rec")
 
   /** Stateless model-apply on a stream: z-score against a *static*
     * broadcast stats model (stream-static join — no state, no shuffle on

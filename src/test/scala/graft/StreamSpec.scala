@@ -33,6 +33,47 @@ class StreamSpec extends SparkSpec {
     assert(alerts.toSeq == Seq(("a", 20.0))) // only the outlier reaches the alert sink
   }
 
+  test("kafka message parsing: first-comma entity split and typed delimited decode") {
+    implicit val sc = spark.sqlContext
+    // the spout contract (PredictorSpout.java:55-59): "entityID,rest..."
+    val in = MemoryStream[String]
+    val parsed = StreamScorers.parseEntityRecord(in.toDF().toDF("value"))
+    val q = parsed.writeStream.format("memory").queryName("kp").outputMode("append").start()
+    in.addData("u1,12.5,A", "u2,7.0,B", "nodelimiter")
+    q.processAllAvailable()
+    val rows = spark.table("kp").collect()
+      .map(r => r.getAs[String]("entityID") -> r.getAs[String]("recordData")).toMap
+    q.stop()
+    assert(rows("u1") == "12.5,A")
+    assert(rows("u2") == "7.0,B")
+    assert(rows("nodelimiter") == null) // no comma → no record payload
+
+    // typed decode of the full line, schema-driven (bolt-side field split)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "entity STRING, value DOUBLE, tagv STRING")
+    val in2 = MemoryStream[String]
+    val typed = StreamScorers.parseDelimited(in2.toDF().toDF("value"), schema)
+    val q2 = typed.writeStream.format("memory").queryName("kt").outputMode("append").start()
+    in2.addData("u1,12.5,A")
+    q2.processAllAvailable()
+    val r2 = spark.table("kt").collect().head
+    q2.stop()
+    assert(r2.getAs[String]("entity") == "u1")
+    assert(r2.getAs[Double]("value") == 12.5)
+    assert(r2.getAs[String]("tagv") == "A")
+  }
+
+  test("kafkaSource builds a kafka-format reader (fails only at runtime lookup offline)") {
+    // The connector jar is absent in this offline build, so the load()
+    // must fail at the DataSource registry lookup for "kafka" — proving
+    // the entry point is wired to the real format, not a stub.
+    val ex = intercept[Exception] {
+      StreamScorers.kafkaSource(spark, "broker:9092", "events")
+    }
+    val msg = ex.toString.toLowerCase
+    assert(msg.contains("kafka"))
+  }
+
   test("windowed stats aggregate per event-time window with watermark") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
