@@ -140,30 +140,69 @@ object SeriesKernels {
 
   /** Sliding two-sample change-point statistics: at each position the
     * preceding `window` vs following `window` values are compared with the
-    * chosen statistic ∈ {ks, cvm, ad}; emits positions with stat ≥ crit. */
+    * chosen statistic ∈ {ks, cvm, ad}; emits positions with stat ≥ crit.
+    *
+    * The two windows are maintained as incrementally-sorted arrays — each
+    * slide is one binary-search remove + insert per window (O(w) memmove)
+    * and each statistic is a single merge walk over the two sorted arrays,
+    * so the per-key cost is O(n·w) instead of the naive O(n·w·log w)
+    * re-sort per position (and allocation-free in the steady state). */
   def changePoint(
       data: DataFrame, keyCols: Seq[String], seqCol: String, valCol: String,
       window: Int, stat: String, critValue: Double): Dataset[SScore] = {
+    val statFn: (Array[Double], Array[Double]) => Double = stat match {
+      case "ks" => ksStatSorted
+      case "cvm" => cvmStatSorted
+      case "ad" => adStatSorted
+      case o => throw new IllegalArgumentException(s"unknown stat $o")
+    }
     run(data, keyCols, seqCol, valCol) { (k, pts) =>
       val n = pts.length
-      val out = Iterator.range(window, n - window + 1).flatMap { i =>
-        val a = Array.tabulate(window)(j => pts(i - window + j).value)
-        val b = Array.tabulate(window)(j => pts(i + j).value)
-        val s = stat match {
-          case "ks" => ksStat(a, b)
-          case "cvm" => cvmStat(a, b)
-          case "ad" => adStat(a, b)
-          case o => throw new IllegalArgumentException(s"unknown stat $o")
+      if (n < 2 * window) Iterator.empty
+      else {
+        val left = Array.tabulate(window)(j => pts(j).value)
+        val right = Array.tabulate(window)(j => pts(window + j).value)
+        java.util.Arrays.sort(left)
+        java.util.Arrays.sort(right)
+        val out = collection.mutable.ArrayBuffer.empty[SScore]
+        var i = window
+        while (i <= n - window) {
+          val s = statFn(left, right)
+          if (s >= critValue) out += SScore(k, pts(i).seq, pts(i).value, s)
+          if (i < n - window) {
+            slideSorted(left, pts(i - window).value, pts(i).value)
+            slideSorted(right, pts(i).value, pts(i + window).value)
+          }
+          i += 1
         }
-        if (s >= critValue) Some(SScore(k, pts(i).seq, pts(i).value, s)) else None
+        out.iterator
       }
-      out
+    }
+  }
+
+  /** Replace `out` with `in` in the sorted array `a`, keeping it sorted —
+    * one binary search each plus a single arraycopy of the span between
+    * the two positions. `out` must be present (it was inserted earlier
+    * from the same series, so it matches bitwise). */
+  private[graft] def slideSorted(a: Array[Double], out: Double, in: Double): Unit = {
+    var i = java.util.Arrays.binarySearch(a, out)
+    require(i >= 0, s"slideSorted: $out not in window")
+    var j = java.util.Arrays.binarySearch(a, in)
+    if (j < 0) j = -j - 1
+    if (j <= i) {
+      System.arraycopy(a, j, a, j + 1, i - j)
+      a(j) = in
+    } else { // positions above i shift down once out is removed
+      System.arraycopy(a, i + 1, a, i, j - i - 1)
+      a(j - 1) = in
     }
   }
 
   /** Two-sample Kolmogorov-Smirnov statistic (max ECDF gap). */
-  private[graft] def ksStat(a: Array[Double], b: Array[Double]): Double = {
-    val sa = a.sorted; val sb = b.sorted
+  private[graft] def ksStat(a: Array[Double], b: Array[Double]): Double =
+    ksStatSorted(a.sorted, b.sorted)
+
+  private[graft] def ksStatSorted(sa: Array[Double], sb: Array[Double]): Double = {
     val (n, m) = (sa.length, sb.length)
     var (i, j) = (0, 0)
     var d = 0.0
@@ -177,13 +216,17 @@ object SeriesKernels {
   }
 
   /** Two-sample Cramér–von Mises statistic (rank form). */
-  private[graft] def cvmStat(a: Array[Double], b: Array[Double]): Double = {
-    val n = a.length; val m = b.length
-    val all = (a.map((_, 0)) ++ b.map((_, 1))).sortBy(_._1)
+  private[graft] def cvmStat(a: Array[Double], b: Array[Double]): Double =
+    cvmStatSorted(a.sorted, b.sorted)
+
+  /** Merge walk over the two sorted samples, `a` first on ties — the
+    * same element order as a stable sort of (a ++ b) by value. */
+  private[graft] def cvmStatSorted(sa: Array[Double], sb: Array[Double]): Double = {
+    val n = sa.length; val m = sb.length
     var (ia, ib) = (0, 0)
     var t = 0.0
-    all.foreach { case (_, src) =>
-      if (src == 0) ia += 1 else ib += 1
+    while (ia < n || ib < m) {
+      if (ib >= m || (ia < n && sa(ia) <= sb(ib))) ia += 1 else ib += 1
       val d = ia.toDouble / n - ib.toDouble / m
       t += d * d
     }
@@ -192,19 +235,22 @@ object SeriesKernels {
 
   /** Two-sample Anderson-Darling statistic (k-sample AD with k=2,
     * unadjusted). */
-  private[graft] def adStat(a: Array[Double], b: Array[Double]): Double = {
-    val n = a.length; val m = b.length
+  private[graft] def adStat(a: Array[Double], b: Array[Double]): Double =
+    adStatSorted(a.sorted, b.sorted)
+
+  private[graft] def adStatSorted(sa: Array[Double], sb: Array[Double]): Double = {
+    val n = sa.length; val m = sb.length
     val nt = n + m
-    val all = (a.map((_, 0)) ++ b.map((_, 1))).sortBy(_._1)
+    var (ia, ib) = (0, 0)
     var ca = 0
     var s = 0.0
-    var i = 0
-    while (i < nt - 1) {
-      if (all(i)._2 == 0) ca += 1
-      val h = i + 1
+    var h = 1
+    while (h < nt) { // all but the last element
+      if (ib >= m || (ia < n && sa(ia) <= sb(ib))) { ia += 1; ca += 1 }
+      else ib += 1
       val d = ca.toDouble * nt - n.toDouble * h
       s += d * d / (h.toDouble * (nt - h))
-      i += 1
+      h += 1
     }
     s / (n.toDouble * m)
   }

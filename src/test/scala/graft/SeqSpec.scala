@@ -25,6 +25,28 @@ class SeqSpec extends SparkSpec {
     assert(SeriesKernels.adStat(a, Array(10.0, 11.0, 12.0, 13.0)) > 0)
   }
 
+  test("incremental sorted-window slide matches re-sort; sorted stats match unsorted") {
+    val rnd = new scala.util.Random(7)
+    // walk a sliding window over a duplicate-heavy series, slide one
+    // element per step, and compare against a fresh sort each time
+    val series = Array.fill(200)(rnd.nextInt(20).toDouble)
+    val w = 16
+    val win = series.slice(0, w).sorted
+    for (i <- w until series.length) {
+      SeriesKernels.slideSorted(win, series(i - w), series(i))
+      assert(win.sameElements(series.slice(i - w + 1, i + 1).sorted),
+        s"slide mismatch at $i")
+    }
+    // sorted-input stat forms are bitwise equal to the sort-then-walk forms
+    for (_ <- 1 to 20) {
+      val a = Array.fill(50)(rnd.nextInt(15).toDouble)
+      val b = Array.fill(50)(rnd.nextInt(15).toDouble)
+      assert(SeriesKernels.ksStat(a, b) == SeriesKernels.ksStatSorted(a.sorted, b.sorted))
+      assert(SeriesKernels.cvmStat(a, b) == SeriesKernels.cvmStatSorted(a.sorted, b.sorted))
+      assert(SeriesKernels.adStat(a, b) == SeriesKernels.adStatSorted(a.sorted, b.sorted))
+    }
+  }
+
   test("markov transitions are row-stochastic") {
     val data = core.table(spark, sfDir, "events")
     val m = Fitters.markovTransitions(data, Seq("user_id"), "event_id", "event_type", 1.0)
