@@ -84,10 +84,12 @@ object TextQueries {
         NumHashes, BandSize)
       TextOps.dedupSurvivors(TextOps.dupClusters(d, "doc_id", cand))
     }),
-    // seeded-random scale paths: rows-only check, spec-tested
+    // md5-derived ±1 hyperplanes (Similarity.hashHyperplanes) make the
+    // LSH path deterministic cross-engine → full oracle below
     "q60_ann_lsh" -> ((s, dir) =>
-      canon(Similarity.lshNearDup(emb(s, dir), "vec_id", "embedding",
-        dim = 64, planes = 8, seed = 42L, threshold = 0.3))),
+      canon(Similarity.lshNearDupHashed(emb(s, dir), "vec_id", "embedding",
+        dim = 64, planes = 8, threshold = 0.3))),
+    // seeded-random scale path (iterative KMeans): rows-only, spec-tested
     "q61_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       canon(Similarity.ivfTopK(e.where(col("vec_id") < 20), e, "vec_id",
@@ -314,6 +316,28 @@ object TextQueries {
         |    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
         | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |SELECT a, b, round(cos,4) AS cos FROM p WHERE cos >= 0.4"""
+        .stripMargin.replace("\n", " "),
+    // hash-derived Rademacher hyperplanes: entry (p,d) = ±1 from the low
+    // bit of md5("hp:p:d")'s first byte — identical on both engines;
+    // bucket = the 8 sign bits of the hyperplane dots; exact cosine only
+    // within buckets (same verify stage as q58)
+    "q60_ann_lsh" ->
+      """WITH hp AS (SELECT p, list_transform(range(64), d ->
+        |  CASE WHEN (('0x' || substr(md5('hp:' || p::VARCHAR || ':' || d::VARCHAR),
+        |     1, 2))::INT % 2) = 1 THEN 1.0 ELSE -1.0 END) AS h
+        | FROM range(8) t(p)),
+        |bk AS (SELECT e.vec_id,
+        |  sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], hp.h) >= 0
+        |    THEN (1::BIGINT << hp.p) ELSE 0 END) AS bucket
+        | FROM embeddings e CROSS JOIN hp GROUP BY 1),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |  list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+        |   (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+        |    * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))) AS cos
+        | FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        | JOIN embeddings ea ON ea.vec_id = a.vec_id
+        | JOIN embeddings eb ON eb.vec_id = b.vec_id)
+        |SELECT a, b, round(cos,4) AS cos FROM p WHERE cos >= 0.3"""
         .stripMargin.replace("\n", " "),
     "q59_ann_topk" ->
       """WITH p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,

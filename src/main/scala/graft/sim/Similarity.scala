@@ -65,12 +65,31 @@ object Similarity {
     * Collision probability = (1 − θ/π)^planes. */
   def lshBuckets(vecs: DataFrame, idCol: String, vecCol: String,
       dim: Int, planes: Int, seed: Long): DataFrame = {
-    graft.expr.GraftFunctions.register(vecs.sparkSession)
     val rng = new Random(seed)
-    val hp = Array.fill(planes, dim)(rng.nextGaussian())
+    lshBucketsWith(vecs, idCol, vecCol, Array.fill(planes, dim)(rng.nextGaussian()))
+  }
+
+  /** Deterministic ±1 hyperplanes derived from md5 — the database-friendly
+    * random projection entries of Achlioptas (2003, "Database-friendly
+    * random projections"): sign-LSH needs only a symmetric entry
+    * distribution, and hash-derived Rademacher entries reproduce exactly
+    * in any engine with md5 (the same device the text minhash path uses),
+    * so the whole LSH pipeline carries a cross-engine oracle instead of a
+    * seeded-RNG rows-only check. Entry (p,d) = +1 iff the first digest
+    * byte of md5("hp:p:d") is odd. */
+  def hashHyperplanes(planes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dim) { (p, d) =>
+      if ((md.digest(s"hp:$p:$d".getBytes("UTF-8"))(0) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  private def lshBucketsWith(vecs: DataFrame, idCol: String, vecCol: String,
+      hp: Array[Array[Double]]): DataFrame = {
+    graft.expr.GraftFunctions.register(vecs.sparkSession)
     // one codegen'd vec_dot per hyperplane (literal array), not dim
     // element_at terms per plane
-    val bucket = (0 until planes).map { p =>
+    val bucket = hp.indices.map { p =>
       val d = call_function("vec_dot", col(vecCol), array(hp(p).map(lit(_)): _*))
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -79,10 +98,21 @@ object Similarity {
 
   /** Approximate near-dup via LSH: exact cosine only within buckets. */
   def lshNearDup(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
-      planes: Int, seed: Long, threshold: Double): DataFrame = {
-    val b = lshBuckets(vecs, idCol, vecCol, dim, planes, seed)
-    val l = b.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
-    val r = b.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
+      planes: Int, seed: Long, threshold: Double): DataFrame =
+    lshNearDupOn(vecs, idCol, vecCol,
+      lshBuckets(vecs, idCol, vecCol, dim, planes, seed), threshold)
+
+  /** [[lshNearDup]] with [[hashHyperplanes]] — bit-reproducible across
+    * engines and runs (no RNG state to ship), hence oracle-checkable. */
+  def lshNearDupHashed(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int, threshold: Double): DataFrame =
+    lshNearDupOn(vecs, idCol, vecCol,
+      lshBucketsWith(vecs, idCol, vecCol, hashHyperplanes(planes, dim)), threshold)
+
+  private def lshNearDupOn(vecs: DataFrame, idCol: String, vecCol: String,
+      buckets: DataFrame, threshold: Double): DataFrame = {
+    val l = buckets.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
+    val r = buckets.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
     l.join(r, Seq("bucket")).where(col("a") < col("b"))
       .withColumn("cos", cosineFast(vecs.sparkSession, col("va"), col("vb")))
       .where(col("cos") >= threshold)
