@@ -28,6 +28,8 @@ object TextQueries {
       canon(TextOps.qualityScore(docs(s, dir), "doc_id", "text"))),
     "q52_langid" -> ((s, dir) =>
       TextOps.langId(docs(s, dir), "doc_id", "text")),
+    "q87_repetition" -> ((s, dir) =>
+      canon(TextOps.repetitionSignals(docs(s, dir), "doc_id", "text", n = 2))),
     "q53_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(docs(s, dir), "doc_id", "text")),
     "q54_minhash_sig" -> ((s, dir) =>
@@ -153,6 +155,28 @@ object TextQueries {
       s"""SELECT doc_id, len($toks)::BIGINT AS nWords,
          | ceil(length(text)/4.0)::BIGINT AS nSubTokens FROM documents"""
         .stripMargin.replace("\n", " "),
+    // Gopher-style repetition signals: duplicate-bigram fraction +
+    // char fraction of the most frequent bigram (ties: smallest gram,
+    // same pick as the Spark fold over the sorted gram array)
+    "q87_repetition" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),
+         |g AS (SELECT doc_id, text, CASE WHEN len(tk) >= 2
+         |  THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         |  ELSE [] END AS grams FROM t),
+         |x AS (SELECT doc_id, text, len(grams) AS nGrams,
+         |  CASE WHEN len(grams) > 0
+         |   THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
+         |   ELSE 0.0 END AS dupGramFrac, grams FROM g),
+         |u AS (SELECT doc_id, unnest(grams) AS gram FROM x),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM u GROUP BY 1, 2),
+         |sel AS (SELECT doc_id, gram AS topGram, cnt,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+         | FROM c QUALIFY rn = 1)
+         |SELECT x.doc_id, x.nGrams, round(x.dupGramFrac, 4) AS dupGramFrac,
+         | coalesce(s.topGram, '') AS topGram,
+         | round(coalesce(s.cnt * len(s.topGram) / length(x.text)::DOUBLE, 0.0), 4)
+         |  AS topGramFrac
+         |FROM x LEFT JOIN sel s USING (doc_id)""".stripMargin.replace("\n", " "),
     "q51_quality" ->
       s"""WITH b AS (SELECT doc_id,
          |  len($toks)::DOUBLE AS nTok,

@@ -307,6 +307,48 @@ object TextOps {
       ((lenScore + stopScore + (lit(1.0) - punctPen) + (lit(1.0) - digitPen)) / 4.0).as("quality"))
   }
 
+  /** Repetition quality signals in the style of the Gopher data-quality
+    * filters (Rae et al. 2021, "Scaling Language Models", table A1:
+    * duplicate/top n-gram fractions; also used by RefinedWeb): per
+    * document, the fraction of word n-grams that are repeats and the
+    * character fraction covered by the single most frequent n-gram.
+    * High values flag boilerplate/spam for corpus curation.
+    *
+    * Pure per-row expressions — zero shuffle: grams are built from the
+    * row's own token array and the top gram found by one O(G log G)
+    * sort + one O(G) run-length fold (ties break to the lexicographically
+    * smallest gram, matching the oracle's (count DESC, gram) pick).
+    * Output: idCol, nGrams, dupGramFrac, topGram, topGramFrac. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nt = size(toks)
+    val grams = when(nt >= n,
+      transform(sequence(lit(0), nt - n), i =>
+        concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val sorted = array_sort(grams)
+    val zero = struct(lit("").as("prev"), lit(0).as("run"),
+      lit(0).as("best"), lit("").as("bestGram"))
+    val folded = aggregate(sorted, zero, (acc, g) => {
+      val run = when(g === acc.getField("prev"), acc.getField("run") + 1)
+        .otherwise(lit(1))
+      struct(g.as("prev"), run.as("run"),
+        when(run > acc.getField("best"), run)
+          .otherwise(acc.getField("best")).as("best"),
+        when(run > acc.getField("best"), g)
+          .otherwise(acc.getField("bestGram")).as("bestGram"))
+    })
+    val ng = size(grams)
+    docs.select(col(idCol), ng.as("nGrams"),
+      when(ng > 0, lit(1.0) - size(array_distinct(grams)).cast("double") / ng)
+        .otherwise(lit(0.0)).as("dupGramFrac"),
+      folded.getField("bestGram").as("topGram"),
+      when(ng > 0, folded.getField("best").cast("double") *
+          length(folded.getField("bestGram")) / length(col(textCol)))
+        .otherwise(lit(0.0)).as("topGramFrac"))
+  }
+
   /** Token count (whitespace tokenizer + a BPE-ish subword estimate:
     * ceil(chars/4) blended with word count — the common LLM heuristic). */
   def tokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

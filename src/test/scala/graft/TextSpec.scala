@@ -123,6 +123,26 @@ class TextSpec extends SparkSpec {
     assert(q(1L) > q(2L) + 0.3)
   }
 
+  test("repetition signals: boilerplate scores high, varied prose low") {
+    // doc 1: 7 tokens → 6 bigrams [spam ham ×3, ham spam ×3], 2 distinct
+    // → dup 4/6; count tie 3–3 breaks to the lexicographically smallest
+    // gram "ham spam"; char fraction = 3 occurrences × 8 chars / 31 chars
+    val d = Seq((1L, "spam ham spam ham spam ham spam"),
+      (2L, "each word here is fully unique prose"),
+      (3L, "one")).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("dupGramFrac"), r.getAs[String]("topGram"),
+          r.getAs[Double]("topGramFrac"), r.getAs[Int]("nGrams")))).toMap
+    val (dup1, top1, tf1, n1) = out(1L)
+    assert(n1 == 6 && math.abs(dup1 - 4.0 / 6) < 1e-9)
+    assert(top1 == "ham spam" && math.abs(tf1 - 3.0 * 8 / 31) < 1e-9)
+    val (dup2, _, tf2, _) = out(2L)
+    assert(dup2 == 0.0 && tf2 < 0.35)
+    val (dup3, top3, tf3, n3) = out(3L) // single token → no grams
+    assert(n3 == 0 && dup3 == 0.0 && top3 == "" && tf3 == 0.0)
+  }
+
   test("cosine top-k: self-similar vector ranks first") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.99f, 0.1f, 0f)),
