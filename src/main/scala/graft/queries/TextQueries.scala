@@ -30,6 +30,14 @@ object TextQueries {
       TextOps.langId(docs(s, dir), "doc_id", "text")),
     "q87_repetition" -> ((s, dir) =>
       canon(TextOps.repetitionSignals(docs(s, dir), "doc_id", "text", n = 2))),
+    // corpus mixing: src0 kept whole, src1 decimated, rest at 50% — all
+    // decisions md5-hash-derived, so the oracle replays them exactly
+    "q88_corpus_mix" -> ((s, dir) =>
+      canon(TextOps.stratifiedSample(docs(s, dir), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.1), defaultQuota = 0.5)
+        .select("doc_id", "source", "u", "quota"))),
+    "q89_pii_redact" -> ((s, dir) =>
+      TextOps.redactPii(docs(s, dir), "doc_id", "text")),
     "q53_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(docs(s, dir), "doc_id", "text")),
     "q54_minhash_sig" -> ((s, dir) =>
@@ -155,6 +163,27 @@ object TextQueries {
       s"""SELECT doc_id, len($toks)::BIGINT AS nWords,
          | ceil(length(text)/4.0)::BIGINT AS nSubTokens FROM documents"""
         .stripMargin.replace("\n", " "),
+    // hash-derived stratified sampling: u = 56-bit md5 prefix / 2^56,
+    // keep iff u < per-source quota (exact integer-ratio doubles — no
+    // float divergence possible between engines)
+    "q88_corpus_mix" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  ${h56("doc_id::VARCHAR")} / 72057594037927936.0 AS u,
+         |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.1
+         |   ELSE 0.5 END AS quota
+         | FROM documents)
+         |SELECT doc_id, source, round(u, 4) AS u, quota
+         |FROM d WHERE u < quota""".stripMargin.replace("\n", " "),
+    // the regex strings embed verbatim: DuckDB single-quoted literals do
+    // not process backslashes, and both patterns are RE2-safe
+    "q89_pii_redact" ->
+      s"""SELECT doc_id,
+         | regexp_replace(regexp_replace(text,
+         |   '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |   '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted,
+         | len(regexp_extract_all(text, '${TextOps.EmailRe}'))::INT AS nEmails,
+         | len(regexp_extract_all(text, '${TextOps.PhoneRe}'))::INT AS nPhones
+         |FROM documents""".stripMargin.replace("\n", " "),
     // Gopher-style repetition signals: duplicate-bigram fraction +
     // char fraction of the most frequent bigram (ties: smallest gram,
     // same pick as the Spark fold over the sorted gram array)

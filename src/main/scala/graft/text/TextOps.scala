@@ -349,6 +349,45 @@ object TextOps {
         .otherwise(lit(0.0)).as("topGramFrac"))
   }
 
+  /** Deterministic source-stratified sampling — the corpus "data mixing"
+    * pass of a pretraining pipeline (each source kept at its quota: e.g.
+    * encyclopedic sources upsampled, crawl downsampled). Keep decisions
+    * come from the md5-derived 56-bit hash of the doc id, not an RNG:
+    * u = hash56(id)/2^56 ∈ [0,1), keep iff u < quota(source). Hash-based
+    * sampling is the property a 100 TB resample actually needs — the
+    * decision is reproducible across runs, engines, partitionings and
+    * retries, with no RNG state to ship — and it makes the op
+    * oracle-checkable. Output: input columns + u + quota, filtered. */
+  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
+      quotas: Map[String, Double], defaultQuota: Double = 1.0): DataFrame = {
+    val u = hash56(col(idCol).cast("string")).cast("double") /
+      lit((1L << 56).toDouble)
+    // literal-comparison chain over the quota map — cheap branches, and
+    // sources outside the map take the default
+    val q = quotas.toSeq.sortBy(_._1).foldLeft(lit(defaultQuota)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.withColumn("u", u).withColumn("quota", q)
+      .where(col("u") < col("quota"))
+  }
+
+  /** PII redaction (C4/RefinedWeb-style curation): mask emails and
+    * phone-shaped numbers with placeholder tokens, keeping match counts
+    * as audit columns. The patterns stay inside the RE2-compatible
+    * subset (no backreferences/lookaround) so the identical pattern runs
+    * the same under java.util.regex and RE2-based engines. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+        .as("redacted"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("nEmails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).as("nPhones"))
+  }
+
   /** Token count (whitespace tokenizer + a BPE-ish subword estimate:
     * ceil(chars/4) blended with word count — the common LLM heuristic). */
   def tokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

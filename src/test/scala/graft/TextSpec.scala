@@ -143,6 +143,37 @@ class TextSpec extends SparkSpec {
     assert(n3 == 0 && dup3 == 0.0 && top3 == "" && tf3 == 0.0)
   }
 
+  test("stratified sampling: hash-deterministic, quota-proportional") {
+    val d = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) "web" else "wiki")).toDF("doc_id", "source")
+    val kept = TextOps.stratifiedSample(d, "doc_id", "source",
+      Map("web" -> 0.3), defaultQuota = 1.0)
+    val bySource = kept.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    assert(bySource("wiki") == 1000L)              // quota 1.0 keeps all
+    assert(bySource("web") > 200 && bySource("web") < 400) // ~30% of 1000
+    // decisions are a pure function of the id — a rerun keeps the same docs
+    val again = TextOps.stratifiedSample(d, "doc_id", "source",
+      Map("web" -> 0.3), defaultQuota = 1.0)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(again.select("doc_id").collect().map(_.getLong(0)).sorted))
+  }
+
+  test("pii redaction masks emails and phone numbers, counts them") {
+    val d = Seq(
+      (1L, "contact jane.doe+x@example.org or call 555-123-4567 today"),
+      (2L, "no pii in this entirely ordinary sentence")).toDF("doc_id", "text")
+    val out = TextOps.redactPii(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("redacted"), r.getAs[Int]("nEmails"),
+          r.getAs[Int]("nPhones")))).toMap
+    val (red1, ne1, np1) = out(1L)
+    assert(red1 == "contact <EMAIL> or call <PHONE> today")
+    assert(ne1 == 1 && np1 == 1)
+    val (red2, ne2, np2) = out(2L)
+    assert(red2 == "no pii in this entirely ordinary sentence" && ne2 == 0 && np2 == 0)
+  }
+
   test("cosine top-k: self-similar vector ranks first") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.99f, 0.1f, 0f)),
