@@ -44,6 +44,26 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p2.contains("WindowGroupLimit"))
   }
 
+  test("per-row text ops plan as scan+project — no exchange, no join") {
+    // repetition signals and pii redaction are pure per-row expressions;
+    // a shuffle or join appearing here would be a plan regression
+    for (q <- Seq("q87_repetition", "q89_pii_redact")) {
+      val p = plan(q).toString
+      assert(!p.contains("Exchange"), s"$q grew a shuffle")
+      assert(!p.contains("Join"), s"$q grew a join")
+    }
+    // stratified sampling additionally pushes nothing to a shuffle: the
+    // hash-keep filter evaluates at the scan
+    val p88 = plan("q88_corpus_mix").toString
+    assert(!p88.contains("Exchange"), "q88 grew a shuffle")
+  }
+
+  test("lsh near-dup: pairs only via the bucket equi-join, never cartesian") {
+    val p = plan("q60_ann_lsh").toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "q60 must join on bucket, not cross")
+  }
+
   test("rounding parity: roundLikeDuck halves away from zero on the float product") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
