@@ -38,6 +38,17 @@ object TextQueries {
         .select("doc_id", "source", "u", "quota"))),
     "q89_pii_redact" -> ((s, dir) =>
       TextOps.redactPii(docs(s, dir), "doc_id", "text")),
+    // span-level dedup: 8-token spans at stride 4, corpus-wide counts
+    "q90_span_dedup" -> ((s, dir) =>
+      canon(TextOps.spanDedup(docs(s, dir), "doc_id", "text", k = 8, stride = 4))),
+    // decontamination: eval split = md5-hash-selected ~5% of the corpus,
+    // train docs flagged on any shared 6-gram
+    "q91_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isEval = TextOps.hash56(col("doc_id").cast("string")) % 20 === 0
+      TextOps.decontaminate(d.where(!isEval), d.where(isEval),
+        "doc_id", "text", n = 6)
+    }),
     "q53_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(docs(s, dir), "doc_id", "text")),
     "q54_minhash_sig" -> ((s, dir) =>
@@ -184,6 +195,43 @@ object TextQueries {
          | len(regexp_extract_all(text, '${TextOps.EmailRe}'))::INT AS nEmails,
          | len(regexp_extract_all(text, '${TextOps.PhoneRe}'))::INT AS nPhones
          |FROM documents""".stripMargin.replace("\n", " "),
+    // span-level dedup: every 8-token span at stride 4 hashed to 56 bits
+    // and counted corpus-wide; a position is duplicated iff its span
+    // occurs more than once anywhere (mirrors TextOps.spanDedup exactly,
+    // including short-doc nSpans = 0 via the left join)
+    "q90_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |s AS (SELECT doc_id, unnest(list_transform(
+         |   range(0, (len(tk) - 8) // 4 + 1),
+         |   i -> ${h56("array_to_string(tk[i*4+1 : i*4+8], ' ')")})) AS sh
+         | FROM t WHERE len(tk) >= 8),
+         |c AS (SELECT sh, count(*) AS cnt FROM s GROUP BY 1),
+         |p AS (SELECT doc_id, count(*) AS nSpans,
+         |   sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS nDupSpans
+         | FROM s JOIN c USING (sh) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(p.nSpans, 0)::BIGINT AS nSpans,
+         | coalesce(p.nDupSpans, 0)::BIGINT AS nDupSpans,
+         | round(CASE WHEN p.nSpans > 0
+         |   THEN p.nDupSpans / p.nSpans::DOUBLE ELSE 0.0 END, 4) AS dupSpanFrac
+         |FROM documents d LEFT JOIN p USING (doc_id)"""
+        .stripMargin.replace("\n", " "),
+    // decontamination: eval split = hash56(doc_id) % 20 = 0; a train doc
+    // is contaminated iff it shares any distinct 6-gram with any eval doc
+    "q91_decontaminate" ->
+      s"""WITH sp AS (SELECT doc_id, text,
+         |   ${h56("doc_id::VARCHAR")} % 20 = 0 AS is_eval FROM documents),
+         |tk AS (SELECT doc_id, is_eval, $toks AS t FROM sp),
+         |g AS (SELECT DISTINCT doc_id, is_eval, unnest(CASE WHEN len(t) >= 6
+         |   THEN list_transform(range(1, len(t) - 4),
+         |     i -> array_to_string(t[i : i+5], ' '))
+         |   ELSE [] END) AS gram FROM tk),
+         |e AS (SELECT DISTINCT gram FROM g WHERE is_eval),
+         |h AS (SELECT g.doc_id, count(*) AS nGramHits
+         | FROM g JOIN e USING (gram) WHERE NOT g.is_eval GROUP BY 1)
+         |SELECT sp.doc_id, coalesce(h.nGramHits, 0)::BIGINT AS nGramHits,
+         | coalesce(h.nGramHits, 0) > 0 AS contaminated
+         |FROM sp LEFT JOIN h USING (doc_id) WHERE NOT sp.is_eval"""
+        .stripMargin.replace("\n", " "),
     // Gopher-style repetition signals: duplicate-bigram fraction +
     // char fraction of the most frequent bigram (ties: smallest gram,
     // same pick as the Spark fold over the sorted gram array)

@@ -405,4 +405,65 @@ object TextOps {
       md5(concat_ws(" ", t)).as("fp"),
       array_min(transform(t, tk => conv(substring(md5(tk), 1, 14), 16, 10).cast("long"))).as("minTokenHash"))
   }
+
+  /** Duplicate-span detection (Lee et al., ACL'22, "Deduplicating
+    * Training Data Makes Language Models Better"): every k-token span at
+    * the given stride is hashed and counted corpus-wide; a span position
+    * is a duplicate when its span occurs more than once anywhere in the
+    * corpus (other documents or elsewhere in the same one). Output per
+    * document: nSpans, nDupSpans, dupSpanFrac — the span-level complement
+    * of whole-document dedup (exactDedup) and near-dup (minhashPairs),
+    * catching boilerplate shared across otherwise-distinct documents.
+    *
+    * Scale shape: spans stay inside their row until the explode, and the
+    * exchange carries (id, 56-bit span hash) — never text. The global
+    * count is a hash aggregate with map-side combine; the count join keys
+    * on the same hash, so AQE reuses one partitioning for both. Documents
+    * shorter than k tokens surface with nSpans = 0. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, stride: Int = 1): DataFrame = {
+    val withT = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val t = col("_toks")
+    val nSpans = floor((size(t) - k).cast("double") / stride).cast("int")
+    val spans = when(size(t) >= k,
+      transform(sequence(lit(0), nSpans),
+        i => hash56(concat_ws(" ", slice(t, i * stride + 1, lit(k))))))
+      .otherwise(array().cast("array<long>"))
+    val exploded = withT.select(col(idCol), explode(spans).as("sh"))
+    val counts = exploded.groupBy("sh").agg(count(lit(1)).as("cnt"))
+    val perDoc = exploded.join(counts, "sh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("nSpans"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("nDupSpans"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nSpans"), lit(0L)).as("nSpans"),
+        coalesce(col("nDupSpans"), lit(0L)).as("nDupSpans"),
+        when(coalesce(col("nSpans"), lit(0L)) > 0,
+          col("nDupSpans").cast("double") / col("nSpans"))
+          .otherwise(lit(0.0)).as("dupSpanFrac"))
+  }
+
+  /** Benchmark decontamination (the n-gram overlap check every serious
+    * pretraining pipeline runs against held-out eval sets, per the GPT-3
+    * appendix-C / PaLM methodology): a training document is contaminated
+    * when it shares any word n-gram with any evaluation document. Output
+    * per train doc: nGramHits (distinct shared n-grams), contaminated.
+    *
+    * Scale shape: eval sets are benchmark-sized, not crawl-sized, so the
+    * distinct eval-gram set is explicitly broadcast — the 100 TB train
+    * side is a scan + per-row shingling + broadcast semi-join with no
+    * train-side shuffle before the per-doc count. */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val trainGrams = shingles(train, idCol, textCol, n)
+    val evalGrams = shingles(evalDocs, idCol, textCol, n)
+      .select("shingle").distinct()
+    val hits = trainGrams.join(broadcast(evalGrams), "shingle")
+      .groupBy(idCol).agg(count(lit(1)).as("nGramHits"))
+    train.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nGramHits"), lit(0L)).as("nGramHits"),
+        (coalesce(col("nGramHits"), lit(0L)) > 0).as("contaminated"))
+  }
 }

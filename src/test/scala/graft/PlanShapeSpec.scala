@@ -58,6 +58,23 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p88.contains("Exchange"), "q88 grew a shuffle")
   }
 
+  test("decontamination: eval-gram side joins broadcast, never sort-merge") {
+    // the eval set is benchmark-sized; shuffling the 100 TB train grams
+    // against it would be the scale bug this guard pins out
+    val p = plan("q91_decontaminate").toString
+    assert(p.contains("BroadcastHashJoin"))
+    val beforeFinalJoin = p.substring(p.indexOf("BroadcastHashJoin"))
+    assert(beforeFinalJoin.contains("shingle"), "broadcast join must key on the gram")
+  }
+
+  test("span dedup: count join keys on the span hash — no cartesian, no text shuffle") {
+    val p = plan("q90_span_dedup").toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // the exchanged columns are (id, 56-bit hash) — document text never
+    // reaches an exchange
+    assert(!p.contains("Exchange hashpartitioning(text"), "text column shuffled")
+  }
+
   test("lsh near-dup: pairs only via the bucket equi-join, never cartesian") {
     val p = plan("q60_ann_lsh").toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),

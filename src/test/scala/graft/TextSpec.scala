@@ -174,6 +174,36 @@ class TextSpec extends SparkSpec {
     assert(red2 == "no pii in this entirely ordinary sentence" && ne2 == 0 && np2 == 0)
   }
 
+  test("span dedup: cross-doc and in-doc repeats counted, short docs zero") {
+    val d = Seq(
+      (1L, "a b c d e"),        // spans: "a b c","b c d","c d e"
+      (2L, "a b c x y"),        // shares "a b c" with doc 1
+      (3L, "z z z z"),          // "z z z" twice -> both positions dup
+      (4L, "p q")               // shorter than k -> nSpans = 0
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanDedup(d, "doc_id", "text", k = 3, stride = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("nSpans"), r.getAs[Long]("nDupSpans"),
+          r.getAs[Double]("dupSpanFrac")))).toMap
+    assert(out(1L) == ((3L, 1L, 1.0 / 3)))
+    assert(out(2L) == ((3L, 1L, 1.0 / 3)))
+    assert(out(3L) == ((2L, 2L, 1.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("decontamination: shared n-gram flags the train doc, clean doc passes") {
+    val train = Seq(
+      (10L, "alpha beta other words entirely"),
+      (11L, "nothing shared at all here")).toDF("doc_id", "text")
+    val eval = Seq((99L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = TextOps.decontaminate(train, eval, "doc_id", "text", n = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("nGramHits"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(out(10L) == ((1L, true)))   // "alpha beta" is the one shared 2-gram
+    assert(out(11L) == ((0L, false)))
+    assert(out.size == 2)              // eval docs never appear in the output
+  }
+
   test("cosine top-k: self-similar vector ranks first") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.99f, 0.1f, 0f)),
