@@ -146,9 +146,9 @@ object SeqQueries {
         "value", numBuckets = 4, n = 2, window = 20).toDF()
         .withColumn("score", col("score") + lit(1e-9)))),
     "q86_osa_resid_stats" -> ((s, dir) =>
-      // one-step-ahead residual-stats side output (rows-only: the
-      // replace-on-outlier feedback recurrence is not SQL-expressible;
-      // SeqSpec pins the math against an independent replay)
+      // one-step-ahead residual-stats side output; oracled via the same
+      // recursive-CTE walk as q27 (SeqSpec additionally pins the math
+      // against an independent replay)
       canon(SeriesKernels.oneStepAheadResidStats(ev(s, dir), Seq("user_id"),
         "event_id", "value", window = 10, threshold = 3.0).toDF())),
   )
@@ -179,7 +179,64 @@ object SeqQueries {
       | FROM events e JOIN zstats s USING (event_type))"""
       .stripMargin.replace("\n", " ")
 
+  // Recursive replay of the one-step-ahead replace-on-outlier walk
+  // (SeriesKernels.osaWalk — seq/OneStepAheadPredictor.scala:111-151): one
+  // recursion step per row, state = the 10-slot circular buffer (emulated
+  // positionally so float summation order matches Scala's `buf.sum` over
+  // array indices exactly) + running residual sum/sumsq/count. Score uses
+  // the residual stats from BEFORE the current residual is folded in, as
+  // the kernel does. Shared by q27 (per-row scores) and q86 (final stats).
+  private val osaWalk =
+    """ev AS (SELECT user_id::VARCHAR AS key, event_id AS seq, value,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      | FROM events),
+      |walk AS (
+      | SELECT key, rn, seq, value, 0.0::DOUBLE AS score,
+      |  [value] AS buf, 1 AS filled,
+      |  0.0::DOUBLE AS rsum, 0.0::DOUBLE AS rsq, 0 AS rnr
+      | FROM ev WHERE rn = 1
+      | UNION ALL
+      | SELECT key, rn, seq, value, score,
+      |  CASE WHEN filled0 < 10 THEN list_append(buf0, store)
+      |   ELSE list_transform(range(1, 11),
+      |    j -> CASE WHEN j = (filled0 % 10) + 1 THEN store ELSE buf0[j] END)
+      |  END AS buf,
+      |  filled0 + 1 AS filled,
+      |  rsum0 + coalesce(resid, 0.0) AS rsum,
+      |  rsq0 + coalesce(resid * resid, 0.0) AS rsq,
+      |  rnr0 + CASE WHEN resid IS NOT NULL THEN 1 ELSE 0 END AS rnr
+      | FROM (
+      |  SELECT key, rn, seq, value, buf0, filled0, rsum0, rsq0, rnr0, pred, resid,
+      |   CASE WHEN resid IS NOT NULL AND std > 0
+      |    THEN abs(resid) / std ELSE 0.0::DOUBLE END AS score,
+      |   CASE WHEN resid IS NOT NULL AND std > 0 AND abs(resid) / std > 3.0
+      |    THEN pred ELSE value END AS store
+      |  FROM (
+      |   SELECT e.key, e.rn, e.seq, e.value,
+      |    w.buf AS buf0, w.filled AS filled0,
+      |    w.rsum AS rsum0, w.rsq AS rsq0, w.rnr AS rnr0,
+      |    CASE WHEN w.filled >= 10 THEN list_sum(w.buf) / 10.0 END AS pred,
+      |    CASE WHEN w.filled >= 10 THEN e.value - list_sum(w.buf) / 10.0 END AS resid,
+      |    CASE WHEN w.rnr > 1
+      |     THEN sqrt((w.rsq - w.rsum * w.rsum / w.rnr) / (w.rnr - 1))
+      |     ELSE 0.0::DOUBLE END AS std
+      |   FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1)))"""
+      .stripMargin.replace("\n", " ")
+
   val oracleSql: Map[String, String] = Map(
+    "q27_one_step_ahead_fb" ->
+      s"""WITH RECURSIVE $osaWalk
+         |SELECT key, seq, round(value, 4) AS value, round(score, 4) AS score
+         |FROM walk""".stripMargin.replace("\n", " "),
+    "q86_osa_resid_stats" ->
+      s"""WITH RECURSIVE $osaWalk,
+         |last AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY rn DESC)
+         |   AS rk FROM walk)
+         |SELECT key, rnr::BIGINT AS n,
+         | round(CASE WHEN rnr > 0 THEN rsum / rnr ELSE 0.0 END, 4) AS mean,
+         | round(CASE WHEN rnr > 1
+         |   THEN sqrt((rsq - rsum * rsum / rnr) / (rnr - 1)) ELSE 0.0 END, 4) AS std
+         |FROM last WHERE rk = 1""".stripMargin.replace("\n", " "),
     // two-sample KS changepoint (misc/ChangePointDetector.scala:108-139):
     // for each position with full 50-row flanking windows, D = max ECDF
     // gap over the union of both windows; RANGE frame consumes tie groups
