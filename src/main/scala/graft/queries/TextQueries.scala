@@ -41,6 +41,10 @@ object TextQueries {
     // span-level dedup: 8-token spans at stride 4, corpus-wide counts
     "q90_span_dedup" -> ((s, dir) =>
       canon(TextOps.spanDedup(docs(s, dir), "doc_id", "text", k = 8, stride = 4))),
+    // chunking: 32-token training windows, 8-token overlap (step 24)
+    "q92_chunk_docs" -> ((s, dir) =>
+      TextOps.chunkDocs(docs(s, dir), "doc_id", "text",
+        chunkTokens = 32, overlap = 8)),
     // decontamination: eval split = md5-hash-selected ~5% of the corpus,
     // train docs flagged on any shared 6-gram
     "q91_decontaminate" -> ((s, dir) => {
@@ -215,6 +219,19 @@ object TextQueries {
          |   THEN p.nDupSpans / p.nSpans::DOUBLE ELSE 0.0 END, 4) AS dupSpanFrac
          |FROM documents d LEFT JOIN p USING (doc_id)"""
         .stripMargin.replace("\n", " "),
+    // chunking: 32-token windows at step 24 (8-token overlap); the tail
+    // window may be shorter; tokenless docs emit nothing
+    "q92_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |p AS (SELECT doc_id, tk, len(tk) AS n,
+         |   CASE WHEN len(tk) <= 32 THEN 1
+         |    ELSE ceil((len(tk) - 32) / 24.0)::INT + 1 END AS nc
+         | FROM t WHERE len(tk) > 0),
+         |c AS (SELECT doc_id, tk, n, unnest(range(0, nc)) AS i FROM p)
+         |SELECT doc_id, i::INT AS chunkIdx, (i*24 + 1)::INT AS startTok,
+         | least(32, n - i*24)::INT AS nTok,
+         | array_to_string(tk[i*24+1 : i*24 + least(32, n - i*24)], ' ') AS chunk
+         |FROM c""".stripMargin.replace("\n", " "),
     // decontamination: eval split = hash56(doc_id) % 20 = 0; a train doc
     // is contaminated iff it shares any distinct 6-gram with any eval doc
     "q91_decontaminate" ->

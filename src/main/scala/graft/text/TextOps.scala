@@ -444,6 +444,41 @@ object TextOps {
           .otherwise(lit(0.0)).as("dupSpanFrac"))
   }
 
+  /** Fixed-size token-window chunking with overlap — the sequence-prep
+    * step between curation and packing in a pretraining pipeline: each
+    * document becomes ceil((n - chunk) / (chunk - overlap)) + 1 windows of
+    * up to `chunkTokens` tokens, consecutive windows sharing `overlap`
+    * tokens (the tail window may be shorter). Output: id, chunkIdx,
+    * startTok (1-based), nTok, chunk. Documents with no tokens emit no
+    * rows.
+    *
+    * Scale shape: pure per-row expressions — the windows of a document
+    * are built inside its own row and exploded, so the op is a
+    * scan + project with zero shuffles at any corpus size. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, chunkTokens)")
+    val step = chunkTokens - overlap
+    val withT = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) > 0)
+    val t = col("_toks")
+    val n = size(t)
+    val nChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(ceil((n - chunkTokens).cast("double") / step).cast("int") + 1)
+    val chunks = transform(sequence(lit(0), nChunks - 1), i => {
+      val start = i * step
+      val len = least(lit(chunkTokens), n - start)
+      struct(i.cast("int").as("chunkIdx"),
+        (start + 1).cast("int").as("startTok"),
+        len.cast("int").as("nTok"),
+        concat_ws(" ", slice(t, start + 1, len)).as("chunk"))
+    })
+    withT.select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol), col("c.chunkIdx"), col("c.startTok"),
+        col("c.nTok"), col("c.chunk"))
+  }
+
   /** Benchmark decontamination (the n-gram overlap check every serious
     * pretraining pipeline runs against held-out eval sets, per the GPT-3
     * appendix-C / PaLM methodology): a training document is contaminated

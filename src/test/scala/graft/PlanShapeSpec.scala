@@ -47,7 +47,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   test("per-row text ops plan as scan+project — no exchange, no join") {
     // repetition signals and pii redaction are pure per-row expressions;
     // a shuffle or join appearing here would be a plan regression
-    for (q <- Seq("q87_repetition", "q89_pii_redact")) {
+    for (q <- Seq("q87_repetition", "q89_pii_redact", "q92_chunk_docs")) {
       val p = plan(q).toString
       assert(!p.contains("Exchange"), s"$q grew a shuffle")
       assert(!p.contains("Join"), s"$q grew a join")

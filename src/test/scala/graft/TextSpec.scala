@@ -191,6 +191,28 @@ class TextSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("chunking: overlapping windows cover the doc, tail shorter, empty doc dropped") {
+    val d = Seq(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 toks
+      (2L, "a b c d e"),                              // < chunk -> 1 window
+      (3L, "   ")                                     // tokenless -> no rows
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(d, "doc_id", "text", chunkTokens = 16, overlap = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunkIdx")) ->
+        ((r.getAs[Int]("startTok"), r.getAs[Int]("nTok"), r.getAs[String]("chunk"))))
+      .toMap
+    // step = 12: windows at 1, 13, 25; ceil((40-16)/12)+1 = 3 chunks
+    assert(out.keys.count(_._1 == 1L) == 3)
+    assert(out((1L, 0))._1 == 1 && out((1L, 0))._2 == 16)
+    assert(out((1L, 1))._1 == 13 && out((1L, 1))._2 == 16)
+    assert(out((1L, 2)) == ((25, 16, (25 to 40).map(i => s"t$i").mkString(" "))))
+    assert(out((2L, 0)) == ((1, 5, "a b c d e")))
+    assert(!out.keys.exists(_._1 == 3L))
+    // consecutive windows share exactly `overlap` tokens
+    assert(out((1L, 0))._3.split(" ").takeRight(4).sameElements(
+      out((1L, 1))._3.split(" ").take(4)))
+  }
+
   test("decontamination: shared n-gram flags the train doc, clean doc passes") {
     val train = Seq(
       (10L, "alpha beta other words entirely"),
