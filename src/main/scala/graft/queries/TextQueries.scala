@@ -45,6 +45,19 @@ object TextQueries {
     "q92_chunk_docs" -> ((s, dir) =>
       TextOps.chunkDocs(docs(s, dir), "doc_id", "text",
         chunkTokens = 32, overlap = 8)),
+    // packing: the q92 chunks greedily packed into 128-token sequences,
+    // shard = source (packing parallelizes across shards)
+    "q93_pack_greedy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ch = TextOps.chunkDocs(d, "doc_id", "text",
+        chunkTokens = 32, overlap = 8)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+      TextOps.packGreedy(ch, "source", "doc_id", "chunkIdx", "nTok",
+        capacity = 128)
+        .select(col("shard"), col("id").as("doc_id"),
+          col("idx").as("chunkIdx"), col("size").as("nTok"),
+          col("bin"), col("offset"))
+    }),
     // decontamination: eval split = md5-hash-selected ~5% of the corpus,
     // train docs flagged on any shared 6-gram
     "q91_decontaminate" -> ((s, dir) => {
@@ -124,6 +137,20 @@ object TextQueries {
 
   private val toks = """regexp_extract_all(lower(text), '\S+')"""
   private def h56(e: String) = s"('0x'||substr(md5($e),1,14))::BIGINT"
+
+  // 32-token windows at step 24 over the token stream (shared by the
+  // chunking and packing oracles)
+  private val chunkCte =
+    s"""t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |p AS (SELECT doc_id, tk, len(tk) AS n,
+       |   CASE WHEN len(tk) <= 32 THEN 1
+       |    ELSE ceil((len(tk) - 32) / 24.0)::INT + 1 END AS nc
+       | FROM t WHERE len(tk) > 0),
+       |cg AS (SELECT doc_id, tk, n, unnest(range(0, nc)) AS i FROM p),
+       |ch AS (SELECT doc_id, i::INT AS chunkIdx, (i*24 + 1)::INT AS startTok,
+       |  least(32, n - i*24)::INT AS nTok,
+       |  array_to_string(tk[i*24+1 : i*24 + least(32, n - i*24)], ' ') AS chunk
+       | FROM cg)""".stripMargin.replace("\n", " ")
 
   // distinct 3-shingles with 56-bit hashes reduced mod P
   private val shingleCte =
@@ -222,16 +249,33 @@ object TextQueries {
     // chunking: 32-token windows at step 24 (8-token overlap); the tail
     // window may be shorter; tokenless docs emit nothing
     "q92_chunk_docs" ->
-      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-         |p AS (SELECT doc_id, tk, len(tk) AS n,
-         |   CASE WHEN len(tk) <= 32 THEN 1
-         |    ELSE ceil((len(tk) - 32) / 24.0)::INT + 1 END AS nc
-         | FROM t WHERE len(tk) > 0),
-         |c AS (SELECT doc_id, tk, n, unnest(range(0, nc)) AS i FROM p)
-         |SELECT doc_id, i::INT AS chunkIdx, (i*24 + 1)::INT AS startTok,
-         | least(32, n - i*24)::INT AS nTok,
-         | array_to_string(tk[i*24+1 : i*24 + least(32, n - i*24)], ' ') AS chunk
-         |FROM c""".stripMargin.replace("\n", " "),
+      s"""WITH $chunkCte
+         |SELECT doc_id, chunkIdx, startTok, nTok, chunk FROM ch"""
+        .stripMargin.replace("\n", " "),
+    // greedy packing of the q92 chunks into 128-token bins per source —
+    // an integer-state walk, replayed exactly by one recursion step per
+    // chunk (base: first chunk of each shard opens bin 0 at offset 0)
+    "q93_pack_greedy" ->
+      s"""WITH RECURSIVE $chunkCte,
+         |ord AS (SELECT d.source AS shard, c.doc_id, c.chunkIdx, c.nTok,
+         |   row_number() OVER (PARTITION BY d.source
+         |     ORDER BY c.doc_id, c.chunkIdx) AS rn
+         | FROM ch c JOIN documents d USING (doc_id)),
+         |pk AS (
+         | SELECT shard, rn, doc_id, chunkIdx, nTok,
+         |  0 AS bin, 0 AS off, nTok AS fill
+         | FROM ord WHERE rn = 1
+         | UNION ALL
+         | SELECT o.shard, o.rn, o.doc_id, o.chunkIdx, o.nTok,
+         |  CASE WHEN p.fill > 0 AND p.fill + o.nTok > 128
+         |   THEN p.bin + 1 ELSE p.bin END AS bin,
+         |  CASE WHEN p.fill > 0 AND p.fill + o.nTok > 128
+         |   THEN 0 ELSE p.fill END AS off,
+         |  CASE WHEN p.fill > 0 AND p.fill + o.nTok > 128
+         |   THEN o.nTok ELSE p.fill + o.nTok END AS fill
+         | FROM pk p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+         |SELECT shard, doc_id, chunkIdx, nTok, bin::INT AS bin,
+         | off::INT AS offset FROM pk""".stripMargin.replace("\n", " "),
     // decontamination: eval split = hash56(doc_id) % 20 = 0; a train doc
     // is contaminated iff it shares any distinct 6-gram with any eval doc
     "q91_decontaminate" ->

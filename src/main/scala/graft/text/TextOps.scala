@@ -479,6 +479,47 @@ object TextOps {
         col("c.nTok"), col("c.chunk"))
   }
 
+  case class PackIn(shard: String, id: Long, idx: Int, size: Int)
+  case class PackOut(shard: String, id: Long, idx: Int, size: Int,
+      bin: Int, offset: Int)
+
+  /** Greedy sequential packing of chunks into fixed-capacity training
+    * sequences ("bins"), the step after [[chunkDocs]] in a pretraining
+    * pipeline: within each shard, chunks are taken in (id, idx) order and
+    * appended to the current bin until the next chunk would overflow
+    * `capacity`, which starts a new bin. Deterministic — no RNG, no
+    * size-sorting — so the layout is reproducible across runs and
+    * engines. A chunk larger than `capacity` gets a bin of its own.
+    * Output: shard, id, idx, size, bin (0-based per shard), offset
+    * (token offset inside the bin).
+    *
+    * Scale shape: packing is a sequential fold, so it parallelizes
+    * across shards (`groupByKey(shard)`), never within one — shard
+    * granularity (e.g. source × date) is the scale knob, exactly how
+    * production packing runs shard-parallel. State per group is one
+    * (bin, fill) pair; rows stream through the iterator sorted. */
+  def packGreedy(chunks: DataFrame, shardCol: String, idCol: String,
+      idxCol: String, sizeCol: String, capacity: Int): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.select(col(shardCol).cast("string").as("shard"),
+        col(idCol).cast("long").as("id"), col(idxCol).cast("int").as("idx"),
+        col(sizeCol).cast("int").as("size")).as[PackIn]
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(r => (r.id, r.idx))
+        var bin = 0
+        var fill = 0
+        rows.iterator.map { r =>
+          if (fill > 0 && fill + r.size > capacity) { bin += 1; fill = 0 }
+          val off = fill
+          fill += r.size
+          PackOut(r.shard, r.id, r.idx, r.size, bin, off)
+        }
+      }
+      .toDF()
+  }
+
   /** Benchmark decontamination (the n-gram overlap check every serious
     * pretraining pipeline runs against held-out eval sets, per the GPT-3
     * appendix-C / PaLM methodology): a training document is contaminated

@@ -213,6 +213,25 @@ class TextSpec extends SparkSpec {
       out((1L, 1))._3.split(" ").take(4)))
   }
 
+  test("greedy packing: order-preserving fill, overflow opens bin, oversized isolated") {
+    val ch = Seq(
+      ("s", 1L, 0, 4), ("s", 1L, 1, 4), ("s", 2L, 0, 4),
+      ("s", 3L, 0, 12),                      // oversized > capacity
+      ("s", 4L, 0, 5),
+      ("z", 9L, 0, 3)                        // second shard independent
+    ).toDF("src", "doc_id", "idx", "sz")
+    val out = TextOps.packGreedy(ch, "src", "doc_id", "idx", "sz", capacity = 10)
+      .collect().map(r => (r.getAs[String]("shard"), r.getAs[Long]("id"),
+        r.getAs[Int]("idx")) -> ((r.getAs[Int]("bin"), r.getAs[Int]("offset"))))
+      .toMap
+    assert(out(("s", 1L, 0)) == ((0, 0)))
+    assert(out(("s", 1L, 1)) == ((0, 4)))
+    assert(out(("s", 2L, 0)) == ((1, 0)))   // 8+4 > 10 -> new bin
+    assert(out(("s", 3L, 0)) == ((2, 0)))   // oversized gets its own bin
+    assert(out(("s", 4L, 0)) == ((3, 0)))   // bin after the oversized one
+    assert(out(("z", 9L, 0)) == ((0, 0)))   // shards pack independently
+  }
+
   test("decontamination: shared n-gram flags the train doc, clean doc passes") {
     val train = Seq(
       (10L, "alpha beta other words entirely"),
