@@ -58,6 +58,9 @@ object TextQueries {
           col("idx").as("chunkIdx"), col("size").as("nTok"),
           col("bin"), col("offset"))
     }),
+    // deterministic epoch shuffle into 8 training shards (salt "ep0")
+    "q94_shuffle_shards" -> ((s, dir) =>
+      TextOps.shuffleShards(docs(s, dir), "doc_id", nShards = 8, salt = "ep0")),
     // decontamination: eval split = md5-hash-selected ~5% of the corpus,
     // train docs flagged on any shared 6-gram
     "q91_decontaminate" -> ((s, dir) => {
@@ -276,6 +279,14 @@ object TextQueries {
          | FROM pk p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
          |SELECT shard, doc_id, chunkIdx, nTok, bin::INT AS bin,
          | off::INT AS offset FROM pk""".stripMargin.replace("\n", " "),
+    // salted md5 shuffle key -> shard = key mod 8, position by key order
+    "q94_shuffle_shards" ->
+      s"""WITH k AS (SELECT doc_id,
+         |  ${h56("doc_id::VARCHAR || ':ep0'")} AS shuffleKey FROM documents)
+         |SELECT doc_id, shuffleKey, (shuffleKey % 8)::INT AS shard,
+         | row_number() OVER (PARTITION BY shuffleKey % 8 ORDER BY shuffleKey)
+         |  - 1 AS posInShard
+         |FROM k""".stripMargin.replace("\n", " "),
     // decontamination: eval split = hash56(doc_id) % 20 = 0; a train doc
     // is contaminated iff it shares any distinct 6-gram with any eval doc
     "q91_decontaminate" ->

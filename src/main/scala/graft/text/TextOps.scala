@@ -520,6 +520,26 @@ object TextOps {
       .toDF()
   }
 
+  /** Deterministic corpus shuffle + shard assignment — the global
+    * randomization pass before training: each row gets an md5-derived
+    * shuffle key (salted, so successive epochs reshuffle differently but
+    * reproducibly), a shard = key mod nShards, and a position within its
+    * shard by shuffle-key order. Hash-derived like [[stratifiedSample]]:
+    * no RNG state, stable across runs/engines/partitionings/retries.
+    *
+    * Scale shape: the key is a per-row expression; the only exchange is
+    * the per-shard window sort, whose parallelism is nShards — at 100 TB
+    * nShards is thousands, and each shard sorts independently. */
+  def shuffleShards(docs: DataFrame, idCol: String, nShards: Int,
+      salt: String = ""): DataFrame = {
+    val key = hash56(concat(col(idCol).cast("string"), lit(":"), lit(salt)))
+    val w = Window.partitionBy("shard").orderBy("shuffleKey")
+    docs.withColumn("shuffleKey", key)
+      .withColumn("shard", (col("shuffleKey") % nShards).cast("int"))
+      .withColumn("posInShard", row_number().over(w).cast("long") - 1)
+      .select(col(idCol), col("shuffleKey"), col("shard"), col("posInShard"))
+  }
+
   /** Benchmark decontamination (the n-gram overlap check every serious
     * pretraining pipeline runs against held-out eval sets, per the GPT-3
     * appendix-C / PaLM methodology): a training document is contaminated

@@ -232,6 +232,22 @@ class TextSpec extends SparkSpec {
     assert(out(("z", 9L, 0)) == ((0, 0)))   // shards pack independently
   }
 
+  test("shuffle shards: deterministic per salt, dense positions per shard") {
+    val d = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = TextOps.shuffleShards(d, "doc_id", nShards = 4, salt = "ep0").collect()
+    val b = TextOps.shuffleShards(d, "doc_id", nShards = 4, salt = "ep0").collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted)) // reproducible
+    val c = TextOps.shuffleShards(d, "doc_id", nShards = 4, salt = "ep1")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("shard")).toMap
+    val aMap = a.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("shard")).toMap
+    assert((0L until 200L).exists(i => aMap(i) != c(i))) // new salt reshuffles
+    // positions are dense 0..k-1 within every shard
+    a.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      val pos = rows.map(_.getAs[Long]("posInShard")).sorted
+      assert(pos.sameElements(pos.indices.map(_.toLong)))
+    }
+  }
+
   test("decontamination: shared n-gram flags the train doc, clean doc passes") {
     val train = Seq(
       (10L, "alpha beta other words entirely"),
