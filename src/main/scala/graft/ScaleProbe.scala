@@ -60,6 +60,15 @@ object ScaleProbe {
         text.TextOps.dedupSurvivors(
           text.TextOps.dupClusters(docs, "doc_id", cand)).count()
       }
+      time("span_dedup", n, nDocs) {
+        text.TextOps.spanDedup(docs, "doc_id", "text", k = 8, stride = 4).count()
+      }
+      time("chunk_pack", n, nDocs) {
+        val ch = text.TextOps.chunkDocs(docs, "doc_id", "text", 32, 8)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        text.TextOps.packGreedy(ch, "source", "doc_id", "chunkIdx", "nTok", 128)
+          .count()
+      }
     }
     spark.stop()
   }
