@@ -247,6 +247,25 @@ object StreamScorers {
         })
   }
 
+  /** Streaming exact dedup — the ingest-time face of
+    * `TextOps.exactDedup`: only first-seen content (by md5 hash) passes;
+    * later arrivals of the same text are dropped across micro-batches.
+    * With `tsColAndWatermark` the seen-hash state is bounded to the
+    * watermark horizon via `dropDuplicatesWithinWatermark` (a duplicate
+    * arriving later than the horizon is re-admitted — the standard
+    * state/recall trade-off); without it, state holds one entry per
+    * distinct content hash forever — true whole-history dedup, sized by
+    * distinct content, not stream length. */
+  def exactDedupStream(docs: DataFrame, textCol: String,
+      tsColAndWatermark: Option[(String, String)] = None): DataFrame = {
+    val hashed = docs.withColumn("contentHash", md5(col(textCol)))
+    tsColAndWatermark match {
+      case Some((ts, wm)) =>
+        hashed.withWatermark(ts, wm).dropDuplicatesWithinWatermark("contentHash")
+      case None => hashed.dropDuplicates("contentHash")
+    }
+  }
+
   case class ErrEvent(entity: String, seq: Long, err: Double)
   case class DdmOut(entity: String, seq: Long, err: Double, p: Double, s: Double, level: String)
   case class DdmState(n: Long, errs: Double, minPS: Double, sAtMin: Double)

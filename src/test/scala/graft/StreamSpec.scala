@@ -110,6 +110,21 @@ class StreamSpec extends SparkSpec {
     assert(rows(4).score > rows(2).score)
   }
 
+  test("streaming exact dedup drops cross-batch duplicate content, keeps first") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = StreamScorers.exactDedupStream(
+      in.toDS().toDF("doc_id", "text"), "text")
+    val q = out.writeStream.format("memory").queryName("ed").outputMode("append").start()
+    in.addData((1L, "same content here"), (2L, "other content"))
+    q.processAllAvailable()
+    in.addData((3L, "same content here"), (4L, "brand new content")) // 3 is a dup of 1
+    q.processAllAvailable()
+    val ids = spark.table("ed").select("doc_id").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.sameElements(Array(1L, 2L, 4L))) // 3 dropped by cross-batch state
+  }
+
   test("streaming LSH near-dup pairs a late duplicate with its earlier twin") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, String)]
