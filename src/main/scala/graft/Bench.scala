@@ -36,7 +36,8 @@ object Bench {
     // (BENCH_r01..03 all lost q01–q25). Keys are therefore the unique qNN
     // prefix and values are rounded to ms; the full-name full-precision map
     // goes to bench_full.json alongside.
-    def fmt(v: Double) = f"$v%.3f"
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      java.lang.Double.valueOf(v))
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -98,12 +98,17 @@ object SeqQueries {
     "q25_changepoint_ks" -> ((s, dir) =>
       canon(SeriesKernels.changePoint(ev(s, dir), Seq("event_type"), "event_id",
         "value", window = 50, stat = "ks", critValue = 0.25).toDF())),
+    // CVM/AD scores get the same +1e-9 pre-round nudge as q28 (both sides):
+    // their sums of squares are arbitrary floats that can land on a 4dp
+    // rounding boundary, unlike KS's 1/50-granular max gap.
     "q25b_changepoint_cvm" -> ((s, dir) =>
       canon(SeriesKernels.changePoint(ev(s, dir), Seq("event_type"), "event_id",
-        "value", window = 50, stat = "cvm", critValue = 0.5).toDF())),
+        "value", window = 50, stat = "cvm", critValue = 0.5).toDF()
+        .withColumn("score", col("score") + lit(1e-9)))),
     "q25c_changepoint_ad" -> ((s, dir) =>
       canon(SeriesKernels.changePoint(ev(s, dir), Seq("event_type"), "event_id",
-        "value", window = 50, stat = "ad", critValue = 2.5).toDF())),
+        "value", window = 50, stat = "ad", critValue = 2.5).toDF()
+        .withColumn("score", col("score") + lit(1e-9)))),
     "q26_subseq_discord" -> ((s, dir) =>
       canon(SeriesKernels.subSequenceDistanceFast(ev(s, dir), Seq("user_id"), "event_id",
         "value", window = 8).toDF())),
@@ -188,7 +193,7 @@ object SeqQueries {
   // the kernel does. Shared by q27 (per-row scores) and q86 (final stats).
   private val osaWalk =
     """ev AS (SELECT user_id::VARCHAR AS key, event_id AS seq, value,
-      |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  row_number() OVER (PARTITION BY user_id ORDER BY event_id, value) AS rn
       | FROM events),
       |walk AS (
       | SELECT key, rn, seq, value, 0.0::DOUBLE AS score,
@@ -258,7 +263,7 @@ object SeqQueries {
         |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |d AS (SELECT key, c, seq, value, max(gap) AS score FROM g GROUP BY 1, 2, 3, 4)
         |SELECT key, seq, round(value,4) AS value, round(score,4) AS score
-        |FROM d WHERE score >= 0.25""".stripMargin.replace("\n", " "),
+        |FROM d WHERE score >= 0.25 - 1e-9""".stripMargin.replace("\n", " "),
     // two-sample Cramér–von Mises over the same 50/50 flanking windows
     // (ChangePointDetector.scala:108-112 stat family): walk the combined
     // 100 values in (value, src) order — src breaks ties left-window-first,
@@ -282,8 +287,8 @@ object SeqQueries {
         |d AS (SELECT key, seq, value,
         |  sum(pow(ca/50.0 - (h - ca)/50.0, 2)) / 4.0 AS score
         | FROM r GROUP BY 1, 2, 3)
-        |SELECT key, seq, round(value,4) AS value, round(score,4) AS score
-        |FROM d WHERE score >= 0.5""".stripMargin.replace("\n", " "),
+        |SELECT key, seq, round(value,4) AS value, round(score + 1e-9,4) AS score
+        |FROM d WHERE score >= 0.5 - 1e-9""".stripMargin.replace("\n", " "),
     // two-sample Anderson-Darling (k=2, unadjusted) over the same windows:
     // same (value, src) tie-ordered walk; for each of the first N−1
     // positions h, term = (ca·N − n·h)²/(h·(N−h)); A² = Σ term/(n·m).
@@ -306,8 +311,8 @@ object SeqQueries {
         |  sum(CASE WHEN h < 100
         |   THEN pow(ca*100.0 - 50.0*h, 2) / (h*(100.0-h)) END) / 2500.0 AS score
         | FROM r GROUP BY 1, 2, 3)
-        |SELECT key, seq, round(value,4) AS value, round(score,4) AS score
-        |FROM d WHERE score >= 2.5""".stripMargin.replace("\n", " "),
+        |SELECT key, seq, round(value,4) AS value, round(score + 1e-9,4) AS score
+        |FROM d WHERE score >= 2.5 - 1e-9""".stripMargin.replace("\n", " "),
     // subsequence discord (seq/SubSequenceDistanceDetector.scala:193-216):
     // per window start, min RMS distance to every window ≥ 8 apart —
     // quadratic self-join over window-value lists (fine at sf0.01).

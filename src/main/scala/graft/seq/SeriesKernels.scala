@@ -168,7 +168,11 @@ object SeriesKernels {
         var i = window
         while (i <= n - window) {
           val s = statFn(left, right)
-          if (s >= critValue) out += SScore(k, pts(i).seq, pts(i).value, s)
+          // crit compare carries a 1e-9 tolerance: the CVM/AD sums of
+          // squares accumulate in merge-walk order here but in unordered
+          // GROUP BY order in the SQL oracle, so a score landing exactly on
+          // the crit boundary could otherwise flip the engines apart.
+          if (s >= critValue - 1e-9) out += SScore(k, pts(i).seq, pts(i).value, s)
           if (i < n - window) {
             slideSorted(left, pts(i - window).value, pts(i).value)
             slideSorted(right, pts(i).value, pts(i + window).value)

@@ -60,7 +60,7 @@ object StreamScorers {
     raw
       .withColumn("entityID", substring_index(v, ",", 1))
       .withColumn("recordData",
-        when(instr(v, ",") > 0, expr(s"substring($valueCol, instr($valueCol, ',') + 1)")))
+        when(instr(v, ",") > 0, v.substr(instr(v, ",") + lit(1), length(v))))
   }
 
   /** Typed field parsing of a delimited line into columns per `schema` —
