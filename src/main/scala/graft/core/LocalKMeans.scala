@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat_ws, md5}
 import scala.util.Random
 
 /** Sample-based KMeans for model-fit operators (CBLOF centroids, IVF
@@ -38,6 +38,106 @@ object LocalKMeans {
     base.select(col(vecCol).cast("array<double>"))
       .limit(maxSample).collect()
       .map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Deterministic bounded sample: rows in md5-of-id order (a total,
+    * engine-independent order — the same device the text/LSH oracles
+    * use), truncated to `maxSample`. orderBy+limit compiles to a
+    * distributed TakeOrdered — no full sort at scale. */
+  def sampleColsHashed(df: DataFrame, cols: Seq[String], idCols: Seq[String],
+      maxSample: Int): Array[Array[Double]] = {
+    val h = md5(concat_ws("|", idCols.map(c => col(c).cast("string")): _*))
+    val xs = cols.zipWithIndex.map { case (c, i) => col(c).cast("double").as(s"_x$i") }
+    // id columns may repeat (so h ties); the value columns complete the
+    // sort key, making the sampled VALUE sequence total and
+    // engine-independent even then
+    df.select(xs :+ h.as("_h"): _*)
+      .orderBy(col("_h") +: cols.indices.map(i => col(s"_x$i")): _*)
+      .limit(maxSample).collect()
+      .map(r => Array.tabulate(cols.length)(r.getDouble))
+  }
+
+  /** [[sampleColsHashed]] for an array column (lexicographic array order
+    * breaks hash ties, as list order does on the SQL side). */
+  def sampleVectorsHashed(df: DataFrame, vecCol: String, idCols: Seq[String],
+      maxSample: Int): Array[Array[Double]] = {
+    val h = md5(concat_ws("|", idCols.map(c => col(c).cast("string")): _*))
+    df.select(col(vecCol).cast("array<double>").as("_v"), h.as("_h"))
+      .orderBy(col("_h"), col("_v"))
+      .limit(maxSample).collect()
+      .map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Fixed-iteration Lloyd over a deterministically ordered sample:
+    * init = evenly spaced sample points (rank ⌊i·n/k⌋ in hash order),
+    * exactly `iters` assignment/update rounds, centroids rounded to `dp`
+    * decimals after every update (DuckDB round semantics). The rounding
+    * pins the fit cross-engine: per-dimension means differ between
+    * engines only by float summation order (ulps), which the 10^-dp
+    * quantization absorbs — so an unrolled SQL replay reproduces every
+    * centroid bit-for-bit (the q47/q61 oracles do exactly that).
+    * `viaDot` selects the assignment metric ‖c‖² − 2·p·c (ordering-equal
+    * to ‖p−c‖², cheaper for wide vectors, and the same expression the IVF
+    * scorer evaluates). Empty clusters keep their previous center. */
+  def fitFixed(pts: Array[Array[Double]], k: Int, iters: Int, dp: Int = 5,
+      viaDot: Boolean = false): Array[Array[Double]] = {
+    require(pts.nonEmpty, "empty sample")
+    val n = pts.length
+    val d = pts(0).length
+    val kk = math.min(k, n)
+    val centers = Array.tabulate(kk)(i => pts((i.toLong * n / kk).toInt).clone())
+    var iter = 0
+    while (iter < iters) {
+      val cc = if (viaDot) centers.map(c => dotSeq(c, c)) else null
+      val sums = Array.ofDim[Double](kk, d)
+      val counts = new Array[Long](kk)
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < kk) {
+          val dd = if (viaDot) cc(ci) - 2.0 * dotSeq(pts(i), centers(ci))
+                   else dist2(pts(i), centers(ci))
+          if (dd < bestD) { bestD = dd; best = ci }
+          ci += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < d) { sums(best)(j) += pts(i)(j); j += 1 }
+        i += 1
+      }
+      var ci = 0
+      while (ci < kk) {
+        if (counts(ci) > 0) {
+          var j = 0
+          while (j < d) {
+            centers(ci)(j) = roundDp(sums(ci)(j) / counts(ci), dp)
+            j += 1
+          }
+        }
+        ci += 1
+      }
+      iter += 1
+    }
+    centers
+  }
+
+  /** DuckDB-style round half-away-from-zero on the scaled float — the
+    * driver-side twin of [[core.roundLikeDuck]] (same IEEE ops). */
+  def roundDp(x: Double, p: Int): Double = {
+    val f = math.pow(10, p)
+    val r = if (x >= 0) math.floor(x * f + 0.5) / f else -math.floor(-x * f + 0.5) / f
+    if (r == 0.0) 0.0 else r
+  }
+
+  /** Sequential dot product — the summation order of both the native
+    * vec_dot expression and DuckDB's list_dot_product. */
+  def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
   }
 
   /** Seeded k-means++ init, then Lloyd's to convergence (or maxIter).

@@ -22,7 +22,23 @@ object ClusterScore {
       largeFraction: Double, seed: Long,
       sampleFraction: Double = 1.0, maxSample: Int = 20000): DataFrame = {
     val pts = LocalKMeans.sampleCols(data, attrCols, maxSample, sampleFraction, seed)
-    val cents = LocalKMeans.fit(pts, k, seed)
+    cblofWith(data, attrCols, LocalKMeans.fit(pts, k, seed), largeFraction)
+  }
+
+  /** [[cblof]] over a deterministic fit: md5-of-id ordered sample +
+    * fixed-iteration Lloyd with per-iteration 5dp centroid rounding
+    * ([[LocalKMeans.fitFixed]]). Every number is engine-reproducible, so
+    * the whole operator — fit included — carries a cross-engine SQL
+    * oracle (q47), unlike the seeded-RNG path. */
+  def cblofDeterministic(data: DataFrame, attrCols: Seq[String],
+      idCols: Seq[String], k: Int, largeFraction: Double, iters: Int = 10,
+      maxSample: Int = 20000): DataFrame = {
+    val pts = LocalKMeans.sampleColsHashed(data, attrCols, idCols, maxSample)
+    cblofWith(data, attrCols, LocalKMeans.fitFixed(pts, k, iters), largeFraction)
+  }
+
+  private def cblofWith(data: DataFrame, attrCols: Seq[String],
+      cents: Array[Array[Double]], largeFraction: Double): DataFrame = {
     val dist = (ci: Int) => {
       val c = cents(ci)
       attrCols.zipWithIndex
@@ -41,7 +57,8 @@ object ClusterScore {
     val sizes = assigned.groupBy("_cluster").count().collect()
       .map(r => r.getAs[Int]("_cluster") -> r.getAs[Long]("count")).toMap
     val total = sizes.values.sum.toDouble
-    val bySize = sizes.toSeq.sortBy(-_._2)
+    // cluster id breaks count ties so "large" is deterministic
+    val bySize = sizes.toSeq.sortBy(t => (-t._2, t._1))
     val cum = bySize.scanLeft(0L)(_ + _._2).tail
     val nLarge = math.max(1, cum.indexWhere(_ >= largeFraction * total) + 1)
     val large = bySize.take(nLarge).map(_._1).toSet

@@ -80,10 +80,13 @@ object MultiQueries {
       canon(IsolationForest.score(data, model, Seq("event_type"), Seq("value"),
         "event_id", subsampleSize = 64).toDF())
     }),
+    // deterministic fit (md5-ordered sample + fixed Lloyd + 5dp-rounded
+    // centroids) -> the full operator, fit included, is SQL-replayable
     "q47_cblof" -> ((s, dir) =>
-      canon(ClusterScore.cblof(table(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount"), k = 8,
-        largeFraction = 0.9, seed = 42L)
+      canon(ClusterScore.cblofDeterministic(table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        Seq("l_orderkey", "l_linenumber"), k = 8,
+        largeFraction = 0.9, iters = 10, maxSample = 20000)
         .select("l_orderkey", "l_linenumber", "score"))),
     "q48_pca_score" -> ((s, dir) =>
       canon(ClusterScore.pcaScore(table(s, dir, "lineitem"),
@@ -117,7 +120,68 @@ object MultiQueries {
       |  CASE WHEN avg(dist) > 0 THEN 1.0/avg(dist) END AS density
       | FROM nn GROUP BY src)""".stripMargin.replace("\n", " ")
 
+  /** Full SQL replay of the deterministic CBLOF, fit included: the
+    * md5-ordered 20k sample, evenly spaced init, 10 unrolled Lloyd
+    * iterations with 5dp-rounded centroid updates (MATERIALIZED — the
+    * chained CTEs would otherwise inline exponentially), then the scoring
+    * passes (assignment + sizes → large clusters → distance score).
+    * Distances are written in the kernel's left-assoc summation order so
+    * every double matches [[ClusterScore.cblofDeterministic]] bit-for-bit;
+    * only the per-iteration avg differs by float summation order, which
+    * the 5dp centroid rounding absorbs on both sides. */
+  private val cblofSql: String = {
+    val iters = 10
+    def dist(a: String, c: String) =
+      s"($a.x1-$c.c1)*($a.x1-$c.c1) + ($a.x2-$c.c2)*($a.x2-$c.c2) + ($a.x3-$c.c3)*($a.x3-$c.c3)"
+    val head =
+      s"""s0 AS (SELECT l_quantity AS x1, l_extendedprice AS x2, l_discount AS x3,
+         |  md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR) AS h
+         | FROM lineitem ORDER BY h, x1, x2, x3 LIMIT 20000),
+         |samp AS MATERIALIZED (SELECT x1, x2, x3,
+         |  row_number() OVER (ORDER BY h, x1, x2, x3) AS rn FROM s0),
+         |sn AS (SELECT count(*) AS n FROM samp),
+         |c0 AS (SELECT t.i AS cell, s.x1 AS c1, s.x2 AS c2, s.x3 AS c3
+         | FROM (SELECT unnest(range(8)) AS i) t, sn
+         | JOIN samp s ON s.rn = (t.i * sn.n) // 8 + 1)""".stripMargin
+    val lloyd = (1 to iters).map { t =>
+      s"""a$t AS MATERIALIZED (SELECT s.rn, s.x1, s.x2, s.x3,
+         |  (min({'d': ${dist("s", "c")}, 'c': c.cell})).c AS cell
+         | FROM samp s CROSS JOIN c${t - 1} c GROUP BY s.rn, s.x1, s.x2, s.x3),
+         |c$t AS MATERIALIZED (SELECT p.cell,
+         |  coalesce(round(avg(a.x1), 5), p.c1) AS c1,
+         |  coalesce(round(avg(a.x2), 5), p.c2) AS c2,
+         |  coalesce(round(avg(a.x3), 5), p.c3) AS c3
+         | FROM c${t - 1} p LEFT JOIN a$t a ON a.cell = p.cell
+         | GROUP BY p.cell, p.c1, p.c2, p.c3)""".stripMargin
+    }
+    val score =
+      s"""f AS (SELECT l_orderkey, l_linenumber, l_quantity AS x1,
+         |  l_extendedprice AS x2, l_discount AS x3 FROM lineitem),
+         |asg AS MATERIALIZED (SELECT f.l_orderkey, f.l_linenumber, f.x1, f.x2, f.x3,
+         |  (min({'d': ${dist("f", "c")}, 'c': c.cell})).c AS cell,
+         |  min(${dist("f", "c")}) AS d2
+         | FROM f CROSS JOIN c$iters c GROUP BY 1, 2, 3, 4, 5),
+         |sz AS (SELECT cell, count(*) AS cnt FROM asg GROUP BY cell),
+         |szc AS (SELECT cell, cnt,
+         |  sum(cnt) OVER (ORDER BY cnt DESC, cell) AS cum,
+         |  row_number() OVER (ORDER BY cnt DESC, cell) AS rk,
+         |  sum(cnt) OVER () AS tot FROM sz),
+         |lrg AS (SELECT s.cell, c.c1, c.c2, c.c3
+         | FROM szc s JOIN c$iters c USING (cell)
+         | WHERE s.rk <= (SELECT min(rk) FROM szc
+         |   WHERE cum::DOUBLE >= 0.9 * tot::DOUBLE)),
+         |sc AS (SELECT a.l_orderkey, a.l_linenumber, a.cell, a.d2,
+         |  min(${dist("a", "l")}) AS dbig, bool_or(a.cell = l.cell) AS isLarge
+         | FROM asg a CROSS JOIN lrg l GROUP BY 1, 2, 3, 4)""".stripMargin
+    ((Seq(head) ++ lloyd ++ Seq(score)).mkString("WITH ", ", ", "") +
+      """
+        |SELECT l_orderkey, l_linenumber,
+        | round(sqrt(CASE WHEN isLarge THEN d2 ELSE dbig END), 4) AS score
+        |FROM sc""".stripMargin).replace("\n", " ")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q47_cblof" -> cblofSql,
     "q36_outlier_counter" ->
       s"""WITH $zCte
          |SELECT event_type,
