@@ -130,11 +130,13 @@ object TextQueries {
     "q60_ann_lsh" -> ((s, dir) =>
       canon(Similarity.lshNearDupHashed(emb(s, dir), "vec_id", "embedding",
         dim = 64, planes = 8, threshold = 0.3))),
-    // seeded-random scale path (iterative KMeans): rows-only, spec-tested
+    // deterministic coarse quantizer (md5-ordered sample + fixed Lloyd,
+    // 5dp-rounded centroids) -> index build + search replay in SQL below
     "q61_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      canon(Similarity.ivfTopK(e.where(col("vec_id") < 20), e, "vec_id",
-        "embedding", dim = 64, nCells = 8, nProbe = 2, k = 10, seed = 42L))
+      canon(Similarity.ivfTopKDeterministic(e.where(col("vec_id") < 20), e,
+        "vec_id", "embedding", dim = 64, nCells = 8, nProbe = 2, k = 10,
+        iters = 10, maxSample = 20000))
     }),
   )
 
@@ -512,6 +514,57 @@ object TextQueries {
         | JOIN embeddings eb ON eb.vec_id = b.vec_id)
         |SELECT a, b, round(cos,4) AS cos FROM p WHERE cos >= 0.3"""
         .stripMargin.replace("\n", " "),
+    // Full SQL replay of the deterministic IVF: hash-ordered sample,
+    // evenly spaced init, 10 unrolled Lloyd iterations (assignment metric
+    // ‖c‖²−2·v·c via list_dot_product — the same sequential summation
+    // order as the native vec_dot — and per-dimension avg re-centering
+    // rounded to 5dp, which absorbs the engines' differing summation
+    // order), then cell assignment, nProbe=2 probe selection, and
+    // brute-force cosine top-10 within the probed cells.
+    "q61_ann_ivf" -> {
+      val relD2 = (v: String, c: String) =>
+        s"list_dot_product($c.cv, $c.cv) - 2.0 * list_dot_product($v, $c.cv)"
+      val lloyd = (1 to 10).map { t =>
+        s"""a$t AS MATERIALIZED (SELECT s.rn, s.v,
+           |  (min({'d': ${relD2("s.v", "c")}, 'c': c.cell})).c AS cell
+           | FROM samp s CROSS JOIN c${t - 1} c GROUP BY s.rn, s.v),
+           |g$t AS (SELECT a.cell, t.j, round(avg(a.v[t.j + 1]), 5) AS cx
+           | FROM a$t a CROSS JOIN (SELECT unnest(range(64)) AS j) t
+           | GROUP BY a.cell, t.j),
+           |c$t AS MATERIALIZED (SELECT p.cell,
+           |  CASE WHEN count(g.cx) = 0 THEN p.cv
+           |   ELSE list(g.cx ORDER BY g.j) END AS cv
+           | FROM c${t - 1} p LEFT JOIN g$t g USING (cell)
+           | GROUP BY p.cell, p.cv)""".stripMargin
+      }.mkString(", ")
+      s"""WITH s0 AS (SELECT embedding::DOUBLE[] AS v, md5(vec_id::VARCHAR) AS h
+         |  FROM embeddings ORDER BY h, v LIMIT 20000),
+         |samp AS MATERIALIZED (SELECT v,
+         |  row_number() OVER (ORDER BY h, v) AS rn FROM s0),
+         |sn AS (SELECT count(*) AS n FROM samp),
+         |c0 AS (SELECT t.i AS cell, s.v AS cv
+         | FROM (SELECT unnest(range(8)) AS i) t, sn
+         | JOIN samp s ON s.rn = (t.i * sn.n) // 8 + 1),
+         |$lloyd,
+         |co AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv2 FROM embeddings),
+         |asg AS MATERIALIZED (SELECT co.cid, co.cv2,
+         |  (min({'d': ${relD2("co.cv2", "c")}, 'c': c.cell})).c AS cell
+         | FROM co CROSS JOIN c10 c GROUP BY co.cid, co.cv2),
+         |qd AS (SELECT q.vec_id AS qid, q.embedding::DOUBLE[] AS qv, c.cell,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${relD2("q.embedding::DOUBLE[]", "c")}, c.cell) AS rk
+         | FROM embeddings q CROSS JOIN c10 c WHERE q.vec_id < 20),
+         |sc AS (SELECT p.qid, a.cid,
+         |  list_dot_product(p.qv, a.cv2) /
+         |   (sqrt(list_dot_product(p.qv, p.qv))
+         |    * sqrt(list_dot_product(a.cv2, a.cv2))) AS cos
+         | FROM (SELECT qid, qv, cell FROM qd WHERE rk <= 2) p
+         | JOIN asg a USING (cell) WHERE p.qid <> a.cid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, cid) AS rank FROM sc QUALIFY rank <= 10)
+         |SELECT qid, cid, round(cos, 4) AS cos, rank FROM r"""
+        .stripMargin.replace("\n", " ")
+    },
     "q59_ann_topk" ->
       """WITH p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
         |  list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /

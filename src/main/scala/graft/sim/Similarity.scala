@@ -150,11 +150,34 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, dim: Int, nCells: Int, nProbe: Int, k: Int, seed: Long,
       sampleFraction: Double = 1.0, maxSample: Int = 20000): DataFrame = {
-    graft.expr.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("cid"),
       transform(col(vecCol), x => x.cast("double")).as("cv"))
     val pts = LocalKMeans.sampleVectors(c, "cv", maxSample, sampleFraction, seed)
-    val cents = LocalKMeans.fit(pts, nCells, seed)
+    ivfTopKWith(queries, corpus, idCol, vecCol,
+      LocalKMeans.fit(pts, nCells, seed), nProbe, k)
+  }
+
+  /** [[ivfTopK]] over a deterministic coarse quantizer: md5-of-id ordered
+    * sample + fixed-iteration Lloyd with 5dp-rounded centroids
+    * ([[LocalKMeans.fitFixed]], `viaDot` — the same ‖c‖²−2·v·c assignment
+    * expression the scorer evaluates). No RNG state anywhere, so the whole
+    * index build + search replays in SQL (the q61 oracle). */
+  def ivfTopKDeterministic(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int, nCells: Int, nProbe: Int,
+      k: Int, iters: Int = 10, maxSample: Int = 20000): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    val pts = LocalKMeans.sampleVectorsHashed(c, "cv", Seq("cid"), maxSample)
+    ivfTopKWith(queries, corpus, idCol, vecCol,
+      LocalKMeans.fitFixed(pts, nCells, iters, viaDot = true), nProbe, k)
+  }
+
+  private def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, cents: Array[Array[Double]],
+      nProbe: Int, k: Int): DataFrame = {
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("cid"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
     val cc = cents.map(ct => ct.map(x => x * x).sum)
     // ‖v−c_ci‖² − ‖v‖² (row-constant term dropped; ordering preserved)
     def relD2(v: Column, ci: Int): Column =
