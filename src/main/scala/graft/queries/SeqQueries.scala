@@ -229,6 +229,55 @@ object SeqQueries {
       .stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    // Spectral-residue saliency replayed as a naive O(w²) DFT per
+    // half-overlapping window (SeriesKernels.spectralResidue): forward DFT
+    // → log-amplitude minus its 3-bin moving average → inverse DFT with
+    // original phases → overlap-added saliency → minus 7-point
+    // neighborhood average, clamped at 0. The kernel's radix-2 FFT and
+    // this direct DFT agree to ~1e-12 (different summation trees), which
+    // the shared 4dp round absorbs — exact-match verified at sf0.01 and
+    // sf0.1. Quadratic-per-window is fine for the oracle; the kernel keeps
+    // the O(w log w) FFT as the scale path.
+    "q24_spectral_residue" ->
+      """WITH e AS (SELECT event_type::VARCHAR AS key, event_id AS seq, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY event_id, value) - 1 AS p,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events),
+        |offs AS (SELECT key, unnest(range(0, ((n - 64) // 32) + 1)) AS w
+        | FROM (SELECT DISTINCT key, n FROM e) WHERE n >= 64),
+        |wv AS MATERIALIZED (SELECT o.key, o.w, e.p - o.w*32 AS i, e.value AS x
+        | FROM offs o JOIN e ON e.key = o.key
+        | WHERE e.p BETWEEN o.w*32 AND o.w*32 + 63),
+        |dft AS MATERIALIZED (SELECT key, w, t.k,
+        |  sum(x * cos(-2*pi()*t.k*i/64.0)) AS re,
+        |  sum(x * sin(-2*pi()*t.k*i/64.0)) AS im
+        | FROM wv CROSS JOIN (SELECT unnest(range(64)) AS k) t GROUP BY key, w, t.k),
+        |sp AS MATERIALIZED (SELECT key, w, k, re, im,
+        |  sqrt(re*re + im*im) AS amp,
+        |  ln(sqrt(re*re + im*im) + 1e-12) AS la
+        | FROM dft),
+        |rs AS MATERIALIZED (SELECT key, w, k, re, im, amp,
+        |  la - avg(la) OVER (PARTITION BY key, w ORDER BY k
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS resid
+        | FROM sp),
+        |r2 AS (SELECT key, w, k,
+        |  exp(resid) * CASE WHEN amp > 1e-12 THEN re/amp ELSE 0.0 END AS re2,
+        |  exp(resid) * CASE WHEN amp > 1e-12 THEN im/amp ELSE 0.0 END AS im2
+        | FROM rs),
+        |idft AS MATERIALIZED (SELECT key, w, t.i,
+        |  sum(re2*cos(2*pi()*k*t.i/64.0) - im2*sin(2*pi()*k*t.i/64.0))/64.0 AS yr,
+        |  sum(re2*sin(2*pi()*k*t.i/64.0) + im2*cos(2*pi()*k*t.i/64.0))/64.0 AS yi
+        | FROM r2 CROSS JOIN (SELECT unnest(range(64)) AS i) t GROUP BY key, w, t.i),
+        |sal AS (SELECT key, w*32 + i AS p, sqrt(yr*yr + yi*yi) AS h FROM idft),
+        |s AS MATERIALIZED (SELECT e.key, e.p, e.seq, e.value,
+        |  CASE WHEN count(g.h) > 0 THEN sum(g.h)/count(g.h) ELSE 0.0 END AS sv
+        | FROM e LEFT JOIN sal g ON g.key = e.key AND g.p = e.p
+        | WHERE e.n >= 64
+        | GROUP BY e.key, e.p, e.seq, e.value)
+        |SELECT key, seq, round(value, 4) AS value,
+        |  round(greatest(0.0, sv - avg(sv) OVER (PARTITION BY key ORDER BY p
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), 4) AS score
+        |FROM s""".stripMargin.replace("\n", " "),
     "q27_one_step_ahead_fb" ->
       s"""WITH RECURSIVE $osaWalk
          |SELECT key, seq, round(value, 4) AS value, round(score, 4) AS score
