@@ -53,6 +53,87 @@ object IsolationForest {
     }
   }
 
+  /** [[fit]] with every random choice replaced by an md5 derivation, so
+    * the forest (and hence q46's scores) replays in SQL:
+    *  - per-tree subsample = the first `subsampleSize` rows ordered by
+    *    (md5("t:rowId"), attrs) — without replacement; value ties after
+    *    the hash are interchangeable, so the VALUE multiset is total;
+    *  - split attr/value at a node come from the 52-bit hex prefix of
+    *    md5("a:key:t:path") / md5("s:key:t:path") mapped to [0,1).
+    * min/max/compare are exact (no float summation anywhere), so the
+    * grown trees are bit-identical in any engine with md5. */
+  def fitDeterministic(data: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String], idCol: String, numTrees: Int,
+      subsampleSize: Int, maxDepth: Int): Dataset[IsoNode] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val rows = data.select(
+      concat_ws("|", keyCols.map(c => col(c).cast("string")): _*).as("key"),
+      col(idCol).cast("long").as("rowId"),
+      array(attrCols.map(c => col(c).cast("double")): _*).as("attrs"))
+      .as[(String, Long, Seq[Double])]
+    rows.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val all = it.map(r => (r._2, r._3.toArray)).toArray
+      val nodes = collection.mutable.ArrayBuffer.empty[IsoNode]
+      val ord = new Ordering[(String, Array[Double])] {
+        def compare(a: (String, Array[Double]), b: (String, Array[Double])): Int = {
+          val h = a._1.compareTo(b._1)
+          if (h != 0) return h
+          var i = 0
+          while (i < a._2.length && i < b._2.length) {
+            val c = java.lang.Double.compare(a._2(i), b._2(i))
+            if (c != 0) return c
+            i += 1
+          }
+          0
+        }
+      }
+      for (t <- 0 until numTrees) {
+        val sample = all.map { case (id, attrs) => (md5Hex(s"$t:$id"), attrs) }
+          .sorted(ord)
+          .take(math.min(subsampleSize, all.length))
+          .map(_._2)
+        growDet(key, t, "R", sample, 0, maxDepth, nodes)
+      }
+      nodes.iterator
+    }
+  }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** md5 hex prefix (52 bits) → [0,1) — same expression as the SQL side's
+    * ('0x'||substr(md5(s),1,13))::BIGINT / 2^52. */
+  private def md5Frac(s: String): Double =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 13), 16) / 4503599627370496.0
+
+  private def growDet(key: String, treeId: Int, path: String,
+      rows: Array[Array[Double]], depth: Int, maxDepth: Int,
+      out: collection.mutable.ArrayBuffer[IsoNode]): Unit = {
+    val attrs = if (rows.isEmpty) Seq.empty
+      else (0 until rows(0).length).filter { a =>
+        val v = rows.map(_(a)); v.max > v.min
+      }
+    if (depth >= maxDepth || rows.length <= 1 || attrs.isEmpty) {
+      out += IsoNode(key, treeId, path, -1, 0.0, isLeaf = true, rows.length, depth)
+    } else {
+      val a = attrs((md5Frac(s"a:$key:$treeId:$path") * attrs.length).toInt)
+      val (lo, hi) = (rows.map(_(a)).min, rows.map(_(a)).max)
+      val split = lo + md5Frac(s"s:$key:$treeId:$path") * (hi - lo)
+      val (lt, ge) = rows.partition(_(a) < split)
+      if (lt.isEmpty || ge.isEmpty) {
+        out += IsoNode(key, treeId, path, -1, 0.0, isLeaf = true, rows.length, depth)
+      } else {
+        out += IsoNode(key, treeId, path, a, split, isLeaf = false, rows.length, depth)
+        growDet(key, treeId, path + "0", lt, depth + 1, maxDepth, out)
+        growDet(key, treeId, path + "1", ge, depth + 1, maxDepth, out)
+      }
+    }
+  }
+
   private def grow(key: String, treeId: Int, path: String, rows: Array[Array[Double]],
       depth: Int, maxDepth: Int, rng: Random,
       out: collection.mutable.ArrayBuffer[IsoNode]): Unit = {

@@ -72,11 +72,13 @@ object MultiQueries {
         .withColumn("tag", graft.core.label(col("score"), col("threshold")))
         .select("event_id", "event_type", "score", "threshold", "tag"))
     }),
-    // ---- seeded-random model fits: rows-only driver check, spec-tested ----
+    // md5-derived subsamples and splits (fitDeterministic): the grown
+    // trees are bit-identical cross-engine, so the whole forest replays
+    // as unrolled per-depth SQL (oracle below)
     "q46_iforest" -> ((s, dir) => {
       val data = ev(s, dir)
-      val model = IsolationForest.fit(data, Seq("event_type"), Seq("value"),
-        numTrees = 50, subsampleSize = 64, maxDepth = 6, seed = 42L)
+      val model = IsolationForest.fitDeterministic(data, Seq("event_type"),
+        Seq("value"), "event_id", numTrees = 50, subsampleSize = 64, maxDepth = 6)
       canon(IsolationForest.score(data, model, Seq("event_type"), Seq("value"),
         "event_id", subsampleSize = 64).toDF())
     }),
@@ -180,7 +182,82 @@ object MultiQueries {
         |FROM sc""".stripMargin).replace("\n", " ")
   }
 
+  /** Full SQL replay of the md5-deterministic isolation forest
+    * ([[IsolationForest.fitDeterministic]] + score): per-tree subsamples
+    * (first 64 by md5(t:id)), tree growth unrolled one CTE triple per
+    * depth (node stats + split fraction from the 52-bit md5 prefix +
+    * routed points), then per-row descent unrolled over the same depths
+    * and the 2^(−avgLen/c(64)) score. min/max/compare are exact floats,
+    * so the grown trees are bit-identical cross-engine — only the final
+    * path-length average crosses a float sum, absorbed by the 4dp round.
+    * Covers the single-attribute case (what q46 exercises); multi-attr
+    * forests stay spec-checked. */
+  private val iforestSql: String = {
+    val (trees, sub, depth) = (50, 64, 6)
+    def frac(pfx: String) =
+      s"(('0x'||substr(md5('$pfx:'||key||':'||t::VARCHAR||':'||path),1,13))::BIGINT" +
+        " / 4503599627370496.0)"
+    def cFn(sz: String) =
+      s"CASE WHEN $sz <= 1 THEN 0.0 ELSE " +
+        s"2*(ln($sz - 1.0) + 0.5772156649) - 2*($sz - 1.0)/$sz END"
+    val internal = "sz > 1 AND lo < hi AND nlt > 0 AND nlt < sz"
+    val head =
+      s"""ev AS (SELECT event_type::VARCHAR AS key, event_id AS id, value AS x FROM events),
+         |trs AS (SELECT unnest(range($trees)) AS t),
+         |sm AS MATERIALIZED (SELECT key, t, x FROM (
+         |  SELECT e.key, trs.t, e.x,
+         |   row_number() OVER (PARTITION BY e.key, trs.t
+         |     ORDER BY md5(trs.t::VARCHAR || ':' || e.id::VARCHAR), e.x) AS rn
+         |  FROM ev e CROSS JOIN trs) WHERE rn <= $sub),
+         |p0 AS (SELECT key, t, 'R' AS path, x FROM sm)""".stripMargin
+    val growth = (0 until depth).map { d =>
+      s"""n$d AS (SELECT key, t, path, count(*) AS sz, min(x) AS lo, max(x) AS hi,
+         |  min(x) + ${frac("s")} * (max(x) - min(x)) AS split
+         | FROM p$d GROUP BY key, t, path),
+         |i$d AS MATERIALIZED (SELECT n.key, n.t, n.path, n.sz, n.lo, n.hi, n.split,
+         |  sum(CASE WHEN p.x < n.split THEN 1 ELSE 0 END) AS nlt
+         | FROM n$d n JOIN p$d p USING (key, t, path)
+         | GROUP BY n.key, n.t, n.path, n.sz, n.lo, n.hi, n.split),
+         |p${d + 1} AS MATERIALIZED (SELECT p.key, p.t,
+         |  p.path || CASE WHEN p.x < i.split THEN '0' ELSE '1' END AS path, p.x
+         | FROM p$d p JOIN i$d i USING (key, t, path)
+         | WHERE i.$internal)""".stripMargin
+    }
+    val leaves = ((0 until depth).map { d =>
+      s"SELECT key, t, path, sz, $d AS depth FROM i$d WHERE NOT ($internal)"
+    } :+ s"SELECT key, t, path, count(*) AS sz, $depth AS depth" +
+      s" FROM p$depth GROUP BY key, t, path").mkString(" UNION ALL ")
+    val inod = (0 until depth)
+      .map(d => s"SELECT key, t, path, split FROM i$d WHERE $internal")
+      .mkString(" UNION ALL ")
+    val descend = (0 until depth).map { d =>
+      s"""s${d + 1} AS MATERIALIZED (SELECT s.key, s.id, s.x, s.t,
+         |  CASE WHEN i.split IS NOT NULL
+         |   THEN s.path || CASE WHEN s.x < i.split THEN '0' ELSE '1' END
+         |   ELSE s.path END AS path
+         | FROM s$d s LEFT JOIN inod i
+         |   ON i.key = s.key AND i.t = s.t AND i.path = s.path)""".stripMargin
+    }
+    val tail =
+      s"""lf AS MATERIALIZED ($leaves),
+         |inod AS MATERIALIZED ($inod),
+         |dv AS (SELECT DISTINCT key, id, x FROM ev),
+         |s0 AS (SELECT key, id, x, t, 'R' AS path FROM dv CROSS JOIN trs),
+         |${descend.mkString(", ")},
+         |pl AS (SELECT s.key, s.id, s.x, avg(l.depth + ${cFn("l.sz")}) AS avgLen
+         | FROM s$depth s JOIN lf l
+         |   ON l.key = s.key AND l.t = s.t AND l.path = s.path
+         | GROUP BY s.key, s.id, s.x),
+         |cn AS (SELECT ${cFn("64.0")} AS v)""".stripMargin
+    ((Seq(head) ++ growth ++ Seq(tail)).mkString("WITH ", ", ", "") +
+      """
+        |SELECT e.key, e.id AS rowId, round(pow(2.0, -p.avgLen / cn.v), 4) AS score
+        |FROM ev e JOIN pl p ON p.key = e.key AND p.id = e.id AND p.x = e.x, cn"""
+        .stripMargin).replace("\n", " ")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q46_iforest" -> iforestSql,
     "q47_cblof" -> cblofSql,
     "q36_outlier_counter" ->
       s"""WITH $zCte
