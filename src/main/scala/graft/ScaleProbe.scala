@@ -50,6 +50,10 @@ object ScaleProbe {
         seq.SeqOps.changePointMeanShift(ev, Seq("event_type"), "event_id",
           "value", window = 30, critValue = 3.0).count()
       }
+      time("halo_chgpoint", n, nEv) {
+        seq.HaloWindows.changePointMeanShift(ev, Seq("event_type"), "event_id",
+          "value", window = 30, critValue = 3.0).count()
+      }
       val docs = scaled("documents", Seq("doc_id"), n)
       val nDocs = docs.count()
       time("minhash_sig", n, nDocs) {

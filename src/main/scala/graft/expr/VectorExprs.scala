@@ -86,8 +86,11 @@ object GraftFunctions {
     "winnow_fp" -> (es => Winnow(es(0), litInt(es(1)), litInt(es(2)))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, builder, "built-in")
+    val reg = spark.sessionState.functionRegistry
+    // idempotent: operators call this on every invocation, and re-replacing
+    // an existing entry logs a "function replaced" WARN per call
+    if (!reg.functionExists(FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
   }
 
   def vecDot(a: Column, b: Column)(implicit spark: SparkSession): Column = {

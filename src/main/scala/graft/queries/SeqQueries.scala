@@ -66,6 +66,12 @@ object SeqQueries {
       canon(SeqOps.changePointMeanShift(ev(s, dir), Seq("event_type"), "event_id",
         "value", window = 30, critValue = 3.0)
         .select("event_type", "event_id", "value", "stat"))),
+    // same statistic and oracle as q18, computed by the halo-exchange
+    // kernel: range-partitioned on (key, seq) with a w-row boundary halo,
+    // so parallelism is data-sized instead of capped at key cardinality
+    "q95_changepoint_scaled" -> ((s, dir) =>
+      canon(graft.seq.HaloWindows.changePointMeanShift(ev(s, dir),
+        Seq("event_type"), "event_id", "value", window = 30, critValue = 3.0))),
     "q19_one_step_ahead" -> ((s, dir) =>
       canon(SeqOps.oneStepAhead(ev(s, dir), Seq("user_id"), "event_id", "value",
         window = 10, threshold = 3.0)
@@ -583,6 +589,20 @@ object SeqQueries {
         |  rw AS (PARTITION BY event_type ORDER BY event_id
         |   ROWS BETWEEN CURRENT ROW AND 29 FOLLOWING))
         |SELECT event_type, event_id, round(value,4) AS value, round(stat,4) AS stat
+        |FROM s WHERE cnt_l = 30 AND cnt_r = 30 AND stat >= 3.0"""
+        .stripMargin.replace("\n", " "),
+    "q95_changepoint_scaled" ->
+      """WITH s AS (SELECT event_type, event_id, value,
+        |  count(value) OVER lw AS cnt_l, count(value) OVER rw AS cnt_r,
+        |  abs(avg(value) OVER rw - avg(value) OVER lw) /
+        |   sqrt(var_samp(value) OVER lw / 30.0 + var_samp(value) OVER rw / 30.0) AS stat
+        | FROM events WHERE value IS NOT NULL
+        | WINDOW lw AS (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING),
+        |  rw AS (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN CURRENT ROW AND 29 FOLLOWING))
+        |SELECT event_type::VARCHAR AS key, event_id AS seq, round(value,4) AS value,
+        | round(stat,4) AS stat
         |FROM s WHERE cnt_l = 30 AND cnt_r = 30 AND stat >= 3.0"""
         .stripMargin.replace("\n", " "),
     "q19_one_step_ahead" ->

@@ -1,0 +1,55 @@
+package graft
+
+import graft.seq.{HaloWindows, SeqOps}
+import org.apache.spark.sql.functions._
+
+class HaloWindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three keys of very different lengths so range partitioning splits the
+  // long key across several partitions and leaves short/empty partitions
+  // to exercise the driver-side halo stitch
+  private def series = {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(600) { i =>
+      val base = if (i < 300) 10.0 else 14.0 // level shift at 300
+      ("big", i.toLong, base + rnd.nextGaussian())
+    } ++ Seq.tabulate(25) { i =>
+      ("mid", i.toLong, 5.0 + rnd.nextGaussian())
+    } ++ Seq.tabulate(3) { i =>
+      ("tiny", i.toLong, 1.0 * i)
+    }
+    rnd.shuffle(rows).toDF("k", "seq", "value")
+  }
+
+  test("halo kernel is bit-identical to the window formulation across partition counts") {
+    val df = series
+    val expected = SeqOps
+      .changePointMeanShift(df, Seq("k"), "seq", "value", window = 10, critValue = 2.0)
+      .select(col("k").as("key"), col("seq").cast("long"), col("value"), col("stat"))
+      .as[(String, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(expected.nonEmpty, "fixture must produce change points")
+    for (p <- Seq(1, 3, 8, 32)) {
+      val got = HaloWindows
+        .changePointMeanShift(df, Seq("k"), "seq", "value", window = 10,
+          critValue = 2.0, numPartitions = p)
+        .as[(String, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+      assert(got.length == expected.length, s"row count at p=$p")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g._1 == e._1 && g._2 == e._2, s"row identity at p=$p")
+        // bit-identical, not approximately equal: the kernel replicates
+        // WindowExec's ascending-sum / Welford arithmetic exactly
+        assert(g._3 == e._3 && g._4 == e._4, s"bit parity at p=$p: $g vs $e")
+      }
+    }
+  }
+
+  test("frames never cross key boundaries even when a halo spans keys") {
+    // keys shorter than the window must emit nothing
+    val df = Seq.tabulate(8)(i => ("a", i.toLong, i.toDouble)) ++
+      Seq.tabulate(8)(i => ("b", i.toLong, 100.0 + i))
+    val out = HaloWindows.changePointMeanShift(df.toDF("k", "seq", "value"),
+      Seq("k"), "seq", "value", window = 10, critValue = 0.0, numPartitions = 4)
+    assert(out.count() == 0)
+  }
+}
