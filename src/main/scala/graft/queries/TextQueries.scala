@@ -69,6 +69,14 @@ object TextQueries {
       TextOps.decontaminate(d.where(!isEval), d.where(isEval),
         "doc_id", "text", n = 6)
     }),
+    // same semantics via the Bloom-prefilter scale path: the confirm join
+    // makes it row-identical to q91, so it shares q91's oracle
+    "q91b_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isEval = TextOps.hash56(col("doc_id").cast("string")) % 20 === 0
+      TextOps.decontaminateBloom(d.where(!isEval), d.where(isEval),
+        "doc_id", "text", n = 6)
+    }),
     "q53_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(docs(s, dir), "doc_id", "text")),
     "q54_minhash_sig" -> ((s, dir) =>
@@ -200,6 +208,22 @@ object TextQueries {
   private val markers = TextOps.langMarkers.toSeq.sortBy(_._1)
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(",")
 
+  private lazy val decontaminateOracle: String =
+    s"""WITH sp AS (SELECT doc_id, text,
+       |   ${h56("doc_id::VARCHAR")} % 20 = 0 AS is_eval FROM documents),
+       |tk AS (SELECT doc_id, is_eval, $toks AS t FROM sp),
+       |g AS (SELECT DISTINCT doc_id, is_eval, unnest(CASE WHEN len(t) >= 6
+       |   THEN list_transform(range(1, len(t) - 4),
+       |     i -> array_to_string(t[i : i+5], ' '))
+       |   ELSE [] END) AS gram FROM tk),
+       |e AS (SELECT DISTINCT gram FROM g WHERE is_eval),
+       |h AS (SELECT g.doc_id, count(*) AS nGramHits
+       | FROM g JOIN e USING (gram) WHERE NOT g.is_eval GROUP BY 1)
+       |SELECT sp.doc_id, coalesce(h.nGramHits, 0)::BIGINT AS nGramHits,
+       | coalesce(h.nGramHits, 0) > 0 AS contaminated
+       |FROM sp LEFT JOIN h USING (doc_id) WHERE NOT sp.is_eval"""
+      .stripMargin.replace("\n", " ")
+
   val oracleSql: Map[String, String] = Map(
     "q49_dedup_exact" ->
       """SELECT doc_id, md5(text) AS h,
@@ -291,21 +315,10 @@ object TextQueries {
          |FROM k""".stripMargin.replace("\n", " "),
     // decontamination: eval split = hash56(doc_id) % 20 = 0; a train doc
     // is contaminated iff it shares any distinct 6-gram with any eval doc
-    "q91_decontaminate" ->
-      s"""WITH sp AS (SELECT doc_id, text,
-         |   ${h56("doc_id::VARCHAR")} % 20 = 0 AS is_eval FROM documents),
-         |tk AS (SELECT doc_id, is_eval, $toks AS t FROM sp),
-         |g AS (SELECT DISTINCT doc_id, is_eval, unnest(CASE WHEN len(t) >= 6
-         |   THEN list_transform(range(1, len(t) - 4),
-         |     i -> array_to_string(t[i : i+5], ' '))
-         |   ELSE [] END) AS gram FROM tk),
-         |e AS (SELECT DISTINCT gram FROM g WHERE is_eval),
-         |h AS (SELECT g.doc_id, count(*) AS nGramHits
-         | FROM g JOIN e USING (gram) WHERE NOT g.is_eval GROUP BY 1)
-         |SELECT sp.doc_id, coalesce(h.nGramHits, 0)::BIGINT AS nGramHits,
-         | coalesce(h.nGramHits, 0) > 0 AS contaminated
-         |FROM sp LEFT JOIN h USING (doc_id) WHERE NOT sp.is_eval"""
-        .stripMargin.replace("\n", " "),
+    "q91_decontaminate" -> decontaminateOracle,
+    // the Bloom prefilter is exact after its confirm join, so the scale
+    // path is held to the very same oracle as the broadcast-join form
+    "q91b_decontaminate_bloom" -> decontaminateOracle,
     // Gopher-style repetition signals: duplicate-bigram fraction +
     // char fraction of the most frequent bigram (ties: smallest gram,
     // same pick as the Spark fold over the sorted gram array)

@@ -562,4 +562,43 @@ object TextOps {
         coalesce(col("nGramHits"), lit(0L)).as("nGramHits"),
         (coalesce(col("nGramHits"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Bloom-prefiltered decontamination — the shape [[decontaminate]] takes
+    * when the distinct eval-gram set outgrows the broadcast-join threshold
+    * (a large eval suite easily reaches 10⁸ six-grams ≈ GBs as strings).
+    * A Bloom filter over the eval grams is ~n·1.44·log₂(1/fpp) bits
+    * (≈ 90 MB at n=10⁸, fpp=3%) and still broadcasts; the train side then
+    * drops almost every gram executor-side BEFORE any shuffle, and only
+    * the bloom-passing sliver (true hits + fpp of the rest) reaches the
+    * exact confirm join. False positives die in that join, so the output
+    * is row-identical to [[decontaminate]] for any fpp — which is why the
+    * driver checks this operator against the exact operator's oracle SQL
+    * (q91b). `expectedGrams` skips the sizing count when the caller knows
+    * the eval-gram cardinality.
+    *
+    * The confirm join carries no broadcast hint on purpose: AQE converts
+    * it to broadcast at small scale, and at eval sets too big for that it
+    * becomes a shuffled join of the candidate sliver only — the 100 TB
+    * train scan itself still never shuffles. */
+  def decontaminateBloom(train: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, n: Int, fpp: Double = 0.03,
+      expectedGrams: Long = -1L): DataFrame = {
+    val evalGrams = shingles(evalDocs, idCol, textCol, n)
+      .select("shingle").distinct()
+    val nGrams =
+      if (expectedGrams > 0) expectedGrams
+      else math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("shingle", nGrams, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((s: String) => s != null && bc.value.mightContainString(s))
+    val candidates = shingles(train, idCol, textCol, n)
+      .where(mightContain(col("shingle")))
+    val hits = candidates.join(evalGrams, "shingle")
+      .groupBy(idCol).agg(count(lit(1)).as("nGramHits"))
+    train.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nGramHits"), lit(0L)).as("nGramHits"),
+        (coalesce(col("nGramHits"), lit(0L)) > 0).as("contaminated"))
+  }
 }

@@ -261,6 +261,21 @@ class TextSpec extends SparkSpec {
     assert(out.size == 2)              // eval docs never appear in the output
   }
 
+  test("bloom decontamination equals the exact operator, even at sloppy fpp") {
+    val train = docs
+    val eval = Seq((990L, "the quick brown fox"), (991L, "unrelated corpus text"))
+      .toDF("doc_id", "text")
+    val exact = TextOps.decontaminate(train, eval, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // fpp = 0.5 floods the prefilter with false positives; the confirm
+    // join must still reduce the output to exactly the exact operator's
+    val bloom = TextOps.decontaminateBloom(train, eval, "doc_id", "text",
+      n = 2, fpp = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(bloom == exact)
+    assert(exact.exists(_._3)) // the shared bigrams really flag someone
+  }
+
   test("cosine top-k: self-similar vector ranks first") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.99f, 0.1f, 0f)),
