@@ -72,6 +72,11 @@ object SeqQueries {
     "q95_changepoint_scaled" -> ((s, dir) =>
       canon(graft.seq.HaloWindows.changePointMeanShift(ev(s, dir),
         Seq("event_type"), "event_id", "value", window = 30, critValue = 3.0))),
+    // same segmentation and oracle shape as q20, computed by the
+    // halo-exchange kernel (sparse shifted rows + island stitch)
+    "q96_levelshift_scaled" -> ((s, dir) =>
+      canon(graft.seq.HaloWindows.levelShiftSegments(ev(s, dir),
+        Seq("event_type"), "event_id", "value", window = 20, minZ = 3.0))),
     "q19_one_step_ahead" -> ((s, dir) =>
       canon(SeqOps.oneStepAhead(ev(s, dir), Seq("user_id"), "event_id", "value",
         window = 10, threshold = 3.0)
@@ -642,6 +647,30 @@ object SeqQueries {
         |SELECT event_type, min(event_id) AS segStart, max(event_id) AS segEnd,
         | count(*) AS n, round(avg(z),4) AS avgShift
         |FROM h WHERE shifted = 1 GROUP BY event_type, segId"""
+        .stripMargin.replace("\n", " "),
+    // q20's segmentation with the halo kernel's output shape (key = the
+    // concatenated key-column string); value rows are null-filtered up
+    // front, matching the kernel's contract
+    "q96_levelshift_scaled" ->
+      """WITH s AS (SELECT event_type::VARCHAR AS key, event_id,
+        |  CASE WHEN count(value) OVER lw = 20 AND count(value) OVER rw = 20
+        |   THEN (avg(value) OVER rw - avg(value) OVER lw) /
+        |    sqrt(var_samp(value) OVER lw / 20.0 + var_samp(value) OVER rw / 20.0)
+        |  END AS z
+        | FROM events WHERE value IS NOT NULL
+        | WINDOW lw AS (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING),
+        |  rw AS (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN CURRENT ROW AND 19 FOLLOWING)),
+        |f AS (SELECT *, CASE WHEN z IS NOT NULL AND abs(z) >= 3.0 THEN 1 ELSE 0 END AS shifted FROM s),
+        |g AS (SELECT *, CASE WHEN shifted = 1 AND
+        |   coalesce(lag(shifted) OVER (PARTITION BY key ORDER BY event_id), 0) = 0
+        |  THEN 1 ELSE 0 END AS newSeg FROM f),
+        |h AS (SELECT *, sum(newSeg) OVER (PARTITION BY key ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segId FROM g)
+        |SELECT key, min(event_id) AS segStart, max(event_id) AS segEnd,
+        | count(*) AS n, round(avg(z),4) AS avgShift
+        |FROM h WHERE shifted = 1 GROUP BY key, segId"""
         .stripMargin.replace("\n", " "),
     "q21_autocorrelation" ->
       """WITH l AS (SELECT event_type, value,

@@ -44,6 +44,43 @@ class HaloWindowsSpec extends SparkSpec {
     }
   }
 
+  test("halo level-shift segments match the window formulation across partition counts") {
+    val df = series
+    val expected = SeqOps
+      .levelShiftSegments(df, Seq("k"), "seq", "value", window = 10, minZ = 2.0)
+      .select(col("k").as("key"), col("segStart").cast("long"),
+        col("segEnd").cast("long"), col("n"), col("avgShift"))
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(expected.nonEmpty, "fixture must produce shifted segments")
+    for (p <- Seq(1, 3, 8, 32)) {
+      val got = HaloWindows
+        .levelShiftSegments(df, Seq("k"), "seq", "value", window = 10,
+          minZ = 2.0, numPartitions = p)
+        .select(col("key"), col("segStart").cast("long"),
+          col("segEnd").cast("long"), col("n"), col("avgShift"))
+        .as[(String, Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      assert(got.length == expected.length, s"segment count at p=$p")
+      got.zip(expected).foreach { case (g, e) =>
+        // segment identity is exact; avgShift is a hash-agg over
+        // bit-identical z values, so only summation order can differ
+        assert((g._1, g._2, g._3, g._4) == ((e._1, e._2, e._3, e._4)), s"segment at p=$p: $g vs $e")
+        assert(math.abs(g._5 - e._5) < 1e-12, s"avgShift at p=$p: $g vs $e")
+      }
+    }
+  }
+
+  test("segments spanning a partition boundary are stitched into one") {
+    // one key, a single long shifted run; with numPartitions high enough
+    // the run crosses several partition boundaries but must stay one segment
+    val rows = Seq.tabulate(120) { i =>
+      ("k", i.toLong, if (i < 60) 0.0 + (i % 3) * 0.1 else 50.0 + (i % 3) * 0.1)
+    }
+    val segs = HaloWindows.levelShiftSegments(rows.toDF("k", "seq", "value"),
+      Seq("k"), "seq", "value", window = 10, minZ = 3.0, numPartitions = 16)
+      .collect()
+    assert(segs.length == 1, s"expected one stitched segment, got ${segs.toSeq}")
+  }
+
   test("frames never cross key boundaries even when a halo spans keys") {
     // keys shorter than the window must emit nothing
     val df = Seq.tabulate(8)(i => ("a", i.toLong, i.toDouble)) ++
