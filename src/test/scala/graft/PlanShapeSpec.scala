@@ -67,6 +67,26 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(beforeFinalJoin.contains("shingle"), "broadcast join must key on the gram")
   }
 
+  test("bloom decontamination: prefilter evaluates below every exchange") {
+    // the whole point of decontaminateBloom is dropping train grams
+    // executor-side BEFORE any shuffle; the might_contain filter drifting
+    // above an exchange (e.g. pushdown through the shingle distinct
+    // breaking) would silently restore the full-gram shuffle
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val p = SparkEntry.queries("q91b_decontaminate_bloom")(spark, sfDir)
+      .queryExecution.executedPlan
+    val filters = collect(p) {
+      case f: FilterExec if f.condition.toString.contains("UDF") => f
+    }
+    assert(filters.nonEmpty, "bloom might_contain filter missing from the plan")
+    filters.foreach { f =>
+      val shufflesBelow = f.child.collect { case e: ShuffleExchangeLike => e }
+      assert(shufflesBelow.isEmpty,
+        s"bloom prefilter must run before any exchange:\n$f")
+    }
+  }
+
   test("span dedup: count join keys on the span hash — no cartesian, no text shuffle") {
     val p = plan("q90_span_dedup").toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
