@@ -54,6 +54,14 @@ object ScaleProbe {
         seq.HaloWindows.changePointMeanShift(ev, Seq("event_type"), "event_id",
           "value", window = 30, critValue = 3.0).count()
       }
+      time("window_segments", n, nEv) {
+        seq.SeqOps.levelShiftSegments(ev, Seq("event_type"), "event_id",
+          "value", window = 20, minZ = 3.0).count()
+      }
+      time("halo_segments", n, nEv) {
+        seq.HaloWindows.levelShiftSegments(ev, Seq("event_type"), "event_id",
+          "value", window = 20, minZ = 3.0).count()
+      }
       val docs = scaled("documents", Seq("doc_id"), n)
       val nDocs = docs.count()
       time("minhash_sig", n, nDocs) {
@@ -66,6 +74,11 @@ object ScaleProbe {
       }
       time("span_dedup", n, nDocs) {
         text.TextOps.spanDedup(docs, "doc_id", "text", k = 8, stride = 4).count()
+      }
+      time("decontam_bloom", n, nDocs) {
+        val isEval = text.TextOps.hash56(col("doc_id").cast("string")) % 20 === 0
+        text.TextOps.decontaminateBloom(docs.where(!isEval), docs.where(isEval),
+          "doc_id", "text", n = 6).count()
       }
       time("chunk_pack", n, nDocs) {
         val ch = text.TextOps.chunkDocs(docs, "doc_id", "text", 32, 8)
