@@ -307,6 +307,71 @@ object StreamScorers {
         })
   }
 
+  case class CpStreamOut(entity: String, seq: Long, value: Double,
+      stat: Double, changed: Boolean)
+  case class CpBuf(window: List[Double])
+
+  /** Streaming change-point detection — the real-time form of the batch
+    * mean-shift detector (misc/ChangePointDetector.scala via
+    * SeqOps.changePointMeanShift): per entity, hold the trailing
+    * 2·`window` values and test the older half against the newer half
+    * with the same Welch statistic (identical ascending-sum/Welford
+    * arithmetic). A stream can only test the past, so the stat emitted at
+    * seq t equals the batch stat at position t−window+1 — pure detection
+    * lag of `window` events, pinned by the batch-parity spec. stat is NaN
+    * until the buffer fills. */
+  def changePointStream(events: Dataset[ValueEvent], window: Int,
+      critValue: Double): Dataset[CpStreamOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = window
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (entity: String, it: Iterator[ValueEvent], gs: GroupState[CpBuf]) => {
+          var buf = gs.getOption.map(_.window).getOrElse(Nil)
+          val out = it.toSeq.sortBy(_.seq).map { e =>
+            buf = (e.value :: buf).take(2 * w)
+            val stat =
+              if (buf.size == 2 * w) {
+                val arr = buf.reverse.toArray // oldest first
+                val (mL, vL) = meanVar(arr, 0, w)
+                val (mR, vR) = meanVar(arr, w, 2 * w)
+                val den = math.sqrt(vL / w + vR / w)
+                val diff = math.abs(mR - mL)
+                if (den > 0) diff / den
+                else if (diff > 0) Double.PositiveInfinity
+                else 0.0
+              } else Double.NaN
+            CpStreamOut(entity, e.seq, e.value, stat,
+              !java.lang.Double.isNaN(stat) && stat >= critValue)
+          }
+          gs.update(CpBuf(buf))
+          out.iterator
+        })
+  }
+
+  /** Frame mean/sample-variance with WindowExec's exact arithmetic
+    * (ascending-index sum, Welford update chain) — keeps the streaming
+    * stat bit-identical to the batch window formulation. */
+  private def meanVar(a: Array[Double], from: Int, until: Int): (Double, Double) = {
+    var s = 0.0
+    var i = from
+    while (i < until) { s += a(i); i += 1 }
+    var cnt = 0.0
+    var m = 0.0
+    var m2 = 0.0
+    i = from
+    while (i < until) {
+      cnt += 1.0
+      val d = a(i) - m
+      val dN = d / cnt
+      m += dN
+      m2 += d * (d - dN)
+      i += 1
+    }
+    (s / (until - from), m2 / (cnt - 1.0))
+  }
+
   case class SeqEvent(entity: String, seq: Long, state: String)
   case class SeqScore(entity: String, seq: Long, state: String, score: Double, tag: String)
   case class MarkovBuf(lastState: String, window: List[Double])

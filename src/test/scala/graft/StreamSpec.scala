@@ -201,6 +201,37 @@ class StreamSpec extends SparkSpec {
     assert(rows.take(20).forall(_.score == 0.0))             // warm-up window
   }
 
+  test("changepoint stream flags an injected level shift; batch parity at the lag") {
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.tabulate(120)(i =>
+      (if (i < 60) 10.0 else 16.0) + rnd.nextGaussian())
+    val in = MemoryStream[ValueEvent]
+    val scored = StreamScorers.changePointStream(in.toDS(), window = 15,
+      critValue = 3.0)
+    val q = scored.writeStream.format("memory").queryName("cps").outputMode("append").start()
+    // feed in two batches so the 2w buffer provably survives micro-batches
+    in.addData((0 until 70).map(i => ValueEvent("e1", i.toLong, vals(i))): _*)
+    q.processAllAvailable()
+    in.addData((70 until 120).map(i => ValueEvent("e1", i.toLong, vals(i))): _*)
+    q.processAllAvailable()
+    val rows = spark.table("cps").as[StreamScorers.CpStreamOut].collect().sortBy(_.seq)
+    q.stop()
+    assert(rows.take(29).forall(r => java.lang.Double.isNaN(r.stat))) // buffer warm-up
+    // detection lands within the lag window after the shift at i=60
+    val hits = rows.filter(_.changed).map(_.seq)
+    assert(hits.nonEmpty && hits.forall(s => s >= 60 && s <= 90), hits.toSeq)
+    // bit parity: stream stat at seq t == batch window stat at t-w+1
+    val batch = graft.seq.SeqOps.changePointMeanShift(
+      vals.zipWithIndex.map { case (v, i) => ("e1", i.toLong, v) }
+        .toDF("k", "seq", "value"),
+      Seq("k"), "seq", "value", window = 15, critValue = 0.0)
+      .select("seq", "stat").as[(Long, Double)].collect().toMap
+    rows.filter(r => !java.lang.Double.isNaN(r.stat)).foreach { r =>
+      assert(batch(r.seq - 14) == r.stat, s"parity at seq ${r.seq}")
+    }
+  }
+
   test("streaming dedup drops repeats within the watermark") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
