@@ -95,6 +95,98 @@ object CompareBaseline {
         score.Scorers.Cfg(Seq("event_type"), Seq("value"), threshold = 2.0))
         .agg(sum(when(col("tag") === "O", 1L).otherwise(0L))).head().getLong(0)
     }
+
+    // ===== flagship 2: Markov-chain sequence scoring =====
+    // reference shape (seq/MarkovChainPredictor.scala:55-137): textFile →
+    // keyBy(entity) → groupByKey (whole per-key series in task memory) →
+    // in-memory sort → sliding mean of −ln p over a broadcast transition
+    // matrix, O spread back over the window. Identical math to
+    // SeqOps.markovChainScore(metric=condProb), so both sides must emit
+    // the same outlier count.
+    val mkScale = math.max(1, scale / 5) // series walk is heavier per row
+    val mkCsvDir = s"/tmp/graft_ref_mk_csv_x$mkScale"
+    val mkPqDir = s"/tmp/graft_ref_mk_pq_x$mkScale"
+    if (!new java.io.File(mkCsvDir, "_SUCCESS").exists()) {
+      val base = core.table(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      val big = (0 until mkScale).map(i =>
+        base.withColumn("user_id", col("user_id") + lit(i.toLong * 1000000000L))
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L)))
+        .reduce(_ unionByName _)
+      big.write.mode("overwrite").option("header", "false").csv(mkCsvDir)
+      big.write.mode("overwrite").parquet(mkPqDir)
+    }
+    val mkWin = 5
+    val mkThr = 1.5
+
+    time("reference-style RDD Markov") {
+      val lines = sc.textFile(mkCsvDir)
+      val parsed = lines.map { line =>
+        val it = line.split(",")
+        (it(0).toLong, (it(1).toLong, it(2)))
+      }
+      val states = parsed.map(_._2._2).distinct().collect().sorted
+      val nStates = states.length
+      // fit: per-entity in-memory sort → lag pairs → global (from,to) counts
+      val pairCounts = parsed.groupByKey().flatMap { case (_, vs) =>
+        val sorted = vs.toArray.sortBy(_._1)
+        (1 until sorted.length).iterator.map(i =>
+          ((sorted(i - 1)._2, sorted(i)._2), 1L))
+      }.reduceByKey(_ + _).collect().toMap
+      val probs = (for {
+        from <- states
+        sumFrom = states.map(to => pairCounts.getOrElse((from, to), 0L)).sum
+        to <- states
+      } yield (from, to) ->
+        (pairCounts.getOrElse((from, to), 0L) + 1.0) / (sumFrom + 1.0 * nStates)
+      ).toMap
+      val bc = sc.broadcast(probs)
+      // score: per-entity walk, sliding ascending-sum mean of −ln p
+      parsed.groupByKey().map { case (_, vs) =>
+        val sorted = vs.toArray.sortBy(_._1)
+        val n = sorted.length
+        val nll = new Array[Double](n)
+        var i = 1
+        while (i < n) {
+          nll(i) = -math.log(bc.value((sorted(i - 1)._2, sorted(i)._2)))
+          i += 1
+        }
+        val rawO = new Array[Boolean](n)
+        i = mkWin
+        while (i < n) {
+          var s = 0.0
+          var k = i - mkWin + 1
+          while (k <= i) { s += nll(k); k += 1 }
+          rawO(i) = s / mkWin > mkThr
+          i += 1
+        }
+        var cnt = 0L
+        i = mkWin // rows with a null score stay I, never O
+        while (i < n) {
+          var j = i
+          var o = false
+          while (!o && j < math.min(n, i + mkWin)) { o = rawO(j); j += 1 }
+          if (o) cnt += 1
+          i += 1
+        }
+        cnt
+      }.reduce(_ + _)
+    }
+
+    def engineMarkov(data: org.apache.spark.sql.DataFrame): Long = {
+      val trans = model.Fitters.markovTransitions(data, Seq("user_id"),
+        "event_id", "event_type", smoothing = 1.0)
+      seq.SeqOps.markovChainScore(data, trans, Seq("user_id"), "event_id",
+        "event_type", window = mkWin, metric = "condProb", threshold = mkThr)
+        .agg(sum(when(col("tag") === "O", 1L).otherwise(0L))).head().getLong(0)
+    }
+    val mkSchema = "user_id LONG, event_id LONG, event_type STRING"
+    time("graft Markov (CSV)") {
+      engineMarkov(spark.read.schema(mkSchema).csv(mkCsvDir))
+    }
+    time("graft Markov (parquet)") {
+      engineMarkov(spark.read.parquet(mkPqDir))
+    }
     spark.stop()
   }
 }
