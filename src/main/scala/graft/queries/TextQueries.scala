@@ -146,6 +146,15 @@ object TextQueries {
         "vec_id", "embedding", dim = 64, nCells = 8, nProbe = 2, k = 10,
         iters = 10, maxSample = 20000))
     }),
+    // product quantization: 4 sub-codebooks (fixed-Lloyd, md5 sample),
+    // ADC scan, exact top-10 re-rank of the 50-candidate shortlist —
+    // fully deterministic, SQL-replayed below
+    "q97_ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      canon(Similarity.pqTopKDeterministic(e.where(col("vec_id") < 20), e,
+        "vec_id", "embedding", dim = 64, m = 4, kCodes = 8, k = 10,
+        shortlist = 50, iters = 5, maxSample = 20000))
+    }),
   )
 
   private val toks = """regexp_extract_all(lower(text), '\S+')"""
@@ -573,6 +582,69 @@ object TextQueries {
          |    * sqrt(list_dot_product(a.cv2, a.cv2))) AS cos
          | FROM (SELECT qid, qv, cell FROM qd WHERE rk <= 2) p
          | JOIN asg a USING (cell) WHERE p.qid <> a.cid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, cid) AS rank FROM sc QUALIFY rank <= 10)
+         |SELECT qid, cid, round(cos, 4) AS cos, rank FROM r"""
+        .stripMargin.replace("\n", " ")
+    },
+    // Full SQL replay of the deterministic PQ: the q61 fixed-Lloyd
+    // pattern per subspace (16-dim slices, 5 iterations, 5dp-rounded
+    // recenter), per-subspace corpus encode via the same struct-argmin,
+    // ADC distance = the 4 subspace terms summed left-to-right (matching
+    // the Spark reduce), shortlist 50 by (adist, cid), exact cosine
+    // top-10 re-rank.
+    "q97_ann_pq" -> {
+      val m = 4; val sub = 16; val kc = 8; val iters = 5
+      def ld(a: String, b: String) = s"list_dot_product($a, $b)"
+      def sl(v: String, j: Int) = s"$v[${j * sub + 1}:${(j + 1) * sub}]"
+      val perSub = (0 until m).map { j =>
+        val init =
+          s"""sv$j AS (SELECT rn, ${sl("v", j)} AS v FROM samp),
+             |c${j}_0 AS (SELECT t.i AS cell, s.v AS cv
+             | FROM (SELECT unnest(range($kc)) AS i) t, sn
+             | JOIN sv$j s ON s.rn = (t.i * sn.n) // $kc + 1)""".stripMargin
+        val lloyd = (1 to iters).map { t =>
+          s"""a${j}_$t AS MATERIALIZED (SELECT s.rn, s.v,
+             |  (min({'d': ${ld("c.cv", "c.cv")} - 2.0 * ${ld("s.v", "c.cv")}, 'c': c.cell})).c AS cell
+             | FROM sv$j s CROSS JOIN c${j}_${t - 1} c GROUP BY s.rn, s.v),
+             |g${j}_$t AS (SELECT a.cell, t.d, round(avg(a.v[t.d + 1]), 5) AS cx
+             | FROM a${j}_$t a CROSS JOIN (SELECT unnest(range($sub)) AS d) t
+             | GROUP BY a.cell, t.d),
+             |c${j}_$t AS MATERIALIZED (SELECT p.cell,
+             |  CASE WHEN count(g.cx) = 0 THEN p.cv
+             |   ELSE list(g.cx ORDER BY g.d) END AS cv
+             | FROM c${j}_${t - 1} p LEFT JOIN g${j}_$t g USING (cell)
+             | GROUP BY p.cell, p.cv)""".stripMargin
+        }.mkString(", ")
+        val encode =
+          s"""e$j AS MATERIALIZED (SELECT co.cid,
+             |  (min({'d': ${ld("c.cv", "c.cv")} - 2.0 * ${ld(sl("co.w", j), "c.cv")}, 'c': c.cell})).c AS code
+             | FROM co CROSS JOIN c${j}_$iters c GROUP BY co.cid)""".stripMargin
+        s"$init, $lloyd, $encode"
+      }.mkString(", ")
+      val adTerms = (0 until m).map { j =>
+        s"(${ld(s"b$j.cv", s"b$j.cv")} - 2.0 * ${ld(sl("q.qv", j), s"b$j.cv")})"
+      }.mkString(" + ")
+      val encJoins = (1 until m).map(j => s"JOIN e$j ON e$j.cid = e0.cid").mkString(" ")
+      val cbJoins = (0 until m).map(j => s"JOIN c${j}_$iters b$j ON b$j.cell = e$j.code").mkString(" ")
+      s"""WITH s0 AS (SELECT embedding::DOUBLE[] AS v, md5(vec_id::VARCHAR) AS h
+         |  FROM embeddings ORDER BY h, v LIMIT 20000),
+         |samp AS MATERIALIZED (SELECT v, row_number() OVER (ORDER BY h, v) AS rn FROM s0),
+         |sn AS (SELECT count(*) AS n FROM samp),
+         |co AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS w FROM embeddings),
+         |$perSub,
+         |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+         |ad AS MATERIALIZED (SELECT q.qid, e0.cid, $adTerms AS adist
+         | FROM qs q CROSS JOIN e0 $encJoins $cbJoins
+         | WHERE q.qid <> e0.cid),
+         |sh AS (SELECT qid, cid FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adist, cid) AS ark FROM ad) WHERE ark <= 50),
+         |sc AS (SELECT sh.qid, sh.cid,
+         |  ${ld("qe.embedding::DOUBLE[]", "ce.embedding::DOUBLE[]")} /
+         |   (sqrt(${ld("qe.embedding::DOUBLE[]", "qe.embedding::DOUBLE[]")})
+         |    * sqrt(${ld("ce.embedding::DOUBLE[]", "ce.embedding::DOUBLE[]")})) AS cos
+         | FROM sh JOIN embeddings qe ON qe.vec_id = sh.qid
+         |  JOIN embeddings ce ON ce.vec_id = sh.cid),
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY cos DESC, cid) AS rank FROM sc QUALIFY rank <= 10)
          |SELECT qid, cid, round(cos, 4) AS cos, rank FROM r"""

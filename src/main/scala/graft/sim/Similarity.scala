@@ -172,6 +172,76 @@ object Similarity {
       LocalKMeans.fitFixed(pts, nCells, iters, viaDot = true), nProbe, k)
   }
 
+  /** Product-quantization ANN (Jégou/Douze/Schmid, "Product Quantization
+    * for Nearest Neighbor Search", PAMI 2011) — the compute/memory scale
+    * path: vectors quantize to `m` sub-codebook codes (m small ints at
+    * kCodes ≤ 256 — 32× smaller than float32 at d=64, m=8), queries scan
+    * the codes with asymmetric distance (ADC: per-query lookup tables of
+    * sub-distances, `m` array lookups per candidate instead of a d-dim
+    * dot product), and only the `shortlist` ADC-nearest candidates are
+    * re-ranked with exact cosine on the full vectors (the FAISS refine
+    * step). At cluster scale the code table is what shuffles/broadcasts —
+    * the full embedding column is touched only for the shortlist.
+    *
+    * Codebooks are md5-ordered-sample + fixed-Lloyd per subspace
+    * ([[graft.core.LocalKMeans.fitFixed]], 5dp-rounded centroids, the
+    * ‖c‖²−2v·c assignment metric) — no RNG anywhere, so index build,
+    * ADC scan and re-rank all replay in SQL (the q97 oracle).
+    * Output: qid, cid, cos, rank. */
+  def pqTopKDeterministic(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int, kCodes: Int, k: Int,
+      shortlist: Int = 50, iters: Int = 5, maxSample: Int = 20000): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val spark = corpus.sparkSession
+    graft.expr.GraftFunctions.register(spark)
+    val sub = dim / m
+    val c = corpus.select(col(idCol).as("cid"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    // one md5-ordered sample of full vectors; per-subspace slices of the
+    // same rows (md5 of the unique id is a total order, so every
+    // subspace's codebook trains on the identical sample rows)
+    val pts = LocalKMeans.sampleVectorsHashed(c, "cv", Seq("cid"), maxSample)
+    val books = Array.tabulate(m)(j =>
+      LocalKMeans.fitFixed(pts.map(_.slice(j * sub, (j + 1) * sub)),
+        kCodes, iters, viaDot = true))
+    val ccs = books.map(_.map(ct => LocalKMeans.dotSeq(ct, ct)))
+    // ‖x−c_{j,i}‖² − ‖x‖² (row-constant term dropped: per-row argmin and
+    // per-query ordering are unchanged)
+    def relD2(v: Column, j: Int, i: Int): Column =
+      lit(ccs(j)(i)) - lit(2.0) * call_function("vec_dot", v,
+        array(books(j)(i).map(lit(_)): _*))
+    // encode the corpus: per subspace, struct-argmin over the codebook
+    val enc0 = (0 until m).foldLeft(c)((df, j) =>
+      df.withColumn(s"sub$j", slice(col("cv"), j * sub + 1, sub)))
+    val enc = (0 until m).foldLeft(enc0)((df, j) =>
+        df.withColumn(s"code$j",
+          array_min(array((0 until kCodes).map(i =>
+            struct(relD2(col(s"sub$j"), j, i).as("d"), lit(i).as("c"))): _*))
+            .getField("c")))
+      .select(col("cid") +: (0 until m).map(j => col(s"code$j")): _*)
+    // per-query ADC tables, built once per query row before the scan
+    val q0 = queries.select(col(idCol).as("qid"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val q1 = (0 until m).foldLeft(q0)((df, j) =>
+      df.withColumn(s"dtab$j", array((0 until kCodes).map(i =>
+        relD2(slice(col("qv"), j * sub + 1, sub), j, i)): _*)))
+    // ADC scan: m table lookups per candidate, summed in subspace order
+    val adist = (0 until m).map(j =>
+      element_at(col(s"dtab$j"), col(s"code$j") + 1)).reduce(_ + _)
+    val wA = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
+    val short = broadcast(q1).join(enc, col("qid") =!= col("cid"))
+      .withColumn("adist", adist)
+      .withColumn("ark", row_number().over(wA))
+      .where(col("ark") <= shortlist)
+      .select("qid", "qv", "cid")
+    // exact cosine re-rank of the shortlist only
+    val rer = short.join(c, "cid")
+      .withColumn("cos", cosineFast(spark, col("qv"), col("cv")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    rer.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("qid", "cid", "cos", "rank")
+  }
+
   private def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, cents: Array[Array[Double]],
       nProbe: Int, k: Int): DataFrame = {

@@ -276,6 +276,37 @@ class TextSpec extends SparkSpec {
     assert(exact.exists(_._3)) // the shared bigrams really flag someone
   }
 
+  test("pq ann: full shortlist equals brute force; tight shortlist keeps recall") {
+    // 4 well-separated prototypes + small deterministic noise: true
+    // neighbours share a prototype, so ADC must keep them in the shortlist
+    val rnd = new scala.util.Random(23)
+    val protos = Array.tabulate(4, 16)((p, j) => if (j % 4 == p) 5.0f else 0.0f)
+    val vecs = Seq.tabulate(200) { i =>
+      (i.toLong, protos(i % 4).map(x => x + rnd.nextGaussian().toFloat * 0.3f))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.where($"vec_id" < 6)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"),
+        r.getAs[Int]("rank"))).toSet
+    val brute = rows(Similarity.bruteForceTopK(qs, vecs, "vec_id", "embedding", 5))
+    // shortlist = whole corpus -> the re-rank IS brute force
+    val full = rows(Similarity.pqTopKDeterministic(qs, vecs, "vec_id", "embedding",
+      dim = 16, m = 4, kCodes = 4, k = 5, shortlist = 200, iters = 3))
+    assert(full == brute)
+    // tight shortlist: 60 of 200 candidates. Same-cluster vectors encode
+    // to the SAME codes (that is the quantization), so ADC cannot rank
+    // within a cluster — the shortlist must cover the ~50-member ADC-tie
+    // set for the re-rank to see the true neighbours (recall@5 >= 0.9)
+    val pq = rows(Similarity.pqTopKDeterministic(qs, vecs, "vec_id", "embedding",
+      dim = 16, m = 4, kCodes = 4, k = 5, shortlist = 60, iters = 3))
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val recall = pq.map(t => (t._1, t._2)).count(bruteIds) / brute.size.toDouble
+    assert(recall >= 0.9, s"recall@5 = $recall")
+    // deterministic: a second run is byte-identical
+    assert(rows(Similarity.pqTopKDeterministic(qs, vecs, "vec_id", "embedding",
+      dim = 16, m = 4, kCodes = 4, k = 5, shortlist = 60, iters = 3)) == pq)
+  }
+
   test("cosine top-k: self-similar vector ranks first") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.99f, 0.1f, 0f)),
