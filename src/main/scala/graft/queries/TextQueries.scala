@@ -153,7 +153,7 @@ object TextQueries {
       val e = emb(s, dir)
       canon(Similarity.pqTopKDeterministic(e.where(col("vec_id") < 20), e,
         "vec_id", "embedding", dim = 64, m = 4, kCodes = 8, k = 10,
-        shortlist = 50, iters = 5, maxSample = 20000))
+        shortlist = 50, iters = 5, maxSample = 4096))
     }),
   )
 
@@ -628,7 +628,7 @@ object TextQueries {
       val encJoins = (1 until m).map(j => s"JOIN e$j ON e$j.cid = e0.cid").mkString(" ")
       val cbJoins = (0 until m).map(j => s"JOIN c${j}_$iters b$j ON b$j.cell = e$j.code").mkString(" ")
       s"""WITH s0 AS (SELECT embedding::DOUBLE[] AS v, md5(vec_id::VARCHAR) AS h
-         |  FROM embeddings ORDER BY h, v LIMIT 20000),
+         |  FROM embeddings ORDER BY h, v LIMIT 4096),
          |samp AS MATERIALIZED (SELECT v, row_number() OVER (ORDER BY h, v) AS rn FROM s0),
          |sn AS (SELECT count(*) AS n FROM samp),
          |co AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS w FROM embeddings),
