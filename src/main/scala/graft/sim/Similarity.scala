@@ -246,6 +246,80 @@ object Similarity {
       .select("qid", "cid", "cos", "rank")
   }
 
+  /** IVF × PQ composition (FAISS's IVFPQ with by_residual=false): the
+    * coarse quantizer bounds the candidate set to `nProbe` cells and PQ
+    * codes carry the ADC scan inside them — the scan becomes a cell
+    * equi-join on the code table instead of [[pqTopKDeterministic]]'s
+    * query × corpus cross join, and the full vectors are still only read
+    * for the exact re-rank of the shortlist. With nProbe = nCells the
+    * candidate set is the whole corpus and the output is exactly
+    * [[pqTopKDeterministic]] (spec-pinned composition identity).
+    * Deterministic throughout (same md5 sample trains coarse + sub
+    * codebooks). Output: qid, cid, cos, rank. */
+  def ivfPqTopKDeterministic(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int, nCells: Int, nProbe: Int,
+      m: Int, kCodes: Int, k: Int, shortlist: Int = 50,
+      itersCoarse: Int = 10, itersPq: Int = 5,
+      maxSample: Int = 4096): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val spark = corpus.sparkSession
+    graft.expr.GraftFunctions.register(spark)
+    val sub = dim / m
+    val c = corpus.select(col(idCol).as("cid"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    val pts = LocalKMeans.sampleVectorsHashed(c, "cv", Seq("cid"), maxSample)
+    val coarse = LocalKMeans.fitFixed(pts, nCells, itersCoarse, viaDot = true)
+    val coarseCC = coarse.map(ct => LocalKMeans.dotSeq(ct, ct))
+    val books = Array.tabulate(m)(j =>
+      LocalKMeans.fitFixed(pts.map(_.slice(j * sub, (j + 1) * sub)),
+        kCodes, itersPq, viaDot = true))
+    val ccs = books.map(_.map(ct => LocalKMeans.dotSeq(ct, ct)))
+    def relD2(v: Column, j: Int, i: Int): Column =
+      lit(ccs(j)(i)) - lit(2.0) * call_function("vec_dot", v,
+        array(books(j)(i).map(lit(_)): _*))
+    def cellD2(v: Column, ci: Int): Column =
+      lit(coarseCC(ci)) - lit(2.0) * call_function("vec_dot", v,
+        array(coarse(ci).map(lit(_)): _*))
+    // one pass over the corpus: coarse cell + m sub-codes
+    val enc0 = (0 until m).foldLeft(
+      c.withColumn("cell", array_min(array(coarse.indices.map(ci =>
+          struct(cellD2(col("cv"), ci).as("d"), lit(ci).as("c"))): _*))
+          .getField("c")))(
+      (df, j) => df.withColumn(s"sub$j", slice(col("cv"), j * sub + 1, sub)))
+    val enc = (0 until m).foldLeft(enc0)((df, j) =>
+        df.withColumn(s"code$j",
+          array_min(array((0 until kCodes).map(i =>
+            struct(relD2(col(s"sub$j"), j, i).as("d"), lit(i).as("c"))): _*))
+            .getField("c")))
+      .select(col("cid") +: col("cell") +: (0 until m).map(j => col(s"code$j")): _*)
+    // query side: probed cells + ADC tables
+    val q0 = queries.select(col(idCol).as("qid"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val q1 = (0 until m).foldLeft(
+      q0.withColumn("cells", slice(array_sort(array(coarse.indices.map(ci =>
+        struct(cellD2(col("qv"), ci).as("d"), lit(ci).as("cell"))): _*)),
+        1, nProbe)))(
+      (df, j) => df.withColumn(s"dtab$j", array((0 until kCodes).map(i =>
+        relD2(slice(col("qv"), j * sub + 1, sub), j, i)): _*)))
+    val probed = q1.select(col("qid") +:
+        explode(col("cells.cell")).as("cell") +:
+        (0 until m).map(j => col(s"dtab$j")): _*)
+    val adist = (0 until m).map(j =>
+      element_at(col(s"dtab$j"), col(s"code$j") + 1)).reduce(_ + _)
+    val wA = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
+    val short = probed.join(enc, Seq("cell"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), adist.as("adist"))
+      .withColumn("ark", row_number().over(wA))
+      .where(col("ark") <= shortlist)
+      .select("qid", "cid")
+    val rer = short.join(broadcast(q0), "qid").join(c, "cid")
+      .withColumn("cos", cosineFast(spark, col("qv"), col("cv")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    rer.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("qid", "cid", "cos", "rank")
+  }
+
   private def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, cents: Array[Array[Double]],
       nProbe: Int, k: Int): DataFrame = {

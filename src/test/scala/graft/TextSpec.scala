@@ -305,6 +305,17 @@ class TextSpec extends SparkSpec {
     // deterministic: a second run is byte-identical
     assert(rows(Similarity.pqTopKDeterministic(qs, vecs, "vec_id", "embedding",
       dim = 16, m = 4, kCodes = 4, k = 5, shortlist = 60, iters = 3)) == pq)
+    // IVF×PQ composition identity: probing every cell IS plain PQ
+    val ivfpqAll = rows(Similarity.ivfPqTopKDeterministic(qs, vecs, "vec_id",
+      "embedding", dim = 16, nCells = 4, nProbe = 4, m = 4, kCodes = 4,
+      k = 5, shortlist = 60, itersCoarse = 3, itersPq = 3))
+    assert(ivfpqAll == pq)
+    // tight probe: cells bound the candidates, recall holds on clustered data
+    val ivfpq = rows(Similarity.ivfPqTopKDeterministic(qs, vecs, "vec_id",
+      "embedding", dim = 16, nCells = 4, nProbe = 2, m = 4, kCodes = 4,
+      k = 5, shortlist = 60, itersCoarse = 3, itersPq = 3))
+    val r2 = ivfpq.map(t => (t._1, t._2)).count(bruteIds) / brute.size.toDouble
+    assert(r2 >= 0.9, s"ivfpq recall@5 = $r2")
   }
 
   test("cosine top-k: self-similar vector ranks first") {
