@@ -23,10 +23,18 @@ object Bench {
     // warm-up: touch every table + exercise codegen once
     Seq("events", "lineitem", "documents", "embeddings")
       .foreach(t => core.table(spark, sfDir, t).count())
+    // A failing query must not hide as a (fast) time: record it, keep
+    // going, and surface an error count + names in the output so a
+    // regression can't read as a speedup.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable =>
+            failed += name
+            System.err.println(s"BENCH ERROR $name: ${t.getClass.getName}: ${t.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val (p1, p2) = (pass(), pass())
@@ -41,10 +49,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val errList = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"total":$total,"sf":"$sfDir","queries":$full}""".getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"total":$total,"sf":"$sfDir","errors":$errList,"queries":$full}""".getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

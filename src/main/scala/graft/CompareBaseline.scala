@@ -46,11 +46,12 @@ object CompareBaseline {
       big.write.mode("overwrite").parquet(pqDir)
     }
 
-    def time(name: String)(f: => Long): Unit = {
+    def time(name: String)(f: => Long): Long = {
       f // warm
       val t0 = System.nanoTime()
       val out = f
       println(f"[cmp] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s (outliers=$out)")
+      out
     }
 
     // ===== reference shape: textFile + split + broadcast stats + map =====
@@ -119,7 +120,7 @@ object CompareBaseline {
     val mkWin = 5
     val mkThr = 1.5
 
-    time("reference-style RDD Markov") {
+    val mkRefCnt = time("reference-style RDD Markov") {
       val lines = sc.textFile(mkCsvDir)
       val parsed = lines.map { line =>
         val it = line.split(",")
@@ -181,11 +182,19 @@ object CompareBaseline {
         .agg(sum(when(col("tag") === "O", 1L).otherwise(0L))).head().getLong(0)
     }
     val mkSchema = "user_id LONG, event_id LONG, event_type STRING"
-    time("graft Markov (CSV)") {
+    val mkCsvCnt = time("graft Markov (CSV)") {
       engineMarkov(spark.read.schema(mkSchema).csv(mkCsvDir))
     }
-    time("graft Markov (parquet)") {
+    val mkPqCnt = time("graft Markov (parquet)") {
       engineMarkov(spark.read.parquet(mkPqDir))
+    }
+    // the race is only apples-to-apples if both sides compute the same
+    // answer — self-check it instead of leaving the counts to eyeballing
+    if (mkRefCnt != mkCsvCnt || mkCsvCnt != mkPqCnt) {
+      println(s"[cmp] MISMATCH: Markov outlier counts diverge " +
+        s"(ref=$mkRefCnt csv=$mkCsvCnt parquet=$mkPqCnt) — RDD mirror and " +
+        "SeqOps.markovChainScore are no longer computing the same thing")
+      throw new IllegalStateException("Markov race correctness check failed")
     }
     spark.stop()
   }

@@ -145,7 +145,7 @@ object IsolationForest {
           .withColumn("rn", row_number().over(w))
           .where(col("rn") <= subsampleSize)
           .select(col("key"), col("t"), col("attrs")))
-    finalSampled.as[(String, Int, Seq[Double])]
+    val grown = finalSampled.as[(String, Int, Seq[Double])]
       .groupByKey(_._1).flatMapGroups { (key, it) =>
         // growth is order-insensitive (min/max/partition only), so the
         // arbitrary arrival order within a tree's sample is fine
@@ -156,6 +156,13 @@ object IsolationForest {
         }
         nodes.iterator
       }
+    // The model is tiny (≤ numTrees · 2^(maxDepth+1) nodes per key —
+    // [[score]] collects it for a broadcast anyway), so materialize it
+    // here and release the sampled set's cache deterministically rather
+    // than leaving the blocks to ContextCleaner GC.
+    val model = grown.collect()
+    sampled.unpersist(blocking = false)
+    spark.createDataset(model.toSeq)
   }
 
   private def md5Hex(s: String): String = {

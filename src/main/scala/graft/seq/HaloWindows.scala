@@ -4,7 +4,6 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Bounded sliding-frame kernels with partition-boundary halo exchange —
   * the scale path past the one-task-per-key ceiling of window functions.
@@ -20,20 +19,29 @@ import org.apache.spark.storage.StorageLevel
   *     across* consecutive partitions, so parallelism is data-sized,
   *     not key-sized;
   *  2. exchange a bounded halo between neighbouring partitions
-  *     (first/last rows per partition, collected and stitched on the
-  *     driver — ≤ (leftW+rightW)·numPartitions tiny rows, broadcast
-  *     back);
+  *     entirely on the executors: the driver sees only per-partition row
+  *     COUNTS (O(numPartitions) longs), derives from them a routing
+  *     table (which suffix/prefix of which source partition feeds which
+  *     neighbour's halo — walking through empty or shorter-than-halo
+  *     partitions, which range sampling produces on skewed boundaries),
+  *     and the halo rows themselves travel source→target through a
+  *     targeted `partitionBy` + `zipPartitions` stitch. No data-sized
+  *     collect, no whole-array broadcast: driver memory and broadcast
+  *     size stay flat as numPartitions grows;
   *  3. compute each two-flank frame inside a tight per-partition loop
   *     that replicates WindowExec's arithmetic exactly — ascending-index
   *     summation for `avg`, the Welford/CentralMomentAgg update chain for
   *     `var_samp` — so output is bit-identical to the window formulation
   *     and passes the same DuckDB oracle.
   *
-  * The intermediate sorted RDD is persisted (one sort, two passes —
-  * boundary extraction + compute); Spark's ContextCleaner unpersists it
-  * once the returned plan is released. Per-task memory is
-  * O(rows-per-partition), tunable via `numPartitions` — no per-key
-  * ceiling.
+  * The sorted base is deliberately NOT persisted: its three passes
+  * (counts, halo emit, compute) all share one shuffle dependency, so
+  * Spark skips the map stage on the later passes and re-reads the
+  * existing shuffle files — only the per-partition sort re-runs. At
+  * 100 TB that beats writing a second full copy of the data into the
+  * block-manager cache (and leaves nothing for ContextCleaner to chase).
+  * Per-task memory is O(rows-per-partition), tunable via
+  * `numPartitions` — no per-key ceiling.
   */
 object HaloWindows {
   import SeriesKernels.{SPoint, SScore}
@@ -170,48 +178,112 @@ object HaloWindows {
       .rdd
   }
 
-  /** Two-pass halo execution over a range-sorted base: pass 1 collects the
-    * first `rightW` / last `leftW` rows of every partition and stitches
-    * them on the driver — walking through neighbours so that empty or
-    * shorter-than-halo partitions (range sampling produces them on skewed
-    * or low-cardinality boundaries) don't truncate the context; pass 2
-    * runs `compute(all, ownedStart, ownedEnd)` over halo ++ owned ++ halo
-    * per partition, emitting owned rows only so nothing is double-counted. */
+  /** Three-pass halo execution over a range-sorted base, driver kept out
+    * of the data path:
+    *
+    *  - pass 1 collects per-partition row COUNTS only (nP longs). From
+    *    them the driver derives, for every target partition, which
+    *    suffix of which preceding partitions forms its left halo and
+    *    which prefix of which following partitions forms its right halo
+    *    (walking through empty/short partitions), inverted into a
+    *    per-SOURCE routing table of (target, side, take) triples — a few
+    *    ints per partition, broadcast;
+    *  - pass 2 re-reads the base and emits only the routed suffix/prefix
+    *    rows, keyed by target pid, shuffled with an identity partitioner
+    *    (O(window) rows per partition move — not the data);
+    *  - pass 3 zips the base with its received halos and runs
+    *    `compute(all, ownedStart, ownedEnd)` over lh ++ owned ++ rh,
+    *    emitting owned rows only so nothing is double-counted. Received
+    *    halo rows are re-ordered by the global sort key (key, seq,
+    *    value); rows tied on all three are interchangeable for any
+    *    frame arithmetic, so the stitched array matches the
+    *    single-stream order exactly.
+    */
   private def haloCompute[T: scala.reflect.ClassTag](
       base: RDD[SPoint], leftW: Int, rightW: Int)(
       compute: (Array[SPoint], Int, Int) => Iterator[T]): RDD[T] = {
-    base.persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = base.mapPartitionsWithIndex { (pid, it) =>
-      val head = scala.collection.mutable.ArrayBuffer.empty[SPoint]
-      val tail = new java.util.ArrayDeque[SPoint](leftW + 1)
-      it.foreach { r =>
-        if (head.length < rightW) head += r
-        tail.addLast(r)
-        if (tail.size > leftW) tail.removeFirst()
-      }
-      Iterator.single((pid, head.toArray, tail.toArray(Array.empty[SPoint])))
-    }.collect()
-
+    val counts = base
+      .mapPartitionsWithIndex((pid, it) => Iterator.single(pid -> it.count(_ => true)))
+      .collect().sortBy(_._1).map(_._2.toLong)
     val nP = base.getNumPartitions
-    val heads = Array.fill(nP)(Array.empty[SPoint])
-    val tails = Array.fill(nP)(Array.empty[SPoint])
-    edges.foreach { case (pid, h, t) => heads(pid) = h; tails(pid) = t }
-    val leftHalo = Array.fill(nP)(Array.empty[SPoint])
-    val rightHalo = Array.fill(nP)(Array.empty[SPoint])
-    for (pid <- 1 until nP)
-      leftHalo(pid) = (leftHalo(pid - 1) ++ tails(pid - 1)).takeRight(leftW)
-    for (pid <- nP - 2 to 0 by -1)
-      rightHalo(pid) = (heads(pid + 1) ++ rightHalo(pid + 1)).take(rightW)
-    val sc = base.sparkContext
-    val bcL = sc.broadcast(leftHalo)
-    val bcR = sc.broadcast(rightHalo)
 
-    base.mapPartitionsWithIndex { (pid, it) =>
-      val lh = bcL.value(pid)
-      val rh = bcR.value(pid)
-      val owned = it.toArray
+    // suffixFeeds(src) = targets drawing their left halo from src's last
+    // `take` rows; prefixFeeds(src) = targets drawing their right halo
+    // from src's first `take` rows.
+    val suffixFeeds = Array.fill(nP)(List.empty[(Int, Int)])
+    val prefixFeeds = Array.fill(nP)(List.empty[(Int, Int)])
+    var tgt = 0
+    while (tgt < nP) {
+      if (counts(tgt) > 0) {
+        var need = leftW.toLong
+        var src = tgt - 1
+        while (need > 0 && src >= 0) {
+          if (counts(src) > 0) {
+            val take = math.min(need, counts(src))
+            suffixFeeds(src) ::= (tgt, take.toInt)
+            need -= take
+          }
+          src -= 1
+        }
+        need = rightW.toLong
+        src = tgt + 1
+        while (need > 0 && src < nP) {
+          if (counts(src) > 0) {
+            val take = math.min(need, counts(src))
+            prefixFeeds(src) ::= (tgt, take.toInt)
+            need -= take
+          }
+          src += 1
+        }
+      }
+      tgt += 1
+    }
+    val sc = base.sparkContext
+    val bcSuffix = sc.broadcast(suffixFeeds)
+    val bcPrefix = sc.broadcast(prefixFeeds)
+
+    // side: 0 = left halo of the target, 1 = right halo
+    val haloRows: RDD[(Int, (Byte, SPoint))] = base.mapPartitionsWithIndex { (pid, it) =>
+      val sf = bcSuffix.value(pid)
+      val pf = bcPrefix.value(pid)
+      if (sf.isEmpty && pf.isEmpty) Iterator.empty
+      else {
+        val maxTail = if (sf.isEmpty) 0 else sf.map(_._2).max
+        val maxHead = if (pf.isEmpty) 0 else pf.map(_._2).max
+        val head = scala.collection.mutable.ArrayBuffer.empty[SPoint]
+        val tail = new java.util.ArrayDeque[SPoint](maxTail + 1)
+        it.foreach { r =>
+          if (head.length < maxHead) head += r
+          if (maxTail > 0) {
+            tail.addLast(r)
+            if (tail.size > maxTail) tail.removeFirst()
+          }
+        }
+        val tailArr = tail.toArray(Array.empty[SPoint])
+        sf.iterator.flatMap { case (t, k) =>
+          tailArr.iterator.drop(math.max(0, tailArr.length - k))
+            .map(r => (t, (0: Byte, r)))
+        } ++ pf.iterator.flatMap { case (t, k) =>
+          head.iterator.take(k).map(r => (t, (1: Byte, r)))
+        }
+      }
+    }.partitionBy(new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nP
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    })
+
+    base.zipPartitions(haloRows) { (ownedIt, haloIt) =>
+      val owned = ownedIt.toArray
       if (owned.isEmpty) Iterator.empty
-      else compute(lh ++ owned ++ rh, lh.length, lh.length + owned.length)
+      else {
+        val lb = scala.collection.mutable.ArrayBuffer.empty[SPoint]
+        val rb = scala.collection.mutable.ArrayBuffer.empty[SPoint]
+        haloIt.foreach { case (_, (side, r)) => if (side == 0) lb += r else rb += r }
+        val ord = Ordering.by((p: SPoint) => (p.key, p.seq, p.value))
+        val lh = lb.sorted(ord).toArray
+        val rh = rb.sorted(ord).toArray
+        compute(lh ++ owned ++ rh, lh.length, lh.length + owned.length)
+      }
     }
   }
 

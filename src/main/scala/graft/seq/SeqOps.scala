@@ -246,9 +246,13 @@ object SeqOps {
     val left = w.rowsBetween(-window, -1)
     val right = w.rowsBetween(0, window - 1)
     val x = col(valCol)
+    // drop null values up front (same as changePointMeanShift and the
+    // HaloWindows scale kernel): a null row must not occupy a frame
+    // position, or the two formulations segment nully data differently
+    val data0 = data.where(x.isNotNull)
     val zden = sqrt(var_samp(x).over(left) / window + var_samp(x).over(right) / window)
     val z = when(zden > 0, (avg(x).over(right) - avg(x).over(left)) / zden)
-    val flagged = data
+    val flagged = data0
       .withColumn("z", when(count(x).over(left) === window && count(x).over(right) === window, z))
       .withColumn("shifted", (col("z").isNotNull && abs(col("z")) >= minZ).cast("int"))
       .withColumn("newSeg",

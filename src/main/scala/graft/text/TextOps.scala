@@ -585,10 +585,18 @@ object TextOps {
       expectedGrams: Long = -1L): DataFrame = {
     val evalGrams = shingles(evalDocs, idCol, textCol, n)
       .select("shingle").distinct()
+    // the sizing count and the bloom build both scan the eval grams —
+    // share one cached computation instead of two tokenize/explode/
+    // distinct passes, and release the blocks as soon as the bloom is
+    // built (the exact confirm join below recomputes the eval-sized gram
+    // set once, lazily — still nothing train-sized)
+    val sized = expectedGrams > 0
+    if (!sized) evalGrams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nGrams =
-      if (expectedGrams > 0) expectedGrams
+      if (sized) expectedGrams
       else math.max(evalGrams.count(), 1L)
     val bloom = evalGrams.stat.bloomFilter("shingle", nGrams, fpp)
+    if (!sized) evalGrams.unpersist(blocking = false)
     val bc = train.sparkSession.sparkContext.broadcast(bloom)
     val mightContain =
       udf((s: String) => s != null && bc.value.mightContainString(s))

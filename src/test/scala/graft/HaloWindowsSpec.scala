@@ -8,7 +8,7 @@ class HaloWindowsSpec extends SparkSpec {
 
   // three keys of very different lengths so range partitioning splits the
   // long key across several partitions and leaves short/empty partitions
-  // to exercise the driver-side halo stitch
+  // to exercise the routed halo exchange (chains through empty partitions)
   private def series = {
     val rnd = new scala.util.Random(11)
     val rows = Seq.tabulate(600) { i =>
@@ -29,7 +29,11 @@ class HaloWindowsSpec extends SparkSpec {
       .select(col("k").as("key"), col("seq").cast("long"), col("value"), col("stat"))
       .as[(String, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
     assert(expected.nonEmpty, "fixture must produce change points")
-    for (p <- Seq(1, 3, 8, 32)) {
+    // p=1024 ≫ rows: almost every partition is empty or shorter than the
+    // halo, so left/right routing must chain across many partitions; the
+    // driver sees only the 1024 per-partition counts (no data-sized
+    // collect), so the stitch stays flat-memory at any partition count
+    for (p <- Seq(1, 3, 8, 32, 1024)) {
       val got = HaloWindows
         .changePointMeanShift(df, Seq("k"), "seq", "value", window = 10,
           critValue = 2.0, numPartitions = p)

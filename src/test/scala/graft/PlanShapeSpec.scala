@@ -76,8 +76,12 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val p = SparkEntry.queries("q91b_decontaminate_bloom")(spark, sfDir)
       .queryExecution.executedPlan
+    // anchor the match to the bloom prefilter specifically (a UDF over
+    // the shingle column) — a future unrelated UDF filter in this plan
+    // must not be swept into the no-shuffle-below assertion
     val filters = collect(p) {
-      case f: FilterExec if f.condition.toString.contains("UDF") => f
+      case f: FilterExec if f.condition.toString.contains("UDF") &&
+        f.condition.toString.contains("shingle") => f
     }
     assert(filters.nonEmpty, "bloom might_contain filter missing from the plan")
     filters.foreach { f =>
