@@ -37,7 +37,31 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val (p1, p2) = (pass(), pass())
+    // ANN build/search split: q97 times codebook training + corpus encode
+    // + scan in one query, but at scale the index build amortizes across
+    // query batches — time the ADC search over a prebuilt (persisted)
+    // code table separately so the per-batch number is visible.
+    def annSplit(): Seq[(String, Double)] = {
+      import org.apache.spark.sql.functions.col
+      val e = core.table(spark, sfDir, "embeddings")
+      var idx: graft.sim.Similarity.PqIndex = null
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val tBuild = timed {
+        idx = graft.sim.Similarity.pqBuildDeterministic(e, "vec_id", "embedding",
+          dim = 64, m = 4, kCodes = 8, iters = 5, maxSample = 4096)
+        idx = idx.copy(codes = idx.codes.persist())
+        idx.codes.count()
+      }
+      val tSearch = timed {
+        graft.sim.Similarity.pqSearchDeterministic(e.where(col("vec_id") < 20),
+          idx, e, "vec_id", "embedding", k = 10, shortlist = 50).count()
+      }
+      idx.codes.unpersist(blocking = false)
+      Seq("q97build_ann_pq" -> tBuild, "q97search_ann_pq" -> tSearch)
+    }
+    val (p1, p2) = (pass() ++ annSplit(), pass() ++ annSplit())
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     // The driver captures only the last ~2 KB of stdout: full query names at
     // nanosecond precision push the line past that and the head gets cut

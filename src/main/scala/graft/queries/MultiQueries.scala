@@ -82,6 +82,19 @@ object MultiQueries {
       canon(IsolationForest.score(data, model, Seq("event_type"), Seq("value"),
         "event_id", subsampleSize = 64).toDF())
     }),
+    // incremental merge (reference multi/IsolationForestMerge.scala:68-190):
+    // fit the deterministic forest on the md5-selected 80% of events, then
+    // route the held-out 20% down the trees and grow the landed-in leaf
+    // sizes — the updated model is the output, SQL-replayed below
+    "q99_iforest_merge" -> ((s, dir) => {
+      val data = ev(s, dir)
+      val isNew = graft.text.TextOps.hash56(col("event_id").cast("string")) % 5 === 0
+      val model = IsolationForest.fitDeterministic(data.where(!isNew),
+        Seq("event_type"), Seq("value"), "event_id",
+        numTrees = 50, subsampleSize = 64, maxDepth = 6)
+      canon(IsolationForest.merge(model, data.where(isNew),
+        Seq("event_type"), Seq("value")).toDF())
+    }),
     // deterministic fit (md5-ordered sample + fixed Lloyd + 5dp-rounded
     // centroids) -> the full operator, fit included, is SQL-replayable
     "q47_cblof" -> ((s, dir) =>
@@ -182,37 +195,40 @@ object MultiQueries {
         |FROM sc""".stripMargin).replace("\n", " ")
   }
 
-  /** Full SQL replay of the md5-deterministic isolation forest
-    * ([[IsolationForest.fitDeterministic]] + score): per-tree subsamples
-    * (first 64 by md5(t:id)), tree growth unrolled one CTE triple per
-    * depth (node stats + split fraction from the 52-bit md5 prefix +
-    * routed points), then per-row descent unrolled over the same depths
-    * and the 2^(−avgLen/c(64)) score. min/max/compare are exact floats,
-    * so the grown trees are bit-identical cross-engine — only the final
-    * path-length average crosses a float sum, absorbed by the 4dp round.
-    * Covers the single-attribute case (what q46 exercises); multi-attr
-    * forests stay spec-checked. */
-  private val iforestSql: String = {
-    val (trees, sub, depth) = (50, 64, 6)
-    def frac(pfx: String) =
-      s"(('0x'||substr(md5('$pfx:'||key||':'||t::VARCHAR||':'||path),1,13))::BIGINT" +
-        " / 4503599627370496.0)"
-    def cFn(sz: String) =
-      s"CASE WHEN $sz <= 1 THEN 0.0 ELSE " +
-        s"2*(ln($sz - 1.0) + 0.5772156649) - 2*($sz - 1.0)/$sz END"
-    val internal = "sz > 1 AND lo < hi AND nlt > 0 AND nlt < sz"
+  // ==== shared md5-deterministic isolation-forest oracle fragments ====
+  // (q46 fit+score and q99 fit+incremental-merge; single-attribute case —
+  // what the driver queries exercise; multi-attr forests stay spec-checked)
+  private val IfTrees = 50
+  private val IfSub = 64
+  private val IfDepth = 6
+  private def ifFrac(pfx: String) =
+    s"(('0x'||substr(md5('$pfx:'||key||':'||t::VARCHAR||':'||path),1,13))::BIGINT" +
+      " / 4503599627370496.0)"
+  private def ifCFn(sz: String) =
+    s"CASE WHEN $sz <= 1 THEN 0.0 ELSE " +
+      s"2*(ln($sz - 1.0) + 0.5772156649) - 2*($sz - 1.0)/$sz END"
+  private val IfInternal = "sz > 1 AND lo < hi AND nlt > 0 AND nlt < sz"
+
+  /** Fit replay over `evWhere`-filtered events: per-tree subsamples
+    * (first 64 by md5(t:id)), growth unrolled one CTE triple per depth
+    * (node stats + split fraction from the 52-bit md5 prefix + routed
+    * points), ending in the leaf table `lf` and internal-node table
+    * `inod`. min/max/compare are exact floats, so the grown trees are
+    * bit-identical cross-engine. */
+  private def ifGrowthCtes(evWhere: String): String = {
     val head =
-      s"""ev AS (SELECT event_type::VARCHAR AS key, event_id AS id, value AS x FROM events),
-         |trs AS (SELECT unnest(range($trees)) AS t),
+      s"""ev AS (SELECT event_type::VARCHAR AS key, event_id AS id, value AS x
+         |  FROM events $evWhere),
+         |trs AS (SELECT unnest(range($IfTrees)) AS t),
          |sm AS MATERIALIZED (SELECT key, t, x FROM (
          |  SELECT e.key, trs.t, e.x,
          |   row_number() OVER (PARTITION BY e.key, trs.t
          |     ORDER BY md5(trs.t::VARCHAR || ':' || e.id::VARCHAR), e.x) AS rn
-         |  FROM ev e CROSS JOIN trs) WHERE rn <= $sub),
+         |  FROM ev e CROSS JOIN trs) WHERE rn <= $IfSub),
          |p0 AS (SELECT key, t, 'R' AS path, x FROM sm)""".stripMargin
-    val growth = (0 until depth).map { d =>
+    val growth = (0 until IfDepth).map { d =>
       s"""n$d AS (SELECT key, t, path, count(*) AS sz, min(x) AS lo, max(x) AS hi,
-         |  min(x) + ${frac("s")} * (max(x) - min(x)) AS split
+         |  min(x) + ${ifFrac("s")} * (max(x) - min(x)) AS split
          | FROM p$d GROUP BY key, t, path),
          |i$d AS MATERIALIZED (SELECT n.key, n.t, n.path, n.sz, n.lo, n.hi, n.split,
          |  sum(CASE WHEN p.x < n.split THEN 1 ELSE 0 END) AS nlt
@@ -221,43 +237,79 @@ object MultiQueries {
          |p${d + 1} AS MATERIALIZED (SELECT p.key, p.t,
          |  p.path || CASE WHEN p.x < i.split THEN '0' ELSE '1' END AS path, p.x
          | FROM p$d p JOIN i$d i USING (key, t, path)
-         | WHERE i.$internal)""".stripMargin
+         | WHERE i.$IfInternal)""".stripMargin
     }
-    val leaves = ((0 until depth).map { d =>
-      s"SELECT key, t, path, sz, $d AS depth FROM i$d WHERE NOT ($internal)"
-    } :+ s"SELECT key, t, path, count(*) AS sz, $depth AS depth" +
-      s" FROM p$depth GROUP BY key, t, path").mkString(" UNION ALL ")
-    val inod = (0 until depth)
-      .map(d => s"SELECT key, t, path, split FROM i$d WHERE $internal")
+    val leaves = ((0 until IfDepth).map { d =>
+      s"SELECT key, t, path, sz, $d AS depth FROM i$d WHERE NOT ($IfInternal)"
+    } :+ s"SELECT key, t, path, count(*) AS sz, $IfDepth AS depth" +
+      s" FROM p$IfDepth GROUP BY key, t, path").mkString(" UNION ALL ")
+    val inod = (0 until IfDepth)
+      .map(d => s"SELECT key, t, path, split FROM i$d WHERE $IfInternal")
       .mkString(" UNION ALL ")
-    val descend = (0 until depth).map { d =>
-      s"""s${d + 1} AS MATERIALIZED (SELECT s.key, s.id, s.x, s.t,
-         |  CASE WHEN i.split IS NOT NULL
-         |   THEN s.path || CASE WHEN s.x < i.split THEN '0' ELSE '1' END
-         |   ELSE s.path END AS path
-         | FROM s$d s LEFT JOIN inod i
-         |   ON i.key = s.key AND i.t = s.t AND i.path = s.path)""".stripMargin
-    }
-    val tail =
-      s"""lf AS MATERIALIZED ($leaves),
-         |inod AS MATERIALIZED ($inod),
-         |dv AS (SELECT DISTINCT key, id, x FROM ev),
-         |s0 AS (SELECT key, id, x, t, 'R' AS path FROM dv CROSS JOIN trs),
-         |${descend.mkString(", ")},
-         |pl AS (SELECT s.key, s.id, s.x, avg(l.depth + ${cFn("l.sz")}) AS avgLen
-         | FROM s$depth s JOIN lf l
-         |   ON l.key = s.key AND l.t = s.t AND l.path = s.path
-         | GROUP BY s.key, s.id, s.x),
-         |cn AS (SELECT ${cFn("64.0")} AS v)""".stripMargin
-    ((Seq(head) ++ growth ++ Seq(tail)).mkString("WITH ", ", ", "") +
-      """
+    (Seq(head) ++ growth ++ Seq(
+      s"lf AS MATERIALIZED ($leaves)",
+      s"inod AS MATERIALIZED ($inod)")).mkString(", ")
+  }
+
+  /** Per-row descent of `s0` (key, id, x, t, path='R') down the grown
+    * trees, one unrolled step per depth — rows stop at leaf paths. */
+  private val ifDescendCtes: String = (0 until IfDepth).map { d =>
+    s"""s${d + 1} AS MATERIALIZED (SELECT s.key, s.id, s.x, s.t,
+       |  CASE WHEN i.split IS NOT NULL
+       |   THEN s.path || CASE WHEN s.x < i.split THEN '0' ELSE '1' END
+       |   ELSE s.path END AS path
+       | FROM s$d s LEFT JOIN inod i
+       |   ON i.key = s.key AND i.t = s.t AND i.path = s.path)""".stripMargin
+  }.mkString(", ")
+
+  /** q46: fit on all events, then score every row — avg path length over
+    * the 50 trees → 2^(−avgLen/c(64)). Only the final average crosses a
+    * float sum, absorbed by the 4dp round. */
+  private val iforestSql: String =
+    (s"""WITH ${ifGrowthCtes("")},
+        |dv AS (SELECT DISTINCT key, id, x FROM ev),
+        |s0 AS (SELECT key, id, x, t, 'R' AS path FROM dv CROSS JOIN trs),
+        |$ifDescendCtes,
+        |pl AS (SELECT s.key, s.id, s.x, avg(l.depth + ${ifCFn("l.sz")}) AS avgLen
+        | FROM s$IfDepth s JOIN lf l
+        |   ON l.key = s.key AND l.t = s.t AND l.path = s.path
+        | GROUP BY s.key, s.id, s.x),
+        |cn AS (SELECT ${ifCFn("64.0")} AS v)
         |SELECT e.key, e.id AS rowId, round(pow(2.0, -p.avgLen / cn.v), 4) AS score
         |FROM ev e JOIN pl p ON p.key = e.key AND p.id = e.id AND p.x = e.x, cn"""
-        .stripMargin).replace("\n", " ")
+      .stripMargin).replace("\n", " ")
+
+  /** q99: fit on the md5-selected 80% of events, then replay the
+    * incremental merge ([[IsolationForest.merge]]) of the held-out 20% —
+    * every new row descends each of its key's trees and grows the size
+    * of the leaf it lands in; internal nodes are untouched. Output = the
+    * merged model node table. */
+  private val iforestMergeSql: String = {
+    val isNew = "(('0x'||substr(md5(event_id::VARCHAR),1,14))::BIGINT % 5) = 0"
+    val nodes = ((0 until IfDepth).map { d =>
+      s"SELECT key, t, path, 0 AS attr, split, FALSE AS isLeaf, sz, $d AS depth" +
+        s" FROM i$d WHERE $IfInternal"
+    } :+ "SELECT key, t, path, -1 AS attr, 0.0 AS split, TRUE AS isLeaf, sz, depth FROM lf")
+      .mkString(" UNION ALL ")
+    (s"""WITH ${ifGrowthCtes(s"WHERE NOT ($isNew)")},
+        |nodes AS ($nodes),
+        |nv AS (SELECT event_type::VARCHAR AS key, event_id AS id, value AS x
+        | FROM events WHERE $isNew),
+        |s0 AS (SELECT key, id, x, t, 'R' AS path FROM nv CROSS JOIN trs),
+        |$ifDescendCtes,
+        |hits AS (SELECT key, t, path, count(*) AS hits
+        | FROM s$IfDepth GROUP BY key, t, path)
+        |SELECT n.key, n.t::INT AS treeId, n.path, n.attr::INT AS attr,
+        | round(n.split, 4) AS split, n.isLeaf,
+        | (n.sz + coalesce(h.hits, 0))::INT AS size, n.depth::INT AS depth
+        |FROM nodes n LEFT JOIN hits h
+        | ON h.key = n.key AND h.t = n.t AND h.path = n.path"""
+      .stripMargin).replace("\n", " ")
   }
 
   val oracleSql: Map[String, String] = Map(
     "q46_iforest" -> iforestSql,
+    "q99_iforest_merge" -> iforestMergeSql,
     "q47_cblof" -> cblofSql,
     "q36_outlier_counter" ->
       s"""WITH $zCte

@@ -155,6 +155,18 @@ object TextQueries {
         "vec_id", "embedding", dim = 64, m = 4, kCodes = 8, k = 10,
         shortlist = 50, iters = 5, maxSample = 4096))
     }),
+    // IVF × PQ at PARTIAL probe (nProbe=2 of 8 cells) — the composition
+    // actually run at scale: coarse cells bound the candidate set, PQ
+    // codes carry the ADC scan. Deterministic end-to-end (the q61 coarse
+    // quantizer + the q97 sub-codebooks over one shared md5 sample), so
+    // the partial-probe path has its own full SQL replay below.
+    "q98_ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      canon(Similarity.ivfPqTopKDeterministic(e.where(col("vec_id") < 20), e,
+        "vec_id", "embedding", dim = 64, nCells = 8, nProbe = 2, m = 4,
+        kCodes = 8, k = 10, shortlist = 50, itersCoarse = 10, itersPq = 5,
+        maxSample = 4096))
+    }),
   )
 
   private val toks = """regexp_extract_all(lower(text), '\S+')"""
@@ -232,6 +244,80 @@ object TextQueries {
        | coalesce(h.nGramHits, 0) > 0 AS contaminated
        |FROM sp LEFT JOIN h USING (doc_id) WHERE NOT sp.is_eval"""
       .stripMargin.replace("\n", " ")
+
+  // ==== shared PQ oracle fragments (q97 flat PQ + q98 IVF×PQ) ====
+  // parameters mirror the Spark calls: m=4 subspaces of 16 dims, 8 codes
+  // per sub-codebook, 5 Lloyd iterations, one md5-ordered 4096-row sample
+  private val PqM = 4
+  private val PqSub = 16
+  private val PqKc = 8
+  private val PqIters = 5
+  private def pqLd(a: String, b: String) = s"list_dot_product($a, $b)"
+  private def pqSl(v: String, j: Int) = s"$v[${j * PqSub + 1}:${(j + 1) * PqSub}]"
+
+  /** Sample + corpus CTEs, then per subspace: evenly spaced init, the
+    * fixed-Lloyd iterations with 5dp-rounded recenter, and the corpus
+    * encode (struct-argmin code per row) — the q61 Lloyd pattern on each
+    * 16-dim slice of the shared sample. */
+  private lazy val pqCommonCtes: String = {
+    val perSub = (0 until PqM).map { j =>
+      val init =
+        s"""sv$j AS (SELECT rn, ${pqSl("v", j)} AS v FROM samp),
+           |c${j}_0 AS (SELECT t.i AS cell, s.v AS cv
+           | FROM (SELECT unnest(range($PqKc)) AS i) t, sn
+           | JOIN sv$j s ON s.rn = (t.i * sn.n) // $PqKc + 1)""".stripMargin
+      val lloyd = (1 to PqIters).map { t =>
+        s"""a${j}_$t AS MATERIALIZED (SELECT s.rn, s.v,
+           |  (min({'d': ${pqLd("c.cv", "c.cv")} - 2.0 * ${pqLd("s.v", "c.cv")}, 'c': c.cell})).c AS cell
+           | FROM sv$j s CROSS JOIN c${j}_${t - 1} c GROUP BY s.rn, s.v),
+           |g${j}_$t AS (SELECT a.cell, t.d, round(avg(a.v[t.d + 1]), 5) AS cx
+           | FROM a${j}_$t a CROSS JOIN (SELECT unnest(range($PqSub)) AS d) t
+           | GROUP BY a.cell, t.d),
+           |c${j}_$t AS MATERIALIZED (SELECT p.cell,
+           |  CASE WHEN count(g.cx) = 0 THEN p.cv
+           |   ELSE list(g.cx ORDER BY g.d) END AS cv
+           | FROM c${j}_${t - 1} p LEFT JOIN g${j}_$t g USING (cell)
+           | GROUP BY p.cell, p.cv)""".stripMargin
+      }.mkString(", ")
+      val encode =
+        s"""e$j AS MATERIALIZED (SELECT co.cid,
+           |  (min({'d': ${pqLd("c.cv", "c.cv")} - 2.0 * ${pqLd(pqSl("co.w", j), "c.cv")}, 'c': c.cell})).c AS code
+           | FROM co CROSS JOIN c${j}_$PqIters c GROUP BY co.cid)""".stripMargin
+      s"$init, $lloyd, $encode"
+    }.mkString(", ")
+    s"""s0 AS (SELECT embedding::DOUBLE[] AS v, md5(vec_id::VARCHAR) AS h
+       |  FROM embeddings ORDER BY h, v LIMIT 4096),
+       |samp AS MATERIALIZED (SELECT v, row_number() OVER (ORDER BY h, v) AS rn FROM s0),
+       |sn AS (SELECT count(*) AS n FROM samp),
+       |co AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS w FROM embeddings),
+       |$perSub""".stripMargin
+  }
+
+  /** ADC distance: the 4 subspace lookup terms summed left-to-right
+    * (matching the Spark reduce); `qv` names the query-vector column of
+    * the enclosing candidate row. */
+  private def pqAdTerms(qv: String): String = (0 until PqM).map { j =>
+    s"(${pqLd(s"b$j.cv", s"b$j.cv")} - 2.0 * ${pqLd(pqSl(qv, j), s"b$j.cv")})"
+  }.mkString(" + ")
+  private val pqEncJoins =
+    (1 until PqM).map(j => s"JOIN e$j ON e$j.cid = e0.cid").mkString(" ")
+  private val pqCbJoins =
+    (0 until PqM).map(j => s"JOIN c${j}_$PqIters b$j ON b$j.cell = e$j.code").mkString(" ")
+
+  /** Shortlist 50 by (adist, cid) over the `ad` CTE, exact cosine top-10
+    * re-rank, final projection — identical tail for q97 and q98. */
+  private lazy val pqShortlistToResult: String =
+    s"""sh AS (SELECT qid, cid FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY adist, cid) AS ark FROM ad) WHERE ark <= 50),
+       |sc AS (SELECT sh.qid, sh.cid,
+       |  ${pqLd("qe.embedding::DOUBLE[]", "ce.embedding::DOUBLE[]")} /
+       |   (sqrt(${pqLd("qe.embedding::DOUBLE[]", "qe.embedding::DOUBLE[]")})
+       |    * sqrt(${pqLd("ce.embedding::DOUBLE[]", "ce.embedding::DOUBLE[]")})) AS cos
+       | FROM sh JOIN embeddings qe ON qe.vec_id = sh.qid
+       |  JOIN embeddings ce ON ce.vec_id = sh.cid),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, cid) AS rank FROM sc QUALIFY rank <= 10)
+       |SELECT qid, cid, round(cos, 4) AS cos, rank FROM r""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q49_dedup_exact" ->
@@ -592,63 +678,55 @@ object TextQueries {
     // recenter), per-subspace corpus encode via the same struct-argmin,
     // ADC distance = the 4 subspace terms summed left-to-right (matching
     // the Spark reduce), shortlist 50 by (adist, cid), exact cosine
-    // top-10 re-rank.
-    "q97_ann_pq" -> {
-      val m = 4; val sub = 16; val kc = 8; val iters = 5
-      def ld(a: String, b: String) = s"list_dot_product($a, $b)"
-      def sl(v: String, j: Int) = s"$v[${j * sub + 1}:${(j + 1) * sub}]"
-      val perSub = (0 until m).map { j =>
-        val init =
-          s"""sv$j AS (SELECT rn, ${sl("v", j)} AS v FROM samp),
-             |c${j}_0 AS (SELECT t.i AS cell, s.v AS cv
-             | FROM (SELECT unnest(range($kc)) AS i) t, sn
-             | JOIN sv$j s ON s.rn = (t.i * sn.n) // $kc + 1)""".stripMargin
-        val lloyd = (1 to iters).map { t =>
-          s"""a${j}_$t AS MATERIALIZED (SELECT s.rn, s.v,
-             |  (min({'d': ${ld("c.cv", "c.cv")} - 2.0 * ${ld("s.v", "c.cv")}, 'c': c.cell})).c AS cell
-             | FROM sv$j s CROSS JOIN c${j}_${t - 1} c GROUP BY s.rn, s.v),
-             |g${j}_$t AS (SELECT a.cell, t.d, round(avg(a.v[t.d + 1]), 5) AS cx
-             | FROM a${j}_$t a CROSS JOIN (SELECT unnest(range($sub)) AS d) t
-             | GROUP BY a.cell, t.d),
-             |c${j}_$t AS MATERIALIZED (SELECT p.cell,
-             |  CASE WHEN count(g.cx) = 0 THEN p.cv
-             |   ELSE list(g.cx ORDER BY g.d) END AS cv
-             | FROM c${j}_${t - 1} p LEFT JOIN g${j}_$t g USING (cell)
-             | GROUP BY p.cell, p.cv)""".stripMargin
-        }.mkString(", ")
-        val encode =
-          s"""e$j AS MATERIALIZED (SELECT co.cid,
-             |  (min({'d': ${ld("c.cv", "c.cv")} - 2.0 * ${ld(sl("co.w", j), "c.cv")}, 'c': c.cell})).c AS code
-             | FROM co CROSS JOIN c${j}_$iters c GROUP BY co.cid)""".stripMargin
-        s"$init, $lloyd, $encode"
-      }.mkString(", ")
-      val adTerms = (0 until m).map { j =>
-        s"(${ld(s"b$j.cv", s"b$j.cv")} - 2.0 * ${ld(sl("q.qv", j), s"b$j.cv")})"
-      }.mkString(" + ")
-      val encJoins = (1 until m).map(j => s"JOIN e$j ON e$j.cid = e0.cid").mkString(" ")
-      val cbJoins = (0 until m).map(j => s"JOIN c${j}_$iters b$j ON b$j.cell = e$j.code").mkString(" ")
-      s"""WITH s0 AS (SELECT embedding::DOUBLE[] AS v, md5(vec_id::VARCHAR) AS h
-         |  FROM embeddings ORDER BY h, v LIMIT 4096),
-         |samp AS MATERIALIZED (SELECT v, row_number() OVER (ORDER BY h, v) AS rn FROM s0),
-         |sn AS (SELECT count(*) AS n FROM samp),
-         |co AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS w FROM embeddings),
-         |$perSub,
+    // top-10 re-rank. Shared fragments with the q98 IVF×PQ composition
+    // live in pqCommonCtes / pqShortlistToResult below.
+    "q97_ann_pq" ->
+      s"""WITH $pqCommonCtes,
          |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
-         |ad AS MATERIALIZED (SELECT q.qid, e0.cid, $adTerms AS adist
-         | FROM qs q CROSS JOIN e0 $encJoins $cbJoins
+         |ad AS MATERIALIZED (SELECT q.qid, e0.cid, ${pqAdTerms("q.qv")} AS adist
+         | FROM qs q CROSS JOIN e0 $pqEncJoins $pqCbJoins
          | WHERE q.qid <> e0.cid),
-         |sh AS (SELECT qid, cid FROM (SELECT *, row_number() OVER (PARTITION BY qid
-         |    ORDER BY adist, cid) AS ark FROM ad) WHERE ark <= 50),
-         |sc AS (SELECT sh.qid, sh.cid,
-         |  ${ld("qe.embedding::DOUBLE[]", "ce.embedding::DOUBLE[]")} /
-         |   (sqrt(${ld("qe.embedding::DOUBLE[]", "qe.embedding::DOUBLE[]")})
-         |    * sqrt(${ld("ce.embedding::DOUBLE[]", "ce.embedding::DOUBLE[]")})) AS cos
-         | FROM sh JOIN embeddings qe ON qe.vec_id = sh.qid
-         |  JOIN embeddings ce ON ce.vec_id = sh.cid),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
-         |    ORDER BY cos DESC, cid) AS rank FROM sc QUALIFY rank <= 10)
-         |SELECT qid, cid, round(cos, 4) AS cos, rank FROM r"""
-        .stripMargin.replace("\n", " ")
+         |$pqShortlistToResult""".stripMargin.replace("\n", " "),
+    // IVF × PQ at partial probe: the q61 coarse quantizer (10 fixed-Lloyd
+    // iterations over the shared 4096-row md5 sample, full 64-dim) picks
+    // each query's 2 nearest of 8 cells; the ADC scan then runs only over
+    // code-table rows whose assigned cell is probed (an equi-join on
+    // cell, not q97's cross join); shortlist + re-rank identical to q97.
+    "q98_ann_ivfpq" -> {
+      val nCells = 8; val itersC = 10; val nProbe = 2
+      def ld(a: String, b: String) = s"list_dot_product($a, $b)"
+      val coarseLloyd = (1 to itersC).map { t =>
+        s"""ca$t AS MATERIALIZED (SELECT s.rn, s.v,
+           |  (min({'d': ${ld("c.cv", "c.cv")} - 2.0 * ${ld("s.v", "c.cv")}, 'c': c.cell})).c AS cell
+           | FROM samp s CROSS JOIN cc${t - 1} c GROUP BY s.rn, s.v),
+           |cg$t AS (SELECT a.cell, t.j, round(avg(a.v[t.j + 1]), 5) AS cx
+           | FROM ca$t a CROSS JOIN (SELECT unnest(range(64)) AS j) t
+           | GROUP BY a.cell, t.j),
+           |cc$t AS MATERIALIZED (SELECT p.cell,
+           |  CASE WHEN count(g.cx) = 0 THEN p.cv
+           |   ELSE list(g.cx ORDER BY g.j) END AS cv
+           | FROM cc${t - 1} p LEFT JOIN cg$t g USING (cell)
+           | GROUP BY p.cell, p.cv)""".stripMargin
+      }.mkString(", ")
+      s"""WITH $pqCommonCtes,
+         |cc0 AS (SELECT t.i AS cell, s.v AS cv
+         | FROM (SELECT unnest(range($nCells)) AS i) t, sn
+         | JOIN samp s ON s.rn = (t.i * sn.n) // $nCells + 1),
+         |$coarseLloyd,
+         |asg AS MATERIALIZED (SELECT co.cid,
+         |  (min({'d': ${ld("c.cv", "c.cv")} - 2.0 * ${ld("co.w", "c.cv")}, 'c': c.cell})).c AS cell
+         | FROM co CROSS JOIN cc$itersC c GROUP BY co.cid),
+         |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+         |qd AS (SELECT q.qid, q.qv, c.cell,
+         |  row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY ${ld("c.cv", "c.cv")} - 2.0 * ${ld("q.qv", "c.cv")}, c.cell) AS rk
+         | FROM qs q CROSS JOIN cc$itersC c),
+         |ad AS MATERIALIZED (SELECT p.qid, e0.cid, ${pqAdTerms("p.qv")} AS adist
+         | FROM (SELECT qid, qv, cell FROM qd WHERE rk <= $nProbe) p
+         | JOIN asg a ON a.cell = p.cell
+         | JOIN e0 ON e0.cid = a.cid $pqEncJoins $pqCbJoins
+         | WHERE p.qid <> e0.cid),
+         |$pqShortlistToResult""".stripMargin.replace("\n", " ")
     },
     "q59_ann_topk" ->
       """WITH p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,

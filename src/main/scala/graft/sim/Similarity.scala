@@ -190,10 +190,26 @@ object Similarity {
     * Output: qid, cid, cos, rank. */
   def pqTopKDeterministic(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, dim: Int, m: Int, kCodes: Int, k: Int,
-      shortlist: Int = 50, iters: Int = 5, maxSample: Int = 20000): DataFrame = {
+      shortlist: Int = 50, iters: Int = 5, maxSample: Int = 20000): DataFrame =
+    pqSearchDeterministic(queries,
+      pqBuildDeterministic(corpus, idCol, vecCol, dim, m, kCodes, iters, maxSample),
+      corpus, idCol, vecCol, k, shortlist)
+
+  /** A built PQ index: the per-subspace codebooks (m × kCodes × sub
+    * doubles — driver-sized) and the encoded corpus code table (`cid` +
+    * m small ints — the only thing the ADC scan reads). At cluster scale
+    * the build amortizes across every query batch: persist/write `codes`
+    * once, then [[pqSearchDeterministic]] per batch. */
+  case class PqIndex(m: Int, sub: Int, kCodes: Int,
+      books: Array[Array[Array[Double]]], codes: DataFrame)
+
+  /** Index-build half of [[pqTopKDeterministic]]: train the m fixed-Lloyd
+    * sub-codebooks on one md5-ordered sample and encode the corpus. */
+  def pqBuildDeterministic(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, kCodes: Int, iters: Int = 5,
+      maxSample: Int = 20000): PqIndex = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val spark = corpus.sparkSession
-    graft.expr.GraftFunctions.register(spark)
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
     val sub = dim / m
     val c = corpus.select(col(idCol).as("cid"),
       transform(col(vecCol), x => x.cast("double")).as("cv"))
@@ -205,8 +221,6 @@ object Similarity {
       LocalKMeans.fitFixed(pts.map(_.slice(j * sub, (j + 1) * sub)),
         kCodes, iters, viaDot = true))
     val ccs = books.map(_.map(ct => LocalKMeans.dotSeq(ct, ct)))
-    // ‖x−c_{j,i}‖² − ‖x‖² (row-constant term dropped: per-row argmin and
-    // per-query ordering are unchanged)
     def relD2(v: Column, j: Int, i: Int): Column =
       lit(ccs(j)(i)) - lit(2.0) * call_function("vec_dot", v,
         array(books(j)(i).map(lit(_)): _*))
@@ -219,6 +233,26 @@ object Similarity {
             struct(relD2(col(s"sub$j"), j, i).as("d"), lit(i).as("c"))): _*))
             .getField("c")))
       .select(col("cid") +: (0 until m).map(j => col(s"code$j")): _*)
+    PqIndex(m, sub, kCodes, books, enc)
+  }
+
+  /** Search half of [[pqTopKDeterministic]]: ADC scan of the prebuilt
+    * code table + exact cosine re-rank of the shortlist against the full
+    * corpus vectors. `corpus` is only touched for the shortlist rows. */
+  def pqSearchDeterministic(queries: DataFrame, index: PqIndex,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      shortlist: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.expr.GraftFunctions.register(spark)
+    import index.{m, sub, kCodes, books}
+    val ccs = books.map(_.map(ct => LocalKMeans.dotSeq(ct, ct)))
+    // ‖x−c_{j,i}‖² − ‖x‖² (row-constant term dropped: per-row argmin and
+    // per-query ordering are unchanged)
+    def relD2(v: Column, j: Int, i: Int): Column =
+      lit(ccs(j)(i)) - lit(2.0) * call_function("vec_dot", v,
+        array(books(j)(i).map(lit(_)): _*))
+    val c = corpus.select(col(idCol).as("cid"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
     // per-query ADC tables, built once per query row before the scan
     val q0 = queries.select(col(idCol).as("qid"),
       transform(col(vecCol), x => x.cast("double")).as("qv"))
@@ -232,7 +266,7 @@ object Similarity {
     val adist = (0 until m).map(j =>
       element_at(col(s"dtab$j"), col(s"code$j") + 1)).reduce(_ + _)
     val wA = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
-    val short = broadcast(q1.drop("qv")).join(enc, col("qid") =!= col("cid"))
+    val short = broadcast(q1.drop("qv")).join(index.codes, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), adist.as("adist"))
       .withColumn("ark", row_number().over(wA))
       .where(col("ark") <= shortlist)
