@@ -86,6 +86,40 @@ object ScaleProbe {
         text.TextOps.packGreedy(ch, "source", "doc_id", "chunkIdx", "nTok", 128)
           .count()
       }
+      // ANN family (q59/q61/q97 shapes): fixed 20-query batch against the
+      // n×-scaled corpus — brute force is the linear baseline; IVF probes
+      // 2 of 8 cells; PQ splits one-time index build from the ADC search
+      // over the prebuilt (persisted) code table
+      val emb = scaled("embeddings", Seq("vec_id"), n)
+      val nEmb = emb.count()
+      val qv = core.table(spark, sfDir, "embeddings").where(col("vec_id") < 20)
+      time("ann_brute", n, nEmb) {
+        sim.Similarity.bruteForceTopK(qv, emb, "vec_id", "embedding", k = 10).count()
+      }
+      time("ann_ivf", n, nEmb) {
+        sim.Similarity.ivfTopKDeterministic(qv, emb, "vec_id", "embedding",
+          dim = 64, nCells = 8, nProbe = 2, k = 10, iters = 10,
+          maxSample = 4096).count()
+      }
+      var pq: sim.Similarity.PqIndex = null
+      time("ann_pq_build", n, nEmb) {
+        pq = sim.Similarity.pqBuildDeterministic(emb, "vec_id", "embedding",
+          dim = 64, m = 4, kCodes = 8, iters = 5, maxSample = 4096)
+        pq = pq.copy(codes = pq.codes.persist())
+        pq.codes.count()
+      }
+      time("ann_pq_search", n, nEmb) {
+        sim.Similarity.pqSearchDeterministic(qv, pq, emb, "vec_id", "embedding",
+          k = 10, shortlist = 50).count()
+      }
+      pq.codes.unpersist(blocking = false)
+      // halo kernel at a forced ≥1000-partition layout: the routed halo
+      // exchange keeps the driver at O(numPartitions) counts, so this
+      // must track the 32-partition halo_chgpoint line, not blow up
+      time("halo_chg_1024p", n, nEv) {
+        seq.HaloWindows.changePointMeanShift(ev, Seq("event_type"), "event_id",
+          "value", window = 30, critValue = 3.0, numPartitions = 1024).count()
+      }
     }
     spark.stop()
   }

@@ -29,7 +29,12 @@ object ClusterScore {
     * fixed-iteration Lloyd with per-iteration 5dp centroid rounding
     * ([[LocalKMeans.fitFixed]]). Every number is engine-reproducible, so
     * the whole operator — fit included — carries a cross-engine SQL
-    * oracle (q47), unlike the seeded-RNG path. */
+    * oracle (q47), unlike the seeded-RNG path.
+    *
+    * [[cblof]] is the production default — its seeded sample skips the
+    * md5 ordering pass (~1.6× on the fit at sf0.1). Use this variant when
+    * runs must replay bit-identically across engines or reruns (audits,
+    * oracle checks, regression pinning). */
   def cblofDeterministic(data: DataFrame, attrCols: Seq[String],
       idCols: Seq[String], k: Int, largeFraction: Double, iters: Int = 10,
       maxSample: Int = 20000): DataFrame = {

@@ -32,7 +32,10 @@ object IsolationForest {
     if (n <= 1) 0.0 else 2 * (math.log(n - 1) + 0.5772156649) - 2 * (n - 1) / n
 
   /** Fit per-key forests. `rows` must carry (key: String, rowId: Long,
-    * attrs: Array[Double]); model returned as a small DataFrame. */
+    * attrs: Array[Double]); model returned as a small DataFrame.
+    * This seeded path is the production default — one pass, no per-tree
+    * hashing; [[fitDeterministic]] trades ~1.5× fit cost for bit-exact
+    * cross-engine/cross-run replay (audits, oracle checks). */
   def fit(data: DataFrame, keyCols: Seq[String], attrCols: Seq[String],
       numTrees: Int, subsampleSize: Int, maxDepth: Int, seed: Long): Dataset[IsoNode] = {
     val spark = data.sparkSession

@@ -42,6 +42,62 @@ object Pipeline {
     * key slice — a plain filter so partition/file pruning applies. */
   def partitionFilter(data: DataFrame, keyCol: String, value: String): DataFrame =
     data.where(col(keyCol) === value)
+
+  /** Kernel crossover for the sliding-frame detectors: the window plan's
+    * parallelism is capped at key cardinality (`Window.partitionBy(key)`
+    * = one task per key), the halo kernel's at data volume. Below
+    * `4 × defaultParallelism` keys the window plan leaves cores idle —
+    * and uneven key sizes straggle it well before the exact ceiling, so
+    * the bar is a multiple, not equality; above it, tasks saturate and
+    * the plain window plan avoids the halo's extra passes. Both kernels
+    * are bit-identical in output (HaloWindowsSpec), so this is purely a
+    * physical-plan choice. */
+  def useHaloKernel(keyCardinality: Long, defaultParallelism: Int): Boolean =
+    keyCardinality < 4L * defaultParallelism
+
+  private def keyCardinality(data: DataFrame, keyCols: Seq[String],
+      known: Long): Long =
+    if (known >= 0) known
+    else data.agg(approx_count_distinct(
+      concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))).head().getLong(0)
+
+  private def canonKeyed(df: DataFrame, keyCols: Seq[String],
+      cols: Seq[String]): DataFrame =
+    df.select(concat_ws("|", keyCols.map(c => col(c).cast("string")): _*).as("key")
+      +: cols.map(col): _*)
+
+  /** Change-point detection with automatic kernel selection (see
+    * [[useHaloKernel]]). Pass `knownKeyCardinality` to skip the sizing
+    * aggregate (one column-pruned scan) when the caller already knows it.
+    * Output: key (keyCols joined with "|"), seq, value, stat. */
+  def changePoint(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      valCol: String, window: Int, critValue: Double,
+      knownKeyCardinality: Long = -1L): DataFrame = {
+    val par = data.sparkSession.sparkContext.defaultParallelism
+    if (useHaloKernel(keyCardinality(data, keyCols, knownKeyCardinality), par))
+      graft.seq.HaloWindows.changePointMeanShift(
+        data, keyCols, seqCol, valCol, window, critValue)
+    else canonKeyed(
+      graft.seq.SeqOps.changePointMeanShift(
+        data, keyCols, seqCol, valCol, window, critValue),
+      keyCols, Seq(seqCol, valCol, "stat"))
+      .withColumnRenamed(seqCol, "seq").withColumnRenamed(valCol, "value")
+  }
+
+  /** Level-shift segmentation with automatic kernel selection (see
+    * [[useHaloKernel]]). Output: key, segStart, segEnd, n, avgShift. */
+  def levelShiftSegments(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      valCol: String, window: Int, minZ: Double,
+      knownKeyCardinality: Long = -1L): DataFrame = {
+    val par = data.sparkSession.sparkContext.defaultParallelism
+    if (useHaloKernel(keyCardinality(data, keyCols, knownKeyCardinality), par))
+      graft.seq.HaloWindows.levelShiftSegments(
+        data, keyCols, seqCol, valCol, window, minZ)
+    else canonKeyed(
+      graft.seq.SeqOps.levelShiftSegments(
+        data, keyCols, seqCol, valCol, window, minZ),
+      keyCols, Seq("segStart", "segEnd", "n", "avgShift"))
+  }
 }
 
 /** Config-compatible entry point: accepts the reference's property

@@ -85,6 +85,32 @@ class HaloWindowsSpec extends SparkSpec {
     assert(segs.length == 1, s"expected one stitched segment, got ${segs.toSeq}")
   }
 
+  test("pipeline auto-dispatch: halo kernel below the crossover, window plan above, same rows") {
+    import graft.pipeline.Pipeline
+    val par = spark.sparkContext.defaultParallelism
+    assert(Pipeline.useHaloKernel(3, par) && !Pipeline.useHaloKernel(4L * par, par))
+    val df = series
+    // fixture has 3 keys → auto takes the halo path; forcing a huge known
+    // cardinality takes the window path; both must emit identical rows in
+    // the same normalized (key, seq, value, stat) schema
+    val auto = Pipeline.changePoint(df, Seq("k"), "seq", "value", 10, 2.0)
+      .as[(String, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    val win = Pipeline.changePoint(df, Seq("k"), "seq", "value", 10, 2.0,
+      knownKeyCardinality = 1000000L)
+      .as[(String, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(auto.nonEmpty && auto.sameElements(win))
+    val autoSeg = Pipeline.levelShiftSegments(df, Seq("k"), "seq", "value", 10, 2.0)
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val winSeg = Pipeline.levelShiftSegments(df, Seq("k"), "seq", "value", 10, 2.0,
+      knownKeyCardinality = 1000000L)
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(autoSeg.nonEmpty && autoSeg.length == winSeg.length)
+    autoSeg.zip(winSeg).foreach { case (a, b) =>
+      assert((a._1, a._2, a._3, a._4) == ((b._1, b._2, b._3, b._4)))
+      assert(math.abs(a._5 - b._5) < 1e-12)
+    }
+  }
+
   test("frames never cross key boundaries even when a halo spans keys") {
     // keys shorter than the window must emit nothing
     val df = Seq.tabulate(8)(i => ("a", i.toLong, i.toDouble)) ++
