@@ -84,17 +84,21 @@ object Similarity {
     }
   }
 
-  private def lshBucketsWith(vecs: DataFrame, idCol: String, vecCol: String,
-      hp: Array[Array[Double]]): DataFrame = {
-    graft.expr.GraftFunctions.register(vecs.sparkSession)
-    // one codegen'd vec_dot per hyperplane (literal array), not dim
-    // element_at terms per plane
-    val bucket = hp.indices.map { p =>
-      val d = call_function("vec_dot", col(vecCol), array(hp(p).map(lit(_)): _*))
+  /** Sign-LSH bucket column over `hp` hyperplanes: one codegen'd vec_dot
+    * per hyperplane (literal array), not dim element_at terms per plane. */
+  def bucketColumn(spark: org.apache.spark.sql.SparkSession, vecCol: Column,
+      hp: Array[Array[Double]]): Column = {
+    graft.expr.GraftFunctions.register(spark)
+    hp.indices.map { p =>
+      val d = call_function("vec_dot", vecCol, array(hp(p).map(lit(_)): _*))
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    vecs.select(col(idCol), col(vecCol), bucket.as("bucket"))
   }
+
+  private def lshBucketsWith(vecs: DataFrame, idCol: String, vecCol: String,
+      hp: Array[Array[Double]]): DataFrame =
+    vecs.select(col(idCol), col(vecCol),
+      bucketColumn(vecs.sparkSession, col(vecCol), hp).as("bucket"))
 
   /** Approximate near-dup via LSH: exact cosine only within buckets. */
   def lshNearDup(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
@@ -341,7 +345,11 @@ object Similarity {
     val adist = (0 until m).map(j =>
       element_at(col(s"dtab$j"), col(s"code$j") + 1)).reduce(_ + _)
     val wA = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
-    val short = probed.join(enc, Seq("cell"))
+    // broadcast the probed side (queries × nProbe rows): the join key has
+    // only nCells distinct values, so a shuffled join would cap the scan's
+    // parallelism at nCells and skew on hot cells — broadcasting keeps the
+    // code-table scan partition-parallel with zero corpus movement
+    val short = broadcast(probed).join(enc, Seq("cell"))
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), adist.as("adist"))
       .withColumn("ark", row_number().over(wA))
@@ -378,7 +386,10 @@ object Similarity {
     val probed = q.withColumn("cells",
       slice(array_sort(array(cellDists: _*)), 1, nProbe))
       .select(col("qid"), col("qv"), explode(col("cells.cell")).as("cell"))
-    val scored = probed.join(assigned, Seq("cell"))
+    // broadcast the probed side: the cell key has only nCells distinct
+    // values — a shuffled join would cap parallelism at nCells and skew
+    // on hot cells (see ivfPqTopKDeterministic)
+    val scored = broadcast(probed).join(assigned, Seq("cell"))
       .where(col("qid") =!= col("cid"))
       .withColumn("cos", cosineFast(corpus.sparkSession, col("qv"), col("cv")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))

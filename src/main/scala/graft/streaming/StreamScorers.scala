@@ -247,6 +247,84 @@ object StreamScorers {
         })
   }
 
+  case class EmbPairHit(a: Long, b: Long, cos: Double)
+
+  /** One int8-quantized vector held in bucket state: symmetric per-vector
+    * quantization (q = round(x·127/max|x|)); cosine between two quantized
+    * vectors is scale-free (Σqa·qb / (‖qa‖·‖qb‖)) so the scales need not
+    * even be stored — kept only for potential dequantization. */
+  case class QVec(id: Long, scale: Double, q: Array[Byte])
+
+  /** Streaming embedding near-dup — the ingest-time face of
+    * `Similarity.lshNearDupHashed`: incoming vectors bucket by the same
+    * md5-derived sign-LSH hyperplanes (codegen'd vec_dot per plane), and
+    * per-bucket GroupState keeps the previously seen vectors
+    * int8-quantized — 8× smaller state than the double arrays, the same
+    * storage lever as `Similarity.quantizeInt8`. A new arrival emits a
+    * pair for every stored bucket-mate whose quantized cosine ≥
+    * `threshold` (quantized cosine is scale-free integer math; error vs
+    * exact cosine is the int8 rounding, spec-bounded). `maxBucket` caps
+    * state per bucket (hot-bucket guard, as in [[nearDupStream]]);
+    * `idleTtlMs` carries the same opt-in TTL caveat. */
+  def embeddingNearDupStream(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int, threshold: Double, maxBucket: Int = 1024,
+      idleTtlMs: Long = 0L): Dataset[EmbPairHit] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val hp = graft.sim.Similarity.hashHyperplanes(planes, dim)
+    val bucketed = vecs.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"),
+      graft.sim.Similarity.bucketColumn(spark, col(vecCol), hp).as("bucket"))
+    def quantize(v: Array[Double], id: Long): QVec = {
+      var mx = 1e-12
+      v.foreach(x => mx = math.max(mx, math.abs(x)))
+      val s = mx / 127.0
+      QVec(id, s, v.map(x => math.round(x / s).toByte))
+    }
+    def cosQ(a: QVec, b: QVec): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L
+      var i = 0
+      while (i < a.q.length) {
+        dot += a.q(i).toLong * b.q(i)
+        na += a.q(i).toLong * a.q(i)
+        nb += b.q(i).toLong * b.q(i)
+        i += 1
+      }
+      if (na == 0L || nb == 0L) 0.0
+      else dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val timeoutConf =
+      if (idleTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    bucketed.as[(Long, Seq[Double], Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (_: Long, it: Iterator[(Long, Seq[Double], Long)],
+            gs: GroupState[List[QVec]]) => {
+          if (gs.hasTimedOut) {
+            gs.remove()
+            Iterator.empty
+          } else {
+            var stored = gs.getOption.getOrElse(Nil)
+            val out = collection.mutable.Buffer[EmbPairHit]()
+            it.foreach { case (id, vSeq, _) =>
+              if (!stored.exists(_.id == id) && stored.size < maxBucket) {
+                val q = quantize(vSeq.toArray, id)
+                stored.foreach { s =>
+                  val c = cosQ(q, s)
+                  if (c >= threshold)
+                    out += EmbPairHit(math.min(s.id, id), math.max(s.id, id), c)
+                }
+                stored = q :: stored
+              }
+            }
+            gs.update(stored)
+            if (idleTtlMs > 0) gs.setTimeoutDuration(idleTtlMs)
+            out.iterator
+          }
+        })
+  }
+
   /** Streaming exact dedup — the ingest-time face of
     * `TextOps.exactDedup`: only first-seen content (by md5 hash) passes;
     * later arrivals of the same text are dropped across micro-batches.

@@ -44,6 +44,19 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p2.contains("WindowGroupLimit"))
   }
 
+  test("IVF probed-cell joins broadcast the probe side — corpus never shuffles by cell") {
+    // the cell key has only nCells distinct values; a shuffled join there
+    // would cap the scan's parallelism at nCells and skew on hot cells.
+    // The probe side (queries × nProbe rows) must broadcast and the
+    // corpus/code-table side must reach the join without a cell exchange.
+    for (q <- Seq("q61_ann_ivf", "q98_ann_ivfpq")) {
+      val p = plan(q).toString
+      assert(p.contains("BroadcastHashJoin"), s"$q lost the probe broadcast")
+      assert(!p.contains("Exchange hashpartitioning(cell"),
+        s"$q shuffles the corpus by cell")
+    }
+  }
+
   test("per-row text ops plan as scan+project — no exchange, no join") {
     // repetition signals and pii redaction are pure per-row expressions;
     // a shuffle or join appearing here would be a plan regression

@@ -158,6 +158,40 @@ class StreamSpec extends SparkSpec {
     assert(hits.nonEmpty && hits.forall(h => h.a == 1L && h.b == 3L))
   }
 
+  test("streaming embedding near-dup pairs a late twin, int8 cosine close to exact") {
+    implicit val sc = spark.sqlContext
+    val dim = 16
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val v1 = vec(1)
+    val twin = v1.map(_ * 0.97 + 0.001) // near-identical direction
+    val exactCos = {
+      val dot = v1.zip(twin).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(v1.map(x => x * x).sum) * math.sqrt(twin.map(x => x * x).sum))
+    }
+    val in = MemoryStream[(Long, Seq[Double])]
+    val pairs = StreamScorers.embeddingNearDupStream(
+      in.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dim = dim, planes = 8, threshold = 0.9)
+    val q = pairs.writeStream.format("memory").queryName("emb_nd")
+      .outputMode("append").start()
+    in.addData((1L, v1), (2L, vec(99))) // unrelated second vector
+    q.processAllAvailable()
+    val before = spark.table("emb_nd").count()
+    in.addData((3L, twin))
+    q.processAllAvailable()
+    val hits = spark.table("emb_nd").as[StreamScorers.EmbPairHit].collect()
+    q.stop()
+    assert(before == 0)
+    assert(hits.nonEmpty && hits.forall(h => h.a == 1L && h.b == 3L),
+      s"expected only the (1,3) twin pair, got ${hits.toSeq}")
+    // int8 quantization error bound on the reported cosine
+    assert(math.abs(hits.head.cos - exactCos) < 0.02,
+      s"quantized cosine ${hits.head.cos} vs exact $exactCos")
+  }
+
   test("ddm stream flags drift after an error burst, state survives batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[ErrEvent]
