@@ -97,4 +97,42 @@ class PropertySpec extends SparkSpec {
     val jr = j.agg(min("jaccard"), max("jaccard")).head()
     assert(jr.getDouble(0) >= 0.0 && jr.getDouble(1) <= 1.0)
   }
+
+  test("halo exchange parity holds on randomized series shapes and partition counts") {
+    // randomized stress of the routed halo exchange: random key count,
+    // skewed key sizes (including keys shorter than the window), random
+    // partition counts — output must be bit-identical to the window plan
+    val rng = new scala.util.Random(1234)
+    for (trial <- 1 to 4) {
+      val nKeys = 1 + rng.nextInt(6)
+      val rows = (0 until nKeys).flatMap { k =>
+        val len = rng.nextInt(3) match {
+          case 0 => rng.nextInt(5)            // shorter than the window
+          case 1 => 20 + rng.nextInt(60)
+          case _ => 150 + rng.nextInt(250)
+        }
+        val shiftAt = if (len > 40) len / 2 else Int.MaxValue
+        Seq.tabulate(len) { i =>
+          val base = if (i >= shiftAt) 8.0 else 0.0
+          (s"k$k", i.toLong, base + rng.nextGaussian())
+        }
+      }
+      val df = rng.shuffle(rows).toDF("k", "seq", "value")
+      val w = 5 + rng.nextInt(10)
+      val p = Seq(2, 7, 33, 257)(rng.nextInt(4))
+      val expected = graft.seq.SeqOps
+        .changePointMeanShift(df, Seq("k"), "seq", "value", w, critValue = 2.5)
+        .select(col("k"), col("seq").cast("long"), col("value"), col("stat"))
+        .as[(String, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+      val got = graft.seq.HaloWindows
+        .changePointMeanShift(df, Seq("k"), "seq", "value", w, critValue = 2.5,
+          numPartitions = p)
+        .as[(String, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+      assert(got.length == expected.length,
+        s"trial $trial (w=$w p=$p): ${got.length} vs ${expected.length} rows")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g == e, s"trial $trial (w=$w p=$p): $g vs $e")
+      }
+    }
+  }
 }
