@@ -155,6 +155,17 @@ object TextQueries {
         "vec_id", "embedding", dim = 64, m = 4, kCodes = 8, k = 10,
         shortlist = 50, iters = 5, maxSample = 4096))
     }),
+    // the streaming embedding near-dup operator executed as a batch
+    // query (flatMapGroupsWithState is batch-executable — how the driver
+    // can gate a STREAM operator against the DuckDB oracle): md5-derived
+    // sign-LSH buckets + scale-free int8-quantized cosine are both
+    // deterministic, so every number replays in SQL below
+    "q100_emb_neardup_stream" -> ((s, dir) => {
+      val e = emb(s, dir)
+      canon(graft.streaming.StreamScorers.embeddingNearDupStream(e,
+        "vec_id", "embedding", dim = 64, planes = 8, threshold = 0.3,
+        maxBucket = 1 << 20).toDF())
+    }),
     // IVF × PQ at PARTIAL probe (nProbe=2 of 8 cells) — the composition
     // actually run at scale: coarse cells bound the candidate set, PQ
     // codes carry the ADC scan. Deterministic end-to-end (the q61 coarse
@@ -621,6 +632,38 @@ object TextQueries {
         | JOIN embeddings ea ON ea.vec_id = a.vec_id
         | JOIN embeddings eb ON eb.vec_id = b.vec_id)
         |SELECT a, b, round(cos,4) AS cos FROM p WHERE cos >= 0.3"""
+        .stripMargin.replace("\n", " "),
+    // Batch replay of the streaming embedding near-dup: q60's md5
+    // hyperplane buckets, then int8 quantization with the EXACT Scala
+    // arithmetic (s = mx/127 computed first, q = floor(x/s + 0.5) — the
+    // same op order; math.round(double) IS floor(x+0.5)); the quantized
+    // cosine is integer sums (< 2^53, exact in doubles) and one division,
+    // so every emitted pair and cos matches bit-for-bit before the 4dp
+    // round. Pairs = all same-bucket pairs a<b with cos ≥ 0.3 (maxBucket
+    // is set above any bucket size, so no order-dependent truncation).
+    "q100_emb_neardup_stream" ->
+      """WITH hp AS (SELECT p, list_transform(range(64), d ->
+        |  CASE WHEN (('0x' || substr(md5('hp:' || p::VARCHAR || ':' || d::VARCHAR),
+        |     1, 2))::INT % 2) = 1 THEN 1.0 ELSE -1.0 END) AS h
+        | FROM range(8) t(p)),
+        |bk AS (SELECT e.vec_id,
+        |  sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], hp.h) >= 0
+        |    THEN (1::BIGINT << hp.p) ELSE 0 END) AS bucket
+        | FROM embeddings e CROSS JOIN hp GROUP BY 1),
+        |ex AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |  greatest(1e-12, list_max(list_transform(embedding::DOUBLE[],
+        |    y -> abs(y)))) AS mx
+        | FROM embeddings),
+        |qz AS (SELECT b.vec_id, b.bucket,
+        |  list_transform(ex.v, x -> floor(x / (ex.mx / 127.0) + 0.5)) AS q
+        | FROM bk b JOIN ex USING (vec_id)),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |  list_dot_product(a.q, b.q) AS dot,
+        |  list_dot_product(a.q, a.q) AS na, list_dot_product(b.q, b.q) AS nb
+        | FROM qz a JOIN qz b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |c AS (SELECT a, b, dot / (sqrt(na) * sqrt(nb)) AS cos
+        | FROM p WHERE na > 0 AND nb > 0)
+        |SELECT a, b, round(cos, 4) AS cos FROM c WHERE cos >= 0.3"""
         .stripMargin.replace("\n", " "),
     // Full SQL replay of the deterministic IVF: hash-ordered sample,
     // evenly spaced init, 10 unrolled Lloyd iterations (assignment metric
