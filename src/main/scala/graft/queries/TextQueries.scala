@@ -155,6 +155,15 @@ object TextQueries {
         "vec_id", "embedding", dim = 64, m = 4, kCodes = 8, k = 10,
         shortlist = 50, iters = 5, maxSample = 4096))
     }),
+    // per-source quality quota (RefinedWeb-style domain cap): keep the
+    // 15 highest-quality docs per source, ranked on the raw double
+    "q101_source_quota" -> ((s, dir) =>
+      canon(TextOps.perGroupQuota(docs(s, dir), "doc_id", "source", "text",
+        maxPerGroup = 15))),
+    // CCNet-style LM quality scoring: Laplace bigram LM fitted on the
+    // corpus, mean -ln P(w|prev) per doc
+    "q102_lm_score" -> ((s, dir) =>
+      canon(TextOps.lmScore(docs(s, dir), "doc_id", "text"))),
     // the streaming embedding near-dup operator executed as a batch
     // query (flatMapGroupsWithState is batch-executable — how the driver
     // can gate a STREAM operator against the DuckDB oracle): md5-derived
@@ -632,6 +641,51 @@ object TextQueries {
         | JOIN embeddings ea ON ea.vec_id = a.vec_id
         | JOIN embeddings eb ON eb.vec_id = b.vec_id)
         |SELECT a, b, round(cos,4) AS cos FROM p WHERE cos >= 0.3"""
+        .stripMargin.replace("\n", " "),
+    // per-source quota: q51's quality arithmetic on the raw double,
+    // rank capped per source (rounding only in the final projection —
+    // rounding first could reorder ties)
+    "q101_source_quota" ->
+      s"""WITH qb AS (SELECT doc_id,
+         |  len($toks)::DOUBLE AS nTok,
+         |  len(list_filter($toks, t -> t IN (${inList(TextOps.langMarkers("en"))})))::DOUBLE AS nStop,
+         |  len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS nPunct,
+         |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS nDigit,
+         |  length(text)::DOUBLE AS nChars
+         | FROM documents),
+         |qual AS (SELECT doc_id,
+         | (least(nTok/50.0, 1.0)
+         |  + least(nStop/greatest(nTok,1.0)*10.0, 1.0)
+         |  + (1.0 - least(nPunct/greatest(nChars,1.0)*20.0, 1.0))
+         |  + (1.0 - least(nDigit/greatest(nChars,1.0)*10.0, 1.0))) / 4.0 AS rawq
+         | FROM qb),
+         |r AS (SELECT d.doc_id, d.source, qual.rawq,
+         |  row_number() OVER (PARTITION BY d.source
+         |    ORDER BY qual.rawq DESC, d.doc_id) AS rank
+         | FROM documents d JOIN qual ON d.doc_id = qual.doc_id)
+         |SELECT doc_id, source, round(rawq, 4) AS quality, rank
+         |FROM r WHERE rank <= 15""".stripMargin.replace("\n", " "),
+    // Laplace bigram LM: counts + per-context roll-up + vocab size, then
+    // mean -ln((c+1)/(cCtx+V)) per doc — identical arithmetic both
+    // engines (ln parity holds across the suite); docs with < 2 tokens
+    // score 0 via the left join
+    "q102_lm_score" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |bb AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         | FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+         |   FROM tk WHERE len(t) >= 2)),
+         |cb AS (SELECT w1, w2, count(*) AS cBi FROM bb GROUP BY 1, 2),
+         |cx AS (SELECT w1, sum(cBi) AS cCtx FROM cb GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS v
+         | FROM (SELECT unnest(t) AS tok FROM tk)),
+         |sc AS (SELECT bb.doc_id,
+         |  -ln((cb.cBi + 1.0) / (cx.cCtx + 1.0 * v.v)) AS nll
+         | FROM bb JOIN cb USING (w1, w2) JOIN cx USING (w1), v),
+         |ag AS (SELECT doc_id, count(*) AS nBigrams, avg(nll) AS avgNll
+         | FROM sc GROUP BY 1)
+         |SELECT d.doc_id, coalesce(ag.nBigrams, 0)::BIGINT AS nBigrams,
+         | round(coalesce(ag.avgNll, 0.0), 4) AS avgNll
+         |FROM documents d LEFT JOIN ag USING (doc_id)"""
         .stripMargin.replace("\n", " "),
     // Batch replay of the streaming embedding near-dup: q60's md5
     // hyperplane buckets, then int8 quantization with the EXACT Scala

@@ -307,6 +307,73 @@ object TextOps {
       ((lenScore + stopScore + (lit(1.0) - punctPen) + (lit(1.0) - digitPen)) / 4.0).as("quality"))
   }
 
+  /** Quality-ranked per-group quota — the per-domain cap step of
+    * RefinedWeb/CCNet-style curation (Penedo et al. 2023 cap documents
+    * per registered domain so no single site dominates the corpus): keep
+    * the `maxPerGroup` highest-[[qualityScore]] docs of each `groupCol`
+    * value. The rank filter is statically visible, so Spark plans
+    * WindowGroupLimit (per-partition top-k heap before the final sort) —
+    * the shuffle carries k rows per group per partition, not the corpus.
+    * Ranking is on the RAW quality double (ties broken by id), identical
+    * arithmetic cross-engine. Output: idCol, groupCol, quality, rank. */
+  def perGroupQuota(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String, maxPerGroup: Int): DataFrame = {
+    val q = qualityScore(docs, idCol, textCol).select(col(idCol), col("quality"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("quality").desc, col(idCol))
+    docs.select(col(idCol), col(groupCol)).join(q, idCol)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= maxPerGroup)
+      .select(col(idCol), col(groupCol), col("quality"), col("rank"))
+  }
+
+  /** Corpus-LM document scoring — the CCNet/RedPajama perplexity quality
+    * filter (Wenzek et al. 2020, "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data" — there with a KenLM
+    * 5-gram; here a Laplace-smoothed bigram LM fitted on the corpus
+    * itself, fully deterministic): score each doc by the mean
+    * −ln P(w_i | w_{i−1}), P = (c(a,b) + k) / (cΣ(a) + k·V) with
+    * cΣ(a) = Σ_b c(a,b) and V the unigram vocabulary size. High scores
+    * flag text unlike the corpus (spam, boilerplate, wrong language).
+    *
+    * Scale shape: the fit is two hash aggregations (bigram counts and
+    * their per-context roll-up — model-sized, vocab²-bounded outputs);
+    * scoring joins doc bigrams against the count tables (AQE broadcasts
+    * them at small scale, shuffled join on the bigram key beyond —
+    * never a corpus × corpus product). Production pipelines fit the LM
+    * on a sample/reference corpus; pass that as `lmCorpus` and score
+    * `docs` against it. Output: idCol, nBigrams, avgNll (0.0 for docs
+    * with < 2 tokens; unseen bigrams get the k / (cΣ + k·V) floor). */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      smoothing: Double = 1.0, lmCorpus: DataFrame = null): DataFrame = {
+    val fitOn = Option(lmCorpus).getOrElse(docs)
+    def bigrams(df: DataFrame) = {
+      val t = tokens(col(textCol))
+      df.select(col(idCol), explode(when(size(t) >= 2,
+        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array())).as("bg"))
+        .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    }
+    val cBi = bigrams(fitOn).groupBy("w1", "w2").agg(count(lit(1)).as("cBi"))
+    val cCtx = cBi.groupBy("w1").agg(sum("cBi").as("cCtx"))
+    val vocab = fitOn.select(explode(tokens(col(textCol))).as("tok"))
+      .agg(countDistinct("tok")).head().getLong(0)
+    val k = smoothing
+    val scored = bigrams(docs)
+      .join(cBi, Seq("w1", "w2"), "left")
+      .join(cCtx, Seq("w1"), "left")
+      .withColumn("nll", -log(
+        (coalesce(col("cBi"), lit(0L)) + lit(k)) /
+          (coalesce(col("cCtx"), lit(0L)) + lit(k * vocab))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("nBigrams"), avg("nll").as("avgNll"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nBigrams"), lit(0L)).as("nBigrams"),
+        coalesce(col("avgNll"), lit(0.0)).as("avgNll"))
+  }
+
   /** Repetition quality signals in the style of the Gopher data-quality
     * filters (Rae et al. 2021, "Scaling Language Models", table A1:
     * duplicate/top n-gram fractions; also used by RefinedWeb): per
