@@ -42,6 +42,8 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val p2 = graft.multi.Blocked.knn(e, "vec_id", "embedding", 3)
       .queryExecution.executedPlan.toString
     assert(p2.contains("WindowGroupLimit"))
+    // the per-source quota's rank cap must get the same pushdown
+    assert(plan("q101_source_quota").toString.contains("WindowGroupLimit"))
   }
 
   test("IVF probed-cell joins broadcast the probe side — corpus never shuffles by cell") {
