@@ -4,6 +4,7 @@ import graft.core._
 import graft.sim.Similarity
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Queries + oracles for the LLM-pipeline extensions: dedup (exact /
@@ -154,6 +155,27 @@ object TextQueries {
       canon(Similarity.pqTopKDeterministic(e.where(col("vec_id") < 20), e,
         "vec_id", "embedding", dim = 64, m = 4, kCodes = 8, k = 10,
         shortlist = 50, iters = 5, maxSample = 4096))
+    }),
+    // the full curation flow as ONE DataFrame composition: language gate
+    // ∧ quality gate ∧ LSH-dedup survivorship ∧ LM-score gate, then the
+    // per-source quota — every stage an operator from this library
+    "q103_curation_quota" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = TextOps.qualityScore(d, "doc_id", "text").select(col("doc_id"), col("quality"))
+      val l = TextOps.langId(d, "doc_id", "text").select(col("doc_id"), col("predLang"))
+      val cand = TextOps.minhashPairs(d, "doc_id", "text", shingleSize = 3,
+        NumHashes, BandSize)
+      val surv = TextOps.dedupSurvivors(TextOps.dupClusters(d, "doc_id", cand))
+        .select(col("doc_id"))
+      val lm = TextOps.lmScore(d, "doc_id", "text").select(col("doc_id"), col("avgNll"))
+      val kept = d.select(col("doc_id"), col("source"))
+        .join(q, "doc_id").join(l, "doc_id").join(surv, "doc_id").join(lm, "doc_id")
+        .where(col("quality") >= 0.5 && col("predLang") === "en" &&
+          col("avgNll") <= 3.45)
+      val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+      canon(kept.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 12)
+        .select("doc_id", "source", "quality", "avgNll", "rank"))
     }),
     // per-source quality quota (RefinedWeb-style domain cap): keep the
     // 15 highest-quality docs per source, ranked on the raw double
@@ -642,6 +664,64 @@ object TextQueries {
         | JOIN embeddings eb ON eb.vec_id = b.vec_id)
         |SELECT a, b, round(cos,4) AS cos FROM p WHERE cos >= 0.3"""
         .stripMargin.replace("\n", " "),
+    // full curation composition: the q81 closure (recursive-CTE dedup
+    // clusters) ∧ q51 quality ∧ q52 language ∧ q102 LM gate, then the
+    // q101 per-source rank cap — all filters on RAW doubles, rounding
+    // only in the final projection
+    "q103_curation_quota" ->
+      s"""$clusterSql,
+         |qb AS (SELECT doc_id,
+         |  len($toks)::DOUBLE AS nTok,
+         |  len(list_filter($toks, t -> t IN (${inList(TextOps.langMarkers("en"))})))::DOUBLE AS nStop,
+         |  len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS nPunct,
+         |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS nDigit,
+         |  length(text)::DOUBLE AS nChars
+         | FROM documents),
+         |qual AS (SELECT doc_id,
+         | (least(nTok/50.0, 1.0)
+         |  + least(nStop/greatest(nTok,1.0)*10.0, 1.0)
+         |  + (1.0 - least(nPunct/greatest(nChars,1.0)*20.0, 1.0))
+         |  + (1.0 - least(nDigit/greatest(nChars,1.0)*10.0, 1.0))) / 4.0 AS rawq
+         | FROM qb),
+         |lc AS (SELECT doc_id,
+         |${markers.map { case (l, ws) =>
+             s" len(list_filter($toks, t -> t IN (${inList(ws)})))::INT AS n_$l" }
+             .mkString(",")}
+         | FROM documents),
+         |lang AS (SELECT doc_id,
+         | CASE WHEN greatest(${markers.map(m => s"n_${m._1}").mkString(",")}) = 0 THEN 'unknown'
+         |${markers.map { case (l, _) =>
+             s" WHEN n_$l = greatest(${markers.map(m => s"n_${m._1}").mkString(",")}) THEN '$l'" }
+             .mkString}
+         | ELSE 'unknown' END AS predLang FROM lc),
+         |bb AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         | FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+         |   FROM tk WHERE len(t) >= 2)),
+         |cb AS (SELECT w1, w2, count(*) AS cBi FROM bb GROUP BY 1, 2),
+         |cx AS (SELECT w1, sum(cBi) AS cCtx FROM cb GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS v
+         | FROM (SELECT unnest(t) AS tok FROM tk)),
+         |snl AS (SELECT bb.doc_id,
+         |  -ln((cb.cBi + 1.0) / (cx.cCtx + 1.0 * v.v)) AS nll
+         | FROM bb JOIN cb USING (w1, w2) JOIN cx USING (w1), v),
+         |ag AS (SELECT doc_id, count(*) AS nBigrams, avg(nll) AS avgNll
+         | FROM snl GROUP BY 1),
+         |keep AS (SELECT d.doc_id, d.source, qual.rawq,
+         |  coalesce(ag.avgNll, 0.0) AS rawNll
+         | FROM documents d
+         | JOIN qual ON d.doc_id = qual.doc_id
+         | JOIN lang ON d.doc_id = lang.doc_id
+         | LEFT JOIN ag ON d.doc_id = ag.doc_id
+         | WHERE qual.rawq >= 0.5 AND lang.predLang = 'en'
+         |  AND coalesce(ag.avgNll, 0.0) <= 3.45
+         |  AND d.doc_id IN (SELECT DISTINCT cluster FROM comp)),
+         |r AS (SELECT doc_id, source, rawq, rawNll,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY rawq DESC, doc_id) AS rank
+         | FROM keep)
+         |SELECT doc_id, source, round(rawq, 4) AS quality,
+         | round(rawNll, 4) AS avgNll, rank
+         |FROM r WHERE rank <= 12""".stripMargin.replace("\n", " "),
     // per-source quota: q51's quality arithmetic on the raw double,
     // rank capped per source (rounding only in the final projection —
     // rounding first could reorder ties)
