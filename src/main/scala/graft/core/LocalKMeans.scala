@@ -123,6 +123,22 @@ object LocalKMeans {
     centers
   }
 
+  /** Argmin centroid under the viaDot metric (‖c‖² − 2·p·c), ties to the
+    * lowest index — exactly the arithmetic of the [[fitFixed]] assignment
+    * loop and the SQL struct-argmin `min({'d':…,'c':…})`, so driver-side
+    * assignments replay cross-engine. */
+  def assignViaDot(p: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var ci = 0
+    while (ci < cents.length) {
+      val dd = dotSeq(cents(ci), cents(ci)) - 2.0 * dotSeq(p, cents(ci))
+      if (dd < bestD) { bestD = dd; best = ci }
+      ci += 1
+    }
+    best
+  }
+
   /** DuckDB-style round half-away-from-zero on the scaled float — the
     * driver-side twin of [[core.roundLikeDuck]] (same IEEE ops). */
   def roundDp(x: Double, p: Int): Double = {

@@ -197,6 +197,17 @@ object TextQueries {
         "vec_id", "embedding", dim = 64, planes = 8, threshold = 0.3,
         maxBucket = 1 << 20).toDF())
     }),
+    // residual-encoded IVF × PQ (FAISS by_residual): sub-codebooks train
+    // on v − centroid(cell) so the same code budget quantizes much finer
+    // on clustered corpora (spec-measured recall win); deterministic
+    // end-to-end, full SQL replay below
+    "q104_ann_ivfpq_residual" -> ((s, dir) => {
+      val e = emb(s, dir)
+      canon(Similarity.ivfPqResidualTopKDeterministic(e.where(col("vec_id") < 20), e,
+        "vec_id", "embedding", dim = 64, nCells = 8, nProbe = 2, m = 4,
+        kCodes = 8, k = 10, shortlist = 50, itersCoarse = 10, itersPq = 5,
+        maxSample = 4096))
+    }),
     // IVF × PQ at PARTIAL probe (nProbe=2 of 8 cells) — the composition
     // actually run at scale: coarse cells bound the candidate set, PQ
     // codes carry the ADC scan. Deterministic end-to-end (the q61 coarse
@@ -297,42 +308,86 @@ object TextQueries {
   private def pqLd(a: String, b: String) = s"list_dot_product($a, $b)"
   private def pqSl(v: String, j: Int) = s"$v[${j * PqSub + 1}:${(j + 1) * PqSub}]"
 
-  /** Sample + corpus CTEs, then per subspace: evenly spaced init, the
-    * fixed-Lloyd iterations with 5dp-rounded recenter, and the corpus
-    * encode (struct-argmin code per row) — the q61 Lloyd pattern on each
-    * 16-dim slice of the shared sample. */
-  private lazy val pqCommonCtes: String = {
-    val perSub = (0 until PqM).map { j =>
-      val init =
-        s"""sv$j AS (SELECT rn, ${pqSl("v", j)} AS v FROM samp),
-           |c${j}_0 AS (SELECT t.i AS cell, s.v AS cv
-           | FROM (SELECT unnest(range($PqKc)) AS i) t, sn
-           | JOIN sv$j s ON s.rn = (t.i * sn.n) // $PqKc + 1)""".stripMargin
-      val lloyd = (1 to PqIters).map { t =>
-        s"""a${j}_$t AS MATERIALIZED (SELECT s.rn, s.v,
-           |  (min({'d': ${pqLd("c.cv", "c.cv")} - 2.0 * ${pqLd("s.v", "c.cv")}, 'c': c.cell})).c AS cell
-           | FROM sv$j s CROSS JOIN c${j}_${t - 1} c GROUP BY s.rn, s.v),
-           |g${j}_$t AS (SELECT a.cell, t.d, round(avg(a.v[t.d + 1]), 5) AS cx
-           | FROM a${j}_$t a CROSS JOIN (SELECT unnest(range($PqSub)) AS d) t
-           | GROUP BY a.cell, t.d),
-           |c${j}_$t AS MATERIALIZED (SELECT p.cell,
-           |  CASE WHEN count(g.cx) = 0 THEN p.cv
-           |   ELSE list(g.cx ORDER BY g.d) END AS cv
-           | FROM c${j}_${t - 1} p LEFT JOIN g${j}_$t g USING (cell)
-           | GROUP BY p.cell, p.cv)""".stripMargin
-      }.mkString(", ")
-      val encode =
-        s"""e$j AS MATERIALIZED (SELECT co.cid,
-           |  (min({'d': ${pqLd("c.cv", "c.cv")} - 2.0 * ${pqLd(pqSl("co.w", j), "c.cv")}, 'c': c.cell})).c AS code
-           | FROM co CROSS JOIN c${j}_$PqIters c GROUP BY co.cid)""".stripMargin
-      s"$init, $lloyd, $encode"
-    }.mkString(", ")
+  /** md5-ordered sample + corpus CTEs shared by every PQ-family oracle. */
+  private val pqSampleCtes: String =
     s"""s0 AS (SELECT embedding::DOUBLE[] AS v, md5(vec_id::VARCHAR) AS h
        |  FROM embeddings ORDER BY h, v LIMIT 4096),
        |samp AS MATERIALIZED (SELECT v, row_number() OVER (ORDER BY h, v) AS rn FROM s0),
        |sn AS (SELECT count(*) AS n FROM samp),
-       |co AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS w FROM embeddings),
-       |$perSub""".stripMargin
+       |co AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS w FROM embeddings)""".stripMargin
+
+  /** Per subspace (prefix `pfx` distinguishes raw vs residual books):
+    * evenly spaced init over `srcCte` (rn, v rows), the fixed-Lloyd
+    * iterations with 5dp-rounded recenter — the q61 Lloyd pattern on
+    * each 16-dim slice. Codebook tables land as `${pfx}c{j}_{iters}`. */
+  private def pqSubLloyd(pfx: String, srcCte: String): String =
+    (0 until PqM).map { j =>
+      val init =
+        s"""${pfx}sv$j AS (SELECT rn, ${pqSl("v", j)} AS v FROM $srcCte),
+           |${pfx}c${j}_0 AS (SELECT t.i AS cell, s.v AS cv
+           | FROM (SELECT unnest(range($PqKc)) AS i) t, sn
+           | JOIN ${pfx}sv$j s ON s.rn = (t.i * sn.n) // $PqKc + 1)""".stripMargin
+      val lloyd = (1 to PqIters).map { t =>
+        s"""${pfx}a${j}_$t AS MATERIALIZED (SELECT s.rn, s.v,
+           |  (min({'d': ${pqLd("c.cv", "c.cv")} - 2.0 * ${pqLd("s.v", "c.cv")}, 'c': c.cell})).c AS cell
+           | FROM ${pfx}sv$j s CROSS JOIN ${pfx}c${j}_${t - 1} c GROUP BY s.rn, s.v),
+           |${pfx}g${j}_$t AS (SELECT a.cell, t.d, round(avg(a.v[t.d + 1]), 5) AS cx
+           | FROM ${pfx}a${j}_$t a CROSS JOIN (SELECT unnest(range($PqSub)) AS d) t
+           | GROUP BY a.cell, t.d),
+           |${pfx}c${j}_$t AS MATERIALIZED (SELECT p.cell,
+           |  CASE WHEN count(g.cx) = 0 THEN p.cv
+           |   ELSE list(g.cx ORDER BY g.d) END AS cv
+           | FROM ${pfx}c${j}_${t - 1} p LEFT JOIN ${pfx}g${j}_$t g USING (cell)
+           | GROUP BY p.cell, p.cv)""".stripMargin
+      }.mkString(", ")
+      s"$init, $lloyd"
+    }.mkString(", ")
+
+  /** Sample + raw-vector sub-codebooks + raw corpus encode (`e{j}`) —
+    * the fragments q97 and q98 share. */
+  private lazy val pqCommonCtes: String = {
+    val encodes = (0 until PqM).map { j =>
+      s"""e$j AS MATERIALIZED (SELECT co.cid,
+         |  (min({'d': ${pqLd("c.cv", "c.cv")} - 2.0 * ${pqLd(pqSl("co.w", j), "c.cv")}, 'c': c.cell})).c AS code
+         | FROM co CROSS JOIN c${j}_$PqIters c GROUP BY co.cid)""".stripMargin
+    }.mkString(", ")
+    s"$pqSampleCtes, ${pqSubLloyd("", "samp")}, $encodes"
+  }
+
+  private val PqNCells = 8
+  private val PqNProbe = 2
+  private val PqItersCoarse = 10
+
+  /** Coarse quantizer (full 64-dim fixed-Lloyd over the shared sample) +
+    * corpus cell assignment `asg` + query probe ranking `qd` — shared by
+    * the q98 and q104 IVF×PQ oracles. */
+  private lazy val pqCoarseCtes: String = {
+    def ld(a: String, b: String) = s"list_dot_product($a, $b)"
+    val coarseLloyd = (1 to PqItersCoarse).map { t =>
+      s"""ca$t AS MATERIALIZED (SELECT s.rn, s.v,
+         |  (min({'d': ${ld("c.cv", "c.cv")} - 2.0 * ${ld("s.v", "c.cv")}, 'c': c.cell})).c AS cell
+         | FROM samp s CROSS JOIN cc${t - 1} c GROUP BY s.rn, s.v),
+         |cg$t AS (SELECT a.cell, t.j, round(avg(a.v[t.j + 1]), 5) AS cx
+         | FROM ca$t a CROSS JOIN (SELECT unnest(range(64)) AS j) t
+         | GROUP BY a.cell, t.j),
+         |cc$t AS MATERIALIZED (SELECT p.cell,
+         |  CASE WHEN count(g.cx) = 0 THEN p.cv
+         |   ELSE list(g.cx ORDER BY g.j) END AS cv
+         | FROM cc${t - 1} p LEFT JOIN cg$t g USING (cell)
+         | GROUP BY p.cell, p.cv)""".stripMargin
+    }.mkString(", ")
+    s"""cc0 AS (SELECT t.i AS cell, s.v AS cv
+       | FROM (SELECT unnest(range($PqNCells)) AS i) t, sn
+       | JOIN samp s ON s.rn = (t.i * sn.n) // $PqNCells + 1),
+       |$coarseLloyd,
+       |asg AS MATERIALIZED (SELECT co.cid,
+       |  (min({'d': ${ld("c.cv", "c.cv")} - 2.0 * ${ld("co.w", "c.cv")}, 'c': c.cell})).c AS cell
+       | FROM co CROSS JOIN cc$PqItersCoarse c GROUP BY co.cid),
+       |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+       |qd AS (SELECT q.qid, q.qv, c.cell,
+       |  row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY ${ld("c.cv", "c.cv")} - 2.0 * ${ld("q.qv", "c.cv")}, c.cell) AS rk
+       | FROM qs q CROSS JOIN cc$PqItersCoarse c)""".stripMargin
   }
 
   /** ADC distance: the 4 subspace lookup terms summed left-to-right
@@ -869,40 +924,56 @@ object TextQueries {
     // each query's 2 nearest of 8 cells; the ADC scan then runs only over
     // code-table rows whose assigned cell is probed (an equi-join on
     // cell, not q97's cross join); shortlist + re-rank identical to q97.
-    "q98_ann_ivfpq" -> {
-      val nCells = 8; val itersC = 10; val nProbe = 2
-      def ld(a: String, b: String) = s"list_dot_product($a, $b)"
-      val coarseLloyd = (1 to itersC).map { t =>
-        s"""ca$t AS MATERIALIZED (SELECT s.rn, s.v,
-           |  (min({'d': ${ld("c.cv", "c.cv")} - 2.0 * ${ld("s.v", "c.cv")}, 'c': c.cell})).c AS cell
-           | FROM samp s CROSS JOIN cc${t - 1} c GROUP BY s.rn, s.v),
-           |cg$t AS (SELECT a.cell, t.j, round(avg(a.v[t.j + 1]), 5) AS cx
-           | FROM ca$t a CROSS JOIN (SELECT unnest(range(64)) AS j) t
-           | GROUP BY a.cell, t.j),
-           |cc$t AS MATERIALIZED (SELECT p.cell,
-           |  CASE WHEN count(g.cx) = 0 THEN p.cv
-           |   ELSE list(g.cx ORDER BY g.j) END AS cv
-           | FROM cc${t - 1} p LEFT JOIN cg$t g USING (cell)
-           | GROUP BY p.cell, p.cv)""".stripMargin
-      }.mkString(", ")
+    "q98_ann_ivfpq" ->
       s"""WITH $pqCommonCtes,
-         |cc0 AS (SELECT t.i AS cell, s.v AS cv
-         | FROM (SELECT unnest(range($nCells)) AS i) t, sn
-         | JOIN samp s ON s.rn = (t.i * sn.n) // $nCells + 1),
-         |$coarseLloyd,
-         |asg AS MATERIALIZED (SELECT co.cid,
-         |  (min({'d': ${ld("c.cv", "c.cv")} - 2.0 * ${ld("co.w", "c.cv")}, 'c': c.cell})).c AS cell
-         | FROM co CROSS JOIN cc$itersC c GROUP BY co.cid),
-         |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
-         |qd AS (SELECT q.qid, q.qv, c.cell,
-         |  row_number() OVER (PARTITION BY q.qid
-         |    ORDER BY ${ld("c.cv", "c.cv")} - 2.0 * ${ld("q.qv", "c.cv")}, c.cell) AS rk
-         | FROM qs q CROSS JOIN cc$itersC c),
+         |$pqCoarseCtes,
          |ad AS MATERIALIZED (SELECT p.qid, e0.cid, ${pqAdTerms("p.qv")} AS adist
-         | FROM (SELECT qid, qv, cell FROM qd WHERE rk <= $nProbe) p
+         | FROM (SELECT qid, qv, cell FROM qd WHERE rk <= $PqNProbe) p
          | JOIN asg a ON a.cell = p.cell
          | JOIN e0 ON e0.cid = a.cid $pqEncJoins $pqCbJoins
          | WHERE p.qid <> e0.cid),
+         |$pqShortlistToResult""".stripMargin.replace("\n", " "),
+    // Residual IVF×PQ (FAISS by_residual): the q98 coarse quantizer, then
+    // sub-codebooks trained on sample RESIDUALS (v − centroid(cell),
+    // assignment = the same struct-argmin the Scala assignViaDot runs),
+    // corpus codes on residuals, and per-probed-cell ADC terms carrying
+    // the full ‖qres_j − c‖² (the per-cell constant must not drop — it
+    // differs across probed cells).
+    "q104_ann_ivfpq_residual" -> {
+      def ld(a: String, b: String) = s"list_dot_product($a, $b)"
+      def resSl(vec: String, cent: String, j: Int) =
+        s"list_transform(range($PqSub), i -> $vec[${j * PqSub} + i + 1] - $cent[${j * PqSub} + i + 1])"
+      val encodes = (0 until PqM).map { j =>
+        s"""re$j AS MATERIALIZED (SELECT cor.cid,
+           |  (min({'d': ${ld("c.cv", "c.cv")} - 2.0 * ${ld(pqSl("cor.rv", j), "c.cv")}, 'c': c.cell})).c AS code
+           | FROM cor CROSS JOIN rc${j}_$PqIters c GROUP BY cor.cid)""".stripMargin
+      }.mkString(", ")
+      val adTerms = (0 until PqM).map { j =>
+        val qres = resSl("p.qv", "pc.cv", j)
+        s"(${ld(qres, qres)} + ${ld(s"b$j.cv", s"b$j.cv")} - 2.0 * ${ld(qres, s"b$j.cv")})"
+      }.mkString(" + ")
+      val encJoins = (1 until PqM).map(j => s"JOIN re$j ON re$j.cid = re0.cid").mkString(" ")
+      val cbJoins = (0 until PqM).map(j => s"JOIN rc${j}_$PqIters b$j ON b$j.cell = re$j.code").mkString(" ")
+      s"""WITH $pqSampleCtes,
+         |$pqCoarseCtes,
+         |sa AS MATERIALIZED (SELECT s.rn, s.v,
+         |  (min({'d': ${ld("c.cv", "c.cv")} - 2.0 * ${ld("s.v", "c.cv")}, 'c': c.cell})).c AS cell
+         | FROM samp s CROSS JOIN cc10 c GROUP BY s.rn, s.v),
+         |rs AS MATERIALIZED (SELECT sa.rn,
+         |  list_transform(range(64), i -> sa.v[i + 1] - c.cv[i + 1]) AS v
+         | FROM sa JOIN cc10 c USING (cell)),
+         |${pqSubLloyd("r", "rs")},
+         |cor AS MATERIALIZED (SELECT a.cid, a.cell,
+         |  list_transform(range(64), i -> (e.embedding::DOUBLE[])[i + 1] - c.cv[i + 1]) AS rv
+         | FROM asg a JOIN embeddings e ON e.vec_id = a.cid
+         | JOIN cc10 c USING (cell)),
+         |$encodes,
+         |ad AS MATERIALIZED (SELECT p.qid, re0.cid, $adTerms AS adist
+         | FROM (SELECT qid, qv, cell FROM qd WHERE rk <= $PqNProbe) p
+         | JOIN cc10 pc ON pc.cell = p.cell
+         | JOIN asg a ON a.cell = p.cell
+         | JOIN re0 ON re0.cid = a.cid $encJoins $cbJoins
+         | WHERE p.qid <> re0.cid),
          |$pqShortlistToResult""".stripMargin.replace("\n", " ")
     },
     "q59_ann_topk" ->

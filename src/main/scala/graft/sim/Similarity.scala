@@ -362,6 +362,105 @@ object Similarity {
       .select("qid", "cid", "cos", "rank")
   }
 
+  /** IVF × PQ with RESIDUAL encoding (FAISS's by_residual=true, the
+    * production default there): sub-codebooks train on r = v −
+    * centroid(cell(v)) pooled across cells, corpus codes encode
+    * residuals, and each query builds its ADC terms per probed cell from
+    * (q − centroid). Residuals have far less variance than raw vectors
+    * on clustered data, so the same m × kCodes budget quantizes much
+    * finer (spec-measured recall win vs [[ivfPqTopKDeterministic]]).
+    * Same scan shape: probed-cell equi-join over the code table, exact
+    * cosine re-rank of the shortlist. Deterministic end-to-end — the
+    * sample's cell assignment uses [[LocalKMeans.assignViaDot]], the
+    * exact arithmetic of the SQL struct-argmin — so the whole index
+    * build + search replays in SQL (the q104 oracle).
+    * Output: qid, cid, cos, rank. */
+  def ivfPqResidualTopKDeterministic(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int, nCells: Int, nProbe: Int,
+      m: Int, kCodes: Int, k: Int, shortlist: Int = 50,
+      itersCoarse: Int = 10, itersPq: Int = 5,
+      maxSample: Int = 4096): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val spark = corpus.sparkSession
+    graft.expr.GraftFunctions.register(spark)
+    val sub = dim / m
+    val c = corpus.select(col(idCol).as("cid"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    val pts = LocalKMeans.sampleVectorsHashed(c, "cv", Seq("cid"), maxSample)
+    val coarse = LocalKMeans.fitFixed(pts, nCells, itersCoarse, viaDot = true)
+    val coarseCC = coarse.map(ct => LocalKMeans.dotSeq(ct, ct))
+    // residual sample: assign each sample row to its cell (the same
+    // viaDot argmin arithmetic the SQL evaluates), subtract the centroid
+    val rpts = pts.map { p =>
+      val cell = LocalKMeans.assignViaDot(p, coarse)
+      Array.tabulate(p.length)(i => p(i) - coarse(cell)(i))
+    }
+    val books = Array.tabulate(m)(j =>
+      LocalKMeans.fitFixed(rpts.map(_.slice(j * sub, (j + 1) * sub)),
+        kCodes, itersPq, viaDot = true))
+    val ccs = books.map(_.map(ct => LocalKMeans.dotSeq(ct, ct)))
+    def relD2(v: Column, j: Int, i: Int): Column =
+      lit(ccs(j)(i)) - lit(2.0) * call_function("vec_dot", v,
+        array(books(j)(i).map(lit(_)): _*))
+    def cellD2(v: Column, ci: Int): Column =
+      lit(coarseCC(ci)) - lit(2.0) * call_function("vec_dot", v,
+        array(coarse(ci).map(lit(_)): _*))
+    val centLit = typedlit(coarse.map(_.toSeq).toSeq)
+    // one pass over the corpus: coarse cell, then per-subspace codes of
+    // the residual against that cell's centroid
+    val enc0 = c.withColumn("cell",
+        array_min(array(coarse.indices.map(ci =>
+          struct(cellD2(col("cv"), ci).as("d"), lit(ci).as("c"))): _*))
+          .getField("c"))
+      .withColumn("cent", element_at(centLit, col("cell") + 1))
+    def resSub(vec: Column, cent: Column, j: Int): Column =
+      zip_with(slice(vec, j * sub + 1, sub), slice(cent, j * sub + 1, sub),
+        (a, b) => a - b)
+    val enc = (0 until m).foldLeft(enc0)((df, j) =>
+        df.withColumn(s"code$j",
+          array_min(array((0 until kCodes).map(i =>
+            struct(relD2(resSub(col("cv"), col("cent"), j), j, i).as("d"),
+              lit(i).as("c"))): _*))
+            .getField("c")))
+      .select(col("cid") +: col("cell") +: (0 until m).map(j => col(s"code$j")): _*)
+    // query side: probed cells, then per probed cell the ADC terms come
+    // from the query's residual against THAT cell's centroid
+    val q0 = queries.select(col(idCol).as("qid"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val probed = q0.withColumn("cells",
+        slice(array_sort(array(coarse.indices.map(ci =>
+          struct(cellD2(col("qv"), ci).as("d"), lit(ci).as("cell"))): _*)),
+          1, nProbe))
+      .select(col("qid"), col("qv"), explode(col("cells.cell")).as("cell"))
+      .withColumn("cent", element_at(centLit, col("cell") + 1))
+    // UNLIKE plain PQ, the "row-constant" term here is ‖q − cent(cell)‖²,
+    // which differs per probed cell — dropping it would skew cross-cell
+    // candidate ordering, so each ADC entry carries the full
+    // ‖qres_j − c_{j,i}‖² = ‖qres_j‖² + ‖c_{j,i}‖² − 2·qres_j·c_{j,i}
+    def qq(j: Int): Column = {
+      val r = resSub(col("qv"), col("cent"), j)
+      call_function("vec_dot", r, r)
+    }
+    val q1 = (0 until m).foldLeft(probed)((df, j) =>
+      df.withColumn(s"dtab$j", array((0 until kCodes).map(i =>
+        qq(j) + relD2(resSub(col("qv"), col("cent"), j), j, i)): _*)))
+      .drop("qv", "cent")
+    val adist = (0 until m).map(j =>
+      element_at(col(s"dtab$j"), col(s"code$j") + 1)).reduce(_ + _)
+    val wA = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
+    val short = broadcast(q1).join(enc, Seq("cell"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), adist.as("adist"))
+      .withColumn("ark", row_number().over(wA))
+      .where(col("ark") <= shortlist)
+      .select("qid", "cid")
+    val rer = short.join(broadcast(q0), "qid").join(c, "cid")
+      .withColumn("cos", cosineFast(spark, col("qv"), col("cv")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    rer.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("qid", "cid", "cos", "rank")
+  }
+
   private def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, cents: Array[Array[Double]],
       nProbe: Int, k: Int): DataFrame = {

@@ -382,4 +382,49 @@ class TextSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("cid")).toSet
     assert((exact & ivf).size >= 4) // ≥80% recall probing 1 of 3 cells
   }
+
+  test("residual IVFPQ beats plain IVFPQ recall on clustered data with local structure") {
+    // the FAISS by_residual rationale, reproduced as a measured recall
+    // win: 4 far-apart clusters, each with group-offset sub-structure at
+    // scale ~3 and noise 0.1. Residuals (offset + noise) quantize almost
+    // exactly with 4 codes per subspace (each subspace sees only 3
+    // distinct offset patterns), while plain PQ's codes must cover the
+    // ±20 cluster spread — distortion ~8, far above the group scale — so
+    // its shortlist is near-random inside a cluster.
+    val rng = new scala.util.Random(17)
+    val dim = 16
+    val centers = Array.tabulate(4, dim)((c, d) =>
+      if (d % 4 == c) 20.0 else if ((d + c) % 3 == 0) -12.0 else 3.0)
+    val vecs = (0 until 240).map { i =>
+      val c = i % 4
+      val g = (i / 4) % 10
+      (i.toLong, Array.tabulate(dim)(d =>
+        (centers(c)(d) + 3.0 * (((c * 10 + g + d) % 3) - 1)
+          + rng.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.where($"vec_id" < 8)
+    def recall(res: org.apache.spark.sql.DataFrame, exact: Map[Long, Set[Long]]): Double = {
+      val got = res.collect().groupBy(_.getAs[Long]("qid"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cid")).toSet }
+      exact.map { case (q, e) => (e & got.getOrElse(q, Set.empty)).size.toDouble / e.size }
+        .sum / exact.size
+    }
+    val exact = Similarity.bruteForceTopK(qs, vecs, "vec_id", "embedding", 5)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cid")).toSet }
+    // modest shortlist so recall is decided by ADC quality, not the re-rank
+    val plain = recall(Similarity.ivfPqTopKDeterministic(qs, vecs, "vec_id",
+      "embedding", dim = dim, nCells = 4, nProbe = 4, m = 4, kCodes = 4,
+      k = 5, shortlist = 25), exact)
+    val resid = recall(Similarity.ivfPqResidualTopKDeterministic(qs, vecs,
+      "vec_id", "embedding", dim = dim, nCells = 4, nProbe = 4, m = 4,
+      kCodes = 4, k = 5, shortlist = 25), exact)
+    info(s"recall@5: residual=$resid plain=$plain")
+    // measured 0.775 vs 0.45: the 4 residual codes per subspace resolve
+    // the group structure partially (pooled residuals still carry ~12
+    // patterns per subspace), plain PQ not at all — assert the floor and
+    // a decisive gap rather than a perfect score
+    assert(resid >= 0.7, s"residual recall $resid")
+    assert(resid > plain + 0.2, s"residual $resid should clearly beat plain $plain")
+  }
 }
