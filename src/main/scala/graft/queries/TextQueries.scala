@@ -208,6 +208,18 @@ object TextQueries {
         kCodes = 8, k = 10, shortlist = 50, itersCoarse = 10, itersPq = 5,
         maxSample = 4096))
     }),
+    // range search over the prebuilt residual index (FAISS range_search
+    // analog): all probed-cell pairs within ADC radius 1.4 — no top-k
+    // window, so the identical plan is the streaming ingest filter
+    // (StreamSpec pins stream/batch parity)
+    "q105_ann_pq_range" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = Similarity.ivfPqResidualBuild(e, "vec_id", "embedding",
+        dim = 64, nCells = 8, m = 4, kCodes = 8, itersCoarse = 10,
+        itersPq = 5, maxSample = 4096)
+      canon(Similarity.ivfPqResidualRange(e.where(col("vec_id") < 20), idx,
+        "vec_id", "embedding", nProbe = 2, maxDist = 1.4))
+    }),
     // IVF × PQ at PARTIAL probe (nProbe=2 of 8 cells) — the composition
     // actually run at scale: coarse cells bound the candidate set, PQ
     // codes carry the ADC scan. Deterministic end-to-end (the q61 coarse
@@ -388,6 +400,47 @@ object TextQueries {
        |  row_number() OVER (PARTITION BY q.qid
        |    ORDER BY ${ld("c.cv", "c.cv")} - 2.0 * ${ld("q.qv", "c.cv")}, c.cell) AS rk
        | FROM qs q CROSS JOIN cc$PqItersCoarse c)""".stripMargin
+  }
+
+  /** Everything through the residual `ad` CTE (q104 + q105): coarse
+    * fragments, sample residuals + residual sub-codebooks (prefix `r`),
+    * residual corpus encode, and the per-probed-cell ADC sum carrying the
+    * full ‖qres_j − c‖² terms. */
+  private lazy val pqResidualAdCtes: String = {
+    def ld(a: String, b: String) = s"list_dot_product($a, $b)"
+    def resSl(vec: String, cent: String, j: Int) =
+      s"list_transform(range($PqSub), i -> $vec[${j * PqSub} + i + 1] - $cent[${j * PqSub} + i + 1])"
+    val encodes = (0 until PqM).map { j =>
+      s"""re$j AS MATERIALIZED (SELECT cor.cid,
+         |  (min({'d': ${ld("c.cv", "c.cv")} - 2.0 * ${ld(pqSl("cor.rv", j), "c.cv")}, 'c': c.cell})).c AS code
+         | FROM cor CROSS JOIN rc${j}_$PqIters c GROUP BY cor.cid)""".stripMargin
+    }.mkString(", ")
+    val adTerms = (0 until PqM).map { j =>
+      val qres = resSl("p.qv", "pc.cv", j)
+      s"(${ld(qres, qres)} + ${ld(s"b$j.cv", s"b$j.cv")} - 2.0 * ${ld(qres, s"b$j.cv")})"
+    }.mkString(" + ")
+    val encJoins = (1 until PqM).map(j => s"JOIN re$j ON re$j.cid = re0.cid").mkString(" ")
+    val cbJoins = (0 until PqM).map(j => s"JOIN rc${j}_$PqIters b$j ON b$j.cell = re$j.code").mkString(" ")
+    (s"""$pqSampleCtes,
+        |$pqCoarseCtes,
+        |sa AS MATERIALIZED (SELECT s.rn, s.v,
+        |  (min({'d': ${ld("c.cv", "c.cv")} - 2.0 * ${ld("s.v", "c.cv")}, 'c': c.cell})).c AS cell
+        | FROM samp s CROSS JOIN cc10 c GROUP BY s.rn, s.v),
+        |rs AS MATERIALIZED (SELECT sa.rn,
+        |  list_transform(range(64), i -> sa.v[i + 1] - c.cv[i + 1]) AS v
+        | FROM sa JOIN cc10 c USING (cell)),
+        |${pqSubLloyd("r", "rs")},
+        |cor AS MATERIALIZED (SELECT a.cid, a.cell,
+        |  list_transform(range(64), i -> (e.embedding::DOUBLE[])[i + 1] - c.cv[i + 1]) AS rv
+        | FROM asg a JOIN embeddings e ON e.vec_id = a.cid
+        | JOIN cc10 c USING (cell)),
+        |$encodes,
+        |ad AS MATERIALIZED (SELECT p.qid, re0.cid, $adTerms AS adist
+        | FROM (SELECT qid, qv, cell FROM qd WHERE rk <= $PqNProbe) p
+        | JOIN cc10 pc ON pc.cell = p.cell
+        | JOIN asg a ON a.cell = p.cell
+        | JOIN re0 ON re0.cid = a.cid $encJoins $cbJoins
+        | WHERE p.qid <> re0.cid)""".stripMargin).replace("\n", " ")
   }
 
   /** ADC distance: the 4 subspace lookup terms summed left-to-right
@@ -939,43 +992,14 @@ object TextQueries {
     // corpus codes on residuals, and per-probed-cell ADC terms carrying
     // the full ‖qres_j − c‖² (the per-cell constant must not drop — it
     // differs across probed cells).
-    "q104_ann_ivfpq_residual" -> {
-      def ld(a: String, b: String) = s"list_dot_product($a, $b)"
-      def resSl(vec: String, cent: String, j: Int) =
-        s"list_transform(range($PqSub), i -> $vec[${j * PqSub} + i + 1] - $cent[${j * PqSub} + i + 1])"
-      val encodes = (0 until PqM).map { j =>
-        s"""re$j AS MATERIALIZED (SELECT cor.cid,
-           |  (min({'d': ${ld("c.cv", "c.cv")} - 2.0 * ${ld(pqSl("cor.rv", j), "c.cv")}, 'c': c.cell})).c AS code
-           | FROM cor CROSS JOIN rc${j}_$PqIters c GROUP BY cor.cid)""".stripMargin
-      }.mkString(", ")
-      val adTerms = (0 until PqM).map { j =>
-        val qres = resSl("p.qv", "pc.cv", j)
-        s"(${ld(qres, qres)} + ${ld(s"b$j.cv", s"b$j.cv")} - 2.0 * ${ld(qres, s"b$j.cv")})"
-      }.mkString(" + ")
-      val encJoins = (1 until PqM).map(j => s"JOIN re$j ON re$j.cid = re0.cid").mkString(" ")
-      val cbJoins = (0 until PqM).map(j => s"JOIN rc${j}_$PqIters b$j ON b$j.cell = re$j.code").mkString(" ")
-      s"""WITH $pqSampleCtes,
-         |$pqCoarseCtes,
-         |sa AS MATERIALIZED (SELECT s.rn, s.v,
-         |  (min({'d': ${ld("c.cv", "c.cv")} - 2.0 * ${ld("s.v", "c.cv")}, 'c': c.cell})).c AS cell
-         | FROM samp s CROSS JOIN cc10 c GROUP BY s.rn, s.v),
-         |rs AS MATERIALIZED (SELECT sa.rn,
-         |  list_transform(range(64), i -> sa.v[i + 1] - c.cv[i + 1]) AS v
-         | FROM sa JOIN cc10 c USING (cell)),
-         |${pqSubLloyd("r", "rs")},
-         |cor AS MATERIALIZED (SELECT a.cid, a.cell,
-         |  list_transform(range(64), i -> (e.embedding::DOUBLE[])[i + 1] - c.cv[i + 1]) AS rv
-         | FROM asg a JOIN embeddings e ON e.vec_id = a.cid
-         | JOIN cc10 c USING (cell)),
-         |$encodes,
-         |ad AS MATERIALIZED (SELECT p.qid, re0.cid, $adTerms AS adist
-         | FROM (SELECT qid, qv, cell FROM qd WHERE rk <= $PqNProbe) p
-         | JOIN cc10 pc ON pc.cell = p.cell
-         | JOIN asg a ON a.cell = p.cell
-         | JOIN re0 ON re0.cid = a.cid $encJoins $cbJoins
-         | WHERE p.qid <> re0.cid),
-         |$pqShortlistToResult""".stripMargin.replace("\n", " ")
-    },
+    "q104_ann_ivfpq_residual" ->
+      s"WITH $pqResidualAdCtes, $pqShortlistToResult",
+    // range search over the residual index: same CTEs, but the output is
+    // every probed-cell pair within the absolute ADC radius (meaningful
+    // only for residual ADC, which carries no dropped per-query constant)
+    "q105_ann_pq_range" ->
+      (s"WITH $pqResidualAdCtes " +
+        "SELECT qid, cid, round(adist, 4) AS adist FROM ad WHERE adist <= 1.4"),
     "q59_ann_topk" ->
       """WITH p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
         |  list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /

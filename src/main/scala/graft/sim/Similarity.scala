@@ -375,20 +375,26 @@ object Similarity {
     * exact arithmetic of the SQL struct-argmin — so the whole index
     * build + search replays in SQL (the q104 oracle).
     * Output: qid, cid, cos, rank. */
-  def ivfPqResidualTopKDeterministic(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, dim: Int, nCells: Int, nProbe: Int,
-      m: Int, kCodes: Int, k: Int, shortlist: Int = 50,
-      itersCoarse: Int = 10, itersPq: Int = 5,
-      maxSample: Int = 4096): DataFrame = {
+  /** A built residual IVF×PQ index: coarse centroids, per-subspace
+    * residual codebooks, and the encoded corpus (`cid`, `cell`, m codes). */
+  case class IvfPqResidualIndex(dim: Int, m: Int, sub: Int, kCodes: Int,
+      coarse: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      codes: DataFrame)
+
+  /** Index-build half of [[ivfPqResidualTopKDeterministic]]: coarse
+    * fixed-Lloyd quantizer, residual sub-codebooks (sample assignment via
+    * [[LocalKMeans.assignViaDot]] — the exact arithmetic of the SQL
+    * struct-argmin), one corpus pass for cell + residual codes. */
+  def ivfPqResidualBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nCells: Int, m: Int, kCodes: Int, itersCoarse: Int = 10,
+      itersPq: Int = 5, maxSample: Int = 4096): IvfPqResidualIndex = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val spark = corpus.sparkSession
-    graft.expr.GraftFunctions.register(spark)
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
     val sub = dim / m
     val c = corpus.select(col(idCol).as("cid"),
       transform(col(vecCol), x => x.cast("double")).as("cv"))
     val pts = LocalKMeans.sampleVectorsHashed(c, "cv", Seq("cid"), maxSample)
     val coarse = LocalKMeans.fitFixed(pts, nCells, itersCoarse, viaDot = true)
-    val coarseCC = coarse.map(ct => LocalKMeans.dotSeq(ct, ct))
     // residual sample: assign each sample row to its cell (the same
     // viaDot argmin arithmetic the SQL evaluates), subtract the centroid
     val rpts = pts.map { p =>
@@ -399,6 +405,7 @@ object Similarity {
       LocalKMeans.fitFixed(rpts.map(_.slice(j * sub, (j + 1) * sub)),
         kCodes, itersPq, viaDot = true))
     val ccs = books.map(_.map(ct => LocalKMeans.dotSeq(ct, ct)))
+    val coarseCC = coarse.map(ct => LocalKMeans.dotSeq(ct, ct))
     def relD2(v: Column, j: Int, i: Int): Column =
       lit(ccs(j)(i)) - lit(2.0) * call_function("vec_dot", v,
         array(books(j)(i).map(lit(_)): _*))
@@ -423,8 +430,31 @@ object Similarity {
               lit(i).as("c"))): _*))
             .getField("c")))
       .select(col("cid") +: col("cell") +: (0 until m).map(j => col(s"code$j")): _*)
-    // query side: probed cells, then per probed cell the ADC terms come
-    // from the query's residual against THAT cell's centroid
+    IvfPqResidualIndex(dim, m, sub, kCodes, coarse, books, enc)
+  }
+
+  /** Probed query rows against a residual index: per probed cell, ADC
+    * tables carrying the full ‖qres_j − c_{j,i}‖² — UNLIKE plain PQ the
+    * "row-constant" term here is ‖q − cent(cell)‖², which differs per
+    * probed cell, so dropping it would skew cross-cell ordering (and the
+    * absolute value is what makes range search meaningful). Returns
+    * (qid, cell, dtab0..dtab{m-1}). */
+  private def ivfPqResidualProbe(queries: DataFrame, index: IvfPqResidualIndex,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
+    import index.{m, sub, kCodes, coarse, books}
+    graft.expr.GraftFunctions.register(queries.sparkSession)
+    val ccs = books.map(_.map(ct => LocalKMeans.dotSeq(ct, ct)))
+    val coarseCC = coarse.map(ct => LocalKMeans.dotSeq(ct, ct))
+    def relD2(v: Column, j: Int, i: Int): Column =
+      lit(ccs(j)(i)) - lit(2.0) * call_function("vec_dot", v,
+        array(books(j)(i).map(lit(_)): _*))
+    def cellD2(v: Column, ci: Int): Column =
+      lit(coarseCC(ci)) - lit(2.0) * call_function("vec_dot", v,
+        array(coarse(ci).map(lit(_)): _*))
+    val centLit = typedlit(coarse.map(_.toSeq).toSeq)
+    def resSub(vec: Column, cent: Column, j: Int): Column =
+      zip_with(slice(vec, j * sub + 1, sub), slice(cent, j * sub + 1, sub),
+        (a, b) => a - b)
     val q0 = queries.select(col(idCol).as("qid"),
       transform(col(vecCol), x => x.cast("double")).as("qv"))
     val probed = q0.withColumn("cells",
@@ -433,24 +463,47 @@ object Similarity {
           1, nProbe))
       .select(col("qid"), col("qv"), explode(col("cells.cell")).as("cell"))
       .withColumn("cent", element_at(centLit, col("cell") + 1))
-    // UNLIKE plain PQ, the "row-constant" term here is ‖q − cent(cell)‖²,
-    // which differs per probed cell — dropping it would skew cross-cell
-    // candidate ordering, so each ADC entry carries the full
-    // ‖qres_j − c_{j,i}‖² = ‖qres_j‖² + ‖c_{j,i}‖² − 2·qres_j·c_{j,i}
     def qq(j: Int): Column = {
       val r = resSub(col("qv"), col("cent"), j)
       call_function("vec_dot", r, r)
     }
-    val q1 = (0 until m).foldLeft(probed)((df, j) =>
+    (0 until m).foldLeft(probed)((df, j) =>
       df.withColumn(s"dtab$j", array((0 until kCodes).map(i =>
         qq(j) + relD2(resSub(col("qv"), col("cent"), j), j, i)): _*)))
       .drop("qv", "cent")
-    val adist = (0 until m).map(j =>
-      element_at(col(s"dtab$j"), col(s"code$j") + 1)).reduce(_ + _)
+  }
+
+  private def adcSum(m: Int): Column = (0 until m).map(j =>
+    element_at(col(s"dtab$j"), col(s"code$j") + 1)).reduce(_ + _)
+
+  /** IVF × PQ with RESIDUAL encoding (FAISS's by_residual=true, the
+    * production default there): sub-codebooks train on r = v −
+    * centroid(cell(v)) pooled across cells, corpus codes encode
+    * residuals, and each query builds its ADC terms per probed cell from
+    * (q − centroid). Residuals have far less variance than raw vectors
+    * on clustered data, so the same m × kCodes budget quantizes much
+    * finer (spec-measured recall win vs [[ivfPqTopKDeterministic]]).
+    * Same scan shape: probed-cell equi-join over the code table, exact
+    * cosine re-rank of the shortlist. Deterministic end-to-end, so the
+    * whole index build + search replays in SQL (the q104 oracle).
+    * Output: qid, cid, cos, rank. */
+  def ivfPqResidualTopKDeterministic(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int, nCells: Int, nProbe: Int,
+      m: Int, kCodes: Int, k: Int, shortlist: Int = 50,
+      itersCoarse: Int = 10, itersPq: Int = 5,
+      maxSample: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
+    val index = ivfPqResidualBuild(corpus, idCol, vecCol, dim, nCells, m,
+      kCodes, itersCoarse, itersPq, maxSample)
+    val q1 = ivfPqResidualProbe(queries, index, idCol, vecCol, nProbe)
+    val c = corpus.select(col(idCol).as("cid"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    val q0 = queries.select(col(idCol).as("qid"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
     val wA = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
-    val short = broadcast(q1).join(enc, Seq("cell"))
+    val short = broadcast(q1).join(index.codes, Seq("cell"))
       .where(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), adist.as("adist"))
+      .select(col("qid"), col("cid"), adcSum(m).as("adist"))
       .withColumn("ark", row_number().over(wA))
       .where(col("ark") <= shortlist)
       .select("qid", "cid")
@@ -459,6 +512,25 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     rer.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select("qid", "cid", "cos", "rank")
+  }
+
+  /** Range search over a prebuilt residual index (FAISS range_search
+    * analog): emit every (query, corpus) pair in the probed cells whose
+    * ADC distance estimate ≤ `maxDist` (the residual ADC is a true
+    * squared-L2 estimate — no dropped per-query constant — so an
+    * absolute radius is meaningful, which plain PQ's relative distances
+    * are not). No top-k window, so the SAME plan runs on a streaming
+    * `queries` DataFrame in append mode (stream-static equi-join on
+    * cell): the ingest-time "is this embedding close to anything in the
+    * indexed corpus" filter, with the static side the 32×-compressed
+    * code table instead of raw vectors. Output: qid, cid, adist. */
+  def ivfPqResidualRange(queries: DataFrame, index: IvfPqResidualIndex,
+      idCol: String, vecCol: String, nProbe: Int, maxDist: Double): DataFrame = {
+    val q1 = ivfPqResidualProbe(queries, index, idCol, vecCol, nProbe)
+    q1.join(index.codes, Seq("cell"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), adcSum(index.m).as("adist"))
+      .where(col("adist") <= maxDist)
   }
 
   private def ivfTopKWith(queries: DataFrame, corpus: DataFrame,

@@ -192,6 +192,48 @@ class StreamSpec extends SparkSpec {
       s"quantized cosine ${hits.head.cos} vs exact $exactCos")
   }
 
+  test("PQ range search runs as a stream-static join, batch-parity exact") {
+    implicit val sc = spark.sqlContext
+    import graft.sim.Similarity
+    val dim = 16
+    val rng = new scala.util.Random(5)
+    val corpus = (0 until 120).map { i =>
+      val c = i % 3
+      (i.toLong, Seq.tabulate(dim)(d =>
+        (if (d % 3 == c) 5.0 else 0.5) + rng.nextGaussian() * 0.2))
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfPqResidualBuild(corpus, "vec_id", "embedding",
+      dim = dim, nCells = 3, m = 4, kCodes = 4, itersCoarse = 5,
+      itersPq = 5, maxSample = 4096)
+    val queryVecs = (200 until 205).map { i =>
+      val c = i % 3
+      (i.toLong, Seq.tabulate(dim)(d =>
+        (if (d % 3 == c) 5.0 else 0.5) + rng.nextGaussian() * 0.2))
+    }
+    val batch = Similarity.ivfPqResidualRange(
+      queryVecs.toDF("vec_id", "embedding"), idx, "vec_id", "embedding",
+      nProbe = 2, maxDist = 2.0)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(batch.nonEmpty, "fixture must produce in-radius pairs")
+    // the same operator over a streaming query side — no state, no
+    // window: a pure stream-static equi-join on cell, append mode
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = Similarity.ivfPqResidualRange(
+      in.toDS().toDF("vec_id", "embedding"), idx, "vec_id", "embedding",
+      nProbe = 2, maxDist = 2.0)
+      .writeStream.format("memory").queryName("pqrange")
+      .outputMode("append").start()
+    in.addData(queryVecs.take(2): _*)
+    q.processAllAvailable()
+    in.addData(queryVecs.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("pqrange")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    q.stop()
+    assert(streamed.sameElements(batch),
+      s"stream/batch divergence: ${streamed.length} vs ${batch.length} rows")
+  }
+
   test("ddm stream flags drift after an error burst, state survives batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[ErrEvent]
