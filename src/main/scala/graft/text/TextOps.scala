@@ -345,27 +345,46 @@ object TextOps {
     * `docs` against it. Output: idCol, nBigrams, avgNll (0.0 for docs
     * with < 2 tokens; unseen bigrams get the k / (cΣ + k·V) floor). */
   def lmScore(docs: DataFrame, idCol: String, textCol: String,
-      smoothing: Double = 1.0, lmCorpus: DataFrame = null): DataFrame = {
-    val fitOn = Option(lmCorpus).getOrElse(docs)
-    def bigrams(df: DataFrame) = {
-      val t = tokens(col(textCol))
-      df.select(col(idCol), explode(when(size(t) >= 2,
-        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2"))))
-        .otherwise(array())).as("bg"))
-        .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    }
-    val cBi = bigrams(fitOn).groupBy("w1", "w2").agg(count(lit(1)).as("cBi"))
+      smoothing: Double = 1.0, lmCorpus: DataFrame = null): DataFrame =
+    lmScoreWith(docs, idCol, textCol,
+      lmFit(Option(lmCorpus).getOrElse(docs), idCol, textCol), smoothing)
+
+  /** A fitted bigram LM: bigram counts, per-context roll-up, vocab size. */
+  case class LmModel(cBi: DataFrame, cCtx: DataFrame, vocab: Long)
+
+  private def lmBigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(col(idCol), explode(when(size(t) >= 2,
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array())).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  /** Fit half of [[lmScore]] — two hash aggregations + one scalar. */
+  def lmFit(corpus: DataFrame, idCol: String, textCol: String): LmModel = {
+    val cBi = lmBigrams(corpus, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cBi"))
     val cCtx = cBi.groupBy("w1").agg(sum("cBi").as("cCtx"))
-    val vocab = fitOn.select(explode(tokens(col(textCol))).as("tok"))
+    val vocab = corpus.select(explode(tokens(col(textCol))).as("tok"))
       .agg(countDistinct("tok")).head().getLong(0)
+    LmModel(cBi, cCtx, vocab)
+  }
+
+  /** Score half of [[lmScore]] against a prebuilt model — the shape that
+    * amortizes the fit across scoring batches. The per-bigram joins are
+    * stream-static-capable; the per-doc aggregation is not append-safe
+    * on an unbounded stream, so streaming callers score per micro-batch
+    * (foreachBatch) or window the aggregation with a watermark. */
+  def lmScoreWith(docs: DataFrame, idCol: String, textCol: String,
+      model: LmModel, smoothing: Double = 1.0): DataFrame = {
     val k = smoothing
-    val scored = bigrams(docs)
-      .join(cBi, Seq("w1", "w2"), "left")
-      .join(cCtx, Seq("w1"), "left")
+    val scored = lmBigrams(docs, idCol, textCol)
+      .join(model.cBi, Seq("w1", "w2"), "left")
+      .join(model.cCtx, Seq("w1"), "left")
       .withColumn("nll", -log(
         (coalesce(col("cBi"), lit(0L)) + lit(k)) /
-          (coalesce(col("cCtx"), lit(0L)) + lit(k * vocab))))
+          (coalesce(col("cCtx"), lit(0L)) + lit(k * model.vocab))))
       .groupBy(idCol)
       .agg(count(lit(1)).as("nBigrams"), avg("nll").as("avgNll"))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
