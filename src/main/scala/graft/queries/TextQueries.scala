@@ -87,6 +87,15 @@ object TextQueries {
         NumHashes, BandSize)),
     "q56_simhash" -> ((s, dir) =>
       TextOps.simhash(docs(s, dir), "doc_id", "text", bits = 16)),
+    // incremental-ingest dedup: the md5-selected 30% "new batch" collides
+    // against the 70% "existing corpus" — batch-vs-corpus LSH, not a
+    // from-scratch self-join over the union
+    "q106_crossdedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isNew = TextOps.hash56(col("doc_id").cast("string")) % 10 < 3
+      TextOps.minhashPairsAcross(d.where(isNew), d.where(!isNew),
+        "doc_id", "text", shingleSize = 3, NumHashes, BandSize)
+    }),
     "q57_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
       val cand = TextOps.minhashPairs(d, "doc_id", "text", shingleSize = 3,
@@ -628,6 +637,20 @@ object TextQueries {
          |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
          |WHERE l.doc_id < r.doc_id""".stripMargin.replace("\n", " "),
+    // minhash is per-row, so filtering sides before or after the
+    // signature is identical — compute sig once, split at the band join
+    "q106_crossdedup" ->
+      s"""WITH $sigCte,
+         |bands AS (SELECT doc_id, hashIdx // $BandSize AS band,
+         |  array_to_string(list(minHash ORDER BY hashIdx), ':') AS bucket
+         | FROM sig GROUP BY doc_id, band),
+         |sp AS (SELECT doc_id,
+         |  (${h56("doc_id::VARCHAR")} % 10) < 3 AS isNew FROM documents)
+         |SELECT DISTINCT n.doc_id AS a, c.doc_id AS b
+         |FROM bands n JOIN sp sn ON sn.doc_id = n.doc_id AND sn.isNew
+         |JOIN bands c ON c.band = n.band AND c.bucket = n.bucket
+         |JOIN sp sc ON sc.doc_id = c.doc_id AND NOT sc.isNew"""
+        .stripMargin.replace("\n", " "),
     // winnowing (k=3 grams, window 4): fingerprint = distinct per-window
     // minima of the 56-bit gram hashes; < 4 grams → one window over all
     "q77_winnow" ->

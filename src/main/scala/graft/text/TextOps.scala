@@ -102,6 +102,27 @@ object TextOps {
       .select("a", "b").distinct()
   }
 
+  /** Cross-corpus near-dup candidates — the incremental-ingest face of
+    * [[minhashPairs]]: which docs of a NEW batch collide with the
+    * EXISTING corpus (same md5 minhash family, so the two sides' bucket
+    * keys are comparable by construction). Every real crawl pipeline
+    * runs this batch-vs-corpus shape rather than re-deduping the union
+    * from scratch: the corpus side's bands are computed once (persist or
+    * write them) and each new batch joins against them. Output: a = new
+    * doc id, b = corpus doc id, distinct. */
+  def minhashPairsAcross(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int, numHashes: Int,
+      bandSize: Int): DataFrame = {
+    val bn = lshBuckets(minhash(newDocs, idCol, textCol, shingleSize, numHashes),
+      idCol, bandSize)
+    val bc = lshBuckets(minhash(corpus, idCol, textCol, shingleSize, numHashes),
+      idCol, bandSize)
+    bn.select(col("band"), col("bucket"), col(idCol).as("a"))
+      .join(bc.select(col("band"), col("bucket"), col(idCol).as("b")),
+        Seq("band", "bucket"))
+      .select("a", "b").distinct()
+  }
+
   /** Duplicate clusters = connected components over candidate pairs, via
     * hash-to-min label propagation: every doc starts labeled with its own
     * id; each round a doc takes the min label over itself and its
