@@ -62,6 +62,11 @@ object TextQueries {
     // deterministic epoch shuffle into 8 training shards (salt "ep0")
     "q94_shuffle_shards" -> ((s, dir) =>
       TextOps.shuffleShards(docs(s, dir), "doc_id", nShards = 8, salt = "ep0")),
+    // hash-deterministic train/val/test split (80/10/10) — a row's split
+    // never depends on what other rows exist
+    "q107_split" -> ((s, dir) =>
+      canon(TextOps.splitByHash(docs(s, dir), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))))),
     // decontamination: eval split = md5-hash-selected ~5% of the corpus,
     // train docs flagged on any shared 6-gram
     "q91_decontaminate" -> ((s, dir) => {
@@ -559,6 +564,17 @@ object TextQueries {
          | FROM pk p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
          |SELECT shard, doc_id, chunkIdx, nTok, bin::INT AS bin,
          | off::INT AS offset FROM pk""".stripMargin.replace("\n", " "),
+    // split cuts embedded as the exact Scala doubles (toString round-trips)
+    "q107_split" -> {
+      val w = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+      val cases = w.map(_._1).zip(TextOps.splitCuts(w)).dropRight(1)
+        .map { case (n, c) => s"WHEN u < $c THEN '$n'" }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id,
+         |  ${h56("doc_id::VARCHAR")} / 72057594037927936.0 AS u FROM documents)
+         |SELECT doc_id, round(u, 4) AS u,
+         | CASE $cases ELSE '${w.last._1}' END AS split
+         |FROM d""".stripMargin.replace("\n", " ")
+    },
     // salted md5 shuffle key -> shard = key mod 8, position by key order
     "q94_shuffle_shards" ->
       s"""WITH k AS (SELECT doc_id,

@@ -328,6 +328,30 @@ object TextOps {
       ((lenScore + stopScore + (lit(1.0) - punctPen) + (lit(1.0) - digitPen)) / 4.0).as("quality"))
   }
 
+  /** Deterministic dataset split — train/val/test assignment by md5 of
+    * the id (the split every training pipeline needs to be stable across
+    * reruns, engines, partitionings and late-arriving data; a row's
+    * split never depends on what other rows exist). `weights` are
+    * (name, weight) in order; u = hash56(id)/2^56 ∈ [0,1) falls into the
+    * cumulative-weight interval. Output: idCol, u (4dp), split. */
+  def splitByHash(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights")
+    val cuts = splitCuts(weights)
+    val u = hash56(col(idCol).cast("string")) / 72057594037927936.0
+    val split = weights.zip(cuts).reverse.foldLeft(lit(weights.last._1)) {
+      case (acc, ((name, _), cut)) => when(u < cut, lit(name)).otherwise(acc)
+    }
+    df.select(col(idCol), u.as("u"), split.as("split"))
+  }
+
+  /** The cumulative cut points [[splitByHash]] compares against — public
+    * so an oracle/replica can embed the exact same doubles. */
+  def splitCuts(weights: Seq[(String, Double)]): Seq[Double] = {
+    val total = weights.map(_._2).sum
+    weights.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+  }
+
   /** Quality-ranked per-group quota — the per-domain cap step of
     * RefinedWeb/CCNet-style curation (Penedo et al. 2023 cap documents
     * per registered domain so no single site dominates the corpus): keep
