@@ -851,7 +851,7 @@ object TextQueries {
          |snl AS (SELECT bb.doc_id,
          |  -ln((cb.cBi + 1.0) / (cx.cCtx + 1.0 * v.v)) AS nll
          | FROM bb JOIN cb USING (w1, w2) JOIN cx USING (w1), v),
-         |ag AS (SELECT doc_id, count(*) AS nBigrams, avg(nll) AS avgNll
+         |ag AS (SELECT doc_id, count(*) AS nGrams, avg(nll) AS avgNll
          | FROM snl GROUP BY 1),
          |keep AS (SELECT d.doc_id, d.source, qual.rawq,
          |  coalesce(ag.avgNll, 0.0) AS rawNll
@@ -908,9 +908,9 @@ object TextQueries {
          |sc AS (SELECT bb.doc_id,
          |  -ln((cb.cBi + 1.0) / (cx.cCtx + 1.0 * v.v)) AS nll
          | FROM bb JOIN cb USING (w1, w2) JOIN cx USING (w1), v),
-         |ag AS (SELECT doc_id, count(*) AS nBigrams, avg(nll) AS avgNll
+         |ag AS (SELECT doc_id, count(*) AS nGrams, avg(nll) AS avgNll
          | FROM sc GROUP BY 1)
-         |SELECT d.doc_id, coalesce(ag.nBigrams, 0)::BIGINT AS nBigrams,
+         |SELECT d.doc_id, coalesce(ag.nGrams, 0)::BIGINT AS nGrams,
          | round(coalesce(ag.avgNll, 0.0), 4) AS avgNll
          |FROM documents d LEFT JOIN ag USING (doc_id)"""
         .stripMargin.replace("\n", " "),

@@ -387,54 +387,65 @@ object TextOps {
     * them at small scale, shuffled join on the bigram key beyond —
     * never a corpus × corpus product). Production pipelines fit the LM
     * on a sample/reference corpus; pass that as `lmCorpus` and score
-    * `docs` against it. Output: idCol, nBigrams, avgNll (0.0 for docs
+    * `docs` against it. Output: idCol, nGrams, avgNll (0.0 for docs
     * with < 2 tokens; unseen bigrams get the k / (cΣ + k·V) floor). */
   def lmScore(docs: DataFrame, idCol: String, textCol: String,
-      smoothing: Double = 1.0, lmCorpus: DataFrame = null): DataFrame =
+      smoothing: Double = 1.0, lmCorpus: DataFrame = null,
+      n: Int = 2): DataFrame =
     lmScoreWith(docs, idCol, textCol,
-      lmFit(Option(lmCorpus).getOrElse(docs), idCol, textCol), smoothing)
+      lmFit(Option(lmCorpus).getOrElse(docs), idCol, textCol, n), smoothing)
 
-  /** A fitted bigram LM: bigram counts, per-context roll-up, vocab size. */
-  case class LmModel(cBi: DataFrame, cCtx: DataFrame, vocab: Long)
+  /** A fitted order-`n` LM: n-gram counts keyed by (ctx = n−1 joined
+    * tokens, w = next token), per-context roll-up, vocab size. */
+  case class LmModel(n: Int, cGram: DataFrame, cCtx: DataFrame, vocab: Long)
 
-  private def lmBigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** (idCol, ctx, w) rows: every length-n token window, ctx = the first
+    * n−1 tokens space-joined, w = the last. For n=2 ctx is the previous
+    * token itself. */
+  private def lmGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     val t = tokens(col(textCol))
-    df.select(col(idCol), explode(when(size(t) >= 2,
-      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2"))))
-      .otherwise(array())).as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val win = transform(
+      sequence(lit(1), size(t) - lit(n - 1)),
+      i => struct(
+        array_join(slice(t, i, lit(n - 1)), " ").as("ctx"),
+        element_at(t, i + lit(n - 1)).as("w")))
+    df.select(col(idCol), explode(when(size(t) >= n, win)
+      .otherwise(array())).as("g"))
+      .select(col(idCol), col("g.ctx").as("ctx"), col("g.w").as("w"))
   }
 
   /** Fit half of [[lmScore]] — two hash aggregations + one scalar. */
-  def lmFit(corpus: DataFrame, idCol: String, textCol: String): LmModel = {
-    val cBi = lmBigrams(corpus, idCol, textCol)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("cBi"))
-    val cCtx = cBi.groupBy("w1").agg(sum("cBi").as("cCtx"))
+  def lmFit(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): LmModel = {
+    require(n >= 2, s"LM order $n must be >= 2")
+    val cGram = lmGrams(corpus, idCol, textCol, n)
+      .groupBy("ctx", "w").agg(count(lit(1)).as("cGram"))
+    val cCtx = cGram.groupBy("ctx").agg(sum("cGram").as("cCtx"))
     val vocab = corpus.select(explode(tokens(col(textCol))).as("tok"))
       .agg(countDistinct("tok")).head().getLong(0)
-    LmModel(cBi, cCtx, vocab)
+    LmModel(n, cGram, cCtx, vocab)
   }
 
   /** Score half of [[lmScore]] against a prebuilt model — the shape that
-    * amortizes the fit across scoring batches. The per-bigram joins are
+    * amortizes the fit across scoring batches. The per-gram joins are
     * stream-static-capable; the per-doc aggregation is not append-safe
     * on an unbounded stream, so streaming callers score per micro-batch
     * (foreachBatch) or window the aggregation with a watermark. */
   def lmScoreWith(docs: DataFrame, idCol: String, textCol: String,
       model: LmModel, smoothing: Double = 1.0): DataFrame = {
     val k = smoothing
-    val scored = lmBigrams(docs, idCol, textCol)
-      .join(model.cBi, Seq("w1", "w2"), "left")
-      .join(model.cCtx, Seq("w1"), "left")
+    val scored = lmGrams(docs, idCol, textCol, model.n)
+      .join(model.cGram, Seq("ctx", "w"), "left")
+      .join(model.cCtx, Seq("ctx"), "left")
       .withColumn("nll", -log(
-        (coalesce(col("cBi"), lit(0L)) + lit(k)) /
+        (coalesce(col("cGram"), lit(0L)) + lit(k)) /
           (coalesce(col("cCtx"), lit(0L)) + lit(k * model.vocab))))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("nBigrams"), avg("nll").as("avgNll"))
+      .agg(count(lit(1)).as("nGrams"), avg("nll").as("avgNll"))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("nBigrams"), lit(0L)).as("nBigrams"),
+        coalesce(col("nGrams"), lit(0L)).as("nGrams"),
         coalesce(col("avgNll"), lit(0.0)).as("avgNll"))
   }
 

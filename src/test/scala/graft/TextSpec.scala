@@ -383,6 +383,25 @@ class TextSpec extends SparkSpec {
     assert((exact & ivf).size >= 4) // ≥80% recall probing 1 of 3 cells
   }
 
+  test("order-n LM: corpus-like docs score lower nll than alien docs, any order") {
+    // corpus dominated by one phrase pattern; a conforming doc must score
+    // a lower mean -ln P than a doc of unseen words, for n = 2 and 3
+    val corpus = (0L until 40L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog " * 3)) ++
+      (40L until 50L).map(i => (i, s"filler${i} words${i} here${i} now${i} end${i}"))
+    val probe = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "zyx wvu tsr qpo nml kji hgf edc ba")).toDF("doc_id", "text")
+    for (n <- Seq(2, 3)) {
+      val model = graft.text.TextOps.lmFit(corpus.toDF("doc_id", "text"), "doc_id", "text", n)
+      val scores = graft.text.TextOps.lmScoreWith(probe, "doc_id", "text", model)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avgNll")).toMap
+      assert(scores(100L) < scores(101L),
+        s"n=$n: conforming ${scores(100L)} should beat alien ${scores(101L)}")
+      assert(scores(100L) > 0 && scores(101L).isFinite)
+    }
+  }
+
   test("residual IVFPQ beats plain IVFPQ recall on clustered data with local structure") {
     // the FAISS by_residual rationale, reproduced as a measured recall
     // win: 4 far-apart clusters, each with group-offset sub-structure at
