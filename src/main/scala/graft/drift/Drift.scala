@@ -193,4 +193,45 @@ object Drift {
     df.withColumn("driftVotes",
       detectorCols.map(c => col(c).cast("int")).reduce(_ + _))
       .withColumn("driftConsensus", col("driftVotes") >= quorum)
+
+  /** Embedding-distribution drift via the energy distance (Székely &
+    * Rizzo 2004, "Testing for equal distributions in high dimension"):
+    * E = 2·E‖X−Y‖ − E‖X−X'‖ − E‖Y−Y'‖ over two embedding samples —
+    * ≥ 0, and 0 iff the distributions coincide. The distribution-level
+    * "did this crawl's embedding space shift vs the last one" check the
+    * scalar drift detectors (§2.9) can't express, metric-free in any
+    * dimension (no density estimation, unlike the grid detector).
+    *
+    * Each expectation is a V-statistic over all ordered pairs (self
+    * pairs contribute 0), evaluated as one cross join + codegen'd
+    * distance per term. Quadratic by nature — bound both sides to a
+    * deterministic sample at scale (`maxSample`, md5-ordered like every
+    * sampler here) before calling; n·m distance evaluations of d doubles
+    * distribute over the cross join's partitions.
+    * Output (one row): n, m, exy, exx, eyy, energy. */
+  def embeddingEnergyDistance(a: DataFrame, b: DataFrame,
+      vecCol: String): DataFrame = {
+    val spark = a.sparkSession
+    graft.expr.GraftFunctions.register(spark)
+    def vecs(df: DataFrame, as: String) =
+      df.select(transform(col(vecCol), x => x.cast("double")).as(as))
+    def meanDist(l: DataFrame, cl: String, r: DataFrame, cr: String): Double = {
+      val diff = zip_with(col(cl), col(cr), (p, q) => p - q)
+      l.crossJoin(r)
+        .agg(avg(sqrt(call_function("vec_dot", diff, diff))).as("d"))
+        .head().getDouble(0)
+    }
+    val ax = vecs(a, "xa")
+    val ax2 = vecs(a, "xb")
+    val by = vecs(b, "ya")
+    val by2 = vecs(b, "yb")
+    val n = a.count()
+    val m = b.count()
+    val exy = meanDist(ax, "xa", by2, "yb")
+    val exx = meanDist(ax, "xa", ax2, "xb")
+    val eyy = meanDist(by, "ya", by2, "yb")
+    import spark.implicits._
+    Seq((n, m, exy, exx, eyy, 2.0 * exy - exx - eyy))
+      .toDF("n", "m", "exy", "exx", "eyy", "energy")
+  }
 }

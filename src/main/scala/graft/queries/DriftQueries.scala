@@ -65,6 +65,13 @@ object DriftQueries {
         e.where(col("event_id") % 2 === 0), e.where(col("event_id") % 2 === 1),
         Seq("value"), Seq(10.0), threshold = 0.002))
     }),
+    // embedding-space drift: energy distance between the two md5-split
+    // halves of the embeddings table (same distribution → energy ≈ 0)
+    "q108_embed_drift" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val isB = graft.text.TextOps.hash56(col("vec_id").cast("string")) % 2 === 1
+      canon(Drift.embeddingEnergyDistance(e.where(!isB), e.where(isB), "embedding"))
+    }),
     "q71_multiattr_zscore" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       val keys = Seq("l_returnflag")
@@ -110,6 +117,25 @@ object DriftQueries {
       .stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    // energy distance: V-statistic means over all ordered pairs per term
+    // (self pairs contribute 0), Euclidean via list_distance — the q42
+    // precedent for cross-engine distance parity under the 4dp round
+    "q108_embed_drift" ->
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |  (('0x'||substr(md5(vec_id::VARCHAR),1,14))::BIGINT % 2) = 1 AS isB
+        | FROM embeddings),
+        |xy AS (SELECT avg(list_distance(a.v, b.v)) AS exy
+        | FROM s a, s b WHERE NOT a.isB AND b.isB),
+        |xx AS (SELECT avg(list_distance(a.v, b.v)) AS exx
+        | FROM s a, s b WHERE NOT a.isB AND NOT b.isB),
+        |yy AS (SELECT avg(list_distance(a.v, b.v)) AS eyy
+        | FROM s a, s b WHERE a.isB AND b.isB),
+        |n AS (SELECT sum(CASE WHEN isB THEN 0 ELSE 1 END)::BIGINT AS n,
+        |  sum(CASE WHEN isB THEN 1 ELSE 0 END)::BIGINT AS m FROM s)
+        |SELECT n.n, n.m, round(xy.exy, 4) AS exy, round(xx.exx, 4) AS exx,
+        | round(yy.eyy, 4) AS eyy,
+        | round(2.0 * xy.exy - xx.exx - yy.eyy, 4) AS energy
+        |FROM xy, xx, yy, n""".stripMargin.replace("\n", " "),
     // ECDD EWMA (sucodr.py:281-325): the per-key recurrence
     // z_i = λ·x_i + (1−λ)·z_{i−1} runs as a DuckDB recursive CTE (one row
     // per key per step); running mean/std are cumulative window aggregates.
