@@ -246,6 +246,21 @@ object TextQueries {
         kCodes = 8, k = 10, shortlist = 50, itersCoarse = 10, itersPq = 5,
         maxSample = 4096))
     }),
+    // SemDeDup (Abbas et al. 2023): 8 deterministic KMeans cells over the
+    // embedding space (the shared q98 coarse quantizer), within-cell
+    // ε-pairs at cos ≥ 0.4 drop the member MORE similar to its centroid —
+    // survivors + their centroid cosine
+    "q109_semdedup" -> ((s, dir) =>
+      canon(Similarity.semDedupDeterministic(emb(s, dir), "vec_id",
+        "embedding", nCells = 8, eps = 0.4, iters = 10, maxSample = 4096))),
+    // DSIR (Xie et al. 2023): importance-resample the corpus toward the
+    // src0 slice's hashed-bigram distribution; Gumbel-top-100 with
+    // md5-derived noise
+    "q110_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      canon(TextOps.dsirSelect(d, d.where(col("source") === "src0"),
+        "doc_id", "text", topN = 100, nBuckets = 512))
+    }),
   )
 
   private val toks = """regexp_extract_all(lower(text), '\S+')"""
@@ -1039,6 +1054,63 @@ object TextQueries {
     "q105_ann_pq_range" ->
       (s"WITH $pqResidualAdCtes " +
         "SELECT qid, cid, round(adist, 4) AS adist FROM ad WHERE adist <= 1.4"),
+    // SemDeDup: the q98 coarse quantizer assigns every vector a cell
+    // (asg); within-cell pairs at cos ≥ 0.4 drop the member with the
+    // HIGHER cosine to the cell centroid (ties drop the larger id) —
+    // survivors with their centroid cosine
+    "q109_semdedup" ->
+      s"""WITH $pqSampleCtes,
+         |$pqCoarseCtes,
+         |wv AS MATERIALIZED (SELECT a.cid, a.cell, co.w
+         | FROM asg a JOIN co ON co.cid = a.cid),
+         |sc AS MATERIALIZED (SELECT wv.cid, wv.cell,
+         |  list_dot_product(wv.w, c.cv) /
+         |   (sqrt(list_dot_product(wv.w, wv.w)) * sqrt(list_dot_product(c.cv, c.cv))) AS simc
+         | FROM wv JOIN cc$PqItersCoarse c ON c.cell = wv.cell),
+         |pr AS (SELECT x.cid AS a, y.cid AS b
+         | FROM wv x JOIN wv y ON x.cell = y.cell AND x.cid < y.cid
+         | WHERE list_dot_product(x.w, y.w) /
+         |   (sqrt(list_dot_product(x.w, x.w)) * sqrt(list_dot_product(y.w, y.w))) >= 0.4),
+         |lo AS (SELECT DISTINCT CASE WHEN sa.simc > sb.simc THEN pr.a
+         |   WHEN sb.simc > sa.simc THEN pr.b
+         |   ELSE greatest(pr.a, pr.b) END AS cid
+         | FROM pr JOIN sc sa ON sa.cid = pr.a JOIN sc sb ON sb.cid = pr.b)
+         |SELECT sc.cid AS vec_id, sc.cell, round(sc.simc, 4) AS simc
+         |FROM sc WHERE sc.cid NOT IN (SELECT cid FROM lo)"""
+        .stripMargin.replace("\n", " "),
+    // DSIR: hashed uni+bigram buckets (56-bit md5 mod 512), Laplace
+    // bucket multinomials for target (source = src0) vs raw (all docs),
+    // per-doc Σ ln(p/q), Gumbel-top-100 with md5-derived noise
+    "q110_dsir" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |f AS (SELECT doc_id, unnest(list_concat(t,
+         |   CASE WHEN len(t) >= 2
+         |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         |    ELSE [] END)) AS gram FROM tk),
+         |fb AS MATERIALIZED (SELECT doc_id, ${h56("gram")} % 512 AS b FROM f),
+         |tg AS (SELECT fb.b FROM fb JOIN documents d USING (doc_id)
+         |  WHERE d.source = 'src0'),
+         |ct AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
+         |nt AS (SELECT count(*) AS n FROM tg),
+         |cr AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+         |nr AS (SELECT count(*) AS n FROM fb),
+         |lr AS (SELECT cr.b,
+         |  ln((coalesce(ct.ct, 0) + 1.0) / (nt.n + 512.0)) -
+         |  ln((cr.cr + 1.0) / (nr.n + 512.0)) AS lr
+         | FROM cr LEFT JOIN ct USING (b), nt, nr),
+         |sc AS (SELECT fb.doc_id, count(*) AS nFeats, sum(lr.lr) AS logw
+         | FROM fb JOIN lr USING (b) GROUP BY fb.doc_id),
+         |al AS (SELECT d.doc_id, coalesce(sc.nFeats, 0)::BIGINT AS nFeats,
+         |  coalesce(sc.logw, 0.0) AS logw
+         | FROM documents d LEFT JOIN sc USING (doc_id)),
+         |ky AS (SELECT *, logw - ln(-ln(
+         |   ((${h56("'gum:' || doc_id::VARCHAR")}) + 0.5) / 72057594037927936.0)) AS gkey
+         | FROM al),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY gkey DESC, doc_id) AS rank
+         | FROM ky QUALIFY rank <= 100)
+         |SELECT doc_id, nFeats, round(logw, 4) AS logw,
+         | round(gkey, 4) AS gkey, rank FROM rk"""
+        .stripMargin.replace("\n", " "),
     "q59_ann_topk" ->
       """WITH p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
         |  list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /

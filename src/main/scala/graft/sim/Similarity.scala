@@ -567,4 +567,69 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select("qid", "cid", "cos", "rank")
   }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic near-duplicate removal over an embedding column. Cluster
+    * the embedding space with the deterministic coarse quantizer
+    * (md5-ordered sample + fixed-Lloyd, the q61/q98 device), then within
+    * each cluster find all pairs with cosine ≥ `eps` and drop one member
+    * of every such pair — per the paper, the member MORE similar to the
+    * cluster centroid (the redundant one; ties drop the larger id), so
+    * each duplicate neighborhood keeps its least-typical exemplar.
+    *
+    * Scale shape: the quadratic pair search never crosses clusters — a
+    * self-equi-join on `cell` bounds candidates to cluster size (the
+    * paper's own trick for web-scale corpora; raise `nCells` so the
+    * expected cell fits an executor — 100k cells at 10^10 docs). The
+    * cluster assignment is one broadcast-centroid codegen pass, no
+    * iterative distributed fit. Everything is md5/fixed-Lloyd
+    * deterministic, so the full pipeline replays in SQL (the q109
+    * oracle). Output: survivors (id, cell, simc = cosine to centroid).
+    *
+    * The reference has no semantic dedup (its nearest analogue is the
+    * cosine near-dup pipeline, q58); engine addition for the LLM
+    * curation path. */
+  def semDedupDeterministic(vecs: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, eps: Double, iters: Int = 10,
+      maxSample: Int = 20000): DataFrame = {
+    graft.expr.GraftFunctions.register(vecs.sparkSession)
+    val c = vecs.select(col(idCol).as("cid"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    val pts = LocalKMeans.sampleVectorsHashed(c, "cv", Seq("cid"), maxSample)
+    val cents = LocalKMeans.fitFixed(pts, nCells, iters, viaDot = true)
+    val ccs = cents.map(ct => LocalKMeans.dotSeq(ct, ct))
+    def relD2(v: Column, ci: Int): Column =
+      lit(ccs(ci)) - lit(2.0) * call_function("vec_dot", v,
+        array(cents(ci).map(lit(_)): _*))
+    // one pass: cell argmin + vector norm + cosine to the won centroid
+    // (centroid lookup via element_at on literal arrays — no join)
+    val centArr = array(cents.map(ct => array(ct.map(lit(_)): _*)): _*)
+    val cnormArr = array(ccs.map(cc => lit(math.sqrt(cc))): _*)
+    val asg = c.withColumn("cell",
+        array_min(array(cents.indices.map(ci =>
+          struct(relD2(col("cv"), ci).as("d"), lit(ci).as("c"))): _*))
+          .getField("c"))
+      .withColumn("vnorm", sqrt(call_function("vec_dot", col("cv"), col("cv"))))
+      .withColumn("simc",
+        call_function("vec_dot", col("cv"), element_at(centArr, col("cell") + 1)) /
+          (col("vnorm") * element_at(cnormArr, col("cell") + 1)))
+    // within-cluster ε-pairs: equi-join on cell — candidates bounded by
+    // cluster size, never the corpus
+    val a = asg.select(col("cid").as("a"), col("cv").as("av"),
+      col("vnorm").as("an"), col("simc").as("asimc"), col("cell"))
+    val b = asg.select(col("cid").as("b"), col("cv").as("bv"),
+      col("vnorm").as("bn"), col("simc").as("bsimc"), col("cell"))
+    val pairs = a.join(b, Seq("cell")).where(col("a") < col("b"))
+      .withColumn("cos",
+        call_function("vec_dot", col("av"), col("bv")) / (col("an") * col("bn")))
+      .where(col("cos") >= eps)
+    val losers = pairs.select(
+      when(col("asimc") > col("bsimc"), col("a"))
+        .when(col("bsimc") > col("asimc"), col("b"))
+        .otherwise(greatest(col("a"), col("b"))).as("cid")).distinct()
+    asg.join(losers, Seq("cid"), "left_anti")
+      .select(col("cid").as(idCol), col("cell").cast("long").as("cell"),
+        col("simc"))
+  }
 }

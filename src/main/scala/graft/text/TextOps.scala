@@ -405,10 +405,20 @@ object TextOps {
   private def lmGrams(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val t = tokens(col(textCol))
-    val win = transform(
+    // higher-order-function lambdas are interpreted, not codegen'd, and
+    // this pipeline runs up to 3× per query inside broadcast-subquery
+    // jobs — so the bigram path (every production call) must do ZERO
+    // per-element expression work: two bulk slices zipped with an
+    // identity-struct lambda. The general-n path pays a per-gram
+    // interpreted concat; orders ≥ 3 are the rare, documented-cost case.
+    val win = if (n == 2)
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("ctx"), b.as("w")))
+    else transform(
       sequence(lit(1), size(t) - lit(n - 1)),
       i => struct(
-        array_join(slice(t, i, lit(n - 1)), " ").as("ctx"),
+        concat_ws(" ", (0 until n - 1).map(j =>
+          element_at(t, i + lit(j))): _*).as("ctx"),
         element_at(t, i + lit(n - 1)).as("w")))
     df.select(col(idCol), explode(when(size(t) >= n, win)
       .otherwise(array())).as("g"))
@@ -511,6 +521,76 @@ object TextOps {
     }
     docs.withColumn("u", u).withColumn("quota", q)
       .where(col("u") < col("quota"))
+  }
+
+  /** Per-doc hashed n-gram features (unigrams + bigrams → 56-bit md5
+    * hash mod `nBuckets`) — the DSIR feature map. One row per gram
+    * OCCURRENCE (counts matter, not presence). */
+  private def hashedGrams(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    val t = tokens(col(textCol))
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(concat(t, bigrams)).as("gram"))
+      .select(col(idCol), (hash56(col("gram")) % nBuckets).as("b"))
+  }
+
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score each raw
+    * document by how target-like its hashed-n-gram distribution is.
+    * Features are uni+bigrams hashed into `nBuckets` buckets; target and
+    * raw bucket distributions are Laplace-smoothed multinomials, and
+    * log w(doc) = Σ_gram ln(p_target[b]/p_raw[b]).
+    *
+    * Scale shape: both fits are one explode + hash agg with ≤ nBuckets
+    * output rows (model-sized); the per-bucket log-ratio table joins
+    * broadcast against doc grams. No corpus×corpus anything. Output:
+    * idCol, nFeats, logw (0.0 for empty docs). */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 512,
+      smoothing: Double = 1.0): DataFrame = {
+    val k = smoothing
+    val ct = hashedGrams(target, idCol, textCol, nBuckets)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val cr = hashedGrams(raw, idCol, textCol, nBuckets)
+      .groupBy("b").agg(count(lit(1)).as("cr"))
+    val nt = ct.agg(sum("ct")).head().getLong(0)
+    val nr = cr.agg(sum("cr")).head().getLong(0)
+    // every bucket a raw doc touches exists in cr; target-only buckets
+    // can never join a scored gram, so cr LEFT JOIN ct covers the domain
+    val lr = cr.join(ct, Seq("b"), "left")
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(k)) / lit(nt + k * nBuckets)) -
+          log((col("cr") + lit(k)) / lit(nr + k * nBuckets))).as("lr"))
+    val scored = hashedGrams(raw, idCol, textCol, nBuckets)
+      .join(lr, Seq("b"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("nFeats"), sum("lr").as("logw"))
+    raw.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nFeats"), lit(0L)).as("nFeats"),
+        coalesce(col("logw"), lit(0.0)).as("logw"))
+  }
+
+  /** DSIR selection: Gumbel-top-k resampling without replacement over
+    * [[dsirWeights]] — key = log w − ln(−ln u) with u the md5-derived
+    * uniform of the doc id ("gum:" salt), so the sample is reproducible
+    * across runs/engines/partitionings and SQL-replayable (q110 oracle).
+    * The rank filter is statically visible → Spark plans a top-k
+    * (WindowGroupLimit), shuffling candidates, not the corpus. Output:
+    * idCol, nFeats, logw, gkey, rank ≤ topN. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, topN: Int, nBuckets: Int = 512,
+      smoothing: Double = 1.0): DataFrame = {
+    val u = (hash56(concat(lit("gum:"), col(idCol).cast("string")))
+      .cast("double") + lit(0.5)) / lit((1L << 56).toDouble)
+    val w = Window.orderBy(col("gkey").desc, col(idCol))
+    dsirWeights(raw, target, idCol, textCol, nBuckets, smoothing)
+      .withColumn("gkey", col("logw") - log(-log(u)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topN)
   }
 
   /** PII redaction (C4/RefinedWeb-style curation): mask emails and

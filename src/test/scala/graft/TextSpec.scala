@@ -318,6 +318,56 @@ class TextSpec extends SparkSpec {
     assert(r2 >= 0.9, s"ivfpq recall@5 = $r2")
   }
 
+  test("semdedup: exact twins collapse to the smaller id; uniques survive") {
+    // 100 random 32-dim gaussians (pairwise cosine ~N(0, 1/sqrt(32)) — far
+    // below eps) + exact copies of ids 0..9 as ids 100..109. A copy lands
+    // in its twin's cell (identical argmin), pairs at cos = 1, and ties on
+    // simc — so the tie-break must drop exactly the larger id of each pair.
+    val rnd = new scala.util.Random(7)
+    val base = Seq.tabulate(100)(i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val vecs = (base ++ base.take(10).map { case (i, v) => (i + 100, v) })
+      .toDF("vec_id", "embedding")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[Long]("vec_id")).toSet
+    val kept = ids(Similarity.semDedupDeterministic(vecs, "vec_id",
+      "embedding", nCells = 4, eps = 0.95, iters = 5))
+    assert(kept == (0L until 100L).toSet)
+    // deterministic: a second run is identical
+    val again = ids(Similarity.semDedupDeterministic(vecs, "vec_id",
+      "embedding", nCells = 4, eps = 0.95, iters = 5))
+    assert(again == kept)
+    // survivors carry their cell + centroid cosine; simc is a true cosine
+    val out = Similarity.semDedupDeterministic(vecs, "vec_id", "embedding",
+      nCells = 4, eps = 0.95, iters = 5).collect()
+    assert(out.forall(r => math.abs(r.getAs[Double]("simc")) <= 1.0 + 1e-9))
+  }
+
+  test("dsir: target-like docs outweigh off-target; gumbel top-k reproducible") {
+    // raw pool = 30 docs in the target idiom + 30 in another; target
+    // corpus = a disjoint set of target-idiom docs. Importance weights
+    // must strictly separate the two idioms, and selection at topN=25
+    // must draw (almost) entirely from the target-like half.
+    val rawDocs = (Seq.tabulate(30)(i => (i.toLong, s"the cat sat on mat $i")) ++
+      Seq.tabulate(30)(i => ((100 + i).toLong, s"zug blorp qux flim $i")))
+      .toDF("doc_id", "text")
+    val target = Seq.tabulate(20)(i => ((1000 + i).toLong, s"a cat sat on the mat $i"))
+      .toDF("doc_id", "text")
+    val w = TextOps.dsirWeights(rawDocs, target, "doc_id", "text", nBuckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val catW = (0L until 30L).map(w)
+    val zugW = (100L until 130L).map(w)
+    assert(catW.min > zugW.max,
+      s"target-like min ${catW.min} should beat off-target max ${zugW.max}")
+    val sel = TextOps.dsirSelect(rawDocs, target, "doc_id", "text",
+      topN = 25, nBuckets = 256)
+    val ids = sel.collect().map(_.getLong(0)).toSet
+    assert(ids.size == 25)
+    assert(ids.count(_ < 100) >= 20, s"selection should favor target-like docs: $ids")
+    // hash-derived gumbel noise: a rerun selects the identical set
+    assert(sel.collect().map(_.getLong(0)).toSet == ids)
+  }
+
   test("cosine top-k: self-similar vector ranks first") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.99f, 0.1f, 0f)),
