@@ -204,17 +204,25 @@ object Drift {
     *
     * Each expectation is a V-statistic over all ordered pairs (self
     * pairs contribute 0), evaluated as one cross join + codegen'd
-    * distance per term. Quadratic by nature — bound both sides to a
-    * deterministic sample at scale (`maxSample`, md5-ordered like every
-    * sampler here) before calling; n·m distance evaluations of d doubles
-    * distribute over the cross join's partitions.
-    * Output (one row): n, m, exy, exx, eyy, energy. */
+    * distance per term. Quadratic by nature, so the operator bounds
+    * BOTH sides to a deterministic `maxSample` (md5-of-`idCol` order —
+    * a total, engine-independent order; orderBy+limit compiles to a
+    * distributed TakeOrdered, no full sort). The statistic is a sample
+    * estimate anyway — what a 100 TB caller needs is a bounded-cost
+    * estimator, not 10^21 pair distances. Pass maxSample = 0 to
+    * disable. Output (one row): n, m (SAMPLED sizes), exy, exx, eyy,
+    * energy. */
   def embeddingEnergyDistance(a: DataFrame, b: DataFrame,
-      vecCol: String): DataFrame = {
+      vecCol: String, idCol: String = null, maxSample: Int = 0): DataFrame = {
     val spark = a.sparkSession
     graft.expr.GraftFunctions.register(spark)
-    def vecs(df: DataFrame, as: String) =
-      df.select(transform(col(vecCol), x => x.cast("double")).as(as))
+    def vecs(df: DataFrame, as: String) = {
+      val bounded =
+        if (maxSample > 0 && idCol != null)
+          df.orderBy(md5(col(idCol).cast("string"))).limit(maxSample)
+        else df
+      bounded.select(transform(col(vecCol), x => x.cast("double")).as(as))
+    }
     def meanDist(l: DataFrame, cl: String, r: DataFrame, cr: String): Double = {
       val diff = zip_with(col(cl), col(cr), (p, q) => p - q)
       l.crossJoin(r)
@@ -225,8 +233,8 @@ object Drift {
     val ax2 = vecs(a, "xb")
     val by = vecs(b, "ya")
     val by2 = vecs(b, "yb")
-    val n = a.count()
-    val m = b.count()
+    val n = ax.count()
+    val m = by.count()
     val exy = meanDist(ax, "xa", by2, "yb")
     val exx = meanDist(ax, "xa", ax2, "xb")
     val eyy = meanDist(by, "ya", by2, "yb")

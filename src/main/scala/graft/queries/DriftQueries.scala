@@ -70,7 +70,10 @@ object DriftQueries {
     "q108_embed_drift" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val isB = graft.text.TextOps.hash56(col("vec_id").cast("string")) % 2 === 1
-      canon(Drift.embeddingEnergyDistance(e.where(!isB), e.where(isB), "embedding"))
+      // maxSample = 1000 binds already at sf0.01 (sides ~1250), so the
+      // oracle gates the bounded-sample path the 100 TB caller runs
+      canon(Drift.embeddingEnergyDistance(e.where(!isB), e.where(isB),
+        "embedding", idCol = "vec_id", maxSample = 1000))
     }),
     "q71_multiattr_zscore" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
@@ -124,14 +127,15 @@ object DriftQueries {
       """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |  (('0x'||substr(md5(vec_id::VARCHAR),1,14))::BIGINT % 2) = 1 AS isB
         | FROM embeddings),
-        |xy AS (SELECT avg(list_distance(a.v, b.v)) AS exy
-        | FROM s a, s b WHERE NOT a.isB AND b.isB),
-        |xx AS (SELECT avg(list_distance(a.v, b.v)) AS exx
-        | FROM s a, s b WHERE NOT a.isB AND NOT b.isB),
-        |yy AS (SELECT avg(list_distance(a.v, b.v)) AS eyy
-        | FROM s a, s b WHERE a.isB AND b.isB),
-        |n AS (SELECT sum(CASE WHEN isB THEN 0 ELSE 1 END)::BIGINT AS n,
-        |  sum(CASE WHEN isB THEN 1 ELSE 0 END)::BIGINT AS m FROM s)
+        |sa AS (SELECT v FROM s WHERE NOT isB
+        |  ORDER BY md5(vec_id::VARCHAR) LIMIT 1000),
+        |sb AS (SELECT v FROM s WHERE isB
+        |  ORDER BY md5(vec_id::VARCHAR) LIMIT 1000),
+        |xy AS (SELECT avg(list_distance(a.v, b.v)) AS exy FROM sa a, sb b),
+        |xx AS (SELECT avg(list_distance(a.v, b.v)) AS exx FROM sa a, sa b),
+        |yy AS (SELECT avg(list_distance(a.v, b.v)) AS eyy FROM sb a, sb b),
+        |n AS (SELECT (SELECT count(*) FROM sa)::BIGINT AS n,
+        |  (SELECT count(*) FROM sb)::BIGINT AS m)
         |SELECT n.n, n.m, round(xy.exy, 4) AS exy, round(xx.exx, 4) AS exx,
         | round(yy.eyy, 4) AS eyy,
         | round(2.0 * xy.exy - xx.exx - yy.eyy, 4) AS energy

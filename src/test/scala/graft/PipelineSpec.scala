@@ -113,6 +113,29 @@ class PipelineSpec extends SparkSpec {
     assert(same.forall(!_.getAs[Boolean]("drift"))) // identical → no drift
   }
 
+  test("energy distance: ~0 on identical distributions, large on a shift") {
+    val rnd = new scala.util.Random(11)
+    def sample(shift: Double, ids: Range) = ids.map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat + shift.toFloat)))
+      .toDF("vec_id", "embedding")
+    val a = sample(0.0, 0 until 300)
+    val same = sample(0.0, 1000 until 1300)
+    val far = sample(3.0, 2000 until 2300)
+    def energy(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      Drift.embeddingEnergyDistance(x, y, "embedding").head().getAs[Double]("energy")
+    val e0 = energy(a, same)
+    val e1 = energy(a, far)
+    assert(e0 >= -1e-9 && e0 < 0.5, s"same-dist energy $e0 should be ~0")
+    assert(e1 > 10 * math.max(e0, 1e-3), s"shifted energy $e1 should dominate $e0")
+    // the bounded-sample path is deterministic and reports sampled sizes
+    val r = Drift.embeddingEnergyDistance(a, far, "embedding",
+      idCol = "vec_id", maxSample = 100).head()
+    assert(r.getAs[Long]("n") == 100 && r.getAs[Long]("m") == 100)
+    val r2 = Drift.embeddingEnergyDistance(a, far, "embedding",
+      idCol = "vec_id", maxSample = 100).head()
+    assert(r.getAs[Double]("energy") == r2.getAs[Double]("energy"))
+  }
+
   test("ewma drift detects a level change, none on stationary series") {
     val rows = ((1 to 100).map(i => ("k", i.toLong, 10.0 + (i % 3))) ++
       (101 to 140).map(i => ("k", i.toLong, 25.0))).toDF("k", "seq", "v")
