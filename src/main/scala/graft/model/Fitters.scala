@@ -32,6 +32,40 @@ object Fitters {
         max("value").as("vmax"))
   }
 
+  /** Merge [[stats]] models fitted on disjoint slices into the model of
+    * their union — the k-way form of Chan/Golub/LeVeque parallel
+    * variance (also how the reference's incremental modeling updates
+    * stats without refitting history: chombo's IncrementalStats pattern).
+    * An incremental pipeline refits ONLY the new slice (one day, one
+    * partition) and merges models — the history is never rescanned.
+    *
+    * Each model row yields its sufficient statistics exactly:
+    * sum = mean·cnt and Σx² = std²·(cnt−1) + cnt·mean²; merging is then
+    * one hash aggregation over model-sized input, and the merged std
+    * reproduces a direct fit of the union to float precision (the q112
+    * oracle fits the union directly in SQL). Single-row slices carry
+    * zero M2 (their std is NULL/NaN under stddev_samp — guarded). */
+  def statsMerge(models: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
+    require(models.nonEmpty, "no models to merge")
+    val gcols = (keyCols :+ "attr").map(col)
+    val m2 = when(col("cnt") > 1,
+      pow(col("std"), 2) * (col("cnt") - 1)).otherwise(lit(0.0))
+    models.reduce(_ unionByName _)
+      .withColumn("_sum", col("mean") * col("cnt"))
+      .withColumn("_sumSq", m2 + col("cnt") * pow(col("mean"), 2))
+      .groupBy(gcols: _*)
+      .agg(sum("cnt").as("cnt"), sum("_sum").as("_s"), sum("_sumSq").as("_ss"),
+        min("vmin").as("vmin"), max("vmax").as("vmax"))
+      .withColumn("mean", col("_s") / col("cnt"))
+      .withColumn("std", when(col("cnt") > 1,
+        sqrt(greatest(
+          (col("_ss") - col("_s") * col("_s") / col("cnt")) / (col("cnt") - 1),
+          lit(0.0))))
+        .otherwise(lit(null).cast("double")))
+      .select(gcols ++ Seq(col("mean"), col("std"), col("cnt"),
+        col("vmin"), col("vmax")): _*)
+  }
+
   /** Median + MAD (median absolute deviation) per (key, attribute).
     * Replaces chombo NumericalAttrMedian (resource/ecomm.sh:19,29; consumed by
     * RobustZscorePredictor.java:100-102). Exact interpolated percentile

@@ -22,6 +22,16 @@ object StatQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_stats_fit" -> ((s, dir) =>
       canon(Fitters.stats(ev(s, dir), Seq("event_type"), Seq("value")))),
+    // incremental-model path: fit each md5-split half separately, merge
+    // the MODELS (Chan parallel variance) — must reproduce the q01
+    // direct fit of the union, which is exactly what the oracle computes
+    "q112_stats_merge" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val isB = graft.text.TextOps.hash56(col("event_id").cast("string")) % 2 === 1
+      val mA = Fitters.stats(e.where(!isB), Seq("event_type"), Seq("value"))
+      val mB = Fitters.stats(e.where(isB), Seq("event_type"), Seq("value"))
+      canon(Fitters.statsMerge(Seq(mA, mB), Seq("event_type")))
+    }),
     "q02_robust_fit" -> ((s, dir) =>
       canon(Fitters.robustStats(ev(s, dir), Seq("event_type"), Seq("value")))),
     "q03_quantile_fit" -> ((s, dir) =>
@@ -184,6 +194,12 @@ object StatQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q01_stats_fit" ->
+      s"""WITH $evStats
+         |SELECT event_type, 'value' AS attr, round(mean,4) AS mean, round(std,4) AS std,
+         | cnt, round(vmin,4) AS vmin, round(vmax,4) AS vmax FROM stats""".stripMargin.replace("\n", " "),
+    // merged per-half models must equal the direct fit of the union —
+    // the oracle IS the q01 oracle
+    "q112_stats_merge" ->
       s"""WITH $evStats
          |SELECT event_type, 'value' AS attr, round(mean,4) AS mean, round(std,4) AS std,
          | cnt, round(vmin,4) AS vmin, round(vmax,4) AS vmax FROM stats""".stripMargin.replace("\n", " "),

@@ -261,6 +261,12 @@ object TextQueries {
       canon(TextOps.dsirSelect(d, d.where(col("source") === "src0"),
         "doc_id", "text", topN = 100, nBuckets = 512))
     }),
+    // exact heavy-hitter bigrams behind the Misra-Gries candidate
+    // prefilter (capacity 2048 ⇒ superset bound N/C ≈ 13 < minCount 30,
+    // so the plain GROUP BY/HAVING oracle gates the sketched path)
+    "q111_heavy_grams" -> ((s, dir) =>
+      TextOps.heavyHitterGrams(docs(s, dir), "doc_id", "text", n = 2,
+        minCount = 30, capacity = 2048)),
   )
 
   private val toks = """regexp_extract_all(lower(text), '\S+')"""
@@ -1110,6 +1116,16 @@ object TextQueries {
          | FROM ky QUALIFY rank <= 100)
          |SELECT doc_id, nFeats, round(logw, 4) AS logw,
          | round(gkey, 4) AS gkey, rank FROM rk"""
+        .stripMargin.replace("\n", " "),
+    // heavy hitters: the Misra-Gries phase is cost-only, so the oracle
+    // is the exact definition
+    "q111_heavy_grams" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |f AS (SELECT unnest(CASE WHEN len(t) >= 2
+         |   THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         |   ELSE [] END) AS gram FROM tk)
+         |SELECT gram, count(*)::BIGINT AS cnt FROM f
+         |GROUP BY gram HAVING count(*) >= 30"""
         .stripMargin.replace("\n", " "),
     "q59_ann_topk" ->
       """WITH p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,

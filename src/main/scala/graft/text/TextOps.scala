@@ -537,6 +537,64 @@ object TextOps {
       .select(col(idCol), (hash56(col("gram")) % nBuckets).as("b"))
   }
 
+  /** Exact corpus-level heavy-hitter n-grams behind a Misra–Gries
+    * candidate prefilter (Misra & Gries 1982; merge guarantee per
+    * Agarwal et al., "Mergeable Summaries", PODS 2012): any gram with
+    * global count > N/capacity survives at least one partition's
+    * capacity-bounded summary, so the union of per-partition candidate
+    * keys is a SUPERSET of every qualifying gram whenever
+    * minCount > N/capacity (asserted at runtime). Phase 2 then exactly
+    * counts only candidate-matched occurrences — the sketch is
+    * cost-only, never correctness-bearing (the q91b bloom-prefilter
+    * pattern), which is why a plain GROUP BY ... HAVING oracle gates it.
+    *
+    * Scale shape: the win is shuffle cardinality. A direct
+    * groupBy(gram) exchanges every distinct gram each partition holds
+    * (billions of keys at 100 TB); here the confirm join's partial
+    * aggregation caps the exchange at ≤ |candidates| keys per
+    * partition. Three corpus passes (size, candidates, confirm), all
+    * scan+explode — no corpus-sized state is ever persisted.
+    * Output: gram, cnt (exact) for cnt ≥ minCount. */
+  def heavyHitterGrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Long, capacity: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withT = docs.select(tokens(col(textCol)).as("_toks"))
+    val t = col("_toks")
+    val gramArr = when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+      .otherwise(array())
+    val grams = withT.select(explode(gramArr).as("gram"))
+    val total = grams.count()
+    require(minCount > total.toDouble / capacity,
+      s"minCount $minCount must exceed N/capacity = ${total / capacity} " +
+        "or the Misra-Gries candidate set can miss a qualifying gram")
+    val cands = grams.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { g =>
+        counts.get(g) match {
+          case Some(c) => counts.update(g, c + 1)
+          case None if counts.size < capacity => counts.update(g, 1L)
+          case None =>
+            // decrement-all, dropping zeros — amortized O(1) per item
+            // (every decrement is paid for by an earlier increment)
+            val ks = counts.keys.toArray
+            var i = 0
+            while (i < ks.length) {
+              val c = counts(ks(i))
+              if (c == 1L) counts.remove(ks(i)) else counts.update(ks(i), c - 1)
+              i += 1
+            }
+        }
+      }
+      counts.keysIterator
+    }.toDF("gram").distinct()
+    grams.join(broadcast(cands), "gram")
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+  }
+
   /** DSIR importance weights (Xie et al., "Data Selection for Language
     * Models via Importance Resampling", NeurIPS 2023): score each raw
     * document by how target-like its hashed-n-gram distribution is.

@@ -21,6 +21,29 @@ class ScorersSpec extends SparkSpec {
     assert(m.getAs[Long]("cnt") == 5)
   }
 
+  test("stats merge: per-slice models combine to the union's direct fit") {
+    val all = (1 to 200).map(i => ("k", i * 0.7 + (i % 13))).toDF("k", "x")
+    val sliceA = all.where($"x" * 10 % 3 === 0)
+    val sliceB = all.except(sliceA)
+    val direct = Fitters.stats(all, Seq("k"), Seq("x")).head()
+    val merged = Fitters.statsMerge(Seq(
+      Fitters.stats(sliceA, Seq("k"), Seq("x")),
+      Fitters.stats(sliceB, Seq("k"), Seq("x"))), Seq("k")).head()
+    assert(merged.getAs[Long]("cnt") == direct.getAs[Long]("cnt"))
+    assert(math.abs(merged.getAs[Double]("mean") - direct.getAs[Double]("mean")) < 1e-9)
+    assert(math.abs(merged.getAs[Double]("std") - direct.getAs[Double]("std")) < 1e-9)
+    assert(merged.getAs[Double]("vmin") == direct.getAs[Double]("vmin"))
+    assert(merged.getAs[Double]("vmax") == direct.getAs[Double]("vmax"))
+    // a single-row slice has NULL/NaN std but zero M2 — must not poison
+    val one = Seq(("k", 5.0)).toDF("k", "x")
+    val m3 = Fitters.statsMerge(Seq(
+      Fitters.stats(all, Seq("k"), Seq("x")),
+      Fitters.stats(one, Seq("k"), Seq("x"))), Seq("k")).head()
+    val d3 = Fitters.stats(all.union(one), Seq("k"), Seq("x")).head()
+    assert(m3.getAs[Long]("cnt") == d3.getAs[Long]("cnt"))
+    assert(math.abs(m3.getAs[Double]("std") - d3.getAs[Double]("std")) < 1e-9)
+  }
+
   test("zscore: hand-computed score and O/N tags; zero-variance key -> I") {
     val stats = Fitters.stats(tiny, Seq("k"), Seq("x"))
     val out = Scorers.zscore(tiny, stats, Cfg(Seq("k"), Seq("x"), threshold = 1.5))

@@ -343,6 +343,29 @@ class TextSpec extends SparkSpec {
     assert(out.forall(r => math.abs(r.getAs[Double]("simc")) <= 1.0 + 1e-9))
   }
 
+  test("heavy hitters: MG prefilter + exact confirm equals plain groupBy") {
+    // tiny capacity (4) forces constant Misra-Gries evictions; the
+    // candidate union must still cover every gram above the N/C bound,
+    // so the confirmed output equals the exact definition
+    val docs = (Seq.tabulate(40)(i => (i.toLong, "alpha beta gamma delta")) ++
+      Seq.tabulate(25)(i => ((100 + i).toLong, "epsilon zeta eta theta")) ++
+      Seq.tabulate(120)(i => ((1000 + i).toLong, s"noise$i filler$i")))
+      .toDF("doc_id", "text")
+    val got = TextOps.heavyHitterGrams(docs, "doc_id", "text",
+      n = 2, minCount = 25, capacity = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact: 40×3 alpha-block bigrams, 25×3 epsilon-block, noise 1 each
+    val exact = Map(
+      "alpha beta" -> 40L, "beta gamma" -> 40L, "gamma delta" -> 40L,
+      "epsilon zeta" -> 25L, "zeta eta" -> 25L, "eta theta" -> 25L)
+    assert(got == exact)
+    // guarantee violated -> the operator must refuse, not silently miss
+    intercept[IllegalArgumentException] {
+      TextOps.heavyHitterGrams(docs, "doc_id", "text",
+        n = 2, minCount = 2, capacity = 4).collect()
+    }
+  }
+
   test("dsir: target-like docs outweigh off-target; gumbel top-k reproducible") {
     // raw pool = 30 docs in the target idiom + 30 in another; target
     // corpus = a disjoint set of target-idiom docs. Importance weights
