@@ -66,6 +66,20 @@ object Fitters {
         col("vmin"), col("vmax")): _*)
   }
 
+  /** Merge [[histogram]] models fitted on disjoint slices — the
+    * incremental companion to [[statsMerge]]: bucket counts are additive,
+    * and freq recomputes from the merged totals, so the result is
+    * BIT-identical to a direct fit of the union (no float merge error at
+    * all — counts are exact longs). One model-sized hash aggregation. */
+  def histogramMerge(models: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
+    require(models.nonEmpty, "no models to merge")
+    val merged = models.reduce(_ unionByName _)
+      .groupBy((keyCols :+ "bucket").map(col): _*)
+      .agg(sum("cnt").as("cnt"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    merged.withColumn("freq", col("cnt") / sum("cnt").over(w))
+  }
+
   /** Median + MAD (median absolute deviation) per (key, attribute).
     * Replaces chombo NumericalAttrMedian (resource/ecomm.sh:19,29; consumed by
     * RobustZscorePredictor.java:100-102). Exact interpolated percentile

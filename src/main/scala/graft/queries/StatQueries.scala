@@ -32,6 +32,15 @@ object StatQueries {
       val mB = Fitters.stats(e.where(isB), Seq("event_type"), Seq("value"))
       canon(Fitters.statsMerge(Seq(mA, mB), Seq("event_type")))
     }),
+    // same incremental path for histograms: per-half fits, counts merge,
+    // freq recomputes — bit-identical to the q04 direct fit
+    "q113_histogram_merge" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val isB = graft.text.TextOps.hash56(col("event_id").cast("string")) % 2 === 1
+      val mA = Fitters.histogram(e.where(!isB), Seq("event_type"), Seq(("value", 10.0)))
+      val mB = Fitters.histogram(e.where(isB), Seq("event_type"), Seq(("value", 10.0)))
+      canon(Fitters.histogramMerge(Seq(mA, mB), Seq("event_type")))
+    }),
     "q02_robust_fit" -> ((s, dir) =>
       canon(Fitters.robustStats(ev(s, dir), Seq("event_type"), Seq("value")))),
     "q03_quantile_fit" -> ((s, dir) =>
@@ -212,6 +221,11 @@ object StatQueries {
          |SELECT event_type, 'value' AS attr, round(q1,4) AS q1, round(q3,4) AS q3,
          | round(q3-q1,4) AS iqr FROM quant""".stripMargin.replace("\n", " "),
     "q04_histogram_fit" ->
+      s"""WITH $evHist
+         |SELECT event_type, bucket, cnt, round(freq,4) AS freq FROM histn"""
+        .stripMargin.replace("\n", " "),
+    // merged per-half histograms must equal the direct fit (q04 oracle)
+    "q113_histogram_merge" ->
       s"""WITH $evHist
          |SELECT event_type, bucket, cnt, round(freq,4) AS freq FROM histn"""
         .stripMargin.replace("\n", " "),

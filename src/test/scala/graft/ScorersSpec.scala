@@ -44,6 +44,21 @@ class ScorersSpec extends SparkSpec {
     assert(math.abs(m3.getAs[Double]("std") - d3.getAs[Double]("std")) < 1e-9)
   }
 
+  test("histogram merge: per-slice counts combine to the direct fit exactly") {
+    val all = (1 to 300).map(i => ("k", (i % 47) * 1.7)).toDF("k", "x")
+    // filter complement, not .except: except dedups and this fixture has
+    // repeated rows
+    val a = all.where($"x" < 40)
+    val b = all.where(!($"x" < 40))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Fitters.histogram(df, Seq("k"), Seq(("x", 10.0)))
+    val direct = Fitters.histogram(all, Seq("k"), Seq(("x", 10.0)))
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    val merged = Fitters.histogramMerge(Seq(m(a), m(b)), Seq("k"))
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(merged == direct) // counts are longs, freq same division: exact
+  }
+
   test("zscore: hand-computed score and O/N tags; zero-variance key -> I") {
     val stats = Fitters.stats(tiny, Seq("k"), Seq("x"))
     val out = Scorers.zscore(tiny, stats, Cfg(Seq("k"), Seq("x"), threshold = 1.5))
