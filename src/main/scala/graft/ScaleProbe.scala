@@ -120,6 +120,32 @@ object ScaleProbe {
         seq.HaloWindows.changePointMeanShift(ev, Seq("event_type"), "event_id",
           "value", window = 30, critValue = 3.0, numPartitions = 1024).count()
       }
+      // curation family (q102/q109/q110/q111 shapes). semdedup's pair join
+      // is bounded per cell; dsir is two explode+aggs + a broadcast join;
+      // heavy_grams' confirm shuffle is candidate-bounded (minCount scales
+      // with N to keep the Misra-Gries guarantee margin constant)
+      time("lm_score", n, nDocs) {
+        text.TextOps.lmScore(docs, "doc_id", "text").count()
+      }
+      time("semdedup", n, nEmb) {
+        sim.Similarity.semDedupDeterministic(emb, "vec_id", "embedding",
+          nCells = 8, eps = 0.4, iters = 10, maxSample = 4096).count()
+      }
+      time("dsir_select", n, nDocs) {
+        text.TextOps.dsirSelect(docs, docs.where(col("source") === "src0"),
+          "doc_id", "text", topN = 100, nBuckets = 512).count()
+      }
+      time("heavy_grams", n, nDocs) {
+        text.TextOps.heavyHitterGrams(docs, "doc_id", "text", n = 2,
+          minCount = 30L * n, capacity = 2048).count()
+      }
+      // sample-bounded energy distance: cost is O(maxSample²) by design,
+      // so this line must stay FLAT as the corpus scales
+      time("energy_dist", n, nEmb) {
+        val isB = text.TextOps.hash56(col("vec_id").cast("string")) % 2 === 1
+        drift.Drift.embeddingEnergyDistance(emb.where(!isB), emb.where(isB),
+          "embedding", idCol = "vec_id", maxSample = 1000).count()
+      }
     }
     spark.stop()
   }

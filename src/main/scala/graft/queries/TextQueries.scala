@@ -262,11 +262,12 @@ object TextQueries {
         "doc_id", "text", topN = 100, nBuckets = 512))
     }),
     // exact heavy-hitter bigrams behind the Misra-Gries candidate
-    // prefilter (capacity 2048 ⇒ superset bound N/C ≈ 13 < minCount 30,
-    // so the plain GROUP BY/HAVING oracle gates the sketched path)
+    // prefilter; capacity 16384 keeps the superset bound N/C below
+    // minCount 30 at both gate scales (sf0.01: N/C ≈ 2; sf0.1: ≈ 16 —
+    // the runtime require would refuse, not silently miss, beyond that)
     "q111_heavy_grams" -> ((s, dir) =>
       TextOps.heavyHitterGrams(docs(s, dir), "doc_id", "text", n = 2,
-        minCount = 30, capacity = 2048)),
+        minCount = 30, capacity = 16384)),
   )
 
   private val toks = """regexp_extract_all(lower(text), '\S+')"""

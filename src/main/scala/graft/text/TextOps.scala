@@ -636,19 +636,22 @@ object TextOps {
     * [[dsirWeights]] — key = log w − ln(−ln u) with u the md5-derived
     * uniform of the doc id ("gum:" salt), so the sample is reproducible
     * across runs/engines/partitionings and SQL-replayable (q110 oracle).
-    * The rank filter is statically visible → Spark plans a top-k
-    * (WindowGroupLimit), shuffling candidates, not the corpus. Output:
-    * idCol, nFeats, logw, gkey, rank ≤ topN. */
+    * Selection is orderBy+limit — a distributed TakeOrdered (each
+    * partition keeps its top-N heap, only candidates reach the driver
+    * side of the sort), NOT a global row_number window that would funnel
+    * the corpus through one partition; rank is then assigned over the
+    * topN survivors only. Output: idCol, nFeats, logw, gkey, rank. */
   def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, topN: Int, nBuckets: Int = 512,
       smoothing: Double = 1.0): DataFrame = {
     val u = (hash56(concat(lit("gum:"), col(idCol).cast("string")))
       .cast("double") + lit(0.5)) / lit((1L << 56).toDouble)
-    val w = Window.orderBy(col("gkey").desc, col(idCol))
-    dsirWeights(raw, target, idCol, textCol, nBuckets, smoothing)
+    val sel = dsirWeights(raw, target, idCol, textCol, nBuckets, smoothing)
       .withColumn("gkey", col("logw") - log(-log(u)))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topN)
+      .orderBy(col("gkey").desc, col(idCol))
+      .limit(topN)
+    val w = Window.orderBy(col("gkey").desc, col(idCol))
+    sel.withColumn("rank", row_number().over(w))
   }
 
   /** PII redaction (C4/RefinedWeb-style curation): mask emails and
