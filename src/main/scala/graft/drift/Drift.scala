@@ -219,16 +219,26 @@ object Drift {
     def vecs(df: DataFrame, as: String) = {
       val bounded =
         if (maxSample > 0 && idCol != null)
+          // repartition after the limit: a global limit collapses to one
+          // partition, which would serialize the whole cross join
           df.orderBy(md5(col(idCol).cast("string"))).limit(maxSample)
+            .repartition(spark.sparkContext.defaultParallelism)
         else df
       bounded.select(transform(col(vecCol), x => x.cast("double")).as(as))
+        .withColumn(as + "_sq",
+          call_function("vec_dot", col(as), col(as)))
     }
-    def meanDist(l: DataFrame, cl: String, r: DataFrame, cr: String): Double = {
-      val diff = zip_with(col(cl), col(cr), (p, q) => p - q)
+    // ‖x−y‖ = sqrt(‖x‖² + ‖y‖² − 2x·y) with the norms precomputed per
+    // row: the per-pair work is ONE codegen'd vec_dot — no interpreted
+    // zip_with lambda, no per-pair array allocation (that formulation
+    // ran ~100× slower). greatest(…, 0) guards cancellation underflow.
+    def meanDist(l: DataFrame, cl: String, r: DataFrame, cr: String): Double =
       l.crossJoin(r)
-        .agg(avg(sqrt(call_function("vec_dot", diff, diff))).as("d"))
+        .agg(avg(sqrt(greatest(
+          col(cl + "_sq") + col(cr + "_sq") -
+            lit(2.0) * call_function("vec_dot", col(cl), col(cr)),
+          lit(0.0)))).as("d"))
         .head().getDouble(0)
-    }
     val ax = vecs(a, "xa")
     val ax2 = vecs(a, "xb")
     val by = vecs(b, "ya")

@@ -483,4 +483,65 @@ object StreamScorers {
           out.iterator
         })
   }
+
+  /** A gram whose guaranteed lower bound crossed minCount: `cnt` is the
+    * Space-Saving estimate at crossing time (true count ∈ [cnt − maxErr,
+    * cnt]), not a final total — the stream has no "final". */
+  case class HeavyGram(gram: String, cnt: Long, maxErr: Long)
+  case class SsState(counters: Map[String, (Long, Long)], emitted: List[String])
+
+  /** Streaming heavy-hitter n-grams — Space-Saving summaries (Metwally,
+    * Agrawal & El Abbadi, "Efficient Computation of Frequent and Top-k
+    * Elements in Data Streams", ICDT 2005) sharded by gram hash and kept
+    * across micro-batches via flatMapGroupsWithState; the streaming twin
+    * of [[graft.text.TextOps.heavyHitterGrams]].
+    *
+    * Every occurrence of a gram routes to the same shard
+    * (md5-hash mod `nShards`), so each shard's capacity-bounded summary
+    * carries the classic guarantee est ≥ true ≥ est − err, err being the
+    * count absorbed from the evicted minimum. A gram is emitted ONCE,
+    * when its lower bound est − err first reaches `minCount` — the
+    * decision never retracts, so the sink sees clean append semantics.
+    * State is ≤ capacity counters + the emitted list (≤ N/minCount grams)
+    * per shard, constant in stream length; when a shard's distinct grams
+    * never exceed capacity, no eviction happens, err stays 0 and counts
+    * are exact (the spec pins that parity with the batch operator).
+    * Eviction scans for the minimum counter (O(capacity)); capacity here
+    * is thousands, and only no-hit batches pay it. */
+  def heavyHitterStream(docs: DataFrame, textCol: String, n: Int,
+      minCount: Long, nShards: Int = 64,
+      capacity: Int = 4096): Dataset[HeavyGram] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = graft.text.TextOps.gramOccurrences(docs, textCol, n)
+      .select(col("gram"),
+        (graft.text.TextOps.hash56(col("gram")) % nShards).cast("int").as("shard"))
+    grams.as[(String, Int)].groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (shard: Int, it: Iterator[(String, Int)], st: GroupState[SsState]) => {
+          val s = st.getOption.getOrElse(SsState(Map.empty, Nil))
+          val counters = collection.mutable.Map[String, (Long, Long)](
+            s.counters.toSeq: _*)
+          it.foreach { case (g, _) =>
+            counters.get(g) match {
+              case Some((c, e)) => counters.update(g, (c + 1, e))
+              case None if counters.size < capacity => counters.update(g, (1L, 0L))
+              case None =>
+                // replace the minimum counter (ties to the smallest gram
+                // so replays are deterministic); the newcomer inherits
+                // the evicted estimate as its error bound
+                val (mg, (mc, _)) = counters.minBy { case (k, (c, _)) => (c, k) }
+                counters.remove(mg)
+                counters.update(g, (mc + 1, mc))
+            }
+          }
+          val emittedSet = s.emitted.toSet
+          val out = counters.iterator.collect {
+            case (g, (c, e)) if c - e >= minCount && !emittedSet.contains(g) =>
+              HeavyGram(g, c, e)
+          }.toList.sortBy(_.gram)
+          st.update(SsState(counters.toMap, out.map(_.gram) ::: s.emitted))
+          out.iterator
+        })
+  }
 }

@@ -525,16 +525,23 @@ object TextOps {
 
   /** Per-doc hashed n-gram features (unigrams + bigrams → 56-bit md5
     * hash mod `nBuckets`) — the DSIR feature map. One row per gram
-    * OCCURRENCE (counts matter, not presence). */
+    * OCCURRENCE (counts matter, not presence). HOF lambdas are
+    * interpreted, so they only build (tok, nextTok) structs; the string
+    * concat and md5 run in the codegen'd projection AFTER the explode. */
   private def hashedGrams(df: DataFrame, idCol: String, textCol: String,
       nBuckets: Int): DataFrame = {
     val t = tokens(col(textCol))
-    val bigrams = when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1), i =>
-        concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), explode(concat(t, bigrams)).as("gram"))
-      .select(col(idCol), (hash56(col("gram")) % nBuckets).as("b"))
+    val unis = transform(t, x =>
+      struct(x.as("a"), lit(null).cast("string").as("b")))
+    val bis = when(size(t) >= 2,
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (x, y) => struct(x.as("a"), y.as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    df.select(col(idCol), explode(concat(unis, bis)).as("g"))
+      .select(col(idCol),
+        (hash56(when(col("g.b").isNull, col("g.a"))
+          .otherwise(concat(col("g.a"), lit(" "), col("g.b")))) % nBuckets)
+          .as("b"))
   }
 
   /** Exact corpus-level heavy-hitter n-grams behind a Misra–Gries
@@ -555,17 +562,37 @@ object TextOps {
     * partition. Three corpus passes (size, candidates, confirm), all
     * scan+explode — no corpus-sized state is ever persisted.
     * Output: gram, cnt (exact) for cnt ≥ minCount. */
+  /** One row per word n-gram OCCURRENCE (not distinct — counts matter).
+    * Shared by the batch and streaming heavy-hitter operators. The n=2
+    * path keeps all string work out of the interpreted HOF lambda
+    * (struct zip + codegen'd concat after the explode — the lmGrams
+    * lesson); general n pays the per-gram interpreted concat. */
+  private[graft] def gramOccurrences(docs: DataFrame, textCol: String,
+      n: Int): DataFrame = {
+    val t = tokens(col(textCol))
+    if (n == 2) {
+      val pairs = when(size(t) >= 2,
+        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (x, y) => struct(x.as("a"), y.as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      docs.select(explode(pairs).as("g"))
+        .select(concat(col("g.a"), lit(" "), col("g.b")).as("gram"))
+    } else {
+      val withT = docs.select(tokens(col(textCol)).as("_toks"))
+      val tt = col("_toks")
+      val gramArr = when(size(tt) >= n,
+        transform(sequence(lit(0), size(tt) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(tt, i + j + 1)): _*)))
+        .otherwise(array())
+      withT.select(explode(gramArr).as("gram"))
+    }
+  }
+
   def heavyHitterGrams(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minCount: Long, capacity: Int = 4096): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val withT = docs.select(tokens(col(textCol)).as("_toks"))
-    val t = col("_toks")
-    val gramArr = when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
-      .otherwise(array())
-    val grams = withT.select(explode(gramArr).as("gram"))
+    val grams = gramOccurrences(docs, textCol, n)
     val total = grams.count()
     require(minCount > total.toDouble / capacity,
       s"minCount $minCount must exceed N/capacity = ${total / capacity} " +
@@ -602,28 +629,36 @@ object TextOps {
     * raw bucket distributions are Laplace-smoothed multinomials, and
     * log w(doc) = Σ_gram ln(p_target[b]/p_raw[b]).
     *
-    * Scale shape: both fits are one explode + hash agg with ≤ nBuckets
-    * output rows (model-sized); the per-bucket log-ratio table joins
-    * broadcast against doc grams. No corpus×corpus anything. Output:
-    * idCol, nFeats, logw (0.0 for empty docs). */
+    * Scale shape: the two fits are one explode + hash agg EACH, with
+    * ≤ nBuckets output rows — genuinely model-sized, so the log-ratio
+    * table is collected and shipped back as a LITERAL map column (the
+    * LocalKMeans-centroid pattern). That matters twice: scoring becomes
+    * a zero-join codegen'd lookup, and nothing in the plan re-evaluates
+    * the gram pipeline (left as lazy joined frames, the fit subtrees
+    * re-ran up to 8× inside broadcast-subquery jobs — measured 16.7 s at
+    * sf0.1 vs ~1 s for this shape). Output: idCol, nFeats, logw (0.0 for
+    * empty docs). */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, nBuckets: Int = 512,
       smoothing: Double = 1.0): DataFrame = {
     val k = smoothing
-    val ct = hashedGrams(target, idCol, textCol, nBuckets)
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-    val cr = hashedGrams(raw, idCol, textCol, nBuckets)
-      .groupBy("b").agg(count(lit(1)).as("cr"))
-    val nt = ct.agg(sum("ct")).head().getLong(0)
-    val nr = cr.agg(sum("cr")).head().getLong(0)
-    // every bucket a raw doc touches exists in cr; target-only buckets
-    // can never join a scored gram, so cr LEFT JOIN ct covers the domain
-    val lr = cr.join(ct, Seq("b"), "left")
-      .select(col("b"),
-        (log((coalesce(col("ct"), lit(0L)) + lit(k)) / lit(nt + k * nBuckets)) -
-          log((col("cr") + lit(k)) / lit(nr + k * nBuckets))).as("lr"))
+    def bucketCounts(df: DataFrame): Map[Long, Long] =
+      hashedGrams(df, idCol, textCol, nBuckets)
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ctM = bucketCounts(target)
+    val crM = bucketCounts(raw)
+    val nt = ctM.valuesIterator.sum
+    val nr = crM.valuesIterator.sum
+    // every bucket a raw doc touches exists in crM, so its keys cover
+    // the scoring domain; the arithmetic is the exact expression the
+    // q110 oracle replays (Laplace-smoothed log ratio)
+    val lrM: Map[Long, Double] = crM.map { case (b, cr) =>
+      b -> (math.log((ctM.getOrElse(b, 0L) + k) / (nt + k * nBuckets)) -
+        math.log((cr + k) / (nr + k * nBuckets)))
+    }
     val scored = hashedGrams(raw, idCol, textCol, nBuckets)
-      .join(lr, Seq("b"))
+      .select(col(idCol), element_at(typedlit(lrM), col("b")).as("lr"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("nFeats"), sum("lr").as("logw"))
     raw.select(col(idCol)).join(scored, Seq(idCol), "left")

@@ -33,6 +33,30 @@ class StreamSpec extends SparkSpec {
     assert(alerts.toSeq == Seq(("a", 20.0))) // only the outlier reaches the alert sink
   }
 
+  test("streaming heavy hitters: emit-once on crossing, exact under capacity") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = StreamScorers.heavyHitterStream(in.toDF().toDF("doc_id", "text"),
+      "text", n = 2, minCount = 5, nShards = 8, capacity = 1024)
+    val q = out.writeStream.format("memory").queryName("hh").outputMode("append").start()
+    // batch 1: "hot spot" appears 3 times — below minCount, nothing emits
+    in.addData((1L, "hot spot alpha"), (2L, "hot spot beta"), (3L, "hot spot gamma"))
+    q.processAllAvailable()
+    assert(spark.table("hh").count() == 0)
+    // batch 2: two more occurrences push "hot spot" to 5 — emits exactly
+    // once with the exact count (capacity never exceeded → err 0)
+    in.addData((4L, "hot spot delta"), (5L, "hot spot epsilon"))
+    q.processAllAvailable()
+    val hits = spark.table("hh").collect()
+      .map(r => (r.getAs[String]("gram"), r.getAs[Long]("cnt"), r.getAs[Long]("maxErr")))
+    assert(hits.toSeq == Seq(("hot spot", 5L, 0L)))
+    // batch 3: more occurrences must NOT re-emit the qualified gram
+    in.addData((6L, "hot spot zeta"), (7L, "hot spot eta"))
+    q.processAllAvailable()
+    assert(spark.table("hh").count() == 1)
+    q.stop()
+  }
+
   test("kafka message parsing: first-comma entity split and typed delimited decode") {
     implicit val sc = spark.sqlContext
     // the spout contract (PredictorSpout.java:55-59): "entityID,rest..."
