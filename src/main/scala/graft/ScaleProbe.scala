@@ -137,7 +137,7 @@ object ScaleProbe {
       }
       time("heavy_grams", n, nDocs) {
         text.TextOps.heavyHitterGrams(docs, "doc_id", "text", n = 2,
-          minCount = 30L * n, capacity = 2048).count()
+          minCount = 30L * n, capacity = 16384).count()
       }
       // sample-bounded energy distance: cost is O(maxSample²) by design,
       // so this line must stay FLAT as the corpus scales

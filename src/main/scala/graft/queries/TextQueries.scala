@@ -268,6 +268,14 @@ object TextQueries {
     "q111_heavy_grams" -> ((s, dir) =>
       TextOps.heavyHitterGrams(docs(s, dir), "doc_id", "text", n = 2,
         minCount = 30, capacity = 16384)),
+    // cross-corpus SemDeDup (incremental ingest): the ~20% md5-split
+    // "new batch" checked against the corpus-trained cell index
+    "q114_semdedup_across" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val isB = graft.text.TextOps.hash56(col("vec_id").cast("string")) % 5 === 0
+      canon(Similarity.semDedupAcross(e.where(isB), e.where(!isB), "vec_id",
+        "embedding", nCells = 8, eps = 0.4, iters = 10, maxSample = 4096))
+    }),
   )
 
   private val toks = """regexp_extract_all(lower(text), '\S+')"""
@@ -1118,6 +1126,50 @@ object TextQueries {
          |SELECT doc_id, nFeats, round(logw, 4) AS logw,
          | round(gkey, 4) AS gkey, rank FROM rk"""
         .stripMargin.replace("\n", " "),
+    // cross-corpus SemDeDup: corpus-only md5 sample trains the coarse
+    // quantizer (x-prefixed Lloyd chain, the q98 pattern); both sides
+    // assign cells via the same argmin; batch×corpus pairs within cells
+    "q114_semdedup_across" -> {
+      def ld(a: String, b: String) = s"list_dot_product($a, $b)"
+      val lloyd = (1 to 10).map { t =>
+        s"""xa$t AS MATERIALIZED (SELECT s.rn, s.v,
+           |  (min({'d': ${ld("c.cv", "c.cv")} - 2.0 * ${ld("s.v", "c.cv")}, 'c': c.cell})).c AS cell
+           | FROM xsamp s CROSS JOIN xc${t - 1} c GROUP BY s.rn, s.v),
+           |xg$t AS (SELECT a.cell, t.j, round(avg(a.v[t.j + 1]), 5) AS cx
+           | FROM xa$t a CROSS JOIN (SELECT unnest(range(64)) AS j) t
+           | GROUP BY a.cell, t.j),
+           |xc$t AS MATERIALIZED (SELECT p.cell,
+           |  CASE WHEN count(g.cx) = 0 THEN p.cv
+           |   ELSE list(g.cx ORDER BY g.j) END AS cv
+           | FROM xc${t - 1} p LEFT JOIN xg$t g USING (cell)
+           | GROUP BY p.cell, p.cv)""".stripMargin
+      }.mkString(", ")
+      s"""WITH xe AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  (${h56("vec_id::VARCHAR")} % 5) = 0 AS isBatch FROM embeddings),
+         |xs0 AS (SELECT v, md5(vec_id::VARCHAR) AS h FROM xe WHERE NOT isBatch
+         |  ORDER BY h, v LIMIT 4096),
+         |xsamp AS MATERIALIZED (SELECT v, row_number() OVER (ORDER BY h, v) AS rn FROM xs0),
+         |xsn AS (SELECT count(*) AS n FROM xsamp),
+         |xc0 AS (SELECT t.i AS cell, s.v AS cv
+         | FROM (SELECT unnest(range(8)) AS i) t, xsn
+         | JOIN xsamp s ON s.rn = (t.i * xsn.n) // 8 + 1),
+         |$lloyd,
+         |xasg AS MATERIALIZED (SELECT xe.vec_id, xe.isBatch, xe.v,
+         |  (min({'d': ${ld("c.cv", "c.cv")} - 2.0 * ${ld("xe.v", "c.cv")}, 'c': c.cell})).c AS cell
+         | FROM xe CROSS JOIN xc10 c GROUP BY xe.vec_id, xe.isBatch, xe.v),
+         |pr AS (SELECT * FROM (SELECT b.vec_id AS bid, c.vec_id AS cid,
+         |  ${ld("b.v", "c.v")} /
+         |   (sqrt(${ld("b.v", "b.v")}) * sqrt(${ld("c.v", "c.v")})) AS cos
+         | FROM xasg b JOIN xasg c ON b.cell = c.cell
+         | WHERE b.isBatch AND NOT c.isBatch) WHERE cos >= 0.4),
+         |hits AS (SELECT bid, count(*) AS nDups,
+         |  max({'c': cos, 'ni': -cid}) AS best FROM pr GROUP BY bid)
+         |SELECT a.vec_id, a.cell::BIGINT AS cell,
+         | coalesce(h.nDups, 0)::BIGINT AS nDups,
+         | -((h.best).ni) AS matchId, round((h.best).c, 4) AS matchCos
+         |FROM xasg a LEFT JOIN hits h ON h.bid = a.vec_id WHERE a.isBatch"""
+        .stripMargin.replace("\n", " ")
+    },
     // heavy hitters: the Misra-Gries phase is cost-only, so the oracle
     // is the exact definition
     "q111_heavy_grams" ->

@@ -632,4 +632,55 @@ object Similarity {
       .select(col("cid").as(idCol), col("cell").cast("long").as("cell"),
         col("simc"))
   }
+
+  /** Cross-corpus semantic near-dup check — the incremental-ingest twin
+    * of [[semDedupDeterministic]] (what `minhashPairsAcross`/q106 is for
+    * MinHash): a NEW batch of embeddings is checked against an indexed
+    * corpus without ever pairing the corpus with itself. The coarse
+    * quantizer trains on the CORPUS sample only (the index is built
+    * once and batches reuse it); batch vectors assign to corpus cells
+    * and pair only within their cell, so per-batch work is
+    * |batch| × expected-cell-size, independent of corpus². Output: one
+    * row per batch vector — its cell, its ε-neighbor count in the
+    * corpus, and the best match (highest cosine, ties to the smallest
+    * corpus id; nulls when clean). Deterministic end-to-end → full SQL
+    * replay (q114 oracle). */
+  def semDedupAcross(batch: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, eps: Double, iters: Int = 10,
+      maxSample: Int = 20000): DataFrame = {
+    graft.expr.GraftFunctions.register(batch.sparkSession)
+    def prep(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id),
+        transform(col(vecCol), x => x.cast("double")).as(v))
+    val c = prep(corpus, "cid", "cv")
+    val pts = LocalKMeans.sampleVectorsHashed(c, "cv", Seq("cid"), maxSample)
+    val cents = LocalKMeans.fitFixed(pts, nCells, iters, viaDot = true)
+    val ccs = cents.map(ct => LocalKMeans.dotSeq(ct, ct))
+    def relD2(v: Column, ci: Int): Column =
+      lit(ccs(ci)) - lit(2.0) * call_function("vec_dot", v,
+        array(cents(ci).map(lit(_)): _*))
+    def assign(df: DataFrame, v: String) = df.withColumn("cell",
+      array_min(array(cents.indices.map(ci =>
+        struct(relD2(col(v), ci).as("d"), lit(ci).as("c"))): _*))
+        .getField("c"))
+      .withColumn(v + "n", sqrt(call_function("vec_dot", col(v), col(v))))
+    val ca = assign(c, "cv")
+    val ba = assign(prep(batch, "bid", "bv"), "bv")
+    val pairs = ba.join(ca, Seq("cell"))
+      .withColumn("cos",
+        call_function("vec_dot", col("bv"), col("cv")) /
+          (col("bvn") * col("cvn")))
+      .where(col("cos") >= eps)
+    // best match via struct max: (cos, −cid) orders ties to smallest cid
+    val hits = pairs.groupBy("bid").agg(
+      count(lit(1)).as("nDups"),
+      max(struct(col("cos").as("c"), (-col("cid")).as("ni"))).as("best"))
+    ba.select(col("bid"), col("cell"))
+      .join(hits.select(col("bid"), col("nDups"),
+        (-col("best.ni")).as("matchId"), col("best.c").as("matchCos")),
+        Seq("bid"), "left")
+      .select(col("bid").as(idCol), col("cell").cast("long").as("cell"),
+        coalesce(col("nDups"), lit(0L)).as("nDups"),
+        col("matchId"), col("matchCos"))
+  }
 }

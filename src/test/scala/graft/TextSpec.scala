@@ -343,6 +343,28 @@ class TextSpec extends SparkSpec {
     assert(out.forall(r => math.abs(r.getAs[Double]("simc")) <= 1.0 + 1e-9))
   }
 
+  test("semdedup across: batch twin flags its corpus match, fresh vector is clean") {
+    val rnd = new scala.util.Random(13)
+    val corpus = Seq.tabulate(120)(i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // batch: an exact copy of corpus id 7 + a fresh random vector
+    val twin = corpus.where($"vec_id" === 7)
+      .select(lit(500L).as("vec_id"), $"embedding")
+    val fresh = Seq((501L, Array.fill(32)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val batch = twin.union(fresh)
+    val out = Similarity.semDedupAcross(batch, corpus, "vec_id", "embedding",
+      nCells = 4, eps = 0.95, iters = 5)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("nDups"), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(500L)._1 >= 1 && out(500L)._2.contains(7L),
+      s"twin should match corpus id 7: ${out(500L)}")
+    assert(out(501L) == (0L, None), s"fresh vector should be clean: ${out(501L)}")
+    // corpus is never self-paired: output rows = batch size only
+    assert(out.size == 2)
+  }
+
   test("heavy hitters: MG prefilter + exact confirm equals plain groupBy") {
     // tiny capacity (4) forces constant Misra-Gries evictions; the
     // candidate union must still cover every gram above the N/C bound,
