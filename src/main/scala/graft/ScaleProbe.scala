@@ -29,7 +29,13 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
     }
 
+    // SPARK_GRAFT_OPS=op1,op2 re-measures a subset without paying for the
+    // whole suite (probe blocks are wall-clock sensitive; a loaded host
+    // contaminates every line that shares its block)
+    val opsFilter = sys.env.get("SPARK_GRAFT_OPS")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     def time(op: String, n: Int, rows: Long)(f: => Long): Unit = {
+      if (opsFilter.nonEmpty && !opsFilter.contains(op)) return
       val t0 = System.nanoTime()
       val out = f
       val s = (System.nanoTime() - t0) / 1e9
@@ -112,7 +118,7 @@ object ScaleProbe {
         sim.Similarity.pqSearchDeterministic(qv, pq, emb, "vec_id", "embedding",
           k = 10, shortlist = 50).count()
       }
-      pq.codes.unpersist(blocking = false)
+      if (pq != null) pq.codes.unpersist(blocking = false)
       // halo kernel at a forced ≥1000-partition layout: the routed halo
       // exchange keeps the driver at O(numPartitions) counts, so this
       // must track the 32-partition halo_chgpoint line, not blow up
@@ -127,9 +133,11 @@ object ScaleProbe {
       time("lm_score", n, nDocs) {
         text.TextOps.lmScore(docs, "doc_id", "text").count()
       }
+      // nCells scales with the corpus so per-cell occupancy stays constant
+      // (the deployment rule — fixed cells make within-cell pairs quadratic)
       time("semdedup", n, nEmb) {
         sim.Similarity.semDedupDeterministic(emb, "vec_id", "embedding",
-          nCells = 8, eps = 0.4, iters = 10, maxSample = 4096).count()
+          nCells = 8 * n, eps = 0.4, iters = 10, maxSample = 4096).count()
       }
       time("dsir_select", n, nDocs) {
         text.TextOps.dsirSelect(docs, docs.where(col("source") === "src0"),
