@@ -96,7 +96,17 @@ object ScaleProbe {
       // n×-scaled corpus — brute force is the linear baseline; IVF probes
       // 2 of 8 cells; PQ splits one-time index build from the ADC search
       // over the prebuilt (persisted) code table
-      val emb = scaled("embeddings", Seq("vec_id"), n)
+      // copies get a deterministic per-copy shift: n× real data means n×
+      // DISTINCT vectors, and identical copies degenerate every sampled
+      // quantizer (the md5-ordered sample collapses to ~maxSample/n
+      // distinct points → skewed cells → quadratic within-cell pairs —
+      // that measures degenerate input, not the plan)
+      val embBase = core.table(spark, sfDir, "embeddings")
+      val emb = (0 until n).map { i =>
+        embBase.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000000L))
+          .withColumn("embedding",
+            transform(col("embedding"), x => x + lit(i * 0.037)))
+      }.reduce(_ unionByName _)
       val nEmb = emb.count()
       val qv = core.table(spark, sfDir, "embeddings").where(col("vec_id") < 20)
       time("ann_brute", n, nEmb) {

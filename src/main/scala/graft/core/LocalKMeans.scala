@@ -87,12 +87,17 @@ object LocalKMeans {
     val kk = math.min(k, n)
     val centers = Array.tabulate(kk)(i => pts((i.toLong * n / kk).toInt).clone())
     var iter = 0
+    val asgn = new Array[Int](n)
     while (iter < iters) {
       val cc = if (viaDot) centers.map(c => dotSeq(c, c)) else null
       val sums = Array.ofDim[Double](kk, d)
       val counts = new Array[Long](kk)
-      var i = 0
-      while (i < n) {
+      // assignment is per-point independent → parallel (each index writes
+      // its own slot; sample×k×d flops dominate the fit — 13 Gflop at
+      // 4096×512×64×10). The ORDER-sensitive float accumulation below
+      // stays sequential in point-index order, so centroids are
+      // bit-identical to the serial loop (and to the SQL replay).
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
         var best = 0
         var bestD = Double.MaxValue
         var ci = 0
@@ -102,6 +107,11 @@ object LocalKMeans {
           if (dd < bestD) { bestD = dd; best = ci }
           ci += 1
         }
+        asgn(i) = best
+      }
+      var i = 0
+      while (i < n) {
+        val best = asgn(i)
         counts(best) += 1
         var j = 0
         while (j < d) { sums(best)(j) += pts(i)(j); j += 1 }

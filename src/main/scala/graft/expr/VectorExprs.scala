@@ -2,11 +2,11 @@ package graft.expr
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.functions.{call_function, typedlit}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native Catalyst expressions for the vector hot path (SURVEY.md §4
@@ -52,6 +52,76 @@ case class VecDot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): VecDot = copy(newLeft, newRight)
 }
 
+/** Nearest-centroid index: argmin_ci (norms(ci) − 2·v·cents(ci)) — the
+  * IVF/PQ/semantic-dedup cell-assignment kernel (‖v−c‖² with the
+  * row-constant ‖v‖² dropped; `norms` must be the caller's Σc² so oracle
+  * arithmetic is preserved bit-for-bit). Semantically identical to the
+  * `array_min(array(struct(d, ci)…))` formulation — same sequential-sum
+  * dot, strict-less keeps the lowest index on ties, NaN loses to any
+  * non-NaN (Spark's struct ordering) — but one codegen'd loop over a
+  * reference-object double[][]: the struct form generates O(nCells·dim)
+  * Java source that overflows the JVM method limit past ~64 centroids
+  * and drops the whole stage to interpreted eval (measured 20× on the
+  * semantic-dedup assignment at 128 cells ×3 plan reuses). */
+case class VecNearest(child: Expression, cents: Array[Array[Double]],
+    norms: Array[Double]) extends UnaryExpression {
+  require(cents.nonEmpty && cents.length == norms.length,
+    s"${cents.length} centroids vs ${norms.length} norms")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "vec_nearest"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    var best = 0
+    var bd = 0.0
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      val n = math.min(v.numElements(), c.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * c(i); i += 1 }
+      val d = norms(ci) - 2.0 * s
+      if (ci == 0 || d < bd || (bd.isNaN && !d.isNaN)) { bd = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.addReferenceObj("cents", cents, "double[][]")
+      val nn = ctx.addReferenceObj("norms", norms, "double[]")
+      val ci = ctx.freshName("ci")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val bd = ctx.freshName("bd")
+      val best = ctx.freshName("best")
+      val c = ctx.freshName("c")
+      s"""
+         |int $best = 0;
+         |double $bd = 0.0;
+         |for (int $ci = 0; $ci < $m.length; $ci++) {
+         |  double[] $c = $m[$ci];
+         |  int $n = java.lang.Math.min($v.numElements(), $c.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $s += $v.getDouble($i) * $c[$i]; }
+         |  double $d = $nn[$ci] - 2.0 * $s;
+         |  if ($ci == 0 || $d < $bd ||
+         |      (java.lang.Double.isNaN($bd) && !java.lang.Double.isNaN($d))) {
+         |    $bd = $d; $best = $ci;
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecNearest =
+    copy(child = newChild)
+}
+
 /** Hamming distance of two int64 bit patterns (SimHash comparison). */
 case class BitHamming(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -79,8 +149,16 @@ object GraftFunctions {
   private def asLong(e: Expression): Expression = Cast(e, LongType)
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
+  private def litMatrix(e: Expression): Array[Array[Double]] = {
+    val ad = e.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+  private def litVec(e: Expression): Array[Double] =
+    e.eval().asInstanceOf[ArrayData].toDoubleArray()
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(asDoubles(es(0)), asDoubles(es(1)))),
+    "vec_nearest" -> (es =>
+      VecNearest(asDoubles(es(0)), litMatrix(es(1)), litVec(es(2)))),
     "bit_hamming" -> (es => BitHamming(asLong(es(0)), asLong(es(1)))),
     "minhash_sig" -> (es => MinHashSig(es(0), litInt(es(1)), litInt(es(2)))),
     "winnow_fp" -> (es => Winnow(es(0), litInt(es(1)), litInt(es(2)))))
@@ -96,6 +174,17 @@ object GraftFunctions {
   def vecDot(a: Column, b: Column)(implicit spark: SparkSession): Column = {
     register(spark)
     call_function("vec_dot", a, b)
+  }
+
+  /** Nearest-centroid cell column. `norms` must be the Σc² values the
+    * caller's oracle SQL uses (LocalKMeans.dotSeq(c, c)) — the expression
+    * reuses them verbatim so parity with the unrolled struct-argmin SQL
+    * is bit-exact. */
+  def vecNearest(spark: SparkSession, v: Column,
+      cents: Array[Array[Double]], norms: Array[Double]): Column = {
+    register(spark)
+    call_function("vec_nearest", v,
+      typedlit(cents.map(_.toSeq).toSeq), typedlit(norms.toSeq))
   }
 }
 

@@ -225,17 +225,14 @@ object Similarity {
       LocalKMeans.fitFixed(pts.map(_.slice(j * sub, (j + 1) * sub)),
         kCodes, iters, viaDot = true))
     val ccs = books.map(_.map(ct => LocalKMeans.dotSeq(ct, ct)))
-    def relD2(v: Column, j: Int, i: Int): Column =
-      lit(ccs(j)(i)) - lit(2.0) * call_function("vec_dot", v,
-        array(books(j)(i).map(lit(_)): _*))
-    // encode the corpus: per subspace, struct-argmin over the codebook
+    // encode the corpus: per subspace, codegen'd vec_nearest argmin over
+    // the codebook (the struct-argmin form is m × kCodes inline dots —
+    // interpreted-fallback territory at kCodes ≥ 64)
     val enc0 = (0 until m).foldLeft(c)((df, j) =>
       df.withColumn(s"sub$j", slice(col("cv"), j * sub + 1, sub)))
     val enc = (0 until m).foldLeft(enc0)((df, j) =>
-        df.withColumn(s"code$j",
-          array_min(array((0 until kCodes).map(i =>
-            struct(relD2(col(s"sub$j"), j, i).as("d"), lit(i).as("c"))): _*))
-            .getField("c")))
+        df.withColumn(s"code$j", graft.expr.GraftFunctions.vecNearest(
+          corpus.sparkSession, col(s"sub$j"), books(j), ccs(j))))
       .select(col("cid") +: (0 until m).map(j => col(s"code$j")): _*)
     PqIndex(m, sub, kCodes, books, enc)
   }
@@ -318,17 +315,15 @@ object Similarity {
     def cellD2(v: Column, ci: Int): Column =
       lit(coarseCC(ci)) - lit(2.0) * call_function("vec_dot", v,
         array(coarse(ci).map(lit(_)): _*))
-    // one pass over the corpus: coarse cell + m sub-codes
+    // one pass over the corpus: coarse cell + m sub-codes, both through
+    // the codegen'd vec_nearest loop (corpus-side hot path)
     val enc0 = (0 until m).foldLeft(
-      c.withColumn("cell", array_min(array(coarse.indices.map(ci =>
-          struct(cellD2(col("cv"), ci).as("d"), lit(ci).as("c"))): _*))
-          .getField("c")))(
+      c.withColumn("cell", graft.expr.GraftFunctions.vecNearest(
+          spark, col("cv"), coarse, coarseCC)))(
       (df, j) => df.withColumn(s"sub$j", slice(col("cv"), j * sub + 1, sub)))
     val enc = (0 until m).foldLeft(enc0)((df, j) =>
-        df.withColumn(s"code$j",
-          array_min(array((0 until kCodes).map(i =>
-            struct(relD2(col(s"sub$j"), j, i).as("d"), lit(i).as("c"))): _*))
-            .getField("c")))
+        df.withColumn(s"code$j", graft.expr.GraftFunctions.vecNearest(
+          spark, col(s"sub$j"), books(j), ccs(j))))
       .select(col("cid") +: col("cell") +: (0 until m).map(j => col(s"code$j")): _*)
     // query side: probed cells + ADC tables
     val q0 = queries.select(col(idCol).as("qid"),
@@ -406,29 +401,20 @@ object Similarity {
         kCodes, itersPq, viaDot = true))
     val ccs = books.map(_.map(ct => LocalKMeans.dotSeq(ct, ct)))
     val coarseCC = coarse.map(ct => LocalKMeans.dotSeq(ct, ct))
-    def relD2(v: Column, j: Int, i: Int): Column =
-      lit(ccs(j)(i)) - lit(2.0) * call_function("vec_dot", v,
-        array(books(j)(i).map(lit(_)): _*))
-    def cellD2(v: Column, ci: Int): Column =
-      lit(coarseCC(ci)) - lit(2.0) * call_function("vec_dot", v,
-        array(coarse(ci).map(lit(_)): _*))
     val centLit = typedlit(coarse.map(_.toSeq).toSeq)
     // one pass over the corpus: coarse cell, then per-subspace codes of
     // the residual against that cell's centroid
     val enc0 = c.withColumn("cell",
-        array_min(array(coarse.indices.map(ci =>
-          struct(cellD2(col("cv"), ci).as("d"), lit(ci).as("c"))): _*))
-          .getField("c"))
+        graft.expr.GraftFunctions.vecNearest(corpus.sparkSession, col("cv"),
+          coarse, coarseCC))
       .withColumn("cent", element_at(centLit, col("cell") + 1))
     def resSub(vec: Column, cent: Column, j: Int): Column =
       zip_with(slice(vec, j * sub + 1, sub), slice(cent, j * sub + 1, sub),
         (a, b) => a - b)
     val enc = (0 until m).foldLeft(enc0)((df, j) =>
-        df.withColumn(s"code$j",
-          array_min(array((0 until kCodes).map(i =>
-            struct(relD2(resSub(col("cv"), col("cent"), j), j, i).as("d"),
-              lit(i).as("c"))): _*))
-            .getField("c")))
+        df.withColumn(s"code$j", graft.expr.GraftFunctions.vecNearest(
+          corpus.sparkSession, resSub(col("cv"), col("cent"), j),
+          books(j), ccs(j))))
       .select(col("cid") +: col("cell") +: (0 until m).map(j => col(s"code$j")): _*)
     IvfPqResidualIndex(dim, m, sub, kCodes, coarse, books, enc)
   }
@@ -544,11 +530,11 @@ object Similarity {
     def relD2(v: Column, ci: Int): Column =
       lit(cc(ci)) - lit(2.0) * call_function("vec_dot", v,
         array(cents(ci).map(lit(_)): _*))
-    // argmin via one array_min over (dist, cell) structs — single
-    // evaluation per centroid, ties to the lowest cell index
+    // corpus-side argmin through the codegen'd vec_nearest loop (same
+    // arithmetic as the struct-argmin; the struct form's generated source
+    // is O(nCells·dim) and drops to interpreted eval past ~64 cells)
     val assigned = c.withColumn("cell",
-      array_min(array(cents.indices.map(ci =>
-        struct(relD2(col("cv"), ci).as("d"), lit(ci).as("cell"))): _*)).getField("cell"))
+      graft.expr.GraftFunctions.vecNearest(corpus.sparkSession, col("cv"), cents, cc))
     val q = queries.select(col(idCol).as("qid"),
       transform(col(vecCol), x => x.cast("double")).as("qv"))
     val cellDists = cents.indices.map { ci =>
@@ -599,36 +585,51 @@ object Similarity {
     val pts = LocalKMeans.sampleVectorsHashed(c, "cv", Seq("cid"), maxSample)
     val cents = LocalKMeans.fitFixed(pts, nCells, iters, viaDot = true)
     val ccs = cents.map(ct => LocalKMeans.dotSeq(ct, ct))
-    def relD2(v: Column, ci: Int): Column =
-      lit(ccs(ci)) - lit(2.0) * call_function("vec_dot", v,
-        array(cents(ci).map(lit(_)): _*))
     // one pass: cell argmin + vector norm + cosine to the won centroid
-    // (centroid lookup via element_at on literal arrays — no join)
-    val centArr = array(cents.map(ct => array(ct.map(lit(_)): _*)): _*)
-    val cnormArr = array(ccs.map(cc => lit(math.sqrt(cc))): _*)
+    // (centroid lookup via element_at on literal arrays — no join).
+    // typedlit builds ONE Literal node; array(array(lit…)) is nCells×dim
+    // expression nodes that every optimizer pass re-walks in each of this
+    // plan's three asg reuses — measured seconds of pure driver planning
+    // at 128 cells
+    val centArr = typedlit(cents.map(_.toSeq).toSeq)
+    val cnormArr = typedlit(ccs.map(math.sqrt).toSeq)
+    // materialize the assignment table ONCE — it feeds both sides of the
+    // self-anti-join below. Without this the whole assignment pipeline
+    // runs twice, and worse: a UNIONED input gets shredded by Spark's
+    // PushDownLeftSemiAntiJoin (anti joins distribute over a left-side
+    // union), re-evaluating the entire right side once per branch —
+    // measured driver OOM at a 64-way union. localCheckpoint cuts the
+    // lineage (no union survives for the rule to push through), leaves no
+    // CacheManager entry, and its blocks free when the result is GC'd.
+    // At real scale this is the FAISS shape anyway: the cell-assignment
+    // table is an index artifact you materialize once.
     val asg = c.withColumn("cell",
-        array_min(array(cents.indices.map(ci =>
-          struct(relD2(col("cv"), ci).as("d"), lit(ci).as("c"))): _*))
-          .getField("c"))
+        graft.expr.GraftFunctions.vecNearest(vecs.sparkSession, col("cv"),
+          cents, ccs))
       .withColumn("vnorm", sqrt(call_function("vec_dot", col("cv"), col("cv"))))
       .withColumn("simc",
         call_function("vec_dot", col("cv"), element_at(centArr, col("cell") + 1)) /
           (col("vnorm") * element_at(cnormArr, col("cell") + 1)))
-    // within-cluster ε-pairs: equi-join on cell — candidates bounded by
-    // cluster size, never the corpus
-    val a = asg.select(col("cid").as("a"), col("cv").as("av"),
-      col("vnorm").as("an"), col("simc").as("asimc"), col("cell"))
-    val b = asg.select(col("cid").as("b"), col("cv").as("bv"),
-      col("vnorm").as("bn"), col("simc").as("bsimc"), col("cell"))
-    val pairs = a.join(b, Seq("cell")).where(col("a") < col("b"))
-      .withColumn("cos",
-        call_function("vec_dot", col("av"), col("bv")) / (col("an") * col("bn")))
-      .where(col("cos") >= eps)
-    val losers = pairs.select(
-      when(col("asimc") > col("bsimc"), col("a"))
-        .when(col("bsimc") > col("asimc"), col("b"))
-        .otherwise(greatest(col("a"), col("b"))).as("cid")).distinct()
-    asg.join(losers, Seq("cid"), "left_anti")
+      .localCheckpoint(true)
+    // survivor rule as ONE cell-equi anti join: x is dropped iff some
+    // same-cell y has cos(x,y) ≥ eps and beats x (smaller simc; tie →
+    // smaller id) — element-wise equivalent to materializing every ε-pair
+    // and dropping the more-central member, but the anti join SHORT-
+    // CIRCUITS at each row's first witness and never materializes a
+    // joined pair row (the pair formulation copied both 64-dim vectors
+    // into 10⁶s of UnsafeRows before its filter — measured 4× the whole
+    // operator's cost at 32k×128 cells — then paid a distinct + second
+    // join on top). Candidates stay bounded by cell size, never the
+    // corpus.
+    val other = asg.select(col("cid").as("ocid"), col("cv").as("ocv"),
+      col("vnorm").as("onorm"), col("simc").as("osimc"),
+      col("cell").as("ocell"))
+    val beaten = col("cell") === col("ocell") && col("cid") =!= col("ocid") &&
+      call_function("vec_dot", col("cv"), col("ocv")) /
+        (col("vnorm") * col("onorm")) >= eps &&
+      (col("simc") > col("osimc") ||
+        (col("simc") === col("osimc") && col("cid") > col("ocid")))
+    asg.join(other, beaten, "left_anti")
       .select(col("cid").as(idCol), col("cell").cast("long").as("cell"),
         col("simc"))
   }
@@ -656,13 +657,9 @@ object Similarity {
     val pts = LocalKMeans.sampleVectorsHashed(c, "cv", Seq("cid"), maxSample)
     val cents = LocalKMeans.fitFixed(pts, nCells, iters, viaDot = true)
     val ccs = cents.map(ct => LocalKMeans.dotSeq(ct, ct))
-    def relD2(v: Column, ci: Int): Column =
-      lit(ccs(ci)) - lit(2.0) * call_function("vec_dot", v,
-        array(cents(ci).map(lit(_)): _*))
     def assign(df: DataFrame, v: String) = df.withColumn("cell",
-      array_min(array(cents.indices.map(ci =>
-        struct(relD2(col(v), ci).as("d"), lit(ci).as("c"))): _*))
-        .getField("c"))
+        graft.expr.GraftFunctions.vecNearest(batch.sparkSession, col(v),
+          cents, ccs))
       .withColumn(v + "n", sqrt(call_function("vec_dot", col(v), col(v))))
     val ca = assign(c, "cv")
     val ba = assign(prep(batch, "bid", "bv"), "bv")

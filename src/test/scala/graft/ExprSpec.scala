@@ -34,6 +34,51 @@ class ExprSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [vec_dot"))  // * prefix = inside WholeStageCodegen
   }
 
+  test("vec_nearest matches the struct-argmin formulation on every row") {
+    GraftFunctions.register(spark)
+    // deterministic pseudo-random vectors (md5-derived), plus tie and
+    // short-vector edge cases
+    val dim = 5
+    val cents = Array.tabulate(4, dim)((ci, d) =>
+      ((ci * 31 + d * 17) % 13 - 6) / 3.0)
+    val ccs = cents.map(c => c.map(x => x * x).sum)
+    val vecs = (0 until 200).map { r =>
+      (r.toLong, Array.tabulate(if (r % 7 == 0) dim - 2 else dim)(d =>
+        ((r * 37 + d * 101) % 29 - 14) / 5.0))
+    } :+ (1000L, cents(2).clone()) // exact centroid hit
+    val df = vecs.toDF("id", "v")
+    val fast = graft.expr.GraftFunctions.vecNearest(spark, $"v", cents, ccs)
+    def relD2(ci: Int) = lit(ccs(ci)) - lit(2.0) *
+      call_function("vec_dot", $"v", array(cents(ci).map(lit(_)): _*))
+    val slow = array_min(array(cents.indices.map(ci =>
+      struct(relD2(ci).as("d"), lit(ci).as("c"))): _*)).getField("c")
+    val bad = df.select($"id", fast.as("fast"), slow.as("slow"))
+      .where($"fast" =!= $"slow")
+    assert(bad.count() == 0, bad.collect().mkString(", "))
+  }
+
+  test("vec_nearest ties go to the lowest centroid index") {
+    GraftFunctions.register(spark)
+    val cents = Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0))
+    val ccs = cents.map(c => c.map(x => x * x).sum)
+    val df = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0))).toDF("id", "v")
+    val r = df.select($"id",
+      graft.expr.GraftFunctions.vecNearest(spark, $"v", cents, ccs).as("c"))
+      .orderBy("id").collect()
+    assert(r(0).getInt(1) == 0) // centroids 0 and 1 tie → lowest index
+    assert(r(1).getInt(1) == 2)
+  }
+
+  test("vec_nearest stays inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val cents = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+    val ccs = cents.map(c => c.map(x => x * x).sum)
+    val df = spark.range(10).selectExpr("array(cast(id as double), 2.0) as v")
+      .select(graft.expr.GraftFunctions.vecNearest(spark, $"v", cents, ccs).as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vec_nearest"))
+  }
+
   test("bit_hamming counts differing bits") {
     GraftFunctions.register(spark)
     val r = Seq((0xFFL, 0x0FL)).toDF("a", "b")
