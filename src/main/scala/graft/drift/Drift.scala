@@ -216,18 +216,26 @@ object Drift {
       vecCol: String, idCol: String = null, maxSample: Int = 0): DataFrame = {
     val spark = a.sparkSession
     graft.expr.GraftFunctions.register(spark)
-    def vecs(df: DataFrame, as: String) = {
-      val bounded =
-        if (maxSample > 0 && idCol != null)
-          // repartition after the limit: a global limit collapses to one
-          // partition, which would serialize the whole cross join
-          df.orderBy(md5(col(idCol).cast("string"))).limit(maxSample)
-            .repartition(spark.sparkContext.defaultParallelism)
-        else df
-      bounded.select(transform(col(vecCol), x => x.cast("double")).as(as))
-        .withColumn(as + "_sq",
-          call_function("vec_dot", col(as), col(as)))
+    def side(df: DataFrame): DataFrame = {
+      val base = df
+        .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+        .withColumn("vsq", call_function("vec_dot", col("v"), col("v")))
+      if (maxSample > 0 && idCol != null)
+        // repartition after the limit: a global limit collapses to one
+        // partition, which would serialize the whole cross join.
+        // localCheckpoint: each side feeds a count + TWO mean-distance
+        // sides below — without materializing the ≤maxSample-row sample,
+        // the md5 TakeOrdered re-scans the full corpus 8 times (measured
+        // 3× growth per 4× corpus on a curve that is flat by design)
+        df.orderBy(md5(col(idCol).cast("string"))).limit(maxSample)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+          .withColumn("vsq", call_function("vec_dot", col("v"), col("v")))
+          .localCheckpoint(true)
+      else base
     }
+    def aliased(s: DataFrame, as: String) =
+      s.select(col("v").as(as), col("vsq").as(as + "_sq"))
     // ‖x−y‖ = sqrt(‖x‖² + ‖y‖² − 2x·y) with the norms precomputed per
     // row: the per-pair work is ONE codegen'd vec_dot — no interpreted
     // zip_with lambda, no per-pair array allocation (that formulation
@@ -239,12 +247,14 @@ object Drift {
             lit(2.0) * call_function("vec_dot", col(cl), col(cr)),
           lit(0.0)))).as("d"))
         .head().getDouble(0)
-    val ax = vecs(a, "xa")
-    val ax2 = vecs(a, "xb")
-    val by = vecs(b, "ya")
-    val by2 = vecs(b, "yb")
-    val n = ax.count()
-    val m = by.count()
+    val sa = side(a)
+    val sb = side(b)
+    val ax = aliased(sa, "xa")
+    val ax2 = aliased(sa, "xb")
+    val by = aliased(sb, "ya")
+    val by2 = aliased(sb, "yb")
+    val n = sa.count()
+    val m = sb.count()
     val exy = meanDist(ax, "xa", by2, "yb")
     val exx = meanDist(ax, "xa", ax2, "xb")
     val eyy = meanDist(by, "ya", by2, "yb")
