@@ -90,6 +90,12 @@ object TextQueries {
     "q55_minhash_pairs" -> ((s, dir) =>
       TextOps.minhashPairs(docs(s, dir), "doc_id", "text", shingleSize = 3,
         NumHashes, BandSize)),
+    // hot-bucket cap (SCALING.md §5): maxBucket=2 bites at sf0.01 (the
+    // corpus has three size-3 buckets), so the oracle distinguishes the
+    // capped pipeline from q55's
+    "q115_neardup_capped" -> ((s, dir) =>
+      TextOps.minhashPairsCapped(docs(s, dir), "doc_id", "text",
+        shingleSize = 3, NumHashes, BandSize, maxBucket = 2)),
     "q56_simhash" -> ((s, dir) =>
       TextOps.simhash(docs(s, dir), "doc_id", "text", bits = 16)),
     // incremental-ingest dedup: the md5-selected 30% "new batch" collides
@@ -682,6 +688,18 @@ object TextQueries {
          | FROM sig GROUP BY doc_id, band)
          |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+         |WHERE l.doc_id < r.doc_id""".stripMargin.replace("\n", " "),
+    "q115_neardup_capped" ->
+      s"""WITH $sigCte,
+         |bands AS (SELECT doc_id, hashIdx // $BandSize AS band,
+         |  array_to_string(list(minHash ORDER BY hashIdx), ':') AS bucket
+         | FROM sig GROUP BY doc_id, band),
+         |kept AS (SELECT doc_id, band, bucket FROM (
+         |  SELECT doc_id, band, bucket,
+         |   count(*) OVER (PARTITION BY band, bucket) AS n FROM bands)
+         | WHERE n <= 2)
+         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |FROM kept l JOIN kept r ON l.band = r.band AND l.bucket = r.bucket
          |WHERE l.doc_id < r.doc_id""".stripMargin.replace("\n", " "),
     // minhash is per-row, so filtering sides before or after the
     // signature is identical — compute sig once, split at the band join

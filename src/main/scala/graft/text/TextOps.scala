@@ -102,6 +102,36 @@ object TextOps {
       .select("a", "b").distinct()
   }
 
+  /** [[minhashPairs]] with the SCALING.md §5 hot-bucket cap made real:
+    * buckets holding more than `maxBucket` docs are dropped WHOLE before
+    * the pair join. A degenerate bucket (a boilerplate band signature
+    * shared corpus-wide — licence headers, templated pages) contributes
+    * size² candidate pairs while its members are near-certainly caught by
+    * their other, non-degenerate bands; dropping it is standard dedup
+    * practice (cf. the postings-cap in suffix/ngram dedup pipelines) and
+    * turns the worst-case quadratic bucket into a hard bound: pair work
+    * ≤ Σ min(size, maxBucket)². The cap is a pure size predicate — no
+    * sampling, no order sensitivity — so the whole pipeline stays
+    * engine-replayable (q115 oracle). At 100 TB this is the knob that
+    * keeps one viral boilerplate string from serializing the dedup:
+    * size the cap to the duplicate multiplicity you intend to collapse
+    * (default 10⁴-ish), anything hotter is boilerplate, not duplication. */
+  def minhashPairsCapped(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, bandSize: Int,
+      maxBucket: Int): DataFrame = {
+    val sig = minhash(docs, idCol, textCol, shingleSize, numHashes)
+    val b = lshBuckets(sig, idCol, bandSize)
+    // window count instead of agg+join: one shuffle on (band, bucket),
+    // and the members arrive co-partitioned for the self-join below
+    val kept = b.withColumn("_n",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .where(col("_n") <= maxBucket).drop("_n")
+    val l = kept.select(col("band"), col("bucket"), col(idCol).as("a"))
+    val r = kept.select(col("band"), col("bucket"), col(idCol).as("b"))
+    l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
   /** Cross-corpus near-dup candidates — the incremental-ingest face of
     * [[minhashPairs]]: which docs of a NEW batch collide with the
     * EXISTING corpus (same md5 minhash family, so the two sides' bucket

@@ -39,6 +39,27 @@ class TextSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("hot-bucket cap: capped pairs = uncapped pairs minus big-bucket-only pairs") {
+    // three identical docs form size-3 buckets in every band; one near-dup
+    // pair (1,2-ish) survives independently of them
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (10L, "same boiler plate text repeated in every copy here"),
+      (11L, "same boiler plate text repeated in every copy here"),
+      (12L, "same boiler plate text repeated in every copy here")).toDF("doc_id", "text")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val uncapped = toSet(TextOps.minhashPairs(d, "doc_id", "text", 3, 16, 4))
+    val capped = toSet(TextOps.minhashPairsCapped(d, "doc_id", "text", 3, 16, 4, 2))
+    assert(capped.subsetOf(uncapped))
+    // the identical triple (all its buckets have size 3 > 2) disappears...
+    assert(!capped.exists { case (a, b) => a >= 10L && b >= 10L })
+    assert(uncapped.exists { case (a, b) => a >= 10L && b >= 10L })
+    // ...while pairs from small buckets survive the cap
+    assert(capped == uncapped.filterNot { case (a, b) => a >= 10L && b >= 10L })
+  }
+
   test("tfidf: rare distinctive terms outrank ubiquitous ones") {
     val d = Seq(
       (1L, "spark spark spark common"),
