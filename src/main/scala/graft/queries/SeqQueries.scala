@@ -167,6 +167,10 @@ object SeqQueries {
       // against an independent replay)
       canon(SeriesKernels.oneStepAheadResidStats(ev(s, dir), Seq("user_id"),
         "event_id", "value", window = 10, threshold = 3.0).toDF())),
+    // gaps-and-islands sessionization: 12h inactivity gap per user
+    "q116_sessionize" -> ((s, dir) =>
+      canon(SeqOps.sessionize(ev(s, dir), Seq("user_id"), "ts", "event_id",
+        "value", gapSec = 43200L))),
   )
 
   // transitions + smoothed probabilities, per-user sequences, global model
@@ -698,5 +702,20 @@ object SeqQueries {
         |SELECT user_id, gram, cnt,
         | round(cnt / (sum(cnt) OVER (PARTITION BY user_id))::DOUBLE, 4) AS freq
         |FROM c""".stripMargin.replace("\n", " "),
+    "q116_sessionize" ->
+      """WITH t AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |    > 43200000000 THEN 1 ELSE 0 END AS brk
+        | FROM events),
+        |s AS (SELECT user_id, value, tus,
+        |  1 + sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        | FROM t)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        | min(tus) AS start_us, max(tus) AS end_us,
+        | round((max(tus) - min(tus)) / 1000000.0, 4) AS duration_s,
+        | round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY 1, 2""".stripMargin.replace("\n", " "),
   )
 }

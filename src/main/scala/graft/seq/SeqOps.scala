@@ -329,4 +329,52 @@ object SeqOps {
     val kw = Window.partitionBy(keyCols.map(col): _*)
     counts.withColumn("freq", col("cnt") / sum("cnt").over(kw))
   }
+
+  /** Sessionization (gaps-and-islands): a new session starts when the gap
+    * to the previous event of the same key exceeds `gapSec`; emits one row
+    * per session with count / extent / value aggregates. Engine addition
+    * (no reference counterpart) — standard clickstream / training-corpus
+    * prep before per-session feature extraction.
+    *
+    * `tsCol` is an epoch-nanosecond long (driver tables are read with
+    * nanosAsLong); `seqCol` is the unique within-key tie-break, same
+    * contract as every other window op in this file. Session boundaries
+    * and extents are computed at MICROSECOND granularity (sub-µs gap
+    * differences are sensor noise, and µs is the finest unit every
+    * engine this is oracled against preserves end-to-end).
+    *
+    * Scale: one exchange on the key + sort-within-partition for the two
+    * stacked windows (lag and running sum share one Window lineage — one
+    * shuffle, one sort). The session aggregation hashes on
+    * (key, session_no): all rows of a session live in one partition, so
+    * the map-side partial agg collapses each session to a single row
+    * before the exchange — the second shuffle carries session-sized data,
+    * not event-sized. Parallelism is keyed (users), which at corpus scale
+    * is data-sized, not a ceiling.
+    */
+  def sessionize(
+      data: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      seqCol: String,
+      valCol: String,
+      gapSec: Long): DataFrame = {
+    val us = expr(s"$tsCol div 1000")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_us"), col(seqCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapSec * 1000000L
+    val brk = when(col("_us") - lag(col("_us"), 1).over(w) > gapUs, 1)
+      .otherwise(0)
+    data
+      .withColumn("_us", us)
+      .withColumn("session_no", sum(brk).over(run) + 1)
+      .groupBy((keyCols :+ "session_no").map(col): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("_us")).as("start_us"),
+        max(col("_us")).as("end_us"),
+        ((max(col("_us")) - min(col("_us"))) / lit(1e6)).as("duration_s"),
+        sum(col(valCol)).as("sum_value"))
+  }
 }

@@ -108,6 +108,26 @@ object StreamScorers {
         stddev_samp(col(valCol)).as("std"),
         count(valCol).as("cnt"))
 
+  /** Streaming sessionization via native session windows (engine
+    * addition, the streaming face of [[graft.seq.SeqOps.sessionize]]):
+    * per-key gap-based session aggregation — a session closes after `gap`
+    * of event-time inactivity, state is watermark-bounded. Same
+    * gaps-and-islands semantics as the batch operator, with one boundary
+    * nuance: session_window's per-event window is [ts, ts+gap) with
+    * overlap-merge, so a gap of EXACTLY `gap` splits here but not in the
+    * batch operator (which splits on strictly-greater). Identical on any
+    * input without exact-boundary gaps. */
+  def sessionizeStream(stream: DataFrame, tsCol: String, keyCols: Seq[String],
+      valCol: String, gap: String, watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy((keyCols.map(col) :+ session_window(col(tsCol), gap)): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"),
+        sum(col(valCol)).as("sum_value"))
+
   /** Streaming exact deduplication for ingest pipelines: drop repeats of
     * `idCols` (e.g. a content hash) arriving within the watermark horizon —
     * state is bounded by the watermark, unlike batch dedup. */

@@ -114,6 +114,35 @@ class StreamSpec extends SparkSpec {
     assert(first.getAs[Double]("mean") == 2.0 && first.getAs[Long]("cnt") == 2)
   }
 
+  test("session windows merge across batches; batch sessionize parity") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sess = StreamScorers.sessionizeStream(
+      in.toDF().toDF("ts", "k", "v"), "ts", Seq("k"), "v", "10 minutes", "1 minute")
+    val q = sess.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    in.addData((t(0), "a", 1.0), (t(5), "a", 2.0), (t(30), "a", 4.0))
+    q.processAllAvailable()
+    in.addData((t(35), "a", 8.0)) // extends the 10:30 session across batches
+    q.processAllAvailable()
+    val rows = spark.table("sess").collect().sortBy(
+      _.getAs[java.sql.Timestamp]("start_ts").getTime)
+    q.stop()
+    assert(rows.map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .toSeq == Seq((2L, 3.0), (2L, 12.0)))
+    // batch parity: same sessions from the gaps-and-islands operator
+    val ns = Seq((t(0), "a", 1.0), (t(5), "a", 2.0), (t(30), "a", 4.0), (t(35), "a", 8.0))
+      .zipWithIndex.map { case ((ts, k, v), i) => (ts.getTime * 1000000L, i.toLong, k, v) }
+      .toDF("ts", "eid", "k", "v")
+    val batch = graft.seq.SeqOps.sessionize(ns, Seq("k"), "ts", "eid", "v", gapSec = 600L)
+      .orderBy("session_no").collect()
+    assert(batch.map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .toSeq == Seq((2L, 3.0), (2L, 12.0)))
+    assert(batch.map(_.getAs[Long]("start_us")).toSeq ==
+      rows.map(_.getAs[java.sql.Timestamp]("start_ts").getTime * 1000L).toSeq)
+  }
+
   test("markov stream keeps per-entity window state across batches") {
     implicit val sc = spark.sqlContext
     val trans = Map(("A", "B") -> 0.9, ("B", "A") -> 0.9, ("A", "A") -> 0.05,
