@@ -80,6 +80,63 @@ object Fitters {
     merged.withColumn("freq", col("cnt") / sum("cnt").over(w))
   }
 
+  /** KMV (k-minimum-values, "bottom-k theta") distinct-count sketch —
+    * Bar-Yossef et al. 2002 with the Beyer et al. SIGMOD'07 unbiased
+    * estimator; the same shape as an Apache DataSketches theta sketch.
+    * Engine addition: cardinality models (vocabulary size, id-space
+    * coverage) that merge across corpus slices like [[statsMerge]] /
+    * [[histogramMerge]] do.
+    *
+    * Hashes use the engine-wide md5-56-bit convention, so the sketch —
+    * and therefore the estimate — is deterministic and replayable
+    * cross-engine in plain SQL (no RNG, no engine-private hash).
+    *
+    * Sketch rows: (keyCols..., rank 1..k, h) — the k smallest DISTINCT
+    * hashes per key. Scale: per-key distinct is one exchange with
+    * map-side combine; bottom-k is a window rank that the optimizer
+    * caps via WindowGroupLimit before the final sort, so no key's full
+    * hash set is ever materialized past its partials. The sketch is
+    * k·|keys| rows regardless of data volume. */
+  def kmvSketch(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      k: Int): DataFrame = {
+    val h = conv(substring(md5(col(valueCol)), 1, 14), 16, 10).cast("long")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("h"))
+    df.select(keyCols.map(col) :+ h.as("h"): _*)
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Distinct-count estimate from a [[kmvSketch]]: exact when the key
+    * holds fewer than k hashes, else (k−1)/θ with θ = h_k/2^56 —
+    * unbiased under uniform hashing. Output: keyCols..., sketch_n,
+    * est_distinct. */
+  def kmvEstimate(sketch: DataFrame, keyCols: Seq[String], k: Int): DataFrame = {
+    val theta = col("_hk") / lit(72057594037927936.0) // 2^56
+    sketch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("sketch_n"),
+        max(when(col("rank") === k, col("h"))).as("_hk"))
+      .withColumn("est_distinct",
+        when(col("sketch_n") < k, col("sketch_n").cast("double"))
+          .otherwise(lit(k - 1) / theta))
+      .drop("_hk")
+  }
+
+  /** Merge [[kmvSketch]] models fitted on arbitrary (even overlapping)
+    * slices: the k smallest hashes of a union are among each side's k
+    * smallest, so union → distinct → re-rank reproduces the sketch of
+    * the union EXACTLY — merge is lossless, associative, and
+    * model-sized. */
+  def kmvMerge(models: Seq[DataFrame], keyCols: Seq[String], k: Int): DataFrame = {
+    require(models.nonEmpty, "no sketches to merge")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("h"))
+    models.reduce(_ unionByName _)
+      .select((keyCols :+ "h").map(col): _*)
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Median + MAD (median absolute deviation) per (key, attribute).
     * Replaces chombo NumericalAttrMedian (resource/ecomm.sh:19,29; consumed by
     * RobustZscorePredictor.java:100-102). Exact interpolated percentile

@@ -41,6 +41,26 @@ object StatQueries {
       val mB = Fitters.histogram(e.where(isB), Seq("event_type"), Seq(("value", 10.0)))
       canon(Fitters.histogramMerge(Seq(mA, mB), Seq("event_type")))
     }),
+    // KMV distinct-count sketch: per-lang vocabulary-size estimate over
+    // documents. md5-derived hashes make the whole sketch (not just the
+    // estimate) exactly SQL-replayable.
+    "q117_kmv_distinct" -> ((s, dir) => {
+      val toks = table(s, dir, "documents").select(col("lang"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      canon(Fitters.kmvEstimate(
+        Fitters.kmvSketch(toks, Seq("lang"), "tok", 64), Seq("lang"), 64))
+    }),
+    // incremental-model route: per-half sketches (md5 doc split) merge
+    // LOSSLESSLY — same estimate as the q117 direct sketch, same oracle
+    "q118_kmv_merge" -> ((s, dir) => {
+      val toks = table(s, dir, "documents").select(col("lang"), col("doc_id"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      val isB = graft.text.TextOps.hash56(col("doc_id").cast("string")) % 2 === 1
+      val sA = Fitters.kmvSketch(toks.where(!isB), Seq("lang"), "tok", 64)
+      val sB = Fitters.kmvSketch(toks.where(isB), Seq("lang"), "tok", 64)
+      canon(Fitters.kmvEstimate(
+        Fitters.kmvMerge(Seq(sA, sB), Seq("lang"), 64), Seq("lang"), 64))
+    }),
     "q02_robust_fit" -> ((s, dir) =>
       canon(Fitters.robustStats(ev(s, dir), Seq("event_type"), Seq("value")))),
     "q03_quantile_fit" -> ((s, dir) =>
@@ -201,6 +221,21 @@ object StatQueries {
       |  / (sum(cnt) OVER (PARTITION BY event_type))::DOUBLE AS cumFreq
       | FROM ahist)""".stripMargin.replace("\n", " ")
 
+  // KMV bottom-k sketch of the per-lang token-hash space; estimate is
+  // exact below k=64, else (k-1)/theta with theta = h_k / 2^56.
+  private val kmvOracle =
+    """WITH tk AS (SELECT DISTINCT lang,
+      |  ('0x'||substr(md5(tok),1,14))::BIGINT AS h
+      | FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      |       FROM documents)),
+      |r AS (SELECT lang, h,
+      |  row_number() OVER (PARTITION BY lang ORDER BY h) AS rnk FROM tk)
+      |SELECT lang, count(*) AS sketch_n,
+      | round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+      |   ELSE 63.0 / (max(CASE WHEN rnk = 64 THEN h END)
+      |                / 72057594037927936.0) END, 4) AS est_distinct
+      |FROM r WHERE rnk <= 64 GROUP BY 1""".stripMargin.replace("\n", " ")
+
   val oracleSql: Map[String, String] = Map(
     "q01_stats_fit" ->
       s"""WITH $evStats
@@ -212,6 +247,9 @@ object StatQueries {
       s"""WITH $evStats
          |SELECT event_type, 'value' AS attr, round(mean,4) AS mean, round(std,4) AS std,
          | cnt, round(vmin,4) AS vmin, round(vmax,4) AS vmax FROM stats""".stripMargin.replace("\n", " "),
+    "q117_kmv_distinct" -> kmvOracle,
+    // lossless merge: the merged sketch IS the direct sketch
+    "q118_kmv_merge" -> kmvOracle,
     "q02_robust_fit" ->
       s"""WITH $evRobust
          |SELECT event_type, 'value' AS attr, round(med,4) AS med, round(mad,4) AS mad

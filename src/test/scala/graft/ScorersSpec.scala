@@ -59,6 +59,32 @@ class ScorersSpec extends SparkSpec {
     assert(merged == direct) // counts are longs, freq same division: exact
   }
 
+  test("kmv sketch: exact below k, within KMV error bound above, lossless merge") {
+    // below k: the sketch IS the distinct set, estimate is exact
+    val small = (1 to 40).map(i => ("k", s"v${i % 17}")).toDF("k", "v")
+    val eSmall = Fitters.kmvEstimate(
+      Fitters.kmvSketch(small, Seq("k"), "v", 64), Seq("k"), 64).head()
+    assert(eSmall.getAs[Long]("sketch_n") == 17)
+    assert(eSmall.getAs[Double]("est_distinct") == 17.0)
+    // above k: (k-1)/theta estimator; rel. error concentrates ~1/sqrt(k)
+    val big = (1 to 20000).map(i => ("k", s"value-${i % 5000}")).toDF("k", "v")
+    val eBig = Fitters.kmvEstimate(
+      Fitters.kmvSketch(big, Seq("k"), "v", 256), Seq("k"), 256).head()
+    assert(eBig.getAs[Long]("sketch_n") == 256)
+    val est = eBig.getAs[Double]("est_distinct")
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.25, s"est=$est")
+    // merge of overlapping slice sketches == direct sketch of the union
+    val a = big.where($"v".substr(7, 1).isin("1", "2", "3", "4", "5"))
+    val b = big.where(!$"v".substr(7, 1).isin("1", "2")) // overlaps a on 3,4,5
+    val direct = Fitters.kmvSketch(big, Seq("k"), "v", 256)
+      .collect().map(r => (r.getAs[Long]("h"), r.getAs[Int]("rank"))).toSet
+    val merged = Fitters.kmvMerge(Seq(
+      Fitters.kmvSketch(a, Seq("k"), "v", 256),
+      Fitters.kmvSketch(b, Seq("k"), "v", 256)), Seq("k"), 256)
+      .collect().map(r => (r.getAs[Long]("h"), r.getAs[Int]("rank"))).toSet
+    assert(merged == direct)
+  }
+
   test("zscore: hand-computed score and O/N tags; zero-variance key -> I") {
     val stats = Fitters.stats(tiny, Seq("k"), Seq("x"))
     val out = Scorers.zscore(tiny, stats, Cfg(Seq("k"), Seq("x"), threshold = 1.5))
