@@ -137,6 +137,58 @@ object Fitters {
       .where(col("rank") <= k)
   }
 
+  /** Count–min sketch (Cormode & Muthukrishnan, J.Alg '05) — mergeable
+    * frequency model, the read-side complement of the Misra–Gries
+    * heavy-hitter prefilter (TextOps.heavyHitterGrams): MG answers "which
+    * items are frequent", CMS answers "how frequent is THIS item" without
+    * storing per-item state. Engine addition: token/gram frequency models
+    * that merge across corpus slices like [[statsMerge]] does.
+    *
+    * depth hash rows × width buckets of additive counters; the row hash is
+    * the engine-wide md5-56-bit convention salted with the row index, so
+    * the sketch is deterministic and SQL-replayable cross-engine.
+    *
+    * Scale: the explode multiplies input by depth BEFORE the exchange, but
+    * map-side partial aggregation caps each task's output at depth×width
+    * rows — the shuffle carries counter partials, never item-sized data.
+    * The model is depth×width×|keys| rows regardless of volume. */
+  def cmsSketch(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      depth: Int, width: Int): DataFrame =
+    df.select(keyCols.map(col) :+ col(valueCol).as("_v"): _*)
+      .withColumn("j", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("bucket", cmsBucket(col("j"), col("_v"), width))
+      .groupBy((keyCols :+ "j" :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  private def cmsBucket(j: Column, v: Column, width: Int): Column =
+    conv(substring(md5(concat_ws(":", lit("cms"), j.cast("string"), v)), 1, 14), 16, 10)
+      .cast("long") % width
+
+  /** Point-query a [[cmsSketch]]: est = min over rows of the probed
+    * counter (0 when the bucket is empty) — an upper bound on the true
+    * count, within εN (ε = e/width) with prob. 1−(1/e)^depth.
+    * `probes` must carry keyCols + valueCol; output: keyCols...,
+    * valueCol, est_cnt. Sketch side is model-sized → broadcast join. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCols: Seq[String],
+      valueCol: String, depth: Int, width: Int): DataFrame = {
+    val pe = probes.select(keyCols.map(col) :+ col(valueCol): _*)
+      .withColumn("j", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("bucket", cmsBucket(col("j"), col(valueCol), width))
+    pe.join(broadcast(sketch), (keyCols :+ "j" :+ "bucket").map(c => pe(c) <=> sketch(c)).reduce(_ && _), "left")
+      .groupBy((keyCols :+ valueCol).map(pe(_)): _*)
+      .agg(min(coalesce(sketch("cnt"), lit(0L))).as("est_cnt"))
+  }
+
+  /** Merge [[cmsSketch]] models fitted on disjoint slices: counters are
+    * linear, so summing per (key, j, bucket) reproduces the sketch of the
+    * union EXACTLY — merge is lossless, associative, and model-sized. */
+  def cmsMerge(models: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
+    require(models.nonEmpty, "no sketches to merge")
+    models.reduce(_ unionByName _)
+      .groupBy((keyCols :+ "j" :+ "bucket").map(col): _*)
+      .agg(sum("cnt").as("cnt"))
+  }
+
   /** Median + MAD (median absolute deviation) per (key, attribute).
     * Replaces chombo NumericalAttrMedian (resource/ecomm.sh:19,29; consumed by
     * RobustZscorePredictor.java:100-102). Exact interpolated percentile

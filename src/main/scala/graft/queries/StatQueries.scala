@@ -61,6 +61,28 @@ object StatQueries {
       canon(Fitters.kmvEstimate(
         Fitters.kmvMerge(Seq(sA, sB), Seq("lang"), 64), Seq("lang"), 64))
     }),
+    // count-min sketch: per-lang token-frequency model, point-queried for
+    // the tokens of docs 0..19. depth=4 md5-salted hash rows x width=512
+    // counters — deterministic, so the oracle replays sketch AND estimate.
+    "q119_cms_estimate" -> ((s, dir) => {
+      val toks = table(s, dir, "documents").select(col("lang"), col("doc_id"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      val cms = Fitters.cmsSketch(toks, Seq("lang"), "tok", 4, 512)
+      val probes = toks.where(col("doc_id") < 20).select("lang", "tok").distinct()
+      canon(Fitters.cmsEstimate(cms, probes, Seq("lang"), "tok", 4, 512))
+    }),
+    // incremental-model route: per-half sketches (md5 doc split) sum-merge
+    // EXACTLY to the direct sketch -> same estimates, same oracle
+    "q120_cms_merge" -> ((s, dir) => {
+      val toks = table(s, dir, "documents").select(col("lang"), col("doc_id"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      val isB = graft.text.TextOps.hash56(col("doc_id").cast("string")) % 2 === 1
+      val merged = Fitters.cmsMerge(Seq(
+        Fitters.cmsSketch(toks.where(!isB), Seq("lang"), "tok", 4, 512),
+        Fitters.cmsSketch(toks.where(isB), Seq("lang"), "tok", 4, 512)), Seq("lang"))
+      val probes = toks.where(col("doc_id") < 20).select("lang", "tok").distinct()
+      canon(Fitters.cmsEstimate(merged, probes, Seq("lang"), "tok", 4, 512))
+    }),
     "q02_robust_fit" -> ((s, dir) =>
       canon(Fitters.robustStats(ev(s, dir), Seq("event_type"), Seq("value")))),
     "q03_quantile_fit" -> ((s, dir) =>
@@ -236,6 +258,26 @@ object StatQueries {
       |                / 72057594037927936.0) END, 4) AS est_distinct
       |FROM r WHERE rnk <= 64 GROUP BY 1""".stripMargin.replace("\n", " ")
 
+  // count-min: depth=4 md5-salted rows x width=512 additive counters;
+  // estimate = min over rows of the probed counter (0 if bucket empty)
+  private val cmsOracle =
+    """WITH tok AS (SELECT lang,
+      |  unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+      |d AS (SELECT unnest(range(4)) AS j),
+      |cms AS (SELECT lang, j,
+      |  ('0x'||substr(md5('cms:'||j::VARCHAR||':'||tok),1,14))::BIGINT % 512 AS bucket,
+      |  count(*) AS cnt FROM tok CROSS JOIN d GROUP BY 1, 2, 3),
+      |probe AS (SELECT DISTINCT lang,
+      |  unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      | FROM documents WHERE doc_id < 20),
+      |pe AS (SELECT p.lang, p.tok, d.j,
+      |  ('0x'||substr(md5('cms:'||d.j::VARCHAR||':'||p.tok),1,14))::BIGINT % 512 AS bucket
+      | FROM probe p CROSS JOIN d)
+      |SELECT pe.lang, pe.tok, min(coalesce(cms.cnt, 0)) AS est_cnt
+      |FROM pe LEFT JOIN cms
+      |  ON pe.lang = cms.lang AND pe.j = cms.j AND pe.bucket = cms.bucket
+      |GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+
   val oracleSql: Map[String, String] = Map(
     "q01_stats_fit" ->
       s"""WITH $evStats
@@ -247,6 +289,9 @@ object StatQueries {
       s"""WITH $evStats
          |SELECT event_type, 'value' AS attr, round(mean,4) AS mean, round(std,4) AS std,
          | cnt, round(vmin,4) AS vmin, round(vmax,4) AS vmax FROM stats""".stripMargin.replace("\n", " "),
+    "q119_cms_estimate" -> cmsOracle,
+    // lossless sum-merge: the merged sketch IS the direct sketch
+    "q120_cms_merge" -> cmsOracle,
     "q117_kmv_distinct" -> kmvOracle,
     // lossless merge: the merged sketch IS the direct sketch
     "q118_kmv_merge" -> kmvOracle,

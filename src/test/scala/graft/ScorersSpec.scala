@@ -85,6 +85,33 @@ class ScorersSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("cms sketch: estimates upper-bound exact counts, exact when sparse, lossless merge") {
+    val data = (1 to 3000).map(i => ("k", s"item-${i % 300}")).toDF("k", "v")
+    val exact = data.groupBy("v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probes = data.select("k", "v").distinct()
+    // wide sketch (collision-free w.h.p. for 300 items x 4 rows): exact
+    val wide = Fitters.cmsEstimate(
+      Fitters.cmsSketch(data, Seq("k"), "v", 4, 4096), probes, Seq("k"), "v", 4, 4096)
+      .collect().map(r => r.getAs[String]("v") -> r.getAs[Long]("est_cnt")).toMap
+    assert(wide == exact)
+    // narrow sketch: never underestimates (the CMS guarantee)
+    val narrow = Fitters.cmsEstimate(
+      Fitters.cmsSketch(data, Seq("k"), "v", 4, 64), probes, Seq("k"), "v", 4, 64)
+      .collect().map(r => r.getAs[String]("v") -> r.getAs[Long]("est_cnt")).toMap
+    assert(narrow.forall { case (v, est) => est >= exact(v) })
+    // sum-merge of disjoint slice sketches == direct sketch, row for row
+    val a = data.where($"v".substr(6, 1) < "5")
+    val b = data.where(!($"v".substr(6, 1) < "5"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket"), r.getAs[Long]("cnt"))).toSet
+    val direct = rows(Fitters.cmsSketch(data, Seq("k"), "v", 4, 64))
+    val merged = rows(Fitters.cmsMerge(Seq(
+      Fitters.cmsSketch(a, Seq("k"), "v", 4, 64),
+      Fitters.cmsSketch(b, Seq("k"), "v", 4, 64)), Seq("k")))
+    assert(merged == direct)
+  }
+
   test("zscore: hand-computed score and O/N tags; zero-variance key -> I") {
     val stats = Fitters.stats(tiny, Seq("k"), Seq("x"))
     val out = Scorers.zscore(tiny, stats, Cfg(Seq("k"), Seq("x"), threshold = 1.5))
