@@ -528,6 +528,40 @@ object StreamScorers {
     * are exact (the spec pins that parity with the batch operator).
     * Eviction scans for the minimum counter (O(capacity)); capacity here
     * is thousands, and only no-hit batches pay it. */
+  /** Per-batch cardinality snapshot: the KMV estimate of all values seen
+    * for `key` so far (exact while sketchN < k). */
+  case class KmvOut(key: String, sketchN: Int, estDistinct: Double)
+  case class KmvState(hashes: List[Long])
+
+  /** Streaming distinct-count — the streaming twin of
+    * [[graft.model.Fitters.kmvSketch]]/[[graft.model.Fitters.kmvEstimate]].
+    * State per key is the k smallest md5-56-bit hashes seen so far (O(k)
+    * longs, constant in stream length); because bottom-k of a union is a
+    * function of the per-batch bottom-k's, the sketch after any batch
+    * split equals the batch sketch of the union — the spec pins that
+    * parity. Emits one snapshot row per (key, batch): append-legal, each
+    * row is a new observation of a monotone process, never a retraction. */
+  def kmvDistinctStream(rows: DataFrame, keyCol: String, valueCol: String,
+      k: Int): Dataset[KmvOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val hashed = rows.select(col(keyCol).cast("string").as("key"),
+      graft.text.TextOps.hash56(col(valueCol)).as("h")).as[(String, Long)]
+    hashed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, it: Iterator[(String, Long)], st: GroupState[KmvState]) => {
+          val prev = st.getOption.map(_.hashes).getOrElse(Nil)
+          val merged = (prev.iterator ++ it.map(_._2)).toArray
+            .distinct.sorted.take(k)
+          st.update(KmvState(merged.toList))
+          val n = merged.length
+          val est =
+            if (n < k) n.toDouble
+            else (k - 1).toDouble / (merged.last.toDouble / 72057594037927936.0)
+          Iterator.single(KmvOut(key, n, est))
+        })
+  }
+
   def heavyHitterStream(docs: DataFrame, textCol: String, n: Int,
       minCount: Long, nShards: Int = 64,
       capacity: Int = 4096): Dataset[HeavyGram] = {

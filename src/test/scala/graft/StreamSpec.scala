@@ -57,6 +57,27 @@ class StreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming kmv distinct-count: batch-split invariant, batch parity") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val out = StreamScorers.kmvDistinctStream(in.toDF().toDF("k", "v"), "k", "v", k = 32)
+    val q = out.writeStream.format("memory").queryName("kmv").outputMode("append").start()
+    // 80 distinct values split across two batches (with cross-batch dups)
+    val vals = (1 to 120).map(i => ("a", s"val-${i % 80}"))
+    val (b1, b2) = vals.splitAt(50)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    val snaps = spark.table("kmv").collect()
+      .map(r => (r.getAs[Int]("sketchN"), r.getAs[Double]("estDistinct")))
+    q.stop()
+    assert(snaps.length == 2)
+    // final snapshot must equal the batch fit+estimate of the whole input
+    val batch = Fitters.kmvEstimate(
+      Fitters.kmvSketch(vals.toDF("k", "v"), Seq("k"), "v", 32), Seq("k"), 32).head()
+    assert(snaps.last._1 == batch.getAs[Long]("sketch_n"))
+    assert(math.abs(snaps.last._2 - batch.getAs[Double]("est_distinct")) < 1e-9)
+  }
+
   test("kafka message parsing: first-comma entity split and typed delimited decode") {
     implicit val sc = spark.sqlContext
     // the spout contract (PredictorSpout.java:55-59): "entityID,rest..."
