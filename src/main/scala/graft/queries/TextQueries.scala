@@ -67,6 +67,11 @@ object TextQueries {
     "q107_split" -> ((s, dir) =>
       canon(TextOps.splitByHash(docs(s, dir), "doc_id",
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))))),
+    // weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    // 40 docs per lang, inclusion probability proportional to n_chars;
+    // md5-derived keys make the exact sampled set engine-replayable
+    "q121_weighted_sample" -> ((s, dir) =>
+      TextOps.weightedSample(docs(s, dir), Seq("lang"), "doc_id", "n_chars", 40)),
     // decontamination: eval split = md5-hash-selected ~5% of the corpus,
     // train docs flagged on any shared 6-gram
     "q91_decontaminate" -> ((s, dir) => {
@@ -600,6 +605,16 @@ object TextQueries {
          | FROM pk p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
          |SELECT shard, doc_id, chunkIdx, nTok, bin::INT AS bin,
          | off::INT AS offset FROM pk""".stripMargin.replace("\n", " "),
+    // A-ES keys: ln(u)/w is monotone in u^(1/w) for w>0; top-40 per lang
+    "q121_weighted_sample" ->
+      s"""WITH sk AS (SELECT lang, doc_id, n_chars,
+         |  ln(${h56("doc_id::VARCHAR")} / 72057594037927936.0) / n_chars AS skey
+         | FROM documents),
+         |r AS (SELECT lang, doc_id, n_chars,
+         |  row_number() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id) AS rnk
+         | FROM sk)
+         |SELECT lang, doc_id, n_chars FROM r WHERE rnk <= 40"""
+        .stripMargin.replace("\n", " "),
     // split cuts embedded as the exact Scala doubles (toString round-trips)
     "q107_split" -> {
       val w = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))

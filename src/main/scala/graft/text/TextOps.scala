@@ -375,6 +375,31 @@ object TextOps {
     df.select(col(idCol), u.as("u"), split.as("split"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis, IPL
+    * 2006 "A-ES"): each row gets key u^(1/w) with u = hash56(id)/2^56;
+    * the k largest keys per stratum are a weighted sample without
+    * replacement — the one-pass, distributed, merge-friendly way to
+    * subsample a corpus ∝ quality/length/any positive weight. Ordering
+    * by ln(u)/w (monotone in u^(1/w) since w>0) keeps the arithmetic to
+    * one log + one divide. md5-derived u → the sample is deterministic,
+    * stable under reruns/partitioning, and SQL-replayable.
+    *
+    * Scale: top-k per stratum is a window rank the optimizer caps at k
+    * per partition BEFORE the exchange (WindowGroupLimit) — the shuffle
+    * carries k·|strata| candidate rows, not the corpus.
+    * Output: keyCols..., idCol, weightCol. */
+  def weightedSample(df: DataFrame, keyCols: Seq[String], idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val u = hash56(col(idCol).cast("string")) / 72057594037927936.0
+    val skey = log(u) / col(weightCol)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_skey").desc, col(idCol))
+    df.select((keyCols :+ idCol :+ weightCol).map(col) :+ skey.as("_skey"): _*)
+      .withColumn("_rank", row_number().over(w))
+      .where(col("_rank") <= k)
+      .drop("_skey", "_rank")
+  }
+
   /** The cumulative cut points [[splitByHash]] compares against — public
     * so an oracle/replica can embed the exact same doubles. */
   def splitCuts(weights: Seq[(String, Double)]): Seq[Double] = {

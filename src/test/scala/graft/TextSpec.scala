@@ -269,6 +269,24 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample: exactly k per stratum, weight-biased, partition-stable") {
+    // 100 light (w=1) + 100 heavy (w=100) docs; A-ES top-50 should be
+    // dominated by the heavy half (each heavy key ~ U^(1/100))
+    val d = (0L until 200L).map(i => (i, if (i < 100) 1L else 100L, "s"))
+      .toDF("doc_id", "w", "k")
+    val s = TextOps.weightedSample(d, Seq("k"), "doc_id", "w", 50)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(s.length == 50 && s.distinct.length == 50)
+    assert(s.count(_ >= 100) > 40, s"heavy=${s.count(_ >= 100)}")
+    // same sample regardless of physical partitioning
+    val s2 = TextOps.weightedSample(d.repartition(13), Seq("k"), "doc_id", "w", 50)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(s.sorted.sameElements(s2.sorted))
+    // short stratum: returns all its rows, no padding
+    val short = TextOps.weightedSample(d.where($"doc_id" < 5), Seq("k"), "doc_id", "w", 50)
+    assert(short.count() == 5)
+  }
+
   test("decontamination: shared n-gram flags the train doc, clean doc passes") {
     val train = Seq(
       (10L, "alpha beta other words entirely"),
