@@ -157,6 +157,22 @@ object ScaleProbe {
         text.TextOps.heavyHitterGrams(docs, "doc_id", "text", n = 2,
           minCount = 30L * n, capacity = 16384).count()
       }
+      // sketch fitters: shuffle payload is model-sized partials (bottom-k
+      // per key / depth×width counters), so rows/s must stay flat
+      time("kmv_vocab", n, nDocs) {
+        val toks = docs.select(col("lang"),
+          explode(text.TextOps.tokens(col("text"))).as("tok"))
+        model.Fitters.kmvEstimate(
+          model.Fitters.kmvSketch(toks, Seq("lang"), "tok", 64), Seq("lang"), 64).count()
+      }
+      time("cms_sketch", n, nDocs) {
+        val toks = docs.select(col("lang"),
+          explode(text.TextOps.tokens(col("text"))).as("tok"))
+        model.Fitters.cmsSketch(toks, Seq("lang"), "tok", 4, 512).count()
+      }
+      time("weighted_sample", n, nDocs) {
+        text.TextOps.weightedSample(docs, Seq("lang"), "doc_id", "n_chars", 40).count()
+      }
       // sample-bounded energy distance: cost is O(maxSample²) by design,
       // so this line must stay FLAT as the corpus scales
       time("energy_dist", n, nEmb) {
