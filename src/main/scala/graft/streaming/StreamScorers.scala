@@ -562,6 +562,52 @@ object StreamScorers {
         })
   }
 
+  /** Per-batch frequency snapshot for one watched value: CMS estimate of
+    * its total occurrences so far (exact while no bucket collides). */
+  case class CmsOut(key: String, probe: String, estCnt: Long)
+  case class CmsState(counters: Map[Long, Long]) // (j*width+bucket) -> cnt
+
+  /** Streaming frequency monitor — the streaming twin of
+    * [[graft.model.Fitters.cmsSketch]]/[[graft.model.Fitters.cmsEstimate]]:
+    * a count–min sketch kept across micro-batches with O(depth×width)
+    * state per key, point-queried every batch for a fixed watch-list of
+    * `probes`. Same md5-row-salted buckets as the batch fitter, so after
+    * any batch split the state equals the batch sketch of the union
+    * (counters are linear) — the spec pins that parity. Emits one
+    * snapshot row per (key, probe, batch): append-legal, monotone. */
+  def cmsFrequencyStream(rows: DataFrame, keyCol: String, valueCol: String,
+      depth: Int, width: Int, probes: Seq[String]): Dataset[CmsOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    def slot(j: Int, v: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cms:$j:$v".getBytes("UTF-8"))
+        .take(7).map("%02x".format(_)).mkString
+      j.toLong * width + java.lang.Long.parseLong(hex, 16) % width
+    }
+    val probeSlots = probes.map(p => p -> (0 until depth).map(slot(_, p))).toArray
+    val hashed = rows.select(col(keyCol).cast("string").as("key"),
+      col(valueCol).cast("string").as("v")).as[(String, String)]
+    hashed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, it: Iterator[(String, String)], st: GroupState[CmsState]) => {
+          val counters = collection.mutable.Map[Long, Long](
+            st.getOption.map(_.counters.toSeq).getOrElse(Nil): _*)
+          it.foreach { case (_, v) =>
+            var j = 0
+            while (j < depth) {
+              val s = slot(j, v)
+              counters.update(s, counters.getOrElse(s, 0L) + 1L)
+              j += 1
+            }
+          }
+          st.update(CmsState(counters.toMap))
+          probeSlots.iterator.map { case (p, slots) =>
+            CmsOut(key, p, slots.map(counters.getOrElse(_, 0L)).min)
+          }
+        })
+  }
+
   def heavyHitterStream(docs: DataFrame, textCol: String, n: Int,
       minCount: Long, nShards: Int = 64,
       capacity: Int = 4096): Dataset[HeavyGram] = {

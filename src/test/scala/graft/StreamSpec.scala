@@ -78,6 +78,33 @@ class StreamSpec extends SparkSpec {
     assert(math.abs(snaps.last._2 - batch.getAs[Double]("est_distinct")) < 1e-9)
   }
 
+  test("streaming cms frequency monitor: cross-batch accumulation, batch parity") {
+    implicit val sc = spark.sqlContext
+    val vals = (1 to 150).map(i => ("a", s"tok-${i % 30}"))
+    val probes = Seq("tok-0", "tok-7", "tok-29", "never-seen")
+    val in = MemoryStream[(String, String)]
+    val out = StreamScorers.cmsFrequencyStream(in.toDF().toDF("k", "v"),
+      "k", "v", depth = 4, width = 512, probes)
+    val q = out.writeStream.format("memory").queryName("cmsf").outputMode("append").start()
+    val (b1, b2) = vals.splitAt(70)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    val snaps = spark.table("cmsf").collect()
+      .map(r => (r.getAs[String]("probe"), r.getAs[Long]("estCnt")))
+    q.stop()
+    assert(snaps.length == probes.length * 2)
+    // final snapshots must equal the batch fit + point query of the union
+    val pdf = probes.map(("a", _)).toDF("k", "v")
+    val batch = Fitters.cmsEstimate(
+      Fitters.cmsSketch(vals.toDF("k", "v"), Seq("k"), "v", 4, 512),
+      pdf, Seq("k"), "v", 4, 512)
+      .collect().map(r => r.getAs[String]("v") -> r.getAs[Long]("est_cnt")).toMap
+    // counters are monotone, so the final snapshot per probe is its max
+    val finals = snaps.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).max }
+    probes.foreach(p => assert(finals(p) == batch(p), s"probe $p"))
+    assert(finals("never-seen") == 0L)
+  }
+
   test("kafka message parsing: first-comma entity split and typed delimited decode") {
     implicit val sc = spark.sqlContext
     // the spout contract (PredictorSpout.java:55-59): "entityID,rest..."
