@@ -46,6 +46,21 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan("q101_source_quota").toString.contains("WindowGroupLimit"))
   }
 
+  test("sketch fitters: partial top-k/combine below the exchange") {
+    // KMV and the A-ES sampler must cap partitions at k rows per key
+    // BEFORE shuffling (WindowGroupLimit under Exchange) — losing that
+    // pushdown would shuffle the full token/doc set
+    for (q <- Seq("q117_kmv_distinct", "q121_weighted_sample")) {
+      val s = plan(q).toString
+      // Partial mode runs below the exchange, Final above — both present
+      assert("WindowGroupLimit".r.findAllIn(s).size >= 2,
+        s"$q lost the partial WindowGroupLimit")
+    }
+    // CMS fit shuffles only counter partials: partial_count before exchange
+    assert(plan("q119_cms_estimate").toString.contains("partial_count"),
+      "cms fit lost map-side combine")
+  }
+
   test("IVF probed-cell joins broadcast the probe side — corpus never shuffles by cell") {
     // the cell key has only nCells distinct values; a shuffled join there
     // would cap the scan's parallelism at nCells and skew on hot cells.
