@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * (SURVEY.md §1 "Models = flat keyed text files").
   *
   * All fits are single hash-aggregations (map-side partial agg, one
-  * shuffle on the model key) — at 100 TB the shuffle carries only the
+  * shuffle on the model key) or bottom-k windows the optimizer caps at k
+  * per partition pre-exchange — at 100 TB the shuffle carries only
   * pre-aggregated per-key partials, and the resulting model is tiny
-  * (|keys| × |attrs| rows), safe to broadcast.
+  * (|keys| × |attrs| rows, or k/depth×width sketch rows), safe to
+  * broadcast.
   */
 object Fitters {
 
