@@ -72,6 +72,10 @@ object TextQueries {
     // md5-derived keys make the exact sampled set engine-replayable
     "q121_weighted_sample" -> ((s, dir) =>
       TextOps.weightedSample(docs(s, dir), Seq("lang"), "doc_id", "n_chars", 40)),
+    // Zipf-slope corpus diagnostic: ln(freq)~ln(rank) OLS over the top
+    // 200 tokens per lang — flat slopes flag synthetic/template slices
+    "q122_zipf_slope" -> ((s, dir) =>
+      canon(TextOps.zipfSlope(docs(s, dir), Seq("lang"), "text", 200))),
     // decontamination: eval split = md5-hash-selected ~5% of the corpus,
     // train docs flagged on any shared 6-gram
     "q91_decontaminate" -> ((s, dir) => {
@@ -605,6 +609,20 @@ object TextQueries {
          | FROM pk p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
          |SELECT shard, doc_id, chunkIdx, nTok, bin::INT AS bin,
          | off::INT AS offset FROM pk""".stripMargin.replace("\n", " "),
+    // identical avg-arithmetic slope on both engines; ties broken by tok
+    "q122_zipf_slope" ->
+      """WITH tc AS (SELECT lang, tok, count(*) AS cnt
+        | FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |       FROM documents) GROUP BY 1, 2),
+        |r AS (SELECT lang, cnt,
+        |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rank
+        | FROM tc),
+        |xy AS (SELECT lang, ln(rank::DOUBLE) AS x, ln(cnt::DOUBLE) AS y
+        | FROM r WHERE rank <= 200)
+        |SELECT lang, count(*) AS n_toks,
+        | round((avg(x*y) - avg(x)*avg(y)) / (avg(x*x) - avg(x)*avg(x)), 4)
+        |  AS zipf_slope
+        |FROM xy GROUP BY 1""".stripMargin.replace("\n", " "),
     // A-ES keys: ln(u)/w is monotone in u^(1/w) for w>0; top-40 per lang
     "q121_weighted_sample" ->
       s"""WITH sk AS (SELECT lang, doc_id, n_chars,

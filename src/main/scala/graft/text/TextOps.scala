@@ -375,6 +375,38 @@ object TextOps {
     df.select(col(idCol), u.as("u"), split.as("split"))
   }
 
+  /** Zipf-slope corpus diagnostic: OLS slope of ln(freq) over ln(rank)
+    * across the top-`topN` tokens per key — healthy natural-language
+    * slices sit near −1 (Zipf's law); synthetic, boilerplate-heavy, or
+    * template-generated slices flatten toward 0 and heavily-deduped or
+    * truncated-vocabulary slices steepen. A one-number language-health
+    * probe per corpus slice.
+    *
+    * Scale: token counts are one map-side-combined aggregation; ranking
+    * is a top-N window the optimizer caps per partition pre-exchange
+    * (WindowGroupLimit); the regression reduces topN·|keys| rows with
+    * plain avgs (slope = (E[xy]−E[x]E[y])/(E[x²]−E[x]²) — kept to avg
+    * arithmetic so an oracle replays it bit-for-bit).
+    * Output: keyCols..., n_toks (ranked tokens used), zipf_slope. */
+  def zipfSlope(docs: DataFrame, keyCols: Seq[String], textCol: String,
+      topN: Int): DataFrame = {
+    val toks = docs.select(keyCols.map(col) :+
+      explode(tokens(col(textCol))).as("tok"): _*)
+    val counts = toks.groupBy((keyCols :+ "tok").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("cnt").desc, col("tok"))
+    val ranked = counts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topN)
+      .withColumn("x", log(col("rank").cast("double")))
+      .withColumn("y", log(col("cnt").cast("double")))
+    ranked.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_toks"),
+        ((avg(col("x") * col("y")) - avg(col("x")) * avg(col("y"))) /
+          (avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))))
+          .as("zipf_slope"))
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis, IPL
     * 2006 "A-ES"): each row gets key u^(1/w) with u = hash56(id)/2^56;
     * the k largest keys per stratum are a weighted sample without

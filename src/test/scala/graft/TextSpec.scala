@@ -269,6 +269,21 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("zipf slope: ~-1 on a zipfian corpus, ~0 on a uniform one") {
+    // doc per token occurrence: token t (1..50) appears floor(600/t) times
+    val zipfDocs = (1 to 50).flatMap(t => Seq.fill(600 / t)(s"tok$t"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, "z") }
+    val uniDocs = (1 to 50).flatMap(t => Seq.fill(10)(s"tok$t"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, "u") }
+    val d = (zipfDocs ++ uniDocs).toDF("doc_id", "text", "k")
+    val out = TextOps.zipfSlope(d, Seq("k"), "text", 50)
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Double]("zipf_slope"))).toMap
+    assert(out("z")._1 == 50)
+    assert(math.abs(out("z")._2 + 1.0) < 0.05, s"zipf slope=${out("z")._2}")
+    assert(math.abs(out("u")._2) < 1e-9, s"uniform slope=${out("u")._2}")
+  }
+
   test("weighted sample: exactly k per stratum, weight-biased, partition-stable") {
     // 100 light (w=1) + 100 heavy (w=100) docs; A-ES top-50 should be
     // dominated by the heavy half (each heavy key ~ U^(1/100))
