@@ -43,6 +43,41 @@ object Skew {
     saltedAgg(df, keyCols, salts, Seq(sumOf(valCol), countAll))
       .withColumn(s"avg_$valCol", col(s"sum_$valCol") / col("cnt"))
 
+  /** Key-skew profiler — the measurement that decides between a plain
+    * groupBy/join, AQE skew splitting, and [[saltedAgg]]/[[saltedJoin]].
+    * Per-key counts reduce to one exchange with map-side combine; the
+    * global stats (total, key count, mean key size) ride a single-row
+    * cross join, and the top-N heavy keys are a window rank (capped via
+    * WindowGroupLimit — no full sort of the key histogram). `saltsRec`
+    * encodes the salting rule of thumb: fan a key out over
+    * ceil(cnt/avg) tasks once it exceeds `skewThreshold`× the mean key
+    * size, else leave it alone (salts = 1).
+    * Output: key..., cnt, share, skew (= cnt/avg), saltsRec — top-N keys
+    * by cnt (ties broken by key) plus the per-key metrics. */
+  def skewProfile(df: DataFrame, keyCols: Seq[String], topN: Int,
+      skewThreshold: Double = 2.0): DataFrame = {
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum("cnt").as("_total"),
+      count(lit(1)).as("_nkeys"))
+    // orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    // per-partition top-N + driver merge of N·numPartitions rows, never a
+    // global sort or a one-task window over the (billion-key) histogram
+    counts
+      .orderBy(col("cnt").desc +: keyCols.map(col(_).asc): _*)
+      .limit(topN)
+      .crossJoin(broadcast(totals))
+      .withColumn("share", col("cnt") / col("_total"))
+      // cnt/(total/nkeys), not cnt·nkeys/total: the product overflows
+      // long once cnt·nkeys passes 2^63 (plausible at 100 TB key counts)
+      .withColumn("skew", col("cnt") / (col("_total") / col("_nkeys")))
+      .withColumn("saltsRec",
+        when(col("skew") > skewThreshold, ceil(col("skew")).cast("long"))
+          .otherwise(lit(1L)))
+      .drop("_rnk", "_total", "_nkeys")
+  }
+
   /** Salted equi-join for a skewed big side when the small side is too
     * large to broadcast: every big-side row gets a random salt in
     * [0, salts), the small side is replicated `salts` times, and the join

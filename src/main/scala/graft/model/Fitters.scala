@@ -191,6 +191,103 @@ object Fitters {
       .agg(sum("cnt").as("cnt"))
   }
 
+  /** Join-cardinality estimate from two [[cmsSketch]] models over the
+    * same join column (Cormode & Muthukrishnan §4.2: the CMS inner
+    * product): est |A ⋈ B| = min over hash rows j of Σ_b a_j[b]·b_j[b].
+    * Every true join pair lands in the same bucket on every row, so each
+    * row's dot product ≥ the true cardinality — the min is an upper
+    * bound, within ε·N_a·N_b w.h.p. A planning primitive at 100 TB:
+    * decide broadcast vs shuffle vs salt from two model-sized sketches
+    * without running the join. Rows j with zero overlapping buckets
+    * force the estimate to 0 (the inner join drops them, so a full
+    * depth-count guard reinstates the zero).
+    * Output: keyCols..., est_pairs. */
+  def cmsJoinCard(cmsA: DataFrame, cmsB: DataFrame, keyCols: Seq[String],
+      depth: Int): DataFrame = {
+    val a = cmsA.select((keyCols :+ "j" :+ "bucket").map(col) :+ col("cnt").as("cnta"): _*)
+    val b = cmsB.select((keyCols :+ "j" :+ "bucket").map(col) :+ col("cnt").as("cntb"): _*)
+    a.join(b, keyCols :+ "j" :+ "bucket")
+      .groupBy((keyCols :+ "j").map(col): _*)
+      .agg(sum(col("cnta") * col("cntb")).as("dot"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(min("dot").as("_mindot"), count(lit(1)).as("_nj"))
+      .withColumn("est_pairs",
+        when(col("_nj") < depth, lit(0L)).otherwise(col("_mindot")))
+      .drop("_mindot", "_nj")
+  }
+
+  /** Mergeable quantile sketch — a bottom-k uniform row sample keyed by
+    * the engine-wide md5-56-bit row hash. The k rows with the smallest
+    * h = md5_56(id) per key are a uniform-without-replacement sample of
+    * the key's rows (same hash-as-priority device as the A-ES weighted
+    * sampler, TextOps), so order statistics over the sample estimate the
+    * key's quantiles with standard sampling error O(1/√k); and because
+    * the bottom-k of a union is contained in the union of per-slice
+    * bottom-k's, the sketch merges LOSSLESSLY across corpus slices —
+    * the sketch-merge family's missing member next to [[statsMerge]],
+    * [[histogramMerge]], [[kmvMerge]], [[cmsMerge]]. Unlike
+    * percentile_approx's KLL (engine-private, not replayable), this
+    * sketch is deterministic and the whole pipeline — sample AND
+    * estimate — replays in plain SQL cross-engine.
+    *
+    * `idCol` must identify rows uniquely within a key (ties on h are
+    * broken by value for cross-engine determinism). Scale: one exchange;
+    * the per-key bottom-k is a window rank the optimizer caps via
+    * WindowGroupLimit before the final sort, so partials never exceed
+    * k rows per key per task. The sketch is k·|keys| rows regardless of
+    * data volume.
+    * Sketch rows: (keyCols..., h, value, rank 1..k). */
+  def quantileSketch(df: DataFrame, keyCols: Seq[String], idCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 14), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("h"), col("value"))
+    df.where(col(valueCol).isNotNull) // a null value can't rank or quantile
+      .select(keyCols.map(col) :+ h.as("h") :+ col(valueCol).cast("double").as("value"): _*)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Interpolated quantile estimates from a [[quantileSketch]]: for each
+    * requested probability p, the quantile_cont/Percentile formula
+    * lo + (hi−lo)·frac over the sample's sorted values — bit-compatible
+    * with DuckDB's quantile_cont on the same sample. Output:
+    * keyCols..., sketch_n, p{25}, p{50}, ... (one column per prob). */
+  def quantileSketchEstimate(sketch: DataFrame, keyCols: Seq[String],
+      probs: Seq[Double]): DataFrame = {
+    def interp(arr: Column, cnt: Column, frac: Double): Column = {
+      val idx = (cnt - 1).cast("double") * frac
+      val lo = floor(idx).cast("int")
+      val vlo = element_at(arr, lo + 1)
+      val vhi = element_at(arr, ceil(idx).cast("int") + 1)
+      vlo + (vhi - vlo) * (idx - lo.cast("double"))
+    }
+    val base = sketch.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(col("value"))).as("_vs"))
+      .withColumn("sketch_n", size(col("_vs")).cast("long"))
+    probs.foldLeft(base) { (d, p) =>
+      d.withColumn(s"p${math.round(p * 100)}",
+        interp(col("_vs"), col("sketch_n"), p))
+    }.drop("_vs")
+  }
+
+  /** Merge [[quantileSketch]] models fitted on arbitrary (even
+    * overlapping) slices: union → distinct (identical (h, value) rows
+    * from overlapping slices collapse) → re-rank → keep k reproduces the
+    * sketch of the union EXACTLY — lossless, associative, model-sized. */
+  def quantileSketchMerge(models: Seq[DataFrame], keyCols: Seq[String],
+      k: Int): DataFrame = {
+    require(models.nonEmpty, "no sketches to merge")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("h"), col("value"))
+    models.reduce(_ unionByName _)
+      .select((keyCols :+ "h" :+ "value").map(col): _*)
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Median + MAD (median absolute deviation) per (key, attribute).
     * Replaces chombo NumericalAttrMedian (resource/ecomm.sh:19,29; consumed by
     * RobustZscorePredictor.java:100-102). Exact interpolated percentile

@@ -83,6 +83,45 @@ object StatQueries {
       val probes = toks.where(col("doc_id") < 20).select("lang", "tok").distinct()
       canon(Fitters.cmsEstimate(merged, probes, Seq("lang"), "tok", 4, 512))
     }),
+    // mergeable quantile sketch: bottom-k md5 row sample per event_type,
+    // interpolated p25/p50/p75 over the sample — sample AND estimate are
+    // deterministic, so the oracle replays the whole pipeline
+    "q123_quantile_sketch" -> ((s, dir) =>
+      canon(Fitters.quantileSketchEstimate(
+        Fitters.quantileSketch(ev(s, dir), Seq("event_type"), "event_id", "value", 256),
+        Seq("event_type"), Seq(0.25, 0.5, 0.75)))),
+    // incremental-model route: per-half sketches (md5 event split) merge
+    // LOSSLESSLY — same estimates as the q123 direct sketch, same oracle
+    "q124_qsketch_merge" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val isB = graft.text.TextOps.hash56(col("event_id").cast("string")) % 2 === 1
+      val sA = Fitters.quantileSketch(e.where(!isB), Seq("event_type"), "event_id", "value", 256)
+      val sB = Fitters.quantileSketch(e.where(isB), Seq("event_type"), "event_id", "value", 256)
+      canon(Fitters.quantileSketchEstimate(
+        Fitters.quantileSketchMerge(Seq(sA, sB), Seq("event_type"), 256),
+        Seq("event_type"), Seq(0.25, 0.5, 0.75)))
+    }),
+    // CMS inner-product join-cardinality estimate (orders ⋈ customer on
+    // custkey) next to the true count — the broadcast/shuffle/salt
+    // planning primitive, deterministic end-to-end
+    "q125_join_card" -> ((s, dir) => {
+      val a = Fitters.cmsSketch(
+        table(s, dir, "orders").select(col("o_custkey").cast("string").as("k")),
+        Nil, "k", 4, 512)
+      val b = Fitters.cmsSketch(
+        table(s, dir, "customer").select(col("c_custkey").cast("string").as("k")),
+        Nil, "k", 4, 512)
+      val truth = table(s, dir, "orders")
+        .join(table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("true_pairs"))
+      canon(Fitters.cmsJoinCard(a, b, Nil, 4).crossJoin(truth))
+    }),
+    // key-skew profiler: top-5 heaviest user_id keys with share, skew
+    // ratio and the recommended salt fan-out — the measurement behind
+    // the saltedAgg/saltedJoin decision
+    "q126_skew_profile" -> ((s, dir) =>
+      canon(graft.core.Skew.skewProfile(ev(s, dir), Seq("user_id"), 5))),
     "q02_robust_fit" -> ((s, dir) =>
       canon(Fitters.robustStats(ev(s, dir), Seq("event_type"), Seq("value")))),
     "q03_quantile_fit" -> ((s, dir) =>
@@ -278,7 +317,51 @@ object StatQueries {
       |  ON pe.lang = cms.lang AND pe.j = cms.j AND pe.bucket = cms.bucket
       |GROUP BY 1, 2""".stripMargin.replace("\n", " ")
 
+  // bottom-k md5 row sample per event_type, quantile_cont over the
+  // sample — the exact pipeline quantileSketch+Estimate runs
+  private val qsketchOracle =
+    """WITH rk AS (SELECT event_type, value,
+      |  row_number() OVER (PARTITION BY event_type
+      |    ORDER BY ('0x'||substr(md5(event_id::VARCHAR),1,14))::BIGINT, value) AS rnk
+      | FROM events WHERE value IS NOT NULL),
+      |s AS (SELECT event_type, value FROM rk WHERE rnk <= 256)
+      |SELECT event_type, count(*)::BIGINT AS sketch_n,
+      | round(quantile_cont(value, 0.25), 4) AS p25,
+      | round(quantile_cont(value, 0.50), 4) AS p50,
+      | round(quantile_cont(value, 0.75), 4) AS p75
+      |FROM s GROUP BY 1""".stripMargin.replace("\n", " ")
+
   val oracleSql: Map[String, String] = Map(
+    "q123_quantile_sketch" -> qsketchOracle,
+    // lossless merge: the merged sketch IS the direct sketch
+    "q124_qsketch_merge" -> qsketchOracle,
+    "q125_join_card" ->
+      """WITH d AS (SELECT unnest(range(4)) AS j),
+        |ca AS (SELECT j,
+        |  ('0x'||substr(md5('cms:'||j::VARCHAR||':'||o_custkey::VARCHAR),1,14))::BIGINT % 512 AS bucket,
+        |  count(*) AS cnt FROM orders CROSS JOIN d GROUP BY 1, 2),
+        |cb AS (SELECT j,
+        |  ('0x'||substr(md5('cms:'||j::VARCHAR||':'||c_custkey::VARCHAR),1,14))::BIGINT % 512 AS bucket,
+        |  count(*) AS cnt FROM customer CROSS JOIN d GROUP BY 1, 2),
+        |dots AS (SELECT ca.j, sum(ca.cnt * cb.cnt) AS dot
+        | FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket GROUP BY 1),
+        |est AS (SELECT (CASE WHEN count(*) < 4 THEN 0 ELSE min(dot) END)::BIGINT AS est_pairs
+        | FROM dots),
+        |tp AS (SELECT count(*)::BIGINT AS true_pairs
+        | FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT est_pairs, true_pairs FROM est CROSS JOIN tp"""
+        .stripMargin.replace("\n", " "),
+    "q126_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS nkeys FROM c)
+        |SELECT user_id, cnt,
+        | round(cnt / total::DOUBLE, 4) AS share,
+        | round(cnt / (total::DOUBLE / nkeys), 4) AS skew,
+        | CASE WHEN cnt / (total::DOUBLE / nkeys) > 2.0
+        |   THEN CAST(ceil(cnt / (total::DOUBLE / nkeys)) AS BIGINT)
+        |   ELSE 1 END AS saltsRec
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, user_id LIMIT 5""".stripMargin.replace("\n", " "),
     "q01_stats_fit" ->
       s"""WITH $evStats
          |SELECT event_type, 'value' AS attr, round(mean,4) AS mean, round(std,4) AS std,

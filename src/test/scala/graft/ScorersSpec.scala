@@ -112,6 +112,57 @@ class ScorersSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("quantile sketch: exact below k, near-true above, lossless merge") {
+    // below k: the sample IS the data, interpolated quantiles are exact
+    val small = (1 to 100).map(i => ("k", i.toLong, i.toDouble)).toDF("k", "id", "x")
+    val eSmall = Fitters.quantileSketchEstimate(
+      Fitters.quantileSketch(small, Seq("k"), "id", "x", 256), Seq("k"),
+      Seq(0.25, 0.5, 0.75)).head()
+    assert(eSmall.getAs[Long]("sketch_n") == 100)
+    assert(eSmall.getAs[Double]("p50") == 50.5) // (n-1)*0.5 interp over 1..100
+    assert(eSmall.getAs[Double]("p25") == 25.75)
+    // above k: uniform sample of 1..10000; sampling error ~ 1/sqrt(k)
+    val big = (1 to 10000).map(i => ("k", i.toLong, i.toDouble)).toDF("k", "id", "x")
+    val eBig = Fitters.quantileSketchEstimate(
+      Fitters.quantileSketch(big, Seq("k"), "id", "x", 400), Seq("k"), Seq(0.5)).head()
+    assert(eBig.getAs[Long]("sketch_n") == 400)
+    val p50 = eBig.getAs[Double]("p50")
+    assert(math.abs(p50 - 5000.0) / 10000.0 < 0.1, s"p50=$p50")
+    // merge of overlapping slice sketches == direct sketch of the union
+    val a = big.where($"id" <= 6000)
+    val b = big.where($"id" > 4000) // overlaps a on 4001..6000
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("h"), r.getAs[Double]("value"), r.getAs[Int]("rank"))).toSet
+    val direct = rows(Fitters.quantileSketch(big, Seq("k"), "id", "x", 400))
+    val merged = rows(Fitters.quantileSketchMerge(Seq(
+      Fitters.quantileSketch(a, Seq("k"), "id", "x", 400),
+      Fitters.quantileSketch(b, Seq("k"), "id", "x", 400)), Seq("k"), 400))
+    assert(merged == direct)
+  }
+
+  test("cms join cardinality: exact when collision-free, upper bound, zero on disjoint keys") {
+    val a = (1 to 2000).map(i => s"u${i % 100}").toDF("k") // 100 keys x 20
+    val b = (1 to 300).map(i => s"u${i % 100}").toDF("k")  // 100 keys x 3
+    val exact = a.join(b, "k").count() // 100 * 20 * 3 = 6000
+    assert(exact == 6000L)
+    def card(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame,
+        width: Int) =
+      Fitters.cmsJoinCard(
+        Fitters.cmsSketch(x, Nil, "k", 4, width),
+        Fitters.cmsSketch(y, Nil, "k", 4, width), Nil, 4)
+        .head().getAs[Long]("est_pairs")
+    // wide sketch: 100 keys over 4096 buckets — ~1 colliding pair per
+    // row survives the min, so upper bound with small relative excess
+    val wide = card(a, b, 4096)
+    assert(wide >= exact && wide <= (exact * 1.05).toLong, s"wide=$wide")
+    // narrow sketch: collisions only ADD cross terms — never underestimates
+    assert(card(a, b, 32) >= exact)
+    // disjoint key sets, wide sketch: some hash row has no shared
+    // buckets (few keys -> overlap vanishingly unlikely) -> estimate 0
+    val c = (1 to 300).map(i => s"w${i % 3}").toDF("k")
+    assert(card(a, c, 4096) == 0L)
+  }
+
   test("zscore: hand-computed score and O/N tags; zero-variance key -> I") {
     val stats = Fitters.stats(tiny, Seq("k"), Seq("x"))
     val out = Scorers.zscore(tiny, stats, Cfg(Seq("k"), Seq("x"), threshold = 1.5))

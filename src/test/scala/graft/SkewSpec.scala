@@ -47,4 +47,26 @@ class SkewSpec extends SparkSpec {
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(8)))
     assert(salted.select("_salt").distinct().count() > 1)
   }
+
+  test("skew profile: hot key surfaces with correct share/skew/salt recommendation") {
+    // 1 hot key x 900 rows + 100 cold keys x 1 row: total=1000, nkeys=101
+    val df = ((1 to 900).map(_ => "hot") ++ (1 to 100).map(i => f"c$i%03d"))
+      .toDF("k")
+    val top = Skew.skewProfile(df, Seq("k"), topN = 3).collect()
+    assert(top.length == 3)
+    val hot = top.head
+    assert(hot.getAs[String]("k") == "hot")
+    assert(hot.getAs[Long]("cnt") == 900L)
+    assert(math.abs(hot.getAs[Double]("share") - 0.9) < 1e-12)
+    val skew = hot.getAs[Double]("skew") // 900 / (1000/101) = 90.9
+    assert(math.abs(skew - 90.9) < 1e-9)
+    assert(hot.getAs[Long]("saltsRec") == 91L)
+    // cold keys: skew ~0.1 -> no salting; ties broken by key ascending
+    assert(top(1).getAs[String]("k") == "c001" && top(1).getAs[Long]("saltsRec") == 1L)
+    assert(top(2).getAs[String]("k") == "c002")
+    // uniform data: nothing recommended
+    val uni = (1 to 100).map(i => s"k${i % 10}").toDF("k")
+    assert(Skew.skewProfile(uni, Seq("k"), 10).collect()
+      .forall(_.getAs[Long]("saltsRec") == 1L))
+  }
 }
