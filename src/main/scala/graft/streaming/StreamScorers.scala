@@ -608,6 +608,47 @@ object StreamScorers {
         })
   }
 
+  /** Per-batch quantile snapshot: interpolated quantile of all values
+    * seen for `key` so far, estimated from the bottom-k uniform sample. */
+  case class QuantOut(key: String, sketchN: Int, p: Double, est: Double)
+  case class QuantState(hs: List[Long], vs: List[Double])
+
+  /** Streaming quantile monitor — the streaming twin of
+    * [[graft.model.Fitters.quantileSketch]]/[[graft.model.Fitters.quantileSketchEstimate]].
+    * State per key is the k (md5-56 row hash, value) pairs with smallest
+    * hash seen so far (O(k), constant in stream length); bottom-k of a
+    * union is a function of per-batch bottom-k's, so after any batch
+    * split the state equals the batch sketch of the union — the spec
+    * pins that parity. The estimate uses the same lo + (hi−lo)·frac
+    * interpolation as the batch fitter. Emits one snapshot row per
+    * (key, prob, batch): append-legal, each row a new observation. */
+  def quantileSketchStream(rows: DataFrame, keyCol: String, idCol: String,
+      valueCol: String, k: Int, probs: Seq[Double]): Dataset[QuantOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val ps = probs.toArray
+    val hashed = rows.select(col(keyCol).cast("string").as("key"),
+      graft.text.TextOps.hash56(col(idCol).cast("string")).as("h"),
+      col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull).as[(String, Long, Double)]
+    hashed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, it: Iterator[(String, Long, Double)], st: GroupState[QuantState]) => {
+          val prev = st.getOption.map(s => s.hs.zip(s.vs)).getOrElse(Nil)
+          val merged = (prev.iterator ++ it.map(r => (r._2, r._3))).toArray
+            .distinct.sortBy(identity).take(k)
+          st.update(QuantState(merged.map(_._1).toList, merged.map(_._2).toList))
+          val vs = merged.map(_._2).sorted
+          val n = vs.length
+          ps.iterator.map { p =>
+            val idx = (n - 1) * p
+            val lo = math.floor(idx).toInt
+            val hi = math.ceil(idx).toInt
+            QuantOut(key, n, p, vs(lo) + (vs(hi) - vs(lo)) * (idx - lo))
+          }
+        })
+  }
+
   def heavyHitterStream(docs: DataFrame, textCol: String, n: Int,
       minCount: Long, nShards: Int = 64,
       capacity: Int = 4096): Dataset[HeavyGram] = {

@@ -105,6 +105,31 @@ class StreamSpec extends SparkSpec {
     assert(finals("never-seen") == 0L)
   }
 
+  test("streaming quantile monitor: bottom-k state accumulates, batch parity") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val out = StreamScorers.quantileSketchStream(in.toDF().toDF("k", "id", "x"),
+      "k", "id", "x", k = 64, probs = Seq(0.25, 0.5, 0.75))
+    val q = out.writeStream.format("memory").queryName("qsk").outputMode("append").start()
+    val vals = (1 to 500).map(i => ("a", i.toLong, i.toDouble))
+    val (b1, b2) = vals.splitAt(200)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    val snaps = spark.table("qsk").collect()
+      .map(r => (r.getAs[Double]("p"), r.getAs[Int]("sketchN"), r.getAs[Double]("est")))
+    q.stop()
+    assert(snaps.length == 6) // 3 probs x 2 batches
+    // final snapshots must equal the batch sketch+estimate of the union
+    val batch = Fitters.quantileSketchEstimate(
+      Fitters.quantileSketch(vals.toDF("k", "id", "x"), Seq("k"), "id", "x", 64),
+      Seq("k"), Seq(0.25, 0.5, 0.75)).head()
+    val finals = snaps.groupBy(_._1).map { case (p, xs) => p -> xs.last }
+    assert(finals(0.5)._2 == batch.getAs[Long]("sketch_n"))
+    assert(math.abs(finals(0.25)._3 - batch.getAs[Double]("p25")) < 1e-9)
+    assert(math.abs(finals(0.5)._3 - batch.getAs[Double]("p50")) < 1e-9)
+    assert(math.abs(finals(0.75)._3 - batch.getAs[Double]("p75")) < 1e-9)
+  }
+
   test("kafka message parsing: first-comma entity split and typed delimited decode") {
     implicit val sc = spark.sqlContext
     // the spout contract (PredictorSpout.java:55-59): "entityID,rest..."
