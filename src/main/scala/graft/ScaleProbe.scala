@@ -173,6 +173,22 @@ object ScaleProbe {
       time("weighted_sample", n, nDocs) {
         text.TextOps.weightedSample(docs, Seq("lang"), "doc_id", "n_chars", 40).count()
       }
+      time("qsketch", n, nEv) {
+        model.Fitters.quantileSketchEstimate(
+          model.Fitters.quantileSketch(ev, Seq("event_type"), "event_id",
+            "value", 256), Seq("event_type"), Seq(0.25, 0.5, 0.75)).count()
+      }
+      // one count exchange with map-side combine + TakeOrderedAndProject —
+      // never a global sort of the key histogram
+      time("skew_profile", n, nEv) {
+        core.Skew.skewProfile(ev, Seq("user_id"), 5).count()
+      }
+      // self-join cardinality on user_id from one model-sized sketch
+      time("join_card", n, nEv) {
+        val a = model.Fitters.cmsSketch(
+          ev.select(col("user_id").cast("string").as("k")), Nil, "k", 4, 512)
+        model.Fitters.cmsJoinCard(a, a, Nil, 4).count()
+      }
       // sample-bounded energy distance: cost is O(maxSample²) by design,
       // so this line must stay FLAT as the corpus scales
       time("energy_dist", n, nEmb) {
