@@ -99,15 +99,36 @@ class TextSpec extends SparkSpec {
     assert(s == Map(1L -> 3L, 4L -> 1L))
   }
 
-  test("dup clusters: long chain converges on both paths (union-find + label prop)") {
-    val n = 12
+  test("dup clusters: long chain converges on both paths (union-find + star rounds)") {
+    // diameter-300 chain: min-label propagation would need 299 rounds;
+    // large/small-star contracts it within the default 20
+    val n = 300
     val chain = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
     val d2 = (1 to n).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
     val local = TextOps.dupClusters(d2, "doc_id", chain).collect()
     assert(local.forall(_.getAs[Long]("cluster") == 1L))
-    // force the distributed label-propagation fallback (diameter > 1 round)
+    // force the distributed large-star/small-star path
     val dist = TextOps.dupClusters(d2, "doc_id", chain, maxLocalEdges = 0).collect()
-    assert(dist.forall(_.getAs[Long]("cluster") == 1L))
+    assert(dist.length == n && dist.forall(_.getAs[Long]("cluster") == 1L))
+  }
+
+  test("dup clusters: distributed star rounds match driver union-find on a random graph") {
+    // deterministic pseudo-random multi-component graph w/ cross links,
+    // reversed + duplicated edges, shared hubs
+    val rng = new scala.util.Random(7)
+    val edges = (1 to 400).map { _ =>
+      val c = rng.nextInt(8) // 8 loose communities over ids 0..799
+      val a = c * 100 + rng.nextInt(100)
+      val b = if (rng.nextInt(10) == 0) rng.nextInt(800) else c * 100 + rng.nextInt(100)
+      (a.toLong, b.toLong)
+    }
+    val pairs = (edges ++ edges.map(_.swap)).toDF("a", "b")
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val d3 = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def labelsOf(maxLocal: Int) =
+      TextOps.dupClusters(d3, "doc_id", pairs, maxLocalEdges = maxLocal).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(labelsOf(1 << 20) == labelsOf(0)) // union-find == star rounds
   }
 
   test("ngram jaccard: dup pair 1.0, near-dup high, verified via candidates") {
