@@ -189,6 +189,15 @@ object ScaleProbe {
           ev.select(col("user_id").cast("string").as("k")), Nil, "k", 4, 512)
         model.Fitters.cmsJoinCard(a, a, Nil, 4).count()
       }
+      // distributed star-round connected components over chain-shaped
+      // dup graphs (worst case for label propagation): events become
+      // length-100 chains, nEv/100 components, forced past the driver
+      // union-find path
+      time("cc_star_chains", n, nEv) {
+        val pairs = ev.select(col("event_id").as("a"), (col("event_id") + 1).as("b"))
+          .where(pmod(col("event_id"), lit(100)) =!= 99)
+        text.TextOps.ccLargeSmallStar(pairs).count()
+      }
       // sample-bounded energy distance: cost is O(maxSample²) by design,
       // so this line must stay FLAT as the corpus scales
       time("energy_dist", n, nEmb) {

@@ -232,14 +232,17 @@ object TextOps {
     while (!converged && i < maxIter) {
       // large-star over the symmetric view: m = min(closed neighborhood),
       // each neighbor v > u re-links to m (each edge emitted from exactly
-      // one endpoint's star — the smaller one, where the mate is larger)
+      // one endpoint's star — the smaller one, where the mate is larger).
+      // Duplicates are left for the small-star distinct: min-aggs are
+      // dup-insensitive and one fewer exchange per round matters more
+      // than the bounded join fan-out
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      val minsL = sym.groupBy("u")
-        .agg(least(min("v"), first("u")).as("m"))
+      val minsL = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
       val large = sym.join(minsL, "u").where(col("v") > col("u"))
         .select(least(col("v"), col("m")).as("u"),
           greatest(col("v"), col("m")).as("v"))
-        .where(col("u") =!= col("v")).distinct()
+        .where(col("u") =!= col("v"))
       // small-star over larger→smaller direction: m = min neighbor; the
       // node and its smaller neighbors all re-link to m
       val dir = large.select(col("v").as("u"), col("u").as("v")) // u > v
@@ -251,7 +254,16 @@ object TextOps {
         .select(least(col("x"), col("m")).as("u"),
           greatest(col("x"), col("m")).as("v"))
         .distinct().localCheckpoint(true)
-      converged = small.exceptAll(edges).union(edges.exceptAll(small))
+      // Fixpoint ⟺ the edge set is a star forest rooted at component
+      // minima ⟺ every larger endpoint appears exactly once AND no root
+      // is also a leaf (roots < leaves by canonicalization, so a star
+      // forest passing both tests is min-rooted, and both star steps fix
+      // it). One aggregate job — cheaper than a symmetric exceptAll diff
+      converged = small
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .join(small.select(col("u").as("v")).distinct()
+          .withColumn("isRoot", lit(1)), Seq("v"), "left")
+        .where(col("d") > 1 || col("isRoot").isNotNull)
         .isEmpty
       edges = small
       i += 1
