@@ -29,6 +29,10 @@ object TextQueries {
       canon(TextOps.qualityScore(docs(s, dir), "doc_id", "text"))),
     "q52_langid" -> ((s, dir) =>
       TextOps.langId(docs(s, dir), "doc_id", "text")),
+    // Gopher §A1.1 hard rule battery; minWords=50 splits the synthetic
+    // corpus (10-99 words/doc) so both verdicts are exercised
+    "q127_gopher_rules" -> ((s, dir) =>
+      canon(TextOps.gopherRules(docs(s, dir), "doc_id", "text"))),
     "q87_repetition" -> ((s, dir) =>
       canon(TextOps.repetitionSignals(docs(s, dir), "doc_id", "text", n = 2))),
     // corpus mixing: src0 kept whole, src1 decimated, rest at 50% — all
@@ -694,6 +698,36 @@ object TextQueries {
          |  + (1.0 - least(nPunct/greatest(nChars,1.0)*20.0, 1.0))
          |  + (1.0 - least(nDigit/greatest(nChars,1.0)*10.0, 1.0))) / 4.0, 4) AS quality
          |FROM b""".stripMargin.replace("\n", " "),
+    "q127_gopher_rules" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  $toks AS ws,
+         |  string_split(text, chr(10)) AS lines,
+         |  len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::DOUBLE AS nsym
+         | FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(ws)::BIGINT AS nWords,
+         |  greatest(len(ws), 1)::DOUBLE AS nwd,
+         |  list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+         |    / greatest(len(ws), 1) AS mwl,
+         |  nsym / greatest(len(ws), 1) AS symr,
+         |  len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE
+         |    / greatest(len(lines), 1) AS bull,
+         |  len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*${"$"}')))::DOUBLE
+         |    / greatest(len(lines), 1) AS ell,
+         |  len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+         |    / greatest(len(ws), 1) AS alpha,
+         |  (${TextOps.langMarkers("en")
+             .map(w => s"list_contains(ws, '$w')::INT").mkString(" + ")})::BIGINT AS nStop
+         | FROM b)
+         |SELECT doc_id, nWords, round(mwl, 4) AS meanWordLen,
+         | round(symr, 4) AS symbolRatio, round(bull, 4) AS bulletFrac,
+         | round(ell, 4) AS ellipsisFrac, round(alpha, 4) AS alphaWordFrac,
+         | nStop,
+         | (CASE WHEN nWords BETWEEN 50 AND 100000
+         |   AND mwl BETWEEN 3.0 AND 10.0 AND symr <= 0.1
+         |   AND bull <= 0.9 AND ell <= 0.3 AND alpha >= 0.8
+         |   AND nStop >= 2 THEN 1 ELSE 0 END)::BIGINT AS passed
+         |FROM m""".stripMargin.replace("\n", " "),
     "q52_langid" ->
       s"""WITH c AS (SELECT doc_id,
          |${markers.map { case (l, ws) =>

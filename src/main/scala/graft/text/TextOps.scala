@@ -398,6 +398,52 @@ object TextOps {
 
   /** Quality scoring (length / punctuation / stopword / digit signals) —
     * a composite in [0,1], higher = cleaner prose-like text. */
+  /** Gopher-style hard document filter (Rae et al. 2021, "Scaling
+    * Language Models: ...Gopher", §A1.1) — the standard rule battery a
+    * pretraining corpus is screened with, complementing the soft
+    * [[qualityScore]]: word-count window, mean word length window,
+    * symbol-to-word ratio (# and ellipsis), bullet-started and
+    * ellipsis-ended line fractions, alphabetic-word fraction, minimum
+    * distinct-stopword hits. Every signal is a native codegen'd
+    * expression over one tokenize pass (no UDFs, no shuffle — a pure
+    * map over the corpus), and the whole battery is SQL-replayable.
+    * Output: idCol, nWords, meanWordLen, symbolRatio, bulletFrac,
+    * ellipsisFrac, alphaWordFrac, nStop, passed (1/0). */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val txt = col(textCol)
+    val ws = tokens(txt)
+    val nW = size(ws).cast("long")
+    val nWd = greatest(nW.cast("double"), lit(1.0))
+    val meanLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / nWd
+    val symRatio = size(regexp_extract_all(txt, lit("#|\\.\\.\\.|…"), lit(0)))
+      .cast("double") / nWd
+    val lines = split(txt, "\n")
+    val nLd = greatest(size(lines).cast("double"), lit(1.0))
+    val bulletFrac = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+      .cast("double") / nLd
+    val ellipsisFrac = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+      .cast("double") / nLd
+    val alphaFrac = size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / nWd
+    val nStop = langMarkers("en")
+      .map(w => array_contains(ws, w).cast("int")).reduce(_ + _).cast("long")
+    val passed =
+      nW.between(minWords, maxWords) &&
+      meanLen.between(minMeanWordLen, maxMeanWordLen) &&
+      symRatio <= maxSymbolRatio &&
+      bulletFrac <= maxBulletFrac && ellipsisFrac <= maxEllipsisFrac &&
+      alphaFrac >= minAlphaWordFrac && nStop >= minStopHits
+    docs.select(col(idCol), nW.as("nWords"), meanLen.as("meanWordLen"),
+      symRatio.as("symbolRatio"), bulletFrac.as("bulletFrac"),
+      ellipsisFrac.as("ellipsisFrac"), alphaFrac.as("alphaWordFrac"),
+      nStop.as("nStop"), passed.cast("int").cast("long").as("passed"))
+  }
+
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val txt = col(textCol)
     val nChars = length(txt).cast("double")

@@ -131,6 +131,24 @@ class TextSpec extends SparkSpec {
     assert(labelsOf(1 << 20) == labelsOf(0)) // union-find == star rounds
   }
 
+  test("gopher rules: each rule trips on its crafted violator, clean doc passes") {
+    val good = (1 to 60).map(i => s"the quick word$i and of to it").mkString(" ")
+    val cases = Seq(
+      (1L, good),                                   // passes everything
+      (2L, "the and of to it is that for"),         // too few words
+      (3L, good.replaceAll("word\\d+", "a")),       // mean word len < 3
+      (4L, good + " " + Seq.fill(40)("#tag...").mkString(" ")), // symbol ratio
+      (5L, (1 to 60).map(i => s"- the bullet $i of it").mkString("\n")), // bullets
+      (6L, (1 to 60).map(i => s"the line $i of it trails...").mkString("\n")), // ellipses
+      (7L, good + " " + Seq.fill(200)("12345").mkString(" ")), // alpha frac
+      (8L, (1 to 60).map(i => s"word$i token$i item$i").mkString(" ")) // no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(cases, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("passed")).toMap
+    assert(out(1L) == 1L)
+    (2L to 8L).foreach(id => assert(out(id) == 0L, s"doc $id should fail"))
+  }
+
   test("ngram jaccard: dup pair 1.0, near-dup high, verified via candidates") {
     val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
     val j = TextOps.ngramJaccard(docs, "doc_id", "text", 2, cand).collect()
