@@ -122,6 +122,15 @@ object StatQueries {
     // the saltedAgg/saltedJoin decision
     "q126_skew_profile" -> ((s, dir) =>
       canon(graft.core.Skew.skewProfile(ev(s, dir), Seq("user_id"), 5))),
+    // schema-on-read: hoist props.k out of the JSON bag (one from_json
+    // parse), then the flagship z-score pipeline over the extracted attr
+    "q128_props_zscore" -> ((s, dir) => {
+      val kd = graft.sources.Sources.jsonProps(ev(s, dir), "props", "k INT")
+        .withColumn("k", col("k").cast("double"))
+      val stats = Fitters.stats(kd, Seq("event_type"), Seq("k"))
+      canon(Scorers.zscore(kd, stats, Cfg(Seq("event_type"), Seq("k"), threshold = 2.0))
+        .select("event_id", "event_type", "k", "score", "tag"))
+    }),
     "q02_robust_fit" -> ((s, dir) =>
       canon(Fitters.robustStats(ev(s, dir), Seq("event_type"), Seq("value")))),
     "q03_quantile_fit" -> ((s, dir) =>
@@ -362,6 +371,15 @@ object StatQueries {
         |   ELSE 1 END AS saltsRec
         |FROM c CROSS JOIN t
         |ORDER BY cnt DESC, user_id LIMIT 5""".stripMargin.replace("\n", " "),
+    "q128_props_zscore" ->
+      """WITH x AS (SELECT event_id, event_type,
+        |  json_extract(props, '$.k')::INT::DOUBLE AS k FROM events),
+        |st AS (SELECT event_type, avg(k) AS mean, stddev_samp(k) AS std
+        | FROM x GROUP BY 1)
+        |SELECT e.event_id, e.event_type, round(e.k, 4) AS k,
+        | round(abs(e.k - st.mean)/st.std, 4) AS score,
+        | CASE WHEN abs(e.k - st.mean)/st.std > 2.0 THEN 'O' ELSE 'N' END AS tag
+        |FROM x e JOIN st USING (event_type)""".stripMargin.replace("\n", " "),
     "q01_stats_fit" ->
       s"""WITH $evStats
          |SELECT event_type, 'value' AS attr, round(mean,4) AS mean, round(std,4) AS std,

@@ -110,6 +110,21 @@ object Sources {
 
   /** Persist a fitted model DataFrame as parquet (engine-native model
     * format; small enough to broadcast on read). */
+  /** Schema-on-read extraction of a JSON side-channel column (the
+    * `props` bag every event pipeline carries): ONE `from_json` parse
+    * per row against a DDL-declared struct, fields hoisted to top-level
+    * columns ready for any fitter/scorer. Native JsonToStructs — no
+    * UDF, no extra scan; a malformed bag yields nulls, which the
+    * downstream fitters already skip. Prefer this over per-field
+    * `get_json_object`, which re-parses the bag once per field. */
+  def jsonProps(df: DataFrame, jsonCol: String, ddl: String): DataFrame = {
+    val parsed = df.withColumn("_props",
+      from_json(col(jsonCol), StructType.fromDDL(ddl)))
+    StructType.fromDDL(ddl).fields.foldLeft(parsed) { (d, f) =>
+      d.withColumn(f.name, col(s"_props.${f.name}"))
+    }.drop("_props")
+  }
+
   def writeModel(model: DataFrame, path: String): Unit =
     model.coalesce(1).write.mode("overwrite").parquet(path)
 

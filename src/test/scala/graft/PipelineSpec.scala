@@ -173,4 +173,18 @@ class PipelineSpec extends SparkSpec {
     assert(byKey("srv1") == (50.0, 12.5))
     assert(byKey("srv2") == (30.0, 8.0))
   }
+
+  test("json props extraction: typed fields hoisted, malformed bag yields nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"k": 7, "tag": "x"}"""),
+      (2L, """{"k": 9}"""),
+      (3L, "not json at all")).toDF("id", "props")
+    val out = Sources.jsonProps(df, "props", "k INT, tag STRING").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (Option(r.getAs[Integer]("k")), Option(r.getAs[String]("tag")))).toMap
+    assert(out(1L) == (Some(7), Some("x")))
+    assert(out(2L) == (Some(9), None))
+    assert(out(3L) == (None, None))
+  }
 }
