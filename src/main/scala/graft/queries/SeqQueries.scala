@@ -66,6 +66,11 @@ object SeqQueries {
       canon(SeqOps.changePointMeanShift(ev(s, dir), Seq("event_type"), "event_id",
         "value", window = 30, critValue = 3.0)
         .select("event_type", "event_id", "value", "stat"))),
+    // classical MA seasonal decomposition, period 24 over the event_id
+    // sequence; residual z is the seasonality-aware anomaly score
+    "q129_seasonal_decompose" -> ((s, dir) =>
+      canon(SeqOps.seasonalDecompose(ev(s, dir), Seq("event_type"), "event_id",
+        "value", period = 24))),
     // same statistic and oracle as q18, computed by the halo-exchange
     // kernel: range-partitioned on (key, seq) with a w-row boundary halo,
     // so parallelism is data-sized instead of capped at key cardinality
@@ -587,6 +592,26 @@ object SeqQueries {
          |UNION ALL
          |SELECT user_id, event_id, round(value,4), round(score,4), tag
          | FROM z WHERE tag <> 'O'""".stripMargin.replace("\n", " "),
+    "q129_seasonal_decompose" ->
+      """WITH b AS (SELECT event_type, event_id AS seq, value FROM events
+        |  WHERE value IS NOT NULL),
+        |t AS (SELECT event_type, seq, value, (lag(value, 11) OVER wo + lag(value, 10) OVER wo + lag(value, 9) OVER wo + lag(value, 8) OVER wo + lag(value, 7) OVER wo + lag(value, 6) OVER wo + lag(value, 5) OVER wo + lag(value, 4) OVER wo + lag(value, 3) OVER wo + lag(value, 2) OVER wo + lag(value, 1) OVER wo + value + lead(value, 1) OVER wo + lead(value, 2) OVER wo + lead(value, 3) OVER wo + lead(value, 4) OVER wo + lead(value, 5) OVER wo + lead(value, 6) OVER wo + lead(value, 7) OVER wo + lead(value, 8) OVER wo + lead(value, 9) OVER wo + lead(value, 10) OVER wo + lead(value, 11) OVER wo + (lag(value, 12) OVER wo + lead(value, 12) OVER wo) / 2) / 24.0 AS trend FROM b WINDOW wo AS (PARTITION BY event_type ORDER BY seq)),
+        |d AS (SELECT *, value - trend AS detr, seq % 24 AS phase FROM t),
+        |sr AS (SELECT event_type, phase, avg(detr) AS seasRaw
+        | FROM d WHERE detr IS NOT NULL GROUP BY 1, 2),
+        |sc AS (SELECT event_type, phase,
+        |  seasRaw - avg(seasRaw) OVER (PARTITION BY event_type) AS seasonal
+        | FROM sr),
+        |r AS (SELECT d.event_type, d.seq, d.value, d.trend, sc.seasonal,
+        |  d.detr - sc.seasonal AS resid
+        | FROM d LEFT JOIN sc ON d.event_type = sc.event_type AND d.phase = sc.phase),
+        |st AS (SELECT event_type, avg(resid) AS mu, stddev_samp(resid) AS sd
+        | FROM r GROUP BY 1)
+        |SELECT r.event_type, r.seq, round(r.value, 4) AS value,
+        | round(r.trend, 4) AS trend, round(r.seasonal, 4) AS seasonal,
+        | round(r.resid, 4) AS resid,
+        | round(abs(r.resid - st.mu)/st.sd, 4) AS z
+        |FROM r JOIN st USING (event_type)""".stripMargin.replace("\n", " "),
     "q18_changepoint_meanshift" ->
       """WITH s AS (SELECT event_type, event_id, value,
         |  count(value) OVER lw AS cnt_l, count(value) OVER rw AS cnt_r,

@@ -203,6 +203,70 @@ object SeqOps {
       .drop("cnt_l", "cnt_r")
   }
 
+  /** Additive seasonal decomposition + residual anomaly score (classical
+    * moving-average decomposition; the model behind the reference's
+    * per-cycle key extension, core/Seasonal.scala — where seasonal keying
+    * fits one model per regime, this separates the regime signal from
+    * the series itself):
+    *   trend    = centered MA that spans exactly one period: plain
+    *              ±(period−1)/2 average for odd periods, the classical
+    *              2×period MA (half weight on both end rows) for even —
+    *              either way a full-period span, so the seasonal
+    *              component cancels out of the trend exactly,
+    *   seasonal = per-phase (seq mod period) mean of the detrended
+    *              series, centered to sum to zero per key,
+    *   resid    = detrended − seasonal,
+    *   z        = |resid − mean(resid)| / stddev(resid) per key.
+    * One window pass + one model-sized phase aggregate + broadcast-size
+    * join back; everything is windows/aggs — SQL-replayable. Rows whose
+    * trend frame is not full carry null trend/resid/z. */
+  def seasonalDecompose(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      valCol: String, period: Int): DataFrame = {
+    val h = period / 2
+    val x = col(valCol)
+    val wo = Window.partitionBy(keyCols.map(col): _*).orderBy("seq")
+    val keyed = data.where(x.isNotNull)
+      .select(keyCols.map(col) :+ col(seqCol).cast("long").as("seq") :+
+        x.cast("double").as("value"): _*)
+    // the span sum is an explicit left-associated lag/lead chain, NOT a
+    // sliding-frame sum: frame aggregation order is engine-internal
+    // (Spark re-aggregates linearly, DuckDB segment-trees), and the
+    // differing float association flips 4dp rounding boundaries; a
+    // `+` chain evaluates in identical IEEE order in any engine. Any
+    // null in the span (series edge) nulls the trend — exactly the
+    // full-span condition.
+    def at(i: Int): Column =
+      if (i < 0) lag(col("value"), -i).over(wo)
+      else if (i > 0) lead(col("value"), i).over(wo)
+      else col("value")
+    val trend =
+      if (period % 2 == 1)
+        (-h to h).map(at).reduceLeft(_ + _) / lit(period.toDouble)
+      else
+        // 2×period MA: inner span ±(h−1) at full weight, the two end
+        // rows at half weight, normalized by period
+        ((-(h - 1) to (h - 1)).map(at).reduceLeft(_ + _) +
+          (at(-h) + at(h)) / 2) / lit(period.toDouble)
+    val base = keyed
+      .withColumn("trend", trend)
+      .withColumn("detr", col("value") - col("trend"))
+      .withColumn("phase", pmod(col("seq"), lit(period.toLong)))
+    val wk = Window.partitionBy(keyCols.map(col): _*)
+    val seas = base.where(col("detr").isNotNull)
+      .groupBy((keyCols :+ "phase").map(col): _*)
+      .agg(avg("detr").as("seasRaw"))
+      .withColumn("seasonal", col("seasRaw") - avg("seasRaw").over(wk))
+      .drop("seasRaw")
+    val joined = base.join(broadcast(seas), keyCols :+ "phase", "left")
+      .withColumn("resid", col("detr") - col("seasonal"))
+    val stats = joined.groupBy(keyCols.map(col): _*)
+      .agg(avg("resid").as("_mu"), stddev_samp("resid").as("_sd"))
+    joined.join(broadcast(stats), keyCols)
+      .withColumn("z", abs(col("resid") - col("_mu")) / col("_sd"))
+      .select(keyCols.map(col) :+ col("seq") :+ col("value") :+ col("trend") :+
+        col("seasonal") :+ col("resid") :+ col("z"): _*)
+  }
+
   /** One-step-ahead forecast score, causal-window variant of
     * seq/OneStepAheadPredictor.scala:111-147 with replace-on-outlier off:
     * prediction = mean of the previous `window` values; score =

@@ -159,4 +159,27 @@ class SeqSpec extends SparkSpec {
     assert(SeriesKernels.positionalSimilarity(Seq("a", "b", "c"), Seq("a", "x", "c")) == 2.0 / 3)
     assert(SeriesKernels.lcsSimilarity(Seq("a", "b", "c", "d"), Seq("a", "c", "d")) == 3.0 / 4)
   }
+
+  test("seasonal decompose recovers trend + seasonal pattern, spike tops residual z") {
+    // linear trend + period-4 pattern (sums to 0) + one spike at t=100
+    val s = Array(5.0, -5.0, 2.0, -2.0)
+    val rows = (0 until 200).map { t =>
+      val spike = if (t == 100) 50.0 else 0.0
+      ("k", t.toLong, 0.1 * t + s(t % 4) + spike)
+    }.toDF("k", "t", "v")
+    val out = SeqOps.seasonalDecompose(rows, Seq("k"), "t", "v", period = 4)
+      .collect().map(r => r.getAs[Long]("seq") -> r).toMap
+    // centered MA of a linear trend is exact away from the spike's frame
+    val r50 = out(50L)
+    assert(math.abs(r50.getAs[Double]("trend") - 5.0) < 1e-9)
+    assert(math.abs(r50.getAs[Double]("seasonal") - s(50 % 4)) < 0.3)
+    assert(math.abs(r50.getAs[Double]("resid")) < 0.3)
+    // frame not full at the series edges -> null trend
+    assert(out(0L).isNullAt(out(0L).fieldIndex("trend")))
+    // the spike carries the max z by a wide margin
+    val zs = out.values.filter(!_.isNullAt(out(50L).fieldIndex("z")))
+      .map(r => r.getAs[Long]("seq") -> r.getAs[Double]("z"))
+    assert(zs.maxBy(_._2)._1 == 100L)
+    assert(zs.toMap.apply(100L) > 5.0)
+  }
 }
