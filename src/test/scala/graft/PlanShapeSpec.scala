@@ -59,6 +59,20 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // CMS fit shuffles only counter partials: partial_count before exchange
     assert(plan("q119_cms_estimate").toString.contains("partial_count"),
       "cms fit lost map-side combine")
+    // quantile sketch: same bottom-k contract as KMV — partial
+    // WindowGroupLimit below the exchange, Final above
+    assert("WindowGroupLimit".r.findAllIn(plan("q123_quantile_sketch").toString)
+      .size >= 2, "quantile sketch lost the partial WindowGroupLimit")
+  }
+
+  test("skew profile: distributed top-N, no global sort of the key histogram") {
+    val s = plan("q126_skew_profile").toString
+    assert(s.contains("TakeOrderedAndProject"),
+      "skew profile must plan the top-N as TakeOrderedAndProject")
+    assert(!s.contains("GlobalSort") && !"Sort \\[cnt".r.findFirstIn(s).isDefined,
+      "skew profile must not globally sort the key histogram")
+    // per-key counts partially aggregated before their exchange
+    assert(s.contains("partial_count"), "skew profile lost map-side combine")
   }
 
   test("IVF probed-cell joins broadcast the probe side — corpus never shuffles by cell") {
