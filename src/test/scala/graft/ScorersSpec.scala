@@ -161,6 +161,19 @@ class ScorersSpec extends SparkSpec {
     // buckets (few keys -> overlap vanishingly unlikely) -> estimate 0
     val c = (1 to 300).map(i => s"w${i % 3}").toDF("k")
     assert(card(a, c, 4096) == 0L)
+    // grouped sketches: one estimate per stratum, each upper-bounding
+    // its stratum's exact join size
+    val ga = (1 to 600).map(i => (s"g${i % 2}", s"u${i % 30}")).toDF("g", "k")
+    val gb = (1 to 90).map(i => (s"g${i % 2}", s"u${i % 30}")).toDF("g", "k")
+    val exactPer = ga.join(gb, Seq("g", "k")).groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val estPer = Fitters.cmsJoinCard(
+      Fitters.cmsSketch(ga, Seq("g"), "k", 4, 4096),
+      Fitters.cmsSketch(gb, Seq("g"), "k", 4, 4096), Seq("g"), 4)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est_pairs")).toMap
+    assert(estPer.keySet == exactPer.keySet)
+    exactPer.foreach { case (g, ex) =>
+      assert(estPer(g) >= ex && estPer(g) <= (ex * 1.05).toLong, s"group $g") }
   }
 
   test("zscore: hand-computed score and O/N tags; zero-variance key -> I") {
