@@ -1,0 +1,59 @@
+package graft
+
+import graft.model.Fitters
+import graft.score.Scorers
+import graft.score.Scorers.Cfg
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Empty/degenerate-input behavior: a user switching from the reference
+  * hits empty partitions, empty corpora and single-row keys long before
+  * 100 TB; every family must degrade to empty/neutral output, never
+  * throw. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyEvents = Seq.empty[(String, Long, Double)].toDF("k", "id", "x")
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("fitters on empty input yield empty models, scorers yield empty output") {
+    val stats = Fitters.stats(emptyEvents, Seq("k"), Seq("x"))
+    assert(stats.count() == 0)
+    assert(Fitters.robustStats(emptyEvents, Seq("k"), Seq("x")).count() == 0)
+    assert(Fitters.histogram(emptyEvents, Seq("k"), Seq(("x", 10.0))).count() == 0)
+    assert(Fitters.quantileSketch(emptyEvents, Seq("k"), "id", "x", 8).count() == 0)
+    val emptyToks = emptyEvents.select(col("k"), col("x").cast("string").as("v"))
+    assert(Fitters.kmvSketch(emptyToks, Seq("k"), "v", 8).count() == 0)
+    assert(Fitters.cmsSketch(emptyToks, Seq("k"), "v", 2, 16).count() == 0)
+    // scoring fresh data against an empty model: no rows match the join
+    val data = Seq(("a", 1L, 5.0)).toDF("k", "id", "x")
+    val scored = Scorers.zscore(data, stats, Cfg(Seq("k"), Seq("x"), threshold = 2.0))
+    // model join is left-ish: rows survive but carry the I (indeterminate) tag
+    assert(scored.collect().forall(_.getAs[String]("tag") == "I"))
+  }
+
+  test("text ops on an empty corpus are empty, not errors") {
+    assert(TextOps.exactDedup(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextOps.minhashPairs(emptyDocs, "doc_id", "text", 3, 16, 4).count() == 0)
+    assert(TextOps.dupClusters(emptyDocs, "doc_id",
+      Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
+    assert(TextOps.gopherRules(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextOps.qualityScore(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("single-row keys: degenerate but defined") {
+    val one = Seq(("a", 1L, 5.0)).toDF("k", "id", "x")
+    // stats: std of one row is null (stddev_samp) -> scorer tags I
+    val m = Fitters.stats(one, Seq("k"), Seq("x"))
+    val scored = Scorers.zscore(one, m, Cfg(Seq("k"), Seq("x"), threshold = 2.0))
+    assert(scored.collect().forall(_.getAs[String]("tag") == "I"))
+    // quantile sketch of one row: all probs collapse to the value
+    val est = Fitters.quantileSketchEstimate(
+      Fitters.quantileSketch(one, Seq("k"), "id", "x", 8), Seq("k"), Seq(0.25, 0.75))
+      .head()
+    assert(est.getAs[Double]("p25") == 5.0 && est.getAs[Double]("p75") == 5.0)
+    // seasonal decompose: frame never fills -> trend/z null, no throw
+    val sd = graft.seq.SeqOps.seasonalDecompose(one, Seq("k"), "id", "x", 4).head()
+    assert(sd.isNullAt(sd.fieldIndex("trend")))
+  }
+}
