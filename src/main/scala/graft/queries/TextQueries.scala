@@ -33,6 +33,16 @@ object TextQueries {
     // corpus (10-99 words/doc) so both verdicts are exercised
     "q127_gopher_rules" -> ((s, dir) =>
       canon(TextOps.gopherRules(docs(s, dir), "doc_id", "text"))),
+    // snapshot diff between two derived corpus versions: doc_id%5 carves
+    // out removed (0), added (4) and changed (3, ' v1' suffix) classes
+    "q130_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m5 = pmod(col("doc_id"), lit(5))
+      val old = d.where(m5 =!= 4).withColumn("text",
+        when(m5 === 3, concat(col("text"), lit(" v1"))).otherwise(col("text")))
+      val neu = d.where(m5 =!= 0)
+      TextOps.corpusDiff(old, neu, "doc_id", "text")
+    }),
     "q87_repetition" -> ((s, dir) =>
       canon(TextOps.repetitionSignals(docs(s, dir), "doc_id", "text", n = 2))),
     // corpus mixing: src0 kept whole, src1 decimated, rest at 50% — all
@@ -698,6 +708,18 @@ object TextQueries {
          |  + (1.0 - least(nPunct/greatest(nChars,1.0)*20.0, 1.0))
          |  + (1.0 - least(nDigit/greatest(nChars,1.0)*10.0, 1.0))) / 4.0, 4) AS quality
          |FROM b""".stripMargin.replace("\n", " "),
+    "q130_corpus_diff" ->
+      """WITH o AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 5 = 3 THEN text || ' v1' ELSE text END) AS ho
+        | FROM documents WHERE doc_id % 5 <> 4),
+        |n AS (SELECT doc_id, md5(text) AS hn
+        | FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        | CASE WHEN o.ho IS NULL THEN 'added'
+        |      WHEN n.hn IS NULL THEN 'removed'
+        |      WHEN o.ho <> n.hn THEN 'changed' ELSE 'same' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
+        .stripMargin.replace("\n", " "),
     "q127_gopher_rules" ->
       s"""WITH b AS (SELECT doc_id,
          |  $toks AS ws,

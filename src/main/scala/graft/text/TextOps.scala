@@ -47,6 +47,26 @@ object TextOps {
       .select(col(idCol), col("h"), col("dupCount"), col("keep"))
   }
 
+  /** Corpus snapshot diff — the ingest-ops view of two corpus versions:
+    * full outer join on id, content compared by md5 so the shuffle
+    * carries (id, 32-byte hash) pairs, never document text. Status:
+    * `added` (only in new), `removed` (only in old), `changed` (both,
+    * hash differs), `same`. Drives incremental downstream work — re-run
+    * dedup/scoring only over `added`+`changed`, the pattern the model
+    * merges (statsMerge/histogramMerge/kmvMerge/iforest merge) consume.
+    * Output: idCol, status. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("id"), md5(col(textCol)).as("ho"))
+    val n = newDocs.select(col(idCol).as("id"), md5(col(textCol)).as("hn"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("ho").isNull, "added")
+          .when(col("hn").isNull, "removed")
+          .when(col("ho") =!= col("hn"), "changed")
+          .otherwise("same").as("status"))
+  }
+
   /** Distinct word n-gram shingles per document: (id, shingle). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     // materialize the token array once — element_at inside the lambda would

@@ -131,6 +131,14 @@ class TextSpec extends SparkSpec {
     assert(labelsOf(1 << 20) == labelsOf(0)) // union-find == star rounds
   }
 
+  test("corpus diff: added/removed/changed/same by content hash") {
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val neu = Seq((2L, "beta"), (3L, "gamma v2"), (4L, "delta")).toDF("doc_id", "text")
+    val d = TextOps.corpusDiff(old, neu, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(d == Map(1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added"))
+  }
+
   test("gopher rules: each rule trips on its crafted violator, clean doc passes") {
     val good = (1 to 60).map(i => s"the quick word$i and of to it").mkString(" ")
     val cases = Seq(
