@@ -469,6 +469,67 @@ object Fitters {
       .drop("cnt")
   }
 
+  /** Sparse Markov transition-count model — the mergeable face of
+    * [[markovTransitions]]. Counts are linear in the data, so models
+    * fitted on disjoint corpus slices (or daily ingest batches) merge by
+    * summation ([[markovMerge]]) — the sequence family's member of the
+    * incremental-model set next to [[statsMerge]]/[[histogramMerge]]/
+    * [[kmvMerge]]/[[cmsMerge]]/[[quantileSketchMerge]]. The reference
+    * refits its Markov model from scratch on every run
+    * (avenir MarkovStateTransitionModel); at 100 TB a refit re-reads the
+    * full history while the merge touches only the new slice plus a
+    * |states|²-row model. One lag window + one hash agg per slice.
+    * Output: keyCols..., fromState, toState, cnt (observed pairs only). */
+  def markovCounts(
+      df: DataFrame,
+      seqKeyCols: Seq[String],
+      seqCol: String,
+      stateCol: String,
+      modelKeyCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(seqKeyCols.map(col): _*).orderBy(seqCol)
+    df.withColumn("fromState", lag(col(stateCol), 1).over(w))
+      .withColumnRenamed(stateCol, "toState")
+      .where(col("fromState").isNotNull)
+      .groupBy((modelKeyCols ++ Seq("fromState", "toState")).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Sum [[markovCounts]] models. Associative and lossless: the merged
+    * model is exactly the count model of the concatenated slices (as long
+    * as whole sequences live inside one slice — a lag pair never spans
+    * slices). Model-sized work only. */
+  def markovMerge(models: Seq[DataFrame], keyCols: Seq[String] = Nil): DataFrame = {
+    require(models.nonEmpty, "no Markov models to merge")
+    models.reduce(_ unionByName _)
+      .groupBy((keyCols ++ Seq("fromState", "toState")).map(col): _*)
+      .agg(sum("cnt").as("cnt"))
+  }
+
+  /** Row-stochastic matrix from a (possibly merged) [[markovCounts]]
+    * model: densify over the observed state alphabet (every state seen as
+    * a from- or to-state anywhere in the model) and Laplace-normalize —
+    * the same formula as [[markovTransitions]], so a merge-then-normalize
+    * equals a from-scratch refit wherever every state occurs in some
+    * transition. Output: keyCols..., fromState, toState, prob. */
+  def markovProbs(counts: DataFrame, smoothing: Double,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val states = counts.select(col("fromState").as("s"))
+      .union(counts.select(col("toState").as("s"))).distinct()
+    val nStates = states.count() // model-sized: |states| is tiny
+    val fromTo = states.select(col("s").as("fromState"))
+      .crossJoin(broadcast(states.select(col("s").as("toState"))))
+    val grid =
+      if (keyCols.isEmpty) fromTo
+      else counts.select(keyCols.map(col): _*).distinct().crossJoin(broadcast(fromTo))
+    val wFrom = Window.partitionBy((keyCols :+ "fromState").map(col): _*)
+    grid.join(counts, keyCols ++ Seq("fromState", "toState"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("prob",
+        (col("cnt") + smoothing) /
+          (sum("cnt").over(wFrom) + lit(smoothing * nStates)))
+      .drop("cnt")
+  }
+
   /** Equal-probability quantile boundaries per (key, attr): `n` buckets,
     * boundaries at i/n percentiles — the quantization model for
     * NgramFrequencyPredictor.scala:79,110.

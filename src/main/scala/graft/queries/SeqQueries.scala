@@ -34,6 +34,19 @@ object SeqQueries {
     "q12_markov_fit" -> ((s, dir) =>
       canon(Fitters.markovTransitions(ev(s, dir), Seq("user_id"), "event_id",
         "event_type", smoothing = 1.0))),
+    // incremental Markov model: fit counts on the two user-parity slices
+    // (whole sequences per slice), sum-merge, then normalize — equals a
+    // from-scratch refit without re-reading history
+    "q133_markov_merge" -> ((s, dir) => {
+      val data = ev(s, dir)
+      val half = pmod(col("user_id"), lit(2))
+      val merged = Fitters.markovMerge(Seq(
+        Fitters.markovCounts(data.where(half === 0), Seq("user_id"),
+          "event_id", "event_type"),
+        Fitters.markovCounts(data.where(half === 1), Seq("user_id"),
+          "event_id", "event_type")))
+      canon(Fitters.markovProbs(merged, smoothing = 1.0))
+    }),
     "q13_markov_chain" -> ((s, dir) => {
       val data = ev(s, dir)
       val model = Fitters.markovTransitions(data, Seq("user_id"), "event_id",
@@ -516,6 +529,31 @@ object SeqQueries {
     "q12_markov_fit" ->
       s"""WITH $mkProbs
          |SELECT fromState, toState, round(prob,4) AS prob FROM probs"""
+        .stripMargin.replace("\n", " "),
+    // per-parity-slice counts, sum-merge, densify over the states seen in
+    // the merged model, Laplace-normalize — replays markovMerge exactly
+    "q133_markov_merge" ->
+      """WITH trans AS (SELECT user_id, event_id, event_type AS toState,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS fromState
+        | FROM events),
+        |slices AS (SELECT fromState, toState, count(*) AS cnt FROM trans
+        | WHERE fromState IS NOT NULL AND user_id % 2 = 0 GROUP BY 1,2
+        | UNION ALL
+        | SELECT fromState, toState, count(*) AS cnt FROM trans
+        | WHERE fromState IS NOT NULL AND user_id % 2 = 1 GROUP BY 1,2),
+        |m AS (SELECT fromState, toState, sum(cnt) AS cnt
+        | FROM slices GROUP BY 1,2),
+        |states AS (SELECT DISTINCT fromState AS s FROM m
+        | UNION SELECT DISTINCT toState FROM m),
+        |grid AS (SELECT f.s AS fromState, t.s AS toState
+        | FROM states f CROSS JOIN states t),
+        |probs AS (SELECT g.fromState, g.toState,
+        |  (coalesce(m.cnt,0) + 1.0) /
+        |   (sum(coalesce(m.cnt,0)) OVER (PARTITION BY g.fromState)
+        |     + (SELECT count(*) FROM states)) AS prob
+        | FROM grid g LEFT JOIN m
+        |   ON g.fromState = m.fromState AND g.toState = m.toState)
+        |SELECT fromState, toState, round(prob,4) AS prob FROM probs"""
         .stripMargin.replace("\n", " "),
     "q13_markov_chain" ->
       s"""WITH $mkProbs,

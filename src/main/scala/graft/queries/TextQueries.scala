@@ -229,6 +229,21 @@ object TextQueries {
     // corpus, mean -ln P(w|prev) per doc
     "q102_lm_score" -> ((s, dir) =>
       canon(TextOps.lmScore(docs(s, dir), "doc_id", "text"))),
+    // CCNet-style calibration: per-lang head/middle/tail terciles of the
+    // LM score — a global cut would over-prune whole languages
+    "q131_score_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = TextOps.lmScore(d, "doc_id", "text")
+        .join(d.select("doc_id", "lang"), "doc_id")
+      TextOps.scoreBuckets(scored, "lang", "avgNll")
+        .select("doc_id", "lang", "score4", "bucket")
+    }),
+    // temperature-scaled mixing: alpha=0.5 over per-source char masses,
+    // 30% token budget — crawl-sized sources downsampled hardest
+    "q132_temperature_mix" -> ((s, dir) =>
+      canon(TextOps.temperatureMix(docs(s, dir), "doc_id", "source",
+        "n_chars", alpha = 0.5, budgetFrac = 0.3)
+        .select("doc_id", "source", "u", "quota"))),
     // the streaming embedding near-dup operator executed as a batch
     // query (flatMapGroupsWithState is batch-executable — how the driver
     // can gate a STREAM operator against the DuckDB oracle): md5-derived
@@ -282,6 +297,11 @@ object TextQueries {
     "q109_semdedup" -> ((s, dir) =>
       canon(Similarity.semDedupDeterministic(emb(s, dir), "vec_id",
         "embedding", nCells = 8, eps = 0.4, iters = 10, maxSample = 4096))),
+    // cluster-balanced sampling: equal per-topic quota (40) over the q109
+    // quantizer's 8 cells, members ranked by md5(id)
+    "q134_cluster_sample" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(emb(s, dir), "vec_id", "embedding",
+        nCells = 8, perCell = 40, iters = 10, maxSample = 4096)),
     // DSIR (Xie et al. 2023): importance-resample the corpus toward the
     // src0 slice's hashed-bigram distribution; Gumbel-top-100 with
     // md5-derived noise
@@ -309,6 +329,28 @@ object TextQueries {
 
   private val toks = """regexp_extract_all(lower(text), '\S+')"""
   private def h56(e: String) = s"('0x'||substr(md5($e),1,14))::BIGINT"
+
+  // Laplace-smoothed bigram LM fitted on the corpus itself; `lm` = one
+  // row per doc with (nGrams, avgNll). Shared by the LM-score and the
+  // CCNet-bucket oracles.
+  private val lmCte =
+    s"""tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |bb AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       | FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+       |   FROM tk WHERE len(t) >= 2)),
+       |cb AS (SELECT w1, w2, count(*) AS cBi FROM bb GROUP BY 1, 2),
+       |cx AS (SELECT w1, sum(cBi) AS cCtx FROM cb GROUP BY 1),
+       |v AS (SELECT count(DISTINCT tok) AS v
+       | FROM (SELECT unnest(t) AS tok FROM tk)),
+       |sc AS (SELECT bb.doc_id,
+       |  -ln((cb.cBi + 1.0) / (cx.cCtx + 1.0 * v.v)) AS nll
+       | FROM bb JOIN cb USING (w1, w2) JOIN cx USING (w1), v),
+       |ag AS (SELECT doc_id, count(*) AS nGrams, avg(nll) AS avgNll
+       | FROM sc GROUP BY 1),
+       |lm AS (SELECT d.doc_id, coalesce(ag.nGrams, 0)::BIGINT AS nGrams,
+       |  coalesce(ag.avgNll, 0.0) AS avgNll
+       | FROM documents d LEFT JOIN ag USING (doc_id))"""
+      .stripMargin.replace("\n", " ")
 
   // 32-token windows at step 24 over the token stream (shared by the
   // chunking and packing oracles)
@@ -1034,22 +1076,42 @@ object TextQueries {
     // engines (ln parity holds across the suite); docs with < 2 tokens
     // score 0 via the left join
     "q102_lm_score" ->
-      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
-         |bb AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-         | FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
-         |   FROM tk WHERE len(t) >= 2)),
-         |cb AS (SELECT w1, w2, count(*) AS cBi FROM bb GROUP BY 1, 2),
-         |cx AS (SELECT w1, sum(cBi) AS cCtx FROM cb GROUP BY 1),
-         |v AS (SELECT count(DISTINCT tok) AS v
-         | FROM (SELECT unnest(t) AS tok FROM tk)),
-         |sc AS (SELECT bb.doc_id,
-         |  -ln((cb.cBi + 1.0) / (cx.cCtx + 1.0 * v.v)) AS nll
-         | FROM bb JOIN cb USING (w1, w2) JOIN cx USING (w1), v),
-         |ag AS (SELECT doc_id, count(*) AS nGrams, avg(nll) AS avgNll
-         | FROM sc GROUP BY 1)
-         |SELECT d.doc_id, coalesce(ag.nGrams, 0)::BIGINT AS nGrams,
-         | round(coalesce(ag.avgNll, 0.0), 4) AS avgNll
-         |FROM documents d LEFT JOIN ag USING (doc_id)"""
+      s"""WITH $lmCte
+         |SELECT doc_id, nGrams, round(avgNll, 4) AS avgNll FROM lm"""
+        .stripMargin.replace("\n", " "),
+    // CCNet head/middle/tail buckets: per-lang tercile cuts on the
+    // 4dp-rounded LM score — identical cut inputs on both engines, so the
+    // interpolated cuts and every <= comparison are bit-identical
+    "q131_score_buckets" ->
+      s"""WITH $lmCte,
+         |sc2 AS (SELECT l.doc_id, d.lang, round(l.avgNll, 4) AS score4
+         | FROM lm l JOIN documents d USING (doc_id)),
+         |cuts AS (SELECT lang,
+         |  quantile_cont(score4, 1.0/3) AS c0,
+         |  quantile_cont(score4, 2.0/3) AS c1
+         | FROM sc2 GROUP BY 1)
+         |SELECT s.doc_id, s.lang, s.score4,
+         | CASE WHEN s.score4 <= c.c0 THEN 'head'
+         |  WHEN s.score4 <= c.c1 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM sc2 s JOIN cuts c USING (lang)"""
+        .stripMargin.replace("\n", " "),
+    // temperature mixing: p_i ∝ n_i^0.5 over per-source char masses,
+    // quota_i = min(1, 0.3·N·p_i/n_i) rounded to 6dp (pow/sum-order ulp
+    // divergence can't flip a keep), keep iff hash-u < quota
+    "q132_temperature_mix" ->
+      s"""WITH n AS (SELECT source, sum(n_chars)::DOUBLE AS n
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT source, n, pow(n, 0.5) AS w FROM n),
+         |t AS (SELECT sum(n) AS tn, sum(w) AS tw FROM w),
+         |q AS (SELECT source,
+         |  round(least(1.0, 0.3 * t.tn * (w.w / t.tw) / w.n), 6) AS quota
+         | FROM w, t),
+         |d AS (SELECT doc_id, source,
+         |  ${h56("doc_id::VARCHAR")} / 72057594037927936.0 AS u
+         | FROM documents)
+         |SELECT d.doc_id, d.source, round(d.u, 4) AS u,
+         | round(q.quota, 4) AS quota
+         |FROM d JOIN q USING (source) WHERE d.u < q.quota"""
         .stripMargin.replace("\n", " "),
     // Batch replay of the streaming embedding near-dup: q60's md5
     // hyperplane buckets, then int8 quantization with the EXACT Scala
@@ -1199,6 +1261,17 @@ object TextQueries {
          | FROM pr JOIN sc sa ON sa.cid = pr.a JOIN sc sb ON sb.cid = pr.b)
          |SELECT sc.cid AS vec_id, sc.cell, round(sc.simc, 4) AS simc
          |FROM sc WHERE sc.cid NOT IN (SELECT cid FROM lo)"""
+        .stripMargin.replace("\n", " "),
+    // cluster-balanced sampling: the q109 coarse quantizer's cell
+    // assignment, then the 40 md5-smallest ids per cell
+    "q134_cluster_sample" ->
+      s"""WITH $pqSampleCtes,
+         |$pqCoarseCtes,
+         |r AS (SELECT a.cid, a.cell,
+         |  row_number() OVER (PARTITION BY a.cell
+         |    ORDER BY ${h56("a.cid::VARCHAR")}, a.cid) AS rk
+         | FROM asg a)
+         |SELECT cid AS vec_id, cell, rk::INT AS rk FROM r WHERE rk <= 40"""
         .stripMargin.replace("\n", " "),
     // DSIR: hashed uni+bigram buckets (56-bit md5 mod 512), Laplace
     // bucket multinomials for target (source = src0) vs raw (all docs),

@@ -680,4 +680,43 @@ object Similarity {
         coalesce(col("nDups"), lit(0L)).as("nDups"),
         col("matchId"), col("matchCos"))
   }
+
+  /** Cluster-balanced (topic-stratified) corpus sampling: assign every
+    * embedding to a deterministic KMeans cell (the q61/q109 coarse
+    * quantizer) and keep the `perCell` md5-smallest ids per cell — an
+    * equal-per-topic subset. Size-proportional sampling lets one dominant
+    * topic (crawl boilerplate, one language) swamp a curated subset;
+    * per-cell quotas are the embedding-space analogue of
+    * [[graft.text.TextOps.temperatureMix]] over sources, with cells
+    * standing in for (unlabeled) topics — the cluster-balanced selection
+    * used alongside SemDeDup-style curation.
+    *
+    * Scale shape: one broadcast-centroid codegen assignment pass (no
+    * iterative distributed fit), then a per-cell bottom-k by hashed id —
+    * the optimizer caps window partials at `perCell` per cell before the
+    * exchange (WindowGroupLimit), so the shuffle carries ≤
+    * perCell·nCells·tasks rows, never the corpus. Fully md5/fixed-Lloyd
+    * deterministic → exact SQL replay. Output: (idCol, cell, rk ≤
+    * perCell). */
+  def clusterBalancedSample(vecs: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, perCell: Int, iters: Int = 10,
+      maxSample: Int = 20000): DataFrame = {
+    graft.expr.GraftFunctions.register(vecs.sparkSession)
+    val c = vecs.select(col(idCol).as("cid"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    val pts = LocalKMeans.sampleVectorsHashed(c, "cv", Seq("cid"), maxSample)
+    val cents = LocalKMeans.fitFixed(pts, nCells, iters, viaDot = true)
+    val ccs = cents.map(ct => LocalKMeans.dotSeq(ct, ct))
+    val h = conv(substring(md5(col("cid").cast("string")), 1, 14), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("cell")).orderBy(col("h"), col("cid"))
+    c.withColumn("cell",
+        graft.expr.GraftFunctions.vecNearest(vecs.sparkSession, col("cv"),
+          cents, ccs))
+      .withColumn("h", h)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= perCell)
+      .select(col("cid").as(idCol), col("cell").cast("long").as("cell"),
+        col("rk"))
+  }
 }

@@ -734,6 +734,69 @@ object TextOps {
       .where(col("u") < col("quota"))
   }
 
+  /** Temperature-scaled source mixing (the GPT-3 §2.2 / XLM-R §3.1
+    * corpus-weighting scheme): sampling probability p_i ∝ n_i^alpha over
+    * the per-source sizes n_i = Σ sizeCol, so alpha < 1 flattens the
+    * source-size distribution — small curated sources are upsampled
+    * relative to their raw share, the crawl is downsampled. Against a
+    * total budget B = budgetFrac·N the per-source keep fraction is
+    * f_i = min(1, B·p_i/n_i). Keep decisions are md5-hash-derived exactly
+    * like [[stratifiedSample]] — reproducible across runs, engines,
+    * partitionings and retries. Quotas are rounded to 6dp so a last-ulp
+    * pow()/sum-order divergence between engines can never flip a keep
+    * decision. Scale: one tiny per-source agg (broadcast back), then a
+    * pure per-row filter — no data-sized shuffle.
+    * Output: input columns + u + quota, filtered to kept rows. */
+  def temperatureMix(docs: DataFrame, idCol: String, srcCol: String,
+      sizeCol: String, alpha: Double, budgetFrac: Double): DataFrame = {
+    val perSrc = docs.groupBy(srcCol)
+      .agg(sum(col(sizeCol)).cast("double").as("_sz"))
+      .withColumn("_w", pow(col("_sz"), lit(alpha)))
+    val tot = perSrc.agg(sum("_sz").as("_totSz"), sum("_w").as("_totW"))
+    val quotas = perSrc.crossJoin(broadcast(tot))
+      .select(col(srcCol),
+        round(least(lit(1.0),
+          lit(budgetFrac) * col("_totSz") * (col("_w") / col("_totW")) / col("_sz")), 6)
+          .as("quota"))
+    val u = hash56(col(idCol).cast("string")).cast("double") /
+      lit((1L << 56).toDouble)
+    docs.join(broadcast(quotas), srcCol)
+      .withColumn("u", u)
+      .where(col("u") < col("quota"))
+  }
+
+  /** CCNet-style per-group score bucketing (Wenzek et al. LREC'20 §4.4):
+    * within each group (language, source), cut the score distribution at
+    * the (names.size − 1) equal-probability points and tag each row with
+    * its bucket — head/middle/tail by default, lower score = head (CCNet
+    * scores are perplexities; lower is better). Raw scores are NOT
+    * comparable across groups — a global threshold over-prunes whole
+    * languages — which is the point of calibrating per group. Cuts are
+    * exact interpolated percentiles over the score rounded to 4dp, so the
+    * cut inputs (and therefore the cuts and every comparison) are
+    * bit-identical cross-engine. Scale: the exact per-group percentile
+    * sorts each group once; at 100 TB fit cuts from
+    * [[graft.model.Fitters.quantileSketchEstimate]] instead — the
+    * broadcast-join tagging below is unchanged either way.
+    * Output: input columns + score4 (the rounded score) + bucket. */
+  def scoreBuckets(scored: DataFrame, groupCol: String, scoreCol: String,
+      names: Seq[String] = Seq("head", "middle", "tail")): DataFrame = {
+    require(names.size >= 2, "need at least two buckets")
+    val s4 = round(col(scoreCol), 4)
+    val probs = (1 until names.size).map(_.toDouble / names.size)
+    val aggs = probs.zipWithIndex.map { case (p, i) =>
+      percentile(s4, lit(p)).as(s"_c$i")
+    }
+    val cuts = scored.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val tagged = probs.indices.reverse.foldLeft(lit(names.last)) { (acc, i) =>
+      when(s4 <= col(s"_c$i"), lit(names(i))).otherwise(acc)
+    }
+    scored.join(broadcast(cuts), groupCol)
+      .withColumn("score4", s4)
+      .withColumn("bucket", tagged)
+      .drop(probs.indices.map(i => s"_c$i"): _*)
+  }
+
   /** Per-doc hashed n-gram features (unigrams + bigrams → 56-bit md5
     * hash mod `nBuckets`) — the DSIR feature map. One row per gram
     * OCCURRENCE (counts matter, not presence). HOF lambdas are

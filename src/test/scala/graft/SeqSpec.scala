@@ -55,6 +55,34 @@ class SeqSpec extends SparkSpec {
     sums.foreach(r => assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-9))
   }
 
+  test("markov merge: slice-fitted counts merged+normalized equal a full refit") {
+    val data = core.table(spark, sfDir, "events")
+    val half = pmod(col("user_id"), lit(2))
+    val merged = Fitters.markovMerge(Seq(
+      Fitters.markovCounts(data.where(half === 0), Seq("user_id"), "event_id", "event_type"),
+      Fitters.markovCounts(data.where(half === 1), Seq("user_id"), "event_id", "event_type")))
+    val viaMerge = Fitters.markovProbs(merged, smoothing = 1.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("prob")).toMap
+    val refit = Fitters.markovTransitions(data, Seq("user_id"), "event_id", "event_type", 1.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("prob")).toMap
+    assert(viaMerge.keySet == refit.keySet)
+    viaMerge.foreach { case (k, p) => assert(math.abs(p - refit(k)) < 1e-12, s"$k") }
+  }
+
+  test("markov merge is associative and order-insensitive") {
+    val data = core.table(spark, sfDir, "events")
+    val slices = (0 until 3).map(i =>
+      Fitters.markovCounts(data.where(pmod(col("user_id"), lit(3)) === i),
+        Seq("user_id"), "event_id", "event_type"))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("cnt")).toMap
+    val abc = toMap(Fitters.markovMerge(slices))
+    val cba = toMap(Fitters.markovMerge(slices.reverse))
+    val nested = toMap(Fitters.markovMerge(Seq(
+      Fitters.markovMerge(slices.take(2)), slices(2))))
+    assert(abc == cba && abc == nested)
+  }
+
   test("markov chain: improbable window scores higher than probable one") {
     val seq = (1 to 40).map(i => ("e1", i.toLong, if (i % 2 == 0) "A" else "B")) ++
       (41 to 45).map(i => ("e1", i.toLong, "C")) // rare state burst

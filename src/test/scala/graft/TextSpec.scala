@@ -642,4 +642,64 @@ class TextSpec extends SparkSpec {
     assert(resid >= 0.7, s"residual recall $resid")
     assert(resid > plain + 0.2, s"residual $resid should clearly beat plain $plain")
   }
+
+  test("temperature mix: alpha=1 keeps every source at the budget fraction") {
+    val d = (1L to 300L).map(i =>
+      (i, if (i <= 200) "big" else "small", 10L)).toDF("doc_id", "source", "n_chars")
+    // alpha=1 → p_i = n_i/N → quota_i = budgetFrac exactly, for every source
+    val out = TextOps.temperatureMix(d, "doc_id", "source", "n_chars",
+      alpha = 1.0, budgetFrac = 0.4)
+    assert(out.select("quota").distinct().collect().map(_.getDouble(0)).toSeq == Seq(0.4))
+  }
+
+  test("temperature mix: alpha<1 upsamples small sources, quotas capped at 1") {
+    val d = (1L to 1100L).map(i =>
+      (i, if (i <= 1000) "crawl" else "books", 100L)).toDF("doc_id", "source", "n_chars")
+    val quotas = TextOps.temperatureMix(d, "doc_id", "source", "n_chars",
+      alpha = 0.3, budgetFrac = 0.3)
+      .select("source", "quota").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(quotas("books") > quotas("crawl"), s"$quotas")
+    assert(quotas.values.forall(q => q > 0 && q <= 1.0), s"$quotas")
+    // the hash-derived keep is reproducible: re-running selects the same ids
+    val a = TextOps.temperatureMix(d, "doc_id", "source", "n_chars", 0.3, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextOps.temperatureMix(d.repartition(7), "doc_id", "source", "n_chars", 0.3, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("cluster-balanced sample: per-cell cap respected, deterministic under repartition") {
+    val vecs = graft.core.table(spark, sfDir, "embeddings")
+    val out = Similarity.clusterBalancedSample(vecs, "vec_id", "embedding",
+      nCells = 4, perCell = 10, iters = 5, maxSample = 512)
+    val byCell = out.collect().groupBy(_.getAs[Long]("cell"))
+    assert(byCell.nonEmpty)
+    byCell.foreach { case (c, rs) =>
+      assert(rs.length <= 10, s"cell $c over quota")
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rs.length), s"cell $c ranks")
+    }
+    val again = Similarity.clusterBalancedSample(vecs.repartition(13), "vec_id",
+      "embedding", nCells = 4, perCell = 10, iters = 5, maxSample = 512)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.collect().map(_.getAs[Long]("vec_id")).toSet)
+  }
+
+  test("score buckets: per-group terciles are monotone and roughly balanced") {
+    val rows = (for (g <- Seq("en", "de"); i <- 1 to 90) yield {
+      val base = if (g == "en") 0.0 else 100.0 // disjoint score ranges per group
+      (s"$g$i", g, base + i * 0.1)
+    }).toDF("id", "grp", "score")
+    val out = TextOps.scoreBuckets(rows, "grp", "score").collect()
+    for (g <- Seq("en", "de")) {
+      val byB = out.filter(_.getAs[String]("grp") == g)
+        .groupBy(_.getAs[String]("bucket"))
+        .map { case (b, rs) => b -> rs.map(_.getAs[Double]("score4")) }
+      assert(byB.keySet == Set("head", "middle", "tail"))
+      assert(byB("head").max <= byB("middle").min)
+      assert(byB("middle").max <= byB("tail").min)
+      assert(byB.values.forall(v => v.size >= 29 && v.size <= 31)) // ~90/3 each
+    }
+    // a global cut would put ALL of 'en' in head; calibration keeps thirds
+  }
 }
