@@ -297,6 +297,17 @@ object TextQueries {
     "q109_semdedup" -> ((s, dir) =>
       canon(Similarity.semDedupDeterministic(emb(s, dir), "vec_id",
         "embedding", nCells = 8, eps = 0.4, iters = 10, maxSample = 4096))),
+    // incremental ingest: the q130 snapshot split drives diff → Gopher
+    // gate → cross-corpus near-dup → admit
+    "q135_incremental_ingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m5 = pmod(col("doc_id"), lit(5))
+      val old = d.where(m5 =!= 4).withColumn("text",
+        when(m5 === 3, concat(col("text"), lit(" v1"))).otherwise(col("text")))
+      val neu = d.where(m5 =!= 0)
+      TextOps.incrementalIngest(old, neu, "doc_id", "text",
+        shingleSize = 3, numHashes = NumHashes, bandSize = BandSize)
+    }),
     // cluster-balanced sampling: equal per-topic quota (40) over the q109
     // quantizer's 8 cells, members ranked by md5(id)
     "q134_cluster_sample" -> ((s, dir) =>
@@ -329,6 +340,30 @@ object TextQueries {
 
   private val toks = """regexp_extract_all(lower(text), '\S+')"""
   private def h56(e: String) = s"('0x'||substr(md5($e),1,14))::BIGINT"
+
+  // Gopher §A1.1 rule inputs per doc (gb: raw arrays, gm: the metrics) —
+  // shared by the rule-battery and the incremental-ingest oracles.
+  private lazy val gopherCte =
+    s"""gb AS (SELECT doc_id,
+       |  $toks AS ws,
+       |  string_split(text, chr(10)) AS lines,
+       |  len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::DOUBLE AS nsym
+       | FROM documents),
+       |gm AS (SELECT doc_id,
+       |  len(ws)::BIGINT AS nWords,
+       |  greatest(len(ws), 1)::DOUBLE AS nwd,
+       |  list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+       |    / greatest(len(ws), 1) AS mwl,
+       |  nsym / greatest(len(ws), 1) AS symr,
+       |  len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE
+       |    / greatest(len(lines), 1) AS bull,
+       |  len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*${"$"}')))::DOUBLE
+       |    / greatest(len(lines), 1) AS ell,
+       |  len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+       |    / greatest(len(ws), 1) AS alpha,
+       |  (${TextOps.langMarkers("en")
+           .map(w => s"list_contains(ws, '$w')::INT").mkString(" + ")})::BIGINT AS nStop
+       | FROM gb)""".stripMargin.replace("\n", " ")
 
   // Laplace-smoothed bigram LM fitted on the corpus itself; `lm` = one
   // row per doc with (nGrams, avgNll). Shared by the LM-score and the
@@ -763,26 +798,7 @@ object TextQueries {
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
         .stripMargin.replace("\n", " "),
     "q127_gopher_rules" ->
-      s"""WITH b AS (SELECT doc_id,
-         |  $toks AS ws,
-         |  string_split(text, chr(10)) AS lines,
-         |  len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::DOUBLE AS nsym
-         | FROM documents),
-         |m AS (SELECT doc_id,
-         |  len(ws)::BIGINT AS nWords,
-         |  greatest(len(ws), 1)::DOUBLE AS nwd,
-         |  list_sum(list_transform(ws, x -> length(x)))::DOUBLE
-         |    / greatest(len(ws), 1) AS mwl,
-         |  nsym / greatest(len(ws), 1) AS symr,
-         |  len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE
-         |    / greatest(len(lines), 1) AS bull,
-         |  len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*${"$"}')))::DOUBLE
-         |    / greatest(len(lines), 1) AS ell,
-         |  len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::DOUBLE
-         |    / greatest(len(ws), 1) AS alpha,
-         |  (${TextOps.langMarkers("en")
-             .map(w => s"list_contains(ws, '$w')::INT").mkString(" + ")})::BIGINT AS nStop
-         | FROM b)
+      s"""WITH $gopherCte
          |SELECT doc_id, nWords, round(mwl, 4) AS meanWordLen,
          | round(symr, 4) AS symbolRatio, round(bull, 4) AS bulletFrac,
          | round(ell, 4) AS ellipsisFrac, round(alpha, 4) AS alphaWordFrac,
@@ -791,7 +807,7 @@ object TextQueries {
          |   AND mwl BETWEEN 3.0 AND 10.0 AND symr <= 0.1
          |   AND bull <= 0.9 AND ell <= 0.3 AND alpha >= 0.8
          |   AND nStop >= 2 THEN 1 ELSE 0 END)::BIGINT AS passed
-         |FROM m""".stripMargin.replace("\n", " "),
+         |FROM gm""".stripMargin.replace("\n", " "),
     "q52_langid" ->
       s"""WITH c AS (SELECT doc_id,
          |${markers.map { case (l, ws) =>
@@ -1261,6 +1277,36 @@ object TextQueries {
          | FROM pr JOIN sc sa ON sa.cid = pr.a JOIN sc sb ON sb.cid = pr.b)
          |SELECT sc.cid AS vec_id, sc.cell, round(sc.simc, 4) AS simc
          |FROM sc WHERE sc.cid NOT IN (SELECT cid FROM lo)"""
+        .stripMargin.replace("\n", " "),
+    // incremental ingest end-to-end: q130's snapshot classes pick the
+    // fresh docs, the Gopher gate screens them, the q106 cross-corpus
+    // band join flags near-dups of retained content
+    "q135_incremental_ingest" ->
+      s"""WITH $sigCte,
+         |bands AS (SELECT doc_id, hashIdx // $BandSize AS band,
+         |  array_to_string(list(minHash ORDER BY hashIdx), ':') AS bucket
+         | FROM sig GROUP BY doc_id, band),
+         |cls AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 4 THEN 'added'
+         |   WHEN doc_id % 5 = 3 THEN 'changed' ELSE 'same' END AS status
+         | FROM documents WHERE doc_id % 5 <> 0),
+         |fresh AS (SELECT doc_id, status FROM cls WHERE status <> 'same'),
+         |ret AS (SELECT doc_id FROM cls WHERE status = 'same'),
+         |dup AS (SELECT DISTINCT f.doc_id
+         | FROM bands nb JOIN fresh f ON f.doc_id = nb.doc_id
+         | JOIN bands cb ON cb.band = nb.band AND cb.bucket = nb.bucket
+         | JOIN ret r ON r.doc_id = cb.doc_id),
+         |$gopherCte,
+         |g AS (SELECT doc_id,
+         |  (CASE WHEN nWords BETWEEN 50 AND 100000
+         |   AND mwl BETWEEN 3.0 AND 10.0 AND symr <= 0.1
+         |   AND bull <= 0.9 AND ell <= 0.3 AND alpha >= 0.8
+         |   AND nStop >= 2 THEN 1 ELSE 0 END)::BIGINT AS qualityPass
+         | FROM gm)
+         |SELECT f.doc_id, f.status, g.qualityPass,
+         | (d.doc_id IS NOT NULL)::BIGINT AS isDup,
+         | (g.qualityPass = 1 AND d.doc_id IS NULL)::BIGINT AS admitted
+         |FROM fresh f JOIN g USING (doc_id) LEFT JOIN dup d USING (doc_id)"""
         .stripMargin.replace("\n", " "),
     // cluster-balanced sampling: the q109 coarse quantizer's cell
     // assignment, then the 40 md5-smallest ids per cell

@@ -67,6 +67,41 @@ object TextOps {
           .otherwise("same").as("status"))
   }
 
+  /** Incremental-ingest admission — the end-to-end path a periodic corpus
+    * refresh runs, composed so every stage touches the FRESH slice plus
+    * hash-sized state of the corpus, never the full history: snapshot
+    * diff ([[corpusDiff]] — (id, md5) projections only) selects the
+    * added/changed docs; the Gopher hard gate ([[gopherRules]]) screens
+    * them; the cross-corpus LSH check ([[minhashPairsAcross]] vs the
+    * unchanged survivors) rejects near-dups of already-retained content.
+    * At 100 TB the diff and band joins shuffle hashes, the gate is a
+    * zero-shuffle expression pass, and nothing pairs the corpus with
+    * itself. Output: one row per fresh doc —
+    * (idCol, status ∈ added|changed, qualityPass, isDup, admitted) with
+    * the flags as 0/1 BIGINTs. */
+  def incrementalIngest(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      numHashes: Int = 16, bandSize: Int = 4, minWords: Int = 50): DataFrame = {
+    val diff = corpusDiff(oldDocs, newDocs, idCol, textCol)
+    val fresh = newDocs.join(
+      diff.where(col("status").isin("added", "changed")), Seq(idCol))
+    val retained = newDocs.join(
+      diff.where(col("status") === "same").select(idCol), Seq(idCol))
+    val gate = gopherRules(fresh, idCol, textCol, minWords = minWords)
+      .select(col(idCol), col("passed").as("qualityPass"))
+    val dups = minhashPairsAcross(fresh, retained, idCol, textCol,
+      shingleSize, numHashes, bandSize)
+      .select(col("a").as(idCol)).distinct()
+      .withColumn("isDup", lit(1L))
+    fresh.select(col(idCol), col("status"))
+      .join(gate, Seq(idCol))
+      .join(dups, Seq(idCol), "left")
+      .withColumn("isDup", coalesce(col("isDup"), lit(0L)))
+      .withColumn("admitted",
+        ((col("qualityPass") === 1L) && (col("isDup") === 0L))
+          .cast("int").cast("long"))
+  }
+
   /** Distinct word n-gram shingles per document: (id, shingle). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     // materialize the token array once — element_at inside the lambda would

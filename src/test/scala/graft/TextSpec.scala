@@ -669,6 +669,32 @@ class TextSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("incremental ingest: diff classes, quality gate and cross-corpus dup compose") {
+    val base = "the quick brown fox jumps over a lazy dog and then runs home again"
+    val story = "a completely different story about the sea and the wind with ships sailing far away"
+    val old = Seq(
+      (1L, base),
+      (2L, "totally different content about engines and the ocean"),
+      (3L, "the third document staying exactly the same with more words and detail here")
+    ).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, base),                      // same → retained, not emitted
+      (2L, story),                     // changed, clean, unique → admitted
+      (3L, "the third document staying exactly the same with more words and detail here"),
+      (4L, base),                      // added but a dup of retained doc 1
+      (5L, "# # # # # # #")            // added but fails the hard gate
+    ).toDF("doc_id", "text")
+    val out = TextOps.incrementalIngest(old, neu, "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bandSize = 4, minWords = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("status"), r.getAs[Long]("qualityPass"),
+          r.getAs[Long]("isDup"), r.getAs[Long]("admitted"))).toMap
+    assert(out.keySet == Set(2L, 4L, 5L)) // same-docs 1 and 3 never emitted
+    assert(out(2L) == (("changed", 1L, 0L, 1L)))
+    assert(out(4L) == (("added", 1L, 1L, 0L)))
+    assert(out(5L)._1 == "added" && out(5L)._2 == 0L && out(5L)._4 == 0L)
+  }
+
   test("cluster-balanced sample: per-cell cap respected, deterministic under repartition") {
     val vecs = graft.core.table(spark, sfDir, "embeddings")
     val out = Similarity.clusterBalancedSample(vecs, "vec_id", "embedding",
