@@ -832,6 +832,55 @@ object TextOps {
       .drop(probs.indices.map(i => s"_c$i"): _*)
   }
 
+  /** The 100 TB face of [[scoreBuckets]]: cuts come from the mergeable
+    * bottom-k quantile sketch ([[graft.model.Fitters.quantileSketch]],
+    * k rows per group) instead of an exact per-group percentile sort —
+    * the sketch partials are WindowGroupLimit-capped at k pre-exchange,
+    * so no group is ever sorted whole. Sampling error moves O(1/√k) of
+    * the rows nearest each cut to the neighboring bucket; everything
+    * else is identical (same rounding, same broadcast tag join).
+    * `idCol` must identify rows uniquely within a group. */
+  def scoreBucketsSketch(scored: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, names: Seq[String] = Seq("head", "middle", "tail"),
+      k: Int = 1024): DataFrame = {
+    require(names.size >= 2, "need at least two buckets")
+    val s4 = round(col(scoreCol), 4)
+    val probs = (1 until names.size).map(_.toDouble / names.size)
+    val sk = graft.model.Fitters.quantileSketch(
+      scored.withColumn("_s4", s4), Seq(groupCol), idCol, "_s4", k)
+    val cuts = graft.model.Fitters.quantileSketchEstimate(sk, Seq(groupCol), probs)
+    val cutCols = probs.map(p => s"p${math.round(p * 100)}")
+    val tagged = cutCols.zipWithIndex.reverse.foldLeft(lit(names.last)) {
+      case (acc, (c, i)) => when(s4 <= col(c), lit(names(i))).otherwise(acc)
+    }
+    scored.join(broadcast(cuts.select((groupCol +: cutCols).map(col): _*)), groupCol)
+      .withColumn("score4", s4)
+      .withColumn("bucket", tagged)
+      .drop(cutCols: _*)
+  }
+
+  /** LSH banding planner: choose (bands b, rows-per-band r), r·b =
+    * numHashes, so the S-curve P(candidate | sim s) = 1 − (1 − s^r)^b has
+    * its rise (the MMDS §3.4.2 threshold t ≈ (1/b)^(1/r), where
+    * P = 1−(1−1/b)^b ≈ 0.63–0.75) as close as possible to the target
+    * Jaccard threshold. Returns
+    * (bandSize r, nBands b, crossover t). Drives [[minhashPairs]]'
+    * parameters instead of leaving them folklore: lower thresholds need
+    * narrower bands (more, smaller buckets → more candidates), higher
+    * thresholds wider ones. */
+  def lshPlan(numHashes: Int, threshold: Double): (Int, Int, Double) = {
+    require(numHashes >= 2 && threshold > 0 && threshold < 1)
+    val options = (1 to numHashes).filter(numHashes % _ == 0).map { r =>
+      val b = numHashes / r
+      (r, b, math.pow(1.0 / b, 1.0 / r))
+    }
+    options.minBy { case (_, _, t) => math.abs(t - threshold) }
+  }
+
+  /** The [[lshPlan]] S-curve itself: P(some band collides | Jaccard s). */
+  def lshCandidateProb(s: Double, bandSize: Int, nBands: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, bandSize), nBands)
+
   /** Per-doc hashed n-gram features (unigrams + bigrams → 56-bit md5
     * hash mod `nBuckets`) — the DSIR feature map. One row per gram
     * OCCURRENCE (counts matter, not presence). HOF lambdas are

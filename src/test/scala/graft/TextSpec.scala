@@ -669,6 +669,35 @@ class TextSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("sketch-cut score buckets agree with exact buckets away from the cuts") {
+    val rows = (for (g <- Seq("en", "de"); i <- 1 to 2000) yield
+      (s"$g$i", g, if (g == "en") i * i * 0.001 else 50.0 + i * 0.01))
+      .toDF("id", "grp", "score")
+    val exact = TextOps.scoreBuckets(rows, "grp", "score")
+      .select("id", "bucket").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val sketch = TextOps.scoreBucketsSketch(rows, "grp", "id", "score", k = 256)
+      .select("id", "bucket").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sketch.keySet == exact.keySet)
+    val agree = exact.count { case (id, b) => sketch(id) == b }
+    assert(agree.toDouble / exact.size >= 0.95,
+      s"sketch buckets agree on $agree/${exact.size}")
+  }
+
+  test("lsh planner: crossover tracks the threshold; S-curve is sane") {
+    val (r8, b8, t8) = TextOps.lshPlan(16, 0.9)
+    val (r4, b4, t4) = TextOps.lshPlan(16, 0.7)
+    val (r2, b2, t2) = TextOps.lshPlan(16, 0.35)
+    assert(r8 > r4 && r4 > r2) // higher thresholds need wider bands
+    assert(r8 * b8 == 16 && r4 * b4 == 16 && r2 * b2 == 16)
+    Seq((r8, b8, t8), (r4, b4, t4), (r2, b2, t2)).foreach { case (r, b, t) =>
+      // at t = (1/b)^(1/r): P = 1-(1-1/b)^b, between 1-1/e and 0.75 for b >= 2
+      val p = TextOps.lshCandidateProb(t, r, b)
+      assert(p > 0.6 && p < 0.8, s"S-curve at its own threshold: $p")
+      assert(TextOps.lshCandidateProb(math.min(t + 0.2, 0.99), r, b) > p)
+      assert(TextOps.lshCandidateProb(math.max(t - 0.2, 0.01), r, b) < p)
+    }
+  }
+
   test("incremental ingest: diff classes, quality gate and cross-corpus dup compose") {
     val base = "the quick brown fox jumps over a lazy dog and then runs home again"
     val story = "a completely different story about the sea and the wind with ships sailing far away"
