@@ -198,6 +198,23 @@ object ScaleProbe {
           .where(pmod(col("event_id"), lit(100)) =!= 99)
         text.TextOps.ccLargeSmallStar(pairs).count()
       }
+      // incremental-ingest composition: the diff shuffles (id, md5)
+      // projections, the gate is zero-shuffle expressions, the band join
+      // pairs fresh×retained buckets only — rows/s must stay flat
+      time("incr_ingest", n, nDocs) {
+        val m5 = pmod(col("doc_id"), lit(5))
+        val old = docs.where(m5 =!= 4).withColumn("text",
+          when(m5 === 3, concat(col("text"), lit(" v1"))).otherwise(col("text")))
+        val neu = docs.where(m5 =!= 0)
+        text.TextOps.incrementalIngest(old, neu, "doc_id", "text").count()
+      }
+      // cluster-balanced sampling: nCells scales with the corpus (the
+      // semdedup deployment rule) so assignment stays the only data-sized
+      // pass and the window partials stay perCell-capped
+      time("cluster_sample", n, nEmb) {
+        sim.Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+          nCells = 8 * n, perCell = 40, iters = 10, maxSample = 4096).count()
+      }
       // sample-bounded energy distance: cost is O(maxSample²) by design,
       // so this line must stay FLAT as the corpus scales
       time("energy_dist", n, nEmb) {
