@@ -839,10 +839,13 @@ object TextOps {
     * so no group is ever sorted whole. Sampling error moves O(1/√k) of
     * the rows nearest each cut to the neighboring bucket; everything
     * else is identical (same rounding, same broadcast tag join).
-    * `idCol` must identify rows uniquely within a group. */
+    * `idCol` must identify rows uniquely within a group. Keep k below
+    * spark.sql.optimizer.windowGroupLimitThreshold (default 1000): a
+    * larger k silently loses the partial-limit pushdown and every row
+    * reaches the exchange (PlanShapeSpec guards the default). */
   def scoreBucketsSketch(scored: DataFrame, groupCol: String, idCol: String,
       scoreCol: String, names: Seq[String] = Seq("head", "middle", "tail"),
-      k: Int = 1024): DataFrame = {
+      k: Int = 512): DataFrame = {
     require(names.size >= 2, "need at least two buckets")
     val s4 = round(col(scoreCol), 4)
     val probs = (1 until names.size).map(_.toDouble / names.size)

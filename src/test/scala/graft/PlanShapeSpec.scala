@@ -149,6 +149,34 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q60 must join on bucket, not cross")
   }
 
+  test("temperature mix: quota join is broadcast; no data-sized shuffle") {
+    // the only exchange allowed on the doc side is the tiny per-source
+    // agg that computes quotas — the keep filter itself must apply as a
+    // broadcast join + expression pass over the corpus scan
+    val p = plan("q132_temperature_mix").toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("cluster-balanced sample: per-cell bottom-k capped below the exchange") {
+    val p = plan("q134_cluster_sample").toString
+    // Partial WindowGroupLimit before the exchange, Final above
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "cluster sample lost the partial WindowGroupLimit")
+  }
+
+  test("sketch-cut calibration: sketch partials capped pre-exchange, cuts broadcast") {
+    import org.apache.spark.sql.functions._
+    val d = core.table(spark, sfDir, "documents")
+    val scored = d.select(col("doc_id"), col("lang"),
+      (length(col("text")) % 97).cast("double").as("score"))
+    val p = graft.text.TextOps.scoreBucketsSketch(scored, "lang", "doc_id", "score")
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "sketch lost the partial WindowGroupLimit")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+  }
+
   test("rounding parity: roundLikeDuck halves away from zero on the float product") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
