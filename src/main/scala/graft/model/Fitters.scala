@@ -234,7 +234,9 @@ object Fitters {
     * broken by value for cross-engine determinism). Scale: one exchange;
     * the per-key bottom-k is a window rank the optimizer caps via
     * WindowGroupLimit before the final sort, so partials never exceed
-    * k rows per key per task. The sketch is k·|keys| rows regardless of
+    * k rows per key per task. Keep k below
+    * spark.sql.optimizer.windowGroupLimitThreshold (default 1000) or the
+    * pushdown silently disappears and every row reaches the exchange. The sketch is k·|keys| rows regardless of
     * data volume.
     * Sketch rows: (keyCols..., h, value, rank 1..k). */
   def quantileSketch(df: DataFrame, keyCols: Seq[String], idCol: String,

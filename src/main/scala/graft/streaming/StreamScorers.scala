@@ -685,4 +685,38 @@ object StreamScorers {
           out.iterator
         })
   }
+
+  /** Streaming face of the incremental-ingest admission
+    * ([[graft.text.TextOps.incrementalIngest]]): candidate documents
+    * arrive on a stream and are admitted against a STATIC retained
+    * corpus. The Gopher hard gate is stateless expressions and could run
+    * directly on the stream, but the near-dup flag is a per-doc
+    * aggregation over LSH band matches — append mode only allows that
+    * behind a watermark — so the verdict join runs per micro-batch via
+    * foreachBatch, with THIS method as the batch body. `corpusBands` is
+    * the retained corpus' band index
+    * (`TextOps.lshBuckets(TextOps.minhash(corpus, …))`), built ONCE and
+    * reused across every micro-batch — the amortized index artifact; a
+    * batch's work is batch×bucket, never corpus². StreamSpec pins
+    * stream/batch verdict parity against `incrementalIngest`.
+    * Output: (idCol, qualityPass, isDup, admitted) as 0/1 BIGINTs. */
+  def ingestVerdictBatch(batch: DataFrame, corpusBands: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      numHashes: Int = 16, bandSize: Int = 4, minWords: Int = 50): DataFrame = {
+    val t = graft.text.TextOps
+    val gate = t.gopherRules(batch, idCol, textCol, minWords = minWords)
+      .select(col(idCol), col("passed").as("qualityPass"))
+    val bn = t.lshBuckets(
+      t.minhash(batch, idCol, textCol, shingleSize, numHashes), idCol, bandSize)
+    val dup = bn.join(corpusBands.select(col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col(idCol)).distinct().withColumn("isDup", lit(1L))
+    batch.select(col(idCol))
+      .join(gate, Seq(idCol))
+      .join(dup, Seq(idCol), "left")
+      .withColumn("isDup", coalesce(col("isDup"), lit(0L)))
+      .withColumn("admitted",
+        ((col("qualityPass") === 1L) && (col("isDup") === 0L))
+          .cast("int").cast("long"))
+  }
 }

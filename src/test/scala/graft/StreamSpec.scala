@@ -130,6 +130,45 @@ class StreamSpec extends SparkSpec {
     assert(math.abs(finals(0.75)._3 - batch.getAs[Double]("p75")) < 1e-9)
   }
 
+  test("streaming ingest admission matches the batch incremental ingest verdicts") {
+    implicit val sc = spark.sqlContext
+    import graft.text.TextOps
+    val base = "the quick brown fox jumps over a lazy dog and then runs home again"
+    val story = "a completely different story about the sea and the wind with ships sailing far away"
+    val old = Seq((1L, base),
+      (2L, "totally different content about engines and the ocean"),
+      (3L, "the third document staying exactly the same with more words and detail here")
+    ).toDF("doc_id", "text")
+    val neu = old.where(col("doc_id") =!= 2L)
+      .union(Seq((2L, story), (4L, base), (5L, "# # # # # # #")).toDF("doc_id", "text"))
+    // the retained corpus' band index: built once, reused every micro-batch
+    val retained = old.where(col("doc_id").isin(1L, 3L))
+    val corpusBands = TextOps.lshBuckets(
+      TextOps.minhash(retained, "doc_id", "text", 3, 16), "doc_id", 4)
+      .localCheckpoint(true)
+    val got = collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamScorers.ingestVerdictBatch(df, corpusBands, "doc_id", "text",
+          minWords = 5).collect().foreach { r =>
+          got(r.getAs[Long]("doc_id")) = (r.getAs[Long]("qualityPass"),
+            r.getAs[Long]("isDup"), r.getAs[Long]("admitted"))
+        }
+      }.start()
+    in.addData((2L, story))
+    q.processAllAvailable()
+    in.addData((4L, base), (5L, "# # # # # # #"))
+    q.processAllAvailable()
+    q.stop()
+    val batchV = TextOps.incrementalIngest(old, neu, "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bandSize = 4, minWords = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("qualityPass"), r.getAs[Long]("isDup"),
+          r.getAs[Long]("admitted"))).toMap
+    assert(got.toMap == batchV) // same docs, same verdicts, batch == stream
+  }
+
   test("kafka message parsing: first-comma entity split and typed delimited decode") {
     implicit val sc = spark.sqlContext
     // the spout contract (PredictorSpout.java:55-59): "entityID,rest..."
