@@ -238,6 +238,10 @@ object TextQueries {
       TextOps.scoreBuckets(scored, "lang", "avgNll")
         .select("doc_id", "lang", "score4", "bucket")
     }),
+    // per-(source, lang) corpus accounting: the table a mixing decision
+    // starts from
+    "q136_corpus_report" -> ((s, dir) =>
+      TextOps.corpusReport(docs(s, dir), "source", "lang", "text")),
     // temperature-scaled mixing: alpha=0.5 over per-source char masses,
     // 30% token budget — crawl-sized sources downsampled hardest
     "q132_temperature_mix" -> ((s, dir) =>
@@ -1111,6 +1115,17 @@ object TextQueries {
          |  WHEN s.score4 <= c.c1 THEN 'middle' ELSE 'tail' END AS bucket
          |FROM sc2 s JOIN cuts c USING (lang)"""
         .stripMargin.replace("\n", " "),
+    // per-(source, lang) masses + corpus share
+    "q136_corpus_report" ->
+      s"""WITH a AS (SELECT source, lang, count(*) AS nDocs,
+         |  sum(length(text))::BIGINT AS nChars,
+         |  sum(len($toks))::BIGINT AS nToks
+         | FROM documents GROUP BY 1, 2),
+         |t AS (SELECT sum(nChars) AS tc FROM a)
+         |SELECT source, lang, nDocs, nChars, nToks,
+         | round(nToks / nDocs::DOUBLE, 4) AS avgDocToks,
+         | round(nChars / t.tc::DOUBLE, 4) AS charShare
+         |FROM a, t""".stripMargin.replace("\n", " "),
     // temperature mixing: p_i ∝ n_i^0.5 over per-source char masses,
     // quota_i = min(1, 0.3·N·p_i/n_i) rounded to 6dp (pow/sum-order ulp
     // divergence can't flip a keep), keep iff hash-u < quota

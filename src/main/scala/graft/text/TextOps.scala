@@ -884,6 +884,28 @@ object TextOps {
   def lshCandidateProb(s: Double, bandSize: Int, nBands: Int): Double =
     1.0 - math.pow(1.0 - math.pow(s, bandSize), nBands)
 
+  /** Corpus composition report — the per-(source, language) accounting a
+    * mixing/curation decision starts from: document count, char and
+    * token masses, mean tokens per doc, and each slice's share of the
+    * corpus char mass. One map-side-combined hash agg over the corpus
+    * plus a broadcast of the model-sized totals — nothing else touches
+    * the data. Output: srcCol, langCol, nDocs, nChars, nToks,
+    * avgDocToks, charShare. */
+  def corpusReport(docs: DataFrame, srcCol: String, langCol: String,
+      textCol: String): DataFrame = {
+    val agg = docs.groupBy(col(srcCol), col(langCol)).agg(
+      count(lit(1)).as("nDocs"),
+      sum(length(col(textCol)).cast("long")).as("nChars"),
+      sum(size(tokens(col(textCol))).cast("long")).as("nToks"))
+    val tot = agg.agg(sum("nChars").as("_tc"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn("avgDocToks",
+        round(col("nToks").cast("double") / col("nDocs"), 4))
+      .withColumn("charShare",
+        round(col("nChars").cast("double") / col("_tc"), 4))
+      .drop("_tc")
+  }
+
   /** Per-doc hashed n-gram features (unigrams + bigrams → 56-bit md5
     * hash mod `nBuckets`) — the DSIR feature map. One row per gram
     * OCCURRENCE (counts matter, not presence). HOF lambdas are
