@@ -194,6 +194,79 @@ object Drift {
       detectorCols.map(c => col(c).cast("int")).reduce(_ + _))
       .withColumn("driftConsensus", col("driftVotes") >= quorum)
 
+  /** Two-sided CUSUM mean-shift detector (Page, Biometrika 1954) over a
+    * keyed value stream — the classic sequential change detector the
+    * windowed KS/CVM/AD tests (§2.5) complement: those locate a single
+    * retrospective break; CUSUM flags the shift ONLINE, row by row.
+    *
+    * The textbook recursions g⁺ᵢ = max(0, g⁺ᵢ₋₁ + zᵢ − k) and
+    * g⁻ᵢ = max(0, g⁻ᵢ₋₁ − zᵢ − k) look inherently sequential, but both
+    * have the closed form gᵢ = Aᵢ − min(0, min_{j≤i} Aⱼ) with
+    * Aᵢ = Σ_{t≤i}(±zₜ − k) — a cumulative sum minus its running minimum.
+    * That turns the whole detector into two window aggregates over one
+    * per-key sort: a single sort-within-shuffle per key, no driver
+    * loops, no iteration, scale-out = key cardinality × range split.
+    *
+    * zₜ standardizes against the first `warmup` rows' mean/std (the
+    * in-control baseline); μ₀/σ₀ are rounded to 6dp so the long additive
+    * chain that follows is bit-reproducible cross-engine (same trick as
+    * the CBLOF centroids). `slack` k and threshold `h` are in σ units
+    * (textbook defaults: k=0.5 detects ~1σ shifts, h≈5). Rows inside
+    * the warmup emit gPos/gNeg but never alarm. Output: key cols, seq,
+    * value, gPos, gNeg, alarm. */
+  def cusum(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      valCol: String, warmup: Int = 100, slack: Double = 0.5,
+      h: Double = 5.0): DataFrame = {
+    val w = byKey(keyCols, seqCol)
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val indexed = data.withColumn("_rn", row_number().over(w))
+    // warmup baseline per key — a model-sized aggregate, broadcast back
+    val base = indexed.where(col("_rn") <= warmup)
+      .groupBy(keyCols.map(col): _*)
+      .agg(round(avg(col(valCol)), 6).as("_mu0"),
+        round(coalesce(stddev_samp(col(valCol)), lit(0.0)), 6).as("_sd0"))
+    val z = (col(valCol) - col("_mu0")) / greatest(col("_sd0"), lit(1e-9))
+    indexed.join(broadcast(base), keyCols)
+      .withColumn("_aPos", sum(z - lit(slack)).over(cum))
+      .withColumn("_aNeg", sum(-z - lit(slack)).over(cum))
+      .withColumn("gPos", col("_aPos") - least(lit(0.0), min(col("_aPos")).over(cum)))
+      .withColumn("gNeg", col("_aNeg") - least(lit(0.0), min(col("_aNeg")).over(cum)))
+      .withColumn("alarm",
+        col("_rn") > warmup && (col("gPos") > h || col("gNeg") > h))
+      .drop("_rn", "_mu0", "_sd0", "_aPos", "_aNeg")
+  }
+
+  /** Page–Hinkley test (Page 1954; Hinkley, Biometrika 1971 — the form
+    * standard in the stream-drift literature, e.g. Gama et al.'s MOA):
+    * mᵢ = Σ_{t≤i}(xₜ − x̄ₜ − δ) with x̄ₜ the RUNNING mean through t;
+    * drift when mᵢ − min_{j≤i} mⱼ > λ (upward shift) or
+    * max_{j≤i} m′ⱼ − m′ᵢ > λ with m′ᵢ = Σ(xₜ − x̄ₜ + δ) (downward).
+    * Unlike [[cusum]] it needs no warmup baseline — the running mean IS
+    * the baseline, self-adapting as the stream drifts.
+    *
+    * Two stacked window passes over the same per-key sort (running mean,
+    * then the cumulative sums over the derived deviations) — Catalyst
+    * reuses one exchange+sort for all of them, so the plan stays a
+    * single shuffle per key at any scale. Output: key cols, seq, value,
+    * phInc, phDec, drift. */
+  def pageHinkley(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      valCol: String, delta: Double = 0.005, lambda: Double = 50.0,
+      minInstances: Int = 30): DataFrame = {
+    val w = byKey(keyCols, seqCol)
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    data
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_dev", col(valCol) - avg(col(valCol)).over(cum))
+      .withColumn("_mInc", sum(col("_dev") - lit(delta)).over(cum))
+      .withColumn("_mDec", sum(col("_dev") + lit(delta)).over(cum))
+      .withColumn("phInc", col("_mInc") - min(col("_mInc")).over(cum))
+      .withColumn("phDec", max(col("_mDec")).over(cum) - col("_mDec"))
+      .withColumn("drift",
+        col("_rn") >= minInstances &&
+          (col("phInc") > lambda || col("phDec") > lambda))
+      .drop("_rn", "_dev", "_mInc", "_mDec")
+  }
+
   /** Embedding-distribution drift via the energy distance (Székely &
     * Rizzo 2004, "Testing for equal distributions in high dimension"):
     * E = 2·E‖X−Y‖ − E‖X−X'‖ − E‖Y−Y'‖ over two embedding samples —

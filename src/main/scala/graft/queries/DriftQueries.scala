@@ -85,6 +85,23 @@ object DriftQueries {
           strategy = "weightedAverage", expConst = 0.5, threshold = 0.75))
         .select("l_orderkey", "l_linenumber", "l_returnflag", "score", "tag"))
     }),
+    // two-sided CUSUM over the raw value stream: cumsum-minus-running-min
+    // closed form, baseline = first-100-row mean/std rounded to 6dp so
+    // the additive chain replays bit-identically in the oracle
+    "q137_cusum" -> ((s, dir) =>
+      canon(Drift.cusum(
+        table(s, dir, "events").select("event_type", "event_id", "value"),
+        Seq("event_type"), "event_id", "value",
+        warmup = 100, slack = 0.5, h = 5.0)
+        .select("event_type", "event_id", "value", "gPos", "gNeg", "alarm"))),
+    // Page–Hinkley: running-mean deviations, then the same cumsum −
+    // running-extremum trick — no warmup baseline, self-adapting
+    "q138_page_hinkley" -> ((s, dir) =>
+      canon(Drift.pageHinkley(
+        table(s, dir, "events").select("event_type", "event_id", "value"),
+        Seq("event_type"), "event_id", "value",
+        delta = 0.005, lambda = 50.0, minInstances = 30)
+        .select("event_type", "event_id", "value", "phInc", "phDec", "drift"))),
     "q67_drift_consensus" -> ((s, dir) => {
       val ddm = Drift.ddm(errStream(s, dir), Seq("event_type"), "event_id", "err")
         .select(col("event_type"), col("event_id"), (col("level") === "drift").as("d1"))
@@ -120,6 +137,55 @@ object DriftQueries {
       .stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    // CUSUM closed form: g = A − min(0, running-min A); baseline rounded
+    // to 6dp on both sides so the cumsum chain is reproducible
+    "q137_cusum" ->
+      """WITH rn AS (SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+        | FROM events),
+        |base AS (SELECT event_type, round(avg(value), 6) AS mu0,
+        |  round(coalesce(stddev_samp(value), 0.0), 6) AS sd0
+        | FROM rn WHERE rn <= 100 GROUP BY event_type),
+        |z AS (SELECT r.event_type, r.event_id, r.value, r.rn,
+        |  (r.value - b.mu0) / greatest(b.sd0, 1e-9) AS z
+        | FROM rn r JOIN base b USING (event_type)),
+        |c AS (SELECT event_type, event_id, value, rn,
+        |  sum(z - 0.5) OVER cum AS aPos, sum(-z - 0.5) OVER cum AS aNeg
+        | FROM z
+        | WINDOW cum AS (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT event_type, event_id, value, rn,
+        |  aPos - least(0.0, min(aPos) OVER cum) AS gp,
+        |  aNeg - least(0.0, min(aNeg) OVER cum) AS gn
+        | FROM c
+        | WINDOW cum AS (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id, round(value, 4) AS value,
+        | round(gp, 4) AS gPos, round(gn, 4) AS gNeg,
+        | (rn > 100 AND (gp > 5.0 OR gn > 5.0)) AS alarm
+        |FROM g""".stripMargin.replace("\n", " "),
+    // Page–Hinkley: running-mean deviation, cumsum, then running extremum
+    "q138_page_hinkley" ->
+      """WITH rn AS (SELECT event_type, event_id, value,
+        |  row_number() OVER cum AS rn,
+        |  value - avg(value) OVER cum AS dev
+        | FROM events
+        | WINDOW cum AS (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT event_type, event_id, value, rn,
+        |  sum(dev - 0.005) OVER cum AS mInc, sum(dev + 0.005) OVER cum AS mDec
+        | FROM rn
+        | WINDOW cum AS (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT event_type, event_id, value, rn,
+        |  mInc - min(mInc) OVER cum AS pi, max(mDec) OVER cum - mDec AS pd
+        | FROM m
+        | WINDOW cum AS (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id, round(value, 4) AS value,
+        | round(pi, 4) AS phInc, round(pd, 4) AS phDec,
+        | (rn >= 30 AND (pi > 50.0 OR pd > 50.0)) AS drift
+        |FROM p""".stripMargin.replace("\n", " "),
     // energy distance: V-statistic means over all ordered pairs per term
     // (self pairs contribute 0), Euclidean via list_distance — the q42
     // precedent for cross-engine distance parity under the 4dp round

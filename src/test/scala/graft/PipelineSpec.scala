@@ -100,6 +100,42 @@ class PipelineSpec extends SparkSpec {
     assert(levels.drop(210).exists(_ == "drift"))
   }
 
+  test("cusum alarms on a mean shift, quiet on the stable prefix; matches the max(0,·) recursion") {
+    // stable at 10, then a +1.5σ-ish shift at row 301
+    val vals = (1 to 300).map(i => 10.0 + (i % 7 - 3) * 0.1) ++
+      (301 to 400).map(i => 11.0 + (i % 7 - 3) * 0.1)
+    val rows = vals.zipWithIndex.map { case (v, i) => ("k", (i + 1).toLong, v) }
+      .toDF("k", "seq", "v")
+    val out = Drift.cusum(rows, Seq("k"), "seq", "v",
+      warmup = 100, slack = 0.5, h = 5.0)
+      .orderBy("seq").select("gPos", "gNeg", "alarm")
+      .as[(Double, Double, Boolean)].collect()
+    assert(out.take(300).forall(!_._3), "no alarm before the shift")
+    assert(out.drop(310).exists(_._3), "alarm after the shift")
+    // closed form == textbook recursion, replayed locally
+    val mu0 = BigDecimal(vals.take(100).sum / 100).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m2 = vals.take(100).map(v => (v - vals.take(100).sum / 100)).map(d => d * d).sum
+    val sd0 = BigDecimal(math.sqrt(m2 / 99)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var gp = 0.0
+    vals.zip(out).zipWithIndex.foreach { case ((v, (gPos, _, _)), i) =>
+      val z = (v - mu0) / math.max(sd0, 1e-9)
+      gp = math.max(0.0, gp + z - 0.5)
+      assert(math.abs(gp - gPos) < 1e-6, s"row $i: recursion $gp vs closed form $gPos")
+    }
+  }
+
+  test("page-hinkley drifts on an upward shift, quiet on stable data") {
+    val stable = (1 to 400).map(i => ("k", i.toLong, 10.0 + (i % 5 - 2) * 0.1))
+    val quiet = Drift.pageHinkley(stable.toDF("k", "seq", "v"),
+      Seq("k"), "seq", "v", delta = 0.005, lambda = 50.0)
+    assert(quiet.where(col("drift")).count() == 0)
+    val shifted = stable ++ (401 to 600).map(i => ("k", i.toLong, 13.0 + (i % 5 - 2) * 0.1))
+    val out = Drift.pageHinkley(shifted.toDF("k", "seq", "v"),
+      Seq("k"), "seq", "v", delta = 0.005, lambda = 50.0)
+    assert(out.where(col("drift") && col("seq") > 400).count() > 0)
+    assert(out.where(col("drift") && col("seq") <= 400).count() == 0)
+  }
+
   test("local density drift flags the shifted region, quiet on identical samples") {
     import graft.drift.Drift
     val ref = (1 to 2000).map(i => (i % 100).toDouble).toDF("v")
