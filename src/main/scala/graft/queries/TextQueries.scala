@@ -56,6 +56,10 @@ object TextQueries {
     // span-level dedup: 8-token spans at stride 4, corpus-wide counts
     "q90_span_dedup" -> ((s, dir) =>
       canon(TextOps.spanDedup(docs(s, dir), "doc_id", "text", k = 8, stride = 4))),
+    // exact-substring REMOVAL: globally-first 8-token windows survive,
+    // documents rebuilt from their kept windows — text never shuffles
+    "q139_span_rewrite" -> ((s, dir) =>
+      TextOps.spanRewrite(docs(s, dir), "doc_id", "text", k = 8)),
     // chunking: 32-token training windows, 8-token overlap (step 24)
     "q92_chunk_docs" -> ((s, dir) =>
       TextOps.chunkDocs(docs(s, dir), "doc_id", "text",
@@ -673,6 +677,30 @@ object TextQueries {
          | round(CASE WHEN p.nSpans > 0
          |   THEN p.nDupSpans / p.nSpans::DOUBLE ELSE 0.0 END, 4) AS dupSpanFrac
          |FROM documents d LEFT JOIN p USING (doc_id)"""
+        .stripMargin.replace("\n", " "),
+    // span rewrite: first occurrence by (doc_id, widx) wins; rebuild via
+    // ordered string_agg over the kept windows
+    "q139_span_rewrite" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |w AS (SELECT doc_id,
+         |   unnest(range(0, cast(ceil(len(tk) / 8.0) AS BIGINT))) AS widx, tk
+         | FROM t WHERE len(tk) > 0),
+         |h AS (SELECT doc_id, widx,
+         |   ${h56("array_to_string(tk[widx*8+1 : widx*8+8], ' ')")} AS h
+         | FROM w),
+         |kp AS (SELECT doc_id, widx FROM (SELECT doc_id, widx,
+         |   row_number() OVER (PARTITION BY h ORDER BY doc_id, widx) AS rn
+         |  FROM h) WHERE rn = 1),
+         |r AS (SELECT kp.doc_id,
+         |   string_agg(array_to_string(t.tk[kp.widx*8+1 : kp.widx*8+8], ' '),
+         |     ' ' ORDER BY kp.widx) AS newText,
+         |   count(*)::BIGINT AS nKept
+         | FROM kp JOIN t USING (doc_id) GROUP BY 1)
+         |SELECT d.doc_id,
+         | cast(ceil(len(t.tk) / 8.0) AS BIGINT) AS nWindows,
+         | coalesce(r.nKept, 0)::BIGINT AS nKept,
+         | coalesce(r.newText, '') AS newText
+         |FROM documents d JOIN t USING (doc_id) LEFT JOIN r USING (doc_id)"""
         .stripMargin.replace("\n", " "),
     // chunking: 32-token windows at step 24 (8-token overlap); the tail
     // window may be shorter; tokenless docs emit nothing

@@ -1145,6 +1145,48 @@ object TextOps {
           .otherwise(lit(0.0)).as("dupSpanFrac"))
   }
 
+  /** Exact duplicate-span REMOVAL (Lee et al., ACL'22 "ExactSubstr" —
+    * [[spanDedup]] reports duplication per doc; this op rewrites the
+    * corpus): tile each document into non-overlapping k-token windows
+    * (tail window may be shorter), keep the globally FIRST occurrence of
+    * every distinct window — first by (doc id, window idx), a total
+    * order — drop every later occurrence, and rebuild each document
+    * from its surviving windows in position order.
+    *
+    * Scale shape: the dedup path never shuffles text. Its exchange
+    * carries (id, widx, 56-bit window hash) — ~20 bytes/window — and the
+    * keep-set flows back as ONE int-array row per doc; the rewrite then
+    * re-derives window text map-side from the doc's own tokens via the
+    * kept indices. The only place text can meet an exchange is the final
+    * id-equi-join routing keep-sets to their documents — broadcast when
+    * the keep-set fits, co-located (id-bucketed corpus) otherwise — so
+    * the corpus crosses the wire at most once instead of twice. Output:
+    * idCol, nWindows, nKept, newText ('' when every window was seen
+    * earlier). */
+  def spanRewrite(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("_id"), tokens(col(textCol)).as("_tk"))
+    val nWOf = (t: Column) => ceil(size(t).cast("double") / k).cast("int")
+    val idxs = when(size(col("_tk")) > 0, sequence(lit(0), nWOf(col("_tk")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val win = base.select(col("_id"), explode(idxs).as("widx"), col("_tk"))
+      .select(col("_id"), col("widx"),
+        hash56(concat_ws(" ", slice(col("_tk"), col("widx") * k + 1, lit(k)))).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("_id", "widx")
+    val kept = win.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy("_id").agg(sort_array(collect_list(col("widx"))).as("_kept"))
+    val t2 = tokens(col(textCol))
+    docs.join(kept, col(idCol) === kept("_id"), "left")
+      .withColumn("_keptArr", coalesce(col("_kept"), array().cast("array<int>")))
+      .select(col(idCol),
+        nWOf(t2).cast("long").as("nWindows"),
+        size(col("_keptArr")).cast("long").as("nKept"),
+        concat_ws(" ", transform(col("_keptArr"),
+          i => concat_ws(" ", slice(t2, i * k + 1, lit(k))))).as("newText"))
+  }
+
   /** Fixed-size token-window chunking with overlap — the sequence-prep
     * step between curation and packing in a pretraining pipeline: each
     * document becomes ceil((n - chunk) / (chunk - overlap)) + 1 windows of

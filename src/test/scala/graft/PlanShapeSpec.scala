@@ -143,6 +143,28 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("Exchange hashpartitioning(text"), "text column shuffled")
   }
 
+  test("span rewrite: the dedup-side exchanges never carry document text or tokens") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val p = plan("q139_span_rewrite")
+    val ps = p.toString
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoop"))
+    // every exchange keyed on the window hash or feeding the keep-set agg
+    // must move only (id, widx, hash)-shaped rows: no string column, no
+    // token array — text is re-derived map-side from the doc's own row
+    val dedupExchanges = collectWithSubqueries(p) {
+      case e: ShuffleExchangeLike
+        if e.outputPartitioning.toString.contains("h#") ||
+          e.output.exists(_.name == "widx") => e
+    }
+    assert(dedupExchanges.nonEmpty, "dedup exchange not found in the plan")
+    dedupExchanges.foreach { e =>
+      val bad = e.output.filter(a => a.dataType == StringType ||
+        a.dataType.isInstanceOf[ArrayType])
+      assert(bad.isEmpty, s"dedup exchange carries ${bad.map(_.name)}")
+    }
+  }
+
   test("lsh near-dup: pairs only via the bucket equi-join, never cartesian") {
     val p = plan("q60_ann_lsh").toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),

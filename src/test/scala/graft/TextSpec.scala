@@ -259,6 +259,23 @@ class TextSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("span rewrite: first occurrence survives, later repeats removed, docs rebuilt in order") {
+    val d = Seq(
+      (1L, "a b c d e f"),      // windows (k=3): "a b c", "d e f"
+      (2L, "a b c x y z"),      // "a b c" repeats doc 1 -> dropped; "x y z" kept
+      (3L, "x y z a b c"),      // both windows already seen -> empty rewrite
+      (4L, "a b c d")           // "a b c" dup; tail window "d" is new -> kept
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanRewrite(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("nWindows"), r.getAs[Long]("nKept"),
+          r.getAs[String]("newText")))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d e f")))
+    assert(out(2L) == ((2L, 1L, "x y z")))
+    assert(out(3L) == ((2L, 0L, "")))
+    assert(out(4L) == ((2L, 1L, "d")))
+  }
+
   test("chunking: overlapping windows cover the doc, tail shorter, empty doc dropped") {
     val d = Seq(
       (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 toks
