@@ -147,6 +147,16 @@ object TextQueries {
       canon(Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e,
         "vec_id", "embedding", k = 10))
     }),
+    // MMR diverse top-k: distributed shortlist (TakeOrdered), greedy on
+    // the collected shortlist; query = the vec_id-0 embedding
+    "q140_mmr_select" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qv = e.where(col("vec_id") === 0)
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .head().getSeq[Double](0).toArray
+      canon(Similarity.mmrSelect(e.where(col("vec_id") =!= 0),
+        "vec_id", "embedding", qv, k = 10, lambda = MmrLam, shortlist = 64))
+    }),
     "q77_winnow" -> ((s, dir) =>
       TextOps.winnow(docs(s, dir), "doc_id", "text", k = 3, winSize = 4)),
     "q78_tfidf" -> ((s, dir) =>
@@ -348,6 +358,11 @@ object TextQueries {
 
   private val toks = """regexp_extract_all(lower(text), '\S+')"""
   private def h56(e: String) = s"('0x'||substr(md5($e),1,14))::BIGINT"
+
+  /** MMR λ; the oracle interpolates λ and 1−λ from these exact doubles
+    * (a literal 0.3 in SQL would differ from Scala's 1−0.7 by one ulp
+    * and could flip a greedy pick). */
+  private val MmrLam = 0.7
 
   // Gopher §A1.1 rule inputs per doc (gb: raw arrays, gm: the metrics) —
   // shared by the rule-battery and the incremental-ingest oracles.
@@ -1449,6 +1464,40 @@ object TextQueries {
          |SELECT gram, count(*)::BIGINT AS cnt FROM f
          |GROUP BY gram HAVING count(*) >= 30"""
         .stripMargin.replace("\n", " "),
+    // MMR: the greedy recurrence as a recursive CTE — one pick per
+    // iteration, selected ids+vectors carried in list columns, argmax via
+    // row_number inside the recursive member (DuckDB allows it)
+    "q140_mmr_select" -> {
+      val lam = MmrLam.toString
+      val mu = (1 - MmrLam).toString
+      val cosSql = (a: String, b: String) =>
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      val mmrExpr =
+        s"""$lam * c.rel - $mu * coalesce(list_max(list_transform(s.vecs,
+           |  sv -> ${cosSql("c.v", "sv")})), 0.0)""".stripMargin
+      s"""WITH RECURSIVE q AS (SELECT embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |short AS (SELECT c.vec_id AS id, c.embedding::DOUBLE[] AS v,
+         |   ${cosSql("c.embedding::DOUBLE[]", "q.qv")} AS rel
+         | FROM embeddings c, q WHERE c.vec_id <> 0
+         | ORDER BY rel DESC, id LIMIT 64),
+         |sel AS (
+         | SELECT 0::BIGINT AS rank, []::BIGINT[] AS ids,
+         |   []::DOUBLE[][] AS vecs, 0.0::DOUBLE AS rel, 0.0::DOUBLE AS mmr,
+         |   0::BIGINT AS lastId
+         | UNION ALL
+         | SELECT rank, ids, vecs, rel, mmr, lastId FROM (
+         |  SELECT s.rank + 1 AS rank, list_append(s.ids, c.id) AS ids,
+         |    list_append(s.vecs, c.v) AS vecs, c.rel AS rel,
+         |    $mmrExpr AS mmr, c.id AS lastId,
+         |    row_number() OVER (ORDER BY $mmrExpr DESC, c.id) AS rn
+         |  FROM sel s JOIN short c ON NOT list_contains(s.ids, c.id)
+         |  WHERE s.rank < 10
+         | ) WHERE rn = 1)
+         |SELECT rank, lastId AS id, round(rel, 4) AS rel,
+         | round(mmr, 4) AS mmr
+         |FROM sel WHERE rank > 0""".stripMargin.replace("\n", " ")
+    },
     "q59_ann_topk" ->
       """WITH p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
         |  list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /

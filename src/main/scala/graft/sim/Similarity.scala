@@ -719,4 +719,71 @@ object Similarity {
       .select(col("cid").as(idCol), col("cell").cast("long").as("cell"),
         col("rk"))
   }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein,
+    * SIGIR'98 eq. 2) — diversity-aware top-k for curation/eval-set
+    * picking: greedily take argmax λ·rel(c) − (1−λ)·max_{s∈S} cos(c, s)
+    * with rel = cosine to `queryVec`; ties broken by id.
+    *
+    * The greedy recurrence is sequential in k by definition, so the
+    * operator splits like the other fit-then-collect kernels: the
+    * candidate SHORTLIST — top `shortlist` by (rel desc, id) — is
+    * computed distributed (TakeOrderedAndProject over one corpus scan:
+    * no full sort, no corpus shuffle), then the k greedy picks run over
+    * the collected shortlist×dim doubles, a model-sized array (the
+    * centroid/forest collect pattern). At 100 TB the scan dominates and
+    * parallelizes; the driver holds ≤ `shortlist` vectors. Every dot
+    * product is a sequential left-to-right loop — bit-parity with the
+    * DuckDB list_dot_product oracle. Output: rank, id, rel, mmr. */
+  def mmrSelect(corpus: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int, lambda: Double = 0.7,
+      shortlist: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qlit = array(queryVec.map(lit(_)): _*)
+    val rows = corpus
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("rel", cosineFast(spark, col("v"), qlit))
+      .orderBy(col("rel").desc, col("id")).limit(shortlist)
+      .select("id", "v", "rel").collect()
+    val ids = rows.map(_.getLong(0))
+    val vs = rows.map(_.getSeq[Double](1).toArray)
+    val rels = rows.map(_.getDouble(2))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosL(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val mu = 1 - lambda // NOT a fresh 0.3-style literal: the oracle must
+    val n = rows.length // print this exact double for bit-parity
+    val used = Array.fill(n)(false)
+    val chosen = collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val picks = collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    var rank = 1L
+    while (rank <= math.min(k, n)) {
+      var bi = -1; var bScore = 0.0
+      var i = 0
+      while (i < n) {
+        if (!used(i)) {
+          var ms = 0.0
+          var first = true
+          chosen.foreach { cv =>
+            val c = cosL(vs(i), cv)
+            if (first || c > ms) { ms = c; first = false }
+          }
+          val score = lambda * rels(i) - mu * ms
+          if (bi < 0 || score > bScore ||
+            (score == bScore && ids(i) < ids(bi))) { bi = i; bScore = score }
+        }
+        i += 1
+      }
+      used(bi) = true
+      chosen += vs(bi)
+      picks += ((rank, ids(bi), rels(bi), bScore))
+      rank += 1
+    }
+    picks.toSeq.toDF("rank", "id", "rel", "mmr")
+  }
 }

@@ -774,4 +774,24 @@ class TextSpec extends SparkSpec {
     }
     // a global cut would put ALL of 'en' in head; calibration keeps thirds
   }
+
+  test("mmr: near-duplicate of the top pick is demoted below a diverse candidate") {
+    // id 2 ≈ id 1 (cos≈1); id 3 mirrors id 1 across q (same relevance
+    // class, cos to id 1 only ~0.64); id 4 orthogonal junk. Plain top-2
+    // by relevance = {1, 2}; MMR at λ=0.7: pick 1, then 3 (the clone's
+    // ~1.0 penalty sinks it: 0.336 vs 0.439), then 2 (0.336 beats junk 0)
+    val q = Array(1.0, 0.0, 0.0)
+    val vecs = Seq(
+      (1L, Array(0.91f, 0.4146f, 0f)),
+      (2L, Array(0.909f, 0.4168f, 0f)),
+      (3L, Array(0.9f, -0.436f, 0f)),
+      (4L, Array(0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(vecs, "vec_id", "embedding", q,
+      k = 3, lambda = 0.7, shortlist = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("id")))
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L),
+      s"expected diverse pick at rank 2, got ${out.toSeq}")
+  }
 }
