@@ -405,6 +405,63 @@ object StreamScorers {
         })
   }
 
+  case class CusumOut(entity: String, seq: Long, value: Double,
+      gPos: Double, gNeg: Double, alarm: Boolean)
+  case class CusumSt(buf: List[(Long, Double)], frozen: Boolean,
+      mu0: Double, sd0: Double, gPos: Double, gNeg: Double, n: Long)
+
+  /** Streaming CUSUM — the online face of `Drift.cusum`, EXACT batch
+    * parity (not lagged): rows buffer in state until the entity has seen
+    * `warmup` of them, then the baseline freezes (mean/std rounded to
+    * 6dp like the batch fit) and the whole backlog is emitted through
+    * the textbook recursion g⁺ = max(0, g⁺ + z − k) / g⁻ = max(0, g⁻ −
+    * z − k) — identical to the batch closed form row for row, pinned by
+    * the parity spec. From then on state is 6 doubles per entity; an
+    * entity that never reaches `warmup` rows holds ≤ warmup values and
+    * emits nothing (a stream cannot know its baseline early — callers
+    * size `warmup` accordingly). */
+  def cusumStream(events: Dataset[ValueEvent], warmup: Int,
+      slack: Double, h: Double): Dataset[CusumOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (entity: String, it: Iterator[ValueEvent], gs: GroupState[CusumSt]) => {
+          var st = gs.getOption.getOrElse(
+            CusumSt(Nil, frozen = false, 0.0, 0.0, 0.0, 0.0, 0L))
+          val out = collection.mutable.Buffer[CusumOut]()
+          def step(seq: Long, v: Double): Unit = {
+            val z = (v - st.mu0) / math.max(st.sd0, 1e-9)
+            val gp = math.max(0.0, st.gPos + z - slack)
+            val gn = math.max(0.0, st.gNeg - z - slack)
+            val n = st.n + 1
+            st = st.copy(gPos = gp, gNeg = gn, n = n)
+            out += CusumOut(entity, seq, v, gp, gn,
+              n > warmup && (gp > h || gn > h))
+          }
+          it.toSeq.sortBy(_.seq).foreach { e =>
+            if (st.frozen) step(e.seq, e.value)
+            else {
+              val buf = st.buf :+ (e.seq, e.value)
+              if (buf.size < warmup) st = st.copy(buf = buf)
+              else {
+                val vs = buf.map(_._2)
+                val mean = vs.sum / vs.size
+                val sd = if (vs.size > 1)
+                  math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / (vs.size - 1))
+                else 0.0
+                st = CusumSt(Nil, frozen = true, r6(mean), r6(sd), 0.0, 0.0, 0L)
+                buf.foreach { case (s, v) => step(s, v) }
+              }
+            }
+          }
+          gs.update(st)
+          out.iterator
+        })
+  }
+
   case class CpStreamOut(entity: String, seq: Long, value: Double,
       stat: Double, changed: Boolean)
   case class CpBuf(window: List[Double])

@@ -473,6 +473,40 @@ class StreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming cusum: exact batch parity across micro-batches, alarm after the shift") {
+    implicit val sc = spark.sqlContext
+    val vals = (0 until 150).map(i => 10.0 + (i % 7 - 3) * 0.1) ++
+      (150 until 220).map(i => 11.2 + (i % 7 - 3) * 0.1)
+    val in = MemoryStream[ValueEvent]
+    val scored = StreamScorers.cusumStream(in.toDS(), warmup = 100,
+      slack = 0.5, h = 5.0)
+    val q = scored.writeStream.format("memory").queryName("cus").outputMode("append").start()
+    // split mid-warmup AND mid-scoring so both state shapes cross batches
+    in.addData((0 until 60).map(i => ValueEvent("e1", i.toLong, vals(i))): _*)
+    q.processAllAvailable()
+    in.addData((60 until 180).map(i => ValueEvent("e1", i.toLong, vals(i))): _*)
+    q.processAllAvailable()
+    in.addData((180 until 220).map(i => ValueEvent("e1", i.toLong, vals(i))): _*)
+    q.processAllAvailable()
+    val rows = spark.table("cus").as[StreamScorers.CusumOut].collect().sortBy(_.seq)
+    q.stop()
+    assert(rows.length == 220, "backlog emitted once warmed")
+    assert(rows.filter(_.alarm).map(_.seq).forall(_ >= 150), "no alarm pre-shift")
+    assert(rows.exists(_.alarm), "alarm after the shift")
+    val batch = graft.drift.Drift.cusum(
+      vals.zipWithIndex.map { case (v, i) => ("e1", i.toLong, v) }
+        .toDF("k", "seq", "value"),
+      Seq("k"), "seq", "value", warmup = 100, slack = 0.5, h = 5.0)
+      .select("seq", "gPos", "gNeg", "alarm")
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    rows.foreach { r =>
+      val (gp, gn, al) = batch(r.seq)
+      assert(math.abs(gp - r.gPos) < 1e-9 && math.abs(gn - r.gNeg) < 1e-9 &&
+        al == r.alarm, s"parity at seq ${r.seq}")
+    }
+  }
+
   test("streaming dedup drops repeats within the watermark") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
