@@ -215,6 +215,34 @@ object ScaleProbe {
         sim.Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
           nCells = 8 * n, perCell = 40, iters = 10, maxSample = 4096).count()
       }
+      // sequential detectors (q137/q138): one sort-within-shuffle per key,
+      // then window cumsums — rows/s must stay flat; key count is fixed,
+      // so per-key series length grows n× (the worst case for them)
+      time("cusum", n, nEv) {
+        drift.Drift.cusum(ev, Seq("event_type"), "event_id", "value",
+          warmup = 100, slack = 0.5, h = 5.0).count()
+      }
+      time("page_hinkley", n, nEv) {
+        drift.Drift.pageHinkley(ev, Seq("event_type"), "event_id", "value",
+          delta = 0.005, lambda = 50.0).count()
+      }
+      // span rewrite (q139): dedup exchange carries (id, widx, hash);
+      // rebuild joins keep-set arrays back to the corpus scan
+      time("span_rewrite", n, nDocs) {
+        text.TextOps.spanRewrite(docs, "doc_id", "text", k = 8).count()
+      }
+      // MMR (q140): distributed TakeOrdered shortlist + fixed-k greedy on
+      // the driver — the scan scales, the greedy is constant, so the
+      // rows/s line must track ann_brute's scan slope
+      time("mmr_select", n, nEmb) {
+        val q0 = core.table(spark, sfDir, "embeddings")
+          .where(col("vec_id") === 0)
+          .select(transform(col("embedding"), x => x.cast("double")))
+          .head().getSeq[Double](0).toArray
+        sim.Similarity.mmrSelect(emb.where(col("vec_id") =!= 0),
+          "vec_id", "embedding", q0, k = 10, lambda = 0.7,
+          shortlist = 64).count()
+      }
       // sample-bounded energy distance: cost is O(maxSample²) by design,
       // so this line must stay FLAT as the corpus scales
       time("energy_dist", n, nEmb) {

@@ -219,14 +219,19 @@ object Drift {
       h: Double = 5.0): DataFrame = {
     val w = byKey(keyCols, seqCol)
     val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    // warmup baseline as an unbounded-partition window aggregate over the
+    // warmup rows only (the when() masks the rest) — shares the one
+    // exchange+sort with every cumulative window below; a groupBy+join
+    // formulation costs a second full sort of the data behind the join
+    val whole = Window.partitionBy(keyCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val warm = when(col("_rn") <= warmup, col(valCol))
     val indexed = data.withColumn("_rn", row_number().over(w))
-    // warmup baseline per key — a model-sized aggregate, broadcast back
-    val base = indexed.where(col("_rn") <= warmup)
-      .groupBy(keyCols.map(col): _*)
-      .agg(round(avg(col(valCol)), 6).as("_mu0"),
-        round(coalesce(stddev_samp(col(valCol)), lit(0.0)), 6).as("_sd0"))
+      .withColumn("_mu0", round(avg(warm).over(whole), 6))
+      .withColumn("_sd0",
+        round(coalesce(stddev_samp(warm).over(whole), lit(0.0)), 6))
     val z = (col(valCol) - col("_mu0")) / greatest(col("_sd0"), lit(1e-9))
-    indexed.join(broadcast(base), keyCols)
+    indexed
       .withColumn("_aPos", sum(z - lit(slack)).over(cum))
       .withColumn("_aNeg", sum(-z - lit(slack)).over(cum))
       .withColumn("gPos", col("_aPos") - least(lit(0.0), min(col("_aPos")).over(cum)))
