@@ -462,6 +462,45 @@ object StreamScorers {
         })
   }
 
+  case class PhOut(entity: String, seq: Long, value: Double,
+      phInc: Double, phDec: Double, drift: Boolean)
+  case class PhSt(n: Long, sum: Double, mInc: Double, mDec: Double,
+      minInc: Double, maxDec: Double)
+
+  /** Streaming Page–Hinkley — the online face of `Drift.pageHinkley`,
+    * exact batch parity from the first row (the running mean IS the
+    * baseline, so unlike [[cusumStream]] nothing buffers): state is six
+    * doubles per entity — n, Σx, the two cumulative deviation sums and
+    * their running extrema — updated with the same sequential
+    * arithmetic the batch window plan uses. */
+  def pageHinkleyStream(events: Dataset[ValueEvent], delta: Double,
+      lambda: Double, minInstances: Int = 30): Dataset[PhOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (entity: String, it: Iterator[ValueEvent], gs: GroupState[PhSt]) => {
+          var st = gs.getOption.getOrElse(
+            PhSt(0L, 0.0, 0.0, 0.0, Double.MaxValue, Double.MinValue))
+          val out = it.toSeq.sortBy(_.seq).map { e =>
+            val n = st.n + 1
+            val sum = st.sum + e.value
+            val dev = e.value - sum / n
+            val mInc = st.mInc + (dev - delta)
+            val mDec = st.mDec + (dev + delta)
+            val minInc = math.min(st.minInc, mInc)
+            val maxDec = math.max(st.maxDec, mDec)
+            st = PhSt(n, sum, mInc, mDec, minInc, maxDec)
+            val phInc = mInc - minInc
+            val phDec = maxDec - mDec
+            PhOut(entity, e.seq, e.value, phInc, phDec,
+              n >= minInstances && (phInc > lambda || phDec > lambda))
+          }
+          gs.update(st)
+          out.iterator
+        })
+  }
+
   case class CpStreamOut(entity: String, seq: Long, value: Double,
       stat: Double, changed: Boolean)
   case class CpBuf(window: List[Double])

@@ -56,4 +56,40 @@ class EdgeCaseSpec extends SparkSpec {
     val sd = graft.seq.SeqOps.seasonalDecompose(one, Seq("k"), "id", "x", 4).head()
     assert(sd.isNullAt(sd.fieldIndex("trend")))
   }
+
+  test("sequential detectors: empty input empty, single row defined and quiet") {
+    import graft.drift.Drift
+    assert(Drift.cusum(emptyEvents, Seq("k"), "id", "x").count() == 0)
+    assert(Drift.pageHinkley(emptyEvents, Seq("k"), "id", "x").count() == 0)
+    val one = Seq(("a", 1L, 5.0)).toDF("k", "id", "x")
+    // one row: baseline std is 0, z = x-mu0 over the 1e-9 floor -> g
+    // explodes, but alarm requires rn > warmup so stays quiet
+    val c = Drift.cusum(one, Seq("k"), "id", "x", warmup = 100).head()
+    assert(!c.getAs[Boolean]("alarm"))
+    val p = Drift.pageHinkley(one, Seq("k"), "id", "x").head()
+    assert(p.getAs[Double]("phInc") == 0.0 && !p.getAs[Boolean]("drift"))
+  }
+
+  test("span rewrite / mmr on empty or degenerate input") {
+    assert(TextOps.spanRewrite(emptyDocs, "doc_id", "text", k = 8).count() == 0)
+    // all-duplicate corpus: one survivor document, the rest rewrite to ''
+    val dups = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c")).toDF("doc_id", "text")
+    val out = TextOps.spanRewrite(dups, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("newText")).toMap
+    assert(out == Map(1L -> "a b c", 2L -> "", 3L -> ""))
+    // empty-text doc: zero windows, rewrites to ''
+    val withEmpty = Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text")
+    val oe = graft.text.TextOps.spanRewrite(withEmpty, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("nWindows"), r.getAs[String]("newText")))).toMap
+    assert(oe(2L) == ((0L, "")))
+    // mmr: empty corpus -> empty; k larger than corpus -> all rows ranked
+    import graft.sim.Similarity
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.mmrSelect(emptyVecs, "vec_id", "embedding",
+      Array(1.0, 0.0), k = 5).count() == 0)
+    val two = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    assert(Similarity.mmrSelect(two, "vec_id", "embedding",
+      Array(1.0, 0.0), k = 5).count() == 2)
+  }
 }

@@ -507,6 +507,37 @@ class StreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming page-hinkley: exact batch parity from the first row") {
+    implicit val sc = spark.sqlContext
+    val vals = (0 until 200).map(i => 10.0 + (i % 5 - 2) * 0.1) ++
+      (200 until 300).map(i => 13.0 + (i % 5 - 2) * 0.1)
+    val in = MemoryStream[ValueEvent]
+    val scored = StreamScorers.pageHinkleyStream(in.toDS(), delta = 0.005,
+      lambda = 50.0)
+    val q = scored.writeStream.format("memory").queryName("phs").outputMode("append").start()
+    in.addData((0 until 150).map(i => ValueEvent("e1", i.toLong, vals(i))): _*)
+    q.processAllAvailable()
+    in.addData((150 until 300).map(i => ValueEvent("e1", i.toLong, vals(i))): _*)
+    q.processAllAvailable()
+    val rows = spark.table("phs").as[StreamScorers.PhOut].collect().sortBy(_.seq)
+    q.stop()
+    assert(rows.length == 300)
+    assert(rows.exists(r => r.drift && r.seq >= 200), "drift after the shift")
+    assert(!rows.exists(r => r.drift && r.seq < 200), "quiet before the shift")
+    val batch = graft.drift.Drift.pageHinkley(
+      vals.zipWithIndex.map { case (v, i) => ("e1", i.toLong, v) }
+        .toDF("k", "seq", "value"),
+      Seq("k"), "seq", "value", delta = 0.005, lambda = 50.0)
+      .select("seq", "phInc", "phDec", "drift")
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    rows.foreach { r =>
+      val (pi, pd, dr) = batch(r.seq)
+      assert(pi == r.phInc && pd == r.phDec && dr == r.drift,
+        s"parity at seq ${r.seq}: ($pi,$pd,$dr) vs (${r.phInc},${r.phDec},${r.drift})")
+    }
+  }
+
   test("streaming dedup drops repeats within the watermark") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
