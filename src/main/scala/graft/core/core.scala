@@ -31,6 +31,11 @@ package object core {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
+    // When the tables carry TIMESTAMP(MICROS) instead, the legacy flag is
+    // inert and ts would arrive as TimestampNTZ — force the non-NTZ read
+    // path so the normalization below sees a plain TimestampType instant.
+    try spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    catch { case _: Throwable => () }
     val path = s"$sfDir/$name.parquet"
     tableCache.synchronized {
       val ref = tableCache.get(spark)
@@ -39,7 +44,25 @@ package object core {
         tableCache.put(spark, new java.lang.ref.SoftReference(m))
         m
       }
-      inner.getOrElseUpdate(path, spark.read.parquet(path))
+      inner.getOrElseUpdate(path, normalizeEpochNanos(spark.read.parquet(path)))
+    }
+  }
+
+  /** Every operator treats driver timestamps as epoch-nanos LongType (the
+    * shape TIMESTAMP(NANOS) parquet + nanosAsLong produced). If the driver
+    * regenerates the tables at a coarser physical precision the columns
+    * surface as timestamps instead — rescale them back to epoch-nanos longs
+    * so the downstream contract (and the DuckDB `epoch_ns(...)` oracles,
+    * which are precision-agnostic) is unchanged. */
+  private[graft] def normalizeEpochNanos(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    val tsCols = df.schema.fields.collect {
+      case f if f.dataType == TimestampType || f.dataType == TimestampNTZType => f.name
+    }
+    tsCols.foldLeft(df) { (d, c) =>
+      // NTZ cast to TimestampType is session-tz-dependent; the conf above
+      // keeps us on TimestampType, where unix_micros is the raw instant.
+      d.withColumn(c, unix_micros(col(c).cast(TimestampType)) * lit(1000L))
     }
   }
 
