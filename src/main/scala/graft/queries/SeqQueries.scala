@@ -778,7 +778,9 @@ object SeqQueries {
         |SELECT user_id, session_no, count(*) AS n_events,
         | min(tus) AS start_us, max(tus) AS end_us,
         | round((max(tus) - min(tus)) / 1000000.0, 4) AS duration_s,
-        | round(sum(value), 4) AS sum_value
+        | sum(CAST(CASE WHEN value >= 0 THEN floor(value * 10000 + 0.5)
+        |   ELSE -floor(-value * 10000 + 0.5) END AS BIGINT)) / 10000.0
+        |   AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin.replace("\n", " "),
   )
 }

@@ -439,6 +439,15 @@ object SeqOps {
         min(col("_us")).as("start_us"),
         max(col("_us")).as("end_us"),
         ((max(col("_us")) - min(col("_us"))) / lit(1e6)).as("duration_s"),
-        sum(col(valCol)).as("sum_value"))
+        // Order-exact value sum: a plain double sum inside the hash
+        // aggregate is combine-order-nondeterministic, which flips the
+        // 4dp-rounded output at rounding boundaries (vs any fixed-order
+        // oracle). Scale each value to a 4dp-fixed-point long (same
+        // half-away-from-zero rule as core.roundLikeDuck) and sum
+        // integers — associative, so any combine order gives the same
+        // result; sessions are bounded so no overflow at realistic sizes.
+        (sum(when(col(valCol) >= 0, floor(col(valCol) * 1e4 + 0.5))
+            .otherwise(-floor(-col(valCol) * 1e4 + 0.5)).cast("long"))
+          .cast("double") / 1e4).as("sum_value"))
   }
 }
