@@ -81,10 +81,18 @@ object IsolationForest {
     val trees = broadcast(spark.range(numTrees).select(col("id").cast("int").as("t")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("key", "t").orderBy(col("h"), col("attrs"))
-    val keyed = data.select(
+    val keyedRaw = data.select(
       concat_ws("|", keyCols.map(c => col(c).cast("string")): _*).as("key"),
       col(idCol).cast("long").as("rowId"),
       array(attrCols.map(c => col(c).cast("double")): _*).as("attrs"))
+    // The ×numTrees crossJoin inherits the scan's partitioning, so a small
+    // input (one parquet footer) would push ALL numTrees·n md5 rows through
+    // one core. Fan out only when the scan is narrower than the cluster —
+    // at real scale the condition is false and no shuffle is added.
+    val par = spark.sparkContext.defaultParallelism
+    val keyed =
+      if (keyedRaw.rdd.getNumPartitions < par) keyedRaw.repartition(par)
+      else keyedRaw
     def hashed = keyed.crossJoin(trees)
       .withColumn("h", md5(concat(col("t").cast("string"), lit(":"),
         col("rowId").cast("string")).cast("binary")))
@@ -100,6 +108,10 @@ object IsolationForest {
     // ~8·trees·k rows; a deficiency check below restores exactness in the
     // (astronomically unlikely) case a group loses too many rows.
     val maxPrefix = 4503599627370496L // 2^52
+    // Persisted: the tiny per-key count feeds both the bounds collect and
+    // (large-key path) the need/bound joins — without the persist each use
+    // re-scans the data (the round-6 shape paid that scan 2×, plus a third
+    // action for a standalone deficiency check; see the 2-job layout below).
     val nPerKey = keyed.groupBy("key").agg(count(lit(1)).as("n"))
       // cap at 2^52 - 1 = "fffffffffffff" (13 chars, keeps every row):
       // 2^52 itself is 14 hex chars and lpad would truncate it. The
@@ -112,60 +124,105 @@ object IsolationForest {
         least(lit(maxPrefix - 1), (lit(maxPrefix.toDouble) *
           lit(subsampleSize.toLong * 8) / col("n")).cast("long")).cast("string"),
         10, 16)), 13, "0"), lit("f" * 19)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-key bounds as inline literals when the key set is small — a
     // codegen'd CASE beats a broadcast hash join probe per row (measured
     // 2.2 s vs 4.9 s over 5M rows); large key sets fall back to the join
-    val bounds = nPerKey.select("key", "bound").limit(65).collect()
-      .map(r => (r.getString(0), r.getString(1)))
+    val bounds = nPerKey.select("key", "bound", "n").limit(65).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    if (bounds.isEmpty) { nPerKey.unpersist(blocking = false); return spark.emptyDataset[IsoNode] }
+    val small = bounds.length <= 64
+    // The whole fit is exactly TWO data-sized jobs: (1) the nPerKey count
+    // agg above, (2) crossJoin → prefix filter → rank → tree growth in one
+    // lineage. The prefilter's exactness guard rides along: each key's
+    // `need` (= min(k, n)) travels WITH the sampled rows, growth checks
+    // every tree's survivor count in the same flatMapGroups pass, and a
+    // deficient key emits one sentinel node instead of a forest — the
+    // (astronomically unlikely) repair re-runs only those keys exactly.
+    // The round-6 shape ran the deficiency check as its own eager action,
+    // which materialized the crossJoin+sort twice end-to-end and re-ran
+    // the count scan: 3.6–4.1 s steady-state at sf0.1 vs ~1.8 s for this
+    // layout.
     val filtered =
-      if (bounds.nonEmpty && bounds.length <= 64) {
+      if (small) {
         val caseExpr = bounds.tail.foldLeft(
           when(col("key") === bounds.head._1, lit(bounds.head._2))) {
-          case (acc, (k, b)) => acc.when(col("key") === k, lit(b))
+          case (acc, (k, b, _)) => acc.when(col("key") === k, lit(b))
         }
         hashed.where(col("h") <= caseExpr)
-      } else hashed.join(broadcast(nPerKey.drop("n")), "key")
+      } else hashed.join(broadcast(nPerKey.select("key", "bound")), "key")
         .where(col("h") <= col("bound")).drop("bound")
-    val sampled = filtered
+    val needCol =
+      if (small) {
+        val needCase = bounds.tail.foldLeft(
+          when(col("key") === bounds.head._1, lit(math.min(subsampleSize.toLong, bounds.head._3)))) {
+          case (acc, (k, _, n)) => acc.when(col("key") === k, lit(math.min(subsampleSize.toLong, n)))
+        }
+        Seq(needCase.as("need"))
+      } else Seq(col("need"))
+    val withNeed =
+      if (small) filtered
+      else filtered.join(broadcast(nPerKey.select(col("key"),
+        least(lit(subsampleSize.toLong), col("n")).as("need"))), "key")
+    val sampled = withNeed
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= subsampleSize)
-      .select(col("key"), col("t"), col("attrs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // rank-limited survivor count per group < min(k, n) iff the prefilter
-    // over-pruned that group (rank caps at k, so equivalence holds);
-    // reusing the tiny persisted sample avoids a second full scan
-    val expected = nPerKey.crossJoin(trees)
-      .select(col("key"), col("t"), least(lit(subsampleSize.toLong), col("n")).as("need"))
-    val deficient = expected
-      .join(sampled.groupBy("key", "t").agg(count(lit(1)).as("have")),
-        Seq("key", "t"), "left")
-      .where(coalesce(col("have"), lit(0L)) < col("need"))
-      .select("key", "t")
-    val finalSampled =
-      if (deficient.isEmpty) sampled
-      else sampled.join(broadcast(deficient), Seq("key", "t"), "left_anti")
-        .unionByName(hashed.join(broadcast(deficient), Seq("key", "t"))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") <= subsampleSize)
-          .select(col("key"), col("t"), col("attrs")))
-    val grown = finalSampled.as[(String, Int, Seq[Double])]
+      .select(col("key") +: col("t") +: col("attrs") +: needCol: _*)
+    val grown = sampled.as[(String, Int, Seq[Double], Long)]
       .groupByKey(_._1).flatMapGroups { (key, it) =>
         // growth is order-insensitive (min/max/partition only), so the
         // arbitrary arrival order within a tree's sample is fine
-        val byTree = it.toArray.groupBy(_._2)
-        val nodes = collection.mutable.ArrayBuffer.empty[IsoNode]
-        byTree.keys.toArray.sorted.foreach { t =>
-          growDet(key, t, "R", byTree(t).map(_._3.toArray), 0, maxDepth, nodes)
+        val arr = it.toArray
+        val need = arr.head._4
+        val byTree = arr.groupBy(_._2)
+        val deficient = (0 until numTrees).exists(t =>
+          byTree.get(t).map(_.length.toLong).getOrElse(0L) < need)
+        if (deficient)
+          Iterator.single(IsoNode(key, -1, "DEFICIENT", -1, 0.0, isLeaf = true, 0, 0))
+        else {
+          val nodes = collection.mutable.ArrayBuffer.empty[IsoNode]
+          byTree.keys.toArray.sorted.foreach { t =>
+            growDet(key, t, "R", byTree(t).map(_._3.toArray), 0, maxDepth, nodes)
+          }
+          nodes.iterator
         }
-        nodes.iterator
       }
     // The model is tiny (≤ numTrees · 2^(maxDepth+1) nodes per key —
-    // [[score]] collects it for a broadcast anyway), so materialize it
-    // here and release the sampled set's cache deterministically rather
-    // than leaving the blocks to ContextCleaner GC.
+    // [[score]] collects it for a broadcast anyway), so materialize here.
     val model = grown.collect()
-    sampled.unpersist(blocking = false)
-    spark.createDataset(model.toSeq)
+    // Exactness repair: keys whose prefilter over-pruned some tree
+    // (sentinel above), plus keys that vanished entirely (every row of
+    // every tree pruned — detectable driver-side in the small path; the
+    // large path pays one trivial job over the persisted nPerKey).
+    val sentinelKeys = model.collect { case n if n.treeId == -1 => n.key }.toSet
+    val missingKeys: Set[String] =
+      if (small) bounds.map(_._1).toSet -- model.map(_.key).toSet
+      else {
+        val present = model.map(_.key).distinct.toSeq
+        nPerKey.select("key").where(!col("key").isInCollection(present))
+          .as[String].collect().toSet -- sentinelKeys
+      }
+    val badKeys = sentinelKeys ++ missingKeys
+    val result =
+      if (badKeys.isEmpty) model.toSeq
+      else {
+        val redo = hashed.where(col("key").isInCollection(badKeys.toSeq))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= subsampleSize)
+          .select(col("key"), col("t"), col("attrs"))
+          .as[(String, Int, Seq[Double])]
+          .groupByKey(_._1).flatMapGroups { (key, it) =>
+            val byTree = it.toArray.groupBy(_._2)
+            val nodes = collection.mutable.ArrayBuffer.empty[IsoNode]
+            byTree.keys.toArray.sorted.foreach { t =>
+              growDet(key, t, "R", byTree(t).map(_._3.toArray), 0, maxDepth, nodes)
+            }
+            nodes.iterator
+          }.collect()
+        model.filterNot(n => badKeys.contains(n.key)).toSeq ++ redo
+      }
+    nPerKey.unpersist(blocking = false)
+    spark.createDataset(result)
   }
 
   private def md5Hex(s: String): String = {
