@@ -61,8 +61,17 @@ object Bench {
       idx.codes.unpersist(blocking = false)
       Seq("q97build_ann_pq" -> tBuild, "q97search_ann_pq" -> tSearch)
     }
-    val (p1, p2) = (pass() ++ annSplit(), pass() ++ annSplit())
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    // Bench protocol (round-7 verdict item 3): N≥2 full passes at one
+    // commit; report per-query MIN as the headline (machine-noise spikes
+    // otherwise read as operator regressions) and self-describe every
+    // pass + the spread in bench_full.json so round-over-round numbers
+    // are auditable. SPARK_GRAFT_BENCH_RUNS overrides N.
+    val nRuns = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    val passes: Seq[Seq[(String, Double)]] =
+      (1 to nRuns).map(_ => pass() ++ annSplit())
+    val byQuery: Seq[(String, Seq[Double])] =
+      passes.head.indices.map(i => passes.head(i)._1 -> passes.map(_(i)._2))
+    val results = byQuery.map { case (n, ts) => n -> ts.min }
     // The driver captures only the last ~2 KB of stdout: full query names at
     // nanosecond precision push the line past that and the head gets cut
     // (BENCH_r01..03 all lost q01–q25). Keys are therefore the unique qNN
@@ -74,10 +83,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errList = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val full = byQuery.map { case (k, ts) =>
+      val spread = ts.max - ts.min
+      "\"" + k + "\":{\"min\":" + ts.min + ",\"spread\":" + spread +
+        ",\"runs\":[" + ts.mkString(",") + "]}"
+    }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"total":$total,"sf":"$sfDir","errors":$errList,"queries":$full}""".getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"total":$total,"sf":"$sfDir","runs":$nRuns,"protocol":"per-query min of $nRuns full passes, one commit, one JVM","errors":$errList,"queries":$full}""".getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$nRuns,"errors":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

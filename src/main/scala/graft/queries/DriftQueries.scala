@@ -102,6 +102,36 @@ object DriftQueries {
         Seq("event_type"), "event_id", "value",
         delta = 0.005, lambda = 50.0, minInstances = 30)
         .select("event_type", "event_id", "value", "phInc", "phDec", "drift"))),
+    // The STREAMING sequential detectors executed as batch queries (the
+    // q100 pattern: flatMapGroupsWithState is batch-executable, so the
+    // driver gates the stream code path itself against the DuckDB
+    // oracle, not just a spec). One batch = one group invocation with
+    // the entity's full history, which is exactly the "all rows have
+    // arrived" prefix of the online run.
+    "q141_cusum_stream" -> ((s, dir) => {
+      import s.implicits._
+      val evd = table(s, dir, "events")
+        .select(col("event_type").cast("string").as("entity"),
+          col("event_id").cast("long").as("seq"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.StreamScorers.ValueEvent]
+      canon(graft.streaming.StreamScorers.cusumStream(evd,
+        warmup = 100, slack = 0.5, h = 5.0).toDF()
+        .select(col("entity").as("event_type"), col("seq").as("event_id"),
+          col("value"), col("gPos"), col("gNeg"), col("alarm")))
+    }),
+    "q142_ph_stream" -> ((s, dir) => {
+      import s.implicits._
+      val evd = table(s, dir, "events")
+        .select(col("event_type").cast("string").as("entity"),
+          col("event_id").cast("long").as("seq"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.StreamScorers.ValueEvent]
+      canon(graft.streaming.StreamScorers.pageHinkleyStream(evd,
+        delta = 0.005, lambda = 50.0, minInstances = 30).toDF()
+        .select(col("entity").as("event_type"), col("seq").as("event_id"),
+          col("value"), col("phInc"), col("phDec"), col("drift")))
+    }),
     "q67_drift_consensus" -> ((s, dir) => {
       val ddm = Drift.ddm(errStream(s, dir), Seq("event_type"), "event_id", "err")
         .select(col("event_type"), col("event_id"), (col("level") === "drift").as("d1"))
@@ -136,6 +166,31 @@ object DriftQueries {
        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
       .stripMargin.replace("\n", " ")
 
+  // Page–Hinkley closed form — shared by the batch operator (q138) and
+  // its batch-executed streaming twin (q142): the stream recursion
+  // accumulates the same running sums in the same left-to-right order.
+  private val phOracle =
+    """WITH rn AS (SELECT event_type, event_id, value,
+      |  row_number() OVER cum AS rn,
+      |  value - avg(value) OVER cum AS dev
+      | FROM events
+      | WINDOW cum AS (PARTITION BY event_type ORDER BY event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |m AS (SELECT event_type, event_id, value, rn,
+      |  sum(dev - 0.005) OVER cum AS mInc, sum(dev + 0.005) OVER cum AS mDec
+      | FROM rn
+      | WINDOW cum AS (PARTITION BY event_type ORDER BY event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |p AS (SELECT event_type, event_id, value, rn,
+      |  mInc - min(mInc) OVER cum AS pi, max(mDec) OVER cum - mDec AS pd
+      | FROM m
+      | WINDOW cum AS (PARTITION BY event_type ORDER BY event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type, event_id, round(value, 4) AS value,
+      | round(pi, 4) AS phInc, round(pd, 4) AS phDec,
+      | (rn >= 30 AND (pi > 50.0 OR pd > 50.0)) AS drift
+      |FROM p""".stripMargin.replace("\n", " ")
+
   val oracleSql: Map[String, String] = Map(
     // CUSUM closed form: g = A − min(0, running-min A); baseline rounded
     // to 6dp on both sides so the cumsum chain is reproducible
@@ -164,28 +219,43 @@ object DriftQueries {
         | round(gp, 4) AS gPos, round(gn, 4) AS gNeg,
         | (rn > 100 AND (gp > 5.0 OR gn > 5.0)) AS alarm
         |FROM g""".stripMargin.replace("\n", " "),
-    // Page–Hinkley: running-mean deviation, cumsum, then running extremum
-    "q138_page_hinkley" ->
-      """WITH rn AS (SELECT event_type, event_id, value,
-        |  row_number() OVER cum AS rn,
-        |  value - avg(value) OVER cum AS dev
-        | FROM events
-        | WINDOW cum AS (PARTITION BY event_type ORDER BY event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |m AS (SELECT event_type, event_id, value, rn,
-        |  sum(dev - 0.005) OVER cum AS mInc, sum(dev + 0.005) OVER cum AS mDec
-        | FROM rn
-        | WINDOW cum AS (PARTITION BY event_type ORDER BY event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |p AS (SELECT event_type, event_id, value, rn,
-        |  mInc - min(mInc) OVER cum AS pi, max(mDec) OVER cum - mDec AS pd
-        | FROM m
-        | WINDOW cum AS (PARTITION BY event_type ORDER BY event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    // The streaming CUSUM's g⁺/g⁻ recursion (g = max(0, g + z − k))
+    // truncates at 0 each step, a different float path from q137's
+    // cumsum-minus-running-min closed form (equal only to ~1e-9, which
+    // a 4dp hash gate cannot tolerate at the rounding boundary — the
+    // q116 lesson). The oracle therefore replays the RECURSION itself
+    // as a per-key recursive CTE (q66 precedent), with the identical
+    // association order: z = (v − mu0)/greatest(sd0, 1e-9), then
+    // (g + z) − slack inside greatest(0, ·).
+    "q141_cusum_stream" ->
+      """WITH RECURSIVE rn AS (SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+        | FROM events),
+        |base AS (SELECT event_type, round(avg(value), 6) AS mu0,
+        |  round(coalesce(stddev_samp(value), 0.0), 6) AS sd0
+        | FROM rn WHERE rn <= 100 GROUP BY event_type),
+        |z AS (SELECT r.event_type, r.event_id, r.value, r.rn,
+        |  (r.value - b.mu0) / greatest(b.sd0, 1e-9) AS z
+        | FROM rn r JOIN base b USING (event_type)),
+        |g AS (
+        | SELECT event_type, event_id, value, rn,
+        |   greatest(0.0, z - 0.5) AS gp, greatest(0.0, -z - 0.5) AS gn
+        | FROM z WHERE rn = 1
+        | UNION ALL
+        | SELECT z.event_type, z.event_id, z.value, z.rn,
+        |   greatest(0.0, g.gp + z.z - 0.5), greatest(0.0, g.gn - z.z - 0.5)
+        | FROM g JOIN z ON z.event_type = g.event_type AND z.rn = g.rn + 1)
         |SELECT event_type, event_id, round(value, 4) AS value,
-        | round(pi, 4) AS phInc, round(pd, 4) AS phDec,
-        | (rn >= 30 AND (pi > 50.0 OR pd > 50.0)) AS drift
-        |FROM p""".stripMargin.replace("\n", " "),
+        | round(gp, 4) AS gPos, round(gn, 4) AS gNeg,
+        | (rn > 100 AND (gp > 5.0 OR gn > 5.0)) AS alarm
+        |FROM g""".stripMargin.replace("\n", " "),
+    // The streaming Page–Hinkley recursion accumulates the running sums
+    // in the same left-to-right order as the batch window plan (the
+    // parity spec pins bit-exact equality), so the stream twin shares
+    // q138's oracle verbatim.
+    "q142_ph_stream" -> phOracle,
+    // Page–Hinkley: running-mean deviation, cumsum, then running extremum
+    "q138_page_hinkley" -> phOracle,
     // energy distance: V-statistic means over all ordered pairs per term
     // (self pairs contribute 0), Euclidean via list_distance — the q42
     // precedent for cross-engine distance parity under the 4dp round

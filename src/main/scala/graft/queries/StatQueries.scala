@@ -101,6 +101,49 @@ object StatQueries {
         Fitters.quantileSketchMerge(Seq(sA, sB), Seq("event_type"), 256),
         Seq("event_type"), Seq(0.25, 0.5, 0.75)))
     }),
+    // The STREAMING sketch twins executed as batch queries (q100
+    // pattern — flatMapGroupsWithState runs in batch, one group
+    // invocation per key holding the full history): the stream CODE
+    // PATH itself is gated on the same oracle as its batch sibling,
+    // because one batch of everything is exactly the final snapshot of
+    // the online run (bottom-k / additive-counter states are
+    // order-free).
+    "q143_kmv_stream" -> ((s, dir) => {
+      val toks = table(s, dir, "documents").select(col("lang"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      canon(graft.streaming.StreamScorers.kmvDistinctStream(toks, "lang", "tok", 64)
+        .toDF().select(col("key").as("lang"),
+          col("sketchN").cast("long").as("sketch_n"),
+          col("estDistinct").as("est_distinct")))
+    }),
+    // the stream op watches a fixed global probe list; restricting its
+    // (key × probe) output to q119's per-lang probe pairs reproduces the
+    // batch estimate row set exactly
+    "q144_cms_stream" -> ((s, dir) => {
+      val toks = table(s, dir, "documents").select(col("lang"), col("doc_id"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      val probesDf = toks.where(col("doc_id") < 20).select("lang", "tok").distinct()
+      // watch-list is model-sized (distinct tokens of 20 docs) — the
+      // driver-side collect is the operator's contract, not a data scan
+      val watch = probesDf.select("tok").distinct()
+        .as[String](org.apache.spark.sql.Encoders.STRING).collect().sorted.toSeq
+      val out = graft.streaming.StreamScorers.cmsFrequencyStream(
+        toks.select("lang", "tok"), "lang", "tok", 4, 512, watch).toDF()
+      canon(out.join(probesDf,
+        out("key") === probesDf("lang") && out("probe") === probesDf("tok"))
+        .select(col("lang"), col("tok"), col("estCnt").as("est_cnt")))
+    }),
+    "q145_qsketch_stream" -> ((s, dir) => {
+      val out = graft.streaming.StreamScorers.quantileSketchStream(
+        ev(s, dir), "event_type", "event_id", "value", 256,
+        Seq(0.25, 0.5, 0.75)).toDF()
+      canon(out.groupBy("key")
+        .agg(max(col("sketchN")).cast("long").as("sketch_n"),
+          max(when(col("p") === 0.25, col("est"))).as("p25"),
+          max(when(col("p") === 0.5, col("est"))).as("p50"),
+          max(when(col("p") === 0.75, col("est"))).as("p75"))
+        .withColumnRenamed("key", "event_type"))
+    }),
     // CMS inner-product join-cardinality estimate (orders ⋈ customer on
     // custkey) next to the true count — the broadcast/shuffle/salt
     // planning primitive, deterministic end-to-end
@@ -396,6 +439,10 @@ object StatQueries {
     "q117_kmv_distinct" -> kmvOracle,
     // lossless merge: the merged sketch IS the direct sketch
     "q118_kmv_merge" -> kmvOracle,
+    // batch-executed stream twins: one batch == final online snapshot
+    "q143_kmv_stream" -> kmvOracle,
+    "q144_cms_stream" -> cmsOracle,
+    "q145_qsketch_stream" -> qsketchOracle,
     "q02_robust_fit" ->
       s"""WITH $evRobust
          |SELECT event_type, 'value' AS attr, round(med,4) AS med, round(mad,4) AS mad
