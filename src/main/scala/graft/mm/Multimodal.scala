@@ -46,6 +46,78 @@ object Multimodal {
   def packBinary(df: DataFrame, idCol: String, srcCol: String): DataFrame =
     df.select(col(idCol).as("id"), encode(col(srcCol), "UTF-8").as("payload"))
 
+  /** 4dp half-away-from-zero round (same rule as core.roundLikeDuck):
+    * features are exchanged as Float32, and a full-precision mean stored
+    * as Float32 can land within float-eps of a 4dp rounding boundary —
+    * pre-rounding makes the Float32 ↔ Float64 oracle comparison exact. */
+  private def r4(x: Double): Float = {
+    val r = if (x >= 0) math.floor(x * 1e4 + 0.5) / 1e4
+            else -math.floor(-x * 1e4 + 0.5) / 1e4
+    r.toFloat
+  }
+
+  /** Channel means + luma for a decoded image; `c0/c1/c2` index the blue,
+    * green and red planes inside the interleaved triple (BMP is BGR,
+    * PPM is RGB — features are always [meanB, meanG, meanR, luma]).
+    * Sums are exact integers; the float ops mirror the SQL oracle. */
+  private def imageRow(id: Long, w: Int, h: Int, px: Array[Byte],
+      c0: Int, c1: Int, c2: Int, nBytes: Long): DecodedRow = {
+    val n = w * h
+    var sB = 0L; var sG = 0L; var sR = 0L
+    var i = 0
+    while (i < n) {
+      val base = 3 * i
+      sB += px(base + c0) & 0xff
+      sG += px(base + c1) & 0xff
+      sR += px(base + c2) & 0xff
+      i += 1
+    }
+    val mB = sB.toDouble / n / 255.0
+    val mG = sG.toDouble / n / 255.0
+    val mR = sR.toDouble / n / 255.0
+    val luma = 0.299 * mR + 0.587 * mG + 0.114 * mB
+    DecodedRow(id, w, h, 3, nBytes, Array(r4(mB), r4(mG), r4(mR), r4(luma)))
+  }
+
+  /** PCM feature vector: [mean, rms, maxAbs, zeroCrossRate] over the
+    * int16 range. width carries nSamples, height 1. */
+  private def audioRow(id: Long, channels: Int, samples: Array[Short],
+      nBytes: Long): DecodedRow = {
+    val n = samples.length
+    var sum = 0L; var sumSq = 0L; var maxAbs = 0L; var zc = 0L
+    var i = 0
+    while (i < n) {
+      val s = samples(i).toLong
+      sum += s; sumSq += s * s
+      if (math.abs(s) > maxAbs) maxAbs = math.abs(s)
+      if (i > 0 && samples(i - 1).toLong * s < 0) zc += 1
+      i += 1
+    }
+    val mean = if (n > 0) sum.toDouble / n / 32768.0 else 0.0
+    val rms = if (n > 0) math.sqrt(sumSq.toDouble / n) / 32768.0 else 0.0
+    val zcr = if (n > 1) zc.toDouble / (n - 1) else 0.0
+    DecodedRow(id, n, 1, channels, nBytes,
+      Array(r4(mean), r4(rms), r4(maxAbs.toDouble / 32768.0), r4(zcr)))
+  }
+
+  /** Sniff + decode one payload: real pure-JVM codecs for uncompressed
+    * containers (24-bit BMP, P6 PPM, PCM-16 WAV — [[Codecs]]); anything
+    * else (including malformed headers) falls back to the [[FakeCodec]]
+    * stub, so the pipeline never fails on foreign bytes. */
+  def decodeOne(id: Long, p: Array[Byte]): DecodedRow = {
+    val n = p.length.toLong
+    val real: Option[DecodedRow] =
+      if (n >= 2 && p(0) == 'B' && p(1) == 'M')
+        Codecs.Bmp.decode(p).map { case (w, h, bgr) => imageRow(id, w, h, bgr, 0, 1, 2, n) }
+      else if (n >= 2 && p(0) == 'P' && p(1) == '6')
+        Codecs.Ppm.decode(p).map { case (w, h, rgb) => imageRow(id, w, h, rgb, 2, 1, 0, n) }
+      else if (n >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F'
+          && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')
+        Codecs.Wav.decode(p).map { case (_, ch, samples) => audioRow(id, ch, samples, n) }
+      else None
+    real.getOrElse(FakeCodec.decode(p).copy(id = id))
+  }
+
   /** Decode stage: runs per partition (the real pattern for batched codec
     * calls — one codec context per partition, rows streamed through). */
   def decode(media: DataFrame): Dataset[DecodedRow] = {
@@ -54,7 +126,7 @@ object Multimodal {
     media.select(col("id"), col("payload")).as[MediaRow]
       .mapPartitions { it =>
         // real codecs initialize per-partition state here
-        it.map(m => FakeCodec.decode(m.payload).copy(id = m.id))
+        it.map(m => decodeOne(m.id, m.payload))
       }
   }
 

@@ -1,20 +1,58 @@
 package graft.queries
 
 import graft.core._
-import graft.mm.Multimodal
+import graft.mm.{Codecs, Multimodal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing queries: binary pack → decode (stub codec) →
-  * features, and frame sampling. The stub codec derives everything from
-  * the payload md5, so the full pipeline has an exact DuckDB oracle even
-  * though the codec is fake (see Multimodal.FakeCodec). */
+/** Multimodal queries: binary pack → decode → features, and frame
+  * sampling. Since round 7 the decode stage runs a REAL pure-JVM codec
+  * for uncompressed containers (24-bit BMP / P6 PPM / PCM-16 WAV —
+  * [[graft.mm.Codecs]]); the driver queries synthesize deterministic
+  * BMP/WAV payloads from the documents table (gradient pixels / sample
+  * ramps keyed by doc_id), so header parsing, row padding, bottom-up row
+  * order and channel order are all exercised on real bytes AND exactly
+  * SQL-replayable. Compressed formats still route to the documented
+  * FakeCodec stub. */
 object MmQueries {
 
+  /** Deterministic 24-bit BMP per document: w = n_chars%16+1,
+    * h = doc_id%8+1, logical pixel byte k (top-down BGR raster order)
+    * = (doc_id*7 + k) % 256. The encoder lays the file out bottom-up
+    * with 4-byte row padding; the decoder must undo exactly that to
+    * reproduce the oracle's padding-free channel means. */
+  private def bmpMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"), col("n_chars").cast("int").as("nc"))
+      .as[(Long, Int)]
+      .map { case (id, nc) =>
+        val w = (nc % 16) + 1
+        val h = (id % 8).toInt + 1
+        val pix = Array.tabulate(w * h * 3)(k => ((id * 7 + k) % 256).toByte)
+        (id, Codecs.Bmp.encode(w, h, pix))
+      }.toDF("id", "payload")
+  }
+
+  /** Deterministic mono PCM-16 WAV per document: n = n_chars%200+50
+    * samples, sample i = (doc_id*31 + i*17) % 4096 − 2048, 8 kHz. */
+  private def wavMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"), col("n_chars").cast("int").as("nc"))
+      .as[(Long, Int)]
+      .map { case (id, nc) =>
+        val n = (nc % 200) + 50
+        val samples = Array.tabulate(n)(i => (((id * 31 + i * 17) % 4096) - 2048).toShort)
+        (id, Codecs.Wav.encode(samples, 8000))
+      }.toDF("id", "payload")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // real BMP decode: dims from the parsed header, features = exact
+    // integer channel sums over the de-padded logical pixel array
     "q62_mm_decode" -> ((s, dir) => {
-      val media = Multimodal.packBinary(table(s, dir, "documents"), "doc_id", "text")
-      val dec = Multimodal.decode(media).toDF()
+      val dec = Multimodal.decode(bmpMedia(s, dir)).toDF()
       canon(dec.select(col("id"), col("width"), col("height"), col("channels"),
         col("nBytes"),
         element_at(col("features"), 1).cast("double").as("f0"),
@@ -22,32 +60,65 @@ object MmQueries {
         element_at(col("features"), 3).cast("double").as("f2"),
         element_at(col("features"), 4).cast("double").as("f3")))
     }),
-    "q63_mm_frames" -> ((s, dir) => {
-      val media = Multimodal.packBinary(table(s, dir, "documents"), "doc_id", "text")
-      Multimodal.frameSample(media, frameBytes = 64, stride = 2).toDF()
-        .select(col("id"), col("frameIdx"), length(col("frameBytes")).as("frameLen"))
+    // frame sampling over the same real binary payloads (length = BMP
+    // header + padded rows, so the chunk math sees real file sizes)
+    "q63_mm_frames" -> ((s, dir) =>
+      Multimodal.frameSample(bmpMedia(s, dir), frameBytes = 64, stride = 2).toDF()
+        .select(col("id"), col("frameIdx"), length(col("frameBytes")).as("frameLen"))),
+    // real WAV decode: PCM-16 chunk walk, features = mean/rms/maxAbs/
+    // zero-cross-rate from exact integer sums
+    "q146_mm_wav" -> ((s, dir) => {
+      val dec = Multimodal.decode(wavMedia(s, dir)).toDF()
+      canon(dec.select(col("id"), col("width").as("n_samples"), col("channels"),
+        col("nBytes"),
+        element_at(col("features"), 1).cast("double").as("f0"),
+        element_at(col("features"), 2).cast("double").as("f1"),
+        element_at(col("features"), 3).cast("double").as("f2"),
+        element_at(col("features"), 4).cast("double").as("f3")))
     }),
   )
 
-  private def hx(expr: String, from: Int, len: Int) =
-    s"('0x'||substr($expr,$from,$len))::BIGINT"
-
   val oracleSql: Map[String, String] = Map(
+    // channel means over the logical (padding-free) pixel bytes; the
+    // ::FLOAT::DOUBLE hop mirrors the Float32 feature storage exactly
     "q62_mm_decode" ->
-      s"""WITH h AS (SELECT doc_id AS id, md5(text) AS m, strlen(text) AS nb FROM documents)
-         |SELECT id, (${hx("m", 1, 6)} % 1920 + 1)::INT AS width,
-         | (${hx("m", 7, 6)} % 1080 + 1)::INT AS height, 3 AS channels,
-         | nb::BIGINT AS nBytes,
-         | round((${hx("md5(m||'0')", 1, 6)} % 1000)/1000.0, 4) AS f0,
-         | round((${hx("md5(m||'1')", 1, 6)} % 1000)/1000.0, 4) AS f1,
-         | round((${hx("md5(m||'2')", 1, 6)} % 1000)/1000.0, 4) AS f2,
-         | round((${hx("md5(m||'3')", 1, 6)} % 1000)/1000.0, 4) AS f3
-         |FROM h""".stripMargin.replace("\n", " "),
+      """WITH d AS (SELECT doc_id AS id, (n_chars % 16) + 1 AS w,
+        |  (doc_id % 8) + 1 AS h FROM documents),
+        |sums AS (SELECT id, w, h,
+        |  list_sum(list_transform(range(w*h), i -> (id*7 + 3*i) % 256)) AS sB,
+        |  list_sum(list_transform(range(w*h), i -> (id*7 + 3*i + 1) % 256)) AS sG,
+        |  list_sum(list_transform(range(w*h), i -> (id*7 + 3*i + 2) % 256)) AS sR
+        | FROM d),
+        |m AS (SELECT id, w, h,
+        |  sB::DOUBLE / (w*h) / 255.0 AS mB,
+        |  sG::DOUBLE / (w*h) / 255.0 AS mG,
+        |  sR::DOUBLE / (w*h) / 255.0 AS mR
+        | FROM sums)
+        |SELECT id, w::INT AS width, h::INT AS height, 3 AS channels,
+        | (54 + ((3*w + 3) // 4 * 4) * h)::BIGINT AS nBytes,
+        | round((round(mB, 4)::FLOAT)::DOUBLE, 4) AS f0,
+        | round((round(mG, 4)::FLOAT)::DOUBLE, 4) AS f1,
+        | round((round(mR, 4)::FLOAT)::DOUBLE, 4) AS f2,
+        | round((round(0.299*mR + 0.587*mG + 0.114*mB, 4)::FLOAT)::DOUBLE, 4) AS f3
+        |FROM m""".stripMargin.replace("\n", " "),
+    // payload length = 54-byte header + stride(w)*h padded pixel rows
     "q63_mm_frames" ->
-      """WITH d AS (SELECT doc_id AS id, strlen(text) AS nb FROM documents),
+      """WITH d AS (SELECT doc_id AS id,
+        |  54 + ((3*((n_chars % 16) + 1) + 3) // 4 * 4) * ((doc_id % 8) + 1) AS nb
+        | FROM documents),
         |f AS (SELECT id, nb, unnest(range(0, ceil(nb/64.0)::INT)) AS frameIdx FROM d)
         |SELECT id, frameIdx::INT AS frameIdx,
         | least(64, nb - frameIdx*64)::INT AS frameLen
         |FROM f WHERE frameIdx % 2 = 0""".stripMargin.replace("\n", " "),
+    "q146_mm_wav" ->
+      """WITH d AS (SELECT doc_id AS id, (n_chars % 200) + 50 AS n FROM documents),
+        |s AS (SELECT id, n,
+        |  list_transform(range(n), i -> (id*31 + i*17) % 4096 - 2048) AS v FROM d)
+        |SELECT id, n::INT AS n_samples, 1 AS channels, (44 + 2*n)::BIGINT AS nBytes,
+        | round((round(list_sum(v)::DOUBLE / n / 32768.0, 4)::FLOAT)::DOUBLE, 4) AS f0,
+        | round((round(sqrt(list_sum(list_transform(v, x -> x*x))::DOUBLE / n) / 32768.0, 4)::FLOAT)::DOUBLE, 4) AS f1,
+        | round((round(list_max(list_transform(v, x -> abs(x)))::DOUBLE / 32768.0, 4)::FLOAT)::DOUBLE, 4) AS f2,
+        | round((round(length(list_filter(range(n - 1), i -> v[i+1] * v[i+2] < 0))::DOUBLE / (n - 1), 4)::FLOAT)::DOUBLE, 4) AS f3
+        |FROM s""".stripMargin.replace("\n", " "),
   )
 }

@@ -28,6 +28,62 @@ class MmSpec extends SparkSpec {
     assert(resized.forall(d => math.max(d.width, d.height) <= 100))
   }
 
+  test("real BMP codec: bottom-up padded file round-trips to exact pixel means") {
+    import graft.mm.Codecs
+    // 2×2 BGR image: pixel i has B=10(i+1), G=50+10i, R=90+10i
+    val bgr = Array[Byte](10, 50, 90, 20, 60, 100, 30, 70, 110, 40, 80, 120)
+    val payload = Codecs.Bmp.encode(2, 2, bgr)
+    // w=2 → 6 pixel bytes/row, stride 8 → 2 padding bytes per row
+    assert(payload.length == 54 + 8 * 2)
+    // file stores rows bottom-up: first stored row is logical row 1
+    assert(payload(54) == 30 && payload(55) == 70 && payload(56) == 110)
+    val d = Multimodal.decodeOne(7L, payload)
+    assert(d.width == 2 && d.height == 2 && d.channels == 3 && d.nBytes == 70)
+    // meanB=25/255, meanG=65/255, meanR=105/255, 4dp half-away rounded
+    assert(math.abs(d.features(0) - 0.0980f) < 1e-6)
+    assert(math.abs(d.features(1) - 0.2549f) < 1e-6)
+    assert(math.abs(d.features(2) - 0.4118f) < 1e-6)
+    // luma = 0.299·mR + 0.587·mG + 0.114·mB = 0.28392 → 0.2839
+    assert(math.abs(d.features(3) - 0.2839f) < 1e-6)
+    // and through the Spark pipeline, not just the local call
+    val ds = Multimodal.decode(Seq((7L, payload)).toDF("id", "payload")).collect()
+    assert(ds.head.width == 2 && math.abs(ds.head.features(2) - 0.4118f) < 1e-6)
+  }
+
+  test("real PPM codec: RGB channel order maps onto [B,G,R] features") {
+    import graft.mm.Codecs
+    // one pure-red and one pure-blue pixel (RGB order in the container)
+    val rgb = Array[Byte](-1, 0, 0, 0, 0, -1) // 255,0,0 and 0,0,255
+    val d = Multimodal.decodeOne(1L, Codecs.Ppm.encode(2, 1, rgb))
+    assert(d.width == 2 && d.height == 1)
+    assert(math.abs(d.features(0) - 0.5f) < 1e-6) // meanB = 255/2/255
+    assert(d.features(1) == 0f)                   // meanG
+    assert(math.abs(d.features(2) - 0.5f) < 1e-6) // meanR
+  }
+
+  test("real WAV codec: PCM-16 samples give exact mean/rms/max/zcr") {
+    import graft.mm.Codecs
+    val samples = Array[Short](1000, -1000, 500, -500)
+    val payload = Codecs.Wav.encode(samples, 8000)
+    assert(payload.length == 44 + 8)
+    val d = Multimodal.decodeOne(3L, payload)
+    assert(d.width == 4 && d.channels == 1 && d.nBytes == 52)
+    assert(d.features(0) == 0f) // mean 0
+    // rms = sqrt(2500000/4)/32768 = 790.569.../32768 = 0.02412... → 0.0241
+    assert(math.abs(d.features(1) - 0.0241f) < 1e-6)
+    // maxAbs = 1000/32768 = 0.03051... → 0.0305
+    assert(math.abs(d.features(2) - 0.0305f) < 1e-6)
+    assert(d.features(3) == 1f) // all 3 adjacent pairs cross zero
+  }
+
+  test("malformed media headers fall back to the stub codec") {
+    val garbage = "BMnot-really-a-bitmap".getBytes("UTF-8")
+    val viaDecode = Multimodal.decodeOne(9L, garbage)
+    val viaFake = Multimodal.FakeCodec.decode(garbage).copy(id = 9L)
+    assert(viaDecode == viaFake.copy(features = viaDecode.features) &&
+      viaDecode.features.sameElements(viaFake.features))
+  }
+
   test("frame sampling strides fixed-size chunks") {
     val media = Multimodal.packBinary(docs, "doc_id", "text")
     val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 2)
