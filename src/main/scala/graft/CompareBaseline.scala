@@ -55,7 +55,7 @@ object CompareBaseline {
     }
 
     // ===== reference shape: textFile + split + broadcast stats + map =====
-    time("reference-style RDD (CSV)") {
+    val zRefCnt = time("reference-style RDD (CSV)") {
       val lines = sc.textFile(csvDir)
       // fit pass (chombo NumericalAttrStats equivalent): reduceByKey partials
       val partials = lines.map { line =>
@@ -80,7 +80,7 @@ object CompareBaseline {
 
     // ===== engine: same pipeline, DataFrame over the same CSV =====
     val csvSchema = "event_id LONG, event_type STRING, value DOUBLE"
-    time("graft DataFrame (CSV)") {
+    val zCsvCnt = time("graft DataFrame (CSV)") {
       val data = spark.read.schema(csvSchema).csv(csvDir)
       val stats = model.Fitters.stats(data, Seq("event_type"), Seq("value"))
       score.Scorers.zscore(data, stats,
@@ -89,12 +89,20 @@ object CompareBaseline {
     }
 
     // ===== engine on its native columnar format (same rows) =====
-    time("graft DataFrame (parquet)") {
+    val zPqCnt = time("graft DataFrame (parquet)") {
       val data = spark.read.parquet(pqDir)
       val stats = model.Fitters.stats(data, Seq("event_type"), Seq("value"))
       score.Scorers.zscore(data, stats,
         score.Scorers.Cfg(Seq("event_type"), Seq("value"), threshold = 2.0))
         .agg(sum(when(col("tag") === "O", 1L).otherwise(0L))).head().getLong(0)
+    }
+    // the race is only apples-to-apples if all three sides compute the
+    // same answer — assert it, don't leave the counts to eyeballing
+    if (zRefCnt != zCsvCnt || zCsvCnt != zPqCnt) {
+      println(s"[cmp] MISMATCH: zscore outlier counts diverge " +
+        s"(ref=$zRefCnt csv=$zCsvCnt parquet=$zPqCnt) — RDD mirror and " +
+        "Scorers.zscore are no longer computing the same thing")
+      throw new IllegalStateException("zscore race correctness check failed")
     }
 
     // ===== flagship 2: Markov-chain sequence scoring =====

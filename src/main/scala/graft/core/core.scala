@@ -29,6 +29,14 @@ package object core {
     SparkSession, java.lang.ref.SoftReference[collection.mutable.Map[String, DataFrame]]]()
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // DOCUMENTED SIDE EFFECT on caller-provided sessions: both flags stay
+    // set for the session's lifetime. They cannot be save/restored around
+    // the read — the parquet schema converter consults them again when the
+    // cached plan executes, so flipping them back would corrupt later jobs
+    // over the returned (lazy) DataFrame. Both flags only widen what the
+    // session can read (nanos surface as long, micros as TimestampType
+    // instants); a driver that needs NTZ inference on its own tables can
+    // re-enable it per read.
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
     // When the tables carry TIMESTAMP(MICROS) instead, the legacy flag is
@@ -55,14 +63,43 @@ package object core {
     * so the downstream contract (and the DuckDB `epoch_ns(...)` oracles,
     * which are precision-agnostic) is unchanged. */
   private[graft] def normalizeEpochNanos(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    import org.apache.spark.sql.types._
+    // An NTZ column means the inferTimestampNTZ guard in table() did not
+    // take (e.g. a driver-supplied session rejected the conf). Casting NTZ
+    // to TimestampType would interpret the wall-clock value in the
+    // session timezone — on a non-UTC session every ts silently shifts by
+    // the offset and every ts-dependent oracle diverges with no error.
+    // Fail loudly instead; same for timestamps nested inside containers,
+    // which the top-level rewrite below would silently pass through.
+    df.schema.fields.foreach { f =>
+      if (f.dataType == TimestampNTZType)
+        throw new IllegalStateException(
+          s"column '${f.name}' read as TIMESTAMP_NTZ: the " +
+            "spark.sql.parquet.inferTimestampNTZ.enabled=false guard did not " +
+            "apply to this session, and an NTZ→instant cast would be " +
+            "session-timezone-dependent. Read with NTZ inference disabled.")
+      def hasNestedTs(t: DataType): Boolean = t match {
+        case s: StructType => s.fields.exists(x => hasNestedTs(x.dataType))
+        case a: ArrayType => hasNestedTs(a.elementType)
+        case m: MapType => hasNestedTs(m.keyType) || hasNestedTs(m.valueType)
+        case TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+      f.dataType match {
+        case TimestampType => () // rewritten below
+        case t if hasNestedTs(t) =>
+          throw new IllegalStateException(
+            s"column '${f.name}' carries a timestamp nested inside ${t.simpleString}: " +
+              "epoch-nanos normalization only rewrites top-level columns, so the " +
+              "nested value would silently violate the epoch-nanos-long contract.")
+        case _ => ()
+      }
+    }
     val tsCols = df.schema.fields.collect {
-      case f if f.dataType == TimestampType || f.dataType == TimestampNTZType => f.name
+      case f if f.dataType == TimestampType => f.name
     }
     tsCols.foldLeft(df) { (d, c) =>
-      // NTZ cast to TimestampType is session-tz-dependent; the conf above
-      // keeps us on TimestampType, where unix_micros is the raw instant.
-      d.withColumn(c, unix_micros(col(c).cast(TimestampType)) * lit(1000L))
+      d.withColumn(c, unix_micros(col(c)) * lit(1000L))
     }
   }
 

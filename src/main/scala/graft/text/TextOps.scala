@@ -1328,18 +1328,17 @@ object TextOps {
       expectedGrams: Long = -1L): DataFrame = {
     val evalGrams = shingles(evalDocs, idCol, textCol, n)
       .select("shingle").distinct()
-    // the sizing count and the bloom build both scan the eval grams —
-    // share one cached computation instead of two tokenize/explode/
-    // distinct passes, and release the blocks as soon as the bloom is
-    // built (the exact confirm join below recomputes the eval-sized gram
-    // set once, lazily — still nothing train-sized)
-    val sized = expectedGrams > 0
-    if (!sized) evalGrams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the sizing count, the bloom build AND the exact confirm join all
+      // consume the eval grams — one cached computation instead of up to
+      // three tokenize/explode/distinct passes. The blocks stay cached for
+      // the (lazy) confirm join; they are eval-sized (benchmark suites,
+      // not crawls) and MEMORY_AND_DISK evicts under pressure, so there is
+      // no deterministic unpersist point worth blocking the caller for.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nGrams =
-      if (sized) expectedGrams
+      if (expectedGrams > 0) expectedGrams
       else math.max(evalGrams.count(), 1L)
     val bloom = evalGrams.stat.bloomFilter("shingle", nGrams, fpp)
-    if (!sized) evalGrams.unpersist(blocking = false)
     val bc = train.sparkSession.sparkContext.broadcast(bloom)
     val mightContain =
       udf((s: String) => s != null && bc.value.mightContainString(s))

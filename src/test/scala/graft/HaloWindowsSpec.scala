@@ -48,6 +48,28 @@ class HaloWindowsSpec extends SparkSpec {
     }
   }
 
+  test("null values: halo and window level-shift formulations stay in parity") {
+    // both formulations drop null values up front (a null row must not
+    // occupy a frame position) — pin that the two null policies agree,
+    // per the round-6 advice on HaloWindows vs SeqOps divergence
+    val withNulls = series.withColumn("value",
+      when(col("seq") % 37 === 0, lit(null).cast("double")).otherwise(col("value")))
+    val expected = SeqOps
+      .levelShiftSegments(withNulls, Seq("k"), "seq", "value", window = 10, minZ = 2.0)
+      .select(col("k").as("key"), col("segStart").cast("long"),
+        col("segEnd").cast("long"), col("n"), col("avgShift"))
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(expected.nonEmpty, "nully fixture must still produce segments")
+    val got = HaloWindows
+      .levelShiftSegments(withNulls, Seq("k"), "seq", "value", window = 10,
+        minZ = 2.0, numPartitions = 8)
+      .select(col("key"), col("segStart").cast("long"),
+        col("segEnd").cast("long"), col("n"), col("avgShift"))
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g vs $e") }
+  }
+
   test("halo level-shift segments match the window formulation across partition counts") {
     val df = series
     val expected = SeqOps
