@@ -217,6 +217,17 @@ object TextQueries {
     // ∧ quality gate ∧ LSH-dedup survivorship ∧ LM-score gate, then the
     // per-source quota — every stage an operator from this library
     "q103_curation_quota" -> ((s, dir) => {
+      // Five stages branch off the same docs scan. Persisting that root
+      // was MEASURED SLOWER at sf0.1 (TimeQuery, warm JVM, 3 reps:
+      // 3.0–3.6 s uncached vs 3.8–4.5 s with MEMORY_AND_DISK persist +
+      // eager materialize): the shared subtree is only the parquet scan —
+      // cheap and column-pruned — while each stage's real cost is its OWN
+      // tokenization (words / char-n-grams / shingles / bigrams), which a
+      // raw-text cache cannot deduplicate. The round-6 6.3 s recording was
+      // cold-JVM/loaded-host inflation, not plan cost; the min-of-N bench
+      // protocol now reports the warm number. At 100 TB the lever would
+      // be ONE combined extraction pass emitting all four feature sets
+      // per doc, not caching raw text.
       val d = docs(s, dir)
       val q = TextOps.qualityScore(d, "doc_id", "text").select(col("doc_id"), col("quality"))
       val l = TextOps.langId(d, "doc_id", "text").select(col("doc_id"), col("predLang"))
