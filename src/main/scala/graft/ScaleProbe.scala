@@ -178,6 +178,21 @@ object ScaleProbe {
           model.Fitters.quantileSketch(ev, Seq("event_type"), "event_id",
             "value", 256), Seq("event_type"), Seq(0.25, 0.5, 0.75)).count()
       }
+      // sessionize: one (key, time)-sorted exchange for the stacked lag +
+      // running-sum windows, then a session-keyed hash agg whose map-side
+      // partials collapse sessions before the (session-sized) second
+      // exchange — rows/s must stay flat; parallelism is user-keyed
+      time("sessionize", n, nEv) {
+        seq.SeqOps.sessionize(ev, Seq("user_id"), "ts", "event_id",
+          "value", gapSec = 43200L).count()
+      }
+      // seasonal decomposition: trend = explicit lag/lead moving-average
+      // chain over one (key, seq)-sorted window lineage, seasonal means =
+      // one hash agg joined back — rows/s must stay flat
+      time("seasonal_decomp", n, nEv) {
+        seq.SeqOps.seasonalDecompose(ev, Seq("event_type"), "event_id",
+          "value", period = 24).count()
+      }
       // one count exchange with map-side combine + TakeOrderedAndProject —
       // never a global sort of the key histogram
       time("skew_profile", n, nEv) {
