@@ -118,6 +118,82 @@ object Multimodal {
     real.getOrElse(FakeCodec.decode(p).copy(id = id))
   }
 
+  /** A decoded raster held with its pixels (logical top-down row-major
+    * BGR), for stages that transform pixel data rather than just derive
+    * features. */
+  case class ImageRow(id: Long, width: Int, height: Int, bgr: Array[Byte])
+
+  /** Image decode that KEEPS the pixel array (BMP and PPM payloads; PPM's
+    * RGB is normalized to BGR so downstream stages see one layout).
+    * Payloads that are not decodable rasters are dropped — this is the
+    * typed image branch of a pipeline, not the generic feature stage. */
+  def decodeImage(media: DataFrame): Dataset[ImageRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[MediaRow]
+      .flatMap { m =>
+        val p = m.payload
+        val raster: Option[(Int, Int, Array[Byte])] =
+          if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') Codecs.Bmp.decode(p)
+          else if (p.length >= 2 && p(0) == 'P' && p(1) == '6')
+            Codecs.Ppm.decode(p).map { case (w, h, rgb) =>
+              val bgr = new Array[Byte](rgb.length)
+              var i = 0
+              while (i < rgb.length / 3) {
+                bgr(3 * i) = rgb(3 * i + 2)
+                bgr(3 * i + 1) = rgb(3 * i + 1)
+                bgr(3 * i + 2) = rgb(3 * i)
+                i += 1
+              }
+              (w, h, bgr)
+            }
+          else None
+        raster.map { case (w, h, bgr) => ImageRow(m.id, w, h, bgr) }
+      }
+  }
+
+  /** REAL nearest-neighbor downscale (no longer the metadata stub): the
+    * longer side is clamped to `maxDim`, destination pixel (x, y) copies
+    * source pixel (x·w/dstW, y·h/dstH) — all-integer arithmetic, so the
+    * resample is exactly SQL-replayable. Images already within `maxDim`
+    * pass through untouched. */
+  def resizeImage(imgs: Dataset[ImageRow], maxDim: Int): Dataset[ImageRow] = {
+    val spark = imgs.sparkSession
+    import spark.implicits._
+    imgs.map { im =>
+      val longSide = math.max(im.width, im.height)
+      if (longSide <= maxDim) im
+      else {
+        val dstW = math.max(1, im.width * maxDim / longSide)
+        val dstH = math.max(1, im.height * maxDim / longSide)
+        val out = new Array[Byte](dstW * dstH * 3)
+        var y = 0
+        while (y < dstH) {
+          val sy = y * im.height / dstH
+          var x = 0
+          while (x < dstW) {
+            val sx = x * im.width / dstW
+            val src = (sy * im.width + sx) * 3
+            val dst = (y * dstW + x) * 3
+            out(dst) = im.bgr(src); out(dst + 1) = im.bgr(src + 1); out(dst + 2) = im.bgr(src + 2)
+            x += 1
+          }
+          y += 1
+        }
+        ImageRow(im.id, dstW, dstH, out)
+      }
+    }
+  }
+
+  /** Feature stage over in-memory rasters — same exact-integer channel
+    * means + luma as the decode stage's feature path. */
+  def imageFeatures(imgs: Dataset[ImageRow]): Dataset[DecodedRow] = {
+    val spark = imgs.sparkSession
+    import spark.implicits._
+    imgs.map(im => imageRow(im.id, im.width, im.height, im.bgr, 0, 1, 2,
+      im.bgr.length.toLong))
+  }
+
   /** Decode stage: runs per partition (the real pattern for batched codec
     * calls — one codec context per partition, rows streamed through). */
   def decode(media: DataFrame): Dataset[DecodedRow] = {

@@ -34,6 +34,22 @@ object MmQueries {
       }.toDF("id", "payload")
   }
 
+  /** Deterministic P6 PPM per document: w = n_chars%12+1, h = doc_id%6+2,
+    * logical pixel byte k (top-down RGB raster order) =
+    * (doc_id*13 + k*5) % 256. */
+  private def ppmMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"), col("n_chars").cast("int").as("nc"))
+      .as[(Long, Int)]
+      .map { case (id, nc) =>
+        val w = (nc % 12) + 1
+        val h = (id % 6).toInt + 2
+        val pix = Array.tabulate(w * h * 3)(k => ((id * 13 + k * 5) % 256).toByte)
+        (id, Codecs.Ppm.encode(w, h, pix))
+      }.toDF("id", "payload")
+  }
+
   /** Deterministic mono PCM-16 WAV per document: n = n_chars%200+50
     * samples, sample i = (doc_id*31 + i*17) % 4096 − 2048, 8 kHz. */
   private def wavMedia(s: SparkSession, dir: String): DataFrame = {
@@ -65,6 +81,30 @@ object MmQueries {
     "q63_mm_frames" -> ((s, dir) =>
       Multimodal.frameSample(bmpMedia(s, dir), frameBytes = 64, stride = 2).toDF()
         .select(col("id"), col("frameIdx"), length(col("frameBytes")).as("frameLen"))),
+    // real PPM decode: ASCII header parse + RGB→BGR normalization; a
+    // different gradient from q62 so a channel-order bug cannot cancel
+    "q147_mm_ppm" -> ((s, dir) => {
+      val dec = Multimodal.decode(ppmMedia(s, dir)).toDF()
+      canon(dec.select(col("id"), col("width"), col("height"), col("channels"),
+        col("nBytes"),
+        element_at(col("features"), 1).cast("double").as("f0"),
+        element_at(col("features"), 2).cast("double").as("f1"),
+        element_at(col("features"), 3).cast("double").as("f2"),
+        element_at(col("features"), 4).cast("double").as("f3")))
+    }),
+    // real nearest-neighbor pixel resize (decode → resample → features):
+    // all-integer source-index math, so the resampled channel means
+    // replay exactly in SQL
+    "q148_mm_resize" -> ((s, dir) => {
+      val imgs = Multimodal.decodeImage(bmpMedia(s, dir))
+      val resized = Multimodal.resizeImage(imgs, maxDim = 5)
+      canon(Multimodal.imageFeatures(resized).toDF()
+        .select(col("id"), col("width"), col("height"),
+          element_at(col("features"), 1).cast("double").as("f0"),
+          element_at(col("features"), 2).cast("double").as("f1"),
+          element_at(col("features"), 3).cast("double").as("f2"),
+          element_at(col("features"), 4).cast("double").as("f3")))
+    }),
     // real WAV decode: PCM-16 chunk walk, features = mean/rms/maxAbs/
     // zero-cross-rate from exact integer sums
     "q146_mm_wav" -> ((s, dir) => {
@@ -110,6 +150,49 @@ object MmQueries {
         |SELECT id, frameIdx::INT AS frameIdx,
         | least(64, nb - frameIdx*64)::INT AS frameLen
         |FROM f WHERE frameIdx % 2 = 0""".stripMargin.replace("\n", " "),
+    // PPM: RGB container order — R at logical byte 3i, B at 3i+2; header
+    // is ASCII so nBytes depends on the dim digit widths
+    "q147_mm_ppm" ->
+      """WITH d AS (SELECT doc_id AS id, (n_chars % 12) + 1 AS w,
+        |  (doc_id % 6) + 2 AS h FROM documents),
+        |m AS (SELECT id, w, h,
+        |  list_sum(list_transform(range(w*h), i -> (id*13 + 5*(3*i+2)) % 256))::DOUBLE / (w*h) / 255.0 AS mB,
+        |  list_sum(list_transform(range(w*h), i -> (id*13 + 5*(3*i+1)) % 256))::DOUBLE / (w*h) / 255.0 AS mG,
+        |  list_sum(list_transform(range(w*h), i -> (id*13 + 5*(3*i)) % 256))::DOUBLE / (w*h) / 255.0 AS mR
+        | FROM d)
+        |SELECT id, w::INT AS width, h::INT AS height, 3 AS channels,
+        | (9 + strlen(w::VARCHAR) + strlen(h::VARCHAR) + 3*w*h)::BIGINT AS nBytes,
+        | round((round(mB, 4)::FLOAT)::DOUBLE, 4) AS f0,
+        | round((round(mG, 4)::FLOAT)::DOUBLE, 4) AS f1,
+        | round((round(mR, 4)::FLOAT)::DOUBLE, 4) AS f2,
+        | round((round(0.299*mR + 0.587*mG + 0.114*mB, 4)::FLOAT)::DOUBLE, 4) AS f3
+        |FROM m""".stripMargin.replace("\n", " "),
+    // nearest-neighbor resample: dst pixel (x,y) reads source
+    // (x·w//dstW, y·h//dstH) of the q62 gradient — all-integer index math
+    "q148_mm_resize" ->
+      """WITH d AS (SELECT doc_id AS id, (n_chars % 16) + 1 AS w,
+        |  (doc_id % 8) + 1 AS h FROM documents),
+        |r AS (SELECT id, w, h,
+        |  CASE WHEN greatest(w,h) <= 5 THEN w
+        |    ELSE greatest(1, w*5 // greatest(w,h)) END AS dw,
+        |  CASE WHEN greatest(w,h) <= 5 THEN h
+        |    ELSE greatest(1, h*5 // greatest(w,h)) END AS dh
+        | FROM d),
+        |px AS (SELECT id, dw, dh,
+        |  list_transform(range(dw*dh), i ->
+        |    ((i % dw) * w // dw + (i // dw) * h // dh * w) * 3) AS base
+        | FROM r),
+        |m AS (SELECT id, dw, dh,
+        |  list_sum(list_transform(base, b -> (id*7 + b) % 256))::DOUBLE / (dw*dh) / 255.0 AS mB,
+        |  list_sum(list_transform(base, b -> (id*7 + b + 1) % 256))::DOUBLE / (dw*dh) / 255.0 AS mG,
+        |  list_sum(list_transform(base, b -> (id*7 + b + 2) % 256))::DOUBLE / (dw*dh) / 255.0 AS mR
+        | FROM px)
+        |SELECT id, dw::INT AS width, dh::INT AS height,
+        | round((round(mB, 4)::FLOAT)::DOUBLE, 4) AS f0,
+        | round((round(mG, 4)::FLOAT)::DOUBLE, 4) AS f1,
+        | round((round(mR, 4)::FLOAT)::DOUBLE, 4) AS f2,
+        | round((round(0.299*mR + 0.587*mG + 0.114*mB, 4)::FLOAT)::DOUBLE, 4) AS f3
+        |FROM m""".stripMargin.replace("\n", " "),
     "q146_mm_wav" ->
       """WITH d AS (SELECT doc_id AS id, (n_chars % 200) + 50 AS n FROM documents),
         |s AS (SELECT id, n,

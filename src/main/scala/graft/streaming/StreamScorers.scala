@@ -689,10 +689,17 @@ object StreamScorers {
         (key: String, it: Iterator[(String, String)], st: GroupState[CmsState]) => {
           val counters = collection.mutable.Map[Long, Long](
             st.getOption.map(_.counters.toSeq).getOrElse(Nil): _*)
+          // group parallelism is key-bounded, so the per-occurrence work
+          // must be cheap: tokens repeat heavily (occurrences ≫ vocab) —
+          // memoize the depth md5 slots per DISTINCT value for this
+          // invocation instead of hashing every occurrence depth times
+          val slotCache = collection.mutable.Map.empty[String, Array[Long]]
           it.foreach { case (_, v) =>
+            val slots = slotCache.getOrElseUpdate(v,
+              Array.tabulate(depth)(slot(_, v)))
             var j = 0
             while (j < depth) {
-              val s = slot(j, v)
+              val s = slots(j)
               counters.update(s, counters.getOrElse(s, 0L) + 1L)
               j += 1
             }

@@ -76,6 +76,27 @@ class MmSpec extends SparkSpec {
     assert(d.features(3) == 1f) // all 3 adjacent pairs cross zero
   }
 
+  test("real pixel resize: nearest-neighbor picks exact source pixels") {
+    import graft.mm.Codecs
+    // 4×2 image whose pixel i has B = 10·i (G,R zero) — easy to identify
+    val bgr = new Array[Byte](4 * 2 * 3)
+    (0 until 8).foreach(i => bgr(3 * i) = (10 * i).toByte)
+    val media = Seq((5L, Codecs.Bmp.encode(4, 2, bgr))).toDF("id", "payload")
+    val imgs = Multimodal.decodeImage(media)
+    assert(imgs.collect().head.bgr.sameElements(bgr), "decode keeps pixels")
+    val resized = Multimodal.resizeImage(imgs, maxDim = 2).collect().head
+    // dstW=2, dstH=1; dst(0,0)←src(0·4/2=0, 0·2/1=0)=pix0, dst(1,0)←src(2,0)=pix2
+    assert(resized.width == 2 && resized.height == 1)
+    assert(resized.bgr(0) == 0 && resized.bgr(3) == 20)
+    // features over the resized raster: meanB = (0+20)/2/255, 4dp rounded
+    val feats = Multimodal.imageFeatures(
+      Multimodal.resizeImage(imgs, maxDim = 2)).collect().head
+    assert(math.abs(feats.features(0) - 0.0392f) < 1e-6)
+    // within maxDim → untouched
+    val same = Multimodal.resizeImage(imgs, maxDim = 16).collect().head
+    assert(same.width == 4 && same.height == 2 && same.bgr.sameElements(bgr))
+  }
+
   test("malformed media headers fall back to the stub codec") {
     val garbage = "BMnot-really-a-bitmap".getBytes("UTF-8")
     val viaDecode = Multimodal.decodeOne(9L, garbage)
