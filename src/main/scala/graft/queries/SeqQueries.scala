@@ -189,6 +189,20 @@ object SeqQueries {
     "q116_sessionize" -> ((s, dir) =>
       canon(SeqOps.sessionize(ev(s, dir), Seq("user_id"), "ts", "event_id",
         "value", gapSec = 43200L))),
+    // the STREAMING sessionizer executed as batch (q100 pattern):
+    // session_window's per-event [ts, ts+gap) overlap-merge splits on a
+    // gap of EXACTLY `gap` (>=) where the batch operator splits on
+    // strictly-greater — the oracle replays the >= rule, so the boundary
+    // semantics themselves are driver-gated, not just spec'd
+    "q149_sessionize_stream" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("_t", timestamp_micros(expr("ts div 1000")))
+      canon(graft.streaming.StreamScorers.sessionizeStream(e, "_t",
+        Seq("user_id"), "value", gap = "12 hours", watermark = "0 seconds")
+        .select(col("user_id"), col("n_events"),
+          unix_micros(col("start_ts")).as("start_us"),
+          unix_micros(col("end_ts")).as("end_us"),
+          col("sum_value")))
+    }),
   )
 
   // transitions + smoothed probabilities, per-user sequences, global model
@@ -782,5 +796,23 @@ object SeqQueries {
         |   ELSE -floor(-value * 10000 + 0.5) END AS BIGINT)) / 10000.0
         |   AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    // session_window semantics: ascending-sorted events merge while the
+    // inter-event gap is STRICTLY below `gap` (split on >=, vs q116's >)
+    "q149_sessionize_stream" ->
+      """WITH t AS (SELECT user_id, value, epoch_us(ts) AS tus, event_id,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |    >= 43200000000 THEN 1 ELSE 0 END AS brk
+        | FROM events),
+        |s AS (SELECT user_id, value, tus,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM t)
+        |SELECT user_id, count(*) AS n_events,
+        | min(tus) AS start_us, max(tus) AS end_us,
+        | sum(CAST(CASE WHEN value >= 0 THEN floor(value * 10000 + 0.5)
+        |   ELSE -floor(-value * 10000 + 0.5) END AS BIGINT)) / 10000.0
+        |   AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin.replace("\n", " "),
   )
 }

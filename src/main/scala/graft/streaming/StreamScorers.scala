@@ -126,7 +126,13 @@ object StreamScorers {
         count(lit(1)).as("n_events"),
         min(col(tsCol)).as("start_ts"),
         max(col(tsCol)).as("end_ts"),
-        sum(col(valCol)).as("sum_value"))
+        // order-exact 4dp fixed-point sum, same rule as the batch
+        // operator (SeqOps.sessionize): a plain double sum is
+        // combine-order-nondeterministic, which a hash-gated oracle
+        // cannot tolerate at the rounding boundary
+        (sum(when(col(valCol) >= 0, floor(col(valCol) * 1e4 + 0.5))
+            .otherwise(-floor(-col(valCol) * 1e4 + 0.5)).cast("long"))
+          .cast("double") / 1e4).as("sum_value"))
 
   /** Streaming exact deduplication for ingest pipelines: drop repeats of
     * `idCols` (e.g. a content hash) arriving within the watermark horizon —
