@@ -98,11 +98,29 @@ class MmSpec extends SparkSpec {
   }
 
   test("malformed media headers fall back to the stub codec") {
-    val garbage = "BMnot-really-a-bitmap".getBytes("UTF-8")
-    val viaDecode = Multimodal.decodeOne(9L, garbage)
-    val viaFake = Multimodal.FakeCodec.decode(garbage).copy(id = 9L)
-    assert(viaDecode == viaFake.copy(features = viaDecode.features) &&
-      viaDecode.features.sameElements(viaFake.features))
+    def fallsBack(p: Array[Byte]): Unit = {
+      val viaDecode = Multimodal.decodeOne(9L, p)
+      val viaFake = Multimodal.FakeCodec.decode(p).copy(id = 9L)
+      assert(viaDecode == viaFake.copy(features = viaDecode.features) &&
+        viaDecode.features.sameElements(viaFake.features))
+    }
+    fallsBack("BMnot-really-a-bitmap".getBytes("UTF-8"))
+    fallsBack(Array.empty[Byte])
+    fallsBack("P6 garbage without dims".getBytes("UTF-8"))
+    // RIFF/WAVE container whose chunk lengths run past the payload
+    val truncated = {
+      import graft.mm.Codecs
+      Codecs.Wav.encode(Array[Short](1, 2, 3, 4), 8000).take(46)
+    }
+    fallsBack(truncated)
+    // a valid container claiming a non-PCM format must not half-decode
+    val nonPcm = {
+      import graft.mm.Codecs
+      val w = Codecs.Wav.encode(Array[Short](1, 2), 8000)
+      w(20) = 3 // IEEE float format tag
+      w
+    }
+    fallsBack(nonPcm)
   }
 
   test("frame sampling strides fixed-size chunks") {
