@@ -135,4 +135,25 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: BMP and PPM round-trip any raster byte-exactly; WAV any sample run") {
+    import graft.mm.Codecs
+    val rng = new scala.util.Random(77)
+    for (trial <- 1 to 40) {
+      val w = 1 + rng.nextInt(20)
+      val h = 1 + rng.nextInt(20)
+      val px = Array.fill(w * h * 3)(rng.nextInt(256).toByte)
+      val bmp = Codecs.Bmp.decode(Codecs.Bmp.encode(w, h, px))
+      assert(bmp.exists { case (dw, dh, d) =>
+        dw == w && dh == h && d.sameElements(px) }, s"bmp trial $trial w=$w h=$h")
+      val ppm = Codecs.Ppm.decode(Codecs.Ppm.encode(w, h, px))
+      assert(ppm.exists { case (dw, dh, d) =>
+        dw == w && dh == h && d.sameElements(px) }, s"ppm trial $trial w=$w h=$h")
+      val n = 1 + rng.nextInt(500)
+      val samples = Array.fill(n)(rng.nextInt(65536).toShort)
+      val wav = Codecs.Wav.decode(Codecs.Wav.encode(samples, 8000 + rng.nextInt(40000)))
+      assert(wav.exists { case (_, ch, d) =>
+        ch == 1 && d.sameElements(samples) }, s"wav trial $trial n=$n")
+    }
+  }
 }
