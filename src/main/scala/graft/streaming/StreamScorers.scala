@@ -50,6 +50,21 @@ object StreamScorers {
         col("topic"), col("partition"), col("offset"), col("timestamp"))
   }
 
+  /** File-based streaming source (Spark built-in — no external connector
+    * jar): every file landing under `path` becomes stream rows with the
+    * same `(value: string)` contract as [[kafkaSource]], so the parse and
+    * scoring stages compose identically. This is both the offline
+    * stand-in that lets the full source→parse→score→sink flow run
+    * end-to-end in CI, and the deployment shape for landing-directory
+    * ingest (object-store drops at scale). */
+  def fileSource(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+    maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .text(path)
+  }
+
   /** The spout's first-comma split (PredictorSpout.java:55-59): message
     * "entityID,field,field,..." → (entityID, recordData). Source-agnostic:
     * works on [[kafkaSource]] output or any DataFrame with a string

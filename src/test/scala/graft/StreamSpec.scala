@@ -226,6 +226,39 @@ class StreamSpec extends SparkSpec {
     assert(first.getAs[Double]("mean") == 2.0 && first.getAs[Long]("cnt") == 2)
   }
 
+  test("file source end-to-end: landing dir → parse → stream-static zscore → alerts") {
+    // the connector-free source→parse→score→sink flow, with REAL file
+    // discovery across triggers (not MemoryStream) — the offline twin of
+    // the kafkaSource deployment path
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in")
+    def land(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    land("batch1.txt", "A,1,10.5", "A,2,15.0", "B,3,0.5")
+    val stats = Seq(("A", 10.0, 1.0), ("B", 0.0, 1.0)).toDF("entityID", "mean", "std")
+    // the raw line column is itself named `value` (kafkaSource contract) —
+    // record schemas must pick non-colliding field names
+    val recSchema = new org.apache.spark.sql.types.StructType()
+      .add("seq", "long").add("v", "double")
+    val recs = StreamScorers.parseDelimited(
+      StreamScorers.parseEntityRecord(StreamScorers.fileSource(spark, dir.toString)),
+      recSchema, ",", "recordData")
+    val scored = StreamScorers.zscoreStream(recs, stats, Seq("entityID"), "v", 3.0)
+    val q = scored.writeStream.format("memory").queryName("filez")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // a second file lands AFTER the query started — must be discovered
+    land("batch2.txt", "B,4,9.0")
+    q.processAllAvailable()
+    val rows = spark.table("filez")
+      .select("entityID", "seq", "score", "tag")
+      .as[(String, Long, Double, String)].collect().sortBy(_._2)
+    q.stop()
+    assert(rows.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L), "both files ingested")
+    assert(rows.map(_._4).toSeq == Seq("N", "O", "N", "O"))
+    assert(rows(1)._3 == 5.0 && rows(3)._3 == 9.0)
+  }
+
   test("session windows merge across batches; batch sessionize parity") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
