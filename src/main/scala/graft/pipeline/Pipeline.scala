@@ -197,4 +197,128 @@ object ConfigRunner {
         val i = l.indexOf('=')
         l.substring(0, i).trim -> l.substring(i + 1).trim.stripPrefix("[").stripSuffix("]")
       }.toMap
+
+  /** Whole-job dispatch keyed by the reference's Spark job class (the name
+    * a reference user types after `spark-submit --class org.beymani.spark.
+    * …`), reading THAT job's own property names — so every batch job in
+    * the reference's spark tree runs against this library with its
+    * existing config. Jobs whose reference form loads a pre-fitted model
+    * file take it as the optional `model` DataFrame (the reference trains
+    * those in separate jobs); when absent, the fitter runs inline on
+    * `data`. Ordinal-based column addressing throughout, like the
+    * reference's id.fieldOrdinals / attr.ordinals contract.
+    *
+    * Key references: dist/StatsBasedOutlierPredictor.scala:48-56 (via
+    * [[run]]), seq/MarkovChainPredictor.scala:55-137 (via [[runSequence]]),
+    * cluster/ClusterBasedPredictor.scala, knn/LocalDensityBasedPredictor
+    * .scala, misc/InRangeBasedPredictor.scala:60-101, misc/
+    * ChangePointDetector.scala, level/OutlierLevelShift.scala:104-147,
+    * common/OutlierScoreLevelShift.scala, seq/LocalNeighborhoodDetector
+    * .scala:78-110, seq/NgramFrequencyPredictor.scala, seq/
+    * OneStepAheadPredictor.scala, seq/SpectralResiduePredictor.scala,
+    * seq/SubSequenceDistanceDetector.scala, multi/IsolationForestPredictor
+    * .scala:76-175, pc/PrincipalComponentPredictor.scala, common/
+    * OutlierCounter.scala, common/PseudoRelevanceThresholdFinder.scala,
+    * common/ThresholdLearner.scala. */
+  def runJob(spark: SparkSession, data: DataFrame, jobType: String,
+      conf: Map[String, String], model: Option[DataFrame] = None): DataFrame = {
+    def ints(p: String): Seq[Int] =
+      conf(p).split(",").map(_.trim.toInt).toSeq
+    // both ordinal spellings appear in the reference tree
+    def keyCols: Seq[String] = columnsByOrdinal(data,
+      ints(if (conf.contains("id.fieldOrdinals")) "id.fieldOrdinals" else "id.field.ordinals"))
+    def attrCols: Seq[String] = columnsByOrdinal(data, ints("attr.ordinals"))
+    def attrCol: String = data.columns(conf("attr.ordinal").toInt)
+    def seqCol: String = data.columns(
+      conf.getOrElse("seq.fieldOrd", conf.getOrElse("seq.field.ordinal", "0")).toInt)
+    def window: Int = conf.getOrElse("window.size", "16").toInt
+    def threshold: Double = conf.getOrElse("score.threshold", "3.0").toDouble
+    jobType match {
+      case "statsBasedOutlierPredictor" => run(spark, data, conf)
+      case "markovChainPredictor" => runSequence(spark, data, conf, model)
+      case "clusterBasedPredictor" =>
+        graft.multi.ClusterScore.cblofDeterministic(data, attrCols, keyCols,
+          k = conf.getOrElse("cluster.count", "8").toInt,
+          largeFraction = conf.getOrElse("cluster.largeSizeFraction", "0.9").toDouble)
+      case "localDensityBasedPredictor" =>
+        val vecs = data.select(
+          concat_ws("|", keyCols.map(col): _*).as("vid"),
+          array(attrCols.map(c => col(c).cast("double")): _*).as("v"))
+        val k = conf.getOrElse("nearest.neighbor.count", "5").toInt
+        graft.multi.Proximity.relativeDensityFromKnn(
+          graft.multi.Blocked.knn(vecs, "vid", "v", k), k)
+      case "inRangeBasedPredictor" | "outRangeBasedPredictor" =>
+        val ranges = model.getOrElse(throw new IllegalArgumentException(
+          s"$jobType needs the range model DataFrame (key..., attr, lo, hi) — " +
+            "the reference loads it from range.globalFilePath"))
+        val cfg = Cfg(keyCols, attrCols,
+          expConst = conf.getOrElse("exp.const", "0.0").toDouble,
+          threshold = threshold)
+        if (jobType == "inRangeBasedPredictor") Scorers.inRange(data, ranges, cfg)
+        else Scorers.outOfRange(data, ranges, cfg)
+      case "changePointDetector" =>
+        val stat = conf.getOrElse("stat.type", "ks")
+        if (stat == "meanShift")
+          Pipeline.changePoint(data, keyCols, seqCol, attrCols.head, window,
+            conf.getOrElse("stat.critValue", "3.0").toDouble)
+        else graft.seq.SeriesKernels.changePoint(data, keyCols, seqCol,
+          attrCols.head, window, stat,
+          conf.getOrElse("stat.critValue", "3.0").toDouble).toDF()
+      case "outlierLevelShift" =>
+        Pipeline.levelShiftSegments(data, keyCols, seqCol, attrCols.head, window,
+          conf.getOrElse("zscore.min", conf.getOrElse("score.threshold", "3.0")).toDouble)
+      case "outlierScoreLevelShift" =>
+        graft.seq.SeqOps.scoreLevelShift(data, keyCols, seqCol,
+          longWin = conf.getOrElse("window.longSize", "50").toInt,
+          shortWin = conf.getOrElse("window.shortSize", "10").toInt,
+          minZ = conf.getOrElse("zscore.min", "2.0").toDouble)
+      case "localNeighborhoodDetector" =>
+        graft.seq.SeqOps.localNeighborhood(data, keyCols, seqCol, attrCol,
+          half = conf.getOrElse("neighborhood.size", window.toString).toInt,
+          byCount = conf.contains("neighborhood.dist"),
+          dist = conf.getOrElse("neighborhood.dist", "1.0").toDouble,
+          threshold = threshold)
+      case "ngramFrequencyPredictor" =>
+        graft.seq.SeriesKernels.ngramFrequency(data, keyCols, seqCol, attrCol,
+          numBuckets = conf.getOrElse("num.bins", "4").toInt,
+          n = conf.getOrElse("ngram.size", "2").toInt,
+          window = window).toDF()
+      case "oneStepAheadPredictor" =>
+        graft.seq.SeqOps.oneStepAhead(data, keyCols, seqCol, attrCols.head,
+          window = window, threshold = threshold)
+      case "spectralResiduePredictor" =>
+        graft.seq.SeriesKernels.spectralResidue(data, keyCols, seqCol,
+          attrCols.head, window = window,
+          avgWindow = conf.getOrElse("fft.ma.window.size", "3").toInt).toDF()
+      case "subSequenceDistanceDetector" =>
+        graft.seq.SeriesKernels.subSequenceDistance(data, keyCols, seqCol,
+          attrCol, window = window).toDF()
+      case "isolationForestPredictor" =>
+        val idCol = data.columns(conf.getOrElse("rec.idOrd", "0").toInt)
+        val forest = graft.multi.IsolationForest.fitDeterministic(data, keyCols,
+          attrCols, idCol,
+          numTrees = conf.getOrElse("num.tree", "50").toInt,
+          subsampleSize = conf.getOrElse("subsample.size", "64").toInt,
+          maxDepth = conf.getOrElse("max.depth", "6").toInt)
+        graft.multi.IsolationForest.score(data, forest, keyCols, attrCols,
+          idCol, subsampleSize = conf.getOrElse("subsample.size", "64").toInt).toDF()
+      case "principalComponentPredictor" =>
+        graft.multi.ClusterScore.pcaScore(data,
+          columnsByOrdinal(data, ints("quant.field.ordinals")),
+          nComponents = conf.getOrElse("num.components", "1").toInt)
+      case "outlierCounter" =>
+        PostOps.outlierCounter(data, keyCols)
+      case "pseudoRelevanceThresholdFinder" =>
+        PostOps.pseudoRelevanceThreshold(data, keyCols,
+          topFrac = conf.getOrElse("top.fraction", "0.05").toDouble,
+          minCount = conf.getOrElse("min.count", "100").toLong,
+          defaultThreshold = threshold)
+      case "thresholdLearner" =>
+        val scoreCol = data.columns(conf.getOrElse("score.fieldOrd", "0").toInt)
+        val labelCol = data.columns(conf.getOrElse("label.fieldOrd", "1").toInt)
+        PostOps.thresholdLearner(data, keyCols, scoreCol, labelCol,
+          splits = conf("threshold.splits").split(",").map(_.trim.toDouble).toSeq)
+      case other => throw new IllegalArgumentException(s"unknown jobType $other")
+    }
+  }
 }

@@ -36,6 +36,63 @@ class PipelineSpec extends SparkSpec {
     assert(out.where($"tag" === "O").count() > 0)
   }
 
+  test("runJob dispatches every reference spark job class with its own property names") {
+    val events = core.table(spark, sfDir, "events")
+      .select("event_type", "event_id", "value") // 0=key, 1=seq, 2=value
+    def props(s: String) = ConfigRunner.fromProperties(s.stripMargin)
+    // sequence detectors: output matches the direct operator call
+    val cp = ConfigRunner.runJob(spark, events, "changePointDetector",
+      props("""id.fieldOrdinals=[0]
+              |seq.fieldOrd=1
+              |attr.ordinals=[2]
+              |window.size=20
+              |stat.type=ks
+              |stat.critValue=0.4"""))
+    val cpDirect = graft.seq.SeriesKernels.changePoint(events, Seq("event_type"),
+      "event_id", "value", window = 20, stat = "ks", critValue = 0.4).toDF()
+    assert(cp.count() == cpDirect.count() && cp.count() > 0)
+    // isolation forest: full fit+score from one property map
+    val iso = ConfigRunner.runJob(spark, events, "isolationForestPredictor",
+      props("""id.fieldOrdinals=[0]
+              |rec.idOrd=1
+              |attr.ordinals=[2]
+              |num.tree=10
+              |subsample.size=32
+              |max.depth=5"""))
+    assert(iso.count() == events.count())
+    assert(iso.columns.contains("score"))
+    // range predictor takes the range model the reference loads from a file
+    val ranges = Seq(("A", "value", 0.0, 50.0)).toDF("event_type", "attr", "lo", "hi")
+    val dataA = events.where($"event_type" === "A")
+    val rng = ConfigRunner.runJob(spark, dataA, "outRangeBasedPredictor",
+      props("""id.fieldOrdinals=[0]
+              |attr.ordinals=[2]
+              |score.threshold=0.5"""), model = Some(ranges))
+    assert(rng.columns.contains("score") && rng.count() == dataA.count())
+    // local density: blocked exact kNN under the reference's knn keys
+    val dens = ConfigRunner.runJob(spark, events.limit(200),
+      "localDensityBasedPredictor",
+      props("""id.fieldOrdinals=[1]
+              |attr.ordinals=[2]
+              |nearest.neighbor.count=5"""))
+    assert(dens.count() == 200)
+    // post-processing jobs ride the same dispatch
+    val tagged = ConfigRunner.runJob(spark, events, "statsBasedOutlierPredictor",
+      props("""predictor.model=zscore
+              |id.fieldOrdinals=[0]
+              |attr.ordinals=[2]
+              |score.threshold=2.0"""))
+    val counts = ConfigRunner.runJob(spark, tagged, "outlierCounter",
+      props("id.fieldOrdinals=[0]"))
+    assert(counts.columns.contains("pctO") && counts.count() > 0)
+    val spectral = ConfigRunner.runJob(spark, events, "spectralResiduePredictor",
+      props("""id.fieldOrdinals=[0]
+              |seq.fieldOrd=1
+              |attr.ordinals=[2]
+              |window.size=64"""))
+    assert(spectral.count() > 0)
+  }
+
   test("config runner covers every reference dispatcher strategy") {
     val data = core.table(spark, sfDir, "events")
       .selectExpr("event_type", "value", "value * 0.5 + user_id % 7 as value2")
