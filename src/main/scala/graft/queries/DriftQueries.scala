@@ -132,6 +132,20 @@ object DriftQueries {
         .select(col("entity").as("event_type"), col("seq").as("event_id"),
           col("value"), col("phInc"), col("phDec"), col("drift")))
     }),
+    // streaming DDM executed as batch (q100 pattern): err counts are
+    // integers, so the sequential recursion is deterministic and shares
+    // q64's closed-form oracle math
+    "q150_ddm_stream" -> ((s, dir) => {
+      import s.implicits._
+      val errs = errStream(s, dir)
+        .select(col("event_type").cast("string").as("entity"),
+          col("event_id").cast("long").as("seq"),
+          col("err").cast("double").as("err"))
+        .as[graft.streaming.StreamScorers.ErrEvent]
+      canon(graft.streaming.StreamScorers.ddmStream(errs).toDF()
+        .select(col("entity").as("event_type"), col("seq").as("event_id"),
+          col("err").cast("int").as("err"), col("p"), col("s"), col("level")))
+    }),
     "q67_drift_consensus" -> ((s, dir) => {
       val ddm = Drift.ddm(errStream(s, dir), Seq("event_type"), "event_id", "err")
         .select(col("event_type"), col("event_id"), (col("level") === "drift").as("d1"))
@@ -411,6 +425,16 @@ object DriftQueries {
     "q64_drift_ddm" ->
       s"""WITH $ddmCte
          |SELECT event_type, event_id, err, i, round(p,4) AS p, round(s,4) AS s,
+         | CASE WHEN i < 30 THEN 'stable'
+         |  WHEN p + s > (minPS - sAtMin) + 3*sAtMin THEN 'drift'
+         |  WHEN p + s > (minPS - sAtMin) + 2*sAtMin THEN 'warn'
+         |  ELSE 'stable' END AS level
+         |FROM dd""".stripMargin.replace("\n", " "),
+    // the stream twin emits (err, p, s, level) without q64's running i —
+    // same recursion, same closed form, i only gates the <30 warm-up
+    "q150_ddm_stream" ->
+      s"""WITH $ddmCte
+         |SELECT event_type, event_id, err, round(p,4) AS p, round(s,4) AS s,
          | CASE WHEN i < 30 THEN 'stable'
          |  WHEN p + s > (minPS - sAtMin) + 3*sAtMin THEN 'drift'
          |  WHEN p + s > (minPS - sAtMin) + 2*sAtMin THEN 'warn'

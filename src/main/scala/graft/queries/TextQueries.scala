@@ -357,6 +357,14 @@ object TextQueries {
     "q111_heavy_grams" -> ((s, dir) =>
       TextOps.heavyHitterGrams(docs(s, dir), "doc_id", "text", n = 2,
         minCount = 30, capacity = 16384)),
+    // the streaming Space-Saving twin executed as batch (q100 pattern):
+    // one batch with capacity above the per-shard distinct-gram count
+    // means no eviction — counts exact, err 0, emission = plain HAVING,
+    // so the stream code path shares q111's oracle (+ maxErr column)
+    "q151_heavy_stream" -> ((s, dir) =>
+      graft.streaming.StreamScorers.heavyHitterStream(docs(s, dir), "text",
+        n = 2, minCount = 30, nShards = 64, capacity = 1 << 20).toDF()
+        .select(col("gram"), col("cnt"), col("maxErr"))),
     // cross-corpus SemDeDup (incremental ingest): the ~20% md5-split
     // "new batch" checked against the corpus-trained cell index
     "q114_semdedup_across" -> ((s, dir) => {
@@ -1473,6 +1481,15 @@ object TextQueries {
          |   THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
          |   ELSE [] END) AS gram FROM tk)
          |SELECT gram, count(*)::BIGINT AS cnt FROM f
+         |GROUP BY gram HAVING count(*) >= 30"""
+        .stripMargin.replace("\n", " "),
+    // stream twin: exact under no-eviction, err bound surfaces as 0
+    "q151_heavy_stream" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |f AS (SELECT unnest(CASE WHEN len(t) >= 2
+         |   THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         |   ELSE [] END) AS gram FROM tk)
+         |SELECT gram, count(*)::BIGINT AS cnt, 0::BIGINT AS maxErr FROM f
          |GROUP BY gram HAVING count(*) >= 30"""
         .stripMargin.replace("\n", " "),
     // MMR: the greedy recurrence as a recursive CTE — one pick per
