@@ -265,6 +265,31 @@ object ScaleProbe {
         drift.Drift.embeddingEnergyDistance(emb.where(!isB), emb.where(isB),
           "embedding", idCol = "vec_id", maxSample = 1000).count()
       }
+      // silhouette (q152): centroid fit is one k·d-cell agg, scoring is a
+      // narrow pass with k dot products/row — rows/s must stay flat
+      time("silhouette", n, nEmb) {
+        sim.Similarity.silhouette(emb, "embedding", "label").count()
+      }
+      // source overlap (q153): per-gram pair fan-out is bounded by S²/2,
+      // so the line must track the shingle-explode slope, not the pair
+      // count
+      time("source_overlap", n, nDocs) {
+        text.TextOps.sourceOverlap(docs, "source", "text", n = 3).count()
+      }
+      time("source_signature", n, nDocs) {
+        text.TextOps.sourceSignature(docs, "source", "text",
+          topK = 10, minCount = 20).count()
+      }
+      // entropy-increase scorer (q155): per-record full-histogram
+      // recompute, O(rows × buckets) with the usual per-key series bound
+      time("entropy_incr", n, nEv) {
+        import spark.implicits._
+        val evd = ev.select(col("event_type").cast("string").as("entity"),
+          col("event_id").cast("long").as("seq"),
+          col("value").cast("double").as("value"))
+          .as[streaming.StreamScorers.ValueEvent]
+        streaming.StreamScorers.entropyIncreaseStream(evd, 10.0, 30).count()
+      }
     }
     spark.stop()
   }

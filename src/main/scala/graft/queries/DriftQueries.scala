@@ -154,6 +154,22 @@ object DriftQueries {
         .select(col("event_type"), col("event_id"), coalesce(col("drift"), lit(false)).as("d2"))
       Drift.consensus(ddm.join(fh, Seq("event_type", "event_id")), Seq("d1", "d2"), 2)
     }),
+    // entropy-increase scorer (Storm-only in the reference, the last §2.4
+    // row without a driver-gated entry) executed batch (q100 pattern):
+    // per event_type, running value histogram at bucket width 10; score =
+    // relative entropy increase from admitting the record's bucket
+    "q155_entropy_stream" -> ((s, dir) => {
+      import s.implicits._
+      val evd = graft.core.table(s, dir, "events")
+        .select(col("event_type").cast("string").as("entity"),
+          col("event_id").cast("long").as("seq"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.StreamScorers.ValueEvent]
+      canon(graft.streaming.StreamScorers.entropyIncreaseStream(evd,
+        bucketWidth = 10.0, minCount = 30).toDF()
+        .select(col("entity").as("event_type"), col("seq").as("event_id"),
+          col("value"), col("score")))
+    }),
   )
 
   private val errCte =
@@ -471,6 +487,27 @@ object DriftQueries {
          | (d1.d1::INT + d2.d2::INT) AS driftVotes,
          | (d1.d1::INT + d2.d2::INT) >= 2 AS driftConsensus
          |FROM d1 JOIN d2 USING (event_type, event_id)"""
+        .stripMargin.replace("\n", " "),
+    // prefix entropy H(rn) via a prefix self-join (oracle-side O(n²) per
+    // entity is fine at sf0.01); the scorer's "before" is H at rn-1 = lag
+    "q155_entropy_stream" ->
+      """WITH rn AS (SELECT event_type, event_id, value,
+        |  CAST(floor(value / 10.0) AS BIGINT) AS b,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+        | FROM events),
+        |pre AS (SELECT c.event_type, c.rn, p.b, count(*) AS cnt
+        | FROM rn c JOIN rn p ON p.event_type = c.event_type AND p.rn <= c.rn
+        | GROUP BY 1, 2, 3),
+        |aft AS (SELECT event_type, rn,
+        |  sum(-(cnt / rn::DOUBLE) * ln(cnt / rn::DOUBLE)) AS h
+        | FROM pre GROUP BY 1, 2),
+        |sc AS (SELECT r.event_type, r.event_id, r.value, r.rn, a.h AS after,
+        |  lag(a.h) OVER (PARTITION BY r.event_type ORDER BY r.rn) AS before
+        | FROM rn r JOIN aft a ON a.event_type = r.event_type AND a.rn = r.rn)
+        |SELECT event_type, event_id, round(value, 4) AS value,
+        | round(CASE WHEN rn - 1 < 30 OR before IS NULL OR before <= 0 THEN 0.0
+        |   ELSE greatest(0.0, (after - before) / before) END, 4) AS score
+        |FROM sc"""
         .stripMargin.replace("\n", " "),
   )
 }

@@ -373,6 +373,17 @@ object TextQueries {
       canon(Similarity.semDedupAcross(e.where(isB), e.where(!isB), "vec_id",
         "embedding", nCells = 8, eps = 0.4, iters = 10, maxSample = 4096))
     }),
+    // clustering-quality audit over the labeled embeddings (centroid-form
+    // silhouette; centroids 6dp-frozen on both engines)
+    "q152_silhouette" -> ((s, dir) =>
+      canon(Similarity.silhouette(emb(s, dir), "embedding", "label"))),
+    // corpus-overlap matrix: exact pairwise 3-gram Jaccard between sources
+    "q153_source_overlap" -> ((s, dir) =>
+      canon(TextOps.sourceOverlap(docs(s, dir), "source", "text", n = 3))),
+    // per-source signature tokens by lift, top-10, min 20 occurrences
+    "q154_source_signature" -> ((s, dir) =>
+      canon(TextOps.sourceSignature(docs(s, dir), "source", "text",
+        topK = 10, minCount = 20))),
   )
 
   private val toks = """regexp_extract_all(lower(text), '\S+')"""
@@ -1536,6 +1547,62 @@ object TextQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
         | FROM p QUALIFY rank <= 10)
         |SELECT qid, cid, round(cos,4) AS cos, rank FROM r"""
+        .stripMargin.replace("\n", " "),
+    // centroid-form silhouette; centroids frozen at 6dp (matches the Spark
+    // driver-side rint(c·1e6)/1e6) and distances use the same expanded
+    // ‖v‖²−2v·c+‖c‖² form with the same max(0,·) guard
+    "q152_silhouette" ->
+      """WITH pos AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+        |  unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+        |cent AS (SELECT label AS cl, i, round(avg(x), 6) AS c
+        | FROM pos GROUP BY 1, 2),
+        |cvec AS (SELECT cl, list(c ORDER BY i) AS cv FROM cent GROUP BY 1),
+        |d AS (SELECT e.vec_id, e.label, v.cl,
+        |  sqrt(greatest(0.0,
+        |    list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+        |    - 2.0 * list_dot_product(e.embedding::DOUBLE[], v.cv)
+        |    + list_dot_product(v.cv, v.cv))) AS dist
+        | FROM embeddings e CROSS JOIN cvec v),
+        |ab AS (SELECT vec_id, label,
+        |  min(CASE WHEN cl = label THEN dist END) AS a,
+        |  min(CASE WHEN cl <> label THEN dist END) AS b
+        | FROM d GROUP BY 1, 2)
+        |SELECT label, count(*) AS n,
+        | round(avg((b - a) / greatest(a, b)), 4) AS sil
+        |FROM ab GROUP BY label"""
+        .stripMargin.replace("\n", " "),
+    "q153_source_overlap" ->
+      s"""WITH tk AS (SELECT source, $toks AS t FROM documents),
+         |g AS (SELECT DISTINCT source, unnest(CASE WHEN len(t) >= 3
+         |  THEN list_transform(range(1, len(t) - 1),
+         |    i -> array_to_string(t[i : i+2], ' '))
+         |  ELSE [] END) AS gram FROM tk),
+         |sz AS (SELECT source, count(*) AS sz FROM g GROUP BY 1),
+         |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+         |  count(*) AS inter
+         | FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+         | GROUP BY 1, 2)
+         |SELECT i.src_a, i.src_b, i.inter,
+         | round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 4) AS jaccard
+         |FROM inter i
+         | JOIN sz sa ON sa.source = i.src_a
+         | JOIN sz sb ON sb.source = i.src_b"""
+        .stripMargin.replace("\n", " "),
+    "q154_source_signature" ->
+      s"""WITH c AS (SELECT source AS grp, unnest($toks) AS tok
+         | FROM documents),
+         |cnt AS (SELECT grp, tok, count(*) AS cnt FROM c GROUP BY 1, 2),
+         |gt AS (SELECT grp, sum(cnt) AS gt FROM cnt GROUP BY 1),
+         |tt AS (SELECT tok, sum(cnt) AS tt FROM cnt GROUP BY 1),
+         |tot AS (SELECT sum(cnt)::DOUBLE AS total FROM cnt),
+         |l AS (SELECT cnt.grp, cnt.tok, cnt.cnt,
+         |  (cnt.cnt::DOUBLE / gt.gt) / (tt.tt / tot.total) AS lift
+         | FROM cnt JOIN gt USING (grp) JOIN tt USING (tok) CROSS JOIN tot
+         | WHERE cnt.cnt >= 20),
+         |r AS (SELECT *, row_number() OVER
+         |  (PARTITION BY grp ORDER BY lift DESC, tok) AS rank
+         | FROM l QUALIFY rank <= 10)
+         |SELECT grp, tok, cnt, round(lift, 4) AS lift, rank FROM r"""
         .stripMargin.replace("\n", " "),
   )
 }

@@ -786,4 +786,49 @@ object Similarity {
     }
     picks.toSeq.toDF("rank", "id", "rel", "mmr")
   }
+
+  /** Simplified silhouette — clustering-quality audit for the
+    * cluster-balanced sampling / SemDedup cell assignments: centroids are
+    * the per-label mean vectors, a = distance to own centroid, b = distance
+    * to the nearest other centroid, s = (b − a) / max(a, b); one row per
+    * label with its mean silhouette. (The classic silhouette's all-pairs
+    * a/b is O(n²) — the centroid form is the standard scale substitute.)
+    *
+    * Scale shape: the centroid fit is one posexplode hash-agg whose result
+    * is model-sized (k·d cells — collected, 6dp-frozen so both engines
+    * score from identical literals, and inlined); the scoring side is then
+    * a single narrow pass (k dot products per row, no join, no shuffle)
+    * feeding a k-row hash-agg. Distances use the expanded form
+    * ‖v‖² − 2·v·c + ‖c‖² so the per-row work is k fused multiply-adds over
+    * the vector, with ‖c‖² folded to a driver-side constant. */
+  def silhouette(emb: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    val e = emb.select(col(labelCol).cast("int").as("label"),
+      col(vecCol).cast("array<double>").as("v"))
+    val centRows = e.select(col("label"), posexplode(col("v")))
+      .toDF("label", "i", "x")
+      .groupBy("label", "i").agg(avg("x").as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    if (centRows.isEmpty) return e.sparkSession.emptyDataFrame
+    val cents: Seq[(Int, Array[Double])] = centRows.groupBy(_._1).toSeq
+      .map { case (l, rs) =>
+        l -> rs.sortBy(_._2).map(t => math.rint(t._3 * 1e6) / 1e6).toArray
+      }.sortBy(_._1)
+    val vv = aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _)
+    // one (dist, label) struct per centroid — each distance evaluated once;
+    // struct array_min is lexicographic so nearest-other ties break low
+    val dists = array(cents.map { case (l, c) =>
+      val vc = aggregate(zip_with(col("v"), typedlit(c.toSeq), _ * _),
+        lit(0.0), _ + _)
+      val cc = c.map(x => x * x).sum
+      struct(sqrt(greatest(lit(0.0), vv - lit(2.0) * vc + lit(cc))).as("d"),
+        lit(l).as("l"))
+    }: _*)
+    val withD = e.withColumn("_ds", dists)
+    val own = element_at(filter(col("_ds"), s => s("l") === col("label")), 1)("d")
+    val other = array_min(filter(col("_ds"), s => s("l") =!= col("label")))("d")
+    withD
+      .withColumn("_s", (other - own) / greatest(own, other))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), avg("_s").as("sil"))
+  }
 }

@@ -1351,4 +1351,101 @@ object TextOps {
         coalesce(col("nGramHits"), lit(0L)).as("nGramHits"),
         (coalesce(col("nGramHits"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Corpus-overlap matrix: exact pairwise Jaccard between the distinct
+    * word n-gram sets of each group (source/snapshot/shard) — the curation
+    * question "how much of B is already in A" before mixing corpora.
+    *
+    * Scale shape: one distinct over (group, gram), then ONE groupBy(gram)
+    * whose fan-out is bounded by the group count S — each gram emits at
+    * most S·(S−1)/2 ordered pairs regardless of how hot the gram is across
+    * documents (the distinct already collapsed that), so the pair exchange
+    * carries O(|grams|·S²) rows worst-case with a tiny constant; set sizes
+    * ride the same pass as a per-group count. No all-pairs over documents
+    * anywhere. */
+  def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    // shingles() already ends in a distinct over (grp, gram); collect_set
+    // re-dedupes per gram so Catalyst collapses the two into ONE exchange
+    val grams = shingles(
+      docs.select(col(groupCol).cast("string").as("grp"), col(textCol)),
+      "grp", textCol, n)
+    val g = sort_array(collect_set("grp"))
+    // cached: the set sizes are derived from THIS aggregate (gram-sized,
+    // never a second corpus scan) and the pair explosion reuses it lazily
+    val perGram = grams.groupBy("shingle").agg(g.as("gs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = perGram.select(explode(col("gs")).as("grp"))
+      .groupBy("grp").agg(count(lit(1)).as("sz"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (sizes.isEmpty)
+      return spark.emptyDataFrame
+    val pairs = perGram
+      .where(size(col("gs")) > 1)
+      .select(explode(flatten(transform(col("gs"), (a, i) =>
+        transform(slice(col("gs"), i + lit(2), size(col("gs"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    // set sizes as inline literals when the group set is small (codegen'd
+    // CASE, same trade as the iforest bounds); thousands-of-shards callers
+    // fall back to a broadcast join
+    val withSz =
+      if (sizes.size <= 64) {
+        val szExpr = (c: Column) => sizes.tail.foldLeft(
+          when(c === sizes.head._1, lit(sizes.head._2))) {
+          case (acc, (grp, s)) => acc.when(c === grp, lit(s))
+        }
+        pairs.withColumn("sz_a", szExpr(col("src_a")))
+          .withColumn("sz_b", szExpr(col("src_b")))
+      } else {
+        import spark.implicits._
+        val szDf = sizes.toSeq.toDF("grp", "sz")
+        pairs
+          .join(broadcast(szDf.select(col("grp").as("src_a"), col("sz").as("sz_a"))), "src_a")
+          .join(broadcast(szDf.select(col("grp").as("src_b"), col("sz").as("sz_b"))), "src_b")
+      }
+    withSz.select(col("src_a"), col("src_b"), col("inter"),
+      (col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+  }
+
+  /** Per-group signature terms: tokens ranked by lift
+    * p(tok | group) / p(tok), the "what makes this source different"
+    * report used to sanity-check a mixture before training. minCount
+    * suppresses noise tails; ties break on the token string.
+    *
+    * Scale shape: one (group, token) hash-agg (map-side combined), totals
+    * are a second agg over the FIRST agg's output (token-cardinality-sized,
+    * never re-reads the corpus) broadcast back, and the top-k window prunes
+    * with WindowGroupLimit so only ~k rows per group survive the rank
+    * exchange. */
+  def sourceSignature(docs: DataFrame, groupCol: String, textCol: String,
+      topK: Int, minCount: Long): DataFrame = {
+    val counts = docs
+      .select(col(groupCol).cast("string").as("grp"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grpTotals = counts.groupBy("grp").agg(sum("cnt").as("gt"))
+    val tokTotals = counts.groupBy("tok").agg(sum("cnt").as("tt"))
+    val total = grpTotals.agg(sum("gt")).collect()(0).getLong(0).toDouble
+    val w = Window.partitionBy("grp")
+      .orderBy(col("lift").desc, col("tok"))
+    val out = counts.where(col("cnt") >= minCount)
+      .join(broadcast(grpTotals), "grp")
+      .join(broadcast(tokTotals), "tok")
+      .withColumn("lift",
+        (col("cnt").cast("double") / col("gt")) / (col("tt") / lit(total)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("grp"), col("tok"), col("cnt"), col("lift"), col("rank"))
+    // counts stays cached for the lazy result (same precedent as the bloom
+    // eval-gram block above): it feeds grpTotals, tokTotals AND the final
+    // join — an eager unpersist here would force a full recompute of the
+    // corpus tokenize at execution time. Token-cardinality-sized,
+    // MEMORY_AND_DISK evicts under pressure.
+    out
+  }
 }

@@ -794,4 +794,69 @@ class TextSpec extends SparkSpec {
     assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L),
       s"expected diverse pick at rank 2, got ${out.toSeq}")
   }
+
+  test("silhouette: tight well-separated clusters score near 1, mixed labels score low") {
+    val pts = Seq(
+      // cluster 0 around (0,0), cluster 1 around (10,10) — clean split
+      (1L, Array(0.1f, 0.0f), 0), (2L, Array(-0.1f, 0.1f), 0),
+      (3L, Array(0.0f, -0.1f), 0),
+      (4L, Array(10.1f, 10.0f), 1), (5L, Array(9.9f, 10.1f), 1),
+      (6L, Array(10.0f, 9.9f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val good = Similarity.silhouette(pts, "embedding", "label").collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Double]("sil")).toMap
+    assert(good(0) > 0.9 && good(1) > 0.9, s"expected ~1, got $good")
+    // same points, labels scrambled across the two blobs → centroids
+    // coincide near (5,5) and the separation signal collapses
+    val bad = Similarity.silhouette(
+      pts.withColumn("label", (col("vec_id") % 2).cast("int")),
+      "embedding", "label").collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Double]("sil")).toMap
+    assert(bad.values.forall(_ < 0.5), s"expected collapsed sil, got $bad")
+  }
+
+  test("sourceOverlap: duplicated corpus halves show full overlap, disjoint none") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "a"),
+      (2L, "alpha beta gamma delta epsilon zeta", "b"), // b == a
+      (3L, "one two three four five six seven", "c")    // c disjoint
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.sourceOverlap(d, "source", "text", n = 3).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("inter"), r.getAs[Double]("jaccard"))).toMap
+    assert(out(("a", "b")) == ((4L, 1.0))) // 4 distinct 3-grams, identical
+    assert(!out.contains(("a", "c")) && !out.contains(("b", "c")),
+      "disjoint sources must not emit a pair row")
+  }
+
+  test("sourceSignature ranks group-exclusive tokens above shared ones") {
+    val d = Seq(
+      (1L, "spark spark spark common common", "a"),
+      (2L, "duck duck duck common common", "b")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.sourceSignature(d, "source", "text", topK = 2, minCount = 1)
+      .collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Int]("rank")) ->
+        r.getAs[String]("tok")).toMap
+    assert(out(("a", 1)) == "spark" && out(("b", 1)) == "duck",
+      s"exclusive tokens must rank first: $out")
+    // lift of the exclusive token = (3/5)/(3/10) = 2.0; shared "common" < 1
+    val lifts = TextOps.sourceSignature(d, "source", "text", 2, 1).collect()
+      .map(r => r.getAs[String]("tok") -> r.getAs[Double]("lift")).toMap
+    assert(math.abs(lifts("spark") - 2.0) < 1e-9)
+    assert(lifts("common") < 1.0 + 1e-9)
+  }
+
+  test("entropyIncreaseStream scores off-distribution values high after warmup") {
+    import graft.streaming.StreamScorers
+    import graft.streaming.StreamScorers.ValueEvent
+    // 40 in-distribution values in [0,10) then one far outlier at 95
+    val evs = ((1 to 40).map(i => ValueEvent("e", i.toLong, (i % 10).toDouble)) :+
+      ValueEvent("e", 41L, 95.0)).toDS()
+    val out = StreamScorers.entropyIncreaseStream(evs, bucketWidth = 1.0,
+      minCount = 20).collect().map(e => e.seq -> e.score).toMap
+    assert(out(10L) == 0.0, "warmup rows score 0")
+    assert(out(41L) > 0.0, "outlier bucket must raise entropy")
+    assert(out(41L) > out(40L), s"outlier must outscore in-distribution: $out")
+  }
 }
