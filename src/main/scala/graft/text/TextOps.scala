@@ -1433,9 +1433,15 @@ object TextOps {
     val total = grpTotals.agg(sum("gt")).collect()(0).getLong(0).toDouble
     val w = Window.partitionBy("grp")
       .orderBy(col("lift").desc, col("tok"))
+    // grp totals are S rows — always broadcast. Token totals are
+    // vocabulary-sized: left to Catalyst/AQE, which broadcasts them for
+    // normal vocabs and falls back to a shuffle join of two TOKEN-sized
+    // aggregates (never corpus-sized) for web-scale vocabularies where a
+    // forced broadcast would OOM the executors. The minCount filter prunes
+    // the cnt=1 long tail before the join on the probe side.
     val out = counts.where(col("cnt") >= minCount)
       .join(broadcast(grpTotals), "grp")
-      .join(broadcast(tokTotals), "tok")
+      .join(tokTotals, "tok")
       .withColumn("lift",
         (col("cnt").cast("double") / col("gt")) / (col("tt") / lit(total)))
       .withColumn("rank", row_number().over(w))

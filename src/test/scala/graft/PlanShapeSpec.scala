@@ -199,6 +199,29 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
   }
 
+  test("silhouette: scoring is one narrow pass — no join, one exchange for the k-row agg") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val p = plan("q152_silhouette")
+    assert(!p.toString.contains("Join"),
+      "silhouette must inline centroids as literals, not join them")
+    val shuffles = collect(p) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 1,
+      s"silhouette scoring grew extra shuffles: ${shuffles.size}")
+  }
+
+  test("source overlap: pair fan-out rides the gram agg — no cartesian, no doc-side join") {
+    val p = plan("q153_source_overlap").toString
+    assert(!p.contains("CartesianProduct"), "overlap must never cross docs")
+    assert(!p.contains("Join"), "sizes must inline as a CASE for small group sets")
+  }
+
+  test("source signature: group totals broadcast, rank capped by WindowGroupLimit") {
+    val p = plan("q154_source_signature").toString
+    assert(p.contains("WindowGroupLimit"), "top-k rank filter lost its pushdown")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("rounding parity: roundLikeDuck halves away from zero on the float product") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
