@@ -1430,7 +1430,10 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grpTotals = counts.groupBy("grp").agg(sum("cnt").as("gt"))
     val tokTotals = counts.groupBy("tok").agg(sum("cnt").as("tt"))
-    val total = grpTotals.agg(sum("gt")).collect()(0).getLong(0).toDouble
+    // sum over an empty corpus is SQL NULL — the output is empty then, so
+    // any non-zero placeholder keeps the lift expression well-defined
+    val totalRow = grpTotals.agg(sum("gt")).collect()(0)
+    val total = if (totalRow.isNullAt(0)) 1.0 else totalRow.getLong(0).toDouble
     val w = Window.partitionBy("grp")
       .orderBy(col("lift").desc, col("tok"))
     // grp totals are S rows — always broadcast. Token totals are

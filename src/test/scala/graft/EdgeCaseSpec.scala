@@ -92,4 +92,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Similarity.mmrSelect(two, "vec_id", "embedding",
       Array(1.0, 0.0), k = 5).count() == 2)
   }
+
+  test("curation-audit ops on degenerate input: defined, never throw") {
+    import graft.sim.Similarity
+    // single label: there is no "other" centroid — silhouette is
+    // undefined; the row survives with a null sil instead of an error
+    val one = Seq((1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val sil = Similarity.silhouette(one, "embedding", "label").collect()
+    assert(sil.length == 1 && sil(0).getAs[Long]("n") == 2 &&
+      sil(0).isNullAt(sil(0).fieldIndex("sil")))
+    // empty embeddings: empty frame, no crash on the centroid collect
+    val noEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.silhouette(noEmb, "embedding", "label").count() == 0)
+    // single source: overlap matrix has no pairs but doesn't throw
+    val oneSrc = Seq((1L, "alpha beta gamma delta", "a"))
+      .toDF("doc_id", "text", "source")
+    assert(TextOps.sourceOverlap(oneSrc, "source", "text", 3).count() == 0)
+    // minCount above every token count: empty signature, not an error
+    assert(TextOps.sourceSignature(oneSrc, "source", "text",
+      topK = 5, minCount = 100).count() == 0)
+    // empty corpus through both ops
+    val noDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(TextOps.sourceOverlap(noDocs, "source", "text", 3).count() == 0)
+    assert(TextOps.sourceSignature(noDocs, "source", "text", 5, 1).count() == 0)
+  }
 }
