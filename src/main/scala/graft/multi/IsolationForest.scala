@@ -361,15 +361,23 @@ object IsolationForest {
     import spark.implicits._
     val trees = model.collect().groupBy(_.key)
       .map { case (k, ns) => k -> ns.map(n => (n.treeId, n.path) -> n).toMap }
-    val bc = spark.sparkContext.broadcast(trees)
+    // tree-id lists precomputed ONCE at the driver — deriving them from the
+    // node-key map per incoming row re-allocated and deduped ~trees×2^depth
+    // tuples for every record (measured as the dominant q99 cost beyond
+    // the fit itself)
+    val treeIds: Map[String, Array[Int]] = trees.map { case (k, m) =>
+      k -> m.keysIterator.map(_._1).toArray.distinct.sorted
+    }
+    val bc = spark.sparkContext.broadcast((trees, treeIds))
     val rows = newData.select(
       concat_ws("|", keyCols.map(c => col(c).cast("string")): _*).as("key"),
       array(attrCols.map(c => col(c).cast("double")): _*).as("attrs"))
       .as[(String, Seq[Double])]
     val hits = rows.flatMap { case (key, attrsSeq) =>
       val attrs = attrsSeq.toArray
-      val forest = bc.value.getOrElse(key, Map.empty)
-      forest.keys.map(_._1).toSeq.distinct.map { t =>
+      val (forests, ids) = bc.value
+      val forest = forests.getOrElse(key, Map.empty)
+      ids.getOrElse(key, Array.empty[Int]).map { t =>
         var path = "R"
         var node = forest((t, path))
         while (!node.isLeaf) {
