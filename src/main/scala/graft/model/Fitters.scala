@@ -561,4 +561,65 @@ object Fitters {
     melt(df, keyCols, attrs.map(_._1))
       .withColumn("width", element_at(widths, col("attr")))
   }
+
+  /** HyperLogLog registers (Flajolet et al., AofA '07) — the
+    * constant-memory cardinality complement of [[kmvSketch]]: KMV keeps k
+    * hash values (exact below k, size grows with k), HLL keeps at most
+    * 2^p integer registers at ANY cardinality and merges by register max —
+    * the shape that survives 100 TB × thousands of slices. The 56-bit
+    * md5-derived hash splits into a p-bit bucket and a (56−p)-bit tail;
+    * the register is the tail's leading-zero count + 1, computed with
+    * integer/string ops only (`bin` length), so registers are exactly
+    * replayable cross-engine. Sparse: empty buckets are simply absent.
+    * Output: keyCols..., bucket, reg. */
+  def hllSketch(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p outside [4,16]")
+    val m = 1L << p
+    val h = conv(substring(md5(col(valueCol)), 1, 14), 16, 10).cast("long")
+    df.select(keyCols.map(col) :+ h.as("_h"): _*)
+      .withColumn("bucket", (col("_h") % m).cast("int"))
+      .withColumn("_w", shiftrightunsigned(col("_h"), p))
+      .withColumn("_rho",
+        when(col("_w") === 0, lit(57 - p))
+          .otherwise(lit(57 - p) - length(bin(col("_w")))))
+      .groupBy(keyCols.map(col) :+ col("bucket"): _*)
+      .agg(max("_rho").cast("int").as("reg"))
+  }
+
+  /** Cardinality estimate from a (sparse) [[hllSketch]]: raw estimate
+    * α_m·m²/(Σ2^(−reg) + zeros), linear counting m·ln(m/zeros) in the
+    * small range — the textbook corrections, computed from integer
+    * registers so both engines agree to the 4dp round.
+    * Output: keyCols..., n_buckets, est_distinct. */
+  def hllEstimate(sketch: DataFrame, keyCols: Seq[String], p: Int): DataFrame = {
+    val m = (1L << p).toDouble
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    sketch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(pow(lit(2.0), -col("reg"))).as("_s"))
+      .withColumn("_zeros", lit(m) - col("n_buckets"))
+      .withColumn("_raw", lit(alpha * m * m) / (col("_s") + col("_zeros")))
+      .withColumn("est_distinct",
+        when(col("_raw") <= lit(2.5 * m) && col("_zeros") > 0,
+          lit(m) * log(lit(m) / col("_zeros")))
+          .otherwise(col("_raw")))
+      .drop("_s", "_zeros", "_raw")
+  }
+
+  /** Merge [[hllSketch]] models fitted on arbitrary (even overlapping)
+    * slices: registers are maxima, and max is associative/idempotent, so
+    * union → groupBy max reproduces the sketch of the union EXACTLY —
+    * lossless like [[kmvMerge]], at fixed size. */
+  def hllMerge(models: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
+    require(models.nonEmpty, "no sketches to merge")
+    models.reduce(_ unionByName _)
+      .groupBy(keyCols.map(col) :+ col("bucket"): _*)
+      .agg(max("reg").cast("int").as("reg"))
+  }
 }

@@ -120,6 +120,33 @@ object SeqQueries {
       canon(AsOfJoin.asOf(events, snaps, Seq("event_type"), "ts", Seq("snapAvg"))
         .select("event_id", "event_type", "value", "snapAvg"))
     }),
+    // banded interval join: per-type quartile bands (edges 4dp-frozen on
+    // both engines), events equi-joined to their containing band through
+    // the bucketized path — never a nested-loop theta join. Points sitting
+    // exactly on an inner edge legitimately match both adjacent bands.
+    "q156_interval_join" -> ((s, dir) => {
+      val events = ev(s, dir)
+      val b = graft.model.Fitters.equalProbBoundaries(
+        events, Seq("event_type"), Seq("value"), n = 4)
+        .groupBy("event_type")
+        .agg(map_from_entries(collect_list(
+          struct(col("qidx"), round(col("boundary"), 4)))).as("bm"))
+      val mm = events.groupBy("event_type")
+        .agg(round(min("value"), 4).as("mn"), round(max("value"), 4).as("mx"))
+      val edges = b.join(mm, "event_type")
+        .select(col("event_type"), array(col("mn"),
+          element_at(col("bm"), 1), element_at(col("bm"), 2),
+          element_at(col("bm"), 3), col("mx")).as("e"))
+      val intervals = edges.select(col("event_type"),
+        posexplode(expr("transform(sequence(0, 3), i -> struct(e[i] as lo, e[i+1] as hi))")))
+        .select(col("event_type"), col("pos").as("band"),
+          col("col.lo").as("lo"), col("col.hi").as("hi"))
+      canon(AsOfJoin.intervalJoin(
+        events.select("event_id", "event_type", "value"), intervals,
+        Seq("event_type"), "value", "lo", "hi")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("band"), col("lo"), col("hi")))
+    }),
     // ---- whole-series kernels: rows-only driver check, spec-tested ----
     "q24_spectral_residue" -> ((s, dir) =>
       canon(SeriesKernels.spectralResidue(ev(s, dir), Seq("event_type"), "event_id",
@@ -539,6 +566,24 @@ object SeqQueries {
         | round(s.snapAvg,4) AS snapAvg
         |FROM events e ASOF LEFT JOIN snap s
         | ON e.event_type = s.event_type AND epoch_ns(e.ts) >= s.sts"""
+        .stripMargin.replace("\n", " "),
+    // band edges 4dp-frozen on both engines (q80's percentile/
+    // quantile_cont pair), then a plain BETWEEN join — the bucketized
+    // Spark path must reproduce the naive theta-join row set exactly
+    "q156_interval_join" ->
+      """WITH q AS (SELECT event_type,
+        |  quantile_cont(value, [0.25, 0.5, 0.75]) AS bs,
+        |  round(min(value), 4) AS mn, round(max(value), 4) AS mx
+        | FROM events GROUP BY 1),
+        |edges AS (SELECT event_type,
+        |  [mn, round(bs[1],4), round(bs[2],4), round(bs[3],4), mx] AS e
+        | FROM q),
+        |iv AS (SELECT event_type, v.i AS band, e[v.i+1] AS lo, e[v.i+2] AS hi
+        | FROM edges CROSS JOIN (VALUES (0),(1),(2),(3)) v(i))
+        |SELECT p.event_id, p.event_type, round(p.value,4) AS value, i.band,
+        | round(i.lo,4) AS lo, round(i.hi,4) AS hi
+        |FROM events p JOIN iv i ON i.event_type = p.event_type
+        | AND p.value >= i.lo AND p.value <= i.hi"""
         .stripMargin.replace("\n", " "),
     "q12_markov_fit" ->
       s"""WITH $mkProbs

@@ -61,6 +61,26 @@ object StatQueries {
       canon(Fitters.kmvEstimate(
         Fitters.kmvMerge(Seq(sA, sB), Seq("lang"), 64), Seq("lang"), 64))
     }),
+    // HLL registers: per-lang distinct-token estimate at p=9 (512
+    // registers) — the constant-memory sibling of q117's KMV; integer
+    // registers replay exactly in SQL
+    "q157_hll_distinct" -> ((s, dir) => {
+      val toks = table(s, dir, "documents").select(col("lang"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      canon(Fitters.hllEstimate(
+        Fitters.hllSketch(toks, Seq("lang"), "tok", p = 9), Seq("lang"), p = 9))
+    }),
+    // register-max merge of per-half sketches is lossless — same estimate
+    // as the direct sketch, same oracle (q118 pattern)
+    "q158_hll_merge" -> ((s, dir) => {
+      val toks = table(s, dir, "documents").select(col("lang"), col("doc_id"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      val isB = graft.text.TextOps.hash56(col("doc_id").cast("string")) % 2 === 1
+      val sA = Fitters.hllSketch(toks.where(!isB), Seq("lang"), "tok", p = 9)
+      val sB = Fitters.hllSketch(toks.where(isB), Seq("lang"), "tok", p = 9)
+      canon(Fitters.hllEstimate(
+        Fitters.hllMerge(Seq(sA, sB), Seq("lang")), Seq("lang"), p = 9))
+    }),
     // count-min sketch: per-lang token-frequency model, point-queried for
     // the tokens of docs 0..19. depth=4 md5-salted hash rows x width=512
     // counters — deterministic, so the oracle replays sketch AND estimate.
@@ -349,6 +369,32 @@ object StatQueries {
       |                / 72057594037927936.0) END, 4) AS est_distinct
       |FROM r WHERE rnk <= 64 GROUP BY 1""".stripMargin.replace("\n", " ")
 
+  // HLL p=9: bucket = low 9 hash bits, register = leading-zero count of
+  // the 47-bit tail + 1 (= 48 − bit length, integer-exact via bin());
+  // the small-range/raw estimator constants are interpolated from the
+  // exact Scala doubles so both engines branch and divide identically
+  private val hllOracle: String = {
+    val m = 512.0
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val amm = alpha * m * m
+    s"""WITH tk AS (SELECT lang,
+       |  ('0x'||substr(md5(tok),1,14))::BIGINT AS h
+       | FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+       |       FROM documents)),
+       |r AS (SELECT lang, (h % 512)::INT AS bucket,
+       |  CASE WHEN (h // 512) = 0 THEN 48
+       |       ELSE 48 - length(bin(h // 512)) END AS rho FROM tk),
+       |regs AS (SELECT lang, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+       |agg AS (SELECT lang, count(*) AS n_buckets,
+       |  sum(pow(2.0, -reg)) AS s FROM regs GROUP BY 1)
+       |SELECT lang, n_buckets,
+       | round(CASE WHEN ($amm / (s + (512.0 - n_buckets))) <= ${2.5 * m}
+       |         AND (512.0 - n_buckets) > 0
+       |    THEN 512.0 * ln(512.0 / (512.0 - n_buckets))
+       |    ELSE $amm / (s + (512.0 - n_buckets)) END, 4) AS est_distinct
+       |FROM agg""".stripMargin.replace("\n", " ")
+  }
+
   // count-min: depth=4 md5-salted rows x width=512 additive counters;
   // estimate = min over rows of the probed counter (0 if bucket empty)
   private val cmsOracle =
@@ -439,6 +485,9 @@ object StatQueries {
     "q117_kmv_distinct" -> kmvOracle,
     // lossless merge: the merged sketch IS the direct sketch
     "q118_kmv_merge" -> kmvOracle,
+    "q157_hll_distinct" -> hllOracle,
+    // register max is associative — merged registers == direct registers
+    "q158_hll_merge" -> hllOracle,
     // batch-executed stream twins: one batch == final online snapshot
     "q143_kmv_stream" -> kmvOracle,
     "q144_cms_stream" -> cmsOracle,

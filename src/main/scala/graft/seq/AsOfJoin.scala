@@ -35,4 +35,51 @@ object AsOfJoin {
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
     filled.where(col("_side") === 1).drop("_side")
   }
+
+  /** Interval (band/range) join: every point row gains the interval rows
+    * whose [lo, hi] contains its value, per key — IP-range tables, price
+    * bands, score-calibration bands. The naive `p.x BETWEEN i.lo AND i.hi`
+    * theta-join plans as BroadcastNestedLoop: O(points × intervals) work
+    * that stops being a join at all once the interval side outgrows a
+    * broadcast. Bucketize instead (the standard range-join trick Spark
+    * lacks natively): pick a bucket width from the interval table (mean
+    * span — a model-sized agg), explode each interval into the fixed-width
+    * buckets it covers, bucket each point ONCE, equi-join on (key, bucket)
+    * and keep the residual BETWEEN. A point's bucket is unique, so every
+    * qualifying pair is produced exactly once — no dedup pass. Intervals
+    * wider than `maxBucketsPerInterval` buckets (rare outliers in real
+    * range tables) take a broadcast residual path instead of exploding.
+    *
+    * Scale shape: the interval side expands by ~span/width ≈ a small
+    * constant per row; both sides then hash-partition on (key, bucket) —
+    * a plain shuffle equi-join that AQE can also skew-split, with the
+    * point side never replicated. */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+      keyCols: Seq[String], ptCol: String, loCol: String, hiCol: String,
+      maxBucketsPerInterval: Int = 256): DataFrame = {
+    val span = col(hiCol) - col(loCol)
+    val stats = intervals.agg(avg(span)).collect()(0)
+    // empty interval table: the join is empty — keep the joined schema
+    val w =
+      if (stats.isNullAt(0)) 1.0
+      else math.max(stats.getDouble(0), 1e-9)
+    val narrow = intervals.where(span / w <= maxBucketsPerInterval)
+    val wide = intervals.where(span / w > maxBucketsPerInterval)
+    val exploded = narrow.withColumn("_b",
+      explode(sequence(floor(col(loCol) / w).cast("long"),
+        floor(col(hiCol) / w).cast("long"))))
+    val pts = points.withColumn("_b", floor(col(ptCol) / w).cast("long"))
+    val matched = pts
+      .join(exploded, keyCols :+ "_b")
+      .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("_b")
+    val extraCols = intervals.columns.filterNot(keyCols.contains).toSeq
+    val wKeyed = wide.select(
+      keyCols.map(c => col(c).as(s"_r_$c")) ++ extraCols.map(col): _*)
+    val cond = keyCols.map(c => col(c) === col(s"_r_$c")).reduce(_ && _) &&
+      col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol)
+    val wideMatched = points.join(broadcast(wKeyed), cond)
+      .drop(keyCols.map(c => s"_r_$c"): _*)
+    matched.unionByName(wideMatched.select(matched.columns.map(col): _*))
+  }
 }

@@ -20,4 +20,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("e3").contains(100.0))    // carried forward
     assert(out("j1").isEmpty)            // right side only has a later snapshot
   }
+
+  test("interval join equals the naive BETWEEN join, including the wide-interval path") {
+    import org.apache.spark.sql.functions._
+    val points = (1 to 200).map(i => ("k", i.toLong, i * 1.0)) ++
+      Seq(("j", 900L, 5.0))
+    val pts = points.toDF("key", "id", "x")
+    // narrow bands, an edge-touching band pair, and one giant interval
+    // that must take the broadcast residual path (span >> mean span)
+    val iv = Seq(
+      ("k", "b0", 10.0, 20.0), ("k", "b1", 20.0, 30.0),  // share edge 20
+      ("k", "b2", 50.5, 51.5),
+      ("k", "wide", 0.0, 10000.0),                        // wide outlier
+      ("j", "jb", 1.0, 9.0)
+    ).toDF("key", "band", "lo", "hi")
+    val fast = AsOfJoin.intervalJoin(pts, iv, Seq("key"), "x", "lo", "hi",
+      maxBucketsPerInterval = 4)
+      .select("key", "id", "band").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val naive = pts.join(iv.withColumnRenamed("key", "k2"),
+      col("key") === col("k2") && col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("key", "id", "band").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(fast == naive, s"diff: ${(fast diff naive) ++ (naive diff fast)}")
+    assert(fast.contains(("k", 20L, "b0")) && fast.contains(("k", 20L, "b1")),
+      "edge point must match both adjacent bands")
+    assert(fast.contains(("k", 200L, "wide")), "wide path lost a match")
+    assert(fast.contains(("j", 900L, "jb")))
+  }
 }

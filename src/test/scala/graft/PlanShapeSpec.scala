@@ -222,6 +222,17 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("interval join: bucketized equi-join, never a nested-loop over the narrow side") {
+    // the whole point of the bucketize trick — a BETWEEN theta-join would
+    // plan as BroadcastNestedLoop and stop scaling with the interval side
+    val p = plan("q156_interval_join").toString
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop allowed is the wide-outlier residual (empty
+    // interval set here): the narrow path must be a hash equi-join
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "bucketized path lost its equi-join")
+  }
+
   test("rounding parity: roundLikeDuck halves away from zero on the float product") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -85,6 +85,32 @@ class ScorersSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("hll sketch: linear counting small, ~2%-class error large, lossless register merge") {
+    // small range: zeros >> 0 → linear counting, tight for n << m
+    val small = (1 to 400).map(i => ("k", s"v${i % 50}")).toDF("k", "v")
+    val eSmall = Fitters.hllEstimate(
+      Fitters.hllSketch(small, Seq("k"), "v", p = 9), Seq("k"), p = 9).head()
+    val estSmall = eSmall.getAs[Double]("est_distinct")
+    assert(math.abs(estSmall - 50.0) / 50.0 < 0.1, s"est=$estSmall")
+    // large range: raw estimator; 1.04/sqrt(512) ~ 4.6% std error
+    val big = (1 to 60000).map(i => ("k", s"value-${i % 20000}")).toDF("k", "v")
+    val sketch = Fitters.hllSketch(big, Seq("k"), "v", p = 9)
+    assert(sketch.count() <= 512, "register table must be bounded by m")
+    val est = Fitters.hllEstimate(sketch, Seq("k"), p = 9)
+      .head().getAs[Double]("est_distinct")
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.15, s"est=$est")
+    // merge of overlapping slice sketches == direct registers of the union
+    val a = big.where($"v".substr(7, 1).isin("1", "2", "3", "4", "5"))
+    val b = big.where(!$"v".substr(7, 1).isin("1", "2"))
+    val direct = sketch.collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getAs[Int]("reg")).toSet
+    val merged = Fitters.hllMerge(Seq(
+      Fitters.hllSketch(a, Seq("k"), "v", p = 9),
+      Fitters.hllSketch(b, Seq("k"), "v", p = 9)), Seq("k")).collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getAs[Int]("reg")).toSet
+    assert(merged == direct)
+  }
+
   test("cms sketch: estimates upper-bound exact counts, exact when sparse, lossless merge") {
     val data = (1 to 3000).map(i => ("k", s"item-${i % 300}")).toDF("k", "v")
     val exact = data.groupBy("v").count().collect()
