@@ -280,6 +280,26 @@ object ScaleProbe {
         text.TextOps.sourceSignature(docs, "source", "text",
           topK = 10, minCount = 20).count()
       }
+      // interval join (q156): interval side explodes by ~span/width, the
+      // join is a plain equi-join — rows/s must track the shuffle slope
+      time("interval_join", n, nEv) {
+        val iv = ev.groupBy("event_type")
+          .agg(min("value").as("mn"), max("value").as("mx"))
+          .select(col("event_type"), explode(sequence(lit(0), lit(15))).as("band"),
+            col("mn"), col("mx"))
+          .select(col("event_type"), col("band"),
+            (col("mn") + (col("mx") - col("mn")) * col("band") / 16).as("lo"),
+            (col("mn") + (col("mx") - col("mn")) * (col("band") + 1) / 16).as("hi"))
+        seq.AsOfJoin.intervalJoin(ev.select("event_id", "event_type", "value"),
+          iv, Seq("event_type"), "value", "lo", "hi").count()
+      }
+      // hll (q157): one hash-agg to ≤2^p registers per key — flat line
+      time("hll_distinct", n, nDocs) {
+        val toks = docs.select(col("lang"),
+          explode(text.TextOps.tokens(col("text"))).as("tok"))
+        model.Fitters.hllEstimate(
+          model.Fitters.hllSketch(toks, Seq("lang"), "tok", 9), Seq("lang"), 9).count()
+      }
       // entropy-increase scorer (q155): per-record full-histogram
       // recompute, O(rows × buckets) with the usual per-key series bound
       time("entropy_incr", n, nEv) {

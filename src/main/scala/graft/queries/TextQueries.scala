@@ -384,6 +384,10 @@ object TextQueries {
     "q154_source_signature" -> ((s, dir) =>
       canon(TextOps.sourceSignature(docs(s, dir), "source", "text",
         topK = 10, minCount = 20))),
+    // sketch face of q153: bottom-256 KMV Jaccard estimate per source pair
+    "q159_overlap_sketch" -> ((s, dir) =>
+      canon(TextOps.sourceOverlapSketch(docs(s, dir), "source", "text",
+        n = 3, k = 256))),
   )
 
   private val toks = """regexp_extract_all(lower(text), '\S+')"""
@@ -1587,6 +1591,31 @@ object TextQueries {
          |FROM inter i
          | JOIN sz sa ON sa.source = i.src_a
          | JOIN sz sb ON sb.source = i.src_b"""
+        .stripMargin.replace("\n", " "),
+    "q159_overlap_sketch" ->
+      s"""WITH tk AS (SELECT source, $toks AS t FROM documents),
+         |g AS (SELECT DISTINCT source, unnest(CASE WHEN len(t) >= 3
+         |  THEN list_transform(range(1, len(t) - 1),
+         |    i -> array_to_string(t[i : i+2], ' '))
+         |  ELSE [] END) AS gram FROM tk),
+         |hh AS (SELECT DISTINCT source,
+         |  ('0x'||substr(md5(gram),1,14))::BIGINT AS h FROM g),
+         |r AS (SELECT source, h,
+         |  row_number() OVER (PARTITION BY source ORDER BY h) AS rnk FROM hh),
+         |sk AS (SELECT source, h FROM r WHERE rnk <= 256),
+         |srcs AS (SELECT DISTINCT source FROM sk),
+         |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+         | FROM srcs a JOIN srcs b ON a.source < b.source),
+         |pu AS (SELECT p.src_a, p.src_b, s.h,
+         |  max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS inA,
+         |  max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS inB
+         | FROM pairs p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+         | GROUP BY 1, 2, 3),
+         |ru AS (SELECT *, row_number() OVER
+         |  (PARTITION BY src_a, src_b ORDER BY h) AS rnk FROM pu)
+         |SELECT src_a, src_b, count(*) AS u_size,
+         | round(sum(inA*inB)::DOUBLE / count(*), 4) AS est_jaccard
+         |FROM ru WHERE rnk <= 256 GROUP BY 1, 2"""
         .stripMargin.replace("\n", " "),
     "q154_source_signature" ->
       s"""WITH c AS (SELECT source AS grp, unnest($toks) AS tok

@@ -1411,6 +1411,44 @@ object TextOps {
         (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
   }
 
+  /** Sketch face of [[sourceOverlap]]: KMV bottom-k Jaccard estimate
+    * between the gram sets of each group. The exact overlap's state is
+    * gram-cardinality-sized; at 100 TB you keep ONE k-hash sketch per
+    * source (built incrementally, merged losslessly via
+    * [[graft.model.Fitters.kmvMerge]]) and estimate any pair from the
+    * sketches alone. Estimator: U = k smallest of S_A ∪ S_B;
+    * Ĵ = |{h ∈ U : h ∈ S_A ∧ h ∈ S_B}| / |U| — unbiased because every
+    * group shares the same md5 permutation, and exactly replayable in
+    * SQL. All post-sketch work is model-sized (S·k rows).
+    * Output: src_a, src_b, u_size, est_jaccard. */
+  def sourceOverlapSketch(docs: DataFrame, groupCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val grams = shingles(
+      docs.select(col(groupCol).cast("string").as("grp"), col(textCol)),
+      "grp", textCol, n)
+    val sk = graft.model.Fitters.kmvSketch(grams, Seq("grp"), "shingle", k)
+      .select(col("grp"), col("h"))
+    val sources = sk.select("grp").distinct().as[String].collect().sorted.toSeq
+    if (sources.size < 2) return docs.sparkSession.emptyDataFrame
+    // each sketch row fans out to its (S-1) pairs — model-sized (S·k·S)
+    val expanded = sk
+      .withColumn("_o", explode(filter(typedlit(sources), x => x =!= col("grp"))))
+      .select(least(col("grp"), col("_o")).as("src_a"),
+        greatest(col("grp"), col("_o")).as("src_b"),
+        col("h"), col("grp"))
+    val pu = expanded.groupBy("src_a", "src_b", "h")
+      .agg(max(when(col("grp") === col("src_a"), 1).otherwise(0)).as("inA"),
+        max(when(col("grp") === col("src_b"), 1).otherwise(0)).as("inB"))
+    val w = Window.partitionBy("src_a", "src_b").orderBy("h")
+    pu.withColumn("_rnk", row_number().over(w))
+      .where(col("_rnk") <= k)
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("u_size"),
+        (sum(col("inA") * col("inB")).cast("double") /
+          count(lit(1))).as("est_jaccard"))
+  }
+
   /** Per-group signature terms: tokens ranked by lift
     * p(tok | group) / p(tok), the "what makes this source different"
     * report used to sanity-check a mixture before training. minCount

@@ -829,6 +829,26 @@ class TextSpec extends SparkSpec {
       "disjoint sources must not emit a pair row")
   }
 
+  test("overlap sketch tracks exact jaccard; identical sources read exactly 1.0") {
+    def words(from: Int, until: Int) = (from until until).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, words(0, 450), "a"),
+      (2L, words(0, 450), "b"),    // identical to a
+      (3L, words(225, 675), "c")   // half-overlapping window
+    ).toDF("doc_id", "text", "source")
+    val exact = TextOps.sourceOverlap(d, "source", "text", n = 3).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val est = TextOps.sourceOverlapSketch(d, "source", "text", n = 3, k = 64)
+      .collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    assert(est(("a", "b")) == 1.0, s"identical sketches must agree: $est")
+    assert(math.abs(est(("a", "c")) - exact(("a", "c"))) < 0.2,
+      s"est=${est(("a", "c"))} exact=${exact(("a", "c"))}")
+    assert(est(("a", "c")) > 0.05 && est(("a", "c")) < 0.9)
+  }
+
   test("sourceSignature ranks group-exclusive tokens above shared ones") {
     val d = Seq(
       (1L, "spark spark spark common common", "a"),
