@@ -136,6 +136,16 @@ object StatQueries {
           col("sketchN").cast("long").as("sketch_n"),
           col("estDistinct").as("est_distinct")))
     }),
+    // HLL stream twin batch-executed (q143 pattern): one batch == the
+    // final online snapshot == q157's registers, shared oracle
+    "q160_hll_stream" -> ((s, dir) => {
+      val toks = table(s, dir, "documents").select(col("lang"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      canon(graft.streaming.StreamScorers.hllDistinctStream(toks, "lang", "tok", p = 9)
+        .toDF().select(col("key").as("lang"),
+          col("nBuckets").cast("long").as("n_buckets"),
+          col("estDistinct").as("est_distinct")))
+    }),
     // the stream op watches a fixed global probe list; restricting its
     // (key × probe) output to q119's per-lang probe pairs reproduces the
     // batch estimate row set exactly
@@ -488,6 +498,8 @@ object StatQueries {
     "q157_hll_distinct" -> hllOracle,
     // register max is associative — merged registers == direct registers
     "q158_hll_merge" -> hllOracle,
+    // batch-executed stream twin: one batch == final online snapshot
+    "q160_hll_stream" -> hllOracle,
     // batch-executed stream twins: one batch == final online snapshot
     "q143_kmv_stream" -> kmvOracle,
     "q144_cms_stream" -> cmsOracle,

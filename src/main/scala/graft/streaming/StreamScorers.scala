@@ -679,6 +679,60 @@ object StreamScorers {
         })
   }
 
+  case class HllOut(key: String, nBuckets: Int, estDistinct: Double)
+  case class HllState(regs: Map[Int, Int])
+
+  /** Streaming cardinality monitor — the streaming twin of
+    * [[graft.model.Fitters.hllSketch]]/[[graft.model.Fitters.hllEstimate]]
+    * and the bounded-state sibling of [[kmvDistinctStream]]: sparse HLL
+    * registers per key across micro-batches, state capped at 2^p ints at
+    * ANY cardinality (KMV caps at k hashes but only estimates past k; HLL
+    * never stores hashes at all). Bucket/register math mirrors the batch
+    * fitter bit-for-bit and register max is associative, so after any
+    * batch split the state equals the batch sketch of the union — the
+    * spec pins that parity. Emits one snapshot per (key, batch):
+    * append-legal, monotone. */
+  def hllDistinctStream(rows: DataFrame, keyCol: String, valueCol: String,
+      p: Int): Dataset[HllOut] = {
+    require(p >= 4 && p <= 16, s"p=$p outside [4,16]")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val m = 1L << p
+    val mD = m.toDouble
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / mD)
+    }
+    val hashed = rows.select(col(keyCol).cast("string").as("key"),
+      graft.text.TextOps.hash56(col(valueCol)).as("h")).as[(String, Long)]
+    hashed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, it: Iterator[(String, Long)], st: GroupState[HllState]) => {
+          var regs = st.getOption.map(_.regs).getOrElse(Map.empty[Int, Int])
+          it.foreach { case (_, h) =>
+            val bucket = (h % m).toInt
+            val w = h >>> p
+            val rho =
+              if (w == 0L) 57 - p
+              else 57 - p - (64 - java.lang.Long.numberOfLeadingZeros(w))
+            if (regs.getOrElse(bucket, 0) < rho) regs = regs.updated(bucket, rho)
+          }
+          st.update(HllState(regs))
+          val nb = regs.size
+          // estimator identical to Fitters.hllEstimate (same constants,
+          // same branch) so the batch-executed face shares q157's oracle
+          val s = regs.valuesIterator.map(r => math.pow(2.0, -r)).sum
+          val zeros = mD - nb
+          val raw = (alpha * mD * mD) / (s + zeros)
+          val est =
+            if (raw <= 2.5 * mD && zeros > 0) mD * math.log(mD / zeros)
+            else raw
+          Iterator.single(HllOut(key, nb, est))
+        })
+  }
+
   /** Per-batch frequency snapshot for one watched value: CMS estimate of
     * its total occurrences so far (exact while no bucket collides). */
   case class CmsOut(key: String, probe: String, estCnt: Long)

@@ -78,6 +78,29 @@ class StreamSpec extends SparkSpec {
     assert(math.abs(snaps.last._2 - batch.getAs[Double]("est_distinct")) < 1e-9)
   }
 
+  test("streaming hll distinct-count: register state, batch parity across splits") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val out = StreamScorers.hllDistinctStream(in.toDF().toDF("k", "v"), "k", "v", p = 7)
+    val q = out.writeStream.format("memory").queryName("hll").outputMode("append").start()
+    val vals = (1 to 400).map(i => ("a", s"val-${i % 300}"))
+    val (b1, b2) = vals.splitAt(170)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    val snaps = spark.table("hll").collect()
+      .map(r => (r.getAs[Int]("nBuckets"), r.getAs[Double]("estDistinct")))
+    q.stop()
+    assert(snaps.length == 2)
+    assert(snaps.last._1 <= 128, "register count must stay bounded by m")
+    // final snapshot == batch fit+estimate of the whole input (register
+    // max is associative, estimator constants identical)
+    val batch = Fitters.hllEstimate(
+      Fitters.hllSketch(vals.toDF("k", "v"), Seq("k"), "v", p = 7), Seq("k"), p = 7)
+      .head()
+    assert(snaps.last._1.toLong == batch.getAs[Long]("n_buckets"))
+    assert(math.abs(snaps.last._2 - batch.getAs[Double]("est_distinct")) < 1e-9)
+  }
+
   test("streaming cms frequency monitor: cross-batch accumulation, batch parity") {
     implicit val sc = spark.sqlContext
     val vals = (1 to 150).map(i => ("a", s"tok-${i % 30}"))
