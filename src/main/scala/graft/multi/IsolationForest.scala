@@ -78,12 +78,23 @@ object IsolationForest {
       subsampleSize: Int, maxDepth: Int): Dataset[IsoNode] = {
     val spark = data.sparkSession
     import spark.implicits._
-    val trees = broadcast(spark.range(numTrees).select(col("id").cast("int").as("t")))
+    // Per-tree sampling keys are affine permutations (a_t·x + b_t mod P,
+    // the minhash constants from TextOps.hashParams) of ONE md5-derived
+    // 56-bit hash per row: the round-6 shape ranked by md5(t:rowId),
+    // which burned numTrees md5 calls and a 32-char hex string per
+    // (row, tree) — 50× the hashing and the dominant GC litter of the
+    // fit. Integer keys replay exactly in the oracle SQL and collisions
+    // (~n²/2P per tree) tie-break on attrs, which is all growth consumes.
+    val P = graft.text.TextOps.P
+    val trees = broadcast(
+      graft.text.TextOps.hashParams(numTrees).zipWithIndex
+        .map { case ((a, b), t) => (t, a, b) }
+        .toDF("t", "a", "b"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("key", "t").orderBy(col("h"), col("attrs"))
     val keyedRaw = data.select(
       concat_ws("|", keyCols.map(c => col(c).cast("string")): _*).as("key"),
-      col(idCol).cast("long").as("rowId"),
+      (graft.text.TextOps.hash56(col(idCol).cast("string")) % P).as("base"),
       array(attrCols.map(c => col(c).cast("double")): _*).as("attrs"))
     // The ×numTrees crossJoin inherits the scan's partitioning, so a small
     // input (one parquet footer) would push ALL numTrees·n md5 rows through
@@ -94,42 +105,31 @@ object IsolationForest {
       if (keyedRaw.rdd.getNumPartitions < par) keyedRaw.repartition(par)
       else keyedRaw
     def hashed = keyed.crossJoin(trees)
-      .withColumn("h", md5(concat(col("t").cast("string"), lit(":"),
-        col("rowId").cast("string")).cast("binary")))
-    // Top-k selection by md5 order would sort numTrees·n rows per key —
+      .withColumn("h", (col("a") * col("base") + col("b")) % P)
+      .drop("a", "b")
+    // Top-k selection by hash order would sort numTrees·n rows per key —
     // WindowGroupLimit trims the exchange but not the map-side sort.
-    // Prefilter on the first 13 hex chars (52 bits) of the hash instead,
-    // keeping ~8× the needed rows per group: when two prefixes differ,
-    // prefix order == hex-string order, so if ≥ k rows survive the cutoff
-    // the true top-k by (h, attrs) all survive. The cutoff is a per-key
-    // hex-string literal (computed on the tiny key-count aggregate, then
-    // broadcast) so the hot path is one substring + string compare — no
-    // per-row radix conversion. Sort input drops from trees·n to
+    // Prefilter on the integer hash instead, keeping ~8× the needed rows
+    // per group: if ≥ k rows survive the cutoff the true top-k by
+    // (h, attrs) all survive. The cutoff is a per-key long literal
+    // (computed on the tiny key-count aggregate) so the hot path is one
+    // multiply-add-mod + long compare. Sort input drops from trees·n to
     // ~8·trees·k rows; a deficiency check below restores exactness in the
     // (astronomically unlikely) case a group loses too many rows.
-    val maxPrefix = 4503599627370496L // 2^52
     // Persisted: the tiny per-key count feeds both the bounds collect and
     // (large-key path) the need/bound joins — without the persist each use
     // re-scans the data (the round-6 shape paid that scan 2×, plus a third
     // action for a standalone deficiency check; see the 2-job layout below).
     val nPerKey = keyed.groupBy("key").agg(count(lit(1)).as("n"))
-      // cap at 2^52 - 1 = "fffffffffffff" (13 chars, keeps every row):
-      // 2^52 itself is 14 hex chars and lpad would truncate it. The
-      // 13-char bound is padded to full hash width with trailing 'f's so
-      // the hot-path predicate is a whole-string compare — "prefix(h) <=
-      // bound" without a per-row substring (h has 32 chars; rows whose
-      // prefix equals the bound always pass the padded compare, rows
-      // whose prefix exceeds it always fail).
-      .withColumn("bound", concat(lpad(lower(conv(
-        least(lit(maxPrefix - 1), (lit(maxPrefix.toDouble) *
-          lit(subsampleSize.toLong * 8) / col("n")).cast("long")).cast("string"),
-        10, 16)), 13, "0"), lit("f" * 19)))
+      .withColumn("bound",
+        least(lit(P - 1), (lit(P.toDouble) *
+          lit(subsampleSize.toLong * 8) / col("n")).cast("long")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-key bounds as inline literals when the key set is small — a
     // codegen'd CASE beats a broadcast hash join probe per row (measured
     // 2.2 s vs 4.9 s over 5M rows); large key sets fall back to the join
     val bounds = nPerKey.select("key", "bound", "n").limit(65).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     if (bounds.isEmpty) { nPerKey.unpersist(blocking = false); return spark.emptyDataset[IsoNode] }
     val small = bounds.length <= 64
     // The whole fit is exactly TWO data-sized jobs: (1) the nPerKey count

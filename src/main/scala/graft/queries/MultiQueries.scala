@@ -223,7 +223,10 @@ object MultiQueries {
          |sm AS MATERIALIZED (SELECT key, t, x FROM (
          |  SELECT e.key, trs.t, e.x,
          |   row_number() OVER (PARTITION BY e.key, trs.t
-         |     ORDER BY md5(trs.t::VARCHAR || ':' || e.id::VARCHAR), e.x) AS rn
+         |     ORDER BY (greatest(1, ((trs.t+1)*1103515245+12345) % 2147483647)
+         |         * (('0x'||substr(md5(e.id::VARCHAR),1,14))::BIGINT % 2147483647)
+         |         + ((trs.t+1)*69069+7) % 2147483647) % 2147483647,
+         |       e.x) AS rn
          |  FROM ev e CROSS JOIN trs) WHERE rn <= $IfSub),
          |p0 AS (SELECT key, t, 'R' AS path, x FROM sm)""".stripMargin
     val growth = (0 until IfDepth).map { d =>
