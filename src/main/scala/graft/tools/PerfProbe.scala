@@ -17,6 +17,7 @@ object PerfProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
     graft.expr.GraftFunctions.register(spark)
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -35,6 +36,31 @@ object PerfProbe {
       time(s"score#$i") {
         IsolationForest.score(data, model, Seq("event_type"), Seq("value"),
           "event_id", subsampleSize = 64).count()
+      }
+      // 1-job candidate: no count job, no bound prefilter — raw
+      // WindowGroupLimit top-k over the full crossJoin (map-side local
+      // sort of trees·n rows, but a single job end-to-end).
+      // MEASURED (round 7, sf0.1): 13–18 s vs 1.6–1.9 s for the 2-job
+      // prefilter layout — the map-side sort of trees·n rows per
+      // partition dwarfs the count job the prefilter costs. Kept here as
+      // the recorded justification for fitDeterministic's shape.
+      time(s"fitOneJobRaw#$i") {
+        import graft.text.TextOps
+        val P = TextOps.P
+        val trees = broadcast(TextOps.hashParams(50).zipWithIndex
+          .map { case ((a, b), t) => (t, a, b) }.toDF("t", "a", "b"))
+        val keyed = data.select(
+          col("event_type").cast("string").as("key"),
+          (TextOps.hash56(col("event_id").cast("string")) % P).as("base"),
+          array(col("value").cast("double")).as("attrs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("key", "t").orderBy(col("h"), col("attrs"))
+        keyed.crossJoin(trees)
+          .withColumn("h", (col("a") * col("base") + col("b")) % P)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 64)
+          .select("key", "t", "attrs")
+          .collect().length
       }
     }
     spark.stop()
