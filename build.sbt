@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: local[32] suites at sf0.1 in 8g showed GC coupling
+  // between allocation-heavy neighbors (q46-class variance, round-6/7
+  // verdicts); the build host and the driver host both have 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 ) ++ sys.env.get("SPARK_DRIVER_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))
