@@ -282,6 +282,34 @@ class StreamSpec extends SparkSpec {
     assert(rows(1)._3 == 5.0 && rows(3)._3 == 9.0)
   }
 
+  test("checkpointed dedup state survives a query restart (file source → parquet sink)") {
+    // the operational property the whole streaming family leans on: a
+    // crashed/redeployed job resumes from its checkpoint with its seen-set
+    // intact — a duplicate landing AFTER the restart must still be dropped
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_in")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rs_ck")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_rs_out")
+    def land(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def startQ() = StreamScorers.exactDedupStream(
+        StreamScorers.fileSource(spark, dir.toString), "value")
+      .writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    land("b1.txt", "alpha", "beta", "alpha") // in-batch dup too
+    val q1 = startQ(); q1.processAllAvailable(); q1.stop()
+    // duplicate of a PRE-restart doc plus a fresh one, discovered by a
+    // brand-new query instance recovering from the same checkpoint
+    land("b2.txt", "alpha", "gamma")
+    val q2 = startQ(); q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(outDir.toString)
+      .select("value").as[String].collect().sorted.toSeq
+    assert(out == Seq("alpha", "beta", "gamma"),
+      s"expected exactly-once survivors, got $out")
+  }
+
   test("session windows merge across batches; batch sessionize parity") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
