@@ -1429,7 +1429,12 @@ object TextOps {
       "grp", textCol, n)
     val sk = graft.model.Fitters.kmvSketch(grams, Seq("grp"), "shingle", k)
       .select(col("grp"), col("h"))
-    val sources = sk.select("grp").distinct().as[String].collect().sorted.toSeq
+    // group list from a plain scan — deriving it from `sk` would execute
+    // the whole shingle+sketch pipeline twice (one collect, one final
+    // query). A group with no grams simply has no sketch rows and its
+    // pairs estimate 0, which is the right answer.
+    val sources = docs.select(col(groupCol).cast("string").as("grp"))
+      .distinct().as[String].collect().sorted.toSeq
     if (sources.size < 2) return docs.sparkSession.emptyDataFrame
     // each sketch row fans out to its (S-1) pairs — model-sized (S·k·S)
     val expanded = sk
