@@ -156,4 +156,32 @@ class PropertySpec extends SparkSpec {
         ch == 1 && d.sameElements(samples) }, s"wav trial $trial n=$n")
     }
   }
+
+  test("property: sketch merges are lossless under ANY slicing (KMV, HLL, CMS)") {
+    // the 100 TB contract: fitting per-slice models and merging must equal
+    // the direct fit of the union, for every way the data lands in slices
+    val rng = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val values = (1 to 400 + rng.nextInt(600))
+        .map(_ => ("k", s"item-${rng.nextInt(300)}"))
+      val nSlices = 2 + rng.nextInt(3)
+      val slices = values.groupBy(_ => rng.nextInt(nSlices)).values.toSeq
+        .map(_.toDF("k", "v"))
+      val all = values.toDF("k", "v")
+      def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+        df.collect().map(_.toSeq).toSet
+      assert(rows(Fitters.kmvMerge(slices.map(s =>
+        Fitters.kmvSketch(s, Seq("k"), "v", 32)), Seq("k"), 32)) ==
+        rows(Fitters.kmvSketch(all, Seq("k"), "v", 32)),
+        s"kmv trial $trial (${slices.size} slices)")
+      assert(rows(Fitters.hllMerge(slices.map(s =>
+        Fitters.hllSketch(s, Seq("k"), "v", 7)), Seq("k"))) ==
+        rows(Fitters.hllSketch(all, Seq("k"), "v", 7)),
+        s"hll trial $trial")
+      assert(rows(Fitters.cmsMerge(slices.map(s =>
+        Fitters.cmsSketch(s, Seq("k"), "v", 4, 64)), Seq("k"))) ==
+        rows(Fitters.cmsSketch(all, Seq("k"), "v", 4, 64)),
+        s"cms trial $trial")
+    }
+  }
 }
