@@ -245,6 +245,13 @@ object TextQueries {
         .where(col("rank") <= 12)
         .select("doc_id", "source", "quality", "avgNll", "rank"))
     }),
+    // the SAME curation flow with ONE text-extraction pass: tokenize
+    // once, persist the per-doc feature frame (quality/lang/minhash
+    // sig/token array), run every cross-doc stage off it — the 100 TB
+    // shape; bit-identical to q103 (shared expression builders + oracle)
+    "q161_curation_fused" -> ((s, dir) =>
+      canon(TextOps.curationQuotaFused(docs(s, dir), "doc_id", "source",
+        "text", shingleSize = 3, numHashes = NumHashes, bandSize = BandSize))),
     // per-source quality quota (RefinedWeb-style domain cap): keep the
     // 15 highest-quality docs per source, ranked on the raw double
     "q101_source_quota" -> ((s, dir) =>
@@ -500,6 +507,61 @@ object TextQueries {
 
   private val markers = TextOps.langMarkers.toSeq.sortBy(_._1)
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(",")
+
+  private lazy val curationOracle: String =
+      s"""$clusterSql,
+         |qb AS (SELECT doc_id,
+         |  len($toks)::DOUBLE AS nTok,
+         |  len(list_filter($toks, t -> t IN (${inList(TextOps.langMarkers("en"))})))::DOUBLE AS nStop,
+         |  len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS nPunct,
+         |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS nDigit,
+         |  length(text)::DOUBLE AS nChars
+         | FROM documents),
+         |qual AS (SELECT doc_id,
+         | (least(nTok/50.0, 1.0)
+         |  + least(nStop/greatest(nTok,1.0)*10.0, 1.0)
+         |  + (1.0 - least(nPunct/greatest(nChars,1.0)*20.0, 1.0))
+         |  + (1.0 - least(nDigit/greatest(nChars,1.0)*10.0, 1.0))) / 4.0 AS rawq
+         | FROM qb),
+         |lc AS (SELECT doc_id,
+         |${markers.map { case (l, ws) =>
+             s" len(list_filter($toks, t -> t IN (${inList(ws)})))::INT AS n_$l" }
+             .mkString(",")}
+         | FROM documents),
+         |lang AS (SELECT doc_id,
+         | CASE WHEN greatest(${markers.map(m => s"n_${m._1}").mkString(",")}) = 0 THEN 'unknown'
+         |${markers.map { case (l, _) =>
+             s" WHEN n_$l = greatest(${markers.map(m => s"n_${m._1}").mkString(",")}) THEN '$l'" }
+             .mkString}
+         | ELSE 'unknown' END AS predLang FROM lc),
+         |bb AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         | FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+         |   FROM tk WHERE len(t) >= 2)),
+         |cb AS (SELECT w1, w2, count(*) AS cBi FROM bb GROUP BY 1, 2),
+         |cx AS (SELECT w1, sum(cBi) AS cCtx FROM cb GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS v
+         | FROM (SELECT unnest(t) AS tok FROM tk)),
+         |snl AS (SELECT bb.doc_id,
+         |  -ln((cb.cBi + 1.0) / (cx.cCtx + 1.0 * v.v)) AS nll
+         | FROM bb JOIN cb USING (w1, w2) JOIN cx USING (w1), v),
+         |ag AS (SELECT doc_id, count(*) AS nGrams, avg(nll) AS avgNll
+         | FROM snl GROUP BY 1),
+         |keep AS (SELECT d.doc_id, d.source, qual.rawq,
+         |  coalesce(ag.avgNll, 0.0) AS rawNll
+         | FROM documents d
+         | JOIN qual ON d.doc_id = qual.doc_id
+         | JOIN lang ON d.doc_id = lang.doc_id
+         | LEFT JOIN ag ON d.doc_id = ag.doc_id
+         | WHERE qual.rawq >= 0.5 AND lang.predLang = 'en'
+         |  AND coalesce(ag.avgNll, 0.0) <= 3.45
+         |  AND d.doc_id IN (SELECT DISTINCT cluster FROM comp)),
+         |r AS (SELECT doc_id, source, rawq, rawNll,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY rawq DESC, doc_id) AS rank
+         | FROM keep)
+         |SELECT doc_id, source, round(rawq, 4) AS quality,
+         | round(rawNll, 4) AS avgNll, rank
+         |FROM r WHERE rank <= 12""".stripMargin.replace("\n", " ")
 
   private lazy val decontaminateOracle: String =
     s"""WITH sp AS (SELECT doc_id, text,
@@ -1091,60 +1153,10 @@ object TextQueries {
     // clusters) ∧ q51 quality ∧ q52 language ∧ q102 LM gate, then the
     // q101 per-source rank cap — all filters on RAW doubles, rounding
     // only in the final projection
-    "q103_curation_quota" ->
-      s"""$clusterSql,
-         |qb AS (SELECT doc_id,
-         |  len($toks)::DOUBLE AS nTok,
-         |  len(list_filter($toks, t -> t IN (${inList(TextOps.langMarkers("en"))})))::DOUBLE AS nStop,
-         |  len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS nPunct,
-         |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS nDigit,
-         |  length(text)::DOUBLE AS nChars
-         | FROM documents),
-         |qual AS (SELECT doc_id,
-         | (least(nTok/50.0, 1.0)
-         |  + least(nStop/greatest(nTok,1.0)*10.0, 1.0)
-         |  + (1.0 - least(nPunct/greatest(nChars,1.0)*20.0, 1.0))
-         |  + (1.0 - least(nDigit/greatest(nChars,1.0)*10.0, 1.0))) / 4.0 AS rawq
-         | FROM qb),
-         |lc AS (SELECT doc_id,
-         |${markers.map { case (l, ws) =>
-             s" len(list_filter($toks, t -> t IN (${inList(ws)})))::INT AS n_$l" }
-             .mkString(",")}
-         | FROM documents),
-         |lang AS (SELECT doc_id,
-         | CASE WHEN greatest(${markers.map(m => s"n_${m._1}").mkString(",")}) = 0 THEN 'unknown'
-         |${markers.map { case (l, _) =>
-             s" WHEN n_$l = greatest(${markers.map(m => s"n_${m._1}").mkString(",")}) THEN '$l'" }
-             .mkString}
-         | ELSE 'unknown' END AS predLang FROM lc),
-         |bb AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-         | FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
-         |   FROM tk WHERE len(t) >= 2)),
-         |cb AS (SELECT w1, w2, count(*) AS cBi FROM bb GROUP BY 1, 2),
-         |cx AS (SELECT w1, sum(cBi) AS cCtx FROM cb GROUP BY 1),
-         |v AS (SELECT count(DISTINCT tok) AS v
-         | FROM (SELECT unnest(t) AS tok FROM tk)),
-         |snl AS (SELECT bb.doc_id,
-         |  -ln((cb.cBi + 1.0) / (cx.cCtx + 1.0 * v.v)) AS nll
-         | FROM bb JOIN cb USING (w1, w2) JOIN cx USING (w1), v),
-         |ag AS (SELECT doc_id, count(*) AS nGrams, avg(nll) AS avgNll
-         | FROM snl GROUP BY 1),
-         |keep AS (SELECT d.doc_id, d.source, qual.rawq,
-         |  coalesce(ag.avgNll, 0.0) AS rawNll
-         | FROM documents d
-         | JOIN qual ON d.doc_id = qual.doc_id
-         | JOIN lang ON d.doc_id = lang.doc_id
-         | LEFT JOIN ag ON d.doc_id = ag.doc_id
-         | WHERE qual.rawq >= 0.5 AND lang.predLang = 'en'
-         |  AND coalesce(ag.avgNll, 0.0) <= 3.45
-         |  AND d.doc_id IN (SELECT DISTINCT cluster FROM comp)),
-         |r AS (SELECT doc_id, source, rawq, rawNll,
-         |  row_number() OVER (PARTITION BY source
-         |    ORDER BY rawq DESC, doc_id) AS rank
-         | FROM keep)
-         |SELECT doc_id, source, round(rawq, 4) AS quality,
-         | round(rawNll, 4) AS avgNll, rank
-         |FROM r WHERE rank <= 12""".stripMargin.replace("\n", " "),
+    "q103_curation_quota" -> curationOracle,
+    // the fused one-extraction-pass variant computes bit-identical values
+    // (shared expression builders), so it shares the staged oracle
+    "q161_curation_fused" -> curationOracle,
     // per-source quota: q51's quality arithmetic on the raw double,
     // rank capped per source (rounding only in the final projection —
     // rounding first could reorder ties)

@@ -433,22 +433,29 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"),
     "es" -> Seq("el", "la", "los", "y", "de", "un", "una", "es", "por", "que"))
 
+  /** Per-language marker hit counts from a token-array column, in sorted
+    * lang order — shared by [[langId]] and [[curationQuotaFused]] so the
+    * staged and fused pipelines compute bit-identical predictions. */
+  private def langCountExprs(toksC: Column): Seq[(String, Column)] =
+    langMarkers.toSeq.sortBy(_._1).map { case (l, words) =>
+      l -> size(filter(toksC, tk => words.map(w => tk === w).reduce(_ || _)))
+    }
+
+  /** Argmax language from [[langCountExprs]] output; ties resolve to the
+    * alphabetically first language, zero hits to `unknown`. */
+  private def langPredFrom(counts: Seq[(String, Column)]): Column = {
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.reverse.foldLeft(lit("unknown")) { case (acc, (l, c)) =>
+      when(c === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
   /** Language-ID heuristic: argmax of language marker-token hit counts;
     * `unknown` when nothing matches. Ties resolve in fixed lang order. */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = tokens(col(textCol))
-    val langs = langMarkers.keys.toSeq.sorted
-    val counted = langMarkers.toSeq.sortBy(_._1).foldLeft(docs) { case (df, (l, words)) =>
-      df.withColumn(s"n_$l",
-        size(filter(t, tk => words.map(w => tk === w).reduce(_ || _))))
-    }
-    val best = langs.map(l => col(s"n_$l")).reduce((a, b) => greatest(a, b))
-    // ties resolve to the alphabetically first language (same rule in SQL)
-    val predFirst = langs.reverse.foldLeft(lit("unknown")) { (acc, l) =>
-      when(col(s"n_$l") === best && best > 0, lit(l)).otherwise(acc)
-    }
-    counted.withColumn("predLang", predFirst)
-      .select(col(idCol) +: langs.map(l => col(s"n_$l")) :+ col("predLang"): _*)
+    val counts = langCountExprs(tokens(col(textCol)))
+    docs.select(col(idCol) +: counts.map { case (l, c) => c.as(s"n_$l") } :+
+      langPredFrom(counts).as("predLang"): _*)
   }
 
   /** Quality scoring (length / punctuation / stopword / digit signals) —
@@ -499,22 +506,31 @@ object TextOps {
       nStop.as("nStop"), passed.cast("int").cast("long").as("passed"))
   }
 
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val txt = col(textCol)
+  /** The quality signal battery from (raw-text, token-array) columns —
+    * shared by [[qualityScore]] and [[curationQuotaFused]] so staged and
+    * fused pipelines are bit-identical. Returns
+    * (nTok, nStop, nPunct, nDigit, quality). */
+  private def qualityExprs(
+      txt: Column, toksC: Column): (Column, Column, Column, Column, Column) = {
     val nChars = length(txt).cast("double")
-    val toks = tokens(txt)
-    val nTok = size(toks).cast("double")
+    val nTok = size(toksC).cast("double")
     val nPunct = size(regexp_extract_all(txt, lit("[.,;:!?]"), lit(0))).cast("double")
     val nDigit = size(regexp_extract_all(txt, lit("[0-9]"), lit(0))).cast("double")
     val stop = langMarkers("en")
-    val nStop = size(filter(toks, t => stop.map(w => t === w).reduce(_ || _))).cast("double")
+    val nStop = size(filter(toksC, t => stop.map(w => t === w).reduce(_ || _))).cast("double")
     val lenScore = least(nTok / 50.0, lit(1.0))
     val stopScore = least(nStop / greatest(nTok, lit(1.0)) * 10.0, lit(1.0))
     val punctPen = least(nPunct / greatest(nChars, lit(1.0)) * 20.0, lit(1.0))
     val digitPen = least(nDigit / greatest(nChars, lit(1.0)) * 10.0, lit(1.0))
+    (nTok, nStop, nPunct, nDigit,
+      (lenScore + stopScore + (lit(1.0) - punctPen) + (lit(1.0) - digitPen)) / 4.0)
+  }
+
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    val (nTok, nStop, nPunct, nDigit, quality) = qualityExprs(txt, tokens(txt))
     docs.select(col(idCol), nTok.as("nTok"), nStop.as("nStop"),
-      nPunct.as("nPunct"), nDigit.as("nDigit"),
-      ((lenScore + stopScore + (lit(1.0) - punctPen) + (lit(1.0) - digitPen)) / 4.0).as("quality"))
+      nPunct.as("nPunct"), nDigit.as("nDigit"), quality.as("quality"))
   }
 
   /** Deterministic dataset split — train/val/test assignment by md5 of
@@ -649,8 +665,13 @@ object TextOps {
     * n−1 tokens space-joined, w = the last. For n=2 ctx is the previous
     * token itself. */
   private def lmGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    lmGramsFromToks(df, idCol, tokens(col(textCol)), n)
+
+  /** [[lmGrams]] over an already-tokenized array column — the seam the
+    * fused curation pass uses to avoid re-running the tokenizer. */
+  private def lmGramsFromToks(df: DataFrame, idCol: String, t: Column,
       n: Int): DataFrame = {
-    val t = tokens(col(textCol))
     // higher-order-function lambdas are interpreted, not codegen'd, and
     // this pipeline runs up to 3× per query inside broadcast-subquery
     // jobs — so the bigram path (every production call) must do ZERO
@@ -703,6 +724,100 @@ object TextOps {
       .select(col(idCol),
         coalesce(col("nGrams"), lit(0L)).as("nGrams"),
         coalesce(col("avgNll"), lit(0.0)).as("avgNll"))
+  }
+
+  /** The full curation flow (language gate ∧ quality gate ∧ LSH-dedup
+    * survivorship ∧ LM-score gate → per-source quota) with ONE
+    * text-extraction pass — the 100 TB shape the staged composition's
+    * plan audit pointed at: instead of five operators each re-running
+    * the tokenizer over the raw corpus, a single projection tokenizes
+    * once and emits every per-doc feature set (token array, quality
+    * composite, predicted language, MinHash signature); the persisted
+    * feature frame then feeds all cross-doc stages (LSH bucket self-join,
+    * LM fit + score, survivor join, quota window) without ever touching
+    * raw text again. On a cluster you would checkpoint the feature frame
+    * to parquet once and run every curation decision off it.
+    *
+    * Every per-doc value is built by the SAME expression builders as the
+    * staged operators ([[qualityExprs]], [[langCountExprs]],
+    * [[lmGramsFromToks]], the `minhash_sig` codegen expression), so the
+    * result is bit-identical to the staged composition and shares its
+    * oracle. LSH buckets come straight off the signature array
+    * (slice + join per band — zero extra shuffles, vs the generic
+    * posexplode → groupBy reassembly that exists for incremental
+    * signature storage).
+    *
+    * The one eager action (vocab countDistinct, same as [[lmFit]]) also
+    * materializes the feature cache. The cache is corpus-sized
+    * (MEMORY_AND_DISK); there is no deterministic unpersist point for a
+    * lazily-returned result, per the convention at [[minhashPairsAcross]]. */
+  def curationQuotaFused(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String, shingleSize: Int = 3, numHashes: Int = 16,
+      bandSize: Int = 4, minQuality: Double = 0.5, lang: String = "en",
+      maxNll: Double = 3.45, quota: Int = 12,
+      smoothing: Double = 1.0): DataFrame = {
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    val toksC = col("_toks")
+    val (_, _, _, _, quality) = qualityExprs(col("_txt"), toksC)
+    val feats = docs
+      .select(col(idCol), col(srcCol), col(textCol).as("_txt"))
+      // separate projection: CollapseProject keeps the tokenizer out of
+      // the feature projection (non-cheap, multiply-referenced), so the
+      // regex runs once per row no matter how many features read _toks
+      .withColumn("_toks", tokens(col("_txt")))
+      .select(col(idCol), col(srcCol), toksC,
+        quality.as("quality"),
+        langPredFrom(langCountExprs(toksC)).as("predLang"),
+        call_function("minhash_sig", toksC,
+          lit(shingleSize), lit(numHashes)).as("_sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the one eager scalar (same as lmFit's vocab) doubles as the cache
+    // materialization point
+    val vocab = feats.select(explode(toksC).as("tok"))
+      .agg(countDistinct("tok")).head().getLong(0)
+
+    // LSH bands straight from the signature array — same band buckets as
+    // lshBuckets (minhash values in hashIdx order, ':'-joined) with zero
+    // exchanges; docs shorter than the shingle produce an empty signature
+    // and no bands, matching minhash()'s no-rows contract
+    val nBands = numHashes / bandSize
+    val bands = feats.select(col(idCol), posexplode(
+      when(size(col("_sig")) === numHashes,
+        transform(sequence(lit(0), lit(nBands - 1)),
+          b => array_join(transform(
+            slice(col("_sig"), b * bandSize + 1, lit(bandSize)),
+            v => v.cast("string")), ":")))
+        .otherwise(array())).as(Seq("band", "bucket")))
+    val pairs = bands.select(col("band"), col("bucket"), col(idCol).as("a"))
+      .join(bands.select(col("band"), col("bucket"), col(idCol).as("b")),
+        Seq("band", "bucket"))
+      .where(col("a") < col("b")).select("a", "b").distinct()
+    val surv = dedupSurvivors(dupClusters(feats.select(col(idCol)), idCol, pairs))
+      .select(col("doc_id").as(idCol))
+
+    // LM fit + score off the cached token arrays (the lmScoreWith shape,
+    // inlined so no stage re-tokenizes)
+    val grams = lmGramsFromToks(feats, idCol, toksC, n = 2)
+    val cGram = grams.groupBy("ctx", "w").agg(count(lit(1)).as("cGram"))
+    val cCtx = cGram.groupBy("ctx").agg(sum("cGram").as("cCtx"))
+    val scored = grams
+      .join(cGram, Seq("ctx", "w"), "left")
+      .join(cCtx, Seq("ctx"), "left")
+      .withColumn("nll", -log(
+        (coalesce(col("cGram"), lit(0L)) + lit(smoothing)) /
+          (coalesce(col("cCtx"), lit(0L)) + lit(smoothing * vocab))))
+      .groupBy(idCol).agg(avg("nll").as("avgNll"))
+    val lm = feats.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("avgNll"), lit(0.0)).as("avgNll"))
+
+    val kept = feats.select(col(idCol), col(srcCol), col("quality"), col("predLang"))
+      .join(lm, Seq(idCol)).join(surv, Seq(idCol))
+      .where(col("quality") >= minQuality && col("predLang") === lang &&
+        col("avgNll") <= maxNll)
+    val w = Window.partitionBy(srcCol).orderBy(col("quality").desc, col(idCol))
+    kept.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= quota)
+      .select(idCol, srcCol, "quality", "avgNll", "rank")
   }
 
   /** Repetition quality signals in the style of the Gopher data-quality
