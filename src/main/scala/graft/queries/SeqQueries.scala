@@ -230,6 +230,33 @@ object SeqQueries {
           unix_micros(col("end_ts")).as("end_us"),
           col("sum_value")))
     }),
+    // the per-entity STATEFUL stream scorer executed as batch (q100
+    // pattern): flatMapGroupsWithState receives each user's full history
+    // in one group call — the online run's "all arrived" prefix. The
+    // broadcast transition map is the q12 model collected driver-side
+    // (|states|² entries, model-sized by construction). The stream's
+    // rolling mean sums its window oldest→newest, so a window-function
+    // oracle replays the 4dp score; warm-up rows surface NaN → projected
+    // to null for the cross-engine compare (NULL is DuckDB's only spelling)
+    "q162_markov_stream" -> ((s, dir) => {
+      import s.implicits._
+      val data = ev(s, dir)
+      val trans = Fitters.markovTransitions(data, Seq("user_id"), "event_id",
+          "event_type", smoothing = 1.0)
+        .collect().map(r => (r.getAs[String]("fromState"),
+          r.getAs[String]("toState")) -> r.getAs[Double]("prob")).toMap
+      val evs = data.select(col("user_id").cast("string").as("entity"),
+          col("event_id").cast("long").as("seq"),
+          col("event_type").as("state"))
+        .as[graft.streaming.StreamScorers.SeqEvent]
+      canon(graft.streaming.StreamScorers.markovStream(evs, trans,
+          window = 5, threshold = 1.5).toDF()
+        .select(col("entity").cast("long").as("user_id"),
+          col("seq").as("event_id"), col("state"),
+          when(isnan(col("score")), lit(null)).otherwise(col("score"))
+            .as("score"),
+          col("tag")))
+    }),
   )
 
   // transitions + smoothed probabilities, per-user sequences, global model
@@ -859,5 +886,26 @@ object SeqQueries {
         |   ELSE -floor(-value * 10000 + 0.5) END AS BIGINT)) / 10000.0
         |   AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin.replace("\n", " "),
+    // replay of markovStream's online walk: per-event transition nll
+    // against the q12 smoothed model, rolling window-5 mean (ascending
+    // frame order = the stream's oldest→newest summation), score only
+    // once 5 transitions accumulated (rn >= 6: the first event has no
+    // transition), I/O/N tags at 1.5
+    "q162_markov_stream" ->
+      s"""WITH $mkProbs,
+         |nl AS (SELECT t.user_id, t.event_id, t.toState AS state,
+         |  CASE WHEN t.fromState IS NOT NULL THEN -ln(p.prob) END AS nll,
+         |  row_number() OVER (PARTITION BY t.user_id ORDER BY t.event_id) AS rn
+         | FROM trans t LEFT JOIN probs p
+         |   ON t.fromState = p.fromState AND t.toState = p.toState),
+         |sc AS (SELECT user_id, event_id, state,
+         |  CASE WHEN rn >= 6 THEN avg(nll) OVER (PARTITION BY user_id
+         |    ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         |  END AS score
+         | FROM nl)
+         |SELECT user_id, event_id, state, round(score, 4) AS score,
+         | CASE WHEN score IS NULL THEN 'I'
+         |  WHEN score > 1.5 THEN 'O' ELSE 'N' END AS tag
+         |FROM sc""".stripMargin.replace("\n", " "),
   )
 }

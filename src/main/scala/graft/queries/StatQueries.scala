@@ -146,6 +146,32 @@ object StatQueries {
           col("nBuckets").cast("long").as("n_buckets"),
           col("estDistinct").as("est_distinct")))
     }),
+    // the stateless stream scorer (stream-static broadcast model join +
+    // O/N/I labeling) executed as batch — the exact code path every
+    // micro-batch runs against the cached model, driver-gated instead of
+    // spec-only
+    "q163_zscore_stream" -> ((s, dir) => {
+      val data = ev(s, dir)
+      val stats = Fitters.stats(data, Seq("event_type"), Seq("value"))
+      canon(graft.streaming.StreamScorers.zscoreStream(
+          data.select("user_id", "event_id", "event_type", "value"),
+          stats, Seq("event_type"), "value", threshold = 2.0)
+        .select("user_id", "event_id", "event_type", "value", "score", "tag"))
+    }),
+    // the watermarked event-time window aggregation executed as batch:
+    // window() buckets epoch time identically in batch and stream, and
+    // withWatermark is a no-op under batch execution
+    "q164_windowed_stats" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("_t", timestamp_micros(expr("ts div 1000")))
+      canon(graft.streaming.StreamScorers.windowedStats(e, "_t",
+          Seq("event_type"), "value", windowDur = "1 hour",
+          watermark = "0 seconds")
+        .select(col("event_type"),
+          unix_micros(col("window.start")).as("start_us"),
+          unix_micros(col("window.end")).as("end_us"),
+          col("mean"), col("std"), col("cnt")))
+    }),
     // the stream op watches a fixed global probe list; restricting its
     // (key × probe) output to q119's per-lang probe pairs reproduces the
     // batch estimate row set exactly
@@ -489,6 +515,25 @@ object StatQueries {
       s"""WITH $evStats
          |SELECT event_type, 'value' AS attr, round(mean,4) AS mean, round(std,4) AS std,
          | cnt, round(vmin,4) AS vmin, round(vmax,4) AS vmax FROM stats""".stripMargin.replace("\n", " "),
+    // stream-scorer twins: the stream-static zscore join and the
+    // event-time hour windows replay directly in SQL
+    "q163_zscore_stream" ->
+      s"""WITH $evStats
+         |SELECT e.user_id, e.event_id, e.event_type, round(e.value, 4) AS value,
+         | round(CASE WHEN s.std > 0 THEN abs(e.value - s.mean) / s.std END, 4)
+         |   AS score,
+         | CASE WHEN s.std IS NULL OR s.std <= 0 THEN 'I'
+         |  WHEN abs(e.value - s.mean) / s.std > 2.0 THEN 'O' ELSE 'N' END AS tag
+         |FROM events e LEFT JOIN stats s USING (event_type)"""
+        .stripMargin.replace("\n", " "),
+    "q164_windowed_stats" ->
+      """WITH w AS (SELECT event_type,
+        |  (epoch_us(ts) // 3600000000) * 3600000000 AS start_us, value
+        | FROM events)
+        |SELECT event_type, start_us, start_us + 3600000000 AS end_us,
+        | round(avg(value), 4) AS mean, round(stddev_samp(value), 4) AS std,
+        | count(value) AS cnt
+        |FROM w GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     "q119_cms_estimate" -> cmsOracle,
     // lossless sum-merge: the merged sketch IS the direct sketch
     "q120_cms_merge" -> cmsOracle,

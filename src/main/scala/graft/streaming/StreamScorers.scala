@@ -611,7 +611,11 @@ object StreamScorers {
               .map(ls => -math.log(bc.value.getOrElse((ls, e.state), 1e-12)))
             val win = (nll.toList ::: buf.window).take(window)
             buf = MarkovBuf(e.state, win)
-            val score = if (win.size == window) win.sum / window else Double.NaN
+            // sum oldest→newest (the list is newest-first): the same
+            // ascending-frame order a batch window avg uses, so the
+            // 4dp-rounded score is replayable by a window-function oracle
+            val score =
+              if (win.size == window) win.reverse.sum / window else Double.NaN
             val tag =
               if (score.isNaN) "I" else if (score > threshold) "O" else "N"
             SeqScore(e.entity, e.seq, e.state, score, tag)
