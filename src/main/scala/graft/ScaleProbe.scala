@@ -92,6 +92,33 @@ object ScaleProbe {
         text.TextOps.packGreedy(ch, "source", "doc_id", "chunkIdx", "nTok", 128)
           .count()
       }
+      // staged (five tokenize passes) vs fused (one) curation — the
+      // q103/q161 pair; the gap should WIDEN with scale since the fused
+      // pass amortizes extraction while the staged one re-pays it 5×
+      time("curation_staged", n, nDocs) {
+        val q = text.TextOps.qualityScore(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality"))
+        val l = text.TextOps.langId(docs, "doc_id", "text")
+          .select(col("doc_id"), col("predLang"))
+        val cand = text.TextOps.minhashPairs(docs, "doc_id", "text", 3, 16, 4)
+        val surv = text.TextOps.dedupSurvivors(
+          text.TextOps.dupClusters(docs, "doc_id", cand)).select(col("doc_id"))
+        val lm = text.TextOps.lmScore(docs, "doc_id", "text")
+          .select(col("doc_id"), col("avgNll"))
+        val kept = docs.select(col("doc_id"), col("source"))
+          .join(q, "doc_id").join(l, "doc_id").join(surv, "doc_id")
+          .join(lm, "doc_id")
+          .where(col("quality") >= 0.5 && col("predLang") === "en" &&
+            col("avgNll") <= 3.45)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+        kept.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 12).count()
+      }
+      time("curation_fused", n, nDocs) {
+        text.TextOps.curationQuotaFused(docs, "doc_id", "source", "text",
+          shingleSize = 3, numHashes = 16, bandSize = 4).count()
+      }
       // ANN family (q59/q61/q97 shapes): fixed 20-query batch against the
       // n×-scaled corpus — brute force is the linear baseline; IVF probes
       // 2 of 8 cells; PQ splits one-time index build from the ADC search

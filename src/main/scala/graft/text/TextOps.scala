@@ -103,7 +103,15 @@ object TextOps {
   }
 
   /** Distinct word n-gram shingles per document: (id, shingle). */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shinglesAll(docs, idCol, textCol, n).distinct()
+
+  /** [[shingles]] WITHOUT the distinct — one explode, zero exchanges.
+    * For consumers that dedup downstream on something cheaper than the
+    * gram string (KMV dedups on the 8-byte hash), the distinct here would
+    * be a redundant corpus-sized exchange of (id, string) pairs. */
+  def shinglesAll(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     // materialize the token array once — element_at inside the lambda would
     // otherwise re-run the regex tokenizer per shingle element
     val withT = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
@@ -113,7 +121,7 @@ object TextOps {
         sequence(lit(0), size(t) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
       .otherwise(array())
-    withT.select(col(idCol), explode(grams).as("shingle")).distinct()
+    withT.select(col(idCol), explode(grams).as("shingle"))
   }
 
   /** MinHash signature: numHashes minima of affine permutations of the
@@ -1539,7 +1547,11 @@ object TextOps {
   def sourceOverlapSketch(docs: DataFrame, groupCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val grams = shingles(
+    // no gram-string distinct: kmvSketch dedups on the 56-bit hash, so a
+    // string-level distinct first would add a corpus-sized exchange of
+    // (grp, gram) pairs for nothing (hash collisions collapse identically
+    // either way — and identically in the oracle, which replays hashes)
+    val grams = shinglesAll(
       docs.select(col(groupCol).cast("string").as("grp"), col(textCol)),
       "grp", textCol, n)
     val sk = graft.model.Fitters.kmvSketch(grams, Seq("grp"), "shingle", k)
