@@ -119,4 +119,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextOps.sourceOverlap(noDocs, "source", "text", 3).count() == 0)
     assert(TextOps.sourceSignature(noDocs, "source", "text", 5, 1).count() == 0)
   }
+
+  test("fused curation on empty / degenerate corpora: defined, never throws") {
+    // empty corpus: vocab fit, LSH, LM and the quota window all see zero
+    // rows; the eager vocab action must not blow up on the empty agg
+    val noDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(TextOps.curationQuotaFused(noDocs, "doc_id", "source", "text")
+      .count() == 0)
+    // single-token docs: below the shingle size (empty minhash signature,
+    // no LSH bands) and below the bigram order (no LM grams → avgNll 0.0);
+    // every doc is its own dedup survivor, so the quota gate decides alone
+    val tiny = Seq((1L, "the", "s"), (2L, "the", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.curationQuotaFused(tiny, "doc_id", "source", "text",
+      minQuality = 0.0, maxNll = 10.0).collect()
+    assert(out.length == 2, s"both sub-shingle docs must survive: ${out.toSeq}")
+    assert(out.forall(_.getAs[Double]("avgNll") == 0.0))
+  }
 }
