@@ -25,6 +25,11 @@ object TextQueries {
       TextOps.exactDedup(docs(s, dir), "doc_id", "text")),
     "q50_token_count" -> ((s, dir) =>
       TextOps.tokenCount(docs(s, dir), "doc_id", "text")),
+    // BPE-ish pre-tokenizer segment count (the brief's "whitespace + a
+    // BPE-ish regex" pair with q50's heuristic) — same regex replays in
+    // the oracle's RE2
+    "q165_bpe_tokens" -> ((s, dir) =>
+      TextOps.bpeTokenCount(docs(s, dir), "doc_id", "text")),
     "q51_quality" -> ((s, dir) =>
       canon(TextOps.qualityScore(docs(s, dir), "doc_id", "text"))),
     "q52_langid" -> ((s, dir) =>
@@ -748,6 +753,12 @@ object TextQueries {
       s"""SELECT doc_id, len($toks)::BIGINT AS nWords,
          | ceil(length(text)/4.0)::BIGINT AS nSubTokens FROM documents"""
         .stripMargin.replace("\n", " "),
+    // same pre-tokenizer regex, RE2 side
+    "q165_bpe_tokens" ->
+      s"""SELECT doc_id, len($toks)::BIGINT AS nWords,
+         | len(regexp_extract_all(text,
+         |   ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))::BIGINT
+         |   AS nBpeTokens FROM documents""".stripMargin.replace("\n", " "),
     // hash-derived stratified sampling: u = 56-bit md5 prefix / 2^56,
     // keep iff u < per-source quota (exact integer-ratio doubles — no
     // float divergence possible between engines)

@@ -1220,6 +1220,27 @@ object TextOps {
     docs.select(col(idCol), words.cast("long").as("nWords"), sub.as("nSubTokens"))
   }
 
+  /** GPT-2-style pre-tokenizer pattern (Radford et al. 2019, the public
+    * BPE pre-tokenization regex), reduced to the subset both Java regex
+    * and RE2 (the oracle engine) implement identically: optional-space
+    * letter runs, digit runs, symbol runs, residual whitespace. The
+    * contraction alternates and the trailing-space lookahead of the
+    * original need backtracking features RE2 lacks — dropping them only
+    * re-segments apostrophes, which a COUNT estimator tolerates. */
+  val bpePretokenPattern: String =
+    " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token counting: segments raw (case-preserved) text with the
+    * pre-tokenizer regex — the budget estimate training pipelines use
+    * when the real tokenizer is too slow to run corpus-wide. A pure
+    * per-row projection: zero shuffles, codegen'd regex. Output:
+    * idCol, nWords (whitespace tokens), nBpeTokens (pre-token segments). */
+  def bpeTokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("nWords"),
+      size(regexp_extract_all(col(textCol), lit(bpePretokenPattern), lit(0)))
+        .cast("long").as("nBpeTokens"))
+
   /** Document fingerprint: md5 over the normalized token stream (stable
     * under whitespace/case noise), plus the minimum token-hash (winnowing
     * prototype selection). */

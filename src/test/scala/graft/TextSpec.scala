@@ -880,6 +880,23 @@ class TextSpec extends SparkSpec {
     assert(out(41L) > out(40L), s"outlier must outscore in-distribution: $out")
   }
 
+  test("bpe pre-tokenizer counts segment runs, not just whitespace") {
+    val d = Seq(
+      (1L, "Hello, world!"),          // Hello | , | _world | ! = 4
+      (2L, "I've got 42 apples."),    // I | ' | ve | _got | _42 | _apples | . = 7
+      (3L, "x=1+2"),                  // x | = | 1 | + | 2 = 5
+      (4L, "  spaced   out  ")        // _ | _spaced | _ | _ | _out | _ | _ = ws runs split
+    ).toDF("doc_id", "text")
+    val c = TextOps.bpeTokenCount(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(c(1L) == (2L, 4L))
+    assert(c(2L) == (4L, 7L))
+    assert(c(3L) == (1L, 5L))
+    // whitespace: " ?" prefixes consume one leading space per run; the
+    // residual \s+ matches what remains
+    assert(c(4L)._1 == 2L && c(4L)._2 >= 4L)
+  }
+
   test("fused curation pass is bit-identical to the staged composition") {
     // the q103/q161 parity pin at test scale: one extraction pass vs five
     // staged operators must agree on every kept row and every rounded value
