@@ -184,4 +184,59 @@ class PropertySpec extends SparkSpec {
         s"cms trial $trial")
     }
   }
+
+  test("property: fused curation equals staged on randomized corpora") {
+    import graft.text.TextOps
+    import org.apache.spark.sql.expressions.Window
+    // random corpora with duplicates, near-duplicates, short docs and
+    // mixed languages — fused and staged must agree row-for-row on every
+    // shape, not just the fixture corpus the oracle gates
+    val rng = new scala.util.Random(29)
+    val en = Seq("the", "and", "of", "to", "in", "is", "data", "spark",
+      "rows", "table", "query", "fast")
+    val de = Seq("der", "die", "und", "ist", "von", "den", "daten", "zeile")
+    for (trial <- 1 to 3) {
+      val nDocs = 30 + rng.nextInt(40)
+      val base = (0 until nDocs).map { i =>
+        val vocab = if (rng.nextBoolean()) en else de
+        val words = (0 until 3 + rng.nextInt(25))
+          .map(_ => vocab(rng.nextInt(vocab.size)))
+        (i.toLong, words.mkString(" "), s"src${rng.nextInt(3)}")
+      }
+      // inject exact + near duplicates
+      val dups = base.take(5).map { case (id, t, s) =>
+        (id + 1000L, if (rng.nextBoolean()) t else t + " extra", s)
+      }
+      val docs = (base ++ dups).toDF("doc_id", "text", "source")
+      def staged(): Set[Seq[Any]] = {
+        val q = TextOps.qualityScore(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality"))
+        val l = TextOps.langId(docs, "doc_id", "text")
+          .select(col("doc_id"), col("predLang"))
+        val cand = TextOps.minhashPairs(docs, "doc_id", "text", 3, 16, 4)
+        val surv = TextOps.dedupSurvivors(
+          TextOps.dupClusters(docs, "doc_id", cand)).select(col("doc_id"))
+        val lm = TextOps.lmScore(docs, "doc_id", "text")
+          .select(col("doc_id"), col("avgNll"))
+        val kept = docs.select(col("doc_id"), col("source"))
+          .join(q, "doc_id").join(l, "doc_id").join(surv, "doc_id")
+          .join(lm, "doc_id")
+          .where(col("quality") >= 0.3 && col("predLang") === "en" &&
+            col("avgNll") <= 5.0)
+        val w = Window.partitionBy("source")
+          .orderBy(col("quality").desc, col("doc_id"))
+        kept.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 4)
+          .select("doc_id", "source", "quality", "avgNll", "rank")
+          .collect().map(_.toSeq).toSet
+      }
+      val fused = TextOps.curationQuotaFused(docs, "doc_id", "source",
+        "text", minQuality = 0.3, maxNll = 5.0, quota = 4)
+        .collect().map(_.toSeq).toSet
+      val st = staged()
+      assert(st.nonEmpty, s"trial $trial produced an empty staged keep-set")
+      assert(fused == st,
+        s"trial $trial diff: ${(fused -- st) ++ (st -- fused)}")
+    }
+  }
 }
