@@ -280,4 +280,34 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) == (Some(9), None))
     assert(out(3L) == (None, None))
   }
+
+  test("partitioned layout: slice reads prune partitions and push down stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val ev = core.table(spark, sfDir, "events")
+      .select("event_type", "event_id", "user_id", "value")
+    Sources.writePartitioned(ev, dir, Seq("event_type"), Seq("event_id"))
+    // one file per partition directory — the small-files guard
+    val typeDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("event_type="))
+    assert(typeDirs.nonEmpty)
+    typeDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${d.getName}: ${parts.length} files")
+    }
+    // a slice read must PRUNE to the one directory (PartitionFilters) and
+    // push the sort-key range into the scan (PushedFilters) — the two
+    // things the layout exists for
+    val firstType = typeDirs.head.getName.stripPrefix("event_type=")
+    val back = spark.read.parquet(dir)
+      .where(col("event_type") === firstType && col("event_id") < 100000L)
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains(s"PartitionFilters: [isnotnull(event_type"),
+      s"partition filter missing:\n$scan")
+    assert(scan.contains("PushedFilters: [IsNotNull(event_id), LessThan(event_id,100000)"),
+      s"pushed range filter missing:\n$scan")
+    // and the layout returns exactly what a direct filter of the source does
+    val expect = ev.where(col("event_type") === firstType &&
+      col("event_id") < 100000L).count()
+    assert(back.count() == expect)
+  }
 }
