@@ -452,7 +452,11 @@ object Fitters {
       .withColumn("fromState", lag(col(stateCol), 1).over(w))
       .withColumnRenamed(stateCol, "toState")
       .where(col("fromState").isNotNull)
+    // the alphabet is tiny but derives from a corpus-wide distinct, and
+    // the plan below reads it three times (count action + both sides of
+    // the dense grid) — persist so the corpus is scanned once for it
     val states = df.select(col(stateCol).as("s")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nStates = states.count() // tiny cardinality; model fit is offline
     val counts = pairs.groupBy((modelKeyCols ++ Seq("fromState", "toState")).map(col): _*)
       .count().withColumnRenamed("count", "cnt")
@@ -513,8 +517,14 @@ object Fitters {
     * the same formula as [[markovTransitions]], so a merge-then-normalize
     * equals a from-scratch refit wherever every state occurs in some
     * transition. Output: keyCols..., fromState, toState, prob. */
-  def markovProbs(counts: DataFrame, smoothing: Double,
+  def markovProbs(counts0: DataFrame, smoothing: Double,
       keyCols: Seq[String] = Nil): DataFrame = {
+    // the counts model is model-sized (≤|states|²·|keys| rows) but its
+    // LINEAGE is corpus-sized (per-slice window fits + merge), and it is
+    // read three times below (both state-alphabet columns, the grid
+    // join) — persist so the corpus pipeline runs once; the nStates
+    // action doubles as the materialization point
+    val counts = counts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val states = counts.select(col("fromState").as("s"))
       .union(counts.select(col("toState").as("s"))).distinct()
     val nStates = states.count() // model-sized: |states| is tiny
