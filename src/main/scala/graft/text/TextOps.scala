@@ -704,8 +704,13 @@ object TextOps {
   def lmFit(corpus: DataFrame, idCol: String, textCol: String,
       n: Int = 2): LmModel = {
     require(n >= 2, s"LM order $n must be >= 2")
+    // gram-type-sized model, corpus-sized lineage (tokenize + explode +
+    // agg), and scoring reads it twice (the per-gram join + the cCtx
+    // roll-up) — persist so the corpus pipeline runs once; the eager
+    // vocab scan below leaves lazy materialization to the first score
     val cGram = lmGrams(corpus, idCol, textCol, n)
       .groupBy("ctx", "w").agg(count(lit(1)).as("cGram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cCtx = cGram.groupBy("ctx").agg(sum("cGram").as("cCtx"))
     val vocab = corpus.select(explode(tokens(col(textCol))).as("tok"))
       .agg(countDistinct("tok")).head().getLong(0)
