@@ -82,7 +82,14 @@ object TextOps {
   def incrementalIngest(oldDocs: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 3,
       numHashes: Int = 16, bandSize: Int = 4, minWords: Int = 50): DataFrame = {
+    // the diff verdict is id-sized but its lineage hashes BOTH corpora
+    // (old included) and it feeds every downstream branch (fresh ×3,
+    // retained ×1) — persist it so the old-corpus hash pass runs once.
+    // `fresh` itself stays lazy: it carries text, and re-deriving it is
+    // one broadcast join against the cached ids (measured cheaper at
+    // sf0.1 than caching the text column).
     val diff = corpusDiff(oldDocs, newDocs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fresh = newDocs.join(
       diff.where(col("status").isin("added", "changed")), Seq(idCol))
     val retained = newDocs.join(
