@@ -235,6 +235,27 @@ object ConfigRunner {
     def threshold: Double = conf.getOrElse("score.threshold", "3.0").toDouble
     jobType match {
       case "statsBasedOutlierPredictor" => run(spark, data, conf)
+      // the and.conf FIT stage (chombo NumericalAttrStats block,
+      // resource/and.conf:1-15): seasonal.analysis=true extends the model
+      // key with (cycleType, cycleIndex) from time.fieldOrdinal, one
+      // model slice per configured cycle type — the model the seasonal
+      // predictor then consumes. time.inMili picks the reference's
+      // seconds/millis units; time.unit=nanos covers this engine's
+      // normalized epoch-nanos columns.
+      case "numericalAttrStats" =>
+        if (conf.getOrElse("seasonal.analysis", "false").toBoolean) {
+          val tsCol = data.columns(conf("time.fieldOrdinal").toInt)
+          val unit = conf.getOrElse("time.unit",
+            if (conf.getOrElse("time.inMili", "false").toBoolean) "millis"
+            else "sec")
+          val cycles = conf("seasonal.cycleType").split(",")
+            .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+          cycles.map { ct =>
+            Fitters.stats(
+              graft.core.Seasonal.withCycle(data, tsCol, ct, unit),
+              keyCols ++ Seq("cycleType", "cycleIndex"), attrCols)
+          }.reduce(_ unionByName _)
+        } else Fitters.stats(data, keyCols, attrCols)
       case "markovChainPredictor" => runSequence(spark, data, conf, model)
       case "clusterBasedPredictor" =>
         graft.multi.ClusterScore.cblofDeterministic(data, attrCols, keyCols,

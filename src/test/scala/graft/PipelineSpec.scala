@@ -281,6 +281,36 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == (None, None))
   }
 
+  test("numericalAttrStats job: seasonal fit extends the key per and.conf") {
+    val ev = core.table(spark, sfDir, "events")
+      .select("event_type", "ts", "value") // ordinals: 0=key, 1=time, 2=attr
+    val conf = ConfigRunner.fromProperties(
+      """id.fieldOrdinals=[0]
+        |attr.ordinals=[2]
+        |seasonal.analysis=true
+        |seasonal.cycleType=["weekDayOrWeekendOfWeek"]
+        |time.fieldOrdinal=1
+        |time.unit=nanos""".stripMargin)
+    val model = ConfigRunner.runJob(spark, ev, "numericalAttrStats", conf)
+    val rows = model.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("cycleType") == "weekDayOrWeekendOfWeek"))
+    assert(rows.map(_.getAs[Long]("cycleIndex")).toSet.subsetOf(Set(0L, 1L)))
+    // the seasonal slice stats must equal a direct fit of that slice
+    val direct = graft.model.Fitters.stats(
+      core.Seasonal.withCycle(ev, "ts", "weekDayOrWeekendOfWeek", "nanos")
+        .where(col("cycleIndex") === 0L),
+      Seq("event_type", "cycleType", "cycleIndex"), Seq("value"))
+      .collect().map(_.toSeq).toSet
+    assert(rows.filter(_.getAs[Long]("cycleIndex") == 0L)
+      .map(_.toSeq).toSet == direct)
+    // without the flag: plain keyed stats, no cycle columns
+    val plain = ConfigRunner.runJob(spark, ev, "numericalAttrStats",
+      ConfigRunner.fromProperties("id.fieldOrdinals=[0]\nattr.ordinals=[2]"))
+    assert(!plain.columns.contains("cycleIndex"))
+    assert(plain.count() > 0)
+  }
+
   test("partitioned layout: slice reads prune partitions and push down stats") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val ev = core.table(spark, sfDir, "events")
