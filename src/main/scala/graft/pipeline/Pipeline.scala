@@ -113,11 +113,25 @@ object ConfigRunner {
 
   /** Run one scoring job described by a reference-style config. Supported
     * `predictor.model` values mirror StatsBasedOutlierPredictor.scala:48-56. */
-  def run(spark: SparkSession, data: DataFrame, conf: Map[String, String]): DataFrame = {
+  def run(spark: SparkSession, data0: DataFrame, conf: Map[String, String]): DataFrame = {
     def ints(p: String): Seq[Int] =
       conf(p).split(",").map(_.trim.toInt).toSeq
-    val keyCols = columnsByOrdinal(data, ints("id.fieldOrdinals"))
-    val attrCols = columnsByOrdinal(data, ints("attr.ordinals"))
+    val keyCols0 = columnsByOrdinal(data0, ints("id.fieldOrdinals"))
+    val attrCols = columnsByOrdinal(data0, ints("attr.ordinals"))
+    // seasonal predictor (StatsBasedOutlierPredictor.scala:209-246): the
+    // same (cycleType, cycleIndex) key extension the numericalAttrStats
+    // fit applied — each record scores against its own regime's model
+    val (data, keyCols) =
+      if (conf.getOrElse("seasonal.analysis", "false").toBoolean) {
+        val tsCol = data0.columns(conf("time.fieldOrdinal").toInt)
+        val unit = conf.getOrElse("time.unit",
+          if (conf.getOrElse("time.inMili", "false").toBoolean) "millis"
+          else "sec")
+        val ct = conf("seasonal.cycleType").split(",").head
+          .trim.stripPrefix("\"").stripSuffix("\"")
+        (graft.core.Seasonal.withCycle(data0, tsCol, ct, unit),
+          keyCols0 ++ Seq("cycleType", "cycleIndex"))
+      } else (data0, keyCols0)
     val cfg = Cfg(
       keyCols, attrCols,
       weights = conf.get("attr.weights")

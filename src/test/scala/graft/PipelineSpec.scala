@@ -2,6 +2,8 @@ package graft
 
 import graft.drift.Drift
 import graft.pipeline.{ConfigRunner, Pipeline}
+import graft.score.Scorers
+import graft.score.Scorers.Cfg
 import graft.sources.Sources
 import org.apache.spark.sql.functions._
 
@@ -309,6 +311,20 @@ class PipelineSpec extends SparkSpec {
       ConfigRunner.fromProperties("id.fieldOrdinals=[0]\nattr.ordinals=[2]"))
     assert(!plain.columns.contains("cycleIndex"))
     assert(plain.count() > 0)
+    // and the PREDICTOR side of and.conf: the same seasonal key extension
+    // at scoring time — each record scores against its regime's model,
+    // equal to a manual per-cycle zscore
+    val scored = ConfigRunner.run(spark, ev,
+      conf ++ Map("predictor.model" -> "zscore", "score.threshold" -> "2.0"))
+    val manual = Scorers.zscore(
+      core.Seasonal.withCycle(ev, "ts", "weekDayOrWeekendOfWeek", "nanos"),
+      graft.model.Fitters.stats(
+        core.Seasonal.withCycle(ev, "ts", "weekDayOrWeekendOfWeek", "nanos"),
+        Seq("event_type", "cycleType", "cycleIndex"), Seq("value")),
+      Cfg(Seq("event_type", "cycleType", "cycleIndex"), Seq("value"),
+        threshold = 2.0))
+    assert(scored.select("score").collect().map(_.getDouble(0)).sorted.toSeq ==
+      manual.select("score").collect().map(_.getDouble(0)).sorted.toSeq)
   }
 
   test("partitioned layout: slice reads prune partitions and push down stats") {
