@@ -138,4 +138,35 @@ class ExprSpec extends SparkSpec {
       graft.sim.Similarity.cosineFast(spark, $"va", $"vb").as("fast"))
     assert(cmp.where($"slow" =!= $"fast").count() == 0)
   }
+
+  test("spark.sql.extensions deployment path registers the native functions") {
+    import org.apache.spark.sql.SparkSession
+    // a session built with GraftExtensions (the spark-submit deployment
+    // path --conf spark.sql.extensions=graft.expr.GraftExtensions runs
+    // the same class; the static conf itself only binds on a FRESH
+    // SparkContext, which a shared test JVM cannot make, so the spec
+    // drives the builder's withExtensions face of the identical hook)
+    // must expose the functions to PLAIN SQL with no register() call.
+    val orig = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.expr.GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne orig, "builder must have created a fresh session")
+      val r = s2.sql(
+        """SELECT minhash_sig(array('a','b','c','d'), 3, 4) AS sig,
+          |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |  bit_hamming(5L, 6L) AS h""".stripMargin).head()
+      assert(r.getSeq[Long](0).size == 4)
+      assert(r.getAs[Double]("d") == 11.0)
+      assert(r.getAs[Long]("h") == 2L) // 101 vs 110
+    } finally {
+      // do NOT stop s2 — it shares the spec suite's SparkContext
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
 }
