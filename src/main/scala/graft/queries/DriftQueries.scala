@@ -39,6 +39,23 @@ object DriftQueries {
         graft.score.Scorers.Cfg(keys, Seq("value"), threshold = 2.5))
         .select("event_id", "event_type", "cycleIndex", "value", "score", "tag"))
     }),
+    // q69's flow driven ENTIRELY through the reference-property config
+    // runner (and.conf vocabulary incl. the seasonal block) — gates the
+    // dispatch layer itself, not just the operators it calls; shares
+    // q69's oracle because the dispatch must reproduce it exactly
+    "q166_config_seasonal" -> ((s, dir) => {
+      val conf = graft.pipeline.ConfigRunner.fromProperties(
+        """predictor.model=zscore
+          |id.fieldOrdinals=[3]
+          |attr.ordinals=[4]
+          |seasonal.analysis=true
+          |seasonal.cycleType=["hourOfDay"]
+          |time.fieldOrdinal=1
+          |time.unit=nanos
+          |score.threshold=2.5""".stripMargin)
+      canon(graft.pipeline.ConfigRunner.run(s, table(s, dir, "events"), conf)
+        .select("event_id", "event_type", "cycleIndex", "value", "score", "tag"))
+    }),
     "q70_drift_lfr" -> ((s, dir) => {
       val labeled = StatQueries.zscored(s, dir)
         .withColumn("label", col("value") > 100.0)
@@ -220,6 +237,19 @@ object DriftQueries {
       | round(pi, 4) AS phInc, round(pd, 4) AS phDec,
       | (rn >= 30 AND (pi > 50.0 OR pd > 50.0)) AS drift
       |FROM p""".stripMargin.replace("\n", " ")
+
+    private lazy val seasonalZscoreOracle: String =
+    """WITH c AS (SELECT *,
+      |  ((epoch_ns(ts) // 1000000000) // 3600) % 24 AS cycleIndex
+      | FROM events),
+      |st AS (SELECT event_type, cycleIndex, avg(value) AS mean,
+      |  stddev_samp(value) AS std
+      | FROM c GROUP BY 1, 2)
+      |SELECT e.event_id, e.event_type, e.cycleIndex, round(e.value,4) AS value,
+      | round(abs(e.value - s.mean)/s.std, 4) AS score,
+      | CASE WHEN abs(e.value - s.mean)/s.std > 2.5 THEN 'O' ELSE 'N' END AS tag
+      |FROM c e JOIN st s USING (event_type, cycleIndex)"""
+      .stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
     // CUSUM closed form: g = A − min(0, running-min A); baseline rounded
@@ -426,18 +456,9 @@ object DriftQueries {
          |  WHEN p2s / maxP2s < 0.95 THEN 'warn'
          |  ELSE 'stable' END AS level
          |FROM mx""".stripMargin.replace("\n", " "),
-    "q69_seasonal_zscore" ->
-      """WITH c AS (SELECT *,
-        |  ((epoch_ns(ts) // 1000000000) // 3600) % 24 AS cycleIndex
-        | FROM events),
-        |st AS (SELECT event_type, cycleIndex, avg(value) AS mean,
-        |  stddev_samp(value) AS std
-        | FROM c GROUP BY 1, 2)
-        |SELECT e.event_id, e.event_type, e.cycleIndex, round(e.value,4) AS value,
-        | round(abs(e.value - s.mean)/s.std, 4) AS score,
-        | CASE WHEN abs(e.value - s.mean)/s.std > 2.5 THEN 'O' ELSE 'N' END AS tag
-        |FROM c e JOIN st s USING (event_type, cycleIndex)"""
-        .stripMargin.replace("\n", " "),
+    "q69_seasonal_zscore" -> seasonalZscoreOracle,
+    // the config-runner face must reproduce q69 bit-for-bit
+    "q166_config_seasonal" -> seasonalZscoreOracle,
     "q64_drift_ddm" ->
       s"""WITH $ddmCte
          |SELECT event_type, event_id, err, i, round(p,4) AS p, round(s,4) AS s,
