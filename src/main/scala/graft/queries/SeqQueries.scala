@@ -90,6 +90,37 @@ object SeqQueries {
     "q95_changepoint_scaled" -> ((s, dir) =>
       canon(graft.seq.HaloWindows.changePointMeanShift(ev(s, dir),
         Seq("event_type"), "event_id", "value", window = 30, critValue = 3.0))),
+    // the change-point job driven through the reference property
+    // vocabulary (runJob "changePointDetector"): the auto-crossover
+    // dispatch (Pipeline.changePoint) emits the canonical key/seq shape
+    // and must reproduce q95's oracle bit-for-bit on either kernel
+    "q168_config_changepoint" -> ((s, dir) => {
+      val conf = graft.pipeline.ConfigRunner.fromProperties(
+        """id.fieldOrdinals=[3]
+          |attr.ordinals=[4]
+          |seq.fieldOrd=0
+          |window.size=30
+          |stat.type=meanShift
+          |stat.critValue=3.0""".stripMargin)
+      canon(graft.pipeline.ConfigRunner.runJob(s, ev(s, dir),
+        "changePointDetector", conf))
+    }),
+    // the markov scoring job through the same property surface
+    // (runJob "markovChainPredictor" → runSequence), sharing q13's oracle
+    "q167_config_markov" -> ((s, dir) => {
+      val conf = graft.pipeline.ConfigRunner.fromProperties(
+        """predictor.model=markovChainProb
+          |id.fieldOrdinals=[2]
+          |seq.fieldOrd=0
+          |state.fieldOrd=3
+          |window.size=5
+          |markov.metric=condProb
+          |laplace.smoothing=1.0
+          |score.threshold=1.5""".stripMargin)
+      canon(graft.pipeline.ConfigRunner.runJob(s, ev(s, dir),
+        "markovChainPredictor", conf)
+        .select("user_id", "event_id", "score", "tag"))
+    }),
     // same segmentation and oracle shape as q20, computed by the
     // halo-exchange kernel (sparse shifted rows + island stitch)
     "q96_levelshift_scaled" -> ((s, dir) =>
@@ -328,6 +359,37 @@ object SeqQueries {
       |     ELSE 0.0::DOUBLE END AS std
       |   FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1)))"""
       .stripMargin.replace("\n", " ")
+
+  private lazy val markovChainOracle: String =
+      s"""WITH $mkProbs,
+         |scored AS (SELECT t.user_id, t.event_id,
+         |  CASE WHEN count(p.prob) OVER w5 = 5 THEN avg(-ln(p.prob)) OVER w5 END AS score
+         | FROM trans t LEFT JOIN probs p
+         |   ON t.fromState = p.fromState AND t.toState = p.toState
+         | WINDOW w5 AS (PARTITION BY t.user_id ORDER BY t.event_id
+         |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, event_id, round(score,4) AS score,
+         | CASE WHEN score IS NULL THEN 'I'
+         |  WHEN max(CASE WHEN score > 1.5 THEN 1 ELSE 0 END) OVER
+         |   (PARTITION BY user_id ORDER BY event_id
+         |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) = 1 THEN 'O'
+         |  ELSE 'N' END AS tag
+         |FROM scored""".stripMargin.replace("\n", " ")
+
+  private lazy val changePointScaledOracle: String =
+      """WITH s AS (SELECT event_type, event_id, value,
+        |  count(value) OVER lw AS cnt_l, count(value) OVER rw AS cnt_r,
+        |  abs(avg(value) OVER rw - avg(value) OVER lw) /
+        |   sqrt(var_samp(value) OVER lw / 30.0 + var_samp(value) OVER rw / 30.0) AS stat
+        | FROM events WHERE value IS NOT NULL
+        | WINDOW lw AS (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING),
+        |  rw AS (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN CURRENT ROW AND 29 FOLLOWING))
+        |SELECT event_type::VARCHAR AS key, event_id AS seq, round(value,4) AS value,
+        | round(stat,4) AS stat
+        |FROM s WHERE cnt_l = 30 AND cnt_r = 30 AND stat >= 3.0"""
+        .stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
     // Spectral-residue saliency replayed as a naive O(w²) DFT per
@@ -641,21 +703,9 @@ object SeqQueries {
         |   ON g.fromState = m.fromState AND g.toState = m.toState)
         |SELECT fromState, toState, round(prob,4) AS prob FROM probs"""
         .stripMargin.replace("\n", " "),
-    "q13_markov_chain" ->
-      s"""WITH $mkProbs,
-         |scored AS (SELECT t.user_id, t.event_id,
-         |  CASE WHEN count(p.prob) OVER w5 = 5 THEN avg(-ln(p.prob)) OVER w5 END AS score
-         | FROM trans t LEFT JOIN probs p
-         |   ON t.fromState = p.fromState AND t.toState = p.toState
-         | WINDOW w5 AS (PARTITION BY t.user_id ORDER BY t.event_id
-         |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
-         |SELECT user_id, event_id, round(score,4) AS score,
-         | CASE WHEN score IS NULL THEN 'I'
-         |  WHEN max(CASE WHEN score > 1.5 THEN 1 ELSE 0 END) OVER
-         |   (PARTITION BY user_id ORDER BY event_id
-         |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) = 1 THEN 'O'
-         |  ELSE 'N' END AS tag
-         |FROM scored""".stripMargin.replace("\n", " "),
+    "q13_markov_chain" -> markovChainOracle,
+    // the config-runner face of the markov job shares it
+    "q167_config_markov" -> markovChainOracle,
     "q14_markov_missrate" ->
       s"""WITH $mkProbs,
          |probx AS (SELECT *, max(prob) OVER (PARTITION BY fromState) AS mxp FROM probs),
@@ -749,20 +799,9 @@ object SeqQueries {
         |SELECT event_type, event_id, round(value,4) AS value, round(stat,4) AS stat
         |FROM s WHERE cnt_l = 30 AND cnt_r = 30 AND stat >= 3.0"""
         .stripMargin.replace("\n", " "),
-    "q95_changepoint_scaled" ->
-      """WITH s AS (SELECT event_type, event_id, value,
-        |  count(value) OVER lw AS cnt_l, count(value) OVER rw AS cnt_r,
-        |  abs(avg(value) OVER rw - avg(value) OVER lw) /
-        |   sqrt(var_samp(value) OVER lw / 30.0 + var_samp(value) OVER rw / 30.0) AS stat
-        | FROM events WHERE value IS NOT NULL
-        | WINDOW lw AS (PARTITION BY event_type ORDER BY event_id
-        |   ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING),
-        |  rw AS (PARTITION BY event_type ORDER BY event_id
-        |   ROWS BETWEEN CURRENT ROW AND 29 FOLLOWING))
-        |SELECT event_type::VARCHAR AS key, event_id AS seq, round(value,4) AS value,
-        | round(stat,4) AS stat
-        |FROM s WHERE cnt_l = 30 AND cnt_r = 30 AND stat >= 3.0"""
-        .stripMargin.replace("\n", " "),
+    "q95_changepoint_scaled" -> changePointScaledOracle,
+    // the config-runner face of the change-point job shares it
+    "q168_config_changepoint" -> changePointScaledOracle,
     "q19_one_step_ahead" ->
       """WITH p AS (SELECT user_id, event_id, value,
         |  CASE WHEN count(value) OVER pw = 10 THEN avg(value) OVER pw END AS predicted
