@@ -1160,12 +1160,17 @@ object TextOps {
       textCol: String, nBuckets: Int = 512,
       smoothing: Double = 1.0): DataFrame = {
     val k = smoothing
-    def bucketCounts(df: DataFrame): Map[Long, Long] =
-      hashedGrams(df, idCol, textCol, nBuckets)
-        .groupBy("b").agg(count(lit(1)).as("c"))
+    // raw's hashed-gram pairs feed BOTH the bucket-count fit (an eager
+    // collect) and the per-doc scoring pass — persist them so the raw
+    // corpus is tokenized+hashed once, not twice; the fit collect
+    // doubles as the materialization point
+    val rawGrams = hashedGrams(raw, idCol, textCol, nBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bucketCounts(g: DataFrame): Map[Long, Long] =
+      g.groupBy("b").agg(count(lit(1)).as("c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val ctM = bucketCounts(target)
-    val crM = bucketCounts(raw)
+    val ctM = bucketCounts(hashedGrams(target, idCol, textCol, nBuckets))
+    val crM = bucketCounts(rawGrams)
     val nt = ctM.valuesIterator.sum
     val nr = crM.valuesIterator.sum
     // every bucket a raw doc touches exists in crM, so its keys cover
@@ -1175,7 +1180,7 @@ object TextOps {
       b -> (math.log((ctM.getOrElse(b, 0L) + k) / (nt + k * nBuckets)) -
         math.log((cr + k) / (nr + k * nBuckets)))
     }
-    val scored = hashedGrams(raw, idCol, textCol, nBuckets)
+    val scored = rawGrams
       .select(col(idCol), element_at(typedlit(lrM), col("b")).as("lr"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("nFeats"), sum("lr").as("logw"))
