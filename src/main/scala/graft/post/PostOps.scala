@@ -75,14 +75,17 @@ object PostOps {
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
       .withColumn("idx", greatest(lit(2L), floor(col("n") * topFrac)))
-    val found = ranked
-      .where(col("n") >= minCount && col("rn") >= col("idx") - 1 && col("rn") <= col("idx") + 1)
+    // one pass, not a found/fallback union of two filters over the same
+    // ranked frame (which executed the upstream scoring pipeline twice):
+    // small keys keep every row and take the default, qualifying keys
+    // keep only the idx±1 neighborhood whose mean is the threshold
+    ranked
+      .where(col("n") < minCount ||
+        (col("rn") >= col("idx") - 1 && col("rn") <= col("idx") + 1))
       .groupBy(keyCols.map(col): _*)
-      .agg(first("n").as("n"), avg("score").as("threshold"))
-    val fallback = ranked.where(col("n") < minCount)
-      .groupBy(keyCols.map(col): _*)
-      .agg(first("n").as("n"), lit(defaultThreshold).as("threshold"))
-    found.unionByName(fallback)
+      .agg(first("n").as("n"),
+        when(first("n") >= minCount, avg("score"))
+          .otherwise(lit(defaultThreshold)).as("threshold"))
   }
 
   /** Decision-stump threshold learner (common/ThresholdLearner.scala:33-159):
