@@ -62,8 +62,12 @@ object MultiQueries {
       canon(Proximity.lofFromKnn(nn5(s, dir), k = 5))),
     "q72_perkey_threshold_tag" -> ((s, dir) => {
       // per-key threshold override path (OutlierUtility.scala:101-124):
-      // learn a threshold per key via pseudo-relevance, retag scores with it
+      // learn a threshold per key via pseudo-relevance, retag scores with
+      // it. The scored frame feeds both the threshold fit and the retag —
+      // persist so the fit+score pipeline runs once (at scale this is the
+      // checkpoint-the-scores-then-calibrate layout).
       val scored = StatQueries.zscored(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val thr = PostOps.pseudoRelevanceThreshold(scored, Seq("event_type"),
         topFrac = 0.05, minCount = 100L, defaultThreshold = 3.0)
         .select(col("event_type"), col("threshold"))
