@@ -799,8 +799,10 @@ object TextOps {
     // LSH bands straight from the signature array — same band buckets as
     // lshBuckets (minhash values in hashIdx order, ':'-joined) with zero
     // exchanges; docs shorter than the shingle produce an empty signature
-    // and no bands, matching minhash()'s no-rows contract
-    val nBands = numHashes / bandSize
+    // and no bands, matching minhash()'s no-rows contract. Ceil division
+    // + slice's end-truncation keep a non-dividing bandSize's PARTIAL
+    // last band, exactly as lshBuckets's hashIdx/bandSize grouping does.
+    val nBands = (numHashes + bandSize - 1) / bandSize
     val bands = feats.select(col(idCol), posexplode(
       when(size(col("_sig")) === numHashes,
         transform(sequence(lit(0), lit(nBands - 1)),

@@ -196,6 +196,10 @@ class PropertySpec extends SparkSpec {
       "rows", "table", "query", "fast")
     val de = Seq("der", "die", "und", "ist", "von", "den", "daten", "zeile")
     for (trial <- 1 to 3) {
+      // trial 3 uses a bandSize that does NOT divide numHashes — the
+      // fused band derivation must keep the partial last band exactly
+      // like lshBuckets's hashIdx/bandSize grouping
+      val bandSize = if (trial == 3) 5 else 4
       val nDocs = 30 + rng.nextInt(40)
       val base = (0 until nDocs).map { i =>
         val vocab = if (rng.nextBoolean()) en else de
@@ -213,7 +217,7 @@ class PropertySpec extends SparkSpec {
           .select(col("doc_id"), col("quality"))
         val l = TextOps.langId(docs, "doc_id", "text")
           .select(col("doc_id"), col("predLang"))
-        val cand = TextOps.minhashPairs(docs, "doc_id", "text", 3, 16, 4)
+        val cand = TextOps.minhashPairs(docs, "doc_id", "text", 3, 16, bandSize)
         val surv = TextOps.dedupSurvivors(
           TextOps.dupClusters(docs, "doc_id", cand)).select(col("doc_id"))
         val lm = TextOps.lmScore(docs, "doc_id", "text")
@@ -231,7 +235,8 @@ class PropertySpec extends SparkSpec {
           .collect().map(_.toSeq).toSet
       }
       val fused = TextOps.curationQuotaFused(docs, "doc_id", "source",
-        "text", minQuality = 0.3, maxNll = 5.0, quota = 4)
+        "text", bandSize = bandSize, minQuality = 0.3, maxNll = 5.0,
+        quota = 4)
         .collect().map(_.toSeq).toSet
       val st = staged()
       assert(st.nonEmpty, s"trial $trial produced an empty staged keep-set")
