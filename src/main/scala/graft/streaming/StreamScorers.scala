@@ -249,7 +249,9 @@ object StreamScorers {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.expr.GraftFunctions.register(spark)
-    val nBands = numHashes / bandSize
+    // ceil: a non-dividing bandSize keeps its partial last band (slice
+    // end-truncates), matching the batch lshBuckets grouping
+    val nBands = (numHashes + bandSize - 1) / bandSize
     val sig = docs.select(col(idCol).cast("long").as("id"),
       call_function("minhash_sig", graft.text.TextOps.tokens(col(textCol)),
         lit(shingleSize), lit(numHashes)).as("sig"))
