@@ -185,6 +185,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: query output invariant under shuffle-partition count") {
+    // the engine's determinism contract: a different partitioning must
+    // never change a 4dp-canonical result (order-sensitive double sums,
+    // hash-agg combine order, window tie-breaks are the usual leaks —
+    // q116's round-6 hash-fail was exactly this class). Exercise a
+    // representative slice: integer-sum sessionization, stats fit,
+    // native minhash, MG-prefiltered heavy hitters, model merge.
+    val names = Seq("q116_sessionize", "q01_stats_fit", "q54_minhash_sig",
+      "q111_heavy_grams", "q133_markov_merge")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(n: String): Set[Seq[Any]] =
+      SparkEntry.queries(n)(spark, sfDir).collect().map(_.toSeq).toSet
+    try {
+      val at3 = names.map { n =>
+        spark.conf.set("spark.sql.shuffle.partitions", "3"); n -> run(n)
+      }
+      val at17 = names.map { n =>
+        spark.conf.set("spark.sql.shuffle.partitions", "17"); n -> run(n)
+      }.toMap
+      at3.foreach { case (n, r3) =>
+        assert(r3.nonEmpty, s"$n empty at 3 partitions")
+        assert(r3 == at17(n), s"$n diverges across partitionings")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("property: fused curation equals staged on randomized corpora") {
     import graft.text.TextOps
     import org.apache.spark.sql.expressions.Window
