@@ -185,6 +185,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: cusum and page-hinkley stream twins match batch on random series") {
+    import graft.streaming.StreamScorers
+    import graft.streaming.StreamScorers.ValueEvent
+    // the bit-exact batch-parity claim, pinned beyond the fixed-series
+    // specs: random walks with random shift points and random micro-batch
+    // SPLITS (batch-executing flatMapGroupsWithState = one group call, so
+    // splits are exercised by randomizing series shape per entity instead)
+    val rng = new scala.util.Random(31)
+    for (trial <- 1 to 2) {
+      val series = (0 until 3).flatMap { e =>
+        var level = 10.0 + rng.nextDouble() * 5
+        val shiftAt = 120 + rng.nextInt(60)
+        (0 until 200).map { i =>
+          if (i == shiftAt) level += 1.0 + rng.nextDouble() * 2
+          (s"e$e", i.toLong, level + rng.nextGaussian() * 0.3)
+        }
+      }
+      val df = series.toDF("k", "seq", "value")
+      val evd = df.select(col("k").as("entity"), col("seq"),
+        col("value")).as[ValueEvent]
+      def key(r: (String, Long, Double, Double, Boolean)) = (r._1, r._2)
+      val streamC = StreamScorers.cusumStream(evd, warmup = 100,
+        slack = 0.5, h = 5.0).collect()
+        .map(o => (o.entity, o.seq) -> ((o.gPos, o.gNeg, o.alarm))).toMap
+      val batchC = graft.drift.Drift.cusum(df, Seq("k"), "seq", "value",
+        warmup = 100, slack = 0.5, h = 5.0)
+        .select("k", "seq", "gPos", "gNeg", "alarm")
+        .as[(String, Long, Double, Double, Boolean)].collect()
+      assert(batchC.nonEmpty && batchC.length == streamC.size)
+      batchC.foreach { r =>
+        val (gp, gn, al) = streamC((r._1, r._2))
+        assert(math.abs(gp - r._3) < 1e-9 && math.abs(gn - r._4) < 1e-9 &&
+          al == r._5, s"cusum trial $trial parity at ${(r._1, r._2)}")
+      }
+      val streamP = StreamScorers.pageHinkleyStream(evd, delta = 0.005,
+        lambda = 20.0, minInstances = 30).collect()
+        .map(o => (o.entity, o.seq) -> ((o.phInc, o.phDec, o.drift))).toMap
+      val batchP = graft.drift.Drift.pageHinkley(df, Seq("k"), "seq",
+        "value", delta = 0.005, lambda = 20.0, minInstances = 30)
+        .select("k", "seq", "phInc", "phDec", "drift")
+        .as[(String, Long, Double, Double, Boolean)].collect()
+      assert(batchP.length == streamP.size)
+      batchP.foreach { r =>
+        val (pi, pd, dr) = streamP((r._1, r._2))
+        assert(math.abs(pi - r._3) < 1e-9 && math.abs(pd - r._4) < 1e-9 &&
+          dr == r._5, s"ph trial $trial parity at ${(r._1, r._2)}")
+      }
+    }
+  }
+
   test("property: query output invariant under shuffle-partition count") {
     // the engine's determinism contract: a different partitioning must
     // never change a 4dp-canonical result (order-sensitive double sums,
