@@ -185,6 +185,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: greedy packing never overfills, never drops, stays deterministic") {
+    import graft.text.TextOps
+    val rng = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val cap = 50 + rng.nextInt(100)
+      val chunks = (0 until 200 + rng.nextInt(300)).map { i =>
+        (s"s${rng.nextInt(4)}", rng.nextInt(40).toLong, rng.nextInt(3),
+          1 + rng.nextInt(cap * 3 / 2)) // some oversized
+      }.toDF("src", "doc_id", "idx", "sz")
+      val out = TextOps.packGreedy(chunks, "src", "doc_id", "idx", "sz", cap)
+        .collect()
+      assert(out.length == chunks.count(), s"trial $trial dropped chunks")
+      // bins never exceed capacity unless a single oversized chunk owns one
+      out.groupBy(r => (r.getAs[String]("shard"), r.getAs[Int]("bin")))
+        .foreach { case ((s, b), rs) =>
+          val tot = rs.map(_.getAs[Int]("size")).sum
+          assert(tot <= cap || rs.length == 1,
+            s"trial $trial shard $s bin $b overfilled to $tot with ${rs.length} chunks")
+        }
+      // offsets are dense prefix sums within each bin
+      out.groupBy(r => (r.getAs[String]("shard"), r.getAs[Int]("bin")))
+        .foreach { case (_, rs) =>
+          val sorted = rs.sortBy(_.getAs[Int]("offset"))
+          var expect = 0
+          sorted.foreach { r =>
+            assert(r.getAs[Int]("offset") == expect)
+            expect += r.getAs[Int]("size")
+          }
+        }
+      // re-run is bit-identical (grouped iterator order must not leak)
+      val again = TextOps.packGreedy(chunks, "src", "doc_id", "idx", "sz", cap)
+        .collect().map(_.toSeq).toSet
+      assert(again == out.map(_.toSeq).toSet, s"trial $trial nondeterministic")
+    }
+  }
+
   test("property: cusum and page-hinkley stream twins match batch on random series") {
     import graft.streaming.StreamScorers
     import graft.streaming.StreamScorers.ValueEvent
