@@ -185,6 +185,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: hash split assignments are stable under corpus growth") {
+    import graft.text.TextOps
+    // the operator's stated contract: a row's split never depends on what
+    // other rows exist — late-arriving data must not reshuffle anyone
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val ab = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def splits(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      TextOps.splitByHash(df, "doc_id", weights).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val sa = splits(a)
+    val sab = splits(ab)
+    sa.foreach { case (id, sp) =>
+      assert(sab(id) == sp, s"doc $id reshuffled $sp -> ${sab(id)} on growth")
+    }
+    // proportions roughly honor the weights at n=2000 (md5 uniformity)
+    val frac = sab.values.groupBy(identity).view.mapValues(_.size / 2000.0)
+    assert(math.abs(frac("train") - 0.8) < 0.05, s"train frac $frac")
+    assert(math.abs(frac("val") - 0.1) < 0.03 &&
+      math.abs(frac("test") - 0.1) < 0.03, s"fracs $frac")
+  }
+
   test("property: greedy packing never overfills, never drops, stays deterministic") {
     import graft.text.TextOps
     val rng = new scala.util.Random(17)
