@@ -131,6 +131,68 @@ object Sources {
   def readModel(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Read a reference Markov state-transition model file
+    * (src/.../predictor/MarkovModelPredictor.java:500-543, the layouts
+    * the Storm predictor loads): `states` fixes the N×N row/column
+    * order. Compact: one model per line — key fields, then N·N
+    * row-major probabilities. Long: a key line followed by N lines of N
+    * probabilities. Model files are model-sized by definition, so the
+    * parse is driver-side. Output: key (the joined original key
+    * fields), fromState, toState, prob — the transition shape
+    * `SeqOps.markovChainScore` / `ConfigRunner.runSequence` consume
+    * (global models carry one empty-string key). */
+  def readMarkovModel(spark: SparkSession, path: String,
+      states: Seq[String], compact: Boolean = true,
+      delim: String = ","): DataFrame = {
+    import spark.implicits._
+    val n = states.size
+    val lines = spark.read.textFile(path).collect().toSeq
+      .filter(_.nonEmpty)
+    val rows =
+      if (compact) lines.flatMap { line =>
+        val items = line.split(delim)
+        require(items.length >= n * n,
+          s"compact markov line carries ${items.length} fields, need >= ${n * n}")
+        val offset = items.length - n * n
+        val key = items.take(offset).mkString(delim)
+        for (i <- 0 until n; j <- 0 until n)
+          yield (key, states(i), states(j), items(offset + i * n + j).toDouble)
+      }
+      else lines.grouped(n + 1).toSeq.flatMap { g =>
+        require(g.length == n + 1,
+          s"long markov block carries ${g.length} lines, need ${n + 1}")
+        val key = g.head
+        for (i <- 0 until n; (p, j) <- g(i + 1).split(delim).zipWithIndex)
+          yield (key, states(i), states(j), p.toDouble)
+      }
+    rows.toDF("key", "fromState", "toState", "prob")
+  }
+
+  /** Export a fitted transition model (key, fromState, toState, prob)
+    * as the reference's compact Markov layout — the write half of
+    * [[readMarkovModel]], so a graft `Fitters.markovTransitions` fit can
+    * feed a deployed reference predictor. */
+  def writeMarkovModel(model: DataFrame, path: String, states: Seq[String],
+      delim: String = ","): Unit = {
+    val n = states.size
+    val idx = states.zipWithIndex.toMap
+    val lines = model
+      .select(col("key").cast("string"), col("fromState"), col("toState"),
+        col("prob").cast("double"))
+      .collect() // model-sized
+      .groupBy(_.getString(0))
+      .toSeq.sortBy(_._1)
+      .map { case (key, rs) =>
+        val m = Array.fill(n * n)(0.0)
+        rs.foreach { r =>
+          m(idx(r.getString(1)) * n + idx(r.getString(2))) = r.getDouble(3)
+        }
+        (if (key.nonEmpty) key + delim else "") + m.mkString(delim)
+      }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
   /** Curated-corpus parquet layout for the 100 TB read path: hive
     * partitioning on low-cardinality slice keys (source, lang, split,
     * date — so slice reads touch only their directories: partition

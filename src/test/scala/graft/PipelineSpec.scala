@@ -327,6 +327,41 @@ class PipelineSpec extends SparkSpec {
       manual.select("score").collect().map(_.getDouble(0)).sorted.toSeq)
   }
 
+  test("markov model files: both reference layouts parse, fit round-trips") {
+    val states = Seq("A", "B", "C")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mk").toString
+    // compact layout: key fields then 9 row-major probs
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/compact.txt"),
+      ("k1,0.7,0.2,0.1,0.3,0.4,0.3,0.1,0.1,0.8\n" +
+        "k2,0.5,0.5,0.0,0.0,0.5,0.5,0.5,0.0,0.5").getBytes("UTF-8"))
+    val compact = Sources.readMarkovModel(spark, s"$dir/compact.txt", states)
+    assert(compact.count() == 18)
+    val k1 = compact.where(col("key") === "k1" && col("fromState") === "B" &&
+      col("toState") === "C").head().getAs[Double]("prob")
+    assert(k1 == 0.3)
+    // long layout: key line then one row per line
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/long.txt"),
+      "k1\n0.7,0.2,0.1\n0.3,0.4,0.3\n0.1,0.1,0.8\nk2\n0.5,0.5,0.0\n0.0,0.5,0.5\n0.5,0.0,0.5"
+        .getBytes("UTF-8"))
+    val long = Sources.readMarkovModel(spark, s"$dir/long.txt", states,
+      compact = false)
+    assert(long.collect().map(_.toSeq).toSet ==
+      compact.collect().map(_.toSeq).toSet)
+    // a graft fit exports to the compact layout and reads back identically
+    val ev = core.table(spark, sfDir, "events")
+    val fit = graft.model.Fitters.markovTransitions(ev, Seq("user_id"),
+      "event_id", "event_type", smoothing = 1.0)
+      .withColumn("key", lit("g"))
+    val sts = fit.select("fromState").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    Sources.writeMarkovModel(fit, s"$dir/export.txt", sts)
+    val back = Sources.readMarkovModel(spark, s"$dir/export.txt", sts)
+    val orig = fit.select("key", "fromState", "toState", "prob")
+      .collect().map(_.toSeq).toSet
+    assert(back.collect().map(_.toSeq).toSet == orig,
+      "markov fit must round-trip through the reference layout")
+  }
+
   test("partitioned layout: slice reads prune partitions and push down stats") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val ev = core.table(spark, sfDir, "events")
