@@ -131,6 +131,48 @@ object Sources {
   def readModel(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Read a reference distribution model file
+    * (src/.../predictor/DistributionBasedPredictor.java:203-236): each
+    * line = key fields..., [cycleType, cycleIndex when seasonal],
+    * bucket, count. Recomputes per-key freq like [[graft.model.Fitters
+    * .histogram]] emits it, so the result plugs straight into the
+    * estimatedProbability scorers. */
+  def readDistributionModel(spark: SparkSession, path: String,
+      keyCols: Seq[String], seasonal: Boolean = false,
+      delim: String = ","): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = spark.read.option("delimiter", delim).csv(path)
+    val k = keyCols.length
+    val keyed = keyCols.zipWithIndex.foldLeft(raw) { case (df, (c, i)) =>
+      df.withColumnRenamed(s"_c$i", c)
+    }
+    val off = k + (if (seasonal) 2 else 0)
+    val withCycle =
+      if (seasonal) keyed
+        .withColumnRenamed(s"_c$k", "cycleType")
+        .withColumn("cycleIndex", col(s"_c${k + 1}").cast("long"))
+      else keyed
+    val groupCols = keyCols ++
+      (if (seasonal) Seq("cycleType", "cycleIndex") else Nil)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    withCycle
+      .withColumnRenamed(s"_c$off", "bucket")
+      .withColumn("cnt", col(s"_c${off + 1}").cast("long"))
+      .select(groupCols.map(col) :+ col("bucket") :+ col("cnt"): _*)
+      .withColumn("freq", col("cnt") / sum("cnt").over(w))
+  }
+
+  /** Export a fitted histogram model (keyCols..., bucket, cnt[, freq])
+    * as the reference's distribution file layout — the write half of
+    * [[readDistributionModel]]. */
+  def writeDistributionModel(model: DataFrame, path: String,
+      keyCols: Seq[String], delim: String = ","): Unit = {
+    val cols = (keyCols.map(col) :+ col("bucket") :+
+      col("cnt").cast("string")).map(_.cast("string"))
+    model.select(concat_ws(delim, cols: _*).as("line"))
+      .coalesce(1).write.mode("overwrite").text(path)
+  }
+
   /** Read a reference Markov state-transition model file
     * (src/.../predictor/MarkovModelPredictor.java:500-543, the layouts
     * the Storm predictor loads): `states` fixes the N×N row/column

@@ -327,6 +327,21 @@ class PipelineSpec extends SparkSpec {
       manual.select("score").collect().map(_.getDouble(0)).sorted.toSeq)
   }
 
+  test("distribution model file: histogram fit round-trips, freq recomputed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dist").toString
+    val ev = core.table(spark, sfDir, "events")
+    val fit = graft.model.Fitters.histogram(ev, Seq("event_type"),
+      Seq(("value", 10.0)))
+    Sources.writeDistributionModel(fit, s"$dir/dist", Seq("event_type"))
+    val back = Sources.readDistributionModel(spark, s"$dir/dist",
+      Seq("event_type"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_type"), col("bucket"), col("cnt"),
+        round(col("freq"), 9).as("freq")).collect().map(_.toSeq).toSet
+    assert(norm(back) == norm(fit),
+      "distribution model must round-trip through the reference layout")
+  }
+
   test("markov model files: both reference layouts parse, fit round-trips") {
     val states = Seq("A", "B", "C")
     val dir = java.nio.file.Files.createTempDirectory("graft_mk").toString
