@@ -189,7 +189,11 @@ object Scorers {
     * delta = x>mid ? x-hi : lo-x; score = logistic(c*delta)
     * (OutRangeBasedPredictor.scala:95-125). Range model: keyCols..., attr, lo, hi. */
   def outOfRange(data: DataFrame, ranges: DataFrame, cfg: Cfg): DataFrame = {
-    val withMid = ranges.withColumn("mid", (col("lo") + col("hi")) / 2)
+    // honor a model-provided mid (the reference's range files carry an
+    // explicit one, which need not be the midpoint); derive it otherwise
+    val withMid =
+      if (ranges.columns.contains("mid")) ranges
+      else ranges.withColumn("mid", (col("lo") + col("hi")) / 2)
     val wide = wideModel(withMid, cfg.keyCols, cfg.attrCols, Seq("lo", "hi", "mid"))
     val joined = data.join(broadcast(wide), cfg.keyCols, "left")
     val per = cfg.attrCols.map { a =>
@@ -205,7 +209,9 @@ object Scorers {
     * 1 - logistic(c*delta) with the same delta
     * (InRangeBasedPredictor.scala:81-118). */
   def inRange(data: DataFrame, ranges: DataFrame, cfg: Cfg): DataFrame = {
-    val withMid = ranges.withColumn("mid", (col("lo") + col("hi")) / 2)
+    val withMid =
+      if (ranges.columns.contains("mid")) ranges
+      else ranges.withColumn("mid", (col("lo") + col("hi")) / 2)
     val wide = wideModel(withMid, cfg.keyCols, cfg.attrCols, Seq("lo", "hi", "mid"))
     val joined = data.join(broadcast(wide), cfg.keyCols, "left")
     val per = cfg.attrCols.map { a =>

@@ -173,6 +173,28 @@ object Sources {
       .coalesce(1).write.mode("overwrite").text(path)
   }
 
+  /** Read a reference range model file (misc/InRangeBasedPredictor
+    * .scala:60-101 getGlobalRange/getKeyedRange): per line, key fields
+    * (keyed variant; none for the global file) followed by one
+    * (lo, hi, mid) triple per attribute in `attrNames` order. Output:
+    * keyCols..., attr, lo, hi, mid — the model shape `Scorers.inRange`/
+    * `outOfRange` consume (they honor the file's explicit mid). */
+  def readRangeModel(spark: SparkSession, path: String,
+      keyCols: Seq[String], attrNames: Seq[String],
+      delim: String = ","): DataFrame = {
+    val raw = spark.read.option("delimiter", delim).csv(path)
+    val k = keyCols.length
+    val keyed = keyCols.zipWithIndex.foldLeft(raw) { case (df, (c, i)) =>
+      df.withColumnRenamed(s"_c$i", c)
+    }
+    attrNames.zipWithIndex.map { case (a, i) =>
+      keyed.select(keyCols.map(col) :+ lit(a).as("attr") :+
+        col(s"_c${k + 3 * i}").cast("double").as("lo") :+
+        col(s"_c${k + 3 * i + 1}").cast("double").as("hi") :+
+        col(s"_c${k + 3 * i + 2}").cast("double").as("mid"): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** Read a reference Markov state-transition model file
     * (src/.../predictor/MarkovModelPredictor.java:500-543, the layouts
     * the Storm predictor loads): `states` fixes the N×N row/column

@@ -327,6 +327,31 @@ class PipelineSpec extends SparkSpec {
       manual.select("score").collect().map(_.getDouble(0)).sorted.toSeq)
   }
 
+  test("range model file: keyed lo/hi/mid triples parse and drive the scorer") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rng").toString
+    // keyed file, two attributes → key, lo1,hi1,mid1, lo2,hi2,mid2
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/ranges.txt"),
+      "a,10.0,20.0,14.0,100.0,200.0,150.0\nb,0.0,5.0,2.5,50.0,60.0,55.0"
+        .getBytes("UTF-8"))
+    val m = Sources.readRangeModel(spark, s"$dir/ranges.txt", Seq("k"),
+      Seq("x", "y"))
+    assert(m.count() == 4)
+    val row = m.where(col("k") === "a" && col("attr") === "x").head()
+    assert(row.getAs[Double]("lo") == 10.0 && row.getAs[Double]("hi") == 20.0 &&
+      row.getAs[Double]("mid") == 14.0) // explicit mid, NOT the midpoint
+    // the scorer consumes the file model directly and honors its mid:
+    // x=15 is above mid 14 → delta = 15-20 = -5 (in-band, low score side)
+    val data = Seq(("a", 15.0, 150.0), ("a", 30.0, 150.0))
+      .toDF("k", "x", "y")
+    // y stays in-band for both rows (score ≈ 0), so the two-attr average
+    // for the x=30 outlier sits just under 0.5 — threshold below that
+    val scored = Scorers.outOfRange(data, m,
+      Cfg(Seq("k"), Seq("x", "y"), expConst = 1.0, threshold = 0.45))
+      .collect().map(r => r.getAs[Double]("x") -> r.getAs[String]("tag")).toMap
+    assert(scored(30.0) == "O" && scored(15.0) == "N")
+  }
+
   test("distribution model file: histogram fit round-trips, freq recomputed") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dist").toString
     val ev = core.table(spark, sfDir, "events")
