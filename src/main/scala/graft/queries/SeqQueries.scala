@@ -63,6 +63,25 @@ object SeqQueries {
         "event_type", window = 5, metric = "missRate", threshold = 0.9)
         .select("user_id", "event_id", "score", "tag"))
     }),
+    // the remaining two reference Markov metrics
+    // (MarkovModelPredictor.java MissProbability / EntropyReduction),
+    // oracle-gated like q13/q14
+    "q169_markov_missprob" -> ((s, dir) => {
+      val data = ev(s, dir)
+      val model = Fitters.markovTransitions(data, Seq("user_id"), "event_id",
+        "event_type", smoothing = 1.0)
+      canon(SeqOps.markovChainScore(data, model, Seq("user_id"), "event_id",
+        "event_type", window = 5, metric = "missProb", threshold = 0.9)
+        .select("user_id", "event_id", "score", "tag"))
+    }),
+    "q170_markov_entropy" -> ((s, dir) => {
+      val data = ev(s, dir)
+      val model = Fitters.markovTransitions(data, Seq("user_id"), "event_id",
+        "event_type", smoothing = 1.0)
+      canon(SeqOps.markovChainScore(data, model, Seq("user_id"), "event_id",
+        "event_type", window = 5, metric = "entropyRed", threshold = 0.95)
+        .select("user_id", "event_id", "score", "tag"))
+    }),
     "q15_level_shift" -> ((s, dir) =>
       canon(SeqOps.scoreLevelShift(StatQueries.zscored(s, dir), Seq("user_id"),
         "event_id", longWin = 20, shortWin = 5, minZ = 2.0)
@@ -719,6 +738,44 @@ object SeqQueries {
          |SELECT user_id, event_id, round(score,4) AS score,
          | CASE WHEN score IS NULL THEN 'I'
          |  WHEN max(CASE WHEN score > 0.9 THEN 1 ELSE 0 END) OVER
+         |   (PARTITION BY user_id ORDER BY event_id
+         |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) = 1 THEN 'O'
+         |  ELSE 'N' END AS tag
+         |FROM scored""".stripMargin.replace("\n", " "),
+    "q169_markov_missprob" ->
+      s"""WITH $mkProbs,
+         |scored AS (SELECT t.user_id, t.event_id,
+         |  CASE WHEN count(p.prob) OVER w5 = 5
+         |   THEN avg(1.0 - p.prob) OVER w5 END AS score
+         | FROM trans t LEFT JOIN probs p
+         |   ON t.fromState = p.fromState AND t.toState = p.toState
+         | WINDOW w5 AS (PARTITION BY t.user_id ORDER BY t.event_id
+         |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, event_id, round(score,4) AS score,
+         | CASE WHEN score IS NULL THEN 'I'
+         |  WHEN max(CASE WHEN score > 0.9 THEN 1 ELSE 0 END) OVER
+         |   (PARTITION BY user_id ORDER BY event_id
+         |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) = 1 THEN 'O'
+         |  ELSE 'N' END AS tag
+         |FROM scored""".stripMargin.replace("\n", " "),
+    // entropy reduction: per-fromState model entropy h, window score =
+    // Σ(h − (−p ln p)) / Σ h over the last 5 transitions
+    "q170_markov_entropy" ->
+      s"""WITH $mkProbs,
+         |hh AS (SELECT fromState, sum(-prob * ln(prob)) AS h
+         | FROM probs GROUP BY 1),
+         |scored AS (SELECT t.user_id, t.event_id,
+         |  CASE WHEN count(p.prob) OVER w5 = 5
+         |   THEN sum(hh.h - (-p.prob * ln(p.prob))) OVER w5
+         |     / sum(hh.h) OVER w5 END AS score
+         | FROM trans t LEFT JOIN probs p
+         |   ON t.fromState = p.fromState AND t.toState = p.toState
+         |  LEFT JOIN hh ON p.fromState = hh.fromState
+         | WINDOW w5 AS (PARTITION BY t.user_id ORDER BY t.event_id
+         |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, event_id, round(score,4) AS score,
+         | CASE WHEN score IS NULL THEN 'I'
+         |  WHEN max(CASE WHEN score > 0.95 THEN 1 ELSE 0 END) OVER
          |   (PARTITION BY user_id ORDER BY event_id
          |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) = 1 THEN 'O'
          |  ELSE 'N' END AS tag
