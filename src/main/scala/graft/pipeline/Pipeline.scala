@@ -256,6 +256,65 @@ object ConfigRunner {
       // predictor then consumes. time.inMili picks the reference's
       // seconds/millis units; time.unit=nanos covers this engine's
       // normalized epoch-nanos columns.
+      // chombo/avenir FIT + utility jobs from the shipped configs
+      // (cyd.conf, ecomm.conf, and.conf) — every job block a reference
+      // workflow script invokes now dispatches
+      case "numericalAttrMedian" =>
+        Fitters.robustStats(data, keyCols, attrCols)
+      case "markovStateTransitionModel" =>
+        Fitters.markovTransitions(data, keyCols, seqCol,
+          data.columns(conf("state.fieldOrd").toInt),
+          smoothing = conf.getOrElse("laplace.smoothing", "0.5").toDouble)
+      case "isolationForestModel" =>
+        graft.multi.IsolationForest.fitDeterministic(data, keyCols, attrCols,
+          data.columns(conf.getOrElse("rec.idOrd", "0").toInt),
+          numTrees = conf.getOrElse("num.tree", "50").toInt,
+          subsampleSize = conf.getOrElse("subsample.size", "64").toInt,
+          maxDepth = conf.getOrElse("max.depth", "6").toInt).toDF()
+      case "autoCorrelation" =>
+        // the cycle-detection job; `coor.lags` is the reference's spelling
+        val seqC = data.columns(
+          conf.getOrElse("seq.fieldOrdinal", conf("seq.fieldOrd")).toInt)
+        val lags = conf("coor.lags").split(",").map(_.trim.toInt).toSeq
+        graft.seq.SeqOps.autocorrelation(data, keyCols, seqC, attrCols.head, lags)
+      case "temporalAggregator" =>
+        val tsCol = data.columns(conf("time.fieldOrdinal").toInt)
+        val unitSec = conf.getOrElse("aggr.windowTimeUnit", "hour") match {
+          case "sec" | "second" => 1L
+          case "min" | "minute" => 60L
+          case "hour" => 3600L
+          case "day" => 86400L
+          case other => throw new IllegalArgumentException(s"unknown window unit $other")
+        }
+        graft.seq.SeqOps.temporalAggregate(data, keyCols, tsCol, attrCols.head,
+          bucketSec = unitSec * conf.getOrElse("aggr.windowTimeLength", "1").toLong,
+          tsUnit = conf.getOrElse("time.unit",
+            if (conf.getOrElse("time.inMili", "false").toBoolean) "millis"
+            else "sec"))
+      case "typedUniqueValueCounter" =>
+        data.groupBy(keyCols.map(col): _*)
+          .agg(count_distinct(col(attrCols.head)).as("uniqueCount"))
+      case "timeIntervalGenerator" =>
+        val tsCol = data.columns(conf("time.fieldOrdinal").toInt)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+        data.withColumn("interval", col(tsCol) - lag(col(tsCol), 1).over(w))
+          .where(col("interval").isNotNull)
+          .select(keyCols.map(col) :+ col(tsCol) :+ col("interval"): _*)
+      case "outlierAggregator" =>
+        // hierarchy = the parsed dataStream JSON as a DataFrame
+        // (childType, childId, parentType, parentId); '*' child wildcards
+        // per the reference's DataStreamSchema semantics
+        val hier = model.getOrElse(throw new IllegalArgumentException(
+          "outlierAggregator needs the hierarchy model DataFrame " +
+            "(childType, childId, parentType, parentId) — the reference " +
+            "loads it from stream.schmaFilePath"))
+        val typeCol = data.columns(conf("type.field.ordinal").toInt)
+        val idCol = data.columns(conf("id.field.ordinal").toInt)
+        val seqC = data.columns(conf("seq.field.ordinal").toInt)
+        val quantCol = data.columns(conf("quant.field.ordinal").toInt)
+        PostOps.hierarchyRollup(data, hier, typeCol, idCol, col(seqC), quantCol,
+          strategy = conf.getOrElse("aggr.type", "average"))
       case "numericalAttrStats" =>
         if (conf.getOrElse("seasonal.analysis", "false").toBoolean) {
           val tsCol = data.columns(conf("time.fieldOrdinal").toInt)

@@ -358,8 +358,15 @@ object SeqOps {
       keyCols: Seq[String],
       tsCol: String,
       valCol: String,
-      bucketSec: Long): DataFrame = {
-    val bucket = expr(s"$tsCol div ${bucketSec * 1000000000L}").as("bucket")
+      bucketSec: Long,
+      tsUnit: String = "nanos"): DataFrame = {
+    val perSec = tsUnit match {
+      case "nanos" => 1000000000L
+      case "millis" => 1000L
+      case "sec" => 1L
+      case other => throw new IllegalArgumentException(s"unknown ts unit $other")
+    }
+    val bucket = expr(s"$tsCol div ${bucketSec * perSec}").as("bucket")
     data.select((keyCols.map(col) :+ bucket :+ col(valCol)): _*)
       .groupBy((keyCols :+ "bucket").map(col): _*)
       .agg(

@@ -327,6 +327,55 @@ class PipelineSpec extends SparkSpec {
       manual.select("score").collect().map(_.getDouble(0)).sorted.toSeq)
   }
 
+  test("fit/utility job dispatch: every shipped config block runs") {
+    import spark.implicits._
+    val ev = core.table(spark, sfDir, "events")
+      .select("event_type", "ts", "value", "event_id", "user_id")
+    def props(t: String) = ConfigRunner.fromProperties(t)
+    // numericalAttrMedian == robustStats
+    val med = ConfigRunner.runJob(spark, ev, "numericalAttrMedian",
+      props("id.fieldOrdinals=[0]\nattr.ordinals=[2]"))
+    assert(med.collect().map(_.toSeq).toSet ==
+      graft.model.Fitters.robustStats(ev, Seq("event_type"), Seq("value"))
+        .collect().map(_.toSeq).toSet)
+    // markovStateTransitionModel == markovTransitions fit
+    val mk = ConfigRunner.runJob(spark, ev, "markovStateTransitionModel",
+      props("id.fieldOrdinals=[4]\nseq.fieldOrd=3\nstate.fieldOrd=0\nlaplace.smoothing=1.0"))
+    assert(mk.columns.toSet == Set("fromState", "toState", "prob"))
+    assert(mk.count() > 0)
+    // autoCorrelation honors the reference's coor.lags spelling
+    val ac = ConfigRunner.runJob(spark, ev, "autoCorrelation",
+      props("id.fieldOrdinals=[0]\nseq.fieldOrdinal=3\nattr.ordinals=[2]\ncoor.lags=2,5"))
+    assert(ac.select("lag").distinct().collect()
+      .map(_.getInt(0)).toSet == Set(2, 5))
+    // temporalAggregator: hour buckets over epoch-nanos ts
+    val ta = ConfigRunner.runJob(spark, ev, "temporalAggregator",
+      props("id.fieldOrdinals=[0]\nattr.ordinals=[2]\ntime.fieldOrdinal=1\n" +
+        "aggr.windowTimeUnit=hour\naggr.windowTimeLength=1\ntime.unit=nanos"))
+    assert(ta.columns.contains("bucket") && ta.count() > 0)
+    // typedUniqueValueCounter
+    val uc = ConfigRunner.runJob(spark, ev, "typedUniqueValueCounter",
+      props("id.fieldOrdinals=[0]\nattr.ordinals=[4]"))
+    assert(uc.collect().forall(_.getAs[Long]("uniqueCount") > 0))
+    // timeIntervalGenerator: positive intervals per key order
+    val ti = ConfigRunner.runJob(spark, ev.limit(1000), "timeIntervalGenerator",
+      props("id.fieldOrdinals=[4]\ntime.fieldOrdinal=1"))
+    assert(ti.count() > 0 && ti.where(col("interval") < 0).count() == 0)
+    // outlierAggregator: parent O iff any child O in the bucket
+    val tagged = Seq(
+      ("prodSale", "p1", 1L, 10.0, "N"), ("prodSale", "p2", 1L, 90.0, "O"),
+      ("prodSale", "p1", 2L, 11.0, "N"), ("prodSale", "p2", 2L, 12.0, "N"))
+      .toDF("streamType", "streamId", "seq", "quantity", "tag")
+    val hier = Seq(("prodSale", "*", "allSales", "all"))
+      .toDF("childType", "childId", "parentType", "parentId")
+    val agg = ConfigRunner.runJob(spark, tagged, "outlierAggregator",
+      props("type.field.ordinal=0\nid.field.ordinal=1\nseq.field.ordinal=2\n" +
+        "quant.field.ordinal=3\nid.fieldOrdinals=[0]\nattr.ordinals=[3]"),
+      model = Some(hier))
+      .collect().map(r => r.getAs[Long]("seqb") -> r.getAs[String]("tag")).toMap
+    assert(agg(1L) == "O" && agg(2L) == "N")
+  }
+
   test("range model file: keyed lo/hi/mid triples parse and drive the scorer") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_rng").toString
