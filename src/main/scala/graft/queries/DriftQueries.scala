@@ -95,6 +95,20 @@ object DriftQueries {
     // median aggregation strategy over the same three attrs — the
     // order-statistic strategies (median/max/min) were spec-only; the
     // 3-value median replays in SQL as greatest-least arithmetic
+    // max strategy (the worst-attribute alarm rule) completes the
+    // aggregation-strategy family: average (q35), weighted (q71),
+    // median (q171), max (q172); min is max's mirror through the same
+    // array_min/array_max code path
+    "q172_max_agg" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val keys = Seq("l_returnflag")
+      val attrs = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val stats = graft.model.Fitters.stats(li, keys, attrs)
+      canon(graft.score.Scorers.zscore(li, stats,
+        graft.score.Scorers.Cfg(keys, attrs, strategy = "max",
+          threshold = 2.5))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "score", "tag"))
+    }),
     "q171_median_agg" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
       val keys = Seq("l_returnflag")
@@ -432,6 +446,20 @@ object DriftQueries {
          | round(ppvW,4) AS ppvW, round(ppvC,4) AS ppvC, round(maxDev,4) AS maxDev,
          | nfr = 200 AND maxDev > sqrt(ln(2.0/0.01)/400.0) AS drift
          |FROM d""".stripMargin.replace("\n", " "),
+    "q172_max_agg" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  avg(l_quantity) AS m1, stddev_samp(l_quantity) AS s1,
+        |  avg(l_extendedprice) AS m2, stddev_samp(l_extendedprice) AS s2,
+        |  avg(l_discount) AS m3, stddev_samp(l_discount) AS s3
+        | FROM lineitem GROUP BY 1),
+        |sc AS (SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  greatest(abs(l.l_quantity - m.m1)/m.s1,
+        |    abs(l.l_extendedprice - m.m2)/m.s2,
+        |    abs(l.l_discount - m.m3)/m.s3) AS score
+        | FROM lineitem l JOIN m USING (l_returnflag))
+        |SELECT l_orderkey, l_linenumber, l_returnflag, round(score,4) AS score,
+        | CASE WHEN score > 2.5 THEN 'O' ELSE 'N' END AS tag FROM sc"""
+        .stripMargin.replace("\n", " "),
     // median of the three per-attr raw z's: med(a,b,c) =
     // greatest(least(a,b), least(greatest(a,b), c))
     "q171_median_agg" ->
