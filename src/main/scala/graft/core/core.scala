@@ -182,6 +182,17 @@ package object core {
     when(r === 0.0, lit(0.0)).otherwise(r)
   }
 
+  /** p-dp fixed-point long: floor(|x|·10^p + 0.5) with the sign restored —
+    * the half-away-from-zero scaling both engines compute bit-identically
+    * (floor of a < 2⁵³ double is exact), so summing these LONGS is
+    * order-exact where a double sum is order-nondeterministic. The
+    * q116-sessionize pattern, shared by every per-group float roll-up
+    * that needs an exact oracle. */
+  def fixedPointLong(c: Column, p: Int): Column = {
+    val f = math.pow(10, p)
+    when(c >= 0, floor(c * f + 0.5)).otherwise(-floor(-c * f + 0.5)).cast("long")
+  }
+
   def canon(df: DataFrame, p: Int = 4): DataFrame = {
     val cols = df.schema.fields.map { f =>
       if (f.dataType == org.apache.spark.sql.types.DoubleType)

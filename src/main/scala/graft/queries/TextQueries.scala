@@ -20,7 +20,8 @@ object TextQueries {
   private val NumHashes = 16
   private val BandSize = 4
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     "q49_dedup_exact" -> ((s, dir) =>
       TextOps.exactDedup(docs(s, dir), "doc_id", "text")),
     "q50_token_count" -> ((s, dir) =>
@@ -400,7 +401,7 @@ object TextQueries {
     "q159_overlap_sketch" -> ((s, dir) =>
       canon(TextOps.sourceOverlapSketch(docs(s, dir), "source", "text",
         n = 3, k = 256))),
-  )
+  ) ++ nbQueries
 
   private val toks = """regexp_extract_all(lower(text), '\S+')"""
   private def h56(e: String) = s"('0x'||substr(md5($e),1,14))::BIGINT"
@@ -742,6 +743,138 @@ object TextQueries {
        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
        |    ORDER BY cos DESC, cid) AS rank FROM sc QUALIFY rank <= 10)
        |SELECT qid, cid, round(cos, 4) AS cos, rank FROM r""".stripMargin
+
+  // ---- round-8 additions -------------------------------------------------
+
+  // lazy: referenced from `queries`/`oracleSql` above their definition site
+  private lazy val nbQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C4-style corpus-frequency line dedup (Raffel et al. §2.2). The
+    // synthetic docs carry no newlines, so the query exercises the
+    // operator's full path with a phrase separator present in the corpus
+    // (' table '); the semantics are separator-agnostic.
+    "q173_line_dedup" -> ((s, dir) =>
+      TextOps.lineDedup(docs(s, dir), "doc_id", "text",
+        minDupCount = 2, sep = " table ")),
+    // Naive Bayes quality/language classifier (count-based face of the
+    // GPT-3 §2.2 linear quality filter): fit en-vs-rest on the
+    // md5-selected 60% seed, score the held-out 40%
+    "q174_nb_classifier" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val insd = TextOps.hash56(col("doc_id").cast("string")) % 5 < 3
+      val seed = d.where(insd).withColumn("label",
+        when(col("lang") === "en", lit("en")).otherwise(lit("other")))
+      val model = TextOps.nbFitModel(seed, "doc_id", "text", "label", "en")
+      canon(TextOps.nbScore(d.where(!insd), "doc_id", "text", model,
+        "en", "other"))
+    }),
+    // BM25 ranked retrieval over the corpus for a fixed term bag
+    "q175_bm25" -> ((s, dir) =>
+      canon(TextOps.bm25Search(docs(s, dir), "doc_id", "text",
+        Seq("spark", "join", "window", "vector"), topK = 20))),
+    // UniMax per-language budget allocation (Chung et al., ICLR'23):
+    // budget = 30% of corpus chars, epoch cap 2
+    "q176_unimax" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val budget = d.agg(sum("n_chars")).collect()(0).getLong(0) * 0.3
+      canon(TextOps.unimaxAllocate(d, "lang", "n_chars",
+        totalBudget = TextOps.round6(budget), epochCap = 2.0))
+    }))
+
+  /** 6dp half-away-from-zero fixed-point long, SQL side (core.fixedPointLong). */
+  private def fp6(e: String) =
+    s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) ELSE -floor(-($e)*1e6+0.5) END)::BIGINT"
+
+  private lazy val nbOracles: Map[String, String] = Map(
+    "q173_line_dedup" ->
+      s"""WITH ls AS (SELECT doc_id, string_split(text, ' table ') AS a
+         |  FROM documents),
+         |segs AS (SELECT doc_id, unnest(a) AS line,
+         |  unnest(generate_series(1, len(a))) AS pos FROM ls),
+         |hh AS (SELECT doc_id, pos, line, ${h56("line")} AS h FROM segs),
+         |hot AS (SELECT h FROM hh GROUP BY h HAVING count(*) >= 2),
+         |j AS (SELECT hh.doc_id, hh.pos, hh.line,
+         |  hot.h IS NOT NULL AS isdup FROM hh LEFT JOIN hot ON hh.h = hot.h)
+         |SELECT doc_id,
+         | coalesce(string_agg(CASE WHEN NOT isdup THEN line END,
+         |   ' table ' ORDER BY pos), '') AS text,
+         | count(*) AS nLines,
+         | sum(CASE WHEN isdup THEN 1 ELSE 0 END)::BIGINT AS nRemoved
+         |FROM j GROUP BY 1""".stripMargin.replace("\n", " "),
+    // Laplace log-odds with 6dp fixed-point per-token contributions —
+    // order-exact long sums on both engines (the q116 pattern)
+    "q174_nb_classifier" ->
+      s"""WITH sd AS (SELECT doc_id, text, lang,
+         |  ${h56("doc_id::VARCHAR")} % 5 < 3 AS insd FROM documents),
+         |tok AS (SELECT doc_id, lang = 'en' AS p, unnest($toks) AS tok
+         | FROM sd WHERE insd),
+         |tt AS (SELECT tok,
+         |  sum(CASE WHEN p THEN 1 ELSE 0 END)::BIGINT AS cPos,
+         |  sum(CASE WHEN NOT p THEN 1 ELSE 0 END)::BIGINT AS cNeg
+         | FROM tok GROUP BY 1),
+         |tots AS (SELECT coalesce(sum(cPos), 0) AS tPos,
+         |  coalesce(sum(cNeg), 0) AS tNeg, count(*) AS v FROM tt),
+         |pri AS (SELECT round(ln(
+         |   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE /
+         |   sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)), 6) AS lp
+         | FROM sd WHERE insd),
+         |htok AS (SELECT doc_id, unnest($toks) AS tok FROM sd WHERE NOT insd),
+         |con AS (SELECT h.doc_id, ${fp6(
+             "ln((coalesce(tt.cPos, 0) + 1.0)/(tots.tPos + 1.0*tots.v)) - " +
+             "ln((coalesce(tt.cNeg, 0) + 1.0)/(tots.tNeg + 1.0*tots.v))")} AS c6
+         | FROM htok h LEFT JOIN tt USING (tok) CROSS JOIN tots),
+         |s AS (SELECT doc_id, count(*) AS nToks, sum(c6) AS s6
+         | FROM con GROUP BY 1)
+         |SELECT d.doc_id, coalesce(s.nToks, 0) AS nToks,
+         | round(coalesce(s.s6, 0)/1e6 + pri.lp, 4) AS logOdds,
+         | CASE WHEN coalesce(s.s6, 0)/1e6 + pri.lp > 0
+         |  THEN 'en' ELSE 'other' END AS predicted
+         |FROM sd d LEFT JOIN s ON d.doc_id = s.doc_id CROSS JOIN pri
+         |WHERE NOT d.insd""".stripMargin.replace("\n", " "),
+    // Lucene-form BM25; avgdl = exact long sum / long count, per-doc term
+    // contributions as 6dp fixed-point longs
+    "q175_bm25" ->
+      s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+         |st AS (SELECT count(*)::BIGINT AS n,
+         |  (sum(len(t))::BIGINT)::DOUBLE / count(*) AS avgdl FROM base),
+         |post AS (SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM base),
+         |p2 AS (SELECT doc_id, tok, dl, count(*)::BIGINT AS tf FROM post
+         | WHERE tok IN ('spark', 'join', 'window', 'vector') GROUP BY 1, 2, 3),
+         |dfs AS (SELECT tok, count(*)::BIGINT AS df FROM p2 GROUP BY 1),
+         |idf AS (SELECT tok, ln(1.0 + (st.n - df + 0.5)/(df + 0.5)) AS idf
+         | FROM dfs CROSS JOIN st),
+         |c AS (SELECT doc_id, ${fp6(
+             "idf.idf*p2.tf*2.2/(p2.tf + 1.2*(0.25 + 0.75*p2.dl/st.avgdl))")} AS c6
+         | FROM p2 JOIN idf USING (tok) CROSS JOIN st),
+         |s AS (SELECT doc_id, count(*) AS nTerms,
+         |  sum(c6)/1e6 AS score FROM c GROUP BY 1)
+         |SELECT doc_id, nTerms, round(score, 4) AS score FROM s
+         |ORDER BY score DESC, doc_id LIMIT 20"""
+        .stripMargin.replace("\n", " "),
+    // UniMax greedy walk replayed as a recursive CTE: langs ascending by
+    // exact mass, alloc_i = round6(min(cap·massᵢ, remaining/(L−i+1)))
+    "q176_unimax" ->
+      s"""WITH RECURSIVE m AS (SELECT lang,
+         |  sum(${fp6("n_chars::DOUBLE")})/1e6 AS mass
+         | FROM documents GROUP BY 1),
+         |b AS (SELECT round(sum(n_chars)::DOUBLE * 0.3::DOUBLE, 6)::DOUBLE
+         |  AS budget FROM documents),
+         |ord AS (SELECT lang, mass,
+         |  row_number() OVER (ORDER BY mass, lang) AS i,
+         |  count(*) OVER () AS l FROM m),
+         |walk AS (
+         | SELECT 0::BIGINT AS i, b.budget AS remaining,
+         |  NULL::VARCHAR AS lang, NULL::DOUBLE AS mass, NULL::DOUBLE AS alloc
+         | FROM b
+         | UNION ALL
+         | SELECT o.i, w.remaining -
+         |   round(least(2.0*o.mass, w.remaining/(o.l - o.i + 1)), 6),
+         |  o.lang, o.mass,
+         |  round(least(2.0*o.mass, w.remaining/(o.l - o.i + 1)), 6)
+         | FROM walk w JOIN ord o ON o.i = w.i + 1)
+         |SELECT lang, round(mass, 4) AS mass, round(alloc, 4) AS alloc,
+         | round(CASE WHEN mass > 0 THEN alloc/mass ELSE 0.0 END, 4) AS epochs
+         |FROM walk WHERE lang IS NOT NULL"""
+        .stripMargin.replace("\n", " "))
 
   val oracleSql: Map[String, String] = Map(
     "q49_dedup_exact" ->
@@ -1656,5 +1789,5 @@ object TextQueries {
          | FROM l QUALIFY rank <= 10)
          |SELECT grp, tok, cnt, round(lift, 4) AS lift, rank FROM r"""
         .stripMargin.replace("\n", " "),
-  )
+  ) ++ nbOracles
 }

@@ -33,6 +33,12 @@ object TextOps {
 
   def tokens(c: Column): Column = regexp_extract_all(lower(c), lit("\\S+"), lit(0))
 
+  /** Driver-side 6dp half-away-from-zero round — the scalar twin of
+    * core.roundLikeDuck (DuckDB's round() arithmetic), for model
+    * constants that must replay exactly in oracle SQL. */
+  private[graft] def round6(x: Double): Double =
+    (if (x >= 0) math.floor(x * 1e6 + 0.5) else -math.floor(-x * 1e6 + 0.5)) / 1e6
+
   /** 56-bit integer hash from the md5 hex prefix — exact cross-engine. */
   def hash56(c: Column): Column =
     conv(substring(md5(c), 1, 14), 16, 10).cast("long")
@@ -1666,5 +1672,203 @@ object TextOps {
     // corpus tokenize at execution time. Token-cardinality-sized,
     // MEMORY_AND_DISK evicts under pressure.
     out
+  }
+
+  /** C4-style line-level corpus deduplication (Raffel et al., JMLR'20 §2.2:
+    * "we discarded all but one of any three-sentence span occurring more
+    * than once"; the line-granular variant is the common production form —
+    * drop any line whose corpus-wide occurrence count reaches
+    * `minDupCount`, then rebuild each document from its surviving lines in
+    * order). `sep` is a LITERAL separator (default newline), quoted before
+    * it reaches the regex engine, and survivors are re-joined with the
+    * same separator so kept structure round-trips byte-exactly.
+    *
+    * Scale shape: one split+posexplode pass; the frequency aggregation
+    * groups on the 56-bit md5 hash of the line so the count exchange
+    * carries (8-byte hash, count) — never line text; the hot-line table it
+    * produces is duplicate-cardinality-sized and joins back on the same
+    * hash (AQE broadcasts it when small). Rebuild is one partial-agg'd
+    * groupBy(id) whose input rows carry (pos, line) — the only full-text
+    * shuffle, same width as the input corpus. Empty lines are counted
+    * like any other line (consecutive separators in a corpus-frequent
+    * pattern are themselves boilerplate).
+    *
+    * Output: idCol, text (rebuilt), nLines, nRemoved. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      minDupCount: Long, sep: String = "\n"): DataFrame = {
+    require(minDupCount >= 2, s"minDupCount $minDupCount must be >= 2")
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val segs = docs.select(col(idCol),
+      posexplode(split(col(textCol), qsep)).as(Seq("pos", "line")))
+      .withColumn("h", hash56(col("line")))
+    val hot = segs.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minDupCount)
+      .select(col("h"), lit(true).as("isDup"))
+    segs.join(hot, Seq("h"), "left")
+      .withColumn("keep", col("isDup").isNull)
+      .groupBy(idCol)
+      .agg(
+        array_join(
+          transform(
+            filter(array_sort(collect_list(struct(col("pos"), col("line"),
+              col("keep")))), x => x.getField("keep")),
+            x => x.getField("line")),
+          sep).as(textCol),
+        count(lit(1)).as("nLines"),
+        sum(when(col("keep"), lit(0L)).otherwise(lit(1L))).as("nRemoved"))
+  }
+
+  /** A fitted binary Naive Bayes text classifier (the count-based face of
+    * the fastText/logistic quality filters of GPT-3 §2.2 / Brown et al.
+    * app. A — NB because every fit statistic is a count, so the whole
+    * model replays exactly in SQL). tokTable is vocab-sized (tok, cPos,
+    * cNeg); the scalars are the per-class token totals, document priors
+    * and vocabulary size Laplace scoring needs. */
+  case class NbModel(tokTable: DataFrame, tPos: Long, tNeg: Long,
+      nDocsPos: Long, nDocsNeg: Long, vocab: Long)
+
+  /** Fit [[NbModel]] on a labeled seed set: ONE tokenize + hash-agg pass
+    * builds the per-token class counts (shuffle carries (tok, 2 longs));
+    * the class totals/priors/vocab come from one model-sized roll-up of
+    * that aggregate — the corpus is read once. */
+  def nbFitModel(seed: DataFrame, idCol: String, textCol: String,
+      labelCol: String, posLabel: String): NbModel = {
+    val isPos = col(labelCol) === lit(posLabel)
+    val tokTable = seed
+      .select(isPos.as("p"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok")
+      .agg(sum(when(col("p"), 1L).otherwise(0L)).as("cPos"),
+        sum(when(!col("p"), 1L).otherwise(0L)).as("cNeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = tokTable.agg(sum("cPos"), sum("cNeg"), count(lit(1))).collect()(0)
+    val docs = seed.agg(
+      sum(when(isPos, 1L).otherwise(0L)),
+      sum(when(!isPos, 1L).otherwise(0L))).collect()(0)
+    NbModel(tokTable,
+      if (tot.isNullAt(0)) 0L else tot.getLong(0),
+      if (tot.isNullAt(1)) 0L else tot.getLong(1),
+      docs.getLong(0), docs.getLong(1), tot.getLong(2))
+  }
+
+  /** Score docs with a fitted [[NbModel]]: per-token Laplace log-odds
+    * contribution ln((cPos+k)/(TPos+kV)) − ln((cNeg+k)/(TNeg+kV)), each
+    * rounded to 6dp and summed as a scaled LONG so the per-doc total is
+    * order-exact (the sibling pattern q116 settled on — float sums inside
+    * a hash aggregate are order-nondeterministic). Unseen tokens take the
+    * same formula at count 0 via the left join. logOdds adds the document
+    * prior ln(nDocsPos/nDocsNeg); predicted = posLabel iff logOdds > 0.
+    *
+    * Scale shape: docs tokenize+explode once; the only join is against
+    * the vocab-sized token table (AQE broadcasts normal vocabs, falls
+    * back to a token-keyed shuffle join of two token-sized sides for
+    * web-scale vocabularies); the per-doc roll-up is one map-side-combined
+    * hash agg. */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+      model: NbModel, posLabel: String, negLabel: String,
+      smoothing: Double = 1.0): DataFrame = {
+    val k = smoothing
+    val v = model.vocab.toDouble
+    val logPrior = round6(math.log(model.nDocsPos.toDouble / model.nDocsNeg))
+    val contrib =
+      log((coalesce(col("cPos"), lit(0L)) + lit(k)) / lit(model.tPos + k * v)) -
+        log((coalesce(col("cNeg"), lit(0L)) + lit(k)) / lit(model.tNeg + k * v))
+    val scored = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .join(model.tokTable, Seq("tok"), "left")
+      .withColumn("c6", graft.core.fixedPointLong(contrib, 6))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("nToks"), sum("c6").as("s6"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nToks"), lit(0L)).as("nToks"),
+        (coalesce(col("s6"), lit(0L)) / 1e6 + lit(logPrior)).as("logOdds"))
+      .withColumn("predicted",
+        when(col("logOdds") > 0, lit(posLabel)).otherwise(lit(negLabel)))
+  }
+
+  /** BM25 ranked retrieval (Robertson & Walker, SIGIR'94; the Lucene
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)) form, which keeps idf positive).
+    * Scores every document against a fixed bag of query `terms` and
+    * returns the global top-k.
+    *
+    * Scale shape: corpus stats (N, avgdl) are one two-scalar agg; the
+    * posting build filters to query terms BEFORE the exchange, so the
+    * shuffle carries only query-term postings (≤ |terms| rows per doc),
+    * never the corpus vocabulary; the df table is ≤ |terms| rows and is
+    * broadcast; the final top-k is orderBy+limit — TakeOrderedAndProject,
+    * per-partition heaps, no global sort. Per-doc term contributions are
+    * 6dp-fixed-point LONG sums (order-exact, engine-exact).
+    *
+    * Output: idCol, nTerms (matched query terms), score — top `topK` rows
+    * by (score desc, id asc). */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topK: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one query term")
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    // avgdl as one exact long sum ÷ one exact long count (single final
+    // division) — an engine-internal double-accumulating avg() could
+    // diverge in the last ulp and flip a 6dp contribution boundary
+    val stats = base.agg(count(lit(1)),
+      sum(size(col("toks")).cast("long"))).collect()(0)
+    val n = stats.getLong(0)
+    val avgdl = if (stats.isNullAt(1) || stats.getLong(1) == 0L) 1.0
+      else stats.getLong(1).toDouble / n
+    val postings = base
+      .select(col(idCol), size(col("toks")).as("dl"),
+        explode(col("toks")).as("tok"))
+      .where(col("tok").isin(terms: _*))
+      .groupBy(idCol, "tok", "dl").agg(count(lit(1)).as("tf"))
+    val dfTable = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+    val contrib = col("idf") * col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    postings.join(broadcast(dfTable), "tok")
+      .withColumn("c6", graft.core.fixedPointLong(contrib, 6))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("nTerms"), (sum("c6") / 1e6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling", ICLR'23): languages sorted by mass
+    * ascending; each takes min(epochCap · mass, fair share of the budget
+    * still unallocated over the languages still unserved). Low-resource
+    * languages get their full epoch cap; the leftover budget spreads
+    * evenly over the high-resource tail — the published alternative to
+    * temperature mixing ([[temperatureMix]]) that bounds per-language
+    * repetition explicitly.
+    *
+    * The per-language masses are ONE hash agg (the only corpus-sized
+    * work); the greedy walk runs on the collected language list
+    * (languages-sized, i.e. model-sized). Each allocation is rounded to
+    * 6dp before the running budget updates, so the sequential walk
+    * replays exactly in a recursive-CTE oracle.
+    *
+    * Output: (lang, mass, alloc, epochs) — alloc in the same unit as
+    * `weightCol`, epochs = alloc/mass. */
+  def unimaxAllocate(docs: DataFrame, langCol: String, weightCol: String,
+      totalBudget: Double, epochCap: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // masses summed as 6dp fixed-point longs (order-exact for fractional
+    // weights; exact anyway for integral ones) so the ascending sort key
+    // and every downstream division replay bit-identically in the oracle
+    val masses = docs.groupBy(langCol)
+      .agg((sum(graft.core.fixedPointLong(col(weightCol).cast("double"), 6))
+        .cast("double") / 1e6).as("mass"))
+      .orderBy(col("mass"), col(langCol))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    var remaining = totalBudget
+    val out = masses.zipWithIndex.map { case ((lang, mass), i) =>
+      val fair = remaining / (masses.length - i)
+      val alloc = round6(math.min(epochCap * mass, fair))
+      remaining -= alloc
+      (lang, mass, alloc, if (mass > 0) alloc / mass else 0.0)
+    }
+    spark.createDataset(out.toSeq).toDF(langCol, "mass", "alloc", "epochs")
   }
 }

@@ -908,4 +908,91 @@ class TextSpec extends SparkSpec {
     assert(fused == staged,
       s"fused-staged diff: ${(fused -- staged) ++ (staged -- fused)}")
   }
+
+  test("lineDedup drops corpus-frequent lines, keeps order and separator") {
+    val d = Seq(
+      (1L, "unique alpha\ncookie banner\nunique beta"),
+      (2L, "cookie banner\nunique gamma"),
+      (3L, "cookie banner"),
+      (4L, "all original here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.lineDedup(d, "doc_id", "text", minDupCount = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("nLines"), r.getAs[Long]("nRemoved")))).toMap
+    assert(out(1L) == (("unique alpha\nunique beta", 3L, 1L)))
+    assert(out(2L) == (("unique gamma", 2L, 1L)))
+    assert(out(3L) == (("", 1L, 1L)), "doc that was pure boilerplate empties out")
+    assert(out(4L) == (("all original here", 1L, 0L)))
+  }
+
+  test("lineDedup leaves a duplicate-free corpus byte-identical") {
+    val d = Seq((1L, "a\nb\nc"), (2L, "d\ne")).toDF("doc_id", "text")
+    val out = TextOps.lineDedup(d, "doc_id", "text", minDupCount = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out == Map(1L -> "a\nb\nc", 2L -> "d\ne"))
+  }
+
+  test("naive bayes classifier separates two vocabularies") {
+    val seed = Seq(
+      (1L, "spark shuffle partition executor spark", "tech"),
+      (2L, "executor codegen partition shuffle", "tech"),
+      (3L, "sonnet stanza rhyme meter verse", "poem"),
+      (4L, "rhyme verse stanza sonnet", "poem")
+    ).toDF("doc_id", "text", "label")
+    val model = TextOps.nbFitModel(seed, "doc_id", "text", "label", "tech")
+    assert(model.nDocsPos == 2 && model.nDocsNeg == 2)
+    val score = TextOps.nbScore(
+      Seq((10L, "shuffle executor spark"), (11L, "stanza rhyme sonnet"),
+        (12L, "entirely unseen tokens")).toDF("doc_id", "text"),
+      "doc_id", "text", model, "tech", "poem")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("predicted"), r.getAs[Double]("logOdds")))).toMap
+    assert(score(10L)._1 == "tech" && score(10L)._2 > 0)
+    assert(score(11L)._1 == "poem" && score(11L)._2 < 0)
+    // unseen tokens contribute the symmetric floor; equal class totals +
+    // equal priors → logOdds 0 → negative label by the strict > 0 rule
+    assert(math.abs(score(12L)._2) < 1e-6)
+  }
+
+  test("bm25 ranks term-dense docs first and respects topK") {
+    val d = Seq(
+      (1L, "spark spark spark join"),
+      (2L, "spark filler filler filler filler filler filler"),
+      (3L, "join filler"),
+      (4L, "nothing relevant at all")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25Search(d, "doc_id", "text", Seq("spark", "join"), topK = 3)
+      .collect()
+    assert(out.length == 3, "doc 4 matches no term and topK=3")
+    assert(out.head.getAs[Long]("doc_id") == 1L,
+      "doc 1 has both terms with high tf and short length")
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L))
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("unimax caps low-resource languages and spreads the leftover") {
+    val d = (1 to 10).map(i => (i.toLong, "a", 1L)) ++ Seq((11L, "b", 100L))
+    val df = d.toDF("doc_id", "lang", "w")
+    val out = TextOps.unimaxAllocate(df.withColumn("w", col("w").cast("double")),
+      "lang", "w", totalBudget = 110.0, epochCap = 2.0)
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Double]("mass"), r.getAs[Double]("alloc"), r.getAs[Double]("epochs")))).toMap
+    // a: mass 10, fair 55 → capped at 2 epochs = 20; b takes the remaining 90
+    assert(out("a") == ((10.0, 20.0, 2.0)))
+    assert(out("b")._2 == 90.0 && math.abs(out("b")._3 - 0.9) < 1e-9)
+  }
+
+  test("unimax never allocates past the epoch cap or the budget") {
+    val df = Seq((1L, "x", 10.0), (2L, "y", 30.0), (3L, "z", 500.0))
+      .toDF("doc_id", "lang", "w")
+    val out = TextOps.unimaxAllocate(df, "lang", "w", totalBudget = 200.0, epochCap = 1.5)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Double]("mass"),
+        r.getAs[Double]("alloc"), r.getAs[Double]("epochs")))
+    assert(out.forall(r => r._4 <= 1.5 + 1e-9))
+    assert(out.map(_._3).sum <= 200.0 + 1e-6)
+    // x and y fit under their caps; z absorbs what remains
+    val m = out.map(r => r._1 -> r._3).toMap
+    assert(m("x") == 15.0 && m("y") == 45.0 && m("z") == 140.0)
+  }
 }
