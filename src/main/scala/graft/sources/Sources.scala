@@ -282,4 +282,163 @@ object Sources {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(path)
   }
+
+  /** Read a reference per-key threshold file
+    * (common/OutlierUtility.scala:101-111 — BasicUtils.getKeyedValues:
+    * key fields at ordinals 0..keyLen−1, threshold at `thresholdOrd`,
+    * default the field right after the key). Output: keyCols...,
+    * threshold — the shape the per-key learned-threshold tagging (q72)
+    * and `core.label`'s override column consume. */
+  def readThresholdModel(spark: SparkSession, path: String,
+      keyCols: Seq[String], thresholdOrd: Int = -1,
+      delim: String = ","): DataFrame = {
+    val k = keyCols.length
+    val ord = if (thresholdOrd >= 0) thresholdOrd else k
+    val raw = spark.read.option("delimiter", delim).csv(path)
+    val keyed = keyCols.zipWithIndex.foldLeft(raw) { case (df, (c, i)) =>
+      df.withColumnRenamed(s"_c$i", c)
+    }
+    keyed.select(keyCols.map(col) :+
+      col(s"_c$ord").cast("double").as("threshold"): _*)
+  }
+
+  /** Write half of [[readThresholdModel]] — key fields then threshold. */
+  def writeThresholdModel(model: DataFrame, path: String,
+      keyCols: Seq[String], delim: String = ","): Unit =
+    model.select(concat_ws(delim,
+      (keyCols.map(col) :+ col("threshold")).map(_.cast("string")): _*)
+      .as("line"))
+      .coalesce(1).write.mode("overwrite").text(path)
+
+  /** Read a reference median + MAD model file pair (the layout chombo's
+    * MedianStatsManager serves per RobustZscorePredictor.java:72,
+    * 144-146: per line, key fields..., attribute ordinal, value; the
+    * manager answers getKeyedMedian(key, ord) / getKeyedMedAbsDivergence
+    * (key, ord) from the med/mad file respectively — the class itself
+    * lives in the external chombo tree, so the flat keyed-values layout
+    * is inferred from those call sites like readStatsModel's was).
+    * `attrByOrd` maps file attribute ordinals to engine column names.
+    * Output: keyCols..., attr, med, mad — `Fitters.robustStats`' shape,
+    * pluggable straight into `Scorers.robustZscore`. */
+  def readMedianModel(spark: SparkSession, medPath: String, madPath: String,
+      keyCols: Seq[String], attrByOrd: Map[Int, String],
+      delim: String = ","): DataFrame = {
+    val k = keyCols.length
+    def keyed(path: String, valName: String): DataFrame = {
+      val raw = spark.read.option("delimiter", delim).csv(path)
+      val named = keyCols.zipWithIndex.foldLeft(raw) { case (df, (c, i)) =>
+        df.withColumnRenamed(s"_c$i", c)
+      }
+      val attrMap = attrByOrd.map { case (o, n) => (o.toString, n) }
+      val mapExpr = map(attrMap.toSeq
+        .flatMap { case (o, n) => Seq(lit(o), lit(n)) }: _*)
+      named.select(keyCols.map(col) :+
+        coalesce(element_at(mapExpr, col(s"_c$k")), col(s"_c$k")).as("attr") :+
+        col(s"_c${k + 1}").cast("double").as(valName): _*)
+    }
+    keyed(medPath, "med").join(keyed(madPath, "mad"), keyCols :+ "attr")
+  }
+
+  /** Write half of [[readMedianModel]]: a fitted robustStats model
+    * (keyCols..., attr, med, mad) → the med and MAD files, attribute
+    * names mapped back to file ordinals. */
+  def writeMedianModel(model: DataFrame, medPath: String, madPath: String,
+      keyCols: Seq[String], ordByAttr: Map[String, Int],
+      delim: String = ","): Unit = {
+    val ordMap = map(ordByAttr.toSeq
+      .flatMap { case (n, o) => Seq(lit(n), lit(o.toString)) }: _*)
+    def dump(valCol: String, path: String): Unit =
+      model.select(concat_ws(delim,
+        (keyCols.map(col) :+ coalesce(element_at(ordMap, col("attr")),
+          col("attr")) :+ col(valCol)).map(_.cast("string")): _*).as("line"))
+        .coalesce(1).write.mode("overwrite").text(path)
+    dump("med", medPath)
+    dump("mad", madPath)
+  }
+
+  /** Write a fitted isolation forest in the reference's tree-path model
+    * file layout (the format IsolationForestPredictor.scala:108-133
+    * consumes: per line, key fields..., treeId, the root-to-leaf
+    * predicate chain "attr-split-LT:attr-split-GE:...", leaf record
+    * count — split values at 6 decimals like the model job's
+    * BasicUtils.formatDouble(splitVal, 6), IsolationForestModel
+    * .scala:207-208). The model job writes `@`-separated predicates but
+    * the predictor splits them on `-` (a reference-internal
+    * inconsistency); this writer emits the `-` form the predictor
+    * actually parses, and [[readIsolationForestModel]] accepts both.
+    * The engine's composite key (parts joined by `keySep`) is split
+    * back into its delimited key fields. Models are model-sized by
+    * definition (score() broadcasts them), so the conversion is
+    * driver-side. */
+  def writeIsolationForestModel(
+      model: org.apache.spark.sql.Dataset[graft.multi.IsolationForest.IsoNode],
+      path: String, delim: String = ",", keySep: String = "|"): Unit = {
+    val nodes = model.collect()
+    val lines = nodes.groupBy(n => (n.key, n.treeId)).toSeq
+      .sortBy { case ((k, t), _) => (k, t) }
+      .flatMap { case ((key, t), ns) =>
+        val byPath = ns.map(n => n.path -> n).toMap
+        ns.filter(_.isLeaf).sortBy(_.path).map { leaf =>
+          val preds = (1 until leaf.path.length).map { i =>
+            val parent = byPath(leaf.path.substring(0, i))
+            val op = if (leaf.path.charAt(i) == '0') "LT" else "GE"
+            // Locale.ROOT: a comma-decimal default locale would corrupt
+            // the delimited file
+            parent.attr.toString + "-" + String.format(java.util.Locale.ROOT,
+              "%.6f", Double.box(parent.split)) + "-" + op
+          }.mkString(":")
+          (key.split(java.util.regex.Pattern.quote(keySep)).toSeq :+
+            t.toString :+ preds :+ leaf.size.toString).mkString(delim)
+        }
+      }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "part-00000"),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** Read a reference isolation-forest tree-path model file back into
+    * the engine's [[graft.multi.IsolationForest.IsoNode]] shape —
+    * internal nodes are reconstructed from the predicate chains (the
+    * predicate at position j of any leaf under a node IS that node's
+    * (attr, split)), so the result feeds `IsolationForest.score` and
+    * `.merge` unchanged. Flag bits the reference ORs into treeId for
+    * non-splittable paths (IsolationForestModel.scala:190-191) are
+    * masked off. Internal-node sizes are not stored in the file (only
+    * leaf path counts are); scoring never reads them. */
+  def readIsolationForestModel(spark: SparkSession, path: String,
+      keyParts: Int = 1, delim: String = ",", keySep: String = "|")
+      : org.apache.spark.sql.Dataset[graft.multi.IsolationForest.IsoNode] = {
+    import graft.multi.IsolationForest.IsoNode
+    import spark.implicits._
+    val pred = """(\d+)[-@](-?[0-9.eE+]+)[-@](LT|GE)""".r
+    val lines = spark.read.textFile(path).collect()
+    val nodes = collection.mutable.LinkedHashMap.empty[(String, Int, String), IsoNode]
+    lines.filter(_.nonEmpty).foreach { line =>
+      val f = line.split(java.util.regex.Pattern.quote(delim), -1)
+      require(f.length >= keyParts + 3,
+        s"iforest model line has ${f.length} fields, need >= ${keyParts + 3}: $line")
+      val key = f.take(keyParts).mkString(keySep)
+      val treeId = f(keyParts).toInt & ~((1 << 11) | (1 << 12))
+      val preds = if (f(keyParts + 1).isEmpty) Array.empty[(Int, Double, String)]
+        else f(keyParts + 1).split(":").map {
+          case pred(a, s, op) => (a.toInt, s.toDouble, op)
+          case other => throw new IllegalArgumentException(
+            s"unparseable predicate '$other' in: $line")
+        }
+      val size = f(keyParts + 2).toInt
+      val bits = preds.map(p => if (p._3 == "LT") '0' else '1')
+      preds.indices.foreach { j =>
+        val p = "R" + new String(bits.take(j))
+        nodes.getOrElseUpdate((key, treeId, p),
+          IsoNode(key, treeId, p, preds(j)._1, preds(j)._2,
+            isLeaf = false, 0, j))
+      }
+      val leafPath = "R" + new String(bits)
+      nodes.put((key, treeId, leafPath),
+        IsoNode(key, treeId, leafPath, -1, 0.0, isLeaf = true, size,
+          preds.length))
+    }
+    spark.createDataset(nodes.values.toSeq)
+  }
 }

@@ -480,4 +480,109 @@ class PipelineSpec extends SparkSpec {
       col("event_id") < 100000L).count()
     assert(back.count() == expect)
   }
+
+  test("per-key threshold file: reference layout parses and round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_thr").toString
+    // hand-written reference layout: key fields, threshold right after
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/ref"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/ref/part-00000"),
+      "login,eu,2.5\nlogin,us,3.0\ncheckout,eu,1.75\n")
+    val m = Sources.readThresholdModel(spark, s"$dir/ref",
+      Seq("event_type", "region"))
+    val got = m.collect().map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Double]("threshold")).toMap
+    assert(got == Map(("login", "eu") -> 2.5, ("login", "us") -> 3.0,
+      ("checkout", "eu") -> 1.75))
+    // explicit non-default threshold ordinal (extra columns in between)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/ref/part-00000"),
+      "login,eu,ignored,2.5\n")
+    val m2 = Sources.readThresholdModel(spark, s"$dir/ref",
+      Seq("event_type", "region"), thresholdOrd = 3)
+    assert(m2.collect()(0).getAs[Double]("threshold") == 2.5)
+    // write half round-trips
+    Sources.writeThresholdModel(m2, s"$dir/out", Seq("event_type", "region"))
+    val back = Sources.readThresholdModel(spark, s"$dir/out",
+      Seq("event_type", "region"))
+    assert(back.collect()(0).getAs[Double]("threshold") == 2.5)
+  }
+
+  test("median/MAD file pair: robust fit round-trips, scorer consumes it") {
+    val data = core.table(spark, sfDir, "events")
+    val fitted = graft.model.Fitters.robustStats(data, Seq("event_type"),
+      Seq("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_med").toString
+    Sources.writeMedianModel(fitted, s"$dir/med", s"$dir/mad",
+      Seq("event_type"), ordByAttr = Map("value" -> 2))
+    val back = Sources.readMedianModel(spark, s"$dir/med", s"$dir/mad",
+      Seq("event_type"), attrByOrd = Map(2 -> "value"))
+    val exp = fitted.collect().map(r => r.getAs[String]("event_type") ->
+      (r.getAs[Double]("med"), r.getAs[Double]("mad"))).toMap
+    val got = back.collect().map(r => r.getAs[String]("event_type") ->
+      (r.getAs[Double]("med"), r.getAs[Double]("mad"))).toMap
+    assert(got.keySet == exp.keySet && back.collect()
+      .forall(_.getAs[String]("attr") == "value"))
+    exp.foreach { case (k, (m, s)) =>
+      assert(math.abs(got(k)._1 - m) < 1e-9 && math.abs(got(k)._2 - s) < 1e-9, k)
+    }
+    // the read-back model drives robustZscore identically to the fit
+    val cfg = graft.score.Scorers.Cfg(Seq("event_type"), Seq("value"),
+      threshold = 2.0)
+    val a = graft.score.Scorers.robustZscore(data, fitted, cfg)
+      .agg(sum(col("score"))).collect()(0).getDouble(0)
+    val b = graft.score.Scorers.robustZscore(data, back, cfg)
+      .agg(sum(col("score"))).collect()(0).getDouble(0)
+    assert(math.abs(a - b) < 1e-6)
+  }
+
+  test("isolation-forest tree-path model file round-trips and scores") {
+    import graft.multi.IsolationForest
+    val data = core.table(spark, sfDir, "events")
+    val model = IsolationForest.fitDeterministic(data, Seq("event_type"),
+      Seq("value"), "event_id", numTrees = 5, subsampleSize = 32, maxDepth = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_if").toString
+    Sources.writeIsolationForestModel(model, s"$dir/m")
+    val back = Sources.readIsolationForestModel(spark, s"$dir/m")
+    // structure: same (key, tree, path) node set; leaves exact, internal
+    // splits within the file's 6-decimal precision
+    val exp = model.collect().map(n => (n.key, n.treeId, n.path) -> n).toMap
+    val got = back.collect().map(n => (n.key, n.treeId, n.path) -> n).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (k, e) =>
+      val g = got(k)
+      assert(g.isLeaf == e.isLeaf && g.attr == e.attr, k)
+      if (e.isLeaf) assert(g.size == e.size && g.depth == e.depth, k)
+      else assert(math.abs(g.split - e.split) < 5e-7, k)
+    }
+    // the read-back forest scores the corpus like the in-memory one
+    // (6dp split truncation can only matter if a value lands within 1e-6
+    // of a split — not the case on this fixture, deterministically)
+    val sA = IsolationForest.score(data, model, Seq("event_type"),
+      Seq("value"), "event_id", 32).collect()
+      .map(s => (s.key, s.rowId) -> s.score).toMap
+    val sB = IsolationForest.score(data, back, Seq("event_type"),
+      Seq("value"), "event_id", 32).collect()
+      .map(s => (s.key, s.rowId) -> s.score).toMap
+    assert(sA.keySet == sB.keySet)
+    assert(sA.forall { case (k, v) => math.abs(sB(k) - v) < 1e-12 })
+  }
+
+  test("iforest model file reader accepts the reference's @ predicate form") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ifat").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/m"))
+    // two leaves of one 1-split tree, the model job's @-separated
+    // predicates (IsolationForestModel.scala:207-208) and a flag bit
+    // (1<<12) ORed into the second line's treeId
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/m/part-00000"),
+      "k1,0,0@5.000000@LT,7\nk1," + (0 | (1 << 12)) + ",0@5.000000@GE,3\n")
+    val back = Sources.readIsolationForestModel(spark, s"$dir/m")
+      .collect().map(n => n.path -> n).toMap
+    assert(back.keySet == Set("R", "R0", "R1"))
+    assert(!back("R").isLeaf && back("R").attr == 0 && back("R").split == 5.0)
+    assert(back("R0").isLeaf && back("R0").size == 7)
+    assert(back("R1").isLeaf && back("R1").size == 3)
+    assert(back.values.forall(_.treeId == 0), "flag bits masked off")
+  }
 }
