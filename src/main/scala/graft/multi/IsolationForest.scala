@@ -101,9 +101,14 @@ object IsolationForest {
     // one core. Fan out only when the scan is narrower than the cluster —
     // at real scale the condition is false and no shuffle is added.
     val par = spark.sparkContext.defaultParallelism
+    // Persisted: BOTH fit jobs start from this projection (the count agg
+    // and the crossJoin→sample→growth lineage), so without the persist
+    // each re-runs scan + md5 + the fan-out exchange — measured ~0.4 s of
+    // the ~2.3 s warm fit at sf0.1. Narrow rows (key, long, attrs), so
+    // the footprint is a fraction of the source table.
     val keyed =
-      if (keyedRaw.rdd.getNumPartitions < par) keyedRaw.repartition(par)
-      else keyedRaw
+      (if (keyedRaw.rdd.getNumPartitions < par) keyedRaw.repartition(par)
+       else keyedRaw).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def hashed = keyed.crossJoin(trees)
       .withColumn("h", (col("a") * col("base") + col("b")) % P)
       .drop("a", "b")
@@ -130,7 +135,11 @@ object IsolationForest {
     // 2.2 s vs 4.9 s over 5M rows); large key sets fall back to the join
     val bounds = nPerKey.select("key", "bound", "n").limit(65).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    if (bounds.isEmpty) { nPerKey.unpersist(blocking = false); return spark.emptyDataset[IsoNode] }
+    if (bounds.isEmpty) {
+      nPerKey.unpersist(blocking = false)
+      keyed.unpersist(blocking = false)
+      return spark.emptyDataset[IsoNode]
+    }
     val small = bounds.length <= 64
     // The whole fit is exactly TWO data-sized jobs: (1) the nPerKey count
     // agg above, (2) crossJoin → prefix filter → rank → tree growth in one
@@ -222,6 +231,7 @@ object IsolationForest {
         model.filterNot(n => badKeys.contains(n.key)).toSeq ++ redo
       }
     nPerKey.unpersist(blocking = false)
+    keyed.unpersist(blocking = false)
     spark.createDataset(result)
   }
 

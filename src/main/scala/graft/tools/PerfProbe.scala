@@ -63,6 +63,54 @@ object PerfProbe {
           .collect().length
       }
     }
+    // stage-by-stage breakdown of the 2-job fit's second (dominant) job
+    for (i <- 1 to reps) {
+      import graft.text.TextOps
+      val P = TextOps.P
+      val trees = broadcast(TextOps.hashParams(50).zipWithIndex
+        .map { case ((a, b), t) => (t, a, b) }.toDF("t", "a", "b"))
+      val keyed = data.select(
+        col("event_type").cast("string").as("key"),
+        (TextOps.hash56(col("event_id").cast("string")) % P).as("base"),
+        array(col("value").cast("double")).as("attrs"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val nPerKey = keyed.groupBy("key").agg(count(lit(1)).as("n"))
+        .withColumn("bound", least(lit(P - 1),
+          (lit(P.toDouble) * lit(64L * 8) / col("n")).cast("long")))
+      val bounds = time(s"job1 nPerKey#$i") {
+        nPerKey.select("key", "bound", "n").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      val caseExpr = bounds.tail.foldLeft(
+        when(col("key") === bounds.head._1, lit(bounds.head._2))) {
+        case (acc, (k, b, _)) => acc.when(col("key") === k, lit(b))
+      }
+      val hashed = keyed.crossJoin(trees)
+        .withColumn("h", (col("a") * col("base") + col("b")) % P)
+      time(s"crossJoin+filter#$i") {
+        hashed.where(col("h") <= caseExpr).count()
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key", "t").orderBy(col("h"), col("attrs"))
+      time(s"+window+rank#$i") {
+        hashed.where(col("h") <= caseExpr)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 64).count()
+      }
+      time(s"+growth collect#$i") {
+        import spark.implicits._
+        hashed.where(col("h") <= caseExpr)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 64)
+          .select(col("key"), col("t"), col("attrs"))
+          .as[(String, Int, Seq[Double])]
+          .groupByKey(_._1).flatMapGroups { (key, it) =>
+            val byTree = it.toArray.groupBy(_._2)
+            Iterator.single((key, byTree.size))
+          }.collect().length
+      }
+      time(s"scan only#$i") { keyed.count() }
+    }
     spark.stop()
   }
 }
