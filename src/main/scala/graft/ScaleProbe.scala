@@ -337,6 +337,26 @@ object ScaleProbe {
           .as[streaming.StreamScorers.ValueEvent]
         streaming.StreamScorers.entropyIncreaseStream(evd, 10.0, 30).count()
       }
+      // round-8 additions: line dedup (split + hash-count + rebuild),
+      // NB classifier (vocab-agg fit + token-join score), BM25 (filtered
+      // postings + broadcast df + TakeOrdered)
+      time("line_dedup", n, nDocs) {
+        text.TextOps.lineDedup(docs, "doc_id", "text",
+          minDupCount = 2, sep = " table ").count()
+      }
+      time("nb_classifier", n, nDocs) {
+        val seed = docs.withColumn("label",
+          when(col("lang") === "en", lit("en")).otherwise(lit("other")))
+        val m = text.TextOps.nbFitModel(seed, "doc_id", "text", "label", "en")
+        val out = text.TextOps.nbScore(docs, "doc_id", "text", m,
+          "en", "other").count()
+        m.tokTable.unpersist(blocking = false)
+        out
+      }
+      time("bm25", n, nDocs) {
+        text.TextOps.bm25Search(docs, "doc_id", "text",
+          Seq("spark", "join", "window", "vector"), topK = 20).count()
+      }
     }
     spark.stop()
   }

@@ -1805,7 +1805,14 @@ object TextOps {
       terms: Seq[String], topK: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25Search needs at least one query term")
+    // Persisted: the tokenize scan is the dominant cost and three actions
+    // read it (the stats agg below, the broadcast df-table build, the
+    // final scoring plan) — unpersisted, each re-runs the regex over the
+    // whole corpus (measured 3× the per-scan cost at 16× sf0.1). Stays
+    // cached for the lazy result like sourceSignature's counts; token
+    // arrays only, MEMORY_AND_DISK evicts under pressure.
     val base = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // avgdl as one exact long sum ÷ one exact long count (single final
     // division) — an engine-internal double-accumulating avg() could
     // diverge in the last ulp and flip a 6dp contribution boundary
