@@ -139,7 +139,7 @@ object ConfigRunner {
       strategy = conf.getOrElse("score.aggregation.strategy", "average"),
       expConst = conf.get("exp.const").map(_.toDouble).getOrElse(0.0),
       threshold = conf("score.threshold").toDouble)
-    conf("predictor.model") match {
+    val scored = conf("predictor.model") match {
       case "zscore" =>
         Scorers.zscore(data, Fitters.stats(data, keyCols, attrCols), cfg)
       case "robustZscore" =>
@@ -174,7 +174,35 @@ object ConfigRunner {
         Scorers.mahalanobis(data, cfg)
       case other => throw new IllegalArgumentException(s"unknown predictor.model $other")
     }
+    applyPerKeyThresholds(spark, scored, conf, keyCols, cfg.threshold)
   }
+
+  /** The reference's optional per-key threshold override
+    * (`path.thresholdByKey`, StatsBasedOutlierPredictor.scala:131,198 /
+    * MarkovChainPredictor.scala:74,87): when present, rows whose key
+    * appears in the file relabel against that key's threshold; the rest
+    * keep the global one (OutlierUtility.getThreshold fallback).
+    * The file's key fields join on string form — the seasonal key
+    * extension's cycleIndex is numeric in the engine but text in the
+    * file. Threshold files are model-sized: always broadcast. */
+  private def applyPerKeyThresholds(spark: SparkSession, scored: DataFrame,
+      conf: Map[String, String], keyCols: Seq[String],
+      globalThreshold: Double): DataFrame =
+    conf.get("path.thresholdByKey") match {
+      case None => scored
+      case Some(path) =>
+        val thrNames = keyCols.map(_ + "__tk")
+        val thr = graft.sources.Sources
+          .readThresholdModel(spark, path, thrNames)
+          .withColumnRenamed("threshold", "__thr")
+        val cond = keyCols.zip(thrNames)
+          .map { case (c, t) => scored(c).cast("string") === thr(t) }
+          .reduce(_ && _)
+        scored.join(broadcast(thr), cond, "left")
+          .withColumn("tag", graft.core.label(col("score"),
+            coalesce(col("__thr"), lit(globalThreshold))))
+          .drop(thrNames :+ "__thr": _*)
+    }
 
   /** Sequence-job dispatch (seq/MarkovChainPredictor.scala config surface):
     * `predictor.model=markovChainProb` with `seq.fieldOrd`, `state.fieldOrd`,
@@ -188,18 +216,23 @@ object ConfigRunner {
       conf(p).split(",").map(_.trim.toInt).toSeq
     val keyCols = columnsByOrdinal(data, ints("id.fieldOrdinals"))
     val seqCol = data.columns(conf("seq.fieldOrd").toInt)
-    conf("predictor.model") match {
+    val scored = conf("predictor.model") match {
       case "markovChainProb" =>
         val stateCol = data.columns(conf("state.fieldOrd").toInt)
         val trans = model.getOrElse(
           graft.model.Fitters.markovTransitions(data, keyCols, seqCol, stateCol,
             smoothing = conf.getOrElse("laplace.smoothing", "0.5").toDouble))
+        // per-key thresholds go INTO the scorer (not a post-hoc relabel):
+        // the O-spread over the window must see the overridden rawTag
         graft.seq.SeqOps.markovChainScore(data, trans, keyCols, seqCol, stateCol,
           window = conf.getOrElse("window.size", "5").toInt,
           metric = conf.getOrElse("markov.metric", "condProb"),
-          threshold = conf("score.threshold").toDouble)
+          threshold = conf("score.threshold").toDouble,
+          perKeyThresholds = conf.get("path.thresholdByKey").map(p =>
+            graft.sources.Sources.readThresholdModel(spark, p, keyCols)))
       case other => throw new IllegalArgumentException(s"unknown sequence predictor.model $other")
     }
+    scored
   }
 
   /** Parse a reference .properties/.conf-style text blob. */

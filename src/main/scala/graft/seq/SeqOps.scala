@@ -46,7 +46,8 @@ object SeqOps {
       window: Int,
       metric: String = "condProb",
       threshold: Double = 1.5,
-      modelKeyCols: Seq[String] = Nil): DataFrame = {
+      modelKeyCols: Seq[String] = Nil,
+      perKeyThresholds: Option[DataFrame] = None): DataFrame = {
     val w = byKey(keyCols, seqCol)
     // per-fromState derived stats: entropy H(from), argmax target
     val mw = Window.partitionBy((modelKeyCols :+ "fromState").map(col): _*)
@@ -70,9 +71,28 @@ object SeqOps {
       case "condProb" => avg(-log(col("prob"))).over(frame)
       case other => throw new IllegalArgumentException(s"unknown metric $other")
     }
-    val scored = joined
+    val scoredBase = joined
       .withColumn("score", when(nTrans === window, scoreExpr))
-      .withColumn("rawTag", label(col("score"), lit(threshold)))
+    // optional per-key threshold override (path.thresholdByKey,
+    // MarkovChainPredictor.scala:74,87) — joined BEFORE rawTag so the
+    // O-spread below honors it; missing keys fall back to the global
+    // threshold (OutlierUtility.getThreshold). File keys join on string
+    // form; threshold files are model-sized, always broadcast.
+    val scored = perKeyThresholds match {
+      case None =>
+        scoredBase.withColumn("rawTag", label(col("score"), lit(threshold)))
+      case Some(t) =>
+        val tn = keyCols.map(_ + "__tk")
+        val tt = t.select(keyCols.zip(tn).map { case (c, n) =>
+          col(c).cast("string").as(n) } :+ col("threshold").as("__pkthr"): _*)
+        val cond = keyCols.zip(tn)
+          .map { case (c, n) => scoredBase(c).cast("string") === tt(n) }
+          .reduce(_ && _)
+        scoredBase.join(broadcast(tt), cond, "left")
+          .withColumn("rawTag", label(col("score"),
+            coalesce(col("__pkthr"), lit(threshold))))
+          .drop(tn :+ "__pkthr": _*)
+    }
     // spread O back over the window: row i is O if any of rows i..i+w-1 raw-O
     val fwd = byKey(keyCols, seqCol).rowsBetween(0, window - 1)
     scored

@@ -481,6 +481,51 @@ class PipelineSpec extends SparkSpec {
     assert(back.count() == expect)
   }
 
+  test("config jobs honor path.thresholdByKey per-key overrides") {
+    val data = core.table(spark, sfDir, "events")
+    val aType = data.select("event_type").limit(1).collect()(0).getString(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfgthr").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/t"))
+    // one key gets an absurdly low threshold; everything else keeps global
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/t/part-00000"), s"$aType,0.0001\n")
+    val base = Map("predictor.model" -> "zscore",
+      "id.fieldOrdinals" -> "3", "attr.ordinals" -> "4",
+      "score.threshold" -> "3.0")
+    val noFile = graft.pipeline.ConfigRunner.run(spark, data, base)
+    val withFile = graft.pipeline.ConfigRunner.run(spark, data,
+      base + ("path.thresholdByKey" -> s"$dir/t"))
+    val oNo = noFile.where(col("event_type") === aType &&
+      col("tag") === "O").count()
+    val oWith = withFile.where(col("event_type") === aType &&
+      col("tag") === "O").count()
+    assert(oWith > oNo, "near-zero override must tag more outliers")
+    assert(oWith == withFile.where(col("event_type") === aType &&
+      col("score") > 0.0001).count())
+    // keys NOT in the file keep the global threshold
+    val othersNo = noFile.where(col("event_type") =!= aType && col("tag") === "O").count()
+    val othersWith = withFile.where(col("event_type") =!= aType && col("tag") === "O").count()
+    assert(othersNo == othersWith)
+    // markov path: the override flows through rawTag BEFORE the O-spread;
+    // markov keys on user_id, so its file is keyed by one user
+    val aUser = data.select("user_id").limit(1).collect()(0).getLong(0)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/u"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/u/part-00000"), s"$aUser,0.0001\n")
+    val seqConf = Map("predictor.model" -> "markovChainProb",
+      "id.fieldOrdinals" -> "2", "seq.fieldOrd" -> "0",
+      "state.fieldOrd" -> "3", "window.size" -> "3",
+      "score.threshold" -> "1000.0")
+    val mkNo = graft.pipeline.ConfigRunner.runSequence(spark, data, seqConf)
+    val mkWith = graft.pipeline.ConfigRunner.runSequence(spark, data,
+      seqConf + ("path.thresholdByKey" -> s"$dir/u"))
+    assert(mkNo.where(col("tag") === "O").count() == 0,
+      "global 1000 threshold tags nothing")
+    val mkKeyO = mkWith.where(col("user_id") === aUser && col("tag") === "O").count()
+    assert(mkKeyO > 0, "per-key override must surface O's for its key")
+    assert(mkWith.where(col("user_id") =!= aUser && col("tag") === "O").count() == 0)
+  }
+
   test("per-key threshold file: reference layout parses and round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("graft_thr").toString
     // hand-written reference layout: key fields, threshold right after
