@@ -248,4 +248,35 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(r(0).getDouble(1) == 44.0663) // spark round() differs -> why canon exists
     assert(r(1).getDouble(0) == -44.0662) // symmetric
   }
+
+  test("bm25: term filter sits below the posting exchange; top-k is TakeOrdered") {
+    val p = plan("q175_bm25").toString
+    // global top-k via per-partition heaps, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
+    // the df table (<= |terms| rows) joins broadcast, never SMJ/cartesian
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
+      && !p.contains("CartesianProduct"), s"df-table join shape:\n$p")
+    // postings filter on the query terms is applied in the scan stage
+    // (below the first exchange), so only query-term rows shuffle
+    val beforeFirstExchange = p.substring(p.indexOf("Exchange"))
+    assert(beforeFirstExchange.contains("INSET") ||
+      p.substring(0, p.indexOf("Exchange")).contains("INSET") ||
+      p.contains("isin") || p.contains("IN ("), s"term filter missing:\n$p")
+  }
+
+  test("line dedup: the frequency exchange carries hashes, not line text") {
+    val s = plan("q173_line_dedup").toString
+    assert(s.contains("partial_count"), "hot-line count must map-side combine")
+    // the count agg groups on the 56-bit hash column named h
+    assert(s.contains("hashagg") || s.contains("HashAggregate(keys=[h#")
+      || s.contains("keys=[h"), s"hash-keyed agg missing:\n$s")
+  }
+
+  test("nb scoring: vocab-table join is hash-keyed, per-doc agg map-side combined") {
+    val p = plan("q174_nb_classifier").toString
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-doc agg must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop joins in NB scoring:\n$p")
+  }
 }
