@@ -771,6 +771,14 @@ object TextQueries {
     "q175_bm25" -> ((s, dir) =>
       canon(TextOps.bm25Search(docs(s, dir), "doc_id", "text",
         Seq("spark", "join", "window", "vector"), topK = 20))),
+    // build/search split: the full inverted index built once, the same
+    // term bag searched against it — must equal q175 exactly (the PQ
+    // build/search precedent, gated on the same oracle)
+    "q177_bm25_indexed" -> ((s, dir) => {
+      val idx = TextOps.bm25Build(docs(s, dir), "doc_id", "text")
+      canon(TextOps.bm25SearchWith(idx, "doc_id",
+        Seq("spark", "join", "window", "vector"), topK = 20))
+    }),
     // UniMax per-language budget allocation (Chung et al., ICLR'23):
     // budget = 30% of corpus chars, epoch cap 2
     "q176_unimax" -> ((s, dir) => {
@@ -832,7 +840,12 @@ object TextQueries {
          |WHERE NOT d.insd""".stripMargin.replace("\n", " "),
     // Lucene-form BM25; avgdl = exact long sum / long count, per-doc term
     // contributions as 6dp fixed-point longs
-    "q175_bm25" ->
+    "q175_bm25" -> bm25Sql,
+    // identical result contract: the build/search split (q177) is gated
+    // on the same replay
+    "q177_bm25_indexed" -> bm25Sql)
+
+  private lazy val bm25Sql: String =
       s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
          |st AS (SELECT count(*)::BIGINT AS n,
          |  (sum(len(t))::BIGINT)::DOUBLE / count(*) AS avgdl FROM base),
@@ -849,9 +862,11 @@ object TextQueries {
          |  sum(c6)/1e6 AS score FROM c GROUP BY 1)
          |SELECT doc_id, nTerms, round(score, 4) AS score FROM s
          |ORDER BY score DESC, doc_id LIMIT 20"""
-        .stripMargin.replace("\n", " "),
-    // UniMax greedy walk replayed as a recursive CTE: langs ascending by
-    // exact mass, alloc_i = round6(min(cap·massᵢ, remaining/(L−i+1)))
+        .stripMargin.replace("\n", " ")
+
+  // UniMax greedy walk replayed as a recursive CTE: langs ascending by
+  // exact mass, alloc_i = round6(min(cap·massᵢ, remaining/(L−i+1)))
+  private lazy val unimaxOracle: Map[String, String] = Map(
     "q176_unimax" ->
       s"""WITH RECURSIVE m AS (SELECT lang,
          |  sum(${fp6("n_chars::DOUBLE")})/1e6 AS mass
@@ -1789,5 +1804,5 @@ object TextQueries {
          | FROM l QUALIFY rank <= 10)
          |SELECT grp, tok, cnt, round(lift, 4) AS lift, rank FROM r"""
         .stripMargin.replace("\n", " "),
-  ) ++ nbOracles
+  ) ++ nbOracles ++ unimaxOracle
 }

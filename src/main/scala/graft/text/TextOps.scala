@@ -1766,6 +1766,9 @@ object TextOps {
   def nbScore(docs: DataFrame, idCol: String, textCol: String,
       model: NbModel, posLabel: String, negLabel: String,
       smoothing: Double = 1.0): DataFrame = {
+    require(model.nDocsPos > 0 && model.nDocsNeg > 0,
+      s"NB needs both classes in the seed (pos=${model.nDocsPos}, " +
+        s"neg=${model.nDocsNeg}) — a one-class prior is infinite")
     val k = smoothing
     val v = model.vocab.toDouble
     val logPrior = round6(math.log(model.nDocsPos.toDouble / model.nDocsNeg))
@@ -1806,11 +1809,14 @@ object TextOps {
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25Search needs at least one query term")
     // Persisted: the tokenize scan is the dominant cost and three actions
-    // read it (the stats agg below, the broadcast df-table build, the
+    // read it (the corpus-stats agg, the broadcast df-table build, the
     // final scoring plan) — unpersisted, each re-runs the regex over the
     // whole corpus (measured 3× the per-scan cost at 16× sf0.1). Stays
     // cached for the lazy result like sourceSignature's counts; token
-    // arrays only, MEMORY_AND_DISK evicts under pressure.
+    // arrays only, MEMORY_AND_DISK evicts under pressure. Single-shot
+    // convenience face: the postings here are pre-filtered to the query
+    // terms, so nothing term-agnostic is built. Repeated-query callers
+    // should [[bm25Build]] once and [[bm25SearchWith]] per term bag.
     val base = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // avgdl as one exact long sum ÷ one exact long count (single final
@@ -1826,6 +1832,52 @@ object TextOps {
         explode(col("toks")).as("tok"))
       .where(col("tok").isin(terms: _*))
       .groupBy(idCol, "tok", "dl").agg(count(lit(1)).as("tf"))
+    bm25Score(postings, idCol, n, avgdl, topK, k1, b)
+  }
+
+  /** A materialized BM25 inverted index: the FULL (tok, id, dl, tf)
+    * posting table plus the two corpus scalars — the build half of the
+    * build/search split (the PQ-index precedent: one corpus pass
+    * amortized across query batches). At scale, write `postings` with
+    * the token as a bucketing/sort key so each query's term filter turns
+    * into row-group skipping instead of a corpus scan. */
+  case class Bm25Index(postings: DataFrame, n: Long, avgdl: Double)
+
+  /** ONE tokenize pass builds the whole index: doc lengths ride the
+    * explode, the per-(id, tok) roll-up is the only exchange, and the
+    * corpus scalars come from the same cached projection. */
+  def bm25Build(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = base.agg(count(lit(1)),
+      sum(size(col("toks")).cast("long"))).collect()(0)
+    val n = stats.getLong(0)
+    val avgdl = if (stats.isNullAt(1) || stats.getLong(1) == 0L) 1.0
+      else stats.getLong(1).toDouble / n
+    val postings = base
+      .select(col(idCol), size(col("toks")).as("dl"),
+        explode(col("toks")).as("tok"))
+      .groupBy(idCol, "tok", "dl").agg(count(lit(1)).as("tf"))
+    base.unpersist(blocking = false)
+    Bm25Index(postings, n, avgdl)
+  }
+
+  /** Search half: filters the prebuilt postings to the query terms (a
+    * scan-level IN filter — with a token-bucketed index layout this is
+    * file/row-group pruning, no tokenize, no corpus pass) and scores
+    * identically to [[bm25Search]]. */
+  def bm25SearchWith(index: Bm25Index, idCol: String, terms: Seq[String],
+      topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25SearchWith needs at least one query term")
+    bm25Score(index.postings.where(col("tok").isin(terms: _*)), idCol,
+      index.n, index.avgdl, topK, k1, b)
+  }
+
+  /** Shared scoring tail of [[bm25Search]]/[[bm25SearchWith]] — df table
+    * (≤ |terms| rows, broadcast), 6dp fixed-point contributions,
+    * TakeOrdered top-k. */
+  private def bm25Score(postings: DataFrame, idCol: String, n: Long,
+      avgdl: Double, topK: Int, k1: Double, b: Double): DataFrame = {
     val dfTable = postings.groupBy("tok").agg(count(lit(1)).as("df"))
       .withColumn("idf",
         log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))

@@ -971,6 +971,37 @@ class TextSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("bm25 build/search split returns exactly the single-shot result") {
+    val d = Seq(
+      (1L, "spark spark spark join"),
+      (2L, "spark filler filler filler filler filler filler"),
+      (3L, "join filler"),
+      (4L, "nothing relevant at all")
+    ).toDF("doc_id", "text")
+    val direct = TextOps.bm25Search(d, "doc_id", "text",
+      Seq("spark", "join"), topK = 3).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("nTerms"), r.getAs[Double]("score"))).toSeq
+    val idx = TextOps.bm25Build(d, "doc_id", "text")
+    val viaIndex = TextOps.bm25SearchWith(idx, "doc_id",
+      Seq("spark", "join"), topK = 3).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("nTerms"), r.getAs[Double]("score"))).toSeq
+    assert(viaIndex == direct)
+    // one index, a second term bag — no rebuild needed
+    val q2 = TextOps.bm25SearchWith(idx, "doc_id", Seq("filler"), topK = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(q2.nonEmpty && q2.head == 2L, "filler-dense doc 2 must rank first")
+  }
+
+  test("nb scoring refuses a one-class seed") {
+    val seed = Seq((1L, "only one class here", "tech")).toDF("doc_id", "text", "label")
+    val m = TextOps.nbFitModel(seed, "doc_id", "text", "label", "tech")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.nbScore(Seq((2L, "x")).toDF("doc_id", "text"), "doc_id", "text",
+        m, "tech", "poem")
+    }
+    assert(e.getMessage.contains("both classes"))
+  }
+
   test("unimax caps low-resource languages and spreads the leftover") {
     val d = (1 to 10).map(i => (i.toLong, "a", 1L)) ++ Seq((11L, "b", 100L))
     val df = d.toDF("doc_id", "lang", "w")
