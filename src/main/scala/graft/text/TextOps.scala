@@ -1697,14 +1697,26 @@ object TextOps {
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
       minDupCount: Long, sep: String = "\n"): DataFrame = {
     require(minDupCount >= 2, s"minDupCount $minDupCount must be >= 2")
-    val qsep = java.util.regex.Pattern.quote(sep)
-    val segs = docs.select(col(idCol),
-      posexplode(split(col(textCol), qsep)).as(Seq("pos", "line")))
-      .withColumn("h", hash56(col("line")))
+    val segs = lineSegs(docs, idCol, textCol, sep)
     val hot = segs.groupBy("h").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minDupCount)
-      .select(col("h"), lit(true).as("isDup"))
-    segs.join(hot, Seq("h"), "left")
+      .select(col("h"))
+    rebuildDocs(segs, hot, idCol, textCol, sep)
+  }
+
+  /** (idCol, pos, line, h) rows — one split+posexplode pass. */
+  private def lineSegs(docs: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame =
+    docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+      .withColumn("h", hash56(col("line")))
+
+  /** Rebuild docs from their segments minus the hot-hash set (joined on
+    * the 8-byte hash; AQE broadcasts small hot sets). */
+  private def rebuildDocs(segs: DataFrame, hotHashes: DataFrame,
+      idCol: String, textCol: String, sep: String): DataFrame =
+    segs.join(hotHashes.select(col("h"), lit(true).as("isDup")), Seq("h"), "left")
       .withColumn("keep", col("isDup").isNull)
       .groupBy(idCol)
       .agg(
@@ -1716,6 +1728,31 @@ object TextOps {
           sep).as(textCol),
         count(lit(1)).as("nLines"),
         sum(when(col("keep"), lit(0L)).otherwise(lit(1L))).as("nRemoved"))
+
+  /** Streaming/incremental face of [[lineDedup]] — the foreachBatch body
+    * (the ingestVerdictBatch precedent): `priorCounts` is the (h, cnt)
+    * line-frequency state accumulated over everything already ingested;
+    * the batch's lines are counted, merged in (counts are additive, so
+    * the merge is lossless like the sketch-family merges), and the batch
+    * docs are rebuilt against the CUMULATIVE frequencies. Docs emitted in
+    * earlier batches are not retro-cleaned — a line crosses the
+    * threshold for the batch where the corpus-wide count first reaches
+    * `minDupCount` and every batch after it (standard streaming-ingest
+    * semantics; a periodic batch [[lineDedup]] over the retained corpus
+    * is the compaction pass). State is distinct-line-sized: (8-byte
+    * hash, count) pairs only.
+    *
+    * Returns (cleaned batch docs, updated counts state). */
+  def lineDedupBatch(batch: DataFrame, priorCounts: DataFrame,
+      idCol: String, textCol: String, minDupCount: Long,
+      sep: String = "\n"): (DataFrame, DataFrame) = {
+    require(minDupCount >= 2, s"minDupCount $minDupCount must be >= 2")
+    val segs = lineSegs(batch, idCol, textCol, sep)
+    val batchCounts = segs.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val newCounts = priorCounts.unionByName(batchCounts)
+      .groupBy("h").agg(sum("cnt").as("cnt"))
+    val hot = newCounts.where(col("cnt") >= minDupCount).select(col("h"))
+    (rebuildDocs(segs, hot, idCol, textCol, sep), newCounts)
   }
 
   /** A fitted binary Naive Bayes text classifier (the count-based face of

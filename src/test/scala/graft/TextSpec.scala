@@ -932,6 +932,30 @@ class TextSpec extends SparkSpec {
     assert(out == Map(1L -> "a\nb\nc", 2L -> "d\ne"))
   }
 
+  test("lineDedupBatch accumulates counts across batches, cleans forward") {
+    val empty = Seq.empty[(Long, Long)].toDF("h", "cnt")
+    val b1 = Seq((1L, "x\ncommon"), (2L, "y")).toDF("doc_id", "text")
+    val (out1, st1) = TextOps.lineDedupBatch(b1, empty, "doc_id", "text", 2)
+    val o1 = out1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(o1 == Map(1L -> "x\ncommon", 2L -> "y"),
+      "first sighting of 'common' stays")
+    // batch 2: cumulative count of 'common' reaches 3 -> dropped here
+    val b2 = Seq((3L, "common\nz"), (4L, "common")).toDF("doc_id", "text")
+    val (out2, st2) = TextOps.lineDedupBatch(b2, st1, "doc_id", "text", 2)
+    val o2 = out2.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(o2 == Map(3L -> "z", 4L -> ""))
+    // state is cumulative: 'common' seen 3 times total
+    val commonH = b1.sparkSession.range(1).select(
+      TextOps.hash56(org.apache.spark.sql.functions.lit("common")))
+      .collect()(0).getLong(0)
+    val cnt = st2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cnt(commonH) == 3L)
+    // within-batch crossing drops immediately
+    val b3 = Seq((5L, "dup"), (6L, "dup")).toDF("doc_id", "text")
+    val (out3, _) = TextOps.lineDedupBatch(b3, empty, "doc_id", "text", 2)
+    assert(out3.collect().forall(_.getString(1) == ""))
+  }
+
   test("naive bayes classifier separates two vocabularies") {
     val seed = Seq(
       (1L, "spark shuffle partition executor spark", "tech"),
