@@ -1740,7 +1740,10 @@ object TextOps {
     * `minDupCount` and every batch after it (standard streaming-ingest
     * semantics; a periodic batch [[lineDedup]] over the retained corpus
     * is the compaction pass). State is distinct-line-sized: (8-byte
-    * hash, count) pairs only.
+    * hash, count) pairs only. Checkpoint the returned counts to the
+    * state path every batch and re-read them as the next batch's
+    * `priorCounts` — that keeps the union→agg lineage one batch deep
+    * instead of growing across the stream's lifetime.
     *
     * Returns (cleaned batch docs, updated counts state). */
   def lineDedupBatch(batch: DataFrame, priorCounts: DataFrame,
@@ -1767,7 +1770,9 @@ object TextOps {
   /** Fit [[NbModel]] on a labeled seed set: ONE tokenize + hash-agg pass
     * builds the per-token class counts (shuffle carries (tok, 2 longs));
     * the class totals/priors/vocab come from one model-sized roll-up of
-    * that aggregate — the corpus is read once. */
+    * that aggregate — the corpus is read once. tokTable stays persisted
+    * (the totals action above materializes it; every nbScore call joins
+    * it) — long-lived callers unpersist it when the model retires. */
   def nbFitModel(seed: DataFrame, idCol: String, textCol: String,
       labelCol: String, posLabel: String): NbModel = {
     val isPos = col(labelCol) === lit(posLabel)

@@ -39,6 +39,12 @@ class EdgeCaseSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
     assert(TextOps.gopherRules(emptyDocs, "doc_id", "text").count() == 0)
     assert(TextOps.qualityScore(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextOps.lineDedup(emptyDocs, "doc_id", "text", 2).count() == 0)
+    assert(TextOps.bm25Search(emptyDocs, "doc_id", "text",
+      Seq("anything"), 5).count() == 0)
+    assert(TextOps.unimaxAllocate(
+      emptyDocs.withColumn("w", org.apache.spark.sql.functions.lit(1.0)),
+      "text", "w", 100.0, 2.0).count() == 0)
   }
 
   test("single-row keys: degenerate but defined") {
