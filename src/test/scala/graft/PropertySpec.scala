@@ -378,4 +378,60 @@ class PropertySpec extends SparkSpec {
         s"trial $trial diff: ${(fused -- st) ++ (st -- fused)}")
     }
   }
+
+  test("property: line dedup batched over ANY slicing = one-shot, cleans forward") {
+    import graft.text.TextOps
+    val rng = new scala.util.Random(29)
+    val lines = (0 until 12).map(i => s"line$i")
+    for (trial <- 1 to 3) {
+      val docs = (0L until 60L).map { id =>
+        val n = 1 + rng.nextInt(4)
+        (id, Seq.fill(n)(lines(rng.nextInt(lines.length))).mkString("\n"))
+      }
+      val df = docs.toDF("doc_id", "text")
+      // cumulative state after feeding ALL docs through any batch split
+      // equals the one-shot corpus counts (counts are additive)
+      val cut = 1 + rng.nextInt(58)
+      val empty = Seq.empty[(Long, Long)].toDF("h", "cnt")
+      val (_, s1) = TextOps.lineDedupBatch(
+        docs.take(cut).toDF("doc_id", "text"), empty, "doc_id", "text", 3)
+      val (out2, s2) = TextOps.lineDedupBatch(
+        docs.drop(cut).toDF("doc_id", "text"), s1, "doc_id", "text", 3)
+      val oneShotCounts = TextOps.lineDedup(df, "doc_id", "text", 3)
+      val stateMap = s2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val directMap = df.selectExpr("explode(split(text, '\n')) AS l")
+        .groupBy("l").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      directMap.foreach { case (l, c) =>
+        val h = spark.range(1).select(TextOps.hash56(lit(l))).collect()(0).getLong(0)
+        assert(stateMap(h) == c, s"trial $trial count drift for '$l'")
+      }
+      // the second batch's rebuild equals a batch lineDedup of the full
+      // corpus restricted to batch-2 docs (cumulative counts identical)
+      val full = oneShotCounts.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      out2.collect().foreach { r =>
+        assert(r.getAs[String]("text") == full(r.getAs[Long]("doc_id")),
+          s"trial $trial doc ${r.getLong(0)} batch-2 rebuild != one-shot")
+      }
+    }
+  }
+
+  test("property: bm25 index answers any term bag like the single-shot path") {
+    import graft.text.TextOps
+    val rng = new scala.util.Random(31)
+    val vocab = (0 until 20).map(i => s"w$i")
+    val docs = (0L until 80L).map { id =>
+      (id, Seq.fill(5 + rng.nextInt(30))(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val idx = TextOps.bm25Build(docs, "doc_id", "text")
+    for (trial <- 1 to 3) {
+      val terms = rng.shuffle(vocab).take(1 + rng.nextInt(4))
+      val direct = TextOps.bm25Search(docs, "doc_id", "text", terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val indexed = TextOps.bm25SearchWith(idx, "doc_id", terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(indexed == direct, s"trial $trial terms=$terms")
+    }
+  }
 }
