@@ -354,8 +354,13 @@ object ScaleProbe {
         out
       }
       time("bm25", n, nDocs) {
-        text.TextOps.bm25Search(docs, "doc_id", "text",
+        val out = text.TextOps.bm25Search(docs, "doc_id", "text",
           Seq("spark", "join", "window", "vector"), topK = 20).count()
+        // bm25Search retains its tokenized projection (documented
+        // contract); across probe scales that accumulates dead caches and
+        // contaminates the larger points — drop them between blocks
+        spark.catalog.clearCache()
+        out
       }
     }
     spark.stop()
