@@ -180,9 +180,10 @@ object SeqQueries {
         events, Seq("event_type"), Seq("value"), n = 4)
         .groupBy("event_type")
         .agg(map_from_entries(collect_list(
-          struct(col("qidx"), round(col("boundary"), 4)))).as("bm"))
+          struct(col("qidx"), roundLikeDuck(col("boundary"), 4)))).as("bm"))
       val mm = events.groupBy("event_type")
-        .agg(round(min("value"), 4).as("mn"), round(max("value"), 4).as("mx"))
+        .agg(roundLikeDuck(min("value"), 4).as("mn"),
+          roundLikeDuck(max("value"), 4).as("mx"))
       val edges = b.join(mm, "event_type")
         .select(col("event_type"), array(col("mn"),
           element_at(col("bm"), 1), element_at(col("bm"), 2),

@@ -1355,8 +1355,8 @@ object TextQueries {
          |sc2 AS (SELECT l.doc_id, d.lang, round(l.avgNll, 4) AS score4
          | FROM lm l JOIN documents d USING (doc_id)),
          |cuts AS (SELECT lang,
-         |  quantile_cont(score4, 1.0/3) AS c0,
-         |  quantile_cont(score4, 2.0/3) AS c1
+         |  round(quantile_cont(score4, 1.0/3), 6) AS c0,
+         |  round(quantile_cont(score4, 2.0/3), 6) AS c1
          | FROM sc2 GROUP BY 1)
          |SELECT s.doc_id, s.lang, s.score4,
          | CASE WHEN s.score4 <= c.c0 THEN 'head'

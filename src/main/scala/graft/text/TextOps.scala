@@ -960,10 +960,19 @@ object TextOps {
   def scoreBuckets(scored: DataFrame, groupCol: String, scoreCol: String,
       names: Seq[String] = Seq("head", "middle", "tail")): DataFrame = {
     require(names.size >= 2, "need at least two buckets")
-    val s4 = round(col(scoreCol), 4)
+    // roundLikeDuck, NOT Spark round: the 4dp cut inputs must be
+    // bit-identical to the oracle's round() — Spark's HALF_UP disagrees
+    // on half-boundary floats (surfaced by q131 at sf0.1, where one such
+    // doc shifts a tercile cut and cascades the whole bucket column)
+    val s4 = graft.core.roundLikeDuck(col(scoreCol), 4)
     val probs = (1 until names.size).map(_.toDouble / names.size)
+    // cuts frozen at 6dp: the percentile INTERPOLATION between two 4dp
+    // scores can differ from the oracle's by an ulp, and a doc whose
+    // score equals the cut then flips buckets (q131 at sf0.1 — n per
+    // lang is large enough that cuts land between distinct values);
+    // 6dp rounding collapses ulp-apart cuts to one shared literal
     val aggs = probs.zipWithIndex.map { case (p, i) =>
-      percentile(s4, lit(p)).as(s"_c$i")
+      graft.core.roundLikeDuck(percentile(s4, lit(p)), 6).as(s"_c$i")
     }
     val cuts = scored.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
     val tagged = probs.indices.reverse.foldLeft(lit(names.last)) { (acc, i) =>
@@ -990,12 +999,14 @@ object TextOps {
       scoreCol: String, names: Seq[String] = Seq("head", "middle", "tail"),
       k: Int = 512): DataFrame = {
     require(names.size >= 2, "need at least two buckets")
-    val s4 = round(col(scoreCol), 4)
+    val s4 = graft.core.roundLikeDuck(col(scoreCol), 4)
     val probs = (1 until names.size).map(_.toDouble / names.size)
     val sk = graft.model.Fitters.quantileSketch(
       scored.withColumn("_s4", s4), Seq(groupCol), idCol, "_s4", k)
-    val cuts = graft.model.Fitters.quantileSketchEstimate(sk, Seq(groupCol), probs)
     val cutCols = probs.map(p => s"p${math.round(p * 100)}")
+    val cuts0 = graft.model.Fitters.quantileSketchEstimate(sk, Seq(groupCol), probs)
+    val cuts = cutCols.foldLeft(cuts0) { (d, c) =>
+      d.withColumn(c, graft.core.roundLikeDuck(col(c), 6)) }
     val tagged = cutCols.zipWithIndex.reverse.foldLeft(lit(names.last)) {
       case (acc, (c, i)) => when(s4 <= col(c), lit(names(i))).otherwise(acc)
     }
@@ -1043,9 +1054,9 @@ object TextOps {
     val tot = agg.agg(sum("nChars").as("_tc"))
     agg.crossJoin(broadcast(tot))
       .withColumn("avgDocToks",
-        round(col("nToks").cast("double") / col("nDocs"), 4))
+        graft.core.roundLikeDuck(col("nToks").cast("double") / col("nDocs"), 4))
       .withColumn("charShare",
-        round(col("nChars").cast("double") / col("_tc"), 4))
+        graft.core.roundLikeDuck(col("nChars").cast("double") / col("_tc"), 4))
       .drop("_tc")
   }
 
