@@ -192,6 +192,46 @@ class StreamSpec extends SparkSpec {
     assert(got.toMap == batchV) // same docs, same verdicts, batch == stream
   }
 
+  test("line dedup streaming: foreachBatch with checkpointed counts state") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    import graft.text.TextOps
+    // counts state round-trips through parquet between micro-batches —
+    // the lineage-truncation contract lineDedupBatch documents
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_lds").toString
+    val statePath = s"$stateDir/counts"
+    Seq.empty[(Long, Long)].toDF("h", "cnt")
+      .write.mode("overwrite").parquet(statePath)
+    val got = collection.mutable.Map.empty[Long, (String, Long)]
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty) {
+          val prior = spark.read.parquet(statePath)
+          val (cleaned, counts) = TextOps.lineDedupBatch(
+            df, prior, "doc_id", "text", minDupCount = 2)
+          cleaned.collect().foreach { r =>
+            got(r.getAs[Long]("doc_id")) =
+              (r.getAs[String]("text"), r.getAs[Long]("nRemoved"))
+          }
+          // write-then-swap: the state read above is already collected
+          // into the cleaned result, so an overwrite is safe here
+          counts.localCheckpoint(true)
+            .write.mode("overwrite").parquet(statePath)
+        }
+      }.start()
+    in.addData((1L, "x\ncommon"), (2L, "y"))
+    q.processAllAvailable()
+    in.addData((3L, "common\nz"))
+    q.processAllAvailable()
+    in.addData((4L, "common"))
+    q.processAllAvailable()
+    q.stop()
+    assert(got(1L) == (("x\ncommon", 0L)), "first sighting survives")
+    assert(got(3L) == (("z", 1L)), "second sighting crosses the threshold")
+    assert(got(4L) == (("", 1L)), "third sighting stays dropped")
+  }
+
   test("kafka message parsing: first-comma entity split and typed delimited decode") {
     implicit val sc = spark.sqlContext
     // the spout contract (PredictorSpout.java:55-59): "entityID,rest..."
