@@ -748,6 +748,10 @@ object TextQueries {
 
   // lazy: referenced from `queries`/`oracleSql` above their definition site
   private lazy val nbQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CCNet §4.1 normalization-based hash dedup: near-identical
+    // boilerplate (case/digit/punct variants) collapses to one group
+    "q178_dedup_normalized" -> ((s, dir) =>
+      TextOps.exactDedupNormalized(docs(s, dir), "doc_id", "text")),
     // C4-style corpus-frequency line dedup (Raffel et al. §2.2). The
     // synthetic docs carry no newlines, so the query exercises the
     // operator's full path with a phrase separator present in the corpus
@@ -793,6 +797,15 @@ object TextQueries {
     s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) ELSE -floor(-($e)*1e6+0.5) END)::BIGINT"
 
   private lazy val nbOracles: Map[String, String] = Map(
+    // CCNet normalization chain replayed with the same RE2-safe classes
+    "q178_dedup_normalized" ->
+      """WITH nm AS (SELECT doc_id, md5(trim(regexp_replace(
+        |  regexp_replace(regexp_replace(lower(text), '[0-9]', '0', 'g'),
+        |   '[^a-z0 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h FROM documents)
+        |SELECT doc_id, h,
+        | count(*) OVER (PARTITION BY h) AS dupCount,
+        | doc_id = min(doc_id) OVER (PARTITION BY h) AS keep
+        |FROM nm""".stripMargin.replace("\n", " "),
     "q173_line_dedup" ->
       s"""WITH ls AS (SELECT doc_id, string_split(text, ' table ') AS a
          |  FROM documents),

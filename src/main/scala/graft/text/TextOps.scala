@@ -1685,6 +1685,35 @@ object TextOps {
     out
   }
 
+  /** CCNet-style text normalization for hash dedup (Wenzek et al.,
+    * LREC'20 §4.1: the paragraph hashes that drive dedup are computed
+    * over lowercased, digit-replaced, punctuation-stripped text so
+    * trivially-differing boilerplate collapses). The transform chain —
+    * lowercase, digits→0, strip non-alphanumeric-non-space, collapse
+    * whitespace, trim — uses only character classes that mean the same
+    * thing in Java regex and RE2, so the normalized text (and hence
+    * every downstream hash) replays exactly in the oracle. Pure
+    * per-row expressions: no shuffle, codegen'd. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(c), "[0-9]", "0"),
+        "[^a-z0 ]", " "),
+      " +", " "))
+
+  /** [[exactDedup]] over the CCNet-normalized form: near-identical
+    * boilerplate (case, digits, punctuation variants) lands in one
+    * group. Same output contract; the hash exchange carries md5 of the
+    * NORMALIZED text. */
+  def exactDedupNormalized(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = Window.partitionBy("h")
+    docs.withColumn("h", md5(normalizeText(col(textCol))))
+      .withColumn("dupCount", count(lit(1)).over(w))
+      .withColumn("keep", col(idCol) === min(col(idCol)).over(w))
+      .select(col(idCol), col("h"), col("dupCount"), col("keep"))
+  }
+
   /** C4-style line-level corpus deduplication (Raffel et al., JMLR'20 §2.2:
     * "we discarded all but one of any three-sentence span occurring more
     * than once"; the line-granular variant is the common production form —

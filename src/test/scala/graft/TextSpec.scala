@@ -909,6 +909,28 @@ class TextSpec extends SparkSpec {
       s"fused-staged diff: ${(fused -- staged) ++ (staged -- fused)}")
   }
 
+  test("normalized dedup collapses case/digit/punctuation variants") {
+    val d = Seq(
+      (1L, "Hello, World! Call 555-1234 now."),
+      (2L, "hello world call 000 0000 now"),      // normalized twin of 1
+      (3L, "HELLO... world?? call (999) 8888 now"), // same after digits->0
+      (4L, "a genuinely different document")
+    ).toDF("doc_id", "text")
+    val norm = d.select(TextOps.normalizeText(col("text"))).collect().map(_.getString(0))
+    assert(norm(0) == "hello world call 000 0000 now")
+    assert(norm(0) == norm(1) && norm(1) == norm(2))
+    val out = TextOps.exactDedupNormalized(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("dupCount"), r.getAs[Boolean]("keep")))).toMap
+    assert(out(1L) == ((3L, true)) && out(2L) == ((3L, false)) &&
+      out(3L) == ((3L, false)))
+    assert(out(4L) == ((1L, true)))
+    // plain exact dedup sees them as distinct — normalization is the point
+    val plain = TextOps.exactDedup(d, "doc_id", "text").collect()
+      .map(_.getAs[Long]("dupCount"))
+    assert(plain.forall(_ == 1L))
+  }
+
   test("lineDedup drops corpus-frequent lines, keeps order and separator") {
     val d = Seq(
       (1L, "unique alpha\ncookie banner\nunique beta"),
