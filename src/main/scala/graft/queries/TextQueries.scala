@@ -276,6 +276,16 @@ object TextQueries {
       TextOps.scoreBuckets(scored, "lang", "avgNll")
         .select("doc_id", "lang", "score4", "bucket")
     }),
+    // the 100 TB face of q131: cuts from the mergeable bottom-k sketch
+    // (k=128 < the biggest lang at sf0.01, so real sampling is exercised)
+    // — sample AND interpolation are md5-deterministic, full SQL replay
+    "q179_bucket_sketch" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = TextOps.lmScore(d, "doc_id", "text")
+        .join(d.select("doc_id", "lang"), "doc_id")
+      TextOps.scoreBucketsSketch(scored, "lang", "doc_id", "avgNll", k = 128)
+        .select("doc_id", "lang", "score4", "bucket")
+    }),
     // per-(source, lang) corpus accounting: the table a mixing decision
     // starts from
     "q136_corpus_report" -> ((s, dir) =>
@@ -797,6 +807,27 @@ object TextQueries {
     s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) ELSE -floor(-($e)*1e6+0.5) END)::BIGINT"
 
   private lazy val nbOracles: Map[String, String] = Map(
+    // q131's sketch face: the bottom-k sample (rank by md5(doc_id) with
+    // score4 tie-break) replays exactly; cuts interpolate over the
+    // sample and freeze at 6dp like the exact face
+    "q179_bucket_sketch" ->
+      s"""WITH $lmCte,
+         |sc2 AS (SELECT l.doc_id, d.lang, round(l.avgNll, 4) AS score4
+         | FROM lm l JOIN documents d USING (doc_id)),
+         |rk AS (SELECT lang, doc_id, score4,
+         |  row_number() OVER (PARTITION BY lang
+         |   ORDER BY ${h56("doc_id::VARCHAR")}, score4) AS rnk
+         | FROM sc2 WHERE score4 IS NOT NULL),
+         |samp AS (SELECT lang, score4 FROM rk WHERE rnk <= 128),
+         |cuts AS (SELECT lang,
+         |  round(quantile_cont(score4, 1.0/3), 6) AS c0,
+         |  round(quantile_cont(score4, 2.0/3), 6) AS c1
+         | FROM samp GROUP BY 1)
+         |SELECT s.doc_id, s.lang, s.score4,
+         | CASE WHEN s.score4 <= c.c0 THEN 'head'
+         |  WHEN s.score4 <= c.c1 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM sc2 s JOIN cuts c USING (lang)"""
+        .stripMargin.replace("\n", " "),
     // CCNet normalization chain replayed with the same RE2-safe classes
     "q178_dedup_normalized" ->
       """WITH nm AS (SELECT doc_id, md5(trim(regexp_replace(
