@@ -286,6 +286,23 @@ object TextQueries {
       TextOps.scoreBucketsSketch(scored, "lang", "doc_id", "avgNll", k = 128)
         .select("doc_id", "lang", "score4", "bucket")
     }),
+    // int8 embedding quantization round-trip: per-vector scale, exact
+    // code sum and max reconstruction error — the storage scale path's
+    // arithmetic replayed end-to-end
+    "q180_int8_quant" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = Similarity.quantizeInt8(e, "vec_id", "embedding")
+      val d = Similarity.dequantizeInt8(q, "vec_id")
+        .withColumnRenamed("vec", "dvec")
+      val vd = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vd"))
+      q.join(d, "vec_id").join(vd, "vec_id")
+        .select(col("vec_id"),
+          roundLikeDuck(col("scale"), 6).as("scale"),
+          aggregate(col("qvec"), lit(0L), (a, x) => a + x.cast("long")).as("qsum"),
+          roundLikeDuck(array_max(zip_with(col("vd"), col("dvec"),
+            (a, b) => abs(a - b))), 6).as("maxErr"))
+    }),
     // per-(source, lang) corpus accounting: the table a mixing decision
     // starts from
     "q136_corpus_report" -> ((s, dir) =>
@@ -807,6 +824,20 @@ object TextQueries {
     s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) ELSE -floor(-($e)*1e6+0.5) END)::BIGINT"
 
   private lazy val nbOracles: Map[String, String] = Map(
+    // int8 quantize → dequantize arithmetic replayed over DuckDB lists
+    "q180_int8_quant" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> x::DOUBLE) AS vd FROM embeddings),
+        |m AS (SELECT vec_id, vd,
+        |  greatest(list_max(vd), -list_min(vd), 1e-12) AS mx FROM v),
+        |q AS (SELECT vec_id, mx/127.0 AS scale,
+        |  list_transform(vd, x -> round(x/(mx/127.0))::TINYINT) AS qvec, vd
+        | FROM m)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        | list_aggregate(qvec, 'sum')::BIGINT AS qsum,
+        | round(list_max(list_transform(list_zip(vd, qvec),
+        |   p -> abs(p[1] - p[2]::DOUBLE*scale))), 6) AS maxErr
+        |FROM q""".stripMargin.replace("\n", " "),
     // q131's sketch face: the bottom-k sample (rank by md5(doc_id) with
     // score4 tie-break) replays exactly; cuts interpolate over the
     // sample and freeze at 6dp like the exact face
