@@ -259,17 +259,38 @@ object Drift {
       minInstances: Int = 30): DataFrame = {
     val w = byKey(keyCols, seqCol)
     val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    // deviations quantized to 6dp fixed-point LONGS before the cumulative
+    // sums: engines associate windowed float sums differently (sequential
+    // running sum vs segment tree), so a raw-double cumsum can drift an
+    // ulp and flip the 4dp output rounding (surfaced by the sf0.001
+    // gate audit — one boundary row). Integer cumsums are association-
+    // free; the 5e-7 deviation quantization is far below any useful
+    // (delta, lambda) setting. The streaming twin mirrors the same
+    // integer state for bit parity.
+    val deltaL = math.round(delta * 1e6)
     data
       .withColumn("_rn", row_number().over(w))
-      .withColumn("_dev", col(valCol) - avg(col(valCol)).over(cum))
-      .withColumn("_mInc", sum(col("_dev") - lit(delta)).over(cum))
-      .withColumn("_mDec", sum(col("_dev") + lit(delta)).over(cum))
-      .withColumn("phInc", col("_mInc") - min(col("_mInc")).over(cum))
-      .withColumn("phDec", max(col("_mDec")).over(cum) - col("_mDec"))
+      .withColumn("_v6", graft.core.fixedPointLong(col(valCol), 6))
+      .withColumn("_s6", sum(col("_v6")).over(cum))
+      // running mean in 1e-6 units via PURE INTEGER rounding of the exact
+      // rational _s6/_rn (half away from zero): no float division, so no
+      // boundary can differ — a float-mean 6dp quantization still leaked
+      // (a mean AT a 6dp half boundary flips dev6 by one and the error
+      // persists through every later cumsum row)
+      .withColumn("_mean6", when(col("_s6") >= 0,
+          expr("(2 * _s6 + _rn) div (2 * _rn)"))
+        .otherwise(-expr("(2 * -_s6 + _rn) div (2 * _rn)")))
+      .withColumn("_dev6", col("_v6") - col("_mean6"))
+      .withColumn("_mInc", sum(col("_dev6") - lit(deltaL)).over(cum))
+      .withColumn("_mDec", sum(col("_dev6") + lit(deltaL)).over(cum))
+      .withColumn("phInc",
+        (col("_mInc") - min(col("_mInc")).over(cum)).cast("double") / 1e6)
+      .withColumn("phDec",
+        (max(col("_mDec")).over(cum) - col("_mDec")).cast("double") / 1e6)
       .withColumn("drift",
         col("_rn") >= minInstances &&
           (col("phInc") > lambda || col("phDec") > lambda))
-      .drop("_rn", "_dev", "_mInc", "_mDec")
+      .drop("_rn", "_v6", "_s6", "_mean6", "_dev6", "_mInc", "_mDec")
   }
 
   /** Embedding-distribution drift via the energy distance (Székely &

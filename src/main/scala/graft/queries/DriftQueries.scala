@@ -243,20 +243,33 @@ object DriftQueries {
   // Page–Hinkley closed form — shared by the batch operator (q138) and
   // its batch-executed streaming twin (q142): the stream recursion
   // accumulates the same running sums in the same left-to-right order.
+  // deviations quantized to 6dp fixed-point BIGINTs before the cumsums —
+  // association-free integer arithmetic on both engines (the sf0.001
+  // gate audit caught the raw-double form drifting an ulp: DuckDB's
+  // windowed sums associate via a segment tree, Spark's sequentially)
   private val phOracle =
-    """WITH rn AS (SELECT event_type, event_id, value,
+    """WITH v AS (SELECT event_type, event_id, value,
+      |  (CASE WHEN value >= 0 THEN floor(value*1e6 + 0.5)
+      |        ELSE -floor(-value*1e6 + 0.5) END)::BIGINT AS v6
+      | FROM events),
+      |rn AS (SELECT event_type, event_id, value,
       |  row_number() OVER cum AS rn,
-      |  value - avg(value) OVER cum AS dev
-      | FROM events
+      |  v6 - (CASE WHEN sum(v6) OVER cum >= 0
+      |    THEN (2*(sum(v6) OVER cum) + row_number() OVER cum)
+      |          // (2*row_number() OVER cum)
+      |    ELSE -((2*(-(sum(v6) OVER cum)) + row_number() OVER cum)
+      |          // (2*row_number() OVER cum)) END) AS dev6
+      | FROM v
       | WINDOW cum AS (PARTITION BY event_type ORDER BY event_id
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       |m AS (SELECT event_type, event_id, value, rn,
-      |  sum(dev - 0.005) OVER cum AS mInc, sum(dev + 0.005) OVER cum AS mDec
+      |  sum(dev6 - 5000) OVER cum AS mInc, sum(dev6 + 5000) OVER cum AS mDec
       | FROM rn
       | WINDOW cum AS (PARTITION BY event_type ORDER BY event_id
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       |p AS (SELECT event_type, event_id, value, rn,
-      |  mInc - min(mInc) OVER cum AS pi, max(mDec) OVER cum - mDec AS pd
+      |  (mInc - min(mInc) OVER cum)/1e6 AS pi,
+      |  (max(mDec) OVER cum - mDec)/1e6 AS pd
       | FROM m
       | WINDOW cum AS (PARTITION BY event_type ORDER BY event_id
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))

@@ -487,8 +487,12 @@ object StreamScorers {
 
   case class PhOut(entity: String, seq: Long, value: Double,
       phInc: Double, phDec: Double, drift: Boolean)
-  case class PhSt(n: Long, sum: Double, mInc: Double, mDec: Double,
-      minInc: Double, maxDec: Double)
+  // all state in 6dp fixed-point LONGS (association-free integer
+  // arithmetic), mirroring Drift.pageHinkley bit-for-bit — sum6 is the
+  // running Σ of quantized values, the mean is integer-rounded from the
+  // exact rational sum6/n
+  case class PhSt(n: Long, sum6: Long, mInc: Long, mDec: Long,
+      minInc: Long, maxDec: Long)
 
   /** Streaming Page–Hinkley — the online face of `Drift.pageHinkley`,
     * exact batch parity from the first row (the running mean IS the
@@ -503,19 +507,24 @@ object StreamScorers {
     events.groupByKey(_.entity)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (entity: String, it: Iterator[ValueEvent], gs: GroupState[PhSt]) => {
+          val deltaL = math.round(delta * 1e6)
           var st = gs.getOption.getOrElse(
-            PhSt(0L, 0.0, 0.0, 0.0, Double.MaxValue, Double.MinValue))
+            PhSt(0L, 0L, 0L, 0L, Long.MaxValue, Long.MinValue))
           val out = it.toSeq.sortBy(_.seq).map { e =>
             val n = st.n + 1
-            val sum = st.sum + e.value
-            val dev = e.value - sum / n
-            val mInc = st.mInc + (dev - delta)
-            val mDec = st.mDec + (dev + delta)
+            val v6 = (if (e.value >= 0) math.floor(e.value * 1e6 + 0.5)
+              else -math.floor(-e.value * 1e6 + 0.5)).toLong
+            val sum6 = st.sum6 + v6
+            val mean6 = if (sum6 >= 0) (2 * sum6 + n) / (2 * n)
+              else -((2 * -sum6 + n) / (2 * n))
+            val dev6 = v6 - mean6
+            val mInc = st.mInc + (dev6 - deltaL)
+            val mDec = st.mDec + (dev6 + deltaL)
             val minInc = math.min(st.minInc, mInc)
             val maxDec = math.max(st.maxDec, mDec)
-            st = PhSt(n, sum, mInc, mDec, minInc, maxDec)
-            val phInc = mInc - minInc
-            val phDec = maxDec - mDec
+            st = PhSt(n, sum6, mInc, mDec, minInc, maxDec)
+            val phInc = (mInc - minInc).toDouble / 1e6
+            val phDec = (maxDec - mDec).toDouble / 1e6
             PhOut(entity, e.seq, e.value, phInc, phDec,
               n >= minInstances && (phInc > lambda || phDec > lambda))
           }
