@@ -226,16 +226,27 @@ object Drift {
     val whole = Window.partitionBy(keyCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val warm = when(col("_rn") <= warmup, col(valCol))
+    // baselines rounded with the oracle's arithmetic (roundLikeDuck, not
+    // Spark's HALF_UP round); the per-row terms then quantize to 6dp
+    // fixed-point LONGS so the cumulative sums and running minima are
+    // association-free integers (the q138 lesson: engines associate
+    // windowed float sums differently). Terms derive from per-KEY
+    // baseline scalars, so — unlike Page–Hinkley's per-row running
+    // mean — quantization boundaries cannot accumulate per row.
     val indexed = data.withColumn("_rn", row_number().over(w))
-      .withColumn("_mu0", round(avg(warm).over(whole), 6))
-      .withColumn("_sd0",
-        round(coalesce(stddev_samp(warm).over(whole), lit(0.0)), 6))
+      .withColumn("_mu0", graft.core.roundLikeDuck(avg(warm).over(whole), 6))
+      .withColumn("_sd0", graft.core.roundLikeDuck(
+        coalesce(stddev_samp(warm).over(whole), lit(0.0)), 6))
     val z = (col(valCol) - col("_mu0")) / greatest(col("_sd0"), lit(1e-9))
     indexed
-      .withColumn("_aPos", sum(z - lit(slack)).over(cum))
-      .withColumn("_aNeg", sum(-z - lit(slack)).over(cum))
-      .withColumn("gPos", col("_aPos") - least(lit(0.0), min(col("_aPos")).over(cum)))
-      .withColumn("gNeg", col("_aNeg") - least(lit(0.0), min(col("_aNeg")).over(cum)))
+      .withColumn("_aPos",
+        sum(graft.core.fixedPointLong(z - lit(slack), 6)).over(cum))
+      .withColumn("_aNeg",
+        sum(graft.core.fixedPointLong(-z - lit(slack), 6)).over(cum))
+      .withColumn("gPos", (col("_aPos") -
+        least(lit(0L), min(col("_aPos")).over(cum))).cast("double") / 1e6)
+      .withColumn("gNeg", (col("_aNeg") -
+        least(lit(0L), min(col("_aNeg")).over(cum))).cast("double") / 1e6)
       .withColumn("alarm",
         col("_rn") > warmup && (col("gPos") > h || col("gNeg") > h))
       .drop("_rn", "_mu0", "_sd0", "_aPos", "_aNeg")

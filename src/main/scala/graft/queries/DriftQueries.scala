@@ -247,6 +247,42 @@ object DriftQueries {
   // association-free integer arithmetic on both engines (the sf0.001
   // gate audit caught the raw-double form drifting an ulp: DuckDB's
   // windowed sums associate via a segment tree, Spark's sequentially)
+  // CUSUM, integer fixed-point: 6dp-rounded warmup baselines, per-row
+  // terms quantized to BIGINTs, association-free cumsums/minima — shared
+  // by the batch closed form (q137) and the stream recursion (q141),
+  // which are identical in integer arithmetic
+  private val cusumOracle =
+    """WITH rn AS (SELECT event_type, event_id, value,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+      | FROM events),
+      |base AS (SELECT event_type, round(avg(value), 6) AS mu0,
+      |  round(coalesce(stddev_samp(value), 0.0), 6) AS sd0
+      | FROM rn WHERE rn <= 100 GROUP BY event_type),
+      |z AS (SELECT r.event_type, r.event_id, r.value, r.rn,
+      |  (r.value - b.mu0) / greatest(b.sd0, 1e-9) AS z
+      | FROM rn r JOIN base b USING (event_type)),
+      |t AS (SELECT event_type, event_id, value, rn,
+      |  (CASE WHEN z - 0.5 >= 0 THEN floor((z - 0.5)*1e6 + 0.5)
+      |        ELSE -floor(-(z - 0.5)*1e6 + 0.5) END)::BIGINT AS tp,
+      |  (CASE WHEN -z - 0.5 >= 0 THEN floor((-z - 0.5)*1e6 + 0.5)
+      |        ELSE -floor(-(-z - 0.5)*1e6 + 0.5) END)::BIGINT AS tn
+      | FROM z),
+      |c AS (SELECT event_type, event_id, value, rn,
+      |  sum(tp) OVER cum AS aPos, sum(tn) OVER cum AS aNeg
+      | FROM t
+      | WINDOW cum AS (PARTITION BY event_type ORDER BY event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |g AS (SELECT event_type, event_id, value, rn,
+      |  (aPos - least(0, min(aPos) OVER cum))/1e6 AS gp,
+      |  (aNeg - least(0, min(aNeg) OVER cum))/1e6 AS gn
+      | FROM c
+      | WINDOW cum AS (PARTITION BY event_type ORDER BY event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type, event_id, round(value, 4) AS value,
+      | round(gp, 4) AS gPos, round(gn, 4) AS gNeg,
+      | (rn > 100 AND (gp > 5.0 OR gn > 5.0)) AS alarm
+      |FROM g""".stripMargin.replace("\n", " ")
+
   private val phOracle =
     """WITH v AS (SELECT event_type, event_id, value,
       |  (CASE WHEN value >= 0 THEN floor(value*1e6 + 0.5)
@@ -294,61 +330,12 @@ object DriftQueries {
   val oracleSql: Map[String, String] = Map(
     // CUSUM closed form: g = A − min(0, running-min A); baseline rounded
     // to 6dp on both sides so the cumsum chain is reproducible
-    "q137_cusum" ->
-      """WITH rn AS (SELECT event_type, event_id, value,
-        |  row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
-        | FROM events),
-        |base AS (SELECT event_type, round(avg(value), 6) AS mu0,
-        |  round(coalesce(stddev_samp(value), 0.0), 6) AS sd0
-        | FROM rn WHERE rn <= 100 GROUP BY event_type),
-        |z AS (SELECT r.event_type, r.event_id, r.value, r.rn,
-        |  (r.value - b.mu0) / greatest(b.sd0, 1e-9) AS z
-        | FROM rn r JOIN base b USING (event_type)),
-        |c AS (SELECT event_type, event_id, value, rn,
-        |  sum(z - 0.5) OVER cum AS aPos, sum(-z - 0.5) OVER cum AS aNeg
-        | FROM z
-        | WINDOW cum AS (PARTITION BY event_type ORDER BY event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |g AS (SELECT event_type, event_id, value, rn,
-        |  aPos - least(0.0, min(aPos) OVER cum) AS gp,
-        |  aNeg - least(0.0, min(aNeg) OVER cum) AS gn
-        | FROM c
-        | WINDOW cum AS (PARTITION BY event_type ORDER BY event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT event_type, event_id, round(value, 4) AS value,
-        | round(gp, 4) AS gPos, round(gn, 4) AS gNeg,
-        | (rn > 100 AND (gp > 5.0 OR gn > 5.0)) AS alarm
-        |FROM g""".stripMargin.replace("\n", " "),
-    // The streaming CUSUM's g⁺/g⁻ recursion (g = max(0, g + z − k))
-    // truncates at 0 each step, a different float path from q137's
-    // cumsum-minus-running-min closed form (equal only to ~1e-9, which
-    // a 4dp hash gate cannot tolerate at the rounding boundary — the
-    // q116 lesson). The oracle therefore replays the RECURSION itself
-    // as a per-key recursive CTE (q66 precedent), with the identical
-    // association order: z = (v − mu0)/greatest(sd0, 1e-9), then
-    // (g + z) − slack inside greatest(0, ·).
-    "q141_cusum_stream" ->
-      """WITH RECURSIVE rn AS (SELECT event_type, event_id, value,
-        |  row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
-        | FROM events),
-        |base AS (SELECT event_type, round(avg(value), 6) AS mu0,
-        |  round(coalesce(stddev_samp(value), 0.0), 6) AS sd0
-        | FROM rn WHERE rn <= 100 GROUP BY event_type),
-        |z AS (SELECT r.event_type, r.event_id, r.value, r.rn,
-        |  (r.value - b.mu0) / greatest(b.sd0, 1e-9) AS z
-        | FROM rn r JOIN base b USING (event_type)),
-        |g AS (
-        | SELECT event_type, event_id, value, rn,
-        |   greatest(0.0, z - 0.5) AS gp, greatest(0.0, -z - 0.5) AS gn
-        | FROM z WHERE rn = 1
-        | UNION ALL
-        | SELECT z.event_type, z.event_id, z.value, z.rn,
-        |   greatest(0.0, g.gp + z.z - 0.5), greatest(0.0, g.gn - z.z - 0.5)
-        | FROM g JOIN z ON z.event_type = g.event_type AND z.rn = g.rn + 1)
-        |SELECT event_type, event_id, round(value, 4) AS value,
-        | round(gp, 4) AS gPos, round(gn, 4) AS gNeg,
-        | (rn > 100 AND (gp > 5.0 OR gn > 5.0)) AS alarm
-        |FROM g""".stripMargin.replace("\n", " "),
+    "q137_cusum" -> cusumOracle,
+    // With integer fixed-point terms the streaming g = max(0, g + t)
+    // recursion IS the batch cumsum-minus-clamped-min closed form
+    // bit-for-bit (the float forms only agreed to ~1e-9), so the stream
+    // twin shares the batch oracle verbatim.
+    "q141_cusum_stream" -> cusumOracle,
     // The streaming Page–Hinkley recursion accumulates the running sums
     // in the same left-to-right order as the batch window plan (the
     // parity spec pins bit-exact equality), so the stream twin shares

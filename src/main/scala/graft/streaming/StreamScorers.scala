@@ -430,8 +430,12 @@ object StreamScorers {
 
   case class CusumOut(entity: String, seq: Long, value: Double,
       gPos: Double, gNeg: Double, alarm: Boolean)
+  // g+/g- carried as 6dp fixed-point LONGS: with integer terms the
+  // textbook max(0, g + term) recursion is EXACTLY the batch closed
+  // form (cumsum minus clamped running min) — the identity that is only
+  // ~1e-9-approximate in floats holds bit-for-bit in integers
   case class CusumSt(buf: List[(Long, Double)], frozen: Boolean,
-      mu0: Double, sd0: Double, gPos: Double, gNeg: Double, n: Long)
+      mu0: Double, sd0: Double, gPos: Long, gNeg: Long, n: Long)
 
   /** Streaming CUSUM — the online face of `Drift.cusum`, EXACT batch
     * parity (not lagged): rows buffer in state until the entity has seen
@@ -447,22 +451,25 @@ object StreamScorers {
       slack: Double, h: Double): Dataset[CusumOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the oracle's rounding arithmetic (floor of the float product),
+    // NOT BigDecimal HALF_UP — they disagree on half-boundary floats
+    def r6(x: Double): Double = graft.text.TextOps.round6(x)
     events.groupByKey(_.entity)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (entity: String, it: Iterator[ValueEvent], gs: GroupState[CusumSt]) => {
           var st = gs.getOption.getOrElse(
-            CusumSt(Nil, frozen = false, 0.0, 0.0, 0.0, 0.0, 0L))
+            CusumSt(Nil, frozen = false, 0.0, 0.0, 0L, 0L, 0L))
           val out = collection.mutable.Buffer[CusumOut]()
+          def fp6(x: Double): Long = (if (x >= 0) math.floor(x * 1e6 + 0.5)
+            else -math.floor(-x * 1e6 + 0.5)).toLong
           def step(seq: Long, v: Double): Unit = {
             val z = (v - st.mu0) / math.max(st.sd0, 1e-9)
-            val gp = math.max(0.0, st.gPos + z - slack)
-            val gn = math.max(0.0, st.gNeg - z - slack)
+            val gp = math.max(0L, st.gPos + fp6(z - slack))
+            val gn = math.max(0L, st.gNeg + fp6(-z - slack))
             val n = st.n + 1
             st = st.copy(gPos = gp, gNeg = gn, n = n)
-            out += CusumOut(entity, seq, v, gp, gn,
-              n > warmup && (gp > h || gn > h))
+            out += CusumOut(entity, seq, v, gp.toDouble / 1e6, gn.toDouble / 1e6,
+              n > warmup && (gp.toDouble / 1e6 > h || gn.toDouble / 1e6 > h))
           }
           it.toSeq.sortBy(_.seq).foreach { e =>
             if (st.frozen) step(e.seq, e.value)
@@ -475,7 +482,7 @@ object StreamScorers {
                 val sd = if (vs.size > 1)
                   math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / (vs.size - 1))
                 else 0.0
-                st = CusumSt(Nil, frozen = true, r6(mean), r6(sd), 0.0, 0.0, 0L)
+                st = CusumSt(Nil, frozen = true, r6(mean), r6(sd), 0L, 0L, 0L)
                 buf.foreach { case (s, v) => step(s, v) }
               }
             }

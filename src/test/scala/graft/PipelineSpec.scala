@@ -171,15 +171,25 @@ class PipelineSpec extends SparkSpec {
       .as[(Double, Double, Boolean)].collect()
     assert(out.take(300).forall(!_._3), "no alarm before the shift")
     assert(out.drop(310).exists(_._3), "alarm after the shift")
-    // closed form == textbook recursion, replayed locally
-    val mu0 = BigDecimal(vals.take(100).sum / 100).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the closed form equals the INTEGER max(0,·) recursion EXACTLY (the
+    // operator's defined arithmetic: 6dp fixed-point terms), and stays
+    // within the accumulated quantization bound of the float textbook
+    // recursion
+    def r6(x: Double): Double = graft.text.TextOps.round6(x)
+    val mu0 = r6(vals.take(100).sum / 100)
     val m2 = vals.take(100).map(v => (v - vals.take(100).sum / 100)).map(d => d * d).sum
-    val sd0 = BigDecimal(math.sqrt(m2 / 99)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    var gp = 0.0
+    val sd0 = r6(math.sqrt(m2 / 99))
+    var gpL = 0L
+    var gpF = 0.0
     vals.zip(out).zipWithIndex.foreach { case ((v, (gPos, _, _)), i) =>
       val z = (v - mu0) / math.max(sd0, 1e-9)
-      gp = math.max(0.0, gp + z - 0.5)
-      assert(math.abs(gp - gPos) < 1e-6, s"row $i: recursion $gp vs closed form $gPos")
+      val t = z - 0.5
+      gpL = math.max(0L, gpL + (if (t >= 0) math.floor(t * 1e6 + 0.5)
+        else -math.floor(-t * 1e6 + 0.5)).toLong)
+      gpF = math.max(0.0, gpF + t)
+      assert(gpL / 1e6 == gPos, s"row $i: int recursion ${gpL / 1e6} vs closed form $gPos")
+      assert(math.abs(gpF - gPos) < (i + 1) * 1e-6,
+        s"row $i: float recursion $gpF vs $gPos drifted past the quantization bound")
     }
   }
 
