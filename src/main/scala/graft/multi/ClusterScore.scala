@@ -101,4 +101,68 @@ object ClusterScore {
     }.reduce(_ + _)
     data.withColumn("score", sqrt(resid2))
   }
+
+  /** 1-D DBSCAN per key: density clustering on a numeric column with
+    * noise-as-outlier — the density sibling of [[cblof]] (which needs k
+    * up front; DBSCAN discovers the cluster count and flags sparse
+    * points as noise, the classic anomaly face of clustering).
+    *
+    * In one dimension DBSCAN collapses to window functions — no
+    * neighbor join at all: a RANGE frame counts ε-neighbors, core
+    * points chain into clusters wherever consecutive core values are
+    * ≤ ε apart (a running sum of gap-breaks), and border points attach
+    * to the nearest core within ε (ties → the earlier core). Three
+    * window passes over the same (key, value, id) sort order — Spark
+    * plans ONE sort+exchange reused by all of them. Parallelism is
+    * per-key, so at corpus scale the key should be an entity-grade
+    * column (the per-event_type use here mirrors the reference's
+    * per-type scoring); every comparison is on raw doubles (IEEE-exact,
+    * engine-independent), so the operator needs no rounding device at
+    * all to replay in SQL.
+    *
+    * Output: input cols + `n_nbrs`, `is_core`, `cluster` (1-based per
+    * key; -1 = noise) + `tag` ('O' for noise, 'N' otherwise). */
+  def dbscan1d(data: DataFrame, keyCols: Seq[String], valCol: String,
+      idCol: String, eps: Double, minPts: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = keyCols.mkString(", ")
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(valCol), col(idCol))
+    val run = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nbrs = expr(s"count(*) OVER (PARTITION BY $part ORDER BY $valCol " +
+      s"RANGE BETWEEN $eps PRECEDING AND $eps FOLLOWING)")
+    // previous core value strictly before this row (self excluded) —
+    // null for the partition's first core, which then starts cluster 1
+    val prevCoreV = last(when(col("is_core"), col(valCol)), ignoreNulls = true)
+      .over(wAll.rowsBetween(Window.unboundedPreceding, -1))
+    val brk = when(col("is_core") &&
+      (prevCoreV.isNull || col(valCol) - prevCoreV > eps), 1).otherwise(0)
+    // running sum of breaks = own cluster id on core rows; on non-core
+    // rows it is the id of the latest core at-or-before (the prev-side
+    // border candidate for free)
+    val staged = data
+      .where(col(valCol).isNotNull)
+      .withColumn("n_nbrs", nbrs)
+      .withColumn("is_core", col("n_nbrs") >= minPts)
+      .withColumn("_cl", sum(brk).over(run))
+    val prv = last(when(col("is_core"),
+        struct(col(valCol).as("v"), col("_cl").as("c"))), ignoreNulls = true)
+      .over(run)
+    val nxt = first(when(col("is_core"),
+        struct(col(valCol).as("v"), col("_cl").as("c"))), ignoreNulls = true)
+      .over(wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val dPrev = col(valCol) - col("_p.v")
+    val dNext = col("_n.v") - col(valCol)
+    val border =
+      when(col("_p").isNotNull && dPrev <= eps &&
+        (col("_n").isNull || dNext > eps || dPrev <= dNext), col("_p.c"))
+      .when(col("_n").isNotNull && dNext <= eps, col("_n.c"))
+      .otherwise(lit(-1L))
+    staged
+      .withColumn("_p", prv).withColumn("_n", nxt)
+      .withColumn("cluster",
+        when(col("is_core"), col("_cl")).otherwise(border).cast("long"))
+      .withColumn("tag", when(col("cluster") === -1L, "O").otherwise("N"))
+      .drop("_cl", "_p", "_n")
+  }
 }

@@ -111,6 +111,14 @@ object MultiQueries {
       canon(ClusterScore.pcaScore(table(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice"), nComponents = 1)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "score"))),
+    // 1-D DBSCAN per event_type: RANGE-frame neighbor counts, gap-chained
+    // core clusters, nearest-core border attach, noise tagged 'O'. Every
+    // number is raw-double window arithmetic — the oracle replays the
+    // operator without any rounding device
+    "q182_dbscan" -> ((s, dir) =>
+      canon(ClusterScore.dbscan1d(
+        ev(s, dir).select("event_id", "event_type", "value"),
+        Seq("event_type"), "value", "event_id", eps = 0.5, minPts = 5))),
   )
 
   private val zCte =
@@ -315,6 +323,37 @@ object MultiQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q182_dbscan" -> {
+      val w = "PARTITION BY event_type ORDER BY value, event_id"
+      val coreStruct = "CASE WHEN is_core THEN {'v': value, 'c': _cl} END"
+      s"""WITH pts AS (SELECT event_id, event_type, value FROM events
+         |  WHERE value IS NOT NULL),
+         |n AS (SELECT *, count(*) OVER (PARTITION BY event_type
+         |  ORDER BY value RANGE BETWEEN 0.5 PRECEDING AND 0.5 FOLLOWING)
+         |  AS n_nbrs FROM pts),
+         |m AS (SELECT *, n_nbrs >= 5 AS is_core FROM n),
+         |pc AS (SELECT *, last_value(CASE WHEN is_core THEN value END
+         |   IGNORE NULLS) OVER ($w
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pcv FROM m),
+         |br AS (SELECT *, CASE WHEN is_core AND (pcv IS NULL OR
+         |   value - pcv > 0.5) THEN 1 ELSE 0 END AS brk FROM pc),
+         |cl AS (SELECT *, sum(brk) OVER ($w
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cl FROM br),
+         |pn AS (SELECT *,
+         |  last_value($coreStruct IGNORE NULLS) OVER ($w
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         |  first_value($coreStruct IGNORE NULLS) OVER ($w
+         |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx FROM cl),
+         |fin AS (SELECT *, CASE WHEN is_core THEN _cl
+         |  WHEN p IS NOT NULL AND value - p.v <= 0.5 AND (nx IS NULL OR
+         |   nx.v - value > 0.5 OR value - p.v <= nx.v - value) THEN p.c
+         |  WHEN nx IS NOT NULL AND nx.v - value <= 0.5 THEN nx.c
+         |  ELSE -1 END AS cluster FROM pn)
+         |SELECT event_id, event_type, round(value, 4) AS value, n_nbrs,
+         | is_core, cluster::BIGINT AS cluster,
+         | CASE WHEN cluster = -1 THEN 'O' ELSE 'N' END AS tag FROM fin"""
+        .stripMargin.replace("\n", " ")
+    },
     "q46_iforest" -> iforestSql,
     "q99_iforest_merge" -> iforestMergeSql,
     "q47_cblof" -> cblofSql,

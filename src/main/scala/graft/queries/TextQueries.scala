@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core._
-import graft.sim.Similarity
+import graft.sim.{KMeansDist, Similarity}
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -303,6 +303,14 @@ object TextQueries {
           roundLikeDuck(array_max(zip_with(col("vd"), col("dvec"),
             (a, b) => abs(a - b))), 6).as("maxErr"))
     }),
+    // full-corpus distributed Lloyd k-means in 6dp integer fixed-point:
+    // quantized vectors, exact long distances and per-cell sums, one
+    // correctly-rounded double division per (cell, dim) per iteration —
+    // the whole fit (init, 4 Lloyd rounds, final sizes + exact inertia)
+    // replays bit-for-bit in the unrolled-CTE oracle below
+    "q181_kmeans_fit" -> ((s, dir) =>
+      canon(KMeansDist.fit(emb(s, dir), "vec_id", "embedding", dim = 64,
+        k = 8, iters = 4, maxSample = 20000))),
     // per-(source, lang) corpus accounting: the table a mixing decision
     // starts from
     "q136_corpus_report" -> ((s, dir) =>
@@ -966,7 +974,64 @@ object TextQueries {
          |FROM walk WHERE lang IS NOT NULL"""
         .stripMargin.replace("\n", " "))
 
+  /** q181's exact integer d² between a quantized vector `v` and a cell's
+    * centroid list `c.cv` (dim 64). */
+  private def kmD2(v: String) =
+    s"""list_sum(list_transform(range(64),
+       | j -> ($v[j+1]-c.cv[j+1])*($v[j+1]-c.cv[j+1])))""".stripMargin
+
+  /** Full SQL replay of the distributed integer-Lloyd fit: md5-ordered
+    * sample + evenly spaced init (the q61 device), vectors quantized to
+    * 6dp longs, 4 unrolled assignment/re-center rounds where every sum
+    * is integer (associative — combine-order-free on both engines) and
+    * the only float op is the exact-input mean division, rounded half
+    * away from zero back onto the 6dp grain. Final pass emits per-cell
+    * sizes and the exact integer inertia. */
+  private lazy val kmeansOracle: String = {
+    val quant = fp6("x")
+    val lloyd = (1 to 4).map { t =>
+      s"""a$t AS MATERIALIZED (SELECT x.vec_id, x.v,
+         |  (min({'d': ${kmD2("x.v")}, 'c': c.cell})).c AS cell
+         | FROM xq x CROSS JOIN c${t - 1} c GROUP BY x.vec_id, x.v),
+         |g$t AS (SELECT a.cell, t.j, sum(a.v[t.j + 1]) AS sj, count(*) AS n
+         | FROM a$t a CROSS JOIN (SELECT unnest(range(64)) AS j) t
+         | GROUP BY a.cell, t.j),
+         |c$t AS MATERIALIZED (SELECT p.cell,
+         |  CASE WHEN count(g.sj) = 0 THEN p.cv
+         |   ELSE list((CASE WHEN g.sj >= 0
+         |     THEN floor(g.sj::DOUBLE / g.n + 0.5)
+         |     ELSE -floor(-(g.sj::DOUBLE / g.n) + 0.5) END)::BIGINT
+         |    ORDER BY g.j) END AS cv
+         | FROM c${t - 1} p LEFT JOIN g$t g USING (cell)
+         | GROUP BY p.cell, p.cv)""".stripMargin
+    }.mkString(", ")
+    s"""WITH s0 AS (SELECT embedding::DOUBLE[] AS v, md5(vec_id::VARCHAR) AS h
+       |  FROM embeddings ORDER BY h, v LIMIT 20000),
+       |samp AS MATERIALIZED (SELECT v,
+       |  row_number() OVER (ORDER BY h, v) AS rn FROM s0),
+       |sn AS (SELECT count(*) AS n FROM samp),
+       |c0 AS MATERIALIZED (SELECT t.i AS cell,
+       |  list_transform(s.v, x -> $quant) AS cv
+       | FROM (SELECT unnest(range(8)) AS i) t, sn
+       | JOIN samp s ON s.rn = (t.i * sn.n) // 8 + 1),
+       |xq AS MATERIALIZED (SELECT vec_id,
+       |  list_transform(embedding::DOUBLE[], x -> $quant) AS v
+       | FROM embeddings),
+       |$lloyd,
+       |fb AS (SELECT x.vec_id,
+       |  min({'d': ${kmD2("x.v")}, 'c': c.cell}) AS b
+       | FROM xq x CROSS JOIN c4 c GROUP BY x.vec_id, x.v),
+       |fin AS (SELECT (b).c AS cell, count(*) AS n_members,
+       |  sum((b).d) AS in6 FROM fb GROUP BY 1)
+       |SELECT c.cell, t.j, round(c.cv[t.j + 1] / 1000000.0, 4) AS cx,
+       | coalesce(f.n_members, 0)::BIGINT AS n_members,
+       | round(coalesce(f.in6, 0)::DOUBLE / 1000000000000.0, 4) AS inertia
+       |FROM c4 c CROSS JOIN (SELECT unnest(range(64)) AS j) t
+       |LEFT JOIN fin f USING (cell)""".stripMargin.replace("\n", " ")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q181_kmeans_fit" -> kmeansOracle,
     "q49_dedup_exact" ->
       """SELECT doc_id, md5(text) AS h,
         | count(*) OVER (PARTITION BY md5(text)) AS dupCount,
