@@ -311,6 +311,27 @@ object TextQueries {
     "q181_kmeans_fit" -> ((s, dir) =>
       canon(KMeansDist.fit(emb(s, dir), "vec_id", "embedding", dim = 64,
         k = 8, iters = 4, maxSample = 20000))),
+    // logistic-regression quality classifier (gradient-descent face of
+    // the q174 NB filter): algebraic sigmoid (IEEE basic ops only — no
+    // libm parity needed), 9dp fixed-point gradient sums, 6dp weight
+    // re-grain; 5 unrolled iterations replay in the oracle. The label is
+    // a length cut the features can recover (the synthetic corpus's text
+    // is independent of its lang column, so a lang label would pin the
+    // fit at the majority baseline and verify nothing about descent);
+    // real deployments pass a human-labeled quality seed.
+    "q183_logreg_quality" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nThe = (length(lower(col("text"))) -
+        length(replace(lower(col("text")), lit(" the "), lit("")))) / 5
+      val feat = d.select(
+        lit(1.0).as("f0"),
+        ((col("n_chars").cast("double") - 300.0) / 100.0).as("f1"),
+        ((size(TextOps.tokens(col("text"))).cast("double") - 50.0) / 10.0).as("f2"),
+        (nThe.cast("double") / 10.0).as("f3"),
+        when(col("n_chars") >= 300, 1.0).otherwise(0.0).cast("double").as("y"))
+      canon(TextOps.logRegFit(feat, Seq("f0", "f1", "f2", "f3"), "y",
+        iters = 5, lr = 0.5))
+    }),
     // per-(source, lang) corpus accounting: the table a mixing decision
     // starts from
     "q136_corpus_report" -> ((s, dir) =>
@@ -1030,8 +1051,56 @@ object TextQueries {
        |LEFT JOIN fin f USING (cell)""".stripMargin.replace("\n", " ")
   }
 
+  /** Full SQL replay of the logistic-regression fit: same feature
+    * expressions, algebraic sigmoid, 9dp fixed-point gradient sums
+    * (hugeint — exact like Spark's decimal(38,0)), the identical
+    * correctly-rounded update sequence, 6dp weight re-grain. */
+  private lazy val logregOracle: String = {
+    val fp9 = (e: String) =>
+      s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e9+0.5) ELSE -floor(-($e)*1e9+0.5) END)::BIGINT"
+    val regrain = (e: String) =>
+      s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) ELSE -floor(-($e)*1e6+0.5) END) / 1000000.0"
+    val zExpr = "w.wa*f.f0 + w.wb*f.f1 + w.wc*f.f2 + w.wd*f.f3"
+    val iters = (1 to 5).map { t =>
+      val p = s"ww${t - 1}"
+      s"""g$t AS (SELECT sum(${fp9("e * f0")}) AS s0,
+         |  sum(${fp9("e * f1")}) AS s1, sum(${fp9("e * f2")}) AS s2,
+         |  sum(${fp9("e * f3")}) AS s3, count(*) AS n
+         | FROM (SELECT f.f0, f.f1, f.f2, f.f3,
+         |    f.y - (0.5 + z/(2.0*(1.0+abs(z)))) AS e
+         |   FROM (SELECT f.*, $zExpr AS z FROM feat f, $p w) f)),
+         |ww$t AS (SELECT
+         |  ${regrain(s"w.wa + 0.5 * (g.s0::DOUBLE / g.n / 1e9)")} AS wa,
+         |  ${regrain(s"w.wb + 0.5 * (g.s1::DOUBLE / g.n / 1e9)")} AS wb,
+         |  ${regrain(s"w.wc + 0.5 * (g.s2::DOUBLE / g.n / 1e9)")} AS wc,
+         |  ${regrain(s"w.wd + 0.5 * (g.s3::DOUBLE / g.n / 1e9)")} AS wd
+         | FROM $p w, g$t g)""".stripMargin
+    }.mkString(", ")
+    s"""WITH feat AS MATERIALIZED (SELECT 1.0::DOUBLE AS f0,
+       |  (n_chars::DOUBLE - 300.0) / 100.0 AS f1,
+       |  (len($toks)::DOUBLE - 50.0) / 10.0 AS f2,
+       |  ((length(lower(text)) - length(replace(lower(text), ' the ', '')))
+       |    // 5)::DOUBLE / 10.0 AS f3,
+       |  (CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END)::DOUBLE AS y
+       | FROM documents),
+       |ww0 AS (SELECT 0.0::DOUBLE AS wa, 0.0::DOUBLE AS wb,
+       |  0.0::DOUBLE AS wc, 0.0::DOUBLE AS wd),
+       |$iters,
+       |fin AS (SELECT
+       |  sum(CASE WHEN (z >= 0) = (y = 1.0) THEN 1 ELSE 0 END)::BIGINT AS ok,
+       |  count(*) AS n
+       | FROM (SELECT f.y, $zExpr AS z FROM feat f, ww5 w))
+       |SELECT t.j, t.feature,
+       | round(CASE t.j WHEN 0 THEN w.wa WHEN 1 THEN w.wb
+       |   WHEN 2 THEN w.wc ELSE w.wd END, 4) AS weight,
+       | f.ok AS n_correct, f.n, round(f.ok::DOUBLE / f.n, 4) AS accuracy
+       |FROM (VALUES (0, 'f0'), (1, 'f1'), (2, 'f2'), (3, 'f3')) t(j, feature),
+       | ww5 w, fin f""".stripMargin.replace("\n", " ")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q181_kmeans_fit" -> kmeansOracle,
+    "q183_logreg_quality" -> logregOracle,
     "q49_dedup_exact" ->
       """SELECT doc_id, md5(text) AS h,
         | count(*) OVER (PARTITION BY md5(text)) AS dupCount,

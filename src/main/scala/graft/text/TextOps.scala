@@ -1871,6 +1871,74 @@ object TextOps {
         when(col("logOdds") > 0, lit(posLabel)).otherwise(lit(negLabel)))
   }
 
+  /** Logistic-regression quality classifier — the gradient-descent face
+    * of the GPT-3 §2.2 / CCNet quality filter family ([[nbFitModel]] is
+    * the count-based face). Full-batch gradient descent with the
+    * algebraic sigmoid σ̂(z) = 0.5 + z/(2(1+|z|)): unlike exp(), σ̂ uses
+    * only IEEE basic ops (add/mul/div/abs — all correctly rounded by the
+    * standard), so per-row values are bit-identical on any engine and
+    * the fit replays exactly in SQL without trusting libm parity.
+    *
+    * Determinism (the q181 pattern): per-row per-dim gradient
+    * contributions are bit-identical doubles → quantized to 9dp
+    * fixed-point longs → summed in decimal(38,0) (exact, associative,
+    * combine-order-free; decimal because a long sum could overflow past
+    * ~10⁹ rows at |g|≤10). Each update then runs the identical sequence
+    * of correctly-rounded double ops on both engines and re-grains the
+    * weights at 6dp.
+    *
+    * Scale shape: one persisted projection of (features, label); each
+    * iteration is ONE scan + one d-column partial-agg collapsing to a
+    * single row (weights ride into the plan as literals — no shuffle
+    * wider than one row, no driver data motion beyond d sums).
+    *
+    * Output: one row per feature — (j, feature, weight) — plus the
+    * training n, n_correct (σ̂(w·x) ≥ 0.5 ⟺ w·x ≥ 0, an exact integer
+    * count) and 4dp accuracy. */
+  def logRegFit(data: DataFrame, featCols: Seq[String], labelCol: String,
+      iters: Int, lr: Double): DataFrame = {
+    val spark = data.sparkSession
+    val d = featCols.length
+    val proj = featCols.map(c => col(c).cast("double")) :+
+      col(labelCol).cast("double").as("_y")
+    val cached = data.select(proj: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def z(w: Array[Double]) = featCols.zipWithIndex
+        .map { case (c, j) => lit(w(j)) * col(c) }.reduce(_ + _)
+      var w = Array.fill(d)(0.0)
+      var nTot = 0L
+      for (_ <- 1 to iters) {
+        val zc = z(w)
+        val sig = lit(0.5) + zc / (lit(2.0) * (lit(1.0) + abs(zc)))
+        val err = col("_y") - sig
+        val gs = featCols.zipWithIndex.map { case (c, j) =>
+          sum(graft.core.fixedPointLong(err * col(c), 9)
+            .cast("decimal(38,0)")).as(s"g$j") }
+        val r = cached.agg(gs.head, gs.tail :+ count(lit(1)).as("n"): _*)
+          .collect()(0)
+        nTot = r.getAs[Long]("n")
+        w = w.zipWithIndex.map { case (wj, j) =>
+          val s = BigDecimal(r.getAs[java.math.BigDecimal](s"g$j")).toDouble
+          // same op sequence as the SQL: ::DOUBLE, /n, /1e9, *lr, +w,
+          // then the 6dp re-grain
+          val upd = wj + lr * (s / nTot / 1e9)
+          val q = if (upd >= 0) math.floor(upd * 1e6 + 0.5)
+                  else -math.floor(-upd * 1e6 + 0.5)
+          q / 1e6
+        }
+      }
+      val acc = cached.agg(
+        sum(when((z(w) >= 0) === (col("_y") === 1.0), 1L).otherwise(0L))
+          .as("ok"), count(lit(1)).as("n")).collect()(0)
+      val (ok, n) = (acc.getAs[Long]("ok"), acc.getAs[Long]("n"))
+      import spark.implicits._
+      w.zipWithIndex.map { case (wj, j) =>
+        (j, featCols(j), wj, ok, n, ok.toDouble / n)
+      }.toSeq.toDF("j", "feature", "weight", "n_correct", "n", "accuracy")
+    } finally { cached.unpersist(false) }
+  }
+
   /** BM25 ranked retrieval (Robertson & Walker, SIGIR'94; the Lucene
     * idf = ln(1 + (N−df+0.5)/(df+0.5)) form, which keeps idf positive).
     * Scores every document against a fixed bag of query `terms` and

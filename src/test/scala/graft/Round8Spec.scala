@@ -1,0 +1,114 @@
+package graft
+
+import graft.multi.ClusterScore
+import graft.sim.KMeansDist
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Round-8 operators: distributed integer-Lloyd k-means, 1-D DBSCAN,
+  * logistic-regression quality trainer. */
+class Round8Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmeans: two well-separated blobs recovered with exact sizes") {
+    // 20 points near (0,0), 20 near (10,10) — k=2 must split them
+    val pts = ((0 until 20).map(i => (i.toLong, Array(i * 0.01f, i * 0.01f))) ++
+      (0 until 20).map(i => (100L + i, Array(10f + i * 0.01f, 10f + i * 0.01f))))
+      .toDF("vec_id", "embedding")
+    val fit = KMeansDist.fit(pts, "vec_id", "embedding", dim = 2, k = 2,
+      iters = 4, maxSample = 100)
+    val rows = fit.collect()
+    assert(rows.length == 4) // 2 cells × 2 dims
+    val byCell = rows.groupBy(_.getAs[Int]("cell"))
+    assert(byCell.keySet == Set(0, 1))
+    // both clusters have all 20 members and centroids near the blob means
+    byCell.values.foreach { rs =>
+      assert(rs.head.getAs[Long]("n_members") == 20L)
+      val cx = rs.map(_.getAs[Double]("cx"))
+      assert(cx.forall(v => math.abs(v - 0.095) < 0.02 ||
+        math.abs(v - 10.095) < 0.02))
+    }
+    // inertia of tight blobs is tiny (per-blob Σd² ≈ 0.133 here)
+    assert(rows.forall(_.getAs[Double]("inertia") < 0.5))
+  }
+
+  test("kmeans: empty cells keep their previous centroid") {
+    // k=4 over 3 distinct points: one cell must stay empty but survive
+    val pts = Seq((1L, Array(0f, 0f)), (2L, Array(5f, 5f)), (3L, Array(9f, 9f)))
+      .toDF("vec_id", "embedding")
+    val fit = KMeansDist.fit(pts, "vec_id", "embedding", dim = 2, k = 4,
+      iters = 3, maxSample = 10)
+    // min(k, n) = 3 cells; all rows present, member counts sum to n
+    val cells = fit.select("cell").distinct().count()
+    assert(cells == 3)
+    val members = fit.select("cell", "n_members").distinct()
+      .agg(sum("n_members")).head().getLong(0)
+    assert(members == 3L)
+  }
+
+  test("dbscan1d: chains, borders and noise on a crafted line") {
+    // key a: dense cluster 0.0..0.4 (step .1), border at 0.85, core gap,
+    // second cluster 5.0..5.4, lone noise point at 20
+    val vals = (0 to 4).map(_ * 0.1) ++ Seq(0.85) ++
+      (0 to 4).map(5.0 + _ * 0.1) ++ Seq(20.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "a", v) }
+      .toDF("event_id", "key", "value")
+    val out = ClusterScore.dbscan1d(df, Seq("key"), "value", "event_id",
+      eps = 0.5, minPts = 3).collect()
+    val byId = out.map(r => r.getAs[Long]("event_id") -> r).toMap
+    // dense runs are core
+    (0 to 4).foreach(i => assert(byId(i).getAs[Boolean]("is_core")))
+    (6 to 10).foreach(i => assert(byId(i).getAs[Boolean]("is_core")))
+    // 0.85 is within eps of 0.4: border of cluster 1, not core
+    assert(!byId(5).getAs[Boolean]("is_core"))
+    assert(byId(5).getAs[Long]("cluster") == byId(0).getAs[Long]("cluster"))
+    // two distinct clusters
+    assert(byId(6).getAs[Long]("cluster") != byId(0).getAs[Long]("cluster"))
+    // 20.0 is noise → tag O
+    assert(byId(11).getAs[Long]("cluster") == -1L)
+    assert(byId(11).getAs[String]("tag") == "O")
+    assert(out.count(_.getAs[String]("tag") == "O") == 1)
+  }
+
+  test("dbscan1d: border tie prefers the earlier core") {
+    // cores at 0±, 1±; border at exactly 0.5 between the two clusters'
+    // edge cores (0.3 and 0.7 → distances 0.2 both) — attaches to prev
+    val vals = Seq(0.0, 0.1, 0.3, 0.5, 0.7, 0.9, 1.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "a", v) }
+      .toDF("event_id", "key", "value")
+    // eps=0.25 so 0.3 and 0.7 chain separately (gap 0.4 via 0.5 non-core)
+    val out = ClusterScore.dbscan1d(df, Seq("key"), "value", "event_id",
+      eps = 0.25, minPts = 2).collect()
+    val byId = out.map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(!byId(3).getAs[Boolean]("is_core") ||
+      byId(3).getAs[Long]("cluster") >= 1) // sanity: 0.5's neighbors are 0.3/0.7
+    if (!byId(3).getAs[Boolean]("is_core")) {
+      assert(byId(3).getAs[Long]("cluster") == byId(2).getAs[Long]("cluster"))
+    }
+  }
+
+  test("logreg: recovers a linearly separable cut") {
+    val df = (0 until 200).map { i =>
+      val x = (i - 100) / 10.0
+      (1.0, x, if (x >= 0) 1.0 else 0.0)
+    }.toDF("f0", "f1", "y")
+    val fit = TextOps.logRegFit(df, Seq("f0", "f1"), "y", iters = 10, lr = 1.0)
+    val rows = fit.collect()
+    val w = rows.map(r => r.getAs[String]("feature") -> r.getAs[Double]("weight")).toMap
+    assert(w("f1") > 0.5) // slope learned positive
+    assert(rows.head.getAs[Double]("accuracy") > 0.95)
+  }
+
+  test("logreg: deterministic across partition counts") {
+    val base = (0 until 500).map { i =>
+      (1.0, math.sin(i * 1.7) * 3, if (i % 3 == 0) 1.0 else 0.0)
+    }
+    val a = TextOps.logRegFit(base.toDF("f0", "f1", "y").repartition(1),
+      Seq("f0", "f1"), "y", iters = 5, lr = 0.5).collect()
+    val b = TextOps.logRegFit(base.toDF("f0", "f1", "y").repartition(13),
+      Seq("f0", "f1"), "y", iters = 5, lr = 0.5).collect()
+    val wa = a.map(r => r.getAs[String]("feature") -> r.getAs[Double]("weight")).toMap
+    val wb = b.map(r => r.getAs[String]("feature") -> r.getAs[Double]("weight")).toMap
+    assert(wa == wb) // integer gradient sums → bit-identical under any combine order
+  }
+}
