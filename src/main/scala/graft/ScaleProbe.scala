@@ -362,6 +362,33 @@ object ScaleProbe {
         spark.catalog.clearCache()
         out
       }
+      // round-8b: distributed Lloyd (per-iteration cost = one scan + k-row
+      // agg → rows/s must stay flat), 1-D dbscan (one sort exchange, three
+      // window passes), logreg GD (per-iteration one scan → 1-row agg)
+      time("kmeans_fit", n, nEmb) {
+        sim.KMeansDist.fit(emb, "vec_id", "embedding", dim = 64, k = 8,
+          iters = 4, maxSample = 20000).count()
+      }
+      time("dbscan1d", n, nEv) {
+        multi.ClusterScore.dbscan1d(
+          ev.select("event_id", "event_type", "value"),
+          Seq("event_type"), "value", "event_id",
+          eps = 0.5, minPts = 5).count()
+      }
+      // corpus pass is one tokenize+count; the 10 merge rounds touch only
+      // the vocab-capped table → time must be flat past the first scan
+      time("bpe_train", n, nDocs) {
+        text.TextOps.bpeTrain(docs, "doc_id", "text",
+          nMerges = 10, vocabTopN = 1000).count()
+      }
+      time("logreg_fit", n, nDocs) {
+        val feat = docs.select(lit(1.0).as("f0"),
+          ((col("n_chars").cast("double") - 300.0) / 100.0).as("f1"),
+          when(col("n_chars") >= 300, 1.0).otherwise(0.0)
+            .cast("double").as("y"))
+        text.TextOps.logRegFit(feat, Seq("f0", "f1"), "y",
+          iters = 5, lr = 0.5).count()
+      }
     }
     spark.stop()
   }

@@ -332,6 +332,13 @@ object TextQueries {
       canon(TextOps.logRegFit(feat, Seq("f0", "f1", "f2", "f3"), "y",
         iters = 5, lr = 0.5))
     }),
+    // BPE tokenizer training: 10 merge rules learned over the top-1000
+    // word-frequency table — corpus read once, merge rounds scan only the
+    // vocab; pure integer/string arithmetic, so the unrolled-CTE oracle
+    // replays every rule and count exactly
+    "q184_bpe_train" -> ((s, dir) =>
+      TextOps.bpeTrain(docs(s, dir), "doc_id", "text",
+        nMerges = 10, vocabTopN = 1000)),
     // per-(source, lang) corpus accounting: the table a mixing decision
     // starts from
     "q136_corpus_report" -> ((s, dir) =>
@@ -1098,9 +1105,41 @@ object TextQueries {
        | ww5 w, fin f""".stripMargin.replace("\n", " ")
   }
 
+  /** Full SQL replay of the BPE trainer: top-1000 word table, wrapped
+    * symbol strings, 10 unrolled pair-count → argmax → replace rounds.
+    * Pure integer/string arithmetic — no rounding device. */
+  private lazy val bpeOracle: String = {
+    val rounds = (1 to 10).map { t =>
+      val p = s"v${t - 1}"
+      s"""p$t AS (SELECT sa[i] AS a, sa[i + 1] AS b, cnt
+         | FROM (SELECT sa, cnt, unnest(range(1, len(sa))) AS i
+         |   FROM (SELECT string_split(trim(syms, '()'), ')(') AS sa, cnt
+         |     FROM $p))),
+         |m$t AS MATERIALIZED (SELECT a, b, sum(cnt) AS pc FROM p$t
+         | GROUP BY a, b ORDER BY pc DESC, a, b LIMIT 1),
+         |v$t AS MATERIALIZED (SELECT
+         |  replace(syms, '(' || m.a || ')(' || m.b || ')',
+         |    '(' || m.a || m.b || ')') AS syms, cnt
+         | FROM $p, m$t m)""".stripMargin
+    }.mkString(", ")
+    val out = (1 to 10).map { t =>
+      s"""SELECT $t AS round, a AS "left", b AS "right",
+         | a || b AS merged, pc::BIGINT AS pair_count FROM m$t""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH w0 AS (SELECT w, count(*) AS cnt
+       | FROM (SELECT unnest($toks) AS w FROM documents)
+       | WHERE regexp_matches(w, '^[a-z]+${"$"}')
+       | GROUP BY w ORDER BY cnt DESC, w LIMIT 1000),
+       |v0 AS MATERIALIZED (SELECT
+       |  regexp_replace(w, '(.)', '(\\1)', 'g') AS syms, cnt FROM w0),
+       |$rounds
+       |$out""".stripMargin.replace("\n", " ")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q181_kmeans_fit" -> kmeansOracle,
     "q183_logreg_quality" -> logregOracle,
+    "q184_bpe_train" -> bpeOracle,
     "q49_dedup_exact" ->
       """SELECT doc_id, md5(text) AS h,
         | count(*) OVER (PARTITION BY md5(text)) AS dupCount,

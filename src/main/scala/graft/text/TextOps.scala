@@ -1939,6 +1939,76 @@ object TextOps {
     } finally { cached.unpersist(false) }
   }
 
+  /** BPE tokenizer trainer (Sennrich et al. 2016): learn `nMerges` merge
+    * rules by repeated most-frequent-adjacent-pair counting over the
+    * word-frequency table. The classic trick that makes this tractable
+    * at 100 TB: the CORPUS is read exactly once (one tokenize+count
+    * pass); every merge round then scans only the vocab-sized
+    * (word, count) table — pair counts are corpus-exact because they are
+    * weighted by word frequency. Per round: one explode+hash-agg over
+    * the vocab, one TakeOrdered(1) for the argmax pair (count desc, pair
+    * asc — deterministic), one string rewrite. Symbol sequences are
+    * stored wrapped — "(t)(h)(e)" — so applying a merge is a plain
+    * left-to-right non-overlapping string replace of "(a)(b)" with
+    * "(ab)": exactly BPE's greedy application order, with no
+    * shared-delimiter misses, on any engine. Everything is integer or
+    * string — the fit replays in SQL with no rounding device at all.
+    *
+    * Vocabulary is the `vocabTopN` most frequent purely-alphabetic
+    * words (deterministic rank: count desc, word asc — a distributed
+    * TakeOrdered). No end-of-word marker (documented simplification;
+    * merges within the top vocab are unaffected).
+    *
+    * Output: one row per learned rule — (round, left, right, merged,
+    * pair_count). */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int, vocabTopN: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(vocabTopN)
+    var vocab = words
+      .select(regexp_replace(col("w"), "(.)", "($1)").as("syms"), col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vocab.count()
+    val merges = collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    try {
+      var r = 1
+      var done = false
+      while (r <= nMerges && !done) {
+        val arr = split(regexp_replace(col("syms"), "^\\(|\\)$", ""), "\\)\\(")
+        val pairs = transform(sequence(lit(1), size(col("_a")) - 1),
+          i => struct(element_at(col("_a"), i).as("a"),
+            element_at(col("_a"), i + 1).as("b")))
+        val top = vocab
+          .withColumn("_a", arr)
+          .where(size(col("_a")) >= 2)
+          .select(explode(pairs).as("p"), col("cnt"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("cnt").as("pc"))
+          .orderBy(col("pc").desc, col("a"), col("b")).limit(1)
+          .collect()
+        if (top.isEmpty) done = true
+        else {
+          val (a, b, pc) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"),
+            top(0).getAs[Long]("pc"))
+          merges += ((r, a, b, a + b, pc))
+          val next = vocab
+            .select(replace(col("syms"), lit(s"($a)($b)"), lit(s"(${a + b})"))
+              .as("syms"), col("cnt"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          vocab.unpersist(false)
+          vocab = next
+          r += 1
+        }
+      }
+    } finally { vocab.unpersist(false) }
+    merges.toSeq.toDF("round", "left", "right", "merged", "pair_count")
+  }
+
   /** BM25 ranked retrieval (Robertson & Walker, SIGIR'94; the Lucene
     * idf = ln(1 + (N−df+0.5)/(df+0.5)) form, which keeps idf positive).
     * Scores every document against a fixed bag of query `terms` and

@@ -87,6 +87,24 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("bpe: greedy merge order and corpus-weighted counts") {
+    // "banana" ×3, "bandana" ×1 → (a,n) count 3·2+2 = 8 beats all
+    val df = (Seq.fill(3)("banana") :+ "bandana").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m = TextOps.bpeTrain(df, "doc_id", "text", nMerges = 3, vocabTopN = 10)
+      .collect().sortBy(_.getAs[Int]("round"))
+    assert(m(0).getAs[String]("left") == "a")
+    assert(m(0).getAs[String]("right") == "n")
+    assert(m(0).getAs[String]("merged") == "an")
+    assert(m(0).getAs[Long]("pair_count") == 8L)
+    // round 2 operates on the REWRITTEN vocab: banana → [b, an, an, a],
+    // bandana → [b, an, d, an, a]; (an,a) and (b,an) both count 4 and
+    // the (count desc, pair asc) tie-break picks (an,a)
+    assert((m(1).getAs[String]("left"), m(1).getAs[String]("right")) ==
+      ("an", "a"))
+    assert(m(1).getAs[Long]("pair_count") == 4L)
+  }
+
   test("logreg: recovers a linearly separable cut") {
     val df = (0 until 200).map { i =>
       val x = (i - 100) / 10.0
