@@ -122,6 +122,77 @@ case class VecNearest(child: Expression, cents: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Nearest centroid over QUANTIZED fixed-point long vectors — the
+  * integer sibling of [[VecNearest]] for the distributed Lloyd fit
+  * (graft.sim.KMeansDist). Returns struct(d: long, cell: int): exact
+  * integer Σ(xᵢ−cᵢ)² to the winning centroid, strict-less keeps the
+  * lowest cell on ties (the same (d, cell) lexicographic order the
+  * oracle's struct-min uses — all distances are non-negative). One fused
+  * loop over a reference-object long[][]: the zip_with + aggregate HOF
+  * composition materializes an intermediate array per cell per row and
+  * evaluates an interpreted lambda per element.
+  *
+  * Caller contract: per-centroid d² must fit a long —
+  * dim · (2·max|x|·10⁶)² < 2⁶³, i.e. max|x| ≲ 95 at dim 64 (unit-scale
+  * embeddings are orders of magnitude inside the bound). */
+case class VecNearestQ(child: Expression, cents: Array[Array[Long]])
+    extends UnaryExpression {
+  require(cents.nonEmpty, "no centroids")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("d", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cell", IntegerType, nullable = false)))
+  override def prettyName: String = "vec_nearest_q"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    var best = 0
+    var bd = Long.MaxValue
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      val n = math.min(v.numElements(), c.length)
+      var s = 0L
+      var i = 0
+      while (i < n) { val df = v.getLong(i) - c(i); s += df * df; i += 1 }
+      if (s < bd) { bd = s; best = ci }
+      ci += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bd, best))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.addReferenceObj("cents", cents, "long[][]")
+      val ci = ctx.freshName("ci")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val df = ctx.freshName("df")
+      val bd = ctx.freshName("bd")
+      val best = ctx.freshName("best")
+      val c = ctx.freshName("c")
+      s"""
+         |int $best = 0;
+         |long $bd = java.lang.Long.MAX_VALUE;
+         |for (int $ci = 0; $ci < $m.length; $ci++) {
+         |  long[] $c = $m[$ci];
+         |  int $n = java.lang.Math.min($v.numElements(), $c.length);
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $df = $v.getLong($i) - $c[$i]; $s += $df * $df;
+         |  }
+         |  if ($s < $bd) { $bd = $s; $best = $ci; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{$bd, $best});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecNearestQ =
+    copy(child = newChild)
+}
+
 /** Hamming distance of two int64 bit patterns (SimHash comparison). */
 case class BitHamming(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -153,12 +224,18 @@ object GraftFunctions {
     val ad = e.eval().asInstanceOf[ArrayData]
     Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
   }
+  private def litMatrixL(e: Expression): Array[Array[Long]] = {
+    val ad = e.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toLongArray())
+  }
   private def litVec(e: Expression): Array[Double] =
     e.eval().asInstanceOf[ArrayData].toDoubleArray()
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(asDoubles(es(0)), asDoubles(es(1)))),
     "vec_nearest" -> (es =>
       VecNearest(asDoubles(es(0)), litMatrix(es(1)), litVec(es(2)))),
+    "vec_nearest_q" -> (es =>
+      VecNearestQ(Cast(es(0), ArrayType(LongType)), litMatrixL(es(1)))),
     "bit_hamming" -> (es => BitHamming(asLong(es(0)), asLong(es(1)))),
     "minhash_sig" -> (es => MinHashSig(es(0), litInt(es(1)), litInt(es(2)))),
     "winnow_fp" -> (es => Winnow(es(0), litInt(es(1)), litInt(es(2)))))
@@ -185,6 +262,14 @@ object GraftFunctions {
     register(spark)
     call_function("vec_nearest", v,
       typedlit(cents.map(_.toSeq).toSeq), typedlit(norms.toSeq))
+  }
+
+  /** struct(d, cell) of the nearest quantized centroid (exact integer
+    * d² — see [[VecNearestQ]]'s magnitude contract). */
+  def vecNearestQ(spark: SparkSession, v: Column,
+      cents: Array[Array[Long]]): Column = {
+    register(spark)
+    call_function("vec_nearest_q", v, typedlit(cents.map(_.toSeq).toSeq))
   }
 }
 

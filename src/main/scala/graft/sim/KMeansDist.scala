@@ -52,18 +52,14 @@ object KMeansDist {
   private def roundHalfAway(x: Double): Long =
     if (x >= 0) math.floor(x + 0.5).toLong else -math.floor(-x + 0.5).toLong
 
-  /** d² between the quantized vector column and one literal centroid —
-    * all-long zip_with/aggregate, inside whole-stage codegen. */
-  private def d2(v: Column, cent: Array[Long]): Column =
-    aggregate(
-      zip_with(v, typedlit(cent.toSeq), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-
-  /** Nearest-cell struct (d², cell) — lexicographic array_min gives
-    * argmin with ties to the lowest cell index. */
-  private def best(v: Column, cents: Array[Array[Long]]): Column =
-    array_min(array(cents.indices.map(ci =>
-      struct(d2(v, cents(ci)).as("d"), lit(ci).as("cell"))): _*))
+  /** Nearest-cell struct (d², cell): the fused codegen expression
+    * ([[graft.expr.VecNearestQ]]) — exact integer d², strict-less argmin
+    * (ties → lowest cell), one loop with no per-cell intermediate
+    * arrays. Ordering-identical to the oracle's struct-min over
+    * per-cell distances. */
+  private def best(spark: org.apache.spark.sql.SparkSession, v: Column,
+      cents: Array[Array[Long]]): Column =
+    graft.expr.GraftFunctions.vecNearestQ(spark, v, cents)
 
   /** Deterministic init: evenly spaced rows (rank ⌊i·n/k⌋) of the
     * md5-of-id-ordered sample, quantized — mirrors LocalKMeans.fitFixed
@@ -94,7 +90,7 @@ object KMeansDist {
         sum(element_at(col("_v"), j + 1)).as(s"s$j")) :+ count(lit(1)).as("n")
       for (_ <- 1 to iters) {
         val g = cached
-          .withColumn("_cell", best(col("_v"), cents).getField("cell"))
+          .withColumn("_cell", best(spark, col("_v"), cents).getField("cell"))
           .groupBy("_cell").agg(sumCols.head, sumCols.tail: _*)
           .collect()
         val next = cents.map(_.clone())
@@ -113,7 +109,7 @@ object KMeansDist {
       // in decimal(38,0): still exact/associative, matches DuckDB's
       // hugeint sum, and headroom to ~10³⁸ covers any corpus.
       val fin = cached
-        .withColumn("_b", best(col("_v"), cents))
+        .withColumn("_b", best(spark, col("_v"), cents))
         .groupBy(col("_b").getField("cell").as("cell"))
         .agg(count(lit(1)).as("n_members"),
           sum(col("_b").getField("d").cast("decimal(38,0)")).as("_in6"))
@@ -139,7 +135,7 @@ object KMeansDist {
     * (one codegen pass over the corpus with literal centroids). */
   def assign(data: DataFrame, vecCol: String, cents: Array[Array[Long]]): DataFrame =
     data
-      .withColumn("_b", best(quantize(col(vecCol)), cents))
+      .withColumn("_b", best(data.sparkSession, quantize(col(vecCol)), cents))
       .withColumn("cell", col("_b").getField("cell"))
       .withColumn("dist", sqrt(col("_b").getField("d")) / Grain)
       .drop("_b")
