@@ -339,6 +339,16 @@ object TextQueries {
     "q184_bpe_train" -> ((s, dir) =>
       TextOps.bpeTrain(docs(s, dir), "doc_id", "text",
         nMerges = 10, vocabTopN = 1000)),
+    // BPE encode with the learned rules: per-char wrapping, merges
+    // applied in training order as chained replaces, token count =
+    // remaining symbol count — one codegen pass, no shuffle
+    "q185_bpe_encode" -> ((s, dir) => {
+      val rules = TextOps.bpeTrain(docs(s, dir), "doc_id", "text",
+        nMerges = 10, vocabTopN = 1000)
+        .collect().sortBy(_.getAs[Int]("round"))
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+      TextOps.bpeEncode(docs(s, dir), "doc_id", "text", rules)
+    }),
     // per-(source, lang) corpus accounting: the table a mixing decision
     // starts from
     "q136_corpus_report" -> ((s, dir) =>
@@ -1105,10 +1115,10 @@ object TextQueries {
        | ww5 w, fin f""".stripMargin.replace("\n", " ")
   }
 
-  /** Full SQL replay of the BPE trainer: top-1000 word table, wrapped
-    * symbol strings, 10 unrolled pair-count → argmax → replace rounds.
-    * Pure integer/string arithmetic — no rounding device. */
-  private lazy val bpeOracle: String = {
+  /** Shared CTE chain of the BPE trainer replay: top-1000 word table,
+    * wrapped symbol strings, 10 unrolled pair-count → argmax → replace
+    * rounds. Pure integer/string arithmetic — no rounding device. */
+  private lazy val bpeCtes: String = {
     val rounds = (1 to 10).map { t =>
       val p = s"v${t - 1}"
       s"""p$t AS (SELECT sa[i] AS a, sa[i + 1] AS b, cnt
@@ -1122,24 +1132,44 @@ object TextQueries {
          |    '(' || m.a || m.b || ')') AS syms, cnt
          | FROM $p, m$t m)""".stripMargin
     }.mkString(", ")
-    val out = (1 to 10).map { t =>
-      s"""SELECT $t AS round, a AS "left", b AS "right",
-         | a || b AS merged, pc::BIGINT AS pair_count FROM m$t""".stripMargin
-    }.mkString(" UNION ALL ")
-    s"""WITH w0 AS (SELECT w, count(*) AS cnt
+    s"""w0 AS (SELECT w, count(*) AS cnt
        | FROM (SELECT unnest($toks) AS w FROM documents)
        | WHERE regexp_matches(w, '^[a-z]+${"$"}')
        | GROUP BY w ORDER BY cnt DESC, w LIMIT 1000),
        |v0 AS MATERIALIZED (SELECT
        |  regexp_replace(w, '(.)', '(\\1)', 'g') AS syms, cnt FROM w0),
-       |$rounds
-       |$out""".stripMargin.replace("\n", " ")
+       |$rounds""".stripMargin
+  }
+
+  private lazy val bpeOracle: String = {
+    val out = (1 to 10).map { t =>
+      s"""SELECT $t AS round, a AS "left", b AS "right",
+         | a || b AS merged, pc::BIGINT AS pair_count FROM m$t""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"WITH $bpeCtes $out".replace("\n", " ")
+  }
+
+  /** Encode replay: re-derive the 10 rules, then apply them in training
+    * order as nested replaces over the per-char-wrapped text; token
+    * count = number of '(' left. */
+  private lazy val bpeEncodeOracle: String = {
+    val base = "regexp_replace(lower(text), '(.)', '(\\1)', 'g')"
+    val applied = (1 to 10).foldLeft(base) { (s, t) =>
+      s"""replace($s, (SELECT '('||a||')('||b||')' FROM m$t),
+         | (SELECT '('||a||b||')' FROM m$t))""".stripMargin
+    }
+    s"""WITH $bpeCtes
+       |SELECT doc_id,
+       | (length($applied) - length(replace($applied, '(', '')))::BIGINT
+       |  AS n_bpe
+       |FROM documents""".stripMargin.replace("\n", " ")
   }
 
   val oracleSql: Map[String, String] = Map(
     "q181_kmeans_fit" -> kmeansOracle,
     "q183_logreg_quality" -> logregOracle,
     "q184_bpe_train" -> bpeOracle,
+    "q185_bpe_encode" -> bpeEncodeOracle,
     "q49_dedup_exact" ->
       """SELECT doc_id, md5(text) AS h,
         | count(*) OVER (PARTITION BY md5(text)) AS dupCount,

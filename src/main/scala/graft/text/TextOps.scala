@@ -2009,6 +2009,27 @@ object TextOps {
     merges.toSeq.toDF("round", "left", "right", "merged", "pair_count")
   }
 
+  /** Apply a learned BPE merge table ([[bpeTrain]]) to a corpus and
+    * count the resulting tokens per document. Every character of the
+    * lowercased text is wrapped as its own symbol — "(t)(h)(e)( )…" —
+    * then the merge rules are applied IN TRAINING ORDER, each as one
+    * greedy left-to-right plain-string replace (the exact application
+    * order BPE defines). Merges only ever contain alphabetic symbols, so
+    * wrapped spaces/punctuation act as natural word boundaries and each
+    * non-alphabetic character stays its own token. Token count = number
+    * of '(' left — integer string arithmetic end to end, one codegen
+    * pass over the corpus with nMerges chained replaces, no shuffle. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val wrapped = regexp_replace(lower(col(textCol)), "(.)", "($1)")
+    val applied = merges.foldLeft(wrapped) { case (c, (a, b)) =>
+      replace(c, lit(s"($a)($b)"), lit(s"(${a + b})"))
+    }
+    docs.select(col(idCol),
+      (length(applied) - length(replace(applied, lit("("), lit(""))))
+        .cast("long").as("n_bpe"))
+  }
+
   /** BM25 ranked retrieval (Robertson & Walker, SIGIR'94; the Lucene
     * idf = ln(1 + (N−df+0.5)/(df+0.5)) form, which keeps idf positive).
     * Scores every document against a fixed bag of query `terms` and

@@ -105,6 +105,18 @@ class Round8Spec extends SparkSpec {
     assert(m(1).getAs[Long]("pair_count") == 4L)
   }
 
+  test("bpe encode: rules apply greedily in training order") {
+    val df = Seq((1L, "banana"), (2L, "band ana")).toDF("doc_id", "text")
+    val out = TextOps.bpeEncode(df, "doc_id", "text",
+      Seq(("a", "n"), ("an", "a"))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe")).toMap
+    // banana: (b)(a)(n)(a)(n)(a) → (b)(an)(an)(a) → (b)(an)(ana) = 3
+    assert(out(1L) == 3L)
+    // band ana: (b)(an)(d)( )(an)(a) → (b)(an)(d)( )(ana) = 5 (space is
+    // its own token; merges never cross it)
+    assert(out(2L) == 5L)
+  }
+
   test("logreg: recovers a linearly separable cut") {
     val df = (0 until 200).map { i =>
       val x = (i - 100) / 10.0
