@@ -381,6 +381,17 @@ object ScaleProbe {
         text.TextOps.bpeTrain(docs, "doc_id", "text",
           nMerges = 10, vocabTopN = 1000).count()
       }
+      // pair work bounded by per-cell occupancy × 25 probe offsets; CC
+      // over core edges (driver union-find ≤1M edges, star rounds above)
+      time("dbscan_grid", n, nEmb) {
+        val e = emb.select(col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("ex"),
+          element_at(col("embedding"), 2).cast("double").as("ey"))
+        val out = multi.ClusterScore.dbscanGrid(e, "vec_id", "ex", "ey",
+          eps = 0.05, minPts = 5).count()
+        spark.catalog.clearCache() // retained pts/pairs caches
+        out
+      }
       time("logreg_fit", n, nDocs) {
         val feat = docs.select(lit(1.0).as("f0"),
           ((col("n_chars").cast("double") - 300.0) / 100.0).as("f1"),

@@ -102,6 +102,82 @@ object ClusterScore {
     data.withColumn("score", sqrt(resid2))
   }
 
+  /** Grid-bucketed 2-D DBSCAN — the genuinely distributed DBSCAN shape
+    * ([[dbscan1d]] is the window-function special case). Cell width is
+    * ε/√2, so a point's ε-ball intersects at most the 5×5 block around
+    * its cell: candidate pairs come from ONE equi-join of a 25-offset
+    * probe side against the cell-keyed corpus — shuffle volume is
+    * 25·n + surviving pairs, never all-pairs; per-cell occupancy bounds
+    * the quadratic term exactly like the LSH bucket join. Core points
+    * (≥ minPts ε-neighbors, self included) chain through the dedup
+    * family's connected components (driver union-find below 1M edges,
+    * large-star/small-star above — [[graft.text.TextOps.dupClusters]]),
+    * labels = component-minimum core id. Borders attach to their
+    * nearest core (ties → lowest id); everything else is noise,
+    * tagged 'O'.
+    *
+    * Every number is raw-double arithmetic on both engines (floor
+    * division for cells, exact squared distances, lexicographic
+    * argmin) — no rounding device; the oracle replays the pair join and
+    * closes components with a recursive CTE.
+    *
+    * Output: id, x, y, n_nbrs, is_core, cluster (-1 = noise), tag. */
+  def dbscanGrid(data: DataFrame, idCol: String, xCol: String, yCol: String,
+      eps: Double, minPts: Int): DataFrame = {
+    val w = eps / math.sqrt(2.0)
+    val pts = data
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .withColumn("cx", floor(col("x") / w).cast("long"))
+      .withColumn("cy", floor(col("y") / w).cast("long"))
+      // RETAINED caches (the bm25Search contract): pts feeds the probe
+      // side, the build side and the final assembly; pairs feeds counts,
+      // core edges and border attach. The result is lazy, so they must
+      // outlive this call — long-lived callers clear them when done.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offs = (for { dx <- -2 to 2; dy <- -2 to 2 } yield (dx, dy)).toSeq
+    val probes = pts
+      .withColumn("_o", explode(typedlit(offs)))
+      .select(col("id").as("aid"), col("x").as("ax"), col("y").as("ay"),
+        (col("cx") + col("_o._1")).as("cx"),
+        (col("cy") + col("_o._2")).as("cy"))
+    val d2 = (col("ax") - col("x")) * (col("ax") - col("x")) +
+      (col("ay") - col("y")) * (col("ay") - col("y"))
+    // self-pair (aid = bid, d² = 0) included — DBSCAN counts the point
+    // itself. Pairs feed three consumers (counts, core edges, border
+    // attach) → persist.
+    val pairs = probes.join(pts, Seq("cx", "cy"))
+      .where(d2 <= eps * eps)
+      .select(col("aid"), col("id").as("bid"), d2.as("d2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = pairs.groupBy("aid").agg(count(lit(1)).as("n_nbrs"))
+    val cores = counts.where(col("n_nbrs") >= minPts).select(col("aid").as("id"))
+    val coreEdges = pairs
+      .join(cores.select(col("id").as("aid")), "aid")
+      .join(cores.select(col("id").as("bid")), "bid")
+      .where(col("aid") < col("bid"))
+      .select(col("aid").as("a"), col("bid").as("b"))
+    val comp = graft.text.TextOps.dupClusters(cores, "id", coreEdges)
+      .select(col("id").as("_cid"), col("cluster"))
+    // border: nearest core neighbor's component (min (d², bid))
+    val nearCore = pairs
+      .join(comp.select(col("_cid").as("bid"), col("cluster")), "bid")
+      .groupBy("aid")
+      .agg(min(struct(col("d2"), col("bid"), col("cluster"))).as("_m"))
+      .select(col("aid").as("id"), col("_m.cluster").as("_bcl"))
+    pts
+      .join(counts.select(col("aid").as("id"), col("n_nbrs")), Seq("id"))
+      .join(comp.select(col("_cid").as("id"), col("cluster").as("_ccl")),
+        Seq("id"), "left")
+      .join(nearCore, Seq("id"), "left")
+      .withColumn("is_core", col("_ccl").isNotNull)
+      .withColumn("cluster",
+        coalesce(col("_ccl"), col("_bcl"), lit(-1L)))
+      .withColumn("tag", when(col("cluster") === -1L, "O").otherwise("N"))
+      .drop("_ccl", "_bcl", "cx", "cy")
+  }
+
   /** 1-D DBSCAN per key: density clustering on a numeric column with
     * noise-as-outlier — the density sibling of [[cblof]] (which needs k
     * up front; DBSCAN discovers the cluster count and flags sparse

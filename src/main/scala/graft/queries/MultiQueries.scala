@@ -119,6 +119,17 @@ object MultiQueries {
       canon(ClusterScore.dbscan1d(
         ev(s, dir).select("event_id", "event_type", "value"),
         Seq("event_type"), "value", "event_id", eps = 0.5, minPts = 5))),
+    // grid-bucketed 2-D DBSCAN over the embedding plane (dims 1-2):
+    // ε/√2 cells → 25-offset equi-join for pairs, dedup-family connected
+    // components for core chains, nearest-core border attach — all
+    // raw-double arithmetic, recursive-CTE closure in the oracle
+    "q186_dbscan_grid" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("ex"),
+        element_at(col("embedding"), 2).cast("double").as("ey"))
+      canon(ClusterScore.dbscanGrid(e, "vec_id", "ex", "ey",
+        eps = 0.05, minPts = 5))
+    }),
   )
 
   private val zCte =
@@ -353,6 +364,46 @@ object MultiQueries {
          | is_core, cluster::BIGINT AS cluster,
          | CASE WHEN cluster = -1 THEN 'O' ELSE 'N' END AS tag FROM fin"""
         .stripMargin.replace("\n", " ")
+    },
+    "q186_dbscan_grid" -> {
+      val w = "(0.05/sqrt(2.0))"
+      s"""WITH RECURSIVE pts AS (SELECT vec_id AS id,
+         |  embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+         | FROM embeddings WHERE embedding[1] IS NOT NULL
+         |  AND embedding[2] IS NOT NULL),
+         |cell AS (SELECT *, floor(x / $w)::BIGINT AS cx,
+         |  floor(y / $w)::BIGINT AS cy FROM pts),
+         |offs AS (SELECT a.dx, b.dy FROM
+         |  (SELECT unnest(range(-2, 3)) AS dx) a,
+         |  (SELECT unnest(range(-2, 3)) AS dy) b),
+         |pr AS (SELECT c.id AS aid, c.x AS ax, c.y AS ay,
+         |  c.cx + o.dx AS cx, c.cy + o.dy AS cy FROM cell c, offs o),
+         |pairs AS MATERIALIZED (SELECT p.aid, c2.id AS bid,
+         |  (p.ax-c2.x)*(p.ax-c2.x) + (p.ay-c2.y)*(p.ay-c2.y) AS d2
+         | FROM pr p JOIN cell c2 USING (cx, cy)
+         | WHERE (p.ax-c2.x)*(p.ax-c2.x) + (p.ay-c2.y)*(p.ay-c2.y)
+         |  <= 0.05*0.05),
+         |cnt AS (SELECT aid, count(*) AS n_nbrs FROM pairs GROUP BY aid),
+         |cores AS MATERIALIZED (SELECT aid AS id FROM cnt WHERE n_nbrs >= 5),
+         |ce AS (SELECT p.aid AS a, p.bid AS b FROM pairs p
+         | JOIN cores xx ON xx.id = p.aid JOIN cores yy ON yy.id = p.bid
+         | WHERE p.aid < p.bid),
+         |edges AS (SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce),
+         |reach(id, label) AS (SELECT id, id FROM cores
+         | UNION SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.id),
+         |comp AS MATERIALIZED (SELECT id, min(label) AS cluster
+         | FROM reach GROUP BY id),
+         |near AS (SELECT p.aid AS id,
+         |  (min({'d': p.d2, 'b': p.bid, 'c': m.cluster})).c AS bcl
+         | FROM pairs p JOIN comp m ON m.id = p.bid GROUP BY p.aid)
+         |SELECT c.id, round(c.x, 4) AS x, round(c.y, 4) AS y, n.n_nbrs,
+         | (m.id IS NOT NULL) AS is_core,
+         | coalesce(m.cluster, nr.bcl, -1)::BIGINT AS cluster,
+         | CASE WHEN coalesce(m.cluster, nr.bcl, -1) = -1 THEN 'O'
+         |  ELSE 'N' END AS tag
+         |FROM cell c JOIN cnt n ON n.aid = c.id
+         |LEFT JOIN comp m ON m.id = c.id
+         |LEFT JOIN near nr ON nr.id = c.id""".stripMargin.replace("\n", " ")
     },
     "q46_iforest" -> iforestSql,
     "q99_iforest_merge" -> iforestMergeSql,

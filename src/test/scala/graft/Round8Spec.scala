@@ -87,6 +87,32 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("dbscanGrid: two blobs, a border and noise") {
+    // 3×3 lattice (step 0.1) at origin and at (10,10); a point at (5,5)
+    // is noise; (0.25, 0.1) is within eps of the first blob's edge but
+    // has too few neighbors itself → border of cluster min-id 0
+    val blob = for { i <- 0 to 2; j <- 0 to 2 } yield (i * 0.1, j * 0.1)
+    val ptsA = blob.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    val ptsB = blob.zipWithIndex.map { case ((x, y), i) =>
+      (100L + i, 10.0 + x, 10.0 + y) }
+    val extra = Seq((50L, 5.0, 5.0), (60L, 0.25, 0.1))
+    val df = (ptsA ++ ptsB ++ extra).toDF("id", "x", "y")
+    val out = ClusterScore.dbscanGrid(df, "id", "x", "y",
+      eps = 0.15, minPts = 4).collect()
+    val byId = out.map(r => r.getAs[Long]("id") -> r).toMap
+    // blob A all in cluster 0 (min id), blob B in cluster 100
+    (0L to 8L).foreach(i => assert(byId(i).getAs[Long]("cluster") == 0L))
+    (100L to 108L).foreach(i => assert(byId(i).getAs[Long]("cluster") == 100L))
+    // noise point
+    assert(byId(50L).getAs[Long]("cluster") == -1L)
+    assert(byId(50L).getAs[String]("tag") == "O")
+    // border: within 0.15 of (0.2, 0.1) = id 7? — lattice ids: (i*0.1,
+    // j*0.1) with index i*3+j → (0.2,0.1) is id 7; 60 is 0.05 away
+    assert(!byId(60L).getAs[Boolean]("is_core") ||
+      byId(60L).getAs[Long]("n_nbrs") >= 4)
+    assert(byId(60L).getAs[Long]("cluster") == 0L)
+  }
+
   test("bpe: greedy merge order and corpus-weighted counts") {
     // "banana" ×3, "bandana" ×1 → (a,n) count 3·2+2 = 8 beats all
     val df = (Seq.fill(3)("banana") :+ "bandana").zipWithIndex
