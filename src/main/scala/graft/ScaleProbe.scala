@@ -382,14 +382,36 @@ object ScaleProbe {
           nMerges = 10, vocabTopN = 1000).count()
       }
       // pair work bounded by per-cell occupancy × 25 probe offsets; CC
-      // over core edges (driver union-find ≤1M edges, star rounds above)
+      // over core edges (driver union-find ≤1M edges, star rounds above).
+      // Plain replication (the other probes' device) would multiply
+      // DENSITY n× in the same area — quadratic pair growth, the
+      // adversarial case — so this probe shifts each copy +1.0 in x:
+      // corpus grows, per-cell occupancy stays constant, which is what
+      // "more data" means for a spatial operator.
       time("dbscan_grid", n, nEmb) {
+        val base = core.table(spark, sfDir, "embeddings")
+        val e = (0 until n).map { i =>
+          base.select(
+            (col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"),
+            (element_at(col("embedding"), 1).cast("double") + lit(i * 1.0))
+              .as("ex"),
+            element_at(col("embedding"), 2).cast("double").as("ey"))
+        }.reduce(_ unionByName _)
+        val out = multi.ClusterScore.dbscanGrid(e, "vec_id", "ex", "ey",
+          eps = 0.05, minPts = 5).count()
+        spark.catalog.clearCache() // retained pts/pairs caches
+        out
+      }
+      // the density-stress face: same points replicated n× in place —
+      // per-cell occupancy ×n, pair count ×n² — must degrade smoothly,
+      // not blow up (hot-cell behavior, the LSH hot-bucket analogue)
+      time("dbscan_dense", n, nEmb) {
         val e = emb.select(col("vec_id"),
           element_at(col("embedding"), 1).cast("double").as("ex"),
           element_at(col("embedding"), 2).cast("double").as("ey"))
         val out = multi.ClusterScore.dbscanGrid(e, "vec_id", "ex", "ey",
           eps = 0.05, minPts = 5).count()
-        spark.catalog.clearCache() // retained pts/pairs caches
+        spark.catalog.clearCache()
         out
       }
       time("logreg_fit", n, nDocs) {
