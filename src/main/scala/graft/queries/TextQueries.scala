@@ -311,6 +311,11 @@ object TextQueries {
     "q181_kmeans_fit" -> ((s, dir) =>
       canon(KMeansDist.fit(emb(s, dir), "vec_id", "embedding", dim = 64,
         k = 8, iters = 4, maxSample = 20000))),
+    // distance-to-centroid anomalies on the same fit: exact integer
+    // distance ranking (desc, id) → distributed TakeOrdered top-20
+    "q187_kmeans_outliers" -> ((s, dir) =>
+      canon(KMeansDist.topOutliers(emb(s, dir), "vec_id", "embedding",
+        dim = 64, k = 8, iters = 4, topK = 20))),
     // logistic-regression quality classifier (gradient-descent face of
     // the q174 NB filter): algebraic sigmoid (IEEE basic ops only — no
     // libm parity needed), 9dp fixed-point gradient sums, 6dp weight
@@ -1025,7 +1030,9 @@ object TextQueries {
     * the only float op is the exact-input mean division, rounded half
     * away from zero back onto the 6dp grain. Final pass emits per-cell
     * sizes and the exact integer inertia. */
-  private lazy val kmeansOracle: String = {
+  /** Shared CTE chain of the k-means replay, through the final per-point
+    * assignment `fb` (vec_id, struct(d, cell)). */
+  private lazy val kmCtes: String = {
     val quant = fp6("x")
     val lloyd = (1 to 4).map { t =>
       s"""a$t AS MATERIALIZED (SELECT x.vec_id, x.v,
@@ -1043,7 +1050,7 @@ object TextQueries {
          | FROM c${t - 1} p LEFT JOIN g$t g USING (cell)
          | GROUP BY p.cell, p.cv)""".stripMargin
     }.mkString(", ")
-    s"""WITH s0 AS (SELECT embedding::DOUBLE[] AS v, md5(vec_id::VARCHAR) AS h
+    s"""s0 AS (SELECT embedding::DOUBLE[] AS v, md5(vec_id::VARCHAR) AS h
        |  FROM embeddings ORDER BY h, v LIMIT 20000),
        |samp AS MATERIALIZED (SELECT v,
        |  row_number() OVER (ORDER BY h, v) AS rn FROM s0),
@@ -1058,7 +1065,11 @@ object TextQueries {
        |$lloyd,
        |fb AS (SELECT x.vec_id,
        |  min({'d': ${kmD2("x.v")}, 'c': c.cell}) AS b
-       | FROM xq x CROSS JOIN c4 c GROUP BY x.vec_id, x.v),
+       | FROM xq x CROSS JOIN c4 c GROUP BY x.vec_id, x.v)""".stripMargin
+  }
+
+  private lazy val kmeansOracle: String =
+    s"""WITH $kmCtes,
        |fin AS (SELECT (b).c AS cell, count(*) AS n_members,
        |  sum((b).d) AS in6 FROM fb GROUP BY 1)
        |SELECT c.cell, t.j, round(c.cv[t.j + 1] / 1000000.0, 4) AS cx,
@@ -1066,7 +1077,14 @@ object TextQueries {
        | round(coalesce(f.in6, 0)::DOUBLE / 1000000000000.0, 4) AS inertia
        |FROM c4 c CROSS JOIN (SELECT unnest(range(64)) AS j) t
        |LEFT JOIN fin f USING (cell)""".stripMargin.replace("\n", " ")
-  }
+
+  /** Distance-to-centroid top-20: order by exact integer d (desc, id). */
+  private lazy val kmeansOutlierOracle: String =
+    s"""WITH $kmCtes
+       |SELECT vec_id, (b).c AS cell,
+       | round(sqrt((b).d) / 1000000.0, 4) AS dist
+       |FROM fb ORDER BY (b).d DESC, vec_id LIMIT 20"""
+      .stripMargin.replace("\n", " ")
 
   /** Full SQL replay of the logistic-regression fit: same feature
     * expressions, algebraic sigmoid, 9dp fixed-point gradient sums
@@ -1167,6 +1185,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q181_kmeans_fit" -> kmeansOracle,
+    "q187_kmeans_outliers" -> kmeansOutlierOracle,
     "q183_logreg_quality" -> logregOracle,
     "q184_bpe_train" -> bpeOracle,
     "q185_bpe_encode" -> bpeEncodeOracle,

@@ -132,11 +132,39 @@ object KMeansDist {
   }
 
   /** Assignment face: per-row nearest cell + distance at value scale
-    * (one codegen pass over the corpus with literal centroids). */
+    * (one codegen pass over the corpus with literal centroids; also
+    * exact integer `d6` for order-exact ranking). Stream-compatible:
+    * no shuffle, no state — usable directly on a streaming DataFrame. */
   def assign(data: DataFrame, vecCol: String, cents: Array[Array[Long]]): DataFrame =
     data
       .withColumn("_b", best(data.sparkSession, quantize(col(vecCol)), cents))
       .withColumn("cell", col("_b").getField("cell"))
+      .withColumn("d6", col("_b").getField("d"))
       .withColumn("dist", sqrt(col("_b").getField("d")) / Grain)
       .drop("_b")
+
+  /** Run the fit, then return its centroids as quantized longs (for
+    * [[assign]]) — the fit DataFrame's cx column re-scaled back. */
+  def fitCentroids(data: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, iters: Int, maxSample: Int = 20000): Array[Array[Long]] = {
+    val rows = fit(data, idCol, vecCol, dim, k, iters, maxSample).collect()
+    val byCell = rows.groupBy(_.getAs[Int]("cell"))
+    Array.tabulate(byCell.size) { ci =>
+      val cs = byCell(ci).sortBy(_.getAs[Int]("j"))
+      cs.map(r => roundHalfAway(r.getAs[Double]("cx") * Grain)).toArray
+    }
+  }
+
+  /** Distance-to-centroid outliers: fit, assign, global top-k by exact
+    * integer distance (desc, id asc — a distributed TakeOrdered). The
+    * k-means face of CBLOF's "far from every centroid" anomaly. */
+  def topOutliers(data: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, iters: Int, topK: Int, maxSample: Int = 20000): DataFrame = {
+    val cents = fitCentroids(data, idCol, vecCol, dim, k, iters, maxSample)
+    assign(data, vecCol, cents)
+      .select(col(idCol), col("cell"), col("d6"), col("dist"))
+      .orderBy(col("d6").desc, col(idCol))
+      .limit(topK)
+      .drop("d6")
+  }
 }

@@ -46,6 +46,37 @@ class Round8Spec extends SparkSpec {
     assert(members == 3L)
   }
 
+  test("kmeans topOutliers: the far point ranks first") {
+    val pts = ((0 until 30).map(i => (i.toLong, Array(i * 0.01f, 0f))) :+
+      (99L, Array(50f, 50f))).toDF("vec_id", "embedding")
+    val out = KMeansDist.topOutliers(pts, "vec_id", "embedding", dim = 2,
+      k = 2, iters = 3, topK = 3).collect()
+    // with k=2 the far point gets its own cell via the evenly spaced
+    // init OR it dominates the distance ranking — either way the top
+    // entry by construction is deterministic; assert ranking is by
+    // distance desc
+    val dists = out.map(_.getAs[Double]("dist"))
+    assert(dists.sorted.reverse.sameElements(dists))
+    assert(out.length == 3)
+  }
+
+  test("kmeans assign is stream-compatible (no shuffle, no state)") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val cents = Array(Array(0L, 0L), Array(10000000L, 10000000L)) // (0,0), (10,10) at 6dp
+    val in = MemoryStream[(Long, Array[Float])]
+    val assigned = KMeansDist.assign(
+      in.toDF().toDF("id", "embedding"), "embedding", cents)
+    val q = assigned.writeStream.format("memory").queryName("kma")
+      .outputMode("append").start()
+    in.addData((1L, Array(0.1f, 0.2f)), (2L, Array(9.9f, 10.2f)))
+    q.processAllAvailable()
+    val rows = spark.table("kma").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("cell")).toMap
+    q.stop()
+    assert(rows == Map(1L -> 0, 2L -> 1))
+  }
+
   test("dbscan1d: chains, borders and noise on a crafted line") {
     // key a: dense cluster 0.0..0.4 (step .1), border at 0.85, core gap,
     // second cluster 5.0..5.4, lone noise point at 20
