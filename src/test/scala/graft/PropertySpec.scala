@@ -300,8 +300,11 @@ class PropertySpec extends SparkSpec {
     // q116's round-6 hash-fail was exactly this class). Exercise a
     // representative slice: integer-sum sessionization, stats fit,
     // native minhash, MG-prefiltered heavy hitters, model merge.
+    // the round-8 fits (integer gradient/centroid sums, CC labels,
+    // corpus-weighted pair counts) are exactly this class too
     val names = Seq("q116_sessionize", "q01_stats_fit", "q54_minhash_sig",
-      "q111_heavy_grams", "q133_markov_merge")
+      "q111_heavy_grams", "q133_markov_merge", "q181_kmeans_fit",
+      "q183_logreg_quality", "q184_bpe_train", "q186_dbscan_grid")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     def run(n: String): Set[Seq[Any]] =
       SparkEntry.queries(n)(spark, sfDir).collect().map(_.toSeq).toSet
