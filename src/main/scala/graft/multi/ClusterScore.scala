@@ -178,6 +178,29 @@ object ClusterScore {
       .drop("_ccl", "_bcl", "cx", "cy")
   }
 
+  /** Cell-occupancy histogram — the planning primitive for
+    * [[dbscanGrid]] (the spatial analogue of `core.Skew.skewProfile`):
+    * per-cell point counts rolled into (occupancy → n_cells), plus the
+    * per-occupancy candidate-pair bound occupancy²·n_cells. Two hash
+    * aggregates, no joins: run BEFORE the 25-offset pair join to learn
+    * whether the dataset sits in the constant-occupancy regime (pair
+    * work linear in n) or has hot cells (quadratic inside the cell —
+    * the documented mitigation is cap-and-sample, like LSH's
+    * hot-bucket cap). */
+  def cellOccupancy(data: DataFrame, xCol: String, yCol: String,
+      eps: Double): DataFrame = {
+    val w = eps / math.sqrt(2.0)
+    data
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(floor(col(xCol).cast("double") / w).cast("long").as("cx"),
+        floor(col(yCol).cast("double") / w).cast("long").as("cy"))
+      .agg(count(lit(1)).as("occupancy"))
+      .groupBy("occupancy")
+      .agg(count(lit(1)).as("n_cells"))
+      .withColumn("pair_bound",
+        col("occupancy") * col("occupancy") * col("n_cells"))
+  }
+
   /** 1-D DBSCAN per key: density clustering on a numeric column with
     * noise-as-outlier — the density sibling of [[cblof]] (which needs k
     * up front; DBSCAN discovers the cluster count and flags sparse

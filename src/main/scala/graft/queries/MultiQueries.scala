@@ -130,6 +130,14 @@ object MultiQueries {
       canon(ClusterScore.dbscanGrid(e, "vec_id", "ex", "ey",
         eps = 0.05, minPts = 5))
     }),
+    // the q186 planning primitive: occupancy histogram + per-occupancy
+    // pair bound — two hash aggs, run before committing to the pair join
+    "q188_cell_occupancy" -> ((s, dir) => {
+      val e = emb(s, dir).select(
+        element_at(col("embedding"), 1).cast("double").as("ex"),
+        element_at(col("embedding"), 2).cast("double").as("ey"))
+      ClusterScore.cellOccupancy(e, "ex", "ey", eps = 0.05)
+    }),
   )
 
   private val zCte =
@@ -405,6 +413,15 @@ object MultiQueries {
          |LEFT JOIN comp m ON m.id = c.id
          |LEFT JOIN near nr ON nr.id = c.id""".stripMargin.replace("\n", " ")
     },
+    "q188_cell_occupancy" ->
+      """WITH c AS (SELECT floor(embedding[1]::DOUBLE / (0.05/sqrt(2.0)))::BIGINT AS cx,
+        |  floor(embedding[2]::DOUBLE / (0.05/sqrt(2.0)))::BIGINT AS cy,
+        |  count(*) AS occupancy
+        | FROM embeddings WHERE embedding[1] IS NOT NULL
+        |  AND embedding[2] IS NOT NULL GROUP BY 1, 2)
+        |SELECT occupancy, count(*) AS n_cells,
+        | (occupancy * occupancy * count(*))::BIGINT AS pair_bound
+        |FROM c GROUP BY occupancy""".stripMargin.replace("\n", " "),
     "q46_iforest" -> iforestSql,
     "q99_iforest_merge" -> iforestMergeSql,
     "q47_cblof" -> cblofSql,

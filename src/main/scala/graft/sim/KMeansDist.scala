@@ -67,6 +67,7 @@ object KMeansDist {
   private def init(data: DataFrame, idCol: String, vecCol: String, k: Int,
       maxSample: Int): Array[Array[Long]] = {
     val pts = LocalKMeans.sampleVectorsHashed(data, vecCol, Seq(idCol), maxSample)
+    require(pts.nonEmpty, "kmeans fit on an empty corpus")
     val n = pts.length
     val kk = math.min(k, n)
     Array.tabulate(kk)(i => pts((i.toLong * n / kk).toInt).map(x => roundHalfAway(x * Grain)))

@@ -1918,6 +1918,7 @@ object TextOps {
         val r = cached.agg(gs.head, gs.tail :+ count(lit(1)).as("n"): _*)
           .collect()(0)
         nTot = r.getAs[Long]("n")
+        require(nTot > 0, "logRegFit on an empty training set")
         w = w.zipWithIndex.map { case (wj, j) =>
           val s = BigDecimal(r.getAs[java.math.BigDecimal](s"g$j")).toDouble
           // same op sequence as the SQL: ::DOUBLE, /n, /1e9, *lr, +w,

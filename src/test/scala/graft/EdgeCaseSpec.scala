@@ -143,4 +143,35 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.length == 2, s"both sub-shingle docs must survive: ${out.toSeq}")
     assert(out.forall(_.getAs[Double]("avgNll") == 0.0))
   }
+
+  test("round-8 fits fail loudly or degrade cleanly on degenerate input") {
+    // empty corpora must not NaN-poison a fit: loud errors instead
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.sim.KMeansDist.fit(emptyVecs, "vec_id", "embedding",
+        dim = 2, k = 2, iters = 1)
+    }
+    val emptyFeat = Seq.empty[(Double, Double)].toDF("f0", "y")
+    intercept[IllegalArgumentException] {
+      TextOps.logRegFit(emptyFeat, Seq("f0"), "y", iters = 1, lr = 0.5)
+    }
+    // BPE on a corpus with no alphabetic tokens → zero merge rules
+    val numeric = Seq((1L, "123 456 789")).toDF("doc_id", "text")
+    assert(TextOps.bpeTrain(numeric, "doc_id", "text", 5, 100).count() == 0)
+    // dbscan1d with a single point per key: the point is its own
+    // ε-neighborhood; minPts=1 makes it a singleton cluster, minPts=2 noise
+    val lone = Seq((1L, "a", 5.0)).toDF("event_id", "key", "value")
+    val c1 = graft.multi.ClusterScore.dbscan1d(lone, Seq("key"), "value",
+      "event_id", 1.0, 1).collect()(0)
+    assert(c1.getAs[Boolean]("is_core") && c1.getAs[Long]("cluster") == 1L)
+    val c2 = graft.multi.ClusterScore.dbscan1d(lone, Seq("key"), "value",
+      "event_id", 1.0, 2).collect()(0)
+    assert(!c2.getAs[Boolean]("is_core") && c2.getAs[String]("tag") == "O")
+    // grid dbscan: all points identical (one hot cell) — all core, one cluster
+    val same = (1L to 6L).map(i => (i, 1.0, 1.0)).toDF("id", "x", "y")
+    val g = graft.multi.ClusterScore.dbscanGrid(same, "id", "x", "y",
+      eps = 0.1, minPts = 5).collect()
+    assert(g.forall(_.getAs[Boolean]("is_core")))
+    assert(g.map(_.getAs[Long]("cluster")).toSet == Set(1L))
+  }
 }
