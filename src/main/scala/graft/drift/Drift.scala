@@ -322,6 +322,58 @@ object Drift {
     * estimator, not 10^21 pair distances. Pass maxSample = 0 to
     * disable. Output (one row): n, m (SAMPLED sizes), exy, exx, eyy,
     * energy. */
+  /** Population Stability Index (the scorecard-industry drift standard,
+    * e.g. Siddiqi 2006): equal-width bins from the REFERENCE window's
+    * per-key min/max; psi = Σ_b (c_b − r_b)·ln(c_b/r_b) over smoothed
+    * bin shares (cnt + 0.5)/(total + nBins·0.5) — the Laplace floor
+    * keeps empty bins finite and makes every share an exact-input
+    * rational. Conventional read: <0.1 stable, 0.1–0.2 drifting, >0.2
+    * drifted (`drifted` column uses `threshold`).
+    *
+    * Scale shape: one hash agg per side for bin counts + one tiny agg
+    * for edges; the bins frame is keys×nBins (model-sized, built from
+    * the edges — zero-count bins still contribute via smoothing); one
+    * ln per (key, bin). The per-key Σ over bins quantizes each term to
+    * 6dp fixed-point longs first (order-exact — the q174 device), so
+    * the only cross-engine assumption is ln parity on identical
+    * doubles, the same assumption the NB/LM family already pins. */
+  def psi(ref: DataFrame, cur: DataFrame, keyCols: Seq[String],
+      valCol: String, nBins: Int = 10, threshold: Double = 0.2): DataFrame = {
+    val v = col(valCol).cast("double")
+    val edges = ref.groupBy(keyCols.map(col): _*)
+      .agg(min(v).as("_lo"), max(v).as("_hi"))
+    val width = (col("_hi") - col("_lo")) / lit(nBins.toDouble)
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.join(broadcast(edges), keyCols)
+        .withColumn("_bin",
+          when(col("_hi") > col("_lo"),
+            least(greatest(floor((v - col("_lo")) / width), lit(0L)),
+              lit(nBins - 1L)))
+            .otherwise(0L).cast("int"))
+        .groupBy((keyCols :+ "_bin").map(col): _*)
+        .agg(count(lit(1)).as(as))
+    val rc = counts(ref, "_rc")
+    val cc = counts(cur, "_cc")
+    val bins = edges.select(keyCols.map(col) :+
+      explode(sequence(lit(0), lit(nBins - 1))).as("_bin"): _*)
+    val joined = bins
+      .join(rc, keyCols :+ "_bin", "left")
+      .join(cc, keyCols :+ "_bin", "left")
+      .withColumn("_rc", coalesce(col("_rc"), lit(0L)))
+      .withColumn("_cc", coalesce(col("_cc"), lit(0L)))
+    val tots = joined.groupBy(keyCols.map(col): _*)
+      .agg(sum("_rc").as("_rt"), sum("_cc").as("_ct"))
+    val half = lit(nBins * 0.5)
+    val rs = (col("_rc") + 0.5) / (col("_rt") + half)
+    val cs = (col("_cc") + 0.5) / (col("_ct") + half)
+    joined.join(broadcast(tots), keyCols)
+      .withColumn("_t6",
+        graft.core.fixedPointLong((cs - rs) * log(cs / rs), 6))
+      .groupBy(keyCols.map(col): _*)
+      .agg((sum("_t6") / 1e6).as("psi"))
+      .withColumn("drifted", col("psi") > threshold)
+  }
+
   def embeddingEnergyDistance(a: DataFrame, b: DataFrame,
       vecCol: String, idCol: String = null, maxSample: Int = 0): DataFrame = {
     val spark = a.sparkSession

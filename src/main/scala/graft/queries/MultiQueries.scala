@@ -130,6 +130,19 @@ object MultiQueries {
       canon(ClusterScore.dbscanGrid(e, "vec_id", "ex", "ey",
         eps = 0.05, minPts = 5))
     }),
+    // per-record outlier explanation: z² share per attribute + argmax
+    // culprit — the same broadcast-wide-model pass as q05's zscore
+    "q190_zscore_attribution" -> ((s, dir) => {
+      val attrs = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val li = table(s, dir, "lineitem")
+        .select((Seq("l_returnflag", "l_orderkey", "l_linenumber") ++ attrs)
+          .map(col): _*)
+      val stats = Fitters.stats(li, Seq("l_returnflag"), attrs)
+      canon(graft.score.Scorers.zscoreAttribution(li, stats,
+        graft.score.Scorers.Cfg(Seq("l_returnflag"), attrs, threshold = 3.0))
+        .select("l_orderkey", "l_linenumber", "l_quantity_share",
+          "l_extendedprice_share", "l_discount_share", "topAttr"))
+    }),
     // the q186 planning primitive: occupancy histogram + per-occupancy
     // pair bound — two hash aggs, run before committing to the pair join
     "q188_cell_occupancy" -> ((s, dir) => {
@@ -412,6 +425,32 @@ object MultiQueries {
          |FROM cell c JOIN cnt n ON n.aid = c.id
          |LEFT JOIN comp m ON m.id = c.id
          |LEFT JOIN near nr ON nr.id = c.id""".stripMargin.replace("\n", " ")
+    },
+    "q190_zscore_attribution" -> {
+      val attrs = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val z2 = attrs.map(a =>
+        a -> (s"(abs(l.$a - m.${a}_mean) / m.${a}_std) * " +
+          s"(abs(l.$a - m.${a}_mean) / m.${a}_std)")).toMap
+      val z2c = attrs.map(a =>
+        s"CASE WHEN m.${a}_std > 0 THEN ${z2(a)} ELSE 0.0 END AS ${a}_z2")
+        .mkString(", ")
+      val tot = attrs.map(a => s"${a}_z2").mkString(" + ")
+      val shares = attrs.map(a =>
+        s"round(CASE WHEN t > 0 THEN ${a}_z2 / t ELSE 0.0 END, 4) AS ${a}_share")
+        .mkString(", ")
+      val structs = attrs.map(a =>
+        s"{'s': CASE WHEN t > 0 THEN ${a}_z2 / t ELSE 0.0 END, 'a': '$a'}")
+        .mkString(", ")
+      s"""WITH m AS (SELECT l_returnflag,
+         | ${attrs.map(a => s"avg($a) AS ${a}_mean, stddev_samp($a) AS ${a}_std")
+             .mkString(", ")}
+         | FROM lineitem GROUP BY 1),
+         |z AS (SELECT l.l_orderkey, l.l_linenumber, $z2c
+         | FROM lineitem l JOIN m USING (l_returnflag)),
+         |w AS (SELECT *, $tot AS t FROM z)
+         |SELECT l_orderkey, l_linenumber, $shares,
+         | (list_max([$structs])).a AS topAttr
+         |FROM w""".stripMargin.replace("\n", " ")
     },
     "q188_cell_occupancy" ->
       """WITH c AS (SELECT floor(embedding[1]::DOUBLE / (0.05/sqrt(2.0)))::BIGINT AS cx,

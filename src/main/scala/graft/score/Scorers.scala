@@ -55,6 +55,33 @@ object Scorers {
     finish(joined, per, cfg).drop(cfg.attrCols.flatMap(a => Seq(s"${a}_mean", s"${a}_std")): _*)
   }
 
+  /** Per-record attribute attribution for the multi-attribute z-score:
+    * contribution share of attribute a = z_a² / Σ_j z_j² (z exactly as
+    * [[zscore]] computes it; skipped attrs contribute 0); `topAttr`
+    * names the argmax — the "which attribute made this row an outlier"
+    * explanation the tag alone doesn't give. Ties (measure-zero on
+    * continuous data; all-zero rows) resolve to the lexicographically
+    * greatest attribute via struct-max. Same broadcast-wide-model
+    * single scoring pass as [[zscore]] — no extra shuffle. */
+  def zscoreAttribution(data: DataFrame, stats: DataFrame, cfg: Cfg): DataFrame = {
+    val wide = wideModel(stats, cfg.keyCols, cfg.attrCols, Seq("mean", "std"))
+    val joined = data.join(broadcast(wide), cfg.keyCols, "left")
+    val z2 = cfg.attrCols.map { a =>
+      val (m, s) = (col(s"${a}_mean"), col(s"${a}_std"))
+      val z = abs(col(a) - m) / s
+      coalesce(when(s > 0, z * z), lit(0.0))
+    }
+    val tot = z2.reduce(_ + _)
+    val shares = cfg.attrCols.zip(z2).map { case (a, q) =>
+      when(tot > 0, q / tot).otherwise(lit(0.0)).as(s"${a}_share")
+    }
+    val top = array_max(array(cfg.attrCols.zip(z2).map { case (a, q) =>
+      struct(when(tot > 0, q / tot).otherwise(lit(0.0)).as("s"),
+        lit(a).as("a"))
+    }: _*)).getField("a").as("topAttr")
+    joined.select(data.columns.map(col) ++ shares :+ top: _*)
+  }
+
   /** robustZscore: |x-median|/MAD (RobustZscorePredictor.java:161-193). */
   def robustZscore(data: DataFrame, robust: DataFrame, cfg: Cfg): DataFrame = {
     val wide = wideModel(robust, cfg.keyCols, cfg.attrCols, Seq("med", "mad"))

@@ -174,6 +174,34 @@ class Round8Spec extends SparkSpec {
     assert(out(2L) == 5L)
   }
 
+  test("psi: identical windows ≈ 0, shifted window crosses the 0.2 line") {
+    import graft.drift.Drift
+    val base = (0 until 2000).map(i => ("a", i.toLong, (i % 100) * 1.0))
+      .toDF("k", "id", "value")
+    val same = Drift.psi(base, base, Seq("k"), "value", nBins = 10).collect()(0)
+    assert(math.abs(same.getAs[Double]("psi")) < 0.01)
+    assert(!same.getAs[Boolean]("drifted"))
+    val shifted = base.withColumn("value", col("value") + 60.0)
+    val out = Drift.psi(base, shifted, Seq("k"), "value", nBins = 10).collect()(0)
+    assert(out.getAs[Double]("psi") > 0.2)
+    assert(out.getAs[Boolean]("drifted"))
+  }
+
+  test("attribution: the perturbed attribute is named") {
+    import graft.model.Fitters
+    import graft.score.Scorers
+    // y is noisy, x is constant-ish; a row with a wild x must attribute to x
+    val rows = (0 until 200).map(i => ("g", i.toLong, 10.0 + (i % 5) * 0.1,
+      (i % 20) * 1.0)) :+ (("g", 999L, 50.0, 10.0))
+    val df = rows.toDF("k", "id", "x", "y")
+    val stats = Fitters.stats(df, Seq("k"), Seq("x", "y"))
+    val out = Scorers.zscoreAttribution(df, stats,
+      Scorers.Cfg(Seq("k"), Seq("x", "y"), threshold = 3.0)).collect()
+    val wild = out.find(_.getAs[Long]("id") == 999L).get
+    assert(wild.getAs[String]("topAttr") == "x")
+    assert(wild.getAs[Double]("x_share") > 0.9)
+  }
+
   test("logreg: recovers a linearly separable cut") {
     val df = (0 until 200).map { i =>
       val x = (i - 100) / 10.0
