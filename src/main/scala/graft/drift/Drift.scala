@@ -337,19 +337,23 @@ object Drift {
     * 6dp fixed-point longs first (order-exact — the q174 device), so
     * the only cross-engine assumption is ln parity on identical
     * doubles, the same assumption the NB/LM family already pins. */
+  /** Bin index for [[psi]]: equal-width from (lo, hi), clamped; the
+    * degenerate lo == hi reference collapses to bin 0. */
+  private def psiBin(v: Column, lo: Column, hi: Column, nBins: Int): Column =
+    when(hi > lo,
+      least(greatest(floor((v - lo) / ((hi - lo) / lit(nBins.toDouble))),
+        lit(0L)), lit(nBins - 1L)))
+      .otherwise(0L).cast("int")
+
   def psi(ref: DataFrame, cur: DataFrame, keyCols: Seq[String],
       valCol: String, nBins: Int = 10, threshold: Double = 0.2): DataFrame = {
     val v = col(valCol).cast("double")
     val edges = ref.groupBy(keyCols.map(col): _*)
       .agg(min(v).as("_lo"), max(v).as("_hi"))
-    val width = (col("_hi") - col("_lo")) / lit(nBins.toDouble)
     def counts(df: DataFrame, as: String): DataFrame =
-      df.join(broadcast(edges), keyCols)
-        .withColumn("_bin",
-          when(col("_hi") > col("_lo"),
-            least(greatest(floor((v - col("_lo")) / width), lit(0L)),
-              lit(nBins - 1L)))
-            .otherwise(0L).cast("int"))
+      df.where(v.isNotNull)
+        .join(broadcast(edges), keyCols)
+        .withColumn("_bin", psiBin(v, col("_lo"), col("_hi"), nBins))
         .groupBy((keyCols :+ "_bin").map(col): _*)
         .agg(count(lit(1)).as(as))
     val rc = counts(ref, "_rc")
@@ -372,6 +376,30 @@ object Drift {
       .groupBy(keyCols.map(col): _*)
       .agg((sum("_t6") / 1e6).as("psi"))
       .withColumn("drifted", col("psi") > threshold)
+  }
+
+  /** Per-key reference model for the streaming PSI twin
+    * ([[graft.streaming.StreamScorers.psiStream]]): edges + bin counts +
+    * total, collected driver-side (keys × nBins longs — model-sized). */
+  case class PsiRef(lo: Double, hi: Double, counts: Array[Long], total: Long)
+
+  def psiRefModel(ref: DataFrame, keyCol: String, valCol: String,
+      nBins: Int = 10): Map[String, PsiRef] = {
+    val v = col(valCol).cast("double")
+    val edges = ref.groupBy(col(keyCol))
+      .agg(min(v).as("_lo"), max(v).as("_hi"))
+    val rows = ref.where(v.isNotNull)
+      .join(broadcast(edges), Seq(keyCol))
+      .withColumn("_bin", psiBin(v, col("_lo"), col("_hi"), nBins))
+      .groupBy(col(keyCol).cast("string").as("_k"), col("_bin"))
+      .agg(count(lit(1)).as("_c"), first("_lo").as("_lo"), first("_hi").as("_hi"))
+      .collect()
+    rows.groupBy(_.getAs[String]("_k")).map { case (k, rs) =>
+      val counts = new Array[Long](nBins)
+      rs.foreach(r => counts(r.getAs[Int]("_bin")) = r.getAs[Long]("_c"))
+      k -> PsiRef(rs.head.getAs[Double]("_lo"), rs.head.getAs[Double]("_hi"),
+        counts, counts.sum)
+    }
   }
 
   def embeddingEnergyDistance(a: DataFrame, b: DataFrame,

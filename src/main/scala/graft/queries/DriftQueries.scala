@@ -33,6 +33,21 @@ object DriftQueries {
             .otherwise(col("value") * 1.3 + 25.0))
       canon(Drift.psi(ref, cur, Seq("event_type"), "value", nBins = 10))
     }),
+    // the streaming PSI twin batch-executed (the q100 device): one
+    // micro-batch holds the whole current window, so the emitted
+    // snapshot must equal the batch operator — and the DuckDB oracle
+    "q191_psi_stream" -> ((s, dir) => {
+      val e = table(s, dir, "events").select("event_type", "event_id", "value")
+      val ref = e.where(col("event_id") % 2 === 0)
+      val cur = e.where(col("event_id") % 2 === 1)
+        .withColumn("value",
+          when(col("event_type").isin("click", "view"), col("value"))
+            .otherwise(col("value") * 1.3 + 25.0))
+      val model = Drift.psiRefModel(ref, "event_type", "value", nBins = 10)
+      canon(graft.streaming.StreamScorers.psiStream(cur, "event_type",
+        "value", model, nBins = 10).toDF()
+        .withColumnRenamed("key", "event_type"))
+    }),
     "q64_drift_ddm" -> ((s, dir) =>
       canon(Drift.ddm(errStream(s, dir), Seq("event_type"), "event_id", "err")
         .select("event_type", "event_id", "err", "i", "p", "s", "level"))),
@@ -343,44 +358,55 @@ object DriftQueries {
       |FROM c e JOIN st s USING (event_type, cycleIndex)"""
       .stripMargin.replace("\n", " ")
 
+  /** Shared CTE chain of the PSI replay (q189 batch + q191 stream-twin). */
+  private lazy val psiCtes: String = {
+    val fp6 = (e: String) =>
+      s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) ELSE -floor(-($e)*1e6+0.5) END)::BIGINT"
+    val binOf =
+      """CASE WHEN e.hi > e.lo THEN
+        | least(greatest(floor((s.v - e.lo) / ((e.hi - e.lo) / 10.0))::BIGINT, 0), 9)
+        | ELSE 0 END""".stripMargin
+    s"""ref AS (SELECT event_type, value::DOUBLE AS v FROM events
+       |  WHERE event_id % 2 = 0),
+       |cur AS (SELECT event_type,
+       |  CASE WHEN event_type IN ('click', 'view') THEN value::DOUBLE
+       |   ELSE value::DOUBLE * 1.3 + 25.0 END AS v FROM events
+       |  WHERE event_id % 2 = 1),
+       |ed AS (SELECT event_type, min(v) AS lo, max(v) AS hi
+       | FROM ref GROUP BY 1),
+       |rc AS (SELECT s.event_type, $binOf AS bin, count(*) AS c
+       | FROM ref s JOIN ed e USING (event_type) GROUP BY 1, 2),
+       |cc AS (SELECT s.event_type, $binOf AS bin, count(*) AS c
+       | FROM cur s JOIN ed e USING (event_type) GROUP BY 1, 2),
+       |bins AS (SELECT event_type, unnest(range(10)) AS bin FROM ed),
+       |j AS (SELECT b.event_type, b.bin,
+       |  coalesce(rc.c, 0) AS rcn, coalesce(cc.c, 0) AS ccn
+       | FROM bins b
+       | LEFT JOIN rc ON rc.event_type = b.event_type AND rc.bin = b.bin
+       | LEFT JOIN cc ON cc.event_type = b.event_type AND cc.bin = b.bin),
+       |t AS (SELECT event_type, sum(rcn) AS rt, sum(ccn) AS ct
+       | FROM j GROUP BY 1),
+       |c6 AS (SELECT j.event_type,
+       |  ${fp6("((j.ccn + 0.5) / (t.ct + 5.0) - (j.rcn + 0.5) / (t.rt + 5.0))" +
+           " * ln(((j.ccn + 0.5) / (t.ct + 5.0)) / ((j.rcn + 0.5) / (t.rt + 5.0)))")}
+       |   AS t6
+       | FROM j JOIN t USING (event_type)),
+       |p AS (SELECT event_type, sum(t6)::DOUBLE / 1e6 AS psi
+       | FROM c6 GROUP BY 1)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
-    "q189_psi" -> {
-      val fp6 = (e: String) =>
-        s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) ELSE -floor(-($e)*1e6+0.5) END)::BIGINT"
-      val binOf =
-        """CASE WHEN e.hi > e.lo THEN
-          | least(greatest(floor((s.v - e.lo) / ((e.hi - e.lo) / 10.0))::BIGINT, 0), 9)
-          | ELSE 0 END""".stripMargin
-      s"""WITH ref AS (SELECT event_type, value::DOUBLE AS v FROM events
-         |  WHERE event_id % 2 = 0),
-         |cur AS (SELECT event_type,
-         |  CASE WHEN event_type IN ('click', 'view') THEN value::DOUBLE
-         |   ELSE value::DOUBLE * 1.3 + 25.0 END AS v FROM events
-         |  WHERE event_id % 2 = 1),
-         |ed AS (SELECT event_type, min(v) AS lo, max(v) AS hi
-         | FROM ref GROUP BY 1),
-         |rc AS (SELECT s.event_type, $binOf AS bin, count(*) AS c
-         | FROM ref s JOIN ed e USING (event_type) GROUP BY 1, 2),
-         |cc AS (SELECT s.event_type, $binOf AS bin, count(*) AS c
-         | FROM cur s JOIN ed e USING (event_type) GROUP BY 1, 2),
-         |bins AS (SELECT event_type, unnest(range(10)) AS bin FROM ed),
-         |j AS (SELECT b.event_type, b.bin,
-         |  coalesce(rc.c, 0) AS rcn, coalesce(cc.c, 0) AS ccn
-         | FROM bins b
-         | LEFT JOIN rc ON rc.event_type = b.event_type AND rc.bin = b.bin
-         | LEFT JOIN cc ON cc.event_type = b.event_type AND cc.bin = b.bin),
-         |t AS (SELECT event_type, sum(rcn) AS rt, sum(ccn) AS ct
-         | FROM j GROUP BY 1),
-         |c6 AS (SELECT j.event_type,
-         |  ${fp6("((j.ccn + 0.5) / (t.ct + 5.0) - (j.rcn + 0.5) / (t.rt + 5.0))" +
-             " * ln(((j.ccn + 0.5) / (t.ct + 5.0)) / ((j.rcn + 0.5) / (t.rt + 5.0)))")}
-         |   AS t6
-         | FROM j JOIN t USING (event_type)),
-         |p AS (SELECT event_type, sum(t6)::DOUBLE / 1e6 AS psi
-         | FROM c6 GROUP BY 1)
+    "q189_psi" ->
+      s"""WITH $psiCtes
          |SELECT event_type, round(psi, 4) AS psi, psi > 0.2 AS drifted
-         |FROM p""".stripMargin.replace("\n", " ")
-    },
+         |FROM p""".stripMargin.replace("\n", " "),
+    // stream twin in one micro-batch == batch psi + the window size
+    "q191_psi_stream" ->
+      s"""WITH $psiCtes,
+         |cn AS (SELECT event_type, count(*) AS n FROM cur GROUP BY 1)
+         |SELECT p.event_type, cn.n, round(p.psi, 4) AS psi,
+         | p.psi > 0.2 AS drifted
+         |FROM p JOIN cn USING (event_type)""".stripMargin.replace("\n", " "),
     // CUSUM closed form: g = A − min(0, running-min A); baseline rounded
     // to 6dp on both sides so the cumsum chain is reproducible
     "q137_cusum" -> cusumOracle,

@@ -701,6 +701,68 @@ object StreamScorers {
         })
   }
 
+  case class PsiStreamOut(key: String, n: Long, psi: Double, drifted: Boolean)
+  case class PsiCountState(counts: Map[Int, Long])
+
+  /** Streaming PSI monitor — streaming twin of [[graft.drift.Drift.psi]]:
+    * the reference window's edges + bin counts are a fitted model
+    * ([[graft.drift.Drift.psiRefModel]], broadcast); the stream
+    * accumulates per-key bin counts in GroupState (≤ nBins longs per
+    * key) and emits the cumulative PSI per (key, batch). Bin counts are
+    * associative, so state after any batch split equals the batch bin
+    * counts of the union — PSI equals `Drift.psi(ref, prefix)` exactly
+    * (same smoothed-share arithmetic, same 6dp fixed-point term sum;
+    * spec-pinned). Keys absent from the reference emit nothing (no
+    * baseline → no verdict). */
+  def psiStream(rows: DataFrame, keyCol: String, valueCol: String,
+      ref: Map[String, graft.drift.Drift.PsiRef], nBins: Int = 10,
+      threshold: Double = 0.2): Dataset[PsiStreamOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val refB = spark.sparkContext.broadcast(ref)
+    rows.where(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        col(valueCol).cast("double").as("v")).as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, it: Iterator[(String, Double)],
+            st: GroupState[PsiCountState]) => {
+          refB.value.get(key) match {
+            case None => Iterator.empty
+            case Some(r) =>
+              // identical arithmetic to the batch operator: equal-width
+              // bins at (hi-lo)/nBins, clamped; Laplace-smoothed shares;
+              // (cs-rs)·ln(cs/rs) quantized to 6dp longs then summed
+              val w = (r.hi - r.lo) / nBins.toDouble
+              var counts = st.getOption.map(_.counts)
+                .getOrElse(Map.empty[Int, Long])
+              it.foreach { case (_, x) =>
+                val b =
+                  if (r.hi > r.lo)
+                    math.min(math.max(math.floor((x - r.lo) / w), 0.0),
+                      (nBins - 1).toDouble).toInt
+                  else 0
+                counts = counts.updated(b, counts.getOrElse(b, 0L) + 1L)
+              }
+              st.update(PsiCountState(counts))
+              val n = counts.valuesIterator.sum
+              val half = nBins * 0.5
+              var t6 = 0L
+              var bi = 0
+              while (bi < nBins) {
+                val cs = (counts.getOrElse(bi, 0L) + 0.5) / (n + half)
+                val rs = (r.counts(bi) + 0.5) / (r.total + half)
+                val term = (cs - rs) * math.log(cs / rs)
+                t6 += (if (term >= 0) math.floor(term * 1e6 + 0.5).toLong
+                       else -math.floor(-term * 1e6 + 0.5).toLong)
+                bi += 1
+              }
+              val psi = t6.toDouble / 1e6
+              Iterator.single(PsiStreamOut(key, n, psi, psi > threshold))
+          }
+        })
+  }
+
   case class HllOut(key: String, nBuckets: Int, estDistinct: Double)
   case class HllState(regs: Map[Int, Int])
 

@@ -187,6 +187,35 @@ class Round8Spec extends SparkSpec {
     assert(out.getAs[Boolean]("drifted"))
   }
 
+  test("psi stream twin equals batch psi of the prefix across batch splits") {
+    import graft.drift.Drift
+    import graft.streaming.StreamScorers
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ref = (0 until 500).map(i => ("a", math.sin(i * 0.37) * 10 + 20))
+      .toDF("k", "value")
+    val model = Drift.psiRefModel(ref, "k", "value", nBins = 10)
+    val b1 = (0 until 120).map(i => ("a", math.cos(i * 0.53) * 12 + 26))
+    val b2 = (0 until 90).map(i => ("a", math.cos(i * 0.71) * 8 + 31))
+    val in = MemoryStream[(String, Double)]
+    val out = StreamScorers.psiStream(in.toDF().toDF("k", "value"),
+      "k", "value", model, nBins = 10)
+    val q = out.writeStream.format("memory").queryName("psis")
+      .outputMode("append").start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    val snaps = spark.table("psis").collect()
+      .map(r => r.getAs[Long]("n") -> r.getAs[Double]("psi")).toMap
+    q.stop()
+    // exact parity with the batch operator on each prefix
+    val batch1 = Drift.psi(ref, b1.toDF("k", "value"), Seq("k"), "value", 10)
+      .collect()(0).getAs[Double]("psi")
+    val batch12 = Drift.psi(ref, (b1 ++ b2).toDF("k", "value"), Seq("k"), "value", 10)
+      .collect()(0).getAs[Double]("psi")
+    assert(snaps(120L) == batch1)
+    assert(snaps(210L) == batch12)
+  }
+
   test("attribution: the perturbed attribute is named") {
     import graft.model.Fitters
     import graft.score.Scorers
