@@ -79,6 +79,49 @@ class ExprSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [vec_nearest"))
   }
 
+  test("vec_nearest_q matches the long zip_with/aggregate formulation") {
+    GraftFunctions.register(spark)
+    val cents = Array.tabulate(4, 5)((ci, d) => ((ci * 31 + d * 17) % 13 - 6).toLong)
+    val vecs = (0 until 200).map { r =>
+      (r.toLong, Array.tabulate(if (r % 7 == 0) 3 else 5)(d =>
+        ((r * 37 + d * 101) % 29 - 14).toLong))
+    } :+ (1000L, cents(2).clone()) // exact centroid hit -> d = 0
+    val df = vecs.toDF("id", "v")
+    val fast = graft.expr.GraftFunctions.vecNearestQ(spark, $"v", cents)
+    // truncate the centroid to the vector's length first: zip_with pads
+    // the shorter side with nulls, while the expression (like
+    // vec_nearest) scores over the common prefix
+    def d2(ci: Int) = aggregate(
+      zip_with($"v", slice(typedlit(cents(ci).toSeq), lit(1), size($"v")),
+        (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val slow = array_min(array(cents.indices.map(ci =>
+      struct(d2(ci).as("d"), lit(ci).as("cell"))): _*))
+    val bad = df.select($"id", fast.as("f"), slow.as("s"))
+      .where($"f.cell" =!= $"s.cell" || $"f.d" =!= $"s.d")
+    assert(bad.count() == 0, bad.collect().mkString(", "))
+    // exact hit
+    val hit = df.where($"id" === 1000L).select(fast.as("f")).collect()(0)
+      .getStruct(0)
+    assert(hit.getLong(0) == 0L && hit.getInt(1) == 2)
+  }
+
+  test("vec_nearest_q ties go to the lowest cell; stays in codegen") {
+    GraftFunctions.register(spark)
+    val cents = Array(Array(1L, 0L), Array(1L, 0L), Array(0L, 1L))
+    val df = Seq((1L, Array(1L, 0L)), (2L, Array(0L, 1L))).toDF("id", "v")
+    val r = df.select($"id",
+      graft.expr.GraftFunctions.vecNearestQ(spark, $"v", cents).as("b"))
+      .orderBy("id").collect()
+    assert(r(0).getStruct(1).getInt(1) == 0)
+    assert(r(1).getStruct(1).getInt(1) == 2)
+    val plan = spark.range(10)
+      .selectExpr("array(id, id + 1) as v")
+      .select(graft.expr.GraftFunctions.vecNearestQ(spark, $"v", cents).as("b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vec_nearest_q"))
+  }
+
   test("bit_hamming counts differing bits") {
     GraftFunctions.register(spark)
     val r = Seq((0xFFL, 0x0FL)).toDF("a", "b")
