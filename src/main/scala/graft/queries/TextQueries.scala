@@ -20,6 +20,20 @@ object TextQueries {
   private val NumHashes = 16
   private val BandSize = 4
 
+  /** Feature frame for the q183/q192 logistic-regression pair:
+    * centered length/word features + the " the " count (all exact
+    * integer-derived doubles) and a recoverable length-cut label. */
+  private def logregFeat(d: DataFrame): DataFrame = {
+    val nThe = (length(lower(col("text"))) -
+      length(replace(lower(col("text")), lit(" the "), lit("")))) / 5
+    d.select(col("doc_id"),
+      lit(1.0).as("f0"),
+      ((col("n_chars").cast("double") - 300.0) / 100.0).as("f1"),
+      ((size(TextOps.tokens(col("text"))).cast("double") - 50.0) / 10.0).as("f2"),
+      (nThe.cast("double") / 10.0).as("f3"),
+      when(col("n_chars") >= 300, 1.0).otherwise(0.0).cast("double").as("y"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
     "q49_dedup_exact" -> ((s, dir) =>
@@ -324,18 +338,20 @@ object TextQueries {
     // is independent of its lang column, so a lang label would pin the
     // fit at the majority baseline and verify nothing about descent);
     // real deployments pass a human-labeled quality seed.
-    "q183_logreg_quality" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val nThe = (length(lower(col("text"))) -
-        length(replace(lower(col("text")), lit(" the "), lit("")))) / 5
-      val feat = d.select(
-        lit(1.0).as("f0"),
-        ((col("n_chars").cast("double") - 300.0) / 100.0).as("f1"),
-        ((size(TextOps.tokens(col("text"))).cast("double") - 50.0) / 10.0).as("f2"),
-        (nThe.cast("double") / 10.0).as("f3"),
-        when(col("n_chars") >= 300, 1.0).otherwise(0.0).cast("double").as("y"))
-      canon(TextOps.logRegFit(feat, Seq("f0", "f1", "f2", "f3"), "y",
-        iters = 5, lr = 0.5))
+    "q183_logreg_quality" -> ((s, dir) =>
+      canon(TextOps.logRegFit(logregFeat(docs(s, dir)),
+        Seq("f0", "f1", "f2", "f3"), "y", iters = 5, lr = 0.5))),
+    // the learned filter applied per doc: z from the 6dp weights is
+    // bit-identical cross-engine (same IEEE op sequence) — the
+    // train → score loop of the GPT-3-style quality filter, end to end
+    "q192_logreg_score" -> ((s, dir) => {
+      val feat = logregFeat(docs(s, dir))
+      val w = TextOps.logRegFit(feat, Seq("f0", "f1", "f2", "f3"), "y",
+        iters = 5, lr = 0.5)
+        .collect().sortBy(_.getAs[Int]("j")).map(_.getAs[Double]("weight"))
+      val z = Seq("f0", "f1", "f2", "f3").zipWithIndex
+        .map { case (c, j) => lit(w(j)) * col(c) }.reduce(_ + _)
+      canon(feat.select(col("doc_id"), z.as("z"), (z >= 0).as("keep")))
     }),
     // BPE tokenizer training: 10 merge rules learned over the top-1000
     // word-frequency table — corpus read once, merge rounds scan only the
@@ -1089,13 +1105,16 @@ object TextQueries {
   /** Full SQL replay of the logistic-regression fit: same feature
     * expressions, algebraic sigmoid, 9dp fixed-point gradient sums
     * (hugeint — exact like Spark's decimal(38,0)), the identical
-    * correctly-rounded update sequence, 6dp weight re-grain. */
-  private lazy val logregOracle: String = {
+    * correctly-rounded update sequence, 6dp weight re-grain. Shared by
+    * the q183 fit output and the q192 per-doc scoring face. */
+  private lazy val logregZExpr = "w.wa*f.f0 + w.wb*f.f1 + w.wc*f.f2 + w.wd*f.f3"
+
+  private lazy val logregCtes: String = {
     val fp9 = (e: String) =>
       s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e9+0.5) ELSE -floor(-($e)*1e9+0.5) END)::BIGINT"
     val regrain = (e: String) =>
       s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) ELSE -floor(-($e)*1e6+0.5) END) / 1000000.0"
-    val zExpr = "w.wa*f.f0 + w.wb*f.f1 + w.wc*f.f2 + w.wd*f.f3"
+    val zExpr = logregZExpr
     val iters = (1 to 5).map { t =>
       val p = s"ww${t - 1}"
       s"""g$t AS (SELECT sum(${fp9("e * f0")}) AS s0,
@@ -1111,7 +1130,7 @@ object TextQueries {
          |  ${regrain(s"w.wd + 0.5 * (g.s3::DOUBLE / g.n / 1e9)")} AS wd
          | FROM $p w, g$t g)""".stripMargin
     }.mkString(", ")
-    s"""WITH feat AS MATERIALIZED (SELECT 1.0::DOUBLE AS f0,
+    s"""feat AS MATERIALIZED (SELECT doc_id, 1.0::DOUBLE AS f0,
        |  (n_chars::DOUBLE - 300.0) / 100.0 AS f1,
        |  (len($toks)::DOUBLE - 50.0) / 10.0 AS f2,
        |  ((length(lower(text)) - length(replace(lower(text), ' the ', '')))
@@ -1120,18 +1139,29 @@ object TextQueries {
        | FROM documents),
        |ww0 AS (SELECT 0.0::DOUBLE AS wa, 0.0::DOUBLE AS wb,
        |  0.0::DOUBLE AS wc, 0.0::DOUBLE AS wd),
-       |$iters,
+       |$iters""".stripMargin
+  }
+
+  private lazy val logregOracle: String =
+    s"""WITH $logregCtes,
        |fin AS (SELECT
        |  sum(CASE WHEN (z >= 0) = (y = 1.0) THEN 1 ELSE 0 END)::BIGINT AS ok,
        |  count(*) AS n
-       | FROM (SELECT f.y, $zExpr AS z FROM feat f, ww5 w))
+       | FROM (SELECT f.y, $logregZExpr AS z FROM feat f, ww5 w))
        |SELECT t.j, t.feature,
        | round(CASE t.j WHEN 0 THEN w.wa WHEN 1 THEN w.wb
        |   WHEN 2 THEN w.wc ELSE w.wd END, 4) AS weight,
        | f.ok AS n_correct, f.n, round(f.ok::DOUBLE / f.n, 4) AS accuracy
        |FROM (VALUES (0, 'f0'), (1, 'f1'), (2, 'f2'), (3, 'f3')) t(j, feature),
        | ww5 w, fin f""".stripMargin.replace("\n", " ")
-  }
+
+  /** Per-doc scoring with the learned weights: z is bit-identical on
+    * both engines (same IEEE op sequence over identical 6dp weights). */
+  private lazy val logregScoreOracle: String =
+    s"""WITH $logregCtes
+       |SELECT f.doc_id, round($logregZExpr, 4) AS z,
+       | ($logregZExpr >= 0) AS keep
+       |FROM feat f, ww5 w""".stripMargin.replace("\n", " ")
 
   /** Shared CTE chain of the BPE trainer replay: top-1000 word table,
     * wrapped symbol strings, 10 unrolled pair-count → argmax → replace
@@ -1187,6 +1217,7 @@ object TextQueries {
     "q181_kmeans_fit" -> kmeansOracle,
     "q187_kmeans_outliers" -> kmeansOutlierOracle,
     "q183_logreg_quality" -> logregOracle,
+    "q192_logreg_score" -> logregScoreOracle,
     "q184_bpe_train" -> bpeOracle,
     "q185_bpe_encode" -> bpeEncodeOracle,
     "q49_dedup_exact" ->
