@@ -193,6 +193,79 @@ case class VecNearestQ(child: Expression, cents: Array[Array[Long]])
     copy(child = newChild)
 }
 
+/** Top-TWO nearest quantized centroids — [[VecNearestQ]] that also
+  * reports the runner-up cell, for nProbe=2 probing (cell-bounded kNN,
+  * streaming ingest filters). Semantics = sort (d, cell) pairs
+  * lexicographically, take the first two: ascending-cell iteration with
+  * strict-less updates reproduces that exactly. Returns
+  * struct(d, cell, d2, cell2); with a single centroid d2/cell2 repeat
+  * the best (callers with nCells ≥ 2 never see that). */
+case class VecNearest2Q(child: Expression, cents: Array[Array[Long]])
+    extends UnaryExpression {
+  require(cents.nonEmpty, "no centroids")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("d", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cell", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("d2", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cell2", IntegerType, nullable = false)))
+  override def prettyName: String = "vec_nearest2_q"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    var b1 = 0; var d1 = Long.MaxValue
+    var b2 = 0; var d2v = Long.MaxValue
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      val n = math.min(v.numElements(), c.length)
+      var s = 0L
+      var i = 0
+      while (i < n) { val df = v.getLong(i) - c(i); s += df * df; i += 1 }
+      if (s < d1) { d2v = d1; b2 = b1; d1 = s; b1 = ci }
+      else if (s < d2v) { d2v = s; b2 = ci }
+      ci += 1
+    }
+    if (cents.length == 1) { d2v = d1; b2 = b1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](d1, b1, d2v, b2))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.addReferenceObj("cents", cents, "long[][]")
+      val ci = ctx.freshName("ci")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val df = ctx.freshName("df")
+      val d1 = ctx.freshName("d1")
+      val b1 = ctx.freshName("b1")
+      val d2 = ctx.freshName("d2")
+      val b2 = ctx.freshName("b2")
+      val c = ctx.freshName("c")
+      s"""
+         |int $b1 = 0; long $d1 = java.lang.Long.MAX_VALUE;
+         |int $b2 = 0; long $d2 = java.lang.Long.MAX_VALUE;
+         |for (int $ci = 0; $ci < $m.length; $ci++) {
+         |  long[] $c = $m[$ci];
+         |  int $n = java.lang.Math.min($v.numElements(), $c.length);
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $df = $v.getLong($i) - $c[$i]; $s += $df * $df;
+         |  }
+         |  if ($s < $d1) { $d2 = $d1; $b2 = $b1; $d1 = $s; $b1 = $ci; }
+         |  else if ($s < $d2) { $d2 = $s; $b2 = $ci; }
+         |}
+         |if ($m.length == 1) { $d2 = $d1; $b2 = $b1; }
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{$d1, $b1, $d2, $b2});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecNearest2Q =
+    copy(child = newChild)
+}
+
 /** Hamming distance of two int64 bit patterns (SimHash comparison). */
 case class BitHamming(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -236,6 +309,8 @@ object GraftFunctions {
       VecNearest(asDoubles(es(0)), litMatrix(es(1)), litVec(es(2)))),
     "vec_nearest_q" -> (es =>
       VecNearestQ(Cast(es(0), ArrayType(LongType)), litMatrixL(es(1)))),
+    "vec_nearest2_q" -> (es =>
+      VecNearest2Q(Cast(es(0), ArrayType(LongType)), litMatrixL(es(1)))),
     "bit_hamming" -> (es => BitHamming(asLong(es(0)), asLong(es(1)))),
     "minhash_sig" -> (es => MinHashSig(es(0), litInt(es(1)), litInt(es(2)))),
     "winnow_fp" -> (es => Winnow(es(0), litInt(es(1)), litInt(es(2)))))
@@ -270,6 +345,13 @@ object GraftFunctions {
       cents: Array[Array[Long]]): Column = {
     register(spark)
     call_function("vec_nearest_q", v, typedlit(cents.map(_.toSeq).toSeq))
+  }
+
+  /** struct(d, cell, d2, cell2) — nearest + runner-up cell. */
+  def vecNearest2Q(spark: SparkSession, v: Column,
+      cents: Array[Array[Long]]): Column = {
+    register(spark)
+    call_function("vec_nearest2_q", v, typedlit(cents.map(_.toSeq).toSeq))
   }
 }
 

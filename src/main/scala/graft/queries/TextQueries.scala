@@ -330,6 +330,13 @@ object TextQueries {
     "q187_kmeans_outliers" -> ((s, dir) =>
       canon(KMeansDist.topOutliers(emb(s, dir), "vec_id", "embedding",
         dim = 64, k = 8, iters = 4, topK = 20))),
+    // approximate LOF at the cell-bounded pair cost: the exact q45 LOF
+    // chain over cellKnn's within-cell neighbors — pair work Σ occ²,
+    // never corpus²; same kmeans fit (and oracle CTEs) as q181/q187
+    "q193_lof_cells" -> ((s, dir) =>
+      canon(graft.multi.Proximity.lofFromKnn(
+        graft.multi.Proximity.cellKnn(emb(s, dir), "vec_id", "embedding",
+          dim = 64, nCells = 8, iters = 4, k = 5), k = 5))),
     // logistic-regression quality classifier (gradient-descent face of
     // the q174 NB filter): algebraic sigmoid (IEEE basic ops only — no
     // libm parity needed), 9dp fixed-point gradient sums, 6dp weight
@@ -1216,6 +1223,36 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "q181_kmeans_fit" -> kmeansOracle,
     "q187_kmeans_outliers" -> kmeansOutlierOracle,
+    // q45's LOF chain over nProbe=2 cell pairs from the q181 fit replay:
+    // index side = best cell (fb), probe side = two nearest cells
+    // (lexicographic first two of the per-cell (d, cell) structs — the
+    // same order the fused expression's strict-less scan produces)
+    "q193_lof_cells" ->
+      s"""WITH $kmCtes,
+         |asg AS (SELECT vec_id, (b).c AS cell FROM fb),
+         |pd AS (SELECT x.vec_id, {'d': ${kmD2("x.v")}, 'c': c.cell} AS s
+         | FROM xq x CROSS JOIN c4 c),
+         |pb AS (SELECT vec_id, (list_sort(list(s)))[1].c AS c1,
+         |  (list_sort(list(s)))[2].c AS c2 FROM pd GROUP BY vec_id),
+         |pe AS (SELECT vec_id, unnest([c1, c2]) AS cell FROM pb),
+         |pc AS (SELECT p.vec_id AS src, a.vec_id AS trg,
+         |  list_distance(av.embedding::DOUBLE[], bv.embedding::DOUBLE[])
+         |   AS dist
+         | FROM pe p JOIN asg a ON a.cell = p.cell
+         |  AND a.vec_id <> p.vec_id
+         | JOIN embeddings av ON av.vec_id = p.vec_id
+         | JOIN embeddings bv ON bv.vec_id = a.vec_id),
+         |nn AS (SELECT src, trg, dist,
+         |  row_number() OVER (PARTITION BY src ORDER BY dist ASC, trg)
+         |   AS rank FROM pc QUALIFY rank <= 5),
+         |kd AS (SELECT src, max(dist) AS kdist FROM nn GROUP BY src),
+         |rch AS (SELECT n.src, greatest(n.dist, k.kdist) AS reach
+         | FROM nn n JOIN kd k ON n.trg = k.src),
+         |lrd AS (SELECT src, 5 / sum(reach) AS lrd FROM rch GROUP BY src),
+         |nl AS (SELECT n.src, avg(l.lrd) AS nbrLrd
+         | FROM nn n JOIN lrd l ON n.trg = l.src GROUP BY n.src)
+         |SELECT l.src, round(nl.nbrLrd / l.lrd, 4) AS lof
+         |FROM lrd l JOIN nl USING (src)""".stripMargin.replace("\n", " "),
     "q183_logreg_quality" -> logregOracle,
     "q192_logreg_score" -> logregScoreOracle,
     "q184_bpe_train" -> bpeOracle,

@@ -49,6 +49,10 @@ object KMeansDist {
   private def quantize(vecCol: Column): Column =
     transform(vecCol.cast("array<double>"), x => q6(x))
 
+  /** Public face of the 6dp quantizer — for callers composing their own
+    * probes over [[fitCentroids]] output (e.g. Proximity.cellKnn). */
+  def quantizeCol(vecCol: Column): Column = quantize(vecCol)
+
   private def roundHalfAway(x: Double): Long =
     if (x >= 0) math.floor(x + 0.5).toLong else -math.floor(-x + 0.5).toLong
 

@@ -187,6 +187,33 @@ class Round8Spec extends SparkSpec {
     assert(out.getAs[Boolean]("drifted"))
   }
 
+  test("cellKnn LOF matches exact LOF on clusterable data") {
+    import graft.multi.Proximity
+    // 3 tight blobs (30 pts each) + one genuine outlier between them:
+    // on clusterable data the cell-bounded kNN must reproduce the exact
+    // LOF ranking for the outlier and keep in-blob points near 1
+    val rng = new scala.util.Random(7)
+    val blobs: Seq[(Long, Array[Float])] = (for {
+      ((cx, cy), b) <- Seq((0.0, 0.0), (10.0, 0.0), (5.0, 9.0)).zipWithIndex
+      i <- 0 until 30
+    } yield ((b * 1000 + i).toLong,
+      Array((cx + rng.nextGaussian() * 0.3).toFloat,
+        (cy + rng.nextGaussian() * 0.3).toFloat))).toSeq
+    val pts = (blobs :+ (99999L -> Array(5f, 4f)))
+      .toDF("vec_id", "embedding")
+    val approx = Proximity.lofFromKnn(
+      Proximity.cellKnn(pts, "vec_id", "embedding", dim = 2, nCells = 3,
+        iters = 4, k = 5, maxSample = 1000), k = 5).collect()
+    val exact = Proximity.lof(
+      Proximity.pairDistances(pts, "vec_id", "embedding"), k = 5).collect()
+    def top(rs: Array[org.apache.spark.sql.Row]) =
+      rs.maxBy(_.getAs[Double]("lof")).getAs[Long]("src")
+    assert(top(approx) == 99999L && top(exact) == 99999L)
+    // in-blob points stay near LOF 1 in the approximation too
+    val inBlob = approx.filter(_.getAs[Long]("src") != 99999L)
+    assert(inBlob.forall(r => r.getAs[Double]("lof") < 2.0))
+  }
+
   test("psi stream twin equals batch psi of the prefix across batch splits") {
     import graft.drift.Drift
     import graft.streaming.StreamScorers
