@@ -402,6 +402,16 @@ object ScaleProbe {
         spark.catalog.clearCache() // retained pts/pairs caches
         out
       }
+      // cell-bounded approximate LOF: nCells scales with the corpus (the
+      // semdedup rule) so per-cell occupancy — and the Σ occ² pair
+      // bound — stays constant per point
+      time("lof_cells", n, nEmb) {
+        val out = multi.Proximity.lofFromKnn(
+          multi.Proximity.cellKnn(emb, "vec_id", "embedding", dim = 64,
+            nCells = 8 * n, iters = 4, k = 5), k = 5).count()
+        spark.catalog.clearCache()
+        out
+      }
       // the density-stress face: same points replicated n× in place —
       // per-cell occupancy ×n, pair count ×n² — must degrade smoothly,
       // not blow up (hot-cell behavior, the LSH hot-bucket analogue)
