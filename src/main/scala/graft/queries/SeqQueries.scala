@@ -308,6 +308,16 @@ object SeqQueries {
             .as("score"),
           col("tag")))
     }),
+    // ordered funnel view→click→purchase, greedy earliest-completion,
+    // 7-day completion window from the first 'view'
+    "q194_funnel" -> ((s, dir) =>
+      canon(SeqOps.funnel(ev(s, dir), Seq("user_id"), "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSec = 604800L))),
+    // daily-cohort retention: first-active-day cohorts, per-offset active
+    // counts and rates
+    "q195_retention" -> ((s, dir) =>
+      canon(SeqOps.retention(ev(s, dir), Seq("user_id"), "ts",
+        periodSec = 86400L))),
   )
 
   // transitions + smoothed probabilities, per-user sequences, global model
@@ -1004,5 +1014,39 @@ object SeqQueries {
          | CASE WHEN score IS NULL THEN 'I'
          |  WHEN score > 1.5 THEN 'O' ELSE 'N' END AS tag
          |FROM sc""".stripMargin.replace("\n", " "),
+    // unrolled greedy funnel: each stage is a filtered MIN strictly after
+    // the previous stage's time and within 7 days of t1 — the same
+    // order-insensitive form the operator computes
+    "q194_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, t1, min(epoch_us(e.ts)) AS t2
+        |  FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+        |   AND e.event_type = 'click' AND epoch_us(e.ts) > t1
+        |   AND epoch_us(e.ts) <= t1 + 604800000000
+        |  GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, t1, t2, min(epoch_us(e.ts)) AS t3
+        |  FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
+        |   AND e.event_type = 'purchase' AND epoch_us(e.ts) > t2
+        |   AND epoch_us(e.ts) <= t1 + 604800000000
+        |  GROUP BY 1, 2, 3),
+        |c AS (SELECT count(t1) AS c1, count(t2) AS c2, count(t3) AS c3
+        |  FROM s3)
+        |SELECT 1 AS step, 'view' AS step_type, c1 AS users,
+        |  round(c1::DOUBLE / c1, 4) AS conversion FROM c
+        |UNION ALL SELECT 2, 'click', c2, round(c2::DOUBLE / c1, 4) FROM c
+        |UNION ALL SELECT 3, 'purchase', c3, round(c3::DOUBLE / c1, 4)
+        |  FROM c""".stripMargin.replace("\n", " "),
+    "q195_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |   epoch_us(ts) // 86400000000 AS period FROM events),
+        |f AS (SELECT user_id, min(period) AS cohort FROM a GROUP BY 1),
+        |c AS (SELECT f.cohort, a.period - f.cohort AS offset_k,
+        |   count(*) AS active_users
+        |  FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort, active_users AS sz FROM c WHERE offset_k = 0)
+        |SELECT c.cohort, c.offset_k, c.active_users,
+        |  round(c.active_users::DOUBLE / s.sz, 4) AS retention
+        |FROM c JOIN s USING (cohort)""".stripMargin.replace("\n", " "),
   )
 }

@@ -477,4 +477,99 @@ object SeqOps {
             .otherwise(-floor(-col(valCol) * 1e4 + 0.5)).cast("long"))
           .cast("double") / 1e4).as("sum_value"))
   }
+
+  /** Ordered-funnel analysis (engine addition, sessionize's sibling): for
+    * each key, greedy earliest-completion through `steps` — t1 = first
+    * occurrence of steps(0); t_i = first occurrence of steps(i-1)
+    * STRICTLY after t_{i-1} (and, when `windowSec` > 0, within
+    * `windowSec` of t1). Emits one row per step: (step, step_type,
+    * users, conversion) with conversion relative to step 1.
+    *
+    * Chosen over a per-key sorted scan because the unrolled-min form is
+    * order-insensitive (each stage is a filtered MIN — no window, no
+    * within-partition ordering to replay) so it hashes identically in any
+    * engine, and each stage's input is the events table FILTERED to one
+    * step type, pushed to the parquet scan.
+    *
+    * Scale: per step one pushed-down type filter → keyed partial-agg MIN
+    * (map-side combine collapses to one row per key before the exchange)
+    * → keyed join against the previous stage's (key, t) table. Every
+    * shuffle after the first carries key-cardinality rows, not
+    * event-cardinality; the final stack over the single count row is
+    * driver-trivial. `tsCol` is epoch-nanos (driver contract); boundaries
+    * are compared at microseconds like [[sessionize]].
+    */
+  def funnel(
+      data: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      windowSec: Long = 0L): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.forall(s => !s.contains("'")), "step names must be quote-free")
+    val us = expr(s"$tsCol div 1000")
+    val ev = data.withColumn("_us", us)
+    var cur = ev.where(col(typeCol) === steps.head)
+      .groupBy(keyCols.map(col): _*).agg(min(col("_us")).as("t1"))
+    for (i <- 2 to steps.length) {
+      val prev = s"t${i - 1}"
+      val si = ev.where(col(typeCol) === steps(i - 1))
+        .select((keyCols.map(col) :+ col("_us").as("_si")): _*)
+      val within =
+        if (windowSec > 0) col("_si") <= col("t1") + lit(windowSec * 1000000L)
+        else lit(true)
+      val tCols = (1 until i).map(j => s"t$j")
+      cur = cur.join(si, keyCols, "left_outer")
+        .groupBy((keyCols ++ tCols).map(col): _*)
+        .agg(min(when(col("_si") > col(prev) && within, col("_si"))).as(s"t$i"))
+    }
+    val counts = cur.agg(
+      count(col("t1")).as("c1"),
+      (2 to steps.length).map(i => count(col(s"t$i")).as(s"c$i")): _*)
+    val stackArgs = (1 to steps.length)
+      .map(i => s"$i, '${steps(i - 1)}', c$i").mkString(", ")
+    counts
+      .select(expr(s"stack(${steps.length}, $stackArgs) AS (step, step_type, users)"),
+        col("c1"))
+      .withColumn("conversion",
+        round(col("users").cast("double") / col("c1"), 4))
+      .drop("c1")
+  }
+
+  /** Cohort retention (engine addition): bucket activity into
+    * `periodSec`-wide periods (integer division on the µs epoch — exact,
+    * engine-independent), assign each key to the cohort of its first
+    * active period, and count keys active at each offset from their
+    * cohort. Emits (cohort, offset_k, active_users, retention) with
+    * retention relative to the cohort's period-0 size.
+    *
+    * Scale: the (key, period) DISTINCT is the only event-sized exchange
+    * and its map-side partial agg collapses repeats before the shuffle;
+    * first-period and the activity join both hash on the key; the final
+    * aggregate and the cohort-size join are cohort×offset-sized (periods,
+    * not events), so the size table broadcasts.
+    */
+  def retention(
+      data: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      periodSec: Long): DataFrame = {
+    require(periodSec > 0, "periodSec must be positive")
+    val pUs = periodSec * 1000000L
+    val act = data
+      .select((keyCols.map(col) :+ expr(s"($tsCol div 1000) div ${pUs}L").as("period")): _*)
+      .distinct()
+    val firsts = act.groupBy(keyCols.map(col): _*).agg(min("period").as("cohort"))
+    val joined = act.join(firsts, keyCols)
+      .select(col("cohort"), (col("period") - col("cohort")).as("offset_k"))
+    val counts = joined.groupBy("cohort", "offset_k")
+      .agg(count(lit(1)).as("active_users"))
+    val sizes = counts.where(col("offset_k") === 0)
+      .select(col("cohort"), col("active_users").as("_size"))
+    counts.join(broadcast(sizes), Seq("cohort"))
+      .withColumn("retention",
+        round(col("active_users").cast("double") / col("_size"), 4))
+      .drop("_size")
+  }
 }

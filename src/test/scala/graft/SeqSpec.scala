@@ -210,4 +210,55 @@ class SeqSpec extends SparkSpec {
     assert(zs.maxBy(_._2)._1 == 100L)
     assert(zs.toMap.apply(100L) > 5.0)
   }
+
+  test("funnel: greedy order, strict-after rule, completion window") {
+    def ns(sec: Long) = sec * 1000000000L
+    val rows = Seq(
+      // u1 completes A>B>C in order
+      (1L, ns(10), "A"), (1L, ns(20), "B"), (1L, ns(30), "C"),
+      // u2: B before A only — B must NOT count (strictly after t1)
+      (2L, ns(10), "B"), (2L, ns(20), "A"),
+      // u3: completes A>B but C falls outside the 100 s window from t1
+      (3L, ns(10), "A"), (3L, ns(20), "B"), (3L, ns(200), "C"),
+      // u4 never enters the funnel (no A)
+      (4L, ns(10), "C")
+    ).toDF("user_id", "ts", "event_type")
+    val out = SeqOps.funnel(rows, Seq("user_id"), "ts", "event_type",
+        Seq("A", "B", "C"), windowSec = 100L)
+      .collect().map(r => r.getAs[Int]("step") ->
+        (r.getAs[Long]("users"), r.getAs[Double]("conversion"))).toMap
+    assert(out(1) == ((3L, 1.0)))      // u1, u2, u3 reach A
+    assert(out(2) == ((2L, 0.6667)))   // u1, u3 (u2's B precedes its A)
+    assert(out(3) == ((1L, 0.3333)))   // only u1 inside the window
+  }
+
+  test("funnel: same-timestamp step does not satisfy strictly-after") {
+    val rows = Seq((1L, 1000000000L, "A"), (1L, 1000000000L, "B"))
+      .toDF("user_id", "ts", "event_type")
+    val out = SeqOps.funnel(rows, Seq("user_id"), "ts", "event_type",
+        Seq("A", "B")).collect().map(r =>
+        r.getAs[Int]("step") -> r.getAs[Long]("users")).toMap
+    assert(out(1) == 1L && out(2) == 0L)
+  }
+
+  test("retention: cohorts, offsets and rates on a crafted month") {
+    def day(d: Long) = d * 86400L * 1000000000L + 1L
+    val rows = Seq(
+      // cohort day 0: u1 active d0,d1,d2; u2 active d0,d2
+      (1L, day(0)), (1L, day(1)), (1L, day(2)),
+      (2L, day(0)), (2L, day(2)),
+      // duplicate activity inside one period collapses
+      (2L, day(0) + 5000L),
+      // cohort day 1: u3 active d1 only
+      (3L, day(1))
+    ).toDF("user_id", "ts")
+    val out = SeqOps.retention(rows, Seq("user_id"), "ts", periodSec = 86400L)
+      .collect().map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("offset_k")) ->
+        (r.getAs[Long]("active_users"), r.getAs[Double]("retention"))).toMap
+    assert(out((0L, 0L)) == ((2L, 1.0)))
+    assert(out((0L, 1L)) == ((1L, 0.5)))
+    assert(out((0L, 2L)) == ((2L, 1.0)))
+    assert(out((1L, 0L)) == ((1L, 1.0)))
+    assert(!out.contains((1L, 1L)))
+  }
 }
