@@ -263,6 +263,12 @@ object SeqQueries {
       // against an independent replay)
       canon(SeriesKernels.oneStepAheadResidStats(ev(s, dir), Seq("user_id"),
         "event_id", "value", window = 10, threshold = 3.0).toDF())),
+    // Holt linear-trend forecast scorer; oracled by a recursive CTE that
+    // replays the identical (level, trend, resid-stats) recursion —
+    // dyadic α/β keep every step bit-reproducible across engines
+    "q196_holt_forecast" -> ((s, dir) =>
+      canon(SeriesKernels.holtForecast(ev(s, dir), Seq("user_id"), "event_id",
+        "value").toDF())),
     // gaps-and-islands sessionization: 12h inactivity gap per user
     "q116_sessionize" -> ((s, dir) =>
       canon(SeqOps.sessionize(ev(s, dir), Seq("user_id"), "ts", "event_id",
@@ -475,6 +481,43 @@ object SeqQueries {
       s"""WITH RECURSIVE $osaWalk
          |SELECT key, seq, round(value, 4) AS value, round(score, 4) AS score
          |FROM walk""".stripMargin.replace("\n", " "),
+    // Holt recursion replay: state = (level, trend, resid sum/sumsq/count);
+    // init l₂=x₂, b₂=x₂−x₁; score from PRIOR residual std, exactly as
+    // SeriesKernels.holtForecast — same fixed IEEE op order, so the two
+    // engines agree bit-for-bit before the shared 4dp round.
+    "q196_holt_forecast" ->
+      """WITH RECURSIVE ev AS (SELECT user_id::VARCHAR AS key, event_id AS seq, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id, value) AS rn
+        | FROM events),
+        |walk AS (
+        | SELECT key, rn, seq, value, 0.0::DOUBLE AS score,
+        |  value AS lvl, 0.0::DOUBLE AS trd,
+        |  0.0::DOUBLE AS rsum, 0.0::DOUBLE AS rsq, 0 AS rnr
+        | FROM ev WHERE rn = 1
+        | UNION ALL
+        | SELECT key, rn, seq, value, score,
+        |  CASE WHEN rn = 2 THEN value ELSE 0.5 * value + 0.5 * pred END AS lvl,
+        |  CASE WHEN rn = 2 THEN value - lvl0
+        |   ELSE 0.25 * ((0.5 * value + 0.5 * pred) - lvl0) + 0.75 * trd0 END AS trd,
+        |  rsum0 + coalesce(resid, 0.0) AS rsum,
+        |  rsq0 + coalesce(resid * resid, 0.0) AS rsq,
+        |  rnr0 + CASE WHEN resid IS NOT NULL THEN 1 ELSE 0 END AS rnr
+        | FROM (
+        |  SELECT key, rn, seq, value, lvl0, trd0, rsum0, rsq0, rnr0, pred, resid,
+        |   CASE WHEN resid IS NOT NULL AND std > 0
+        |    THEN abs(resid) / std ELSE 0.0::DOUBLE END AS score
+        |  FROM (
+        |   SELECT e.key, e.rn, e.seq, e.value,
+        |    w.lvl AS lvl0, w.trd AS trd0,
+        |    w.rsum AS rsum0, w.rsq AS rsq0, w.rnr AS rnr0,
+        |    CASE WHEN e.rn >= 3 THEN w.lvl + w.trd END AS pred,
+        |    CASE WHEN e.rn >= 3 THEN e.value - (w.lvl + w.trd) END AS resid,
+        |    CASE WHEN w.rnr > 1
+        |     THEN sqrt((w.rsq - w.rsum * w.rsum / w.rnr) / (w.rnr - 1))
+        |     ELSE 0.0::DOUBLE END AS std
+        |   FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1)))
+        |SELECT key, seq, round(value, 4) AS value, round(score, 4) AS score
+        |FROM walk""".stripMargin.replace("\n", " "),
     "q86_osa_resid_stats" ->
       s"""WITH RECURSIVE $osaWalk,
          |last AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY rn DESC)

@@ -428,6 +428,56 @@ object SeriesKernels {
     (scores, (residN.toLong, mean, std))
   }
 
+  // ---------- Holt double-exponential forecast (engine addition) ----------
+
+  /** Holt linear-trend (double-exponential-smoothing) forecast scorer.
+    * Complements the window-mean forecaster [[oneStepAhead]]
+    * (seq/OneStepAheadPredictor.scala:111-151 uses a flat trailing mean):
+    * on a trending series the window mean lags by (w−1)/2 steps and every
+    * ramp point scores as an outlier; Holt tracks level+trend so only
+    * genuine departures from the local trend score high.
+    *
+    * State after row t: level lₜ, trend bₜ; init l₂=x₂, b₂=x₂−x₁
+    * (rows 1–2 score 0). For t≥3: forecast x̂=l+b, residual r=x−x̂,
+    * score = |r| / running sample std of PRIOR residuals (the same
+    * normalisation as [[oneStepAhead]]); then l'=α·x+(1−α)·x̂,
+    * b'=β·(l'−l)+(1−β)·b. Defaults α=0.5, β=0.25 are dyadic, so with the
+    * fixed evaluation order here each step is bit-reproducible across
+    * engines — the DuckDB oracle replays the identical recursion.
+    *
+    * Scale: per-key kernel via [[run]] — one shuffle on the key, O(1)
+    * state (two doubles + three residual accumulators); same
+    * bounded-series-per-entity contract as the other kernels.
+    */
+  def holtForecast(
+      data: DataFrame, keyCols: Seq[String], seqCol: String, valCol: String,
+      alpha: Double = 0.5, beta: Double = 0.25): Dataset[SScore] = {
+    run(data, keyCols, seqCol, valCol) { (k, pts) =>
+      val n = pts.length
+      val scores = new Array[Double](n)
+      if (n >= 3) {
+        var level = pts(1).value
+        var trend = pts(1).value - pts(0).value
+        var rsum = 0.0; var rsq = 0.0; var rn = 0
+        var i = 2
+        while (i < n) {
+          val x = pts(i).value
+          val pred = level + trend
+          val resid = x - pred
+          val std =
+            if (rn > 1) math.sqrt((rsq - rsum * rsum / rn) / (rn - 1)) else 0.0
+          scores(i) = if (std > 0) math.abs(resid) / std else 0.0
+          rsum += resid; rsq += resid * resid; rn += 1
+          val l2 = alpha * x + (1 - alpha) * pred
+          trend = beta * (l2 - level) + (1 - beta) * trend
+          level = l2
+          i += 1
+        }
+      }
+      Iterator.tabulate(n)(i => SScore(k, pts(i).seq, pts(i).value, scores(i)))
+    }
+  }
+
   // ---------- n-gram frequency (seq/NgramFrequencyPredictor.scala:79-223) ----------
 
   /** Quantize values to per-key equal-probability buckets, maintain a

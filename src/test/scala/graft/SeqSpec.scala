@@ -126,6 +126,35 @@ class SeqSpec extends SparkSpec {
     assert(out(45).score < 3.0)       // post-spike forecasts recovered (replacement worked)
   }
 
+  test("holt forecast: ramp stays quiet, spike alarms; math matches a replay") {
+    // oscillating linear ramp + one spike: the flat window-mean OSA
+    // forecaster lags a ramp (constant nonzero residual), Holt tracks it —
+    // only the spike should stand out. (The oscillation keeps prior
+    // residuals nonzero; on an EXACT ramp std=0 and, like oneStepAhead,
+    // the score degenerates to 0 by convention.)
+    val vals = (0 until 60).map(i =>
+      2.0 * i + 0.5 * (i % 2) + (if (i == 40) 300.0 else 0.0))
+    val pts = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+    val out = SeriesKernels.holtForecast(pts.toDF("k", "s", "v"), Seq("k"), "s", "v")
+      .collect().sortBy(_.seq)
+    assert(out(40).score > 100.0, s"spike score ${out(40).score}")
+    assert((3 until 40).forall(i => out(i).score < 8.0)) // ramp tracked, no alarms
+    // independent replay of the recursion
+    var lvl = vals(1); var trd = vals(1) - vals(0)
+    var sum = 0.0; var sq = 0.0; var n = 0
+    (2 until 60).foreach { i =>
+      val pred = lvl + trd
+      val resid = vals(i) - pred
+      val std = if (n > 1) math.sqrt((sq - sum * sum / n) / (n - 1)) else 0.0
+      val score = if (std > 0) math.abs(resid) / std else 0.0
+      assert(math.abs(out(i).score - score) < 1e-9, s"i=$i")
+      sum += resid; sq += resid * resid; n += 1
+      val l2 = 0.5 * vals(i) + 0.5 * pred
+      trd = 0.25 * (l2 - lvl) + 0.75 * trd
+      lvl = l2
+    }
+  }
+
   test("changepoint mean-shift flags an injected level shift") {
     val pts = (0 until 200).map(i => ("k", i.toLong, if (i < 100) 10.0 else 30.0))
       .toDF("k", "s", "v")
