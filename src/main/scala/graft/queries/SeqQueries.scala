@@ -269,6 +269,18 @@ object SeqQueries {
     "q196_holt_forecast" -> ((s, dir) =>
       canon(SeriesKernels.holtForecast(ev(s, dir), Seq("user_id"), "event_id",
         "value").toDF())),
+    // the streaming twin batch-executed (q100 pattern): same oracle gates
+    // the flatMapGroupsWithState path itself
+    "q197_holt_stream" -> ((s, dir) => {
+      import s.implicits._
+      val evd = ev(s, dir)
+        .select(col("user_id").cast("string").as("entity"),
+          col("event_id").cast("long").as("seq"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.StreamScorers.ValueEvent]
+      canon(graft.streaming.StreamScorers.holtForecastStream(evd).toDF()
+        .select(col("entity").as("key"), col("seq"), col("value"), col("score")))
+    }),
     // gaps-and-islands sessionization: 12h inactivity gap per user
     "q116_sessionize" -> ((s, dir) =>
       canon(SeqOps.sessionize(ev(s, dir), Seq("user_id"), "ts", "event_id",
@@ -396,6 +408,45 @@ object SeqQueries {
       |   FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1)))"""
       .stripMargin.replace("\n", " ")
 
+  // Holt recursion replay (SeriesKernels.holtForecast): state = (level,
+  // trend, resid sum/sumsq/count); init l₂=x₂, b₂=x₂−x₁; score from PRIOR
+  // residual std — same fixed IEEE op order as the kernel, so the engines
+  // agree bit-for-bit before the shared 4dp round. Shared by q196 (batch
+  // kernel) and q197 (the streaming twin batch-executed, q100 pattern).
+  private lazy val holtOracle: String =
+    """WITH RECURSIVE ev AS (SELECT user_id::VARCHAR AS key, event_id AS seq, value,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY event_id, value) AS rn
+      | FROM events),
+      |walk AS (
+      | SELECT key, rn, seq, value, 0.0::DOUBLE AS score,
+      |  value AS lvl, 0.0::DOUBLE AS trd,
+      |  0.0::DOUBLE AS rsum, 0.0::DOUBLE AS rsq, 0 AS rnr
+      | FROM ev WHERE rn = 1
+      | UNION ALL
+      | SELECT key, rn, seq, value, score,
+      |  CASE WHEN rn = 2 THEN value ELSE 0.5 * value + 0.5 * pred END AS lvl,
+      |  CASE WHEN rn = 2 THEN value - lvl0
+      |   ELSE 0.25 * ((0.5 * value + 0.5 * pred) - lvl0) + 0.75 * trd0 END AS trd,
+      |  rsum0 + coalesce(resid, 0.0) AS rsum,
+      |  rsq0 + coalesce(resid * resid, 0.0) AS rsq,
+      |  rnr0 + CASE WHEN resid IS NOT NULL THEN 1 ELSE 0 END AS rnr
+      | FROM (
+      |  SELECT key, rn, seq, value, lvl0, trd0, rsum0, rsq0, rnr0, pred, resid,
+      |   CASE WHEN resid IS NOT NULL AND std > 0
+      |    THEN abs(resid) / std ELSE 0.0::DOUBLE END AS score
+      |  FROM (
+      |   SELECT e.key, e.rn, e.seq, e.value,
+      |    w.lvl AS lvl0, w.trd AS trd0,
+      |    w.rsum AS rsum0, w.rsq AS rsq0, w.rnr AS rnr0,
+      |    CASE WHEN e.rn >= 3 THEN w.lvl + w.trd END AS pred,
+      |    CASE WHEN e.rn >= 3 THEN e.value - (w.lvl + w.trd) END AS resid,
+      |    CASE WHEN w.rnr > 1
+      |     THEN sqrt((w.rsq - w.rsum * w.rsum / w.rnr) / (w.rnr - 1))
+      |     ELSE 0.0::DOUBLE END AS std
+      |   FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1)))
+      |SELECT key, seq, round(value, 4) AS value, round(score, 4) AS score
+      |FROM walk""".stripMargin.replace("\n", " ")
+
   private lazy val markovChainOracle: String =
       s"""WITH $mkProbs,
          |scored AS (SELECT t.user_id, t.event_id,
@@ -485,39 +536,10 @@ object SeqQueries {
     // init l₂=x₂, b₂=x₂−x₁; score from PRIOR residual std, exactly as
     // SeriesKernels.holtForecast — same fixed IEEE op order, so the two
     // engines agree bit-for-bit before the shared 4dp round.
-    "q196_holt_forecast" ->
-      """WITH RECURSIVE ev AS (SELECT user_id::VARCHAR AS key, event_id AS seq, value,
-        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id, value) AS rn
-        | FROM events),
-        |walk AS (
-        | SELECT key, rn, seq, value, 0.0::DOUBLE AS score,
-        |  value AS lvl, 0.0::DOUBLE AS trd,
-        |  0.0::DOUBLE AS rsum, 0.0::DOUBLE AS rsq, 0 AS rnr
-        | FROM ev WHERE rn = 1
-        | UNION ALL
-        | SELECT key, rn, seq, value, score,
-        |  CASE WHEN rn = 2 THEN value ELSE 0.5 * value + 0.5 * pred END AS lvl,
-        |  CASE WHEN rn = 2 THEN value - lvl0
-        |   ELSE 0.25 * ((0.5 * value + 0.5 * pred) - lvl0) + 0.75 * trd0 END AS trd,
-        |  rsum0 + coalesce(resid, 0.0) AS rsum,
-        |  rsq0 + coalesce(resid * resid, 0.0) AS rsq,
-        |  rnr0 + CASE WHEN resid IS NOT NULL THEN 1 ELSE 0 END AS rnr
-        | FROM (
-        |  SELECT key, rn, seq, value, lvl0, trd0, rsum0, rsq0, rnr0, pred, resid,
-        |   CASE WHEN resid IS NOT NULL AND std > 0
-        |    THEN abs(resid) / std ELSE 0.0::DOUBLE END AS score
-        |  FROM (
-        |   SELECT e.key, e.rn, e.seq, e.value,
-        |    w.lvl AS lvl0, w.trd AS trd0,
-        |    w.rsum AS rsum0, w.rsq AS rsq0, w.rnr AS rnr0,
-        |    CASE WHEN e.rn >= 3 THEN w.lvl + w.trd END AS pred,
-        |    CASE WHEN e.rn >= 3 THEN e.value - (w.lvl + w.trd) END AS resid,
-        |    CASE WHEN w.rnr > 1
-        |     THEN sqrt((w.rsq - w.rsum * w.rsum / w.rnr) / (w.rnr - 1))
-        |     ELSE 0.0::DOUBLE END AS std
-        |   FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1)))
-        |SELECT key, seq, round(value, 4) AS value, round(score, 4) AS score
-        |FROM walk""".stripMargin.replace("\n", " "),
+    "q196_holt_forecast" -> holtOracle,
+    // the STREAMING twin batch-executed (q100 pattern) — same oracle,
+    // gating the flatMapGroupsWithState code path itself
+    "q197_holt_stream" -> holtOracle,
     "q86_osa_resid_stats" ->
       s"""WITH RECURSIVE $osaWalk,
          |last AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY rn DESC)

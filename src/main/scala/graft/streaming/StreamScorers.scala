@@ -540,6 +540,52 @@ object StreamScorers {
         })
   }
 
+  case class HoltOut(entity: String, seq: Long, value: Double, score: Double)
+  // seen = rows consumed so far (state machine: 0 → hold x1, 1 → init
+  // level/trend, ≥2 → recursion); all accumulators plain doubles because
+  // the recursion is purely sequential — identical IEEE op order to the
+  // batch kernel gives bit-exact parity with no fixed-point needed
+  case class HoltSt(seen: Long, x1: Double, lvl: Double, trd: Double,
+      rsum: Double, rsq: Double, rn: Long)
+
+  /** Streaming Holt forecast scorer — the online face of
+    * `SeriesKernels.holtForecast`, exact batch parity from the first row
+    * (the recursion carries its own state; nothing buffers): per entity,
+    * (level, trend) + running residual stats, stepped with the same
+    * arithmetic order as the batch kernel. O(1) state (7 numbers). */
+  def holtForecastStream(events: Dataset[ValueEvent], alpha: Double = 0.5,
+      beta: Double = 0.25): Dataset[HoltOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (entity: String, it: Iterator[ValueEvent], gs: GroupState[HoltSt]) => {
+          var st = gs.getOption.getOrElse(HoltSt(0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0L))
+          val out = it.toSeq.sortBy(e => (e.seq, e.value)).map { e =>
+            val x = e.value
+            var score = 0.0
+            if (st.seen == 0L) st = st.copy(seen = 1L, x1 = x)
+            else if (st.seen == 1L)
+              st = st.copy(seen = 2L, lvl = x, trd = x - st.x1)
+            else {
+              val pred = st.lvl + st.trd
+              val resid = x - pred
+              val std = if (st.rn > 1)
+                math.sqrt((st.rsq - st.rsum * st.rsum / st.rn) / (st.rn - 1))
+              else 0.0
+              score = if (std > 0) math.abs(resid) / std else 0.0
+              val l2 = alpha * x + (1 - alpha) * pred
+              st = HoltSt(st.seen + 1, st.x1, l2,
+                beta * (l2 - st.lvl) + (1 - beta) * st.trd,
+                st.rsum + resid, st.rsq + resid * resid, st.rn + 1)
+            }
+            HoltOut(entity, e.seq, x, score)
+          }
+          gs.update(st)
+          out.iterator
+        })
+  }
+
   case class CpStreamOut(entity: String, seq: Long, value: Double,
       stat: Double, changed: Boolean)
   case class CpBuf(window: List[Double])

@@ -662,6 +662,31 @@ class StreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming holt forecast: bit-exact batch parity across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val vals = (0 until 120).map(i =>
+      2.0 * i + 0.5 * (i % 2) + (if (i == 80) 300.0 else 0.0))
+    val in = MemoryStream[ValueEvent]
+    val scored = StreamScorers.holtForecastStream(in.toDS())
+    val q = scored.writeStream.format("memory").queryName("hlt").outputMode("append").start()
+    // split mid-init AND mid-recursion so both state shapes cross batches
+    in.addData(ValueEvent("e1", 0, vals(0)))
+    q.processAllAvailable()
+    in.addData((1 until 50).map(i => ValueEvent("e1", i.toLong, vals(i))): _*)
+    q.processAllAvailable()
+    in.addData((50 until 120).map(i => ValueEvent("e1", i.toLong, vals(i))): _*)
+    q.processAllAvailable()
+    val rows = spark.table("hlt").as[StreamScorers.HoltOut].collect().sortBy(_.seq)
+    q.stop()
+    assert(rows.length == 120)
+    val batch = graft.seq.SeriesKernels.holtForecast(
+      vals.zipWithIndex.map { case (v, i) => ("e1", i.toLong, v) }
+        .toDF("k", "seq", "value"), Seq("k"), "seq", "value")
+      .collect().map(r => r.seq -> r.score).toMap
+    rows.foreach(r => assert(batch(r.seq) == r.score, s"parity at seq ${r.seq}"))
+    assert(rows.filter(_.score > 100.0).map(_.seq).toSeq == Seq(80L), "only the spike alarms")
+  }
+
   test("streaming dedup drops repeats within the watermark") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
