@@ -269,6 +269,10 @@ object SeqQueries {
     "q196_holt_forecast" -> ((s, dir) =>
       canon(SeriesKernels.holtForecast(ev(s, dir), Seq("user_id"), "event_id",
         "value").toDF())),
+    // per-key OLS trend fit + residual z — integer-exact moments
+    "q198_trend_resid" -> ((s, dir) =>
+      canon(SeqOps.trendResiduals(ev(s, dir), Seq("user_id"), "event_id",
+        "value"))),
     // the streaming twin batch-executed (q100 pattern): same oracle gates
     // the flatMapGroupsWithState path itself
     "q197_holt_stream" -> ((s, dir) => {
@@ -540,6 +544,42 @@ object SeqQueries {
     // the STREAMING twin batch-executed (q100 pattern) — same oracle,
     // gating the flatMapGroupsWithState code path itself
     "q197_holt_stream" -> holtOracle,
+    // OLS trend residuals (SeqOps.trendResiduals): every regression moment
+    // is an order-exact integer sum of 6dp-quantized values (fixedPointLong
+    // pattern), so slope/intercept/std — and hence resid/score — replay
+    // bit-for-bit from the same fixed double expressions.
+    "q198_trend_resid" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id, value)::BIGINT AS rn,
+        |  (CASE WHEN value >= 0 THEN floor(value * 1000000.0 + 0.5)
+        |    ELSE -floor(-value * 1000000.0 + 0.5) END)::BIGINT AS v6
+        | FROM events),
+        |m AS (SELECT user_id, count(*)::BIGINT AS n, sum(rn)::BIGINT AS sr,
+        |  sum(v6)::BIGINT AS sv, sum(rn * v6)::BIGINT AS srv,
+        |  sum(rn * rn)::BIGINT AS srr
+        | FROM e GROUP BY user_id),
+        |f AS (SELECT e.user_id, e.event_id, e.value, e.rn, m.n, m.sr, m.sv,
+        |  CASE WHEN (n::DOUBLE * srr::DOUBLE - sr::DOUBLE * sr::DOUBLE) > 0
+        |   THEN (n::DOUBLE * (srv::DOUBLE / 1000000.0) - sr::DOUBLE * (sv::DOUBLE / 1000000.0))
+        |     / (n::DOUBLE * srr::DOUBLE - sr::DOUBLE * sr::DOUBLE)
+        |   ELSE 0.0 END AS slope
+        | FROM e JOIN m USING (user_id)),
+        |r AS (SELECT user_id, event_id, value, n,
+        |  value - (((sv::DOUBLE / 1000000.0) - slope * sr::DOUBLE) / n::DOUBLE
+        |    + slope * rn::DOUBLE) AS resid
+        | FROM f),
+        |r4 AS (SELECT *, (CASE WHEN resid >= 0 THEN floor(resid * 10000.0 + 0.5)
+        |   ELSE -floor(-resid * 10000.0 + 0.5) END)::BIGINT AS q
+        | FROM r),
+        |s AS (SELECT user_id, sum(q)::BIGINT AS s1, sum(q * q)::BIGINT AS s2
+        | FROM r4 GROUP BY user_id),
+        |z AS (SELECT r4.*, CASE WHEN n > 1
+        |   THEN sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1)) / 10000.0
+        |   ELSE 0.0 END AS std
+        | FROM r4 JOIN s USING (user_id))
+        |SELECT user_id, event_id, round(value, 4) AS value, round(resid, 4) AS resid,
+        | round(CASE WHEN std > 0 THEN abs(resid) / std ELSE 0.0 END, 4) AS score
+        |FROM z""".stripMargin.replace("\n", " "),
     "q86_osa_resid_stats" ->
       s"""WITH RECURSIVE $osaWalk,
          |last AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY rn DESC)

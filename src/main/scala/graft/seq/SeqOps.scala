@@ -421,6 +421,62 @@ object SeqOps {
     counts.withColumn("freq", col("cnt") / sum("cnt").over(kw))
   }
 
+  /** Per-key OLS trend-residual outlier scorer (engine addition): fit
+    * value ≈ a + b·rank by least squares over each key's whole series
+    * (rank = tie-broken row number — an equally-spaced time axis), then
+    * score = |residual| / residual sample std. The batch whole-series
+    * complement of the sequential forecasters: [[SeriesKernels.holtForecast]]
+    * tracks a drifting trend online; this fits ONE global trend and flags
+    * departures from it (calibration drifts, meter steps, level breaks).
+    *
+    * Determinism (the q116 fixedPointLong pattern): values quantize to
+    * 6dp longs so every regression moment (n, Σr, Σv, Σrv, Σr²) is an
+    * order-exact integer sum; slope/intercept/std derive from those exact
+    * integers through a fixed double expression the oracle replays
+    * bit-for-bit. Residual std uses 4dp-quantized integer sums
+    * (overflow-safe to ~10⁶ rows/key at |resid| ≤ 10⁴).
+    *
+    * Scale: ONE exchange per key — the row_number sort and every
+    * whole-partition sum share the same window lineage; no join, nothing
+    * driver-sized. */
+  def trendResiduals(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      valCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol), col(valCol))
+    val whole = Window.partitionBy(keyCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withMoments = data
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_v6", fixedPointLong(col(valCol), 6))
+      .withColumn("_n", count(lit(1)).over(whole))
+      .withColumn("_sr", sum(col("_rn")).over(whole))
+      .withColumn("_sv", sum(col("_v6")).over(whole))
+      .withColumn("_srv", sum(col("_rn") * col("_v6")).over(whole))
+      .withColumn("_srr", sum(col("_rn") * col("_rn")).over(whole))
+    val nb = col("_n").cast("double")
+    val sx = col("_sr").cast("double")
+    val sy = col("_sv").cast("double") / 1e6
+    val sxy = col("_srv").cast("double") / 1e6
+    val sxx = col("_srr").cast("double")
+    val den = nb * sxx - sx * sx
+    val slope = when(den > 0, (nb * sxy - sx * sy) / den).otherwise(lit(0.0))
+    val b0 = (sy - slope * sx) / nb
+    val withResid = withMoments.withColumn("_resid",
+        col(valCol) - (b0 + slope * col("_rn").cast("double")))
+      .withColumn("_r4", fixedPointLong(col("_resid"), 4))
+      .withColumn("_s1", sum(col("_r4")).over(whole))
+      .withColumn("_s2", sum(col("_r4") * col("_r4")).over(whole))
+    val s1 = col("_s1").cast("double")
+    val s2 = col("_s2").cast("double")
+    val std = when(col("_n") > 1,
+      sqrt((s2 - s1 * s1 / nb) / (nb - 1)) / 1e4).otherwise(lit(0.0))
+    withResid
+      .withColumn("resid", col("_resid"))
+      .withColumn("score",
+        when(std > 0, abs(col("_resid")) / std).otherwise(lit(0.0)))
+      .select((keyCols :+ seqCol :+ valCol :+ "resid" :+ "score").map(col): _*)
+  }
+
   /** Sessionization (gaps-and-islands): a new session starts when the gap
     * to the previous event of the same key exceeds `gapSec`; emits one row
     * per session with count / extent / value aggregates. Engine addition

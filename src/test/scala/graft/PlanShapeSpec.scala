@@ -23,6 +23,13 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("partial_avg") || p.contains("partial_"))
   }
 
+  test("trend residuals: one exchange feeds rank, moments and residual sums") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val p = plan("q198_trend_resid")
+    val shuffles = collectWithSubqueries(p) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.length == 1, s"expected 1 exchange, got ${shuffles.length}")
+  }
+
   test("est-prob scoring: histogram model join is broadcast") {
     val p = plan("q08_est_prob").toString
     assert(p.contains("BroadcastHashJoin"))

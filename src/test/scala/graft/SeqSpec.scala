@@ -155,6 +155,19 @@ class SeqSpec extends SparkSpec {
     }
   }
 
+  test("trend residuals: ramp fits clean, break point scores top, slope recovered") {
+    val rows = (0 until 100).map(i =>
+      ("k", i.toLong, 3.0 + 0.5 * i + (if (i == 70) 40.0 else 0.0)))
+    val out = SeqOps.trendResiduals(rows.toDF("k", "s", "v"), Seq("k"), "s", "v")
+      .collect().map(r => r.getAs[Long]("s") ->
+        ((r.getAs[Double]("resid"), r.getAs[Double]("score")))).toMap
+    val (spikeResid, spikeScore) = out(70L)
+    assert(spikeResid > 35.0 && spikeResid < 41.0) // ~40 minus the spike's own pull on the fit
+    assert(spikeScore == out.values.map(_._2).max, "break point is the top score")
+    // every clean point's residual is just the spike's leverage (small)
+    out.filterNot(_._1 == 70L).values.foreach { case (r, _) => assert(math.abs(r) < 2.0) }
+  }
+
   test("changepoint mean-shift flags an injected level shift") {
     val pts = (0 until 200).map(i => ("k", i.toLong, if (i < 100) 10.0 else 30.0))
       .toDF("k", "s", "v")
