@@ -269,6 +269,10 @@ object SeqQueries {
     "q196_holt_forecast" -> ((s, dir) =>
       canon(SeriesKernels.holtForecast(ev(s, dir), Seq("user_id"), "event_id",
         "value").toDF())),
+    // Hampel rolling-median/MAD outlier filter, 15-row centered frame
+    "q199_hampel" -> ((s, dir) =>
+      canon(SeqOps.hampel(ev(s, dir), Seq("user_id"), "event_id",
+        "value", halfWindow = 7, nSigmas = 3.0))),
     // per-key OLS trend fit + residual z — integer-exact moments
     "q198_trend_resid" -> ((s, dir) =>
       canon(SeqOps.trendResiduals(ev(s, dir), Seq("user_id"), "event_id",
@@ -544,6 +548,26 @@ object SeqQueries {
     // the STREAMING twin batch-executed (q100 pattern) — same oracle,
     // gating the flatMapGroupsWithState code path itself
     "q197_holt_stream" -> holtOracle,
+    // Hampel filter replay: the centered frame's sorted list median and
+    // MAD are exact element picks (odd frame — no averaging), so the
+    // score is a ratio of identically-chosen doubles in both engines.
+    "q199_hampel" ->
+      """WITH w AS (SELECT user_id, event_id, value,
+        |  list_sort(list(value) OVER win) AS arr,
+        |  count(*) OVER win AS cnt
+        | FROM events
+        | WINDOW win AS (PARTITION BY user_id ORDER BY event_id, value
+        |   ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING)),
+        |m AS (SELECT *, arr[8] AS med FROM w),
+        |d AS (SELECT *, list_sort(list_transform(arr, x -> abs(x - med)))[8] AS mad
+        | FROM m),
+        |sc AS (SELECT user_id, event_id, value, cnt,
+        |  CASE WHEN cnt = 15 AND mad > 0
+        |   THEN abs(value - med) / (1.4826 * mad) ELSE 0.0 END AS score
+        | FROM d)
+        |SELECT user_id, event_id, round(value, 4) AS value, round(score, 4) AS score,
+        | CASE WHEN cnt < 15 THEN 'I' WHEN score > 3.0 THEN 'O' ELSE 'N' END AS tag
+        |FROM sc""".stripMargin.replace("\n", " "),
     // OLS trend residuals (SeqOps.trendResiduals): every regression moment
     // is an order-exact integer sum of 6dp-quantized values (fixedPointLong
     // pattern), so slope/intercept/std — and hence resid/score — replay

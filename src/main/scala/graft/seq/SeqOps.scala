@@ -477,6 +477,47 @@ object SeqOps {
       .select((keyCols :+ seqCol :+ valCol :+ "resid" :+ "score").map(col): _*)
   }
 
+  /** Hampel filter (engine addition): rolling-median/MAD outlier scorer —
+    * the robust sibling of the mean/σ window scorers. For each row, the
+    * centered (2·halfWindow+1)-row frame's median m and MAD (median of
+    * |x−m|); score = |x−m| / (1.4826·MAD), tag O above `nSigmas`. Robust
+    * where [[scoreLevelShift]]-style mean windows are poisoned by the
+    * outliers they are meant to find. Rows without a full frame (series
+    * edges) score 0 / tag I, keeping row count = input.
+    *
+    * Exact medians, not approx: the frame is materialized per row with
+    * `collect_list` over the window and sorted — O(w log w) per row,
+    * bounded by the frame, spillable, and deterministic (odd frame →
+    * the median IS an element; no averaging, so both engines pick the
+    * identical double and the score replays bit-for-bit).
+    *
+    * Scale: one exchange+sort per key (the same window lineage as every
+    * op here); per-row cost w log w with w a user constant — at 100 TB
+    * the frame is what bounds memory, not the series. */
+  def hampel(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      valCol: String, halfWindow: Int, nSigmas: Double = 3.0): DataFrame = {
+    val frame = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol), col(valCol))
+      .rowsBetween(-halfWindow, halfWindow)
+    val full = 2 * halfWindow + 1
+    val arr = array_sort(collect_list(col(valCol)).over(frame))
+    val df = data
+      .withColumn("_arr", arr)
+      .withColumn("_cnt", count(lit(1)).over(frame))
+      .withColumn("_med", element_at(col("_arr"), halfWindow + 1))
+      .withColumn("_mad", element_at(
+        array_sort(transform(col("_arr"), e => abs(e - col("_med")))),
+        halfWindow + 1))
+    df.withColumn("score",
+        when(col("_cnt") === full && col("_mad") > 0,
+          abs(col(valCol) - col("_med")) / (lit(1.4826) * col("_mad")))
+          .otherwise(lit(0.0)))
+      .withColumn("tag",
+        when(col("_cnt") < full, lit("I"))
+          .when(col("score") > nSigmas, lit("O")).otherwise(lit("N")))
+      .select((keyCols :+ seqCol :+ valCol :+ "score" :+ "tag").map(col): _*)
+  }
+
   /** Sessionization (gaps-and-islands): a new session starts when the gap
     * to the previous event of the same key exceeds `gapSec`; emits one row
     * per session with count / extent / value aggregates. Engine addition

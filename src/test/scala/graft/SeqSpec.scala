@@ -155,6 +155,19 @@ class SeqSpec extends SparkSpec {
     }
   }
 
+  test("hampel: spike tagged O, neighbors stay N (median unpoisoned), edges I") {
+    val rows = (0 until 60).map(i =>
+      ("k", i.toLong, 10.0 + (i % 5) * 0.3 + (if (i == 30) 100.0 else 0.0)))
+    val out = SeqOps.hampel(rows.toDF("k", "s", "v"), Seq("k"), "s", "v",
+      halfWindow = 7, nSigmas = 3.0)
+      .collect().map(r => r.getAs[Long]("s") -> r.getAs[String]("tag")).toMap
+    assert(out(30L) == "O")
+    // the spike sits inside its neighbors' frames, but the MEDIAN ignores
+    // it — the robustness a mean/σ window doesn't have
+    ((23 until 30) ++ (31 until 38)).foreach(i => assert(out(i.toLong) == "N", s"i=$i"))
+    (0 until 7).foreach(i => assert(out(i.toLong) == "I", s"edge $i"))
+  }
+
   test("trend residuals: ramp fits clean, break point scores top, slope recovered") {
     val rows = (0 until 100).map(i =>
       ("k", i.toLong, 3.0 + 0.5 * i + (if (i == 70) 40.0 else 0.0)))
