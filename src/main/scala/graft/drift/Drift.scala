@@ -378,6 +378,65 @@ object Drift {
       .withColumn("drifted", col("psi") > threshold)
   }
 
+  /** Benford expected first-digit frequencies p_d = log10(1 + 1/d),
+    * d = 1..9 — computed once here and interpolated into the oracle SQL
+    * as decimal literals, so both engines use the bit-identical constant
+    * (no cross-engine log10 in either hot path). */
+  val benfordExpected: IndexedSeq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** Benford first-significant-digit conformity test (engine addition;
+    * the fraud-audit standard after Nigrini, "Benford's Law", Wiley
+    * 2012): per key, the observed first-digit distribution of |value|
+    * vs p_d = log10(1+1/d); emits n, χ² = n·Σ_d (obs_d−p_d)²/p_d, the
+    * mean absolute deviation Σ|obs−p|/9, and a nonconforming flag
+    * (χ² > `chi2Crit`, default the df=8 α=0.05 critical value 15.507).
+    * Fabricated or re-scaled numeric feeds break Benford long before
+    * their summary stats move — a corpus-screening complement to the
+    * distribution-drift family above.
+    *
+    * Determinism: the first digit comes from a fixed threshold chain
+    * (no log10 on data — IEEE divide+floor both engines compute
+    * identically); per-digit counts are exact integers; χ²/MAD are
+    * fixed left-associated 9-term expressions over count/n ratios, so
+    * the oracle replays them bit-for-bit. |value| outside [1e-3, 1e6)
+    * and zero/null are excluded.
+    *
+    * Scale: one hash aggregate (9 conditional counts), map-side
+    * combined; output is key-sized. */
+  def benford(data: DataFrame, keyCols: Seq[String], valCol: String,
+      chi2Crit: Double = 15.507): DataFrame = {
+    val v = abs(col(valCol).cast("double"))
+    val d = when(v >= 100000, floor(v / 100000))
+      .when(v >= 10000, floor(v / 10000))
+      .when(v >= 1000, floor(v / 1000))
+      .when(v >= 100, floor(v / 100))
+      .when(v >= 10, floor(v / 10))
+      .when(v >= 1, floor(v))
+      .when(v >= 0.1, floor(v * 10))
+      .when(v >= 0.01, floor(v * 100))
+      .when(v >= 0.001, floor(v * 1000))
+    val withD = data.where(col(valCol).isNotNull)
+      .withColumn("_d", d).where(col("_d").isNotNull)
+    val aggs = (1 to 9).map(i => count(when(col("_d") === i, 1)).as(s"_c$i"))
+    val g = withD.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("n", (1 to 9).map(i => col(s"_c$i")).reduce(_ + _))
+    val nb = col("n").cast("double")
+    def obs(i: Int) = col(s"_c$i").cast("double") / nb
+    val chi = (1 to 9).map { i =>
+      val p = benfordExpected(i - 1)
+      (obs(i) - p) * (obs(i) - p) / p
+    }.reduce(_ + _) * nb
+    val mad = (1 to 9).map(i => abs(obs(i) - benfordExpected(i - 1)))
+      .reduce(_ + _) / 9
+    g.withColumn("chi2", chi)
+      .withColumn("madStat", mad)
+      .withColumn("nonconforming", col("chi2") > chi2Crit)
+      .select((keyCols :+ "n" :+ "chi2" :+ "madStat" :+ "nonconforming")
+        .map(col): _*)
+  }
+
   /** Per-key reference model for the streaming PSI twin
     * ([[graft.streaming.StreamScorers.psiStream]]): edges + bin counts +
     * total, collected driver-side (keys × nBins longs — model-sized). */

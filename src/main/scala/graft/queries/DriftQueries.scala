@@ -17,6 +17,11 @@ object DriftQueries {
       .select("event_type", "event_id", "err", "value")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benford first-digit conformity per event_type (one hash agg;
+    // χ²/MAD from fixed left-associated 9-term expressions)
+    "q200_benford" -> ((s, dir) =>
+      canon(graft.drift.Drift.benford(table(s, dir, "events"),
+        Seq("event_type"), "value"))),
     // PSI between the even-id half (reference) and the odd-id half with
     // a 1.25× value shift (induced drift): Laplace-smoothed bin shares,
     // 6dp fixed-point term sums — ln parity is the only float
@@ -395,7 +400,42 @@ object DriftQueries {
        | FROM c6 GROUP BY 1)""".stripMargin
   }
 
+  // Benford replay: identical threshold-chain digit extraction, count
+  // FILTER pivots, and the same left-associated χ²/MAD chains with the
+  // p_d constants interpolated from Drift.benfordExpected (decimal
+  // round-trip → bit-identical doubles in both engines).
+  private lazy val benfordOracle: String = {
+    val p = graft.drift.Drift.benfordExpected
+    def obs(i: Int) = s"(c$i::DOUBLE / n::DOUBLE)"
+    val chi = (1 to 9).map(i =>
+      s"(${obs(i)} - ${p(i - 1)}) * (${obs(i)} - ${p(i - 1)}) / ${p(i - 1)}")
+      .mkString(" + ")
+    val mad = (1 to 9).map(i => s"abs(${obs(i)} - ${p(i - 1)})").mkString(" + ")
+    s"""WITH e AS (SELECT event_type, abs(value) AS v FROM events
+       |  WHERE value IS NOT NULL),
+       |d AS (SELECT event_type, CASE
+       |  WHEN v >= 100000 THEN floor(v / 100000)
+       |  WHEN v >= 10000 THEN floor(v / 10000)
+       |  WHEN v >= 1000 THEN floor(v / 1000)
+       |  WHEN v >= 100 THEN floor(v / 100)
+       |  WHEN v >= 10 THEN floor(v / 10)
+       |  WHEN v >= 1 THEN floor(v)
+       |  WHEN v >= 0.1 THEN floor(v * 10)
+       |  WHEN v >= 0.01 THEN floor(v * 100)
+       |  WHEN v >= 0.001 THEN floor(v * 1000) END AS dg
+       | FROM e),
+       |c AS (SELECT event_type,
+       |  ${(1 to 9).map(i => s"count(*) FILTER (WHERE dg = $i) AS c$i").mkString(", ")}
+       | FROM d WHERE dg IS NOT NULL GROUP BY event_type),
+       |g AS (SELECT *, ${(1 to 9).map(i => s"c$i").mkString(" + ")} AS n FROM c)
+       |SELECT event_type, n, round(($chi) * n::DOUBLE, 4) AS chi2,
+       | round(($mad) / 9, 4) AS madStat,
+       | (($chi) * n::DOUBLE) > 15.507 AS nonconforming
+       |FROM g""".stripMargin.replace("\n", " ")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q200_benford" -> benfordOracle,
     "q189_psi" ->
       s"""WITH $psiCtes
          |SELECT event_type, round(psi, 4) AS psi, psi > 0.2 AS drifted

@@ -187,6 +187,20 @@ class Round8Spec extends SparkSpec {
     assert(out.getAs[Boolean]("drifted"))
   }
 
+  test("benford: log-uniform sample conforms, uniform sample is flagged") {
+    import graft.drift.Drift
+    // 10^u with u uniform on [0,3) is exactly Benford-distributed
+    val logu = (0 until 4000).map(i => ("b", math.pow(10.0, (i % 1000) * 3.0 / 1000)))
+    val unif = (0 until 4000).map(i => ("u", 100.0 + (i % 800)))
+    val out = Drift.benford((logu ++ unif).toDF("k", "value"), Seq("k"), "value")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(!out("b").getAs[Boolean]("nonconforming"),
+      s"chi2=${out("b").getAs[Double]("chi2")}")
+    assert(out("u").getAs[Boolean]("nonconforming"))
+    assert(out("u").getAs[Double]("madStat") > out("b").getAs[Double]("madStat"))
+    assert(out("b").getAs[Long]("n") == 4000)
+  }
+
   test("cellKnn LOF matches exact LOF on clusterable data") {
     import graft.multi.Proximity
     // 3 tight blobs (30 pts each) + one genuine outlier between them:
