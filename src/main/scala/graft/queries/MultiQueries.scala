@@ -29,7 +29,23 @@ object MultiQueries {
     Blocked.knn(emb(s, dir).select("vec_id", "embedding"), "vec_id", "embedding",
       k = 5).select("src", "trg", "dist", "rank")
 
+  /** The bipartite user↔event_type graph (both directions, so no node is
+    * dangling) — the corpus-graph construction the graph family runs on. */
+  private def bipartite(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val u2t = e.select(concat(lit("u:"), col("user_id").cast("string")).as("src"),
+      concat(lit("t:"), col("event_type")).as("dst"))
+    u2t.union(u2t.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // integer fixed-point PageRank, 5 unrolled iterations in the oracle;
+    // rank12 longs hash-compare exactly (no float tolerance)
+    "q201_pagerank" -> ((s, dir) =>
+      canon(graft.graph.Graph.pageRank(bipartite(s, dir), "src", "dst",
+        iters = 5))),
+    "q202_degrees" -> ((s, dir) =>
+      canon(graft.graph.Graph.degrees(bipartite(s, dir), "src", "dst"))),
     "q36_outlier_counter" -> ((s, dir) =>
       canon(PostOps.outlierCounter(StatQueries.zscored(s, dir), Seq("event_type")))),
     "q37_hierarchy_rollup" -> ((s, dir) =>
@@ -354,7 +370,57 @@ object MultiQueries {
       .stripMargin).replace("\n", " ")
   }
 
+  // Both-direction bipartite edge set shared by the graph-family oracles.
+  private val bipartiteSql =
+    """eb AS (SELECT 'u:' || user_id::VARCHAR AS src, 't:' || event_type AS dst
+      |  FROM events),
+      |edges AS (SELECT DISTINCT src, dst FROM
+      |  (SELECT src, dst FROM eb UNION ALL SELECT dst AS src, src AS dst FROM eb))"""
+      .stripMargin.replace("\n", " ")
+
+  // PageRank replay: 5 unrolled iterations of the identical integer
+  // arithmetic (rank12 longs at 10¹² scale; contributions r // outdeg,
+  // update teleport + (85·S) // 100) — the hash compare is exact on the
+  // longs, no float tolerance anywhere.
+  private lazy val pageRankOracle: String = {
+    val iters = 5
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT nodes.node,
+         |  ((15 * 1000000000000) // (100 * nn.n)
+         |    + (85 * coalesce(m.s, 0)) // 100)::BIGINT AS r
+         | FROM nodes CROSS JOIN nn LEFT JOIN (
+         |   SELECT e.dst AS node, sum(p.r // d.od)::BIGINT AS s
+         |   FROM edges e JOIN r${i - 1} p ON e.src = p.node
+         |   JOIN deg d ON d.src = e.src
+         |   GROUP BY e.dst) m ON m.node = nodes.node)""".stripMargin
+        .replace("\n", " ")
+    }
+    s"""WITH $bipartiteSql,
+       |deg AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |r0 AS (SELECT node, (1000000000000 // n)::BIGINT AS r
+       |  FROM nodes CROSS JOIN nn),
+       |${steps.mkString(", ")}
+       |SELECT node, r AS rank12,
+       | round(r::DOUBLE / 1000000000000.0, 4) AS rank
+       |FROM r$iters""".stripMargin.replace("\n", " ")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q201_pagerank" -> pageRankOracle,
+    "q202_degrees" ->
+      s"""WITH $bipartiteSql,
+         |o AS (SELECT src AS node, count(*)::BIGINT AS outDeg
+         |  FROM edges GROUP BY src),
+         |i AS (SELECT dst AS node, count(*)::BIGINT AS inDeg
+         |  FROM edges GROUP BY dst)
+         |SELECT coalesce(o.node, i.node) AS node,
+         | coalesce(outDeg, 0)::BIGINT AS outDeg,
+         | coalesce(inDeg, 0)::BIGINT AS inDeg,
+         | coalesce(outDeg, 0) = 0 AS dangling
+         |FROM o FULL OUTER JOIN i ON o.node = i.node""".stripMargin
+        .replace("\n", " "),
     "q182_dbscan" -> {
       val w = "PARTITION BY event_type ORDER BY value, event_id"
       val coreStruct = "CASE WHEN is_core THEN {'v': value, 'c': _cl} END"
