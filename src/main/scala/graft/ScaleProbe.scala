@@ -432,6 +432,31 @@ object ScaleProbe {
         text.TextOps.logRegFit(feat, Seq("f0", "f1"), "y",
           iters = 5, lr = 0.5).count()
       }
+      // round-8c additions: sequential forecasters + robust window +
+      // regression scorer (all per-key — corpus growth adds keys, so
+      // these should scale ~linearly), and the iterative graph op
+      // (corpus growth adds nodes AND edges; per-iteration cost is one
+      // join + one agg over the edge table)
+      time("holt_forecast", n, nEv) {
+        seq.SeriesKernels.holtForecast(ev, Seq("user_id"), "event_id",
+          "value").count()
+      }
+      time("trend_resid", n, nEv) {
+        seq.SeqOps.trendResiduals(ev, Seq("user_id"), "event_id",
+          "value").count()
+      }
+      time("hampel", n, nEv) {
+        seq.SeqOps.hampel(ev, Seq("user_id"), "event_id", "value",
+          halfWindow = 7).count()
+      }
+      time("pagerank", n, nEv) {
+        val u2t = ev.select(
+          concat(lit("u:"), col("user_id").cast("string")).as("src"),
+          concat(lit("t:"), col("event_type")).as("dst"))
+        val both = u2t.union(u2t.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct()
+        graph.Graph.pageRank(both, "src", "dst", iters = 5).count()
+      }
     }
     spark.stop()
   }
