@@ -46,6 +46,26 @@ object MultiQueries {
         iters = 5))),
     "q202_degrees" -> ((s, dir) =>
       canon(graft.graph.Graph.degrees(bipartite(s, dir), "src", "dst"))),
+    // personalized PageRank from the event_type side as the seed set —
+    // the "seed corpus + expand" curation shape
+    "q203_ppr" -> ((s, dir) => {
+      val seeds = bipartite(s, dir).select(col("src").as("node"))
+        .where(col("node").startsWith("t:")).distinct()
+      canon(graft.graph.Graph.personalizedPageRank(bipartite(s, dir),
+        "src", "dst", seeds, iters = 5))
+    }),
+    // per-node triangle count over the consecutive-user adjacency graph
+    // (the bipartite graph is triangle-free by construction; this edge
+    // set exercises the wedge join for real — the global-order lead() is
+    // test-fixture construction, not the operator)
+    "q204_triangles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = ev(s, dir).select(col("user_id").cast("string").as("a"),
+        lead(col("user_id").cast("string"), 1)
+          .over(Window.orderBy("event_id")).as("b"))
+        .where(col("b").isNotNull && col("a") =!= col("b"))
+      canon(graft.graph.Graph.triangles(e, "a", "b"))
+    }),
     "q36_outlier_counter" -> ((s, dir) =>
       canon(PostOps.outlierCounter(StatQueries.zscored(s, dir), Seq("event_type")))),
     "q37_hierarchy_rollup" -> ((s, dir) =>
@@ -407,8 +427,56 @@ object MultiQueries {
        |FROM r$iters""".stripMargin.replace("\n", " ")
   }
 
+  // Personalized-PageRank replay: same integer arithmetic as
+  // pageRankOracle with the teleport confined to seed nodes (the t: side
+  // of the bipartite graph); seed count feeds the constants.
+  private lazy val pprOracle: String = {
+    val iters = 5
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT nodes.node,
+         |  (CASE WHEN nodes.node LIKE 't:%'
+         |     THEN (15 * 1000000000000) // (100 * ns.k) ELSE 0 END
+         |    + (85 * coalesce(m.s, 0)) // 100)::BIGINT AS r
+         | FROM nodes CROSS JOIN ns LEFT JOIN (
+         |   SELECT e.dst AS node, sum(p.r // d.od)::BIGINT AS s
+         |   FROM edges e JOIN r${i - 1} p ON e.src = p.node
+         |   JOIN deg d ON d.src = e.src
+         |   GROUP BY e.dst) m ON m.node = nodes.node)""".stripMargin
+        .replace("\n", " ")
+    }
+    s"""WITH $bipartiteSql,
+       |deg AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |ns AS (SELECT count(*)::BIGINT AS k FROM nodes WHERE node LIKE 't:%'),
+       |r0 AS (SELECT node, (CASE WHEN node LIKE 't:%'
+       |    THEN 1000000000000 // k ELSE 0 END)::BIGINT AS r
+       |  FROM nodes CROSS JOIN ns),
+       |${steps.mkString(", ")}
+       |SELECT node, r AS rank12,
+       | round(r::DOUBLE / 1000000000000.0, 4) AS rank
+       |FROM r$iters""".stripMargin.replace("\n", " ")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q201_pagerank" -> pageRankOracle,
+    "q203_ppr" -> pprOracle,
+    // triangle replay: canonical a<b edges from the consecutive-user
+    // chain; each triangle x<y<z enumerated exactly once as
+    // (x,y)+(y,z)+(x,z), then each corner credited — exact integers
+    "q204_triangles" ->
+      """WITH ch AS (SELECT user_id::VARCHAR AS a,
+        |  lead(user_id::VARCHAR) OVER (ORDER BY event_id) AS b FROM events),
+        |und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        | FROM ch WHERE b IS NOT NULL AND a <> b),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        | FROM und e1 JOIN und e2 ON e2.a = e1.b
+        | JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |credit AS (SELECT x AS node FROM tri UNION ALL
+        | SELECT y FROM tri UNION ALL SELECT z FROM tri),
+        |nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und)
+        |SELECT n.node, count(c.node)::BIGINT AS triangles
+        |FROM nodes n LEFT JOIN credit c ON c.node = n.node
+        |GROUP BY n.node""".stripMargin.replace("\n", " "),
     "q202_degrees" ->
       s"""WITH $bipartiteSql,
          |o AS (SELECT src AS node, count(*)::BIGINT AS outDeg

@@ -33,6 +33,35 @@ class GraphSpec extends SparkSpec {
     assert(out("a") > out("b"), "a gets d's feed on top of the cycle")
   }
 
+  test("personalized pagerank: mass decays with distance from the seed") {
+    // undirected chain s - a - b - c, seed {s}
+    val und = Seq(("s", "a"), ("a", "b"), ("b", "c"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("s").toDF("node")
+    val out = Graph.personalizedPageRank(edges, "src", "dst", seeds, iters = 20)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("rank12")).toMap
+    // note s itself need not top the list: a degree-1 seed funnels ALL
+    // its mass to its neighbor (r_a ≈ 1.19·r_s in the fixed point) — the
+    // guaranteed shape is decay AWAY from the seed's neighborhood
+    assert(out("a") > out("b") && out("b") > out("c"))
+    assert(out("s") > out("b"), "seed outranks everything past its neighbor")
+    assert(out("c") > 0L, "mass reaches the far end")
+    assert(out("s") + out("a") > out("b") + out("c"),
+      "mass concentrates in the seed neighborhood (65/35 in the fixed point)")
+  }
+
+  test("triangles: K4 corners carry 3 each, a pendant and a square carry 0") {
+    val k4 = for (a <- Seq("1", "2", "3", "4"); b <- Seq("1", "2", "3", "4")
+      if a < b) yield (a, b)
+    val square = Seq(("p", "q"), ("q", "r"), ("r", "t"), ("t", "p"))
+    val edges = (k4 ++ square :+ ("4", "pend")).toDF("a", "b")
+    val out = Graph.triangles(edges, "a", "b")
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("triangles")).toMap
+    Seq("1", "2", "3", "4").foreach(v => assert(out(v) == 3L, s"corner $v"))
+    (square.flatMap(e => Seq(e._1, e._2)).distinct :+ "pend")
+      .foreach(v => assert(out(v) == 0L, s"node $v"))
+  }
+
   test("degrees: out/in counts and the dangling flag") {
     val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
     val out = Graph.degrees(edges, "src", "dst")
