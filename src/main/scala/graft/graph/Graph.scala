@@ -172,4 +172,272 @@ object Graph {
       .withColumn("inDeg", coalesce(col("inDeg"), lit(0L)))
       .withColumn("dangling", col("outDeg") === 0L)
   }
+
+  /** Canonical undirected both-direction edge set: self-loops dropped,
+    * duplicates collapsed, every surviving {a,b} present as both
+    * (a→b) and (b→a) — the layout the undirected ops below share so a
+    * node's full neighborhood is reachable from one src-keyed join. */
+  private def undirectedBoth(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges.select(col(srcCol).cast("string").as("a"),
+      col(dstCol).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
+    und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — the cheap
+    * community detector web-corpus pipelines use to group hosts before
+    * per-community sampling quotas. Every node starts labeled with its
+    * own id; each round it adopts the most frequent label among its
+    * neighbors, ties broken toward the smallest label — that tie rule
+    * (plus synchronous updates and a fixed round count) makes the run
+    * fully deterministic, so the oracle replays it as `iters` chained
+    * SQL stages and hash-compares labels exactly.
+    *
+    * Scale: per round one equi-join of the node-sized label frame into
+    * the src-partitioned persisted edge cache, then two hash aggregates
+    * ((node,label) counts → per-node arg-max via min-struct). Label
+    * state never exceeds node size; the edge cache never re-shuffles. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    val e = undirectedBoth(edges, srcCol, dstCol)
+      .repartition(col("src")).persist()
+    val nodes = e.select(col("src").as("node")).distinct().persist()
+    var labels = nodes.withColumn("label", col("node"))
+    (1 to iters).foreach { _ =>
+      val best = e.join(labels, e("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+        .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+        // arg-max with min-label tie-break: lexicographic min over
+        // (-count, label) — the same struct-min both engines order
+        // field-by-field
+        .groupBy("node")
+        .agg(min(struct((-col("cnt")).as("c"), col("label").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("label"))
+      labels = nodes.join(best, Seq("node"), "left")
+        .withColumn("label", coalesce(col("label"), col("node")))
+    }
+    labels
+  }
+
+  /** Modularity of a node labeling over the undirected graph:
+    * Q = Σ_c [ e_c/m − (d_c/2m)² ] with e_c = intra-community edges,
+    * d_c = total degree of community c, m = undirected edge count — the
+    * standard "did label propagation find real structure" check (Q≈0:
+    * random; Q≳0.3: community structure). Every sum is an exact integer
+    * (edge and degree counts); only the final expression is float, so
+    * the oracle replays it bit-for-bit. One row out. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame): DataFrame = {
+    val und = edges.select(col(srcCol).cast("string").as("a"),
+      col(dstCol).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct().persist()
+    val lab = labels.select(col("node"), col("label"))
+    val la = lab.withColumnRenamed("node", "a").withColumnRenamed("label", "la")
+    val lb = lab.withColumnRenamed("node", "b").withColumnRenamed("label", "lb")
+    val perC = und.join(la, "a").join(lb, "b")
+      .withColumn("label", col("la"))
+      .groupBy("label")
+      .agg(sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("ec"))
+    val degC = undirectedBoth(edges.select(col(srcCol), col(dstCol)),
+        srcCol, dstCol)
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .join(lab, "node").groupBy("label").agg(sum("d").as("dc"))
+    val m = und.agg(count(lit(1)).as("m"))
+    // Q = (Σ e_c)/m − (Σ d_c²)/(4m²): both numerator sums are exact
+    // integers, so the only float work is the final fixed expression —
+    // no order-nondeterministic double sum over communities.
+    degC.join(perC, Seq("label"), "left")
+      .withColumn("ec", coalesce(col("ec"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .agg(max(col("m")).as("m_edges"),
+        count(lit(1)).as("n_communities"),
+        sum(col("ec")).as("sec"),
+        sum(col("dc") * col("dc")).as("sdc2"))
+      .select(col("m_edges"), col("n_communities"),
+        (col("sec").cast("double") / col("m_edges")
+          - col("sdc2").cast("double")
+            / (lit(4.0) * col("m_edges") * col("m_edges"))).as("q"))
+  }
+
+  /** HITS hubs/authorities (Kleinberg 1999) over the directed edge set —
+    * the complementary link signal to [[pageRank]]: directory/index
+    * pages score as hubs, canonical content as authorities; corpus
+    * pipelines use the authority score to prefer primary sources over
+    * link farms. Integer fixed-point at 10⁶: each half-step sums exact
+    * longs and renormalizes by the max via integer division
+    * (v·10⁶ div max), so every engine replays identical longs — the
+    * oracle chains 2·iters SQL stages and hash-compares exactly.
+    *
+    * Scale: per half-step one node-sized join into the persisted edge
+    * cache + one hash aggregate, then a scalar max action over the
+    * persisted node-sized sums (the same driver-scalar shape as
+    * [[pageRank]]'s N count — materializing each half-step keeps the
+    * iterative lineage linear; an in-plan 1-row crossJoin would
+    * re-reference each step twice and grow the lazy plan ~4× per
+    * iteration). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    var hub = nodes.withColumn("h", lit(scale))
+    var auth = nodes.withColumn("a", lit(0L))
+    def halfStep(state: DataFrame, valCol: String, joinOn: String,
+        outKey: String, outCol: String): DataFrame = {
+      val raw = nodes.join(
+        e.join(state, e(joinOn) === state("node"))
+          .groupBy(col(outKey).as("node")).agg(sum(valCol).as("s")),
+        Seq("node"), "left")
+        .withColumn("s", coalesce(col("s"), lit(0L)))
+        .persist()
+      val mx = math.max(1L,
+        raw.agg(max("s")).collect()(0).getLong(0)) // scalar: renorm divisor
+      val out = raw.select(col("node"), expr(s"(s * $scale) div $mx").as(outCol))
+      out
+    }
+    (1 to iters).foreach { _ =>
+      auth = halfStep(hub, "h", "src", "dst", "a")
+      hub = halfStep(auth, "a", "dst", "src", "h")
+    }
+    hub.join(auth, "node")
+      .select(col("node"), col("h").as("hub6"), col("a").as("auth6"),
+        (col("h").cast("double") / scale).as("hub"),
+        (col("a").cast("double") / scale).as("auth"))
+  }
+
+  /** k-core peeling: `rounds` synchronous rounds of "drop every node
+    * whose degree within the surviving set is < k" — the standard
+    * degeneracy screen (spam rings and scraped link farms concentrate in
+    * shallow cores; organic communities survive deep ones). A node's
+    * `peel_round` is the round that removed it (-1 = still alive after
+    * `rounds`); with rounds ≥ the peel depth the survivors are exactly
+    * the k-core. Fixed `rounds` keeps the run (and the chained-CTE
+    * oracle replay) deterministic with no data-dependent loop.
+    *
+    * Scale: per round one src-keyed join of the node-sized alive set
+    * into the persisted edge cache (both-direction layout, so one join
+    * covers the neighborhood) + a semi-join filter on dst + one count
+    * aggregate. Alive-set lineage is node-sized; rounds is a user
+    * constant. */
+  def kcore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int = 3): DataFrame = {
+    val e = undirectedBoth(edges, srcCol, dstCol)
+      .repartition(col("src")).persist()
+    val nodes = e.select(col("src").as("node")).distinct().persist()
+    var state = nodes.withColumn("peel_round", lit(-1L))
+    (1 to rounds).foreach { i =>
+      val alive = state.where(col("peel_round") === -1L).select("node")
+      val deg = e.join(alive.withColumnRenamed("node", "src"), "src")
+        .join(alive.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      state = state.join(deg, Seq("node"), "left")
+        .withColumn("peel_round",
+          when(col("peel_round") =!= -1L, col("peel_round"))
+            .when(coalesce(col("d"), lit(0L)) < k, lit(i.toLong))
+            .otherwise(lit(-1L)))
+        .select("node", "peel_round")
+        // each round reads the previous state three times (carry +
+        // both endpoint filters) — persisting the node-sized state
+        // keeps the iterative lineage linear instead of 3×/round
+        .persist()
+    }
+    val aliveFinal = state.where(col("peel_round") === -1L).select("node")
+    val coreDeg = e
+      .join(aliveFinal.withColumnRenamed("node", "src"), "src")
+      .join(aliveFinal.withColumnRenamed("node", "dst"), "dst")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+    state.join(coreDeg, Seq("node"), "left")
+      .withColumn("core_deg",
+        when(col("peel_round") === -1L, coalesce(col("core_deg"), lit(0L)))
+          .otherwise(lit(0L)))
+      .withColumn("alive", col("peel_round") === -1L)
+  }
+
+  /** Link prediction over the undirected graph: for every two-hop pair
+    * (a,b) not already an edge, the three classic scores — common
+    * neighbors, Jaccard |N∩|/|N∪|, Adamic–Adar Σ 1/ln(deg(w)) — the
+    * "which near-dup clusters are about to merge / which hosts belong
+    * together" primitive for corpus-graph curation.
+    *
+    * Determinism: CN and degrees are exact integers; Jaccard is one
+    * integer division (bit-identical cross-engine); Adamic–Adar terms
+    * are 6dp fixed-point longs (wedge middles have deg ≥ 2 so ln > 0)
+    * summed order-exactly — the ln-parity assumption the NB/LM family
+    * already carries.
+    *
+    * Scale: the wedge join is Σ deg(w)² on middle nodes — `maxDeg`
+    * drops hub middles above the cap (the link-prediction analogue of
+    * the LSH hot-bucket cap; hubs contribute ~0 Adamic–Adar signal per
+    * pair anyway). Work is then Σ min(deg, maxDeg)², and the final
+    * anti-join against the edge set removes existing edges. */
+  def linkPredict(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDeg: Int = 10000): DataFrame = {
+    val e = undirectedBoth(edges, srcCol, dstCol).persist()
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val mid = e.join(deg.withColumnRenamed("node", "src"), "src")
+      .where(col("d") <= maxDeg)
+    val wedges = mid.as("e1").join(mid.as("e2"),
+      col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("a"), col("e2.dst").as("b"),
+        col("e1.d").as("dw"))
+    val scored = wedges
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"),
+        sum(graft.core.fixedPointLong(lit(1.0) / log(col("dw").cast("double")), 6))
+          .as("aa6"))
+    val da = deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da")
+    val db = deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db")
+    scored
+      .join(e.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"),
+        "left_anti")
+      .join(da, "a").join(db, "b")
+      .withColumn("jaccard",
+        col("cn").cast("double") / (col("da") + col("db") - col("cn")))
+      .withColumn("adamic_adar", col("aa6").cast("double") / 1e6)
+      .select("a", "b", "cn", "da", "db", "jaccard", "adamic_adar")
+  }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over undirected edges — one scalar telling whether
+    * the graph is hub-attached (r<0, scraped/star-shaped link farms) or
+    * peer-attached (r>0, organic communities); a corpus-graph health
+    * number next to [[degrees]]. Endpoint degrees are exact integers, so
+    * all five moments (M, Σjk, Σ(j+k), Σ(j²+k²)) accumulate as exact
+    * longs; only the final correlation expression is float — replayed
+    * bit-for-bit by the oracle. One aggregate over the edge list. */
+  def assortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges.select(col(srcCol).cast("string").as("a"),
+      col(dstCol).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
+    val deg = undirectedBoth(edges, srcCol, dstCol)
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val da = deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da")
+    val db = deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db")
+    val m = und.join(da, "a").join(db, "b")
+      .agg(count(lit(1)).as("m"),
+        sum(col("da") * col("db")).as("sjk"),
+        sum(col("da") + col("db")).as("sj"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("sjj"))
+    val mean = col("sj").cast("double") / (lit(2.0) * col("m"))
+    // degree-regular graphs have zero variance — correlation undefined,
+    // NULL out instead of dividing by zero (ANSI mode would throw)
+    m.select(col("m"), mean.as("mean"),
+        (col("sjk").cast("double") / col("m") - mean * mean).as("num"),
+        (col("sjj").cast("double") / (lit(2.0) * col("m")) - mean * mean)
+          .as("den"))
+      .select(col("m"),
+        when(col("den") =!= 0.0, col("num") / col("den")).as("assortativity"))
+  }
 }

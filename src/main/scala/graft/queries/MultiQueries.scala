@@ -38,6 +38,31 @@ object MultiQueries {
     u2t.union(u2t.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
+  /** Consecutive-user co-occurrence pairs kept only above a repeat
+    * threshold — the SPARSE user–user graph the undirected graph ops run
+    * on (the unthresholded chain is near-complete at test scale; the
+    * global-order lead() is test-fixture construction, as in q204). */
+  private def chainPairs(s: SparkSession, dir: String, minCount: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(s, dir).select(col("user_id").cast("string").as("ua"),
+      lead(col("user_id").cast("string"), 1)
+        .over(Window.orderBy("event_id")).as("ub"))
+      .where(col("ub").isNotNull && col("ua") =!= col("ub"))
+    e.select(least(col("ua"), col("ub")).as("a"),
+        greatest(col("ua"), col("ub")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount).select("a", "b")
+  }
+
+  /** Directed consecutive-user edges (order preserved) for [[q206]] HITS. */
+  private def chainDirected(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ev(s, dir).select(col("user_id").cast("string").as("a"),
+      lead(col("user_id").cast("string"), 1)
+        .over(Window.orderBy("event_id")).as("b"))
+      .where(col("b").isNotNull && col("a") =!= col("b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // integer fixed-point PageRank, 5 unrolled iterations in the oracle;
     // rank12 longs hash-compare exactly (no float tolerance)
@@ -65,6 +90,31 @@ object MultiQueries {
           .over(Window.orderBy("event_id")).as("b"))
         .where(col("b").isNotNull && col("a") =!= col("b"))
       canon(graft.graph.Graph.triangles(e, "a", "b"))
+    }),
+    // synchronous LPA communities on the sparse (minCount=3) user graph;
+    // 3 rounds, min-label tie rule — labels hash-compare exactly
+    "q205_lpa" -> ((s, dir) =>
+      canon(graft.graph.Graph.labelPropagation(chainPairs(s, dir, 3),
+        "a", "b", iters = 3))),
+    // HITS over the directed consecutive-user graph, 5 iterations of
+    // integer fixed-point with div-by-max renormalization
+    "q206_hits" -> ((s, dir) =>
+      canon(graft.graph.Graph.hits(chainDirected(s, dir), "a", "b",
+        iters = 5))),
+    // 3-round k=3 peel on the sparser (minCount=4) graph — degrees run
+    // 1–7 there, so the peel actually removes shallow-core nodes
+    "q207_kcore" -> ((s, dir) =>
+      canon(graft.graph.Graph.kcore(chainPairs(s, dir, 4), "a", "b",
+        k = 3, rounds = 3))),
+    "q208_linkpred" -> ((s, dir) =>
+      canon(graft.graph.Graph.linkPredict(chainPairs(s, dir, 3), "a", "b"))),
+    "q209_assortativity" -> ((s, dir) =>
+      canon(graft.graph.Graph.assortativity(chainPairs(s, dir, 3), "a", "b"))),
+    // modularity of the 3-round LPA labeling — did LPA find structure?
+    "q210_modularity" -> ((s, dir) => {
+      val e = chainPairs(s, dir, 3)
+      canon(graft.graph.Graph.modularity(e, "a", "b",
+        graft.graph.Graph.labelPropagation(e, "a", "b", iters = 3)))
     }),
     "q36_outlier_counter" -> ((s, dir) =>
       canon(PostOps.outlierCounter(StatQueries.zscored(s, dir), Seq("event_type")))),
@@ -398,6 +448,163 @@ object MultiQueries {
       |  (SELECT src, dst FROM eb UNION ALL SELECT dst AS src, src AS dst FROM eb))"""
       .stripMargin.replace("\n", " ")
 
+  // Thresholded consecutive-user graph (chainPairs): canonical a<b pairs
+  // kept at count >= minCount, expanded to both directions.
+  private def chainSql(minCount: Int): String =
+    s"""ch AS (SELECT user_id::VARCHAR AS a,
+       |  lead(user_id::VARCHAR) OVER (ORDER BY event_id) AS b FROM events),
+       |cp AS (SELECT least(a, b) AS a, greatest(a, b) AS b, count(*) AS c
+       | FROM ch WHERE b IS NOT NULL AND a <> b GROUP BY 1, 2),
+       |und AS (SELECT a, b FROM cp WHERE c >= $minCount),
+       |edges AS (SELECT a AS src, b AS dst FROM und
+       | UNION ALL SELECT b AS src, a AS dst FROM und)"""
+      .stripMargin.replace("\n", " ")
+
+  // `iters` chained LPA stages l1..l{iters} over `edges`: per node the
+  // most frequent neighbor label, ties to the min label, replayed via
+  // the same (-count, label) struct-min ordering Spark uses.
+  private def lpaStages(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT n.node, coalesce(bb.label, n.node) AS label
+         | FROM nodes n LEFT JOIN (
+         |  SELECT node, (min({'c': c, 'l': label})).l AS label FROM (
+         |    SELECT e.dst AS node, p.label, -count(*) AS c
+         |    FROM edges e JOIN l${i - 1} p ON p.node = e.src
+         |    GROUP BY e.dst, p.label) t
+         |  GROUP BY node) bb ON bb.node = n.node)""".stripMargin
+        .replace("\n", " ")
+    }
+    s"""nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |${steps.mkString(", ")}""".stripMargin.replace("\n", " ")
+  }
+
+  // HITS replay: 5 iterations × (authority half-step, hub half-step),
+  // each an exact long sum + integer div-by-max renormalization.
+  private lazy val hitsOracle: String = {
+    val iters = 5
+    val sc = 1000000L
+    val steps = (1 to iters).flatMap { i =>
+      // MATERIALIZED: each half-step is referenced twice (max + renorm);
+      // inlined CTEs would re-expand the whole chain ~4× per iteration
+      Seq(
+        s"""a${i}r AS MATERIALIZED (SELECT n.node, coalesce(s.s, 0)::BIGINT AS s
+           | FROM nodes n LEFT JOIN (
+           |  SELECT e.dst AS node, sum(p.h)::BIGINT AS s
+           |  FROM de e JOIN h${i - 1} p ON p.node = e.src
+           |  GROUP BY e.dst) s ON s.node = n.node)""",
+        s"""a${i}m AS (SELECT greatest(max(s), 1)::BIGINT AS mx FROM a${i}r)""",
+        s"""a$i AS MATERIALIZED (SELECT node, ((s * $sc) // mx)::BIGINT AS a
+           | FROM a${i}r CROSS JOIN a${i}m)""",
+        s"""h${i}r AS MATERIALIZED (SELECT n.node, coalesce(s.s, 0)::BIGINT AS s
+           | FROM nodes n LEFT JOIN (
+           |  SELECT e.src AS node, sum(p.a)::BIGINT AS s
+           |  FROM de e JOIN a$i p ON p.node = e.dst
+           |  GROUP BY e.src) s ON s.node = n.node)""",
+        s"""h${i}m AS (SELECT greatest(max(s), 1)::BIGINT AS mx FROM h${i}r)""",
+        s"""h$i AS MATERIALIZED (SELECT node, ((s * $sc) // mx)::BIGINT AS h
+           | FROM h${i}r CROSS JOIN h${i}m)""")
+        .map(_.stripMargin.replace("\n", " "))
+    }
+    s"""WITH ch AS (SELECT user_id::VARCHAR AS a,
+       |  lead(user_id::VARCHAR) OVER (ORDER BY event_id) AS b FROM events),
+       |de AS (SELECT DISTINCT a AS src, b AS dst FROM ch
+       | WHERE b IS NOT NULL AND a <> b),
+       |nodes AS (SELECT src AS node FROM de UNION SELECT dst FROM de),
+       |h0 AS (SELECT node, ${sc}::BIGINT AS h FROM nodes),
+       |${steps.mkString(", ")}
+       |SELECT h.node, h.h AS hub6, a.a AS auth6,
+       | round(h.h::DOUBLE / $sc.0, 4) AS hub,
+       | round(a.a::DOUBLE / $sc.0, 4) AS auth
+       |FROM h$iters h JOIN a$iters a ON a.node = h.node""".stripMargin
+      .replace("\n", " ")
+  }
+
+  // k-core replay: 3 chained peel rounds (alive = pr still -1), then the
+  // surviving-subgraph degree for the core_deg column.
+  private lazy val kcoreOracle: String = {
+    val (k, rounds) = (3, 3)
+    def degOn(state: String) =
+      s"""SELECT e.src AS node, count(*)::BIGINT AS d FROM edges e
+         | JOIN $state x ON x.node = e.src AND x.pr = -1
+         | JOIN $state y ON y.node = e.dst AND y.pr = -1
+         | GROUP BY e.src""".stripMargin.replace("\n", " ")
+    val steps = (1 to rounds).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT s.node,
+         | (CASE WHEN s.pr <> -1 THEN s.pr
+         |   WHEN coalesce(d.d, 0) < $k THEN $i ELSE -1 END)::BIGINT AS pr
+         | FROM s${i - 1} s LEFT JOIN (${degOn(s"s${i - 1}")}) d
+         |  ON d.node = s.node)""".stripMargin.replace("\n", " ")
+    }
+    s"""WITH ${chainSql(4)},
+       |s0 AS (SELECT DISTINCT src AS node, (-1)::BIGINT AS pr FROM edges),
+       |${steps.mkString(", ")},
+       |cd AS (${degOn(s"s$rounds")})
+       |SELECT s.node, s.pr AS peel_round,
+       | (CASE WHEN s.pr = -1 THEN coalesce(cd.d, 0) ELSE 0 END)::BIGINT
+       |   AS core_deg,
+       | s.pr = -1 AS alive
+       |FROM s$rounds s LEFT JOIN cd ON cd.node = s.node""".stripMargin
+      .replace("\n", " ")
+  }
+
+  private lazy val linkpredOracle: String =
+    s"""WITH ${chainSql(3)},
+       |deg AS (SELECT src AS node, count(*)::BIGINT AS d
+       |  FROM edges GROUP BY src),
+       |mid AS (SELECT e.src, e.dst, d.d FROM edges e
+       | JOIN deg d ON d.node = e.src WHERE d.d <= 10000),
+       |w AS (SELECT e1.dst AS a, e2.dst AS b, e1.d AS dw
+       | FROM mid e1 JOIN mid e2
+       |  ON e1.src = e2.src AND e1.dst < e2.dst),
+       |sc AS (SELECT a, b, count(*)::BIGINT AS cn,
+       |  sum(floor(1000000.0 / ln(dw::DOUBLE) + 0.5)::BIGINT)::BIGINT AS aa6
+       | FROM w GROUP BY a, b),
+       |ne AS (SELECT sc.* FROM sc LEFT JOIN edges e
+       |  ON e.src = sc.a AND e.dst = sc.b WHERE e.src IS NULL)
+       |SELECT ne.a, ne.b, ne.cn, da.d AS da, db.d AS db,
+       | round(ne.cn::DOUBLE / (da.d + db.d - ne.cn), 4) AS jaccard,
+       | round(ne.aa6::DOUBLE / 1000000.0, 4) AS adamic_adar
+       |FROM ne JOIN deg da ON da.node = ne.a
+       |JOIN deg db ON db.node = ne.b""".stripMargin.replace("\n", " ")
+
+  private lazy val assortativityOracle: String =
+    s"""WITH ${chainSql(3)},
+       |deg AS (SELECT src AS node, count(*)::BIGINT AS d
+       |  FROM edges GROUP BY src),
+       |j AS (SELECT da.d AS da, db.d AS db FROM und u
+       | JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b),
+       |agg AS (SELECT count(*)::BIGINT AS m, sum(da * db)::BIGINT AS sjk,
+       |  sum(da + db)::BIGINT AS sj,
+       |  sum(da * da + db * db)::BIGINT AS sjj FROM j),
+       |parts AS (SELECT m,
+       |  sjk::DOUBLE / m - (sj::DOUBLE / (2.0 * m)) * (sj::DOUBLE / (2.0 * m))
+       |    AS num,
+       |  sjj::DOUBLE / (2.0 * m)
+       |   - (sj::DOUBLE / (2.0 * m)) * (sj::DOUBLE / (2.0 * m)) AS den
+       | FROM agg)
+       |SELECT m, round(CASE WHEN den <> 0 THEN num / den END, 4)
+       |  AS assortativity FROM parts""".stripMargin.replace("\n", " ")
+
+  private lazy val modularityOracle: String =
+    s"""WITH ${chainSql(3)},
+       |${lpaStages(3)},
+       |deg AS (SELECT src AS node, count(*)::BIGINT AS d
+       |  FROM edges GROUP BY src),
+       |degc AS (SELECT p.label, sum(d.d)::BIGINT AS dc FROM deg d
+       | JOIN l3 p ON p.node = d.node GROUP BY p.label),
+       |ec AS (SELECT la.label,
+       |  sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)::BIGINT AS ec
+       | FROM und u JOIN l3 la ON la.node = u.a
+       | JOIN l3 lb ON lb.node = u.b GROUP BY la.label),
+       |mm AS (SELECT count(*)::BIGINT AS m FROM und),
+       |j AS (SELECT dg.label, dg.dc, coalesce(ec.ec, 0)::BIGINT AS ec
+       | FROM degc dg LEFT JOIN ec ON ec.label = dg.label)
+       |SELECT max(mm.m)::BIGINT AS m_edges, count(*)::BIGINT AS n_communities,
+       | round(sum(ec)::DOUBLE / max(mm.m)
+       |  - sum(dc * dc)::DOUBLE / (4.0 * max(mm.m) * max(mm.m)), 4) AS q
+       |FROM j CROSS JOIN mm""".stripMargin.replace("\n", " ")
+
   // PageRank replay: 5 unrolled iterations of the identical integer
   // arithmetic (rank12 longs at 10¹² scale; contributions r // outdeg,
   // update teleport + (85·S) // 100) — the hash compare is exact on the
@@ -460,6 +667,14 @@ object MultiQueries {
   val oracleSql: Map[String, String] = Map(
     "q201_pagerank" -> pageRankOracle,
     "q203_ppr" -> pprOracle,
+    "q205_lpa" ->
+      s"""WITH ${chainSql(3)}, ${lpaStages(3)}
+         |SELECT node, label FROM l3""".stripMargin.replace("\n", " "),
+    "q206_hits" -> hitsOracle,
+    "q207_kcore" -> kcoreOracle,
+    "q208_linkpred" -> linkpredOracle,
+    "q209_assortativity" -> assortativityOracle,
+    "q210_modularity" -> modularityOracle,
     // triangle replay: canonical a<b edges from the consecutive-user
     // chain; each triangle x<y<z enumerated exactly once as
     // (x,y)+(y,z)+(x,z), then each corner credited — exact integers

@@ -38,6 +38,11 @@ object TextQueries {
     Map[String, (SparkSession, String) => DataFrame](
     "q49_dedup_exact" -> ((s, dir) =>
       TextOps.exactDedup(docs(s, dir), "doc_id", "text")),
+    // edit-distance entity resolution: prefix-16 blocking, Levenshtein
+    // <= 20, min-label transitive closure — exact integers end-to-end
+    "q211_entity_resolve" -> ((s, dir) =>
+      TextOps.entityResolve(docs(s, dir), "doc_id", "text",
+        blockChars = 16, maxDist = 20)),
     "q50_token_count" -> ((s, dir) =>
       TextOps.tokenCount(docs(s, dir), "doc_id", "text")),
     // BPE-ish pre-tokenizer segment count (the brief's "whitespace + a
@@ -1610,6 +1615,20 @@ object TextQueries {
         .stripMargin.replace("\n", " "),
     "q75_dup_clusters" ->
       s"""$clusterSql SELECT id, cluster FROM comp""",
+    "q211_entity_resolve" ->
+      """WITH RECURSIVE b AS (SELECT doc_id, text,
+        |  substr(text, 1, 16) AS blk FROM documents),
+        |pr AS (SELECT x.doc_id AS a, y.doc_id AS b FROM b x JOIN b y
+        | ON x.blk = y.blk AND x.doc_id < y.doc_id
+        |  AND abs(length(x.text) - length(y.text)) <= 20
+        |  AND levenshtein(x.text, y.text) <= 20),
+        |edges AS (SELECT a, b FROM pr UNION ALL SELECT b AS a, a AS b FROM pr),
+        |reach(id, label) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.id)
+        |SELECT id, min(label) AS cluster FROM reach GROUP BY id"""
+        .stripMargin.replace("\n", " "),
     "q76_dedup_survivors" ->
       s"""$clusterSql
          |SELECT cluster AS doc_id, count(*) AS clusterSize

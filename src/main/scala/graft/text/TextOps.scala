@@ -359,6 +359,37 @@ object TextOps {
     clusters.groupBy(col("cluster").as("doc_id"))
       .agg(count(lit(1)).as("clusterSize"))
 
+  /** Edit-distance entity resolution: records that agree on a cheap
+    * blocking key (the first `blockChars` characters) AND sit within
+    * `maxDist` Levenshtein edits are the same entity; transitive closure
+    * groups them into clusters labeled by min id — the record-linkage
+    * complement of the shingle-based near-dup family (catches
+    * small-typo / OCR-noise duplicates that shift every shingle).
+    *
+    * Determinism: Levenshtein distance is an exact integer with one
+    * classic definition — both engines agree symbol-for-symbol — and
+    * clustering is the dedup family's min-label rule, so the oracle
+    * replays pairs + a recursive transitive closure and hash-compares
+    * cluster ids exactly.
+    *
+    * Scale: the O(len²) distance only runs inside blocks (equi-join on
+    * the prefix key) and behind a length-difference prefilter (|len a −
+    * len b| > maxDist can never pass — the standard cheap bound), so
+    * pair work is Σ block² like every blocked family here; the closure
+    * is [[dupClusters]] (driver union-find under `maxLocalEdges`,
+    * large-star/small-star above). */
+  def entityResolve(docs: DataFrame, idCol: String, textCol: String,
+      blockChars: Int = 16, maxDist: Int = 20): DataFrame = {
+    val d = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .withColumn("blk", substring(col("t"), 1, blockChars))
+    val pairs = d.as("x").join(d.as("y"),
+        col("x.blk") === col("y.blk") && col("x.id") < col("y.id") &&
+          abs(length(col("x.t")) - length(col("y.t"))) <= maxDist)
+      .where(levenshtein(col("x.t"), col("y.t")) <= maxDist)
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    dupClusters(docs, idCol, pairs)
+  }
+
   /** Exact word n-gram Jaccard for given candidate pairs (a, b) — the
     * verify stage after LSH candidate generation: jaccard =
     * |A∩B| / |A∪B| over distinct n-gram shingles. Candidates without a

@@ -72,4 +72,89 @@ class GraphSpec extends SparkSpec {
     assert(out("b") == ((1L, 1L, false)))
     assert(out("c") == ((0L, 2L, true)))
   }
+
+  // two triangles {a,b,c} and {x,y,z} joined by one bridge c-x — the
+  // canonical two-community fixture the LPA/modularity pair should split
+  private def twoTriangles = Seq(
+    ("a", "b"), ("b", "c"), ("a", "c"),
+    ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x"))
+
+  test("label propagation: two bridged triangles settle into two communities") {
+    val edges = twoTriangles.toDF("u", "v")
+    val out = Graph.labelPropagation(edges, "u", "v", iters = 5)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[String]("label")).toMap
+    assert(out.size == 6)
+    assert(out("a") == out("b") && out("b") == out("c"), "left triangle together")
+    assert(out("x") == out("y") && out("y") == out("z"), "right triangle together")
+    assert(out("a") != out("x"), "bridge does not merge the communities")
+  }
+
+  test("modularity: the two-community labeling beats the everything-together one") {
+    val edges = twoTriangles.toDF("u", "v")
+    val lpa = Graph.labelPropagation(edges, "u", "v", iters = 5)
+    val q2 = Graph.modularity(edges, "u", "v", lpa).collect()(0)
+    assert(q2.getAs[Long]("m_edges") == 7L)
+    assert(q2.getAs[Long]("n_communities") == 2L)
+    assert(q2.getAs[Double]("q") > 0.3, s"expected community structure, got $q2")
+    val one = lpa.select(lpa("node"),
+      org.apache.spark.sql.functions.lit("all").as("label"))
+    val q1 = Graph.modularity(edges, "u", "v", one).collect()(0)
+    assert(q1.getAs[Double]("q") == 0.0, "single community has Q exactly 0")
+    assert(q2.getAs[Double]("q") > q1.getAs[Double]("q"))
+  }
+
+  test("hits: authorities and hubs separate on a bipartite fan") {
+    // h1,h2,h3 all point to auth; h1 also points to a stray leaf
+    val edges = Seq(("h1", "auth"), ("h2", "auth"), ("h3", "auth"),
+      ("h1", "leaf")).toDF("s", "t")
+    val out = Graph.hits(edges, "s", "t", iters = 5)
+      .collect().map(r => r.getAs[String]("node") ->
+        ((r.getAs[Long]("hub6"), r.getAs[Long]("auth6")))).toMap
+    assert(out("auth")._2 == 1000000L, "auth is the max authority")
+    assert(out("h1")._1 == 1000000L, "h1 (two targets) is the max hub")
+    assert(out("h2")._1 < out("h1")._1 && out("h2")._1 > 0L)
+    assert(out("auth")._1 == 0L, "auth points at nothing")
+    assert(out("h1")._2 == 0L, "nothing points at h1")
+  }
+
+  test("kcore: peel rounds strip the pendant chain, keep the K4") {
+    // K4 core with a pendant path 4-p1-p2: k=2 peels p2 in round 1,
+    // p1 in round 2; the K4 survives with core degree 3
+    val k4 = for (a <- Seq("1", "2", "3", "4"); b <- Seq("1", "2", "3", "4")
+      if a < b) yield (a, b)
+    val edges = (k4 ++ Seq(("4", "p1"), ("p1", "p2"))).toDF("a", "b")
+    val out = Graph.kcore(edges, "a", "b", k = 2, rounds = 3)
+      .collect().map(r => r.getAs[String]("node") ->
+        ((r.getAs[Long]("peel_round"), r.getAs[Boolean]("alive"),
+          r.getAs[Long]("core_deg")))).toMap
+    assert(out("p2") == ((1L, false, 0L)))
+    assert(out("p1") == ((2L, false, 0L)))
+    Seq("1", "2", "3", "4").foreach(v => assert(out(v) == ((-1L, true, 3L)), s"$v"))
+  }
+
+  test("linkpred: wedge endpoints get CN/jaccard/adamic-adar, edges excluded") {
+    // path a-w-b plus an edge a-c: (a,b) is the only two-hop non-edge
+    // through w; scores are exact
+    val edges = Seq(("a", "w"), ("w", "b"), ("a", "c")).toDF("u", "v")
+    val rows = Graph.linkPredict(edges, "u", "v").collect()
+    val byPair = rows.map(r => (r.getAs[String]("a"), r.getAs[String]("b")) -> r).toMap
+    val ab = byPair(("a", "b"))
+    assert(ab.getAs[Long]("cn") == 1L)
+    assert(ab.getAs[Long]("da") == 2L && ab.getAs[Long]("db") == 1L)
+    assert(math.abs(ab.getAs[Double]("jaccard") - 0.5) < 1e-9)
+    // deg(w)=2 -> 1/ln 2 = 1.442695 at 6dp fixed point
+    assert(math.abs(ab.getAs[Double]("adamic_adar") - 1.442695) < 1e-6)
+    // (c,w): two-hop through a
+    assert(byPair.contains(("c", "w")))
+    assert(rows.length == 2)
+    assert(!byPair.contains(("a", "w")), "existing edges excluded")
+  }
+
+  test("assortativity: a star is maximally disassortative") {
+    val edges = (1 to 5).map(i => ("hub", s"l$i")).toDF("u", "v")
+    val r = Graph.assortativity(edges, "u", "v").collect()(0)
+    assert(r.getAs[Long]("m") == 5L)
+    assert(r.getAs[Double]("assortativity") < -0.999,
+      s"star should be ~-1, got $r")
+  }
 }
