@@ -457,6 +457,36 @@ object ScaleProbe {
           col("src").as("dst"))).distinct()
         graph.Graph.pageRank(both, "src", "dst", iters = 5).count()
       }
+      // user–user co-occurrence edges, per-type consecutive pairs (the
+      // distributed analogue of the q205-family chain fixture); the
+      // minCount threshold keeps the graph sparse the way the queries do
+      def coEdges(minCount: Int): DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("event_id")
+        val ch = ev.select(col("user_id").cast("string").as("ua"),
+          lead(col("user_id").cast("string"), 1).over(w).as("ub"))
+          .where(col("ub").isNotNull && col("ua") =!= col("ub"))
+        ch.select(least(col("ua"), col("ub")).as("a"),
+            greatest(col("ua"), col("ub")).as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+          .where(col("c") >= minCount).select("a", "b")
+      }
+      time("lpa", n, nEv) {
+        graph.Graph.labelPropagation(coEdges(2), "a", "b", iters = 3).count()
+      }
+      time("hits", n, nEv) {
+        graph.Graph.hits(coEdges(2), "a", "b", iters = 3).count()
+      }
+      time("kcore", n, nEv) {
+        graph.Graph.kcore(coEdges(3), "a", "b", k = 3, rounds = 3).count()
+      }
+      time("linkpred", n, nEv) {
+        graph.Graph.linkPredict(coEdges(3), "a", "b", maxDeg = 100).count()
+      }
+      time("entity_resolve", n, nDocs) {
+        text.TextOps.entityResolve(docs, "doc_id", "text",
+          blockChars = 16, maxDist = 20).count()
+      }
     }
     spark.stop()
   }

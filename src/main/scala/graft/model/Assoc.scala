@@ -1,0 +1,70 @@
+package graft.model
+
+import graft.core.fixedPointLong
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Categorical association statistics (engine additions): χ² independence
+  * and mutual information between two categorical columns — the
+  * feature-vs-label screening pass before training a quality classifier
+  * (is `source` informative about `label`? is a rule redundant?), and a
+  * drift diagnostic in their own right.
+  *
+  * Determinism: the contingency table is exact integer counts; each
+  * cell's float term is quantized to a fixed-point long before the sum
+  * (the PSI pattern — order-exact across any combine order), and the
+  * closing expressions replay bit-for-bit given the ln/sqrt libm parity
+  * the NB/LM family already carries.
+  *
+  * Scale: one hash aggregate over the data builds the table; everything
+  * after is table-sized (distinct-value × distinct-value), i.e. a model,
+  * not data. The marginal cross join is intentionally cell-complete —
+  * χ² needs the zero cells — and stays broadcast-small. */
+object Assoc {
+
+  private def table(df: DataFrame, aCol: String, bCol: String) = {
+    val obs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o")).persist()
+    val ra = obs.groupBy("a").agg(sum("o").as("ca"))
+    val cb = obs.groupBy("b").agg(sum("o").as("cb"))
+    val tot = obs.agg(sum("o").as("n"))
+    val dims = ra.agg(count(lit(1)).as("r"))
+      .crossJoin(cb.agg(count(lit(1)).as("c")))
+    (obs, ra, cb, tot, dims)
+  }
+
+  /** Pearson χ² over the full r×c table (zero cells included, expected
+    * counts from the marginals), plus degrees of freedom and Cramér's V.
+    * One row out. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val (obs, ra, cb, tot, dims) = table(df, aCol, bCol)
+    val e = col("ca").cast("double") * col("cb") / col("n")
+    val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+    ra.crossJoin(cb).join(obs, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .agg(sum(fixedPointLong(term, 6)).as("chi6"), max("n").as("n"))
+      .crossJoin(broadcast(dims))
+      .select(
+        (col("chi6").cast("double") / 1e6).as("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        col("n"),
+        sqrt((col("chi6").cast("double") / 1e6)
+          / (col("n") * least(col("r") - 1, col("c") - 1))).as("cramers_v"))
+  }
+
+  /** Mutual information I(A;B) = Σ p(a,b)·ln(p(a,b)/(p(a)p(b))) in nats
+    * over the observed cells (empty cells contribute 0). 8dp fixed-point
+    * term sums. One row out. */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val (obs, ra, cb, tot, dims) = table(df, aCol, bCol)
+    val term = (col("o").cast("double") / col("n")) *
+      log(col("o").cast("double") * col("n") / (col("ca").cast("double") * col("cb")))
+    obs.join(ra, "a").join(cb, "b")
+      .crossJoin(broadcast(tot))
+      .agg(sum(fixedPointLong(term, 8)).as("mi8"), max("n").as("n"))
+      .crossJoin(broadcast(dims))
+      .select((col("mi8").cast("double") / 1e8).as("mi"),
+        col("r"), col("c"), col("n"))
+  }
+}

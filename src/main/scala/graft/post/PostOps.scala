@@ -141,4 +141,36 @@ object PostOps {
     withE.withColumn("rank", row_number().over(w))
       .where(col("rank") <= maxItems)
   }
+
+  /** Benjamini–Hochberg FDR control over per-record p-values (engine
+    * addition): within each key, rank p ascending, find the largest k
+    * with p₍ₖ₎ ≤ α·k/m, and flag ranks ≤ k as discoveries — the
+    * principled replacement for a raw score threshold when the outlier
+    * family's probabilities are actual p-values (expected false-discovery
+    * fraction ≤ α instead of a per-test error rate).
+    *
+    * Deterministic: ranking ties break on `idCol`; the step-up compare
+    * p ≤ α·k/m is the same float expression on both engines.
+    *
+    * Scale: one exchange on the keys; the rank, the partition count and
+    * the kmax scan all ride the same per-key sort (the window-family
+    * layout). Parallelism is key cardinality — the documented window
+    * ceiling, acceptable because BH is per-population by construction. */
+  def bhFdr(scored: DataFrame, keyCols: Seq[String], pCol: String,
+      idCol: String, alpha: Double): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(pCol), col(idCol))
+    val whole = Window.partitionBy(keyCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(whole))
+      .withColumn("kmax",
+        max(when(col(pCol) <= lit(alpha) * col("rank") / col("m"),
+          col("rank"))).over(whole))
+      .withColumn("discovery",
+        col("kmax").isNotNull && col("rank") <= col("kmax"))
+      .select((keyCols.map(col) :+ col(idCol) :+ col(pCol) :+ col("rank") :+
+        col("discovery")): _*)
+  }
 }

