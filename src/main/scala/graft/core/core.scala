@@ -179,7 +179,13 @@ package object core {
     val r = when(c.isNull, c)
       .when(c >= 0, floor(c * f + 0.5) / f)
       .otherwise(-floor(-c * f + 0.5) / f)
-    when(r === 0.0, lit(0.0)).otherwise(r)
+    // Spark's floor() yields LONG — |x|·10^p past 2⁶³ clamps to
+    // Long.MaxValue and silently corrupts the value (seen on epoch-nanos
+    // magnitudes). Above 1e12 a 4–6dp round is below the double's ulp
+    // anyway: pass the value through and mirror the guard in any oracle
+    // that emits such magnitudes.
+    when(abs(c) >= 1e12, c)
+      .otherwise(when(r === 0.0, lit(0.0)).otherwise(r))
   }
 
   /** p-dp fixed-point long: floor(|x|·10^p + 0.5) with the sign restored —

@@ -1,0 +1,85 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-quality profiling and constraint checking (engine additions, the
+  * Deequ/great-expectations idea Spark-first): one pass per column for
+  * the profile, one aggregate per rule for the checks — the pre-flight
+  * every ingest pipeline runs before fitting models on a new drop.
+  *
+  * Determinism: counts are exact integers; numeric min/max surface as
+  * doubles, lexicographic min/max as strings (binary collation both
+  * engines); rates are one integer division, same shape both sides.
+  *
+  * Scale: `profile` is one hash aggregate per column over the data (no
+  * shuffle beyond the partial-agg combine — exact distinct via a
+  * count-distinct expand, the only exchange); `checkRows` is a single
+  * pass computing every rule's failure count in ONE aggregate;
+  * `checkUnique` is one distinct count. Output is rule-sized. */
+object Profiler {
+
+  /** Per-column profile: rows, nulls, exact distinct, numeric min/max
+    * (null for non-numeric), lexicographic min/max (strings only). One
+    * output row per requested column. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val per = cols.map { c =>
+      val numeric = types(c) match {
+        case _: NumericType => true
+        case _ => false
+      }
+      val isString = types(c) == StringType
+      df.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        (if (numeric) min(col(c)).cast("double") else lit(null).cast("double"))
+          .as("min_v"),
+        (if (numeric) max(col(c)).cast("double") else lit(null).cast("double"))
+          .as("max_v"),
+        (if (isString) min(col(c)) else lit(null).cast("string")).as("min_s"),
+        (if (isString) max(col(c)) else lit(null).cast("string")).as("max_s"))
+        .withColumn("column", lit(c))
+        .select("column", "n", "nulls", "n_distinct", "min_v", "max_v",
+          "min_s", "max_s")
+    }
+    per.reduce(_ unionByName _)
+  }
+
+  /** Row-predicate constraint battery: each rule is (name, boolean
+    * expression); emits per rule the row count, failure count (false or
+    * null predicate = failure), pass rate and the verdict against
+    * `minRate`. All rules share ONE aggregate pass. */
+  def checkRows(df: DataFrame, rules: Seq[(String, Column)],
+      minRate: Double): DataFrame = {
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"_f$i")
+    }
+    val counted = df.agg(count(lit(1)).as("n"), aggs: _*)
+    val rows = rules.zipWithIndex.map { case ((name, _), i) =>
+      counted.select(lit(name).as("rule"), col("n"),
+        col(s"_f$i").as("failures"))
+    }
+    rows.reduce(_ unionByName _)
+      .withColumn("pass_rate",
+        (col("n") - col("failures")).cast("double") / col("n"))
+      .withColumn("passed", col("pass_rate") >= minRate)
+  }
+
+  /** Uniqueness constraint over a key tuple: failures = rows in excess of
+    * distinct tuples (tuples with any null are excluded by the
+    * count-distinct convention on both engines — pair with a not-null
+    * row rule for a full key check). One row out. */
+  def checkUnique(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(count(lit(1)).as("n"),
+        countDistinct(cols.map(col).head, cols.map(col).tail: _*)
+          .as("n_distinct"))
+      .select(
+        lit("unique:" + cols.mkString(",")).as("rule"),
+        col("n"),
+        (col("n") - col("n_distinct")).as("failures"),
+        (col("n_distinct").cast("double") / col("n")).as("pass_rate"),
+        (col("n") === col("n_distinct")).as("passed"))
+}

@@ -37,6 +37,28 @@ object StatQueries {
     "q214_mutual_info" -> ((s, dir) =>
       canon(graft.model.Assoc.mutualInfo(
         ev(s, dir).withColumn("vb", valueBucket), "event_type", "vb"))),
+    // Deequ-style per-column profile: one aggregate per column, exact
+    // distinct; numeric min/max as doubles, lexicographic for strings
+    "q217_profile" -> ((s, dir) =>
+      canon(graft.model.Profiler.profile(ev(s, dir),
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props")))),
+    // constraint battery: 4 row rules in ONE aggregate pass + key
+    // uniqueness; verdicts against minRate 0.95
+    "q218_constraints" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val rows = graft.model.Profiler.checkRows(e, Seq(
+        "value_not_null" -> col("value").isNotNull,
+        "value_range" -> (col("value") >= -1000.0 && col("value") <= 10000.0),
+        "type_known" -> col("event_type")
+          .isin("click", "view", "purchase", "signup", "error"),
+        "ts_positive" -> (col("ts") > 0L)), minRate = 0.95)
+      canon(rows.unionByName(
+        graft.model.Profiler.checkUnique(e, Seq("event_id"))))
+    }),
+    // positional motif: three consecutive 'error' events per user
+    "q219_motif" -> ((s, dir) =>
+      canon(graft.seq.SeqOps.motifCount(ev(s, dir), Seq("user_id"),
+        "event_id", "event_type", Seq("error", "error", "error")))),
     // Benjamini–Hochberg step-up on p = exp(−|z|) per event_type; the
     // exp/compare expressions are shape-identical cross-engine (q07's
     // established exp parity)
@@ -429,6 +451,78 @@ object StatQueries {
        |FROM agg CROSS JOIN dims d""".stripMargin.replace("\n", " ")
   }
 
+  // profile replay: one SELECT per column; numeric min/max round via the
+  // explicit floor shape (roundLikeDuck) so the ts row's huge epoch-nanos
+  // doubles reproduce bit-for-bit (round() at 1e18 magnitude is
+  // implementation-shaped; floor(x*1e4+0.5)/1e4 is the same IEEE ops on
+  // both engines)
+  private lazy val profileOracle: String = {
+    // full roundLikeDuck shape: magnitude guard, sign branch,
+    // signed-zero normalization
+    def rl(e: String) = {
+      val r = s"CASE WHEN ($e) >= 0 THEN floor(($e)*10000.0+0.5)/10000.0" +
+        s" ELSE -floor(-($e)*10000.0+0.5)/10000.0 END"
+      s"CASE WHEN abs($e) >= 1e12 THEN ($e)" +
+        s" WHEN ($r) = 0 THEN 0.0 ELSE ($r) END"
+    }
+    def numRow(c: String, mn: String, mx: String) =
+      s"""SELECT '$c' AS "column", count(*)::BIGINT AS n,
+         | sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+         | count(DISTINCT $c)::BIGINT AS n_distinct,
+         | ${rl(mn)} AS min_v, ${rl(mx)} AS max_v,
+         | NULL::VARCHAR AS min_s, NULL::VARCHAR AS max_s FROM events"""
+        .stripMargin.replace("\n", " ")
+    def strRow(c: String) =
+      s"""SELECT '$c' AS "column", count(*)::BIGINT AS n,
+         | sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+         | count(DISTINCT $c)::BIGINT AS n_distinct,
+         | NULL::DOUBLE AS min_v, NULL::DOUBLE AS max_v,
+         | min($c) AS min_s, max($c) AS max_s FROM events""".stripMargin
+        .replace("\n", " ")
+    Seq(
+      numRow("event_id", "min(event_id)::DOUBLE", "max(event_id)::DOUBLE"),
+      numRow("ts", "epoch_ns(min(ts))::DOUBLE", "epoch_ns(max(ts))::DOUBLE"),
+      numRow("user_id", "min(user_id)::DOUBLE", "max(user_id)::DOUBLE"),
+      strRow("event_type"),
+      numRow("value", "min(value)", "max(value)"),
+      strRow("props")).mkString(" UNION ALL ")
+  }
+
+  private lazy val constraintsOracle: String = {
+    val known = "'click','view','purchase','signup','error'"
+    def rule(name: String, f: String) =
+      s"""SELECT '$name' AS rule, n, $f AS failures,
+         | round((n - $f)::DOUBLE / n, 4) AS pass_rate,
+         | (n - $f)::DOUBLE / n >= 0.95 AS passed FROM base""".stripMargin
+        .replace("\n", " ")
+    s"""WITH base AS (SELECT count(*)::BIGINT AS n,
+       | sum(CASE WHEN coalesce(value IS NOT NULL, FALSE) THEN 0 ELSE 1
+       |   END)::BIGINT AS f0,
+       | sum(CASE WHEN coalesce(value >= -1000.0 AND value <= 10000.0, FALSE)
+       |   THEN 0 ELSE 1 END)::BIGINT AS f1,
+       | sum(CASE WHEN coalesce(event_type IN ($known), FALSE) THEN 0 ELSE 1
+       |   END)::BIGINT AS f2,
+       | sum(CASE WHEN coalesce(epoch_ns(ts) > 0, FALSE) THEN 0 ELSE 1
+       |   END)::BIGINT AS f3,
+       | count(DISTINCT event_id)::BIGINT AS d FROM events)
+       |${rule("value_not_null", "f0")} UNION ALL
+       |${rule("value_range", "f1")} UNION ALL
+       |${rule("type_known", "f2")} UNION ALL
+       |${rule("ts_positive", "f3")} UNION ALL
+       |SELECT 'unique:event_id' AS rule, n, (n - d)::BIGINT AS failures,
+       | round(d::DOUBLE / n, 4) AS pass_rate, n = d AS passed FROM base"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  private lazy val motifOracle: String =
+    """WITH m AS (SELECT user_id, event_type,
+      |  lead(event_type, 1) OVER w AS s1, lead(event_type, 2) OVER w AS s2
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+      |SELECT user_id, sum(CASE WHEN event_type = 'error' AND s1 = 'error'
+      |  AND s2 = 'error' THEN 1 ELSE 0 END)::BIGINT AS matches,
+      | count(*)::BIGINT AS n_events
+      |FROM m GROUP BY user_id""".stripMargin.replace("\n", " ")
+
   private lazy val bhFdrOracle: String =
     s"""WITH $evStats,
        |z AS (SELECT e.event_id, e.event_type,
@@ -556,6 +650,9 @@ object StatQueries {
     "q213_chi2" -> chi2Oracle,
     "q214_mutual_info" -> miOracle,
     "q215_bh_fdr" -> bhFdrOracle,
+    "q217_profile" -> profileOracle,
+    "q218_constraints" -> constraintsOracle,
+    "q219_motif" -> motifOracle,
     "q123_quantile_sketch" -> qsketchOracle,
     // lossless merge: the merged sketch IS the direct sketch
     "q124_qsketch_merge" -> qsketchOracle,

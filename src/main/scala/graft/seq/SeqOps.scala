@@ -518,6 +518,28 @@ object SeqOps {
       .select((keyCols :+ seqCol :+ valCol :+ "score" :+ "tag").map(col): _*)
   }
 
+  /** Sequence-motif detector (engine addition): count occurrences of an
+    * exact state motif (m₁, m₂, …, m_L at consecutive positions) in each
+    * key's ordered state sequence — the "3 failed logins then a
+    * transfer" CEP primitive, positionally (overlap-inclusive), no
+    * string/regex round-trip. A match at position t means state(t)=m₁ ∧
+    * state(t+1)=m₂ ∧ … — exact integer counts, trivially replayable.
+    *
+    * Scale: one exchange on the keys; the L−1 lead() columns and the
+    * final per-key aggregate ride the same sort (the multigram layout).
+    */
+  def motifCount(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      stateCol: String, motif: Seq[String]): DataFrame = {
+    require(motif.nonEmpty, "motif must have at least one state")
+    val w = byKey(keyCols, seqCol)
+    val hit = motif.zipWithIndex.map { case (m, i) =>
+      (if (i == 0) col(stateCol) else lead(col(stateCol), i).over(w)) === m
+    }.reduce(_ && _)
+    data.withColumn("_hit", when(hit, 1L).otherwise(0L))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("_hit").as("matches"), count(lit(1)).as("n_events"))
+  }
+
   /** Last-observation-carried-forward imputation (engine addition): fill
     * per-key null readings with the most recent non-null value in
     * `seqCol` order — the standard gap repair before any of the window

@@ -90,6 +90,61 @@ class AnalysisSpec extends SparkSpec {
     assert(ny._2 > onThe._2, "glued pair beats a pair involving 'the'")
   }
 
+  test("profile: per-column rows/nulls/distinct and typed min/max") {
+    val df = Seq((1L, Some(2.0), "b"), (2L, None, "a"), (3L, Some(8.0), "a"))
+      .toDF("id", "v", "s")
+    val out = graft.model.Profiler.profile(df, Seq("id", "v", "s"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(out("id").getAs[Long]("n") == 3L)
+    assert(out("id").getAs[Long]("nulls") == 0L)
+    assert(out("v").getAs[Long]("nulls") == 1L)
+    assert(out("v").getAs[Long]("n_distinct") == 2L)
+    assert(out("v").getAs[Double]("min_v") == 2.0)
+    assert(out("v").getAs[Double]("max_v") == 8.0)
+    assert(out("s").getAs[String]("min_s") == "a")
+    assert(out("s").getAs[String]("max_s") == "b")
+    assert(out("s").getAs[java.lang.Double]("min_v") == null)
+  }
+
+  test("constraints: row rules share one pass, uniqueness catches dup keys") {
+    val df = Seq((1L, Some(5.0)), (2L, None), (2L, Some(7.0)), (3L, Some(9.0)))
+      .toDF("id", "v")
+    val rows = graft.model.Profiler.checkRows(df,
+      Seq("v_not_null" -> col("v").isNotNull,
+        "v_small" -> (col("v") < 8.0)), minRate = 0.7)
+      .collect().map(r => r.getAs[String]("rule") -> r).toMap
+    assert(rows("v_not_null").getAs[Long]("failures") == 1L)
+    assert(rows("v_not_null").getAs[Boolean]("passed"))
+    assert(rows("v_small").getAs[Long]("failures") == 2L, "null fails a rule")
+    assert(!rows("v_small").getAs[Boolean]("passed"))
+    val u = graft.model.Profiler.checkUnique(df, Seq("id")).collect()(0)
+    assert(u.getAs[Long]("failures") == 1L && !u.getAs[Boolean]("passed"))
+  }
+
+  test("motif: overlapping occurrences count positionally per key") {
+    val rows = Seq(("u", 1L, "a"), ("u", 2L, "a"), ("u", 3L, "a"),
+      ("u", 4L, "b"), ("u", 5L, "a"), ("u", 6L, "a"),
+      ("v", 1L, "a"), ("v", 2L, "b"))
+      .toDF("k", "seq", "st")
+    val out = graft.seq.SeqOps.motifCount(rows, Seq("k"), "seq", "st",
+      Seq("a", "a")).collect()
+      .map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("matches"), r.getAs[Long]("n_events")))).toMap
+    assert(out("u") == ((3L, 6L)), "aa at t=1,2 (overlap) and t=5")
+    assert(out("v") == ((0L, 2L)))
+  }
+
+  test("roundLikeDuck: epoch-nanos magnitudes pass through un-mangled") {
+    // floor() is LONG-typed: 1.7e18 * 1e4 would clamp at Long.MaxValue
+    val df = Seq((1.7e18, 1.23455), (-2.5e17, -1.23455)).toDF("big", "small")
+    val out = df.select(graft.core.roundLikeDuck(col("big"), 4).as("b"),
+      graft.core.roundLikeDuck(col("small"), 4).as("s")).collect()
+    assert(out(0).getDouble(0) == 1.7e18)
+    assert(out(1).getDouble(0) == -2.5e17)
+    assert(out(0).getDouble(1) == 1.2346, "half away from zero")
+    assert(out(1).getDouble(1) == -1.2346)
+  }
+
   test("entity resolve: typo copies cluster, exact copies collapse first") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
