@@ -406,6 +406,62 @@ object Graph {
       .select("a", "b", "cn", "da", "db", "jaccard", "adamic_adar")
   }
 
+  /** Weakly connected components over the undirected graph: label = the
+    * component's minimum node id — the generic face of the dedup
+    * family's clustering (same kernel: alternating large-star/small-star
+    * contraction, O(log² n) rounds on any shape — see
+    * [[graft.text.TextOps.ccLargeSmallStar]], here running directly on
+    * string node ids). Corpus use: component = mirror-site/link-farm
+    * group; sample one representative per component.
+    *
+    * Scale: per round two groupBy-min exchanges over the edge list,
+    * lineage truncated per round; output node-sized. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col(srcCol).cast("string").as("a"),
+      col(dstCol).cast("string").as("b"))
+      .where(col("a") =!= col("b"))
+    graft.text.TextOps.ccLargeSmallStar(und, maxIter)
+      .select(col("id").as("node"), col("cluster").as("component"))
+  }
+
+  /** Weighted PageRank: contribution r·w div Σw per out-edge instead of
+    * r div outdeg — on co-occurrence corpus graphs the edge weight (the
+    * repeat count the unweighted walk throws away) IS the signal. Same
+    * 12dp integer fixed-point discipline as [[pageRank]]; exact as long
+    * as rank·weight stays under 2⁶³ (scale 10¹² leaves ~9·10⁶ of weight
+    * headroom per edge — rescale weights if a corpus exceeds it).
+    *
+    * Scale: identical shape to [[pageRank]] — the weighted edge cache is
+    * src-partitioned and persisted once, rank state is node-sized. */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int = 10,
+      scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"),
+      col(weightCol).cast("long").as("w"))
+      .where(col("w") > 0)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val sw = e.groupBy("src").agg(sum("w").as("sw"))
+    val ew = e.join(sw, "src").repartition(col("src")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count()
+    val init = scale / n
+    val teleport = (15L * scale) / (100L * n)
+    var ranks = nodes.withColumn("r", lit(init))
+    (1 to iters).foreach { _ =>
+      val msgs = ew.join(ranks, ew("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("(r * w) div sw").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      ranks = nodes.join(msgs, Seq("node"), "left")
+        .withColumn("r", lit(teleport) + expr("(85 * coalesce(s, 0)) div 100"))
+        .select("node", "r")
+    }
+    ranks.select(col("node"), col("r").as("rank12"),
+      (col("r").cast("double") / scale).as("rank"))
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over undirected edges — one scalar telling whether
     * the graph is hub-attached (r<0, scraped/star-shaped link farms) or

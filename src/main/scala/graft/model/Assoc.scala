@@ -67,4 +67,30 @@ object Assoc {
       .select((col("mi8").cast("double") / 1e8).as("mi"),
         col("r"), col("c"), col("n"))
   }
+
+  /** Smoothed target (mean) encoding: enc(c) = (Σy_c + m·prior)/(n_c + m)
+    * with prior = the global mean — the standard high-cardinality
+    * categorical feature for the quality-classifier family (rare
+    * categories shrink toward the prior instead of memorizing noise).
+    * Null targets are excluded.
+    *
+    * Determinism: per-category and global Σy are 4dp fixed-point long
+    * sums (order-exact); the blend is one fixed float expression.
+    *
+    * Scale: one hash aggregate over the data → category-sized model;
+    * the global row is a broadcast cross join. */
+  def targetEncode(df: DataFrame, catCol: String, yCol: String,
+      m: Double): DataFrame = {
+    val obs = df.where(col(yCol).isNotNull)
+      .select(col(catCol).as("category"), fixedPointLong(col(yCol), 4).as("y4"))
+      .persist()
+    val per = obs.groupBy("category")
+      .agg(sum("y4").as("sy"), count(lit(1)).as("n"))
+    val g = obs.agg(sum("y4").as("gsy"), count(lit(1)).as("gn"))
+    per.crossJoin(broadcast(g))
+      .select(col("category"), col("n"),
+        (((col("sy").cast("double") / 1e4)
+          + lit(m) * ((col("gsy").cast("double") / 1e4) / col("gn")))
+          / (col("n") + lit(m))).as("enc"))
+  }
 }

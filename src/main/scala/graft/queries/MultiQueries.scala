@@ -54,6 +54,20 @@ object MultiQueries {
       .where(col("c") >= minCount).select("a", "b")
   }
 
+  /** Canonical a<b co-occurrence pairs WITH their repeat count (the
+    * weighted-graph face of [[chainPairs]]). */
+  private def chainCounted(s: SparkSession, dir: String, minCount: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(s, dir).select(col("user_id").cast("string").as("ua"),
+      lead(col("user_id").cast("string"), 1)
+        .over(Window.orderBy("event_id")).as("ub"))
+      .where(col("ub").isNotNull && col("ua") =!= col("ub"))
+    e.select(least(col("ua"), col("ub")).as("a"),
+        greatest(col("ua"), col("ub")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount)
+  }
+
   /** Directed consecutive-user edges (order preserved) for [[q206]] HITS. */
   private def chainDirected(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -108,6 +122,22 @@ object MultiQueries {
         k = 3, rounds = 3))),
     "q208_linkpred" -> ((s, dir) =>
       canon(graft.graph.Graph.linkPredict(chainPairs(s, dir, 3), "a", "b"))),
+    // weighted PageRank over co-occurrence counts (both directions,
+    // weight = repeat count) — the signal the unweighted walk drops
+    "q221_pagerank_weighted" -> ((s, dir) => {
+      val cp = chainCounted(s, dir, 2)
+      val both = cp.select(col("a").as("src"), col("b").as("dst"),
+          col("c").as("w"))
+        .union(cp.select(col("b").as("src"), col("a").as("dst"),
+          col("c").as("w")))
+      canon(graft.graph.Graph.pageRankWeighted(both, "src", "dst", "w",
+        iters = 5))
+    }),
+    // star-contraction connected components on the sparse user graph,
+    // gated against a recursive-closure oracle
+    "q223_components" -> ((s, dir) =>
+      canon(graft.graph.Graph.connectedComponents(chainPairs(s, dir, 4),
+        "a", "b"))),
     "q209_assortativity" -> ((s, dir) =>
       canon(graft.graph.Graph.assortativity(chainPairs(s, dir, 3), "a", "b"))),
     // modularity of the 3-round LPA labeling — did LPA find structure?
@@ -548,6 +578,50 @@ object MultiQueries {
       .replace("\n", " ")
   }
 
+  // weighted-PageRank replay: contribution (r·w) // Σw, same integer
+  // update as pageRankOracle
+  private lazy val pageRankWeightedOracle: String = {
+    val iters = 5
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT nodes.node,
+         |  ((15 * 1000000000000) // (100 * nn.n)
+         |    + (85 * coalesce(m.s, 0)) // 100)::BIGINT AS r
+         | FROM nodes CROSS JOIN nn LEFT JOIN (
+         |   SELECT e.dst AS node, sum((p.r * e.w) // s.sw)::BIGINT AS s
+         |   FROM edges e JOIN r${i - 1} p ON e.src = p.node
+         |   JOIN sw s ON s.src = e.src
+         |   GROUP BY e.dst) m ON m.node = nodes.node)""".stripMargin
+        .replace("\n", " ")
+    }
+    s"""WITH ch AS (SELECT user_id::VARCHAR AS a,
+       |  lead(user_id::VARCHAR) OVER (ORDER BY event_id) AS b FROM events),
+       |cp AS (SELECT least(a, b) AS a, greatest(a, b) AS b,
+       |  count(*)::BIGINT AS c
+       | FROM ch WHERE b IS NOT NULL AND a <> b GROUP BY 1, 2),
+       |u2 AS (SELECT a, b, c FROM cp WHERE c >= 2),
+       |edges AS (SELECT a AS src, b AS dst, c AS w FROM u2
+       | UNION ALL SELECT b AS src, a AS dst, c AS w FROM u2),
+       |sw AS (SELECT src, sum(w)::BIGINT AS sw FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |r0 AS (SELECT node, (1000000000000 // n)::BIGINT AS r
+       |  FROM nodes CROSS JOIN nn),
+       |${steps.mkString(", ")}
+       |SELECT node, r AS rank12,
+       | round(r::DOUBLE / 1000000000000.0, 4) AS rank
+       |FROM r$iters""".stripMargin.replace("\n", " ")
+  }
+
+  private lazy val componentsOracle: String =
+    s"""WITH RECURSIVE ${chainSql(4)},
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |reach(id, label) AS (
+       | SELECT node, node FROM nodes
+       | UNION
+       | SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.id)
+       |SELECT id AS node, min(label) AS component
+       |FROM reach GROUP BY id""".stripMargin.replace("\n", " ")
+
   private lazy val linkpredOracle: String =
     s"""WITH ${chainSql(3)},
        |deg AS (SELECT src AS node, count(*)::BIGINT AS d
@@ -672,6 +746,8 @@ object MultiQueries {
          |SELECT node, label FROM l3""".stripMargin.replace("\n", " "),
     "q206_hits" -> hitsOracle,
     "q207_kcore" -> kcoreOracle,
+    "q221_pagerank_weighted" -> pageRankWeightedOracle,
+    "q223_components" -> componentsOracle,
     "q208_linkpred" -> linkpredOracle,
     "q209_assortativity" -> assortativityOracle,
     "q210_modularity" -> modularityOracle,

@@ -31,6 +31,18 @@ object SeqQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // streaming motif detector executed as batch (q100 pattern): the
+    // stream code path itself gated on a lag-window oracle
+    "q220_motif_stream" -> ((s, dir) => {
+      import s.implicits._
+      val evd = table(s, dir, "events")
+        .select(col("user_id").cast("string").as("entity"),
+          col("event_id").cast("long").as("seq"),
+          col("event_type").as("state"))
+        .as[graft.streaming.StreamScorers.SeqEvent]
+      graft.streaming.StreamScorers.motifStream(evd,
+        Seq("error", "error", "error")).toDF()
+    }),
     // LOCF gap repair: per-user running IGNORE NULLS last over event_id
     "q216_impute_locf" -> ((s, dir) =>
       canon(SeqOps.imputeLocf(ev(s, dir), Seq("user_id"), "event_id", "value")
@@ -491,6 +503,19 @@ object SeqQueries {
         .stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    "q220_motif_stream" ->
+      """WITH m AS (SELECT user_id, event_id, event_type,
+        |  lag(event_type, 2) OVER w AS p2, lag(event_type, 1) OVER w AS p1
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |f AS (SELECT *, coalesce(p2 = 'error' AND p1 = 'error'
+        |  AND event_type = 'error', FALSE) AS matched FROM m)
+        |SELECT user_id::VARCHAR AS entity, event_id AS seq,
+        | event_type AS state, matched,
+        | sum(CASE WHEN matched THEN 1 ELSE 0 END) OVER (
+        |   PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |   AS "matchesSoFar"
+        |FROM f""".stripMargin.replace("\n", " "),
     "q216_impute_locf" ->
       """SELECT event_id, user_id, round(value, 4) AS value,
         | round(last_value(value IGNORE NULLS) OVER (PARTITION BY user_id

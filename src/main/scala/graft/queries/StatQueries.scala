@@ -37,6 +37,10 @@ object StatQueries {
     "q214_mutual_info" -> ((s, dir) =>
       canon(graft.model.Assoc.mutualInfo(
         ev(s, dir).withColumn("vb", valueBucket), "event_type", "vb"))),
+    // smoothed target encoding of event_type against value, m = 20
+    "q222_target_encode" -> ((s, dir) =>
+      canon(graft.model.Assoc.targetEncode(ev(s, dir), "event_type",
+        "value", m = 20.0))),
     // Deequ-style per-column profile: one aggregate per column, exact
     // distinct; numeric min/max as doubles, lexicographic for strings
     "q217_profile" -> ((s, dir) =>
@@ -653,6 +657,17 @@ object StatQueries {
     "q217_profile" -> profileOracle,
     "q218_constraints" -> constraintsOracle,
     "q219_motif" -> motifOracle,
+    "q222_target_encode" ->
+      s"""WITH obs AS (SELECT event_type AS category,
+         |  ${fp("value", "1e4")} AS y4 FROM events WHERE value IS NOT NULL),
+         |per AS (SELECT category, sum(y4)::BIGINT AS sy,
+         |  count(*)::BIGINT AS n FROM obs GROUP BY category),
+         |g AS (SELECT sum(y4)::BIGINT AS gsy, count(*)::BIGINT AS gn
+         |  FROM obs)
+         |SELECT category, n,
+         | round(((sy::DOUBLE / 10000.0)
+         |   + 20.0 * ((gsy::DOUBLE / 10000.0) / gn)) / (n + 20.0), 4) AS enc
+         |FROM per CROSS JOIN g""".stripMargin.replace("\n", " "),
     "q123_quantile_sketch" -> qsketchOracle,
     // lossless merge: the merged sketch IS the direct sketch
     "q124_qsketch_merge" -> qsketchOracle,

@@ -655,6 +655,43 @@ object StreamScorers {
   case class SeqScore(entity: String, seq: Long, state: String, score: Double, tag: String)
   case class MarkovBuf(lastState: String, window: List[Double])
 
+  case class MotifHit(entity: String, seq: Long, state: String,
+    matched: Boolean, matchesSoFar: Long)
+  case class MotifBuf(recent: List[String], total: Long)
+
+  /** Streaming sequence-motif detector — the per-entity twin of
+    * [[graft.seq.SeqOps.motifCount]]: keep the last L−1 states per
+    * entity across micro-batches, flag every event that closes an exact
+    * motif occurrence (anchored at its LAST position — the same match
+    * set the batch op counts at the first position), and carry the
+    * running total. State is O(L) strings per entity, constant in
+    * stream length; emission is append-only (a match decision never
+    * retracts). Batch parity: per entity, sum(matched) equals the batch
+    * `matches` on the same data in any micro-batch split. */
+  def motifStream(events: Dataset[SeqEvent],
+      motif: Seq[String]): Dataset[MotifHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(motif.nonEmpty, "motif must have at least one state")
+    val m = motif.toList
+    val L = m.length
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (entity: String, it: Iterator[SeqEvent], st: GroupState[MotifBuf]) => {
+          var buf = st.getOption.getOrElse(MotifBuf(Nil, 0L))
+          val out = it.toSeq.sortBy(_.seq).map { e =>
+            val hist = e.state :: buf.recent // newest-first, incl current
+            val matched = hist.lengthCompare(L) >= 0 &&
+              hist.take(L).reverse == m
+            val total = buf.total + (if (matched) 1L else 0L)
+            buf = MotifBuf(hist.take(L - 1), total)
+            MotifHit(entity, e.seq, e.state, matched, total)
+          }
+          st.update(buf)
+          out.iterator
+        })
+  }
+
   /** Per-entity sliding-window Markov scoring with explicit state —
     * `flatMapGroupsWithState` replacing the Storm bolt's in-memory
     * per-entity window (MarkovModelPredictor.java:273-313). The transition

@@ -298,9 +298,11 @@ object TextOps {
     * Input: (a, b) pair columns. Output: id, cluster — one row per
     * non-root node plus a root self-row per component. */
   def ccLargeSmallStar(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // generic over any ordered id type (long doc ids here, string node
+    // ids for graft.graph): only least/greatest/min ordering is used
     var edges = pairs
-      .select(least(col("a"), col("b")).cast("long").as("u"),
-        greatest(col("a"), col("b")).cast("long").as("v"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct().localCheckpoint(true)
     var converged = false

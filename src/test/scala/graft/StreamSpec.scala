@@ -399,6 +399,35 @@ class StreamSpec extends SparkSpec {
     assert(rows(4).score > rows(2).score)
   }
 
+  test("motif stream flags matches across a micro-batch boundary, batch parity") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[SeqEvent]
+    val hits = StreamScorers.motifStream(in.toDS(), Seq("a", "a", "b"))
+    val q = hits.writeStream.format("memory").queryName("mot")
+      .outputMode("append").start()
+    // split so the motif's first two states land in batch 1, the closer in 2
+    in.addData(SeqEvent("e1", 1, "a"), SeqEvent("e1", 2, "a"))
+    q.processAllAvailable()
+    in.addData(SeqEvent("e1", 3, "b"), SeqEvent("e1", 4, "a"),
+      SeqEvent("e1", 5, "a"), SeqEvent("e1", 6, "b"), SeqEvent("e2", 1, "b"))
+    q.processAllAvailable()
+    val rows = spark.table("mot").as[StreamScorers.MotifHit].collect()
+      .sortBy(r => (r.entity, r.seq))
+    q.stop()
+    val e1 = rows.filter(_.entity == "e1")
+    assert(e1.map(_.matched).toSeq ==
+      Seq(false, false, true, false, false, true))
+    assert(e1.last.matchesSoFar == 2L)
+    assert(rows.filter(_.entity == "e2").forall(!_.matched))
+    // batch parity: per-entity totals match SeqOps.motifCount
+    import spark.implicits._
+    val batch = graft.seq.SeqOps.motifCount(
+      rows.map(r => (r.entity, r.seq, r.state)).toSeq.toDF("k", "seq", "st"),
+      Seq("k"), "seq", "st", Seq("a", "a", "b")).collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Long]("matches")).toMap
+    assert(batch("e1") == 2L && batch("e2") == 0L)
+  }
+
   test("streaming exact dedup drops cross-batch duplicate content, keeps first") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, String)]
