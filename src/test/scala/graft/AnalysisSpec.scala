@@ -134,6 +134,21 @@ class AnalysisSpec extends SparkSpec {
     assert(out("v") == ((0L, 2L)))
   }
 
+  test("target encoding: rare categories shrink toward the global prior") {
+    // global mean 10; "common" (100 rows at 20) stays near 20,
+    // "rare" (2 rows at 0) lands near the prior
+    val rows = (1 to 100).map(_ => ("common", 20.0)) ++
+      (1 to 100).map(_ => ("other", 0.2)) ++ Seq(("rare", 0.0), ("rare", 0.0))
+    val out = graft.model.Assoc.targetEncode(rows.toDF("cat", "y"), "cat", "y",
+      m = 20.0).collect()
+      .map(r => r.getAs[String]("category") -> r.getAs[Double]("enc")).toMap
+    val prior = (100 * 20.0 + 100 * 0.2) / 202
+    assert(math.abs(out("common") - (100 * 20.0 + 20 * prior) / 120.0) < 1e-9)
+    assert(math.abs(out("rare") - (20 * prior) / 22.0) < 1e-9,
+      "rare category is ~all prior")
+    assert(out("rare") > 5.0, "shrunk toward the prior, not its own 0 mean")
+  }
+
   test("roundLikeDuck: epoch-nanos magnitudes pass through un-mangled") {
     // floor() is LONG-typed: 1.7e18 * 1e4 would clamp at Long.MaxValue
     val df = Seq((1.7e18, 1.23455), (-2.5e17, -1.23455)).toDF("big", "small")

@@ -150,6 +150,31 @@ class GraphSpec extends SparkSpec {
     assert(!byPair.contains(("a", "w")), "existing edges excluded")
   }
 
+  test("weighted pagerank: heavy edge pulls rank toward its target") {
+    // hub sends 9× the mass to "heavy" vs "light"; both directions so no
+    // dangling nodes
+    val und = Seq(("hub", "heavy", 9L), ("hub", "light", 1L))
+    val edges = (und ++ und.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "w")
+    val out = Graph.pageRankWeighted(edges, "src", "dst", "w", iters = 10)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("rank12")).toMap
+    // teleport mass floors the light node: the fixed-point ratio is
+    // ~4.8, not the raw 9:1 edge ratio
+    assert(out("heavy") > 4 * out("light"),
+      s"9:1 weights should separate ranks: $out")
+    assert(out("hub") > out("heavy"), "hub receives everything back")
+  }
+
+  test("connected components: string ids, two components, min label") {
+    val edges = Seq(("b", "a"), ("c", "b"), ("y", "z"), ("x", "y"))
+      .toDF("s", "t")
+    val out = Graph.connectedComponents(edges, "s", "t")
+      .collect().map(r => r.getAs[String]("node") ->
+        r.getAs[String]("component")).toMap
+    assert(Seq("a", "b", "c").forall(out(_) == "a"))
+    assert(Seq("x", "y", "z").forall(out(_) == "x"))
+  }
+
   test("assortativity: a star is maximally disassortative") {
     val edges = (1 to 5).map(i => ("hub", s"l$i")).toDF("u", "v")
     val r = Graph.assortativity(edges, "u", "v").collect()(0)
