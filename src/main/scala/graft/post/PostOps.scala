@@ -142,6 +142,27 @@ object PostOps {
       .where(col("rank") <= maxItems)
   }
 
+  /** Empirical-CDF transform (engine addition): per key, map each value
+    * to its cumulative-distribution position (cume_dist: fraction of
+    * rows ≤ v, tie-stable by definition) and percent rank — the
+    * rank-normalization that makes scores comparable across keys with
+    * different scales before aggregation or thresholding. Null values
+    * are excluded (engines disagree on null sort placement).
+    *
+    * Determinism: both stats are ratios of exact integers with one
+    * float division — identical cross-engine regardless of tie order.
+    *
+    * Scale: one exchange + per-key sort (the window-family layout). */
+  def cdfTransform(scored: DataFrame, keyCols: Seq[String], valCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(valCol))
+    scored.where(col(valCol).isNotNull)
+      .withColumn("cdf", cume_dist().over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .select((keyCols.map(col) :+ col(idCol) :+ col(valCol) :+ col("cdf") :+
+        col("pct_rank")): _*)
+  }
+
   /** Benjamini–Hochberg FDR control over per-record p-values (engine
     * addition): within each key, rank p ascending, find the largest k
     * with p₍ₖ₎ ≤ α·k/m, and flag ranks ≤ k as discoveries — the

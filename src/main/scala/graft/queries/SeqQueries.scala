@@ -43,6 +43,10 @@ object SeqQueries {
       graft.streaming.StreamScorers.motifStream(evd,
         Seq("error", "error", "error")).toDF()
     }),
+    // 6h-bucket resample with spine gap fill, per user
+    "q225_resample" -> ((s, dir) =>
+      canon(SeqOps.resample(ev(s, dir), Seq("user_id"), "ts", "value",
+        bucketNs = 21600000000000L))),
     // LOCF gap repair: per-user running IGNORE NULLS last over event_id
     "q216_impute_locf" -> ((s, dir) =>
       canon(SeqOps.imputeLocf(ev(s, dir), Seq("user_id"), "event_id", "value")
@@ -503,6 +507,26 @@ object SeqQueries {
         .stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    "q225_resample" -> {
+      val fp4 = "(CASE WHEN value >= 0 THEN floor(value*1e4+0.5)" +
+        " ELSE -floor(-value*1e4+0.5) END)::BIGINT"
+      s"""WITH b AS (SELECT user_id,
+         |  epoch_ns(ts) // 21600000000000 AS _b, count(*)::BIGINT AS n,
+         |  sum($fp4)::BIGINT AS s4
+         | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |sp AS (SELECT user_id, unnest(generate_series(min(_b), max(_b)))
+         |   AS _b FROM b GROUP BY user_id),
+         |j AS (SELECT sp.user_id, sp._b, coalesce(b.n, 0)::BIGINT AS n,
+         |  CASE WHEN coalesce(b.n, 0) > 0
+         |   THEN (b.s4::DOUBLE / 10000.0) / b.n END AS _avg
+         | FROM sp LEFT JOIN b ON b.user_id = sp.user_id AND b._b = sp._b)
+         |SELECT user_id, _b AS bucket,
+         | (_b * 21600000000000)::BIGINT AS bucket_ts, n, n = 0 AS gap,
+         | round(last_value(_avg IGNORE NULLS) OVER (PARTITION BY user_id
+         |   ORDER BY _b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         |   AS value
+         |FROM j""".stripMargin.replace("\n", " ")
+    },
     "q220_motif_stream" ->
       """WITH m AS (SELECT user_id, event_id, event_type,
         |  lag(event_type, 2) OVER w AS p2, lag(event_type, 1) OVER w AS p1

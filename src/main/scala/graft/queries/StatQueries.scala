@@ -37,6 +37,10 @@ object StatQueries {
     "q214_mutual_info" -> ((s, dir) =>
       canon(graft.model.Assoc.mutualInfo(
         ev(s, dir).withColumn("vb", valueBucket), "event_type", "vb"))),
+    // per-type empirical CDF + percent rank of value
+    "q224_cdf_transform" -> ((s, dir) =>
+      canon(graft.post.PostOps.cdfTransform(ev(s, dir), Seq("event_type"),
+        "value", "event_id"))),
     // smoothed target encoding of event_type against value, m = 20
     "q222_target_encode" -> ((s, dir) =>
       canon(graft.model.Assoc.targetEncode(ev(s, dir), "event_type",
@@ -657,6 +661,13 @@ object StatQueries {
     "q217_profile" -> profileOracle,
     "q218_constraints" -> constraintsOracle,
     "q219_motif" -> motifOracle,
+    "q224_cdf_transform" ->
+      """SELECT event_type, event_id, round(value, 4) AS value,
+        | round(cume_dist() OVER w, 4) AS cdf,
+        | round(percent_rank() OVER w, 4) AS pct_rank
+        |FROM events WHERE value IS NOT NULL
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value)"""
+        .stripMargin.replace("\n", " "),
     "q222_target_encode" ->
       s"""WITH obs AS (SELECT event_type AS category,
          |  ${fp("value", "1e4")} AS y4 FROM events WHERE value IS NOT NULL),

@@ -518,6 +518,41 @@ object SeqOps {
       .select((keyCols :+ seqCol :+ valCol :+ "score" :+ "tag").map(col): _*)
   }
 
+  /** Fixed-interval resampling with gap fill (engine addition): bucket
+    * each key's epoch-nanos timeline into `bucketNs` intervals,
+    * aggregate the value (count + order-exact 4dp fixed-point mean), and
+    * emit a COMPLETE per-key spine from first to last bucket — empty
+    * buckets appear with n=0, `gap` true, and the mean carried forward
+    * LOCF-style. The standard sensor-feed regularizer before any of the
+    * equally-spaced-window scorers (they all assume one row per tick).
+    *
+    * Scale: one hash aggregate to bucket level (map-side combined —
+    * the exchange carries buckets, not events), then the spine explode
+    * and gap-fill window are bucket-sized, not event-sized. */
+  def resample(data: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String, bucketNs: Long): DataFrame = {
+    val kc = keyCols.map(col)
+    val buck = data.where(col(valCol).isNotNull)
+      .withColumn("_b", expr(s"$tsCol div $bucketNs"))
+      .groupBy(kc :+ col("_b"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(fixedPointLong(col(valCol), 4)).as("_s4"))
+    val spine = buck.groupBy(kc: _*)
+      .agg(min("_b").as("_lo"), max("_b").as("_hi"))
+      .select(kc :+ explode(sequence(col("_lo"), col("_hi"))).as("_b"): _*)
+    val w = Window.partitionBy(kc: _*).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(buck, keyCols :+ "_b", "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("_avg",
+        when(col("n") > 0, (col("_s4").cast("double") / 1e4) / col("n")))
+      .withColumn("gap", col("n") === 0L)
+      .withColumn("value", last(col("_avg"), ignoreNulls = true).over(w))
+      .select(kc ++ Seq(col("_b").as("bucket"),
+        (col("_b") * bucketNs).as("bucket_ts"), col("n"), col("gap"),
+        col("value")): _*)
+  }
+
   /** Sequence-motif detector (engine addition): count occurrences of an
     * exact state motif (m₁, m₂, …, m_L at consecutive positions) in each
     * key's ordered state sequence — the "3 failed logins then a

@@ -134,6 +134,36 @@ class AnalysisSpec extends SparkSpec {
     assert(out("v") == ((0L, 2L)))
   }
 
+  test("cdf transform: ties share cume_dist, ranks span [0,1] per key") {
+    val rows = Seq(("k", 1L, 10.0), ("k", 2L, 20.0), ("k", 3L, 20.0),
+      ("k", 4L, 40.0), ("j", 9L, 5.0))
+    val out = graft.post.PostOps.cdfTransform(rows.toDF("g", "id", "v"),
+      Seq("g"), "v", "id").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("cdf"), r.getAs[Double]("pct_rank")))).toMap
+    assert(out(1L) == ((0.25, 0.0)))
+    assert(out(2L) == ((0.75, 1.0 / 3)) && out(3L) == ((0.75, 1.0 / 3)),
+      "ties share both stats")
+    assert(out(4L) == ((1.0, 1.0)))
+    assert(out(9L) == ((1.0, 0.0)), "singleton key")
+  }
+
+  test("resample: spine covers gaps, LOCF carries the mean, counts exact") {
+    // buckets of 10ns; key u has data at buckets 1 and 4 -> 2,3 are gaps
+    val rows = Seq(("u", 12L, Some(2.0)), ("u", 14L, Some(4.0)),
+      ("u", 41L, Some(9.0)), ("u", 45L, None))
+    val out = graft.seq.SeqOps.resample(rows.toDF("k", "ts", "v"),
+      Seq("k"), "ts", "v", bucketNs = 10L).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n"), r.getAs[Boolean]("gap"),
+          r.getAs[Double]("value"), r.getAs[Long]("bucket_ts")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((2L, false, 3.0, 10L)))
+    assert(out(2L) == ((0L, true, 3.0, 20L)), "gap carries bucket-1 mean")
+    assert(out(3L) == ((0L, true, 3.0, 30L)))
+    assert(out(4L) == ((1L, false, 9.0, 40L)), "null value excluded from n")
+  }
+
   test("target encoding: rare categories shrink toward the global prior") {
     // global mean 10; "common" (100 rows at 20) stays near 20,
     // "rare" (2 rows at 0) lands near the prior
