@@ -68,6 +68,46 @@ object Assoc {
         col("r"), col("c"), col("n"))
   }
 
+  /** Pairwise Pearson correlation matrix over numeric columns (engine
+    * addition): one aggregate per pair over pairwise-complete rows — the
+    * redundancy screen before feeding correlated features to the
+    * quality classifier, and a drift diagnostic (a correlation that
+    * moves is a relationship that broke).
+    *
+    * Determinism: values quantize to 4dp longs; per-row products fit a
+    * long (|v|·10⁴ ≤ ~3·10⁹ each), and the SUMS — which can exceed
+    * 2⁶³ — accumulate as Spark decimal(38,0) (exact), mirroring
+    * DuckDB's automatic BIGINT→HUGEINT sum. Both engines then cast the
+    * identical exact integer to double (correctly-rounded on both), so
+    * the closing float expression replays bit-for-bit. Zero variance →
+    * NULL (the assortativity guard).
+    *
+    * Scale: each pair is one hash aggregate (map-side combined) over
+    * the two columns; output is pair-sized. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for (i <- cols.indices; j <- cols.indices if i < j)
+      yield (cols(i), cols(j))
+    val per = pairs.map { case (a, b) =>
+      val agg = df.where(col(a).isNotNull && col(b).isNotNull)
+        .select(fixedPointLong(col(a), 4).as("x"),
+          fixedPointLong(col(b), 4).as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      val num = col("n").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val dx = col("n").cast("double") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val dy = col("n").cast("double") * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      agg.select(lit(a).as("col_x"), lit(b).as("col_y"), col("n"),
+        when(dx > 0 && dy > 0, num / sqrt(dx * dy)).as("corr"))
+    }
+    per.reduce(_ unionByName _)
+  }
+
   /** Smoothed target (mean) encoding: enc(c) = (Σy_c + m·prior)/(n_c + m)
     * with prior = the global mean — the standard high-cardinality
     * categorical feature for the quality-classifier family (rare

@@ -37,6 +37,15 @@ object StatQueries {
     "q214_mutual_info" -> ((s, dir) =>
       canon(graft.model.Assoc.mutualInfo(
         ev(s, dir).withColumn("vb", valueBucket), "event_type", "vb"))),
+    // pairwise Pearson correlation: value × props.k × epoch-day, exact
+    // decimal/hugeint sums
+    "q226_corr_matrix" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("k",
+          get_json_object(col("props"), "$.k").cast("int").cast("double"))
+        .withColumn("day", expr("ts div 86400000000000").cast("double"))
+      canon(graft.model.Assoc.correlationMatrix(e, Seq("value", "k", "day")))
+    }),
     // per-type empirical CDF + percent rank of value
     "q224_cdf_transform" -> ((s, dir) =>
       canon(graft.post.PostOps.cdfTransform(ev(s, dir), Seq("event_type"),
@@ -661,6 +670,30 @@ object StatQueries {
     "q217_profile" -> profileOracle,
     "q218_constraints" -> constraintsOracle,
     "q219_motif" -> motifOracle,
+    "q226_corr_matrix" -> {
+      def pairSql(a: String, b: String) =
+        s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+           | round(CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+           |   AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+           |  THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           |   / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+           |    * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) END, 4)
+           |  AS corr
+           |FROM (SELECT count(*)::BIGINT AS n,
+           |  sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+           |  sum(x * y)::HUGEINT AS sxy, sum(x * x)::HUGEINT AS sxx,
+           |  sum(y * y)::HUGEINT AS syy
+           | FROM (SELECT ${fp(a, "1e4")} AS x, ${fp(b, "1e4")} AS y
+           |  FROM src WHERE ($a) IS NOT NULL AND ($b) IS NOT NULL))"""
+          .stripMargin.replace("\n", " ")
+      val src = """src AS (SELECT value,
+        | json_extract(props, '$.k')::INT::DOUBLE AS k,
+        | (epoch_ns(ts) // 86400000000000)::DOUBLE AS day FROM events)"""
+        .stripMargin.replace("\n", " ")
+      s"""WITH $src ${pairSql("value", "k")} UNION ALL
+         |${pairSql("value", "day")} UNION ALL
+         |${pairSql("k", "day")}""".stripMargin.replace("\n", " ")
+    },
     "q224_cdf_transform" ->
       """SELECT event_type, event_id, round(value, 4) AS value,
         | round(cume_dist() OVER w, 4) AS cdf,
