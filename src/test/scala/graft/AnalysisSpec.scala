@@ -164,6 +164,21 @@ class AnalysisSpec extends SparkSpec {
     assert(out(4L) == ((1L, false, 9.0, 40L)), "null value excluded from n")
   }
 
+  test("correlation matrix: perfect, inverse and independent pairs") {
+    val rows = (1 to 40).map { i =>
+      (i.toDouble, 2.0 * i + 1, -3.0 * i, if (i % 2 == 0) 1.0 else 0.0)
+    }
+    val out = graft.model.Assoc.correlationMatrix(
+      rows.toDF("x", "y", "z", "par"), Seq("x", "y", "z", "par"))
+      .collect().map(r => (r.getAs[String]("col_x"), r.getAs[String]("col_y")) ->
+        r.getAs[java.lang.Double]("corr")).toMap
+    assert(math.abs(out(("x", "y")) - 1.0) < 1e-9, "perfect positive")
+    assert(math.abs(out(("x", "z")) + 1.0) < 1e-9, "perfect negative")
+    assert(math.abs(out(("y", "z")) + 1.0) < 1e-9)
+    assert(math.abs(out(("x", "par"))) < 0.1, "near-independent parity bit")
+    assert(out.size == 6)
+  }
+
   test("target encoding: rare categories shrink toward the global prior") {
     // global mean 10; "common" (100 rows at 20) stays near 20,
     // "rare" (2 rows at 0) lands near the prior
