@@ -432,6 +432,28 @@ object Graph {
       .select(col("id").as("node"), col("cluster").as("component"))
   }
 
+  /** Bipartite projection: from user→item edges, the item–item
+    * co-occurrence graph (weight = distinct users sharing both items) —
+    * THE standard construction of every corpus/item graph this family
+    * runs on (host graphs from user visits, doc graphs from reader
+    * overlap; [[pageRankWeighted]]'s natural input).
+    *
+    * Scale: the self-join on the shared user is Σ deg(u)² — `maxDeg`
+    * drops power-users above the cap (the wedge-cap / LSH hot-bucket
+    * analogue; a user who touches everything connects everything and
+    * carries no signal). Exact integer counts. */
+  def project(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDeg: Int = 10000): DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("u"),
+      col(dstCol).cast("string").as("i")).distinct()
+    val deg = e.groupBy("u").agg(count(lit(1)).as("d"))
+    val capped = e.join(deg, "u").where(col("d") <= maxDeg)
+    capped.as("x").join(capped.as("y"),
+        col("x.u") === col("y.u") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("a"), col("y.i").as("b"))
+      .agg(count(lit(1)).as("cooc"))
+  }
+
   /** Weighted PageRank: contribution r·w div Σw per out-edge instead of
     * r div outdeg — on co-occurrence corpus graphs the edge weight (the
     * repeat count the unweighted walk throws away) IS the signal. Same

@@ -133,6 +133,11 @@ object MultiQueries {
       canon(graft.graph.Graph.pageRankWeighted(both, "src", "dst", "w",
         iters = 5))
     }),
+    // bipartite user→type projection: type–type co-occurrence weights
+    "q228_bipartite_project" -> ((s, dir) =>
+      canon(graft.graph.Graph.project(
+        ev(s, dir).select(col("user_id"), col("event_type")),
+        "user_id", "event_type"))),
     // star-contraction connected components on the sparse user graph,
     // gated against a recursive-closure oracle
     "q223_components" -> ((s, dir) =>
@@ -748,6 +753,15 @@ object MultiQueries {
     "q207_kcore" -> kcoreOracle,
     "q221_pagerank_weighted" -> pageRankWeightedOracle,
     "q223_components" -> componentsOracle,
+    "q228_bipartite_project" ->
+      """WITH e AS (SELECT DISTINCT user_id::VARCHAR AS u,
+        |  event_type AS i FROM events),
+        |deg AS (SELECT u, count(*)::BIGINT AS d FROM e GROUP BY u),
+        |c AS (SELECT e.u, e.i FROM e JOIN deg ON deg.u = e.u
+        | WHERE deg.d <= 10000)
+        |SELECT x.i AS a, y.i AS b, count(*)::BIGINT AS cooc
+        |FROM c x JOIN c y ON x.u = y.u AND x.i < y.i
+        |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     "q208_linkpred" -> linkpredOracle,
     "q209_assortativity" -> assortativityOracle,
     "q210_modularity" -> modularityOracle,

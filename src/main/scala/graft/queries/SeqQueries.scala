@@ -43,6 +43,16 @@ object SeqQueries {
       graft.streaming.StreamScorers.motifStream(evd,
         Seq("error", "error", "error")).toDF()
     }),
+    // streaming LOCF executed as batch (q100 pattern)
+    "q227_locf_stream" -> ((s, dir) => {
+      import s.implicits._
+      val evd = table(s, dir, "events")
+        .select(col("user_id").cast("string").as("entity"),
+          col("event_id").cast("long").as("seq"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.StreamScorers.GapEvent]
+      canon(graft.streaming.StreamScorers.imputeLocfStream(evd).toDF())
+    }),
     // 6h-bucket resample with spine gap fill, per user
     "q225_resample" -> ((s, dir) =>
       canon(SeqOps.resample(ev(s, dir), Seq("user_id"), "ts", "value",
@@ -507,6 +517,15 @@ object SeqQueries {
         .stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    "q227_locf_stream" ->
+      """SELECT user_id::VARCHAR AS entity, event_id AS seq,
+        | round(value, 4) AS value,
+        | round(last_value(value IGNORE NULLS) OVER w, 4) AS filled,
+        | value IS NULL AND last_value(value IGNORE NULLS) OVER w
+        |   IS NOT NULL AS "wasImputed"
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        | ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+        .stripMargin.replace("\n", " "),
     "q225_resample" -> {
       val fp4 = "(CASE WHEN value >= 0 THEN floor(value*1e4+0.5)" +
         " ELSE -floor(-value*1e4+0.5) END)::BIGINT"

@@ -659,6 +659,35 @@ object StreamScorers {
     matched: Boolean, matchesSoFar: Long)
   case class MotifBuf(recent: List[String], total: Long)
 
+  case class GapEvent(entity: String, seq: Long, value: Option[Double])
+  case class LocfOut(entity: String, seq: Long, value: Option[Double],
+    filled: Option[Double], wasImputed: Boolean)
+  case class LocfBuf(lastSeen: Option[Double])
+
+  /** Streaming LOCF imputation — the per-entity twin of
+    * [[graft.seq.SeqOps.imputeLocf]]: carry the last non-null value per
+    * entity across micro-batches, fill nulls forward. State is ONE
+    * optional double per entity; emission is append-only. Batch parity:
+    * identical (entity, seq, filled, was_imputed) rows for any
+    * micro-batch split. */
+  def imputeLocfStream(events: Dataset[GapEvent]): Dataset[LocfOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (entity: String, it: Iterator[GapEvent], st: GroupState[LocfBuf]) => {
+          var buf = st.getOption.getOrElse(LocfBuf(None))
+          val out = it.toSeq.sortBy(_.seq).map { e =>
+            val filled = e.value.orElse(buf.lastSeen)
+            if (e.value.isDefined) buf = LocfBuf(e.value)
+            LocfOut(entity, e.seq, e.value, filled,
+              e.value.isEmpty && filled.isDefined)
+          }
+          st.update(buf)
+          out.iterator
+        })
+  }
+
   /** Streaming sequence-motif detector — the per-entity twin of
     * [[graft.seq.SeqOps.motifCount]]: keep the last L−1 states per
     * entity across micro-batches, flag every event that closes an exact

@@ -175,6 +175,19 @@ class GraphSpec extends SparkSpec {
     assert(Seq("x", "y", "z").forall(out(_) == "x"))
   }
 
+  test("bipartite projection: co-occurrence counts, hot user capped") {
+    // u1 touches {a,b}, u2 {a,b,c}, hot touches everything (capped out)
+    val edges = Seq(("u1", "a"), ("u1", "b"), ("u2", "a"), ("u2", "b"),
+      ("u2", "c")) ++ Seq("a", "b", "c", "d", "e").map(("hot", _))
+    val out = Graph.project(edges.toDF("u", "i"), "u", "i", maxDeg = 4)
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+        r.getAs[Long]("cooc")).toMap
+    assert(out(("a", "b")) == 2L)
+    assert(out(("a", "c")) == 1L && out(("b", "c")) == 1L)
+    assert(!out.contains(("a", "d")), "hot user's pairs are capped out")
+    assert(out.size == 3)
+  }
+
   test("assortativity: a star is maximally disassortative") {
     val edges = (1 to 5).map(i => ("hub", s"l$i")).toDF("u", "v")
     val r = Graph.assortativity(edges, "u", "v").collect()(0)

@@ -428,6 +428,29 @@ class StreamSpec extends SparkSpec {
     assert(batch("e1") == 2L && batch("e2") == 0L)
   }
 
+  test("locf stream carries the last value across a micro-batch boundary") {
+    implicit val sc = spark.sqlContext
+    import StreamScorers.GapEvent
+    val in = MemoryStream[GapEvent]
+    val out = StreamScorers.imputeLocfStream(in.toDS())
+    val q = out.writeStream.format("memory").queryName("locf")
+      .outputMode("append").start()
+    in.addData(GapEvent("e1", 1, None), GapEvent("e1", 2, Some(5.0)))
+    q.processAllAvailable()
+    in.addData(GapEvent("e1", 3, None), GapEvent("e1", 4, Some(7.0)),
+      GapEvent("e2", 1, None))
+    q.processAllAvailable()
+    val rows = spark.table("locf").as[StreamScorers.LocfOut].collect()
+      .sortBy(r => (r.entity, r.seq))
+    q.stop()
+    val e1 = rows.filter(_.entity == "e1")
+    assert(e1.map(_.filled).toSeq ==
+      Seq(None, Some(5.0), Some(5.0), Some(7.0)))
+    assert(e1.map(_.wasImputed).toSeq == Seq(false, false, true, false))
+    assert(rows.filter(_.entity == "e2").head.filled.isEmpty,
+      "leading null stays null across entities")
+  }
+
   test("streaming exact dedup drops cross-batch duplicate content, keeps first") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, String)]
