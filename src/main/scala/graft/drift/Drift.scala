@@ -378,6 +378,50 @@ object Drift {
       .withColumn("drifted", col("psi") > threshold)
   }
 
+  /** Jensen–Shannon divergence between the reference and current value
+    * distributions, PSI's symmetric bounded sibling: JSD = ½KL(p‖m) +
+    * ½KL(q‖m) with m = (p+q)/2 — bounded in [0, ln 2], defined even for
+    * disjoint supports (where PSI's log ratio blows up), the standard
+    * corpus-mix / shard-balance comparison metric. Same binning +
+    * Laplace smoothing as [[psi]]; per-bin terms are 8dp fixed-point
+    * longs (order-exact), ln parity as everywhere.
+    *
+    * Scale: identical shape to [[psi]] — two binned hash aggregates +
+    * model-sized bin join. */
+  def jsDivergence(ref: DataFrame, cur: DataFrame, keyCols: Seq[String],
+      valCol: String, nBins: Int = 10, threshold: Double = 0.1): DataFrame = {
+    val v = col(valCol).cast("double")
+    val edges = ref.groupBy(keyCols.map(col): _*)
+      .agg(min(v).as("_lo"), max(v).as("_hi"))
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.where(v.isNotNull)
+        .join(broadcast(edges), keyCols)
+        .withColumn("_bin", psiBin(v, col("_lo"), col("_hi"), nBins))
+        .groupBy((keyCols :+ "_bin").map(col): _*)
+        .agg(count(lit(1)).as(as))
+    val rc = counts(ref, "_rc")
+    val cc = counts(cur, "_cc")
+    val bins = edges.select(keyCols.map(col) :+
+      explode(sequence(lit(0), lit(nBins - 1))).as("_bin"): _*)
+    val joined = bins
+      .join(rc, keyCols :+ "_bin", "left")
+      .join(cc, keyCols :+ "_bin", "left")
+      .withColumn("_rc", coalesce(col("_rc"), lit(0L)))
+      .withColumn("_cc", coalesce(col("_cc"), lit(0L)))
+    val tots = joined.groupBy(keyCols.map(col): _*)
+      .agg(sum("_rc").as("_rt"), sum("_cc").as("_ct"))
+    val half = lit(nBins * 0.5)
+    val rs = (col("_rc") + 0.5) / (col("_rt") + half)
+    val cs = (col("_cc") + 0.5) / (col("_ct") + half)
+    val ms = (rs + cs) / 2.0
+    joined.join(broadcast(tots), keyCols)
+      .withColumn("_t8", graft.core.fixedPointLong(
+        lit(0.5) * rs * log(rs / ms) + lit(0.5) * cs * log(cs / ms), 8))
+      .groupBy(keyCols.map(col): _*)
+      .agg((sum("_t8") / 1e8).as("jsd"))
+      .withColumn("drifted", col("jsd") > threshold)
+  }
+
   /** Benford expected first-digit frequencies p_d = log10(1 + 1/d),
     * d = 1..9 — computed once here and interpolated into the oracle SQL
     * as decimal literals, so both engines use the bit-identical constant

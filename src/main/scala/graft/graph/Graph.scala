@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph operators (engine addition — the reference has none): link-based
@@ -489,6 +490,50 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank12"),
       (col("r").cast("double") / scale).as("rank"))
+  }
+
+  /** Deterministic random-walk generation (the DeepWalk/node2vec corpus
+    * primitive): `walksPerNode` walks of `walkLen` steps from every
+    * node, each step choosing neighbor index md5(salt:start:walk:step)
+    * mod degree over the dst-sorted adjacency — fully hash-driven, so
+    * reruns, retries and the oracle replay the identical walks (the
+    * md5-determinism discipline every sampler here follows). Output is
+    * one row per (start, walk, step, node) visit — the training-sequence
+    * feed for graph embeddings.
+    *
+    * Scale: the adjacency (with per-src index + degree, one window pass)
+    * is computed once and persisted; each step is one equi-join of the
+    * walk frontier (nodes×walks rows) into it. Frontier state is
+    * walk-sized, referenced once per step — linear lineage, no
+    * checkpoint needed at these depths. */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      walksPerNode: Int, walkLen: Int, salt: String = "walk"): DataFrame = {
+    val e = undirectedBoth(edges, srcCol, dstCol)
+    val wIdx = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val adj = e.withColumn("idx", row_number().over(wIdx).cast("long"))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .persist()
+    val nodes = e.select(col("src").as("node")).distinct()
+    var cur = nodes.select(col("node").as("start"),
+        explode(sequence(lit(0L), lit(walksPerNode - 1L))).as("walk"))
+      .withColumn("step", lit(0L)).withColumn("node", col("start"))
+      // checkpoint per step: the frontier would otherwise carry adj's
+      // attribute ids into the next step's join with adj (ambiguous
+      // self-join), and the leaf keeps every step's plan constant-size
+      .localCheckpoint(true)
+    var out = cur
+    (1 to walkLen).foreach { i =>
+      val h = graft.text.TextOps.hash56(concat_ws(":",
+        lit(salt), col("start"), col("walk"), lit((i - 1).toLong)))
+      val nxt = cur.join(adj, adj("src") === cur("node"))
+        .where(adj("idx") === (h % adj("deg")) + 1L)
+        .select(cur("start"), cur("walk"), lit(i.toLong).as("step"),
+          adj("dst").as("node"))
+        .localCheckpoint(true)
+      cur = nxt
+      out = out.unionByName(nxt)
+    }
+    out
   }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of

@@ -38,6 +38,18 @@ object DriftQueries {
             .otherwise(col("value") * 1.3 + 25.0))
       canon(Drift.psi(ref, cur, Seq("event_type"), "value", nBins = 10))
     }),
+    // Jensen–Shannon divergence on the same ref/cur split as q189 —
+    // PSI's bounded symmetric sibling, 8dp fixed-point terms
+    "q230_jsd" -> ((s, dir) => {
+      val e = table(s, dir, "events").select("event_type", "event_id", "value")
+      val ref = e.where(col("event_id") % 2 === 0)
+      val cur = e.where(col("event_id") % 2 === 1)
+        .withColumn("value",
+          when(col("event_type").isin("click", "view"), col("value"))
+            .otherwise(col("value") * 1.3 + 25.0))
+      canon(Drift.jsDivergence(ref, cur, Seq("event_type"), "value",
+        nBins = 10))
+    }),
     // the streaming PSI twin batch-executed (the q100 device): one
     // micro-batch holds the whole current window, so the emitted
     // snapshot must equal the batch operator — and the DuckDB oracle
@@ -434,7 +446,47 @@ object DriftQueries {
        |FROM g""".stripMargin.replace("\n", " ")
   }
 
+  private lazy val jsdOracle: String = {
+    val fp8 = (e: String) =>
+      s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e8+0.5) ELSE -floor(-($e)*1e8+0.5) END)::BIGINT"
+    val rs = "(j.rcn + 0.5) / (t.rt + 5.0)"
+    val cs = "(j.ccn + 0.5) / (t.ct + 5.0)"
+    val ms = s"(($rs) + ($cs)) / 2.0"
+    val term = s"0.5 * ($rs) * ln(($rs) / ($ms)) + 0.5 * ($cs) * ln(($cs) / ($ms))"
+    val binOf =
+      """CASE WHEN e.hi > e.lo THEN
+        | least(greatest(floor((s.v - e.lo) / ((e.hi - e.lo) / 10.0))::BIGINT, 0), 9)
+        | ELSE 0 END""".stripMargin
+    s"""WITH ref AS (SELECT event_type, value::DOUBLE AS v FROM events
+       |  WHERE event_id % 2 = 0),
+       |cur AS (SELECT event_type,
+       |  CASE WHEN event_type IN ('click', 'view') THEN value::DOUBLE
+       |   ELSE value::DOUBLE * 1.3 + 25.0 END AS v FROM events
+       |  WHERE event_id % 2 = 1),
+       |ed AS (SELECT event_type, min(v) AS lo, max(v) AS hi
+       | FROM ref GROUP BY 1),
+       |rc AS (SELECT s.event_type, $binOf AS bin, count(*) AS c
+       | FROM ref s JOIN ed e USING (event_type) GROUP BY 1, 2),
+       |cc AS (SELECT s.event_type, $binOf AS bin, count(*) AS c
+       | FROM cur s JOIN ed e USING (event_type) GROUP BY 1, 2),
+       |bins AS (SELECT event_type, unnest(range(10)) AS bin FROM ed),
+       |j AS (SELECT b.event_type, b.bin,
+       |  coalesce(rc.c, 0) AS rcn, coalesce(cc.c, 0) AS ccn
+       | FROM bins b
+       | LEFT JOIN rc ON rc.event_type = b.event_type AND rc.bin = b.bin
+       | LEFT JOIN cc ON cc.event_type = b.event_type AND cc.bin = b.bin),
+       |t AS (SELECT event_type, sum(rcn) AS rt, sum(ccn) AS ct
+       | FROM j GROUP BY 1),
+       |c8 AS (SELECT j.event_type, ${fp8(term)} AS t8
+       | FROM j JOIN t USING (event_type)),
+       |p AS (SELECT event_type, sum(t8)::DOUBLE / 1e8 AS jsd
+       | FROM c8 GROUP BY 1)
+       |SELECT event_type, round(jsd, 4) AS jsd, jsd > 0.1 AS drifted
+       |FROM p""".stripMargin.replace("\n", " ")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q230_jsd" -> jsdOracle,
     "q200_benford" -> benfordOracle,
     "q189_psi" ->
       s"""WITH $psiCtes

@@ -133,6 +133,11 @@ object MultiQueries {
       canon(graft.graph.Graph.pageRankWeighted(both, "src", "dst", "w",
         iters = 5))
     }),
+    // md5-deterministic random walks (2 per node, 4 steps) on the
+    // sparse user graph — the DeepWalk sequence feed, exactly replayable
+    "q229_random_walks" -> ((s, dir) =>
+      canon(graft.graph.Graph.randomWalks(chainPairs(s, dir, 3), "a", "b",
+        walksPerNode = 2, walkLen = 4, salt = "w"))),
     // bipartite user→type projection: type–type co-occurrence weights
     "q228_bipartite_project" -> ((s, dir) =>
       canon(graft.graph.Graph.project(
@@ -627,6 +632,35 @@ object MultiQueries {
        |SELECT id AS node, min(label) AS component
        |FROM reach GROUP BY id""".stripMargin.replace("\n", " ")
 
+  // random-walk replay: per step, neighbor idx = md5 56-bit of
+  // "w:start:walk:step" mod degree (+1) over the dst-sorted adjacency
+  private lazy val randomWalksOracle: String = {
+    def h(stepExpr: String) =
+      s"('0x'||substr(md5('w:' || w.start || ':' || w.walk::VARCHAR || " +
+        s"':' || $stepExpr),1,14))::BIGINT"
+    val steps = (1 to 4).map { i =>
+      s"""w$i AS (SELECT w.start, w.walk, ${i}::BIGINT AS step,
+         | a.dst AS node
+         | FROM w${i - 1} w JOIN adj a ON a.src = w.node
+         |  AND a.idx = (${h(s"'${i - 1}'")} % a.deg) + 1)""".stripMargin
+        .replace("\n", " ")
+    }
+    s"""WITH ${chainSql(3)},
+       |adj AS (SELECT src, dst,
+       |  row_number() OVER (PARTITION BY src ORDER BY dst)::BIGINT AS idx,
+       |  count(*) OVER (PARTITION BY src)::BIGINT AS deg FROM edges),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |w0 AS (SELECT node AS start, wk::BIGINT AS walk, 0::BIGINT AS step,
+       |  node FROM nodes CROSS JOIN (SELECT unnest(range(0, 2)) AS wk)),
+       |${steps.mkString(", ")}
+       |SELECT start, walk, step, node FROM w0
+       |UNION ALL SELECT start, walk, step, node FROM w1
+       |UNION ALL SELECT start, walk, step, node FROM w2
+       |UNION ALL SELECT start, walk, step, node FROM w3
+       |UNION ALL SELECT start, walk, step, node FROM w4""".stripMargin
+      .replace("\n", " ")
+  }
+
   private lazy val linkpredOracle: String =
     s"""WITH ${chainSql(3)},
        |deg AS (SELECT src AS node, count(*)::BIGINT AS d
@@ -753,6 +787,7 @@ object MultiQueries {
     "q207_kcore" -> kcoreOracle,
     "q221_pagerank_weighted" -> pageRankWeightedOracle,
     "q223_components" -> componentsOracle,
+    "q229_random_walks" -> randomWalksOracle,
     "q228_bipartite_project" ->
       """WITH e AS (SELECT DISTINCT user_id::VARCHAR AS u,
         |  event_type AS i FROM events),

@@ -164,6 +164,19 @@ class AnalysisSpec extends SparkSpec {
     assert(out(4L) == ((1L, false, 9.0, 40L)), "null value excluded from n")
   }
 
+  test("jsd: identical halves near 0, shifted distribution drifts, bounded") {
+    val same = (1 to 400).map(i => ("k", (i % 20).toDouble)).toDF("g", "v")
+    val j0 = graft.drift.Drift.jsDivergence(same, same, Seq("g"), "v")
+      .collect()(0)
+    assert(j0.getAs[Double]("jsd") < 0.01 && !j0.getAs[Boolean]("drifted"))
+    val shifted = (1 to 400).map(i => ("k", (i % 20) + 40.0)).toDF("g", "v")
+    val j1 = graft.drift.Drift.jsDivergence(same, shifted, Seq("g"), "v")
+      .collect()(0)
+    assert(j1.getAs[Boolean]("drifted"), s"disjoint supports must drift: $j1")
+    assert(j1.getAs[Double]("jsd") <= math.log(2.0) + 1e-9,
+      "JSD is bounded by ln 2 even on disjoint supports")
+  }
+
   test("correlation matrix: perfect, inverse and independent pairs") {
     val rows = (1 to 40).map { i =>
       (i.toDouble, 2.0 * i + 1, -3.0 * i, if (i % 2 == 0) 1.0 else 0.0)

@@ -188,6 +188,23 @@ class GraphSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("random walks: deterministic, edge-following, full coverage") {
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    val edges = und.toDF("s", "t")
+    def run() = Graph.randomWalks(edges, "s", "t", walksPerNode = 2,
+      walkLen = 3, salt = "w").collect()
+      .map(r => (r.getAs[String]("start"), r.getAs[Long]("walk"),
+        r.getAs[Long]("step")) -> r.getAs[String]("node")).toMap
+    val w1 = run()
+    assert(w1 == run(), "hash-driven walks replay identically")
+    assert(w1.size == 4 * 2 * 4, "every (start, walk) has steps 0..3")
+    // every step follows a real edge
+    val adjacent = (und ++ und.map(_.swap)).toSet
+    for (start <- Seq("a", "b", "c", "d"); wk <- 0L to 1L; st <- 1L to 3L)
+      assert(adjacent((w1((start, wk, st - 1)), w1((start, wk, st)))),
+        s"step $st of ($start,$wk) is not an edge")
+  }
+
   test("assortativity: a star is maximally disassortative") {
     val edges = (1 to 5).map(i => ("hub", s"l$i")).toDF("u", "v")
     val r = Graph.assortativity(edges, "u", "v").collect()(0)
