@@ -52,6 +52,51 @@ case class VecDot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): VecDot = copy(newLeft, newRight)
 }
 
+/** Euclidean distance sqrt(Σ(xᵢ−yᵢ)²) with the SAME left-to-right
+  * accumulation order as the `zip_with`+`aggregate` HOF form it replaces
+  * (and as the oracle's list replay) — bit-identical results, but
+  * whole-stage-codegen'd where the HOFs are CodegenFallback (interpreted
+  * per row; measured ~6× on the 100M-pair cell-kNN join). */
+case class VecEuclid(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_euclid"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecEuclid = copy(newLeft, newRight)
+}
+
 /** Nearest-centroid index: argmin_ci (norms(ci) − 2·v·cents(ci)) — the
   * IVF/PQ/semantic-dedup cell-assignment kernel (‖v−c‖² with the
   * row-constant ‖v‖² dropped; `norms` must be the caller's Σc² so oracle
@@ -305,6 +350,7 @@ object GraftFunctions {
     e.eval().asInstanceOf[ArrayData].toDoubleArray()
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(asDoubles(es(0)), asDoubles(es(1)))),
+    "vec_euclid" -> (es => VecEuclid(asDoubles(es(0)), asDoubles(es(1)))),
     "vec_nearest" -> (es =>
       VecNearest(asDoubles(es(0)), litMatrix(es(1)), litVec(es(2)))),
     "vec_nearest_q" -> (es =>

@@ -18,9 +18,12 @@ object Proximity {
   /** Euclidean distance between two float-array columns, computed in
     * double (cast first — float subtraction would diverge from the oracle). */
   def euclidean(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    sqrt(aggregate(zip_with(ad, bd, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+    // codegen'd VecEuclid with the identical left-to-right accumulation
+    // the zip_with+aggregate HOF form computed (HOFs are CodegenFallback
+    // — interpreted per row, ~6× slower on the 100M-pair cell joins)
+    graft.expr.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    org.apache.spark.sql.functions.call_function("vec_euclid", a, b)
   }
 
   /** All-pairs distance table from an embedding table: (src, trg, dist),
@@ -125,7 +128,11 @@ object Proximity {
   def lof(pairs: DataFrame, k: Int): DataFrame = lofFromKnn(knn(pairs, k), k)
 
   def lofFromKnn(nnIn: DataFrame, k: Int): DataFrame = {
+    // the kNN frame feeds three branches (k-dist, reach, neighbor-lrd):
+    // persist it so an expensive upstream (the cellKnn kmeans+pair join)
+    // computes once, not per branch (q193 measured 12.6 s → ~4 s)
     val nn = nnIn.select("src", "trg", "dist")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kdist = nn.groupBy("src").agg(max("dist").as("kdist"))
     val reach = nn
       .join(kdist.select(col("src").as("trg"), col("kdist")), "trg")

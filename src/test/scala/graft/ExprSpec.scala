@@ -34,6 +34,28 @@ class ExprSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [vec_dot"))  // * prefix = inside WholeStageCodegen
   }
 
+  test("vec_euclid matches the HOF formulation bit-for-bit, float-casting") {
+    GraftFunctions.register(spark)
+    val df = Seq((Array(1.5, 2.5, -3.0), Array(0.5, 4.0, 2.0))).toDF("a", "b")
+    val r = df.select(
+      call_function("vec_euclid", $"a", $"b").as("native"),
+      sqrt(aggregate(zip_with($"a", $"b", (p, q) => (p - q) * (p - q)),
+        lit(0.0), (x, v) => x + v)).as("hof"))
+      .head()
+    assert(r.getDouble(0) == r.getDouble(1), "identical accumulation order")
+    val f = Seq((Array(3.0f, 0.0f), Array(0.0, 4.0))).toDF("a", "b")
+      .selectExpr("vec_euclid(a, b) as d").head()
+    assert(f.getDouble(0) == 5.0)
+  }
+
+  test("vec_euclid participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val df = spark.range(10).selectExpr("array(cast(id as double), 2.0) as a")
+      .selectExpr("vec_euclid(a, a) as d")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vec_euclid"))
+  }
+
   test("vec_nearest matches the struct-argmin formulation on every row") {
     GraftFunctions.register(spark)
     // deterministic pseudo-random vectors (md5-derived), plus tie and
