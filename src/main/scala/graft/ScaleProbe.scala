@@ -487,6 +487,31 @@ object ScaleProbe {
         text.TextOps.entityResolve(docs, "doc_id", "text",
           blockChars = 16, maxDist = 20).count()
       }
+      time("resample", n, nEv) {
+        seq.SeqOps.resample(ev, Seq("user_id"), "ts", "value",
+          bucketNs = 3600000000000L).count()
+      }
+      time("cdf_transform", n, nEv) {
+        post.PostOps.cdfTransform(ev, Seq("event_type"), "value",
+          "event_id").count()
+      }
+      time("jsd", n, nEv) {
+        drift.Drift.jsDivergence(ev.where(col("event_id") % 2 === 0),
+          ev.where(col("event_id") % 2 === 1), Seq("event_type"),
+          "value").count()
+      }
+      time("walks", n, nEv) {
+        graph.Graph.randomWalks(coEdges(2), "a", "b",
+          walksPerNode = 2, walkLen = 4).count()
+      }
+      time("project", n, nEv) {
+        // user → (type, day) items: items stay ~150, user degrees grow
+        // with density — the Σ deg² shape under the maxDeg cap
+        graph.Graph.project(ev.select(col("user_id"),
+          concat_ws("#", col("event_type"),
+            expr("ts div 86400000000000")).as("item")),
+          "user_id", "item", maxDeg = 200).count()
+      }
     }
     spark.stop()
   }

@@ -238,7 +238,9 @@ object Graph {
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b")).distinct().persist()
-    val lab = labels.select(col("node"), col("label"))
+    // labels may be an expensive lineage (the LPA chain): it feeds both
+    // endpoint joins plus the degree roll-up — persist once
+    val lab = labels.select(col("node"), col("label")).persist()
     val la = lab.withColumnRenamed("node", "a").withColumnRenamed("label", "la")
     val lb = lab.withColumnRenamed("node", "b").withColumnRenamed("label", "lb")
     val perC = und.join(la, "a").join(lb, "b")
