@@ -1,0 +1,118 @@
+package graft.multi
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-tail multivariate outlier scorers (engine additions):
+  * ECOD (Li et al., "ECOD: Unsupervised Outlier Detection Using
+  * Empirical Cumulative Distribution Functions", TKDE 2022) and HBOS
+  * (Goldstein & Dengel 2012). Both are the modern parameter-light
+  * complements to the reference's density family (beymani's
+  * NeighborhoodDensity / LOF) — no pairwise distances, no trees: one
+  * window pass (ECOD) or one histogram aggregate (HBOS) per dimension,
+  * which is exactly what survives a 100 TB scoring run.
+  */
+object TailScores {
+
+  /** ECOD: per dimension, the left/right empirical tail probabilities
+    * F(x) = P(X ≤ x) and P(X ≥ x) become per-dim outlier factors
+    * −ln F; the final score is the max of the three dimension-sums
+    * (left, right, and the skewness-directed automatic choice), per the
+    * paper's §4 aggregation.
+    *
+    * Determinism: cume_dist is an exact integer ratio on both engines
+    * (rows ≤ current incl. peers / n — tie-stable by definition); −ln
+    * of it relies on the established libm parity. The skew *sign* per
+    * (key, dim) is computed exactly: values quantize to 1dp longs and
+    * the third central moment's sign replays as
+    * n²Σx³ − 3nΣxΣx² + 2(Σx)³ over decimal(38,0) sums (DuckDB:
+    * HUGEINT) — an exact integer whose sign both engines agree on.
+    * 1dp keeps the cubes inside 38 digits at |x| ≤ ~10⁵, n ≤ ~10⁷.
+    *
+    * Scale: one shuffle on the keys; all 2·d cume_dist windows share
+    * that partitioning (d in-partition sorts, no extra exchange). The
+    * skew model is key-sized and broadcast back. Parallelism is key
+    * cardinality — the documented window-family ceiling, inherent to
+    * per-population ECDFs. Null policy: rows with any null attr are
+    * excluded (ECDF over complete rows only). */
+  def ecod(data: DataFrame, keyCols: Seq[String], attrCols: Seq[String],
+      threshold: Double): DataFrame = {
+    require(attrCols.nonEmpty, "ecod needs at least one attribute")
+    val keyed = data.where(attrCols.map(col(_).isNotNull).reduce(_ && _))
+
+    // exact third-moment sign per (key, dim), 1dp fixed-point
+    val skewAggs = attrCols.flatMap { a =>
+      val x = graft.core.fixedPointLong(col(a), 1).cast("decimal(38,0)")
+      Seq(sum(x).as(s"${a}_s1"),
+        sum((x * x).cast("decimal(38,0)")).as(s"${a}_s2"),
+        sum((x * x * x).cast("decimal(38,0)")).as(s"${a}_s3"))
+    }
+    val skew = keyed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n_"), skewAggs: _*)
+    val skewSigns = attrCols.foldLeft(skew) { (df, a) =>
+      val m3n3 = col("n_") * col("n_") * col(s"${a}_s3") -
+        lit(3) * col("n_") * col(s"${a}_s1") * col(s"${a}_s2") +
+        lit(2) * col(s"${a}_s1") * col(s"${a}_s1") * col(s"${a}_s1")
+      df.withColumn(s"${a}_neg", m3n3 < 0)
+    }.select(keyCols.map(col) ++ attrCols.map(a => col(s"${a}_neg")): _*)
+
+    val withTails = attrCols.foldLeft(
+      keyed.join(broadcast(skewSigns), keyCols)) { (df, a) =>
+      val asc = Window.partitionBy(keyCols.map(col): _*).orderBy(col(a).asc)
+      val desc = Window.partitionBy(keyCols.map(col): _*).orderBy(col(a).desc)
+      df.withColumn(s"${a}_ol", -log(cume_dist().over(asc)))
+        .withColumn(s"${a}_or", -log(cume_dist().over(desc)))
+    }
+    val sl = attrCols.map(a => col(s"${a}_ol")).reduce(_ + _)
+    val sr = attrCols.map(a => col(s"${a}_or")).reduce(_ + _)
+    val sa = attrCols.map(a =>
+      when(col(s"${a}_neg"), col(s"${a}_ol")).otherwise(col(s"${a}_or")))
+      .reduce(_ + _)
+    withTails
+      .withColumn("score", greatest(sl, sr, sa))
+      .withColumn("tag", graft.core.label(col("score"), lit(threshold)))
+      .drop(attrCols.flatMap(a => Seq(s"${a}_ol", s"${a}_or", s"${a}_neg")): _*)
+  }
+
+  /** HBOS: per dimension, a fixed-width histogram over the scoring
+    * population itself; score = Σ_d −ln(density of the record's bin) —
+    * log-scale so dimensions with many bins don't drown the rest
+    * (Goldstein & Dengel 2012, eq. 1, with uniform bin width).
+    *
+    * Determinism: bin = floor(x/w) exactly as the histogram-fit family
+    * computes it; density is the exact integer ratio cnt/n; −ln rides
+    * libm parity; the cross-dim sum is a fixed left-associated chain.
+    *
+    * Scale: one hash aggregate per dimension (map-side combined) →
+    * bin-sized models, broadcast back onto the data — the same
+    * fit-then-broadcast-score shape as the reference's histogram
+    * predictor (EstimatedProbabilityBasedPredictor), generalized to
+    * d dimensions in one pass over the data. */
+  def hbos(data: DataFrame, keyCols: Seq[String], attrs: Seq[(String, Double)],
+      threshold: Double): DataFrame = {
+    require(attrs.nonEmpty, "hbos needs at least one (attr, width)")
+    val keyed = data.where(attrs.map { case (a, _) => col(a).isNotNull }
+      .reduce(_ && _))
+    val n = keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n_"))
+    val scored = attrs.foldLeft(keyed.join(broadcast(n), keyCols)) {
+      case (df, (a, w)) =>
+        val bin = floor(col(a) / lit(w)).cast("long")
+        val hist = keyed
+          .groupBy((keyCols.map(col) :+
+            floor(col(a) / lit(w)).cast("long").as(s"${a}_bin")): _*)
+          .agg(count(lit(1)).as(s"${a}_cnt"))
+        df.withColumn(s"${a}_bin", bin)
+          .join(broadcast(hist), keyCols :+ s"${a}_bin")
+          .withColumn(s"${a}_o",
+            -log(col(s"${a}_cnt").cast("double") / col("n_")))
+    }
+    val total = attrs.map { case (a, _) => col(s"${a}_o") }.reduce(_ + _)
+    scored
+      .withColumn("score", total)
+      .withColumn("tag", graft.core.label(col("score"), lit(threshold)))
+      .drop(attrs.flatMap { case (a, _) =>
+        Seq(s"${a}_bin", s"${a}_cnt", s"${a}_o") }: _*)
+      .drop("n_")
+  }
+}

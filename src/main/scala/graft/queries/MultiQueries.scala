@@ -277,6 +277,28 @@ object MultiQueries {
         element_at(col("embedding"), 2).cast("double").as("ey"))
       ClusterScore.cellOccupancy(e, "ex", "ey", eps = 0.05)
     }),
+    // ECOD tail scorer per returnflag over three lineitem measures —
+    // the parameter-free multivariate complement to q32/q45
+    "q231_ecod" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_quantity", "l_extendedprice", "l_discount")
+      canon(graft.multi.TailScores.ecod(li, Seq("l_returnflag"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), threshold = 12.0)
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_quantity", "l_extendedprice", "l_discount", "score", "tag"))
+    }),
+    // HBOS histogram scorer, same population — fit and score in one pass
+    "q232_hbos" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_quantity", "l_extendedprice", "l_discount")
+      canon(graft.multi.TailScores.hbos(li, Seq("l_returnflag"),
+        Seq(("l_quantity", 10.0), ("l_extendedprice", 10000.0),
+          ("l_discount", 0.02)), threshold = 14.0)
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_quantity", "l_extendedprice", "l_discount", "score", "tag"))
+    }),
   )
 
   private val zCte =
@@ -1068,5 +1090,71 @@ object MultiQueries {
         | round(l.l_extendedprice,4) AS l_extendedprice,
         | round(abs(-sin(t.th)*(l.l_quantity - t.mu1) + cos(t.th)*(l.l_extendedprice - t.mu2)), 4) AS score
         |FROM lineitem l CROSS JOIN t""".stripMargin.replace("\n", " "),
+    "q231_ecod" -> {
+      def fp1(c: String) =
+        s"(CASE WHEN ($c)>=0 THEN floor(($c)*10.0+0.5) ELSE -floor(-($c)*10.0+0.5) END)::BIGINT"
+      def m3(p: String) =
+        s"(n_*n_*${p}s3 - 3*n_*${p}s1*${p}s2 + 2*${p}s1*${p}s1*${p}s1) < 0 AS ${p}_neg"
+      def tails(c: String, p: String) =
+        s"""-ln(cume_dist() OVER (PARTITION BY b.l_returnflag ORDER BY b.$c ASC)) AS ${p}_ol,
+           |  -ln(cume_dist() OVER (PARTITION BY b.l_returnflag ORDER BY b.$c DESC)) AS ${p}_or"""
+          .stripMargin
+      def auto(p: String) = s"CASE WHEN ${p}_neg THEN ${p}_ol ELSE ${p}_or END"
+      s"""WITH base AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+         |  l_quantity, l_extendedprice, l_discount FROM lineitem
+         | WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+         |  AND l_discount IS NOT NULL),
+         |fx AS (SELECT l_returnflag, ${fp1("l_quantity")} AS q,
+         |  ${fp1("l_extendedprice")} AS e, ${fp1("l_discount")} AS d FROM base),
+         |sk AS (SELECT l_returnflag, count(*)::HUGEINT AS n_,
+         |  sum(q)::HUGEINT AS qs1, sum(q*q)::HUGEINT AS qs2, sum(q*q*q)::HUGEINT AS qs3,
+         |  sum(e)::HUGEINT AS es1, sum(e*e)::HUGEINT AS es2, sum(e*e*e)::HUGEINT AS es3,
+         |  sum(d)::HUGEINT AS ds1, sum(d*d)::HUGEINT AS ds2, sum(d*d*d)::HUGEINT AS ds3
+         | FROM fx GROUP BY 1),
+         |sg AS (SELECT l_returnflag, ${m3("q")}, ${m3("e")}, ${m3("d")} FROM sk),
+         |t AS (SELECT b.*, s.q_neg, s.e_neg, s.d_neg,
+         |  ${tails("l_quantity", "q")},
+         |  ${tails("l_extendedprice", "e")},
+         |  ${tails("l_discount", "d")}
+         | FROM base b JOIN sg s USING (l_returnflag)),
+         |f AS (SELECT *, (q_ol + e_ol) + d_ol AS sl, (q_or + e_or) + d_or AS sr,
+         |  (${auto("q")} + ${auto("e")}) + ${auto("d")} AS sa FROM t)
+         |SELECT l_orderkey, l_linenumber, l_returnflag,
+         | round(l_quantity,4) AS l_quantity,
+         | round(l_extendedprice,4) AS l_extendedprice,
+         | round(l_discount,4) AS l_discount,
+         | round(greatest(sl, sr, sa), 4) AS score,
+         | CASE WHEN greatest(sl, sr, sa) > 12.0 THEN 'O' ELSE 'N' END AS tag
+         |FROM f""".stripMargin.replace("\n", " ")
+    },
+    "q232_hbos" ->
+      """WITH base AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  l_quantity, l_extendedprice, l_discount FROM lineitem
+        | WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  AND l_discount IS NOT NULL),
+        |nn AS (SELECT l_returnflag, count(*) AS n_ FROM base GROUP BY 1),
+        |hq AS (SELECT l_returnflag, CAST(floor(l_quantity/10.0) AS BIGINT) AS qb,
+        |  count(*) AS qc FROM base GROUP BY 1, 2),
+        |he AS (SELECT l_returnflag, CAST(floor(l_extendedprice/10000.0) AS BIGINT) AS eb,
+        |  count(*) AS ec FROM base GROUP BY 1, 2),
+        |hd AS (SELECT l_returnflag, CAST(floor(l_discount/0.02) AS BIGINT) AS db,
+        |  count(*) AS dc FROM base GROUP BY 1, 2),
+        |sc AS (SELECT b.*,
+        |  ((-ln(hq.qc::DOUBLE / n.n_)) + (-ln(he.ec::DOUBLE / n.n_)))
+        |    + (-ln(hd.dc::DOUBLE / n.n_)) AS score
+        | FROM base b JOIN nn n USING (l_returnflag)
+        | JOIN hq ON hq.l_returnflag = b.l_returnflag
+        |  AND hq.qb = CAST(floor(b.l_quantity/10.0) AS BIGINT)
+        | JOIN he ON he.l_returnflag = b.l_returnflag
+        |  AND he.eb = CAST(floor(b.l_extendedprice/10000.0) AS BIGINT)
+        | JOIN hd ON hd.l_returnflag = b.l_returnflag
+        |  AND hd.db = CAST(floor(b.l_discount/0.02) AS BIGINT))
+        |SELECT l_orderkey, l_linenumber, l_returnflag,
+        | round(l_quantity,4) AS l_quantity,
+        | round(l_extendedprice,4) AS l_extendedprice,
+        | round(l_discount,4) AS l_discount,
+        | round(score, 4) AS score,
+        | CASE WHEN score > 14.0 THEN 'O' ELSE 'N' END AS tag
+        |FROM sc""".stripMargin.replace("\n", " "),
   )
 }

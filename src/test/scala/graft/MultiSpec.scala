@@ -105,4 +105,46 @@ class MultiSpec extends SparkSpec {
     assert(out(3.0) < 1e-12)    // perfect split
     assert(out(0.5) > 0.5 && out(6.0) > 0.5) // all-one-side → max entropy
   }
+
+  test("ecod: extreme point scores highest; tails are -ln ecdf") {
+    val rows = (1 to 99).map(i => ("k", i.toLong, (i % 10).toDouble, 5.0)) :+
+      (("k", 999L, 100.0, 5.0))
+    val df = rows.toDF("g", "id", "x", "y")
+    val out = graft.multi.TailScores.ecod(df, Seq("g"), Seq("x", "y"), 5.0)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val top = out(999L)
+    // x=100 is the unique max: right tail = 1/100 → -ln(0.01) ≈ 4.6;
+    // y is constant (both tails = 1, contributes 0)
+    assert(math.abs(top.getAs[Double]("score") - math.log(100.0)) < 1e-9)
+    assert(top.getAs[String]("tag") == "N") // 4.6 < 5.0 threshold
+    assert(out.values.map(_.getAs[Double]("score")).max ==
+      top.getAs[Double]("score"))
+  }
+
+  test("ecod: skew sign routes the auto tail") {
+    // right-skewed: mass at 0..9, long high tail → m3 > 0 → auto = right
+    val rows = ((1 to 90).map(i => ("k", i.toLong, (i % 10).toDouble)) ++
+      (1 to 10).map(i => ("k", 100L + i, 50.0 + i))).toDF("g", "id", "x")
+    val out = graft.multi.TailScores.ecod(rows, Seq("g"), Seq("x"), 100.0)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    // the highest value (60): right tail 1/100, left tail 1 → with a
+    // positive-skew auto choice the max(sums) must equal -ln(0.01)
+    assert(math.abs(out(110L) - math.log(100.0)) < 1e-9)
+    // a low-side value (0, 9 occurrences): its LEFT tail is 9/100 but
+    // auto follows the right tail (90/100 of rows ≥ ... ), so its score
+    // stays the max of the three sums — strictly below the top score
+    assert(out.values.forall(_ <= out(110L) + 1e-12))
+  }
+
+  test("hbos: rare-bin point outscores dense-bin points") {
+    val rows = ((1 to 99).map(i => ("k", i.toLong, 5.0 + (i % 3))) :+
+      (("k", 999L, 95.0))).toDF("g", "id", "x")
+    val out = graft.multi.TailScores.hbos(rows, Seq("g"),
+      Seq(("x", 10.0)), threshold = 4.0)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // rare bin: count 1 of 100 → -ln(0.01); dense bin: 99/100
+    assert(math.abs(out(999L).getAs[Double]("score") - math.log(100.0)) < 1e-9)
+    assert(out(999L).getAs[String]("tag") == "O")
+    assert(out(1L).getAs[String]("tag") == "N")
+  }
 }
