@@ -893,6 +893,23 @@ object TextQueries {
       canon(TextOps.bm25SearchWith(idx, "doc_id",
         Seq("spark", "join", "window", "vector"), topK = 20))
     }),
+    // hybrid retrieval: the q175 lexical list fused with a dense cosine
+    // list (query = embedding 0) by reciprocal rank, k=60
+    "q233_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bm = TextOps.bm25Search(docs(s, dir), "doc_id", "text",
+        Seq("spark", "join", "window", "vector"), topK = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      val e = table(s, dir, "embeddings")
+      val ann = graft.sim.Similarity.bruteForceTopK(
+        e.where(col("vec_id") === 0), e, "vec_id", "embedding", k = 20)
+        .select(col("cid").as("doc_id"), col("rank"))
+      canon(graft.sim.Similarity.rrfFuse(Seq(bm, ann), Nil, "doc_id",
+        kConst = 60, topK = 20)
+        .select("doc_id", "n_lists", "fused_rank", "rrf"))
+    }),
     // UniMax per-language budget allocation (Chung et al., ICLR'23):
     // budget = 30% of corpus chars, epoch cap 2
     "q176_unimax" -> ((s, dir) => {
@@ -1001,10 +1018,13 @@ object TextQueries {
     "q175_bm25" -> bm25Sql,
     // identical result contract: the build/search split (q177) is gated
     // on the same replay
-    "q177_bm25_indexed" -> bm25Sql)
+    "q177_bm25_indexed" -> bm25Sql,
+    "q233_hybrid_rrf" -> hybridRrfSql)
 
-  private lazy val bm25Sql: String =
-      s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+  // the bm25 pipeline as a reusable CTE body (shared by q175/q177 and
+  // the q233 hybrid fusion)
+  private lazy val bm25Ctes: String =
+      s"""base AS (SELECT doc_id, $toks AS t FROM documents),
          |st AS (SELECT count(*)::BIGINT AS n,
          |  (sum(len(t))::BIGINT)::DOUBLE / count(*) AS avgdl FROM base),
          |post AS (SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM base),
@@ -1017,9 +1037,39 @@ object TextQueries {
              "idf.idf*p2.tf*2.2/(p2.tf + 1.2*(0.25 + 0.75*p2.dl/st.avgdl))")} AS c6
          | FROM p2 JOIN idf USING (tok) CROSS JOIN st),
          |s AS (SELECT doc_id, count(*) AS nTerms,
-         |  sum(c6)/1e6 AS score FROM c GROUP BY 1)
+         |  sum(c6)/1e6 AS score FROM c GROUP BY 1)"""
+        .stripMargin.replace("\n", " ")
+
+  private lazy val bm25Sql: String =
+      s"""WITH $bm25Ctes
          |SELECT doc_id, nTerms, round(score, 4) AS score FROM s
          |ORDER BY score DESC, doc_id LIMIT 20"""
+        .stripMargin.replace("\n", " ")
+
+  // hybrid retrieval: bm25 top-20 ∪ dense cosine top-20 (query = vec 0),
+  // reciprocal-rank fused at k=60 — rank-only, so no score calibration
+  private lazy val hybridRrfSql: String =
+      s"""WITH $bm25Ctes,
+         |bmr AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY score DESC, doc_id) AS r
+         | FROM s QUALIFY r <= 20),
+         |qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+         |ap AS (SELECT c.vec_id AS doc_id,
+         |  list_dot_product(c.embedding::DOUBLE[], qv.v) /
+         |   (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+         |    * sqrt(list_dot_product(qv.v, qv.v))) AS cos
+         | FROM embeddings c, qv WHERE c.vec_id <> 0),
+         |ann AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+         | FROM ap QUALIFY r <= 20),
+         |u AS (SELECT doc_id, r FROM bmr UNION ALL SELECT doc_id, r FROM ann),
+         |f AS (SELECT doc_id, count(*) AS n_lists,
+         |  sum((floor((1.0/(60.0 + r))*1e9 + 0.5))::BIGINT) AS rrf9
+         | FROM u GROUP BY 1)
+         |SELECT doc_id, n_lists,
+         | row_number() OVER (ORDER BY rrf9 DESC, doc_id) AS fused_rank,
+         | round(rrf9/1e9, 4) AS rrf
+         |FROM f QUALIFY fused_rank <= 20"""
         .stripMargin.replace("\n", " ")
 
   // UniMax greedy walk replayed as a recursive CTE: langs ascending by

@@ -831,4 +831,42 @@ object Similarity {
       .groupBy("label")
       .agg(count(lit(1)).as("n"), avg("_s").as("sil"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09):
+    * fused(d) = Σ_lists 1/(k + rank_list(d)) — the standard way to merge
+    * a lexical (BM25) and a dense (ANN) ranking into one hybrid
+    * retrieval list without score calibration; ranks are the only
+    * input, so the lists' score scales never have to be reconciled.
+    *
+    * Each input must carry (`keyCols`..., `idCol`, `rank`) with rank
+    * 1-based within its list. `keyCols` empty = one global query;
+    * non-empty = per-query fusion (the batch-retrieval shape).
+    *
+    * Determinism: 1/(k+rank) is a float of two exact integers —
+    * identical on both engines — quantized to 9dp fixed-point longs so
+    * the per-doc SUM is order-exact; the final ordering compares those
+    * exact longs (id tie-break).
+    *
+    * Scale: inputs are top-k shortlists, so everything here is
+    * shortlist-sized — a union + one hash agg + one window. With empty
+    * `keyCols` the window is single-partition over ≤ Σ topK rows (a
+    * few hundred), by construction not a bottleneck. */
+  def rrfFuse(rankings: Seq[DataFrame], keyCols: Seq[String], idCol: String,
+      kConst: Int = 60, topK: Int = 100): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val cols = keyCols :+ idCol
+    val norm = rankings.map(r =>
+      r.select(cols.map(col) :+ col("rank").cast("long").as("r"): _*))
+    val fused = norm.reduce(_ unionByName _)
+      .groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("n_lists"),
+        sum(graft.core.fixedPointLong(
+          lit(1.0) / (lit(kConst.toDouble) + col("r")), 9)).as("rrf9"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("rrf9").desc, col(idCol))
+    fused.withColumn("fused_rank", row_number().over(w))
+      .where(col("fused_rank") <= topK)
+      .withColumn("rrf", col("rrf9").cast("double") / 1e9)
+      .drop("rrf9")
+  }
 }

@@ -1072,4 +1072,30 @@ class TextSpec extends SparkSpec {
     val m = out.map(r => r._1 -> r._3).toMap
     assert(m("x") == 15.0 && m("y") == 45.0 && m("z") == 140.0)
   }
+
+  test("rrf fusion: doc on both lists beats single-list rank-1 docs") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val b = Seq((40L, 1), (20L, 2), (50L, 3)).toDF("doc_id", "rank")
+    val out = graft.sim.Similarity.rrfFuse(Seq(a, b), Nil, "doc_id",
+      kConst = 60, topK = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("fused_rank"), r.getAs[Long]("n_lists"),
+          r.getAs[Double]("rrf"))).toMap
+    // 20 appears in both lists at rank 2: 2/62 > 1/61
+    assert(out(20L)._1 == 1 && out(20L)._2 == 2L)
+    assert(math.abs(out(20L)._3 - 2.0 / 62.0) < 1e-6)
+    // 10 and 40 tie on score (rank 1, one list) → id tie-break
+    assert(out(10L)._1 == 2 && out(40L)._1 == 3)
+    assert(out.size == 5)
+  }
+
+  test("rrf fusion: per-key fusion keeps queries independent") {
+    val a = Seq(("q1", 10L, 1), ("q2", 10L, 5)).toDF("qid", "doc_id", "rank")
+    val b = Seq(("q1", 99L, 1), ("q2", 10L, 1)).toDF("qid", "doc_id", "rank")
+    val out = graft.sim.Similarity.rrfFuse(Seq(a, b), Seq("qid"), "doc_id",
+      kConst = 60, topK = 1).collect()
+      .map(r => r.getAs[String]("qid") -> r.getAs[Long]("doc_id")).toMap
+    assert(out("q1") == 10L) // 1/61 ties with 99's 1/61 → id wins
+    assert(out("q2") == 10L)
+  }
 }
