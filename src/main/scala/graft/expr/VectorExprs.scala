@@ -359,7 +359,8 @@ object GraftFunctions {
       VecNearest2Q(Cast(es(0), ArrayType(LongType)), litMatrixL(es(1)))),
     "bit_hamming" -> (es => BitHamming(asLong(es(0)), asLong(es(1)))),
     "minhash_sig" -> (es => MinHashSig(es(0), litInt(es(1)), litInt(es(2)))),
-    "winnow_fp" -> (es => Winnow(es(0), litInt(es(1)), litInt(es(2)))))
+    "winnow_fp" -> (es => Winnow(es(0), litInt(es(1)), litInt(es(2)))),
+    "jaro_winkler" -> (es => JaroWinkler(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     val reg = spark.sessionState.functionRegistry
@@ -399,6 +400,12 @@ object GraftFunctions {
     register(spark)
     call_function("vec_nearest2_q", v, typedlit(cents.map(_.toSeq).toSeq))
   }
+
+  /** DuckDB-parity Jaro–Winkler similarity (see [[JaroWinkler]]). */
+  def jaroWinkler(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("jaro_winkler", a, b)
+  }
 }
 
 /** `SparkSessionExtensions` hook so the functions exist in every session
@@ -422,5 +429,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => Winnow(es(0),
         es(1).eval().asInstanceOf[Number].intValue(),
         es(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))))
   }
 }

@@ -47,6 +47,14 @@ object TextQueries {
     "q212_collocations" -> ((s, dir) =>
       canon(TextOps.collocations(docs(s, dir), "doc_id", "text",
         minCount = 5L))),
+    // Jaro–Winkler short-string pairing (64-char heads): exact-dup
+    // collapse → prefix-8 blocks → codegen'd JW, DuckDB-builtin oracle
+    "q234_jw_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, 64).as("name"))
+      canon(TextOps.jwPairs(d, "doc_id", "name",
+        blockChars = 8, minSim = 0.8))
+    }),
     "q50_token_count" -> ((s, dir) =>
       TextOps.tokenCount(docs(s, dir), "doc_id", "text")),
     // BPE-ish pre-tokenizer segment count (the brief's "whitespace + a
@@ -1019,7 +1027,17 @@ object TextQueries {
     // identical result contract: the build/search split (q177) is gated
     // on the same replay
     "q177_bm25_indexed" -> bm25Sql,
-    "q233_hybrid_rrf" -> hybridRrfSql)
+    "q233_hybrid_rrf" -> hybridRrfSql,
+    "q234_jw_pairs" ->
+      """WITH ids AS (SELECT doc_id::BIGINT AS id, substr(text, 1, 64) AS t
+        |  FROM documents),
+        |reps AS (SELECT t, min(id) AS rid FROM ids GROUP BY t),
+        |d AS (SELECT t, rid, substr(t, 1, 8) AS blk FROM reps)
+        |SELECT x.rid AS a, y.rid AS b,
+        | round(jaro_winkler_similarity(x.t, y.t), 4) AS jw
+        |FROM d x JOIN d y ON x.blk = y.blk AND x.rid < y.rid
+        |WHERE jaro_winkler_similarity(x.t, y.t) >= 0.8"""
+        .stripMargin.replace("\n", " "))
 
   // the bm25 pipeline as a reusable CTE body (shared by q175/q177 and
   // the q233 hybrid fusion)

@@ -441,6 +441,32 @@ object TextOps {
       .select(col("id"), col("cluster"))
   }
 
+  /** Jaro–Winkler candidate pairing — the short-string (names, titles,
+    * product labels) entity-resolution face, where Levenshtein's rigid
+    * positional cost misranks transposed tokens. Same scale shape as
+    * [[entityResolve]]: exact-dup collapse first (copy-heavy corpora ride
+    * one hash agg, the similarity only ever sees distinct strings), then
+    * prefix blocking bounds the pair join, then the codegen'd
+    * [[graft.expr.JaroWinkler]] expression scores inside whole-stage
+    * codegen — DuckDB-parity float order, oracle-exact. Blocking note:
+    * JW's prefix boost makes shared-prefix blocking *aligned* with the
+    * metric (high-JW pairs share prefixes unless the edit is in the
+    * first `blockChars` chars — the same recall bound entityResolve
+    * documents). */
+  def jwPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockChars: Int = 8, minSim: Double = 0.85): DataFrame = {
+    val spark = docs.sparkSession
+    val ids = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    val reps = ids.groupBy("t").agg(min("id").as("rid"))
+    val d = reps.withColumn("blk", substring(col("t"), 1, blockChars))
+    d.as("x").join(d.as("y"),
+        col("x.blk") === col("y.blk") && col("x.rid") < col("y.rid"))
+      .withColumn("jw",
+        graft.expr.GraftFunctions.jaroWinkler(spark, col("x.t"), col("y.t")))
+      .where(col("jw") >= minSim)
+      .select(col("x.rid").as("a"), col("y.rid").as("b"), col("jw"))
+  }
+
   /** Exact word n-gram Jaccard for given candidate pairs (a, b) — the
     * verify stage after LSH candidate generation: jaccard =
     * |A∩B| / |A∪B| over distinct n-gram shingles. Candidates without a

@@ -234,4 +234,37 @@ class ExprSpec extends SparkSpec {
       SparkSession.setActiveSession(orig)
     }
   }
+
+  test("jaro_winkler: textbook values, symmetry, edges") {
+    GraftFunctions.register(spark)
+    def jw(a: String, b: String): Double =
+      Seq((a, b)).toDF("a", "b").selectExpr("jaro_winkler(a, b) as j")
+        .head().getDouble(0)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-10)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "") == 1.0)
+    assert(jw("abc", "") == 0.0)
+    assert(jw("abc", "xyz") == 0.0)           // zero matches
+    assert(jw("MARTHA", "MARHTA") == jw("MARHTA", "MARTHA"))
+    // boost only above 0.7: a low-sim shared-prefix pair stays unboosted
+    val lo = jw("ab", "ba")                    // jaro ≤ 0.7 region
+    assert(lo <= 0.7 + 1e-12)
+  }
+
+  test("jaro_winkler runs inside whole-stage codegen and matches interpreted eval") {
+    GraftFunctions.register(spark)
+    val df = spark.range(50).selectExpr(
+      "concat('name_', cast(id as string)) as a",
+      "concat('nmae_', cast(id % 7 as string)) as b")
+    val plan = df.selectExpr("jaro_winkler(a, b) as j")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [jaro_winkler"))
+    val gen = df.selectExpr("jaro_winkler(a, b) as j").collect().map(_.getDouble(0))
+    val interp = df.collect().map(r =>
+      graft.expr.JaroWinkler.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1))))
+    assert(gen.sameElements(interp))
+  }
 }
