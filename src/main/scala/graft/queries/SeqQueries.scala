@@ -299,6 +299,12 @@ object SeqQueries {
     "q196_holt_forecast" -> ((s, dir) =>
       canon(SeriesKernels.holtForecast(ev(s, dir), Seq("user_id"), "event_id",
         "value").toDF())),
+    // Holt–Winters additive seasonal scorer, period 7, two-season
+    // fixed-point init; seasonal state rides a rotating list in the
+    // recursive-CTE oracle
+    "q235_holt_winters" -> ((s, dir) =>
+      canon(SeriesKernels.holtWinters(ev(s, dir), Seq("user_id"), "event_id",
+        "value", period = 7).toDF())),
     // Hampel rolling-median/MAD outlier filter, 15-row centered frame
     "q199_hampel" -> ((s, dir) =>
       canon(SeqOps.hampel(ev(s, dir), Seq("user_id"), "event_id",
@@ -451,6 +457,59 @@ object SeqQueries {
   // residual std — same fixed IEEE op order as the kernel, so the engines
   // agree bit-for-bit before the shared 4dp round. Shared by q196 (batch
   // kernel) and q197 (the streaming twin batch-executed, q100 pattern).
+  // Holt–Winters replay: same walk shape as holtOracle plus the seasonal
+  // rotating queue carried as a DOUBLE[] (head consumed, update appended);
+  // anchor state from exact 4dp fixed-point season means
+  private lazy val holtWintersOracle: String =
+    """WITH RECURSIVE ev AS (SELECT user_id::VARCHAR AS key, event_id AS seq, value,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY event_id, value) AS rn
+      | FROM events),
+      |cnt AS (SELECT key, count(*) AS n FROM ev GROUP BY key),
+      |f1 AS (SELECT key, sum((CASE WHEN value>=0 THEN floor(value*1e4+0.5)
+      |  ELSE -floor(-value*1e4+0.5) END)::BIGINT) AS s1
+      | FROM ev WHERE rn <= 7 GROUP BY key),
+      |f2 AS (SELECT key, sum((CASE WHEN value>=0 THEN floor(value*1e4+0.5)
+      |  ELSE -floor(-value*1e4+0.5) END)::BIGINT) AS s2
+      | FROM ev WHERE rn > 7 AND rn <= 14 GROUP BY key),
+      |mm AS (SELECT f1.key, (s1::DOUBLE/7)/1e4 AS m1,
+      |  ((s2::DOUBLE/7)/1e4 - (s1::DOUBLE/7)/1e4)/7 AS tr0
+      | FROM f1 JOIN f2 USING (key)),
+      |sv0 AS (SELECT e.key, list(e.value - m.m1 ORDER BY e.rn) AS sv
+      | FROM ev e JOIN mm m USING (key) WHERE e.rn <= 7 GROUP BY e.key),
+      |walk AS (
+      | SELECT m.key, 7 AS rn, 0.0::DOUBLE AS score,
+      |  NULL::BIGINT AS seq, NULL::DOUBLE AS value,
+      |  m.m1 AS lvl, m.tr0 AS trd, s.sv AS sv,
+      |  0.0::DOUBLE AS rsum, 0.0::DOUBLE AS rsq, 0 AS rnr
+      | FROM mm m JOIN sv0 s USING (key) JOIN cnt c USING (key) WHERE c.n > 14
+      | UNION ALL
+      | SELECT key, rn, score, seq, value,
+      |  l2 AS lvl,
+      |  0.25*(l2 - lvl0) + 0.75*trd0 AS trd,
+      |  sv0l[2:] || [0.25*(value - l2) + 0.75*sh] AS sv,
+      |  rsum0 + resid AS rsum, rsq0 + resid*resid AS rsq, rnr0 + 1 AS rnr
+      | FROM (
+      |  SELECT key, rn, seq, value, lvl0, trd0, sv0l, sh, resid,
+      |   rsum0, rsq0, rnr0,
+      |   CASE WHEN rn >= 15 AND std > 0 THEN abs(resid)/std
+      |    ELSE 0.0::DOUBLE END AS score,
+      |   0.5*(value - sh) + 0.5*(lvl0 + trd0) AS l2
+      |  FROM (
+      |   SELECT e.key, e.rn, e.seq, e.value, w.lvl AS lvl0, w.trd AS trd0,
+      |    w.sv AS sv0l, w.sv[1] AS sh,
+      |    e.value - ((w.lvl + w.trd) + w.sv[1]) AS resid,
+      |    w.rsum AS rsum0, w.rsq AS rsq0, w.rnr AS rnr0,
+      |    CASE WHEN w.rnr > 1
+      |     THEN sqrt((w.rsq - w.rsum*w.rsum/w.rnr)/(w.rnr-1))
+      |     ELSE 0.0::DOUBLE END AS std
+      |   FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1)))
+      |SELECT key, seq, round(value,4) AS value, round(score,4) AS score
+      |FROM walk WHERE rn > 7
+      |UNION ALL
+      |SELECT e.key, e.seq, round(e.value,4) AS value, 0.0 AS score
+      |FROM ev e JOIN cnt c USING (key)
+      |WHERE e.rn <= 7 OR c.n <= 14""".stripMargin.replace("\n", " ")
+
   private lazy val holtOracle: String =
     """WITH RECURSIVE ev AS (SELECT user_id::VARCHAR AS key, event_id AS seq, value,
       |  row_number() OVER (PARTITION BY user_id ORDER BY event_id, value) AS rn
@@ -627,6 +686,7 @@ object SeqQueries {
     // SeriesKernels.holtForecast — same fixed IEEE op order, so the two
     // engines agree bit-for-bit before the shared 4dp round.
     "q196_holt_forecast" -> holtOracle,
+    "q235_holt_winters" -> holtWintersOracle,
     // the STREAMING twin batch-executed (q100 pattern) — same oracle,
     // gating the flatMapGroupsWithState code path itself
     "q197_holt_stream" -> holtOracle,

@@ -478,6 +478,72 @@ object SeriesKernels {
     }
   }
 
+  /** Holt–Winters additive seasonal forecast scorer (engine addition) —
+    * extends [[holtForecast]] with a length-`period` seasonal component:
+    * pred_t = (level + trend) + seasonal_{t mod period}, score = |resid| /
+    * running prior-residual std (the OSA/Holt normalization). The
+    * trending-AND-cyclic series case neither the flat window mean nor
+    * plain Holt covers.
+    *
+    * Initialization (documented fit window, scores 0 there): level =
+    * mean of season 1, trend = (mean₂ − mean₁)/period, seasonal_i =
+    * x_i − mean₁ over season 1 — the standard two-season init; both
+    * means are exact 4dp fixed-point sums so the recursion anchor
+    * replays bit-identically. Dyadic α=0.5, β=0.25, γ=0.25 keep every
+    * update a fixed IEEE op sequence; the oracle carries the seasonal
+    * state as a rotating DOUBLE[] queue in a recursive CTE.
+    *
+    * Scale: per-key sequential recursion (inherently so — each state
+    * depends on the previous step); parallelism = key cardinality, the
+    * forecaster-family contract. Keys with < 2·period points score 0. */
+  def holtWinters(
+      data: DataFrame, keyCols: Seq[String], seqCol: String, valCol: String,
+      period: Int, alpha: Double = 0.5, beta: Double = 0.25,
+      gamma: Double = 0.25): Dataset[SScore] = {
+    require(period >= 2, "holtWinters needs period >= 2")
+    run(data, keyCols, seqCol, valCol) { (k, pts) =>
+      val n = pts.length
+      val scores = new Array[Double](n)
+      if (n > 2 * period) {
+        def fp(x: Double): Long =
+          (if (x >= 0) math.floor(x * 1e4 + 0.5)
+           else -math.floor(-x * 1e4 + 0.5)).toLong
+        var s1 = 0L; var s2 = 0L
+        var i = 0
+        while (i < period) { s1 += fp(pts(i).value); i += 1 }
+        while (i < 2 * period) { s2 += fp(pts(i).value); i += 1 }
+        val mean1 = s1.toDouble / period / 1e4
+        val mean2 = s2.toDouble / period / 1e4
+        var level = mean1
+        var trend = (mean2 - mean1) / period
+        // rotating queue: head = the season slot the next step consumes
+        val seas = new Array[Double](period)
+        i = 0
+        while (i < period) { seas(i) = pts(i).value - mean1; i += 1 }
+        var head = 0
+        var rsum = 0.0; var rsq = 0.0; var rn = 0
+        i = period
+        while (i < n) {
+          val x = pts(i).value
+          val sh = seas(head)
+          val pred = (level + trend) + sh
+          val resid = x - pred
+          val std =
+            if (rn > 1) math.sqrt((rsq - rsum * rsum / rn) / (rn - 1)) else 0.0
+          if (i >= 2 * period && std > 0) scores(i) = math.abs(resid) / std
+          rsum += resid; rsq += resid * resid; rn += 1
+          val l2 = alpha * (x - sh) + (1 - alpha) * (level + trend)
+          trend = beta * (l2 - level) + (1 - beta) * trend
+          level = l2
+          seas(head) = gamma * (x - l2) + (1 - gamma) * sh
+          head = (head + 1) % period
+          i += 1
+        }
+      }
+      Iterator.tabulate(n)(i => SScore(k, pts(i).seq, pts(i).value, scores(i)))
+    }
+  }
+
   // ---------- n-gram frequency (seq/NgramFrequencyPredictor.scala:79-223) ----------
 
   /** Quantize values to per-key equal-probability buckets, maintain a

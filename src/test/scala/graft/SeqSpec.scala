@@ -316,4 +316,28 @@ class SeqSpec extends SparkSpec {
     assert(out((1L, 0L)) == ((1L, 1.0)))
     assert(!out.contains((1L, 1L)))
   }
+
+  test("holt-winters: seasonal break scores highest; clean cycle stays low") {
+    // period-4 cycle (0, 10, 20, 10) + trend 1/step, anomaly at i=30
+    val rows = (0 until 48).map { i =>
+      val seasonal = Seq(0.0, 10.0, 20.0, 10.0)(i % 4)
+      val v = seasonal + i * 1.0 + (if (i == 30) 40.0 else 0.0)
+      ("k", i.toLong, v)
+    }.toDF("g", "id", "x")
+    val out = graft.seq.SeriesKernels.holtWinters(rows, Seq("g"), "id", "x",
+      period = 4).collect().map(r => r.seq -> r.score).toMap
+    val top = out.maxBy(_._2)
+    assert(top._1 == 30L, s"expected anomaly at 30, got $top")
+    // warm-up region emits 0
+    assert((0 until 8).forall(i => out(i.toLong) == 0.0))
+    // clean seasonal points far from the anomaly stay well below
+    assert(out(20L) < top._2 / 3 && out(44L) < top._2 / 3)
+  }
+
+  test("holt-winters: short keys score 0 everywhere") {
+    val rows = (0 until 7).map(i => ("k", i.toLong, i * 1.0)).toDF("g", "id", "x")
+    val out = graft.seq.SeriesKernels.holtWinters(rows, Seq("g"), "id", "x",
+      period = 4).collect()
+    assert(out.length == 7 && out.forall(_.score == 0.0))
+  }
 }
