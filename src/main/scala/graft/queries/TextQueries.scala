@@ -47,6 +47,11 @@ object TextQueries {
     "q212_collocations" -> ((s, dir) =>
       canon(TextOps.collocations(docs(s, dir), "doc_id", "text",
         minCount = 5L))),
+    // RAKE corpus keyphrases: stopword/punct-delimited candidate runs,
+    // deg/freq word scores, 6dp fixed-point phrase sums, top 40
+    "q236_rake" -> ((s, dir) =>
+      canon(TextOps.rakeKeywords(docs(s, dir), "doc_id", "text",
+        rakeStops, topK = 40))),
     // Jaro–Winkler short-string pairing (64-char heads): exact-dup
     // collapse → prefix-8 blocks → codegen'd JW, DuckDB-builtin oracle
     "q234_jw_pairs" -> ((s, dir) => {
@@ -528,6 +533,11 @@ object TextQueries {
     * (a literal 0.3 in SQL would differ from Scala's 1−0.7 by one ulp
     * and could flip a greedy pick). */
   private val MmrLam = 0.7
+
+  // shared by the q236 query and its oracle (lists must match literally)
+  private val rakeStops = Seq("the", "a", "an", "of", "and", "or", "to",
+    "in", "on", "for", "with", "is", "are", "was", "be", "as", "at", "by",
+    "it", "this", "that", "from", "we", "you", "not")
 
   // Gopher §A1.1 rule inputs per doc (gb: raw arrays, gm: the metrics) —
   // shared by the rule-battery and the incremental-ingest oracles.
@@ -1028,6 +1038,30 @@ object TextQueries {
     // on the same replay
     "q177_bm25_indexed" -> bm25Sql,
     "q233_hybrid_rrf" -> hybridRrfSql,
+    "q236_rake" -> {
+      val stops = rakeStops.map(s => s"'$s'").mkString(", ")
+      s"""WITH tokp AS (SELECT doc_id AS id, unnest($toks) AS tok,
+         |  generate_subscripts($toks, 1) AS pos FROM documents),
+         |t2 AS (SELECT id, pos, tok,
+         |  (tok IN ($stops) OR regexp_matches(tok, '[^a-z]')) AS stop FROM tokp),
+         |t3 AS (SELECT id, pos, tok, stop,
+         |  sum(CASE WHEN stop THEN 1 ELSE 0 END)
+         |   OVER (PARTITION BY id ORDER BY pos) AS pid FROM t2),
+         |ph AS (SELECT id, pid, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         |  count(*)::BIGINT AS len FROM t3 WHERE NOT stop GROUP BY id, pid),
+         |wo AS (SELECT len, unnest(string_split(phrase, ' ')) AS word FROM ph),
+         |st AS (SELECT word, count(*)::BIGINT AS freq,
+         |  sum(len)::BIGINT AS deg FROM wo GROUP BY 1),
+         |dp AS (SELECT phrase, count(*)::BIGINT AS cnt FROM ph GROUP BY 1),
+         |pw AS (SELECT phrase, cnt, unnest(string_split(phrase, ' ')) AS word
+         | FROM dp),
+         |sc AS (SELECT p.phrase, p.cnt, count(*)::BIGINT AS n_words,
+         |  sum(${fp6("st.deg/st.freq")})/1e6 AS score
+         | FROM pw p JOIN st USING (word) GROUP BY 1, 2)
+         |SELECT phrase, cnt, n_words, round(score, 4) AS score FROM sc
+         |ORDER BY score DESC, phrase LIMIT 40"""
+        .stripMargin.replace("\n", " ")
+    },
     "q234_jw_pairs" ->
       """WITH ids AS (SELECT doc_id::BIGINT AS id, substr(text, 1, 64) AS t
         |  FROM documents),

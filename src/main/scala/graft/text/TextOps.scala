@@ -441,6 +441,53 @@ object TextOps {
       .select(col("id"), col("cluster"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal runs of content tokens (split at stopwords and any token
+    * containing a non-letter), word score = deg(w)/freq(w) over the
+    * within-phrase co-occurrence graph (deg = Σ phrase length per
+    * occurrence, diagonal included), phrase score = Σ word scores —
+    * corpus-level keyphrases for topic labeling / corpus reporting.
+    *
+    * Determinism: deg and freq are exact integers; each deg/freq ratio
+    * quantizes to 6dp fixed-point and the per-phrase sum is an exact
+    * long sum; top-k orders by (score6, phrase).
+    *
+    * Scale: one tokenize pass → phrase roll-up keyed by (doc, run-id)
+    * (the gaps-and-islands window on the per-doc sort), then two hash
+    * aggs (word stats, distinct phrases) and a word-keyed join that
+    * carries only distinct phrase words. Top-k is TakeOrdered. */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("stop",
+        col("tok").isin(stopwords: _*) || col("tok").rlike("[^a-z]"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val ph = pos
+      .withColumn("pid", sum(when(col("stop"), 1).otherwise(0)).over(w))
+      .where(!col("stop"))
+      .groupBy("id", "pid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("pt"))
+      .select(concat_ws(" ",
+        transform(col("pt"), _.getField("tok"))).as("phrase"),
+        size(col("pt")).as("len"))
+    val stats = ph.select(col("len"), explode(split(col("phrase"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"), sum(col("len").cast("long")).as("deg"))
+    val distinctPh = ph.groupBy("phrase").agg(count(lit(1)).as("cnt"))
+    distinctPh
+      .select(col("phrase"), col("cnt"),
+        explode(split(col("phrase"), " ")).as("word"))
+      .join(stats, "word")
+      .groupBy("phrase", "cnt")
+      .agg(count(lit(1)).as("n_words"),
+        (sum(graft.core.fixedPointLong(
+          col("deg").cast("double") / col("freq"), 6)) / 1e6).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
+  }
+
   /** Jaro–Winkler candidate pairing — the short-string (names, titles,
     * product labels) entity-resolution face, where Levenshtein's rigid
     * positional cost misranks transposed tokens. Same scale shape as

@@ -1073,6 +1073,26 @@ class TextSpec extends SparkSpec {
     assert(m("x") == 15.0 && m("y") == 45.0 && m("z") == 140.0)
   }
 
+  test("rake: deg/freq scoring favors multi-word phrases, splits on stops+punct") {
+    val d = Seq(
+      (1L, "deep learning of deep networks"),
+      (2L, "deep learning, shallow rules")).toDF("doc_id", "text")
+    val out = TextOps.rakeKeywords(d, "doc_id", "text",
+      stopwords = Seq("of"), topK = 10).collect()
+      .map(r => r.getAs[String]("phrase") ->
+        (r.getAs[Long]("cnt"), r.getAs[Double]("score"))).toMap
+    // "learning," carries a comma → boundary; phrase "deep learning"
+    // appears once intact (doc 1), "deep" alone once (doc 2 prefix)
+    // word stats: deep freq 3 (phrases: [deep learning], [deep networks],
+    // [deep]); deg(deep) = 2+2+1 = 5
+    assert(out.contains("deep learning") && out.contains("deep networks"))
+    // deep networks: deg/freq → 5/3 + 2/1 ≈ 3.6667
+    assert(math.abs(out("deep networks")._2 - (5.0 / 3 + 2.0)) < 1e-4)
+    assert(out("shallow rules")._1 == 1L)
+    assert(math.abs(out("shallow rules")._2 - 4.0) < 1e-12)
+    assert(!out.keys.exists(_.contains("of")))
+  }
+
   test("rrf fusion: doc on both lists beats single-list rank-1 docs") {
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
     val b = Seq((40L, 1), (20L, 2), (50L, 3)).toDF("doc_id", "rank")
