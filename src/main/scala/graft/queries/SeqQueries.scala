@@ -305,6 +305,12 @@ object SeqQueries {
     "q235_holt_winters" -> ((s, dir) =>
       canon(SeriesKernels.holtWinters(ev(s, dir), Seq("user_id"), "event_id",
         "value", period = 7).toDF())),
+    // Kleinberg 2-state burst Viterbi over per-user inter-arrival gaps;
+    // oracle replays the forward recursion with both candidate paths
+    // carried as lists
+    "q237_burst" -> ((s, dir) =>
+      canon(SeriesKernels.burstDetect(ev(s, dir), Seq("user_id"), "ts",
+        "value").toDF())),
     // Hampel rolling-median/MAD outlier filter, 15-row centered frame
     "q199_hampel" -> ((s, dir) =>
       canon(SeqOps.hampel(ev(s, dir), Seq("user_id"), "event_id",
@@ -457,6 +463,52 @@ object SeqQueries {
   // residual std — same fixed IEEE op order as the kernel, so the engines
   // agree bit-for-bit before the shared 4dp round. Shared by q196 (batch
   // kernel) and q197 (the streaming twin batch-executed, q100 pattern).
+  // Kleinberg burst Viterbi replay: forward min-cost recursion with the
+  // two candidate state paths carried as INT[] lists; tie rule <= toward
+  // the lower/previous state, mirrored from the Scala kernel
+  private lazy val burstOracle: String =
+    """WITH RECURSIVE ev AS (SELECT user_id::VARCHAR AS key,
+      |  epoch_ns(ts) AS tsns, value,
+      |  row_number() OVER (PARTITION BY user_id
+      |   ORDER BY epoch_ns(ts), value) AS rn FROM events),
+      |st AS (SELECT key, count(*) AS n, max(tsns) - min(tsns) AS span
+      | FROM ev GROUP BY key),
+      |par AS (SELECT key, n - 1 AS ng,
+      |  (span::DOUBLE / 1e9) / (n - 1) AS ghat
+      | FROM st WHERE n >= 3 AND span > 0),
+      |lam AS (SELECT key, ng, 1.0/ghat AS lam0, 2.0/ghat AS lam1,
+      |  1.0 * ln(ng::DOUBLE) AS up FROM par),
+      |gp AS (SELECT e.key, e.rn - 1 AS gi,
+      |  (e.tsns - p.tsns)::DOUBLE / 1e9 AS g
+      | FROM ev e JOIN ev p ON p.key = e.key AND p.rn = e.rn - 1),
+      |walk AS (
+      | SELECT l.key, 1 AS gi,
+      |  (-ln(l.lam0) + l.lam0 * g.g) AS c0,
+      |  (l.up + (-ln(l.lam1) + l.lam1 * g.g)) AS c1,
+      |  [0] AS p0, [1] AS p1, l.lam0, l.lam1, l.up, l.ng
+      | FROM lam l JOIN gp g ON g.key = l.key AND g.gi = 1
+      | UNION ALL
+      | SELECT w.key, g.gi,
+      |  (CASE WHEN w.c0 <= w.c1 THEN w.c0 ELSE w.c1 END)
+      |    + (-ln(w.lam0) + w.lam0 * g.g) AS c0,
+      |  (CASE WHEN w.c0 + w.up <= w.c1 THEN w.c0 + w.up ELSE w.c1 END)
+      |    + (-ln(w.lam1) + w.lam1 * g.g) AS c1,
+      |  (CASE WHEN w.c0 <= w.c1 THEN w.p0 ELSE w.p1 END) || [0] AS p0,
+      |  (CASE WHEN w.c0 + w.up <= w.c1 THEN w.p0 ELSE w.p1 END) || [1] AS p1,
+      |  w.lam0, w.lam1, w.up, w.ng
+      | FROM walk w JOIN gp g ON g.key = w.key AND g.gi = w.gi + 1),
+      |fin AS (SELECT key, CASE WHEN c0 <= c1 THEN p0 ELSE p1 END AS path
+      | FROM walk WHERE gi = ng),
+      |sts AS (SELECT key, unnest(path) AS stt,
+      |  generate_subscripts(path, 1) AS gi FROM fin)
+      |SELECT e.key, e.tsns AS seq, round(e.value, 4) AS value,
+      | round(s.stt::DOUBLE, 4) AS score
+      |FROM ev e JOIN sts s ON s.key = e.key AND s.gi = e.rn - 1
+      |UNION ALL
+      |SELECT e.key, e.tsns AS seq, round(e.value, 4) AS value, 0.0 AS score
+      |FROM ev e LEFT JOIN par p USING (key)
+      |WHERE e.rn = 1 OR p.key IS NULL""".stripMargin.replace("\n", " ")
+
   // Holt–Winters replay: same walk shape as holtOracle plus the seasonal
   // rotating queue carried as a DOUBLE[] (head consumed, update appended);
   // anchor state from exact 4dp fixed-point season means
@@ -687,6 +739,7 @@ object SeqQueries {
     // engines agree bit-for-bit before the shared 4dp round.
     "q196_holt_forecast" -> holtOracle,
     "q235_holt_winters" -> holtWintersOracle,
+    "q237_burst" -> burstOracle,
     // the STREAMING twin batch-executed (q100 pattern) — same oracle,
     // gating the flatMapGroupsWithState code path itself
     "q197_holt_stream" -> holtOracle,

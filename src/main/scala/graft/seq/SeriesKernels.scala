@@ -544,6 +544,67 @@ object SeriesKernels {
     }
   }
 
+  /** Kleinberg 2-state burst detection (Kleinberg, KDD'02 "Bursty and
+    * Hierarchical Structure in Streams") over per-key inter-arrival
+    * gaps: state 0 emits at the base rate λ₀ = 1/ĝ (ĝ = mean gap),
+    * state 1 at λ₁ = s·λ₀; entering the burst state costs γ·ln n,
+    * leaving is free; the emitted per-event label is the min-cost
+    * (Viterbi) state path. The "is this entity being hammered right
+    * now" primitive drift/threshold scorers don't express.
+    *
+    * Determinism: gap costs are fixed float expressions of exact
+    * long-nanosecond gaps; ties in the two min() choices break toward
+    * the lower/previous state (`<=`), mirrored in the oracle's CASE;
+    * the oracle replays the same forward recursion with both candidate
+    * paths carried as lists.
+    *
+    * Scale: per-key sequential by nature (the path depends on every
+    * prior gap); parallelism = key cardinality, state O(n) per key
+    * inside the kernel — the forecaster-family contract. Keys with
+    * < 3 events emit all-zero. Output score = burst state (0/1). */
+  def burstDetect(
+      data: DataFrame, keyCols: Seq[String], seqCol: String, valCol: String,
+      s: Double = 2.0, gamma: Double = 1.0): Dataset[SScore] = {
+    run(data, keyCols, seqCol, valCol) { (k, pts) =>
+      val n = pts.length
+      val states = new Array[Double](n)
+      if (n >= 3) {
+        val ng = n - 1
+        val spanNs = pts(n - 1).seq - pts(0).seq
+        if (spanNs > 0) {
+          val ghat = spanNs.toDouble / 1e9 / ng
+          val lam0 = 1.0 / ghat
+          val lam1 = s / ghat
+          val up = gamma * math.log(ng.toDouble)
+          def e0(g: Double) = -math.log(lam0) + lam0 * g
+          def e1(g: Double) = -math.log(lam1) + lam1 * g
+          var c0 = 0.0; var c1 = 0.0
+          var p0 = List.empty[Int]; var p1 = List.empty[Int]
+          var i = 1
+          while (i < n) {
+            val g = (pts(i).seq - pts(i - 1).seq).toDouble / 1e9
+            if (i == 1) {
+              c0 = e0(g); c1 = up + e1(g)
+              p0 = List(0); p1 = List(1)
+            } else {
+              val n0 = (if (c0 <= c1) c0 else c1) + e0(g)
+              val q0 = (if (c0 <= c1) p0 else p1)
+              val n1 = (if (c0 + up <= c1) c0 + up else c1) + e1(g)
+              val q1 = (if (c0 + up <= c1) p0 else p1)
+              c0 = n0; c1 = n1
+              p0 = 0 :: q0; p1 = 1 :: q1
+            }
+            i += 1
+          }
+          val path = (if (c0 <= c1) p0 else p1).reverse.toArray
+          i = 1
+          while (i < n) { states(i) = path(i - 1).toDouble; i += 1 }
+        }
+      }
+      Iterator.tabulate(n)(i => SScore(k, pts(i).seq, pts(i).value, states(i)))
+    }
+  }
+
   // ---------- n-gram frequency (seq/NgramFrequencyPredictor.scala:79-223) ----------
 
   /** Quantize values to per-key equal-probability buckets, maintain a

@@ -334,6 +334,31 @@ class SeqSpec extends SparkSpec {
     assert(out(20L) < top._2 / 3 && out(44L) < top._2 / 3)
   }
 
+  test("burst detect: rapid-fire run flagged state 1, regular cadence 0") {
+    val ns = 1000000000L
+    // 10s cadence, then a 9-event hammer at 0.5s gaps, then 10s again
+    val ts = (0 until 5).map(_ * 10L * ns) ++
+      (1 to 9).map(i => 40L * ns + i * ns / 2) ++
+      (1 to 5).map(i => 45L * ns + i * 10L * ns)
+    val rows = ts.zipWithIndex.map { case (t, i) => ("u", t, i.toDouble) }
+      .toDF("g", "ts", "x")
+    val out = graft.seq.SeriesKernels.burstDetect(rows, Seq("g"), "ts", "x")
+      .collect().map(r => r.seq -> r.score).toMap
+    // interior of the hammer is burst state
+    assert((3 to 9).forall(i => out(40L * ns + i * ns / 2) == 1.0))
+    // regular-cadence tail is base state
+    assert((2 to 5).forall(i => out(45L * ns + i * 10L * ns) == 0.0))
+    assert(out(0L) == 0.0)
+  }
+
+  test("burst detect: short or zero-span keys emit all zeros") {
+    val rows = Seq(("a", 5L, 1.0), ("a", 9L, 2.0),
+      ("b", 7L, 1.0), ("b", 7L, 2.0), ("b", 7L, 3.0)).toDF("g", "ts", "x")
+    val out = graft.seq.SeriesKernels.burstDetect(rows, Seq("g"), "ts", "x")
+      .collect()
+    assert(out.length == 5 && out.forall(_.score == 0.0))
+  }
+
   test("holt-winters: short keys score 0 everywhere") {
     val rows = (0 until 7).map(i => ("k", i.toLong, i * 1.0)).toDF("g", "id", "x")
     val out = graft.seq.SeriesKernels.holtWinters(rows, Seq("g"), "id", "x",
