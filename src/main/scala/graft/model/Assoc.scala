@@ -133,4 +133,48 @@ object Assoc {
           + lit(m) * ((col("gsy").cast("double") / 1e4) / col("gn")))
           / (col("n") + lit(m))).as("enc"))
   }
+
+  /** Pairwise association rules (Agrawal & Srikant, VLDB'94 market-basket
+    * level 2): for every co-occurring item pair (a < b), support =
+    * n_ab/N, confidence in both directions, lift = N·n_ab/(n_a·n_b) —
+    * the "which sources/labels/types travel together" screen over any
+    * (basket, item) projection.
+    *
+    * Determinism: every statistic is a ratio of exact integers with one
+    * float op — identical cross-engine; output filtered by the integer
+    * `minCount`.
+    *
+    * Scale: the pair join is WITHIN baskets — work is Σ_b items(b)²,
+    * the per-basket analogue of the LSH hot-bucket bound; itemsets per
+    * basket are small by construction (this is the level-2 Apriori
+    * pass, not all-pairs over the catalog). Item counts and N are two
+    * hash aggs; the pair roll-up is one exchange on (a, b). */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minCount: Long): DataFrame = {
+    val bi = df.select(col(basketCol).as("bk"), col(itemCol).as("item"))
+      .where(col("item").isNotNull).distinct().persist()
+    val n = bi.select("bk").distinct().count()
+    val items = bi.groupBy("item").agg(count(lit(1)).as("cnt"))
+    val pairs = bi.as("x").join(bi.as("y"),
+        col("x.bk") === col("y.bk") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .agg(count(lit(1)).as("nab"))
+      .where(col("nab") >= minCount)
+    val out = pairs
+      .join(broadcast(items.select(col("item").as("item_a"), col("cnt").as("na"))),
+        "item_a")
+      .join(broadcast(items.select(col("item").as("item_b"), col("cnt").as("nb"))),
+        "item_b")
+      .select(col("item_a"), col("item_b"), col("nab"), col("na"), col("nb"),
+        lit(n).as("n_baskets"),
+        (col("nab").cast("double") / n).as("support"),
+        (col("nab").cast("double") / col("na")).as("conf_ab"),
+        (col("nab").cast("double") / col("nb")).as("conf_ba"),
+        (lit(n.toDouble) * col("nab") / (col("na").cast("double") * col("nb")))
+          .as("lift"))
+    // bi stays cached for the lazy result (three consumers: the N count
+    // above ran eagerly; items and both pair sides read it when `out`
+    // executes) — the targetEncode/bm25Search retention pattern
+    out
+  }
 }

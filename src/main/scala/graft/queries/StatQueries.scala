@@ -37,6 +37,15 @@ object StatQueries {
     "q214_mutual_info" -> ((s, dir) =>
       canon(graft.model.Assoc.mutualInfo(
         ev(s, dir).withColumn("vb", valueBucket), "event_type", "vb"))),
+    // level-2 market-basket: order baskets × part brands, min co-count 2
+    "q238_assoc_rules" -> ((s, dir) => {
+      val bk = table(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        .join(table(s, dir, "part").select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      canon(graft.model.Assoc.associationRules(bk, "basket", "item",
+        minCount = 2L))
+    }),
     // pairwise Pearson correlation: value × props.k × epoch-day, exact
     // decimal/hugeint sums
     "q226_corr_matrix" -> ((s, dir) => {
@@ -665,6 +674,25 @@ object StatQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q213_chi2" -> chi2Oracle,
+    "q238_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS item
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_brand IS NOT NULL),
+        |nb AS (SELECT count(DISTINCT bk) AS n FROM bi),
+        |it AS (SELECT item, count(*)::BIGINT AS cnt FROM bi GROUP BY 1),
+        |pr AS (SELECT x.item AS item_a, y.item AS item_b,
+        |  count(*)::BIGINT AS nab
+        | FROM bi x JOIN bi y ON x.bk = y.bk AND x.item < y.item
+        | GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.item_a, p.item_b, p.nab, a.cnt AS na, b.cnt AS nb,
+        | n.n AS n_baskets,
+        | round(p.nab::DOUBLE / n.n, 4) AS support,
+        | round(p.nab::DOUBLE / a.cnt, 4) AS conf_ab,
+        | round(p.nab::DOUBLE / b.cnt, 4) AS conf_ba,
+        | round(n.n::DOUBLE * p.nab / (a.cnt::DOUBLE * b.cnt), 4) AS lift
+        |FROM pr p JOIN it a ON a.item = p.item_a
+        | JOIN it b ON b.item = p.item_b CROSS JOIN nb n"""
+        .stripMargin.replace("\n", " "),
     "q214_mutual_info" -> miOracle,
     "q215_bh_fdr" -> bhFdrOracle,
     "q217_profile" -> profileOracle,

@@ -233,4 +233,26 @@ class AnalysisSpec extends SparkSpec {
       s"edit-distance cluster: $out")
     assert(out(4L) == 4L, "unrelated doc is a singleton")
   }
+
+  test("association rules: always-together pair lifts above independence") {
+    // baskets: (a,b) in 4 baskets; c in 2 of them plus 4 solo baskets
+    val rows = (1 to 4).flatMap(i => Seq((i.toLong, "a"), (i.toLong, "b"))) ++
+      Seq((1L, "c"), (2L, "c")) ++ (5 to 8).map(i => (i.toLong, "c"))
+    val out = Assoc.associationRules(rows.toDF("bk", "item"), "bk", "item",
+      minCount = 2L).collect()
+      .map(r => (r.getAs[String]("item_a"), r.getAs[String]("item_b")) -> r).toMap
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("nab") == 4L && ab.getAs[Long]("n_baskets") == 8L)
+    assert(ab.getAs[Double]("conf_ab") == 1.0 && ab.getAs[Double]("conf_ba") == 1.0)
+    assert(ab.getAs[Double]("lift") == 2.0)      // 8·4/(4·4)
+    val ac = out(("a", "c"))
+    assert(ac.getAs[Long]("nab") == 2L)
+    assert(math.abs(ac.getAs[Double]("lift") - 8.0 * 2 / (4 * 6)) < 1e-12)
+    // duplicate (basket, item) rows must not inflate counts
+    val dup = Assoc.associationRules((rows ++ Seq((1L, "a"), (1L, "a")))
+      .toDF("bk", "item"), "bk", "item", 2L).collect()
+      .map(r => (r.getAs[String]("item_a"), r.getAs[String]("item_b")) ->
+        r.getAs[Long]("nab")).toMap
+    assert(dup(("a", "b")) == 4L)
+  }
 }
