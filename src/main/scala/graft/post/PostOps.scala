@@ -163,6 +163,44 @@ object PostOps {
         col("pct_rank")): _*)
   }
 
+  /** Conformal anomaly p-value (Vovk et al., "Algorithmic Learning in a
+    * Random World" / conformal anomaly detection): p(x) = (1 + #{cal
+    * scores ≥ s(x)}) / (n_cal + 1) against a held-out calibration split —
+    * turns ANY raw outlier score into a p-value with a finite-sample
+    * guarantee (under exchangeability, P(p ≤ α) ≤ α), which is what
+    * [[bhFdr]] expects as input. The principled bridge from the score
+    * family to the FDR family.
+    *
+    * Determinism: the count is a RANGE-frame window sum over the merged
+    * (data ∪ calibration) per-key sort — peers included, so equal
+    * scores get equal counts regardless of tie order; p is a ratio of
+    * exact integers.
+    *
+    * Scale: ONE exchange on the keys for the union (the window-family
+    * layout — no per-row probe join against the calibration set);
+    * calibration sizes ride the same pass. Null scores are excluded. */
+  def conformalPValue(data: DataFrame, calib: DataFrame, keyCols: Seq[String],
+      scoreCol: String, idCol: String): DataFrame = {
+    val idType = data.schema(idCol).dataType
+    val d = data.where(col(scoreCol).isNotNull)
+      .select(keyCols.map(col) :+ col(idCol) :+ col(scoreCol).as("_s"): _*)
+      .withColumn("_cal", lit(0))
+    val c = calib.where(col(scoreCol).isNotNull)
+      .select(keyCols.map(col) :+ lit(null).cast(idType).as(idCol) :+
+        col(scoreCol).as("_s"): _*)
+      .withColumn("_cal", lit(1))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_s").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val nc = c.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_ncal"))
+    d.unionByName(c)
+      .withColumn("_geq", sum(col("_cal")).over(w))
+      .where(col("_cal") === 0)
+      .join(broadcast(nc), keyCols)
+      .select(keyCols.map(col) :+ col(idCol) :+ col("_s").as(scoreCol) :+
+        ((lit(1) + col("_geq")).cast("double") / (col("_ncal") + 1))
+          .as("p_value"): _*)
+  }
+
   /** Benjamini–Hochberg FDR control over per-record p-values (engine
     * addition): within each key, rank p ascending, find the largest k
     * with p₍ₖ₎ ≤ α·k/m, and flag ranks ≤ k as discoveries — the

@@ -85,6 +85,15 @@ object StatQueries {
     "q219_motif" -> ((s, dir) =>
       canon(graft.seq.SeqOps.motifCount(ev(s, dir), Seq("user_id"),
         "event_id", "event_type", Seq("error", "error", "error")))),
+    // conformal p-value against the md5-style 20% calibration split —
+    // the bridge that turns raw scores into the p-values q215 consumes
+    "q239_conformal" -> ((s, dir) => {
+      val e = ev(s, dir)
+      canon(graft.post.PostOps.conformalPValue(
+        e.where(col("event_id") % 5 =!= 0),
+        e.where(col("event_id") % 5 === 0),
+        Seq("event_type"), "value", "event_id"))
+    }),
     // Benjamini–Hochberg step-up on p = exp(−|z|) per event_type; the
     // exp/compare expressions are shape-identical cross-engine (q07's
     // established exp parity)
@@ -695,6 +704,21 @@ object StatQueries {
         .stripMargin.replace("\n", " "),
     "q214_mutual_info" -> miOracle,
     "q215_bh_fdr" -> bhFdrOracle,
+    "q239_conformal" ->
+      """WITH u AS (
+        | SELECT event_type, event_id, value AS s, 0 AS cal FROM events
+        |  WHERE event_id % 5 <> 0 AND value IS NOT NULL
+        | UNION ALL
+        | SELECT event_type, NULL::BIGINT, value, 1 FROM events
+        |  WHERE event_id % 5 = 0 AND value IS NOT NULL),
+        |w AS (SELECT *, sum(cal) OVER (PARTITION BY event_type ORDER BY s DESC
+        |  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS geq FROM u),
+        |nc AS (SELECT event_type, count(*) AS ncal FROM u WHERE cal = 1
+        | GROUP BY 1)
+        |SELECT w.event_type, w.event_id, round(w.s, 4) AS value,
+        | round((1 + w.geq)::DOUBLE / (nc.ncal + 1), 4) AS p_value
+        |FROM w JOIN nc USING (event_type) WHERE w.cal = 0"""
+        .stripMargin.replace("\n", " "),
     "q217_profile" -> profileOracle,
     "q218_constraints" -> constraintsOracle,
     "q219_motif" -> motifOracle,

@@ -234,6 +234,18 @@ class AnalysisSpec extends SparkSpec {
     assert(out(4L) == 4L, "unrelated doc is a singleton")
   }
 
+  test("conformal p-value: exact rank ratio, ties share p, guarantee bound") {
+    val cal = (1 to 9).map(i => ("k", i.toDouble)).toDF("g", "s")
+    val dat = Seq(("k", 1L, 9.5), ("k", 2L, 5.0), ("k", 3L, 0.5), ("k", 4L, 5.0))
+      .toDF("g", "id", "s")
+    val out = graft.post.PostOps.conformalPValue(dat, cal, Seq("g"), "s", "id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("p_value")).toMap
+    assert(out(1L) == 0.1)          // nothing in cal ≥ 9.5 → 1/10
+    assert(out(2L) == 0.6)          // cal ≥ 5.0: {5..9} → 6/10
+    assert(out(3L) == 1.0)          // all 9 ≥ 0.5 → 10/10
+    assert(out(4L) == out(2L), "equal scores share the p-value")
+  }
+
   test("association rules: always-together pair lifts above independence") {
     // baskets: (a,b) in 4 baskets; c in 2 of them plus 4 solo baskets
     val rows = (1 to 4).flatMap(i => Seq((i.toLong, "a"), (i.toLong, "b"))) ++
