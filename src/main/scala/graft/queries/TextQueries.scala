@@ -47,6 +47,9 @@ object TextQueries {
     "q212_collocations" -> ((s, dir) =>
       canon(TextOps.collocations(docs(s, dir), "doc_id", "text",
         minCount = 5L))),
+    // Flesch reading-ease: three regexp counts + one fixed float expr
+    "q240_readability" -> ((s, dir) =>
+      canon(TextOps.readability(docs(s, dir), "doc_id", "text"))),
     // RAKE corpus keyphrases: stopword/punct-delimited candidate runs,
     // deg/freq word scores, 6dp fixed-point phrase sums, top 40
     "q236_rake" -> ((s, dir) =>
@@ -1038,6 +1041,20 @@ object TextQueries {
     // on the same replay
     "q177_bm25_indexed" -> bm25Sql,
     "q233_hybrid_rrf" -> hybridRrfSql,
+    "q240_readability" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(lower(text), '\S+'))::BIGINT AS n_words,
+        | greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1)::BIGINT
+        |  AS n_sentences,
+        | len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+        |  AS n_syllables,
+        | round(CASE WHEN len(regexp_extract_all(lower(text), '\S+')) > 0 THEN
+        |  206.835
+        |   - 1.015 * (len(regexp_extract_all(lower(text), '\S+'))::DOUBLE
+        |     / greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1))
+        |   - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE
+        |     / len(regexp_extract_all(lower(text), '\S+'))) END, 4) AS flesch
+        |FROM documents""".stripMargin.replace("\n", " "),
     "q236_rake" -> {
       val stops = rakeStops.map(s => s"'$s'").mkString(", ")
       s"""WITH tokp AS (SELECT doc_id AS id, unnest($toks) AS tok,

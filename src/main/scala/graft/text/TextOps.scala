@@ -441,6 +441,30 @@ object TextOps {
       .select(col("id"), col("cluster"))
   }
 
+  /** Flesch reading-ease (Flesch '48): 206.835 − 1.015·(words/sentences)
+    * − 84.6·(syllables/words) with the standard cheap proxies — words =
+    * whitespace tokens, sentences = [.!?]+ runs (min 1), syllables =
+    * [aeiouy]+ vowel groups. A quality-scoring feature alongside the
+    * Gopher/CCNet signals: training corpora routinely filter on
+    * readability bands.
+    *
+    * Determinism: three exact regexp counts per row + one fixed float
+    * expression — no aggregation at all. Scale: pure per-row map, one
+    * pass, no shuffle, codegen end-to-end. */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lo = lower(col(textCol))
+    val nw = size(regexp_extract_all(lo, lit("\\S+"), lit(0)))
+    val ns = greatest(size(regexp_extract_all(lo, lit("[.!?]+"), lit(0))), lit(1))
+    val nsy = size(regexp_extract_all(lo, lit("[aeiouy]+"), lit(0)))
+    docs.select(col(idCol),
+      nw.cast("long").as("n_words"),
+      ns.cast("long").as("n_sentences"),
+      nsy.cast("long").as("n_syllables"),
+      when(nw > 0,
+        lit(206.835) - lit(1.015) * (nw.cast("double") / ns)
+          - lit(84.6) * (nsy.cast("double") / nw)).as("flesch"))
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
     * maximal runs of content tokens (split at stopwords and any token
     * containing a non-letter), word score = deg(w)/freq(w) over the

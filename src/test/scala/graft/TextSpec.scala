@@ -1073,6 +1073,20 @@ class TextSpec extends SparkSpec {
     assert(m("x") == 15.0 && m("y") == 45.0 && m("z") == 140.0)
   }
 
+  test("readability: flesch formula on counted words/sentences/syllables") {
+    val d = Seq((1L, "The cat sat. The cat ran!"), (2L, "")).toDF("doc_id", "text")
+    val out = TextOps.readability(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_words") == 6L)
+    assert(r1.getAs[Long]("n_sentences") == 2L)
+    // vowel groups: e,a,a,e,a,a → 6
+    assert(r1.getAs[Long]("n_syllables") == 6L)
+    assert(math.abs(r1.getAs[Double]("flesch") -
+      (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-9)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("flesch")))
+  }
+
   test("rake: deg/freq scoring favors multi-word phrases, splits on stops+punct") {
     val d = Seq(
       (1L, "deep learning of deep networks"),
