@@ -512,6 +512,41 @@ object ScaleProbe {
             expr("ts div 86400000000000")).as("item")),
           "user_id", "item", maxDeg = 200).count()
       }
+      val liProbe = scaled("lineitem", Seq("l_orderkey"), n)
+      val nLi = liProbe.count()
+      time("ecod", n, nLi) {
+        multi.TailScores.ecod(liProbe, Seq("l_returnflag"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"), 12.0).count()
+      }
+      time("hbos", n, nLi) {
+        multi.TailScores.hbos(liProbe, Seq("l_returnflag"),
+          Seq(("l_quantity", 10.0), ("l_extendedprice", 10000.0),
+            ("l_discount", 0.02)), 14.0).count()
+      }
+      time("assoc_rules", n, nLi) {
+        val bk = liProbe.select(col("l_orderkey").as("basket"),
+          (col("l_partkey") % 25).as("item"))
+        model.Assoc.associationRules(bk, "basket", "item", 2L).count()
+      }
+      val docsProbe = scaled("documents", Seq("doc_id"), n)
+      val nDp = docsProbe.count()
+      time("rake", n, nDp) {
+        text.TextOps.rakeKeywords(docsProbe, "doc_id", "text",
+          Seq("the", "a", "of", "and", "to", "in"), topK = 40).count()
+      }
+      time("holt_winters", n, nEv) {
+        seq.SeriesKernels.holtWinters(ev, Seq("user_id"), "event_id",
+          "value", period = 7).count()
+      }
+      time("burst", n, nEv) {
+        seq.SeriesKernels.burstDetect(ev, Seq("user_id"), "ts", "value").count()
+      }
+      time("conformal", n, nEv) {
+        post.PostOps.conformalPValue(
+          ev.where(col("event_id") % 5 =!= 0),
+          ev.where(col("event_id") % 5 === 0),
+          Seq("event_type"), "value", "event_id").count()
+      }
     }
     spark.stop()
   }
