@@ -159,6 +159,32 @@ object Graph {
       .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
   }
 
+  /** Local clustering coefficient: 2·T(v) / (d(v)·(d(v)−1)) on the
+    * deduplicated undirected graph — "how clique-like is this node's
+    * neighborhood", the standard community-tightness feature next to
+    * [[triangles]] (whose per-node counts it consumes) and the
+    * assortativity/modularity diagnostics. Nodes with degree < 2 get 0.
+    *
+    * Determinism: exact integer triangle counts and degrees; one float
+    * division. Scale: [[triangles]]' degree-oriented wedge join is the
+    * whole cost; the degree agg and node-sized join ride its cache. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("string").as("a"),
+      col(dstCol).cast("string").as("b"))
+    val und = raw.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    deg.join(triangles(edges, srcCol, dstCol), "node")
+      .select(col("node"), col("d"), col("triangles"),
+        when(col("d") >= 2,
+          lit(2.0) * col("triangles") / (col("d") * (col("d") - 1)))
+          .otherwise(lit(0.0)).as("coeff"))
+  }
+
   /** Per-node degree profile: out/in degree and the dangling flag — the
     * cheap pre-flight before [[pageRank]] (dangling nodes leak mass) and
     * a corpus-graph health check in its own right. One aggregate per

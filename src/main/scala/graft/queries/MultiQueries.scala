@@ -105,6 +105,16 @@ object MultiQueries {
         .where(col("b").isNotNull && col("a") =!= col("b"))
       canon(graft.graph.Graph.triangles(e, "a", "b"))
     }),
+    // local clustering coefficient on the q204 adjacency — triangle
+    // closure rate of each node's neighborhood
+    "q241_clustering_coeff" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = ev(s, dir).select(col("user_id").cast("string").as("a"),
+        lead(col("user_id").cast("string"), 1)
+          .over(Window.orderBy("event_id")).as("b"))
+        .where(col("b").isNotNull && col("a") =!= col("b"))
+      canon(graft.graph.Graph.clusteringCoefficient(e, "a", "b"))
+    }),
     // synchronous LPA communities on the sparse (minCount=3) user graph;
     // 3 rounds, min-label tie rule — labels hash-compare exactly
     "q205_lpa" -> ((s, dir) =>
@@ -839,6 +849,24 @@ object MultiQueries {
         |SELECT n.node, count(c.node)::BIGINT AS triangles
         |FROM nodes n LEFT JOIN credit c ON c.node = n.node
         |GROUP BY n.node""".stripMargin.replace("\n", " "),
+    "q241_clustering_coeff" ->
+      """WITH ch AS (SELECT user_id::VARCHAR AS a,
+        |  lead(user_id::VARCHAR) OVER (ORDER BY event_id) AS b FROM events),
+        |und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        | FROM ch WHERE b IS NOT NULL AND a <> b),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        | FROM und e1 JOIN und e2 ON e2.a = e1.b
+        | JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |credit AS (SELECT x AS node FROM tri UNION ALL
+        | SELECT y FROM tri UNION ALL SELECT z FROM tri),
+        |deg AS (SELECT node, count(*)::BIGINT AS d FROM
+        | (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |tc AS (SELECT d.node, d.d, count(c.node)::BIGINT AS triangles
+        | FROM deg d LEFT JOIN credit c ON c.node = d.node GROUP BY d.node, d.d)
+        |SELECT node, d, triangles,
+        | round(CASE WHEN d >= 2 THEN 2.0*triangles/(d*(d-1))
+        |  ELSE 0.0 END, 4) AS coeff
+        |FROM tc""".stripMargin.replace("\n", " "),
     "q202_degrees" ->
       s"""WITH $bipartiteSql,
          |o AS (SELECT src AS node, count(*)::BIGINT AS outDeg

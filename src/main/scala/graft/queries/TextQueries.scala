@@ -185,6 +185,18 @@ object TextQueries {
         NumHashes, BandSize)
       canon(TextOps.ngramJaccard(d, "doc_id", "text", n = 3, cand))
     }),
+    // asymmetric containment over the same LSH candidates — the
+    // subset-dup verify Jaccard under-scores
+    "q243_containment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cand = TextOps.minhashPairs(d, "doc_id", "text", shingleSize = 3,
+        NumHashes, BandSize)
+      canon(TextOps.ngramContainment(d, "doc_id", "text", n = 3, cand))
+    }),
+    // per-doc marginal-novelty curve: share of 3-shingles first owned
+    // (min doc_id) by this doc
+    "q242_novelty" -> ((s, dir) =>
+      canon(TextOps.noveltyScore(docs(s, dir), "doc_id", "text", n = 3))),
     "q58_embed_neardup" -> ((s, dir) =>
       canon(graft.multi.Blocked.cosineNearDup(emb(s, dir), "vec_id", "embedding", 0.4).toDF())),
     "q59_ann_topk" -> ((s, dir) => {
@@ -1041,6 +1053,38 @@ object TextQueries {
     // on the same replay
     "q177_bm25_indexed" -> bm25Sql,
     "q233_hybrid_rrf" -> hybridRrfSql,
+    "q243_containment" ->
+      s"""WITH $sigCte,
+         |bands AS (SELECT doc_id, hashIdx // $BandSize AS band,
+         |  array_to_string(list(minHash ORDER BY hashIdx), ':') AS bucket
+         | FROM sig GROUP BY doc_id, band),
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         | FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+         | WHERE l.doc_id < r.doc_id),
+         |n AS (SELECT doc_id, count(*) AS ng FROM sh GROUP BY doc_id),
+         |i AS (SELECT c.a, c.b, count(sb.shingle) AS inter
+         | FROM cand c
+         | LEFT JOIN sh sa ON sa.doc_id = c.a
+         | LEFT JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+         | GROUP BY 1, 2)
+         |SELECT i.a, i.b, i.inter, na.ng AS na, nb.ng AS nb,
+         | round(i.inter::DOUBLE / na.ng, 4) AS cont_a,
+         | round(i.inter::DOUBLE / nb.ng, 4) AS cont_b
+         |FROM i JOIN n na ON i.a = na.doc_id JOIN n nb ON i.b = nb.doc_id"""
+        .stripMargin.replace("\n", " "),
+    "q242_novelty" ->
+      s"""WITH $shingleCte,
+         |fo AS (SELECT shingle, min(doc_id) AS firstId FROM sh GROUP BY 1),
+         |per AS (SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+         |  sum(CASE WHEN f.firstId = s.doc_id THEN 1 ELSE 0 END)::BIGINT
+         |   AS n_novel
+         | FROM sh s JOIN fo f USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
+         | coalesce(p.n_novel, 0)::BIGINT AS n_novel,
+         | round(CASE WHEN p.n_shingles > 0
+         |  THEN p.n_novel::DOUBLE / p.n_shingles END, 4) AS novelty
+         |FROM documents d LEFT JOIN per p USING (doc_id)"""
+        .stripMargin.replace("\n", " "),
     "q240_readability" ->
       """SELECT doc_id,
         | len(regexp_extract_all(lower(text), '\S+'))::BIGINT AS n_words,

@@ -559,6 +559,46 @@ object TextOps {
       .select("a", "b", "inter", "na", "nb", "jaccard")
   }
 
+  /** N-gram novelty score: the fraction of a document's distinct
+    * n-gram shingles whose FIRST appearance (min id over the corpus) is
+    * this document — the curation-time "how much new content does this
+    * doc add" curve. A corpus whose per-doc novelty collapses toward 0
+    * as ids grow is re-crawling itself; the ExactSubstr/dedup families
+    * remove copies, this measures the remaining marginal value.
+    *
+    * Determinism: min-id first-owner and exact integer counts; one
+    * division. Scale: the shingle explode + two hash aggs (first-owner,
+    * per-doc roll-up) and one shingle-keyed join — the decontamination
+    * shuffle shape; nothing quadratic. Docs with < n tokens emit 0
+    * shingles and a null novelty. */
+  def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val first = sh.groupBy("shingle").agg(min(col(idCol)).as("_first"))
+    val per = sh.join(first, "shingle")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_shingles") > 0,
+          col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+  }
+
+  /** Asymmetric n-gram containment for candidate pairs: |A∩B|/|A| and
+    * |A∩B|/|B| — the verify metric when one document may be a SUBSET of
+    * another (quote expansion, boilerplate wrapping), where symmetric
+    * Jaccard under-scores exactly the pairs that matter. Same candidate
+    * shape and shuffle plan as [[ngramJaccard]]. */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, pairs: DataFrame): DataFrame =
+    ngramJaccard(docs, idCol, textCol, n, pairs)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+        (col("inter").cast("double") / col("na")).as("cont_a"),
+        (col("inter").cast("double") / col("nb")).as("cont_b"))
+
   /** SimHash (`bits`-bit): per token-hash bit, sum ±1 over the token
     * multiset; bit set where the sum is positive. */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {

@@ -212,4 +212,17 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Double]("assortativity") < -0.999,
       s"star should be ~-1, got $r")
   }
+
+  test("clustering coefficient: triangle nodes 1.0, chain nodes 0, hub partial") {
+    // triangle a-b-c plus a tail c-d-e
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"))
+      .toDF("u", "v")
+    val out = Graph.clusteringCoefficient(edges, "u", "v").collect()
+      .map(r => r.getAs[String]("node") ->
+        (r.getAs[Long]("d"), r.getAs[Double]("coeff"))).toMap
+    assert(out("a") == ((2L, 1.0)) && out("b") == ((2L, 1.0)))
+    // c: degree 3, one triangle → 2·1/(3·2)
+    assert(math.abs(out("c")._2 - 1.0 / 3) < 1e-12)
+    assert(out("d") == ((2L, 0.0)) && out("e") == ((1L, 0.0)))
+  }
 }

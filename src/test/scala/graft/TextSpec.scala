@@ -1073,6 +1073,33 @@ class TextSpec extends SparkSpec {
     assert(m("x") == 15.0 && m("y") == 45.0 && m("z") == 140.0)
   }
 
+  test("novelty: first owner keeps credit, copies score zero") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),       // exact copy → 0
+      (3L, "alpha beta gamma zeta eta theta iota"), // shares 1 of 5 shingles
+      (4L, "xy")).toDF("doc_id", "text")            // < 3 tokens → none
+    val out = TextOps.noveltyScore(d, "doc_id", "text", n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("novelty") == 1.0)
+    assert(out(2L).getAs[Double]("novelty") == 0.0)
+    assert(out(3L).getAs[Long]("n_shingles") == 5L)
+    assert(out(3L).getAs[Double]("novelty") == 0.8) // "alpha beta gamma" seen
+    assert(out(4L).getAs[Long]("n_shingles") == 0L &&
+      out(4L).isNullAt(out(4L).fieldIndex("novelty")))
+  }
+
+  test("containment: subset doc is fully contained, superset partially") {
+    val d = Seq(
+      (1L, "a b c d e"),                   // 3 shingles
+      (2L, "a b c d e f g h i")).toDF("doc_id", "text") // 7 shingles
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val r = TextOps.ngramContainment(d, "doc_id", "text", 3, pairs).collect()(0)
+    assert(r.getAs[Long]("inter") == 3L)
+    assert(r.getAs[Double]("cont_a") == 1.0)
+    assert(math.abs(r.getAs[Double]("cont_b") - 3.0 / 7) < 1e-12)
+  }
+
   test("readability: flesch formula on counted words/sentences/syllables") {
     val d = Seq((1L, "The cat sat. The cat ran!"), (2L, "")).toDF("doc_id", "text")
     val out = TextOps.readability(d, "doc_id", "text").collect()
