@@ -422,6 +422,59 @@ object Drift {
       .withColumn("drifted", col("jsd") > threshold)
   }
 
+  /** Exact 1-D Wasserstein-1 (earth-mover) distance between the
+    * reference and current value distributions per key: W₁ = ∫|F_ref −
+    * F_cur| dx over the merged empirical CDFs. The integral complement
+    * of the KS family's sup statistic ([[graft.seq.SeriesKernels]]
+    * changePoint) and the unbinned exact sibling of [[psi]]/
+    * [[jsDivergence]] — it sees HOW FAR mass moved, not just that it
+    * moved, in the value's own units (a 2× feature re-scale scores
+    * proportionally; PSI saturates), and needs no bin-count choice.
+    *
+    * Exactness: merged values are sorted once per key; at each row the
+    * peer-inclusive running counts (RANGE frame — ties carry the whole
+    * tie group on both engines) give |Ra·n_cur − Ca·n_ref| as an exact
+    * integer, scaled by the segment width to the next physical row
+    * (zero within a tie group, so tie-internal order is irrelevant);
+    * the per-segment terms are 8dp fixed-point longs, summed order-free.
+    * Keys present on only one side emit NULL (W₁ undefined).
+    *
+    * Scale: one union + one per-key sort exchange — the change-point
+    * window family's shape; counts, not values, cross the network in
+    * the aggregate. Parallelism is key-bound like q18 (the documented
+    * window ceiling); at few-key/100 TB scale route through the
+    * [[graft.seq.HaloWindows]] pattern instead. */
+  def wasserstein(ref: DataFrame, cur: DataFrame, keyCols: Seq[String],
+      valCol: String, threshold: Double = 1.0): DataFrame = {
+    val v = col(valCol).cast("double")
+    def side(df: DataFrame, r: Int): DataFrame =
+      df.where(v.isNotNull).select(keyCols.map(col) :+ v.as("_v") :+
+        lit(r.toLong).as("_r") :+ lit(1L - r).as("_c"): _*)
+    val merged = side(ref, 1).unionByName(side(cur, 0))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy("_v", "_r")
+    val whole = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val num = abs(col("_ra") * col("_nc") - col("_ca") * col("_nr"))
+    merged
+      .withColumn("_ra", sum("_r").over(w)) // RANGE frame: peers included
+      .withColumn("_ca", sum("_c").over(w))
+      .withColumn("_nr", sum("_r").over(whole))
+      .withColumn("_nc", sum("_c").over(whole))
+      .withColumn("_width", coalesce(lead("_v", 1).over(w) - col("_v"), lit(0.0)))
+      .withColumn("_t8", when(col("_nr") > 0 && col("_nc") > 0,
+        graft.core.fixedPointLong(
+          num.cast("double") * col("_width") /
+            (col("_nr").cast("double") * col("_nc")), 8))
+        .otherwise(lit(0L)))
+      .groupBy(keyCols.map(col): _*)
+      .agg(min("_nr").as("_nr"), min("_nc").as("_nc"),
+        (sum("_t8") / 1e8).as("_w1raw"))
+      .withColumn("w1",
+        when(col("_nr") > 0 && col("_nc") > 0, col("_w1raw")))
+      .select(keyCols.map(col) :+ col("w1") :+
+        (col("w1") > threshold).as("drifted"): _*)
+  }
+
   /** Benford expected first-digit frequencies p_d = log10(1 + 1/d),
     * d = 1..9 — computed once here and interpolated into the oracle SQL
     * as decimal literals, so both engines use the bit-identical constant

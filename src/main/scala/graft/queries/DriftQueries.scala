@@ -38,6 +38,18 @@ object DriftQueries {
             .otherwise(col("value") * 1.3 + 25.0))
       canon(Drift.psi(ref, cur, Seq("event_type"), "value", nBins = 10))
     }),
+    // exact 1-D Wasserstein distance on the same ref/cur split as q189
+    // — the unbinned integral drift metric in the value's own units
+    "q244_wasserstein" -> ((s, dir) => {
+      val e = table(s, dir, "events").select("event_type", "event_id", "value")
+      val ref = e.where(col("event_id") % 2 === 0)
+      val cur = e.where(col("event_id") % 2 === 1)
+        .withColumn("value",
+          when(col("event_type").isin("click", "view"), col("value"))
+            .otherwise(col("value") * 1.3 + 25.0))
+      canon(Drift.wasserstein(ref, cur, Seq("event_type"), "value",
+        threshold = 5.0))
+    }),
     // Jensen–Shannon divergence on the same ref/cur split as q189 —
     // PSI's bounded symmetric sibling, 8dp fixed-point terms
     "q230_jsd" -> ((s, dir) => {
@@ -485,7 +497,40 @@ object DriftQueries {
        |FROM p""".stripMargin.replace("\n", " ")
   }
 
+  private lazy val wassersteinOracle: String = {
+    val fp8 = (e: String) =>
+      s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e8+0.5) ELSE -floor(-($e)*1e8+0.5) END)::BIGINT"
+    val term = "abs(ra*nc - ca*nr)::DOUBLE * width / (nr::DOUBLE * nc)"
+    s"""WITH ref AS (SELECT event_type, value::DOUBLE AS v FROM events
+       |  WHERE event_id % 2 = 0),
+       |cur AS (SELECT event_type,
+       |  CASE WHEN event_type IN ('click', 'view') THEN value::DOUBLE
+       |   ELSE value::DOUBLE * 1.3 + 25.0 END AS v FROM events
+       |  WHERE event_id % 2 = 1),
+       |m AS (SELECT event_type, v, 1::BIGINT AS r, 0::BIGINT AS c
+       |  FROM ref WHERE v IS NOT NULL
+       | UNION ALL SELECT event_type, v, 0, 1 FROM cur WHERE v IS NOT NULL),
+       |s AS (SELECT event_type,
+       |  sum(r) OVER (PARTITION BY event_type ORDER BY v, r) AS ra,
+       |  sum(c) OVER (PARTITION BY event_type ORDER BY v, r) AS ca,
+       |  sum(r) OVER (PARTITION BY event_type) AS nr,
+       |  sum(c) OVER (PARTITION BY event_type) AS nc,
+       |  coalesce(lead(v) OVER (PARTITION BY event_type ORDER BY v, r) - v,
+       |   0.0) AS width
+       | FROM m),
+       |t AS (SELECT event_type, nr, nc,
+       |  CASE WHEN nr > 0 AND nc > 0 THEN ${fp8(term)} ELSE 0 END AS t8
+       | FROM s),
+       |p AS (SELECT event_type, min(nr) AS nr, min(nc) AS nc,
+       |  sum(t8)::DOUBLE / 1e8 AS w1raw FROM t GROUP BY 1)
+       |SELECT event_type,
+       | round(CASE WHEN nr > 0 AND nc > 0 THEN w1raw END, 4) AS w1,
+       | (CASE WHEN nr > 0 AND nc > 0 THEN w1raw END) > 5.0 AS drifted
+       |FROM p""".stripMargin.replace("\n", " ")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q244_wasserstein" -> wassersteinOracle,
     "q230_jsd" -> jsdOracle,
     "q200_benford" -> benfordOracle,
     "q189_psi" ->

@@ -177,6 +177,27 @@ class AnalysisSpec extends SparkSpec {
       "JSD is bounded by ln 2 even on disjoint supports")
   }
 
+  test("wasserstein: zero on identical, exact shift distance, one-sided null") {
+    val same = (1 to 100).map(i => ("k", (i % 10).toDouble)).toDF("g", "v")
+    val w0 = graft.drift.Drift.wasserstein(same, same, Seq("g"), "v")
+      .collect()(0)
+    assert(w0.getAs[Double]("w1") == 0.0 && !w0.getAs[Boolean]("drifted"))
+    // pure translation by +7: W1 equals the shift exactly
+    val shifted = (1 to 100).map(i => ("k", (i % 10) + 7.0)).toDF("g", "v")
+    val w1 = graft.drift.Drift.wasserstein(same, shifted, Seq("g"), "v",
+      threshold = 5.0).collect()(0)
+    assert(math.abs(w1.getAs[Double]("w1") - 7.0) < 1e-6, s"shift: $w1")
+    assert(w1.getAs[Boolean]("drifted"))
+    // unequal sample sizes: ref {0,10} vs cur {5} → ∫|F_r−F_c| = 5
+    val r2 = Seq(("k", 0.0), ("k", 10.0), ("solo", 1.0)).toDF("g", "v")
+    val c2 = Seq(("k", 5.0)).toDF("g", "v")
+    val out = graft.drift.Drift.wasserstein(r2, c2, Seq("g"), "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(math.abs(out("k").getAs[Double]("w1") - 5.0) < 1e-6)
+    assert(out("solo").isNullAt(out("solo").fieldIndex("w1")),
+      "one-sided key has no defined W1")
+  }
+
   test("correlation matrix: perfect, inverse and independent pairs") {
     val rows = (1 to 40).map { i =>
       (i.toDouble, 2.0 * i + 1, -3.0 * i, if (i % 2 == 0) 1.0 else 0.0)
