@@ -50,6 +50,10 @@ object TextQueries {
     // Flesch reading-ease: three regexp counts + one fixed float expr
     "q240_readability" -> ((s, dir) =>
       canon(TextOps.readability(docs(s, dir), "doc_id", "text"))),
+    // lexical diversity: TTR, hapax fraction, Yule's K per doc — exact
+    // integer run-length fold over the sorted token array, no shuffle
+    "q245_lexical" -> ((s, dir) =>
+      canon(TextOps.lexicalDiversity(docs(s, dir), "doc_id", "text"))),
     // RAKE corpus keyphrases: stopword/punct-delimited candidate runs,
     // deg/freq word scores, 6dp fixed-point phrase sums, top 40
     "q236_rake" -> ((s, dir) =>
@@ -1084,6 +1088,28 @@ object TextQueries {
          | round(CASE WHEN p.n_shingles > 0
          |  THEN p.n_novel::DOUBLE / p.n_shingles END, 4) AS novelty
          |FROM documents d LEFT JOIN per p USING (doc_id)"""
+        .stripMargin.replace("\n", " "),
+    "q245_lexical" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        | FROM documents),
+        |c AS (SELECT doc_id, tok, count(*)::BIGINT AS f FROM t GROUP BY 1, 2),
+        |p AS (SELECT doc_id, sum(f)::BIGINT AS n_tokens,
+        |  count(*)::BIGINT AS n_types,
+        |  sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+        |  sum(f * f)::BIGINT AS s2 FROM c GROUP BY 1)
+        |SELECT d.doc_id,
+        | coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+        | coalesce(p.n_types, 0)::BIGINT AS n_types,
+        | coalesce(p.n_hapax, 0)::BIGINT AS n_hapax,
+        | round(CASE WHEN p.n_tokens > 0
+        |  THEN p.n_types::DOUBLE / p.n_tokens END, 4) AS ttr,
+        | round(CASE WHEN p.n_tokens > 0
+        |  THEN p.n_hapax::DOUBLE / p.n_tokens END, 4) AS hapax_ratio,
+        | round(CASE WHEN p.n_tokens > 0
+        |  THEN 1e4 * (p.s2 - p.n_tokens)::DOUBLE
+        |   / (p.n_tokens::DOUBLE * p.n_tokens) END, 4) AS yule_k
+        |FROM documents d LEFT JOIN p USING (doc_id)"""
         .stripMargin.replace("\n", " "),
     "q240_readability" ->
       """SELECT doc_id,

@@ -773,6 +773,58 @@ object TextOps {
       nPunct.as("nPunct"), nDigit.as("nDigit"), quality.as("quality"))
   }
 
+  /** Lexical-diversity features per document: type–token ratio, hapax
+    * fraction and Yule's K = 10⁴·(Σf²−N)/N² — the vocabulary-richness
+    * band next to [[qualityScore]]'s ratios and [[repetitionSignals]]'
+    * dup fractions (template/spam text has low TTR and low K-inverse;
+    * keyboard-mash has TTR ≈ 1). Yule's K is length-robust where raw
+    * TTR decays with N, so the pair separates "short and varied" from
+    * "long and repetitive".
+    *
+    * Per-row sort + single fold over the token array (the
+    * repetitionSignals device) — exact integer counts, no shuffle,
+    * embarrassingly parallel at any corpus size. Empty docs emit zero
+    * counts and NULL ratios. */
+  def lexicalDiversity(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val sorted = array_sort(toks)
+    // fold run-lengths over the sorted tokens; a run closes when the
+    // token changes (and once more in finish), contributing run² to Σf²
+    // and 1 to hapax when the closed run has length 1
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("hapax"), lit(0L).as("s2"))
+    val folded = aggregate(sorted, zero,
+      (acc, g) => {
+        val same = g === acc.getField("prev")
+        val run = acc.getField("run")
+        struct(g.as("prev"),
+          when(same, run + 1L).otherwise(lit(1L)).as("run"),
+          when(!same && run === 1L, acc.getField("hapax") + 1L)
+            .otherwise(acc.getField("hapax")).as("hapax"),
+          when(!same, acc.getField("s2") + run * run)
+            .otherwise(acc.getField("s2")).as("s2"))
+      },
+      acc => struct(
+        when(acc.getField("run") === 1L, acc.getField("hapax") + 1L)
+          .otherwise(acc.getField("hapax")).as("hapax"),
+        (acc.getField("s2") +
+          acc.getField("run") * acc.getField("run")).as("s2")))
+    val n = size(toks).cast("long")
+    docs.select(col(idCol), n.as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"),
+        folded.getField("hapax").as("n_hapax"),
+        folded.getField("s2").as("_s2"))
+      .select(col(idCol), col("n_tokens"), col("n_types"), col("n_hapax"),
+        when(col("n_tokens") > 0,
+          col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        when(col("n_tokens") > 0,
+          col("n_hapax").cast("double") / col("n_tokens")).as("hapax_ratio"),
+        when(col("n_tokens") > 0,
+          lit(1e4) * (col("_s2") - col("n_tokens")).cast("double") /
+            (col("n_tokens").cast("double") * col("n_tokens"))).as("yule_k"))
+  }
+
   /** Deterministic dataset split — train/val/test assignment by md5 of
     * the id (the split every training pipeline needs to be stable across
     * reruns, engines, partitionings and late-arriving data; a row's

@@ -1100,6 +1100,25 @@ class TextSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("cont_b") - 3.0 / 7) < 1e-12)
   }
 
+  test("lexical diversity: ttr/hapax/yule on counted frequencies") {
+    val d = Seq(
+      (1L, "a b c d"),             // all hapax: ttr=1, hapax=1, s2=4 → K=0
+      (2L, "a a a b b c"),         // f = {3,2,1}: s2=14, N=6
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.lexicalDiversity(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_types") == 4L &&
+      out(1L).getAs[Double]("ttr") == 1.0 &&
+      out(1L).getAs[Double]("yule_k") == 0.0)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_tokens") == 6L && r2.getAs[Long]("n_types") == 3L)
+    assert(r2.getAs[Long]("n_hapax") == 1L)
+    // K = 1e4·(14−6)/36
+    assert(math.abs(r2.getAs[Double]("yule_k") - 1e4 * 8 / 36.0) < 1e-9)
+    assert(out(3L).getAs[Long]("n_tokens") == 0L &&
+      out(3L).isNullAt(out(3L).fieldIndex("ttr")))
+  }
+
   test("readability: flesch formula on counted words/sentences/syllables") {
     val d = Seq((1L, "The cat sat. The cat ran!"), (2L, "")).toDF("doc_id", "text")
     val out = TextOps.readability(d, "doc_id", "text").collect()
