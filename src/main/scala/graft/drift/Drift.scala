@@ -608,4 +608,49 @@ object Drift {
     Seq((n, m, exy, exx, eyy, 2.0 * exy - exx - eyy))
       .toDF("n", "m", "exy", "exx", "eyy", "energy")
   }
+
+  /** Per-key embedding centroid drift between a reference and a current
+    * corpus snapshot: cosine similarity and L2 distance between the two
+    * per-key mean vectors (+ per-side counts). The cheap first-line
+    * embedding-space monitor — [[embeddingEnergyDistance]] compares the
+    * full distributions but is sample-bounded quadratic; centroids
+    * catch the common failure (a model/version change or topic shift
+    * translating the whole cloud) with two linear passes, per key.
+    *
+    * Exactness: per-(key, dim) component sums are 6dp fixed-point longs
+    * (order-free); the dim-sized dot/norm roll-ups quantize each product
+    * of the resulting exact doubles at 9dp. Zero-norm sides emit NULL
+    * cosine. Keys must appear on both sides (inner join on key+dim).
+    * The drift verdict keys on the centroid L2 distance, not cosine —
+    * on a zero-mean cloud (normalized embeddings centered per key) the
+    * centroids are noise-sized and their angle is meaningless, while
+    * ‖Δcentroid‖ still reads in embedding units.
+    *
+    * Scale: two posexplode hash-aggregates (map-side combined; exchange
+    * carries keys×dims, not vectors) + a model-sized join/roll-up. */
+  def embeddingCentroidDrift(ref: DataFrame, cur: DataFrame,
+      keyCols: Seq[String], vecCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    def centroid(df: DataFrame, tag: String): DataFrame =
+      df.where(col(vecCol).isNotNull)
+        .select(keyCols.map(col) :+ posexplode(col(vecCol)): _*)
+        .groupBy((keyCols :+ "pos").map(col): _*)
+        .agg(sum(graft.core.fixedPointLong(col("col").cast("double"), 6))
+          .as(s"_s$tag"), count(lit(1)).as(s"_n$tag"))
+    val j = centroid(ref, "r").join(centroid(cur, "c"), keyCols :+ "pos")
+    val cr = (col("_sr") / 1e6) / col("_nr")
+    val cc = (col("_sc") / 1e6) / col("_nc")
+    def fp9(c: Column) = graft.core.fixedPointLong(c, 9)
+    val cosExpr = when(col("_rr") > 0 && col("_c2") > 0,
+      (col("_dot") / 1e9) /
+        (sqrt(col("_rr") / 1e9) * sqrt(col("_c2") / 1e9)))
+    j.groupBy(keyCols.map(col): _*)
+      .agg(sum(fp9(cr * cc)).as("_dot"), sum(fp9(cr * cr)).as("_rr"),
+        sum(fp9(cc * cc)).as("_c2"),
+        sum(fp9((cr - cc) * (cr - cc))).as("_d2"),
+        max("_nr").as("n_ref"), max("_nc").as("n_cur"))
+      .select(keyCols.map(col) :+ col("n_ref") :+ col("n_cur") :+
+        cosExpr.as("cos") :+ sqrt(col("_d2") / 1e9).as("l2") :+
+        (sqrt(col("_d2") / 1e9) > threshold).as("drifted"): _*)
+  }
 }

@@ -38,6 +38,21 @@ object DriftQueries {
             .otherwise(col("value") * 1.3 + 25.0))
       canon(Drift.psi(ref, cur, Seq("event_type"), "value", nBins = 10))
     }),
+    // per-label embedding centroid drift: even/odd vec_id split, labels
+    // ≥ 5 get an affine perturbation on the current side (induced
+    // translation — the model-version-change signature)
+    "q246_centroid_drift" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val ref = e.where(col("vec_id") % 2 === 0)
+      val cur = e.where(col("vec_id") % 2 === 1)
+        .withColumn("embedding",
+          when(col("label") >= 5,
+            transform(col("embedding"),
+              x => x.cast("double") * 1.2 + 0.1))
+            .otherwise(transform(col("embedding"), x => x.cast("double"))))
+      canon(Drift.embeddingCentroidDrift(ref, cur, Seq("label"),
+        "embedding", threshold = 0.5))
+    }),
     // exact 1-D Wasserstein distance on the same ref/cur split as q189
     // — the unbinned integral drift metric in the value's own units
     "q244_wasserstein" -> ((s, dir) => {
@@ -529,7 +544,39 @@ object DriftQueries {
        |FROM p""".stripMargin.replace("\n", " ")
   }
 
+  private lazy val centroidDriftOracle: String = {
+    val fp6 = (e: String) =>
+      s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) ELSE -floor(-($e)*1e6+0.5) END)::BIGINT"
+    val fp9 = (e: String) =>
+      s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e9+0.5) ELSE -floor(-($e)*1e9+0.5) END)::BIGINT"
+    val cosE = "CASE WHEN rr > 0 AND c2 > 0 THEN (dot / 1e9) / (sqrt(rr / 1e9) * sqrt(c2 / 1e9)) END"
+    s"""WITH re AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE vec_id % 2 = 0),
+       |cu AS (SELECT label, CASE WHEN label >= 5
+       |   THEN list_transform(embedding::DOUBLE[], x -> x * 1.2 + 0.1)
+       |   ELSE embedding::DOUBLE[] END AS v FROM embeddings
+       |  WHERE vec_id % 2 = 1),
+       |rp AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+       | FROM re),
+       |cp AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+       | FROM cu),
+       |rc AS (SELECT label, pos, sum(${fp6("x")}) AS sr, count(*)::BIGINT AS nr
+       | FROM rp GROUP BY 1, 2),
+       |cc AS (SELECT label, pos, sum(${fp6("x")}) AS sc, count(*)::BIGINT AS nc
+       | FROM cp GROUP BY 1, 2),
+       |j AS (SELECT rc.label, (sr / 1e6) / nr AS cr, (sc / 1e6) / nc AS cv,
+       |  nr, nc FROM rc JOIN cc USING (label, pos)),
+       |a AS (SELECT label, sum(${fp9("cr * cv")}) AS dot,
+       |  sum(${fp9("cr * cr")}) AS rr, sum(${fp9("cv * cv")}) AS c2,
+       |  sum(${fp9("(cr - cv) * (cr - cv)")}) AS d2,
+       |  max(nr) AS n_ref, max(nc) AS n_cur FROM j GROUP BY 1)
+       |SELECT label, n_ref, n_cur, round($cosE, 4) AS cos,
+       | round(sqrt(d2 / 1e9), 4) AS l2, sqrt(d2 / 1e9) > 0.5 AS drifted
+       |FROM a""".stripMargin.replace("\n", " ")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q246_centroid_drift" -> centroidDriftOracle,
     "q244_wasserstein" -> wassersteinOracle,
     "q230_jsd" -> jsdOracle,
     "q200_benford" -> benfordOracle,

@@ -198,6 +198,25 @@ class AnalysisSpec extends SparkSpec {
       "one-sided key has no defined W1")
   }
 
+  test("centroid drift: identical clouds zero, translation reads exactly in l2") {
+    val ref = Seq(("k", Seq(1.0f, 0.0f)), ("k", Seq(3.0f, 0.0f)),
+      ("only_ref", Seq(1.0f, 1.0f))).toDF("g", "v")
+    val w0 = graft.drift.Drift.embeddingCentroidDrift(ref, ref, Seq("g"), "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(w0("k").getAs[Double]("l2") == 0.0 &&
+      math.abs(w0("k").getAs[Double]("cos") - 1.0) < 1e-9 &&
+      !w0("k").getAs[Boolean]("drifted"))
+    // translate by (0, 3): centroid (2,0) → (2,3), l2 = 3, cos = 4/(2·√13)
+    val cur = Seq(("k", Seq(1.0f, 3.0f)), ("k", Seq(3.0f, 3.0f))).toDF("g", "v")
+    val out = graft.drift.Drift.embeddingCentroidDrift(ref, cur, Seq("g"), "v",
+      threshold = 1.0).collect()
+    assert(out.length == 1, "inner join drops the one-sided key")
+    val r = out(0)
+    assert(math.abs(r.getAs[Double]("l2") - 3.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("cos") - 4.0 / (2.0 * math.sqrt(13.0))) < 1e-6)
+    assert(r.getAs[Boolean]("drifted"))
+  }
+
   test("correlation matrix: perfect, inverse and independent pairs") {
     val rows = (1 to 40).map { i =>
       (i.toDouble, 2.0 * i + 1, -3.0 * i, if (i % 2 == 0) 1.0 else 0.0)
