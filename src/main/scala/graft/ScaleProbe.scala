@@ -547,6 +547,26 @@ object ScaleProbe {
           ev.where(col("event_id") % 5 === 0),
           Seq("event_type"), "value", "event_id").count()
       }
+      time("wasserstein", n, nEv) {
+        drift.Drift.wasserstein(
+          ev.where(col("event_id") % 2 === 0),
+          ev.where(col("event_id") % 2 === 1),
+          Seq("event_type"), "value").count()
+      }
+      val embProbe = scaled("embeddings", Seq("vec_id"), n)
+      val nEm = embProbe.count()
+      time("centroid_drift", n, nEm) {
+        drift.Drift.embeddingCentroidDrift(
+          embProbe.where(col("vec_id") % 2 === 0),
+          embProbe.where(col("vec_id") % 2 === 1),
+          Seq("label"), "embedding").count()
+      }
+      time("novelty", n, nDp) {
+        text.TextOps.noveltyScore(docsProbe, "doc_id", "text", 3).count()
+      }
+      time("lexical", n, nDp) {
+        text.TextOps.lexicalDiversity(docsProbe, "doc_id", "text").count()
+      }
     }
     spark.stop()
   }
