@@ -128,6 +128,21 @@ object SeqQueries {
       canon(SeqOps.changePointMeanShift(ev(s, dir), Seq("event_type"), "event_id",
         "value", window = 30, critValue = 3.0)
         .select("event_type", "event_id", "value", "stat"))),
+    // the streaming change-point detector batch-executed (q100 device):
+    // one micro-batch holds each entity's whole history, so the emitted
+    // trailing-window Welch stats must equal the shifted batch statistic
+    // — and the oracle replays them with trailing SQL windows
+    "q247_changepoint_stream" -> ((s, dir) => {
+      import s.implicits._
+      val evd = table(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(col("event_type").as("entity"),
+          col("event_id").cast("long").as("seq"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.StreamScorers.ValueEvent]
+      canon(graft.streaming.StreamScorers.changePointStream(evd, 30, 3.0)
+        .toDF().where(!isnan(col("stat"))))
+    }),
     // classical MA seasonal decomposition, period 24 over the event_id
     // sequence; residual z is the seasonality-aware anomaly score
     "q129_seasonal_decompose" -> ((s, dir) =>
@@ -1191,6 +1206,21 @@ object SeqQueries {
         |SELECT event_type, event_id, round(value,4) AS value, round(stat,4) AS stat
         |FROM s WHERE cnt_l = 30 AND cnt_r = 30 AND stat >= 3.0"""
         .stripMargin.replace("\n", " "),
+    "q247_changepoint_stream" ->
+      """WITH s AS (SELECT event_type AS entity, event_id::BIGINT AS seq, value,
+        |  count(value) OVER fw AS cnt,
+        |  abs(avg(value) OVER rw - avg(value) OVER lw) /
+        |   sqrt(var_samp(value) OVER lw / 30.0 + var_samp(value) OVER rw / 30.0) AS stat
+        | FROM events WHERE value IS NOT NULL
+        | WINDOW lw AS (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN 59 PRECEDING AND 30 PRECEDING),
+        |  rw AS (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
+        |  fw AS (PARTITION BY event_type ORDER BY event_id
+        |   ROWS BETWEEN 59 PRECEDING AND CURRENT ROW))
+        |SELECT entity, seq, round(value,4) AS value, round(stat,4) AS stat,
+        | stat >= 3.0 AS changed
+        |FROM s WHERE cnt = 60""".stripMargin.replace("\n", " "),
     "q95_changepoint_scaled" -> changePointScaledOracle,
     // the config-runner face of the change-point job shares it
     "q168_config_changepoint" -> changePointScaledOracle,
