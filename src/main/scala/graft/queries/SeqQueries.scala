@@ -203,6 +203,12 @@ object SeqQueries {
     "q22_temporal_agg" -> ((s, dir) =>
       canon(SeqOps.temporalAggregate(ev(s, dir), Seq("event_type"), "ts", "value",
         bucketSec = 3600L))),
+    // PACF via Levinson–Durbin on the q21 ACF frozen at 6dp; the inner
+    // dot is a 12dp fixed-point integer sum, the rest fixed float ops —
+    // the oracle replays the recursion as a recursive CTE on the lists
+    "q248_pacf" -> ((s, dir) =>
+      canon(SeqOps.pacf(ev(s, dir), Seq("event_type"), "event_id", "value",
+        maxLag = 6))),
     "q23_multigram" -> ((s, dir) =>
       canon(SeqOps.multigramDistribution(ev(s, dir), Seq("user_id"), "event_id",
         "event_type", n = 2))),
@@ -1297,6 +1303,41 @@ object SeqQueries {
         |UNION ALL
         |SELECT event_type, 3, round(corr(value, l3),4) FROM l GROUP BY 1"""
         .stripMargin.replace("\n", " "),
+    "q248_pacf" -> {
+      val prod = "a[j]*rho[k+1-j]"
+      val fp12 =
+        s"(CASE WHEN ($prod) >= 0 THEN floor(($prod)*1e12+0.5) ELSE -floor(-($prod)*1e12+0.5) END)::BIGINT"
+      s"""WITH RECURSIVE l AS (SELECT event_type, value,
+         |  lag(value,1) OVER w AS l1, lag(value,2) OVER w AS l2,
+         |  lag(value,3) OVER w AS l3, lag(value,4) OVER w AS l4,
+         |  lag(value,5) OVER w AS l5, lag(value,6) OVER w AS l6
+         | FROM events WINDOW w AS (PARTITION BY event_type ORDER BY event_id)),
+         |ac AS (
+         | SELECT event_type, 1 AS lag, round(corr(value, l1), 6) AS rho FROM l GROUP BY 1
+         | UNION ALL SELECT event_type, 2, round(corr(value, l2), 6) FROM l GROUP BY 1
+         | UNION ALL SELECT event_type, 3, round(corr(value, l3), 6) FROM l GROUP BY 1
+         | UNION ALL SELECT event_type, 4, round(corr(value, l4), 6) FROM l GROUP BY 1
+         | UNION ALL SELECT event_type, 5, round(corr(value, l5), 6) FROM l GROUP BY 1
+         | UNION ALL SELECT event_type, 6, round(corr(value, l6), 6) FROM l GROUP BY 1),
+         |r AS (SELECT event_type, list(rho ORDER BY lag) AS rho FROM ac
+         | WHERE rho IS NOT NULL GROUP BY 1 HAVING count(*) = 6),
+         |rec AS (
+         | SELECT event_type, rho, 1 AS k, [rho[1]] AS a,
+         |  1.0 - rho[1]*rho[1] AS e, [rho[1]] AS p FROM r
+         | UNION ALL
+         | SELECT event_type, rho, k + 1,
+         |  list_transform(range(1, k + 1), j -> a[j] - kap * a[k + 1 - j]) || [kap],
+         |  e * (1.0 - kap*kap),
+         |  p || [kap]
+         | FROM (
+         |  SELECT *, CASE WHEN e <> 0 THEN
+         |    (rho[k+1] - list_sum(list_transform(range(1, k+1), j -> $fp12))::DOUBLE / 1e12) / e
+         |   ELSE 0.0 END AS kap
+         |  FROM rec WHERE k < 6) t)
+         |SELECT event_type, generate_subscripts(p, 1)::INTEGER AS lag,
+         | round(unnest(p), 4) AS pacf
+         |FROM rec WHERE k = 6""".stripMargin.replace("\n", " ")
+    },
     "q22_temporal_agg" ->
       """SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket,
         | count(value) AS n, round(avg(value),4) AS avgVal,

@@ -370,6 +370,64 @@ object SeqOps {
     wide.select(keyCols.map(col) :+ explode(map(kvs.map(c => c: Column): _*)).as(Seq("lag", "ac")): _*)
   }
 
+  /** Partial autocorrelation (PACF) per key via the Levinson–Durbin
+    * recursion over [[autocorrelation]]'s estimates — the AR-order
+    * selector next to ACF: ACF of an AR(p) series tails off while PACF
+    * cuts to ~0 after lag p, so the pair decides the model order the
+    * forecast scorers (OSA/Holt/Holt–Winters) should assume.
+    *
+    * Determinism: ACF inputs are FROZEN at 6dp (the q131 cut device) so
+    * both engines recurse on bit-identical doubles; the order-sensitive
+    * inner dot Σ aⱼ·ρ_{k−j} is a 12dp fixed-point integer sum
+    * (order-free), every other recursion op is a fixed per-element
+    * float expression. Zero innovation variance → reflection
+    * coefficient 0 (guarded division). Keys with a NULL ACF at any lag
+    * (too short) are dropped, as are zero-variance keys (filtered
+    * BEFORE the corr call: under ANSI mode Spark's corr throws
+    * DIVIDE_BY_ZERO on a constant series instead of returning NULL).
+    *
+    * Scale: the ACF's lag-window pass is the whole cost; the recursion
+    * runs on key-sized rho arrays (maxLag elements) — model-sized. */
+  def pacf(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag >= 1")
+    val varOk = data.groupBy(keyCols.map(col): _*)
+      .agg(var_samp(col(valCol).cast("double")).as("_v"))
+      .where(col("_v") > 0).select(keyCols.map(col): _*)
+    val acf = autocorrelation(data.join(broadcast(varOk), keyCols),
+      keyCols, seqCol, valCol, 1 to maxLag)
+    val byKey = acf.where(col("ac").isNotNull)
+      .withColumn("_rho6", graft.core.roundLikeDuck(col("ac"), 6))
+      .groupBy(keyCols.map(col): _*)
+      .agg(transform(array_sort(collect_list(struct(col("lag"), col("_rho6")))),
+        s => s.getField("_rho6")).as("_rho"))
+      .where(size(col("_rho")) === maxLag)
+    val rho = col("_rho")
+    val r1 = element_at(rho, 1)
+    val init = struct(array(r1).as("a"),
+      (lit(1.0) - r1 * r1).as("e"), array(r1).as("p"))
+    val folded =
+      if (maxLag == 1) init
+      else aggregate(sequence(lit(2), lit(maxLag)), init, (st, kk) => {
+        val aPrev = st.getField("a")
+        val e = st.getField("e")
+        val sFp = aggregate(sequence(lit(1), kk - 1), lit(0L), (s, j) =>
+          s + graft.core.fixedPointLong(
+            element_at(aPrev, j) * element_at(rho, kk - j), 12))
+        val num = element_at(rho, kk) - sFp.cast("double") / 1e12
+        val kap = when(e =!= 0.0, num / e).otherwise(lit(0.0))
+        val aNew = concat(transform(sequence(lit(1), kk - 1), j =>
+          element_at(aPrev, j) - kap * element_at(aPrev, kk - j)),
+          array(kap))
+        struct(aNew.as("a"), (e * (lit(1.0) - kap * kap)).as("e"),
+          concat(st.getField("p"), array(kap)).as("p"))
+      })
+    byKey.select(keyCols.map(col) :+
+        posexplode(folded.getField("p")).as(Seq("_pos", "pacf")): _*)
+      .select(keyCols.map(col) :+ (col("_pos") + 1).as("lag") :+
+        col("pacf"): _*)
+  }
+
   /** Temporal aggregation into fixed time buckets per key (chombo
     * TemporalAggregator, resource/cyd.sh:29). `tsCol` in epoch-nanos,
     * bucket width in seconds. Integer division keeps bucket ids exact. */

@@ -365,4 +365,27 @@ class SeqSpec extends SparkSpec {
       period = 4).collect()
     assert(out.length == 7 && out.forall(_.score == 0.0))
   }
+
+  test("pacf: AR(1) cuts after lag 1, constant key dropped") {
+    // AR(1) x_t = 0.8 x_{t-1} + e_t with LCG noise: PACF(1) ≈ 0.8,
+    // PACF(k ≥ 2) ≈ 0 (the order-selection cut ACF cannot show)
+    var seed = 12345L
+    def next(): Double = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (seed >>> 40).toDouble / (1L << 24).toDouble - 0.5
+    }
+    var x = 0.0
+    val rows = (0 until 2000).map { i =>
+      x = 0.8 * x + next()
+      ("ar", i.toLong, x)
+    } ++ (0 until 50).map(i => ("const", i.toLong, 7.0))
+    val out = graft.seq.SeqOps.pacf(rows.toDF("g", "id", "v"),
+      Seq("g"), "id", "v", maxLag = 4).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Int]("lag")) ->
+        r.getAs[Double]("pacf")).toMap
+    assert(out.keys.forall(_._1 == "ar"), "constant series has NULL acf → dropped")
+    assert(math.abs(out(("ar", 1)) - 0.8) < 0.05, s"pacf1=${out(("ar", 1))}")
+    assert((2 to 4).forall(k => math.abs(out(("ar", k))) < 0.06),
+      s"AR(1) pacf must cut: ${out.toSeq.sortBy(_._1._2)}")
+  }
 }
