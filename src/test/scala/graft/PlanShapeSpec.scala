@@ -286,4 +286,24 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"no nested-loop joins in NB scoring:\n$p")
   }
+
+  test("wasserstein: ONE exchange — the final roll-up rides the window partitioning") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val p = plan("q244_wasserstein")
+    val shuffles = collectWithSubqueries(p) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.length == 1, s"expected 1 exchange, got ${shuffles.length}")
+  }
+
+  test("lexical diversity: per-row fold — no exchange, no join") {
+    val p = plan("q245_lexical").toString
+    assert(!p.contains("Exchange"), s"q245 grew a shuffle:\n$p")
+    assert(!p.contains("Join"), s"q245 grew a join:\n$p")
+  }
+
+  test("centroid drift: dim-agg sides joined broadcast, never sort-merge") {
+    val p = plan("q246_centroid_drift").toString
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"centroid dim join must broadcast (model-sized sides):\n$p")
+    assert(p.contains("partial_sum"), "component sums must map-side combine")
+  }
 }
