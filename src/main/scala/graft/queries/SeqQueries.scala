@@ -209,6 +209,11 @@ object SeqQueries {
     "q248_pacf" -> ((s, dir) =>
       canon(SeqOps.pacf(ev(s, dir), Seq("event_type"), "event_id", "value",
         maxLag = 6))),
+    // AR(6) one-step forecast scorer on the Levinson coefficients —
+    // the autoregressive complement of OSA/Holt/Holt-Winters
+    "q249_ar_forecast" -> ((s, dir) =>
+      canon(SeqOps.arForecast(ev(s, dir), Seq("event_type"), "event_id",
+        "value", order = 6, threshold = 3.0))),
     "q23_multigram" -> ((s, dir) =>
       canon(SeqOps.multigramDistribution(ev(s, dir), Seq("user_id"), "event_id",
         "event_type", n = 2))),
@@ -533,6 +538,45 @@ object SeqQueries {
   // Holt–Winters replay: same walk shape as holtOracle plus the seasonal
   // rotating queue carried as a DOUBLE[] (head consumed, update appended);
   // anchor state from exact 4dp fixed-point season means
+  /** Shared Levinson–Durbin CTE chain (q248 PACF / q249 AR forecast):
+    * 6dp-frozen ACF lists per event_type, then the recursion carrying
+    * the coefficient list `a`, normalized innovation variance `e` and
+    * PACF list `p` — inner dot as 12dp fixed-point integer sums,
+    * mirroring SeqOps.levinsonModel bit-for-bit. Callers prepend
+    * WITH RECURSIVE and read `rec WHERE k = 6`. */
+  private lazy val levinsonCte: String = {
+    val prod = "a[j]*rho[k+1-j]"
+    val fp12 =
+      s"(CASE WHEN ($prod) >= 0 THEN floor(($prod)*1e12+0.5) ELSE -floor(-($prod)*1e12+0.5) END)::BIGINT"
+    s"""l AS (SELECT event_type, event_id, value,
+       |  lag(value,1) OVER w AS l1, lag(value,2) OVER w AS l2,
+       |  lag(value,3) OVER w AS l3, lag(value,4) OVER w AS l4,
+       |  lag(value,5) OVER w AS l5, lag(value,6) OVER w AS l6
+       | FROM events WINDOW w AS (PARTITION BY event_type ORDER BY event_id)),
+       |ac AS (
+       | SELECT event_type, 1 AS lag, round(corr(value, l1), 6) AS rho FROM l GROUP BY 1
+       | UNION ALL SELECT event_type, 2, round(corr(value, l2), 6) FROM l GROUP BY 1
+       | UNION ALL SELECT event_type, 3, round(corr(value, l3), 6) FROM l GROUP BY 1
+       | UNION ALL SELECT event_type, 4, round(corr(value, l4), 6) FROM l GROUP BY 1
+       | UNION ALL SELECT event_type, 5, round(corr(value, l5), 6) FROM l GROUP BY 1
+       | UNION ALL SELECT event_type, 6, round(corr(value, l6), 6) FROM l GROUP BY 1),
+       |r AS (SELECT event_type, list(rho ORDER BY lag) AS rho FROM ac
+       | WHERE rho IS NOT NULL GROUP BY 1 HAVING count(*) = 6),
+       |rec AS (
+       | SELECT event_type, rho, 1 AS k, [rho[1]] AS a,
+       |  1.0 - rho[1]*rho[1] AS e, [rho[1]] AS p FROM r
+       | UNION ALL
+       | SELECT event_type, rho, k + 1,
+       |  list_transform(range(1, k + 1), j -> a[j] - kap * a[k + 1 - j]) || [kap],
+       |  e * (1.0 - kap*kap),
+       |  p || [kap]
+       | FROM (
+       |  SELECT *, CASE WHEN e <> 0 THEN
+       |    (rho[k+1] - list_sum(list_transform(range(1, k+1), j -> $fp12))::DOUBLE / 1e12) / e
+       |   ELSE 0.0 END AS kap
+       |  FROM rec WHERE k < 6) t)""".stripMargin
+  }
+
   private lazy val holtWintersOracle: String =
     """WITH RECURSIVE ev AS (SELECT user_id::VARCHAR AS key, event_id AS seq, value,
       |  row_number() OVER (PARTITION BY user_id ORDER BY event_id, value) AS rn
@@ -1303,40 +1347,39 @@ object SeqQueries {
         |UNION ALL
         |SELECT event_type, 3, round(corr(value, l3),4) FROM l GROUP BY 1"""
         .stripMargin.replace("\n", " "),
-    "q248_pacf" -> {
-      val prod = "a[j]*rho[k+1-j]"
-      val fp12 =
-        s"(CASE WHEN ($prod) >= 0 THEN floor(($prod)*1e12+0.5) ELSE -floor(-($prod)*1e12+0.5) END)::BIGINT"
-      s"""WITH RECURSIVE l AS (SELECT event_type, value,
-         |  lag(value,1) OVER w AS l1, lag(value,2) OVER w AS l2,
-         |  lag(value,3) OVER w AS l3, lag(value,4) OVER w AS l4,
-         |  lag(value,5) OVER w AS l5, lag(value,6) OVER w AS l6
-         | FROM events WINDOW w AS (PARTITION BY event_type ORDER BY event_id)),
-         |ac AS (
-         | SELECT event_type, 1 AS lag, round(corr(value, l1), 6) AS rho FROM l GROUP BY 1
-         | UNION ALL SELECT event_type, 2, round(corr(value, l2), 6) FROM l GROUP BY 1
-         | UNION ALL SELECT event_type, 3, round(corr(value, l3), 6) FROM l GROUP BY 1
-         | UNION ALL SELECT event_type, 4, round(corr(value, l4), 6) FROM l GROUP BY 1
-         | UNION ALL SELECT event_type, 5, round(corr(value, l5), 6) FROM l GROUP BY 1
-         | UNION ALL SELECT event_type, 6, round(corr(value, l6), 6) FROM l GROUP BY 1),
-         |r AS (SELECT event_type, list(rho ORDER BY lag) AS rho FROM ac
-         | WHERE rho IS NOT NULL GROUP BY 1 HAVING count(*) = 6),
-         |rec AS (
-         | SELECT event_type, rho, 1 AS k, [rho[1]] AS a,
-         |  1.0 - rho[1]*rho[1] AS e, [rho[1]] AS p FROM r
-         | UNION ALL
-         | SELECT event_type, rho, k + 1,
-         |  list_transform(range(1, k + 1), j -> a[j] - kap * a[k + 1 - j]) || [kap],
-         |  e * (1.0 - kap*kap),
-         |  p || [kap]
-         | FROM (
-         |  SELECT *, CASE WHEN e <> 0 THEN
-         |    (rho[k+1] - list_sum(list_transform(range(1, k+1), j -> $fp12))::DOUBLE / 1e12) / e
-         |   ELSE 0.0 END AS kap
-         |  FROM rec WHERE k < 6) t)
+    "q248_pacf" ->
+      s"""WITH RECURSIVE $levinsonCte
          |SELECT event_type, generate_subscripts(p, 1)::INTEGER AS lag,
          | round(unnest(p), 4) AS pacf
-         |FROM rec WHERE k = 6""".stripMargin.replace("\n", " ")
+         |FROM rec WHERE k = 6""".stripMargin.replace("\n", " "),
+    // AR(6) one-step scorer on the same Levinson recursion: pred from
+    // the k=6 coefficient list, innovation std from e·γ0 with exact
+    // integer moment sums (the q198 device)
+    "q249_ar_forecast" -> {
+      val fp6v =
+        "(CASE WHEN value >= 0 THEN floor(value*1e6+0.5) ELSE -floor(-value*1e6+0.5) END)::BIGINT"
+      val predT = (1 to 6).map(j => s"a[$j]*(l$j - mean)").mkString(" + ")
+      s"""WITH RECURSIVE $levinsonCte,
+         |model AS (SELECT event_type, a, e FROM rec WHERE k = 6),
+         |mo AS (SELECT event_type, count(*)::BIGINT AS n,
+         |  sum($fp6v)::BIGINT AS sv,
+         |  sum(($fp6v)::HUGEINT * ($fp6v)::HUGEINT)::HUGEINT AS svv
+         | FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |mv AS (SELECT event_type, (sv / 1e6) / n AS mean,
+         |  ((svv::DOUBLE / 1e12) - ((sv / 1e6) * (sv / 1e6)) / n) / n AS varv
+         | FROM mo),
+         |sc AS (SELECT l.event_type, l.event_id, l.value,
+         |  mv.mean + ($predT) AS pred, sqrt(m.e * mv.varv) AS std
+         | FROM l JOIN model m USING (event_type) JOIN mv USING (event_type)),
+         |f AS (SELECT event_type, event_id, value, pred,
+         |  CASE WHEN pred IS NOT NULL AND std > 0
+         |   THEN abs(value - pred) / std END AS score
+         | FROM sc)
+         |SELECT event_type, event_id, round(value, 4) AS value,
+         | round(pred, 4) AS pred, round(score, 4) AS score,
+         | CASE WHEN score IS NULL THEN 'I' WHEN score > 3.0 THEN 'O'
+         |  ELSE 'N' END AS tag
+         |FROM f""".stripMargin.replace("\n", " ")
     },
     "q22_temporal_agg" ->
       """SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket,

@@ -388,8 +388,13 @@ object SeqOps {
     *
     * Scale: the ACF's lag-window pass is the whole cost; the recursion
     * runs on key-sized rho arrays (maxLag elements) — model-sized. */
-  def pacf(data: DataFrame, keyCols: Seq[String], seqCol: String,
-      valCol: String, maxLag: Int): DataFrame = {
+  /** Shared Levinson–Durbin state per key: `_rho` (6dp-frozen ACF,
+    * lags 1..maxLag), `_ld` = struct(a: AR(maxLag) coefficients,
+    * e: normalized innovation variance, p: PACF values). Zero-variance
+    * keys are filtered BEFORE the corr call (ANSI DIVIDE_BY_ZERO);
+    * keys with any NULL ACF (too short) are dropped. */
+  private[seq] def levinsonModel(data: DataFrame, keyCols: Seq[String],
+      seqCol: String, valCol: String, maxLag: Int): DataFrame = {
     require(maxLag >= 1, "maxLag >= 1")
     val varOk = data.groupBy(keyCols.map(col): _*)
       .agg(var_samp(col(valCol).cast("double")).as("_v"))
@@ -422,10 +427,67 @@ object SeqOps {
         struct(aNew.as("a"), (e * (lit(1.0) - kap * kap)).as("e"),
           concat(st.getField("p"), array(kap)).as("p"))
       })
-    byKey.select(keyCols.map(col) :+
-        posexplode(folded.getField("p")).as(Seq("_pos", "pacf")): _*)
+    byKey.withColumn("_ld", folded)
+  }
+
+  def pacf(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      valCol: String, maxLag: Int): DataFrame =
+    levinsonModel(data, keyCols, seqCol, valCol, maxLag)
+      .select(keyCols.map(col) :+
+        posexplode(col("_ld").getField("p")).as(Seq("_pos", "pacf")): _*)
       .select(keyCols.map(col) :+ (col("_pos") + 1).as("lag") :+
         col("pacf"): _*)
+
+  /** AR(p) one-step forecast scorer: Yule–Walker-style coefficients
+    * from [[levinsonModel]]'s recursion (fit on the 6dp-frozen sample
+    * ACF), prediction x̂_t = μ + Σ aⱼ·(x_{t−j} − μ), score =
+    * \|resid\| / σ_inn with σ²_inn = e·γ₀ (normalized innovation
+    * variance × series variance). The autoregressive complement of the
+    * window-mean OSA (flat series) and Holt/Holt–Winters (trend/
+    * seasonal): an AR series' own memory IS the model, and the PACF
+    * ([[pacf]]) picks p. First p rows per key tag 'I'.
+    *
+    * Determinism: coefficients/e are bit-identical cross-engine (the
+    * pacf contract); μ and γ₀ come from exact integer sums of 6dp
+    * values — the v6² sum rides decimal(38,0)/HUGEINT (the ECOD
+    * device; a BIGINT sum of 1e18-sized squares overflows under ANSI);
+    * the prediction is one fixed left-associated expression over lag()
+    * columns. Scale: the per-key lag window is the whole cost — one
+    * exchange, model-sized broadcast joins. */
+  def arForecast(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      valCol: String, order: Int, threshold: Double = 3.0): DataFrame = {
+    val model = levinsonModel(data, keyCols, seqCol, valCol, order)
+      .select(keyCols.map(col) :+ col("_ld").getField("a").as("_a") :+
+        col("_ld").getField("e").as("_e"): _*)
+    val v = col(valCol).cast("double")
+    val v6 = graft.core.fixedPointLong(v, 6)
+    val mv = data.where(v.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"), sum(v6).as("_sv"),
+        sum(v6.cast("decimal(38,0)") * v6.cast("decimal(38,0)")).as("_svv"))
+      .select(keyCols.map(col) :+
+        ((col("_sv") / 1e6) / col("_n")).as("_mean") :+
+        (((col("_svv").cast("double") / 1e12) -
+          ((col("_sv") / 1e6) * (col("_sv") / 1e6)) / col("_n")) /
+          col("_n")).as("_varv"): _*)
+    val w = byKey(keyCols, seqCol)
+    var d = data.where(v.isNotNull)
+      .join(broadcast(model), keyCols)
+      .join(broadcast(mv), keyCols)
+    (1 to order).foreach(j =>
+      d = d.withColumn(s"_l$j", lag(v, j).over(w)))
+    val terms = (1 to order).map(j =>
+      element_at(col("_a"), j) * (col(s"_l$j") - col("_mean")))
+    val pred = col("_mean") + terms.reduceLeft(_ + _)
+    val std = sqrt(col("_e") * col("_varv"))
+    val resid = v - pred
+    val score = when(pred.isNotNull && std > 0, abs(resid) / std)
+    d.withColumn("pred", pred)
+      .withColumn("score", score)
+      .withColumn("tag", when(score.isNull, "I")
+        .when(score > threshold, "O").otherwise("N"))
+      .select(keyCols.map(col) :+ col(seqCol) :+ v.as("value") :+
+        col("pred") :+ col("score") :+ col("tag"): _*)
   }
 
   /** Temporal aggregation into fixed time buckets per key (chombo

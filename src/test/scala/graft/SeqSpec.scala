@@ -388,4 +388,24 @@ class SeqSpec extends SparkSpec {
     assert((2 to 4).forall(k => math.abs(out(("ar", k))) < 0.06),
       s"AR(1) pacf must cut: ${out.toSeq.sortBy(_._1._2)}")
   }
+
+  test("ar forecast: injected spike flags O, warm-up rows I, in-sample mostly N") {
+    var seed = 999L
+    def next(): Double = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (seed >>> 40).toDouble / (1L << 24).toDouble - 0.5
+    }
+    var x = 0.0
+    val base = (0 until 1000).map { i =>
+      x = 0.8 * x + next()
+      ("k", i.toLong, if (i == 700) x + 8.0 else x) // spike off the AR path
+    }
+    val out = graft.seq.SeqOps.arForecast(base.toDF("g", "id", "v"),
+      Seq("g"), "id", "v", order = 3, threshold = 3.0).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("tag")).toMap
+    assert((0 until 3).forall(i => out(i.toLong) == "I"), "warm-up rows are I")
+    assert(out(700L) == "O", s"spike must flag: ${out(700L)}")
+    val n = (3 until 1000).count(i => out(i.toLong) == "N")
+    assert(n > 950, s"in-sample AR data should be mostly N, got $n")
+  }
 }
