@@ -567,6 +567,10 @@ object ScaleProbe {
       time("lexical", n, nDp) {
         text.TextOps.lexicalDiversity(docsProbe, "doc_id", "text").count()
       }
+      time("ar_forecast", n, nEv) {
+        seq.SeqOps.arForecast(ev, Seq("event_type"), "event_id", "value",
+          order = 6).count()
+      }
     }
     spark.stop()
   }
