@@ -185,6 +185,28 @@ object Graph {
           .otherwise(lit(0.0)).as("coeff"))
   }
 
+  /** Global transitivity C = 3T/W (T distinct triangles, W = Σ d(d−1)/2
+    * wedges) plus node/edge/triangle counts — the one-row graph health
+    * summary over [[clusteringCoefficient]]'s per-node view: a crawl
+    * graph whose transitivity collapses between snapshots changed its
+    * link structure, not just its size. Σ_v triangles(v) = 3T, so the
+    * numerator is exactly the per-node credit sum.
+    *
+    * Scale: rides [[triangles]]' degree-oriented wedge join; the final
+    * roll-up is one exact-integer aggregate to a single row. */
+  def transitivity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val cc = clusteringCoefficient(edges, srcCol, dstCol)
+    cc.agg(count(lit(1)).as("n_nodes"),
+        (sum(col("d")) / 2).cast("long").as("n_edges"),
+        (sum(col("triangles")) / 3).cast("long").as("n_triangles"),
+        sum(col("triangles")).as("_credit"),
+        sum(col("d") * (col("d") - 1) / 2).cast("long").as("_wedges"))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        when(col("_wedges") > 0,
+          col("_credit").cast("double") / col("_wedges")).as("transitivity"))
+  }
+
   /** Per-node degree profile: out/in degree and the dangling flag — the
     * cheap pre-flight before [[pageRank]] (dangling nodes leak mass) and
     * a corpus-graph health check in its own right. One aggregate per

@@ -105,6 +105,16 @@ object MultiQueries {
         .where(col("b").isNotNull && col("a") =!= col("b"))
       canon(graft.graph.Graph.triangles(e, "a", "b"))
     }),
+    // global transitivity 3T/W on the q204 adjacency — the one-row
+    // graph-health summary
+    "q250_transitivity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = ev(s, dir).select(col("user_id").cast("string").as("a"),
+        lead(col("user_id").cast("string"), 1)
+          .over(Window.orderBy("event_id")).as("b"))
+        .where(col("b").isNotNull && col("a") =!= col("b"))
+      canon(graft.graph.Graph.transitivity(e, "a", "b"))
+    }),
     // local clustering coefficient on the q204 adjacency — triangle
     // closure rate of each node's neighborhood
     "q241_clustering_coeff" -> ((s, dir) => {
@@ -849,6 +859,27 @@ object MultiQueries {
         |SELECT n.node, count(c.node)::BIGINT AS triangles
         |FROM nodes n LEFT JOIN credit c ON c.node = n.node
         |GROUP BY n.node""".stripMargin.replace("\n", " "),
+    "q250_transitivity" ->
+      """WITH ch AS (SELECT user_id::VARCHAR AS a,
+        |  lead(user_id::VARCHAR) OVER (ORDER BY event_id) AS b FROM events),
+        |und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        | FROM ch WHERE b IS NOT NULL AND a <> b),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        | FROM und e1 JOIN und e2 ON e2.a = e1.b
+        | JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |credit AS (SELECT x AS node FROM tri UNION ALL
+        | SELECT y FROM tri UNION ALL SELECT z FROM tri),
+        |deg AS (SELECT node, count(*)::BIGINT AS d FROM
+        | (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |tc AS (SELECT d.node, d.d, count(c.node)::BIGINT AS t
+        | FROM deg d LEFT JOIN credit c ON c.node = d.node GROUP BY d.node, d.d)
+        |SELECT count(*)::BIGINT AS n_nodes,
+        | (sum(d) / 2)::BIGINT AS n_edges,
+        | (sum(t) / 3)::BIGINT AS n_triangles,
+        | round(CASE WHEN sum(d * (d - 1) / 2) > 0
+        |  THEN sum(t)::DOUBLE / (sum(d * (d - 1) / 2))::BIGINT END, 4)
+        |  AS transitivity
+        |FROM tc""".stripMargin.replace("\n", " "),
     "q241_clustering_coeff" ->
       """WITH ch AS (SELECT user_id::VARCHAR AS a,
         |  lead(user_id::VARCHAR) OVER (ORDER BY event_id) AS b FROM events),

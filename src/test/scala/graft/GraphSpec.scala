@@ -213,6 +213,16 @@ class GraphSpec extends SparkSpec {
       s"star should be ~-1, got $r")
   }
 
+  test("transitivity: triangle-with-tail counts and 3T/W ratio") {
+    // triangle a-b-c + tail c-d-e: T=1, wedges = 1+1+3+1 = 6 → C = 1/2
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"))
+      .toDF("u", "v")
+    val r = Graph.transitivity(edges, "u", "v").collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 5L && r.getAs[Long]("n_edges") == 5L)
+    assert(r.getAs[Long]("n_triangles") == 1L)
+    assert(r.getAs[Double]("transitivity") == 0.5)
+  }
+
   test("clustering coefficient: triangle nodes 1.0, chain nodes 0, hub partial") {
     // triangle a-b-c plus a tail c-d-e
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"))
