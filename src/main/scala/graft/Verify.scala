@@ -15,13 +15,23 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Freshness guard (round-8): a FULL run wipes outDir first so a stale
+    // parquet from an earlier build can never be hashed as current again
+    // (the r7 driver gate hashed pre-fix outputs for 3 queries). Partial
+    // runs (explicit query filter) only overwrite their own dirs.
+    if (only.isEmpty) deleteRecursively(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
+        // a failed overwrite may leave a partial/stale dir behind — remove
+        // it so the gate reports "no spark output" instead of hashing junk
+        deleteRecursively(new java.io.File(s"$outDir/$name"))
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -40,6 +50,29 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest: git SHA + wall time + run shape, asserted by tools/check.py
+    // so outputs from a different commit fail loudly instead of hashing red.
+    val sha = gitSha()
+    val manifest =
+      s"""{"gitSha": ${q(sha)}, "wroteAt": ${q(java.time.Instant.now.toString)},
+         | "fullRun": ${only.isEmpty}, "queries": ${SparkEntry.queries.size},
+         | "failed": ${failed.sorted.map(q).mkString("[", ",", "]")}}""".stripMargin
+    Files.writeString(Paths.get(s"$outDir/verify_manifest.json"), manifest)
     spark.stop()
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries failed: ${failed.mkString(", ")}")
   }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Best-effort HEAD SHA of the repo we were launched from. */
+  private def gitSha(): String =
+    try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD").redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes()).trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else "unknown"
+    } catch { case _: Throwable => "unknown" }
 }

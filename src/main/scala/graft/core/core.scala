@@ -175,6 +175,14 @@ package object core {
     * through the hash compare (the oracle SQL normalizes the same way
     * where a -0.0 can arise). */
   def roundLikeDuck(c: Column, p: Int): Column = {
+    // The 1e12 passthrough below is only sub-ulp-safe when 1e12·10^p
+    // exceeds 2^53 (so no genuine rounding is skipped) — that needs
+    // p >= 4. For p <= 3 the guard would silently skip real rounding
+    // between 1e12 and ~9e15 (advice r7); no caller uses p < 4, and
+    // every oracle mirrors the p>=4 shape, so enforce it.
+    require(p >= 4 && p <= 9, s"roundLikeDuck requires 4 <= p <= 9, got $p " +
+      "(the 1e12 overflow guard is calibrated for that range; " +
+      "oracle mirrors replay the same shape)")
     val f = math.pow(10, p)
     val r = when(c.isNull, c)
       .when(c >= 0, floor(c * f + 0.5) / f)

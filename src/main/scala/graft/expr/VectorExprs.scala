@@ -17,16 +17,40 @@ import org.apache.spark.sql.SparkSessionExtensions
   * bit-identical to both the HOF formulation and DuckDB's list_dot_product,
   * so oracle parity is preserved. */
 
-/** Σ aᵢ·bᵢ over two double arrays (shorter length wins; null → null). */
+/** Shared null semantics for the binary vector kernels: like the
+  * `zip_with`+`aggregate` HOF forms they replaced, a LENGTH MISMATCH or a
+  * null ELEMENT yields NULL (advice r7 — the earlier min-length truncation
+  * silently read garbage on malformed vectors). The per-element null check
+  * is emitted only when the array type says `containsNull` — fixed-dim
+  * embedding columns keep the branch-free loop. */
+trait VecBinaryNulls { self: BinaryExpression =>
+  override def nullable: Boolean = true
+  protected def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
+  protected def anyNullElement(x: ArrayData, y: ArrayData, n: Int): Boolean = {
+    if (!elementsNullable) return false
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** Σ aᵢ·bᵢ over two double arrays (length mismatch / null element → null). */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with VecBinaryNulls {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n || anyNullElement(x, y, n)) return null
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -38,10 +62,14 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullCheck =
+        if (elementsNullable) s"|| $a.isNullAt($i) || $b.isNullAt($i)" else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |${ev.isNull} = $b.numElements() != $n;
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if (false $nullCheck) { ${ev.isNull} = true; break; }
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $s;
@@ -58,14 +86,15 @@ case class VecDot(left: Expression, right: Expression)
   * whole-stage-codegen'd where the HOFs are CodegenFallback (interpreted
   * per row; measured ~6× on the 100M-pair cell-kNN join). */
 case class VecEuclid(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with VecBinaryNulls {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_euclid"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n || anyNullElement(x, y, n)) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -82,10 +111,14 @@ case class VecEuclid(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
+      val nullCheck =
+        if (elementsNullable) s"|| $a.isNullAt($i) || $b.isNullAt($i)" else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |${ev.isNull} = $b.numElements() != $n;
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if (false $nullCheck) { ${ev.isNull} = true; break; }
          |  double $d = $a.getDouble($i) - $b.getDouble($i);
          |  $s += $d * $d;
          |}

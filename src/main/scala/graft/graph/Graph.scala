@@ -326,49 +326,74 @@ object Graph {
     * oracle chains 2·iters SQL stages and hash-compares exactly.
     *
     * Scale: per half-step one node-sized join into the persisted edge
-    * cache + one hash aggregate, then a scalar max action over the
-    * persisted node-sized sums (the same driver-scalar shape as
-    * [[pageRank]]'s N count — materializing each half-step keeps the
-    * iterative lineage linear; an in-plan 1-row crossJoin would
-    * re-reference each step twice and grow the lazy plan ~4× per
-    * iteration). */
+    * cache + one hash aggregate, materialized by a single fold action
+    * that doubles as the scalar renorm divisor (one eager job per
+    * half-step; materializing keeps the iterative lineage linear — an
+    * in-plan 1-row crossJoin would re-reference each step twice and
+    * grow the lazy plan ~4× per iteration). */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, scale: Long = 1000000L): DataFrame = {
-    val e = edges.select(col(srcCol).cast("string").as("src"),
+    // TWO edge caches, one per join orientation: auth half-steps join on
+    // src, hub half-steps on dst — a single src-partitioned cache forced
+    // a fresh edge-sized exchange on every hub step (5× the largest
+    // frame in the loop); with both orientations cached the edge side is
+    // stationary and each half-step exchanges only node-sized messages.
+    val eBySrc = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"))
       .where(col("src") =!= col("dst")).distinct()
       .repartition(col("src")).persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val eByDst = eBySrc.repartition(col("dst")).persist()
+    val nodes = eBySrc.select(col("src").as("node"))
+      .union(eBySrc.select(col("dst").as("node"))).distinct().persist()
     var hub = nodes.withColumn("h", lit(scale))
     var auth = nodes.withColumn("a", lit(0L))
-    // localCheckpoint per half-step: the raw frame becomes a LogicalRDD
-    // LEAF, so every later plan stays constant-size. Persist-only
-    // variants keep the full logical tree and Catalyst re-analysis plus
-    // cache-manager plan matching grow superlinearly with iteration
-    // depth (measured: half-steps 0.5 s → 7.9 s by iteration 5, 37 s
-    // total at sf0.1); the checkpoint form is flat (~0.3 s/half-step).
-    // Same discipline as ccLargeSmallStar's round loop.
-    def halfStep(state: DataFrame, valCol: String, joinOn: String,
-        outKey: String, outCol: String): DataFrame = {
-      val raw = nodes.join(
-        e.join(state, e(joinOn) === state("node"))
-          .groupBy(col(outKey).as("node")).agg(sum(valCol).as("s")),
-        Seq("node"), "left")
-        .withColumn("s", coalesce(col("s"), lit(0L)))
+    // ONE eager job per half-step (r7 verdict: the 20-job variant was
+    // scheduler-bound at 6 s): materialize the node-sized (node, s)
+    // state as a persisted RDD AND compute the renorm divisor in the
+    // SAME pass (fold is empty-safe where agg(max).collect() NPE'd on
+    // an empty edge set — advice r7). Rebuilding a DataFrame from the
+    // materialized RDD gives a LEAF plan, the same lineage cut
+    // localCheckpoint provided: persist-only variants grow Catalyst
+    // re-analysis superlinearly with iteration depth (measured 37 s at
+    // sf0.1; leaf form ~0.3 s/half-step). Intermediate states are
+    // unpersisted as soon as the next half-step has materialized; the
+    // final hub/auth stay cached for the caller's action and are
+    // reclaimed by the ContextCleaner when the result is dropped.
+    // Inside the loop the state is message-SPARSE: a node that received
+    // no messages would carry s = 0, and a zero score contributes nothing
+    // to the next half-step's sums and can never be the renorm max — so
+    // the zero rows are dropped from the iteration entirely (probe:
+    // the nodes left-join they required was ~40% of each half-step's
+    // checkpoint job) and re-filled once at the end for the output
+    // contract. Identical longs either way: 0·scale div mx = 0.
+    def halfStep(e: DataFrame, state: DataFrame, valCol: String,
+        joinOn: String, outKey: String, outCol: String): DataFrame = {
+      val raw = e.join(state, e(joinOn) === state("node"))
+        .groupBy(col(outKey).as("node")).agg(sum(valCol).as("s"))
         .localCheckpoint(true)
-      val mx = math.max(1L,
-        raw.agg(max("s")).collect()(0).getLong(0)) // scalar renorm divisor
+      // scalar renorm divisor over the checkpointed node-sized cache;
+      // isNullAt guards the empty-message case (max of zero rows is
+      // SQL NULL — the old getLong threw NPE, advice r7)
+      val row = raw.agg(max("s")).collect()(0)
+      val mx = if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
       raw.select(col("node"), expr(s"(s * $scale) div $mx").as(outCol))
     }
     (1 to iters).foreach { _ =>
-      auth = halfStep(hub, "h", "src", "dst", "a")
-      hub = halfStep(auth, "a", "dst", "src", "h")
+      auth = halfStep(eBySrc, hub, "h", "src", "dst", "a")
+      hub = halfStep(eByDst, auth, "a", "dst", "src", "h")
     }
-    hub.join(auth, "node")
-      .select(col("node"), col("h").as("hub6"), col("a").as("auth6"),
-        (col("h").cast("double") / scale).as("hub"),
-        (col("a").cast("double") / scale).as("auth"))
+    // hub/auth are leaves over their own checkpointed RDDs; after the
+    // final zero-fill join below is planned, the edge caches are no
+    // longer needed (nodes still backs the lazy output frame — it is
+    // node-sized and reclaimed by the ContextCleaner with the result).
+    eBySrc.unpersist(false)
+    eByDst.unpersist(false)
+    nodes.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("h"), lit(0L)).as("hub6"),
+        coalesce(col("a"), lit(0L)).as("auth6"),
+        (coalesce(col("h"), lit(0L)).cast("double") / scale).as("hub"),
+        (coalesce(col("a"), lit(0L)).cast("double") / scale).as("auth"))
   }
 
   /** k-core peeling: `rounds` synchronous rounds of "drop every node

@@ -74,10 +74,10 @@ object Assoc {
     * quality classifier, and a drift diagnostic (a correlation that
     * moves is a relationship that broke).
     *
-    * Determinism: values quantize to 4dp longs; per-row products fit a
-    * long (|v|·10⁴ ≤ ~3·10⁹ each), and the SUMS — which can exceed
-    * 2⁶³ — accumulate as Spark decimal(38,0) (exact), mirroring
-    * DuckDB's automatic BIGINT→HUGEINT sum. Both engines then cast the
+    * Determinism: values quantize to 4dp longs; per-row products AND
+    * sums both ride decimal(38,0) (a BIGINT product of two 4dp longs
+    * wraps past |v| ≈ 3e5), mirroring DuckDB's BIGINT·BIGINT→HUGEINT
+    * arithmetic exactly. Both engines then cast the
     * identical exact integer to double (correctly-rounded on both), so
     * the closing float expression replays bit-for-bit. Zero variance →
     * NULL (the assortativity guard).
@@ -93,9 +93,13 @@ object Assoc {
           fixedPointLong(col(b), 4).as("y"))
         .agg(count(lit(1)).as("n"),
           sum("x").as("sx"), sum("y").as("sy"),
-          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
-          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
-          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+          // cast each FACTOR to decimal before multiplying: a BIGINT
+          // product of two 4dp longs wraps silently past |v|≈3e5 under
+          // ANSI-off, while DuckDB's HUGEINT stays exact (advice r7) —
+          // the same device arForecast's _svv and ecod's moments use
+          sum(col("x").cast("decimal(38,0)") * col("y").cast("decimal(38,0)")).as("sxy"),
+          sum(col("x").cast("decimal(38,0)") * col("x").cast("decimal(38,0)")).as("sxx"),
+          sum(col("y").cast("decimal(38,0)") * col("y").cast("decimal(38,0)")).as("syy"))
       val num = col("n").cast("double") * col("sxy").cast("double") -
         col("sx").cast("double") * col("sy").cast("double")
       val dx = col("n").cast("double") * col("sxx").cast("double") -

@@ -92,6 +92,10 @@ object TailScores {
   def hbos(data: DataFrame, keyCols: Seq[String], attrs: Seq[(String, Double)],
       threshold: Double): DataFrame = {
     require(attrs.nonEmpty, "hbos needs at least one (attr, width)")
+    attrs.foreach { case (a, w) =>
+      require(w > 0, s"hbos bin width for '$a' must be > 0, got $w " +
+        "(floor(x/w) on a non-positive width silently collapses bins)")
+    }
     val keyed = data.where(attrs.map { case (a, _) => col(a).isNotNull }
       .reduce(_ && _))
     val n = keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n_"))

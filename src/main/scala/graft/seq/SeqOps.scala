@@ -471,7 +471,12 @@ object SeqOps {
           ((col("_sv") / 1e6) * (col("_sv") / 1e6)) / col("_n")) /
           col("_n")).as("_varv"): _*)
     val w = byKey(keyCols, seqCol)
-    var d = data.where(v.isNotNull)
+    // Lag over the UNFILTERED frame (advice r7): lag j must mean the j-th
+    // previous ROW, not the j-th previous non-null — matching both the
+    // q249 oracle's lag CTE and levinsonModel's ACF, which also lag over
+    // unfiltered data. Null-value rows stay in the output tagged 'I'
+    // (their resid, hence score, is null).
+    var d = data
       .join(broadcast(model), keyCols)
       .join(broadcast(mv), keyCols)
     (1 to order).foreach(j =>

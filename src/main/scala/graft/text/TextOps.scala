@@ -377,7 +377,12 @@ object TextOps {
     * data); totals ride a broadcast 1-row frame. */
   def collocations(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5L): DataFrame = {
-    val t = docs.select(tokens(col(textCol)).as("t")).persist()
+    // The corpus-sized token cache lives ONLY for the two aggregate jobs:
+    // both vocab-sized aggregates are materialized eagerly (leaf plans),
+    // then the cache is dropped (r7 verdict #7 — the old form persisted
+    // the tokenized projection for the lifetime of the session).
+    val t = docs.select(tokens(col(textCol)).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val big = t.where(size(col("t")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(t) - 1), " +
@@ -385,8 +390,11 @@ object TextOps {
         .as("g"))
       .select(col("g.x").as("x"), col("g.y").as("y"))
       .groupBy("x", "y").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val ug = t.select(explode(col("t")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    t.unpersist(false)
     val tot = ug.agg(sum("c").as("n"))
       .crossJoin(big.agg(sum("cnt").as("nb")))
     big.where(col("cnt") >= minCount)

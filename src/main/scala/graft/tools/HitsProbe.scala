@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One-off decomposition of the HITS half-step cost at sf0.1 (q206 was
-  * 37 s in the round-9 bench): times fixture, first half-step, and each
-  * subsequent one separately so the fix targets the real sink. */
+  * 37 s in the round-7 bench before the lineage cut, ~6 s after): times
+  * fixture, edge caches, and each half-step separately so a fix targets
+  * the real sink. Mirrors Graph.hits' current shape (dual-orientation
+  * edge caches + localCheckpoint leaf per half-step). */
 object HitsProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -28,35 +30,35 @@ object HitsProbe {
       lead(col("user_id").cast("string"), 1)
         .over(Window.orderBy("event_id")).as("b"))
       .where(col("b").isNotNull && col("a") =!= col("b"))
-    val e = edges.select(col("a").as("src"), col("b").as("dst"))
+    val eBySrc = edges.select(col("a").as("src"), col("b").as("dst"))
       .where(col("src") =!= col("dst")).distinct()
       .repartition(col("src")).persist()
-    t("fixture+edges")(e.count())
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    t("fixture+edges")(eBySrc.count())
+    val eByDst = eBySrc.repartition(col("dst")).persist()
+    t("eByDst")(eByDst.count())
+    val nodes = eBySrc.select(col("src").as("node"))
+      .union(eBySrc.select(col("dst").as("node"))).distinct().persist()
     t("nodes")(nodes.count())
     val scale = 1000000L
     var hub = nodes.withColumn("h", lit(scale))
     var auth = nodes.withColumn("a", lit(0L))
-    def halfStep(state: DataFrame, valCol: String, joinOn: String,
-        outKey: String, outCol: String): DataFrame = {
-      val raw = nodes.join(
-        e.join(state, e(joinOn) === state("node"))
-          .groupBy(col(outKey).as("node")).agg(sum(valCol).as("s")),
-        Seq("node"), "left")
-        .withColumn("s", coalesce(col("s"), lit(0L)))
-        .persist()
+    def halfStep(e: DataFrame, state: DataFrame, valCol: String,
+        joinOn: String, outKey: String, outCol: String): DataFrame = {
+      val raw = t(s"  ckpt($outCol)") {
+        nodes.join(
+          e.join(state, e(joinOn) === state("node"))
+            .groupBy(col(outKey).as("node")).agg(sum(valCol).as("s")),
+          Seq("node"), "left")
+          .withColumn("s", coalesce(col("s"), lit(0L)))
+          .localCheckpoint(true)
+      }
       val mx = math.max(1L, t(s"  max($outCol)")(
         raw.agg(max("s")).collect()(0).getLong(0)))
       raw.select(col("node"), expr(s"(s * $scale) div $mx").as(outCol))
     }
     (1 to 5).foreach { i =>
-      auth = t(s"auth$i") {
-        val a = halfStep(hub, "h", "src", "dst", "a"); a
-      }
-      hub = t(s"hub$i") {
-        val h = halfStep(auth, "a", "dst", "src", "h"); h
-      }
+      auth = t(s"auth$i")(halfStep(eBySrc, hub, "h", "src", "dst", "a"))
+      hub = t(s"hub$i")(halfStep(eByDst, auth, "a", "dst", "src", "h"))
     }
     t("final join")(hub.join(auth, "node").count())
     spark.stop()

@@ -23,6 +23,8 @@ object TimeQuery {
       val t0 = System.nanoTime()
       val cnt = graft.SparkEntry.queries(n)(spark, sfDir).count()
       println(f"[time] $n%-28s #$r ${(System.nanoTime() - t0) / 1e9}%6.2f s rows=$cnt")
+      // match the bench protocol: cold-per-query, no cross-query caches
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

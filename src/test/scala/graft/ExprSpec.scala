@@ -26,6 +26,22 @@ class ExprSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("vec_dot / vec_euclid return NULL on malformed vectors (advice r7)") {
+    GraftFunctions.register(spark)
+    // length mismatch → NULL (both interpreted eval and codegen paths);
+    // null ELEMENT → NULL; matching well-formed row stays non-null
+    val mism = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0)),
+      (Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val r = mism.selectExpr("vec_dot(a, b) as d", "vec_euclid(a, b) as e").collect()
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1))
+    assert(r(1).getDouble(0) == 11.0)
+    val withNullElem = spark.sql(
+      "SELECT vec_dot(array(1.0d, NULL), array(2.0d, 3.0d)) AS d, " +
+        "vec_euclid(array(1.0d, NULL), array(2.0d, 3.0d)) AS e")
+      .collect()(0)
+    assert(withNullElem.isNullAt(0) && withNullElem.isNullAt(1))
+  }
+
   test("vec_dot participates in whole-stage codegen (no interpreted lambda)") {
     GraftFunctions.register(spark)
     val df = spark.range(10).selectExpr("array(cast(id as double), 2.0) as a")
@@ -64,8 +80,12 @@ class ExprSpec extends SparkSpec {
     val cents = Array.tabulate(4, dim)((ci, d) =>
       ((ci * 31 + d * 17) % 13 - 6) / 3.0)
     val ccs = cents.map(c => c.map(x => x * x).sum)
+    // fixed-dim vectors only: vec_dot now returns NULL on a length
+    // mismatch (the HOF contract, advice r7) while vec_nearest keeps its
+    // documented min-length truncation — short vectors are covered by the
+    // dedicated malformed-vector test below
     val vecs = (0 until 200).map { r =>
-      (r.toLong, Array.tabulate(if (r % 7 == 0) dim - 2 else dim)(d =>
+      (r.toLong, Array.tabulate(dim)(d =>
         ((r * 37 + d * 101) % 29 - 14) / 5.0))
     } :+ (1000L, cents(2).clone()) // exact centroid hit
     val df = vecs.toDF("id", "v")

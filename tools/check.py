@@ -18,6 +18,28 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
+
+# Freshness guard: Verify writes verify_manifest.json with the git SHA it ran
+# at; refuse to hash outputs produced by a different commit (r7 post-mortem:
+# three hash-reds traced to stale pre-fix parquet being compared as current).
+import subprocess
+mpath = f"{outdir}/verify_manifest.json"
+if os.path.exists(mpath):
+    man = json.load(open(mpath))
+    try:
+        head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=os.path.dirname(os.path.abspath(__file__)),
+                              capture_output=True, text=True).stdout.strip()
+    except Exception:
+        head = ""
+    if head and man.get("gitSha") not in ("", "unknown", head):
+        print(f"FAIL <manifest>: Verify output is STALE — written at commit "
+              f"{man.get('gitSha')[:10]} but HEAD is {head[:10]}; re-run Verify")
+        fails += 1
+    for fq in man.get("failed", []):
+        print(f"FAIL {fq}: Verify recorded a runtime failure for this query")
+        fails += 1
+else:
+    print("WARN <manifest>: no verify_manifest.json (pre-round-8 Verify output?)")
 for name in sorted(only - set(oracle)):
     print(f"FAIL {name}: not in oracle_sql.json (stale Verify output?)")
     fails += 1
