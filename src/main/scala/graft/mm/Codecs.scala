@@ -2,11 +2,13 @@ package graft.mm
 
 import scala.util.Try
 
-/** Pure-JVM codecs for UNCOMPRESSED media containers — 24-bit BMP, binary
-  * PPM (P6), PCM-16 WAV. No external libraries, so the decode stage in
-  * [[Multimodal]] exercises real header parsing and real pixel/sample
-  * bytes even in a container without image/audio libs. Compressed formats
-  * (JPEG/PNG/MP3/...) are NOT handled here and route to the documented
+/** Pure-JVM media codecs — 24-bit BMP, binary PPM (P6), PCM-16 WAV, and
+  * 8-bit PNG (the one COMPRESSED format the JDK can handle without
+  * external libraries: zlib via `java.util.zip` + the five PNG row
+  * filters). The decode stage in [[Multimodal]] therefore exercises real
+  * header parsing, real inflate, real unfiltering and real pixel/sample
+  * bytes even in a container without image/audio libs. Remaining
+  * compressed formats (JPEG/MP3/...) route to the documented
   * [[Multimodal.FakeCodec]] stub.
   *
   * Encoders exist so fixtures and tests can synthesize payloads
@@ -185,6 +187,205 @@ object Codecs {
       }
       require(rate > 0 && channels > 0 && samples != null)
       (rate, channels, samples)
+    }.toOption
+  }
+
+  /** PNG (RFC 2083) — the first COMPRESSED real codec, still pure JVM:
+    * `java.util.zip.Inflater/Deflater` for the zlib stream, `CRC32` for
+    * chunk integrity, and the five PNG row filters (None/Sub/Up/Average/
+    * Paeth) implemented directly. Decode supports 8-bit depth, color
+    * types 0 (gray, expanded), 2 (RGB) and 6 (RGBA, alpha dropped),
+    * non-interlaced, and returns logical top-down RGB triples; any other
+    * shape (or a CRC/structure violation) returns None and the caller
+    * falls back to the FakeCodec stub. The encoder writes color type 2
+    * and cycles the row filter as y % 5, so round-trip fixtures exercise
+    * every unfilter branch — a bug in any one of the five breaks the
+    * oracle, not just a unit test. */
+  object Png {
+    private val Sig: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    def isPng(p: Array[Byte]): Boolean =
+      p.length >= 8 && (0 until 8).forall(i => p(i) == Sig(i))
+
+    private def be32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    private def putBe32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = ((v >>> 24) & 0xff).toByte
+      b(off + 1) = ((v >>> 16) & 0xff).toByte
+      b(off + 2) = ((v >>> 8) & 0xff).toByte
+      b(off + 3) = (v & 0xff).toByte
+    }
+
+    private def chunk(out: java.io.ByteArrayOutputStream, typ: String,
+        data: Array[Byte]): Unit = {
+      val len = new Array[Byte](4); putBe32(len, 0, data.length)
+      out.write(len)
+      val t = typ.getBytes("US-ASCII")
+      out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      val c = new Array[Byte](4); putBe32(c, 0, crc.getValue.toInt)
+      out.write(c)
+    }
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Encode 8-bit RGB (color type 2), non-interlaced; row y is written
+      * with filter y % 5. `rgb` is logical top-down row-major RGB. */
+    def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == w * h * 3, "pixel array must be w*h*3 RGB bytes")
+      encodeChannels(w, h, 2, rgb)
+    }
+
+    /** General 8-bit encoder for test fixtures of the other supported
+      * color types (0 = gray 1 byte/px, 2 = RGB, 6 = RGBA). */
+    private[graft] def encodeChannels(w: Int, h: Int, colorType: Int,
+        px: Array[Byte]): Array[Byte] = {
+      val bpp = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+      require(px.length == w * h * bpp, s"pixel array must be w*h*$bpp bytes")
+      val rgb = px
+      val rowLen = w * bpp
+      val raw = new Array[Byte](h * (1 + rowLen))
+      var y = 0
+      while (y < h) {
+        val f = y % 5
+        val off = y * (1 + rowLen)
+        raw(off) = f.toByte
+        var i = 0
+        while (i < rowLen) {
+          val cur = rgb(y * rowLen + i) & 0xff
+          val left = if (i >= bpp) rgb(y * rowLen + i - bpp) & 0xff else 0
+          val up = if (y > 0) rgb((y - 1) * rowLen + i) & 0xff else 0
+          val ul = if (y > 0 && i >= bpp) rgb((y - 1) * rowLen + i - bpp) & 0xff else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, ul)
+          }
+          raw(off + 1 + i) = ((cur - pred) & 0xff).toByte
+          i += 1
+        }
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val zout = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Sig)
+      val ihdr = new Array[Byte](13)
+      putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
+      ihdr(8) = 8    // bit depth
+      ihdr(9) = colorType.toByte
+      // 10..12 = compression 0, filter 0, interlace 0
+      chunk(out, "IHDR", ihdr)
+      chunk(out, "IDAT", zout.toByteArray)
+      chunk(out, "IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    /** Returns (width, height, logical top-down RGB bytes). */
+    def decode(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = Try {
+      require(isPng(p), "bad signature")
+      var i = 8
+      var w = -1; var h = -1; var colorType = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done && i + 12 <= p.length) {
+        val len = be32(p, i)
+        require(len >= 0 && i + 12 + len <= p.length, "chunk overruns file")
+        val typ = new String(p, i + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(p, i + 4, 4 + len)
+        require(crc.getValue.toInt == be32(p, i + 8 + len), s"$typ CRC mismatch")
+        typ match {
+          case "IHDR" =>
+            require(len == 13)
+            w = be32(p, i + 8); h = be32(p, i + 12)
+            require(w > 0 && h > 0 && w <= (1 << 16) && h <= (1 << 16))
+            require(p(i + 16) == 8, "only 8-bit depth")
+            colorType = p(i + 17) & 0xff
+            require(colorType == 0 || colorType == 2 || colorType == 6,
+              "only gray/RGB/RGBA")
+            require(p(i + 18) == 0 && p(i + 19) == 0 && p(i + 20) == 0,
+              "only deflate/adaptive/non-interlaced")
+          case "IDAT" => idat.write(p, i + 8, len)
+          case "IEND" => done = true
+          case _ => () // ancillary chunks skipped
+        }
+        i += 12 + len
+      }
+      require(w > 0 && idat.size > 0, "missing IHDR/IDAT")
+      val bpp = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+      val rowLen = w * bpp
+      val raw = new Array[Byte](h * (1 + rowLen))
+      val infl = new java.util.zip.Inflater()
+      infl.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !infl.finished()) {
+        val n = infl.inflate(raw, got, raw.length - got)
+        require(n > 0 || infl.finished(), "truncated zlib stream")
+        got += n
+      }
+      infl.end()
+      require(got == raw.length, s"inflated $got of ${raw.length} bytes")
+      // unfilter in place into a packed pixel array
+      val px = new Array[Byte](h * rowLen)
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (1 + rowLen)) & 0xff
+        require(f <= 4, s"bad filter type $f")
+        val off = y * (1 + rowLen) + 1
+        var x = 0
+        while (x < rowLen) {
+          val v = raw(off + x) & 0xff
+          val left = if (x >= bpp) px(y * rowLen + x - bpp) & 0xff else 0
+          val up = if (y > 0) px((y - 1) * rowLen + x) & 0xff else 0
+          val ul = if (y > 0 && x >= bpp) px((y - 1) * rowLen + x - bpp) & 0xff else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, ul)
+          }
+          px(y * rowLen + x) = ((v + pred) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      // normalize to RGB triples
+      val rgb = colorType match {
+        case 2 => px
+        case 0 =>
+          val out = new Array[Byte](w * h * 3)
+          var k = 0
+          while (k < w * h) {
+            out(3 * k) = px(k); out(3 * k + 1) = px(k); out(3 * k + 2) = px(k)
+            k += 1
+          }
+          out
+        case 6 =>
+          val out = new Array[Byte](w * h * 3)
+          var k = 0
+          while (k < w * h) {
+            out(3 * k) = px(4 * k); out(3 * k + 1) = px(4 * k + 1)
+            out(3 * k + 2) = px(4 * k + 2)
+            k += 1
+          }
+          out
+      }
+      (w, h, rgb)
     }.toOption
   }
 }

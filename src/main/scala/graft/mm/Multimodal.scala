@@ -114,6 +114,8 @@ object Multimodal {
       else if (n >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F'
           && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')
         Codecs.Wav.decode(p).map { case (_, ch, samples) => audioRow(id, ch, samples, n) }
+      else if (Codecs.Png.isPng(p))
+        Codecs.Png.decode(p).map { case (w, h, rgb) => imageRow(id, w, h, rgb, 2, 1, 0, n) }
       else None
     real.getOrElse(FakeCodec.decode(p).copy(id = id))
   }
@@ -133,20 +135,24 @@ object Multimodal {
     media.select(col("id"), col("payload")).as[MediaRow]
       .flatMap { m =>
         val p = m.payload
+        def rgbToBgr(t: (Int, Int, Array[Byte])): (Int, Int, Array[Byte]) = {
+          val (w, h, rgb) = t
+          val bgr = new Array[Byte](rgb.length)
+          var i = 0
+          while (i < rgb.length / 3) {
+            bgr(3 * i) = rgb(3 * i + 2)
+            bgr(3 * i + 1) = rgb(3 * i + 1)
+            bgr(3 * i + 2) = rgb(3 * i)
+            i += 1
+          }
+          (w, h, bgr)
+        }
         val raster: Option[(Int, Int, Array[Byte])] =
           if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') Codecs.Bmp.decode(p)
           else if (p.length >= 2 && p(0) == 'P' && p(1) == '6')
-            Codecs.Ppm.decode(p).map { case (w, h, rgb) =>
-              val bgr = new Array[Byte](rgb.length)
-              var i = 0
-              while (i < rgb.length / 3) {
-                bgr(3 * i) = rgb(3 * i + 2)
-                bgr(3 * i + 1) = rgb(3 * i + 1)
-                bgr(3 * i + 2) = rgb(3 * i)
-                i += 1
-              }
-              (w, h, bgr)
-            }
+            Codecs.Ppm.decode(p).map(rgbToBgr)
+          else if (Codecs.Png.isPng(p))
+            Codecs.Png.decode(p).map(rgbToBgr)
           else None
         raster.map { case (w, h, bgr) => ImageRow(m.id, w, h, bgr) }
       }

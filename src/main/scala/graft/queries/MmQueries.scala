@@ -50,6 +50,27 @@ object MmQueries {
       }.toDF("id", "payload")
   }
 
+  /** Deterministic 8-bit RGB PNG per document: w = n_chars%14+1,
+    * h = doc_id%7+2, logical pixel byte k (top-down RGB raster order)
+    * = (doc_id*11 + k*3) % 256. The encoder deflates the scanlines and
+    * cycles the row filter as y % 5, so the decode replays real zlib
+    * inflation plus every PNG unfilter branch; a bug in any of the five
+    * breaks the oracle's padding-free channel means. (nBytes is NOT part
+    * of the PNG query outputs: the deflated payload length is stable but
+    * not SQL-computable.) */
+  private def pngMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"), col("n_chars").cast("int").as("nc"))
+      .as[(Long, Int)]
+      .map { case (id, nc) =>
+        val w = (nc % 14) + 1
+        val h = (id % 7).toInt + 2
+        val pix = Array.tabulate(w * h * 3)(k => ((id * 11 + k * 3) % 256).toByte)
+        (id, Codecs.Png.encode(w, h, pix))
+      }.toDF("id", "payload")
+  }
+
   /** Deterministic mono PCM-16 WAV per document: n = n_chars%200+50
     * samples, sample i = (doc_id*31 + i*17) % 4096 − 2048, 8 kHz. */
   private def wavMedia(s: SparkSession, dir: String): DataFrame = {
@@ -97,6 +118,28 @@ object MmQueries {
     // replay exactly in SQL
     "q148_mm_resize" -> ((s, dir) => {
       val imgs = Multimodal.decodeImage(bmpMedia(s, dir))
+      val resized = Multimodal.resizeImage(imgs, maxDim = 5)
+      canon(Multimodal.imageFeatures(resized).toDF()
+        .select(col("id"), col("width"), col("height"),
+          element_at(col("features"), 1).cast("double").as("f0"),
+          element_at(col("features"), 2).cast("double").as("f1"),
+          element_at(col("features"), 3).cast("double").as("f2"),
+          element_at(col("features"), 4).cast("double").as("f3")))
+    }),
+    // real PNG decode (first compressed codec): inflate + unfilter all
+    // five row-filter types, then the same exact-integer channel means
+    "q251_mm_png" -> ((s, dir) => {
+      val dec = Multimodal.decode(pngMedia(s, dir)).toDF()
+      canon(dec.select(col("id"), col("width"), col("height"), col("channels"),
+        element_at(col("features"), 1).cast("double").as("f0"),
+        element_at(col("features"), 2).cast("double").as("f1"),
+        element_at(col("features"), 3).cast("double").as("f2"),
+        element_at(col("features"), 4).cast("double").as("f3")))
+    }),
+    // full chain over real PNG bytes: decode (inflate+unfilter) →
+    // nearest-neighbor resize → features, the r7 north-star ask
+    "q252_mm_png_resize" -> ((s, dir) => {
+      val imgs = Multimodal.decodeImage(pngMedia(s, dir))
       val resized = Multimodal.resizeImage(imgs, maxDim = 5)
       canon(Multimodal.imageFeatures(resized).toDF()
         .select(col("id"), col("width"), col("height"),
@@ -186,6 +229,51 @@ object MmQueries {
         |  list_sum(list_transform(base, b -> (id*7 + b) % 256))::DOUBLE / (dw*dh) / 255.0 AS mB,
         |  list_sum(list_transform(base, b -> (id*7 + b + 1) % 256))::DOUBLE / (dw*dh) / 255.0 AS mG,
         |  list_sum(list_transform(base, b -> (id*7 + b + 2) % 256))::DOUBLE / (dw*dh) / 255.0 AS mR
+        | FROM px)
+        |SELECT id, dw::INT AS width, dh::INT AS height,
+        | round((round(mB, 4)::FLOAT)::DOUBLE, 4) AS f0,
+        | round((round(mG, 4)::FLOAT)::DOUBLE, 4) AS f1,
+        | round((round(mR, 4)::FLOAT)::DOUBLE, 4) AS f2,
+        | round((round(0.299*mR + 0.587*mG + 0.114*mB, 4)::FLOAT)::DOUBLE, 4) AS f3
+        |FROM m""".stripMargin.replace("\n", " "),
+    // PNG: RGB container order like PPM — R at logical byte 3i, B at
+    // 3i+2; the oracle never touches the deflated bytes, it replays the
+    // pre-compression pixel construction (the decode must invert deflate
+    // + per-row filtering exactly to reproduce these means)
+    "q251_mm_png" ->
+      """WITH d AS (SELECT doc_id AS id, (n_chars % 14) + 1 AS w,
+        |  (doc_id % 7) + 2 AS h FROM documents),
+        |m AS (SELECT id, w, h,
+        |  list_sum(list_transform(range(w*h), i -> (id*11 + 3*(3*i+2)) % 256))::DOUBLE / (w*h) / 255.0 AS mB,
+        |  list_sum(list_transform(range(w*h), i -> (id*11 + 3*(3*i+1)) % 256))::DOUBLE / (w*h) / 255.0 AS mG,
+        |  list_sum(list_transform(range(w*h), i -> (id*11 + 3*(3*i)) % 256))::DOUBLE / (w*h) / 255.0 AS mR
+        | FROM d)
+        |SELECT id, w::INT AS width, h::INT AS height, 3 AS channels,
+        | round((round(mB, 4)::FLOAT)::DOUBLE, 4) AS f0,
+        | round((round(mG, 4)::FLOAT)::DOUBLE, 4) AS f1,
+        | round((round(mR, 4)::FLOAT)::DOUBLE, 4) AS f2,
+        | round((round(0.299*mR + 0.587*mG + 0.114*mB, 4)::FLOAT)::DOUBLE, 4) AS f3
+        |FROM m""".stripMargin.replace("\n", " "),
+    // decode → resize → features over the PNG gradient: dst pixel (x,y)
+    // reads source (x·w//dw, y·h//dh); base = 3·srcPixelIndex, channel
+    // bytes base(R)/base+1(G)/base+2(B) with value (id*11 + 3k) % 256
+    "q252_mm_png_resize" ->
+      """WITH d AS (SELECT doc_id AS id, (n_chars % 14) + 1 AS w,
+        |  (doc_id % 7) + 2 AS h FROM documents),
+        |r AS (SELECT id, w, h,
+        |  CASE WHEN greatest(w,h) <= 5 THEN w
+        |    ELSE greatest(1, w*5 // greatest(w,h)) END AS dw,
+        |  CASE WHEN greatest(w,h) <= 5 THEN h
+        |    ELSE greatest(1, h*5 // greatest(w,h)) END AS dh
+        | FROM d),
+        |px AS (SELECT id, dw, dh,
+        |  list_transform(range(dw*dh), i ->
+        |    ((i % dw) * w // dw + (i // dw) * h // dh * w) * 3) AS base
+        | FROM r),
+        |m AS (SELECT id, dw, dh,
+        |  list_sum(list_transform(base, b -> (id*11 + 3*(b+2)) % 256))::DOUBLE / (dw*dh) / 255.0 AS mB,
+        |  list_sum(list_transform(base, b -> (id*11 + 3*(b+1)) % 256))::DOUBLE / (dw*dh) / 255.0 AS mG,
+        |  list_sum(list_transform(base, b -> (id*11 + 3*b) % 256))::DOUBLE / (dw*dh) / 255.0 AS mR
         | FROM px)
         |SELECT id, dw::INT AS width, dh::INT AS height,
         | round((round(mB, 4)::FLOAT)::DOUBLE, 4) AS f0,

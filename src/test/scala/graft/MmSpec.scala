@@ -123,6 +123,52 @@ class MmSpec extends SparkSpec {
     fallsBack(nonPcm)
   }
 
+  test("PNG codec: filtered+deflated RGB round-trips exactly (all 5 filters)") {
+    import graft.mm.Codecs
+    // h = 7 rows → the encoder's y % 5 filter cycle covers None, Sub,
+    // Up, Average, Paeth (and repeats None/Sub on pre-filtered rows)
+    val w = 6; val h = 7
+    val rgb = Array.tabulate(w * h * 3)(k => ((k * 37 + 11) % 256).toByte)
+    val payload = Codecs.Png.encode(w, h, rgb)
+    assert(Codecs.Png.isPng(payload))
+    val Some((dw, dh, out)) = Codecs.Png.decode(payload)
+    assert(dw == w && dh == h)
+    assert(out.sameElements(rgb), "inflate + unfilter must invert filter + deflate")
+  }
+
+  test("PNG codec: gray expands to RGB, RGBA drops alpha") {
+    import graft.mm.Codecs
+    val gray = Array.tabulate(3 * 2)(k => (k * 40).toByte)
+    val Some((_, _, g)) = Codecs.Png.decode(Codecs.Png.encodeChannels(3, 2, 0, gray))
+    assert((0 until 6).forall(k =>
+      g(3 * k) == gray(k) && g(3 * k + 1) == gray(k) && g(3 * k + 2) == gray(k)))
+    val rgba = Array.tabulate(2 * 2 * 4)(k => (k * 9 + 1).toByte)
+    val Some((_, _, c)) = Codecs.Png.decode(Codecs.Png.encodeChannels(2, 2, 6, rgba))
+    assert((0 until 4).forall(k => c(3 * k) == rgba(4 * k) &&
+      c(3 * k + 1) == rgba(4 * k + 1) && c(3 * k + 2) == rgba(4 * k + 2)))
+  }
+
+  test("PNG codec: corrupt chunks are rejected, decodeOne falls back to stub") {
+    import graft.mm.Codecs
+    val ok = Codecs.Png.encode(2, 2, Array.tabulate(12)(_.toByte))
+    // flip one IDAT byte: CRC check must reject, not mis-decode
+    val bad = ok.clone(); bad(ok.length - 13) = (bad(ok.length - 13) ^ 0x7f).toByte
+    assert(Codecs.Png.decode(bad).isEmpty)
+    val viaFake = Multimodal.FakeCodec.decode(bad)
+    val d = Multimodal.decodeOne(3L, bad)
+    assert(d.width == viaFake.width && d.features.sameElements(viaFake.features))
+    // truncated stream rejected
+    assert(Codecs.Png.decode(ok.take(ok.length - 20)).isEmpty)
+    // real decode path goes through decodeOne with RGB channel order
+    val rgb = Array[Byte](10, 50, 90, 20, 60, 100) // 2×1, R=10/20 G=50/60 B=90/100
+    val dec = Multimodal.decodeOne(5L, Codecs.Png.encode(2, 1, rgb))
+    // features are [meanB, meanG, meanR, luma]
+    assert(math.abs(dec.features(0) - (95.0 / 255 + 1e-9).floor.max(95.0 / 255)) < 1 &&
+      dec.width == 2 && dec.height == 1 && dec.channels == 3)
+    assert(math.abs(dec.features(2) - 15.0 / 255) < 1e-3, "meanR from R bytes")
+    assert(math.abs(dec.features(0) - 95.0 / 255) < 1e-3, "meanB from B bytes")
+  }
+
   test("frame sampling strides fixed-size chunks") {
     val media = Multimodal.packBinary(docs, "doc_id", "text")
     val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 2)
