@@ -38,6 +38,47 @@ object TextQueries {
     Map[String, (SparkSession, String) => DataFrame](
     "q49_dedup_exact" -> ((s, dir) =>
       TextOps.exactDedup(docs(s, dir), "doc_id", "text")),
+    // streaming exact dedup batch-executed (q100 device): only columns
+    // functionally determined by the content hash are emitted, because
+    // batch dropDuplicates keeps an arbitrary row per key — the
+    // admitted SET is what the operator guarantees
+    "q253_dedup_exact_stream" -> ((s, dir) =>
+      graft.streaming.StreamScorers.exactDedupStream(
+        docs(s, dir).select(col("doc_id"), col("text"), col("n_chars")), "text")
+        .select(col("contentHash"), col("n_chars"))),
+    // streaming LSH near-dup batch-executed (q100 device): with empty
+    // initial state and buckets under the cap, the emitted pair SET per
+    // (band, bucket) is exactly all a<b pairs — arrival-order-free
+    "q254_neardup_stream" -> ((s, dir) =>
+      graft.streaming.StreamScorers.nearDupStream(docs(s, dir), "doc_id",
+        "text", shingleSize = 3, numHashes = NumHashes, bandSize = BandSize)
+        .toDF().select(col("a"), col("b"), col("band")).distinct()),
+    // the foreachBatch ingest-admission body against a static corpus
+    // band index: batch = doc_id%5==4, corpus = the rest
+    "q255_ingest_verdict" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m5 = pmod(col("doc_id"), lit(5))
+      val corpusBands = TextOps.lshBuckets(
+        TextOps.minhash(d.where(m5 =!= 4), "doc_id", "text", 3, NumHashes),
+        "doc_id", BandSize)
+      graft.streaming.StreamScorers.ingestVerdictBatch(
+        d.where(m5 === 4), corpusBands, "doc_id", "text",
+        shingleSize = 3, numHashes = NumHashes, bandSize = BandSize)
+    }),
+    // two-batch incremental line dedup (foreachBatch body): batch 1's
+    // line counts become batch 2's prior; batch 2 rebuilds against the
+    // CUMULATIVE (= corpus-wide here) frequencies
+    "q256_line_dedup_stream" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val m2 = pmod(col("doc_id"), lit(2))
+      val empty = Seq.empty[(Long, Long)].toDF("h", "cnt")
+      val (_, counts1) = TextOps.lineDedupBatch(d.where(m2 === 0), empty,
+        "doc_id", "text", minDupCount = 2, sep = " table ")
+      val (clean2, _) = TextOps.lineDedupBatch(d.where(m2 === 1), counts1,
+        "doc_id", "text", minDupCount = 2, sep = " table ")
+      clean2
+    }),
     // edit-distance entity resolution: prefix-16 blocking, Levenshtein
     // <= 20, min-label transitive closure — exact integers end-to-end
     "q211_entity_resolve" -> ((s, dir) =>
@@ -1460,6 +1501,63 @@ object TextQueries {
         | count(*) OVER (PARTITION BY md5(text)) AS dupCount,
         | doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
         |FROM documents""".stripMargin.replace("\n", " "),
+    // the admitted set of the streaming exact dedup: one row per
+    // distinct content hash (n_chars is determined by the text)
+    "q253_dedup_exact_stream" ->
+      """SELECT DISTINCT md5(text) AS contentHash, n_chars
+        |FROM documents""".stripMargin.replace("\n", " "),
+    // every a<b pair sharing an LSH band bucket, with the band id —
+    // the streaming bucket state emits exactly this set per batch
+    "q254_neardup_stream" ->
+      s"""WITH $sigCte,
+         |bands AS (SELECT doc_id, hashIdx // $BandSize AS band,
+         |  array_to_string(list(minHash ORDER BY hashIdx), ':') AS bucket
+         | FROM sig GROUP BY doc_id, band)
+         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.band::INT AS band
+         |FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+         |WHERE l.doc_id < r.doc_id""".stripMargin.replace("\n", " "),
+    // ingest admission: Gopher gate + any shared band bucket with the
+    // retained (doc_id%5<>4) corpus
+    "q255_ingest_verdict" ->
+      s"""WITH $sigCte,
+         |bands AS (SELECT doc_id, hashIdx // $BandSize AS band,
+         |  array_to_string(list(minHash ORDER BY hashIdx), ':') AS bucket
+         | FROM sig GROUP BY doc_id, band),
+         |sel AS (SELECT doc_id, doc_id % 5 = 4 AS isb FROM documents),
+         |dup AS (SELECT DISTINCT nb.doc_id
+         | FROM bands nb JOIN sel sb ON sb.doc_id = nb.doc_id AND sb.isb
+         | JOIN bands cb ON cb.band = nb.band AND cb.bucket = nb.bucket
+         | JOIN sel sr ON sr.doc_id = cb.doc_id AND NOT sr.isb),
+         |$gopherCte,
+         |g AS (SELECT doc_id,
+         |  (CASE WHEN nWords BETWEEN 50 AND 100000
+         |   AND mwl BETWEEN 3.0 AND 10.0 AND symr <= 0.1
+         |   AND bull <= 0.9 AND ell <= 0.3 AND alpha >= 0.8
+         |   AND nStop >= 2 THEN 1 ELSE 0 END)::BIGINT AS qualityPass
+         | FROM gm)
+         |SELECT s.doc_id, g.qualityPass,
+         | (d.doc_id IS NOT NULL)::BIGINT AS isDup,
+         | (g.qualityPass = 1 AND d.doc_id IS NULL)::BIGINT AS admitted
+         |FROM sel s JOIN g USING (doc_id) LEFT JOIN dup d USING (doc_id)
+         |WHERE s.isb""".stripMargin.replace("\n", " "),
+    // batch-2 docs rebuilt against cumulative (= corpus-wide) line
+    // frequencies — identical to the q173 replay restricted to odd ids
+    "q256_line_dedup_stream" ->
+      s"""WITH ls AS (SELECT doc_id, string_split(text, ' table ') AS a
+         |  FROM documents),
+         |segs AS (SELECT doc_id, unnest(a) AS line,
+         |  unnest(generate_series(1, len(a))) AS pos FROM ls),
+         |hh AS (SELECT doc_id, pos, line, ${h56("line")} AS h FROM segs),
+         |hot AS (SELECT h FROM hh GROUP BY h HAVING count(*) >= 2),
+         |j AS (SELECT hh.doc_id, hh.pos, hh.line,
+         |  hot.h IS NOT NULL AS isdup FROM hh LEFT JOIN hot ON hh.h = hot.h)
+         |SELECT doc_id,
+         | coalesce(string_agg(CASE WHEN NOT isdup THEN line END,
+         |   ' table ' ORDER BY pos), '') AS text,
+         | count(*) AS nLines,
+         | sum(CASE WHEN isdup THEN 1 ELSE 0 END)::BIGINT AS nRemoved
+         |FROM j WHERE doc_id % 2 = 1 GROUP BY 1"""
+        .stripMargin.replace("\n", " "),
     "q50_token_count" ->
       s"""SELECT doc_id, len($toks)::BIGINT AS nWords,
          | ceil(length(text)/4.0)::BIGINT AS nSubTokens FROM documents"""
