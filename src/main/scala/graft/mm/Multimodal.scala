@@ -200,6 +200,123 @@ object Multimodal {
       im.bgr.length.toLong))
   }
 
+  /** 8×8 average-hash (aHash) fingerprint of a decoded raster — the
+    * image face of the dedup family (near-identical crops/re-encodes of
+    * the same picture collapse to nearby hashes; the standard cheap
+    * perceptual fingerprint ahead of an embedding pass). Every step is
+    * integer-exact, so the hash replays bit-for-bit in SQL: nearest-
+    * neighbor resample onto the 8×8 grid (src (x·w/8, y·h/8) — the
+    * [[resizeImage]] index math), per-cell gray = B+G+R (no division),
+    * bit set where 64·gray > Σgray (strict integer compare — no mean
+    * rounding anywhere). The 64 bits are stored as two 32-bit words
+    * (`ahash_lo` = cells 0–31) so neither engine touches the sign bit.
+    * Per-row map, zero shuffle. */
+  def imageAHash(imgs: Dataset[ImageRow]): DataFrame = {
+    val spark = imgs.sparkSession
+    import spark.implicits._
+    imgs.map { im =>
+      val g = new Array[Long](64)
+      var tot = 0L
+      var y = 0
+      while (y < 8) {
+        val sy = y * im.height / 8
+        var x = 0
+        while (x < 8) {
+          val sx = x * im.width / 8
+          val b = (sy * im.width + sx) * 3
+          val s = (im.bgr(b) & 0xff) + (im.bgr(b + 1) & 0xff) + (im.bgr(b + 2) & 0xff)
+          g(y * 8 + x) = s
+          tot += s
+          x += 1
+        }
+        y += 1
+      }
+      var lo = 0L; var hi = 0L
+      var i = 0
+      while (i < 64) {
+        if (64L * g(i) > tot) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+        i += 1
+      }
+      (im.id, lo, hi)
+    }.toDF("id", "ahash_lo", "ahash_hi")
+  }
+
+  /** Near-duplicate image pairs within `maxDist` Hamming bits of the
+    * 64-bit aHash. Candidates come from 4×16-bit band buckets — the
+    * SimHash/LSH banding shape, and pigeonhole-EXACT here: ≤3 differing
+    * bits cannot touch all 4 bands, so no qualifying pair is missed.
+    * Pair work is Σ bucket², never corpus²; the exact popcount filter
+    * (codegen'd `bit_count`) runs only on candidates. */
+  def imageNearDup(imgs: Dataset[ImageRow], maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist $maxDist: the 4-band pigeonhole guarantee only covers <= 3")
+    val h = imageAHash(imgs)
+    val bands = h.select(col("id"), col("ahash_lo"), col("ahash_hi"),
+      posexplode(array(
+        col("ahash_lo").bitwiseAND(0xffffL),
+        shiftright(col("ahash_lo"), 16).bitwiseAND(0xffffL),
+        col("ahash_hi").bitwiseAND(0xffffL),
+        shiftright(col("ahash_hi"), 16).bitwiseAND(0xffffL)))
+        .as(Seq("band", "bucket")))
+    val l = bands.select(col("band"), col("bucket"), col("id").as("a"),
+      col("ahash_lo").as("alo"), col("ahash_hi").as("ahi"))
+    val r = bands.select(col("band"), col("bucket"), col("id").as("b"),
+      col("ahash_lo").as("blo"), col("ahash_hi").as("bhi"))
+    l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (bit_count(col("alo").bitwiseXOR(col("blo"))) +
+          bit_count(col("ahi").bitwiseXOR(col("bhi")))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
+  /** Spectral band energies of a PCM payload — the audio analysis
+    * counterpart of the image feature stage (silence/tone/noise
+    * screening, coarse content fingerprinting before a learned model).
+    * The first `nFft` samples (zero-padded, /32768 normalized) go
+    * through a naive in-row DFT; the positive half-spectrum's power
+    * folds into `nBands` equal bands. O(nFft²) multiplies per row with
+    * nFft a small constant — embarrassingly parallel, zero shuffle.
+    * Accumulation order is fixed (t ascending inside each k, k ascending
+    * inside each band) so the SQL list replay matches term-for-term;
+    * cos/sin ride the libm-parity assumption the q24 DFT oracle
+    * established. Non-WAV payloads are dropped (typed audio branch). */
+  def audioSpectral(media: DataFrame, nFft: Int = 64, nBands: Int = 4): DataFrame = {
+    require(nFft > 0 && (nFft / 2) % nBands == 0,
+      s"nBands $nBands must divide nFft/2 = ${nFft / 2}")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val per = nFft / 2 / nBands
+    media.select(col("id"), col("payload")).as[MediaRow]
+      .flatMap { m =>
+        Codecs.Wav.decode(m.payload).map { case (rate, _, samples) =>
+          val v = new Array[Double](nFft)
+          var i = 0
+          while (i < nFft) {
+            v(i) = if (i < samples.length) samples(i) / 32768.0 else 0.0
+            i += 1
+          }
+          val bands = new Array[Double](nBands)
+          var k = 0
+          while (k < nFft / 2) {
+            var re = 0.0; var im = 0.0
+            var t = 0
+            while (t < nFft) {
+              val ang = -2.0 * math.Pi * (k * t) / nFft
+              re += v(t) * math.cos(ang)
+              im += v(t) * math.sin(ang)
+              t += 1
+            }
+            bands(k / per) += re * re + im * im
+            k += 1
+          }
+          (m.id, rate, samples.length, bands.toSeq)
+        }
+      }.toDF("id", "sample_rate", "n_samples", "band_energy")
+  }
+
   /** Decode stage: runs per partition (the real pattern for batched codec
     * calls — one codec context per partition, rows streamed through). */
   def decode(media: DataFrame): Dataset[DecodedRow] = {

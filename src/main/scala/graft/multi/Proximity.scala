@@ -29,8 +29,14 @@ object Proximity {
   /** All-pairs distance table from an embedding table: (src, trg, dist),
     * src != trg. Quadratic — bench/test scale only; see scaladoc above. */
   def pairDistances(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val a = vecs.select(col(idCol).as("src"), col(vecCol).as("va"))
-    val b = vecs.select(col(idCol).as("trg"), col(vecCol).as("vb"))
+    // validated projection: the per-row null scan runs HERE, so the
+    // per-pair vec_euclid below sees containsNull=false and emits the
+    // branch-free loop (see expr.VecValidate)
+    graft.expr.GraftFunctions.register(vecs.sparkSession)
+    val vd = (c: Column) =>
+      org.apache.spark.sql.functions.call_function("vec_validate", c)
+    val a = vecs.select(col(idCol).as("src"), vd(col(vecCol)).as("va"))
+    val b = vecs.select(col(idCol).as("trg"), vd(col(vecCol)).as("vb"))
     a.join(b, col("src") =!= col("trg"))
       .withColumn("dist", euclidean(col("va"), col("vb")))
       .drop("va", "vb")

@@ -71,6 +71,25 @@ object MmQueries {
       }.toDF("id", "payload")
   }
 
+  /** PNG fixture engineered for perceptual-hash dedup: pixel content
+    * depends on doc_id only through doc_id % 23, so documents agreeing on
+    * (doc_id%23, doc_id%4, n_chars%6) carry IDENTICAL images (hamming 0
+    * clusters for [[q258]]) while the rest scatter. w = n_chars%6+8 and
+    * h = doc_id%4+8 keep both dims ≥ the 8×8 aHash grid. Pixel byte k =
+    * ((doc_id%23)*31 + k*5) % 256. */
+  private def ahashMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"), col("n_chars").cast("int").as("nc"))
+      .as[(Long, Int)]
+      .map { case (id, nc) =>
+        val w = (nc % 6) + 8
+        val h = (id % 4).toInt + 8
+        val pix = Array.tabulate(w * h * 3)(k => (((id % 23) * 31 + k * 5) % 256).toByte)
+        (id, Codecs.Png.encode(w, h, pix))
+      }.toDF("id", "payload")
+  }
+
   /** Deterministic mono PCM-16 WAV per document: n = n_chars%200+50
     * samples, sample i = (doc_id*31 + i*17) % 4096 − 2048, 8 kHz. */
   private def wavMedia(s: SparkSession, dir: String): DataFrame = {
@@ -148,6 +167,25 @@ object MmQueries {
           element_at(col("features"), 3).cast("double").as("f2"),
           element_at(col("features"), 4).cast("double").as("f3")))
     }),
+    // 8×8 average-hash over decoded PNG rasters — every step integer-
+    // exact (resample index math, B+G+R gray, 64·g > Σg threshold)
+    "q257_mm_ahash" -> ((s, dir) =>
+      Multimodal.imageAHash(Multimodal.decodeImage(ahashMedia(s, dir)))),
+    // perceptual near-dup pairs: 4×16-bit band candidates (pigeonhole-
+    // exact for hamming ≤ 3) + exact popcount filter
+    "q258_mm_image_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDup(Multimodal.decodeImage(ahashMedia(s, dir)),
+        maxDist = 3)),
+    // DFT band energies over real WAV payloads: zero-padded 64-point
+    // naive DFT per row, positive half-spectrum power in 4 bands
+    "q259_mm_audio_spectral" -> ((s, dir) => {
+      val sp = Multimodal.audioSpectral(wavMedia(s, dir), nFft = 64, nBands = 4)
+      canon(sp.select(col("id"), col("sample_rate"), col("n_samples"),
+        element_at(col("band_energy"), 1).as("e0"),
+        element_at(col("band_energy"), 2).as("e1"),
+        element_at(col("band_energy"), 3).as("e2"),
+        element_at(col("band_energy"), 4).as("e3")))
+    }),
     // real WAV decode: PCM-16 chunk walk, features = mean/rms/maxAbs/
     // zero-cross-rate from exact integer sums
     "q146_mm_wav" -> ((s, dir) => {
@@ -160,6 +198,27 @@ object MmQueries {
         element_at(col("features"), 4).cast("double").as("f3")))
     }),
   )
+
+  /** Shared aHash replay (q257/q258): the [[ahashMedia]] gradient pushed
+    * through 8×8 nearest-neighbor resample, B+G+R gray, 64·g > Σg bits
+    * packed into two 32-bit words. `tail` continues after the `a` CTE. */
+  private def ahashOracle(tail: String): String = {
+    // src pixel base byte for grid cell i: (((i//8)*h)//8*w + ((i%8)*w)//8)*3
+    val base = "((((i//8)*h//8)*w + (i%8)*w//8)*3)"
+    def v(off: String) = s"((id % 23) * 31 + ($base + $off) * 5) % 256"
+    val gray = s"${v("0")} + ${v("1")} + ${v("2")}"
+    s"""WITH d AS (SELECT doc_id AS id, (n_chars % 6) + 8 AS w,
+       |  (doc_id % 4) + 8 AS h FROM documents),
+       |g AS (SELECT id, list_transform(range(64), i -> $gray) AS gs FROM d),
+       |t AS (SELECT id, gs, list_sum(gs) AS tot FROM g),
+       |a AS (SELECT id,
+       |  list_sum(list_transform(range(32), i ->
+       |    CASE WHEN 64*gs[i+1] > tot THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS ahash_lo,
+       |  list_sum(list_transform(range(32), i ->
+       |    CASE WHEN 64*gs[i+33] > tot THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS ahash_hi
+       | FROM t)
+       |$tail""".stripMargin.replace("\n", " ")
+  }
 
   val oracleSql: Map[String, String] = Map(
     // channel means over the logical (padding-free) pixel bytes; the
@@ -281,6 +340,45 @@ object MmQueries {
         | round((round(mR, 4)::FLOAT)::DOUBLE, 4) AS f2,
         | round((round(0.299*mR + 0.587*mG + 0.114*mB, 4)::FLOAT)::DOUBLE, 4) AS f3
         |FROM m""".stripMargin.replace("\n", " "),
+    // aHash: replay resample index math + gray sums + strict threshold;
+    // the two 32-bit words keep every intermediate positive
+    "q257_mm_ahash" -> ahashOracle(
+      "SELECT id, ahash_lo, ahash_hi FROM a"),
+    // near-dup pairs: band-bucket candidates + exact popcount, identical
+    // to the operator's plan (pigeonhole-exact at maxDist 3)
+    "q258_mm_image_neardup" -> ahashOracle(
+      """, bands AS (SELECT id, ahash_lo, ahash_hi,
+        |  unnest([ahash_lo & 65535, (ahash_lo >> 16) & 65535,
+        |          ahash_hi & 65535, (ahash_hi >> 16) & 65535]) AS bucket,
+        |  unnest([0, 1, 2, 3]) AS band FROM a),
+        |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+        | FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+        | WHERE l.id < r.id),
+        |p AS (SELECT c.a, c.b,
+        |  (bit_count(xor(x.ahash_lo, y.ahash_lo)) +
+        |   bit_count(xor(x.ahash_hi, y.ahash_hi)))::BIGINT AS hamming
+        | FROM cand c JOIN a x ON x.id = c.a JOIN a y ON y.id = c.b)
+        |SELECT a, b, hamming FROM p WHERE hamming <= 3"""
+        .stripMargin.replace("\n", " ")),
+    // 64-point DFT band energies: list replays keep t-ascending then
+    // k-ascending accumulation — term-for-term the operator's loops
+    "q259_mm_audio_spectral" ->
+      """WITH d AS (SELECT doc_id AS id, (n_chars % 200) + 50 AS n FROM documents),
+        |s AS (SELECT id, n, list_transform(range(64), i ->
+        |  CASE WHEN i < n THEN ((id*31 + i*17) % 4096 - 2048) / 32768.0
+        |   ELSE 0.0 END) AS v FROM d),
+        |dk AS (SELECT id, n, list_transform(range(32), k -> {
+        |  're': list_sum(list_transform(range(64), t -> v[t+1] * cos(-2*pi()*(k*t)/64))),
+        |  'im': list_sum(list_transform(range(64), t -> v[t+1] * sin(-2*pi()*(k*t)/64)))
+        | }) AS f FROM s),
+        |e AS (SELECT id, n, list_transform(range(4), b ->
+        |  list_sum(list_transform(range(8), j ->
+        |    f[b*8+j+1].re * f[b*8+j+1].re + f[b*8+j+1].im * f[b*8+j+1].im))) AS be
+        | FROM dk)
+        |SELECT id, 8000 AS sample_rate, n::INT AS n_samples,
+        | round(be[1], 4) AS e0, round(be[2], 4) AS e1,
+        | round(be[3], 4) AS e2, round(be[4], 4) AS e3
+        |FROM e""".stripMargin.replace("\n", " "),
     "q146_mm_wav" ->
       """WITH d AS (SELECT doc_id AS id, (n_chars % 200) + 50 AS n FROM documents),
         |s AS (SELECT id, n,

@@ -169,6 +169,48 @@ class MmSpec extends SparkSpec {
     assert(math.abs(dec.features(0) - 95.0 / 255) < 1e-3, "meanB from B bytes")
   }
 
+  test("aHash: identical rasters hash equal, one flipped cell moves <= a few bits") {
+    import graft.mm.Codecs
+    def img(id: Long, seed: Int) = {
+      val w = 16; val h = 16
+      val rgb = Array.tabulate(w * h * 3)(k => ((seed * 31 + k * 5) % 256).toByte)
+      (id, Codecs.Png.encode(w, h, rgb))
+    }
+    val media = Seq(img(1L, 3), img(2L, 3), img(3L, 9)).toDF("id", "payload")
+    val h = Multimodal.imageAHash(Multimodal.decodeImage(media))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h(1L) == h(2L), "same pixels → same hash")
+    assert(h(1L) != h(3L), "different gradient → different hash")
+    // both words stay within 32 bits (sign bit never touched)
+    h.values.foreach { case (lo, hi) =>
+      assert(lo >= 0 && lo < (1L << 32) && hi >= 0 && hi < (1L << 32))
+    }
+    val pairs = Multimodal.imageNearDup(Multimodal.decodeImage(media), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)), "identical images pair at hamming 0")
+    assert(pairs.forall(p => p._3 <= 3))
+  }
+
+  test("audioSpectral: tone concentrates energy in its band; silence is zero") {
+    import graft.mm.Codecs
+    // 64 samples of a k=4 tone (band 0 = k 0..7) and pure silence
+    val tone = Array.tabulate(64)(t =>
+      (math.sin(2 * math.Pi * 4 * t / 64.0) * 16000).toShort)
+    val media = Seq(
+      (1L, Codecs.Wav.encode(tone, 8000)),
+      (2L, Codecs.Wav.encode(Array.fill(64)(0.toShort), 8000)),
+      (3L, "not a wav".getBytes("UTF-8"))).toDF("id", "payload")
+    val rows = Multimodal.audioSpectral(media, nFft = 64, nBands = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getSeq[Double](3))).toMap
+    assert(!rows.contains(3L), "non-WAV payloads are dropped from the audio branch")
+    val (rate, n, bands) = rows(1L)
+    assert(rate == 8000 && n == 64)
+    assert(bands(0) > 100 * (bands(1) + bands(2) + bands(3) + 1e-12),
+      "k=4 tone lands in band 0")
+    assert(rows(2L)._3.forall(_ == 0.0), "silence → zero energy")
+  }
+
   test("frame sampling strides fixed-size chunks") {
     val media = Multimodal.packBinary(docs, "doc_id", "text")
     val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 2)
