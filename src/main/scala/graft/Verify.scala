@@ -25,6 +25,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // start marker interleaves with log4j warnings on stderr, so a
+      // WARN (e.g. WindowExec single-partition) is attributable to the
+      // query that triggered it when auditing a full run's log
+      System.err.println(s"[verify] start $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
