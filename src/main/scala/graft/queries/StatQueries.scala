@@ -26,7 +26,25 @@ object StatQueries {
       .otherwise(least(greatest(floor(col("value") / 50.0).cast("double"),
         lit(-1.0)), lit(5.0)).cast("long").cast("string"))
 
+  /** Synthesized nested-JSON sidecar (q263): the driver's flat props
+    * column is enriched with a string, a nested object and a boolean so
+    * the profiler walks every type branch and a real depth-2 path. All
+    * values are ints/strings/bools — no float serialization ambiguity. */
+  private def jsonEvents(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).select(col("event_id"),
+      concat(lit("{\"k\": "), get_json_object(col("props"), "$.k"),
+        lit(", \"type\": \""), col("event_type"),
+        lit("\", \"meta\": {\"day\": "), expr("ts div 86400000000000"),
+        lit(", \"pos\": \"p"), pmod(col("event_id"), lit(7)),
+        lit("\"}, \"flag\": "),
+        (pmod(col("event_id"), lit(2)) === 0).cast("string"),
+        lit("}")).as("j"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // schema-on-read JSON profiler over the synthesized nested sidecar:
+    // path × (occurrences, distinct, lexical type counts, min example)
+    "q263_json_profile" -> ((s, dir) =>
+      graft.text.JsonOps.jsonProfile(jsonEvents(s, dir), "j", maxDepth = 2)),
     "q01_stats_fit" -> ((s, dir) =>
       canon(Fitters.stats(ev(s, dir), Seq("event_type"), Seq("value")))),
     // χ² independence of event_type × value-bucket: PSI-pattern 6dp
@@ -682,6 +700,40 @@ object StatQueries {
       |FROM s GROUP BY 1""".stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    // nested-object values extract minified and byte-identical in both
+    // engines (verified: Jackson map<string,string> == DuckDB
+    // json_extract_string), so n_distinct/min_v hash-compare exactly
+    "q263_json_profile" ->
+      """WITH x AS (SELECT '{"k": ' || json_extract_string(props, '$.k') ||
+        |  ', "type": "' || event_type ||
+        |  '", "meta": {"day": ' || (epoch_ns(ts) // 86400000000000) ||
+        |  ', "pos": "p' || (event_id % 7) ||
+        |  '"}, "flag": ' || (CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END) ||
+        |  '}' AS j FROM events),
+        |l1 AS (SELECT unnest(json_keys(j)) AS p, j FROM x),
+        |v1 AS (SELECT p AS path, json_extract_string(j, '$.' || p) AS v FROM l1),
+        |l2 AS (SELECT path, v AS j FROM v1 WHERE v LIKE '{%'),
+        |v2 AS (SELECT path || '.' || k AS path, json_extract_string(j, '$.' || k) AS v
+        | FROM (SELECT path, unnest(json_keys(j)) AS k, j FROM l2)),
+        |allv AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+        |ty AS (SELECT path, v,
+        |  CASE WHEN v IS NULL THEN 'null'
+        |   WHEN v LIKE '{%' THEN 'object'
+        |   WHEN v LIKE '[%' THEN 'array'
+        |   WHEN v IN ('true', 'false') THEN 'boolean'
+        |   WHEN regexp_matches(v, '^-?[0-9]+$') THEN 'integer'
+        |   WHEN regexp_matches(v, '^-?[0-9]+\.[0-9]+([eE][+-]?[0-9]+)?$') THEN 'number'
+        |   ELSE 'string' END AS t
+        | FROM allv)
+        |SELECT path, count(*) AS n, count(DISTINCT v) AS n_distinct,
+        | sum(CASE WHEN t = 'integer' THEN 1 ELSE 0 END)::BIGINT AS n_int,
+        | sum(CASE WHEN t = 'number' THEN 1 ELSE 0 END)::BIGINT AS n_num,
+        | sum(CASE WHEN t = 'boolean' THEN 1 ELSE 0 END)::BIGINT AS n_bool,
+        | sum(CASE WHEN t = 'object' THEN 1 ELSE 0 END)::BIGINT AS n_obj,
+        | sum(CASE WHEN t = 'array' THEN 1 ELSE 0 END)::BIGINT AS n_arr,
+        | sum(CASE WHEN t = 'string' THEN 1 ELSE 0 END)::BIGINT AS n_str,
+        | min(v) AS min_v
+        |FROM ty GROUP BY path""".stripMargin.replace("\n", " "),
     "q213_chi2" -> chi2Oracle,
     "q238_assoc_rules" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS item

@@ -34,8 +34,39 @@ object TextQueries {
       when(col("n_chars") >= 300, 1.0).otherwise(0.0).cast("double").as("y"))
   }
 
+  /** Synthesized provenance URLs (q260-q262): case-mangled scheme/host,
+    * an optional `www.`, a trailing-slash variant, utm tracking params
+    * and a fragment — every canonicalization branch is exercised, and
+    * the registrable domain (source-(doc_id%7).com) varies enough for
+    * real per-domain stats/quota groups. */
+  private def urlDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("url", concat(
+      lit("HTTPS://"),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit("-"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(".COM/"), col("lang"), lit("/p"),
+      pmod(col("doc_id"), lit(50)).cast("string"),
+      when(pmod(col("doc_id"), lit(6)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+          lit("&utm_campaign=x")))
+        .otherwise(concat(lit("?id="), col("doc_id").cast("string"))),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("#frag")).otherwise(lit(""))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
+    // URL canonicalization: the oracle rebuilds the EXPECTED canonical
+    // form from the raw fields (an independent derivation, not a replay
+    // of the operator's string surgery)
+    "q260_url_canon" -> ((s, dir) =>
+      urlDocs(s, dir).select(col("doc_id"), col("url"),
+        graft.text.UrlOps.canonicalizeUrl(col("url")).as("canon_url"),
+        graft.text.UrlOps.registrableDomain(col("url")).as("domain"))),
+    "q261_domain_stats" -> ((s, dir) =>
+      graft.text.UrlOps.domainStats(urlDocs(s, dir), "url", "text", "lang")),
+    "q262_domain_quota" -> ((s, dir) =>
+      graft.text.UrlOps.domainQuota(urlDocs(s, dir), "doc_id", "url",
+        maxPerDomain = 3).select(col("doc_id"), col("domain"), col("rk"))),
     "q49_dedup_exact" -> ((s, dir) =>
       TextOps.exactDedup(docs(s, dir), "doc_id", "text")),
     // streaming exact dedup batch-executed (q100 device): only columns
@@ -1459,6 +1490,20 @@ object TextQueries {
        |FROM documents""".stripMargin.replace("\n", " ")
   }
 
+  /** Raw-URL reconstruction CTE shared by q260-q262 (mirrors
+    * [[urlDocs]] character for character). */
+  private def urlOracle(tail: String): String =
+    s"""WITH u AS (SELECT doc_id, text, lang, source,
+       | 'HTTPS://' || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END) ||
+       | source || '-' || (doc_id % 7) || '.COM/' || lang || '/p' || (doc_id % 50) ||
+       | (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+       | (CASE WHEN doc_id % 3 = 0
+       |   THEN '?utm_source=feed&id=' || doc_id || '&utm_campaign=x'
+       |   ELSE '?id=' || doc_id END) ||
+       | (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+       | FROM documents)
+       |$tail""".stripMargin.replace("\n", " ")
+
   val oracleSql: Map[String, String] = Map(
     "q181_kmeans_fit" -> kmeansOracle,
     "q187_kmeans_outliers" -> kmeansOutlierOracle,
@@ -1501,6 +1546,28 @@ object TextQueries {
         | count(*) OVER (PARTITION BY md5(text)) AS dupCount,
         | doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
         |FROM documents""".stripMargin.replace("\n", " "),
+    // raw url replayed; canonical form derived INDEPENDENTLY from the
+    // fields (utm params dropped, fragment dropped, host lowercased,
+    // www stripped, trailing slash stripped, surviving params sorted →
+    // the single id param)
+    "q260_url_canon" -> urlOracle(
+      """SELECT doc_id, url,
+        |'https://' || lower(source) || '-' || (doc_id % 7) || '.com/' ||
+        |  lang || '/p' || (doc_id % 50) || '?id=' || doc_id AS canon_url,
+        |lower(source) || '-' || (doc_id % 7) || '.com' AS domain
+        |FROM u""".stripMargin.replace("\n", " ")),
+    "q261_domain_stats" -> urlOracle(
+      """SELECT lower(source) || '-' || (doc_id % 7) || '.com' AS domain,
+        |count(*) AS n_docs, sum(length(text))::BIGINT AS n_chars,
+        |count(DISTINCT lang) AS n_langs
+        |FROM u GROUP BY 1""".stripMargin.replace("\n", " ")),
+    "q262_domain_quota" -> urlOracle(
+      """SELECT doc_id, domain, rk::INT AS rk FROM (
+        |SELECT doc_id, lower(source) || '-' || (doc_id % 7) || '.com' AS domain,
+        | row_number() OVER (
+        |   PARTITION BY lower(source) || '-' || (doc_id % 7) || '.com'
+        |   ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |FROM u) WHERE rk <= 3""".stripMargin.replace("\n", " ")),
     // the admitted set of the streaming exact dedup: one row per
     // distinct content hash (n_chars is determined by the text)
     "q253_dedup_exact_stream" ->
