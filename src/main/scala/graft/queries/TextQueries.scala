@@ -67,6 +67,27 @@ object TextQueries {
     "q262_domain_quota" -> ((s, dir) =>
       graft.text.UrlOps.domainQuota(urlDocs(s, dir), "doc_id", "url",
         maxPerDomain = 3).select(col("doc_id"), col("domain"), col("rk"))),
+    // blocklist over canonical urls: one alternation rlike per row
+    "q265_url_blocklist" -> ((s, dir) =>
+      graft.text.UrlOps.urlBlocklist(urlDocs(s, dir), "url",
+        Seq("://[a-z0-9]*-3\\.com/", "/p1[0-9]($|\\?)"))
+        .select(col("doc_id"), col("canon_url"), col("blocked"), col("tag"))),
+    // HTML → text extraction: script/style/title/comment blocks, nav +
+    // footer anchors, entity escapes and block-closer newlines — the
+    // oracle derives the expected text independently from the fields
+    "q264_html_extract" -> ((s, dir) => {
+      val html = docs(s, dir).withColumn("html", concat(
+        lit("<html><head><title>T"), col("doc_id").cast("string"),
+        lit("</title><script>var a=1;</script><style>p{color:red}</style></head>"),
+        lit("<body><div id=nav><a href=\"/\">Home</a><a href=\"/s\">"),
+        col("source"),
+        lit("</a></div><h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1><!-- c"), col("doc_id").cast("string"),
+        lit(" --><p>"), col("text"),
+        lit(" &amp; tail</p><p>Line&#39;s "), col("lang"),
+        lit("</p><div id=f><a href=\"/c\">Contact</a></div></body></html>")))
+      graft.text.HtmlOps.htmlExtract(html, "doc_id", "html")
+    }),
     "q49_dedup_exact" -> ((s, dir) =>
       TextOps.exactDedup(docs(s, dir), "doc_id", "text")),
     // streaming exact dedup batch-executed (q100 device): only columns
@@ -1568,6 +1589,36 @@ object TextQueries {
         |   PARTITION BY lower(source) || '-' || (doc_id % 7) || '.com'
         |   ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
         |FROM u) WHERE rk <= 3""".stripMargin.replace("\n", " ")),
+    // canonical url derived independently (q260 device); blocked =
+    // the same two patterns via RE2
+    "q265_url_blocklist" -> urlOracle(
+      """SELECT doc_id,
+        |'https://' || lower(source) || '-' || (doc_id % 7) || '.com/' ||
+        |  lang || '/p' || (doc_id % 50) || '?id=' || doc_id AS canon_url,
+        |(regexp_matches('https://' || lower(source) || '-' || (doc_id % 7) ||
+        |   '.com/' || lang || '/p' || (doc_id % 50) || '?id=' || doc_id,
+        |   '://[a-z0-9]*-3\.com/')
+        | OR regexp_matches('https://' || lower(source) || '-' || (doc_id % 7) ||
+        |   '.com/' || lang || '/p' || (doc_id % 50) || '?id=' || doc_id,
+        |   '/p1[0-9]($|\?)')) AS blocked,
+        |CASE WHEN regexp_matches('https://' || lower(source) || '-' || (doc_id % 7) ||
+        |   '.com/' || lang || '/p' || (doc_id % 50) || '?id=' || doc_id,
+        |   '(://[a-z0-9]*-3\.com/)|(/p1[0-9]($|\?))') THEN 'O' ELSE 'N' END AS tag
+        |FROM u""".stripMargin.replace("\n", " ")),
+    // expected extraction derived from raw fields: anchors concatenate
+    // (Home + source), block closers give the newlines, entities decode,
+    // comment/script/style/title vanish; link_chars = |Home| + |source|
+    // + |Contact|
+    "q264_html_extract" ->
+      """WITH e AS (SELECT doc_id,
+        | 'Home' || source || chr(10) || 'Doc ' || doc_id || chr(10) ||
+        |  text || ' & tail' || chr(10) || 'Line''s ' || lang || chr(10) ||
+        |  'Contact' AS text,
+        | length(source) AS ls FROM documents)
+        |SELECT doc_id, text, length(text)::BIGINT AS n_chars,
+        | 5::BIGINT AS n_paras, 3::BIGINT AS n_links,
+        | (11 + ls)::BIGINT AS link_chars
+        |FROM e""".stripMargin.replace("\n", " "),
     // the admitted set of the streaming exact dedup: one row per
     // distinct content hash (n_chars is determined by the text)
     "q253_dedup_exact_stream" ->

@@ -60,6 +60,21 @@ object UrlOps {
     array_join(slice(labels, greatest(size(labels) - 1, lit(1)), lit(2)), ".")
   }
 
+  /** Blocklist filter over CANONICAL urls: drop any document whose
+    * canonicalized URL matches one of the `patterns` (regexes from the
+    * Java/RE2-common subset — the form domain blocklists compile to).
+    * Patterns fold into one alternation, so the filter is a single
+    * codegen'd rlike per row; tag mirrors the engine's O/N convention
+    * ("O" = blocked). */
+  def urlBlocklist(docs: DataFrame, urlCol: String,
+      patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty, "urlBlocklist needs at least one pattern")
+    val combined = patterns.mkString("(", ")|(", ")")
+    docs.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+      .withColumn("blocked", col("canon_url").rlike(combined))
+      .withColumn("tag", when(col("blocked"), "O").otherwise("N"))
+  }
+
   /** Per-domain corpus accounting: docs, chars, distinct languages —
     * the report that decides crawl-source quotas. One hash aggregate
     * (map-side combined), domain-cardinality-sized output. */

@@ -42,6 +42,34 @@ class UrlJsonSpec extends SparkSpec {
       kept2.select("id").as[Long].collect().sorted))
   }
 
+  test("htmlExtract: blocks dropped, structure kept, entities decoded, link stats") {
+    val html = Seq((1L,
+      """<html><head><title>T</title><script>if(a<b){}</script><style>p{}</style></head>""" +
+      """<body><ul><li>One</li><li>Two &amp; Three</li></ul>""" +
+      """<p>Say &quot;hi&quot; &#39;now&#39;</p><!-- hidden -->""" +
+      """<p>Double &amp;lt; escape</p>""" +
+      """<div><a href="/x">Link<b>Bold</b></a></div></body></html>""")).toDF("id", "h")
+    val r = graft.text.HtmlOps.htmlExtract(html, "id", "h").collect()(0)
+    val text = r.getString(1)
+    // </li></ul> produces a blank line — block separation is kept; runs
+    // of 3+ newlines would collapse to the same blank line
+    assert(text == "One\nTwo & Three\n\nSay \"hi\" 'now'\nDouble &lt; escape\nLinkBold",
+      s"got: ${text.replace("\n", "\\n")}")
+    assert(r.getLong(2) == 1, "one anchor")          // n_links
+    assert(r.getLong(3) == 8, "Link+Bold inner text") // link_chars
+    assert(r.getLong(5) == 5)                         // n_paras
+  }
+
+  test("urlBlocklist: alternation matches canonical form, not the raw url") {
+    // raw has utm params + uppercase; the block pattern targets the
+    // canonical host — must still match
+    val docs = Seq((1L, "HTTPS://WWW.Bad-3.COM/x?utm_source=a&id=1"),
+      (2L, "https://good.com/p5?id=2")).toDF("id", "u")
+    val r = graft.text.UrlOps.urlBlocklist(docs, "u", Seq("://bad-3\\.com/"))
+      .select("id", "blocked").collect().map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    assert(r(1L) && !r(2L))
+  }
+
   test("jsonProfile: paths, nesting, lexical types, null json skipped") {
     val df = Seq(
       """{"a": 1, "s": "x", "o": {"b": 2.5, "c": [1,2]}, "f": true}""",
