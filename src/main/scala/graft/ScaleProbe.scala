@@ -571,6 +571,69 @@ object ScaleProbe {
         seq.SeqOps.arForecast(ev, Seq("event_type"), "event_id", "value",
           order = 6).count()
       }
+      // ---- round-8 additions: codecs, perceptual hash, provenance ----
+      // media fixtures mirror the q251/q257/q259 gate fixtures (per-row
+      // synthesis, so the probe measures encode+decode, the per-row cost
+      // that dominates at corpus scale)
+      val mediaPng = {
+        import spark.implicits._
+        docsProbe.select(col("doc_id").cast("long"), col("n_chars").cast("int"))
+          .as[(Long, Int)].map { case (id, nc) =>
+            val w = (nc % 14) + 1; val h = (id % 7).toInt + 2
+            (id, mm.Codecs.Png.encode(w, h,
+              Array.tabulate(w * h * 3)(k => ((id * 11 + k * 3) % 256).toByte)))
+          }.toDF("id", "payload")
+      }
+      time("png_decode", n, nDp) {
+        mm.Multimodal.decode(mediaPng).count()
+      }
+      time("ahash_neardup", n, nDp) {
+        import spark.implicits._
+        val media = docsProbe
+          .select(col("doc_id").cast("long"), col("n_chars").cast("int"))
+          .as[(Long, Int)].map { case (id, nc) =>
+            val w = (nc % 6) + 8; val h = (id % 4).toInt + 8
+            (id, mm.Codecs.Png.encode(w, h,
+              Array.tabulate(w * h * 3)(k => (((id % 23) * 31 + k * 5) % 256).toByte)))
+          }.toDF("id", "payload")
+        mm.Multimodal.imageNearDup(mm.Multimodal.decodeImage(media), 3).count()
+      }
+      time("audio_spectral", n, nDp) {
+        import spark.implicits._
+        val media = docsProbe
+          .select(col("doc_id").cast("long"), col("n_chars").cast("int"))
+          .as[(Long, Int)].map { case (id, nc) =>
+            val len = (nc % 200) + 50
+            (id, mm.Codecs.Wav.encode(Array.tabulate(len)(i =>
+              (((id * 31 + i * 17) % 4096) - 2048).toShort), 8000))
+          }.toDF("id", "payload")
+        mm.Multimodal.audioSpectral(media, 64, 4).count()
+      }
+      val urlProbe = docsProbe.withColumn("url", concat(
+        lit("HTTPS://WWW."), col("source"), lit("-"),
+        pmod(col("doc_id"), lit(7)).cast("string"), lit(".COM/x/p"),
+        pmod(col("doc_id"), lit(50)).cast("string"),
+        lit("?utm_source=f&id="), col("doc_id").cast("string")))
+      time("url_canon_stats", n, nDp) {
+        text.UrlOps.domainStats(
+          urlProbe.withColumn("url", text.UrlOps.canonicalizeUrl(col("url"))),
+          "url", "text", "lang").count()
+      }
+      time("html_extract", n, nDp) {
+        val html = docsProbe.withColumn("h", concat(
+          lit("<html><head><title>T</title><script>var a=1;</script></head><body>" +
+            "<div><a href=\"/\">Home</a></div><p>"),
+          col("text"), lit(" &amp; tail</p></body></html>")))
+        text.HtmlOps.htmlExtract(html, "doc_id", "h").count()
+      }
+      time("json_profile", n, nEv) {
+        val j = ev.select(concat(lit("{\"k\": "),
+          get_json_object(col("props"), "$.k"),
+          lit(", \"type\": \""), col("event_type"),
+          lit("\", \"meta\": {\"day\": "), expr("ts div 86400000000000"),
+          lit("}}")).as("j"))
+        text.JsonOps.jsonProfile(j, "j", 2).count()
+      }
     }
     spark.stop()
   }
