@@ -77,7 +77,7 @@ object MmQueries {
     * clusters for [[q258]]) while the rest scatter. w = n_chars%6+8 and
     * h = doc_id%4+8 keep both dims ≥ the 8×8 aHash grid. Pixel byte k =
     * ((doc_id%23)*31 + k*5) % 256. */
-  private def ahashMedia(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def ahashMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     table(s, dir, "documents")
       .select(col("doc_id").cast("long").as("id"), col("n_chars").cast("int").as("nc"))
@@ -202,12 +202,12 @@ object MmQueries {
   /** Shared aHash replay (q257/q258): the [[ahashMedia]] gradient pushed
     * through 8×8 nearest-neighbor resample, B+G+R gray, 64·g > Σg bits
     * packed into two 32-bit words. `tail` continues after the `a` CTE. */
-  private def ahashOracle(tail: String): String = {
+  private[queries] def ahashOracle(tail: String, recursive: Boolean = false): String = {
     // src pixel base byte for grid cell i: (((i//8)*h)//8*w + ((i%8)*w)//8)*3
     val base = "((((i//8)*h//8)*w + (i%8)*w//8)*3)"
     def v(off: String) = s"((id % 23) * 31 + ($base + $off) * 5) % 256"
     val gray = s"${v("0")} + ${v("1")} + ${v("2")}"
-    s"""WITH d AS (SELECT doc_id AS id, (n_chars % 6) + 8 AS w,
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}d AS (SELECT doc_id AS id, (n_chars % 6) + 8 AS w,
        |  (doc_id % 4) + 8 AS h FROM documents),
        |g AS (SELECT id, list_transform(range(64), i -> $gray) AS gs FROM d),
        |t AS (SELECT id, gs, list_sum(gs) AS tot FROM g),

@@ -72,6 +72,36 @@ object TextQueries {
       graft.text.UrlOps.urlBlocklist(urlDocs(s, dir), "url",
         Seq("://[a-z0-9]*-3\\.com/", "/p1[0-9]($|\\?)"))
         .select(col("doc_id"), col("canon_url"), col("blocked"), col("tag"))),
+    // canonical-URL dedup (the crawl-frontier dedup): variants that
+    // differ only in case/www/tracking/fragment/slash collapse to one
+    // canonical key; keep = min doc_id (the q49 exact-dedup shape)
+    "q266_url_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // fixture WITHOUT the unique id param, so variants actually collide
+      val d = docs(s, dir).withColumn("url", concat(
+        lit("HTTPS://"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit("-"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".COM/"), col("lang"), lit("/p"),
+        pmod(col("doc_id"), lit(50)).cast("string"),
+        when(pmod(col("doc_id"), lit(6)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("?utm_source=feed"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("#frag")).otherwise(lit(""))))
+        .withColumn("canon_url", graft.text.UrlOps.canonicalizeUrl(col("url")))
+      val w = Window.partitionBy("canon_url")
+      d.select(col("doc_id"), col("canon_url"),
+        count(lit(1)).over(w).as("dupCount"),
+        (col("doc_id") === min("doc_id").over(w)).as("keep"))
+    }),
+    // image duplicate clusters: aHash near-dup pairs (hamming ≤ 2) →
+    // the dedup family's connected components, min-id labels
+    "q267_image_dup_clusters" -> ((s, dir) => {
+      val imgs = graft.mm.Multimodal.decodeImage(MmQueries.ahashMedia(s, dir))
+      val pairs = graft.mm.Multimodal.imageNearDup(imgs, maxDist = 2)
+      TextOps.dupClusters(MmQueries.ahashMedia(s, dir).select(col("id")),
+        "id", pairs)
+    }),
     // HTML → text extraction: script/style/title/comment blocks, nav +
     // footer anchors, entity escapes and block-closer newlines — the
     // oracle derives the expected text independently from the fields
@@ -1589,6 +1619,38 @@ object TextQueries {
         |   PARTITION BY lower(source) || '-' || (doc_id % 7) || '.com'
         |   ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
         |FROM u) WHERE rk <= 3""".stripMargin.replace("\n", " ")),
+    // canonical key derived independently: every raw variant collapses
+    // to the query-free canonical form
+    "q266_url_dedup" ->
+      """WITH c AS (SELECT doc_id,
+        | 'https://' || lower(source) || '-' || (doc_id % 7) || '.com/' ||
+        |  lang || '/p' || (doc_id % 50) AS canon_url FROM documents)
+        |SELECT doc_id, canon_url,
+        | count(*) OVER (PARTITION BY canon_url) AS dupCount,
+        | doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS keep
+        |FROM c""".stripMargin.replace("\n", " "),
+    // aHash pairs at hamming <= 2 closed transitively; min-id labels
+    // (the q75 closure shape over the q257 hash replay)
+    "q267_image_dup_clusters" -> MmQueries.ahashOracle(
+      """, bands AS (SELECT id, ahash_lo, ahash_hi,
+        |  unnest([ahash_lo & 65535, (ahash_lo >> 16) & 65535,
+        |          ahash_hi & 65535, (ahash_hi >> 16) & 65535]) AS bucket,
+        |  unnest([0, 1, 2, 3]) AS band FROM a),
+        |cand AS (SELECT DISTINCT l.id AS ca, r.id AS cb
+        | FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+        | WHERE l.id < r.id),
+        |p AS (SELECT c.ca, c.cb,
+        |  (bit_count(xor(x.ahash_lo, y.ahash_lo)) +
+        |   bit_count(xor(x.ahash_hi, y.ahash_hi))) AS hamming
+        | FROM cand c JOIN a x ON x.id = c.ca JOIN a y ON y.id = c.cb),
+        |e0 AS (SELECT ca, cb FROM p WHERE hamming <= 2),
+        |edges AS (SELECT ca, cb FROM e0 UNION ALL SELECT cb AS ca, ca AS cb FROM e0),
+        |reach(id, label) AS (
+        | SELECT id, id FROM a
+        | UNION
+        | SELECT e.ca, r.label FROM reach r JOIN edges e ON e.cb = r.id)
+        |SELECT id, min(label) AS cluster FROM reach GROUP BY id"""
+        .stripMargin.replace("\n", " "), recursive = true),
     // canonical url derived independently (q260 device); blocked =
     // the same two patterns via RE2
     "q265_url_blocklist" -> urlOracle(
