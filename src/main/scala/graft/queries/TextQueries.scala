@@ -72,6 +72,31 @@ object TextQueries {
       graft.text.UrlOps.urlBlocklist(urlDocs(s, dir), "url",
         Seq("://[a-z0-9]*-3\\.com/", "/p1[0-9]($|\\?)"))
         .select(col("doc_id"), col("canon_url"), col("blocked"), col("tag"))),
+    // zlib redundancy signal — deliberately NO oracleSql entry: the
+    // deflated length is zlib-implementation-defined (driver records the
+    // rows-only check; UrlJsonSpec pins exact values + monotonicity)
+    "q269_compression_ratio" -> ((s, dir) =>
+      TextOps.compressionRatio(docs(s, dir), "doc_id", "text")),
+    // streaming canonical-URL dedup batch-executed (q100/q253 device):
+    // only the hash-determined column is emitted
+    "q270_url_dedup_stream" -> ((s, dir) =>
+      graft.streaming.StreamScorers.urlDedupStream(urlDocs(s, dir), "url")
+        .select(col("canon_url"))),
+    // streaming perceptual image dedup batch-executed: the admitted
+    // fingerprint SET
+    "q271_image_dedup_stream" -> ((s, dir) =>
+      graft.streaming.StreamScorers.imageDedupStream(MmQueries.ahashMedia(s, dir))
+        .select(col("ahash_lo"), col("ahash_hi"))),
+    // unicode script profile over a multilingual-augmented fixture
+    // (Java \p{IsX} == RE2 \p{X}, verified)
+    "q268_script_profile" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("text2", concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 1, lit(" 你好世界"))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit(" Привет мир"))
+          .when(pmod(col("doc_id"), lit(4)) === 3, lit(" مرحبا 42"))
+          .otherwise(lit(""))))
+      TextOps.scriptProfile(d, "doc_id", "text2")
+    }),
     // canonical-URL dedup (the crawl-frontier dedup): variants that
     // differ only in case/www/tracking/fragment/slash collapse to one
     // canonical key; keep = min doc_id (the q49 exact-dedup shape)
@@ -1619,6 +1644,38 @@ object TextQueries {
         |   PARTITION BY lower(source) || '-' || (doc_id % 7) || '.com'
         |   ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
         |FROM u) WHERE rk <= 3""".stripMargin.replace("\n", " ")),
+    // distinct canonical keys (independent derivation — urlDocs carries
+    // the unique id param, so every doc is its own canonical key and
+    // the admitted set is the full id-keyed set)
+    "q270_url_dedup_stream" ->
+      """SELECT DISTINCT 'https://' || lower(source) || '-' || (doc_id % 7) ||
+        | '.com/' || lang || '/p' || (doc_id % 50) || '?id=' || doc_id AS canon_url
+        |FROM documents""".stripMargin.replace("\n", " "),
+    "q271_image_dedup_stream" -> MmQueries.ahashOracle(
+      "SELECT DISTINCT ahash_lo, ahash_hi FROM a"),
+    // RE2 spells the script classes without the Is prefix; the dominant
+    // fold replays the same strict-> tie rule, class order fixed
+    "q268_script_profile" ->
+      """WITH d AS (SELECT doc_id, text ||
+        | (CASE WHEN doc_id % 4 = 1 THEN ' 你好世界'
+        |   WHEN doc_id % 4 = 2 THEN ' Привет мир'
+        |   WHEN doc_id % 4 = 3 THEN ' مرحبا 42' ELSE '' END) AS t
+        | FROM documents),
+        |c AS (SELECT doc_id, length(t)::BIGINT AS n_chars,
+        | length(regexp_replace(t, '[^\p{Latin}]', '', 'g'))::BIGINT AS n_latin,
+        | length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g'))::BIGINT AS n_cyrillic,
+        | length(regexp_replace(t, '[^\p{Han}]', '', 'g'))::BIGINT AS n_han,
+        | length(regexp_replace(t, '[^\p{Arabic}]', '', 'g'))::BIGINT AS n_arabic,
+        | length(regexp_replace(t, '[^0-9]', '', 'g'))::BIGINT AS n_digit,
+        | length(regexp_replace(t, '[^\s]', '', 'g'))::BIGINT AS n_space
+        | FROM d)
+        |SELECT *,
+        | CASE WHEN n_latin + n_cyrillic + n_han + n_arabic = 0 THEN 'none'
+        |  WHEN n_arabic > greatest(n_latin, n_cyrillic, n_han) THEN 'arabic'
+        |  WHEN n_han > greatest(n_latin, n_cyrillic) THEN 'han'
+        |  WHEN n_cyrillic > n_latin THEN 'cyrillic'
+        |  ELSE 'latin' END AS dominant
+        |FROM c""".stripMargin.replace("\n", " "),
     // canonical key derived independently: every raw variant collapses
     // to the query-free canonical form
     "q266_url_dedup" ->

@@ -387,6 +387,34 @@ object StreamScorers {
     }
   }
 
+  /** Streaming canonical-URL dedup — the crawl-frontier face of the
+    * batch q266 shape: the first document per CANONICAL url passes
+    * (case/www/tracking/fragment/slash variants collapse before the
+    * seen-set check, so a re-crawled utm-decorated revisit is dropped).
+    * Same state mechanics as [[exactDedupStream]]: whole-history state
+    * sized by distinct canonical urls, or watermark-bounded via
+    * `dropDuplicatesWithinWatermark` when `tsColAndWatermark` is set. */
+  def urlDedupStream(docs: DataFrame, urlCol: String,
+      tsColAndWatermark: Option[(String, String)] = None): DataFrame = {
+    val canon = docs.withColumn("canon_url",
+      graft.text.UrlOps.canonicalizeUrl(col(urlCol)))
+    tsColAndWatermark match {
+      case Some((ts, wm)) =>
+        canon.withWatermark(ts, wm).dropDuplicatesWithinWatermark("canon_url")
+      case None => canon.dropDuplicates("canon_url")
+    }
+  }
+
+  /** Streaming perceptual image dedup: decode payloads (typed flatMap —
+    * streaming-safe), fingerprint with the 8×8 aHash, and pass only the
+    * first image per exact hash. Near-dup (hamming > 0) pairing needs
+    * the stateful bucket machinery ([[nearDupStream]]'s shape); exact
+    * perceptual-hash dedup is the high-volume ingest gate and needs
+    * only (16-byte hash) state per distinct image. */
+  def imageDedupStream(media: DataFrame): DataFrame =
+    graft.mm.Multimodal.imageAHash(graft.mm.Multimodal.decodeImage(media))
+      .dropDuplicates("ahash_lo", "ahash_hi")
+
   case class ErrEvent(entity: String, seq: Long, err: Double)
   case class DdmOut(entity: String, seq: Long, err: Double, p: Double, s: Double, level: String)
   case class DdmState(n: Long, errs: Double, minPS: Double, sAtMin: Double)

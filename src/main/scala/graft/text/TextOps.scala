@@ -674,6 +674,67 @@ object TextOps {
       .where(col("sharedFp") >= minShared)
   }
 
+  /** zlib compression ratio per document — the classic cheap redundancy
+    * signal (template spam and scraped boilerplate compress far below
+    * organic prose; cutting on deflate ratio is a standard corpus-
+    * quality heuristic). One JVM `Deflater` per PARTITION (the real
+    * batched-codec pattern), rows streamed through, zero shuffle.
+    *
+    * Gate note: the deflated LENGTH is zlib-implementation-defined, so
+    * no SQL oracle exists — the q269 driver row is rows-only by design
+    * and UrlJsonSpec pins exact values plus the repetitive-vs-diverse
+    * monotonicity contract and partitioning-independence. */
+  def compressionRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater()
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, t) =>
+          val raw = Option(t).getOrElse("").getBytes("UTF-8")
+          defl.reset(); defl.setInput(raw); defl.finish()
+          var n = 0L
+          while (!defl.finished()) n += defl.deflate(buf)
+          (id, raw.length.toLong, n,
+            if (raw.length == 0) 1.0 else n.toDouble / raw.length)
+        }
+      }.toDF("id", "raw_bytes", "deflated_bytes", "ratio")
+  }
+
+  /** Unicode script profile — the orthography-level sanity check behind
+    * language id (a doc tagged `en` that is 60% Cyrillic is mislabeled
+    * or spam; mixed-script tokens are a classic obfuscation signal).
+    * One codegen'd regex scan per script class, zero shuffle. Java
+    * spells the classes `\p{IsLatin}`; RE2 spells them `\p{Latin}` —
+    * same Unicode script property, so the oracle replays exactly.
+    * `dominant` is the argmax script with ties to the class order
+    * latin > cyrillic > han > arabic (deterministic). */
+  def scriptProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(cls: String) =
+      length(regexp_replace(col(textCol), s"[^\\p{Is$cls}]", ""))
+    val digit = length(regexp_replace(col(textCol), "[^0-9]", ""))
+    val space = length(regexp_replace(col(textCol), "[^\\s]", ""))
+    val out = docs.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      cnt("Latin").cast("long").as("n_latin"),
+      cnt("Cyrillic").cast("long").as("n_cyrillic"),
+      cnt("Han").cast("long").as("n_han"),
+      cnt("Arabic").cast("long").as("n_arabic"),
+      digit.cast("long").as("n_digit"),
+      space.cast("long").as("n_space"))
+    val scripts = Seq("n_latin", "n_cyrillic", "n_han", "n_arabic")
+    val dominant = scripts.tail.foldLeft(
+      (col(scripts.head), lit(scripts.head.drop(2)))) { case ((best, name), c) =>
+      (greatest(best, col(c)),
+        when(col(c) > best, lit(c.drop(2))).otherwise(name))
+    }._2
+    out.withColumn("dominant",
+      when(col("n_latin") + col("n_cyrillic") + col("n_han") + col("n_arabic") === 0,
+        "none").otherwise(dominant))
+  }
+
   /** Language markers for the stopword-ratio language id heuristic. */
   val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),

@@ -70,6 +70,32 @@ class UrlJsonSpec extends SparkSpec {
     assert(r(1L) && !r(2L))
   }
 
+  test("compressionRatio: repetitive < diverse, empty = 1.0, partition-stable") {
+    val docs = Seq(
+      (1L, "spam " * 200),
+      (2L, (0 until 1000).map(i => ((i * 7919 % 90) + 33).toChar).mkString),
+      (3L, "")).map { case (i, t) => (i, t) }.toDF("id", "t")
+    val r = graft.text.TextOps.compressionRatio(docs, "id", "t")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L)._3 < 0.05, s"template spam compresses hard: ${r(1L)}")
+    assert(r(2L)._3 > r(1L)._3 * 5, "diverse text compresses far less")
+    assert(r(3L) == ((0L, 8L, 1.0)), "empty doc: 8-byte empty zlib stream, ratio pinned 1.0")
+    val r2 = graft.text.TextOps.compressionRatio(docs.repartition(5), "id", "t")
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r.forall { case (k, v) => r2(k) == v._3 }, "partitioning-independent")
+  }
+
+  test("scriptProfile: counts per script, dominant with fixed tie order") {
+    val d = Seq((1L, "abc Привет Привет мир"), (2L, "你好"), (3L, "123 .,"))
+      .toDF("id", "t")
+    val p = graft.text.TextOps.scriptProfile(d, "id", "t").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(p(1L).getLong(2) == 3 && p(1L).getLong(3) == 15) // latin, cyrillic
+    assert(p(1L).getString(8) == "cyrillic")
+    assert(p(2L).getLong(4) == 2 && p(2L).getString(8) == "han")
+    assert(p(3L).getLong(6) == 3 && p(3L).getString(8) == "none")
+  }
+
   test("jsonProfile: paths, nesting, lexical types, null json skipped") {
     val df = Seq(
       """{"a": 1, "s": "x", "o": {"b": 2.5, "c": [1,2]}, "f": true}""",
