@@ -190,6 +190,202 @@ object Codecs {
     }.toOption
   }
 
+  /** GIF87a — the second compressed real codec: a full variable-width
+    * LZW implementation (the GIF flavor: LSB-first bit packing, clear/
+    * end codes, dictionary growth to 12 bits with reset at 4096), pure
+    * JVM. Decode parses the logical screen descriptor + global color
+    * table, skips extension blocks, LZW-decodes the first image's index
+    * stream and maps it through the palette to logical top-down RGB
+    * triples. Interlaced images and local color tables return None (the
+    * FakeCodec fallback path). The encoder is a REAL LZW compressor (not
+    * the uncompressed-GIF trick), so round-trip fixtures exercise
+    * dictionary growth, width bumps and the reset path. */
+  object Gif {
+    def isGif(p: Array[Byte]): Boolean =
+      p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8'
+
+    /** Encode 8-bit indexed pixels with a 256-entry palette
+      * (`palette` = 768 RGB bytes), non-interlaced GIF87a. */
+    def encode(w: Int, h: Int, indices: Array[Byte],
+        palette: Array[Byte]): Array[Byte] = {
+      require(indices.length == w * h, "index array must be w*h bytes")
+      require(palette.length == 768, "palette must be 256 RGB entries")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF87a".getBytes("US-ASCII"))
+      // logical screen descriptor: dims, GCT present, 256 entries
+      out.write(w & 0xff); out.write((w >> 8) & 0xff)
+      out.write(h & 0xff); out.write((h >> 8) & 0xff)
+      out.write(0xf7) // GCT flag | color res 7 | size 7 (2^8 entries)
+      out.write(0); out.write(0)
+      out.write(palette)
+      // image descriptor at (0,0), no local table, not interlaced
+      out.write(0x2c)
+      out.write(0); out.write(0); out.write(0); out.write(0)
+      out.write(w & 0xff); out.write((w >> 8) & 0xff)
+      out.write(h & 0xff); out.write((h >> 8) & 0xff)
+      out.write(0)
+      val minCode = 8
+      out.write(minCode)
+      // --- LZW encode ---
+      val clear = 1 << minCode; val end = clear + 1
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nAcc = 0
+      var width = minCode + 1
+      def put(code: Int): Unit = {
+        acc |= code.toLong << nAcc; nAcc += width
+        while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nAcc -= 8 }
+      }
+      var dict = collection.mutable.HashMap.empty[(Int, Byte), Int]
+      var next = end + 1
+      put(clear)
+      var cur = indices(0) & 0xff
+      var i = 1
+      while (i < indices.length) {
+        val c = indices(i)
+        dict.get((cur, c)) match {
+          case Some(code) => cur = code
+          case None =>
+            put(cur)
+            dict((cur, c)) = next
+            next += 1
+            if (next - 1 == (1 << width) && width < 12) width += 1
+            if (next == 4096) {
+              put(clear)
+              dict = collection.mutable.HashMap.empty
+              next = end + 1
+              width = minCode + 1
+            }
+            cur = c & 0xff
+        }
+        i += 1
+      }
+      put(cur); put(end)
+      if (nAcc > 0) bits.write((acc & 0xff).toInt)
+      // sub-blocks of <= 255 bytes
+      val data = bits.toByteArray
+      var off = 0
+      while (off < data.length) {
+        val len = math.min(255, data.length - off)
+        out.write(len)
+        out.write(data, off, len)
+        off += len
+      }
+      out.write(0)    // block terminator
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
+
+    /** Returns (width, height, logical top-down RGB bytes). */
+    def decode(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = Try {
+      require(isGif(p), "bad signature")
+      var i = 6
+      def u16(off: Int) = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+      i += 4 // screen dims (image descriptor carries the real ones)
+      val packed = p(i) & 0xff; i += 3
+      require((packed & 0x80) != 0, "global color table required")
+      val gctSize = 3 * (2 << (packed & 7))
+      val palette = java.util.Arrays.copyOfRange(p, i, i + gctSize)
+      i += gctSize
+      // walk blocks to the first image descriptor
+      while ((p(i) & 0xff) == 0x21) { // extension: label + sub-blocks
+        i += 2
+        while (p(i) != 0) i += 1 + (p(i) & 0xff)
+        i += 1
+      }
+      require((p(i) & 0xff) == 0x2c, "image descriptor expected")
+      val w = u16(i + 5); val h = u16(i + 7)
+      require(w > 0 && h > 0 && w <= (1 << 15) && h <= (1 << 15))
+      val ipacked = p(i + 9) & 0xff
+      require((ipacked & 0x80) == 0, "local color tables unsupported")
+      require((ipacked & 0x40) == 0, "interlace unsupported")
+      i += 10
+      val minCode = p(i) & 0xff; i += 1
+      require(minCode >= 2 && minCode <= 8)
+      // concatenate sub-blocks
+      val data = new java.io.ByteArrayOutputStream()
+      while (p(i) != 0) {
+        val len = p(i) & 0xff
+        data.write(p, i + 1, len)
+        i += 1 + len
+      }
+      val bytes = data.toByteArray
+      // --- LZW decode ---
+      val clear = 1 << minCode; val end = clear + 1
+      val out = new Array[Byte](w * h)
+      var produced = 0
+      // dictionary: entries as (prefix code, appended byte); roots implicit
+      val prefix = new Array[Int](4096)
+      val append = new Array[Byte](4096)
+      var next = end + 1
+      var width = minCode + 1
+      var acc = 0L; var nAcc = 0; var bi = 0
+      def read(): Int = {
+        while (nAcc < width) {
+          require(bi < bytes.length, "LZW stream truncated")
+          acc |= (bytes(bi) & 0xffL) << nAcc; bi += 1; nAcc += 8
+        }
+        val c = (acc & ((1L << width) - 1)).toInt
+        acc >>= width; nAcc -= width
+        c
+      }
+      def emit(code: Int): Byte = { // writes expansion, returns FIRST byte
+        var stack = List.empty[Byte]
+        var c = code
+        while (c >= clear + 2) { stack = append(c) :: stack; c = prefix(c) }
+        val first = c.toByte
+        stack = first :: stack
+        stack.foreach { b =>
+          require(produced < out.length, "more pixels than w*h")
+          out(produced) = b; produced += 1
+        }
+        first
+      }
+      var prev = -1
+      var done = false
+      while (!done) {
+        val code = read()
+        if (code == end) done = true
+        else if (code == clear) { next = end + 1; width = minCode + 1; prev = -1 }
+        else if (prev == -1) { emit(code); prev = code }
+        else {
+          val first =
+            if (code < next) emit(code)
+            else { // KwKwK case: expansion = prev's expansion + its first byte
+              require(code == next, s"code $code beyond dictionary $next")
+              var c = prev
+              while (c >= clear + 2) c = prefix(c)
+              val f = c.toByte
+              var stack = List.empty[Byte]
+              c = prev
+              while (c >= clear + 2) { stack = append(c) :: stack; c = prefix(c) }
+              stack = c.toByte :: stack
+              (stack :+ f).foreach { b =>
+                require(produced < out.length, "more pixels than w*h")
+                out(produced) = b; produced += 1
+              }
+              f
+            }
+          if (next < 4096) {
+            prefix(next) = prev; append(next) = first; next += 1
+            if (next == (1 << width) && width < 12) width += 1
+          }
+          prev = code
+        }
+      }
+      require(produced == w * h, s"decoded $produced of ${w * h} pixels")
+      val rgb = new Array[Byte](w * h * 3)
+      var k = 0
+      while (k < w * h) {
+        val idx = (out(k) & 0xff) * 3
+        rgb(3 * k) = palette(idx)
+        rgb(3 * k + 1) = palette(idx + 1)
+        rgb(3 * k + 2) = palette(idx + 2)
+        k += 1
+      }
+      (w, h, rgb)
+    }.toOption
+  }
+
   /** PNG (RFC 2083) — the first COMPRESSED real codec, still pure JVM:
     * `java.util.zip.Inflater/Deflater` for the zlib stream, `CRC32` for
     * chunk integrity, and the five PNG row filters (None/Sub/Up/Average/

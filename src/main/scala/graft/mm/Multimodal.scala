@@ -116,6 +116,8 @@ object Multimodal {
         Codecs.Wav.decode(p).map { case (_, ch, samples) => audioRow(id, ch, samples, n) }
       else if (Codecs.Png.isPng(p))
         Codecs.Png.decode(p).map { case (w, h, rgb) => imageRow(id, w, h, rgb, 2, 1, 0, n) }
+      else if (Codecs.Gif.isGif(p))
+        Codecs.Gif.decode(p).map { case (w, h, rgb) => imageRow(id, w, h, rgb, 2, 1, 0, n) }
       else None
     real.getOrElse(FakeCodec.decode(p).copy(id = id))
   }
@@ -153,6 +155,8 @@ object Multimodal {
             Codecs.Ppm.decode(p).map(rgbToBgr)
           else if (Codecs.Png.isPng(p))
             Codecs.Png.decode(p).map(rgbToBgr)
+          else if (Codecs.Gif.isGif(p))
+            Codecs.Gif.decode(p).map(rgbToBgr)
           else None
         raster.map { case (w, h, bgr) => ImageRow(m.id, w, h, bgr) }
       }

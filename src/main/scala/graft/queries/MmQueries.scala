@@ -90,6 +90,32 @@ object MmQueries {
       }.toDF("id", "payload")
   }
 
+  /** Deterministic GIF87a per document: w = n_chars%10+2, h = doc_id%5+2,
+    * palette entry i = ((i*3)%256, (i*5)%256, (i*7)%256), pixel index at
+    * raster position k = (doc_id*13 + k*11) % 256. The encoder is a real
+    * LZW compressor, so decode exercises variable-width code reads,
+    * dictionary growth and the KwKwK case on real bytes. */
+  private def gifMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val palette = Array.tabulate(768) { j =>
+      val i = j / 3
+      (j % 3 match {
+        case 0 => (i * 3) % 256
+        case 1 => (i * 5) % 256
+        case 2 => (i * 7) % 256
+      }).toByte
+    }
+    table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"), col("n_chars").cast("int").as("nc"))
+      .as[(Long, Int)]
+      .map { case (id, nc) =>
+        val w = (nc % 10) + 2
+        val h = (id % 5).toInt + 2
+        val idx = Array.tabulate(w * h)(k => ((id * 13 + k * 11) % 256).toByte)
+        (id, Codecs.Gif.encode(w, h, idx, palette))
+      }.toDF("id", "payload")
+  }
+
   /** Deterministic mono PCM-16 WAV per document: n = n_chars%200+50
     * samples, sample i = (doc_id*31 + i*17) % 4096 − 2048, 8 kHz. */
   private def wavMedia(s: SparkSession, dir: String): DataFrame = {
@@ -185,6 +211,16 @@ object MmQueries {
         element_at(col("band_energy"), 2).as("e1"),
         element_at(col("band_energy"), 3).as("e2"),
         element_at(col("band_energy"), 4).as("e3")))
+    }),
+    // real GIF decode (second compressed codec): LZW inflate + palette
+    // mapping; channel means replay from the index/palette formulas
+    "q272_mm_gif" -> ((s, dir) => {
+      val dec = Multimodal.decode(gifMedia(s, dir)).toDF()
+      canon(dec.select(col("id"), col("width"), col("height"), col("channels"),
+        element_at(col("features"), 1).cast("double").as("f0"),
+        element_at(col("features"), 2).cast("double").as("f1"),
+        element_at(col("features"), 3).cast("double").as("f2"),
+        element_at(col("features"), 4).cast("double").as("f3")))
     }),
     // real WAV decode: PCM-16 chunk walk, features = mean/rms/maxAbs/
     // zero-cross-rate from exact integer sums
@@ -379,6 +415,23 @@ object MmQueries {
         | round(be[1], 4) AS e0, round(be[2], 4) AS e1,
         | round(be[3], 4) AS e2, round(be[4], 4) AS e3
         |FROM e""".stripMargin.replace("\n", " "),
+    // the oracle never touches LZW bytes — it replays index formula →
+    // palette mapping → channel means; the decode must invert the real
+    // compression to reproduce them
+    "q272_mm_gif" ->
+      """WITH d AS (SELECT doc_id AS id, (n_chars % 10) + 2 AS w,
+        |  (doc_id % 5) + 2 AS h FROM documents),
+        |m AS (SELECT id, w, h,
+        |  list_sum(list_transform(range(w*h), k -> (((id*13 + k*11) % 256) * 7) % 256))::DOUBLE / (w*h) / 255.0 AS mB,
+        |  list_sum(list_transform(range(w*h), k -> (((id*13 + k*11) % 256) * 5) % 256))::DOUBLE / (w*h) / 255.0 AS mG,
+        |  list_sum(list_transform(range(w*h), k -> (((id*13 + k*11) % 256) * 3) % 256))::DOUBLE / (w*h) / 255.0 AS mR
+        | FROM d)
+        |SELECT id, w::INT AS width, h::INT AS height, 3 AS channels,
+        | round((round(mB, 4)::FLOAT)::DOUBLE, 4) AS f0,
+        | round((round(mG, 4)::FLOAT)::DOUBLE, 4) AS f1,
+        | round((round(mR, 4)::FLOAT)::DOUBLE, 4) AS f2,
+        | round((round(0.299*mR + 0.587*mG + 0.114*mB, 4)::FLOAT)::DOUBLE, 4) AS f3
+        |FROM m""".stripMargin.replace("\n", " "),
     "q146_mm_wav" ->
       """WITH d AS (SELECT doc_id AS id, (n_chars % 200) + 50 AS n FROM documents),
         |s AS (SELECT id, n,

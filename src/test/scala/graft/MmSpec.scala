@@ -211,6 +211,33 @@ class MmSpec extends SparkSpec {
     assert(rows(2L)._3.forall(_ == 0.0), "silence → zero energy")
   }
 
+  test("GIF codec: real LZW round-trips incl. KwKwK, dict growth and reset") {
+    import graft.mm.Codecs
+    val palette = Array.tabulate(768)(j => ((j / 3 * (3 + 2 * (j % 3))) % 256).toByte)
+    // constant run: triggers the KwKwK case on the second code
+    val flat = Array.fill(300)(7.toByte)
+    val Some((fw, fh, frgb)) = Codecs.Gif.decode(Codecs.Gif.encode(30, 10, flat, palette))
+    assert(fw == 30 && fh == 10)
+    assert((0 until 300).forall(k => frgb(3 * k) == palette(21) &&
+      frgb(3 * k + 1) == palette(22) && frgb(3 * k + 2) == palette(23)))
+    // large varied image: dictionary grows past several width bumps and
+    // (at 80x80 with period-251 noise) exercises the 4096 reset
+    val big = Array.tabulate(80 * 80)(k => ((k * 131 + k / 7) % 251).toByte)
+    val Some((bw, bh, brgb)) = Codecs.Gif.decode(Codecs.Gif.encode(80, 80, big, palette))
+    assert(bw == 80 && bh == 80)
+    assert((0 until 80 * 80).forall { k =>
+      val i = (big(k) & 0xff) * 3
+      brgb(3 * k) == palette(i) && brgb(3 * k + 1) == palette(i + 1) &&
+        brgb(3 * k + 2) == palette(i + 2)
+    }, "palette-mapped pixels must round-trip exactly")
+    // corrupt/truncated → None → decodeOne falls back to the stub
+    val ok = Codecs.Gif.encode(4, 4, Array.tabulate(16)(_.toByte), palette)
+    assert(Codecs.Gif.decode(ok.take(ok.length / 2)).isEmpty)
+    val viaFake = Multimodal.FakeCodec.decode(ok.take(9))
+    val d = Multimodal.decodeOne(9L, ok.take(9))
+    assert(d.width == viaFake.width && d.features.sameElements(viaFake.features))
+  }
+
   test("frame sampling strides fixed-size chunks") {
     val media = Multimodal.packBinary(docs, "doc_id", "text")
     val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 2)
