@@ -190,6 +190,306 @@ object Codecs {
     }.toOption
   }
 
+  /** Baseline JPEG (ITU-T T.81, SOF0), grayscale — the third compressed
+    * real codec, pure JVM: marker parsing (DQT/SOF0/DHT/SOS, APPn/COM
+    * skipped), canonical Huffman decoding with 0xFF00 byte unstuffing,
+    * DC prediction, dequantization, a full separable double-precision
+    * IDCT, level shift + clamp. The encoder produces REAL baseline
+    * streams with the public T.81 Annex K luminance Huffman tables.
+    *
+    * Exactness device for the oracle gate: JPEG is lossy in general,
+    * but an 8×8 block of CONSTANT value v has a DC-only DCT (8·(v−128))
+    * and, with the flat quant table Q=8 used here, quantizes with zero
+    * error — so constant-block fixtures round-trip BIT-EXACTLY through
+    * the real Huffman/quant/IDCT pipeline, and the q-gate oracle can
+    * derive expected pixels from the block-value formula while staying
+    * blind to the compressed bytes. Width/height must be multiples of 8
+    * in the encoder; the decoder handles any size (edge blocks crop). */
+  object Jpeg {
+    def isJpeg(p: Array[Byte]): Boolean =
+      p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
+        (p(2) & 0xff) == 0xff
+
+    // T.81 Annex K.3.1 — typical luminance DC table: BITS + HUFFVAL
+    private val dcBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    private val dcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+    // K.3.2 — typical luminance AC table
+    private val acBits = Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+    private val acVals = Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+      0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+      0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+      0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+      0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+      0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+      0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+      0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+      0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+      0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+      0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+      0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+    /** Canonical codes from a BITS array: (code, length) per symbol in
+      * HUFFVAL order. */
+    private def canonical(bits: Array[Int]): Array[(Int, Int)] = {
+      val out = collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var code = 0
+      for (len <- 1 to 16) {
+        for (_ <- 0 until bits(len)) { out += ((code, len)); code += 1 }
+        code <<= 1
+      }
+      out.toArray
+    }
+
+    private val zigzag: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+    /** Flat quant table (all 8): makes constant blocks exactly
+      * representable (DC = 8·(v−128) divides by 8 without error). */
+    private val flatQ = 8
+
+    /** Encode 8-bit grayscale, w and h multiples of 8, baseline SOF0. */
+    def encode(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+      require(w % 8 == 0 && h % 8 == 0, "encoder needs multiple-of-8 dims")
+      require(gray.length == w * h, "pixel array must be w*h bytes")
+      val out = new java.io.ByteArrayOutputStream()
+      def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+      def seg(m: Int, body: Array[Byte]): Unit = {
+        marker(m)
+        out.write(((body.length + 2) >> 8) & 0xff); out.write((body.length + 2) & 0xff)
+        out.write(body)
+      }
+      marker(0xd8) // SOI
+      seg(0xdb, Array[Byte](0) ++ Array.fill(64)(flatQ.toByte)) // DQT id 0
+      seg(0xc0, Array[Byte](8, // SOF0: precision
+        ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+        ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+        1, 1, 0x11, 0)) // 1 component, id 1, 1x1 sampling, quant 0
+      def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit =
+        seg(0xc4, Array((cls << 4).toByte) ++
+          (1 to 16).map(l => bits(l).toByte).toArray ++ vals.map(_.toByte))
+      dht(0, dcBits, dcVals)
+      dht(1, acBits, acVals)
+      seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS: comp 1, DC 0 / AC 0
+      // entropy-coded data
+      val dcCodes = canonical(dcBits) // symbol = dcVals(i) = category i here
+      val acCodes = canonical(acBits)
+      val acEob = acCodes(acVals.indexOf(0x00))
+      var acc = 0L; var nAcc = 0
+      val body = new java.io.ByteArrayOutputStream()
+      def putBits(code: Int, len: Int): Unit = { // MSB-first
+        acc = (acc << len) | (code & ((1L << len) - 1)); nAcc += len
+        while (nAcc >= 8) {
+          val b = ((acc >> (nAcc - 8)) & 0xff).toInt
+          body.write(b)
+          if (b == 0xff) body.write(0x00) // byte stuffing
+          nAcc -= 8
+          acc &= (1L << nAcc) - 1 // drop written bits before the next shift
+        }
+      }
+      var prevDc = 0
+      val bw = w / 8; val bh = h / 8
+      for (by <- 0 until bh; bx <- 0 until bw) {
+        // constant-or-not: encode the true DCT DC of the block; ACs are
+        // encoded as EOB only, so NON-constant blocks lose their ACs —
+        // callers wanting exactness use constant blocks (doc above)
+        var sum = 0
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            sum += gray((by * 8 + yy) * w + bx * 8 + xx) & 0xff
+            xx += 1
+          }
+          yy += 1
+        }
+        // DC coefficient 8*(mean-128) = (sum-64*128)/8; quantized by 8
+        val dc = math.round((sum - 8192) / 64.0 * 8.0 / flatQ).toInt
+        val diff = dc - prevDc
+        prevDc = dc
+        val cat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        val (c, l) = dcCodes(cat)
+        putBits(c, l)
+        if (cat > 0) {
+          val bitsVal = if (diff > 0) diff else diff + (1 << cat) - 1
+          putBits(bitsVal, cat)
+        }
+        putBits(acEob._1, acEob._2)
+      }
+      if (nAcc > 0) { // pad with 1-bits
+        val pad = 8 - nAcc
+        putBits((1 << pad) - 1, pad)
+      }
+      out.write(body.toByteArray)
+      marker(0xd9) // EOI
+      out.toByteArray
+    }
+
+    /** Returns (width, height, RGB bytes — gray expanded). */
+    def decode(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = Try {
+      require(isJpeg(p), "bad signature")
+      var i = 2
+      var w = -1; var h = -1
+      val quant = collection.mutable.Map.empty[Int, Array[Int]]
+      // huffman: (cls, id) -> map from (len, code) to symbol
+      val huff = collection.mutable.Map.empty[(Int, Int), Map[(Int, Int), Int]]
+      var compQuant = -1; var dcTable = -1; var acTable = -1
+      var sosAt = -1
+      while (sosAt < 0) {
+        require(i + 4 <= p.length && (p(i) & 0xff) == 0xff, "marker expected")
+        val m = p(i + 1) & 0xff
+        require(m != 0xd9, "EOI before SOS")
+        val len = ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+        val body = i + 4
+        m match {
+          case 0xdb => // DQT: one or more tables
+            var j = body
+            while (j < i + 2 + len) {
+              val pq = (p(j) & 0xff) >> 4; val tq = p(j) & 0x0f
+              require(pq == 0, "only 8-bit quant tables")
+              quant(tq) = Array.tabulate(64)(k => p(j + 1 + k) & 0xff)
+              j += 65
+            }
+          case 0xc0 => // SOF0 baseline
+            require((p(body) & 0xff) == 8, "only 8-bit precision")
+            h = ((p(body + 1) & 0xff) << 8) | (p(body + 2) & 0xff)
+            w = ((p(body + 3) & 0xff) << 8) | (p(body + 4) & 0xff)
+            require((p(body + 5) & 0xff) == 1, "only grayscale (1 component)")
+            require((p(body + 7) & 0xff) == 0x11, "only 1x1 sampling")
+            compQuant = p(body + 8) & 0xff
+          case 0xc4 => // DHT: one or more tables
+            var j = body
+            while (j < i + 2 + len) {
+              val cls = (p(j) & 0xff) >> 4; val id = p(j) & 0x0f
+              val bits = Array.tabulate(17)(k => if (k == 0) 0 else p(j + k) & 0xff)
+              val n = bits.sum
+              val vals = Array.tabulate(n)(k => p(j + 17 + k) & 0xff)
+              val codes = canonical(bits)
+              huff((cls, id)) = codes.zip(vals).map { case ((c, l), v) =>
+                (l, c) -> v
+              }.toMap
+              j += 17 + n
+            }
+          case 0xda => // SOS
+            require((p(body) & 0xff) == 1, "one scan component")
+            dcTable = (p(body + 2) & 0xff) >> 4
+            acTable = p(body + 2) & 0x0f
+            sosAt = i + 2 + len
+          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+               0xcd | 0xce | 0xcf =>
+            throw new IllegalArgumentException("only baseline SOF0")
+          case _ => () // APPn, COM, DRI(ignored: no RST support needed)
+        }
+        if (sosAt < 0) i += 2 + len
+      }
+      require(w > 0 && h > 0 && w <= (1 << 14) && h <= (1 << 14))
+      val q = quant(compQuant)
+      val dcH = huff((0, dcTable)); val acH = huff((1, acTable))
+      // entropy-coded bit reader with 0xFF00 unstuffing
+      var bi = sosAt; var acc = 0L; var nAcc = 0
+      def readBit(): Int = {
+        if (nAcc == 0) {
+          require(bi < p.length, "entropy stream truncated")
+          var b = p(bi) & 0xff; bi += 1
+          if (b == 0xff) {
+            val nxt = p(bi) & 0xff
+            if (nxt == 0x00) bi += 1
+            else b = 0xff // marker — let require below catch overruns
+          }
+          acc = b; nAcc = 8
+        }
+        nAcc -= 1
+        ((acc >> nAcc) & 1).toInt
+      }
+      def readHuff(table: Map[(Int, Int), Int]): Int = {
+        var code = 0; var len = 0
+        while (len < 16) {
+          code = (code << 1) | readBit(); len += 1
+          table.get((len, code)) match {
+            case Some(sym) => return sym
+            case None => ()
+          }
+        }
+        throw new IllegalArgumentException("invalid Huffman code")
+      }
+      def extend(v: Int, cat: Int): Int =
+        if (cat == 0) 0
+        else if (v < (1 << (cat - 1))) v - (1 << cat) + 1
+        else v
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      val gray = new Array[Byte](w * h)
+      val coef = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      var prevDc = 0
+      val c = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
+      val cosT = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+      for (by <- 0 until bh; bx <- 0 until bw) {
+        java.util.Arrays.fill(coef, 0)
+        val dcCat = readHuff(dcH)
+        var v = 0
+        for (_ <- 0 until dcCat) v = (v << 1) | readBit()
+        prevDc += extend(v, dcCat)
+        coef(0) = prevDc * q(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = readHuff(acH)
+          val run = rs >> 4; val cat = rs & 0x0f
+          if (rs == 0x00) eob = true
+          else if (rs == 0xf0) k += 16 // ZRL
+          else {
+            k += run
+            require(k < 64, "AC run overflow")
+            var av = 0
+            for (_ <- 0 until cat) av = (av << 1) | readBit()
+            coef(zigzag(k)) = extend(av, cat) * q(k)
+            k += 1
+          }
+        }
+        // separable IDCT: rows then columns
+        var y0 = 0
+        while (y0 < 8) {
+          var x0 = 0
+          while (x0 < 8) {
+            var s = 0.0
+            var u = 0
+            while (u < 8) { s += c(u) * coef(y0 * 8 + u) * cosT(x0)(u); u += 1 }
+            tmp(y0 * 8 + x0) = s / 2.0
+            x0 += 1
+          }
+          y0 += 1
+        }
+        var x1 = 0
+        while (x1 < 8) {
+          var y1 = 0
+          while (y1 < 8) {
+            var s = 0.0
+            var vv = 0
+            while (vv < 8) { s += c(vv) * tmp(vv * 8 + x1) * cosT(y1)(vv); vv += 1 }
+            val px = math.round(s / 2.0 + 128.0).toInt
+            val yy = by * 8 + y1; val xx = bx * 8 + x1
+            if (yy < h && xx < w)
+              gray(yy * w + xx) = math.max(0, math.min(255, px)).toByte
+            y1 += 1
+          }
+          x1 += 1
+        }
+      }
+      val rgb = new Array[Byte](w * h * 3)
+      var k2 = 0
+      while (k2 < w * h) {
+        rgb(3 * k2) = gray(k2); rgb(3 * k2 + 1) = gray(k2); rgb(3 * k2 + 2) = gray(k2)
+        k2 += 1
+      }
+      (w, h, rgb)
+    }.toOption
+  }
+
   /** GIF87a — the second compressed real codec: a full variable-width
     * LZW implementation (the GIF flavor: LSB-first bit packing, clear/
     * end codes, dictionary growth to 12 bits with reset at 4096), pure

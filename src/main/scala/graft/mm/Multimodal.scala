@@ -8,12 +8,15 @@ import java.security.MessageDigest
   * opaque binary columns + typed metadata, with decode / feature-extract /
   * resize / frame-sample stages.
   *
-  * The heavy codecs are STUBBED (this container has no image/audio
-  * libraries): `FakeCodec.decode` stands in for a real JNI/FFI decoder and
-  * derives deterministic metadata+features from the payload's md5, so the
-  * Spark-side plumbing — binary schema, per-partition batch processing,
-  * feature schema, partitioning — is real and oracle-checkable while the
-  * codec itself is swappable.
+  * Six formats decode for REAL with pure-JVM codecs ([[Codecs]]): BMP,
+  * PPM, PCM WAV (uncompressed) and PNG, GIF, baseline JPEG (compressed —
+  * zlib, LZW and Huffman+IDCT respectively, no external libraries).
+  * Remaining formats (e.g. MP3/AAC/video containers, which need codec
+  * libraries this container lacks) route to the documented
+  * `FakeCodec.decode` stub — a stand-in for a JNI/FFI decoder that
+  * derives deterministic metadata+features from the payload's md5, so
+  * the Spark-side plumbing stays real and oracle-checkable while that
+  * codec slot is swappable.
   */
 object Multimodal {
 
@@ -100,9 +103,9 @@ object Multimodal {
       Array(r4(mean), r4(rms), r4(maxAbs.toDouble / 32768.0), r4(zcr)))
   }
 
-  /** Sniff + decode one payload: real pure-JVM codecs for uncompressed
-    * containers (24-bit BMP, P6 PPM, PCM-16 WAV — [[Codecs]]); anything
-    * else (including malformed headers) falls back to the [[FakeCodec]]
+  /** Sniff + decode one payload: real pure-JVM codecs for BMP, PPM,
+    * WAV, PNG, GIF and baseline JPEG ([[Codecs]]); anything else
+    * (including malformed headers) falls back to the [[FakeCodec]]
     * stub, so the pipeline never fails on foreign bytes. */
   def decodeOne(id: Long, p: Array[Byte]): DecodedRow = {
     val n = p.length.toLong
@@ -118,6 +121,8 @@ object Multimodal {
         Codecs.Png.decode(p).map { case (w, h, rgb) => imageRow(id, w, h, rgb, 2, 1, 0, n) }
       else if (Codecs.Gif.isGif(p))
         Codecs.Gif.decode(p).map { case (w, h, rgb) => imageRow(id, w, h, rgb, 2, 1, 0, n) }
+      else if (Codecs.Jpeg.isJpeg(p))
+        Codecs.Jpeg.decode(p).map { case (w, h, rgb) => imageRow(id, w, h, rgb, 2, 1, 0, n) }
       else None
     real.getOrElse(FakeCodec.decode(p).copy(id = id))
   }
@@ -157,6 +162,8 @@ object Multimodal {
             Codecs.Png.decode(p).map(rgbToBgr)
           else if (Codecs.Gif.isGif(p))
             Codecs.Gif.decode(p).map(rgbToBgr)
+          else if (Codecs.Jpeg.isJpeg(p))
+            Codecs.Jpeg.decode(p).map(rgbToBgr)
           else None
         raster.map { case (w, h, bgr) => ImageRow(m.id, w, h, bgr) }
       }

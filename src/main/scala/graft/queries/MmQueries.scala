@@ -116,6 +116,29 @@ object MmQueries {
       }.toDF("id", "payload")
   }
 
+  /** Deterministic baseline JPEG per document, built so decode is
+    * BIT-EXACT: every 8×8 block is CONSTANT (value = (doc_id*17 +
+    * blockIdx*29) % 256), so the DCT is DC-only and the flat Q=8 table
+    * quantizes it without error — the stream still exercises real
+    * Huffman coding, DC prediction, byte unstuffing, dequant and the
+    * full IDCT. w = 8·(n_chars%3+1), h = 8·(doc_id%2+1). */
+  private def jpegMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"), col("n_chars").cast("int").as("nc"))
+      .as[(Long, Int)]
+      .map { case (id, nc) =>
+        val w = 8 * ((nc % 3) + 1)
+        val h = 8 * ((id % 2).toInt + 1)
+        val bw = w / 8
+        val gray = Array.tabulate(w * h) { k =>
+          val bx = (k % w) / 8; val by = (k / w) / 8
+          ((id * 17 + (by * bw + bx) * 29) % 256).toByte
+        }
+        (id, Codecs.Jpeg.encode(w, h, gray))
+      }.toDF("id", "payload")
+  }
+
   /** Deterministic mono PCM-16 WAV per document: n = n_chars%200+50
     * samples, sample i = (doc_id*31 + i*17) % 4096 − 2048, 8 kHz. */
   private def wavMedia(s: SparkSession, dir: String): DataFrame = {
@@ -216,6 +239,16 @@ object MmQueries {
     // mapping; channel means replay from the index/palette formulas
     "q272_mm_gif" -> ((s, dir) => {
       val dec = Multimodal.decode(gifMedia(s, dir)).toDF()
+      canon(dec.select(col("id"), col("width"), col("height"), col("channels"),
+        element_at(col("features"), 1).cast("double").as("f0"),
+        element_at(col("features"), 2).cast("double").as("f1"),
+        element_at(col("features"), 3).cast("double").as("f2"),
+        element_at(col("features"), 4).cast("double").as("f3")))
+    }),
+    // real baseline JPEG decode (third compressed codec): Huffman + DC
+    // prediction + dequant + IDCT; constant blocks make it bit-exact
+    "q273_mm_jpeg" -> ((s, dir) => {
+      val dec = Multimodal.decode(jpegMedia(s, dir)).toDF()
       canon(dec.select(col("id"), col("width"), col("height"), col("channels"),
         element_at(col("features"), 1).cast("double").as("f0"),
         element_at(col("features"), 2).cast("double").as("f1"),
@@ -431,6 +464,23 @@ object MmQueries {
         | round((round(mG, 4)::FLOAT)::DOUBLE, 4) AS f1,
         | round((round(mR, 4)::FLOAT)::DOUBLE, 4) AS f2,
         | round((round(0.299*mR + 0.587*mG + 0.114*mB, 4)::FLOAT)::DOUBLE, 4) AS f3
+        |FROM m""".stripMargin.replace("\n", " "),
+    // pixel replay of the constant-block construction (per-PIXEL sum so
+    // the float path mirrors the decoder's channel-mean arithmetic);
+    // the oracle never sees the Huffman/DCT bytes
+    "q273_mm_jpeg" ->
+      """WITH d AS (SELECT doc_id AS id, 8*((n_chars % 3)+1) AS w,
+        |  8*((doc_id % 2)+1) AS h FROM documents),
+        |m AS (SELECT id, w, h,
+        |  list_sum(list_transform(range(w*h), k ->
+        |   (id*17 + (((k // w) // 8) * (w // 8) + (k % w) // 8) * 29) % 256
+        |  ))::DOUBLE / (w*h) / 255.0 AS mg
+        | FROM d)
+        |SELECT id, w::INT AS width, h::INT AS height, 3 AS channels,
+        | round((round(mg, 4)::FLOAT)::DOUBLE, 4) AS f0,
+        | round((round(mg, 4)::FLOAT)::DOUBLE, 4) AS f1,
+        | round((round(mg, 4)::FLOAT)::DOUBLE, 4) AS f2,
+        | round((round(0.299*mg + 0.587*mg + 0.114*mg, 4)::FLOAT)::DOUBLE, 4) AS f3
         |FROM m""".stripMargin.replace("\n", " "),
     "q146_mm_wav" ->
       """WITH d AS (SELECT doc_id AS id, (n_chars % 200) + 50 AS n FROM documents),

@@ -238,6 +238,39 @@ class MmSpec extends SparkSpec {
     assert(d.width == viaFake.width && d.features.sameElements(viaFake.features))
   }
 
+  test("JPEG codec: constant blocks round-trip bit-exact through real Huffman+IDCT") {
+    import graft.mm.Codecs
+    // 3x2 blocks of distinct constants incl. extremes — DC prediction
+    // crosses positive and negative diffs
+    val vals = Array(0, 255, 128, 7, 250, 13)
+    val w = 24; val h = 16
+    val gray = Array.tabulate(w * h) { k =>
+      val bx = (k % w) / 8; val by = (k / w) / 8
+      vals(by * 3 + bx).toByte
+    }
+    val enc = Codecs.Jpeg.encode(w, h, gray)
+    assert(Codecs.Jpeg.isJpeg(enc))
+    val Some((dw, dh, rgb)) = Codecs.Jpeg.decode(enc)
+    assert(dw == w && dh == h)
+    assert((0 until w * h).forall(k =>
+      rgb(3 * k) == gray(k) && rgb(3 * k + 1) == gray(k) && rgb(3 * k + 2) == gray(k)),
+      "constant blocks must survive quant/IDCT exactly")
+    // a NON-constant block is genuinely lossy here (ACs dropped by the
+    // DC-only encoder) — decoded block is its mean, proving the decode
+    // path runs a real transform rather than echoing input
+    val ramp = Array.tabulate(64)(k => (k * 4).toByte)
+    val Some((_, _, r2)) = Codecs.Jpeg.decode(Codecs.Jpeg.encode(8, 8, ramp))
+    val mean = math.round(ramp.map(_ & 0xff).sum / 64.0 * 8 / 8 / 8.0 * 8 / 8).toInt
+    assert((0 until 64).forall(k => (r2(3 * k) & 0xff) == (r2(0) & 0xff)),
+      "DC-only decode of a ramp is flat")
+    assert(math.abs((r2(0) & 0xff) - ramp.map(_ & 0xff).sum / 64) <= 1)
+    // malformed: progressive marker / truncation → None → stub fallback
+    val bad = enc.clone(); bad(3) = 0xc2.toByte // pretend SOF2 right after SOI
+    assert(Codecs.Jpeg.decode(enc.take(20)).isEmpty)
+    val d = Multimodal.decodeOne(11L, enc)
+    assert(d.width == w && d.height == h && d.channels == 3)
+  }
+
   test("frame sampling strides fixed-size chunks") {
     val media = Multimodal.packBinary(docs, "doc_id", "text")
     val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 2)
