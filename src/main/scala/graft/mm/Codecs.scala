@@ -156,36 +156,158 @@ object Codecs {
       out
     }
 
+    // IMA/DVI ADPCM tables (public spec; also RFC 3551 §4.5.1 lineage)
+    private val imaStep = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+      41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+      190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+      724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+      16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    private val imaIndexAdj = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** One IMA step shared by encode and decode (bit-identical state). */
+    private def imaDecodeNibble(nib: Int, pred0: Int, idx0: Int): (Int, Int) = {
+      val step = imaStep(idx0)
+      var diff = step >> 3
+      if ((nib & 1) != 0) diff += step >> 2
+      if ((nib & 2) != 0) diff += step >> 1
+      if ((nib & 4) != 0) diff += step
+      val pred = math.max(-32768, math.min(32767,
+        if ((nib & 8) != 0) pred0 - diff else pred0 + diff))
+      val idx = math.max(0, math.min(88, idx0 + imaIndexAdj(nib & 7)))
+      (pred, idx)
+    }
+
+    /** IMA-ADPCM (format 0x11) mono encode — the compressed-AUDIO codec:
+      * per block, a 4-byte header (initial predictor int16 + step index)
+      * then 4-bit nibbles, encoder state tracking the decoder's
+      * reconstruction exactly. samplesPerBlock = 1 + (blockAlign-4)·2;
+      * input length must be a whole number of blocks. */
+    def encodeAdpcm(samples: Array[Short], sampleRate: Int,
+        blockAlign: Int = 256): Array[Byte] = {
+      val spb = 1 + (blockAlign - 4) * 2
+      require(samples.nonEmpty && samples.length % spb == 0,
+        s"need whole blocks of $spb samples")
+      val nBlocks = samples.length / spb
+      val dataLen = nBlocks * blockAlign
+      // layout: RIFF(0) size(4) WAVE(8) | 'fmt '(12) len=20(16) body 20-39
+      // (16 std + cbSize + samplesPerBlock) | 'data'(40) len(44) bytes(48+)
+      val out = new Array[Byte](48 + dataLen)
+      "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+      putLe32(out, 4, 40 + dataLen)
+      "WAVE".getBytes("US-ASCII").copyToArray(out, 8)
+      "fmt ".getBytes("US-ASCII").copyToArray(out, 12)
+      putLe32(out, 16, 20)               // fmt chunk size (16 + cbSize 2 + 2)
+      putLe16(out, 20, 0x11)             // IMA ADPCM
+      putLe16(out, 22, 1)                // mono
+      putLe32(out, 24, sampleRate)
+      putLe32(out, 28, sampleRate * blockAlign / spb) // approx byte rate
+      putLe16(out, 32, blockAlign)
+      putLe16(out, 34, 4)                // bits per (compressed) sample
+      putLe16(out, 36, 2)                // cbSize
+      putLe16(out, 38, spb)              // samplesPerBlock
+      "data".getBytes("US-ASCII").copyToArray(out, 40)
+      putLe32(out, 44, dataLen)
+      var o = 48
+      var idx = 0
+      for (b <- 0 until nBlocks) {
+        val base = b * spb
+        var pred: Int = samples(base)
+        putLe16(out, o, pred & 0xffff); out(o + 2) = idx.toByte; out(o + 3) = 0
+        o += 4
+        var nibLow = true; var cur = 0
+        for (j <- 1 until spb) {
+          val target = samples(base + j)
+          val step = imaStep(idx)
+          var delta = target - pred
+          var nib = 0
+          if (delta < 0) { nib = 8; delta = -delta }
+          if (delta >= step) { nib |= 4; delta -= step }
+          if (delta >= (step >> 1)) { nib |= 2; delta -= step >> 1 }
+          if (delta >= (step >> 2)) { nib |= 1 }
+          val (p2, i2) = imaDecodeNibble(nib, pred, idx)
+          pred = p2; idx = i2
+          if (nibLow) { cur = nib; nibLow = false }
+          else { out(o) = (cur | (nib << 4)).toByte; o += 1; nibLow = true }
+        }
+        if (!nibLow) { out(o) = cur.toByte; o += 1; nibLow = true }
+        // pad remaining block bytes with zero nibbles? block is exactly
+        // full by construction: (spb-1) nibbles = (blockAlign-4)*2 ✓
+      }
+      out
+    }
+
     /** Returns (sampleRate, channels, interleaved samples). Walks the
-      * chunk list, so extra chunks (LIST/INFO/...) before data are fine. */
+      * chunk list, so extra chunks (LIST/INFO/...) before data are fine.
+      * PCM-16 (format 1) is returned as stored; IMA-ADPCM mono (format
+      * 0x11) is DECODED — the compressed-audio path — so every consumer
+      * (features, spectral analysis) sees plain samples. */
     def decode(p: Array[Byte]): Option[(Int, Int, Array[Short])] = Try {
       require(p.length >= 44)
       require(new String(p, 0, 4, "US-ASCII") == "RIFF")
       require(new String(p, 8, 4, "US-ASCII") == "WAVE")
       var i = 12
-      var rate = -1; var channels = -1; var bits = -1
-      var samples: Array[Short] = null
-      while (i + 8 <= p.length && (samples == null || rate < 0)) {
+      var rate = -1; var channels = -1; var bits = -1; var fmt = -1
+      var blockAlign = -1; var spb = -1
+      var dataOff = -1; var dataLen = -1
+      while (i + 8 <= p.length && (dataOff < 0 || rate < 0)) {
         val cid = new String(p, i, 4, "US-ASCII")
         val len = le32(p, i + 4)
         require(len >= 0 && i + 8 + len <= p.length)
         if (cid == "fmt ") {
           require(len >= 16)
-          require(le16(p, i + 8) == 1, "only PCM")
+          fmt = le16(p, i + 8)
+          require(fmt == 1 || fmt == 0x11, "only PCM or IMA-ADPCM")
           channels = le16(p, i + 10)
           rate = le32(p, i + 12)
+          blockAlign = le16(p, i + 20)
           bits = le16(p, i + 22)
-          require(bits == 16, "only 16-bit")
+          if (fmt == 1) require(bits == 16, "only 16-bit PCM")
+          else {
+            require(bits == 4 && channels == 1, "only 4-bit mono ADPCM")
+            require(len >= 20, "ADPCM needs samplesPerBlock")
+            spb = le16(p, i + 26)
+            require(spb == 1 + (blockAlign - 4) * 2, "inconsistent block layout")
+          }
         } else if (cid == "data") {
-          val n = len / 2
-          val arr = new Array[Short](n)
-          var j = 0
-          while (j < n) { arr(j) = le16(p, i + 8 + 2 * j).toShort; j += 1 }
-          samples = arr
+          dataOff = i + 8; dataLen = len
         }
         i += 8 + len + (len & 1) // chunks are word-aligned
       }
-      require(rate > 0 && channels > 0 && samples != null)
+      require(rate > 0 && channels > 0 && dataOff >= 0)
+      val samples: Array[Short] =
+        if (fmt == 1) {
+          val n = dataLen / 2
+          val arr = new Array[Short](n)
+          var j = 0
+          while (j < n) { arr(j) = le16(p, dataOff + 2 * j).toShort; j += 1 }
+          arr
+        } else {
+          require(dataLen % blockAlign == 0, "partial ADPCM block")
+          val nBlocks = dataLen / blockAlign
+          val arr = new Array[Short](nBlocks * spb)
+          var b = 0
+          while (b < nBlocks) {
+            val base = dataOff + b * blockAlign
+            var pred = le16(p, base).toShort.toInt
+            var idx = p(base + 2) & 0xff
+            require(idx <= 88, "step index out of range")
+            arr(b * spb) = pred.toShort
+            var j = 1
+            while (j < spb) {
+              val byteVal = p(base + 4 + (j - 1) / 2) & 0xff
+              val nib = if ((j - 1) % 2 == 0) byteVal & 0x0f else byteVal >> 4
+              val (p2, i2) = imaDecodeNibble(nib, pred, idx)
+              pred = p2; idx = i2
+              arr(b * spb + j) = pred.toShort
+              j += 1
+            }
+            b += 1
+          }
+          arr
+        }
       (rate, channels, samples)
     }.toOption
   }

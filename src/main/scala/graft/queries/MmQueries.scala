@@ -139,6 +139,29 @@ object MmQueries {
       }.toDF("id", "payload")
   }
 
+  /** Deterministic IMA-ADPCM WAV per document, bit-exact by the same
+    * device as JPEG's constant blocks: each 256-byte ADPCM block carries
+    * a CONSTANT signal (value = (doc_id*37 + block*101) % 4096 − 2048),
+    * and with the encoder's step state a zero delta encodes as nibble 0
+    * whose decode adds step>>3 = 0 once the index floor is reached — the
+    * header stores the exact predictor, so constant blocks survive the
+    * real nibble/state-machine path exactly. nBlocks = doc_id%3+1,
+    * 505 samples per block. */
+  private def adpcmMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"))
+      .as[Long]
+      .map { id =>
+        val nBlocks = (id % 3).toInt + 1
+        val spb = 505
+        val samples = Array.tabulate(nBlocks * spb) { i =>
+          (((id * 37 + (i / spb) * 101) % 4096) - 2048).toShort
+        }
+        (id, Codecs.Wav.encodeAdpcm(samples, 8000, blockAlign = 256))
+      }.toDF("id", "payload")
+  }
+
   /** Deterministic mono PCM-16 WAV per document: n = n_chars%200+50
     * samples, sample i = (doc_id*31 + i*17) % 4096 − 2048, 8 kHz. */
   private def wavMedia(s: SparkSession, dir: String): DataFrame = {
@@ -250,6 +273,16 @@ object MmQueries {
     "q273_mm_jpeg" -> ((s, dir) => {
       val dec = Multimodal.decode(jpegMedia(s, dir)).toDF()
       canon(dec.select(col("id"), col("width"), col("height"), col("channels"),
+        element_at(col("features"), 1).cast("double").as("f0"),
+        element_at(col("features"), 2).cast("double").as("f1"),
+        element_at(col("features"), 3).cast("double").as("f2"),
+        element_at(col("features"), 4).cast("double").as("f3")))
+    }),
+    // real IMA-ADPCM decode (compressed AUDIO): nibble state machine +
+    // block headers, transparently surfaced as PCM samples
+    "q274_mm_adpcm" -> ((s, dir) => {
+      val dec = Multimodal.decode(adpcmMedia(s, dir)).toDF()
+      canon(dec.select(col("id"), col("width").as("n_samples"), col("channels"),
         element_at(col("features"), 1).cast("double").as("f0"),
         element_at(col("features"), 2).cast("double").as("f1"),
         element_at(col("features"), 3).cast("double").as("f2"),
@@ -482,6 +515,18 @@ object MmQueries {
         | round((round(mg, 4)::FLOAT)::DOUBLE, 4) AS f2,
         | round((round(0.299*mg + 0.587*mg + 0.114*mg, 4)::FLOAT)::DOUBLE, 4) AS f3
         |FROM m""".stripMargin.replace("\n", " "),
+    // sample replay of the constant-block construction (the oracle never
+    // sees the nibble stream); features mirror the q146 shapes
+    "q274_mm_adpcm" ->
+      """WITH d AS (SELECT doc_id AS id, ((doc_id % 3) + 1) * 505 AS n FROM documents),
+        |s AS (SELECT id, n, list_transform(range(n), i ->
+        |  (id*37 + (i // 505)*101) % 4096 - 2048) AS v FROM d)
+        |SELECT id, n::INT AS n_samples, 1 AS channels,
+        | round((round(list_sum(v)::DOUBLE / n / 32768.0, 4)::FLOAT)::DOUBLE, 4) AS f0,
+        | round((round(sqrt(list_sum(list_transform(v, x -> x*x))::DOUBLE / n) / 32768.0, 4)::FLOAT)::DOUBLE, 4) AS f1,
+        | round((round(list_max(list_transform(v, x -> abs(x)))::DOUBLE / 32768.0, 4)::FLOAT)::DOUBLE, 4) AS f2,
+        | round((round(length(list_filter(range(n - 1), i -> v[i+1] * v[i+2] < 0))::DOUBLE / (n - 1), 4)::FLOAT)::DOUBLE, 4) AS f3
+        |FROM s""".stripMargin.replace("\n", " "),
     "q146_mm_wav" ->
       """WITH d AS (SELECT doc_id AS id, (n_chars % 200) + 50 AS n FROM documents),
         |s AS (SELECT id, n,

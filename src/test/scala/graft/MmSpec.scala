@@ -271,6 +271,32 @@ class MmSpec extends SparkSpec {
     assert(d.width == w && d.height == h && d.channels == 3)
   }
 
+  test("IMA-ADPCM codec: constant blocks exact; varying signal tracks within step") {
+    import graft.mm.Codecs
+    val spb = 505
+    val const = Array.tabulate(2 * spb)(i => (if (i < spb) 1234 else -987).toShort)
+    val Some((rate, ch, dec)) = Codecs.Wav.decode(Codecs.Wav.encodeAdpcm(const, 8000))
+    assert(rate == 8000 && ch == 1 && dec.length == const.length)
+    assert(dec.sameElements(const), "constant blocks must round-trip exactly")
+    // a sine sweep is lossy but the adaptive step must track it closely
+    val sine = Array.tabulate(spb)(i =>
+      (math.sin(2 * math.Pi * i / 50.0) * 8000).toShort)
+    val Some((_, _, ds)) = Codecs.Wav.decode(Codecs.Wav.encodeAdpcm(sine, 8000))
+    val errs = sine.zip(ds).map { case (a, b) => math.abs(a - b) }
+    assert(errs.max > 0, "ADPCM on a sine is genuinely lossy")
+    // cold-start (index 0 → step 7) overshoots on a steep attack; once
+    // the step adapts, tracking error stays small relative to amplitude
+    val settled = errs.drop(150)
+    val rms = math.sqrt(settled.map(e => e.toDouble * e).sum / settled.length)
+    assert(rms < 800, s"adapted quantizer should track the sine, rms $rms")
+    // PCM-16 WAVs still decode unchanged through the same entry point
+    val pcm = Codecs.Wav.encode(Array[Short](5, -5, 7), 8000)
+    assert(Codecs.Wav.decode(pcm).get._3.sameElements(Array[Short](5, -5, 7)))
+    // truncated ADPCM block rejected
+    val enc = Codecs.Wav.encodeAdpcm(const, 8000)
+    assert(Codecs.Wav.decode(enc.take(enc.length - 10)).isEmpty)
+  }
+
   test("frame sampling strides fixed-size chunks") {
     val media = Multimodal.packBinary(docs, "doc_id", "text")
     val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 2)
