@@ -352,6 +352,59 @@ object Multimodal {
     }
   }
 
+  /** MJPEG "video": a payload of CONCATENATED baseline JPEG frames —
+    * the simplest real video container (each frame is a full JPEG, so
+    * the splitter only needs the SOI/EOI markers and the per-frame
+    * decode is the [[Codecs.Jpeg]] path). Returns one row per frame
+    * with its luma mean — the signal scene-cut detection runs on. Rows
+    * where a frame fails to decode are dropped. Per-row flatMap, zero
+    * shuffle. */
+  def mjpegFrames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[MediaRow]
+      .flatMap { m =>
+        val p = m.payload
+        // split on SOI (FFD8FF): frame ends where the next SOI begins
+        val starts = collection.mutable.ArrayBuffer.empty[Int]
+        var i = 0
+        while (i + 2 < p.length) {
+          if ((p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xd8 &&
+            (p(i + 2) & 0xff) == 0xff) starts += i
+          // skip entropy bytes quickly: advance past this SOI so stuffed
+          // FF00 pairs inside a frame cannot fake a new SOI (FFD8FF can
+          // never appear inside a baseline stream: FF is always followed
+          // by 00 or a marker, and D8 data is always preceded by 00)
+          i += (if (starts.nonEmpty && i == starts.last) 3 else 1)
+        }
+        starts.toSeq.zipWithIndex.flatMap { case (s, idx) =>
+          val e = if (idx + 1 < starts.length) starts(idx + 1) else p.length
+          Codecs.Jpeg.decode(java.util.Arrays.copyOfRange(p, s, e)).map {
+            case (w, h, rgb) =>
+              var sum = 0L
+              var k = 0
+              while (k < w * h) { sum += rgb(3 * k) & 0xff; k += 1 }
+              (m.id, idx, w, h, sum.toDouble / (w * h) / 255.0)
+          }
+        }
+      }.toDF("id", "frameIdx", "width", "height", "luma")
+  }
+
+  /** Scene-change detection over [[mjpegFrames]] output: a cut where
+    * the absolute luma jump from the previous frame exceeds
+    * `threshold`. One per-id window (frames per clip are bounded), the
+    * standard shot-boundary baseline. */
+  def sceneCuts(frames: DataFrame, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("frameIdx")
+    frames
+      .withColumn("prevLuma", lag("luma", 1).over(w))
+      .withColumn("lumaDelta",
+        when(col("prevLuma").isNull, lit(0.0))
+          .otherwise(abs(col("luma") - col("prevLuma"))))
+      .withColumn("isCut", col("lumaDelta") > threshold)
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th fixed-size
     * chunk becomes a frame (a real impl seeks keyframes). */
   def frameSample(media: DataFrame, frameBytes: Int, stride: Int): Dataset[FrameRow] = {

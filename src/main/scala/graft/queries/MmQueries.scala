@@ -278,6 +278,27 @@ object MmQueries {
         element_at(col("features"), 3).cast("double").as("f2"),
         element_at(col("features"), 4).cast("double").as("f3")))
     }),
+    // MJPEG scene detection: concatenated constant-block JPEG frames →
+    // SOI split → per-frame real decode → luma-jump cuts
+    "q275_mm_mjpeg_scenes" -> ((s, dir) => {
+      import s.implicits._
+      val media = table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"), col("n_chars").cast("int").as("nc"))
+        .as[(Long, Int)]
+        .map { case (id, nc) =>
+          val w = 8 * ((nc % 2) + 1); val h = 8
+          val nFrames = (id % 4).toInt + 2
+          val out = new java.io.ByteArrayOutputStream()
+          (0 until nFrames).foreach { f =>
+            val v = ((id * 23 + f * 61) % 256).toByte
+            out.write(Codecs.Jpeg.encode(w, h, Array.fill(w * h)(v)))
+          }
+          (id, out.toByteArray)
+        }.toDF("id", "payload")
+      canon(Multimodal.sceneCuts(Multimodal.mjpegFrames(media), threshold = 0.15)
+        .select(col("id"), col("frameIdx"), col("width"), col("height"),
+          col("luma"), col("lumaDelta"), col("isCut")))
+    }),
     // real IMA-ADPCM decode (compressed AUDIO): nibble state machine +
     // block headers, transparently surfaced as PCM samples
     "q274_mm_adpcm" -> ((s, dir) => {
@@ -515,6 +536,24 @@ object MmQueries {
         | round((round(mg, 4)::FLOAT)::DOUBLE, 4) AS f2,
         | round((round(0.299*mg + 0.587*mg + 0.114*mg, 4)::FLOAT)::DOUBLE, 4) AS f3
         |FROM m""".stripMargin.replace("\n", " "),
+    // frame luma replay: constant frame value / 255 (exact doubles);
+    // delta/cut arithmetic mirrors the window expressions
+    "q275_mm_mjpeg_scenes" ->
+      """WITH d AS (SELECT doc_id AS id, 8*((n_chars % 2)+1) AS w,
+        |  (doc_id % 4) + 2 AS nf FROM documents),
+        |f AS (SELECT id, w, unnest(range(nf)) AS frameIdx FROM d),
+        |l AS (SELECT id, frameIdx, w, 8 AS h,
+        |  ((id*23 + frameIdx*61) % 256) / 255.0 AS luma FROM f),
+        |x AS (SELECT id, frameIdx, w, h, luma,
+        |  lag(luma) OVER (PARTITION BY id ORDER BY frameIdx) AS prevLuma
+        | FROM l)
+        |SELECT id, frameIdx::INT AS frameIdx, w::INT AS width, h::INT AS height,
+        | round(luma, 4) AS luma,
+        | round(CASE WHEN prevLuma IS NULL THEN 0.0
+        |   ELSE abs(luma - prevLuma) END, 4) AS lumaDelta,
+        | (CASE WHEN prevLuma IS NULL THEN 0.0
+        |   ELSE abs(luma - prevLuma) END) > 0.15 AS isCut
+        |FROM x""".stripMargin.replace("\n", " "),
     // sample replay of the constant-block construction (the oracle never
     // sees the nibble stream); features mirror the q146 shapes
     "q274_mm_adpcm" ->
