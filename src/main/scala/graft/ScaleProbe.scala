@@ -609,6 +609,42 @@ object ScaleProbe {
           }.toDF("id", "payload")
         mm.Multimodal.audioSpectral(media, 64, 4).count()
       }
+      time("jpeg_decode", n, nDp) {
+        import spark.implicits._
+        val media = docsProbe
+          .select(col("doc_id").cast("long"), col("n_chars").cast("int"))
+          .as[(Long, Int)].map { case (id, nc) =>
+            val w = 8 * ((nc % 3) + 1); val h = 8 * ((id % 2).toInt + 1)
+            val bw = w / 8
+            (id, mm.Codecs.Jpeg.encode(w, h, Array.tabulate(w * h) { k =>
+              val bx = (k % w) / 8; val by = (k / w) / 8
+              ((id * 17 + (by * bw + bx) * 29) % 256).toByte
+            }))
+          }.toDF("id", "payload")
+        mm.Multimodal.decode(media).count()
+      }
+      time("gif_decode", n, nDp) {
+        import spark.implicits._
+        val pal = Array.tabulate(768)(j => ((j / 3 * (3 + 2 * (j % 3))) % 256).toByte)
+        val media = docsProbe
+          .select(col("doc_id").cast("long"), col("n_chars").cast("int"))
+          .as[(Long, Int)].map { case (id, nc) =>
+            val w = (nc % 10) + 2; val h = (id % 5).toInt + 2
+            (id, mm.Codecs.Gif.encode(w, h,
+              Array.tabulate(w * h)(k => ((id * 13 + k * 11) % 256).toByte), pal))
+          }.toDF("id", "payload")
+        mm.Multimodal.decode(media).count()
+      }
+      time("adpcm_decode", n, nDp) {
+        import spark.implicits._
+        val media = docsProbe.select(col("doc_id").cast("long")).as[Long]
+          .map { id =>
+            val nb = (id % 3).toInt + 1
+            (id, mm.Codecs.Wav.encodeAdpcm(Array.tabulate(nb * 505)(i =>
+              (((id * 37 + (i / 505) * 101) % 4096) - 2048).toShort), 8000))
+          }.toDF("id", "payload")
+        mm.Multimodal.decode(media).count()
+      }
       val urlProbe = docsProbe.withColumn("url", concat(
         lit("HTTPS://WWW."), col("source"), lit("-"),
         pmod(col("doc_id"), lit(7)).cast("string"), lit(".COM/x/p"),

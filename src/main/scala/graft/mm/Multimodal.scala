@@ -309,23 +309,91 @@ object Multimodal {
             v(i) = if (i < samples.length) samples(i) / 32768.0 else 0.0
             i += 1
           }
-          val bands = new Array[Double](nBands)
-          var k = 0
-          while (k < nFft / 2) {
-            var re = 0.0; var im = 0.0
-            var t = 0
-            while (t < nFft) {
-              val ang = -2.0 * math.Pi * (k * t) / nFft
-              re += v(t) * math.cos(ang)
-              im += v(t) * math.sin(ang)
-              t += 1
-            }
-            bands(k / per) += re * re + im * im
-            k += 1
-          }
-          (m.id, rate, samples.length, bands.toSeq)
+          (m.id, rate, samples.length, dftBands(v, nFft, per).toSeq)
         }
       }.toDF("id", "sample_rate", "n_samples", "band_energy")
+  }
+
+  /** One naive-DFT band-energy frame — shared by [[audioSpectral]] and
+    * [[audioSpectrogram]]; accumulation order fixed (t asc inside k asc)
+    * for the SQL list replay. */
+  private def dftBands(v: Array[Double], nFft: Int, per: Int): Array[Double] = {
+    val bands = new Array[Double](nFft / 2 / per)
+    var k = 0
+    while (k < nFft / 2) {
+      var re = 0.0; var im = 0.0
+      var t = 0
+      while (t < nFft) {
+        val ang = -2.0 * math.Pi * (k * t) / nFft
+        re += v(t) * math.cos(ang)
+        im += v(t) * math.sin(ang)
+        t += 1
+      }
+      bands(k / per) += re * re + im * im
+      k += 1
+    }
+    bands
+  }
+
+  /** Short-time spectrogram: hopped [[audioSpectral]] frames — the 2D
+    * time × frequency representation audio feature pipelines consume
+    * (silence/music/speech segmentation, coarse fingerprinting). One row
+    * per (clip, frame); frames are full windows only (offset + nFft ≤ n).
+    * Per-row flatMap, zero shuffle; O(frames · nFft²) with nFft a small
+    * constant. */
+  def audioSpectrogram(media: DataFrame, nFft: Int = 64, hop: Int = 32,
+      nBands: Int = 4): DataFrame = {
+    require(nFft > 0 && hop > 0 && (nFft / 2) % nBands == 0,
+      s"nBands $nBands must divide nFft/2 = ${nFft / 2}")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val per = nFft / 2 / nBands
+    media.select(col("id"), col("payload")).as[MediaRow]
+      .flatMap { m =>
+        Codecs.Wav.decode(m.payload).toSeq.flatMap { case (_, _, samples) =>
+          val nFrames = if (samples.length < nFft) 0
+            else (samples.length - nFft) / hop + 1
+          (0 until nFrames).map { f =>
+            val v = new Array[Double](nFft)
+            var i = 0
+            while (i < nFft) { v(i) = samples(f * hop + i) / 32768.0; i += 1 }
+            (m.id, f, dftBands(v, nFft, per).toSeq)
+          }
+        }
+      }.toDF("id", "frameIdx", "band_energy")
+  }
+
+  /** 8-bin gray-histogram + Shannon entropy per decoded raster — the
+    * flat/blank/logo screen for image corpora (a near-constant raster
+    * has entropy ~0; organic photos fill the bins). Gray = B+G+R
+    * (0..765), bin = gray div 96 — all-integer, so counts replay
+    * exactly and the entropy is one ln-parity float expression. */
+  def imageEntropy(imgs: Dataset[ImageRow]): DataFrame = {
+    val spark = imgs.sparkSession
+    import spark.implicits._
+    imgs.map { im =>
+      val bins = new Array[Long](8)
+      val n = im.width * im.height
+      var i = 0
+      while (i < n) {
+        val g = (im.bgr(3 * i) & 0xff) + (im.bgr(3 * i + 1) & 0xff) +
+          (im.bgr(3 * i + 2) & 0xff)
+        bins(math.min(7, g / 96)) += 1
+        i += 1
+      }
+      var ent = 0.0
+      var b = 0
+      while (b < 8) {
+        if (bins(b) > 0) {
+          val p = bins(b).toDouble / n
+          ent -= p * math.log(p)
+        }
+        b += 1
+      }
+      (im.id, n.toLong, bins(0), bins(1), bins(2), bins(3), bins(4),
+        bins(5), bins(6), bins(7), ent)
+    }.toDF("id", "n_px", "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7",
+      "entropy")
   }
 
   /** Decode stage: runs per partition (the real pattern for batched codec

@@ -299,6 +299,20 @@ object MmQueries {
         .select(col("id"), col("frameIdx"), col("width"), col("height"),
           col("luma"), col("lumaDelta"), col("isCut")))
     }),
+    // short-time spectrogram: hopped DFT frames over real WAV payloads
+    "q276_mm_spectrogram" -> ((s, dir) => {
+      val sp = Multimodal.audioSpectrogram(wavMedia(s, dir), nFft = 64,
+        hop = 32, nBands = 4)
+      canon(sp.select(col("id"), col("frameIdx"),
+        element_at(col("band_energy"), 1).as("e0"),
+        element_at(col("band_energy"), 2).as("e1"),
+        element_at(col("band_energy"), 3).as("e2"),
+        element_at(col("band_energy"), 4).as("e3")))
+    }),
+    // 8-bin gray histogram + Shannon entropy over decoded PNG rasters
+    "q277_mm_image_entropy" -> ((s, dir) =>
+      canon(Multimodal.imageEntropy(
+        Multimodal.decodeImage(ahashMedia(s, dir))))),
     // real IMA-ADPCM decode (compressed AUDIO): nibble state machine +
     // block headers, transparently surfaced as PCM samples
     "q274_mm_adpcm" -> ((s, dir) => {
@@ -554,6 +568,47 @@ object MmQueries {
         | (CASE WHEN prevLuma IS NULL THEN 0.0
         |   ELSE abs(luma - prevLuma) END) > 0.15 AS isCut
         |FROM x""".stripMargin.replace("\n", " "),
+    // per-frame DFT replay at sample offset f*hop (full windows only,
+    // so no padding branch); same term order as q259
+    "q276_mm_spectrogram" ->
+      """WITH d AS (SELECT doc_id AS id, (n_chars % 200) + 50 AS n FROM documents),
+        |fr AS (SELECT id, n, unnest(range(
+        |  CASE WHEN n < 64 THEN 0 ELSE (n - 64) // 32 + 1 END)) AS f FROM d),
+        |s AS (SELECT id, f, list_transform(range(64), t ->
+        |  ((id*31 + (f*32 + t)*17) % 4096 - 2048) / 32768.0) AS v FROM fr),
+        |dk AS (SELECT id, f, list_transform(range(32), k -> {
+        |  're': list_sum(list_transform(range(64), t -> v[t+1] * cos(-2*pi()*(k*t)/64))),
+        |  'im': list_sum(list_transform(range(64), t -> v[t+1] * sin(-2*pi()*(k*t)/64)))
+        | }) AS fq FROM s),
+        |e AS (SELECT id, f, list_transform(range(4), b ->
+        |  list_sum(list_transform(range(8), j ->
+        |    fq[b*8+j+1].re * fq[b*8+j+1].re + fq[b*8+j+1].im * fq[b*8+j+1].im))) AS be
+        | FROM dk)
+        |SELECT id, f::INT AS frameIdx,
+        | round(be[1], 4) AS e0, round(be[2], 4) AS e1,
+        | round(be[3], 4) AS e2, round(be[4], 4) AS e3
+        |FROM e""".stripMargin.replace("\n", " "),
+    // gray = sum of the 3 channel bytes of the ahash gradient; bin
+    // counts are exact integers, entropy is the ln-parity expression
+    "q277_mm_image_entropy" -> {
+      val gray = "(((id % 23) * 31 + (i*3) * 5) % 256) + " +
+        "(((id % 23) * 31 + (i*3 + 1) * 5) % 256) + " +
+        "(((id % 23) * 31 + (i*3 + 2) * 5) % 256)"
+      s"""WITH d AS (SELECT doc_id AS id, (n_chars % 6) + 8 AS w,
+         |  (doc_id % 4) + 8 AS h FROM documents),
+         |g AS (SELECT id, w*h AS n, list_transform(range(w*h),
+         |  i -> $gray) AS gs FROM d),
+         |b AS (SELECT id, n, list_transform(range(8), bb ->
+         |  len(list_filter(gs, x -> least(7, x // 96) = bb))) AS bins FROM g)
+         |SELECT id, n::BIGINT AS n_px,
+         | bins[1]::BIGINT AS b0, bins[2]::BIGINT AS b1, bins[3]::BIGINT AS b2,
+         | bins[4]::BIGINT AS b3, bins[5]::BIGINT AS b4, bins[6]::BIGINT AS b5,
+         | bins[7]::BIGINT AS b6, bins[8]::BIGINT AS b7,
+         | round(-list_sum(list_transform(bins, c ->
+         |   CASE WHEN c > 0 THEN (c::DOUBLE / n) * ln(c::DOUBLE / n)
+         |    ELSE 0.0 END)), 4) AS entropy
+         |FROM b""".stripMargin.replace("\n", " ")
+    },
     // sample replay of the constant-block construction (the oracle never
     // sees the nibble stream); features mirror the q146 shapes
     "q274_mm_adpcm" ->
