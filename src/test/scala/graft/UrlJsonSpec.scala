@@ -96,6 +96,24 @@ class UrlJsonSpec extends SparkSpec {
     assert(p(3L).getLong(6) == 3 && p(3L).getString(8) == "none")
   }
 
+  test("jsonProfile: escaped strings, unicode and null values survive parity rules") {
+    // pins the cross-engine facts q263 relies on: Jackson and DuckDB both
+    // unescape scalar strings, both keep nested objects minified WITH
+    // re-escaped quotes, and null-valued paths count in n but not in
+    // n_distinct or any type bucket
+    val df = Seq("""{"s": "a\"b, c", "u": "xéy", "n": null, "o": {"q": "d\"e"}}""")
+      .toDF("j")
+    val p = JsonOps.jsonProfile(df, "j", maxDepth = 2).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("s").getString(9) == "a\"b, c")
+    assert(p("u").getString(9) == "xéy")
+    assert(p("o").getString(9) == """{"q":"d\"e"}""", "minified re-escaped object text")
+    assert(p("o.q").getString(9) == "d\"e")
+    assert(p("n").getLong(1) == 1 && p("n").getLong(2) == 0,
+      "null path counts occurrences but no distinct values")
+    assert((3 to 8).forall(i => p("n").getLong(i) == 0), "null hits no type bucket")
+  }
+
   test("jsonProfile: paths, nesting, lexical types, null json skipped") {
     val df = Seq(
       """{"a": 1, "s": "x", "o": {"b": 2.5, "c": [1,2]}, "f": true}""",
