@@ -65,6 +65,28 @@ object StreamScorers {
       .text(path)
   }
 
+  /** Streaming binary media source: `binaryFile` format over a landing
+    * directory — the ingest shape for image/audio payload streams. The
+    * numeric id is parsed from the file name (`<id>.<ext>`); payload is
+    * the raw bytes, ready for [[imageDedupStream]] / the decode stages. */
+  def binaryFileSource(spark: SparkSession, path: String): DataFrame = {
+    // streaming sources need the schema up front; binaryFile's is fixed
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile").schema(schema).load(path)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.[A-Za-z0-9]+$", 1)
+          .cast("long").as("id"),
+        col("content").as("payload"))
+  }
+
   /** The spout's first-comma split (PredictorSpout.java:55-59): message
     * "entityID,field,field,..." → (entityID, recordData). Source-agnostic:
     * works on [[kafkaSource]] output or any DataFrame with a string

@@ -297,6 +297,36 @@ class MmSpec extends SparkSpec {
     assert(Codecs.Wav.decode(enc.take(enc.length - 10)).isEmpty)
   }
 
+  test("streaming media e2e: binaryFile source → PNG decode → aHash dedup, restart-safe") {
+    import graft.mm.Codecs
+    import graft.streaming.StreamScorers
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm_in")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mm_ck")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_mm_out")
+    def png(seed: Int): Array[Byte] =
+      Codecs.Png.encode(16, 16,
+        Array.tabulate(16 * 16 * 3)(k => ((seed * 31 + k * 5) % 256).toByte))
+    def land(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    def startQ() = StreamScorers.imageDedupStream(
+        StreamScorers.binaryFileSource(spark, dir.toString))
+      .writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    land("1.png", png(3)); land("2.png", png(3)); land("3.png", png(9))
+    val q1 = startQ(); q1.processAllAvailable(); q1.stop()
+    // post-restart: a perceptual duplicate of a PRE-restart image (new id,
+    // same pixels) must still be dropped; a fresh image passes
+    land("4.png", png(3)); land("5.png", png(27))
+    val q2 = startQ(); q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(outDir.toString)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out.length == 3, s"3 distinct images expected, got ids $out")
+    assert(out.contains(5L) && !out.contains(4L),
+      "restart kept the perceptual seen-set")
+  }
+
   test("frame sampling strides fixed-size chunks") {
     val media = Multimodal.packBinary(docs, "doc_id", "text")
     val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 2)
