@@ -87,6 +87,10 @@ object TextQueries {
     "q271_image_dedup_stream" -> ((s, dir) =>
       graft.streaming.StreamScorers.imageDedupStream(MmQueries.ahashMedia(s, dir))
         .select(col("ahash_lo"), col("ahash_hi"))),
+    // order-free per-source corpus fingerprint (reproducibility check)
+    "q278_corpus_fingerprint" -> ((s, dir) =>
+      TextOps.corpusFingerprint(docs(s, dir), Seq("source"),
+        Seq("doc_id", "text", "lang"))),
     // unicode script profile over a multilingual-augmented fixture
     // (Java \p{IsX} == RE2 \p{X}, verified)
     "q268_script_profile" -> ((s, dir) => {
@@ -1653,6 +1657,12 @@ object TextQueries {
         |FROM documents""".stripMargin.replace("\n", " "),
     "q271_image_dedup_stream" -> MmQueries.ahashOracle(
       "SELECT DISTINCT ahash_lo, ahash_hi FROM a"),
+    // commutative digest: sum of 56-bit md5 values is order-free in both
+    // engines; DECIMAL/HUGEINT keeps it exact at any corpus size
+    "q278_corpus_fingerprint" ->
+      s"""SELECT source, count(*) AS n_rows,
+         | sum(${h56("doc_id::VARCHAR || chr(1) || text || chr(1) || lang")})::DECIMAL(38,0) AS digest
+         |FROM documents GROUP BY source""".stripMargin.replace("\n", " "),
     // RE2 spells the script classes without the Is prefix; the dominant
     // fold replays the same strict-> tie rule, class order fixed
     "q268_script_profile" ->

@@ -703,6 +703,23 @@ object TextOps {
       }.toDF("id", "raw_bytes", "deflated_bytes", "ratio")
   }
 
+  /** Order-free corpus fingerprint: per group, row count + a commutative
+    * content digest (sum of per-row 56-bit md5 values, accumulated as
+    * decimal so it never wraps) — the cheap reproducibility check for a
+    * re-ingested or re-partitioned corpus: identical fingerprint ⟺
+    * identical row multiset, independent of order, partitioning and
+    * cluster size. One hash aggregate, map-side combined. `contentCols`
+    * join with a \u0001 separator before hashing so column boundaries
+    * cannot cancel. */
+  def corpusFingerprint(df: DataFrame, keyCols: Seq[String],
+      contentCols: Seq[String]): DataFrame = {
+    val content = concat_ws("\u0001",
+      contentCols.map(c => col(c).cast("string")): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(hash56(content).cast("decimal(38,0)")).as("digest"))
+  }
+
   /** Unicode script profile — the orthography-level sanity check behind
     * language id (a doc tagged `en` that is 60% Cyrillic is mislabeled
     * or spam; mixed-script tokens are a classic obfuscation signal).
