@@ -4,6 +4,24 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Distributed max over task-observed longs — lets an iterative operator
+  * compute its scalar renorm divisor during the SAME job that
+  * materializes the iteration state (see [[Graph.hits]]). Max is
+  * idempotent, so speculative/retried tasks cannot corrupt it. */
+private[graph] class MaxAccumulator
+    extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+  private var m = Long.MinValue
+  override def isZero: Boolean = m == Long.MinValue
+  override def copy(): MaxAccumulator = {
+    val a = new MaxAccumulator; a.m = m; a
+  }
+  override def reset(): Unit = m = Long.MinValue
+  override def add(v: Long): Unit = if (v > m) m = v
+  override def merge(o: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+    if (!o.isZero && o.value > m) m = o.value
+  override def value: Long = m
+}
+
 /** Graph operators (engine addition — the reference has none): link-based
   * quality weighting for corpus curation. Web-corpus pipelines rank hosts
   * and documents by link structure (the Common Crawl host-level ranking
@@ -368,14 +386,21 @@ object Graph {
     // contract. Identical longs either way: 0·scale div mx = 0.
     def halfStep(e: DataFrame, state: DataFrame, valCol: String,
         joinOn: String, outKey: String, outCol: String): DataFrame = {
+      // the renorm divisor rides the SAME eager job as the checkpoint: a
+      // max-accumulator behind an always-true filter observes every sum
+      // during materialization (max is idempotent, so task retries are
+      // harmless), replacing the per-half-step agg(max).collect() job —
+      // one job per half-step instead of two. Empty message set (no
+      // edges) leaves the accumulator at its zero → divisor 1 (the
+      // advice-r7 NPE case).
+      val acc = new MaxAccumulator
+      state.sparkSession.sparkContext.register(acc, s"hitsMax_$outCol")
+      val see = udf((s: Long) => { acc.add(s); true }).asNondeterministic()
       val raw = e.join(state, e(joinOn) === state("node"))
         .groupBy(col(outKey).as("node")).agg(sum(valCol).as("s"))
+        .filter(see(col("s")))
         .localCheckpoint(true)
-      // scalar renorm divisor over the checkpointed node-sized cache;
-      // isNullAt guards the empty-message case (max of zero rows is
-      // SQL NULL — the old getLong threw NPE, advice r7)
-      val row = raw.agg(max("s")).collect()(0)
-      val mx = if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
+      val mx = math.max(1L, acc.value)
       raw.select(col("node"), expr(s"(s * $scale) div $mx").as(outCol))
     }
     (1 to iters).foreach { _ =>
