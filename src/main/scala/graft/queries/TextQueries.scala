@@ -53,6 +53,13 @@ object TextQueries {
         .otherwise(concat(lit("?id="), col("doc_id").cast("string"))),
       when(pmod(col("doc_id"), lit(5)) === 0, lit("#frag")).otherwise(lit(""))))
 
+  /** q279-q281 evaluation fixture: a tie-heavy deterministic score
+    * against the en-language label. */
+  private def evalScored(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("score", pmod(col("n_chars"), lit(53)).cast("double"))
+      .withColumn("isEn", col("lang") === "en")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
     // URL canonicalization: the oracle rebuilds the EXPECTED canonical
@@ -87,6 +94,16 @@ object TextQueries {
     "q271_image_dedup_stream" -> ((s, dir) =>
       graft.streaming.StreamScorers.imageDedupStream(MmQueries.ahashMedia(s, dir))
         .select(col("ahash_lo"), col("ahash_hi"))),
+    // classifier evaluation family over a deterministic tie-heavy score
+    // (53 distinct values → the avg-rank tie handling is load-bearing);
+    // label = lang=='en' — see evalScored below
+    "q279_eval_auc" -> ((s, dir) =>
+      canon(graft.model.Eval.binaryAuc(evalScored(s, dir), "score", "isEn"))),
+    "q280_eval_confusion" -> ((s, dir) =>
+      canon(graft.model.Eval.confusionAt(evalScored(s, dir), "score", "isEn",
+        threshold = 26.0))),
+    "q281_eval_pr_curve" -> ((s, dir) =>
+      canon(graft.model.Eval.prCurve(evalScored(s, dir), "score", "isEn"))),
     // order-free per-source corpus fingerprint (reproducibility check)
     "q278_corpus_fingerprint" -> ((s, dir) =>
       TextOps.corpusFingerprint(docs(s, dir), Seq("source"),
@@ -1657,6 +1674,55 @@ object TextQueries {
         |FROM documents""".stripMargin.replace("\n", " "),
     "q271_image_dedup_stream" -> MmQueries.ahashOracle(
       "SELECT DISTINCT ahash_lo, ahash_hi FROM a"),
+    // Mann-Whitney with average ranks over per-score groups — the same
+    // cumBefore + (n+1)/2 arithmetic as the operator
+    "q279_eval_auc" ->
+      """WITH sc AS (SELECT (n_chars % 53)::DOUBLE AS s, lang = 'en' AS y
+        | FROM documents),
+        |g AS (SELECT s, count(*) AS ns,
+        |  sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos
+        | FROM sc GROUP BY s),
+        |r AS (SELECT *, sum(ns) OVER (ORDER BY s) AS cumN FROM g),
+        |a AS (SELECT sum(ns)::BIGINT AS n, sum(pos)::BIGINT AS n_pos,
+        |  sum(ns - pos)::BIGINT AS n_neg,
+        |  sum(pos * ((cumN - ns) + (ns + 1) / 2.0)) AS rsum FROM r)
+        |SELECT n, n_pos, n_neg,
+        | round(CASE WHEN n_pos > 0 AND n_neg > 0
+        |  THEN (rsum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg) END, 4) AS auc
+        |FROM a""".stripMargin.replace("\n", " "),
+    "q280_eval_confusion" ->
+      """WITH sc AS (SELECT (n_chars % 53)::DOUBLE AS s, lang = 'en' AS y
+        | FROM documents),
+        |c AS (SELECT
+        | sum(CASE WHEN s > 26.0 AND y THEN 1 ELSE 0 END)::BIGINT AS tp,
+        | sum(CASE WHEN s > 26.0 AND NOT y THEN 1 ELSE 0 END)::BIGINT AS fp,
+        | sum(CASE WHEN s <= 26.0 AND y THEN 1 ELSE 0 END)::BIGINT AS fn,
+        | sum(CASE WHEN s <= 26.0 AND NOT y THEN 1 ELSE 0 END)::BIGINT AS tn
+        | FROM sc),
+        |p AS (SELECT *,
+        | CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END AS prec,
+        | CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END AS rec
+        | FROM c)
+        |SELECT tp, fp, fn, tn,
+        | round(prec, 4) AS precision, round(rec, 4) AS recall,
+        | round(CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
+        |   AND prec + rec > 0 THEN 2.0 * prec * rec / (prec + rec) END, 4) AS f1,
+        | round((tp + tn)::DOUBLE / (tp + fp + fn + tn), 4) AS accuracy
+        |FROM p""".stripMargin.replace("\n", " "),
+    "q281_eval_pr_curve" ->
+      """WITH sc AS (SELECT (n_chars % 53)::DOUBLE AS s, lang = 'en' AS y
+        | FROM documents),
+        |g AS (SELECT s, count(*) AS n,
+        |  sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos
+        | FROM sc GROUP BY s),
+        |t AS (SELECT sum(pos)::BIGINT AS totPos FROM g),
+        |r AS (SELECT s, sum(n) OVER (ORDER BY s DESC) AS cumN,
+        |  sum(pos) OVER (ORDER BY s DESC) AS cumPos FROM g)
+        |SELECT s AS threshold_ge, cumN::BIGINT AS n_predicted,
+        | cumPos::BIGINT AS tp,
+        | round(cumPos::DOUBLE / cumN, 4) AS precision,
+        | round(CASE WHEN t.totPos > 0 THEN cumPos::DOUBLE / t.totPos END, 4) AS recall
+        |FROM r, t""".stripMargin.replace("\n", " "),
     // commutative digest: sum of 56-bit md5 values is order-free in both
     // engines; DECIMAL/HUGEINT keeps it exact at any corpus size
     "q278_corpus_fingerprint" ->
