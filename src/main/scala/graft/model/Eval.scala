@@ -77,6 +77,84 @@ object Eval {
           (col("tp") + col("fp") + col("fn") + col("tn")))
   }
 
+  /** Cohen's kappa between two boolean raters/labelers — the agreement
+    * check for label audits and silver-vs-gold comparisons: observed
+    * agreement corrected for chance. Integer counts, one aggregate. */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("boolean"); val b = col(bCol).cast("boolean")
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    df.agg(cnt(a && b).as("n_both"), cnt(a && !b).as("n_a_only"),
+        cnt(!a && b).as("n_b_only"), cnt(!a && !b).as("n_neither"))
+      .withColumn("n",
+        col("n_both") + col("n_a_only") + col("n_b_only") + col("n_neither"))
+      .withColumn("po",
+        (col("n_both") + col("n_neither")).cast("double") / col("n"))
+      .withColumn("pe",
+        ((col("n_both") + col("n_a_only")) * (col("n_both") + col("n_b_only")) +
+          (col("n_b_only") + col("n_neither")) * (col("n_a_only") + col("n_neither")))
+          .cast("double") / col("n") / col("n"))
+      .withColumn("kappa",
+        when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+  }
+
+  /** Calibration (reliability) bins: scores in [0,1] bucketed into
+    * `nBins` equal-width bins → per bin the count, mean predicted score
+    * and observed positive rate. A calibrated classifier has
+    * meanScore ≈ posRate per bin. One hash aggregate, bin-sized out. */
+  def calibrationBins(scored: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins > 0)
+    val s = col(scoreCol).cast("double")
+    val bin = least(lit(nBins - 1), floor(s * nBins).cast("int")).as("bin")
+    scored.select(bin, s.as("s"), col(labelCol).cast("boolean").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        // 6dp fixed-point sum: a raw double avg is combine-order-
+        // nondeterministic (the q116 pattern)
+        (sum(graft.core.fixedPointLong(col("s"), 6)).cast("double") / 1e6 /
+          count(lit(1))).as("mean_score"),
+        (sum(when(col("y"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("pos_rate"))
+  }
+
+  /** Regression / forecast error metrics: RMSE, MAE, bias, R² and MAPE
+    * (non-zero actuals only) — the grading pass for the forecaster
+    * family (Holt, AR, one-step-ahead). One aggregate; sums ride
+    * 6dp fixed-point longs (decimal for the squares) so the metrics
+    * hash-replay exactly. */
+  def regressionMetrics(df: DataFrame, actualCol: String,
+      predCol: String): DataFrame = {
+    val a = col(actualCol).cast("double"); val p = col(predCol).cast("double")
+    val err = p - a
+    val e6 = graft.core.fixedPointLong(err, 6)
+    val a6 = graft.core.fixedPointLong(a, 6)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = df.where(a.isNotNull && p.isNotNull)
+    rows.agg(
+      count(lit(1)).as("n"),
+      sum(dec(e6) * dec(e6)).as("_see"),
+      sum(abs(e6)).as("_sae"),
+      sum(e6).as("_se"),
+      sum(a6).as("_sa"),
+      sum(dec(a6) * dec(a6)).as("_saa"),
+      sum(when(a =!= 0.0,
+        graft.core.fixedPointLong(abs(err / a), 6)).otherwise(0L)).as("_sape"),
+      sum(when(a =!= 0.0, 1L).otherwise(0L)).as("_nape"))
+      .select(col("n"),
+        sqrt(col("_see").cast("double") / 1e12 / col("n")).as("rmse"),
+        (col("_sae").cast("double") / 1e6 / col("n")).as("mae"),
+        (col("_se").cast("double") / 1e6 / col("n")).as("bias"),
+        when((col("_saa").cast("double") / 1e12) -
+            (col("_sa").cast("double") / 1e6) *
+              (col("_sa").cast("double") / 1e6) / col("n") > 0,
+          lit(1.0) - (col("_see").cast("double") / 1e12) /
+            ((col("_saa").cast("double") / 1e12) -
+              (col("_sa").cast("double") / 1e6) *
+                (col("_sa").cast("double") / 1e6) / col("n"))).as("r2"),
+        when(col("_nape") > 0,
+          col("_sape").cast("double") / 1e6 / col("_nape")).as("mape"))
+  }
+
   /** Precision/recall curve at every distinct score cut (descending):
     * row k = metrics when the top-k-scored rows are predicted positive —
     * the threshold-sweep a deployment uses to pick its operating point.

@@ -53,6 +53,9 @@ object TextQueries {
         .otherwise(concat(lit("?id="), col("doc_id").cast("string"))),
       when(pmod(col("doc_id"), lit(5)) === 0, lit("#frag")).otherwise(lit(""))))
 
+  private def ev2(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+
   /** q279-q281 evaluation fixture: a tie-heavy deterministic score
     * against the en-language label. */
   private def evalScored(s: SparkSession, dir: String): DataFrame =
@@ -104,6 +107,23 @@ object TextQueries {
         threshold = 26.0))),
     "q281_eval_pr_curve" -> ((s, dir) =>
       canon(graft.model.Eval.prCurve(evalScored(s, dir), "score", "isEn"))),
+    // rater agreement between the language label and a proxy rule
+    "q282_eval_kappa" -> ((s, dir) =>
+      canon(graft.model.Eval.cohensKappa(
+        docs(s, dir).withColumn("a", col("lang") === "en")
+          .withColumn("b", pmod(col("n_chars"), lit(5)) < 3), "a", "b"))),
+    // reliability bins over a [0,1) deterministic score
+    "q283_eval_calibration" -> ((s, dir) =>
+      canon(graft.model.Eval.calibrationBins(
+        docs(s, dir)
+          .withColumn("score", pmod(col("n_chars"), lit(100)).cast("double") / 100.0)
+          .withColumn("isEn", col("lang") === "en"),
+        "score", "isEn", nBins = 10))),
+    // forecast grading: a fixed affine proxy prediction over events
+    "q284_eval_regression" -> ((s, dir) =>
+      canon(graft.model.Eval.regressionMetrics(
+        ev2(s, dir).withColumn("pred", col("value") * 0.9 + 1.0),
+        "value", "pred"))),
     // order-free per-source corpus fingerprint (reproducibility check)
     "q278_corpus_fingerprint" -> ((s, dir) =>
       TextOps.corpusFingerprint(docs(s, dir), Seq("source"),
@@ -1723,6 +1743,55 @@ object TextQueries {
         | round(cumPos::DOUBLE / cumN, 4) AS precision,
         | round(CASE WHEN t.totPos > 0 THEN cumPos::DOUBLE / t.totPos END, 4) AS recall
         |FROM r, t""".stripMargin.replace("\n", " "),
+    "q282_eval_kappa" ->
+      """WITH sc AS (SELECT lang = 'en' AS a, n_chars % 5 < 3 AS b FROM documents),
+        |c AS (SELECT
+        | sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n_both,
+        | sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n_a_only,
+        | sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n_b_only,
+        | sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n_neither
+        | FROM sc),
+        |x AS (SELECT *, n_both + n_a_only + n_b_only + n_neither AS n,
+        | (n_both + n_neither)::DOUBLE / (n_both + n_a_only + n_b_only + n_neither) AS po,
+        | ((n_both + n_a_only) * (n_both + n_b_only) + (n_b_only + n_neither) * (n_a_only + n_neither))::DOUBLE
+        |   / (n_both + n_a_only + n_b_only + n_neither) / (n_both + n_a_only + n_b_only + n_neither) AS pe
+        | FROM c)
+        |SELECT n_both, n_a_only, n_b_only, n_neither, n, round(po, 4) AS po,
+        | round(pe, 4) AS pe,
+        | round(CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END, 4) AS kappa
+        |FROM x""".stripMargin.replace("\n", " "),
+    "q283_eval_calibration" ->
+      """WITH sc AS (SELECT (n_chars % 100)::DOUBLE / 100.0 AS s,
+        |  lang = 'en' AS y FROM documents),
+        |b AS (SELECT least(9, floor(s * 10)::INT) AS bin, s, y FROM sc)
+        |SELECT bin, count(*) AS n,
+        | round(sum((CASE WHEN s >= 0 THEN floor(s*1e6+0.5)
+        |    ELSE -floor(-s*1e6+0.5) END)::BIGINT)::DOUBLE / 1e6 / count(*), 4)
+        |   AS mean_score,
+        | round(sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS pos_rate
+        |FROM b GROUP BY bin""".stripMargin.replace("\n", " "),
+    "q284_eval_regression" ->
+      s"""WITH sc AS (SELECT value AS a, value * 0.9 + 1.0 AS p FROM events
+         | WHERE value IS NOT NULL),
+         |f AS (SELECT a, p, ${fp6("p - a")} AS e6, ${fp6("a")} AS a6,
+         |  CASE WHEN a <> 0.0 THEN ${fp6("abs((p - a) / a)")} ELSE 0 END AS ape6,
+         |  CASE WHEN a <> 0.0 THEN 1 ELSE 0 END AS nape
+         | FROM sc),
+         |g AS (SELECT count(*) AS n,
+         |  sum(e6::DECIMAL(38,0) * e6::DECIMAL(38,0)) AS see,
+         |  sum(abs(e6))::BIGINT AS sae, sum(e6)::BIGINT AS se,
+         |  sum(a6)::BIGINT AS sa,
+         |  sum(a6::DECIMAL(38,0) * a6::DECIMAL(38,0)) AS saa,
+         |  sum(ape6)::BIGINT AS sape, sum(nape)::BIGINT AS nap
+         | FROM f)
+         |SELECT n, round(sqrt(see::DOUBLE / 1e12 / n), 4) AS rmse,
+         | round(sae::DOUBLE / 1e6 / n, 4) AS mae,
+         | round(se::DOUBLE / 1e6 / n, 4) AS bias,
+         | round(CASE WHEN (saa::DOUBLE / 1e12) - (sa::DOUBLE / 1e6) * (sa::DOUBLE / 1e6) / n > 0
+         |  THEN 1.0 - (see::DOUBLE / 1e12) /
+         |   ((saa::DOUBLE / 1e12) - (sa::DOUBLE / 1e6) * (sa::DOUBLE / 1e6) / n) END, 4) AS r2,
+         | round(CASE WHEN nap > 0 THEN sape::DOUBLE / 1e6 / nap END, 4) AS mape
+         |FROM g""".stripMargin.replace("\n", " "),
     // commutative digest: sum of 56-bit md5 values is order-free in both
     // engines; DECIMAL/HUGEINT keeps it exact at any corpus size
     "q278_corpus_fingerprint" ->
