@@ -119,4 +119,74 @@ object TailScores {
         Seq(s"${a}_bin", s"${a}_cnt", s"${a}_o") }: _*)
       .drop("n_")
   }
+
+  /** Generalized extreme studentized deviate (ESD) test, per key
+    * (Rosner 1983; NIST/SEMATECH e-Handbook §1.3.5.17) — the classic
+    * "up to k outliers" test the reference's threshold family
+    * (StatsBasedOutlierPredictor) approximates with a fixed z cut.
+    * Grubbs' single-outlier test is exactly `maxOutliers = 1`.
+    *
+    * Round i (1..k): over the not-yet-removed rows of each key, compute
+    * mean/std, take R_i = max |x−mean|/std, remove that row. The final
+    * ESD rule: with caller-supplied critical values λ_i, the outlier
+    * count is the LARGEST i with R_i > λ_i, and every removed row up to
+    * that round is tagged 'O' (λ comes from the t-quantile formula the
+    * caller evaluates offline — neither engine ships an inverse-t).
+    *
+    * Determinism: the arg-max row per round is selected by the exact
+    * integer |n·x_fp − Σx_fp| (x at 4dp fixed point, decimal(38,0) /
+    * HUGEINT sums) — arg-max of |x−mean| without touching a double, so
+    * both engines remove the same row even on near-ties; genuine ties
+    * break on the smaller id. R_i itself is the double finish over
+    * those exact integers (both engines evaluate the same expression on
+    * the same integers → bit-identical).
+    *
+    * Scale: k rounds of (hash agg → broadcast join → per-key window →
+    * anti-join); state per round is key-sized, the window rides the
+    * one shuffle on `keyCols`, and k is a small constant — cost is
+    * k scans, not k shuffles of growing frames. Null values excluded. */
+  def esd(data: DataFrame, keyCols: Seq[String], idCol: String,
+      valCol: String, maxOutliers: Int, critical: Seq[Double]): DataFrame = {
+    require(maxOutliers >= 1 && critical.length == maxOutliers,
+      s"need one critical value per round: k=$maxOutliers, " +
+        s"given ${critical.length}")
+    val v = col(valCol).cast("double")
+    var remaining = data.where(v.isNotNull)
+      .select(keyCols.map(col) :+ col(idCol).as("_id") :+ v.as("_v") :+
+        graft.core.fixedPointLong(v, 4).cast("decimal(38,0)").as("_fp"): _*)
+    var removed: DataFrame = null
+    (1 to maxOutliers).foreach { i =>
+      val st = remaining.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
+          sum(col("_fp")).as("_s"),
+          sum((col("_fp") * col("_fp")).cast("decimal(38,0)")).as("_q"))
+      val dev = abs(col("_n") * col("_fp") - col("_s"))
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(dev.desc, col("_id").asc)
+      val nD = col("_n").cast("double")
+      // std over the round's population, double finish on exact sums
+      val std = sqrt((col("_q").cast("double") -
+        col("_s").cast("double") * col("_s").cast("double") / nD) /
+        (nD - 1)) / 1e4
+      val top = remaining.join(broadcast(st), keyCols)
+        .where(col("_n") > 2)
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(keyCols.map(col) :+ lit(i).as("rnd") :+
+          col("_id").as("removed_id") :+ col("_v").as("value") :+
+          ((dev.cast("double") / nD / 1e4) / std).as("r_stat") :+
+          lit(critical(i - 1)).as("lambda"): _*)
+      removed = if (removed == null) top else removed.union(top)
+      remaining = remaining.join(
+        top.select(keyCols.map(col) :+ col("removed_id").as("_id"): _*),
+        keyCols :+ "_id", "left_anti")
+    }
+    // ESD decision: outliers = rows of every round up to the LAST round
+    // whose R exceeded its λ (key-sized window over ≤ k rows per key)
+    val wk = Window.partitionBy(keyCols.map(col): _*)
+    val lastSig = max(when(col("r_stat") > col("lambda"), col("rnd")))
+      .over(wk)
+    removed.withColumn("tag",
+      when(col("rnd") <= coalesce(lastSig, lit(0)), "O").otherwise("N"))
+  }
 }

@@ -319,6 +319,13 @@ object MultiQueries {
         .select("l_orderkey", "l_linenumber", "l_returnflag",
           "l_quantity", "l_extendedprice", "l_discount", "score", "tag"))
     }),
+    // generalized ESD (Rosner) per event_type: 3 rounds of exact-integer
+    // arg-max removal; Grubbs' test is this with maxOutliers = 1
+    "q285_esd" -> ((s, dir) => {
+      canon(graft.multi.TailScores.esd(ev(s, dir), Seq("event_type"),
+        "event_id", "value", maxOutliers = 3,
+        critical = Seq(3.5, 3.5, 3.5)))
+    }),
   )
 
   private val zCte =
@@ -1215,5 +1222,42 @@ object MultiQueries {
         | round(score, 4) AS score,
         | CASE WHEN score > 14.0 THEN 'O' ELSE 'N' END AS tag
         |FROM sc""".stripMargin.replace("\n", " "),
+    "q285_esd" -> {
+      // three unrolled ESD rounds; arg-max row by the exact integer
+      // |n·x_fp − Σx_fp| (HUGEINT) mirrors the Spark operator's
+      // decimal(38,0) selection — no double enters the removal choice
+      def round(i: Int, src: String) =
+        s"""s$i AS (SELECT event_type, count(*)::HUGEINT AS n,
+           |  sum(_fp)::HUGEINT AS s, sum(_fp*_fp)::HUGEINT AS q
+           | FROM $src GROUP BY 1),
+           |t$i AS (SELECT b.*, s.n, s.s, s.q, abs(s.n*b._fp - s.s) AS dev,
+           |  row_number() OVER (PARTITION BY b.event_type
+           |   ORDER BY abs(s.n*b._fp - s.s) DESC, b._id ASC) AS rn
+           | FROM $src b JOIN s$i s USING (event_type) WHERE s.n > 2),
+           |o$i AS (SELECT event_type, $i AS rnd, _id AS removed_id,
+           |  _v AS value,
+           |  (dev::DOUBLE / n::DOUBLE / 1e4) /
+           |   (sqrt((q::DOUBLE - s::DOUBLE*s::DOUBLE/n::DOUBLE)
+           |     /(n::DOUBLE-1))/1e4) AS r_stat,
+           |  3.5::DOUBLE AS lambda FROM t$i WHERE rn = 1),
+           |b$i AS (SELECT event_type, _id, _v, _fp FROM t$i WHERE rn > 1)"""
+          .stripMargin
+      s"""WITH b0 AS (SELECT event_type, event_id AS _id,
+         |  value::DOUBLE AS _v,
+         |  (CASE WHEN value >= 0 THEN floor(value*10000.0+0.5)
+         |   ELSE -floor(-value*10000.0+0.5) END)::HUGEINT AS _fp
+         | FROM events WHERE value IS NOT NULL),
+         |${round(1, "b0")},
+         |${round(2, "b1")},
+         |${round(3, "b2")},
+         |u AS (SELECT * FROM o1 UNION ALL SELECT * FROM o2
+         |  UNION ALL SELECT * FROM o3),
+         |f AS (SELECT *, max(CASE WHEN r_stat > lambda THEN rnd END)
+         |  OVER (PARTITION BY event_type) AS lastsig FROM u)
+         |SELECT event_type, rnd, removed_id, round(value, 4) AS value,
+         | round(r_stat, 4) AS r_stat, lambda,
+         | CASE WHEN rnd <= coalesce(lastsig, 0) THEN 'O' ELSE 'N' END AS tag
+         |FROM f""".stripMargin.replace("\n", " ")
+    },
   )
 }
