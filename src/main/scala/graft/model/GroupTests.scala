@@ -1,0 +1,152 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Between-group difference tests (engine additions): one-way ANOVA F,
+  * Kruskal–Wallis H (tie-corrected) and Brown–Forsythe (the
+  * median-centered Levene variance test) — the "did this attribute's
+  * distribution split across segments" battery that complements the
+  * reference's two-sample change-point tests (beymani
+  * ChangePointDetector runs KS/CvM/AD on two windows of one key; these
+  * compare k populations at once).
+  *
+  * Determinism: values quantize to 4dp fixed-point longs; every
+  * per-group sum is decimal(38,0)/HUGEINT-exact, ranks and tie groups
+  * are exact integers, and the ONE unavoidable cross-group double
+  * reduction (Σ_g S_g²/n_g-shaped terms) is a left fold over the groups
+  * in group-name order on BOTH engines (sort_array+aggregate here,
+  * list(… ORDER BY g)+list_aggregate in the oracle) — never an
+  * unordered double sum, whose partial-aggregation order Spark does not
+  * pin.
+  *
+  * Scale: one hash aggregate to group-sized stats (map-side combined),
+  * then a k-row reduction — model-sized end to end. Kruskal–Wallis
+  * ranks via the (group, value)-histogram, so its one cumulative window
+  * runs over the distinct-value frame (the binaryAuc device,
+  * model/Eval.scala:26), never the data; rank sums stay exact longs so
+  * partial-aggregation order is irrelevant. */
+object GroupTests {
+
+  /** Ordered left-fold of `term` over groups: deterministic replacement
+    * for a cross-group double sum. */
+  private def foldOrdered(groups: DataFrame, groupCol: String,
+      term: Column, as: String): DataFrame =
+    groups
+      .agg(sort_array(collect_list(struct(col(groupCol).as("g"),
+        term.as("t")))).as("_a"))
+      .select(aggregate(col("_a"), lit(0.0),
+        (acc, x) => acc + x("t")).as(as))
+
+  /** Shared ANOVA-F finish over a (group, long-value) frame: exact
+    * per-group sums, ordered fold for Σ S_g²/n_g, double F finish.
+    * Output: one row (k, n, ss_between, ss_within, f_stat) at the fixed
+    * point scale `unit` (10^p per value unit — SS columns are reported
+    * in value² units). */
+  private[model] def anovaOnLongs(fp: DataFrame, groupCol: String,
+      unit: Double): DataFrame = {
+    val g = fp.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("_ng"),
+        sum(col("_fp").cast("decimal(38,0)")).as("_sg"),
+        sum((col("_fp").cast("decimal(38,0)") *
+          col("_fp").cast("decimal(38,0)")).cast("decimal(38,0)")).as("_qg"))
+    val totals = g.agg(count(lit(1)).as("k"),
+      sum(col("_ng")).as("_n"), sum(col("_sg")).as("_s"),
+      sum(col("_qg")).as("_q"))
+    val t = foldOrdered(g, groupCol,
+      col("_sg").cast("double") * col("_sg").cast("double") /
+        col("_ng").cast("double"), "_t")
+    val nD = col("_n").cast("double")
+    val ssb = (col("_t") -
+      col("_s").cast("double") * col("_s").cast("double") / nD) /
+      (unit * unit)
+    val ssw = (col("_q").cast("double") - col("_t")) / (unit * unit)
+    totals.crossJoin(t)
+      .withColumn("n", col("_n").cast("long"))
+      .withColumn("ss_between", ssb)
+      .withColumn("ss_within", ssw)
+      .withColumn("f_stat",
+        (col("ss_between") / (col("k") - 1)) /
+          (col("ss_within") / (col("n") - col("k"))))
+      .select("k", "n", "ss_between", "ss_within", "f_stat")
+  }
+
+  /** One-way ANOVA F over `valCol` split by `groupCol`. */
+  def anovaF(data: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    anovaOnLongs(
+      data.where(v.isNotNull)
+        .select(col(groupCol), graft.core.fixedPointLong(v, 4).as("_fp")),
+      groupCol, 1e4)
+  }
+
+  /** Kruskal–Wallis H with the tie correction
+    * H' = H / (1 − Σ(t³−t)/(n³−n)); average ranks are carried as the
+    * exact integer 2·r̄ = 2·rank + ct − 1 so rank sums never touch a
+    * double until the finish. One row: k, n, h_stat, tie_correction. */
+  def kruskalWallis(data: DataFrame, groupCol: String, valCol: String)
+      : DataFrame = {
+    val v = col(valCol).cast("double")
+    val fp = data.where(v.isNotNull)
+      .select(col(groupCol), graft.core.fixedPointLong(v, 4).as("_fp"))
+    // (group, value)-histogram first, so the one global rank window runs
+    // over the distinct-value frame, never the data — the binaryAuc
+    // device (Eval.scala): 2·r̄(v) = 2·cumBefore(v) + ct(v) + 1 exactly
+    val gvh = fp.groupBy(col(groupCol), col("_fp"))
+      .agg(count(lit(1)).as("_c"))
+    val vh = gvh.groupBy(col("_fp")).agg(sum(col("_c")).as("_ct"))
+    val w = Window.orderBy(col("_fp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vr = vh
+      .withColumn("_r2", lit(2) * (sum(col("_ct")).over(w) - col("_ct")) +
+        col("_ct") + 1)
+    val g = gvh.join(vr.select("_fp", "_r2"), "_fp")
+      .groupBy(col(groupCol))
+      .agg(sum(col("_c")).cast("decimal(38,0)").as("_ng"),
+        sum((col("_c") * col("_r2")).cast("decimal(38,0)")).as("_rs2"))
+    val ties = vh
+      .agg(sum(col("_ct") * col("_ct") * col("_ct") - col("_ct")).as("_tc"))
+    val totals = g.agg(count(lit(1)).as("k"), sum(col("_ng")).as("_n"))
+    // Σ_g R_g²/n_g = Σ_g (_rs2/2)²/n_g — ordered fold, exact-int inputs
+    val t = foldOrdered(g, groupCol,
+      col("_rs2").cast("double") * col("_rs2").cast("double") /
+        (lit(4.0) * col("_ng").cast("double")), "_t")
+    val nD = col("_n").cast("double")
+    totals.crossJoin(t).crossJoin(ties)
+      .withColumn("n", col("_n").cast("long"))
+      .withColumn("_h",
+        lit(12.0) / (nD * (nD + 1)) * col("_t") - lit(3) * (nD + 1))
+      .withColumn("tie_correction",
+        lit(1.0) - col("_tc").cast("double") / (nD * nD * nD - nD))
+      .withColumn("h_stat", col("_h") / col("tie_correction"))
+      .select("k", "n", "h_stat", "tie_correction")
+  }
+
+  /** Brown–Forsythe: ANOVA F over z = |x − median_g|. The per-group
+    * median is the exact order statistic (avg of the two middles on even
+    * counts), carried as the integer 2·median so z quantizes to exact
+    * longs at 2×4dp scale — the scale cancels in F. One row:
+    * k, n, ss_between, ss_within, f_stat (SS in value² units). */
+  def brownForsythe(data: DataFrame, groupCol: String, valCol: String)
+      : DataFrame = {
+    val v = col(valCol).cast("double")
+    val fp = data.where(v.isNotNull)
+      .select(col(groupCol), graft.core.fixedPointLong(v, 4).as("_v"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_v").asc)
+    val kw = Window.partitionBy(col(groupCol))
+    val med2 = fp
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_c", count(lit(1)).over(kw).cast("long"))
+      // integer middles: Column./ on longs is DOUBLE division, so floor
+      .where(col("_rn") === floor((col("_c") + 1) / 2).cast("long") ||
+        col("_rn") === floor(col("_c") / 2).cast("long") + 1)
+      .groupBy(col(groupCol)).agg((sum(col("_v")) *
+        when(count(lit(1)) === 1, 2).otherwise(1)).as("_m2"))
+    anovaOnLongs(
+      fp.join(broadcast(med2), Seq(groupCol))
+        .select(col(groupCol),
+          abs(lit(2) * col("_v") - col("_m2")).as("_fp")),
+      groupCol, 2e4)
+  }
+}

@@ -189,4 +189,86 @@ object TailScores {
     removed.withColumn("tag",
       when(col("rnd") <= coalesce(lastSig, lit(0)), "O").otherwise("N"))
   }
+
+  /** Peaks-over-threshold with a generalized-Pareto tail fit (EVT;
+    * Pickands–Balkema–de Haan) — the principled version of the
+    * reference's extreme-value scorer (beymani extremeValueProbablity,
+    * which assumes a normal tail). Per key: the threshold u is the exact
+    * order statistic leaving ~`tailFrac·n` exceedances; the GPD shape ξ
+    * and scale σ come from the method of moments over exceedances
+    * y = x−u (ξ = (1−ȳ²/s²)/2, σ = ȳ(ȳ²/s²+1)/2; Hosking & Wallis
+    * 1987 eq. 8); each exceedance's tail probability is
+    * p = (n_u/n)·(1+ξy/σ)^(−1/ξ) and score = −ln p. Rows at or below u
+    * score 0/'N' so output rows = input rows.
+    *
+    * Determinism: u is selected by exact integer ordering (4dp fixed
+    * point, ties on id); ȳ/s² are double finishes over decimal(38,0) /
+    * HUGEINT sums of exact exceedance longs; the power law is written as
+    * exp(k·ln(·)) on BOTH engines so the expression trees are identical
+    * under libm parity. Support edge: 1+ξy/σ ≤ 0 (beyond the fitted
+    * tail's endpoint, ξ<0) or a degenerate fit (s²=0, <2 exceedances)
+    * scores the documented cap 999.0 / 0.0.
+    *
+    * Scale: one shuffle on the keys; the order statistic rides it as a
+    * window; the GPD model is key-sized and broadcast back. No pairwise
+    * work — this is fit-then-broadcast-score, the same shape as the
+    * z-score flagship. */
+  def potGpd(data: DataFrame, keyCols: Seq[String], idCol: String,
+      valCol: String, tailFrac: Double, threshold: Double): DataFrame = {
+    require(tailFrac > 0 && tailFrac < 0.5, s"tailFrac in (0,0.5): $tailFrac")
+    val v = col(valCol).cast("double")
+    val base = data.where(v.isNotNull)
+      .withColumn("_fp", graft.core.fixedPointLong(v, 4))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_fp").desc, col(idCol).asc)
+    val ranked = base
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1))
+        .over(Window.partitionBy(keyCols.map(col): _*)))
+    // n_u = floor(tailFrac·n) clamped to ≥2; u = (n_u+1)-th largest
+    val nu = greatest(floor(lit(tailFrac) * col("_n")).cast("long"), lit(2L))
+    val uRow = ranked.where(col("_rn") === nu + 1)
+      .select(keyCols.map(col) :+ col("_fp").as("_ufp"): _*)
+    val joined = ranked.join(broadcast(uRow), keyCols.toSeq, "left")
+      .withColumn("_yfp", col("_fp") - col("_ufp"))
+    // GPD MoM over exceedances (strictly above u), exact integer sums
+    val exc = joined.where(col("_yfp") > 0)
+    val fit = exc.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("_m"),
+        sum(col("_yfp").cast("decimal(38,0)")).as("_s1"),
+        sum((col("_yfp").cast("decimal(38,0)") *
+          col("_yfp").cast("decimal(38,0)")).cast("decimal(38,0)")).as("_s2"))
+    val mD = col("_m").cast("double")
+    val mean = col("_s1").cast("double") / mD / 1e4
+    val varS = (col("_s2").cast("double") -
+      col("_s1").cast("double") * col("_s1").cast("double") / mD) /
+      (mD - 1) / 1e8
+    val ratio = mean * mean / varS
+    val model = fit.where(col("_m") >= 2)
+      .withColumn("_xi", (lit(1.0) - ratio) / 2)
+      .withColumn("_sigma", mean * (ratio + lit(1.0)) / 2)
+      .withColumn("_ok", varS > 0)
+      .select(keyCols.map(col) ++
+        Seq(col("_m"), col("_xi"), col("_sigma"), col("_ok")): _*)
+    val y = col("_yfp").cast("double") / 1e4
+    val support = lit(1.0) + col("_xi") * y / col("_sigma")
+    val tailP = (col("_m").cast("double") / col("_n")) *
+      exp((lit(-1.0) / col("_xi")) * log(support))
+    // missing model (key too small: n<3 or <2 exceedances) → 'I' rows,
+    // per the core tag contract — left joins keep every input row
+    val score = when(col("_ufp").isNull || col("_m").isNull, lit(null)
+        .cast("double"))
+      .when(col("_yfp") <= 0, lit(0.0))
+      .when(!col("_ok") || support <= 0, lit(999.0))
+      .otherwise(-log(tailP))
+    joined.join(broadcast(model), keyCols.toSeq, "left")
+      .withColumn("score", score)
+      .withColumn("tag",
+        when(col("score").isNull, "I")
+          .when(col("_yfp") > 0 && score > threshold, "O").otherwise("N"))
+      .withColumn("u", col("_ufp").cast("double") / 1e4)
+      .withColumn("xi", col("_xi"))
+      .withColumn("sigma", col("_sigma"))
+      .drop("_fp", "_rn", "_n", "_ufp", "_yfp", "_m", "_xi", "_sigma", "_ok")
+  }
 }

@@ -78,6 +78,14 @@ object MultiQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EVT peaks-over-threshold: GPD tail fit (method of moments) per
+    // event_type over exceedances above the exact 90th-pct order
+    // statistic; score = −ln tail-probability
+    "q286_pot_gpd" -> ((s, dir) =>
+      canon(graft.multi.TailScores.potGpd(ev(s, dir), Seq("event_type"),
+        "event_id", "value", tailFrac = 0.1, threshold = 5.0)
+        .select("event_id", "event_type", "value", "u", "xi", "sigma",
+          "score", "tag"))),
     // integer fixed-point PageRank, 5 unrolled iterations in the oracle;
     // rank12 longs hash-compare exactly (no float tolerance)
     "q201_pagerank" -> ((s, dir) =>
@@ -827,6 +835,40 @@ object MultiQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q286_pot_gpd" ->
+      """WITH base AS (SELECT event_id, event_type, value,
+        |  (CASE WHEN value>=0 THEN floor(value*10000.0+0.5)
+        |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS fp
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY fp DESC, event_id ASC) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM base),
+        |u AS (SELECT event_type, fp AS ufp FROM r
+        |  WHERE rn = greatest(CAST(floor(0.1*n) AS BIGINT), 2) + 1),
+        |j AS (SELECT r.*, u.ufp, r.fp - u.ufp AS yfp
+        |  FROM r LEFT JOIN u USING (event_type)),
+        |f AS (SELECT event_type, count(*)::HUGEINT AS m,
+        |  sum(yfp::HUGEINT) AS s1, sum(yfp::HUGEINT * yfp::HUGEINT) AS s2
+        |  FROM j WHERE yfp > 0 GROUP BY 1),
+        |mm AS (SELECT event_type, m, s1::DOUBLE/m::DOUBLE/1e4 AS mean,
+        |  (s2::DOUBLE - s1::DOUBLE*s1::DOUBLE/m::DOUBLE)/(m::DOUBLE-1)/1e8 AS var
+        |  FROM f WHERE m >= 2),
+        |mdl AS (SELECT event_type, m, (1.0 - mean*mean/var)/2 AS xi,
+        |  mean*(mean*mean/var + 1.0)/2 AS sigma, var > 0 AS ok FROM mm),
+        |sc AS (SELECT j.*, mdl.m, mdl.xi, mdl.sigma, mdl.ok,
+        |  1.0 + mdl.xi*(j.yfp::DOUBLE/1e4)/mdl.sigma AS support
+        |  FROM j LEFT JOIN mdl USING (event_type)),
+        |fin AS (SELECT *, CASE WHEN ufp IS NULL OR m IS NULL THEN NULL
+        |   WHEN yfp <= 0 THEN 0.0
+        |   WHEN (NOT ok) OR support <= 0 THEN 999.0
+        |   ELSE -ln((m::DOUBLE / n) * exp((-1.0/xi) * ln(support))) END AS score
+        |  FROM sc)
+        |SELECT event_id, event_type, round(value,4) AS value,
+        | round(ufp::DOUBLE/1e4, 4) AS u, round(xi,4) AS xi,
+        | round(sigma,4) AS sigma, round(score,4) AS score,
+        | CASE WHEN score IS NULL THEN 'I'
+        |      WHEN yfp > 0 AND score > 5.0 THEN 'O' ELSE 'N' END AS tag
+        |FROM fin""".stripMargin.replace("\n", " "),
     "q201_pagerank" -> pageRankOracle,
     "q203_ppr" -> pprOracle,
     "q205_lpa" ->

@@ -31,6 +31,16 @@ object SeqQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Mann–Kendall monotone-trend test per event_type over the strided
+    // ≤150-point subsample (exact integer S and tie-corrected Var(S))
+    "q287_mann_kendall" -> ((s, dir) =>
+      canon(graft.seq.Trend.mannKendall(ev(s, dir), Seq("event_type"),
+        "event_id", "value", maxPoints = 150, zThreshold = 1.96))),
+    // Theil–Sen robust slope/intercept per event_type, same subsample;
+    // medians are explicit order statistics with (i,j) tie-breaks
+    "q288_theil_sen" -> ((s, dir) =>
+      canon(graft.seq.Trend.theilSen(ev(s, dir), Seq("event_type"),
+        "event_id", "value", maxPoints = 150))),
     // streaming motif detector executed as batch (q100 pattern): the
     // stream code path itself gated on a lag-window oracle
     "q220_motif_stream" -> ((s, dir) => {
@@ -692,7 +702,71 @@ object SeqQueries {
         |FROM s WHERE cnt_l = 30 AND cnt_r = 30 AND stat >= 3.0"""
         .stripMargin.replace("\n", " ")
 
+  /** Shared strided-subsample CTE prefix for the two trend oracles:
+    * 4dp fixed-point values, per-key ordinal i, stride ceil(n/150). */
+  private val trendPts =
+    """base AS (SELECT event_type, event_id, value,
+      |  (CASE WHEN value>=0 THEN floor(value*10000.0+0.5)
+      |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS fp
+      |  FROM events WHERE value IS NOT NULL),
+      |o AS (SELECT event_type, fp, row_number() OVER (PARTITION BY
+      |    event_type ORDER BY event_id ASC) AS i,
+      |  count(*) OVER (PARTITION BY event_type) AS n FROM base),
+      |pts AS (SELECT event_type, i::BIGINT AS i, fp FROM o
+      |  WHERE (i::BIGINT - 1) % CAST(ceil(n::DOUBLE/150) AS BIGINT) = 0)"""
+      .stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q287_mann_kendall" ->
+      s"""WITH $trendPts,
+         |p AS (SELECT l.event_type, l.fp AS fl, r.fp AS fr FROM pts l
+         |  JOIN pts r ON l.event_type = r.event_type AND l.i < r.i),
+         |s AS (SELECT event_type, sum(CASE WHEN fr > fl THEN 1
+         |    WHEN fr < fl THEN -1 ELSE 0 END)::BIGINT AS s_stat
+         |  FROM p GROUP BY 1),
+         |nu AS (SELECT event_type, count(*)::BIGINT AS n_used
+         |  FROM pts GROUP BY 1),
+         |tg AS (SELECT event_type, fp, count(*)::BIGINT AS t
+         |  FROM pts GROUP BY 1, 2),
+         |ti AS (SELECT event_type,
+         |  sum(t*(t-1)*(2*t+5))::BIGINT AS tc FROM tg GROUP BY 1),
+         |fin AS (SELECT s.event_type, s_stat, n_used,
+         |  (n_used*(n_used-1)*(2*n_used+5) - tc)::DOUBLE / 18.0 AS var_s
+         |  FROM s JOIN nu USING (event_type) JOIN ti USING (event_type)),
+         |z AS (SELECT *, CASE WHEN s_stat > 0
+         |    THEN (s_stat-1)::DOUBLE / sqrt(var_s)
+         |  WHEN s_stat < 0 THEN (s_stat+1)::DOUBLE / sqrt(var_s)
+         |  ELSE 0.0 END AS z_stat FROM fin)
+         |SELECT event_type, s_stat, n_used, round(var_s, 4) AS var_s,
+         | round(z_stat, 4) AS z_stat,
+         | CASE WHEN z_stat > 1.96 THEN 'rising'
+         |      WHEN z_stat < -1.96 THEN 'falling'
+         |      ELSE 'none' END AS trend
+         |FROM z""".stripMargin.replace("\n", " "),
+    "q288_theil_sen" ->
+      s"""WITH $trendPts,
+         |p AS (SELECT l.event_type, l.i AS il, r.i AS ir,
+         |  l.fp AS fl, r.fp AS fr FROM pts l
+         |  JOIN pts r ON l.event_type = r.event_type AND l.i < r.i),
+         |sl AS (SELECT event_type, il, ir,
+         |  (fr - fl)::DOUBLE / ((ir - il)::DOUBLE * 1e4) AS sl FROM p),
+         |m AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY sl ASC, il ASC, ir ASC) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS m FROM sl),
+         |med AS (SELECT event_type, avg(sl) AS slope,
+         |  min(m)::BIGINT AS n_pairs FROM m
+         |  WHERE rn = (m+1)//2 OR rn = m//2 + 1 GROUP BY 1),
+         |res AS (SELECT pts.event_type, pts.i, med.slope, med.n_pairs,
+         |  pts.fp::DOUBLE/1e4 - med.slope*pts.i AS r
+         |  FROM pts JOIN med USING (event_type)),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY r ASC, i ASC) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS c FROM res)
+         |SELECT event_type, round(min(slope), 4) AS slope,
+         | min(n_pairs)::BIGINT AS n_pairs, min(c)::BIGINT AS n_used,
+         | round(avg(r), 4) AS intercept
+         |FROM rr WHERE rn = (c+1)//2 OR rn = c//2 + 1
+         |GROUP BY event_type""".stripMargin.replace("\n", " "),
     "q227_locf_stream" ->
       """SELECT user_id::VARCHAR AS entity, event_id AS seq,
         | round(value, 4) AS value,

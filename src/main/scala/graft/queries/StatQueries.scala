@@ -41,6 +41,20 @@ object StatQueries {
         lit("}")).as("j"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // one-way ANOVA F: did value's mean split across event_type
+    // segments (exact fixed-point sums, ordered cross-group fold)
+    "q289_anova" -> ((s, dir) =>
+      canon(graft.model.GroupTests.anovaF(ev(s, dir), "event_type",
+        "value"))),
+    // Kruskal–Wallis H, tie-corrected, ranks via the value histogram
+    "q290_kruskal_wallis" -> ((s, dir) =>
+      canon(graft.model.GroupTests.kruskalWallis(ev(s, dir), "event_type",
+        "value"))),
+    // Brown–Forsythe: ANOVA F on |x − group median| (variance drift
+    // across segments, robust center)
+    "q291_brown_forsythe" -> ((s, dir) =>
+      canon(graft.model.GroupTests.brownForsythe(ev(s, dir), "event_type",
+        "value"))),
     // schema-on-read JSON profiler over the synthesized nested sidecar:
     // path × (occurrences, distinct, lexical type counts, min example)
     "q263_json_profile" -> ((s, dir) =>
@@ -699,7 +713,72 @@ object StatQueries {
       | round(quantile_cont(value, 0.75), 4) AS p75
       |FROM s GROUP BY 1""".stripMargin.replace("\n", " ")
 
+  /** Shared 4dp fixed-point (group, value) CTE for the three
+    * group-difference-test oracles. */
+  private val gtFx =
+    """fx AS (SELECT event_type AS g,
+      |  (CASE WHEN value>=0 THEN floor(value*10000.0+0.5)
+      |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS v
+      |  FROM events WHERE value IS NOT NULL)""".stripMargin
+
+  /** Shared ANOVA finish over a (g, fp) CTE named `z`; `unitSq` is the
+    * squared fixed-point scale the SS columns divide out. The cross-
+    * group Σ S_g²/n_g rides list_aggregate over a group-name-ordered
+    * list — a sequential in-order fold, verified to match Spark's
+    * aggregate() left fold. */
+  private def anovaFinish(unitSq: String): String =
+    s"""gg AS (SELECT g, count(*)::HUGEINT AS ng, sum(fp::HUGEINT) AS sg,
+       |  sum(fp::HUGEINT * fp::HUGEINT) AS qg FROM z GROUP BY 1),
+       |tot AS (SELECT count(*)::BIGINT AS k, sum(ng) AS n, sum(sg) AS s,
+       |  sum(qg) AS q FROM gg),
+       |tf AS (SELECT list_aggregate(
+       |  list(sg::DOUBLE*sg::DOUBLE/ng::DOUBLE ORDER BY g), 'sum') AS t
+       |  FROM gg),
+       |fin AS (SELECT k, n::BIGINT AS n,
+       |  (t - s::DOUBLE*s::DOUBLE/n::DOUBLE)/($unitSq) AS ssb,
+       |  (q::DOUBLE - t)/($unitSq) AS ssw FROM tot, tf)
+       |SELECT k, n, round(ssb, 4) AS ss_between, round(ssw, 4) AS ss_within,
+       | round((ssb/(k-1))/(ssw/(n-k)), 4) AS f_stat FROM fin""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q289_anova" ->
+      s"""WITH $gtFx,
+         |z AS (SELECT g, v AS fp FROM fx),
+         |${anovaFinish("1e4*1e4")}""".stripMargin.replace("\n", " "),
+    "q290_kruskal_wallis" ->
+      s"""WITH $gtFx,
+         |gvh AS (SELECT g, v, count(*)::BIGINT AS c FROM fx GROUP BY 1, 2),
+         |vh AS (SELECT v, sum(c)::BIGINT AS ct FROM gvh GROUP BY 1),
+         |vr AS (SELECT v, 2*(sum(ct) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct)
+         |  + ct + 1 AS r2 FROM vh),
+         |gg AS (SELECT g, sum(c)::HUGEINT AS ng,
+         |  sum((c*r2)::HUGEINT) AS rs2
+         |  FROM gvh JOIN vr USING (v) GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS k, sum(ng) AS n FROM gg),
+         |tf AS (SELECT list_aggregate(
+         |  list(rs2::DOUBLE*rs2::DOUBLE/(4.0*ng::DOUBLE) ORDER BY g),
+         |  'sum') AS t FROM gg),
+         |ti AS (SELECT sum(ct*ct*ct - ct) AS tc FROM vh),
+         |fin AS (SELECT k, n::BIGINT AS n,
+         |  12.0/(n::DOUBLE*(n::DOUBLE+1))*t - 3*(n::DOUBLE+1) AS h,
+         |  1.0 - tc::DOUBLE/(n::DOUBLE*n::DOUBLE*n::DOUBLE - n::DOUBLE)
+         |    AS tcf
+         |  FROM tot, tf, ti)
+         |SELECT k, n, round(h/tcf, 4) AS h_stat,
+         | round(tcf, 4) AS tie_correction
+         |FROM fin""".stripMargin.replace("\n", " "),
+    "q291_brown_forsythe" ->
+      s"""WITH $gtFx,
+         |mr AS (SELECT g, v, row_number() OVER (PARTITION BY g
+         |    ORDER BY v ASC) AS rn,
+         |  count(*) OVER (PARTITION BY g) AS c FROM fx),
+         |med AS (SELECT g, (sum(v) * (CASE WHEN count(*) = 1 THEN 2
+         |    ELSE 1 END))::BIGINT AS m2
+         |  FROM mr WHERE rn = (c+1)//2 OR rn = c//2 + 1 GROUP BY 1),
+         |z AS (SELECT g, abs(2*v - m2)::BIGINT AS fp
+         |  FROM fx JOIN med USING (g)),
+         |${anovaFinish("2e4*2e4")}""".stripMargin.replace("\n", " "),
     // nested-object values extract minified and byte-identical in both
     // engines (verified: Jackson map<string,string> == DuckDB
     // json_extract_string), so n_distinct/min_v hash-compare exactly

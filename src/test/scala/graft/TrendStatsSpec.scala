@@ -1,0 +1,156 @@
+package graft
+
+import graft.model.GroupTests
+import graft.multi.TailScores
+import graft.seq.Trend
+import org.apache.spark.sql.functions._
+
+/** Trend detectors (Mann–Kendall, Theil–Sen), group-difference tests
+  * (ANOVA F, Kruskal–Wallis, Brown–Forsythe) and the EVT
+  * peaks-over-threshold GPD scorer — kernel behaviors the DuckDB oracle
+  * replay can't pin (known-direction recovery, hand-computed stats,
+  * degenerate-key tags). */
+class TrendStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mann-kendall: strictly rising sequence has S = m(m-1)/2, rising tag") {
+    val df = (1 to 50).map(i => ("k", i.toLong, i.toDouble))
+      .toDF("g", "seq", "v")
+    val r = Trend.mannKendall(df, Seq("g"), "seq", "v", maxPoints = 50)
+      .collect()(0)
+    assert(r.getAs[Long]("n_used") == 50L)
+    assert(r.getAs[Long]("s_stat") == 50L * 49 / 2)
+    assert(r.getAs[String]("trend") == "rising")
+    // falling mirror
+    val f = Trend.mannKendall(
+      (1 to 50).map(i => ("k", i.toLong, -i.toDouble)).toDF("g", "seq", "v"),
+      Seq("g"), "seq", "v", maxPoints = 50).collect()(0)
+    assert(f.getAs[Long]("s_stat") == -(50L * 49 / 2))
+    assert(f.getAs[String]("trend") == "falling")
+  }
+
+  test("mann-kendall: constant sequence is all ties — S=0, varS=0-safe, none") {
+    val df = (1 to 20).map(i => ("k", i.toLong, 7.5)).toDF("g", "seq", "v")
+    val r = Trend.mannKendall(df, Seq("g"), "seq", "v", maxPoints = 20)
+      .collect()(0)
+    assert(r.getAs[Long]("s_stat") == 0L)
+    assert(r.getAs[Double]("var_s") == 0.0) // full tie group cancels n-term
+    assert(r.getAs[String]("trend") == "none")
+  }
+
+  test("mann-kendall: stride caps pairs — n_used <= maxPoints") {
+    val df = (1 to 1000).map(i => ("k", i.toLong, math.sin(i.toDouble)))
+      .toDF("g", "seq", "v")
+    val r = Trend.mannKendall(df, Seq("g"), "seq", "v", maxPoints = 40)
+      .collect()(0)
+    assert(r.getAs[Long]("n_used") <= 40L)
+  }
+
+  test("theil-sen: exact line y = 3x + 2 recovers slope and intercept") {
+    val df = (1 to 30).map(i => ("k", i.toLong, 3.0 * i + 2.0))
+      .toDF("g", "seq", "v")
+    val r = Trend.theilSen(df, Seq("g"), "seq", "v", maxPoints = 30)
+      .collect()(0)
+    assert(math.abs(r.getAs[Double]("slope") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 2.0) < 1e-9)
+    assert(r.getAs[Long]("n_pairs") == 30L * 29 / 2)
+  }
+
+  test("theil-sen: one gross outlier does not move the slope (robustness)") {
+    val pts = (1 to 29).map(i => ("k", i.toLong, 2.0 * i)) :+
+      (("k", 30L, 500.0))
+    val r = Trend.theilSen(pts.toDF("g", "seq", "v"), Seq("g"), "seq", "v",
+      maxPoints = 30).collect()(0)
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 0.2,
+      s"median slope shrugs off 1/30 contamination: $r")
+  }
+
+  test("anova: identical groups give F ~ 0; shifted group mean gives large F") {
+    val same = (1 to 300).map(i =>
+      (Seq("a", "b", "c")(i % 3), (i % 7).toDouble)).toDF("g", "v")
+    val r0 = GroupTests.anovaF(same, "g", "v").collect()(0)
+    assert(r0.getAs[Long]("k") == 3L && r0.getAs[Long]("n") == 300L)
+    assert(r0.getAs[Double]("f_stat") < 0.05, s"no between-group signal: $r0")
+    val shifted = same.withColumn("v",
+      when(col("g") === "c", col("v") + 100.0).otherwise(col("v")))
+    val r1 = GroupTests.anovaF(shifted, "g", "v").collect()(0)
+    assert(r1.getAs[Double]("f_stat") > 1000.0, s"shifted mean: $r1")
+  }
+
+  test("anova: hand-computed 2x3 fixture") {
+    // groups {2,4,6} and {8,10,12}: SSB = 54, SSW = 16, F = (54/1)/(16/4) = 13.5
+    val df = Seq(("a", 2.0), ("a", 4.0), ("a", 6.0),
+      ("b", 8.0), ("b", 10.0), ("b", 12.0)).toDF("g", "v")
+    val r = GroupTests.anovaF(df, "g", "v").collect()(0)
+    assert(math.abs(r.getAs[Double]("ss_between") - 54.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ss_within") - 16.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("f_stat") - 13.5) < 1e-6)
+  }
+
+  test("kruskal-wallis: identical distributions give H ~ 0; disjoint ranges max it") {
+    val same = (1 to 300).map(i =>
+      (Seq("a", "b", "c")(i % 3), (i % 11).toDouble)).toDF("g", "v")
+    val h0 = GroupTests.kruskalWallis(same, "g", "v").collect()(0)
+    assert(h0.getAs[Double]("h_stat") < 0.5, s"same dist: $h0")
+    assert(h0.getAs[Double]("tie_correction") < 1.0) // ties present
+    // a below b below c entirely: H near its (n-1)-ish ceiling
+    val disj = (1 to 300).map { i =>
+      val g = Seq("a", "b", "c")(i % 3)
+      (g, (i % 3) * 1000.0 + i)
+    }.toDF("g", "v")
+    val h1 = GroupTests.kruskalWallis(disj, "g", "v").collect()(0)
+    assert(h1.getAs[Double]("h_stat") > 250.0, s"disjoint ranks: $h1")
+  }
+
+  test("brown-forsythe: equal-variance groups low F; inflated-variance group high F") {
+    val eq = (1 to 400).map(i =>
+      (Seq("a", "b")(i % 2), ((i / 2) % 21 - 10).toDouble)).toDF("g", "v")
+    val r0 = GroupTests.brownForsythe(eq, "g", "v").collect()(0)
+    assert(r0.getAs[Double]("f_stat") < 0.5, s"same spread: $r0")
+    val wide = eq.withColumn("v",
+      when(col("g") === "b", col("v") * 10.0).otherwise(col("v")))
+    val r1 = GroupTests.brownForsythe(wide, "g", "v").collect()(0)
+    assert(r1.getAs[Double]("f_stat") > 100.0, s"10x spread in b: $r1")
+  }
+
+  test("pot-gpd: exceedances over u get positive scores, body scores 0") {
+    val df = (1 to 500).map(i => ("k", i.toLong, (i % 100).toDouble))
+      .toDF("g", "id", "v")
+    val r = TailScores.potGpd(df, Seq("g"), "id", "v",
+      tailFrac = 0.1, threshold = 5.0)
+    assert(r.count() == 500L) // left joins keep every row
+    val byTag = r.groupBy("tag").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(!byTag.contains("I"))
+    val tail = r.where(col("score") > 0).select(min("v")).collect()(0)
+      .getDouble(0)
+    val u = r.select(max("u")).collect()(0).getDouble(0)
+    assert(tail > u - 1e-9, "only values above u score")
+  }
+
+  test("pot-gpd: a huge spike is tagged O; tiny keys tag I, never dropped") {
+    val base = (1 to 500).map(i => ("k", i.toLong, (i % 100).toDouble))
+    val spike = ("k", 501L, 100000.0)
+    val tiny = Seq(("t", 1L, 1.0), ("t", 2L, 2.0))
+    val df = (base :+ spike) ++ tiny
+    val r = TailScores.potGpd(df.toDF("g", "id", "v"), Seq("g"), "id", "v",
+      tailFrac = 0.1, threshold = 5.0)
+    val s = r.where(col("id") === 501L).collect()(0)
+    assert(s.getAs[String]("tag") == "O", s"spike: $s")
+    val t = r.where(col("g") === "t").collect()
+    assert(t.length == 2 && t.forall(_.getAs[String]("tag") == "I"),
+      "2-row key has no fit — 'I' per the tag contract")
+  }
+
+  test("pot-gpd: deterministic across partition counts") {
+    val df = (1 to 500).map(i =>
+      ("k" + (i % 3), i.toLong, math.exp((i % 97) / 13.0))).toDF("g", "id", "v")
+    val a = TailScores.potGpd(df.repartition(1), Seq("g"), "id", "v", 0.1, 5.0)
+      .select("id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    val b = TailScores.potGpd(df.repartition(7), Seq("g"), "id", "v", 0.1, 5.0)
+      .select("id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    assert(a == b, "bit-identical scores regardless of partitioning")
+  }
+}
