@@ -201,6 +201,140 @@ object PostOps {
           .as("p_value"): _*)
   }
 
+  /** Winsorize: clamp each value into the exact per-key
+    * [P(alpha), P(1−alpha)] order-statistic band — the robust
+    * preprocessing twin of the reference's range filter (beymani's
+    * in-range tags; this REPAIRS instead of tagging). lo is the value
+    * at ascending rank ⌈alpha·n⌉ (≥1), hi at rank n+1−⌈alpha·n⌉.
+    *
+    * Determinism: ranks are exact (4dp fixed point, idCol tie-break);
+    * both bounds come out of ONE conditional aggregate over the ranked
+    * frame; the clamp is integer min/max on the fixed-point longs.
+    *
+    * Scale: one shuffle on the keys (rank window + agg share it), the
+    * key-sized bound model broadcasts back. */
+  def winsorize(data: DataFrame, keyCols: Seq[String], idCol: String,
+      valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 0.5, s"alpha in (0,0.5): $alpha")
+    val v = col(valCol).cast("double")
+    val fp = data.where(v.isNotNull)
+      .withColumn("_fp", graft.core.fixedPointLong(v, 4))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_fp").asc, col(idCol).asc)
+    val kw = Window.partitionBy(keyCols.map(col): _*)
+    val ranked = fp
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(kw))
+    val kl = greatest(ceil(lit(alpha) * col("_n")).cast("long"), lit(1L))
+    val bounds = ranked.groupBy(keyCols.map(col): _*)
+      .agg(min(when(col("_rn") === kl, col("_fp"))).as("_lo"),
+        min(when(col("_rn") === col("_n") + 1 - kl, col("_fp"))).as("_hi"))
+    fp.join(broadcast(bounds), keyCols)
+      .withColumn("winsorized",
+        least(greatest(col("_fp"), col("_lo")), col("_hi"))
+          .cast("double") / 1e4)
+      .withColumn("clipped", col("_fp") < col("_lo") || col("_fp") > col("_hi"))
+      .drop("_fp", "_lo", "_hi")
+  }
+
+  /** Acklam's rational approximation of the standard normal quantile
+    * (probit) — pure arithmetic (two Horner chains + sqrt/ln), so both
+    * engines evaluate the identical expression tree: the device that
+    * makes a rank-based inverse-normal transform oracle-replayable
+    * without either engine shipping an inverse-erf. |relative error|
+    * < 1.15e-9 over (0,1). */
+  def probit(p: Column): Column = {
+    val a = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    def horner(cs: Seq[Double], x: Column): Column =
+      cs.tail.foldLeft(lit(cs.head): Column)((acc, k) => acc * x + lit(k))
+    val plow = 0.02425
+    val qc = p - 0.5
+    val rc = qc * qc
+    val central = horner(a, rc) * qc / (horner(b, rc) * rc + 1.0)
+    val ql = sqrt(lit(-2.0) * log(p))
+    val lower = horner(c, ql) / (horner(d, ql) * ql + 1.0)
+    val qu = sqrt(lit(-2.0) * log(lit(1.0) - p))
+    val upper = -(horner(c, qu) / (horner(d, qu) * qu + 1.0))
+    when(p < plow, lower).when(p > 1.0 - plow, upper).otherwise(central)
+  }
+
+  /** Rank-based inverse-normal transform (Blom 1958 offsets):
+    * z = probit((rank − 3/8)/(n + 1/4)) per key — the normalization a
+    * training pipeline applies before methods that assume gaussian
+    * features. Rank ties break on idCol (the raw-rank INT convention).
+    *
+    * Scale: one shuffle on the keys; rank and count ride it as windows. */
+  def intTransform(data: DataFrame, keyCols: Seq[String], idCol: String,
+      valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(graft.core.fixedPointLong(v, 4).asc, col(idCol).asc)
+    val kw = Window.partitionBy(keyCols.map(col): _*)
+    data.where(v.isNotNull)
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(kw))
+      .withColumn("z",
+        probit((col("_rn") - 0.375) / (col("_n") + 0.25)))
+      .drop("_rn", "_n")
+  }
+
+  /** Box–Cox λ fit per key over a caller-supplied grid: the profile
+    * log-likelihood LL(λ) = −(n/2)·ln(σ²_pop(y_λ)) + (λ−1)·Σ ln x with
+    * y_λ = (x^λ−1)/λ (ln x at λ=0), maximized over the grid; emits every
+    * (key, λ, ll) plus the argmax flag. Strictly positive values only.
+    *
+    * Determinism: y_λ and ln x are frozen to 6dp fixed point before
+    * summing (the PACF 6dp-frozen device), so σ² and Σln x are double
+    * finishes over exact decimal sums; x^λ is written exp(λ·ln x) on
+    * both engines; argmax breaks ties on smaller λ via a (ll desc,
+    * λ asc) window.
+    *
+    * Scale: the grid crossJoin multiplies map-side CPU by |grid| but the
+    * exchange carries only key×|grid| aggregate partials; the argmax
+    * window runs on that model-sized frame. */
+  def boxCoxFit(data: DataFrame, keyCols: Seq[String], valCol: String,
+      lambdas: Seq[Double]): DataFrame = {
+    require(lambdas.nonEmpty, "boxCoxFit needs a non-empty lambda grid")
+    val spark = data.sparkSession
+    import spark.implicits._
+    val v = col(valCol).cast("double")
+    val grid = broadcast(lambdas.toDF("lambda"))
+    val lam = col("lambda")
+    val y = when(lam === 0.0, log(v))
+      .otherwise((exp(lam * log(v)) - 1.0) / lam)
+    val stats = data.where(v.isNotNull && v > 0).crossJoin(grid)
+      .select(keyCols.map(col) ++ Seq(lam,
+        graft.core.fixedPointLong(y, 6).cast("decimal(38,0)").as("_y"),
+        graft.core.fixedPointLong(log(v), 6).cast("decimal(38,0)").as("_l")): _*)
+      .groupBy((keyCols.map(col) :+ lam): _*)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
+        sum(col("_y")).as("_s"),
+        sum((col("_y") * col("_y")).cast("decimal(38,0)")).as("_q"),
+        sum(col("_l")).as("_sl"))
+    val nD = col("_n").cast("double")
+    val varPop = (col("_q").cast("double") -
+      col("_s").cast("double") * col("_s").cast("double") / nD) / nD / 1e12
+    val ll = -(nD / 2) * log(varPop) +
+      (lam - 1.0) * (col("_sl").cast("double") / 1e6)
+    val wl = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("ll").desc, lam.asc)
+    stats
+      .withColumn("ll", ll)
+      .withColumn("n_used", col("_n").cast("long"))
+      .withColumn("best", row_number().over(wl) === 1)
+      .select(keyCols.map(col) ++
+        Seq(lam, col("ll"), col("n_used"), col("best")): _*)
+  }
+
   /** Benjamini–Hochberg FDR control over per-record p-values (engine
     * addition): within each key, rank p ascending, find the largest k
     * with p₍ₖ₎ ≤ α·k/m, and flag ranks ≤ k as discoveries — the

@@ -86,6 +86,22 @@ object MultiQueries {
         "event_id", "value", tailFrac = 0.1, threshold = 5.0)
         .select("event_id", "event_type", "value", "u", "xi", "sigma",
           "score", "tag"))),
+    // Z-order layout keys: Morton-interleave (user bucket, value bucket)
+    // + z-contiguous file assignment — the write-side clustering op
+    "q295_zorder" -> ((s, dir) => {
+      val e = ev(s, dir).where(col("value").isNotNull)
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(1024L)).as("ax"),
+          pmod(floor(col("value")).cast("long"), lit(1024L)).as("bx"))
+      graft.core.Layout.zOrderLayout(e, col("ax"), col("bx"),
+        bits = 10, numFiles = 32)
+        .select("event_id", "ax", "bx", "zkey", "file_id")
+    }),
+    // rank-balanced range-partition planner: exact quantile boundaries
+    // + honest per-range row counts (ties surface as empty ranges)
+    "q296_range_planner" -> ((s, dir) =>
+      canon(graft.core.Layout.rangePlanner(ev(s, dir), "value",
+        numPartitions = 16))),
     // integer fixed-point PageRank, 5 unrolled iterations in the oracle;
     // rank12 longs hash-compare exactly (no float tolerance)
     "q201_pagerank" -> ((s, dir) =>
@@ -834,7 +850,53 @@ object MultiQueries {
        |FROM r$iters""".stripMargin.replace("\n", " ")
   }
 
+  /** Morton-spread oracle for q295, generated from the SAME mask/shift
+    * sequence as Layout.zOrderKey (bits=10, 32 files). */
+  private val zorderOracle: String = {
+    val masks = Seq(281470681808895L, 71777214294589695L,
+      1085102592571150095L, 3689348814741910323L, 6148914691236517205L)
+    val shifts = Seq(16, 8, 4, 2, 1)
+    val steps = masks.zip(shifts).zipWithIndex.map { case ((m, sh), i) =>
+      s"s${i + 1} AS (SELECT event_id, ((a | (a << $sh)) & $m) AS a," +
+        s" ((b | (b << $sh)) & $m) AS b FROM s$i)"
+    }
+    s"""WITH base AS (SELECT event_id,
+       |  ((user_id % 1024) + 1024) % 1024 AS ax,
+       |  ((CAST(floor(value) AS BIGINT) % 1024) + 1024) % 1024 AS bx
+       |  FROM events WHERE value IS NOT NULL),
+       |s0 AS (SELECT event_id, ax & 1023 AS a, bx & 1023 AS b FROM base),
+       |${steps.mkString(", ")},
+       |z AS (SELECT event_id, (a | (b << 1)) AS zkey FROM s5)
+       |SELECT base.event_id, ax, bx, zkey,
+       | ((zkey * 32) >> 20) AS file_id
+       |FROM base JOIN z USING (event_id)""".stripMargin.replace("\n", " ")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q295_zorder" -> zorderOracle,
+    "q296_range_planner" ->
+      """WITH vh AS (SELECT
+        |  (CASE WHEN value>=0 THEN floor(value*10000.0+0.5)
+        |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS fp,
+        |  count(*)::BIGINT AS ct
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |c AS (SELECT *, sum(ct) OVER (ORDER BY fp
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(ct) OVER () AS n FROM vh),
+        |bl AS (SELECT list(fp ORDER BY fp) AS bs FROM (
+        |  SELECT c.fp FROM c CROSS JOIN
+        |    (SELECT unnest(generate_series(1, 15)) AS i) p
+        |  WHERE (cum - ct < CAST(floor(i * n / 16) AS BIGINT))
+        |    AND (CAST(floor(i * n / 16) AS BIGINT) <= cum))),
+        |a AS (SELECT len(list_filter(bl.bs, x -> x < c.fp))::BIGINT AS pid,
+        |  c.fp, c.ct FROM c CROSS JOIN bl),
+        |gr AS (SELECT pid, min(fp)::DOUBLE/1e4 AS lo,
+        |  max(fp)::DOUBLE/1e4 AS hi, sum(ct)::BIGINT AS n_rows
+        |  FROM a GROUP BY 1)
+        |SELECT p.pid, round(lo, 4) AS lo, round(hi, 4) AS hi,
+        | coalesce(n_rows, 0)::BIGINT AS n_rows
+        |FROM (SELECT unnest(generate_series(0, 15))::BIGINT AS pid) p
+        |LEFT JOIN gr USING (pid)""".stripMargin.replace("\n", " "),
     "q286_pot_gpd" ->
       """WITH base AS (SELECT event_id, event_type, value,
         |  (CASE WHEN value>=0 THEN floor(value*10000.0+0.5)

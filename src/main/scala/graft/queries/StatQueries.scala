@@ -41,6 +41,23 @@ object StatQueries {
         lit("}")).as("j"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // winsorize: clamp into the exact per-key [P05, P95] order-statistic
+    // band; clipped flag marks repaired rows
+    "q292_winsorize" -> ((s, dir) =>
+      canon(graft.post.PostOps.winsorize(ev(s, dir), Seq("event_type"),
+        "event_id", "value", alpha = 0.05)
+        .select("event_id", "event_type", "value", "winsorized", "clipped"))),
+    // rank-based inverse-normal transform (Blom offsets + Acklam probit
+    // — identical rational approximation on both engines)
+    "q293_int_transform" -> ((s, dir) =>
+      canon(graft.post.PostOps.intTransform(ev(s, dir), Seq("event_type"),
+        "event_id", "value")
+        .select("event_id", "event_type", "value", "z"))),
+    // Box–Cox profile-likelihood over a λ grid, 6dp-frozen moments
+    "q294_boxcox" -> ((s, dir) =>
+      canon(graft.post.PostOps.boxCoxFit(ev(s, dir), Seq("event_type"),
+        "value", lambdas = Seq(-2.0, -1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5,
+          2.0)))),
     // one-way ANOVA F: did value's mean split across event_type
     // segments (exact fixed-point sums, ordered cross-group fold)
     "q289_anova" -> ((s, dir) =>
@@ -740,7 +757,94 @@ object StatQueries {
        |SELECT k, n, round(ssb, 4) AS ss_between, round(ssw, 4) AS ss_within,
        | round((ssb/(k-1))/(ssw/(n-k)), 4) AS f_stat FROM fin""".stripMargin
 
+  /** 4dp fixed-point events CTE keeping ids — shared by the winsorize /
+    * INT-transform oracles. */
+  private val gtFx2 =
+    """fx AS (SELECT event_id, event_type, value,
+      |  (CASE WHEN value>=0 THEN floor(value*10000.0+0.5)
+      |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS fp
+      |  FROM events WHERE value IS NOT NULL)""".stripMargin
+
+  /** Acklam probit as SQL text, generated from the SAME constants as
+    * PostOps.probit with the SAME Horner association — double-identical
+    * on both engines. `p` is a SQL expression string. */
+  private def probitSql(p: String): String = {
+    val a = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    def horner(cs: Seq[Double], x: String): String =
+      cs.tail.foldLeft(cs.head.toString)((acc, k) => s"($acc * $x + $k)")
+    val plow = 0.02425
+    val qc = s"(($p) - 0.5)"
+    val rc = s"($qc * $qc)"
+    val central = s"(${horner(a, rc)} * $qc / (${horner(b, rc)} * $rc + 1.0))"
+    val ql = s"sqrt(-2.0 * ln($p))"
+    val lower = s"(${horner(c, ql)} / (${horner(d, ql)} * $ql + 1.0))"
+    val qu = s"sqrt(-2.0 * ln(1.0 - ($p)))"
+    val upper = s"(-(${horner(c, qu)} / (${horner(d, qu)} * $qu + 1.0)))"
+    s"(CASE WHEN ($p) < $plow THEN $lower" +
+      s" WHEN ($p) > ${1.0 - plow} THEN $upper ELSE $central END)"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q292_winsorize" ->
+      s"""WITH $gtFx2,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY fp ASC, event_id ASC) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM fx),
+         |b AS (SELECT event_type,
+         |  min(CASE WHEN rn = greatest(CAST(ceil(0.05*n) AS BIGINT), 1)
+         |    THEN fp END) AS lo,
+         |  min(CASE WHEN rn = n + 1 -
+         |      greatest(CAST(ceil(0.05*n) AS BIGINT), 1)
+         |    THEN fp END) AS hi
+         |  FROM r GROUP BY 1)
+         |SELECT f.event_id, f.event_type, round(f.value, 4) AS value,
+         | round(least(greatest(f.fp, b.lo), b.hi)::DOUBLE / 1e4, 4)
+         |   AS winsorized,
+         | (f.fp < b.lo OR f.fp > b.hi) AS clipped
+         |FROM fx f JOIN b USING (event_type)"""
+        .stripMargin.replace("\n", " "),
+    "q293_int_transform" ->
+      s"""WITH $gtFx2,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY fp ASC, event_id ASC) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM fx)
+         |SELECT event_id, event_type, round(value, 4) AS value,
+         | round(${probitSql("(rn - 0.375) / (n + 0.25)")}, 4) AS z
+         |FROM r""".stripMargin.replace("\n", " "),
+    "q294_boxcox" ->
+      s"""WITH g AS (SELECT unnest([-2.0, -1.5, -1.0, -0.5, 0.0, 0.5, 1.0,
+         |    1.5, 2.0]) AS lambda),
+         |fx AS (SELECT event_type, value FROM events
+         |  WHERE value IS NOT NULL AND value > 0),
+         |yr AS (SELECT event_type, lambda,
+         |  (CASE WHEN (yv) >= 0 THEN floor((yv)*1000000.0+0.5)
+         |        ELSE -floor(-(yv)*1000000.0+0.5) END)::BIGINT AS y,
+         |  (CASE WHEN ln(value) >= 0 THEN floor(ln(value)*1000000.0+0.5)
+         |        ELSE -floor(-ln(value)*1000000.0+0.5) END)::BIGINT AS l
+         |  FROM (SELECT event_type, lambda, value,
+         |    CASE WHEN lambda = 0.0 THEN ln(value)
+         |         ELSE (exp(lambda * ln(value)) - 1.0) / lambda END AS yv
+         |    FROM fx CROSS JOIN g)),
+         |st AS (SELECT event_type, lambda, count(*)::HUGEINT AS n,
+         |  sum(y::HUGEINT) AS s, sum(y::HUGEINT * y::HUGEINT) AS q,
+         |  sum(l::HUGEINT) AS sl FROM yr GROUP BY 1, 2),
+         |ll AS (SELECT event_type, lambda, n::BIGINT AS n_used,
+         |  -(n::DOUBLE / 2) * ln((q::DOUBLE -
+         |     s::DOUBLE*s::DOUBLE/n::DOUBLE) / n::DOUBLE / 1e12)
+         |   + (lambda - 1.0) * (sl::DOUBLE / 1e6) AS ll FROM st)
+         |SELECT event_type, lambda, round(ll, 4) AS ll, n_used,
+         | row_number() OVER (PARTITION BY event_type
+         |   ORDER BY ll DESC, lambda ASC) = 1 AS best
+         |FROM ll""".stripMargin.replace("\n", " "),
     "q289_anova" ->
       s"""WITH $gtFx,
          |z AS (SELECT g, v AS fp FROM fx),

@@ -256,6 +256,14 @@ object TextQueries {
       canon(TextOps.jwPairs(d, "doc_id", "name",
         blockChars = 8, minSim = 0.8))
     }),
+    // sorted-neighborhood ER: O(n·w) windowed pairs within lang blocks
+    // (the scale alternative to q234's equality blocking)
+    "q297_sorted_neighborhood" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 64).as("name"))
+      canon(TextOps.sortedNeighborhood(d, "doc_id", "name", "lang",
+        windowSize = 4, minSim = 0.8))
+    }),
     "q50_token_count" -> ((s, dir) =>
       TextOps.tokenCount(docs(s, dir), "doc_id", "text")),
     // BPE-ish pre-tokenizer segment count (the brief's "whitespace + a
@@ -1338,6 +1346,22 @@ object TextQueries {
          |ORDER BY score DESC, phrase LIMIT 40"""
         .stripMargin.replace("\n", " ")
     },
+    "q297_sorted_neighborhood" ->
+      """WITH base AS (SELECT lang AS blk, doc_id::BIGINT AS a,
+        |  substr(text, 1, 64) AS na FROM documents),
+        |l AS (SELECT blk, a, na,
+        |  lead(a, 1) OVER w AS b1, lead(na, 1) OVER w AS n1,
+        |  lead(a, 2) OVER w AS b2, lead(na, 2) OVER w AS n2,
+        |  lead(a, 3) OVER w AS b3, lead(na, 3) OVER w AS n3
+        |  FROM base WINDOW w AS (PARTITION BY blk ORDER BY na ASC, a ASC)),
+        |u AS (SELECT blk, a, na, b1 AS b, n1 AS nb FROM l
+        |  UNION ALL SELECT blk, a, na, b2, n2 FROM l
+        |  UNION ALL SELECT blk, a, na, b3, n3 FROM l)
+        |SELECT blk, a, b,
+        | round(jaro_winkler_similarity(na, nb), 4) AS jw
+        |FROM u WHERE b IS NOT NULL
+        |  AND jaro_winkler_similarity(na, nb) >= 0.8"""
+        .stripMargin.replace("\n", " "),
     "q234_jw_pairs" ->
       """WITH ids AS (SELECT doc_id::BIGINT AS id, substr(text, 1, 64) AS t
         |  FROM documents),
