@@ -670,6 +670,51 @@ object ScaleProbe {
           lit("}}")).as("j"))
         text.JsonOps.jsonProfile(j, "j", 2).count()
       }
+      time("pot_gpd", n, nEv) {
+        multi.TailScores.potGpd(ev, Seq("event_type"), "event_id", "value",
+          tailFrac = 0.1, threshold = 5.0).count()
+      }
+      time("mann_kendall", n, nEv) {
+        seq.Trend.mannKendall(ev, Seq("event_type"), "event_id", "value",
+          maxPoints = 150).count()
+      }
+      time("theil_sen", n, nEv) {
+        seq.Trend.theilSen(ev, Seq("event_type"), "event_id", "value",
+          maxPoints = 150).count()
+      }
+      time("group_tests", n, nEv) {
+        model.GroupTests.anovaF(ev, "event_type", "value").count() +
+          model.GroupTests.kruskalWallis(ev, "event_type", "value").count() +
+          model.GroupTests.brownForsythe(ev, "event_type", "value").count()
+      }
+      time("winsorize", n, nEv) {
+        post.PostOps.winsorize(ev, Seq("event_type"), "event_id", "value",
+          alpha = 0.05).count()
+      }
+      time("int_transform", n, nEv) {
+        post.PostOps.intTransform(ev, Seq("event_type"), "event_id",
+          "value").count()
+      }
+      time("boxcox", n, nEv) {
+        post.PostOps.boxCoxFit(ev, Seq("event_type"), "value",
+          Seq(-2.0, -1.0, 0.0, 0.5, 1.0, 2.0)).count()
+      }
+      time("zorder", n, nEv) {
+        core.Layout.zOrderLayout(
+          ev.where(col("value").isNotNull).select(col("event_id"),
+            pmod(col("user_id"), lit(1024L)).as("ax"),
+            pmod(floor(col("value")).cast("long"), lit(1024L)).as("bx")),
+          col("ax"), col("bx"), bits = 10, numFiles = 32).count()
+      }
+      time("range_planner", n, nEv) {
+        core.Layout.rangePlanner(ev, "value", 16).count()
+      }
+      time("sorted_neighborhood", n, nDp) {
+        val d = docsProbe.select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 64).as("name"))
+        text.TextOps.sortedNeighborhood(d, "doc_id", "name", "lang",
+          windowSize = 4, minSim = 0.8).count()
+      }
     }
     spark.stop()
   }
