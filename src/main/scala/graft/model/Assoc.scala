@@ -112,6 +112,37 @@ object Assoc {
     per.reduce(_ unionByName _)
   }
 
+  /** Spearman rank correlation matrix: Pearson over average ranks,
+    * complete-case (rows with any null excluded up front so every pair
+    * ranks the same population). Ranks are carried as the exact integer
+    * 2·r̄ = 2·cumBefore + ct + 1 computed from each column's distinct-
+    * value histogram (the binaryAuc device — the rank windows run over
+    * value cardinality, never data), and the Pearson finish is
+    * [[correlationMatrix]] itself (2·r̄ is scale-invariant in corr).
+    * The robust complement of Pearson: monotone-but-nonlinear coupling
+    * scores 1, single gross outliers barely move it.
+    *
+    * Scale: per column one histogram aggregate + one value-equi join
+    * back; then the correlationMatrix hash aggregates. */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "spearmanMatrix needs >= 2 columns")
+    val complete = df
+      .where(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(c => fixedPointLong(col(c), 4).as(c)): _*)
+    val ranked = cols.foldLeft(complete) { (acc, c) =>
+      val vh = complete.groupBy(col(c)).agg(count(lit(1)).as("_ct"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val vr = vh.withColumn(s"${c}_r2",
+        (lit(2) * (sum(col("_ct")).over(w) - col("_ct")) +
+          col("_ct") + 1).cast("double")).drop("_ct")
+      acc.join(vr, c)
+    }
+    correlationMatrix(
+      ranked.select(cols.map(c => col(s"${c}_r2").as(c)): _*), cols)
+  }
+
   /** Smoothed target (mean) encoding: enc(c) = (Σy_c + m·prior)/(n_c + m)
     * with prior = the global mean — the standard high-cardinality
     * categorical feature for the quality-classifier family (rare

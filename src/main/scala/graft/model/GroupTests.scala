@@ -123,6 +123,73 @@ object GroupTests {
       .select("k", "n", "h_stat", "tie_correction")
   }
 
+  /** Effect sizes for every ordered group pair (ga < gb by name):
+    * Cohen's d from the FULL data (pooled-sd standardized mean
+    * difference, exact 4dp fixed-point sums — scale cancels) and
+    * Cliff's delta = (#(x>y) − #(x<y))/(m_a·m_b) from a deterministic
+    * quantile-strided subsample of ≤ maxPoints per group (ordered by
+    * value, every ⌈n/maxPoints⌉-th row — even quantile coverage, no
+    * RNG), because delta is inherently pairwise. The tests above say IF
+    * groups differ; these say HOW MUCH, which is what a drift monitor
+    * alerts on.
+    *
+    * Scale: group stats are one hash aggregate; the delta pair join is
+    * capped at maxPoints² per group pair by construction. */
+  def effectSizes(data: DataFrame, groupCol: String, idCol: String,
+      valCol: String, maxPoints: Int = 200): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints >= 2: $maxPoints")
+    val v = col(valCol).cast("double")
+    val fp = data.where(v.isNotNull)
+      .select(col(groupCol).as("_g"), col(idCol).as("_id"),
+        graft.core.fixedPointLong(v, 4).as("_fp"))
+    // full-data per-group stats → Cohen's d (fp scale cancels in d)
+    val g = fp.groupBy(col("_g"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
+        sum(col("_fp").cast("decimal(38,0)")).as("_s"),
+        sum((col("_fp").cast("decimal(38,0)") *
+          col("_fp").cast("decimal(38,0)")).cast("decimal(38,0)")).as("_q"))
+    def st(side: String) = g.select(col("_g").as(s"g$side"),
+      col("_n").as(s"_n$side"), col("_s").as(s"_s$side"),
+      col("_q").as(s"_q$side"))
+    def mean(side: String) =
+      col(s"_s$side").cast("double") / col(s"_n$side").cast("double")
+    def vr(side: String) = {
+      val n = col(s"_n$side").cast("double")
+      (col(s"_q$side").cast("double") -
+        col(s"_s$side").cast("double") * col(s"_s$side").cast("double") / n) /
+        (n - 1)
+    }
+    val pooled = ((col("_na").cast("double") - 1) * vr("a") +
+      (col("_nb").cast("double") - 1) * vr("b")) /
+      (col("_na").cast("double") + col("_nb").cast("double") - 2)
+    val dFrame = st("a").join(st("b"), col("ga") < col("gb"))
+      .withColumn("n_a", col("_na").cast("long"))
+      .withColumn("n_b", col("_nb").cast("long"))
+      .withColumn("cohens_d", (mean("a") - mean("b")) / sqrt(pooled))
+      .select("ga", "gb", "n_a", "n_b", "cohens_d")
+    // quantile-strided subsample → Cliff's delta
+    val w = Window.partitionBy(col("_g"))
+      .orderBy(col("_fp").asc, col("_id").asc)
+    val kw = Window.partitionBy(col("_g"))
+    val pts = fp
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_nn", count(lit(1)).over(kw))
+      .where((col("_rn") - 1) %
+        ceil(col("_nn").cast("double") / maxPoints).cast("long") === 0)
+      .select(col("_g"), col("_fp"))
+    val pa = pts.select(col("_g").as("ga"), col("_fp").as("_fa"))
+    val pb = pts.select(col("_g").as("gb"), col("_fp").as("_fb"))
+    val delta = pa.join(pb, col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("_mn"),
+        sum(when(col("_fa") > col("_fb"), 1L).otherwise(0L)).as("_gt"),
+        sum(when(col("_fa") < col("_fb"), 1L).otherwise(0L)).as("_lt"))
+      .withColumn("cliffs_delta",
+        (col("_gt") - col("_lt")).cast("double") / col("_mn"))
+      .select("ga", "gb", "cliffs_delta")
+    dFrame.join(delta, Seq("ga", "gb"))
+  }
+
   /** Brown–Forsythe: ANOVA F over z = |x − median_g|. The per-group
     * median is the exact order statistic (avg of the two middles on even
     * counts), carried as the integer 2·median so z quantizes to exact

@@ -350,6 +350,16 @@ object MultiQueries {
         "event_id", "value", maxOutliers = 3,
         critical = Seq(3.5, 3.5, 3.5)))
     }),
+    // seasonal-hybrid ESD (the Twitter AnomalyDetection shape): STL-ish
+    // decompose (q129) then generalized ESD (q285) on the residual —
+    // point anomalies that survive trend+seasonality removal
+    "q301_shesd" -> ((s, dir) => {
+      val sd = graft.seq.SeqOps.seasonalDecompose(ev(s, dir),
+        Seq("event_type"), "event_id", "value", period = 24)
+        .select(col("event_type"), col("seq"), col("resid"))
+      canon(graft.multi.TailScores.esd(sd, Seq("event_type"), "seq",
+        "resid", maxOutliers = 3, critical = Seq(3.5, 3.5, 3.5)))
+    }),
   )
 
   private val zCte =
@@ -1351,6 +1361,58 @@ object MultiQueries {
          |  (CASE WHEN value >= 0 THEN floor(value*10000.0+0.5)
          |   ELSE -floor(-value*10000.0+0.5) END)::HUGEINT AS _fp
          | FROM events WHERE value IS NOT NULL),
+         |${round(1, "b0")},
+         |${round(2, "b1")},
+         |${round(3, "b2")},
+         |u AS (SELECT * FROM o1 UNION ALL SELECT * FROM o2
+         |  UNION ALL SELECT * FROM o3),
+         |f AS (SELECT *, max(CASE WHEN r_stat > lambda THEN rnd END)
+         |  OVER (PARTITION BY event_type) AS lastsig FROM u)
+         |SELECT event_type, rnd, removed_id, round(value, 4) AS value,
+         | round(r_stat, 4) AS r_stat, lambda,
+         | CASE WHEN rnd <= coalesce(lastsig, 0) THEN 'O' ELSE 'N' END AS tag
+         |FROM f""".stripMargin.replace("\n", " ")
+    },
+    "q301_shesd" -> {
+      // q129's decomposition CTEs feeding q285's ESD rounds on resid
+      def round(i: Int, src: String) =
+        s"""s$i AS (SELECT event_type, count(*)::HUGEINT AS n,
+           |  sum(_fp)::HUGEINT AS s, sum(_fp*_fp)::HUGEINT AS q
+           | FROM $src GROUP BY 1),
+           |t$i AS (SELECT b.*, s.n, s.s, s.q, abs(s.n*b._fp - s.s) AS dev,
+           |  row_number() OVER (PARTITION BY b.event_type
+           |   ORDER BY abs(s.n*b._fp - s.s) DESC, b._id ASC) AS rn
+           | FROM $src b JOIN s$i s USING (event_type) WHERE s.n > 2),
+           |o$i AS (SELECT event_type, $i AS rnd, _id AS removed_id,
+           |  _v AS value,
+           |  (dev::DOUBLE / n::DOUBLE / 1e4) /
+           |   (sqrt((q::DOUBLE - s::DOUBLE*s::DOUBLE/n::DOUBLE)
+           |     /(n::DOUBLE-1))/1e4) AS r_stat,
+           |  3.5::DOUBLE AS lambda FROM t$i WHERE rn = 1),
+           |b$i AS (SELECT event_type, _id, _v, _fp FROM t$i WHERE rn > 1)"""
+          .stripMargin
+      val maSpan = ((11 to 1 by -1).map(i => s"lag(value, $i) OVER wo") ++
+        Seq("value") ++ (1 to 11).map(i => s"lead(value, $i) OVER wo"))
+        .mkString(" + ")
+      s"""WITH bsrc AS (SELECT event_type, event_id AS seq, value
+         |  FROM events WHERE value IS NOT NULL),
+         |t AS (SELECT event_type, seq, value, ($maSpan +
+         |  (lag(value, 12) OVER wo + lead(value, 12) OVER wo) / 2) / 24.0
+         |   AS trend FROM bsrc
+         |  WINDOW wo AS (PARTITION BY event_type ORDER BY seq)),
+         |d AS (SELECT *, value - trend AS detr, seq % 24 AS phase FROM t),
+         |sr AS (SELECT event_type, phase, avg(detr) AS seasRaw
+         | FROM d WHERE detr IS NOT NULL GROUP BY 1, 2),
+         |sc AS (SELECT event_type, phase,
+         |  seasRaw - avg(seasRaw) OVER (PARTITION BY event_type) AS seasonal
+         | FROM sr),
+         |rr AS (SELECT d.event_type, d.seq, d.detr - sc.seasonal AS resid
+         | FROM d LEFT JOIN sc ON d.event_type = sc.event_type
+         |  AND d.phase = sc.phase),
+         |b0 AS (SELECT event_type, seq AS _id, resid::DOUBLE AS _v,
+         |  (CASE WHEN resid >= 0 THEN floor(resid*10000.0+0.5)
+         |   ELSE -floor(-resid*10000.0+0.5) END)::HUGEINT AS _fp
+         | FROM rr WHERE resid IS NOT NULL),
          |${round(1, "b0")},
          |${round(2, "b1")},
          |${round(3, "b2")},

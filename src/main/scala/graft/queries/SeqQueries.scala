@@ -41,6 +41,11 @@ object SeqQueries {
     "q288_theil_sen" -> ((s, dir) =>
       canon(graft.seq.Trend.theilSen(ev(s, dir), Seq("event_type"),
         "event_id", "value", maxPoints = 150))),
+    // Hodges–Lehmann pseudo-median (median of Walsh averages), same
+    // strided subsample — the robust location the sign-rank test inverts
+    "q298_hodges_lehmann" -> ((s, dir) =>
+      canon(graft.seq.Trend.hodgesLehmann(ev(s, dir), Seq("event_type"),
+        "event_id", "value", maxPoints = 150))),
     // streaming motif detector executed as batch (q100 pattern): the
     // stream code path itself gated on a lag-window oracle
     "q220_motif_stream" -> ((s, dir) => {
@@ -767,6 +772,22 @@ object SeqQueries {
          | round(avg(r), 4) AS intercept
          |FROM rr WHERE rn = (c+1)//2 OR rn = c//2 + 1
          |GROUP BY event_type""".stripMargin.replace("\n", " "),
+    "q298_hodges_lehmann" ->
+      s"""WITH $trendPts,
+         |p AS (SELECT l.event_type, l.i AS il, r.i AS ir,
+         |  l.fp + r.fp AS w FROM pts l
+         |  JOIN pts r ON l.event_type = r.event_type AND l.i <= r.i),
+         |m AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY w ASC, il ASC, ir ASC) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS m FROM p),
+         |med AS (SELECT event_type, min(m)::BIGINT AS n_walsh,
+         |  avg(w) / 2e4 AS hl FROM m
+         |  WHERE rn = (m+1)//2 OR rn = m//2 + 1 GROUP BY 1),
+         |nu AS (SELECT event_type, count(*)::BIGINT AS n_used
+         |  FROM pts GROUP BY 1)
+         |SELECT event_type, n_walsh, round(hl, 4) AS hl, n_used
+         |FROM med JOIN nu USING (event_type)"""
+        .stripMargin.replace("\n", " "),
     "q227_locf_stream" ->
       """SELECT user_id::VARCHAR AS entity, event_id AS seq,
         | round(value, 4) AS value,

@@ -58,6 +58,16 @@ object StatQueries {
       canon(graft.post.PostOps.boxCoxFit(ev(s, dir), Seq("event_type"),
         "value", lambdas = Seq(-2.0, -1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5,
           2.0)))),
+    // effect sizes per group pair: Cohen's d (full data, exact sums) +
+    // Cliff's delta (quantile-strided ≤150/group sample)
+    "q299_effect_sizes" -> ((s, dir) =>
+      canon(graft.model.GroupTests.effectSizes(ev(s, dir), "event_type",
+        "event_id", "value", maxPoints = 150))),
+    // Spearman rank correlation matrix, complete-case, ranks via the
+    // distinct-value histograms (exact 2·r̄ integers)
+    "q300_spearman" -> ((s, dir) =>
+      canon(graft.model.Assoc.spearmanMatrix(table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount")))),
     // one-way ANOVA F: did value's mean split across event_type
     // segments (exact fixed-point sums, ordered cross-group fold)
     "q289_anova" -> ((s, dir) =>
@@ -793,7 +803,88 @@ object StatQueries {
       s" WHEN ($p) > ${1.0 - plow} THEN $upper ELSE $central END)"
   }
 
+  /** Spearman pair term: Pearson finish over HUGEINT-exact rank sums
+    * (factors cast BEFORE multiplying — rank·1e4 squares pass BIGINT). */
+  private def spearmanPair(a: String, b: String): String =
+    s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+       | round(CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+       |   AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+       |  THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+       |   / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+       |    * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) END, 4)
+       |  AS corr
+       |FROM (SELECT count(*)::BIGINT AS n,
+       |  sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+       |  sum(x::HUGEINT * y::HUGEINT) AS sxy,
+       |  sum(x::HUGEINT * x::HUGEINT) AS sxx,
+       |  sum(y::HUGEINT * y::HUGEINT) AS syy
+       | FROM (SELECT
+       |  (CASE WHEN r$a >= 0 THEN floor(r$a*10000.0+0.5)
+       |   ELSE -floor(-r$a*10000.0+0.5) END)::BIGINT AS x,
+       |  (CASE WHEN r$b >= 0 THEN floor(r$b*10000.0+0.5)
+       |   ELSE -floor(-r$b*10000.0+0.5) END)::BIGINT AS y
+       |  FROM rk))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q299_effect_sizes" ->
+      s"""WITH fx AS (SELECT event_type AS g, event_id AS id,
+         |  (CASE WHEN value>=0 THEN floor(value*10000.0+0.5)
+         |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS fp
+         |  FROM events WHERE value IS NOT NULL),
+         |gg AS (SELECT g, count(*)::HUGEINT AS n, sum(fp::HUGEINT) AS s,
+         |  sum(fp::HUGEINT * fp::HUGEINT) AS q FROM fx GROUP BY 1),
+         |d AS (SELECT a.g AS ga, b.g AS gb,
+         |  a.n::BIGINT AS n_a, b.n::BIGINT AS n_b,
+         |  (a.s::DOUBLE/a.n::DOUBLE - b.s::DOUBLE/b.n::DOUBLE) /
+         |  sqrt(((a.n::DOUBLE - 1) *
+         |     ((a.q::DOUBLE - a.s::DOUBLE*a.s::DOUBLE/a.n::DOUBLE)
+         |       /(a.n::DOUBLE - 1))
+         |    + (b.n::DOUBLE - 1) *
+         |     ((b.q::DOUBLE - b.s::DOUBLE*b.s::DOUBLE/b.n::DOUBLE)
+         |       /(b.n::DOUBLE - 1)))
+         |   /(a.n::DOUBLE + b.n::DOUBLE - 2)) AS cohens_d
+         |  FROM gg a JOIN gg b ON a.g < b.g),
+         |r AS (SELECT g, fp, row_number() OVER (PARTITION BY g
+         |    ORDER BY fp ASC, id ASC) AS rn,
+         |  count(*) OVER (PARTITION BY g) AS nn FROM fx),
+         |pts AS (SELECT g, fp FROM r
+         |  WHERE (rn - 1) % CAST(ceil(nn::DOUBLE/150) AS BIGINT) = 0),
+         |dl AS (SELECT a.g AS ga, b.g AS gb, count(*)::BIGINT AS mn,
+         |  sum(CASE WHEN a.fp > b.fp THEN 1 ELSE 0 END)::BIGINT AS gt,
+         |  sum(CASE WHEN a.fp < b.fp THEN 1 ELSE 0 END)::BIGINT AS lt
+         |  FROM pts a JOIN pts b ON a.g < b.g GROUP BY 1, 2)
+         |SELECT d.ga, d.gb, n_a, n_b, round(cohens_d, 4) AS cohens_d,
+         | round((gt - lt)::DOUBLE / mn, 4) AS cliffs_delta
+         |FROM d JOIN dl ON d.ga = dl.ga AND d.gb = dl.gb"""
+        .stripMargin.replace("\n", " "),
+    "q300_spearman" -> {
+      def r2(c: String) =
+        s"(2*rank() OVER (ORDER BY $c) + count(*) OVER (PARTITION BY $c)" +
+          s" - 1)::DOUBLE AS r$c"
+      s"""WITH src AS (SELECT
+         |  (CASE WHEN l_quantity>=0 THEN floor(l_quantity*10000.0+0.5)
+         |   ELSE -floor(-l_quantity*10000.0+0.5) END)::BIGINT AS q_,
+         |  (CASE WHEN l_extendedprice>=0
+         |   THEN floor(l_extendedprice*10000.0+0.5)
+         |   ELSE -floor(-l_extendedprice*10000.0+0.5) END)::BIGINT AS e_,
+         |  (CASE WHEN l_discount>=0 THEN floor(l_discount*10000.0+0.5)
+         |   ELSE -floor(-l_discount*10000.0+0.5) END)::BIGINT AS d_
+         |  FROM lineitem WHERE l_quantity IS NOT NULL
+         |   AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+         |rk AS (SELECT ${r2("q_")}, ${r2("e_")}, ${r2("d_")} FROM src)
+         |${spearmanPair("q_", "e_")
+        .replace("'q_' AS col_x", "'l_quantity' AS col_x")
+        .replace("'e_' AS col_y", "'l_extendedprice' AS col_y")}
+         |UNION ALL
+         |${spearmanPair("q_", "d_")
+        .replace("'q_' AS col_x", "'l_quantity' AS col_x")
+        .replace("'d_' AS col_y", "'l_discount' AS col_y")}
+         |UNION ALL
+         |${spearmanPair("e_", "d_")
+        .replace("'e_' AS col_x", "'l_extendedprice' AS col_x")
+        .replace("'d_' AS col_y", "'l_discount' AS col_y")}"""
+        .stripMargin.replace("\n", " ")
+    },
     "q292_winsorize" ->
       s"""WITH $gtFx2,
          |r AS (SELECT *, row_number() OVER (PARTITION BY event_type

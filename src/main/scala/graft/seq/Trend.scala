@@ -91,6 +91,39 @@ object Trend {
       .drop("_tc")
   }
 
+  /** Hodges–Lehmann one-sample estimator: the median of the Walsh
+    * averages (x_i+x_j)/2 over i ≤ j — the pseudo-median, the robust
+    * location estimate the sign-rank test inverts (30%-breakdown,
+    * ~0.96 efficiency vs the mean at the gaussian; the plain median's
+    * robust-location sibling with better efficiency). Same strided
+    * subsample and explicit-order-statistic median as [[theilSen]];
+    * Walsh sums stay exact longs (2× the 4dp scale) until the finish.
+    * One row per key: n_used, n_walsh, hl. */
+  def hodgesLehmann(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      valCol: String, maxPoints: Int = 200): DataFrame = {
+    val pts = strided(data, keyCols, seqCol, valCol, maxPoints)
+    val l = pts.select(keyCols.map(col) :+ col("_i").as("_il") :+
+      col("_fp").as("_fl"): _*)
+    val r = pts.select(keyCols.map(col) :+ col("_i").as("_ir") :+
+      col("_fp").as("_fr"): _*)
+    val walsh = l.join(r, keyCols).where(col("_il") <= col("_ir"))
+      .withColumn("_w", col("_fl") + col("_fr"))
+    val ws = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_w").asc, col("_il").asc, col("_ir").asc)
+    val kw = Window.partitionBy(keyCols.map(col): _*)
+    val nUsed = pts.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_used"))
+    walsh
+      .withColumn("_rn", row_number().over(ws).cast("long"))
+      .withColumn("_m", count(lit(1)).over(kw))
+      .where(col("_rn") === floor((col("_m") + 1) / 2).cast("long") ||
+        col("_rn") === floor(col("_m") / 2).cast("long") + 1)
+      .groupBy(keyCols.map(col): _*)
+      .agg(first(col("_m")).as("n_walsh"),
+        (avg(col("_w")) / 2e4).as("hl"))
+      .join(nUsed, keyCols)
+  }
+
   /** Theil–Sen: slope = median over pairs of (x_j−x_i)/(j−i) against the
     * ordinal position; intercept = median over points of x_i − slope·i.
     * One row per key: n_used, n_pairs, slope, intercept. */

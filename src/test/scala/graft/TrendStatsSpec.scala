@@ -142,6 +142,75 @@ class TrendStatsSpec extends SparkSpec {
       "2-row key has no fit — 'I' per the tag contract")
   }
 
+  test("hodges-lehmann: symmetric data gives the center; outlier-robust") {
+    val df = (1 to 49).map(i => ("k", i.toLong, i.toDouble))
+      .toDF("g", "seq", "v")
+    val r = Trend.hodgesLehmann(df, Seq("g"), "seq", "v", maxPoints = 49)
+      .collect()(0)
+    assert(math.abs(r.getAs[Double]("hl") - 25.0) < 1e-9, s"center of 1..49: $r")
+    assert(r.getAs[Long]("n_walsh") == 49L * 50 / 2)
+    // one gross outlier: HL moves far less than the mean would
+    val dirty = df.union(Seq(("k", 50L, 100000.0)).toDF("g", "seq", "v"))
+    val r2 = Trend.hodgesLehmann(dirty, Seq("g"), "seq", "v", maxPoints = 50)
+      .collect()(0)
+    assert(math.abs(r2.getAs[Double]("hl") - 25.5) < 1.0,
+      s"pseudo-median shrugs off 1/50 contamination: $r2")
+  }
+
+  test("effect sizes: zero for identical groups, signed and large for shifted") {
+    val same = (1 to 400).map(i =>
+      (Seq("a", "b")(i % 2), i.toLong, ((i / 2) % 20).toDouble))
+      .toDF("g", "id", "v")
+    val r0 = GroupTests.effectSizes(same, "g", "id", "v", maxPoints = 200)
+      .collect()(0)
+    assert(math.abs(r0.getAs[Double]("cohens_d")) < 0.05, s"same: $r0")
+    assert(math.abs(r0.getAs[Double]("cliffs_delta")) < 0.1, s"same: $r0")
+    val shifted = same.withColumn("v",
+      when(col("g") === "a", col("v") + 100.0).otherwise(col("v")))
+    val r1 = GroupTests.effectSizes(shifted, "g", "id", "v", maxPoints = 200)
+      .collect()(0)
+    assert(r1.getAs[Double]("cohens_d") > 5.0, s"a >> b: $r1")
+    assert(r1.getAs[Double]("cliffs_delta") == 1.0,
+      s"disjoint ranges: delta = 1: $r1")
+  }
+
+  test("spearman: monotone nonlinear coupling scores 1, pearson does not") {
+    val df = (1 to 200).map { i =>
+      val x = i.toDouble
+      (x, math.exp(x / 20.0), -x * x)
+    }.toDF("x", "y", "z")
+    val sp = graft.model.Assoc.spearmanMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("corr")).toMap
+    assert(math.abs(sp(("x", "y")) - 1.0) < 1e-9, s"monotone up: $sp")
+    assert(math.abs(sp(("x", "z")) + 1.0) < 1e-9, s"monotone down: $sp")
+    val pe = graft.model.Assoc.correlationMatrix(df, Seq("x", "y"))
+      .collect()(0).getAs[Double]("corr")
+    assert(pe < 0.95, s"pearson is fooled by the exponential: $pe")
+  }
+
+  test("shesd composition: a seasonal spike is found only after decomposition") {
+    // strong 24-periodic signal + one injected point anomaly at seq 500
+    val df = (1 to 960).map { i =>
+      val seasonal = 50.0 * math.sin(2 * math.Pi * (i % 24) / 24.0)
+      val v = if (i == 500) seasonal + 40.0 else seasonal
+      ("k", i.toLong, v)
+    }.toDF("g", "seq", "v")
+    val sd = graft.seq.SeqOps.seasonalDecompose(df, Seq("g"), "seq", "v",
+      period = 24).select(col("g"), col("seq"), col("resid"))
+    val r = TailScores.esd(sd, Seq("g"), "seq", "resid", maxOutliers = 3,
+      critical = Seq(3.5, 3.5, 3.5))
+    val o = r.where(col("tag") === "O").select("removed_id").collect()
+      .map(_.getLong(0))
+    assert(o.contains(500L), s"the masked spike surfaces in resid: ${o.toSeq}")
+    // raw ESD on v would NOT flag it (the spike is inside seasonal range)
+    val raw = TailScores.esd(df, Seq("g"), "seq", "v", maxOutliers = 3,
+      critical = Seq(3.5, 3.5, 3.5))
+    assert(!raw.where(col("tag") === "O").select("removed_id").collect()
+      .map(_.getLong(0)).contains(500L),
+      "raw ESD misses the in-band spike — the decomposition earns its keep")
+  }
+
   test("pot-gpd: deterministic across partition counts") {
     val df = (1 to 500).map(i =>
       ("k" + (i % 3), i.toLong, math.exp((i % 97) / 13.0))).toDF("g", "id", "v")
