@@ -112,6 +112,88 @@ object Assoc {
     per.reduce(_ unionByName _)
   }
 
+  /** Theil's uncertainty coefficient U(A|B) = I(A;B)/H(A) — the
+    * ASYMMETRIC dependence measure ([[mutualInfo]] normalized by each
+    * marginal entropy): "how much of A does knowing B explain", which is
+    * directional where Cramér's V is not (a category that determines
+    * another without the reverse shows up only here). One row:
+    * h_a, h_b, h_ab (nats), u_a_given_b, u_b_given_a.
+    *
+    * Determinism: every entropy is a sum of 8dp fixed-point-quantized
+    * −p·ln p terms (the [[mutualInfo]] device — order-free long sums);
+    * I = H(A)+H(B)−H(A,B) stays exact integer arithmetic until the
+    * final ratio.
+    *
+    * Scale: one hash aggregate to the contingency table, then
+    * cell-/marginal-sized reductions. */
+  def theilsU(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val (obs, ra, cb, tot, _) = table(df, aCol, bCol)
+    def ent(m: DataFrame, c: String, as: String) =
+      m.crossJoin(broadcast(tot))
+        .agg(sum(fixedPointLong(
+          -(col(c).cast("double") / col("n")) *
+            log(col(c).cast("double") / col("n")), 8)).as(as))
+    val ha = ent(ra, "ca", "ha8")
+    val hb = ent(cb, "cb", "hb8")
+    val hab = ent(obs, "o", "hab8")
+    val out = ha.crossJoin(hb).crossJoin(hab)
+      .withColumn("h_a", col("ha8").cast("double") / 1e8)
+      .withColumn("h_b", col("hb8").cast("double") / 1e8)
+      .withColumn("h_ab", col("hab8").cast("double") / 1e8)
+      .withColumn("u_a_given_b",
+        (col("ha8") + col("hb8") - col("hab8")).cast("double") / col("ha8"))
+      .withColumn("u_b_given_a",
+        (col("ha8") + col("hb8") - col("hab8")).cast("double") / col("hb8"))
+      .select("h_a", "h_b", "h_ab", "u_a_given_b", "u_b_given_a")
+    obs.unpersist()
+    out
+  }
+
+  /** Kendall's τ-b between two numeric columns over a deterministic
+    * md5-hash subsample of ~maxPoints rows (τ is inherently pairwise;
+    * the hash56 device makes the sampled set engine-replayable with no
+    * global sort): τ_b = (nc−nd)/√((n0−n1)(n0−n2)) with n1/n2 the
+    * x-/y-tied pair counts — the tie-corrected rank correlation for a
+    * SINGLE pair of columns where [[spearmanMatrix]] does whole
+    * matrices. One row: m_used, concordant, discordant, tau_b.
+    *
+    * Scale: scalar count → broadcast threshold → capped pair join; all
+    * counts exact integers. */
+  def kendallTau(df: DataFrame, idCol: String, xCol: String, yCol: String,
+      maxPoints: Int = 300): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints >= 2: $maxPoints")
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id"),
+        fixedPointLong(col(xCol).cast("double"), 4).as("_x"),
+        fixedPointLong(col(yCol).cast("double"), 4).as("_y"))
+    val n = base.agg(count(lit(1)).as("_n"))
+    val u = graft.text.TextOps.hash56(col("_id").cast("string")) /
+      72057594037927936.0
+    val pts = base.crossJoin(broadcast(n))
+      .where(u < lit(maxPoints.toDouble) / col("_n"))
+      .select("_id", "_x", "_y")
+    val l = pts.select(col("_id").as("_ia"), col("_x").as("_xa"),
+      col("_y").as("_ya"))
+    val r = pts.select(col("_id").as("_ib"), col("_x").as("_xb"),
+      col("_y").as("_yb"))
+    val sgn = (col("_xa") - col("_xb")) * (col("_ya") - col("_yb"))
+    l.join(r, col("_ia") < col("_ib"))
+      .agg(
+        sum(when(sgn > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(sgn < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("_xa") === col("_xb"), 1L).otherwise(0L)).as("_tx"),
+        sum(when(col("_ya") === col("_yb"), 1L).otherwise(0L)).as("_ty"),
+        count(lit(1)).as("_n0"))
+      .withColumn("m_used",
+        floor((lit(1.0) + sqrt(lit(1.0) + lit(8.0) * col("_n0"))) / 2)
+          .cast("long"))
+      .withColumn("tau_b",
+        (col("concordant") - col("discordant")).cast("double") /
+          sqrt((col("_n0") - col("_tx")).cast("double") *
+            (col("_n0") - col("_ty")).cast("double")))
+      .select("m_used", "concordant", "discordant", "tau_b")
+  }
+
   /** Spearman rank correlation matrix: Pearson over average ranks,
     * complete-case (rows with any null excluded up front so every pair
     * ranks the same population). Ranks are carried as the exact integer

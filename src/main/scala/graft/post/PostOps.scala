@@ -201,6 +201,58 @@ object PostOps {
           .as("p_value"): _*)
   }
 
+  /** Gini coefficient per key over a non-negative measure (doc lengths,
+    * token counts, spend): G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx)/(n·Σx) over the
+    * ascending sort — the inequality summary a corpus-balance report
+    * pairs with [[concentration]] (how unevenly is the measure spread
+    * WITHIN each source). Exact: values at 4dp fixed point, rank·value
+    * products summed in decimal(38,0); one double division at the end.
+    * One row per key: n, total, gini.
+    *
+    * Scale: one exchange on the keys; the rank window and the aggregate
+    * ride it. */
+  def gini(data: DataFrame, keyCols: Seq[String], idCol: String,
+      valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_fp").asc, col(idCol).asc)
+    data.where(v.isNotNull && v >= 0)
+      .withColumn("_fp", graft.core.fixedPointLong(v, 4))
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_fp").cast("decimal(38,0)")).as("_sx"),
+        sum((col("_i").cast("decimal(38,0)") *
+          col("_fp").cast("decimal(38,0)")).cast("decimal(38,0)")).as("_six"))
+      .withColumn("total", col("_sx").cast("double") / 1e4)
+      .withColumn("gini",
+        (lit(2) * col("_six") - (col("n") + 1) * col("_sx")).cast("double") /
+          (col("n") * col("_sx")).cast("double"))
+      .select(keyCols.map(col) ++
+        Seq(col("n"), col("total"), col("gini")): _*)
+  }
+
+  /** Concentration of a categorical share: Herfindahl–Hirschman index
+    * HHI = Σ (n_c/N)² and the effective number of categories 1/HHI —
+    * the one-row "is this corpus really diverse" summary (an HHI near 1
+    * means one source dominates regardless of how many exist). Exact:
+    * HHI = Σn_c²/N² as a ratio of exact integer sums — no per-category
+    * float sum at all. One row: k, n, hhi, effective. */
+  def concentration(data: DataFrame, catCol: String): DataFrame = {
+    data.where(col(catCol).isNotNull)
+      .groupBy(col(catCol)).agg(count(lit(1)).as("_c"))
+      .agg(count(lit(1)).as("k"), sum(col("_c")).as("n"),
+        sum((col("_c").cast("decimal(38,0)") *
+          col("_c").cast("decimal(38,0)")).cast("decimal(38,0)")).as("_sq"))
+      .withColumn("hhi", col("_sq").cast("double") /
+        (col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)"))
+          .cast("double"))
+      .withColumn("effective",
+        (col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)"))
+          .cast("double") / col("_sq").cast("double"))
+      .select("k", "n", "hhi", "effective")
+  }
+
   /** Winsorize: clamp each value into the exact per-key
     * [P(alpha), P(1−alpha)] order-statistic band — the robust
     * preprocessing twin of the reference's range filter (beymani's

@@ -93,6 +93,17 @@ object StatQueries {
     "q213_chi2" -> ((s, dir) =>
       canon(graft.model.Assoc.chiSquare(
         ev(s, dir).withColumn("vb", valueBucket), "event_type", "vb"))),
+    // Theil's U: the asymmetric "how much of A does B explain" pair of
+    // q213/q214 — 8dp-frozen entropy terms, exact integer I(A;B)
+    "q302_theils_u" -> ((s, dir) =>
+      canon(graft.model.Assoc.theilsU(
+        ev(s, dir).withColumn("vb", valueBucket), "event_type", "vb"))),
+    // Kendall's tau-b of value vs the k prop over the md5-hash sample
+    "q305_kendall_tau" -> ((s, dir) =>
+      canon(graft.model.Assoc.kendallTau(
+        ev(s, dir).withColumn("k",
+          get_json_object(col("props"), "$.k").cast("int").cast("double")),
+        "event_id", "value", "k", maxPoints = 300))),
     "q214_mutual_info" -> ((s, dir) =>
       canon(graft.model.Assoc.mutualInfo(
         ev(s, dir).withColumn("vb", valueBucket), "event_type", "vb"))),
@@ -1009,6 +1020,50 @@ object StatQueries {
         | min(v) AS min_v
         |FROM ty GROUP BY path""".stripMargin.replace("\n", " "),
     "q213_chi2" -> chi2Oracle,
+    "q302_theils_u" -> {
+      def ent(c: String, src: String, as: String) =
+        s"""$as AS (SELECT sum(${fp(s"-($c::DOUBLE / n) * ln($c::DOUBLE / n)",
+          "1e8")})::BIGINT AS $as FROM $src CROSS JOIN tot)"""
+      s"""WITH $assocCtes,
+         |${ent("ca", "ra", "ha8")},
+         |${ent("cb", "cbm", "hb8")},
+         |${ent("o", "obs", "hab8")}
+         |SELECT round(ha8::DOUBLE / 1e8, 4) AS h_a,
+         | round(hb8::DOUBLE / 1e8, 4) AS h_b,
+         | round(hab8::DOUBLE / 1e8, 4) AS h_ab,
+         | round((ha8 + hb8 - hab8)::DOUBLE / ha8, 4) AS u_a_given_b,
+         | round((ha8 + hb8 - hab8)::DOUBLE / hb8, 4) AS u_b_given_a
+         |FROM ha8 CROSS JOIN hb8 CROSS JOIN hab8"""
+        .stripMargin.replace("\n", " ")
+    },
+    "q305_kendall_tau" ->
+      """WITH base AS (SELECT event_id::BIGINT AS _id,
+        |  (CASE WHEN value>=0 THEN floor(value*10000.0+0.5)
+        |   ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS x,
+        |  (CASE WHEN kk>=0 THEN floor(kk*10000.0+0.5)
+        |   ELSE -floor(-kk*10000.0+0.5) END)::BIGINT AS y
+        |  FROM (SELECT event_id, value,
+        |    json_extract(props, '$.k')::INT::DOUBLE AS kk FROM events)
+        |  WHERE value IS NOT NULL AND kk IS NOT NULL),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM base),
+        |pts AS (SELECT _id, x, y FROM base CROSS JOIN nn
+        |  WHERE ('0x'||substr(md5(_id::VARCHAR),1,14))::BIGINT
+        |    / 72057594037927936.0 < 300.0 / n),
+        |p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+        |  FROM pts a JOIN pts b ON a._id < b._id),
+        |agg AS (SELECT
+        |  sum(CASE WHEN (xa - xb)*(ya - yb) > 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS concordant,
+        |  sum(CASE WHEN (xa - xb)*(ya - yb) < 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS discordant,
+        |  sum(CASE WHEN xa = xb THEN 1 ELSE 0 END)::BIGINT AS tx,
+        |  sum(CASE WHEN ya = yb THEN 1 ELSE 0 END)::BIGINT AS ty,
+        |  count(*)::BIGINT AS n0 FROM p)
+        |SELECT CAST(floor((1.0 + sqrt(1.0 + 8.0*n0))/2) AS BIGINT) AS m_used,
+        | concordant, discordant,
+        | round((concordant - discordant)::DOUBLE /
+        |   sqrt((n0 - tx)::DOUBLE * (n0 - ty)::DOUBLE), 4) AS tau_b
+        |FROM agg""".stripMargin.replace("\n", " "),
     "q238_assoc_rules" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS item
         | FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -256,6 +256,13 @@ object TextQueries {
       canon(TextOps.jwPairs(d, "doc_id", "name",
         blockChars = 8, minSim = 0.8))
     }),
+    // Gini of doc length per source: within-source inequality summary
+    "q303_gini" -> ((s, dir) =>
+      canon(graft.post.PostOps.gini(docs(s, dir), Seq("source"),
+        "doc_id", "n_chars"))),
+    // HHI + effective source count: the one-row corpus-diversity check
+    "q304_concentration" -> ((s, dir) =>
+      canon(graft.post.PostOps.concentration(docs(s, dir), "source"))),
     // sorted-neighborhood ER: O(n·w) windowed pairs within lang blocks
     // (the scale alternative to q234's equality blocking)
     "q297_sorted_neighborhood" -> ((s, dir) => {
@@ -1346,6 +1353,28 @@ object TextQueries {
          |ORDER BY score DESC, phrase LIMIT 40"""
         .stripMargin.replace("\n", " ")
     },
+    "q303_gini" ->
+      """WITH fx AS (SELECT source, doc_id,
+        |  (CASE WHEN n_chars>=0 THEN floor(n_chars*10000.0+0.5)
+        |   ELSE -floor(-n_chars*10000.0+0.5) END)::BIGINT AS fp
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY fp ASC, doc_id ASC) AS i FROM fx)
+        |SELECT source, count(*)::BIGINT AS n,
+        | round(sum(fp::HUGEINT)::DOUBLE / 1e4, 4) AS total,
+        | round((2*sum((i::HUGEINT)*(fp::HUGEINT))
+        |   - (count(*)+1)*sum(fp::HUGEINT))::DOUBLE
+        |  / (count(*)*sum(fp::HUGEINT))::DOUBLE, 4) AS gini
+        |FROM r GROUP BY source""".stripMargin.replace("\n", " "),
+    "q304_concentration" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS c FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1)
+        |SELECT count(*)::BIGINT AS k, sum(c)::BIGINT AS n,
+        | round(sum((c::HUGEINT)*(c::HUGEINT))::DOUBLE
+        |  / ((sum(c)::HUGEINT)*(sum(c)::HUGEINT))::DOUBLE, 4) AS hhi,
+        | round(((sum(c)::HUGEINT)*(sum(c)::HUGEINT))::DOUBLE
+        |  / sum((c::HUGEINT)*(c::HUGEINT))::DOUBLE, 4) AS effective
+        |FROM c""".stripMargin.replace("\n", " "),
     "q297_sorted_neighborhood" ->
       """WITH base AS (SELECT lang AS blk, doc_id::BIGINT AS a,
         |  substr(text, 1, 64) AS na FROM documents),

@@ -2,6 +2,7 @@ package graft
 
 import graft.model.GroupTests
 import graft.multi.TailScores
+import graft.post.PostOps
 import graft.seq.Trend
 import org.apache.spark.sql.functions._
 
@@ -209,6 +210,59 @@ class TrendStatsSpec extends SparkSpec {
     assert(!raw.where(col("tag") === "O").select("removed_id").collect()
       .map(_.getLong(0)).contains(500L),
       "raw ESD misses the in-band spike — the decomposition earns its keep")
+  }
+
+  test("theils-u: determinism is directional where correlation is not") {
+    // b = f(a) exactly (a determines b), but two a's share each b value →
+    // knowing b does NOT pin a: U(B|A)=1, U(A|B)<1
+    val df = (0 until 120).map { i =>
+      val a = i % 12
+      (s"a$a", s"b${a / 2}")
+    }.toDF("a", "b")
+    val r = graft.model.Assoc.theilsU(df, "a", "b").collect()(0)
+    assert(math.abs(r.getAs[Double]("u_b_given_a") - 1.0) < 1e-6,
+      s"A determines B: $r")
+    assert(r.getAs[Double]("u_a_given_b") < 0.9, s"B does not pin A: $r")
+  }
+
+  test("kendall tau-b: monotone +1, reversed -1, independent ~0") {
+    val up = (1 to 400).map(i => (i.toLong, i.toDouble, i * 2.0 + 1))
+      .toDF("id", "x", "y")
+    val r1 = graft.model.Assoc.kendallTau(up, "id", "x", "y", 300)
+      .collect()(0)
+    assert(r1.getAs[Double]("tau_b") == 1.0, s"monotone: $r1")
+    val down = up.withColumn("y", -col("y"))
+    val r2 = graft.model.Assoc.kendallTau(down, "id", "x", "y", 300)
+      .collect()(0)
+    assert(r2.getAs[Double]("tau_b") == -1.0, s"reversed: $r2")
+    val ind = (1 to 400).map(i =>
+      (i.toLong, (i % 20).toDouble, ((i * 7) % 13).toDouble))
+      .toDF("id", "x", "y")
+    val r3 = graft.model.Assoc.kendallTau(ind, "id", "x", "y", 300)
+      .collect()(0)
+    assert(math.abs(r3.getAs[Double]("tau_b")) < 0.15, s"independent: $r3")
+  }
+
+  test("gini: equal values 0, one-owner extreme near 1") {
+    val eq = (1 to 100).map(i => ("s", i.toLong, 10.0)).toDF("g", "id", "v")
+    val r0 = PostOps.gini(eq, Seq("g"), "id", "v").collect()(0)
+    assert(r0.getAs[Double]("gini") == 0.0, s"perfect equality: $r0")
+    val one = ((1 to 99).map(i => ("s", i.toLong, 0.0)) :+
+      (("s", 100L, 1000.0))).toDF("g", "id", "v")
+    val r1 = PostOps.gini(one, Seq("g"), "id", "v").collect()(0)
+    assert(r1.getAs[Double]("gini") > 0.98, s"one owner: $r1")
+  }
+
+  test("concentration: uniform shares → effective = k; monopoly → 1") {
+    val uni = (1 to 400).map(i => "s" + (i % 8)).toDF("c")
+    val r0 = PostOps.concentration(uni, "c").collect()(0)
+    assert(math.abs(r0.getAs[Double]("effective") - 8.0) < 1e-9, s"$r0")
+    val mono = ((1 to 396).map(_ => "big") ++ Seq("a", "b", "c", "d"))
+      .toDF("c")
+    val r1 = PostOps.concentration(mono, "c").collect()(0)
+    assert(r1.getAs[Double]("hhi") > 0.97 &&
+      r1.getAs[Double]("effective") < 1.03, s"monopoly: $r1")
+    assert(r1.getAs[Long]("k") == 5L)
   }
 
   test("pot-gpd: deterministic across partition counts") {
