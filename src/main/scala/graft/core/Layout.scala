@@ -61,6 +61,27 @@ object Layout {
         shiftright(col("zkey") * numFiles, 2 * bits))
   }
 
+  /** Rendezvous (highest-random-weight) assignment: each row goes to the
+    * node with the maximum md5-derived weight hash56(node ":" id) — the
+    * stable shard router: adding or removing one node moves ONLY that
+    * node's keys (~1/N of the data), where modulo hashing reshuffles
+    * almost everything. The routing layer a 100 TB incremental-ingest
+    * pipeline puts in front of its shards.
+    *
+    * Determinism: the hash56 device (md5 hex prefix → 56-bit int) on
+    * both engines; ties are broken by the struct ordering's node field
+    * (and are md5-collision improbable). Scale: a pure per-row column
+    * expression over a literal node list — no exchange, no state. */
+  def rendezvous(data: DataFrame, idCol: String, nodes: Seq[String])
+      : DataFrame = {
+    require(nodes.nonEmpty, "rendezvous needs at least one node")
+    val arr = array(nodes.map(nd =>
+      struct(graft.text.TextOps.hash56(
+        concat(lit(nd), lit(":"), col(idCol).cast("string"))).as("h"),
+        lit(nd).as("node"))): _*)
+    data.withColumn("node", array_max(arr).getField("node"))
+  }
+
   /** Rank-balanced range-partition boundaries over `valCol`: boundary i
     * (1..P−1) is the exact value at ascending rank ⌊i·n/P⌋; a row with
     * value v belongs to partition #{boundaries < v} (ties stay low).

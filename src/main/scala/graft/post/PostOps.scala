@@ -401,6 +401,40 @@ object PostOps {
     * the kmax scan all ride the same per-key sort (the window-family
     * layout). Parallelism is key cardinality — the documented window
     * ceiling, acceptable because BH is per-population by construction. */
+  /** Benjamini–Yekutieli FDR control — [[bhFdr]] under ARBITRARY
+    * dependence between the tests: the step-up threshold divides by the
+    * harmonic factor c(m) = Σ_{i=1..m} 1/i, the price of dropping BH's
+    * independence/PRDS assumption (correlated per-record p-values —
+    * e.g. scores sharing a fitted model — are the common case here).
+    *
+    * Determinism: 1/i is frozen to 12dp fixed point so c(m) is an exact
+    * long window sum (an unordered double Σ1/i would be engine-order-
+    * shaped); everything else is bhFdr's machinery.
+    *
+    * Scale: identical to bhFdr — one exchange on the keys, every window
+    * rides the same per-key sort. */
+  def byFdr(scored: DataFrame, keyCols: Seq[String], pCol: String,
+      idCol: String, alpha: Double): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(pCol), col(idCol))
+    val whole = Window.partitionBy(keyCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cm = sum(graft.core.fixedPointLong(lit(1.0) / col("rank"), 12))
+      .over(whole).cast("double") / 1e12
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(whole))
+      .withColumn("c_m", cm)
+      .withColumn("kmax",
+        max(when(col(pCol) <=
+          lit(alpha) * col("rank") / (col("m") * col("c_m")),
+          col("rank"))).over(whole))
+      .withColumn("discovery",
+        col("kmax").isNotNull && col("rank") <= col("kmax"))
+      .select((keyCols.map(col) :+ col(idCol) :+ col(pCol) :+ col("rank") :+
+        col("c_m") :+ col("discovery")): _*)
+  }
+
   def bhFdr(scored: DataFrame, keyCols: Seq[String], pCol: String,
       idCol: String, alpha: Double): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)

@@ -46,6 +46,17 @@ object SeqQueries {
     "q298_hodges_lehmann" -> ((s, dir) =>
       canon(graft.seq.Trend.hodgesLehmann(ev(s, dir), Seq("event_type"),
         "event_id", "value", maxPoints = 150))),
+    // SAX symbolization: z-norm → 8-point PAA → 6-letter equiprobable
+    // alphabet (probit breakpoints) — the float→symbol bridge into the
+    // Markov/multigram/motif family
+    "q306_sax" -> ((s, dir) =>
+      canon(graft.seq.Symbolic.sax(ev(s, dir), Seq("event_type"),
+        "event_id", "value", frameSize = 8, alphabet = 6))),
+    // Ljung–Box whiteness test over the first 10 autocorrelations
+    // (6dp-frozen ACF, lag-ordered fold)
+    "q309_ljung_box" -> ((s, dir) =>
+      canon(graft.seq.Trend.ljungBox(ev(s, dir), Seq("event_type"),
+        "event_id", "value", maxLag = 10))),
     // streaming motif detector executed as batch (q100 pattern): the
     // stream code path itself gated on a lag-window oracle
     "q220_motif_stream" -> ((s, dir) => {
@@ -772,6 +783,64 @@ object SeqQueries {
          | round(avg(r), 4) AS intercept
          |FROM rr WHERE rn = (c+1)//2 OR rn = c//2 + 1
          |GROUP BY event_type""".stripMargin.replace("\n", " "),
+    "q306_sax" -> {
+      // ::DOUBLE on the constant p: DuckDB otherwise parses the literal
+      // as DECIMAL and the probit Horner chain overflows decimal scale
+      val sym = (1 to 5).map(i =>
+        s"(CASE WHEN paa > ${StatQueries.probitSql(
+          (i.toDouble / 6).toString + "::DOUBLE")}" +
+          " THEN 1 ELSE 0 END)").mkString(" + ")
+      """WITH fx AS (SELECT event_type, event_id, value,
+        |  (CASE WHEN value>=0 THEN floor(value*10000.0+0.5)
+        |   ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS fp
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT event_type, count(*)::HUGEINT AS n,
+        |  sum(fp::HUGEINT) AS s, sum(fp::HUGEINT*fp::HUGEINT) AS q
+        |  FROM fx GROUP BY 1),
+        |mdl AS (SELECT event_type, s::DOUBLE/n::DOUBLE/1e4 AS mu,
+        |  sqrt((q::DOUBLE - s::DOUBLE*s::DOUBLE/n::DOUBLE)
+        |    /(n::DOUBLE-1))/1e4 AS sd
+        |  FROM st WHERE n > 1),
+        |fr AS (SELECT f.event_type,
+        |  CAST(floor((row_number() OVER (PARTITION BY f.event_type
+        |    ORDER BY f.event_id) - 1) / 8) AS BIGINT) AS frame,
+        |  (CASE WHEN (f.value - m.mu)/m.sd >= 0
+        |    THEN floor(((f.value - m.mu)/m.sd)*1000000.0+0.5)
+        |    ELSE -floor(-((f.value - m.mu)/m.sd)*1000000.0+0.5)
+        |   END)::BIGINT AS z6
+        |  FROM fx f JOIN mdl m USING (event_type)),
+        |ag AS (SELECT event_type, frame, count(*)::BIGINT AS n_pts,
+        |  sum(z6::HUGEINT) AS zs FROM fr GROUP BY 1, 2),
+        |pa AS (SELECT *, zs::DOUBLE / n_pts / 1e6 AS paa FROM ag),
+        |sy AS (SELECT *, (SYMEXPR)::BIGINT AS sym FROM pa)
+        |SELECT event_type, frame, n_pts, round(paa, 4) AS paa, sym,
+        | substr('abcdefghijklmnopqrst', CAST(sym AS INT) + 1, 1) AS letter
+        |FROM sy""".stripMargin.replace("SYMEXPR", sym).replace("\n", " ")
+    },
+    "q309_ljung_box" -> {
+      val lagCols = (1 to 10).map(k => s"lag(value, $k) OVER w AS l$k")
+        .mkString(", ")
+      val acU = (1 to 10).map(k =>
+        s"SELECT event_type, $k AS lag, corr(value, l$k) AS ac" +
+          " FROM l GROUP BY 1").mkString(" UNION ALL ")
+      val rho6 = "((CASE WHEN ac >= 0 THEN floor(ac*1000000.0+0.5)" +
+        " ELSE -floor(-ac*1000000.0+0.5) END)::BIGINT::DOUBLE / 1e6)"
+      s"""WITH l AS (SELECT event_type, value, $lagCols FROM events
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY event_id)),
+         |ac AS ($acU),
+         |nn AS (SELECT event_type, count(value)::BIGINT AS n
+         |  FROM events GROUP BY 1),
+         |t AS (SELECT a.event_type, a.lag,
+         |  $rho6 * $rho6 / (n - lag) AS t
+         |  FROM ac a JOIN nn USING (event_type) WHERE ac IS NOT NULL),
+         |g AS (SELECT event_type, count(*)::BIGINT AS h,
+         |  list_aggregate(list(t ORDER BY lag), 'sum') AS s
+         |  FROM t GROUP BY 1 HAVING count(*) = 10)
+         |SELECT g.event_type, nn.n, g.h,
+         | round(nn.n::DOUBLE * (nn.n::DOUBLE + 2) * g.s, 4) AS q_stat
+         |FROM g JOIN nn USING (event_type)"""
+        .stripMargin.replace("\n", " ")
+    },
     "q298_hodges_lehmann" ->
       s"""WITH $trendPts,
          |p AS (SELECT l.event_type, l.i AS il, r.i AS ir,

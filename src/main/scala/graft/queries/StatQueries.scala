@@ -173,6 +173,14 @@ object StatQueries {
       canon(graft.post.PostOps.bhFdr(p, Seq("event_type"), "p", "event_id",
         alpha = 0.1))
     }),
+    // Benjamini–Yekutieli: q215 under arbitrary dependence — the step-up
+    // threshold divides by the exact-harmonic c(m) (12dp-frozen 1/i)
+    "q307_by_fdr" -> ((s, dir) => {
+      val p = zscored(s, dir).where(col("score").isNotNull)
+        .withColumn("p", exp(-col("score")))
+      canon(graft.post.PostOps.byFdr(p, Seq("event_type"), "p", "event_id",
+        alpha = 0.1))
+    }),
     // incremental-model path: fit each md5-split half separately, merge
     // the MODELS (Chan parallel variance) — must reproduce the q01
     // direct fit of the union, which is exactly what the oracle computes
@@ -789,7 +797,7 @@ object StatQueries {
   /** Acklam probit as SQL text, generated from the SAME constants as
     * PostOps.probit with the SAME Horner association — double-identical
     * on both engines. `p` is a SQL expression string. */
-  private def probitSql(p: String): String = {
+  private[queries] def probitSql(p: String): String = {
     val a = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
       -2.759285104469687e+02, 1.383577518672690e+02,
       -3.066479806614716e+01, 2.506628277459239e+00)
@@ -1085,6 +1093,26 @@ object StatQueries {
         .stripMargin.replace("\n", " "),
     "q214_mutual_info" -> miOracle,
     "q215_bh_fdr" -> bhFdrOracle,
+    "q307_by_fdr" ->
+      s"""WITH $evStats,
+         |z AS (SELECT e.event_id, e.event_type,
+         |  exp(-(abs(e.value - s.mean) / s.std)) AS p
+         | FROM events e JOIN stats s USING (event_type)
+         | WHERE e.value IS NOT NULL),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |   ORDER BY p, event_id)::BIGINT AS rank,
+         |  count(*) OVER (PARTITION BY event_type)::BIGINT AS m FROM z),
+         |h AS (SELECT *, sum((CASE WHEN (1.0/rank) >= 0
+         |    THEN floor((1.0/rank)*1000000000000.0+0.5)
+         |    ELSE -floor(-(1.0/rank)*1000000000000.0+0.5) END)::BIGINT)
+         |   OVER (PARTITION BY event_type)::DOUBLE / 1e12 AS c_m FROM r),
+         |k AS (SELECT *, max(CASE WHEN p <= 0.1 * rank / (m * c_m)
+         |   THEN rank END)
+         |   OVER (PARTITION BY event_type) AS kmax FROM h)
+         |SELECT event_type, event_id, round(p, 4) AS p, rank,
+         | round(c_m, 4) AS c_m,
+         | kmax IS NOT NULL AND rank <= kmax AS discovery FROM k"""
+        .stripMargin.replace("\n", " "),
     "q239_conformal" ->
       """WITH u AS (
         | SELECT event_type, event_id, value AS s, 0 AS cal FROM events

@@ -256,6 +256,11 @@ object TextQueries {
       canon(TextOps.jwPairs(d, "doc_id", "name",
         blockChars = 8, minSim = 0.8))
     }),
+    // rendezvous (HRW) shard routing: stable md5-weight argmax — adding
+    // or removing a node moves only that node's keys
+    "q308_rendezvous" -> ((s, dir) =>
+      graft.core.Layout.rendezvous(docs(s, dir).select("doc_id"),
+        "doc_id", (0 until 8).map(i => s"node$i"))),
     // Gini of doc length per source: within-source inequality summary
     "q303_gini" -> ((s, dir) =>
       canon(graft.post.PostOps.gini(docs(s, dir), Seq("source"),
@@ -1352,6 +1357,16 @@ object TextQueries {
          |SELECT phrase, cnt, n_words, round(score, 4) AS score FROM sc
          |ORDER BY score DESC, phrase LIMIT 40"""
         .stripMargin.replace("\n", " ")
+    },
+    "q308_rendezvous" -> {
+      val nodes = (0 until 8).map(i => s"'node$i'").mkString(", ")
+      s"""WITH nd AS (SELECT unnest([$nodes]) AS node),
+         |h AS (SELECT d.doc_id, nd.node,
+         |  ('0x'||substr(md5(nd.node || ':' || d.doc_id::VARCHAR),1,14))::BIGINT
+         |    AS hv
+         |  FROM documents d CROSS JOIN nd)
+         |SELECT doc_id, arg_max(node, hv) AS node
+         |FROM h GROUP BY doc_id""".stripMargin.replace("\n", " ")
     },
     "q303_gini" ->
       """WITH fx AS (SELECT source, doc_id,

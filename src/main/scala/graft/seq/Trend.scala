@@ -91,6 +91,45 @@ object Trend {
       .drop("_tc")
   }
 
+  /** Ljung–Box portmanteau test: Q = n(n+2)·Σ_{k=1..h} ρ̂²_k/(n−k) over
+    * [[SeqOps.autocorrelation]]'s estimates — "is anything left in the
+    * residuals", the standard post-forecast whiteness check for the
+    * OSA/Holt/AR scorer family (compare Q against the χ²_h quantile the
+    * caller supplies offline, like ESD's λ).
+    *
+    * Determinism: ρ̂ is frozen at 6dp (the PACF device); the h-term sum
+    * is an ordered left fold by lag (sort_array+aggregate vs
+    * list ORDER BY — the verified-sequential pair), so no unordered
+    * double sum. Keys with any NULL ρ̂ (series shorter than maxLag)
+    * are dropped.
+    *
+    * Scale: the ACF lag-window pass is the whole cost; the fold runs on
+    * key×h rows. */
+  def ljungBox(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag >= 1: $maxLag")
+    val acf = SeqOps.autocorrelation(data, keyCols, seqCol, valCol,
+      1 to maxLag)
+    val nn = data.where(col(valCol).isNotNull)
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val rho6 = graft.core.fixedPointLong(col("ac"), 6).cast("double") / 1e6
+    val term = rho6 * rho6 / (col("n") - col("lag"))
+    val folded = acf.join(nn, keyCols)
+      .where(col("ac").isNotNull)
+      .withColumn("_t", term)
+      .groupBy(keyCols.map(col): _*)
+      .agg(first(col("n")).as("n"), count(lit(1)).as("h"),
+        sort_array(collect_list(struct(col("lag"), col("_t")))).as("_a"))
+      .where(col("h") === maxLag)
+      .withColumn("_s", aggregate(col("_a"), lit(0.0),
+        (acc, x) => acc + x("_t")))
+    folded
+      .withColumn("q_stat",
+        col("n").cast("double") * (col("n").cast("double") + 2) * col("_s"))
+      .select(keyCols.map(col) ++
+        Seq(col("n"), col("h"), col("q_stat")): _*)
+  }
+
   /** Hodges–Lehmann one-sample estimator: the median of the Walsh
     * averages (x_i+x_j)/2 over i ≤ j — the pseudo-median, the robust
     * location estimate the sign-rank test inverts (30%-breakdown,
