@@ -335,6 +335,76 @@ object Multimodal {
     bands
   }
 
+  /** HTK-style triangular mel filterbank: `nMels` rows of `nFft/2`
+    * weights. Mel points are uniform on mel(f) = 2595·log10(1+f/700)
+    * between 0 and rate/2; filter m rises over [bin(m−1), bin(m)] and
+    * falls over [bin(m), bin(m+1)] with bin(i) = ⌊(nFft+1)·hz_i/rate⌋.
+    * Public so the oracle can embed the exact weights as literals —
+    * the filterbank is MODEL data (like ESD's λ): derived once, then
+    * both engines consume identical doubles, so no floor-at-a-boundary
+    * divergence can enter the gate. */
+  def melFilterbank(rate: Int, nFft: Int, nMels: Int): Array[Array[Double]] = {
+    val half = nFft / 2
+    val melMax = 2595.0 * math.log10(1.0 + (rate / 2.0) / 700.0)
+    val bins = (0 to nMels + 1).map { i =>
+      val mel = i * melMax / (nMels + 1)
+      val hz = 700.0 * (math.pow(10.0, mel / 2595.0) - 1.0)
+      math.floor((nFft + 1) * hz / rate).toInt
+    }
+    Array.tabulate(nMels, half) { (m, k) =>
+      val (lo, mid, hi) = (bins(m), bins(m + 1), bins(m + 2))
+      if (k > lo && k <= mid && mid > lo)
+        (k - lo).toDouble / (mid - lo)
+      else if (k > mid && k < hi && hi > mid)
+        (hi - k).toDouble / (hi - mid)
+      else 0.0
+    }
+  }
+
+  /** MFCC over the first `nFft` samples of each WAV clip (zero-padded):
+    * power spectrum (naive DFT, fixed accumulation order) → mel
+    * filterbank energies → ln(E+1e-10) → DCT-II, keeping `nCoef`
+    * coefficients — THE classic audio feature vector (Davis & Mermelstein
+    * 1980), feeding the embedding/ANN family the same way image features
+    * do. Accumulation orders are fixed (t asc, k asc, m asc) so the SQL
+    * list replay is bit-identical. Per-row flatMap, zero shuffle. */
+  def audioMfcc(media: DataFrame, nFft: Int = 64, nMels: Int = 8,
+      nCoef: Int = 4): DataFrame = {
+    require(nCoef >= 1 && nCoef <= nMels, s"nCoef in [1,$nMels]: $nCoef")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val half = nFft / 2
+    media.select(col("id"), col("payload")).as[MediaRow]
+      .flatMap { m =>
+        Codecs.Wav.decode(m.payload).map { case (rate, _, samples) =>
+          val v = new Array[Double](nFft)
+          var i = 0
+          while (i < nFft) {
+            v(i) = if (i < samples.length) samples(i) / 32768.0 else 0.0
+            i += 1
+          }
+          val p = dftBands(v, nFft, per = 1) // 1 bin per band = |X(k)|²
+          val fb = melFilterbank(rate, nFft, nMels)
+          val logE = Array.tabulate(nMels) { mel =>
+            var e = 0.0
+            var k = 0
+            while (k < half) { e += fb(mel)(k) * p(k); k += 1 }
+            math.log(e + 1e-10)
+          }
+          val mfcc = Array.tabulate(nCoef) { j =>
+            var c = 0.0
+            var mm = 0
+            while (mm < nMels) {
+              c += logE(mm) * math.cos(math.Pi * j * (mm + 0.5) / nMels)
+              mm += 1
+            }
+            c
+          }
+          (m.id, rate, samples.length, mfcc.toSeq)
+        }
+      }.toDF("id", "sample_rate", "n_samples", "mfcc")
+  }
+
   /** Short-time spectrogram: hopped [[audioSpectral]] frames — the 2D
     * time × frequency representation audio feature pipelines consume
     * (silence/music/speech segmentation, coarse fingerprinting). One row

@@ -258,6 +258,18 @@ object MmQueries {
         element_at(col("band_energy"), 3).as("e2"),
         element_at(col("band_energy"), 4).as("e3")))
     }),
+    // MFCC over real WAV payloads: 64-pt power spectrum → 8-filter mel
+    // bank → log → DCT-II, first 4 coefficients; the filterbank weights
+    // are embedded in the oracle as literals (model data, like ESD's λ)
+    "q310_mm_mfcc" -> ((s, dir) => {
+      val mf = Multimodal.audioMfcc(wavMedia(s, dir), nFft = 64,
+        nMels = 8, nCoef = 4)
+      canon(mf.select(col("id"), col("sample_rate"), col("n_samples"),
+        element_at(col("mfcc"), 1).as("c0"),
+        element_at(col("mfcc"), 2).as("c1"),
+        element_at(col("mfcc"), 3).as("c2"),
+        element_at(col("mfcc"), 4).as("c3")))
+    }),
     // real GIF decode (second compressed codec): LZW inflate + palette
     // mapping; channel means replay from the index/palette formulas
     "q272_mm_gif" -> ((s, dir) => {
@@ -516,6 +528,34 @@ object MmQueries {
         | round(be[1], 4) AS e0, round(be[2], 4) AS e1,
         | round(be[3], 4) AS e2, round(be[4], 4) AS e3
         |FROM e""".stripMargin.replace("\n", " "),
+    "q310_mm_mfcc" -> {
+      val fb = graft.mm.Multimodal.melFilterbank(8000, 64, 8)
+      val wLit = fb.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id AS id, (n_chars % 200) + 50 AS n
+         |  FROM documents),
+         |sm AS (SELECT id, n, list_transform(range(64), i ->
+         |  CASE WHEN i < n THEN ((id*31 + i*17) % 4096 - 2048) / 32768.0
+         |   ELSE 0.0 END) AS v FROM d),
+         |f AS (SELECT id, n, list_transform(range(32), k -> {
+         |  're': list_sum(list_transform(range(64), t ->
+         |    v[t+1] * cos(-2*pi()*(k*t)/64))),
+         |  'im': list_sum(list_transform(range(64), t ->
+         |    v[t+1] * sin(-2*pi()*(k*t)/64)))
+         | }) AS f FROM sm),
+         |pw AS (SELECT id, n, list_transform(range(32), k ->
+         |  f[k+1].re * f[k+1].re + f[k+1].im * f[k+1].im) AS p FROM f),
+         |le AS (SELECT id, n, list_transform(range(8), m ->
+         |  ln(list_sum(list_transform(range(32), k ->
+         |    ($wLit)[m+1][k+1] * p[k+1])) + 1e-10)) AS e FROM pw),
+         |mf AS (SELECT id, n, list_transform(range(4), j ->
+         |  list_sum(list_transform(range(8), m ->
+         |    e[m+1] * cos(pi()*j*(m+0.5)/8)))) AS c FROM le)
+         |SELECT id, 8000 AS sample_rate, n::INT AS n_samples,
+         | round(c[1], 4) AS c0, round(c[2], 4) AS c1,
+         | round(c[3], 4) AS c2, round(c[4], 4) AS c3
+         |FROM mf""".stripMargin.replace("\n", " ")
+    },
     // the oracle never touches LZW bytes — it replays index formula →
     // palette mapping → channel means; the decode must invert the real
     // compression to reproduce them

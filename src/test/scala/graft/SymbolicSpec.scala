@@ -76,6 +76,34 @@ class SymbolicSpec extends SparkSpec {
     assert(math.abs(cm - harm) < 1e-6, s"c(1000): $cm vs $harm")
   }
 
+  test("mel filterbank: triangular, non-negative, covers the spectrum") {
+    val fb = graft.mm.Multimodal.melFilterbank(8000, 64, 8)
+    assert(fb.length == 8 && fb.forall(_.length == 32))
+    assert(fb.flatten.forall(w => w >= 0.0 && w <= 1.0))
+    // every filter has some mass, and mid-spectrum bins are covered
+    fb.foreach(f => assert(f.sum > 0.0, "no empty filter"))
+    val covered = (1 until 31).count(k => fb.exists(_(k) > 0.0))
+    assert(covered >= 28, s"spectrum coverage: $covered/30")
+  }
+
+  test("mfcc: a pure tone and white-ish noise separate in c1") {
+    import graft.mm.{Codecs, Multimodal}
+    val tone = Array.tabulate(64)(i =>
+      (3000 * math.sin(2 * math.Pi * 4 * i / 64.0)).toShort)
+    val rnd = new scala.util.Random(5)
+    val noise = Array.tabulate(64)(_ => (rnd.nextInt(6000) - 3000).toShort)
+    val media = Seq(
+      (1L, Codecs.Wav.encode(tone, 8000)),
+      (2L, Codecs.Wav.encode(noise, 8000))).toDF("id", "payload")
+    val r = Multimodal.audioMfcc(media, 64, 8, 4).collect()
+      .map(x => x.getAs[Long]("id") ->
+        x.getAs[collection.Seq[Double]]("mfcc").toVector).toMap
+    // tone: energy in one low mel band → strong spectral tilt (|c1| big);
+    // noise: flat-ish log spectrum → |c1| small relative to the tone's
+    assert(math.abs(r(1L)(1)) > math.abs(r(2L)(1)) + 1.0,
+      s"tone tilts, noise doesn't: $r")
+  }
+
   test("rendezvous: balanced, and removing a node only moves its own keys") {
     val df = (1 to 4000).map(i => Tuple1(i.toLong)).toDF("id")
     val n8 = (0 until 8).map(i => s"node$i")
