@@ -1,0 +1,242 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-diagnostic and paired-sample tests (engine additions):
+  * Jarque–Bera normality, Bartlett's equal-variance test, the
+  * Wald–Wolfowitz runs test, McNemar's paired-binary test, the Wilcoxon
+  * signed-rank test and Friedman's within-block rank test — the
+  * assumptions-and-pairs half of the battery that GroupTests'
+  * between-group F/H/BF tests leave open. A scorer that assumes
+  * normality (zscore) or whiteness (forecast residuals) needs these to
+  * say when its own premises fail.
+  *
+  * Determinism: the GroupTests contract — values quantize to 4dp
+  * fixed-point longs, every sum (up to 4th powers for JB) accumulates
+  * as decimal(38,0)/HUGEINT, ranks ride the 2·r̄ exact-integer device,
+  * cross-group double reductions use the ordered fold — so every output
+  * is a fixed IEEE double expression of exact integers that the DuckDB
+  * oracle replays bit-identically.
+  *
+  * Scale: each test is one hash aggregate to key/group-sized stats plus
+  * a model-sized finish; the runs test adds the per-entity-series sort
+  * window shared with the seq kernels. Fourth-power sums hold exactly in
+  * decimal(38,0) up to ~1e11 rows per key at |value| ≤ 1e3 (fp⁴ ≈ 1e26
+  * per row) — beyond that, pre-aggregate or re-scale the fixed point. */
+object Diagnostics {
+
+  private def fp(c: Column): Column = graft.core.fixedPointLong(c, 4)
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Jarque–Bera normality test per key: sample skewness g1 and
+    * kurtosis g2 from exact power sums (population-moment form, the JB
+    * convention), JB = n/6·(g1² + (g2−3)²/4). One row per key:
+    * key, n, skewness, kurtosis, jb_stat. */
+  def jarqueBera(data: DataFrame, keyCol: String, valCol: String)
+      : DataFrame = {
+    val v = col(valCol).cast("double")
+    val f = dec(col("_fp"))
+    val sums = data.where(v.isNotNull)
+      .select(col(keyCol).as("key"), fp(v).as("_fp"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(f).as("_s1"),
+        sum(dec(f * f)).as("_s2"),
+        sum(dec(dec(f * f) * f)).as("_s3"),
+        sum(dec(dec(f * f) * dec(f * f))).as("_s4"))
+    val n = col("n").cast("double")
+    val m = col("_s1").cast("double") / n
+    val m2 = col("_s2").cast("double") / n - m * m
+    val m3 = col("_s3").cast("double") / n - lit(3.0) * m *
+      (col("_s2").cast("double") / n) + lit(2.0) * m * m * m
+    val m4 = col("_s4").cast("double") / n - lit(4.0) * m *
+      (col("_s3").cast("double") / n) + lit(6.0) * m * m *
+      (col("_s2").cast("double") / n) - lit(3.0) * m * m * m * m
+    sums
+      .withColumn("skewness", m3 / sqrt(m2 * m2 * m2))
+      .withColumn("kurtosis", m4 / (m2 * m2))
+      .withColumn("jb_stat", n / 6.0 *
+        (col("skewness") * col("skewness") +
+          (col("kurtosis") - 3.0) * (col("kurtosis") - 3.0) / 4.0))
+      .select("key", "n", "skewness", "kurtosis", "jb_stat")
+  }
+
+  /** Bartlett's test for equality of variances across groups:
+    * T = [(N−k)·ln Sp² − Σ(n_i−1)·ln S_i²] / C with
+    * C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1)). Variances are in
+    * value² units (exact fp sums / 1e8); the three cross-group
+    * reductions are ordered folds. One row: k, n, pooled_var, t_stat. */
+  def bartlett(data: DataFrame, groupCol: String, valCol: String)
+      : DataFrame = {
+    val v = col(valCol).cast("double")
+    val g = data.where(v.isNotNull)
+      .select(col(groupCol).as("_g"), fp(v).as("_fp"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_ng"),
+        sum(dec(col("_fp"))).as("_s"),
+        sum(dec(dec(col("_fp")) * dec(col("_fp")))).as("_q"))
+      .where(col("_ng") >= 2)
+    val ngD = col("_ng").cast("double")
+    val vi = (col("_q").cast("double") -
+      col("_s").cast("double") * col("_s").cast("double") / ngD) /
+      (ngD - 1) / 1e8
+    // one ordered fold over (n−1)·S², (n−1)·ln S², 1/(n−1)
+    val folded = g
+      .agg(sort_array(collect_list(struct(col("_g").as("g"),
+        ((ngD - 1) * vi).as("t1"),
+        ((ngD - 1) * log(vi)).as("t2"),
+        (lit(1.0) / (ngD - 1)).as("t3")))).as("_a"),
+        count(lit(1)).as("k"), sum(col("_ng")).as("_n"))
+      .select(col("k"), col("_n"),
+        aggregate(col("_a"), lit(0.0), (a, x) => a + x("t1")).as("_sv"),
+        aggregate(col("_a"), lit(0.0), (a, x) => a + x("t2")).as("_sl"),
+        aggregate(col("_a"), lit(0.0), (a, x) => a + x("t3")).as("_si"))
+    val nD = col("_n").cast("double")
+    val kD = col("k").cast("double")
+    folded
+      .withColumn("pooled_var", col("_sv") / (nD - kD))
+      .withColumn("_c", lit(1.0) +
+        (col("_si") - lit(1.0) / (nD - kD)) / (lit(3.0) * (kD - 1)))
+      .withColumn("t_stat",
+        ((nD - kD) * log(col("pooled_var")) - col("_sl")) / col("_c"))
+      .withColumn("n", col("_n").cast("long"))
+      .select("k", "n", "pooled_var", "t_stat")
+  }
+
+  /** Wald–Wolfowitz runs test per key: sides are above/below the exact
+    * per-key median (2·median integer device; ties AT the median drop,
+    * the standard convention), R = number of runs in `ordCol` order,
+    * z = (R − μ_R)/σ_R with μ_R = 2n₁n₂/n + 1. One row per key:
+    * key, n1, n2, runs, z — |z| large ⇒ the series is not random
+    * (trend/cluster structure a mean-based scorer will misread). */
+  def runsTest(data: DataFrame, keyCol: String, ordCol: String,
+      valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = data.where(v.isNotNull)
+      .select(col(keyCol).as("key"), col(ordCol).cast("long").as("_o"),
+        fp(v).as("_v"))
+    val w = Window.partitionBy(col("key")).orderBy(col("_v").asc)
+    val kw = Window.partitionBy(col("key"))
+    val med2 = base
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_c", count(lit(1)).over(kw).cast("long"))
+      .where(col("_rn") === floor((col("_c") + 1) / 2).cast("long") ||
+        col("_rn") === floor(col("_c") / 2).cast("long") + 1)
+      .groupBy(col("key")).agg((sum(col("_v")) *
+        when(count(lit(1)) === 1, 2).otherwise(1)).as("_m2"))
+    val sided = base.join(broadcast(med2), "key")
+      .withColumn("_side",
+        when(lit(2) * col("_v") > col("_m2"), 1)
+          .when(lit(2) * col("_v") < col("_m2"), -1))
+      .where(col("_side").isNotNull)
+    val ow = Window.partitionBy(col("key")).orderBy(col("_o").asc)
+    val runs = sided
+      .withColumn("_chg",
+        when(lag(col("_side"), 1).over(ow).isNull, 1)
+          .when(lag(col("_side"), 1).over(ow) =!= col("_side"), 1)
+          .otherwise(0))
+      .groupBy(col("key"))
+      .agg(sum(when(col("_side") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("_side") === -1, 1L).otherwise(0L)).as("n2"),
+        sum(col("_chg")).as("runs"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val nn = n1 + n2
+    val muR = lit(2.0) * n1 * n2 / nn + 1.0
+    val sigR = sqrt(lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nn) /
+      (nn * nn * (nn - 1)))
+    runs.withColumn("z", (col("runs").cast("double") - muR) / sigR)
+      .select("key", "n1", "n2", "runs", "z")
+  }
+
+  /** McNemar's test over paired binary flags (continuity-corrected):
+    * b = #(a ∧ ¬b), c = #(¬a ∧ b), χ² = (|b−c|−1)²/(b+c). One row:
+    * n, b, c, mcnemar_stat — "did the flag flip asymmetrically between
+    * the two conditions" on the same subjects. */
+  def mcnemar(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("boolean"); val b = col(bCol).cast("boolean")
+    pairs.where(a.isNotNull && b.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("b"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("c"))
+      .withColumn("mcnemar_stat",
+        when(col("b") + col("c") === 0, 0.0).otherwise(
+          (abs(col("b") - col("c")).cast("double") - 1.0) *
+            (abs(col("b") - col("c")).cast("double") - 1.0) /
+            (col("b") + col("c")).cast("double")))
+      .select("n", "b", "c", "mcnemar_stat")
+  }
+
+  /** Wilcoxon signed-rank test over paired doubles (x, y): exact
+    * fixed-point differences, zero differences drop, |d| ranks via the
+    * 2·r̄ histogram device (ties averaged exactly), W⁺ carried as the
+    * exact integer 2·W⁺; normal approximation with the tie-corrected
+    * variance σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48. One row:
+    * n, w_plus, z. */
+  def wilcoxonSignedRank(pairs: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val d = pairs
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((fp(col(xCol).cast("double")) -
+        fp(col(yCol).cast("double"))).as("_d"))
+      .where(col("_d") =!= 0)
+      .select(abs(col("_d")).as("_ad"), (col("_d") > 0).as("_pos"))
+    // |d|-histogram: 2·r̄(v) = 2·cumBefore(v) + ct(v) + 1 (exact ints)
+    val h = d.groupBy(col("_ad"))
+      .agg(count(lit(1)).as("_ct"),
+        sum(when(col("_pos"), 1L).otherwise(0L)).as("_np"))
+    val w = Window.orderBy(col("_ad").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = h.withColumn("_r2",
+      lit(2) * (sum(col("_ct")).over(w) - col("_ct")) + col("_ct") + 1)
+    val agg = r.agg(sum(col("_ct")).as("n"),
+      sum(col("_np") * col("_r2")).as("_w2"),
+      sum(col("_ct") * col("_ct") * col("_ct") - col("_ct")).as("_tc"))
+    val nD = col("n").cast("double")
+    agg
+      .withColumn("w_plus", col("_w2").cast("double") / 2.0)
+      .withColumn("z",
+        (col("w_plus") - nD * (nD + 1) / 4.0) /
+          sqrt(nD * (nD + 1) * (lit(2.0) * nD + 1) / 24.0 -
+            col("_tc").cast("double") / 48.0))
+      .select("n", "w_plus", "z")
+  }
+
+  /** Friedman's rank test: one observation per (block, treatment) —
+    * callers pre-aggregate — over blocks that carry ALL k treatments;
+    * within-block average ranks via the 2·r̄ device, treatment rank
+    * sums as exact integers, χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1)
+    * (average-rank form; the Σ over the k treatments is an ordered
+    * fold). One row: n_blocks, k, chi2. */
+  def friedman(data: DataFrame, blockCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = data.where(v.isNotNull)
+      .select(col(blockCol).as("_b"), col(treatCol).as("_t"),
+        fp(v).as("_v"))
+    val k = base.select(col("_t")).distinct().count()
+    val full = base
+      .withColumn("_kb", count(lit(1))
+        .over(Window.partitionBy(col("_b"))))
+      .where(col("_kb") === k)
+    // within-block average ranks: 2·r̄ = 2·rank + ct − 1, exact ints
+    val bw = Window.partitionBy(col("_b")).orderBy(col("_v").asc)
+    val cw = Window.partitionBy(col("_b"), col("_v"))
+    val ranked = full
+      .withColumn("_r2",
+        lit(2) * rank().over(bw) + count(lit(1)).over(cw) - 1)
+    val byTreat = ranked.groupBy(col("_t"))
+      .agg(sum(col("_r2")).as("_rs2"), count(lit(1)).as("_nb"))
+    val folded = GroupTests.foldOrdered(byTreat, "_t",
+      col("_rs2").cast("double") * col("_rs2").cast("double") / 4.0, "_t2")
+    val nb = byTreat.agg(max(col("_nb")).as("n_blocks"))
+    val nD = col("n_blocks").cast("double")
+    nb.crossJoin(folded)
+      .withColumn("k", lit(k))
+      .withColumn("chi2",
+        lit(12.0) / (nD * k * (k + 1)) * col("_t2") -
+          lit(3.0) * nD * (k + 1))
+      .select("n_blocks", "k", "chi2")
+  }
+}

@@ -31,7 +31,7 @@ object GroupTests {
 
   /** Ordered left-fold of `term` over groups: deterministic replacement
     * for a cross-group double sum. */
-  private def foldOrdered(groups: DataFrame, groupCol: String,
+  private[model] def foldOrdered(groups: DataFrame, groupCol: String,
       term: Column, as: String): DataFrame =
     groups
       .agg(sort_array(collect_list(struct(col(groupCol).as("g"),

@@ -1,0 +1,228 @@
+package graft.queries
+
+import graft.core._
+import graft.model.Diagnostics
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries + DuckDB oracles for the distribution-diagnostic and
+  * paired-sample test battery (model/Diagnostics.scala). Pairings are
+  * constructed deterministically from events: even/odd event_id split
+  * per user (McNemar/Wilcoxon), user × event_type cell means
+  * (Friedman) — exact fixed-point sum ratios on both engines. */
+object DiagQueries {
+
+  private def ev(s: SparkSession, dir: String) = table(s, dir, "events")
+
+  private def fpv = fixedPointLong(col("value").cast("double"), 4)
+
+  /** Per-user paired halves over the even/odd event_id split: exact
+    * fixed-point sums → mean doubles (same expression both engines). */
+  private def userPairs(s: SparkSession, dir: String): DataFrame = {
+    val even = pmod(col("event_id"), lit(2)) === 0
+    ev(s, dir).where(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(when(even, fpv)).cast("decimal(38,0)").as("_se"),
+        sum(when(even, 1L).otherwise(0L)).as("_ne"),
+        sum(when(!even, fpv)).cast("decimal(38,0)").as("_so"),
+        sum(when(!even, 1L).otherwise(0L)).as("_no"))
+      .where(col("_ne") > 0 && col("_no") > 0)
+      .select(col("user_id"),
+        (col("_se").cast("double") / col("_ne").cast("double") / 1e4)
+          .as("x"),
+        (col("_so").cast("double") / col("_no").cast("double") / 1e4)
+          .as("y"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Jarque–Bera normality per event_type (exact power sums → moments)
+    "q316_jarque_bera" -> ((s, dir) =>
+      canon(Diagnostics.jarqueBera(ev(s, dir), "event_type", "value"))),
+    // Bartlett equal-variance test across event_type groups
+    "q317_bartlett" -> ((s, dir) =>
+      canon(Diagnostics.bartlett(ev(s, dir), "event_type", "value"))),
+    // Wald–Wolfowitz runs test per event_type in event_id order
+    "q318_runs_test" -> ((s, dir) =>
+      canon(Diagnostics.runsTest(ev(s, dir), "event_type", "event_id",
+        "value"))),
+    // McNemar: did "user has a >120 spike" flip between the even- and
+    // odd-event_id halves of each user's history
+    "q319_mcnemar" -> ((s, dir) => {
+      val even = pmod(col("event_id"), lit(2)) === 0
+      val pr = ev(s, dir).groupBy(col("user_id"))
+        .agg((max(when(col("value") > 120.0 && even, 1).otherwise(0)) === 1)
+          .as("a"),
+          (max(when(col("value") > 120.0 && !even, 1).otherwise(0)) === 1)
+            .as("b"))
+      canon(Diagnostics.mcnemar(pr, "a", "b"))
+    }),
+    // Wilcoxon signed-rank over per-user paired half means
+    "q320_wilcoxon_signed" -> ((s, dir) =>
+      canon(Diagnostics.wilcoxonSignedRank(userPairs(s, dir), "x", "y"))),
+    // Friedman rank test: blocks = users, treatments = event_type,
+    // observation = user × type mean value
+    "q321_friedman" -> ((s, dir) => {
+      val cell = ev(s, dir).where(col("value").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg((sum(fpv).cast("decimal(38,0)").cast("double") /
+          count(lit(1)).cast("double") / 1e4).as("mv"))
+      canon(Diagnostics.friedman(cell, "user_id", "event_type", "mv"))
+    }))
+
+  private val fx: String =
+    """fx AS (SELECT event_type AS key, event_id, user_id, value,
+      |  (CASE WHEN value >= 0 THEN floor(value*10000.0+0.5)
+      |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS fp
+      |  FROM events WHERE value IS NOT NULL)""".stripMargin
+
+  /** DuckDB fixed-point of a double expression at 4dp. */
+  private def fpSql(e: String): String =
+    s"(CASE WHEN ($e) >= 0 THEN floor(($e)*10000.0+0.5) " +
+      s"ELSE -floor(-($e)*10000.0+0.5) END)::BIGINT"
+
+  val oracleSql: Map[String, String] = Map(
+    "q316_jarque_bera" ->
+      s"""WITH $fx,
+         |s AS (SELECT key, count(*)::BIGINT AS n,
+         |  sum(fp::HUGEINT) AS s1,
+         |  sum(fp::HUGEINT * fp::HUGEINT) AS s2,
+         |  sum((fp::HUGEINT * fp::HUGEINT) * fp::HUGEINT) AS s3,
+         |  sum((fp::HUGEINT * fp::HUGEINT) * (fp::HUGEINT * fp::HUGEINT))
+         |    AS s4
+         |  FROM fx GROUP BY 1),
+         |m AS (SELECT key, n, n::DOUBLE AS nd,
+         |  s1::DOUBLE / n::DOUBLE AS m1,
+         |  s2::DOUBLE / n::DOUBLE AS a2,
+         |  s3::DOUBLE / n::DOUBLE AS a3,
+         |  s4::DOUBLE / n::DOUBLE AS a4 FROM s),
+         |c AS (SELECT key, n, nd,
+         |  a2 - m1 * m1 AS m2,
+         |  a3 - 3.0 * m1 * a2 + 2.0 * m1 * m1 * m1 AS m3,
+         |  a4 - 4.0 * m1 * a3 + 6.0 * m1 * m1 * a2
+         |    - 3.0 * m1 * m1 * m1 * m1 AS m4 FROM m),
+         |g AS (SELECT key, n, nd,
+         |  m3 / sqrt(m2 * m2 * m2) AS skewness,
+         |  m4 / (m2 * m2) AS kurtosis FROM c)
+         |SELECT key, n, round(skewness, 4) AS skewness,
+         | round(kurtosis, 4) AS kurtosis,
+         | round(nd / 6.0 * (skewness * skewness +
+         |   (kurtosis - 3.0) * (kurtosis - 3.0) / 4.0), 4) AS jb_stat
+         |FROM g""".stripMargin.replace("\n", " "),
+    "q317_bartlett" ->
+      s"""WITH $fx,
+         |gg AS (SELECT key AS g, count(*)::BIGINT AS ng,
+         |  sum(fp::HUGEINT) AS s, sum(fp::HUGEINT * fp::HUGEINT) AS q
+         |  FROM fx GROUP BY 1 HAVING count(*) >= 2),
+         |v AS (SELECT g, ng,
+         |  (q::DOUBLE - s::DOUBLE * s::DOUBLE / ng::DOUBLE)
+         |    / (ng::DOUBLE - 1) / 1e8 AS vi FROM gg),
+         |f AS (SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n,
+         |  list_aggregate(list((ng::DOUBLE - 1) * vi ORDER BY g), 'sum')
+         |    AS sv,
+         |  list_aggregate(list((ng::DOUBLE - 1) * ln(vi) ORDER BY g), 'sum')
+         |    AS sl,
+         |  list_aggregate(list(1.0 / (ng::DOUBLE - 1) ORDER BY g), 'sum')
+         |    AS si FROM v),
+         |fin AS (SELECT k, n, sv / (n::DOUBLE - k::DOUBLE) AS pooled_var,
+         |  1.0 + (si - 1.0 / (n::DOUBLE - k::DOUBLE))
+         |    / (3.0 * (k::DOUBLE - 1)) AS c, sl,
+         |  n::DOUBLE AS nd, k::DOUBLE AS kd FROM f)
+         |SELECT k, n, round(pooled_var, 4) AS pooled_var,
+         | round(((nd - kd) * ln(pooled_var) - sl) / c, 4) AS t_stat
+         |FROM fin""".stripMargin.replace("\n", " "),
+    "q318_runs_test" ->
+      s"""WITH $fx,
+         |r AS (SELECT key, event_id AS o, fp,
+         |  row_number() OVER (PARTITION BY key ORDER BY fp ASC) AS rn,
+         |  count(*) OVER (PARTITION BY key) AS c FROM fx),
+         |med AS (SELECT key,
+         |  sum(fp) * (CASE WHEN count(*) = 1 THEN 2 ELSE 1 END) AS m2
+         |  FROM r WHERE rn = (c + 1) // 2 OR rn = c // 2 + 1 GROUP BY 1),
+         |sided AS (SELECT f.key, f.event_id AS o,
+         |  CASE WHEN 2 * f.fp > m.m2 THEN 1
+         |       WHEN 2 * f.fp < m.m2 THEN -1 END AS side
+         |  FROM fx f JOIN med m USING (key)),
+         |sd AS (SELECT * FROM sided WHERE side IS NOT NULL),
+         |chg AS (SELECT key, side,
+         |  CASE WHEN lag(side) OVER (PARTITION BY key ORDER BY o ASC)
+         |    IS NULL THEN 1
+         |   WHEN lag(side) OVER (PARTITION BY key ORDER BY o ASC) <> side
+         |    THEN 1 ELSE 0 END AS chg FROM sd),
+         |agg AS (SELECT key,
+         |  sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         |  sum(CASE WHEN side = -1 THEN 1 ELSE 0 END)::BIGINT AS n2,
+         |  sum(chg)::BIGINT AS runs FROM chg GROUP BY 1)
+         |SELECT key, n1, n2, runs,
+         | round((runs::DOUBLE - (2.0 * n1::DOUBLE * n2::DOUBLE
+         |    / (n1::DOUBLE + n2::DOUBLE) + 1.0))
+         |  / sqrt(2.0 * n1::DOUBLE * n2::DOUBLE
+         |    * (2.0 * n1::DOUBLE * n2::DOUBLE
+         |       - (n1::DOUBLE + n2::DOUBLE))
+         |    / ((n1::DOUBLE + n2::DOUBLE) * (n1::DOUBLE + n2::DOUBLE)
+         |       * ((n1::DOUBLE + n2::DOUBLE) - 1))), 4) AS z
+         |FROM agg""".stripMargin.replace("\n", " "),
+    "q319_mcnemar" ->
+      s"""WITH p AS (SELECT user_id,
+         |  max(CASE WHEN value > 120.0 AND event_id % 2 = 0
+         |    THEN 1 ELSE 0 END) = 1 AS a,
+         |  max(CASE WHEN value > 120.0 AND event_id % 2 = 1
+         |    THEN 1 ELSE 0 END) = 1 AS b
+         |  FROM events GROUP BY 1),
+         |agg AS (SELECT count(*)::BIGINT AS n,
+         |  sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS b,
+         |  sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS c
+         |  FROM p WHERE a IS NOT NULL AND b IS NOT NULL)
+         |SELECT n, b, c,
+         | round(CASE WHEN b + c = 0 THEN 0.0 ELSE
+         |  (abs(b - c)::DOUBLE - 1.0) * (abs(b - c)::DOUBLE - 1.0)
+         |    / (b + c)::DOUBLE END, 4) AS mcnemar_stat
+         |FROM agg""".stripMargin.replace("\n", " "),
+    "q320_wilcoxon_signed" -> {
+      val x = "se::DOUBLE / ne::DOUBLE / 1e4"
+      val y = "so::DOUBLE / no::DOUBLE / 1e4"
+      s"""WITH $fx,
+         |u AS (SELECT user_id,
+         |  sum(CASE WHEN event_id % 2 = 0 THEN fp::HUGEINT END) AS se,
+         |  sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ne,
+         |  sum(CASE WHEN event_id % 2 = 1 THEN fp::HUGEINT END) AS so,
+         |  sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS no
+         |  FROM fx GROUP BY 1 HAVING ne > 0 AND no > 0),
+         |dd AS (SELECT ${fpSql(x)} - ${fpSql(y)} AS d FROM u),
+         |h AS (SELECT abs(d) AS ad, count(*)::BIGINT AS ct,
+         |  sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS np
+         |  FROM dd WHERE d <> 0 GROUP BY 1),
+         |r AS (SELECT *, 2 * (sum(ct) OVER (ORDER BY ad ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct)
+         |  + ct + 1 AS r2 FROM h),
+         |agg AS (SELECT sum(ct)::BIGINT AS n,
+         |  sum(np * r2)::BIGINT AS w2,
+         |  sum(ct * ct * ct - ct)::BIGINT AS tc FROM r)
+         |SELECT n, round(w2::DOUBLE / 2.0, 4) AS w_plus,
+         | round((w2::DOUBLE / 2.0 - n::DOUBLE * (n::DOUBLE + 1) / 4.0)
+         |  / sqrt(n::DOUBLE * (n::DOUBLE + 1) * (2.0 * n::DOUBLE + 1)
+         |     / 24.0 - tc::DOUBLE / 48.0), 4) AS z
+         |FROM agg""".stripMargin.replace("\n", " ")
+    },
+    "q321_friedman" -> {
+      val mv = "s::DOUBLE / c::DOUBLE / 1e4"
+      s"""WITH $fx,
+         |cell AS (SELECT user_id AS b, key AS t,
+         |  sum(fp::HUGEINT) AS s, count(*)::BIGINT AS c
+         |  FROM fx GROUP BY 1, 2),
+         |c2 AS (SELECT b, t, ${fpSql(mv)} AS v FROM cell),
+         |kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM c2),
+         |full0 AS (SELECT c2.* FROM c2, kk
+         |  QUALIFY count(*) OVER (PARTITION BY b) = kk.k),
+         |rk AS (SELECT b, t, 2 * rank() OVER (PARTITION BY b ORDER BY v ASC)
+         |  + count(*) OVER (PARTITION BY b, v) - 1 AS r2 FROM full0),
+         |bt AS (SELECT t, sum(r2)::BIGINT AS rs2, count(*)::BIGINT AS nb
+         |  FROM rk GROUP BY 1),
+         |f AS (SELECT max(nb)::BIGINT AS n_blocks,
+         |  list_aggregate(list(rs2::DOUBLE * rs2::DOUBLE / 4.0 ORDER BY t),
+         |    'sum') AS t2 FROM bt)
+         |SELECT n_blocks, kk.k AS k,
+         | round(12.0 / (n_blocks::DOUBLE * kk.k * (kk.k + 1)) * t2
+         |  - 3.0 * n_blocks::DOUBLE * (kk.k + 1), 4) AS chi2
+         |FROM f, kk""".stripMargin.replace("\n", " ")
+    })
+}
