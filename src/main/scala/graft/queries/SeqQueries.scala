@@ -351,6 +351,11 @@ object SeqQueries {
     "q196_holt_forecast" -> ((s, dir) =>
       canon(SeriesKernels.holtForecast(ev(s, dir), Seq("user_id"), "event_id",
         "value").toDF())),
+    // local-level Kalman filter: gain adapts from prior uncertainty,
+    // r = per-key exact-sum sample variance, q = r/16 (dyadic)
+    "q322_kalman" -> ((s, dir) =>
+      canon(graft.seq.StateSpace.kalmanFilter(ev(s, dir), Seq("user_id"),
+        "event_id", "value").toDF())),
     // Holt–Winters additive seasonal scorer, period 7, two-season
     // fixed-point init; seasonal state rides a rotating list in the
     // recursive-CTE oracle
@@ -967,6 +972,43 @@ object SeqQueries {
     // SeriesKernels.holtForecast — same fixed IEEE op order, so the two
     // engines agree bit-for-bit before the shared 4dp round.
     "q196_holt_forecast" -> holtOracle,
+    // Kalman local-level replay: r from the per-key HUGEINT-exact
+    // variance, then the (level, P) recursion as a recursive-CTE walk
+    // joined one rn ahead — the holtOracle device
+    "q322_kalman" ->
+      """WITH RECURSIVE fx AS (SELECT user_id,
+        |  (CASE WHEN value >= 0 THEN floor(value*10000.0+0.5)
+        |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS fp
+        |  FROM events),
+        |ev AS (SELECT user_id::VARCHAR AS key, event_id AS seq, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY event_id, value) AS rn FROM events),
+        |st AS (SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS n,
+        |  sum(fp::HUGEINT) AS s, sum(fp::HUGEINT * fp::HUGEINT) AS q
+        |  FROM fx GROUP BY 1),
+        |rr AS (SELECT key, n,
+        |  (q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+        |    / (n::DOUBLE - 1) / 1e8 AS r FROM st),
+        |walk AS (
+        | SELECT e.key, e.rn, e.seq, e.value, 0.0::DOUBLE AS score,
+        |  e.value AS lvl, rr.r AS p, rr.r AS r, rr.n
+        | FROM ev e JOIN rr USING (key) WHERE e.rn = 1
+        | UNION ALL
+        | SELECT key, rn, seq, value,
+        |  CASE WHEN ok THEN abs(innov) / sqrt(ss)
+        |   ELSE 0.0::DOUBLE END AS score,
+        |  CASE WHEN ok THEN lvl0 + (pp / ss) * innov ELSE lvl0 END AS lvl,
+        |  CASE WHEN ok THEN (1.0 - pp / ss) * pp ELSE p0 END AS p,
+        |  r, n
+        | FROM (SELECT e.key, e.rn, e.seq, e.value, w.lvl AS lvl0,
+        |   w.p AS p0, w.r, w.n,
+        |   w.p + w.r * 0.0625 AS pp,
+        |   w.p + w.r * 0.0625 + w.r AS ss,
+        |   e.value - w.lvl AS innov,
+        |   (w.n >= 3 AND w.r > 0) AS ok
+        |  FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1))
+        |SELECT key, seq, round(value, 4) AS value, round(score, 4) AS score
+        |FROM walk""".stripMargin.replace("\n", " "),
     "q235_holt_winters" -> holtWintersOracle,
     "q237_burst" -> burstOracle,
     // the STREAMING twin batch-executed (q100 pattern) — same oracle,

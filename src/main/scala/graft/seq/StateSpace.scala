@@ -1,0 +1,64 @@
+package graft.seq
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.seq.SeriesKernels.{SScore, run}
+
+/** State-space smoothing kernels (engine additions). The local-level
+  * Kalman filter is the probabilistically-weighted cousin of the
+  * EWMA/Holt forecasters: the gain adapts from the prior uncertainty
+  * instead of a fixed α, so early points (uncertain level) score softer
+  * than the same residual late in a settled series — the behavior a
+  * fixed-window zscore cannot express.
+  *
+  * Determinism: the observation variance r is the per-key sample
+  * variance from exact 4dp fixed-point long sums (one pass, exact
+  * integers), the process variance q = r·2⁻⁴ (dyadic factor), and the
+  * filter recursion is a fixed IEEE double op sequence — the DuckDB
+  * oracle replays the identical walk in a recursive CTE, bit-for-bit
+  * before the shared 4dp round.
+  *
+  * Scale: per-key O(1)-state recursion via [[SeriesKernels.run]] — one
+  * exchange on the key, state = (level, variance, 2 accumulators);
+  * the per-entity-series contract (series length bounded per key;
+  * exact integer sums hold to ~8·10⁵ rows/key at |v| ≤ 10³). */
+object StateSpace {
+
+  /** Local-level Kalman filter score per point: score = |innovation| /
+    * √S with S the predictive variance; row 1 scores 0 (level anchors
+    * there). Keys with < 3 points or zero variance score 0 throughout. */
+  def kalmanFilter(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      valCol: String): Dataset[SScore] = {
+    run(data, keyCols, seqCol, valCol) { (k, pts) =>
+      val n = pts.length
+      val scores = new Array[Double](n)
+      if (n >= 3) {
+        // exact fixed-point variance (matches the fx-sum oracle)
+        def fp(x: Double): Long =
+          (if (x >= 0) math.floor(x * 1e4 + 0.5)
+           else -math.floor(-x * 1e4 + 0.5)).toLong
+        var s = 0L; var q2 = 0L
+        var i = 0
+        while (i < n) { val f = fp(pts(i).value); s += f; q2 += f * f; i += 1 }
+        val nD = n.toDouble
+        val r = (q2.toDouble - s.toDouble * s.toDouble / nD) / (nD - 1) / 1e8
+        if (r > 0) {
+          val q = r * 0.0625
+          var level = pts(0).value
+          var p = r
+          i = 1
+          while (i < n) {
+            val pp = p + q
+            val ss = pp + r
+            val innov = pts(i).value - level
+            scores(i) = math.abs(innov) / math.sqrt(ss)
+            val kGain = pp / ss
+            level = level + kGain * innov
+            p = (1.0 - kGain) * pp
+            i += 1
+          }
+        }
+      }
+      Iterator.tabulate(n)(i => SScore(k, pts(i).seq, pts(i).value, scores(i)))
+    }
+  }
+}
