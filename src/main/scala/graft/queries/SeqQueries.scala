@@ -356,6 +356,21 @@ object SeqQueries {
     "q322_kalman" -> ((s, dir) =>
       canon(graft.seq.StateSpace.kalmanFilter(ev(s, dir), Seq("user_id"),
         "event_id", "value").toDF())),
+    // DTW shape distance: each user's daily-mean series vs the global
+    // daily-mean reference (collected — one entry per calendar day)
+    "q323_dtw" -> ((s, dir) => {
+      val dayCol = expr("ts div 86400000000000")
+      val fpv = fixedPointLong(col("value").cast("double"), 4)
+      val e = ev(s, dir).where(col("value").isNotNull)
+        .select(col("user_id"), dayCol.as("day"), fpv.as("_fp"))
+      def mean = (sum(col("_fp").cast("decimal(38,0)")).cast("double") /
+        count(lit(1)).cast("double") / 1e4).as("mv")
+      val daily = e.groupBy(col("user_id"), col("day")).agg(mean)
+      val ref = e.groupBy(col("day")).agg(mean)
+        .orderBy(col("day")).collect().map(_.getDouble(1))
+      canon(graft.seq.Warp.dtwToReference(daily, "user_id", "day", "mv",
+        ref).toDF())
+    }),
     // Holt–Winters additive seasonal scorer, period 7, two-season
     // fixed-point init; seasonal state rides a rotating list in the
     // recursive-CTE oracle
@@ -972,6 +987,43 @@ object SeqQueries {
     // SeriesKernels.holtForecast — same fixed IEEE op order, so the two
     // engines agree bit-for-bit before the shared 4dp round.
     "q196_holt_forecast" -> holtOracle,
+    // DTW cell-at-a-time replay: the DP matrix rides the recursion as a
+    // growing DOUBLE[] (cell c depends on cells c-1, c-m, c-m-1 only);
+    // every cell's value is evaluation-order-independent, so the
+    // row-major Scala DP and this walk agree exactly
+    "q323_dtw" ->
+      """WITH RECURSIVE f AS (SELECT user_id,
+        |  epoch_ns(ts) // 86400000000000 AS day,
+        |  (CASE WHEN value >= 0 THEN floor(value*10000.0+0.5)
+        |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS fp
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT user_id, day, sum(fp::HUGEINT) AS s,
+        |  count(*)::BIGINT AS c FROM f GROUP BY 1, 2),
+        |u AS (SELECT user_id::VARCHAR AS key,
+        |  list(s::DOUBLE / c::DOUBLE / 1e4 ORDER BY day) AS xs
+        |  FROM d GROUP BY 1),
+        |g0 AS (SELECT day, sum(fp::HUGEINT) AS s, count(*)::BIGINT AS c
+        |  FROM f GROUP BY 1),
+        |g AS (SELECT list(s::DOUBLE / c::DOUBLE / 1e4 ORDER BY day) AS ys
+        |  FROM g0),
+        |dims AS (SELECT key, xs, ys, len(xs)::INTEGER AS n,
+        |  len(ys)::INTEGER AS m FROM u, g),
+        |walk AS (
+        | SELECT key, xs, ys, n, m, 1 AS c, [abs(xs[1] - ys[1])] AS dp
+        | FROM dims
+        | UNION ALL
+        | SELECT key, xs, ys, n, m, c + 1,
+        |  dp || [abs(xs[(c // m) + 1] - ys[(c % m) + 1]) + least(
+        |    CASE WHEN (c % m) > 0 THEN dp[c]
+        |     ELSE 'infinity'::DOUBLE END,
+        |    CASE WHEN (c // m) > 0 THEN dp[c - m + 1]
+        |     ELSE 'infinity'::DOUBLE END,
+        |    CASE WHEN (c // m) > 0 AND (c % m) > 0 THEN dp[c - m]
+        |     ELSE 'infinity'::DOUBLE END)]
+        | FROM walk WHERE c < n * m)
+        |SELECT key, n, m, round(dp[n * m], 4) AS dtw_dist,
+        | round(dp[n * m] / (n + m), 4) AS dtw_norm
+        |FROM walk WHERE c = n * m""".stripMargin.replace("\n", " "),
     // Kalman local-level replay: r from the per-key HUGEINT-exact
     // variance, then the (level, P) recursion as a recursive-CTE walk
     // joined one rn ahead — the holtOracle device
