@@ -152,4 +152,34 @@ object Proximity {
       .withColumn("lof", col("nbrLrd") / col("lrd"))
       .select("src", "lof")
   }
+
+  /** Leave-one-out kNN majority-vote classifier (engine addition) over
+    * a precomputed top-k neighbor table (pairDistances→knn at test
+    * scale, cellKnn at corpus scale — the same cell-bounded path LOF
+    * rides): predicted = the neighbor label with the most votes, ties
+    * broken by nearest supporting neighbor (min rank) then label order.
+    * The "does the embedding space actually separate the labels"
+    * audit a curation pipeline runs before trusting label propagation.
+    * Output: src, label, predicted, votes, correct.
+    *
+    * Scale: one shuffle join of the k·N neighbor frame onto the label
+    * table, one hash agg to (src, label) vote counts (≤ k rows per
+    * src), one top-1 window over that — all frames are k-bounded. */
+  def knnClassify(nn: DataFrame, labels: DataFrame, idCol: String,
+      labelCol: String): DataFrame = {
+    val nbr = labels.select(col(idCol).as("trg"), col(labelCol).as("_nl"))
+    val votes = nn.join(nbr, "trg")
+      .groupBy(col("src"), col("_nl"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("_best"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("votes").desc, col("_best").asc, col("_nl").asc)
+    val pred = votes.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col("src"), col("_nl").as("predicted"), col("votes"))
+    pred
+      .join(labels.select(col(idCol).as("src"), col(labelCol).as("label")),
+        "src")
+      .withColumn("correct", col("label") === col("predicted"))
+      .select("src", "label", "predicted", "votes", "correct")
+  }
 }

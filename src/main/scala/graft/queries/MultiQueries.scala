@@ -230,6 +230,10 @@ object MultiQueries {
       canon(Proximity.relativeDensityFromKnn(nn5(s, dir), k = 5))),
     "q45_lof" -> ((s, dir) =>
       canon(Proximity.lofFromKnn(nn5(s, dir), k = 5))),
+    // leave-one-out 5-NN majority-vote label audit over embeddings
+    "q324_knn_classify" -> ((s, dir) =>
+      canon(Proximity.knnClassify(nn5(s, dir), emb(s, dir), "vec_id",
+        "label"))),
     "q72_perkey_threshold_tag" -> ((s, dir) => {
       // per-key threshold override path (OutlierUtility.scala:101-124):
       // learn a threshold per key via pseudo-relevance, retag scores with
@@ -1259,6 +1263,19 @@ object MultiQueries {
          | FROM nn n JOIN lrd l ON n.trg = l.src GROUP BY n.src)
          |SELECT l.src, round(nl.nbrLrd / l.lrd, 4) AS lof
          |FROM lrd l JOIN nl USING (src)""".stripMargin.replace("\n", " "),
+    "q324_knn_classify" ->
+      s"""WITH $pairsCte,
+         |lb AS (SELECT vec_id, label FROM embeddings),
+         |votes AS (SELECT nn.src, lb.label AS nl, count(*)::BIGINT AS votes,
+         |  min(rank) AS best
+         | FROM nn JOIN lb ON lb.vec_id = nn.trg GROUP BY 1, 2),
+         |pred AS (SELECT src, nl AS predicted, votes FROM votes
+         | QUALIFY row_number() OVER (PARTITION BY src
+         |   ORDER BY votes DESC, best ASC, nl ASC) = 1)
+         |SELECT p.src, l.label, p.predicted, p.votes,
+         | (l.label = p.predicted) AS correct
+         |FROM pred p JOIN lb l ON l.vec_id = p.src"""
+        .stripMargin.replace("\n", " "),
     "q48_pca_score" ->
       """WITH m AS (SELECT avg(l_quantity) AS mu1, avg(l_extendedprice) AS mu2,
         |  covar_samp(l_quantity, l_quantity) AS c11,
