@@ -294,4 +294,84 @@ object Assoc {
     // executes) — the targetEncode/bm25Search retention pattern
     out
   }
+
+  /** First-order partial correlation r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1−r_xz²)(1−r_yz²)) — "is the x–y association real or routed
+    * through z". All three Pearson terms come from ONE aggregation pass
+    * of exact 4dp fixed-point sums (decimal-cast factors, the
+    * correlationMatrix device), so the finish is a fixed double
+    * expression. One row: n, r_xy, r_xz, r_yz, partial. */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String, zCol: String)
+      : DataFrame = {
+    val d = df.where(col(xCol).isNotNull && col(yCol).isNotNull &&
+      col(zCol).isNotNull)
+      .select(fixedPointLong(col(xCol), 4).as("x"),
+        fixedPointLong(col(yCol), 4).as("y"),
+        fixedPointLong(col(zCol), 4).as("z"))
+    def dc(c: String) = col(c).cast("decimal(38,0)")
+    val g = d.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+      sum(dc("x") * dc("y")).as("sxy"), sum(dc("x") * dc("z")).as("sxz"),
+      sum(dc("y") * dc("z")).as("syz"), sum(dc("x") * dc("x")).as("sxx"),
+      sum(dc("y") * dc("y")).as("syy"), sum(dc("z") * dc("z")).as("szz"))
+    val nD = col("n").cast("double")
+    def r(sa: String, sb: String, sab: String, saa: String, sbb: String) = {
+      val num = nD * col(sab).cast("double") -
+        col(sa).cast("double") * col(sb).cast("double")
+      val da = nD * col(saa).cast("double") -
+        col(sa).cast("double") * col(sa).cast("double")
+      val db = nD * col(sbb).cast("double") -
+        col(sb).cast("double") * col(sb).cast("double")
+      when(da > 0 && db > 0, num / sqrt(da * db))
+    }
+    g.withColumn("r_xy", r("sx", "sy", "sxy", "sxx", "syy"))
+      .withColumn("r_xz", r("sx", "sz", "sxz", "sxx", "szz"))
+      .withColumn("r_yz", r("sy", "sz", "syz", "syy", "szz"))
+      .withColumn("partial",
+        (col("r_xy") - col("r_xz") * col("r_yz")) /
+          sqrt((lit(1.0) - col("r_xz") * col("r_xz")) *
+            (lit(1.0) - col("r_yz") * col("r_yz"))))
+      .select("n", "r_xy", "r_xz", "r_yz", "partial")
+  }
+
+  /** Cross-correlation function between two keys' bucketed series at
+    * lags −maxLag..maxLag: Pearson corr of (x_t, y_{t+lag}) over the
+    * aligned buckets, every sum exact fixed-point integers. The
+    * lead/lag detector — "does key A's series move k buckets before
+    * key B's". Output one row per lag: lag, n, ccf.
+    *
+    * Scale: `series` is the (key, bucket)-aggregated frame (bucket
+    * cardinality-sized, not data-sized); the lag fan-out is a broadcast
+    * cross of 2·maxLag+1 rows, the join is bucket-on-bucket. */
+  def crossCorrelation(series: DataFrame, keyCol: String, ordCol: String,
+      valCol: String, keyA: String, keyB: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag >= 1: $maxLag")
+    val spark = series.sparkSession
+    val fp = fixedPointLong(col(valCol).cast("double"), 4)
+    val sa = series.where(col(keyCol) === keyA)
+      .select(col(ordCol).cast("long").as("_t"), fp.as("_x"))
+    val sb = series.where(col(keyCol) === keyB)
+      .select(col(ordCol).cast("long").as("_tb"), fp.as("_y"))
+    val lags = spark.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+    def dc(c: String) = col(c).cast("decimal(38,0)")
+    val j = sa.crossJoin(broadcast(lags))
+      .withColumn("_tb", col("_t") + col("lag"))
+      .join(sb, "_tb")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum("_x").as("sx"), sum("_y").as("sy"),
+        sum(dc("_x") * dc("_y")).as("sxy"),
+        sum(dc("_x") * dc("_x")).as("sxx"),
+        sum(dc("_y") * dc("_y")).as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val dx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val dy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    j.withColumn("ccf", when(dx > 0 && dy > 0, num / sqrt(dx * dy)))
+      .select("lag", "n", "ccf")
+  }
 }

@@ -239,4 +239,35 @@ object Diagnostics {
           lit(3.0) * nD * (k + 1))
       .select("n_blocks", "k", "chi2")
   }
+
+  /** Cochran's Q over k paired binary flags — one 0/1 observation per
+    * (block, treatment), complete blocks only. The all-integer form
+    * Q = (k−1)·(k·ΣG_j² − T²) / (k·T − ΣL_i²) keeps numerator and
+    * denominator exact (G_j = treatment totals, L_i = block totals,
+    * T = grand total); the ONLY double op is the final division. One
+    * row: n_blocks, k, q_stat — the k-condition extension of McNemar. */
+  def cochranQ(data: DataFrame, blockCol: String, treatCol: String,
+      flagCol: String): DataFrame = {
+    val f = col(flagCol).cast("boolean")
+    val base = data.where(f.isNotNull)
+      .select(col(blockCol).as("_b"), col(treatCol).as("_t"),
+        when(f, 1L).otherwise(0L).as("_x"))
+    val k = base.select(col("_t")).distinct().count()
+    val full = base
+      .withColumn("_kb", count(lit(1))
+        .over(Window.partitionBy(col("_b"))))
+      .where(col("_kb") === k)
+    val gj = full.groupBy(col("_t")).agg(sum(col("_x")).as("_g"))
+      .agg(sum(col("_g") * col("_g")).as("_sg2"), sum(col("_g")).as("_tt"))
+    val li = full.groupBy(col("_b")).agg(sum(col("_x")).as("_l"))
+      .agg(sum(col("_l") * col("_l")).as("_sl2"),
+        count(lit(1)).as("n_blocks"))
+    gj.crossJoin(li)
+      .withColumn("k", lit(k))
+      .withColumn("q_stat",
+        ((lit(k) - 1) * (lit(k) * col("_sg2") - col("_tt") * col("_tt")))
+          .cast("double") /
+          (lit(k) * col("_tt") - col("_sl2")).cast("double"))
+      .select("n_blocks", "k", "q_stat")
+  }
 }

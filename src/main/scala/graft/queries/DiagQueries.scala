@@ -67,7 +67,31 @@ object DiagQueries {
         .agg((sum(fpv).cast("decimal(38,0)").cast("double") /
           count(lit(1)).cast("double") / 1e4).as("mv"))
       canon(Diagnostics.friedman(cell, "user_id", "event_type", "mv"))
-    }))
+    }),
+    // cross-correlation at lags −7..7 between the click and error
+    // daily-mean series: lead/lag structure between two event streams
+    "q325_ccf" -> ((s, dir) => {
+      val daily = ev(s, dir).where(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+        .agg((sum(fpv).cast("decimal(38,0)").cast("double") /
+          count(lit(1)).cast("double") / 1e4).as("mv"))
+      canon(graft.model.Assoc.crossCorrelation(daily, "event_type", "day",
+        "mv", "click", "error", maxLag = 7))
+    }),
+    // Cochran's Q: did the ">120 spike" flag rate differ across the 5
+    // event types on the same users (k-condition McNemar)
+    "q326_cochran_q" -> ((s, dir) => {
+      val flags = ev(s, dir).groupBy(col("user_id"), col("event_type"))
+        .agg((max(when(col("value") > 120.0, 1).otherwise(0)) === 1)
+          .as("flag"))
+      canon(Diagnostics.cochranQ(flags, "user_id", "event_type", "flag"))
+    }),
+    // first-order partial correlation: quantity–price association with
+    // discount partialled out (one exact-sum pass over lineitem)
+    "q327_partial_corr" -> ((s, dir) =>
+      canon(graft.model.Assoc.partialCorr(table(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice", "l_discount"))))
 
   private val fx: String =
     """fx AS (SELECT event_type AS key, event_id, user_id, value,
@@ -202,6 +226,83 @@ object DiagQueries {
          |  / sqrt(n::DOUBLE * (n::DOUBLE + 1) * (2.0 * n::DOUBLE + 1)
          |     / 24.0 - tc::DOUBLE / 48.0), 4) AS z
          |FROM agg""".stripMargin.replace("\n", " ")
+    },
+    "q325_ccf" -> {
+      val mv = "s::DOUBLE / c::DOUBLE / 1e4"
+      s"""WITH f AS (SELECT event_type,
+         |  epoch_ns(ts) // 86400000000000 AS day,
+         |  (CASE WHEN value >= 0 THEN floor(value*10000.0+0.5)
+         |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS fp
+         |  FROM events WHERE value IS NOT NULL),
+         |d AS (SELECT event_type, day, sum(fp::HUGEINT) AS s,
+         |  count(*)::BIGINT AS c FROM f GROUP BY 1, 2),
+         |m AS (SELECT event_type, day, ${fpSql(mv)} AS v FROM d),
+         |a AS (SELECT day AS t, v AS x FROM m WHERE event_type = 'click'),
+         |b AS (SELECT day AS tb, v AS y FROM m WHERE event_type = 'error'),
+         |l AS (SELECT range::INTEGER AS lag FROM range(-7, 8)),
+         |j AS (SELECT l.lag, count(*)::BIGINT AS n,
+         |  sum(a.x)::HUGEINT AS sx, sum(b.y)::HUGEINT AS sy,
+         |  sum(a.x::HUGEINT * b.y::HUGEINT) AS sxy,
+         |  sum(a.x::HUGEINT * a.x::HUGEINT) AS sxx,
+         |  sum(b.y::HUGEINT * b.y::HUGEINT) AS syy
+         |  FROM a CROSS JOIN l JOIN b ON b.tb = a.t + l.lag GROUP BY 1),
+         |fin AS (SELECT lag, n,
+         |  n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+         |  n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS dx,
+         |  n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS dy
+         |  FROM j)
+         |SELECT lag, n, round(CASE WHEN dx > 0 AND dy > 0
+         |  THEN num / sqrt(dx * dy) END, 4) AS ccf
+         |FROM fin""".stripMargin.replace("\n", " ")
+    },
+    "q326_cochran_q" ->
+      s"""WITH p AS (SELECT user_id AS b, event_type AS t,
+         |  (CASE WHEN max(CASE WHEN value > 120.0 THEN 1 ELSE 0 END) = 1
+         |    THEN 1 ELSE 0 END)::BIGINT AS x
+         |  FROM events GROUP BY 1, 2),
+         |kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM p),
+         |full0 AS (SELECT p.* FROM p, kk
+         |  QUALIFY count(*) OVER (PARTITION BY b) = kk.k),
+         |g AS (SELECT sum(xg * xg)::BIGINT AS sg2, sum(xg)::BIGINT AS tt
+         |  FROM (SELECT t, sum(x) AS xg FROM full0 GROUP BY 1)),
+         |l AS (SELECT sum(xl * xl)::BIGINT AS sl2,
+         |  count(*)::BIGINT AS n_blocks
+         |  FROM (SELECT b, sum(x) AS xl FROM full0 GROUP BY 1))
+         |SELECT n_blocks, kk.k AS k,
+         | round(((kk.k - 1) * (kk.k * sg2 - tt * tt))::DOUBLE
+         |   / (kk.k * tt - sl2)::DOUBLE, 4) AS q_stat
+         |FROM g, l, kk""".stripMargin.replace("\n", " "),
+    "q327_partial_corr" -> {
+      def f(c: String) =
+        s"(CASE WHEN $c >= 0 THEN floor($c*10000.0+0.5) " +
+          s"ELSE -floor(-$c*10000.0+0.5) END)::BIGINT"
+      def r(sa: String, sb: String, sab: String, saa: String, sbb: String) =
+        s"CASE WHEN n::DOUBLE * $saa::DOUBLE - $sa::DOUBLE * $sa::DOUBLE > 0" +
+          s" AND n::DOUBLE * $sbb::DOUBLE - $sb::DOUBLE * $sb::DOUBLE > 0" +
+          s" THEN (n::DOUBLE * $sab::DOUBLE - $sa::DOUBLE * $sb::DOUBLE)" +
+          s" / sqrt((n::DOUBLE * $saa::DOUBLE - $sa::DOUBLE * $sa::DOUBLE)" +
+          s" * (n::DOUBLE * $sbb::DOUBLE - $sb::DOUBLE * $sb::DOUBLE)) END"
+      s"""WITH d AS (SELECT ${f("l_quantity")} AS x,
+         |  ${f("l_extendedprice")} AS y, ${f("l_discount")} AS z
+         |  FROM lineitem WHERE l_quantity IS NOT NULL
+         |   AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+         |g AS (SELECT count(*)::BIGINT AS n,
+         |  sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+         |  sum(z)::HUGEINT AS sz,
+         |  sum(x::HUGEINT * y::HUGEINT) AS sxy,
+         |  sum(x::HUGEINT * z::HUGEINT) AS sxz,
+         |  sum(y::HUGEINT * z::HUGEINT) AS syz,
+         |  sum(x::HUGEINT * x::HUGEINT) AS sxx,
+         |  sum(y::HUGEINT * y::HUGEINT) AS syy,
+         |  sum(z::HUGEINT * z::HUGEINT) AS szz FROM d),
+         |rr AS (SELECT n, ${r("sx", "sy", "sxy", "sxx", "syy")} AS r_xy,
+         |  ${r("sx", "sz", "sxz", "sxx", "szz")} AS r_xz,
+         |  ${r("sy", "sz", "syz", "syy", "szz")} AS r_yz FROM g)
+         |SELECT n, round(r_xy, 4) AS r_xy, round(r_xz, 4) AS r_xz,
+         | round(r_yz, 4) AS r_yz,
+         | round((r_xy - r_xz * r_yz) / sqrt((1.0 - r_xz * r_xz)
+         |   * (1.0 - r_yz * r_yz)), 4) AS partial
+         |FROM rr""".stripMargin.replace("\n", " ")
     },
     "q321_friedman" -> {
       val mv = "s::DOUBLE / c::DOUBLE / 1e4"

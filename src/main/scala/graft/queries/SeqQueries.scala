@@ -356,6 +356,11 @@ object SeqQueries {
     "q322_kalman" -> ((s, dir) =>
       canon(graft.seq.StateSpace.kalmanFilter(ev(s, dir), Seq("user_id"),
         "event_id", "value").toDF())),
+    // EWMA control chart: score = |e_t − μ| / exact time-varying limit
+    // (the SPC memory chart; λ=0.25 dyadic, (1−λ)^{2t} rides the walk)
+    "q328_ewma_chart" -> ((s, dir) =>
+      canon(graft.seq.StateSpace.ewmaChart(ev(s, dir), Seq("user_id"),
+        "event_id", "value").toDF())),
     // DTW shape distance: each user's daily-mean series vs the global
     // daily-mean reference (collected — one entry per calendar day)
     "q323_dtw" -> ((s, dir) => {
@@ -1024,6 +1029,44 @@ object SeqQueries {
         |SELECT key, n, m, round(dp[n * m], 4) AS dtw_dist,
         | round(dp[n * m] / (n + m), 4) AS dtw_norm
         |FROM walk WHERE c = n * m""".stripMargin.replace("\n", " "),
+    // EWMA chart replay: (e, f2t) walk; anchor row applies step 1
+    "q328_ewma_chart" ->
+      """WITH RECURSIVE fx AS (SELECT user_id,
+        |  (CASE WHEN value >= 0 THEN floor(value*10000.0+0.5)
+        |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS fp
+        |  FROM events),
+        |ev AS (SELECT user_id::VARCHAR AS key, event_id AS seq, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY event_id, value) AS rn FROM events),
+        |st AS (SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS n,
+        |  sum(fp::HUGEINT) AS s, sum(fp::HUGEINT * fp::HUGEINT) AS q
+        |  FROM fx GROUP BY 1),
+        |ms AS (SELECT key, n, s::DOUBLE / n::DOUBLE / 1e4 AS mu,
+        |  sqrt((q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+        |    / (n::DOUBLE - 1)) / 1e4 AS sd FROM st),
+        |walk AS (
+        | SELECT e.key, e.rn, e.seq, e.value, m.mu, m.sd, m.n,
+        |  CASE WHEN m.n >= 2 AND m.sd > 0
+        |   THEN 0.25 * e.value + 0.75 * m.mu ELSE m.mu END AS ew,
+        |  0.5625::DOUBLE AS f2t,
+        |  CASE WHEN m.n >= 2 AND m.sd > 0
+        |   THEN abs((0.25 * e.value + 0.75 * m.mu) - m.mu)
+        |     / (3.0 * m.sd * sqrt(0.25 / 1.75 * (1.0 - 0.5625)))
+        |   ELSE 0.0::DOUBLE END AS score
+        | FROM ev e JOIN ms m USING (key) WHERE e.rn = 1
+        | UNION ALL
+        | SELECT key, rn, seq, value, mu, sd, n,
+        |  CASE WHEN ok THEN 0.25 * value + 0.75 * ew0 ELSE ew0 END AS ew,
+        |  f2t0 * 0.5625 AS f2t,
+        |  CASE WHEN ok
+        |   THEN abs((0.25 * value + 0.75 * ew0) - mu)
+        |     / (3.0 * sd * sqrt(0.25 / 1.75 * (1.0 - f2t0 * 0.5625)))
+        |   ELSE 0.0::DOUBLE END AS score
+        | FROM (SELECT e.key, e.rn, e.seq, e.value, w.mu, w.sd, w.n,
+        |   w.ew AS ew0, w.f2t AS f2t0, (w.n >= 2 AND w.sd > 0) AS ok
+        |  FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1))
+        |SELECT key, seq, round(value, 4) AS value, round(score, 4) AS score
+        |FROM walk""".stripMargin.replace("\n", " "),
     // Kalman local-level replay: r from the per-key HUGEINT-exact
     // variance, then the (level, P) recursion as a recursive-CTE walk
     // joined one rn ahead — the holtOracle device

@@ -61,4 +61,48 @@ object StateSpace {
       Iterator.tabulate(n)(i => SScore(k, pts(i).seq, pts(i).value, scores(i)))
     }
   }
+
+  /** EWMA control chart per key (Roberts 1959; the SPC memory chart —
+    * detects small sustained shifts the Shewhart per-point charts
+    * miss): e_t = λ·x_t + (1−λ)·e_{t−1} anchored at e_0 = μ, against
+    * the exact time-varying limits ±3σ·√(λ/(2−λ)·(1−(1−λ)^{2t})).
+    * λ = 0.25 (dyadic) so every recursion step is a fixed IEEE op
+    * sequence; (1−λ)^{2t} rides the recursion as an iterative multiply
+    * by the exactly-representable 0.5625. score = |e_t − μ| / limit_t
+    * (>1 ⇒ out of control). μ, σ from exact 4dp fixed-point sums. */
+  def ewmaChart(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      valCol: String, lambda: Double = 0.25): Dataset[SScore] = {
+    run(data, keyCols, seqCol, valCol) { (k, pts) =>
+      val n = pts.length
+      val scores = new Array[Double](n)
+      if (n >= 2) {
+        def fp(x: Double): Long =
+          (if (x >= 0) math.floor(x * 1e4 + 0.5)
+           else -math.floor(-x * 1e4 + 0.5)).toLong
+        var s = 0L; var q2 = 0L
+        var i = 0
+        while (i < n) { val f = fp(pts(i).value); s += f; q2 += f * f; i += 1 }
+        val nD = n.toDouble
+        val mu = s.toDouble / nD / 1e4
+        val sd = math.sqrt(
+          (q2.toDouble - s.toDouble * s.toDouble / nD) / (nD - 1)) / 1e4
+        if (sd > 0) {
+          val om = 1.0 - lambda
+          val om2 = om * om
+          var e = mu
+          var f2t = 1.0
+          i = 0
+          while (i < n) {
+            e = lambda * pts(i).value + om * e
+            f2t = f2t * om2
+            val limit = 3.0 * sd *
+              math.sqrt(lambda / (2.0 - lambda) * (1.0 - f2t))
+            scores(i) = math.abs(e - mu) / limit
+            i += 1
+          }
+        }
+      }
+      Iterator.tabulate(n)(i => SScore(k, pts(i).seq, pts(i).value, scores(i)))
+    }
+  }
 }
