@@ -715,6 +715,41 @@ object ScaleProbe {
         text.TextOps.sortedNeighborhood(d, "doc_id", "name", "lang",
           windowSize = 4, minSim = 0.8).count()
       }
+      // round-8e family: SPC charts, diagnostics battery, state-space
+      time("xbar_r", n, nEv) {
+        model.Spc.xbarR(ev, "event_type", "event_id", "value", 5).count()
+      }
+      time("western_electric", n, nEv) {
+        model.Spc.westernElectric(ev, "event_type", "event_id", "value")
+          .count()
+      }
+      time("jarque_bera", n, nEv) {
+        model.Diagnostics.jarqueBera(ev, "event_type", "value").count()
+      }
+      time("runs_test", n, nEv) {
+        model.Diagnostics.runsTest(ev, "event_type", "event_id", "value")
+          .count()
+      }
+      time("kalman", n, nEv) {
+        seq.StateSpace.kalmanFilter(ev, Seq("user_id"), "event_id", "value")
+          .count()
+      }
+      time("ewma_chart", n, nEv) {
+        seq.StateSpace.ewmaChart(ev, Seq("user_id"), "event_id", "value")
+          .count()
+      }
+      time("dtw", n, nEv) {
+        val fpv = core.fixedPointLong(col("value").cast("double"), 4)
+        val e = ev.where(col("value").isNotNull)
+          .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+            fpv.as("_fp"))
+        def mean = (sum(col("_fp").cast("decimal(38,0)")).cast("double") /
+          count(lit(1)).cast("double") / 1e4).as("mv")
+        val daily = e.groupBy(col("user_id"), col("day")).agg(mean)
+        val ref = e.groupBy(col("day")).agg(mean)
+          .orderBy(col("day")).collect().map(_.getDouble(1))
+        seq.Warp.dtwToReference(daily, "user_id", "day", "mv", ref).count()
+      }
     }
     spark.stop()
   }

@@ -270,4 +270,153 @@ object Diagnostics {
           (lit(k) * col("_tt") - col("_sl2")).cast("double"))
       .select("n_blocks", "k", "q_stat")
   }
+
+  /** Grubbs' test per key: G = max|x − x̄|/s with the arg-max row
+    * identified (ties break toward larger |2n·fp − 2·S| then smaller
+    * ord — an exact integer comparison, so the winner is engine-
+    * independent). One row per key: key, n, outlier_ord, value, g_stat.
+    * The "is the single worst point a statistical outlier" primitive —
+    * the one-point complement of the ESD battery. */
+  def grubbs(data: DataFrame, keyCol: String, ordCol: String,
+      valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = data.where(v.isNotNull)
+      .select(col(keyCol).as("key"), col(ordCol).cast("long").as("_o"),
+        v.as("value"), fp(v).as("_fp"))
+    val st = base.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("_fp"))).as("_s"),
+        sum(dec(dec(col("_fp")) * dec(col("_fp")))).as("_q"))
+    val nD = col("n").cast("double")
+    val joined = base.join(broadcast(st), "key")
+      // exact integer deviation |n·fp − S| (scale n·1e4) for the arg-max
+      .withColumn("_dev",
+        abs(nD.cast("decimal(38,0)") * dec(col("_fp")) - col("_s")))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("_dev").desc, col("_o").asc)
+    joined.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .withColumn("_mu", col("_s").cast("double") / nD / 1e4)
+      .withColumn("_sd", sqrt((col("_q").cast("double") -
+        col("_s").cast("double") * col("_s").cast("double") / nD) /
+        (nD - 1)) / 1e4)
+      .withColumn("g_stat", abs(col("value") - col("_mu")) / col("_sd"))
+      .select(col("key"), col("n"), col("_o").as("outlier_ord"),
+        col("value"), col("g_stat"))
+  }
+
+  /** Dixon's Q per key from exact order statistics: gap-to-range ratios
+    * q_min = (x₍₂₎−x₍₁₎)/range and q_max = (x₍ₙ₎−x₍ₙ₋₁₎)/range —
+    * the small-sample outlier screen (integer numerators/denominator;
+    * one double division each). One row per key: key, n, q_min, q_max. */
+  def dixonQ(data: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = data.where(v.isNotNull)
+      .select(col(keyCol).as("key"), fp(v).as("_fp"))
+    val w = Window.partitionBy(col("key")).orderBy(col("_fp").asc)
+    val kw = Window.partitionBy(col("key"))
+    base
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(kw).cast("long"))
+      .where(col("_rn") <= 2 || col("_rn") >= col("_n") - 1)
+      .groupBy(col("key"))
+      .agg(max(col("_n")).as("n"),
+        min(when(col("_rn") === 1, col("_fp"))).as("_x1"),
+        min(when(col("_rn") === 2, col("_fp"))).as("_x2"),
+        min(when(col("_rn") === col("_n") - 1, col("_fp"))).as("_xn1"),
+        min(when(col("_rn") === col("_n"), col("_fp"))).as("_xn"))
+      .where(col("n") >= 3 && col("_xn") > col("_x1"))
+      .withColumn("q_min", (col("_x2") - col("_x1")).cast("double") /
+        (col("_xn") - col("_x1")).cast("double"))
+      .withColumn("q_max", (col("_xn") - col("_xn1")).cast("double") /
+        (col("_xn") - col("_x1")).cast("double"))
+      .select("key", "n", "q_min", "q_max")
+  }
+
+  /** Hurst exponent per key via rescaled-range analysis over dyadic
+    * block sizes (Hurst 1951; Mandelbrot & Wallis 1969): for each
+    * w ∈ sizes, split the ordCol-sorted series into ⌊n/w⌋ full blocks,
+    * per block R/S = (max−min of the mean-centered cumulative sum) /
+    * population σ, then H = the log-log OLS slope of mean(R/S) on w.
+    * H ≈ 0.5 random walk, > 0.5 trending/long-memory, < 0.5 mean-
+    * reverting — the long-range-dependence diagnostic behind "why does
+    * this series defeat my iid-assuming threshold".
+    *
+    * Determinism: cumulative sums ride exact fixed-point longs; the
+    * centered deviation is carried as the exact integer w·Σ₁..ₜ−t·S_b
+    * (scale w·1e4), so R is an exact integer and only R/S, the
+    * per-size mean and the 4-point OLS finish are doubles (the latter
+    * an ordered fold over ≤ |sizes| rows). Scale: one per-key sort
+    * window per size (the per-entity-series contract), everything
+    * after the block aggregate is block-count-sized. */
+  def hurst(data: DataFrame, keyCol: String, ordCol: String,
+      valCol: String, sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(sizes.size >= 2 && sizes.forall(_ >= 2), s"bad sizes: $sizes")
+    val v = col(valCol).cast("double")
+    val base = data.where(v.isNotNull)
+      .select(col(keyCol).as("key"), col(ordCol).cast("long").as("_o"),
+        fp(v).as("_fp"))
+    val ow = Window.partitionBy(col("key"))
+      .orderBy(col("_o").asc, col("_fp").asc)
+    val seqd = base.withColumn("_rn", row_number().over(ow).cast("long"))
+    val perSize = sizes.map { wsz =>
+      val blk = seqd
+        .withColumn("_b", ((col("_rn") - 1) / wsz).cast("long"))
+        .withColumn("_t",
+          (col("_rn") - 1) % wsz + 1) // 1..w position inside the block
+      val bw = Window.partitionBy(col("key"), col("_b"))
+        .orderBy(col("_t").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val kb = Window.partitionBy(col("key"), col("_b"))
+      val dev = blk
+        .withColumn("_cum", sum(col("_fp")).over(bw))
+        .withColumn("_cnt", count(lit(1)).over(kb))
+        .where(col("_cnt") === wsz) // full blocks only
+        .withColumn("_sb", sum(col("_fp")).over(kb))
+        .withColumn("_qb", sum(dec(dec(col("_fp")) * dec(col("_fp"))))
+          .over(kb))
+        // exact centered cumdev at scale w·1e4
+        .withColumn("_d", lit(wsz.toLong) * col("_cum") -
+          col("_t").cast("long") * col("_sb"))
+      val rs = dev.groupBy(col("key"), col("_b"))
+        .agg(max(col("_d")).as("_dmax"), min(col("_d")).as("_dmin"),
+          max(col("_sb")).as("_s"), max(col("_qb")).as("_q"))
+        // R in value units; S = population σ of the block
+        .withColumn("_r", (col("_dmax") - col("_dmin")).cast("double") /
+          wsz / 1e4)
+        .withColumn("_sd", sqrt((col("_q").cast("double") -
+          col("_s").cast("double") * col("_s").cast("double") / wsz) /
+          wsz) / 1e4)
+        .where(col("_sd") > 0)
+        // 8dp-freeze each block's R/S so the per-size mean is an exact
+        // long sum (double avg would be partial-aggregation-order
+        // dependent across engines)
+        .withColumn("_rs8",
+          graft.core.fixedPointLong(col("_r") / col("_sd"), 8))
+      rs.groupBy(col("key"))
+        .agg(count(lit(1)).as("_nb"), sum(col("_rs8")).as("_srs"))
+        .select(col("key"), lit(wsz).as("_w"), col("_nb"),
+          (col("_srs").cast("double") / col("_nb").cast("double") / 1e8)
+            .as("_mrs"))
+    }.reduce(_ unionByName _)
+    // 4-point log-log OLS per key: ordered fold over the size rows
+    val folded = perSize
+      .withColumn("_lx", log(col("_w").cast("double")))
+      .withColumn("_ly", log(col("_mrs")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_sizes"),
+        sort_array(collect_list(struct(col("_w").as("w"),
+          col("_lx").as("lx"), col("_ly").as("ly")))).as("_a"))
+    def fsum(e: (Column, Column) => Column, as: String) =
+      aggregate(col("_a"), lit(0.0), (acc, x) => acc + e(x("lx"), x("ly")))
+        .as(as)
+    val g = folded.select(col("key"), col("n_sizes"),
+      fsum((lx, _) => lx, "_sx"), fsum((_, ly) => ly, "_sy"),
+      fsum((lx, ly) => lx * ly, "_sxy"), fsum((lx, _) => lx * lx, "_sxx"))
+    val nD = col("n_sizes").cast("double")
+    g.where(col("n_sizes") >= 2)
+      .withColumn("hurst",
+        (nD * col("_sxy") - col("_sx") * col("_sy")) /
+          (nD * col("_sxx") - col("_sx") * col("_sx")))
+      .select("key", "n_sizes", "hurst")
+  }
 }

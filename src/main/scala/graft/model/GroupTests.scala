@@ -216,4 +216,91 @@ object GroupTests {
           abs(lit(2) * col("_v") - col("_m2")).as("_fp")),
       groupCol, 2e4)
   }
+
+  /** Two-sample Kolmogorov–Smirnov test between groups `ga` and `gb`:
+    * D = max over observed values of |F̂_a − F̂_b|, ECDFs from the
+    * shared value histogram (exact integer cumulative counts — the
+    * binaryAuc device — so each |ΔF| is an exact-rational double and
+    * the max is engine-independent), z = D·√(n_a·n_b/(n_a+n_b)). One
+    * row: n_a, n_b, d_stat, ks_z — the direct "are these two segments'
+    * distributions the same" answer (the change-point KS asks it of two
+    * windows of one series; this asks it of two populations). */
+  def ksTwoSample(data: DataFrame, groupCol: String, valCol: String,
+      ga: String, gb: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val h = data.where(v.isNotNull &&
+      (col(groupCol) === ga || col(groupCol) === gb))
+      .select(col(groupCol).as("_g"),
+        graft.core.fixedPointLong(v, 4).as("_v"))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_g") === ga, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_g") === gb, 1L).otherwise(0L)).as("_cb"))
+    val w = Window.orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h
+      .withColumn("_fa", sum(col("_ca")).over(w))
+      .withColumn("_fb", sum(col("_cb")).over(w))
+    // totals first (model-sized scalar), then the max over the frame
+    val tot = h.agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"))
+    val d = cum.crossJoin(broadcast(tot))
+      .withColumn("_df", abs(
+        col("_fa").cast("double") / col("n_a").cast("double") -
+          col("_fb").cast("double") / col("n_b").cast("double")))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("_df")).as("d_stat"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    d.withColumn("ks_z", col("d_stat") * sqrt(na * nb / (na + nb)))
+      .select("n_a", "n_b", "d_stat", "ks_z")
+  }
+
+  /** Mood's median test: counts above the POOLED exact median per
+    * group (ties at the median count as not-above), Pearson χ² over
+    * the resulting 2×k table with marginal-product expectations. One
+    * row: k, n, chi2 — the rank-free robust cousin of Kruskal–Wallis. */
+  def moodMedian(data: DataFrame, groupCol: String, valCol: String)
+      : DataFrame = {
+    val v = col(valCol).cast("double")
+    val fp = data.where(v.isNotNull)
+      .select(col(groupCol).as("_g"),
+        graft.core.fixedPointLong(v, 4).as("_v"))
+    // pooled exact 2·median via the value histogram (the binaryAuc
+    // device): the ONE global cumulative window runs over the
+    // distinct-value frame, never the data — rank-p value = min value
+    // whose cumulative count reaches p
+    val vh = fp.groupBy(col("_v")).agg(count(lit(1)).as("_ct"))
+    val tot0 = vh.agg(sum(col("_ct")).as("_c"))
+    val wv = Window.orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med2 = vh
+      .withColumn("_cum", sum(col("_ct")).over(wv))
+      .crossJoin(broadcast(tot0))
+      .agg((min(when(col("_cum") >=
+          floor((col("_c") + 1) / 2).cast("long"), col("_v"))) +
+        min(when(col("_cum") >=
+          floor(col("_c") / 2).cast("long") + 1, col("_v")))).as("_m2"))
+    val counts = fp.crossJoin(broadcast(med2))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(lit(2) * col("_v") > col("_m2"), 1L).otherwise(0L))
+          .as("_a"))
+    val tot = counts.agg(count(lit(1)).as("k"), sum(col("_n")).as("_nn"),
+      sum(col("_a")).as("_ta"))
+    // χ² over (above, not-above) × groups: ordered fold of the exact
+    // integer-count terms (obs − exp)²/exp
+    val term = {
+      val n = col("_n").cast("double"); val a = col("_a").cast("double")
+      val nn = col("_nn").cast("double"); val ta = col("_ta").cast("double")
+      val ea = n * ta / nn
+      val eb = n * (nn - ta) / nn
+      (a - ea) * (a - ea) / ea + ((n - a) - eb) * ((n - a) - eb) / eb
+    }
+    val folded = counts.crossJoin(broadcast(tot))
+      .agg(sort_array(collect_list(struct(col("_g").as("g"),
+        term.as("t")))).as("_a2"),
+        max(col("k")).as("k"), max(col("_nn")).as("_nn2"))
+      .select(col("k"), col("_nn2").cast("long").as("n"),
+        aggregate(col("_a2"), lit(0.0), (acc, x) => acc + x("t"))
+          .as("chi2"))
+    folded.select("k", "n", "chi2")
+  }
 }

@@ -91,7 +91,27 @@ object DiagQueries {
     // discount partialled out (one exact-sum pass over lineitem)
     "q327_partial_corr" -> ((s, dir) =>
       canon(graft.model.Assoc.partialCorr(table(s, dir, "lineitem"),
-        "l_quantity", "l_extendedprice", "l_discount"))))
+        "l_quantity", "l_extendedprice", "l_discount"))),
+    // Grubbs: the single worst point per event_type, exact-integer argmax
+    "q329_grubbs" -> ((s, dir) =>
+      canon(Diagnostics.grubbs(ev(s, dir), "event_type", "event_id",
+        "value"))),
+    // Dixon's Q gap-to-range outlier screen per event_type
+    "q330_dixon_q" -> ((s, dir) =>
+      canon(Diagnostics.dixonQ(ev(s, dir), "event_type", "value"))),
+    // two-sample KS: click vs error value distributions (histogram ECDFs)
+    "q331_ks_two_sample" -> ((s, dir) =>
+      canon(graft.model.GroupTests.ksTwoSample(ev(s, dir), "event_type",
+        "value", "click", "error"))),
+    // Mood's median test across the 5 event types (pooled exact median)
+    "q332_mood_median" -> ((s, dir) =>
+      canon(graft.model.GroupTests.moodMedian(ev(s, dir), "event_type",
+        "value"))),
+    // Hurst exponent per event_type: R/S over dyadic block sizes,
+    // log-log OLS slope
+    "q333_hurst" -> ((s, dir) =>
+      canon(Diagnostics.hurst(ev(s, dir), "event_type", "event_id",
+        "value"))))
 
   private val fx: String =
     """fx AS (SELECT event_type AS key, event_id, user_id, value,
@@ -303,6 +323,136 @@ object DiagQueries {
          | round((r_xy - r_xz * r_yz) / sqrt((1.0 - r_xz * r_xz)
          |   * (1.0 - r_yz * r_yz)), 4) AS partial
          |FROM rr""".stripMargin.replace("\n", " ")
+    },
+    "q329_grubbs" ->
+      s"""WITH $fx,
+         |st AS (SELECT key, count(*)::BIGINT AS n, sum(fp::HUGEINT) AS s,
+         |  sum(fp::HUGEINT * fp::HUGEINT) AS q FROM fx GROUP BY 1),
+         |j AS (SELECT f.key, f.event_id, f.value, st.n, st.s, st.q,
+         |  abs(st.n::HUGEINT * f.fp::HUGEINT - st.s) AS dev
+         |  FROM fx f JOIN st USING (key)),
+         |top AS (SELECT * FROM j QUALIFY row_number() OVER
+         |  (PARTITION BY key ORDER BY dev DESC, event_id ASC) = 1)
+         |SELECT key, n, event_id AS outlier_ord, round(value, 4) AS value,
+         | round(abs(value - s::DOUBLE / n::DOUBLE / 1e4)
+         |  / (sqrt((q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+         |      / (n::DOUBLE - 1)) / 1e4), 4) AS g_stat
+         |FROM top""".stripMargin.replace("\n", " "),
+    "q330_dixon_q" ->
+      s"""WITH $fx,
+         |r AS (SELECT key, fp,
+         |  row_number() OVER (PARTITION BY key ORDER BY fp ASC) AS rn,
+         |  count(*) OVER (PARTITION BY key) AS n FROM fx),
+         |a AS (SELECT key, max(n)::BIGINT AS n,
+         |  min(CASE WHEN rn = 1 THEN fp END) AS x1,
+         |  min(CASE WHEN rn = 2 THEN fp END) AS x2,
+         |  min(CASE WHEN rn = n - 1 THEN fp END) AS xn1,
+         |  min(CASE WHEN rn = n THEN fp END) AS xn
+         |  FROM r WHERE rn <= 2 OR rn >= n - 1 GROUP BY 1)
+         |SELECT key, n,
+         | round((x2 - x1)::DOUBLE / (xn - x1)::DOUBLE, 4) AS q_min,
+         | round((xn - xn1)::DOUBLE / (xn - x1)::DOUBLE, 4) AS q_max
+         |FROM a WHERE n >= 3 AND xn > x1""".stripMargin.replace("\n", " "),
+    "q331_ks_two_sample" ->
+      s"""WITH h AS (SELECT
+         |  (CASE WHEN value >= 0 THEN floor(value*10000.0+0.5)
+         |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS v,
+         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+         |    AS ca,
+         |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+         |    AS cb
+         |  FROM events WHERE value IS NOT NULL
+         |   AND event_type IN ('click', 'error') GROUP BY 1),
+         |c AS (SELECT v,
+         |  sum(ca) OVER (ORDER BY v ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+         |  sum(cb) OVER (ORDER BY v ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb
+         |  FROM h),
+         |t AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b
+         |  FROM h),
+         |d AS (SELECT n_a, n_b,
+         |  max(abs(fa::DOUBLE / n_a::DOUBLE - fb::DOUBLE / n_b::DOUBLE))
+         |    AS d_stat
+         |  FROM c, t GROUP BY 1, 2)
+         |SELECT n_a, n_b, round(d_stat, 4) AS d_stat,
+         | round(d_stat * sqrt(n_a::DOUBLE * n_b::DOUBLE
+         |   / (n_a::DOUBLE + n_b::DOUBLE)), 4) AS ks_z
+         |FROM d""".stripMargin.replace("\n", " "),
+    "q332_mood_median" ->
+      s"""WITH $fx,
+         |vh AS (SELECT fp AS v, count(*)::BIGINT AS ct FROM fx GROUP BY 1),
+         |t0 AS (SELECT sum(ct)::BIGINT AS c FROM vh),
+         |cum AS (SELECT v, sum(ct) OVER (ORDER BY v ASC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM vh),
+         |m AS (SELECT min(CASE WHEN cum >= (c + 1) // 2 THEN v END)
+         |  + min(CASE WHEN cum >= c // 2 + 1 THEN v END) AS m2
+         |  FROM cum, t0),
+         |counts AS (SELECT key AS g, count(*)::BIGINT AS n,
+         |  sum(CASE WHEN 2 * fp > m.m2 THEN 1 ELSE 0 END)::BIGINT AS a
+         |  FROM fx, m GROUP BY 1),
+         |tt AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+         |  sum(a)::BIGINT AS ta FROM counts),
+         |terms AS (SELECT g,
+         |  (a::DOUBLE - n::DOUBLE * ta::DOUBLE / nn::DOUBLE)
+         |   * (a::DOUBLE - n::DOUBLE * ta::DOUBLE / nn::DOUBLE)
+         |   / (n::DOUBLE * ta::DOUBLE / nn::DOUBLE)
+         |  + ((n::DOUBLE - a::DOUBLE)
+         |      - n::DOUBLE * (nn::DOUBLE - ta::DOUBLE) / nn::DOUBLE)
+         |   * ((n::DOUBLE - a::DOUBLE)
+         |      - n::DOUBLE * (nn::DOUBLE - ta::DOUBLE) / nn::DOUBLE)
+         |   / (n::DOUBLE * (nn::DOUBLE - ta::DOUBLE) / nn::DOUBLE) AS t
+         |  FROM counts, tt)
+         |SELECT tt.k, tt.nn AS n,
+         | round((SELECT list_aggregate(list(t ORDER BY g), 'sum')
+         |   FROM terms), 4) AS chi2
+         |FROM tt""".stripMargin.replace("\n", " "),
+    "q333_hurst" -> {
+      def sizeCte(w: Int) =
+        s"""rs$w AS (SELECT key, (rn - 1) // $w AS b,
+           |  (rn - 1) % $w + 1 AS t, fp,
+           |  sum(fp) OVER (PARTITION BY key, (rn - 1) // $w ORDER BY rn
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |  count(*) OVER (PARTITION BY key, (rn - 1) // $w) AS cnt,
+           |  sum(fp) OVER (PARTITION BY key, (rn - 1) // $w) AS sb,
+           |  sum(fp::HUGEINT * fp::HUGEINT)
+           |    OVER (PARTITION BY key, (rn - 1) // $w) AS qb
+           |  FROM rnk),
+           |bk$w AS (SELECT key, b,
+           |  max($w * cum - t * sb) AS dmax, min($w * cum - t * sb) AS dmin,
+           |  max(sb) AS s, max(qb) AS q
+           |  FROM rs$w WHERE cnt = $w GROUP BY 1, 2),
+           |rr$w AS (SELECT key, b,
+           |  ((dmax - dmin)::DOUBLE / $w / 1e4)
+           |   / (sqrt((q::DOUBLE - s::DOUBLE * s::DOUBLE / $w) / $w) / 1e4)
+           |    AS rs
+           |  FROM bk$w
+           |  WHERE sqrt((q::DOUBLE - s::DOUBLE * s::DOUBLE / $w) / $w)
+           |    / 1e4 > 0),
+           |m$w AS (SELECT key, $w AS w, count(*)::BIGINT AS nb,
+           |  sum((CASE WHEN rs >= 0 THEN floor(rs*1e8+0.5)
+           |    ELSE -floor(-rs*1e8+0.5) END)::BIGINT)::BIGINT AS srs
+           |  FROM rr$w GROUP BY 1)""".stripMargin
+      s"""WITH $fx,
+         |rnk AS (SELECT key, fp, row_number() OVER (PARTITION BY key
+         |  ORDER BY event_id ASC, fp ASC) AS rn FROM fx),
+         |${sizeCte(8)}, ${sizeCte(16)}, ${sizeCte(32)}, ${sizeCte(64)},
+         |u AS (SELECT key, w, srs::DOUBLE / nb::DOUBLE / 1e8 AS mrs
+         |  FROM (SELECT * FROM m8 UNION ALL SELECT * FROM m16
+         |    UNION ALL SELECT * FROM m32 UNION ALL SELECT * FROM m64)),
+         |f AS (SELECT key, count(*)::BIGINT AS n_sizes,
+         |  list_aggregate(list(ln(w::DOUBLE) ORDER BY w), 'sum') AS sx,
+         |  list_aggregate(list(ln(mrs) ORDER BY w), 'sum') AS sy,
+         |  list_aggregate(list(ln(w::DOUBLE) * ln(mrs) ORDER BY w), 'sum')
+         |    AS sxy,
+         |  list_aggregate(list(ln(w::DOUBLE) * ln(w::DOUBLE) ORDER BY w),
+         |    'sum') AS sxx
+         |  FROM u GROUP BY 1 HAVING count(*) >= 2)
+         |SELECT key, n_sizes,
+         | round((n_sizes::DOUBLE * sxy - sx * sy)
+         |   / (n_sizes::DOUBLE * sxx - sx * sx), 4) AS hurst
+         |FROM f""".stripMargin.replace("\n", " ")
     },
     "q321_friedman" -> {
       val mv = "s::DOUBLE / c::DOUBLE / 1e4"
