@@ -16,6 +16,29 @@ object SeqQueries {
 
   private def ev(s: SparkSession, dir: String) = table(s, dir, "events")
 
+  /** events as the streaming twins' ValueEvent shape (user-keyed). */
+  private def valueEvents(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.streaming.StreamScorers.ValueEvent] = {
+    import s.implicits._
+    ev(s, dir).select(col("user_id").cast("string").as("entity"),
+      col("event_id").cast("long").as("seq"),
+      col("value").cast("double").as("value"))
+      .as[graft.streaming.StreamScorers.ValueEvent]
+  }
+
+  /** Per-entity (n, Σfp, Σfp²) as LONG sums — the same long arithmetic
+    * the batch kernels use, collected as the model-sized side input for
+    * the fit-batch/score-stream twins (one row per entity). */
+  private def kalmanModel(s: SparkSession, dir: String)
+      : Array[(String, Long, Double, Double)] = {
+    val fpv = fixedPointLong(col("value").cast("double"), 4)
+    ev(s, dir).groupBy(col("user_id").cast("string").as("e"))
+      .agg(count(lit(1)).as("n"), sum(fpv).as("s"),
+        sum(fpv * fpv).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2).toDouble, r.getLong(3).toDouble))
+  }
+
   /** Adjacent-user pairs of event-type sequences (users ≤ 20), each
     * sequence ordered by (event_id, event_type) — shared by the two
     * sequence-matcher queries. */
@@ -361,6 +384,33 @@ object SeqQueries {
     "q328_ewma_chart" -> ((s, dir) =>
       canon(graft.seq.StateSpace.ewmaChart(ev(s, dir), Seq("user_id"),
         "event_id", "value").toDF())),
+    // Kalman STREAM twin (q100 device): fit-batch/score-stream — the
+    // per-entity (r, n) model is a collected model-sized side input,
+    // replayed by the flatMapGroupsWithState path; same oracle as q322
+    "q334_kalman_stream" -> ((s, dir) => {
+      import s.implicits._
+      val model = kalmanModel(s, dir).map { case (e, n, sS, qS) =>
+        val nD = n.toDouble
+        e -> ((qS - sS * sS / nD) / (nD - 1) / 1e8, n)
+      }.toMap
+      canon(graft.streaming.StreamScorers.kalmanStream(
+        valueEvents(s, dir), model).toDF()
+        .select(col("entity").as("key"), col("seq"), col("value"),
+          col("score")))
+    }),
+    // EWMA-chart STREAM twin: per-entity (μ, σ, n) model side input
+    "q335_ewma_stream" -> ((s, dir) => {
+      import s.implicits._
+      val model = kalmanModel(s, dir).map { case (e, n, sS, qS) =>
+        val nD = n.toDouble
+        e -> (sS / nD / 1e4,
+          math.sqrt((qS - sS * sS / nD) / (nD - 1)) / 1e4, n)
+      }.toMap
+      canon(graft.streaming.StreamScorers.ewmaChartStream(
+        valueEvents(s, dir), model).toDF()
+        .select(col("entity").as("key"), col("seq"), col("value"),
+          col("score")))
+    }),
     // DTW shape distance: each user's daily-mean series vs the global
     // daily-mean reference (collected — one entry per calendar day)
     "q323_dtw" -> ((s, dir) => {
@@ -585,6 +635,86 @@ object SeqQueries {
       |SELECT e.key, e.tsns AS seq, round(e.value, 4) AS value, 0.0 AS score
       |FROM ev e LEFT JOIN par p USING (key)
       |WHERE e.rn = 1 OR p.key IS NULL""".stripMargin.replace("\n", " ")
+
+  // Kalman local-level replay: r from the per-key HUGEINT-exact
+  // variance, then the (level, P) recursion as a recursive-CTE walk
+  // joined one rn ahead (the holtOracle device). Shared by q322 (batch
+  // kernel) and q334 (stream twin under the fit-batch/score-stream
+  // model contract — identical output by construction).
+  private lazy val kalmanOracle: String =
+    """WITH RECURSIVE fx AS (SELECT user_id,
+      |  (CASE WHEN value >= 0 THEN floor(value*10000.0+0.5)
+      |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS fp
+      |  FROM events),
+      |ev AS (SELECT user_id::VARCHAR AS key, event_id AS seq, value,
+      |  row_number() OVER (PARTITION BY user_id
+      |    ORDER BY event_id, value) AS rn FROM events),
+      |st AS (SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS n,
+      |  sum(fp::HUGEINT) AS s, sum(fp::HUGEINT * fp::HUGEINT) AS q
+      |  FROM fx GROUP BY 1),
+      |rr AS (SELECT key, n,
+      |  (q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+      |    / (n::DOUBLE - 1) / 1e8 AS r FROM st),
+      |walk AS (
+      | SELECT e.key, e.rn, e.seq, e.value, 0.0::DOUBLE AS score,
+      |  e.value AS lvl, rr.r AS p, rr.r AS r, rr.n
+      | FROM ev e JOIN rr USING (key) WHERE e.rn = 1
+      | UNION ALL
+      | SELECT key, rn, seq, value,
+      |  CASE WHEN ok THEN abs(innov) / sqrt(ss)
+      |   ELSE 0.0::DOUBLE END AS score,
+      |  CASE WHEN ok THEN lvl0 + (pp / ss) * innov ELSE lvl0 END AS lvl,
+      |  CASE WHEN ok THEN (1.0 - pp / ss) * pp ELSE p0 END AS p,
+      |  r, n
+      | FROM (SELECT e.key, e.rn, e.seq, e.value, w.lvl AS lvl0,
+      |   w.p AS p0, w.r, w.n,
+      |   w.p + w.r * 0.0625 AS pp,
+      |   w.p + w.r * 0.0625 + w.r AS ss,
+      |   e.value - w.lvl AS innov,
+      |   (w.n >= 3 AND w.r > 0) AS ok
+      |  FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1))
+      |SELECT key, seq, round(value, 4) AS value, round(score, 4) AS score
+      |FROM walk""".stripMargin.replace("\n", " ")
+
+  // EWMA chart replay: (e, f2t) walk; anchor row applies step 1.
+  // Shared by q328 (batch kernel) and q335 (stream twin).
+  private lazy val ewmaOracle: String =
+    """WITH RECURSIVE fx AS (SELECT user_id,
+      |  (CASE WHEN value >= 0 THEN floor(value*10000.0+0.5)
+      |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS fp
+      |  FROM events),
+      |ev AS (SELECT user_id::VARCHAR AS key, event_id AS seq, value,
+      |  row_number() OVER (PARTITION BY user_id
+      |    ORDER BY event_id, value) AS rn FROM events),
+      |st AS (SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS n,
+      |  sum(fp::HUGEINT) AS s, sum(fp::HUGEINT * fp::HUGEINT) AS q
+      |  FROM fx GROUP BY 1),
+      |ms AS (SELECT key, n, s::DOUBLE / n::DOUBLE / 1e4 AS mu,
+      |  sqrt((q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+      |    / (n::DOUBLE - 1)) / 1e4 AS sd FROM st),
+      |walk AS (
+      | SELECT e.key, e.rn, e.seq, e.value, m.mu, m.sd, m.n,
+      |  CASE WHEN m.n >= 2 AND m.sd > 0
+      |   THEN 0.25 * e.value + 0.75 * m.mu ELSE m.mu END AS ew,
+      |  0.5625::DOUBLE AS f2t,
+      |  CASE WHEN m.n >= 2 AND m.sd > 0
+      |   THEN abs((0.25 * e.value + 0.75 * m.mu) - m.mu)
+      |     / (3.0 * m.sd * sqrt(0.25 / 1.75 * (1.0 - 0.5625)))
+      |   ELSE 0.0::DOUBLE END AS score
+      | FROM ev e JOIN ms m USING (key) WHERE e.rn = 1
+      | UNION ALL
+      | SELECT key, rn, seq, value, mu, sd, n,
+      |  CASE WHEN ok THEN 0.25 * value + 0.75 * ew0 ELSE ew0 END AS ew,
+      |  f2t0 * 0.5625 AS f2t,
+      |  CASE WHEN ok
+      |   THEN abs((0.25 * value + 0.75 * ew0) - mu)
+      |     / (3.0 * sd * sqrt(0.25 / 1.75 * (1.0 - f2t0 * 0.5625)))
+      |   ELSE 0.0::DOUBLE END AS score
+      | FROM (SELECT e.key, e.rn, e.seq, e.value, w.mu, w.sd, w.n,
+      |   w.ew AS ew0, w.f2t AS f2t0, (w.n >= 2 AND w.sd > 0) AS ok
+      |  FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1))
+      |SELECT key, seq, round(value, 4) AS value, round(score, 4) AS score
+      |FROM walk""".stripMargin.replace("\n", " ")
 
   // Holt–Winters replay: same walk shape as holtOracle plus the seasonal
   // rotating queue carried as a DOUBLE[] (head consumed, update appended);
@@ -1029,81 +1159,13 @@ object SeqQueries {
         |SELECT key, n, m, round(dp[n * m], 4) AS dtw_dist,
         | round(dp[n * m] / (n + m), 4) AS dtw_norm
         |FROM walk WHERE c = n * m""".stripMargin.replace("\n", " "),
-    // EWMA chart replay: (e, f2t) walk; anchor row applies step 1
-    "q328_ewma_chart" ->
-      """WITH RECURSIVE fx AS (SELECT user_id,
-        |  (CASE WHEN value >= 0 THEN floor(value*10000.0+0.5)
-        |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS fp
-        |  FROM events),
-        |ev AS (SELECT user_id::VARCHAR AS key, event_id AS seq, value,
-        |  row_number() OVER (PARTITION BY user_id
-        |    ORDER BY event_id, value) AS rn FROM events),
-        |st AS (SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS n,
-        |  sum(fp::HUGEINT) AS s, sum(fp::HUGEINT * fp::HUGEINT) AS q
-        |  FROM fx GROUP BY 1),
-        |ms AS (SELECT key, n, s::DOUBLE / n::DOUBLE / 1e4 AS mu,
-        |  sqrt((q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
-        |    / (n::DOUBLE - 1)) / 1e4 AS sd FROM st),
-        |walk AS (
-        | SELECT e.key, e.rn, e.seq, e.value, m.mu, m.sd, m.n,
-        |  CASE WHEN m.n >= 2 AND m.sd > 0
-        |   THEN 0.25 * e.value + 0.75 * m.mu ELSE m.mu END AS ew,
-        |  0.5625::DOUBLE AS f2t,
-        |  CASE WHEN m.n >= 2 AND m.sd > 0
-        |   THEN abs((0.25 * e.value + 0.75 * m.mu) - m.mu)
-        |     / (3.0 * m.sd * sqrt(0.25 / 1.75 * (1.0 - 0.5625)))
-        |   ELSE 0.0::DOUBLE END AS score
-        | FROM ev e JOIN ms m USING (key) WHERE e.rn = 1
-        | UNION ALL
-        | SELECT key, rn, seq, value, mu, sd, n,
-        |  CASE WHEN ok THEN 0.25 * value + 0.75 * ew0 ELSE ew0 END AS ew,
-        |  f2t0 * 0.5625 AS f2t,
-        |  CASE WHEN ok
-        |   THEN abs((0.25 * value + 0.75 * ew0) - mu)
-        |     / (3.0 * sd * sqrt(0.25 / 1.75 * (1.0 - f2t0 * 0.5625)))
-        |   ELSE 0.0::DOUBLE END AS score
-        | FROM (SELECT e.key, e.rn, e.seq, e.value, w.mu, w.sd, w.n,
-        |   w.ew AS ew0, w.f2t AS f2t0, (w.n >= 2 AND w.sd > 0) AS ok
-        |  FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1))
-        |SELECT key, seq, round(value, 4) AS value, round(score, 4) AS score
-        |FROM walk""".stripMargin.replace("\n", " "),
-    // Kalman local-level replay: r from the per-key HUGEINT-exact
-    // variance, then the (level, P) recursion as a recursive-CTE walk
-    // joined one rn ahead — the holtOracle device
-    "q322_kalman" ->
-      """WITH RECURSIVE fx AS (SELECT user_id,
-        |  (CASE WHEN value >= 0 THEN floor(value*10000.0+0.5)
-        |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS fp
-        |  FROM events),
-        |ev AS (SELECT user_id::VARCHAR AS key, event_id AS seq, value,
-        |  row_number() OVER (PARTITION BY user_id
-        |    ORDER BY event_id, value) AS rn FROM events),
-        |st AS (SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS n,
-        |  sum(fp::HUGEINT) AS s, sum(fp::HUGEINT * fp::HUGEINT) AS q
-        |  FROM fx GROUP BY 1),
-        |rr AS (SELECT key, n,
-        |  (q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
-        |    / (n::DOUBLE - 1) / 1e8 AS r FROM st),
-        |walk AS (
-        | SELECT e.key, e.rn, e.seq, e.value, 0.0::DOUBLE AS score,
-        |  e.value AS lvl, rr.r AS p, rr.r AS r, rr.n
-        | FROM ev e JOIN rr USING (key) WHERE e.rn = 1
-        | UNION ALL
-        | SELECT key, rn, seq, value,
-        |  CASE WHEN ok THEN abs(innov) / sqrt(ss)
-        |   ELSE 0.0::DOUBLE END AS score,
-        |  CASE WHEN ok THEN lvl0 + (pp / ss) * innov ELSE lvl0 END AS lvl,
-        |  CASE WHEN ok THEN (1.0 - pp / ss) * pp ELSE p0 END AS p,
-        |  r, n
-        | FROM (SELECT e.key, e.rn, e.seq, e.value, w.lvl AS lvl0,
-        |   w.p AS p0, w.r, w.n,
-        |   w.p + w.r * 0.0625 AS pp,
-        |   w.p + w.r * 0.0625 + w.r AS ss,
-        |   e.value - w.lvl AS innov,
-        |   (w.n >= 3 AND w.r > 0) AS ok
-        |  FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1))
-        |SELECT key, seq, round(value, 4) AS value, round(score, 4) AS score
-        |FROM walk""".stripMargin.replace("\n", " "),
+    // EWMA chart replay: (e, f2t) walk; anchor row applies step 1.
+    // Shared by q328 (batch kernel) and q335 (stream twin, q100 device)
+    "q328_ewma_chart" -> ewmaOracle,
+    "q335_ewma_stream" -> ewmaOracle,
+    // Kalman replay shared by q322 (batch) and q334 (stream twin)
+    "q322_kalman" -> kalmanOracle,
+    "q334_kalman_stream" -> kalmanOracle,
     "q235_holt_winters" -> holtWintersOracle,
     "q237_burst" -> burstOracle,
     // the STREAMING twin batch-executed (q100 pattern) — same oracle,

@@ -636,6 +636,85 @@ object StreamScorers {
         })
   }
 
+  case class KalmanSt(seen: Long, lvl: Double, p: Double)
+  case class EwmaSt(seen: Long, e: Double, f2t: Double)
+
+  /** Streaming local-level Kalman scorer — the online face of
+    * `StateSpace.kalmanFilter` under the fit-batch/score-stream model
+    * contract (the per-entity model cache pattern): `model` maps entity
+    * → (r = full-series sample variance, n = series length) from the
+    * batch fit, so every emitted score matches the batch kernel (and
+    * the q322 oracle) bit-for-bit. Entities absent from the model, with
+    * n < 3 or r ≤ 0 emit score 0. O(1) state (3 numbers); the model is
+    * model-sized (one entry per entity), the broadcast-side-input
+    * contract shared with perEntityStream. */
+  def kalmanStream(events: Dataset[ValueEvent],
+      model: Map[String, (Double, Long)]): Dataset[HoltOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (entity: String, it: Iterator[ValueEvent], gs: GroupState[KalmanSt]) => {
+          val (r, n) = model.getOrElse(entity, (0.0, 0L))
+          val ok = n >= 3 && r > 0
+          val q = r * 0.0625
+          var st = gs.getOption.getOrElse(KalmanSt(0L, 0.0, 0.0))
+          val out = it.toSeq.sortBy(e => (e.seq, e.value)).map { e =>
+            val x = e.value
+            var score = 0.0
+            if (!ok) ()
+            else if (st.seen == 0L) st = KalmanSt(1L, x, r)
+            else {
+              val pp = st.p + q
+              val ss = pp + r
+              val innov = x - st.lvl
+              score = math.abs(innov) / math.sqrt(ss)
+              val kGain = pp / ss
+              st = KalmanSt(st.seen + 1, st.lvl + kGain * innov,
+                (1.0 - kGain) * pp)
+            }
+            HoltOut(entity, e.seq, x, score)
+          }
+          gs.update(st)
+          out.iterator
+        })
+  }
+
+  /** Streaming EWMA control chart — online face of
+    * `StateSpace.ewmaChart`, same fit-batch/score-stream contract:
+    * `model` maps entity → (μ, σ, n) from the batch fit; e anchors at μ
+    * and (1−λ)^{2t} rides the state, so scores match the batch kernel
+    * (and the q328 oracle) exactly. O(1) state (3 numbers). */
+  def ewmaChartStream(events: Dataset[ValueEvent],
+      model: Map[String, (Double, Double, Long)],
+      lambda: Double = 0.25): Dataset[HoltOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (entity: String, it: Iterator[ValueEvent], gs: GroupState[EwmaSt]) => {
+          val (mu, sd, n) = model.getOrElse(entity, (0.0, 0.0, 0L))
+          val ok = n >= 2 && sd > 0
+          val om = 1.0 - lambda
+          val om2 = om * om
+          var st = gs.getOption.getOrElse(EwmaSt(0L, mu, 1.0))
+          val out = it.toSeq.sortBy(e => (e.seq, e.value)).map { e =>
+            var score = 0.0
+            if (ok) {
+              val e2 = lambda * e.value + om * st.e
+              val f2t = st.f2t * om2
+              val limit = 3.0 * sd *
+                math.sqrt(lambda / (2.0 - lambda) * (1.0 - f2t))
+              score = math.abs(e2 - mu) / limit
+              st = EwmaSt(st.seen + 1, e2, f2t)
+            }
+            HoltOut(entity, e.seq, e.value, score)
+          }
+          gs.update(st)
+          out.iterator
+        })
+  }
+
   case class CpStreamOut(entity: String, seq: Long, value: Double,
       stat: Double, changed: Boolean)
   case class CpBuf(window: List[Double])
