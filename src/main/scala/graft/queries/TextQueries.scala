@@ -65,6 +65,31 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
+    // TextRank keyword extraction: co-occurrence graph of adjacent
+    // filtered tokens (length ≥ 5) → integer fixed-point PageRank
+    // (5 iterations, the q201 device) → top-20 corpus keywords
+    "q336_textrank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.text.TextOps.tokens(col("text"))).as(Seq("p", "tok")))
+        .where(length(col("tok")) >= 5)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p").asc)
+      val pairs = tk.withColumn("nxt", lead(col("tok"), 1).over(w))
+        .where(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+      val edges = pairs.select(col("tok").as("src"), col("nxt").as("dst"))
+        .union(pairs.select(col("nxt").as("src"), col("tok").as("dst")))
+      canon(graft.graph.Graph.pageRank(edges, "src", "dst", iters = 5)
+        .orderBy(col("rank12").desc, col("node")).limit(20))
+    }),
+    // phonetic (simplified-Soundex) ER blocking over part name words
+    // (red/rod → R300 is the expected collision class)
+    "q337_phonetic_blocks" -> ((s, dir) =>
+      canon(graft.text.Phonetic.phoneticBlocks(
+        table(s, dir, "part")
+          .select(col("p_partkey"),
+            explode(split(col("p_name"), " ")).as("nm")),
+        "p_partkey", "nm"))),
     // URL canonicalization: the oracle rebuilds the EXPECTED canonical
     // form from the raw fields (an independent derivation, not a replay
     // of the operator's string surgery)
@@ -1690,6 +1715,65 @@ object TextQueries {
        |$tail""".stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    "q336_textrank" -> {
+      val iters = 5
+      val steps = (1 to iters).map { i =>
+        s"""r$i AS (SELECT nodes.node,
+           |  ((15 * 1000000000000) // (100 * nn.n)
+           |    + (85 * coalesce(m.s, 0)) // 100)::BIGINT AS r
+           | FROM nodes CROSS JOIN nn LEFT JOIN (
+           |   SELECT e.dst AS node, sum(p.r // d.od)::BIGINT AS s
+           |   FROM e2 e JOIN r${i - 1} p ON e.src = p.node
+           |   JOIN deg d ON d.src = e.src
+           |   GROUP BY e.dst) m ON m.node = nodes.node)""".stripMargin
+          .replace("\n", " ")
+      }
+      s"""WITH tkl AS (SELECT doc_id, $toks AS t FROM documents),
+         |tp AS (SELECT doc_id, i AS p, t[i] AS tok
+         | FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+         |   FROM tkl)),
+         |ft AS (SELECT doc_id, p, tok FROM tp WHERE length(tok) >= 5),
+         |ns AS (SELECT doc_id, tok,
+         |  lead(tok) OVER (PARTITION BY doc_id ORDER BY p ASC) AS nxt
+         | FROM ft),
+         |pr AS (SELECT tok AS src, nxt AS dst FROM ns
+         | WHERE nxt IS NOT NULL AND tok <> nxt),
+         |e2 AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr)),
+         |deg AS (SELECT src, count(*)::BIGINT AS od FROM e2 GROUP BY 1),
+         |nodes AS (SELECT src AS node FROM e2
+         |  UNION SELECT dst FROM e2),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+         |r0 AS (SELECT node, (1000000000000 // n)::BIGINT AS r
+         |  FROM nodes CROSS JOIN nn),
+         |${steps.mkString(", ")}
+         |SELECT node, r AS rank12,
+         | round(r::DOUBLE / 1000000000000.0, 4) AS rank
+         |FROM r$iters ORDER BY r DESC, node LIMIT 20"""
+        .stripMargin.replace("\n", " ")
+    },
+    "q337_phonetic_blocks" -> {
+      val collapsed = (1 to 6).foldLeft(
+        """translate(upper(regexp_replace(nm, '[^A-Za-z]', '', 'g')),
+          | 'BFPVCGJKQSXZDTLMNRAEIOUYHW',
+          | '11112222222233455600000000')""".stripMargin.replace("\n", ""))(
+        (e, d) => s"regexp_replace($e, '$d{2,}', '$d', 'g')")
+      s"""WITH p0 AS (SELECT p_partkey,
+         |  unnest(string_split(p_name, ' ')) AS nm FROM part),
+         |k AS (SELECT nm,
+         |  CASE WHEN length(upper(regexp_replace(nm, '[^A-Za-z]', '', 'g')))
+         |    >= 1 THEN
+         |   upper(regexp_replace(nm, '[^A-Za-z]', '', 'g'))[1] ||
+         |   rpad(regexp_replace(substring($collapsed, 2, 1000), '0', '',
+         |     'g')[1:3], 3, '0')
+         |  END AS pkey
+         |  FROM p0 WHERE nm IS NOT NULL)
+         |SELECT pkey, count(*)::BIGINT AS n,
+         | count(DISTINCT nm)::BIGINT AS names, min(nm) AS sample
+         |FROM k WHERE pkey IS NOT NULL
+         |GROUP BY 1 HAVING count(DISTINCT nm) >= 2"""
+        .stripMargin.replace("\n", " ")
+    },
     "q181_kmeans_fit" -> kmeansOracle,
     "q187_kmeans_outliers" -> kmeansOutlierOracle,
     // q45's LOF chain over nProbe=2 cell pairs from the q181 fit replay:
