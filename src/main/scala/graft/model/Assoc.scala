@@ -334,6 +334,37 @@ object Assoc {
       .select("n", "r_xy", "r_xz", "r_yz", "partial")
   }
 
+  /** Pairwise set-overlap matrix between keys' id sets: for every
+    * ordered key pair (ka < kb), |A∩B|, |A∪B|, Jaccard and the overlap
+    * coefficient |A∩B|/min(|A|,|B|) — the "audience overlap" roll-up
+    * (which segments share members). All counts exact integers.
+    *
+    * Scale: one distinct pass, a self-join co-keyed on the id (shuffle
+    * on id, never all-pairs of ids), and a k²-bounded finish. */
+  def overlapMatrix(df: DataFrame, keyCol: String, idCol: String)
+      : DataFrame = {
+    val d = df.where(col(keyCol).isNotNull && col(idCol).isNotNull)
+      .select(col(keyCol).cast("string").as("_k"), col(idCol).as("_id"))
+      .distinct()
+    val sizes = d.groupBy(col("_k")).agg(count(lit(1)).as("_n"))
+    val inter = d.select(col("_k").as("ka"), col("_id"))
+      .join(d.select(col("_k").as("kb"), col("_id")), "_id")
+      .where(col("ka") < col("kb"))
+      .groupBy(col("ka"), col("kb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("_k").as("ka"), col("_n").as("_na"))),
+        "ka")
+      .join(broadcast(sizes.select(col("_k").as("kb"), col("_n").as("_nb"))),
+        "kb")
+      .withColumn("un", col("_na") + col("_nb") - col("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / col("un").cast("double"))
+      .withColumn("overlap", col("inter").cast("double") /
+        least(col("_na"), col("_nb")).cast("double"))
+      .select("ka", "kb", "inter", "un", "jaccard", "overlap")
+  }
+
   /** Cross-correlation function between two keys' bucketed series at
     * lags −maxLag..maxLag: Pearson corr of (x_t, y_{t+lag}) over the
     * aligned buckets, every sum exact fixed-point integers. The

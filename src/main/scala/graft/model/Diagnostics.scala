@@ -332,6 +332,34 @@ object Diagnostics {
       .select("key", "n", "q_min", "q_max")
   }
 
+  /** 2×2 association summary over paired booleans (exposure, outcome):
+    * exact cell counts a=(e∧o), b=(e∧¬o), c=(¬e∧o), d=(¬e∧¬o), the
+    * odds ratio ad/bc with its 95% log-normal CI, and the risk ratio
+    * (a/(a+b))/(c/(c+d)). One row:
+    * a, b, c, d, odds_ratio, or_lo, or_hi, risk_ratio — the effect-size
+    * face of McNemar/χ² ("HOW MUCH more likely", not just "different"). */
+  def oddsRatio(pairs: DataFrame, exposureCol: String, outcomeCol: String)
+      : DataFrame = {
+    val e = col(exposureCol).cast("boolean")
+    val o = col(outcomeCol).cast("boolean")
+    val g = pairs.where(e.isNotNull && o.isNotNull)
+      .agg(sum(when(e && o, 1L).otherwise(0L)).as("a"),
+        sum(when(e && !o, 1L).otherwise(0L)).as("b"),
+        sum(when(!e && o, 1L).otherwise(0L)).as("c"),
+        sum(when(!e && !o, 1L).otherwise(0L)).as("d"))
+    def dd(c: String) = col(c).cast("double")
+    val orr = dd("a") * dd("d") / (dd("b") * dd("c"))
+    val se = sqrt(lit(1.0) / dd("a") + lit(1.0) / dd("b") +
+      lit(1.0) / dd("c") + lit(1.0) / dd("d"))
+    g.withColumn("odds_ratio", orr)
+      .withColumn("or_lo", exp(log(orr) - lit(1.96) * se))
+      .withColumn("or_hi", exp(log(orr) + lit(1.96) * se))
+      .withColumn("risk_ratio",
+        (dd("a") / (dd("a") + dd("b"))) / (dd("c") / (dd("c") + dd("d"))))
+      .select("a", "b", "c", "d", "odds_ratio", "or_lo", "or_hi",
+        "risk_ratio")
+  }
+
   /** Hurst exponent per key via rescaled-range analysis over dyadic
     * block sizes (Hurst 1951; Mandelbrot & Wallis 1969): for each
     * w ∈ sizes, split the ordCol-sorted series into ⌊n/w⌋ full blocks,

@@ -253,6 +253,42 @@ object GroupTests {
       .select("n_a", "n_b", "d_stat", "ks_z")
   }
 
+  /** Mann–Whitney U between groups `ga` and `gb`: ranks via the shared
+    * value histogram (2·r̄ exact integers), U = R_a − n_a(n_a+1)/2,
+    * normal approximation with the tie-corrected variance
+    * σ² = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))). One row:
+    * n_a, n_b, u_stat, z. (binaryAuc reports the same ranks as an AUC;
+    * this is the TEST face with the tie-corrected z.) */
+  def mannWhitneyU(data: DataFrame, groupCol: String, valCol: String,
+      ga: String, gb: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val h = data.where(v.isNotNull &&
+      (col(groupCol) === ga || col(groupCol) === gb))
+      .select(col(groupCol).as("_g"),
+        graft.core.fixedPointLong(v, 4).as("_v"))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_g") === ga, 1L).otherwise(0L)).as("_ca"),
+        count(lit(1)).as("_ct"))
+    val w = Window.orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = h.withColumn("_r2",
+      lit(2) * (sum(col("_ct")).over(w) - col("_ct")) + col("_ct") + 1)
+    val agg = r.agg(sum(col("_ca")).as("n_a"),
+      (sum(col("_ct")) - sum(col("_ca"))).as("n_b"),
+      sum(col("_ca") * col("_r2")).as("_ra2"),
+      sum(col("_ct") * col("_ct") * col("_ct") - col("_ct")).as("_tc"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val nn = na + nb
+    agg
+      .withColumn("u_stat",
+        col("_ra2").cast("double") / 2.0 - na * (na + 1) / 2.0)
+      .withColumn("z",
+        (col("u_stat") - na * nb / 2.0) /
+          sqrt(na * nb / 12.0 * ((nn + 1) -
+            col("_tc").cast("double") / (nn * (nn - 1)))))
+      .select("n_a", "n_b", "u_stat", "z")
+  }
+
   /** Mood's median test: counts above the POOLED exact median per
     * group (ties at the median count as not-above), Pearson χ² over
     * the resulting 2×k table with marginal-product expectations. One

@@ -1,0 +1,102 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Survival analysis (engine additions): the Kaplan–Meier product-limit
+  * estimator with the Nelson–Aalen cumulative hazard, and the two-group
+  * log-rank test — the right-censoring-aware form of the retention
+  * curve (`SeqOps.retention` counts returns per cohort age; KM answers
+  * "what fraction SURVIVES past t when some subjects are still alive at
+  * cutoff", which naive retention over-counts as churn).
+  *
+  * Determinism: risk sets, event and censor counts are exact integers
+  * from one duration histogram; the survival product is carried as
+  * exp(Σ ln(1 − d/n)) with the cumulative sum running over the ordered
+  * distinct-duration frame — a fixed per-row IEEE expression both
+  * engines replay (the same device for Nelson–Aalen's Σ d/n and the
+  * log-rank Σ over times, the latter an ordered fold).
+  *
+  * Scale: everything after the per-subject aggregation is
+  * distinct-duration-sized (the value-histogram contract) — the one
+  * cumulative window never touches subject-level data. */
+object Survival {
+
+  /** Kaplan–Meier over per-subject (duration, event): one row per
+    * distinct duration with the risk set, event/censor counts, the
+    * product-limit survival and Nelson–Aalen cumulative hazard.
+    * `event` true = the terminal event was observed; false = censored
+    * at that duration. Output: t, n_risk, d, c, survival, cum_hazard. */
+  def kaplanMeier(subjects: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    val e = col(eventCol).cast("boolean")
+    val h = subjects.where(col(durationCol).isNotNull && e.isNotNull)
+      .select(col(durationCol).cast("long").as("t"), e.as("_e"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("_e"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("_e"), 1L).otherwise(0L)).as("c"))
+    val w = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.agg(sum(col("d") + col("c")).as("_n"))
+    h.crossJoin(broadcast(tot))
+      // at-risk just BEFORE t: total minus everything that left earlier
+      .withColumn("n_risk",
+        col("_n") - (sum(col("d") + col("c")).over(w) -
+          (col("d") + col("c"))))
+      .withColumn("survival", exp(sum(
+        log(lit(1.0) - col("d").cast("double") /
+          col("n_risk").cast("double"))).over(w)))
+      .withColumn("cum_hazard", sum(
+        col("d").cast("double") / col("n_risk").cast("double")).over(w))
+      .select("t", "n_risk", "d", "c", "survival", "cum_hazard")
+  }
+
+  /** Two-group log-rank test: at every distinct pooled duration t,
+    * expected group-a events e_a = d·n_a/n and the hypergeometric
+    * variance v = d·(n_a/n)·(1−n_a/n)·(n−d)/(n−1); χ² =
+    * (Σd_a − Σe_a)²/Σv with the three Σ-over-times as ordered folds.
+    * One row: n_a, n_b, chi2. */
+  def logRank(subjects: DataFrame, durationCol: String, eventCol: String,
+      groupCol: String, ga: String, gb: String): DataFrame = {
+    val e = col(eventCol).cast("boolean")
+    val h = subjects.where(col(durationCol).isNotNull && e.isNotNull &&
+      (col(groupCol) === ga || col(groupCol) === gb))
+      .select(col(durationCol).cast("long").as("t"), e.as("_e"),
+        (col(groupCol) === ga).as("_a"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("_e") && col("_a"), 1L).otherwise(0L)).as("_da"),
+        sum(when(col("_e"), 1L).otherwise(0L)).as("_d"),
+        sum(when(col("_a"), 1L).otherwise(0L)).as("_la"),
+        count(lit(1)).as("_l"))
+    val w = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.agg(sum(col("_l")).as("_n"), sum(col("_la")).as("_nna"))
+    val risk = h.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("_n") - (sum(col("_l")).over(w) - col("_l")))
+      .withColumn("na_risk",
+        col("_nna") - (sum(col("_la")).over(w) - col("_la")))
+      .where(col("_d") > 0 && col("n_risk") > 1)
+    val nD = col("n_risk").cast("double")
+    val naD = col("na_risk").cast("double")
+    val dD = col("_d").cast("double")
+    val folded = risk
+      .withColumn("_ea", dD * naD / nD)
+      .withColumn("_v", dD * (naD / nD) * (lit(1.0) - naD / nD) *
+        (nD - dD) / (nD - 1))
+      .agg(sort_array(collect_list(struct(col("t"),
+        col("_da").cast("double").as("da"), col("_ea").as("ea"),
+        col("_v").as("v")))).as("_arr"))
+    def fsum(f: String, as: String) =
+      aggregate(col("_arr"), lit(0.0), (acc, x) => acc + x(f)).as(as)
+    folded.select(fsum("da", "_sda"), fsum("ea", "_sea"), fsum("v", "_sv"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_a", col("_nna"))
+      .withColumn("n_b", col("_n") - col("_nna"))
+      .withColumn("chi2",
+        (col("_sda") - col("_sea")) * (col("_sda") - col("_sea")) /
+          col("_sv"))
+      .select("n_a", "n_b", "chi2")
+  }
+}

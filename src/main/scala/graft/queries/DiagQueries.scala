@@ -111,13 +111,75 @@ object DiagQueries {
     // log-log OLS slope
     "q333_hurst" -> ((s, dir) =>
       canon(Diagnostics.hurst(ev(s, dir), "event_type", "event_id",
-        "value"))))
+        "value"))),
+    // Mann–Whitney U test face (click vs error), tie-corrected z
+    "q338_mann_whitney" -> ((s, dir) =>
+      canon(graft.model.GroupTests.mannWhitneyU(ev(s, dir), "event_type",
+        "value", "click", "error"))),
+    // odds/risk ratio: does a >160 error spike raise the chance of a
+    // >160 click spike on the same user (2×2, all cells populated at
+    // every sf — checked 0.001/0.01/0.1)
+    "q339_odds_ratio" -> ((s, dir) => {
+      val u = ev(s, dir).groupBy(col("user_id"))
+        .agg((max(when(col("event_type") === "error" &&
+          col("value") > 160.0, 1).otherwise(0)) === 1).as("e"),
+          (max(when(col("event_type") === "click" &&
+            col("value") > 160.0, 1).otherwise(0)) === 1).as("o"))
+      canon(Diagnostics.oddsRatio(u, "e", "o"))
+    }),
+    // audience-overlap matrix between event types over (user, day) ids
+    "q340_overlap_matrix" -> ((s, dir) =>
+      canon(graft.model.Assoc.overlapMatrix(
+        ev(s, dir).select(col("event_type"),
+          concat(col("user_id").cast("string"), lit(":"),
+            expr("ts div 86400000000000").cast("string")).as("uid")),
+        "event_type", "uid"))),
+    // Kaplan–Meier: time-to-first >250 spike per user, censored at the
+    // user's last active day when no spike occurs
+    "q341_kaplan_meier" -> ((s, dir) =>
+      canon(graft.model.Survival.kaplanMeier(
+        survivalSubjects(s, dir), "dur", "event"))),
+    // log-rank: do even- and odd-id users spike at the same rate
+    "q342_logrank" -> ((s, dir) =>
+      canon(graft.model.Survival.logRank(survivalSubjects(s, dir),
+        "dur", "event", "grp", "even", "odd"))))
+
+  /** Per-user time-to-event frame shared by q341/q342: duration = days
+    * from first activity to the first value>250 spike (event) or to the
+    * last active day (censored); grp = user-id parity. */
+  private def survivalSubjects(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+        col("value"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("fd"), max(col("day")).as("ld"),
+        min(when(col("value") > 250.0, col("day"))).as("hd"))
+      .select(
+        when(col("hd").isNotNull, col("hd") - col("fd"))
+          .otherwise(col("ld") - col("fd")).as("dur"),
+        col("hd").isNotNull.as("event"),
+        when(pmod(col("user_id"), lit(2)) === 0, "even")
+          .otherwise("odd").as("grp"))
 
   private val fx: String =
     """fx AS (SELECT event_type AS key, event_id, user_id, value,
       |  (CASE WHEN value >= 0 THEN floor(value*10000.0+0.5)
       |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS fp
       |  FROM events WHERE value IS NOT NULL)""".stripMargin
+
+  /** Shared per-user time-to-event CTE (q341/q342), mirroring
+    * [[survivalSubjects]]. */
+  private val survSubj: String =
+    """dd AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+      |  value FROM events),
+      |per AS (SELECT user_id, min(day) AS fd, max(day) AS ld,
+      |  min(CASE WHEN value > 250.0 THEN day END) AS hd
+      |  FROM dd GROUP BY 1),
+      |subj AS (SELECT
+      |  CASE WHEN hd IS NOT NULL THEN hd - fd ELSE ld - fd END AS dur,
+      |  hd IS NOT NULL AS event,
+      |  CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp
+      |  FROM per)""".stripMargin
 
   /** DuckDB fixed-point of a double expression at 4dp. */
   private def fpSql(e: String): String =
@@ -408,6 +470,119 @@ object DiagQueries {
          | round((SELECT list_aggregate(list(t ORDER BY g), 'sum')
          |   FROM terms), 4) AS chi2
          |FROM tt""".stripMargin.replace("\n", " "),
+    "q338_mann_whitney" ->
+      s"""WITH h AS (SELECT
+         |  (CASE WHEN value >= 0 THEN floor(value*10000.0+0.5)
+         |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS v,
+         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+         |    AS ca,
+         |  count(*)::BIGINT AS ct
+         |  FROM events WHERE value IS NOT NULL
+         |   AND event_type IN ('click', 'error') GROUP BY 1),
+         |r AS (SELECT *, 2 * (sum(ct) OVER (ORDER BY v ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct)
+         |  + ct + 1 AS r2 FROM h),
+         |a AS (SELECT sum(ca)::BIGINT AS n_a,
+         |  (sum(ct) - sum(ca))::BIGINT AS n_b,
+         |  sum(ca * r2)::BIGINT AS ra2,
+         |  sum(ct * ct * ct - ct)::BIGINT AS tc FROM r),
+         |f AS (SELECT n_a, n_b,
+         |  ra2::DOUBLE / 2.0 - n_a::DOUBLE * (n_a::DOUBLE + 1) / 2.0
+         |    AS u_stat, tc,
+         |  n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+         |  n_a::DOUBLE + n_b::DOUBLE AS nn FROM a)
+         |SELECT n_a, n_b, round(u_stat, 4) AS u_stat,
+         | round((u_stat - na * nb / 2.0)
+         |  / sqrt(na * nb / 12.0 * ((nn + 1)
+         |     - tc::DOUBLE / (nn * (nn - 1)))), 4) AS z
+         |FROM f""".stripMargin.replace("\n", " "),
+    "q339_odds_ratio" ->
+      s"""WITH u AS (SELECT user_id,
+         |  max(CASE WHEN event_type = 'error' AND value > 160.0
+         |    THEN 1 ELSE 0 END) = 1 AS e,
+         |  max(CASE WHEN event_type = 'click' AND value > 160.0
+         |    THEN 1 ELSE 0 END) = 1 AS o
+         |  FROM events GROUP BY 1),
+         |g AS (SELECT
+         |  sum(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT AS a,
+         |  sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS b,
+         |  sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT AS c,
+         |  sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS d
+         |  FROM u WHERE e IS NOT NULL AND o IS NOT NULL)
+         |SELECT a, b, c, d,
+         | round(a::DOUBLE * d::DOUBLE / (b::DOUBLE * c::DOUBLE), 4)
+         |   AS odds_ratio,
+         | round(exp(ln(a::DOUBLE * d::DOUBLE / (b::DOUBLE * c::DOUBLE))
+         |   - 1.96 * sqrt(1.0 / a::DOUBLE + 1.0 / b::DOUBLE
+         |      + 1.0 / c::DOUBLE + 1.0 / d::DOUBLE)), 4) AS or_lo,
+         | round(exp(ln(a::DOUBLE * d::DOUBLE / (b::DOUBLE * c::DOUBLE))
+         |   + 1.96 * sqrt(1.0 / a::DOUBLE + 1.0 / b::DOUBLE
+         |      + 1.0 / c::DOUBLE + 1.0 / d::DOUBLE)), 4) AS or_hi,
+         | round((a::DOUBLE / (a::DOUBLE + b::DOUBLE))
+         |   / (c::DOUBLE / (c::DOUBLE + d::DOUBLE)), 4) AS risk_ratio
+         |FROM g""".stripMargin.replace("\n", " "),
+    "q340_overlap_matrix" ->
+      s"""WITH d AS (SELECT DISTINCT event_type::VARCHAR AS k,
+         |  user_id::VARCHAR || ':' ||
+         |   (epoch_ns(ts) // 86400000000000)::VARCHAR AS id
+         |  FROM events WHERE event_type IS NOT NULL),
+         |s AS (SELECT k, count(*)::BIGINT AS n FROM d GROUP BY 1),
+         |i AS (SELECT a.k AS ka, b.k AS kb, count(*)::BIGINT AS inter
+         |  FROM d a JOIN d b ON a.id = b.id AND a.k < b.k GROUP BY 1, 2)
+         |SELECT ka, kb, inter, (sa.n + sb.n - inter)::BIGINT AS un,
+         | round(inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE, 4)
+         |   AS jaccard,
+         | round(inter::DOUBLE / least(sa.n, sb.n)::DOUBLE, 4) AS overlap
+         |FROM i JOIN s sa ON sa.k = i.ka JOIN s sb ON sb.k = i.kb"""
+        .stripMargin.replace("\n", " "),
+    "q341_kaplan_meier" ->
+      s"""WITH $survSubj,
+         |h AS (SELECT dur AS t,
+         |  sum(CASE WHEN event THEN 1 ELSE 0 END)::BIGINT AS d,
+         |  sum(CASE WHEN NOT event THEN 1 ELSE 0 END)::BIGINT AS c
+         |  FROM subj GROUP BY 1),
+         |tot AS (SELECT sum(d + c)::BIGINT AS n FROM h),
+         |f1 AS (SELECT t, d, c,
+         |  (SELECT n FROM tot) - (sum(d + c) OVER wcum - (d + c)) AS n_risk
+         |  FROM h WINDOW wcum AS (ORDER BY t ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |f2 AS (SELECT t, d, c, n_risk,
+         |  exp(sum(ln(1.0 - d::DOUBLE / n_risk::DOUBLE)) OVER wcum)
+         |    AS survival,
+         |  sum(d::DOUBLE / n_risk::DOUBLE) OVER wcum AS cum_hazard
+         |  FROM f1 WINDOW wcum AS (ORDER BY t ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT t, n_risk::BIGINT AS n_risk, d, c,
+         | round(survival, 4) AS survival, round(cum_hazard, 4) AS cum_hazard
+         |FROM f2""".stripMargin.replace("\n", " "),
+    "q342_logrank" ->
+      s"""WITH $survSubj,
+         |h AS (SELECT dur AS t,
+         |  sum(CASE WHEN event AND grp = 'even' THEN 1 ELSE 0 END)::BIGINT
+         |    AS da,
+         |  sum(CASE WHEN event THEN 1 ELSE 0 END)::BIGINT AS d,
+         |  sum(CASE WHEN grp = 'even' THEN 1 ELSE 0 END)::BIGINT AS la,
+         |  count(*)::BIGINT AS l FROM subj GROUP BY 1),
+         |tot AS (SELECT sum(l)::BIGINT AS n, sum(la)::BIGINT AS nna FROM h),
+         |risk AS (SELECT t, da, d,
+         |  (SELECT n FROM tot) - (sum(l) OVER wcum - l) AS n_risk,
+         |  (SELECT nna FROM tot) - (sum(la) OVER wcum - la) AS na_risk
+         |  FROM h WINDOW wcum AS (ORDER BY t ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |rk AS (SELECT t, da::DOUBLE AS da,
+         |  d::DOUBLE * na_risk::DOUBLE / n_risk::DOUBLE AS ea,
+         |  d::DOUBLE * (na_risk::DOUBLE / n_risk::DOUBLE)
+         |    * (1.0 - na_risk::DOUBLE / n_risk::DOUBLE)
+         |    * (n_risk::DOUBLE - d::DOUBLE) / (n_risk::DOUBLE - 1) AS v
+         |  FROM risk WHERE d > 0 AND n_risk > 1),
+         |f AS (SELECT
+         |  list_aggregate(list(da ORDER BY t), 'sum') AS sda,
+         |  list_aggregate(list(ea ORDER BY t), 'sum') AS sea,
+         |  list_aggregate(list(v ORDER BY t), 'sum') AS sv FROM rk)
+         |SELECT (SELECT nna FROM tot) AS n_a,
+         | (SELECT n FROM tot) - (SELECT nna FROM tot) AS n_b,
+         | round((sda - sea) * (sda - sea) / sv, 4) AS chi2
+         |FROM f""".stripMargin.replace("\n", " "),
     "q333_hurst" -> {
       def sizeCte(w: Int) =
         s"""rs$w AS (SELECT key, (rn - 1) // $w AS b,
