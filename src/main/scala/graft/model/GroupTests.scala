@@ -253,6 +253,32 @@ object GroupTests {
       .select("n_a", "n_b", "d_stat", "ks_z")
   }
 
+  /** Two-proportion z-test between groups `ga` and `gb` on a boolean
+    * success expression: pooled-SE z plus Cohen's h effect size
+    * (2·asin√p₁ − 2·asin√p₂). All counts exact; one row:
+    * n_a, x_a, n_b, x_b, z, cohens_h. */
+  def twoProportionZ(data: DataFrame, groupCol: String, success: Column,
+      ga: String, gb: String): DataFrame = {
+    val g = data.where(col(groupCol) === ga || col(groupCol) === gb)
+      .agg(
+        sum(when(col(groupCol) === ga, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(groupCol) === ga && success, 1L).otherwise(0L))
+          .as("x_a"),
+        sum(when(col(groupCol) === gb, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(groupCol) === gb && success, 1L).otherwise(0L))
+          .as("x_b"))
+    val na = col("n_a").cast("double"); val xa = col("x_a").cast("double")
+    val nb = col("n_b").cast("double"); val xb = col("x_b").cast("double")
+    val p1 = xa / na
+    val p2 = xb / nb
+    val pp = (xa + xb) / (na + nb)
+    g.withColumn("z", (p1 - p2) /
+        sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb)))
+      .withColumn("cohens_h",
+        lit(2.0) * asin(sqrt(p1)) - lit(2.0) * asin(sqrt(p2)))
+      .select("n_a", "x_a", "n_b", "x_b", "z", "cohens_h")
+  }
+
   /** Mann–Whitney U between groups `ga` and `gb`: ranks via the shared
     * value histogram (2·r̄ exact integers), U = R_a − n_a(n_a+1)/2,
     * normal approximation with the tie-corrected variance

@@ -142,7 +142,15 @@ object DiagQueries {
     // log-rank: do even- and odd-id users spike at the same rate
     "q342_logrank" -> ((s, dir) =>
       canon(graft.model.Survival.logRank(survivalSubjects(s, dir),
-        "dur", "event", "grp", "even", "odd"))))
+        "dur", "event", "grp", "even", "odd"))),
+    // two-proportion z + Cohen's h: >160 rate, click vs error
+    "q343_two_proportion" -> ((s, dir) =>
+      canon(graft.model.GroupTests.twoProportionZ(ev(s, dir), "event_type",
+        col("value") > 160.0, "click", "error"))),
+    // dominant seasonal period per event_type (ACF arg-max, lags 2..10)
+    "q344_dominant_period" -> ((s, dir) =>
+      canon(graft.seq.SeqOps.dominantPeriod(ev(s, dir), Seq("event_type"),
+        "event_id", "value", maxLag = 10))))
 
   /** Per-user time-to-event frame shared by q341/q342: duration = days
     * from first activity to the first value>250 spike (event) or to the
@@ -470,6 +478,44 @@ object DiagQueries {
          | round((SELECT list_aggregate(list(t ORDER BY g), 'sum')
          |   FROM terms), 4) AS chi2
          |FROM tt""".stripMargin.replace("\n", " "),
+    "q343_two_proportion" ->
+      s"""WITH g AS (SELECT
+         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_a,
+         |  sum(CASE WHEN event_type = 'click' AND value > 160.0
+         |    THEN 1 ELSE 0 END)::BIGINT AS x_a,
+         |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_b,
+         |  sum(CASE WHEN event_type = 'error' AND value > 160.0
+         |    THEN 1 ELSE 0 END)::BIGINT AS x_b
+         |  FROM events WHERE event_type IN ('click', 'error')),
+         |f AS (SELECT n_a, x_a, n_b, x_b,
+         |  x_a::DOUBLE / n_a::DOUBLE AS p1,
+         |  x_b::DOUBLE / n_b::DOUBLE AS p2,
+         |  (x_a::DOUBLE + x_b::DOUBLE) / (n_a::DOUBLE + n_b::DOUBLE) AS pp
+         |  FROM g)
+         |SELECT n_a, x_a, n_b, x_b,
+         | round((p1 - p2) / sqrt(pp * (1.0 - pp)
+         |   * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)), 4) AS z,
+         | round(2.0 * asin(sqrt(p1)) - 2.0 * asin(sqrt(p2)), 4)
+         |   AS cohens_h
+         |FROM f""".stripMargin.replace("\n", " "),
+    "q344_dominant_period" -> {
+      val lags = (2 to 10)
+      val lcols = lags.map(l => s"lag(value, $l) OVER w AS l$l").mkString(", ")
+      val unions = lags.map(l =>
+        s"SELECT event_type, $l AS lag, round(corr(value, l$l), 4) AS acf " +
+          "FROM l GROUP BY 1").mkString(" UNION ALL ")
+      s"""WITH l AS (SELECT event_type, value, $lcols
+         | FROM events WINDOW w AS (PARTITION BY event_type
+         |   ORDER BY event_id)),
+         |a AS ($unions)
+         |SELECT event_type, lag AS period, acf FROM a
+         |WHERE acf IS NOT NULL
+         |QUALIFY row_number() OVER (PARTITION BY event_type
+         |  ORDER BY acf DESC, lag ASC) = 1"""
+        .stripMargin.replace("\n", " ")
+    },
     "q338_mann_whitney" ->
       s"""WITH h AS (SELECT
          |  (CASE WHEN value >= 0 THEN floor(value*10000.0+0.5)

@@ -438,6 +438,28 @@ object SeqOps {
       .select(keyCols.map(col) :+ (col("_pos") + 1).as("lag") :+
         col("pacf"): _*)
 
+  /** Dominant seasonal period per key: the lag in 2..maxLag with the
+    * largest autocorrelation (lag 1 excluded — it is trivially high for
+    * any smooth series). ACF values are frozen at 4dp BEFORE the
+    * arg-max (the q21 evidence is that both engines' corr agree at
+    * 4dp; the arg-max then compares identical frozen doubles, ties
+    * break toward the smaller lag). One row per key:
+    * keyCols..., period, acf — the "which cycle should Holt–Winters
+    * assume" selector next to [[pacf]]'s AR-order cut. */
+  def dominantPeriod(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      valCol: String, maxLag: Int = 10): DataFrame = {
+    require(maxLag >= 3, s"maxLag >= 3: $maxLag")
+    val acf = autocorrelation(data, keyCols, seqCol, valCol,
+      (2 to maxLag).toSeq)
+    val frozen = acf
+      .withColumn("acf", graft.core.roundLikeDuck(col("ac"), 4))
+      .where(col("acf").isNotNull)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("acf").desc, col("lag").asc)
+    frozen.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(keyCols.map(col) :+ col("lag").as("period") :+ col("acf"): _*)
+  }
+
   /** AR(p) one-step forecast scorer: Yule–Walker-style coefficients
     * from [[levinsonModel]]'s recursion (fit on the 6dp-frozen sample
     * ACF), prediction x̂_t = μ + Σ aⱼ·(x_{t−j} − μ), score =
