@@ -332,6 +332,77 @@ object Diagnostics {
       .select("key", "n", "q_min", "q_max")
   }
 
+  /** Cronbach's α over a (subject, item, value) frame — one observation
+    * per pair, complete subjects only: α = k/(k−1)·(1 − Σσ²ᵢ/σ²_T)
+    * with per-item variances and the per-subject-total variance all
+    * from exact fixed-point sums (subject totals are exact long sums,
+    * so σ²_T needs no double accumulation). One row:
+    * n_subjects, k, alpha — "do these k signals measure one thing"
+    * (the internal-consistency check before averaging quality scores
+    * into a single verdict). */
+  def cronbachAlpha(data: DataFrame, subjectCol: String, itemCol: String,
+      valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = data.where(v.isNotNull)
+      .select(col(subjectCol).as("_s"), col(itemCol).as("_i"),
+        fp(v).as("_v"))
+    val k = base.select(col("_i")).distinct().count()
+    val full = base
+      .withColumn("_kb", count(lit(1))
+        .over(Window.partitionBy(col("_s"))))
+      .where(col("_kb") === k)
+    // Σ per-item variances: ordered fold over items
+    val items = full.groupBy(col("_i"))
+      .agg(count(lit(1)).as("_n"), sum(dec(col("_v"))).as("_sv"),
+        sum(dec(dec(col("_v")) * dec(col("_v")))).as("_qv"))
+    val vi = (col("_qv").cast("double") -
+      col("_sv").cast("double") * col("_sv").cast("double") /
+        col("_n").cast("double")) /
+      (col("_n").cast("double") - 1) / 1e8
+    val sumVi = GroupTests.foldOrdered(items, "_i", vi, "_svi")
+    // per-subject totals (exact longs) → total variance
+    val totals = full.groupBy(col("_s")).agg(sum(col("_v")).as("_v"))
+    val vt = totals
+      .agg(count(lit(1)).as("n_subjects"),
+        sum(dec(col("_v"))).as("_st"),
+        sum(dec(dec(col("_v")) * dec(col("_v")))).as("_qt"))
+      .select(col("n_subjects"),
+        ((col("_qt").cast("double") -
+          col("_st").cast("double") * col("_st").cast("double") /
+            col("n_subjects").cast("double")) /
+          (col("n_subjects").cast("double") - 1) / 1e8).as("_vt"))
+    vt.crossJoin(sumVi)
+      .withColumn("k", lit(k))
+      .withColumn("alpha",
+        lit(k.toDouble) / (k - 1) * (lit(1.0) - col("_svi") / col("_vt")))
+      .select("n_subjects", "k", "alpha")
+  }
+
+  /** ICC(1,1) — one-way intraclass correlation over the same
+    * (subject, item, value) frame: (MSB − MSW)/(MSB + (k−1)·MSW) from
+    * the exact-sum one-way ANOVA with subjects as groups. One row:
+    * n_subjects, k, icc — "how much of the variance is BETWEEN
+    * subjects" (rater-agreement face of the same question α asks). */
+  def icc(data: DataFrame, subjectCol: String, itemCol: String,
+      valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = data.where(v.isNotNull)
+      .select(col(subjectCol).as("_s"), col(itemCol).as("_i"),
+        fp(v).as("_v"))
+    val k = base.select(col("_i")).distinct().count()
+    val full = base
+      .withColumn("_kb", count(lit(1))
+        .over(Window.partitionBy(col("_s"))))
+      .where(col("_kb") === k)
+    val a = GroupTests.anovaOnLongs(
+      full.select(col("_s"), col("_v").as("_fp")), "_s", 1e4)
+    val nS = col("k").cast("double") // anovaOnLongs' k = #groups = subjects
+    val msb = col("ss_between") / (nS - 1)
+    val msw = col("ss_within") / (col("n").cast("double") - nS)
+    a.select(col("k").as("n_subjects"), lit(k).as("k"),
+      ((msb - msw) / (msb + (lit(k.toDouble) - 1) * msw)).as("icc"))
+  }
+
   /** 2×2 association summary over paired booleans (exposure, outcome):
     * exact cell counts a=(e∧o), b=(e∧¬o), c=(¬e∧o), d=(¬e∧¬o), the
     * odds ratio ad/bc with its 95% log-normal CI, and the risk ratio

@@ -150,7 +150,23 @@ object DiagQueries {
     // dominant seasonal period per event_type (ACF arg-max, lags 2..10)
     "q344_dominant_period" -> ((s, dir) =>
       canon(graft.seq.SeqOps.dominantPeriod(ev(s, dir), Seq("event_type"),
-        "event_id", "value", maxLag = 10))))
+        "event_id", "value", maxLag = 10))),
+    // Cronbach's α: are the 5 per-type user means one consistent signal
+    "q345_cronbach" -> ((s, dir) =>
+      canon(Diagnostics.cronbachAlpha(userTypeCells(s, dir), "user_id",
+        "event_type", "mv"))),
+    // ICC(1,1) over the same subject × item frame
+    "q346_icc" -> ((s, dir) =>
+      canon(Diagnostics.icc(userTypeCells(s, dir), "user_id",
+        "event_type", "mv"))))
+
+  /** user × event_type mean-value cells (exact-sum ratios) — the
+    * subject × item frame shared by q321/q345/q346. */
+  private def userTypeCells(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).where(col("value").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg((sum(fpv).cast("decimal(38,0)").cast("double") /
+        count(lit(1)).cast("double") / 1e4).as("mv"))
 
   /** Per-user time-to-event frame shared by q341/q342: duration = days
     * from first activity to the first value>250 spike (event) or to the
@@ -674,6 +690,61 @@ object DiagQueries {
          | round((n_sizes::DOUBLE * sxy - sx * sy)
          |   / (n_sizes::DOUBLE * sxx - sx * sx), 4) AS hurst
          |FROM f""".stripMargin.replace("\n", " ")
+    },
+    "q345_cronbach" -> {
+      val mv = "s::DOUBLE / c::DOUBLE / 1e4"
+      s"""WITH $fx,
+         |cell AS (SELECT user_id AS b, key AS t,
+         |  sum(fp::HUGEINT) AS s, count(*)::BIGINT AS c
+         |  FROM fx GROUP BY 1, 2),
+         |c2 AS (SELECT b, t, ${fpSql(mv)} AS v FROM cell),
+         |kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM c2),
+         |full0 AS (SELECT c2.* FROM c2, kk
+         |  QUALIFY count(*) OVER (PARTITION BY b) = kk.k),
+         |items AS (SELECT t, count(*)::BIGINT AS n,
+         |  sum(v::HUGEINT) AS sv, sum(v::HUGEINT * v::HUGEINT) AS qv
+         |  FROM full0 GROUP BY 1),
+         |svi AS (SELECT list_aggregate(list(
+         |  (qv::DOUBLE - sv::DOUBLE * sv::DOUBLE / n::DOUBLE)
+         |   / (n::DOUBLE - 1) / 1e8 ORDER BY t), 'sum') AS svi
+         |  FROM items),
+         |tt AS (SELECT b, sum(v)::BIGINT AS tv FROM full0 GROUP BY 1),
+         |vt AS (SELECT count(*)::BIGINT AS n_subjects,
+         |  sum(tv::HUGEINT) AS st, sum(tv::HUGEINT * tv::HUGEINT) AS qt
+         |  FROM tt)
+         |SELECT n_subjects, kk.k AS k,
+         | round(kk.k::DOUBLE / (kk.k - 1) * (1.0 - svi /
+         |   ((qt::DOUBLE - st::DOUBLE * st::DOUBLE / n_subjects::DOUBLE)
+         |    / (n_subjects::DOUBLE - 1) / 1e8)), 4) AS alpha
+         |FROM vt, svi, kk""".stripMargin.replace("\n", " ")
+    },
+    "q346_icc" -> {
+      val mv = "s::DOUBLE / c::DOUBLE / 1e4"
+      s"""WITH $fx,
+         |cell AS (SELECT user_id AS b, key AS t,
+         |  sum(fp::HUGEINT) AS s, count(*)::BIGINT AS c
+         |  FROM fx GROUP BY 1, 2),
+         |c2 AS (SELECT b, t, ${fpSql(mv)} AS v FROM cell),
+         |kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM c2),
+         |full0 AS (SELECT c2.* FROM c2, kk
+         |  QUALIFY count(*) OVER (PARTITION BY b) = kk.k),
+         |gg AS (SELECT b AS g, count(*)::HUGEINT AS ng,
+         |  sum(v::HUGEINT) AS sg, sum(v::HUGEINT * v::HUGEINT) AS qg
+         |  FROM full0 GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS ns, sum(ng) AS n,
+         |  sum(sg) AS s, sum(qg) AS q FROM gg),
+         |tf AS (SELECT list_aggregate(
+         |  list(sg::DOUBLE * sg::DOUBLE / ng::DOUBLE ORDER BY g), 'sum')
+         |  AS t FROM gg),
+         |fin AS (SELECT ns, n::BIGINT AS n,
+         |  (t - s::DOUBLE * s::DOUBLE / n::DOUBLE) / (1e4*1e4) AS ssb,
+         |  (q::DOUBLE - t) / (1e4*1e4) AS ssw FROM tot, tf)
+         |SELECT ns AS n_subjects, kk.k AS k,
+         | round(((ssb / (ns::DOUBLE - 1)) - (ssw / (n::DOUBLE - ns::DOUBLE)))
+         |  / ((ssb / (ns::DOUBLE - 1))
+         |     + (kk.k::DOUBLE - 1) * (ssw / (n::DOUBLE - ns::DOUBLE))), 4)
+         |   AS icc
+         |FROM fin, kk""".stripMargin.replace("\n", " ")
     },
     "q321_friedman" -> {
       val mv = "s::DOUBLE / c::DOUBLE / 1e4"
