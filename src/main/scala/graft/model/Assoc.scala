@@ -1,7 +1,7 @@
 package graft.model
 
 import graft.core.fixedPointLong
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Categorical association statistics (engine additions): χ² independence
@@ -332,6 +332,44 @@ object Assoc {
           sqrt((lit(1.0) - col("r_xz") * col("r_xz")) *
             (lit(1.0) - col("r_yz") * col("r_yz"))))
       .select("n", "r_xy", "r_xz", "r_yz", "partial")
+  }
+
+  /** Per-key simple OLS regression y ~ x in closed form: slope,
+    * intercept, r² and the slope t-statistic, every moment an exact 4dp
+    * fixed-point sum (decimal-cast products) so the finish is a fixed
+    * double expression. One row per key:
+    * key, n, slope, intercept, r2, t_stat — the "is this key trending,
+    * and how fast" readout next to Theil–Sen's robust slope. */
+  def olsFit(df: DataFrame, keyCol: String, xCol: String, yCol: String)
+      : DataFrame = {
+    def dc(c: Column) = c.cast("decimal(38,0)")
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        fixedPointLong(col(xCol).cast("double"), 4).as("_x"),
+        fixedPointLong(col(yCol).cast("double"), 4).as("_y"))
+    val g = base.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(dc(col("_x")) * dc(col("_y"))).as("_sxy"),
+        sum(dc(col("_x")) * dc(col("_x"))).as("_sxx"),
+        sum(dc(col("_y")) * dc(col("_y"))).as("_syy"))
+    val nD = col("n").cast("double")
+    // centered sums in value units (fp scale cancels in slope/r²/t)
+    val sxyC = (col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double") / nD) / 1e8
+    val sxxC = (col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double") / nD) / 1e8
+    val syyC = (col("_syy").cast("double") -
+      col("_sy").cast("double") * col("_sy").cast("double") / nD) / 1e8
+    g.where(col("n") >= 3)
+      .withColumn("slope", sxyC / sxxC)
+      .withColumn("intercept",
+        (col("_sy").cast("double") / 1e4 -
+          col("slope") * (col("_sx").cast("double") / 1e4)) / nD)
+      .withColumn("r2", sxyC * sxyC / (sxxC * syyC))
+      .withColumn("t_stat", col("slope") /
+        sqrt((syyC - col("slope") * sxyC) / (nD - 2) / sxxC))
+      .select("key", "n", "slope", "intercept", "r2", "t_stat")
   }
 
   /** Pairwise set-overlap matrix between keys' id sets: for every

@@ -332,6 +332,42 @@ object Diagnostics {
       .select("key", "n", "q_min", "q_max")
   }
 
+  /** Normal Q-Q frame per key: exact type-1 sample quantiles at the
+    * given probabilities (value-histogram device — min value whose
+    * cumulative count reaches ⌈p·n⌉) against the theoretical normal
+    * quantile via the Acklam probit (PostOps.probit — the identical
+    * fixed arithmetic both engines replay). One row per (key, p):
+    * key, p, sample_q, theo_z — straight line ⇔ normal; the picture
+    * behind Jarque–Bera's single number. */
+  def qqNormal(data: DataFrame, keyCol: String, valCol: String,
+      probs: Seq[Double] = (1 to 9).map(_ / 10.0)): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      s"probs in (0,1): $probs")
+    val spark = data.sparkSession
+    val v = col(valCol).cast("double")
+    val h = data.where(v.isNotNull)
+      .select(col(keyCol).as("key"), fp(v).as("_v"))
+      .groupBy(col("key"), col("_v"))
+      .agg(count(lit(1)).as("_ct"))
+    val w = Window.partitionBy(col("key")).orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kw = Window.partitionBy(col("key"))
+    val cum = h
+      .withColumn("_cum", sum(col("_ct")).over(w))
+      .withColumn("_n", sum(col("_ct")).over(
+        kw.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    import spark.implicits._
+    val ps = probs.toDF("p")
+    cum.crossJoin(broadcast(ps))
+      .groupBy(col("key"), col("p"))
+      .agg((min(when(col("_cum") >=
+        ceil(col("p") * col("_n")).cast("long"), col("_v")))
+        .cast("double") / 1e4).as("sample_q"))
+      .withColumn("theo_z", graft.post.PostOps.probit(col("p")))
+      .select("key", "p", "sample_q", "theo_z")
+  }
+
   /** Cronbach's α over a (subject, item, value) frame — one observation
     * per pair, complete subjects only: α = k/(k−1)·(1 − Σσ²ᵢ/σ²_T)
     * with per-item variances and the per-subject-total variance all

@@ -158,7 +158,15 @@ object DiagQueries {
     // ICC(1,1) over the same subject × item frame
     "q346_icc" -> ((s, dir) =>
       canon(Diagnostics.icc(userTypeCells(s, dir), "user_id",
-        "event_type", "mv"))))
+        "event_type", "mv"))),
+    // per-type OLS trend: value ~ day (closed form, exact moments)
+    "q347_ols" -> ((s, dir) =>
+      canon(graft.model.Assoc.olsFit(
+        ev(s, dir).withColumn("day", expr("ts div 86400000000000")),
+        "event_type", "day", "value"))),
+    // normal Q-Q deciles per event_type (exact order stats × Acklam z)
+    "q348_qq" -> ((s, dir) =>
+      canon(Diagnostics.qqNormal(ev(s, dir), "event_type", "value"))))
 
   /** user × event_type mean-value cells (exact-sum ratios) — the
     * subject × item frame shared by q321/q345/q346. */
@@ -691,6 +699,54 @@ object DiagQueries {
          |   / (n_sizes::DOUBLE * sxx - sx * sx), 4) AS hurst
          |FROM f""".stripMargin.replace("\n", " ")
     },
+    "q347_ols" -> {
+      def f(c: String) =
+        s"(CASE WHEN $c >= 0 THEN floor($c*10000.0+0.5) " +
+          s"ELSE -floor(-$c*10000.0+0.5) END)::BIGINT"
+      val slope = "(sxyc / sxxc)"
+      s"""WITH b AS (SELECT event_type AS key,
+         |  ${f("(epoch_ns(ts) // 86400000000000)")} AS x,
+         |  ${f("value")} AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |g AS (SELECT key, count(*)::BIGINT AS n,
+         |  sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+         |  sum(x::HUGEINT * y::HUGEINT) AS sxy,
+         |  sum(x::HUGEINT * x::HUGEINT) AS sxx,
+         |  sum(y::HUGEINT * y::HUGEINT) AS syy
+         |  FROM b GROUP BY 1 HAVING count(*) >= 3),
+         |c AS (SELECT key, n,
+         |  (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE) / 1e8
+         |    AS sxyc,
+         |  (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / 1e8
+         |    AS sxxc,
+         |  (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE) / 1e8
+         |    AS syyc,
+         |  sx::DOUBLE AS sxd, sy::DOUBLE AS syd FROM g)
+         |SELECT key, n, round($slope, 4) AS slope,
+         | round((syd / 1e4 - $slope * (sxd / 1e4)) / n::DOUBLE, 4)
+         |   AS intercept,
+         | round(sxyc * sxyc / (sxxc * syyc), 4) AS r2,
+         | round($slope / sqrt((syyc - $slope * sxyc)
+         |   / (n::DOUBLE - 2) / sxxc), 4) AS t_stat
+         |FROM c""".stripMargin.replace("\n", " ")
+    },
+    "q348_qq" ->
+      s"""WITH $fx,
+         |h AS (SELECT key, fp AS v, count(*)::BIGINT AS ct
+         |  FROM fx GROUP BY 1, 2),
+         |cum AS (SELECT key, v,
+         |  sum(ct) OVER (PARTITION BY key ORDER BY v ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  sum(ct) OVER (PARTITION BY key) AS n FROM h),
+         |ps AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+         |  0.9]::DOUBLE[]) AS p),
+         |q AS (SELECT key, p,
+         |  min(CASE WHEN cum >= CAST(ceil(p * n) AS BIGINT) THEN v END)
+         |    ::DOUBLE / 1e4 AS sample_q
+         |  FROM cum, ps GROUP BY 1, 2)
+         |SELECT key, p, round(sample_q, 4) AS sample_q,
+         | round(${StatQueries.probitSql("p")}, 4) AS theo_z
+         |FROM q""".stripMargin.replace("\n", " "),
     "q345_cronbach" -> {
       val mv = "s::DOUBLE / c::DOUBLE / 1e4"
       s"""WITH $fx,
