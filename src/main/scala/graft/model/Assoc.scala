@@ -372,6 +372,66 @@ object Assoc {
       .select("key", "n", "slope", "intercept", "r2", "t_stat")
   }
 
+  /** OLS influence diagnostics: the top-k most influential points per
+    * key by Cook's distance — leverage h = 1/n + (x−x̄)²/Sxx,
+    * standardized residual r = e/(s·√(1−h)), D = r²·h/(2(1−h)) — all
+    * fixed double expressions over the same exact moment sums
+    * [[olsFit]] uses, so the ranking is engine-identical (ties break by
+    * id). Output: key, id, x, y, resid, leverage, cooks_d —
+    * "WHICH points drive this trend fit", the per-point face of
+    * olsFit's summary. */
+  def olsInfluence(df: DataFrame, keyCol: String, idCol: String,
+      xCol: String, yCol: String, topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK >= 1: $topK")
+    def dc(c: Column) = c.cast("decimal(38,0)")
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).as("key"), col(idCol).cast("long").as("id"),
+        fixedPointLong(col(xCol).cast("double"), 4).as("_x"),
+        fixedPointLong(col(yCol).cast("double"), 4).as("_y"))
+    val g = base.groupBy(col("key"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(dc(col("_x")) * dc(col("_y"))).as("_sxy"),
+        sum(dc(col("_x")) * dc(col("_x"))).as("_sxx"),
+        sum(dc(col("_y")) * dc(col("_y"))).as("_syy"))
+      .where(col("_n") >= 4)
+    val nD = col("_n").cast("double")
+    val sxyC = (col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double") / nD) / 1e8
+    val sxxC = (col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double") / nD) / 1e8
+    val syyC = (col("_syy").cast("double") -
+      col("_sy").cast("double") * col("_sy").cast("double") / nD) / 1e8
+    val fit = g
+      .withColumn("_b", sxyC / sxxC)
+      .withColumn("_a",
+        (col("_sy").cast("double") / 1e4 -
+          col("_b") * (col("_sx").cast("double") / 1e4)) / nD)
+      .withColumn("_s2", (syyC - col("_b") * sxyC) / (nD - 2))
+      .withColumn("_xbar", col("_sx").cast("double") / nD / 1e4)
+      .withColumn("_sxxc", sxxC)
+      .select("key", "_n", "_b", "_a", "_s2", "_xbar", "_sxxc")
+    val rows = base.join(broadcast(fit), "key")
+      .withColumn("x", col("_x").cast("double") / 1e4)
+      .withColumn("y", col("_y").cast("double") / 1e4)
+      .withColumn("resid",
+        col("y") - (col("_a") + col("_b") * col("x")))
+      .withColumn("leverage",
+        lit(1.0) / col("_n").cast("double") +
+          (col("x") - col("_xbar")) * (col("x") - col("_xbar")) /
+            col("_sxxc"))
+      .withColumn("_r2", col("resid") * col("resid") /
+        (col("_s2") * (lit(1.0) - col("leverage"))))
+      .withColumn("cooks_d",
+        col("_r2") * col("leverage") /
+          (lit(2.0) * (lit(1.0) - col("leverage"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"))
+      .orderBy(col("cooks_d").desc, col("id").asc)
+    rows.withColumn("_rn", row_number().over(w)).where(col("_rn") <= topK)
+      .select("key", "id", "x", "y", "resid", "leverage", "cooks_d")
+  }
+
   /** Pairwise set-overlap matrix between keys' id sets: for every
     * ordered key pair (ka < kb), |A∩B|, |A∪B|, Jaccard and the overlap
     * coefficient |A∩B|/min(|A|,|B|) — the "audience overlap" roll-up

@@ -332,6 +332,66 @@ object Diagnostics {
       .select("key", "n", "q_min", "q_max")
   }
 
+  /** Turning-point randomness test per key: T = #(local maxima or
+    * minima) among interior points in ordCol order (strict peaks/pits;
+    * flats count as neither — ties are exact fixed-point comparisons),
+    * z = (T − 2(n−2)/3) / √((16n−29)/90). One row per key:
+    * key, n, turns, z — too FEW turning points ⇒ trend, too MANY ⇒
+    * negative autocorrelation; the cheapest whiteness screen next to
+    * Ljung–Box. */
+  def turningPoints(data: DataFrame, keyCol: String, ordCol: String,
+      valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val w = Window.partitionBy(col("key")).orderBy(col("_o").asc)
+    val base = data.where(v.isNotNull)
+      .select(col(keyCol).as("key"), col(ordCol).cast("long").as("_o"),
+        fp(v).as("_v"))
+      .withColumn("_p", lag(col("_v"), 1).over(w))
+      .withColumn("_x", lead(col("_v"), 1).over(w))
+    val t = base.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_p").isNotNull && col("_x").isNotNull &&
+          ((col("_v") > col("_p") && col("_v") > col("_x")) ||
+            (col("_v") < col("_p") && col("_v") < col("_x"))), 1L)
+          .otherwise(0L)).as("turns"))
+    val nD = col("n").cast("double")
+    t.where(col("n") >= 4)
+      .withColumn("z",
+        (col("turns").cast("double") - lit(2.0) * (nD - 2) / 3.0) /
+          sqrt((lit(16.0) * nD - 29) / 90.0))
+      .select("key", "n", "turns", "z")
+  }
+
+  /** Von Neumann ratio per key: η = Σ(xₜ₊₁−xₜ)² / Σ(x−x̄)² from exact
+    * fixed-point sums (the successive-difference numerator is an exact
+    * long sum of squared integer diffs via decimal), with the normal
+    * approximation z = (η − 2)/√(4·(n−2)/(n²−1)). One row:
+    * key, n, vn_ratio, z — η ≪ 2 ⇒ positive autocorrelation (sticky
+    * series), η ≫ 2 ⇒ alternation. */
+  def vonNeumann(data: DataFrame, keyCol: String, ordCol: String,
+      valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val w = Window.partitionBy(col("key")).orderBy(col("_o").asc)
+    val base = data.where(v.isNotNull)
+      .select(col(keyCol).as("key"), col(ordCol).cast("long").as("_o"),
+        fp(v).as("_v"))
+      .withColumn("_d", col("_v") - lag(col("_v"), 1).over(w))
+    val g = base.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("_v"))).as("_s"),
+        sum(dec(dec(col("_v")) * dec(col("_v")))).as("_q"),
+        sum(dec(dec(col("_d")) * dec(col("_d")))).as("_sd2"))
+    val nD = col("n").cast("double")
+    val ssd = col("_sd2").cast("double") / (nD - 1)
+    val varr = (col("_q").cast("double") -
+      col("_s").cast("double") * col("_s").cast("double") / nD) / nD
+    g.where(col("n") >= 3)
+      .withColumn("vn_ratio", ssd / varr)
+      .withColumn("z", (col("vn_ratio") - 2.0) /
+        sqrt(lit(4.0) * (nD - 2) / (nD * nD - 1)))
+      .select("key", "n", "vn_ratio", "z")
+  }
+
   /** Normal Q-Q frame per key: exact type-1 sample quantiles at the
     * given probabilities (value-histogram device — min value whose
     * cumulative count reaches ⌈p·n⌉) against the theoretical normal

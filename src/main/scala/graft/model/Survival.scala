@@ -52,6 +52,36 @@ object Survival {
       .select("t", "n_risk", "d", "c", "survival", "cum_hazard")
   }
 
+  /** Stratified Kaplan–Meier: one survival curve per group — the
+    * same exact-count/cumulative-log device as [[kaplanMeier]] with
+    * every frame partitioned by the group. Output one row per
+    * (grp, distinct duration): grp, t, n_risk, d, c, survival,
+    * cum_hazard — the curves the log-rank statistic summarizes. */
+  def kaplanMeierBy(subjects: DataFrame, durationCol: String,
+      eventCol: String, groupCol: String): DataFrame = {
+    val e = col(eventCol).cast("boolean")
+    val h = subjects.where(col(durationCol).isNotNull && e.isNotNull &&
+      col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        col(durationCol).cast("long").as("t"), e.as("_e"))
+      .groupBy(col("grp"), col("t"))
+      .agg(sum(when(col("_e"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("_e"), 1L).otherwise(0L)).as("c"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.groupBy(col("grp")).agg(sum(col("d") + col("c")).as("_n"))
+    h.join(broadcast(tot), "grp")
+      .withColumn("n_risk",
+        col("_n") - (sum(col("d") + col("c")).over(w) -
+          (col("d") + col("c"))))
+      .withColumn("survival", exp(sum(
+        log(lit(1.0) - col("d").cast("double") /
+          col("n_risk").cast("double"))).over(w)))
+      .withColumn("cum_hazard", sum(
+        col("d").cast("double") / col("n_risk").cast("double")).over(w))
+      .select("grp", "t", "n_risk", "d", "c", "survival", "cum_hazard")
+  }
+
   /** Two-group log-rank test: at every distinct pooled duration t,
     * expected group-a events e_a = d·n_a/n and the hypergeometric
     * variance v = d·(n_a/n)·(1−n_a/n)·(n−d)/(n−1); χ² =

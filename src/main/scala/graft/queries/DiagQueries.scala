@@ -166,7 +166,24 @@ object DiagQueries {
         "event_type", "day", "value"))),
     // normal Q-Q deciles per event_type (exact order stats × Acklam z)
     "q348_qq" -> ((s, dir) =>
-      canon(Diagnostics.qqNormal(ev(s, dir), "event_type", "value"))))
+      canon(Diagnostics.qqNormal(ev(s, dir), "event_type", "value"))),
+    // turning-point randomness screen per event_type
+    "q349_turning_points" -> ((s, dir) =>
+      canon(Diagnostics.turningPoints(ev(s, dir), "event_type",
+        "event_id", "value"))),
+    // von Neumann successive-difference ratio per event_type
+    "q350_von_neumann" -> ((s, dir) =>
+      canon(Diagnostics.vonNeumann(ev(s, dir), "event_type", "event_id",
+        "value"))),
+    // Cook's-distance top-5 influential points of the value~day fit
+    "q351_ols_influence" -> ((s, dir) =>
+      canon(graft.model.Assoc.olsInfluence(
+        ev(s, dir).withColumn("day", expr("ts div 86400000000000")),
+        "event_type", "event_id", "day", "value", topK = 5))),
+    // stratified KM curves: even- vs odd-id users' time-to-spike
+    "q352_km_by_group" -> ((s, dir) =>
+      canon(graft.model.Survival.kaplanMeierBy(survivalSubjects(s, dir),
+        "dur", "event", "grp"))))
 
   /** user × event_type mean-value cells (exact-sum ratios) — the
     * subject × item frame shared by q321/q345/q346. */
@@ -699,6 +716,100 @@ object DiagQueries {
          |   / (n_sizes::DOUBLE * sxx - sx * sx), 4) AS hurst
          |FROM f""".stripMargin.replace("\n", " ")
     },
+    "q349_turning_points" ->
+      s"""WITH $fx,
+         |b AS (SELECT key, fp AS v,
+         |  lag(fp) OVER w AS p, lead(fp) OVER w AS x FROM fx
+         |  WINDOW w AS (PARTITION BY key ORDER BY event_id ASC)),
+         |t AS (SELECT key, count(*)::BIGINT AS n,
+         |  sum(CASE WHEN p IS NOT NULL AND x IS NOT NULL
+         |   AND ((v > p AND v > x) OR (v < p AND v < x))
+         |   THEN 1 ELSE 0 END)::BIGINT AS turns FROM b GROUP BY 1)
+         |SELECT key, n, turns,
+         | round((turns::DOUBLE - 2.0 * (n::DOUBLE - 2) / 3.0)
+         |  / sqrt((16.0 * n::DOUBLE - 29) / 90.0), 4) AS z
+         |FROM t WHERE n >= 4""".stripMargin.replace("\n", " "),
+    "q350_von_neumann" ->
+      s"""WITH $fx,
+         |b AS (SELECT key, fp AS v, fp - lag(fp) OVER
+         |  (PARTITION BY key ORDER BY event_id ASC) AS d FROM fx),
+         |g AS (SELECT key, count(*)::BIGINT AS n,
+         |  sum(v::HUGEINT) AS s, sum(v::HUGEINT * v::HUGEINT) AS q,
+         |  sum(d::HUGEINT * d::HUGEINT) AS sd2 FROM b GROUP BY 1),
+         |f AS (SELECT key, n,
+         |  (sd2::DOUBLE / (n::DOUBLE - 1))
+         |   / ((q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+         |      / n::DOUBLE) AS vn FROM g WHERE n >= 3)
+         |SELECT key, n, round(vn, 4) AS vn_ratio,
+         | round((vn - 2.0) / sqrt(4.0 * (n::DOUBLE - 2)
+         |  / (n::DOUBLE * n::DOUBLE - 1)), 4) AS z
+         |FROM f""".stripMargin.replace("\n", " "),
+    "q351_ols_influence" -> {
+      def f(c: String) =
+        s"(CASE WHEN $c >= 0 THEN floor($c*10000.0+0.5) " +
+          s"ELSE -floor(-$c*10000.0+0.5) END)::BIGINT"
+      s"""WITH pt AS (SELECT event_type AS key, event_id AS id,
+         |  ${f("(epoch_ns(ts) // 86400000000000)")} AS xf,
+         |  ${f("value")} AS yf
+         |  FROM events WHERE value IS NOT NULL),
+         |g AS (SELECT key, count(*)::BIGINT AS n,
+         |  sum(xf)::HUGEINT AS sx, sum(yf)::HUGEINT AS sy,
+         |  sum(xf::HUGEINT * yf::HUGEINT) AS sxy,
+         |  sum(xf::HUGEINT * xf::HUGEINT) AS sxx,
+         |  sum(yf::HUGEINT * yf::HUGEINT) AS syy
+         |  FROM pt GROUP BY 1 HAVING count(*) >= 4),
+         |c AS (SELECT key, n,
+         |  (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE) / 1e8
+         |    AS sxyc,
+         |  (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / 1e8
+         |    AS sxxc,
+         |  (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE) / 1e8
+         |    AS syyc,
+         |  sx::DOUBLE AS sxd, sy::DOUBLE AS syd FROM g),
+         |fit AS (SELECT key, n, sxyc / sxxc AS b,
+         |  (syd / 1e4 - sxyc / sxxc * (sxd / 1e4)) / n::DOUBLE AS a,
+         |  (syyc - sxyc / sxxc * sxyc) / (n::DOUBLE - 2) AS s2,
+         |  sxd / n::DOUBLE / 1e4 AS xbar, sxxc FROM c),
+         |rr AS (SELECT pt.key, pt.id,
+         |  pt.xf::DOUBLE / 1e4 AS x, pt.yf::DOUBLE / 1e4 AS y,
+         |  pt.yf::DOUBLE / 1e4 - (fit.a + fit.b * (pt.xf::DOUBLE / 1e4))
+         |    AS resid,
+         |  1.0 / fit.n::DOUBLE
+         |   + (pt.xf::DOUBLE / 1e4 - fit.xbar)
+         |     * (pt.xf::DOUBLE / 1e4 - fit.xbar) / fit.sxxc AS leverage,
+         |  fit.s2 FROM pt JOIN fit USING (key)),
+         |ck AS (SELECT key, id, x, y, resid, leverage,
+         |  (resid * resid / (s2 * (1.0 - leverage))) * leverage
+         |   / (2.0 * (1.0 - leverage)) AS cooks_d FROM rr)
+         |SELECT key, id, round(x, 4) AS x, round(y, 4) AS y,
+         | round(resid, 4) AS resid, round(leverage, 4) AS leverage,
+         | round(cooks_d, 4) AS cooks_d
+         |FROM ck QUALIFY row_number() OVER (PARTITION BY key
+         |  ORDER BY cooks_d DESC, id ASC) <= 5"""
+        .stripMargin.replace("\n", " ")
+    },
+    "q352_km_by_group" ->
+      s"""WITH $survSubj,
+         |h AS (SELECT grp, dur AS t,
+         |  sum(CASE WHEN event THEN 1 ELSE 0 END)::BIGINT AS d,
+         |  sum(CASE WHEN NOT event THEN 1 ELSE 0 END)::BIGINT AS c
+         |  FROM subj GROUP BY 1, 2),
+         |tot AS (SELECT grp, sum(d + c)::BIGINT AS n FROM h GROUP BY 1),
+         |f1 AS (SELECT h.grp, t, d, c,
+         |  tot.n - (sum(d + c) OVER wc - (d + c)) AS n_risk
+         |  FROM h JOIN tot USING (grp)
+         |  WINDOW wc AS (PARTITION BY h.grp ORDER BY t ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |f2 AS (SELECT grp, t, d, c, n_risk,
+         |  exp(sum(ln(1.0 - d::DOUBLE / n_risk::DOUBLE)) OVER wc)
+         |    AS survival,
+         |  sum(d::DOUBLE / n_risk::DOUBLE) OVER wc AS cum_hazard
+         |  FROM f1 WINDOW wc AS (PARTITION BY grp ORDER BY t ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT grp, t, n_risk::BIGINT AS n_risk, d, c,
+         | round(survival, 4) AS survival,
+         | round(cum_hazard, 4) AS cum_hazard
+         |FROM f2""".stripMargin.replace("\n", " "),
     "q347_ols" -> {
       def f(c: String) =
         s"(CASE WHEN $c >= 0 THEN floor($c*10000.0+0.5) " +

@@ -37,7 +37,34 @@ object SpcQueries {
     // Pp/Ppk (overall σ)
     "q315_capability" -> ((s, dir) =>
       canon(Spc.capability(ev(s, dir), "event_type", "event_id", "value",
-        lsl = 0.0, usl = 150.0, n = 5))))
+        lsl = 0.0, usl = 150.0, n = 5))),
+    // Western Electric STREAM twin (q100 device): per-entity (μ, σ, n)
+    // fit batch-side, rules replayed by flatMapGroupsWithState with
+    // O(1) bitmask state; same oracle as q314
+    "q353_we_stream" -> ((s, dir) => {
+      import s.implicits._
+      val fpv = fixedPointLong(col("value").cast("double"), 4)
+      val model = ev(s, dir).where(col("value").isNotNull)
+        .groupBy(col("event_type").cast("string").as("e"))
+        .agg(count(lit(1)).as("n"), sum(fpv).as("s"),
+          sum(fpv.cast("decimal(38,0)") * fpv.cast("decimal(38,0)"))
+            .as("q"))
+        .collect().map { r =>
+          val n = r.getLong(1); val nD = n.toDouble
+          val sS = r.getLong(2).toDouble
+          val qS = r.getDecimal(3).doubleValue()
+          r.getString(0) -> (sS / nD / 1e4,
+            math.sqrt((qS - sS * sS / nD) / (nD - 1)) / 1e4, n)
+        }.toMap
+      val evd = ev(s, dir).where(col("value").isNotNull)
+        .select(col("event_type").cast("string").as("entity"),
+          col("event_id").cast("long").as("seq"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.StreamScorers.ValueEvent]
+      canon(graft.streaming.StreamScorers.westernElectricStream(evd, model)
+        .toDF().select(col("entity").as("key"), col("seq"), col("value"),
+          col("z"), col("r1"), col("r2"), col("r3"), col("r4")))
+    }))
 
   /** Shared fixed-point CTE: events → (key, event_id, value, fp). */
   private val fx: String =
@@ -47,6 +74,8 @@ object SpcQueries {
       |  FROM events WHERE value IS NOT NULL)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q353_we_stream" -> weOracle,
+    "q314_western_electric" -> weOracle,
     "q311_xbar_r" ->
       s"""WITH $fx,
          |r AS (SELECT key, fp, row_number() OVER (PARTITION BY key
@@ -98,7 +127,36 @@ object SpcQueries {
          | (c::DOUBLE > cbar + 3.0*sqrt(cbar)
          |  OR c::DOUBLE < greatest(cbar - 3.0*sqrt(cbar), 0.0)) AS out
          |FROM w JOIN pool USING (key)""".stripMargin.replace("\n", " "),
-    "q314_western_electric" ->
+    "q315_capability" ->
+      s"""WITH $fx,
+         |r AS (SELECT key, fp, row_number() OVER (PARTITION BY key
+         |    ORDER BY event_id ASC, value ASC) AS rn FROM fx),
+         |sg AS (SELECT key, (rn - 1) // 5 AS sg,
+         |  count(*) AS n, min(fp) AS lo, max(fp) AS hi
+         |  FROM r GROUP BY 1, 2 HAVING count(*) = 5),
+         |w AS (SELECT key,
+         |  (sum((hi - lo)::HUGEINT)::DOUBLE / count(*) / 1e4) / 2.326
+         |    AS sigma_within FROM sg GROUP BY 1),
+         |o AS (SELECT key, count(*)::HUGEINT AS n, sum(fp::HUGEINT) AS s,
+         |  sum(fp::HUGEINT * fp::HUGEINT) AS q FROM fx GROUP BY 1),
+         |ov AS (SELECT key, s::DOUBLE / n::DOUBLE / 1e4 AS mu,
+         |  sqrt((q::DOUBLE - s::DOUBLE*s::DOUBLE/n::DOUBLE)
+         |    / (n::DOUBLE - 1)) / 1e4 AS sigma_overall FROM o)
+         |SELECT key, round(mu, 4) AS mu,
+         | round(sigma_within, 4) AS sigma_within,
+         | round(sigma_overall, 4) AS sigma_overall,
+         | round(150.0 / (6.0 * sigma_within), 4) AS cp,
+         | round(least(150.0 - mu, mu - 0.0) / (3.0 * sigma_within), 4)
+         |   AS cpk,
+         | round(150.0 / (6.0 * sigma_overall), 4) AS pp,
+         | round(least(150.0 - mu, mu - 0.0) / (3.0 * sigma_overall), 4)
+         |   AS ppk
+         |FROM ov JOIN w USING (key)""".stripMargin.replace("\n", " "))
+
+  /** Western Electric oracle — shared by q314 (batch windows) and q353
+    * (stream twin, which replays the same trailing-window sums with
+    * O(1) bitmask state). */
+  private lazy val weOracle: String =
       s"""WITH $fx,
          |st AS (SELECT key, count(*)::HUGEINT AS n, sum(fp::HUGEINT) AS s,
          |  sum(fp::HUGEINT * fp::HUGEINT) AS q FROM fx GROUP BY 1),
@@ -133,30 +191,5 @@ object SpcQueries {
          | ((z > 2.0 AND hi2 >= 2) OR (z < -2.0 AND lo2 >= 2)) AS r2,
          | ((z > 1.0 AND hi1 >= 4) OR (z < -1.0 AND lo1 >= 4)) AS r3,
          | (s8 = 8 OR s8 = -8) AS r4
-         |FROM rr""".stripMargin.replace("\n", " "),
-    "q315_capability" ->
-      s"""WITH $fx,
-         |r AS (SELECT key, fp, row_number() OVER (PARTITION BY key
-         |    ORDER BY event_id ASC, value ASC) AS rn FROM fx),
-         |sg AS (SELECT key, (rn - 1) // 5 AS sg,
-         |  count(*) AS n, min(fp) AS lo, max(fp) AS hi
-         |  FROM r GROUP BY 1, 2 HAVING count(*) = 5),
-         |w AS (SELECT key,
-         |  (sum((hi - lo)::HUGEINT)::DOUBLE / count(*) / 1e4) / 2.326
-         |    AS sigma_within FROM sg GROUP BY 1),
-         |o AS (SELECT key, count(*)::HUGEINT AS n, sum(fp::HUGEINT) AS s,
-         |  sum(fp::HUGEINT * fp::HUGEINT) AS q FROM fx GROUP BY 1),
-         |ov AS (SELECT key, s::DOUBLE / n::DOUBLE / 1e4 AS mu,
-         |  sqrt((q::DOUBLE - s::DOUBLE*s::DOUBLE/n::DOUBLE)
-         |    / (n::DOUBLE - 1)) / 1e4 AS sigma_overall FROM o)
-         |SELECT key, round(mu, 4) AS mu,
-         | round(sigma_within, 4) AS sigma_within,
-         | round(sigma_overall, 4) AS sigma_overall,
-         | round(150.0 / (6.0 * sigma_within), 4) AS cp,
-         | round(least(150.0 - mu, mu - 0.0) / (3.0 * sigma_within), 4)
-         |   AS cpk,
-         | round(150.0 / (6.0 * sigma_overall), 4) AS pp,
-         | round(least(150.0 - mu, mu - 0.0) / (3.0 * sigma_overall), 4)
-         |   AS ppk
-         |FROM ov JOIN w USING (key)""".stripMargin.replace("\n", " "))
+         |FROM rr""".stripMargin.replace("\n", " ")
 }

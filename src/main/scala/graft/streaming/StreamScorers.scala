@@ -715,6 +715,57 @@ object StreamScorers {
         })
   }
 
+  case class WeOut(entity: String, seq: Long, value: Double, z: Double,
+      r1: Boolean, r2: Boolean, r3: Boolean, r4: Boolean)
+  /** Rolling rule state: bitmasks of the trailing z-band flags (low bit
+    * = most recent PREVIOUS row) and the last 7 sides. */
+  case class WeSt(hi2: Int, lo2: Int, hi1: Int, lo1: Int,
+      sides: List[Int])
+
+  /** Streaming Western Electric run rules — online face of
+    * `Spc.westernElectric` under the fit-batch/score-stream contract
+    * (`model`: entity → (μ, σ, n) from the batch fit; n kept for shape
+    * parity, rules fire from the first row exactly as the batch
+    * windows do). State = four small bitmasks + the last 7 sides —
+    * O(1) per entity; every rule decision replays the batch trailing-
+    * window sums exactly, so the q314 oracle gates this path too. */
+  def westernElectricStream(events: Dataset[ValueEvent],
+      model: Map[String, (Double, Double, Long)]): Dataset[WeOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (entity: String, it: Iterator[ValueEvent], gs: GroupState[WeSt]) => {
+          val (mu, sd, _) = model.getOrElse(entity, (0.0, 0.0, 0L))
+          var st = gs.getOption.getOrElse(WeSt(0, 0, 0, 0, Nil))
+          val out = it.toSeq.sortBy(e => (e.seq, e.value)).map { e =>
+            val z = (e.value - mu) / sd
+            val side = if (z > 0) 1 else if (z < 0) -1 else 0
+            val h2 = if (z > 2.0) 1 else 0
+            val l2 = if (z < -2.0) 1 else 0
+            val h1 = if (z > 1.0) 1 else 0
+            val l1 = if (z < -1.0) 1 else 0
+            def bits(m: Int, keep: Int): Int = {
+              var c = 0; var i = 0
+              while (i < keep) { c += (m >> i) & 1; i += 1 }; c
+            }
+            val r1 = math.abs(z) > 3.0
+            val r2 = (z > 2.0 && h2 + bits(st.hi2, 2) >= 2) ||
+              (z < -2.0 && l2 + bits(st.lo2, 2) >= 2)
+            val r3 = (z > 1.0 && h1 + bits(st.hi1, 4) >= 4) ||
+              (z < -1.0 && l1 + bits(st.lo1, 4) >= 4)
+            val s8 = side + st.sides.take(7).sum
+            val r4 = st.sides.length >= 7 && (s8 == 8 || s8 == -8)
+            st = WeSt(((st.hi2 << 1) | h2) & 3, ((st.lo2 << 1) | l2) & 3,
+              ((st.hi1 << 1) | h1) & 15, ((st.lo1 << 1) | l1) & 15,
+              (side :: st.sides).take(7))
+            WeOut(entity, e.seq, e.value, z, r1, r2, r3, r4)
+          }
+          gs.update(st)
+          out.iterator
+        })
+  }
+
   case class CpStreamOut(entity: String, seq: Long, value: Double,
       stat: Double, changed: Boolean)
   case class CpBuf(window: List[Double])

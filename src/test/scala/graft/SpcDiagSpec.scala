@@ -118,6 +118,16 @@ class SpcDiagSpec extends SparkSpec {
     assert(rows.filter(_._1 != 2).values.forall(_ < 0.99))
   }
 
+  test("stream twins equal their batch kernels row-for-row (sf0.001)") {
+    Seq("q314_western_electric" -> "q353_we_stream",
+      "q322_kalman" -> "q334_kalman_stream",
+      "q328_ewma_chart" -> "q335_ewma_stream").foreach { case (b, s) =>
+      val batch = graft.SparkEntry.queries(b)(spark, sfDir).collect().toSet
+      val stream = graft.SparkEntry.queries(s)(spark, sfDir).collect().toSet
+      assert(batch == stream, s"$b vs $s diverged")
+    }
+  }
+
   test("partialCorr: y=x gives r_xy=1; z-partialling is consistent") {
     val df = (1 to 50).map { i =>
       (i.toDouble, i * 2.0 + (i % 5), (i % 7).toDouble)
