@@ -432,6 +432,48 @@ object Drift {
       .withColumn("drifted", col("jsd") > threshold)
   }
 
+  /** Hellinger distance between the reference and current value
+    * distributions: H = √(1 − BC) with the Bhattacharyya coefficient
+    * BC = Σ√(pᵢ·qᵢ) — a bounded [0,1] metric (a true metric, unlike
+    * JSD's divergence) whose √-overlap form is the standard
+    * histogram-similarity readout. Same binning + Laplace smoothing as
+    * [[psi]]/[[jsDivergence]]; per-bin √(p·q) terms are 8dp fixed-point
+    * longs (order-exact). One row per key: keyCols..., bc, hellinger,
+    * drifted. */
+  def hellinger(ref: DataFrame, cur: DataFrame, keyCols: Seq[String],
+      valCol: String, nBins: Int = 10, threshold: Double = 0.2)
+      : DataFrame = {
+    val v = col(valCol).cast("double")
+    val edges = ref.groupBy(keyCols.map(col): _*)
+      .agg(min(v).as("_lo"), max(v).as("_hi"))
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.where(v.isNotNull)
+        .join(broadcast(edges), keyCols)
+        .withColumn("_bin", psiBin(v, col("_lo"), col("_hi"), nBins))
+        .groupBy((keyCols :+ "_bin").map(col): _*)
+        .agg(count(lit(1)).as(as))
+    val rc = counts(ref, "_rc")
+    val cc = counts(cur, "_cc")
+    val bins = edges.select(keyCols.map(col) :+
+      explode(sequence(lit(0), lit(nBins - 1))).as("_bin"): _*)
+    val joined = bins
+      .join(rc, keyCols :+ "_bin", "left")
+      .join(cc, keyCols :+ "_bin", "left")
+      .withColumn("_rc", coalesce(col("_rc"), lit(0L)))
+      .withColumn("_cc", coalesce(col("_cc"), lit(0L)))
+    val tots = joined.groupBy(keyCols.map(col): _*)
+      .agg(sum("_rc").as("_rt"), sum("_cc").as("_ct"))
+    val half = lit(nBins * 0.5)
+    val rs = (col("_rc") + 0.5) / (col("_rt") + half)
+    val cs = (col("_cc") + 0.5) / (col("_ct") + half)
+    joined.join(broadcast(tots), keyCols)
+      .withColumn("_t8", graft.core.fixedPointLong(sqrt(rs * cs), 8))
+      .groupBy(keyCols.map(col): _*)
+      .agg((sum("_t8") / 1e8).as("bc"))
+      .withColumn("hellinger", sqrt(lit(1.0) - least(col("bc"), lit(1.0))))
+      .withColumn("drifted", col("hellinger") > threshold)
+  }
+
   /** Exact 1-D Wasserstein-1 (earth-mover) distance between the
     * reference and current value distributions per key: W₁ = ∫|F_ref −
     * F_cur| dx over the merged empirical CDFs. The integral complement

@@ -452,4 +452,53 @@ object PostOps {
       .select((keyCols.map(col) :+ col(idCol) :+ col(pCol) :+ col("rank") :+
         col("discovery")): _*)
   }
+
+  /** Quantile normalization: replace every value with the POOLED value
+    * at the same within-key quantile — the batch-effect remover (after
+    * it, every key's distribution is the pooled one; cross-key score
+    * comparisons stop being apples-to-oranges). Per-key quantile =
+    * exact average rank /n from the value histogram; the pooled lookup
+    * "smallest pooled value whose cumulative fraction ≥ q" rides the
+    * as-of device on negated fractions (one window over the two
+    * histograms — distinct-value-sized, never the data; the comparison
+    * doubles are the same fixed expressions on both engines, and the
+    * DuckDB ASOF JOIN replays the identical inclusive boundary).
+    * Output one row per input row: id, key, value, normalized. */
+  def quantileNormalize(data: DataFrame, keyCol: String, idCol: String,
+      valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = data.where(v.isNotNull)
+      .select(col(keyCol).as("key"), col(idCol).as("id"), v.as("value"),
+        graft.core.fixedPointLong(v, 4).as("_v"))
+    val kh = base.groupBy(col("key"), col("_v"))
+      .agg(count(lit(1)).as("_ct"))
+    val kw = Window.partitionBy(col("key")).orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kn = Window.partitionBy(col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val khq = kh
+      .withColumn("_cum", sum(col("_ct")).over(kw))
+      .withColumn("_n", sum(col("_ct")).over(kn))
+      // negated avg-rank fraction: −(2·cumBefore + ct + 1)/(2n)
+      .withColumn("_ts",
+        -((lit(2) * (col("_cum") - col("_ct")) + col("_ct") + 1)
+          .cast("double") / (lit(2) * col("_n")).cast("double")))
+      .select(col("key"), col("_v"), col("_ts"))
+    val ph = base.groupBy(col("_v")).agg(count(lit(1)).as("_pct"))
+    val ptot = ph.agg(sum(col("_pct")).as("_np"))
+    val pw = Window.orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phq = ph
+      .withColumn("_cump", sum(col("_pct")).over(pw))
+      .crossJoin(broadcast(ptot))
+      .select(
+        (-(col("_cump").cast("double") / col("_np").cast("double")))
+          .as("_ts"),
+        (col("_v").cast("double") / 1e4).as("normalized"))
+    val mapped = graft.seq.AsOfJoin.asOf(khq, phq, Seq(), "_ts",
+      Seq("normalized"))
+      .select(col("key"), col("_v"), col("normalized"))
+    base.join(mapped, Seq("key", "_v"))
+      .select("id", "key", "value", "normalized")
+  }
 }

@@ -183,7 +183,12 @@ object DiagQueries {
     // stratified KM curves: even- vs odd-id users' time-to-spike
     "q352_km_by_group" -> ((s, dir) =>
       canon(graft.model.Survival.kaplanMeierBy(survivalSubjects(s, dir),
-        "dur", "event", "grp"))))
+        "dur", "event", "grp"))),
+    // quantile normalization: every event_type's values remapped onto
+    // the pooled distribution (exact ranks + as-of boundary lookup)
+    "q355_quantile_norm" -> ((s, dir) =>
+      canon(graft.post.PostOps.quantileNormalize(ev(s, dir), "event_type",
+        "event_id", "value"))))
 
   /** user × event_type mean-value cells (exact-sum ratios) — the
     * subject × item frame shared by q321/q345/q346. */
@@ -716,6 +721,30 @@ object DiagQueries {
          |   / (n_sizes::DOUBLE * sxx - sx * sx), 4) AS hurst
          |FROM f""".stripMargin.replace("\n", " ")
     },
+    "q355_quantile_norm" ->
+      s"""WITH $fx,
+         |kh AS (SELECT key, fp AS v, count(*)::BIGINT AS ct
+         |  FROM fx GROUP BY 1, 2),
+         |khq AS (SELECT key, v,
+         |  -((2 * (cum - ct) + ct + 1)::DOUBLE / (2 * n)::DOUBLE) AS ts
+         |  FROM (SELECT key, v, ct,
+         |    sum(ct) OVER (PARTITION BY key ORDER BY v ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(ct) OVER (PARTITION BY key) AS n FROM kh)),
+         |ph AS (SELECT fp AS v, count(*)::BIGINT AS pct
+         |  FROM fx GROUP BY 1),
+         |pn AS (SELECT sum(pct)::BIGINT AS np FROM ph),
+         |phq AS (SELECT -(cump::DOUBLE / np::DOUBLE) AS ts,
+         |  v::DOUBLE / 1e4 AS normalized
+         |  FROM (SELECT v, sum(pct) OVER (ORDER BY v ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cump
+         |   FROM ph), pn),
+         |m AS (SELECT k.key, k.v, p.normalized
+         |  FROM khq k ASOF JOIN phq p ON k.ts >= p.ts)
+         |SELECT e.event_id AS id, e.key, round(e.value, 4) AS value,
+         | round(m.normalized, 4) AS normalized
+         |FROM fx e JOIN m ON m.key = e.key AND m.v = e.fp"""
+        .stripMargin.replace("\n", " "),
     "q349_turning_points" ->
       s"""WITH $fx,
          |b AS (SELECT key, fp AS v,

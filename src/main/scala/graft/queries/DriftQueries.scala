@@ -26,6 +26,18 @@ object DriftQueries {
     // a 1.25× value shift (induced drift): Laplace-smoothed bin shares,
     // 6dp fixed-point term sums — ln parity is the only float
     // assumption (the q174 class)
+    // Hellinger distance over the q189 ref/cur split: bounded-metric
+    // face of PSI/JSD (BC = Σ√(p·q), 8dp-frozen terms)
+    "q354_hellinger" -> ((s, dir) => {
+      val e = table(s, dir, "events").select("event_type", "event_id", "value")
+      val ref = e.where(col("event_id") % 2 === 0)
+      val cur = e.where(col("event_id") % 2 === 1)
+        .withColumn("value",
+          when(col("event_type").isin("click", "view"), col("value"))
+            .otherwise(col("value") * 1.3 + 25.0))
+      canon(Drift.hellinger(ref, cur, Seq("event_type"), "value",
+        nBins = 10))
+    }),
     "q189_psi" -> ((s, dir) => {
       val e = table(s, dir, "events").select("event_type", "event_id", "value")
       val ref = e.where(col("event_id") % 2 === 0)
@@ -584,6 +596,24 @@ object DriftQueries {
       s"""WITH $psiCtes
          |SELECT event_type, round(psi, 4) AS psi, psi > 0.2 AS drifted
          |FROM p""".stripMargin.replace("\n", " "),
+    "q354_hellinger" -> {
+      val fp8 = (e: String) =>
+        s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e8+0.5) " +
+          s"ELSE -floor(-($e)*1e8+0.5) END)::BIGINT"
+      // psiCtes through `t`, then the BC/√(1−BC) finish
+      val prefix = psiCtes.split("c6 AS")(0).trim.stripSuffix(",")
+      s"""WITH $prefix,
+         |c8 AS (SELECT j.event_type,
+         |  ${fp8("sqrt(((j.rcn + 0.5) / (t.rt + 5.0)) * " +
+           "((j.ccn + 0.5) / (t.ct + 5.0)))")} AS t8
+         | FROM j JOIN t USING (event_type)),
+         |b AS (SELECT event_type, sum(t8)::DOUBLE / 1e8 AS bc
+         | FROM c8 GROUP BY 1)
+         |SELECT event_type, round(bc, 4) AS bc,
+         | round(sqrt(1.0 - least(bc, 1.0)), 4) AS hellinger,
+         | sqrt(1.0 - least(bc, 1.0)) > 0.2 AS drifted
+         |FROM b""".stripMargin.replace("\n", " ")
+    },
     // stream twin in one micro-batch == batch psi + the window size
     "q191_psi_stream" ->
       s"""WITH $psiCtes,
