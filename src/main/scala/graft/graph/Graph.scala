@@ -670,4 +670,66 @@ object Graph {
       .select(col("m"),
         when(col("den") =!= 0.0, col("num") / col("den")).as("assortativity"))
   }
+
+  /** Sampled harmonic centrality: BFS distances from the `sources`
+    * md5-smallest nodes via min-plus relaxation rounds (dist state is
+    * sources×nodes-sized; each round is one edge join + group-min — the
+    * Pregel shape, no frontier bookkeeping, and EXACTLY the unrolled
+    * round-CTE the oracle replays), then h = Σ_{s: 0<d(s,v)} 1/d(s,v)
+    * carried as the exact integer Σ 12/d (maxDepth ≤ 4, so every term
+    * divides 12 — no double accumulation). Output per reached node:
+    * node, reached, harmonic — the "how close is this node to
+    * everything" centrality PageRank's stationary mass doesn't measure.
+    *
+    * Scale: sampled-source BFS is the standard way to make centrality
+    * linear (sources bounds the state); relaxation rounds converge in
+    * maxDepth joins; localCheckpoint cuts the per-round lineage. */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Int = 8, maxDepth: Int = 4): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 4,
+      s"maxDepth 1..4 (12/d stays integral): $maxDepth")
+    require(sources >= 1, s"sources >= 1: $sources")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct()
+      .repartition(col("src")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val srcs = nodes.orderBy(md5(col("node")), col("node"))
+      .limit(sources)
+      .select(col("node").as("source"))
+    var dist = srcs.select(col("source"), col("source").as("node"),
+      lit(0).as("d")).localCheckpoint(true)
+    (1 to maxDepth).foreach { _ =>
+      val ext = dist.join(e, dist("node") === e("src"))
+        .select(col("source"), col("dst").as("node"),
+          (col("d") + 1).as("d"))
+      dist = dist.union(ext).groupBy(col("source"), col("node"))
+        .agg(min(col("d")).as("d")).localCheckpoint(true)
+    }
+    val out = dist.where(col("d") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("reached"),
+        sum((lit(12) / col("d")).cast("long")).as("_h12"))
+      .withColumn("harmonic", col("_h12").cast("double") / 12.0)
+      .select("node", "reached", "harmonic")
+    e.unpersist()
+    out
+  }
+
+  /** Directed-graph reciprocity: the fraction of edges whose reverse
+    * edge also exists (self-loops excluded). One row:
+    * m, reciprocal, reciprocity — the "is this interaction mutual"
+    * one-number health check for follows/reply graphs. */
+  def reciprocity(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val rec = e.intersect(rev).agg(count(lit(1)).as("reciprocal"))
+    e.agg(count(lit(1)).as("m")).crossJoin(rec)
+      .withColumn("reciprocity",
+        col("reciprocal").cast("double") / col("m").cast("double"))
+      .select("m", "reciprocal", "reciprocity")
+  }
 }

@@ -107,6 +107,23 @@ object MultiQueries {
     "q201_pagerank" -> ((s, dir) =>
       canon(graft.graph.Graph.pageRank(bipartite(s, dir), "src", "dst",
         iters = 5))),
+    // sampled harmonic centrality: 8 md5-chosen sources, min-plus BFS,
+    // exact Σ12/d integers
+    "q356_harmonic" -> ((s, dir) =>
+      canon(graft.graph.Graph.harmonicCentrality(bipartite(s, dir),
+        "src", "dst", sources = 8, maxDepth = 4))),
+    // reciprocity of the DIRECTED consecutive-user graph (count ≥ 3;
+    // the global-order lead() is test-fixture construction, as q204)
+    "q357_reciprocity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val de = ev(s, dir).select(col("user_id").cast("string").as("ua"),
+        lead(col("user_id").cast("string"), 1)
+          .over(Window.orderBy("event_id")).as("ub"))
+        .where(col("ub").isNotNull && col("ua") =!= col("ub"))
+        .groupBy(col("ua"), col("ub")).agg(count(lit(1)).as("c"))
+        .where(col("c") >= 3)
+      canon(graft.graph.Graph.reciprocity(de, "ua", "ub"))
+    }),
     "q202_degrees" -> ((s, dir) =>
       canon(graft.graph.Graph.degrees(bipartite(s, dir), "src", "dst"))),
     // personalized PageRank from the event_type side as the seed set —
@@ -946,6 +963,43 @@ object MultiQueries {
         |      WHEN yfp > 0 AND score > 5.0 THEN 'O' ELSE 'N' END AS tag
         |FROM fin""".stripMargin.replace("\n", " "),
     "q201_pagerank" -> pageRankOracle,
+    "q356_harmonic" -> {
+      val steps = (1 to 4).map { i =>
+        s"""r$i AS (SELECT source, node, min(d) AS d FROM (
+           |  SELECT source, node, d FROM r${i - 1}
+           |  UNION ALL
+           |  SELECT w.source, e.dst AS node, w.d + 1 AS d
+           |  FROM r${i - 1} w JOIN edges e ON e.src = w.node)
+           | GROUP BY 1, 2)""".stripMargin.replace("\n", " ")
+      }
+      s"""WITH $bipartiteSql,
+         |nodes AS (SELECT src AS node FROM edges
+         |  UNION SELECT dst FROM edges),
+         |srcs AS (SELECT node AS source FROM nodes
+         |  ORDER BY md5(node), node LIMIT 8),
+         |r0 AS (SELECT source, source AS node, 0 AS d FROM srcs),
+         |${steps.mkString(", ")}
+         |SELECT node, count(*)::BIGINT AS reached,
+         | round(sum(CAST(12 / d AS BIGINT))::DOUBLE / 12.0, 4) AS harmonic
+         |FROM r4 WHERE d > 0 GROUP BY 1"""
+        .stripMargin.replace("\n", " ")
+    },
+    "q357_reciprocity" ->
+      """WITH ch AS (SELECT user_id::VARCHAR AS ua,
+        |  lead(user_id::VARCHAR) OVER (ORDER BY event_id) AS ub
+        |  FROM events),
+        |de AS (SELECT ua, ub FROM ch
+        |  WHERE ub IS NOT NULL AND ua <> ub
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |e2 AS (SELECT DISTINCT ua AS src, ub AS dst FROM de
+        |  WHERE ua <> ub),
+        |rec AS (SELECT count(*)::BIGINT AS reciprocal FROM
+        |  (SELECT src, dst FROM e2
+        |   INTERSECT SELECT dst AS src, src AS dst FROM e2)),
+        |m AS (SELECT count(*)::BIGINT AS m FROM e2)
+        |SELECT m.m, rec.reciprocal,
+        | round(rec.reciprocal::DOUBLE / m.m::DOUBLE, 4) AS reciprocity
+        |FROM m, rec""".stripMargin.replace("\n", " "),
     "q203_ppr" -> pprOracle,
     "q205_lpa" ->
       s"""WITH ${chainSql(3)}, ${lpaStages(3)}
