@@ -453,6 +453,45 @@ object PostOps {
         col("discovery")): _*)
   }
 
+  /** Rank-ensemble score combiner: each detector's score is replaced by
+    * its global percent-rank (average-rank/n via the 6dp-frozen score
+    * histogram — exact integers, so detectors with incomparable scales
+    * become comparable without any calibration), then averaged in fixed
+    * column order. The Kemeny-lite ensemble the reference's weighted
+    * score aggregation (core.aggregateScores) can't express when the
+    * member scales differ by orders of magnitude. Output: idCols...,
+    * rank_<scoreCol>..., ensemble.
+    *
+    * Scale: one histogram + one global cumulative window PER DETECTOR
+    * (distinct-score-sized, never the data) + k broadcast-class joins
+    * back onto the scored frame. */
+  def rankEnsemble(scored: DataFrame, idCols: Seq[String],
+      scoreCols: Seq[String]): DataFrame = {
+    require(scoreCols.nonEmpty, "rankEnsemble needs score columns")
+    var df = scored
+    scoreCols.foreach { c =>
+      val s6 = graft.core.fixedPointLong(col(c).cast("double"), 6)
+      df = df.withColumn(s"_f_$c", s6)
+      val h = df.groupBy(col(s"_f_$c")).agg(count(lit(1)).as("_ct"))
+      val w = Window.orderBy(col(s"_f_$c").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = h.agg(sum(col("_ct")).as("_n"))
+      val pr = h
+        .withColumn("_cum", sum(col("_ct")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col(s"_f_$c"),
+          ((lit(2) * (col("_cum") - col("_ct")) + col("_ct") + 1)
+            .cast("double") / (lit(2) * col("_n")).cast("double"))
+            .as(s"rank_$c"))
+      df = df.join(pr, s"_f_$c")
+    }
+    val avg0 = scoreCols.map(c => col(s"rank_$c"))
+      .reduce(_ + _) / scoreCols.length
+    df.withColumn("ensemble", avg0)
+      .select((idCols.map(col) ++ scoreCols.map(c => col(s"rank_$c")) :+
+        col("ensemble")): _*)
+  }
+
   /** Quantile normalization: replace every value with the POOLED value
     * at the same within-key quantile — the batch-effect remover (after
     * it, every key's distribution is the pooled one; cross-key score

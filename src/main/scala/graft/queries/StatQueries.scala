@@ -397,6 +397,25 @@ object StatQueries {
       canon(Fitters.histogram(ev(s, dir), Seq("event_type"), Seq(("value", 10.0))))),
     "q05_zscore" -> ((s, dir) =>
       canon(zscored(s, dir).select("event_id", "event_type", "value", "score", "tag"))),
+    // rank-ensemble of three scale-incomparable detectors (zscore,
+    // robust-z, extreme-value prob): percent-rank normalize, average
+    "q358_rank_ensemble" -> ((s, dir) => {
+      val data = ev(s, dir)
+      val stats = Fitters.stats(data, Seq("event_type"), Seq("value"))
+      val rob = Fitters.robustStats(data, Seq("event_type"), Seq("value"))
+      val z = Scorers.zscore(data, stats,
+        Cfg(Seq("event_type"), Seq("value"), threshold = 2.0))
+        .select(col("event_id"), col("score").as("s_z"))
+      val r = Scorers.robustZscore(data, rob,
+        Cfg(Seq("event_type"), Seq("value"), threshold = 3.0))
+        .select(col("event_id"), col("score").as("s_r"))
+      val e0 = Scorers.extremeValue(data, stats,
+        Cfg(Seq("event_type"), Seq("value"), threshold = 0.9))
+        .select(col("event_id"), col("score").as("s_e"))
+      canon(graft.post.PostOps.rankEnsemble(
+        z.join(r, "event_id").join(e0, "event_id"),
+        Seq("event_id"), Seq("s_z", "s_r", "s_e")))
+    }),
     "q06_robust_zscore" -> ((s, dir) => {
       val data = ev(s, dir)
       val model = Fitters.robustStats(data, Seq("event_type"), Seq("value"))
@@ -1286,6 +1305,31 @@ object StatQueries {
         | round(bs[v.i], 4) AS boundary
         |FROM q CROSS JOIN (VALUES (1), (2), (3)) v(i)"""
         .stripMargin.replace("\n", " "),
+    "q358_rank_ensemble" -> {
+      def prCte(fc: String) =
+        s"""h_$fc AS (SELECT $fc, count(*)::BIGINT AS ct FROM f GROUP BY 1),
+           |p_$fc AS (SELECT $fc,
+           |  (2 * (sum(ct) OVER (ORDER BY $fc ASC
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct)
+           |   + ct + 1)::DOUBLE
+           |  / (2 * (SELECT sum(ct) FROM h_$fc))::DOUBLE AS p
+           | FROM h_$fc)""".stripMargin
+      s"""WITH $evStats, $evRobust,
+         |sc AS (SELECT e.event_id,
+         |  abs(e.value - s.mean) / s.std AS sz,
+         |  abs(e.value - r.med) / r.mad AS sr,
+         |  exp(-exp(-abs(e.value - s.mean) / s.std)) AS se
+         | FROM events e JOIN stats s USING (event_type)
+         | JOIN rob r USING (event_type)),
+         |f AS (SELECT event_id, ${fp("sz", "1e6")} AS fz,
+         |  ${fp("sr", "1e6")} AS fr, ${fp("se", "1e6")} AS fe FROM sc),
+         |${prCte("fz")}, ${prCte("fr")}, ${prCte("fe")}
+         |SELECT f.event_id, round(pz.p, 4) AS rank_s_z,
+         | round(pr2.p, 4) AS rank_s_r, round(pe.p, 4) AS rank_s_e,
+         | round((pz.p + pr2.p + pe.p) / 3, 4) AS ensemble
+         |FROM f JOIN p_fz pz USING (fz) JOIN p_fr pr2 USING (fr)
+         | JOIN p_fe pe USING (fe)""".stripMargin.replace("\n", " ")
+    },
     "q05_zscore" ->
       s"""WITH $evStats
          |SELECT e.event_id, e.event_type, round(e.value,4) AS value,
