@@ -379,6 +379,11 @@ object SeqQueries {
     "q322_kalman" -> ((s, dir) =>
       canon(graft.seq.StateSpace.kalmanFilter(ev(s, dir), Seq("user_id"),
         "event_id", "value").toDF())),
+    // two-level binary segmentation: multi-change-point splits via
+    // exact prefix-sum statistics, 6dp-frozen arg-max
+    "q359_binary_seg" -> ((s, dir) =>
+      canon(graft.seq.SeqOps.binarySegmentation(ev(s, dir),
+        Seq("event_type"), "event_id", "value", minSegment = 50))),
     // EWMA control chart: score = |e_t − μ| / exact time-varying limit
     // (the SPC memory chart; λ=0.25 dyadic, (1−λ)^{2t} rides the walk)
     "q328_ewma_chart" -> ((s, dir) =>
@@ -1166,6 +1171,60 @@ object SeqQueries {
     // Kalman replay shared by q322 (batch) and q334 (stream twin)
     "q322_kalman" -> kalmanOracle,
     "q334_kalman_stream" -> kalmanOracle,
+    // binary segmentation replay: same prefix frame, same 6dp-frozen
+    // g(t), per-segment QUALIFY arg-max (ties → smaller t)
+    "q359_binary_seg" -> {
+      val fp6 = (e: String) =>
+        s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) " +
+          s"ELSE -floor(-($e)*1e6+0.5) END)::BIGINT"
+      def gExpr(l: String, r: String, sl: String, sr: String) = fp6(
+        s"sqrt((t - ($l) + 1)::DOUBLE * (($r) - t)::DOUBLE " +
+          s"/ ((t - ($l) + 1)::DOUBLE + (($r) - t)::DOUBLE)) " +
+          s"* abs((s - ($sl))::DOUBLE / (t - ($l) + 1)::DOUBLE / 1e4 " +
+          s"- (($sr) - s)::DOUBLE / (($r) - t)::DOUBLE / 1e4)")
+      def cand(src: String, l: String, r: String, sl: String, sr: String,
+          level: Int) =
+        s"""SELECT key, $level AS level, ($l)::BIGINT AS seg_start,
+           |  ($r)::BIGINT AS seg_end, t AS split,
+           |  ${gExpr(l, r, sl, sr)} AS g6, sigma
+           | FROM $src WHERE t - ($l) + 1 >= 50 AND ($r) - t >= 50
+           | QUALIFY row_number() OVER (PARTITION BY key
+           |   ORDER BY ${gExpr(l, r, sl, sr)} DESC, t ASC) = 1"""
+          .stripMargin
+      s"""WITH fx AS (SELECT event_type AS key, event_id,
+         |  (CASE WHEN value >= 0 THEN floor(value*10000.0+0.5)
+         |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS fp
+         |  FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT key, fp AS v,
+         |  row_number() OVER w AS t, sum(fp) OVER (PARTITION BY key
+         |    ORDER BY event_id ASC, fp ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+         |  FROM fx WINDOW w AS (PARTITION BY key
+         |    ORDER BY event_id ASC, fp ASC)),
+         |pf AS (SELECT key, v, t, s,
+         |  max(t) OVER (PARTITION BY key) AS n,
+         |  sum(v) OVER (PARTITION BY key) AS st,
+         |  sum(v::HUGEINT * v::HUGEINT) OVER (PARTITION BY key) AS q
+         |  FROM b),
+         |pf2 AS (SELECT *, sqrt((q::DOUBLE - st::DOUBLE * st::DOUBLE
+         |   / n::DOUBLE) / (n::DOUBLE - 1)) / 1e4 AS sigma FROM pf),
+         |l0 AS (${cand("pf2", "1", "n", "0", "st", 0)}),
+         |j AS (SELECT pf2.*, l0.split AS t1, l0s.s1 FROM pf2
+         |  JOIN l0 USING (key)
+         |  JOIN (SELECT p.key, p.s AS s1 FROM pf2 p JOIN l0
+         |     ON l0.key = p.key AND p.t = l0.split) l0s USING (key)),
+         |lft AS (${cand("(SELECT * FROM j WHERE t <= t1)",
+           "1", "t1", "0", "s1", 1)}),
+         |rgt AS (${cand("(SELECT * FROM j WHERE t > t1)",
+           "t1 + 1", "n", "s1", "st", 1)}),
+         |u AS (SELECT * FROM l0 UNION ALL SELECT * FROM lft
+         |  UNION ALL SELECT * FROM rgt)
+         |SELECT key, level, seg_start, seg_end, split,
+         | round(g6::DOUBLE / 1e6, 4) AS g,
+         | round(g6::DOUBLE / 1e6 / sigma, 4) AS z,
+         | (g6::DOUBLE / 1e6 / sigma) > 3.0 AS significant
+         |FROM u""".stripMargin.replace("\n", " ")
+    },
     "q235_holt_winters" -> holtWintersOracle,
     "q237_burst" -> burstOracle,
     // the STREAMING twin batch-executed (q100 pattern) — same oracle,

@@ -438,6 +438,89 @@ object SeqOps {
       .select(keyCols.map(col) :+ (col("_pos") + 1).as("lag") :+
         col("pacf"): _*)
 
+  /** Two-level binary segmentation: the classic multiple-change-point
+    * extension of the single mean-shift detector — level 0 finds the
+    * best split of the whole series by the standardized mean-difference
+    * statistic g(t) = √(n₁n₂/n)·|m₁−m₂| over EXACT prefix sums; level 1
+    * re-runs inside each half. All segment means are exact fixed-point
+    * prefix-sum ratios, g is frozen at 6dp before the arg-max (ties →
+    * smaller t), z = g/σ_key flags significance — so the chosen splits
+    * are engine-exact, not a float argmax. Output one row per examined
+    * segment: keyCols..., level, seg_start, seg_end, split, g, z,
+    * significant.
+    *
+    * Scale: one per-key sort window builds the prefix-sum frame; each
+    * level is a frame-local arg-max (window over the key/segment) —
+    * no pairwise work, no second scan of the data. */
+  def binarySegmentation(data: DataFrame, keyCols: Seq[String],
+      seqCol: String, valCol: String, minSegment: Int = 10,
+      threshold: Double = 3.0): DataFrame = {
+    require(minSegment >= 2, s"minSegment >= 2: $minSegment")
+    val v = col(valCol).cast("double")
+    val key = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    val ow = Window.partitionBy(col("_k"))
+      .orderBy(col("_o").asc, col("_v").asc)
+    val base = data.where(v.isNotNull)
+      .select(key.as("_k"), col(seqCol).cast("long").as("_o"),
+        graft.core.fixedPointLong(v, 4).as("_v"))
+      .withColumn("_t", row_number().over(ow).cast("long"))
+      .withColumn("_s", sum(col("_v")).over(
+        ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val kw = Window.partitionBy(col("_k"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // not persisted: each level is one window pass over this frame, and
+    // an operator-owned persist would outlive the call (r7 audit rule)
+    val pf = base
+      .withColumn("_n", max(col("_t")).over(kw))
+      .withColumn("_st", sum(col("_v")).over(kw))
+      .withColumn("_q", sum(col("_v").cast("decimal(38,0)") *
+        col("_v").cast("decimal(38,0)")).over(kw))
+    val nD = col("_n").cast("double")
+    val sigma = sqrt((col("_q").cast("double") -
+      col("_st").cast("double") * col("_st").cast("double") / nD) /
+      (nD - 1)) / 1e4
+    // g(t) over segment [l, r] with prefix sums: 6dp-frozen statistic
+    def g6(l: Column, r: Column, sl: Column, sr: Column): Column = {
+      val n1 = (col("_t") - l + 1).cast("double")
+      val n2 = (r - col("_t")).cast("double")
+      val m1 = (col("_s") - sl).cast("double") / n1 / 1e4
+      val m2 = (sr - col("_s")).cast("double") / n2 / 1e4
+      graft.core.fixedPointLong(
+        sqrt(n1 * n2 / (n1 + n2)) * abs(m1 - m2), 6)
+    }
+    def pick(seg: DataFrame, l: Column, r: Column, sl: Column, sr: Column,
+        level: Int, segId: Column): DataFrame = {
+      val cand = seg
+        .withColumn("_l", l).withColumn("_r", r)
+        .withColumn("_sl", sl).withColumn("_sr", sr)
+        .where(col("_t") - col("_l") + 1 >= minSegment &&
+          col("_r") - col("_t") >= minSegment)
+        .withColumn("_g6", g6(col("_l"), col("_r"), col("_sl"), col("_sr")))
+      val aw = Window.partitionBy(col("_k"), segId)
+        .orderBy(col("_g6").desc, col("_t").asc)
+      cand.withColumn("_rn", row_number().over(aw)).where(col("_rn") === 1)
+        .withColumn("level", lit(level))
+        .withColumn("g", col("_g6").cast("double") / 1e6)
+        .withColumn("z", col("g") / sigma)
+        .withColumn("significant", col("z") > threshold)
+        .select(col("_k").as("key"), col("level"),
+          col("_l").as("seg_start"), col("_r").as("seg_end"),
+          col("_t").as("split"), col("g"), col("z"), col("significant"),
+          col("_s").as("_ssplit"))
+    }
+    val l0 = pick(pf, lit(1L), col("_n"), lit(0L), col("_st"), 0, lit(0))
+    // level 1: join the level-0 split back, examine both halves
+    val b0 = l0.select(col("key").as("_k"), col("split").as("_t1"),
+      col("_ssplit").as("_s1"))
+    val joined = pf.join(broadcast(b0), "_k")
+    val left = pick(joined.where(col("_t") <= col("_t1")),
+      lit(1L), col("_t1"), lit(0L), col("_s1"), 1, lit(1))
+    val right = pick(joined.where(col("_t") > col("_t1")),
+      col("_t1") + 1, col("_n"), col("_s1"), col("_st"), 1, lit(2))
+    val out = l0.unionByName(left).unionByName(right).drop("_ssplit")
+    out
+  }
+
   /** Dominant seasonal period per key: the lag in 2..maxLag with the
     * largest autocorrelation (lag 1 excluded — it is trivially high for
     * any smooth series). ACF values are frozen at 4dp BEFORE the
