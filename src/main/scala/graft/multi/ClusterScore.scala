@@ -264,4 +264,49 @@ object ClusterScore {
       .withColumn("tag", when(col("cluster") === -1L, "O").otherwise("N"))
       .drop("_cl", "_p", "_n")
   }
+
+  /** Single-linkage agglomerative clustering over a MODEL-SIZED
+    * pairwise-distance frame (segments, centroids, source corpora —
+    * never raw rows; `maxItems` makes the contract loud): n−1 merges,
+    * each picking the globally nearest cross-cluster pair. Distances
+    * freeze to 6dp longs so every pick is an exact (d, a, b)
+    * lexicographic min; cluster labels are the lexicographically
+    * smallest member, so the whole dendrogram is engine-exact. Output
+    * one row per merge: step, item_a, item_b, merged, d.
+    *
+    * The dendrogram face the flat clusterers (k-means/DBSCAN/SemDedup)
+    * lack: "which segments are similar, AND in what order do they
+    * fuse" — the map a curation owner reads before picking k. */
+  def singleLinkage(dist: DataFrame, aCol: String, bCol: String,
+      dCol: String, maxItems: Int = 64): DataFrame = {
+    val spark = dist.sparkSession
+    import spark.implicits._
+    val pairs = dist.select(col(aCol).cast("string").as("a"),
+      col(bCol).cast("string").as("b"),
+      graft.core.fixedPointLong(col(dCol).cast("double"), 6).as("d6"))
+      .where(col("a") =!= col("b"))
+      .limit(maxItems * maxItems + 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val items = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    require(items.length <= maxItems,
+      s"singleLinkage is for model-sized frames: ${items.length} > $maxItems")
+    val lbl = scala.collection.mutable.Map(items.map(i => i -> i): _*)
+    val merges = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, String, Double)]
+    var step = 1
+    var more = true
+    while (more && step < items.length) {
+      val cand = pairs.filter(p => lbl(p._1) != lbl(p._2))
+      if (cand.isEmpty) more = false
+      else {
+        val (a, b, d6) = cand.minBy(p => (p._3, p._1, p._2))
+        val la = lbl(a); val lb = lbl(b)
+        val m = if (la < lb) la else lb
+        items.foreach(i => if (lbl(i) == la || lbl(i) == lb) lbl(i) = m)
+        merges += ((step, a, b, m, d6.toDouble / 1e6))
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "item_a", "item_b", "merged", "d")
+  }
 }

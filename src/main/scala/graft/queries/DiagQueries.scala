@@ -188,7 +188,19 @@ object DiagQueries {
     // the pooled distribution (exact ranks + as-of boundary lookup)
     "q355_quantile_norm" -> ((s, dir) =>
       canon(graft.post.PostOps.quantileNormalize(ev(s, dir), "event_type",
-        "event_id", "value"))))
+        "event_id", "value"))),
+    // single-linkage dendrogram over the event-type overlap distances
+    // (model-sized input by contract; 1−jaccard of (user,day) sets)
+    "q360_single_linkage" -> ((s, dir) => {
+      val om = graft.model.Assoc.overlapMatrix(
+        ev(s, dir).select(col("event_type"),
+          concat(col("user_id").cast("string"), lit(":"),
+            expr("ts div 86400000000000").cast("string")).as("uid")),
+        "event_type", "uid")
+      canon(graft.multi.ClusterScore.singleLinkage(
+        om.select(col("ka"), col("kb"),
+          (lit(1.0) - col("jaccard")).as("d")), "ka", "kb", "d"))
+    }))
 
   /** user × event_type mean-value cells (exact-sum ratios) — the
     * subject × item frame shared by q321/q345/q346. */
@@ -720,6 +732,44 @@ object DiagQueries {
          | round((n_sizes::DOUBLE * sxy - sx * sy)
          |   / (n_sizes::DOUBLE * sxx - sx * sx), 4) AS hurst
          |FROM f""".stripMargin.replace("\n", " ")
+    },
+    "q360_single_linkage" -> {
+      // unrolled n−1 = 4 merge rounds (5 fully-connected items at every
+      // sf, so every round finds a cross-cluster pair)
+      val fp6 = (e: String) =>
+        s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) " +
+          s"ELSE -floor(-($e)*1e6+0.5) END)::BIGINT"
+      val rounds = (1 to 4).map { i =>
+        s"""m$i AS (SELECT dm.ka AS a, dm.kb AS b, dm.d6,
+           |  la.lbl AS lbl_a, lb.lbl AS lbl_b
+           | FROM dm JOIN lab${i - 1} la ON la.item = dm.ka
+           | JOIN lab${i - 1} lb ON lb.item = dm.kb
+           | WHERE la.lbl <> lb.lbl
+           | QUALIFY row_number() OVER (ORDER BY dm.d6, dm.ka, dm.kb) = 1),
+           |lab$i AS (SELECT i.item,
+           |  CASE WHEN i.lbl = m.lbl_a OR i.lbl = m.lbl_b
+           |   THEN least(m.lbl_a, m.lbl_b) ELSE i.lbl END AS lbl
+           | FROM lab${i - 1} i, m$i m)""".stripMargin
+      }
+      val outs = (1 to 4).map(i =>
+        s"SELECT $i AS step, a AS item_a, b AS item_b, " +
+          s"least(lbl_a, lbl_b) AS merged, round(d6::DOUBLE / 1e6, 4) AS d " +
+          s"FROM m$i").mkString(" UNION ALL ")
+      s"""WITH d0 AS (SELECT DISTINCT event_type::VARCHAR AS k,
+         |  user_id::VARCHAR || ':' ||
+         |   (epoch_ns(ts) // 86400000000000)::VARCHAR AS id
+         |  FROM events WHERE event_type IS NOT NULL),
+         |sz AS (SELECT k, count(*)::BIGINT AS n FROM d0 GROUP BY 1),
+         |iv AS (SELECT a.k AS ka, b.k AS kb, count(*)::BIGINT AS inter
+         |  FROM d0 a JOIN d0 b ON a.id = b.id AND a.k < b.k GROUP BY 1, 2),
+         |dm AS (SELECT ka, kb, ${fp6(
+           "1.0 - inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE")} AS d6
+         |  FROM iv JOIN sz sa ON sa.k = iv.ka JOIN sz sb ON sb.k = iv.kb),
+         |l0 AS (SELECT DISTINCT item FROM
+         |  (SELECT ka AS item FROM dm UNION SELECT kb FROM dm)),
+         |lab0 AS (SELECT item, item AS lbl FROM l0),
+         |${rounds.mkString(", ")}
+         |$outs""".stripMargin.replace("\n", " ")
     },
     "q355_quantile_norm" ->
       s"""WITH $fx,
