@@ -379,6 +379,11 @@ object SeqQueries {
     "q322_kalman" -> ((s, dir) =>
       canon(graft.seq.StateSpace.kalmanFilter(ev(s, dir), Seq("user_id"),
         "event_id", "value").toDF())),
+    // normalized spectral entropy of each type's leading 64 points
+    // (8dp-frozen DFT terms — exact long sums)
+    "q361_spectral_entropy" -> ((s, dir) =>
+      canon(graft.seq.StateSpace.spectralEntropy(ev(s, dir),
+        Seq("event_type"), "event_id", "value", window = 64))),
     // two-level binary segmentation: multi-change-point splits via
     // exact prefix-sum statistics, 6dp-frozen arg-max
     "q359_binary_seg" -> ((s, dir) =>
@@ -1171,6 +1176,36 @@ object SeqQueries {
     // Kalman replay shared by q322 (batch) and q334 (stream twin)
     "q322_kalman" -> kalmanOracle,
     "q334_kalman_stream" -> kalmanOracle,
+    // spectral-entropy replay: 8dp-frozen DFT terms → HUGEINT sums →
+    // ordered folds for Σp and −Σ q·ln q (trig/ln parity per q24)
+    "q361_spectral_entropy" -> {
+      val fp8 = (e: String) =>
+        s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e8+0.5) " +
+          s"ELSE -floor(-($e)*1e8+0.5) END)::BIGINT"
+      s"""WITH e AS (SELECT event_type::VARCHAR AS key, value,
+         |  row_number() OVER (PARTITION BY event_type
+         |    ORDER BY event_id ASC, value ASC) - 1 AS p,
+         |  count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT key, value AS x, p FROM e WHERE n >= 64 AND p < 64),
+         |t AS (SELECT key, f.k,
+         |  ${fp8("x * cos(-2*pi()*f.k*p/64)")} AS re8,
+         |  ${fp8("x * sin(-2*pi()*f.k*p/64)")} AS im8
+         |  FROM b CROSS JOIN (SELECT unnest(range(1, 32)) AS k) f),
+         |g AS (SELECT key, k, sum(re8)::HUGEINT AS re,
+         |  sum(im8)::HUGEINT AS im FROM t GROUP BY 1, 2),
+         |sp AS (SELECT key, k,
+         |  (re::DOUBLE / 1e8) * (re::DOUBLE / 1e8)
+         |   + (im::DOUBLE / 1e8) * (im::DOUBLE / 1e8) AS pk FROM g),
+         |f1 AS (SELECT key,
+         |  list_aggregate(list(pk ORDER BY k), 'sum') AS power,
+         |  list(pk ORDER BY k) AS ps FROM sp GROUP BY 1)
+         |SELECT key, round(power, 4) AS power,
+         | round(list_aggregate(list_transform(ps, q -> CASE WHEN q > 0
+         |   THEN -(q / power) * ln(q / power) ELSE 0.0 END), 'sum')
+         |  / ln(31.0), 4) AS entropy
+         |FROM f1""".stripMargin.replace("\n", " ")
+    },
     // binary segmentation replay: same prefix frame, same 6dp-frozen
     // g(t), per-segment QUALIFY arg-max (ties → smaller t)
     "q359_binary_seg" -> {

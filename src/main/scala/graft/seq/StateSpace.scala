@@ -1,6 +1,8 @@
 package graft.seq
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import graft.seq.SeriesKernels.{SScore, run}
 
 /** State-space smoothing kernels (engine additions). The local-level
@@ -60,6 +62,60 @@ object StateSpace {
       }
       Iterator.tabulate(n)(i => SScore(k, pts(i).seq, pts(i).value, scores(i)))
     }
+  }
+
+  /** Normalized spectral entropy of each key's leading `window` points:
+    * naive DFT over frequencies 1..window/2−1 (DC and mirror excluded)
+    * with every x·cos/x·sin term 8dp-frozen BEFORE summation (exact
+    * long sums — tighter than the q24 DFT's raw double sums), power
+    * p_k = re²+im², H = −Σ q·ln q / ln(#freqs) with q = p_k/Σp and both
+    * Σ as ordered folds over the frequency list. One row per key with ≥
+    * `window` points: key, power, entropy — ≈1 white noise, ≈0 a pure
+    * tone; the "is there ANY periodic structure" scalar in front of
+    * [[SeqOps.dominantPeriod]]'s which-period answer.
+    *
+    * Scale: the window is a fixed-size per-key head (one rn filter);
+    * the DFT frame is keys × window × freqs ≈ 2k rows per key — model-
+    * sized; trig parity across engines is the q24-established contract. */
+  def spectralEntropy(data: DataFrame, keyCols: Seq[String],
+      seqCol: String, valCol: String, window: Int = 64): DataFrame = {
+    require(window >= 8 && window % 2 == 0, s"even window >= 8: $window")
+    val spark = data.sparkSession
+    val nf = window / 2 - 1
+    val key = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    val ow = Window.partitionBy(col("key"))
+      .orderBy(col("_o").asc, col("_x").asc)
+    val base = data.where(col(valCol).isNotNull)
+      .select(key.as("key"), col(seqCol).cast("long").as("_o"),
+        col(valCol).cast("double").as("_x"))
+      .withColumn("_p", row_number().over(ow).cast("long") - 1)
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("key"))))
+      .where(col("_n") >= window && col("_p") < window)
+    val freqs = spark.range(1, nf + 1).select(col("id").as("_k"))
+    val ang = lit(-2.0 * math.Pi) * col("_k") * col("_p") / window
+    val terms = base.crossJoin(broadcast(freqs))
+      .select(col("key"), col("_k"),
+        graft.core.fixedPointLong(col("_x") * cos(ang), 8).as("_re8"),
+        graft.core.fixedPointLong(col("_x") * sin(ang), 8).as("_im8"))
+    val spec = terms.groupBy(col("key"), col("_k"))
+      .agg(sum(col("_re8")).as("_re"), sum(col("_im8")).as("_im"))
+      .select(col("key"), col("_k"),
+        ((col("_re").cast("double") / 1e8) *
+          (col("_re").cast("double") / 1e8) +
+          (col("_im").cast("double") / 1e8) *
+            (col("_im").cast("double") / 1e8)).as("_pk"))
+    val folded = spec.groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("_k").as("k"),
+        col("_pk").as("p")))).as("_a"))
+    val ptot = aggregate(col("_a"), lit(0.0), (acc, x) => acc + x("p"))
+    val ent = aggregate(col("_a"), lit(0.0), (acc, x) =>
+      acc + when(x("p") > 0,
+        -(x("p") / col("power")) * log(x("p") / col("power")))
+        .otherwise(lit(0.0)))
+    folded
+      .withColumn("power", ptot)
+      .withColumn("entropy", ent / math.log(nf.toDouble))
+      .select("key", "power", "entropy")
   }
 
   /** EWMA control chart per key (Roberts 1959; the SPC memory chart —
