@@ -197,6 +197,11 @@ object SeqQueries {
     "q129_seasonal_decompose" -> ((s, dir) =>
       canon(SeqOps.seasonalDecompose(ev(s, dir), Seq("event_type"), "event_id",
         "value", period = 24))),
+    // STL F-measures over the same decomposition: is the seasonality /
+    // trend worth modeling (scalar gate before Holt–Winters)
+    "q362_seasonal_strength" -> ((s, dir) =>
+      canon(SeqOps.seasonalStrength(ev(s, dir), Seq("event_type"),
+        "event_id", "value", period = 24))),
     // same statistic and oracle as q18, computed by the halo-exchange
     // kernel: range-partitioned on (key, seq) with a w-row boundary halo,
     // so parallelism is data-sized instead of capped at key cardinality
@@ -645,6 +650,25 @@ object SeqQueries {
       |SELECT e.key, e.tsns AS seq, round(e.value, 4) AS value, 0.0 AS score
       |FROM ev e LEFT JOIN par p USING (key)
       |WHERE e.rn = 1 OR p.key IS NULL""".stripMargin.replace("\n", " ")
+
+  // Seasonal-decompose replay through the component frame `r`
+  // (event_type, seq, value, trend, seasonal, resid) — the 2×24 MA is
+  // an explicit left-associated lag/lead chain so the float association
+  // matches Spark's `+` chain. Shared by q129 and q362.
+  private lazy val sdCtes: String =
+    """b AS (SELECT event_type, event_id AS seq, value FROM events
+      |  WHERE value IS NOT NULL),
+      |t AS (SELECT event_type, seq, value, (lag(value, 11) OVER wo + lag(value, 10) OVER wo + lag(value, 9) OVER wo + lag(value, 8) OVER wo + lag(value, 7) OVER wo + lag(value, 6) OVER wo + lag(value, 5) OVER wo + lag(value, 4) OVER wo + lag(value, 3) OVER wo + lag(value, 2) OVER wo + lag(value, 1) OVER wo + value + lead(value, 1) OVER wo + lead(value, 2) OVER wo + lead(value, 3) OVER wo + lead(value, 4) OVER wo + lead(value, 5) OVER wo + lead(value, 6) OVER wo + lead(value, 7) OVER wo + lead(value, 8) OVER wo + lead(value, 9) OVER wo + lead(value, 10) OVER wo + lead(value, 11) OVER wo + (lag(value, 12) OVER wo + lead(value, 12) OVER wo) / 2) / 24.0 AS trend FROM b WINDOW wo AS (PARTITION BY event_type ORDER BY seq)),
+      |d AS (SELECT *, value - trend AS detr, seq % 24 AS phase FROM t),
+      |sr AS (SELECT event_type, phase, avg(detr) AS seasRaw
+      | FROM d WHERE detr IS NOT NULL GROUP BY 1, 2),
+      |sc AS (SELECT event_type, phase,
+      |  seasRaw - avg(seasRaw) OVER (PARTITION BY event_type) AS seasonal
+      | FROM sr),
+      |r AS (SELECT d.event_type, d.seq, d.value, d.trend, sc.seasonal,
+      |  d.detr - sc.seasonal AS resid
+      | FROM d LEFT JOIN sc ON d.event_type = sc.event_type AND d.phase = sc.phase)"""
+      .stripMargin
 
   // Kalman local-level replay: r from the per-key HUGEINT-exact
   // variance, then the (level, P) recursion as a recursive-CTE walk
@@ -1681,25 +1705,40 @@ object SeqQueries {
          |SELECT user_id, event_id, round(value,4), round(score,4), tag
          | FROM z WHERE tag <> 'O'""".stripMargin.replace("\n", " "),
     "q129_seasonal_decompose" ->
-      """WITH b AS (SELECT event_type, event_id AS seq, value FROM events
-        |  WHERE value IS NOT NULL),
-        |t AS (SELECT event_type, seq, value, (lag(value, 11) OVER wo + lag(value, 10) OVER wo + lag(value, 9) OVER wo + lag(value, 8) OVER wo + lag(value, 7) OVER wo + lag(value, 6) OVER wo + lag(value, 5) OVER wo + lag(value, 4) OVER wo + lag(value, 3) OVER wo + lag(value, 2) OVER wo + lag(value, 1) OVER wo + value + lead(value, 1) OVER wo + lead(value, 2) OVER wo + lead(value, 3) OVER wo + lead(value, 4) OVER wo + lead(value, 5) OVER wo + lead(value, 6) OVER wo + lead(value, 7) OVER wo + lead(value, 8) OVER wo + lead(value, 9) OVER wo + lead(value, 10) OVER wo + lead(value, 11) OVER wo + (lag(value, 12) OVER wo + lead(value, 12) OVER wo) / 2) / 24.0 AS trend FROM b WINDOW wo AS (PARTITION BY event_type ORDER BY seq)),
-        |d AS (SELECT *, value - trend AS detr, seq % 24 AS phase FROM t),
-        |sr AS (SELECT event_type, phase, avg(detr) AS seasRaw
-        | FROM d WHERE detr IS NOT NULL GROUP BY 1, 2),
-        |sc AS (SELECT event_type, phase,
-        |  seasRaw - avg(seasRaw) OVER (PARTITION BY event_type) AS seasonal
-        | FROM sr),
-        |r AS (SELECT d.event_type, d.seq, d.value, d.trend, sc.seasonal,
-        |  d.detr - sc.seasonal AS resid
-        | FROM d LEFT JOIN sc ON d.event_type = sc.event_type AND d.phase = sc.phase),
-        |st AS (SELECT event_type, avg(resid) AS mu, stddev_samp(resid) AS sd
-        | FROM r GROUP BY 1)
-        |SELECT r.event_type, r.seq, round(r.value, 4) AS value,
-        | round(r.trend, 4) AS trend, round(r.seasonal, 4) AS seasonal,
-        | round(r.resid, 4) AS resid,
-        | round(abs(r.resid - st.mu)/st.sd, 4) AS z
-        |FROM r JOIN st USING (event_type)""".stripMargin.replace("\n", " "),
+      s"""WITH $sdCtes,
+         |st AS (SELECT event_type, avg(resid) AS mu, stddev_samp(resid) AS sd
+         | FROM r GROUP BY 1)
+         |SELECT r.event_type, r.seq, round(r.value, 4) AS value,
+         | round(r.trend, 4) AS trend, round(r.seasonal, 4) AS seasonal,
+         | round(r.resid, 4) AS resid,
+         | round(abs(r.resid - st.mu)/st.sd, 4) AS z
+         |FROM r JOIN st USING (event_type)""".stripMargin.replace("\n", " "),
+    // STL strength over the shared decompose replay: 4dp-frozen
+    // component variances, exact HUGEINT sums
+    "q362_seasonal_strength" -> {
+      val fp4 = (e: String) =>
+        s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e4+0.5) " +
+          s"ELSE -floor(-($e)*1e4+0.5) END)::BIGINT"
+      def vr(s: String, q: String) =
+        s"(($q)::DOUBLE - ($s)::DOUBLE * ($s)::DOUBLE / n::DOUBLE)" +
+          s" / (n::DOUBLE - 1) / 1e8"
+      s"""WITH $sdCtes,
+         |f AS (SELECT event_type, ${fp4("resid")} AS fr,
+         |  ${fp4("seasonal + resid")} AS fsr,
+         |  ${fp4("value - seasonal")} AS ftr
+         |  FROM r WHERE resid IS NOT NULL),
+         |g AS (SELECT event_type, count(*)::BIGINT AS n,
+         |  sum(fr)::HUGEINT AS s1, sum(fr::HUGEINT * fr::HUGEINT) AS q1,
+         |  sum(fsr)::HUGEINT AS s2, sum(fsr::HUGEINT * fsr::HUGEINT) AS q2,
+         |  sum(ftr)::HUGEINT AS s3, sum(ftr::HUGEINT * ftr::HUGEINT) AS q3
+         |  FROM f GROUP BY 1 HAVING count(*) >= 3)
+         |SELECT event_type, n,
+         | round(greatest(0.0, 1.0 - (${vr("s1", "q1")}) / (${vr("s2", "q2")})), 4)
+         |   AS seasonal_strength,
+         | round(greatest(0.0, 1.0 - (${vr("s1", "q1")}) / (${vr("s3", "q3")})), 4)
+         |   AS trend_strength
+         |FROM g""".stripMargin.replace("\n", " ")
+    },
     "q18_changepoint_meanshift" ->
       """WITH s AS (SELECT event_type, event_id, value,
         |  count(value) OVER lw AS cnt_l, count(value) OVER rw AS cnt_r,

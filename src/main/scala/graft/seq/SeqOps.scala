@@ -438,6 +438,45 @@ object SeqOps {
       .select(keyCols.map(col) :+ (col("_pos") + 1).as("lag") :+
         col("pacf"): _*)
 
+  /** Seasonal and trend strength (the STL F-measures, Wang/Hyndman):
+    * F_seasonal = max(0, 1 − Var(resid)/Var(seasonal+resid)) and
+    * F_trend = max(0, 1 − Var(resid)/Var(value−seasonal)) over the
+    * [[seasonalDecompose]] components — the scalar "is the seasonality
+    * worth modeling" gate in front of Holt–Winters. Components are
+    * frozen at the shared 4dp before the variance sums (exact
+    * decimal/HUGEINT), so the F finish is a fixed double expression.
+    * One row per key: keyCols..., n, seasonal_strength, trend_strength. */
+  def seasonalStrength(data: DataFrame, keyCols: Seq[String],
+      seqCol: String, valCol: String, period: Int): DataFrame = {
+    val dec = seasonalDecompose(data, keyCols, seqCol, valCol, period)
+      .where(col("resid").isNotNull)
+    def f4(c: Column) = graft.core.fixedPointLong(c, 4)
+    def dc(c: Column) = c.cast("decimal(38,0)")
+    val pre = dec.select(keyCols.map(col) :+
+      f4(col("resid")).as("_r") :+
+      f4(col("seasonal") + col("resid")).as("_sr") :+
+      f4(col("value") - col("seasonal")).as("_tr"): _*)
+    val g = pre.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_r")).as("_s1"), sum(dc(dc(col("_r")) * dc(col("_r"))))
+          .as("_q1"),
+        sum(col("_sr")).as("_s2"), sum(dc(dc(col("_sr")) * dc(col("_sr"))))
+          .as("_q2"),
+        sum(col("_tr")).as("_s3"), sum(dc(dc(col("_tr")) * dc(col("_tr"))))
+          .as("_q3"))
+    val nD = col("n").cast("double")
+    def vr(s: String, q: String) =
+      (col(q).cast("double") -
+        col(s).cast("double") * col(s).cast("double") / nD) / (nD - 1) / 1e8
+    g.where(col("n") >= 3)
+      .withColumn("seasonal_strength",
+        greatest(lit(0.0), lit(1.0) - vr("_s1", "_q1") / vr("_s2", "_q2")))
+      .withColumn("trend_strength",
+        greatest(lit(0.0), lit(1.0) - vr("_s1", "_q1") / vr("_s3", "_q3")))
+      .select(keyCols.map(col) :+ col("n") :+ col("seasonal_strength") :+
+        col("trend_strength"): _*)
+  }
+
   /** Two-level binary segmentation: the classic multiple-change-point
     * extension of the single mean-shift detector — level 0 finds the
     * best split of the whole series by the standardized mean-difference
