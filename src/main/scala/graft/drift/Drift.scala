@@ -432,6 +432,48 @@ object Drift {
       .withColumn("drifted", col("jsd") > threshold)
   }
 
+  /** Per-dimension embedding drift: explode both snapshots to
+    * (dim, value), exact 6dp fixed-point moment sums per (side, dim),
+    * Welch z per dimension — the axis-level diagnosis behind
+    * [[centroidDrift]]'s single number ("WHICH dimensions moved", the
+    * first question when an embedding model is hot-swapped). One row
+    * per dimension: dim, n_ref, n_cur, mean_ref, mean_cur, z, drifted.
+    *
+    * Scale: the exploded frame is rows×dims but reduces in one hash
+    * aggregate to dims-sized stats — map-side combined, no shuffle of
+    * the raw explode. */
+  def dimensionDrift(ref: DataFrame, cur: DataFrame, vecCol: String,
+      threshold: Double = 3.0): DataFrame = {
+    def stats(df: DataFrame, side: String): DataFrame =
+      df.where(col(vecCol).isNotNull)
+        .select(posexplode(col(vecCol)).as(Seq("dim", "_v")))
+        .select(col("dim"),
+          graft.core.fixedPointLong(col("_v").cast("double"), 6).as("_f"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as(s"n_$side"),
+          sum(col("_f").cast("decimal(38,0)")).as(s"_s$side"),
+          sum((col("_f").cast("decimal(38,0)") *
+            col("_f").cast("decimal(38,0)")).cast("decimal(38,0)"))
+            .as(s"_q$side"))
+    def m(side: String) = col(s"_s$side").cast("double") /
+      col(s"n_$side").cast("double") / 1e6
+    def v(side: String) = {
+      val n = col(s"n_$side").cast("double")
+      (col(s"_q$side").cast("double") -
+        col(s"_s$side").cast("double") * col(s"_s$side").cast("double") /
+          n) / (n - 1) / 1e12
+    }
+    stats(ref, "ref").join(stats(cur, "cur"), "dim")
+      .withColumn("mean_ref", m("ref"))
+      .withColumn("mean_cur", m("cur"))
+      .withColumn("z", (m("ref") - m("cur")) /
+        sqrt(v("ref") / col("n_ref").cast("double") +
+          v("cur") / col("n_cur").cast("double")))
+      .withColumn("drifted", abs(col("z")) > threshold)
+      .select("dim", "n_ref", "n_cur", "mean_ref", "mean_cur", "z",
+        "drifted")
+  }
+
   /** Hellinger distance between the reference and current value
     * distributions: H = √(1 − BC) with the Bhattacharyya coefficient
     * BC = Σ√(pᵢ·qᵢ) — a bounded [0,1] metric (a true metric, unlike

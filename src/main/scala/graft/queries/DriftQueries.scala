@@ -26,6 +26,14 @@ object DriftQueries {
     // a 1.25× value shift (induced drift): Laplace-smoothed bin shares,
     // 6dp fixed-point term sums — ln parity is the only float
     // assumption (the q174 class)
+    // per-dimension embedding drift: even/odd vec_id halves, Welch z
+    // per axis (the "which dimensions moved" view behind q246)
+    "q363_dim_drift" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      canon(Drift.dimensionDrift(
+        e.where(col("vec_id") % 2 === 0),
+        e.where(col("vec_id") % 2 === 1), "embedding"))
+    }),
     // Hellinger distance over the q189 ref/cur split: bounded-metric
     // face of PSI/JSD (BC = Σ√(p·q), 8dp-frozen terms)
     "q354_hellinger" -> ((s, dir) => {
@@ -596,6 +604,35 @@ object DriftQueries {
       s"""WITH $psiCtes
          |SELECT event_type, round(psi, 4) AS psi, psi > 0.2 AS drifted
          |FROM p""".stripMargin.replace("\n", " "),
+    "q363_dim_drift" -> {
+      val fp6 = (e: String) =>
+        s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) " +
+          s"ELSE -floor(-($e)*1e6+0.5) END)::BIGINT"
+      def m(p: String) = s"$p.s::DOUBLE / $p.n::DOUBLE / 1e6"
+      def v(p: String) =
+        s"($p.q::DOUBLE - $p.s::DOUBLE * $p.s::DOUBLE / $p.n::DOUBLE)" +
+          s" / ($p.n::DOUBLE - 1) / 1e12"
+      s"""WITH x AS (SELECT vec_id,
+         |  generate_subscripts(embedding, 1) - 1 AS dim,
+         |  unnest(embedding)::DOUBLE AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |fx AS (SELECT vec_id, dim, ${fp6("v")} AS f FROM x),
+         |r AS (SELECT dim, count(*)::BIGINT AS n, sum(f::HUGEINT) AS s,
+         |  sum(f::HUGEINT * f::HUGEINT) AS q FROM fx
+         |  WHERE vec_id % 2 = 0 GROUP BY 1),
+         |c AS (SELECT dim, count(*)::BIGINT AS n, sum(f::HUGEINT) AS s,
+         |  sum(f::HUGEINT * f::HUGEINT) AS q FROM fx
+         |  WHERE vec_id % 2 = 1 GROUP BY 1)
+         |SELECT r.dim, r.n AS n_ref, c.n AS n_cur,
+         | round(${m("r")}, 4) AS mean_ref, round(${m("c")}, 4) AS mean_cur,
+         | round((${m("r")} - ${m("c")})
+         |  / sqrt((${v("r")}) / r.n::DOUBLE + (${v("c")}) / c.n::DOUBLE), 4)
+         |   AS z,
+         | abs((${m("r")} - ${m("c")})
+         |  / sqrt((${v("r")}) / r.n::DOUBLE + (${v("c")}) / c.n::DOUBLE))
+         |   > 3.0 AS drifted
+         |FROM r JOIN c USING (dim)""".stripMargin.replace("\n", " ")
+    },
     "q354_hellinger" -> {
       val fp8 = (e: String) =>
         s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e8+0.5) " +
