@@ -738,6 +738,46 @@ object ScaleProbe {
         seq.StateSpace.ewmaChart(ev, Seq("user_id"), "event_id", "value")
           .count()
       }
+      time("binary_seg", n, nEv) {
+        seq.SeqOps.binarySegmentation(ev, Seq("event_type"), "event_id",
+          "value", minSegment = 50).count()
+      }
+      time("spectral_entropy", n, nEv) {
+        seq.StateSpace.spectralEntropy(ev, Seq("event_type"), "event_id",
+          "value", window = 64).count()
+      }
+      time("quantile_norm", n, nEv) {
+        post.PostOps.quantileNormalize(ev, "event_type", "event_id",
+          "value").count()
+      }
+      time("rank_ensemble", n, nEv) {
+        val stats = model.Fitters.stats(ev, Seq("event_type"), Seq("value"))
+        val z = score.Scorers.zscore(ev, stats,
+          score.Scorers.Cfg(Seq("event_type"), Seq("value"), threshold = 2.0))
+          .select(col("event_id"), col("score").as("s_z"))
+        val e2 = score.Scorers.extremeValue(ev, stats,
+          score.Scorers.Cfg(Seq("event_type"), Seq("value"), threshold = 0.9))
+          .select(col("event_id"), col("score").as("s_e"))
+        post.PostOps.rankEnsemble(z.join(e2, "event_id"),
+          Seq("event_id"), Seq("s_z", "s_e")).count()
+      }
+      time("hellinger", n, nEv) {
+        drift.Drift.hellinger(ev.where(col("event_id") % 2 === 0),
+          ev.where(col("event_id") % 2 === 1), Seq("event_type"),
+          "value").count()
+      }
+      time("harmonic", n, nEv) {
+        val u2t = ev.select(concat(lit("u:"),
+          col("user_id").cast("string")).as("src"),
+          concat(lit("t:"), col("event_type")).as("dst"))
+        val bip = u2t.union(u2t.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct()
+        graph.Graph.harmonicCentrality(bip, "src", "dst").count()
+      }
+      time("dim_drift", n, nEmb) {
+        drift.Drift.dimensionDrift(emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1), "embedding").count()
+      }
       time("dtw", n, nEv) {
         val fpv = core.fixedPointLong(col("value").cast("double"), 4)
         val e = ev.where(col("value").isNotNull)

@@ -454,7 +454,7 @@ object PostOps {
   }
 
   /** Rank-ensemble score combiner: each detector's score is replaced by
-    * its global percent-rank (average-rank/n via the 6dp-frozen score
+    * its global percent-rank (average-rank/n via the 3dp-frozen score
     * histogram — exact integers, so detectors with incomparable scales
     * become comparable without any calibration), then averaged in fixed
     * column order. The Kemeny-lite ensemble the reference's weighted
@@ -462,15 +462,17 @@ object PostOps {
     * member scales differ by orders of magnitude. Output: idCols...,
     * rank_<scoreCol>..., ensemble.
     *
-    * Scale: one histogram + one global cumulative window PER DETECTOR
-    * (distinct-score-sized, never the data) + k broadcast-class joins
-    * back onto the scored frame. */
+    * Scale: the 3dp freeze bounds the histogram by the score's VALUE
+    * RANGE ×10³ (a continuous score at 6dp would make distinct ≈ rows
+    * and the global rank window data-sized — measured 17 s at 16×);
+    * one histogram + one cumulative window per detector over that
+    * bounded frame + k equi-joins back onto the scored frame. */
   def rankEnsemble(scored: DataFrame, idCols: Seq[String],
       scoreCols: Seq[String]): DataFrame = {
     require(scoreCols.nonEmpty, "rankEnsemble needs score columns")
     var df = scored
     scoreCols.foreach { c =>
-      val s6 = graft.core.fixedPointLong(col(c).cast("double"), 6)
+      val s6 = graft.core.fixedPointLong(col(c).cast("double"), 3)
       df = df.withColumn(s"_f_$c", s6)
       val h = df.groupBy(col(s"_f_$c")).agg(count(lit(1)).as("_ct"))
       val w = Window.orderBy(col(s"_f_$c").asc)

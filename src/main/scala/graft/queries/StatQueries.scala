@@ -1321,8 +1321,8 @@ object StatQueries {
          |  exp(-exp(-abs(e.value - s.mean) / s.std)) AS se
          | FROM events e JOIN stats s USING (event_type)
          | JOIN rob r USING (event_type)),
-         |f AS (SELECT event_id, ${fp("sz", "1e6")} AS fz,
-         |  ${fp("sr", "1e6")} AS fr, ${fp("se", "1e6")} AS fe FROM sc),
+         |f AS (SELECT event_id, ${fp("sz", "1e3")} AS fz,
+         |  ${fp("sr", "1e3")} AS fr, ${fp("se", "1e3")} AS fe FROM sc),
          |${prCte("fz")}, ${prCte("fr")}, ${prCte("fe")}
          |SELECT f.event_id, round(pz.p, 4) AS rank_s_z,
          | round(pr2.p, 4) AS rank_s_r, round(pe.p, 4) AS rank_s_e,
