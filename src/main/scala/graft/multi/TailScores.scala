@@ -151,15 +151,57 @@ object TailScores {
       s"need one critical value per round: k=$maxOutliers, " +
         s"given ${critical.length}")
     val v = col(valCol).cast("double")
-    var remaining = data.where(v.isNotNull)
+    // ONE full-data aggregation + ONE double-ranking window; the k
+    // rounds then run over the ≤4k-per-key CANDIDATE frame with the
+    // round sums maintained by subtraction (exact decimals). The round
+    // arg-max of |x − mean| is always at the remaining min or max
+    // value, and each removal consumes at most one candidate from one
+    // end, so 2k per end always covers all k rounds — the rewrite is
+    // output-identical to the per-round full rescan (same oracle gates
+    // it) while the per-round work drops from data-sized to key-sized.
+    // (q301 fed the full seasonalDecompose in here: the old loop
+    // re-executed it ~2× per round.)
+    val cap = 2 * maxOutliers
+    // eager cut: sums0, the candidate windows and every round's st all
+    // re-read this frame — without the checkpoint an expensive upstream
+    // (q301's seasonalDecompose) re-executes once per consumer
+    val base = data.where(v.isNotNull)
       .select(keyCols.map(col) :+ col(idCol).as("_id") :+ v.as("_v") :+
         graft.core.fixedPointLong(v, 4).cast("decimal(38,0)").as("_fp"): _*)
+      .localCheckpoint(true)
+    val sums0 = base.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("_n0"),
+        sum(col("_fp")).as("_s0"),
+        sum((col("_fp") * col("_fp")).cast("decimal(38,0)")).as("_q0"))
+    val wa = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_fp").asc, col("_id").asc)
+    val wd = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_fp").desc, col("_id").asc)
+    val cand = base
+      .withColumn("_ra", row_number().over(wa))
+      .withColumn("_rd", row_number().over(wd))
+      .where(col("_ra") <= cap || col("_rd") <= cap)
+      .drop("_ra", "_rd")
+      .localCheckpoint(true)
     var removed: DataFrame = null
+    var live = cand
     (1 to maxOutliers).foreach { i =>
-      val st = remaining.groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
-          sum(col("_fp")).as("_s"),
-          sum((col("_fp") * col("_fp")).cast("decimal(38,0)")).as("_q"))
+      val st =
+        if (removed == null)
+          sums0.select(keyCols.map(col) :+ col("_n0").as("_n") :+
+            col("_s0").as("_s") :+ col("_q0").as("_q"): _*)
+        else {
+          val rem = removed.groupBy(keyCols.map(col): _*)
+            .agg(count(lit(1)).cast("decimal(38,0)").as("_rc"),
+              sum(col("_rfp")).as("_rs"),
+              sum((col("_rfp") * col("_rfp")).cast("decimal(38,0)"))
+                .as("_rq"))
+          sums0.join(rem, keyCols, "left")
+            .select(keyCols.map(col) :+
+              (col("_n0") - coalesce(col("_rc"), lit(0))).as("_n") :+
+              (col("_s0") - coalesce(col("_rs"), lit(0))).as("_s") :+
+              (col("_q0") - coalesce(col("_rq"), lit(0))).as("_q"): _*)
+        }
       val dev = abs(col("_n") * col("_fp") - col("_s"))
       val w = Window.partitionBy(keyCols.map(col): _*)
         .orderBy(dev.desc, col("_id").asc)
@@ -168,19 +210,21 @@ object TailScores {
       val std = sqrt((col("_q").cast("double") -
         col("_s").cast("double") * col("_s").cast("double") / nD) /
         (nD - 1)) / 1e4
-      val top = remaining.join(broadcast(st), keyCols)
+      val top = live.join(broadcast(st), keyCols)
         .where(col("_n") > 2)
         .withColumn("_rn", row_number().over(w))
         .where(col("_rn") === 1)
         .select(keyCols.map(col) :+ lit(i).as("rnd") :+
           col("_id").as("removed_id") :+ col("_v").as("value") :+
+          col("_fp").as("_rfp") :+
           ((dev.cast("double") / nD / 1e4) / std).as("r_stat") :+
           lit(critical(i - 1)).as("lambda"): _*)
       removed = if (removed == null) top else removed.union(top)
-      remaining = remaining.join(
+      live = live.join(
         top.select(keyCols.map(col) :+ col("removed_id").as("_id"): _*),
         keyCols :+ "_id", "left_anti")
     }
+    removed = removed.drop("_rfp")
     // ESD decision: outliers = rows of every round up to the LAST round
     // whose R exceeded its λ (key-sized window over ≤ k rows per key)
     val wk = Window.partitionBy(keyCols.map(col): _*)
