@@ -118,6 +118,28 @@ class SpcDiagSpec extends SparkSpec {
     assert(rows.filter(_._1 != 2).values.forall(_ < 0.99))
   }
 
+  test("esd candidate rewrite: one-sided removals and duplicate ties") {
+    import graft.multi.TailScores
+    // all k outliers on ONE end: rounds must walk down 300→200→100,
+    // exercising the 2k-per-end candidate margin
+    val oneSide = ((1 to 40).map(i => ("a", i.toLong, 10.0 + (i % 3))) ++
+      Seq(("a", 101L, 300.0), ("a", 102L, 200.0), ("a", 103L, 100.0)))
+      .toDF("k", "id", "v")
+    val r1 = TailScores.esd(oneSide, Seq("k"), "id", "v",
+      maxOutliers = 3, critical = Seq(2.0, 2.0, 2.0))
+      .orderBy("rnd").collect()
+    assert(r1.map(_.getAs[Long]("removed_id")).toSeq == Seq(101L, 102L, 103L))
+    assert(r1.forall(_.getAs[String]("tag") == "O"))
+    // duplicated extreme value: the smaller id is removed first
+    val dup = ((1 to 40).map(i => ("a", i.toLong, 10.0)) ++
+      Seq(("a", 201L, 99.0), ("a", 200L, 99.0)))
+      .toDF("k", "id", "v")
+    val r2 = TailScores.esd(dup, Seq("k"), "id", "v",
+      maxOutliers = 2, critical = Seq(2.0, 2.0))
+      .orderBy("rnd").collect()
+    assert(r2.map(_.getAs[Long]("removed_id")).toSeq == Seq(200L, 201L))
+  }
+
   test("stream twins equal their batch kernels row-for-row (sf0.001)") {
     Seq("q314_western_electric" -> "q353_we_stream",
       "q322_kalman" -> "q334_kalman_stream",
