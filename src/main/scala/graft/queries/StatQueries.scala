@@ -397,20 +397,25 @@ object StatQueries {
       canon(Fitters.histogram(ev(s, dir), Seq("event_type"), Seq(("value", 10.0))))),
     "q05_zscore" -> ((s, dir) =>
       canon(zscored(s, dir).select("event_id", "event_type", "value", "score", "tag"))),
-    // rank-ensemble of three scale-incomparable detectors (zscore,
-    // robust-z, extreme-value prob): percent-rank normalize, average
+    // rank-ensemble of three RANK-DISTINCT detectors (zscore, robust-z,
+    // histogram estimated-probability): percent-rank normalize, average.
+    // (extremeValue = exp(−exp(−z)) is a monotone transform of zscore —
+    // identical ranks, so it would add nothing to a rank ensemble)
     "q358_rank_ensemble" -> ((s, dir) => {
       val data = ev(s, dir)
       val stats = Fitters.stats(data, Seq("event_type"), Seq("value"))
       val rob = Fitters.robustStats(data, Seq("event_type"), Seq("value"))
+      val hist = Fitters.histogram(data, Seq("event_type"),
+        Seq(("value", 10.0)))
       val z = Scorers.zscore(data, stats,
         Cfg(Seq("event_type"), Seq("value"), threshold = 2.0))
         .select(col("event_id"), col("score").as("s_z"))
       val r = Scorers.robustZscore(data, rob,
         Cfg(Seq("event_type"), Seq("value"), threshold = 3.0))
         .select(col("event_id"), col("score").as("s_r"))
-      val e0 = Scorers.extremeValue(data, stats,
-        Cfg(Seq("event_type"), Seq("value"), threshold = 0.9))
+      val e0 = Scorers.estimatedProbability(data, hist,
+        Cfg(Seq("event_type"), Seq("value"), threshold = 0.99),
+        Seq(("value", 10.0)))
         .select(col("event_id"), col("score").as("s_e"))
       canon(graft.post.PostOps.rankEnsemble(
         z.join(r, "event_id").join(e0, "event_id"),
@@ -1314,13 +1319,15 @@ object StatQueries {
            |   + ct + 1)::DOUBLE
            |  / (2 * (SELECT sum(ct) FROM h_$fc))::DOUBLE AS p
            | FROM h_$fc)""".stripMargin
-      s"""WITH $evStats, $evRobust,
+      s"""WITH $evStats, $evRobust, $evHist,
          |sc AS (SELECT e.event_id,
          |  abs(e.value - s.mean) / s.std AS sz,
          |  abs(e.value - r.med) / r.mad AS sr,
-         |  exp(-exp(-abs(e.value - s.mean) / s.std)) AS se
+         |  1.0 - coalesce(h.freq, 0.0) AS se
          | FROM events e JOIN stats s USING (event_type)
-         | JOIN rob r USING (event_type)),
+         | JOIN rob r USING (event_type)
+         | LEFT JOIN histn h ON e.event_type = h.event_type
+         |  AND CAST(floor(e.value/10.0) AS BIGINT)::VARCHAR = h.bucket),
          |f AS (SELECT event_id, ${fp("sz", "1e3")} AS fz,
          |  ${fp("sr", "1e3")} AS fr, ${fp("se", "1e3")} AS fe FROM sc),
          |${prCte("fz")}, ${prCte("fr")}, ${prCte("fe")}
