@@ -332,6 +332,84 @@ object Diagnostics {
       .select("key", "n", "q_min", "q_max")
   }
 
+  /** Flatline (stuck-sensor) detector per key: runs of IDENTICAL
+    * 4dp-quantized values in ordCol order — run ids from a change-
+    * indicator cumulative sum, then the longest run with its value and
+    * start position. One row per key: key, n, max_run, run_value,
+    * run_start, stuck (max_run ≥ minRun) — a dead sensor passes every
+    * distributional test (its variance just shrinks); run structure is
+    * the only thing that catches it. */
+  def flatline(data: DataFrame, keyCol: String, ordCol: String,
+      valCol: String, minRun: Int = 5): DataFrame = {
+    val v = col(valCol).cast("double")
+    val ow = Window.partitionBy(col("key")).orderBy(col("_o").asc)
+    val runs = data.where(v.isNotNull)
+      .select(col(keyCol).as("key"), col(ordCol).cast("long").as("_o"),
+        fp(v).as("_v"))
+      .withColumn("_chg",
+        when(lag(col("_v"), 1).over(ow).isNull ||
+          lag(col("_v"), 1).over(ow) =!= col("_v"), 1L).otherwise(0L))
+      .withColumn("_run", sum(col("_chg")).over(
+        ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("key"), col("_run"))
+      .agg(count(lit(1)).as("_len"), min(col("_o")).as("_start"),
+        min(col("_v")).as("_rv"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("_len").desc, col("_start").asc)
+    val tot = runs.groupBy(col("key")).agg(sum(col("_len")).as("n"))
+    runs.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .join(broadcast(tot), "key")
+      .select(col("key"), col("n"), col("_len").as("max_run"),
+        (col("_rv").cast("double") / 1e4).as("run_value"),
+        col("_start").as("run_start"),
+        (col("_len") >= minRun).as("stuck"))
+  }
+
+  /** Feed-heartbeat monitor per key over event timestamps: inter-
+    * arrival gaps (exact long deltas), the max gap vs the exact median
+    * gap, and the trailing silence up to the corpus watermark (max ts
+    * over all keys — data-derived, no wall clock). One row per key:
+    * key, n, median_gap, max_gap, gap_ratio, silence, stalled
+    * (gap_ratio > ratio OR silence > ratio·median) — "did this feed
+    * stall" as a query instead of an external monitor. */
+  def heartbeat(data: DataFrame, keyCol: String, tsCol: String,
+      ratio: Double = 10.0): DataFrame = {
+    val ow = Window.partitionBy(col("key")).orderBy(col("_t").asc)
+    val base = data.where(col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"), col(tsCol).cast("long").as("_t"))
+    val gaps = base
+      .withColumn("_g", col("_t") - lag(col("_t"), 1).over(ow))
+      .where(col("_g").isNotNull)
+    // exact median gap via the per-key gap histogram (2·median device)
+    val gh = gaps.groupBy(col("key"), col("_g"))
+      .agg(count(lit(1)).as("_ct"))
+    val cw = Window.partitionBy(col("key")).orderBy(col("_g").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kw = Window.partitionBy(col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med2 = gh
+      .withColumn("_cum", sum(col("_ct")).over(cw))
+      .withColumn("_c", sum(col("_ct")).over(kw))
+      .groupBy(col("key"))
+      .agg((min(when(col("_cum") >=
+          floor((col("_c") + 1) / 2).cast("long"), col("_g"))) +
+        min(when(col("_cum") >=
+          floor(col("_c") / 2).cast("long") + 1, col("_g")))).as("_m2"))
+    val agg = gaps.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), max(col("_g")).as("max_gap"),
+        max(col("_t")).as("_last"))
+    val wm = base.agg(max(col("_t")).as("_wm"))
+    agg.join(med2, "key").crossJoin(broadcast(wm))
+      .withColumn("median_gap", col("_m2").cast("double") / 2.0)
+      .withColumn("gap_ratio",
+        col("max_gap").cast("double") / col("median_gap"))
+      .withColumn("silence", (col("_wm") - col("_last")).cast("long"))
+      .withColumn("stalled", col("gap_ratio") > ratio ||
+        col("silence").cast("double") > lit(ratio) * col("median_gap"))
+      .select("key", "n", "median_gap", "max_gap", "gap_ratio",
+        "silence", "stalled")
+  }
+
   /** Turning-point randomness test per key: T = #(local maxima or
     * minima) among interior points in ordCol order (strict peaks/pits;
     * flats count as neither — ties are exact fixed-point comparisons),

@@ -189,6 +189,16 @@ object DiagQueries {
     "q355_quantile_norm" -> ((s, dir) =>
       canon(graft.post.PostOps.quantileNormalize(ev(s, dir), "event_type",
         "event_id", "value"))),
+    // flatline detector: longest run of the same coarse value band
+    // (floor(value/100)) per event_type — the stuck-sensor screen
+    "q364_flatline" -> ((s, dir) =>
+      canon(Diagnostics.flatline(
+        ev(s, dir).withColumn("band", floor(col("value") / 100.0)),
+        "event_type", "event_id", "band", minRun = 5))),
+    // feed heartbeat: max/median inter-arrival gap + trailing silence
+    // vs the corpus watermark, per event_type
+    "q365_heartbeat" -> ((s, dir) =>
+      canon(Diagnostics.heartbeat(ev(s, dir), "event_type", "ts"))),
     // single-linkage dendrogram over the event-type overlap distances
     // (model-sized input by contract; 1−jaccard of (user,day) sets)
     "q360_single_linkage" -> ((s, dir) => {
@@ -733,6 +743,54 @@ object DiagQueries {
          |   / (n_sizes::DOUBLE * sxx - sx * sx), 4) AS hurst
          |FROM f""".stripMargin.replace("\n", " ")
     },
+    "q364_flatline" ->
+      s"""WITH b AS (SELECT event_type AS key, event_id AS o,
+         |  ${fpSql("floor(value/100.0)")} AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |c AS (SELECT key, o, v,
+         |  CASE WHEN lag(v) OVER w IS NULL OR lag(v) OVER w <> v
+         |   THEN 1 ELSE 0 END AS chg
+         |  FROM b WINDOW w AS (PARTITION BY key ORDER BY o ASC)),
+         |r AS (SELECT key, o, v, sum(chg) OVER (PARTITION BY key
+         |  ORDER BY o ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |  CURRENT ROW) AS run FROM c),
+         |g AS (SELECT key, run, count(*)::BIGINT AS len,
+         |  min(o) AS start, min(v) AS rv FROM r GROUP BY 1, 2),
+         |tot AS (SELECT key, sum(len)::BIGINT AS n FROM g GROUP BY 1),
+         |top AS (SELECT * FROM g QUALIFY row_number() OVER
+         |  (PARTITION BY key ORDER BY len DESC, start ASC) = 1)
+         |SELECT t.key, tot.n, t.len AS max_run,
+         | round(t.rv::DOUBLE / 1e4, 4) AS run_value,
+         | t.start AS run_start, (t.len >= 5) AS stuck
+         |FROM top t JOIN tot USING (key)""".stripMargin.replace("\n", " "),
+    "q365_heartbeat" ->
+      s"""WITH b AS (SELECT event_type AS key, epoch_ns(ts) AS t
+         |  FROM events WHERE ts IS NOT NULL),
+         |gp AS (SELECT key, t - lag(t) OVER (PARTITION BY key
+         |  ORDER BY t ASC) AS g, t FROM b),
+         |g2 AS (SELECT key, g FROM gp WHERE g IS NOT NULL),
+         |gh AS (SELECT key, g, count(*)::BIGINT AS ct FROM g2 GROUP BY 1, 2),
+         |cum AS (SELECT key, g,
+         |  sum(ct) OVER (PARTITION BY key ORDER BY g ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  sum(ct) OVER (PARTITION BY key) AS c FROM gh),
+         |med AS (SELECT key,
+         |  min(CASE WHEN cum >= (c + 1) // 2 THEN g END)
+         |  + min(CASE WHEN cum >= c // 2 + 1 THEN g END) AS m2
+         |  FROM cum GROUP BY 1),
+         |agg AS (SELECT key, count(*)::BIGINT AS n, max(g) AS max_gap
+         |  FROM g2 GROUP BY 1),
+         |lastt AS (SELECT key, max(t) AS last FROM b GROUP BY 1),
+         |wm AS (SELECT max(t) AS wm FROM b),
+         |f AS (SELECT a.key, a.n, m.m2::DOUBLE / 2.0 AS median_gap,
+         |  a.max_gap, (wm.wm - l.last)::BIGINT AS silence
+         |  FROM agg a JOIN med m USING (key) JOIN lastt l USING (key),
+         |  wm)
+         |SELECT key, n, round(median_gap, 4) AS median_gap, max_gap,
+         | round(max_gap::DOUBLE / median_gap, 4) AS gap_ratio, silence,
+         | (max_gap::DOUBLE / median_gap > 10.0
+         |  OR silence::DOUBLE > 10.0 * median_gap) AS stalled
+         |FROM f""".stripMargin.replace("\n", " "),
     "q360_single_linkage" -> {
       // unrolled n−1 = 4 merge rounds (5 fully-connected items at every
       // sf, so every round finds a cross-cluster pair)
