@@ -189,6 +189,13 @@ object DiagQueries {
     "q355_quantile_norm" -> ((s, dir) =>
       canon(graft.post.PostOps.quantileNormalize(ev(s, dir), "event_type",
         "event_id", "value"))),
+    // biweight midcorrelation of value vs the k prop: robust r a wild
+    // outlier can't drag (exact median/MAD centers, frozen products)
+    "q366_bicor" -> ((s, dir) =>
+      canon(graft.model.Assoc.biweightMidcorrelation(
+        ev(s, dir).withColumn("k",
+          get_json_object(col("props"), "$.k").cast("int").cast("double")),
+        "value", "k"))),
     // flatline detector: longest run of the same coarse value band
     // (floor(value/100)) per event_type — the stuck-sensor screen
     "q364_flatline" -> ((s, dir) =>
@@ -741,6 +748,46 @@ object DiagQueries {
          |SELECT key, n_sizes,
          | round((n_sizes::DOUBLE * sxy - sx * sy)
          |   / (n_sizes::DOUBLE * sxx - sx * sx), 4) AS hurst
+         |FROM f""".stripMargin.replace("\n", " ")
+    },
+    "q366_bicor" -> {
+      def med2(src: String, c: String) =
+        s"""(SELECT min(CASE WHEN cum >= (ct + 1) // 2 THEN $c END)
+           |  + min(CASE WHEN cum >= ct // 2 + 1 THEN $c END)
+           | FROM (SELECT $c,
+           |   sum(n) OVER (ORDER BY $c ASC ROWS BETWEEN UNBOUNDED
+           |     PRECEDING AND CURRENT ROW) AS cum,
+           |   sum(n) OVER () AS ct
+           |  FROM (SELECT $c, count(*)::BIGINT AS n FROM $src
+           |    GROUP BY 1)))""".stripMargin
+      val fp6 = (e: String) =>
+        s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) " +
+          s"ELSE -floor(-($e)*1e6+0.5) END)::BIGINT"
+      def wdev(c: String, m: String, d: String) = {
+        val xc = s"((2 * $c - $m)::DOUBLE / 2e4)"
+        val u = s"($xc / (9.0 * (($d)::DOUBLE / 4e4)))"
+        s"(CASE WHEN abs($u) < 1.0 THEN (1.0 - $u * $u) * (1.0 - $u * $u)" +
+          s" ELSE 0.0 END) * $xc"
+      }
+      s"""WITH b AS (SELECT
+         |  ${fpSql("value")} AS x,
+         |  ${fpSql("json_extract(props, '$.k')::INTEGER::DOUBLE")} AS y
+         |  FROM events WHERE value IS NOT NULL
+         |   AND json_extract(props, '$$.k') IS NOT NULL),
+         |mx AS (SELECT ${med2("b", "x")} AS m),
+         |my AS (SELECT ${med2("b", "y")} AS m),
+         |ddx AS (SELECT abs(2 * x - mx.m) AS d FROM b, mx),
+         |ddy AS (SELECT abs(2 * y - my.m) AS d FROM b, my),
+         |dx AS (SELECT ${med2("ddx", "d")} AS m),
+         |dy AS (SELECT ${med2("ddy", "d")} AS m),
+         |f AS (SELECT
+         |  ${fp6(wdev("b.x", "mx.m", "dx.m"))} AS fa,
+         |  ${fp6(wdev("b.y", "my.m", "dy.m"))} AS fb
+         |  FROM b, mx, my, dx, dy)
+         |SELECT count(*)::BIGINT AS n,
+         | round(sum(fa::HUGEINT * fb::HUGEINT)::DOUBLE
+         |  / sqrt(sum(fa::HUGEINT * fa::HUGEINT)::DOUBLE
+         |     * sum(fb::HUGEINT * fb::HUGEINT)::DOUBLE), 4) AS bicor
          |FROM f""".stripMargin.replace("\n", " ")
     },
     "q364_flatline" ->
