@@ -82,4 +82,30 @@ object Profiler {
         (col("n") - col("n_distinct")).as("failures"),
         (col("n_distinct").cast("double") / col("n")).as("pass_rate"),
         (col("n") === col("n_distinct")).as("passed"))
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * et al. 2007) over quasi-identifier columns: every QI combination's
+    * group size (k-anonymity = min group size) and its count of
+    * distinct sensitive values (l-diversity = min distinct). One row:
+    * groups, min_k, risky_groups, risky_rows, min_l, low_div_groups —
+    * the re-identification screen a dataset needs BEFORE release; the
+    * PII redactor says what to mask, this says whether the masked
+    * release still isolates individuals. All counts exact.
+    *
+    * Scale: one hash aggregate on the QI key (sensitive distinct via
+    * the same aggregate), one k-row reduction. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int = 5, l: Int = 2): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2 && l >= 1,
+      s"need quasi cols, k >= 2, l >= 1: $quasiCols, $k, $l")
+    val g = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"),
+        countDistinct(col(sensitiveCol)).as("_l"))
+    g.agg(count(lit(1)).as("groups"),
+      min(col("_n")).as("min_k"),
+      sum(when(col("_n") < k, 1L).otherwise(0L)).as("risky_groups"),
+      sum(when(col("_n") < k, col("_n")).otherwise(0L)).as("risky_rows"),
+      min(col("_l")).as("min_l"),
+      sum(when(col("_l") < l, 1L).otherwise(0L)).as("low_div_groups"))
+  }
 }

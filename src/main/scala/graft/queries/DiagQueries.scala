@@ -189,6 +189,14 @@ object DiagQueries {
     "q355_quantile_norm" -> ((s, dir) =>
       canon(graft.post.PostOps.quantileNormalize(ev(s, dir), "event_type",
         "event_id", "value"))),
+    // k-anonymity / l-diversity release audit: quasi-identifiers =
+    // (event_type, day, value decile band), sensitive = user_id
+    "q367_k_anonymity" -> ((s, dir) =>
+      canon(graft.model.Profiler.kAnonymity(
+        ev(s, dir)
+          .withColumn("day", expr("ts div 86400000000000"))
+          .withColumn("band", floor(col("value") / 50.0)),
+        Seq("event_type", "day", "band"), "user_id", k = 5, l = 2))),
     // biweight midcorrelation of value vs the k prop: robust r a wild
     // outlier can't drag (exact median/MAD centers, frozen products)
     "q366_bicor" -> ((s, dir) =>
@@ -750,6 +758,19 @@ object DiagQueries {
          |   / (n_sizes::DOUBLE * sxx - sx * sx), 4) AS hurst
          |FROM f""".stripMargin.replace("\n", " ")
     },
+    "q367_k_anonymity" ->
+      s"""WITH g AS (SELECT event_type,
+         |  epoch_ns(ts) // 86400000000000 AS day,
+         |  floor(value / 50.0) AS band,
+         |  count(*)::BIGINT AS n,
+         |  count(DISTINCT user_id)::BIGINT AS l
+         |  FROM events GROUP BY 1, 2, 3)
+         |SELECT count(*)::BIGINT AS groups, min(n)::BIGINT AS min_k,
+         | sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT AS risky_groups,
+         | sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS risky_rows,
+         | min(l)::BIGINT AS min_l,
+         | sum(CASE WHEN l < 2 THEN 1 ELSE 0 END)::BIGINT AS low_div_groups
+         |FROM g""".stripMargin.replace("\n", " "),
     "q366_bicor" -> {
       def med2(src: String, c: String) =
         s"""(SELECT min(CASE WHEN cum >= (ct + 1) // 2 THEN $c END)
