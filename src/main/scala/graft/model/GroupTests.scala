@@ -253,6 +253,40 @@ object GroupTests {
       .select("n_a", "n_b", "d_stat", "ks_z")
   }
 
+  /** Sample-ratio-mismatch (SRM) check: χ² goodness-of-fit of the
+    * observed arm counts against the intended allocation — the
+    * experiment-integrity gate run BEFORE reading any metric (a biased
+    * split invalidates everything downstream). `expected` maps arm →
+    * intended weight (normalized internally, fixed double expressions;
+    * the Σ over arms is an ordered fold). One row:
+    * arms, n, chi2, mismatched (chi2 > threshold). */
+  def srmCheck(data: DataFrame, armCol: String,
+      expected: Map[String, Double], threshold: Double = 20.0): DataFrame = {
+    require(expected.nonEmpty && expected.values.forall(_ > 0),
+      s"positive expected weights: $expected")
+    val wsum = expected.values.toSeq.sorted.sum
+    val spark = data.sparkSession
+    import spark.implicits._
+    val exp = expected.toSeq.sortBy(_._1).toDF("_g", "_w")
+    val obs = data.where(col(armCol).isNotNull)
+      .select(col(armCol).cast("string").as("_g"))
+      .groupBy(col("_g")).agg(count(lit(1)).as("_c"))
+    val tot = obs.agg(sum(col("_c")).as("_n"))
+    val term = {
+      val e = col("_w") / wsum * col("_n").cast("double")
+      (col("_c").cast("double") - e) * (col("_c").cast("double") - e) / e
+    }
+    val joined = obs.join(exp, "_g").crossJoin(broadcast(tot))
+    joined
+      .agg(count(lit(1)).as("arms"), max(col("_n")).as("_n2"),
+        sort_array(collect_list(struct(col("_g").as("g"), term.as("t"))))
+          .as("_a"))
+      .select(col("arms"), col("_n2").cast("long").as("n"),
+        aggregate(col("_a"), lit(0.0), (acc, x) => acc + x("t"))
+          .as("chi2"))
+      .withColumn("mismatched", col("chi2") > threshold)
+  }
+
   /** Two-proportion z-test between groups `ga` and `gb` on a boolean
     * success expression: pooled-SE z plus Cohen's h effect size
     * (2·asin√p₁ − 2·asin√p₂). All counts exact; one row:
@@ -313,6 +347,89 @@ object GroupTests {
           sqrt(na * nb / 12.0 * ((nn + 1) -
             col("_tc").cast("double") / (nn * (nn - 1)))))
       .select("n_a", "n_b", "u_stat", "z")
+  }
+
+  /** CUPED variance reduction (Deng et al., WSDM'13): adjust each
+    * subject's metric by its pre-period covariate,
+    * y' = y − θ(x − x̄) with θ = cov(x,y)/var(x) — every moment an
+    * exact 4dp fixed-point sum, so θ and both variances are fixed
+    * double expressions. One row: n, theta, var_y, var_adj, reduction
+    * (= 1 − var_adj/var_y) — how much experiment sensitivity the
+    * pre-period buys. */
+  def cuped(pairs: DataFrame, preCol: String, postCol: String)
+      : DataFrame = {
+    def dc(c: Column) = c.cast("decimal(38,0)")
+    val b = pairs.where(col(preCol).isNotNull && col(postCol).isNotNull)
+      .select(graft.core.fixedPointLong(col(preCol).cast("double"), 4)
+        .as("_x"),
+        graft.core.fixedPointLong(col(postCol).cast("double"), 4).as("_y"))
+    val g = b.agg(count(lit(1)).as("n"),
+      sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(dc(col("_x")) * dc(col("_y"))).as("_sxy"),
+      sum(dc(col("_x")) * dc(col("_x"))).as("_sxx"),
+      sum(dc(col("_y")) * dc(col("_y"))).as("_syy"))
+    val nD = col("n").cast("double")
+    val cxy = (col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double") / nD) / 1e8
+    val vx = (col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double") / nD) / 1e8
+    val vy = (col("_syy").cast("double") -
+      col("_sy").cast("double") * col("_sy").cast("double") / nD) / 1e8
+    g.where(col("n") >= 3)
+      .withColumn("theta", cxy / vx)
+      .withColumn("var_y", vy / (nD - 1))
+      .withColumn("var_adj", (vy - cxy * cxy / vx) / (nD - 1))
+      .withColumn("reduction", lit(1.0) - col("var_adj") / col("var_y"))
+      .select("n", "theta", "var_y", "var_adj", "reduction")
+  }
+
+  /** Pettitt change-point test per key (Pettitt 1979): with global
+    * within-key ranks from the value histogram (2·r̄ exact integers),
+    * U_t = 2·Σ_{i≤t} r_i − t·(n+1) carried as the exact integer
+    * 2·U_t = 2·cum2r̄_t − 2t(n+1); K = max|U_t| with arg-max ties
+    * toward the earlier position. One row per key:
+    * key, n, change_pos, k_stat, p_approx
+    * (p ≈ 2·exp(−6K²/(n³+n²)) — the standard approximation). The
+    * rank-based cousin of the mean-shift detector: no variance
+    * assumption, one histogram pass + one cumulative window. */
+  def pettitt(data: DataFrame, keyCol: String, ordCol: String,
+      valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = data.where(v.isNotNull)
+      .select(col(keyCol).as("key"), col(ordCol).cast("long").as("_o"),
+        graft.core.fixedPointLong(v, 4).as("_v"))
+    // within-key average ranks via the (key, value) histogram
+    val h = base.groupBy(col("key"), col("_v"))
+      .agg(count(lit(1)).as("_ct"))
+    val hw = Window.partitionBy(col("key")).orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r2 = h.withColumn("_r2",
+      lit(2) * (sum(col("_ct")).over(hw) - col("_ct")) + col("_ct") + 1)
+    val ow = Window.partitionBy(col("key")).orderBy(col("_o").asc)
+    val kw = Window.partitionBy(col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val u = base.join(r2.select(col("key"), col("_v"), col("_r2")),
+      Seq("key", "_v"))
+      .withColumn("_t", row_number().over(ow).cast("long"))
+      .withColumn("_c2r", sum(col("_r2")).over(
+        ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", count(lit(1)).over(kw))
+      // U_t = 2·W_t − t(n+1), and Σ_{i≤t} 2r̄ IS 2·W_t exactly —
+      // so the statistic is an exact integer end to end
+      .withColumn("_u2", col("_c2r") - col("_t") * (col("_n") + 1))
+    val aw = Window.partitionBy(col("key"))
+      .orderBy(abs(col("_u2")).desc, col("_t").asc)
+    u.withColumn("_rn", row_number().over(aw)).where(col("_rn") === 1)
+      .where(col("_t") < col("_n")) // a "change" at the last row is none
+      .select(col("key"), col("_n").cast("long").as("n"),
+        col("_t").as("change_pos"),
+        abs(col("_u2")).cast("double").as("k_stat"))
+      .withColumn("p_approx", lit(2.0) * exp(lit(-6.0) *
+        col("k_stat") * col("k_stat") /
+        (col("n").cast("double") * col("n").cast("double") *
+          col("n").cast("double") +
+          col("n").cast("double") * col("n").cast("double"))))
+      .select("key", "n", "change_pos", "k_stat", "p_approx")
   }
 
   /** Mood's median test: counts above the POOLED exact median per

@@ -189,6 +189,19 @@ object DiagQueries {
     "q355_quantile_norm" -> ((s, dir) =>
       canon(graft.post.PostOps.quantileNormalize(ev(s, dir), "event_type",
         "event_id", "value"))),
+    // SRM: did the event-type "arms" land on the intended uniform split
+    "q368_srm" -> ((s, dir) =>
+      canon(graft.model.GroupTests.srmCheck(ev(s, dir), "event_type",
+        Map("click" -> 1.0, "error" -> 1.0, "purchase" -> 1.0,
+          "signup" -> 1.0, "view" -> 1.0)))),
+    // CUPED: how much variance the even-half pre-period removes from
+    // the odd-half metric (per-user paired means)
+    "q369_cuped" -> ((s, dir) =>
+      canon(graft.model.GroupTests.cuped(userPairs(s, dir), "x", "y"))),
+    // Pettitt rank change-point per event_type (exact integer U_t)
+    "q370_pettitt" -> ((s, dir) =>
+      canon(graft.model.GroupTests.pettitt(ev(s, dir), "event_type",
+        "event_id", "value"))),
     // k-anonymity / l-diversity release audit: quasi-identifiers =
     // (event_type, day, value decile band), sensitive = user_id
     "q367_k_anonymity" -> ((s, dir) =>
@@ -758,6 +771,79 @@ object DiagQueries {
          |   / (n_sizes::DOUBLE * sxx - sx * sx), 4) AS hurst
          |FROM f""".stripMargin.replace("\n", " ")
     },
+    "q368_srm" ->
+      s"""WITH obs AS (SELECT event_type AS g, count(*)::BIGINT AS c
+         |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+         |tot AS (SELECT sum(c)::BIGINT AS n FROM obs),
+         |terms AS (SELECT g,
+         |  (c::DOUBLE - 1.0 / 5.0 * n::DOUBLE)
+         |   * (c::DOUBLE - 1.0 / 5.0 * n::DOUBLE)
+         |   / (1.0 / 5.0 * n::DOUBLE) AS t
+         |  FROM obs, tot)
+         |SELECT (SELECT count(*) FROM obs)::BIGINT AS arms,
+         | tot.n,
+         | round((SELECT list_aggregate(list(t ORDER BY g), 'sum')
+         |   FROM terms), 4) AS chi2,
+         | (SELECT list_aggregate(list(t ORDER BY g), 'sum')
+         |   FROM terms) > 20.0 AS mismatched
+         |FROM tot""".stripMargin.replace("\n", " "),
+    "q369_cuped" -> {
+      val fp4 = (e: String) =>
+        s"(CASE WHEN ($e) >= 0 THEN floor(($e)*10000.0+0.5) " +
+          s"ELSE -floor(-($e)*10000.0+0.5) END)::BIGINT"
+      val x = "se::DOUBLE / ne::DOUBLE / 1e4"
+      val y = "so::DOUBLE / no::DOUBLE / 1e4"
+      s"""WITH $fx,
+         |u AS (SELECT user_id,
+         |  sum(CASE WHEN event_id % 2 = 0 THEN fp::HUGEINT END) AS se,
+         |  sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ne,
+         |  sum(CASE WHEN event_id % 2 = 1 THEN fp::HUGEINT END) AS so,
+         |  sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS no
+         |  FROM fx GROUP BY 1 HAVING ne > 0 AND no > 0),
+         |b AS (SELECT ${fp4(x)} AS fx2, ${fp4(y)} AS fy FROM u),
+         |g AS (SELECT count(*)::BIGINT AS n,
+         |  sum(fx2)::HUGEINT AS sx, sum(fy)::HUGEINT AS sy,
+         |  sum(fx2::HUGEINT * fy::HUGEINT) AS sxy,
+         |  sum(fx2::HUGEINT * fx2::HUGEINT) AS sxx,
+         |  sum(fy::HUGEINT * fy::HUGEINT) AS syy FROM b),
+         |c AS (SELECT n,
+         |  (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE) / 1e8
+         |    AS cxy,
+         |  (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / 1e8
+         |    AS vx,
+         |  (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE) / 1e8
+         |    AS vy FROM g WHERE n >= 3)
+         |SELECT n, round(cxy / vx, 4) AS theta,
+         | round(vy / (n::DOUBLE - 1), 4) AS var_y,
+         | round((vy - cxy * cxy / vx) / (n::DOUBLE - 1), 4) AS var_adj,
+         | round(1.0 - ((vy - cxy * cxy / vx) / (n::DOUBLE - 1))
+         |   / (vy / (n::DOUBLE - 1)), 4) AS reduction
+         |FROM c""".stripMargin.replace("\n", " ")
+    },
+    "q370_pettitt" ->
+      s"""WITH $fx,
+         |h AS (SELECT key, fp AS v, count(*)::BIGINT AS ct
+         |  FROM fx GROUP BY 1, 2),
+         |r2 AS (SELECT key, v, 2 * (sum(ct) OVER (PARTITION BY key
+         |   ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |   CURRENT ROW) - ct) + ct + 1 AS r2 FROM h),
+         |j AS (SELECT f.key, f.event_id AS o, r2.r2
+         |  FROM fx f JOIN r2 ON r2.key = f.key AND r2.v = f.fp),
+         |u AS (SELECT key, o,
+         |  row_number() OVER w AS t,
+         |  sum(r2) OVER (PARTITION BY key ORDER BY o ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2r,
+         |  count(*) OVER (PARTITION BY key) AS n
+         |  FROM j WINDOW w AS (PARTITION BY key ORDER BY o ASC)),
+         |u2 AS (SELECT key, t, n, c2r - t * (n + 1) AS u2 FROM u),
+         |top AS (SELECT * FROM u2 QUALIFY row_number() OVER
+         |  (PARTITION BY key ORDER BY abs(u2) DESC, t ASC) = 1)
+         |SELECT key, n::BIGINT AS n, t AS change_pos,
+         | round(abs(u2)::DOUBLE, 4) AS k_stat,
+         | round(2.0 * exp(-6.0 * abs(u2)::DOUBLE * abs(u2)::DOUBLE
+         |  / (n::DOUBLE * n::DOUBLE * n::DOUBLE + n::DOUBLE * n::DOUBLE)),
+         |  4) AS p_approx
+         |FROM top WHERE t < n""".stripMargin.replace("\n", " "),
     "q367_k_anonymity" ->
       s"""WITH g AS (SELECT event_type,
          |  epoch_ns(ts) // 86400000000000 AS day,
