@@ -453,6 +453,87 @@ object PostOps {
         col("discovery")): _*)
   }
 
+  /** Holm–Bonferroni step-down per key — the FWER sibling of
+    * [[bhFdr]]'s FDR step-up: with p-values ranked ascending,
+    * adjusted_i = running-max of p_(j)·(m−j+1) clamped to 1 (a
+    * cumulative window), rejections are the ranks BEFORE the first
+    * p_(i) > α/(m−i+1). Output: keyCols..., idCol, p, rank, p_adj,
+    * rejected — the "no false alarm at all" guarantee where BH only
+    * bounds the false-discovery rate. Same window shapes as bhFdr. */
+  def holm(scored: DataFrame, keyCols: Seq[String], pCol: String,
+      idCol: String, alpha: Double): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(pCol), col(idCol))
+    val whole = Window.partitionBy(keyCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(pCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(whole))
+      .withColumn("p_adj", least(lit(1.0),
+        max(col(pCol) * (col("m") - col("rank") + 1).cast("double"))
+          .over(cum)))
+      // first failing rank: min rank with p > α/(m−rank+1)
+      .withColumn("_fail",
+        min(when(col(pCol) >
+          lit(alpha) / (col("m") - col("rank") + 1).cast("double"),
+          col("rank"))).over(whole))
+      .withColumn("rejected",
+        col("_fail").isNull || col("rank") < col("_fail"))
+      .select((keyCols.map(col) :+ col(idCol) :+ col(pCol) :+ col("rank") :+
+        col("p_adj") :+ col("rejected")): _*)
+  }
+
+  /** James–Stein (empirical Bayes) shrinkage of per-key means toward
+    * the grand mean: shrunk_i = ḡ + c·(m_i − ḡ) with the positive-part
+    * factor c = max(0, 1 − (k−3)·σ̂²/Σ(m_i−ḡ)²), σ̂² = the mean of the
+    * per-key squared standard errors (s_i²/n_i) — dominates the raw
+    * per-key means whenever k ≥ 4 (Efron & Morris 1977). Every moment
+    * is an exact 4dp fixed-point sum; the two cross-key reductions are
+    * ordered folds. Output one row per key: key, n, mean, shrunk —
+    * what a per-key threshold should use when some keys have 10 rows
+    * and others 10 million. */
+  def jamesStein(data: DataFrame, keyCol: String, valCol: String)
+      : DataFrame = {
+    def dc(c: Column) = c.cast("decimal(38,0)")
+    val v = col(valCol).cast("double")
+    val g = data.where(v.isNotNull)
+      .select(col(keyCol).as("key"),
+        graft.core.fixedPointLong(v, 4).as("_v"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("_v")).as("_s"),
+        sum(dc(dc(col("_v")) * dc(col("_v")))).as("_q"))
+      .where(col("n") >= 2)
+    val nD = col("n").cast("double")
+    val mean = col("_s").cast("double") / nD / 1e4
+    val se2 = ((col("_q").cast("double") -
+      col("_s").cast("double") * col("_s").cast("double") / nD) /
+      (nD - 1) / 1e8) / nD
+    val keyed = g.withColumn("_m", mean).withColumn("_se2", se2)
+    // grand mean of the key means + Σ(m−ḡ)² + mean SE²: ordered folds
+    val folded = keyed
+      .agg(count(lit(1)).as("k"),
+        sort_array(collect_list(struct(col("key").as("g"),
+          col("_m").as("m"), col("_se2").as("s2")))).as("_a"))
+    val gm = aggregate(col("_a"), lit(0.0), (a, x) => a + x("m")) /
+      col("k").cast("double")
+    val f2 = folded.withColumn("_gm", gm)
+    val ssd = aggregate(col("_a"), lit(0.0), (a, x) =>
+      a + (x("m") - col("_gm")) * (x("m") - col("_gm")))
+    val mse = aggregate(col("_a"), lit(0.0), (a, x) => a + x("s2")) /
+      col("k").cast("double")
+    val cst = f2.select(col("k"), col("_gm"),
+      greatest(lit(0.0), lit(1.0) -
+        (col("k").cast("double") - 3) * mse / ssd).as("_c"))
+    keyed.crossJoin(broadcast(cst))
+      .withColumn("mean", col("_m"))
+      .withColumn("shrunk",
+        col("_gm") + col("_c") * (col("_m") - col("_gm")))
+      .select("key", "n", "mean", "shrunk")
+  }
+
   /** Rank-ensemble score combiner: each detector's score is replaced by
     * its global percent-rank (average-rank/n via the 3dp-frozen score
     * histogram — exact integers, so detectors with incomparable scales

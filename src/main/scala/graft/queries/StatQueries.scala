@@ -167,6 +167,18 @@ object StatQueries {
     // Benjamini–Hochberg step-up on p = exp(−|z|) per event_type; the
     // exp/compare expressions are shape-identical cross-engine (q07's
     // established exp parity)
+    // Holm step-down (FWER) over the same p frame as q215's BH (FDR)
+    "q371_holm" -> ((s, dir) => {
+      val p = zscored(s, dir).where(col("score").isNotNull)
+        .withColumn("p", exp(-col("score")))
+      canon(graft.post.PostOps.holm(p, Seq("event_type"), "p", "event_id",
+        alpha = 0.1).select("event_type", "event_id", "p", "rank",
+        "p_adj", "rejected"))
+    }),
+    // James–Stein shrinkage of per-type means toward the grand mean
+    "q372_james_stein" -> ((s, dir) =>
+      canon(graft.post.PostOps.jamesStein(ev(s, dir), "event_type",
+        "value"))),
     "q215_bh_fdr" -> ((s, dir) => {
       val p = zscored(s, dir).where(col("score").isNotNull)
         .withColumn("p", exp(-col("score")))
@@ -1117,6 +1129,47 @@ object StatQueries {
         .stripMargin.replace("\n", " "),
     "q214_mutual_info" -> miOracle,
     "q215_bh_fdr" -> bhFdrOracle,
+    "q371_holm" ->
+      s"""WITH $evStats,
+         |z AS (SELECT e.event_id, e.event_type,
+         |  exp(-(abs(e.value - s.mean) / s.std)) AS p
+         | FROM events e JOIN stats s USING (event_type)
+         | WHERE e.value IS NOT NULL),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |   ORDER BY p, event_id)::BIGINT AS rank,
+         |  count(*) OVER (PARTITION BY event_type)::BIGINT AS m FROM z),
+         |k AS (SELECT *,
+         |  least(1.0, max(p * (m - rank + 1)::DOUBLE)
+         |    OVER (PARTITION BY event_type ORDER BY p, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adj,
+         |  min(CASE WHEN p > 0.1 / (m - rank + 1)::DOUBLE THEN rank END)
+         |    OVER (PARTITION BY event_type) AS fail FROM r)
+         |SELECT event_type, event_id, round(p, 4) AS p, rank,
+         | round(p_adj, 4) AS p_adj,
+         | (fail IS NULL OR rank < fail) AS rejected FROM k"""
+        .stripMargin.replace("\n", " "),
+    "q372_james_stein" ->
+      s"""WITH $gtFx,
+         |g AS (SELECT g AS key, count(*)::BIGINT AS n,
+         |  sum(v)::HUGEINT AS s, sum(v::HUGEINT * v::HUGEINT) AS q
+         |  FROM fx GROUP BY 1 HAVING count(*) >= 2),
+         |km AS (SELECT key, n,
+         |  s::DOUBLE / n::DOUBLE / 1e4 AS m,
+         |  ((q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+         |    / (n::DOUBLE - 1) / 1e8) / n::DOUBLE AS se2 FROM g),
+         |f AS (SELECT count(*)::BIGINT AS k,
+         |  list_aggregate(list(m ORDER BY key), 'sum') AS sm,
+         |  list(m ORDER BY key) AS ms,
+         |  list_aggregate(list(se2 ORDER BY key), 'sum') AS ss2 FROM km),
+         |c AS (SELECT k, sm / k::DOUBLE AS gm,
+         |  greatest(0.0, 1.0 - (k::DOUBLE - 3)
+         |    * (ss2 / k::DOUBLE)
+         |    / list_aggregate(list_transform(ms,
+         |        x -> (x - sm / k::DOUBLE) * (x - sm / k::DOUBLE)), 'sum'))
+         |   AS cst FROM f)
+         |SELECT km.key, km.n, round(km.m, 4) AS mean,
+         | round(c.gm + c.cst * (km.m - c.gm), 4) AS shrunk
+         |FROM km, c""".stripMargin.replace("\n", " "),
     "q307_by_fdr" ->
       s"""WITH $evStats,
          |z AS (SELECT e.event_id, e.event_type,
