@@ -349,6 +349,117 @@ object GroupTests {
       .select("n_a", "n_b", "u_stat", "z")
   }
 
+  /** Wald's SPRT per key over a boolean defect stream (ordCol order):
+    * cumulative log-likelihood ratio for H1: rate = p1 vs H0: rate =
+    * p0, barriers A = ln((1−β)/α), B = ln(β/(1−α)); decision = the
+    * FIRST crossing. The sequential face of the two-proportion test —
+    * it stops as soon as the evidence suffices instead of waiting for
+    * a fixed n. LLR_t = d_t·ln(p1/p0) + (t−d_t)·ln((1−p1)/(1−p0)) from
+    * exact cumulative counts (both log constants are fixed doubles).
+    * One row per key: key, n, decision ('accept_h1'/'accept_h0'/
+    * 'continue'), cross_pos, llr_end. */
+  def sprt(data: DataFrame, keyCol: String, ordCol: String,
+      defect: Column, p0: Double, p1: Double, alpha: Double = 0.05,
+      beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p1 > p0 && p1 < 1, s"0 < p0 < p1 < 1: $p0, $p1")
+    val lup = math.log(p1 / p0)
+    val ldn = math.log((1 - p1) / (1 - p0))
+    val aBar = math.log((1 - beta) / alpha)
+    val bBar = math.log(beta / (1 - alpha))
+    val ow = Window.partitionBy(col("key")).orderBy(col("_o").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kw = Window.partitionBy(col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val llr = data
+      .select(col(keyCol).as("key"), col(ordCol).cast("long").as("_o"),
+        when(defect, 1L).otherwise(0L).as("_d"))
+      .withColumn("_t", count(lit(1)).over(ow))
+      .withColumn("_cd", sum(col("_d")).over(ow))
+      .withColumn("_llr", col("_cd").cast("double") * lup +
+        (col("_t") - col("_cd")).cast("double") * ldn)
+      .withColumn("_n", count(lit(1)).over(kw))
+      .withColumn("_cross",
+        when(col("_llr") > aBar, 1).when(col("_llr") < bBar, -1))
+    val w = Window.partitionBy(col("key")).orderBy(col("_t").asc)
+    val first = llr.where(col("_cross").isNotNull)
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("key"), col("_t").as("cross_pos"),
+        col("_cross").as("_cx"))
+    val last = llr.where(col("_t") === col("_n"))
+      .select(col("key"), col("_n").cast("long").as("n"),
+        col("_llr").as("llr_end"))
+    last.join(first, Seq("key"), "left")
+      .withColumn("decision",
+        when(col("_cx") === 1, "accept_h1")
+          .when(col("_cx") === -1, "accept_h0")
+          .otherwise("continue"))
+      .select("key", "n", "decision", "cross_pos", "llr_end")
+  }
+
+  /** Bland–Altman agreement over paired measurements (x, y): mean
+    * difference (bias) and the 95% limits of agreement
+    * bias ± 1.96·sd(diff), plus the count outside the limits — "do two
+    * measurement methods agree", which a high correlation alone cannot
+    * answer. Diffs are exact fixed-point longs. One row:
+    * n, bias, loa_lo, loa_hi, outside. */
+  def blandAltman(pairs: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    def dc(c: Column) = c.cast("decimal(38,0)")
+    val d = pairs.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((graft.core.fixedPointLong(col(xCol).cast("double"), 4) -
+        graft.core.fixedPointLong(col(yCol).cast("double"), 4)).as("_d"))
+    val g = d.agg(count(lit(1)).as("n"), sum(col("_d")).as("_s"),
+      sum(dc(dc(col("_d")) * dc(col("_d")))).as("_q"))
+    val nD = col("n").cast("double")
+    val bias = col("_s").cast("double") / nD / 1e4
+    val sd = sqrt((col("_q").cast("double") -
+      col("_s").cast("double") * col("_s").cast("double") / nD) /
+      (nD - 1)) / 1e4
+    val lims = g.where(col("n") >= 3)
+      .withColumn("bias", bias)
+      .withColumn("loa_lo", bias - lit(1.96) * sd)
+      .withColumn("loa_hi", bias + lit(1.96) * sd)
+    val out = d.crossJoin(broadcast(
+      lims.select(col("loa_lo").as("_lo"), col("loa_hi").as("_hi"))))
+      .agg(sum(when(col("_d").cast("double") / 1e4 < col("_lo") ||
+        col("_d").cast("double") / 1e4 > col("_hi"), 1L).otherwise(0L))
+        .as("outside"))
+    lims.crossJoin(out).select("n", "bias", "loa_lo", "loa_hi", "outside")
+  }
+
+  /** Lin's concordance correlation coefficient over paired (x, y):
+    * CCC = 2·s_xy / (s_x² + s_y² + (x̄−ȳ)²) — penalizes BOTH scatter
+    * and systematic bias, where Pearson forgives a constant offset.
+    * All moments exact fixed-point sums; population (1/n) covariances
+    * per Lin 1989. One row: n, pearson, ccc. */
+  def concordance(pairs: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    def dc(c: Column) = c.cast("decimal(38,0)")
+    val b = pairs.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(graft.core.fixedPointLong(col(xCol).cast("double"), 4)
+        .as("_x"),
+        graft.core.fixedPointLong(col(yCol).cast("double"), 4).as("_y"))
+    val g = b.agg(count(lit(1)).as("n"),
+      sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(dc(col("_x")) * dc(col("_y"))).as("_sxy"),
+      sum(dc(col("_x")) * dc(col("_x"))).as("_sxx"),
+      sum(dc(col("_y")) * dc(col("_y"))).as("_syy"))
+    val nD = col("n").cast("double")
+    val mx = col("_sx").cast("double") / nD / 1e4
+    val my = col("_sy").cast("double") / nD / 1e4
+    val sxy = (col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double") / nD) / nD / 1e8
+    val vx = (col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double") / nD) / nD / 1e8
+    val vy = (col("_syy").cast("double") -
+      col("_sy").cast("double") * col("_sy").cast("double") / nD) / nD / 1e8
+    g.where(col("n") >= 3)
+      .withColumn("pearson", sxy / sqrt(vx * vy))
+      .withColumn("ccc", lit(2.0) * sxy /
+        (vx + vy + (mx - my) * (mx - my)))
+      .select("n", "pearson", "ccc")
+  }
+
   /** CUPED variance reduction (Deng et al., WSDM'13): adjust each
     * subject's metric by its pre-period covariate,
     * y' = y − θ(x − x̄) with θ = cov(x,y)/var(x) — every moment an

@@ -189,6 +189,18 @@ object DiagQueries {
     "q355_quantile_norm" -> ((s, dir) =>
       canon(graft.post.PostOps.quantileNormalize(ev(s, dir), "event_type",
         "event_id", "value"))),
+    // SPRT: sequential defect-rate monitor per event_type (>160 flag)
+    "q373_sprt" -> ((s, dir) =>
+      canon(graft.model.GroupTests.sprt(ev(s, dir), "event_type",
+        "event_id", col("value") > 160.0, p0 = 0.05, p1 = 0.15))),
+    // Bland–Altman: do the even/odd per-user half means agree
+    "q374_bland_altman" -> ((s, dir) =>
+      canon(graft.model.GroupTests.blandAltman(userPairs(s, dir),
+        "x", "y"))),
+    // Lin's concordance of the same pairs (bias-penalized correlation)
+    "q375_ccc" -> ((s, dir) =>
+      canon(graft.model.GroupTests.concordance(userPairs(s, dir),
+        "x", "y"))),
     // SRM: did the event-type "arms" land on the intended uniform split
     "q368_srm" -> ((s, dir) =>
       canon(graft.model.GroupTests.srmCheck(ev(s, dir), "event_type",
@@ -771,6 +783,86 @@ object DiagQueries {
          |   / (n_sizes::DOUBLE * sxx - sx * sx), 4) AS hurst
          |FROM f""".stripMargin.replace("\n", " ")
     },
+    "q373_sprt" ->
+      s"""WITH b AS (SELECT event_type AS key, event_id AS o,
+         |  CASE WHEN value > 160.0 THEN 1 ELSE 0 END AS d FROM events),
+         |c AS (SELECT key, o,
+         |  count(*) OVER w AS t, sum(d) OVER w AS cd,
+         |  count(*) OVER (PARTITION BY key) AS n
+         |  FROM b WINDOW w AS (PARTITION BY key ORDER BY o ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |l AS (SELECT key, o, t, n,
+         |  cd::DOUBLE * ln(0.15 / 0.05)
+         |   + (t - cd)::DOUBLE * ln((1.0 - 0.15) / (1.0 - 0.05)) AS llr
+         |  FROM c),
+         |x AS (SELECT *, CASE WHEN llr > ln((1.0 - 0.05) / 0.05) THEN 1
+         |  WHEN llr < ln(0.05 / (1.0 - 0.05)) THEN -1 END AS crs
+         |  FROM l),
+         |first AS (SELECT key, t AS cross_pos, crs AS cx FROM x
+         |  WHERE crs IS NOT NULL
+         |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY t ASC) = 1),
+         |lastr AS (SELECT key, n::BIGINT AS n, llr AS llr_end FROM x
+         |  WHERE t = n)
+         |SELECT l2.key, l2.n,
+         | CASE WHEN f.cx = 1 THEN 'accept_h1'
+         |      WHEN f.cx = -1 THEN 'accept_h0'
+         |      ELSE 'continue' END AS decision,
+         | f.cross_pos, round(l2.llr_end, 4) AS llr_end
+         |FROM lastr l2 LEFT JOIN first f USING (key)"""
+        .stripMargin.replace("\n", " "),
+    "q374_bland_altman" ->
+      s"""WITH $fx,
+         |u AS (SELECT user_id,
+         |  sum(CASE WHEN event_id % 2 = 0 THEN fp::HUGEINT END) AS se,
+         |  sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ne,
+         |  sum(CASE WHEN event_id % 2 = 1 THEN fp::HUGEINT END) AS so,
+         |  sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS no
+         |  FROM fx GROUP BY 1 HAVING ne > 0 AND no > 0),
+         |d AS (SELECT ${fpSql("se::DOUBLE / ne::DOUBLE / 1e4")}
+         |  - ${fpSql("so::DOUBLE / no::DOUBLE / 1e4")} AS dd FROM u),
+         |g AS (SELECT count(*)::BIGINT AS n, sum(dd)::HUGEINT AS s,
+         |  sum(dd::HUGEINT * dd::HUGEINT) AS q FROM d),
+         |lim AS (SELECT n, s::DOUBLE / n::DOUBLE / 1e4 AS bias,
+         |  s::DOUBLE / n::DOUBLE / 1e4 - 1.96 *
+         |   (sqrt((q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+         |     / (n::DOUBLE - 1)) / 1e4) AS loa_lo,
+         |  s::DOUBLE / n::DOUBLE / 1e4 + 1.96 *
+         |   (sqrt((q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+         |     / (n::DOUBLE - 1)) / 1e4) AS loa_hi
+         |  FROM g WHERE n >= 3),
+         |o AS (SELECT sum(CASE WHEN dd::DOUBLE / 1e4 < lim.loa_lo
+         |  OR dd::DOUBLE / 1e4 > lim.loa_hi THEN 1 ELSE 0 END)::BIGINT
+         |   AS outside FROM d, lim)
+         |SELECT n, round(bias, 4) AS bias, round(loa_lo, 4) AS loa_lo,
+         | round(loa_hi, 4) AS loa_hi, outside
+         |FROM lim, o""".stripMargin.replace("\n", " "),
+    "q375_ccc" ->
+      s"""WITH $fx,
+         |u AS (SELECT user_id,
+         |  sum(CASE WHEN event_id % 2 = 0 THEN fp::HUGEINT END) AS se,
+         |  sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ne,
+         |  sum(CASE WHEN event_id % 2 = 1 THEN fp::HUGEINT END) AS so,
+         |  sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS no
+         |  FROM fx GROUP BY 1 HAVING ne > 0 AND no > 0),
+         |b AS (SELECT ${fpSql("se::DOUBLE / ne::DOUBLE / 1e4")} AS x,
+         |  ${fpSql("so::DOUBLE / no::DOUBLE / 1e4")} AS y FROM u),
+         |g AS (SELECT count(*)::BIGINT AS n,
+         |  sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+         |  sum(x::HUGEINT * y::HUGEINT) AS sxy,
+         |  sum(x::HUGEINT * x::HUGEINT) AS sxx,
+         |  sum(y::HUGEINT * y::HUGEINT) AS syy FROM b),
+         |f AS (SELECT n,
+         |  sx::DOUBLE / n::DOUBLE / 1e4 AS mx,
+         |  sy::DOUBLE / n::DOUBLE / 1e4 AS my,
+         |  (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
+         |    / n::DOUBLE / 1e8 AS cxy,
+         |  (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+         |    / n::DOUBLE / 1e8 AS vx,
+         |  (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)
+         |    / n::DOUBLE / 1e8 AS vy FROM g WHERE n >= 3)
+         |SELECT n, round(cxy / sqrt(vx * vy), 4) AS pearson,
+         | round(2.0 * cxy / (vx + vy + (mx - my) * (mx - my)), 4) AS ccc
+         |FROM f""".stripMargin.replace("\n", " "),
     "q368_srm" ->
       s"""WITH obs AS (SELECT event_type AS g, count(*)::BIGINT AS c
          |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
