@@ -1,6 +1,6 @@
 package graft.multi
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -232,6 +232,83 @@ object TailScores {
       .over(wk)
     removed.withColumn("tag",
       when(col("rnd") <= coalesce(lastSig, lit(0)), "O").otherwise("N"))
+  }
+
+  /** Gumbel block-maxima fit per key (EVT, the block-maxima face of
+    * [[potGpd]]'s peaks-over-threshold): per-block maxima (exact
+    * fixed-point order statistics), method-of-moments Gumbel parameters
+    * β = s·√6/π and μ = m̄ − γ·β (Euler–Mascheroni γ), and the
+    * T-block return level μ − β·ln(−ln(1 − 1/T)) — "the largest value
+    * expected once per T blocks", the capacity-planning number a
+    * per-point quantile can't give. Moments are exact sums over the
+    * block-max longs; the constants are fixed literals both engines
+    * share. One row per key: key, blocks, mu, beta, return_level. */
+  def gumbelBlockMax(data: DataFrame, keyCols: Seq[String],
+      blockCol: Column, valCol: String, returnBlocks: Int = 30)
+      : DataFrame = {
+    require(returnBlocks >= 2, s"returnBlocks >= 2: $returnBlocks")
+    val v = col(valCol).cast("double")
+    val bm = data.where(v.isNotNull)
+      .groupBy((keyCols.map(col) :+ blockCol.as("_b")): _*)
+      .agg(max(graft.core.fixedPointLong(v, 4)).as("_m"))
+    val g = bm.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("blocks"),
+        sum(col("_m")).as("_s"),
+        sum((col("_m").cast("decimal(38,0)") *
+          col("_m").cast("decimal(38,0)")).cast("decimal(38,0)")).as("_q"))
+      .where(col("blocks") >= 3)
+    val nD = col("blocks").cast("double")
+    val mean = col("_s").cast("double") / nD / 1e4
+    val sd = sqrt((col("_q").cast("double") -
+      col("_s").cast("double") * col("_s").cast("double") / nD) /
+      (nD - 1)) / 1e4
+    val beta = sd * math.sqrt(6.0) / math.Pi
+    val mu = mean - lit(0.5772156649015329) * beta
+    val rl = mu - beta * log(-log(lit(1.0) - lit(1.0) / returnBlocks))
+    g.withColumn("mu", mu).withColumn("beta", beta)
+      .withColumn("return_level", rl)
+      .select(keyCols.map(col) :+ col("blocks") :+ col("mu") :+
+        col("beta") :+ col("return_level"): _*)
+  }
+
+  /** Conditional value-at-risk (expected shortfall) per key: the exact
+    * P-quantile order statistic (value histogram — min value whose
+    * cumulative count reaches ⌈p·n⌉) and the mean of everything at or
+    * above it, from exact sums of the tail longs. One row per key:
+    * key, n, var_p, cvar_p, tail_n — "when it's bad, HOW bad", the
+    * tail-mass number a plain quantile hides. */
+  def cvar(data: DataFrame, keyCols: Seq[String], valCol: String,
+      p: Double = 0.95): DataFrame = {
+    require(p > 0 && p < 1, s"p in (0,1): $p")
+    val v = col(valCol).cast("double")
+    val base = data.where(v.isNotNull)
+      .select(keyCols.map(col) :+
+        graft.core.fixedPointLong(v, 4).as("_v"): _*)
+    val h = base.groupBy((keyCols.map(col) :+ col("_v")): _*)
+      .agg(count(lit(1)).as("_ct"))
+    val cw = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kw = Window.partitionBy(keyCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val q = h
+      .withColumn("_cum", sum(col("_ct")).over(cw))
+      .withColumn("_n", sum(col("_ct")).over(kw))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("_n")).as("n"),
+        min(when(col("_cum") >=
+          ceil(lit(p) * col("_n")).cast("long"), col("_v"))).as("_vp"))
+    val tail = base.join(
+      q.select((keyCols.map(col) :+ col("_vp")): _*), keyCols)
+      .where(col("_v") >= col("_vp"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("tail_n"), sum(col("_v")).as("_ts"))
+    q.join(tail, keyCols)
+      .withColumn("var_p", col("_vp").cast("double") / 1e4)
+      .withColumn("cvar_p", col("_ts").cast("double") /
+        col("tail_n").cast("double") / 1e4)
+      .select(keyCols.map(col) :+ col("n") :+ col("var_p") :+
+        col("cvar_p") :+ col("tail_n"): _*)
   }
 
   /** Peaks-over-threshold with a generalized-Pareto tail fit (EVT;

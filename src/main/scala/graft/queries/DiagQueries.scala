@@ -189,6 +189,15 @@ object DiagQueries {
     "q355_quantile_norm" -> ((s, dir) =>
       canon(graft.post.PostOps.quantileNormalize(ev(s, dir), "event_type",
         "event_id", "value"))),
+    // Gumbel block maxima: 30-day return level of daily maxima per type
+    "q376_gumbel" -> ((s, dir) =>
+      canon(graft.multi.TailScores.gumbelBlockMax(ev(s, dir),
+        Seq("event_type"), expr("ts div 86400000000000"), "value",
+        returnBlocks = 30))),
+    // CVaR / expected shortfall above the exact P95 per type
+    "q377_cvar" -> ((s, dir) =>
+      canon(graft.multi.TailScores.cvar(ev(s, dir), Seq("event_type"),
+        "value", p = 0.95))),
     // SPRT: sequential defect-rate monitor per event_type (>160 flag)
     "q373_sprt" -> ((s, dir) =>
       canon(graft.model.GroupTests.sprt(ev(s, dir), "event_type",
@@ -783,6 +792,45 @@ object DiagQueries {
          |   / (n_sizes::DOUBLE * sxx - sx * sx), 4) AS hurst
          |FROM f""".stripMargin.replace("\n", " ")
     },
+    "q376_gumbel" ->
+      s"""WITH bm AS (SELECT event_type,
+         |  epoch_ns(ts) // 86400000000000 AS b,
+         |  max(${fpSql("value")}) AS m
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |g AS (SELECT event_type, count(*)::BIGINT AS blocks,
+         |  sum(m)::HUGEINT AS s, sum(m::HUGEINT * m::HUGEINT) AS q
+         |  FROM bm GROUP BY 1 HAVING count(*) >= 3),
+         |f AS (SELECT event_type, blocks,
+         |  s::DOUBLE / blocks::DOUBLE / 1e4 AS mean,
+         |  sqrt((q::DOUBLE - s::DOUBLE * s::DOUBLE / blocks::DOUBLE)
+         |    / (blocks::DOUBLE - 1)) / 1e4 AS sd FROM g),
+         |p AS (SELECT event_type, blocks,
+         |  sd * ${math.sqrt(6.0)} / ${math.Pi} AS beta,
+         |  mean - 0.5772156649015329 * (sd * ${math.sqrt(6.0)} / ${math.Pi})
+         |    AS mu FROM f)
+         |SELECT event_type, blocks, round(mu, 4) AS mu,
+         | round(beta, 4) AS beta,
+         | round(mu - beta * ln(-ln(1.0 - 1.0 / 30)), 4) AS return_level
+         |FROM p""".stripMargin.replace("\n", " "),
+    "q377_cvar" ->
+      s"""WITH $fx,
+         |h AS (SELECT key, fp AS v, count(*)::BIGINT AS ct
+         |  FROM fx GROUP BY 1, 2),
+         |c AS (SELECT key, v,
+         |  sum(ct) OVER (PARTITION BY key ORDER BY v ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  sum(ct) OVER (PARTITION BY key) AS n FROM h),
+         |q AS (SELECT key, max(n)::BIGINT AS n,
+         |  min(CASE WHEN cum >= CAST(ceil(0.95 * n) AS BIGINT) THEN v END)
+         |    AS vp FROM c GROUP BY 1),
+         |t AS (SELECT f.key, count(*)::BIGINT AS tail_n,
+         |  sum(f.fp)::HUGEINT AS ts
+         |  FROM fx f JOIN q ON q.key = f.key AND f.fp >= q.vp GROUP BY 1)
+         |SELECT q.key AS event_type, q.n,
+         | round(q.vp::DOUBLE / 1e4, 4) AS var_p,
+         | round(t.ts::DOUBLE / t.tail_n::DOUBLE / 1e4, 4) AS cvar_p,
+         | t.tail_n
+         |FROM q JOIN t USING (key)""".stripMargin.replace("\n", " "),
     "q373_sprt" ->
       s"""WITH b AS (SELECT event_type AS key, event_id AS o,
          |  CASE WHEN value > 160.0 THEN 1 ELSE 0 END AS d FROM events),
