@@ -543,6 +543,44 @@ object GroupTests {
       .select("key", "n", "change_pos", "k_stat", "p_approx")
   }
 
+  /** Two-sample Cramér–von Mises between groups `ga` and `gb` — the
+    * integral sibling of [[ksTwoSample]]'s sup statistic (it sees
+    * DISTRIBUTED discrepancy a single crossing hides): the tie-friendly
+    * form T = n·m/(n+m)² · Σ_v ct_v·(F̂_a(v) − F̂_b(v))² over the shared
+    * value histogram, each term 8dp-frozen before the exact long sum.
+    * One row: n_a, n_b, t_stat. */
+  def cvmTwoSample(data: DataFrame, groupCol: String, valCol: String,
+      ga: String, gb: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val h = data.where(v.isNotNull &&
+      (col(groupCol) === ga || col(groupCol) === gb))
+      .select(col(groupCol).as("_g"),
+        graft.core.fixedPointLong(v, 4).as("_v"))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_g") === ga, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_g") === gb, 1L).otherwise(0L)).as("_cb"))
+    val w = Window.orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h
+      .withColumn("_fa", sum(col("_ca")).over(w))
+      .withColumn("_fb", sum(col("_cb")).over(w))
+    val tot = h.agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val df2 = col("_fa").cast("double") / na -
+      col("_fb").cast("double") / nb
+    val t8 = cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        graft.core.fixedPointLong(
+          (col("_ca") + col("_cb")).cast("double") * df2 * df2, 8)
+          .as("_t8"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("_t8")).as("_st"))
+    t8.withColumn("t_stat",
+        na * nb / ((na + nb) * (na + nb)) *
+          (col("_st").cast("double") / 1e8))
+      .select("n_a", "n_b", "t_stat")
+  }
+
   /** Mood's median test: counts above the POOLED exact median per
     * group (ties at the median count as not-above), Pearson χ² over
     * the resulting 2×k table with marginal-product expectations. One
