@@ -581,6 +581,47 @@ object GroupTests {
       .select("n_a", "n_b", "t_stat")
   }
 
+  /** Two-sample Anderson–Darling (tail-weighted CvM; Pettitt 1976's
+    * two-sample form with ties): T = n·m/(n+m)² ·
+    * Σ_{v: H<1} ct_v·(F̂_a−F̂_b)²/(H·(1−H)) with H the pooled ECDF —
+    * the 1/(H(1−H)) weight makes TAIL discrepancies count, which is
+    * where anomaly distributions actually differ and where KS/CvM are
+    * least sensitive. Same frozen-term exact-sum device as
+    * [[cvmTwoSample]]. One row: n_a, n_b, a_stat. */
+  def adTwoSample(data: DataFrame, groupCol: String, valCol: String,
+      ga: String, gb: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val h = data.where(v.isNotNull &&
+      (col(groupCol) === ga || col(groupCol) === gb))
+      .select(col(groupCol).as("_g"),
+        graft.core.fixedPointLong(v, 4).as("_v"))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_g") === ga, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_g") === gb, 1L).otherwise(0L)).as("_cb"))
+    val w = Window.orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h
+      .withColumn("_fa", sum(col("_ca")).over(w))
+      .withColumn("_fb", sum(col("_cb")).over(w))
+    val tot = h.agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val nn = na + nb
+    val df2 = col("_fa").cast("double") / na -
+      col("_fb").cast("double") / nb
+    val hh = (col("_fa") + col("_fb")).cast("double") / nn
+    val t8 = cum.crossJoin(broadcast(tot))
+      .where(col("_fa") + col("_fb") < col("n_a") + col("n_b"))
+      .select(col("n_a"), col("n_b"),
+        graft.core.fixedPointLong(
+          (col("_ca") + col("_cb")).cast("double") * df2 * df2 /
+            (hh * (lit(1.0) - hh)), 8).as("_t8"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("_t8")).as("_st"))
+    t8.withColumn("a_stat",
+        na * nb / (nn * nn) * (col("_st").cast("double") / 1e8))
+      .select("n_a", "n_b", "a_stat")
+  }
+
   /** Mood's median test: counts above the POOLED exact median per
     * group (ties at the median count as not-above), Pearson χ² over
     * the resulting 2×k table with marginal-product expectations. One

@@ -107,6 +107,10 @@ object DiagQueries {
     "q378_cvm_two_sample" -> ((s, dir) =>
       canon(graft.model.GroupTests.cvmTwoSample(ev(s, dir), "event_type",
         "value", "click", "error"))),
+    // two-sample Anderson–Darling: the tail-weighted member of the trio
+    "q379_ad_two_sample" -> ((s, dir) =>
+      canon(graft.model.GroupTests.adTwoSample(ev(s, dir), "event_type",
+        "value", "click", "error"))),
     // Mood's median test across the 5 event types (pooled exact median)
     "q332_mood_median" -> ((s, dir) =>
       canon(graft.model.GroupTests.moodMedian(ev(s, dir), "event_type",
@@ -544,6 +548,39 @@ object DiagQueries {
          | round((x2 - x1)::DOUBLE / (xn - x1)::DOUBLE, 4) AS q_min,
          | round((xn - xn1)::DOUBLE / (xn - x1)::DOUBLE, 4) AS q_max
          |FROM a WHERE n >= 3 AND xn > x1""".stripMargin.replace("\n", " "),
+    "q379_ad_two_sample" -> {
+      val fp8 = (e: String) =>
+        s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e8+0.5) " +
+          s"ELSE -floor(-($e)*1e8+0.5) END)::BIGINT"
+      val df = "(fa::DOUBLE / n_a::DOUBLE - fb::DOUBLE / n_b::DOUBLE)"
+      val hh = "((fa + fb)::DOUBLE / (n_a::DOUBLE + n_b::DOUBLE))"
+      s"""WITH h AS (SELECT
+         |  (CASE WHEN value >= 0 THEN floor(value*10000.0+0.5)
+         |        ELSE -floor(-value*10000.0+0.5) END)::BIGINT AS v,
+         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+         |    AS ca,
+         |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+         |    AS cb
+         |  FROM events WHERE value IS NOT NULL
+         |   AND event_type IN ('click', 'error') GROUP BY 1),
+         |c AS (SELECT v, ca, cb,
+         |  sum(ca) OVER (ORDER BY v ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+         |  sum(cb) OVER (ORDER BY v ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb
+         |  FROM h),
+         |t AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b
+         |  FROM h),
+         |s AS (SELECT n_a, n_b, sum(${fp8(
+           s"(ca + cb)::DOUBLE * $df * $df / ($hh * (1.0 - $hh))")})::BIGINT
+         |   AS st
+         |  FROM c, t WHERE fa + fb < n_a + n_b GROUP BY 1, 2)
+         |SELECT n_a, n_b,
+         | round(n_a::DOUBLE * n_b::DOUBLE
+         |  / ((n_a::DOUBLE + n_b::DOUBLE) * (n_a::DOUBLE + n_b::DOUBLE))
+         |  * (st::DOUBLE / 1e8), 4) AS a_stat
+         |FROM s""".stripMargin.replace("\n", " ")
+    },
     "q378_cvm_two_sample" -> {
       val fp8 = (e: String) =>
         s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e8+0.5) " +
