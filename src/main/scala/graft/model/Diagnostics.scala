@@ -240,6 +240,46 @@ object Diagnostics {
       .select("n_blocks", "k", "chi2")
   }
 
+  /** Page's trend test for ordered alternatives (Page 1963) — the
+    * directional Friedman: with treatments taken in LEXICOGRAPHIC
+    * order (position j = 1..k), L = Σ_j j·R_j over within-block
+    * average ranks (2·r̄ exact integers, so 2·L is an exact long),
+    * z = (L − n·k(k+1)²/4) / √(n·k²(k+1)²(k−1)/144). Rejects when the
+    * treatments TREND in the given order — which Friedman's any-
+    * difference χ² cannot see. One row: n_blocks, k, l_stat, z. */
+  def pageL(data: DataFrame, blockCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = data.where(v.isNotNull)
+      .select(col(blockCol).as("_b"), col(treatCol).as("_t"),
+        fp(v).as("_v"))
+    val k = base.select(col("_t")).distinct().count()
+    val full = base
+      .withColumn("_kb", count(lit(1))
+        .over(Window.partitionBy(col("_b"))))
+      .where(col("_kb") === k)
+    val bw = Window.partitionBy(col("_b")).orderBy(col("_v").asc)
+    val cw = Window.partitionBy(col("_b"), col("_v"))
+    val ranked = full
+      .withColumn("_r2",
+        lit(2) * rank().over(bw) + count(lit(1)).over(cw) - 1)
+    val byTreat = ranked.groupBy(col("_t"))
+      .agg(sum(col("_r2")).as("_rs2"), count(lit(1)).as("_nb"))
+    // position j = lexicographic index of the treatment (1-based)
+    val jw = Window.orderBy(col("_t").asc)
+    val withJ = byTreat.withColumn("_j", row_number().over(jw).cast("long"))
+    val g = withJ.agg(max(col("_nb")).as("n_blocks"),
+      sum(col("_j") * col("_rs2")).as("_l2"))
+    val nD = col("n_blocks").cast("double")
+    val kD = k.toDouble
+    g.withColumn("k", lit(k))
+      .withColumn("l_stat", col("_l2").cast("double") / 2.0)
+      .withColumn("z",
+        (col("l_stat") - nD * kD * (kD + 1) * (kD + 1) / 4.0) /
+          sqrt(nD * kD * kD * (kD + 1) * (kD + 1) * (kD - 1) / 144.0))
+      .select("n_blocks", "k", "l_stat", "z")
+  }
+
   /** Cochran's Q over k paired binary flags — one 0/1 observation per
     * (block, treatment), complete blocks only. The all-integer form
     * Q = (k−1)·(k·ΣG_j² − T²) / (k·T − ΣL_i²) keeps numerator and

@@ -59,6 +59,11 @@ object DiagQueries {
     // Wilcoxon signed-rank over per-user paired half means
     "q320_wilcoxon_signed" -> ((s, dir) =>
       canon(Diagnostics.wilcoxonSignedRank(userPairs(s, dir), "x", "y"))),
+    // Page's L: do the type means TREND in alphabetical order across
+    // users (the directional Friedman over the same cells)
+    "q380_page_trend" -> ((s, dir) =>
+      canon(Diagnostics.pageL(userTypeCells(s, dir), "user_id",
+        "event_type", "mv"))),
     // Friedman rank test: blocks = users, treatments = event_type,
     // observation = user × type mean value
     "q321_friedman" -> ((s, dir) => {
@@ -1416,6 +1421,33 @@ object DiagQueries {
          |     + (kk.k::DOUBLE - 1) * (ssw / (n::DOUBLE - ns::DOUBLE))), 4)
          |   AS icc
          |FROM fin, kk""".stripMargin.replace("\n", " ")
+    },
+    "q380_page_trend" -> {
+      val mv = "s::DOUBLE / c::DOUBLE / 1e4"
+      s"""WITH $fx,
+         |cell AS (SELECT user_id AS b, key AS t,
+         |  sum(fp::HUGEINT) AS s, count(*)::BIGINT AS c
+         |  FROM fx GROUP BY 1, 2),
+         |c2 AS (SELECT b, t, ${fpSql(mv)} AS v FROM cell),
+         |kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM c2),
+         |full0 AS (SELECT c2.* FROM c2, kk
+         |  QUALIFY count(*) OVER (PARTITION BY b) = kk.k),
+         |rk AS (SELECT b, t, 2 * rank() OVER (PARTITION BY b ORDER BY v ASC)
+         |  + count(*) OVER (PARTITION BY b, v) - 1 AS r2 FROM full0),
+         |bt AS (SELECT t, sum(r2)::BIGINT AS rs2, count(*)::BIGINT AS nb
+         |  FROM rk GROUP BY 1),
+         |wj AS (SELECT t, rs2, nb,
+         |  row_number() OVER (ORDER BY t ASC)::BIGINT AS j FROM bt),
+         |g AS (SELECT max(nb)::BIGINT AS n_blocks,
+         |  sum(j * rs2)::BIGINT AS l2 FROM wj)
+         |SELECT n_blocks, kk.k AS k,
+         | round(l2::DOUBLE / 2.0, 4) AS l_stat,
+         | round((l2::DOUBLE / 2.0 - n_blocks::DOUBLE * kk.k::DOUBLE
+         |    * (kk.k::DOUBLE + 1) * (kk.k::DOUBLE + 1) / 4.0)
+         |  / sqrt(n_blocks::DOUBLE * kk.k::DOUBLE * kk.k::DOUBLE
+         |    * (kk.k::DOUBLE + 1) * (kk.k::DOUBLE + 1)
+         |    * (kk.k::DOUBLE - 1) / 144.0), 4) AS z
+         |FROM g, kk""".stripMargin.replace("\n", " ")
     },
     "q321_friedman" -> {
       val mv = "s::DOUBLE / c::DOUBLE / 1e4"
