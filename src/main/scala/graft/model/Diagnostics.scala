@@ -280,6 +280,43 @@ object Diagnostics {
       .select("n_blocks", "k", "l_stat", "z")
   }
 
+  /** Kendall's W coefficient of concordance over the same
+    * (block, treatment, value) frame as Friedman/Page: with exact
+    * integer rank sums (2·R_j), W = 12·S/(n²·k·(k²−1)) where
+    * S = Σ_j (R_j − n(k+1)/2)² — carried as the exact integer
+    * Σ(2R_j − n(k+1))²/4 so S never touches a float. W ∈ [0,1]:
+    * 1 = every block ranks the treatments identically (the effect-SIZE
+    * companion to Friedman's χ² verdict). One row: n_blocks, k, w. */
+  def kendallW(data: DataFrame, blockCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = data.where(v.isNotNull)
+      .select(col(blockCol).as("_b"), col(treatCol).as("_t"),
+        fp(v).as("_v"))
+    val k = base.select(col("_t")).distinct().count()
+    val full = base
+      .withColumn("_kb", count(lit(1))
+        .over(Window.partitionBy(col("_b"))))
+      .where(col("_kb") === k)
+    val bw = Window.partitionBy(col("_b")).orderBy(col("_v").asc)
+    val cw = Window.partitionBy(col("_b"), col("_v"))
+    val ranked = full
+      .withColumn("_r2",
+        lit(2) * rank().over(bw) + count(lit(1)).over(cw) - 1)
+    val byTreat = ranked.groupBy(col("_t"))
+      .agg(sum(col("_r2")).as("_rs2"), count(lit(1)).as("_nb"))
+    // 4·S = Σ (2R_j − n(k+1))² — exact longs
+    val g = byTreat.agg(max(col("_nb")).as("n_blocks"),
+      sum((col("_rs2") - col("_nb") * (lit(k) + 1)) *
+        (col("_rs2") - col("_nb") * (lit(k) + 1))).as("_s4"))
+    val nD = col("n_blocks").cast("double")
+    val kD = k.toDouble
+    g.withColumn("k", lit(k))
+      .withColumn("w", lit(12.0) * (col("_s4").cast("double") / 4.0) /
+        (nD * nD * kD * (kD * kD - 1)))
+      .select("n_blocks", "k", "w")
+  }
+
   /** Cochran's Q over k paired binary flags — one 0/1 observation per
     * (block, treatment), complete blocks only. The all-integer form
     * Q = (k−1)·(k·ΣG_j² − T²) / (k·T − ΣL_i²) keeps numerator and

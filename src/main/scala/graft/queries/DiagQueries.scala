@@ -64,6 +64,10 @@ object DiagQueries {
     "q380_page_trend" -> ((s, dir) =>
       canon(Diagnostics.pageL(userTypeCells(s, dir), "user_id",
         "event_type", "mv"))),
+    // Kendall's W: HOW concordant the users' type rankings are
+    "q381_kendall_w" -> ((s, dir) =>
+      canon(Diagnostics.kendallW(userTypeCells(s, dir), "user_id",
+        "event_type", "mv"))),
     // Friedman rank test: blocks = users, treatments = event_type,
     // observation = user × type mean value
     "q321_friedman" -> ((s, dir) => {
@@ -1421,6 +1425,29 @@ object DiagQueries {
          |     + (kk.k::DOUBLE - 1) * (ssw / (n::DOUBLE - ns::DOUBLE))), 4)
          |   AS icc
          |FROM fin, kk""".stripMargin.replace("\n", " ")
+    },
+    "q381_kendall_w" -> {
+      val mv = "s::DOUBLE / c::DOUBLE / 1e4"
+      s"""WITH $fx,
+         |cell AS (SELECT user_id AS b, key AS t,
+         |  sum(fp::HUGEINT) AS s, count(*)::BIGINT AS c
+         |  FROM fx GROUP BY 1, 2),
+         |c2 AS (SELECT b, t, ${fpSql(mv)} AS v FROM cell),
+         |kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM c2),
+         |full0 AS (SELECT c2.* FROM c2, kk
+         |  QUALIFY count(*) OVER (PARTITION BY b) = kk.k),
+         |rk AS (SELECT b, t, 2 * rank() OVER (PARTITION BY b ORDER BY v ASC)
+         |  + count(*) OVER (PARTITION BY b, v) - 1 AS r2 FROM full0),
+         |bt AS (SELECT t, sum(r2)::BIGINT AS rs2, count(*)::BIGINT AS nb
+         |  FROM rk GROUP BY 1),
+         |g AS (SELECT max(nb)::BIGINT AS n_blocks,
+         |  sum((rs2 - nb * (kk.k + 1)) * (rs2 - nb * (kk.k + 1)))::BIGINT
+         |   AS s4 FROM bt, kk GROUP BY kk.k)
+         |SELECT n_blocks, kk.k AS k,
+         | round(12.0 * (s4::DOUBLE / 4.0)
+         |  / (n_blocks::DOUBLE * n_blocks::DOUBLE * kk.k::DOUBLE
+         |     * (kk.k::DOUBLE * kk.k::DOUBLE - 1)), 4) AS w
+         |FROM g, kk""".stripMargin.replace("\n", " ")
     },
     "q380_page_trend" -> {
       val mv = "s::DOUBLE / c::DOUBLE / 1e4"
