@@ -280,6 +280,62 @@ object Diagnostics {
       .select("n_blocks", "k", "l_stat", "z")
   }
 
+  /** Quade test over the (block, treatment, value) frame — Friedman
+    * weighted by block informativeness: blocks are ranked by their
+    * value RANGE (Q_i, average ranks via the histogram device), scores
+    * S_ij = Q_i·(r_ij − (k+1)/2) carried as the exact integer
+    * 4·S = 2Q·(2r̄ − (k+1)), then T = (n−1)·B/(A−B) with A = ΣΣS² and
+    * B = Σ_j(Σ_i S_ij)²/n — blocks that actually discriminate count
+    * more, which makes Quade beat Friedman at small k. One row:
+    * n_blocks, k, t_stat. */
+  def quade(data: DataFrame, blockCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val base = data.where(v.isNotNull)
+      .select(col(blockCol).as("_b"), col(treatCol).as("_t"),
+        fp(v).as("_v"))
+    val k = base.select(col("_t")).distinct().count()
+    val full = base
+      .withColumn("_kb", count(lit(1))
+        .over(Window.partitionBy(col("_b"))))
+      .where(col("_kb") === k)
+    // within-block treatment ranks (2·r̄ ints)
+    val bw = Window.partitionBy(col("_b")).orderBy(col("_v").asc)
+    val cw = Window.partitionBy(col("_b"), col("_v"))
+    val ranked = full
+      .withColumn("_r2",
+        lit(2) * rank().over(bw) + count(lit(1)).over(cw) - 1)
+    // block ranges → block ranks Q (2·Q̄ ints via the range histogram)
+    val rng = full.groupBy(col("_b"))
+      .agg((max(col("_v")) - min(col("_v"))).as("_rg"))
+    val rh = rng.groupBy(col("_rg")).agg(count(lit(1)).as("_ct"))
+    val rw = Window.orderBy(col("_rg").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val q2 = rh.withColumn("_q2",
+      lit(2) * (sum(col("_ct")).over(rw) - col("_ct")) + col("_ct") + 1)
+    val blocks = rng.join(q2.select(col("_rg"), col("_q2")), "_rg")
+      .select(col("_b"), col("_q2"))
+    // 4·S_ij = _q2 · (2r̄ − (k+1)) exactly
+    val s4 = ranked.join(blocks, "_b")
+      .withColumn("_s4", col("_q2") * (col("_r2") - (lit(k) + 1)))
+    val a = s4.agg(count(lit(1)).as("_nk"),
+      sum((col("_s4").cast("decimal(38,0)") *
+        col("_s4").cast("decimal(38,0)")).cast("decimal(38,0)")).as("_a16"))
+    val byT = s4.groupBy(col("_t"))
+      .agg(sum(col("_s4")).as("_sj4"), count(lit(1)).as("_nb"))
+    val b = byT.agg(max(col("_nb")).as("n_blocks"),
+      sum((col("_sj4").cast("decimal(38,0)") *
+        col("_sj4").cast("decimal(38,0)")).cast("decimal(38,0)")).as("_b16"))
+    val nD = col("n_blocks").cast("double")
+    a.crossJoin(b)
+      .withColumn("k", lit(k))
+      .withColumn("_ad", col("_a16").cast("double") / 16.0)
+      .withColumn("_bd", col("_b16").cast("double") / 16.0 / nD)
+      .withColumn("t_stat",
+        (nD - 1) * col("_bd") / (col("_ad") - col("_bd")))
+      .select("n_blocks", "k", "t_stat")
+  }
+
   /** Kendall's W coefficient of concordance over the same
     * (block, treatment, value) frame as Friedman/Page: with exact
     * integer rank sums (2·R_j), W = 12·S/(n²·k·(k²−1)) where

@@ -68,6 +68,11 @@ object DiagQueries {
     "q381_kendall_w" -> ((s, dir) =>
       canon(Diagnostics.kendallW(userTypeCells(s, dir), "user_id",
         "event_type", "mv"))),
+    // Quade: Friedman weighted by block range (informative users count
+    // more)
+    "q382_quade" -> ((s, dir) =>
+      canon(Diagnostics.quade(userTypeCells(s, dir), "user_id",
+        "event_type", "mv"))),
     // Friedman rank test: blocks = users, treatments = event_type,
     // observation = user × type mean value
     "q321_friedman" -> ((s, dir) => {
@@ -1425,6 +1430,38 @@ object DiagQueries {
          |     + (kk.k::DOUBLE - 1) * (ssw / (n::DOUBLE - ns::DOUBLE))), 4)
          |   AS icc
          |FROM fin, kk""".stripMargin.replace("\n", " ")
+    },
+    "q382_quade" -> {
+      val mv = "s::DOUBLE / c::DOUBLE / 1e4"
+      s"""WITH $fx,
+         |cell AS (SELECT user_id AS b, key AS t,
+         |  sum(fp::HUGEINT) AS s, count(*)::BIGINT AS c
+         |  FROM fx GROUP BY 1, 2),
+         |c2 AS (SELECT b, t, ${fpSql(mv)} AS v FROM cell),
+         |kk AS (SELECT count(DISTINCT t)::BIGINT AS k FROM c2),
+         |full0 AS (SELECT c2.* FROM c2, kk
+         |  QUALIFY count(*) OVER (PARTITION BY b) = kk.k),
+         |rk AS (SELECT b, t, 2 * rank() OVER (PARTITION BY b ORDER BY v ASC)
+         |  + count(*) OVER (PARTITION BY b, v) - 1 AS r2 FROM full0),
+         |rng AS (SELECT b, max(v) - min(v) AS rg FROM full0 GROUP BY 1),
+         |rh AS (SELECT rg, count(*)::BIGINT AS ct FROM rng GROUP BY 1),
+         |qq AS (SELECT rg, 2 * (sum(ct) OVER (ORDER BY rg ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct)
+         |  + ct + 1 AS q2 FROM rh),
+         |bl AS (SELECT rng.b, qq.q2 FROM rng JOIN qq USING (rg)),
+         |s4 AS (SELECT rk.t, bl.q2 * (rk.r2 - (kk.k + 1)) AS s4
+         |  FROM rk JOIN bl USING (b), kk),
+         |a AS (SELECT sum(s4::HUGEINT * s4::HUGEINT) AS a16 FROM s4),
+         |byt AS (SELECT t, sum(s4)::BIGINT AS sj4, count(*)::BIGINT AS nb
+         |  FROM s4 GROUP BY 1),
+         |bb AS (SELECT max(nb)::BIGINT AS n_blocks,
+         |  sum(sj4::HUGEINT * sj4::HUGEINT) AS b16 FROM byt)
+         |SELECT n_blocks, kk.k AS k,
+         | round((n_blocks::DOUBLE - 1)
+         |   * (b16::DOUBLE / 16.0 / n_blocks::DOUBLE)
+         |  / (a16::DOUBLE / 16.0
+         |     - b16::DOUBLE / 16.0 / n_blocks::DOUBLE), 4) AS t_stat
+         |FROM a, bb, kk""".stripMargin.replace("\n", " ")
     },
     "q381_kendall_w" -> {
       val mv = "s::DOUBLE / c::DOUBLE / 1e4"
