@@ -581,6 +581,79 @@ object GroupTests {
       .select("n_a", "n_b", "t_stat")
   }
 
+  /** Fligner–Killeen test for equal scales across k groups — the
+    * rank/normal-scores member of the variance battery (robust to
+    * non-normality where Bartlett is not, and rank-based where
+    * Brown–Forsythe is moment-based): center each group by its EXACT
+    * median (the brownForsythe 2·median device), pool the |deviations|,
+    * midrank them via the value histogram (2·r̄ ints), score
+    * a = probit(0.5 + r̄/(2(N+1))) (PostOps.probit — identical
+    * arithmetic both engines), freeze a at 8dp so every group sum is an
+    * exact long, then X² = Σ_g n_g(ā_g − ā)²/V (ordered fold over
+    * groups; V = sample variance of the frozen scores). One row:
+    * k, n, chi2. */
+  def flignerKilleen(data: DataFrame, groupCol: String, valCol: String)
+      : DataFrame = {
+    val v = col(valCol).cast("double")
+    val fp = data.where(v.isNotNull)
+      .select(col(groupCol), graft.core.fixedPointLong(v, 4).as("_v"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_v").asc)
+    val kw = Window.partitionBy(col(groupCol))
+    val med2 = fp
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_c", count(lit(1)).over(kw).cast("long"))
+      .where(col("_rn") === floor((col("_c") + 1) / 2).cast("long") ||
+        col("_rn") === floor(col("_c") / 2).cast("long") + 1)
+      .groupBy(col(groupCol)).agg((sum(col("_v")) *
+        when(count(lit(1)) === 1, 2).otherwise(1)).as("_m2"))
+    // |2v − m2| exact longs (2×4dp scale); (group, d)-histogram
+    val cd = fp.join(broadcast(med2), Seq(groupCol))
+      .select(col(groupCol).as("_g"),
+        abs(lit(2) * col("_v") - col("_m2")).as("_d"))
+    val gvh = cd.groupBy(col("_g"), col("_d"))
+      .agg(count(lit(1)).as("_c"))
+    val vh = gvh.groupBy(col("_d")).agg(sum(col("_c")).as("_ct"))
+    val hw = Window.orderBy(col("_d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = vh.agg(sum(col("_ct")).as("_nn"))
+    val scored = vh
+      .withColumn("_r2",
+        lit(2) * (sum(col("_ct")).over(hw) - col("_ct")) + col("_ct") + 1)
+      .crossJoin(broadcast(tot))
+      .withColumn("_a8", graft.core.fixedPointLong(
+        graft.post.PostOps.probit(lit(0.5) +
+          (col("_r2").cast("double") / 2.0) /
+            (lit(2.0) * (col("_nn").cast("double") + 1))), 8))
+    val g = gvh.join(scored.select(col("_d"), col("_a8")), "_d")
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_ng"),
+        sum(col("_c") * col("_a8")).as("_sa"),
+        sum((col("_c").cast("decimal(38,0)") *
+          (col("_a8").cast("decimal(38,0)") *
+            col("_a8").cast("decimal(38,0)")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)")).as("_qa"))
+    val totals = g.agg(count(lit(1)).as("k"), sum(col("_ng")).as("_n"),
+      sum(col("_sa")).as("_s"), sum(col("_qa")).as("_q"))
+    val nD = col("_n").cast("double")
+    val abar = col("_s").cast("double") / nD / 1e8
+    val vv = (col("_q").cast("double") -
+      col("_s").cast("double") * col("_s").cast("double") / nD) /
+      (nD - 1) / 1e16
+    // Σ_g n_g(ā_g − ā)²: ordered fold over the group stats
+    val folded = g
+      .agg(sort_array(collect_list(struct(col("_g").as("g"),
+        col("_ng").cast("double").as("ng"),
+        (col("_sa").cast("double")).as("sa")))).as("_arr"))
+    totals.crossJoin(folded)
+      .withColumn("_abar", abar)
+      .withColumn("_num", aggregate(col("_arr"), lit(0.0), (acc, x) =>
+        acc + x("ng") * (x("sa") / x("ng") / 1e8 - col("_abar")) *
+          (x("sa") / x("ng") / 1e8 - col("_abar"))))
+      .withColumn("chi2", col("_num") / vv)
+      .withColumn("n", col("_n").cast("long"))
+      .select("k", "n", "chi2")
+  }
+
   /** Two-sample Anderson–Darling (tail-weighted CvM; Pettitt 1976's
     * two-sample form with ties): T = n·m/(n+m)² ·
     * Σ_{v: H<1} ct_v·(F̂_a−F̂_b)²/(H·(1−H)) with H the pooled ECDF —

@@ -73,6 +73,11 @@ object DiagQueries {
     "q382_quade" -> ((s, dir) =>
       canon(Diagnostics.quade(userTypeCells(s, dir), "user_id",
         "event_type", "mv"))),
+    // Fligner–Killeen: rank/normal-scores equal-scale test (the robust
+    // member of the Bartlett/Brown–Forsythe variance battery)
+    "q383_fligner" -> ((s, dir) =>
+      canon(graft.model.GroupTests.flignerKilleen(ev(s, dir),
+        "event_type", "value"))),
     // Friedman rank test: blocks = users, treatments = event_type,
     // observation = user × type mean value
     "q321_friedman" -> ((s, dir) => {
@@ -1430,6 +1435,44 @@ object DiagQueries {
          |     + (kk.k::DOUBLE - 1) * (ssw / (n::DOUBLE - ns::DOUBLE))), 4)
          |   AS icc
          |FROM fin, kk""".stripMargin.replace("\n", " ")
+    },
+    "q383_fligner" -> {
+      val fp8 = (e: String) =>
+        s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e8+0.5) " +
+          s"ELSE -floor(-($e)*1e8+0.5) END)::BIGINT"
+      val score = StatQueries.probitSql(
+        "0.5 + (r2::DOUBLE / 2.0) / (2.0 * (nn::DOUBLE + 1))")
+      s"""WITH $fx,
+         |r AS (SELECT key AS g, fp AS v,
+         |  row_number() OVER (PARTITION BY key ORDER BY fp ASC) AS rn,
+         |  count(*) OVER (PARTITION BY key) AS c FROM fx),
+         |med AS (SELECT g,
+         |  sum(v) * (CASE WHEN count(*) = 1 THEN 2 ELSE 1 END) AS m2
+         |  FROM r WHERE rn = (c + 1) // 2 OR rn = c // 2 + 1 GROUP BY 1),
+         |cd AS (SELECT f.key AS g, abs(2 * f.fp - m.m2) AS d
+         |  FROM fx f JOIN med m ON m.g = f.key),
+         |gvh AS (SELECT g, d, count(*)::BIGINT AS c FROM cd GROUP BY 1, 2),
+         |vh AS (SELECT d, sum(c)::BIGINT AS ct FROM gvh GROUP BY 1),
+         |tot AS (SELECT sum(ct)::BIGINT AS nn FROM vh),
+         |rk AS (SELECT d, 2 * (sum(ct) OVER (ORDER BY d ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct)
+         |  + ct + 1 AS r2 FROM vh),
+         |sc AS (SELECT d, ${fp8(score)} AS a8 FROM rk, tot),
+         |g2 AS (SELECT gvh.g, sum(c)::BIGINT AS ng,
+         |  sum(c * a8)::BIGINT AS sa,
+         |  sum(c::HUGEINT * (a8::HUGEINT * a8::HUGEINT)) AS qa
+         |  FROM gvh JOIN sc USING (d) GROUP BY 1),
+         |t2 AS (SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n,
+         |  sum(sa)::HUGEINT AS s, sum(qa) AS q FROM g2),
+         |ab AS (SELECT s::DOUBLE / n::DOUBLE / 1e8 AS abar,
+         |  (q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+         |   / (n::DOUBLE - 1) / 1e16 AS vv FROM t2),
+         |num AS (SELECT list_aggregate(list(
+         |  ng::DOUBLE * (sa::DOUBLE / ng::DOUBLE / 1e8 - ab.abar)
+         |   * (sa::DOUBLE / ng::DOUBLE / 1e8 - ab.abar) ORDER BY g),
+         |  'sum') AS num FROM g2, ab)
+         |SELECT t2.k, t2.n, round(num.num / ab.vv, 4) AS chi2
+         |FROM t2, ab, num""".stripMargin.replace("\n", " ")
     },
     "q382_quade" -> {
       val mv = "s::DOUBLE / c::DOUBLE / 1e4"
