@@ -656,7 +656,7 @@ object MmQueries {
         |s AS (SELECT id, n, list_transform(range(n), i ->
         |  (id*37 + (i // 505)*101) % 4096 - 2048) AS v FROM d)
         |SELECT id, n::INT AS n_samples, 1 AS channels,
-        | round((round(list_sum(v)::DOUBLE / n / 32768.0, 4)::FLOAT)::DOUBLE, 4) AS f0,
+        | round((round(list_sum(v)::DOUBLE / n / 32768.0, 4)::FLOAT)::DOUBLE, 4) + 0 AS f0,
         | round((round(sqrt(list_sum(list_transform(v, x -> x*x))::DOUBLE / n) / 32768.0, 4)::FLOAT)::DOUBLE, 4) AS f1,
         | round((round(list_max(list_transform(v, x -> abs(x)))::DOUBLE / 32768.0, 4)::FLOAT)::DOUBLE, 4) AS f2,
         | round((round(length(list_filter(range(n - 1), i -> v[i+1] * v[i+2] < 0))::DOUBLE / (n - 1), 4)::FLOAT)::DOUBLE, 4) AS f3
@@ -666,7 +666,7 @@ object MmQueries {
         |s AS (SELECT id, n,
         |  list_transform(range(n), i -> (id*31 + i*17) % 4096 - 2048) AS v FROM d)
         |SELECT id, n::INT AS n_samples, 1 AS channels, (44 + 2*n)::BIGINT AS nBytes,
-        | round((round(list_sum(v)::DOUBLE / n / 32768.0, 4)::FLOAT)::DOUBLE, 4) AS f0,
+        | round((round(list_sum(v)::DOUBLE / n / 32768.0, 4)::FLOAT)::DOUBLE, 4) + 0 AS f0,
         | round((round(sqrt(list_sum(list_transform(v, x -> x*x))::DOUBLE / n) / 32768.0, 4)::FLOAT)::DOUBLE, 4) AS f1,
         | round((round(list_max(list_transform(v, x -> abs(x)))::DOUBLE / 32768.0, 4)::FLOAT)::DOUBLE, 4) AS f2,
         | round((round(length(list_filter(range(n - 1), i -> v[i+1] * v[i+2] < 0))::DOUBLE / (n - 1), 4)::FLOAT)::DOUBLE, 4) AS f3

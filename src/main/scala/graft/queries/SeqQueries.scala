@@ -1899,8 +1899,8 @@ object SeqQueries {
         |    > 43200000000 THEN 1 ELSE 0 END AS brk
         | FROM events),
         |s AS (SELECT user_id, value, tus,
-        |  1 + sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  (1 + sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_no
         | FROM t)
         |SELECT user_id, session_no, count(*) AS n_events,
         | min(tus) AS start_us, max(tus) AS end_us,

@@ -1948,7 +1948,7 @@ object TextQueries {
     // engines; DECIMAL/HUGEINT keeps it exact at any corpus size
     "q278_corpus_fingerprint" ->
       s"""SELECT source, count(*) AS n_rows,
-         | sum(${h56("doc_id::VARCHAR || chr(1) || text || chr(1) || lang")})::DECIMAL(38,0) AS digest
+         | bit_xor(${h56("doc_id::VARCHAR || chr(1) || text || chr(1) || lang")}) AS digest
          |FROM documents GROUP BY source""".stripMargin.replace("\n", " "),
     // RE2 spells the script classes without the Is prefix; the dominant
     // fold replays the same strict-> tie rule, class order fixed
@@ -2453,7 +2453,7 @@ object TextQueries {
          |  (SELECT sum(cnt) FROM bg)::BIGINT AS nb)
          |SELECT bg.x, bg.y, bg.cnt,
          | round(ln((bg.cnt::DOUBLE / t.nb)
-         |  / ((cx.c::DOUBLE / t.n) * (cy.c::DOUBLE / t.n))), 4) AS pmi
+         |  / ((cx.c::DOUBLE / t.n) * (cy.c::DOUBLE / t.n))), 4) + 0 AS pmi
          |FROM bg JOIN ugc cx ON cx.tok = bg.x
          |JOIN ugc cy ON cy.tok = bg.y CROSS JOIN tot t
          |WHERE bg.cnt >= 5""".stripMargin.replace("\n", " "),

@@ -752,9 +752,13 @@ object TextOps {
       contentCols: Seq[String]): DataFrame = {
     val content = concat_ws("\u0001",
       contentCols.map(c => col(c).cast("string")): _*)
+    // XOR fold, not a sum: stays in 56 bits / int64 at any corpus size, so
+    // every fetch path (pyarrow, pandas, duckdb) sees the same exact value —
+    // a decimal(38,0) sum grows past 2^53 and silently loses precision the
+    // moment a reader converts it to float64 (r8 driver-gate post-mortem).
     df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        sum(hash56(content).cast("decimal(38,0)")).as("digest"))
+        call_function("bit_xor", hash56(content)).as("digest"))
   }
 
   /** Unicode script profile — the orthography-level sanity check behind

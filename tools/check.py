@@ -58,7 +58,18 @@ for name in sorted(oracle):
         print(f"FAIL {name}: oracle sql error: {e}")
         fails += 1
         continue
-    got = con.execute(f"SELECT * FROM '{pq}/*.parquet'").df()
+    # Driver-strict reads (r8 post-mortem: the three perennial hash-reds
+    # were -0.0-vs-0.0, float64-vs-int64 and float64-vs-decimal diffs that
+    # the old duckdb-roundtrip + lax `==` compare could not see):
+    #  - Spark parquet via pyarrow — dtype-faithful (decimal stays Decimal,
+    #    int64 stays int64), the way the driver reads it;
+    #  - floats compared BITWISE (so -0.0 != 0.0, exactly like a value hash);
+    #  - dtype-class mismatch (int vs float vs decimal/object) is a FAIL.
+    import pyarrow.parquet as _pq
+    import numpy as _np
+    got = pd.concat([_pq.read_table(f).to_pandas()
+                     for f in sorted(glob.glob(f"{pq}/*.parquet"))],
+                    ignore_index=True)
     exp = exp.reindex(sorted(exp.columns), axis=1)
     got = got.reindex(sorted(got.columns), axis=1)
     if list(exp.columns) != list(got.columns):
@@ -69,20 +80,36 @@ for name in sorted(oracle):
         print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
         fails += 1
         continue
+    dtbad = False
+    for c in exp.columns:
+        ka, kb = exp[c].dtype.kind, got[c].dtype.kind
+        # normalize: treat int/uint as one class; bool separate; object
+        # (strings/Decimals) separate; float separate
+        cls = lambda k: {"i": "int", "u": "int"}.get(k, k)
+        if cls(ka) != cls(kb):
+            print(f"FAIL {name}: dtype class mismatch on {c}: "
+                  f"oracle={exp[c].dtype} spark={got[c].dtype}")
+            dtbad = True
+    if dtbad:
+        fails += 1
+        continue
     exp_s = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
     got_s = got.sort_values(by=list(got.columns)).reset_index(drop=True)
     mismatch = 0
     for c in exp.columns:
         a, b = exp_s[c], got_s[c]
-        if a.dtype.kind == 'f' or b.dtype.kind == 'f':
-            # exact compare — the driver hashes values, so ulp != equal
-            bad = ~((a.isna() & b.isna()) | (a.astype(float) == b.astype(float)))
+        if a.dtype.kind == 'f' and b.dtype.kind == 'f':
+            # bitwise compare — the driver hashes values, so -0.0 != 0.0
+            av = a.values.astype(_np.float64).view(_np.int64)
+            bv = b.values.astype(_np.float64).view(_np.int64)
+            bad = pd.Series((av != bv) & ~(a.isna() & b.isna()).values,
+                            index=a.index)
         else:
             bad = ~((a.isna() & b.isna()) | (a.astype(str) == b.astype(str)))
         if bad.any():
             mismatch += int(bad.sum())
             i = bad.idxmax()
-            print(f"  {name}.{c}: {int(bad.sum())} diffs, first at row {i}: exp={a[i]} got={b[i]}")
+            print(f"  {name}.{c}: {int(bad.sum())} diffs, first at row {i}: exp={a[i]!r} got={b[i]!r}")
     if mismatch:
         print(f"FAIL {name}: {mismatch} value diffs ({len(exp)} rows)")
         fails += 1
