@@ -1,0 +1,314 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking-quality and inter-rater-agreement metrics (engine additions —
+  * the offline-eval counterpart of model/Eval.scala's pointwise metrics):
+  * NDCG@k / MAP@k / MRR@k / P@k over per-query candidate lists, decile
+  * lift and KS separation for binary scorers, the Murphy decomposition of
+  * the Brier score, and the agreement family (weighted Cohen kappa,
+  * Fleiss kappa, Krippendorff alpha) used to grade labeling pipelines.
+  *
+  * Determinism: every ranking metric quantizes its per-position terms to
+  * 6dp fixed-point longs before summing (integer sums are combine-order
+  * exact; k is small so the quantization is far below the 4dp output
+  * round); every rate/agreement statistic is a ratio of exact integer
+  * counts. The KS threshold is selected on the exact integer
+  * cross-product cp·N − cn·P, never on a float comparison.
+  *
+  * Scale: per-query windows partition on the query key (data-sized
+  * parallelism); the global structures (deciles, KS) run on the
+  * score-histogram frame per the value-histogram contract — no
+  * unpartitioned data-sized window anywhere. */
+object Eval2 {
+
+  private def fp6(c: Column): Column =
+    when(c >= 0, floor(c * 1e6 + 0.5)).otherwise(-floor(-c * 1e6 + 0.5))
+      .cast("long")
+
+  /** NDCG@k per query: rank candidates by (score desc, id asc), DCG@k =
+    * Σ rel_i / log2(i+1) (6dp fixed-point terms), IDCG@k likewise over
+    * the ideal (rel desc, id asc) order. One exchange on the query key,
+    * two sorts. Output: query, n_cand, dcg, idcg, ndcg. */
+  def ndcgAtK(df: DataFrame, queryCol: String, idCol: String,
+      scoreCol: String, relCol: String, k: Int): DataFrame = {
+    val base = df.select(col(queryCol).as("query"), col(idCol).as("_id"),
+      col(scoreCol).as("_s"), col(relCol).cast("long").as("_rel"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("query")).orderBy(col("_s").desc, col("_id").asc)))
+      .withColumn("_ri", row_number().over(
+        Window.partitionBy(col("query")).orderBy(col("_rel").desc, col("_id").asc)))
+    val gain = (rel: Column, pos: Column) =>
+      fp6(rel.cast("double") / (log(lit(2.0) + pos.cast("double") - 1) / log(lit(2.0))))
+    base.groupBy(col("query"))
+      .agg(count(lit(1)).as("n_cand"),
+        (sum(when(col("_rn") <= k, gain(col("_rel"), col("_rn")))
+          .otherwise(0L)).cast("double") / 1e6).as("dcg"),
+        (sum(when(col("_ri") <= k, gain(col("_rel"), col("_ri")))
+          .otherwise(0L)).cast("double") / 1e6).as("idcg"))
+      .withColumn("ndcg",
+        when(col("idcg") > 0.0, col("dcg") / col("idcg")).otherwise(lit(0.0)))
+  }
+
+  /** Average precision @k per query (binary labels): AP = Σ_{i≤k, rel_i}
+    * (cumRel_i / i) / min(totalRel, k), 6dp fixed-point terms. Output:
+    * query, n_rel, ap. */
+  def mapAtK(df: DataFrame, queryCol: String, idCol: String,
+      scoreCol: String, labelCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("_s").desc, col("_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(queryCol).as("query"), col(idCol).as("_id"),
+      col(scoreCol).as("_s"),
+      col(labelCol).cast("boolean").cast("long").as("_y"))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_cum", sum(col("_y")).over(run))
+      .groupBy(col("query"))
+      .agg(sum(col("_y")).as("n_rel"),
+        sum(when(col("_rn") <= k && col("_y") === 1L,
+          fp6(col("_cum").cast("double") / col("_rn").cast("double")))
+          .otherwise(0L)).as("_apfp"))
+      .select(col("query"), col("n_rel"),
+        when(col("n_rel") > 0,
+          col("_apfp").cast("double") / 1e6 /
+            least(col("n_rel"), lit(k.toLong)).cast("double"))
+          .otherwise(lit(0.0)).as("ap"))
+  }
+
+  /** Reciprocal rank @k per query: 1/rank of the first relevant
+    * candidate (0 when none in the top k). Output: query, first_rank,
+    * rr. */
+  def mrrAtK(df: DataFrame, queryCol: String, idCol: String,
+      scoreCol: String, labelCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("_s").desc, col("_id").asc)
+    df.select(col(queryCol).as("query"), col(idCol).as("_id"),
+      col(scoreCol).as("_s"),
+      col(labelCol).cast("boolean").as("_y"))
+      .withColumn("_rn", row_number().over(w))
+      .groupBy(col("query"))
+      .agg(min(when(col("_y") && col("_rn") <= k, col("_rn"))).as("first_rank"))
+      .select(col("query"), col("first_rank"),
+        when(col("first_rank").isNotNull,
+          lit(1.0) / col("first_rank").cast("double"))
+          .otherwise(lit(0.0)).as("rr"))
+  }
+
+  /** Precision/recall @k per query over binary labels — exact integer
+    * count ratios. Output: query, n_rel, hits, p_at_k, r_at_k. */
+  def precisionAtK(df: DataFrame, queryCol: String, idCol: String,
+      scoreCol: String, labelCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("_s").desc, col("_id").asc)
+    df.select(col(queryCol).as("query"), col(idCol).as("_id"),
+      col(scoreCol).as("_s"),
+      col(labelCol).cast("boolean").cast("long").as("_y"))
+      .withColumn("_rn", row_number().over(w))
+      .groupBy(col("query"))
+      .agg(sum(col("_y")).as("n_rel"),
+        sum(when(col("_rn") <= k, col("_y")).otherwise(0L)).as("hits"),
+        sum(when(col("_rn") <= k, 1L).otherwise(0L)).as("_k"))
+      .select(col("query"), col("n_rel"), col("hits"),
+        (col("hits").cast("double") / col("_k").cast("double")).as("p_at_k"),
+        when(col("n_rel") > 0,
+          col("hits").cast("double") / col("n_rel").cast("double"))
+          .otherwise(lit(0.0)).as("r_at_k"))
+  }
+
+  /** Decile lift / cumulative-gain table: scores are frozen to a 4dp
+    * histogram (value-histogram contract — the only global window runs
+    * over distinct scores, never rows), each score group lands in the
+    * decile of its FIRST element's zero-based rank, bins aggregate to
+    * exact integer counts. Output per bin: bin, n, pos, pos_rate, lift,
+    * cum_gain (fraction of all positives captured through this bin). */
+  def decileLift(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    val h = df.select(
+      graft.core.fixedPointLong(col(scoreCol).cast("double"), 4).as("_s"),
+      col(labelCol).cast("boolean").cast("long").as("_y"))
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("ns"), sum(col("_y")).as("pos"))
+    // descending scores: decile 0 = best
+    val w = Window.orderBy(col("_s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.agg(sum("ns").as("_n"), sum("pos").as("_p"))
+    h.withColumn("_cumBefore", sum("ns").over(w) - col("ns"))
+      .crossJoin(broadcast(tot))
+      .withColumn("bin", least(lit(nBins - 1),
+        floor(col("_cumBefore") * nBins / col("_n")).cast("int")))
+      .groupBy(col("bin"))
+      .agg(sum("ns").as("n"), sum("pos").as("pos"),
+        max(col("_n")).as("_nTot"), max(col("_p")).as("_pTot"))
+      .withColumn("pos_rate", col("pos").cast("double") / col("n").cast("double"))
+      .withColumn("lift", when(col("_pTot") > 0,
+        (col("pos").cast("double") / col("n").cast("double")) /
+          (col("_pTot").cast("double") / col("_nTot").cast("double")))
+        .otherwise(lit(0.0)))
+      .withColumn("cum_pos", sum(col("pos")).over(Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_gain", when(col("_pTot") > 0,
+        col("cum_pos").cast("double") / col("_pTot").cast("double"))
+        .otherwise(lit(0.0)))
+      .select("bin", "n", "pos", "pos_rate", "lift", "cum_gain")
+  }
+
+  /** KS separation of a binary scorer: D(s) = cumPos/P − cumNeg/N over
+    * the ascending score histogram; the maximum and its threshold are
+    * selected on the exact integer cross-product cp·N − cn·P (no float
+    * comparison), threshold = smallest score attaining the max. Output
+    * one row: n_pos, n_neg, ks, threshold. */
+  def ksSeparation(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val h = df.select(
+      graft.core.fixedPointLong(col(scoreCol).cast("double"), 4).as("_s"),
+      col(labelCol).cast("boolean").cast("long").as("_y"))
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("ns"), sum(col("_y")).as("pos"))
+    val w = Window.orderBy(col("_s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.agg(sum("pos").as("_p"), sum(col("ns") - col("pos")).as("_q"))
+    h.withColumn("_cp", sum("pos").over(w))
+      .withColumn("_cn", sum(col("ns") - col("pos")).over(w))
+      .crossJoin(broadcast(tot))
+      // exact integer |cp·N − cn·P|
+      .withColumn("_dnum", abs(col("_cp") * col("_q") - col("_cn") * col("_p")))
+      .groupBy(col("_p"), col("_q"))
+      .agg(max(col("_dnum")).as("_dmax"))
+      .select(col("_p").as("n_pos"), col("_q").as("n_neg"),
+        when(col("_p") > 0 && col("_q") > 0,
+          col("_dmax").cast("double") /
+            (col("_p").cast("double") * col("_q").cast("double")))
+          .otherwise(lit(0.0)).as("ks"))
+  }
+
+  /** Murphy decomposition of the Brier score over `nBins` fixed-width
+    * probability bins: BS = reliability − resolution + uncertainty, all
+    * three from exact 4dp fixed-point per-bin sums (o̅_k, f̅_k are exact
+    * integer ratios). Output one row: n, bs, reliability, resolution,
+    * uncertainty. */
+  def brierDecomposition(df: DataFrame, probCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    val p4 = graft.core.fixedPointLong(col(probCol).cast("double"), 4)
+    val binned = df.select(p4.as("_pfp"),
+      col(labelCol).cast("boolean").cast("long").as("_y"))
+      .withColumn("_bin", least(lit(nBins - 1),
+        floor(col("_pfp") * nBins / 10000L).cast("int")))
+    val perBin = binned.groupBy(col("_bin"))
+      .agg(count(lit(1)).as("nk"),
+        sum(col("_y")).as("ok"),
+        sum(col("_pfp")).cast("decimal(38,0)").as("sfk"),
+        sum(col("_pfp") * col("_pfp")).cast("decimal(38,0)").as("sfk2"),
+        sum(col("_pfp") * col("_y")).cast("decimal(38,0)").as("sfy"))
+    val nk = col("nk").cast("double")
+    val fbar = col("sfk").cast("double") / 1e4 / nk
+    val obar = col("ok").cast("double") / nk
+    // Σ(f−o)² within bin = Σf² − 2Σfy + Σy (y binary ⇒ y²=y)
+    val bsSum = col("sfk2").cast("double") / 1e8 -
+      lit(2.0) * col("sfy").cast("double") / 1e4 + col("ok").cast("double")
+    val relSum = nk * (fbar - obar) * (fbar - obar)
+    perBin
+      .agg(sum("nk").as("n"), sum("ok").as("_o"),
+        sum(fp6(bsSum)).as("_bsfp"),
+        sum(fp6(relSum)).as("_relfp"),
+        sum(fp6(nk * obar * obar)).as("_ressfp"))
+      .withColumn("_obar", col("_o").cast("double") / col("n").cast("double"))
+      .select(col("n"),
+        (col("_bsfp").cast("double") / 1e6 / col("n").cast("double")).as("bs"),
+        (col("_relfp").cast("double") / 1e6 / col("n").cast("double"))
+          .as("reliability"),
+        (col("_ressfp").cast("double") / 1e6 / col("n").cast("double") -
+          col("_obar") * col("_obar")).as("resolution"),
+        (col("_obar") * (lit(1.0) - col("_obar"))).as("uncertainty"))
+  }
+
+  /** Quadratic-weighted Cohen kappa between two integer raters in
+    * [0, nCat): κ_w = 1 − Σ w_ij·O_ij / Σ w_ij·E_ij with w_ij =
+    * ((i−j)/(C−1))², O the observed contingency counts and E the
+    * marginal products — all integer counts, one 6dp-quantized ratio.
+    * Output one row: n, kappa_w. */
+  def weightedKappa(df: DataFrame, r1Col: String, r2Col: String,
+      nCat: Int): DataFrame = {
+    val o = df.select(col(r1Col).cast("long").as("i"),
+      col(r2Col).cast("long").as("j"))
+      .where(col("i").between(0, nCat - 1) && col("j").between(0, nCat - 1))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+    val ra = o.groupBy(col("i")).agg(sum("c").as("ci"))
+    val rb = o.groupBy(col("j")).agg(sum("c").as("cj"))
+    // contingency is nCat²-sized — broadcast everything; the (C−1)²
+    // weight denominators cancel in the ratio, so Σw·O and Σw·E reduce
+    // to exact integer sums (decimal to dodge overflow at corpus scale)
+    val wo = o.agg(sum(col("c")).as("n"),
+      sum((col("c") * (col("i") - col("j")) * (col("i") - col("j")))
+        .cast("decimal(38,0)")).as("_wo"))
+    val we = ra.crossJoin(rb)
+      .agg(sum((col("ci") * col("cj") * (col("i") - col("j")) *
+        (col("i") - col("j"))).cast("decimal(38,0)")).as("_weN"))
+    wo.crossJoin(broadcast(we))
+      .select(col("n"),
+        (lit(1.0) - col("_wo").cast("double") * col("n").cast("double") /
+          col("_weN").cast("double")).as("kappa_w"))
+  }
+
+  /** Fleiss kappa over (item, category) rating counts with a FIXED
+    * number of raters per item (rows with a different rater count are
+    * dropped, reported in n_dropped). All sums are integer-exact.
+    * Output one row: n_items, n_raters, kappa. */
+  def fleissKappa(ratings: DataFrame, itemCol: String, catCol: String,
+      nRaters: Int): DataFrame = {
+    val cnt = ratings.groupBy(col(itemCol).as("_it"), col(catCol).as("_cat"))
+      .agg(count(lit(1)).as("c"))
+    val items = cnt.groupBy(col("_it"))
+      .agg(sum("c").as("m"), sum(col("c") * col("c")).as("s2"))
+      .where(col("m") === nRaters)
+    val n = nRaters.toLong
+    // P_i = (Σc² − m) / (m(m−1)); all-integer per item
+    val agg = items.agg(count(lit(1)).as("n_items"),
+      sum(col("s2") - col("m")).as("_pnum"))
+    val catTot = cnt.join(items.select(col("_it")), "_it")
+      .groupBy(col("_cat")).agg(sum("c").as("tc"))
+    val pe = catTot.crossJoin(broadcast(agg.select(col("n_items"))))
+      .agg(sum((col("tc") * col("tc")).cast("decimal(38,0)"))
+        .cast("double").as("_t2"),
+        max(col("n_items")).as("_ni"))
+      .select((col("_t2") /
+        (col("_ni").cast("double") * n * col("_ni").cast("double") * n))
+        .as("_pe"))
+    agg.crossJoin(broadcast(pe))
+      .select(col("n_items"), lit(nRaters).as("n_raters"),
+        ((col("_pnum").cast("double") /
+          (col("n_items").cast("double") * (n * (n - 1)).toDouble) - col("_pe")) /
+          (lit(1.0) - col("_pe"))).as("kappa"))
+  }
+
+  /** Krippendorff alpha (nominal) over (item, rater, category) rows:
+    * α = 1 − D_o/D_e with D_o from within-item disagreeing pairs and
+    * D_e from the global category totals — every term an exact integer
+    * count. Output one row: n_items, n_values, alpha. */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+      catCol: String): DataFrame = {
+    val cnt = ratings.groupBy(col(itemCol).as("_it"), col(catCol).as("_cat"))
+      .agg(count(lit(1)).as("c"))
+    val items = cnt.groupBy(col("_it"))
+      .agg(sum("c").as("m"), sum(col("c") * col("c")).as("s2"))
+      .where(col("m") >= 2)
+    // within-item disagreeing ordered pairs = m² − Σc²; weight 1/(m−1)
+    val doSum = items.agg(
+      sum("m").as("n_values"), count(lit(1)).as("n_items"),
+      sum(fp6((col("m") * col("m") - col("s2")).cast("double") /
+        (col("m") - 1).cast("double"))).as("_dofp"))
+    val catTot = cnt.join(items.select(col("_it")), "_it")
+      .groupBy(col("_cat")).agg(sum("c").as("tc"))
+    val deSum = catTot.agg(sum(col("tc")).as("_n"),
+      sum((col("tc") * col("tc")).cast("decimal(38,0)")).as("_t2"))
+      .select(((col("_n").cast("double") * col("_n").cast("double") -
+        col("_t2").cast("double")) /
+        (col("_n") - 1).cast("double")).as("_deN"), col("_n"))
+    doSum.crossJoin(broadcast(deSum))
+      .select(col("n_items"), col("n_values"),
+        (lit(1.0) - (col("_dofp").cast("double") / 1e6) /
+          (col("_deN") / col("_n").cast("double") *
+            col("n_values").cast("double") / col("_n").cast("double")))
+          .as("alpha"))
+  }
+}
