@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core._
-import graft.model.Eval2
+import graft.model.{Eval2, Tests2}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -85,7 +85,58 @@ object R9Queries {
     // Krippendorff alpha (nominal) over the same ratings
     "q393_krippendorff" -> ((s, dir) =>
       canon(Eval2.krippendorffAlpha(raters(s, dir), "item", "cat"))),
+    // Brunner–Munzel heteroscedastic two-sample test, click vs error
+    "q394_brunner_munzel" -> ((s, dir) =>
+      canon(Tests2.brunnerMunzel(ev(s, dir), "event_type", "value",
+        "click", "error"))),
+    // Ansari–Bradley two-sample scale test, same pair
+    "q395_ansari_bradley" -> ((s, dir) =>
+      canon(Tests2.ansariBradley(ev(s, dir), "event_type", "value",
+        "click", "error"))),
+    // Jonckheere–Terpstra ordered trend across user_id mod 3 doses
+    "q396_jonckheere" -> ((s, dir) =>
+      canon(Tests2.jonckheereTerpstra(
+        ev(s, dir).withColumn("dose", pmod(col("user_id"), lit(3))),
+        "dose", "value"))),
+    // Cochran–Armitage trend in proportions across doc_id mod 4 doses
+    "q397_cochran_armitage" -> ((s, dir) =>
+      canon(Tests2.cochranArmitage(
+        docs(s, dir).withColumn("dose", pmod(col("doc_id"), lit(4)))
+          .withColumn("pos", col("lang") === "en"),
+        "dose", "pos"))),
+    // CMH stratified 2×2 + MH common OR + Breslow–Day homogeneity
+    "q398_cmh" -> ((s, dir) =>
+      canon(Tests2.cmh(
+        docs(s, dir).withColumn("exposed", pmod(col("doc_id"), lit(2)) === 0)
+          .withColumn("pos", col("lang") === "en"),
+        "source", "exposed", "pos"))),
+    // D'Agostino K² normality omnibus per event_type
+    "q400_dagostino" -> ((s, dir) =>
+      canon(Tests2.dagostinoK2(ev(s, dir), "event_type", "value"))),
+    // Durbin–Watson residual autocorrelation per event_type
+    "q401_durbin_watson" -> ((s, dir) =>
+      canon(Tests2.durbinWatson(
+        ev(s, dir).withColumn("day", expr("ts div 86400000000000")),
+        "event_type", "day", "event_id", "value"))),
+    // Breusch–Pagan heteroscedasticity LM per event_type
+    "q402_breusch_pagan" -> ((s, dir) =>
+      canon(Tests2.breuschPagan(
+        ev(s, dir).withColumn("day", expr("ts div 86400000000000")),
+        "event_type", "day", "value"))),
+    // Cox–Stuart trend sign test per event_type in event_id order
+    "q403_cox_stuart" -> ((s, dir) =>
+      canon(Tests2.coxStuart(ev(s, dir), "event_type", "event_id",
+        "value"))),
+    // Bartels rank von Neumann randomness per event_type
+    "q404_bartels" -> ((s, dir) =>
+      canon(Tests2.bartelsRank(ev(s, dir), "event_type", "event_id",
+        "value"))),
   )
+
+  /** 4dp fixed-point long of a SQL expression (half away from zero). */
+  private def fp4(c: String) =
+    s"(CASE WHEN $c >= 0 THEN floor(($c)*10000.0+0.5) " +
+      s"ELSE -floor(-($c)*10000.0+0.5) END)::BIGINT"
 
   private val rankedSql =
     """e AS (SELECT user_id AS q, event_id AS id, value AS score,
@@ -304,5 +355,314 @@ object R9Queries {
          |   / (de.den / de.n_::DOUBLE * ds.n_values::DOUBLE / de.n_::DOUBLE),
          |  4) + 0 AS alpha
          |FROM ds CROSS JOIN de""".stripMargin.replace("\n", " "),
+    "q394_brunner_munzel" ->
+      s"""WITH h AS (SELECT ${fp4("value")} AS v,
+         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS ca,
+         |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS cb
+         | FROM events WHERE value IS NOT NULL
+         |  AND event_type IN ('click', 'error') GROUP BY 1),
+         |r AS (SELECT *, ca + cb AS ct FROM h),
+         |r2 AS (SELECT *,
+         |  2*(sum(ct) OVER w - ct) + ct + 1 AS pr2,
+         |  2*(sum(ca) OVER w - ca) + ca + 1 AS ra2,
+         |  2*(sum(cb) OVER w - cb) + cb + 1 AS rb2
+         | FROM r WINDOW w AS (ORDER BY v ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |a AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+         |  sum(ca*pr2)::BIGINT AS ra2s, sum(cb*pr2)::BIGINT AS rb2s,
+         |  sum(ca*(pr2-ra2))::BIGINT AS da1,
+         |  sum(ca::HUGEINT*(pr2-ra2)::HUGEINT*(pr2-ra2)::HUGEINT) AS da2,
+         |  sum(cb*(pr2-rb2))::BIGINT AS db1,
+         |  sum(cb::HUGEINT*(pr2-rb2)::HUGEINT*(pr2-rb2)::HUGEINT) AS db2
+         | FROM r2),
+         |f AS (SELECT n_a, n_b, n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+         |  ra2s::DOUBLE / 2.0 / n_a::DOUBLE AS ma,
+         |  rb2s::DOUBLE / 2.0 / n_b::DOUBLE AS mb,
+         |  da1, da2, db1, db2 FROM a),
+         |g AS (SELECT *, ma - (na+1)/2.0 AS ka, mb - (nb+1)/2.0 AS kb FROM f),
+         |g2 AS (SELECT *,
+         |  (da2::DOUBLE/4.0 - ka*da1::DOUBLE/2.0 - ka*da1::DOUBLE/2.0
+         |    + ka*ka*na)/(na-1) AS va,
+         |  (db2::DOUBLE/4.0 - kb*db1::DOUBLE/2.0 - kb*db1::DOUBLE/2.0
+         |    + kb*kb*nb)/(nb-1) AS vb FROM g),
+         |g3 AS (SELECT *, na*va AS nva, nb*vb AS nvb FROM g2)
+         |SELECT n_a, n_b,
+         | round((mb - (nb+1)/2.0)/na, 4) + 0 AS p_hat,
+         | round(na*nb*(mb-ma)/(na+nb)/sqrt(nva+nvb), 4) + 0 AS w_stat,
+         | round((nva+nvb)*(nva+nvb)
+         |   /(nva*nva/(na-1) + nvb*nvb/(nb-1)), 4) AS df
+         |FROM g3""".stripMargin.replace("\n", " "),
+    "q395_ansari_bradley" ->
+      s"""WITH h AS (SELECT ${fp4("value")} AS v,
+         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS ca,
+         |  count(*)::BIGINT AS ct
+         | FROM events WHERE value IS NOT NULL
+         |  AND event_type IN ('click', 'error') GROUP BY 1),
+         |t AS (SELECT sum(ct)::BIGINT AS n, sum(ca)::BIGINT AS na_ FROM h),
+         |r AS (SELECT h.*, t.n, t.na_, t.n + 1 AS m,
+         |  floor((t.n+1)/2.0)::BIGINT AS k,
+         |  sum(ct) OVER w - ct AS l, sum(ct) OVER w AS u
+         | FROM h CROSS JOIN t WINDOW w AS (ORDER BY v ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |s AS (SELECT *,
+         |  (CASE WHEN u <= k THEN floor(u*(u+1)/2.0)
+         |    ELSE floor(k*(k+1)/2.0) + (u-k)*m
+         |      - floor((u*(u+1)-k*(k+1))/2.0) END)::BIGINT
+         |  - (CASE WHEN l <= k THEN floor(l*(l+1)/2.0)
+         |    ELSE floor(k*(k+1)/2.0) + (l-k)*m
+         |      - floor((l*(l+1)-k*(k+1))/2.0) END)::BIGINT AS sv
+         | FROM r),
+         |a AS (SELECT max(na_)::BIGINT AS n_a, max(n - na_)::BIGINT AS n_b,
+         |  sum(floor(ca::DOUBLE * sv::DOUBLE / ct::DOUBLE
+         |    * 1000000.0 + 0.5)::BIGINT) AS abfp,
+         |  sum(sv)::BIGINT AS ssum,
+         |  sum(floor(sv::DOUBLE * sv::DOUBLE / ct::DOUBLE
+         |    * 1000000.0 + 0.5)::BIGINT) AS s2fp
+         | FROM s),
+         |f AS (SELECT n_a, n_b, n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+         |  n_a::DOUBLE + n_b::DOUBLE AS nn,
+         |  abfp::DOUBLE/1000000.0 AS ab,
+         |  ssum::DOUBLE AS ss, s2fp::DOUBLE/1000000.0 AS s2 FROM a)
+         |SELECT n_a, n_b, round(ab, 4) AS ab_stat,
+         | round((ab - na*(ss/nn))
+         |   / sqrt(na*nb/(nn*(nn-1)) * (s2 - nn*(ss/nn)*(ss/nn))), 4) + 0 AS z
+         |FROM f""".stripMargin.replace("\n", " "),
+    "q396_jonckheere" ->
+      s"""WITH e AS (SELECT (user_id % 3)::BIGINT AS d, ${fp4("value")} AS v
+         | FROM events WHERE value IS NOT NULL),
+         |h AS (SELECT d, v, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+         |ds_ AS (SELECT DISTINCT d FROM h),
+         |vs AS (SELECT DISTINCT v FROM h),
+         |fl AS (SELECT vs.v, ds_.d, coalesce(h.c, 0)::BIGINT AS c
+         | FROM vs CROSS JOIN ds_
+         | LEFT JOIN h ON h.d = ds_.d AND h.v = vs.v),
+         |cum AS (SELECT v, d, c,
+         |  sum(c) OVER (PARTITION BY d ORDER BY v
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cb
+         | FROM fl),
+         |j AS (SELECT sum(hi.c::HUGEINT * (2*lo.cb + lo.c)::HUGEINT) AS j2
+         | FROM cum lo JOIN cum hi ON lo.v = hi.v AND lo.d < hi.d),
+         |sz AS (SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n,
+         |  sum(ng*ng)::BIGINT AS sq,
+         |  sum((ng*ng)::HUGEINT * (2*ng+3)::HUGEINT) AS sq3
+         | FROM (SELECT d, sum(c)::BIGINT AS ng FROM h GROUP BY d))
+         |SELECT sz.n, sz.k, round(j.j2::DOUBLE/2.0, 4) AS j_stat,
+         | round((j.j2::DOUBLE/2.0
+         |    - (sz.n::DOUBLE*sz.n::DOUBLE - sz.sq::DOUBLE)/4.0)
+         |  / sqrt((sz.n::DOUBLE*sz.n::DOUBLE*(2.0*sz.n::DOUBLE+3)
+         |    - sz.sq3::DOUBLE)/72.0), 4) + 0 AS z
+         |FROM j CROSS JOIN sz""".stripMargin.replace("\n", " "),
+    "q397_cochran_armitage" ->
+      """WITH g AS (SELECT (doc_id % 4)::BIGINT AS s,
+        |  count(*)::BIGINT AS ni,
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ri
+        | FROM documents GROUP BY 1),
+        |a AS (SELECT sum(ni)::BIGINT AS n, sum(ri)::BIGINT AS n_pos,
+        |  sum(s*ri)::BIGINT AS sr, sum(s*ni)::BIGINT AS sn,
+        |  sum(s*s*ni)::BIGINT AS s2n FROM g),
+        |f AS (SELECT n, n_pos, n::DOUBLE AS nd,
+        |  n_pos::DOUBLE / n::DOUBLE AS p, sr, sn, s2n FROM a)
+        |SELECT n, n_pos,
+        | round((sr::DOUBLE - p * sn::DOUBLE)
+        |   / sqrt(p * (1.0 - p) * (s2n::DOUBLE
+        |     - sn::DOUBLE * sn::DOUBLE / nd)), 4) + 0 AS z
+        |FROM f""".stripMargin.replace("\n", " "),
+    "q398_cmh" ->
+      """WITH cc AS (SELECT source,
+        |  sum(CASE WHEN doc_id % 2 = 0 AND lang = 'en'
+        |    THEN 1 ELSE 0 END)::BIGINT AS a,
+        |  sum(CASE WHEN doc_id % 2 = 0 AND lang <> 'en'
+        |    THEN 1 ELSE 0 END)::BIGINT AS b,
+        |  sum(CASE WHEN doc_id % 2 <> 0 AND lang = 'en'
+        |    THEN 1 ELSE 0 END)::BIGINT AS c,
+        |  sum(CASE WHEN doc_id % 2 <> 0 AND lang <> 'en'
+        |    THEN 1 ELSE 0 END)::BIGINT AS d
+        | FROM documents GROUP BY source),
+        |cells AS (SELECT *, (a+b+c+d)::DOUBLE AS nk, a::DOUBLE AS aD,
+        |  b::DOUBLE AS bD, c::DOUBLE AS cD, d::DOUBLE AS dD FROM cc
+        | WHERE a+b > 0 AND c+d > 0 AND a+c > 0 AND b+d > 0),
+        |s1 AS (SELECT count(*)::BIGINT AS k, sum(a)::BIGINT AS asum,
+        |  sum(floor((aD+bD)*(aD+cD)/nk*1000000.0+0.5)::BIGINT) AS efp,
+        |  sum(floor((aD+bD)*(cD+dD)*(aD+cD)*(bD+dD)
+        |    /(nk*nk*(nk-1))*1000000.0+0.5)::BIGINT) AS vfp,
+        |  sum(floor(aD*dD/nk*1000000.0+0.5)::BIGINT) AS adfp,
+        |  sum(floor(bD*cD/nk*1000000.0+0.5)::BIGINT) AS bcfp
+        | FROM cells),
+        |orr AS (SELECT (adfp::DOUBLE/1000000.0)/(bcfp::DOUBLE/1000000.0)
+        |  AS orv FROM s1),
+        |pre AS (SELECT cells.*, orr.orv, aD+bD AS n1, cD+dD AS n0,
+        |  aD+cD AS m1 FROM cells CROSS JOIN orr),
+        |q AS (SELECT *, orv - 1.0 AS qa,
+        |  -(orv*(n1+m1) + (n0-m1)) AS qb, orv*n1*m1 AS qc FROM pre),
+        |rt AS (SELECT *, CASE WHEN abs(qa) < 1e-12 THEN -qc/qb ELSE
+        |  (CASE WHEN (-qb - sqrt(qb*qb - 4.0*qa*qc))/(2.0*qa)
+        |      > greatest(0.0, m1-n0)
+        |     AND (-qb - sqrt(qb*qb - 4.0*qa*qc))/(2.0*qa) < least(n1, m1)
+        |    THEN (-qb - sqrt(qb*qb - 4.0*qa*qc))/(2.0*qa)
+        |    ELSE (-qb + sqrt(qb*qb - 4.0*qa*qc))/(2.0*qa) END) END
+        |  AS root FROM q),
+        |bd AS (SELECT sum(floor((aD-root)*(aD-root)
+        |  /(1.0/(1.0/root + 1.0/(m1-root) + 1.0/(n1-root)
+        |    + 1.0/(n0-m1+root)))*1000000.0+0.5)::BIGINT) AS bdfp FROM rt)
+        |SELECT s1.k,
+        | round((adfp::DOUBLE/1000000.0)/(bcfp::DOUBLE/1000000.0), 4)
+        |  AS or_mh,
+        | round((asum::DOUBLE - efp::DOUBLE/1000000.0)
+        |   *(asum::DOUBLE - efp::DOUBLE/1000000.0)
+        |   /(vfp::DOUBLE/1000000.0), 4) AS cmh_chi2,
+        | round(bdfp::DOUBLE/1000000.0, 4) AS bd_chi2
+        |FROM s1 CROSS JOIN bd""".stripMargin.replace("\n", " "),
+    "q400_dagostino" ->
+      s"""WITH fx AS (SELECT event_type AS key, ${fp4("value")} AS fp
+         | FROM events WHERE value IS NOT NULL),
+         |s AS (SELECT key, count(*)::BIGINT AS n, sum(fp::HUGEINT) AS s1,
+         |  sum(fp::HUGEINT * fp::HUGEINT) AS s2,
+         |  sum((fp::HUGEINT * fp::HUGEINT) * fp::HUGEINT) AS s3,
+         |  sum((fp::HUGEINT * fp::HUGEINT) * (fp::HUGEINT * fp::HUGEINT))
+         |    AS s4
+         | FROM fx GROUP BY 1 HAVING count(*) >= 20),
+         |m AS (SELECT key, n, n::DOUBLE AS nd, s1::DOUBLE/n::DOUBLE AS m1,
+         |  s2::DOUBLE/n::DOUBLE AS a2, s3::DOUBLE/n::DOUBLE AS a3,
+         |  s4::DOUBLE/n::DOUBLE AS a4 FROM s),
+         |c AS (SELECT key, n, nd, a2 - m1*m1 AS m2,
+         |  a3 - 3.0*m1*a2 + 2.0*m1*m1*m1 AS m3,
+         |  a4 - 4.0*m1*a3 + 6.0*m1*m1*a2 - 3.0*m1*m1*m1*m1 AS m4 FROM m),
+         |g AS (SELECT key, n, nd, m3/sqrt(m2*m2*m2) AS g1,
+         |  m4/(m2*m2) AS g2 FROM c),
+         |t1 AS (SELECT *, g1*sqrt((nd+1)*(nd+3)/(6.0*(nd-2))) AS y,
+         |  3.0*(nd*nd + 27.0*nd - 70)*(nd+1)*(nd+3)
+         |   /((nd-2)*(nd+5)*(nd+7)*(nd+9)) AS b2 FROM g),
+         |t2 AS (SELECT *, sqrt(2.0*(b2-1)) - 1.0 AS w2 FROM t1),
+         |t3 AS (SELECT *, 1.0/sqrt(ln(sqrt(w2))) AS dl,
+         |  sqrt(2.0/(w2-1)) AS al FROM t2),
+         |t4 AS (SELECT *, dl*ln(y/al + sqrt(y/al*(y/al) + 1)) AS z1 FROM t3),
+         |k1 AS (SELECT *, 3.0*(nd-1)/(nd+1) AS eb2,
+         |  24.0*nd*(nd-2)*(nd-3)/((nd+1)*(nd+1)*(nd+3)*(nd+5)) AS vb2
+         | FROM t4),
+         |kk AS (SELECT *, (g2-eb2)/sqrt(vb2) AS x,
+         |  6.0*(nd*nd - 5.0*nd + 2)/((nd+7)*(nd+9))
+         |   * sqrt(6.0*(nd+3)*(nd+5)/(nd*(nd-2)*(nd-3))) AS beta FROM k1),
+         |k3 AS (SELECT *, 6.0 + 8.0/beta
+         |  *(2.0/beta + sqrt(1.0 + 4.0/(beta*beta))) AS aa FROM kk),
+         |k4 AS (SELECT *,
+         |  (1.0 - 2.0/aa)/(1.0 + x*sqrt(2.0/(aa-4))) AS inr FROM k3),
+         |k5 AS (SELECT *, ((1.0 - 2.0/(9.0*aa))
+         |  - sign(inr)*pow(abs(inr), 1.0/3))/sqrt(2.0/(9.0*aa)) AS z2
+         | FROM k4)
+         |SELECT key, n, round(z1, 4) + 0 AS z_skew,
+         | round(z2, 4) + 0 AS z_kurt,
+         | round(z1*z1 + z2*z2, 4) AS k2
+         |FROM k5""".stripMargin.replace("\n", " "),
+    "q401_durbin_watson" ->
+      s"""WITH b AS (SELECT event_type AS key, event_id AS o,
+         |  (epoch_ns(ts) // 86400000000000)::BIGINT AS x,
+         |  ${fp4("value")} AS y4
+         | FROM events WHERE value IS NOT NULL),
+         |g AS (SELECT key, count(*)::BIGINT AS n, sum(x)::HUGEINT AS sx,
+         |  sum(x::HUGEINT * x::HUGEINT) AS sxx, sum(y4)::HUGEINT AS sy,
+         |  sum(x::HUGEINT * y4::HUGEINT) AS sxy
+         | FROM b GROUP BY key HAVING count(*) >= 3),
+         |c AS (SELECT key,
+         |  (n::DOUBLE*sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE)
+         |   /(n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE)/10000.0
+         |    AS slope,
+         |  (sy::DOUBLE/10000.0
+         |    - (n::DOUBLE*sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE)
+         |      /(n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE)/10000.0
+         |      *sx::DOUBLE)/n::DOUBLE AS icept
+         | FROM g),
+         |r AS (SELECT b.key, b.o,
+         |  ${fp4("b.y4::DOUBLE / 10000.0 - (c.icept + c.slope * b.x)")} AS e4
+         | FROM b JOIN c USING (key)),
+         |d AS (SELECT key, e4,
+         |  lag(e4) OVER (PARTITION BY key ORDER BY o) AS lg FROM r)
+         |SELECT key, count(*)::BIGINT AS n,
+         | round(sum((e4-lg)::HUGEINT * (e4-lg)::HUGEINT)::DOUBLE
+         |   / sum(e4::HUGEINT * e4::HUGEINT)::DOUBLE, 4) AS dw
+         |FROM d GROUP BY key""".stripMargin.replace("\n", " "),
+    "q402_breusch_pagan" ->
+      s"""WITH b AS (SELECT event_type AS key,
+         |  (epoch_ns(ts) // 86400000000000)::BIGINT AS x,
+         |  ${fp4("value")} AS y4
+         | FROM events WHERE value IS NOT NULL),
+         |g AS (SELECT key, count(*)::BIGINT AS n, sum(x)::HUGEINT AS sx,
+         |  sum(x::HUGEINT * x::HUGEINT) AS sxx, sum(y4)::HUGEINT AS sy,
+         |  sum(x::HUGEINT * y4::HUGEINT) AS sxy
+         | FROM b GROUP BY key HAVING count(*) >= 3),
+         |c AS (SELECT key,
+         |  (n::DOUBLE*sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE)
+         |   /(n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE)/10000.0
+         |    AS slope,
+         |  (sy::DOUBLE/10000.0
+         |    - (n::DOUBLE*sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE)
+         |      /(n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE)/10000.0
+         |      *sx::DOUBLE)/n::DOUBLE AS icept
+         | FROM g),
+         |r AS (SELECT b.key, b.x,
+         |  floor((b.y4::DOUBLE/10000.0 - (c.icept + c.slope*b.x))
+         |   *(b.y4::DOUBLE/10000.0 - (c.icept + c.slope*b.x))
+         |   *1000000.0 + 0.5)::BIGINT AS u6
+         | FROM b JOIN c USING (key)),
+         |s AS (SELECT key, count(*)::BIGINT AS n, sum(x)::HUGEINT AS sx,
+         |  sum(x::HUGEINT * x::HUGEINT) AS sxx, sum(u6)::HUGEINT AS su,
+         |  sum(x::HUGEINT * u6::HUGEINT) AS sxu,
+         |  sum(u6::HUGEINT * u6::HUGEINT) AS suu
+         | FROM r GROUP BY key),
+         |f2 AS (SELECT key, n, n::DOUBLE AS nd,
+         |  n::DOUBLE*sxu::DOUBLE - sx::DOUBLE*su::DOUBLE AS covn,
+         |  n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE AS vxn,
+         |  n::DOUBLE*suu::DOUBLE - su::DOUBLE*su::DOUBLE AS vun
+         | FROM s)
+         |SELECT key, n,
+         | round(CASE WHEN vun > 0 THEN nd*(covn*covn/(vxn*vun))
+         |  ELSE 0.0 END, 4) AS lm
+         |FROM f2""".stripMargin.replace("\n", " "),
+    "q403_cox_stuart" ->
+      s"""WITH b AS (SELECT event_type AS key, event_id AS o,
+         |  ${fp4("value")} AS v
+         | FROM events WHERE value IS NOT NULL),
+         |r AS (SELECT key, v,
+         |  row_number() OVER (PARTITION BY key ORDER BY o) AS rn FROM b),
+         |c AS (SELECT key, count(*)::BIGINT AS n,
+         |  floor((count(*)+1)/2.0)::BIGINT AS cc FROM r GROUP BY key),
+         |p AS (SELECT a.key, a.v AS va, b2.v AS vb
+         | FROM r a JOIN c ON c.key = a.key
+         | JOIN r b2 ON b2.key = a.key AND b2.rn = a.rn + c.cc
+         | WHERE a.rn <= c.n - c.cc),
+         |g AS (SELECT key,
+         |  sum(CASE WHEN vb > va THEN 1 ELSE 0 END)::BIGINT AS n_up,
+         |  sum(CASE WHEN vb < va THEN 1 ELSE 0 END)::BIGINT AS n_down
+         | FROM p GROUP BY key)
+         |SELECT key, n_up + n_down AS n_pairs, n_up, n_down,
+         | round(CASE WHEN n_up + n_down > 0 THEN
+         |   (greatest(n_up, n_down)::DOUBLE - 0.5
+         |     - (n_up + n_down)::DOUBLE/2.0)
+         |    / sqrt((n_up + n_down)::DOUBLE/4.0)
+         |  ELSE 0.0 END, 4) + 0 AS z
+         |FROM g""".stripMargin.replace("\n", " "),
+    "q404_bartels" ->
+      s"""WITH b AS (SELECT event_type AS key, event_id AS o,
+         |  ${fp4("value")} AS v
+         | FROM events WHERE value IS NOT NULL),
+         |h AS (SELECT key, v, count(*)::BIGINT AS ct FROM b GROUP BY 1, 2),
+         |rk AS (SELECT key, v,
+         |  2*(sum(ct) OVER (PARTITION BY key ORDER BY v
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct)
+         |   + ct + 1 AS r2 FROM h),
+         |rw AS (SELECT b.key, b.o, rk.r2 FROM b
+         | JOIN rk ON rk.key = b.key AND rk.v = b.v),
+         |sq AS (SELECT key, r2,
+         |  lead(r2) OVER (PARTITION BY key ORDER BY o) AS nx,
+         |  count(*) OVER (PARTITION BY key) + 1 AS np1 FROM rw),
+         |g AS (SELECT key, count(*)::BIGINT AS n,
+         |  sum((r2-nx)::HUGEINT * (r2-nx)::HUGEINT) AS num,
+         |  sum((r2-np1)::HUGEINT * (r2-np1)::HUGEINT) AS den
+         | FROM sq GROUP BY key),
+         |f AS (SELECT key, n, n::DOUBLE AS nd,
+         |  num::DOUBLE/den::DOUBLE AS rvn FROM g)
+         |SELECT key, n, round(rvn, 4) AS rvn,
+         | round((rvn - 2.0)/sqrt(4.0*(nd-2)*(5.0*nd*nd - 2.0*nd - 9)
+         |   /(5.0*nd*(nd+1)*(nd-1)*(nd-1))), 4) + 0 AS z
+         |FROM f""".stripMargin.replace("\n", " "),
   )
 }
