@@ -131,6 +131,38 @@ object R9Queries {
     "q404_bartels" -> ((s, dir) =>
       canon(Tests2.bartelsRank(ev(s, dir), "event_type", "event_id",
         "value"))),
+    // Theta(2) one-step-ahead scorer per user (SES + half-slope drift)
+    "q405_theta" -> ((s, dir) =>
+      canon(graft.seq.Forecast2.thetaForecast(ev(s, dir),
+        Seq("user_id"), "event_id", "value").toDF())),
+    // damped-trend Holt (phi = 7/8) per user
+    "q406_damped_holt" -> ((s, dir) =>
+      canon(graft.seq.Forecast2.dampedHolt(ev(s, dir),
+        Seq("user_id"), "event_id", "value").toDF())),
+    // Croston intermittent-demand rate over spike sizes (value > 120)
+    "q407_croston" -> ((s, dir) =>
+      canon(graft.seq.Forecast2.croston(
+        ev(s, dir).withColumn("d",
+          when(col("value") > 120, col("value") - 120).otherwise(0.0)),
+        Seq("user_id"), "event_id", "d").toDF())),
+    // Lomb–Scargle periodogram per event_type over a 7-period day grid
+    "q408_lomb_scargle" -> ((s, dir) =>
+      canon(graft.seq.Forecast2.lombScargle(ev(s, dir),
+        Seq("event_type"), "ts", "value", Seq(2, 3, 4, 5, 7, 10, 14)))),
+    // seasonal Mann–Kendall per event_type with day-of-week seasons
+    "q409_seasonal_mk" -> ((s, dir) =>
+      canon(graft.seq.Forecast2.seasonalMannKendall(
+        ev(s, dir).withColumn("dow",
+          pmod(expr("ts div 86400000000000"), lit(7))),
+        Seq("event_type"), "dow", "event_id", "value"))),
+    // Dickey–Fuller rho t-statistic per event_type
+    "q410_adf" -> ((s, dir) =>
+      canon(graft.seq.Forecast2.adfStat(ev(s, dir),
+        Seq("event_type"), "event_id", "value"))),
+    // KPSS level-stationarity eta per event_type (Bartlett q=4)
+    "q411_kpss" -> ((s, dir) =>
+      canon(graft.seq.Forecast2.kpss(ev(s, dir),
+        Seq("event_type"), "event_id", "value"))),
   )
 
   /** 4dp fixed-point long of a SQL expression (half away from zero). */
@@ -664,5 +696,247 @@ object R9Queries {
          | round((rvn - 2.0)/sqrt(4.0*(nd-2)*(5.0*nd*nd - 2.0*nd - 9)
          |   /(5.0*nd*(nd+1)*(nd-1)*(nd-1))), 4) + 0 AS z
          |FROM f""".stripMargin.replace("\n", " "),
+    "q405_theta" ->
+      s"""WITH RECURSIVE ev AS (SELECT user_id::VARCHAR AS key,
+         |  event_id AS seq, value,
+         |  row_number() OVER (PARTITION BY user_id
+         |   ORDER BY event_id, value) AS rn FROM events),
+         |walk AS (
+         | SELECT key, rn, seq, value, 0.0::DOUBLE AS score,
+         |  value AS lvl, 1::BIGINT AS st, 1::BIGINT AS stt,
+         |  ${fp4("value")} AS sy, ${fp4("value")} AS sty,
+         |  0.0::DOUBLE AS rsum, 0.0::DOUBLE AS rsq, 0 AS rnr
+         | FROM ev WHERE rn = 1
+         | UNION ALL
+         | SELECT key, rn, seq, value, score,
+         |  0.5 * value + 0.5 * lvl0 AS lvl,
+         |  st0 + rn AS st, stt0 + rn * rn AS stt,
+         |  sy0 + ${fp4("value")} AS sy, sty0 + rn * ${fp4("value")} AS sty,
+         |  rsum0 + coalesce(resid, 0.0) AS rsum,
+         |  rsq0 + coalesce(resid * resid, 0.0) AS rsq,
+         |  rnr0 + CASE WHEN resid IS NOT NULL THEN 1 ELSE 0 END AS rnr
+         | FROM (
+         |  SELECT key, rn, seq, value, lvl0, st0, stt0, sy0, sty0,
+         |   rsum0, rsq0, rnr0, resid,
+         |   CASE WHEN resid IS NOT NULL AND std > 0
+         |    THEN abs(resid) / std ELSE 0.0::DOUBLE END AS score
+         |  FROM (
+         |   SELECT e.key, e.rn, e.seq, e.value,
+         |    w.lvl AS lvl0, w.st AS st0, w.stt AS stt0,
+         |    w.sy AS sy0, w.sty AS sty0,
+         |    w.rsum AS rsum0, w.rsq AS rsq0, w.rnr AS rnr0,
+         |    CASE WHEN e.rn >= 3 THEN e.value - (w.lvl +
+         |      ((e.rn - 1)::DOUBLE * w.sty::DOUBLE
+         |        - w.st::DOUBLE * w.sy::DOUBLE)
+         |       / ((e.rn - 1)::DOUBLE * w.stt::DOUBLE
+         |        - w.st::DOUBLE * w.st::DOUBLE) / 10000.0 / 2.0) END
+         |     AS resid,
+         |    CASE WHEN w.rnr > 1
+         |     THEN sqrt((w.rsq - w.rsum * w.rsum / w.rnr) / (w.rnr - 1))
+         |     ELSE 0.0::DOUBLE END AS std
+         |   FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1)))
+         |SELECT key, seq, round(value, 4) AS value, round(score, 4) AS score
+         |FROM walk""".stripMargin.replace("\n", " "),
+    "q406_damped_holt" ->
+      """WITH RECURSIVE ev AS (SELECT user_id::VARCHAR AS key,
+        |  event_id AS seq, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |   ORDER BY event_id, value) AS rn FROM events),
+        |walk AS (
+        | SELECT key, rn, seq, value, 0.0::DOUBLE AS score,
+        |  value AS lvl, 0.0::DOUBLE AS trd,
+        |  0.0::DOUBLE AS rsum, 0.0::DOUBLE AS rsq, 0 AS rnr
+        | FROM ev WHERE rn = 1
+        | UNION ALL
+        | SELECT key, rn, seq, value, score,
+        |  CASE WHEN rn = 2 THEN value
+        |   ELSE 0.5 * value + 0.5 * pred END AS lvl,
+        |  CASE WHEN rn = 2 THEN value - lvl0
+        |   ELSE 0.25 * ((0.5 * value + 0.5 * pred) - lvl0)
+        |    + 0.75 * (0.875 * trd0) END AS trd,
+        |  rsum0 + coalesce(resid, 0.0) AS rsum,
+        |  rsq0 + coalesce(resid * resid, 0.0) AS rsq,
+        |  rnr0 + CASE WHEN resid IS NOT NULL THEN 1 ELSE 0 END AS rnr
+        | FROM (
+        |  SELECT key, rn, seq, value, lvl0, trd0, rsum0, rsq0, rnr0,
+        |   pred, resid,
+        |   CASE WHEN resid IS NOT NULL AND std > 0
+        |    THEN abs(resid) / std ELSE 0.0::DOUBLE END AS score
+        |  FROM (
+        |   SELECT e.key, e.rn, e.seq, e.value,
+        |    w.lvl AS lvl0, w.trd AS trd0,
+        |    w.rsum AS rsum0, w.rsq AS rsq0, w.rnr AS rnr0,
+        |    CASE WHEN e.rn >= 3 THEN w.lvl + 0.875 * w.trd END AS pred,
+        |    CASE WHEN e.rn >= 3
+        |     THEN e.value - (w.lvl + 0.875 * w.trd) END AS resid,
+        |    CASE WHEN w.rnr > 1
+        |     THEN sqrt((w.rsq - w.rsum * w.rsum / w.rnr) / (w.rnr - 1))
+        |     ELSE 0.0::DOUBLE END AS std
+        |   FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1)))
+        |SELECT key, seq, round(value, 4) AS value, round(score, 4) AS score
+        |FROM walk""".stripMargin.replace("\n", " "),
+    "q407_croston" ->
+      """WITH RECURSIVE ev AS (SELECT user_id::VARCHAR AS key,
+        |  event_id AS seq,
+        |  CASE WHEN value > 120 THEN value - 120 ELSE 0.0 END AS d,
+        |  row_number() OVER (PARTITION BY user_id
+        |   ORDER BY event_id, CASE WHEN value > 120 THEN value - 120
+        |    ELSE 0.0 END) AS rn FROM events),
+        |walk AS (
+        | SELECT key, rn, seq, d,
+        |  CASE WHEN d > 0 THEN d END AS z,
+        |  CASE WHEN d > 0 THEN 1.0::DOUBLE END AS p,
+        |  CASE WHEN d > 0 THEN 1::BIGINT END AS lastnz,
+        |  CASE WHEN d > 0 THEN d / 1.0 ELSE 0.0 END AS score
+        | FROM ev WHERE rn = 1
+        | UNION ALL
+        | SELECT key, rn, seq, d,
+        |  z2 AS z, p2 AS p, last2 AS lastnz,
+        |  CASE WHEN z2 IS NULL THEN 0.0 ELSE z2 / p2 END AS score
+        | FROM (
+        |  SELECT e.key, e.rn, e.seq, e.d,
+        |   CASE WHEN e.d <= 0 THEN w.z
+        |    WHEN w.z IS NULL THEN e.d
+        |    ELSE 0.5 * e.d + 0.5 * w.z END AS z2,
+        |   CASE WHEN e.d <= 0 THEN w.p
+        |    WHEN w.z IS NULL THEN e.rn::DOUBLE
+        |    ELSE 0.5 * (e.rn - w.lastnz)::DOUBLE + 0.5 * w.p END AS p2,
+        |   CASE WHEN e.d > 0 THEN e.rn ELSE w.lastnz END AS last2
+        |  FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1))
+        |SELECT key, seq, round(d, 4) AS value, round(score, 4) AS score
+        |FROM walk""".stripMargin.replace("\n", " "),
+    "q408_lomb_scargle" ->
+      s"""WITH st AS (SELECT event_type AS key,
+         |  min(epoch_ns(ts))::BIGINT AS mn, count(*)::BIGINT AS n,
+         |  sum(${fp4("value")})::BIGINT AS sy
+         | FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |b AS (SELECT e.event_type AS key, p.period,
+         |  (epoch_ns(e.ts) - st.mn)::DOUBLE / 86400000000000.0 AS t,
+         |  e.value - st.sy::DOUBLE / 10000.0 / st.n::DOUBLE AS er,
+         |  2.0 * pi() / p.period::DOUBLE AS w
+         | FROM events e JOIN st ON st.key = e.event_type
+         | CROSS JOIN (SELECT unnest([2,3,4,5,7,10,14]) AS period) p
+         | WHERE e.value IS NOT NULL),
+         |tr AS (SELECT key, period, er, cos(w * t) AS c, sin(w * t) AS s
+         | FROM b),
+         |sums AS (SELECT key, period, count(*)::BIGINT AS n,
+         |  sum((CASE WHEN er * c >= 0 THEN floor(er*c*1000000.0+0.5)
+         |    ELSE -floor(-(er*c)*1000000.0+0.5) END)::BIGINT) AS ec,
+         |  sum((CASE WHEN er * s >= 0 THEN floor(er*s*1000000.0+0.5)
+         |    ELSE -floor(-(er*s)*1000000.0+0.5) END)::BIGINT) AS es,
+         |  sum((CASE WHEN c * c >= 0 THEN floor(c*c*1000000.0+0.5)
+         |    ELSE -floor(-(c*c)*1000000.0+0.5) END)::BIGINT) AS cc,
+         |  sum((CASE WHEN s * s >= 0 THEN floor(s*s*1000000.0+0.5)
+         |    ELSE -floor(-(s*s)*1000000.0+0.5) END)::BIGINT) AS ss,
+         |  sum((CASE WHEN c * s >= 0 THEN floor(c*s*1000000.0+0.5)
+         |    ELSE -floor(-(c*s)*1000000.0+0.5) END)::BIGINT) AS cs,
+         |  sum((CASE WHEN er * er >= 0 THEN floor(er*er*1000000.0+0.5)
+         |    ELSE -floor(-(er*er)*1000000.0+0.5) END)::BIGINT) AS ee
+         | FROM tr GROUP BY 1, 2),
+         |fin AS (SELECT key, period, n,
+         |  ec::DOUBLE/1000000.0 AS cd, es::DOUBLE/1000000.0 AS sd,
+         |  cc::DOUBLE/1000000.0 AS ccd, ss::DOUBLE/1000000.0 AS ssd,
+         |  cs::DOUBLE/1000000.0 AS csd,
+         |  ee::DOUBLE/1000000.0/n::DOUBLE AS sig2 FROM sums),
+         |ph AS (SELECT *, atan2(2.0*csd, ccd - ssd)/2.0 AS wt FROM fin),
+         |pw AS (SELECT *, cos(wt) AS ct, sin(wt) AS stt FROM ph),
+         |z AS (SELECT key, period, sig2,
+         |  cd*ct + sd*stt AS num1, sd*ct - cd*stt AS num2,
+         |  ccd*ct*ct + 2.0*csd*ct*stt + ssd*stt*stt AS den1,
+         |  ssd*ct*ct - 2.0*csd*ct*stt + ccd*stt*stt AS den2 FROM pw)
+         |SELECT key, period,
+         | round(CASE WHEN sig2 > 0 AND den1 > 0 AND den2 > 0
+         |  THEN (num1*num1/den1 + num2*num2/den2)/(2.0*sig2)
+         |  ELSE 0.0 END, 4) AS power
+         |FROM z""".stripMargin.replace("\n", " "),
+    "q409_seasonal_mk" ->
+      s"""WITH base AS (SELECT event_type,
+         |  (epoch_ns(ts) // 86400000000000) % 7 AS dow, event_id,
+         |  ${fp4("value")} AS fp
+         | FROM events WHERE value IS NOT NULL),
+         |o AS (SELECT event_type, dow, fp,
+         |  row_number() OVER (PARTITION BY event_type, dow
+         |   ORDER BY event_id ASC)::BIGINT AS i,
+         |  count(*) OVER (PARTITION BY event_type, dow) AS n FROM base),
+         |pts AS (SELECT event_type, dow, i, fp FROM o
+         | WHERE (i - 1) % CAST(ceil(n::DOUBLE/100) AS BIGINT) = 0),
+         |p AS (SELECT l.event_type, l.dow, l.fp AS fl, r.fp AS fr
+         | FROM pts l JOIN pts r ON l.event_type = r.event_type
+         |  AND l.dow = r.dow AND l.i < r.i),
+         |s AS (SELECT event_type, dow,
+         |  sum(CASE WHEN fr > fl THEN 1 WHEN fr < fl THEN -1
+         |   ELSE 0 END)::BIGINT AS s_ FROM p GROUP BY 1, 2),
+         |nu AS (SELECT event_type, dow, count(*)::BIGINT AS nu_
+         | FROM pts GROUP BY 1, 2),
+         |tg AS (SELECT event_type, dow, fp, count(*)::BIGINT AS t
+         | FROM pts GROUP BY 1, 2, 3),
+         |ti AS (SELECT event_type, dow,
+         |  sum(t*(t-1)*(2*t+5))::BIGINT AS tc FROM tg GROUP BY 1, 2),
+         |per AS (SELECT s.event_type, s.dow, s_, nu_,
+         |  nu_*(nu_-1)*(2*nu_+5) - tc AS vnum
+         | FROM s JOIN nu USING (event_type, dow)
+         | JOIN ti USING (event_type, dow)),
+         |ag AS (SELECT event_type, sum(nu_)::BIGINT AS n_used,
+         |  sum(s_)::BIGINT AS s_stat, sum(vnum)::BIGINT AS vn
+         | FROM per GROUP BY event_type)
+         |SELECT event_type, n_used, s_stat,
+         | round(vn::DOUBLE / 18.0, 4) AS var_s,
+         | round(CASE WHEN s_stat > 0
+         |   THEN (s_stat - 1)::DOUBLE / sqrt(vn::DOUBLE / 18.0)
+         |  WHEN s_stat < 0
+         |   THEN (s_stat + 1)::DOUBLE / sqrt(vn::DOUBLE / 18.0)
+         |  ELSE 0.0 END, 4) + 0 AS z_stat
+         |FROM ag""".stripMargin.replace("\n", " "),
+    "q410_adf" ->
+      s"""WITH b AS (SELECT event_type AS key, event_id AS o,
+         |  ${fp4("value")} AS y4
+         | FROM events WHERE value IS NOT NULL),
+         |l AS (SELECT key, y4,
+         |  lag(y4) OVER (PARTITION BY key ORDER BY o) AS yl FROM b),
+         |d AS (SELECT key, yl, y4 - yl AS dy FROM l WHERE yl IS NOT NULL),
+         |g AS (SELECT key, count(*)::BIGINT AS n, sum(yl)::HUGEINT AS sx,
+         |  sum(yl::HUGEINT * yl::HUGEINT) AS sxx, sum(dy)::HUGEINT AS sy,
+         |  sum(yl::HUGEINT * dy::HUGEINT) AS sxy,
+         |  sum(dy::HUGEINT * dy::HUGEINT) AS syy
+         | FROM d GROUP BY key HAVING count(*) >= 4),
+         |c AS (SELECT key, n, n::DOUBLE AS nd,
+         |  sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE AS sxxc,
+         |  sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE AS sxyc,
+         |  syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE AS syyc
+         | FROM g),
+         |f AS (SELECT key, n, nd, sxyc / sxxc AS rho,
+         |  syyc - (sxyc / sxxc) * sxyc AS sse, sxxc FROM c)
+         |SELECT key, n, round(rho, 4) + 0 AS rho,
+         | round(CASE WHEN sse > 0 THEN rho / sqrt(sse / (nd - 2) / sxxc)
+         |  ELSE 0.0 END, 4) + 0 AS t_stat
+         |FROM f""".stripMargin.replace("\n", " "),
+    "q411_kpss" ->
+      s"""WITH b AS (SELECT event_type AS key, event_id AS o,
+         |  ${fp4("value")} AS y4
+         | FROM events WHERE value IS NOT NULL),
+         |w1 AS (SELECT key, o, y4,
+         |  count(*) OVER (PARTITION BY key) AS n,
+         |  sum(y4) OVER (PARTITION BY key) AS sy FROM b),
+         |e AS (SELECT key, o, n, n * y4 - sy AS er FROM w1),
+         |cs AS (SELECT key, o, n, er,
+         |  sum(er::HUGEINT) OVER (PARTITION BY key ORDER BY o
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum,
+         |  lag(er, 1) OVER (PARTITION BY key ORDER BY o) AS l1,
+         |  lag(er, 2) OVER (PARTITION BY key ORDER BY o) AS l2,
+         |  lag(er, 3) OVER (PARTITION BY key ORDER BY o) AS l3,
+         |  lag(er, 4) OVER (PARTITION BY key ORDER BY o) AS l4 FROM e),
+         |g AS (SELECT key, max(n)::BIGINT AS n,
+         |  sum(csum * csum) AS ss2,
+         |  sum(er::HUGEINT * er::HUGEINT) AS g0,
+         |  sum(er::HUGEINT * l1::HUGEINT) AS g1,
+         |  sum(er::HUGEINT * l2::HUGEINT) AS g2,
+         |  sum(er::HUGEINT * l3::HUGEINT) AS g3,
+         |  sum(er::HUGEINT * l4::HUGEINT) AS g4
+         | FROM cs GROUP BY key HAVING max(n) >= 10)
+         |SELECT key, n,
+         | round(ss2::DOUBLE / n::DOUBLE
+         |   / (g0::DOUBLE + 2.0 * (0.8 * g1::DOUBLE + 0.6 * g2::DOUBLE
+         |     + 0.4 * g3::DOUBLE + 0.2 * g4::DOUBLE)), 4) AS eta
+         |FROM g""".stripMargin.replace("\n", " "),
   )
 }
