@@ -163,6 +163,50 @@ object R9Queries {
     "q411_kpss" -> ((s, dir) =>
       canon(graft.seq.Forecast2.kpss(ev(s, dir),
         Seq("event_type"), "event_id", "value"))),
+    // exact all-pairs Jaccard >= 0.5 via prefix filtering (PPJoin-lite);
+    // the oracle is the BRUTE token join, so the gate proves the prefix
+    // filter lossless on real data
+    "q412_prefix_jaccard" -> ((s, dir) =>
+      canon(graft.sim.SimJoin.prefixJaccardJoin(docs(s, dir),
+        "doc_id", "text", tau = 0.9))),
+    // exact TF-IDF cosine top-5 neighbors per doc (inverted index)
+    "q413_tfidf_topk" -> ((s, dir) =>
+      canon(graft.sim.SimJoin.tfidfTopK(docs(s, dir),
+        "doc_id", "text", k = 5))),
+    // 2-D skyline of parts: minimize avg price, maximize volume
+    "q414_skyline" -> ((s, dir) => {
+      val pts = table(s, dir, "lineitem").groupBy(col("l_partkey"))
+        .agg((sum(fixedPointLong(col("l_extendedprice"), 4)).cast("double")
+          / 1e4 / count(lit(1))).as("xv"),
+          ((-sum(fixedPointLong(col("l_quantity"), 4))).cast("double")
+            / 1e4 / count(lit(1))).as("yv"))
+      canon(graft.post.Relational2.skyline2d(pts, "l_partkey", "xv", "yv"))
+    }),
+    // exact per-group mode with smallest-value tie-break
+    "q415_group_mode" -> ((s, dir) =>
+      canon(graft.post.Relational2.groupMode(ev(s, dir),
+        "event_type", "value"))),
+    // weighted median of price per return flag, weight = floor(quantity)
+    "q416_weighted_median" -> ((s, dir) =>
+      canon(graft.post.Relational2.weightedMedian(
+        table(s, dir, "lineitem").withColumn("w",
+          floor(col("l_quantity")).cast("long")),
+        "l_returnflag", "l_extendedprice", "w"))),
+    // CUBE profile over (source, lang) with grouping_id
+    "q417_cube_profile" -> ((s, dir) =>
+      canon(docs(s, dir).cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          grouping_id().as("gid")))),
+    // top-5 per group by value (Spark plans this as WindowGroupLimit)
+    "q418_topk_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      canon(ev(s, dir).where(col("value").isNotNull)
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id").asc)))
+        .where(col("rn") <= 5)
+        .select(col("event_type"), col("event_id"), col("value"), col("rn")))
+    }),
   )
 
   /** 4dp fixed-point long of a SQL expression (half away from zero). */
@@ -938,5 +982,97 @@ object R9Queries {
          |   / (g0::DOUBLE + 2.0 * (0.8 * g1::DOUBLE + 0.6 * g2::DOUBLE
          |     + 0.4 * g3::DOUBLE + 0.2 * g4::DOUBLE)), 4) AS eta
          |FROM g""".stripMargin.replace("\n", " "),
+    "q412_prefix_jaccard" ->
+      """WITH tk AS (SELECT doc_id,
+        |  unnest(list_distinct(regexp_extract_all(lower(text), '\S+')))
+        |   AS tok FROM documents),
+        |tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+        |sz AS (SELECT doc_id, count(*)::BIGINT AS s FROM tk2 GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS inter
+        | FROM tk2 a JOIN tk2 b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |f AS (SELECT pr.a, pr.b, sa.s AS sz_a, sb.s AS sz_b, inter,
+        |  inter::DOUBLE / (sa.s + sb.s - inter)::DOUBLE AS jaccard
+        | FROM pr JOIN sz sa ON sa.doc_id = pr.a
+        | JOIN sz sb ON sb.doc_id = pr.b)
+        |SELECT a, b, sz_a, sz_b, inter, round(jaccard, 4) AS jaccard
+        |FROM f WHERE jaccard >= 0.9""".stripMargin.replace("\n", " "),
+    "q413_tfidf_topk" ->
+      """WITH tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+        | FROM (SELECT doc_id,
+        |   unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents) WHERE tok <> '' GROUP BY 1, 2),
+        |nn AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM documents),
+        |dfq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+        |wtd AS (SELECT doc_id, tf.tok,
+        |  floor((tf::DOUBLE * (ln((1.0 + nn.n::DOUBLE)
+        |    /(1.0 + df::DOUBLE)) + 1.0)) * 1000000.0 + 0.5)::BIGINT AS w
+        | FROM tf JOIN dfq USING (tok) CROSS JOIN nn
+        | WHERE df * 2 <= nn.n),
+        |nrm AS (SELECT doc_id, sum(w::HUGEINT * w::HUGEINT) AS n2
+        | FROM wtd GROUP BY 1),
+        |dots AS (SELECT x.doc_id AS a, y.doc_id AS b,
+        |  sum(x.w::HUGEINT * y.w::HUGEINT) AS dot
+        | FROM wtd x JOIN wtd y ON x.tok = y.tok AND x.doc_id <> y.doc_id
+        | GROUP BY 1, 2),
+        |cs AS (SELECT a, b, dot::DOUBLE / sqrt(na.n2::DOUBLE)
+        |   / sqrt(nb.n2::DOUBLE) AS cos
+        | FROM dots JOIN nrm na ON na.doc_id = a
+        | JOIN nrm nb ON nb.doc_id = b),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY a
+        |  ORDER BY cos DESC, b) AS rank FROM cs)
+        |SELECT a, b, rank, round(cos, 4) AS cos FROM rk WHERE rank <= 5"""
+        .stripMargin.replace("\n", " "),
+    "q414_skyline" ->
+      s"""WITH ag AS (SELECT l_partkey AS id,
+         |  sum(${fp4("l_extendedprice")})::BIGINT AS sx,
+         |  (-sum(${fp4("l_quantity")}))::BIGINT AS sy,
+         |  count(*)::BIGINT AS n FROM lineitem GROUP BY 1),
+         |pt AS (SELECT id,
+         |  ${fp4("sx::DOUBLE / 10000.0 / n::DOUBLE")} AS x4,
+         |  ${fp4("sy::DOUBLE / 10000.0 / n::DOUBLE")} AS y4 FROM ag)
+         |SELECT p.id, p.x4::DOUBLE / 10000.0 AS x,
+         | p.y4::DOUBLE / 10000.0 AS y
+         |FROM pt p WHERE NOT EXISTS (SELECT 1 FROM pt q
+         | WHERE q.x4 <= p.x4 AND q.y4 <= p.y4
+         |  AND (q.x4 < p.x4 OR q.y4 < p.y4))"""
+        .stripMargin.replace("\n", " "),
+    "q415_group_mode" ->
+      s"""WITH h AS (SELECT event_type AS grp, ${fp4("value")} AS v,
+         |  count(*)::BIGINT AS cnt
+         | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY grp
+         |  ORDER BY cnt DESC, v ASC) AS rk FROM h)
+         |SELECT grp, v::DOUBLE / 10000.0 AS mode, cnt FROM r WHERE rk = 1"""
+        .stripMargin.replace("\n", " "),
+    "q416_weighted_median" ->
+      s"""WITH h AS (SELECT l_returnflag AS grp,
+         |  ${fp4("l_extendedprice")} AS v,
+         |  sum(floor(l_quantity)::BIGINT)::BIGINT AS sw
+         | FROM lineitem WHERE l_extendedprice IS NOT NULL
+         |  AND l_quantity IS NOT NULL AND floor(l_quantity) > 0
+         | GROUP BY 1, 2),
+         |c AS (SELECT grp, v, sw,
+         |  sum(sw) OVER (PARTITION BY grp ORDER BY v ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  sum(sw) OVER (PARTITION BY grp) AS tot FROM h),
+         |m AS (SELECT grp, v, tot,
+         |  row_number() OVER (PARTITION BY grp ORDER BY v ASC) AS rk
+         | FROM c WHERE 2 * cum >= tot)
+         |SELECT grp, tot::BIGINT AS w_total, v::DOUBLE / 10000.0 AS wmedian
+         |FROM m WHERE rk = 1""".stripMargin.replace("\n", " "),
+    "q417_cube_profile" ->
+      """SELECT source, lang, count(*)::BIGINT AS n,
+        | sum(n_chars)::BIGINT AS sum_chars,
+        | GROUPING(source, lang)::BIGINT AS gid
+        |FROM documents GROUP BY CUBE (source, lang)"""
+        .stripMargin.replace("\n", " "),
+    "q418_topk_per_group" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type
+        |   ORDER BY value DESC, event_id ASC) AS rn
+        | FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, event_id, round(value, 4) AS value, rn
+        |FROM r WHERE rn <= 5""".stripMargin.replace("\n", " "),
   )
 }

@@ -1,0 +1,108 @@
+package graft.sim
+
+import graft.text.TextOps.tokens
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Set-similarity self-joins with prefix filtering (PPJoin/AllPairs
+  * family, Xiao et al. WWW'08; Bayardo et al. WWW'07) — the exact
+  * counterpart of the MinHash-LSH near-dup path: LSH buckets are
+  * probabilistic recall, the prefix filter is EXACT (no pair with
+  * Jaccard ≥ τ can avoid sharing a prefix token), so this is the
+  * verify-stage engine for dedup audits.
+  *
+  * Scale: candidate generation joins only the PREFIX inverted index —
+  * each document contributes ⌊(1−τ)·|d|⌋+1 rarest tokens, so the pair
+  * work is Σ_prefix-token df², orders of magnitude below the full
+  * Σ df² of a naive token join; the global token ranking is one
+  * vocab-sized window (value-histogram contract). Verification joins
+  * the full token sets of the candidates only.
+  *
+  * Determinism: token sets are exact; sizes, intersections and ranks
+  * are integers; Jaccard is one integer-ratio division. */
+object SimJoin {
+
+  /** All pairs with token-set Jaccard ≥ τ via prefix filtering.
+    * Output: a, b (idCol values, a < b), sz_a, sz_b, inter, jaccard. */
+  def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0 && tau < 1, s"0 < tau < 1: $tau")
+    val tok = docs
+      .select(col(idCol).as("_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("_tok"))
+      .where(col("_tok") =!= "")
+    val sizes = tok.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
+    // global rarity rank: vocab-sized frame, rarest first (df asc, token)
+    val rank = tok.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+      .withColumn("_rk",
+        row_number().over(Window.orderBy(col("_df").asc, col("_tok").asc)))
+      .select(col("_tok"), col("_rk"))
+    val pfx = tok.join(rank, "_tok").join(sizes, "_id")
+      .withColumn("_pos", row_number().over(
+        Window.partitionBy(col("_id")).orderBy(col("_rk").asc)))
+      // prefix length |d| − ⌈τ·|d|⌉ + 1
+      .where(col("_pos") <=
+        col("_sz") - ceil(lit(tau) * col("_sz").cast("double")) + 1)
+      .select(col("_id"), col("_tok"), col("_sz"))
+    val cand = pfx.as("x").join(pfx.as("y"),
+        col("x._tok") === col("y._tok") && col("x._id") < col("y._id"))
+      .select(col("x._id").as("a"), col("y._id").as("b"),
+        col("x._sz").as("sz_a"), col("y._sz").as("sz_b"))
+      .where(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(tau) * greatest(col("sz_a"), col("sz_b")).cast("double"))
+      .distinct()
+    val ta = tok.select(col("_id").as("a"), col("_tok"))
+    val tb = tok.select(col("_id").as("b"), col("_tok"))
+    cand.join(ta, "a").join(tb, Seq("b", "_tok"))
+      .groupBy(col("a"), col("b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= tau)
+      .select("a", "b", "sz_a", "sz_b", "inter", "jaccard")
+  }
+
+  /** Exact TF-IDF cosine top-k neighbors per document via the shared-
+    * token inverted index: w(t,d) = tf·(ln((1+N)/(1+df))+1) frozen at
+    * 6dp, dot products and norms exact integer sums, per-doc rank by
+    * (cos desc, neighbor asc). Output: a, b, rank, cos.
+    *
+    * Scale: pair work is Σ_token df² — the index drops stopword-class
+    * tokens (df > N/2, near-zero discrimination) BEFORE the pair join,
+    * the same postings-filter dial BM25 uses; on a template-heavy
+    * corpus this removes the df≈N tokens whose df² terms dominate.
+    * Ranks ride one exchange on the source doc. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("_tok"))
+      .where(col("_tok") =!= "")
+      .groupBy(col("_id"), col("_tok")).agg(count(lit(1)).as("_tf"))
+    val n = docs.agg(countDistinct(col(idCol)).as("_n"))
+    val df = tf.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    val w6 = floor((col("_tf").cast("double") *
+      (log((lit(1.0) + col("_n").cast("double")) /
+        (lit(1.0) + col("_df").cast("double"))) + 1.0)) * 1e6 + 0.5)
+      .cast("long")
+    val wtd = tf.join(broadcast(n)).join(df, "_tok")
+      .where(col("_df") * 2 <= col("_n"))
+      .select(col("_id"), col("_tok"), w6.as("_w"))
+    val norms = wtd.groupBy(col("_id"))
+      .agg(sum((col("_w") * col("_w")).cast("decimal(38,0)")).as("_n2"))
+    val dots = wtd.as("x").join(wtd.as("y"),
+        col("x._tok") === col("y._tok") && col("x._id") =!= col("y._id"))
+      .groupBy(col("x._id").as("a"), col("y._id").as("b"))
+      .agg(sum((col("x._w") * col("y._w")).cast("decimal(38,0)")).as("_dot"))
+    val cos = dots
+      .join(norms.select(col("_id").as("a"), col("_n2").as("_na")), "a")
+      .join(norms.select(col("_id").as("b"), col("_n2").as("_nb")), "b")
+      .withColumn("cos", col("_dot").cast("double") /
+        sqrt(col("_na").cast("double")) / sqrt(col("_nb").cast("double")))
+    cos
+      .withColumn("rank", row_number().over(Window.partitionBy(col("a"))
+        .orderBy(col("cos").desc, col("b").asc)))
+      .where(col("rank") <= k)
+      .select("a", "b", "rank", "cos")
+  }
+}
