@@ -108,4 +108,81 @@ object Profiler {
       min(col("_l")).as("min_l"),
       sum(when(col("_l") < l, 1L).otherwise(0L)).as("low_div_groups"))
   }
+
+  /** Per-QI-group l-diversity: the distinct-sensitive count AND the
+    * entropy form exp(−Σ p ln p) — the k-anonymity screen's per-group
+    * detail view (a group can pass distinct-l yet be 99% one value;
+    * entropy-l catches that). Sensitive-value terms quantize at 6dp
+    * before the group fold. One row per QI group: quasiCols…, n,
+    * l_distinct, l_entropy. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    val c = df.groupBy((quasiCols.map(col) :+
+        col(sensitiveCol).as("_sv")): _*)
+      .agg(count(lit(1)).as("_c"))
+    val fp6 = (x: Column) =>
+      when(x >= 0, floor(x * 1e6 + 0.5)).otherwise(-floor(-x * 1e6 + 0.5))
+        .cast("long")
+    val g = c.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("_c")).as("n"), count(lit(1)).as("l_distinct"))
+    val withN = c.join(g.select((quasiCols.map(col) :+ col("n")): _*),
+      quasiCols)
+    val ent = withN
+      .withColumn("_t", fp6((col("_c").cast("double") /
+        col("n").cast("double")) *
+        log(col("_c").cast("double") / col("n").cast("double"))))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("_t")).as("_efp"))
+    g.join(ent, quasiCols)
+      .select(quasiCols.map(col) ++ Seq(col("n"), col("l_distinct"),
+        exp(-(col("_efp").cast("double") / 1e6)).as("l_entropy")): _*)
+  }
+
+  /** Per-QI-group t-closeness over an ORDERED sensitive attribute:
+    * the 1-D earth-mover distance between the group's distribution and
+    * the global one, t = Σ_i |cumP_i − cumQ_i| / (m−1) with the cum
+    * diffs carried as the exact integers c_cum·N − g_cum·n. One row
+    * per QI group: quasiCols…, n, t_emd. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select((quasiCols.map(col) :+
+      col(sensitiveCol).cast("long").as("_sv")): _*)
+      .where(col("_sv").isNotNull)
+    val glob = base.groupBy(col("_sv")).agg(count(lit(1)).as("_g"))
+    val grp = base.groupBy((quasiCols.map(col) :+ col("_sv")): _*)
+      .agg(count(lit(1)).as("_c"))
+    val keys = grp.select(quasiCols.map(col): _*).distinct()
+    // dense (group × ordered sensitive value) frame with zero fill
+    val full = glob.crossJoin(keys)
+      .join(grp, quasiCols :+ "_sv", "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+      .orderBy(col("_sv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gw = Window.orderBy(col("_sv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gcum = glob
+      .withColumn("_gc", sum(col("_g")).over(gw))
+      .crossJoin(broadcast(glob.agg(sum(col("_g")).as("_nt"),
+        count(lit(1)).as("_m"))))
+    val cum = full.join(gcum.select(col("_sv"), col("_gc"), col("_nt"),
+        col("_m")), "_sv")
+      .withColumn("_cc", sum(col("_c")).over(w))
+      .withColumn("_ng", sum(col("_c")).over(
+        Window.partitionBy(quasiCols.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      // exact integer |cumP·scale − cumQ·scale|: c_cum·N − g_cum·n
+      .withColumn("_d",
+        abs(col("_cc") * col("_nt") - col("_gc") * col("_ng"))
+          .cast("decimal(38,0)"))
+    cum.groupBy(quasiCols.map(col): _*)
+      .agg(max(col("_ng")).as("n"), sum(col("_d")).as("_sd"),
+        max(col("_nt")).as("_nt2"), max(col("_m")).as("_m2"))
+      .select(quasiCols.map(col) ++ Seq(col("n"),
+        (col("_sd").cast("double") /
+          (col("n").cast("double") * col("_nt2").cast("double") *
+            (col("_m2") - 1).cast("double"))).as("t_emd")): _*)
+  }
 }

@@ -44,9 +44,14 @@ object Survival {
       .withColumn("n_risk",
         col("_n") - (sum(col("d") + col("c")).over(w) -
           (col("d") + col("c"))))
+      // d = n_risk (everyone at risk dies at the last duration) sends
+      // the log term to −∞ — Spark's log(0) is NULL where DuckDB's is
+      // -inf, so spell the −∞ explicitly; exp(−∞) = 0 on both engines
       .withColumn("survival", exp(sum(
-        log(lit(1.0) - col("d").cast("double") /
-          col("n_risk").cast("double"))).over(w)))
+        when(col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") /
+            col("n_risk").cast("double")))
+          .otherwise(lit(Double.NegativeInfinity))).over(w)))
       .withColumn("cum_hazard", sum(
         col("d").cast("double") / col("n_risk").cast("double")).over(w))
       .select("t", "n_risk", "d", "c", "survival", "cum_hazard")
@@ -74,9 +79,12 @@ object Survival {
       .withColumn("n_risk",
         col("_n") - (sum(col("d") + col("c")).over(w) -
           (col("d") + col("c"))))
+      // same NULL-vs-(-inf) guard as [[kaplanMeier]]
       .withColumn("survival", exp(sum(
-        log(lit(1.0) - col("d").cast("double") /
-          col("n_risk").cast("double"))).over(w)))
+        when(col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") /
+            col("n_risk").cast("double")))
+          .otherwise(lit(Double.NegativeInfinity))).over(w)))
       .withColumn("cum_hazard", sum(
         col("d").cast("double") / col("n_risk").cast("double")).over(w))
       .select("grp", "t", "n_risk", "d", "c", "survival", "cum_hazard")
@@ -118,6 +126,81 @@ object Survival {
       .agg(sort_array(collect_list(struct(col("t"),
         col("_da").cast("double").as("da"), col("_ea").as("ea"),
         col("_v").as("v")))).as("_arr"))
+    def fsum(f: String, as: String) =
+      aggregate(col("_arr"), lit(0.0), (acc, x) => acc + x(f)).as(as)
+    folded.select(fsum("da", "_sda"), fsum("ea", "_sea"), fsum("v", "_sv"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_a", col("_nna"))
+      .withColumn("n_b", col("_n") - col("_nna"))
+      .withColumn("chi2",
+        (col("_sda") - col("_sea")) * (col("_sda") - col("_sea")) /
+          col("_sv"))
+      .select("n_a", "n_b", "chi2")
+  }
+
+  /** Restricted mean survival time at horizon τ: ∫₀^τ S(t)dt over the
+    * KM step function — the unit area before the first distinct
+    * duration plus Σ S(t_i)·(min(next_i, τ) − t_i) with each step area
+    * 6dp-quantized before the (distinct-duration-sized) sum. One row:
+    * n, tau, rmst. */
+  def rmst(subjects: DataFrame, durationCol: String, eventCol: String,
+      tau: Long): DataFrame = {
+    val km = kaplanMeier(subjects, durationCol, eventCol)
+    val w = Window.orderBy(col("t").asc)
+    val fp6 = (c: Column) =>
+      when(c >= 0, floor(c * 1e6 + 0.5)).otherwise(-floor(-c * 1e6 + 0.5))
+        .cast("long")
+    km
+      .withColumn("_next", coalesce(lead(col("t"), 1).over(w), lit(tau)))
+      .withColumn("_lo", least(col("t"), lit(tau)))
+      .withColumn("_hi", least(greatest(col("_next"), col("t")), lit(tau)))
+      .withColumn("_head",
+        when(row_number().over(w) === 1, least(col("t"), lit(tau)))
+          .otherwise(lit(0L)))
+      .agg(sum(col("d") + col("c")).as("n"),
+        (max(col("_head")).cast("double") +
+          sum(fp6(col("survival") *
+            (col("_hi") - col("_lo")).cast("double"))).cast("double") / 1e6)
+          .as("rmst"))
+      .select(col("n"), lit(tau).as("tau"), col("rmst"))
+  }
+
+  /** Gehan–Breslow–Wilcoxon weighted log-rank: the [[logRank]] fold
+    * with weight w_t = n_risk (early differences count more); χ² =
+    * (Σ w·(d_a − e_a))² / Σ w²·v. One row: n_a, n_b, chi2. */
+  def gehanLogRank(subjects: DataFrame, durationCol: String,
+      eventCol: String, groupCol: String, ga: String, gb: String)
+      : DataFrame = {
+    val e = col(eventCol).cast("boolean")
+    val h = subjects.where(col(durationCol).isNotNull && e.isNotNull &&
+      (col(groupCol) === ga || col(groupCol) === gb))
+      .select(col(durationCol).cast("long").as("t"), e.as("_e"),
+        (col(groupCol) === ga).as("_a"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("_e") && col("_a"), 1L).otherwise(0L)).as("_da"),
+        sum(when(col("_e"), 1L).otherwise(0L)).as("_d"),
+        sum(when(col("_a"), 1L).otherwise(0L)).as("_la"),
+        count(lit(1)).as("_l"))
+    val w = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.agg(sum(col("_l")).as("_n"), sum(col("_la")).as("_nna"))
+    val risk = h.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("_n") - (sum(col("_l")).over(w) - col("_l")))
+      .withColumn("na_risk",
+        col("_nna") - (sum(col("_la")).over(w) - col("_la")))
+      .where(col("_d") > 0 && col("n_risk") > 1)
+    val nD = col("n_risk").cast("double")
+    val naD = col("na_risk").cast("double")
+    val dD = col("_d").cast("double")
+    val folded = risk
+      .withColumn("_wda", nD * col("_da").cast("double"))
+      .withColumn("_wea", nD * (dD * naD / nD))
+      .withColumn("_wv", nD * nD * (dD * (naD / nD) * (lit(1.0) - naD / nD) *
+        (nD - dD) / (nD - 1)))
+      .agg(sort_array(collect_list(struct(col("t"),
+        col("_wda").as("da"), col("_wea").as("ea"),
+        col("_wv").as("v")))).as("_arr"))
     def fsum(f: String, as: String) =
       aggregate(col("_arr"), lit(0.0), (acc, x) => acc + x(f)).as(as)
     folded.select(fsum("da", "_sda"), fsum("ea", "_sea"), fsum("v", "_sv"))

@@ -463,6 +463,56 @@ object Tests2 {
       .select("key", "n_pairs", "n_up", "n_down", "z")
   }
 
+  /** Fisher's exact test (one-sided, P[A ≥ a]) on the 2×2 table of
+    * exposure × outcome: hypergeometric terms from a ln-factorial
+    * table built as one ordered window cumsum over 0..n (both engines
+    * fold ln(i) in the identical ascending order), enumeration joins
+    * the table — terms quantize at 1e-12 before the tail sum. One row:
+    * a, b, c, d, p_one. */
+  def fisherExact(data: DataFrame, exposedCol: String, posCol: String)
+      : DataFrame = {
+    val cells = data
+      .select(col(exposedCol).cast("boolean").as("_e"),
+        col(posCol).cast("boolean").as("_y"))
+      .agg(sum(when(col("_e") && col("_y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("_e") && !col("_y"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("_e") && col("_y"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("_e") && !col("_y"), 1L).otherwise(0L)).as("d"))
+    // ln-factorial table 0..n as an ordered cumsum (deterministic fold)
+    val n = cells.select((col("a") + col("b") + col("c") + col("d"))
+      .as("_n"))
+    val lf = n.select(explode(sequence(lit(0L), col("_n"))).as("i"))
+      .withColumn("lf", sum(when(col("i") >= 2,
+        log(col("i").cast("double"))).otherwise(lit(0.0)))
+        .over(Window.orderBy(col("i").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val en = cells
+      .withColumn("_r1", col("a") + col("b"))
+      .withColumn("_r2", col("c") + col("d"))
+      .withColumn("_c1", col("a") + col("c"))
+      .withColumn("_nn", col("_r1") + col("_r2"))
+      .withColumn("_ap", explode(sequence(col("a"),
+        least(col("_r1"), col("_c1")))))
+    def ln(of: Column, alias: String)(frame: DataFrame): DataFrame =
+      frame.join(broadcast(lf.select(col("i").as(alias + "_i"),
+        col("lf").as(alias))), col(alias + "_i") === of)
+        .drop(alias + "_i")
+    val joined = Seq[(DataFrame => DataFrame)](
+      ln(col("_r1"), "l_r1"), ln(col("_r2"), "l_r2"),
+      ln(col("_c1"), "l_c1"), ln(col("_nn") - col("_c1"), "l_c2"),
+      ln(col("_nn"), "l_n"), ln(col("_ap"), "l_a"),
+      ln(col("_r1") - col("_ap"), "l_b"),
+      ln(col("_c1") - col("_ap"), "l_c"),
+      ln(col("_r2") - col("_c1") + col("_ap"), "l_d"))
+      .foldLeft(en)((f, j) => j(f))
+    val term = exp(col("l_r1") + col("l_r2") + col("l_c1") + col("l_c2") -
+      col("l_n") - col("l_a") - col("l_b") - col("l_c") - col("l_d"))
+    joined
+      .withColumn("_t12", floor(term * 1e12 + 0.5).cast("long"))
+      .groupBy(col("a"), col("b"), col("c"), col("d"))
+      .agg((sum(col("_t12")).cast("double") / 1e12).as("p_one"))
+  }
+
   /** Bartels' rank von Neumann randomness test per key: midranks (2×
     * integers via the per-key value histogram) traverse in ordCol
     * order; RVN = Σ(r_t−r_{t+1})² / Σ(r_t−r̄)² with r̄ = (n+1)/2 exact,

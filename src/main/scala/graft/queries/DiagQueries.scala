@@ -299,7 +299,7 @@ object DiagQueries {
   /** Per-user time-to-event frame shared by q341/q342: duration = days
     * from first activity to the first value>250 spike (event) or to the
     * last active day (censored); grp = user-id parity. */
-  private def survivalSubjects(s: SparkSession, dir: String): DataFrame =
+  private[queries] def survivalSubjects(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
       .select(col("user_id"), expr("ts div 86400000000000").as("day"),
         col("value"))

@@ -207,12 +207,87 @@ object R9Queries {
         .where(col("rn") <= 5)
         .select(col("event_type"), col("event_id"), col("value"), col("rn")))
     }),
+    // restricted mean survival time at a 20-day horizon
+    "q419_rmst" -> ((s, dir) =>
+      canon(graft.model.Survival.rmst(
+        DiagQueries.survivalSubjects(s, dir), "dur", "event", tau = 20L))),
+    // Gehan–Breslow–Wilcoxon weighted log-rank, even vs odd users
+    "q420_gehan" -> ((s, dir) =>
+      canon(graft.model.Survival.gehanLogRank(
+        DiagQueries.survivalSubjects(s, dir), "dur", "event", "grp",
+        "even", "odd"))),
+    // difference-in-differences: even users × second half of the month
+    "q421_did" -> ((s, dir) =>
+      canon(graft.model.Causal.diffInDiff(
+        ev(s, dir)
+          .withColumn("treat", pmod(col("user_id"), lit(2)) === 0)
+          .withColumn("post",
+            pmod(expr("ts div 86400000000000"), lit(30)) >= 15),
+        "treat", "post", "value"))),
+    // post-stratified ATE with event_type strata
+    "q422_post_strat" -> ((s, dir) =>
+      canon(graft.model.Causal.postStratATE(
+        ev(s, dir).withColumn("treat", pmod(col("user_id"), lit(2)) === 0),
+        "event_type", "treat", "value"))),
+    // delta-method CI for the per-type ratio metric Σvalue / Σweight
+    "q423_delta_ratio" -> ((s, dir) =>
+      canon(graft.model.Causal.deltaRatioCI(
+        ev(s, dir).withColumn("wt",
+          (pmod(col("user_id"), lit(5)) + 1).cast("double")),
+        "event_type", "value", "wt"))),
+    // two-proportion MDE planner per event_type (spike rate > 160)
+    "q424_power_mde" -> ((s, dir) =>
+      canon(graft.model.Causal.powerMde(
+        ev(s, dir).where(col("value").isNotNull)
+          .withColumn("pos", col("value") > 160.0),
+        "event_type", "pos"))),
+    // per-QI-group l-diversity (distinct + entropy) of a mod-7 sensitive
+    "q425_l_diversity" -> ((s, dir) =>
+      canon(graft.model.Profiler.lDiversity(
+        docs(s, dir).withColumn("sens", pmod(col("doc_id"), lit(7))),
+        Seq("source", "lang"), "sens"))),
+    // per-QI-group t-closeness (ordered EMD) of the same sensitive
+    "q426_t_closeness" -> ((s, dir) =>
+      canon(graft.model.Profiler.tCloseness(
+        docs(s, dir).withColumn("sens", pmod(col("doc_id"), lit(7))),
+        Seq("source", "lang"), "sens"))),
+    // linear-time MMD over embeddings, even vs odd vec_id, RBF σ²=1
+    "q427_mmd" -> ((s, dir) =>
+      canon(graft.sim.SimJoin.mmdLinear(
+        table(s, dir, "embeddings")
+          .withColumn("isB", pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", "isB", sigma2 = 1.0))),
+    // Fisher's exact one-sided p on exposure (even doc) × lang = en
+    "q428_fisher" -> ((s, dir) =>
+      canon(graft.model.Tests2.fisherExact(
+        docs(s, dir)
+          .withColumn("exposed", pmod(col("doc_id"), lit(2)) === 0)
+          .withColumn("pos", col("lang") === "en"),
+        "exposed", "pos"))),
   )
 
   /** 4dp fixed-point long of a SQL expression (half away from zero). */
   private def fp4(c: String) =
     s"(CASE WHEN $c >= 0 THEN floor(($c)*10000.0+0.5) " +
       s"ELSE -floor(-($c)*10000.0+0.5) END)::BIGINT"
+
+  /** 6dp fixed-point long of a SQL expression (half away from zero). */
+  private def fp6s(c: String) =
+    s"(CASE WHEN $c >= 0 THEN floor(($c)*1000000.0+0.5) " +
+      s"ELSE -floor(-($c)*1000000.0+0.5) END)::BIGINT"
+
+  /** The survival-subjects fixture CTEs (q341's device). */
+  private val subjSql =
+    """dd AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+      |  value FROM events),
+      |per AS (SELECT user_id, min(day) AS fd, max(day) AS ld,
+      |  min(CASE WHEN value > 250.0 THEN day END) AS hd
+      | FROM dd GROUP BY 1),
+      |subj AS (SELECT
+      |  CASE WHEN hd IS NOT NULL THEN hd - fd ELSE ld - fd END AS dur,
+      |  hd IS NOT NULL AS event,
+      |  CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp
+      | FROM per)""".stripMargin.replace("\n", " ")
 
   private val rankedSql =
     """e AS (SELECT user_id AS q, event_id AS id, value AS score,
@@ -1074,5 +1149,254 @@ object R9Queries {
         | FROM events WHERE value IS NOT NULL)
         |SELECT event_type, event_id, round(value, 4) AS value, rn
         |FROM r WHERE rn <= 5""".stripMargin.replace("\n", " "),
+    "q419_rmst" ->
+      s"""WITH $subjSql,
+         |h AS (SELECT dur AS t,
+         |  sum(CASE WHEN event THEN 1 ELSE 0 END)::BIGINT AS d,
+         |  sum(CASE WHEN NOT event THEN 1 ELSE 0 END)::BIGINT AS c
+         | FROM subj GROUP BY 1),
+         |tot AS (SELECT sum(d + c)::BIGINT AS n FROM h),
+         |f1 AS (SELECT t, d, c,
+         |  (SELECT n FROM tot) - (sum(d + c) OVER wcum - (d + c)) AS n_risk
+         | FROM h WINDOW wcum AS (ORDER BY t ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |f2 AS (SELECT t, d, c,
+         |  exp(sum(ln(1.0 - d::DOUBLE / n_risk::DOUBLE)) OVER wcum)
+         |   AS survival
+         | FROM f1 WINDOW wcum AS (ORDER BY t ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |f3 AS (SELECT t, d, c, survival,
+         |  coalesce(lead(t) OVER (ORDER BY t), 20) AS nxt,
+         |  row_number() OVER (ORDER BY t) AS rn FROM f2),
+         |g AS (SELECT sum(d + c)::BIGINT AS n,
+         |  max(CASE WHEN rn = 1 THEN least(t, 20) ELSE 0 END)::DOUBLE
+         |  + sum(floor(survival
+         |     * (least(greatest(nxt, t), 20) - least(t, 20))::DOUBLE
+         |     * 1000000.0 + 0.5)::BIGINT)::DOUBLE / 1000000.0 AS rmst
+         | FROM f3)
+         |SELECT n, 20::BIGINT AS tau, round(rmst, 4) AS rmst FROM g"""
+        .stripMargin.replace("\n", " "),
+    "q420_gehan" ->
+      s"""WITH $subjSql,
+         |h AS (SELECT dur AS t,
+         |  sum(CASE WHEN event AND grp = 'even' THEN 1 ELSE 0 END)::BIGINT
+         |    AS da,
+         |  sum(CASE WHEN event THEN 1 ELSE 0 END)::BIGINT AS d,
+         |  sum(CASE WHEN grp = 'even' THEN 1 ELSE 0 END)::BIGINT AS la,
+         |  count(*)::BIGINT AS l FROM subj GROUP BY 1),
+         |tot AS (SELECT sum(l)::BIGINT AS n, sum(la)::BIGINT AS nna FROM h),
+         |risk AS (SELECT t, da, d,
+         |  (SELECT n FROM tot) - (sum(l) OVER wcum - l) AS n_risk,
+         |  (SELECT nna FROM tot) - (sum(la) OVER wcum - la) AS na_risk
+         | FROM h WINDOW wcum AS (ORDER BY t ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |rk AS (SELECT t,
+         |  n_risk::DOUBLE * da::DOUBLE AS da,
+         |  n_risk::DOUBLE * (d::DOUBLE * na_risk::DOUBLE / n_risk::DOUBLE)
+         |    AS ea,
+         |  n_risk::DOUBLE * n_risk::DOUBLE
+         |   * (d::DOUBLE * (na_risk::DOUBLE / n_risk::DOUBLE)
+         |    * (1.0 - na_risk::DOUBLE / n_risk::DOUBLE)
+         |    * (n_risk::DOUBLE - d::DOUBLE) / (n_risk::DOUBLE - 1)) AS v
+         | FROM risk WHERE d > 0 AND n_risk > 1),
+         |f AS (SELECT
+         |  list_aggregate(list(da ORDER BY t), 'sum') AS sda,
+         |  list_aggregate(list(ea ORDER BY t), 'sum') AS sea,
+         |  list_aggregate(list(v ORDER BY t), 'sum') AS sv FROM rk)
+         |SELECT (SELECT nna FROM tot) AS n_a,
+         | (SELECT n FROM tot) - (SELECT nna FROM tot) AS n_b,
+         | round((sda - sea) * (sda - sea) / sv, 4) AS chi2 FROM f"""
+        .stripMargin.replace("\n", " "),
+    "q421_did" ->
+      s"""WITH e AS (SELECT (user_id % 2 = 0) AS t,
+         |  ((epoch_ns(ts) // 86400000000000) % 30) >= 15 AS p,
+         |  ${fp4("value")} AS y
+         | FROM events WHERE value IS NOT NULL),
+         |cells AS (SELECT t, p, count(*)::BIGINT AS n,
+         |  sum(y::HUGEINT) AS s, sum(y::HUGEINT * y::HUGEINT) AS q
+         | FROM e GROUP BY 1, 2 HAVING count(*) >= 2),
+         |f AS (SELECT t, p, n, n::DOUBLE AS nd,
+         |  s::DOUBLE / n::DOUBLE / 10000.0 AS m,
+         |  (q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+         |   / (n::DOUBLE - 1) / 100000000.0 AS v FROM cells),
+         |a AS (SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS k,
+         |  sum(${fp6s("CASE WHEN t AND p THEN m WHEN t AND NOT p THEN -m " +
+            "WHEN NOT t AND p THEN -m ELSE m END")}) AS didfp,
+         |  sum(${fp6s("v / nd")}) AS sefp FROM f)
+         |SELECT n, round(didfp::DOUBLE / 1000000.0, 4) + 0 AS did,
+         | round(sqrt(sefp::DOUBLE / 1000000.0), 4) AS se,
+         | round((didfp::DOUBLE / 1000000.0)
+         |   / sqrt(sefp::DOUBLE / 1000000.0), 4) + 0 AS t_stat
+         |FROM a WHERE k = 4""".stripMargin.replace("\n", " "),
+    "q422_post_strat" ->
+      s"""WITH s AS (SELECT event_type AS st, (user_id % 2 = 0) AS t,
+         |  ${fp4("value")} AS y
+         | FROM events WHERE value IS NOT NULL),
+         |g AS (SELECT st, count(*)::BIGINT AS ns,
+         |  sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS n1,
+         |  sum(CASE WHEN t THEN y::HUGEINT END) AS s1,
+         |  sum(CASE WHEN t THEN y::HUGEINT * y::HUGEINT END) AS q1,
+         |  sum(CASE WHEN NOT t THEN 1 ELSE 0 END)::BIGINT AS n0,
+         |  sum(CASE WHEN NOT t THEN y::HUGEINT END) AS s0,
+         |  sum(CASE WHEN NOT t THEN y::HUGEINT * y::HUGEINT END) AS q0
+         | FROM s GROUP BY 1
+         | HAVING sum(CASE WHEN t THEN 1 ELSE 0 END) >= 2
+         |  AND sum(CASE WHEN NOT t THEN 1 ELSE 0 END) >= 2),
+         |tt AS (SELECT sum(ns)::BIGINT AS nt FROM g),
+         |per AS (SELECT g.*, ns::DOUBLE / tt.nt::DOUBLE AS w,
+         |  s1::DOUBLE / n1::DOUBLE / 10000.0 AS m1,
+         |  (q1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n1::DOUBLE)
+         |   / (n1::DOUBLE - 1) / 100000000.0 AS v1,
+         |  s0::DOUBLE / n0::DOUBLE / 10000.0 AS m0,
+         |  (q0::DOUBLE - s0::DOUBLE * s0::DOUBLE / n0::DOUBLE)
+         |   / (n0::DOUBLE - 1) / 100000000.0 AS v0
+         | FROM g CROSS JOIN tt),
+         |a AS (SELECT sum(ns)::BIGINT AS n, count(*)::BIGINT AS n_strata,
+         |  sum(${fp6s("w * (m1 - m0)")}) AS afp,
+         |  sum(${fp6s("w * w * (v1 / n1::DOUBLE + v0 / n0::DOUBLE)")})
+         |    AS sefp FROM per)
+         |SELECT n, n_strata, round(afp::DOUBLE / 1000000.0, 4) + 0 AS ate,
+         | round(sqrt(sefp::DOUBLE / 1000000.0), 4) AS se FROM a"""
+        .stripMargin.replace("\n", " "),
+    "q423_delta_ratio" ->
+      s"""WITH b AS (SELECT event_type AS key, ${fp4("value")} AS x,
+         |  ${fp4("(user_id % 5 + 1)::DOUBLE")} AS y
+         | FROM events WHERE value IS NOT NULL),
+         |g AS (SELECT key, count(*)::BIGINT AS n, sum(x)::HUGEINT AS sx,
+         |  sum(y)::HUGEINT AS sy, sum(x::HUGEINT * x::HUGEINT) AS sxx,
+         |  sum(x::HUGEINT * y::HUGEINT) AS sxy,
+         |  sum(y::HUGEINT * y::HUGEINT) AS syy
+         | FROM b GROUP BY key HAVING count(*) >= 2 AND sum(y) <> 0),
+         |c AS (SELECT key, n, n::DOUBLE AS nd,
+         |  sx::DOUBLE / sy::DOUBLE AS r,
+         |  (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+         |   / (n::DOUBLE - 1) AS vx,
+         |  (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)
+         |   / (n::DOUBLE - 1) AS vy,
+         |  (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
+         |   / (n::DOUBLE - 1) AS cxy,
+         |  sy::DOUBLE / n::DOUBLE AS yb FROM g),
+         |f AS (SELECT key, n, r,
+         |  sqrt((vx - 2.0 * r * cxy + r * r * vy) / (nd * yb * yb)) AS se
+         | FROM c)
+         |SELECT key, n, round(r, 4) AS ratio, round(se, 4) AS se,
+         | round(r - 1.96 * se, 4) + 0 AS lo,
+         | round(r + 1.96 * se, 4) AS hi FROM f"""
+        .stripMargin.replace("\n", " "),
+    "q424_power_mde" ->
+      """WITH g AS (SELECT event_type AS key, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN value > 160.0 THEN 1 ELSE 0 END)::BIGINT AS pos
+        | FROM events WHERE value IS NOT NULL
+        | GROUP BY 1 HAVING count(*) >= 4),
+        |f AS (SELECT key, n, n::DOUBLE AS nd,
+        |  pos::DOUBLE / n::DOUBLE AS p FROM g)
+        |SELECT key, n, round(p, 4) AS p,
+        | round((1.959963984540054 + 0.8416212335729143)
+        |   * sqrt(2.0 * p * (1.0 - p) / (nd / 2.0)), 4) AS mde FROM f"""
+        .stripMargin.replace("\n", " "),
+    "q425_l_diversity" ->
+      s"""WITH c AS (SELECT source, lang, doc_id % 7 AS sv,
+         |  count(*)::BIGINT AS c FROM documents GROUP BY 1, 2, 3),
+         |g AS (SELECT source, lang, sum(c)::BIGINT AS n,
+         |  count(*)::BIGINT AS l_distinct FROM c GROUP BY 1, 2),
+         |e AS (SELECT c.source, c.lang,
+         |  sum(${fp6s("(c.c::DOUBLE / g.n::DOUBLE) " +
+            "* ln(c.c::DOUBLE / g.n::DOUBLE)")}) AS efp
+         | FROM c JOIN g USING (source, lang) GROUP BY 1, 2)
+         |SELECT g.source, g.lang, g.n, g.l_distinct,
+         | round(exp(-(e.efp::DOUBLE / 1000000.0)), 4) AS l_entropy
+         |FROM g JOIN e USING (source, lang)"""
+        .stripMargin.replace("\n", " "),
+    "q426_t_closeness" ->
+      """WITH b AS (SELECT source, lang, (doc_id % 7)::BIGINT AS sv
+        | FROM documents),
+        |gl AS (SELECT sv, count(*)::BIGINT AS g FROM b GROUP BY 1),
+        |gr AS (SELECT source, lang, sv, count(*)::BIGINT AS c
+        | FROM b GROUP BY 1, 2, 3),
+        |ks AS (SELECT DISTINCT source, lang FROM gr),
+        |fl AS (SELECT gl.sv, ks.source, ks.lang,
+        |  coalesce(gr.c, 0)::BIGINT AS c
+        | FROM gl CROSS JOIN ks LEFT JOIN gr ON gr.source = ks.source
+        |  AND gr.lang = ks.lang AND gr.sv = gl.sv),
+        |gt AS (SELECT sum(g)::BIGINT AS nt, count(*)::BIGINT AS m FROM gl),
+        |gcum AS (SELECT sv, sum(g) OVER (ORDER BY sv ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gc FROM gl),
+        |cum AS (SELECT f.source, f.lang, f.sv,
+        |  sum(f.c) OVER (PARTITION BY f.source, f.lang ORDER BY f.sv ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+        |  sum(f.c) OVER (PARTITION BY f.source, f.lang) AS ng,
+        |  gcum.gc, gt.nt, gt.m
+        | FROM fl f JOIN gcum USING (sv) CROSS JOIN gt),
+        |d AS (SELECT source, lang, max(ng)::BIGINT AS n,
+        |  sum(abs(cc * nt - gc * ng)::HUGEINT) AS sd,
+        |  max(nt) AS nt2, max(m) AS m2 FROM cum GROUP BY 1, 2)
+        |SELECT source, lang, n,
+        | round(sd::DOUBLE / (n::DOUBLE * nt2::DOUBLE
+        |   * (m2 - 1)::DOUBLE), 4) AS t_emd FROM d"""
+        .stripMargin.replace("\n", " "),
+    "q427_mmd" ->
+      s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  vec_id % 2 = 1 AS isb FROM embeddings
+         | WHERE embedding IS NOT NULL),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY isb
+         |  ORDER BY vec_id)::BIGINT AS rn FROM b),
+         |rr AS (SELECT *, floor((rn + 1) / 2.0)::BIGINT AS j,
+         |  rn % 2 = 1 AS odd FROM r),
+         |x1 AS (SELECT j, v FROM rr WHERE NOT isb AND odd),
+         |x2 AS (SELECT j, v FROM rr WHERE NOT isb AND NOT odd),
+         |y1 AS (SELECT j, v FROM rr WHERE isb AND odd),
+         |y2 AS (SELECT j, v FROM rr WHERE isb AND NOT odd),
+         |q AS (SELECT x1.j, x1.v AS a1, x2.v AS a2, y1.v AS b1, y2.v AS b2
+         | FROM x1 JOIN x2 USING (j) JOIN y1 USING (j) JOIN y2 USING (j)),
+         |hh AS (SELECT j,
+         |  exp(-(list_reduce(list_transform(range(1, len(a1)+1),
+         |    i -> (a1[i]-a2[i])*(a1[i]-a2[i])), (acc,x) -> acc + x)) / 2.0)
+         |  + exp(-(list_reduce(list_transform(range(1, len(b1)+1),
+         |    i -> (b1[i]-b2[i])*(b1[i]-b2[i])), (acc,x) -> acc + x)) / 2.0)
+         |  - exp(-(list_reduce(list_transform(range(1, len(a1)+1),
+         |    i -> (a1[i]-b2[i])*(a1[i]-b2[i])), (acc,x) -> acc + x)) / 2.0)
+         |  - exp(-(list_reduce(list_transform(range(1, len(a2)+1),
+         |    i -> (a2[i]-b1[i])*(a2[i]-b1[i])), (acc,x) -> acc + x)) / 2.0)
+         |   AS h FROM q)
+         |SELECT count(*)::BIGINT AS m_pairs,
+         | round(sum(${fp6s("h")})::DOUBLE / 1000000.0
+         |   / count(*)::DOUBLE, 4) + 0 AS mmd2 FROM hh"""
+        .stripMargin.replace("\n", " "),
+    "q428_fisher" ->
+      """WITH cells AS (SELECT
+        |  sum(CASE WHEN doc_id % 2 = 0 AND lang = 'en'
+        |    THEN 1 ELSE 0 END)::BIGINT AS a,
+        |  sum(CASE WHEN doc_id % 2 = 0 AND lang <> 'en'
+        |    THEN 1 ELSE 0 END)::BIGINT AS b,
+        |  sum(CASE WHEN doc_id % 2 <> 0 AND lang = 'en'
+        |    THEN 1 ELSE 0 END)::BIGINT AS c,
+        |  sum(CASE WHEN doc_id % 2 <> 0 AND lang <> 'en'
+        |    THEN 1 ELSE 0 END)::BIGINT AS d FROM documents),
+        |lf AS (SELECT i, sum(CASE WHEN i >= 2 THEN ln(i::DOUBLE)
+        |   ELSE 0.0 END) OVER (ORDER BY i ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
+        | FROM (SELECT unnest(range(0,
+        |   (SELECT a + b + c + d FROM cells) + 1)) AS i)),
+        |en AS (SELECT cells.*, a + b AS r1, c + d AS r2, a + c AS c1,
+        |  a + b + c + d AS nn,
+        |  unnest(range(a, least(a + b, a + c) + 1)) AS ap FROM cells),
+        |j AS (SELECT en.*,
+        |  l1.lf AS l_r1, l2.lf AS l_r2, l3.lf AS l_c1, l4.lf AS l_c2,
+        |  l5.lf AS l_n, l6.lf AS l_a, l7.lf AS l_b, l8.lf AS l_c,
+        |  l9.lf AS l_d
+        | FROM en
+        | JOIN lf l1 ON l1.i = en.r1 JOIN lf l2 ON l2.i = en.r2
+        | JOIN lf l3 ON l3.i = en.c1 JOIN lf l4 ON l4.i = en.nn - en.c1
+        | JOIN lf l5 ON l5.i = en.nn JOIN lf l6 ON l6.i = en.ap
+        | JOIN lf l7 ON l7.i = en.r1 - en.ap
+        | JOIN lf l8 ON l8.i = en.c1 - en.ap
+        | JOIN lf l9 ON l9.i = en.r2 - en.c1 + en.ap),
+        |t AS (SELECT a, b, c, d,
+        |  exp(l_r1 + l_r2 + l_c1 + l_c2 - l_n - l_a - l_b - l_c - l_d)
+        |   AS term FROM j)
+        |SELECT a, b, c, d,
+        | round(sum(floor(term * 1000000000000.0 + 0.5)::BIGINT)::DOUBLE
+        |   / 1000000000000.0, 4) AS p_one
+        |FROM t GROUP BY 1, 2, 3, 4""".stripMargin.replace("\n", " "),
   )
 }

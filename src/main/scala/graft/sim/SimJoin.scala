@@ -105,4 +105,43 @@ object SimJoin {
       .where(col("rank") <= k)
       .select("a", "b", "rank", "cos")
   }
+
+  /** Linear-time MMD two-sample test on embeddings (Gretton et al.
+    * JMLR'12 §6): both samples order by id, consecutive disjoint
+    * quadruples (x₂ⱼ₋₁,x₂ⱼ,y₂ⱼ₋₁,y₂ⱼ) score h = k(x₁,x₂)+k(y₁,y₂)
+    * −k(x₁,y₂)−k(x₂,y₁) with the RBF kernel k = exp(−‖a−b‖²/(2σ²));
+    * MMD²ₗ = mean h. O(n) kernel evaluations instead of the quadratic
+    * energy-distance pass (drift/Drift's exact face) — THE scale path
+    * for embedding-shift monitoring. h quantizes at 6dp before the
+    * pair-count-sized sum; ‖a−b‖² is an ordered left fold over the
+    * (double-cast) vector. One row: m_pairs, mmd2. */
+  def mmdLinear(emb: DataFrame, idCol: String, vecCol: String,
+      isBCol: String, sigma2: Double): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val base = emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id"), v.as("_v"),
+        col(isBCol).cast("boolean").as("_b"))
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("_b"))
+        .orderBy(col("_id").asc)).cast("long"))
+      .withColumn("_j", floor((col("_rn") + 1) / lit(2.0)).cast("long"))
+      .withColumn("_odd", pmod(col("_rn"), lit(2)) === 1)
+    def side(b: Boolean, odd: Boolean, as: String) = base
+      .where(col("_b") === b && col("_odd") === odd)
+      .select(col("_j"), col("_v").as(as))
+    val quad = side(false, true, "x1").join(side(false, false, "x2"), "_j")
+      .join(side(true, true, "y1"), "_j")
+      .join(side(true, false, "y2"), "_j")
+    def k2(a: Column, b: Column): Column =
+      exp(-aggregate(zip_with(a, b, (p, q) => (p - q) * (p - q)),
+        lit(0.0), (acc, x) => acc + x) / lit(2.0 * sigma2))
+    val h = k2(col("x1"), col("x2")) + k2(col("y1"), col("y2")) -
+      k2(col("x1"), col("y2")) - k2(col("x2"), col("y1"))
+    quad
+      .withColumn("_h6",
+        when(h >= 0, floor(h * 1e6 + 0.5)).otherwise(-floor(-h * 1e6 + 0.5))
+          .cast("long"))
+      .agg(count(lit(1)).as("m_pairs"),
+        (sum(col("_h6")).cast("double") / 1e6 /
+          count(lit(1)).cast("double")).as("mmd2"))
+  }
 }
