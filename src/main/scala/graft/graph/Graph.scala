@@ -716,6 +716,74 @@ object Graph {
     out
   }
 
+  /** Sampled closeness centrality + eccentricity from ONE min-plus BFS
+    * over md5-chosen sources ([[harmonicCentrality]]'s frame with two
+    * extra exact-integer aggregates): closeness = reached / Σd (the
+    * sampled Wasserman–Faust form), ecc = max observed distance (a
+    * lower bound at bounded depth, documented). One row per reached
+    * node: node, reached, sum_d, closeness, ecc. */
+  def closenessCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Int = 8, maxDepth: Int = 4): DataFrame = {
+    require(maxDepth >= 1 && sources >= 1, s"bad args: $sources, $maxDepth")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct()
+      .repartition(col("src")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val srcs = nodes.orderBy(md5(col("node")), col("node"))
+      .limit(sources)
+      .select(col("node").as("source"))
+    var dist = srcs.select(col("source"), col("source").as("node"),
+      lit(0).as("d")).localCheckpoint(true)
+    (1 to maxDepth).foreach { _ =>
+      val ext = dist.join(e, dist("node") === e("src"))
+        .select(col("source"), col("dst").as("node"),
+          (col("d") + 1).as("d"))
+      dist = dist.union(ext).groupBy(col("source"), col("node"))
+        .agg(min(col("d")).as("d")).localCheckpoint(true)
+    }
+    val out = dist.where(col("d") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("reached"),
+        sum(col("d").cast("long")).as("sum_d"),
+        max(col("d").cast("long")).as("ecc"))
+      .withColumn("closeness",
+        col("reached").cast("double") / col("sum_d").cast("double"))
+      .select("node", "reached", "sum_d", "closeness", "ecc")
+    e.unpersist()
+    out
+  }
+
+  /** Katz centrality with the dyadic attenuation α = 1/16 and unit base:
+    * x' = ⌊(Σ_in x)/16⌋ + 1 carried as exact 6dp fixed-point longs (the
+    * /16 is a power-of-two float division + floor — bit-identical on
+    * both engines), `iters` Pregel rounds with localCheckpoint lineage
+    * cuts. One row per node: node, katz. */
+  def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 6): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters 1..10: $iters")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct()
+      .repartition(col("dst")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var x = nodes.withColumn("x", lit(1000000L)).localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val in = x.join(e, x("node") === e("src"))
+        .groupBy(col("dst").as("node2"))
+        .agg(sum(col("x")).as("_s"))
+      x = nodes.join(in, nodes("node") === col("node2"), "left")
+        .select(col("node"),
+          (floor(coalesce(col("_s"), lit(0L)).cast("double") / 16.0)
+            .cast("long") + 1000000L).as("x"))
+        .localCheckpoint(true)
+    }
+    // the final x is an eager localCheckpoint, so the edge cache can go
+    val out = x.select(col("node"), (col("x").cast("double") / 1e6).as("katz"))
+    e.unpersist()
+    out
+  }
+
   /** Directed-graph reciprocity: the fraction of edges whose reverse
     * edge also exists (self-loops excluded). One row:
     * m, reciprocal, reciprocity — the "is this interaction mutual"

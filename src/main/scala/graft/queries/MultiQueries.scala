@@ -31,7 +31,7 @@ object MultiQueries {
 
   /** The bipartite user↔event_type graph (both directions, so no node is
     * dangling) — the corpus-graph construction the graph family runs on. */
-  private def bipartite(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def bipartite(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
     val u2t = e.select(concat(lit("u:"), col("user_id").cast("string")).as("src"),
       concat(lit("t:"), col("event_type")).as("dst"))
@@ -585,7 +585,7 @@ object MultiQueries {
   }
 
   // Both-direction bipartite edge set shared by the graph-family oracles.
-  private val bipartiteSql =
+  private[queries] val bipartiteSql =
     """eb AS (SELECT 'u:' || user_id::VARCHAR AS src, 't:' || event_type AS dst
       |  FROM events),
       |edges AS (SELECT DISTINCT src, dst FROM

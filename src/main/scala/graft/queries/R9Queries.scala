@@ -264,6 +264,15 @@ object R9Queries {
           .withColumn("exposed", pmod(col("doc_id"), lit(2)) === 0)
           .withColumn("pos", col("lang") === "en"),
         "exposed", "pos"))),
+    // sampled closeness + eccentricity from one BFS frame (q356's graph)
+    "q429_closeness" -> ((s, dir) =>
+      canon(graft.graph.Graph.closenessCentrality(
+        MultiQueries.bipartite(s, dir), "src", "dst",
+        sources = 8, maxDepth = 4))),
+    // Katz centrality, dyadic alpha = 1/16, 6 integer-exact rounds
+    "q430_katz" -> ((s, dir) =>
+      canon(graft.graph.Graph.katzCentrality(
+        MultiQueries.bipartite(s, dir), "src", "dst", iters = 6))),
   )
 
   /** 4dp fixed-point long of a SQL expression (half away from zero). */
@@ -1398,5 +1407,44 @@ object R9Queries {
         | round(sum(floor(term * 1000000000000.0 + 0.5)::BIGINT)::DOUBLE
         |   / 1000000000000.0, 4) AS p_one
         |FROM t GROUP BY 1, 2, 3, 4""".stripMargin.replace("\n", " "),
+    "q429_closeness" -> {
+      val steps = (1 to 4).map { i =>
+        s"""r$i AS (SELECT source, node, min(d) AS d FROM (
+           |  SELECT source, node, d FROM r${i - 1}
+           |  UNION ALL
+           |  SELECT w.source, e.dst AS node, w.d + 1 AS d
+           |  FROM r${i - 1} w JOIN edges e ON e.src = w.node)
+           | GROUP BY 1, 2)""".stripMargin.replace("\n", " ")
+      }.mkString(", ")
+      s"""WITH ${MultiQueries.bipartiteSql},
+         |nodes AS (SELECT src AS node FROM edges
+         |  UNION SELECT dst FROM edges),
+         |srcs AS (SELECT node AS source FROM nodes
+         |  ORDER BY md5(node), node LIMIT 8),
+         |r0 AS (SELECT source, source AS node, 0 AS d FROM srcs),
+         |$steps
+         |SELECT node, count(*)::BIGINT AS reached,
+         | sum(d)::BIGINT AS sum_d,
+         | round(count(*)::DOUBLE / sum(d)::DOUBLE, 4) AS closeness,
+         | max(d)::BIGINT AS ecc
+         |FROM r4 WHERE d > 0 GROUP BY 1""".stripMargin.replace("\n", " ")
+    },
+    "q430_katz" -> {
+      val steps = (1 to 6).map { i =>
+        s"""x$i AS (SELECT n.node,
+           |  floor(coalesce(s.s, 0)::DOUBLE / 16.0)::BIGINT + 1000000 AS x
+           | FROM nodes n LEFT JOIN (SELECT e.dst AS node,
+           |   sum(x${i - 1}.x)::BIGINT AS s FROM x${i - 1}
+           |  JOIN edges e ON e.src = x${i - 1}.node GROUP BY 1) s
+           |  ON s.node = n.node)""".stripMargin.replace("\n", " ")
+      }.mkString(", ")
+      s"""WITH ${MultiQueries.bipartiteSql},
+         |nodes AS (SELECT src AS node FROM edges
+         |  UNION SELECT dst FROM edges),
+         |x0 AS (SELECT node, 1000000::BIGINT AS x FROM nodes),
+         |$steps
+         |SELECT node, round(x::DOUBLE / 1000000.0, 4) AS katz FROM x6"""
+        .stripMargin.replace("\n", " ")
+    },
   )
 }
