@@ -273,6 +273,33 @@ object R9Queries {
     "q430_katz" -> ((s, dir) =>
       canon(graft.graph.Graph.katzCentrality(
         MultiQueries.bipartite(s, dir), "src", "dst", iters = 6))),
+    // STREAMING Croston batch-executed (q100 pattern): the q407 oracle
+    // gates the flatMapGroupsWithState path itself
+    "q431_croston_stream" -> ((s, dir) => {
+      import s.implicits._
+      val evd = ev(s, dir)
+        .withColumn("d",
+          when(col("value") > 120, col("value") - 120).otherwise(0.0))
+        .select(col("user_id").cast("string").as("entity"),
+          col("event_id").cast("long").as("seq"),
+          col("d").cast("double").as("value"))
+        .as[graft.streaming.StreamScorers.ValueEvent]
+      canon(graft.streaming.StreamScorers.crostonStream(evd).toDF()
+        .select(col("entity").as("key"), col("seq"), col("value"),
+          col("score")))
+    }),
+    // STREAMING Theta batch-executed (q100 pattern): the q405 oracle
+    "q432_theta_stream" -> ((s, dir) => {
+      import s.implicits._
+      val evd = ev(s, dir)
+        .select(col("user_id").cast("string").as("entity"),
+          col("event_id").cast("long").as("seq"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.StreamScorers.ValueEvent]
+      canon(graft.streaming.StreamScorers.thetaStream(evd).toDF()
+        .select(col("entity").as("key"), col("seq"), col("value"),
+          col("score")))
+    }),
   )
 
   /** 4dp fixed-point long of a SQL expression (half away from zero). */
@@ -313,7 +340,7 @@ object R9Queries {
       |  ((n_chars + 2*(doc_id % 7)) % 4)::BIGINT]) AS cat
       | FROM documents)""".stripMargin.replace("\n", " ")
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     "q384_ndcg" ->
       s"""WITH $rankedSql,
          |ri AS (SELECT *,
@@ -1447,4 +1474,10 @@ object R9Queries {
         .stripMargin.replace("\n", " ")
     },
   )
+
+  /** The two batch-executed streaming twins replay the exact batch
+    * recursions, so they share the q405/q407 oracles verbatim. */
+  val oracleSql: Map[String, String] = oracles0 +
+    ("q431_croston_stream" -> oracles0("q407_croston")) +
+    ("q432_theta_stream" -> oracles0("q405_theta"))
 }

@@ -636,6 +636,89 @@ object StreamScorers {
         })
   }
 
+  case class CrostonSt(z: Double, p: Double, last: Long, seen: Long)
+
+  /** Streaming Croston intermittent-demand rate — the online face of
+    * `Forecast2.croston` (identical recursion, so the q407 oracle gates
+    * this path bit-for-bit when batch-executed). O(1) state: size SES,
+    * interval SES, last-nonzero position, count. Every event emits the
+    * post-update demand rate z/p (0 before the first nonzero). */
+  def crostonStream(events: Dataset[ValueEvent]): Dataset[HoltOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (entity: String, it: Iterator[ValueEvent], gs: GroupState[CrostonSt]) => {
+          var st = gs.getOption.getOrElse(CrostonSt(Double.NaN, Double.NaN, 0L, 0L))
+          val out = it.toSeq.sortBy(e => (e.seq, e.value)).map { e =>
+            val d = e.value
+            val r = st.seen + 1
+            st = st.copy(seen = r)
+            if (d > 0) {
+              if (st.z.isNaN) st = st.copy(z = d, p = r.toDouble, last = r)
+              else {
+                val q = (r - st.last).toDouble
+                st = st.copy(z = 0.5 * d + 0.5 * st.z,
+                  p = 0.5 * q + 0.5 * st.p, last = r)
+              }
+            }
+            HoltOut(entity, e.seq, d, if (st.z.isNaN) 0.0 else st.z / st.p)
+          }
+          gs.update(st)
+          out.iterator
+        })
+  }
+
+  case class ThetaSt(seen: Long, lvl: Double, st: Long, stt: Long,
+      sy: Long, sty: Long, rsum: Double, rsq: Double, rn: Long)
+
+  /** Streaming Theta(2) one-step-ahead scorer — the online face of
+    * `Forecast2.thetaForecast` (identical recursion: SES level + exact
+    * fixed-point running-OLS half-slope drift; the q405 oracle gates
+    * this path when batch-executed). O(1) state: 4 integer sums + 4
+    * doubles. */
+  def thetaStream(events: Dataset[ValueEvent]): Dataset[HoltOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def fpL(x: Double): Long =
+      (if (x >= 0) math.floor(x * 1e4 + 0.5)
+       else -math.floor(-x * 1e4 + 0.5)).toLong
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (entity: String, it: Iterator[ValueEvent], gs: GroupState[ThetaSt]) => {
+          var st = gs.getOption.getOrElse(
+            ThetaSt(0L, 0.0, 0L, 0L, 0L, 0L, 0.0, 0.0, 0L))
+          val out = it.toSeq.sortBy(e => (e.seq, e.value)).map { e =>
+            val x = e.value
+            var score = 0.0
+            if (st.seen == 0L)
+              st = ThetaSt(1L, x, 1L, 1L, fpL(x), fpL(x), 0.0, 0.0, 0L)
+            else if (st.seen == 1L)
+              st = ThetaSt(2L, 0.5 * x + 0.5 * st.lvl, 3L, 5L,
+                st.sy + fpL(x), st.sty + 2L * fpL(x), 0.0, 0.0, 0L)
+            else {
+              val m = st.seen.toDouble
+              val b = (m * st.sty - st.st.toDouble * st.sy) /
+                (m * st.stt - st.st.toDouble * st.st) / 1e4
+              val pred = st.lvl + b / 2.0
+              val resid = x - pred
+              val std = if (st.rn > 1)
+                math.sqrt((st.rsq - st.rsum * st.rsum / st.rn) / (st.rn - 1))
+              else 0.0
+              score = if (std > 0) math.abs(resid) / std else 0.0
+              val t = st.seen + 1
+              st = ThetaSt(st.seen + 1, 0.5 * x + 0.5 * st.lvl,
+                st.st + t, st.stt + t * t, st.sy + fpL(x),
+                st.sty + t * fpL(x),
+                st.rsum + resid, st.rsq + resid * resid, st.rn + 1)
+            }
+            HoltOut(entity, e.seq, x, score)
+          }
+          gs.update(st)
+          out.iterator
+        })
+  }
+
   case class KalmanSt(seen: Long, lvl: Double, p: Double)
   case class EwmaSt(seen: Long, e: Double, f2t: Double)
 

@@ -752,4 +752,46 @@ class StreamSpec extends SparkSpec {
     q.stop()
     assert(rows.map(_.getString(1)).sorted.toSeq == Seq("a", "b"))
   }
+
+  test("streaming croston/theta: state carries across micro-batches, batch parity") {
+    implicit val sc = spark.sqlContext
+    import graft.seq.Forecast2
+    val vals = (1 to 60).map(i =>
+      ("u", i.toLong, if (i % 4 == 0) 8.0 + (i % 3) else 0.0))
+    val in = MemoryStream[(String, Long, Double)]
+    val out = StreamScorers.crostonStream(
+      in.toDF().toDF("entity", "seq", "value")
+        .as[StreamScorers.ValueEvent])
+    val q = out.writeStream.format("memory").queryName("cro")
+      .outputMode("append").start()
+    val (b1, b2) = vals.splitAt(25)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    val got = spark.table("cro").collect()
+      .map(r => r.getAs[Long]("seq") -> r.getAs[Double]("score")).toMap
+    q.stop()
+    val want = Forecast2.croston(vals.toDF("k", "t", "v"), Seq("k"), "t", "v")
+      .collect().map(r => r.seq -> r.score).toMap
+    assert(got.size == 60 && want.forall { case (k, v) => got(k) == v },
+      "stream scores must equal the batch recursion bit-for-bit")
+
+    val vin = MemoryStream[(String, Long, Double)]
+    val tout = StreamScorers.thetaStream(
+      vin.toDF().toDF("entity", "seq", "value")
+        .as[StreamScorers.ValueEvent])
+    val tq = tout.writeStream.format("memory").queryName("the")
+      .outputMode("append").start()
+    val tvals = (1 to 60).map(i => ("u", i.toLong, 2.0 * i + (i % 5)))
+    val (t1, t2) = tvals.splitAt(20)
+    vin.addData(t1: _*); tq.processAllAvailable()
+    vin.addData(t2: _*); tq.processAllAvailable()
+    val tgot = spark.table("the").collect()
+      .map(r => r.getAs[Long]("seq") -> r.getAs[Double]("score")).toMap
+    tq.stop()
+    val twant = Forecast2.thetaForecast(tvals.toDF("k", "t", "v"),
+      Seq("k"), "t", "v")
+      .collect().map(r => r.seq -> r.score).toMap
+    assert(tgot.size == 60 && twant.forall { case (k, v) => tgot(k) == v },
+      "theta stream must equal the batch recursion bit-for-bit")
+  }
 }
