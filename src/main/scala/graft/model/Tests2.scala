@@ -463,6 +463,35 @@ object Tests2 {
       .select("key", "n_pairs", "n_up", "n_down", "z")
   }
 
+  /** Cliff's delta ordinal effect size: δ = 2U/(n_a·n_b) − 1 from the
+    * same 2·r̄ midrank histogram as Mann–Whitney (δ = P(a>b) − P(a<b),
+    * the effect size the U test's p-value doesn't carry). One row:
+    * n_a, n_b, u_stat, delta. */
+  def cliffsDelta(data: DataFrame, groupCol: String, valCol: String,
+      ga: String, gb: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val h = data.where(v.isNotNull &&
+      (col(groupCol) === ga || col(groupCol) === gb))
+      .select(col(groupCol).as("_g"), fp(v).as("_v"))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_g") === ga, 1L).otherwise(0L)).as("_ca"),
+        count(lit(1)).as("_ct"))
+    val w = Window.orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = h.withColumn("_r2",
+      lit(2) * (sum(col("_ct")).over(w) - col("_ct")) + col("_ct") + 1)
+    val agg = r.agg(sum(col("_ca")).as("n_a"),
+      (sum(col("_ct")) - sum(col("_ca"))).as("n_b"),
+      sum(col("_ca") * col("_r2")).as("_ra2"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    agg
+      .withColumn("u_stat",
+        col("_ra2").cast("double") / 2.0 - na * (na + 1) / 2.0)
+      .withColumn("delta",
+        lit(2.0) * col("u_stat") / (na * nb) - 1.0)
+      .select("n_a", "n_b", "u_stat", "delta")
+  }
+
   /** Fisher's exact test (one-sided, P[A ≥ a]) on the 2×2 table of
     * exposure × outcome: hypergeometric terms from a ln-factorial
     * table built as one ordered window cumsum over 0..n (both engines

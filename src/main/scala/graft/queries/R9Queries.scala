@@ -300,6 +300,45 @@ object R9Queries {
         .select(col("entity").as("key"), col("seq"), col("value"),
           col("score")))
     }),
+    // delete-one-block jackknife SE of the per-type mean (blocks =
+    // user_id mod 20) — the deterministic bootstrap stand-in
+    "q433_jackknife" -> ((s, dir) =>
+      canon(graft.model.Resample.jackknifeSE(
+        ev(s, dir).withColumn("blk", pmod(col("user_id"), lit(20))),
+        "event_type", "blk", "value"))),
+    // Chapman capture–recapture over two simulated crawls of documents
+    "q434_capture_recapture" -> ((s, dir) =>
+      canon(graft.model.Resample.captureRecapture(
+        docs(s, dir)
+          .withColumn("inA", pmod(col("doc_id"), lit(3)) =!= 0)
+          .withColumn("inB", pmod(col("doc_id"), lit(5)) =!= 0),
+        "text", "inA", "inB"))),
+    // Chao1 vocabulary-richness per source
+    "q435_chao1" -> ((s, dir) =>
+      canon(graft.model.Resample.chao1(
+        docs(s, dir).select(col("source"),
+          explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+          .where(col("tok") =!= ""),
+        "source", "tok"))),
+    // Good–Turing adjusted counts r* for r = 1..5 per source
+    "q436_good_turing" -> ((s, dir) =>
+      canon(graft.model.Resample.goodTuring(
+        docs(s, dir).select(col("source"),
+          explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+          .where(col("tok") =!= ""),
+        "source", "tok", maxR = 5))),
+    // add-½-smoothed unigram KL between the first two sources
+    "q437_unigram_kl" -> ((s, dir) =>
+      canon(graft.text.TextOps.unigramKL(docs(s, dir), "source", "text",
+        "src1", "src2", alpha = 0.5))),
+    // Monroe log-odds distinctive terms, src1 vs src2
+    "q438_log_odds" -> ((s, dir) =>
+      canon(graft.text.TextOps.logOddsTerms(docs(s, dir), "source",
+        "text", "src1", "src2", priorScale = 10.0, minCount = 5L))),
+    // Cliff's delta effect size, click vs error values
+    "q439_cliffs_delta" -> ((s, dir) =>
+      canon(graft.model.Tests2.cliffsDelta(ev(s, dir), "event_type",
+        "value", "click", "error"))),
   )
 
   /** 4dp fixed-point long of a SQL expression (half away from zero). */
@@ -1434,6 +1473,141 @@ object R9Queries {
         | round(sum(floor(term * 1000000000000.0 + 0.5)::BIGINT)::DOUBLE
         |   / 1000000000000.0, 4) AS p_one
         |FROM t GROUP BY 1, 2, 3, 4""".stripMargin.replace("\n", " "),
+    "q433_jackknife" ->
+      s"""WITH b AS (SELECT event_type AS key, user_id % 20 AS bk,
+         |  ${fp4("value")} AS y
+         | FROM events WHERE value IS NOT NULL),
+         |bl AS (SELECT key, bk, count(*)::BIGINT AS nb,
+         |  sum(y::HUGEINT) AS sb FROM b GROUP BY 1, 2),
+         |t AS (SELECT key, sum(nb)::BIGINT AS n, count(*)::BIGINT AS nbl,
+         |  sum(sb) AS s FROM bl GROUP BY 1 HAVING count(*) >= 2),
+         |j AS (SELECT bl.key, bl.nb, bl.sb, t.n, t.nbl, t.s,
+         |  (t.s::DOUBLE - bl.sb::DOUBLE) / (t.n - bl.nb)::DOUBLE / 10000.0
+         |   AS lo FROM bl JOIN t USING (key)),
+         |br AS (SELECT key, sum(${fp6s("lo")}) AS lsum,
+         |  count(*)::BIGINT AS bb FROM j GROUP BY key),
+         |j2 AS (SELECT j.*,
+         |  br.lsum::DOUBLE / 1000000.0 / br.bb::DOUBLE AS bar
+         | FROM j JOIN br USING (key)),
+         |g AS (SELECT key, max(n)::BIGINT AS n,
+         |  max(nbl)::BIGINT AS n_blocks, max(s) AS s2,
+         |  sum(${fp6s("(lo - bar) * (lo - bar)")}) AS dev
+         | FROM j2 GROUP BY key)
+         |SELECT key, n, n_blocks,
+         | round(s2::DOUBLE / n::DOUBLE / 10000.0, 4) + 0 AS mean,
+         | round(sqrt((n_blocks - 1)::DOUBLE / n_blocks::DOUBLE
+         |   * (dev::DOUBLE / 1000000.0)), 4) AS se_jack
+         |FROM g""".stripMargin.replace("\n", " "),
+    "q434_capture_recapture" ->
+      """WITH it AS (SELECT text AS item,
+        |  max(doc_id % 3 <> 0) AS a, max(doc_id % 5 <> 0) AS b
+        | FROM documents GROUP BY 1),
+        |c AS (SELECT sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |  sum(CASE WHEN b THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |  sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS m FROM it)
+        |SELECT n1, n2, m AS m_overlap,
+        | round((n1::DOUBLE + 1) * (n2::DOUBLE + 1) / (m::DOUBLE + 1)
+        |   - 1.0, 4) AS n_hat,
+        | round(sqrt((n1::DOUBLE + 1) * (n2::DOUBLE + 1)
+        |   * (n1::DOUBLE - m::DOUBLE) * (n2::DOUBLE - m::DOUBLE)
+        |   / ((m::DOUBLE + 1) * (m::DOUBLE + 1) * (m::DOUBLE + 2))), 4)
+        |  AS se FROM c""".stripMargin.replace("\n", " "),
+    "q435_chao1" ->
+      """WITH tk AS (SELECT source AS key,
+        |  unnest(regexp_extract_all(lower(text), '\S+')) AS t
+        | FROM documents),
+        |tk2 AS (SELECT key, t FROM tk WHERE t <> ''),
+        |c AS (SELECT key, t, count(*)::BIGINT AS c FROM tk2 GROUP BY 1, 2),
+        |g AS (SELECT key, sum(c)::BIGINT AS n_tokens,
+        |  count(*)::BIGINT AS d_types,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+        |  sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+        | FROM c GROUP BY 1)
+        |SELECT key, n_tokens, d_types, f1, f2,
+        | round(CASE WHEN f2 > 0 THEN d_types::DOUBLE
+        |    + f1::DOUBLE * f1::DOUBLE / (2.0 * f2::DOUBLE)
+        |  ELSE d_types::DOUBLE + f1::DOUBLE * (f1::DOUBLE - 1) / 2.0
+        |  END, 4) AS chao1 FROM g""".stripMargin.replace("\n", " "),
+    "q436_good_turing" ->
+      """WITH tk AS (SELECT source AS key,
+        |  unnest(regexp_extract_all(lower(text), '\S+')) AS t
+        | FROM documents),
+        |tk2 AS (SELECT key, t FROM tk WHERE t <> ''),
+        |c AS (SELECT key, t, count(*)::BIGINT AS c FROM tk2 GROUP BY 1, 2),
+        |coc AS (SELECT key, c AS r, count(*)::BIGINT AS n_r FROM c
+        | WHERE c <= 6 GROUP BY 1, 2),
+        |nx AS (SELECT key, r - 1 AS r, n_r AS n_r1 FROM coc)
+        |SELECT coc.key, coc.r, coc.n_r,
+        | round((coc.r + 1)::DOUBLE * nx.n_r1::DOUBLE / coc.n_r::DOUBLE, 4)
+        |  AS r_star
+        |FROM coc LEFT JOIN nx ON nx.key = coc.key AND nx.r = coc.r
+        |WHERE coc.r <= 5""".stripMargin.replace("\n", " "),
+    "q437_unigram_kl" ->
+      s"""WITH tk AS (SELECT source = 'src1' AS a,
+         |  unnest(regexp_extract_all(lower(text), '\\S+')) AS t
+         | FROM documents WHERE source IN ('src1', 'src2')),
+         |tk2 AS (SELECT a, t FROM tk WHERE t <> ''),
+         |cnt AS (SELECT t,
+         |  sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS ca,
+         |  sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS cb
+         | FROM tk2 GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS v, sum(ca)::BIGINT AS na,
+         |  sum(cb)::BIGINT AS nb FROM cnt),
+         |p AS (SELECT cnt.ca, cnt.cb, tot.v, tot.na, tot.nb,
+         |  (ca::DOUBLE + 0.5) / (na::DOUBLE + 0.5 * v::DOUBLE) AS pa,
+         |  (cb::DOUBLE + 0.5) / (nb::DOUBLE + 0.5 * v::DOUBLE) AS pb
+         | FROM cnt CROSS JOIN tot),
+         |s AS (SELECT v, na, nb,
+         |  sum(${fp6s("pa * ln(pa / pb)")}) AS sab,
+         |  sum(${fp6s("pb * ln(pb / pa)")}) AS sba
+         | FROM p GROUP BY 1, 2, 3)
+         |SELECT v, na AS n_a, nb AS n_b,
+         | round(sab::DOUBLE / 1000000.0, 4) + 0 AS kl_ab,
+         | round(sba::DOUBLE / 1000000.0, 4) + 0 AS kl_ba FROM s"""
+        .stripMargin.replace("\n", " "),
+    "q438_log_odds" ->
+      """WITH tk AS (SELECT source = 'src1' AS a,
+        |  unnest(regexp_extract_all(lower(text), '\S+')) AS t
+        | FROM documents WHERE source IN ('src1', 'src2')),
+        |tk2 AS (SELECT a, t FROM tk WHERE t <> ''),
+        |cnt AS (SELECT t,
+        |  sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |  sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS cb
+        | FROM tk2 GROUP BY 1 HAVING sum(CASE WHEN a THEN 1 ELSE 0 END)
+        |  + sum(CASE WHEN NOT a THEN 1 ELSE 0 END) >= 5),
+        |tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+        |  sum(ca + cb)::BIGINT AS nn FROM cnt),
+        |tt AS (SELECT cnt.t, cnt.ca, cnt.cb, tot.na, tot.nb,
+        |  10.0 * (ca + cb)::DOUBLE / nn::DOUBLE AS aw
+        | FROM cnt CROSS JOIN tot),
+        |f AS (SELECT t AS token, ca, cb,
+        |  ln((ca::DOUBLE + aw) / (na::DOUBLE + 10.0 - ca::DOUBLE - aw))
+        |   - ln((cb::DOUBLE + aw) / (nb::DOUBLE + 10.0 - cb::DOUBLE - aw))
+        |   AS delta,
+        |  1.0 / (ca::DOUBLE + aw) + 1.0 / (cb::DOUBLE + aw) AS sig2
+        | FROM tt)
+        |SELECT token, ca AS c_a, cb AS c_b, round(delta, 4) + 0 AS delta,
+        | round(delta / sqrt(sig2), 4) + 0 AS z FROM f"""
+        .stripMargin.replace("\n", " "),
+    "q439_cliffs_delta" ->
+      s"""WITH h AS (SELECT ${fp4("value")} AS v,
+         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+         |    AS ca,
+         |  count(*)::BIGINT AS ct
+         | FROM events WHERE value IS NOT NULL
+         |  AND event_type IN ('click', 'error') GROUP BY 1),
+         |r AS (SELECT *, 2 * (sum(ct) OVER (ORDER BY v ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct)
+         |  + ct + 1 AS r2 FROM h),
+         |a AS (SELECT sum(ca)::BIGINT AS n_a,
+         |  (sum(ct) - sum(ca))::BIGINT AS n_b,
+         |  sum(ca * r2)::BIGINT AS ra2 FROM r),
+         |f AS (SELECT n_a, n_b,
+         |  ra2::DOUBLE / 2.0 - n_a::DOUBLE * (n_a::DOUBLE + 1) / 2.0 AS u
+         | FROM a)
+         |SELECT n_a, n_b, round(u, 4) AS u_stat,
+         | round(2.0 * u / (n_a::DOUBLE * n_b::DOUBLE) - 1.0, 4) + 0
+         |  AS delta FROM f""".stripMargin.replace("\n", " "),
     "q429_closeness" -> {
       val steps = (1 to 4).map { i =>
         s"""r$i AS (SELECT source, node, min(d) AS d FROM (

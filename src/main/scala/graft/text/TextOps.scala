@@ -748,6 +748,77 @@ object TextOps {
     * cluster size. One hash aggregate, map-side combined. `contentCols`
     * join with a \u0001 separator before hashing so column boundaries
     * cannot cancel. */
+  /** Add-α-smoothed unigram KL divergence between two sub-corpora over
+    * their union vocabulary: KL(A‖B) = Σ_w p_w ln(p_w/q_w) with
+    * p_w = (c_aw+α)/(N_a+αV) — the distribution-shift check between two
+    * sources/snapshots at the token level (the corpus-diff report says
+    * WHICH docs changed; this says how much the language moved). Terms
+    * quantize at 6dp before the vocab-sized fold. One row: v, n_a, n_b,
+    * kl_ab, kl_ba. */
+  def unigramKL(docs: DataFrame, groupCol: String, textCol: String,
+      ga: String, gb: String, alpha: Double = 0.5): DataFrame = {
+    val fp6 = (c: Column) =>
+      when(c >= 0, floor(c * 1e6 + 0.5)).otherwise(-floor(-c * 1e6 + 0.5))
+        .cast("long")
+    val tok = docs.where(col(groupCol) === ga || col(groupCol) === gb)
+      .select((col(groupCol) === ga).as("_a"),
+        explode(tokens(col(textCol))).as("_t"))
+      .where(col("_t") =!= "")
+    val cnt = tok.groupBy(col("_t"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("cb"))
+    val tot = cnt.agg(count(lit(1)).as("v"), sum(col("ca")).as("na"),
+      sum(col("cb")).as("nb"))
+    val withTot = cnt.crossJoin(broadcast(tot))
+    val pa = (col("ca").cast("double") + alpha) /
+      (col("na").cast("double") + lit(alpha) * col("v").cast("double"))
+    val pb = (col("cb").cast("double") + alpha) /
+      (col("nb").cast("double") + lit(alpha) * col("v").cast("double"))
+    withTot
+      .withColumn("_ab", fp6(pa * log(pa / pb)))
+      .withColumn("_ba", fp6(pb * log(pb / pa)))
+      .groupBy(col("v"), col("na"), col("nb"))
+      .agg(sum(col("_ab")).as("_sab"), sum(col("_ba")).as("_sba"))
+      .select(col("v"), col("na").as("n_a"), col("nb").as("n_b"),
+        (col("_sab").cast("double") / 1e6).as("kl_ab"),
+        (col("_sba").cast("double") / 1e6).as("kl_ba"))
+  }
+
+  /** Distinctive terms by weighted log-odds with an informative
+    * Dirichlet prior (Monroe, Colaresi & Quinn 2008 "Fightin' Words"):
+    * per token, δ_w = ln-odds(A) − ln-odds(B) with prior counts
+    * α_w = priorScale·c_w/N from the pooled corpus, z_w = δ_w/√σ²_w,
+    * σ²_w ≈ 1/(c_aw+α_w) + 1/(c_bw+α_w). The "what vocabulary makes
+    * source A different" view; min-count filters the long tail. Output
+    * per kept token: token, c_a, c_b, delta, z. */
+  def logOddsTerms(docs: DataFrame, groupCol: String, textCol: String,
+      ga: String, gb: String, priorScale: Double = 10.0,
+      minCount: Long = 5L): DataFrame = {
+    val tok = docs.where(col(groupCol) === ga || col(groupCol) === gb)
+      .select((col(groupCol) === ga).as("_a"),
+        explode(tokens(col(textCol))).as("_t"))
+      .where(col("_t") =!= "")
+    val cnt = tok.groupBy(col("_t"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("cb"))
+      .where(col("ca") + col("cb") >= minCount)
+    val tot = cnt.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      sum(col("ca") + col("cb")).as("nn"))
+    val t = cnt.crossJoin(broadcast(tot))
+      .withColumn("_aw", lit(priorScale) *
+        (col("ca") + col("cb")).cast("double") / col("nn").cast("double"))
+    val a0 = lit(priorScale)
+    val oa = (col("ca").cast("double") + col("_aw")) /
+      (col("na").cast("double") + a0 - col("ca").cast("double") - col("_aw"))
+    val ob = (col("cb").cast("double") + col("_aw")) /
+      (col("nb").cast("double") + a0 - col("cb").cast("double") - col("_aw"))
+    val delta = log(oa) - log(ob)
+    val sig2 = lit(1.0) / (col("ca").cast("double") + col("_aw")) +
+      lit(1.0) / (col("cb").cast("double") + col("_aw"))
+    t.select(col("_t").as("token"), col("ca").as("c_a"), col("cb").as("c_b"),
+      delta.as("delta"), (delta / sqrt(sig2)).as("z"))
+  }
+
   def corpusFingerprint(df: DataFrame, keyCols: Seq[String],
       contentCols: Seq[String]): DataFrame = {
     val content = concat_ws("\u0001",
