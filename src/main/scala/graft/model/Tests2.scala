@@ -463,6 +463,76 @@ object Tests2 {
       .select("key", "n_pairs", "n_up", "n_down", "z")
   }
 
+  /** Yuen's trimmed two-sample t: per group, trim γ·n from each tail
+    * (order statistics off the 4dp value histogram — k-th value = the
+    * smallest v whose cumulative count reaches k), trimmed mean from
+    * the exact clipped-overlap sums, winsorized variance with the tail
+    * masses moved to the cut values, Welch-style df on the winsorized
+    * scale. The robust two-sample location test the plain t loses to
+    * under heavy tails. One row: n_a, n_b, tm_a, tm_b, t_stat, df. */
+  def yuenTrimmedT(data: DataFrame, groupCol: String, valCol: String,
+      ga: String, gb: String, gamma: Double = 0.2): DataFrame = {
+    require(gamma > 0 && gamma < 0.5, s"0 < gamma < 0.5: $gamma")
+    val v = col(valCol).cast("double")
+    def side(g: String, tag: String): DataFrame = {
+      val h = data.where(v.isNotNull && col(groupCol) === g)
+        .select(fp(v).as("_v"))
+        .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+      val w = Window.orderBy(col("_v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = h.agg(sum(col("_c")).as("_n"))
+      val cum = h.crossJoin(broadcast(tot))
+        .withColumn("_cb", sum(col("_c")).over(w) - col("_c"))
+        .withColumn("_g", floor(lit(gamma) * col("_n").cast("double"))
+          .cast("long"))
+      // overlap of this value's rank run with the kept band (g+1..n−g)
+      val kept = greatest(lit(0L),
+        least(col("_cb") + col("_c"), col("_n") - col("_g")) -
+          greatest(col("_cb"), col("_g")))
+      // the two cut order statistics: (g+1)-th and (n−g)-th values
+      val isLo = col("_cb") < col("_g") + 1 &&
+        col("_cb") + col("_c") >= col("_g") + 1
+      val isHi = col("_cb") < col("_n") - col("_g") &&
+        col("_cb") + col("_c") >= col("_n") - col("_g")
+      cum.agg(
+        max(col("_n")).as("n"), max(col("_g")).as("g"),
+        sum(dec(kept * col("_v"))).as("ts"),
+        sum(dec(dec(kept * col("_v")) * dec(col("_v")))).as("tss"),
+        max(when(isLo, col("_v"))).as("vlo"),
+        max(when(isHi, col("_v"))).as("vhi"))
+        .select(lit(tag).as("_side"), col("n"), col("g"), col("ts"),
+          col("tss"), col("vlo"), col("vhi"))
+    }
+    val both = side(ga, "a").unionAll(side(gb, "b"))
+    val n = col("n").cast("double"); val g = col("g").cast("double")
+    val h = col("n") - lit(2) * col("g")
+    val hD = h.cast("double")
+    // winsorized sums: kept mass + g copies of each cut value
+    val ws = col("ts").cast("double") + g * col("vlo").cast("double") +
+      g * col("vhi").cast("double")
+    val wss = col("tss").cast("double") +
+      g * col("vlo").cast("double") * col("vlo").cast("double") +
+      g * col("vhi").cast("double") * col("vhi").cast("double")
+    val swin = (wss - ws * ws / n) / (n - 1) / 1e8
+    val per = both.select(col("_side"), col("n"), h.as("h"),
+      (col("ts").cast("double") / hD / 1e4).as("tm"),
+      (swin * (n - 1) / (hD * (hD - 1))).as("d"))
+    val a = per.where(col("_side") === "a")
+      .select(col("n").as("n_a"), col("h").as("_ha"), col("tm").as("tm_a"),
+        col("d").as("_da"))
+    val b = per.where(col("_side") === "b")
+      .select(col("n").as("n_b"), col("h").as("_hb"), col("tm").as("tm_b"),
+        col("d").as("_db"))
+    a.crossJoin(broadcast(b))
+      .withColumn("t_stat",
+        (col("tm_a") - col("tm_b")) / sqrt(col("_da") + col("_db")))
+      .withColumn("df",
+        (col("_da") + col("_db")) * (col("_da") + col("_db")) /
+          (col("_da") * col("_da") / (col("_ha") - 1).cast("double") +
+            col("_db") * col("_db") / (col("_hb") - 1).cast("double")))
+      .select("n_a", "n_b", "tm_a", "tm_b", "t_stat", "df")
+  }
+
   /** Cliff's delta ordinal effect size: δ = 2U/(n_a·n_b) − 1 from the
     * same 2·r̄ midrank histogram as Mann–Whitney (δ = P(a>b) − P(a<b),
     * the effect size the U test's p-value doesn't carry). One row:

@@ -339,6 +339,29 @@ object R9Queries {
     "q439_cliffs_delta" -> ((s, dir) =>
       canon(graft.model.Tests2.cliffsDelta(ev(s, dir), "event_type",
         "value", "click", "error"))),
+    // Yuen's 20%-trimmed robust two-sample t, click vs error
+    "q440_yuen" -> ((s, dir) =>
+      canon(graft.model.Tests2.yuenTrimmedT(ev(s, dir), "event_type",
+        "value", "click", "error", gamma = 0.2))),
+    // tokenizer fertility per lang: BPE tokens per whitespace word
+    // (the q185 trained-merges encoder under a per-lang roll-up)
+    "q441_fertility" -> ((s, dir) => {
+      val rules = graft.text.TextOps.bpeTrain(docs(s, dir), "doc_id",
+        "text", nMerges = 10, vocabTopN = 1000)
+        .collect().sortBy(_.getAs[Int]("round"))
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+      val enc = graft.text.TextOps.bpeEncode(docs(s, dir), "doc_id",
+        "text", rules)
+      val words = docs(s, dir).select(col("doc_id"), col("lang"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long")
+          .as("n_words"))
+      canon(enc.join(words, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("bpe_total"),
+          sum(col("n_words")).as("words_total"))
+        .withColumn("fertility", col("bpe_total").cast("double") /
+          col("words_total").cast("double")))
+    }),
   )
 
   /** 4dp fixed-point long of a SQL expression (half away from zero). */
@@ -1135,8 +1158,10 @@ object R9Queries {
     "q412_prefix_jaccard" ->
       """WITH tk AS (SELECT doc_id,
         |  unnest(list_distinct(regexp_extract_all(lower(text), '\S+')))
-        |   AS tok FROM documents),
-        |tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+        |   AS ts FROM documents),
+        |tk2 AS (SELECT doc_id,
+        |  ('0x'||substr(md5(ts),1,14))::BIGINT AS tok
+        | FROM tk WHERE ts <> ''),
         |sz AS (SELECT doc_id, count(*)::BIGINT AS s FROM tk2 GROUP BY 1),
         |pr AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS inter
         | FROM tk2 a JOIN tk2 b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -1608,6 +1633,76 @@ object R9Queries {
          |SELECT n_a, n_b, round(u, 4) AS u_stat,
          | round(2.0 * u / (n_a::DOUBLE * n_b::DOUBLE) - 1.0, 4) + 0
          |  AS delta FROM f""".stripMargin.replace("\n", " "),
+    "q440_yuen" -> {
+      def side(g: String) =
+        s"""(WITH h AS (SELECT ${fp4("value")} AS v, count(*)::BIGINT AS c
+           | FROM events WHERE value IS NOT NULL AND event_type = '$g'
+           | GROUP BY 1),
+           |t AS (SELECT sum(c)::BIGINT AS n FROM h),
+           |cum AS (SELECT h.v, h.c, t.n,
+           |  sum(c) OVER (ORDER BY v ASC
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cb,
+           |  floor(0.2 * t.n::DOUBLE)::BIGINT AS g
+           | FROM h CROSS JOIN t),
+           |k AS (SELECT *, greatest(0, least(cb + c, n - g)
+           |   - greatest(cb, g)) AS kept FROM cum)
+           |SELECT max(n) AS n, max(g) AS g,
+           | sum((kept * v)::HUGEINT) AS ts,
+           | sum((kept * v)::HUGEINT * v::HUGEINT) AS tss,
+           | max(CASE WHEN cb < g + 1 AND cb + c >= g + 1 THEN v END)
+           |  AS vlo,
+           | max(CASE WHEN cb < n - g AND cb + c >= n - g THEN v END)
+           |  AS vhi
+           |FROM k)""".stripMargin.replace("\n", " ")
+      s"""WITH sa AS (SELECT * FROM ${side("click")}),
+         |sb AS (SELECT * FROM ${side("error")}),
+         |f AS (SELECT
+         |  sa.n AS n_a, sb.n AS n_b,
+         |  (sa.n - 2*sa.g)::DOUBLE AS ha, (sb.n - 2*sb.g)::DOUBLE AS hb,
+         |  sa.ts::DOUBLE / (sa.n - 2*sa.g)::DOUBLE / 10000.0 AS tm_a,
+         |  sb.ts::DOUBLE / (sb.n - 2*sb.g)::DOUBLE / 10000.0 AS tm_b,
+         |  ((sa.tss::DOUBLE + sa.g::DOUBLE * sa.vlo::DOUBLE * sa.vlo::DOUBLE
+         |    + sa.g::DOUBLE * sa.vhi::DOUBLE * sa.vhi::DOUBLE
+         |   - (sa.ts::DOUBLE + sa.g::DOUBLE * sa.vlo::DOUBLE
+         |      + sa.g::DOUBLE * sa.vhi::DOUBLE)
+         |    * (sa.ts::DOUBLE + sa.g::DOUBLE * sa.vlo::DOUBLE
+         |      + sa.g::DOUBLE * sa.vhi::DOUBLE) / sa.n::DOUBLE)
+         |   / (sa.n::DOUBLE - 1) / 100000000.0)
+         |  * (sa.n::DOUBLE - 1)
+         |  / ((sa.n - 2*sa.g)::DOUBLE * ((sa.n - 2*sa.g)::DOUBLE - 1))
+         |   AS da,
+         |  ((sb.tss::DOUBLE + sb.g::DOUBLE * sb.vlo::DOUBLE * sb.vlo::DOUBLE
+         |    + sb.g::DOUBLE * sb.vhi::DOUBLE * sb.vhi::DOUBLE
+         |   - (sb.ts::DOUBLE + sb.g::DOUBLE * sb.vlo::DOUBLE
+         |      + sb.g::DOUBLE * sb.vhi::DOUBLE)
+         |    * (sb.ts::DOUBLE + sb.g::DOUBLE * sb.vlo::DOUBLE
+         |      + sb.g::DOUBLE * sb.vhi::DOUBLE) / sb.n::DOUBLE)
+         |   / (sb.n::DOUBLE - 1) / 100000000.0)
+         |  * (sb.n::DOUBLE - 1)
+         |  / ((sb.n - 2*sb.g)::DOUBLE * ((sb.n - 2*sb.g)::DOUBLE - 1))
+         |   AS db
+         | FROM sa CROSS JOIN sb),
+         |f2 AS (SELECT n_a, n_b, tm_a, tm_b,
+         |  (tm_a - tm_b) / sqrt(da + db) AS tst,
+         |  (da + db) * (da + db)
+         |   / (da * da / (ha - 1) + db * db / (hb - 1)) AS dff
+         | FROM f)
+         |SELECT n_a, n_b, round(tm_a, 4) + 0 AS tm_a,
+         | round(tm_b, 4) + 0 AS tm_b,
+         | round(tst, 4) + 0 AS t_stat, round(dff, 4) AS df
+         |FROM f2""".stripMargin.replace("\n", " ")
+    },
+    "q441_fertility" -> {
+      s"""SELECT lang, count(*)::BIGINT AS n_docs,
+         | sum(n_bpe)::BIGINT AS bpe_total,
+         | sum(n_words)::BIGINT AS words_total,
+         | round(sum(n_bpe)::DOUBLE / sum(n_words)::DOUBLE, 4) AS fertility
+         |FROM (${TextQueries.bpeEncodeOracle}) enc
+         |JOIN (SELECT doc_id, lang,
+         |  len(regexp_extract_all(lower(text), '\\S+'))::BIGINT AS n_words
+         | FROM documents) w USING (doc_id)
+         |GROUP BY lang""".stripMargin.replace("\n", " ")
+    },
     "q429_closeness" -> {
       val steps = (1 to 4).map { i =>
         s"""r$i AS (SELECT source, node, min(d) AS d FROM (

@@ -1687,7 +1687,7 @@ object TextQueries {
   /** Encode replay: re-derive the 10 rules, then apply them in training
     * order as nested replaces over the per-char-wrapped text; token
     * count = number of '(' left. */
-  private lazy val bpeEncodeOracle: String = {
+  private[queries] lazy val bpeEncodeOracle: String = {
     val base = "regexp_replace(lower(text), '(.)', '(\\1)', 'g')"
     val applied = (1 to 10).foldLeft(base) { (s, t) =>
       s"""replace($s, (SELECT '('||a||')('||b||')' FROM m$t),

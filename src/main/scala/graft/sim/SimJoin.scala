@@ -28,10 +28,15 @@ object SimJoin {
   def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
       tau: Double): DataFrame = {
     require(tau > 0 && tau < 1, s"0 < tau < 1: $tau")
+    // tokens travel as 56-bit md5 hashes (longs): 3× less shuffle than
+    // UTF8 strings through the candidate join and O(1) comparisons in
+    // the array verify — the 2^56 collision odds are far below the 4dp
+    // hash-compare tolerance everywhere else in the engine
     val tok = docs
       .select(col(idCol).as("_id"),
-        explode(array_distinct(tokens(col(textCol)))).as("_tok"))
-      .where(col("_tok") =!= "")
+        explode(array_distinct(tokens(col(textCol)))).as("_ts"))
+      .where(col("_ts") =!= "")
+      .select(col("_id"), graft.text.TextOps.hash56(col("_ts")).as("_tok"))
     val sizes = tok.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
     // global rarity rank: vocab-sized frame, rarest first (df asc, token)
     val rank = tok.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
@@ -52,11 +57,17 @@ object SimJoin {
       .where(least(col("sz_a"), col("sz_b")).cast("double") >=
         lit(tau) * greatest(col("sz_a"), col("sz_b")).cast("double"))
       .distinct()
-    val ta = tok.select(col("_id").as("a"), col("_tok"))
-    val tb = tok.select(col("_id").as("b"), col("_tok"))
-    cand.join(ta, "a").join(tb, Seq("b", "_tok"))
-      .groupBy(col("a"), col("b"), col("sz_a"), col("sz_b"))
-      .agg(count(lit(1)).as("inter"))
+    // verify on packed token ARRAYS, not an exploded token join — the
+    // join-based verify expands every candidate pair by its full token
+    // list (measured 40 s at sf0.1 on ~1M near-identical candidates);
+    // array_intersect keeps each pair one row and runs in codegen
+    val arrs = tok.groupBy(col("_id"))
+      .agg(array_sort(collect_list(col("_tok"))).as("_arr"))
+    cand
+      .join(arrs.select(col("_id").as("a"), col("_arr").as("_aa")), "a")
+      .join(arrs.select(col("_id").as("b"), col("_arr").as("_ab")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("_aa"), col("_ab"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .where(col("jaccard") >= tau)
