@@ -145,6 +145,46 @@ object Spc {
       .select("key", "win", "c", "ucl", "lcl", "out")
   }
 
+  /** Individuals / moving-range (I-MR) chart — the Shewhart chart for
+    * n=1 subgroups (no rational subgrouping available): MR_t =
+    * |x_t − x_{t−1}| as exact 4dp integers, center lines from exact
+    * totals, limits x̄ ± 2.66·M̄R and MR UCL = 3.267·M̄R (the d2=1.128
+    * constants folded in). Output per point: key, ord, x, mr, x_ucl,
+    * x_lcl, mr_ucl, out_x, out_mr (mr/out_mr NULL on each key's first
+    * point). */
+  def imrChart(data: DataFrame, keyCol: String, ordCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valCol).cast("double")
+    val w = Window.partitionBy(col("key")).orderBy(col("ord").asc)
+    val base = data.where(v.isNotNull)
+      .select(col(keyCol).as("key"), col(ordCol).cast("long").as("ord"),
+        graft.core.fixedPointLong(v, 4).as("_x4"))
+      .withColumn("_mr4", abs(col("_x4") - lag(col("_x4"), 1).over(w)))
+    val cl = base.groupBy(col("key"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_x4").cast("decimal(38,0)")).as("_sx"),
+        sum(col("_mr4").cast("decimal(38,0)")).as("_smr"),
+        sum(when(col("_mr4").isNotNull, 1L).otherwise(0L)).as("_nmr"))
+      .where(col("_nmr") >= 1)
+      .select(col("key"),
+        (col("_sx").cast("double") / col("_n").cast("double") / 1e4)
+          .as("_xc"),
+        (col("_smr").cast("double") / col("_nmr").cast("double") / 1e4)
+          .as("_mrc"))
+    base.join(broadcast(cl), "key")
+      .withColumn("x", col("_x4").cast("double") / 1e4)
+      .withColumn("mr", col("_mr4").cast("double") / 1e4)
+      .withColumn("x_ucl", col("_xc") + lit(2.66) * col("_mrc"))
+      .withColumn("x_lcl", col("_xc") - lit(2.66) * col("_mrc"))
+      .withColumn("mr_ucl", lit(3.267) * col("_mrc"))
+      .withColumn("out_x",
+        col("x") > col("x_ucl") || col("x") < col("x_lcl"))
+      .withColumn("out_mr", col("mr") > col("mr_ucl"))
+      .select("key", "ord", "x", "mr", "x_ucl", "x_lcl", "mr_ucl",
+        "out_x", "out_mr")
+  }
+
   /** Western Electric run rules over the per-key standardized series
     * (μ, σ from exact fixed-point sums, sample variance):
     * r1 — point beyond 3σ; r2 — ≥2 of the last 3 beyond 2σ on the SAME

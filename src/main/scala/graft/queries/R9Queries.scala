@@ -343,6 +343,24 @@ object R9Queries {
     "q440_yuen" -> ((s, dir) =>
       canon(graft.model.Tests2.yuenTrimmedT(ev(s, dir), "event_type",
         "value", "click", "error", gamma = 0.2))),
+    // individuals / moving-range chart per event_type
+    "q442_imr" -> ((s, dir) =>
+      canon(graft.model.Spc.imrChart(ev(s, dir), "event_type",
+        "event_id", "value"))),
+    // binary transfer entropy click→error over aligned daily means
+    "q443_transfer_entropy" -> ((s, dir) => {
+      def dayMean(t: String, as: String) =
+        ev(s, dir).where(col("value").isNotNull &&
+            col("event_type") === t)
+          .withColumn("day", expr("ts div 86400000000000"))
+          .groupBy(col("day"))
+          .agg((sum(fixedPointLong(col("value"), 4)).cast("double")
+            / 1e4 / count(lit(1))).as(as))
+      val ser = dayMean("click", "xv").join(dayMean("error", "yv"), "day")
+        .withColumn("k", lit("click->error"))
+      canon(graft.model.Assoc.transferEntropy(ser, Seq("k"), "day",
+        "xv", "yv"))
+    }),
     // tokenizer fertility per lang: BPE tokens per whitespace word
     // (the q185 trained-merges encoder under a per-lang roll-up)
     "q441_fertility" -> ((s, dir) => {
@@ -1692,6 +1710,74 @@ object R9Queries {
          | round(tst, 4) + 0 AS t_stat, round(dff, 4) AS df
          |FROM f2""".stripMargin.replace("\n", " ")
     },
+    "q442_imr" ->
+      s"""WITH b AS (SELECT event_type AS key, event_id AS ord,
+         |  ${fp4("value")} AS x4
+         | FROM events WHERE value IS NOT NULL),
+         |l AS (SELECT key, ord, x4, abs(x4 - lag(x4)
+         |  OVER (PARTITION BY key ORDER BY ord)) AS mr4 FROM b),
+         |cl AS (SELECT key, count(*)::BIGINT AS n, sum(x4::HUGEINT) AS sx,
+         |  sum(mr4::HUGEINT) AS smr,
+         |  sum(CASE WHEN mr4 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS nmr
+         | FROM l GROUP BY key
+         | HAVING sum(CASE WHEN mr4 IS NOT NULL THEN 1 ELSE 0 END) >= 1),
+         |f AS (SELECT l.key, l.ord, l.x4::DOUBLE/10000.0 AS x,
+         |  l.mr4::DOUBLE/10000.0 AS mr,
+         |  cl.sx::DOUBLE / cl.n::DOUBLE / 10000.0 AS xc,
+         |  cl.smr::DOUBLE / cl.nmr::DOUBLE / 10000.0 AS mrc
+         | FROM l JOIN cl USING (key))
+         |SELECT key, ord, round(x, 4) + 0 AS x, round(mr, 4) AS mr,
+         | round(xc + 2.66*mrc, 4) AS x_ucl,
+         | round(xc - 2.66*mrc, 4) + 0 AS x_lcl,
+         | round(3.267*mrc, 4) AS mr_ucl,
+         | (x > xc + 2.66*mrc OR x < xc - 2.66*mrc) AS out_x,
+         | (mr > 3.267*mrc) AS out_mr
+         |FROM f""".stripMargin.replace("\n", " "),
+    "q443_transfer_entropy" ->
+      s"""WITH cc AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+         |  sum(${fp4("value")})::HUGEINT AS s, count(*)::BIGINT AS n
+         | FROM events WHERE value IS NOT NULL AND event_type = 'click'
+         | GROUP BY 1),
+         |ee AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+         |  sum(${fp4("value")})::HUGEINT AS s, count(*)::BIGINT AS n
+         | FROM events WHERE value IS NOT NULL AND event_type = 'error'
+         | GROUP BY 1),
+         |ser AS (SELECT cc.day,
+         |  ${fp4("cc.s::DOUBLE / 10000.0 / cc.n::DOUBLE")} AS x,
+         |  ${fp4("ee.s::DOUBLE / 10000.0 / ee.n::DOUBLE")} AS y
+         | FROM cc JOIN ee USING (day)),
+         |hx AS (SELECT x AS v, count(*)::BIGINT AS c FROM ser GROUP BY 1),
+         |mx AS (SELECT min(v) AS xmed FROM (SELECT v,
+         |  sum(c) OVER (ORDER BY v ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  (SELECT sum(c) FROM hx) AS tot FROM hx) WHERE 2*cum >= tot),
+         |hy AS (SELECT y AS v, count(*)::BIGINT AS c FROM ser GROUP BY 1),
+         |my AS (SELECT min(v) AS ymed FROM (SELECT v,
+         |  sum(c) OVER (ORDER BY v ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  (SELECT sum(c) FROM hy) AS tot FROM hy) WHERE 2*cum >= tot),
+         |bb AS (SELECT day, (x > mx.xmed)::INT AS xb, (y > my.ymed)::INT
+         |   AS yb FROM ser CROSS JOIN mx CROSS JOIN my),
+         |ll AS (SELECT yb, lag(yb) OVER (ORDER BY day) AS y1,
+         |  lag(xb) OVER (ORDER BY day) AS x1 FROM bb),
+         |ff AS (SELECT yb, y1, x1 FROM ll WHERE y1 IS NOT NULL),
+         |c3 AS (SELECT yb, y1, x1, count(*)::BIGINT AS c3 FROM ff
+         | GROUP BY 1, 2, 3),
+         |c2a AS (SELECT y1, x1, sum(c3)::BIGINT AS c2a FROM c3
+         | GROUP BY 1, 2),
+         |c2b AS (SELECT yb, y1, sum(c3)::BIGINT AS c2b FROM c3
+         | GROUP BY 1, 2),
+         |c1 AS (SELECT y1, sum(c3)::BIGINT AS c1 FROM c3 GROUP BY 1),
+         |nn AS (SELECT sum(c3)::BIGINT AS n FROM c3),
+         |tt AS (SELECT nn.n,
+         |  ${fp6s("c3.c3::DOUBLE / nn.n::DOUBLE " +
+            "* ln(c3.c3::DOUBLE * c1.c1::DOUBLE " +
+            "/ (c2a.c2a::DOUBLE * c2b.c2b::DOUBLE))")} AS t
+         | FROM c3 JOIN c2a USING (y1, x1) JOIN c2b USING (yb, y1)
+         | JOIN c1 USING (y1) CROSS JOIN nn)
+         |SELECT 'click->error' AS key, max(n)::BIGINT AS n,
+         | round(sum(t)::DOUBLE / 1000000.0, 4) + 0 AS te FROM tt"""
+        .stripMargin.replace("\n", " "),
     "q441_fertility" -> {
       s"""SELECT lang, count(*)::BIGINT AS n_docs,
          | sum(n_bpe)::BIGINT AS bpe_total,

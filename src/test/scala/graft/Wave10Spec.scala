@@ -1,0 +1,51 @@
+package graft
+
+import graft.model.{Assoc, Spc, Tests2}
+import org.apache.spark.sql.functions._
+
+/** Yuen trimmed t, I-MR chart, transfer entropy. */
+class Wave10Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("yuen: outlier-contaminated shift is detected on the trimmed scale") {
+    // b = a + 5 with two wild outliers in a that would wreck plain t
+    val a = (1 to 50).map(i => ("a", (i % 10).toDouble)) ++
+      Seq(("a", 1e4), ("a", -1e4))
+    val b = (1 to 50).map(i => ("b", (i % 10) + 5.0))
+    val r = Tests2.yuenTrimmedT((a ++ b).toDF("g", "v"), "g", "v", "a", "b")
+      .collect()(0)
+    assert(math.abs(r.getAs[Double]("tm_a") -
+      (r.getAs[Double]("tm_b") - 5.0)) < 0.5, s"$r")
+    assert(r.getAs[Double]("t_stat") < -5.0, s"$r")
+  }
+
+  test("imr: one wild point is flagged on both charts") {
+    val df = ((1 to 100).map(i =>
+      ("k", i.toLong, 10.0 + (i % 3))) :+ (("k", 101L, 100.0)))
+      .toDF("g", "o", "v")
+    val rows = Spc.imrChart(df, "g", "o", "v").collect()
+      .map(r => r.getAs[Long]("ord") -> r).toMap
+    assert(rows(101L).getAs[Boolean]("out_x"))
+    assert(rows(101L).getAs[Boolean]("out_mr"))
+    assert(!rows(50L).getAs[Boolean]("out_x"))
+    assert(rows(1L).get(rows(1L).fieldIndex("mr")) == null) // first point
+  }
+
+  test("transfer entropy: y copying x's past scores far above independence") {
+    // y_t = x_{t-1}: maximal x→y transfer
+    val xs = (0 until 200).map(i => (i * 37 + 11) % 100)
+    val rows = (1 until 200).map { t =>
+      ("k", t.toLong, xs(t).toDouble, xs(t - 1).toDouble)
+    }
+    val dep = Assoc.transferEntropy(rows.toDF("k", "t", "x", "y"),
+      Seq("k"), "t", "x", "y").collect()(0)
+    assert(dep.getAs[Double]("te") > 0.4, s"copy channel: $dep")
+    // independent y
+    val ind = (1 until 200).map { t =>
+      ("k", t.toLong, xs(t).toDouble, ((t * 61 + 7) % 100).toDouble)
+    }
+    val r2 = Assoc.transferEntropy(ind.toDF("k", "t", "x", "y"),
+      Seq("k"), "t", "x", "y").collect()(0)
+    assert(r2.getAs[Double]("te") < 0.1, s"independent: $r2")
+  }
+}
