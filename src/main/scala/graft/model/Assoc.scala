@@ -641,4 +641,120 @@ object Assoc {
       .agg(max(col("n")).as("n"),
         (sum(col("_t")).cast("double") / 1e6).as("te"))
   }
+
+  /** Granger-causality F-test x→y (one lag of each): the unrestricted
+    * regression y_t ~ α + β·y_{t−1} + γ·x_{t−1} against the restricted
+    * y_t ~ α + β·y_{t−1}; F = (SSE_r − SSE_u)·(n−3)/SSE_u with both
+    * SSEs from centered exact fixed-point sums and the 2×2 normal
+    * equations solved by Cramer's rule — TE's parametric sibling (TE
+    * asks "is there information", Granger asks "is it linear"). One
+    * row per key: key, n, f_stat. */
+  def grangerF(data: DataFrame, keyCols: Seq[String], ordCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val w = Window.partitionBy(col("key")).orderBy(col("_o").asc)
+    val b = data.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(key.as("key"), col(ordCol).cast("long").as("_o"),
+        graft.core.fixedPointLong(col(xCol).cast("double"), 4).as("_x"),
+        graft.core.fixedPointLong(col(yCol).cast("double"), 4).as("_y"))
+      .withColumn("_u", lag(col("_y"), 1).over(w))
+      .withColumn("_v", lag(col("_x"), 1).over(w))
+      .where(col("_u").isNotNull)
+    val s = b.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("_y"))).as("sy"), sum(dec(col("_u"))).as("su"),
+        sum(dec(col("_v"))).as("sv"),
+        sum(dec(dec(col("_y")) * dec(col("_y")))).as("syy"),
+        sum(dec(dec(col("_u")) * dec(col("_u")))).as("suu"),
+        sum(dec(dec(col("_v")) * dec(col("_v")))).as("svv"),
+        sum(dec(dec(col("_u")) * dec(col("_y")))).as("suy"),
+        sum(dec(dec(col("_v")) * dec(col("_y")))).as("svy"),
+        sum(dec(dec(col("_u")) * dec(col("_v")))).as("suv"))
+      .where(col("n") >= 8)
+    val n = col("n").cast("double")
+    def c2(ab: String, a: String, bc: String): Column =
+      col(ab).cast("double") -
+        col(a).cast("double") * col(bc).cast("double") / n
+    val cyy = c2("syy", "sy", "sy"); val cuu = c2("suu", "su", "su")
+    val cvv = c2("svv", "sv", "sv"); val cuy = c2("suy", "su", "sy")
+    val cvy = c2("svy", "sv", "sy"); val cuv = c2("suv", "su", "sv")
+    val det = cuu * cvv - cuv * cuv
+    val bb = (cuy * cvv - cvy * cuv) / det
+    val cc = (cvy * cuu - cuy * cuv) / det
+    val sseU = cyy - bb * cuy - cc * cvy
+    val sseR = cyy - cuy * cuy / cuu
+    s.select(col("key"), col("n"),
+      when(sseU > 0 && det > 0,
+        (sseR - sseU) * (n - 3) / sseU).otherwise(lit(0.0)).as("f_stat"))
+  }
+
+  /** Newey–West HAC slope inference for y-on-x per key (Bartlett
+    * kernel, q=4): the OLS slope with a long-run-variance standard
+    * error robust to autocorrelated/heteroscedastic residuals. The
+    * score series scales to exact integers z_t = (n·x_t − Σx)·e4_t, so
+    * Γ₀..Γ₄ are exact decimals and Var(β̂) = (Γ₀+2Σw·Γ)·n² /
+    * (10⁸·(ΣA²)²) assembles from integers only. One row per key:
+    * key, n, slope, se_hac, t_hac. */
+  def neweyWestSlope(data: DataFrame, keyCols: Seq[String],
+      ordCol: String, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = data.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(key.as("key"), col(ordCol).cast("long").as("_o"),
+        col(xCol).cast("long").as("_x"),
+        graft.core.fixedPointLong(col(yCol).cast("double"), 4).as("_y4"))
+    val sums = base.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("_x")).as("sx"),
+        sum(dec(col("_x") * col("_x"))).as("sxx"),
+        sum(dec(col("_y4"))).as("sy"),
+        sum(dec(col("_x") * col("_y4"))).as("sxy"))
+      .where(col("n") >= 8)
+    val nD = col("n").cast("double")
+    val slope = (nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) /
+      (nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) / 1e4
+    val icept = (col("sy").cast("double") / 1e4 -
+      (nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (nD * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) / 1e4 *
+        col("sx").cast("double")) / nD
+    val coef = sums.select(col("key"), col("n").as("_n2"),
+      col("sx").as("_sx2"), slope.as("_b"), icept.as("_a"))
+    val w = Window.partitionBy(col("key")).orderBy(col("_o").asc)
+    val z = base.join(broadcast(coef), "key")
+      .withColumn("_e4", graft.core.fixedPointLong(
+        col("_y4").cast("double") / 1e4 -
+          (col("_a") + col("_b") * col("_x")), 4))
+      .withColumn("_z",
+        dec((col("_n2") * col("_x") - col("_sx2")) * col("_e4")))
+      .withColumn("_z1", lag(col("_z"), 1).over(w))
+      .withColumn("_z2", lag(col("_z"), 2).over(w))
+      .withColumn("_z3", lag(col("_z"), 3).over(w))
+      .withColumn("_z4", lag(col("_z"), 4).over(w))
+      .withColumn("_a2",
+        dec((col("_n2") * col("_x") - col("_sx2")) *
+          (col("_n2") * col("_x") - col("_sx2"))))
+    val g = z.groupBy(col("key"))
+      .agg(max(col("_n2")).as("n"), max(col("_b")).as("slope"),
+        sum(col("_a2")).as("sa2"),
+        sum(dec(col("_z") * col("_z"))).as("g0"),
+        sum(dec(col("_z") * col("_z1"))).as("g1"),
+        sum(dec(col("_z") * col("_z2"))).as("g2"),
+        sum(dec(col("_z") * col("_z3"))).as("g3"),
+        sum(dec(col("_z") * col("_z4"))).as("g4"))
+    val lr = g("g0").cast("double") + lit(2.0) *
+      (lit(0.8) * col("g1").cast("double") +
+        lit(0.6) * col("g2").cast("double") +
+        lit(0.4) * col("g3").cast("double") +
+        lit(0.2) * col("g4").cast("double"))
+    val se = sqrt(lr * col("n").cast("double") * col("n").cast("double") /
+      (lit(1e8) * col("sa2").cast("double") * col("sa2").cast("double")))
+    g.select(col("key"), col("n"), col("slope"), se.as("se_hac"),
+      (col("slope") / se).as("t_hac"))
+  }
 }

@@ -361,6 +361,24 @@ object R9Queries {
       canon(graft.model.Assoc.transferEntropy(ser, Seq("k"), "day",
         "xv", "yv"))
     }),
+    // Granger F x→y over the same aligned daily means as q443
+    "q444_granger" -> ((s, dir) => {
+      def dayMean(t: String, as: String) =
+        ev(s, dir).where(col("value").isNotNull &&
+            col("event_type") === t)
+          .withColumn("day", expr("ts div 86400000000000"))
+          .groupBy(col("day"))
+          .agg((sum(fixedPointLong(col("value"), 4)).cast("double")
+            / 1e4 / count(lit(1))).as(as))
+      val ser = dayMean("click", "xv").join(dayMean("error", "yv"), "day")
+        .withColumn("k", lit("click->error"))
+      canon(graft.model.Assoc.grangerF(ser, Seq("k"), "day", "xv", "yv"))
+    }),
+    // Newey–West HAC slope inference, value on day per event_type
+    "q445_newey_west" -> ((s, dir) =>
+      canon(graft.model.Assoc.neweyWestSlope(
+        ev(s, dir).withColumn("day", expr("ts div 86400000000000")),
+        Seq("event_type"), "event_id", "day", "value"))),
     // tokenizer fertility per lang: BPE tokens per whitespace word
     // (the q185 trained-merges encoder under a per-lang roll-up)
     "q441_fertility" -> ((s, dir) => {
@@ -1778,6 +1796,94 @@ object R9Queries {
          |SELECT 'click->error' AS key, max(n)::BIGINT AS n,
          | round(sum(t)::DOUBLE / 1000000.0, 4) + 0 AS te FROM tt"""
         .stripMargin.replace("\n", " "),
+    "q444_granger" ->
+      s"""WITH cc AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+         |  sum(${fp4("value")})::HUGEINT AS s, count(*)::BIGINT AS n
+         | FROM events WHERE value IS NOT NULL AND event_type = 'click'
+         | GROUP BY 1),
+         |ee AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+         |  sum(${fp4("value")})::HUGEINT AS s, count(*)::BIGINT AS n
+         | FROM events WHERE value IS NOT NULL AND event_type = 'error'
+         | GROUP BY 1),
+         |ser AS (SELECT cc.day,
+         |  ${fp4("cc.s::DOUBLE / 10000.0 / cc.n::DOUBLE")} AS x,
+         |  ${fp4("ee.s::DOUBLE / 10000.0 / ee.n::DOUBLE")} AS y
+         | FROM cc JOIN ee USING (day)),
+         |lg AS (SELECT y, lag(y) OVER (ORDER BY day) AS u,
+         |  lag(x) OVER (ORDER BY day) AS v FROM ser),
+         |f0 AS (SELECT y, u, v FROM lg WHERE u IS NOT NULL),
+         |s AS (SELECT count(*)::BIGINT AS n,
+         |  sum(y::HUGEINT) AS sy, sum(u::HUGEINT) AS su,
+         |  sum(v::HUGEINT) AS sv,
+         |  sum(y::HUGEINT * y::HUGEINT) AS syy,
+         |  sum(u::HUGEINT * u::HUGEINT) AS suu,
+         |  sum(v::HUGEINT * v::HUGEINT) AS svv,
+         |  sum(u::HUGEINT * y::HUGEINT) AS suy,
+         |  sum(v::HUGEINT * y::HUGEINT) AS svy,
+         |  sum(u::HUGEINT * v::HUGEINT) AS suv
+         | FROM f0 HAVING count(*) >= 8),
+         |c AS (SELECT n, n::DOUBLE AS nd,
+         |  syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE AS cyy,
+         |  suu::DOUBLE - su::DOUBLE * su::DOUBLE / n::DOUBLE AS cuu,
+         |  svv::DOUBLE - sv::DOUBLE * sv::DOUBLE / n::DOUBLE AS cvv,
+         |  suy::DOUBLE - su::DOUBLE * sy::DOUBLE / n::DOUBLE AS cuy,
+         |  svy::DOUBLE - sv::DOUBLE * sy::DOUBLE / n::DOUBLE AS cvy,
+         |  suv::DOUBLE - su::DOUBLE * sv::DOUBLE / n::DOUBLE AS cuv
+         | FROM s),
+         |d AS (SELECT n, nd, cyy, cuy, cvy, cuu,
+         |  cuu * cvv - cuv * cuv AS det,
+         |  (cuy * cvv - cvy * cuv) / (cuu * cvv - cuv * cuv) AS bb,
+         |  (cvy * cuu - cuy * cuv) / (cuu * cvv - cuv * cuv) AS ccoef
+         | FROM c),
+         |ff AS (SELECT n, nd, det,
+         |  cyy - bb * cuy - ccoef * cvy AS sseu,
+         |  cyy - cuy * cuy / cuu AS sser FROM d)
+         |SELECT 'click->error' AS key, n,
+         | round(CASE WHEN sseu > 0 AND det > 0
+         |  THEN (sser - sseu) * (nd - 3) / sseu ELSE 0.0 END, 4) + 0
+         |  AS f_stat FROM ff""".stripMargin.replace("\n", " "),
+    "q445_newey_west" ->
+      s"""WITH b AS (SELECT event_type AS key, event_id AS o,
+         |  epoch_ns(ts) // 86400000000000 AS x, ${fp4("value")} AS y4
+         | FROM events WHERE value IS NOT NULL),
+         |g AS (SELECT key, count(*)::BIGINT AS n, sum(x)::HUGEINT AS sx,
+         |  sum(x::HUGEINT * x::HUGEINT) AS sxx, sum(y4)::HUGEINT AS sy,
+         |  sum(x::HUGEINT * y4::HUGEINT) AS sxy
+         | FROM b GROUP BY key HAVING count(*) >= 8),
+         |c AS (SELECT key, n, sx,
+         |  (n::DOUBLE*sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE)
+         |   /(n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE)/10000.0
+         |    AS slope,
+         |  (sy::DOUBLE/10000.0
+         |    - (n::DOUBLE*sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE)
+         |      /(n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE)/10000.0
+         |      *sx::DOUBLE)/n::DOUBLE AS icept
+         | FROM g),
+         |z AS (SELECT b.key, b.o,
+         |  (c.n * b.x - c.sx)::HUGEINT
+         |   * ${fp4("b.y4::DOUBLE / 10000.0 - (c.icept + c.slope * b.x)")}
+         |    ::HUGEINT AS z,
+         |  (c.n * b.x - c.sx)::HUGEINT * (c.n * b.x - c.sx)::HUGEINT
+         |    AS a2,
+         |  c.n, c.slope
+         | FROM b JOIN c USING (key)),
+         |l AS (SELECT key, n, slope, z, a2,
+         |  lag(z) OVER wk AS z1, lag(z, 2) OVER wk AS z2,
+         |  lag(z, 3) OVER wk AS z3, lag(z, 4) OVER wk AS z4
+         | FROM z WINDOW wk AS (PARTITION BY key ORDER BY o)),
+         |gg AS (SELECT key, max(n)::BIGINT AS n, max(slope) AS slope,
+         |  sum(a2) AS sa2, sum(z * z) AS g0, sum(z * z1) AS g1,
+         |  sum(z * z2) AS g2, sum(z * z3) AS g3, sum(z * z4) AS g4
+         | FROM l GROUP BY key),
+         |fin AS (SELECT key, n, slope,
+         |  sqrt((g0::DOUBLE + 2.0 * (0.8 * g1::DOUBLE + 0.6 * g2::DOUBLE
+         |    + 0.4 * g3::DOUBLE + 0.2 * g4::DOUBLE))
+         |   * n::DOUBLE * n::DOUBLE
+         |   / (100000000.0 * sa2::DOUBLE * sa2::DOUBLE)) AS se
+         | FROM gg)
+         |SELECT key, n, round(slope, 4) + 0 AS slope,
+         | round(se, 4) AS se_hac, round(slope / se, 4) + 0 AS t_hac
+         |FROM fin""".stripMargin.replace("\n", " "),
     "q441_fertility" -> {
       s"""SELECT lang, count(*)::BIGINT AS n_docs,
          | sum(n_bpe)::BIGINT AS bpe_total,

@@ -48,4 +48,29 @@ class Wave10Spec extends SparkSpec {
       Seq("k"), "t", "x", "y").collect()(0)
     assert(r2.getAs[Double]("te") < 0.1, s"independent: $r2")
   }
+
+  test("granger: copy channel scores a huge F, independent near 0") {
+    val xs = (0 until 300).map(i => ((i * 37 + 11) % 100).toDouble)
+    val dep = (1 until 300).map(t =>
+      ("k", t.toLong, xs(t), xs(t - 1) + (t % 7) * 0.3))
+    val r = Assoc.grangerF(dep.toDF("k", "t", "x", "y"),
+      Seq("k"), "t", "x", "y").collect()(0)
+    assert(r.getAs[Double]("f_stat") > 100.0, s"copy: $r")
+    val ind = (1 until 300).map(t =>
+      ("k", t.toLong, xs(t), ((t * 61 + 7) % 100).toDouble))
+    assert(Assoc.grangerF(ind.toDF("k", "t", "x", "y"),
+      Seq("k"), "t", "x", "y").collect()(0).getAs[Double]("f_stat") < 5.0)
+  }
+
+  test("newey-west: slope recovered, HAC se positive and finite") {
+    val rows = (0 until 300).map { i =>
+      val x = (i / 10).toLong // clustered regressor → autocorrelated e
+      ("k", i.toLong, x, 3.0 * x + (if ((i / 10) % 2 == 0) 1.0 else -1.0))
+    }
+    val r = Assoc.neweyWestSlope(rows.toDF("k", "o", "x", "y"),
+      Seq("k"), "o", "x", "y").collect()(0)
+    assert(math.abs(r.getAs[Double]("slope") - 3.0) < 0.05, s"$r")
+    assert(r.getAs[Double]("se_hac") > 0 &&
+      java.lang.Double.isFinite(r.getAs[Double]("t_hac")))
+  }
 }
