@@ -567,7 +567,14 @@ object Tests2 {
     * table built as one ordered window cumsum over 0..n (both engines
     * fold ln(i) in the identical ascending order), enumeration joins
     * the table — terms quantize at 1e-12 before the tail sum. One row:
-    * a, b, c, d, p_one. */
+    * a, b, c, d, p_one.
+    *
+    * Scale: the ln-factorial cumsum is an unpartitioned window over a
+    * GENERATED 0..n sequence — n here is the contingency total, which
+    * is only corpus-sized if the caller feeds raw rows. Fisher's exact
+    * is a small-table test by construction (past n ~ 10⁴ the χ²/CMH
+    * family is the right tool and this p underflows anyway); at corpus
+    * scale the 2×2 arrives pre-aggregated and n stays bounded. */
   def fisherExact(data: DataFrame, exposedCol: String, posCol: String)
       : DataFrame = {
     val cells = data
