@@ -379,6 +379,20 @@ object R9Queries {
       canon(graft.model.Assoc.neweyWestSlope(
         ev(s, dir).withColumn("day", expr("ts div 86400000000000")),
         Seq("event_type"), "event_id", "day", "value"))),
+    // Goh–Barabási burstiness + memory per event_type
+    "q446_burstiness" -> ((s, dir) =>
+      canon(graft.seq.SeqOps.burstiness(ev(s, dir), Seq("event_type"),
+        "ts", "event_id"))),
+    // rank-biased overlap at depth 50 between the length ranking and
+    // the synthetic quality ranking of documents
+    "q447_rbo" -> ((s, dir) =>
+      canon(graft.seq.SeqOps.rankBiasedOverlap(
+        docs(s, dir)
+          .withColumn("sa", col("n_chars").cast("double"))
+          .withColumn("sb",
+            pmod(col("doc_id") * 37 + col("n_chars"), lit(1000))
+              .cast("double")),
+        "doc_id", "sa", "sb", depth = 50, p = 0.9))),
     // tokenizer fertility per lang: BPE tokens per whitespace word
     // (the q185 trained-merges encoder under a per-lang roll-up)
     "q441_fertility" -> ((s, dir) => {
@@ -1884,6 +1898,58 @@ object R9Queries {
          |SELECT key, n, round(slope, 4) + 0 AS slope,
          | round(se, 4) AS se_hac, round(slope / se, 4) + 0 AS t_hac
          |FROM fin""".stripMargin.replace("\n", " "),
+    "q446_burstiness" ->
+      """WITH b AS (SELECT event_type AS key, epoch_ns(ts) AS t,
+        |  event_id AS s FROM events),
+        |ga AS (SELECT key, t, s, t - lag(t) OVER
+        |  (PARTITION BY key ORDER BY t, s) AS g FROM b),
+        |gb AS (SELECT key, t, s, g FROM ga WHERE g IS NOT NULL),
+        |gc AS (SELECT key, g, lead(g) OVER
+        |  (PARTITION BY key ORDER BY t, s) AS gn FROM gb),
+        |a AS (SELECT key, count(*)::BIGINT AS n_gaps,
+        |  sum(g::HUGEINT) AS sg, sum(g::HUGEINT * g::HUGEINT) AS sgg,
+        |  sum(CASE WHEN gn IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS np,
+        |  sum(CASE WHEN gn IS NOT NULL THEN g::HUGEINT END) AS sx,
+        |  sum(CASE WHEN gn IS NOT NULL THEN gn::HUGEINT END) AS sy,
+        |  sum(CASE WHEN gn IS NOT NULL
+        |    THEN g::HUGEINT * gn::HUGEINT END) AS sxy,
+        |  sum(CASE WHEN gn IS NOT NULL
+        |    THEN g::HUGEINT * g::HUGEINT END) AS sxx,
+        |  sum(CASE WHEN gn IS NOT NULL
+        |    THEN gn::HUGEINT * gn::HUGEINT END) AS syy
+        | FROM gc GROUP BY key HAVING count(*) >= 3
+        |  AND sum(CASE WHEN gn IS NOT NULL THEN 1 ELSE 0 END) >= 2),
+        |f AS (SELECT key, n_gaps,
+        |  sg::DOUBLE / n_gaps::DOUBLE AS mu,
+        |  sqrt((sgg::DOUBLE - sg::DOUBLE * sg::DOUBLE / n_gaps::DOUBLE)
+        |   / (n_gaps::DOUBLE - 1)) AS sig,
+        |  np::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS covn,
+        |  np::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS vxn,
+        |  np::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vyn
+        | FROM a)
+        |SELECT key, n_gaps, round(mu / 1000000.0, 4) AS mean_gap_ms,
+        | round((sig - mu) / (sig + mu), 4) + 0 AS burstiness,
+        | round(CASE WHEN vxn > 0 AND vyn > 0 THEN covn / sqrt(vxn * vyn)
+        |  ELSE 0.0 END, 4) + 0 AS memory
+        |FROM f""".stripMargin.replace("\n", " "),
+    "q447_rbo" ->
+      s"""WITH r AS (SELECT doc_id AS id, n_chars::DOUBLE AS a,
+         |  ((doc_id*37 + n_chars) % 1000)::DOUBLE AS b FROM documents),
+         |rk AS (SELECT id,
+         |  row_number() OVER (ORDER BY a DESC, id)::BIGINT AS ra,
+         |  row_number() OVER (ORDER BY b DESC, id)::BIGINT AS rb FROM r),
+         |mm AS (SELECT greatest(ra, rb) AS m FROM rk
+         | WHERE greatest(ra, rb) <= 50),
+         |bym AS (SELECT m, count(*)::BIGINT AS c FROM mm GROUP BY 1),
+         |ks AS (SELECT unnest(range(1, 51))::BIGINT AS k),
+         |xk AS (SELECT k, sum(coalesce(c, 0))::BIGINT AS xk FROM ks
+         | LEFT JOIN bym ON bym.m <= ks.k GROUP BY k),
+         |t AS (SELECT ${fp6s("pow(0.9, k::DOUBLE - 1) " +
+            "* xk::DOUBLE / k::DOUBLE")} AS t FROM xk)
+         |SELECT 50 AS d,
+         | round((1.0::DOUBLE - 0.9::DOUBLE)
+         |   * (sum(t)::DOUBLE / 1000000.0), 4) AS rbo FROM t"""
+        .stripMargin.replace("\n", " "),
     "q441_fertility" -> {
       s"""SELECT lang, count(*)::BIGINT AS n_docs,
          | sum(n_bpe)::BIGINT AS bpe_total,

@@ -1014,4 +1014,98 @@ object SeqOps {
         round(col("active_users").cast("double") / col("_size"), 4))
       .drop("_size")
   }
+
+  /** Goh–Barabási burstiness + memory coefficients per key over the
+    * inter-event gap series: B = (σ−μ)/(σ+μ) ∈ [−1,1] (−1 periodic,
+    * 0 Poisson, →1 bursty) and M = corr(gap_t, gap_{t+1}) — the
+    * two-number fingerprint of an event stream's temporal texture
+    * (burstDetect says WHEN, this says WHAT KIND). Gaps are exact
+    * long nanoseconds scaled to milliseconds, every moment an exact
+    * integer sum. One row per key: key, n_gaps, mean_gap_ms,
+    * burstiness, memory. */
+  def burstiness(data: DataFrame, keyCols: Seq[String], tsCol: String,
+      seqCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("_t").asc, col("_s").asc)
+    val gaps = data
+      .select(key.as("key"), col(tsCol).cast("long").as("_t"),
+        col(seqCol).cast("long").as("_s"))
+      // exact long nanoseconds — B and M are scale-invariant, the ms
+      // conversion happens only on the reported mean
+      .withColumn("_g", col("_t") - lag(col("_t"), 1).over(w))
+      .where(col("_g").isNotNull)
+      .withColumn("_gn", lead(col("_g"), 1).over(
+        Window.partitionBy(col("key")).orderBy(col("_t").asc, col("_s").asc)))
+    val agg = gaps.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(dec(col("_g"))).as("sg"),
+        sum(dec(dec(col("_g")) * dec(col("_g")))).as("sgg"),
+        sum(when(col("_gn").isNotNull, 1L).otherwise(0L)).as("np"),
+        sum(dec(when(col("_gn").isNotNull, col("_g")))).as("sx"),
+        sum(dec(when(col("_gn").isNotNull, col("_gn")))).as("sy"),
+        sum(when(col("_gn").isNotNull,
+          dec(dec(col("_g")) * dec(col("_gn"))))).as("sxy"),
+        sum(when(col("_gn").isNotNull,
+          dec(dec(col("_g")) * dec(col("_g"))))).as("sxx"),
+        sum(when(col("_gn").isNotNull,
+          dec(dec(col("_gn")) * dec(col("_gn"))))).as("syy"))
+      .where(col("n_gaps") >= 3 && col("np") >= 2)
+    val n = col("n_gaps").cast("double")
+    val mu = col("sg").cast("double") / n
+    val sig = sqrt((col("sgg").cast("double") -
+      col("sg").cast("double") * col("sg").cast("double") / n) / (n - 1))
+    val np = col("np").cast("double")
+    val covN = np * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vxN = np * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vyN = np * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    agg.select(col("key"), col("n_gaps"), (mu / 1e6).as("mean_gap_ms"),
+      ((sig - mu) / (sig + mu)).as("burstiness"),
+      when(vxN > 0 && vyN > 0, covN / sqrt(vxN * vyN))
+        .otherwise(lit(0.0)).as("memory"))
+  }
+
+  /** Rank-biased overlap (Webber et al. TOIS'10) between two rankings
+    * of the same id universe, truncated at depth d: RBO_d =
+    * (1−p)·Σ_{k≤d} p^{k−1}·|A_k ∩ B_k|/k — the top-weighted "how much
+    * did the ranking change" metric (Kendall counts ALL pair swaps;
+    * RBO discounts tail churn the way a reader does). Overlap-at-depth
+    * comes from ranks on both sides (exact integers: an id is inside
+    * both prefixes at depth k iff max(rank_a, rank_b) ≤ k), the d-term
+    * geometric fold is 6dp-quantized. One row: d, rbo. */
+  def rankBiasedOverlap(data: DataFrame, idCol: String, scoreACol: String,
+      scoreBCol: String, depth: Int, p: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(depth >= 1 && p > 0 && p < 1, s"bad args: $depth, $p")
+    val ranked = data
+      .select(col(idCol).as("_id"),
+        col(scoreACol).cast("double").as("_a"),
+        col(scoreBCol).cast("double").as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull)
+      .withColumn("_ra", row_number().over(
+        Window.orderBy(col("_a").desc, col("_id").asc)).cast("long"))
+      .withColumn("_rb", row_number().over(
+        Window.orderBy(col("_b").desc, col("_id").asc)).cast("long"))
+      .withColumn("_m", greatest(col("_ra"), col("_rb")))
+      .where(col("_m") <= depth)
+    // |A_k ∩ B_k| = #{ids with max(ra, rb) ≤ k}: one pass over the
+    // ≤depth-sized frame, then the geometric fold over k = 1..d
+    val byM = ranked.groupBy(col("_m")).agg(count(lit(1)).as("_c"))
+    val ks = data.sparkSession.range(1, depth + 1)
+      .select(col("id").as("_k"))
+    val fp6 = (c: Column) =>
+      when(c >= 0, floor(c * 1e6 + 0.5)).otherwise(-floor(-c * 1e6 + 0.5))
+        .cast("long")
+    ks.join(byM, col("_m") <= col("_k"), "left")
+      .groupBy(col("_k")).agg(sum(coalesce(col("_c"), lit(0L))).as("_xk"))
+      .withColumn("_t", fp6(pow(lit(p), col("_k").cast("double") - 1) *
+        col("_xk").cast("double") / col("_k").cast("double")))
+      .agg((lit(1.0 - p) * (sum(col("_t")).cast("double") / 1e6)).as("rbo"))
+      .select(lit(depth).as("d"), col("rbo"))
+  }
 }

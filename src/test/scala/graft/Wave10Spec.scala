@@ -73,4 +73,30 @@ class Wave10Spec extends SparkSpec {
     assert(r.getAs[Double]("se_hac") > 0 &&
       java.lang.Double.isFinite(r.getAs[Double]("t_hac")))
   }
+
+  test("burstiness: periodic gaps give B near -1, heavy-tailed B > 0") {
+    val per = (0 until 100).map(i => ("per", i * 1000000000L, i.toLong))
+    // bursty: clusters of 5 quick events then a long silence
+    val bur = (0 until 100).map { i =>
+      val t = (i / 5).toLong * 600L * 1000000000L + (i % 5) * 1000000000L
+      ("bur", t, i.toLong)
+    }
+    val m = graft.seq.SeqOps.burstiness((per ++ bur).toDF("k", "ts", "s"),
+      Seq("k"), "ts", "s")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(m("per").getAs[Double]("burstiness") == -1.0, s"${m("per")}")
+    assert(m("bur").getAs[Double]("burstiness") > 0.3, s"${m("bur")}")
+  }
+
+  test("rbo: identical rankings score 1, reversed rankings far less") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble, i.toDouble))
+      .toDF("id", "a", "b")
+    val same = graft.seq.SeqOps.rankBiasedOverlap(df, "id", "a", "b", 20)
+      .collect()(0).getAs[Double]("rbo")
+    assert(math.abs(same - (1.0 - math.pow(0.9, 20))) < 1e-4, s"$same")
+    val rev = (1 to 100).map(i => (i.toLong, i.toDouble, -i.toDouble))
+      .toDF("id", "a", "b")
+    assert(graft.seq.SeqOps.rankBiasedOverlap(rev, "id", "a", "b", 20)
+      .collect()(0).getAs[Double]("rbo") < 0.1)
+  }
 }
