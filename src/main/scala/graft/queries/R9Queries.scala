@@ -393,6 +393,11 @@ object R9Queries {
             pmod(col("doc_id") * 37 + col("n_chars"), lit(1000))
               .cast("double")),
         "doc_id", "sa", "sb", depth = 50, p = 0.9))),
+    // Huber IRLS robust slope (2 reweighting rounds), value on day
+    "q448_huber" -> ((s, dir) =>
+      canon(graft.model.Assoc.huberFit(
+        ev(s, dir).withColumn("day", expr("ts div 86400000000000")),
+        Seq("event_type"), "day", "value"))),
     // tokenizer fertility per lang: BPE tokens per whitespace word
     // (the q185 trained-merges encoder under a per-lang roll-up)
     "q441_fertility" -> ((s, dir) => {
@@ -1950,6 +1955,67 @@ object R9Queries {
          | round((1.0::DOUBLE - 0.9::DOUBLE)
          |   * (sum(t)::DOUBLE / 1000000.0), 4) AS rbo FROM t"""
         .stripMargin.replace("\n", " "),
+    "q448_huber" -> {
+      // one IRLS round: residuals at 4dp vs (a<i>, b<i>), exact MAD,
+      // Huber weights at 6dp, weighted normal equations
+      def round(i: Int): String = {
+        val (a, b) = (s"a$i", s"b$i")
+        val j = i + 1
+        s"""r$j AS (SELECT bb.key, bb.x, bb.y4, c$i.n,
+           |  ${fp4(s"bb.y4::DOUBLE / 10000.0 - (c$i.$a + c$i.$b * bb.x)")}
+           |   AS e4
+           | FROM bb JOIN c$i USING (key)),
+           |h$j AS (SELECT key, abs(e4) AS v, count(*)::BIGINT AS c
+           | FROM r$j GROUP BY 1, 2),
+           |m$j AS (SELECT key, min(v) AS mad4 FROM (SELECT key, v,
+           |  sum(c) OVER (PARTITION BY key ORDER BY v ASC
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |  sum(c) OVER (PARTITION BY key) AS tot FROM h$j)
+           | WHERE 2*cum >= tot GROUP BY key),
+           |w$j AS (SELECT r$j.key, r$j.x, r$j.y4, r$j.n,
+           |  1.4826 * m$j.mad4::DOUBLE / 10000.0 AS sc,
+           |  ${fp6s(s"CASE WHEN r$j.e4 = 0 THEN 1.0 " +
+              s"ELSE least(1.0, 1.345 * (1.4826 * m$j.mad4::DOUBLE " +
+              s"/ 10000.0) / (abs(r$j.e4)::DOUBLE / 10000.0)) END")} AS w6
+           | FROM r$j JOIN m$j USING (key)),
+           |s$j AS (SELECT key, max(n)::BIGINT AS n, max(sc) AS sc,
+           |  sum(w6::HUGEINT) AS w0, sum(w6::HUGEINT * x::HUGEINT) AS wx,
+           |  sum((w6::HUGEINT * x::HUGEINT) * x::HUGEINT) AS wxx,
+           |  sum(w6::HUGEINT * y4::HUGEINT) AS wy,
+           |  sum((w6::HUGEINT * x::HUGEINT) * y4::HUGEINT) AS wxy
+           | FROM w$j GROUP BY key),
+           |c$j AS (SELECT key, n, sc,
+           |  (w0::DOUBLE * wxy::DOUBLE - wx::DOUBLE * wy::DOUBLE)
+           |   /(w0::DOUBLE * wxx::DOUBLE - wx::DOUBLE * wx::DOUBLE)
+           |   /10000.0 AS b$j,
+           |  (wy::DOUBLE / 10000.0
+           |    - (w0::DOUBLE * wxy::DOUBLE - wx::DOUBLE * wy::DOUBLE)
+           |      /(w0::DOUBLE * wxx::DOUBLE - wx::DOUBLE * wx::DOUBLE)
+           |      /10000.0 * wx::DOUBLE) / w0::DOUBLE AS a$j
+           | FROM s$j)""".stripMargin.replace("\n", " ")
+      }
+      s"""WITH bb AS (SELECT event_type AS key,
+         |  epoch_ns(ts) // 86400000000000 AS x, ${fp4("value")} AS y4
+         | FROM events WHERE value IS NOT NULL),
+         |g AS (SELECT key, count(*)::BIGINT AS n, sum(x)::HUGEINT AS sx,
+         |  sum(x::HUGEINT * x::HUGEINT) AS sxx, sum(y4)::HUGEINT AS sy,
+         |  sum(x::HUGEINT * y4::HUGEINT) AS sxy
+         | FROM bb GROUP BY key HAVING count(*) >= 5),
+         |c0 AS (SELECT key, n,
+         |  (n::DOUBLE*sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE)
+         |   /(n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE)/10000.0
+         |    AS b0,
+         |  (sy::DOUBLE/10000.0
+         |    - (n::DOUBLE*sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE)
+         |      /(n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE)/10000.0
+         |      *sx::DOUBLE)/n::DOUBLE AS a0
+         | FROM g),
+         |${round(0)},
+         |${round(1)}
+         |SELECT key, n, round(b2, 4) + 0 AS slope,
+         | round(a2, 4) + 0 AS icept, round(sc, 4) AS scale FROM c2"""
+        .stripMargin.replace("\n", " ")
+    },
     "q441_fertility" -> {
       s"""SELECT lang, count(*)::BIGINT AS n_docs,
          | sum(n_bpe)::BIGINT AS bpe_total,

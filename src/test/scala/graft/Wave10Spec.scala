@@ -99,4 +99,17 @@ class Wave10Spec extends SparkSpec {
     assert(graft.seq.SeqOps.rankBiasedOverlap(rev, "id", "a", "b", 20)
       .collect()(0).getAs[Double]("rbo") < 0.1)
   }
+
+  test("huber: contaminated slope recovers where OLS is dragged away") {
+    // y = 2x + tiny noise, with 10% wild +1000 outliers
+    val rows = (0 until 200).map { i =>
+      val y = 2.0 * i + (i % 5) * 0.1 + (if (i % 10 == 0) 1000.0 else 0.0)
+      ("k", i.toLong, y)
+    }
+    val r = Assoc.huberFit(rows.toDF("k", "x", "y"), Seq("k"), "x", "y")
+      .collect()(0)
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 0.1,
+      s"huber slope: $r")
+    assert(r.getAs[Double]("scale") > 0)
+  }
 }
