@@ -393,6 +393,43 @@ object R9Queries {
             pmod(col("doc_id") * 37 + col("n_chars"), lit(1000))
               .cast("double")),
         "doc_id", "sa", "sb", depth = 50, p = 0.9))),
+    // quality-aware dedup survivors: keep the LONGEST copy per minhash
+    // dup cluster (the q75 closure under the real curation policy)
+    "q449_best_survivor" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cand = graft.text.TextOps.minhashPairs(d, "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bandSize = 4)
+      val cl = graft.text.TextOps.dupClusters(d, "doc_id", cand)
+      graft.text.TextOps.bestSurvivor(cl, d, "doc_id", "n_chars")
+    }),
+    // Heaps' law exponent across sources: OLS of ln(types) on
+    // ln(tokens) over the per-source vocabulary points (6dp-frozen logs
+    // so the 20-point sums are combine-order exact)
+    "q450_heaps" -> ((s, dir) => {
+      val pts = docs(s, dir).select(col("source"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("nt"), count(lit(1)).as("dt"))
+      val fp6c = (c: org.apache.spark.sql.Column) =>
+        floor(c * 1e6 + 0.5).cast("long")
+      val s6 = pts.select(
+        fp6c(log(col("nt").cast("double"))).as("lx"),
+        fp6c(log(col("dt").cast("double"))).as("ly"))
+      val agg = s6.agg(count(lit(1)).as("n_points"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum((col("lx") * col("lx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("lx") * col("ly")).cast("decimal(38,0)")).as("sxy"))
+      val n = col("n_points").cast("double")
+      val beta = (n * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (n * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      canon(agg.select(col("n_points"), beta.as("beta"),
+        exp((col("sy").cast("double") - beta * col("sx").cast("double")) /
+          n / 1e6).as("k")))
+    }),
     // Huber IRLS robust slope (2 reweighting rounds), value on day
     "q448_huber" -> ((s, dir) =>
       canon(graft.model.Assoc.huberFit(
@@ -1955,6 +1992,41 @@ object R9Queries {
          | round((1.0::DOUBLE - 0.9::DOUBLE)
          |   * (sum(t)::DOUBLE / 1000000.0), 4) AS rbo FROM t"""
         .stripMargin.replace("\n", " "),
+    "q449_best_survivor" ->
+      s"""${TextQueries.clusterSql},
+         |q AS (SELECT comp.id, comp.cluster, d.n_chars
+         | FROM comp JOIN documents d ON d.doc_id = comp.id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+         |   ORDER BY n_chars DESC, id ASC) AS rk,
+         |  count(*) OVER (PARTITION BY cluster) AS cs FROM q)
+         |SELECT cluster, id AS survivor_id, n_chars AS quality,
+         | cs::BIGINT AS cluster_size FROM r WHERE rk = 1"""
+        .stripMargin.replace("\n", " "),
+    "q450_heaps" ->
+      """WITH tk AS (SELECT source,
+        |  unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        | FROM documents),
+        |tk2 AS (SELECT source, tok FROM tk WHERE tok <> ''),
+        |c AS (SELECT source, tok, count(*)::BIGINT AS c FROM tk2
+        | GROUP BY 1, 2),
+        |pts AS (SELECT source, sum(c)::BIGINT AS nt,
+        |  count(*)::BIGINT AS dt FROM c GROUP BY source),
+        |s6 AS (SELECT floor(ln(nt::DOUBLE) * 1000000.0 + 0.5)::BIGINT
+        |   AS lx,
+        |  floor(ln(dt::DOUBLE) * 1000000.0 + 0.5)::BIGINT AS ly
+        | FROM pts),
+        |a AS (SELECT count(*)::BIGINT AS n_points,
+        |  sum(lx)::BIGINT AS sx, sum(ly)::BIGINT AS sy,
+        |  sum(lx::HUGEINT * lx::HUGEINT) AS sxx,
+        |  sum(lx::HUGEINT * ly::HUGEINT) AS sxy FROM s6),
+        |f AS (SELECT n_points, n_points::DOUBLE AS n,
+        |  (n_points::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |   /(n_points::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |    AS beta,
+        |  sx::DOUBLE AS sxd, sy::DOUBLE AS syd FROM a)
+        |SELECT n_points, round(beta, 4) AS beta,
+        | round(exp((syd - beta * sxd) / n / 1000000.0), 4) AS k
+        |FROM f""".stripMargin.replace("\n", " "),
     "q448_huber" -> {
       // one IRLS round: residuals at 4dp vs (a<i>, b<i>), exact MAD,
       // Huber weights at 6dp, weighted normal equations

@@ -876,7 +876,7 @@ object TextQueries {
   // connected components over the LSH candidate pairs via a recursive
   // transitive-closure CTE (small at oracle scale; the Spark side uses
   // hash-to-min label propagation instead)
-  private val clusterSql =
+  private[queries] val clusterSql =
     s"""WITH RECURSIVE $sigCte,
        |bands AS (SELECT doc_id, hashIdx // $BandSize AS band,
        |  array_to_string(list(minHash ORDER BY hashIdx), ':') AS bucket

@@ -748,6 +748,31 @@ object TextOps {
     * cluster size. One hash aggregate, map-side combined. `contentCols`
     * join with a \u0001 separator before hashing so column boundaries
     * cannot cancel. */
+  /** Quality-aware near-dup survivor selection: per dup cluster keep the
+    * BEST copy by the supplied quality column (ties to the smaller id),
+    * not the min-id copy — the policy real curation pipelines want
+    * ("keep the longest / highest-scoring duplicate", cf. CCNet keeping
+    * the head shard copy only by accident of order). Input: the
+    * [[dupClusters]] (id, cluster) frame + a per-doc quality frame.
+    * Output one row per cluster: cluster, survivor_id, quality,
+    * cluster_size. */
+  def bestSurvivor(clusters: DataFrame, quality: DataFrame, idCol: String,
+      qualityCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = clusters.join(
+      quality.select(col(idCol).cast("long").as("id"),
+        col(qualityCol).cast("long").as("_q")), "id")
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("_q").desc, col("id").asc)
+    val kw = Window.partitionBy(col("cluster"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    q.withColumn("_rk", row_number().over(w))
+      .withColumn("cluster_size", count(lit(1)).over(kw))
+      .where(col("_rk") === 1)
+      .select(col("cluster"), col("id").as("survivor_id"),
+        col("_q").as("quality"), col("cluster_size"))
+  }
+
   /** Add-α-smoothed unigram KL divergence between two sub-corpora over
     * their union vocabulary: KL(A‖B) = Σ_w p_w ln(p_w/q_w) with
     * p_w = (c_aw+α)/(N_a+αV) — the distribution-shift check between two

@@ -112,4 +112,17 @@ class Wave10Spec extends SparkSpec {
       s"huber slope: $r")
     assert(r.getAs[Double]("scale") > 0)
   }
+
+  test("best survivor: the longest copy wins its cluster") {
+    import graft.text.TextOps
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
+      .toDF("id", "cluster")
+    val quality = Seq((1L, 50L), (2L, 90L), (3L, 90L), (7L, 10L))
+      .toDF("doc_id", "n_chars")
+    val r = TextOps.bestSurvivor(clusters, quality, "doc_id", "n_chars")
+      .collect().map(x => x.getAs[Long]("cluster") ->
+        (x.getAs[Long]("survivor_id"), x.getAs[Long]("cluster_size"))).toMap
+    assert(r(1L) == (2L, 3L), s"$r") // quality tie 2 vs 3 → smaller id
+    assert(r(7L) == (7L, 1L))
+  }
 }
