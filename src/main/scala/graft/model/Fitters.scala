@@ -632,4 +632,47 @@ object Fitters {
       .groupBy(keyCols.map(col) :+ col("bucket"): _*)
       .agg(max("reg").cast("int").as("reg"))
   }
+
+  /** Method-of-moments overdispersion fits per key over per-window
+    * counts (engine additions, the parametric face of the p/c charts):
+    * beta-binomial (α, β from the mean/variance of window PROPORTIONS
+    * with window size n̄) and negative-binomial (r, p from window
+    * COUNT mean/variance; var ≤ mean degrades to Poisson, flagged).
+    * Window moments come from exact fixed-point sums. One row per key:
+    * key, n_windows, mean_rate, alpha, beta, nb_r, nb_p,
+    * overdispersed. */
+  def overdispersionMoM(data: org.apache.spark.sql.DataFrame,
+      keyCol: String, winCol: org.apache.spark.sql.Column,
+      defect: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    val w = data.select(col(keyCol).as("key"), winCol.as("_w"),
+      when(defect, 1L).otherwise(0L).as("_d"))
+      .groupBy(col("key"), col("_w"))
+      .agg(count(lit(1)).as("_n"), sum(col("_d")).as("_k"))
+    val agg = w.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("_n")).as("_tn"), sum(col("_k")).as("_tk"),
+        sum((col("_k") * col("_k")).cast("decimal(38,0)")).as("_tk2"))
+      .where(col("n_windows") >= 3)
+    val m = col("n_windows").cast("double")
+    val nbar = col("_tn").cast("double") / m
+    val mu = col("_tk").cast("double") / m           // mean window count
+    val v = (col("_tk2").cast("double") -
+      col("_tk").cast("double") * col("_tk").cast("double") / m) / (m - 1)
+    val p = mu / nbar                                 // mean rate
+    // beta-binomial: rho = (v/mu − (1−p)) / (nbar − 1) / (1−p) hmm —
+    // standard MoM: v = n p(1−p)(1 + (n−1)ρ); solve ρ then
+    // α = p(1/ρ − 1), β = (1−p)(1/ρ − 1)
+    val rho = (v / (nbar * p * (lit(1.0) - p)) - 1.0) / (nbar - 1)
+    val alpha = p * (lit(1.0) / rho - 1.0)
+    val beta = (lit(1.0) - p) * (lit(1.0) / rho - 1.0)
+    // negative binomial on window counts: p_nb = mu/v, r = mu²/(v−mu)
+    val od = v > mu
+    agg.select(col("key"), col("n_windows"), p.as("mean_rate"),
+      when(rho > 0, alpha).otherwise(lit(0.0)).as("alpha"),
+      when(rho > 0, beta).otherwise(lit(0.0)).as("beta"),
+      when(od, mu * mu / (v - mu)).otherwise(lit(0.0)).as("nb_r"),
+      when(od, mu / v).otherwise(lit(1.0)).as("nb_p"),
+      od.as("overdispersed"))
+  }
 }

@@ -138,6 +138,54 @@ object Survival {
       .select("n_a", "n_b", "chi2")
   }
 
+  /** Aalen–Johansen cumulative incidence with two competing causes:
+    * CIF_k(t) = Σ_{s≤t} S(s⁻)·d_k(s)/n(s) where S(s⁻) is the all-cause
+    * KM survival just BEFORE s — the right "what fraction will have hit
+    * outcome k by t" curve when a competing event removes subjects
+    * (1 − KM_k overstates it). Counts are exact integers off one
+    * duration histogram; S(s⁻) rides the same −∞-guarded log cumsum as
+    * [[kaplanMeier]]; the two CIF cumsums quantize their per-time
+    * increments at 6dp. One row per distinct duration: t, n_risk, d1,
+    * d2, c, cif1, cif2. */
+  def aalenJohansen(subjects: DataFrame, durationCol: String,
+      cause1Col: String, cause2Col: String): DataFrame = {
+    val e1 = col(cause1Col).cast("boolean")
+    val e2 = col(cause2Col).cast("boolean")
+    val fp6 = (c: Column) =>
+      when(c >= 0, floor(c * 1e6 + 0.5)).otherwise(-floor(-c * 1e6 + 0.5))
+        .cast("long")
+    val h = subjects.where(col(durationCol).isNotNull)
+      .select(col(durationCol).cast("long").as("t"),
+        e1.as("_e1"), e2.as("_e2"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("_e1"), 1L).otherwise(0L)).as("d1"),
+        sum(when(!col("_e1") && col("_e2"), 1L).otherwise(0L)).as("d2"),
+        sum(when(!col("_e1") && !col("_e2"), 1L).otherwise(0L)).as("c"))
+    val w = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.agg(sum(col("d1") + col("d2") + col("c")).as("_n"))
+    val d = col("d1") + col("d2")
+    val base = h.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("_n") -
+        (sum(col("d1") + col("d2") + col("c")).over(w) -
+          (col("d1") + col("d2") + col("c"))))
+      // S(s⁻): the all-cause survival through the PREVIOUS time
+      .withColumn("_sprev", exp(coalesce(sum(
+        when(d < col("n_risk"),
+          log(lit(1.0) - d.cast("double") / col("n_risk").cast("double")))
+          .otherwise(lit(Double.NegativeInfinity)))
+        .over(Window.orderBy(col("t").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0))))
+    base
+      .withColumn("cif1", sum(fp6(col("_sprev") *
+        (col("d1").cast("double") / col("n_risk").cast("double"))))
+        .over(w).cast("double") / 1e6)
+      .withColumn("cif2", sum(fp6(col("_sprev") *
+        (col("d2").cast("double") / col("n_risk").cast("double"))))
+        .over(w).cast("double") / 1e6)
+      .select("t", "n_risk", "d1", "d2", "c", "cif1", "cif2")
+  }
+
   /** Restricted mean survival time at horizon τ: ∫₀^τ S(t)dt over the
     * KM step function — the unit area before the first distinct
     * duration plus Σ S(t_i)·(min(next_i, τ) − t_i) with each step area

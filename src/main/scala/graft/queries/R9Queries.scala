@@ -435,6 +435,21 @@ object R9Queries {
       canon(graft.model.Assoc.huberFit(
         ev(s, dir).withColumn("day", expr("ts div 86400000000000")),
         Seq("event_type"), "day", "value"))),
+    // Aalen–Johansen cumulative incidence, competing spike causes
+    // (even- vs odd-user spikes over the survival fixture)
+    "q451_aalen_johansen" -> ((s, dir) => {
+      val subj = DiagQueries.survivalSubjects(s, dir)
+        .withColumn("c1", col("event") && col("grp") === "even")
+        .withColumn("c2", col("event") && col("grp") === "odd")
+      canon(graft.model.Survival.aalenJohansen(subj, "dur", "c1", "c2"))
+    }),
+    // beta-binomial / negative-binomial overdispersion MoM per type
+    // over daily spike windows
+    "q452_overdispersion" -> ((s, dir) =>
+      canon(graft.model.Fitters.overdispersionMoM(
+        ev(s, dir).where(col("value").isNotNull),
+        "event_type", expr("ts div 86400000000000"),
+        col("value") > 160.0))),
     // tokenizer fertility per lang: BPE tokens per whitespace word
     // (the q185 trained-merges encoder under a per-lang roll-up)
     "q441_fertility" -> ((s, dir) => {
@@ -1991,6 +2006,69 @@ object R9Queries {
          |SELECT 50 AS d,
          | round((1.0::DOUBLE - 0.9::DOUBLE)
          |   * (sum(t)::DOUBLE / 1000000.0), 4) AS rbo FROM t"""
+        .stripMargin.replace("\n", " "),
+    "q451_aalen_johansen" ->
+      s"""WITH $subjSql,
+         |h AS (SELECT dur AS t,
+         |  sum(CASE WHEN event AND grp = 'even' THEN 1 ELSE 0 END)::BIGINT
+         |    AS d1,
+         |  sum(CASE WHEN NOT (event AND grp = 'even')
+         |    AND (event AND grp = 'odd') THEN 1 ELSE 0 END)::BIGINT AS d2,
+         |  sum(CASE WHEN NOT (event AND grp = 'even')
+         |    AND NOT (event AND grp = 'odd') THEN 1 ELSE 0 END)::BIGINT
+         |    AS c
+         | FROM subj GROUP BY 1),
+         |tot AS (SELECT sum(d1 + d2 + c)::BIGINT AS n FROM h),
+         |f1 AS (SELECT t, d1, d2, c,
+         |  (SELECT n FROM tot)
+         |   - (sum(d1 + d2 + c) OVER wcum - (d1 + d2 + c)) AS n_risk
+         | FROM h WINDOW wcum AS (ORDER BY t ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |f2 AS (SELECT t, d1, d2, c, n_risk,
+         |  exp(coalesce(sum(CASE WHEN d1 + d2 < n_risk
+         |    THEN ln(1.0 - (d1 + d2)::DOUBLE / n_risk::DOUBLE)
+         |    ELSE CAST('-infinity' AS DOUBLE) END) OVER
+         |   (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING
+         |     AND 1 PRECEDING), 0.0)) AS sprev
+         | FROM f1),
+         |f3 AS (SELECT t, n_risk::BIGINT AS n_risk, d1, d2, c,
+         |  sum(floor(sprev * (d1::DOUBLE / n_risk::DOUBLE)
+         |    * 1000000.0 + 0.5)::BIGINT) OVER wcum AS s1,
+         |  sum(floor(sprev * (d2::DOUBLE / n_risk::DOUBLE)
+         |    * 1000000.0 + 0.5)::BIGINT) OVER wcum AS s2
+         | FROM f2 WINDOW wcum AS (ORDER BY t ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT t, n_risk, d1, d2, c,
+         | round(s1::DOUBLE / 1000000.0, 4) AS cif1,
+         | round(s2::DOUBLE / 1000000.0, 4) AS cif2 FROM f3"""
+        .stripMargin.replace("\n", " "),
+    "q452_overdispersion" ->
+      """WITH w AS (SELECT event_type AS key,
+        |  epoch_ns(ts) // 86400000000000 AS win,
+        |  count(*)::BIGINT AS n,
+        |  sum(CASE WHEN value > 160.0 THEN 1 ELSE 0 END)::BIGINT AS k
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |a AS (SELECT key, count(*)::BIGINT AS n_windows,
+        |  sum(n)::BIGINT AS tn, sum(k)::BIGINT AS tk,
+        |  sum(k::HUGEINT * k::HUGEINT) AS tk2
+        | FROM w GROUP BY key HAVING count(*) >= 3),
+        |f AS (SELECT key, n_windows, n_windows::DOUBLE AS m,
+        |  tn::DOUBLE / n_windows::DOUBLE AS nbar,
+        |  tk::DOUBLE / n_windows::DOUBLE AS mu,
+        |  (tk2::DOUBLE - tk::DOUBLE * tk::DOUBLE / n_windows::DOUBLE)
+        |   / (n_windows::DOUBLE - 1) AS v FROM a),
+        |g AS (SELECT key, n_windows, mu / nbar AS p, mu, v, nbar,
+        |  (v / (nbar * (mu / nbar) * (1.0 - mu / nbar)) - 1.0)
+        |   / (nbar - 1) AS rho FROM f)
+        |SELECT key, n_windows, round(p, 4) AS mean_rate,
+        | round(CASE WHEN rho > 0 THEN p * (1.0 / rho - 1.0)
+        |  ELSE 0.0 END, 4) AS alpha,
+        | round(CASE WHEN rho > 0 THEN (1.0 - p) * (1.0 / rho - 1.0)
+        |  ELSE 0.0 END, 4) AS beta,
+        | round(CASE WHEN v > mu THEN mu * mu / (v - mu)
+        |  ELSE 0.0 END, 4) AS nb_r,
+        | round(CASE WHEN v > mu THEN mu / v ELSE 1.0 END, 4) AS nb_p,
+        | v > mu AS overdispersed FROM g"""
         .stripMargin.replace("\n", " "),
     "q449_best_survivor" ->
       s"""${TextQueries.clusterSql},

@@ -109,4 +109,32 @@ class CausalSpec extends SparkSpec {
     val r = Tests2.fisherExact(rows.toDF("e", "y"), "e", "y").collect()(0)
     assert(math.abs(r.getAs[Double]("p_one") - 26.0 / 252) < 1e-6, s"$r")
   }
+
+  test("aalen-johansen: CIFs sum with censoring-free identity") {
+    // no censoring, two causes: cif1(inf)+cif2(inf) = 1
+    val subj = (0 until 100).map { i =>
+      (((i % 10) + 1).toLong, i % 2 == 0, i % 2 == 1)
+    }.toDF("dur", "c1", "c2")
+    val rows = Survival.aalenJohansen(subj, "dur", "c1", "c2")
+      .orderBy(col("t").desc).collect()
+    val last = rows.head
+    val tot = last.getAs[Double]("cif1") + last.getAs[Double]("cif2")
+    assert(math.abs(tot - 1.0) < 1e-3, s"CIFs must exhaust: $last")
+    assert(last.getAs[Double]("cif1") > 0.4 &&
+      last.getAs[Double]("cif2") > 0.4)
+  }
+
+  test("overdispersion MoM: clustered defects flag overdispersed") {
+    import graft.model.Fitters
+    // 10 windows x 20 trials; defects all land in half the windows
+    val rows = (0 until 200).map { i =>
+      val win = (i / 20).toLong
+      ("k", win, win % 2 == 0 && i % 2 == 0)
+    }
+    val r = Fitters.overdispersionMoM(rows.toDF("k", "w", "d"),
+      "k", col("w"), col("d")).collect()(0)
+    assert(r.getAs[Boolean]("overdispersed"), s"$r")
+    assert(r.getAs[Double]("alpha") > 0 && r.getAs[Double]("nb_r") > 0)
+    assert(math.abs(r.getAs[Double]("mean_rate") - 0.25) < 1e-9)
+  }
 }
