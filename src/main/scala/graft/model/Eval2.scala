@@ -222,6 +222,35 @@ object Eval2 {
         (col("_obar") * (lit(1.0) - col("_obar"))).as("uncertainty"))
   }
 
+  /** Matthews correlation + balanced accuracy at a threshold — the two
+    * imbalance-robust single numbers plain accuracy/F1 miss (MCC is the
+    * ±1-bounded correlation of the 2×2; balanced accuracy averages the
+    * class recalls). Exact integer cells; the MCC denominator is one
+    * sqrt over an exact integer product. One row: tp, fp, fn, tn, mcc,
+    * balanced_acc. */
+  def mccAt(scored: DataFrame, scoreCol: String, labelCol: String,
+      threshold: Double): DataFrame = {
+    val pos = col(scoreCol).cast("double") > threshold
+    val y = col(labelCol).cast("boolean")
+    val c = scored.agg(
+      sum(when(pos && y, 1L).otherwise(0L)).as("tp"),
+      sum(when(pos && !y, 1L).otherwise(0L)).as("fp"),
+      sum(when(!pos && y, 1L).otherwise(0L)).as("fn"),
+      sum(when(!pos && !y, 1L).otherwise(0L)).as("tn"))
+    def d38(x: Column) = x.cast("decimal(38,0)")
+    val num = (d38(col("tp")) * d38(col("tn")) -
+      d38(col("fp")) * d38(col("fn"))).cast("double")
+    val den = sqrt((d38(col("tp") + col("fp")) * d38(col("tp") + col("fn")))
+      .cast("double") *
+      (d38(col("tn") + col("fp")) * d38(col("tn") + col("fn")))
+        .cast("double"))
+    c.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      when(den > 0, num / den).otherwise(lit(0.0)).as("mcc"),
+      ((col("tp").cast("double") / (col("tp") + col("fn")).cast("double") +
+        col("tn").cast("double") / (col("tn") + col("fp")).cast("double"))
+        / 2.0).as("balanced_acc"))
+  }
+
   /** Quadratic-weighted Cohen kappa between two integer raters in
     * [0, nCat): κ_w = 1 − Σ w_ij·O_ij / Σ w_ij·E_ij with w_ij =
     * ((i−j)/(C−1))², O the observed contingency counts and E the

@@ -85,6 +85,13 @@ object R9Queries {
     // Krippendorff alpha (nominal) over the same ratings
     "q393_krippendorff" -> ((s, dir) =>
       canon(Eval2.krippendorffAlpha(raters(s, dir), "item", "cat"))),
+    // Matthews correlation + balanced accuracy at the q280 threshold
+    "q453_mcc" -> ((s, dir) =>
+      canon(Eval2.mccAt(
+        docs(s, dir)
+          .withColumn("score", pmod(col("n_chars"), lit(53)).cast("double"))
+          .withColumn("isEn", col("lang") === "en"),
+        "score", "isEn", threshold = 26.0))),
     // Brunner–Munzel heteroscedastic two-sample test, click vs error
     "q394_brunner_munzel" -> ((s, dir) =>
       canon(Tests2.brunnerMunzel(ev(s, dir), "event_type", "value",
@@ -711,6 +718,26 @@ object R9Queries {
          |   / (de.den / de.n_::DOUBLE * ds.n_values::DOUBLE / de.n_::DOUBLE),
          |  4) + 0 AS alpha
          |FROM ds CROSS JOIN de""".stripMargin.replace("\n", " "),
+    "q453_mcc" ->
+      """WITH sc AS (SELECT (n_chars % 53)::DOUBLE AS s, lang = 'en' AS y
+        | FROM documents),
+        |c AS (SELECT
+        | sum(CASE WHEN s > 26.0 AND y THEN 1 ELSE 0 END)::BIGINT AS tp,
+        | sum(CASE WHEN s > 26.0 AND NOT y THEN 1 ELSE 0 END)::BIGINT
+        |   AS fp,
+        | sum(CASE WHEN s <= 26.0 AND y THEN 1 ELSE 0 END)::BIGINT AS fn,
+        | sum(CASE WHEN s <= 26.0 AND NOT y THEN 1 ELSE 0 END)::BIGINT
+        |   AS tn FROM sc)
+        |SELECT tp, fp, fn, tn,
+        | round(CASE WHEN sqrt(((tp + fp)::HUGEINT * (tp + fn)::HUGEINT)::DOUBLE
+        |    * ((tn + fp)::HUGEINT * (tn + fn)::HUGEINT)::DOUBLE) > 0
+        |  THEN (tp::HUGEINT * tn::HUGEINT - fp::HUGEINT * fn::HUGEINT)::DOUBLE
+        |   / sqrt(((tp + fp)::HUGEINT * (tp + fn)::HUGEINT)::DOUBLE
+        |     * ((tn + fp)::HUGEINT * (tn + fn)::HUGEINT)::DOUBLE)
+        |  ELSE 0.0 END, 4) + 0 AS mcc,
+        | round((tp::DOUBLE / (tp + fn)::DOUBLE
+        |   + tn::DOUBLE / (tn + fp)::DOUBLE) / 2.0, 4) AS balanced_acc
+        |FROM c""".stripMargin.replace("\n", " "),
     "q394_brunner_munzel" ->
       s"""WITH h AS (SELECT ${fp4("value")} AS v,
          |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS ca,
