@@ -207,6 +207,39 @@ package object core {
     when(c >= 0, floor(c * f + 0.5)).otherwise(-floor(-c * f + 0.5)).cast("long")
   }
 
+  /** Distributed global row_number: rank = (rows in strictly-earlier
+    * bands) + row_number within the band — bit-identical to
+    * `row_number().over(Window.orderBy(band, tie…))` but with NO
+    * data-sized unpartitioned window. The only global window rides the
+    * band HISTOGRAM (one row per distinct band value — value-range-
+    * sized when the band is a df count or a 3dp-frozen score); the
+    * per-row window partitions by the band. `tie` must make the order
+    * within a band total, and (band, tie…) must equal the intended
+    * global order (i.e. the band is the leading sort key, or a monotone
+    * function of it).
+    *
+    * `maxRank`: when only ranks ≤ r matter (top-k, RBO depth), bands
+    * whose offset is already ≥ r are dropped BEFORE the join back, so
+    * the per-row work is rank-bounded, not data-bounded. */
+  def bandedRowNumber(df: DataFrame, band: Column, bandAsc: Boolean,
+      tie: Seq[Column], out: String, maxRank: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withBand = df.withColumn("_brn_band", band)
+    val h = withBand.groupBy(col("_brn_band")).agg(count(lit(1)).as("_brn_ct"))
+    val hw = Window
+      .orderBy(if (bandAsc) col("_brn_band").asc else col("_brn_band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var off = h
+      .withColumn("_brn_off", sum(col("_brn_ct")).over(hw) - col("_brn_ct"))
+      .select(col("_brn_band"), col("_brn_off"))
+    if (maxRank != Long.MaxValue) off = off.where(col("_brn_off") < maxRank)
+    val ww = Window.partitionBy(col("_brn_band")).orderBy(tie: _*)
+    withBand.join(off, "_brn_band")
+      .withColumn(out,
+        (col("_brn_off") + row_number().over(ww).cast("long")).cast("long"))
+      .drop("_brn_band", "_brn_off")
+  }
+
   def canon(df: DataFrame, p: Int = 4): DataFrame = {
     val cols = df.schema.fields.map { f =>
       if (f.dataType == org.apache.spark.sql.types.DoubleType)

@@ -24,8 +24,15 @@ import org.apache.spark.sql.functions._
 object Assoc {
 
   private def table(df: DataFrame, aCol: String, bCol: String) = {
+    // eager localCheckpoint, not persist: the contingency table is read
+    // by 2–3 downstream scans (marginals, total, cells) — materializing
+    // it once keeps the data scan single-pass, and the checkpoint blocks
+    // are GC-cleaned when the result is dropped, so nothing leaks across
+    // repeated query runs (a persist here either leaked — chiSquare/
+    // mutualInfo never unpersisted — or was unpersisted before the lazy
+    // result ran, as theilsU did; r9 advice item)
     val obs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
-      .agg(count(lit(1)).as("o")).persist()
+      .agg(count(lit(1)).as("o")).localCheckpoint(true)
     val ra = obs.groupBy("a").agg(sum("o").as("ca"))
     val cb = obs.groupBy("b").agg(sum("o").as("cb"))
     val tot = obs.agg(sum("o").as("n"))
@@ -146,7 +153,6 @@ object Assoc {
       .withColumn("u_b_given_a",
         (col("ha8") + col("hb8") - col("hab8")).cast("double") / col("hb8"))
       .select("h_a", "h_b", "h_ab", "u_a_given_b", "u_b_given_a")
-    obs.unpersist()
     out
   }
 

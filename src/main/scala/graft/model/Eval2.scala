@@ -168,18 +168,24 @@ object Eval2 {
     val w = Window.orderBy(col("_s").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = h.agg(sum("pos").as("_p"), sum(col("ns") - col("pos")).as("_q"))
-    h.withColumn("_cp", sum("pos").over(w))
+    val scored = h.withColumn("_cp", sum("pos").over(w))
       .withColumn("_cn", sum(col("ns") - col("pos")).over(w))
       .crossJoin(broadcast(tot))
       // exact integer |cp·N − cn·P|
       .withColumn("_dnum", abs(col("_cp") * col("_q") - col("_cn") * col("_p")))
-      .groupBy(col("_p"), col("_q"))
+    val m = scored.groupBy(col("_p"), col("_q"))
       .agg(max(col("_dnum")).as("_dmax"))
+    // threshold = smallest score attaining the max (exact integer tie)
+    scored.join(broadcast(m), Seq("_p", "_q"))
+      .where(col("_dnum") === col("_dmax"))
+      .groupBy(col("_p"), col("_q"), col("_dmax"))
+      .agg(min(col("_s")).as("_sm"))
       .select(col("_p").as("n_pos"), col("_q").as("n_neg"),
         when(col("_p") > 0 && col("_q") > 0,
           col("_dmax").cast("double") /
             (col("_p").cast("double") * col("_q").cast("double")))
-          .otherwise(lit(0.0)).as("ks"))
+          .otherwise(lit(0.0)).as("ks"),
+        (col("_sm").cast("double") / 1e4).as("threshold"))
   }
 
   /** Murphy decomposition of the Brier score over `nBins` fixed-width

@@ -573,10 +573,13 @@ object Tests2 {
     * GENERATED 0..n sequence — n here is the contingency total, which
     * is only corpus-sized if the caller feeds raw rows. Fisher's exact
     * is a small-table test by construction (past n ~ 10⁴ the χ²/CMH
-    * family is the right tool and this p underflows anyway); at corpus
-    * scale the 2×2 arrives pre-aggregated and n stays bounded. */
-  def fisherExact(data: DataFrame, exposedCol: String, posCol: String)
-      : DataFrame = {
+    * family is the right tool and this p underflows anyway), so the cap
+    * is ENFORCED: if the contingency total exceeds `maxN` the job fails
+    * with an explicit message instead of materializing a corpus-sized
+    * array in one task (r9 advice item — callers must feed a bounded
+    * subset, as q428 now does with its doc_id cutoff). */
+  def fisherExact(data: DataFrame, exposedCol: String, posCol: String,
+      maxN: Long = 1L << 20): DataFrame = {
     val cells = data
       .select(col(exposedCol).cast("boolean").as("_e"),
         col(posCol).cast("boolean").as("_y"))
@@ -584,9 +587,14 @@ object Tests2 {
         sum(when(col("_e") && !col("_y"), 1L).otherwise(0L)).as("b"),
         sum(when(!col("_e") && col("_y"), 1L).otherwise(0L)).as("c"),
         sum(when(!col("_e") && !col("_y"), 1L).otherwise(0L)).as("d"))
-    // ln-factorial table 0..n as an ordered cumsum (deterministic fold)
+    // ln-factorial table 0..n as an ordered cumsum (deterministic fold);
+    // assert_true makes the n-cap a hard failure, not a silent OOM
     val n = cells.select((col("a") + col("b") + col("c") + col("d"))
       .as("_n"))
+      .withColumn("_guard", assert_true(col("_n") <= lit(maxN),
+        lit(s"fisherExact: contingency total exceeds maxN=$maxN — " +
+          "feed a bounded/pre-aggregated 2x2, or use chiSquare/cmh")))
+      .where(col("_guard").isNull).drop("_guard")
     val lf = n.select(explode(sequence(lit(0L), col("_n"))).as("i"))
       .withColumn("lf", sum(when(col("i") >= 2,
         log(col("i").cast("double"))).otherwise(lit(0.0)))

@@ -170,7 +170,7 @@ object R9Queries {
     "q411_kpss" -> ((s, dir) =>
       canon(graft.seq.Forecast2.kpss(ev(s, dir),
         Seq("event_type"), "event_id", "value"))),
-    // exact all-pairs Jaccard >= 0.5 via prefix filtering (PPJoin-lite);
+    // exact all-pairs Jaccard >= 0.9 via prefix filtering (PPJoin-lite);
     // the oracle is the BRUTE token join, so the gate proves the prefix
     // filter lossless on real data
     "q412_prefix_jaccard" -> ((s, dir) =>
@@ -264,10 +264,12 @@ object R9Queries {
         table(s, dir, "embeddings")
           .withColumn("isB", pmod(col("vec_id"), lit(2)) === 1),
         "vec_id", "embedding", "isB", sigma2 = 1.0))),
-    // Fisher's exact one-sided p on exposure (even doc) × lang = en
+    // Fisher's exact one-sided p on exposure (even doc) × lang = en.
+    // doc_id < 2000 keeps the 2x2 total BOUNDED at any scale factor
+    // (Fisher is a small-table test; fisherExact hard-fails past maxN)
     "q428_fisher" -> ((s, dir) =>
       canon(graft.model.Tests2.fisherExact(
-        docs(s, dir)
+        docs(s, dir).where(col("doc_id") < 2000)
           .withColumn("exposed", pmod(col("doc_id"), lit(2)) === 0)
           .withColumn("pos", col("lang") === "en"),
         "exposed", "pos"))),
@@ -619,13 +621,17 @@ object R9Queries {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
         |  sum(ns - pos) OVER (ORDER BY s
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
-        | FROM h)
-        |SELECT t.p AS n_pos, t.q_ AS n_neg,
-        | round(CASE WHEN t.p > 0 AND t.q_ > 0 THEN
-        |   max(abs(cp * t.q_ - cn * t.p))::DOUBLE /
-        |    (t.p::DOUBLE * t.q_::DOUBLE)
-        |  ELSE 0.0 END, 4) AS ks
-        |FROM c CROSS JOIN t GROUP BY t.p, t.q_"""
+        | FROM h),
+        |d AS (SELECT s, abs(cp * t.q_ - cn * t.p) AS dnum, t.p, t.q_
+        | FROM c CROSS JOIN t),
+        |m AS (SELECT p, q_, max(dnum) AS dmax FROM d GROUP BY 1, 2)
+        |SELECT m.p AS n_pos, m.q_ AS n_neg,
+        | round(CASE WHEN m.p > 0 AND m.q_ > 0 THEN
+        |   m.dmax::DOUBLE / (m.p::DOUBLE * m.q_::DOUBLE)
+        |  ELSE 0.0 END, 4) AS ks,
+        | round(min(d.s)::DOUBLE / 10000.0, 4) + 0 AS threshold
+        |FROM d JOIN m ON d.p = m.p AND d.q_ = m.q_ AND d.dnum = m.dmax
+        |GROUP BY m.p, m.q_, m.dmax"""
         .stripMargin.replace("\n", " "),
     "q390_brier" ->
       """WITH e AS (SELECT
@@ -1605,7 +1611,8 @@ object R9Queries {
         |  sum(CASE WHEN doc_id % 2 <> 0 AND lang = 'en'
         |    THEN 1 ELSE 0 END)::BIGINT AS c,
         |  sum(CASE WHEN doc_id % 2 <> 0 AND lang <> 'en'
-        |    THEN 1 ELSE 0 END)::BIGINT AS d FROM documents),
+        |    THEN 1 ELSE 0 END)::BIGINT AS d
+        | FROM documents WHERE doc_id < 2000),
         |lf AS (SELECT i, sum(CASE WHEN i >= 2 THEN ln(i::DOUBLE)
         |   ELSE 0.0 END) OVER (ORDER BY i ASC
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf

@@ -1080,19 +1080,25 @@ object SeqOps {
     * geometric fold is 6dp-quantized. One row: d, rbo. */
   def rankBiasedOverlap(data: DataFrame, idCol: String, scoreACol: String,
       scoreBCol: String, depth: Int, p: Double = 0.9): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(depth >= 1 && p > 0 && p < 1, s"bad args: $depth, $p")
-    val ranked = data
+    val base = data
       .select(col(idCol).as("_id"),
         col(scoreACol).cast("double").as("_a"),
         col(scoreBCol).cast("double").as("_b"))
       .where(col("_a").isNotNull && col("_b").isNotNull)
-      .withColumn("_ra", row_number().over(
-        Window.orderBy(col("_a").desc, col("_id").asc)).cast("long"))
-      .withColumn("_rb", row_number().over(
-        Window.orderBy(col("_b").desc, col("_id").asc)).cast("long"))
+    // exact global rank (score desc, id asc) via the banded device: the
+    // only unpartitioned window rides the 3dp score HISTOGRAM (value-
+    // range-sized), and bands past `depth` are pruned before the
+    // per-row window — only ranks ≤ d matter (r9 advice item)
+    def ranks(c: String, out: String): DataFrame =
+      graft.core.bandedRowNumber(base.select(col("_id"), col(c)),
+        band = graft.core.fixedPointLong(col(c), 3), bandAsc = false,
+        tie = Seq(col(c).desc, col("_id").asc), out = out,
+        maxRank = depth.toLong)
+        .where(col(out) <= depth)
+        .select(col("_id"), col(out))
+    val ranked = ranks("_a", "_ra").join(ranks("_b", "_rb"), "_id")
       .withColumn("_m", greatest(col("_ra"), col("_rb")))
-      .where(col("_m") <= depth)
     // |A_k ∩ B_k| = #{ids with max(ra, rb) ≤ k}: one pass over the
     // ≤depth-sized frame, then the geometric fold over k = 1..d
     val byM = ranked.groupBy(col("_m")).agg(count(lit(1)).as("_c"))

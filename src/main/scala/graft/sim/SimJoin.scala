@@ -38,10 +38,14 @@ object SimJoin {
       .where(col("_ts") =!= "")
       .select(col("_id"), graft.text.TextOps.hash56(col("_ts")).as("_tok"))
     val sizes = tok.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
-    // global rarity rank: vocab-sized frame, rarest first (df asc, token)
-    val rank = tok.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
-      .withColumn("_rk",
-        row_number().over(Window.orderBy(col("_df").asc, col("_tok").asc)))
+    // global rarity rank (df asc, token asc) via the df-band bucketed
+    // device: the only unpartitioned window rides the df HISTOGRAM
+    // (distinct df values — ~hundreds even at corpus scale), never the
+    // billion-token vocab itself (r9 verdict item 3)
+    val rank = graft.core.bandedRowNumber(
+      tok.groupBy(col("_tok")).agg(count(lit(1)).as("_df")),
+      band = col("_df"), bandAsc = true, tie = Seq(col("_tok").asc),
+      out = "_rk")
       .select(col("_tok"), col("_rk"))
     val pfx = tok.join(rank, "_tok").join(sizes, "_id")
       .withColumn("_pos", row_number().over(
