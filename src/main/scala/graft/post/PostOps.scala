@@ -546,31 +546,47 @@ object PostOps {
     * Scale: the 3dp freeze bounds the histogram by the score's VALUE
     * RANGE ×10³ (a continuous score at 6dp would make distinct ≈ rows
     * and the global rank window data-sized — measured 17 s at 16×);
-    * one histogram + one cumulative window per detector over that
-    * bounded frame + k equi-joins back onto the scored frame. */
+    * the detectors are MELTED into one (detector, value) frame so the
+    * whole ensemble is one histogram job producing a histogram-sized
+    * rank map, broadcast-joined per detector — not k chained plans. */
   def rankEnsemble(scored: DataFrame, idCols: Seq[String],
       scoreCols: Seq[String]): DataFrame = {
     require(scoreCols.nonEmpty, "rankEnsemble needs score columns")
-    var df = scored
-    scoreCols.foreach { c =>
-      val s6 = graft.core.fixedPointLong(col(c).cast("double"), 3)
-      df = df.withColumn(s"_f_$c", s6)
-      val h = df.groupBy(col(s"_f_$c")).agg(count(lit(1)).as("_ct"))
-      val w = Window.orderBy(col(s"_f_$c").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = h.agg(sum(col("_ct")).as("_n"))
-      val pr = h
-        .withColumn("_cum", sum(col("_ct")).over(w))
-        .crossJoin(broadcast(tot))
-        .select(col(s"_f_$c"),
-          ((lit(2) * (col("_cum") - col("_ct")) + col("_ct") + 1)
-            .cast("double") / (lit(2) * col("_n")).cast("double"))
-            .as(s"rank_$c"))
-      df = df.join(pr, s"_f_$c")
-    }
+    // one MELTED pass (r9 verdict item 2): explode (detector, 3dp value)
+    // pairs → ONE grouped histogram → ONE detector-partitioned CDF
+    // window → a histogram-sized rank map, eagerly checkpointed (so the
+    // upstream scorer chain runs exactly once) and then BROADCAST-joined
+    // per detector onto the scored spine — zero extra exchanges on the
+    // data itself (q358's plan dropped from 36 exchanges / 8 one-row
+    // BNLJ to the upstream chain + the one histogram job).
+    val pairs = array(scoreCols.map(c => struct(lit(c).as("_col"),
+      graft.core.fixedPointLong(col(c).cast("double"), 3).as("_f"))): _*)
+    val h = scored.select(explode(pairs).as("_p"))
+      .select(col("_p._col").as("_col"), col("_p._f").as("_f"))
+      .groupBy(col("_col"), col("_f")).agg(count(lit(1)).as("_ct"))
+    val w = Window.partitionBy(col("_col")).orderBy(col("_f").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("_col"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pr = h
+      .withColumn("_cum", sum(col("_ct")).over(w))
+      .withColumn("_n", sum(col("_ct")).over(wAll))
+      .select(col("_col"), col("_f"),
+        ((lit(2) * (col("_cum") - col("_ct")) + col("_ct") + 1)
+          .cast("double") / (lit(2) * col("_n")).cast("double"))
+          .as("_rank"))
+      // histogram-sized (VALUE RANGE ×10³ per detector) — the blessed
+      // model-sized materialization, GC-cleaned with the result
+      .localCheckpoint(true)
+    val withRanks = scoreCols.foldLeft(scored)((d, c) =>
+      d.withColumn(s"_f_$c",
+          graft.core.fixedPointLong(col(c).cast("double"), 3))
+        .join(broadcast(pr.where(col("_col") === c)
+          .select(col("_f").as(s"_f_$c"), col("_rank").as(s"rank_$c"))),
+          s"_f_$c"))
     val avg0 = scoreCols.map(c => col(s"rank_$c"))
       .reduce(_ + _) / scoreCols.length
-    df.withColumn("ensemble", avg0)
+    withRanks.withColumn("ensemble", avg0)
       .select((idCols.map(col) ++ scoreCols.map(c => col(s"rank_$c")) :+
         col("ensemble")): _*)
   }

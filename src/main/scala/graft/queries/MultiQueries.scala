@@ -41,12 +41,13 @@ object MultiQueries {
   /** Consecutive-user co-occurrence pairs kept only above a repeat
     * threshold — the SPARSE user–user graph the undirected graph ops run
     * on (the unthresholded chain is near-complete at test scale; the
-    * global-order lead() is test-fixture construction, as in q204). */
+    * chain is PARTITION-LOCAL — lead within event_type — so the fixture
+    * itself carries no data-sized global window, r9 verdict item 5). */
   private def chainPairs(s: SparkSession, dir: String, minCount: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = ev(s, dir).select(col("user_id").cast("string").as("ua"),
       lead(col("user_id").cast("string"), 1)
-        .over(Window.orderBy("event_id")).as("ub"))
+        .over(Window.partitionBy("event_type").orderBy("event_id")).as("ub"))
       .where(col("ub").isNotNull && col("ua") =!= col("ub"))
     e.select(least(col("ua"), col("ub")).as("a"),
         greatest(col("ua"), col("ub")).as("b"))
@@ -60,7 +61,7 @@ object MultiQueries {
     import org.apache.spark.sql.expressions.Window
     val e = ev(s, dir).select(col("user_id").cast("string").as("ua"),
       lead(col("user_id").cast("string"), 1)
-        .over(Window.orderBy("event_id")).as("ub"))
+        .over(Window.partitionBy("event_type").orderBy("event_id")).as("ub"))
       .where(col("ub").isNotNull && col("ua") =!= col("ub"))
     e.select(least(col("ua"), col("ub")).as("a"),
         greatest(col("ua"), col("ub")).as("b"))
@@ -73,7 +74,7 @@ object MultiQueries {
     import org.apache.spark.sql.expressions.Window
     ev(s, dir).select(col("user_id").cast("string").as("a"),
       lead(col("user_id").cast("string"), 1)
-        .over(Window.orderBy("event_id")).as("b"))
+        .over(Window.partitionBy("event_type").orderBy("event_id")).as("b"))
       .where(col("b").isNotNull && col("a") =!= col("b"))
   }
 
@@ -113,12 +114,12 @@ object MultiQueries {
       canon(graft.graph.Graph.harmonicCentrality(bipartite(s, dir),
         "src", "dst", sources = 8, maxDepth = 4))),
     // reciprocity of the DIRECTED consecutive-user graph (count ≥ 3;
-    // the global-order lead() is test-fixture construction, as q204)
+    // chain is partition-local — lead within event_type, as q204)
     "q357_reciprocity" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val de = ev(s, dir).select(col("user_id").cast("string").as("ua"),
         lead(col("user_id").cast("string"), 1)
-          .over(Window.orderBy("event_id")).as("ub"))
+          .over(Window.partitionBy("event_type").orderBy("event_id")).as("ub"))
         .where(col("ub").isNotNull && col("ua") =!= col("ub"))
         .groupBy(col("ua"), col("ub")).agg(count(lit(1)).as("c"))
         .where(col("c") >= 3)
@@ -136,13 +137,13 @@ object MultiQueries {
     }),
     // per-node triangle count over the consecutive-user adjacency graph
     // (the bipartite graph is triangle-free by construction; this edge
-    // set exercises the wedge join for real — the global-order lead() is
-    // test-fixture construction, not the operator)
+    // set exercises the wedge join for real — the chain is partition-
+    // local, lead within event_type, r9 verdict item 5)
     "q204_triangles" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = ev(s, dir).select(col("user_id").cast("string").as("a"),
         lead(col("user_id").cast("string"), 1)
-          .over(Window.orderBy("event_id")).as("b"))
+          .over(Window.partitionBy("event_type").orderBy("event_id")).as("b"))
         .where(col("b").isNotNull && col("a") =!= col("b"))
       canon(graft.graph.Graph.triangles(e, "a", "b"))
     }),
@@ -152,7 +153,7 @@ object MultiQueries {
       import org.apache.spark.sql.expressions.Window
       val e = ev(s, dir).select(col("user_id").cast("string").as("a"),
         lead(col("user_id").cast("string"), 1)
-          .over(Window.orderBy("event_id")).as("b"))
+          .over(Window.partitionBy("event_type").orderBy("event_id")).as("b"))
         .where(col("b").isNotNull && col("a") =!= col("b"))
       canon(graft.graph.Graph.transitivity(e, "a", "b"))
     }),
@@ -162,7 +163,7 @@ object MultiQueries {
       import org.apache.spark.sql.expressions.Window
       val e = ev(s, dir).select(col("user_id").cast("string").as("a"),
         lead(col("user_id").cast("string"), 1)
-          .over(Window.orderBy("event_id")).as("b"))
+          .over(Window.partitionBy("event_type").orderBy("event_id")).as("b"))
         .where(col("b").isNotNull && col("a") =!= col("b"))
       canon(graft.graph.Graph.clusteringCoefficient(e, "a", "b"))
     }),
@@ -596,7 +597,7 @@ object MultiQueries {
   // kept at count >= minCount, expanded to both directions.
   private def chainSql(minCount: Int): String =
     s"""ch AS (SELECT user_id::VARCHAR AS a,
-       |  lead(user_id::VARCHAR) OVER (ORDER BY event_id) AS b FROM events),
+       |  lead(user_id::VARCHAR) OVER (PARTITION BY event_type ORDER BY event_id) AS b FROM events),
        |cp AS (SELECT least(a, b) AS a, greatest(a, b) AS b, count(*) AS c
        | FROM ch WHERE b IS NOT NULL AND a <> b GROUP BY 1, 2),
        |und AS (SELECT a, b FROM cp WHERE c >= $minCount),
@@ -651,7 +652,7 @@ object MultiQueries {
         .map(_.stripMargin.replace("\n", " "))
     }
     s"""WITH ch AS (SELECT user_id::VARCHAR AS a,
-       |  lead(user_id::VARCHAR) OVER (ORDER BY event_id) AS b FROM events),
+       |  lead(user_id::VARCHAR) OVER (PARTITION BY event_type ORDER BY event_id) AS b FROM events),
        |de AS (SELECT DISTINCT a AS src, b AS dst FROM ch
        | WHERE b IS NOT NULL AND a <> b),
        |nodes AS (SELECT src AS node FROM de UNION SELECT dst FROM de),
@@ -708,7 +709,7 @@ object MultiQueries {
         .replace("\n", " ")
     }
     s"""WITH ch AS (SELECT user_id::VARCHAR AS a,
-       |  lead(user_id::VARCHAR) OVER (ORDER BY event_id) AS b FROM events),
+       |  lead(user_id::VARCHAR) OVER (PARTITION BY event_type ORDER BY event_id) AS b FROM events),
        |cp AS (SELECT least(a, b) AS a, greatest(a, b) AS b,
        |  count(*)::BIGINT AS c
        | FROM ch WHERE b IS NOT NULL AND a <> b GROUP BY 1, 2),
@@ -986,7 +987,7 @@ object MultiQueries {
     },
     "q357_reciprocity" ->
       """WITH ch AS (SELECT user_id::VARCHAR AS ua,
-        |  lead(user_id::VARCHAR) OVER (ORDER BY event_id) AS ub
+        |  lead(user_id::VARCHAR) OVER (PARTITION BY event_type ORDER BY event_id) AS ub
         |  FROM events),
         |de AS (SELECT ua, ub FROM ch
         |  WHERE ub IS NOT NULL AND ua <> ub
@@ -1026,7 +1027,7 @@ object MultiQueries {
     // (x,y)+(y,z)+(x,z), then each corner credited — exact integers
     "q204_triangles" ->
       """WITH ch AS (SELECT user_id::VARCHAR AS a,
-        |  lead(user_id::VARCHAR) OVER (ORDER BY event_id) AS b FROM events),
+        |  lead(user_id::VARCHAR) OVER (PARTITION BY event_type ORDER BY event_id) AS b FROM events),
         |und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
         | FROM ch WHERE b IS NOT NULL AND a <> b),
         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -1040,7 +1041,7 @@ object MultiQueries {
         |GROUP BY n.node""".stripMargin.replace("\n", " "),
     "q250_transitivity" ->
       """WITH ch AS (SELECT user_id::VARCHAR AS a,
-        |  lead(user_id::VARCHAR) OVER (ORDER BY event_id) AS b FROM events),
+        |  lead(user_id::VARCHAR) OVER (PARTITION BY event_type ORDER BY event_id) AS b FROM events),
         |und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
         | FROM ch WHERE b IS NOT NULL AND a <> b),
         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -1061,7 +1062,7 @@ object MultiQueries {
         |FROM tc""".stripMargin.replace("\n", " "),
     "q241_clustering_coeff" ->
       """WITH ch AS (SELECT user_id::VARCHAR AS a,
-        |  lead(user_id::VARCHAR) OVER (ORDER BY event_id) AS b FROM events),
+        |  lead(user_id::VARCHAR) OVER (PARTITION BY event_type ORDER BY event_id) AS b FROM events),
         |und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
         | FROM ch WHERE b IS NOT NULL AND a <> b),
         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z

@@ -107,11 +107,13 @@ object TextQueries {
       graft.text.UrlOps.urlBlocklist(urlDocs(s, dir), "url",
         Seq("://[a-z0-9]*-3\\.com/", "/p1[0-9]($|\\?)"))
         .select(col("doc_id"), col("canon_url"), col("blocked"), col("tag"))),
-    // zlib redundancy signal — deliberately NO oracleSql entry: the
-    // deflated length is zlib-implementation-defined (driver records the
-    // rows-only check; UrlJsonSpec pins exact values + monotonicity)
+    // redundancy signal, engine-independent face: repeated-8-gram mass
+    // (1 - distinct/total char 8-grams). The zlib deflate op remains a
+    // non-gated utility (its length is implementation-defined; UrlJson-
+    // Spec pins exact values + monotonicity) — this row carries the
+    // full SQL oracle the zlib face couldn't (r9 verdict item 6)
     "q269_compression_ratio" -> ((s, dir) =>
-      TextOps.compressionRatio(docs(s, dir), "doc_id", "text")),
+      canon(TextOps.repeatedGramMass(docs(s, dir), "doc_id", "text"))),
     // streaming canonical-URL dedup batch-executed (q100/q253 device):
     // only the hash-determined column is emitted
     "q270_url_dedup_stream" -> ((s, dir) =>
@@ -508,21 +510,21 @@ object TextQueries {
         "vec_id", "embedding", dim = 64, m = 4, kCodes = 8, k = 10,
         shortlist = 50, iters = 5, maxSample = 4096))
     }),
-    // the full curation flow as ONE DataFrame composition: language gate
-    // ∧ quality gate ∧ LSH-dedup survivorship ∧ LM-score gate, then the
-    // per-source quota — every stage an operator from this library
-    "q103_curation_quota" -> ((s, dir) => {
-      // Five stages branch off the same docs scan. Persisting that root
-      // was MEASURED SLOWER at sf0.1 (TimeQuery, warm JVM, 3 reps:
-      // 3.0–3.6 s uncached vs 3.8–4.5 s with MEMORY_AND_DISK persist +
-      // eager materialize): the shared subtree is only the parquet scan —
-      // cheap and column-pruned — while each stage's real cost is its OWN
-      // tokenization (words / char-n-grams / shingles / bigrams), which a
-      // raw-text cache cannot deduplicate. The round-6 6.3 s recording was
-      // cold-JVM/loaded-host inflation, not plan cost; the min-of-N bench
-      // protocol now reports the warm number. At 100 TB the lever would
-      // be ONE combined extraction pass emitting all four feature sets
-      // per doc, not caching raw text.
+    // the full curation flow — language gate ∧ quality gate ∧ LSH-dedup
+    // survivorship ∧ LM-score gate, then the per-source quota — run as
+    // ONE text-extraction pass (tokenize once, persist the per-doc
+    // feature frame, every cross-doc stage branches off it). This is
+    // the 100 TB shape the old staged composition documented as its own
+    // lever (r9 verdict item 4: the corpus is read once)
+    "q103_curation_quota" -> ((s, dir) =>
+      canon(TextOps.curationQuotaFused(docs(s, dir), "doc_id", "source",
+        "text", shingleSize = 3, numHashes = NumHashes, bandSize = BandSize))),
+    // the SAME curation flow as a STAGED composition of the public
+    // operators (qualityScore / langId / minhashPairs / dedupSurvivors /
+    // lmScore joined post-hoc) — kept as the operator-composition
+    // coverage face, bit-identical to q103 (shared expression builders +
+    // oracle). Each stage re-tokenizes; at 100 TB use the fused q103.
+    "q161_curation_staged" -> ((s, dir) => {
       val d = docs(s, dir)
       val q = TextOps.qualityScore(d, "doc_id", "text").select(col("doc_id"), col("quality"))
       val l = TextOps.langId(d, "doc_id", "text").select(col("doc_id"), col("predLang"))
@@ -540,13 +542,6 @@ object TextQueries {
         .where(col("rank") <= 12)
         .select("doc_id", "source", "quality", "avgNll", "rank"))
     }),
-    // the SAME curation flow with ONE text-extraction pass: tokenize
-    // once, persist the per-doc feature frame (quality/lang/minhash
-    // sig/token array), run every cross-doc stage off it — the 100 TB
-    // shape; bit-identical to q103 (shared expression builders + oracle)
-    "q161_curation_fused" -> ((s, dir) =>
-      canon(TextOps.curationQuotaFused(docs(s, dir), "doc_id", "source",
-        "text", shingleSize = 3, numHashes = NumHashes, bandSize = BandSize))),
     // per-source quality quota (RefinedWeb-style domain cap): keep the
     // 15 highest-quality docs per source, ranked on the raw double
     "q101_source_quota" -> ((s, dir) =>
@@ -1840,6 +1835,21 @@ object TextQueries {
     // distinct canonical keys (independent derivation — urlDocs carries
     // the unique id param, so every doc is its own canonical key and
     // the admitted set is the full id-keyed set)
+    "q269_compression_ratio" ->
+      """SELECT doc_id AS id,
+        | greatest(length(coalesce(text, '')) - 7, 0)::BIGINT AS grams,
+        | CASE WHEN length(coalesce(text, '')) >= 8 THEN
+        |   len(list_distinct(list_transform(
+        |     range(1, length(text) - 7 + 1),
+        |     i -> substr(text, i, 8))))
+        |  ELSE 0 END::BIGINT AS distinct_grams,
+        | round(CASE WHEN length(coalesce(text, '')) >= 8 THEN
+        |   1.0 - len(list_distinct(list_transform(
+        |     range(1, length(text) - 7 + 1),
+        |     i -> substr(text, i, 8))))::DOUBLE
+        |    / (length(text) - 7)::DOUBLE
+        |  ELSE 0.0 END, 4) + 0 AS redundancy
+        |FROM documents""".stripMargin.replace("\n", " "),
     "q270_url_dedup_stream" ->
       """SELECT DISTINCT 'https://' || lower(source) || '-' || (doc_id % 7) ||
         | '.com/' || lang || '/p' || (doc_id % 50) || '?id=' || doc_id AS canon_url
@@ -2539,9 +2549,9 @@ object TextQueries {
     // q101 per-source rank cap — all filters on RAW doubles, rounding
     // only in the final projection
     "q103_curation_quota" -> curationOracle,
-    // the fused one-extraction-pass variant computes bit-identical values
-    // (shared expression builders), so it shares the staged oracle
-    "q161_curation_fused" -> curationOracle,
+    // the staged-composition variant computes bit-identical values
+    // (shared expression builders), so it shares q103's oracle
+    "q161_curation_staged" -> curationOracle,
     // per-source quota: q51's quality arithmetic on the raw double,
     // rank capped per source (rounding only in the final projection —
     // rounding first could reorder ties)

@@ -718,9 +718,10 @@ object TextOps {
     * batched-codec pattern), rows streamed through, zero shuffle.
     *
     * Gate note: the deflated LENGTH is zlib-implementation-defined, so
-    * no SQL oracle exists — the q269 driver row is rows-only by design
-    * and UrlJsonSpec pins exact values plus the repetitive-vs-diverse
-    * monotonicity contract and partitioning-independence. */
+    * no SQL oracle exists — this is a NON-GATED utility (UrlJsonSpec
+    * pins exact values plus the repetitive-vs-diverse monotonicity
+    * contract and partitioning-independence); the q269 driver row runs
+    * the oracle-friendly [[repeatedGramMass]] face instead. */
   def compressionRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -738,6 +739,37 @@ object TextOps {
             if (raw.length == 0) 1.0 else n.toDouble / raw.length)
         }
       }.toDF("id", "raw_bytes", "deflated_bytes", "ratio")
+  }
+
+  /** Engine-independent redundancy proxy: the fraction of a document's
+    * overlapping character n-grams that are REPEATS of an n-gram seen
+    * elsewhere in the same document — the zlib-ratio signal (template
+    * spam / boilerplate score high) re-expressed with a deterministic
+    * value both engines compute bit-identically, so unlike
+    * [[compressionRatio]] it carries a full SQL oracle (r9 verdict
+    * item 6). redundancy = 1 − distinct/total n-grams; 0 for docs
+    * shorter than n.
+    *
+    * Scale: entirely per-row (sequence→transform→array_distinct in
+    * codegen, zero shuffle); transient cost is O(len·n) bytes per doc,
+    * bounded by the corpus's max-doc-length contract. */
+  def repeatedGramMass(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, s"n >= 2: $n")
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("_t"))
+      .withColumn("grams",
+        greatest(length(col("_t")) - (n - 1), lit(0)).cast("long"))
+      .withColumn("distinct_grams",
+        when(col("grams") === 0L, lit(0L)).otherwise(expr(
+          s"size(array_distinct(transform(sequence(1, length(_t) - ${n - 1}), i -> substring(_t, i, $n))))"
+        ).cast("long")))
+      .withColumn("redundancy",
+        when(col("grams") > 0L,
+          lit(1.0) - col("distinct_grams").cast("double") /
+            col("grams").cast("double")).otherwise(lit(0.0)))
+      .select("id", "grams", "distinct_grams", "redundancy")
   }
 
   /** Order-free corpus fingerprint: per group, row count + a commutative

@@ -898,13 +898,14 @@ class TextSpec extends SparkSpec {
   }
 
   test("fused curation pass is bit-identical to the staged composition") {
-    // the q103/q161 parity pin at test scale: one extraction pass vs five
-    // staged operators must agree on every kept row and every rounded value
-    val staged = SparkEntry.queries("q103_curation_quota")(spark, sfDir)
+    // the q103/q161 parity pin at test scale: one extraction pass (q103)
+    // vs five staged operators (q161) must agree on every kept row and
+    // every rounded value
+    val fused = SparkEntry.queries("q103_curation_quota")(spark, sfDir)
       .collect().map(_.toSeq).toSet
-    val fused = SparkEntry.queries("q161_curation_fused")(spark, sfDir)
+    val staged = SparkEntry.queries("q161_curation_staged")(spark, sfDir)
       .collect().map(_.toSeq).toSet
-    assert(staged.nonEmpty, "curation quota must keep rows at sf0.001")
+    assert(fused.nonEmpty, "curation quota must keep rows at sf0.001")
     assert(fused == staged,
       s"fused-staged diff: ${(fused -- staged) ++ (staged -- fused)}")
   }
