@@ -119,6 +119,20 @@ object ScaleProbe {
         text.TextOps.curationQuotaFused(docs, "doc_id", "source", "text",
           shingleSize = 3, numHashes = 16, bandSize = 4).count()
       }
+      // exact prefix-filter Jaccard join (q412). Every token gets a
+      // per-copy prefix: identical unsalted copies would make every
+      // cross-copy pair a Jaccard-1.0 match and the OUTPUT would grow
+      // n² by construction (the documented output-sized contract, not a
+      // plan property) — salting keeps matches within-copy so the curve
+      // measures the candidate-generation + verify machinery itself,
+      // which is what has to scale
+      time("prefix_jaccard", n, nDocs) {
+        val cp = floor(col("doc_id") / lit(1000000000L)).cast("string")
+        val salted = docs.withColumn("text",
+          regexp_replace(col("text"), lit("(\\S+)"), concat(cp, lit("_$1"))))
+        sim.SimJoin.prefixJaccardJoin(salted, "doc_id", "text", tau = 0.9)
+          .count()
+      }
       // ANN family (q59/q61/q97 shapes): fixed 20-query batch against the
       // n×-scaled corpus — brute force is the linear baseline; IVF probes
       // 2 of 8 cells; PQ splits one-time index build from the ADC search

@@ -1,0 +1,196 @@
+package graft.model
+
+import graft.core.fixedPointLong
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / pipeline-allocation analytics over event and corpus
+  * tables: ordered funnels, cohort retention, deterministic weighted
+  * sampling (Efraimidis–Spirakis), count-min frequency sketching and
+  * temperature-scaled corpus mixing — the product-analytics and
+  * data-mixing face the reference's score-centric operators don't cover
+  * but every large-scale events/corpus deployment asks for.
+  *
+  * Determinism: sampling keys and sketch buckets derive from 56-bit md5
+  * hashes (the engine-wide hash56 device), float roll-ups are
+  * fixed-point-quantized before summing, and every rank breaks ties on
+  * the id — all exactly replayable in the DuckDB oracles.
+  *
+  * Scale: funnels are one groupBy + one join per step (steps are few and
+  * fixed); retention is two hash aggregates; weighted sampling is one
+  * partitioned rank window; count-min registers are d·w counters (a
+  * model, not data); the mix allocation is language-sized. */
+object Behavior {
+
+  /** Ordered conversion funnel: a user reaches step k when an event of
+    * `steps(k)` occurs STRICTLY after their step-(k−1) completion time
+    * (completion = the earliest qualifying event, min ordCol). One row
+    * per step: step_idx, step, users, conv (users_k / users_1).
+    *
+    * Scale: per step one filter + equi-join on user + min-aggregate —
+    * work is O(matching events), never a per-user sequence sort. */
+  def funnel(data: DataFrame, userCol: String, typeCol: String,
+      ordCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var reached = data.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("_u")).agg(min(col(ordCol)).as("_t"))
+    stepFrames += reached.agg(count(lit(1)).as("users"))
+      .select(lit(1L).as("step_idx"), lit(steps.head).as("step"), col("users"))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      reached = data.where(col(typeCol) === st)
+        .select(col(userCol).as("_u"), col(ordCol).as("_o"))
+        .join(reached, "_u")
+        .where(col("_o") > col("_t"))
+        .groupBy(col("_u")).agg(min(col("_o")).as("_t"))
+      stepFrames += reached.agg(count(lit(1)).as("users"))
+        .select(lit((i + 1).toLong).as("step_idx"), lit(st).as("step"),
+          col("users"))
+    }
+    val all = stepFrames.reduce(_ unionByName _)
+    val first = all.where(col("step_idx") === 1L)
+      .select(col("users").as("_u0"))
+    all.crossJoin(broadcast(first))
+      .select(col("step_idx"), col("step"), col("users"),
+        when(col("_u0") > 0,
+          col("users").cast("double") / col("_u0").cast("double"))
+          .otherwise(lit(0.0)).as("conv"))
+  }
+
+  /** Cohort retention matrix: cohort = the user's first-activity day,
+    * age = activity day − cohort day. One row per (cohort, age) with the
+    * distinct-user count and the fraction of the cohort still active.
+    * `dayCol` is a pre-bucketed integer day (ts div 86400e9).
+    *
+    * Scale: distinct (user, day) → per-user min → two hash aggregates;
+    * the cohort-size join is cohort-count-sized. */
+  def retention(data: DataFrame, userCol: String, dayCol: String,
+      maxAge: Int): DataFrame = {
+    val ud = data
+      .select(col(userCol).as("_u"), col(dayCol).cast("long").as("_d"))
+      .distinct()
+    val cohort = ud.groupBy(col("_u")).agg(min(col("_d")).as("_c"))
+    val sizes = cohort.groupBy(col("_c").as("cohort"))
+      .agg(count(lit(1)).as("cohort_users"))
+    ud.join(cohort, "_u")
+      .select(col("_c").as("cohort"), (col("_d") - col("_c")).as("age"))
+      .where(col("age") <= maxAge)
+      .groupBy(col("cohort"), col("age")).agg(count(lit(1)).as("users"))
+      .join(sizes, "cohort")
+      .withColumn("frac",
+        col("users").cast("double") / col("cohort_users").cast("double"))
+      .select("cohort", "age", "users", "cohort_users", "frac")
+  }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis IPL'06, the exponential-race formulation): each row gets
+    * key = −ln(u)/w with u = (hash56(id)+1)/2⁵⁶ ∈ (0, 1]; the k SMALLEST
+    * keys per group are the sample — exactly the distribution of
+    * weighted sampling without replacement, but replayable (no RNG
+    * state; the hash is the randomness). Keys freeze at 8dp before the
+    * rank so both engines order identically; ties break on id. Output:
+    * keyCols…, id, w, es_key, rank.
+    *
+    * Scale: one partitioned rank window per group — no global sort. */
+  def weightedSample(data: DataFrame, keyCols: Seq[String], idCol: String,
+      wCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    val u = (graft.text.TextOps.hash56(col(idCol).cast("string")) + 1)
+      .cast("double") / lit(math.pow(2, 56))
+    val base = data
+      .where(col(wCol).isNotNull && col(wCol) > 0)
+      .select((keyCols.map(col) :+ col(idCol).as("id") :+
+        col(wCol).cast("double").as("w") :+
+        fixedPointLong(-log(u) / col(wCol).cast("double"), 8).as("_es8")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_es8").asc, col("id").asc)
+    base.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .withColumn("es_key", col("_es8").cast("double") / 1e8)
+      .select((keyCols.map(col) :+ col("id") :+ col("w") :+
+        col("es_key") :+ col("rank")): _*)
+  }
+
+  /** Count-min sketch (Cormode & Muthukrishnan '05) frequency estimates:
+    * d register rows of w counters, bucket r of an item =
+    * hash56(r ‖ ':' ‖ item) mod w; estimate = min over rows of the
+    * bucket counter. Reported for the top-`topK` items by exact count
+    * (the audit view: est ≥ exact always, and the overestimate exposes
+    * collision pressure at the chosen d×w). Output: item, exact, est.
+    *
+    * Scale: the sketch is ONE hash aggregate into d·w counters (a
+    * model); exact counts ride the same item aggregate, and the top-k
+    * rank uses the banded device — no data-sized global window. */
+  def countMinEstimate(data: DataFrame, itemCol: String, d: Int, w: Int,
+      topK: Int): DataFrame = {
+    require(d >= 1 && w >= 2 && topK >= 1, s"bad args: $d, $w, $topK")
+    val items = data.where(col(itemCol).isNotNull)
+      .select(col(itemCol).cast("string").as("item"))
+    val rowed = items.select(col("item"), explode(array((0 until d).map(r =>
+      struct(lit(r).as("r"),
+        pmod(graft.text.TextOps.hash56(
+          concat(lit(s"$r:"), col("item"))), lit(w.toLong)).as("b"))): _*))
+      .as("_h"))
+      .select(col("item"), col("_h.r").as("r"), col("_h.b").as("b"))
+    val registers = rowed.groupBy(col("r"), col("b"))
+      .agg(count(lit(1)).as("reg"))
+    val exact = items.groupBy(col("item")).agg(count(lit(1)).as("exact"))
+    val top = graft.core.bandedRowNumber(exact, band = col("exact"),
+      bandAsc = false, tie = Seq(col("item").asc), out = "_rk",
+      maxRank = topK.toLong)
+      .where(col("_rk") <= topK).drop("_rk")
+    top
+      .select(col("item"), col("exact"), explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"),
+          pmod(graft.text.TextOps.hash56(
+            concat(lit(s"$r:"), col("item"))), lit(w.toLong)).as("b"))): _*))
+        .as("_h"))
+      .select(col("item"), col("exact"), col("_h.r").as("r"),
+        col("_h.b").as("b"))
+      .join(registers, Seq("r", "b"))
+      .groupBy(col("item"), col("exact"))
+      .agg(min(col("reg")).as("est"))
+  }
+
+  /** Temperature-scaled corpus mixing (the multilingual sampling rule of
+    * Lample & Conneau '19 / mT5): group share p_g ∝ n_g^α (α < 1 lifts
+    * the tail), integer allocation alloc0 = ⌊B·p_g + ½⌋ capped at n_g,
+    * then ONE proportional redistribution of the leftover over the
+    * uncapped groups (again floor+cap — the remaining crumbs stay
+    * unallocated by contract, documented rather than looped). Output per
+    * group: group, n, share (4dp), alloc, capped.
+    *
+    * Scale: everything after the one count aggregate is group-sized. */
+  def temperatureMix(data: DataFrame, groupCol: String, alpha: Double,
+      budget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"0 < alpha <= 1: $alpha")
+    // n^α as exp(α·ln n): exp/ln carry the engine's established libm
+    // parity where pow() does not
+    val n = data.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_pw8", fixedPointLong(
+        exp(lit(alpha) * log(col("n").cast("double"))), 8))
+    val tot = n.agg(sum(col("_pw8")).as("_tot8"))
+    val a0 = n.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("_pw8").cast("double") / col("_tot8").cast("double"))
+      .withColumn("_alloc0",
+        least(floor(lit(budget.toDouble) * col("share") + 0.5).cast("long"),
+          col("n")))
+      .withColumn("capped", col("_alloc0") === col("n"))
+    val left = a0.agg(
+      greatest(lit(budget) - sum(col("_alloc0")), lit(0L)).as("_left"),
+      sum(when(!col("capped"), col("_pw8")).otherwise(lit(0L))).as("_open8"))
+    a0.crossJoin(broadcast(left))
+      .withColumn("alloc",
+        when(col("capped") || col("_open8") === 0L, col("_alloc0"))
+          .otherwise(least(col("n"), col("_alloc0") +
+            floor(col("_left").cast("double") *
+              (col("_pw8").cast("double") / col("_open8").cast("double")))
+              .cast("long"))))
+      .select(col("group"), col("n"),
+        (floor(col("share") * 1e4 + 0.5) / 1e4).as("share"),
+        col("alloc"), col("capped"))
+  }
+}

@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.core._
+import graft.model.{Behavior, Mixture}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-10 queries + DuckDB oracles. Wave 1: behavioral analytics
+  * (ordered funnel, cohort retention), deterministic sampling and
+  * sketching (Efraimidis–Spirakis weighted sample, count-min estimates),
+  * corpus mixing (temperature-scaled allocation) and the unrolled-EM
+  * 2-component Gaussian mixture.
+  *
+  * All fixtures are deterministic transforms of events/documents; every
+  * float roll-up is fixed-point-quantized per term so both engines sum
+  * order-free (the engine-wide q116 device). */
+object R10Queries {
+
+  private def ev(s: SparkSession, dir: String) = table(s, dir, "events")
+  private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
+
+  /** 4dp/6dp/8dp fixed-point long of a SQL expression. */
+  private def fp(e: String, s: String): String =
+    s"(CASE WHEN ($e) >= 0 THEN floor(($e)*$s+0.5) " +
+      s"ELSE -floor(-($e)*$s+0.5) END)::BIGINT"
+  private def h56(e: String) = s"('0x'||substr(md5($e),1,14))::BIGINT"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ordered conversion funnel view -> click -> purchase on event time
+    "q453_funnel" -> ((s, dir) =>
+      canon(Behavior.funnel(ev(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")))),
+    // cohort retention matrix on first-activity day, ages 0..14
+    "q454_retention" -> ((s, dir) =>
+      canon(Behavior.retention(
+        ev(s, dir).withColumn("day", expr("ts div 86400000000000")),
+        "user_id", "day", maxAge = 14))),
+    // Efraimidis-Spirakis weighted sample: 20 per event_type, w=|value|+1
+    "q455_weighted_sample" -> ((s, dir) =>
+      canon(Behavior.weightedSample(
+        ev(s, dir).withColumn("w", abs(col("value")) + 1.0),
+        Seq("event_type"), "event_id", "w", k = 20))),
+    // count-min (d=4, w=64) estimates vs exact for the top-10 users
+    "q456_countmin" -> ((s, dir) =>
+      canon(Behavior.countMinEstimate(ev(s, dir), "user_id",
+        d = 4, w = 64, topK = 10))),
+    // temperature-scaled language mix, alpha=0.5, budget=200 docs
+    "q457_temperature_mix" -> ((s, dir) =>
+      canon(Behavior.temperatureMix(docs(s, dir), "lang",
+        alpha = 0.5, budget = 200L))),
+    // 2-component GMM per event_type, 3 unrolled EM rounds
+    "q458_gmm2" -> ((s, dir) =>
+      canon(Mixture.gmm2(ev(s, dir), Seq("event_type"), "value",
+        rounds = 3))),
+  )
+
+  /** The unrolled-EM oracle: init CTE + `rounds` mechanical round blocks
+    * replaying the exact float-op order of [[Mixture.gmm2]]. */
+  private def gmm2Sql(rounds: Int): String = {
+    val init =
+      s"""b AS (SELECT event_type AS k, value AS x FROM events
+         | WHERE value IS NOT NULL),
+         |i0 AS (SELECT k, count(*)::BIGINT AS n, min(x) AS mn, max(x) AS mx,
+         |  sum(${fp("x", "10000.0")}::HUGEINT) AS sx4,
+         |  sum(${fp("x*x", "10000.0")}::HUGEINT) AS sxx4 FROM b GROUP BY 1),
+         |p0 AS (SELECT k, n, 0.5 AS pi,
+         |  mn + (mx - mn) * 0.25 AS mu1, mn + (mx - mn) * 0.75 AS mu2,
+         |  greatest(sxx4::DOUBLE/10000.0/n::DOUBLE
+         |    - (sx4::DOUBLE/10000.0/n::DOUBLE)*(sx4::DOUBLE/10000.0/n::DOUBLE),
+         |    1e-8) AS v1,
+         |  greatest(sxx4::DOUBLE/10000.0/n::DOUBLE
+         |    - (sx4::DOUBLE/10000.0/n::DOUBLE)*(sx4::DOUBLE/10000.0/n::DOUBLE),
+         |    1e-8) AS v2 FROM i0)""".stripMargin
+    val rnds = (1 to rounds).map { r =>
+      val d1 = "(exp(-(x-mu1)*(x-mu1)/(2.0*v1))/sqrt(v1))"
+      val d2 = "(exp(-(x-mu2)*(x-mu2)/(2.0*v2))/sqrt(v2))"
+      val den = s"(pi*$d1 + (1.0-pi)*$d2)"
+      s"""j$r AS (SELECT b.k, b.x, p.pi, p.mu1, p.mu2, p.v1, p.v2
+         | FROM b JOIN p${r - 1} p USING (k)),
+         |r$r AS (SELECT k, x,
+         |  CASE WHEN $den > 0 THEN pi*$d1/$den ELSE 0.5 END AS rr FROM j$r),
+         |s$r AS (SELECT k, count(*)::BIGINT AS n,
+         |  sum(${fp("rr", "100000000.0")}::HUGEINT) AS sr8,
+         |  sum(${fp("rr*x", "1000000.0")}::HUGEINT) AS srx6,
+         |  sum(${fp("rr*x*x", "1000000.0")}::HUGEINT) AS srxx6,
+         |  sum(${fp("(1.0-rr)*x", "1000000.0")}::HUGEINT) AS sqx6,
+         |  sum(${fp("(1.0-rr)*x*x", "1000000.0")}::HUGEINT) AS sqxx6
+         | FROM r$r GROUP BY 1),
+         |w$r AS (SELECT k, n, sr8::DOUBLE/100000000.0 AS w1,
+         |  n::DOUBLE - sr8::DOUBLE/100000000.0 AS w2,
+         |  srx6, srxx6, sqx6, sqxx6 FROM s$r),
+         |m$r AS (SELECT k, n, w1, w2, w1/n::DOUBLE AS pi,
+         |  CASE WHEN w1 > 0 THEN srx6::DOUBLE/1000000.0/w1
+         |   ELSE 0.0 END AS mu1,
+         |  CASE WHEN w2 > 0 THEN sqx6::DOUBLE/1000000.0/w2
+         |   ELSE 0.0 END AS mu2,
+         |  srxx6, sqxx6 FROM w$r),
+         |p$r AS (SELECT k, n, pi, mu1, mu2,
+         |  greatest(CASE WHEN w1 > 0
+         |    THEN srxx6::DOUBLE/1000000.0/w1 - mu1*mu1 ELSE 1e-8 END,
+         |   1e-8) AS v1,
+         |  greatest(CASE WHEN w2 > 0
+         |    THEN sqxx6::DOUBLE/1000000.0/w2 - mu2*mu2 ELSE 1e-8 END,
+         |   1e-8) AS v2 FROM m$r)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""WITH $init$rnds
+       |SELECT k AS event_type, n, round(pi, 4) + 0 AS pi,
+       | round(mu1, 4) + 0 AS mu1, round(mu2, 4) + 0 AS mu2,
+       | round(v1, 4) + 0 AS v1, round(v2, 4) + 0 AS v2
+       |FROM p$rounds""".stripMargin.replace("\n", " ")
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q453_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(epoch_ns(ts)) AS t
+        | FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(epoch_ns(e.ts)) AS t
+        | FROM events e JOIN s1 ON e.user_id = s1.u
+        |  AND epoch_ns(e.ts) > s1.t
+        | WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(epoch_ns(e.ts)) AS t
+        | FROM events e JOIN s2 ON e.user_id = s2.u
+        |  AND epoch_ns(e.ts) > s2.t
+        | WHERE e.event_type = 'purchase' GROUP BY 1),
+        |c AS (SELECT 1::BIGINT AS step_idx, 'view' AS step,
+        |   count(*)::BIGINT AS users FROM s1
+        | UNION ALL SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM s2
+        | UNION ALL SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3)
+        |SELECT step_idx, step, users,
+        | round(CASE WHEN (SELECT users FROM c WHERE step_idx = 1) > 0
+        |  THEN users::DOUBLE
+        |   / (SELECT users FROM c WHERE step_idx = 1)::DOUBLE
+        |  ELSE 0.0 END, 4) AS conv
+        |FROM c""".stripMargin.replace("\n", " "),
+    "q454_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |  epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |ch AS (SELECT u, min(d) AS c FROM ud GROUP BY 1),
+        |sz AS (SELECT c AS cohort, count(*)::BIGINT AS cohort_users
+        | FROM ch GROUP BY 1),
+        |ag AS (SELECT ch.c AS cohort, ud.d - ch.c AS age,
+        |  count(*)::BIGINT AS users
+        | FROM ud JOIN ch USING (u) WHERE ud.d - ch.c <= 14 GROUP BY 1, 2)
+        |SELECT ag.cohort, ag.age, ag.users, sz.cohort_users,
+        | round(ag.users::DOUBLE / sz.cohort_users::DOUBLE, 4) AS frac
+        |FROM ag JOIN sz USING (cohort)""".stripMargin.replace("\n", " "),
+    "q455_weighted_sample" ->
+      s"""WITH b AS (SELECT event_type, event_id AS id,
+         |  abs(value) + 1.0 AS w,
+         |  ${fp(s"-ln((${h56("event_id::VARCHAR")} + 1)::DOUBLE " +
+             "/ 72057594037927936.0) / (abs(value) + 1.0)", "100000000.0")}
+         |   AS es8
+         | FROM events WHERE value IS NOT NULL AND abs(value) + 1.0 > 0),
+         |r AS (SELECT event_type, id, w, es8,
+         |  row_number() OVER (PARTITION BY event_type
+         |   ORDER BY es8 ASC, id ASC)::BIGINT AS rank FROM b)
+         |SELECT event_type, id, round(w, 4) AS w,
+         | round(es8::DOUBLE / 100000000.0, 4) + 0 AS es_key, rank
+         |FROM r WHERE rank <= 20""".stripMargin.replace("\n", " "),
+    "q456_countmin" ->
+      s"""WITH it AS (SELECT user_id::VARCHAR AS item FROM events
+         | WHERE user_id IS NOT NULL),
+         |rb AS (SELECT item, v.r,
+         |  ${h56("v.r::VARCHAR || ':' || item")} % 64 AS b
+         | FROM it CROSS JOIN (VALUES (0), (1), (2), (3)) v(r)),
+         |reg AS (SELECT r, b, count(*)::BIGINT AS reg
+         | FROM rb GROUP BY 1, 2),
+         |ex AS (SELECT item, count(*)::BIGINT AS exact
+         | FROM it GROUP BY 1),
+         |top AS (SELECT item, exact FROM (SELECT item, exact,
+         |  row_number() OVER (ORDER BY exact DESC, item ASC) AS rk
+         | FROM ex) WHERE rk <= 10),
+         |th AS (SELECT item, exact, v.r,
+         |  ${h56("v.r::VARCHAR || ':' || item")} % 64 AS b
+         | FROM top CROSS JOIN (VALUES (0), (1), (2), (3)) v(r))
+         |SELECT th.item, th.exact, min(reg.reg) AS est
+         |FROM th JOIN reg USING (r, b)
+         |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    "q457_temperature_mix" ->
+      s"""WITH n AS (SELECT lang AS "group", count(*)::BIGINT AS n,
+         |  ${fp("exp(0.5 * ln(count(*)::DOUBLE))", "100000000.0")} AS pw8
+         | FROM documents GROUP BY 1),
+         |t AS (SELECT sum(pw8)::HUGEINT AS tot8 FROM n),
+         |sh AS (SELECT "group", n, pw8,
+         |  pw8::DOUBLE / tot8::DOUBLE AS share FROM n CROSS JOIN t),
+         |a0 AS (SELECT "group", n, pw8, share,
+         |  least(floor(200.0 * share + 0.5)::BIGINT, n) AS alloc0
+         | FROM sh),
+         |c0 AS (SELECT "group", n, pw8, share, alloc0,
+         |  alloc0 = n AS capped FROM a0),
+         |lf AS (SELECT greatest(200 - sum(alloc0), 0)::BIGINT AS lft,
+         |  sum(CASE WHEN NOT capped THEN pw8 ELSE 0 END)::HUGEINT AS open8
+         | FROM c0)
+         |SELECT "group", n,
+         | round(floor(share * 10000.0 + 0.5) / 10000.0, 4) AS share,
+         | CASE WHEN capped OR open8 = 0 THEN alloc0
+         |  ELSE least(n, alloc0 + floor(lft::DOUBLE
+         |   * (pw8::DOUBLE / open8::DOUBLE))::BIGINT) END AS alloc,
+         | capped
+         |FROM c0 CROSS JOIN lf""".stripMargin.replace("\n", " "),
+    "q458_gmm2" -> gmm2Sql(3),
+  )
+}

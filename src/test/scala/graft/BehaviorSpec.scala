@@ -1,0 +1,100 @@
+package graft
+
+import graft.model.{Behavior, Mixture}
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics (funnel, retention), deterministic sampling and
+  * sketching (ES weighted sample, count-min), temperature mixing and the
+  * unrolled-EM Gaussian mixture. */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel: ordered steps are monotone and strictly time-ordered") {
+    // u1 completes A->B->C in order; u2 does B before A (B must not
+    // count); u3 only reaches A
+    val ev = Seq(
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+      (2L, "B", 5L), (2L, "A", 10L), (2L, "C", 20L),
+      (3L, "A", 10L)).toDF("u", "typ", "o")
+    val f = Behavior.funnel(ev, "u", "typ", "o", Seq("A", "B", "C"))
+      .orderBy("step_idx").collect()
+    assert(f.map(_.getAs[Long]("users")).toSeq == Seq(3L, 1L, 1L),
+      s"u2's early B must not count: ${f.mkString(";")}")
+    assert(math.abs(f(2).getAs[Double]("conv") - 1.0 / 3) < 1e-9)
+    // step counts can never increase
+    assert(f.map(_.getAs[Long]("users")).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("retention: age-0 row equals cohort size, fractions bounded") {
+    val ev = Seq((1L, 0L), (1L, 1L), (1L, 3L), (2L, 0L), (2L, 3L),
+      (3L, 1L), (3L, 2L)).toDF("u", "day")
+    val r = Behavior.retention(ev, "u", "day", maxAge = 30).collect()
+    val a0 = r.filter(_.getAs[Long]("age") == 0L)
+    assert(a0.forall(x =>
+      x.getAs[Long]("users") == x.getAs[Long]("cohort_users")),
+      "every user is active on their cohort day")
+    assert(r.forall(x => x.getAs[Double]("frac") <= 1.0 + 1e-12))
+    // cohort 0 (u1,u2) has both back at age 3
+    val c0a3 = r.find(x => x.getAs[Long]("cohort") == 0L &&
+      x.getAs[Long]("age") == 3L).get
+    assert(c0a3.getAs[Long]("users") == 2L)
+  }
+
+  test("weighted sample: deterministic, capped at k, weight-sensitive") {
+    val data = (1 to 200).map(i =>
+      (i.toLong, if (i <= 100) 100.0 else 0.01, "g")).toDF("id", "w", "g")
+    val s1 = Behavior.weightedSample(data, Seq("g"), "id", "w", 20)
+    val rows = s1.collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 20L))
+    // heavy ids (w=100, ids 1..100) should dominate the sample
+    val heavy = rows.count(_.getAs[Long]("id") <= 100L)
+    assert(heavy >= 18, s"heavy weights must dominate: $heavy/20")
+    // replay-deterministic
+    val again = Behavior.weightedSample(data, Seq("g"), "id", "w", 20)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(again == rows.map(_.getAs[Long]("id")).toSet)
+  }
+
+  test("count-min: estimate >= exact, exact on a collision-free sketch") {
+    val data = (1 to 1000).map(i => s"item${i % 10}").toDF("item")
+    val r = Behavior.countMinEstimate(data, "item", d = 4, w = 64, topK = 10)
+      .collect()
+    assert(r.length == 10)
+    r.foreach { x =>
+      assert(x.getAs[Long]("est") >= x.getAs[Long]("exact"),
+        s"CM never underestimates: $x")
+    }
+    // 10 items in 4x64 registers: at least one row is collision-free,
+    // so the min-estimate equals the exact count
+    assert(r.forall(x => x.getAs[Long]("est") == x.getAs[Long]("exact")),
+      "10 distinct items cannot collide in every one of 4 rows of 64")
+  }
+
+  test("temperature mix: alpha<1 lifts the tail, caps and budget hold") {
+    val data = (1 to 1100).map(i =>
+      if (i <= 1000) ("big", i) else ("small", i)).toDF("g", "i")
+    val m = Behavior.temperatureMix(data, "g", alpha = 0.5, budget = 500L)
+      .collect().map(r => r.getAs[String]("group") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("alloc"))).toMap
+    val (nBig, aBig) = m("big"); val (nSmall, aSmall) = m("small")
+    assert(aBig <= nBig && aSmall <= nSmall, "alloc never exceeds supply")
+    assert(aBig + aSmall <= 500L, "allocation never exceeds the budget")
+    // alpha=0.5: small share = sqrt(100)/(sqrt(1000)+sqrt(100)) = 0.240,
+    // far above its raw 9% share — the tail is lifted
+    assert(aSmall.toDouble / (aBig + aSmall) > 0.15,
+      s"tail must be lifted: small=$aSmall big=$aBig")
+  }
+
+  test("gmm2: separates an obvious two-component mixture") {
+    val xs = (1 to 300).map(i => ("k", if (i % 2 == 0) 0.0 + (i % 7) * 0.01
+      else 10.0 + (i % 5) * 0.01)).toDF("k", "x")
+    val g = Mixture.gmm2(xs, Seq("k"), "x", rounds = 5).collect()(0)
+    val (mu1, mu2) = (g.getAs[Double]("mu1"), g.getAs[Double]("mu2"))
+    assert(mu1 < 1.5 && mu2 > 8.5 && mu2 - mu1 > 7.0,
+      s"means must land on the two modes: $mu1 / $mu2")
+    val pi = g.getAs[Double]("pi")
+    assert(pi > 0.3 && pi < 0.7, s"balanced mixture: pi=$pi")
+    assert(g.getAs[Double]("v1") > 0 && g.getAs[Double]("v2") > 0)
+  }
+}
