@@ -52,6 +52,26 @@ object R10Queries {
     "q458_gmm2" -> ((s, dir) =>
       canon(Mixture.gmm2(ev(s, dir), Seq("event_type"), "value",
         rounds = 3))),
+    // embedding-space isotropy + rogue-dimension diagnostics
+    "q460_isotropy" -> ((s, dir) =>
+      canon(graft.sim.SimJoin.isotropy(table(s, dir, "embeddings"),
+        "vec_id", "embedding"))),
+    // pooled lexical diversity (TTR + hapax mass) per source
+    "q461_ttr" -> ((s, dir) =>
+      canon(graft.text.TextOps.lexicalDiversityByGroup(docs(s, dir),
+        "source", "text"))),
+    // char-class profile per source + JS divergence vs the corpus
+    "q462_charclass_drift" -> ((s, dir) =>
+      canon(graft.text.TextOps.charClassDrift(docs(s, dir),
+        "source", "text"))),
+    // char-8-gram novelty curve (first-occurrence mass per doc)
+    "q463_ngram_novelty" -> ((s, dir) =>
+      canon(graft.text.TextOps.ngramNovelty(docs(s, dir),
+        "doc_id", "text", n = 8))),
+    // context-window truncation loss per source at L=128 tokens
+    "q464_trunc_loss" -> ((s, dir) =>
+      canon(graft.text.TextOps.truncationLoss(docs(s, dir),
+        "source", "text", maxTokens = 128))),
   )
 
   /** The unrolled-EM oracle: init CTE + `rounds` mechanical round blocks
@@ -199,5 +219,122 @@ object R10Queries {
          | capped
          |FROM c0 CROSS JOIN lf""".stripMargin.replace("\n", " "),
     "q458_gmm2" -> gmm2Sql(3),
+    "q460_isotropy" ->
+      s"""WITH d AS (SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS x
+         | FROM (SELECT vec_id, embedding,
+         |   unnest(range(1, len(embedding) + 1)) AS i
+         |  FROM embeddings WHERE embedding IS NOT NULL)),
+         |per AS (SELECT dim, count(*)::BIGINT AS n,
+         |  sum(${fp("x", "1000000.0")}::HUGEINT) AS sx6,
+         |  sum(${fp("x*x", "100000000.0")}::HUGEINT) AS sxx8
+         | FROM d GROUP BY 1),
+         |pm AS (SELECT dim, n, sxx8,
+         |  sx6::DOUBLE/1000000.0/n::DOUBLE AS mean FROM per),
+         |pv AS (SELECT dim, n, sxx8, mean,
+         |  sxx8::DOUBLE/100000000.0/n::DOUBLE - mean*mean AS vr FROM pm),
+         |ag AS (SELECT max(n)::BIGINT AS n, count(*)::BIGINT AS dims,
+         |  sum(${fp("mean*mean", "100000000.0")})::BIGINT AS mn8,
+         |  sum(sxx8)::HUGEINT AS sxx8t,
+         |  sum(${fp("vr", "100000000.0")})::BIGINT AS v8t,
+         |  max(${fp("vr", "100000000.0")})::BIGINT AS vmax8 FROM pv),
+         |tp AS (SELECT min(dim)::BIGINT AS top_var_dim FROM pv, ag
+         | WHERE ${fp("vr", "100000000.0")} = ag.vmax8),
+         |o AS (SELECT n, dims, mn8::DOUBLE/100000000.0 AS mean_norm2,
+         |  sxx8t::DOUBLE/100000000.0/n::DOUBLE AS avg_norm2,
+         |  v8t, vmax8 FROM ag)
+         |SELECT o.n, o.dims, round(mean_norm2, 4) AS mean_norm2,
+         | round(avg_norm2, 4) AS avg_norm2,
+         | round(CASE WHEN avg_norm2 > 0
+         |   THEN 1.0 - mean_norm2 / avg_norm2 ELSE 0.0 END, 4) + 0
+         |  AS isotropy,
+         | tp.top_var_dim,
+         | round(CASE WHEN v8t > 0 THEN vmax8::DOUBLE
+         |   / (v8t::DOUBLE / dims::DOUBLE) ELSE 0.0 END, 4) AS var_ratio
+         |FROM o CROSS JOIN tp""".stripMargin.replace("\n", " "),
+    "q461_ttr" ->
+      """WITH c AS (SELECT grp, tk, count(*)::BIGINT AS c FROM
+        |  (SELECT source AS grp,
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS tk
+        |   FROM documents) GROUP BY 1, 2),
+        |g AS (SELECT grp, sum(c)::BIGINT AS tokens,
+        |  count(*)::BIGINT AS types,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
+        | FROM c GROUP BY 1)
+        |SELECT grp AS "group", tokens, types,
+        | round(types::DOUBLE / tokens::DOUBLE, 4) AS ttr, hapax,
+        | round(hapax::DOUBLE / types::DOUBLE, 4) AS hapax_frac
+        |FROM g""".stripMargin.replace("\n", " "),
+    "q462_charclass_drift" -> {
+      def pq(cc: String, tc: String) = (
+        s"($cc::DOUBLE / n_chars::DOUBLE)",
+        s"($tc::DOUBLE / tn::DOUBLE)")
+      def klT(pe: String, qe: String) = fp(
+        s"(CASE WHEN $pe > 0 THEN $pe * ln($pe / (($pe + $qe) / 2.0)) ELSE 0.0 END" +
+          s" + CASE WHEN $qe > 0 THEN $qe * ln($qe / (($pe + $qe) / 2.0)) ELSE 0.0 END) / 2.0",
+        "100000000.0")
+      val terms = Seq(("ca", "ta"), ("cd", "td"), ("cs", "ts"), ("co", "tq"))
+        .map { case (a, b) => val (pe, qe) = pq(a, b); klT(pe, qe) }
+        .mkString(" + ")
+      s"""WITH r AS (SELECT source AS grp,
+         |  len(regexp_extract_all(lower(coalesce(text, '')),
+         |    '[a-z]'))::BIGINT AS a,
+         |  len(regexp_extract_all(lower(coalesce(text, '')),
+         |    '[0-9]'))::BIGINT AS d,
+         |  len(regexp_extract_all(lower(coalesce(text, '')),
+         |    '\\s'))::BIGINT AS s,
+         |  length(lower(coalesce(text, '')))::BIGINT AS l
+         | FROM documents),
+         |per AS (SELECT grp, sum(a)::BIGINT AS ca, sum(d)::BIGINT AS cd,
+         |  sum(s)::BIGINT AS cs, sum(l - a - d - s)::BIGINT AS co
+         | FROM r GROUP BY 1),
+         |pn AS (SELECT grp, ca, cd, cs, co,
+         |  (ca + cd + cs + co)::BIGINT AS n_chars FROM per
+         | WHERE ca + cd + cs + co > 0),
+         |tot AS (SELECT sum(ca)::BIGINT AS ta, sum(cd)::BIGINT AS td,
+         |  sum(cs)::BIGINT AS ts, sum(co)::BIGINT AS tq,
+         |  sum(n_chars)::BIGINT AS tn FROM pn)
+         |SELECT grp AS "group", n_chars,
+         | round(ca::DOUBLE / n_chars::DOUBLE, 4) AS p_alpha,
+         | round(cd::DOUBLE / n_chars::DOUBLE, 4) AS p_digit,
+         | round(cs::DOUBLE / n_chars::DOUBLE, 4) AS p_space,
+         | round(co::DOUBLE / n_chars::DOUBLE, 4) AS p_other,
+         | round(($terms)::DOUBLE / 100000000.0, 4) + 0 AS js
+         |FROM pn CROSS JOIN tot""".stripMargin.replace("\n", " ")
+    },
+    "q463_ngram_novelty" ->
+      s"""WITH b AS (SELECT doc_id AS id, coalesce(text, '') AS t
+         | FROM documents),
+         |g AS (SELECT id, ${h56("gr")} AS h FROM
+         |  (SELECT id, unnest(list_distinct(list_transform(
+         |     range(1, length(t) - 7 + 1), i -> substr(t, i, 8)))) AS gr
+         |   FROM b WHERE length(t) >= 8)),
+         |f AS (SELECT h, min(id) AS fid FROM g GROUP BY 1),
+         |p AS (SELECT g.id, count(*)::BIGINT AS distinct_grams,
+         |  sum(CASE WHEN f.fid = g.id THEN 1 ELSE 0 END)::BIGINT
+         |   AS new_grams
+         | FROM g JOIN f USING (h) GROUP BY 1)
+         |SELECT b.id, coalesce(p.distinct_grams, 0)::BIGINT
+         |  AS distinct_grams,
+         | coalesce(p.new_grams, 0)::BIGINT AS new_grams,
+         | round(CASE WHEN coalesce(p.distinct_grams, 0) > 0
+         |  THEN p.new_grams::DOUBLE / p.distinct_grams::DOUBLE
+         |  ELSE 1.0 END, 4) AS novelty
+         |FROM b LEFT JOIN p ON p.id = b.id"""
+        .stripMargin.replace("\n", " "),
+    "q464_trunc_loss" ->
+      """WITH c AS (SELECT source AS grp,
+        |  len(regexp_extract_all(lower(text), '\S+'))::BIGINT AS n
+        | FROM documents),
+        |g AS (SELECT grp, count(*)::BIGINT AS docs,
+        |  sum(CASE WHEN n > 128 THEN 1 ELSE 0 END)::BIGINT
+        |   AS docs_truncated,
+        |  sum(n)::BIGINT AS tokens,
+        |  sum(greatest(n - 128, 0))::BIGINT AS tokens_lost
+        | FROM c GROUP BY 1)
+        |SELECT grp AS "group", docs, docs_truncated, tokens, tokens_lost,
+        | round(CASE WHEN tokens > 0
+        |  THEN tokens_lost::DOUBLE / tokens::DOUBLE ELSE 0.0 END, 4)
+        |  AS loss_frac
+        |FROM g""".stripMargin.replace("\n", " "),
   )
 }

@@ -107,6 +107,11 @@ object TextQueries {
       graft.text.UrlOps.urlBlocklist(urlDocs(s, dir), "url",
         Seq("://[a-z0-9]*-3\\.com/", "/p1[0-9]($|\\?)"))
         .select(col("doc_id"), col("canon_url"), col("blocked"), col("tag"))),
+    // minhash containment estimates (asymmetric near-dup) for the LSH
+    // candidate pairs, exact distinct-shingle sizes
+    "q459_containment" -> ((s, dir) =>
+      canon(TextOps.minhashContainment(docs(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = NumHashes, bandSize = BandSize))),
     // redundancy signal, engine-independent face: repeated-8-gram mass
     // (1 - distinct/total char 8-grams). The zlib deflate op remains a
     // non-gated utility (its length is implementation-defined; UrlJson-
@@ -1835,6 +1840,32 @@ object TextQueries {
     // distinct canonical keys (independent derivation — urlDocs carries
     // the unique id param, so every doc is its own canonical key and
     // the admitted set is the full id-keyed set)
+    "q459_containment" ->
+      s"""WITH $sigCte,
+         |bands AS (SELECT doc_id, hashIdx // $BandSize AS band,
+         |  array_to_string(list(minHash ORDER BY hashIdx), ':') AS bucket
+         | FROM sig GROUP BY doc_id, band),
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         | FROM bands l JOIN bands r ON l.band = r.band
+         |  AND l.bucket = r.bucket
+         | WHERE l.doc_id < r.doc_id),
+         |mt AS (SELECT c.a, c.b,
+         |  sum(CASE WHEN sl.minHash = sr.minHash THEN 1 ELSE 0 END)::BIGINT
+         |   AS matches
+         | FROM cand c JOIN sig sl ON sl.doc_id = c.a
+         |  JOIN sig sr ON sr.doc_id = c.b AND sr.hashIdx = sl.hashIdx
+         | GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1)
+         |SELECT mt.a, mt.b, za.sz AS sz_a, zb.sz AS sz_b, mt.matches,
+         | round(mt.matches::DOUBLE / $NumHashes, 4) AS jhat,
+         | round(CASE WHEN za.sz > 0 THEN
+         |   mt.matches::DOUBLE / $NumHashes
+         |    / (1.0 + mt.matches::DOUBLE / $NumHashes)
+         |    * (za.sz + zb.sz)::DOUBLE / za.sz::DOUBLE
+         |  ELSE 0.0 END, 4) AS containment_a
+         |FROM mt JOIN sz za ON za.doc_id = mt.a
+         | JOIN sz zb ON zb.doc_id = mt.b"""
+        .stripMargin.replace("\n", " "),
     "q269_compression_ratio" ->
       """SELECT doc_id AS id,
         | greatest(length(coalesce(text, '')) - 7, 0)::BIGINT AS grams,

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * Scale: candidate generation joins only the PREFIX inverted index —
   * each document contributes ⌊(1−τ)·|d|⌋+1 rarest tokens, so the pair
   * work is Σ_prefix-token df², orders of magnitude below the full
-  * Σ df² of a naive token join; the global token ranking is one
-  * vocab-sized window (value-histogram contract). Verification joins
+  * Σ df² of a naive token join; the global token ranking rides the
+  * df-band bucketed device (core.bandedRowNumber — its only
+  * unpartitioned window is the df histogram). Verification joins
   * the full token sets of the candidates only.
   *
   * Determinism: token sets are exact; sizes, intersections and ranks
@@ -158,5 +159,61 @@ object SimJoin {
       .agg(count(lit(1)).as("m_pairs"),
         (sum(col("_h6")).cast("double") / 1e6 /
           count(lit(1)).cast("double")).as("mmd2"))
+  }
+
+  /** Embedding-space isotropy diagnostics (Ethayarajh EMNLP'19 /
+    * Mu & Viswanath ICLR'18: contextual embedding spaces are
+    * anisotropic — a large common-mean component makes every cosine
+    * look high and ANN recall collapse along one axis): one row with
+    * ‖mean x‖², E‖x‖², isotropy = 1 − ‖mean‖²/E‖x‖² (1 = centered,
+    * → 0 = all vectors share a direction), plus the highest-variance
+    * dimension and its ratio to the mean per-dim variance (a single
+    * rogue dimension is the classic embedding-layer bug).
+    *
+    * Determinism: per-dim moments are fixed-point decimal sums; the
+    * cross-dim reductions sum fixed-point LONGS (order-free); the
+    * arg-max dimension resolves on exact integers (ties → smallest
+    * dim). Scale: one explode + one dim-keyed aggregate; everything
+    * after is dims-sized. */
+  def isotropy(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import graft.core.fixedPointLong
+    val d = emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+    val per = d.groupBy(col("dim")).agg(
+      count(lit(1)).as("_n"),
+      sum(fixedPointLong(col("x"), 6).cast("decimal(38,0)")).as("_sx6"),
+      sum(fixedPointLong(col("x") * col("x"), 8).cast("decimal(38,0)"))
+        .as("_sxx8"))
+      .withColumn("_mean",
+        col("_sx6").cast("double") / 1e6 / col("_n").cast("double"))
+      .withColumn("_var",
+        col("_sxx8").cast("double") / 1e8 / col("_n").cast("double") -
+          col("_mean") * col("_mean"))
+    val agg = per.agg(
+      max(col("_n")).as("n"), count(lit(1)).as("dims"),
+      sum(fixedPointLong(col("_mean") * col("_mean"), 8)).as("_mn8"),
+      sum(col("_sxx8")).as("_sxx8t"),
+      sum(fixedPointLong(col("_var"), 8)).as("_v8t"),
+      max(fixedPointLong(col("_var"), 8)).as("_vmax8"))
+    val top = per.select(col("dim"), fixedPointLong(col("_var"), 8).as("_v8"))
+      .join(broadcast(agg.select(col("_vmax8"))),
+        col("_v8") === col("_vmax8"))
+      .agg(min(col("dim").cast("long")).as("top_var_dim"))
+    agg.crossJoin(broadcast(top))
+      .withColumn("mean_norm2", col("_mn8").cast("double") / 1e8)
+      .withColumn("avg_norm2", col("_sxx8t").cast("double") / 1e8 /
+        col("n").cast("double"))
+      .withColumn("isotropy",
+        when(col("avg_norm2") > 0,
+          lit(1.0) - col("mean_norm2") / col("avg_norm2"))
+          .otherwise(lit(0.0)))
+      .withColumn("var_ratio",
+        when(col("_v8t") > 0,
+          col("_vmax8").cast("double") /
+            (col("_v8t").cast("double") / col("dims").cast("double")))
+          .otherwise(lit(0.0)))
+      .select("n", "dims", "mean_norm2", "avg_norm2", "isotropy",
+        "top_var_dim", "var_ratio")
   }
 }

@@ -772,6 +772,178 @@ object TextOps {
       .select("id", "grams", "distinct_grams", "redundancy")
   }
 
+  /** Lexical diversity per GROUP over the pooled vocabulary: token
+    * count, type (distinct-token) count, type–token ratio, and the
+    * hapax fraction (types occurring exactly once — the long-tail
+    * health of a source; template spam has a tiny hapax mass). The
+    * corpus-level complement of the per-document [[lexicalDiversity]]:
+    * a source's pooled TTR collapses when its documents repeat EACH
+    * OTHER, which per-doc ratios cannot see. One hash aggregate to
+    * (group, token) counts, then a group-sized roll-up. Output: group,
+    * tokens, types, ttr, hapax, hapax_frac. */
+  def lexicalDiversityByGroup(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(groupCol).as("group"),
+      explode(tokens(col(textCol))).as("_t"))
+      .where(col("_t") =!= "")
+      .groupBy(col("group"), col("_t")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("group"))
+      .agg(sum(col("_c")).as("tokens"), count(lit(1)).as("types"),
+        sum(when(col("_c") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .withColumn("ttr",
+        col("types").cast("double") / col("tokens").cast("double"))
+      .withColumn("hapax_frac",
+        col("hapax").cast("double") / col("types").cast("double"))
+      .select("group", "tokens", "types", "ttr", "hapax", "hapax_frac")
+
+  /** Character-class drift per group: the 4-class character profile
+    * (alpha / digit / whitespace / other) of each source vs the corpus
+    * profile, summarized by Jensen–Shannon divergence — the cheapest
+    * "this source is tables/code/spam, not prose" screen (a scraped
+    * price-list source drifts to digits, minified markup to `other`),
+    * orthogonal to the token-level unigram-KL family which needs a
+    * vocabulary. Output: group, n_chars, p_alpha, p_digit, p_space,
+    * p_other, js.
+    *
+    * Determinism: per-row exact regexp counts → per-group long sums;
+    * the JS closes over 4 fixed columns (no distribution-sized frame),
+    * each term an 8dp-quantized −p·ln() expression. Scale: one per-row
+    * map + one group aggregate; everything after is group-sized. */
+  def charClassDrift(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val lo = lower(coalesce(col(textCol), lit("")))
+    def cnt(re: String) =
+      size(regexp_extract_all(lo, lit(re), lit(0))).cast("long")
+    val per = docs
+      .select(col(groupCol).as("group"), cnt("[a-z]").as("_a"),
+        cnt("[0-9]").as("_d"), cnt("\\s").as("_s"),
+        (length(lo) - cnt("[a-z]") - cnt("[0-9]") - cnt("\\s")).as("_o"))
+      .groupBy(col("group"))
+      .agg(sum(col("_a")).as("ca"), sum(col("_d")).as("cd"),
+        sum(col("_s")).as("cs"), sum(col("_o")).as("co"))
+      .withColumn("n_chars", col("ca") + col("cd") + col("cs") + col("co"))
+      .where(col("n_chars") > 0)
+    val tot = per.agg(sum(col("ca")).as("ta"), sum(col("cd")).as("td"),
+      sum(col("cs")).as("ts"), sum(col("co")).as("to"),
+      sum(col("n_chars")).as("tn"))
+    def p(c: String) = col(c).cast("double") / col("n_chars").cast("double")
+    def q(c: String) = col(c).cast("double") / col("tn").cast("double")
+    def klTerm(pc: Column, qc: Column) = {
+      val m = (pc + qc) / 2.0
+      (when(pc > 0, pc * log(pc / m)).otherwise(lit(0.0)) +
+        when(qc > 0, qc * log(qc / m)).otherwise(lit(0.0))) / 2.0
+    }
+    val wide = per.crossJoin(broadcast(tot))
+    val js = Seq(("ca", "ta"), ("cd", "td"), ("cs", "ts"), ("co", "to"))
+      .map { case (a, b) =>
+        graft.core.fixedPointLong(klTerm(p(a), q(b)), 8) }
+      .reduce(_ + _).cast("double") / 1e8
+    wide.select(col("group"), col("n_chars"),
+      p("ca").as("p_alpha"), p("cd").as("p_digit"),
+      p("cs").as("p_space"), p("co").as("p_other"), js.as("js"))
+  }
+
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * character n-grams whose first corpus occurrence (by min doc id) is
+    * this document — the marginal-content curve that prices dedup ROI
+    * (a corpus whose late docs have near-zero novelty is a re-crawl).
+    * Output: id, distinct_grams, new_grams, novelty (1.0 for docs
+    * shorter than n, which contribute nothing and collide with nothing).
+    *
+    * Scale: grams travel as 56-bit hashes; work is one explode (O(chars)
+    * rows), one min-aggregate per gram, one join back — the spanDedup
+    * shape, linear in corpus size. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, s"n >= 2: $n")
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      coalesce(col(textCol), lit("")).as("_t"))
+    val grams = base
+      .where(length(col("_t")) >= n)
+      .select(col("id"), explode(expr(
+        s"array_distinct(transform(sequence(1, length(_t) - ${n - 1}), i -> substring(_t, i, $n)))"))
+        .as("_g"))
+      .select(col("id"), hash56(col("_g")).as("_h"))
+    val first = grams.groupBy(col("_h")).agg(min(col("id")).as("_first"))
+    val per = grams.join(first, "_h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("distinct_grams"),
+        sum(when(col("_first") === col("id"), 1L).otherwise(0L))
+          .as("new_grams"))
+    base.select(col("id")).join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("distinct_grams"), lit(0L)).as("distinct_grams"),
+        coalesce(col("new_grams"), lit(0L)).as("new_grams"))
+      .withColumn("novelty",
+        when(col("distinct_grams") > 0,
+          col("new_grams").cast("double") /
+            col("distinct_grams").cast("double"))
+          .otherwise(lit(1.0)))
+  }
+
+  /** Context-window truncation loss per group: with a max of `maxTokens`
+    * tokens per document, how many tokens fall past the cut and what
+    * fraction of the group's mass is lost — the "is L big enough for
+    * this source" dial every packing pipeline reads before committing a
+    * sequence length. Per-row token counts, one group aggregate.
+    * Output: group, docs, docs_truncated, tokens, tokens_lost,
+    * loss_frac. */
+  def truncationLoss(docs: DataFrame, groupCol: String, textCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens >= 1: $maxTokens")
+    val nTok = size(tokens(col(textCol))).cast("long")
+    docs.select(col(groupCol).as("group"), nTok.as("_n"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("_n") > maxTokens, 1L).otherwise(0L))
+          .as("docs_truncated"),
+        sum(col("_n")).as("tokens"),
+        sum(greatest(col("_n") - maxTokens, lit(0L))).as("tokens_lost"))
+      .withColumn("loss_frac",
+        when(col("tokens") > 0,
+          col("tokens_lost").cast("double") / col("tokens").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** MinHash containment estimates for the LSH candidate pairs: Ĵ =
+    * signature agreement / numHashes, |A∩B|^ = Ĵ/(1+Ĵ)·(|A|+|B|),
+    * containment_a = |A∩B|^/|A| — the ASYMMETRIC near-dup measure exact
+    * Jaccard can't give (a doc fully contained in a bigger doc scores
+    * containment ≈ 1 at a mediocre Jaccard; dedup policies usually want
+    * to drop the contained copy). Sizes are exact distinct-shingle
+    * counts. Output: a, b, sz_a, sz_b, matches, jhat, containment_a.
+    *
+    * Scale: candidates come banded from [[minhashPairs]] (never
+    * all-pairs); the match count joins the numHashes-wide signatures on
+    * (pair, hashIdx) — candidate-bounded. */
+  def minhashContainment(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, bandSize: Int): DataFrame = {
+    val sig = minhash(docs, idCol, textCol, shingleSize, numHashes)
+    val pairs = minhashPairs(docs, idCol, textCol, shingleSize, numHashes,
+      bandSize)
+    val sz = shingles(docs, idCol, textCol, shingleSize)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_sz"))
+    val matches = pairs
+      .join(sig.select(col(idCol).as("a"), col("hashIdx"),
+        col("minHash").as("_ha")), Seq("a"))
+      .join(sig.select(col(idCol).as("b"), col("hashIdx"),
+        col("minHash").as("_hb")), Seq("b", "hashIdx"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(when(col("_ha") === col("_hb"), 1L).otherwise(0L))
+        .as("matches"))
+    matches
+      .join(sz.select(col(idCol).as("a"), col("_sz").as("sz_a")), "a")
+      .join(sz.select(col(idCol).as("b"), col("_sz").as("sz_b")), "b")
+      .withColumn("jhat", col("matches").cast("double") / numHashes)
+      .withColumn("containment_a",
+        when(col("sz_a") > 0,
+          col("jhat") / (lit(1.0) + col("jhat")) *
+            (col("sz_a") + col("sz_b")).cast("double") /
+            col("sz_a").cast("double"))
+          .otherwise(lit(0.0)))
+      .select("a", "b", "sz_a", "sz_b", "matches", "jhat", "containment_a")
+  }
+
   /** Order-free corpus fingerprint: per group, row count + a commutative
     * content digest (sum of per-row 56-bit md5 values, accumulated as
     * decimal so it never wraps) — the cheap reproducibility check for a
