@@ -800,4 +800,72 @@ object Graph {
         col("reciprocal").cast("double") / col("m").cast("double"))
       .select("m", "reciprocal", "reciprocity")
   }
+
+  /** Sampled Brandes betweenness (Brandes '01 §4; sampling per
+    * Brandes–Pich '07): from `sources` md5-sampled roots, a forward BFS
+    * accumulates shortest-path counts σ per level, then the backward
+    * dependency pass folds δ(v) = Σ_{w∈succ(v)} (σ_v/σ_w)(1+δ(w)) from
+    * the deepest level in. Output per reached node: node, betweenness
+    * (the sampled δ mass; the source's own level is excluded, matching
+    * Brandes' w ≠ s term).
+    *
+    * Determinism: σ are exact integer path counts; each δ contribution
+    * freezes at 8dp before the per-node long sum (order-free), and
+    * every level's δ replays from the previous level's frozen values —
+    * the oracle unrolls the identical recursion. Scale: one
+    * frontier-join per depth (partitioned on the edge src), frames
+    * localCheckpoint'd per step (the closeness/Katz lineage contract);
+    * work per depth is frontier-sized, never all-pairs. */
+  def betweennessSampled(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Int = 8, maxDepth: Int = 4): DataFrame = {
+    require(maxDepth >= 1 && sources >= 1, s"bad args: $sources, $maxDepth")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct()
+      .repartition(col("src")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val srcs = nodes.orderBy(md5(col("node")), col("node"))
+      .limit(sources)
+      .select(col("node").as("source"))
+    var vis = srcs.select(col("source"), col("source").as("node"),
+      lit(0).as("d"), lit(1L).as("sig")).localCheckpoint(true)
+    (1 to maxDepth).foreach { t =>
+      val next = vis.where(col("d") === t - 1)
+        .join(e, col("node") === col("src"))
+        .select(col("source"), col("dst").as("node"), col("sig"))
+        .join(vis.select(col("source").as("_vs"), col("node").as("_vn")),
+          col("source") === col("_vs") && col("node") === col("_vn"),
+          "left_anti")
+        .groupBy(col("source"), col("node"))
+        .agg(sum(col("sig")).as("sig"))
+        .select(col("source"), col("node"), lit(t).as("d"), col("sig"))
+      vis = vis.union(next).localCheckpoint(true)
+    }
+    def lvl(t: Int) = vis.where(col("d") === t)
+      .select(col("source"), col("node"), col("sig"))
+    var cur = lvl(maxDepth).withColumn("dl8", lit(0L)).localCheckpoint(true)
+    val parts = scala.collection.mutable.ArrayBuffer(cur)
+    (maxDepth - 1 to 1 by -1).foreach { t =>
+      val contrib = lvl(t)
+        .select(col("source"), col("node"), col("sig").as("_vsig"))
+        .join(e, col("node") === col("src"))
+        .join(cur.select(col("source").as("_ws"), col("node").as("_wn"),
+          col("sig").as("_wsig"), col("dl8").as("_wdl")),
+          col("source") === col("_ws") && col("dst") === col("_wn"))
+        .groupBy(col("source"), col("node"))
+        .agg(sum(graft.core.fixedPointLong(
+          (col("_vsig").cast("double") / col("_wsig").cast("double")) *
+            (lit(1.0) + col("_wdl").cast("double") / 1e8), 8)).as("_c"))
+      cur = lvl(t).join(contrib, Seq("source", "node"), "left")
+        .select(col("source"), col("node"), col("sig"),
+          coalesce(col("_c"), lit(0L)).as("dl8"))
+        .localCheckpoint(true)
+      parts += cur
+    }
+    val out = parts.reduce(_ unionByName _)
+      .groupBy(col("node"))
+      .agg((sum(col("dl8")).cast("double") / 1e8).as("betweenness"))
+    e.unpersist()
+    out
+  }
 }

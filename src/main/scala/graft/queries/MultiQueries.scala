@@ -43,7 +43,7 @@ object MultiQueries {
     * on (the unthresholded chain is near-complete at test scale; the
     * chain is PARTITION-LOCAL — lead within event_type — so the fixture
     * itself carries no data-sized global window, r9 verdict item 5). */
-  private def chainPairs(s: SparkSession, dir: String, minCount: Int): DataFrame = {
+  private[queries] def chainPairs(s: SparkSession, dir: String, minCount: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = ev(s, dir).select(col("user_id").cast("string").as("ua"),
       lead(col("user_id").cast("string"), 1)
@@ -595,7 +595,7 @@ object MultiQueries {
 
   // Thresholded consecutive-user graph (chainPairs): canonical a<b pairs
   // kept at count >= minCount, expanded to both directions.
-  private def chainSql(minCount: Int): String =
+  private[queries] def chainSql(minCount: Int): String =
     s"""ch AS (SELECT user_id::VARCHAR AS a,
        |  lead(user_id::VARCHAR) OVER (PARTITION BY event_type ORDER BY event_id) AS b FROM events),
        |cp AS (SELECT least(a, b) AS a, greatest(a, b) AS b, count(*) AS c

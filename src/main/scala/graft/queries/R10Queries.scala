@@ -72,6 +72,14 @@ object R10Queries {
     "q464_trunc_loss" -> ((s, dir) =>
       canon(graft.text.TextOps.truncationLoss(docs(s, dir),
         "source", "text", maxTokens = 128))),
+    // sampled Brandes betweenness on the consecutive-user graph
+    "q465_betweenness" -> ((s, dir) => {
+      val und = MultiQueries.chainPairs(s, dir, 3)
+      val both = und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst")))
+      canon(graft.graph.Graph.betweennessSampled(both, "src", "dst",
+        sources = 8, maxDepth = 4))
+    }),
   )
 
   /** The unrolled-EM oracle: init CTE + `rounds` mechanical round blocks
@@ -321,6 +329,51 @@ object R10Queries {
          |  ELSE 1.0 END, 4) AS novelty
          |FROM b LEFT JOIN p ON p.id = b.id"""
         .stripMargin.replace("\n", " "),
+    "q465_betweenness" -> {
+      val maxDepth = 4
+      val fwd = (1 to maxDepth).map { t =>
+        s"""f$t AS MATERIALIZED (SELECT w.source, e.dst AS node, sum(w.sig)::BIGINT AS sig
+           | FROM (SELECT * FROM v${t - 1} WHERE d = ${t - 1}) w
+           | JOIN edges e ON e.src = w.node
+           | LEFT JOIN v${t - 1} x ON x.source = w.source AND x.node = e.dst
+           | WHERE x.node IS NULL GROUP BY 1, 2),
+           |v$t AS MATERIALIZED (SELECT source, node, d, sig FROM v${t - 1}
+           | UNION ALL SELECT source, node, $t AS d, sig FROM f$t)"""
+          .stripMargin.replace("\n", " ")
+      }.mkString(", ")
+      val term = fp("(v.sig::DOUBLE / w.sig::DOUBLE) * " +
+        "(1.0 + w.dl8::DOUBLE / 100000000.0)", "100000000.0")
+      val bwd = (maxDepth - 1 to 1 by -1).map { t =>
+        s"""bd$t AS MATERIALIZED (SELECT a.source, a.node, a.sig,
+           |  coalesce(c.dl8, 0)::BIGINT AS dl8
+           | FROM (SELECT source, node, sig FROM v$maxDepth WHERE d = $t) a
+           | LEFT JOIN (SELECT v.source, v.node, sum($term)::BIGINT AS dl8
+           |   FROM (SELECT source, node, sig FROM v$maxDepth
+           |     WHERE d = $t) v
+           |   JOIN edges e ON e.src = v.node
+           |   JOIN bd${t + 1} w ON w.source = v.source AND w.node = e.dst
+           |   GROUP BY 1, 2) c
+           |  ON c.source = a.source AND c.node = a.node)"""
+          .stripMargin.replace("\n", " ")
+      }.mkString(", ")
+      val union = (maxDepth to 1 by -1)
+        .map(t => s"SELECT source, node, dl8 FROM bd$t")
+        .mkString(" UNION ALL ")
+      s"""WITH ${MultiQueries.chainSql(3)},
+         |nodes AS (SELECT src AS node FROM edges
+         |  UNION SELECT dst FROM edges),
+         |srcs AS (SELECT node AS source FROM nodes
+         |  ORDER BY md5(node), node LIMIT 8),
+         |v0 AS (SELECT source, source AS node, 0 AS d, 1::BIGINT AS sig
+         | FROM srcs),
+         |$fwd,
+         |bd$maxDepth AS MATERIALIZED (SELECT source, node, sig, 0::BIGINT AS dl8
+         | FROM v$maxDepth WHERE d = $maxDepth),
+         |$bwd
+         |SELECT node,
+         | round(sum(dl8)::DOUBLE / 100000000.0, 4) AS betweenness
+         |FROM ($union) GROUP BY 1""".stripMargin.replace("\n", " ")
+    },
     "q464_trunc_loss" ->
       """WITH c AS (SELECT source AS grp,
         |  len(regexp_extract_all(lower(text), '\S+'))::BIGINT AS n

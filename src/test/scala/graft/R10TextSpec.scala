@@ -84,6 +84,19 @@ class R10TextSpec extends SparkSpec {
     }
   }
 
+  test("betweenness: path graph puts all mass on the middle node") {
+    // undirected path a-b-c with ALL nodes as sources: delta(b) = 1 from
+    // a's BFS + 1 from c's = 2 (Brandes' unnormalized pair count)
+    val und = Seq(("a", "b"), ("b", "c")).toDF("x", "y")
+    val both = und.union(und.select(col("y"), col("x")))
+    val r = graft.graph.Graph.betweennessSampled(both, "x", "y",
+      sources = 3, maxDepth = 3)
+      .collect().map(x => x.getAs[String]("node") ->
+        x.getAs[Double]("betweenness")).toMap
+    assert(math.abs(r("b") - 2.0) < 1e-6, s"middle carries the paths: $r")
+    assert(math.abs(r("a")) < 1e-6 && math.abs(r("c")) < 1e-6)
+  }
+
   test("isotropy: one-hot basis is isotropic, a shared direction is not") {
     val oneHot = (0 until 16).map { i =>
       (i.toLong, Array.tabulate(4)(j => if (j == i % 4) 1.0f else 0.0f))
