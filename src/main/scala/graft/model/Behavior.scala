@@ -58,6 +58,40 @@ object Behavior {
           .otherwise(lit(0.0)).as("conv"))
   }
 
+  /** Funnel step timing: for every step after the first, the user count
+    * and the mean completion gap from the previous step (the same
+    * strictly-after min-completion chain as [[funnel]]). `ordCol` is in
+    * epoch nanos; gaps report in seconds. Output per step ≥ 2:
+    * step_idx, step, users, avg_gap_sec.
+    *
+    * Determinism: gaps are exact long differences; the mean is an exact
+    * decimal-sum / count ratio. Scale: identical to [[funnel]]. */
+  def funnelTiming(data: DataFrame, userCol: String, typeCol: String,
+      ordCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "funnelTiming needs at least two steps")
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var reached = data.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("_u")).agg(min(col(ordCol)).as("_t"))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val nxt = data.where(col(typeCol) === st)
+        .select(col(userCol).as("_u"), col(ordCol).as("_o"))
+        .join(reached, "_u")
+        .where(col("_o") > col("_t"))
+        .groupBy(col("_u"))
+        .agg(min(col("_o")).as("_t2"), max(col("_t")).as("_tp"))
+      frames += nxt
+        .agg(count(lit(1)).as("users"),
+          sum((col("_t2") - col("_tp")).cast("decimal(38,0)")).as("_g"))
+        .select(lit((i + 1).toLong).as("step_idx"), lit(st).as("step"),
+          col("users"),
+          when(col("users") > 0, col("_g").cast("double") / 1e9 /
+            col("users").cast("double")).otherwise(lit(0.0))
+            .as("avg_gap_sec"))
+      reached = nxt.select(col("_u"), col("_t2").as("_t"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
   /** Cohort retention matrix: cohort = the user's first-activity day,
     * age = activity day − cohort day. One row per (cohort, age) with the
     * distinct-user count and the fraction of the cohort still active.

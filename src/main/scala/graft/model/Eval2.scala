@@ -346,4 +346,47 @@ object Eval2 {
             col("n_values").cast("double") / col("_n").cast("double")))
           .as("alpha"))
   }
+
+  /** Isotonic calibration curve — PAV computed by the exact minimax
+    * identity ŷ(s_i) = max_{j≤i} min_{k≥j} ȳ(bins j..k) (Barlow et al.
+    * '72 §1.2; identical to pool-adjacent-violators output): the
+    * monotone-nondecreasing calibrated probability per 2dp score bin,
+    * the nonparametric alternative to Platt scaling and the standard
+    * post-hoc calibrator for quality/dedup classifier scores.
+    *
+    * Determinism: bin averages are exact integer ratios from prefix
+    * sums; min/max selections are exact. Scale: the score freezes at
+    * 2dp (reliability-diagram granularity), so the bin frame is ≤ a few
+    * hundred rows by the VALUE-RANGE contract; the j≤k pair join is a
+    * bin²-bounded broadcast nested loop — a model-sized computation by
+    * construction, never data-sized. Output per bin: score, n, pos,
+    * iso. */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val h = df.select(
+      graft.core.fixedPointLong(col(scoreCol).cast("double"), 2).as("_s"),
+      col(labelCol).cast("boolean").cast("long").as("_y"))
+      .where(col("_s").isNotNull)
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("pos"))
+    val w = Window.orderBy(col("_s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = h.withColumn("_cn", sum(col("n")).over(w))
+      .withColumn("_cp", sum(col("pos")).over(w))
+    val lo = c.select(col("_s").as("_sj"),
+      (col("_cn") - col("n")).as("_bnj"), (col("_cp") - col("pos")).as("_bpj"))
+    val hi = c.select(col("_s").as("_sk"), col("_cn").as("_cnk"),
+      col("_cp").as("_cpk"))
+    val m = lo.join(broadcast(hi), col("_sj") <= col("_sk"))
+      .select(col("_sj"),
+        ((col("_cpk") - col("_bpj")).cast("double") /
+          (col("_cnk") - col("_bnj")).cast("double")).as("_avg"))
+      .groupBy(col("_sj")).agg(min(col("_avg")).as("_m"))
+    val w2 = Window.orderBy(col("_sj").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iso = m.withColumn("iso", max(col("_m")).over(w2))
+    h.join(iso, col("_s") === col("_sj"))
+      .select((col("_s").cast("double") / 1e2).as("score"), col("n"),
+        col("pos"), col("iso"))
+  }
 }

@@ -72,6 +72,23 @@ object R10Queries {
     "q464_trunc_loss" -> ((s, dir) =>
       canon(graft.text.TextOps.truncationLoss(docs(s, dir),
         "source", "text", maxTokens = 128))),
+    // isotonic (PAV) calibration curve of a synthetic probability score
+    // against lang='en', exact minimax over 2dp bins
+    "q466_isotonic" -> ((s, dir) =>
+      canon(graft.model.Eval2.isotonicCalibration(
+        docs(s, dir)
+          .withColumn("p", pmod(col("doc_id") * 37 + col("n_chars"),
+            lit(1000)).cast("double") / 1000.0)
+          .withColumn("y", col("lang") === "en"),
+        "p", "y"))),
+    // mean completion gap per funnel step (view -> click -> purchase)
+    "q467_funnel_timing" -> ((s, dir) =>
+      canon(Behavior.funnelTiming(ev(s, dir), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase")))),
+    // exact vocabulary-overlap matrix between sources
+    "q468_vocab_overlap" -> ((s, dir) =>
+      canon(graft.text.TextOps.vocabOverlap(docs(s, dir),
+        "source", "text"))),
     // sampled Brandes betweenness on the consecutive-user graph
     "q465_betweenness" -> ((s, dir) => {
       val und = MultiQueries.chainPairs(s, dir, 3)
@@ -329,6 +346,66 @@ object R10Queries {
          |  ELSE 1.0 END, 4) AS novelty
          |FROM b LEFT JOIN p ON p.id = b.id"""
         .stripMargin.replace("\n", " "),
+    "q466_isotonic" ->
+      s"""WITH e AS (SELECT
+         |  ${fp("((doc_id*37 + n_chars) % 1000)::DOUBLE / 1000.0", "100.0")}
+         |   AS s,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+         |h AS (SELECT s, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+         | FROM e GROUP BY 1),
+         |c AS (SELECT s, n, pos,
+         |  sum(n) OVER (ORDER BY s ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         |  sum(pos) OVER (ORDER BY s ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+         | FROM h),
+         |lo AS (SELECT s AS sj, cn - n AS bnj, cp - pos AS bpj FROM c),
+         |hi AS (SELECT s AS sk, cn AS cnk, cp AS cpk FROM c),
+         |mm AS (SELECT sj,
+         |  min((cpk - bpj)::DOUBLE / (cnk - bnj)::DOUBLE) AS m
+         | FROM lo JOIN hi ON sj <= sk GROUP BY 1),
+         |ii AS (SELECT sj, max(m) OVER (ORDER BY sj ASC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iso
+         | FROM mm)
+         |SELECT round(h.s::DOUBLE / 100.0, 4) AS score, h.n, h.pos,
+         | round(ii.iso, 4) AS iso
+         |FROM h JOIN ii ON ii.sj = h.s""".stripMargin.replace("\n", " "),
+    "q467_funnel_timing" ->
+      """WITH s1 AS (SELECT user_id AS u, min(epoch_ns(ts)) AS t
+        | FROM events WHERE event_type = 'view' GROUP BY 1),
+        |n2 AS (SELECT e.user_id AS u, min(epoch_ns(e.ts)) AS t2,
+        |  max(s1.t) AS tp
+        | FROM events e JOIN s1 ON e.user_id = s1.u
+        |  AND epoch_ns(e.ts) > s1.t
+        | WHERE e.event_type = 'click' GROUP BY 1),
+        |n3 AS (SELECT e.user_id AS u, min(epoch_ns(e.ts)) AS t2,
+        |  max(n2.t2) AS tp
+        | FROM events e JOIN n2 ON e.user_id = n2.u
+        |  AND epoch_ns(e.ts) > n2.t2
+        | WHERE e.event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT 2::BIGINT AS step_idx, 'click' AS step,
+        |   count(*)::BIGINT AS users, sum((t2 - tp)::HUGEINT) AS g
+        |  FROM n2
+        | UNION ALL SELECT 3::BIGINT, 'purchase', count(*)::BIGINT,
+        |   sum((t2 - tp)::HUGEINT) FROM n3)
+        |SELECT step_idx, step, users,
+        | round(CASE WHEN users > 0
+        |  THEN g::DOUBLE / 1000000000.0 / users::DOUBLE
+        |  ELSE 0.0 END, 4) AS avg_gap_sec
+        |FROM r""".stripMargin.replace("\n", " "),
+    "q468_vocab_overlap" ->
+      s"""WITH gt AS (SELECT DISTINCT g, ${h56("tk")} AS h FROM
+         |  (SELECT source AS g,
+         |    unnest(regexp_extract_all(lower(text), '\\S+')) AS tk
+         |   FROM documents)),
+         |sz AS (SELECT g, count(*)::BIGINT AS sz FROM gt GROUP BY 1),
+         |it AS (SELECT x.g AS a, y.g AS b, count(*)::BIGINT AS inter
+         | FROM gt x JOIN gt y ON x.h = y.h AND x.g < y.g GROUP BY 1, 2)
+         |SELECT it.a, it.b, za.sz AS sz_a, zb.sz AS sz_b, it.inter,
+         | round(it.inter::DOUBLE
+         |   / (za.sz + zb.sz - it.inter)::DOUBLE, 4) AS jaccard
+         |FROM it JOIN sz za ON za.g = it.a
+         | JOIN sz zb ON zb.g = it.b""".stripMargin.replace("\n", " "),
     "q465_betweenness" -> {
       val maxDepth = 4
       val fwd = (1 to maxDepth).map { t =>

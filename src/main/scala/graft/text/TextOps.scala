@@ -905,6 +905,37 @@ object TextOps {
           .otherwise(lit(0.0)))
   }
 
+  /** Exact vocabulary-overlap matrix between groups: per group pair
+    * (a < b) the distinct-token intersection and Jaccard — "are these
+    * two sources the same crawl under different names", the
+    * source-level complement of the per-document dedup stack. Output:
+    * a, b, sz_a, sz_b, inter, jaccard.
+    *
+    * Scale: tokens travel as 56-bit hashes; pair work is Σ_token
+    * groups(token)² with groups(token) ≤ the GROUP count — this is a
+    * groups²-bounded matrix op (sources/domains, not documents). At a
+    * web-scale domain count, band the matrix by a domain shortlist
+    * first; the op itself never touches document pairs. */
+  def vocabOverlap(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val gt = docs.select(col(groupCol).as("_g"),
+      explode(tokens(col(textCol))).as("_t"))
+      .where(col("_t") =!= "")
+      .select(col("_g"), hash56(col("_t")).as("_h"))
+      .distinct()
+    val sz = gt.groupBy(col("_g")).agg(count(lit(1)).as("_sz"))
+    val inter = gt.as("x").join(gt.as("y"),
+        col("x._h") === col("y._h") && col("x._g") < col("y._g"))
+      .groupBy(col("x._g").as("a"), col("y._g").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("_g").as("a"), col("_sz").as("sz_a")), "a")
+      .join(sz.select(col("_g").as("b"), col("_sz").as("sz_b")), "b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .select("a", "b", "sz_a", "sz_b", "inter", "jaccard")
+  }
+
   /** MinHash containment estimates for the LSH candidate pairs: Ĵ =
     * signature agreement / numHashes, |A∩B|^ = Ĵ/(1+Ĵ)·(|A|+|B|),
     * containment_a = |A∩B|^/|A| — the ASYMMETRIC near-dup measure exact

@@ -86,6 +86,47 @@ class BehaviorSpec extends SparkSpec {
       s"tail must be lifted: small=$aSmall big=$aBig")
   }
 
+  test("isotonic calibration: pools violators, output is monotone") {
+    // bin 0.0 rate 1.0 > bin 0.5 rate 0.0 — PAV pools both to 0.5
+    val d = Seq((0.0, true), (0.0, true), (0.5, false), (0.5, false))
+      .toDF("p", "y")
+    val r = graft.model.Eval2.isotonicCalibration(d, "p", "y")
+      .orderBy("score").collect()
+    assert(r.forall(x => math.abs(x.getAs[Double]("iso") - 0.5) < 1e-9),
+      s"pooled block averages to 1/2: ${r.mkString(";")}")
+    // an already-monotone staircase is returned unchanged
+    val ok = Seq((0.1, false), (0.1, false), (0.5, false), (0.5, true),
+      (0.9, true), (0.9, true)).toDF("p", "y")
+    val r2 = graft.model.Eval2.isotonicCalibration(ok, "p", "y")
+      .orderBy("score").collect().map(_.getAs[Double]("iso"))
+    assert(r2.sameElements(Array(0.0, 0.5, 1.0)))
+    assert(r2.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("funnel timing: exact mean gap in seconds") {
+    val ns = 1000000000L
+    val ev = Seq(
+      (1L, "A", 0L), (1L, "B", 10L * ns),
+      (2L, "A", 0L), (2L, "B", 20L * ns),
+      (3L, "A", 0L)).toDF("u", "typ", "o")
+    val r = Behavior.funnelTiming(ev, "u", "typ", "o", Seq("A", "B"))
+      .collect()(0)
+    assert(r.getAs[Long]("users") == 2L)
+    assert(math.abs(r.getAs[Double]("avg_gap_sec") - 15.0) < 1e-9)
+  }
+
+  test("vocab overlap: exact Jaccard between group vocabularies") {
+    val d = Seq((1L, "g1", "a b c d"), (2L, "g2", "c d e f"),
+      (3L, "g3", "x y z w")).toDF("id", "src", "t")
+    val r = graft.text.TextOps.vocabOverlap(d, "src", "t").collect()
+      .map(x => (x.getAs[String]("a"), x.getAs[String]("b")) -> x).toMap
+    val p = r(("g1", "g2"))
+    assert(p.getAs[Long]("inter") == 2L &&
+      math.abs(p.getAs[Double]("jaccard") - 2.0 / 6) < 1e-9)
+    // disjoint vocabularies produce no row (inner join on shared tokens)
+    assert(!r.contains(("g1", "g3")) && !r.contains(("g2", "g3")))
+  }
+
   test("gmm2: separates an obvious two-component mixture") {
     val xs = (1 to 300).map(i => ("k", if (i % 2 == 0) 0.0 + (i % 7) * 0.01
       else 10.0 + (i % 5) * 0.01)).toDF("k", "x")
