@@ -117,6 +117,35 @@ object Behavior {
       .select("cohort", "age", "users", "cohort_users", "frac")
   }
 
+  /** Engagement stickiness per period: avg daily active users / period
+    * active users (the DAU/MAU ratio at period = 30, DAU/WAU at 7) —
+    * THE habit metric; retention says users come back, stickiness says
+    * how often. `dayCol` is a pre-bucketed integer day. Output per
+    * period: period, days_active, wau, avg_dau, stickiness.
+    *
+    * Scale: one distinct + two hash aggregates, everything after is
+    * period-sized. */
+  def stickiness(data: DataFrame, userCol: String, dayCol: String,
+      periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 2, s"periodDays >= 2: $periodDays")
+    val ud = data
+      .select(col(userCol).as("_u"), col(dayCol).cast("long").as("_d"))
+      .distinct()
+      .withColumn("_p", floor(col("_d").cast("double") / periodDays)
+        .cast("long"))
+    val daily = ud.groupBy(col("_p"), col("_d"))
+      .agg(count(lit(1)).as("_dau"))
+    val perPeriod = daily.groupBy(col("_p").as("period"))
+      .agg(count(lit(1)).as("days_active"), sum(col("_dau")).as("_sdau"))
+    val wau = ud.select(col("_p"), col("_u")).distinct()
+      .groupBy(col("_p").as("period")).agg(count(lit(1)).as("wau"))
+    perPeriod.join(wau, "period")
+      .withColumn("avg_dau",
+        col("_sdau").cast("double") / col("days_active").cast("double"))
+      .withColumn("stickiness", col("avg_dau") / col("wau").cast("double"))
+      .select("period", "days_active", "wau", "avg_dau", "stickiness")
+  }
+
   /** Deterministic weighted sampling without replacement (Efraimidis &
     * Spirakis IPL'06, the exponential-race formulation): each row gets
     * key = −ln(u)/w with u = (hash56(id)+1)/2⁵⁶ ∈ (0, 1]; the k SMALLEST

@@ -392,4 +392,40 @@ object TailScores {
       .withColumn("sigma", col("_sigma"))
       .drop("_fp", "_rn", "_n", "_ufp", "_yfp", "_m", "_xi", "_sigma", "_ok")
   }
+
+  /** Hill tail-index estimator (Hill '75): over the top-k order
+    * statistics per key, α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) — the
+    * "how heavy is this tail really" companion to [[potGpd]]'s full GPD
+    * fit (α ≈ 1/ξ; Hill needs no moment assumptions and one pass over
+    * the tail). Keys with fewer than k+1 positive values are skipped.
+    * Output per key: keyCols…, k, x_thresh, alpha.
+    *
+    * Determinism: ranks break ties on the id; the log-ratio terms
+    * freeze at 8dp before the per-key long sum. Scale: one rank window
+    * PARTITIONED by key, work bounded by k+1 rows per key after it. */
+  def hillTail(data: DataFrame, keyCols: Seq[String], idCol: String,
+      valCol: String, k: Int = 50): DataFrame = {
+    require(k >= 2, s"k >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    val x = col(valCol).cast("double")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_x").desc, col(idCol).asc)
+    val top = data.where(x.isNotNull && x > 0)
+      .select((keyCols.map(col) :+ col(idCol) :+ x.as("_x")): _*)
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= k + 1)
+    val thresh = top.where(col("_rk") === k + 1)
+      .select((keyCols.map(col) :+ col("_x").as("_xt")): _*)
+    top.where(col("_rk") <= k)
+      .join(thresh, keyCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("_xt")).as("x_thresh"),
+        sum(graft.core.fixedPointLong(log(col("_x") / col("_xt")), 8))
+          .as("_s8"))
+      .select((keyCols.map(col) :+ lit(k.toLong).as("k") :+
+        col("x_thresh") :+
+        when(col("_s8") > 0,
+          lit(k.toDouble) / (col("_s8").cast("double") / 1e8))
+          .otherwise(lit(0.0)).as("alpha")): _*)
+  }
 }

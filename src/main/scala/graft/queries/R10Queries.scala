@@ -89,6 +89,27 @@ object R10Queries {
     "q468_vocab_overlap" -> ((s, dir) =>
       canon(graft.text.TextOps.vocabOverlap(docs(s, dir),
         "source", "text"))),
+    // DAU/WAU stickiness per 7-day period
+    "q469_stickiness" -> ((s, dir) =>
+      canon(Behavior.stickiness(
+        ev(s, dir).withColumn("day", expr("ts div 86400000000000")),
+        "user_id", "day", periodDays = 7))),
+    // Hill tail-index estimator over the top-50 values per event_type
+    "q470_hill_tail" -> ((s, dir) =>
+      canon(graft.multi.TailScores.hillTail(ev(s, dir),
+        Seq("event_type"), "event_id", "value", k = 50))),
+    // Neyman optimal stratum allocation of a 500-row sample budget
+    "q471_neyman" -> ((s, dir) =>
+      canon(graft.model.Sampling.neymanAllocation(ev(s, dir),
+        "event_type", "value", nTotal = 500L))),
+    // exact-proportion stratified 80/10/10 split by language
+    "q472_stratified_split" -> ((s, dir) =>
+      canon(graft.model.Sampling.stratifiedSplit(docs(s, dir),
+        "doc_id", "lang", fTrain = 0.8, fVal = 0.1))),
+    // Poisson-bootstrap SE of the mean per event_type, B=32 replicates
+    "q473_poisson_bootstrap" -> ((s, dir) =>
+      canon(graft.model.Sampling.poissonBootstrap(ev(s, dir),
+        Seq("event_type"), "event_id", "value", b = 32))),
     // sampled Brandes betweenness on the consecutive-user graph
     "q465_betweenness" -> ((s, dir) => {
       val und = MultiQueries.chainPairs(s, dir, 3)
@@ -345,6 +366,105 @@ object R10Queries {
          |  THEN p.new_grams::DOUBLE / p.distinct_grams::DOUBLE
          |  ELSE 1.0 END, 4) AS novelty
          |FROM b LEFT JOIN p ON p.id = b.id"""
+        .stripMargin.replace("\n", " "),
+    "q469_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |  epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |up AS (SELECT u, d, floor(d::DOUBLE / 7.0)::BIGINT AS p FROM ud),
+        |daily AS (SELECT p, d, count(*)::BIGINT AS dau
+        | FROM up GROUP BY 1, 2),
+        |per AS (SELECT p AS period, count(*)::BIGINT AS days_active,
+        |  sum(dau)::BIGINT AS sdau FROM daily GROUP BY 1),
+        |wk AS (SELECT p AS period, count(*)::BIGINT AS wau FROM
+        |  (SELECT DISTINCT p, u FROM up) GROUP BY 1)
+        |SELECT per.period, per.days_active, wk.wau,
+        | round(sdau::DOUBLE / days_active::DOUBLE, 4) AS avg_dau,
+        | round(sdau::DOUBLE / days_active::DOUBLE / wau::DOUBLE, 4)
+        |  AS stickiness
+        |FROM per JOIN wk USING (period)""".stripMargin.replace("\n", " "),
+    "q470_hill_tail" ->
+      s"""WITH b AS (SELECT event_type AS k2, event_id, value::DOUBLE AS x
+         | FROM events WHERE value IS NOT NULL AND value > 0),
+         |r AS (SELECT k2, event_id, x, row_number() OVER
+         |  (PARTITION BY k2 ORDER BY x DESC, event_id ASC) AS rk FROM b),
+         |t AS (SELECT k2, x AS xt FROM r WHERE rk = 51),
+         |s AS (SELECT r.k2, max(t.xt) AS x_thresh,
+         |  sum(${fp("ln(r.x / t.xt)", "100000000.0")})::BIGINT AS s8
+         | FROM r JOIN t ON t.k2 = r.k2 WHERE r.rk <= 50 GROUP BY 1)
+         |SELECT k2 AS event_type, 50::BIGINT AS k,
+         | round(x_thresh, 4) AS x_thresh,
+         | round(CASE WHEN s8 > 0
+         |  THEN 50.0 / (s8::DOUBLE / 100000000.0) ELSE 0.0 END, 4)
+         |  AS alpha FROM s""".stripMargin.replace("\n", " "),
+    "q471_neyman" ->
+      s"""WITH p AS (SELECT event_type AS stratum, count(*)::BIGINT AS n,
+         |  sum(${fp("value", "10000.0")}::HUGEINT) AS sx4,
+         |  sum(${fp("value*value", "10000.0")}::HUGEINT) AS sxx4
+         | FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |q AS (SELECT stratum, n, sqrt(greatest(
+         |  sxx4::DOUBLE/10000.0/n::DOUBLE
+         |   - (sx4::DOUBLE/10000.0/n::DOUBLE)
+         |     * (sx4::DOUBLE/10000.0/n::DOUBLE), 0.0)) AS std FROM p),
+         |w AS (SELECT stratum, n, std,
+         |  ${fp("n::DOUBLE * std", "100000000.0")} AS w8 FROM q),
+         |t AS (SELECT sum(w8)::HUGEINT AS t8 FROM w)
+         |SELECT stratum, n, round(std, 4) AS std,
+         | CASE WHEN t8 > 0 THEN least(n,
+         |   floor(500.0 * (w8::DOUBLE / t8::DOUBLE) + 0.5)::BIGINT)
+         |  ELSE 0 END AS alloc
+         |FROM w CROSS JOIN t""".stripMargin.replace("\n", " "),
+    "q472_stratified_split" ->
+      """WITH b AS (SELECT doc_id AS id, lang AS stratum FROM documents),
+        |r AS (SELECT id, stratum,
+        |  row_number() OVER (PARTITION BY stratum
+        |   ORDER BY md5(id::VARCHAR), id)::BIGINT AS rk,
+        |  count(*) OVER (PARTITION BY stratum)::BIGINT AS n FROM b)
+        |SELECT id, stratum,
+        | CASE WHEN rk <= floor(0.8::DOUBLE * n::DOUBLE)::BIGINT
+        |   THEN 'train'
+        |  WHEN rk <= floor((0.8::DOUBLE + 0.1::DOUBLE)
+        |    * n::DOUBLE)::BIGINT THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM r""".stripMargin.replace("\n", " "),
+    "q473_poisson_bootstrap" ->
+      s"""WITH base AS (SELECT event_type, event_id::VARCHAR AS id,
+         |  value::DOUBLE AS x FROM events WHERE value IS NOT NULL),
+         |eb AS (SELECT event_type, id, x, unnest(range(0, 32)) AS b
+         | FROM base),
+         |uw AS (SELECT event_type, b, x,
+         |  (${h56("b::VARCHAR || ':' || id")} + 1)::DOUBLE
+         |   / 72057594037927936.0 AS u FROM eb),
+         |ww AS (SELECT event_type, b, x,
+         | (CASE WHEN u < exp(-1.0) * 1.0 THEN 0
+         |   WHEN u < exp(-1.0) * 2.0 THEN 1
+         |   WHEN u < exp(-1.0) * 2.5 THEN 2
+         |   WHEN u < exp(-1.0) * (8.0/3.0) THEN 3
+         |   WHEN u < exp(-1.0) * (65.0/24.0) THEN 4
+         |   WHEN u < exp(-1.0) * (163.0/60.0) THEN 5
+         |   WHEN u < exp(-1.0) * (1957.0/720.0) THEN 6
+         |   ELSE 7 END)::BIGINT AS w FROM uw),
+         |rep AS (SELECT event_type, b, sum(w)::BIGINT AS sw,
+         |  sum((w * ${fp("x", "10000.0")})::HUGEINT) AS swx4
+         | FROM ww GROUP BY 1, 2),
+         |mb AS (SELECT event_type, b, CASE WHEN sw > 0
+         |  THEN swx4::DOUBLE/10000.0/sw::DOUBLE ELSE 0.0 END AS m
+         | FROM rep),
+         |m8 AS (SELECT event_type, ${fp("m", "100000000.0")} AS mb8
+         | FROM mb),
+         |sa AS (SELECT event_type, count(*)::BIGINT AS nb,
+         |  sum(mb8)::BIGINT AS s1, sum(mb8::HUGEINT * mb8) AS s2
+         | FROM m8 GROUP BY 1),
+         |sm AS (SELECT event_type, nb, s2,
+         |  s1::DOUBLE/100000000.0/nb::DOUBLE AS m1 FROM sa),
+         |se AS (SELECT event_type, sqrt(greatest(
+         |  s2::DOUBLE/10000000000000000.0/nb::DOUBLE - m1*m1, 0.0))
+         |  AS se_boot FROM sm),
+         |ov AS (SELECT event_type, count(*)::BIGINT AS n,
+         |  sum(${fp("x", "10000.0")}::HUGEINT)::DOUBLE/10000.0
+         |   /count(*)::DOUBLE AS mean FROM base GROUP BY 1)
+         |SELECT ov.event_type, ov.n, round(ov.mean, 4) + 0 AS mean,
+         | round(se.se_boot, 4) AS se_boot
+         |FROM ov JOIN se USING (event_type)"""
         .stripMargin.replace("\n", " "),
     "q466_isotonic" ->
       s"""WITH e AS (SELECT

@@ -127,6 +127,57 @@ class BehaviorSpec extends SparkSpec {
     assert(!r.contains(("g1", "g3")) && !r.contains(("g2", "g3")))
   }
 
+  test("stickiness: exact DAU/WAU arithmetic in one period") {
+    val ev = Seq((1L, 0L), (2L, 0L), (1L, 1L)).toDF("u", "day")
+    val r = Behavior.stickiness(ev, "u", "day", periodDays = 7).collect()(0)
+    assert(r.getAs[Long]("days_active") == 2L && r.getAs[Long]("wau") == 2L)
+    assert(math.abs(r.getAs[Double]("avg_dau") - 1.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("stickiness") - 0.75) < 1e-9)
+  }
+
+  test("hill tail: exact alpha on a tiny ordered tail") {
+    val d = Seq((1L, "k", 8.0), (2L, "k", 4.0), (3L, "k", 2.0),
+      (4L, "k", 1.0)).toDF("id", "key", "x")
+    val r = graft.multi.TailScores.hillTail(d, Seq("key"), "id", "x", k = 2)
+      .collect()(0)
+    assert(math.abs(r.getAs[Double]("x_thresh") - 2.0) < 1e-9)
+    val expect = 2.0 / (math.log(4.0) + math.log(2.0))
+    assert(math.abs(r.getAs[Double]("alpha") - expect) < 1e-4,
+      s"alpha = k / sum ln(x/x_thresh): $r")
+  }
+
+  test("neyman: zero-variance stratum gets zero budget") {
+    val d = ((1 to 100).map(i => ("flat", 5.0)) ++
+      (1 to 100).map(i => ("noisy", if (i % 2 == 0) 0.0 else 10.0)))
+      .toDF("s", "x")
+    val r = graft.model.Sampling.neymanAllocation(d, "s", "x", 50L)
+      .collect().map(x => x.getAs[String]("stratum") -> x).toMap
+    assert(r("flat").getAs[Long]("alloc") == 0L)
+    assert(r("noisy").getAs[Long]("alloc") == 50L)
+  }
+
+  test("stratified split: exact 80/10/10 per stratum") {
+    val d = (1 to 30).map(i => (i.toLong, if (i <= 10) "a" else "b"))
+      .toDF("id", "g")
+    val r = graft.model.Sampling.stratifiedSplit(d, "id", "g", 0.8, 0.1)
+      .collect()
+    val a = r.filter(_.getAs[String]("stratum") == "a")
+      .groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(a == Map("train" -> 8, "val" -> 1, "test" -> 1), s"$a")
+    val b = r.filter(_.getAs[String]("stratum") == "b")
+      .groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(b == Map("train" -> 16, "val" -> 2, "test" -> 2), s"$b")
+  }
+
+  test("poisson bootstrap: zero SE on constant data, exact mean") {
+    val d = (1 to 200).map(i => (i.toLong, "k", 7.5)).toDF("id", "key", "x")
+    val r = graft.model.Sampling.poissonBootstrap(d, Seq("key"), "id", "x",
+      b = 16).collect()(0)
+    assert(math.abs(r.getAs[Double]("mean") - 7.5) < 1e-9)
+    assert(r.getAs[Double]("se_boot") < 1e-9,
+      s"constant data has zero resampling variance: $r")
+  }
+
   test("gmm2: separates an obvious two-component mixture") {
     val xs = (1 to 300).map(i => ("k", if (i % 2 == 0) 0.0 + (i % 7) * 0.01
       else 10.0 + (i % 5) * 0.01)).toDF("k", "x")
