@@ -110,6 +110,26 @@ object R10Queries {
     "q473_poisson_bootstrap" -> ((s, dir) =>
       canon(graft.model.Sampling.poissonBootstrap(ev(s, dir),
         Seq("event_type"), "event_id", "value", b = 32))),
+    // int8 scalar-quantization error audit per embedding dimension
+    "q474_int8_quant" -> ((s, dir) =>
+      canon(graft.sim.SimJoin.int8QuantError(table(s, dir, "embeddings"),
+        "vec_id", "embedding"))),
+    // corpus token budget before/after exact dedup, per source
+    "q475_dedup_budget" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val kept = graft.text.TextOps.exactDedup(d, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      val toks = d.select(col("doc_id"), col("source"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long").as("_n"))
+      canon(toks.join(kept, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("docs_kept"),
+          sum(col("_n")).as("tokens"),
+          sum(when(col("keep"), col("_n")).otherwise(0L)).as("tokens_kept"))
+        .withColumn("token_keep_frac",
+          col("tokens_kept").cast("double") / col("tokens").cast("double")))
+    }),
     // sampled Brandes betweenness on the consecutive-user graph
     "q465_betweenness" -> ((s, dir) => {
       val und = MultiQueries.chainPairs(s, dir, 3)
@@ -367,6 +387,42 @@ object R10Queries {
          |  ELSE 1.0 END, 4) AS novelty
          |FROM b LEFT JOIN p ON p.id = b.id"""
         .stripMargin.replace("\n", " "),
+    "q474_int8_quant" ->
+      s"""WITH d AS (SELECT i - 1 AS dim, embedding[i]::DOUBLE AS x
+         | FROM (SELECT embedding,
+         |   unnest(range(1, len(embedding) + 1)) AS i
+         |  FROM embeddings WHERE embedding IS NOT NULL)),
+         |mm AS (SELECT dim, min(x) AS vmin, max(x) AS vmax
+         | FROM d GROUP BY 1),
+         |e AS (SELECT d.dim, mm.vmin, mm.vmax,
+         |  CASE WHEN mm.vmax > mm.vmin THEN d.x - (mm.vmin
+         |   + least(255, greatest(0, floor((d.x - mm.vmin)
+         |      / ((mm.vmax - mm.vmin) / 255.0) + 0.5)::BIGINT))
+         |     * ((mm.vmax - mm.vmin) / 255.0))
+         |  ELSE 0.0 END AS err
+         | FROM d JOIN mm USING (dim)),
+         |g AS (SELECT dim, vmin, vmax, count(*)::BIGINT AS n,
+         |  sum(${fp("err * err", "1000000000000.0")}::HUGEINT) AS s12,
+         |  max(${fp("abs(err)", "100000000.0")}) AS m8
+         | FROM e GROUP BY 1, 2, 3)
+         |SELECT dim::BIGINT AS dim, round(vmin, 4) + 0 AS vmin,
+         | round(vmax, 4) + 0 AS vmax,
+         | round(s12::DOUBLE / 1000000.0 / n::DOUBLE, 4) AS mse_e6,
+         | round(m8::DOUBLE / 100000.0, 4) AS max_err_e3
+         |FROM g""".stripMargin.replace("\n", " "),
+    "q475_dedup_budget" ->
+      """WITH h AS (SELECT doc_id, source, md5(text) AS h,
+        |  len(regexp_extract_all(lower(text), '\S+'))::BIGINT AS n
+        | FROM documents),
+        |k AS (SELECT doc_id, source, n,
+        |  doc_id = min(doc_id) OVER (PARTITION BY h) AS keep FROM h)
+        |SELECT source, count(*)::BIGINT AS docs,
+        | sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS docs_kept,
+        | sum(n)::BIGINT AS tokens,
+        | sum(CASE WHEN keep THEN n ELSE 0 END)::BIGINT AS tokens_kept,
+        | round(sum(CASE WHEN keep THEN n ELSE 0 END)::DOUBLE
+        |   / sum(n)::DOUBLE, 4) AS token_keep_frac
+        |FROM k GROUP BY 1""".stripMargin.replace("\n", " "),
     "q469_stickiness" ->
       """WITH ud AS (SELECT DISTINCT user_id AS u,
         |  epoch_ns(ts) // 86400000000000 AS d FROM events),

@@ -216,4 +216,44 @@ object SimJoin {
       .select("n", "dims", "mean_norm2", "avg_norm2", "isotropy",
         "top_var_dim", "var_ratio")
   }
+
+  /** Per-dimension int8 scalar-quantization error audit: each dimension
+    * gets the affine uint8 code q = clamp(⌊(x−min)/scale+½⌋, 0, 255),
+    * scale = (max−min)/255, and the audit reports the reconstruction
+    * error that a 4×-smaller embedding store would cost — the decision
+    * table for quantizing a 100 TB vector corpus (a single wide-range
+    * dimension shows up as the mse outlier). Output per dim: dim, vmin,
+    * vmax, mse_e6 (mean squared error ×10⁶), max_err_e3 (max |err|
+    * ×10³) — scaled so 4dp outputs keep their precision.
+    *
+    * Determinism: codes are exact floor arithmetic; err² terms freeze
+    * at 12dp, |err| at 8dp. Scale: one explode + two dim-keyed
+    * aggregates with a broadcast dim-sized min/max join. */
+  def int8QuantError(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    import graft.core.fixedPointLong
+    val d = emb.where(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("dim", "x")))
+    val mm = d.groupBy(col("dim"))
+      .agg(min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+    val scale = (col("vmax") - col("vmin")) / 255.0
+    val q = least(lit(255L), greatest(lit(0L),
+      floor((col("x") - col("vmin")) / scale + 0.5)))
+    val xhat = col("vmin") + q * scale
+    val err = when(col("vmax") > col("vmin"), col("x") - xhat)
+      .otherwise(lit(0.0))
+    d.join(broadcast(mm), "dim")
+      .select(col("dim").cast("long").as("dim"), col("vmin"), col("vmax"),
+        fixedPointLong(err * err, 12).as("_e12"),
+        fixedPointLong(abs(err), 8).as("_a8"))
+      .groupBy(col("dim"), col("vmin"), col("vmax"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_e12").cast("decimal(38,0)")).as("_s12"),
+        max(col("_a8")).as("_m8"))
+      .select(col("dim"), col("vmin"), col("vmax"),
+        (col("_s12").cast("double") / 1e6 / col("_n").cast("double"))
+          .as("mse_e6"),
+        (col("_m8").cast("double") / 1e5).as("max_err_e3"))
+  }
 }

@@ -97,6 +97,39 @@ class R10TextSpec extends SparkSpec {
     assert(math.abs(r("a")) < 1e-6 && math.abs(r("c")) < 1e-6)
   }
 
+  test("int8 quantization: exact codes at the grid, zero on constants") {
+    // dim 0 takes values {0,1} (exactly representable at the int8 grid
+    // ends), dim 1 is constant — both reconstruct exactly
+    val e = (0 until 8).map(i =>
+      (i.toLong, Array((i % 2).toFloat, 3.5f))).toDF("vec_id", "embedding")
+    val r = graft.sim.SimJoin.int8QuantError(e, "vec_id", "embedding")
+      .collect().map(x => x.getAs[Long]("dim") -> x).toMap
+    assert(r(0L).getAs[Double]("mse_e6") < 1e-9 &&
+      r(0L).getAs[Double]("max_err_e3") < 1e-9, s"grid ends: ${r(0L)}")
+    assert(r(1L).getAs[Double]("mse_e6") < 1e-9, s"constant dim: ${r(1L)}")
+    // a mid-grid value has bounded error <= scale/2
+    val e2 = Seq((0L, Array(0.0f)), (1L, Array(1.0f)),
+      (2L, Array(0.5019f))).toDF("vec_id", "embedding")
+    val r2 = graft.sim.SimJoin.int8QuantError(e2, "vec_id", "embedding")
+      .collect()(0)
+    assert(r2.getAs[Double]("max_err_e3") <= 1000.0 / 255 / 2 + 1e-6)
+  }
+
+  test("dedup budget: exact token accounting over duplicate groups") {
+    val d = Seq(
+      (1L, "s", "a b c"), (2L, "s", "a b c"),     // dup pair, 3 tokens
+      (3L, "s", "x y")).toDF("doc_id", "source", "text")
+    val r = graft.text.TextOps.exactDedup(d, "doc_id", "text")
+    assert(r.where(col("keep")).count() == 2)
+    val toks = d.select(col("doc_id"), col("source"),
+      size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n"))
+    val out = toks.join(r.select("doc_id", "keep"), "doc_id")
+      .groupBy("source")
+      .agg(sum(when(col("keep"), col("n")).otherwise(0L)).as("kept"),
+        sum(col("n")).as("tot")).collect()(0)
+    assert(out.getAs[Long]("kept") == 5L && out.getAs[Long]("tot") == 8L)
+  }
+
   test("isotropy: one-hot basis is isotropic, a shared direction is not") {
     val oneHot = (0 until 16).map { i =>
       (i.toLong, Array.tabulate(4)(j => if (j == i % 4) 1.0f else 0.0f))
