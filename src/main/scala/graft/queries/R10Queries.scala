@@ -130,6 +130,25 @@ object R10Queries {
         .withColumn("token_keep_frac",
           col("tokens_kept").cast("double") / col("tokens").cast("double")))
     }),
+    // STREAMING funnel progression batch-executed (flatMapGroupsWithState
+    // forward scan) and aggregated — gated by q453's oracle
+    "q476_funnel_stream" -> ((s, dir) => {
+      import s.implicits._
+      val ev0 = ev(s, dir)
+        .select(col("user_id").cast("string").as("entity"),
+          col("ts").cast("long").as("seq"), col("event_type").as("typ"))
+        .as[graft.streaming.StreamScorers.TypedEvent]
+      val prog = graft.streaming.StreamScorers
+        .funnelStream(ev0, Seq("view", "click", "purchase")).toDF()
+      val counts = prog.groupBy(col("step_idx"), col("step"))
+        .agg(count(lit(1)).as("users"))
+      val first = counts.where(col("step_idx") === 1L)
+        .select(col("users").as("_u0"))
+      canon(counts.crossJoin(broadcast(first))
+        .select(col("step_idx"), col("step"), col("users"),
+          when(col("_u0") > 0, col("users").cast("double") /
+            col("_u0").cast("double")).otherwise(lit(0.0)).as("conv")))
+    }),
     // sampled Brandes betweenness on the consecutive-user graph
     "q465_betweenness" -> ((s, dir) => {
       val und = MultiQueries.chainPairs(s, dir, 3)
@@ -196,8 +215,9 @@ object R10Queries {
        |FROM p$rounds""".stripMargin.replace("\n", " ")
   }
 
-  val oracleSql: Map[String, String] = Map(
-    "q453_funnel" ->
+  /** Shared by q453 (declarative funnel) and q476 (the batch-executed
+    * streaming progression scan — same semantics, same counts). */
+  private val funnelOracle: String =
       """WITH s1 AS (SELECT user_id AS u, min(epoch_ns(ts)) AS t
         | FROM events WHERE event_type = 'view' GROUP BY 1),
         |s2 AS (SELECT e.user_id AS u, min(epoch_ns(e.ts)) AS t
@@ -217,7 +237,11 @@ object R10Queries {
         |  THEN users::DOUBLE
         |   / (SELECT users FROM c WHERE step_idx = 1)::DOUBLE
         |  ELSE 0.0 END, 4) AS conv
-        |FROM c""".stripMargin.replace("\n", " "),
+        |FROM c""".stripMargin.replace("\n", " ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q453_funnel" -> funnelOracle,
+    "q476_funnel_stream" -> funnelOracle,
     "q454_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id AS u,
         |  epoch_ns(ts) // 86400000000000 AS d FROM events),

@@ -1356,4 +1356,41 @@ object StreamScorers {
         ((col("qualityPass") === 1L) && (col("isDup") === 0L))
           .cast("int").cast("long"))
   }
+
+  case class TypedEvent(entity: String, seq: Long, typ: String)
+  case class FunnelSt(step: Int, t: Long)
+  case class FunnelOut(entity: String, step_idx: Long, step: String,
+      t: Long)
+
+  /** Streaming ordered-funnel progression — the online face of
+    * `Behavior.funnel`: per entity, advance one step when an event of
+    * the next step's type arrives STRICTLY after the previous step's
+    * completion time; emit one row per completed step. A forward scan
+    * in seq order picks exactly the min qualifying event per step, so
+    * batch-executing this path and aggregating to per-step user counts
+    * replays `Behavior.funnel` bit-for-bit (the q453 oracle gates it).
+    * O(1) state: current step + its completion time. */
+  def funnelStream(events: Dataset[TypedEvent],
+      steps: Seq[String]): Dataset[FunnelOut] = {
+    require(steps.nonEmpty, "funnelStream needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (entity: String, it: Iterator[TypedEvent], gs: GroupState[FunnelSt]) => {
+          var st = gs.getOption.getOrElse(FunnelSt(0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+          it.toSeq.sortBy(e => (e.seq, e.typ)).foreach { e =>
+            if (st.step < steps.length && e.typ == steps(st.step) &&
+              (st.step == 0 || e.seq > st.t)) {
+              st = FunnelSt(st.step + 1, e.seq)
+              out += FunnelOut(entity, st.step.toLong,
+                steps(st.step - 1), e.seq)
+            }
+          }
+          gs.update(st)
+          out.iterator
+        })
+  }
 }

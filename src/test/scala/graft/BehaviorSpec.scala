@@ -178,6 +178,23 @@ class BehaviorSpec extends SparkSpec {
       s"constant data has zero resampling variance: $r")
   }
 
+  test("funnelStream: forward scan matches the declarative funnel") {
+    import graft.streaming.StreamScorers.{TypedEvent, funnelStream}
+    val ev = Seq(
+      TypedEvent("u1", 10L, "A"), TypedEvent("u1", 20L, "B"),
+      TypedEvent("u2", 5L, "B"), TypedEvent("u2", 10L, "A"),
+      TypedEvent("u2", 20L, "B"),
+      TypedEvent("u3", 10L, "A")).toDS()
+    val out = funnelStream(ev, Seq("A", "B")).collect()
+      .map(o => (o.entity, o.step_idx) -> o.t).toMap
+    assert(out(("u1", 1L)) == 10L && out(("u1", 2L)) == 20L)
+    // u2's early B must not count; the later one does
+    assert(out(("u2", 2L)) == 20L)
+    assert(!out.contains(("u3", 2L)))
+    // step times strictly increase within an entity
+    assert(out(("u2", 1L)) < out(("u2", 2L)))
+  }
+
   test("gmm2: separates an obvious two-component mixture") {
     val xs = (1 to 300).map(i => ("k", if (i % 2 == 0) 0.0 + (i % 7) * 0.01
       else 10.0 + (i % 5) * 0.01)).toDF("k", "x")
