@@ -506,6 +506,23 @@ object TextQueries {
         "vec_id", "embedding", dim = 64, nCells = 8, nProbe = 2, k = 10,
         iters = 10, maxSample = 20000))
     }),
+    // recall@10 of the q61 IVF against q59's exact brute-force truth —
+    // the ANN-quality audit as an oracle-gated query
+    "q477_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = e.where(col("vec_id") < 20)
+      val truth = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding",
+        k = 10).select(col("qid"), col("cid"))
+      val approx = Similarity.ivfTopKDeterministic(qs, e, "vec_id",
+        "embedding", dim = 64, nCells = 8, nProbe = 2, k = 10,
+        iters = 10, maxSample = 20000)
+        .select(col("qid"), col("cid"), lit(1L).as("_m"))
+      canon(truth.join(approx, Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("_m"), lit(0L))).as("hits"))
+        .select(col("qid"), lit(10L).as("k"), col("hits"),
+          (col("hits").cast("double") / 10.0).as("recall")))
+    }),
     // product quantization: 4 sub-codebooks (fixed-Lloyd, md5 sample),
     // ADC scan, exact top-10 re-rank of the 50-candidate shortlist —
     // fully deterministic, SQL-replayed below
@@ -1714,6 +1731,50 @@ object TextQueries {
        | FROM documents)
        |$tail""".stripMargin.replace("\n", " ")
 
+private lazy val ivfCtes: String = {
+      val relD2 = (v: String, c: String) =>
+        s"list_dot_product($c.cv, $c.cv) - 2.0 * list_dot_product($v, $c.cv)"
+      val lloyd = (1 to 10).map { t =>
+        s"""a$t AS MATERIALIZED (SELECT s.rn, s.v,
+           |  (min({'d': ${relD2("s.v", "c")}, 'c': c.cell})).c AS cell
+           | FROM samp s CROSS JOIN c${t - 1} c GROUP BY s.rn, s.v),
+           |g$t AS (SELECT a.cell, t.j, round(avg(a.v[t.j + 1]), 5) AS cx
+           | FROM a$t a CROSS JOIN (SELECT unnest(range(64)) AS j) t
+           | GROUP BY a.cell, t.j),
+           |c$t AS MATERIALIZED (SELECT p.cell,
+           |  CASE WHEN count(g.cx) = 0 THEN p.cv
+           |   ELSE list(g.cx ORDER BY g.j) END AS cv
+           | FROM c${t - 1} p LEFT JOIN g$t g USING (cell)
+           | GROUP BY p.cell, p.cv)""".stripMargin
+      }.mkString(", ")
+      s"""s0 AS (SELECT embedding::DOUBLE[] AS v, md5(vec_id::VARCHAR) AS h
+         |  FROM embeddings ORDER BY h, v LIMIT 20000),
+         |samp AS MATERIALIZED (SELECT v,
+         |  row_number() OVER (ORDER BY h, v) AS rn FROM s0),
+         |sn AS (SELECT count(*) AS n FROM samp),
+         |c0 AS (SELECT t.i AS cell, s.v AS cv
+         | FROM (SELECT unnest(range(8)) AS i) t, sn
+         | JOIN samp s ON s.rn = (t.i * sn.n) // 8 + 1),
+         |$lloyd,
+         |co AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv2 FROM embeddings),
+         |asg AS MATERIALIZED (SELECT co.cid, co.cv2,
+         |  (min({'d': ${relD2("co.cv2", "c")}, 'c': c.cell})).c AS cell
+         | FROM co CROSS JOIN c10 c GROUP BY co.cid, co.cv2),
+         |qd AS (SELECT q.vec_id AS qid, q.embedding::DOUBLE[] AS qv, c.cell,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${relD2("q.embedding::DOUBLE[]", "c")}, c.cell) AS rk
+         | FROM embeddings q CROSS JOIN c10 c WHERE q.vec_id < 20),
+         |sc AS (SELECT p.qid, a.cid,
+         |  list_dot_product(p.qv, a.cv2) /
+         |   (sqrt(list_dot_product(p.qv, p.qv))
+         |    * sqrt(list_dot_product(a.cv2, a.cv2))) AS cos
+         | FROM (SELECT qid, qv, cell FROM qd WHERE rk <= 2) p
+         | JOIN asg a USING (cell) WHERE p.qid <> a.cid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, cid) AS rank FROM sc QUALIFY rank <= 10)"""
+        .stripMargin.replace("\n", " ")
+      }
+
   val oracleSql: Map[String, String] = Map(
     "q336_textrank" -> {
       val iters = 5
@@ -2698,50 +2759,29 @@ object TextQueries {
     // rounded to 5dp, which absorbs the engines' differing summation
     // order), then cell assignment, nProbe=2 probe selection, and
     // brute-force cosine top-10 within the probed cells.
-    "q61_ann_ivf" -> {
-      val relD2 = (v: String, c: String) =>
-        s"list_dot_product($c.cv, $c.cv) - 2.0 * list_dot_product($v, $c.cv)"
-      val lloyd = (1 to 10).map { t =>
-        s"""a$t AS MATERIALIZED (SELECT s.rn, s.v,
-           |  (min({'d': ${relD2("s.v", "c")}, 'c': c.cell})).c AS cell
-           | FROM samp s CROSS JOIN c${t - 1} c GROUP BY s.rn, s.v),
-           |g$t AS (SELECT a.cell, t.j, round(avg(a.v[t.j + 1]), 5) AS cx
-           | FROM a$t a CROSS JOIN (SELECT unnest(range(64)) AS j) t
-           | GROUP BY a.cell, t.j),
-           |c$t AS MATERIALIZED (SELECT p.cell,
-           |  CASE WHEN count(g.cx) = 0 THEN p.cv
-           |   ELSE list(g.cx ORDER BY g.j) END AS cv
-           | FROM c${t - 1} p LEFT JOIN g$t g USING (cell)
-           | GROUP BY p.cell, p.cv)""".stripMargin
-      }.mkString(", ")
-      s"""WITH s0 AS (SELECT embedding::DOUBLE[] AS v, md5(vec_id::VARCHAR) AS h
-         |  FROM embeddings ORDER BY h, v LIMIT 20000),
-         |samp AS MATERIALIZED (SELECT v,
-         |  row_number() OVER (ORDER BY h, v) AS rn FROM s0),
-         |sn AS (SELECT count(*) AS n FROM samp),
-         |c0 AS (SELECT t.i AS cell, s.v AS cv
-         | FROM (SELECT unnest(range(8)) AS i) t, sn
-         | JOIN samp s ON s.rn = (t.i * sn.n) // 8 + 1),
-         |$lloyd,
-         |co AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv2 FROM embeddings),
-         |asg AS MATERIALIZED (SELECT co.cid, co.cv2,
-         |  (min({'d': ${relD2("co.cv2", "c")}, 'c': c.cell})).c AS cell
-         | FROM co CROSS JOIN c10 c GROUP BY co.cid, co.cv2),
-         |qd AS (SELECT q.vec_id AS qid, q.embedding::DOUBLE[] AS qv, c.cell,
-         |  row_number() OVER (PARTITION BY q.vec_id
-         |    ORDER BY ${relD2("q.embedding::DOUBLE[]", "c")}, c.cell) AS rk
-         | FROM embeddings q CROSS JOIN c10 c WHERE q.vec_id < 20),
-         |sc AS (SELECT p.qid, a.cid,
-         |  list_dot_product(p.qv, a.cv2) /
-         |   (sqrt(list_dot_product(p.qv, p.qv))
-         |    * sqrt(list_dot_product(a.cv2, a.cv2))) AS cos
-         | FROM (SELECT qid, qv, cell FROM qd WHERE rk <= 2) p
-         | JOIN asg a USING (cell) WHERE p.qid <> a.cid),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
-         |    ORDER BY cos DESC, cid) AS rank FROM sc QUALIFY rank <= 10)
+    "q61_ann_ivf" ->
+      s"""WITH $ivfCtes
          |SELECT qid, cid, round(cos, 4) AS cos, rank FROM r"""
-        .stripMargin.replace("\n", " ")
-    },
+        .stripMargin.replace("\n", " "),
+    // recall@10 of the deterministic IVF (nProbe=2) against the exact
+    // brute-force ground truth - the ANN-quality audit as a gated query
+    "q477_ann_recall" ->
+      s"""WITH $ivfCtes,
+         |bp AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |  list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+         |   (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+         |    * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
+         | FROM embeddings q, embeddings c
+         | WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |br AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |   ORDER BY cos DESC, cid) AS brank FROM bp QUALIFY brank <= 10),
+         |h AS (SELECT br.qid, count(r.cid)::BIGINT AS hits
+         | FROM br LEFT JOIN r ON r.qid = br.qid AND r.cid = br.cid
+         | GROUP BY 1)
+         |SELECT qid, 10::BIGINT AS k, hits,
+         | round(hits::DOUBLE / 10.0, 4) AS recall FROM h"""
+        .stripMargin.replace("\n", " "),
+    
     // Full SQL replay of the deterministic PQ: the q61 fixed-Lloyd
     // pattern per subspace (16-dim slices, 5 iterations, 5dp-rounded
     // recenter), per-subspace corpus encode via the same struct-argmin,
