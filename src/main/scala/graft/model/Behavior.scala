@@ -216,6 +216,101 @@ object Behavior {
       .agg(min(col("reg")).as("est"))
   }
 
+  /** RFM segmentation (Hughes '94, the classic behavioral triage):
+    * per user, recency = days since last conversion event, frequency =
+    * conversion count, monetary = summed conversion value; each metric
+    * then lands in a 0–4 quintile via the value-histogram device (the
+    * decileLift banding — the only global windows ride the three metric
+    * HISTOGRAMS, never the user frame), and segment = r·100 + f·10 + m
+    * with r reversed so 4 = most recent. Output per user: user,
+    * recency, frequency, monetary, r, f, m, segment.
+    *
+    * Scale: one filtered aggregate to the per-user metric frame, three
+    * histogram passes, three equi-joins back. */
+  def rfm(data: DataFrame, userCol: String, dayCol: String,
+      typeCol: String, valCol: String, convType: String): DataFrame = {
+    val conv = data.where(col(typeCol) === convType &&
+      col(valCol).isNotNull)
+      .select(col(userCol).as("user"), col(dayCol).cast("long").as("_d"),
+        fixedPointLong(col(valCol).cast("double"), 4).as("_v4"))
+    val maxDay = conv.agg(max(col("_d")).as("_dmax"))
+    val per = conv.groupBy(col("user"))
+      .agg(max(col("_d")).as("_last"), count(lit(1)).as("frequency"),
+        sum(col("_v4")).as("_m4"))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("recency", col("_dmax") - col("_last"))
+      .withColumn("monetary", col("_m4").cast("double") / 1e4)
+      .select(col("user"), col("recency"), col("frequency"),
+        col("monetary"), col("_m4"))
+    // quintile by the first element's zero-based rank over the metric
+    // histogram (decileLift's device); asc = bigger metric → bigger bin
+    def quintile(df: DataFrame, metric: String, out: String): DataFrame = {
+      val h = df.groupBy(col(metric).as("_mv"))
+        .agg(count(lit(1)).as("_ct"))
+      val w = Window.orderBy(col("_mv").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = h.agg(sum(col("_ct")).as("_n"))
+      val bins = h.withColumn("_cb", sum(col("_ct")).over(w) - col("_ct"))
+        .crossJoin(broadcast(tot))
+        .select(col("_mv"),
+          least(lit(4L), floor(col("_cb") * 5 / col("_n")).cast("long"))
+            .as(out))
+      df.join(bins, col(metric) === col("_mv")).drop("_mv")
+    }
+    val withR = quintile(per.withColumn("_negrec", -col("recency")),
+      "_negrec", "r")
+    val withF = quintile(withR, "frequency", "f")
+    val withM = quintile(withF, "_m4", "m")
+    withM.select(col("user"), col("recency"), col("frequency"),
+      col("monetary"), col("r"), col("f"), col("m"),
+      (col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+  }
+
+  /** Linear multi-touch attribution: every conversion spreads one unit
+    * of credit equally over the user's STRICTLY-PRIOR non-conversion
+    * events (no touches → the conversion self-attributes to the
+    * conversion type); per-channel credit and share of all conversions.
+    * Output per channel: channel, conversions_touched, credit, share.
+    *
+    * Determinism: each 1/n credit freezes at 8dp before the per-channel
+    * long sum. Scale: the conversion×prior join is WITHIN user —
+    * work = Σ_u conv_u·events_u, the per-user analogue of the LSH
+    * hot-bucket bound; cap the lookback window if per-user activity is
+    * unbounded. */
+  def linearAttribution(data: DataFrame, userCol: String, ordCol: String,
+      typeCol: String, convType: String): DataFrame = {
+    val base = data.select(col(userCol).as("_u"),
+      col(ordCol).cast("long").as("_t"), col(typeCol).as("_ty"))
+    val conv = base.where(col("_ty") === convType)
+      .select(col("_u"), col("_t").as("_ct"))
+    val touches = base.where(col("_ty") =!= convType)
+      .select(col("_u").as("_u2"), col("_t"), col("_ty"))
+    // strictly-prior condition INSIDE the left join: a conversion whose
+    // prior-touch set is empty must survive null-extended (it
+    // self-attributes), not be filtered away
+    val pairs = conv.join(touches,
+      col("_u") === col("_u2") && col("_t") < col("_ct"), "left")
+    val perConv = pairs.groupBy(col("_u"), col("_ct"))
+      .agg(count(col("_t")).as("_n"))
+    val credited = pairs.join(perConv, Seq("_u", "_ct"))
+      .select(
+        when(col("_n") > 0, col("_ty")).otherwise(lit(convType))
+          .as("channel"),
+        when(col("_n") > 0,
+          fixedPointLong(lit(1.0) / col("_n").cast("double"), 8))
+          .otherwise(lit(100000000L)).as("_c8"),
+        col("_u"), col("_ct"))
+    val total = conv.agg(count(lit(1)).as("_tot"))
+    credited.groupBy(col("channel"))
+      .agg(countDistinct(col("_u"), col("_ct")).as("conversions_touched"),
+        sum(col("_c8")).as("_s8"))
+      .crossJoin(broadcast(total))
+      .select(col("channel"), col("conversions_touched"),
+        (col("_s8").cast("double") / 1e8).as("credit"),
+        (col("_s8").cast("double") / 1e8 / col("_tot").cast("double"))
+          .as("share"))
+  }
+
   /** Temperature-scaled corpus mixing (the multilingual sampling rule of
     * Lample & Conneau '19 / mT5): group share p_g ∝ n_g^α (α < 1 lifts
     * the tail), integer allocation alloc0 = ⌊B·p_g + ½⌋ capped at n_g,

@@ -130,6 +130,15 @@ object R10Queries {
         .withColumn("token_keep_frac",
           col("tokens_kept").cast("double") / col("tokens").cast("double")))
     }),
+    // RFM segmentation over purchase events (quintiles via histograms)
+    "q478_rfm" -> ((s, dir) =>
+      canon(Behavior.rfm(
+        ev(s, dir).withColumn("day", expr("ts div 86400000000000")),
+        "user_id", "day", "event_type", "value", convType = "purchase"))),
+    // linear multi-touch attribution of purchases across channels
+    "q479_attribution" -> ((s, dir) =>
+      canon(Behavior.linearAttribution(ev(s, dir), "user_id", "ts",
+        "event_type", convType = "purchase"))),
     // STREAMING funnel progression batch-executed (flatMapGroupsWithState
     // forward scan) and aggregated — gated by q453's oracle
     "q476_funnel_stream" -> ((s, dir) => {
@@ -239,7 +248,61 @@ object R10Queries {
         |  ELSE 0.0 END, 4) AS conv
         |FROM c""".stripMargin.replace("\n", " ")
 
+  /** The quintile-band CTE pair for one RFM metric (the decileLift
+    * histogram device at 5 bins). */
+  private def quintileSql(src: String, metric: String, h: String,
+      b: String, out: String): String =
+    s"""$h AS (SELECT $metric AS mv, count(*)::BIGINT AS ct
+       | FROM $src GROUP BY 1),
+       |$b AS (SELECT mv, least(4, floor((sum(ct) OVER (ORDER BY mv ASC
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct) * 5
+       |  / (SELECT sum(ct) FROM $h))::BIGINT) AS $out FROM $h)"""
+      .stripMargin.replace("\n", " ")
+
   val oracleSql: Map[String, String] = Map(
+    "q478_rfm" ->
+      s"""WITH conv AS (SELECT user_id AS u,
+         |  epoch_ns(ts) // 86400000000000 AS d,
+         |  ${fp("value", "10000.0")} AS v4
+         | FROM events WHERE event_type = 'purchase'
+         |  AND value IS NOT NULL),
+         |mx AS (SELECT max(d) AS dmax FROM conv),
+         |per AS (SELECT u, max(d) AS lastd, count(*)::BIGINT AS frequency,
+         |  sum(v4)::BIGINT AS m4 FROM conv GROUP BY 1),
+         |pr AS (SELECT u, (mx.dmax - lastd)::BIGINT AS recency,
+         |  frequency, m4 FROM per CROSS JOIN mx),
+         |${quintileSql("(SELECT -recency AS m2 FROM pr)", "m2", "hr", "br", "r")},
+         |${quintileSql("pr", "frequency", "hf", "bf", "f")},
+         |${quintileSql("pr", "m4", "hm", "bm", "m")}
+         |SELECT pr.u AS "user", pr.recency, pr.frequency,
+         | round(pr.m4::DOUBLE / 10000.0, 4) + 0 AS monetary,
+         | br.r, bf.f, bm.m,
+         | (br.r * 100 + bf.f * 10 + bm.m)::BIGINT AS segment
+         |FROM pr JOIN br ON br.mv = -pr.recency
+         | JOIN bf ON bf.mv = pr.frequency
+         | JOIN bm ON bm.mv = pr.m4""".stripMargin.replace("\n", " "),
+    "q479_attribution" ->
+      s"""WITH base AS (SELECT user_id AS u, epoch_ns(ts) AS t,
+         |  event_type AS ty FROM events),
+         |conv AS (SELECT u, t AS ct FROM base WHERE ty = 'purchase'),
+         |tch AS (SELECT u AS u2, t, ty FROM base WHERE ty <> 'purchase'),
+         |pairs AS (SELECT c.u, c.ct, t.t, t.ty FROM conv c
+         | LEFT JOIN tch t ON t.u2 = c.u AND t.t < c.ct),
+         |pc AS (SELECT u, ct, count(t)::BIGINT AS n
+         | FROM pairs GROUP BY 1, 2),
+         |cr AS (SELECT CASE WHEN pc.n > 0 THEN p.ty
+         |   ELSE 'purchase' END AS channel,
+         |  CASE WHEN pc.n > 0 THEN ${fp("1.0 / pc.n::DOUBLE", "100000000.0")}
+         |   ELSE 100000000 END AS c8,
+         |  p.u, p.ct
+         | FROM pairs p JOIN pc USING (u, ct)),
+         |tt AS (SELECT count(*)::BIGINT AS tot FROM conv)
+         |SELECT channel,
+         | count(DISTINCT (u, ct))::BIGINT AS conversions_touched,
+         | round(sum(c8)::DOUBLE / 100000000.0, 4) AS credit,
+         | round(sum(c8)::DOUBLE / 100000000.0 / tot::DOUBLE, 4) AS share
+         |FROM cr CROSS JOIN tt GROUP BY channel, tot"""
+        .stripMargin.replace("\n", " "),
     "q453_funnel" -> funnelOracle,
     "q476_funnel_stream" -> funnelOracle,
     "q454_retention" ->

@@ -178,6 +178,39 @@ class BehaviorSpec extends SparkSpec {
       s"constant data has zero resampling variance: $r")
   }
 
+  test("rfm: quintile bands order correctly, segment composes digits") {
+    // 5 users with strictly increasing frequency/monetary and strictly
+    // decreasing recency -> user 5 is the 444, user 1 the 000
+    val rows = (1 to 5).flatMap { u =>
+      (1 to u).map(i => (u.toLong, (u * 10 + i).toLong, "purchase",
+        u * 100.0))
+    }
+    val d = rows.toDF("u", "day", "typ", "v")
+    val r = graft.model.Behavior.rfm(d, "u", "day", "typ", "v", "purchase")
+      .collect().map(x => x.getAs[Long]("user") -> x).toMap
+    assert(r(5L).getAs[Long]("segment") == 444L, s"${r(5L)}")
+    assert(r(1L).getAs[Long]("segment") == 0L, s"${r(1L)}")
+    assert(r(3L).getAs[Long]("recency") == 55L - 33L)
+  }
+
+  test("attribution: equal split over prior touches, self-credit when none") {
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 10L, "purchase"),                       // no prior touches
+      (2L, 20L, "view"), (2L, 30L, "purchase")).toDF("u", "t", "typ")
+    val r = graft.model.Behavior.linearAttribution(ev, "u", "t", "typ",
+      "purchase").collect()
+      .map(x => x.getAs[String]("channel") -> x).toMap
+    // u1's purchase: 0.5 view + 0.5 click; u2 first purchase: self 1.0;
+    // u2 second: 1.0 view
+    assert(math.abs(r("view").getAs[Double]("credit") - 1.5) < 1e-6)
+    assert(math.abs(r("click").getAs[Double]("credit") - 0.5) < 1e-6)
+    assert(math.abs(r("purchase").getAs[Double]("credit") - 1.0) < 1e-6)
+    val totalCredit = r.values.map(_.getAs[Double]("credit")).sum
+    assert(math.abs(totalCredit - 3.0) < 1e-6,
+      "credit mass equals the conversion count")
+  }
+
   test("funnelStream: forward scan matches the declarative funnel") {
     import graft.streaming.StreamScorers.{TypedEvent, funnelStream}
     val ev = Seq(
