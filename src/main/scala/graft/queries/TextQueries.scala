@@ -506,6 +506,27 @@ object TextQueries {
         "vec_id", "embedding", dim = 64, nCells = 8, nProbe = 2, k = 10,
         iters = 10, maxSample = 20000))
     }),
+    // split-leakage audit: LSH near-dup candidate pairs crossing the
+    // stratified train/val/test boundary — the eval-hygiene number a
+    // decontamination pass must drive to zero
+    "q480_split_leakage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val split = graft.model.Sampling
+        .stratifiedSplit(d, "doc_id", "lang", fTrain = 0.8, fVal = 0.1)
+        .select(col("id").as("doc_id"), col("split"))
+      val pairs = TextOps.minhashPairs(d, "doc_id", "text",
+        shingleSize = 3, NumHashes, BandSize)
+      canon(pairs
+        .join(split.select(col("doc_id").as("a"), col("split").as("_sa")),
+          "a")
+        .join(split.select(col("doc_id").as("b"), col("split").as("_sb")),
+          "b")
+        .select(least(col("_sa"), col("_sb")).as("split_a"),
+          greatest(col("_sa"), col("_sb")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("pairs"))
+        .withColumn("leaky", col("split_a") =!= col("split_b")))
+    }),
     // recall@10 of the q61 IVF against q59's exact brute-force truth —
     // the ANN-quality audit as an oracle-gated query
     "q477_ann_recall" -> ((s, dir) => {
@@ -2765,6 +2786,32 @@ private lazy val ivfCtes: String = {
         .stripMargin.replace("\n", " "),
     // recall@10 of the deterministic IVF (nProbe=2) against the exact
     // brute-force ground truth - the ANN-quality audit as a gated query
+    "q480_split_leakage" ->
+      s"""WITH $sigCte,
+         |bands AS (SELECT doc_id, hashIdx // $BandSize AS band,
+         |  array_to_string(list(minHash ORDER BY hashIdx), ':') AS bucket
+         | FROM sig GROUP BY doc_id, band),
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         | FROM bands l JOIN bands r ON l.band = r.band
+         |  AND l.bucket = r.bucket
+         | WHERE l.doc_id < r.doc_id),
+         |sp AS (SELECT id, CASE
+         |   WHEN rk <= floor(0.8::DOUBLE * n::DOUBLE)::BIGINT THEN 'train'
+         |   WHEN rk <= floor((0.8::DOUBLE + 0.1::DOUBLE)
+         |     * n::DOUBLE)::BIGINT THEN 'val'
+         |   ELSE 'test' END AS split
+         | FROM (SELECT doc_id AS id, row_number() OVER
+         |    (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR),
+         |     doc_id)::BIGINT AS rk,
+         |   count(*) OVER (PARTITION BY lang)::BIGINT AS n
+         |  FROM documents)),
+         |j AS (SELECT least(sa.split, sb.split) AS split_a,
+         |  greatest(sa.split, sb.split) AS split_b
+         | FROM cand JOIN sp sa ON sa.id = cand.a
+         |  JOIN sp sb ON sb.id = cand.b)
+         |SELECT split_a, split_b, count(*)::BIGINT AS pairs,
+         | split_a <> split_b AS leaky
+         |FROM j GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     "q477_ann_recall" ->
       s"""WITH $ivfCtes,
          |bp AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
