@@ -242,26 +242,39 @@ object Behavior {
       .withColumn("monetary", col("_m4").cast("double") / 1e4)
       .select(col("user"), col("recency"), col("frequency"),
         col("monetary"), col("_m4"))
-    // quintile by the first element's zero-based rank over the metric
-    // histogram (decileLift's device); asc = bigger metric → bigger bin
-    def quintile(df: DataFrame, metric: String, out: String): DataFrame = {
-      val h = df.groupBy(col(metric).as("_mv"))
-        .agg(count(lit(1)).as("_ct"))
-      val w = Window.orderBy(col("_mv").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = h.agg(sum(col("_ct")).as("_n"))
-      val bins = h.withColumn("_cb", sum(col("_ct")).over(w) - col("_ct"))
-        .crossJoin(broadcast(tot))
-        .select(col("_mv"),
-          least(lit(4L), floor(col("_cb") * 5 / col("_n")).cast("long"))
-            .as(out))
-      df.join(bins, col(metric) === col("_mv")).drop("_mv")
-    }
-    val withR = quintile(per.withColumn("_negrec", -col("recency")),
-      "_negrec", "r")
-    val withF = quintile(withR, "frequency", "f")
-    val withM = quintile(withF, "_m4", "m")
-    withM.select(col("user"), col("recency"), col("frequency"),
+    // quintiles via ONE melted (metric, value) histogram → one
+    // metric-partitioned cumulative window → a checkpointed
+    // histogram-sized bin map broadcast-joined three times (the
+    // rankEnsemble device — three independent quintile chains would
+    // re-read the conversion aggregate per metric)
+    val pairs = array(
+      struct(lit("r").as("_k"), (-col("recency")).as("_v")),
+      struct(lit("f").as("_k"), col("frequency").as("_v")),
+      struct(lit("m").as("_k"), col("_m4").as("_v")))
+    val melted = per.select(explode(pairs).as("_p"))
+      .select(col("_p._k").as("_k"), col("_p._v").as("_v"))
+    val h = melted.groupBy(col("_k"), col("_v"))
+      .agg(count(lit(1)).as("_ct"))
+    val w = Window.partitionBy(col("_k")).orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("_k"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bins = h
+      .withColumn("_cb", sum(col("_ct")).over(w) - col("_ct"))
+      .withColumn("_n", sum(col("_ct")).over(wAll))
+      .select(col("_k"), col("_v"),
+        least(lit(4L), floor(col("_cb") * 5 / col("_n")).cast("long"))
+          .as("_bin"))
+      .localCheckpoint(true)
+    def band(k: String, metric: Column, out: String)(df: DataFrame) =
+      df.join(broadcast(bins.where(col("_k") === k)
+        .select(col("_v").as(s"_v_$out"), col("_bin").as(out))),
+        metric === col(s"_v_$out")).drop(s"_v_$out")
+    val banded = Seq[(DataFrame => DataFrame)](
+      band("r", -col("recency"), "r"),
+      band("f", col("frequency"), "f"),
+      band("m", col("_m4"), "m")).foldLeft(per)((d, f) => f(d))
+    banded.select(col("user"), col("recency"), col("frequency"),
       col("monetary"), col("r"), col("f"), col("m"),
       (col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
   }
