@@ -140,4 +140,90 @@ object Causal {
       (lit(zA + zB) * sqrt(lit(2.0) * p * (lit(1.0) - p) / (nD / 2.0)))
         .as("mde"))
   }
+
+  /** Propensity-score matching ATT (Rosenbaum & Rubin '83) with
+    * 4dp-bin nearest matching: a logistic propensity is fitted with the
+    * engine's deterministic GD ([[graft.text.TextOps.logRegFit]] — the
+    * algebraic sigmoid, fixed iterations), each unit's propensity
+    * freezes at 4dp, every treated unit matches the control BIN with
+    * the nearest propensity (kernel/radius matching at 4dp resolution —
+    * deterministic where pick-one-neighbor matching is order-defined),
+    * and ATT = mean over treated of y − ȳ_control(matched bin).
+    *
+    * Determinism: weights replay via the logRegFit recursion; the
+    * nearest-bin scan is the as-of union-window device over the
+    * PROPENSITY HISTOGRAM (≤ 10⁴ bins by construction — value-range
+    * bounded, never unit-sized); the ATT terms freeze at 6dp.
+    * Scale: two unit-sized aggregates + histogram-sized matching +
+    * one broadcast map join. Output one row: n_treated, n_control,
+    * mean_p_t, mean_p_c, mean_match_dist, att. */
+  def psmAtt(units: DataFrame, idCol: String, tCol: String, yCol: String,
+      featCols: Seq[String], iters: Int = 5, lr: Double = 0.5): DataFrame = {
+    import graft.core.fixedPointLong
+    import org.apache.spark.sql.expressions.Window
+    val labeled = units.withColumn("_t01", col(tCol).cast("double"))
+    val wts = graft.text.TextOps.logRegFit(labeled, featCols, "_t01",
+      iters, lr)
+      .collect().sortBy(_.getAs[Int]("j")).map(_.getAs[Double]("weight"))
+    val z = featCols.zipWithIndex
+      .map { case (c, j) => lit(wts(j)) * col(c) }.reduce(_ + _)
+    val pCol = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+    val base = units.select(col(idCol).as("_id"),
+      col(tCol).cast("boolean").as("_tr"),
+      fixedPointLong(col(yCol).cast("double"), 4).as("_y4"),
+      fixedPointLong(pCol, 4).as("_p4"))
+    val ch = base.where(!col("_tr")).groupBy(col("_p4"))
+      .agg(count(lit(1)).as("_nc"),
+        sum(col("_y4").cast("decimal(38,0)")).as("_sy4"))
+      .withColumn("_myc",
+        col("_sy4").cast("double") / 1e4 / col("_nc").cast("double"))
+      .select(col("_p4"), col("_nc"), col("_myc"))
+    val th = base.where(col("_tr")).groupBy(col("_p4"))
+      .agg(count(lit(1)).as("_nt"))
+    val mrg = ch.select(col("_p4"), lit(0).as("_side"), col("_myc"))
+      .unionByName(th.select(col("_p4"), lit(1).as("_side"),
+        lit(null).cast("double").as("_myc")))
+    val wf = Window.orderBy(col("_p4").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = Window.orderBy(col("_p4").desc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // propensity-HISTOGRAM-sized frame: the global windows are bounded
+    // by the 4dp propensity range (<= 10001 rows), never by units
+    val scanned = mrg
+      .withColumn("_pp", last(when(col("_side") === 0, col("_p4")),
+        ignoreNulls = true).over(wf))
+      .withColumn("_py", last(when(col("_side") === 0, col("_myc")),
+        ignoreNulls = true).over(wf))
+      .withColumn("_np", last(when(col("_side") === 0, col("_p4")),
+        ignoreNulls = true).over(wb))
+      .withColumn("_ny", last(when(col("_side") === 0, col("_myc")),
+        ignoreNulls = true).over(wb))
+    val matched = scanned.where(col("_side") === 1)
+      .select(col("_p4"),
+        when(col("_pp").isNotNull && (col("_np").isNull ||
+          col("_p4") - col("_pp") <= col("_np") - col("_p4")),
+          col("_pp")).otherwise(col("_np")).as("_mp"),
+        when(col("_pp").isNotNull && (col("_np").isNull ||
+          col("_p4") - col("_pp") <= col("_np") - col("_p4")),
+          col("_py")).otherwise(col("_ny")).as("_my"))
+    val tt = base.where(col("_tr"))
+      .join(broadcast(matched), "_p4")
+      .agg(count(lit(1)).as("n_treated"),
+        sum(fixedPointLong(col("_y4").cast("double") / 1e4 - col("_my"), 6))
+          .as("_d6"),
+        sum(col("_p4")).as("_sp"),
+        sum(abs(col("_p4") - col("_mp"))).as("_sd"))
+    val cc = base.where(!col("_tr"))
+      .agg(count(lit(1)).as("n_control"), sum(col("_p4")).as("_spc"))
+    tt.crossJoin(broadcast(cc))
+      .select(col("n_treated"), col("n_control"),
+        (col("_sp").cast("double") / 1e4 / col("n_treated").cast("double"))
+          .as("mean_p_t"),
+        (col("_spc").cast("double") / 1e4 / col("n_control").cast("double"))
+          .as("mean_p_c"),
+        (col("_sd").cast("double") / 1e4 / col("n_treated").cast("double"))
+          .as("mean_match_dist"),
+        (col("_d6").cast("double") / 1e6 / col("n_treated").cast("double"))
+          .as("att"))
+  }
 }

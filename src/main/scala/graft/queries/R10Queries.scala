@@ -130,6 +130,11 @@ object R10Queries {
         .withColumn("token_keep_frac",
           col("tokens_kept").cast("double") / col("tokens").cast("double")))
     }),
+    // propensity-score matching ATT on a confounded per-user fixture
+    // (treatment probability depends on x; true effect = +2)
+    "q481_psm_att" -> ((s, dir) =>
+      canon(graft.model.Causal.psmAtt(psmUnits(s, dir), "uid", "t", "y",
+        Seq("f0", "f1"), iters = 5, lr = 0.5))),
     // RFM segmentation over purchase events (quintiles via histograms)
     "q478_rfm" -> ((s, dir) =>
       canon(Behavior.rfm(
@@ -167,6 +172,30 @@ object R10Queries {
         sources = 8, maxDepth = 4))
     }),
   )
+
+  /** Confounded PSM fixture: per-user mean value x, treatment odds
+    * jump from 20% to 60% above x = 49 (so naive diff-in-means is
+    * biased), outcome y = x + 2·t + hash noise — true ATT = +2. */
+  private def psmUnits(s: SparkSession, dir: String): DataFrame = {
+    val perUser = ev(s, dir).where(col("value").isNotNull)
+      .groupBy(col("user_id").as("uid"))
+      .agg(count(lit(1)).as("_n"),
+        sum(fixedPointLong(col("value").cast("double"), 4)
+          .cast("decimal(38,0)")).as("_s4"))
+      .withColumn("x",
+        col("_s4").cast("double") / 1e4 / col("_n").cast("double"))
+    val h = graft.text.TextOps.hash56(col("uid").cast("string"))
+    val hy = graft.text.TextOps.hash56(
+      concat(lit("y:"), col("uid").cast("string")))
+    perUser
+      .withColumn("t", pmod(h, lit(100L)) <
+        (lit(20) + when(col("x") > 49.0, 40).otherwise(0)))
+      .withColumn("y", col("x") + when(col("t"), 2.0).otherwise(0.0) +
+        (pmod(hy, lit(1000L)).cast("double") / 1000.0 - 0.5) * 4.0)
+      .withColumn("f0", lit(1.0))
+      .withColumn("f1", (col("x") - 49.0) / 10.0)
+      .select("uid", "x", "t", "y", "f0", "f1")
+  }
 
   /** The unrolled-EM oracle: init CTE + `rounds` mechanical round blocks
     * replaying the exact float-op order of [[Mixture.gmm2]]. */
@@ -259,7 +288,88 @@ object R10Queries {
        |  / (SELECT sum(ct) FROM $h))::BIGINT) AS $out FROM $h)"""
       .stripMargin.replace("\n", " ")
 
+  /** q481 oracle: fixture CTEs + 5-round 2-weight logreg replay (the
+    * q183 device) + the 4dp-histogram nearest-control scan. */
+  private lazy val psmOracle: String = {
+    val fp9 = (e: String) =>
+      s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e9+0.5) " +
+        s"ELSE -floor(-($e)*1e9+0.5) END)::BIGINT"
+    val regrain = (e: String) =>
+      s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) " +
+        s"ELSE -floor(-($e)*1e6+0.5) END) / 1000000.0"
+    val iters = (1 to 5).map { t =>
+      val p = s"ww${t - 1}"
+      s"""g$t AS (SELECT sum(${fp9("e * f0")}) AS s0,
+         |  sum(${fp9("e * f1")}) AS s1, count(*) AS n
+         | FROM (SELECT f0, f1, ty - (0.5 + z/(2.0*(1.0+abs(z)))) AS e
+         |   FROM (SELECT un.f0, un.f1, un.ty,
+         |     w.wa*un.f0 + w.wb*un.f1 AS z FROM un, $p w))),
+         |ww$t AS (SELECT
+         |  ${regrain(s"w.wa + 0.5 * (g.s0::DOUBLE / g.n / 1e9)")} AS wa,
+         |  ${regrain(s"w.wb + 0.5 * (g.s1::DOUBLE / g.n / 1e9)")} AS wb
+         | FROM $p w, g$t g)""".stripMargin
+    }.mkString(", ")
+    val lv = (e: String, ord: String) =>
+      s"last_value($e IGNORE NULLS) OVER (ORDER BY $ord, side ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    s"""WITH u0 AS (SELECT user_id AS uid, count(*)::BIGINT AS n,
+       |  sum(${fp("value", "10000.0")}::HUGEINT) AS s4
+       | FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |u1 AS (SELECT uid, s4::DOUBLE/10000.0/n::DOUBLE AS x FROM u0),
+       |u2 AS (SELECT uid, x,
+       |  (${h56("uid::VARCHAR")} % 100) <
+       |   (20 + CASE WHEN x > 49.0 THEN 40 ELSE 0 END) AS t FROM u1),
+       |un AS (SELECT uid, x, t,
+       |  x + (CASE WHEN t THEN 2.0 ELSE 0.0 END)
+       |   + ((${h56("'y:' || uid::VARCHAR")} % 1000)::DOUBLE/1000.0 - 0.5)
+       |     * 4.0 AS y,
+       |  1.0::DOUBLE AS f0, (x - 49.0)/10.0 AS f1,
+       |  CASE WHEN t THEN 1.0 ELSE 0.0 END AS ty FROM u2),
+       |ww0 AS (SELECT 0.0::DOUBLE AS wa, 0.0::DOUBLE AS wb),
+       |$iters,
+       |pw AS (SELECT uid, t,
+       |  ${fp("0.5 + z/(2.0*(1.0+abs(z)))", "10000.0")} AS p4,
+       |  ${fp("y", "10000.0")} AS y4
+       | FROM (SELECT un.*, w.wa*un.f0 + w.wb*un.f1 AS z
+       |   FROM un, ww5 w)),
+       |cm AS (SELECT p4, count(*)::BIGINT AS nc,
+       |  sum(y4::HUGEINT)::DOUBLE/10000.0/count(*)::DOUBLE AS myc
+       | FROM pw WHERE NOT t GROUP BY 1),
+       |thh AS (SELECT p4 FROM pw WHERE t GROUP BY 1),
+       |mg AS (SELECT p4, 0 AS side, myc FROM cm
+       | UNION ALL SELECT p4, 1, NULL FROM thh),
+       |sc AS (SELECT p4, side,
+       |  ${lv("CASE WHEN side = 0 THEN p4 END", "p4 ASC")} AS pp,
+       |  ${lv("CASE WHEN side = 0 THEN myc END", "p4 ASC")} AS py,
+       |  ${lv("CASE WHEN side = 0 THEN p4 END", "p4 DESC")} AS np,
+       |  ${lv("CASE WHEN side = 0 THEN myc END", "p4 DESC")} AS ny
+       | FROM mg),
+       |mt AS (SELECT p4,
+       |  CASE WHEN pp IS NOT NULL AND (np IS NULL OR p4 - pp <= np - p4)
+       |   THEN pp ELSE np END AS mp,
+       |  CASE WHEN pp IS NOT NULL AND (np IS NULL OR p4 - pp <= np - p4)
+       |   THEN py ELSE ny END AS my
+       | FROM sc WHERE side = 1),
+       |tt AS (SELECT count(*)::BIGINT AS n_treated,
+       |  sum(${fp("pw.y4::DOUBLE/10000.0 - mt.my", "1000000.0")})::BIGINT
+       |   AS d6,
+       |  sum(pw.p4)::BIGINT AS sp,
+       |  sum(abs(pw.p4 - mt.mp))::BIGINT AS sd
+       | FROM pw JOIN mt USING (p4) WHERE pw.t),
+       |cc AS (SELECT count(*)::BIGINT AS n_control,
+       |  sum(p4)::BIGINT AS spc FROM pw WHERE NOT t)
+       |SELECT tt.n_treated, cc.n_control,
+       | round(tt.sp::DOUBLE/10000.0/tt.n_treated::DOUBLE, 4) AS mean_p_t,
+       | round(cc.spc::DOUBLE/10000.0/cc.n_control::DOUBLE, 4)
+       |  AS mean_p_c,
+       | round(tt.sd::DOUBLE/10000.0/tt.n_treated::DOUBLE, 4)
+       |  AS mean_match_dist,
+       | round(tt.d6::DOUBLE/1000000.0/tt.n_treated::DOUBLE, 4) + 0 AS att
+       |FROM tt CROSS JOIN cc""".stripMargin.replace("\n", " ")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q481_psm_att" -> psmOracle,
     "q478_rfm" ->
       s"""WITH conv AS (SELECT user_id AS u,
          |  epoch_ns(ts) // 86400000000000 AS d,

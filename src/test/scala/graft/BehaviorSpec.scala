@@ -211,6 +211,30 @@ class BehaviorSpec extends SparkSpec {
       "credit mass equals the conversion count")
   }
 
+  test("psmAtt: recovers the effect a naive diff-in-means overstates") {
+    // confounded: high-x units are mostly treated AND have higher y;
+    // true effect = +5. naive diff-in-means >> 5; matching on the
+    // propensity (driven by x) pulls the estimate back.
+    val units = (1 to 400).map { i =>
+      val x = if (i % 2 == 0) 10.0 else 0.0
+      val t = if (x > 5) i % 4 != 0 else i % 4 == 0   // 75% vs 25%
+      val y = x * 3 + (if (t) 5.0 else 0.0) + (i % 5) * 0.1
+      (i.toLong, x, t, y, 1.0, x / 10.0)
+    }.toDF("uid", "x", "t", "y", "f0", "f1")
+    val r = graft.model.Causal.psmAtt(units, "uid", "t", "y",
+      Seq("f0", "f1")).collect()(0)
+    val att = r.getAs[Double]("att")
+    // naive difference in means for comparison
+    val rows = units.collect()
+    val mt = rows.filter(_.getAs[Boolean]("t")).map(_.getAs[Double]("y"))
+    val mc = rows.filterNot(_.getAs[Boolean]("t")).map(_.getAs[Double]("y"))
+    val naive = mt.sum / mt.length - mc.sum / mc.length
+    assert(naive > 10.0, s"fixture must be confounded: naive=$naive")
+    assert(math.abs(att - 5.0) < 1.0,
+      s"matching must recover ~5 (naive=$naive): att=$att")
+    assert(r.getAs[Double]("mean_match_dist") < 0.2)
+  }
+
   test("funnelStream: forward scan matches the declarative funnel") {
     import graft.streaming.StreamScorers.{TypedEvent, funnelStream}
     val ev = Seq(
