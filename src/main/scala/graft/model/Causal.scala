@@ -226,4 +226,85 @@ object Causal {
         (col("_d6").cast("double") / 1e6 / col("n_treated").cast("double"))
           .as("att"))
   }
+
+  /** Two-model uplift scoring (Radcliffe & Surry '99): one logistic
+    * response model per arm (the engine's deterministic GD), uplift =
+    * p̂_treated(x) − p̂_control(x) per unit — "whom does the treatment
+    * actually move", the heterogeneous-effect face next to [[psmAtt]]'s
+    * single average. Output: idCol, p_t, p_c, uplift.
+    *
+    * Determinism: both weight vectors replay via the logRegFit
+    * recursion; scoring is one fixed float expression. Scale: two
+    * arm-filtered GD fits (one scan per iteration each) + one scoring
+    * pass. */
+  def upliftTwoModel(units: DataFrame, idCol: String, tCol: String,
+      rCol: String, featCols: Seq[String], iters: Int = 5,
+      lr: Double = 0.5): DataFrame = {
+    def fit(arm: DataFrame): Array[Double] =
+      graft.text.TextOps.logRegFit(
+        arm.withColumn("_r01", col(rCol).cast("double")),
+        featCols, "_r01", iters, lr)
+        .collect().sortBy(_.getAs[Int]("j")).map(_.getAs[Double]("weight"))
+    val wT = fit(units.where(col(tCol).cast("boolean")))
+    val wC = fit(units.where(!col(tCol).cast("boolean")))
+    def p(w: Array[Double]): Column = {
+      val z = featCols.zipWithIndex
+        .map { case (c, j) => lit(w(j)) * col(c) }.reduce(_ + _)
+      lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+    }
+    units.select(col(idCol), p(wT).as("p_t"), p(wC).as("p_c"),
+      (p(wT) - p(wC)).as("uplift"))
+  }
+
+  /** Qini / uplift-decile table: units decile by DESCENDING 4dp-frozen
+    * uplift score (bin 0 = most persuadable; the global window rides
+    * the score histogram), each bin reports arm sizes, responder
+    * counts, the observed uplift r_t/n_t − r_c/n_c, and the cumulative
+    * Qini incremental responders cumR_t − cumR_c·cumN_t/cumN_c — a
+    * model that ranks persuadables first shows a steep early curve.
+    * Output per bin: bin, n_t, n_c, r_t, r_c, uplift_obs, qini. */
+  def qiniTable(scored: DataFrame, tCol: String, rCol: String,
+      upliftCol: String, nBins: Int = 10): DataFrame = {
+    import graft.core.fixedPointLong
+    import org.apache.spark.sql.expressions.Window
+    val base = scored.select(
+      fixedPointLong(col(upliftCol).cast("double"), 4).as("_u4"),
+      col(tCol).cast("boolean").as("_t"),
+      col(rCol).cast("boolean").cast("long").as("_r"))
+    val h = base.groupBy(col("_u4"))
+      .agg(count(lit(1)).as("_ns"),
+        sum(when(col("_t"), 1L).otherwise(0L)).as("_nt"),
+        sum(when(col("_t"), col("_r")).otherwise(0L)).as("_rt"),
+        sum(when(!col("_t"), col("_r")).otherwise(0L)).as("_rc"))
+    val w = Window.orderBy(col("_u4").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.agg(sum(col("_ns")).as("_n"))
+    val binned = h
+      .withColumn("_cb", sum(col("_ns")).over(w) - col("_ns"))
+      .crossJoin(broadcast(tot))
+      .withColumn("bin", least(lit(nBins - 1),
+        floor(col("_cb") * nBins / col("_n")).cast("int")))
+      .groupBy(col("bin"))
+      .agg(sum(col("_nt")).as("n_t"),
+        (sum(col("_ns")) - sum(col("_nt"))).as("n_c"),
+        sum(col("_rt")).as("r_t"), sum(col("_rc")).as("r_c"))
+    val wb = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("uplift_obs",
+        when(col("n_t") > 0 && col("n_c") > 0,
+          col("r_t").cast("double") / col("n_t").cast("double") -
+            col("r_c").cast("double") / col("n_c").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("_cnt", sum(col("n_t")).over(wb))
+      .withColumn("_cnc", sum(col("n_c")).over(wb))
+      .withColumn("_crt", sum(col("r_t")).over(wb))
+      .withColumn("_crc", sum(col("r_c")).over(wb))
+      .withColumn("qini",
+        when(col("_cnc") > 0,
+          col("_crt").cast("double") - col("_crc").cast("double") *
+            (col("_cnt").cast("double") / col("_cnc").cast("double")))
+          .otherwise(lit(0.0)))
+      .select("bin", "n_t", "n_c", "r_t", "r_c", "uplift_obs", "qini")
+  }
 }

@@ -135,6 +135,20 @@ object R10Queries {
     "q481_psm_att" -> ((s, dir) =>
       canon(graft.model.Causal.psmAtt(psmUnits(s, dir), "uid", "t", "y",
         Seq("f0", "f1"), iters = 5, lr = 0.5))),
+    // two-model uplift scores on a randomized fixture with
+    // heterogeneous effect (+0.30 response only above x = 49)
+    "q482_uplift" -> ((s, dir) =>
+      canon(graft.model.Causal.upliftTwoModel(upliftUnits(s, dir),
+        "uid", "t", "r", Seq("f0", "f1"), iters = 5, lr = 0.5))),
+    // Qini / uplift-decile table of the q482 scores
+    "q483_qini" -> ((s, dir) => {
+      val u = upliftUnits(s, dir)
+      val scored = graft.model.Causal.upliftTwoModel(u, "uid", "t", "r",
+        Seq("f0", "f1"), iters = 5, lr = 0.5)
+        .join(u.select(col("uid"), col("t"), col("r")), "uid")
+      canon(graft.model.Causal.qiniTable(scored, "t", "r", "uplift",
+        nBins = 10))
+    }),
     // RFM segmentation over purchase events (quintiles via histograms)
     "q478_rfm" -> ((s, dir) =>
       canon(Behavior.rfm(
@@ -195,6 +209,30 @@ object R10Queries {
       .withColumn("f0", lit(1.0))
       .withColumn("f1", (col("x") - 49.0) / 10.0)
       .select("uid", "x", "t", "y", "f0", "f1")
+  }
+
+  /** Randomized-treatment uplift fixture: t is a fair hash coin,
+    * response odds 30% base + 20% for high-x + 30% MORE only when
+    * treated AND high-x — true uplift 0.3 above x = 49, 0 below. */
+  private def upliftUnits(s: SparkSession, dir: String): DataFrame = {
+    val perUser = ev(s, dir).where(col("value").isNotNull)
+      .groupBy(col("user_id").as("uid"))
+      .agg(count(lit(1)).as("_n"),
+        sum(fixedPointLong(col("value").cast("double"), 4)
+          .cast("decimal(38,0)")).as("_s4"))
+      .withColumn("x",
+        col("_s4").cast("double") / 1e4 / col("_n").cast("double"))
+    val h = graft.text.TextOps.hash56(col("uid").cast("string"))
+    val hr = graft.text.TextOps.hash56(
+      concat(lit("r:"), col("uid").cast("string")))
+    perUser
+      .withColumn("t", pmod(h, lit(2L)) === 0L)
+      .withColumn("r", pmod(hr, lit(1000L)) <
+        (lit(300) + when(col("x") > 49.0, 200).otherwise(0) +
+          when(col("t") && col("x") > 49.0, 300).otherwise(0)))
+      .withColumn("f0", lit(1.0))
+      .withColumn("f1", (col("x") - 49.0) / 10.0)
+      .select("uid", "x", "t", "r", "f0", "f1")
   }
 
   /** The unrolled-EM oracle: init CTE + `rounds` mechanical round blocks
@@ -368,7 +406,96 @@ object R10Queries {
        |FROM tt CROSS JOIN cc""".stripMargin.replace("\n", " ")
   }
 
+  /** 5-iteration 2-weight GD chain over `src` (columns f0, f1, ry),
+    * emitting ${pfx}1..${pfx}5 weight CTEs — the q183 device. */
+  private def gd2Sql(src: String, pfx: String): String = {
+    val fp9 = (e: String) =>
+      s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e9+0.5) " +
+        s"ELSE -floor(-($e)*1e9+0.5) END)::BIGINT"
+    val regrain = (e: String) =>
+      s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) " +
+        s"ELSE -floor(-($e)*1e6+0.5) END) / 1000000.0"
+    val head = s"${pfx}0 AS (SELECT 0.0::DOUBLE AS wa, 0.0::DOUBLE AS wb)"
+    val iters = (1 to 5).map { t =>
+      val p = s"$pfx${t - 1}"
+      s"""${pfx}g$t AS (SELECT sum(${fp9("e * f0")}) AS s0,
+         |  sum(${fp9("e * f1")}) AS s1, count(*) AS n
+         | FROM (SELECT f0, f1, ry - (0.5 + z/(2.0*(1.0+abs(z)))) AS e
+         |   FROM (SELECT q.f0, q.f1, q.ry,
+         |     w.wa*q.f0 + w.wb*q.f1 AS z FROM $src q, $p w))),
+         |$pfx$t AS (SELECT
+         |  ${regrain(s"w.wa + 0.5 * (g.s0::DOUBLE / g.n / 1e9)")} AS wa,
+         |  ${regrain(s"w.wb + 0.5 * (g.s1::DOUBLE / g.n / 1e9)")} AS wb
+         | FROM $p w, ${pfx}g$t g)""".stripMargin
+    }.mkString(", ")
+    s"$head, $iters"
+  }
+
+  /** Shared fixture + two-arm GD + per-unit scoring CTEs for
+    * q482/q483. Ends with `sc(uid, t, r, pt, pc)`. */
+  private lazy val upliftCtes: String =
+    s"""u0 AS (SELECT user_id AS uid, count(*)::BIGINT AS n,
+       |  sum(${fp("value", "10000.0")}::HUGEINT) AS s4
+       | FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |u1 AS (SELECT uid, s4::DOUBLE/10000.0/n::DOUBLE AS x FROM u0),
+       |uu AS (SELECT uid, x, (${h56("uid::VARCHAR")} % 2) = 0 AS t,
+       |  (${h56("'r:' || uid::VARCHAR")} % 1000) <
+       |   (300 + CASE WHEN x > 49.0 THEN 200 ELSE 0 END
+       |    + CASE WHEN (${h56("uid::VARCHAR")} % 2) = 0 AND x > 49.0
+       |       THEN 300 ELSE 0 END) AS r,
+       |  1.0::DOUBLE AS f0, (x - 49.0)/10.0 AS f1 FROM u1),
+       |unt AS (SELECT f0, f1, CASE WHEN r THEN 1.0 ELSE 0.0 END AS ry
+       | FROM uu WHERE t),
+       |unc AS (SELECT f0, f1, CASE WHEN r THEN 1.0 ELSE 0.0 END AS ry
+       | FROM uu WHERE NOT t),
+       |${gd2Sql("unt", "tw")},
+       |${gd2Sql("unc", "cw")},
+       |sc AS (SELECT uid, t, r,
+       |  0.5 + zt/(2.0*(1.0+abs(zt))) AS pt,
+       |  0.5 + zc/(2.0*(1.0+abs(zc))) AS pc
+       | FROM (SELECT uu.uid, uu.t, uu.r,
+       |    wt.wa*uu.f0 + wt.wb*uu.f1 AS zt,
+       |    wc.wa*uu.f0 + wc.wb*uu.f1 AS zc
+       |   FROM uu, tw5 wt, cw5 wc))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q482_uplift" ->
+      s"""WITH $upliftCtes
+         |SELECT uid, round(pt, 4) AS p_t, round(pc, 4) AS p_c,
+         | round(pt - pc, 4) + 0 AS uplift
+         |FROM sc""".stripMargin.replace("\n", " "),
+    "q483_qini" ->
+      s"""WITH $upliftCtes,
+         |b4 AS (SELECT ${fp("pt - pc", "10000.0")} AS u4, t,
+         |  CASE WHEN r THEN 1 ELSE 0 END AS rr FROM sc),
+         |hh AS (SELECT u4, count(*)::BIGINT AS ns,
+         |  sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS nt,
+         |  sum(CASE WHEN t THEN rr ELSE 0 END)::BIGINT AS rt,
+         |  sum(CASE WHEN NOT t THEN rr ELSE 0 END)::BIGINT AS rc
+         | FROM b4 GROUP BY 1),
+         |tn AS (SELECT sum(ns)::BIGINT AS n FROM hh),
+         |bb AS (SELECT least(9, floor(
+         |   (sum(ns) OVER (ORDER BY u4 DESC
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ns)
+         |    * 10 / tn.n)::INT) AS bin, ns, nt, rt, rc
+         | FROM hh CROSS JOIN tn),
+         |gq AS (SELECT bin, sum(nt)::BIGINT AS n_t,
+         |  (sum(ns) - sum(nt))::BIGINT AS n_c,
+         |  sum(rt)::BIGINT AS r_t, sum(rc)::BIGINT AS r_c
+         | FROM bb GROUP BY 1),
+         |cu AS (SELECT bin, n_t, n_c, r_t, r_c,
+         |  sum(n_t) OVER wb AS cnt, sum(n_c) OVER wb AS cnc,
+         |  sum(r_t) OVER wb AS crt, sum(r_c) OVER wb AS crc
+         | FROM gq WINDOW wb AS (ORDER BY bin ASC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT bin, n_t, n_c, r_t, r_c,
+         | round(CASE WHEN n_t > 0 AND n_c > 0
+         |  THEN r_t::DOUBLE/n_t::DOUBLE - r_c::DOUBLE/n_c::DOUBLE
+         |  ELSE 0.0 END, 4) + 0 AS uplift_obs,
+         | round(CASE WHEN cnc > 0
+         |  THEN crt::DOUBLE - crc::DOUBLE * (cnt::DOUBLE / cnc::DOUBLE)
+         |  ELSE 0.0 END, 4) + 0 AS qini
+         |FROM cu""".stripMargin.replace("\n", " "),
     "q481_psm_att" -> psmOracle,
     "q478_rfm" ->
       s"""WITH conv AS (SELECT user_id AS u,

@@ -235,6 +235,42 @@ class BehaviorSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_match_dist") < 0.2)
   }
 
+  test("uplift two-model: persuadables score above immovables") {
+    // response: 20% base; +50% only when treated AND x high
+    val units = (1 to 2000).map { i =>
+      val x = if (i % 2 == 0) 1.0 else 0.0
+      val t = i % 4 < 2
+      val r = (i % 10) < 2 + (if (t && x > 0.5) 5 else 0)
+      (i.toLong, t, r, 1.0, x)
+    }.toDF("uid", "t", "r", "f0", "f1")
+    val scored = graft.model.Causal.upliftTwoModel(units, "uid", "t", "r",
+      Seq("f0", "f1"))
+    val j = scored.join(units.select(col("uid"), col("f1"), col("t"),
+      col("r")), "uid").collect()
+    val hi = j.filter(_.getAs[Double]("f1") > 0.5)
+      .map(_.getAs[Double]("uplift"))
+    val lo = j.filter(_.getAs[Double]("f1") < 0.5)
+      .map(_.getAs[Double]("uplift"))
+    assert(hi.sum / hi.length > lo.sum / lo.length + 0.1,
+      s"high-x units are the persuadables: ${hi.sum / hi.length} vs ${lo.sum / lo.length}")
+    // qini: final cumulative value equals total incremental responders
+    val q = graft.model.Causal.qiniTable(
+      scored.join(units.select(col("uid"), col("t"), col("r")), "uid"),
+      "t", "r", "uplift").orderBy("bin").collect()
+    val last = q.last
+    val rt = q.map(_.getAs[Long]("r_t")).sum
+    val rc = q.map(_.getAs[Long]("r_c")).sum
+    val nt = q.map(_.getAs[Long]("n_t")).sum
+    val nc = q.map(_.getAs[Long]("n_c")).sum
+    assert(math.abs(last.getAs[Double]("qini") -
+      (rt - rc.toDouble * nt / nc)) < 1e-6)
+    // a model that ranks persuadables first is steep early: the FIRST
+    // occupied bin (two distinct scores -> two bins here) already
+    // exceeds half the final value
+    assert(q.head.getAs[Double]("qini") > last.getAs[Double]("qini") / 2,
+      s"early bins must capture most uplift: ${q.map(_.getAs[Double]("qini")).mkString(",")}")
+  }
+
   test("funnelStream: forward scan matches the declarative funnel") {
     import graft.streaming.StreamScorers.{TypedEvent, funnelStream}
     val ev = Seq(
