@@ -639,4 +639,70 @@ object PostOps {
     base.join(mapped, Seq("key", "_v"))
       .select("id", "key", "value", "normalized")
   }
+
+  /** Split-conformal prediction interval (Papadopoulos '02; Lei et al.
+    * JASA'18) with empirical coverage audit: the data hash-splits into
+    * train / calibration / test folds, the per-key train mean is the
+    * point predictor, q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest calibration
+    * residual (exact order statistic from the residual HISTOGRAM — a
+    * key-partitioned window, never a data-sized global one), and the
+    * test fold reports the fraction inside ±q̂ — the finite-sample
+    * ≥ 1−α guarantee, checked. Output per key: keyCols…, n_train,
+    * n_calib, n_test, qhat, coverage.
+    *
+    * Determinism: folds are md5-derived; residuals freeze at 4dp, so
+    * the order statistic and the coverage comparison are exact integer
+    * selections. Keys whose calibration fold is smaller than the rank
+    * fall back to the max residual (the finite q̂ the sample supports).
+    * Scale: three filtered aggregates + one histogram window + broadcast
+    * model joins. */
+  def conformalInterval(data: DataFrame, keyCols: Seq[String],
+      idCol: String, valCol: String, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"0 < alpha < 1: $alpha")
+    import graft.core.fixedPointLong
+    val y = col(valCol).cast("double")
+    val tagged = data.where(y.isNotNull)
+      .select((keyCols.map(col) :+ y.as("_y") :+
+        pmod(graft.text.TextOps.hash56(col(idCol).cast("string")), lit(3L))
+          .as("_fold")): _*)
+    val mu = tagged.where(col("_fold") === 0L)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_train"),
+        sum(fixedPointLong(col("_y"), 4).cast("decimal(38,0)")).as("_s4"))
+      .withColumn("_mu",
+        col("_s4").cast("double") / 1e4 / col("n_train").cast("double"))
+      .select((keyCols.map(col) :+ col("n_train") :+ col("_mu")): _*)
+    val calib = tagged.where(col("_fold") === 1L)
+      .join(broadcast(mu), keyCols)
+      .select((keyCols.map(col) :+
+        fixedPointLong(abs(col("_y") - col("_mu")), 4).as("_r4")): _*)
+    val nCal = calib.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_calib"))
+    val hist = calib.groupBy((keyCols.map(col) :+ col("_r4")): _*)
+      .agg(count(lit(1)).as("_ct"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_r4").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = hist
+      .withColumn("_cum", sum(col("_ct")).over(w))
+      .join(broadcast(nCal), keyCols)
+      .withColumn("_k", least(col("n_calib"),
+        ceil((col("n_calib") + 1).cast("double") * (1.0 - alpha))
+          .cast("long")))
+      .where(col("_cum") >= col("_k"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col("_r4")).as("_q4"))
+    val test = tagged.where(col("_fold") === 2L)
+      .join(broadcast(mu), keyCols)
+      .join(broadcast(qhat), keyCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(fixedPointLong(abs(col("_y") - col("_mu")), 4) <=
+          col("_q4"), 1L).otherwise(0L)).as("_in"))
+    mu.join(nCal, keyCols).join(qhat, keyCols).join(test, keyCols)
+      .select((keyCols.map(col) :+ col("n_train") :+ col("n_calib") :+
+        col("n_test") :+ (col("_q4").cast("double") / 1e4).as("qhat") :+
+        (col("_in").cast("double") / col("n_test").cast("double"))
+          .as("coverage")): _*)
+  }
 }

@@ -140,6 +140,10 @@ object R10Queries {
     "q482_uplift" -> ((s, dir) =>
       canon(graft.model.Causal.upliftTwoModel(upliftUnits(s, dir),
         "uid", "t", "r", Seq("f0", "f1"), iters = 5, lr = 0.5))),
+    // split-conformal prediction interval + empirical coverage audit
+    "q484_conformal_interval" -> ((s, dir) =>
+      canon(graft.post.PostOps.conformalInterval(ev(s, dir),
+        Seq("event_type"), "event_id", "value", alpha = 0.1))),
     // Qini / uplift-decile table of the q482 scores
     "q483_qini" -> ((s, dir) => {
       val u = upliftUnits(s, dir)
@@ -497,6 +501,39 @@ object R10Queries {
          |  ELSE 0.0 END, 4) + 0 AS qini
          |FROM cu""".stripMargin.replace("\n", " "),
     "q481_psm_att" -> psmOracle,
+    "q484_conformal_interval" ->
+      s"""WITH tg AS (SELECT event_type AS k2, value::DOUBLE AS y,
+         |  (${h56("event_id::VARCHAR")} % 3) AS fold
+         | FROM events WHERE value IS NOT NULL),
+         |mu AS (SELECT k2, count(*)::BIGINT AS n_train,
+         |  sum(${fp("y", "10000.0")}::HUGEINT)::DOUBLE/10000.0
+         |   /count(*)::DOUBLE AS mu
+         | FROM tg WHERE fold = 0 GROUP BY 1),
+         |cal AS (SELECT tg.k2, ${fp("abs(tg.y - mu.mu)", "10000.0")} AS r4
+         | FROM tg JOIN mu ON mu.k2 = tg.k2 WHERE tg.fold = 1),
+         |nc AS (SELECT k2, count(*)::BIGINT AS n_calib
+         | FROM cal GROUP BY 1),
+         |hi AS (SELECT k2, r4, count(*)::BIGINT AS ct
+         | FROM cal GROUP BY 1, 2),
+         |cm AS (SELECT hi.k2, hi.r4,
+         |  sum(hi.ct) OVER (PARTITION BY hi.k2 ORDER BY hi.r4 ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  nc.n_calib
+         | FROM hi JOIN nc ON nc.k2 = hi.k2),
+         |qh AS (SELECT k2, min(r4) AS q4 FROM cm
+         | WHERE cum >= least(n_calib,
+         |  ceil((n_calib + 1)::DOUBLE * 0.9::DOUBLE)::BIGINT)
+         | GROUP BY 1),
+         |ts AS (SELECT tg.k2, count(*)::BIGINT AS n_test,
+         |  sum(CASE WHEN ${fp("abs(tg.y - mu.mu)", "10000.0")} <= qh.q4
+         |   THEN 1 ELSE 0 END)::BIGINT AS inn
+         | FROM tg JOIN mu ON mu.k2 = tg.k2 JOIN qh ON qh.k2 = tg.k2
+         | WHERE tg.fold = 2 GROUP BY 1)
+         |SELECT mu.k2 AS event_type, mu.n_train, nc.n_calib, ts.n_test,
+         | round(qh.q4::DOUBLE / 10000.0, 4) AS qhat,
+         | round(ts.inn::DOUBLE / ts.n_test::DOUBLE, 4) AS coverage
+         |FROM mu JOIN nc ON nc.k2 = mu.k2 JOIN qh ON qh.k2 = mu.k2
+         | JOIN ts ON ts.k2 = mu.k2""".stripMargin.replace("\n", " "),
     "q478_rfm" ->
       s"""WITH conv AS (SELECT user_id AS u,
          |  epoch_ns(ts) // 86400000000000 AS d,

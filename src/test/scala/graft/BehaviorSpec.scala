@@ -271,6 +271,20 @@ class BehaviorSpec extends SparkSpec {
       s"early bins must capture most uplift: ${q.map(_.getAs[Double]("qini")).mkString(",")}")
   }
 
+  test("conformal interval: coverage honors the 1-alpha guarantee") {
+    // uniform-ish deterministic values; intervals from the calibration
+    // quantile must cover ~>= 90% of the test fold
+    val d = (1 to 3000).map(i => (i.toLong, "k", (i % 97).toDouble))
+      .toDF("id", "key", "v")
+    val r = graft.post.PostOps.conformalInterval(d, Seq("key"), "id", "v",
+      alpha = 0.1).collect()(0)
+    assert(r.getAs[Double]("coverage") >= 0.85,
+      s"finite-sample coverage: $r")
+    assert(r.getAs[Double]("qhat") > 0)
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_calib") +
+      r.getAs[Long]("n_test") == 3000L)
+  }
+
   test("funnelStream: forward scan matches the declarative funnel") {
     import graft.streaming.StreamScorers.{TypedEvent, funnelStream}
     val ev = Seq(
