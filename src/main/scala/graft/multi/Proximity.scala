@@ -182,4 +182,120 @@ object Proximity {
       .withColumn("correct", col("label") === col("predicted"))
       .select("src", "label", "predicted", "votes", "correct")
   }
+
+  /** erf via the Abramowitz–Stegun 7.1.26 rational polynomial
+    * (|ε| ≤ 1.5e-7) — neither Spark nor DuckDB ships erf, so both
+    * engines evaluate this exact float-op sequence (exp rides the
+    * established libm parity). Defined for x ≥ 0; callers mirror via
+    * erf(−x) = −erf(x). */
+  def erfPos(x: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t +
+      lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+    lit(1.0) - poly * exp(-(x * x))
+  }
+
+  /** LoOP — Local Outlier Probability (Kriegel, Kröger, Schubert,
+    * Zimek, CIKM'09), the probabilistic face of the reference's LOF
+    * chain (knn/LocalDensityBasedPredictor.scala:76-240): instead of a
+    * ratio with no absolute meaning, each record gets P(outlier) ∈
+    * [0,1]. pdist(o) = λ·√(Σ d(o,s)²/k) over the kNN; PLOF(o) =
+    * pdist(o)/mean_{s∈kNN}(pdist(s)) − 1; nPLOF = λ·√(mean PLOF²);
+    * LoOP(o) = max(0, erf(PLOF/(nPLOF·√2))).
+    *
+    * Determinism: both divisor aggregates (mean pdist of neighbors,
+    * corpus-mean PLOF²) sum 8dp fixed-point longs so the hash-aggregate
+    * order can't leak into the float result; erf is the shared
+    * polynomial above. Output: src, plof, loopProb.
+    *
+    * Scale: same shape as [[lofFromKnn]] — two k-bounded joins over the
+    * kNN frame plus one scalar broadcast (nPLOF); feed it `cellKnn`
+    * output at corpus scale exactly like LOF (q193's documented path). */
+  def loopFromKnn(nnIn: DataFrame, k: Int, lambda: Double = 3.0): DataFrame = {
+    val nn = nnIn.select("src", "trg", "dist")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fp8 = (c: Column) =>
+      graft.core.fixedPointLong(c, 8).cast("decimal(38,0)")
+    val pdist = nn.groupBy("src")
+      .agg((lit(lambda) * sqrt(sum(fp8(col("dist") * col("dist")))
+        .cast("double") / 1e8 / lit(k))).as("pdist"))
+    val nbrPd = nn
+      .join(pdist.select(col("src").as("trg"), col("pdist").as("_tpd")), "trg")
+      .groupBy("src")
+      .agg((sum(fp8(col("_tpd"))).cast("double") / 1e8 / lit(k)).as("_epd"))
+    val plof = pdist.join(nbrPd, "src")
+      .withColumn("plof",
+        when(col("_epd") > 0, col("pdist") / col("_epd") - lit(1.0))
+          .otherwise(lit(0.0)))
+    val nplof = plof.agg((lit(lambda) *
+      sqrt(sum(fp8(col("plof") * col("plof"))).cast("double") / 1e8 /
+        count(lit(1)))).as("nplof"))
+    val z = col("plof") / (col("nplof") * lit(math.sqrt(2.0)))
+    plof.join(broadcast(nplof))
+      .withColumn("loopProb",
+        when(col("nplof") <= 0, lit(0.0))
+          .otherwise(greatest(lit(0.0),
+            when(z >= 0, erfPos(z)).otherwise(-erfPos(-z)))))
+      .select("src", "plof", "loopProb")
+  }
+
+  /** FastABOD — approximate angle-based outlier factor (Kriegel,
+    * Schubert, Zimek, KDD'08 §5): ABOF(p) = weighted variance, over
+    * neighbor pairs (a,b) ⊂ kNN(p), of cos-like angle (a−p)·(b−p) /
+    * (‖a−p‖²·‖b−p‖²), weighted by 1/(‖a−p‖·‖b−p‖). Low variance = the
+    * point sees all its neighbors in one direction = outlier — the
+    * angle complement to the reference's distance-only density family.
+    *
+    * No vector subtraction materializes: every term expands into the
+    * six pairwise dot products (a·b, a·p, b·p, a·a, b·b, p·p) via the
+    * codegen'd `vec_dot`. The weighted first/second moments sum 8dp
+    * (weighted angle) / 12dp (weights — O(1/d²) magnitude) fixed-point
+    * longs per src, so aggregate order can't perturb the float result.
+    * Output: src, abof (ascending = most anomalous first).
+    *
+    * Scale: the pair frame is N·k(k−1)/2 rows — k-bounded, never
+    * all-pairs; three hash joins onto the (validated) vector table and
+    * one hash aggregate. At corpus scale feed `cellKnn` neighbors. */
+  def fastAbodFromKnn(nn: DataFrame, vecs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    graft.expr.GraftFunctions.register(vecs.sparkSession)
+    val vd = org.apache.spark.sql.functions
+      .call_function("vec_validate", col(vecCol))
+    val v = vecs.select(col(idCol).as("_vid"), vd.as("_v"))
+    val dot = (a: Column, b: Column) =>
+      org.apache.spark.sql.functions.call_function("vec_dot", a, b)
+    val pairs = nn.select(col("src"), col("trg").as("_a"))
+      .join(nn.select(col("src"), col("trg").as("_b")), "src")
+      .where(col("_a") < col("_b"))
+    val joined = pairs
+      .join(v.select(col("_vid").as("src"), col("_v").as("_vp")), "src")
+      .join(v.select(col("_vid").as("_a"), col("_v").as("_va")), "_a")
+      .join(v.select(col("_vid").as("_b"), col("_v").as("_vb")), "_b")
+      .withColumn("_ab", dot(col("_va"), col("_vb")))
+      .withColumn("_ap", dot(col("_va"), col("_vp")))
+      .withColumn("_bp", dot(col("_vb"), col("_vp")))
+      .withColumn("_aa", dot(col("_va"), col("_va")))
+      .withColumn("_bb", dot(col("_vb"), col("_vb")))
+      .withColumn("_pp", dot(col("_vp"), col("_vp")))
+    val na2 = col("_aa") - lit(2.0) * col("_ap") + col("_pp")
+    val nb2 = col("_bb") - lit(2.0) * col("_bp") + col("_pp")
+    val num = col("_ab") - col("_ap") - col("_bp") + col("_pp")
+    val ok = na2 > 0 && nb2 > 0
+    val wgt = when(ok, lit(1.0) / sqrt(na2 * nb2)).otherwise(lit(0.0))
+    val ang = when(ok, num / (na2 * nb2)).otherwise(lit(0.0))
+    val fp = (c: Column, p: Int) =>
+      graft.core.fixedPointLong(c, p).cast("decimal(38,0)")
+    joined
+      .withColumn("_w", wgt).withColumn("_x", ang)
+      .groupBy("src")
+      .agg(sum(fp(col("_w"), 12)).as("_sw"),
+        sum(fp(col("_w") * col("_x"), 12)).as("_swx"),
+        sum(fp(col("_w") * col("_x") * col("_x"), 12)).as("_swxx"))
+      .where(col("_sw") > 0)
+      .withColumn("_m", col("_swx").cast("double") / col("_sw").cast("double"))
+      .withColumn("abof",
+        col("_swxx").cast("double") / col("_sw").cast("double") -
+          col("_m") * col("_m"))
+      .select("src", "abof")
+  }
 }

@@ -25,6 +25,18 @@ object R10Queries {
       s"ELSE -floor(-($e)*$s+0.5) END)::BIGINT"
   private def h56(e: String) = s"('0x'||substr(md5($e),1,14))::BIGINT"
 
+  private val toksSql = """regexp_extract_all(lower(text), '\S+')"""
+
+  /** Embedding k=5 kNN CTE — mirrors Proximity.pairDistances + knn
+    * (same device as MultiQueries' pairs CTE). */
+  private val knnCte =
+    """p AS (SELECT a.vec_id AS src, b.vec_id AS trg,
+      |  list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS dist
+      | FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+      |nn AS (SELECT src, trg, dist,
+      |  row_number() OVER (PARTITION BY src ORDER BY dist ASC, trg) AS rank
+      | FROM p QUALIFY rank <= 5)""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ordered conversion funnel view -> click -> purchase on event time
     "q453_funnel" -> ((s, dir) =>
@@ -189,6 +201,34 @@ object R10Queries {
       canon(graft.graph.Graph.betweennessSampled(both, "src", "dst",
         sources = 8, maxDepth = 4))
     }),
+    // LoOP local outlier probability over the k=5 embedding kNN
+    "q485_loop" -> ((s, dir) => {
+      val v = table(s, dir, "embeddings")
+      val nn = graft.multi.Proximity.knn(
+        graft.multi.Proximity.pairDistances(v, "vec_id", "embedding"), 5)
+      canon(graft.multi.Proximity.loopFromKnn(nn, 5))
+    }),
+    // FastABOD angle-variance outlier factor over the same kNN
+    "q486_fastabod" -> ((s, dir) => {
+      val v = table(s, dir, "embeddings")
+      val nn = graft.multi.Proximity.knn(
+        graft.multi.Proximity.pairDistances(v, "vec_id", "embedding"), 5)
+      canon(graft.multi.Proximity.fastAbodFromKnn(nn, v,
+        "vec_id", "embedding"))
+    }),
+    // Moore-Lewis cross-entropy-difference selection: in-domain = en
+    "q487_moore_lewis" -> ((s, dir) => {
+      val d = docs(s, dir)
+      canon(graft.text.TextOps.mooreLewisScore(d, "doc_id", "text",
+        d.where(col("lang") === "en"), d))
+    }),
+    // interpolated Kneser-Ney bigram perplexity, D = 0.75
+    "q488_kn_lm" -> ((s, dir) =>
+      canon(graft.text.TextOps.knLmScore(docs(s, dir), "doc_id", "text"))),
+    // k-center greedy (Gonzalez) coreset selection, k = 6
+    "q489_kcenter" -> ((s, dir) =>
+      canon(graft.sim.Similarity.kCenterGreedy(table(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 6))),
   )
 
   /** Confounded PSM fixture: per-user mean value x, treatment odds
@@ -1003,5 +1043,148 @@ object R10Queries {
         |  THEN tokens_lost::DOUBLE / tokens::DOUBLE ELSE 0.0 END, 4)
         |  AS loss_frac
         |FROM g""".stripMargin.replace("\n", " "),
+    "q485_loop" -> {
+      // Abramowitz-Stegun erf, the exact float-op order of Proximity.erfPos
+      def erfp(x: String) =
+        s"(1.0 - (((((1.061405429*(1.0/(1.0+0.3275911*($x))) - 1.453152027)" +
+          s"*(1.0/(1.0+0.3275911*($x))) + 1.421413741)" +
+          s"*(1.0/(1.0+0.3275911*($x))) - 0.284496736)" +
+          s"*(1.0/(1.0+0.3275911*($x))) + 0.254829592)" +
+          s"*(1.0/(1.0+0.3275911*($x))))*exp(-(($x)*($x))))"
+      s"""WITH $knnCte,
+         |pd AS (SELECT src, 3.0*sqrt(
+         |  sum(${fp("dist*dist", "100000000.0")}::HUGEINT)::DOUBLE
+         |   /100000000.0/5.0) AS pdist FROM nn GROUP BY 1),
+         |ep AS (SELECT nn.src,
+         |  sum(${fp("pd.pdist", "100000000.0")}::HUGEINT)::DOUBLE
+         |   /100000000.0/5.0 AS epd
+         | FROM nn JOIN pd ON pd.src = nn.trg GROUP BY 1),
+         |pl AS (SELECT pd.src, CASE WHEN ep.epd > 0
+         |  THEN pd.pdist/ep.epd - 1.0 ELSE 0.0 END AS plof
+         | FROM pd JOIN ep USING (src)),
+         |np AS (SELECT 3.0*sqrt(
+         |  sum(${fp("plof*plof", "100000000.0")}::HUGEINT)::DOUBLE
+         |   /100000000.0/count(*)::DOUBLE) AS nplof FROM pl)
+         |SELECT src, round(plof, 4) + 0 AS plof,
+         | round(CASE WHEN nplof <= 0 THEN 0.0
+         |  ELSE greatest(0.0, CASE WHEN plof/(nplof*sqrt(2.0)) >= 0
+         |   THEN ${erfp("plof/(nplof*sqrt(2.0))")}
+         |   ELSE -${erfp("-(plof/(nplof*sqrt(2.0)))")} END) END, 4) + 0
+         |  AS loopProb
+         |FROM pl CROSS JOIN np""".stripMargin.replace("\n", " ")
+    },
+    "q486_fastabod" ->
+      s"""WITH $knnCte,
+         |pr AS (SELECT n1.src, n1.trg AS a, n2.trg AS b
+         | FROM nn n1 JOIN nn n2 USING (src) WHERE n1.trg < n2.trg),
+         |d AS (SELECT pr.src,
+         |  list_dot_product(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]) AS ab,
+         |  list_dot_product(va.embedding::DOUBLE[], vp.embedding::DOUBLE[]) AS ap,
+         |  list_dot_product(vb.embedding::DOUBLE[], vp.embedding::DOUBLE[]) AS bp,
+         |  list_dot_product(va.embedding::DOUBLE[], va.embedding::DOUBLE[]) AS aa,
+         |  list_dot_product(vb.embedding::DOUBLE[], vb.embedding::DOUBLE[]) AS bb,
+         |  list_dot_product(vp.embedding::DOUBLE[], vp.embedding::DOUBLE[]) AS pp
+         | FROM pr JOIN embeddings vp ON vp.vec_id = pr.src
+         |  JOIN embeddings va ON va.vec_id = pr.a
+         |  JOIN embeddings vb ON vb.vec_id = pr.b),
+         |t AS (SELECT src, aa - 2.0*ap + pp AS na2, bb - 2.0*bp + pp AS nb2,
+         |  ab - ap - bp + pp AS num FROM d),
+         |w AS (SELECT src,
+         |  CASE WHEN na2 > 0 AND nb2 > 0
+         |   THEN 1.0/sqrt(na2*nb2) ELSE 0.0 END AS w,
+         |  CASE WHEN na2 > 0 AND nb2 > 0
+         |   THEN num/(na2*nb2) ELSE 0.0 END AS x FROM t),
+         |g AS (SELECT src,
+         |  sum(${fp("w", "1000000000000.0")}::HUGEINT) AS sw,
+         |  sum(${fp("w*x", "1000000000000.0")}::HUGEINT) AS swx,
+         |  sum(${fp("w*x*x", "1000000000000.0")}::HUGEINT) AS swxx
+         | FROM w GROUP BY 1)
+         |SELECT src, round(swxx::DOUBLE/sw::DOUBLE
+         |  - (swx::DOUBLE/sw::DOUBLE)*(swx::DOUBLE/sw::DOUBLE), 4) + 0
+         |  AS abof
+         |FROM g WHERE sw > 0""".stripMargin.replace("\n", " "),
+    "q487_moore_lewis" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+         |ci AS (SELECT tok, count(*)::BIGINT AS cin FROM tok
+         | WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+         | GROUP BY 1),
+         |cg AS (SELECT tok, count(*)::BIGINT AS cgen FROM tok GROUP BY 1),
+         |m AS (SELECT coalesce(ci.tok, cg.tok) AS tok,
+         |  coalesce(cin, 0) AS cin, coalesce(cgen, 0) AS cgen
+         | FROM ci FULL OUTER JOIN cg ON ci.tok = cg.tok),
+         |tt AS (SELECT sum(cin)::BIGINT AS tin, sum(cgen)::BIGINT AS tgen,
+         |  count(*)::BIGINT AS v FROM m),
+         |gap AS (SELECT tok.doc_id,
+         |  (-ln((coalesce(m.cin, 0)::DOUBLE + 1.0)
+         |    / (tt.tin::DOUBLE + 1.0 * tt.v::DOUBLE)))
+         |  - (-ln((coalesce(m.cgen, 0)::DOUBLE + 1.0)
+         |    / (tt.tgen::DOUBLE + 1.0 * tt.v::DOUBLE))) AS d
+         | FROM tok LEFT JOIN m ON m.tok = tok.tok CROSS JOIN tt),
+         |ag AS (SELECT doc_id, count(*)::BIGINT AS nTok,
+         |  sum(${fp("d", "100000000.0")}::HUGEINT) AS s8 FROM gap GROUP BY 1)
+         |SELECT d.doc_id, coalesce(ag.nTok, 0)::BIGINT AS nTok,
+         | round(coalesce(ag.s8::DOUBLE / 100000000.0
+         |   / ag.nTok::DOUBLE, 0.0), 4) + 0 AS ceDiff
+         |FROM documents d LEFT JOIN ag USING (doc_id)"""
+        .stripMargin.replace("\n", " "),
+    "q488_kn_lm" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bb AS (SELECT doc_id, t[i] AS ctx, t[i+1] AS w
+         | FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+         |   FROM tk WHERE len(t) >= 2)),
+         |cab AS (SELECT ctx, w, count(*)::BIGINT AS cab
+         | FROM bb GROUP BY 1, 2),
+         |cx AS (SELECT ctx, sum(cab)::BIGINT AS ca,
+         |  count(*)::BIGINT AS n1fwd FROM cab GROUP BY 1),
+         |cw AS (SELECT w, count(*)::BIGINT AS n1bwd FROM cab GROUP BY 1),
+         |sc AS (SELECT count(*)::BIGINT AS nTypes,
+         |  (SELECT count(*)::BIGINT FROM cw) AS v FROM cab),
+         |p AS (SELECT bb.doc_id,
+         |  CASE WHEN cx.ca IS NOT NULL AND cx.ca > 0
+         |   THEN greatest(coalesce(cab.cab, 0)::DOUBLE - 0.75, 0.0)
+         |     / cx.ca::DOUBLE
+         |    + 0.75 * cx.n1fwd::DOUBLE / cx.ca::DOUBLE
+         |      * ((coalesce(cw.n1bwd, 0)::DOUBLE + 1.0)
+         |        / (sc.nTypes::DOUBLE + sc.v::DOUBLE))
+         |   ELSE (coalesce(cw.n1bwd, 0)::DOUBLE + 1.0)
+         |    / (sc.nTypes::DOUBLE + sc.v::DOUBLE) END AS pr
+         | FROM bb LEFT JOIN cab USING (ctx, w) LEFT JOIN cx USING (ctx)
+         |  LEFT JOIN cw USING (w) CROSS JOIN sc),
+         |ag AS (SELECT doc_id, count(*)::BIGINT AS nGrams,
+         |  sum(${fp("-ln(pr)", "100000000.0")}::HUGEINT) AS s8
+         | FROM p GROUP BY 1)
+         |SELECT d.doc_id, coalesce(ag.nGrams, 0)::BIGINT AS nGrams,
+         | round(coalesce(ag.s8::DOUBLE / 100000000.0
+         |   / ag.nGrams::DOUBLE, 0.0), 4) + 0 AS avgNll
+         |FROM documents d LEFT JOIN ag USING (doc_id)"""
+        .stripMargin.replace("\n", " "),
+    "q489_kcenter" -> {
+      // unrolled greedy walk, rounds 2..6: min-dist to the selected
+      // set -> 8dp-quantized argmax (ties -> smaller id), replaying
+      // Similarity.kCenterGreedy's per-round jobs
+      val rounds = (2 to 6).map { r =>
+        s"""m$r AS (SELECT e.vec_id AS id,
+           |  min(list_distance(e.embedding::DOUBLE[],
+           |    ce.embedding::DOUBLE[])) AS md
+           | FROM embeddings e JOIN embeddings ce
+           |  ON ce.vec_id IN (SELECT id FROM c${r - 1})
+           |   AND e.vec_id <> ce.vec_id
+           | GROUP BY 1),
+           |p$r AS (SELECT $r::BIGINT AS rank, id, md AS radius FROM m$r
+           | WHERE id NOT IN (SELECT id FROM c${r - 1})
+           | ORDER BY ${fp("md", "100000000.0")} DESC, id LIMIT 1),
+           |c$r AS (SELECT id FROM c${r - 1}
+           | UNION ALL SELECT id FROM p$r)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to 6).map(r => s"SELECT * FROM p$r")
+        .mkString(" UNION ALL ")
+      s"""WITH p1 AS (SELECT 1::BIGINT AS rank, min(vec_id)::BIGINT AS id,
+         |  0.0::DOUBLE AS radius FROM embeddings),
+         |c1 AS (SELECT id FROM p1),
+         |$rounds
+         |SELECT rank, id, round(radius, 4) + 0 AS radius
+         |FROM ($union)""".stripMargin.replace("\n", " ")
+    },
   )
 }

@@ -882,4 +882,61 @@ object Similarity {
       .withColumn("rrf", col("rrf9").cast("double") / 1e9)
       .drop("rrf9")
   }
+
+  /** k-center greedy coreset (Gonzalez 1985 2-approximation; the
+    * selection rule behind coreset active learning, Sener & Savarese
+    * ICLR'18) — the diversity-first counterpart to [[mmrSelect]]:
+    * seed with the smallest id, then k−1 times pick the point FARTHEST
+    * from everything already selected. The selection radii are the
+    * coverage guarantee: every point sits within `radius` of some
+    * center — the number a curation pipeline reads to size a
+    * diversity-preserving subsample.
+    *
+    * Fully distributed, unlike the shortlist-bounded mmrSelect: each
+    * round is one pass over the corpus computing min-distance to the
+    * (round-bounded, broadcast) center list, and a 1-row argmax
+    * collect — k jobs total, never a shortlist cap, so the selection
+    * is exact at any corpus size. The argmax orders by the 8dp
+    * fixed-point distance (ties → smaller id), making the greedy walk
+    * replayable in an unrolled-CTE oracle.
+    *
+    * Output: (rank, id, radius) — radius = the selected point's
+    * min-distance at selection time (0 for the seed); radii are
+    * non-increasing by construction.
+    *
+    * Scale: O(k) scans with ≤ k codegen'd vec_euclid evals per row per
+    * scan (the center frame is broadcast and rows-sized k); driver
+    * state is k (id, radius) pairs. At 10⁹ rows and k ≤ 10³ this is
+    * the textbook trade; beyond that, seed the walk with IVF/kmeans
+    * centroids (the documented cell path). */
+  def kCenterGreedy(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    graft.expr.GraftFunctions.register(spark)
+    val base = vecs.select(col(idCol).cast("long").as("id"),
+      vdbl(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = base.orderBy(col("id")).select("id").as[Long].head()
+    val picks = collection.mutable.ArrayBuffer[(Long, Long, Double)](
+      (1L, seed, 0.0))
+    var r = 2
+    while (r <= k) {
+      val centers = picks.map(_._2).toSeq
+      val cents = base.where(col("id").isin(centers: _*))
+        .select(col("id").as("_cid"), col("v").as("_cv"))
+      val minD = base
+        .join(broadcast(cents), col("id") =!= col("_cid"))
+        .withColumn("_d", call_function("vec_euclid", col("v"), col("_cv")))
+        .groupBy("id").agg(min(col("_d")).as("_md"))
+        .where(!col("id").isin(centers: _*))
+      val top = minD
+        .orderBy(graft.core.fixedPointLong(col("_md"), 8).desc, col("id"))
+        .select(col("id"), col("_md")).head()
+      picks += ((r.toLong, top.getLong(0), top.getDouble(1)))
+      r += 1
+    }
+    base.unpersist()
+    picks.toSeq.toDF("rank", "id", "radius")
+  }
 }

@@ -2901,4 +2901,136 @@ object TextOps {
     }
     spark.createDataset(out.toSeq).toDF(langCol, "mass", "alloc", "epochs")
   }
+
+  /** Moore–Lewis cross-entropy-difference data selection (Moore &
+    * Lewis, ACL 2010 "Intelligent Selection of Language Model Training
+    * Data") — the classic domain-targeted curation scorer: each doc
+    * gets H_in(doc) − H_gen(doc), the per-token NLL gap between an
+    * in-domain unigram LM and a general-corpus unigram LM; the most
+    * negative scores are the docs most like the target domain, so a
+    * pipeline keeps the bottom fraction. Complements DSIR (q110),
+    * which importance-weights on hashed-bucket ratios — this is the
+    * explicit-LM face of the same selection problem.
+    *
+    * Both LMs are add-k unigram models over a SHARED vocabulary (the
+    * union of both corpora) so the two NLLs are comparable:
+    * P(w) = (c(w)+k)/(T+k·V). Per-doc token NLL gaps are summed as
+    * 8dp fixed-point longs (order-exact); ln rides libm parity.
+    *
+    * Scale: two vocab-sized count fits (hash aggregates with map-side
+    * combine), one tokenize+explode of the scored corpus joined to the
+    * broadcast/shuffled count table, one hash agg back to docs — never
+    * a corpus×corpus product. Output: idCol, nTok, ceDiff (0.0 for
+    * empty docs; unseen tokens get the add-k floor of each LM). */
+  def mooreLewisScore(docs: DataFrame, idCol: String, textCol: String,
+      inDomain: DataFrame, general: DataFrame,
+      smoothing: Double = 1.0): DataFrame = {
+    val k = smoothing
+    def counts(c: DataFrame, name: String): DataFrame =
+      c.select(explode(tokens(col(textCol))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as(name))
+    val cIn = counts(inDomain, "cIn")
+    val cGen = counts(general, "cGen")
+    val model = cIn.join(cGen, Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("cIn"), lit(0L)).as("cIn"),
+        coalesce(col("cGen"), lit(0L)).as("cGen"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = model.agg(sum("cIn").as("tIn"), sum("cGen").as("tGen"),
+      count(lit(1)).as("v"))
+    val toks = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("tok"))
+    val gap = toks
+      .join(model, Seq("tok"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("_nllIn", -log(
+        (coalesce(col("cIn"), lit(0L)).cast("double") + lit(k)) /
+          (col("tIn").cast("double") + lit(k) * col("v").cast("double"))))
+      .withColumn("_nllGen", -log(
+        (coalesce(col("cGen"), lit(0L)).cast("double") + lit(k)) /
+          (col("tGen").cast("double") + lit(k) * col("v").cast("double"))))
+    val agg = gap.groupBy(col(idCol))
+      .agg(count(lit(1)).as("nTok"),
+        sum(graft.core.fixedPointLong(col("_nllIn") - col("_nllGen"), 8)
+          .cast("decimal(38,0)")).as("_s8"))
+      .withColumn("ceDiff",
+        col("_s8").cast("double") / 1e8 / col("nTok").cast("double"))
+      .select(col(idCol), col("nTok"), col("ceDiff"))
+    // empty docs never reach the explode — restore them at ceDiff 0
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("nTok"), lit(0L)).as("nTok"),
+        coalesce(col("ceDiff"), lit(0.0)).as("ceDiff"))
+  }
+
+  /** Interpolated Kneser–Ney bigram LM perplexity per document (Kneser
+    * & Ney 1995; Chen & Goodman 1999 eq. 18, fixed discount D) — the
+    * smoothing the KenLM-style quality filters actually use, upgrading
+    * the Laplace bigram of [[lmScore]]:
+    * P(b|a) = max(c(a,b)−D, 0)/c(a) + D·N₁₊(a·)/c(a) · P_cont(b),
+    * P_cont(b) = (N₁₊(·b)+1)/(N+V) (add-1 on the continuation so
+    * unseen words keep a positive floor), and a context unseen in the
+    * LM corpus backs off to P_cont(b) alone.
+    *
+    * Per-doc −ln P sums ride 8dp fixed-point longs; ln is libm parity.
+    *
+    * Scale: the fit is one bigram hash aggregate plus three model-sized
+    * roll-ups (per-context totals + distinct-successor counts, distinct-
+    * predecessor counts, scalar type totals); scoring joins doc bigrams
+    * to the two count tables — the lmScore shape with one extra
+    * vocab-sized join. Output: idCol, nGrams, avgNll (0.0 when < 2
+    * tokens). */
+  def knLmScore(docs: DataFrame, idCol: String, textCol: String,
+      lmCorpus: DataFrame = null, discount: Double = 0.75): DataFrame = {
+    val corpus = Option(lmCorpus).getOrElse(docs)
+    val grams = corpus
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+      .select(explode(when(size(col("_t")) >= 2, zip_with(
+        slice(col("_t"), lit(1), size(col("_t")) - 1),
+        slice(col("_t"), lit(2), size(col("_t")) - 1),
+        (a, b) => struct(a.as("ctx"), b.as("w")))).otherwise(array()))
+        .as("g"))
+      .select(col("g.ctx").as("ctx"), col("g.w").as("w"))
+    val cAB = grams.groupBy("ctx", "w").agg(count(lit(1)).as("cab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-context total + distinct successor count, one model-sized pass
+    val ctxStats = cAB.groupBy("ctx")
+      .agg(sum("cab").as("ca"), count(lit(1)).as("n1fwd"))
+    // distinct predecessor count per word + the scalar type/vocab totals
+    val cont = cAB.groupBy("w").agg(count(lit(1)).as("n1bwd"))
+    val scal = cAB.agg(count(lit(1)).as("nTypes")).crossJoin(
+      cont.agg(count(lit(1)).as("v")))
+    val d = discount
+    val docGrams = docs
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+      .select(col(idCol), explode(when(size(col("_t")) >= 2, zip_with(
+        slice(col("_t"), lit(1), size(col("_t")) - 1),
+        slice(col("_t"), lit(2), size(col("_t")) - 1),
+        (a, b) => struct(a.as("ctx"), b.as("w")))).otherwise(array()))
+        .as("g"))
+      .select(col(idCol), col("g.ctx").as("ctx"), col("g.w").as("w"))
+    val pCont = (col("n1bwdF") + lit(1.0)) /
+      (col("nTypes").cast("double") + col("v").cast("double"))
+    val scored = docGrams
+      .join(cAB, Seq("ctx", "w"), "left")
+      .join(ctxStats, Seq("ctx"), "left")
+      .join(cont.select(col("w"), col("n1bwd").as("_nb")), Seq("w"), "left")
+      .crossJoin(broadcast(scal))
+      .withColumn("n1bwdF", coalesce(col("_nb"), lit(0L)).cast("double"))
+      .withColumn("_p",
+        when(col("ca").isNotNull && col("ca") > 0,
+          greatest(coalesce(col("cab"), lit(0L)).cast("double") - lit(d),
+            lit(0.0)) / col("ca").cast("double") +
+            lit(d) * col("n1fwd").cast("double") /
+              col("ca").cast("double") * pCont)
+          .otherwise(pCont))
+    val agg = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("nGrams"),
+        sum(graft.core.fixedPointLong(-log(col("_p")), 8)
+          .cast("decimal(38,0)")).as("_s8"))
+      .withColumn("avgNll",
+        col("_s8").cast("double") / 1e8 / col("nGrams").cast("double"))
+      .select(col(idCol), col("nGrams"), col("avgNll"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("nGrams"), lit(0L)).as("nGrams"),
+        coalesce(col("avgNll"), lit(0.0)).as("avgNll"))
+  }
 }
