@@ -389,4 +389,109 @@ object Eval2 {
       .select((col("_s").cast("double") / 1e2).as("score"), col("n"),
         col("pos"), col("iso"))
   }
+
+  /** Forecast-accuracy roll-up per key — MAE, RMSE, sMAPE and MASE
+    * (Hyndman & Koehler 2006, "Another look at measures of forecast
+    * accuracy") over any (actual, forecast) column pair, the metric
+    * battery the forecasting family (one-step-ahead, Holt, Croston,
+    * Theta) gets graded with. MASE scales MAE by the in-sample naive
+    * (lag-1) MAE over the same evaluated rows, so it is comparable
+    * across keys with different units; sMAPE terms with |y|+|ŷ| = 0
+    * contribute 0 (the standard convention).
+    *
+    * Rows where the forecast or the lag-1 actual is null (series heads)
+    * are excluded from all four metrics, keeping numerator and
+    * denominator on the same support. Every mean sums 8dp fixed-point
+    * longs (order-exact); rmse's √ rides libm parity.
+    *
+    * Scale: one sort-within-shuffle per key for the lag window, one
+    * hash aggregate to key-sized output. */
+  def forecastAccuracy(data: DataFrame, keyCols: Seq[String],
+      seqCol: String, actualCol: String, forecastCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol))
+    val y = col(actualCol).cast("double")
+    val f = col(forecastCol).cast("double")
+    val rows = data
+      .withColumn("_lag", lag(y, 1).over(w))
+      .where(f.isNotNull && y.isNotNull && col("_lag").isNotNull)
+    val e = f - y
+    val sm = when(abs(y) + abs(f) > 0,
+      lit(2.0) * abs(f - y) / (abs(y) + abs(f))).otherwise(lit(0.0))
+    val fp8 = (c: Column) =>
+      graft.core.fixedPointLong(c, 8).cast("decimal(38,0)")
+    rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(fp8(abs(e))).as("_sae"),
+        sum(fp8(e * e)).as("_sse"),
+        sum(fp8(sm)).as("_ssm"),
+        sum(fp8(abs(y - col("_lag")))).as("_snv"))
+      .withColumn("mae",
+        col("_sae").cast("double") / 1e8 / col("n").cast("double"))
+      .withColumn("rmse", sqrt(
+        col("_sse").cast("double") / 1e8 / col("n").cast("double")))
+      .withColumn("smape",
+        col("_ssm").cast("double") / 1e8 / col("n").cast("double"))
+      .withColumn("mase",
+        when(col("_snv") > 0, col("_sae").cast("double") /
+          col("_snv").cast("double")).otherwise(lit(0.0)))
+      .drop("_sae", "_sse", "_ssm", "_snv")
+  }
+
+  /** Pinball (quantile) loss + empirical coverage of per-key constant
+    * quantile forecasts, τ ∈ `taus`: the quantile q̂_τ is the exact
+    * order statistic over the TRAIN split (smallest 4dp-quantized value
+    * whose cumulative count reaches ⌈τ·n⌉ — the conformal-interval
+    * histogram device, q484), evaluated on the TEST split with
+    * L_τ(y) = max(τ·(y−q̂), (τ−1)·(y−q̂)). Coverage = P(y ≤ q̂) —
+    * calibrated quantiles have coverage ≈ τ, and the pinball number is
+    * the one quantile-regression baselines must beat.
+    *
+    * `trainPred` splits the rows (true → fit, false → evaluate); loss
+    * terms sum as 8dp fixed-point longs. Output per (key, tau): qhat,
+    * n_test, pinball, coverage.
+    *
+    * Scale: one value-histogram aggregate per key (4dp-bounded frame,
+    * the engine's documented determinism contract), a |taus|-row
+    * broadcast expansion, one hash aggregate over the test split. */
+  def quantilePinball(data: DataFrame, keyCols: Seq[String],
+      valCol: String, trainPred: Column, taus: Seq[Double]): DataFrame = {
+    require(taus.nonEmpty, "quantilePinball needs at least one tau")
+    val spark = data.sparkSession
+    import spark.implicits._
+    val y = col(valCol).cast("double")
+    val base = data.where(y.isNotNull)
+    val hist = base.where(trainPred)
+      .groupBy(keyCols.map(col) :+
+        graft.core.fixedPointLong(y, 4).as("_r4"): _*)
+      .agg(count(lit(1)).as("_ct"))
+    val wcum = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_r4").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("_cum", sum(col("_ct")).over(wcum))
+      .withColumn("_n", sum(col("_ct")).over(
+        Window.partitionBy(keyCols.map(col): _*)))
+    val tdf = taus.toDF("tau")
+    val qhat = cum.crossJoin(broadcast(tdf))
+      .where(col("_cum") >= greatest(lit(1L),
+        ceil(col("tau") * col("_n").cast("double")).cast("long")))
+      .groupBy(keyCols.map(col) :+ col("tau"): _*)
+      .agg(min(col("_r4")).as("_q4"))
+      .withColumn("qhat", col("_q4").cast("double") / 1e4)
+    val fp8 = (c: Column) =>
+      graft.core.fixedPointLong(c, 8).cast("decimal(38,0)")
+    val d = y - col("qhat")
+    val loss = greatest(col("tau") * d, (col("tau") - lit(1.0)) * d)
+    base.where(!trainPred)
+      .join(qhat.drop("_q4"), keyCols)
+      .groupBy(keyCols.map(col) :+ col("tau") :+ col("qhat"): _*)
+      .agg(count(lit(1)).as("n_test"),
+        sum(fp8(loss)).as("_sl"),
+        sum(when(y <= col("qhat"), 1L).otherwise(0L)).as("_cov"))
+      .withColumn("pinball",
+        col("_sl").cast("double") / 1e8 / col("n_test").cast("double"))
+      .withColumn("coverage",
+        col("_cov").cast("double") / col("n_test").cast("double"))
+      .drop("_sl", "_cov")
+  }
 }

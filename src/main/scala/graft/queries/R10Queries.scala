@@ -229,6 +229,26 @@ object R10Queries {
     "q489_kcenter" -> ((s, dir) =>
       canon(graft.sim.Similarity.kCenterGreedy(table(s, dir, "embeddings"),
         "vec_id", "embedding", k = 6))),
+    // MAE/RMSE/sMAPE/MASE of an MA(3) forecast per event_type
+    "q490_forecast_accuracy" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("event_id")
+      val y = col("value").cast("double")
+      val e = ev(s, dir).where(col("value").isNotNull)
+        .withColumn("f", (lag(y, 1).over(w) + lag(y, 2).over(w) +
+          lag(y, 3).over(w)) / lit(3.0))
+      canon(graft.model.Eval2.forecastAccuracy(e, Seq("event_type"),
+        "event_id", "value", "f"))
+    }),
+    // pinball loss + coverage of split-fit quantiles at tau 0.1/0.5/0.9
+    "q491_pinball" -> ((s, dir) =>
+      canon(graft.model.Eval2.quantilePinball(
+        ev(s, dir), Seq("event_type"), "value",
+        col("event_id") % 2 === 0, Seq(0.1, 0.5, 0.9)))),
+    // depth-2 binary-segmentation mean-shift splits per event_type
+    "q492_binseg" -> ((s, dir) =>
+      canon(graft.seq.SeriesKernels.binSegL2(ev(s, dir),
+        Seq("event_type"), "event_id", "value", minSeg = 5))),
   )
 
   /** Confounded PSM fixture: per-user mean value x, treatment odds
@@ -1185,6 +1205,108 @@ object R10Queries {
          |$rounds
          |SELECT rank, id, round(radius, 4) + 0 AS radius
          |FROM ($union)""".stripMargin.replace("\n", " ")
+    },
+    "q490_forecast_accuracy" ->
+      s"""WITH e AS (SELECT event_type, event_id AS seq, value::DOUBLE AS y
+         | FROM events WHERE value IS NOT NULL),
+         |l AS (SELECT event_type, seq, y,
+         |  lag(y, 1) OVER w AS l1, lag(y, 2) OVER w AS l2,
+         |  lag(y, 3) OVER w AS l3
+         | FROM e WINDOW w AS (PARTITION BY event_type ORDER BY seq)),
+         |r AS (SELECT event_type, y, (l1 + l2 + l3)/3.0 AS f, l1
+         | FROM l WHERE l1 IS NOT NULL AND l2 IS NOT NULL
+         |  AND l3 IS NOT NULL),
+         |a AS (SELECT event_type, count(*)::BIGINT AS n,
+         |  sum(${fp("abs(f - y)", "100000000.0")}::HUGEINT) AS sae,
+         |  sum(${fp("(f - y)*(f - y)", "100000000.0")}::HUGEINT) AS sse,
+         |  sum(${fp(
+          "CASE WHEN abs(y) + abs(f) > 0 THEN 2.0*abs(f - y)/(abs(y) + abs(f)) ELSE 0.0 END",
+          "100000000.0")}::HUGEINT) AS ssm,
+         |  sum(${fp("abs(y - l1)", "100000000.0")}::HUGEINT) AS snv
+         | FROM r GROUP BY 1)
+         |SELECT event_type, n,
+         | round(sae::DOUBLE/100000000.0/n::DOUBLE, 4) + 0 AS mae,
+         | round(sqrt(sse::DOUBLE/100000000.0/n::DOUBLE), 4) + 0 AS rmse,
+         | round(ssm::DOUBLE/100000000.0/n::DOUBLE, 4) + 0 AS smape,
+         | round(CASE WHEN snv > 0 THEN sae::DOUBLE/snv::DOUBLE
+         |  ELSE 0.0 END, 4) + 0 AS mase
+         |FROM a""".stripMargin.replace("\n", " "),
+    "q491_pinball" ->
+      s"""WITH b AS (SELECT event_type, event_id, value::DOUBLE AS y
+         | FROM events WHERE value IS NOT NULL),
+         |h AS (SELECT event_type, ${fp("y", "10000.0")} AS r4,
+         |  count(*)::BIGINT AS ct FROM b WHERE event_id % 2 = 0
+         | GROUP BY 1, 2),
+         |c AS (SELECT event_type, r4, ct,
+         |  sum(ct) OVER (PARTITION BY event_type ORDER BY r4 ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  sum(ct) OVER (PARTITION BY event_type) AS n FROM h),
+         |t AS (SELECT unnest([0.1, 0.5, 0.9]) AS tau),
+         |q AS (SELECT event_type, tau, min(r4) AS q4
+         | FROM c CROSS JOIN t
+         | WHERE cum >= greatest(1, ceil(tau * n::DOUBLE)::BIGINT)
+         | GROUP BY 1, 2),
+         |s AS (SELECT b.event_type, q.tau, q.q4::DOUBLE/10000.0 AS qhat,
+         |  b.y FROM b JOIN q ON q.event_type = b.event_type
+         | WHERE b.event_id % 2 = 1),
+         |a AS (SELECT event_type, tau, qhat, count(*)::BIGINT AS n_test,
+         |  sum(${fp(
+          "greatest(tau*(y - qhat), (tau - 1.0)*(y - qhat))",
+          "100000000.0")}::HUGEINT) AS sl,
+         |  sum(CASE WHEN y <= qhat THEN 1 ELSE 0 END)::BIGINT AS cov
+         | FROM s GROUP BY 1, 2, 3)
+         |SELECT event_type, round(tau, 4) AS tau, round(qhat, 4) AS qhat,
+         | n_test, round(sl::DOUBLE/100000000.0/n_test::DOUBLE, 4) + 0
+         |  AS pinball,
+         | round(cov::DOUBLE/n_test::DOUBLE, 4) AS coverage
+         |FROM a""".stripMargin.replace("\n", " "),
+    "q492_binseg" -> {
+      // L2 gain from exact integer prefix sums — SeriesKernels.binSegL2's
+      // float-op order: (d1*d1)/n1 + (d2*d2)/n2 - (dt*dt)/nt
+      def g(ql: String, qc: String, qr: String, l: String, c: String,
+          r: String) =
+        s"((($qc) - ($ql))::DOUBLE * (($qc) - ($ql))::DOUBLE)" +
+          s"/(($c) - ($l) + 1)::DOUBLE" +
+          s" + ((($qr) - ($qc))::DOUBLE * (($qr) - ($qc))::DOUBLE)" +
+          s"/(($r) - ($c))::DOUBLE" +
+          s" - ((($qr) - ($ql))::DOUBLE * (($qr) - ($ql))::DOUBLE)" +
+          s"/(($r) - ($l) + 1)::DOUBLE"
+      s"""WITH e AS (SELECT event_type AS k, event_id AS seq,
+         |  value::DOUBLE AS y FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT k, seq, ${fp("y", "10000.0")} AS q,
+         |  row_number() OVER (PARTITION BY k ORDER BY seq)::BIGINT AS rn
+         | FROM e),
+         |p AS (SELECT k, rn,
+         |  sum(q) OVER (PARTITION BY k ORDER BY rn ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qc,
+         |  count(*) OVER (PARTITION BY k) AS n,
+         |  sum(q) OVER (PARTITION BY k) AS qn FROM b),
+         |s1 AS (SELECT k, rn AS c1, qc AS qc1, n, qn,
+         |  ${g("0", "qc", "qn", "1", "rn", "n")} AS g1
+         | FROM p WHERE rn >= 5 AND n - rn >= 5
+         | QUALIFY row_number() OVER (PARTITION BY k
+         |  ORDER BY ${fp(s"(${g("0", "qc", "qn", "1", "rn", "n")})" +
+        "/100000000.0", "1000000.0")} DESC, rn ASC) = 1),
+         |c2 AS (SELECT p.k, p.rn, p.qc,
+         |  CASE WHEN p.rn <= s1.c1 THEN 1 ELSE s1.c1 + 1 END AS l,
+         |  CASE WHEN p.rn <= s1.c1 THEN s1.c1 ELSE s1.n END AS r,
+         |  CASE WHEN p.rn <= s1.c1 THEN 0 ELSE s1.qc1 END AS ql,
+         |  CASE WHEN p.rn <= s1.c1 THEN s1.qc1 ELSE s1.qn END AS qr
+         | FROM p JOIN s1 USING (k)),
+         |s2 AS (SELECT k, l, r, rn,
+         |  ${g("ql", "qc", "qr", "l", "rn", "r")} AS g2
+         | FROM c2 WHERE rn - l + 1 >= 5 AND r - rn >= 5
+         | QUALIFY row_number() OVER (PARTITION BY k, l
+         |  ORDER BY ${fp(s"(${g("ql", "qc", "qr", "l", "rn", "r")})" +
+        "/100000000.0", "1000000.0")} DESC, rn ASC) = 1)
+         |SELECT k AS event_type, 1 AS depth, 1::BIGINT AS seg_start,
+         | n::BIGINT AS seg_end, c1 AS split,
+         | round(g1/100000000.0, 4) + 0 AS gain FROM s1
+         |UNION ALL
+         |SELECT k AS event_type, 2 AS depth, l::BIGINT AS seg_start,
+         | r::BIGINT AS seg_end, rn AS split,
+         | round(g2/100000000.0, 4) + 0 AS gain FROM s2"""
+        .stripMargin.replace("\n", " ")
     },
   )
 }

@@ -721,4 +721,92 @@ object SeriesKernels {
         else math.max(dp(i - 1)(j), dp(i)(j - 1))
     dp(n)(m).toDouble / math.max(n, m)
   }
+
+  /** Depth-2 binary-segmentation change-point search with the L2
+    * (piecewise-constant-mean) cost (Scott & Knott 1974; the classic
+    * top-down alternative to the sliding-window KS family above): find
+    * the split maximizing the SSE reduction over the whole series, then
+    * the best split inside each half. Complements [[changePoint]] —
+    * that flags LOCAL distribution changes at a fixed window; this
+    * recovers the GLOBAL mean-shift structure and its effect size.
+    *
+    * Declarative, not a per-key kernel: values quantize to 4dp longs,
+    * and the L2 gain at split c of segment [l,r] needs only the exact
+    * integer prefix sums Q(·) — the Σv² terms cancel in
+    * gain = (Q(c)−Q(l−1))²/(c−l+1) + (Q(r)−Q(c))²/(r−c)
+    *        − (Q(r)−Q(l−1))²/(r−l+1)
+    * — so every candidate row evaluates a fixed float expression over
+    * exact integers and the per-segment argmax (6dp-quantized gain,
+    * ties → earliest split) replays bit-identically in SQL. Gains are
+    * reported in value² units (the 1e8 quantization scale divided out).
+    *
+    * Output per key: (depth, seg_start, seg_end, split, gain) — one
+    * depth-1 row, up to two depth-2 rows; a segment shorter than
+    * 2·minSeg emits nothing. Split = last index of the left piece.
+    *
+    * Scale: one sort-within-shuffle per key for the prefix window, one
+    * broadcast-sized join of the depth-1 splits, two windowed argmaxes
+    * sharing the key partitioning — no kernel, no per-key memory
+    * contract beyond the window sort. */
+  def binSegL2(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      valCol: String, minSeg: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Column
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val base = data.where(col(valCol).isNotNull)
+      .withColumn("_q",
+        graft.core.fixedPointLong(col(valCol).cast("double"), 4))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_cq", sum(col("_q")).over(cum))
+      .withColumn("_n", count(lit(1)).over(part))
+      .withColumn("_qn", sum(col("_q")).over(part))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def gain(ql: Column, qc: Column, qr: Column, l: Column, c: Column,
+        r: Column): Column = {
+      val d1 = (qc - ql).cast("double")
+      val d2 = (qr - qc).cast("double")
+      val dt = (qr - ql).cast("double")
+      (d1 * d1) / (c - l + 1L).cast("double") +
+        (d2 * d2) / (r - c).cast("double") -
+        (dt * dt) / (r - l + 1L).cast("double")
+    }
+    val keyc = keyCols.map(col)
+    def argmax(df: DataFrame, extra: Seq[Column]): DataFrame = {
+      val ww = Window.partitionBy(keyc ++ extra: _*)
+        .orderBy(graft.core.fixedPointLong(col("_g") / 1e8, 6).desc,
+          col("_rn").asc)
+      df.withColumn("_am", row_number().over(ww)).where(col("_am") === 1)
+    }
+    val s1 = argmax(base
+      .where(col("_rn") >= minSeg.toLong &&
+        col("_n") - col("_rn") >= minSeg.toLong)
+      .withColumn("_g", gain(lit(0L), col("_cq"), col("_qn"),
+        lit(1L), col("_rn"), col("_n"))), Nil)
+      .select(keyc :+ col("_rn").as("_c1") :+ col("_cq").as("_qc1") :+
+        col("_n").as("_n1") :+ col("_qn").as("_qn1") :+
+        col("_g").as("_g1"): _*)
+    val d1 = s1.select(keyc :+ lit(1).as("depth") :+
+      lit(1L).as("seg_start") :+ col("_n1").as("seg_end") :+
+      col("_c1").as("split") :+
+      (col("_g1") / 1e8).as("gain"): _*)
+    val joined = base.join(s1, keyCols)
+    val isL = col("_rn") <= col("_c1")
+    val segL = when(isL, lit(1L)).otherwise(col("_c1") + 1L)
+    val segR = when(isL, col("_c1")).otherwise(col("_n1"))
+    val cand2 = joined
+      .withColumn("_l", segL).withColumn("_r", segR)
+      .withColumn("_ql", when(isL, lit(0L)).otherwise(col("_qc1")))
+      .withColumn("_qr", when(isL, col("_qc1")).otherwise(col("_qn1")))
+      .where(col("_rn") - col("_l") + 1L >= minSeg.toLong &&
+        col("_r") - col("_rn") >= minSeg.toLong)
+      .withColumn("_g", gain(col("_ql"), col("_cq"), col("_qr"),
+        col("_l"), col("_rn"), col("_r")))
+    val d2 = argmax(cand2, Seq(col("_l")))
+      .select(keyc :+ lit(2).as("depth") :+ col("_l").as("seg_start") :+
+        col("_r").as("seg_end") :+ col("_rn").as("split") :+
+        (col("_g") / 1e8).as("gain"): _*)
+    d1.unionByName(d2)
+  }
 }

@@ -87,6 +87,54 @@ class Wave10bSpec extends SparkSpec {
     r.values.foreach(x => assert(x.getAs[Double]("avgNll") >= 0.0))
   }
 
+  test("forecastAccuracy: perfect forecast zeroes all, naive gives MASE 1") {
+    val d = Seq.tabulate(20)(i => ("k", i.toLong, 10.0 + (i % 5)))
+      .toDF("k", "seq", "y")
+    val perfect = graft.model.Eval2.forecastAccuracy(
+      d.withColumn("f", col("y")), Seq("k"), "seq", "y", "f")
+      .collect().head
+    assert(perfect.getAs[Double]("mae") == 0.0 &&
+      perfect.getAs[Double]("rmse") == 0.0 &&
+      perfect.getAs[Double]("smape") == 0.0 &&
+      perfect.getAs[Double]("mase") == 0.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("seq")
+    val naive = graft.model.Eval2.forecastAccuracy(
+      d.withColumn("f", lag(col("y"), 1).over(w)), Seq("k"), "seq", "y", "f")
+      .collect().head
+    assert(math.abs(naive.getAs[Double]("mase") - 1.0) < 1e-9,
+      "lag-1 forecast must have MASE exactly 1")
+  }
+
+  test("quantilePinball: exact order-stat quantile and its coverage") {
+    // train = ids 0..198 even (values 1..100), test = odd (same values)
+    val d = Seq.tabulate(200)(i => ("k", i.toLong, (i / 2 + 1).toDouble))
+      .toDF("k", "id", "y")
+    val r = graft.model.Eval2.quantilePinball(d, Seq("k"), "y",
+      col("id") % 2 === 0, Seq(0.5, 0.9))
+      .collect().map(x => x.getAs[Double]("tau") -> x).toMap
+    assert(r(0.5).getAs[Double]("qhat") == 50.0,
+      "ceil(0.5*100)=50th order stat of 1..100 is 50")
+    assert(r(0.9).getAs[Double]("qhat") == 90.0)
+    assert(r(0.5).getAs[Double]("coverage") == 0.5)
+    assert(r(0.9).getAs[Double]("coverage") == 0.9)
+  }
+
+  test("binSegL2: a clean level shift splits exactly at the step") {
+    val d = (Seq.tabulate(20)(i => ("k", i.toLong, 0.0)) ++
+      Seq.tabulate(20)(i => ("k", 20L + i, 10.0))).toDF("k", "seq", "y")
+    val r = graft.seq.SeriesKernels.binSegL2(d, Seq("k"), "seq", "y",
+      minSeg = 5).collect().map(x => x.getAs[Int]("depth") -> x)
+    val d1 = r.filter(_._1 == 1).map(_._2)
+    assert(d1.length == 1 && d1.head.getAs[Long]("split") == 20L,
+      "depth-1 split must land on the last index of the low segment")
+    // flat halves: every depth-2 gain is 0
+    r.filter(_._1 == 2).foreach(x =>
+      assert(x._2.getAs[Double]("gain") == 0.0))
+    // gain = n1*n2/n * (mu1-mu2)^2 = 20*20/40 * 100 = 1000
+    assert(math.abs(d1.head.getAs[Double]("gain") - 1000.0) < 1e-6)
+  }
+
   test("k-center greedy: seeds at min id, then farthest-first, radii fall") {
     // a 1-D line: ids 0..4 at x = 0,1,2,3,100
     val line = vecs((0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(2f, 0f)),
