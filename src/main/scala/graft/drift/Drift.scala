@@ -747,4 +747,78 @@ object Drift {
         cosExpr.as("cos") :+ sqrt(col("_d2") / 1e9).as("l2") :+
         (sqrt(col("_d2") / 1e9) > threshold).as("drifted"): _*)
   }
+
+  case class AdwinOut(key: String, seq: Long, value: Double,
+      winStart: Long, drift: Boolean)
+
+  /** ADWIN — adaptive windowing drift detection (Bifet & Gavaldà,
+    * SDM'07), the last of the canonical detector set (DDM / EDDM /
+    * FHDDM / ECDD / LFR / Page-Hinkley / CUSUM all above): keep a
+    * window of the metric since the last change; at each new point test
+    * EVERY cut c of the window — drift when the two sub-window means
+    * differ by more than the Hoeffding bound
+    * ε(c) = R·√( (1/n₁ + 1/n₂)/2 · ln(4·W/δ) ),
+    * and on drift restart the window at the current point (the
+    * drop-to-current simplification of the paper's bucket shrink — same
+    * detections, deterministic window bounds).
+    *
+    * Determinism: values quantize to 4dp longs and the window keeps
+    * EXACT integer prefix sums, so each mean is the same
+    * long-subtract → double-divide on both engines; √/ln ride libm
+    * parity, and the whole per-key walk replays in a recursive-CTE
+    * oracle (cut check = one lateral aggregate over the prefix frame).
+    *
+    * Scale: one shuffle on the key; per-key state is the prefix array
+    * of the CURRENT window (resets on drift). Worst-case O(n·W) cut
+    * checks per key — the classic ADWIN cost; thin or pre-aggregate
+    * unbounded streams (the reference family's documented contract).
+    * `r` is the value range the Hoeffding bound assumes. */
+  def adwin(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      valCol: String, delta: Double = 0.002, r: Double = 1.0):
+      Dataset[AdwinOut] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val pts = data.select(
+      concat_ws("|", keyCols.map(c => col(c).cast("string")): _*).as("key"),
+      col(seqCol).cast("long").as("seq"),
+      col(valCol).cast("double").as("value"))
+      .where(col("value").isNotNull)
+      .as[(String, Long, Double)]
+    pts.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val sorted = it.toArray.sortBy(_._2)
+      val n = sorted.length
+      // exact 4dp prefix sums over the FULL series (oracle mirrors);
+      // window arithmetic subtracts the pre-window prefix
+      val q = new Array[Long](n + 1)
+      var i = 0
+      while (i < n) {
+        val v = sorted(i)._3
+        val f = if (v >= 0) math.floor(v * 1e4 + 0.5)
+          else -math.floor(-v * 1e4 + 0.5)
+        q(i + 1) = q(i) + f.toLong
+        i += 1
+      }
+      var ws = 1L
+      Iterator.tabulate(n) { j =>
+        val rn = (j + 1).toLong
+        var drift = false
+        if (rn > ws) {
+          var c = ws
+          while (!drift && c <= rn - 1) {
+            val n1 = (c - ws + 1).toDouble
+            val n2 = (rn - c).toDouble
+            val m1 = ((q(c.toInt) - q((ws - 1).toInt)).toDouble / 10000.0) / n1
+            val m2 = ((q(rn.toInt) - q(c.toInt)).toDouble / 10000.0) / n2
+            val w = (rn - ws + 1).toDouble
+            val eps = r * math.sqrt(
+              ((1.0 / n1 + 1.0 / n2) / 2.0) * math.log(4.0 * w / delta))
+            if (math.abs(m1 - m2) > eps) drift = true
+            c += 1
+          }
+          if (drift) ws = rn
+        }
+        AdwinOut(k, sorted(j)._2, sorted(j)._3, ws, drift)
+      }
+    }
+  }
 }

@@ -428,4 +428,65 @@ object TailScores {
           lit(k.toDouble) / (col("_s8").cast("double") / 1e8))
           .otherwise(lit(0.0)).as("alpha")): _*)
   }
+
+  /** Lorenz/Gini concentration audit per key — how unevenly a weight
+    * (token mass, event counts, spend) is spread over members (sources,
+    * users): Gini = (2·Σᵢ i·wᵢ − (n+1)·T) / (n·T) over the
+    * ascending-sorted member weights (the exact discrete form), plus
+    * the top-member and top-10%-of-members shares. The
+    * "is one source/user dominating the corpus" number a curation
+    * pipeline reads next to the temperature-mix and quota operators.
+    *
+    * Determinism: member weights sum as 6dp fixed-point longs, the
+    * rank walk orders by (weight, member) — total order — and
+    * Σ i·wᵢ accumulates in decimal(38,0), so the Gini expression is
+    * one float division over exact integers.
+    *
+    * Scale: one hash aggregate to the (key, member) frame, one
+    * rank window per key over it — parallelism is member cardinality,
+    * the per-key ECDF-window family's documented ceiling; the final
+    * roll-up is key-sized. Output: keyCols…, members, total, gini,
+    * top1_share, top10pct_share. */
+  def concentration(data: DataFrame, keyCols: Seq[String],
+      memberCol: String, weightCol: String): DataFrame = {
+    val keyc = keyCols.map(col)
+    val byMember = data
+      .where(col(weightCol).isNotNull)
+      .groupBy(keyc :+ col(memberCol).as("_m"): _*)
+      .agg(sum(graft.core.fixedPointLong(col(weightCol).cast("double"), 6))
+        .as("_w6"))
+    val w = Window.partitionBy(keyc: _*)
+      .orderBy(col("_w6").asc, col("_m").asc)
+    val ranked = byMember
+      .withColumn("_i", row_number().over(w).cast("long"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val agg = ranked.groupBy(keyc: _*)
+      .agg(count(lit(1)).as("members"),
+        sum(d38(col("_w6"))).as("_t"),
+        sum(d38(col("_i")) * d38(col("_w6"))).as("_s"),
+        max(col("_w6")).as("_max"))
+    val topCut = ranked
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(keyc: _*)))
+      .where(col("_i") > col("_n") -
+        ceil(col("_n").cast("double") * 0.1).cast("long"))
+      .groupBy(keyc: _*).agg(sum(d38(col("_w6"))).as("_top10"))
+    agg.join(topCut, keyCols)
+      .withColumn("total", col("_t").cast("double") / 1e6)
+      .withColumn("gini",
+        when(col("_t") > 0 && col("members") > 1,
+          (lit(2.0) * col("_s").cast("double") -
+            (col("members") + 1L).cast("double") * col("_t").cast("double")) /
+            (col("members").cast("double") * col("_t").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("top1_share",
+        when(col("_t") > 0,
+          col("_max").cast("double") / col("_t").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("top10pct_share",
+        when(col("_t") > 0,
+          col("_top10").cast("double") / col("_t").cast("double"))
+          .otherwise(lit(0.0)))
+      .select(keyc :+ col("members") :+ col("total") :+ col("gini") :+
+        col("top1_share") :+ col("top10pct_share"): _*)
+  }
 }

@@ -249,6 +249,21 @@ object R10Queries {
     "q492_binseg" -> ((s, dir) =>
       canon(graft.seq.SeriesKernels.binSegL2(ev(s, dir),
         Seq("event_type"), "event_id", "value", minSeg = 5))),
+    // ADWIN adaptive-window drift over a thinned series with +40
+    // block shifts every 25 points
+    "q493_adwin" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .where(col("value").isNotNull && col("event_id") % 20 === 0)
+        .withColumn("y", col("value") +
+          when(pmod(expr("event_id div 20"), lit(50L)) >= 25, lit(40.0))
+            .otherwise(lit(0.0)))
+      canon(graft.drift.Drift.adwin(e, Seq("event_type"), "event_id",
+        "y", delta = 0.002, r = 50.0).toDF())
+    }),
+    // Lorenz/Gini concentration of user value-mass per event_type
+    "q494_concentration" -> ((s, dir) =>
+      canon(graft.multi.TailScores.concentration(ev(s, dir),
+        Seq("event_type"), "user_id", "value"))),
   )
 
   /** Confounded PSM fixture: per-user mean value x, treatment odds
@@ -1308,5 +1323,64 @@ object R10Queries {
          | round(g2/100000000.0, 4) + 0 AS gain FROM s2"""
         .stripMargin.replace("\n", " ")
     },
+    "q493_adwin" -> {
+      // Drift.adwin's float-op order: means from exact 4dp prefix
+      // longs, eps = R*sqrt(((1/n1 + 1/n2)/2) * ln(4*W/delta))
+      val m1 = "((c.q4 - coalesce((SELECT q4 FROM pre z " +
+        "WHERE z.k = c.k AND z.rn = r.ws - 1), 0))::DOUBLE / 10000.0)" +
+        " / (c.rn - r.ws + 1)::DOUBLE"
+      val m2 = "((p.q4 - c.q4)::DOUBLE / 10000.0) / (p.rn - c.rn)::DOUBLE"
+      val eps = "50.0 * sqrt(((1.0/(c.rn - r.ws + 1)::DOUBLE " +
+        "+ 1.0/(p.rn - c.rn)::DOUBLE) / 2.0) " +
+        "* ln(4.0 * (p.rn - r.ws + 1)::DOUBLE / 0.002))"
+      s"""WITH RECURSIVE e AS (SELECT event_type AS k, event_id AS seq,
+         |  value + CASE WHEN (event_id // 20) % 50 >= 25
+         |   THEN 40.0 ELSE 0.0 END AS y
+         | FROM events WHERE value IS NOT NULL AND event_id % 20 = 0),
+         |pre AS (SELECT k, seq, y,
+         |  row_number() OVER (PARTITION BY k ORDER BY seq)::BIGINT AS rn,
+         |  sum(${fp("y", "10000.0")}::HUGEINT)
+         |   OVER (PARTITION BY k ORDER BY seq
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q4
+         | FROM e),
+         |r AS (
+         | SELECT k, seq, y, rn, 1::BIGINT AS ws, false AS drift
+         | FROM pre WHERE rn = 1
+         | UNION ALL
+         | SELECT p.k, p.seq, p.y, p.rn,
+         |  CASE WHEN d.hit THEN p.rn ELSE r.ws END AS ws, d.hit AS drift
+         | FROM r JOIN pre p ON p.k = r.k AND p.rn = r.rn + 1
+         | JOIN LATERAL (
+         |  SELECT coalesce(bool_or(abs(($m1) - ($m2)) > ($eps)), false)
+         |   AS hit
+         |  FROM pre c WHERE c.k = p.k AND c.rn BETWEEN r.ws AND p.rn - 1
+         | ) d ON true)
+         |SELECT k AS key, seq, round(y, 4) AS value,
+         | ws AS winStart, drift FROM r"""
+        .stripMargin.replace("\n", " ")
+    },
+    "q494_concentration" ->
+      s"""WITH bm AS (SELECT event_type AS k, user_id AS m,
+         |  sum(${fp("value", "1000000.0")}::HUGEINT) AS w6
+         | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |rk AS (SELECT k, m, w6,
+         |  row_number() OVER (PARTITION BY k
+         |   ORDER BY w6 ASC, m ASC)::BIGINT AS i,
+         |  count(*) OVER (PARTITION BY k) AS n FROM bm),
+         |ag AS (SELECT k, count(*)::BIGINT AS members,
+         |  sum(w6)::HUGEINT AS t, sum(i::HUGEINT * w6::HUGEINT) AS s,
+         |  max(w6) AS mx FROM rk GROUP BY 1),
+         |tp AS (SELECT k, sum(w6)::HUGEINT AS top10 FROM rk
+         | WHERE i > n - ceil(n::DOUBLE * 0.1)::BIGINT GROUP BY 1)
+         |SELECT k AS event_type, members,
+         | round(t::DOUBLE/1000000.0, 4) AS total,
+         | round(CASE WHEN t > 0 AND members > 1
+         |  THEN (2.0*s::DOUBLE - (members + 1)::DOUBLE*t::DOUBLE)
+         |   /(members::DOUBLE*t::DOUBLE) ELSE 0.0 END, 4) + 0 AS gini,
+         | round(CASE WHEN t > 0 THEN mx::DOUBLE/t::DOUBLE
+         |  ELSE 0.0 END, 4) AS top1_share,
+         | round(CASE WHEN t > 0 THEN top10::DOUBLE/t::DOUBLE
+         |  ELSE 0.0 END, 4) AS top10pct_share
+         |FROM ag JOIN tp USING (k)""".stripMargin.replace("\n", " "),
   )
 }

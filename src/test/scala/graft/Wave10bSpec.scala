@@ -135,6 +135,38 @@ class Wave10bSpec extends SparkSpec {
     assert(math.abs(d1.head.getAs[Double]("gain") - 1000.0) < 1e-6)
   }
 
+  test("adwin: detects a clean mean shift and resets the window") {
+    val d = (Seq.tabulate(30)(i => ("k", i.toLong, 10.0)) ++
+      Seq.tabulate(30)(i => ("k", 30L + i, 60.0))).toDF("k", "seq", "y")
+    val r = graft.drift.Drift.adwin(d, Seq("k"), "seq", "y",
+      delta = 0.002, r = 50.0).collect().sortBy(_.seq)
+    val driftSeqs = r.filter(_.drift).map(_.seq)
+    assert(driftSeqs.nonEmpty && driftSeqs.head >= 30L,
+      s"no drift before the shift, got $driftSeqs")
+    val after = r.find(_.seq == driftSeqs.head).get
+    assert(after.winStart == driftSeqs.head + 1,
+      "window restarts at the detection row (1-based rank)")
+    val const = graft.drift.Drift.adwin(
+      Seq.tabulate(50)(i => ("k", i.toLong, 5.0)).toDF("k", "seq", "y"),
+      Seq("k"), "seq", "y", delta = 0.002, r = 50.0).collect()
+    assert(!const.exists(_.drift), "constant series never drifts")
+  }
+
+  test("concentration: uniform mass gives Gini 0, monopoly gives (n-1)/n") {
+    val uni = Seq.tabulate(10)(i => ("k", i.toLong, 5.0)).toDF("k", "m", "w")
+    val r1 = graft.multi.TailScores.concentration(uni, Seq("k"), "m", "w")
+      .collect().head
+    assert(r1.getAs[Double]("gini") == 0.0)
+    assert(math.abs(r1.getAs[Double]("top10pct_share") - 0.1) < 1e-9)
+    val mono = (Seq.tabulate(9)(i => ("k", i.toLong, 0.0)) :+
+      (("k", 9L, 100.0))).toDF("k", "m", "w")
+    val r2 = graft.multi.TailScores.concentration(mono, Seq("k"), "m", "w")
+      .collect().head
+    assert(math.abs(r2.getAs[Double]("gini") - 0.9) < 1e-9,
+      "one member owning all mass gives Gini (n-1)/n")
+    assert(r2.getAs[Double]("top1_share") == 1.0)
+  }
+
   test("k-center greedy: seeds at min id, then farthest-first, radii fall") {
     // a 1-D line: ids 0..4 at x = 0,1,2,3,100
     val line = vecs((0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(2f, 0f)),
