@@ -264,6 +264,21 @@ object R10Queries {
     "q494_concentration" -> ((s, dir) =>
       canon(graft.multi.TailScores.concentration(ev(s, dir),
         Seq("event_type"), "user_id", "value"))),
+    // streaming ADWIN twin, batch-executed: same fixture and oracle
+    // as q493 (row-for-row parity pinned in Wave10bSpec)
+    "q495_adwin_stream" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir)
+        .where(col("value").isNotNull && col("event_id") % 20 === 0)
+        .withColumn("y", col("value") +
+          when(pmod(expr("event_id div 20"), lit(50L)) >= 25, lit(40.0))
+            .otherwise(lit(0.0)))
+        .select(col("event_type").as("entity"), col("event_id").as("seq"),
+          col("y").as("value"))
+        .as[graft.streaming.StreamScorers.ValueEvent]
+      canon(graft.streaming.StreamScorers
+        .adwinStream(e, delta = 0.002, r = 50.0).toDF())
+    }),
   )
 
   /** Confounded PSM fixture: per-user mean value x, treatment odds
@@ -536,6 +551,43 @@ object R10Queries {
        |    wt.wa*uu.f0 + wt.wb*uu.f1 AS zt,
        |    wc.wa*uu.f0 + wc.wb*uu.f1 AS zc
        |   FROM uu, tw5 wt, cw5 wc))""".stripMargin
+
+  private val adwinOracle: String = {
+      // Drift.adwin's float-op order: means from exact 4dp prefix
+      // longs, eps = R*sqrt(((1/n1 + 1/n2)/2) * ln(4*W/delta))
+      val m1 = "((c.q4 - coalesce((SELECT q4 FROM pre z " +
+        "WHERE z.k = c.k AND z.rn = r.ws - 1), 0))::DOUBLE / 10000.0)" +
+        " / (c.rn - r.ws + 1)::DOUBLE"
+      val m2 = "((p.q4 - c.q4)::DOUBLE / 10000.0) / (p.rn - c.rn)::DOUBLE"
+      val eps = "50.0 * sqrt(((1.0/(c.rn - r.ws + 1)::DOUBLE " +
+        "+ 1.0/(p.rn - c.rn)::DOUBLE) / 2.0) " +
+        "* ln(4.0 * (p.rn - r.ws + 1)::DOUBLE / 0.002))"
+      s"""WITH RECURSIVE e AS (SELECT event_type AS k, event_id AS seq,
+         |  value + CASE WHEN (event_id // 20) % 50 >= 25
+         |   THEN 40.0 ELSE 0.0 END AS y
+         | FROM events WHERE value IS NOT NULL AND event_id % 20 = 0),
+         |pre AS (SELECT k, seq, y,
+         |  row_number() OVER (PARTITION BY k ORDER BY seq)::BIGINT AS rn,
+         |  sum(${fp("y", "10000.0")}::HUGEINT)
+         |   OVER (PARTITION BY k ORDER BY seq
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q4
+         | FROM e),
+         |r AS (
+         | SELECT k, seq, y, rn, 1::BIGINT AS ws, false AS drift
+         | FROM pre WHERE rn = 1
+         | UNION ALL
+         | SELECT p.k, p.seq, p.y, p.rn,
+         |  CASE WHEN d.hit THEN p.rn ELSE r.ws END AS ws, d.hit AS drift
+         | FROM r JOIN pre p ON p.k = r.k AND p.rn = r.rn + 1
+         | JOIN LATERAL (
+         |  SELECT coalesce(bool_or(abs(($m1) - ($m2)) > ($eps)), false)
+         |   AS hit
+         |  FROM pre c WHERE c.k = p.k AND c.rn BETWEEN r.ws AND p.rn - 1
+         | ) d ON true)
+         |SELECT k AS key, seq, round(y, 4) AS value,
+         | ws AS winStart, drift FROM r"""
+        .stripMargin.replace("\n", " ")
+    }
 
   val oracleSql: Map[String, String] = Map(
     "q482_uplift" ->
@@ -1323,42 +1375,8 @@ object R10Queries {
          | round(g2/100000000.0, 4) + 0 AS gain FROM s2"""
         .stripMargin.replace("\n", " ")
     },
-    "q493_adwin" -> {
-      // Drift.adwin's float-op order: means from exact 4dp prefix
-      // longs, eps = R*sqrt(((1/n1 + 1/n2)/2) * ln(4*W/delta))
-      val m1 = "((c.q4 - coalesce((SELECT q4 FROM pre z " +
-        "WHERE z.k = c.k AND z.rn = r.ws - 1), 0))::DOUBLE / 10000.0)" +
-        " / (c.rn - r.ws + 1)::DOUBLE"
-      val m2 = "((p.q4 - c.q4)::DOUBLE / 10000.0) / (p.rn - c.rn)::DOUBLE"
-      val eps = "50.0 * sqrt(((1.0/(c.rn - r.ws + 1)::DOUBLE " +
-        "+ 1.0/(p.rn - c.rn)::DOUBLE) / 2.0) " +
-        "* ln(4.0 * (p.rn - r.ws + 1)::DOUBLE / 0.002))"
-      s"""WITH RECURSIVE e AS (SELECT event_type AS k, event_id AS seq,
-         |  value + CASE WHEN (event_id // 20) % 50 >= 25
-         |   THEN 40.0 ELSE 0.0 END AS y
-         | FROM events WHERE value IS NOT NULL AND event_id % 20 = 0),
-         |pre AS (SELECT k, seq, y,
-         |  row_number() OVER (PARTITION BY k ORDER BY seq)::BIGINT AS rn,
-         |  sum(${fp("y", "10000.0")}::HUGEINT)
-         |   OVER (PARTITION BY k ORDER BY seq
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q4
-         | FROM e),
-         |r AS (
-         | SELECT k, seq, y, rn, 1::BIGINT AS ws, false AS drift
-         | FROM pre WHERE rn = 1
-         | UNION ALL
-         | SELECT p.k, p.seq, p.y, p.rn,
-         |  CASE WHEN d.hit THEN p.rn ELSE r.ws END AS ws, d.hit AS drift
-         | FROM r JOIN pre p ON p.k = r.k AND p.rn = r.rn + 1
-         | JOIN LATERAL (
-         |  SELECT coalesce(bool_or(abs(($m1) - ($m2)) > ($eps)), false)
-         |   AS hit
-         |  FROM pre c WHERE c.k = p.k AND c.rn BETWEEN r.ws AND p.rn - 1
-         | ) d ON true)
-         |SELECT k AS key, seq, round(y, 4) AS value,
-         | ws AS winStart, drift FROM r"""
-        .stripMargin.replace("\n", " ")
-    },
+    "q493_adwin" -> adwinOracle,
+    "q495_adwin_stream" -> adwinOracle,
     "q494_concentration" ->
       s"""WITH bm AS (SELECT event_type AS k, user_id AS m,
          |  sum(${fp("value", "1000000.0")}::HUGEINT) AS w6

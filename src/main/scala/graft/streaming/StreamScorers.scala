@@ -1393,4 +1393,57 @@ object StreamScorers {
           out.iterator
         })
   }
+
+  // window values (4dp longs, oldest first) since the last drift + the
+  // entity's lifetime row count — the local prefix diffs equal the batch
+  // kernel's full-prefix diffs exactly (long addition is associative),
+  // so every mean/eps double matches bit-for-bit
+  case class AdwinSt(vals: List[Long], nSeen: Long)
+
+  /** Streaming ADWIN — the online face of [[graft.drift.Drift.adwin]],
+    * exact batch parity row-for-row: per entity keep the 4dp-quantized
+    * window since the last drift; each arrival tests every cut with the
+    * same Hoeffding bound and on drift the window restarts at the
+    * current row. State is the current window (resets on drift) — the
+    * detector's inherent memory; size it with upstream thinning as the
+    * batch scaladoc documents. */
+  def adwinStream(events: Dataset[ValueEvent], delta: Double,
+      r: Double): Dataset[graft.drift.Drift.AdwinOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (entity: String, it: Iterator[ValueEvent], gs: GroupState[AdwinSt]) => {
+          var st = gs.getOption.getOrElse(AdwinSt(Nil, 0L))
+          val out = it.toSeq.sortBy(_.seq).map { e =>
+            val f = (if (e.value >= 0) math.floor(e.value * 1e4 + 0.5)
+              else -math.floor(-e.value * 1e4 + 0.5)).toLong
+            val vals = st.vals :+ f
+            val nSeen = st.nSeen + 1
+            val wlen = vals.length
+            val q = new Array[Long](wlen + 1)
+            var i = 0
+            vals.foreach { v => q(i + 1) = q(i) + v; i += 1 }
+            var drift = false
+            var c = 1
+            while (!drift && c <= wlen - 1) {
+              val n1 = c.toDouble
+              val n2 = (wlen - c).toDouble
+              val m1 = (q(c).toDouble / 10000.0) / n1
+              val m2 = ((q(wlen) - q(c)).toDouble / 10000.0) / n2
+              val eps = r * math.sqrt(((1.0 / n1 + 1.0 / n2) / 2.0) *
+                math.log(4.0 * wlen.toDouble / delta))
+              if (math.abs(m1 - m2) > eps) drift = true
+              c += 1
+            }
+            st = if (drift) AdwinSt(List(f), nSeen)
+              else AdwinSt(vals, nSeen)
+            val winStart = if (drift) nSeen else nSeen - wlen + 1
+            graft.drift.Drift.AdwinOut(entity, e.seq, e.value,
+              winStart, drift)
+          }
+          gs.update(st)
+          out.iterator
+        })
+  }
 }

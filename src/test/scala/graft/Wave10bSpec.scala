@@ -152,6 +152,14 @@ class Wave10bSpec extends SparkSpec {
     assert(!const.exists(_.drift), "constant series never drifts")
   }
 
+  test("adwin stream twin equals the batch kernel row-for-row (sf0.001)") {
+    val b = graft.SparkEntry.queries("q493_adwin")(spark, sfDir)
+      .collect().toSet
+    val s = graft.SparkEntry.queries("q495_adwin_stream")(spark, sfDir)
+      .collect().toSet
+    assert(b == s, "adwin stream twin diverged from the batch kernel")
+  }
+
   test("concentration: uniform mass gives Gini 0, monopoly gives (n-1)/n") {
     val uni = Seq.tabulate(10)(i => ("k", i.toLong, 5.0)).toDF("k", "m", "w")
     val r1 = graft.multi.TailScores.concentration(uni, Seq("k"), "m", "w")
