@@ -364,4 +364,61 @@ object Behavior {
         (floor(col("share") * 1e4 + 0.5) / 1e4).as("share"),
         col("alloc"), col("capped"))
   }
+
+  /** Frequent ordered event sequences (PrefixSpan-lite, Pei et al.
+    * ICDE'01 restricted to distinct-step patterns of length 2–3 with
+    * arbitrary gaps): support(a→b) = #users with some a strictly
+    * before some b; support(a→b→c) additionally requires a b occurrence
+    * strictly inside (first a, last c). The discovery complement to the
+    * fixed-steps [[funnel]]: funnel MEASURES a given path, this MINES
+    * which paths are common enough to measure.
+    *
+    * Exact, not sampled: existence of a subsequence with arbitrary
+    * gaps only needs per-(user, type) first/last timestamps for the
+    * outer steps and a bounded probe of middle-step events — all
+    * frames are (users × event-vocabulary)-sized, the documented
+    * vocabulary-bounded contract (event vocabularies are small;
+    * general item streams should be bucketed first).
+    *
+    * Output: (len, p1, p2, p3, support, support_frac) for patterns
+    * with support ≥ `minSupport`; p3 is null for length-2 rows.
+    *
+    * Scale: one hash aggregate to the (user, type, tmin, tmax) frame,
+    * one self-join per pattern length on the user key (vocab²-bounded
+    * rows per user), one middle-step join for length 3, hash-aggregate
+    * roll-ups — no windows, no per-user sort. */
+  def frequentSequences(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, minSupport: Long): DataFrame = {
+    val ut = events
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("_u"), col(typeCol).as("_t"))
+      .agg(min(col(tsCol)).as("_lo"), max(col(tsCol)).as("_hi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nUsers = ut.select(col("_u")).distinct().count()
+    val a = ut.select(col("_u"), col("_t").as("p1"), col("_lo").as("_alo"))
+    val b = ut.select(col("_u"), col("_t").as("p2"), col("_hi").as("_bhi"))
+    val len2 = a.join(b, "_u")
+      .where(col("p1") =!= col("p2") && col("_alo") < col("_bhi"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("support"))
+      .select(lit(2).as("len"), col("p1"), col("p2"),
+        lit(null).cast("string").as("p3"), col("support"))
+    val c = ut.select(col("_u"), col("_t").as("p3c"), col("_hi").as("_chi"))
+    val mid = events.select(col(userCol).as("_u"),
+      col(typeCol).as("p2c"), col(tsCol).as("_mts"))
+    val len3 = a.join(c, "_u")
+      .where(col("p1") =!= col("p3c") && col("_alo") < col("_chi"))
+      .join(mid, "_u")
+      .where(col("p2c") =!= col("p1") && col("p2c") =!= col("p3c") &&
+        col("_mts") > col("_alo") && col("_mts") < col("_chi"))
+      .select(col("_u"), col("p1"), col("p2c"), col("p3c")).distinct()
+      .groupBy(col("p1"), col("p2c"), col("p3c"))
+      .agg(count(lit(1)).as("support"))
+      .select(lit(3).as("len"), col("p1"), col("p2c").as("p2"),
+        col("p3c").as("p3"), col("support"))
+    len2.unionByName(len3)
+      .where(col("support") >= minSupport)
+      .withColumn("support_frac",
+        col("support").cast("double") / lit(nUsers.toDouble))
+  }
 }

@@ -264,6 +264,40 @@ object R10Queries {
     "q494_concentration" -> ((s, dir) =>
       canon(graft.multi.TailScores.concentration(ev(s, dir),
         Seq("event_type"), "user_id", "value"))),
+    // Fellegi-Sunter record linkage over (lang, size-bucket)-blocked
+    // document pairs, 3 EM rounds on the agreement-pattern histogram
+    "q496_record_linkage" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        col("source"), col("n_chars"),
+        expr("n_chars div 100").as("_blk"),
+        substring(lower(col("text")), 1, 16).as("_pre"))
+      val a = d.select(col("doc_id").as("a"), col("lang"), col("_blk"),
+        col("source").as("_sa"), col("n_chars").as("_na"),
+        col("_pre").as("_pa"))
+      val b = d.select(col("doc_id").as("b"), col("lang"), col("_blk"),
+        col("source").as("_sb"), col("n_chars").as("_nb"),
+        col("_pre").as("_pb"))
+      val pairs = a.join(b, Seq("lang", "_blk"))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          (col("_sa") === col("_sb")).as("agr_src"),
+          (col("_pa") === col("_pb")).as("agr_pre"),
+          (abs(col("_na") - col("_nb")) * 20 <=
+            greatest(col("_na"), col("_nb"))).as("agr_len"))
+      canon(graft.model.Linkage.fellegiSunterEm(pairs,
+        Seq("agr_src", "agr_pre", "agr_len")))
+    }),
+    // k-anonymity / l-diversity audit: quasi = (event_type, value
+    // half-centile), sensitive = user_id, target k = 10
+    "q497_k_anonymity" -> ((s, dir) =>
+      canon(graft.model.Privacy.kAnonymityAudit(
+        ev(s, dir).where(col("value").isNotNull)
+          .withColumn("vbin", expr("CAST(floor(value / 50.0) AS BIGINT)")),
+        Seq("event_type", "vbin"), "user_id", k = 10L))),
+    // frequent ordered event sequences (len 2-3), support >= 20 users
+    "q498_freq_sequences" -> ((s, dir) =>
+      canon(graft.model.Behavior.frequentSequences(ev(s, dir),
+        "user_id", "event_type", "ts", minSupport = 20L))),
     // streaming ADWIN twin, batch-executed: same fixture and oracle
     // as q493 (row-for-row parity pinned in Wave10bSpec)
     "q495_adwin_stream" -> ((s, dir) => {
@@ -551,6 +585,76 @@ object R10Queries {
        |    wt.wa*uu.f0 + wt.wb*uu.f1 AS zt,
        |    wc.wa*uu.f0 + wc.wb*uu.f1 AS zc
        |   FROM uu, tw5 wt, cw5 wc))""".stripMargin
+
+  /** Unrolled Fellegi-Sunter EM oracle — replays
+    * Linkage.fellegiSunterEm's float program over the 2^3 agreement
+    * patterns: field-ordered products, 9dp fixed-point round sums,
+    * 6dp-frozen + clamped parameters, 3 rounds. */
+  private val fsOracle: String = {
+    def r6c(e: String) =
+      s"least(greatest(${fp(e, "1000000.0")}::DOUBLE / 1000000.0," +
+        " 0.000001), 1.0 - 0.000001)"
+    val flds = Seq("a1", "a2", "a3")
+    def prod(p0: String, ps: Seq[String]) = flds.zip(ps).foldLeft(p0) {
+      case (acc, (a, prm)) =>
+        s"($acc * CASE WHEN h.$a THEN q.$prm ELSE 1.0 - q.$prm END)"
+    }
+    val rounds = (1 to 3).map { r =>
+      val q = s"par${r - 1}"
+      val smCols = flds.zipWithIndex.map { case (a, i) =>
+        s"sum(CASE WHEN $a THEN ${fp("n::DOUBLE * g", "1000000000.0")}" +
+          s"::HUGEINT ELSE 0 END) AS sm${i + 1}," +
+          s" sum(CASE WHEN $a THEN ${fp("n::DOUBLE * (1.0 - g)",
+            "1000000000.0")}::HUGEINT ELSE 0 END) AS sv${i + 1}"
+      }.mkString(", ")
+      val ms = flds.indices.map(i =>
+        s"${r6c(s"sm${i + 1}::DOUBLE / s9::DOUBLE")} AS m${i + 1}")
+        .mkString(", ")
+      val us = flds.indices.map(i =>
+        s"${r6c(s"sv${i + 1}::DOUBLE / su9::DOUBLE")} AS u${i + 1}")
+        .mkString(", ")
+      s"""e$r AS (SELECT h.a1, h.a2, h.a3, h.n,
+         |  ${prod("q.p", Seq("m1", "m2", "m3"))} AS pm,
+         |  ${prod("(1.0 - q.p)", Seq("u1", "u2", "u3"))} AS pu
+         | FROM h CROSS JOIN $q q),
+         |g$r AS (SELECT a1, a2, a3, n, pm/(pm + pu) AS g FROM e$r),
+         |s$r AS (SELECT
+         |  sum(${fp("n::DOUBLE * g", "1000000000.0")}::HUGEINT) AS s9,
+         |  sum(${fp("n::DOUBLE * (1.0 - g)",
+        "1000000000.0")}::HUGEINT) AS su9, $smCols FROM g$r),
+         |par$r AS (SELECT
+         |  ${r6c("s9::DOUBLE/1000000000.0/nt.ntot::DOUBLE")} AS p,
+         |  $ms, $us FROM s$r CROSS JOIN nt)""".stripMargin
+    }.mkString(",\n")
+    val wTerms = Seq(("agr_src", "m1", "u1"), ("agr_pre", "m2", "u2"),
+      ("agr_len", "m3", "u3")).map { case (a, mm, uu) =>
+      s"(CASE WHEN pr.$a THEN ln(q.$mm/q.$uu)" +
+        s" ELSE ln((1.0 - q.$mm)/(1.0 - q.$uu)) END)"
+    }.mkString(" + ")
+    s"""WITH dd AS (SELECT doc_id, lang, source, n_chars,
+       |  n_chars // 100 AS blk, substr(lower(text), 1, 16) AS pre
+       | FROM documents),
+       |pr AS (SELECT a.doc_id AS a, b.doc_id AS b,
+       |  (a.source = b.source) AS agr_src, (a.pre = b.pre) AS agr_pre,
+       |  (abs(a.n_chars - b.n_chars) * 20
+       |    <= greatest(a.n_chars, b.n_chars)) AS agr_len
+       | FROM dd a JOIN dd b ON a.lang = b.lang AND a.blk = b.blk
+       |  AND a.doc_id < b.doc_id),
+       |h AS (SELECT agr_src AS a1, agr_pre AS a2, agr_len AS a3,
+       |  count(*)::BIGINT AS n FROM pr GROUP BY 1, 2, 3),
+       |nt AS (SELECT sum(n)::BIGINT AS ntot FROM h),
+       |par0 AS (SELECT 0.1::DOUBLE AS p, 0.9::DOUBLE AS m1,
+       |  0.9::DOUBLE AS m2, 0.9::DOUBLE AS m3, 0.1::DOUBLE AS u1,
+       |  0.1::DOUBLE AS u2, 0.1::DOUBLE AS u3),
+       |$rounds,
+       |sc AS (SELECT pr.a, pr.b, pr.agr_src, pr.agr_pre, pr.agr_len,
+       |  $wTerms AS w FROM pr CROSS JOIN par3 q)
+       |SELECT a, b, agr_src, agr_pre, agr_len,
+       | round(w, 4) + 0 AS weight,
+       | CASE WHEN w >= 2.0 THEN 'match' WHEN w <= -2.0 THEN 'nonmatch'
+       |  ELSE 'possible' END AS decision
+       |FROM sc""".stripMargin.replace("\n", " ")
+  }
 
   private val adwinOracle: String = {
       // Drift.adwin's float-op order: means from exact 4dp prefix
@@ -1377,6 +1481,46 @@ object R10Queries {
     },
     "q493_adwin" -> adwinOracle,
     "q495_adwin_stream" -> adwinOracle,
+    "q496_record_linkage" -> fsOracle,
+    "q497_k_anonymity" ->
+      """WITH c AS (SELECT event_type,
+        |  CAST(floor(value / 50.0) AS BIGINT) AS vbin,
+        |  count(*)::BIGINT AS sz,
+        |  count(DISTINCT user_id)::BIGINT AS l
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |a AS (SELECT sum(sz)::BIGINT AS n_rows,
+        |  count(*)::BIGINT AS n_classes, min(sz)::BIGINT AS k_anonymity,
+        |  min(l)::BIGINT AS l_diversity,
+        |  sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END)::BIGINT
+        |   AS classes_below_k,
+        |  sum(CASE WHEN sz < 10 THEN sz ELSE 0 END)::BIGINT
+        |   AS rows_below_k FROM c)
+        |SELECT n_rows, n_classes, k_anonymity, l_diversity,
+        | classes_below_k, rows_below_k,
+        | round(rows_below_k::DOUBLE / n_rows::DOUBLE, 4)
+        |  AS frac_rows_below_k FROM a""".stripMargin.replace("\n", " "),
+    "q498_freq_sequences" ->
+      """WITH ut AS (SELECT user_id AS u, event_type AS t,
+        |  min(ts) AS lo, max(ts) AS hi
+        | FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        | GROUP BY 1, 2),
+        |nu AS (SELECT count(DISTINCT u)::BIGINT AS n FROM ut),
+        |l2 AS (SELECT 2 AS len, a.t AS p1, b.t AS p2, NULL::VARCHAR AS p3,
+        |  count(*)::BIGINT AS support
+        | FROM ut a JOIN ut b ON a.u = b.u AND a.t <> b.t AND a.lo < b.hi
+        | GROUP BY 2, 3),
+        |l3 AS (SELECT 3 AS len, p1, p2, p3, count(*)::BIGINT AS support
+        | FROM (SELECT DISTINCT a.u, a.t AS p1, m.event_type AS p2,
+        |    c.t AS p3
+        |   FROM ut a JOIN ut c ON a.u = c.u AND a.t <> c.t AND a.lo < c.hi
+        |   JOIN events m ON m.user_id = a.u
+        |    AND m.event_type <> a.t AND m.event_type <> c.t
+        |    AND m.ts > a.lo AND m.ts < c.hi)
+        | GROUP BY 2, 3, 4)
+        |SELECT len, p1, p2, p3, support,
+        | round(support::DOUBLE / nu.n::DOUBLE, 4) AS support_frac
+        |FROM (SELECT * FROM l2 UNION ALL SELECT * FROM l3) s CROSS JOIN nu
+        |WHERE support >= 20""".stripMargin.replace("\n", " "),
     "q494_concentration" ->
       s"""WITH bm AS (SELECT event_type AS k, user_id AS m,
          |  sum(${fp("value", "1000000.0")}::HUGEINT) AS w6

@@ -175,6 +175,54 @@ class Wave10bSpec extends SparkSpec {
     assert(r2.getAs[Double]("top1_share") == 1.0)
   }
 
+  test("fellegiSunter EM: all-agree pairs match, all-disagree do not") {
+    val pairs = (Seq.tabulate(50)(i => (i.toLong, 1000L + i, true, true, true)) ++
+      Seq.tabulate(500)(i => (2000L + i, 3000L + i, false, false, false)) ++
+      Seq.tabulate(30)(i => (4000L + i, 5000L + i, true, false, false)))
+      .toDF("a", "b", "f1", "f2", "f3")
+    val r = graft.model.Linkage.fellegiSunterEm(pairs, Seq("f1", "f2", "f3"))
+      .collect()
+    val allAgree = r.filter(x => x.getAs[Boolean]("f1") &&
+      x.getAs[Boolean]("f2") && x.getAs[Boolean]("f3"))
+    assert(allAgree.forall(_.getAs[String]("decision") == "match"))
+    val none = r.filter(x => !x.getAs[Boolean]("f1") &&
+      !x.getAs[Boolean]("f2") && !x.getAs[Boolean]("f3"))
+    assert(none.forall(_.getAs[String]("decision") == "nonmatch"))
+    assert(allAgree.head.getAs[Double]("weight") >
+      none.head.getAs[Double]("weight"))
+  }
+
+  test("kAnonymityAudit: exact class sizes and l-diversity") {
+    // classes: (a: 5 rows, 2 sensitive), (b: 2 rows, 1 sensitive)
+    val d = (Seq.fill(3)(("a", 1L)) ++ Seq.fill(2)(("a", 2L)) ++
+      Seq.fill(2)(("b", 7L))).toDF("q", "s")
+    val r = graft.model.Privacy.kAnonymityAudit(d, Seq("q"), "s", k = 3L)
+      .collect().head
+    assert(r.getAs[Long]("n_rows") == 7L && r.getAs[Long]("n_classes") == 2L)
+    assert(r.getAs[Long]("k_anonymity") == 2L)
+    assert(r.getAs[Long]("l_diversity") == 1L)
+    assert(r.getAs[Long]("rows_below_k") == 2L &&
+      r.getAs[Long]("classes_below_k") == 1L)
+  }
+
+  test("frequentSequences: supports count users with the ordered pattern") {
+    // u1: a,b,c  u2: a,b  u3: b,a (reversed)
+    val d = Seq(
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L),
+      (2L, "a", 10L), (2L, "b", 20L),
+      (3L, "b", 10L), (3L, "a", 20L)).toDF("u", "t", "ts")
+    val r = graft.model.Behavior.frequentSequences(d, "u", "t", "ts", 1L)
+      .collect()
+      .map(x => (x.getAs[Int]("len"), x.getAs[String]("p1"),
+        x.getAs[String]("p2"), x.getAs[String]("p3")) ->
+        x.getAs[Long]("support")).toMap
+    assert(r((2, "a", "b", null)) == 2L)
+    assert(r((2, "b", "a", null)) == 1L)
+    assert(r((2, "a", "c", null)) == 1L)
+    assert(r((3, "a", "b", "c")) == 1L)
+    assert(!r.contains((3, "c", "b", "a")))
+  }
+
   test("k-center greedy: seeds at min id, then farthest-first, radii fall") {
     // a 1-D line: ids 0..4 at x = 0,1,2,3,100
     val line = vecs((0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(2f, 0f)),
