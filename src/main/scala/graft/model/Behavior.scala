@@ -421,4 +421,86 @@ object Behavior {
       .withColumn("support_frac",
         col("support").cast("double") / lit(nUsers.toDouble))
   }
+
+  /** Exact Shapley-value channel attribution (Shapley 1953 applied to
+    * conversion credit, Zhao et al. 2018 "Shapley Value Methods for
+    * Attribution Modeling") — the game-theoretic upgrade to
+    * [[linearAttribution]]'s equal split: each channel's credit is its
+    * average marginal lift over every coalition of the other channels,
+    * φᵢ = Σ_{S ⊆ C∖{i}} |S|!·(k−1−|S|)!/k! · (v(S∪{i}) − v(S)),
+    * with the characteristic v(S) = the observed conversion rate of
+    * users whose prior-touch set is EXACTLY S (unobserved coalitions
+    * contribute v = 0 — the standard empirical convention, pinned).
+    *
+    * Engine shape — the Fellegi-Sunter device again: one aggregate to
+    * the 2^k coalition histogram (touch set = bitmask of channels seen
+    * strictly before the user's first conversion; never-converting
+    * users count with all their touches), exact Shapley on the
+    * collected histogram (k ≤ 16 guard), k-row output. v values are
+    * 6dp-frozen exact count ratios; each φ sums its 2^(k−1) terms in
+    * subset-enumeration order — a finite float program the oracle
+    * replays term by term.
+    *
+    * Output: (channel, phi, touched_users) — Σφᵢ = v(C_obs)−v(∅) holds
+    * by construction when all coalitions are observed.
+    *
+    * Scale: two hash aggregates (first-conversion, per-user bitmask) +
+    * one 2^k-row aggregate; no joins beyond the broadcast-sized
+    * first-conversion frame. */
+  def shapleyAttribution(data: DataFrame, userCol: String, ordCol: String,
+      typeCol: String, channels: Seq[String], convType: String):
+      DataFrame = {
+    require(channels.nonEmpty && channels.size <= 16, "1..16 channels")
+    require(!channels.contains(convType), "conversion is not a channel")
+    val spark = data.sparkSession
+    import spark.implicits._
+    val k = channels.size
+    val idx = channels.sorted.zipWithIndex.toMap
+    val base = data.select(col(userCol).as("_u"),
+      col(ordCol).cast("long").as("_t"), col(typeCol).as("_ty"))
+    val conv = base.where(col("_ty") === convType)
+      .groupBy("_u").agg(min(col("_t")).as("_ct"))
+    val idxCol = channels.sorted.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (c, i)) => when(col("_ty") === c, lit(i)).otherwise(acc)
+    }
+    val touched = base.where(col("_ty").isin(channels: _*))
+      .join(conv, Seq("_u"), "left")
+      .where(col("_ct").isNull || col("_t") < col("_ct"))
+      .select(col("_u"), idxCol.as("_i")).distinct()
+      .groupBy("_u").agg(sum(expr("shiftleft(1L, _i)")).as("_mask"))
+    val users = base.select("_u").distinct()
+      .join(touched, Seq("_u"), "left")
+      .join(conv, Seq("_u"), "left")
+      .select(coalesce(col("_mask"), lit(0L)).as("_mask"),
+        col("_ct").isNotNull.as("_conv"))
+    val hist = users.groupBy("_mask")
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("_conv"), 1L).otherwise(0L)).as("_c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    def r6(x: Double): Double = graft.text.TextOps.round6(x)
+    val v: Long => Double = mask => hist.get(mask)
+      .map { case (n, c) => r6(c.toDouble / n.toDouble) }.getOrElse(0.0)
+    def fact(n: Int): Double = (1 to n).foldLeft(1.0)(_ * _)
+    val rows = channels.sorted.map { ch =>
+      val i = idx(ch)
+      val others = (0 until k).filter(_ != i)
+      // subset-enumeration order: ascending bitmask over the others
+      var phi = 0.0
+      (0 until (1 << (k - 1))).foreach { sBits =>
+        var mask = 0L
+        var size = 0
+        others.zipWithIndex.foreach { case (o, b) =>
+          if ((sBits & (1 << b)) != 0) { mask |= (1L << o); size += 1 }
+        }
+        val w = fact(size) * fact(k - 1 - size) / fact(k)
+        phi += w * (v(mask | (1L << i)) - v(mask))
+      }
+      val touchedUsers = hist.collect {
+        case (m, (n, _)) if (m & (1L << i)) != 0 => n
+      }.sum
+      (ch, phi, touchedUsers)
+    }
+    spark.createDataset(rows).toDF("channel", "phi", "touched_users")
+  }
 }

@@ -287,6 +287,30 @@ object R10Queries {
       canon(graft.model.Linkage.fellegiSunterEm(pairs,
         Seq("agr_src", "agr_pre", "agr_len")))
     }),
+    // exact Shapley-value conversion attribution over the 4 channels
+    "q499_shapley_attribution" -> ((s, dir) =>
+      canon(graft.model.Behavior.shapleyAttribution(ev(s, dir),
+        "user_id", "ts", "event_type",
+        Seq("click", "error", "signup", "view"), "purchase"))),
+    // Bradley-Terry strengths from per-user event-type value duels
+    "q500_bradley_terry" -> ((s, dir) => {
+      val ut = ev(s, dir).where(col("value").isNotNull)
+        .groupBy(col("user_id").as("_u"), col("event_type").as("_t"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
+          sum(fixedPointLong(col("value").cast("double"), 4)
+            .cast("decimal(38,0)")).as("_s4"))
+      val a = ut.select(col("_u"), col("_t").as("_ta"),
+        col("_n").as("_na"), col("_s4").as("_sa"))
+      val b = ut.select(col("_u"), col("_t").as("_tb"),
+        col("_n").as("_nb"), col("_s4").as("_sb"))
+      val xa = col("_sa") * col("_nb")
+      val xb = col("_sb") * col("_na")
+      val cmp = a.join(b, "_u").where(col("_ta") < col("_tb"))
+        .where(xa =!= xb)
+        .select(when(xa > xb, col("_ta")).otherwise(col("_tb")).as("w"),
+          when(xa > xb, col("_tb")).otherwise(col("_ta")).as("l"))
+      canon(graft.model.Preference.bradleyTerry(cmp, "w", "l"))
+    }),
     // k-anonymity / l-diversity audit: quasi = (event_type, value
     // half-centile), sensitive = user_id, target k = 10
     "q497_k_anonymity" -> ((s, dir) =>
@@ -585,6 +609,117 @@ object R10Queries {
        |    wt.wa*uu.f0 + wt.wb*uu.f1 AS zt,
        |    wc.wa*uu.f0 + wc.wb*uu.f1 AS zc
        |   FROM uu, tw5 wt, cw5 wc))""".stripMargin
+
+  /** Generated exact-Shapley oracle — replays
+    * Behavior.shapleyAttribution term by term: coalition histogram,
+    * 6dp-frozen v(S) ratios, factorial weight literals (round-trip
+    * exact doubles), subset-enumeration-order sums. */
+  private val shapleyOracle: String = {
+    val chans = Seq("click", "error", "signup", "view") // sorted
+    val k = chans.size
+    def vSql(mask: Long) =
+      s"coalesce((SELECT ${fp("c::DOUBLE / n::DOUBLE", "1000000.0")}" +
+        s"::DOUBLE / 1000000.0 FROM h WHERE mask = $mask), 0.0)"
+    def fact(n: Int): Double = (1 to n).foldLeft(1.0)(_ * _)
+    val selects = chans.zipWithIndex.map { case (ch, i) =>
+      val others = (0 until k).filter(_ != i)
+      val terms = (0 until (1 << (k - 1))).map { sBits =>
+        var mask = 0L
+        var size = 0
+        others.zipWithIndex.foreach { case (o, b) =>
+          if ((sBits & (1 << b)) != 0) { mask |= (1L << o); size += 1 }
+        }
+        val w = fact(size) * fact(k - 1 - size) / fact(k)
+        s"$w * (${vSql(mask | (1L << i))} - ${vSql(mask)})"
+      }
+      val phi = terms.mkString("0.0 + ", " + ", "")
+      s"SELECT '$ch' AS channel, round($phi, 4) + 0 AS phi," +
+        s" (SELECT coalesce(sum(n), 0) FROM h" +
+        s" WHERE (mask & ${1L << i}) != 0)::BIGINT AS touched_users"
+    }.mkString(" UNION ALL ")
+    val caseIdx = chans.zipWithIndex
+      .map { case (c, i) => s"WHEN '$c' THEN $i" }.mkString(" ")
+    s"""WITH b AS (SELECT user_id AS u, ts, event_type AS ty FROM events),
+       |cv AS (SELECT u, min(ts) AS ct FROM b WHERE ty = 'purchase'
+       | GROUP BY 1),
+       |tc AS (SELECT DISTINCT b.u, CASE ty $caseIdx END AS i
+       | FROM b LEFT JOIN cv ON cv.u = b.u
+       | WHERE ty IN (${chans.map(c => s"'$c'").mkString(", ")})
+       |  AND (cv.ct IS NULL OR b.ts < cv.ct)),
+       |mk AS (SELECT u, sum(1::BIGINT << i)::BIGINT AS mask FROM tc
+       | GROUP BY 1),
+       |us AS (SELECT d.u, coalesce(mk.mask, 0) AS mask,
+       |  (cv.ct IS NOT NULL) AS conv
+       | FROM (SELECT DISTINCT u FROM b) d LEFT JOIN mk USING (u)
+       |  LEFT JOIN cv USING (u)),
+       |h AS (SELECT mask, count(*)::BIGINT AS n,
+       |  sum(CASE WHEN conv THEN 1 ELSE 0 END)::BIGINT AS c FROM us
+       | GROUP BY 1)
+       |$selects""".stripMargin.replace("\n", " ")
+  }
+
+  /** Generated Bradley-Terry MM oracle — replays Preference.bradleyTerry
+    * round by round over the 5 event-type items: exact comparison
+    * counts, item-order denominator/normalization sums, 6dp-frozen
+    * strengths. */
+  private val btOracle: String = {
+    val items = Seq("click", "error", "purchase", "signup", "view")
+    val k = items.size
+    def r6(e: String) = s"(${fp(e, "1000000.0")}::DOUBLE / 1000000.0)"
+    // one-row constants CTE: per-item wins + symmetric pair totals
+    val wCols = items.zipWithIndex.map { case (it, i) =>
+      s"(SELECT coalesce(sum(n), 0) FROM cn WHERE w = '$it')::DOUBLE AS w$i"
+    }
+    val nCols = (for (i <- 0 until k; j <- i + 1 until k) yield {
+      s"((SELECT coalesce(sum(n), 0) FROM cn WHERE w = '${items(i)}'" +
+        s" AND l = '${items(j)}') + (SELECT coalesce(sum(n), 0) FROM cn" +
+        s" WHERE w = '${items(j)}' AND l = '${items(i)}'))::DOUBLE" +
+        s" AS n${i}_$j"
+    })
+    def nRef(i: Int, j: Int) = if (i < j) s"st.n${i}_$j" else s"st.n${j}_$i"
+    val p0 = items.indices.map(i => s"${r6(s"1.0/$k")} AS p$i")
+      .mkString(", ")
+    val rnds = (1 to 5).map { r =>
+      val q = s"p${r - 1}"
+      val raws = items.indices.map { i =>
+        val denom = items.indices.filter(_ != i).map { j =>
+          s"CASE WHEN ${nRef(i, j)} > 0" +
+            s" THEN ${nRef(i, j)}/($q.p$i + $q.p$j) ELSE 0.0 END"
+        }.mkString("0.0 + ", " + ", "")
+        s"CASE WHEN ($denom) > 0 THEN st.w$i/($denom)" +
+          s" ELSE $q.p$i END AS raw$i"
+      }.mkString(", ")
+      val sSum = items.indices.map(i => s"raw$i")
+        .mkString("0.0 + ", " + ", "")
+      val ps = items.indices.map(i => s"${r6(s"raw$i/($sSum)")} AS p$i")
+        .mkString(", ")
+      s"""r$r AS (SELECT $raws FROM $q, st),
+         |p$r AS (SELECT $ps FROM r$r)""".stripMargin
+    }.mkString(",\n")
+    val outRows = items.zipWithIndex.map { case (it, i) =>
+      val comps = items.indices.filter(_ != i).map(j => nRef(i, j))
+        .mkString(" + ")
+      s"SELECT '$it' AS item, p5.p$i AS pi, st.w$i::BIGINT AS wins," +
+        s" ($comps)::BIGINT AS comparisons FROM p5, st"
+    }.mkString(" UNION ALL ")
+    s"""WITH ut AS (SELECT user_id AS u, event_type AS t,
+       |  count(*)::HUGEINT AS n,
+       |  sum(${fp("value", "10000.0")}::HUGEINT) AS s4
+       | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |pr AS (SELECT a.u, a.t AS ta, b.t AS tb, a.s4*b.n AS xa,
+       |  b.s4*a.n AS xb
+       | FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t),
+       |cmp AS (SELECT CASE WHEN xa > xb THEN ta ELSE tb END AS w,
+       |  CASE WHEN xa > xb THEN tb ELSE ta END AS l
+       | FROM pr WHERE xa <> xb),
+       |cn AS (SELECT w, l, count(*)::BIGINT AS n FROM cmp GROUP BY 1, 2),
+       |st AS (SELECT ${(wCols ++ nCols).mkString(", ")}),
+       |p0 AS (SELECT $p0),
+       |$rnds
+       |SELECT item, round(pi, 4) + 0 AS pi, wins, comparisons,
+       | row_number() OVER (ORDER BY pi DESC, item ASC)::INT AS rank
+       |FROM ($outRows)""".stripMargin.replace("\n", " ")
+  }
 
   /** Unrolled Fellegi-Sunter EM oracle — replays
     * Linkage.fellegiSunterEm's float program over the 2^3 agreement
@@ -1482,6 +1617,8 @@ object R10Queries {
     "q493_adwin" -> adwinOracle,
     "q495_adwin_stream" -> adwinOracle,
     "q496_record_linkage" -> fsOracle,
+    "q499_shapley_attribution" -> shapleyOracle,
+    "q500_bradley_terry" -> btOracle,
     "q497_k_anonymity" ->
       """WITH c AS (SELECT event_type,
         |  CAST(floor(value / 50.0) AS BIGINT) AS vbin,

@@ -2980,16 +2980,22 @@ object TextOps {
     * tokens). */
   def knLmScore(docs: DataFrame, idCol: String, textCol: String,
       lmCorpus: DataFrame = null, discount: Double = 0.75): DataFrame = {
-    val corpus = Option(lmCorpus).getOrElse(docs)
-    val grams = corpus
+    def grams(df: DataFrame): DataFrame = df
       .select(col(idCol), tokens(col(textCol)).as("_t"))
-      .select(explode(when(size(col("_t")) >= 2, zip_with(
+      .select(col(idCol), explode(when(size(col("_t")) >= 2, zip_with(
         slice(col("_t"), lit(1), size(col("_t")) - 1),
         slice(col("_t"), lit(2), size(col("_t")) - 1),
         (a, b) => struct(a.as("ctx"), b.as("w")))).otherwise(array()))
         .as("g"))
-      .select(col("g.ctx").as("ctx"), col("g.w").as("w"))
-    val cAB = grams.groupBy("ctx", "w").agg(count(lit(1)).as("cab"))
+      .select(col(idCol), col("g.ctx").as("ctx"), col("g.w").as("w"))
+    // the self-fit default tokenizes ONCE: the scoring grams double as
+    // the fit input (persisted — they feed the count fit and the join)
+    val docGrams = grams(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fitGrams =
+      if (lmCorpus == null || (lmCorpus eq docs)) docGrams
+      else grams(lmCorpus)
+    val cAB = fitGrams.groupBy("ctx", "w").agg(count(lit(1)).as("cab"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-context total + distinct successor count, one model-sized pass
     val ctxStats = cAB.groupBy("ctx")
@@ -2999,14 +3005,6 @@ object TextOps {
     val scal = cAB.agg(count(lit(1)).as("nTypes")).crossJoin(
       cont.agg(count(lit(1)).as("v")))
     val d = discount
-    val docGrams = docs
-      .select(col(idCol), tokens(col(textCol)).as("_t"))
-      .select(col(idCol), explode(when(size(col("_t")) >= 2, zip_with(
-        slice(col("_t"), lit(1), size(col("_t")) - 1),
-        slice(col("_t"), lit(2), size(col("_t")) - 1),
-        (a, b) => struct(a.as("ctx"), b.as("w")))).otherwise(array()))
-        .as("g"))
-      .select(col(idCol), col("g.ctx").as("ctx"), col("g.w").as("w"))
     val pCont = (col("n1bwdF") + lit(1.0)) /
       (col("nTypes").cast("double") + col("v").cast("double"))
     val scored = docGrams

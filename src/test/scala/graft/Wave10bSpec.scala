@@ -223,6 +223,40 @@ class Wave10bSpec extends SparkSpec {
     assert(!r.contains((3, "c", "b", "a")))
   }
 
+  test("shapleyAttribution: the only converting channel takes the credit") {
+    // users 1-10 touch A then convert; users 11-20 touch B, never convert
+    val rows = (1 to 10).flatMap(u =>
+      Seq((u.toLong, 1L, "A"), (u.toLong, 2L, "buy"))) ++
+      (11 to 20).map(u => (u.toLong, 1L, "B"))
+    val d = rows.toDF("u", "ts", "ty")
+    val r = graft.model.Behavior.shapleyAttribution(d, "u", "ts", "ty",
+      Seq("A", "B"), "buy")
+      .collect().map(x => x.getAs[String]("channel") -> x).toMap
+    // observed: v({A}) = 1, v({B}) = 0; ∅ and {A,B} unobserved → v = 0
+    // phi_A = ½(v{A} − v∅) + ½(v{A,B} − v{B}) = 0.5
+    // phi_B = ½(v{B} − v∅) + ½(v{A,B} − v{A}) = −0.5; Σphi = v_grand − v∅
+    assert(math.abs(r("A").getAs[Double]("phi") - 0.5) < 1e-9)
+    assert(math.abs(r("B").getAs[Double]("phi") + 0.5) < 1e-9)
+    assert(r("A").getAs[Long]("touched_users") == 10L)
+  }
+
+  test("bradleyTerry: transitive dominance recovers the strength order") {
+    // a beats b 9:1, b beats c 9:1, a beats c 9:1
+    val cmp = (Seq.fill(9)(("a", "b")) ++ Seq.fill(1)(("b", "a")) ++
+      Seq.fill(9)(("b", "c")) ++ Seq.fill(1)(("c", "b")) ++
+      Seq.fill(9)(("a", "c")) ++ Seq.fill(1)(("c", "a")))
+      .toDF("w", "l")
+    val r = graft.model.Preference.bradleyTerry(cmp, "w", "l")
+      .collect().map(x => x.getAs[String]("item") -> x).toMap
+    assert(r("a").getAs[Int]("rank") == 1 && r("c").getAs[Int]("rank") == 3)
+    assert(r("a").getAs[Double]("pi") > r("b").getAs[Double]("pi"))
+    assert(r("b").getAs[Double]("pi") > r("c").getAs[Double]("pi"))
+    val s = Seq("a", "b", "c").map(r(_).getAs[Double]("pi")).sum
+    assert(math.abs(s - 1.0) < 1e-5, "strengths renormalize to 1")
+    assert(r("a").getAs[Long]("wins") == 18L &&
+      r("a").getAs[Long]("comparisons") == 20L)
+  }
+
   test("k-center greedy: seeds at min id, then farthest-first, radii fall") {
     // a 1-D line: ids 0..4 at x = 0,1,2,3,100
     val line = vecs((0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(2f, 0f)),
