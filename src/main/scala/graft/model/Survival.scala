@@ -260,4 +260,117 @@ object Survival {
           col("_sv"))
       .select("n_a", "n_b", "chi2")
   }
+
+  /** Cox proportional-hazards regression (Cox 1972), two covariates,
+    * Breslow ties, fixed Newton rounds — THE survival regression, the
+    * inferential upgrade to the KM/log-rank battery above: how much
+    * does each covariate multiply the hazard, with a standard error.
+    *
+    * Everything reduces to the DURATION HISTOGRAM (the family's scale
+    * contract): with w = exp(x·β), the risk-set sums S0/S1k/S2km are
+    * descending cumulative sums of per-duration totals, and Breslow's
+    * score/information are per-event-time sums
+    * U_k = Σ_t [Σ_{δ=1,t} x_k − d_t·S1k/S0],
+    * H_km = Σ_t d_t·[S2km/S0 − (S1k/S0)(S1m/S0)],
+    * so the one cumulative window rides the distinct-duration frame,
+    * never subject rows.
+    *
+    * Determinism: per-subject w-terms quantize to 8dp longs (risk sums
+    * are exact integers), per-duration U/H terms quantize to 8dp before
+    * the final sums, each Newton update β ← β + H⁻¹U is a fixed 2×2
+    * closed-form solve with the result 6dp-frozen — `rounds` rounds of
+    * a finite float program, then one more histogram pass at the final
+    * β for the standard errors. exp/ln/sqrt ride libm parity.
+    *
+    * Output: one row per covariate — (covariate, beta, se, z,
+    * hazard_ratio). Degenerate data (singular information) keeps β = 0
+    * and reports se = 0.
+    *
+    * Scale: per round, one hash aggregate to the duration histogram +
+    * one histogram-sized window + one scalar collect — subjects are
+    * scanned `rounds`+1 times, shuffled once each on the duration key. */
+  def coxPh(subjects: DataFrame, durationCol: String, eventCol: String,
+      xCols: Seq[String], rounds: Int = 2): DataFrame = {
+    require(xCols.size == 2, "coxPh: exactly two covariates")
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    val fp8 = (c: Column) =>
+      graft.core.fixedPointLong(c, 8).cast("decimal(38,0)")
+    def r6(x: Double): Double = graft.text.TextOps.round6(x)
+    val base = subjects.select(
+      col(durationCol).cast("double").as("_d"),
+      col(eventCol).cast("boolean").as("_e"),
+      col(xCols.head).cast("double").as("_x1"),
+      col(xCols(1)).cast("double").as("_x2"))
+      .where(col("_d").isNotNull && col("_e").isNotNull &&
+        col("_x1").isNotNull && col("_x2").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // one histogram pass at the given β: returns (u1, u2, h11, h12, h22)
+    def pass(b1: Double, b2: Double): (Double, Double, Double, Double,
+        Double) = {
+      val w = exp(col("_x1") * lit(b1) + col("_x2") * lit(b2))
+      val hist = base.groupBy(col("_d"))
+        .agg(sum(fp8(w)).as("_w"),
+          sum(fp8(w * col("_x1"))).as("_w1"),
+          sum(fp8(w * col("_x2"))).as("_w2"),
+          sum(fp8(w * col("_x1") * col("_x1"))).as("_w11"),
+          sum(fp8(w * col("_x1") * col("_x2"))).as("_w12"),
+          sum(fp8(w * col("_x2") * col("_x2"))).as("_w22"),
+          sum(when(col("_e"), 1L).otherwise(0L)).as("_dt"),
+          sum(when(col("_e"), fp8(col("_x1"))).otherwise(lit(0L)
+            .cast("decimal(38,0)"))).as("_ex1"),
+          sum(when(col("_e"), fp8(col("_x2"))).otherwise(lit(0L)
+            .cast("decimal(38,0)"))).as("_ex2"))
+      val cum = Window.orderBy(col("_d").desc)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = hist
+        .withColumn("_s0", sum(col("_w")).over(cum))
+        .withColumn("_s1", sum(col("_w1")).over(cum))
+        .withColumn("_s2", sum(col("_w2")).over(cum))
+        .withColumn("_s11", sum(col("_w11")).over(cum))
+        .withColumn("_s12", sum(col("_w12")).over(cum))
+        .withColumn("_s22", sum(col("_w22")).over(cum))
+        .where(col("_dt") > 0)
+      val s0 = col("_s0").cast("double")
+      val r1 = col("_s1").cast("double") / s0
+      val r2 = col("_s2").cast("double") / s0
+      val dt = col("_dt").cast("double")
+      val terms = risk.select(
+        fp8(col("_ex1").cast("double") / 1e8 - dt * r1).as("_u1"),
+        fp8(col("_ex2").cast("double") / 1e8 - dt * r2).as("_u2"),
+        fp8(dt * (col("_s11").cast("double") / s0 - r1 * r1)).as("_h11"),
+        fp8(dt * (col("_s12").cast("double") / s0 - r1 * r2)).as("_h12"),
+        fp8(dt * (col("_s22").cast("double") / s0 - r2 * r2)).as("_h22"))
+      val agg = terms.agg(sum("_u1"), sum("_u2"), sum("_h11"),
+        sum("_h12"), sum("_h22")).head()
+      def g(i: Int): Double =
+        Option(agg.getDecimal(i)).map(_.doubleValue() / 1e8).getOrElse(0.0)
+      (g(0), g(1), g(2), g(3), g(4))
+    }
+
+    var b1 = 0.0
+    var b2 = 0.0
+    var round = 0
+    while (round < rounds) {
+      val (u1, u2, h11, h12, h22) = pass(b1, b2)
+      val det = h11 * h22 - h12 * h12
+      if (math.abs(det) > 1e-12) {
+        b1 = r6(b1 + (h22 * u1 - h12 * u2) / det)
+        b2 = r6(b2 + (h11 * u2 - h12 * u1) / det)
+      }
+      round += 1
+    }
+    val (_, _, h11, h12, h22) = pass(b1, b2)
+    val det = h11 * h22 - h12 * h12
+    val (se1, se2) =
+      if (det > 0) (math.sqrt(h22 / det), math.sqrt(h11 / det))
+      else (0.0, 0.0)
+    base.unpersist()
+    val rows = Seq(
+      (xCols.head, b1, se1, if (se1 > 0) b1 / se1 else 0.0, math.exp(b1)),
+      (xCols(1), b2, se2, if (se2 > 0) b2 / se2 else 0.0, math.exp(b2)))
+    spark.createDataset(rows)
+      .toDF("covariate", "beta", "se", "z", "hazard_ratio")
+  }
 }

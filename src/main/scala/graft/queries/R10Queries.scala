@@ -292,6 +292,28 @@ object R10Queries {
       canon(graft.model.Behavior.shapleyAttribution(ev(s, dir),
         "user_id", "ts", "event_type",
         Seq("click", "error", "signup", "view"), "purchase"))),
+    // Cox proportional hazards on the q341 survival fixture:
+    // x1 = standardized user mean value, x2 = even-user indicator
+    "q501_cox_ph" -> ((s, dir) => {
+      val dd = ev(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"), col("value"))
+      val per = dd.groupBy("user_id").agg(
+        min("day").as("fd"), max("day").as("ld"),
+        min(when(col("value") > 250.0, col("day"))).as("hd"),
+        count(col("value")).as("nv"),
+        sum(fixedPointLong(col("value").cast("double"), 4)
+          .cast("decimal(38,0)")).as("s4"))
+      val subj = per.select(
+        when(col("hd").isNotNull, col("hd") - col("fd"))
+          .otherwise(col("ld") - col("fd")).cast("double").as("dur"),
+        col("hd").isNotNull.as("event"),
+        ((col("s4").cast("double") / 1e4 / col("nv").cast("double") -
+          lit(50.0)) / lit(10.0)).as("x1"),
+        when(col("user_id") % 2 === 0, lit(1.0)).otherwise(lit(0.0))
+          .as("x2"))
+      canon(graft.model.Survival.coxPh(subj, "dur", "event",
+        Seq("x1", "x2")))
+    }),
     // Bradley-Terry strengths from per-user event-type value duels
     "q500_bradley_terry" -> ((s, dir) => {
       val ut = ev(s, dir).where(col("value").isNotNull)
@@ -656,6 +678,99 @@ object R10Queries {
        |  sum(CASE WHEN conv THEN 1 ELSE 0 END)::BIGINT AS c FROM us
        | GROUP BY 1)
        |$selects""".stripMargin.replace("\n", " ")
+  }
+
+  /** Generated Cox-PH oracle — replays Survival.coxPh: per-round
+    * duration-histogram risk sums (8dp integer cumsums), Breslow U/H
+    * terms, closed-form 2x2 Newton with 6dp-frozen betas, final SE
+    * pass. */
+  private val coxOracle: String = {
+    def r6(e: String) = s"(${fp(e, "1000000.0")}::DOUBLE / 1000000.0)"
+    def pass(r: Int, par: String) = {
+      val f8 = (e: String) => s"${fp(e, "100000000.0")}::HUGEINT"
+      s"""w$r AS (SELECT dur, ev, x1, x2,
+         |  exp(x1*q.b1 + x2*q.b2) AS w FROM subj CROSS JOIN $par q),
+         |h$r AS (SELECT dur, sum(${f8("w")}) AS sw,
+         |  sum(${f8("w*x1")}) AS sw1, sum(${f8("w*x2")}) AS sw2,
+         |  sum(${f8("w*x1*x1")}) AS sw11, sum(${f8("w*x1*x2")}) AS sw12,
+         |  sum(${f8("w*x2*x2")}) AS sw22,
+         |  sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS dt,
+         |  sum(CASE WHEN ev THEN ${f8("x1")} ELSE 0 END) AS ex1,
+         |  sum(CASE WHEN ev THEN ${f8("x2")} ELSE 0 END) AS ex2
+         | FROM w$r GROUP BY 1),
+         |c$r AS (SELECT *, sum(sw) OVER cum AS s0,
+         |  sum(sw1) OVER cum AS s1, sum(sw2) OVER cum AS s2,
+         |  sum(sw11) OVER cum AS s11, sum(sw12) OVER cum AS s12,
+         |  sum(sw22) OVER cum AS s22 FROM h$r
+         | WINDOW cum AS (ORDER BY dur DESC
+         |  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |t$r AS (SELECT
+         |  ${f8("ex1::DOUBLE/100000000.0 - dt::DOUBLE" +
+        "*(s1::DOUBLE/s0::DOUBLE)")} AS u1t,
+         |  ${f8("ex2::DOUBLE/100000000.0 - dt::DOUBLE" +
+        "*(s2::DOUBLE/s0::DOUBLE)")} AS u2t,
+         |  ${f8("dt::DOUBLE*(s11::DOUBLE/s0::DOUBLE" +
+        " - (s1::DOUBLE/s0::DOUBLE)*(s1::DOUBLE/s0::DOUBLE))")} AS h11t,
+         |  ${f8("dt::DOUBLE*(s12::DOUBLE/s0::DOUBLE" +
+        " - (s1::DOUBLE/s0::DOUBLE)*(s2::DOUBLE/s0::DOUBLE))")} AS h12t,
+         |  ${f8("dt::DOUBLE*(s22::DOUBLE/s0::DOUBLE" +
+        " - (s2::DOUBLE/s0::DOUBLE)*(s2::DOUBLE/s0::DOUBLE))")} AS h22t
+         | FROM c$r WHERE dt > 0),
+         |a$r AS (SELECT sum(u1t)::DOUBLE/100000000.0 AS u1,
+         |  sum(u2t)::DOUBLE/100000000.0 AS u2,
+         |  sum(h11t)::DOUBLE/100000000.0 AS h11,
+         |  sum(h12t)::DOUBLE/100000000.0 AS h12,
+         |  sum(h22t)::DOUBLE/100000000.0 AS h22 FROM t$r)""".stripMargin
+    }
+    val upd = (r: Int) =>
+      s"""par$r AS (SELECT
+         | CASE WHEN abs(a$r.h11*a$r.h22 - a$r.h12*a$r.h12) > 1e-12
+         |  THEN ${r6(s"q.b1 + (a$r.h22*a$r.u1 - a$r.h12*a$r.u2)" +
+        s"/(a$r.h11*a$r.h22 - a$r.h12*a$r.h12)")}
+         |  ELSE q.b1 END AS b1,
+         | CASE WHEN abs(a$r.h11*a$r.h22 - a$r.h12*a$r.h12) > 1e-12
+         |  THEN ${r6(s"q.b2 + (a$r.h11*a$r.u2 - a$r.h12*a$r.u1)" +
+        s"/(a$r.h11*a$r.h22 - a$r.h12*a$r.h12)")}
+         |  ELSE q.b2 END AS b2
+         | FROM a$r CROSS JOIN par${r - 1} q)""".stripMargin
+    s"""WITH dd AS (SELECT user_id,
+       |  epoch_ns(ts) // 86400000000000 AS day, value FROM events),
+       |per AS (SELECT user_id, min(day) AS fd, max(day) AS ld,
+       |  min(CASE WHEN value > 250.0 THEN day END) AS hd,
+       |  count(value)::BIGINT AS nv,
+       |  sum(${fp("value", "10000.0")}::HUGEINT) AS s4
+       | FROM dd GROUP BY 1),
+       |subj0 AS (SELECT
+       |  (CASE WHEN hd IS NOT NULL THEN hd - fd
+       |   ELSE ld - fd END)::DOUBLE AS dur,
+       |  hd IS NOT NULL AS ev,
+       |  (s4::DOUBLE/10000.0/nv::DOUBLE - 50.0)/10.0 AS x1,
+       |  CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS x2
+       | FROM per),
+       |subj AS (SELECT * FROM subj0 WHERE x1 IS NOT NULL),
+       |par0 AS (SELECT 0.0::DOUBLE AS b1, 0.0::DOUBLE AS b2),
+       |${pass(1, "par0")},
+       |${upd(1)},
+       |${pass(2, "par1")},
+       |${upd(2)},
+       |${pass(3, "par2")},
+       |fin AS (SELECT q.b1, q.b2,
+       |  a3.h11*a3.h22 - a3.h12*a3.h12 AS det, a3.h11, a3.h22
+       | FROM a3 CROSS JOIN par2 q)
+       |SELECT 'x1' AS covariate, round(b1, 4) + 0 AS beta,
+       | round(CASE WHEN det > 0 THEN sqrt(h22/det) ELSE 0.0 END, 4)
+       |  AS se,
+       | round(CASE WHEN det > 0 AND sqrt(h22/det) > 0
+       |  THEN b1/sqrt(h22/det) ELSE 0.0 END, 4) + 0 AS z,
+       | round(exp(b1), 4) AS hazard_ratio FROM fin
+       |UNION ALL
+       |SELECT 'x2' AS covariate, round(b2, 4) + 0 AS beta,
+       | round(CASE WHEN det > 0 THEN sqrt(h11/det) ELSE 0.0 END, 4)
+       |  AS se,
+       | round(CASE WHEN det > 0 AND sqrt(h11/det) > 0
+       |  THEN b2/sqrt(h11/det) ELSE 0.0 END, 4) + 0 AS z,
+       | round(exp(b2), 4) AS hazard_ratio FROM fin"""
+      .stripMargin.replace("\n", " ")
   }
 
   /** Generated Bradley-Terry MM oracle — replays Preference.bradleyTerry
@@ -1619,6 +1734,7 @@ object R10Queries {
     "q496_record_linkage" -> fsOracle,
     "q499_shapley_attribution" -> shapleyOracle,
     "q500_bradley_terry" -> btOracle,
+    "q501_cox_ph" -> coxOracle,
     "q497_k_anonymity" ->
       """WITH c AS (SELECT event_type,
         |  CAST(floor(value / 50.0) AS BIGINT) AS vbin,

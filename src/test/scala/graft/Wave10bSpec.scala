@@ -257,6 +257,25 @@ class Wave10bSpec extends SparkSpec {
       r("a").getAs[Long]("comparisons") == 20L)
   }
 
+  test("coxPh: the early-dying group gets a positive log-hazard") {
+    // x2=1 subjects die at 1..20, x2=0 at 21..40; x1 is pure noise
+    val d = (Seq.tabulate(20)(i =>
+      ((i + 1).toDouble, true, (i % 3).toDouble - 1.0, 1.0)) ++
+      Seq.tabulate(20)(i =>
+        ((21 + i).toDouble, true, (i % 3).toDouble - 1.0, 0.0)))
+      .toDF("dur", "event", "x1", "x2")
+    val r = graft.model.Survival.coxPh(d, "dur", "event",
+      Seq("x1", "x2")).collect()
+      .map(x => x.getAs[String]("covariate") -> x).toMap
+    assert(r("x2").getAs[Double]("beta") > 0.5,
+      "dying strictly earlier must mean a higher hazard")
+    assert(r("x2").getAs[Double]("hazard_ratio") > 1.5)
+    assert(r("x2").getAs[Double]("se") > 0.0)
+    assert(math.abs(r("x1").getAs[Double]("z")) <
+      r("x2").getAs[Double]("z"),
+      "the noise covariate must be less significant")
+  }
+
   test("k-center greedy: seeds at min id, then farthest-first, radii fall") {
     // a 1-D line: ids 0..4 at x = 0,1,2,3,100
     val line = vecs((0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(2f, 0f)),
