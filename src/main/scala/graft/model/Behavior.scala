@@ -422,6 +422,114 @@ object Behavior {
         col("support").cast("double") / lit(nUsers.toDouble))
   }
 
+  /** Markov-chain (removal-effect) attribution (Anderl et al. 2016
+    * "Mapping the customer journey") — the third face of the
+    * attribution trio beside [[linearAttribution]] and
+    * [[shapleyAttribution]]: journeys become a first-order chain
+    * START → touches → CONV/NULL; a channel's credit is its removal
+    * effect RE_c = 1 − P(conv | c's outgoing mass redirected to NULL)
+    * / P(conv), normalized to shares.
+    *
+    * Engine shape: one lead() window PARTITIONED BY USER (never
+    * global) extracts transitions; one hash aggregate yields the
+    * ≤ (k+1)·(k+2) transition-count table (collected, model-sized).
+    * Transition probabilities are 6dp-frozen exact count ratios;
+    * absorption probabilities come from `rounds` synchronous
+    * value-iteration sweeps whose per-state sums walk the sorted
+    * channel list then CONV — a fixed float program the oracle unrolls
+    * sweep by sweep for the full chain and each removal chain.
+    *
+    * Output: (channel, removal_effect, share, p_conv) — p_conv is the
+    * full chain's START absorption probability, identical on every
+    * row.
+    *
+    * Scale: the window shuffles once on the user key; everything after
+    * the transition aggregate is k²-bounded driver arithmetic. */
+  def markovAttribution(data: DataFrame, userCol: String, ordCol: String,
+      typeCol: String, channels: Seq[String], convType: String,
+      rounds: Int = 16): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 16, "1..16 channels")
+    val spark = data.sparkSession
+    import spark.implicits._
+    val chans = channels.sorted
+    val base = data.select(col(userCol).as("_u"),
+      col(ordCol).cast("long").as("_o"), col(typeCol).as("_ty"))
+    val convT = base.where(col("_ty") === convType)
+      .groupBy("_u").agg(min(col("_o")).as("_ct"))
+    val touches = base.where(col("_ty").isin(chans: _*))
+      .join(convT, Seq("_u"), "left")
+      .where(col("_ct").isNull || col("_o") < col("_ct"))
+    val w = Window.partitionBy("_u").orderBy("_o")
+    val ordered = touches
+      .withColumn("_nxt", lead(col("_ty"), 1).over(w))
+      .withColumn("_rn", row_number().over(w))
+    val mid = ordered.where(col("_nxt").isNotNull)
+      .select(col("_ty").as("src"), col("_nxt").as("tgt"))
+    val last = ordered.where(col("_nxt").isNull)
+      .select(col("_ty").as("src"),
+        when(col("_ct").isNotNull, lit("CONV")).otherwise(lit("NULL"))
+          .as("tgt"))
+    val first = ordered.where(col("_rn") === 1)
+      .select(lit("START").as("src"), col("_ty").as("tgt"))
+    val untouched = base.select("_u").distinct()
+      .join(touches.select("_u").distinct()
+        .withColumn("_has", lit(true)), Seq("_u"), "left")
+      .where(col("_has").isNull)
+      .join(convT, Seq("_u"), "left")
+      .select(lit("START").as("src"),
+        when(col("_ct").isNotNull, lit("CONV")).otherwise(lit("NULL"))
+          .as("tgt"))
+    val counts = mid.unionByName(last).unionByName(first)
+      .unionByName(untouched)
+      .groupBy("src", "tgt").agg(count(lit(1)).as("_n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def r6(x: Double): Double = graft.text.TextOps.round6(x)
+    val sources = "START" +: chans
+    val out = sources.map(s =>
+      s -> counts.collect { case ((a, _), n) if a == s => n }.sum).toMap
+    def t(s: String, g: String): Double =
+      if (out(s) > 0) r6(counts.getOrElse((s, g), 0L).toDouble / out(s))
+      else 0.0
+    // synchronous value iteration; removed = channel whose state is
+    // pinned to 0 (its outgoing mass leaks to NULL implicitly)
+    def absorb(removed: Option[String]): Double = {
+      var p = sources.map(_ => 0.0).toArray
+      var r = 0
+      while (r < rounds) {
+        val np = Array.tabulate(sources.size) { i =>
+          val s = sources(i)
+          if (removed.contains(s)) 0.0
+          else {
+            var acc = 0.0
+            chans.foreach { c =>
+              val v = if (removed.contains(c)) 0.0
+                else p(sources.indexOf(c))
+              acc += t(s, c) * v
+            }
+            acc += t(s, "CONV") * 1.0
+            acc
+          }
+        }
+        p = np
+        r += 1
+      }
+      p(0)
+    }
+    val pFull = absorb(None)
+    val re = chans.map { c =>
+      val pRm = absorb(Some(c))
+      c -> (if (pFull > 0) 1.0 - pRm / pFull else 0.0)
+    }
+    var reSum = 0.0
+    re.foreach(reSum += _._2)
+    val rows = re.map { case (c, e) =>
+      (c, e, if (reSum > 0) e / reSum else 0.0, pFull)
+    }
+    spark.createDataset(rows)
+      .toDF("channel", "removal_effect", "share", "p_conv")
+  }
+
   /** Exact Shapley-value channel attribution (Shapley 1953 applied to
     * conversion credit, Zhao et al. 2018 "Shapley Value Methods for
     * Attribution Modeling") — the game-theoretic upgrade to

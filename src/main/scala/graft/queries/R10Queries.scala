@@ -292,6 +292,11 @@ object R10Queries {
       canon(graft.model.Behavior.shapleyAttribution(ev(s, dir),
         "user_id", "ts", "event_type",
         Seq("click", "error", "signup", "view"), "purchase"))),
+    // Markov removal-effect attribution: journeys by event_id order
+    "q502_markov_attribution" -> ((s, dir) =>
+      canon(graft.model.Behavior.markovAttribution(ev(s, dir),
+        "user_id", "event_id", "event_type",
+        Seq("click", "error", "signup", "view"), "purchase"))),
     // Cox proportional hazards on the q341 survival fixture:
     // x1 = standardized user mean value, x2 = even-user indicator
     "q501_cox_ph" -> ((s, dir) => {
@@ -678,6 +683,87 @@ object R10Queries {
        |  sum(CASE WHEN conv THEN 1 ELSE 0 END)::BIGINT AS c FROM us
        | GROUP BY 1)
        |$selects""".stripMargin.replace("\n", " ")
+  }
+
+  /** Generated Markov-attribution oracle — replays
+    * Behavior.markovAttribution: per-user lead() transitions,
+    * 6dp-frozen transition ratios, 16 unrolled value-iteration sweeps
+    * for the full chain and each removal chain. */
+  private val markovOracle: String = {
+    val chans = Seq("click", "error", "signup", "view")
+    val k = chans.size
+    val rounds = 16
+    def r6(e: String) = s"(${fp(e, "1000000.0")}::DOUBLE / 1000000.0)"
+    val sources = "START" +: chans
+    val targets = chans :+ "CONV"
+    val tmCols = sources.zipWithIndex.flatMap { case (s, si) =>
+      targets.zipWithIndex.map { case (g, gi) =>
+        s"CASE WHEN coalesce((SELECT o FROM ot WHERE src = '$s'), 0) > 0" +
+          s" THEN ${r6(s"coalesce((SELECT n FROM cn WHERE src = '$s'" +
+            s" AND tgt = '$g'), 0)::DOUBLE" +
+            s" / (SELECT o FROM ot WHERE src = '$s')::DOUBLE")}" +
+          s" ELSE 0.0 END AS t${si}_$gi"
+      }
+    }.mkString(", ")
+    // one chain: `pin` = state index pinned to 0 (-1 = full chain)
+    def chain(name: String, pin: Int): String = {
+      val init = sources.indices.map(i => s"0.0::DOUBLE AS p$i")
+        .mkString(", ")
+      val steps = (1 to rounds).map { r =>
+        val cols = sources.indices.map { i =>
+          if (i == pin) s"0.0::DOUBLE AS p$i"
+          else {
+            val terms = chans.indices.map(j =>
+              s"tm.t${i}_$j * q.p${j + 1}") :+ s"tm.t${i}_$k * 1.0"
+            s"${terms.mkString("0.0 + ", " + ", "")} AS p$i"
+          }
+        }.mkString(", ")
+        s"$name$r AS (SELECT $cols FROM $name${r - 1} q, tm)"
+      }.mkString(",\n")
+      s"${name}0 AS (SELECT $init),\n$steps"
+    }
+    val chains = (chain("f", -1) +:
+      chans.indices.map(m => chain(s"rm$m", m + 1))).mkString(",\n")
+    val reCols = chans.indices.map(m =>
+      s"CASE WHEN f$rounds.p0 > 0" +
+        s" THEN 1.0 - rm$m$rounds.p0/f$rounds.p0 ELSE 0.0 END AS re$m")
+      .mkString(", ")
+    val reFrom = (s"f$rounds" +: chans.indices.map(m => s"rm$m$rounds"))
+      .mkString(", ")
+    val reSum = chans.indices.map(m => s"re$m")
+      .mkString("0.0 + ", " + ", "")
+    val outRows = chans.zipWithIndex.map { case (c, m) =>
+      s"SELECT '$c' AS channel, round(re$m, 4) + 0 AS removal_effect," +
+        s" round(CASE WHEN ($reSum) > 0 THEN re$m/($reSum)" +
+        s" ELSE 0.0 END, 4) + 0 AS share, round(pfull, 4) AS p_conv" +
+        s" FROM res"
+    }.mkString(" UNION ALL ")
+    s"""WITH b AS (SELECT user_id AS u, event_id AS o, event_type AS ty
+       | FROM events),
+       |cv AS (SELECT u, min(o) AS ct FROM b WHERE ty = 'purchase'
+       | GROUP BY 1),
+       |tc AS (SELECT b.u, b.o, b.ty, cv.ct FROM b LEFT JOIN cv USING (u)
+       | WHERE b.ty IN (${chans.map(c => s"'$c'").mkString(", ")})
+       |  AND (cv.ct IS NULL OR b.o < cv.ct)),
+       |od AS (SELECT u, ty, ct,
+       |  lead(ty) OVER (PARTITION BY u ORDER BY o) AS nxt,
+       |  row_number() OVER (PARTITION BY u ORDER BY o) AS rn FROM tc),
+       |tr AS (SELECT ty AS src, nxt AS tgt FROM od WHERE nxt IS NOT NULL
+       | UNION ALL SELECT ty, CASE WHEN ct IS NOT NULL THEN 'CONV'
+       |  ELSE 'NULL' END FROM od WHERE nxt IS NULL
+       | UNION ALL SELECT 'START', ty FROM od WHERE rn = 1
+       | UNION ALL SELECT 'START', CASE WHEN cv.ct IS NOT NULL
+       |   THEN 'CONV' ELSE 'NULL' END
+       |  FROM (SELECT DISTINCT u FROM b) d
+       |  LEFT JOIN (SELECT DISTINCT u AS tu FROM tc) t2 ON t2.tu = d.u
+       |  LEFT JOIN cv ON cv.u = d.u WHERE t2.tu IS NULL),
+       |cn AS MATERIALIZED (SELECT src, tgt, count(*)::BIGINT AS n FROM tr
+       | GROUP BY 1, 2),
+       |ot AS MATERIALIZED (SELECT src, sum(n)::BIGINT AS o FROM cn GROUP BY 1),
+       |tm AS MATERIALIZED (SELECT $tmCols),
+       |$chains,
+       |res AS (SELECT f$rounds.p0 AS pfull, $reCols FROM $reFrom)
+       |$outRows""".stripMargin.replace("\n", " ")
   }
 
   /** Generated Cox-PH oracle — replays Survival.coxPh: per-round
@@ -1735,6 +1821,7 @@ object R10Queries {
     "q499_shapley_attribution" -> shapleyOracle,
     "q500_bradley_terry" -> btOracle,
     "q501_cox_ph" -> coxOracle,
+    "q502_markov_attribution" -> markovOracle,
     "q497_k_anonymity" ->
       """WITH c AS (SELECT event_type,
         |  CAST(floor(value / 50.0) AS BIGINT) AS vbin,

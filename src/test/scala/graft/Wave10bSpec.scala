@@ -257,6 +257,21 @@ class Wave10bSpec extends SparkSpec {
       r("a").getAs[Long]("comparisons") == 20L)
   }
 
+  test("markovAttribution: the only converting path takes all the credit") {
+    // 10 users: A then buy; 10 users: B only (never convert)
+    val rows = (1 to 10).flatMap(u =>
+      Seq((u.toLong, 1L, "A"), (u.toLong, 2L, "buy"))) ++
+      (11 to 20).map(u => (u.toLong, 1L, "B"))
+    val r = graft.model.Behavior.markovAttribution(rows.toDF("u", "o", "ty"),
+      "u", "o", "ty", Seq("A", "B"), "buy")
+      .collect().map(x => x.getAs[String]("channel") -> x).toMap
+    assert(math.abs(r("A").getAs[Double]("removal_effect") - 1.0) < 1e-9)
+    assert(math.abs(r("B").getAs[Double]("removal_effect")) < 1e-9)
+    assert(math.abs(r("A").getAs[Double]("share") - 1.0) < 1e-9)
+    assert(math.abs(r("A").getAs[Double]("p_conv") - 0.5) < 1e-9,
+      "half the users convert through A")
+  }
+
   test("coxPh: the early-dying group gets a positive log-hazard") {
     // x2=1 subjects die at 1..20, x2=0 at 21..40; x1 is pure noise
     val d = (Seq.tabulate(20)(i =>
