@@ -804,6 +804,70 @@ object ScaleProbe {
           .orderBy(col("day")).collect().map(_.getDouble(1))
         seq.Warp.dtwToReference(daily, "user_id", "day", "mv", ref).count()
       }
+      // round-10 wave B
+      val dp = scaled("documents", Seq("doc_id"), n)
+      val nDp2 = dp.count()
+      time("kn_lm", n, nDp2) {
+        text.TextOps.knLmScore(dp, "doc_id", "text").count()
+      }
+      time("moore_lewis", n, nDp2) {
+        text.TextOps.mooreLewisScore(dp, "doc_id", "text",
+          dp.where(col("lang") === "en"), dp).count()
+      }
+      time("adwin", n, nEv) {
+        drift.Drift.adwin(ev.where(col("value").isNotNull &&
+          col("event_id") % 20 === 0), Seq("event_type"), "event_id",
+          "value", delta = 0.002, r = 50.0).toDF().count()
+      }
+      time("record_linkage", n, nDp2) {
+        val d = dp.select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), expr("n_chars div 100").as("_blk"),
+          substring(lower(col("text")), 1, 16).as("_pre"))
+        val a = d.select(col("doc_id").as("a"), col("lang"), col("_blk"),
+          col("source").as("_sa"), col("n_chars").as("_na"),
+          col("_pre").as("_pa"))
+        val b = d.select(col("doc_id").as("b"), col("lang"), col("_blk"),
+          col("source").as("_sb"), col("n_chars").as("_nb"),
+          col("_pre").as("_pb"))
+        val pairs = a.join(b, Seq("lang", "_blk"))
+          .where(col("a") < col("b"))
+          .select(col("a"), col("b"),
+            (col("_sa") === col("_sb")).as("f1"),
+            (col("_pa") === col("_pb")).as("f2"),
+            (abs(col("_na") - col("_nb")) * 20 <=
+              greatest(col("_na"), col("_nb"))).as("f3"))
+        model.Linkage.fellegiSunterEm(pairs, Seq("f1", "f2", "f3"))
+          .count()
+      }
+      time("markov_attr", n, nEv) {
+        model.Behavior.markovAttribution(ev, "user_id", "event_id",
+          "event_type", Seq("click", "error", "signup", "view"),
+          "purchase").count()
+      }
+      time("cox_ph", n, nEv) {
+        val per = ev.groupBy("user_id").agg(
+          min(expr("ts div 86400000000000")).as("fd"),
+          max(expr("ts div 86400000000000")).as("ld"),
+          min(when(col("value") > 250.0,
+            expr("ts div 86400000000000"))).as("hd"),
+          count(col("value")).as("nv"),
+          sum(core.fixedPointLong(col("value").cast("double"), 4)
+            .cast("decimal(38,0)")).as("s4"))
+        val subj = per.select(
+          when(col("hd").isNotNull, col("hd") - col("fd"))
+            .otherwise(col("ld") - col("fd")).cast("double").as("dur"),
+          col("hd").isNotNull.as("event"),
+          ((col("s4").cast("double") / 1e4 / col("nv").cast("double") -
+            lit(50.0)) / lit(10.0)).as("x1"),
+          when(col("user_id") % 2 === 0, lit(1.0)).otherwise(lit(0.0))
+            .as("x2"))
+        model.Survival.coxPh(subj, "dur", "event",
+          Seq("x1", "x2")).count()
+      }
+      time("freq_sequences", n, nEv) {
+        model.Behavior.frequentSequences(ev, "user_id", "event_type",
+          "ts", minSupport = 20L).count()
+      }
     }
     spark.stop()
   }
