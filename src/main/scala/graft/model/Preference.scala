@@ -1,6 +1,6 @@
 package graft.model
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Pairwise-preference strength fitting — the Bradley–Terry model
@@ -75,5 +75,49 @@ object Preference {
     }
     spark.createDataset(rows)
       .toDF("item", "pi", "wins", "comparisons", "rank")
+  }
+
+  case class EloMatch(league: String, ord: Long, winner: String,
+      loser: String)
+  case class EloOut(league: String, ord: Long, winner: String,
+      loser: String, rWinner: Double, rLoser: Double)
+
+  /** Elo rating trajectory (Elo 1978) — the ONLINE face of
+    * [[bradleyTerry]] (same logistic win model, sequential instead of
+    * batch-MM): per league, matches replay in `ordCol` order and each
+    * updates the two players, r_w += K·(1−E), r_l −= K·(1−E) with
+    * E = 1/(1+10^((r_l−r_w)/400)). Emits the post-match ratings per
+    * match — the trajectory IS the product (k-factor tuning, rating
+    * inflation audits), and it is what a streaming twin can emit
+    * append-only.
+    *
+    * Determinism: 10^x is computed as exp(x·ln 10) (the established
+    * libm-parity pair — cross-engine pow is not pinned); the recursion
+    * is pure sequential float ops, replayable in a recursive-CTE
+    * oracle. Unrated players start at `init`.
+    *
+    * Scale: one shuffle on the league key; per-league state is the
+    * item→rating map (item-vocabulary-sized). Leagues are the
+    * parallelism unit — a single global ladder is inherently
+    * sequential (same contract as every per-key kernel here). */
+  def eloTrajectory(matches: Dataset[EloMatch], k: Double = 32.0,
+      init: Double = 1000.0): Dataset[EloOut] = {
+    val spark = matches.sparkSession
+    import spark.implicits._
+    val ln10 = math.log(10.0)
+    matches.groupByKey(_.league).flatMapGroups { (lg, it) =>
+      val ms = it.toArray.sortBy(_.ord)
+      val r = collection.mutable.Map.empty[String, Double]
+      ms.iterator.map { m =>
+        val rw = r.getOrElse(m.winner, init)
+        val rl = r.getOrElse(m.loser, init)
+        val e = 1.0 / (1.0 + math.exp(((rl - rw) / 400.0) * ln10))
+        val nw = rw + k * (1.0 - e)
+        val nl = rl - k * (1.0 - e)
+        r(m.winner) = nw
+        r(m.loser) = nl
+        EloOut(lg, m.ord, m.winner, m.loser, nw, nl)
+      }
+    }
   }
 }

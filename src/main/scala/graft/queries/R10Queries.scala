@@ -292,6 +292,14 @@ object R10Queries {
       canon(graft.model.Behavior.shapleyAttribution(ev(s, dir),
         "user_id", "ts", "event_type",
         Seq("click", "error", "signup", "view"), "purchase"))),
+    // Elo rating trajectory over thinned per-user type duels
+    "q503_elo" -> ((s, dir) =>
+      canon(graft.model.Preference.eloTrajectory(eloMatches(s, dir))
+        .toDF())),
+    // streaming Elo twin (GroupState rating map), same oracle as q503
+    "q504_elo_stream" -> ((s, dir) =>
+      canon(graft.streaming.StreamScorers.eloStream(eloMatches(s, dir))
+        .toDF())),
     // Markov removal-effect attribution: journeys by event_id order
     "q502_markov_attribution" -> ((s, dir) =>
       canon(graft.model.Behavior.markovAttribution(ev(s, dir),
@@ -683,6 +691,83 @@ object R10Queries {
        |  sum(CASE WHEN conv THEN 1 ELSE 0 END)::BIGINT AS c FROM us
        | GROUP BY 1)
        |$selects""".stripMargin.replace("\n", " ")
+  }
+
+  /** Elo duel fixture: per-user event-type value duels (exact
+    * cross-multiplied fixed-point comparison), league = user parity,
+    * ord = per-league match sequence. */
+  private def eloMatches(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[
+      graft.model.Preference.EloMatch] = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ut = ev(s, dir)
+      .where(col("value").isNotNull && col("user_id") % 5 === 0)
+      .groupBy(col("user_id").as("_u"), col("event_type").as("_t"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
+        sum(fixedPointLong(col("value").cast("double"), 4)
+          .cast("decimal(38,0)")).as("_s4"))
+    val a = ut.select(col("_u"), col("_t").as("_ta"),
+      col("_n").as("_na"), col("_s4").as("_sa"))
+    val b = ut.select(col("_u"), col("_t").as("_tb"),
+      col("_n").as("_nb"), col("_s4").as("_sb"))
+    val xa = col("_sa") * col("_nb")
+    val xb = col("_sb") * col("_na")
+    val w = Window.partitionBy(col("league"))
+      .orderBy(col("_u"), col("_ta"), col("_tb"))
+    a.join(b, "_u").where(col("_ta") < col("_tb")).where(xa =!= xb)
+      .select(col("_u"), col("_ta"), col("_tb"),
+        when(xa > xb, col("_ta")).otherwise(col("_tb")).as("winner"),
+        when(xa > xb, col("_tb")).otherwise(col("_ta")).as("loser"))
+      .withColumn("league", (col("_u") % 2).cast("string"))
+      .withColumn("ord", row_number().over(w).cast("long"))
+      .select(col("league"), col("ord"), col("winner"), col("loser"))
+      .as[graft.model.Preference.EloMatch]
+  }
+
+  /** Generated Elo-trajectory oracle — the recursive-CTE replay of
+    * eloTrajectory's sequential float program (E = exp-logistic,
+    * K = 32, init 1000). */
+  private val eloOracle: String = {
+    val items = Seq("click", "error", "purchase", "signup", "view")
+    def pick(ref: String) = items.zipWithIndex
+      .map { case (it, i) => s"WHEN '$it' THEN r.p$i" }
+      .mkString(s"CASE $ref ", " ", " END")
+    val pw = pick("m.w")
+    val pl = pick("m.l")
+    val e = s"(1.0/(1.0 + exp(((($pl) - ($pw))/400.0) * ln(10.0))))"
+    val nw = s"(($pw) + 32.0*(1.0 - $e))"
+    val nl = s"(($pl) - 32.0*(1.0 - $e))"
+    val upd = items.zipWithIndex.map { case (it, i) =>
+      s"CASE WHEN m.w = '$it' THEN $nw WHEN m.l = '$it' THEN $nl" +
+        s" ELSE r.p$i END AS p$i"
+    }.mkString(", ")
+    val init = items.indices.map(i => s"1000.0::DOUBLE AS p$i")
+      .mkString(", ")
+    s"""WITH RECURSIVE ut AS (SELECT user_id AS u, event_type AS t,
+       |  count(*)::HUGEINT AS n, sum(${fp("value", "10000.0")}::HUGEINT)
+       |   AS s4
+       | FROM events WHERE value IS NOT NULL AND user_id % 5 = 0
+       | GROUP BY 1, 2),
+       |pr AS (SELECT a.u, a.t AS ta, b.t AS tb, a.s4*b.n AS xa,
+       |  b.s4*a.n AS xb FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t),
+       |dm AS (SELECT u, ta, tb,
+       |  CASE WHEN xa > xb THEN ta ELSE tb END AS w,
+       |  CASE WHEN xa > xb THEN tb ELSE ta END AS l
+       | FROM pr WHERE xa <> xb),
+       |m AS MATERIALIZED (SELECT (u % 2)::VARCHAR AS lg,
+       |  row_number() OVER (PARTITION BY u % 2
+       |   ORDER BY u, ta, tb)::BIGINT AS rn, w, l FROM dm),
+       |r AS (SELECT lg, 0::BIGINT AS rn, CAST(NULL AS VARCHAR) AS w,
+       |  CAST(NULL AS VARCHAR) AS l, 0.0::DOUBLE AS rw, 0.0::DOUBLE
+       |   AS rl, $init
+       | FROM (SELECT DISTINCT lg FROM m)
+       | UNION ALL
+       | SELECT m.lg, m.rn, m.w, m.l, $nw AS rw, $nl AS rl, $upd
+       | FROM r JOIN m ON m.lg = r.lg AND m.rn = r.rn + 1)
+       |SELECT lg AS league, rn AS ord, w AS winner, l AS loser,
+       | round(rw, 4) + 0 AS rWinner, round(rl, 4) + 0 AS rLoser
+       |FROM r WHERE rn >= 1""".stripMargin.replace("\n", " ")
   }
 
   /** Generated Markov-attribution oracle — replays
@@ -1822,6 +1907,8 @@ object R10Queries {
     "q500_bradley_terry" -> btOracle,
     "q501_cox_ph" -> coxOracle,
     "q502_markov_attribution" -> markovOracle,
+    "q503_elo" -> eloOracle,
+    "q504_elo_stream" -> eloOracle,
     "q497_k_anonymity" ->
       """WITH c AS (SELECT event_type,
         |  CAST(floor(value / 50.0) AS BIGINT) AS vbin,

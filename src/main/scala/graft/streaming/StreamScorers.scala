@@ -1446,4 +1446,39 @@ object StreamScorers {
           out.iterator
         })
   }
+
+  case class EloSt(ratings: Map[String, Double])
+
+  /** Streaming Elo — the online face of
+    * [[graft.model.Preference.eloTrajectory]], exact batch parity
+    * row-for-row: the per-league rating map lives in GroupState
+    * (item-vocabulary-sized), each match emits the two post-update
+    * ratings append-only. Identical IEEE op order to the batch kernel
+    * (exp(x·ln10) logistic), so the trajectories match bit-for-bit. */
+  def eloStream(matches: Dataset[graft.model.Preference.EloMatch],
+      k: Double = 32.0, init: Double = 1000.0):
+      Dataset[graft.model.Preference.EloOut] = {
+    val spark = matches.sparkSession
+    import spark.implicits._
+    val ln10 = math.log(10.0)
+    matches.groupByKey(_.league)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (league: String,
+            it: Iterator[graft.model.Preference.EloMatch],
+            gs: GroupState[EloSt]) => {
+          var r = gs.getOption.getOrElse(EloSt(Map.empty)).ratings
+          val out = it.toSeq.sortBy(_.ord).map { m =>
+            val rw = r.getOrElse(m.winner, init)
+            val rl = r.getOrElse(m.loser, init)
+            val e = 1.0 / (1.0 + math.exp(((rl - rw) / 400.0) * ln10))
+            val nw = rw + k * (1.0 - e)
+            val nl = rl - k * (1.0 - e)
+            r = r.updated(m.winner, nw).updated(m.loser, nl)
+            graft.model.Preference.EloOut(league, m.ord, m.winner,
+              m.loser, nw, nl)
+          }
+          gs.update(EloSt(r))
+          out.iterator
+        })
+  }
 }

@@ -272,6 +272,25 @@ class Wave10bSpec extends SparkSpec {
       "half the users convert through A")
   }
 
+  test("elo: winners climb, first-match exchange is exactly K/2") {
+    import spark.implicits._
+    val ms = Seq(
+      graft.model.Preference.EloMatch("L", 1L, "a", "b"),
+      graft.model.Preference.EloMatch("L", 2L, "a", "b"),
+      graft.model.Preference.EloMatch("L", 3L, "b", "a")).toDS()
+    val r = graft.model.Preference.eloTrajectory(ms).collect()
+      .sortBy(_.ord)
+    // equal ratings: E = 0.5, winner gains K(1-E) = 16
+    assert(r(0).rWinner == 1016.0 && r(0).rLoser == 984.0)
+    assert(r(1).rWinner > r(0).rWinner, "repeat winner keeps climbing")
+    assert(r(1).rWinner - 1016.0 < 16.0,
+      "a favored winner gains less than K/2")
+    // stream twin parity row-for-row
+    val s = graft.streaming.StreamScorers.eloStream(ms).collect()
+      .sortBy(_.ord)
+    assert(r.toSeq == s.toSeq)
+  }
+
   test("coxPh: the early-dying group gets a positive log-hazard") {
     // x2=1 subjects die at 1..20, x2=0 at 21..40; x1 is pure noise
     val d = (Seq.tabulate(20)(i =>
