@@ -292,6 +292,17 @@ object R10Queries {
       canon(graft.model.Behavior.shapleyAttribution(ev(s, dir),
         "user_id", "ts", "event_type",
         Seq("click", "error", "signup", "view"), "purchase"))),
+    // autoencoder reconstruction-error outliers (the last §2.9 row):
+    // tied-weight 3-2-3 AE, 8 GD rounds, z-scaled event features
+    "q505_autoencoder" -> ((s, dir) => {
+      val e = ev(s, dir).where(col("value").isNotNull)
+        .select(col("event_id"), col("value").cast("double").as("f0"),
+          sqrt(col("value")).as("f1"),
+          pmod(col("user_id"), lit(97L)).cast("double").as("f2"))
+      canon(graft.multi.AutoEncoder.aeScore(e, Seq("event_id"),
+        Seq("f0", "f1", "f2"), hidden = 2, rounds = 8, lr = 0.1,
+        threshold = 2.0))
+    }),
     // Elo rating trajectory over thinned per-user type duels
     "q503_elo" -> ((s, dir) =>
       canon(graft.model.Preference.eloTrajectory(eloMatches(s, dir))
@@ -723,6 +734,87 @@ object R10Queries {
       .withColumn("ord", row_number().over(w).cast("long"))
       .select(col("league"), col("ord"), col("winner"), col("loser"))
       .as[graft.model.Preference.EloMatch]
+  }
+
+  /** Generated autoencoder oracle — unrolled GD replay of
+    * AutoEncoder.aeScore via the SAME expression templates
+    * (AutoEncoder.exprs), with parameter-CTE column refs instead of
+    * frozen literals. Uses DuckDB lateral column aliases for the
+    * step chain. */
+  private val aeOracle: String = {
+    import graft.multi.AutoEncoder
+    val d = 3
+    val h = 2
+    val rounds = 8
+    def r6(e: String) = s"(${fp(e, "1000000.0")}::DOUBLE / 1000000.0)"
+    val f8 = (e: String) => s"${fp(e, "100000000.0")}::HUGEINT"
+    val refs = AutoEncoder.Refs(
+      IndexedSeq.tabulate(h, d)((k, j) => s"q.w${k}_$j"),
+      IndexedSeq.tabulate(h)(k => s"q.b1_$k"),
+      IndexedSeq.tabulate(d)(j => s"q.b2_$j"))
+    val ex = AutoEncoder.exprs(d, h, refs)
+    val stepCols = ((0 until h).map(k => s"z$k") ++
+      (0 until h).map(k => s"a$k") ++ (0 until d).map(j => s"xh$j") ++
+      (0 until d).map(j => s"e$j") ++ (0 until h).map(k => s"gz$k"))
+      .map(c => s"${ex(c)} AS $c").mkString(", ")
+    val gradKeys = (for (k <- 0 until h; j <- 0 until d)
+      yield s"gw${k}_$j") ++
+      (0 until h).map(k => s"gb1_$k") ++ (0 until d).map(j => s"gb2_$j")
+    val gradSums = gradKeys.map(g => s"sum(${f8(ex(g))}) AS $g")
+      .mkString(", ")
+    val w0 = AutoEncoder.initW(h, d)
+    val par0 = ((for (k <- 0 until h; j <- 0 until d)
+      yield s"${w0(k)(j)}::DOUBLE AS w${k}_$j") ++
+      (0 until h).map(k => s"0.0::DOUBLE AS b1_$k") ++
+      (0 until d).map(j => s"0.0::DOUBLE AS b2_$j")).mkString(", ")
+    val parCols = (for (k <- 0 until h; j <- 0 until d)
+      yield (s"w${k}_$j", s"gw${k}_$j")) ++
+      (0 until h).map(k => (s"b1_$k", s"gb1_$k")) ++
+      (0 until d).map(j => (s"b2_$j", s"gb2_$j"))
+    val rnds = (1 to rounds).map { r =>
+      val upd = parCols.map { case (p, g) =>
+        s"${r6(s"q.$p - 0.1*((s$r.$g::DOUBLE/100000000.0)" +
+          s"/s$r.n::DOUBLE)")} AS $p"
+      }.mkString(", ")
+      s"""fr$r AS (SELECT x0, x1, x2, $stepCols
+         | FROM sc CROSS JOIN par${r - 1} q),
+         |s$r AS (SELECT $gradSums, count(*)::BIGINT AS n FROM fr$r),
+         |par$r AS (SELECT $upd FROM s$r CROSS JOIN par${r - 1} q)"""
+        .stripMargin
+    }.mkString(",\n")
+    val scoreCols = ((0 until h).map(k => s"z$k") ++
+      (0 until h).map(k => s"a$k") ++ (0 until d).map(j => s"xh$j") ++
+      (0 until d).map(j => s"e$j"))
+      .map(c => s"${ex(c)} AS $c").mkString(", ")
+    val statCols = (0 until d).map { i =>
+      val m = s"(s$i::DOUBLE/10000.0)/n$i::DOUBLE"
+      s"$m AS m$i, CASE WHEN (ss$i::DOUBLE/100000000.0/n$i::DOUBLE" +
+        s" - ($m)*($m)) > 0 THEN sqrt(ss$i::DOUBLE/100000000.0" +
+        s"/n$i::DOUBLE - ($m)*($m)) ELSE 0.0 END AS sd$i"
+    }.mkString(", ")
+    val rawAggs = (0 until d).map { i =>
+      s"sum(${fp(s"f$i", "10000.0")}::HUGEINT) AS s$i," +
+        s" sum(${fp(s"f$i", "10000.0")}::HUGEINT" +
+        s" * ${fp(s"f$i", "10000.0")}::HUGEINT) AS ss$i," +
+        s" count(f$i)::BIGINT AS n$i"
+    }.mkString(", ")
+    val scCols = (0 until d).map(i =>
+      s"CASE WHEN st.sd$i > 0 THEN (b0.f$i - st.m$i)/st.sd$i" +
+        s" ELSE 0.0 END AS x$i").mkString(", ")
+    s"""WITH b0 AS (SELECT event_id, value::DOUBLE AS f0,
+       |  sqrt(value) AS f1, (user_id % 97)::DOUBLE AS f2
+       | FROM events WHERE value IS NOT NULL),
+       |ra AS (SELECT $rawAggs FROM b0),
+       |st AS (SELECT $statCols FROM ra),
+       |sc AS MATERIALIZED (SELECT b0.event_id, $scCols
+       | FROM b0 CROSS JOIN st),
+       |par0 AS (SELECT $par0),
+       |$rnds,
+       |fin AS (SELECT sc.event_id, $scoreCols
+       | FROM sc CROSS JOIN par$rounds q)
+       |SELECT event_id, round(${ex("sse")}, 4) + 0 AS score,
+       | CASE WHEN (${ex("sse")}) > 2.0 THEN 'O' ELSE 'N' END AS tag
+       |FROM fin""".stripMargin.replace("\n", " ")
   }
 
   /** Generated Elo-trajectory oracle — the recursive-CTE replay of
@@ -1909,6 +2001,7 @@ object R10Queries {
     "q502_markov_attribution" -> markovOracle,
     "q503_elo" -> eloOracle,
     "q504_elo_stream" -> eloOracle,
+    "q505_autoencoder" -> aeOracle,
     "q497_k_anonymity" ->
       """WITH c AS (SELECT event_type,
         |  CAST(floor(value / 50.0) AS BIGINT) AS vbin,

@@ -272,6 +272,25 @@ class Wave10bSpec extends SparkSpec {
       "half the users convert through A")
   }
 
+  test("autoencoder: off-manifold point gets the top reconstruction error") {
+    // 40 points on the line (t, 2t, -t); one point far off the manifold
+    val rows = Seq.tabulate(40) { i =>
+      val t = (i - 20).toDouble / 4.0
+      (i.toLong, t, 2.0 * t, -t)
+    } :+ ((99L, 0.0, 8.0, 8.0))
+    val d = rows.toDF("id", "f0", "f1", "f2")
+    val r = graft.multi.AutoEncoder.aeScore(d, Seq("id"),
+      Seq("f0", "f1", "f2"), hidden = 2, rounds = 12, lr = 0.2,
+      threshold = 1e18)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Double]("score"))
+      .toMap
+    val top = r.maxBy(_._2)._1
+    assert(top == 99L, s"off-manifold point must score highest, got $top")
+    val inlierMax = (r - 99L).values.max
+    assert(r(99L) > 2.0 * inlierMax,
+      "outlier error must clearly separate from the manifold")
+  }
+
   test("elo: winners climb, first-match exchange is exactly K/2") {
     import spark.implicits._
     val ms = Seq(
