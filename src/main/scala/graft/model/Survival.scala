@@ -373,4 +373,70 @@ object Survival {
     spark.createDataset(rows)
       .toDF("covariate", "beta", "se", "z", "hazard_ratio")
   }
+
+  /** Harrell's concordance index (Harrell et al. 1982) — the standard
+    * discrimination metric for [[coxPh]]'s risk scores: over usable
+    * pairs (i had the event AND t_i < t_j), the fraction where the
+    * earlier-failing subject carries the HIGHER risk score (score ties
+    * count ½). 0.5 = no discrimination, 1 = perfect ranking.
+    *
+    * No pair join: scores quantize to `scoreDp` (default 2dp — the
+    * isotonic-calibration bin contract) and the whole count reduces to
+    * a DENSE (distinct-duration × score-bin) grid with two cumulative
+    * windows — a strict duration-suffix per score bin, then a
+    * lower-score prefix per duration — so every dominance count
+    * #(t_j > t_i, s_j < s_i) is an exact integer read off the grid at
+    * the event cell. Grid size = durations × bins (both histogram
+    * frames, the family's documented determinism contract).
+    *
+    * Output: one row — usable_pairs, concordant, tied, c_index. */
+  def concordanceIndex(subjects: DataFrame, durationCol: String,
+      eventCol: String, scoreCol: String, scoreDp: Int = 2): DataFrame = {
+    val cells = subjects
+      .where(col(durationCol).isNotNull && col(eventCol).isNotNull &&
+        col(scoreCol).isNotNull)
+      .groupBy(col(durationCol).cast("double").as("_d"),
+        graft.core.fixedPointLong(col(scoreCol).cast("double"), scoreDp)
+          .as("_sb"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col(eventCol).cast("boolean"), 1L).otherwise(0L))
+          .as("_ev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val durs = cells.select(col("_d")).distinct()
+    val sbs = cells.select(col("_sb")).distinct()
+    val grid = durs.crossJoin(sbs)
+      .join(cells, Seq("_d", "_sb"), "left")
+      .select(col("_d"), col("_sb"),
+        coalesce(col("_n"), lit(0L)).as("_n"),
+        coalesce(col("_ev"), lit(0L)).as("_ev"))
+    val wDur = Window.partitionBy(col("_sb")).orderBy(col("_d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s1 = grid
+      .withColumn("_later_same", sum(col("_n")).over(wDur) - col("_n"))
+    val wSb = Window.partitionBy(col("_d")).orderBy(col("_sb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val s2 = s1.withColumn("_later_lower",
+      coalesce(sum(col("_later_same")).over(wSb), lit(0L)))
+    // 1-D strict duration suffix for the usable-pair denominator
+    val durTot = cells.groupBy("_d").agg(sum(col("_n")).as("_dn"))
+    val wAll = Window.orderBy(col("_d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val later = durTot
+      .withColumn("_later_all", sum(col("_dn")).over(wAll) - col("_dn"))
+      .select(col("_d"), col("_later_all"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    s2.join(later, "_d")
+      .agg(sum(d38(col("_ev")) * d38(col("_later_all")))
+        .as("_up"),
+        sum(d38(col("_ev")) * d38(col("_later_lower"))).as("_cc"),
+        sum(d38(col("_ev")) * d38(col("_later_same"))).as("_tt"))
+      .withColumn("c_index",
+        when(col("_up") > 0,
+          (col("_cc").cast("double") +
+            lit(0.5) * col("_tt").cast("double")) /
+            col("_up").cast("double")).otherwise(lit(0.5)))
+      .select(col("_up").cast("long").as("usable_pairs"),
+        col("_cc").cast("long").as("concordant"),
+        col("_tt").cast("long").as("tied"), col("c_index"))
+  }
 }

@@ -338,6 +338,25 @@ object R10Queries {
       canon(graft.model.Survival.coxPh(subj, "dur", "event",
         Seq("x1", "x2")))
     }),
+    // Harrell's C-index of x1 as a risk score on the same fixture
+    "q506_c_index" -> ((s, dir) => {
+      val dd = ev(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"), col("value"))
+      val per = dd.groupBy("user_id").agg(
+        min("day").as("fd"), max("day").as("ld"),
+        min(when(col("value") > 250.0, col("day"))).as("hd"),
+        count(col("value")).as("nv"),
+        sum(fixedPointLong(col("value").cast("double"), 4)
+          .cast("decimal(38,0)")).as("s4"))
+      val subj = per.select(
+        when(col("hd").isNotNull, col("hd") - col("fd"))
+          .otherwise(col("ld") - col("fd")).cast("double").as("dur"),
+        col("hd").isNotNull.as("event"),
+        ((col("s4").cast("double") / 1e4 / col("nv").cast("double") -
+          lit(50.0)) / lit(10.0)).as("x1"))
+      canon(graft.model.Survival.concordanceIndex(subj, "dur", "event",
+        "x1"))
+    }),
     // Bradley-Terry strengths from per-user event-type value duels
     "q500_bradley_terry" -> ((s, dir) => {
       val ut = ev(s, dir).where(col("value").isNotNull)
@@ -943,6 +962,63 @@ object R10Queries {
        |$outRows""".stripMargin.replace("\n", " ")
   }
 
+  /** Survival-subjects-with-covariates fixture CTE chain (shared by
+    * the Cox and C-index oracles). */
+  private val coxSubjCte: String =
+    s"""dd AS (SELECT user_id,
+       |  epoch_ns(ts) // 86400000000000 AS day, value FROM events),
+       |per AS (SELECT user_id, min(day) AS fd, max(day) AS ld,
+       |  min(CASE WHEN value > 250.0 THEN day END) AS hd,
+       |  count(value)::BIGINT AS nv,
+       |  sum(${fp("value", "10000.0")}::HUGEINT) AS s4
+       | FROM dd GROUP BY 1),
+       |subj0 AS (SELECT
+       |  (CASE WHEN hd IS NOT NULL THEN hd - fd
+       |   ELSE ld - fd END)::DOUBLE AS dur,
+       |  hd IS NOT NULL AS ev,
+       |  (s4::DOUBLE/10000.0/nv::DOUBLE - 50.0)/10.0 AS x1,
+       |  CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS x2
+       | FROM per),
+       |subj AS (SELECT * FROM subj0 WHERE x1 IS NOT NULL)"""
+      .stripMargin.replace("\n", " ")
+
+  /** Generated C-index oracle — replays Survival.concordanceIndex's
+    * dense dominance grid over the Cox fixture (score = x1, 2dp). */
+  private val cIndexOracle: String =
+    s"""WITH $coxSubjCte,
+       |cells AS (SELECT dur AS d, ${fp("x1", "100.0")} AS sb,
+       |  count(*)::BIGINT AS n,
+       |  sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS e
+       | FROM subj GROUP BY 1, 2),
+       |durs AS (SELECT DISTINCT d FROM cells),
+       |sbs AS (SELECT DISTINCT sb FROM cells),
+       |grid AS (SELECT durs.d, sbs.sb, coalesce(c.n, 0) AS n,
+       |  coalesce(c.e, 0) AS e
+       | FROM durs CROSS JOIN sbs
+       | LEFT JOIN cells c ON c.d = durs.d AND c.sb = sbs.sb),
+       |s1 AS (SELECT *, sum(n) OVER (PARTITION BY sb ORDER BY d DESC
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+       |   AS later_same FROM grid),
+       |s2 AS (SELECT *, coalesce(sum(later_same)
+       |  OVER (PARTITION BY d ORDER BY sb ASC
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |   AS later_lower FROM s1),
+       |dt AS (SELECT d, sum(n)::BIGINT AS dn FROM cells GROUP BY 1),
+       |lt AS (SELECT d, sum(dn) OVER (ORDER BY d DESC
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - dn
+       |   AS later_all FROM dt),
+       |ag AS (SELECT
+       |  sum(e::HUGEINT * later_all::HUGEINT) AS up,
+       |  sum(e::HUGEINT * later_lower::HUGEINT) AS cc,
+       |  sum(e::HUGEINT * later_same::HUGEINT) AS tt
+       | FROM s2 JOIN lt USING (d))
+       |SELECT up::BIGINT AS usable_pairs, cc::BIGINT AS concordant,
+       | tt::BIGINT AS tied,
+       | round(CASE WHEN up > 0
+       |  THEN (cc::DOUBLE + 0.5*tt::DOUBLE)/up::DOUBLE
+       |  ELSE 0.5 END, 4) AS c_index
+       |FROM ag""".stripMargin.replace("\n", " ")
+
   /** Generated Cox-PH oracle — replays Survival.coxPh: per-round
     * duration-histogram risk sums (8dp integer cumsums), Breslow U/H
     * terms, closed-form 2x2 Newton with 6dp-frozen betas, final SE
@@ -996,21 +1072,7 @@ object R10Queries {
         s"/(a$r.h11*a$r.h22 - a$r.h12*a$r.h12)")}
          |  ELSE q.b2 END AS b2
          | FROM a$r CROSS JOIN par${r - 1} q)""".stripMargin
-    s"""WITH dd AS (SELECT user_id,
-       |  epoch_ns(ts) // 86400000000000 AS day, value FROM events),
-       |per AS (SELECT user_id, min(day) AS fd, max(day) AS ld,
-       |  min(CASE WHEN value > 250.0 THEN day END) AS hd,
-       |  count(value)::BIGINT AS nv,
-       |  sum(${fp("value", "10000.0")}::HUGEINT) AS s4
-       | FROM dd GROUP BY 1),
-       |subj0 AS (SELECT
-       |  (CASE WHEN hd IS NOT NULL THEN hd - fd
-       |   ELSE ld - fd END)::DOUBLE AS dur,
-       |  hd IS NOT NULL AS ev,
-       |  (s4::DOUBLE/10000.0/nv::DOUBLE - 50.0)/10.0 AS x1,
-       |  CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS x2
-       | FROM per),
-       |subj AS (SELECT * FROM subj0 WHERE x1 IS NOT NULL),
+    s"""WITH $coxSubjCte,
        |par0 AS (SELECT 0.0::DOUBLE AS b1, 0.0::DOUBLE AS b2),
        |${pass(1, "par0")},
        |${upd(1)},
@@ -1998,6 +2060,7 @@ object R10Queries {
     "q499_shapley_attribution" -> shapleyOracle,
     "q500_bradley_terry" -> btOracle,
     "q501_cox_ph" -> coxOracle,
+    "q506_c_index" -> cIndexOracle,
     "q502_markov_attribution" -> markovOracle,
     "q503_elo" -> eloOracle,
     "q504_elo_stream" -> eloOracle,

@@ -291,6 +291,26 @@ class Wave10bSpec extends SparkSpec {
       "outlier error must clearly separate from the manifold")
   }
 
+  test("concordanceIndex: perfect, anti-perfect and tied rankings") {
+    // events at t=1..10 with scores 10..1: higher score dies sooner
+    val perfect = Seq.tabulate(10)(i =>
+      ((i + 1).toDouble, true, (10 - i).toDouble)).toDF("dur", "ev", "s")
+    val p = graft.model.Survival.concordanceIndex(perfect, "dur", "ev", "s")
+      .head()
+    assert(p.getAs[Double]("c_index") == 1.0)
+    assert(p.getAs[Long]("usable_pairs") == 45L)
+    val anti = Seq.tabulate(10)(i =>
+      ((i + 1).toDouble, true, (i + 1).toDouble)).toDF("dur", "ev", "s")
+    assert(graft.model.Survival.concordanceIndex(anti, "dur", "ev", "s")
+      .head().getAs[Double]("c_index") == 0.0)
+    val const = Seq.tabulate(10)(i =>
+      ((i + 1).toDouble, true, 7.0)).toDF("dur", "ev", "s")
+    val c = graft.model.Survival.concordanceIndex(const, "dur", "ev", "s")
+      .head()
+    assert(c.getAs[Double]("c_index") == 0.5 &&
+      c.getAs[Long]("tied") == 45L)
+  }
+
   test("elo: winners climb, first-match exchange is exactly K/2") {
     import spark.implicits._
     val ms = Seq(
