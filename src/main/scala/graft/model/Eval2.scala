@@ -390,6 +390,117 @@ object Eval2 {
         col("pos"), col("iso"))
   }
 
+  /** Expected / maximum calibration error + log-loss (Naeini et al.
+    * AAAI'15 ECE; the scalar companions to [[isotonicCalibration]]'s
+    * curve and [[brierDecomposition]]): equal-width probability bins,
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b|, MCE = max_b |acc_b − conf_b|,
+    * plus the clamped log-loss −mean[y·ln p + (1−y)·ln(1−p)],
+    * p ∈ [1e-6, 1−1e-6].
+    *
+    * Determinism: bin confidences and per-row log-loss terms sum as 8dp
+    * fixed-point longs; accuracies are exact integer ratios; the
+    * cross-bin ECE sum quantizes each bin term to 8dp (bins ≤ nBins).
+    * Output: one row — n, bins_used, ece, mce, logloss.
+    *
+    * Scale: one hash aggregate to the ≤nBins bin frame + one row-level
+    * aggregate for log-loss; a scalar broadcast joins them. */
+  def calibrationError(df: DataFrame, probCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val fp8 = (c: Column) =>
+      graft.core.fixedPointLong(c, 8).cast("decimal(38,0)")
+    val rows = df.where(p.isNotNull && y.isNotNull)
+    val pc = least(greatest(p, lit(1e-6)), lit(1.0) - lit(1e-6))
+    val ll = rows.agg(count(lit(1)).as("n"),
+      sum(fp8(-(y.cast("double") * log(pc) +
+        (lit(1.0) - y.cast("double")) * log(lit(1.0) - pc)))).as("_l8"))
+    val bins = rows
+      .withColumn("_b", least(lit(nBins - 1L),
+        floor(p * nBins).cast("long")))
+      .groupBy("_b")
+      .agg(count(lit(1)).as("_n"),
+        sum(when(y, 1L).otherwise(0L)).as("_pos"),
+        sum(fp8(p)).as("_s8"))
+    val terms = bins.crossJoin(broadcast(ll.select(col("n"))))
+      .withColumn("_conf",
+        col("_s8").cast("double") / 1e8 / col("_n").cast("double"))
+      .withColumn("_acc",
+        col("_pos").cast("double") / col("_n").cast("double"))
+      .withColumn("_gap", abs(col("_acc") - col("_conf")))
+      .agg(count(lit(1)).as("bins_used"),
+        sum(fp8(col("_n").cast("double") / col("n").cast("double") *
+          col("_gap"))).as("_e8"),
+        max(col("_gap")).as("mce"))
+    ll.crossJoin(broadcast(terms))
+      .select(col("n"), col("bins_used"),
+        (col("_e8").cast("double") / 1e8).as("ece"), col("mce"),
+        (col("_l8").cast("double") / 1e8 / col("n").cast("double"))
+          .as("logloss"))
+  }
+
+  /** Platt scaling (Platt 1999) — the parametric calibration partner
+    * to [[isotonicCalibration]]: fit p_cal = σ(a + b·score) with the
+    * engine's deterministic full-batch logistic GD trainer
+    * ([[graft.text.TextOps.logRegFit]] — algebraic sigmoid, 9dp
+    * fixed-point gradient sums, 6dp-frozen weights, so the fit replays
+    * in the established gd2 SQL oracle), then score every row.
+    * Output: idCol, scoreCol, label, p_cal.
+    *
+    * Scale: `iters` full scans for the fit (one aggregate each), one
+    * scoring scan with the two weights inlined as literals. */
+  def plattScale(df: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String, iters: Int = 5, lr: Double = 0.5): DataFrame = {
+    val feat = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .withColumn("f0", lit(1.0))
+      .withColumn("f1", col(scoreCol).cast("double"))
+      .withColumn("_y", col(labelCol).cast("boolean").cast("double"))
+    val wts = graft.text.TextOps.logRegFit(feat, Seq("f0", "f1"), "_y",
+      iters, lr)
+      .collect().sortBy(_.getAs[Int]("j")).map(_.getAs[Double]("weight"))
+    val z = lit(wts(0)) * col("f0") + lit(wts(1)) * col("f1")
+    feat.select(col(idCol), col(scoreCol),
+      col(labelCol).cast("boolean").as("label"),
+      (lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))).as("p_cal"))
+  }
+
+  /** Hosmer–Lemeshow goodness-of-fit (Hosmer & Lemeshow 1980) over
+    * equal-WIDTH probability bins (the deterministic variant — decile
+    * cuts would ride data-sized rank windows; fixed bins are the
+    * documented engine contract): χ² = Σ_b (O₁−E₁)²/E₁ + (O₀−E₀)²/E₀,
+    * E₁ = Σ p (8dp fixed-point), bins with a degenerate expectation
+    * (E₁ ≤ 0 or E₀ ≤ 0) are excluded and reported. Output: one row —
+    * bins_used, bins_skipped, chi2, df (= bins_used − 2). */
+  def hosmerLemeshow(df: DataFrame, probCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val fp8 = (c: Column) =>
+      graft.core.fixedPointLong(c, 8).cast("decimal(38,0)")
+    val bins = df.where(p.isNotNull && y.isNotNull)
+      .withColumn("_b", least(lit(nBins - 1L),
+        floor(p * nBins).cast("long")))
+      .groupBy("_b")
+      .agg(count(lit(1)).as("_n"),
+        sum(when(y, 1L).otherwise(0L)).as("_o1"),
+        sum(fp8(p)).as("_e8"))
+      .withColumn("_e1", col("_e8").cast("double") / 1e8)
+      .withColumn("_e0", col("_n").cast("double") - col("_e1"))
+      .withColumn("_ok", col("_e1") > 0 && col("_e0") > 0)
+      .withColumn("_t", when(col("_ok"),
+        (col("_o1").cast("double") - col("_e1")) *
+          (col("_o1").cast("double") - col("_e1")) / col("_e1") +
+          ((col("_n") - col("_o1")).cast("double") - col("_e0")) *
+          ((col("_n") - col("_o1")).cast("double") - col("_e0")) /
+          col("_e0")).otherwise(lit(0.0)))
+    bins.agg(
+      sum(when(col("_ok"), 1L).otherwise(0L)).as("bins_used"),
+      sum(when(!col("_ok"), 1L).otherwise(0L)).as("bins_skipped"),
+      (sum(fp8(col("_t"))).cast("double") / 1e8).as("chi2"))
+      .withColumn("df", col("bins_used") - 2L)
+  }
+
   /** Forecast-accuracy roll-up per key — MAE, RMSE, sMAPE and MASE
     * (Hyndman & Koehler 2006, "Another look at measures of forecast
     * accuracy") over any (actual, forecast) column pair, the metric

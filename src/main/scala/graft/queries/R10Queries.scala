@@ -292,6 +292,18 @@ object R10Queries {
       canon(graft.model.Behavior.shapleyAttribution(ev(s, dir),
         "user_id", "ts", "event_type",
         Seq("click", "error", "signup", "view"), "purchase"))),
+    // ECE/MCE + log-loss of the synthetic probability vs lang='en'
+    "q507_calibration_error" -> ((s, dir) =>
+      canon(graft.model.Eval2.calibrationError(probFixture(s, dir),
+        "score", "y"))),
+    // Platt scaling of the same score (gd2 logistic trainer)
+    "q508_platt" -> ((s, dir) =>
+      canon(graft.model.Eval2.plattScale(probFixture(s, dir),
+        "doc_id", "score", "y"))),
+    // Hosmer-Lemeshow equal-width-bin goodness of fit
+    "q509_hosmer_lemeshow" -> ((s, dir) =>
+      canon(graft.model.Eval2.hosmerLemeshow(probFixture(s, dir),
+        "score", "y"))),
     // autoencoder reconstruction-error outliers (the last §2.9 row):
     // tied-weight 3-2-3 AE, 8 GD rounds, z-scaled event features
     "q505_autoencoder" -> ((s, dir) => {
@@ -961,6 +973,21 @@ object R10Queries {
        |res AS (SELECT f$rounds.p0 AS pfull, $reCols FROM $reFrom)
        |$outRows""".stripMargin.replace("\n", " ")
   }
+
+  /** The q466 synthetic-probability fixture as a frame:
+    * score = ((doc_id·37 + n_chars) mod 1000)/1000, y = lang='en'. */
+  private def probFixture(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      (pmod(col("doc_id") * 37 + col("n_chars"), lit(1000))
+        .cast("double") / 1000.0).as("score"),
+      (col("lang") === "en").as("y"))
+
+  /** Its SQL twin. */
+  private val probCte =
+    """pb AS (SELECT doc_id,
+      |  ((doc_id*37 + n_chars) % 1000)::DOUBLE / 1000.0 AS score,
+      |  (lang = 'en') AS y FROM documents)""".stripMargin
+      .replace("\n", " ")
 
   /** Survival-subjects-with-covariates fixture CTE chain (shared by
     * the Cox and C-index oracles). */
@@ -2061,6 +2088,61 @@ object R10Queries {
     "q500_bradley_terry" -> btOracle,
     "q501_cox_ph" -> coxOracle,
     "q506_c_index" -> cIndexOracle,
+    "q507_calibration_error" -> {
+      val pc = "least(greatest(score, 0.000001), 1.0 - 0.000001)"
+      val yd = "CASE WHEN y THEN 1.0 ELSE 0.0 END"
+      val gap = "abs(pos::DOUBLE/b.n::DOUBLE" +
+        " - s8::DOUBLE/100000000.0/b.n::DOUBLE)"
+      s"""WITH $probCte,
+         |ll AS (SELECT count(*)::BIGINT AS n,
+         |  sum(${fp(s"-(($yd)*ln($pc) + (1.0 - ($yd))*ln(1.0 - $pc))",
+        "100000000.0")}::HUGEINT) AS l8 FROM pb),
+         |b AS (SELECT least(9, floor(score*10)::BIGINT) AS bb,
+         |  count(*)::BIGINT AS n,
+         |  sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos,
+         |  sum(${fp("score", "100000000.0")}::HUGEINT) AS s8
+         | FROM pb GROUP BY 1),
+         |t AS (SELECT count(*)::BIGINT AS bins_used,
+         |  sum(${fp(s"b.n::DOUBLE / ll.n::DOUBLE * ($gap)",
+        "100000000.0")}::HUGEINT) AS e8,
+         |  max($gap) AS mce FROM b CROSS JOIN ll)
+         |SELECT ll.n, t.bins_used,
+         | round(t.e8::DOUBLE/100000000.0, 4) AS ece,
+         | round(t.mce, 4) AS mce,
+         | round(ll.l8::DOUBLE/100000000.0/ll.n::DOUBLE, 4) AS logloss
+         |FROM ll CROSS JOIN t""".stripMargin.replace("\n", " ")
+    },
+    "q508_platt" ->
+      s"""WITH $probCte,
+         |src AS (SELECT doc_id, score, y, 1.0::DOUBLE AS f0,
+         |  score AS f1, CASE WHEN y THEN 1.0 ELSE 0.0 END AS ry
+         | FROM pb),
+         |${gd2Sql("src", "pw")}
+         |SELECT s.doc_id, round(s.score, 4) AS score, s.y AS label,
+         | round(0.5 + (w.wa*s.f0 + w.wb*s.f1)
+         |  /(2.0*(1.0 + abs(w.wa*s.f0 + w.wb*s.f1))), 4) + 0 AS p_cal
+         |FROM src s CROSS JOIN pw5 w""".stripMargin.replace("\n", " "),
+    "q509_hosmer_lemeshow" -> {
+      val t = "(o1::DOUBLE - e1v)*(o1::DOUBLE - e1v)/e1v" +
+        " + ((n - o1)::DOUBLE - e0v)*((n - o1)::DOUBLE - e0v)/e0v"
+      s"""WITH $probCte,
+         |b AS (SELECT least(9, floor(score*10)::BIGINT) AS bb,
+         |  count(*)::BIGINT AS n,
+         |  sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS o1,
+         |  sum(${fp("score", "100000000.0")}::HUGEINT) AS e8
+         | FROM pb GROUP BY 1),
+         |c AS (SELECT *, e8::DOUBLE/100000000.0 AS e1v,
+         |  n::DOUBLE - e8::DOUBLE/100000000.0 AS e0v FROM b),
+         |d AS (SELECT *, (e1v > 0 AND e0v > 0) AS ok FROM c)
+         |SELECT sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT
+         |  AS bins_used,
+         | sum(CASE WHEN NOT ok THEN 1 ELSE 0 END)::BIGINT
+         |  AS bins_skipped,
+         | round(sum(${fp(s"CASE WHEN ok THEN $t ELSE 0.0 END",
+        "100000000.0")}::HUGEINT)::DOUBLE/100000000.0, 4) AS chi2,
+         | (sum(CASE WHEN ok THEN 1 ELSE 0 END) - 2)::BIGINT AS df
+         |FROM d""".stripMargin.replace("\n", " ")
+    },
     "q502_markov_attribution" -> markovOracle,
     "q503_elo" -> eloOracle,
     "q504_elo_stream" -> eloOracle,

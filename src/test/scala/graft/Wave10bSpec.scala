@@ -291,6 +291,49 @@ class Wave10bSpec extends SparkSpec {
       "outlier error must clearly separate from the manifold")
   }
 
+  test("calibrationError: perfectly calibrated bins give ECE 0") {
+    // bin 0.25: 25% positive; bin 0.75: 75% positive — exactly calibrated
+    val d = (Seq.fill(3)((0.25, false)) ++ Seq.fill(1)((0.25, true)) ++
+      Seq.fill(1)((0.75, false)) ++ Seq.fill(3)((0.75, true)))
+      .toDF("p", "y")
+    val r = graft.model.Eval2.calibrationError(d, "p", "y").head()
+    assert(r.getAs[Double]("ece") == 0.0 && r.getAs[Double]("mce") == 0.0)
+    assert(r.getAs[Long]("bins_used") == 2L)
+    // anti-calibrated: confident and always wrong
+    val bad = (Seq.fill(4)((0.95, false)) ++ Seq.fill(4)((0.05, true)))
+      .toDF("p", "y")
+    val rb = graft.model.Eval2.calibrationError(bad, "p", "y").head()
+    assert(rb.getAs[Double]("mce") > 0.89)
+    assert(rb.getAs[Double]("logloss") > 2.9,
+      "confident wrong predictions blow up log-loss")
+  }
+
+  test("plattScale: calibrated output is monotone in the score") {
+    // y gets likelier with s
+    val d = Seq.tabulate(200) { i =>
+      val s = (i % 100).toDouble / 100.0
+      (i.toLong, s, (i * 37) % 100 < (s * 100).toInt)
+    }.toDF("id", "score", "y")
+    val r = graft.model.Eval2.plattScale(d, "id", "score", "y")
+      .collect().map(x => x.getAs[Double]("score") -> x.getAs[Double]("p_cal"))
+      .sortBy(_._1)
+    assert(r.last._2 > r.head._2, "p_cal must rise with the score")
+    r.foreach { case (_, p) => assert(p >= 0.0 && p <= 1.0) }
+  }
+
+  test("hosmerLemeshow: calibrated data scores near zero chi2") {
+    val good = (Seq.fill(30)((0.25, false)) ++ Seq.fill(10)((0.25, true)) ++
+      Seq.fill(10)((0.75, false)) ++ Seq.fill(30)((0.75, true)))
+      .toDF("p", "y")
+    val g = graft.model.Eval2.hosmerLemeshow(good, "p", "y").head()
+    assert(g.getAs[Double]("chi2") == 0.0)
+    assert(g.getAs[Long]("df") == 0L, "two used bins minus 2")
+    val bad = (Seq.fill(40)((0.25, true)) ++ Seq.fill(40)((0.75, false)))
+      .toDF("p", "y")
+    val b = graft.model.Eval2.hosmerLemeshow(bad, "p", "y").head()
+    assert(b.getAs[Double]("chi2") > 50.0)
+  }
+
   test("concordanceIndex: perfect, anti-perfect and tied rankings") {
     // events at t=1..10 with scores 10..1: higher score dies sooner
     val perfect = Seq.tabulate(10)(i =>
