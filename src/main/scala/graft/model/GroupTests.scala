@@ -745,4 +745,60 @@ object GroupTests {
           .as("chi2"))
     folded.select("k", "n", "chi2")
   }
+
+  /** Cohen's d + Hedges' g standardized mean difference between the
+    * two `groupCol` populations per key (Cohen 1988; Hedges 1981 —
+    * the parametric effect sizes beside Cliff's delta): d =
+    * (m₁ − m₂)/s_pooled with the (n−2)-pooled variance, g = d·J with
+    * Hedges' small-sample correction J = 1 − 3/(4(n₁+n₂) − 9).
+    * Group 1 = the alphabetically smaller group label (pinned).
+    * Exact 4dp moment sums; one hash aggregate to a key-sized frame.
+    * Output: key…, g1, g2, n1, n2, mean_diff, pooled_sd, cohens_d,
+    * hedges_g. */
+  def cohensD(data: DataFrame, keyCols: Seq[String], groupCol: String,
+      valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val q = graft.core.fixedPointLong(v, 4)
+    val per = data.where(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(keyCols.map(col) :+ col(groupCol).cast("string")
+        .as("_g"): _*)
+      .agg(count(lit(1)).as("_n"), sum(dec(q)).as("_s"),
+        sum(dec(dec(q) * dec(q))).as("_ss"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("_g").asc)
+    val two = per.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= 2)
+    val g1 = two.where(col("_rn") === 1).select(
+      keyCols.map(col) :+ col("_g").as("g1") :+ col("_n").as("_n1") :+
+        col("_s").as("_s1") :+ col("_ss").as("_ss1"): _*)
+    val g2 = two.where(col("_rn") === 2).select(
+      keyCols.map(col) :+ col("_g").as("g2") :+ col("_n").as("_n2") :+
+        col("_s").as("_s2") :+ col("_ss").as("_ss2"): _*)
+    def m(s: Column, n: Column) = s.cast("double") / 1e4 / n.cast("double")
+    def css(ss: Column, s: Column, n: Column) =
+      ss.cast("double") / 1e8 -
+        (s.cast("double") / 1e4) * (s.cast("double") / 1e4) /
+          n.cast("double")
+    g1.join(g2, keyCols)
+      .where(col("_n1") >= 2 && col("_n2") >= 2)
+      .withColumn("mean_diff",
+        m(col("_s1"), col("_n1")) - m(col("_s2"), col("_n2")))
+      .withColumn("_sp2",
+        (css(col("_ss1"), col("_s1"), col("_n1")) +
+          css(col("_ss2"), col("_s2"), col("_n2"))) /
+          (col("_n1") + col("_n2") - 2L).cast("double"))
+      .withColumn("pooled_sd",
+        when(col("_sp2") > 0, sqrt(col("_sp2"))).otherwise(lit(0.0)))
+      .withColumn("cohens_d",
+        when(col("pooled_sd") > 0, col("mean_diff") / col("pooled_sd"))
+          .otherwise(lit(0.0)))
+      .withColumn("hedges_g", col("cohens_d") *
+        (lit(1.0) - lit(3.0) /
+          (lit(4.0) * (col("_n1") + col("_n2")).cast("double") -
+            lit(9.0))))
+      .select(keyCols.map(col) :+ col("g1") :+ col("g2") :+
+        col("_n1").as("n1") :+ col("_n2").as("n2") :+ col("mean_diff") :+
+        col("pooled_sd") :+ col("cohens_d") :+ col("hedges_g"): _*)
+  }
 }

@@ -292,6 +292,22 @@ object R10Queries {
       canon(graft.model.Behavior.shapleyAttribution(ev(s, dir),
         "user_id", "ts", "event_type",
         Seq("click", "error", "signup", "view"), "purchase"))),
+    // Cohen's d / Hedges' g of value between user-parity groups
+    "q510_cohens_d" -> ((s, dir) =>
+      canon(graft.model.GroupTests.cohensD(
+        ev(s, dir).withColumn("grp",
+          when(col("user_id") % 2 === 0, "even").otherwise("odd")),
+        Seq("event_type"), "grp", "value"))),
+    // Engle-Granger cointegration: y = 0.8x + bounded cycle
+    "q511_engle_granger" -> ((s, dir) =>
+      canon(graft.seq.Forecast2.engleGranger(
+        ev(s, dir).withColumn("y", lit(0.8) * col("value") +
+          pmod(col("event_id"), lit(11)).cast("double")),
+        Seq("event_type"), "event_id", "y", "value"))),
+    // JL sign-projection 64->16 distance-distortion audit
+    "q512_jl_distortion" -> ((s, dir) =>
+      canon(graft.sim.SimJoin.jlDistortion(table(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, k = 16, sampleMod = 10))),
     // ECE/MCE + log-loss of the synthetic probability vs lang='en'
     "q507_calibration_error" -> ((s, dir) =>
       canon(graft.model.Eval2.calibrationError(probFixture(s, dir),
@@ -2088,6 +2104,125 @@ object R10Queries {
     "q500_bradley_terry" -> btOracle,
     "q501_cox_ph" -> coxOracle,
     "q506_c_index" -> cIndexOracle,
+    "q510_cohens_d" -> {
+      def m(s: String, n: String) = s"$s::DOUBLE/10000.0/$n::DOUBLE"
+      def css(ss: String, s: String, n: String) =
+        s"$ss::DOUBLE/100000000.0 - ($s::DOUBLE/10000.0)" +
+          s"*($s::DOUBLE/10000.0)/$n::DOUBLE"
+      s"""WITH per AS (SELECT event_type,
+         |  CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g,
+         |  count(*)::BIGINT AS n,
+         |  sum(${fp("value", "10000.0")}::HUGEINT) AS s,
+         |  sum(${fp("value", "10000.0")}::HUGEINT
+         |   * ${fp("value", "10000.0")}::HUGEINT) AS ss
+         | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |a AS (SELECT * FROM per WHERE g = 'even'),
+         |b AS (SELECT * FROM per WHERE g = 'odd'),
+         |j AS (SELECT a.event_type, a.g AS g1, b.g AS g2,
+         |  a.n AS n1, b.n AS n2,
+         |  ${m("a.s", "a.n")} - ${m("b.s", "b.n")} AS mean_diff,
+         |  ((${css("a.ss", "a.s", "a.n")})
+         |   + (${css("b.ss", "b.s", "b.n")}))
+         |   /(a.n + b.n - 2)::DOUBLE AS sp2
+         | FROM a JOIN b USING (event_type)
+         | WHERE a.n >= 2 AND b.n >= 2),
+         |f AS (SELECT *, CASE WHEN sp2 > 0 THEN sqrt(sp2)
+         |   ELSE 0.0 END AS pooled_sd FROM j),
+         |f2 AS (SELECT *, CASE WHEN pooled_sd > 0
+         |   THEN mean_diff/pooled_sd ELSE 0.0 END AS cohens_d FROM f)
+         |SELECT event_type, g1, g2, n1, n2,
+         | round(mean_diff, 4) + 0 AS mean_diff,
+         | round(pooled_sd, 4) AS pooled_sd,
+         | round(cohens_d, 4) + 0 AS cohens_d,
+         | round(cohens_d*(1.0 - 3.0/(4.0*(n1 + n2)::DOUBLE - 9.0)), 4)
+         |  + 0 AS hedges_g
+         |FROM f2""".stripMargin.replace("\n", " ")
+    },
+    "q511_engle_granger" ->
+      s"""WITH b0 AS (SELECT event_type AS key, event_id AS o,
+         |  value::DOUBLE AS x,
+         |  0.8*value + (event_id % 11)::DOUBLE AS y
+         | FROM events WHERE value IS NOT NULL),
+         |q AS (SELECT key, o, x, y, ${fp("x", "10000.0")} AS x4,
+         |  ${fp("y", "10000.0")} AS y4 FROM b0),
+         |mom AS (SELECT key, count(*)::BIGINT AS n,
+         |  sum(x4)::HUGEINT AS sx, sum(y4)::HUGEINT AS sy,
+         |  sum(x4::HUGEINT * x4::HUGEINT) AS sxx,
+         |  sum(x4::HUGEINT * y4::HUGEINT) AS sxy
+         | FROM q GROUP BY 1 HAVING count(*) >= 6),
+         |cm AS (SELECT key, n,
+         |  sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE/n::DOUBLE AS sxxc,
+         |  sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE/n::DOUBLE AS sxyc,
+         |  sy::DOUBLE/10000.0/n::DOUBLE AS ybar,
+         |  sx::DOUBLE/10000.0/n::DOUBLE AS xbar FROM mom),
+         |par AS (SELECT key, n,
+         |  ${fp("sxyc/sxxc", "1000000.0")}::DOUBLE/1000000.0 AS slope,
+         |  ${fp("ybar - (sxyc/sxxc)*xbar",
+        "1000000.0")}::DOUBLE/1000000.0 AS intercept
+         | FROM cm WHERE sxxc > 0),
+         |rs AS (SELECT q.key, q.o,
+         |  ${fp("q.y - (par.intercept + par.slope*q.x)",
+        "10000.0")} AS r4
+         | FROM q JOIN par USING (key)),
+         |l AS (SELECT key, r4,
+         |  lag(r4) OVER (PARTITION BY key ORDER BY o) AS yl FROM rs),
+         |d AS (SELECT key, yl, r4 - yl AS dy FROM l
+         | WHERE yl IS NOT NULL),
+         |g AS (SELECT key, count(*)::BIGINT AS n2,
+         |  sum(yl)::HUGEINT AS sx2,
+         |  sum(yl::HUGEINT * yl::HUGEINT) AS sxx2,
+         |  sum(dy)::HUGEINT AS sy2,
+         |  sum(yl::HUGEINT * dy::HUGEINT) AS sxy2,
+         |  sum(dy::HUGEINT * dy::HUGEINT) AS syy2
+         | FROM d GROUP BY key HAVING count(*) >= 4),
+         |c2 AS (SELECT key, n2::DOUBLE AS nd,
+         |  sxx2::DOUBLE - sx2::DOUBLE*sx2::DOUBLE/n2::DOUBLE AS sxxc,
+         |  sxy2::DOUBLE - sx2::DOUBLE*sy2::DOUBLE/n2::DOUBLE AS sxyc,
+         |  syy2::DOUBLE - sy2::DOUBLE*sy2::DOUBLE/n2::DOUBLE AS syyc
+         | FROM g),
+         |f AS (SELECT key, sxyc/sxxc AS rho,
+         |  syyc - (sxyc/sxxc)*sxyc AS sse, sxxc, nd FROM c2),
+         |adf AS (SELECT key, round(rho, 4) + 0 AS rho,
+         |  round(CASE WHEN sse > 0
+         |   THEN rho/sqrt(sse/(nd - 2)/sxxc) ELSE 0.0 END, 4) + 0
+         |   AS t_stat,
+         |  CASE WHEN sse > 0 THEN rho/sqrt(sse/(nd - 2)/sxxc)
+         |   ELSE 0.0 END AS traw FROM f)
+         |SELECT par.key, par.n, round(par.slope, 4) + 0 AS slope,
+         | round(par.intercept, 4) + 0 AS intercept, adf.rho, adf.t_stat,
+         | (adf.traw < -3.34) AS cointegrated
+         |FROM par JOIN adf USING (key)""".stripMargin.replace("\n", " "),
+    "q512_jl_distortion" ->
+      s"""WITH sg AS (SELECT i, j,
+         |  CASE WHEN ${h56("i::VARCHAR || '_' || j::VARCHAR")} % 2 = 0
+         |   THEN 1.0 ELSE -1.0 END AS s
+         | FROM range(0, 64) t(i), range(0, 16) u(j)),
+         |sm AS (SELECT vec_id AS id, embedding FROM embeddings
+         | WHERE vec_id % 10 = 0 AND embedding IS NOT NULL),
+         |ex AS (SELECT id, ii - 1 AS i, e[ii]::DOUBLE AS x
+         | FROM (SELECT id, embedding AS e,
+         |   unnest(range(1, len(embedding) + 1)) AS ii FROM sm)),
+         |pj AS (SELECT id, j,
+         |  sum(${fp("x * s", "100000000.0")}::HUGEINT) AS y8
+         | FROM ex JOIN sg USING (i) GROUP BY 1, 2),
+         |py AS (SELECT id, j,
+         |  y8::DOUBLE/100000000.0/sqrt(16.0) AS y FROM pj),
+         |pd AS (SELECT a.id AS aa, b.id AS bb,
+         |  sum(${fp("(a.y - b.y)*(a.y - b.y)",
+        "100000000.0")}::HUGEINT) AS pd8
+         | FROM py a JOIN py b ON a.j = b.j AND a.id < b.id
+         | GROUP BY 1, 2),
+         |od AS (SELECT a.id AS aa, b.id AS bb,
+         |  list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         |   AS dor
+         | FROM sm a JOIN sm b ON a.id < b.id),
+         |r AS (SELECT sqrt(pd8::DOUBLE/100000000.0)/dor AS rt
+         | FROM pd JOIN od USING (aa, bb) WHERE dor > 0)
+         |SELECT 16 AS k, count(*)::BIGINT AS n_pairs,
+         | round(sum(${fp("rt", "100000000.0")}::HUGEINT)::DOUBLE
+         |  /100000000.0/count(*)::DOUBLE, 4) AS mean_ratio,
+         | round(min(rt), 4) AS min_ratio, round(max(rt), 4) AS max_ratio
+         |FROM r""".stripMargin.replace("\n", " "),
     "q507_calibration_error" -> {
       val pc = "least(greatest(score, 0.000001), 1.0 - 0.000001)"
       val yd = "CASE WHEN y THEN 1.0 ELSE 0.0 END"

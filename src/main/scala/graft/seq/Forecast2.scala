@@ -320,4 +320,58 @@ object Forecast2 {
     sums.select(col("key"), col("n"),
       (col("ss2").cast("double") / col("n").cast("double") / lr).as("eta"))
   }
+
+  /** Engle–Granger two-step cointegration test (Engle & Granger 1987):
+    * per key, OLS y = a + b·x from exact 4dp moment sums (slope and
+    * intercept 6dp-frozen so the residual series replays), then the
+    * Dickey–Fuller t-statistic of the residuals via [[adfStat]] —
+    * stationary residuals = the two series share a long-run
+    * equilibrium. `cointegrated` applies the asymptotic 5%
+    * Engle–Granger critical value −3.34 (with constant, two series).
+    *
+    * Scale: one moment aggregate per key (map-side combined), one
+    * broadcast-sized join of the frozen (a, b) back onto the rows,
+    * then adfStat's lag window — two shuffles total on the key.
+    * Output: key, n, slope, intercept, rho, t_stat, cointegrated. */
+  def engleGranger(data: DataFrame, keyCols: Seq[String], seqCol: String,
+      yCol: String, xCol: String): DataFrame = {
+    val xv = col(xCol).cast("double")
+    val yv = col(yCol).cast("double")
+    val key = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = data.where(xv.isNotNull && yv.isNotNull)
+      .select(key.as("key"), col(seqCol).cast("long").as("_o"),
+        xv.as("_x"), yv.as("_y"),
+        graft.core.fixedPointLong(xv, 4).as("_x4"),
+        graft.core.fixedPointLong(yv, 4).as("_y4"))
+    val mom = base.groupBy(col("key"))
+      .agg(count(lit(1)).as("_n"),
+        sum(dec(col("_x4"))).as("_sx"),
+        sum(dec(col("_y4"))).as("_sy"),
+        sum(dec(dec(col("_x4")) * dec(col("_x4")))).as("_sxx"),
+        sum(dec(dec(col("_x4")) * dec(col("_y4")))).as("_sxy"))
+      .where(col("_n") >= 6)
+    val nd = col("_n").cast("double")
+    val sxxc = col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double") / nd
+    val sxyc = col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double") / nd
+    val slope = sxyc / sxxc
+    val ybar = col("_sy").cast("double") / 1e4 / nd
+    val xbar = col("_sx").cast("double") / 1e4 / nd
+    val r6c = (c: Column) =>
+      graft.core.fixedPointLong(c, 6).cast("double") / 1e6
+    val params = mom
+      .where(sxxc > 0)
+      .select(col("key"), col("_n").as("n"),
+        r6c(slope).as("slope"),
+        r6c(ybar - slope * xbar).as("intercept"))
+    val resid = base.join(params, "key")
+      .withColumn("_r",
+        col("_y") - (col("intercept") + col("slope") * col("_x")))
+    val adf = adfStat(resid, Seq("key"), "_o", "_r")
+      .select(col("key"), col("rho"), col("t_stat"))
+    params.join(adf, "key")
+      .withColumn("cointegrated", col("t_stat") < -3.34)
+  }
 }

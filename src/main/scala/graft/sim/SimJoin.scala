@@ -256,4 +256,75 @@ object SimJoin {
           .as("mse_e6"),
         (col("_m8").cast("double") / 1e5).as("max_err_e3"))
   }
+
+  /** Johnson–Lindenstrauss sign-projection distortion audit (Achlioptas
+    * 2003 database-friendly ±1 projections): project the embeddings to
+    * `k` dimensions with a DETERMINISTIC ±1/√k matrix (sign = md5
+    * parity of "i_j", 0-based dim index) and report how well pairwise
+    * L2 distances survive on a hash-thinned pair sample — the go/no-go
+    * table before running the ANN stack on reduced vectors (k·/d·
+    * storage and dot-product cost).
+    *
+    * Exactness: projected components sum 8dp fixed-point longs per
+    * (vec, j); per-pair projected distances quantize each squared term
+    * to 8dp; ratio aggregates (mean via 8dp terms, min/max exact
+    * comparisons) replay bit-for-bit.
+    *
+    * Scale: the sign table is d·k rows (broadcast), projection is one
+    * explode + hash aggregate (n·d rows in flight, the same shape as
+    * every embedding fit here); the DISTORTION AUDIT is pair-sampled
+    * by `sampleMod` — the projection itself never touches pairs.
+    * Output: one row — k, n_pairs, mean_ratio, min_ratio, max_ratio. */
+  def jlDistortion(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int = 16, sampleMod: Int = 10): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    graft.expr.GraftFunctions.register(spark)
+    val fp8 = (c: Column) =>
+      graft.core.fixedPointLong(c, 8).cast("decimal(38,0)")
+    val signs = spark.range(dim).select(col("id").as("_i"))
+      .crossJoin(spark.range(k).select(col("id").as("_j")))
+      .withColumn("_s", when(pmod(graft.text.TextOps.hash56(
+        concat(col("_i").cast("string"), lit("_"),
+          col("_j").cast("string"))), lit(2L)) === 0L, lit(1.0))
+        .otherwise(lit(-1.0)))
+    val sample = vecs
+      .where(col(idCol) % sampleMod === 0 && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id"),
+        call_function("vec_validate", col(vecCol)).as("_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val proj = sample
+      .select(col("_id"), posexplode(col("_v")).as(Seq("_i", "_x")))
+      .join(broadcast(signs), "_i")
+      .groupBy(col("_id"), col("_j"))
+      .agg(sum(fp8(col("_x") * col("_s"))).as("_y8"))
+      .withColumn("_y",
+        col("_y8").cast("double") / 1e8 / math.sqrt(k.toDouble))
+    val pa = proj.select(col("_id").as("_a"), col("_j"),
+      col("_y").as("_ya"))
+    val pb = proj.select(col("_id").as("_b"), col("_j"),
+      col("_y").as("_yb"))
+    val pd = pa.join(pb, "_j").where(col("_a") < col("_b"))
+      .groupBy(col("_a"), col("_b"))
+      .agg(sum(fp8((col("_ya") - col("_yb")) *
+        (col("_ya") - col("_yb")))).as("_pd8"))
+      .withColumn("_dp", sqrt(col("_pd8").cast("double") / 1e8))
+    val oa = sample.select(col("_id").as("_a"), col("_v").as("_va"))
+    val ob = sample.select(col("_id").as("_b"), col("_v").as("_vb"))
+    val od = oa.join(ob, col("_a") < col("_b"))
+      .withColumn("_do",
+        call_function("vec_euclid", col("_va"), col("_vb")))
+      .select(col("_a"), col("_b"), col("_do"))
+    pd.join(od, Seq("_a", "_b"))
+      .where(col("_do") > 0)
+      .withColumn("_r", col("_dp") / col("_do"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(fp8(col("_r"))).as("_sr8"),
+        min(col("_r")).as("min_ratio"),
+        max(col("_r")).as("max_ratio"))
+      .select(lit(k).as("k"), col("n_pairs"),
+        (col("_sr8").cast("double") / 1e8 /
+          col("n_pairs").cast("double")).as("mean_ratio"),
+        col("min_ratio"), col("max_ratio"))
+  }
 }

@@ -291,6 +291,50 @@ class Wave10bSpec extends SparkSpec {
       "outlier error must clearly separate from the manifold")
   }
 
+  test("cohensD: textbook pooled-SD arithmetic") {
+    // a={0,0,2,2} m=1, b={4,4,6,6} m=5; each css=4 -> sp2=8/6
+    val d = (Seq(0.0, 0.0, 2.0, 2.0).map(("k", "a", _)) ++
+      Seq(4.0, 4.0, 6.0, 6.0).map(("k", "b", _))).toDF("k", "g", "v")
+    val r = graft.model.GroupTests.cohensD(d, Seq("k"), "g", "v").head()
+    assert(r.getAs[String]("g1") == "a" && r.getAs[String]("g2") == "b")
+    assert(math.abs(r.getAs[Double]("mean_diff") + 4.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("pooled_sd") -
+      math.sqrt(8.0 / 6.0)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("cohens_d") +
+      4.0 / math.sqrt(8.0 / 6.0)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("hedges_g") -
+      r.getAs[Double]("cohens_d") * (1.0 - 3.0 / 23.0)) < 1e-9)
+  }
+
+  test("engleGranger: stationary residuals flag cointegration") {
+    val co = Seq.tabulate(120)(i => ("k", i.toLong,
+      (i % 13).toDouble * 3.0 + 10.0)).toDF("k", "o", "x")
+      .withColumn("y", col("x") * 0.5 + (col("o") % 3).cast("double"))
+    val r = graft.seq.Forecast2.engleGranger(co, Seq("k"), "o", "y", "x")
+      .head()
+    assert(math.abs(r.getAs[Double]("slope") - 0.5) < 0.05)
+    assert(r.getAs[Boolean]("cointegrated"),
+      "bounded residuals must reject the unit root")
+    // y a pure trend, x a bounded cycle: residual inherits the trend
+    val no = Seq.tabulate(120)(i => ("k", i.toLong,
+      (i % 13).toDouble, i.toDouble)).toDF("k", "o", "x", "y")
+    val rn = graft.seq.Forecast2.engleGranger(no, Seq("k"), "o", "y", "x")
+      .head()
+    assert(!rn.getAs[Boolean]("cointegrated"),
+      "a trending residual is not stationary")
+  }
+
+  test("jlDistortion: 64->16 sign projection keeps distances in band") {
+    val r = graft.sim.SimJoin.jlDistortion(
+      graft.core.table(spark, sfDir, "embeddings"),
+      "vec_id", "embedding", dim = 64, k = 16, sampleMod = 4).head()
+    val mean = r.getAs[Double]("mean_ratio")
+    assert(mean > 0.6 && mean < 1.4,
+      s"JL mean distortion should hover near 1, got $mean")
+    assert(r.getAs[Double]("min_ratio") > 0.0)
+    assert(r.getAs[Long]("n_pairs") > 10L)
+  }
+
   test("calibrationError: perfectly calibrated bins give ECE 0") {
     // bin 0.25: 25% positive; bin 0.75: 75% positive — exactly calibrated
     val d = (Seq.fill(3)((0.25, false)) ++ Seq.fill(1)((0.25, true)) ++
