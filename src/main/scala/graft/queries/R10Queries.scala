@@ -147,6 +147,10 @@ object R10Queries {
     "q481_psm_att" -> ((s, dir) =>
       canon(graft.model.Causal.psmAtt(psmUnits(s, dir), "uid", "t", "y",
         Seq("f0", "f1"), iters = 5, lr = 0.5))),
+    // IPW ATE on the same confounded fixture (Hajek-stabilized)
+    "q513_ipw_ate" -> ((s, dir) =>
+      canon(graft.model.Causal.ipwAte(psmUnits(s, dir), "uid", "t", "y",
+        Seq("f0", "f1"), iters = 60, lr = 0.5))),
     // two-model uplift scores on a randomized fixture with
     // heterogeneous effect (+0.30 response only above x = 49)
     "q482_uplift" -> ((s, dir) =>
@@ -573,6 +577,71 @@ object R10Queries {
 
   /** q481 oracle: fixture CTEs + 5-round 2-weight logreg replay (the
     * q183 device) + the 4dp-histogram nearest-control scan. */
+
+  /** Generated IPW-ATE oracle — same confounded-units + gd2 propensity
+    * replay as psmOracle, then the four 8dp-exact weighted sums. */
+  private lazy val ipwOracle: String = {
+    val fp9 = (e: String) =>
+      s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e9+0.5) " +
+        s"ELSE -floor(-($e)*1e9+0.5) END)::BIGINT"
+    val regrain = (e: String) =>
+      s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) " +
+        s"ELSE -floor(-($e)*1e6+0.5) END) / 1000000.0"
+    val iters = (1 to 60).map { t =>
+      val p = s"ww${t - 1}"
+      s"""g$t AS (SELECT sum(${fp9("e * f0")}) AS s0,
+         |  sum(${fp9("e * f1")}) AS s1, count(*) AS n
+         | FROM (SELECT f0, f1, ty - (0.5 + z/(2.0*(1.0+abs(z)))) AS e
+         |   FROM (SELECT un.f0, un.f1, un.ty,
+         |     w.wa*un.f0 + w.wb*un.f1 AS z FROM un, $p w))),
+         |ww$t AS MATERIALIZED (SELECT
+         |  ${regrain(s"w.wa + 0.5 * (g.s0::DOUBLE / g.n / 1e9)")} AS wa,
+         |  ${regrain(s"w.wb + 0.5 * (g.s1::DOUBLE / g.n / 1e9)")} AS wb
+         | FROM $p w, g$t g)""".stripMargin
+    }.mkString(", ")
+    val f8 = (e: String) => s"${fp(e, "100000000.0")}::HUGEINT"
+    s"""WITH u0 AS (SELECT user_id AS uid, count(*)::BIGINT AS n,
+       |  sum(${fp("value", "10000.0")}::HUGEINT) AS s4
+       | FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |u1 AS (SELECT uid, s4::DOUBLE/10000.0/n::DOUBLE AS x FROM u0),
+       |u2 AS (SELECT uid, x,
+       |  (${h56("uid::VARCHAR")} % 100) <
+       |   (20 + CASE WHEN x > 49.0 THEN 40 ELSE 0 END) AS t FROM u1),
+       |un AS MATERIALIZED (SELECT uid, x, t,
+       |  x + (CASE WHEN t THEN 2.0 ELSE 0.0 END)
+       |   + ((${h56("'y:' || uid::VARCHAR")} % 1000)::DOUBLE/1000.0 - 0.5)
+       |     * 4.0 AS y,
+       |  1.0::DOUBLE AS f0, (x - 49.0)/10.0 AS f1,
+       |  CASE WHEN t THEN 1.0 ELSE 0.0 END AS ty FROM u2),
+       |ww0 AS (SELECT 0.0::DOUBLE AS wa, 0.0::DOUBLE AS wb),
+       |$iters,
+       |pc AS (SELECT un.t, un.y,
+       |  least(greatest(0.5 + z/(2.0*(1.0+abs(z))), 0.01),
+       |   1.0 - 0.01) AS p
+       | FROM (SELECT un.*, w.wa*un.f0 + w.wb*un.f1 AS z
+       |   FROM un, ww60 w) un),
+       |ag AS (SELECT count(*)::BIGINT AS n,
+       |  sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS n_treated,
+       |  sum(CASE WHEN t THEN ${f8("1.0/p")} ELSE 0 END) AS w1,
+       |  sum(CASE WHEN t THEN ${f8("y/p")} ELSE 0 END) AS wy1,
+       |  sum(CASE WHEN NOT t THEN ${f8("1.0/(1.0 - p)")} ELSE 0 END)
+       |   AS w0,
+       |  sum(CASE WHEN NOT t THEN ${f8("y/(1.0 - p)")} ELSE 0 END)
+       |   AS wy0,
+       |  sum(CASE WHEN t THEN ${fp("y", "10000.0")}::HUGEINT ELSE 0 END)
+       |   AS sy1,
+       |  sum(CASE WHEN NOT t THEN ${fp("y",
+        "10000.0")}::HUGEINT ELSE 0 END) AS sy0
+       | FROM pc)
+       |SELECT n, n_treated,
+       | round(sy1::DOUBLE/10000.0/n_treated::DOUBLE
+       |  - sy0::DOUBLE/10000.0/(n - n_treated)::DOUBLE, 4) + 0
+       |  AS ate_naive,
+       | round(wy1::DOUBLE/w1::DOUBLE - wy0::DOUBLE/w0::DOUBLE, 4) + 0
+       |  AS ate_ipw
+       |FROM ag""".stripMargin.replace("\n", " ")
+  }
+
   private lazy val psmOracle: String = {
     val fp9 = (e: String) =>
       s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e9+0.5) " +
@@ -1350,6 +1419,7 @@ object R10Queries {
          |  ELSE 0.0 END, 4) + 0 AS qini
          |FROM cu""".stripMargin.replace("\n", " "),
     "q481_psm_att" -> psmOracle,
+    "q513_ipw_ate" -> ipwOracle,
     "q484_conformal_interval" ->
       s"""WITH tg AS (SELECT event_type AS k2, value::DOUBLE AS y,
          |  (${h56("event_id::VARCHAR")} % 3) AS fold

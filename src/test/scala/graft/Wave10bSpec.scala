@@ -291,6 +291,22 @@ class Wave10bSpec extends SparkSpec {
       "outlier error must clearly separate from the manifold")
   }
 
+  test("ipwAte: weighting removes most of the confounding bias") {
+    // treatment is much likelier above x=49; true effect is exactly 2
+    val d = Seq.tabulate(400) { i =>
+      val x = (i % 100).toDouble
+      val t = (i * 7) % 100 < (if (x > 49) 60 else 20)
+      (i.toLong, x, t, x + (if (t) 2.0 else 0.0), 1.0, (x - 49.0) / 10.0)
+    }.toDF("uid", "x", "t", "y", "f0", "f1")
+    val r = graft.model.Causal.ipwAte(d, "uid", "t", "y",
+      Seq("f0", "f1"), iters = 60, lr = 0.5).head()
+    val naive = r.getAs[Double]("ate_naive")
+    val ipw = r.getAs[Double]("ate_ipw")
+    assert(naive > 10.0, s"the raw contrast must be badly confounded: $naive")
+    assert(math.abs(ipw - 2.0) < math.abs(naive - 2.0) / 2.0,
+      s"IPW must remove most of the bias: naive=$naive ipw=$ipw")
+  }
+
   test("cohensD: textbook pooled-SD arithmetic") {
     // a={0,0,2,2} m=1, b={4,4,6,6} m=5; each css=4 -> sp2=8/6
     val d = (Seq(0.0, 0.0, 2.0, 2.0).map(("k", "a", _)) ++
