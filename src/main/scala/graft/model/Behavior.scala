@@ -375,10 +375,13 @@ object Behavior {
     *
     * Exact, not sampled: existence of a subsequence with arbitrary
     * gaps only needs per-(user, type) first/last timestamps for the
-    * outer steps and a bounded probe of middle-step events — all
-    * frames are (users × event-vocabulary)-sized, the documented
-    * vocabulary-bounded contract (event vocabularies are small;
-    * general item streams should be bucketed first).
+    * outer steps — those frames are (users × event-vocabulary)-sized —
+    * plus, for length 3, a middle-step probe joining each user's raw
+    * events against their vocab² outer pairs: that intermediate is
+    * (events-per-user × vocab²)-sized BEFORE the distinct, so heavy
+    * users multiply it (mid events are pre-deduped per (user, type,
+    * ts) to trim exact-duplicate rows). Event vocabularies are small
+    * by contract; general item streams should be bucketed first.
     *
     * Output: (len, p1, p2, p3, support, support_frac) for patterns
     * with support ≥ `minSupport`; p3 is null for length-2 rows.
@@ -405,7 +408,7 @@ object Behavior {
         lit(null).cast("string").as("p3"), col("support"))
     val c = ut.select(col("_u"), col("_t").as("p3c"), col("_hi").as("_chi"))
     val mid = events.select(col(userCol).as("_u"),
-      col(typeCol).as("p2c"), col(tsCol).as("_mts"))
+      col(typeCol).as("p2c"), col(tsCol).as("_mts")).distinct()
     val len3 = a.join(c, "_u")
       .where(col("p1") =!= col("p3c") && col("_alo") < col("_chi"))
       .join(mid, "_u")
@@ -449,6 +452,7 @@ object Behavior {
       typeCol: String, channels: Seq[String], convType: String,
       rounds: Int = 16): DataFrame = {
     require(channels.nonEmpty && channels.size <= 16, "1..16 channels")
+    require(!channels.contains(convType), "conversion is not a channel")
     val spark = data.sparkSession
     import spark.implicits._
     val chans = channels.sorted

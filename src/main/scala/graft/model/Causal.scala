@@ -353,10 +353,11 @@ object Causal {
         sum(when(!t, fixedPointLong(y, 4).cast("decimal(38,0)"))
           .otherwise(zero)).as("_sy0"))
       .withColumn("ate_naive",
-        col("_sy1").cast("double") / 1e4 /
-          col("n_treated").cast("double") -
-          col("_sy0").cast("double") / 1e4 /
-            (col("n") - col("n_treated")).cast("double"))
+        when(col("n_treated") > 0 && col("n") > col("n_treated"),
+          col("_sy1").cast("double") / 1e4 /
+            col("n_treated").cast("double") -
+            col("_sy0").cast("double") / 1e4 /
+              (col("n") - col("n_treated")).cast("double")))
       .withColumn("ate_ipw",
         col("_wy1").cast("double") / col("_w1").cast("double") -
           col("_wy0").cast("double") / col("_w0").cast("double"))

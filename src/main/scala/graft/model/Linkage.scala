@@ -57,6 +57,13 @@ object Linkage {
       .collect()
       .map(r => (Array.tabulate(f)(i => r.getBoolean(i)), r.getLong(f)))
     val nTot = hist.map(_._2).sum
+    if (nTot == 0L) {
+      // Empty pair table: skip the EM (0/0 would seed NaN parameters)
+      // and return the empty frame with the output schema attached.
+      return pairs
+        .withColumn("weight", lit(null).cast("double"))
+        .withColumn("decision", lit(null).cast("string"))
+    }
 
     var p = 0.1
     var m = Array.fill(f)(0.9)

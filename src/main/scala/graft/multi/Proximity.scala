@@ -216,13 +216,18 @@ object Proximity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fp8 = (c: Column) =>
       graft.core.fixedPointLong(c, 8).cast("decimal(38,0)")
+    // Divisors use the ACTUAL per-src neighbor count (== k whenever the
+    // kNN frame is full, e.g. cellKnn output; robust when a thinned feed
+    // carries fewer than k rows — dividing by the literal k there would
+    // silently deflate pdist/PLOF).
     val pdist = nn.groupBy("src")
       .agg((lit(lambda) * sqrt(sum(fp8(col("dist") * col("dist")))
-        .cast("double") / 1e8 / lit(k))).as("pdist"))
+        .cast("double") / 1e8 / count(lit(1)))).as("pdist"))
     val nbrPd = nn
       .join(pdist.select(col("src").as("trg"), col("pdist").as("_tpd")), "trg")
       .groupBy("src")
-      .agg((sum(fp8(col("_tpd"))).cast("double") / 1e8 / lit(k)).as("_epd"))
+      .agg((sum(fp8(col("_tpd"))).cast("double") / 1e8 / count(lit(1)))
+        .as("_epd"))
     val plof = pdist.join(nbrPd, "src")
       .withColumn("plof",
         when(col("_epd") > 0, col("pdist") / col("_epd") - lit(1.0))

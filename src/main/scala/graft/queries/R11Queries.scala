@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.core._
+import graft.multi.OutlierFaces
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 queries + DuckDB oracles. Wave A: the no-pair-join outlier
+  * canon — ECOD (per-dim ECDF tails), LODA (md5-seeded sparse Rademacher
+  * projections + histograms), truncated-Gaussian KDE over a value
+  * histogram, Chauvenet's criterion — plus the cluster-validity index
+  * battery (Davies-Bouldin / Calinski-Harabasz / Dunn) over the q181
+  * integer-Lloyd fit.
+  *
+  * Determinism: the engine-wide q116 device (fixed-point term
+  * quantization before every cross-row sum); ln/exp/sqrt ride the
+  * established libm-parity assumption; md5 seeds all randomness. */
+object R11Queries {
+
+  private def ev(s: SparkSession, dir: String) = table(s, dir, "events")
+  private def emb(s: SparkSession, dir: String) = table(s, dir, "embeddings")
+
+  /** Sign-symmetric fixed-point long of a SQL expression at scale `s`. */
+  private def fp(e: String, s: String): String =
+    s"(CASE WHEN ($e) >= 0 THEN floor(($e)*$s+0.5) " +
+      s"ELSE -floor(-($e)*$s+0.5) END)::BIGINT"
+
+  /** Abramowitz-Stegun 7.1.26 erf — the exact float-op order of
+    * Proximity.erfPos (same replay as the q485 oracle). */
+  private def erfp(x: String) =
+    s"(1.0 - (((((1.061405429*(1.0/(1.0+0.3275911*($x))) - 1.453152027)" +
+      s"*(1.0/(1.0+0.3275911*($x))) + 1.421413741)" +
+      s"*(1.0/(1.0+0.3275911*($x))) - 0.284496736)" +
+      s"*(1.0/(1.0+0.3275911*($x))) + 0.254829592)" +
+      s"*(1.0/(1.0+0.3275911*($x))))*exp(-(($x)*($x))))"
+
+  /** (vec_id, i, x): embeddings exploded to per-dimension doubles. */
+  private val exCte =
+    """ex AS (SELECT vec_id, t.j AS i, (embedding::DOUBLE[])[t.j+1] AS x
+      | FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS j) t)"""
+      .stripMargin.replace("\n", " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ECOD over the embedding corpus: per-dim ECDF tails, skew-routed
+    "q514_ecod" -> ((s, dir) =>
+      canon(OutlierFaces.ecod(emb(s, dir), "vec_id", "embedding"))),
+    // LODA: 8 sparse md5-Rademacher projections, 16 equal-width bins
+    "q515_loda" -> ((s, dir) =>
+      canon(OutlierFaces.loda(emb(s, dir), "vec_id", "embedding",
+        dim = 64, nProj = 8, nBins = 16))),
+    // truncated-Gaussian KDE density/score per (event_type, 2dp value)
+    "q516_kde_outlier" -> ((s, dir) =>
+      canon(OutlierFaces.kdeOutlier(ev(s, dir), Seq("event_type"),
+        "value", h = 0.5))),
+    // Chauvenet's criterion per event_type (n·tail < 0.5 rejection)
+    "q517_chauvenet" -> ((s, dir) =>
+      canon(OutlierFaces.chauvenet(ev(s, dir), Seq("event_type"),
+        "event_id", "value"))),
+    // DB/CH/Dunn validity indices over the q181 k=8 Lloyd fit
+    "q518_cluster_validity" -> ((s, dir) =>
+      canon(graft.sim.ClusterValidity.kmeansValidity(emb(s, dir),
+        "vec_id", "embedding", dim = 64, k = 8, iters = 4)))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q514_ecod" -> {
+      val mu = "(s1::DOUBLE/1e8/nn)"
+      s"""WITH $exCte,
+         |ec AS (SELECT vec_id, i, x,
+         |  count(*) OVER (PARTITION BY i ORDER BY x
+         |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl,
+         |  count(*) OVER (PARTITION BY i ORDER BY x DESC
+         |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+         |  count(*) OVER (PARTITION BY i) AS n FROM ex),
+         |sk0 AS (SELECT i, count(*) AS nn,
+         |  sum(${fp("x", "1e8")})::HUGEINT AS s1,
+         |  sum(${fp("x*x", "1e8")})::HUGEINT AS s2,
+         |  sum(${fp("x*x*x", "1e8")})::HUGEINT AS s3 FROM ex GROUP BY 1),
+         |sk AS (SELECT i,
+         |  ${fp(s"s3::DOUBLE/1e8/nn - 3.0*$mu*(s2::DOUBLE/1e8/nn) " +
+               s"+ 2.0*$mu*$mu*$mu", "1e6")} < 0 AS neg FROM sk0),
+         |os AS (SELECT vec_id,
+         |  sum(${fp("-ln(cl::DOUBLE/n)", "1e8")})::HUGEINT::DOUBLE/1e8
+         |   AS ol,
+         |  sum(${fp("-ln(cr::DOUBLE/n)", "1e8")})::HUGEINT::DOUBLE/1e8
+         |   AS orr,
+         |  sum(${fp("CASE WHEN neg THEN -ln(cl::DOUBLE/n) " +
+               "ELSE -ln(cr::DOUBLE/n) END", "1e8")})::HUGEINT::DOUBLE/1e8
+         |   AS oa
+         | FROM ec JOIN sk USING (i) GROUP BY 1)
+         |SELECT vec_id, round(ol, 4) + 0 AS o_left,
+         | round(orr, 4) + 0 AS o_right, round(oa, 4) + 0 AS o_auto,
+         | round(greatest(ol, orr, oa), 4) + 0 AS ecod FROM os"""
+        .stripMargin.replace("\n", " ")
+    },
+    "q515_loda" ->
+      s"""WITH $exCte,
+         |w0 AS (SELECT t1.j, t2.i,
+         |  ('0x'||substr(md5('loda_'||t1.j::VARCHAR||'_'||t2.i::VARCHAR),
+         |    1,14))::BIGINT AS h
+         | FROM (SELECT unnest(range(8)) AS j) t1
+         | CROSS JOIN (SELECT unnest(range(64)) AS i) t2),
+         |w AS (SELECT j, i, CASE WHEN h % 2 = 0 THEN 1.0 ELSE -1.0 END AS w
+         | FROM (SELECT j, i, h,
+         |   row_number() OVER (PARTITION BY j ORDER BY h, i) AS rk FROM w0)
+         | WHERE rk <= 8),
+         |pr AS (SELECT e.vec_id, w.j,
+         |  sum(${fp("e.x * w.w", "1e8")})::HUGEINT::DOUBLE/1e8 AS y
+         | FROM ex e JOIN w ON w.i = e.i GROUP BY 1, 2),
+         |ed AS (SELECT j, min(y) AS lo, max(y) AS hi, count(*) AS n,
+         |  (max(y) - min(y)) / 16 AS wd FROM pr GROUP BY 1),
+         |bn AS (SELECT vec_id, j, n, CASE WHEN wd > 0
+         |  THEN least(floor((y - lo) / wd), 15.0)::BIGINT ELSE 0 END AS b
+         | FROM pr JOIN ed USING (j)),
+         |dn AS (SELECT j, b, count(*) AS c FROM bn GROUP BY 1, 2)
+         |SELECT vec_id, round(sum(${fp("-ln(c::DOUBLE/n)", "1e8")})
+         |  ::HUGEINT::DOUBLE/1e8/8, 4) + 0 AS loda
+         |FROM bn JOIN dn USING (j, b) GROUP BY 1"""
+        .stripMargin.replace("\n", " "),
+    "q516_kde_outlier" ->
+      s"""WITH hist AS (SELECT event_type, ${fp("value", "100.0")} AS vc,
+         |  count(*) AS c FROM events WHERE value IS NOT NULL
+         | GROUP BY 1, 2),
+         |x AS (SELECT event_type, vc, c,
+         |  (sum(c) OVER (PARTITION BY event_type))::BIGINT AS n,
+         |  floor(vc::DOUBLE/200)::BIGINT AS bx FROM hist),
+         |y AS (SELECT event_type AS et2, vc AS yc, c AS cy,
+         |  unnest([floor(vc::DOUBLE/200)::BIGINT - 1,
+         |   floor(vc::DOUBLE/200)::BIGINT,
+         |   floor(vc::DOUBLE/200)::BIGINT + 1]) AS by FROM hist),
+         |t AS (SELECT x.event_type, x.vc, x.n,
+         |  y.cy * exp(-(((x.vc - y.yc)::DOUBLE/100.0)
+         |   *((x.vc - y.yc)::DOUBLE/100.0)) / 0.5) AS term
+         | FROM x JOIN y ON y.et2 = x.event_type AND y.by = x.bx
+         |  AND abs(x.vc - y.yc) <= 200),
+         |d AS (SELECT event_type, vc, n,
+         |  sum(${fp("term", "1e8")})::HUGEINT::DOUBLE/1e8/n
+         |   * (1.0/(0.5*2.5066282746310002)) AS density
+         | FROM t GROUP BY 1, 2, 3)
+         |SELECT event_type, round(vc::DOUBLE/100.0, 4) + 0 AS value,
+         | n, round(density, 4) + 0 AS density,
+         | round(-ln(density), 4) + 0 AS kde_score FROM d"""
+        .stripMargin.replace("\n", " "),
+    "q517_chauvenet" -> {
+      val z = "(CASE WHEN sd > 0 THEN abs(value - mu)/sd ELSE 0.0 END)"
+      s"""WITH st AS (SELECT event_type, count(*) AS n,
+         |  sum(${fp("value", "1e8")})::HUGEINT AS s1,
+         |  sum(${fp("value*value", "1e8")})::HUGEINT AS s2
+         | FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |st2 AS (SELECT event_type, n, mu,
+         |  sqrt(greatest(0.0, s2::DOUBLE/1e8/n - mu*mu)) AS sd
+         | FROM (SELECT *, s1::DOUBLE/1e8/n AS mu FROM st)),
+         |sc AS (SELECT e.event_type, e.event_id, e.value, $z AS z, t.n
+         | FROM events e JOIN st2 t USING (event_type))
+         |SELECT event_type, event_id, round(value, 4) + 0 AS value,
+         | round(z, 4) + 0 AS z,
+         | round(1.0 - ${erfp("z/1.4142135623730951")}, 4) + 0 AS p_tail,
+         | n * (1.0 - ${erfp("z/1.4142135623730951")}) < 0.5 AS reject
+         |FROM sc""".stripMargin.replace("\n", " ")
+    },
+    "q518_cluster_validity" -> {
+      val d2 = (a: String, b: String) =>
+        s"""list_sum(list_transform(range(64),
+           | j -> ($a[j+1]-$b[j+1])*($a[j+1]-$b[j+1])))""".stripMargin
+      s"""WITH ${TextQueries.kmCtes},
+         |st AS (SELECT (b).c AS cell, count(*) AS n,
+         |  sum((b).d)::HUGEINT AS w6, max((b).d) AS r6,
+         |  sum(${fp("sqrt((b).d)/1000000.0", "1e8")})::HUGEINT AS sd8
+         | FROM fb GROUP BY 1),
+         |gm AS (SELECT t.j, sum(v[t.j+1])::HUGEINT AS s, count(*) AS cnt
+         | FROM xq CROSS JOIN (SELECT unnest(range(64)) AS j) t
+         | GROUP BY 1),
+         |gl AS (SELECT list((CASE WHEN s >= 0
+         |   THEN floor(s::DOUBLE/cnt + 0.5)
+         |   ELSE -floor(-(s::DOUBLE/cnt) + 0.5) END)::BIGINT
+         |  ORDER BY j) AS gv, max(cnt) AS nn FROM gm),
+         |sc AS (SELECT st.cell, st.n, st.r6,
+         |  sd8::DOUBLE/1e8/st.n AS s, c.cv
+         | FROM st JOIN c4 c USING (cell)),
+         |tot AS (SELECT sum(st.w6)::HUGEINT::DOUBLE/1e12 AS w_in,
+         |  sum(st.n::HUGEINT * ${d2("c.cv", "gl.gv")}::HUGEINT)
+         |   ::HUGEINT::DOUBLE/1e12 AS b_in, max(gl.nn) AS nn
+         | FROM st JOIN c4 c USING (cell) CROSS JOIN gl),
+         |pd AS (SELECT a.cell AS ci,
+         |  (a.s + b.s) / (sqrt(${d2("a.cv", "b.cv")}::DOUBLE)/1000000.0)
+         |   AS r,
+         |  sqrt(${d2("a.cv", "b.cv")}::DOUBLE)/1000000.0 AS d
+         | FROM sc a JOIN sc b ON a.cell <> b.cell),
+         |dbt AS (SELECT ci, ${fp("max(r)", "1e8")} AS m8 FROM pd
+         | GROUP BY 1),
+         |agg AS (SELECT
+         |  (SELECT sum(m8)::DOUBLE/1e8/(SELECT count(*) FROM sc)
+         |    FROM dbt) AS db,
+         |  (SELECT min(d) FROM pd) AS dmin,
+         |  (SELECT max(sqrt(r6::DOUBLE)/1000000.0) FROM sc) AS rmax)
+         |SELECT 8 AS k, tot.nn AS n,
+         | round(agg.db, 4) + 0 AS db_index,
+         | round((tot.b_in/7)/(tot.w_in/(tot.nn - 8)), 4) + 0 AS ch_index,
+         | round(agg.dmin/(2.0*agg.rmax), 4) + 0 AS dunn_index,
+         | round(tot.w_in, 4) + 0 AS w_inertia,
+         | round(tot.b_in, 4) + 0 AS b_inertia
+         |FROM tot CROSS JOIN agg""".stripMargin.replace("\n", " ")
+    }
+  )
+}

@@ -1573,7 +1573,7 @@ object TextQueries {
     * sizes and the exact integer inertia. */
   /** Shared CTE chain of the k-means replay, through the final per-point
     * assignment `fb` (vec_id, struct(d, cell)). */
-  private lazy val kmCtes: String = {
+  private[queries] lazy val kmCtes: String = {
     val quant = fp6("x")
     val lloyd = (1 to 4).map { t =>
       s"""a$t AS MATERIALIZED (SELECT x.vec_id, x.v,
