@@ -59,7 +59,47 @@ object R11Queries {
     // DB/CH/Dunn validity indices over the q181 k=8 Lloyd fit
     "q518_cluster_validity" -> ((s, dir) =>
       canon(graft.sim.ClusterValidity.kmeansValidity(emb(s, dir),
-        "vec_id", "embedding", dim = 64, k = 8, iters = 4)))
+        "vec_id", "embedding", dim = 64, k = 8, iters = 4))),
+    // always-valid mSPRT p-process over a paired synthetic-lift stream
+    "q519_msprt" -> ((s, dir) => {
+      val p = ev(s, dir).select(col("event_type"), col("event_id"),
+        col("value"),
+        (col("value") +
+          pmod(col("user_id"), lit(7L)).cast("double") * 0.1).as("b"))
+      canon(graft.model.Experiment.msprt(p, "event_type", "event_id",
+        "value", "b", sigma2 = 1.0, tau2 = 0.1))
+    }),
+    // Beta-posterior Bayesian A/B: arms by user parity, success v > 1
+    "q520_bayes_ab" -> ((s, dir) => {
+      val d = ev(s, dir).withColumn("arm",
+        when(pmod(col("user_id"), lit(2L)) === 0, "A").otherwise("B"))
+      canon(graft.model.Experiment.bayesianAb(d, Seq("event_type"),
+        "arm", col("value") > 1.0))
+    }),
+    // Diebold-Mariano: naive lag-1 vs lag-2 forecast errors, h=4 HAC
+    "q521_diebold_mariano" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("event_id")
+      val errs = ev(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("_l1", lag(col("value"), 1).over(w))
+        .withColumn("_l2", lag(col("value"), 2).over(w))
+        .where(col("_l1").isNotNull && col("_l2").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          (col("value") - col("_l1")).as("e1"),
+          (col("value") - col("_l2")).as("e2"))
+      canon(graft.model.Experiment.dieboldMariano(errs, "event_type",
+        "event_id", "e1", "e2", h = 4))
+    }),
+    // classical additive decomposition of the daily series, period 7
+    "q522_decompose" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .agg((sum(fixedPointLong(col("value"), 4)).cast("double") / 1e4)
+          .as("v"))
+      canon(graft.seq.Forecast2.classicalDecompose(daily,
+        Seq("event_type"), "day", "v", period = 7))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -200,6 +240,126 @@ object R11Queries {
          | round(tot.w_in, 4) + 0 AS w_inertia,
          | round(tot.b_in, 4) + 0 AS b_inertia
          |FROM tot CROSS JOIN agg""".stripMargin.replace("\n", " ")
-    }
+    },
+    "q519_msprt" ->
+      s"""WITH b AS (SELECT event_type AS key, event_id AS o,
+         |  ${fp("((value + (user_id % 7)::DOUBLE * 0.1) - value)",
+              "10000.0")} AS d
+         | FROM events),
+         |c AS (SELECT key, o,
+         |  count(*) OVER pw AS t, sum(d) OVER pw AS sd
+         | FROM b WINDOW pw AS (PARTITION BY key ORDER BY o
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |l AS (SELECT key, o, t, dm,
+         |  0.5*ln(2.0/(2.0 + t::DOUBLE*0.1)) + 0.1*t::DOUBLE*t::DOUBLE
+         |   *dm*dm/(4.0*(2.0 + t::DOUBLE*0.1)) AS ll
+         | FROM (SELECT *, sd::DOUBLE/1e4/t::DOUBLE AS dm FROM c)),
+         |p AS (SELECT key, t, dm, ll,
+         |  least(1.0, exp(-max(ll) OVER (PARTITION BY key ORDER BY o
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS pa
+         | FROM l)
+         |SELECT key, t, round(dm, 4) + 0 AS delta_mean,
+         | round(ll, 4) + 0 AS log_lambda, round(pa, 4) + 0 AS p_always,
+         | pa <= 0.05 AS decided FROM p"""
+        .stripMargin.replace("\n", " "),
+    "q520_bayes_ab" -> {
+      val mu = (s: String, n: String) =>
+        s"(($s)::DOUBLE + 1.0) / (($n)::DOUBLE + 2.0)"
+      val va = (s: String, n: String) =>
+        s"(($s)::DOUBLE + 1.0) * (($n)::DOUBLE - ($s)::DOUBLE + 1.0) / " +
+          s"((($n)::DOUBLE + 2.0) * (($n)::DOUBLE + 2.0) * " +
+          s"(($n)::DOUBLE + 3.0))"
+      s"""WITH g AS (SELECT event_type,
+         |  sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+         |   AS n_a,
+         |  sum(CASE WHEN user_id % 2 = 0 AND value > 1.0 THEN 1 ELSE 0
+         |   END)::BIGINT AS s_a,
+         |  sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT
+         |   AS n_b,
+         |  sum(CASE WHEN user_id % 2 <> 0 AND value > 1.0 THEN 1 ELSE 0
+         |   END)::BIGINT AS s_b
+         | FROM events GROUP BY 1),
+         |m AS (SELECT event_type, n_a, s_a, n_b, s_b,
+         |  ${mu("s_a", "n_a")} AS mua, ${mu("s_b", "n_b")} AS mub,
+         |  (${mu("s_b", "n_b")} - ${mu("s_a", "n_a")}) /
+         |   sqrt(${va("s_a", "n_a")} + ${va("s_b", "n_b")}) AS x
+         | FROM g WHERE n_a > 0 AND n_b > 0)
+         |SELECT event_type, n_a, s_a, n_b, s_b,
+         | round(mua, 4) + 0 AS mu_a, round(mub, 4) + 0 AS mu_b,
+         | round(CASE WHEN x >= 0
+         |  THEN 0.5 + 0.5*${erfp("abs(x)/1.4142135623730951")}
+         |  ELSE 0.5 - 0.5*${erfp("abs(x)/1.4142135623730951")} END, 4)
+         |  + 0 AS p_b_beats_a
+         |FROM m""".stripMargin.replace("\n", " ")
+    },
+    "q521_diebold_mariano" -> {
+      val h = 4
+      val wts = (1 to h).map(l => 2.0 * (1.0 - l.toDouble / (h + 1)))
+      val gam = (l: Int) =>
+        s"(g$l::DOUBLE/1e8/n::DOUBLE - dm*dm*(n::DOUBLE - $l)/n::DOUBLE)"
+      val lrv = (1 to h).foldLeft(gam(0)) { case (acc, l) =>
+        s"($acc + ${wts(l - 1)}*${gam(l)})"
+      }
+      s"""WITH e AS (SELECT event_type AS key, event_id AS o, value,
+         |  lag(value, 1) OVER pw AS l1, lag(value, 2) OVER pw AS l2
+         | FROM events WINDOW pw AS (PARTITION BY event_type
+         |  ORDER BY event_id)),
+         |d AS (SELECT key, o,
+         |  ${fp("(value - l1)*(value - l1)", "10000.0")} -
+         |  ${fp("(value - l2)*(value - l2)", "10000.0")} AS d4
+         | FROM e WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
+         |lg AS (SELECT key, d4,
+         |  ${(1 to h).map(l =>
+              s"lag(d4, $l) OVER (PARTITION BY key ORDER BY o) AS dl$l")
+             .mkString(", ")}
+         | FROM d),
+         |g AS (SELECT key, count(*) AS n, sum(d4) AS s,
+         |  sum(d4::HUGEINT * d4::HUGEINT) AS g0,
+         |  ${(1 to h).map(l =>
+              s"sum(CASE WHEN dl$l IS NOT NULL THEN d4::HUGEINT * " +
+                s"dl$l::HUGEINT ELSE 0::HUGEINT END) AS g$l")
+             .mkString(", ")}
+         | FROM lg GROUP BY 1),
+         |r AS (SELECT key, n, dm, $lrv AS lrv
+         | FROM (SELECT *, s::DOUBLE/1e4/n::DOUBLE AS dm FROM g)),
+         |f AS (SELECT key, n, dm,
+         |  CASE WHEN lrv > 0 THEN dm / sqrt(lrv/n::DOUBLE) END AS t
+         | FROM r)
+         |SELECT key, n, round(dm, 4) + 0 AS d_mean,
+         | round(t, 4) + 0 AS dm_stat,
+         | round(CASE WHEN t IS NOT NULL THEN 2.0*(1.0 -
+         |  (0.5 + 0.5*${erfp("abs(t)/1.4142135623730951")})) END,
+         |  4) + 0 AS p_value
+         |FROM f""".stripMargin.replace("\n", " ")
+    },
+    "q522_decompose" ->
+      s"""WITH daily AS (SELECT event_type AS key,
+         |  epoch_ns(ts) // 86400000000000 AS o,
+         |  sum(${fp("value", "10000.0")})::HUGEINT::DOUBLE/1e4 AS v
+         | FROM events GROUP BY 1, 2),
+         |rn AS (SELECT key, o, v,
+         |  row_number() OVER (PARTITION BY key ORDER BY o) AS r
+         | FROM daily),
+         |ma AS (SELECT key, o, v, (r - 1) % 7 AS ph,
+         |  CASE WHEN count(*) OVER fw = 7
+         |   THEN (sum(${fp("v", "10000.0")}) OVER fw)::DOUBLE/1e4/7
+         |  END AS trend
+         | FROM rn WINDOW fw AS (PARTITION BY key ORDER BY r
+         |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |ph AS (SELECT key, ph,
+         |  sum(${fp("v - trend", "10000.0")})::HUGEINT::DOUBLE/1e4
+         |   /count(*)::DOUBLE AS praw
+         | FROM ma WHERE trend IS NOT NULL GROUP BY 1, 2),
+         |ct AS (SELECT key,
+         |  sum(${fp("praw", "1e6")})::HUGEINT::DOUBLE/1e6/count(*) AS c
+         | FROM ph GROUP BY 1),
+         |se AS (SELECT ph.key, ph.ph, praw - c AS seasonal
+         | FROM ph JOIN ct USING (key))
+         |SELECT ma.key, ma.o AS seq, round(ma.v, 4) + 0 AS value,
+         | round(ma.trend, 4) + 0 AS trend,
+         | round(se.seasonal, 4) + 0 AS seasonal,
+         | round(ma.v - ma.trend - se.seasonal, 4) + 0 AS remainder
+         |FROM ma LEFT JOIN se ON se.key = ma.key AND se.ph = ma.ph"""
+        .stripMargin.replace("\n", " ")
   )
 }

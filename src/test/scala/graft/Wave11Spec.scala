@@ -77,6 +77,85 @@ class Wave11Spec extends SparkSpec {
     assert(r(99L).getAs[Double]("p_tail") < 1e-6)
   }
 
+  test("mSPRT: real lift decides, null effect keeps p at 1") {
+    val lift = (1 to 400).map(i => (1L, i.toLong, 0.0, 1.0))
+      .toDF("g", "o", "a", "b")
+    val r = graft.model.Experiment.msprt(lift, "g", "o", "a", "b",
+      sigma2 = 1.0, tau2 = 0.1).orderBy("t").collect()
+    assert(r.last.getAs[Boolean]("decided"))
+    assert(r.last.getAs[Double]("p_always") < 0.001)
+    // p_always is non-increasing (always-valid process)
+    val ps = r.map(_.getAs[Double]("p_always"))
+    assert(ps.zip(ps.tail).forall { case (x, y) => y <= x + 1e-12 })
+    val nul = (1 to 400).map(i =>
+      (1L, i.toLong, 0.0, if (i % 2 == 0) 0.1 else -0.1))
+      .toDF("g", "o", "a", "b")
+    val r0 = graft.model.Experiment.msprt(nul, "g", "o", "a", "b",
+      sigma2 = 1.0, tau2 = 0.1).orderBy("t").collect()
+    assert(!r0.last.getAs[Boolean]("decided"))
+    assert(r0.last.getAs[Double]("p_always") == 1.0)
+  }
+
+  test("Bayesian A/B: dominant arm near 1, symmetric arms at 0.5") {
+    val d = ((1 to 200).map(i => (1L, "A", i <= 40)) ++
+      (1 to 200).map(i => (1L, "B", i <= 160)))
+      .zipWithIndex.map { case ((g, a, s), i) => (g, a, s, i.toLong) }
+      .toDF("g", "arm", "s", "id")
+    val r = graft.model.Experiment.bayesianAb(d, Seq("g"), "arm",
+      col("s")).collect()(0)
+    assert(r.getAs[Double]("p_b_beats_a") > 0.999)
+    assert(math.abs(r.getAs[Double]("mu_b") - 161.0 / 202.0) < 1e-12)
+    val sym = ((1 to 100).map(i => (1L, "A", i <= 50)) ++
+      (1 to 100).map(i => (1L, "B", i <= 50)))
+      .zipWithIndex.map { case ((g, a, s), i) => (g, a, s, i.toLong) }
+      .toDF("g", "arm", "s", "id")
+    val r2 = graft.model.Experiment.bayesianAb(sym, Seq("g"), "arm",
+      col("s")).collect()(0)
+    assert(math.abs(r2.getAs[Double]("p_b_beats_a") - 0.5) < 1e-7)
+  }
+
+  test("Diebold-Mariano: worse second forecast -> negative DM, small p") {
+    // e1 small (alternating magnitude so d varies), e2 3x larger:
+    // d = e1²−e2² < 0 every step
+    val rows = (1 to 300).map { i =>
+      val m = if (i % 2 == 0) 0.5 else 0.3
+      (1L, i.toLong, m, 1.5)
+    }.toDF("g", "o", "e1", "e2")
+    val r = graft.model.Experiment.dieboldMariano(rows, "g", "o",
+      "e1", "e2", h = 4).collect()(0)
+    assert(math.abs(r.getAs[Double]("d_mean") -
+      ((0.25 - 2.25) + (0.09 - 2.25)) / 2.0) < 1e-9)
+    assert(r.getAs[Double]("dm_stat") < -5.0)
+    assert(r.getAs[Double]("p_value") < 1e-6)
+    // identical forecasts: d ≡ 0, lrv = 0 -> stat/p null
+    val same = (1 to 50).map(i => (1L, i.toLong, 1.0, 1.0))
+      .toDF("g", "o", "e1", "e2")
+    val r2 = graft.model.Experiment.dieboldMariano(same, "g", "o",
+      "e1", "e2", h = 4).collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("dm_stat")))
+  }
+
+  test("classical decomposition recovers trend + weekly season exactly") {
+    val season = Array(3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0) // sums to 0
+    val rows = (0 until 70).map(t =>
+      (1L, t.toLong, 10.0 + 0.5 * t + season(t % 7)))
+      .toDF("g", "t", "v")
+    val r = graft.seq.Forecast2.classicalDecompose(rows, Seq("g"),
+      "t", "v", period = 7).orderBy("seq").collect()
+    // edges (first/last 3) have no centered MA
+    assert(r.take(3).forall(row => row.isNullAt(row.fieldIndex("trend"))))
+    val mid = r.filter(!_.isNullAt(r(0).fieldIndex("trend")))
+    assert(mid.length == 64)
+    // MA of a linear trend is the exact center value; season averages out
+    mid.foreach { row =>
+      val t = row.getAs[Long]("seq").toDouble
+      assert(math.abs(row.getAs[Double]("trend") - (10.0 + 0.5 * t)) < 1e-3)
+      assert(math.abs(row.getAs[Double]("seasonal") -
+        season((t.toLong % 7).toInt)) < 1e-3)
+      assert(math.abs(row.getAs[Double]("remainder")) < 1e-3)
+    }
+  }
+
   test("validity indices: two far blobs at k=2 are clean") {
     val blobs = vecs((0 until 40).map { i =>
       val c = if (i % 2 == 0) 0.0f else 100.0f
