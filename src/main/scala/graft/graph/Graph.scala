@@ -868,4 +868,96 @@ object Graph {
     e.unpersist()
     out
   }
+  /** Eigenvector centrality (Bonacich 1972): the dominant left
+    * eigenvector of the adjacency matrix by power iteration, max-
+    * normalized each round so the top node reads 1.0. Katz (above)
+    * adds the β teleport that keeps ranks alive on DAG tails;
+    * eigenvector is the pure "important because pointed at by the
+    * important" fixpoint — the PageRank family member WITHOUT degree
+    * damping.
+    *
+    * Integer fixed-point discipline (the pageRank device): ranks are
+    * longs at `scale`; each round is one equi-join + hash aggregate,
+    * then rank' = (s · scale) div max(s) — exact integer floor
+    * division, so the oracle hash-compares longs. Long-overflow
+    * contract: Σ in-ranks · scale must fit 63 bits → n·scale² ≤ 9e18
+    * (9e6 nodes at the default 1e6 grain; drop `scale` for bigger
+    * graphs).
+    *
+    * Scale: `iters` rounds of (join on src, aggregate on dst, 1-row
+    * max broadcast) — the PageRank shuffle shape exactly. */
+  def eigenvectorCentrality(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int = 5, scale: Long = 1000000L)
+      : DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct()
+      .repartition(col("src")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    var x = nodes.withColumn("r", lit(scale))
+    (1 to iters).foreach { _ =>
+      val msgs = e.join(x, e("src") === x("node"))
+        .select(col("dst").as("node"), col("r").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      val joined = nodes.join(msgs, Seq("node"), "left")
+        .withColumn("s", coalesce(col("s"), lit(0L)))
+      val mx = broadcast(joined.agg(max(col("s")).as("mx")))
+      x = joined.crossJoin(mx)
+        .withColumn("r", when(col("mx") > 0,
+          expr(s"(s * $scale) div mx")).otherwise(lit(0L)))
+        .select("node", "r")
+        .localCheckpoint()
+    }
+    x.select(col("node"), col("r").as("score6"),
+      (col("r").cast("double") / scale).as("score"))
+  }
+
+  /** SimRank (Jeh & Widom, KDD'02): structural node similarity —
+    * s(a,b) = C/(|I(a)||I(b)|) · Σ_{i∈I(a), j∈I(b)} s(i,j), s(a,a)=1 —
+    * two nodes are similar when their in-neighborhoods are. The
+    * pairwise complement of the local linkPredict scores (common
+    * neighbors look ONE hop out; SimRank propagates through `iters`
+    * hops).
+    *
+    * Integer discipline: similarities are 6dp longs; each round is
+    * s' = (c10 · Σ s6) div (10 · d_a · d_b) — exact integer floor
+    * division, oracle hash-compares longs. The pair frame is the
+    * iterated state: O(pairs-with-shared-ancestry) rows — SimRank's
+    * documented scale contract is VOCABULARY-sized graphs (event-type
+    * transitions, category taxonomies), never user-sized ones: state
+    * grows toward |V|² on dense graphs.
+    *
+    * Output: (a, b, sim6, simrank) for a < b with nonzero score. */
+  def simRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, c10: Int = 8): DataFrame = {
+    require(c10 >= 1 && c10 <= 9, "decay C = c10/10 in (0,1)")
+    val e = edges.select(col(srcCol).cast("string").as("i"),
+      col(dstCol).cast("string").as("v")).distinct().persist()
+    val deg = e.groupBy("v").agg(count(lit(1)).as("d")).persist()
+    val nodes = e.select(col("i").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+    var s = nodes.select(col("node").as("a"), col("node").as("b"),
+      lit(1000000L).as("s6"))
+    (1 to iters).foreach { _ =>
+      val p = e.select(col("i").as("a0"), col("v").as("na"))
+        .join(s.select(col("a").as("a0"), col("b").as("b0"), col("s6")),
+          "a0")
+        .join(e.select(col("i").as("b0"), col("v").as("nb")), "b0")
+        .groupBy(col("na").as("a"), col("nb").as("b"))
+        .agg(sum(col("s6")).as("_t"))
+        .where(col("a") =!= col("b"))
+        .join(deg.select(col("v").as("a"), col("d").as("_da")), "a")
+        .join(deg.select(col("v").as("b"), col("d").as("_db")), "b")
+        .select(col("a"), col("b"),
+          expr(s"($c10 * _t) div (10 * _da * _db)").as("s6"))
+        .where(col("s6") > 0)
+      s = nodes.select(col("node").as("a"), col("node").as("b"),
+        lit(1000000L).as("s6"))
+        .unionByName(p)
+        .localCheckpoint()
+    }
+    s.where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("s6"),
+        (col("s6").cast("double") / 1e6).as("simrank"))
+  }
 }

@@ -34,6 +34,8 @@ object R11Queries {
       s"*(1.0/(1.0+0.3275911*($x))) + 0.254829592)" +
       s"*(1.0/(1.0+0.3275911*($x))))*exp(-(($x)*($x))))"
 
+  private val toksSql = """regexp_extract_all(lower(text), '\S+')"""
+
   /** (vec_id, i, x): embeddings exploded to per-dimension doubles. */
   private val exCte =
     """ex AS (SELECT vec_id, t.j AS i, (embedding::DOUBLE[])[t.j+1] AS x
@@ -99,7 +101,30 @@ object R11Queries {
           .as("v"))
       canon(graft.seq.Forecast2.classicalDecompose(daily,
         Seq("event_type"), "day", "v", period = 7))
-    })
+    }),
+    // all-but-the-top: 3 power-iteration rounds, per-vector coef +
+    // residual norm after removing the dominant direction
+    "q523_abtt" -> ((s, dir) =>
+      canon(graft.sim.SimJoin.allButTop(emb(s, dir), "vec_id",
+        "embedding", dim = 64, iters = 3))),
+    // eigenvector centrality on the user-type bipartite graph
+    "q524_eigenvector" -> ((s, dir) =>
+      canon(graft.graph.Graph.eigenvectorCentrality(
+        MultiQueries.bipartite(s, dir), "src", "dst", iters = 5))),
+    // SimRank over the event-type transition graph (vocab-sized)
+    "q525_simrank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      val te = ev(s, dir)
+        .withColumn("_nx", lead(col("event_type"), 1).over(w))
+        .where(col("_nx").isNotNull && col("_nx") =!= col("event_type"))
+        .select(col("event_type").as("a"), col("_nx").as("b")).distinct()
+      canon(graft.graph.Graph.simRank(te, "a", "b", iters = 3))
+    }),
+    // PPMI word-association pairs, window 2, count >= 3
+    "q526_ppmi" -> ((s, dir) =>
+      canon(graft.text.TextOps.ppmi(table(s, dir, "documents"),
+        "doc_id", "text", window = 2, minCount = 3)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -360,6 +385,114 @@ object R11Queries {
          | round(se.seasonal, 4) + 0 AS seasonal,
          | round(ma.v - ma.trend - se.seasonal, 4) + 0 AS remainder
          |FROM ma LEFT JOIN se ON se.key = ma.key AND se.ph = ma.ph"""
+        .stripMargin.replace("\n", " "),
+    "q523_abtt" -> {
+      val r6 = (e: String) => s"(${fp(e, "1e6")})/1000000.0"
+      val rounds = (1 to 3).map { t =>
+        s"""z$t AS MATERIALIZED (SELECT e.vec_id,
+           |  sum(${fp("(e.x - m.mu) * u.u", "1e8")})::HUGEINT::DOUBLE/1e8
+           |   AS z
+           | FROM ex e JOIN mu m USING (j) JOIN u${t - 1} u USING (j)
+           | GROUP BY 1),
+           |s$t AS MATERIALIZED (SELECT e.j,
+           |  sum(${fp("(e.x - m.mu) * z.z", "1e8")})::HUGEINT::DOUBLE/1e8
+           |   /(SELECT nn FROM cnt) AS sv
+           | FROM ex e JOIN mu m USING (j) JOIN z$t z USING (vec_id)
+           | GROUP BY 1),
+           |n$t AS (SELECT sqrt(sum(${fp("sv*sv", "1e8")})
+           |  ::HUGEINT::DOUBLE/1e8) AS nrm FROM s$t),
+           |u$t AS MATERIALIZED (SELECT j, ${r6("sv / nrm")} AS u
+           | FROM s$t CROSS JOIN n$t)""".stripMargin
+      }.mkString(", ")
+      s"""WITH ex AS (SELECT vec_id, t.j,
+         |  (embedding::DOUBLE[])[t.j+1] AS x
+         | FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS j) t),
+         |cnt AS (SELECT count(*)::BIGINT AS nn FROM embeddings),
+         |mu AS MATERIALIZED (SELECT j,
+         |  ${r6("sum8::DOUBLE/1e8/(SELECT nn FROM cnt)")} AS mu
+         | FROM (SELECT j, sum(${fp("x", "1e8")})::HUGEINT AS sum8
+         |   FROM ex GROUP BY 1)),
+         |u0 AS (SELECT unnest(range(64)) AS j, 0.125 AS u),
+         |$rounds,
+         |zf AS (SELECT e.vec_id,
+         |  sum(${fp("(e.x - m.mu) * u.u", "1e8")})::HUGEINT::DOUBLE/1e8
+         |   AS z
+         | FROM ex e JOIN mu m USING (j) JOIN u3 u USING (j) GROUP BY 1)
+         |SELECT e.vec_id, round(z.z, 4) + 0 AS coef,
+         | round(sqrt(sum(${fp("(e.x - m.mu - z.z*u.u) * " +
+             "(e.x - m.mu - z.z*u.u)", "1e8")})::HUGEINT::DOUBLE/1e8), 4)
+         |  + 0 AS res_norm
+         |FROM ex e JOIN mu m USING (j) JOIN u3 u USING (j)
+         | JOIN zf z USING (vec_id)
+         |GROUP BY e.vec_id, z.z""".stripMargin.replace("\n", " ")
+    },
+    "q524_eigenvector" -> {
+      val steps = (1 to 5).map { i =>
+        s"""m$i AS (SELECT e.dst AS node, sum(p.r)::BIGINT AS s
+           | FROM edges e JOIN x${i - 1} p ON e.src = p.node GROUP BY 1),
+           |j$i AS (SELECT n.node, coalesce(m.s, 0)::BIGINT AS s
+           | FROM nodes n LEFT JOIN m$i m USING (node)),
+           |w$i AS (SELECT max(s) AS mx FROM j$i),
+           |x$i AS MATERIALIZED (SELECT node, (CASE WHEN mx > 0
+           |   THEN (s * 1000000) // mx ELSE 0 END)::BIGINT AS r
+           | FROM j$i CROSS JOIN w$i)""".stripMargin
+      }.mkString(", ")
+      s"""WITH ${MultiQueries.bipartiteSql},
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |x0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
+         |$steps
+         |SELECT node, r AS score6, round(r::DOUBLE/1000000, 4) + 0
+         |  AS score FROM x5""".stripMargin.replace("\n", " ")
+    },
+    "q525_simrank" -> {
+      val rounds = (1 to 3).map { t =>
+        s"""p$t AS (SELECT e1.v AS a, e2.v AS b, sum(s.s6)::BIGINT AS t
+           | FROM tr e1 JOIN s${t - 1} s ON s.a = e1.i
+           | JOIN tr e2 ON e2.i = s.b
+           | GROUP BY 1, 2),
+           |s$t AS MATERIALIZED (
+           | SELECT a, b, s6 FROM (SELECT p.a, p.b,
+           |   ((8 * p.t) // (10 * da.d * db.d))::BIGINT AS s6
+           |  FROM p$t p JOIN deg da ON da.v = p.a
+           |  JOIN deg db ON db.v = p.b WHERE p.a <> p.b)
+           | WHERE s6 > 0
+           | UNION ALL SELECT node, node, 1000000::BIGINT FROM nodes)"""
+          .stripMargin
+      }.mkString(", ")
+      s"""WITH tr AS (SELECT DISTINCT event_type AS i, nx AS v
+         | FROM (SELECT event_type, lead(event_type) OVER
+         |   (PARTITION BY user_id ORDER BY event_id) AS nx FROM events)
+         | WHERE nx IS NOT NULL AND nx <> event_type),
+         |deg AS (SELECT v, count(*)::BIGINT AS d FROM tr GROUP BY 1),
+         |nodes AS (SELECT i AS node FROM tr
+         |  UNION SELECT v AS node FROM tr),
+         |s0 AS (SELECT node AS a, node AS b, 1000000::BIGINT AS s6
+         | FROM nodes),
+         |$rounds
+         |SELECT a, b, s6, round(s6::DOUBLE/1000000.0, 4) + 0 AS simrank
+         |FROM s3 WHERE a < b""".stripMargin.replace("\n", " ")
+    },
+    "q526_ppmi" ->
+      s"""WITH tk AS (SELECT doc_id AS d,
+         |  generate_subscripts(ts, 1) AS p, unnest(ts) AS w
+         | FROM (SELECT doc_id, $toksSql AS ts FROM documents
+         |   WHERE text IS NOT NULL)),
+         |pc AS (SELECT least(a.w, b.w) AS wa, greatest(a.w, b.w) AS wb,
+         |  count(*)::BIGINT AS c
+         | FROM tk a JOIN tk b ON b.d = a.d
+         |  AND (b.p = a.p + 1 OR b.p = a.p + 2)
+         | GROUP BY 1, 2),
+         |m AS (SELECT w, sum(c)::BIGINT AS m FROM (
+         |  SELECT wa AS w, c FROM pc
+         |  UNION ALL SELECT wb AS w, c FROM pc) GROUP BY 1),
+         |tot AS (SELECT sum(c)::BIGINT AS nn FROM pc)
+         |SELECT pc.wa, pc.wb, pc.c,
+         | round(ln(pc.c::DOUBLE * tot.nn::DOUBLE /
+         |  (ma.m::DOUBLE * mb.m::DOUBLE)), 4) + 0 AS ppmi
+         |FROM pc JOIN m ma ON ma.w = pc.wa JOIN m mb ON mb.w = pc.wb
+         | CROSS JOIN tot
+         |WHERE pc.c >= 3 AND ln(pc.c::DOUBLE * tot.nn::DOUBLE /
+         |  (ma.m::DOUBLE * mb.m::DOUBLE)) > 0"""
         .stripMargin.replace("\n", " ")
   )
 }

@@ -161,6 +161,78 @@ object SimJoin {
           count(lit(1)).cast("double")).as("mmd2"))
   }
 
+  /** All-but-the-top embedding post-processing (Mu & Viswanath,
+    * ICLR'18): center the corpus, find the top principal direction by
+    * `iters` power-iteration rounds, and report each vector's
+    * projection on it plus the residual norm after removing it — the
+    * fix isotropy (above) diagnoses: a dominant common direction makes
+    * every cosine look high; removing it restores ANN contrast.
+    *
+    * Determinism: the per-dim mean and each power-iteration direction
+    * are 6dp-frozen d-vectors; every cross-row sum quantizes terms to
+    * 8dp fixed-point longs (combine-order-free); the iteration is a
+    * finite float program the oracle unrolls CTE by CTE. Init
+    * u₀ = 1/√d on every dim (deterministic, generically
+    * non-orthogonal to the top PC).
+    *
+    * Scale: the kmeans shape — per round, one (id)-keyed and one
+    * (dim)-keyed hash aggregate over the exploded corpus (persisted
+    * once); the driver holds only d doubles between rounds. No d×d
+    * covariance materializes.
+    *
+    * Output: (vec_id, coef, res_norm) — coef = (x−μ)·u,
+    * res_norm = ‖x−μ−coef·u‖. */
+  def allButTop(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int = 3): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    def rha(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else -math.floor(-x + 0.5).toLong
+    def r6d(x: Double): Double = rha(x * 1e6) / 1e6
+    val fp8 = (c: Column) =>
+      graft.core.fixedPointLong(c, 8).cast("decimal(38,0)")
+    val ex = vecs.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("_j", "_x")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mustats = ex.groupBy("_j")
+      .agg(sum(fp8(col("_x"))).as("_s"), count(lit(1)).as("_n"))
+      .collect().map(r => r.getAs[Int]("_j") ->
+        (BigDecimal(r.getAs[java.math.BigDecimal]("_s")), r.getAs[Long]("_n")))
+      .toMap
+    val n = mustats.values.headOption.map(_._2).getOrElse(0L)
+    require(n > 0, "allButTop on an empty corpus")
+    val mu = Array.tabulate(dim)(j =>
+      r6d(mustats(j)._1.toDouble / 1e8 / n))
+    var u = Array.fill(dim)(r6d(1.0 / math.sqrt(dim.toDouble)))
+    def muU = broadcast((0 until dim).map(j => (j, mu(j), u(j)))
+      .toDF("_j", "_mu", "_u"))
+    def zFrame = ex.join(muU, "_j")
+      .groupBy("_id")
+      .agg((sum(fp8((col("_x") - col("_mu")) * col("_u")))
+        .cast("double") / 1e8).as("_z"))
+    for (_ <- 1 to iters) {
+      val s8 = zFrame.join(ex, "_id")
+        .join(muU, "_j")
+        .groupBy("_j")
+        .agg(sum(fp8((col("_x") - col("_mu")) * col("_z"))).as("_s8"))
+        .collect().map(r => r.getAs[Int]("_j") ->
+          BigDecimal(r.getAs[java.math.BigDecimal]("_s8"))).toMap
+      val s = Array.tabulate(dim)(j => s8(j).toDouble / 1e8 / n)
+      val norm = math.sqrt(
+        s.map(x => rha(x * x * 1e8)).sum.toDouble / 1e8)
+      require(norm > 0, "degenerate covariance: zero power-iterate")
+      u = Array.tabulate(dim)(j => r6d(s(j) / norm))
+    }
+    zFrame.join(ex, "_id").join(muU, "_j")
+      .withColumn("_r", col("_x") - col("_mu") - col("_z") * col("_u"))
+      .groupBy(col("_id"), col("_z"))
+      .agg(sqrt(sum(fp8(col("_r") * col("_r"))).cast("double") / 1e8)
+        .as("res_norm"))
+      .select(col("_id").as("vec_id"), col("_z").as("coef"),
+        col("res_norm"))
+  }
+
   /** Embedding-space isotropy diagnostics (Ethayarajh EMNLP'19 /
     * Mu & Viswanath ICLR'18: contextual embedding spaces are
     * anisotropic — a large common-mean component makes every cosine

@@ -3031,4 +3031,52 @@ object TextOps {
       .select(col(idCol), coalesce(col("nGrams"), lit(0L)).as("nGrams"),
         coalesce(col("avgNll"), lit(0.0)).as("avgNll"))
   }
+  /** PPMI word-association pairs (Church & Hanks, CL 1990): unordered
+    * token pairs co-occurring within `window` positions, scored by
+    * positive pointwise mutual information ln(c_ab·N / (m_a·m_b))
+    * clamped at 0 — the classic distributional-semantics association
+    * table (the count matrix word2vec implicitly factorizes, Levy &
+    * Goldberg NIPS'14).
+    *
+    * Exact: pair counts come from `window` equi-joins on (doc,
+    * pos+offset) — bounded fan-out, never a positional range join;
+    * marginals m and total N re-aggregate the PAIR-COUNT frame (the
+    * corpus is never re-read). minCount filters the OUTPUT only, after
+    * marginals are fixed, so the statistic is unaffected by the cut.
+    *
+    * Scale: one tokenize+posexplode pass, `window` equi-joins each
+    * producing ≤ n_tokens rows, two hash aggregates; the pair-count
+    * frame is vocabulary²-bounded and the only ln rides libm parity.
+    * Output: (wa, wb, c, ppmi) for c ≥ minCount and ppmi > 0. */
+  def ppmi(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 2, minCount: Long = 5): DataFrame = {
+    require(window >= 1 && window <= 8, "1 <= window <= 8")
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("_d"),
+        posexplode(tokens(col(textCol))).as(Seq("_p", "_w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val right = toks.select(col("_d"), col("_p").as("_p2"),
+      col("_w").as("_w2"))
+    val pc = toks
+      .withColumn("_o", explode(array((1 to window).map(lit): _*)))
+      .withColumn("_p2", col("_p") + col("_o"))
+      .join(right, Seq("_d", "_p2"))
+      .select(least(col("_w"), col("_w2")).as("wa"),
+        greatest(col("_w"), col("_w2")).as("wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = pc.select(col("wa").as("w"), col("c"))
+      .unionByName(pc.select(col("wb").as("w"), col("c")))
+      .groupBy("w").agg(sum(col("c")).as("m"))
+    val tot = pc.agg(sum(col("c")).as("nn"))
+    pc.where(col("c") >= minCount)
+      .join(m.select(col("w").as("wa"), col("m").as("_ma")), "wa")
+      .join(m.select(col("w").as("wb"), col("m").as("_mb")), "wb")
+      .crossJoin(broadcast(tot))
+      .withColumn("ppmi",
+        log(col("c").cast("double") * col("nn").cast("double") /
+          (col("_ma").cast("double") * col("_mb").cast("double"))))
+      .where(col("ppmi") > 0)
+      .select(col("wa"), col("wb"), col("c"), col("ppmi"))
+  }
 }

@@ -156,6 +156,62 @@ class Wave11Spec extends SparkSpec {
     }
   }
 
+  test("ABTT: rank-1 corpus — coef carries the signal, residual ~ 0") {
+    // vectors = c_i * v for a fixed direction v (plus the mean): the
+    // top PC is v, so removing it should leave ~nothing
+    val v = Array(0.6f, 0.8f)
+    val rows = (0 until 20).map(i =>
+      (i.toLong, Seq(v(0) * (i + 1), v(1) * (i + 1)).map(_.toFloat)))
+    val r = graft.sim.SimJoin.allButTop(vecs(rows: _*), "vec_id",
+      "embedding", dim = 2, iters = 3).collect()
+    r.foreach(row => assert(math.abs(row.getAs[Double]("res_norm")) < 0.01))
+    // coefs are linear in i (centered): i=0 most negative, i=19 most
+    val byId = r.map(x => x.getAs[Long]("vec_id") ->
+      x.getAs[Double]("coef")).toMap
+    assert(byId(0L) < byId(10L) && byId(10L) < byId(19L) ||
+      byId(0L) > byId(10L) && byId(10L) > byId(19L))
+    assert(math.abs(byId(19L) - byId(0L)) > 15.0)
+  }
+
+  test("eigenvector centrality: star center dominates at 1.0") {
+    val e = (1 to 6).flatMap(i =>
+      Seq((s"l$i", "hub"), ("hub", s"l$i"))).toDF("s", "d")
+    val r = graft.graph.Graph.eigenvectorCentrality(e, "s", "d",
+      iters = 5).collect()
+      .map(x => x.getAs[String]("node") -> x.getAs[Double]("score")).toMap
+    assert(r("hub") == 1.0)
+    assert((1 to 6).forall(i => r(s"l$i") < 0.5))
+  }
+
+  test("SimRank: shared in-neighborhood beats disjoint") {
+    // p1 -> a, p1 -> b (twins); p2 -> c (unrelated)
+    val e = Seq(("p1", "a"), ("p1", "b"), ("p2", "c"), ("a", "p1"),
+      ("c", "p2")).toDF("s", "d")
+    val r = graft.graph.Graph.simRank(e, "s", "d", iters = 3)
+      .collect().map(x => (x.getAs[String]("a"), x.getAs[String]("b")) ->
+        x.getAs[Double]("simrank")).toMap
+    // twins share the single in-neighbor p1: s = C = 0.8
+    assert(math.abs(r(("a", "b")) - 0.8) < 1e-9)
+    assert(!r.contains(("a", "c")) && !r.contains(("b", "c")))
+  }
+
+  test("PPMI: planted collocation scores positive and survives") {
+    val docs = (1 to 30).map(i =>
+      (i.toLong, "alpha beta filler" + i + " gamma delta noise" + i))
+      .toDF("doc_id", "text")
+    val r = graft.text.TextOps.ppmi(docs, "doc_id", "text",
+      window = 2, minCount = 3)
+      .collect().map(x => (x.getAs[String]("wa"), x.getAs[String]("wb")) ->
+        x.getAs[Double]("ppmi")).toMap
+    assert(r.contains(("alpha", "beta")))
+    // alpha-beta co-occur every doc; the alpha-filler window pair
+    // dilutes the marginal: ln(c·N/(m_a·m_b)) = ln(30·N/(m²)) ≈ 0.405
+    assert(r(("alpha", "beta")) > 0.4)
+    // fillerN tokens are unique -> never reach minCount
+    assert(r.keys.forall { case (a, b) =>
+      !a.startsWith("filler") && !b.startsWith("filler") })
+  }
+
   test("validity indices: two far blobs at k=2 are clean") {
     val blobs = vecs((0 until 40).map { i =>
       val c = if (i % 2 == 0) 0.0f else 100.0f
