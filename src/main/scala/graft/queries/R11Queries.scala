@@ -124,7 +124,39 @@ object R11Queries {
     // PPMI word-association pairs, window 2, count >= 3
     "q526_ppmi" -> ((s, dir) =>
       canon(graft.text.TextOps.ppmi(table(s, dir, "documents"),
-        "doc_id", "text", window = 2, minCount = 3)))
+        "doc_id", "text", window = 2, minCount = 3))),
+    // AMS F2 sketch (5 groups x 8 reps) vs the exact second moment
+    "q527_ams_f2" -> ((s, dir) => {
+      import graft.model.Sketches
+      val keys = Seq("event_type")
+      val est = Sketches.amsF2Estimate(
+        Sketches.amsF2Counters(ev(s, dir), keys, "user_id"), keys)
+      val ex = Sketches.f2Exact(ev(s, dir), keys, "user_id")
+      canon(est.join(ex, keys)
+        .withColumn("rel_err",
+          abs(col("f2_est") - col("f2_exact").cast("double")) /
+            col("f2_exact").cast("double"))
+        .select("event_type", "f2_exact", "f2_est", "rel_err"))
+    }),
+    // DDSketch relative-error quantiles (gamma=1.02) at 3 taus
+    "q528_ddsketch" -> ((s, dir) => {
+      import graft.model.Sketches
+      canon(Sketches.ddsketchQuantiles(
+        Sketches.ddsketchBuckets(ev(s, dir), Seq("event_type"), "value"),
+        Seq("event_type"), Seq(0.5, 0.9, 0.99)))
+    }),
+    // lossless merge audit: two event-parity halves, merged sketch
+    // answers the same quantile queries (shares q528's oracle)
+    "q529_ddsketch_merge" -> ((s, dir) => {
+      import graft.model.Sketches
+      val halves = Seq(0, 1).map(p =>
+        Sketches.ddsketchBuckets(
+          ev(s, dir).where(pmod(col("event_id"), lit(2L)) === p),
+          Seq("event_type"), "value"))
+      canon(Sketches.ddsketchQuantiles(
+        Sketches.ddsketchMerge(halves, Seq("event_type")),
+        Seq("event_type"), Seq(0.5, 0.9, 0.99)))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -493,6 +525,59 @@ object R11Queries {
          | CROSS JOIN tot
          |WHERE pc.c >= 3 AND ln(pc.c::DOUBLE * tot.nn::DOUBLE /
          |  (ma.m::DOUBLE * mb.m::DOUBLE)) > 0"""
-        .stripMargin.replace("\n", " ")
+        .stripMargin.replace("\n", " "),
+    "q527_ams_f2" ->
+      s"""WITH c AS (SELECT event_type, t.j,
+         |  sum(CASE WHEN ('0x'||substr(md5('ams_'||t.j::VARCHAR||'_'
+         |    ||user_id::VARCHAR),1,14))::BIGINT % 2 = 0
+         |   THEN 1 ELSE -1 END)::BIGINT AS c
+         | FROM events CROSS JOIN (SELECT unnest(range(40)) AS j) t
+         | WHERE user_id IS NOT NULL GROUP BY 1, 2),
+         |g AS (SELECT event_type, c.j // 8 AS grp,
+         |  sum(c*c)::BIGINT::DOUBLE/8 AS m FROM c GROUP BY 1, 2),
+         |r AS (SELECT event_type, m, row_number() OVER
+         |  (PARTITION BY event_type ORDER BY m, grp) AS rn FROM g),
+         |e AS (SELECT event_type, m AS f2_est FROM r WHERE rn = 3),
+         |x AS (SELECT event_type, sum(f*f)::BIGINT AS f2_exact FROM
+         |  (SELECT event_type, user_id, count(*)::BIGINT AS f
+         |   FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+         | GROUP BY 1)
+         |SELECT event_type, f2_exact, round(f2_est, 4) + 0 AS f2_est,
+         | round(abs(f2_est - f2_exact::DOUBLE)/f2_exact::DOUBLE, 4) + 0
+         |  AS rel_err
+         |FROM e JOIN x USING (event_type)"""
+        .stripMargin.replace("\n", " "),
+    "q528_ddsketch" -> ddsketchOracle,
+    "q529_ddsketch_merge" -> ddsketchOracle
   )
+
+  /** DDSketch replay (γ=1.02): shared by q528 (direct build) and q529
+    * (two-half lossless merge — bucket counts add, so the merged
+    * histogram is bit-identical to the direct one). */
+  private lazy val ddsketchOracle: String = {
+    val lg = math.log(1.02)
+    val mid = 2.0 / (1.02 + 1.0)
+    s"""WITH b AS (SELECT event_type,
+       |  CASE WHEN value > 0.0001 THEN 1
+       |   WHEN value < -0.0001 THEN -1 ELSE 0 END AS side,
+       |  CASE WHEN value > 0.0001 THEN ceil(ln(value)/$lg)::BIGINT
+       |   WHEN value < -0.0001 THEN ceil(ln(-value)/$lg)::BIGINT
+       |   ELSE 0 END AS idx,
+       |  count(*)::BIGINT AS c
+       | FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+       |cu AS (SELECT event_type, side, idx, c,
+       |  sum(c) OVER (PARTITION BY event_type ORDER BY side,
+       |   CASE WHEN side = -1 THEN -idx ELSE idx END)::BIGINT AS cum,
+       |  (sum(c) OVER (PARTITION BY event_type))::BIGINT AS n
+       | FROM b),
+       |q AS (SELECT cu.*, t.tau,
+       |  floor(t.tau*(n - 1)::DOUBLE)::BIGINT + 1 AS rk
+       | FROM cu CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS tau) t)
+       |SELECT event_type, tau, n,
+       | round(CASE WHEN side = 0 THEN 0.0
+       |  ELSE side::DOUBLE * $mid * exp(idx::DOUBLE * $lg) END, 4) + 0
+       |  AS est
+       |FROM q WHERE cum >= rk AND cum - c < rk"""
+      .stripMargin.replace("\n", " ")
+  }
 }

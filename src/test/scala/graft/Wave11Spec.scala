@@ -212,6 +212,57 @@ class Wave11Spec extends SparkSpec {
       !a.startsWith("filler") && !b.startsWith("filler") })
   }
 
+  test("AMS F2: merge is lossless, estimate brackets the exact moment") {
+    import graft.model.Sketches
+    // skewed stream: one heavy value (f=60) + 40 singletons
+    val data = ((1 to 60).map(_ => (1L, "hot")) ++
+      (1 to 40).map(i => (1L, s"u$i")))
+      .zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+      .toDF("g", "v", "id")
+    val direct = Sketches.amsF2Counters(data, Seq("g"), "v")
+    val halves = Seq(0L, 1L).map(p =>
+      Sketches.amsF2Counters(data.where(col("id") % 2 === p), Seq("g"), "v"))
+    val merged = Sketches.amsF2Merge(halves, Seq("g"))
+    // counters are integers and slices add: bit-exact merge
+    assert(direct.join(merged.withColumnRenamed("c", "c2"), Seq("g", "_j"))
+      .where(col("c") =!= col("c2")).count() == 0)
+    val est = Sketches.amsF2Estimate(direct, Seq("g"))
+      .collect()(0).getAs[Double]("f2_est")
+    val exact = Sketches.f2Exact(data, Seq("g"), "v")
+      .collect()(0).getAs[Long]("f2_exact")
+    assert(exact == 60L * 60 + 40)
+    // median-of-5-means lands within 3x either way on a heavy-hitter
+    // stream (AMS variance is O(F2²/k))
+    assert(est > exact / 3.0 && est < exact * 3.0)
+  }
+
+  test("DDSketch: relative-error guarantee holds, merge is lossless") {
+    import graft.model.Sketches
+    val vals = ((1 to 99).map(_.toDouble) ++ Seq(-50.0, 0.0))
+    val data = vals.zipWithIndex.map { case (v, i) => (1L, v, i.toLong) }
+      .toDF("g", "v", "id")
+    val b = Sketches.ddsketchBuckets(data, Seq("g"), "v")
+    val q = Sketches.ddsketchQuantiles(b, Seq("g"), Seq(0.5, 0.9))
+      .collect().map(r => r.getAs[Double]("tau") -> r.getAs[Double]("est"))
+      .toMap
+    // n=101; rank(0.5) = 51 -> sorted value 49.0 (after -50 and 0);
+    // rank(0.9) = 91 -> 89.0; guarantee: |est-x|/x <= 0.0099
+    assert(math.abs(q(0.5) - 49.0) / 49.0 < 0.01)
+    assert(math.abs(q(0.9) - 89.0) / 89.0 < 0.01)
+    val halves = Seq(0L, 1L).map(p =>
+      Sketches.ddsketchBuckets(data.where(col("id") % 2 === p),
+        Seq("g"), "v"))
+    val m = Sketches.ddsketchQuantiles(
+      Sketches.ddsketchMerge(halves, Seq("g")), Seq("g"), Seq(0.5, 0.9))
+      .collect().map(r => r.getAs[Double]("tau") -> r.getAs[Double]("est"))
+      .toMap
+    assert(m == q, "merged sketch answers bit-identically")
+    // negative tail: tau=0 hits the mirrored bucket of -50
+    val q0 = Sketches.ddsketchQuantiles(b, Seq("g"), Seq(0.0))
+      .collect()(0).getAs[Double]("est")
+    assert(math.abs(q0 - (-50.0)) / 50.0 < 0.01)
+  }
+
   test("validity indices: two far blobs at k=2 are clean") {
     val blobs = vecs((0 until 40).map { i =>
       val c = if (i % 2 == 0) 0.0f else 100.0f
