@@ -156,6 +156,22 @@ object R11Queries {
       canon(Sketches.ddsketchQuantiles(
         Sketches.ddsketchMerge(halves, Seq("event_type")),
         Seq("event_type"), Seq(0.5, 0.9, 0.99)))
+    }),
+    // DDSketch stream twin batch-executed (q160 pattern): one batch ==
+    // the final online snapshot == the batch histogram, shared oracle
+    "q530_ddsketch_stream" -> ((s, dir) =>
+      canon(graft.streaming.StreamScorers.ddsketchStream(ev(s, dir),
+        "event_type", "value", Seq(0.5, 0.9, 0.99))
+        .toDF().withColumnRenamed("key", "event_type"))),
+    // mSPRT stream twin batch-executed: row-for-row trajectory parity
+    // with q519 (the Elo-twin discipline), shared oracle
+    "q531_msprt_stream" -> ((s, dir) => {
+      val p = ev(s, dir).select(col("event_type"), col("event_id"),
+        col("value"),
+        (col("value") +
+          pmod(col("user_id"), lit(7L)).cast("double") * 0.1).as("b"))
+      canon(graft.streaming.StreamScorers.msprtStream(p, "event_type",
+        "event_id", "value", "b", sigma2 = 1.0, tau2 = 0.1).toDF())
     })
   )
 
@@ -298,27 +314,7 @@ object R11Queries {
          | round(tot.b_in, 4) + 0 AS b_inertia
          |FROM tot CROSS JOIN agg""".stripMargin.replace("\n", " ")
     },
-    "q519_msprt" ->
-      s"""WITH b AS (SELECT event_type AS key, event_id AS o,
-         |  ${fp("((value + (user_id % 7)::DOUBLE * 0.1) - value)",
-              "10000.0")} AS d
-         | FROM events),
-         |c AS (SELECT key, o,
-         |  count(*) OVER pw AS t, sum(d) OVER pw AS sd
-         | FROM b WINDOW pw AS (PARTITION BY key ORDER BY o
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |l AS (SELECT key, o, t, dm,
-         |  0.5*ln(2.0/(2.0 + t::DOUBLE*0.1)) + 0.1*t::DOUBLE*t::DOUBLE
-         |   *dm*dm/(4.0*(2.0 + t::DOUBLE*0.1)) AS ll
-         | FROM (SELECT *, sd::DOUBLE/1e4/t::DOUBLE AS dm FROM c)),
-         |p AS (SELECT key, t, dm, ll,
-         |  least(1.0, exp(-max(ll) OVER (PARTITION BY key ORDER BY o
-         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS pa
-         | FROM l)
-         |SELECT key, t, round(dm, 4) + 0 AS delta_mean,
-         | round(ll, 4) + 0 AS log_lambda, round(pa, 4) + 0 AS p_always,
-         | pa <= 0.05 AS decided FROM p"""
-        .stripMargin.replace("\n", " "),
+    "q519_msprt" -> msprtOracle,
     "q520_bayes_ab" -> {
       val mu = (s: String, n: String) =>
         s"(($s)::DOUBLE + 1.0) / (($n)::DOUBLE + 2.0)"
@@ -548,12 +544,40 @@ object R11Queries {
          |FROM e JOIN x USING (event_type)"""
         .stripMargin.replace("\n", " "),
     "q528_ddsketch" -> ddsketchOracle,
-    "q529_ddsketch_merge" -> ddsketchOracle
+    "q529_ddsketch_merge" -> ddsketchOracle,
+    "q530_ddsketch_stream" -> ddsketchOracle,
+    "q531_msprt_stream" -> msprtOracle
   )
 
-  /** DDSketch replay (γ=1.02): shared by q528 (direct build) and q529
+  /** mSPRT replay: shared by q519 (batch windows) and q531 (the
+    * flatMapGroupsWithState twin, whose per-key ordered replay is
+    * bit-identical). */
+  private lazy val msprtOracle: String =
+    s"""WITH b AS (SELECT event_type AS key, event_id AS o,
+       |  ${fp("((value + (user_id % 7)::DOUBLE * 0.1) - value)",
+            "10000.0")} AS d
+       | FROM events),
+       |c AS (SELECT key, o,
+       |  count(*) OVER pw AS t, sum(d) OVER pw AS sd
+       | FROM b WINDOW pw AS (PARTITION BY key ORDER BY o
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |l AS (SELECT key, o, t, dm,
+       |  0.5*ln(2.0/(2.0 + t::DOUBLE*0.1)) + 0.1*t::DOUBLE*t::DOUBLE
+       |   *dm*dm/(4.0*(2.0 + t::DOUBLE*0.1)) AS ll
+       | FROM (SELECT *, sd::DOUBLE/1e4/t::DOUBLE AS dm FROM c)),
+       |p AS (SELECT key, t, dm, ll,
+       |  least(1.0, exp(-max(ll) OVER (PARTITION BY key ORDER BY o
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS pa
+       | FROM l)
+       |SELECT key, t, round(dm, 4) + 0 AS delta_mean,
+       | round(ll, 4) + 0 AS log_lambda, round(pa, 4) + 0 AS p_always,
+       | pa <= 0.05 AS decided FROM p"""
+      .stripMargin.replace("\n", " ")
+
+  /** DDSketch replay (γ=1.02): shared by q528 (direct build), q529
     * (two-half lossless merge — bucket counts add, so the merged
-    * histogram is bit-identical to the direct one). */
+    * histogram is bit-identical to the direct one) and q530 (the
+    * GroupState stream twin's single-batch face). */
   private lazy val ddsketchOracle: String = {
     val lg = math.log(1.02)
     val mid = 2.0 / (1.02 + 1.0)

@@ -1481,4 +1481,124 @@ object StreamScorers {
           out.iterator
         })
   }
+
+  // ------------------------------------------------------ round-11 twins
+
+  case class DdsQOut(key: String, tau: Double, n: Long, est: Double)
+  case class DdsState(counts: Map[Long, Long]) // (idx*4 + side+1) -> c
+
+  /** Streaming DDSketch quantile monitor — the stateful twin of
+    * [[graft.model.Sketches.ddsketchBuckets]]/[[graft.model.Sketches.ddsketchQuantiles]]:
+    * the (side, idx) bucket map lives in GroupState (bounded by bucket
+    * cardinality ~ log_γ(range) — constant-memory at ANY volume), each
+    * micro-batch emits the current quantile snapshots. Bucket counts are
+    * linear, so after any batch split the state equals the batch
+    * histogram of the union — one batch == the batch operator exactly
+    * (shares q528's oracle); the spec pins the cross-batch split too. */
+  def ddsketchStream(rows: DataFrame, keyCol: String, valCol: String,
+      taus: Seq[Double], gamma: Double = 1.02, eps0: Double = 1e-4):
+      Dataset[DdsQOut] = {
+    require(gamma > 1.0 && taus.nonEmpty, "gamma > 1, taus non-empty")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val lg = math.log(gamma)
+    val mid = 2.0 / (gamma + 1.0)
+    val typed = rows
+      .select(col(keyCol).cast("string").as("key"),
+        col(valCol).cast("double").as("v"))
+      .where(col("v").isNotNull).as[(String, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, it: Iterator[(String, Double)], st: GroupState[DdsState]) => {
+          var m = st.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+          it.foreach { case (_, x) =>
+            val (side, idx) =
+              // StrictMath == Spark SQL's codegen'd log/exp (Math.exp
+              // strays by 1 ulp on some args — measured at idx=184)
+              if (x > eps0)
+                (1, math.ceil(java.lang.StrictMath.log(x) / lg).toLong)
+              else if (x < -eps0)
+                (-1, math.ceil(java.lang.StrictMath.log(-x) / lg).toLong)
+              else (0, 0L)
+            val k = idx * 4 + (side + 1)
+            m = m.updated(k, m.getOrElse(k, 0L) + 1L)
+          }
+          st.update(DdsState(m))
+          val buckets = m.toArray.map { case (k, c) =>
+            val side = (((k % 4) + 4) % 4).toInt - 1
+            val idx = (k - (side + 1)) / 4
+            (side, idx, c)
+          }
+          // value order: side asc, then signed idx (the batch walk)
+          val sorted = buckets.sortBy { case (side, idx, _) =>
+            (side, if (side == -1) -idx else idx)
+          }
+          val n = sorted.map(_._3).sum
+          taus.iterator.map { tau =>
+            val rk = math.floor(tau * (n - 1).toDouble).toLong + 1
+            var cum = 0L
+            var est = 0.0
+            var done = false
+            sorted.foreach { case (side, idx, c) =>
+              if (!done) {
+                cum += c
+                if (cum >= rk) {
+                  est = if (side == 0) 0.0
+                    else side.toDouble * mid *
+                      java.lang.StrictMath.exp(idx.toDouble * lg)
+                  done = true
+                }
+              }
+            }
+            DdsQOut(key, tau, n, est)
+          }
+        })
+  }
+
+  case class MsprtOut(key: String, t: Long, delta_mean: Double,
+      log_lambda: Double, p_always: Double, decided: Boolean)
+  case class MsprtState(t: Long, sd4: Long, maxLl: Double)
+
+  /** Streaming mixture-SPRT monitor — the O(1)-state twin of
+    * [[graft.model.Experiment.msprt]]: per key the state is
+    * (count, exact 4dp delta sum, running-max ln Λ); each batch sorts
+    * its arrivals by `ord` and replays the batch recursion row for row
+    * (bit-exact parity — the Elo-twin discipline), so one batch ==
+    * the batch operator exactly (shares q519's oracle). */
+  def msprtStream(rows: DataFrame, keyCol: String, ordCol: String,
+      aCol: String, bCol: String, sigma2: Double, tau2: Double,
+      alpha: Double = 0.05): Dataset[MsprtOut] = {
+    require(sigma2 > 0 && tau2 > 0, "sigma2 and tau2 must be positive")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    def rha(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else -math.floor(-x + 0.5).toLong
+    val typed = rows.select(col(keyCol).cast("string").as("key"),
+      col(ordCol).cast("long").as("o"),
+      col(aCol).cast("double").as("a"), col(bCol).cast("double").as("b"))
+      .as[(String, Long, Double, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, it: Iterator[(String, Long, Double, Double)],
+            st: GroupState[MsprtState]) => {
+          var (t, sd4, maxLl) = st.getOption
+            .map(s => (s.t, s.sd4, s.maxLl))
+            .getOrElse((0L, 0L, Double.NegativeInfinity))
+          val out = it.toArray.sortBy(_._2).map { case (_, _, a, b) =>
+            t += 1
+            sd4 += rha((b - a) * 1e4)
+            val n = t.toDouble
+            val v = 2.0 * sigma2 + n * tau2
+            val dm = sd4.toDouble / 1e4 / n
+            // StrictMath: bit-parity with the batch op's SQL log/exp
+            val ll = 0.5 * java.lang.StrictMath.log(2.0 * sigma2 / v) +
+              tau2 * n * n * dm * dm / (4.0 * sigma2 * v)
+            if (ll > maxLl) maxLl = ll
+            val p = math.min(1.0, java.lang.StrictMath.exp(-maxLl))
+            MsprtOut(key, t, dm, ll, p, p <= alpha)
+          }
+          st.update(MsprtState(t, sd4, maxLl))
+          out.iterator
+        })
+  }
 }

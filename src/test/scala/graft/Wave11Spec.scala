@@ -263,6 +263,57 @@ class Wave11Spec extends SparkSpec {
     assert(math.abs(q0 - (-50.0)) / 50.0 < 0.01)
   }
 
+  test("ddsketchStream: cross-batch state, final snapshot == batch op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.model.Sketches
+    implicit val sc = spark.sqlContext
+    val vals = (1 to 200).map(i => ("a", (i % 37) * 1.5 - 10.0))
+    val in = MemoryStream[(String, Double)]
+    val out = graft.streaming.StreamScorers.ddsketchStream(
+      in.toDF().toDF("k", "v"), "k", "v", Seq(0.5, 0.9))
+    val q = out.writeStream.format("memory").queryName("dds")
+      .outputMode("append").start()
+    val (b1, b2) = vals.splitAt(80)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    val snaps = spark.table("dds").collect()
+    q.stop()
+    assert(snaps.length == 4, "2 taus x 2 batches")
+    val last = snaps.filter(_.getAs[Long]("n") == 200)
+      .map(r => r.getAs[Double]("tau") -> r.getAs[Double]("est")).toMap
+    val batch = Sketches.ddsketchQuantiles(
+      Sketches.ddsketchBuckets(vals.toDF("k", "v"), Seq("k"), "v"),
+      Seq("k"), Seq(0.5, 0.9)).collect()
+      .map(r => r.getAs[Double]("tau") -> r.getAs[Double]("est")).toMap
+    assert(last == batch, "bucket counts are linear: exact parity")
+  }
+
+  test("msprtStream: cross-batch trajectory == batch rows exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val rows = (1 to 100).map(i =>
+      ("a", i.toLong, 0.0, if (i % 3 == 0) 0.4 else -0.1))
+    val in = MemoryStream[(String, Long, Double, Double)]
+    val out = graft.streaming.StreamScorers.msprtStream(
+      in.toDF().toDF("k", "o", "a", "b"), "k", "o", "a", "b",
+      sigma2 = 1.0, tau2 = 0.1)
+    val q = out.writeStream.format("memory").queryName("msp")
+      .outputMode("append").start()
+    val (b1, b2) = rows.splitAt(40)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    val got = spark.table("msp").collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Double]("log_lambda"),
+        r.getAs[Double]("p_always"))).sortBy(_._1)
+    q.stop()
+    val exp = graft.model.Experiment.msprt(rows.toDF("k", "o", "a", "b"),
+      "k", "o", "a", "b", sigma2 = 1.0, tau2 = 0.1).collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Double]("log_lambda"),
+        r.getAs[Double]("p_always"))).sortBy(_._1)
+    assert(got.length == 100)
+    assert(got.sameElements(exp), "row-for-row bit parity across the split")
+  }
+
   test("validity indices: two far blobs at k=2 are clean") {
     val blobs = vecs((0 until 40).map { i =>
       val c = if (i % 2 == 0) 0.0f else 100.0f
