@@ -172,7 +172,42 @@ object R11Queries {
           pmod(col("user_id"), lit(7L)).cast("double") * 0.1).as("b"))
       canon(graft.streaming.StreamScorers.msprtStream(p, "event_type",
         "event_id", "value", "b", sigma2 = 1.0, tau2 = 0.1).toDF())
-    })
+    }),
+    // BH step-up FDR over a 16-bucket-per-type z-test battery
+    "q532_bh_fdr" -> ((s, dir) => {
+      val fp8c = (c: org.apache.spark.sql.Column) =>
+        fixedPointLong(c, 8).cast("decimal(38,0)")
+      val e = ev(s, dir)
+      val st = e.groupBy("event_type")
+        .agg(count(lit(1)).as("_n"), sum(fp8c(col("value"))).as("_s1"),
+          sum(fp8c(col("value") * col("value"))).as("_s2"))
+        .withColumn("_mu", col("_s1").cast("double") / 1e8 / col("_n"))
+        .withColumn("_sd", sqrt(greatest(lit(0.0),
+          col("_s2").cast("double") / 1e8 / col("_n") -
+            col("_mu") * col("_mu"))))
+        .select("event_type", "_mu", "_sd")
+      val tests = e
+        .withColumn("bucket", pmod(col("user_id"), lit(16L)))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("_nb"), sum(fp8c(col("value"))).as("_sb"))
+        .join(broadcast(st), "event_type")
+        .withColumn("_mb", col("_sb").cast("double") / 1e8 / col("_nb"))
+        .withColumn("_z", (col("_mb") - col("_mu")) /
+          (col("_sd") / sqrt(col("_nb").cast("double"))))
+        .withColumn("p", lit(1.0) -
+          graft.multi.Proximity.erfPos(abs(col("_z")) / math.sqrt(2.0)))
+        .select("event_type", "bucket", "p")
+      canon(graft.model.GroupTests.bhFdr(tests, Seq("event_type"),
+        "bucket", "p"))
+    }),
+    // Zipf rank-frequency OLS per lang over the top-500 vocabulary
+    "q533_zipf" -> ((s, dir) =>
+      canon(graft.text.TextOps.zipfFit(table(s, dir, "documents"),
+        "lang", "text", maxRank = 500))),
+    // per-source unigram KL/JS vs the corpus, top-64 vocab + OOV
+    "q534_unigram_divergence" -> ((s, dir) =>
+      canon(graft.text.TextOps.unigramDivergence(
+        table(s, dir, "documents"), "source", "text", topV = 64)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -546,7 +581,96 @@ object R11Queries {
     "q528_ddsketch" -> ddsketchOracle,
     "q529_ddsketch_merge" -> ddsketchOracle,
     "q530_ddsketch_stream" -> ddsketchOracle,
-    "q531_msprt_stream" -> msprtOracle
+    "q531_msprt_stream" -> msprtOracle,
+    "q532_bh_fdr" -> {
+      val z = "((mb - mu) / (sd / sqrt(nb::DOUBLE)))"
+      s"""WITH st AS (SELECT event_type, count(*) AS n,
+         |  sum(${fp("value", "1e8")})::HUGEINT AS s1,
+         |  sum(${fp("value*value", "1e8")})::HUGEINT AS s2
+         | FROM events GROUP BY 1),
+         |st2 AS (SELECT event_type, mu,
+         |  sqrt(greatest(0.0, s2::DOUBLE/1e8/n - mu*mu)) AS sd
+         | FROM (SELECT *, s1::DOUBLE/1e8/n AS mu FROM st)),
+         |bk AS (SELECT event_type, user_id % 16 AS bucket,
+         |  count(*) AS nb, sum(${fp("value", "1e8")})::HUGEINT AS sb
+         | FROM events GROUP BY 1, 2),
+         |ts AS (SELECT b.event_type, b.bucket,
+         |  1.0 - ${erfp(s"abs($z)/1.4142135623730951")} AS p
+         | FROM (SELECT *, sb::DOUBLE/1e8/nb AS mb FROM bk) b
+         | JOIN st2 USING (event_type)),
+         |rk AS (SELECT event_type, bucket, p,
+         |  row_number() OVER (PARTITION BY event_type
+         |   ORDER BY p, bucket) AS rank,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM ts),
+         |ad AS (SELECT event_type, bucket, p, rank,
+         |  least(1.0, min(p * n::DOUBLE / rank::DOUBLE) OVER
+         |   (PARTITION BY event_type ORDER BY rank DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS pa
+         | FROM rk)
+         |SELECT event_type, bucket, round(p, 4) + 0 AS p,
+         | rank::INT AS rank, round(pa, 4) + 0 AS p_adj,
+         | pa <= 0.05 AS reject FROM ad"""
+        .stripMargin.replace("\n", " ")
+    },
+    "q533_zipf" -> {
+      val slope = "(sxyc / sxxc)"
+      s"""WITH tf AS (SELECT lang AS g, tok AS w, count(*)::BIGINT AS f
+         | FROM (SELECT lang, unnest($toksSql) AS tok FROM documents
+         |   WHERE text IS NOT NULL) GROUP BY 1, 2),
+         |rk AS (SELECT g, ${fp("ln(r::DOUBLE)", "10000.0")} AS x,
+         |  ${fp("ln(f::DOUBLE)", "10000.0")} AS y
+         | FROM (SELECT g, f, row_number() OVER
+         |   (PARTITION BY g ORDER BY f DESC, w ASC) AS r FROM tf)
+         | WHERE r <= 500),
+         |gg AS (SELECT g, count(*)::BIGINT AS n,
+         |  sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+         |  sum(x::HUGEINT * y::HUGEINT) AS sxy,
+         |  sum(x::HUGEINT * x::HUGEINT) AS sxx,
+         |  sum(y::HUGEINT * y::HUGEINT) AS syy
+         | FROM rk GROUP BY 1 HAVING count(*) >= 3),
+         |c AS (SELECT g, n,
+         |  (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE) / 1e8
+         |   AS sxyc,
+         |  (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / 1e8
+         |   AS sxxc,
+         |  (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE) / 1e8
+         |   AS syyc,
+         |  sx::DOUBLE AS sxd, sy::DOUBLE AS syd FROM gg)
+         |SELECT g AS lang, n AS n_vocab, round($slope, 4) + 0 AS slope,
+         | round((syd / 1e4 - $slope * (sxd / 1e4)) / n::DOUBLE, 4) + 0
+         |  AS intercept,
+         | round(sxyc * sxyc / (sxxc * syyc), 4) + 0 AS r2,
+         | round($slope / sqrt((syyc - $slope * sxyc)
+         |  / (n::DOUBLE - 2) / sxxc), 4) + 0 AS t_stat
+         |FROM c""".stripMargin.replace("\n", " ")
+    },
+    "q534_unigram_divergence" ->
+      s"""WITH tk AS (SELECT source AS g, tok AS w
+         | FROM (SELECT source, unnest($toksSql) AS tok FROM documents
+         |   WHERE text IS NOT NULL)),
+         |vocab AS (SELECT w FROM (SELECT w, count(*) AS c FROM tk
+         |  GROUP BY 1 ORDER BY c DESC, w ASC LIMIT 64)),
+         |mp AS (SELECT g, CASE WHEN v.w IS NOT NULL THEN tk.w
+         |  ELSE '<OOV>' END AS t
+         | FROM tk LEFT JOIN vocab v ON v.w = tk.w),
+         |gc AS (SELECT g, t, count(*)::BIGINT AS c FROM mp GROUP BY 1, 2),
+         |cc AS (SELECT t, count(*)::BIGINT AS cc FROM mp GROUP BY 1),
+         |gn AS (SELECT g, count(*)::BIGINT AS ng FROM mp GROUP BY 1),
+         |nt AS (SELECT count(*)::BIGINT AS n FROM mp),
+         |grid AS (SELECT gn.g, gn.ng, cc.t, cc.cc,
+         |  (coalesce(gc.c, 0) + 1.0) / (gn.ng + 65.0) AS s,
+         |  (cc.cc + 1.0) / (nt.n + 65.0) AS q
+         | FROM gn CROSS JOIN cc CROSS JOIN nt
+         | LEFT JOIN gc ON gc.g = gn.g AND gc.t = cc.t),
+         |g2 AS (SELECT *, (s + q) / 2.0 AS m FROM grid)
+         |SELECT g AS source, max(ng) AS n_tokens,
+         | round(sum(${fp("s * ln(s/q)", "1e8")})::HUGEINT::DOUBLE/1e8, 4)
+         |  + 0 AS kl,
+         | round((sum(${fp("s * ln(s/m)", "1e8")})::HUGEINT::DOUBLE/1e8 +
+         |  sum(${fp("q * ln(q/m)", "1e8")})::HUGEINT::DOUBLE/1e8) / 2.0,
+         |  4) + 0 AS js
+         |FROM g2 GROUP BY 1"""
+        .stripMargin.replace("\n", " ")
   )
 
   /** mSPRT replay: shared by q519 (batch windows) and q531 (the

@@ -3079,4 +3079,88 @@ object TextOps {
       .where(col("ppmi") > 0)
       .select(col("wa"), col("wb"), col("c"), col("ppmi"))
   }
+  /** Zipf rank-frequency fit per group (Zipf 1949): token frequencies
+    * ranked (count desc, token asc), OLS of ln f on ln r over the top
+    * `maxRank` vocabulary — slope ≈ −1 is healthy natural text; flat
+    * slopes flag templated/boilerplate corpora, steep ones tiny
+    * vocabularies. Delegates the fit to [[graft.model.Assoc.olsFit]]
+    * (exact 4dp moment sums), so the statistic inherits its
+    * determinism contract.
+    *
+    * Scale: one (group, token) hash aggregate, one rank window
+    * capped at maxRank rows per group (WindowGroupLimit prunes the
+    * exchange), then a group-sized OLS. Output: group, n_vocab, slope,
+    * intercept, r2, t_stat. */
+  def zipfFit(docs: DataFrame, groupCol: String, textCol: String,
+      maxRank: Int = 500): DataFrame = {
+    require(maxRank >= 10, "need at least 10 ranks to fit")
+    val w = Window.partitionBy("_g").orderBy(col("_f").desc, col("_w").asc)
+    val ranked = docs.where(col(textCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        explode(tokens(col(textCol))).as("_w"))
+      .groupBy("_g", "_w").agg(count(lit(1)).as("_f"))
+      .withColumn("_r", row_number().over(w))
+      .where(col("_r") <= maxRank)
+      .select(col("_g"), log(col("_r").cast("double")).as("_lr"),
+        log(col("_f").cast("double")).as("_lf"))
+    graft.model.Assoc.olsFit(ranked, "_g", "_lr", "_lf")
+      .select(col("key").as(groupCol), col("n").as("n_vocab"),
+        col("slope"), col("intercept"), col("r2"), col("t_stat"))
+  }
+
+  /** Token-level KL / Jensen-Shannon divergence of each group's
+    * unigram distribution vs the corpus — the TOKEN face of
+    * charClassDrift's character profile: restrict to the corpus top-V
+    * vocabulary plus one OOV bucket "<OOV>" (uppercase — lowercased tokens can never collide; bounded cells), add-one smooth
+    * both sides, KL(g‖corpus) = Σ s·ln(s/c) and symmetric JS with the
+    * ½-mixture. Which source is token-distributionally unlike the
+    * rest — the mixture-weighting / contamination probe.
+    *
+    * Determinism: cell counts exact; shares are exact-integer ratios;
+    * per-cell divergence terms are 8dp-quantized before the (V+1)-cell
+    * sum (order-free); ln rides libm parity.
+    *
+    * Scale: one (group, token) aggregate joined to a broadcast top-V
+    * table, a groups×(V+1) grid (model-sized) for the zero cells.
+    * Output: group, n_tokens, kl, js. */
+  def unigramDivergence(docs: DataFrame, groupCol: String,
+      textCol: String, topV: Int = 64): DataFrame = {
+    require(topV >= 1 && topV <= 4096, "1 <= topV <= 4096")
+    val fp8 = (c: Column) =>
+      graft.core.fixedPointLong(c, 8).cast("decimal(38,0)")
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        explode(tokens(col(textCol))).as("_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = toks.groupBy("_w").agg(count(lit(1)).as("_cf"))
+      .orderBy(col("_cf").desc, col("_w").asc).limit(topV)
+      .select(col("_w"), lit(true).as("_inv"))
+    val mapped = toks.join(broadcast(vocab), Seq("_w"), "left")
+      .select(col("_g"),
+        when(col("_inv").isNotNull, col("_w")).otherwise(lit("<OOV>"))
+          .as("_t"))
+    val gc = mapped.groupBy("_g", "_t").agg(count(lit(1)).as("_c"))
+    val cc = mapped.groupBy("_t").agg(count(lit(1)).as("_cc"))
+    val gn = mapped.groupBy("_g").agg(count(lit(1)).as("_ng"))
+    val nTot = mapped.count()
+    val cells = lit(topV + 1)
+    val grid = gn.crossJoin(broadcast(
+        cc.select(col("_t"), col("_cc"))))
+      .join(gc, Seq("_g", "_t"), "left")
+      .withColumn("_s", (coalesce(col("_c"), lit(0L)) + 1.0) /
+        (col("_ng") + cells.cast("double")))
+      .withColumn("_q", (col("_cc") + 1.0) /
+        (lit(nTot) + cells.cast("double")))
+      .withColumn("_m", (col("_s") + col("_q")) / 2.0)
+    grid.groupBy(col("_g"))
+      .agg(max(col("_ng")).as("n_tokens"),
+        (sum(fp8(col("_s") * log(col("_s") / col("_q"))))
+          .cast("double") / 1e8).as("kl"),
+        ((sum(fp8(col("_s") * log(col("_s") / col("_m"))))
+          .cast("double") / 1e8 +
+          sum(fp8(col("_q") * log(col("_q") / col("_m"))))
+            .cast("double") / 1e8) / 2.0).as("js"))
+      .select(col("_g").as(groupCol), col("n_tokens"), col("kl"),
+        col("js"))
+  }
 }

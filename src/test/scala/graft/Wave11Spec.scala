@@ -314,6 +314,55 @@ class Wave11Spec extends SparkSpec {
     assert(got.sameElements(exp), "row-for-row bit parity across the split")
   }
 
+  test("BH-FDR: step-up monotone, strong signals survive, nulls don't") {
+    // family of 20: three tiny p's, rest near 1
+    val ps = Seq(0.0001, 0.0002, 0.0003) ++
+      (4 to 20).map(i => 0.5 + i * 0.02)
+    val t = ps.zipWithIndex.map { case (p, i) => (1L, i.toLong, p) }
+      .toDF("g", "id", "pv")
+    val r = graft.model.GroupTests.bhFdr(t, Seq("g"), "id", "pv")
+      .orderBy("rank").collect()
+    // adjusted p is non-decreasing in rank (step-up running min)
+    val adj = r.map(_.getAs[Double]("p_adj"))
+    assert(adj.zip(adj.tail).forall { case (a, b) => b >= a - 1e-15 })
+    assert(r.take(3).forall(_.getAs[Boolean]("reject")))
+    assert(r.drop(3).forall(!_.getAs[Boolean]("reject")))
+    // textbook: adj_1 = min over i of p_i*n/i = 0.0001*20/1 = 0.002
+    assert(math.abs(adj(0) - 0.002) < 1e-12)
+    assert(adj.last == 0.9)
+  }
+
+  test("Zipf fit recovers the planted power-law slope") {
+    // corpus with f(rank r) ∝ r^-1: token w_r appears ceil(1000/r) times
+    val words = (1 to 60).flatMap(rk =>
+      Seq.fill(math.ceil(1000.0 / rk).toInt)(s"w$rk"))
+    val docs = words.grouped(50).zipWithIndex
+      .map { case (ws, i) => (i.toLong, "en", ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "lang", "text")
+    val r = graft.text.TextOps.zipfFit(docs, "lang", "text",
+      maxRank = 60).collect()(0)
+    assert(math.abs(r.getAs[Double]("slope") - (-1.0)) < 0.02)
+    assert(r.getAs[Double]("r2") > 0.999)
+    assert(r.getAs[Long]("n_vocab") == 60L)
+  }
+
+  test("unigram divergence: clone source ~ 0, alien source large") {
+    val base = (1 to 40).map(i =>
+      (i.toLong, "common", "alpha beta gamma delta epsilon zeta"))
+    val alien = (41 to 60).map(i =>
+      (i.toLong, "alien", "xx yy zz qq ww vv"))
+    val docs = (base ++ alien).toDF("doc_id", "source", "text")
+    val r = graft.text.TextOps.unigramDivergence(docs, "source", "text",
+      topV = 16).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Double]("kl"), x.getAs[Double]("js"))).toMap
+    assert(r("alien")._1 > r("common")._1 + 0.3,
+      "alien tokens diverge from the corpus mix")
+    assert(r("alien")._2 > r("common")._2)
+    assert(r.values.forall(v => v._2 >= 0 && v._2 <= math.log(2.0) + 1e-9),
+      "JS bounded by ln 2")
+  }
+
   test("validity indices: two far blobs at k=2 are clean") {
     val blobs = vecs((0 until 40).map { i =>
       val c = if (i % 2 == 0) 0.0f else 100.0f
