@@ -849,4 +849,60 @@ object Assoc {
     coef.select(col("key"), col("n"), col("_b").as("slope"),
       col("_a").as("icept"), col("_scale").as("scale"))
   }
+  /** Quantile (pinball) regression y ~ a + b·x at quantile `tau` by
+    * full-batch subgradient descent (Koenker & Bassett, Econometrica
+    * 1978) — the conditional-quantile trend beside [[olsFit]]'s mean
+    * and Theil-Sen's median-of-slopes: fit the P90 latency line, not
+    * the average.
+    *
+    * Determinism (the logRegFit/gd2 discipline): the subgradient
+    * τ − 1{y < a + b·x} is exact given the frozen (a, b) — the
+    * indicator compares the same float program on both engines; per
+    * iteration the two gradient sums quantize terms to 9dp longs, the
+    * update is one fixed op sequence, and (a, b) re-grain to 6dp. The
+    * oracle unrolls all iterations (MATERIALIZED rounds — the q513
+    * device).
+    *
+    * Scale: one scan + a 1-row aggregate per iteration, nothing else.
+    * Output one row: n, a, b, pinball (mean check loss at the fit). */
+  def quantileRegFit(data: DataFrame, xCol: String, yCol: String,
+      tau: Double, iters: Int = 30, lr: Double = 0.5): DataFrame = {
+    require(tau > 0 && tau < 1, s"tau in (0,1): $tau")
+    val spark = data.sparkSession
+    import spark.implicits._
+    val cached = data
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("_x"),
+        col(yCol).cast("double").as("_y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var a = 0.0; var b = 0.0; var n = 0L
+      def fp9(c: Column) =
+        graft.core.fixedPointLong(c, 9).cast("decimal(38,0)")
+      for (_ <- 1 to iters) {
+        val g = when(col("_y") < lit(a) + lit(b) * col("_x"),
+          lit(tau - 1.0)).otherwise(lit(tau))
+        val r = cached.agg(sum(fp9(g)).as("ga"),
+          sum(fp9(g * col("_x"))).as("gb"), count(lit(1)).as("n"))
+          .collect()(0)
+        n = r.getAs[Long]("n")
+        require(n > 0, "quantileRegFit on an empty input")
+        def upd(w: Double, key: String): Double = {
+          val s = BigDecimal(r.getAs[java.math.BigDecimal](key)).toDouble
+          val u = w + lr * (s / n / 1e9)
+          (if (u >= 0) math.floor(u * 1e6 + 0.5)
+           else -math.floor(-u * 1e6 + 0.5)) / 1e6
+        }
+        a = upd(a, "ga"); b = upd(b, "gb")
+      }
+      val loss = cached.agg((sum(fp9(
+        when(col("_y") >= lit(a) + lit(b) * col("_x"),
+          lit(tau) * (col("_y") - (lit(a) + lit(b) * col("_x"))))
+          .otherwise(lit(1.0 - tau) *
+            ((lit(a) + lit(b) * col("_x")) - col("_y")))))
+        .cast("double") / 1e9 / count(lit(1))).as("pb")).collect()(0)
+      Seq((n, a, b, loss.getAs[Double]("pb")))
+        .toDF("n", "a", "b", "pinball")
+    } finally { cached.unpersist(false) }
+  }
 }

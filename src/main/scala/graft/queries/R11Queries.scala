@@ -207,7 +207,36 @@ object R11Queries {
     // per-source unigram KL/JS vs the corpus, top-64 vocab + OOV
     "q534_unigram_divergence" -> ((s, dir) =>
       canon(graft.text.TextOps.unigramDivergence(
-        table(s, dir, "documents"), "source", "text", topV = 64)))
+        table(s, dir, "documents"), "source", "text", topV = 64))),
+    // RRF hybrid fusion of a length-prior and a TTR-prior ranking
+    "q535_rrf" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").where(col("text").isNotNull)
+      val wLen = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val rankA = docs.withColumn("rank", row_number().over(wLen))
+        .where(col("rank") <= 30).select("doc_id", "rank")
+      val tk = docs.select(col("doc_id"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("_w"))
+        .groupBy("doc_id")
+        .agg((countDistinct(col("_w")).cast("double") /
+          count(lit(1)).cast("double")).as("_ttr"))
+      val wTtr = org.apache.spark.sql.expressions.Window
+        .orderBy(col("_ttr").desc, col("doc_id").asc)
+      val rankB = tk.withColumn("rank", row_number().over(wTtr))
+        .where(col("rank") <= 30).select("doc_id", "rank")
+      canon(graft.text.TextOps.rrfFuse(
+        Seq("len" -> rankA, "ttr" -> rankB), "doc_id", "rank"))
+    }),
+    // pinball (quantile) regression at tau=0.9: value ~ user bucket
+    "q536_quantile_reg" -> ((s, dir) =>
+      canon(graft.model.Assoc.quantileRegFit(
+        ev(s, dir).withColumn("xb",
+          pmod(col("user_id"), lit(8L)).cast("double")),
+        "xb", "value", tau = 0.9, iters = 30, lr = 0.5))),
+    // Heaps'-law vocabulary growth fit over the doc-id-ordered corpus
+    "q537_heaps" -> ((s, dir) =>
+      canon(graft.text.TextOps.heapsFit(table(s, dir, "documents"),
+        "doc_id", "text")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -670,7 +699,101 @@ object R11Queries {
          |  sum(${fp("q * ln(q/m)", "1e8")})::HUGEINT::DOUBLE/1e8) / 2.0,
          |  4) + 0 AS js
          |FROM g2 GROUP BY 1"""
-        .stripMargin.replace("\n", " ")
+        .stripMargin.replace("\n", " "),
+    "q535_rrf" ->
+      s"""WITH d AS (SELECT doc_id, n_chars, text FROM documents
+         | WHERE text IS NOT NULL),
+         |ra AS (SELECT doc_id, row_number() OVER
+         |  (ORDER BY n_chars DESC, doc_id ASC) AS r FROM d
+         | QUALIFY r <= 30),
+         |tt AS (SELECT doc_id,
+         |  count(DISTINCT w)::DOUBLE / count(*)::DOUBLE AS ttr
+         | FROM (SELECT doc_id, unnest($toksSql) AS w FROM d)
+         | GROUP BY 1),
+         |rb AS (SELECT doc_id, row_number() OVER
+         |  (ORDER BY ttr DESC, doc_id ASC) AS r FROM tt QUALIFY r <= 30),
+         |u AS (SELECT doc_id, r, 'len' AS sys FROM ra
+         | UNION ALL SELECT doc_id, r, 'ttr' AS sys FROM rb),
+         |f AS (SELECT doc_id, count(DISTINCT sys)::BIGINT AS n_systems,
+         |  sum(floor(1e8/(60.0 + r::DOUBLE) + 0.5)::BIGINT)::BIGINT
+         |   AS s8
+         | FROM u GROUP BY 1)
+         |SELECT doc_id, n_systems,
+         | round(s8::DOUBLE/1e8, 4) + 0 AS rrf_score
+         |FROM f ORDER BY s8 DESC, doc_id ASC LIMIT 20"""
+        .stripMargin.replace("\n", " "),
+    "q536_quantile_reg" -> {
+      val tau = 0.9
+      val fp9 = (e: String) => fp(e, "1e9")
+      val rg = (e: String) =>
+        s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) " +
+          s"ELSE -floor(-($e)*1e6+0.5) END) / 1000000.0"
+      val rounds = (1 to 30).map { t =>
+        val p = s"w${t - 1}"
+        s"""g$t AS (SELECT
+           |  sum(${fp9(s"CASE WHEN d.y < w.a + w.b*d.x " +
+                s"THEN ${tau - 1.0} ELSE $tau END")})::HUGEINT AS ga,
+           |  sum(${fp9(s"(CASE WHEN d.y < w.a + w.b*d.x " +
+                s"THEN ${tau - 1.0} ELSE $tau END) * d.x")})::HUGEINT
+           |   AS gb,
+           |  count(*)::BIGINT AS n
+           | FROM d, $p w),
+           |w$t AS MATERIALIZED (SELECT
+           |  ${rg(s"w.a + 0.5 * (g.ga::DOUBLE / g.n / 1e9)")} AS a,
+           |  ${rg(s"w.b + 0.5 * (g.gb::DOUBLE / g.n / 1e9)")} AS b
+           | FROM $p w, g$t g)""".stripMargin
+      }.mkString(", ")
+      s"""WITH d AS (SELECT (user_id % 8)::DOUBLE AS x, value AS y
+         | FROM events WHERE value IS NOT NULL),
+         |w0 AS (SELECT 0.0::DOUBLE AS a, 0.0::DOUBLE AS b),
+         |$rounds
+         |SELECT (SELECT count(*) FROM d)::BIGINT AS n,
+         | round(w.a, 4) + 0 AS a, round(w.b, 4) + 0 AS b,
+         | round((SELECT sum(${fp9(s"CASE WHEN d.y >= w.a + w.b*d.x " +
+             s"THEN $tau * (d.y - (w.a + w.b*d.x)) " +
+             s"ELSE ${1.0 - tau} * ((w.a + w.b*d.x) - d.y) END")})
+           ::HUGEINT::DOUBLE / 1e9 / (SELECT count(*) FROM d)
+          FROM d), 4) + 0 AS pinball
+         |FROM w30 w""".stripMargin.replace("\n", " ")
+    },
+    "q537_heaps" -> {
+      val slope = "(sxyc / sxxc)"
+      s"""WITH tk AS (SELECT doc_id AS d, unnest($toksSql) AS w
+         | FROM documents WHERE text IS NOT NULL),
+         |pd AS (SELECT d, count(*)::BIGINT AS nt FROM tk GROUP BY 1),
+         |fd AS (SELECT d, count(*)::BIGINT AS nv FROM
+         |  (SELECT w, min(d) AS d FROM tk GROUP BY 1) GROUP BY 1),
+         |cv AS (SELECT pd.d,
+         |  sum(pd.nt) OVER (ORDER BY pd.d
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+         |  sum(coalesce(fd.nv, 0)) OVER (ORDER BY pd.d
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+         | FROM pd LEFT JOIN fd USING (d)),
+         |rk AS (SELECT ${fp("ln(n::DOUBLE)", "10000.0")} AS x,
+         |  ${fp("ln(v::DOUBLE)", "10000.0")} AS y
+         | FROM cv WHERE n > 0 AND v > 0),
+         |gg AS (SELECT count(*)::BIGINT AS n,
+         |  sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+         |  sum(x::HUGEINT * y::HUGEINT) AS sxy,
+         |  sum(x::HUGEINT * x::HUGEINT) AS sxx,
+         |  sum(y::HUGEINT * y::HUGEINT) AS syy
+         | FROM rk HAVING count(*) >= 3),
+         |c AS (SELECT n,
+         |  (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE) / 1e8
+         |   AS sxyc,
+         |  (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / 1e8
+         |   AS sxxc,
+         |  (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE) / 1e8
+         |   AS syyc,
+         |  sx::DOUBLE AS sxd, sy::DOUBLE AS syd FROM gg)
+         |SELECT n AS n_docs, round($slope, 4) + 0 AS beta,
+         | round((syd / 1e4 - $slope * (sxd / 1e4)) / n::DOUBLE, 4) + 0
+         |  AS ln_k,
+         | round(sxyc * sxyc / (sxxc * syyc), 4) + 0 AS r2,
+         | round($slope / sqrt((syyc - $slope * sxyc)
+         |  / (n::DOUBLE - 2) / sxxc), 4) + 0 AS t_stat
+         |FROM c""".stripMargin.replace("\n", " ")
+    }
   )
 
   /** mSPRT replay: shared by q519 (batch windows) and q531 (the

@@ -3163,4 +3163,73 @@ object TextOps {
       .select(col("_g").as(groupCol), col("n_tokens"), col("kl"),
         col("js"))
   }
+  /** Reciprocal-rank fusion (Cormack, Clarke, Büttcher; SIGIR'09) —
+    * THE standard hybrid-search combiner (BM25 ∪ embedding ANN):
+    * rrf(d) = Σ_systems 1/(k0 + rank_s(d)), missing-from-a-system
+    * contributes nothing; output the fused top-k. Rank-based, so no
+    * score normalization across systems is needed — the reason RRF
+    * beats score interpolation in practice.
+    *
+    * Determinism: ranks are exact integers; each 1/(k0+r) term is
+    * 8dp-quantized and summed as a long (order-free); the final top-k
+    * orders on (exact long score desc, id asc).
+    *
+    * Scale: one union + one hash aggregate over the CANDIDATE lists
+    * (k·systems rows per query, never corpus-sized) + a
+    * TakeOrderedAndProject. Output: id, n_systems, rrf_score. */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
+      rankCol: String, k0: Int = 60, topK: Int = 20): DataFrame = {
+    require(rankings.nonEmpty && k0 >= 1 && topK >= 1,
+      "non-empty rankings, k0 >= 1, topK >= 1")
+    val tagged = rankings.map { case (sys, df) =>
+      df.select(col(idCol).cast("long").as("_id"),
+        col(rankCol).cast("long").as("_r"), lit(sys).as("_sys"))
+    }.reduce(_ unionByName _)
+    // 1/(k0+r) for r in 1..maxRank is a tiny broadcast lookup computed
+    // ONCE driver-side with the exact float program the oracle replays
+    tagged
+      .withColumn("_t8",
+        floor(lit(1e8) / (lit(k0.toDouble) + col("_r").cast("double")) +
+          lit(0.5)).cast("long"))
+      .groupBy("_id")
+      .agg(countDistinct(col("_sys")).as("n_systems"),
+        sum(col("_t8")).as("_s8"))
+      .orderBy(col("_s8").desc, col("_id").asc)
+      .limit(topK)
+      .select(col("_id").as(idCol), col("n_systems"),
+        (col("_s8").cast("double") / 1e8).as("rrf_score"))
+  }
+
+  /** Heaps'-law vocabulary-growth fit (Heaps 1978): V(n) = K·n^β —
+    * distinct vocabulary size vs cumulative token count as the corpus
+    * is read in doc-id order, fitted as OLS of ln V on ln n (β ≈ 0.5
+    * for natural text; β → 0 flags a closed/templated vocabulary, the
+    * dedup-ROI twin of the per-doc ngramNovelty curve).
+    *
+    * Exact: each token's FIRST document comes from one (token → min
+    * doc) aggregate; V_d and N_d are cumulative window sums over the
+    * per-doc frame; the fit is [[graft.model.Assoc.olsFit]]'s exact
+    * 4dp moments. Output one row: n_docs, beta, ln_k, r2, t_stat. */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("_d"),
+        explode(tokens(col(textCol))).as("_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDoc = toks.groupBy("_d").agg(count(lit(1)).as("_nt"))
+    val firstDoc = toks.groupBy("_w").agg(min(col("_d")).as("_d"))
+      .groupBy("_d").agg(count(lit(1)).as("_nv"))
+    val w = Window.orderBy(col("_d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = perDoc.join(firstDoc, Seq("_d"), "left")
+      .withColumn("_n", sum(col("_nt")).over(w))
+      .withColumn("_v", sum(coalesce(col("_nv"), lit(0L))).over(w))
+      .where(col("_n") > 0 && col("_v") > 0)
+      .select(lit("corpus").as("_g"),
+        log(col("_n").cast("double")).as("_ln"),
+        log(col("_v").cast("double")).as("_lv"))
+    graft.model.Assoc.olsFit(curve, "_g", "_ln", "_lv")
+      .select(col("n").as("n_docs"), col("slope").as("beta"),
+        col("intercept").as("ln_k"), col("r2"), col("t_stat"))
+  }
 }

@@ -363,6 +363,48 @@ class Wave11Spec extends SparkSpec {
       "JS bounded by ln 2")
   }
 
+  test("RRF: doc ranked top by both systems wins; singles score less") {
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val b = Seq((10L, 2), (13L, 1), (12L, 3)).toDF("id", "rank")
+    val r = graft.text.TextOps.rrfFuse(Seq("a" -> a, "b" -> b),
+      "id", "rank", k0 = 60, topK = 10)
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[Long]("n_systems"), x.getAs[Double]("rrf_score"))).toMap
+    assert(r(10L)._1 == 2L)
+    // 10: 1/61 + 1/62; 13: 1/61 alone; 11: 1/62 alone
+    assert(math.abs(r(10L)._2 - (1.0 / 61 + 1.0 / 62)) < 1e-7)
+    assert(r(10L)._2 > r(13L)._2 && r(13L)._2 > r(11L)._2)
+    assert(r(12L)._2 == 2 * r.values.map(_._2).min || r(12L)._1 == 2L)
+  }
+
+  test("quantile regression: flat data at tau=0.9 fits near the P90") {
+    // y in {0..9} uniform per x: the 0.9-quantile line is flat ~ 9
+    val rows = (0 until 1000).map(i => (i % 4, (i % 10).toDouble))
+      .map { case (x, y) => (x.toDouble, y) }.toDF("x", "y")
+    val r = graft.model.Assoc.quantileRegFit(rows, "x", "y",
+      tau = 0.9, iters = 120, lr = 2.0).collect()(0)
+    val a = r.getAs[Double]("a"); val b = r.getAs[Double]("b")
+    // intercept + slope·mean-x should sit between 8 and 9 (P90 of 0..9)
+    val at = a + b * 1.5
+    assert(at > 7.5 && at < 9.5, s"fit level $at")
+    assert(math.abs(b) < 0.5, "no real slope in x")
+    assert(r.getAs[Double]("pinball") < 1.0)
+  }
+
+  test("Heaps fit: sub-linear vocabulary growth gives beta < 1") {
+    // 200 docs, each introduces fewer new tokens later on
+    val docs = (1 to 200).map { d =>
+      val toks = (1 to 20).map(j => s"w${(d * j) % (20 + d * 3)}")
+      (d.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val r = graft.text.TextOps.heapsFit(docs, "doc_id", "text")
+      .collect()(0)
+    val beta = r.getAs[Double]("beta")
+    assert(beta > 0.1 && beta < 1.0, s"sub-linear growth, got $beta")
+    assert(r.getAs[Double]("r2") > 0.8)
+    assert(r.getAs[Long]("n_docs") == 200L)
+  }
+
   test("validity indices: two far blobs at k=2 are clean") {
     val blobs = vecs((0 until 40).map { i =>
       val c = if (i % 2 == 0) 0.0f else 100.0f
