@@ -902,11 +902,12 @@ object Graph {
       val joined = nodes.join(msgs, Seq("node"), "left")
         .withColumn("s", coalesce(col("s"), lit(0L)))
       val mx = broadcast(joined.agg(max(col("s")).as("mx")))
+      // stays lazy: 5 rounds nest into ONE job at the terminal action
+      // (no per-round materialization — the pageRank discipline)
       x = joined.crossJoin(mx)
         .withColumn("r", when(col("mx") > 0,
           expr(s"(s * $scale) div mx")).otherwise(lit(0L)))
         .select("node", "r")
-        .localCheckpoint()
     }
     x.select(col("node"), col("r").as("score6"),
       (col("r").cast("double") / scale).as("score"))
@@ -939,22 +940,26 @@ object Graph {
     var s = nodes.select(col("node").as("a"), col("node").as("b"),
       lit(1000000L).as("s6"))
     (1 to iters).foreach { _ =>
-      val p = e.select(col("i").as("a0"), col("v").as("na"))
-        .join(s.select(col("a").as("a0"), col("b").as("b0"), col("s6")),
+      // edge/degree frames are vocab-sized by contract: broadcast them
+      val p = s.select(col("a").as("a0"), col("b").as("b0"), col("s6"))
+        .join(broadcast(e.select(col("i").as("a0"), col("v").as("na"))),
           "a0")
-        .join(e.select(col("i").as("b0"), col("v").as("nb")), "b0")
+        .join(broadcast(e.select(col("i").as("b0"), col("v").as("nb"))),
+          "b0")
         .groupBy(col("na").as("a"), col("nb").as("b"))
         .agg(sum(col("s6")).as("_t"))
         .where(col("a") =!= col("b"))
-        .join(deg.select(col("v").as("a"), col("d").as("_da")), "a")
-        .join(deg.select(col("v").as("b"), col("d").as("_db")), "b")
+        .join(broadcast(deg.select(col("v").as("a"), col("d").as("_da"))),
+          "a")
+        .join(broadcast(deg.select(col("v").as("b"), col("d").as("_db"))),
+          "b")
         .select(col("a"), col("b"),
           expr(s"($c10 * _t) div (10 * _da * _db)").as("s6"))
         .where(col("s6") > 0)
+      // lazy like eigenvector: 3 rounds fold into one terminal job
       s = nodes.select(col("node").as("a"), col("node").as("b"),
         lit(1000000L).as("s6"))
         .unionByName(p)
-        .localCheckpoint()
     }
     s.where(col("a") < col("b"))
       .select(col("a"), col("b"), col("s6"),

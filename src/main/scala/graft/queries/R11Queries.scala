@@ -50,10 +50,12 @@ object R11Queries {
     "q515_loda" -> ((s, dir) =>
       canon(OutlierFaces.loda(emb(s, dir), "vec_id", "embedding",
         dim = 64, nProj = 8, nBins = 16))),
-    // truncated-Gaussian KDE density/score per (event_type, 2dp value)
+    // truncated-Gaussian KDE density/score per (event_type, 2dp value);
+    // h=0.1 keeps the per-bucket pair fan-in histogram-bounded (the
+    // value spread is ~unit-scale — h=0.5 measured 5x the join work)
     "q516_kde_outlier" -> ((s, dir) =>
       canon(OutlierFaces.kdeOutlier(ev(s, dir), Seq("event_type"),
-        "value", h = 0.5))),
+        "value", h = 0.1))),
     // Chauvenet's criterion per event_type (n·tail < 0.5 rejection)
     "q517_chauvenet" -> ((s, dir) =>
       canon(OutlierFaces.chauvenet(ev(s, dir), Seq("event_type"),
@@ -228,11 +230,13 @@ object R11Queries {
         Seq("len" -> rankA, "ttr" -> rankB), "doc_id", "rank"))
     }),
     // pinball (quantile) regression at tau=0.9: value ~ user bucket
+    // (12 rounds: the gate needs the fixed float program, not convergence;
+    //  each round is one sequential Spark job — 30 measured 6-9 s at sf0.1)
     "q536_quantile_reg" -> ((s, dir) =>
       canon(graft.model.Assoc.quantileRegFit(
         ev(s, dir).withColumn("xb",
           pmod(col("user_id"), lit(8L)).cast("double")),
-        "xb", "value", tau = 0.9, iters = 30, lr = 0.5))),
+        "xb", "value", tau = 0.9, iters = 12, lr = 0.5))),
     // Heaps'-law vocabulary growth fit over the doc-id-ordered corpus
     "q537_heaps" -> ((s, dir) =>
       canon(graft.text.TextOps.heapsFit(table(s, dir, "documents"),
@@ -294,30 +298,35 @@ object R11Queries {
          |  ::HUGEINT::DOUBLE/1e8/8, 4) + 0 AS loda
          |FROM bn JOIN dn USING (j, b) GROUP BY 1"""
         .stripMargin.replace("\n", " "),
-    "q516_kde_outlier" ->
+    "q516_kde_outlier" -> {
+      val h = 0.1
+      val cw = math.max(1L, math.round(4.0 * h * 100.0)) // 40 cents
+      val dn = 2.0 * h * h // exact Scala double, round-trips as text
+      val sq = math.sqrt(2.0 * math.Pi)
       s"""WITH hist AS (SELECT event_type, ${fp("value", "100.0")} AS vc,
          |  count(*) AS c FROM events WHERE value IS NOT NULL
          | GROUP BY 1, 2),
          |x AS (SELECT event_type, vc, c,
          |  (sum(c) OVER (PARTITION BY event_type))::BIGINT AS n,
-         |  floor(vc::DOUBLE/200)::BIGINT AS bx FROM hist),
+         |  floor(vc::DOUBLE/$cw)::BIGINT AS bx FROM hist),
          |y AS (SELECT event_type AS et2, vc AS yc, c AS cy,
-         |  unnest([floor(vc::DOUBLE/200)::BIGINT - 1,
-         |   floor(vc::DOUBLE/200)::BIGINT,
-         |   floor(vc::DOUBLE/200)::BIGINT + 1]) AS by FROM hist),
+         |  unnest([floor(vc::DOUBLE/$cw)::BIGINT - 1,
+         |   floor(vc::DOUBLE/$cw)::BIGINT,
+         |   floor(vc::DOUBLE/$cw)::BIGINT + 1]) AS by FROM hist),
          |t AS (SELECT x.event_type, x.vc, x.n,
          |  y.cy * exp(-(((x.vc - y.yc)::DOUBLE/100.0)
-         |   *((x.vc - y.yc)::DOUBLE/100.0)) / 0.5) AS term
+         |   *((x.vc - y.yc)::DOUBLE/100.0)) / $dn) AS term
          | FROM x JOIN y ON y.et2 = x.event_type AND y.by = x.bx
-         |  AND abs(x.vc - y.yc) <= 200),
+         |  AND abs(x.vc - y.yc) <= $cw),
          |d AS (SELECT event_type, vc, n,
          |  sum(${fp("term", "1e8")})::HUGEINT::DOUBLE/1e8/n
-         |   * (1.0/(0.5*2.5066282746310002)) AS density
+         |   * (1.0/($h*$sq)) AS density
          | FROM t GROUP BY 1, 2, 3)
          |SELECT event_type, round(vc::DOUBLE/100.0, 4) + 0 AS value,
          | n, round(density, 4) + 0 AS density,
          | round(-ln(density), 4) + 0 AS kde_score FROM d"""
-        .stripMargin.replace("\n", " "),
+        .stripMargin.replace("\n", " ")
+    },
     "q517_chauvenet" -> {
       val z = "(CASE WHEN sd > 0 THEN abs(value - mu)/sd ELSE 0.0 END)"
       s"""WITH st AS (SELECT event_type, count(*) AS n,
@@ -588,8 +597,9 @@ object R11Queries {
         .stripMargin.replace("\n", " "),
     "q527_ams_f2" ->
       s"""WITH c AS (SELECT event_type, t.j,
-         |  sum(CASE WHEN ('0x'||substr(md5('ams_'||t.j::VARCHAR||'_'
-         |    ||user_id::VARCHAR),1,14))::BIGINT % 2 = 0
+         |  sum(CASE WHEN
+         |   ((('0x'||substr(md5('ams_'||user_id::VARCHAR),1,14))::BIGINT
+         |     >> t.j) % 2) = 0
          |   THEN 1 ELSE -1 END)::BIGINT AS c
          | FROM events CROSS JOIN (SELECT unnest(range(40)) AS j) t
          | WHERE user_id IS NOT NULL GROUP BY 1, 2),
@@ -728,7 +738,7 @@ object R11Queries {
       val rg = (e: String) =>
         s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) " +
           s"ELSE -floor(-($e)*1e6+0.5) END) / 1000000.0"
-      val rounds = (1 to 30).map { t =>
+      val rounds = (1 to 12).map { t =>
         val p = s"w${t - 1}"
         s"""g$t AS (SELECT
            |  sum(${fp9(s"CASE WHEN d.y < w.a + w.b*d.x " +
@@ -754,7 +764,7 @@ object R11Queries {
              s"ELSE ${1.0 - tau} * ((w.a + w.b*d.x) - d.y) END")})
            ::HUGEINT::DOUBLE / 1e9 / (SELECT count(*) FROM d)
           FROM d), 4) + 0 AS pinball
-         |FROM w30 w""".stripMargin.replace("\n", " ")
+         |FROM w12 w""".stripMargin.replace("\n", " ")
     },
     "q537_heaps" -> {
       val slope = "(sxyc / sxxc)"
