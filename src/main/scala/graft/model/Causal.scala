@@ -363,4 +363,47 @@ object Causal {
           col("_wy0").cast("double") / col("_w0").cast("double"))
       .select("n", "n_treated", "ate_naive", "ate_ipw")
   }
+  /** Positivity / common-support diagnostic for a propensity column:
+    * equal-width bins over [0,1], per-arm shares, overlap coefficient
+    * OVL = Σ_b min(share_t, share_c) (1 = perfectly matched supports,
+    * → 0 = no overlap: IPW/PSM estimates there are extrapolation), plus
+    * each arm's propensity range. The go/no-go check BEFORE trusting
+    * ipwAte/psmAtt.
+    *
+    * Determinism: bin indices are exact integer floors of the frozen
+    * propensity; shares are exact count ratios; the bin-sum quantizes
+    * min-share terms at 8dp. One hash aggregate + a bins-sized frame.
+    * Output one row: n_treated, n_control, overlap, t_min, t_max,
+    * c_min, c_max. */
+  def positivityOverlap(units: DataFrame, tCol: String, pCol: String,
+      nBins: Int = 20): DataFrame = {
+    require(nBins >= 2, "nBins >= 2")
+    import graft.core.fixedPointLong
+    val t = col(tCol).cast("boolean")
+    val p = col(pCol).cast("double")
+    val b = least(floor(p * nBins), lit(nBins - 1.0)).cast("long")
+    val binned = units.where(p.isNotNull)
+      .groupBy(b.as("_b"))
+      .agg(sum(when(t, 1L).otherwise(0L)).as("_ct"),
+        sum(when(!t, 1L).otherwise(0L)).as("_cc"),
+        min(when(t, p)).as("_tmn"), max(when(t, p)).as("_tmx"),
+        min(when(!t, p)).as("_cmn"), max(when(!t, p)).as("_cmx"))
+    binned.agg(
+        sum(col("_ct")).as("n_treated"), sum(col("_cc")).as("n_control"),
+        min(col("_tmn")).as("t_min"), max(col("_tmx")).as("t_max"),
+        min(col("_cmn")).as("c_min"), max(col("_cmx")).as("c_max"),
+        sum(col("_ct")).as("_nt"), sum(col("_cc")).as("_nc"))
+      .crossJoin(broadcast(binned.select(col("_b"), col("_ct"),
+        col("_cc"))).groupBy()
+        .agg(collect_list(struct(col("_b"), col("_ct"), col("_cc")))
+          .as("_bins")))
+      .withColumn("overlap",
+        aggregate(col("_bins"), lit(0L),
+          (acc, x) => acc + fixedPointLong(
+            least(x.getField("_ct").cast("double") / col("_nt"),
+              x.getField("_cc").cast("double") / col("_nc")), 8))
+          .cast("double") / 1e8)
+      .select("n_treated", "n_control", "overlap", "t_min", "t_max",
+        "c_min", "c_max")
+  }
 }

@@ -675,4 +675,55 @@ object Fitters {
       when(od, mu / v).otherwise(lit(1.0)).as("nb_p"),
       od.as("overdispersed"))
   }
+  /** Trimmed + winsorized location (Tukey; the robust-location battery
+    * beside mean/median-MAD): drop (trimmed) or clamp (winsorized) the
+    * lowest/highest ⌊α·n⌋ observations. Exact over the per-key 2dp
+    * VALUE HISTOGRAM (the quantile/PAV device): rank spans come from
+    * one cumulative window; each bin contributes
+    * min(cum, hi) − max(cum − c, lo) kept rows — all integer; the two
+    * means are exact integer-ratio doubles.
+    *
+    * Scale: one hash aggregate to the histogram + one sort window over
+    * it (value-cardinality-sized, never data-sized). Output per key:
+    * n, n_trim (per side), trimmed_mean, winsor_mean. */
+  def trimmedStats(data: DataFrame, keyCols: Seq[String], valCol: String,
+      alpha: Double = 0.1): DataFrame = {
+    require(alpha >= 0 && alpha < 0.5, "0 <= alpha < 0.5")
+    val keys = keyCols.map(col)
+    val hist = data.where(col(valCol).isNotNull)
+      .groupBy(keys :+
+        graft.core.fixedPointLong(col(valCol), 2).as("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_v"))
+    val wk = Window.partitionBy(keyCols.map(col): _*)
+    val cum = hist
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(wk))
+      .withColumn("_t", floor(lit(alpha) * col("_n").cast("double"))
+        .cast("long"))
+      .withColumn("_lo", col("_t") + 1)
+      .withColumn("_hi", col("_n") - col("_t"))
+      // rows of this bin kept by the trim: ranks [cum-c+1, cum] ∩ [lo, hi]
+      .withColumn("_keep", greatest(lit(0L),
+        least(col("_cum"), col("_hi")) -
+          greatest(col("_cum") - col("_c"), col("_lo") - 1)))
+      // winsorized: tails are clamped to the boundary-rank values
+      .withColumn("_isLo",
+        col("_cum") - col("_c") < col("_lo") && col("_cum") >= col("_lo"))
+      .withColumn("_isHi",
+        col("_cum") - col("_c") < col("_hi") && col("_cum") >= col("_hi"))
+    cum.groupBy(keys: _*)
+      .agg(max(col("_n")).as("n"), max(col("_t")).as("n_trim"),
+        sum(col("_keep") * col("_v")).as("_st"),
+        max(when(col("_isLo"), col("_v"))).as("_vlo"),
+        max(when(col("_isHi"), col("_v"))).as("_vhi"))
+      .withColumn("trimmed_mean", col("_st").cast("double") /
+        (col("n") - lit(2L) * col("n_trim")).cast("double") / 100.0)
+      .withColumn("winsor_mean",
+        (col("_st") + col("n_trim") * col("_vlo") +
+          col("n_trim") * col("_vhi")).cast("double") /
+          col("n").cast("double") / 100.0)
+      .select(keys ++ Seq(col("n"), col("n_trim"), col("trimmed_mean"),
+        col("winsor_mean")): _*)
+  }
 }

@@ -240,63 +240,113 @@ object R11Queries {
     // Heaps'-law vocabulary growth fit over the doc-id-ordered corpus
     "q537_heaps" -> ((s, dir) =>
       canon(graft.text.TextOps.heapsFit(table(s, dir, "documents"),
-        "doc_id", "text")))
+        "doc_id", "text"))),
+    // detector-ensemble RRF: ECOD + LODA + kmeans-distance rankings
+    // fused (Lazarevic-Kumar feature-bagging spirit, rank combination)
+    "q538_outlier_ensemble" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = emb(s, dir)
+      def top50(df: DataFrame, score: String) =
+        df.withColumn("rank", row_number().over(
+          Window.orderBy(col(score).desc, col("vec_id").asc)))
+          .where(col("rank") <= 50).select("vec_id", "rank")
+      val eR = top50(OutlierFaces.ecod(v, "vec_id", "embedding"), "ecod")
+      val lR = top50(OutlierFaces.loda(v, "vec_id", "embedding", 64),
+        "loda")
+      val cents = graft.sim.KMeansDist.fitCentroids(v, "vec_id",
+        "embedding", dim = 64, k = 8, iters = 4)
+      val kR = graft.sim.KMeansDist.assign(v, "embedding", cents)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("d6").desc, col("vec_id").asc)))
+        .where(col("rank") <= 50).select("vec_id", "rank")
+      canon(graft.text.TextOps.rrfFuse(
+        Seq("ecod" -> eR, "loda" -> lR, "kdist" -> kR),
+        "vec_id", "rank"))
+    }),
+    // propensity positivity/common-support overlap (20 bins)
+    "q539_positivity" -> ((s, dir) => {
+      val z = (col("value") - 1.0) / 2.0
+      val d = ev(s, dir)
+        .withColumn("t", pmod(col("user_id"), lit(2L)) === 0)
+        .withColumn("p", lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z))))
+      canon(graft.model.Causal.positivityOverlap(d, "t", "p", nBins = 20))
+    }),
+    // 10%-trimmed + winsorized means per event_type (exact histogram)
+    "q540_trimmed" -> ((s, dir) =>
+      canon(graft.model.Fitters.trimmedStats(ev(s, dir),
+        Seq("event_type"), "value", alpha = 0.1))),
+    // winnowing (MOSS) fingerprints -> near-dup span pairs
+    "q541_winnow" -> ((s, dir) =>
+      canon(graft.text.TextOps.winnowNearDup(
+        graft.text.TextOps.winnowFingerprints(table(s, dir, "documents"),
+          "doc_id", "text", k = 3, w = 4), minShared = 2, maxDf = 64)))
   )
 
+  /** ECOD CTE chain (needs `ex`); terminal CTE `os` (vec_id, ol, orr,
+    * oa). Shared by q514 and the q538 ensemble. */
+  private lazy val ecodCtes: String = {
+    val mu = "(s1::DOUBLE/1e8/nn)"
+    s"""ec AS (SELECT vec_id, i, x,
+       |  count(*) OVER (PARTITION BY i ORDER BY x
+       |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl,
+       |  count(*) OVER (PARTITION BY i ORDER BY x DESC
+       |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+       |  count(*) OVER (PARTITION BY i) AS n FROM ex),
+       |sk0 AS (SELECT i, count(*) AS nn,
+       |  sum(${fp("x", "1e8")})::HUGEINT AS s1,
+       |  sum(${fp("x*x", "1e8")})::HUGEINT AS s2,
+       |  sum(${fp("x*x*x", "1e8")})::HUGEINT AS s3 FROM ex GROUP BY 1),
+       |sk AS (SELECT i,
+       |  ${fp(s"s3::DOUBLE/1e8/nn - 3.0*$mu*(s2::DOUBLE/1e8/nn) " +
+             s"+ 2.0*$mu*$mu*$mu", "1e6")} < 0 AS neg FROM sk0),
+       |os AS (SELECT vec_id,
+       |  sum(${fp("-ln(cl::DOUBLE/n)", "1e8")})::HUGEINT::DOUBLE/1e8
+       |   AS ol,
+       |  sum(${fp("-ln(cr::DOUBLE/n)", "1e8")})::HUGEINT::DOUBLE/1e8
+       |   AS orr,
+       |  sum(${fp("CASE WHEN neg THEN -ln(cl::DOUBLE/n) " +
+             "ELSE -ln(cr::DOUBLE/n) END", "1e8")})::HUGEINT::DOUBLE/1e8
+       |   AS oa
+       | FROM ec JOIN sk USING (i) GROUP BY 1)"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** LODA CTE chain (needs `ex`); terminal CTE `lsc` (vec_id, loda).
+    * Shared by q515 and the q538 ensemble. */
+  private lazy val lodaCtes: String =
+    s"""w0 AS (SELECT t1.j, t2.i,
+       |  ('0x'||substr(md5('loda_'||t1.j::VARCHAR||'_'||t2.i::VARCHAR),
+       |    1,14))::BIGINT AS h
+       | FROM (SELECT unnest(range(8)) AS j) t1
+       | CROSS JOIN (SELECT unnest(range(64)) AS i) t2),
+       |w AS (SELECT j, i, CASE WHEN h % 2 = 0 THEN 1.0 ELSE -1.0 END AS w
+       | FROM (SELECT j, i, h,
+       |   row_number() OVER (PARTITION BY j ORDER BY h, i) AS rk FROM w0)
+       | WHERE rk <= 8),
+       |pr AS (SELECT e.vec_id, w.j,
+       |  sum(${fp("e.x * w.w", "1e8")})::HUGEINT::DOUBLE/1e8 AS y
+       | FROM ex e JOIN w ON w.i = e.i GROUP BY 1, 2),
+       |ed AS (SELECT j, min(y) AS lo, max(y) AS hi, count(*) AS n,
+       |  (max(y) - min(y)) / 16 AS wd FROM pr GROUP BY 1),
+       |bn AS (SELECT vec_id, j, n, CASE WHEN wd > 0
+       |  THEN least(floor((y - lo) / wd), 15.0)::BIGINT ELSE 0 END AS b
+       | FROM pr JOIN ed USING (j)),
+       |dn AS (SELECT j, b, count(*) AS c FROM bn GROUP BY 1, 2),
+       |lsc AS (SELECT vec_id, sum(${fp("-ln(c::DOUBLE/n)", "1e8")})
+       |  ::HUGEINT::DOUBLE/1e8/8 AS loda
+       | FROM bn JOIN dn USING (j, b) GROUP BY 1)"""
+      .stripMargin.replace("\n", " ")
+
   val oracleSql: Map[String, String] = Map(
-    "q514_ecod" -> {
-      val mu = "(s1::DOUBLE/1e8/nn)"
-      s"""WITH $exCte,
-         |ec AS (SELECT vec_id, i, x,
-         |  count(*) OVER (PARTITION BY i ORDER BY x
-         |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl,
-         |  count(*) OVER (PARTITION BY i ORDER BY x DESC
-         |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
-         |  count(*) OVER (PARTITION BY i) AS n FROM ex),
-         |sk0 AS (SELECT i, count(*) AS nn,
-         |  sum(${fp("x", "1e8")})::HUGEINT AS s1,
-         |  sum(${fp("x*x", "1e8")})::HUGEINT AS s2,
-         |  sum(${fp("x*x*x", "1e8")})::HUGEINT AS s3 FROM ex GROUP BY 1),
-         |sk AS (SELECT i,
-         |  ${fp(s"s3::DOUBLE/1e8/nn - 3.0*$mu*(s2::DOUBLE/1e8/nn) " +
-               s"+ 2.0*$mu*$mu*$mu", "1e6")} < 0 AS neg FROM sk0),
-         |os AS (SELECT vec_id,
-         |  sum(${fp("-ln(cl::DOUBLE/n)", "1e8")})::HUGEINT::DOUBLE/1e8
-         |   AS ol,
-         |  sum(${fp("-ln(cr::DOUBLE/n)", "1e8")})::HUGEINT::DOUBLE/1e8
-         |   AS orr,
-         |  sum(${fp("CASE WHEN neg THEN -ln(cl::DOUBLE/n) " +
-               "ELSE -ln(cr::DOUBLE/n) END", "1e8")})::HUGEINT::DOUBLE/1e8
-         |   AS oa
-         | FROM ec JOIN sk USING (i) GROUP BY 1)
+    "q514_ecod" ->
+      s"""WITH $exCte, $ecodCtes
          |SELECT vec_id, round(ol, 4) + 0 AS o_left,
          | round(orr, 4) + 0 AS o_right, round(oa, 4) + 0 AS o_auto,
          | round(greatest(ol, orr, oa), 4) + 0 AS ecod FROM os"""
-        .stripMargin.replace("\n", " ")
-    },
+        .stripMargin.replace("\n", " "),
     "q515_loda" ->
-      s"""WITH $exCte,
-         |w0 AS (SELECT t1.j, t2.i,
-         |  ('0x'||substr(md5('loda_'||t1.j::VARCHAR||'_'||t2.i::VARCHAR),
-         |    1,14))::BIGINT AS h
-         | FROM (SELECT unnest(range(8)) AS j) t1
-         | CROSS JOIN (SELECT unnest(range(64)) AS i) t2),
-         |w AS (SELECT j, i, CASE WHEN h % 2 = 0 THEN 1.0 ELSE -1.0 END AS w
-         | FROM (SELECT j, i, h,
-         |   row_number() OVER (PARTITION BY j ORDER BY h, i) AS rk FROM w0)
-         | WHERE rk <= 8),
-         |pr AS (SELECT e.vec_id, w.j,
-         |  sum(${fp("e.x * w.w", "1e8")})::HUGEINT::DOUBLE/1e8 AS y
-         | FROM ex e JOIN w ON w.i = e.i GROUP BY 1, 2),
-         |ed AS (SELECT j, min(y) AS lo, max(y) AS hi, count(*) AS n,
-         |  (max(y) - min(y)) / 16 AS wd FROM pr GROUP BY 1),
-         |bn AS (SELECT vec_id, j, n, CASE WHEN wd > 0
-         |  THEN least(floor((y - lo) / wd), 15.0)::BIGINT ELSE 0 END AS b
-         | FROM pr JOIN ed USING (j)),
-         |dn AS (SELECT j, b, count(*) AS c FROM bn GROUP BY 1, 2)
-         |SELECT vec_id, round(sum(${fp("-ln(c::DOUBLE/n)", "1e8")})
-         |  ::HUGEINT::DOUBLE/1e8/8, 4) + 0 AS loda
-         |FROM bn JOIN dn USING (j, b) GROUP BY 1"""
+      s"""WITH $exCte, $lodaCtes
+         |SELECT vec_id, round(loda, 4) + 0 AS loda FROM lsc"""
         .stripMargin.replace("\n", " "),
     "q516_kde_outlier" -> {
       val h = 0.1
@@ -803,7 +853,103 @@ object R11Queries {
          | round($slope / sqrt((syyc - $slope * sxyc)
          |  / (n::DOUBLE - 2) / sxxc), 4) + 0 AS t_stat
          |FROM c""".stripMargin.replace("\n", " ")
-    }
+    },
+    "q538_outlier_ensemble" ->
+      s"""WITH $exCte, $ecodCtes, $lodaCtes, ${TextQueries.kmCtes},
+         |re AS (SELECT vec_id, row_number() OVER
+         |  (ORDER BY greatest(ol, orr, oa) DESC, vec_id ASC) AS r
+         | FROM os QUALIFY r <= 50),
+         |rl AS (SELECT vec_id, row_number() OVER
+         |  (ORDER BY loda DESC, vec_id ASC) AS r FROM lsc
+         | QUALIFY r <= 50),
+         |rk2 AS (SELECT vec_id, row_number() OVER
+         |  (ORDER BY (b).d DESC, vec_id ASC) AS r FROM fb
+         | QUALIFY r <= 50),
+         |u AS (SELECT vec_id, r, 'ecod' AS sys FROM re
+         | UNION ALL SELECT vec_id, r, 'loda' AS sys FROM rl
+         | UNION ALL SELECT vec_id, r, 'kdist' AS sys FROM rk2),
+         |f AS (SELECT vec_id, count(DISTINCT sys)::BIGINT AS n_systems,
+         |  sum(floor(1e8/(60.0 + r::DOUBLE) + 0.5)::BIGINT)::BIGINT
+         |   AS s8
+         | FROM u GROUP BY 1)
+         |SELECT vec_id, n_systems,
+         | round(s8::DOUBLE/1e8, 4) + 0 AS rrf_score
+         |FROM f ORDER BY s8 DESC, vec_id ASC LIMIT 20"""
+        .stripMargin.replace("\n", " "),
+    "q539_positivity" -> {
+      val z = "((value - 1.0) / 2.0)"
+      val pp = s"(0.5 + $z / (2.0 * (1.0 + abs($z))))"
+      s"""WITH d AS (SELECT user_id % 2 = 0 AS t, $pp AS p FROM events),
+         |b AS (SELECT least(floor(p*20), 19.0)::BIGINT AS bin,
+         |  sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS ct,
+         |  sum(CASE WHEN NOT t THEN 1 ELSE 0 END)::BIGINT AS cc,
+         |  min(CASE WHEN t THEN p END) AS tmn,
+         |  max(CASE WHEN t THEN p END) AS tmx,
+         |  min(CASE WHEN NOT t THEN p END) AS cmn,
+         |  max(CASE WHEN NOT t THEN p END) AS cmx
+         | FROM d GROUP BY 1),
+         |tt AS (SELECT sum(ct)::BIGINT AS nt, sum(cc)::BIGINT AS nc,
+         |  min(tmn) AS t_min, max(tmx) AS t_max,
+         |  min(cmn) AS c_min, max(cmx) AS c_max FROM b)
+         |SELECT tt.nt AS n_treated, tt.nc AS n_control,
+         | round((SELECT sum(${fp("least(ct::DOUBLE / tt.nt, " +
+             "cc::DOUBLE / tt.nc)", "1e8")})::BIGINT FROM b)::DOUBLE/1e8,
+         |  4) + 0 AS overlap,
+         | round(t_min, 4) + 0 AS t_min, round(t_max, 4) + 0 AS t_max,
+         | round(c_min, 4) + 0 AS c_min, round(c_max, 4) + 0 AS c_max
+         |FROM tt""".stripMargin.replace("\n", " ")
+    },
+    "q540_trimmed" ->
+      s"""WITH h AS (SELECT event_type, ${fp("value", "100.0")} AS v,
+         |  count(*)::BIGINT AS c FROM events WHERE value IS NOT NULL
+         | GROUP BY 1, 2),
+         |cu AS (SELECT event_type, v, c,
+         |  sum(c) OVER (PARTITION BY event_type ORDER BY v
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |   AS cum,
+         |  (sum(c) OVER (PARTITION BY event_type))::BIGINT AS n
+         | FROM h),
+         |k AS (SELECT *, floor(0.1 * n::DOUBLE)::BIGINT AS t,
+         |  floor(0.1 * n::DOUBLE)::BIGINT + 1 AS lo,
+         |  n - floor(0.1 * n::DOUBLE)::BIGINT AS hi FROM cu),
+         |g AS (SELECT event_type, max(n) AS n, max(t) AS nt,
+         |  sum(greatest(0, least(cum, hi) - greatest(cum - c, lo - 1))
+         |   * v)::BIGINT AS st,
+         |  max(CASE WHEN cum - c < lo AND cum >= lo THEN v END) AS vlo,
+         |  max(CASE WHEN cum - c < hi AND cum >= hi THEN v END) AS vhi
+         | FROM k GROUP BY 1)
+         |SELECT event_type, n, nt AS n_trim,
+         | round(st::DOUBLE / (n - 2*nt)::DOUBLE / 100.0, 4) + 0
+         |  AS trimmed_mean,
+         | round((st + nt*vlo + nt*vhi)::DOUBLE / n::DOUBLE / 100.0, 4)
+         |  + 0 AS winsor_mean
+         |FROM g""".stripMargin.replace("\n", " "),
+    "q541_winnow" ->
+      s"""WITH tk AS (SELECT doc_id AS d,
+         |  generate_subscripts(ts, 1) - 1 AS p, unnest(ts) AS w
+         | FROM (SELECT doc_id, $toksSql AS ts FROM documents
+         |   WHERE text IS NOT NULL)),
+         |gr AS (SELECT a.d, a.p,
+         |  ('0x'||substr(md5(a.w||' '||b.w||' '||c.w),1,14))::BIGINT
+         |   AS h
+         | FROM tk a JOIN tk b ON b.d = a.d AND b.p = a.p + 1
+         |  JOIN tk c ON c.d = a.d AND c.p = a.p + 2),
+         |mn AS (SELECT d, p,
+         |  min({'h': h, 'np': -p}) OVER (PARTITION BY d ORDER BY p
+         |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+         |  count(*) OVER (PARTITION BY d ORDER BY p
+         |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cnt
+         | FROM gr),
+         |fps AS (SELECT DISTINCT d AS doc, -(m).np AS pos, (m).h AS h
+         | FROM mn WHERE cnt = 4),
+         |hd AS (SELECT doc, h FROM (
+         |  SELECT doc, h, count(*) OVER (PARTITION BY h) AS df
+         |  FROM (SELECT DISTINCT doc, h FROM fps)) WHERE df <= 64)
+         |SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::BIGINT
+         |  AS shared
+         |FROM hd a JOIN hd b ON b.h = a.h AND a.doc < b.doc
+         |GROUP BY 1, 2 HAVING count(*) >= 2"""
+        .stripMargin.replace("\n", " ")
   )
 
   /** mSPRT replay: shared by q519 (batch windows) and q531 (the

@@ -3232,4 +3232,60 @@ object TextOps {
       .select(col("n").as("n_docs"), col("slope").as("beta"),
         col("intercept").as("ln_k"), col("r2"), col("t_stat"))
   }
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken; SIGMOD'03 —
+    * the MOSS algorithm): hash every token k-gram, slide a w-window
+    * over the hash sequence and keep each window's RIGHTMOST MINIMUM —
+    * guaranteed ≥ 1 fingerprint per w positions, position-robust to
+    * insertions (the property fixed-stride sampling lacks). The
+    * local-similarity complement of minhash: minhash estimates
+    * whole-set Jaccard, winnowing localizes WHICH spans match.
+    *
+    * Exact/deterministic: gram hashes are md5-56; the rightmost-min is
+    * one struct-min window (min over (h, −pos) — the kmCtes device);
+    * fingerprints are the distinct winners.
+    *
+    * Scale: one tokenize pass + ONE per-doc sort window + a distinct —
+    * no joins. Output: (doc, pos, h). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k >= 1, w >= 1")
+    val grams = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("_d"),
+        posexplode(tokens(col(textCol))).as(Seq("_p", "_w")))
+      .withColumn("_g", concat_ws(" ",
+        (0 until k).map(o => lead(col("_w"), o).over(
+          Window.partitionBy("_d").orderBy("_p"))): _*))
+      .withColumn("_last", lead(col("_w"), k - 1).over(
+        Window.partitionBy("_d").orderBy("_p")))
+      .where(col("_last").isNotNull)
+      .select(col("_d"), col("_p"), hash56(col("_g")).as("_h"))
+    val win = Window.partitionBy("_d").orderBy(col("_p"))
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("_m", min(struct(col("_h"), (-col("_p")).as("_np")))
+        .over(win))
+      .withColumn("_cnt", count(lit(1)).over(win))
+      .where(col("_cnt") === w) // only full windows select
+      .select(col("_d").as("doc"), (-col("_m").getField("_np")).as("pos"),
+        col("_m").getField("_h").as("h"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs from winnowing fingerprints: docs sharing at
+    * least `minShared` fingerprint hashes, with the shared count. The
+    * hash-keyed join is bounded per hash by its doc frequency — hot
+    * boilerplate hashes are capped at `maxDf` (logged contract: drop
+    * ubiquitous spans, they match everything and mean nothing).
+    * Output: (doc_a, doc_b, shared). */
+  def winnowNearDup(fps: DataFrame, minShared: Long = 2,
+      maxDf: Long = 64): DataFrame = {
+    val hd = fps.select(col("doc"), col("h")).distinct()
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("_df") <= maxDf)
+    val a = hd.select(col("h"), col("doc").as("doc_a"))
+    val b = hd.select(col("h"), col("doc").as("doc_b"))
+    a.join(b, "h").where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
 }

@@ -405,6 +405,58 @@ class Wave11Spec extends SparkSpec {
     assert(r.getAs[Long]("n_docs") == 200L)
   }
 
+  test("positivity overlap: matched supports ~ 1, disjoint ~ 0") {
+    // consecutive pairs (t, c) share the same propensity bin
+    val matched = (0 until 400).map { i =>
+      (i.toLong, i % 2 == 0, ((i / 2) % 20) / 20.0 + 0.025) }
+      .toDF("id", "t", "p")
+    val r1 = graft.model.Causal.positivityOverlap(matched, "t", "p")
+      .collect()(0)
+    assert(r1.getAs[Double]("overlap") > 0.99)
+    val disjoint = ((0 until 100).map(i => (i.toLong, true, 0.8 + (i % 10) * 0.01)) ++
+      (100 until 200).map(i => (i.toLong, false, 0.1 + (i % 10) * 0.01)))
+      .toDF("id", "t", "p")
+    val r2 = graft.model.Causal.positivityOverlap(disjoint, "t", "p")
+      .collect()(0)
+    assert(r2.getAs[Double]("overlap") == 0.0)
+    assert(r2.getAs[Double]("t_min") > r2.getAs[Double]("c_max"))
+  }
+
+  test("trimmed/winsorized means: outliers neutralized exactly") {
+    // 1..10 plus two gross outliers; alpha=0.1 over n=12 trims 1/side
+    val data = ((1 to 10).map(_.toDouble) ++ Seq(-1000.0, 1000.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, "a", v) }
+      .toDF("id", "k", "v")
+    val r = graft.model.Fitters.trimmedStats(data, Seq("k"), "v", 0.1)
+      .collect()(0)
+    assert(r.getAs[Long]("n_trim") == 1L)
+    // trimmed keeps 1..10 -> mean 5.5
+    assert(r.getAs[Double]("trimmed_mean") == 5.5)
+    // winsorized clamps -1000 -> 1 and 1000 -> 10: (55 + 1 + 10)/12
+    assert(math.abs(r.getAs[Double]("winsor_mean") - 66.0 / 12.0) < 1e-9)
+  }
+
+  test("winnowing: shifted copy still shares fingerprints; unique text none") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, shared + " tail1 tail2"),
+      (2L, "prefix0 " + shared + " other"), // inserted token shifts pos
+      (3L, "completely different words with no overlap at all here now"))
+      .toDF("doc_id", "text")
+    val fps = graft.text.TextOps.winnowFingerprints(docs, "doc_id",
+      "text", k = 3, w = 4)
+    // guarantee: >= 1 fingerprint per w consecutive full windows
+    val perDoc = fps.groupBy("doc").count().collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[Long]("count")).toMap
+    assert(perDoc.values.forall(_ >= 2))
+    val pairs = graft.text.TextOps.winnowNearDup(fps, minShared = 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        -> r.getAs[Long]("shared")).toMap
+    assert(pairs.contains((1L, 2L)), "position-shifted copy detected")
+    assert(pairs((1L, 2L)) >= 2)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("validity indices: two far blobs at k=2 are clean") {
     val blobs = vecs((0 until 40).map { i =>
       val c = if (i % 2 == 0) 0.0f else 100.0f
