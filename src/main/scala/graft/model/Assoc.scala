@@ -905,4 +905,55 @@ object Assoc {
         .toDF("n", "a", "b", "pinball")
     } finally { cached.unpersist(false) }
   }
+
+  /** Poisson regression y ~ exp(a + b·x) by full-batch GD on the
+    * log-likelihood (the canonical count GLM — McCullagh & Nelder) —
+    * completes the engine's GLM trio beside the logistic trainer and
+    * [[quantileRegFit]]: event COUNTS per exposure, not means.
+    * Gradient: ∂ℓ/∂a = Σ(y − λ), ∂ℓ/∂b = Σ(y − λ)·x with λ = exp(z).
+    *
+    * Determinism: the gd2 discipline — 9dp-quantized gradient terms,
+    * exact decimal sums, 6dp (a, b) re-grain per round; exp rides libm
+    * parity (StrictMath == Spark SQL codegen). The oracle unrolls all
+    * rounds MATERIALIZED.
+    *
+    * Scale: one scan + 1-row aggregate per iteration. Output one row:
+    * n, a, b, mean_mu (fitted mean at the data). */
+  def poissonRegFit(data: DataFrame, xCol: String, yCol: String,
+      iters: Int = 12, lr: Double = 0.1): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val cached = data
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("_x"),
+        col(yCol).cast("double").as("_y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var a = 0.0; var b = 0.0; var n = 0L
+      def fp9(c: Column) =
+        graft.core.fixedPointLong(c, 9).cast("decimal(38,0)")
+      // linear-predictor clamp: exp past ~30 overflows the 9dp grain
+      // long before a useful fit exists — the standard GLM safeguard
+      for (_ <- 1 to iters) {
+        val lam = exp(least(lit(a) + lit(b) * col("_x"), lit(30.0)))
+        val r = cached.agg(sum(fp9(col("_y") - lam)).as("ga"),
+          sum(fp9((col("_y") - lam) * col("_x"))).as("gb"),
+          count(lit(1)).as("n")).collect()(0)
+        n = r.getAs[Long]("n")
+        require(n > 0, "poissonRegFit on an empty input")
+        def upd(w: Double, key: String): Double = {
+          val sBd = BigDecimal(r.getAs[java.math.BigDecimal](key)).toDouble
+          val u = w + lr * (sBd / n / 1e9)
+          (if (u >= 0) math.floor(u * 1e6 + 0.5)
+           else -math.floor(-u * 1e6 + 0.5)) / 1e6
+        }
+        a = upd(a, "ga"); b = upd(b, "gb")
+      }
+      val mu = cached.agg((sum(fp9(exp(least(lit(a) + lit(b) * col("_x"),
+        lit(30.0)))))
+        .cast("double") / 1e9 / count(lit(1))).as("m")).collect()(0)
+      Seq((n, a, b, mu.getAs[Double]("m")))
+        .toDF("n", "a", "b", "mean_mu")
+    } finally { cached.unpersist(false) }
+  }
 }

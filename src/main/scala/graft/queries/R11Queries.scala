@@ -279,7 +279,29 @@ object R11Queries {
     "q541_winnow" -> ((s, dir) =>
       canon(graft.text.TextOps.winnowNearDup(
         graft.text.TextOps.winnowFingerprints(table(s, dir, "documents"),
-          "doc_id", "text", k = 3, w = 4), minShared = 2, maxDf = 64)))
+          "doc_id", "text", k = 3, w = 4), minShared = 2, maxDf = 64))),
+    // Poisson GLM: count = min(floor(|value|), 8) ~ user bucket, 12 GD
+    // rounds (cap keeps the heavy |value| tail from dominating the fit)
+    "q542_poisson_reg" -> ((s, dir) =>
+      canon(graft.model.Assoc.poissonRegFit(
+        ev(s, dir)
+          .withColumn("xb", pmod(col("user_id"), lit(8L)).cast("double"))
+          .withColumn("cnt", least(floor(abs(col("value"))), lit(8L))),
+        "xb", "cnt", iters = 12, lr = 0.1))),
+    // matryoshka prefix-truncation audit: first 32 of 64 dims
+    "q543_matryoshka" -> ((s, dir) =>
+      canon(graft.sim.SimJoin.matryoshkaAudit(emb(s, dir), "vec_id",
+        "embedding", prefixDim = 32, sampleMod = 10))),
+    // seasonal/trend strength scalars over the q522 decomposition
+    "q544_seasonal_strength" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .agg((sum(fixedPointLong(col("value"), 4)).cast("double") / 1e4)
+          .as("v"))
+      canon(graft.seq.Forecast2.decompositionStrength(
+        graft.seq.Forecast2.classicalDecompose(daily,
+          Seq("event_type"), "day", "v", period = 7)))
+    })
   )
 
   /** ECOD CTE chain (needs `ex`); terminal CTE `os` (vec_id, ol, orr,
@@ -509,33 +531,11 @@ object R11Queries {
          |FROM f""".stripMargin.replace("\n", " ")
     },
     "q522_decompose" ->
-      s"""WITH daily AS (SELECT event_type AS key,
-         |  epoch_ns(ts) // 86400000000000 AS o,
-         |  sum(${fp("value", "10000.0")})::HUGEINT::DOUBLE/1e4 AS v
-         | FROM events GROUP BY 1, 2),
-         |rn AS (SELECT key, o, v,
-         |  row_number() OVER (PARTITION BY key ORDER BY o) AS r
-         | FROM daily),
-         |ma AS (SELECT key, o, v, (r - 1) % 7 AS ph,
-         |  CASE WHEN count(*) OVER fw = 7
-         |   THEN (sum(${fp("v", "10000.0")}) OVER fw)::DOUBLE/1e4/7
-         |  END AS trend
-         | FROM rn WINDOW fw AS (PARTITION BY key ORDER BY r
-         |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-         |ph AS (SELECT key, ph,
-         |  sum(${fp("v - trend", "10000.0")})::HUGEINT::DOUBLE/1e4
-         |   /count(*)::DOUBLE AS praw
-         | FROM ma WHERE trend IS NOT NULL GROUP BY 1, 2),
-         |ct AS (SELECT key,
-         |  sum(${fp("praw", "1e6")})::HUGEINT::DOUBLE/1e6/count(*) AS c
-         | FROM ph GROUP BY 1),
-         |se AS (SELECT ph.key, ph.ph, praw - c AS seasonal
-         | FROM ph JOIN ct USING (key))
-         |SELECT ma.key, ma.o AS seq, round(ma.v, 4) + 0 AS value,
-         | round(ma.trend, 4) + 0 AS trend,
-         | round(se.seasonal, 4) + 0 AS seasonal,
-         | round(ma.v - ma.trend - se.seasonal, 4) + 0 AS remainder
-         |FROM ma LEFT JOIN se ON se.key = ma.key AND se.ph = ma.ph"""
+      s"""WITH $decompCtes
+         |SELECT key, seq, round(v, 4) + 0 AS value,
+         | round(trend, 4) + 0 AS trend,
+         | round(seasonal, 4) + 0 AS seasonal,
+         | round(remainder, 4) + 0 AS remainder FROM fin"""
         .stripMargin.replace("\n", " "),
     "q523_abtt" -> {
       val r6 = (e: String) => s"(${fp(e, "1e6")})/1000000.0"
@@ -949,8 +949,108 @@ object R11Queries {
          |  AS shared
          |FROM hd a JOIN hd b ON b.h = a.h AND a.doc < b.doc
          |GROUP BY 1, 2 HAVING count(*) >= 2"""
-        .stripMargin.replace("\n", " ")
+        .stripMargin.replace("\n", " "),
+    "q542_poisson_reg" -> poissonOracle,
+    "q543_matryoshka" ->
+      s"""WITH sm AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  (embedding::DOUBLE[])[1:32] AS p FROM embeddings
+         | WHERE vec_id % 10 = 0 AND embedding IS NOT NULL),
+         |pr AS (SELECT list_distance(a.v, b.v) AS df,
+         |  list_distance(a.p, b.p) AS dp
+         | FROM sm a JOIN sm b ON a.vec_id < b.vec_id),
+         |st AS (SELECT count(*)::BIGINT AS n_pairs,
+         |  sum(${fp("dp/df", "1e8")})::HUGEINT AS sr8,
+         |  min(dp/df) AS mn, max(dp/df) AS mx FROM pr WHERE df > 0)
+         |SELECT 32 AS prefix_dim, n_pairs,
+         | round(sr8::DOUBLE/1e8/n_pairs::DOUBLE, 4) + 0 AS mean_ratio,
+         | round(mn, 4) + 0 AS min_ratio, round(mx, 4) + 0 AS max_ratio
+         |FROM st""".stripMargin.replace("\n", " "),
+    "q544_seasonal_strength" -> {
+      val v = (s1: String, s2: String) =>
+        s"($s2::DOUBLE/1e8/n - ($s1::DOUBLE/1e8/n)*($s1::DOUBLE/1e8/n))"
+      s"""WITH $decompCtes,
+         |d AS (SELECT key, remainder AS r,
+         |  seasonal + remainder AS sr, trend + remainder AS tr
+         | FROM fin WHERE trend IS NOT NULL AND seasonal IS NOT NULL
+         |  AND remainder IS NOT NULL),
+         |g AS (SELECT key, count(*)::BIGINT AS n,
+         |  sum(${fp("r", "1e8")})::HUGEINT AS r1,
+         |  sum(${fp("r*r", "1e8")})::HUGEINT AS r2,
+         |  sum(${fp("sr", "1e8")})::HUGEINT AS s1,
+         |  sum(${fp("sr*sr", "1e8")})::HUGEINT AS s2,
+         |  sum(${fp("tr", "1e8")})::HUGEINT AS t1,
+         |  sum(${fp("tr*tr", "1e8")})::HUGEINT AS t2
+         | FROM d GROUP BY 1)
+         |SELECT key, n,
+         | round(greatest(0.0, 1.0 - ${v("r1", "r2")} /
+         |  ${v("s1", "s2")}), 4) + 0 AS f_season,
+         | round(greatest(0.0, 1.0 - ${v("r1", "r2")} /
+         |  ${v("t1", "t2")}), 4) + 0 AS f_trend
+         |FROM g""".stripMargin.replace("\n", " ")
+    }
   )
+
+  private lazy val poissonOracle: String = {
+    val fp9 = (e: String) => fp(e, "1e9")
+    val rg = (e: String) =>
+      s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) " +
+        s"ELSE -floor(-($e)*1e6+0.5) END) / 1000000.0"
+    val rounds = (1 to 12).map { t =>
+      val p = s"w${t - 1}"
+      s"""g$t AS (SELECT
+         |  sum(${fp9("d.y - exp(least(w.a + w.b*d.x, 30.0))")})::HUGEINT AS ga,
+         |  sum(${fp9("(d.y - exp(least(w.a + w.b*d.x, 30.0))) * d.x")})::HUGEINT
+         |   AS gb,
+         |  count(*)::BIGINT AS n
+         | FROM d, $p w),
+         |w$t AS MATERIALIZED (SELECT
+         |  ${rg(s"w.a + 0.1 * (g.ga::DOUBLE / g.n / 1e9)")} AS a,
+         |  ${rg(s"w.b + 0.1 * (g.gb::DOUBLE / g.n / 1e9)")} AS b
+         | FROM $p w, g$t g)""".stripMargin
+    }.mkString(", ")
+    s"""WITH d AS (SELECT (user_id % 8)::DOUBLE AS x,
+       |  least(floor(abs(value)), 8)::DOUBLE AS y
+       | FROM events WHERE value IS NOT NULL),
+       |w0 AS (SELECT 0.0::DOUBLE AS a, 0.0::DOUBLE AS b),
+       |$rounds
+       |SELECT (SELECT count(*) FROM d)::BIGINT AS n,
+       | round(w.a, 4) + 0 AS a, round(w.b, 4) + 0 AS b,
+       | round((SELECT sum(${fp9("exp(least(w.a + w.b*d.x, 30.0))")})
+       |  ::HUGEINT::DOUBLE / 1e9 / (SELECT count(*) FROM d) FROM d), 4)
+       |  + 0 AS mean_mu
+       |FROM w12 w""".stripMargin.replace("\n", " ")
+  }
+
+  /** Classical-decomposition CTE chain; terminal CTE `fin`
+    * (key, seq, v, trend, seasonal, remainder). Shared by q522 and the
+    * q544 strength scalars. */
+  private lazy val decompCtes: String =
+    s"""daily AS (SELECT event_type AS key,
+       |  epoch_ns(ts) // 86400000000000 AS o,
+       |  sum(${fp("value", "10000.0")})::HUGEINT::DOUBLE/1e4 AS v
+       | FROM events GROUP BY 1, 2),
+       |rn AS (SELECT key, o, v,
+       |  row_number() OVER (PARTITION BY key ORDER BY o) AS r
+       | FROM daily),
+       |ma AS (SELECT key, o, v, (r - 1) % 7 AS ph,
+       |  CASE WHEN count(*) OVER fw = 7
+       |   THEN (sum(${fp("v", "10000.0")}) OVER fw)::DOUBLE/1e4/7
+       |  END AS trend
+       | FROM rn WINDOW fw AS (PARTITION BY key ORDER BY r
+       |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |ph AS (SELECT key, ph,
+       |  sum(${fp("v - trend", "10000.0")})::HUGEINT::DOUBLE/1e4
+       |   /count(*)::DOUBLE AS praw
+       | FROM ma WHERE trend IS NOT NULL GROUP BY 1, 2),
+       |ct AS (SELECT key,
+       |  sum(${fp("praw", "1e6")})::HUGEINT::DOUBLE/1e6/count(*) AS c
+       | FROM ph GROUP BY 1),
+       |se AS (SELECT ph.key, ph.ph, praw - c AS seasonal
+       | FROM ph JOIN ct USING (key)),
+       |fin AS (SELECT ma.key, ma.o AS seq, ma.v, ma.trend, se.seasonal,
+       |  ma.v - ma.trend - se.seasonal AS remainder
+       | FROM ma LEFT JOIN se ON se.key = ma.key AND se.ph = ma.ph)"""
+      .stripMargin.replace("\n", " ")
 
   /** mSPRT replay: shared by q519 (batch windows) and q531 (the
     * flatMapGroupsWithState twin, whose per-key ordered replay is

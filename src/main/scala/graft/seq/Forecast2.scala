@@ -428,4 +428,39 @@ object Forecast2 {
       .select(col("key"), col("_o").as("seq"), col("_v").as("value"),
         col("trend"), col("seasonal"), col("remainder"))
   }
+  /** Seasonal/trend strength (Hyndman, Wang, Laptev; ICDM'15 feature
+    * set) over a [[classicalDecompose]] output: F_season = max(0,
+    * 1 − Var(R)/Var(S+R)), F_trend = max(0, 1 − Var(R)/Var(T+R)) on
+    * the rows where all three components exist — the per-key "is this
+    * series actually seasonal / trending" scalar that routes series to
+    * Holt vs Holt-Winters.
+    *
+    * Determinism: variances from exact 8dp fixed-point moment sums.
+    * One hash aggregate over the decomposition. Output per key:
+    * n, f_season, f_trend. */
+  def decompositionStrength(decomposed: DataFrame): DataFrame = {
+    val fp8 = (c: Column) =>
+      graft.core.fixedPointLong(c, 8).cast("decimal(38,0)")
+    def varOf(s1: Column, s2: Column, n: Column): Column = {
+      val m = s1.cast("double") / 1e8 / n
+      s2.cast("double") / 1e8 / n - m * m
+    }
+    val d = decomposed.where(col("trend").isNotNull &&
+      col("seasonal").isNotNull && col("remainder").isNotNull)
+    val sr = col("seasonal") + col("remainder")
+    val tr = col("trend") + col("remainder")
+    d.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(fp8(col("remainder"))).as("_r1"),
+        sum(fp8(col("remainder") * col("remainder"))).as("_r2"),
+        sum(fp8(sr)).as("_s1"), sum(fp8(sr * sr)).as("_s2"),
+        sum(fp8(tr)).as("_t1"), sum(fp8(tr * tr)).as("_t2"))
+      .withColumn("f_season", greatest(lit(0.0), lit(1.0) -
+        varOf(col("_r1"), col("_r2"), col("n")) /
+          varOf(col("_s1"), col("_s2"), col("n"))))
+      .withColumn("f_trend", greatest(lit(0.0), lit(1.0) -
+        varOf(col("_r1"), col("_r2"), col("n")) /
+          varOf(col("_t1"), col("_t2"), col("n"))))
+      .select("key", "n", "f_season", "f_trend")
+  }
 }

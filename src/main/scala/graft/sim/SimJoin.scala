@@ -233,6 +233,46 @@ object SimJoin {
         col("res_norm"))
   }
 
+  /** Matryoshka / prefix-truncation distance audit (Kusupati et al.,
+    * NeurIPS'22): on an md5-free id-sampled pair set, compare exact
+    * Euclidean distances of the FULL vectors vs their first
+    * `prefixDim` coordinates — the go/no-go table before storing only
+    * vector prefixes (the 2-4× store/bandwidth saving MRL training
+    * promises). Same audit shape as [[jlDistortion]], truncation
+    * instead of projection.
+    *
+    * Output one row: prefix_dim, n_pairs, mean_ratio, min_ratio,
+    * max_ratio (prefix/full distance; 1 − mean_ratio is the recall
+    * hazard proxy). */
+  def matryoshkaAudit(vecs: DataFrame, idCol: String, vecCol: String,
+      prefixDim: Int, sampleMod: Int = 10): DataFrame = {
+    require(prefixDim >= 1, "prefixDim >= 1")
+    val spark = vecs.sparkSession
+    graft.expr.GraftFunctions.register(spark)
+    val fp8 = (c: Column) =>
+      graft.core.fixedPointLong(c, 8).cast("decimal(38,0)")
+    val sample = vecs
+      .where(col(idCol) % sampleMod === 0 && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id"),
+        call_function("vec_validate", col(vecCol)).as("_v"))
+      .withColumn("_p", slice(col("_v"), 1, prefixDim))
+    val a = sample.select(col("_id").as("_a"), col("_v").as("_va"),
+      col("_p").as("_pa"))
+    val b = sample.select(col("_id").as("_b"), col("_v").as("_vb"),
+      col("_p").as("_pb"))
+    a.join(b, col("_a") < col("_b"))
+      .withColumn("_df", call_function("vec_euclid", col("_va"), col("_vb")))
+      .withColumn("_dp", call_function("vec_euclid", col("_pa"), col("_pb")))
+      .where(col("_df") > 0)
+      .withColumn("_r", col("_dp") / col("_df"))
+      .agg(count(lit(1)).as("n_pairs"), sum(fp8(col("_r"))).as("_sr8"),
+        min(col("_r")).as("min_ratio"), max(col("_r")).as("max_ratio"))
+      .select(lit(prefixDim).as("prefix_dim"), col("n_pairs"),
+        (col("_sr8").cast("double") / 1e8 /
+          col("n_pairs").cast("double")).as("mean_ratio"),
+        col("min_ratio"), col("max_ratio"))
+  }
+
   /** Embedding-space isotropy diagnostics (Ethayarajh EMNLP'19 /
     * Mu & Viswanath ICLR'18: contextual embedding spaces are
     * anisotropic — a large common-mean component makes every cosine

@@ -457,6 +457,47 @@ class Wave11Spec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("Poisson GLM recovers a planted rate ratio") {
+    // centered design x in {-1,0,1} (decorrelates slope/intercept so
+    // fixed-lr GD converges): rate = 2^(x+1) -> b = ln 2, a = ln 2
+    val rows = (0 until 900).map { i =>
+      val x = i % 3 - 1
+      (x.toDouble, math.pow(2.0, x + 1.0))
+    }.toDF("x", "y")
+    val r = graft.model.Assoc.poissonRegFit(rows, "x", "y",
+      iters = 200, lr = 0.3).collect()(0)
+    assert(math.abs(r.getAs[Double]("b") - math.log(2.0)) < 0.05)
+    assert(math.abs(r.getAs[Double]("a") - math.log(2.0)) < 0.05)
+    assert(math.abs(r.getAs[Double]("mean_mu") - 7.0 / 3.0) < 0.1)
+  }
+
+  test("matryoshka audit: prefix distance ratio in (0, 1], full prefix = 1") {
+    val rows = (0 until 40).map(i =>
+      (i.toLong * 10, Seq.tabulate(8)(j => ((i + j) % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val half = graft.sim.SimJoin.matryoshkaAudit(rows, "vec_id",
+      "embedding", prefixDim = 4, sampleMod = 10).collect()(0)
+    assert(half.getAs[Double]("max_ratio") <= 1.0 + 1e-12)
+    assert(half.getAs[Double]("mean_ratio") > 0.0)
+    val full = graft.sim.SimJoin.matryoshkaAudit(rows, "vec_id",
+      "embedding", prefixDim = 8, sampleMod = 10).collect()(0)
+    assert(full.getAs[Double]("mean_ratio") == 1.0)
+    assert(full.getAs[Double]("min_ratio") == 1.0)
+  }
+
+  test("seasonal strength: pure weekly signal ~ 1, pure noise-free trend") {
+    val season = Array(3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0)
+    val rows = (0 until 70).map(t =>
+      (1L, t.toLong, 10.0 + 0.5 * t + season(t % 7)))
+      .toDF("g", "t", "v")
+    val dec = graft.seq.Forecast2.classicalDecompose(rows, Seq("g"),
+      "t", "v", period = 7)
+    val r = graft.seq.Forecast2.decompositionStrength(dec).collect()(0)
+    assert(r.getAs[Double]("f_season") > 0.99, "exact weekly pattern")
+    assert(r.getAs[Double]("f_trend") > 0.99, "exact linear trend")
+    assert(r.getAs[Long]("n") == 64L)
+  }
+
   test("validity indices: two far blobs at k=2 are clean") {
     val blobs = vecs((0 until 40).map { i =>
       val c = if (i % 2 == 0) 0.0f else 100.0f
