@@ -801,34 +801,4 @@ object GroupTests {
         col("_n1").as("n1") :+ col("_n2").as("n2") :+ col("mean_diff") :+
         col("pooled_sd") :+ col("cohens_d") :+ col("hedges_g"): _*)
   }
-  /** Benjamini–Hochberg FDR correction (JRSS-B 1995) over a family of
-    * p-values per key: rank ascending, raw_k = p_k·n/k, adjusted
-    * p = min(1, min_{i ≥ k} raw_i) (the step-up running min), reject at
-    * `alpha`. The multiple-testing closer for the whole test battery —
-    * running 500 drift tests at α=0.05 yields ~25 false alarms without
-    * it.
-    *
-    * Determinism: ranks are exact (ties → id order); raw values are a
-    * fixed float expression; the running min is order-pinned by the
-    * rank window. Scale: two windows over the TEST table (tests-sized,
-    * never data-sized). Output: key…, id, p, rank, p_adj, reject. */
-  def bhFdr(tests: DataFrame, keyCols: Seq[String], idCol: String,
-      pCol: String, alpha: Double = 0.05): DataFrame = {
-    val keys = keyCols.map(col)
-    val wr = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(pCol).asc, col(idCol).asc)
-    val wn = Window.partitionBy(keyCols.map(col): _*)
-    val wmin = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("rank").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tests.where(col(pCol).isNotNull)
-      .withColumn("rank", row_number().over(wr))
-      .withColumn("_n", count(lit(1)).over(wn))
-      .withColumn("_raw",
-        col(pCol) * col("_n").cast("double") / col("rank").cast("double"))
-      .withColumn("p_adj", least(lit(1.0), min(col("_raw")).over(wmin)))
-      .withColumn("reject", col("p_adj") <= alpha)
-      .select(keys ++ Seq(col(idCol), col(pCol).as("p"), col("rank"),
-        col("p_adj"), col("reject")): _*)
-  }
 }

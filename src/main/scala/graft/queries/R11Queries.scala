@@ -95,15 +95,6 @@ object R11Queries {
       canon(graft.model.Experiment.dieboldMariano(errs, "event_type",
         "event_id", "e1", "e2", h = 4))
     }),
-    // classical additive decomposition of the daily series, period 7
-    "q522_decompose" -> ((s, dir) => {
-      val daily = ev(s, dir)
-        .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
-        .agg((sum(fixedPointLong(col("value"), 4)).cast("double") / 1e4)
-          .as("v"))
-      canon(graft.seq.Forecast2.classicalDecompose(daily,
-        Seq("event_type"), "day", "v", period = 7))
-    }),
     // all-but-the-top: 3 power-iteration rounds, per-vector coef +
     // residual norm after removing the dominant direction
     "q523_abtt" -> ((s, dir) =>
@@ -175,60 +166,10 @@ object R11Queries {
       canon(graft.streaming.StreamScorers.msprtStream(p, "event_type",
         "event_id", "value", "b", sigma2 = 1.0, tau2 = 0.1).toDF())
     }),
-    // BH step-up FDR over a 16-bucket-per-type z-test battery
-    "q532_bh_fdr" -> ((s, dir) => {
-      val fp8c = (c: org.apache.spark.sql.Column) =>
-        fixedPointLong(c, 8).cast("decimal(38,0)")
-      val e = ev(s, dir)
-      val st = e.groupBy("event_type")
-        .agg(count(lit(1)).as("_n"), sum(fp8c(col("value"))).as("_s1"),
-          sum(fp8c(col("value") * col("value"))).as("_s2"))
-        .withColumn("_mu", col("_s1").cast("double") / 1e8 / col("_n"))
-        .withColumn("_sd", sqrt(greatest(lit(0.0),
-          col("_s2").cast("double") / 1e8 / col("_n") -
-            col("_mu") * col("_mu"))))
-        .select("event_type", "_mu", "_sd")
-      val tests = e
-        .withColumn("bucket", pmod(col("user_id"), lit(16L)))
-        .groupBy("event_type", "bucket")
-        .agg(count(lit(1)).as("_nb"), sum(fp8c(col("value"))).as("_sb"))
-        .join(broadcast(st), "event_type")
-        .withColumn("_mb", col("_sb").cast("double") / 1e8 / col("_nb"))
-        .withColumn("_z", (col("_mb") - col("_mu")) /
-          (col("_sd") / sqrt(col("_nb").cast("double"))))
-        .withColumn("p", lit(1.0) -
-          graft.multi.Proximity.erfPos(abs(col("_z")) / math.sqrt(2.0)))
-        .select("event_type", "bucket", "p")
-      canon(graft.model.GroupTests.bhFdr(tests, Seq("event_type"),
-        "bucket", "p"))
-    }),
-    // Zipf rank-frequency OLS per lang over the top-500 vocabulary
-    "q533_zipf" -> ((s, dir) =>
-      canon(graft.text.TextOps.zipfFit(table(s, dir, "documents"),
-        "lang", "text", maxRank = 500))),
     // per-source unigram KL/JS vs the corpus, top-64 vocab + OOV
     "q534_unigram_divergence" -> ((s, dir) =>
       canon(graft.text.TextOps.unigramDivergence(
         table(s, dir, "documents"), "source", "text", topV = 64))),
-    // RRF hybrid fusion of a length-prior and a TTR-prior ranking
-    "q535_rrf" -> ((s, dir) => {
-      val docs = table(s, dir, "documents").where(col("text").isNotNull)
-      val wLen = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n_chars").desc, col("doc_id").asc)
-      val rankA = docs.withColumn("rank", row_number().over(wLen))
-        .where(col("rank") <= 30).select("doc_id", "rank")
-      val tk = docs.select(col("doc_id"),
-        explode(graft.text.TextOps.tokens(col("text"))).as("_w"))
-        .groupBy("doc_id")
-        .agg((countDistinct(col("_w")).cast("double") /
-          count(lit(1)).cast("double")).as("_ttr"))
-      val wTtr = org.apache.spark.sql.expressions.Window
-        .orderBy(col("_ttr").desc, col("doc_id").asc)
-      val rankB = tk.withColumn("rank", row_number().over(wTtr))
-        .where(col("rank") <= 30).select("doc_id", "rank")
-      canon(graft.text.TextOps.rrfFuse(
-        Seq("len" -> rankA, "ttr" -> rankB), "doc_id", "rank"))
-    }),
     // pinball (quantile) regression at tau=0.9: value ~ user bucket
     // (12 rounds: the gate needs the fixed float program, not convergence;
     //  each round is one sequential Spark job — 30 measured 6-9 s at sf0.1)
@@ -237,10 +178,6 @@ object R11Queries {
         ev(s, dir).withColumn("xb",
           pmod(col("user_id"), lit(8L)).cast("double")),
         "xb", "value", tau = 0.9, iters = 12, lr = 0.5))),
-    // Heaps'-law vocabulary growth fit over the doc-id-ordered corpus
-    "q537_heaps" -> ((s, dir) =>
-      canon(graft.text.TextOps.heapsFit(table(s, dir, "documents"),
-        "doc_id", "text"))),
     // detector-ensemble RRF: ECOD + LODA + kmeans-distance rankings
     // fused (Lazarevic-Kumar feature-bagging spirit, rank combination)
     "q538_outlier_ensemble" -> ((s, dir) => {
@@ -259,9 +196,9 @@ object R11Queries {
         .withColumn("rank", row_number().over(
           Window.orderBy(col("d6").desc, col("vec_id").asc)))
         .where(col("rank") <= 50).select("vec_id", "rank")
-      canon(graft.text.TextOps.rrfFuse(
-        Seq("ecod" -> eR, "loda" -> lR, "kdist" -> kR),
-        "vec_id", "rank"))
+      canon(graft.sim.Similarity.rrfFuse(Seq(eR, lR, kR), Nil,
+        "vec_id", kConst = 60, topK = 20)
+        .select("vec_id", "n_lists", "fused_rank", "rrf"))
     }),
     // propensity positivity/common-support overlap (20 bins)
     "q539_positivity" -> ((s, dir) => {
@@ -275,11 +212,6 @@ object R11Queries {
     "q540_trimmed" -> ((s, dir) =>
       canon(graft.model.Fitters.trimmedStats(ev(s, dir),
         Seq("event_type"), "value", alpha = 0.1))),
-    // winnowing (MOSS) fingerprints -> near-dup span pairs
-    "q541_winnow" -> ((s, dir) =>
-      canon(graft.text.TextOps.winnowNearDup(
-        graft.text.TextOps.winnowFingerprints(table(s, dir, "documents"),
-          "doc_id", "text", k = 3, w = 4), minShared = 2, maxDf = 64))),
     // Poisson GLM: count = min(floor(|value|), 8) ~ user bucket, 12 GD
     // rounds (cap keeps the heavy |value| tail from dominating the fit)
     "q542_poisson_reg" -> ((s, dir) =>
@@ -291,17 +223,7 @@ object R11Queries {
     // matryoshka prefix-truncation audit: first 32 of 64 dims
     "q543_matryoshka" -> ((s, dir) =>
       canon(graft.sim.SimJoin.matryoshkaAudit(emb(s, dir), "vec_id",
-        "embedding", prefixDim = 32, sampleMod = 10))),
-    // seasonal/trend strength scalars over the q522 decomposition
-    "q544_seasonal_strength" -> ((s, dir) => {
-      val daily = ev(s, dir)
-        .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
-        .agg((sum(fixedPointLong(col("value"), 4)).cast("double") / 1e4)
-          .as("v"))
-      canon(graft.seq.Forecast2.decompositionStrength(
-        graft.seq.Forecast2.classicalDecompose(daily,
-          Seq("event_type"), "day", "v", period = 7)))
-    })
+        "embedding", prefixDim = 32, sampleMod = 10)))
   )
 
   /** ECOD CTE chain (needs `ex`); terminal CTE `os` (vec_id, ol, orr,
@@ -530,13 +452,6 @@ object R11Queries {
          |  4) + 0 AS p_value
          |FROM f""".stripMargin.replace("\n", " ")
     },
-    "q522_decompose" ->
-      s"""WITH $decompCtes
-         |SELECT key, seq, round(v, 4) + 0 AS value,
-         | round(trend, 4) + 0 AS trend,
-         | round(seasonal, 4) + 0 AS seasonal,
-         | round(remainder, 4) + 0 AS remainder FROM fin"""
-        .stripMargin.replace("\n", " "),
     "q523_abtt" -> {
       val r6 = (e: String) => s"(${fp(e, "1e6")})/1000000.0"
       val rounds = (1 to 3).map { t =>
@@ -671,68 +586,6 @@ object R11Queries {
     "q529_ddsketch_merge" -> ddsketchOracle,
     "q530_ddsketch_stream" -> ddsketchOracle,
     "q531_msprt_stream" -> msprtOracle,
-    "q532_bh_fdr" -> {
-      val z = "((mb - mu) / (sd / sqrt(nb::DOUBLE)))"
-      s"""WITH st AS (SELECT event_type, count(*) AS n,
-         |  sum(${fp("value", "1e8")})::HUGEINT AS s1,
-         |  sum(${fp("value*value", "1e8")})::HUGEINT AS s2
-         | FROM events GROUP BY 1),
-         |st2 AS (SELECT event_type, mu,
-         |  sqrt(greatest(0.0, s2::DOUBLE/1e8/n - mu*mu)) AS sd
-         | FROM (SELECT *, s1::DOUBLE/1e8/n AS mu FROM st)),
-         |bk AS (SELECT event_type, user_id % 16 AS bucket,
-         |  count(*) AS nb, sum(${fp("value", "1e8")})::HUGEINT AS sb
-         | FROM events GROUP BY 1, 2),
-         |ts AS (SELECT b.event_type, b.bucket,
-         |  1.0 - ${erfp(s"abs($z)/1.4142135623730951")} AS p
-         | FROM (SELECT *, sb::DOUBLE/1e8/nb AS mb FROM bk) b
-         | JOIN st2 USING (event_type)),
-         |rk AS (SELECT event_type, bucket, p,
-         |  row_number() OVER (PARTITION BY event_type
-         |   ORDER BY p, bucket) AS rank,
-         |  count(*) OVER (PARTITION BY event_type) AS n FROM ts),
-         |ad AS (SELECT event_type, bucket, p, rank,
-         |  least(1.0, min(p * n::DOUBLE / rank::DOUBLE) OVER
-         |   (PARTITION BY event_type ORDER BY rank DESC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS pa
-         | FROM rk)
-         |SELECT event_type, bucket, round(p, 4) + 0 AS p,
-         | rank::INT AS rank, round(pa, 4) + 0 AS p_adj,
-         | pa <= 0.05 AS reject FROM ad"""
-        .stripMargin.replace("\n", " ")
-    },
-    "q533_zipf" -> {
-      val slope = "(sxyc / sxxc)"
-      s"""WITH tf AS (SELECT lang AS g, tok AS w, count(*)::BIGINT AS f
-         | FROM (SELECT lang, unnest($toksSql) AS tok FROM documents
-         |   WHERE text IS NOT NULL) GROUP BY 1, 2),
-         |rk AS (SELECT g, ${fp("ln(r::DOUBLE)", "10000.0")} AS x,
-         |  ${fp("ln(f::DOUBLE)", "10000.0")} AS y
-         | FROM (SELECT g, f, row_number() OVER
-         |   (PARTITION BY g ORDER BY f DESC, w ASC) AS r FROM tf)
-         | WHERE r <= 500),
-         |gg AS (SELECT g, count(*)::BIGINT AS n,
-         |  sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
-         |  sum(x::HUGEINT * y::HUGEINT) AS sxy,
-         |  sum(x::HUGEINT * x::HUGEINT) AS sxx,
-         |  sum(y::HUGEINT * y::HUGEINT) AS syy
-         | FROM rk GROUP BY 1 HAVING count(*) >= 3),
-         |c AS (SELECT g, n,
-         |  (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE) / 1e8
-         |   AS sxyc,
-         |  (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / 1e8
-         |   AS sxxc,
-         |  (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE) / 1e8
-         |   AS syyc,
-         |  sx::DOUBLE AS sxd, sy::DOUBLE AS syd FROM gg)
-         |SELECT g AS lang, n AS n_vocab, round($slope, 4) + 0 AS slope,
-         | round((syd / 1e4 - $slope * (sxd / 1e4)) / n::DOUBLE, 4) + 0
-         |  AS intercept,
-         | round(sxyc * sxyc / (sxxc * syyc), 4) + 0 AS r2,
-         | round($slope / sqrt((syyc - $slope * sxyc)
-         |  / (n::DOUBLE - 2) / sxxc), 4) + 0 AS t_stat
-         |FROM c""".stripMargin.replace("\n", " ")
-    },
     "q534_unigram_divergence" ->
       s"""WITH tk AS (SELECT source AS g, tok AS w
          | FROM (SELECT source, unnest($toksSql) AS tok FROM documents
@@ -759,28 +612,6 @@ object R11Queries {
          |  sum(${fp("q * ln(q/m)", "1e8")})::HUGEINT::DOUBLE/1e8) / 2.0,
          |  4) + 0 AS js
          |FROM g2 GROUP BY 1"""
-        .stripMargin.replace("\n", " "),
-    "q535_rrf" ->
-      s"""WITH d AS (SELECT doc_id, n_chars, text FROM documents
-         | WHERE text IS NOT NULL),
-         |ra AS (SELECT doc_id, row_number() OVER
-         |  (ORDER BY n_chars DESC, doc_id ASC) AS r FROM d
-         | QUALIFY r <= 30),
-         |tt AS (SELECT doc_id,
-         |  count(DISTINCT w)::DOUBLE / count(*)::DOUBLE AS ttr
-         | FROM (SELECT doc_id, unnest($toksSql) AS w FROM d)
-         | GROUP BY 1),
-         |rb AS (SELECT doc_id, row_number() OVER
-         |  (ORDER BY ttr DESC, doc_id ASC) AS r FROM tt QUALIFY r <= 30),
-         |u AS (SELECT doc_id, r, 'len' AS sys FROM ra
-         | UNION ALL SELECT doc_id, r, 'ttr' AS sys FROM rb),
-         |f AS (SELECT doc_id, count(DISTINCT sys)::BIGINT AS n_systems,
-         |  sum(floor(1e8/(60.0 + r::DOUBLE) + 0.5)::BIGINT)::BIGINT
-         |   AS s8
-         | FROM u GROUP BY 1)
-         |SELECT doc_id, n_systems,
-         | round(s8::DOUBLE/1e8, 4) + 0 AS rrf_score
-         |FROM f ORDER BY s8 DESC, doc_id ASC LIMIT 20"""
         .stripMargin.replace("\n", " "),
     "q536_quantile_reg" -> {
       val tau = 0.9
@@ -816,44 +647,6 @@ object R11Queries {
           FROM d), 4) + 0 AS pinball
          |FROM w12 w""".stripMargin.replace("\n", " ")
     },
-    "q537_heaps" -> {
-      val slope = "(sxyc / sxxc)"
-      s"""WITH tk AS (SELECT doc_id AS d, unnest($toksSql) AS w
-         | FROM documents WHERE text IS NOT NULL),
-         |pd AS (SELECT d, count(*)::BIGINT AS nt FROM tk GROUP BY 1),
-         |fd AS (SELECT d, count(*)::BIGINT AS nv FROM
-         |  (SELECT w, min(d) AS d FROM tk GROUP BY 1) GROUP BY 1),
-         |cv AS (SELECT pd.d,
-         |  sum(pd.nt) OVER (ORDER BY pd.d
-         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
-         |  sum(coalesce(fd.nv, 0)) OVER (ORDER BY pd.d
-         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
-         | FROM pd LEFT JOIN fd USING (d)),
-         |rk AS (SELECT ${fp("ln(n::DOUBLE)", "10000.0")} AS x,
-         |  ${fp("ln(v::DOUBLE)", "10000.0")} AS y
-         | FROM cv WHERE n > 0 AND v > 0),
-         |gg AS (SELECT count(*)::BIGINT AS n,
-         |  sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
-         |  sum(x::HUGEINT * y::HUGEINT) AS sxy,
-         |  sum(x::HUGEINT * x::HUGEINT) AS sxx,
-         |  sum(y::HUGEINT * y::HUGEINT) AS syy
-         | FROM rk HAVING count(*) >= 3),
-         |c AS (SELECT n,
-         |  (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE) / 1e8
-         |   AS sxyc,
-         |  (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / 1e8
-         |   AS sxxc,
-         |  (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE) / 1e8
-         |   AS syyc,
-         |  sx::DOUBLE AS sxd, sy::DOUBLE AS syd FROM gg)
-         |SELECT n AS n_docs, round($slope, 4) + 0 AS beta,
-         | round((syd / 1e4 - $slope * (sxd / 1e4)) / n::DOUBLE, 4) + 0
-         |  AS ln_k,
-         | round(sxyc * sxyc / (sxxc * syyc), 4) + 0 AS r2,
-         | round($slope / sqrt((syyc - $slope * sxyc)
-         |  / (n::DOUBLE - 2) / sxxc), 4) + 0 AS t_stat
-         |FROM c""".stripMargin.replace("\n", " ")
-    },
     "q538_outlier_ensemble" ->
       s"""WITH $exCte, $ecodCtes, $lodaCtes, ${TextQueries.kmCtes},
          |re AS (SELECT vec_id, row_number() OVER
@@ -865,16 +658,17 @@ object R11Queries {
          |rk2 AS (SELECT vec_id, row_number() OVER
          |  (ORDER BY (b).d DESC, vec_id ASC) AS r FROM fb
          | QUALIFY r <= 50),
-         |u AS (SELECT vec_id, r, 'ecod' AS sys FROM re
-         | UNION ALL SELECT vec_id, r, 'loda' AS sys FROM rl
-         | UNION ALL SELECT vec_id, r, 'kdist' AS sys FROM rk2),
-         |f AS (SELECT vec_id, count(DISTINCT sys)::BIGINT AS n_systems,
-         |  sum(floor(1e8/(60.0 + r::DOUBLE) + 0.5)::BIGINT)::BIGINT
-         |   AS s8
+         |u AS (SELECT vec_id, r FROM re
+         | UNION ALL SELECT vec_id, r FROM rl
+         | UNION ALL SELECT vec_id, r FROM rk2),
+         |f AS (SELECT vec_id, count(*)::BIGINT AS n_lists,
+         |  sum(floor((1.0/(60.0 + r))*1e9 + 0.5)::BIGINT)::BIGINT
+         |   AS rrf9
          | FROM u GROUP BY 1)
-         |SELECT vec_id, n_systems,
-         | round(s8::DOUBLE/1e8, 4) + 0 AS rrf_score
-         |FROM f ORDER BY s8 DESC, vec_id ASC LIMIT 20"""
+         |SELECT vec_id, n_lists,
+         | row_number() OVER (ORDER BY rrf9 DESC, vec_id) AS fused_rank,
+         | round(rrf9::DOUBLE/1e9, 4) + 0 AS rrf
+         |FROM f QUALIFY fused_rank <= 20"""
         .stripMargin.replace("\n", " "),
     "q539_positivity" -> {
       val z = "((value - 1.0) / 2.0)"
@@ -924,32 +718,6 @@ object R11Queries {
          | round((st + nt*vlo + nt*vhi)::DOUBLE / n::DOUBLE / 100.0, 4)
          |  + 0 AS winsor_mean
          |FROM g""".stripMargin.replace("\n", " "),
-    "q541_winnow" ->
-      s"""WITH tk AS (SELECT doc_id AS d,
-         |  generate_subscripts(ts, 1) - 1 AS p, unnest(ts) AS w
-         | FROM (SELECT doc_id, $toksSql AS ts FROM documents
-         |   WHERE text IS NOT NULL)),
-         |gr AS (SELECT a.d, a.p,
-         |  ('0x'||substr(md5(a.w||' '||b.w||' '||c.w),1,14))::BIGINT
-         |   AS h
-         | FROM tk a JOIN tk b ON b.d = a.d AND b.p = a.p + 1
-         |  JOIN tk c ON c.d = a.d AND c.p = a.p + 2),
-         |mn AS (SELECT d, p,
-         |  min({'h': h, 'np': -p}) OVER (PARTITION BY d ORDER BY p
-         |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
-         |  count(*) OVER (PARTITION BY d ORDER BY p
-         |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cnt
-         | FROM gr),
-         |fps AS (SELECT DISTINCT d AS doc, -(m).np AS pos, (m).h AS h
-         | FROM mn WHERE cnt = 4),
-         |hd AS (SELECT doc, h FROM (
-         |  SELECT doc, h, count(*) OVER (PARTITION BY h) AS df
-         |  FROM (SELECT DISTINCT doc, h FROM fps)) WHERE df <= 64)
-         |SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::BIGINT
-         |  AS shared
-         |FROM hd a JOIN hd b ON b.h = a.h AND a.doc < b.doc
-         |GROUP BY 1, 2 HAVING count(*) >= 2"""
-        .stripMargin.replace("\n", " "),
     "q542_poisson_reg" -> poissonOracle,
     "q543_matryoshka" ->
       s"""WITH sm AS (SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -965,29 +733,6 @@ object R11Queries {
          | round(sr8::DOUBLE/1e8/n_pairs::DOUBLE, 4) + 0 AS mean_ratio,
          | round(mn, 4) + 0 AS min_ratio, round(mx, 4) + 0 AS max_ratio
          |FROM st""".stripMargin.replace("\n", " "),
-    "q544_seasonal_strength" -> {
-      val v = (s1: String, s2: String) =>
-        s"($s2::DOUBLE/1e8/n - ($s1::DOUBLE/1e8/n)*($s1::DOUBLE/1e8/n))"
-      s"""WITH $decompCtes,
-         |d AS (SELECT key, remainder AS r,
-         |  seasonal + remainder AS sr, trend + remainder AS tr
-         | FROM fin WHERE trend IS NOT NULL AND seasonal IS NOT NULL
-         |  AND remainder IS NOT NULL),
-         |g AS (SELECT key, count(*)::BIGINT AS n,
-         |  sum(${fp("r", "1e8")})::HUGEINT AS r1,
-         |  sum(${fp("r*r", "1e8")})::HUGEINT AS r2,
-         |  sum(${fp("sr", "1e8")})::HUGEINT AS s1,
-         |  sum(${fp("sr*sr", "1e8")})::HUGEINT AS s2,
-         |  sum(${fp("tr", "1e8")})::HUGEINT AS t1,
-         |  sum(${fp("tr*tr", "1e8")})::HUGEINT AS t2
-         | FROM d GROUP BY 1)
-         |SELECT key, n,
-         | round(greatest(0.0, 1.0 - ${v("r1", "r2")} /
-         |  ${v("s1", "s2")}), 4) + 0 AS f_season,
-         | round(greatest(0.0, 1.0 - ${v("r1", "r2")} /
-         |  ${v("t1", "t2")}), 4) + 0 AS f_trend
-         |FROM g""".stripMargin.replace("\n", " ")
-    }
   )
 
   private lazy val poissonOracle: String = {
@@ -1020,37 +765,6 @@ object R11Queries {
        |  + 0 AS mean_mu
        |FROM w12 w""".stripMargin.replace("\n", " ")
   }
-
-  /** Classical-decomposition CTE chain; terminal CTE `fin`
-    * (key, seq, v, trend, seasonal, remainder). Shared by q522 and the
-    * q544 strength scalars. */
-  private lazy val decompCtes: String =
-    s"""daily AS (SELECT event_type AS key,
-       |  epoch_ns(ts) // 86400000000000 AS o,
-       |  sum(${fp("value", "10000.0")})::HUGEINT::DOUBLE/1e4 AS v
-       | FROM events GROUP BY 1, 2),
-       |rn AS (SELECT key, o, v,
-       |  row_number() OVER (PARTITION BY key ORDER BY o) AS r
-       | FROM daily),
-       |ma AS (SELECT key, o, v, (r - 1) % 7 AS ph,
-       |  CASE WHEN count(*) OVER fw = 7
-       |   THEN (sum(${fp("v", "10000.0")}) OVER fw)::DOUBLE/1e4/7
-       |  END AS trend
-       | FROM rn WINDOW fw AS (PARTITION BY key ORDER BY r
-       |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-       |ph AS (SELECT key, ph,
-       |  sum(${fp("v - trend", "10000.0")})::HUGEINT::DOUBLE/1e4
-       |   /count(*)::DOUBLE AS praw
-       | FROM ma WHERE trend IS NOT NULL GROUP BY 1, 2),
-       |ct AS (SELECT key,
-       |  sum(${fp("praw", "1e6")})::HUGEINT::DOUBLE/1e6/count(*) AS c
-       | FROM ph GROUP BY 1),
-       |se AS (SELECT ph.key, ph.ph, praw - c AS seasonal
-       | FROM ph JOIN ct USING (key)),
-       |fin AS (SELECT ma.key, ma.o AS seq, ma.v, ma.trend, se.seasonal,
-       |  ma.v - ma.trend - se.seasonal AS remainder
-       | FROM ma LEFT JOIN se ON se.key = ma.key AND se.ph = ma.ph)"""
-      .stripMargin.replace("\n", " ")
 
   /** mSPRT replay: shared by q519 (batch windows) and q531 (the
     * flatMapGroupsWithState twin, whose per-key ordered replay is

@@ -374,93 +374,4 @@ object Forecast2 {
     params.join(adf, "key")
       .withColumn("cointegrated", col("t_stat") < -3.34)
   }
-
-  /** Classical additive seasonal decomposition (Macaulay 1931; the
-    * moving-average ancestor of STL): per key over a regular series at
-    * ODD period m — trend = centered m-point moving average (null at
-    * the edges), seasonal = per-phase mean of (v − trend) re-centered
-    * to sum 0 over the period, remainder = v − trend − seasonal. The
-    * structural complement of Holt-Winters: HW forecasts, this EXPLAINS
-    * (which part of the signal is season, which is drift, which is
-    * anomaly — remainder feeds the outlier scorers directly).
-    *
-    * Determinism: the MA is an exact 4dp fixed-point window sum over a
-    * fixed row frame; phase means are exact decimal sums; the seasonal
-    * re-centering subtracts the 6dp-frozen phase-mean average.
-    *
-    * Scale: ONE per-key sort window (the MA) + one (key, phase) hash
-    * aggregate broadcast back — no self-joins; phases are m-bounded.
-    * Output: (key, seq, value, trend, seasonal, remainder). */
-  def classicalDecompose(data: DataFrame, keyCols: Seq[String],
-      seqCol: String, valCol: String, period: Int): DataFrame = {
-    require(period >= 3 && period % 2 == 1, "odd period >= 3")
-    val half = period / 2
-    val key = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
-    val w = Window.partitionBy(col("key")).orderBy(col("_rn").asc)
-      .rowsBetween(-half, half)
-    val ord = Window.partitionBy(col("key")).orderBy(col("_o").asc)
-    val fp4 = (c: Column) => graft.core.fixedPointLong(c, 4)
-    val base = data.where(col(valCol).isNotNull)
-      .select(key.as("key"), col(seqCol).cast("long").as("_o"),
-        col(valCol).cast("double").as("_v"))
-      .withColumn("_rn", row_number().over(ord))
-      .withColumn("_ph", pmod(col("_rn") - 1, lit(period)))
-    val ma = base
-      .withColumn("_cnt", count(lit(1)).over(w))
-      .withColumn("trend",
-        when(col("_cnt") === period,
-          sum(fp4(col("_v"))).over(w).cast("double") / 1e4 / period))
-    val ph = ma.where(col("trend").isNotNull)
-      .groupBy(col("key"), col("_ph"))
-      .agg(sum(fp4(col("_v") - col("trend"))).as("_sd"),
-        count(lit(1)).as("_nd"))
-      .withColumn("_praw",
-        col("_sd").cast("double") / 1e4 / col("_nd").cast("double"))
-    val ctr = ph.groupBy(col("key"))
-      .agg((sum(graft.core.fixedPointLong(col("_praw"), 6))
-        .cast("double") / 1e6 / count(lit(1))).as("_c"))
-    val season = ph.join(ctr, "key")
-      .select(col("key"), col("_ph"),
-        (col("_praw") - col("_c")).as("seasonal"))
-    ma.join(broadcast(season), Seq("key", "_ph"), "left")
-      .withColumn("remainder",
-        col("_v") - col("trend") - col("seasonal"))
-      .select(col("key"), col("_o").as("seq"), col("_v").as("value"),
-        col("trend"), col("seasonal"), col("remainder"))
-  }
-  /** Seasonal/trend strength (Hyndman, Wang, Laptev; ICDM'15 feature
-    * set) over a [[classicalDecompose]] output: F_season = max(0,
-    * 1 − Var(R)/Var(S+R)), F_trend = max(0, 1 − Var(R)/Var(T+R)) on
-    * the rows where all three components exist — the per-key "is this
-    * series actually seasonal / trending" scalar that routes series to
-    * Holt vs Holt-Winters.
-    *
-    * Determinism: variances from exact 8dp fixed-point moment sums.
-    * One hash aggregate over the decomposition. Output per key:
-    * n, f_season, f_trend. */
-  def decompositionStrength(decomposed: DataFrame): DataFrame = {
-    val fp8 = (c: Column) =>
-      graft.core.fixedPointLong(c, 8).cast("decimal(38,0)")
-    def varOf(s1: Column, s2: Column, n: Column): Column = {
-      val m = s1.cast("double") / 1e8 / n
-      s2.cast("double") / 1e8 / n - m * m
-    }
-    val d = decomposed.where(col("trend").isNotNull &&
-      col("seasonal").isNotNull && col("remainder").isNotNull)
-    val sr = col("seasonal") + col("remainder")
-    val tr = col("trend") + col("remainder")
-    d.groupBy(col("key"))
-      .agg(count(lit(1)).as("n"),
-        sum(fp8(col("remainder"))).as("_r1"),
-        sum(fp8(col("remainder") * col("remainder"))).as("_r2"),
-        sum(fp8(sr)).as("_s1"), sum(fp8(sr * sr)).as("_s2"),
-        sum(fp8(tr)).as("_t1"), sum(fp8(tr * tr)).as("_t2"))
-      .withColumn("f_season", greatest(lit(0.0), lit(1.0) -
-        varOf(col("_r1"), col("_r2"), col("n")) /
-          varOf(col("_s1"), col("_s2"), col("n"))))
-      .withColumn("f_trend", greatest(lit(0.0), lit(1.0) -
-        varOf(col("_r1"), col("_r2"), col("n")) /
-          varOf(col("_t1"), col("_t2"), col("n"))))
-      .select("key", "n", "f_season", "f_trend")
-  }
 }

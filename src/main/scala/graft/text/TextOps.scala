@@ -3079,35 +3079,6 @@ object TextOps {
       .where(col("ppmi") > 0)
       .select(col("wa"), col("wb"), col("c"), col("ppmi"))
   }
-  /** Zipf rank-frequency fit per group (Zipf 1949): token frequencies
-    * ranked (count desc, token asc), OLS of ln f on ln r over the top
-    * `maxRank` vocabulary — slope ≈ −1 is healthy natural text; flat
-    * slopes flag templated/boilerplate corpora, steep ones tiny
-    * vocabularies. Delegates the fit to [[graft.model.Assoc.olsFit]]
-    * (exact 4dp moment sums), so the statistic inherits its
-    * determinism contract.
-    *
-    * Scale: one (group, token) hash aggregate, one rank window
-    * capped at maxRank rows per group (WindowGroupLimit prunes the
-    * exchange), then a group-sized OLS. Output: group, n_vocab, slope,
-    * intercept, r2, t_stat. */
-  def zipfFit(docs: DataFrame, groupCol: String, textCol: String,
-      maxRank: Int = 500): DataFrame = {
-    require(maxRank >= 10, "need at least 10 ranks to fit")
-    val w = Window.partitionBy("_g").orderBy(col("_f").desc, col("_w").asc)
-    val ranked = docs.where(col(textCol).isNotNull)
-      .select(col(groupCol).as("_g"),
-        explode(tokens(col(textCol))).as("_w"))
-      .groupBy("_g", "_w").agg(count(lit(1)).as("_f"))
-      .withColumn("_r", row_number().over(w))
-      .where(col("_r") <= maxRank)
-      .select(col("_g"), log(col("_r").cast("double")).as("_lr"),
-        log(col("_f").cast("double")).as("_lf"))
-    graft.model.Assoc.olsFit(ranked, "_g", "_lr", "_lf")
-      .select(col("key").as(groupCol), col("n").as("n_vocab"),
-        col("slope"), col("intercept"), col("r2"), col("t_stat"))
-  }
-
   /** Token-level KL / Jensen-Shannon divergence of each group's
     * unigram distribution vs the corpus — the TOKEN face of
     * charClassDrift's character profile: restrict to the corpus top-V
@@ -3162,130 +3133,5 @@ object TextOps {
             .cast("double") / 1e8) / 2.0).as("js"))
       .select(col("_g").as(groupCol), col("n_tokens"), col("kl"),
         col("js"))
-  }
-  /** Reciprocal-rank fusion (Cormack, Clarke, Büttcher; SIGIR'09) —
-    * THE standard hybrid-search combiner (BM25 ∪ embedding ANN):
-    * rrf(d) = Σ_systems 1/(k0 + rank_s(d)), missing-from-a-system
-    * contributes nothing; output the fused top-k. Rank-based, so no
-    * score normalization across systems is needed — the reason RRF
-    * beats score interpolation in practice.
-    *
-    * Determinism: ranks are exact integers; each 1/(k0+r) term is
-    * 8dp-quantized and summed as a long (order-free); the final top-k
-    * orders on (exact long score desc, id asc).
-    *
-    * Scale: one union + one hash aggregate over the CANDIDATE lists
-    * (k·systems rows per query, never corpus-sized) + a
-    * TakeOrderedAndProject. Output: id, n_systems, rrf_score. */
-  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
-      rankCol: String, k0: Int = 60, topK: Int = 20): DataFrame = {
-    require(rankings.nonEmpty && k0 >= 1 && topK >= 1,
-      "non-empty rankings, k0 >= 1, topK >= 1")
-    val tagged = rankings.map { case (sys, df) =>
-      df.select(col(idCol).cast("long").as("_id"),
-        col(rankCol).cast("long").as("_r"), lit(sys).as("_sys"))
-    }.reduce(_ unionByName _)
-    // 1/(k0+r) for r in 1..maxRank is a tiny broadcast lookup computed
-    // ONCE driver-side with the exact float program the oracle replays
-    tagged
-      .withColumn("_t8",
-        floor(lit(1e8) / (lit(k0.toDouble) + col("_r").cast("double")) +
-          lit(0.5)).cast("long"))
-      .groupBy("_id")
-      .agg(countDistinct(col("_sys")).as("n_systems"),
-        sum(col("_t8")).as("_s8"))
-      .orderBy(col("_s8").desc, col("_id").asc)
-      .limit(topK)
-      .select(col("_id").as(idCol), col("n_systems"),
-        (col("_s8").cast("double") / 1e8).as("rrf_score"))
-  }
-
-  /** Heaps'-law vocabulary-growth fit (Heaps 1978): V(n) = K·n^β —
-    * distinct vocabulary size vs cumulative token count as the corpus
-    * is read in doc-id order, fitted as OLS of ln V on ln n (β ≈ 0.5
-    * for natural text; β → 0 flags a closed/templated vocabulary, the
-    * dedup-ROI twin of the per-doc ngramNovelty curve).
-    *
-    * Exact: each token's FIRST document comes from one (token → min
-    * doc) aggregate; V_d and N_d are cumulative window sums over the
-    * per-doc frame; the fit is [[graft.model.Assoc.olsFit]]'s exact
-    * 4dp moments. Output one row: n_docs, beta, ln_k, r2, t_stat. */
-  def heapsFit(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
-    val toks = docs.where(col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("_d"),
-        explode(tokens(col(textCol))).as("_w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perDoc = toks.groupBy("_d").agg(count(lit(1)).as("_nt"))
-    val firstDoc = toks.groupBy("_w").agg(min(col("_d")).as("_d"))
-      .groupBy("_d").agg(count(lit(1)).as("_nv"))
-    val w = Window.orderBy(col("_d").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val curve = perDoc.join(firstDoc, Seq("_d"), "left")
-      .withColumn("_n", sum(col("_nt")).over(w))
-      .withColumn("_v", sum(coalesce(col("_nv"), lit(0L))).over(w))
-      .where(col("_n") > 0 && col("_v") > 0)
-      .select(lit("corpus").as("_g"),
-        log(col("_n").cast("double")).as("_ln"),
-        log(col("_v").cast("double")).as("_lv"))
-    graft.model.Assoc.olsFit(curve, "_g", "_ln", "_lv")
-      .select(col("n").as("n_docs"), col("slope").as("beta"),
-        col("intercept").as("ln_k"), col("r2"), col("t_stat"))
-  }
-  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken; SIGMOD'03 —
-    * the MOSS algorithm): hash every token k-gram, slide a w-window
-    * over the hash sequence and keep each window's RIGHTMOST MINIMUM —
-    * guaranteed ≥ 1 fingerprint per w positions, position-robust to
-    * insertions (the property fixed-stride sampling lacks). The
-    * local-similarity complement of minhash: minhash estimates
-    * whole-set Jaccard, winnowing localizes WHICH spans match.
-    *
-    * Exact/deterministic: gram hashes are md5-56; the rightmost-min is
-    * one struct-min window (min over (h, −pos) — the kmCtes device);
-    * fingerprints are the distinct winners.
-    *
-    * Scale: one tokenize pass + ONE per-doc sort window + a distinct —
-    * no joins. Output: (doc, pos, h). */
-  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, w: Int = 4): DataFrame = {
-    require(k >= 1 && w >= 1, "k >= 1, w >= 1")
-    val grams = docs.where(col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("_d"),
-        posexplode(tokens(col(textCol))).as(Seq("_p", "_w")))
-      .withColumn("_g", concat_ws(" ",
-        (0 until k).map(o => lead(col("_w"), o).over(
-          Window.partitionBy("_d").orderBy("_p"))): _*))
-      .withColumn("_last", lead(col("_w"), k - 1).over(
-        Window.partitionBy("_d").orderBy("_p")))
-      .where(col("_last").isNotNull)
-      .select(col("_d"), col("_p"), hash56(col("_g")).as("_h"))
-    val win = Window.partitionBy("_d").orderBy(col("_p"))
-      .rowsBetween(-(w - 1), 0)
-    grams
-      .withColumn("_m", min(struct(col("_h"), (-col("_p")).as("_np")))
-        .over(win))
-      .withColumn("_cnt", count(lit(1)).over(win))
-      .where(col("_cnt") === w) // only full windows select
-      .select(col("_d").as("doc"), (-col("_m").getField("_np")).as("pos"),
-        col("_m").getField("_h").as("h"))
-      .distinct()
-  }
-
-  /** Near-duplicate pairs from winnowing fingerprints: docs sharing at
-    * least `minShared` fingerprint hashes, with the shared count. The
-    * hash-keyed join is bounded per hash by its doc frequency — hot
-    * boilerplate hashes are capped at `maxDf` (logged contract: drop
-    * ubiquitous spans, they match everything and mean nothing).
-    * Output: (doc_a, doc_b, shared). */
-  def winnowNearDup(fps: DataFrame, minShared: Long = 2,
-      maxDf: Long = 64): DataFrame = {
-    val hd = fps.select(col("doc"), col("h")).distinct()
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy("h")))
-      .where(col("_df") <= maxDf)
-    val a = hd.select(col("h"), col("doc").as("doc_a"))
-    val b = hd.select(col("h"), col("doc").as("doc_b"))
-    a.join(b, "h").where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-      .where(col("shared") >= minShared)
   }
 }

@@ -135,27 +135,6 @@ class Wave11Spec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("dm_stat")))
   }
 
-  test("classical decomposition recovers trend + weekly season exactly") {
-    val season = Array(3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0) // sums to 0
-    val rows = (0 until 70).map(t =>
-      (1L, t.toLong, 10.0 + 0.5 * t + season(t % 7)))
-      .toDF("g", "t", "v")
-    val r = graft.seq.Forecast2.classicalDecompose(rows, Seq("g"),
-      "t", "v", period = 7).orderBy("seq").collect()
-    // edges (first/last 3) have no centered MA
-    assert(r.take(3).forall(row => row.isNullAt(row.fieldIndex("trend"))))
-    val mid = r.filter(!_.isNullAt(r(0).fieldIndex("trend")))
-    assert(mid.length == 64)
-    // MA of a linear trend is the exact center value; season averages out
-    mid.foreach { row =>
-      val t = row.getAs[Long]("seq").toDouble
-      assert(math.abs(row.getAs[Double]("trend") - (10.0 + 0.5 * t)) < 1e-3)
-      assert(math.abs(row.getAs[Double]("seasonal") -
-        season((t.toLong % 7).toInt)) < 1e-3)
-      assert(math.abs(row.getAs[Double]("remainder")) < 1e-3)
-    }
-  }
-
   test("ABTT: rank-1 corpus — coef carries the signal, residual ~ 0") {
     // vectors = c_i * v for a fixed direction v (plus the mean): the
     // top PC is v, so removing it should leave ~nothing
@@ -314,38 +293,6 @@ class Wave11Spec extends SparkSpec {
     assert(got.sameElements(exp), "row-for-row bit parity across the split")
   }
 
-  test("BH-FDR: step-up monotone, strong signals survive, nulls don't") {
-    // family of 20: three tiny p's, rest near 1
-    val ps = Seq(0.0001, 0.0002, 0.0003) ++
-      (4 to 20).map(i => 0.5 + i * 0.02)
-    val t = ps.zipWithIndex.map { case (p, i) => (1L, i.toLong, p) }
-      .toDF("g", "id", "pv")
-    val r = graft.model.GroupTests.bhFdr(t, Seq("g"), "id", "pv")
-      .orderBy("rank").collect()
-    // adjusted p is non-decreasing in rank (step-up running min)
-    val adj = r.map(_.getAs[Double]("p_adj"))
-    assert(adj.zip(adj.tail).forall { case (a, b) => b >= a - 1e-15 })
-    assert(r.take(3).forall(_.getAs[Boolean]("reject")))
-    assert(r.drop(3).forall(!_.getAs[Boolean]("reject")))
-    // textbook: adj_1 = min over i of p_i*n/i = 0.0001*20/1 = 0.002
-    assert(math.abs(adj(0) - 0.002) < 1e-12)
-    assert(adj.last == 0.9)
-  }
-
-  test("Zipf fit recovers the planted power-law slope") {
-    // corpus with f(rank r) ∝ r^-1: token w_r appears ceil(1000/r) times
-    val words = (1 to 60).flatMap(rk =>
-      Seq.fill(math.ceil(1000.0 / rk).toInt)(s"w$rk"))
-    val docs = words.grouped(50).zipWithIndex
-      .map { case (ws, i) => (i.toLong, "en", ws.mkString(" ")) }.toSeq
-      .toDF("doc_id", "lang", "text")
-    val r = graft.text.TextOps.zipfFit(docs, "lang", "text",
-      maxRank = 60).collect()(0)
-    assert(math.abs(r.getAs[Double]("slope") - (-1.0)) < 0.02)
-    assert(r.getAs[Double]("r2") > 0.999)
-    assert(r.getAs[Long]("n_vocab") == 60L)
-  }
-
   test("unigram divergence: clone source ~ 0, alien source large") {
     val base = (1 to 40).map(i =>
       (i.toLong, "common", "alpha beta gamma delta epsilon zeta"))
@@ -363,20 +310,6 @@ class Wave11Spec extends SparkSpec {
       "JS bounded by ln 2")
   }
 
-  test("RRF: doc ranked top by both systems wins; singles score less") {
-    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
-    val b = Seq((10L, 2), (13L, 1), (12L, 3)).toDF("id", "rank")
-    val r = graft.text.TextOps.rrfFuse(Seq("a" -> a, "b" -> b),
-      "id", "rank", k0 = 60, topK = 10)
-      .collect().map(x => x.getAs[Long]("id") ->
-        (x.getAs[Long]("n_systems"), x.getAs[Double]("rrf_score"))).toMap
-    assert(r(10L)._1 == 2L)
-    // 10: 1/61 + 1/62; 13: 1/61 alone; 11: 1/62 alone
-    assert(math.abs(r(10L)._2 - (1.0 / 61 + 1.0 / 62)) < 1e-7)
-    assert(r(10L)._2 > r(13L)._2 && r(13L)._2 > r(11L)._2)
-    assert(r(12L)._2 == 2 * r.values.map(_._2).min || r(12L)._1 == 2L)
-  }
-
   test("quantile regression: flat data at tau=0.9 fits near the P90") {
     // y in {0..9} uniform per x: the 0.9-quantile line is flat ~ 9
     val rows = (0 until 1000).map(i => (i % 4, (i % 10).toDouble))
@@ -389,20 +322,6 @@ class Wave11Spec extends SparkSpec {
     assert(at > 7.5 && at < 9.5, s"fit level $at")
     assert(math.abs(b) < 0.5, "no real slope in x")
     assert(r.getAs[Double]("pinball") < 1.0)
-  }
-
-  test("Heaps fit: sub-linear vocabulary growth gives beta < 1") {
-    // 200 docs, each introduces fewer new tokens later on
-    val docs = (1 to 200).map { d =>
-      val toks = (1 to 20).map(j => s"w${(d * j) % (20 + d * 3)}")
-      (d.toLong, toks.mkString(" "))
-    }.toDF("doc_id", "text")
-    val r = graft.text.TextOps.heapsFit(docs, "doc_id", "text")
-      .collect()(0)
-    val beta = r.getAs[Double]("beta")
-    assert(beta > 0.1 && beta < 1.0, s"sub-linear growth, got $beta")
-    assert(r.getAs[Double]("r2") > 0.8)
-    assert(r.getAs[Long]("n_docs") == 200L)
   }
 
   test("positivity overlap: matched supports ~ 1, disjoint ~ 0") {
@@ -436,27 +355,6 @@ class Wave11Spec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("winsor_mean") - 66.0 / 12.0) < 1e-9)
   }
 
-  test("winnowing: shifted copy still shares fingerprints; unique text none") {
-    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    val docs = Seq(
-      (1L, shared + " tail1 tail2"),
-      (2L, "prefix0 " + shared + " other"), // inserted token shifts pos
-      (3L, "completely different words with no overlap at all here now"))
-      .toDF("doc_id", "text")
-    val fps = graft.text.TextOps.winnowFingerprints(docs, "doc_id",
-      "text", k = 3, w = 4)
-    // guarantee: >= 1 fingerprint per w consecutive full windows
-    val perDoc = fps.groupBy("doc").count().collect()
-      .map(r => r.getAs[Long]("doc") -> r.getAs[Long]("count")).toMap
-    assert(perDoc.values.forall(_ >= 2))
-    val pairs = graft.text.TextOps.winnowNearDup(fps, minShared = 2)
-      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
-        -> r.getAs[Long]("shared")).toMap
-    assert(pairs.contains((1L, 2L)), "position-shifted copy detected")
-    assert(pairs((1L, 2L)) >= 2)
-    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
-  }
-
   test("Poisson GLM recovers a planted rate ratio") {
     // centered design x in {-1,0,1} (decorrelates slope/intercept so
     // fixed-lr GD converges): rate = 2^(x+1) -> b = ln 2, a = ln 2
@@ -483,19 +381,6 @@ class Wave11Spec extends SparkSpec {
       "embedding", prefixDim = 8, sampleMod = 10).collect()(0)
     assert(full.getAs[Double]("mean_ratio") == 1.0)
     assert(full.getAs[Double]("min_ratio") == 1.0)
-  }
-
-  test("seasonal strength: pure weekly signal ~ 1, pure noise-free trend") {
-    val season = Array(3.0, -1.0, 2.0, -2.0, 1.0, -3.0, 0.0)
-    val rows = (0 until 70).map(t =>
-      (1L, t.toLong, 10.0 + 0.5 * t + season(t % 7)))
-      .toDF("g", "t", "v")
-    val dec = graft.seq.Forecast2.classicalDecompose(rows, Seq("g"),
-      "t", "v", period = 7)
-    val r = graft.seq.Forecast2.decompositionStrength(dec).collect()(0)
-    assert(r.getAs[Double]("f_season") > 0.99, "exact weekly pattern")
-    assert(r.getAs[Double]("f_trend") > 0.99, "exact linear trend")
-    assert(r.getAs[Long]("n") == 64L)
   }
 
   test("validity indices: two far blobs at k=2 are clean") {
