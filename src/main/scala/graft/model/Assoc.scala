@@ -956,4 +956,134 @@ object Assoc {
         .toDF("n", "a", "b", "mean_mu")
     } finally { cached.unpersist(false) }
   }
+
+  /** Breusch-Pagan heteroskedasticity test (Econometrica 1979, the
+    * Koenker studentized LM form): after the per-key OLS y ~ x, do the
+    * SQUARED residuals still depend on x? LM = n·R²(e² ~ x); under
+    * homoskedasticity LM ~ χ²(1), p = 2(1−Φ(√LM)). The regression-
+    * diagnostics companion of olsFit/olsInfluence — a trend fit whose
+    * variance grows with x has understated standard errors.
+    *
+    * Determinism: the first-stage (slope, intercept) freeze at 6dp
+    * (the engleGranger device), e² is then a fixed per-row float
+    * program, and the auxiliary R² uses exact 4dp fixed-point moments.
+    * Scale: two hash aggregates over the data, nothing else.
+    * Output per key: n, lm_stat, p_value. */
+  def breuschPagan(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    def r6c(c: Column) =
+      graft.core.fixedPointLong(c, 6).cast("double") / 1e6
+    def dc(c: Column) = c.cast("decimal(38,0)")
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).as("key"), col(xCol).cast("double").as("_x"),
+        col(yCol).cast("double").as("_y"))
+    val fit = {
+      val g = base
+        .select(col("key"), fixedPointLong(col("_x"), 4).as("_xf"),
+          fixedPointLong(col("_y"), 4).as("_yf"))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("_n"),
+          sum(col("_xf")).as("_sx"), sum(col("_yf")).as("_sy"),
+          sum(dc(dc(col("_xf")) * dc(col("_yf")))).as("_sxy"),
+          sum(dc(dc(col("_xf")) * dc(col("_xf")))).as("_sxx"))
+      val nD = col("_n").cast("double")
+      val sxyC = (col("_sxy").cast("double") -
+        col("_sx").cast("double") * col("_sy").cast("double") / nD) / 1e8
+      val sxxC = (col("_sxx").cast("double") -
+        col("_sx").cast("double") * col("_sx").cast("double") / nD) / 1e8
+      g.where(col("_n") >= 4 && sxxC > 0)
+        .withColumn("_b", r6c(sxyC / sxxC))
+        .withColumn("_a", r6c(
+          (col("_sy").cast("double") / 1e4 -
+            (sxyC / sxxC) * (col("_sx").cast("double") / 1e4)) / nD))
+        .select(col("key"), col("_a"), col("_b"))
+    }
+    val aux = base.join(fit, "key")
+      .withColumn("_e2",
+        (col("_y") - (col("_a") + col("_b") * col("_x"))) *
+          (col("_y") - (col("_a") + col("_b") * col("_x"))))
+      .select(col("key"), fixedPointLong(col("_x"), 4).as("_xf"),
+        fixedPointLong(col("_e2"), 4).as("_zf"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_xf")).as("_sx"), sum(col("_zf")).as("_sz"),
+        sum(dc(dc(col("_xf")) * dc(col("_zf")))).as("_sxz"),
+        sum(dc(dc(col("_xf")) * dc(col("_xf")))).as("_sxx"),
+        sum(dc(dc(col("_zf")) * dc(col("_zf")))).as("_szz"))
+    val nD = col("n").cast("double")
+    def ctr(ab: Column, a: Column, b: Column) =
+      (ab.cast("double") - a.cast("double") * b.cast("double") / nD) / 1e8
+    val r2 = {
+      val cxz = ctr(col("_sxz"), col("_sx"), col("_sz"))
+      val cxx = ctr(col("_sxx"), col("_sx"), col("_sx"))
+      val czz = ctr(col("_szz"), col("_sz"), col("_sz"))
+      cxz * cxz / (cxx * czz)
+    }
+    aux.withColumn("lm_stat", nD * r2)
+      .withColumn("p_value", lit(2.0) * (lit(1.0) -
+        (lit(0.5) + lit(0.5) * graft.multi.Proximity.erfPos(
+          sqrt(col("lm_stat")) / math.sqrt(2.0)))))
+      .select("key", "n", "lm_stat", "p_value")
+  }
+
+  /** Chow structural-break test (Econometrica 1960): do two data
+    * segments follow the SAME line? F = ((SSR_pooled − SSR₁ − SSR₂)/2)
+    * / ((SSR₁+SSR₂)/(n−4)) over the per-key OLS y ~ x, with the
+    * segment defined by a caller-supplied boolean (post-deploy flag,
+    * time split). The regression face of the change-point family:
+    * binSeg finds WHERE the mean shifts, Chow tests whether a KNOWN
+    * split changed the relationship.
+    *
+    * SSRs come from exact 4dp fixed-point moments (SSR = Syy −
+    * Sxy²/Sxx, centered); the 5%-asymptotic gate F(2, ∞) = 3.0 is the
+    * documented fixed critical (the engleGranger convention).
+    * Scale: ONE hash aggregate (segment sums ride conditional
+    * aggregates). Output per key: n1, n2, f_stat, break_significant. */
+  def chowTest(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String, segment: Column): DataFrame = {
+    def dc(c: Column) = c.cast("decimal(38,0)")
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).as("key"), segment.as("_g"),
+        fixedPointLong(col(xCol).cast("double"), 4).as("_xf"),
+        fixedPointLong(col(yCol).cast("double"), 4).as("_yf"))
+    def sums(pred: Column, tag: String) = Seq(
+      sum(when(pred, 1L).otherwise(0L)).as(s"n$tag"),
+      sum(when(pred, col("_xf")).otherwise(0L)).as(s"sx$tag"),
+      sum(when(pred, col("_yf")).otherwise(0L)).as(s"sy$tag"),
+      sum(when(pred, dc(dc(col("_xf")) * dc(col("_yf"))))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as(s"sxy$tag"),
+      sum(when(pred, dc(dc(col("_xf")) * dc(col("_xf"))))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as(s"sxx$tag"),
+      sum(when(pred, dc(dc(col("_yf")) * dc(col("_yf"))))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as(s"syy$tag"))
+    val aggs = sums(lit(true), "p") ++ sums(col("_g"), "1") ++
+      sums(!col("_g"), "2")
+    val g = base.groupBy(col("key")).agg(aggs.head, aggs.tail: _*)
+    def ssr(tag: String): Column = {
+      val n = col(s"n$tag").cast("double")
+      val syy = (col(s"syy$tag").cast("double") -
+        col(s"sy$tag").cast("double") * col(s"sy$tag").cast("double") / n) / 1e8
+      val sxy = (col(s"sxy$tag").cast("double") -
+        col(s"sx$tag").cast("double") * col(s"sy$tag").cast("double") / n) / 1e8
+      val sxx = (col(s"sxx$tag").cast("double") -
+        col(s"sx$tag").cast("double") * col(s"sx$tag").cast("double") / n) / 1e8
+      syy - sxy * sxy / sxx
+    }
+    g.where(col("n1") >= 3 && col("n2") >= 3)
+      .withColumn("_sp", ssr("p"))
+      .withColumn("_s1", ssr("1"))
+      .withColumn("_s2", ssr("2"))
+      // ANSI guard: two perfect segment fits (SSR₁+SSR₂ = 0) are
+      // infinite evidence — f_stat reports null, the flag still fires
+      .withColumn("f_stat",
+        when(col("_s1") + col("_s2") > 0,
+          ((col("_sp") - col("_s1") - col("_s2")) / 2.0) /
+            ((col("_s1") + col("_s2")) /
+              (col("np").cast("double") - 4.0))))
+      .withColumn("break_significant",
+        coalesce(col("f_stat") > 3.0,
+          col("_sp") - col("_s1") - col("_s2") > 0))
+      .select(col("key"), col("n1"), col("n2"), col("f_stat"),
+        col("break_significant"))
+  }
 }

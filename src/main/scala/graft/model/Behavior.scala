@@ -615,4 +615,54 @@ object Behavior {
     }
     spark.createDataset(rows).toDF("channel", "phi", "touched_users")
   }
+
+  /** Shifted-beta-geometric retention fit (Fader & Hardie, "How to
+    * project customer retention", JIM 2007): churn probability is
+    * Beta(a, b)-heterogeneous across customers; P(T=1) = a/(a+b),
+    * P(T=t) = P(T=t−1)·(b+t−2)/(a+b+t−1). Fit (a, b) by maximum
+    * likelihood over an (age, alive) retention curve via a
+    * DETERMINISTIC GRID search (the engine's no-Monte-Carlo contract):
+    * the recursion is pure rational arithmetic, the log-likelihood
+    * quantizes each term at 9dp (order-free), argmax ties break to the
+    * smaller (a, b). The projection the cohort-retention matrix
+    * (q454) feeds: b/(a−1) is the implied mean lifetime multiplier.
+    *
+    * Input: one row per age t = 0..T with the count still alive at t
+    * (t = 0 = cohort size). All math is driver-side over the T-row
+    * curve (model-sized by construction); the oracle replays the grid
+    * as a recursive CTE. Output one row: a, b, ll, s_end (fitted
+    * survival at T). */
+  def sbgFit(curve: Seq[(Int, Long)], aGrid: Seq[Double],
+      bGrid: Seq[Double])(implicit spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    val sorted = curve.sortBy(_._1)
+    require(sorted.nonEmpty && sorted.head._1 == 0, "curve starts at age 0")
+    val alive = sorted.map(_._2)
+    val tMax = sorted.last._1
+    require(sorted.map(_._1) == (0 to tMax), "contiguous ages 0..T")
+    val died = (1 to tMax).map(t => alive(t - 1) - alive(t))
+    require(died.forall(_ >= 0), "alive counts must be non-increasing")
+    def fp9(x: Double): Long =
+      if (x >= 0) math.floor(x * 1e9 + 0.5).toLong
+      else -math.floor(-x * 1e9 + 0.5).toLong
+    var best: (Long, Double, Double, Double) = null
+    for (a <- aGrid; b <- bGrid) {
+      var p = a / (a + b)
+      var cum = p
+      var ll9 = fp9(died(0) * java.lang.StrictMath.log(p))
+      var t = 2
+      while (t <= tMax) {
+        p = p * (b + t - 2) / (a + b + t - 1)
+        cum += p
+        ll9 += fp9(died(t - 1) * java.lang.StrictMath.log(p))
+        t += 1
+      }
+      val sEnd = 1.0 - cum
+      ll9 += fp9(alive(tMax) * java.lang.StrictMath.log(sEnd))
+      if (best == null || ll9 > best._1) best = (ll9, a, b, sEnd)
+    }
+    Seq((best._2, best._3, best._1.toDouble / 1e9, best._4))
+      .toDF("a", "b", "ll", "s_end")
+  }
 }

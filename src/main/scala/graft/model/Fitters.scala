@@ -726,4 +726,51 @@ object Fitters {
       .select(keys ++ Seq(col("n"), col("n_trim"), col("trimmed_mean"),
         col("winsor_mean")): _*)
   }
+
+  /** Hodges-Lehmann location estimator (Annals 1963): the median of
+    * all Walsh averages (xᵢ+xⱼ)/2, i ≤ j — the point estimate dual of
+    * the Wilcoxon signed-rank test: 29% efficiency loss bound vs the
+    * mean at ANY contamination, vs the median's 36% at none. Computed
+    * EXACTLY over the `grain`-quantized value histogram: pair masses
+    * are c₁·c₂ (c(c+1)/2 on the diagonal), the median walks the
+    * Walsh-value histogram's cumulative counts to rank ⌈M/2⌉.
+    *
+    * Scale: the pair stage is value-cardinality² per key (the
+    * documented histogram² contract — use grain=1 for wide-cardinality
+    * keys); everything else is one sort window over the Walsh
+    * histogram. Output per key: n_pairs (= n(n+1)/2), hl. */
+  def hodgesLehmann(data: DataFrame, keyCols: Seq[String],
+      valCol: String, grain: Int = 2): DataFrame = {
+    require(grain >= 0 && grain <= 4, "0 <= grain <= 4")
+    val keys = keyCols.map(col)
+    val scale = math.pow(10.0, grain)
+    val hist = data.where(col(valCol).isNotNull)
+      .groupBy(keys :+
+        graft.core.fixedPointLong(col(valCol), grain).as("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val a = hist.select(keys :+ col("_v").as("_va") :+
+      col("_c").as("_ca"): _*)
+    val b = hist.select(keyCols.map(k => col(k).as(s"_k_$k")) :+
+      col("_v").as("_vb") :+ col("_c").as("_cb"): _*)
+    val pairs = a.join(b,
+        (keyCols.map(k => col(k) === col(s"_k_$k")) :+
+          (col("_va") <= col("_vb"))).reduce(_ && _))
+      .withColumn("_w2", col("_va") + col("_vb")) // Walsh avg x 2 x scale
+      .withColumn("_m",
+        when(col("_va") === col("_vb"),
+          expr("_ca * (_ca + 1) div 2"))
+          .otherwise(col("_ca") * col("_cb")))
+      .groupBy(keys :+ col("_w2"): _*)
+      .agg(sum(col("_m")).as("_mm"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_w2"))
+    val wk = Window.partitionBy(keyCols.map(col): _*)
+    pairs
+      .withColumn("_cum", sum(col("_mm")).over(w))
+      .withColumn("_tot", sum(col("_mm")).over(wk))
+      .withColumn("_rk", (col("_tot") + 1) / 2) // lower median rank
+      .where(col("_cum") >= col("_rk") &&
+        col("_cum") - col("_mm") < col("_rk"))
+      .select(keys ++ Seq(col("_tot").as("n_pairs"),
+        (col("_w2").cast("double") / 2.0 / scale).as("hl")): _*)
+  }
 }

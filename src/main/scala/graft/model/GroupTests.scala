@@ -801,4 +801,50 @@ object GroupTests {
         col("_n1").as("n1") :+ col("_n2").as("n2") :+ col("mean_diff") :+
         col("pooled_sd") :+ col("cohens_d") :+ col("hedges_g"): _*)
   }
+
+  /** Cochran-Armitage trend test (Biometrics 1954/1955): is a binary
+    * rate MONOTONE across ordered groups (dose levels, cohort buckets,
+    * ordinal exposure)? Z = Σwᵢ(sᵢ − nᵢp̄) / √(p̄(1−p̄)·(Σwᵢ²nᵢ −
+    * (Σwᵢnᵢ)²/N)) with integer scores wᵢ — the ORDERED complement of
+    * the unordered χ² independence test (which ignores order).
+    *
+    * Determinism: every sum is an exact integer/decimal (scores,
+    * counts, score-weighted counts); the finish is a fixed double
+    * expression; p = 2(1−Φ(|Z|)) via the shared erf polynomial.
+    * Scale: one hash aggregate to group-sized rows + a 1-row reduce.
+    * Output one row per key: n, n_groups, z_stat, p_value. */
+  def cochranArmitage(data: DataFrame, keyCols: Seq[String],
+      scoreCol: String, success: Column): DataFrame = {
+    val keys = keyCols.map(col)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val w = col(scoreCol).cast("long")
+    val g = data.where(w.isNotNull)
+      .groupBy(keys :+ w.as("_w"): _*)
+      .agg(count(lit(1)).as("_n"),
+        sum(when(success, 1L).otherwise(0L)).as("_s"))
+    val agg = g.groupBy(keys: _*)
+      .agg(sum(col("_n")).as("n"), count(lit(1)).as("n_groups"),
+        sum(col("_s")).as("_st"),
+        sum(dec(dec(col("_w")) * dec(col("_s")))).as("_ws"),
+        sum(dec(dec(col("_w")) * dec(col("_n")))).as("_wn"),
+        sum(dec(dec(col("_w")) * dec(col("_w")) * dec(col("_n"))))
+          .as("_wwn"))
+    val nD = col("n").cast("double")
+    val pBar = col("_st").cast("double") / nD
+    val num = col("_ws").cast("double") - pBar * col("_wn").cast("double")
+    val den = sqrt(pBar * (lit(1.0) - pBar) *
+      (col("_wwn").cast("double") -
+        col("_wn").cast("double") * col("_wn").cast("double") / nD))
+    val phi = {
+      val z = abs(col("z_stat"))
+      lit(0.5) + lit(0.5) *
+        graft.multi.Proximity.erfPos(z / math.sqrt(2.0))
+    }
+    agg.where(col("n_groups") >= 2 && col("_st") > 0 &&
+        col("_st") < col("n"))
+      .withColumn("z_stat", num / den)
+      .withColumn("p_value", lit(2.0) * (lit(1.0) - phi))
+      .select(keys ++ Seq(col("n"), col("n_groups"), col("z_stat"),
+        col("p_value")): _*)
+  }
 }

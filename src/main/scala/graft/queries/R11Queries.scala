@@ -223,7 +223,42 @@ object R11Queries {
     // matryoshka prefix-truncation audit: first 32 of 64 dims
     "q543_matryoshka" -> ((s, dir) =>
       canon(graft.sim.SimJoin.matryoshkaAudit(emb(s, dir), "vec_id",
-        "embedding", prefixDim = 32, sampleMod = 10)))
+        "embedding", prefixDim = 32, sampleMod = 10))),
+    // shifted-beta-geometric retention fit over the lifespan curve,
+    // 30x30 deterministic (a, b) grid, ages 0..8
+    "q545_sbg" -> ((s, dir) => {
+      implicit val sp = s
+      val hist = ev(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000000").as("_d"))
+        .groupBy("user_id")
+        .agg((max(col("_d")) - min(col("_d"))).as("_l"))
+        .groupBy("_l").agg(count(lit(1)).as("_c"))
+        .collect().map(r => r.getAs[Long]("_l") -> r.getAs[Long]("_c"))
+      val curve = (0 to 8).map(t =>
+        t -> hist.filter(_._1 >= t).map(_._2).sum)
+      canon(graft.model.Behavior.sbgFit(curve,
+        (1 to 30).map(_ / 10.0), (1 to 30).map(_ / 10.0)))
+    }),
+    // Cochran-Armitage: is the value>1 rate monotone across buckets?
+    "q546_cochran_armitage" -> ((s, dir) =>
+      canon(graft.model.GroupTests.cochranArmitage(
+        ev(s, dir).withColumn("bucket", pmod(col("user_id"), lit(8L))),
+        Seq("event_type"), "bucket", col("value") > 1.0))),
+    // Breusch-Pagan: does residual variance of value ~ day grow with day?
+    "q547_breusch_pagan" -> ((s, dir) =>
+      canon(graft.model.Assoc.breuschPagan(
+        ev(s, dir).withColumn("day", expr("ts div 86400000000000")),
+        "event_type", "day", "value"))),
+    // Hodges-Lehmann pseudo-median per event_type (1dp Walsh histogram)
+    "q548_hodges_lehmann" -> ((s, dir) =>
+      canon(graft.model.Fitters.hodgesLehmann(ev(s, dir),
+        Seq("event_type"), "value", grain = 1))),
+    // Chow test: same value ~ day line on even vs odd user parity?
+    "q549_chow" -> ((s, dir) =>
+      canon(graft.model.Assoc.chowTest(
+        ev(s, dir).withColumn("day", expr("ts div 86400000000000")),
+        "event_type", "day", "value",
+        pmod(col("user_id"), lit(2L)) === 0)))
   )
 
   /** ECOD CTE chain (needs `ex`); terminal CTE `os` (vec_id, ol, orr,
@@ -733,7 +768,176 @@ object R11Queries {
          | round(sr8::DOUBLE/1e8/n_pairs::DOUBLE, 4) + 0 AS mean_ratio,
          | round(mn, 4) + 0 AS min_ratio, round(mx, 4) + 0 AS max_ratio
          |FROM st""".stripMargin.replace("\n", " "),
+    "q545_sbg" -> sbgOracle,
+    "q546_cochran_armitage" -> caOracle,
+    "q547_breusch_pagan" -> bpOracle,
+    "q548_hodges_lehmann" -> hlOracle,
+    "q549_chow" -> chowOracle
   )
+
+  private lazy val sbgOracle: String = {
+    val fp9 = (e: String) => fp(e, "1e9")
+    s"""WITH RECURSIVE ls AS (SELECT user_id, max(d) - min(d) AS l
+       | FROM (SELECT user_id, epoch_ns(ts) // 86400000000000 AS d
+       |   FROM events) GROUP BY 1),
+       |al AS (SELECT t.t, (SELECT count(*) FROM ls WHERE l >= t.t)
+       |  ::BIGINT AS alive FROM (SELECT unnest(range(9)) AS t) t),
+       |dd AS (SELECT a1.t, a0.alive - a1.alive AS died
+       | FROM al a0 JOIN al a1 ON a1.t = a0.t + 1),
+       |gr AS (SELECT (i.i+1)/10.0 AS a, (j.j+1)/10.0 AS b
+       | FROM (SELECT unnest(range(30)) AS i) i
+       | CROSS JOIN (SELECT unnest(range(30)) AS j) j),
+       |r AS (SELECT a, b, 1 AS t, a/(a+b) AS p, a/(a+b) AS cum,
+       |  ${fp9("(SELECT died FROM dd WHERE t = 1) * ln(a/(a+b))")}
+       |   AS ll9
+       | FROM gr
+       | UNION ALL
+       | SELECT r.a, r.b, r.t+1, r.p*(r.b+r.t-1)/(r.a+r.b+r.t),
+       |  r.cum + r.p*(r.b+r.t-1)/(r.a+r.b+r.t),
+       |  r.ll9 + ${fp9("d.died * ln(r.p*(r.b+r.t-1)/(r.a+r.b+r.t))")}
+       | FROM r JOIN dd d ON d.t = r.t + 1 WHERE r.t < 8),
+       |fin AS (SELECT a, b,
+       |  ll9 + ${fp9("(SELECT alive FROM al WHERE t = 8) " +
+            "* ln(1.0 - cum)")} AS ll9f,
+       |  1.0 - cum AS send
+       | FROM r WHERE t = 8)
+       |SELECT round(a, 4) + 0 AS a, round(b, 4) + 0 AS b,
+       | round(ll9f::DOUBLE/1e9, 4) + 0 AS ll,
+       | round(send, 4) + 0 AS s_end
+       |FROM fin ORDER BY ll9f DESC, a, b LIMIT 1"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  private lazy val caOracle: String = {
+    val z = "(num / den)"
+    s"""WITH g AS (SELECT event_type, user_id % 8 AS w,
+       |  count(*)::BIGINT AS n,
+       |  sum(CASE WHEN value > 1.0 THEN 1 ELSE 0 END)::BIGINT AS s
+       | FROM events GROUP BY 1, 2),
+       |a AS (SELECT event_type, sum(n)::BIGINT AS n,
+       |  count(*)::BIGINT AS n_groups, sum(s)::BIGINT AS st,
+       |  sum(w::HUGEINT * s::HUGEINT) AS ws,
+       |  sum(w::HUGEINT * n::HUGEINT) AS wn,
+       |  sum(w::HUGEINT * w::HUGEINT * n::HUGEINT) AS wwn
+       | FROM g GROUP BY 1
+       | HAVING count(*) >= 2 AND sum(s) > 0 AND sum(s) < sum(n)),
+       |c AS (SELECT event_type, n, n_groups,
+       |  (ws::DOUBLE - (st::DOUBLE/n::DOUBLE) * wn::DOUBLE) AS num,
+       |  sqrt((st::DOUBLE/n::DOUBLE)
+       |   * (1.0 - st::DOUBLE/n::DOUBLE)
+       |   * (wwn::DOUBLE - wn::DOUBLE * wn::DOUBLE / n::DOUBLE))
+       |   AS den
+       | FROM a)
+       |SELECT event_type, n, n_groups, round($z, 4) + 0 AS z_stat,
+       | round(2.0*(1.0 - (0.5 + 0.5*
+       |  ${erfp(s"abs($z)/1.4142135623730951")})), 4) + 0 AS p_value
+       |FROM c""".stripMargin.replace("\n", " ")
+  }
+
+  private lazy val bpOracle: String = {
+    val rg = (e: String) =>
+      s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) " +
+        s"ELSE -floor(-($e)*1e6+0.5) END) / 1000000.0"
+    val slope = "(((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)/1e8)" +
+      " / ((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)/1e8))"
+    s"""WITH b AS (SELECT event_type AS key,
+       |  (epoch_ns(ts) // 86400000000000)::DOUBLE AS x,
+       |  value AS y FROM events WHERE value IS NOT NULL),
+       |m1 AS (SELECT key, count(*)::BIGINT AS n,
+       |  sum(${fp("x", "10000.0")})::HUGEINT AS sx,
+       |  sum(${fp("y", "10000.0")})::HUGEINT AS sy,
+       |  sum(${fp("x", "10000.0")}::HUGEINT
+       |    * ${fp("y", "10000.0")}::HUGEINT) AS sxy,
+       |  sum(${fp("x", "10000.0")}::HUGEINT
+       |    * ${fp("x", "10000.0")}::HUGEINT) AS sxx
+       | FROM b GROUP BY 1 HAVING count(*) >= 4),
+       |ft AS (SELECT key, ${rg(slope)} AS bb,
+       |  ${rg(s"(sy::DOUBLE / 1e4 - $slope * (sx::DOUBLE / 1e4)) " +
+          "/ n::DOUBLE")} AS aa
+       | FROM m1 WHERE (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE
+       |   / n::DOUBLE)/1e8 > 0),
+       |e AS (SELECT b.key, ${fp("x", "10000.0")} AS xf,
+       |  ${fp("(y - (aa + bb*x)) * (y - (aa + bb*x))", "10000.0")} AS zf
+       | FROM b JOIN ft USING (key)),
+       |m2 AS (SELECT key, count(*)::BIGINT AS n,
+       |  sum(xf)::HUGEINT AS sx, sum(zf)::HUGEINT AS sz,
+       |  sum(xf::HUGEINT * zf::HUGEINT) AS sxz,
+       |  sum(xf::HUGEINT * xf::HUGEINT) AS sxx,
+       |  sum(zf::HUGEINT * zf::HUGEINT) AS szz
+       | FROM e GROUP BY 1),
+       |f AS (SELECT key, n, n::DOUBLE *
+       |  (((sxz::DOUBLE - sx::DOUBLE * sz::DOUBLE / n::DOUBLE)/1e8)
+       |   * ((sxz::DOUBLE - sx::DOUBLE * sz::DOUBLE / n::DOUBLE)/1e8)
+       |   / (((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)/1e8)
+       |    * ((szz::DOUBLE - sz::DOUBLE * sz::DOUBLE / n::DOUBLE)/1e8)))
+       |  AS lm FROM m2)
+       |SELECT key, n, round(lm, 4) + 0 AS lm_stat,
+       | round(2.0*(1.0 - (0.5 + 0.5*
+       |  ${erfp("sqrt(lm)/1.4142135623730951")})), 4) + 0 AS p_value
+       |FROM f""".stripMargin.replace("\n", " ")
+  }
+
+  private lazy val hlOracle: String =
+    s"""WITH h AS (SELECT event_type, ${fp("value", "10.0")} AS v,
+       |  count(*)::BIGINT AS c FROM events WHERE value IS NOT NULL
+       | GROUP BY 1, 2),
+       |pr AS (SELECT a.event_type, a.v + b.v AS w2,
+       |  sum(CASE WHEN a.v = b.v THEN a.c*(a.c+1)//2
+       |   ELSE a.c*b.c END)::BIGINT AS m
+       | FROM h a JOIN h b ON b.event_type = a.event_type
+       |  AND a.v <= b.v
+       | GROUP BY 1, 2),
+       |cu AS (SELECT event_type, w2, m,
+       |  sum(m) OVER (PARTITION BY event_type ORDER BY w2
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+       |   AS cum,
+       |  (sum(m) OVER (PARTITION BY event_type))::BIGINT AS tot
+       | FROM pr)
+       |SELECT event_type, tot AS n_pairs,
+       | round(w2::DOUBLE/2.0/10.0, 4) + 0 AS hl
+       |FROM cu WHERE cum >= (tot + 1)//2 AND cum - m < (tot + 1)//2"""
+      .stripMargin.replace("\n", " ")
+
+  private lazy val chowOracle: String = {
+    def ssr(tag: String) =
+      s"""((syy$tag::DOUBLE - sy$tag::DOUBLE * sy$tag::DOUBLE
+         |  / n$tag::DOUBLE)/1e8
+         | - ((sxy$tag::DOUBLE - sx$tag::DOUBLE * sy$tag::DOUBLE
+         |  / n$tag::DOUBLE)/1e8)
+         |  * ((sxy$tag::DOUBLE - sx$tag::DOUBLE * sy$tag::DOUBLE
+         |  / n$tag::DOUBLE)/1e8)
+         |  / ((sxx$tag::DOUBLE - sx$tag::DOUBLE * sx$tag::DOUBLE
+         |  / n$tag::DOUBLE)/1e8))""".stripMargin.replace("\n", " ")
+    def sums(pred: String, tag: String) =
+      s"""sum(CASE WHEN $pred THEN 1 ELSE 0 END)::BIGINT AS n$tag,
+         |sum(CASE WHEN $pred THEN xf ELSE 0 END)::HUGEINT AS sx$tag,
+         |sum(CASE WHEN $pred THEN yf ELSE 0 END)::HUGEINT AS sy$tag,
+         |sum(CASE WHEN $pred THEN xf::HUGEINT * yf::HUGEINT
+         | ELSE 0::HUGEINT END) AS sxy$tag,
+         |sum(CASE WHEN $pred THEN xf::HUGEINT * xf::HUGEINT
+         | ELSE 0::HUGEINT END) AS sxx$tag,
+         |sum(CASE WHEN $pred THEN yf::HUGEINT * yf::HUGEINT
+         | ELSE 0::HUGEINT END) AS syy$tag""".stripMargin.replace("\n", " ")
+    s"""WITH b AS (SELECT event_type AS key, user_id % 2 = 0 AS g,
+       |  ${fp("(epoch_ns(ts) // 86400000000000)::DOUBLE", "10000.0")}
+       |   AS xf,
+       |  ${fp("value", "10000.0")} AS yf
+       | FROM events WHERE value IS NOT NULL),
+       |a AS (SELECT key, ${sums("TRUE", "p")}, ${sums("g", "1")},
+       |  ${sums("NOT g", "2")}
+       | FROM b GROUP BY 1 HAVING sum(CASE WHEN g THEN 1 ELSE 0 END)
+       |  >= 3 AND sum(CASE WHEN NOT g THEN 1 ELSE 0 END) >= 3),
+       |f AS (SELECT key, n1, n2,
+       |  CASE WHEN ${ssr("1")} + ${ssr("2")} > 0 THEN
+       |   ((${ssr("p")} - ${ssr("1")} - ${ssr("2")}) / 2.0)
+       |    / ((${ssr("1")} + ${ssr("2")}) / (np::DOUBLE - 4.0)) END
+       |   AS fs,
+       |  (${ssr("p")} - ${ssr("1")} - ${ssr("2")}) > 0 AS gain
+       | FROM a)
+       |SELECT key, n1, n2, round(fs, 4) + 0 AS f_stat,
+       | coalesce(fs > 3.0, gain) AS break_significant FROM f"""
+      .stripMargin.replace("\n", " ")
+  }
 
   private lazy val poissonOracle: String = {
     val fp9 = (e: String) => fp(e, "1e9")

@@ -383,6 +383,109 @@ class Wave11Spec extends SparkSpec {
     assert(full.getAs[Double]("min_ratio") == 1.0)
   }
 
+  test("sBG fit recovers a planted geometric churn rate") {
+    // curve generated FROM the sBG recursion at (a, b) = (1, 4):
+    // the grid MLE must recover the generating parameters
+    implicit val sp = spark
+    val (ga, gb) = (1.0, 4.0)
+    val ps = new Array[Double](9)
+    ps(1) = ga / (ga + gb)
+    (2 to 8).foreach(t => ps(t) = ps(t - 1) * (gb + t - 2) / (ga + gb + t - 1))
+    val curve = (0 to 8).map { t =>
+      val surv = 1.0 - ps.slice(1, t + 1).sum
+      t -> math.round(100000.0 * surv)
+    }
+    val r = graft.model.Behavior.sbgFit(curve,
+      (1 to 30).map(_ / 10.0), (1 to 60).map(_ / 10.0)).collect()(0)
+    assert(r.getAs[Double]("a") == 1.0 && r.getAs[Double]("b") == 4.0,
+      s"got (${r.getAs[Double]("a")}, ${r.getAs[Double]("b")})")
+    assert(math.abs(r.getAs[Double]("s_end") -
+      (1.0 - ps.slice(1, 9).sum)) < 0.01)
+  }
+
+  test("Cochran-Armitage: monotone dose-response detected, flat is not") {
+    val mono = (0 until 4000).map { i =>
+      val w = i % 4
+      (1L, i.toLong, w.toLong, (i % 10) < (2 + 2 * w))
+    }.toDF("g", "id", "w", "s")
+    val r = graft.model.GroupTests.cochranArmitage(mono, Seq("g"), "w",
+      col("s")).collect()(0)
+    assert(r.getAs[Double]("z_stat") > 5.0)
+    assert(r.getAs[Double]("p_value") < 1e-6)
+    // success depends on i/4 parity only — independent of the w bucket
+    val flat = (0 until 4000).map { i =>
+      (1L, i.toLong, (i % 4).toLong, (i / 4) % 2 == 0) }
+      .toDF("g", "id", "w", "s")
+    val r2 = graft.model.GroupTests.cochranArmitage(flat, Seq("g"), "w",
+      col("s")).collect()(0)
+    assert(math.abs(r2.getAs[Double]("z_stat")) < 1.0)
+  }
+
+  test("Breusch-Pagan: fanning residuals flagged, homoskedastic not") {
+    // |residual| grows with x (deterministic fan), mean stays linear
+    val fan = (0 until 2000).map { i =>
+      val x = (i % 50).toDouble
+      val e = (if (i % 2 == 0) 1.0 else -1.0) * x * 0.2
+      (1L, x, 2.0 + 0.5 * x + e)
+    }.toDF("g", "x", "y")
+    val r = graft.model.Assoc.breuschPagan(fan, "g", "x", "y")
+      .collect()(0)
+    assert(r.getAs[Double]("lm_stat") > 10.0)
+    assert(r.getAs[Double]("p_value") < 0.01)
+    val flat = (0 until 2000).map { i =>
+      val x = (i % 50).toDouble
+      val e = if (i % 2 == 0) 1.0 else -1.0
+      (1L, x, 2.0 + 0.5 * x + e)
+    }.toDF("g", "x", "y")
+    val r2 = graft.model.Assoc.breuschPagan(flat, "g", "x", "y")
+      .collect()(0)
+    assert(r2.getAs[Double]("lm_stat") < 3.0)
+  }
+
+  test("Hodges-Lehmann: outlier-immune where the mean is not") {
+    val data = ((1 to 99).map(_.toDouble) :+ 100000.0)
+      .zipWithIndex.map { case (v, i) => (i.toLong, "a", v) }
+      .toDF("id", "k", "v")
+    val r = graft.model.Fitters.hodgesLehmann(data, Seq("k"), "v",
+      grain = 1).collect()(0)
+    // pseudo-median of 1..99 + one wild point stays ~ 50.5
+    assert(math.abs(r.getAs[Double]("hl") - 50.5) < 1.5)
+    assert(r.getAs[Long]("n_pairs") == 100L * 101 / 2)
+  }
+
+  test("Chow: slope break across the split detected, stable line not") {
+    // noisy slope break (finite F)
+    val broken = (0 until 1000).map { i =>
+      val x = (i % 100).toDouble
+      val g = i % 2 == 0 // segment
+      val e = if ((i / 2) % 2 == 0) 0.5 else -0.5
+      (1L, x, (if (g) 1.0 + 0.2 * x else 1.0 + 1.5 * x) + e, g)
+    }.toDF("g", "x", "y", "seg")
+    val r = graft.model.Assoc.chowTest(broken, "g", "x", "y", col("seg"))
+      .collect()(0)
+    assert(r.getAs[Boolean]("break_significant"))
+    assert(r.getAs[Double]("f_stat") > 100.0)
+    // two PERFECT segment lines: SSR sum 0 -> null F, flag still fires
+    val perfect = (0 until 400).map { i =>
+      val x = (i % 100).toDouble
+      val g = i % 2 == 0
+      (1L, x, if (g) 1.0 + 0.2 * x else 1.0 + 1.5 * x, g)
+    }.toDF("g", "x", "y", "seg")
+    val rp = graft.model.Assoc.chowTest(perfect, "g", "x", "y",
+      col("seg")).collect()(0)
+    assert(rp.getAs[Boolean]("break_significant"))
+    assert(rp.isNullAt(rp.fieldIndex("f_stat")))
+    val stable = (0 until 1000).map { i =>
+      val x = (i % 100).toDouble
+      // noise keyed on i/2 parity: identical pattern in both segments
+      (1L, x, 1.0 + 0.5 * x + (if ((i / 2) % 2 == 0) 0.3 else -0.1),
+        i % 2 == 0)
+    }.toDF("g", "x", "y", "seg")
+    val r2 = graft.model.Assoc.chowTest(stable, "g", "x", "y", col("seg"))
+      .collect()(0)
+    assert(!r2.getAs[Boolean]("break_significant"))
+  }
+
   test("validity indices: two far blobs at k=2 are clean") {
     val blobs = vecs((0 until 40).map { i =>
       val c = if (i % 2 == 0) 0.0f else 100.0f
