@@ -19,7 +19,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the graph-fixture `lead` windows alone emit
+    // thousands of "WARN WindowExec: No Partition Defined" lines, which
+    // drowned the driver's 2 KB stdout tail and blew the bench budget
+    // (BENCH_r10/r11 unparseable/timed out — r11 verdict item 2)
+    spark.sparkContext.setLogLevel("ERROR")
     // warm-up: touch every table + exercise codegen once
     Seq("events", "lineitem", "documents", "embeddings")
       .foreach(t => core.table(spark, sfDir, t).count())
@@ -44,7 +48,7 @@ object Bench {
       IsolationForest.score(data, model, Seq("event_type"), Seq("value"),
         "event_id", subsampleSize = 64).count(): Unit
     }
-    def pass(): Seq[(String, Double)] =
+    def pass(keep: String => Boolean): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         def timedRow(rowName: String)(body: => Unit): (String, Double) = {
           val t0 = System.nanoTime()
@@ -64,10 +68,12 @@ object Bench {
           rowName -> dt
         }
         if (name == "q46_iforest")
-          Seq(timedRow("q46_iforest")(q46Seeded()),
-            timedRow("q46audit_iforest")(fn(spark, sfDir).count(): Unit))
-        else
+          Seq("q46_iforest" -> (() => q46Seeded()),
+            "q46audit_iforest" -> (() => fn(spark, sfDir).count(): Unit))
+            .collect { case (rn, body) if keep(rn) => timedRow(rn)(body()) }
+        else if (keep(name))
           Seq(timedRow(name)(fn(spark, sfDir).count(): Unit))
+        else Nil
       }
     // ANN build/search split: q97 times codebook training + corpus encode
     // + scan in one query, but at scale the index build amortizes across
@@ -93,18 +99,32 @@ object Bench {
       idx.codes.unpersist(blocking = false)
       Seq("q97build_ann_pq" -> tBuild, "q97search_ann_pq" -> tSearch)
     }
-    // Bench protocol (round-7 verdict item 3; default raised to 3 per
-    // r9 verdict item 1): N≥2 full passes at one commit; report
-    // per-query MIN as the headline (machine-noise spikes otherwise
-    // read as operator regressions — r9's q82 "2.1×" was one loaded
-    // pass) and self-describe every pass + the spread in
-    // bench_full.json so round-over-round numbers are auditable.
-    // SPARK_GRAFT_BENCH_RUNS overrides N.
-    val nRuns = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    val passes: Seq[Seq[(String, Double)]] =
-      (1 to nRuns).map(_ => pass() ++ annSplit())
+    // Bench protocol (round-7 item 3, r9 item 1, budget-fitted per r11
+    // verdict item 2): 2 full passes at one commit, then a SELECTIVE
+    // third pass only for queries whose pass-1/pass-2 spread exceeds 20%
+    // of their min — the min-of-3 only matters for the volatile tail,
+    // and the dropped third full pass is what pushed the driver past its
+    // timeout (r11 rc=124). Report per-query MIN as the headline;
+    // per-pass spreads self-describe in bench_full.json.
+    // SPARK_GRAFT_BENCH_RUNS overrides the full-pass count.
+    val nRuns = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    val fullPasses: Seq[Seq[(String, Double)]] =
+      (1 to nRuns).map(_ => pass(_ => true) ++ annSplit())
+    val names = fullPasses.head.map(_._1)
+    val base: Map[String, Seq[Double]] = names.zipWithIndex.map {
+      case (n, i) => n -> fullPasses.map(_(i)._2)
+    }.toMap
+    val volatileQs = names.filter { n =>
+      val ts = base(n); ts.min > 0 && (ts.max - ts.min) / ts.min >= 0.2
+    }.toSet
+    val annKeys = Set("q97build_ann_pq", "q97search_ann_pq")
+    val extra: Map[String, Double] =
+      (if (volatileQs.exists(!annKeys(_)))
+        pass(n => volatileQs(n) && !annKeys(n)) else Nil).toMap ++
+      (if (volatileQs.exists(annKeys))
+        annSplit().filter(kv => volatileQs(kv._1)) else Nil).toMap
     val byQuery: Seq[(String, Seq[Double])] =
-      passes.head.indices.map(i => passes.head(i)._1 -> passes.map(_(i)._2))
+      names.map(n => n -> (base(n) ++ extra.get(n).toSeq))
     val results = byQuery.map { case (n, ts) => n -> ts.min }
     // The driver captures only the last ~2 KB of stdout, so the printed
     // line must FIT in it or its head gets cut and `parsed` comes back
@@ -129,7 +149,7 @@ object Bench {
         ",\"runs\":[" + ts.mkString(",") + "]}"
     }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"total":$total,"sf":"$sfDir","runs":$nRuns,"protocol":"per-query min of $nRuns full passes, one commit, one JVM, caches cleared between queries (cold-per-query; retained-cache reuse is NOT in the min)","errors":$errList,"queries":$full}""".getBytes("UTF-8"))
+      s"""{"total":$total,"sf":"$sfDir","runs":$nRuns,"protocol":"per-query min of $nRuns full passes + a selective extra pass for queries with >20% pass-to-pass spread (${extra.size} such), one commit, one JVM, caches cleared between queries (cold-per-query; retained-cache reuse is NOT in the min)","errors":$errList,"queries":$full}""".getBytes("UTF-8"))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$nRuns,"errors":${failed.size},"entries":${results.size},"full":"bench_full.json","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

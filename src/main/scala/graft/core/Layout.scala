@@ -95,13 +95,13 @@ object Layout {
     val vh = data.where(v.isNotNull)
       .groupBy(graft.core.fixedPointLong(v, 4).as("_fp"))
       .agg(count(lit(1)).as("_ct"))
-    val w = Window.orderBy(col("_fp"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = vh
-      .withColumn("_cum", sum(col("_ct")).over(w))
-      .withColumn("_n", sum(col("_ct"))
-        .over(Window.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
+    // banded prefix sum over the 4dp histogram (the binaryAuc device);
+    // the total is a broadcast scalar, not an unbounded-frame window
+    val tot = vh.agg(sum(col("_ct")).as("_n"))
+    val cum = graft.core.bandedCumSum(vh, expr("_fp div 100000"),
+        bandAsc = true, tie = Seq(col("_fp").asc),
+        sums = Map("_ct" -> "_cum"))
+      .crossJoin(broadcast(tot))
     val spark = data.sparkSession
     import spark.implicits._
     val pids = broadcast((1 until numPartitions).map(_.toLong).toDF("_i"))

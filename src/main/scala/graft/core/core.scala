@@ -240,6 +240,80 @@ package object core {
       .drop("_brn_band", "_brn_off")
   }
 
+  /** Distributed global running (inclusive prefix) sum — bit-identical
+    * to `sum(v).over(Window.orderBy(ord).rowsBetween(unboundedPreceding,
+    * currentRow))` but with NO data-sized unpartitioned window: the only
+    * global window rides the band HISTOGRAM (one row per distinct band
+    * value), and the per-row window partitions by the band. The
+    * bandedRowNumber device for cumulative sums — the ECDF/rank family's
+    * scale escape hatch (r10/r11 verdict item 1).
+    *
+    * Contract: (band, tie…) must equal the intended global order (band
+    * is the leading sort key or a monotone function of it — e.g. the
+    * 3dp fixedPointLong freeze of the order column, which floor-rounds
+    * monotonically), and `tie` must make the order within a band total
+    * (cumulative sums over duplicate sort keys are row-nondeterministic
+    * in ANY engine). `sums` maps input column → output cumulative
+    * column; input column types are preserved (long stays long). */
+  def bandedCumSum(df: DataFrame, band: Column, bandAsc: Boolean,
+      tie: Seq[Column], sums: Map[String, String]): DataFrame =
+    bandedScan(df, band, bandAsc, tie,
+      sums.toSeq.map { case (in, out) => BandedAgg(in, out) })
+
+  /** One running-aggregate spec for [[bandedScan]]: `op` ∈ sum|min|max,
+    * `inclusive` = frame ends at the current row (false = ends at the
+    * previous row, the `rowsBetween(unboundedPreceding, -1)` frame). */
+  case class BandedAgg(in: String, out: String, op: String = "sum",
+      inclusive: Boolean = true)
+
+  /** Generalized banded prefix scan — running sum / min / max in a
+    * global (band, tie…) order, bit-identical to the flat
+    * `agg(c).over(Window.orderBy(…))` INCLUDING null frames (an
+    * exclusive scan's first row is null, exactly like the flat window),
+    * but with NO data-sized unpartitioned window: the global window
+    * rides the band HISTOGRAM; the per-row window partitions by band.
+    * Same order contract as [[bandedRowNumber]]. */
+  def bandedScan(df: DataFrame, band: Column, bandAsc: Boolean,
+      tie: Seq[Column], aggs: Seq[BandedAgg]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(aggs.nonEmpty, "at least one running aggregate")
+    def agg(op: String, c: Column) = op match {
+      case "sum" => sum(c)
+      case "min" => min(c)
+      case "max" => max(c)
+      case o => throw new IllegalArgumentException(s"bandedScan op: $o")
+    }
+    val withBand = df.withColumn("_bcs_band", band)
+    val haggs = aggs.map(a => agg(a.op, col(a.in)).as(s"_bcs_t_${a.out}"))
+    val h = withBand.groupBy(col("_bcs_band"))
+      .agg(haggs.head, haggs.tail: _*)
+    // prior-band totals: EXCLUSIVE scan over the band histogram (null
+    // for the first band — min/max combine below is null-skipping,
+    // sum coalesces, both matching the flat window's null frame)
+    val hw = Window
+      .orderBy(if (bandAsc) col("_bcs_band").asc else col("_bcs_band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = h.select(col("_bcs_band") +:
+      aggs.map(a => agg(a.op, col(s"_bcs_t_${a.out}")).over(hw)
+        .as(s"_bcs_off_${a.out}")): _*)
+    def ww(inclusive: Boolean) =
+      Window.partitionBy(col("_bcs_band")).orderBy(tie: _*)
+        .rowsBetween(Window.unboundedPreceding,
+          if (inclusive) Window.currentRow else -1)
+    aggs.foldLeft(withBand.join(off, "_bcs_band")) { (acc, a) =>
+      val offC = col(s"_bcs_off_${a.out}")
+      val within = agg(a.op, col(a.in)).over(ww(a.inclusive))
+      acc.withColumn(a.out, a.op match {
+        case "sum" =>
+          // flat parity: null only when the whole frame is empty
+          when(offC.isNull && within.isNull, lit(null))
+            .otherwise(coalesce(offC, lit(0)) + coalesce(within, lit(0)))
+        case "min" => least(offC, within) // least/greatest skip nulls
+        case "max" => greatest(offC, within)
+      })
+    }.drop("_bcs_band" +: aggs.map(a => s"_bcs_off_${a.out}"): _*)
+  }
+
   def canon(df: DataFrame, p: Int = 4): DataFrame = {
     val cols = df.schema.fields.map { f =>
       if (f.dataType == org.apache.spark.sql.types.DoubleType)

@@ -889,11 +889,14 @@ object Graph {
   def eigenvectorCentrality(edges: DataFrame, srcCol: String,
       dstCol: String, iters: Int = 5, scale: Long = 1000000L)
       : DataFrame = {
+    // eager localCheckpoint (GC-cleaned), not an unpersist-less persist:
+    // both frames are re-read every round and the result stays lazy
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct()
-      .repartition(col("src")).persist()
+      .repartition(col("src")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     var x = nodes.withColumn("r", lit(scale))
     (1 to iters).foreach { _ =>
       val msgs = e.join(x, e("src") === x("node"))
@@ -932,9 +935,12 @@ object Graph {
   def simRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, c10: Int = 8): DataFrame = {
     require(c10 >= 1 && c10 <= 9, "decay C = c10/10 in (0,1)")
+    // eager localCheckpoint (GC-cleaned), not an unpersist-less persist
     val e = edges.select(col(srcCol).cast("string").as("i"),
-      col(dstCol).cast("string").as("v")).distinct().persist()
-    val deg = e.groupBy("v").agg(count(lit(1)).as("d")).persist()
+      col(dstCol).cast("string").as("v")).distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy("v").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
     val nodes = e.select(col("i").as("node"))
       .union(e.select(col("v").as("node"))).distinct()
     var s = nodes.select(col("node").as("a"), col("node").as("b"),

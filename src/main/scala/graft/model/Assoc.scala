@@ -220,12 +220,13 @@ object Assoc {
       .select(cols.map(c => fixedPointLong(col(c), 4).as(c)): _*)
     val ranked = cols.foldLeft(complete) { (acc, c) =>
       val vh = complete.groupBy(col(c)).agg(count(lit(1)).as("_ct"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val vr = vh.withColumn(s"${c}_r2",
-        (lit(2) * (sum(col("_ct")).over(w) - col("_ct")) +
-          col("_ct") + 1).cast("double")).drop("_ct")
+      // banded prefix sum over the 4dp histogram (the binaryAuc device)
+      val vr = graft.core.bandedCumSum(vh, expr(s"`$c` div 100000"),
+          bandAsc = true, tie = Seq(col(c).asc),
+          sums = Map("_ct" -> "_cum"))
+        .withColumn(s"${c}_r2",
+          (lit(2) * (col("_cum") - col("_ct")) +
+            col("_ct") + 1).cast("double")).drop("_ct", "_cum")
       acc.join(vr, c)
     }
     correlationMatrix(
@@ -358,35 +359,28 @@ object Assoc {
     val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(fixedPointLong(col(xCol).cast("double"), 4).as("_x"),
         fixedPointLong(col(yCol).cast("double"), 4).as("_y"))
-    // exact 2·median of a long column via its value histogram
-    def med2(c: String): DataFrame = {
-      val h = base.groupBy(col(c)).agg(count(lit(1)).as("_ct"))
-      val w = Window.orderBy(col(c).asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val kw = Window.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      h.withColumn("_cum", sum(col("_ct")).over(w))
-        .withColumn("_c", sum(col("_ct")).over(kw))
+    // exact 2·median of a long-histogram: banded prefix sum (the
+    // binaryAuc device) + a broadcast scalar total — NO unpartitioned
+    // data-sized window, no unbounded-following total window
+    def med2of(h: DataFrame, c: String, out: String): DataFrame = {
+      val tot = h.agg(sum(col("_ct")).as("_c"))
+      graft.core.bandedCumSum(h, expr(s"`$c` div 100000"),
+          bandAsc = true, tie = Seq(col(c).asc),
+          sums = Map("_ct" -> "_cum"))
+        .crossJoin(broadcast(tot))
         .agg((min(when(col("_cum") >=
             floor((col("_c") + 1) / 2).cast("long"), col(c))) +
           min(when(col("_cum") >=
-            floor(col("_c") / 2).cast("long") + 1, col(c)))).as(s"m$c"))
+            floor(col("_c") / 2).cast("long") + 1, col(c)))).as(out))
     }
+    def med2(c: String): DataFrame =
+      med2of(base.groupBy(col(c)).agg(count(lit(1)).as("_ct")), c, s"m$c")
     // 2·median of the absolute deviations |2v − m2| (scale 2e4/unit)
     def mad2(c: String, m: DataFrame): DataFrame = {
       val d = base.crossJoin(broadcast(m))
         .select(abs(lit(2) * col(c) - col(s"m$c")).as("_d"))
-      val h = d.groupBy(col("_d")).agg(count(lit(1)).as("_ct"))
-      val w = Window.orderBy(col("_d").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val kw = Window.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      h.withColumn("_cum", sum(col("_ct")).over(w))
-        .withColumn("_c", sum(col("_ct")).over(kw))
-        .agg((min(when(col("_cum") >=
-            floor((col("_c") + 1) / 2).cast("long"), col("_d"))) +
-          min(when(col("_cum") >=
-            floor(col("_c") / 2).cast("long") + 1, col("_d")))).as(s"d$c"))
+      med2of(d.groupBy(col("_d")).agg(count(lit(1)).as("_ct")), "_d",
+        s"d$c")
     }
     val mx = med2("_x"); val my = med2("_y")
     val dx = mad2("_x", mx); val dy = mad2("_y", my)
@@ -1069,20 +1063,31 @@ object Assoc {
         col(s"sx$tag").cast("double") * col(s"sx$tag").cast("double") / n) / 1e8
       syy - sxy * sxy / sxx
     }
+    def sxxD(tag: String): Column = {
+      val n = col(s"n$tag").cast("double")
+      (col(s"sxx$tag").cast("double") -
+        col(s"sx$tag").cast("double") * col(s"sx$tag").cast("double") / n) / 1e8
+    }
     g.where(col("n1") >= 3 && col("n2") >= 3)
-      .withColumn("_sp", ssr("p"))
-      .withColumn("_s1", ssr("1"))
-      .withColumn("_s2", ssr("2"))
+      // a constant-x segment has Sxx = 0 → SSR = Syy − Sxy²/0 is
+      // Inf/NaN, and Spark orders NaN above every double so `> 3.0`
+      // would spuriously fire; degenerate keys report null stat + flag
+      .withColumn("_ok",
+        sxxD("p") > 0 && sxxD("1") > 0 && sxxD("2") > 0)
+      .withColumn("_sp", when(col("_ok"), ssr("p")))
+      .withColumn("_s1", when(col("_ok"), ssr("1")))
+      .withColumn("_s2", when(col("_ok"), ssr("2")))
       // ANSI guard: two perfect segment fits (SSR₁+SSR₂ = 0) are
       // infinite evidence — f_stat reports null, the flag still fires
       .withColumn("f_stat",
-        when(col("_s1") + col("_s2") > 0,
+        when(col("_ok") && col("_s1") + col("_s2") > 0,
           ((col("_sp") - col("_s1") - col("_s2")) / 2.0) /
             ((col("_s1") + col("_s2")) /
               (col("np").cast("double") - 4.0))))
       .withColumn("break_significant",
-        coalesce(col("f_stat") > 3.0,
-          col("_sp") - col("_s1") - col("_s2") > 0))
+        when(col("_ok"),
+          coalesce(col("f_stat") > 3.0,
+            col("_sp") - col("_s1") - col("_s2") > 0)))
       .select(col("key"), col("n1"), col("n2"), col("f_stat"),
         col("break_significant"))
   }

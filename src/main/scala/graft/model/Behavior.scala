@@ -641,6 +641,10 @@ object Behavior {
     val alive = sorted.map(_._2)
     val tMax = sorted.last._1
     require(sorted.map(_._1) == (0 to tMax), "contiguous ages 0..T")
+    require(tMax >= 1, "curve needs at least one post-cohort age (T >= 1)")
+    require(aGrid.nonEmpty && bGrid.nonEmpty &&
+      aGrid.forall(_ > 0) && bGrid.forall(_ > 0),
+      "aGrid/bGrid must be non-empty and strictly positive")
     val died = (1 to tMax).map(t => alive(t - 1) - alive(t))
     require(died.forall(_ >= 0), "alive counts must be non-increasing")
     def fp9(x: Double): Long =

@@ -276,11 +276,13 @@ object Causal {
         sum(when(col("_t"), 1L).otherwise(0L)).as("_nt"),
         sum(when(col("_t"), col("_r")).otherwise(0L)).as("_rt"),
         sum(when(!col("_t"), col("_r")).otherwise(0L)).as("_rc"))
-    val w = Window.orderBy(col("_u4").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = h.agg(sum(col("_ns")).as("_n"))
-    val binned = h
-      .withColumn("_cb", sum(col("_ns")).over(w) - col("_ns"))
+    // banded prefix sum over the 4dp uplift histogram (the binaryAuc
+    // device — uplift scores have no a-priori range bound)
+    val binned = graft.core.bandedCumSum(h, expr("_u4 div 100000"),
+        bandAsc = false, tie = Seq(col("_u4").desc),
+        sums = Map("_ns" -> "_cumns"))
+      .withColumn("_cb", col("_cumns") - col("_ns"))
       .crossJoin(broadcast(tot))
       .withColumn("bin", least(lit(nBins - 1),
         floor(col("_cb") * nBins / col("_n")).cast("int")))

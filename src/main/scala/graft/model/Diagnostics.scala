@@ -186,10 +186,12 @@ object Diagnostics {
     val h = d.groupBy(col("_ad"))
       .agg(count(lit(1)).as("_ct"),
         sum(when(col("_pos"), 1L).otherwise(0L)).as("_np"))
-    val w = Window.orderBy(col("_ad").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val r = h.withColumn("_r2",
-      lit(2) * (sum(col("_ct")).over(w) - col("_ct")) + col("_ct") + 1)
+    // banded prefix sum over the |d| histogram (the binaryAuc device)
+    val r = graft.core.bandedCumSum(h, expr("_ad div 100000"),
+        bandAsc = true, tie = Seq(col("_ad").asc),
+        sums = Map("_ct" -> "_cum"))
+      .withColumn("_r2",
+        lit(2) * (col("_cum") - col("_ct")) + col("_ct") + 1)
     val agg = r.agg(sum(col("_ct")).as("n"),
       sum(col("_np") * col("_r2")).as("_w2"),
       sum(col("_ct") * col("_ct") * col("_ct") - col("_ct")).as("_tc"))
@@ -309,10 +311,12 @@ object Diagnostics {
     val rng = full.groupBy(col("_b"))
       .agg((max(col("_v")) - min(col("_v"))).as("_rg"))
     val rh = rng.groupBy(col("_rg")).agg(count(lit(1)).as("_ct"))
-    val rw = Window.orderBy(col("_rg").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val q2 = rh.withColumn("_q2",
-      lit(2) * (sum(col("_ct")).over(rw) - col("_ct")) + col("_ct") + 1)
+    // banded prefix sum over the range histogram (the binaryAuc device)
+    val q2 = graft.core.bandedCumSum(rh, expr("_rg div 100000"),
+        bandAsc = true, tie = Seq(col("_rg").asc),
+        sums = Map("_ct" -> "_cum"))
+      .withColumn("_q2",
+        lit(2) * (col("_cum") - col("_ct")) + col("_ct") + 1)
     val blocks = rng.join(q2.select(col("_rg"), col("_q2")), "_rg")
       .select(col("_b"), col("_q2"))
     // 4·S_ij = _q2 · (2r̄ − (k+1)) exactly

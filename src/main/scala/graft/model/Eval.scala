@@ -33,10 +33,15 @@ object Eval {
       .groupBy("s")
       .agg(count(lit(1)).as("ns"),
         sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
-    val w = Window.orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byScore
-      .withColumn("cumN", sum("ns").over(w))
+    // banded prefix sum: on a CONTINUOUS scorer the distinct-score frame
+    // is data-sized, so a flat Window.orderBy(s) would sort it all on
+    // ONE partition; the banded device (3dp-frozen score bands, exact —
+    // fixedPointLong is monotone so (band, s) == global s order) keeps
+    // the only unpartitioned window band-histogram-sized while producing
+    // the bit-identical cumN (r10/r11 verdict item 1a).
+    graft.core.bandedCumSum(byScore,
+        graft.core.fixedPointLong(col("s"), 3), bandAsc = true,
+        tie = Seq(col("s")), sums = Map("ns" -> "cumN"))
       .withColumn("ravg", (col("cumN") - col("ns")) + (col("ns") + 1) / 2.0)
       .agg(
         sum("ns").as("n"),
@@ -166,12 +171,14 @@ object Eval {
       .select(col(scoreCol).as("s"), y.as("y"))
       .groupBy("s")
       .agg(count(lit(1)).as("n"), sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
-    val w = Window.orderBy(col("s").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = byScore.agg(sum("pos").as("totPos"))
-    byScore
-      .withColumn("cumN", sum("n").over(w))
-      .withColumn("cumPos", sum("pos").over(w))
+    // banded prefix sums (the binaryAuc device): the distinct-score
+    // frame is data-sized on a continuous scorer — never sort it on one
+    // partition
+    graft.core.bandedCumSum(byScore,
+        graft.core.fixedPointLong(col("s"), 3), bandAsc = false,
+        tie = Seq(col("s").desc),
+        sums = Map("n" -> "cumN", "pos" -> "cumPos"))
       .crossJoin(broadcast(tot))
       .select(col("s").as("threshold_ge"),
         col("cumN").as("n_predicted"),

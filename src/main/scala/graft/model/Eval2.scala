@@ -130,11 +130,13 @@ object Eval2 {
       col(labelCol).cast("boolean").cast("long").as("_y"))
       .groupBy(col("_s"))
       .agg(count(lit(1)).as("ns"), sum(col("_y")).as("pos"))
-    // descending scores: decile 0 = best
-    val w = Window.orderBy(col("_s").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // descending scores: decile 0 = best. Banded prefix sum (the
+    // binaryAuc device): the 4dp histogram is value-range-sized, not
+    // provably small — never sort it on one partition.
     val tot = h.agg(sum("ns").as("_n"), sum("pos").as("_p"))
-    h.withColumn("_cumBefore", sum("ns").over(w) - col("ns"))
+    graft.core.bandedCumSum(h, expr("_s div 100000"), bandAsc = false,
+        tie = Seq(col("_s").desc), sums = Map("ns" -> "_cum"))
+      .withColumn("_cumBefore", col("_cum") - col("ns"))
       .crossJoin(broadcast(tot))
       .withColumn("bin", least(lit(nBins - 1),
         floor(col("_cumBefore") * nBins / col("_n")).cast("int")))
@@ -165,11 +167,12 @@ object Eval2 {
       col(labelCol).cast("boolean").cast("long").as("_y"))
       .groupBy(col("_s"))
       .agg(count(lit(1)).as("ns"), sum(col("_y")).as("pos"))
-    val w = Window.orderBy(col("_s").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = h.agg(sum("pos").as("_p"), sum(col("ns") - col("pos")).as("_q"))
-    val scored = h.withColumn("_cp", sum("pos").over(w))
-      .withColumn("_cn", sum(col("ns") - col("pos")).over(w))
+    // banded prefix sums over the 4dp histogram (the binaryAuc device)
+    val scored = graft.core.bandedCumSum(
+        h.withColumn("_neg", col("ns") - col("pos")),
+        expr("_s div 100000"), bandAsc = true, tie = Seq(col("_s").asc),
+        sums = Map("pos" -> "_cp", "_neg" -> "_cn"))
       .crossJoin(broadcast(tot))
       // exact integer |cp·N − cn·P|
       .withColumn("_dnum", abs(col("_cp") * col("_q") - col("_cn") * col("_p")))

@@ -767,7 +767,7 @@ object Fitters {
     pairs
       .withColumn("_cum", sum(col("_mm")).over(w))
       .withColumn("_tot", sum(col("_mm")).over(wk))
-      .withColumn("_rk", (col("_tot") + 1) / 2) // lower median rank
+      .withColumn("_rk", expr("(_tot + 1) div 2")) // lower median rank (integer floor, matches oracle)
       .where(col("_cum") >= col("_rk") &&
         col("_cum") - col("_mm") < col("_rk"))
       .select(keys ++ Seq(col("_tot").as("n_pairs"),

@@ -96,10 +96,11 @@ object GroupTests {
     val gvh = fp.groupBy(col(groupCol), col("_fp"))
       .agg(count(lit(1)).as("_c"))
     val vh = gvh.groupBy(col("_fp")).agg(sum(col("_c")).as("_ct"))
-    val w = Window.orderBy(col("_fp"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val vr = vh
-      .withColumn("_r2", lit(2) * (sum(col("_ct")).over(w) - col("_ct")) +
+    // banded prefix sum over the 4dp histogram (the binaryAuc device)
+    val vr = graft.core.bandedCumSum(vh, expr("_fp div 100000"),
+        bandAsc = true, tie = Seq(col("_fp").asc),
+        sums = Map("_ct" -> "_cum"))
+      .withColumn("_r2", lit(2) * (col("_cum") - col("_ct")) +
         col("_ct") + 1)
     val g = gvh.join(vr.select("_fp", "_r2"), "_fp")
       .groupBy(col(groupCol))
@@ -235,11 +236,10 @@ object GroupTests {
       .groupBy(col("_v"))
       .agg(sum(when(col("_g") === ga, 1L).otherwise(0L)).as("_ca"),
         sum(when(col("_g") === gb, 1L).otherwise(0L)).as("_cb"))
-    val w = Window.orderBy(col("_v").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = h
-      .withColumn("_fa", sum(col("_ca")).over(w))
-      .withColumn("_fb", sum(col("_cb")).over(w))
+    // banded prefix sums over the 4dp histogram (the binaryAuc device)
+    val cum = graft.core.bandedCumSum(h, expr("_v div 100000"),
+      bandAsc = true, tie = Seq(col("_v").asc),
+      sums = Map("_ca" -> "_fa", "_cb" -> "_fb"))
     // totals first (model-sized scalar), then the max over the frame
     val tot = h.agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"))
     val d = cum.crossJoin(broadcast(tot))
@@ -329,10 +329,12 @@ object GroupTests {
       .groupBy(col("_v"))
       .agg(sum(when(col("_g") === ga, 1L).otherwise(0L)).as("_ca"),
         count(lit(1)).as("_ct"))
-    val w = Window.orderBy(col("_v").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val r = h.withColumn("_r2",
-      lit(2) * (sum(col("_ct")).over(w) - col("_ct")) + col("_ct") + 1)
+    // banded prefix sum over the 4dp histogram (the binaryAuc device)
+    val r = graft.core.bandedCumSum(h, expr("_v div 100000"),
+        bandAsc = true, tie = Seq(col("_v").asc),
+        sums = Map("_ct" -> "_cum"))
+      .withColumn("_r2",
+        lit(2) * (col("_cum") - col("_ct")) + col("_ct") + 1)
     val agg = r.agg(sum(col("_ca")).as("n_a"),
       (sum(col("_ct")) - sum(col("_ca"))).as("n_b"),
       sum(col("_ca") * col("_r2")).as("_ra2"),
@@ -559,11 +561,10 @@ object GroupTests {
       .groupBy(col("_v"))
       .agg(sum(when(col("_g") === ga, 1L).otherwise(0L)).as("_ca"),
         sum(when(col("_g") === gb, 1L).otherwise(0L)).as("_cb"))
-    val w = Window.orderBy(col("_v").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = h
-      .withColumn("_fa", sum(col("_ca")).over(w))
-      .withColumn("_fb", sum(col("_cb")).over(w))
+    // banded prefix sums over the 4dp histogram (the binaryAuc device)
+    val cum = graft.core.bandedCumSum(h, expr("_v div 100000"),
+      bandAsc = true, tie = Seq(col("_v").asc),
+      sums = Map("_ca" -> "_fa", "_cb" -> "_fb"))
     val tot = h.agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"))
     val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
     val df2 = col("_fa").cast("double") / na -
@@ -613,12 +614,13 @@ object GroupTests {
     val gvh = cd.groupBy(col("_g"), col("_d"))
       .agg(count(lit(1)).as("_c"))
     val vh = gvh.groupBy(col("_d")).agg(sum(col("_c")).as("_ct"))
-    val hw = Window.orderBy(col("_d").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = vh.agg(sum(col("_ct")).as("_nn"))
-    val scored = vh
+    // banded prefix sum over the |d| histogram (the binaryAuc device)
+    val scored = graft.core.bandedCumSum(vh, expr("_d div 100000"),
+        bandAsc = true, tie = Seq(col("_d").asc),
+        sums = Map("_ct" -> "_cumd"))
       .withColumn("_r2",
-        lit(2) * (sum(col("_ct")).over(hw) - col("_ct")) + col("_ct") + 1)
+        lit(2) * (col("_cumd") - col("_ct")) + col("_ct") + 1)
       .crossJoin(broadcast(tot))
       .withColumn("_a8", graft.core.fixedPointLong(
         graft.post.PostOps.probit(lit(0.5) +
@@ -671,11 +673,10 @@ object GroupTests {
       .groupBy(col("_v"))
       .agg(sum(when(col("_g") === ga, 1L).otherwise(0L)).as("_ca"),
         sum(when(col("_g") === gb, 1L).otherwise(0L)).as("_cb"))
-    val w = Window.orderBy(col("_v").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = h
-      .withColumn("_fa", sum(col("_ca")).over(w))
-      .withColumn("_fb", sum(col("_cb")).over(w))
+    // banded prefix sums over the 4dp histogram (the binaryAuc device)
+    val cum = graft.core.bandedCumSum(h, expr("_v div 100000"),
+      bandAsc = true, tie = Seq(col("_v").asc),
+      sums = Map("_ca" -> "_fa", "_cb" -> "_fb"))
     val tot = h.agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"))
     val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
     val nn = na + nb
@@ -711,10 +712,9 @@ object GroupTests {
     // whose cumulative count reaches p
     val vh = fp.groupBy(col("_v")).agg(count(lit(1)).as("_ct"))
     val tot0 = vh.agg(sum(col("_ct")).as("_c"))
-    val wv = Window.orderBy(col("_v").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val med2 = vh
-      .withColumn("_cum", sum(col("_ct")).over(wv))
+    val med2 = graft.core.bandedCumSum(vh, expr("_v div 100000"),
+        bandAsc = true, tie = Seq(col("_v").asc),
+        sums = Map("_ct" -> "_cum"))
       .crossJoin(broadcast(tot0))
       .agg((min(when(col("_cum") >=
           floor((col("_c") + 1) / 2).cast("long"), col("_v"))) +

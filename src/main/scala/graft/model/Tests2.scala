@@ -46,16 +46,17 @@ object Tests2 {
       .groupBy(col("_v"))
       .agg(sum(when(col("_g") === ga, 1L).otherwise(0L)).as("ca"),
         sum(when(col("_g") === gb, 1L).otherwise(0L)).as("cb"))
-    val w = Window.orderBy(col("_v").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ct = col("ca") + col("cb")
-    val r = h
+    // banded prefix sums over the 4dp histogram (the binaryAuc device)
+    val r = graft.core.bandedCumSum(h.withColumn("_t", ct),
+        expr("_v div 100000"), bandAsc = true, tie = Seq(col("_v").asc),
+        sums = Map("_t" -> "_cs", "ca" -> "_csa", "cb" -> "_csb"))
       // 2× pooled midrank and 2× within-group midranks at each value
-      .withColumn("_r2", lit(2) * (sum(ct).over(w) - ct) + ct + 1)
+      .withColumn("_r2", lit(2) * (col("_cs") - ct) + ct + 1)
       .withColumn("_ra2",
-        lit(2) * (sum(col("ca")).over(w) - col("ca")) + col("ca") + 1)
+        lit(2) * (col("_csa") - col("ca")) + col("ca") + 1)
       .withColumn("_rb2",
-        lit(2) * (sum(col("cb")).over(w) - col("cb")) + col("cb") + 1)
+        lit(2) * (col("_csb") - col("cb")) + col("cb") + 1)
       // 2×(pooled − within) midrank gap, exact integers
       .withColumn("_da2", col("_r2") - col("_ra2"))
       .withColumn("_db2", col("_r2") - col("_rb2"))
@@ -107,8 +108,6 @@ object Tests2 {
       .groupBy(col("_v"))
       .agg(sum(when(col("_g") === ga, 1L).otherwise(0L)).as("ca"),
         count(lit(1)).as("ct"))
-    val w = Window.orderBy(col("_v").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = h.agg(sum(col("ct")).as("_n"), sum(col("ca")).as("_na"))
     // T(x) = Σ_{r≤x} min(r, M−r) with M = N+1, k = ⌊M/2⌋:
     //   x ≤ k:  x(x+1)/2
@@ -119,11 +118,15 @@ object Tests2 {
       when(x <= k, floor(x * (x + 1) / 2.0))
         .otherwise(floor(k * (k + 1) / 2.0) + (x - k) * m -
           floor((x * (x + 1) - k * (k + 1)) / 2.0)).cast("long")
-    val r = h.crossJoin(broadcast(tot))
+    // banded prefix sum over the 4dp histogram (the binaryAuc device)
+    val r = graft.core.bandedCumSum(h, expr("_v div 100000"),
+        bandAsc = true, tie = Seq(col("_v").asc),
+        sums = Map("ct" -> "_cumct"))
+      .crossJoin(broadcast(tot))
       .withColumn("_m", col("_n") + 1)
       .withColumn("_k", floor((col("_n") + 1) / 2.0).cast("long"))
-      .withColumn("_l", sum(col("ct")).over(w) - col("ct")) // = l−1
-      .withColumn("_u", sum(col("ct")).over(w))
+      .withColumn("_l", col("_cumct") - col("ct")) // = l−1
+      .withColumn("_u", col("_cumct"))
       .withColumn("_s",
         tsum(col("_u"), col("_m"), col("_k")) -
           tsum(col("_l"), col("_m"), col("_k")))
@@ -478,11 +481,13 @@ object Tests2 {
       val h = data.where(v.isNotNull && col(groupCol) === g)
         .select(fp(v).as("_v"))
         .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
-      val w = Window.orderBy(col("_v").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = h.agg(sum(col("_c")).as("_n"))
-      val cum = h.crossJoin(broadcast(tot))
-        .withColumn("_cb", sum(col("_c")).over(w) - col("_c"))
+      // banded prefix sum over the 4dp histogram (the binaryAuc device)
+      val cum = graft.core.bandedCumSum(h, expr("_v div 100000"),
+          bandAsc = true, tie = Seq(col("_v").asc),
+          sums = Map("_c" -> "_cum"))
+        .crossJoin(broadcast(tot))
+        .withColumn("_cb", col("_cum") - col("_c"))
         .withColumn("_g", floor(lit(gamma) * col("_n").cast("double"))
           .cast("long"))
       // overlap of this value's rank run with the kept band (g+1..n−g)
@@ -546,10 +551,12 @@ object Tests2 {
       .groupBy(col("_v"))
       .agg(sum(when(col("_g") === ga, 1L).otherwise(0L)).as("_ca"),
         count(lit(1)).as("_ct"))
-    val w = Window.orderBy(col("_v").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val r = h.withColumn("_r2",
-      lit(2) * (sum(col("_ct")).over(w) - col("_ct")) + col("_ct") + 1)
+    // banded prefix sum over the 4dp histogram (the binaryAuc device)
+    val r = graft.core.bandedCumSum(h, expr("_v div 100000"),
+        bandAsc = true, tie = Seq(col("_v").asc),
+        sums = Map("_ct" -> "_cum"))
+      .withColumn("_r2",
+        lit(2) * (col("_cum") - col("_ct")) + col("_ct") + 1)
     val agg = r.agg(sum(col("_ca")).as("n_a"),
       (sum(col("_ct")) - sum(col("_ca"))).as("n_b"),
       sum(col("_ca") * col("_r2")).as("_ra2"))

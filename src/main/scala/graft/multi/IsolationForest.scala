@@ -78,6 +78,20 @@ object IsolationForest {
       subsampleSize: Int, maxDepth: Int): Dataset[IsoNode] = {
     val spark = data.sparkSession
     import spark.implicits._
+    spark.createDataset(fitDeterministicNodes(data, keyCols, attrCols,
+      idCol, numTrees, subsampleSize, maxDepth))
+  }
+
+  /** [[fitDeterministic]] returning the DRIVER-SIDE node array — the
+    * form [[score]]/[[merge]] broadcast anyway. Skipping the
+    * Dataset round-trip (createDataset at the fit, collect at the
+    * score/merge) saves two full model encode/decodes per audit run
+    * (r11 verdict item 8). */
+  def fitDeterministicNodes(data: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String], idCol: String, numTrees: Int,
+      subsampleSize: Int, maxDepth: Int): Seq[IsoNode] = {
+    val spark = data.sparkSession
+    import spark.implicits._
     // Per-tree sampling keys are affine permutations (a_t·x + b_t mod P,
     // the minhash constants from TextOps.hashParams) of ONE md5-derived
     // 56-bit hash per row: the round-6 shape ranked by md5(t:rowId),
@@ -138,7 +152,7 @@ object IsolationForest {
     if (bounds.isEmpty) {
       nPerKey.unpersist(blocking = false)
       keyed.unpersist(blocking = false)
-      return spark.emptyDataset[IsoNode]
+      return Seq.empty[IsoNode]
     }
     val small = bounds.length <= 64
     // The whole fit is exactly TWO data-sized jobs: (1) the nPerKey count
@@ -232,7 +246,7 @@ object IsolationForest {
       }
     nPerKey.unpersist(blocking = false)
     keyed.unpersist(blocking = false)
-    spark.createDataset(result)
+    result
   }
 
   private def md5Hex(s: String): String = {
@@ -328,10 +342,16 @@ object IsolationForest {
     * The broadcast forest is pre-flattened to int-indexed arrays so the
     * per-row loop is pure primitive ops (no string paths, no map lookups). */
   def score(data: DataFrame, model: Dataset[IsoNode], keyCols: Seq[String],
+      attrCols: Seq[String], idCol: String, subsampleSize: Int): Dataset[IsoScore] =
+    scoreNodes(data, model.collect().toSeq, keyCols, attrCols, idCol,
+      subsampleSize)
+
+  /** [[score]] over a driver-side node seq (no model collect). */
+  def scoreNodes(data: DataFrame, model: Seq[IsoNode], keyCols: Seq[String],
       attrCols: Seq[String], idCol: String, subsampleSize: Int): Dataset[IsoScore] = {
     val spark = data.sparkSession
     import spark.implicits._
-    val trees: Map[String, Array[FlatTree]] = model.collect()
+    val trees: Map[String, Array[FlatTree]] = model
       .groupBy(_.key)
       .map { case (k, ns) =>
         k -> ns.groupBy(_.treeId).toSeq.sortBy(_._1).map(g => flatten(g._2.toSeq)).toArray
@@ -366,10 +386,15 @@ object IsolationForest {
     * records down the existing trees and grow the leaf sizes they land in —
     * returns the updated model. Traversal only; no re-shuffle. */
   def merge(model: Dataset[IsoNode], newData: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String]): Dataset[IsoNode] =
+    mergeNodes(model.collect().toSeq, newData, keyCols, attrCols)
+
+  /** [[merge]] over a driver-side node seq (no model collect). */
+  def mergeNodes(model: Seq[IsoNode], newData: DataFrame, keyCols: Seq[String],
       attrCols: Seq[String]): Dataset[IsoNode] = {
-    val spark = model.sparkSession
+    val spark = newData.sparkSession
     import spark.implicits._
-    val trees = model.collect().groupBy(_.key)
+    val trees = model.groupBy(_.key)
       .map { case (k, ns) => k -> ns.map(n => (n.treeId, n.path) -> n).toMap }
     // tree-id lists precomputed ONCE at the driver — deriving them from the
     // node-key map per incoming row re-allocated and deduped ~trees×2^depth

@@ -624,10 +624,10 @@ object PostOps {
       .select(col("key"), col("_v"), col("_ts"))
     val ph = base.groupBy(col("_v")).agg(count(lit(1)).as("_pct"))
     val ptot = ph.agg(sum(col("_pct")).as("_np"))
-    val pw = Window.orderBy(col("_v").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val phq = ph
-      .withColumn("_cump", sum(col("_pct")).over(pw))
+    // banded prefix sum over the pooled histogram (the binaryAuc device)
+    val phq = graft.core.bandedCumSum(ph, expr("_v div 100000"),
+        bandAsc = true, tie = Seq(col("_v").asc),
+        sums = Map("_pct" -> "_cump"))
       .crossJoin(broadcast(ptot))
       .select(
         (-(col("_cump").cast("double") / col("_np").cast("double")))

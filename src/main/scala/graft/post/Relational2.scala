@@ -27,10 +27,12 @@ object Relational2 {
       .select(col(idCol).as("id"), fp(col(xCol).cast("double")).as("_x"),
         fp(col(yCol).cast("double")).as("_y"))
     val perX = p.groupBy(col("_x")).agg(min(col("_y")).as("_my"))
-    val w = Window.orderBy(col("_x").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val sky = perX
-      .withColumn("_pm", min(col("_my")).over(w))
+    // banded exclusive prefix-min over the distinct-x frame (the
+    // binaryAuc device; null first row matches the flat window)
+    val sky = graft.core.bandedScan(perX, expr("_x div 100000"),
+        bandAsc = true, tie = Seq(col("_x").asc),
+        aggs = Seq(graft.core.BandedAgg("_my", "_pm", "min",
+          inclusive = false)))
       .where(col("_pm").isNull || col("_my") < col("_pm"))
       .select(col("_x"), col("_my").as("_y"))
     p.join(sky, Seq("_x", "_y"))

@@ -273,9 +273,11 @@ object MultiQueries {
     // as unrolled per-depth SQL (oracle below)
     "q46_iforest" -> ((s, dir) => {
       val data = ev(s, dir)
-      val model = IsolationForest.fitDeterministic(data, Seq("event_type"),
+      // node-array fit + score: one model materialization, zero
+      // Dataset encode/decode round-trips (r11 verdict item 8)
+      val model = IsolationForest.fitDeterministicNodes(data, Seq("event_type"),
         Seq("value"), "event_id", numTrees = 50, subsampleSize = 64, maxDepth = 6)
-      canon(IsolationForest.score(data, model, Seq("event_type"), Seq("value"),
+      canon(IsolationForest.scoreNodes(data, model, Seq("event_type"), Seq("value"),
         "event_id", subsampleSize = 64).toDF())
     }),
     // incremental merge (reference multi/IsolationForestMerge.scala:68-190):
@@ -285,10 +287,10 @@ object MultiQueries {
     "q99_iforest_merge" -> ((s, dir) => {
       val data = ev(s, dir)
       val isNew = graft.text.TextOps.hash56(col("event_id").cast("string")) % 5 === 0
-      val model = IsolationForest.fitDeterministic(data.where(!isNew),
+      val model = IsolationForest.fitDeterministicNodes(data.where(!isNew),
         Seq("event_type"), Seq("value"), "event_id",
         numTrees = 50, subsampleSize = 64, maxDepth = 6)
-      canon(IsolationForest.merge(model, data.where(isNew),
+      canon(IsolationForest.mergeNodes(model, data.where(isNew),
         Seq("event_type"), Seq("value")).toDF())
     }),
     // deterministic fit (md5-ordered sample + fixed Lloyd + 5dp-rounded

@@ -183,19 +183,21 @@ object R11Queries {
     "q538_outlier_ensemble" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val v = emb(s, dir)
+      // orderBy.limit → TakeOrderedAndProject (distributed top-k, the
+      // bm25Search device); the only rank window rides the 50-row
+      // result, never the data-sized scored frame (r11 verdict item 1b)
       def top50(df: DataFrame, score: String) =
-        df.withColumn("rank", row_number().over(
-          Window.orderBy(col(score).desc, col("vec_id").asc)))
-          .where(col("rank") <= 50).select("vec_id", "rank")
+        df.orderBy(col(score).desc, col("vec_id").asc).limit(50)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col(score).desc, col("vec_id").asc)))
+          .select("vec_id", "rank")
       val eR = top50(OutlierFaces.ecod(v, "vec_id", "embedding"), "ecod")
       val lR = top50(OutlierFaces.loda(v, "vec_id", "embedding", 64),
         "loda")
       val cents = graft.sim.KMeansDist.fitCentroids(v, "vec_id",
         "embedding", dim = 64, k = 8, iters = 4)
-      val kR = graft.sim.KMeansDist.assign(v, "embedding", cents)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("d6").desc, col("vec_id").asc)))
-        .where(col("rank") <= 50).select("vec_id", "rank")
+      val kR = top50(graft.sim.KMeansDist.assign(v, "embedding", cents),
+        "d6")
       canon(graft.sim.Similarity.rrfFuse(Seq(eR, lR, kR), Nil,
         "vec_id", kConst = 60, topK = 20)
         .select("vec_id", "n_lists", "fused_rank", "rrf"))
@@ -708,7 +710,8 @@ object R11Queries {
     "q539_positivity" -> {
       val z = "((value - 1.0) / 2.0)"
       val pp = s"(0.5 + $z / (2.0 * (1.0 + abs($z))))"
-      s"""WITH d AS (SELECT user_id % 2 = 0 AS t, $pp AS p FROM events),
+      s"""WITH d AS (SELECT user_id % 2 = 0 AS t, $pp AS p FROM events
+         | WHERE value IS NOT NULL),
          |b AS (SELECT least(floor(p*20), 19.0)::BIGINT AS bin,
          |  sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS ct,
          |  sum(CASE WHEN NOT t THEN 1 ELSE 0 END)::BIGINT AS cc,
@@ -899,6 +902,9 @@ object R11Queries {
       .stripMargin.replace("\n", " ")
 
   private lazy val chowOracle: String = {
+    def sxx(tag: String) =
+      s"""((sxx$tag::DOUBLE - sx$tag::DOUBLE * sx$tag::DOUBLE
+         |  / n$tag::DOUBLE)/1e8)""".stripMargin.replace("\n", " ")
     def ssr(tag: String) =
       s"""((syy$tag::DOUBLE - sy$tag::DOUBLE * sy$tag::DOUBLE
          |  / n$tag::DOUBLE)/1e8
@@ -928,14 +934,19 @@ object R11Queries {
        | FROM b GROUP BY 1 HAVING sum(CASE WHEN g THEN 1 ELSE 0 END)
        |  >= 3 AND sum(CASE WHEN NOT g THEN 1 ELSE 0 END) >= 3),
        |f AS (SELECT key, n1, n2,
-       |  CASE WHEN ${ssr("1")} + ${ssr("2")} > 0 THEN
+       |  (${sxx("p")} > 0 AND ${sxx("1")} > 0 AND ${sxx("2")} > 0)
+       |   AS ok,
+       |  CASE WHEN ${sxx("p")} > 0 AND ${sxx("1")} > 0
+       |    AND ${sxx("2")} > 0
+       |    AND ${ssr("1")} + ${ssr("2")} > 0 THEN
        |   ((${ssr("p")} - ${ssr("1")} - ${ssr("2")}) / 2.0)
        |    / ((${ssr("1")} + ${ssr("2")}) / (np::DOUBLE - 4.0)) END
        |   AS fs,
        |  (${ssr("p")} - ${ssr("1")} - ${ssr("2")}) > 0 AS gain
        | FROM a)
        |SELECT key, n1, n2, round(fs, 4) + 0 AS f_stat,
-       | coalesce(fs > 3.0, gain) AS break_significant FROM f"""
+       | CASE WHEN ok THEN coalesce(fs > 3.0, gain) END
+       |  AS break_significant FROM f"""
       .stripMargin.replace("\n", " ")
   }
 

@@ -28,12 +28,45 @@ object AsOfJoin {
         (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
       .withColumn("_side", lit(0))
     val unioned = lTagged.unionByName(rTagged.select(lTagged.columns.map(col): _*))
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightValueCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    filled.where(col("_side") === 1).drop("_side")
+    if (keyCols.nonEmpty) {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(tsCol), col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val filled = rightValueCols.foldLeft(unioned)((df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      filled.where(col("_side") === 1).drop("_side")
+    } else {
+      // keyless as-of: a flat Window.orderBy(ts) would sort the whole
+      // merged frame on ONE task — run the running last-non-null through
+      // the banded device instead (r11 verdict item 1): per-band fills
+      // ride band-partitioned windows; each band's LAST filled value
+      // (the max-(ts, _side) row's fill — struct max, total order) feeds
+      // an exclusive last-non-null over the band HISTOGRAM; the final
+      // fill coalesces within-band fill with the prior-band offset.
+      val band = graft.core.fixedPointLong(col(tsCol).cast("double"), 3)
+      val withBand = unioned.withColumn("_asof_band", band)
+      val ww = Window.partitionBy(col("_asof_band"))
+        .orderBy(col(tsCol), col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val filledIn = rightValueCols.foldLeft(withBand)((df, c) =>
+        df.withColumn(s"_f_$c", last(col(c), ignoreNulls = true).over(ww)))
+      val bandAggs = rightValueCols.map(c =>
+        max(struct(col(tsCol), col("_side"), col(s"_f_$c"))).as(s"_bl_$c"))
+      val bandLast = filledIn.groupBy(col("_asof_band"))
+        .agg(bandAggs.head, bandAggs.tail: _*)
+      val hw = Window.orderBy(col("_asof_band").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = bandLast.select(col("_asof_band") +:
+        rightValueCols.map(c =>
+          last(col(s"_bl_$c").getField(s"_f_$c"), ignoreNulls = true)
+            .over(hw).as(s"_off_$c")): _*)
+      val joined = filledIn.join(off, "_asof_band")
+      rightValueCols.foldLeft(joined)((df, c) =>
+          df.withColumn(c, coalesce(col(s"_f_$c"), col(s"_off_$c"))))
+        .where(col("_side") === 1)
+        .drop("_asof_band" +: "_side" +:
+          rightValueCols.flatMap(c => Seq(s"_f_$c", s"_off_$c")): _*)
+    }
   }
 
   /** Interval (band/range) join: every point row gains the interval rows

@@ -3051,10 +3051,14 @@ object TextOps {
   def ppmi(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 2, minCount: Long = 5): DataFrame = {
     require(window >= 1 && window <= 8, "1 <= window <= 8")
+    // eager localCheckpoint, not persist: read by both join sides and
+    // there is no post-materialization unpersist point for the lazy
+    // result — checkpoint blocks are GC-cleaned when the result drops
+    // (the chiSquare contingency-table convention; r11 advice item)
     val toks = docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("_d"),
         posexplode(tokens(col(textCol))).as(Seq("_p", "_w")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val right = toks.select(col("_d"), col("_p").as("_p2"),
       col("_w").as("_w2"))
     val pc = toks
@@ -3064,7 +3068,7 @@ object TextOps {
       .select(least(col("_w"), col("_w2")).as("wa"),
         greatest(col("_w"), col("_w2")).as("wb"))
       .groupBy("wa", "wb").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val m = pc.select(col("wa").as("w"), col("c"))
       .unionByName(pc.select(col("wb").as("w"), col("c")))
       .groupBy("w").agg(sum(col("c")).as("m"))
@@ -3099,10 +3103,11 @@ object TextOps {
     require(topV >= 1 && topV <= 4096, "1 <= topV <= 4096")
     val fp8 = (c: Column) =>
       graft.core.fixedPointLong(c, 8).cast("decimal(38,0)")
+    // eager localCheckpoint (GC-cleaned), not an unpersist-less persist
     val toks = docs.where(col(textCol).isNotNull)
       .select(col(groupCol).as("_g"),
         explode(tokens(col(textCol))).as("_w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val vocab = toks.groupBy("_w").agg(count(lit(1)).as("_cf"))
       .orderBy(col("_cf").desc, col("_w").asc).limit(topV)
       .select(col("_w"), lit(true).as("_inv"))
