@@ -114,9 +114,17 @@ object Bench {
     val base: Map[String, Seq[Double]] = names.zipWithIndex.map {
       case (n, i) => n -> fullPasses.map(_(i)._2)
     }.toMap
+    // volatile = worth a third measurement: >=35% relative spread on a
+    // query that costs >=0.3 s (sub-0.3 s spreads are scheduler noise
+    // that can't move any gate), capped at the 150 widest relative
+    // spreads — a degraded host otherwise flags half the suite (316/555
+    // measured) and the extra pass blows the driver budget again
     val volatileQs = names.filter { n =>
-      val ts = base(n); ts.min > 0 && (ts.max - ts.min) / ts.min >= 0.2
-    }.toSet
+        val ts = base(n)
+        ts.min >= 0.3 && (ts.max - ts.min) / ts.min >= 0.35
+      }
+      .sortBy(n => -(base(n).max - base(n).min) / base(n).min)
+      .take(150).toSet
     val annKeys = Set("q97build_ann_pq", "q97search_ann_pq")
     val extra: Map[String, Double] =
       (if (volatileQs.exists(!annKeys(_)))

@@ -868,6 +868,97 @@ object ScaleProbe {
         model.Behavior.frequentSequences(ev, "user_id", "event_type",
           "ts", minSupport = 20L).count()
       }
+      // ---- r10/r11 heavies (r11 verdict item 6) ----
+      // IPW ATE: 60 unrolled GD rounds — cost must scale as
+      // rounds × one-scan, not rounds × growing-lineage
+      val units = {
+        val perUser = ev.where(col("value").isNotNull)
+          .groupBy(col("user_id").as("uid"))
+          .agg(count(lit(1)).as("_n"),
+            sum(core.fixedPointLong(col("value").cast("double"), 4)
+              .cast("decimal(38,0)")).as("_s4"))
+          .withColumn("x",
+            col("_s4").cast("double") / 1e4 / col("_n").cast("double"))
+        val h = text.TextOps.hash56(col("uid").cast("string"))
+        perUser
+          .withColumn("t", pmod(h, lit(100L)) <
+            (lit(20) + when(col("x") > 49.0, 40).otherwise(0)))
+          .withColumn("y", col("x") + when(col("t"), 2.0).otherwise(0.0))
+          .withColumn("f0", lit(1.0))
+          .withColumn("f1", (col("x") - 49.0) / 10.0)
+          .select("uid", "x", "t", "y", "f0", "f1")
+      }
+      time("ipw_ate_gd60", n, nEv) {
+        model.Causal.ipwAte(units, "uid", "t", "y", Seq("f0", "f1"),
+          iters = 60, lr = 0.5).count()
+      }
+      // pinball GD: 12 vs 30 rounds — per-round cost must stay flat
+      val qrIn = ev.withColumn("xb",
+        pmod(col("user_id"), lit(8L)).cast("double"))
+      time("quantile_reg12", n, nEv) {
+        model.Assoc.quantileRegFit(qrIn, "xb", "value", tau = 0.9,
+          iters = 12, lr = 0.5).count()
+      }
+      time("quantile_reg30", n, nEv) {
+        model.Assoc.quantileRegFit(qrIn, "xb", "value", tau = 0.9,
+          iters = 30, lr = 0.5).count()
+      }
+      // iteration-bounded graph ops: exchanges scale with edges, state
+      // stays node-/pair-sized
+      val bip = {
+        val u2t = ev.select(
+          concat(lit("u:"), col("user_id").cast("string")).as("src"),
+          concat(lit("t:"), col("event_type")).as("dst"))
+        u2t.union(u2t.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+      }
+      time("eigenvector5", n, nEv) {
+        graph.Graph.eigenvectorCentrality(bip, "src", "dst", iters = 5)
+          .count()
+      }
+      time("simrank3", n, nEv) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+        val te = ev
+          .withColumn("_nx", lead(col("event_type"), 1).over(w))
+          .where(col("_nx").isNotNull && col("_nx") =!= col("event_type"))
+          .select(col("event_type").as("a"), col("_nx").as("b")).distinct()
+        graph.Graph.simRank(te, "a", "b", iters = 3).count()
+      }
+      // post-fix q538 ensemble shape: 3 detector scorings + TakeOrdered
+      // top-50s + model-sized RRF — no global data-sized window remains
+      val emb2 = scaled("embeddings", Seq("vec_id"), n)
+      val nEmb2 = emb2.count()
+      time("ensemble_rrf", n, nEmb2) {
+        def top50(df: DataFrame, s: String) = {
+          val t = df.orderBy(col(s).desc, col("vec_id").asc).limit(50)
+          t.withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col(s).desc, col("vec_id").asc)))
+            .select("vec_id", "rank")
+        }
+        val eR = top50(multi.OutlierFaces.ecod(emb2, "vec_id", "embedding"), "ecod")
+        val lR = top50(multi.OutlierFaces.loda(emb2, "vec_id", "embedding", 64), "loda")
+        sim.Similarity.rrfFuse(Seq(eR, lR), Nil, "vec_id",
+          kConst = 60, topK = 20).count()
+      }
+      // ECOD histogram vs window form — the scale divergence item 4 is
+      // about: histogram cost must stay flat per dim as rows grow
+      time("ecod_window", n, nEmb2) {
+        multi.OutlierFaces.ecod(emb2, "vec_id", "embedding").count()
+      }
+      time("ecod_histogram", n, nEmb2) {
+        multi.OutlierFaces.ecodHistogram(emb2, "vec_id", "embedding").count()
+      }
+      // shared k-bounded kNN frame feeding LoOP + FastABOD
+      time("loop_fastabod", n, nEmb2) {
+        val nn = multi.Proximity.knn(
+          multi.Proximity.pairDistances(emb2, "vec_id", "embedding"), 5)
+          .localCheckpoint(true)
+        multi.Proximity.loopFromKnn(nn, 5).count() +
+          multi.Proximity.fastAbodFromKnn(nn, emb2, "vec_id", "embedding")
+            .count()
+      }
     }
     spark.stop()
   }

@@ -35,6 +35,15 @@ object Seasonal {
         when(expr(s"(($sec div 86400) + 3) % 7") >= 5, lit(1L)).otherwise(lit(0L))
       case "hourOfWeek" =>
         expr(s"((($sec div 86400) + 3) % 7) * 24 + ($sec div 3600) % 24")
+      // salean.conf:18 — the day/night regime split of hourOfDay (the
+      // binary form weekDayOrWeekendOfWeek takes for the week): day =
+      // UTC hours 6..17 → 1, night → 0. The reference resolves this
+      // name through chombo's SeasonalAnalyzer (an external dependency
+      // not in the repo), so the boundary is this engine's documented
+      // definition; the oracle replays the same expression.
+      case "nightDayHourOfDay" =>
+        when(expr(s"($sec div 3600) % 24").between(6, 17), lit(1L))
+          .otherwise(lit(0L))
       case other => throw new IllegalArgumentException(s"unknown cycle type $other")
     }
   }

@@ -233,6 +233,42 @@ object Assoc {
       ranked.select(cols.map(c => col(s"${c}_r2").as(c)): _*), cols)
   }
 
+  /** Gaussian-copula (normal-scores / van der Waerden) correlation
+    * matrix: each column rank-transforms to u = r̄/(n+1) (midranks off
+    * the distinct-value histogram, the spearmanMatrix device), maps
+    * through Φ⁻¹ (the Acklam probit both engines replay bit-for-bit),
+    * and the PAIRWISE Pearson of the normal scores is the copula's
+    * correlation parameter — the dependence measure that stays valid
+    * under any monotone marginal (Spearman measures rank agreement;
+    * this estimates the latent-normal ρ a simulator or synthetic-data
+    * generator needs). Complete-case across `cols`.
+    *
+    * Scale: per column one histogram aggregate + a banded prefix sum
+    * (NO data-sized unpartitioned window) + a value equi-join back;
+    * then correlationMatrix's exact 4dp fixed-point moment aggregates.
+    * Output per pair: col_x, col_y, n, corr. */
+  def copulaCorrelation(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "copulaCorrelation needs >= 2 columns")
+    val complete = df
+      .where(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(c => fixedPointLong(col(c), 4).as(c)): _*)
+    val n = complete.count()
+    require(n > 0, "copulaCorrelation on an empty input")
+    val ranked = cols.foldLeft(complete) { (acc, c) =>
+      val vh = complete.groupBy(col(c)).agg(count(lit(1)).as("_ct"))
+      val vr = graft.core.bandedCumSum(vh, expr(s"`$c` div 100000"),
+          bandAsc = true, tie = Seq(col(c).asc),
+          sums = Map("_ct" -> "_cum"))
+        .withColumn(s"${c}_z", graft.post.PostOps.probit(
+          ((lit(2) * (col("_cum") - col("_ct")) + col("_ct") + 1)
+            .cast("double") / 2.0) / (lit(n.toDouble) + 1.0)))
+        .drop("_ct", "_cum")
+      acc.join(vr, c)
+    }
+    correlationMatrix(
+      ranked.select(cols.map(c => col(s"${c}_z").as(c)): _*), cols)
+  }
+
   /** Smoothed target (mean) encoding: enc(c) = (Σy_c + m·prior)/(n_c + m)
     * with prior = the global mean — the standard high-cardinality
     * categorical feature for the quality-classifier family (rare
@@ -948,6 +984,54 @@ object Assoc {
         .cast("double") / 1e9 / count(lit(1))).as("m")).collect()(0)
       Seq((n, a, b, mu.getAs[Double]("m")))
         .toDF("n", "a", "b", "mean_mu")
+    } finally { cached.unpersist(false) }
+  }
+
+  /** Negative-binomial (NB2) regression count = exp(a + b·x) with FIXED
+    * dispersion `alpha` — the overdispersion-robust sibling of
+    * [[poissonRegFit]] (whose variance = mean assumption real event
+    * counts violate; NB2 has Var = μ + αμ²). Same fixed-round GD
+    * program: the NB2 score is the Poisson score shrunk by the
+    * dispersion weight, ∂ℓ/∂η = (y − μ)/(1 + αμ), so each round is ONE
+    * scan with two 9dp fixed-point gradient sums; weights freeze at 6dp
+    * per round (order-free, SQL-replayable as unrolled CTE rounds).
+    * α → 0 recovers the Poisson fit exactly.
+    * Output one row: n, a, b, alpha, mean_mu. */
+  def negBinRegFit(data: DataFrame, xCol: String, yCol: String,
+      alpha: Double = 1.0, iters: Int = 12, lr: Double = 0.1): DataFrame = {
+    require(alpha >= 0, "dispersion alpha >= 0")
+    val spark = data.sparkSession
+    import spark.implicits._
+    val cached = data
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("_x"),
+        col(yCol).cast("double").as("_y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var a = 0.0; var b = 0.0; var n = 0L
+      def fp9(c: Column) =
+        graft.core.fixedPointLong(c, 9).cast("decimal(38,0)")
+      for (_ <- 1 to iters) {
+        val mu = exp(least(lit(a) + lit(b) * col("_x"), lit(30.0)))
+        val w = (col("_y") - mu) / (lit(1.0) + lit(alpha) * mu)
+        val r = cached.agg(sum(fp9(w)).as("ga"),
+          sum(fp9(w * col("_x"))).as("gb"),
+          count(lit(1)).as("n")).collect()(0)
+        n = r.getAs[Long]("n")
+        require(n > 0, "negBinRegFit on an empty input")
+        def upd(w0: Double, key: String): Double = {
+          val sBd = BigDecimal(r.getAs[java.math.BigDecimal](key)).toDouble
+          val u = w0 + lr * (sBd / n / 1e9)
+          (if (u >= 0) math.floor(u * 1e6 + 0.5)
+           else -math.floor(-u * 1e6 + 0.5)) / 1e6
+        }
+        a = upd(a, "ga"); b = upd(b, "gb")
+      }
+      val mu = cached.agg((sum(fp9(exp(least(lit(a) + lit(b) * col("_x"),
+        lit(30.0)))))
+        .cast("double") / 1e9 / count(lit(1))).as("m")).collect()(0)
+      Seq((n, a, b, alpha, mu.getAs[Double]("m")))
+        .toDF("n", "a", "b", "alpha", "mean_mu")
     } finally { cached.unpersist(false) }
   }
 

@@ -669,4 +669,90 @@ object Behavior {
     Seq((best._2, best._3, best._1.toDouble / 1e9, best._4))
       .toDF("a", "b", "ll", "s_end")
   }
+
+  /** Discrete-time Hawkes self-excitation fit per key (Hawkes 1971,
+    * bucketed form): daily event counts c_t follow a Poisson with
+    * intensity λ_t = μ + α·E_t where E_t = Σ_{s<t} c_s·e^{−β(t−s)} is
+    * the exponentially-decayed excitation of PAST buckets (fixed decay
+    * `beta` per bucket). The (μ, α) pair is a deterministic grid MLE —
+    * μ over {m/10 · c̄}_{m=1..20} (c̄ = the key's mean daily count) and
+    * α over {0.00, 0.05, …, 0.95} — maximizing Σ_t [c_t·ln λ_t − λ_t]
+    * with each term 9dp-quantized (order-free) and ties breaking to the
+    * smaller (μ, α). α near 1 = bursts feed themselves (viral/cascade/
+    * fraud-run); α near 0 = a memoryless Poisson stream. The
+    * self-excitation face of the burstiness battery (q446 measures
+    * inter-event CV; this fits the generative burst mechanism).
+    *
+    * Determinism: E_t = e^{−β(t−t₀)} · Σ_{s<t} c_s·e^{β(s−t₀)} — the
+    * prefix sum runs in day order inside a per-key window (a total
+    * order, so the double fold is bit-reproducible and the oracle
+    * replays it verbatim); exp/ln ride libm parity. Day spans are
+    * capped at 365 buckets (e^{β·span} must stay well inside double
+    * range; longer spans should bucket coarser).
+    *
+    * Scale: one (key, day) hash aggregate; the dense day grid is
+    * keys × span rows (calendar-bounded); the grid join is a broadcast
+    * of 400 (μ, α) points; the argmax window partitions by key over
+    * 400 rows. No data-sized sort anywhere.
+    *
+    * Output per key: key, n_days, n_events, mu, alpha, ll. */
+  def hawkesFit(events: DataFrame, keyCol: String, tsCol: String,
+      beta: Double = 0.5, bucketNs: Long = 86400000000000L): DataFrame = {
+    require(beta > 0 && beta <= 5, "0 < beta <= 5 per bucket")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val fp9 = (c: Column) =>
+      fixedPointLong(c, 9).cast("decimal(38,0)")
+    val byDay = events
+      .select(col(keyCol).as("key"),
+        // integer `div`, never double division: epoch-nanos exceed
+        // double's exact-integer range (2^53) — float division would
+        // misplace bucket boundaries vs the oracle's `//`
+        expr(s"CAST($tsCol AS BIGINT) div $bucketNs").as("_d"))
+      .groupBy("key", "_d").agg(count(lit(1)).as("_c"))
+    val span = byDay.groupBy("key")
+      .agg(min(col("_d")).as("_d0"), max(col("_d")).as("_d1"),
+        sum(col("_c")).as("_tot"))
+      .withColumn("_guard", assert_true(col("_d1") - col("_d0") < 365,
+        lit("hawkesFit: day span >= 365 — bucket coarser")))
+      .where(col("_guard").isNull).drop("_guard")
+    // dense day grid: zero-count days still contribute the −λ_t term
+    val dense = span
+      .select(col("key"), col("_d0"), col("_tot"),
+        explode(sequence(col("_d0"), col("_d1"))).as("_d"))
+      .join(byDay, Seq("key", "_d"), "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+      .withColumn("_t", (col("_d") - col("_d0")).cast("double"))
+    val w = Window.partitionBy(col("key")).orderBy(col("_d").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ex = dense
+      .withColumn("_e", exp(lit(-beta) * col("_t")) *
+        coalesce(sum(col("_c").cast("double") *
+          exp(lit(beta) * col("_t"))).over(w), lit(0.0)))
+    val grid = spark.range(1L, 21L).select(col("id").as("_m"))
+      .crossJoin(spark.range(0L, 20L).select(col("id").as("_a")))
+      .select(col("_m"), (col("_a").cast("double") * 0.05).as("_alpha"))
+    // μ = (m/10)·c̄ with c̄ = tot/span-days — the same double expression
+    // on both engines
+    val days = span.select(col("key"),
+      (col("_d1") - col("_d0") + 1L).as("_nd"))
+    val scored = ex.join(broadcast(days), "key")
+      .join(broadcast(grid))
+      .withColumn("_mu", col("_m").cast("double") / 10.0 *
+        (col("_tot").cast("double") / col("_nd").cast("double")))
+      .withColumn("_lam", col("_mu") + col("_alpha") * col("_e"))
+      .withColumn("_term",
+        fp9(col("_c").cast("double") * log(col("_lam")) - col("_lam")))
+      .groupBy(col("key"), col("_m"), col("_alpha"))
+      .agg(sum(col("_term")).as("_ll9"),
+        max(col("_nd")).as("n_days"), max(col("_tot")).as("n_events"),
+        max(col("_mu")).as("_muv"))
+    val rk = Window.partitionBy(col("key"))
+      .orderBy(col("_ll9").desc, col("_m").asc, col("_alpha").asc)
+    scored.withColumn("_rk", row_number().over(rk))
+      .where(col("_rk") === 1)
+      .select(col("key"), col("n_days"), col("n_events"),
+        col("_muv").as("mu"), col("_alpha").as("alpha"),
+        (col("_ll9").cast("double") / 1e9).as("ll"))
+  }
 }

@@ -441,6 +441,80 @@ object Diagnostics {
         col("value"), col("g_stat"))
   }
 
+  /** Generalized ESD (Rosner, Technometrics 1983) per key: the
+    * MULTIPLE-outlier extension of [[grubbs]] — iterate `maxK` rounds,
+    * each removing the current arg-max |x − x̄| point and recording
+    * R_r = |x* − x̄_r|/s_r against the critical λ_r; outlier r is
+    * significant iff ANY round j ≥ r has R_j > λ_j (Rosner's rule,
+    * which is what makes gESD robust to masking where iterated Grubbs
+    * is not). λ uses the large-sample normal quantile via the shared
+    * Acklam probit (exact Rosner uses t quantiles; the normal form is
+    * the documented n ≳ 25 approximation, and the probit replays
+    * bit-for-bit in the oracle): with p = 1 − α/(2n_r),
+    * λ_r = (n_r − 1)·z_p / √((n_r − 2 + z_p²)·n_r).
+    *
+    * Determinism: arg-max rows are exact-integer selections (the
+    * grubbs |n·fp − S| device, ties to smaller ord); means/sds come
+    * from exact 4dp moment sums; each round is one aggregate + one
+    * broadcast join over the shrinking remainder (maxK scans total).
+    *
+    * Output per (key, round): key, round, n_remaining, outlier_ord,
+    * value, r_stat, lambda, significant. */
+  def gesd(data: DataFrame, keyCol: String, ordCol: String,
+      valCol: String, maxK: Int = 3, alphaSig: Double = 0.05): DataFrame = {
+    require(maxK >= 1 && maxK <= 10, "1 <= maxK <= 10")
+    require(alphaSig > 0 && alphaSig < 0.5, "0 < alpha < 0.5")
+    val v = col(valCol).cast("double")
+    val base = data.where(v.isNotNull)
+      .select(col(keyCol).as("key"), col(ordCol).cast("long").as("_o"),
+        v.as("value"), fp(v).as("_fp"))
+      .localCheckpoint(true)
+    var excluded: DataFrame = null
+    val rounds = (1 to maxK).map { r =>
+      val cur =
+        if (excluded == null) base
+        else base.join(excluded, Seq("key", "_o"), "left_anti")
+      val st = cur.groupBy(col("key"))
+        .agg(count(lit(1)).as("_n"),
+          sum(dec(col("_fp"))).as("_s"),
+          sum(dec(dec(col("_fp")) * dec(col("_fp")))).as("_q"))
+      val nD = col("_n").cast("double")
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("_dev").desc, col("_o").asc)
+      val cand = cur.join(broadcast(st), "key")
+        .withColumn("_dev",
+          abs(nD.cast("decimal(38,0)") * dec(col("_fp")) - col("_s")))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1 && col("_n") >= 3)
+        .withColumn("_mu", col("_s").cast("double") / nD / 1e4)
+        .withColumn("_sd", sqrt((col("_q").cast("double") -
+          col("_s").cast("double") * col("_s").cast("double") / nD) /
+          (nD - 1)) / 1e4)
+        .where(col("_sd") > 0)
+        .withColumn("r_stat", abs(col("value") - col("_mu")) / col("_sd"))
+      val zp = graft.post.PostOps.probit(
+        lit(1.0) - lit(alphaSig) / (lit(2.0) * nD))
+      val out = cand
+        .withColumn("lambda", (nD - lit(1.0)) * zp /
+          sqrt((nD - lit(2.0) + zp * zp) * nD))
+        .select(col("key"), lit(r).as("round"),
+          col("_n").as("n_remaining"), col("_o").as("outlier_ord"),
+          col("value"), col("r_stat"), col("lambda"))
+        .localCheckpoint(true) // each round's pick feeds the next scan
+      val ex = out.select(col("key"), col("outlier_ord").as("_o"))
+      excluded = if (excluded == null) ex else excluded.unionByName(ex)
+      out
+    }
+    val all = rounds.reduce(_ unionByName _)
+    // Rosner's rule: significant iff any round >= this one exceeds λ
+    val sw = Window.partitionBy(col("key")).orderBy(col("round").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    all.withColumn("significant",
+        max((col("r_stat") > col("lambda")).cast("int")).over(sw) === 1)
+      .select("key", "round", "n_remaining", "outlier_ord", "value",
+        "r_stat", "lambda", "significant")
+  }
+
   /** Dixon's Q per key from exact order statistics: gap-to-range ratios
     * q_min = (x₍₂₎−x₍₁₎)/range and q_max = (x₍ₙ₎−x₍ₙ₋₁₎)/range —
     * the small-sample outlier screen (integer numerators/denominator;

@@ -139,7 +139,10 @@ object ConfigRunner {
       strategy = conf.getOrElse("score.aggregation.strategy", "average"),
       expConst = conf.get("exp.const").map(_.toDouble).getOrElse(0.0),
       threshold = conf("score.threshold").toDouble)
-    val scored = conf("predictor.model") match {
+    // both spellings ship in the reference: predictor.model
+    // (rt_predict.properties:2) and predictor.strategy (and.conf:21)
+    val scored = conf.getOrElse("predictor.model",
+        conf("predictor.strategy")) match {
       case "zscore" =>
         Scorers.zscore(data, Fitters.stats(data, keyCols, attrCols), cfg)
       case "robustZscore" =>
@@ -216,9 +219,13 @@ object ConfigRunner {
       conf(p).split(",").map(_.trim.toInt).toSeq
     val keyCols = columnsByOrdinal(data, ints("id.fieldOrdinals"))
     val seqCol = data.columns(conf("seq.fieldOrd").toInt)
-    val scored = conf("predictor.model") match {
-      case "markovChainProb" =>
-        val stateCol = data.columns(conf("state.fieldOrd").toInt)
+    val scored = conf.getOrElse("predictor.model",
+        conf.getOrElse("predictor.strategy", "markovChainProb")) match {
+      // "conditinalProbability" is bsm.conf:33's spelling of the
+      // conditional-probability metric — same scorer, condProb metric
+      case "markovChainProb" | "conditinalProbability" =>
+        val stateCol = data.columns(conf.getOrElse("state.fieldOrd",
+          conf.getOrElse("state.field.ordinal", conf.getOrElse("attr.ordinal", "2"))).toInt)
         val trans = model.getOrElse(
           graft.model.Fitters.markovTransitions(data, keyCols, seqCol, stateCol,
             smoothing = conf.getOrElse("laplace.smoothing", "0.5").toDouble))
@@ -244,6 +251,39 @@ object ConfigRunner {
         val i = l.indexOf('=')
         l.substring(0, i).trim -> l.substring(i + 1).trim.stripPrefix("[").stripSuffix("]")
       }.toMap
+
+  /** Parse a reference HOCON-style .conf file into its job blocks
+    * (resource/and.conf, ecomm.conf, …): one map per top-level
+    * `jobName { … }` block, `key = value` pairs inside, nested blocks
+    * flattened with a dotted prefix (`zscore { stats.file.path = p }` →
+    * `zscore.stats.file.path`). Values lose quotes/brackets like
+    * [[fromProperties]] — the vocabulary [[runJob]] reads. */
+  def fromConfBlocks(text: String): Map[String, Map[String, String]] = {
+    val blocks = collection.mutable.LinkedHashMap
+      .empty[String, collection.mutable.LinkedHashMap[String, String]]
+    var top: String = null
+    val nest = collection.mutable.Stack.empty[String]
+    text.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).foreach { l =>
+      if (l.endsWith("{")) {
+        val name = l.stripSuffix("{").trim
+        if (top == null) { top = name; blocks(top) = collection.mutable.LinkedHashMap.empty }
+        else nest.push(name)
+      } else if (l == "}") {
+        if (nest.nonEmpty) nest.pop(): Unit else top = null
+      } else if (l.contains("=") && top != null) {
+        val i = l.indexOf('=')
+        val k0 = l.substring(0, i).trim
+        val k = (nest.toSeq.reverse :+ k0).mkString(".")
+        val v = l.substring(i + 1).trim
+          .stripPrefix("[").stripSuffix("]")
+          .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .mkString(",")
+        blocks(top)(k) = v
+      }
+    }
+    blocks.map { case (k, v) => k -> v.toMap }.toMap
+  }
 
   /** Whole-job dispatch keyed by the reference's Spark job class (the name
     * a reference user types after `spark-submit --class org.beymani.spark.
@@ -272,8 +312,10 @@ object ConfigRunner {
     def ints(p: String): Seq[Int] =
       conf(p).split(",").map(_.trim.toInt).toSeq
     // both ordinal spellings appear in the reference tree
-    def keyCols: Seq[String] = columnsByOrdinal(data,
-      ints(if (conf.contains("id.fieldOrdinals")) "id.fieldOrdinals" else "id.field.ordinals"))
+    def keyCols: Seq[String] =
+      if (conf.contains("id.fieldOrdinals")) columnsByOrdinal(data, ints("id.fieldOrdinals"))
+      else if (conf.contains("id.field.ordinals")) columnsByOrdinal(data, ints("id.field.ordinals"))
+      else Nil // e.g. and.conf thresholdLearner: a global, keyless job
     def attrCols: Seq[String] = columnsByOrdinal(data, ints("attr.ordinals"))
     def attrCol: String = data.columns(conf("attr.ordinal").toInt)
     def seqCol: String = data.columns(
@@ -296,7 +338,8 @@ object ConfigRunner {
         Fitters.robustStats(data, keyCols, attrCols)
       case "markovStateTransitionModel" =>
         Fitters.markovTransitions(data, keyCols, seqCol,
-          data.columns(conf("state.fieldOrd").toInt),
+          data.columns(conf.getOrElse("state.fieldOrd",
+            conf("state.field.ordinal")).toInt),
           smoothing = conf.getOrElse("laplace.smoothing", "0.5").toDouble)
       case "isolationForestModel" =>
         graft.multi.IsolationForest.fitDeterministic(data, keyCols, attrCols,
@@ -325,7 +368,20 @@ object ConfigRunner {
             if (conf.getOrElse("time.inMili", "false").toBoolean) "millis"
             else "sec"))
       case "typedUniqueValueCounter" =>
-        data.groupBy(keyCols.map(col): _*)
+        // cyd.conf:38-44 runs this seasonally — same key extension as
+        // the numericalAttrStats fit
+        val (d, ks) =
+          if (conf.getOrElse("seasonal.analysis", "false").toBoolean) {
+            val tsCol = data.columns(conf("time.fieldOrdinal").toInt)
+            val unit = conf.getOrElse("time.unit",
+              if (conf.getOrElse("time.inMili", "false").toBoolean) "millis"
+              else "sec")
+            val ct = conf("seasonal.cycleType").split(",").head.trim
+              .stripPrefix("\"").stripSuffix("\"")
+            (graft.core.Seasonal.withCycle(data, tsCol, ct, unit),
+              keyCols ++ Seq("cycleType", "cycleIndex"))
+          } else (data, keyCols)
+        d.groupBy(ks.map(col): _*)
           .agg(count_distinct(col(attrCols.head)).as("uniqueCount"))
       case "timeIntervalGenerator" =>
         val tsCol = data.columns(conf("time.fieldOrdinal").toInt)
@@ -384,8 +440,10 @@ object ConfigRunner {
         if (jobType == "inRangeBasedPredictor") Scorers.inRange(data, ranges, cfg)
         else Scorers.outOfRange(data, ranges, cfg)
       case "changePointDetector" =>
-        val stat = conf.getOrElse("stat.type", "ks")
-        if (stat == "meanShift")
+        // cpsale.conf spells the stat UPPERCASE (stat.type = CVM) —
+        // normalize case-insensitively for both dispatch arms
+        val stat = conf.getOrElse("stat.type", "ks").toLowerCase
+        if (stat == "meanshift")
           Pipeline.changePoint(data, keyCols, seqCol, attrCols.head, window,
             conf.getOrElse("stat.critValue", "3.0").toDouble)
         else graft.seq.SeriesKernels.changePoint(data, keyCols, seqCol,
@@ -441,10 +499,40 @@ object ConfigRunner {
           minCount = conf.getOrElse("min.count", "100").toLong,
           defaultThreshold = threshold)
       case "thresholdLearner" =>
-        val scoreCol = data.columns(conf.getOrElse("score.fieldOrd", "0").toInt)
-        val labelCol = data.columns(conf.getOrElse("label.fieldOrd", "1").toInt)
-        PostOps.thresholdLearner(data, keyCols, scoreCol, labelCol,
-          splits = conf("threshold.splits").split(",").map(_.trim.toDouble).toSeq)
+        // reference spellings (resource/and.conf:52-58): score.fldOrd,
+        // cls.fldOrd, split.points, pos.clsLabel; engine spellings kept
+        val scoreCol = data.columns(conf.getOrElse("score.fldOrd",
+          conf.getOrElse("score.fieldOrd", "0")).toInt)
+        val labelCol0 = data.columns(conf.getOrElse("cls.fldOrd",
+          conf.getOrElse("label.fieldOrd", "1")).toInt)
+        val posLabel = conf.get("pos.clsLabel")
+        val labeled = posLabel match {
+          case Some(p) => data.withColumn("__pos",
+            col(labelCol0).cast("string") === p)
+          case None => data.withColumn("__pos", col(labelCol0))
+        }
+        PostOps.thresholdLearner(labeled, keyCols, scoreCol, "__pos",
+          splits = conf.getOrElse("split.points", conf("threshold.splits"))
+            .split(",").map(_.trim.toDouble).toSeq)
+      case "filter" =>
+        // chombo generic row filter (salean.conf filter block): apply the
+        // selection predicate when present; an empty selection.filter is
+        // the identity projection of the id + remaining fields
+        conf.get("selection.filter").map(_.trim).filter(_.nonEmpty)
+          .map(sel => data.where(expr(sel))).getOrElse(data)
+      case "dataTransformer" =>
+        // chombo dataTransformer with a discretizer transform
+        // (bsm.conf:4-12): bucketize the configured (or every numeric)
+        // column at bucket.width; other columns pass through
+        val width = conf.getOrElse("bucket.width", "1.0").toDouble
+        val targets: Seq[String] =
+          if (conf.contains("attr.ordinals")) attrCols
+          else data.schema.fields.collect {
+            case f if f.dataType == org.apache.spark.sql.types.DoubleType =>
+              f.name
+          }.toSeq
+        targets.foldLeft(data)((df, c) =>
+          df.withColumn(c, floor(col(c).cast("double") / width)))
       case other => throw new IllegalArgumentException(s"unknown jobType $other")
     }
   }

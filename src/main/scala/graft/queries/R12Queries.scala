@@ -20,19 +20,70 @@ object R12Queries {
     s"(CASE WHEN ($e) >= 0 THEN floor(($e)*$s+0.5) " +
       s"ELSE -floor(-($e)*$s+0.5) END)::BIGINT"
 
+  private val toksSql = """regexp_extract_all(lower(text), '\S+')"""
+
   /** (vec_id, i, x): embeddings exploded to per-dimension doubles. */
   private val exCte =
     """ex AS (SELECT vec_id, t.j AS i, (embedding::DOUBLE[])[t.j+1] AS x
       | FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS j) t)"""
       .stripMargin.replace("\n", " ")
 
+  private def ev(s: SparkSession, dir: String) = table(s, dir, "events")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ECOD on per-dim quantized value histograms: the 100 TB form of
     // q514 (no per-dim data-sized sort; r11 verdict item 4)
     "q550_ecod_hist" -> ((s, dir) =>
       canon(graft.multi.OutlierFaces.ecodHistogram(
-        emb(s, dir), "vec_id", "embedding", grain = 4)))
+        emb(s, dir), "vec_id", "embedding", grain = 4))),
+    // negative-binomial (NB2) GLM: the q542 Poisson fixture refit with
+    // dispersion alpha = 1 — overdispersed counts shrink the gradient
+    "q551_negbin_reg" -> ((s, dir) =>
+      canon(graft.model.Assoc.negBinRegFit(
+        ev(s, dir)
+          .withColumn("xb", pmod(col("user_id"), lit(8L)).cast("double"))
+          .withColumn("cnt", least(floor(abs(col("value"))), lit(8L))),
+        "xb", "cnt", alpha = 1.0, iters = 12, lr = 0.1))),
+    // Gaussian-copula (normal-scores) correlation matrix over the
+    // lineitem numeric triple — the latent-normal rho vs q300's Spearman
+    "q552_copula" -> ((s, dir) =>
+      canon(graft.model.Assoc.copulaCorrelation(table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount")))),
+    // discrete-time Hawkes self-excitation per event_type, daily
+    // buckets, beta = 0.5/day, 20x20 deterministic (mu, alpha) grid
+    "q553_hawkes" -> ((s, dir) =>
+      canon(graft.model.Behavior.hawkesFit(ev(s, dir), "event_type",
+        "ts", beta = 0.5))),
+    // generalized ESD (Rosner) top-3 outliers per event_type
+    "q554_gesd" -> ((s, dir) =>
+      canon(graft.model.Diagnostics.gesd(ev(s, dir), "event_type",
+        "event_id", "value", maxK = 3, alphaSig = 0.05))),
+    // hashing-trick feature vectors over documents, 64 signed buckets
+    "q555_feature_hash" -> ((s, dir) =>
+      canon(graft.text.TextOps.featureHash(table(s, dir, "documents"),
+        "doc_id", "text", dim = 64)))
   )
+
+  /** Round-half-away to 6dp (the GD weight freeze both engines apply). */
+  private def r6(e: String): String =
+    s"(CASE WHEN ($e) >= 0 THEN floor(($e)*1e6+0.5) " +
+      s"ELSE -floor(-($e)*1e6+0.5) END) / 1000000.0"
+
+  /** Pairwise Pearson from exact fixed-point moments (the
+    * correlationMatrix arithmetic; inputs are 4dp longs `$a`, `$b`). */
+  private def corrPair(src: String, a: String, b: String,
+      la: String, lb: String): String =
+    s"""SELECT '$la' AS col_x, '$lb' AS col_y, n,
+       | round(CASE WHEN dx > 0 AND dy > 0 THEN num/sqrt(dx*dy) END, 4)
+       |  + 0 AS corr
+       |FROM (SELECT count(*)::BIGINT AS n,
+       |  n::DOUBLE * sum($a::HUGEINT * $b::HUGEINT)::DOUBLE
+       |   - sum($a)::DOUBLE * sum($b)::DOUBLE AS num,
+       |  n::DOUBLE * sum($a::HUGEINT * $a::HUGEINT)::DOUBLE
+       |   - sum($a)::DOUBLE * sum($a)::DOUBLE AS dx,
+       |  n::DOUBLE * sum($b::HUGEINT * $b::HUGEINT)::DOUBLE
+       |   - sum($b)::DOUBLE * sum($b)::DOUBLE AS dy
+       | FROM $src)""".stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
     "q550_ecod_hist" -> {
@@ -70,6 +121,157 @@ object R12Queries {
          | round(orr, 4) + 0 AS o_right, round(oa, 4) + 0 AS o_auto,
          | round(greatest(ol, orr, oa), 4) + 0 AS ecod FROM os"""
         .stripMargin.replace("\n", " ")
-    }
+    },
+
+    "q551_negbin_reg" -> {
+      val fp9 = (e: String) => fp(e, "1e9")
+      val mu = "exp(least(w.a + w.b*d.x, 30.0))"
+      val sc = s"((d.y - $mu) / (1.0 + 1.0*$mu))"
+      val rounds = (1 to 12).map { t =>
+        val p = s"w${t - 1}"
+        s"""g$t AS (SELECT
+           |  sum(${fp9(sc)})::HUGEINT AS ga,
+           |  sum(${fp9(s"$sc * d.x")})::HUGEINT AS gb,
+           |  count(*)::BIGINT AS n
+           | FROM d, $p w),
+           |w$t AS MATERIALIZED (SELECT
+           |  ${r6(s"w.a + 0.1 * (g.ga::DOUBLE / g.n / 1e9)")} AS a,
+           |  ${r6(s"w.b + 0.1 * (g.gb::DOUBLE / g.n / 1e9)")} AS b
+           | FROM $p w, g$t g)""".stripMargin
+      }.mkString(", ")
+      s"""WITH d AS (SELECT (user_id % 8)::DOUBLE AS x,
+         |  least(floor(abs(value)), 8)::DOUBLE AS y
+         | FROM events WHERE value IS NOT NULL),
+         |w0 AS (SELECT 0.0::DOUBLE AS a, 0.0::DOUBLE AS b),
+         |$rounds
+         |SELECT (SELECT count(*) FROM d)::BIGINT AS n,
+         | round(w.a, 4) + 0 AS a, round(w.b, 4) + 0 AS b,
+         | round(1.0, 4) + 0 AS alpha,
+         | round((SELECT sum(${fp9("exp(least(w.a + w.b*d.x, 30.0))")})
+         |  ::HUGEINT::DOUBLE / 1e9 / (SELECT count(*) FROM d) FROM d), 4)
+         |  + 0 AS mean_mu
+         |FROM w12 w""".stripMargin.replace("\n", " ")
+    },
+
+    "q552_copula" -> {
+      // midranks off rank()/tie-count windows == the engine's histogram
+      // 2·r̄ arithmetic; u = r̄/(n+1) → Acklam probit → 4dp freeze →
+      // exact-moment Pearson (the correlationMatrix replay)
+      def r2(c: String) =
+        s"(2*rank() OVER (ORDER BY $c) + count(*) OVER (PARTITION BY $c)" +
+          s" - 1)::DOUBLE AS r$c"
+      def z(c: String) = fp(
+        StatQueries.probitSql(s"((r$c/2.0) / (nn + 1.0))"), "10000.0") +
+        s" AS z$c"
+      s"""WITH src AS (SELECT
+         |  ${fp("l_quantity", "10000.0")} AS q_,
+         |  ${fp("l_extendedprice", "10000.0")} AS e_,
+         |  ${fp("l_discount", "10000.0")} AS d_
+         | FROM lineitem WHERE l_quantity IS NOT NULL
+         |  AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+         |nn0 AS (SELECT count(*)::DOUBLE AS nn FROM src),
+         |rk AS (SELECT ${r2("q_")}, ${r2("e_")}, ${r2("d_")} FROM src),
+         |zz AS (SELECT ${z("q_")}, ${z("e_")}, ${z("d_")} FROM rk, nn0)
+         |${corrPair("zz", "zq_", "ze_", "l_quantity", "l_extendedprice")}
+         |UNION ALL
+         |${corrPair("zz", "zq_", "zd_", "l_quantity", "l_discount")}
+         |UNION ALL
+         |${corrPair("zz", "ze_", "zd_", "l_extendedprice", "l_discount")}"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    "q553_hawkes" -> {
+      val fp9 = (e: String) => fp(e, "1e9")
+      s"""WITH bd AS (SELECT event_type AS key,
+         |  (epoch_ns(ts) // 86400000000000)::BIGINT AS d, count(*)::BIGINT AS c
+         | FROM events GROUP BY 1, 2),
+         |sp AS (SELECT key, min(d) AS d0, max(d) AS d1,
+         |  sum(c)::BIGINT AS tot FROM bd GROUP BY 1),
+         |cal AS (SELECT sp.key, sp.d0, sp.tot,
+         |  (sp.d1 - sp.d0 + 1)::BIGINT AS nd,
+         |  unnest(generate_series(sp.d0, sp.d1)) AS d FROM sp),
+         |dense AS (SELECT cal.key, cal.d0, cal.tot, cal.nd, cal.d,
+         |  coalesce(bd.c, 0)::BIGINT AS c, (cal.d - cal.d0)::DOUBLE AS tt
+         | FROM cal LEFT JOIN bd ON bd.key = cal.key AND bd.d = cal.d),
+         |ex AS (SELECT *, exp(-0.5*tt) * coalesce(
+         |  sum(c::DOUBLE * exp(0.5*tt)) OVER (PARTITION BY key ORDER BY d
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS e
+         | FROM dense),
+         |grid AS (SELECT t1.m, t2.a::DOUBLE * 0.05 AS alpha
+         | FROM range(1, 21) t1(m) CROSS JOIN range(0, 20) t2(a)),
+         |sc AS (SELECT ex.key, g.m, g.alpha,
+         |  max(ex.nd) AS n_days, max(ex.tot) AS n_events,
+         |  max(g.m::DOUBLE / 10.0 * (ex.tot::DOUBLE / ex.nd::DOUBLE))
+         |   AS mu,
+         |  sum(${fp9("ex.c::DOUBLE * ln(g.m::DOUBLE / 10.0 * " +
+              "(ex.tot::DOUBLE / ex.nd::DOUBLE) + g.alpha * ex.e) - " +
+              "(g.m::DOUBLE / 10.0 * (ex.tot::DOUBLE / ex.nd::DOUBLE) " +
+              "+ g.alpha * ex.e)")})::HUGEINT AS ll9
+         | FROM ex CROSS JOIN grid g GROUP BY 1, 2, 3),
+         |best AS (SELECT *, row_number() OVER (PARTITION BY key
+         |  ORDER BY ll9 DESC, m ASC, alpha ASC) AS rk FROM sc)
+         |SELECT key, n_days, n_events, round(mu, 4) + 0 AS mu,
+         | round(alpha, 4) + 0 AS alpha,
+         | round(ll9::DOUBLE / 1e9, 4) + 0 AS ll
+         |FROM best WHERE rk = 1""".stripMargin.replace("\n", " ")
+    },
+
+    "q554_gesd" -> {
+      val alphaSig = 0.05
+      def lam(n: String) = {
+        val zp = StatQueries.probitSql(s"(1.0 - $alphaSig / (2.0 * $n))")
+        s"(($n - 1.0) * $zp / sqrt(($n - 2.0 + $zp * $zp) * $n))"
+      }
+      // round r: moments over the remainder, arg-max |n·f − S| pick
+      def round(r: Int, src: String) =
+        s"""s$r AS (SELECT key, count(*)::BIGINT AS n,
+           |  sum(f)::HUGEINT AS s, sum(f::HUGEINT * f::HUGEINT) AS q
+           | FROM $src GROUP BY 1),
+           |c$r AS (SELECT b.key, b.o, b.v, s.n, s.s, s.q,
+           |  row_number() OVER (PARTITION BY b.key
+           |   ORDER BY abs(s.n::HUGEINT * b.f::HUGEINT - s.s) DESC,
+           |    b.o ASC) AS rn
+           | FROM $src b JOIN s$r s USING (key)),
+           |r$r AS (SELECT key, $r AS round, n AS n_remaining,
+           |  o AS outlier_ord, v AS value, abs(v - mu) / sd AS r_stat,
+           |  ${lam("n::DOUBLE")} AS lambda
+           | FROM (SELECT *, s::DOUBLE / n::DOUBLE / 1e4 AS mu,
+           |    sqrt((q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+           |     / (n::DOUBLE - 1.0)) / 1e4 AS sd
+           |   FROM c$r WHERE rn = 1 AND n >= 3)
+           | WHERE sd > 0)""".stripMargin
+      s"""WITH b1 AS (SELECT event_type AS key, event_id AS o,
+         |  value AS v, ${fp("value", "10000.0")} AS f
+         | FROM events WHERE value IS NOT NULL),
+         |${round(1, "b1")},
+         |b2 AS (SELECT b1.* FROM b1 WHERE NOT EXISTS
+         |  (SELECT 1 FROM r1 WHERE r1.key = b1.key
+         |    AND r1.outlier_ord = b1.o)),
+         |${round(2, "b2")},
+         |b3 AS (SELECT b2.* FROM b2 WHERE NOT EXISTS
+         |  (SELECT 1 FROM r2 WHERE r2.key = b2.key
+         |    AND r2.outlier_ord = b2.o)),
+         |${round(3, "b3")},
+         |allr AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+         |  UNION ALL SELECT * FROM r3)
+         |SELECT key, round, n_remaining, outlier_ord,
+         | round(value, 4) + 0 AS value, round(r_stat, 4) + 0 AS r_stat,
+         | round(lambda, 4) + 0 AS lambda,
+         | max(CASE WHEN r_stat > lambda THEN 1 ELSE 0 END)
+         |  OVER (PARTITION BY key ORDER BY round DESC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+         |  AS significant
+         |FROM allr""".stripMargin.replace("\n", " ")
+    },
+
+    "q555_feature_hash" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok
+         | FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id,
+         | ('0x'||substr(md5(tok),1,14))::BIGINT % 64 AS bucket,
+         | sum(CASE WHEN ('0x'||substr(md5('s:'||tok),1,14))::BIGINT % 2
+         |  = 0 THEN 1 ELSE -1 END)::BIGINT AS w
+         |FROM t GROUP BY 1, 2 HAVING w != 0"""
+        .stripMargin.replace("\n", " ")
   )
 }

@@ -3139,4 +3139,30 @@ object TextOps {
       .select(col("_g").as(groupCol), col("n_tokens"), col("kl"),
         col("js"))
   }
+
+  /** Feature hashing (the hashing trick, Weinberger et al. ICML'09):
+    * token counts fold into a FIXED `dim`-bucket vector per document —
+    * bucket = md5(token) mod dim, entry = Σ ±count with the sign bit
+    * from an independent md5 (the unbiased two-hash form, E[collision
+    * contribution] = 0) — the constant-width feature map the logreg/NB
+    * quality classifiers consume without a vocabulary table (no fit
+    * pass, no OOV, mergeable across corpora by construction).
+    *
+    * Determinism: both hashes are md5-derived (the engine-wide seed
+    * device); entries are exact integer sums. Scale: one tokenize +
+    * explode + (doc, bucket) hash aggregate — no joins, no windows.
+    * Output long-form: idCol, bucket, w (zero-sum buckets dropped). */
+  def featureHash(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 1024): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 24), "2 <= dim <= 2^24")
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
+      .withColumn("bucket", pmod(hash56(col("_tok")), lit(dim.toLong)))
+      .withColumn("_sgn",
+        when(pmod(hash56(concat(lit("s:"), col("_tok"))), lit(2L)) === 0L,
+          lit(1L)).otherwise(lit(-1L)))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("_sgn")).as("w"))
+      .where(col("w") =!= 0)
+  }
 }

@@ -58,6 +58,84 @@ class Round12Spec extends SparkSpec {
     assert(opens.isEmpty, s"unpartitioned windows: $opens")
   }
 
+  test("hawkesFit: a self-exciting burst series fits high alpha, a flat series fits low") {
+    import spark.implicits._
+    val day = 86400000000000L
+    // bursty: quiet baseline with a 6-day cascade (each day ~doubling)
+    val bursty = (0 until 30).flatMap { d =>
+      val c = if (d >= 12 && d <= 17) math.min(1 << (d - 11), 40) else 1
+      (0 until c).map(i => ("burst", d * day + i))
+    }
+    // flat: constant 5/day — memoryless
+    val flat = (0 until 30).flatMap(d =>
+      (0 until 5).map(i => ("flat", d * day + i)))
+    val df = (bursty ++ flat).toDF("k", "ts")
+    val r = graft.model.Behavior.hawkesFit(df, "k", "ts", beta = 0.5)
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Double]("alpha"), x.getAs[Double]("mu"))).toMap
+    assert(r("burst")._1 >= 0.5, s"burst alpha ${r("burst")._1} < 0.5")
+    assert(r("flat")._1 <= 0.1, s"flat alpha ${r("flat")._1} > 0.1")
+  }
+
+  test("gesd: flags the planted outliers, Rosner rule un-masks the pair") {
+    import spark.implicits._
+    // two gross outliers of similar size — single-pass Grubbs masks one,
+    // gESD's any-later-round rule must flag BOTH
+    val vals = (1 to 100).map(i => ("g", i.toLong, 10.0 + (i % 7) * 0.1)) ++
+      Seq(("g", 900L, 95.0), ("g", 901L, 94.0))
+    val r = graft.model.Diagnostics.gesd(vals.toDF("k", "o", "v"),
+        "k", "o", "v", maxK = 3).collect().sortBy(_.getAs[Int]("round"))
+    assert(r.length == 3)
+    assert(r(0).getAs[Long]("outlier_ord") == 900L)
+    assert(r(1).getAs[Long]("outlier_ord") == 901L)
+    assert(r(0).getAs[Boolean]("significant") &&
+      r(1).getAs[Boolean]("significant"),
+      "both planted outliers must be significant")
+    assert(!r(2).getAs[Boolean]("significant"),
+      "the clean-bulk round must not be significant")
+  }
+
+  test("copulaCorrelation: monotone dependence -> rho near 1; independence near 0") {
+    import spark.implicits._
+    val rows = (1 to 400).map { i =>
+      val x = ((i * 37) % 101).toDouble
+      (x, x * x + 3.0, ((i * 61) % 97).toDouble) // y = monotone in x
+    }
+    val r = graft.model.Assoc.copulaCorrelation(
+        rows.toDF("x", "y", "w"), Seq("x", "y", "w"))
+      .collect().map(q => (q.getString(0), q.getString(1)) ->
+        q.getAs[Double]("corr")).toMap
+    assert(r(("x", "y")) > 0.99, s"monotone pair rho ${r(("x", "y"))}")
+    assert(math.abs(r(("x", "w"))) < 0.15, s"independent pair ${r(("x", "w"))}")
+  }
+
+  test("negBinRegFit: alpha=0 recovers the Poisson fit exactly") {
+    import spark.implicits._
+    val df = (1 to 300).map { i =>
+      val x = (i % 8).toDouble
+      (x, math.floor(math.exp(0.2 + 0.1 * x)).max(0.0))
+    }.toDF("x", "y")
+    val nb = graft.model.Assoc.negBinRegFit(df, "x", "y", alpha = 0.0,
+      iters = 8, lr = 0.1).collect()(0)
+    val po = graft.model.Assoc.poissonRegFit(df, "x", "y",
+      iters = 8, lr = 0.1).collect()(0)
+    assert(nb.getAs[Double]("a") == po.getAs[Double]("a"))
+    assert(nb.getAs[Double]("b") == po.getAs[Double]("b"))
+  }
+
+  test("featureHash: fixed-dim signed counts, merge-consistent across splits") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, "a b"), (3L, "c c d")).toDF("id", "t")
+    val full = graft.text.TextOps.featureHash(docs, "id", "t", dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc-level vectors are independent: hashing doc 1 alone matches
+    val solo = graft.text.TextOps.featureHash(docs.where($"id" === 1L),
+        "id", "t", dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(solo == full.filter(_._1._1 == 1L))
+    assert(full.keys.forall { case (_, b) => b >= 0 && b < 16 })
+  }
+
   test("prefixJaccardJoin: positional + pair-prefix filters preserve the exact result") {
     import spark.implicits._
     // brute-force oracle on a small tie-heavy corpus
