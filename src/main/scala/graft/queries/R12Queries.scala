@@ -61,7 +61,18 @@ object R12Queries {
     // hashing-trick feature vectors over documents, 64 signed buckets
     "q555_feature_hash" -> ((s, dir) =>
       canon(graft.text.TextOps.featureHash(table(s, dir, "documents"),
-        "doc_id", "text", dim = 64)))
+        "doc_id", "text", dim = 64))),
+    // rank-2 ALS factorization of the (user-bucket x event_type) mean-
+    // value matrix: 4 alternating rounds, ridge 0.1, closed-form 2x2
+    "q556_als" -> ((s, dir) => {
+      val r = ev(s, dir).where(col("value").isNotNull)
+        .groupBy(pmod(col("user_id"), lit(50L)).cast("string").as("u"),
+          col("event_type").as("i"))
+        .agg((sum(fixedPointLong(col("value"), 4).cast("decimal(38,0)"))
+          .cast("double") / 1e4 / count(lit(1))).as("y"))
+      canon(graft.model.Factorize.als2(r, "u", "i", "y",
+        iters = 4, lambda = 0.1))
+    })
   )
 
   /** Round-half-away to 6dp (the GD weight freeze both engines apply). */
@@ -272,6 +283,64 @@ object R12Queries {
          | sum(CASE WHEN ('0x'||substr(md5('s:'||tok),1,14))::BIGINT % 2
          |  = 0 THEN 1 ELSE -1 END)::BIGINT AS w
          |FROM t GROUP BY 1, 2 HAVING w != 0"""
-        .stripMargin.replace("\n", " ")
+        .stripMargin.replace("\n", " "),
+
+    "q556_als" -> {
+      val fp8 = (e: String) => fp(e, "1e8")
+      val lam = "0.1"
+      // solve side A from side B's factors: 8dp normal-equation sums,
+      // closed-form 2x2, 6dp round — exactly the engine's float program
+      def solve(t: Int, aKey: String, bKey: String, bTab: String,
+          b1c: String, b2c: String, out: String) = {
+        val a11 = s"(s11::DOUBLE/1e8 + $lam)"
+        val a12 = "(s12::DOUBLE/1e8)"
+        val a22 = s"(s22::DOUBLE/1e8 + $lam)"
+        val bb1 = "(b1::DOUBLE/1e8)"
+        val bb2 = "(b2::DOUBLE/1e8)"
+        val det = s"($a11 * $a22 - $a12 * $a12)"
+        s"""$out AS (SELECT $aKey,
+           |  ${r6(s"($a22 * $bb1 - $a12 * $bb2) / $det")} AS p1,
+           |  ${r6(s"($a11 * $bb2 - $a12 * $bb1) / $det")} AS p2
+           | FROM (SELECT r.$aKey,
+           |   sum(${fp8(s"q.$b1c * q.$b1c")})::HUGEINT AS s11,
+           |   sum(${fp8(s"q.$b1c * q.$b2c")})::HUGEINT AS s12,
+           |   sum(${fp8(s"q.$b2c * q.$b2c")})::HUGEINT AS s22,
+           |   sum(${fp8(s"r.y * q.$b1c")})::HUGEINT AS b1,
+           |   sum(${fp8(s"r.y * q.$b2c")})::HUGEINT AS b2
+           |  FROM r JOIN $bTab q USING ($bKey) GROUP BY 1))"""
+          .stripMargin
+      }
+      def h01(pre: String) =
+        s"(('0x'||substr(md5('$pre'||i),1,14))::BIGINT::DOUBLE + 1.0)" +
+          "/72057594037927936.0"
+      val rounds = (1 to 4).map { t =>
+        solve(t, "u", "i", s"q${t - 1}", "q1", "q2", s"ut$t") + ",\n" +
+          s"u$t AS (SELECT u, p1, p2 FROM ut$t),\n" +
+          solve(t, "i", "u",
+            s"(SELECT u, p1 AS q1, p2 AS q2 FROM u$t)", "q1", "q2",
+            s"qt$t") + ",\n" +
+          s"q$t AS (SELECT i, p1 AS q1, p2 AS q2 FROM qt$t)"
+      }.mkString(",\n")
+      s"""WITH r AS (SELECT (user_id % 50)::VARCHAR AS u, event_type AS i,
+         |  sum(${fp("value", "10000.0")})::HUGEINT::DOUBLE / 1e4
+         |   / count(*) AS y
+         | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |q0 AS (SELECT i, ${r6(h01("als1:"))} AS q1,
+         |  ${r6(h01("als2:"))} AS q2 FROM (SELECT DISTINCT i FROM r)),
+         |$rounds,
+         |pred AS (SELECT r.y - (u.p1 * q.q1 + u.p2 * q.q2) AS e
+         | FROM r JOIN u4 u USING (u) JOIN q4 q USING (i)),
+         |rmse AS (SELECT 'rmse' AS side, 'all' AS id,
+         |  sqrt(sum(${fp8("e * e")})::HUGEINT::DOUBLE / 1e8 / count(*))
+         |   AS f1, 0.0 AS f2 FROM pred)
+         |SELECT 'user' AS side, u AS id, round(p1, 4) + 0 AS f1,
+         | round(p2, 4) + 0 AS f2 FROM u4
+         |UNION ALL
+         |SELECT 'item' AS side, i AS id, round(q1, 4) + 0 AS f1,
+         | round(q2, 4) + 0 AS f2 FROM q4
+         |UNION ALL
+         |SELECT side, id, round(f1, 4) + 0 AS f1, round(f2, 4) + 0 AS f2
+         |FROM rmse""".stripMargin.replace("\n", " ")
+    }
   )
 }

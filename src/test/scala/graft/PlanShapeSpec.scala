@@ -7,8 +7,15 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
   * scoring) asserted against the actual planned queries. */
 class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
-  private def plan(q: String) =
+  private def plan(q: String) = {
+    // suite-order isolation: another spec's persisted frame can match a
+    // subplan here and Spark's CacheManager substitutes an
+    // InMemoryRelation — hiding the parquet scan this spec asserts on
+    // (seen as an intermittent q05 ReadSchema failure). Plan shape must
+    // be judged cache-free.
+    spark.catalog.clearCache()
     SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+  }
 
   test("zscore scoring: model broadcast-joined, data side scan is pruned and unshuffled") {
     val p = plan("q05_zscore").toString

@@ -136,6 +136,22 @@ class Round12Spec extends SparkSpec {
     assert(full.keys.forall { case (_, b) => b >= 0 && b < 16 })
   }
 
+  test("als2: rank-2 factorization reconstructs a rank-2 matrix, rmse near 0") {
+    import spark.implicits._
+    // a genuinely rank-2 matrix: y(u,i) = a_u*b_i + c_u*d_i
+    val rows = for (u <- 0 until 40; i <- 0 until 6) yield {
+      val au = 1.0 + (u % 5) * 0.5; val cu = 0.5 + (u % 3) * 0.25
+      val bi = 1.0 + i * 0.3; val di = 2.0 - i * 0.2
+      (s"u$u", s"i$i", au * bi + cu * di)
+    }
+    val out = graft.model.Factorize.als2(rows.toDF("u", "i", "y"),
+      "u", "i", "y", iters = 8, lambda = 0.01).collect()
+    val rmse = out.find(_.getString(0) == "rmse").get.getAs[Double]("f1")
+    assert(rmse < 0.05, s"rank-2 matrix should reconstruct, rmse=$rmse")
+    assert(out.count(_.getString(0) == "user") == 40)
+    assert(out.count(_.getString(0) == "item") == 6)
+  }
+
   test("prefixJaccardJoin: positional + pair-prefix filters preserve the exact result") {
     import spark.implicits._
     // brute-force oracle on a small tie-heavy corpus
