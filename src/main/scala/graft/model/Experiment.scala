@@ -160,4 +160,91 @@ object Experiment {
           lit(2.0) * (lit(1.0) - phi(abs(col("dm_stat"))))))
       .select("key", "n", "d_mean", "dm_stat", "p_value")
   }
+
+  /** Two-sided group-sequential boundary constants at α = 0.05
+    * (Jennison & Turnbull, Group Sequential Methods, Table 2.1/2.3):
+    * the classical fixed-K interim-analysis design — the scheduled-looks
+    * complement of [[msprt]]'s always-valid monitoring. */
+  private val obfC = Map(1 -> 1.960, 2 -> 1.977, 3 -> 2.004,
+    4 -> 2.024, 5 -> 2.040)
+  private val pocockC = Map(1 -> 1.960, 2 -> 2.178, 3 -> 2.289,
+    4 -> 2.361, 5 -> 2.413)
+
+  /** Group-sequential A/B monitor with O'Brien-Fleming (default) or
+    * Pocock boundaries: rows bucket into `looks` equal ord-range interim
+    * analyses; at look k the CUMULATIVE Welch z of treated-vs-control
+    * compares against the boundary — OBF: C·√(K/k) (hard to cross
+    * early, near-nominal at the end), Pocock: constant C. `crossed`
+    * marks the look, `decided` carries forward once any look crossed
+    * (the stop-early semantics). K ≤ 5 per the constants table.
+    *
+    * Determinism: per-(key, arm, look) sums are exact 4dp/decimal; the
+    * cumulative across looks is a K-row per-key window (bounded by
+    * construction); z is a fixed float expression of exact integers.
+    * Scale: one hash aggregate to key×2×K rows, everything after is
+    * model-sized. Output per (key, look): key, look, n_a, n_b, z,
+    * bound, crossed, decided. */
+  def groupSequential(data: DataFrame, keyCol: String, ordCol: String,
+      armCol: String, valCol: String, looks: Int = 4,
+      shape: String = "obf"): DataFrame = {
+    require(looks >= 1 && looks <= 5, "1 <= looks <= 5 (constants table)")
+    val c = shape match {
+      case "obf" => obfC(looks)
+      case "pocock" => pocockC(looks)
+      case o => throw new IllegalArgumentException(s"shape obf|pocock: $o")
+    }
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    val base = data.where(col(valCol).isNotNull)
+      .select(col(keyCol).as("key"), col(ordCol).cast("long").as("_o"),
+        col(armCol).cast("boolean").as("_t"),
+        fp4(col(valCol).cast("double")).as("_v"))
+    val rng = base.groupBy("key")
+      .agg(min(col("_o")).as("_o0"), max(col("_o")).as("_o1"))
+    // look = equal ord-range bucket 1..K (integer arithmetic, exact)
+    val looked = base.join(broadcast(rng), "key")
+      .withColumn("look", least(lit(looks.toLong),
+        floor((col("_o") - col("_o0")).cast("double") * looks /
+          (col("_o1") - col("_o0") + 1L).cast("double")).cast("long") + 1L))
+    val perLook = looked.groupBy(col("key"), col("look"), col("_t"))
+      .agg(count(lit(1)).as("_n"), sum(dec(col("_v"))).as("_s"),
+        sum(dec(dec(col("_v")) * dec(col("_v")))).as("_q"))
+    // cumulative across looks: a K-row window per (key, arm)
+    val w = Window.partitionBy(col("key"), col("_t"))
+      .orderBy(col("look").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perLook
+      .withColumn("_cn", sum(col("_n")).over(w))
+      .withColumn("_cs", sum(col("_s")).over(w))
+      .withColumn("_cq", sum(col("_q")).over(w))
+    def side(t: Boolean, tag: String) = cum.where(col("_t") === t)
+      .select(col("key"), col("look"), col("_cn").as(s"n_$tag"),
+        col("_cs").as(s"_s$tag"), col("_cq").as(s"_q$tag"))
+    val j = side(t = true, "a").join(side(t = false, "b"),
+      Seq("key", "look"))
+    def mu(s: Column, n: Column) = s.cast("double") / n.cast("double") / 1e4
+    def va(s: Column, q: Column, n: Column) = {
+      val nD = n.cast("double")
+      (q.cast("double") - s.cast("double") * s.cast("double") / nD) /
+        (nD - 1.0) / 1e8
+    }
+    val na = col("n_a"); val nb = col("n_b")
+    val z = (mu(col("_sa"), na) - mu(col("_sb"), nb)) /
+      sqrt(va(col("_sa"), col("_qa"), na) / na.cast("double") +
+        va(col("_sb"), col("_qb"), nb) / nb.cast("double"))
+    val bound = shape match {
+      case "obf" => lit(c) *
+        sqrt(lit(looks.toDouble) / col("look").cast("double"))
+      case _ => lit(c)
+    }
+    val dw = Window.partitionBy(col("key")).orderBy(col("look").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    j.where(na >= 2 && nb >= 2)
+      .withColumn("z", z)
+      .withColumn("bound", bound)
+      .withColumn("crossed", abs(col("z")) > col("bound"))
+      .withColumn("decided",
+        max(col("crossed").cast("int")).over(dw) === 1)
+      .select("key", "look", "n_a", "n_b", "z", "bound", "crossed",
+        "decided")
+  }
 }

@@ -139,6 +139,57 @@ object Fitters {
       .where(col("rank") <= k)
   }
 
+  /** Pairwise set-OVERLAP estimates between keys from their
+    * [[kmvSketch]]es (the theta-sketch intersection device, Dasgupta et
+    * al.): for every key pair (a < b), rebuild the UNION's bottom-k from
+    * the two sketches (the kmvMerge identity — the union's k smallest
+    * hashes are among each side's k smallest), estimate
+    * |A∪B| = (k−1)/θ_union, and estimate Jaccard as the fraction of the
+    * union sample present in BOTH sketches — an unbiased sample of the
+    * union. est_inter = jaccard × union. "How much does source A's token
+    * set overlap source B's" at sketch cost — no re-scan of the corpora,
+    * mergeable across slices by construction.
+    *
+    * Scale: the sketch frame is k·|keys| rows (a model); the pair join
+    * and re-rank are model-sized. Exact when a pair's union holds < k
+    * hashes. Output per pair: key_a, key_b, union_n (union sample size),
+    * est_union, est_jaccard, est_inter. */
+  def kmvOverlap(sketch: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val a = sketch.select(col(keyCol).as("key_a"), col("h"))
+    val b = sketch.select(col(keyCol).as("key_b"), col("h"))
+    // union bottom-k per pair: outer-join the two hash sets, re-rank
+    val pairs = a.select(col("key_a")).distinct()
+      .join(b.select(col("key_b")).distinct(),
+        col("key_a") < col("key_b"))
+    val uni = pairs.join(a, "key_a")
+      .unionByName(pairs.join(b.withColumnRenamed("h", "h2"), "key_b")
+        .withColumnRenamed("h2", "h"))
+      .select(col("key_a"), col("key_b"), col("h")).distinct()
+    val w = Window.partitionBy(col("key_a"), col("key_b"))
+      .orderBy(col("h"))
+    val topk = uni.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    val inA = a.withColumn("_ina", lit(1))
+    val inB = b.withColumn("_inb", lit(1))
+    val flagged = topk
+      .join(inA, Seq("key_a", "h"), "left")
+      .join(inB, Seq("key_b", "h"), "left")
+    val theta = col("_hk") / lit(72057594037927936.0) // 2^56
+    flagged.groupBy(col("key_a"), col("key_b"))
+      .agg(count(lit(1)).as("union_n"),
+        max(when(col("rank") === k, col("h"))).as("_hk"),
+        sum(when(col("_ina").isNotNull && col("_inb").isNotNull, 1L)
+          .otherwise(0L)).as("_both"))
+      .withColumn("est_union",
+        when(col("union_n") < k, col("union_n").cast("double"))
+          .otherwise(lit(k - 1) / theta))
+      .withColumn("est_jaccard",
+        col("_both").cast("double") / col("union_n").cast("double"))
+      .withColumn("est_inter", col("est_jaccard") * col("est_union"))
+      .select("key_a", "key_b", "union_n", "est_union", "est_jaccard",
+        "est_inter")
+  }
+
   /** Count–min sketch (Cormode & Muthukrishnan, J.Alg '05) — mergeable
     * frequency model, the read-side complement of the Misra–Gries
     * heavy-hitter prefilter (TextOps.heavyHitterGrams): MG answers "which

@@ -62,6 +62,24 @@ object R12Queries {
     "q555_feature_hash" -> ((s, dir) =>
       canon(graft.text.TextOps.featureHash(table(s, dir, "documents"),
         "doc_id", "text", dim = 64))),
+    // KMV set-overlap estimates between sources' token sets (theta-
+    // sketch intersection) — corpus overlap at k=64 sketch cost
+    "q557_kmv_overlap" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("source"),
+          explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      val sk = graft.model.Fitters.kmvSketch(toks, Seq("source"), "tok",
+        k = 64)
+      canon(graft.model.Fitters.kmvOverlap(sk, "source", k = 64))
+    }),
+    // O'Brien-Fleming group-sequential A/B monitor: 4 scheduled looks
+    // over event_id order, arm = user parity, per event_type
+    "q558_group_seq" -> ((s, dir) =>
+      canon(graft.model.Experiment.groupSequential(
+        ev(s, dir).withColumn("t", pmod(col("user_id"), lit(2L)) === 0),
+        "event_type", "event_id",
+        armCol = "t", valCol = "value", looks = 4, shape = "obf"))),
     // rank-2 ALS factorization of the (user-bucket x event_type) mean-
     // value matrix: 4 alternating rounds, ridge 0.1, closed-form 2x2
     "q556_als" -> ((s, dir) => {
@@ -284,6 +302,87 @@ object R12Queries {
          |  = 0 THEN 1 ELSE -1 END)::BIGINT AS w
          |FROM t GROUP BY 1, 2 HAVING w != 0"""
         .stripMargin.replace("\n", " "),
+
+    "q557_kmv_overlap" ->
+      s"""WITH t AS (SELECT source, unnest($toksSql) AS tok
+         | FROM documents WHERE text IS NOT NULL),
+         |hh AS (SELECT DISTINCT source,
+         |  ('0x'||substr(md5(tok),1,14))::BIGINT AS h FROM t),
+         |sk AS (SELECT source, h FROM (SELECT source, h,
+         |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM hh) WHERE rn <= 64),
+         |ks AS (SELECT DISTINCT source FROM sk),
+         |pr AS (SELECT a.source AS key_a, b.source AS key_b
+         | FROM ks a JOIN ks b ON a.source < b.source),
+         |uni AS (SELECT DISTINCT pr.key_a, pr.key_b, s.h
+         | FROM pr JOIN sk s ON s.source = pr.key_a
+         | UNION
+         | SELECT DISTINCT pr.key_a, pr.key_b, s.h
+         | FROM pr JOIN sk s ON s.source = pr.key_b),
+         |topk AS (SELECT key_a, key_b, h,
+         |  row_number() OVER (PARTITION BY key_a, key_b ORDER BY h)
+         |   AS rank
+         | FROM uni QUALIFY rank <= 64),
+         |fl AS (SELECT tk.key_a, tk.key_b, tk.h, tk.rank,
+         |  (sa.h IS NOT NULL) AS ina, (sb.h IS NOT NULL) AS inb
+         | FROM topk tk
+         | LEFT JOIN sk sa ON sa.source = tk.key_a AND sa.h = tk.h
+         | LEFT JOIN sk sb ON sb.source = tk.key_b AND sb.h = tk.h),
+         |ag AS (SELECT key_a, key_b, count(*)::BIGINT AS union_n,
+         |  max(CASE WHEN rank = 64 THEN h END) AS hk,
+         |  sum(CASE WHEN ina AND inb THEN 1 ELSE 0  END)::BIGINT AS nboth
+         | FROM fl GROUP BY 1, 2)
+         |SELECT key_a, key_b, union_n,
+         | round(CASE WHEN union_n < 64 THEN union_n::DOUBLE
+         |  ELSE 63 / (hk / 72057594037927936.0) END, 4) + 0 AS est_union,
+         | round(nboth::DOUBLE / union_n::DOUBLE, 4) + 0 AS est_jaccard,
+         | round((nboth::DOUBLE / union_n::DOUBLE) *
+         |  (CASE WHEN union_n < 64 THEN union_n::DOUBLE
+         |   ELSE 63 / (hk / 72057594037927936.0) END), 4) + 0
+         |  AS est_inter
+         |FROM ag""".stripMargin.replace("\n", " "),
+
+    "q558_group_seq" -> {
+      val mu = (s: String, n: String) => s"($s::DOUBLE / $n::DOUBLE / 1e4)"
+      val va = (s: String, q: String, n: String) =>
+        s"(($q::DOUBLE - $s::DOUBLE * $s::DOUBLE / $n::DOUBLE) " +
+          s"/ ($n::DOUBLE - 1.0) / 1e8)"
+      s"""WITH b AS (SELECT event_type AS key, event_id AS o,
+         |  user_id % 2 = 0 AS t, ${fp("value", "10000.0")} AS v
+         | FROM events WHERE value IS NOT NULL),
+         |rg AS (SELECT key, min(o) AS o0, max(o) AS o1 FROM b GROUP BY 1),
+         |lk AS (SELECT b.key, b.t, b.v,
+         |  least(4, floor((b.o - rg.o0)::DOUBLE * 4
+         |   / (rg.o1 - rg.o0 + 1)::DOUBLE)::BIGINT + 1) AS look
+         | FROM b JOIN rg USING (key)),
+         |pl AS (SELECT key, look, t, count(*)::BIGINT AS n,
+         |  sum(v)::HUGEINT AS s, sum(v::HUGEINT * v::HUGEINT) AS q
+         | FROM lk GROUP BY 1, 2, 3),
+         |cu AS (SELECT key, look, t,
+         |  sum(n) OVER pw AS cn, sum(s) OVER pw AS cs,
+         |  sum(q) OVER pw AS cq
+         | FROM pl WINDOW pw AS (PARTITION BY key, t ORDER BY look
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |j AS (SELECT a.key, a.look, a.cn AS na, a.cs AS sa, a.cq AS qa,
+         |  c.cn AS nb, c.cs AS sb, c.cq AS qb
+         | FROM (SELECT * FROM cu WHERE t) a
+         | JOIN (SELECT * FROM cu WHERE NOT t) c
+         |  ON a.key = c.key AND a.look = c.look
+         | WHERE a.cn >= 2 AND c.cn >= 2),
+         |zz AS (SELECT key, look, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+         |  (${mu("sa", "na")} - ${mu("sb", "nb")})
+         |   / sqrt(${va("sa", "qa", "na")} / na::DOUBLE
+         |    + ${va("sb", "qb", "nb")} / nb::DOUBLE) AS z,
+         |  2.024 * sqrt(4.0 / look::DOUBLE) AS bound
+         | FROM j)
+         |SELECT key, look, n_a, n_b, round(z, 4) + 0 AS z,
+         | round(bound, 4) + 0 AS bound, abs(z) > bound AS crossed,
+         | max(CASE WHEN abs(z) > bound THEN 1 ELSE 0 END)
+         |  OVER (PARTITION BY key ORDER BY look
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+         |  AS decided
+         |FROM zz""".stripMargin.replace("\n", " ")
+    },
 
     "q556_als" -> {
       val fp8 = (e: String) => fp(e, "1e8")

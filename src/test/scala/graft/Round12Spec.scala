@@ -152,6 +152,46 @@ class Round12Spec extends SparkSpec {
     assert(out.count(_.getString(0) == "item") == 6)
   }
 
+  test("kmvOverlap: identical sets estimate jaccard 1, disjoint sets 0; exact under k") {
+    import spark.implicits._
+    val items = (1 to 40).map(i => s"v$i")
+    val rows = items.map(("a", _)) ++ items.map(("b", _)) ++
+      (1 to 40).map(i => ("c", s"w$i"))
+    val sk = graft.model.Fitters.kmvSketch(rows.toDF("src", "tok"),
+      Seq("src"), "tok", k = 64)
+    val r = graft.model.Fitters.kmvOverlap(sk, "src", k = 64)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getAs[Double]("est_jaccard"), x.getAs[Double]("est_union"))).toMap
+    // a∪b = 40 distinct < k: exact; a∪c = 80 > k=64: estimated
+    assert(r(("a", "b"))._1 == 1.0 && r(("a", "b"))._2 == 40.0)
+    assert(r(("a", "c"))._1 == 0.0)
+    assert(math.abs(r(("a", "c"))._2 - 80.0) / 80.0 < 0.2,
+      s"union estimate ${r(("a", "c"))._2} off by >20%")
+  }
+
+  test("groupSequential: a real effect crosses OBF late, null effect never decides") {
+    import spark.implicits._
+    val rows = (1 to 2000).map { i =>
+      val t = i % 2 == 0
+      // keyed fixtures: "fx" has a real +1.0 treated lift, "nl" has none
+      Seq(("fx", i.toLong, t, 10.0 + (i % 9) * 0.3 + (if (t) 1.0 else 0.0)),
+        ("nl", i.toLong, t, 10.0 + (i % 9) * 0.3))
+    }.flatten
+    val out = graft.model.Experiment.groupSequential(
+        rows.toDF("k", "o", "t", "v"), "k", "o", "t", "v",
+        looks = 4, shape = "obf")
+      .collect().groupBy(_.getString(0))
+    assert(out("fx").exists(_.getAs[Boolean]("crossed")),
+      "real lift must cross the OBF boundary")
+    assert(out("fx").maxBy(_.getAs[Long]("look")).getAs[Boolean]("decided"))
+    assert(!out("nl").exists(_.getAs[Boolean]("crossed")),
+      "null effect must never cross")
+    // OBF shape: the boundary tightens toward 1.96·... at the last look
+    val bounds = out("fx").sortBy(_.getAs[Long]("look"))
+      .map(_.getAs[Double]("bound"))
+    assert(bounds.zip(bounds.tail).forall { case (a, b) => a > b })
+  }
+
   test("prefixJaccardJoin: positional + pair-prefix filters preserve the exact result") {
     import spark.implicits._
     // brute-force oracle on a small tie-heavy corpus
