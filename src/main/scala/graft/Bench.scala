@@ -157,7 +157,7 @@ object Bench {
         ",\"runs\":[" + ts.mkString(",") + "]}"
     }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"total":$total,"sf":"$sfDir","runs":$nRuns,"protocol":"per-query min of $nRuns full passes + a selective extra pass for queries with >20% pass-to-pass spread (${extra.size} such), one commit, one JVM, caches cleared between queries (cold-per-query; retained-cache reuse is NOT in the min)","errors":$errList,"queries":$full}""".getBytes("UTF-8"))
+      s"""{"total":$total,"sf":"$sfDir","runs":$nRuns,"protocol":"per-query min of $nRuns full passes + a selective extra pass for queries with >=35% pass-to-pass spread and >=0.3s min, capped at 150 (${extra.size} such), one commit, one JVM, caches cleared between queries (cold-per-query; retained-cache reuse is NOT in the min)","errors":$errList,"queries":$full}""".getBytes("UTF-8"))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$nRuns,"errors":${failed.size},"entries":${results.size},"full":"bench_full.json","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
