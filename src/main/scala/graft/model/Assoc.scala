@@ -987,6 +987,96 @@ object Assoc {
     } finally { cached.unpersist(false) }
   }
 
+  /** RANSAC line fit per key (Fischler & Bolles, CACM 1981,
+    * md5-deterministic): `candidates` two-point models from md5-ranked
+    * point pairs, each scored by its inlier CONSENSUS (|resid| ≤ tol),
+    * the winner refit by exact-moment OLS on its inliers — the
+    * consensus-robust complement of Theil-Sen (TS medians all slopes;
+    * RANSAC finds the line MOST points agree on, so it survives >50%
+    * structured contamination where medians break).
+    *
+    * Determinism: the candidate sample is the md5 rank order (no RNG);
+    * two-point fits freeze at 6dp; the inlier test is a fixed float
+    * compare on 4dp-frozen values; the refit uses exact 4dp moment sums.
+    *
+    * Scale: the rank window partitions by key and the 2·candidates cap
+    * is a WindowGroupLimit pushdown; candidate scoring is one
+    * data × broadcast(candidates) pass + a hash aggregate; the argmax
+    * rides per-key candidate-count frames; the refit is one more
+    * filtered aggregate. Output per key: key, n, cand, n_inliers,
+    * slope, intercept. */
+  def ransacLine(data: DataFrame, keyCol: String, idCol: String,
+      xCol: String, yCol: String, candidates: Int = 16,
+      tol: Double = 1.0): DataFrame = {
+    require(candidates >= 1 && candidates <= 64, "1 <= candidates <= 64")
+    require(tol > 0, "tol > 0")
+    import org.apache.spark.sql.expressions.Window
+    def r6c(c: Column) =
+      (when(c >= 0, floor(c * 1e6 + 0.5)).otherwise(-floor(-c * 1e6 + 0.5)))
+        .cast("double") / 1e6
+    def dc(c: Column) = c.cast("decimal(38,0)")
+    val base = data
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).as("key"), col(idCol).cast("long").as("_id"),
+        (fixedPointLong(col(xCol).cast("double"), 4).cast("double") / 1e4)
+          .as("_x"),
+        (fixedPointLong(col(yCol).cast("double"), 4).cast("double") / 1e4)
+          .as("_y"))
+    val w = Window.partitionBy(col("key")).orderBy(
+      graft.text.TextOps.hash56(
+        concat(lit("rs:"), col("key"), lit(":"), col("_id").cast("string")))
+        .asc, col("_id").asc)
+    val sampled = base
+      .withColumn("_r", row_number().over(w))
+      .where(col("_r") <= 2 * candidates)
+      .withColumn("_j", ((col("_r") + 1) / 2).cast("int"))
+    val cands = sampled.groupBy(col("key"), col("_j"))
+      .agg(min(when(col("_r") % 2 === 1, col("_x"))).as("_x1"),
+        min(when(col("_r") % 2 === 1, col("_y"))).as("_y1"),
+        min(when(col("_r") % 2 === 0, col("_x"))).as("_x2"),
+        min(when(col("_r") % 2 === 0, col("_y"))).as("_y2"))
+      .where(col("_x2").isNotNull && col("_x1") =!= col("_x2"))
+      .withColumn("_b", r6c((col("_y2") - col("_y1")) /
+        (col("_x2") - col("_x1"))))
+      .withColumn("_a", r6c(col("_y1") - col("_b") * col("_x1")))
+      .select("key", "_j", "_a", "_b")
+    val inlier = abs(col("_y") - (col("_a") + col("_b") * col("_x"))) <=
+      lit(tol)
+    val scoredC = base.join(broadcast(cands), "key")
+      .groupBy(col("key"), col("_j"), col("_a"), col("_b"))
+      .agg(sum(when(inlier, 1L).otherwise(0L)).as("n_inliers"),
+        count(lit(1)).as("n"))
+    val bw = Window.partitionBy(col("key"))
+      .orderBy(col("n_inliers").desc, col("_j").asc)
+    val best = scoredC.withColumn("_rk", row_number().over(bw))
+      .where(col("_rk") === 1)
+      .select(col("key"), col("_j").as("cand"), col("_a"), col("_b"),
+        col("n_inliers"), col("n"))
+    // refit: exact-moment OLS over the winning consensus set
+    val refit = base.join(broadcast(best), "key")
+      .where(inlier)
+      .select(col("key"),
+        fixedPointLong(col("_x"), 4).as("_xf"),
+        fixedPointLong(col("_y"), 4).as("_yf"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("_ni"),
+        sum(col("_xf")).as("_sx"), sum(col("_yf")).as("_sy"),
+        sum(dc(dc(col("_xf")) * dc(col("_yf")))).as("_sxy"),
+        sum(dc(dc(col("_xf")) * dc(col("_xf")))).as("_sxx"))
+    val nD = col("_ni").cast("double")
+    val sxyC = (col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double") / nD) / 1e8
+    val sxxC = (col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double") / nD) / 1e8
+    best.join(refit, "key")
+      .withColumn("slope",
+        when(sxxC > 0, r6c(sxyC / sxxC)).otherwise(col("_b")))
+      .withColumn("intercept", r6c(
+        col("_sy").cast("double") / nD / 1e4 -
+          col("slope") * (col("_sx").cast("double") / nD / 1e4)))
+      .select("key", "n", "cand", "n_inliers", "slope", "intercept")
+  }
+
   /** Negative-binomial (NB2) regression count = exp(a + b·x) with FIXED
     * dispersion `alpha` — the overdispersion-robust sibling of
     * [[poissonRegFit]] (whose variance = mean assumption real event

@@ -534,6 +534,60 @@ object PostOps {
       .select("key", "n", "mean", "shrunk")
   }
 
+  /** Beta-binomial empirical-Bayes shrinkage of per-entity RATES — the
+    * binomial sibling of [[jamesStein]]'s mean shrinker (the CTR/defect-
+    * rate problem: an entity with 2/2 successes is not a 100% performer;
+    * its rate should shrink toward the population). Method-of-moments
+    * Beta prior from the per-entity rate distribution (entities with
+    * n ≥ minTrials): with m = mean(p̂ᵢ) and v = var(p̂ᵢ),
+    * K = m(1−m)/v − 1, α = mK, β = (1−m)K; shrunk_i = (sᵢ+α)/(nᵢ+α+β).
+    * Degenerate spread (v ≤ 0 or v ≥ m(1−m)) emits null prior and the
+    * raw rate — no prior is estimable.
+    *
+    * Determinism: p̂ᵢ freezes at 6dp; the two cross-entity moments are
+    * exact decimal sums of the frozen longs; α, β and every shrunk rate
+    * are fixed float expressions. Scale: one hash aggregate to
+    * entity-sized rows + a broadcast 1-row prior. Output per entity:
+    * key, n, s, raw_rate, alpha, beta, shrunk_rate. */
+  def betaBinomialShrink(data: DataFrame, keyCol: String,
+      succCol: String, trialCol: String, minTrials: Long = 1L)
+      : DataFrame = {
+    def dc(c: Column) = c.cast("decimal(38,0)")
+    val g = data
+      .where(col(succCol).isNotNull && col(trialCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(sum(col(succCol).cast("long")).as("s"),
+        sum(col(trialCol).cast("long")).as("n"))
+      .where(col("n") >= minTrials && col("s") >= 0 &&
+        col("s") <= col("n"))
+      .withColumn("_p6", graft.core.fixedPointLong(
+        col("s").cast("double") / col("n").cast("double"), 6))
+    val prior = g.agg(count(lit(1)).as("_k"),
+        sum(dc(col("_p6"))).as("_sp"),
+        sum(dc(dc(col("_p6")) * dc(col("_p6")))).as("_qp"))
+      .withColumn("_m",
+        col("_sp").cast("double") / col("_k").cast("double") / 1e6)
+      .withColumn("_v", (col("_qp").cast("double") -
+        col("_sp").cast("double") * col("_sp").cast("double") /
+          col("_k").cast("double")) /
+        (col("_k").cast("double") - 1.0) / 1e12)
+      .withColumn("_kk",
+        when(col("_k") >= 2 && col("_v") > 0 &&
+          col("_v") < col("_m") * (lit(1.0) - col("_m")),
+          col("_m") * (lit(1.0) - col("_m")) / col("_v") - 1.0))
+      .select((col("_m") * col("_kk")).as("alpha"),
+        ((lit(1.0) - col("_m")) * col("_kk")).as("beta"))
+    g.crossJoin(broadcast(prior))
+      .withColumn("raw_rate", col("_p6").cast("double") / 1e6)
+      .withColumn("shrunk_rate",
+        when(col("alpha").isNotNull,
+          (col("s").cast("double") + col("alpha")) /
+            (col("n").cast("double") + col("alpha") + col("beta")))
+          .otherwise(col("raw_rate")))
+      .select("key", "n", "s", "raw_rate", "alpha", "beta",
+        "shrunk_rate")
+  }
+
   /** Rank-ensemble score combiner: each detector's score is replaced by
     * its global percent-rank (average-rank/n via the 3dp-frozen score
     * histogram — exact integers, so detectors with incomparable scales

@@ -80,6 +80,23 @@ object R12Queries {
         ev(s, dir).withColumn("t", pmod(col("user_id"), lit(2L)) === 0),
         "event_type", "event_id",
         armCol = "t", valCol = "value", looks = 4, shape = "obf"))),
+    // beta-binomial empirical-Bayes shrinkage of per-user high-value
+    // rates (s = events with value > 150, n = all events)
+    "q559_beta_binom" -> ((s, dir) =>
+      canon(graft.post.PostOps.betaBinomialShrink(
+        ev(s, dir).groupBy(col("user_id").as("uid"))
+          .agg(sum(when(col("value") > 150.0, 1L).otherwise(0L)).as("s"),
+            count(lit(1)).as("n")),
+        "uid", "s", "n", minTrials = 3L)
+        .withColumnRenamed("key", "uid"))),
+    // RANSAC consensus line per event_type: value ~ user bucket,
+    // 16 md5-deterministic candidate pairs, tol 60
+    "q560_ransac" -> ((s, dir) =>
+      canon(graft.model.Assoc.ransacLine(
+        ev(s, dir).where(col("value").isNotNull)
+          .withColumn("xb", pmod(col("user_id"), lit(100L)).cast("double")),
+        "event_type", "event_id", "xb", "value",
+        candidates = 16, tol = 60.0))),
     // rank-2 ALS factorization of the (user-bucket x event_type) mean-
     // value matrix: 4 alternating rounds, ridge 0.1, closed-form 2x2
     "q556_als" -> ((s, dir) => {
@@ -382,6 +399,89 @@ object R12Queries {
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
          |  AS decided
          |FROM zz""".stripMargin.replace("\n", " ")
+    },
+
+    "q559_beta_binom" ->
+      s"""WITH g AS (SELECT user_id AS uid,
+         |  sum(CASE WHEN value > 150.0 THEN 1 ELSE 0 END)::BIGINT AS s,
+         |  count(*)::BIGINT AS n
+         | FROM events GROUP BY 1),
+         |gg AS (SELECT uid, s, n,
+         |  ${fp("s::DOUBLE / n::DOUBLE", "1e6")} AS p6
+         | FROM g WHERE n >= 3 AND s >= 0 AND s <= n),
+         |pr AS (SELECT count(*)::BIGINT AS k,
+         |  sum(p6)::HUGEINT AS sp,
+         |  sum(p6::HUGEINT * p6::HUGEINT) AS qp FROM gg),
+         |mv AS (SELECT k, sp::DOUBLE / k::DOUBLE / 1e6 AS m,
+         |  (qp::DOUBLE - sp::DOUBLE * sp::DOUBLE / k::DOUBLE)
+         |   / (k::DOUBLE - 1.0) / 1e12 AS v FROM pr),
+         |ab AS (SELECT CASE WHEN k >= 2 AND v > 0 AND v < m * (1.0 - m)
+         |   THEN m * (m * (1.0 - m) / v - 1.0) END AS alpha,
+         |  CASE WHEN k >= 2 AND v > 0 AND v < m * (1.0 - m)
+         |   THEN (1.0 - m) * (m * (1.0 - m) / v - 1.0) END AS beta
+         | FROM mv)
+         |SELECT uid, n, s,
+         | round(p6::DOUBLE / 1e6, 4) + 0 AS raw_rate,
+         | round(alpha, 4) + 0 AS alpha, round(beta, 4) + 0 AS beta,
+         | round(CASE WHEN alpha IS NOT NULL
+         |  THEN (s::DOUBLE + alpha) / (n::DOUBLE + alpha + beta)
+         |  ELSE p6::DOUBLE / 1e6 END, 4) + 0 AS shrunk_rate
+         |FROM gg, ab""".stripMargin.replace("\n", " "),
+
+    "q560_ransac" -> {
+      val tol = "60.0"
+      s"""WITH b AS (SELECT event_type AS key, event_id AS id,
+         |  ${fp("(user_id % 100)::DOUBLE", "10000.0")}::DOUBLE / 1e4 AS x,
+         |  ${fp("value", "10000.0")}::DOUBLE / 1e4 AS y
+         | FROM events WHERE value IS NOT NULL),
+         |rk AS (SELECT key, id, x, y, row_number() OVER (
+         |  PARTITION BY key ORDER BY
+         |   ('0x'||substr(md5('rs:'||key||':'||id::VARCHAR),1,14))
+         |    ::BIGINT ASC, id ASC) AS r
+         | FROM b QUALIFY r <= 32),
+         |cd AS (SELECT key, ((r + 1) // 2)::INT AS j,
+         |  min(CASE WHEN r % 2 = 1 THEN x END) AS x1,
+         |  min(CASE WHEN r % 2 = 1 THEN y END) AS y1,
+         |  min(CASE WHEN r % 2 = 0 THEN x END) AS x2,
+         |  min(CASE WHEN r % 2 = 0 THEN y END) AS y2
+         | FROM rk GROUP BY 1, 2),
+         |cf AS (SELECT key, j,
+         |  ${r6("(y2 - y1) / (x2 - x1)")} AS bb
+         | FROM cd WHERE x2 IS NOT NULL AND x1 != x2),
+         |cf2 AS (SELECT cf.key, cf.j, cf.bb,
+         |  ${r6("y1 - bb * x1")} AS aa
+         | FROM cf JOIN cd ON cd.key = cf.key AND cd.j = cf.j),
+         |sc AS (SELECT b.key, c.j, c.aa, c.bb,
+         |  sum(CASE WHEN abs(b.y - (c.aa + c.bb * b.x)) <= $tol
+         |   THEN 1 ELSE 0 END)::BIGINT AS n_inliers,
+         |  count(*)::BIGINT AS n
+         | FROM b JOIN cf2 c USING (key) GROUP BY 1, 2, 3, 4),
+         |bst AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |  PARTITION BY key ORDER BY n_inliers DESC, j ASC) AS rk2
+         |  FROM sc) WHERE rk2 = 1),
+         |rf AS (SELECT b.key, count(*)::BIGINT AS ni,
+         |  sum(${fp("b.x", "10000.0")})::HUGEINT AS sx,
+         |  sum(${fp("b.y", "10000.0")})::HUGEINT AS sy,
+         |  sum(${fp("b.x", "10000.0")}::HUGEINT *
+         |      ${fp("b.y", "10000.0")}::HUGEINT) AS sxy,
+         |  sum(${fp("b.x", "10000.0")}::HUGEINT *
+         |      ${fp("b.x", "10000.0")}::HUGEINT) AS sxx
+         | FROM b JOIN bst USING (key)
+         | WHERE abs(b.y - (bst.aa + bst.bb * b.x)) <= $tol
+         | GROUP BY 1),
+         |fin AS (SELECT bst.key, bst.n, bst.j AS cand, bst.n_inliers,
+         |  CASE WHEN (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE
+         |    / ni::DOUBLE) / 1e8 > 0
+         |   THEN ${r6("((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE " +
+              "/ ni::DOUBLE) / 1e8) / ((sxx::DOUBLE - sx::DOUBLE " +
+              "* sx::DOUBLE / ni::DOUBLE) / 1e8)")}
+         |   ELSE bst.bb END AS slope,
+         |  sy::DOUBLE / ni::DOUBLE / 1e4 AS my,
+         |  sx::DOUBLE / ni::DOUBLE / 1e4 AS mx
+         | FROM bst JOIN rf USING (key))
+         |SELECT key, n, cand, n_inliers, round(slope, 4) + 0 AS slope,
+         | round(${r6("my - slope * mx")}, 4) + 0 AS intercept
+         |FROM fin""".stripMargin.replace("\n", " ")
     },
 
     "q556_als" -> {

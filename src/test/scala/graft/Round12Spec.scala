@@ -192,6 +192,41 @@ class Round12Spec extends SparkSpec {
     assert(bounds.zip(bounds.tail).forall { case (a, b) => a > b })
   }
 
+  test("betaBinomialShrink: small-n extremes shrink toward the pool, big-n barely move") {
+    import spark.implicits._
+    // many moderate entities + one tiny 2/2 entity + one huge 900/1000
+    val rows = (1 to 30).map(i => (s"e$i", (20 + i % 11).toLong, 100L)) ++
+      Seq(("tiny", 2L, 2L), ("huge", 900L, 1000L))
+    val r = graft.post.PostOps.betaBinomialShrink(
+        rows.toDF("k", "s", "n"), "k", "s", "n")
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Double]("raw_rate"), x.getAs[Double]("shrunk_rate"))).toMap
+    val (tRaw, tShr) = r("tiny")
+    val (hRaw, hShr) = r("huge")
+    assert(tRaw == 1.0 && tShr < 0.75, s"tiny 2/2 must shrink hard: $tShr")
+    assert(math.abs(hShr - hRaw) < 0.05,
+      s"huge 900/1000 must barely move: $hRaw -> $hShr")
+  }
+
+  test("ransacLine: recovers the inlier line under 40% structured contamination") {
+    import spark.implicits._
+    // 60% on y = 2x + 5 (tiny jitter), 40% on a DIFFERENT line — Theil-Sen
+    // territory's edge; consensus must pick the majority line
+    val rows = (0 until 300).map { i =>
+      val x = (i % 50).toDouble
+      val y = if (i % 5 < 3) 2.0 * x + 5.0 + (i % 3) * 0.05
+      else -1.0 * x + 90.0
+      ("k", i.toLong, x, y)
+    }
+    val r = graft.model.Assoc.ransacLine(rows.toDF("k", "id", "x", "y"),
+      "k", "id", "x", "y", candidates = 16, tol = 2.0).collect()(0)
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 0.05,
+      s"slope ${r.getAs[Double]("slope")}")
+    assert(math.abs(r.getAs[Double]("intercept") - 5.0) < 1.0,
+      s"intercept ${r.getAs[Double]("intercept")}")
+    assert(r.getAs[Long]("n_inliers") >= 150)
+  }
+
   test("prefixJaccardJoin: positional + pair-prefix filters preserve the exact result") {
     import spark.implicits._
     // brute-force oracle on a small tie-heavy corpus
