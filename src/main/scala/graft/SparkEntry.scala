@@ -26,8 +26,8 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    StatQueries.queries ++ SeqQueries.queries ++ MultiQueries.queries ++ TextQueries.queries ++ MmQueries.queries ++ DriftQueries.queries ++ SpcQueries.queries ++ DiagQueries.queries ++ R9Queries.queries ++ R10Queries.queries ++ R11Queries.queries ++ R12Queries.queries
+    StatQueries.queries ++ SeqQueries.queries ++ MultiQueries.queries ++ TextQueries.queries ++ MmQueries.queries ++ DriftQueries.queries ++ SpcQueries.queries ++ DiagQueries.queries ++ R9Queries.queries ++ R10Queries.queries ++ R11Queries.queries ++ R12Queries.queries ++ R13Queries.queries
 
   def oracleSql: Map[String, String] =
-    StatQueries.oracleSql ++ SeqQueries.oracleSql ++ MultiQueries.oracleSql ++ TextQueries.oracleSql ++ MmQueries.oracleSql ++ DriftQueries.oracleSql ++ SpcQueries.oracleSql ++ DiagQueries.oracleSql ++ R9Queries.oracleSql ++ R10Queries.oracleSql ++ R11Queries.oracleSql ++ R12Queries.oracleSql
+    StatQueries.oracleSql ++ SeqQueries.oracleSql ++ MultiQueries.oracleSql ++ TextQueries.oracleSql ++ MmQueries.oracleSql ++ DriftQueries.oracleSql ++ SpcQueries.oracleSql ++ DiagQueries.oracleSql ++ R9Queries.oracleSql ++ R10Queries.oracleSql ++ R11Queries.oracleSql ++ R12Queries.oracleSql ++ R13Queries.oracleSql
 }

@@ -207,6 +207,28 @@ package object core {
     when(c >= 0, floor(c * f + 0.5)).otherwise(-floor(-c * f + 0.5)).cast("long")
   }
 
+  /** Flat-window crossover bound for the banded devices (r12 verdict
+    * item 3): a frame whose Catalyst size estimate is at most this many
+    * bytes routes through the ordinary unpartitioned window — one
+    * single-task sort of at most one shuffle-partition's worth of data,
+    * exactly the unit every exchange already sorts per task — instead of
+    * paying the band device's 2–3 fixed extra stages. Larger (or
+    * unestimatable) frames stay banded. The estimate is conservative in
+    * the safe direction: Catalyst propagates scan bytes through
+    * aggregates/joins mostly un-shrunk, so a 100 TB lineage can never
+    * read as "small", while the sub-second stat frames at bench scale
+    * (≤ tens of MB) do. Tunable per session via
+    * `spark.graft.bandedScan.flatMaxBytes`; 0 disables the flat path. */
+  private[graft] def flatMaxBytes(spark: SparkSession): Long =
+    try spark.conf.get("spark.graft.bandedScan.flatMaxBytes",
+      (128L << 20).toString).toLong
+    catch { case _: Throwable => 128L << 20 }
+
+  private[graft] def smallEnoughForFlat(df: DataFrame): Boolean =
+    try df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(flatMaxBytes(df.sparkSession))
+    catch { case _: Throwable => false } // unestimatable → banded (safe)
+
   /** Distributed global row_number: rank = (rows in strictly-earlier
     * bands) + row_number within the band — bit-identical to
     * `row_number().over(Window.orderBy(band, tie…))` but with NO
@@ -224,6 +246,22 @@ package object core {
   def bandedRowNumber(df: DataFrame, band: Column, bandAsc: Boolean,
       tie: Seq[Column], out: String, maxRank: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // flat-window crossover (r12 verdict item 3): bit-identical result
+    // (same (band, tie…) total order), one window stage instead of the
+    // band device's histogram+join stages, taken only when the plan-time
+    // size estimate bounds the single-task sort at one partition's worth.
+    // `_brn_flat` is the guard marker: WindowAudit classifies it as
+    // metered-small because the ONLY producer is this size-gated branch.
+    // maxRank calls keep the band device — its band-offset row-DROP
+    // semantics (whole bands kept when their offset < maxRank) would need
+    // a second window to replicate flat.
+    if (maxRank == Long.MaxValue && smallEnoughForFlat(df)) {
+      val w = Window.orderBy(
+        (if (bandAsc) col("_brn_flat").asc else col("_brn_flat").desc) +: tie: _*)
+      return df.withColumn("_brn_flat", band)
+        .withColumn(out, row_number().over(w).cast("long"))
+        .drop("_brn_flat")
+    }
     val withBand = df.withColumn("_brn_band", band)
     val h = withBand.groupBy(col("_brn_band")).agg(count(lit(1)).as("_brn_ct"))
     val hw = Window
@@ -282,6 +320,20 @@ package object core {
       case "min" => min(c)
       case "max" => max(c)
       case o => throw new IllegalArgumentException(s"bandedScan op: $o")
+    }
+    // flat-window crossover (r12 verdict item 3) — same contract as the
+    // bandedRowNumber crossover: identical (band, tie…) order and frame
+    // semantics (the flat window IS the definition the band device
+    // mirrors, null frames included), taken only below the size bound.
+    if (smallEnoughForFlat(df)) {
+      def w(inclusive: Boolean) = Window
+        .orderBy((if (bandAsc) col("_bcs_flat").asc
+          else col("_bcs_flat").desc) +: tie: _*)
+        .rowsBetween(Window.unboundedPreceding,
+          if (inclusive) Window.currentRow else -1)
+      return aggs.foldLeft(df.withColumn("_bcs_flat", band)) { (acc, a) =>
+        acc.withColumn(a.out, agg(a.op, col(a.in)).over(w(a.inclusive)))
+      }.drop("_bcs_flat")
     }
     val withBand = df.withColumn("_bcs_band", band)
     val haggs = aggs.map(a => agg(a.op, col(a.in)).as(s"_bcs_t_${a.out}"))

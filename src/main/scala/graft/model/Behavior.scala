@@ -687,8 +687,10 @@ object Behavior {
     * prefix sum runs in day order inside a per-key window (a total
     * order, so the double fold is bit-reproducible and the oracle
     * replays it verbatim); exp/ln ride libm parity. Day spans are
-    * capped at 365 buckets (e^{β·span} must stay well inside double
-    * range; longer spans should bucket coarser).
+    * capped at 365 buckets AND β·span < 690 (the rescale computes
+    * e^{β·span}, which overflows double past ~709 — a span cap alone
+    * only bounds it for small β; r12 advice): longer spans should
+    * bucket coarser, faster decays need shorter spans.
     *
     * Scale: one (key, day) hash aggregate; the dense day grid is
     * keys × span rows (calendar-bounded); the grid join is a broadcast
@@ -713,8 +715,11 @@ object Behavior {
     val span = byDay.groupBy("key")
       .agg(min(col("_d")).as("_d0"), max(col("_d")).as("_d1"),
         sum(col("_c")).as("_tot"))
-      .withColumn("_guard", assert_true(col("_d1") - col("_d0") < 365,
-        lit("hawkesFit: day span >= 365 — bucket coarser")))
+      .withColumn("_guard", assert_true(col("_d1") - col("_d0") < 365 &&
+        (col("_d1") - col("_d0")).cast("double") * lit(beta) < 690.0,
+        lit("hawkesFit: day span >= 365 or beta*span >= 690 — the " +
+          "excitation rescale computes e^{beta*span}, which overflows " +
+          "double past ~709; bucket coarser or decay faster")))
       .where(col("_guard").isNull).drop("_guard")
     // dense day grid: zero-count days still contribute the −λ_t term
     val dense = span

@@ -200,11 +200,13 @@ object Experiment {
         fp4(col(valCol).cast("double")).as("_v"))
     val rng = base.groupBy("key")
       .agg(min(col("_o")).as("_o0"), max(col("_o")).as("_o1"))
-    // look = equal ord-range bucket 1..K (integer arithmetic, exact)
+    // look = equal ord-range bucket 1..K — EXACT integer arithmetic
+    // (r12 advice): (o−o0)·K stays in long for K ≤ 5 and ord spans below
+    // 1.8e18 (≈58 years of epoch-nanos); a double product would drift
+    // bucket boundaries past 2^53. Oracle mirrors with DuckDB `//`.
     val looked = base.join(broadcast(rng), "key")
       .withColumn("look", least(lit(looks.toLong),
-        floor((col("_o") - col("_o0")).cast("double") * looks /
-          (col("_o1") - col("_o0") + 1L).cast("double")).cast("long") + 1L))
+        expr(s"((_o - _o0) * $looks) div (_o1 - _o0 + 1)") + 1L))
     val perLook = looked.groupBy(col("key"), col("look"), col("_t"))
       .agg(count(lit(1)).as("_n"), sum(dec(col("_v"))).as("_s"),
         sum(dec(dec(col("_v")) * dec(col("_v")))).as("_q"))

@@ -369,8 +369,7 @@ object R12Queries {
          | FROM events WHERE value IS NOT NULL),
          |rg AS (SELECT key, min(o) AS o0, max(o) AS o1 FROM b GROUP BY 1),
          |lk AS (SELECT b.key, b.t, b.v,
-         |  least(4, floor((b.o - rg.o0)::DOUBLE * 4
-         |   / (rg.o1 - rg.o0 + 1)::DOUBLE)::BIGINT + 1) AS look
+         |  least(4, ((b.o - rg.o0) * 4) // (rg.o1 - rg.o0 + 1) + 1) AS look
          | FROM b JOIN rg USING (key)),
          |pl AS (SELECT key, look, t, count(*)::BIGINT AS n,
          |  sum(v)::HUGEINT AS s, sum(v::HUGEINT * v::HUGEINT) AS q

@@ -43,7 +43,30 @@ object AsOfJoin {
       // (the max-(ts, _side) row's fill — struct max, total order) feeds
       // an exclusive last-non-null over the band HISTOGRAM; the final
       // fill coalesces within-band fill with the prior-band offset.
-      val band = graft.core.fixedPointLong(col(tsCol).cast("double"), 3)
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val band = unioned.schema(tsCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          // integral ts (r12 advice): the fractional path's ×1000
+          // fixed-point scale-up overflows long on epoch-nanos
+          // magnitudes (~1.7e18) and ANSI-throws — band with an integer
+          // `div` over ~1024 equal-width range buckets instead. The
+          // (min, max) probe is one model-sized agg at plan-build time;
+          // banding is monotone in ts and exact in long arithmetic, and
+          // the result is band-independent by the device's contract.
+          val r = unioned.agg(min(col(tsCol)).cast("long"),
+            max(col(tsCol)).cast("long")).head()
+          if (r.isNullAt(0)) lit(0L)
+          else {
+            val t0 = r.getLong(0)
+            val width = math.max(1L, (r.getLong(1) - t0) / 1024L + 1L)
+            expr(s"(CAST(`$tsCol` AS BIGINT) - ${t0}L) div ${width}L")
+          }
+        case _ =>
+          // fractional ts: 3dp fixed-point freeze (monotone). Contract:
+          // |ts| < ~9e15 so the ×1000 scale-up stays exact in long —
+          // integral epoch-scale values take the branch above.
+          graft.core.fixedPointLong(col(tsCol).cast("double"), 3)
+      }
       val withBand = unioned.withColumn("_asof_band", band)
       val ww = Window.partitionBy(col("_asof_band"))
         .orderBy(col(tsCol), col("_side"))

@@ -24,11 +24,15 @@ import org.apache.spark.sql.functions._
   * are integers; Jaccard is one integer-ratio division. */
 object SimJoin {
 
-  /** All pairs with token-set Jaccard ≥ τ via prefix filtering.
-    * Output: a, b (idCol values, a < b), sz_a, sz_b, inter, jaccard. */
-  def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
-      tau: Double): DataFrame = {
-    require(tau > 0 && tau < 1, s"0 < tau < 1: $tau")
+  /** Token-hash + candidate-pair stage of [[prefixJaccardJoin]], exposed
+    * (package-private) so the candidate-count gate can measure the pair
+    * frame the verify stage will see (r12 verdict item 1): a prefix- or
+    * positional-filter regression shows up as a candidate blowup — the
+    * memory-pressure cliff behind q412's 7→54 s loaded-host spreads —
+    * long before it shows up as bench variance. Returns (tokens frame
+    * `_id|_tok`, candidate frame `a|b|sz_a|sz_b|_ub`). */
+  private[graft] def prefixCandidates(docs: DataFrame, idCol: String,
+      textCol: String, tau: Double): (DataFrame, DataFrame) = {
     // tokens travel as 56-bit md5 hashes (longs): 3× less shuffle than
     // UTF8 strings through the candidate join and O(1) comparisons in
     // the array verify — the 2^56 collision odds are far below the 4dp
@@ -76,9 +80,31 @@ object SimJoin {
       .where(least(col("sz_a"), col("sz_b")).cast("double") >=
         lit(tau) * greatest(col("sz_a"), col("sz_b")).cast("double") &&
         col("_ub") >= alpha)
+      // pair-key banding (r12 verdict item 1): hash-repartition the raw
+      // match stream on the pair key BEFORE the dedup aggregation.
+      // Without it every partial-agg task's hash map holds each distinct
+      // pair whose shared prefix tokens land in that task — on a
+      // template-heavy corpus that approaches ALL pairs per task, and the
+      // spill-to-sort fallback under host memory pressure is the 7→54 s
+      // load cliff. Partitioned on (a,b) — which satisfies the agg's
+      // clustered distribution, so no second exchange — each task's map
+      // is bounded by pairs/shufflePartitions. The exchange moves the
+      // un-combined match stream, but match rows per pair are few
+      // (shared prefix tokens only), so the forgone map-side combine is
+      // noise next to the bounded-memory guarantee.
+      .repartition(col("a"), col("b"))
       .groupBy(col("a"), col("b"), col("sz_a"), col("sz_b"))
       .agg(min(col("_ub")).as("_ub"))
       .where(col("_ub") >= alpha)
+    (tok, cand)
+  }
+
+  /** All pairs with token-set Jaccard ≥ τ via prefix filtering.
+    * Output: a, b (idCol values, a < b), sz_a, sz_b, inter, jaccard. */
+  def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0 && tau < 1, s"0 < tau < 1: $tau")
+    val (tok, cand) = prefixCandidates(docs, idCol, textCol, tau)
     // verify on packed token ARRAYS, not an exploded token join — the
     // join-based verify expands every candidate pair by its full token
     // list (measured 40 s at sf0.1 on ~1M near-identical candidates);

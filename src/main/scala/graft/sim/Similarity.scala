@@ -61,6 +61,37 @@ object Similarity {
       .select("qid", "cid", "cos", "rank")
   }
 
+  /** Hard-negative mining for contrastive/retrieval training (the
+    * in-batch-negatives upgrade of DPR, Karpukhin et al. EMNLP'20;
+    * ANCE's "hard" band): for each anchor, the top-k corpus vectors by
+    * cosine INSIDE the band [loCos, hiCos) — similar enough to be
+    * informative gradients, below the near-dup ceiling that would make
+    * them false negatives — excluding the anchor itself and any
+    * (anchor, positive) pairs supplied. Engine addition: the mining
+    * face of the ANN family (same scan shape as [[bruteForceTopK]];
+    * swap in the IVF probed-cell join at corpus scale).
+    *
+    * Determinism: cosines are the sequential-sum kernel both engines
+    * replay bit-identically; rank orders by (cos desc, id asc).
+    * Scale: anchors broadcast, corpus streams once; the rank window
+    * partitions per anchor. Output: qid, cid, cos, rank. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, loCos: Double, hiCos: Double,
+      positives: Option[DataFrame] = None): DataFrame = {
+    require(loCos < hiCos, s"loCos < hiCos: $loCos, $hiCos")
+    val q = anchors.select(col(idCol).as("qid"), vdbl(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("cid"), vdbl(col(vecCol)).as("cv"))
+    val scored = broadcast(q).join(c, col("qid") =!= col("cid"))
+      .withColumn("cos", cosineFast(anchors.sparkSession, col("qv"), col("cv")))
+      .where(col("cos") >= loCos && col("cos") < hiCos)
+    val survived = positives.fold(scored)(p =>
+      scored.join(broadcast(p.toDF("qid", "cid")), Seq("qid", "cid"),
+        "left_anti"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    survived.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("qid", "cid", "cos", "rank")
+  }
+
   /** All near-duplicate pairs with cosine ≥ threshold (exact, quadratic —
     * the oracle baseline; use `lshNearDup` at scale). */
   def cosineNearDup(vecs: DataFrame, idCol: String, vecCol: String,

@@ -100,6 +100,34 @@ object StreamScorers {
         when(instr(v, ",") > 0, v.substr(instr(v, ",") + lit(1), length(v))))
   }
 
+  /** Redis-list spout contract seam (PredictorSpout.java:42-61 + chombo
+    * MessageQueue): the Storm spout polls the configured Redis list
+    * (`redis.input.queue`) and receives either a raw message
+    * "entityID,field,field,..." or the literal string "nil" — the Redis
+    * nil reply of an empty poll, which the spout explicitly skips
+    * (`!message.equals(NIL)`). Non-nil messages split at the FIRST comma
+    * into (entityID, recordData), exactly [[parseEntityRecord]].
+    * Source-agnostic like the Kafka path: apply to any string-valued
+    * stream (a Redis connector's `value` column, a MemoryStream in
+    * specs) — the list poll itself resolves at runtime exactly as
+    * kafkaSource's format does; no connector jar is linked here. */
+  def parseRedisQueueRecord(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    parseEntityRecord(
+      raw.where(col(valueCol).isNotNull && col(valueCol) =!= "nil"), valueCol)
+
+  /** Out-queue alert framing (MarkovModelPredictor.java:318-327): the
+    * bolt enqueues `"entityID : st1 st2 ... : score"` — each state
+    * followed by one space, then ": " and the score — the exact message
+    * shape the tutorial's `xaction_queue.py readOutQueue` drains from the
+    * fraudQueue. Returns a single `value` string column ready for any
+    * queue sink. */
+  def toRedisQueueMessage(scored: DataFrame, entityCol: String,
+      stateCols: Seq[String], scoreCol: String): DataFrame =
+    scored.select(concat(
+      col(entityCol).cast("string") +: lit(" : ") +:
+        stateCols.flatMap(c => Seq(col(c).cast("string"), lit(" "))) :+
+        lit(": ") :+ col(scoreCol).cast("string"): _*).as("value"))
+
   /** Typed field parsing of a delimited line into columns per `schema` —
     * the bolt-side record decode the reference does by hand
     * (ZscorePredictor.java:155-170 splits on a configured delimiter). */

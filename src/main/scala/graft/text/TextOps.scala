@@ -3165,4 +3165,114 @@ object TextOps {
       .agg(sum(col("_sgn")).as("w"))
       .where(col("w") =!= 0)
   }
+
+  /** Content-defined chunk dedup (Rabin-style CDC, Muthitacharoen et
+    * al. SOSP'01 "A low-bandwidth network file system"): a boundary
+    * falls wherever the rolling window hash satisfies h ≡ 0 (mod
+    * `mask`), so chunk edges track CONTENT, not offsets — an insertion
+    * shifts only the chunk it lands in, where fixed-size blocks would
+    * shift every later block. The storage-dedup face of the span-dedup
+    * family: per-doc duplicated-chunk mass against the whole corpus.
+    *
+    * The window hash at char position i is the exact base-`base`
+    * polynomial Σ_{j<w} code(s[i+j])·base^(w−1−j) — codepoints ≤ 0xFFFF
+    * keep it under 2e15 for (w=8, base=31): exact in long in any
+    * engine, so boundaries replay bit-identically (no modular wraps to
+    * mirror). Chunks split AT each boundary position (no min/max length
+    * squeeze — the greedy length-constrained variant is sequential and
+    * oracle-hostile; expected chunk ≈ `mask` chars).
+    *
+    * Determinism: boundaries are exact integer predicates; chunk
+    * identity is the 56-bit md5 of (chunk text). Scale: per-row O(len·w)
+    * codegen (higher-order functions, no UDF) → explode chunks → one
+    * (chunk-hash) count aggregate + join back — hash-sized exchanges
+    * only, the same shuffle shape as exact line dedup.
+    *
+    * Output per doc: idCol, n_chunks, dup_chunks (chunks whose hash
+    * appears in ≥ 2 distinct docs), dup_ratio. */
+  def cdcChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, base: Int = 31, mask: Int = 64): DataFrame = {
+    require(window >= 2 && window <= 16, "2 <= window <= 16")
+    require(base >= 2 && base <= 64, "2 <= base <= 64")
+    require(mask >= 2, "mask >= 2")
+    require(math.pow(base, window) * 0xFFFF < 9e18,
+      s"base^window * 0xFFFF must stay in long: $base^$window")
+    val t = "_cdc_text"
+    val cuts =
+      s"""array_distinct(concat(array(1),
+         | transform(
+         |  filter(sequence(1, greatest(length($t) - ${window - 1}, 1)),
+         |   i -> aggregate(sequence(0, ${window - 1}), 0L,
+         |     (acc, j) -> acc * $base + ascii(substring($t, i + j, 1)))
+         |     % $mask = 0),
+         |  p -> CAST(p AS INT))))""".stripMargin.replace("\n", " ")
+    val chunks =
+      s"""transform(sequence(1, size(_cuts)),
+         | k -> substring($t, element_at(_cuts, k),
+         |   coalesce(try_element_at(_cuts, k + 1), length($t) + 1)
+         |     - element_at(_cuts, k)))""".stripMargin.replace("\n", " ")
+    val perChunk = docs
+      .where(col(textCol).isNotNull && length(col(textCol)) >= window)
+      .select(col(idCol), col(textCol).as(t))
+      .withColumn("_cuts", expr(cuts))
+      .select(col(idCol), explode(expr(chunks)).as("_chunk"))
+      .where(length(col("_chunk")) > 0)
+      .select(col(idCol), hash56(col("_chunk")).as("_ch"))
+    val counts = perChunk.groupBy(col("_ch"))
+      .agg(countDistinct(col(idCol)).as("_docs"))
+    perChunk.join(counts, "_ch")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_docs") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
+      .withColumn("dup_ratio",
+        col("dup_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
+
+  /** ROUGE-N style clipped n-gram overlap between paired texts (Lin
+    * 2004, "ROUGE: a package for automatic evaluation of summaries"):
+    * overlap = Σ_g min(count_a(g), count_b(g)) over word n-grams,
+    * recall = overlap/|a|, precision = overlap/|b|, f1 harmonic — the
+    * pairwise eval/decontamination face the corpus-level n-gram
+    * novelty operator doesn't cover (that one scores a doc against a
+    * whole reference corpus; this scores aligned PAIRS, the
+    * summary-vs-reference / output-vs-train shape).
+    *
+    * Determinism: exact integer counts; the three ratios are fixed
+    * float expressions of integers. Scale: explode both sides to
+    * (pair, gram, count) and hash-aggregate — pair work is linear in
+    * text length, one exchange keyed by (pair, gram). Zero-gram sides
+    * yield null metrics (undefined, like ROUGE on an empty reference).
+    *
+    * Input: one row per pair with two text columns. Output: pair id
+    * columns + overlap, n_a, n_b, recall, precision, f1. */
+  def rougeN(pairs: DataFrame, idCols: Seq[String], aCol: String,
+      bCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 8, "1 <= n <= 8")
+    val ids = idCols.map(col)
+    def grams(c: Column): Column = {
+      val toks = tokens(c)
+      expr(s"""transform(sequence(1, greatest(size(_toks) - ${n - 1}, 0)),
+        | i -> array_join(slice(_toks, i, $n), ' '))"""
+        .stripMargin.replace("\n", " "))
+    }
+    def side(c: String, tag: String) = pairs
+      .select(ids :+ tokens(col(c)).as("_toks"): _*)
+      .select(ids :+ explode(grams(col(c))).as("_g"): _*)
+      .groupBy(ids :+ col("_g"): _*)
+      .agg(count(lit(1)).as(s"_c$tag"))
+    val j = side(aCol, "a").join(side(bCol, "b"), idCols :+ "_g", "full")
+    val ov = j.groupBy(ids: _*)
+      .agg(sum(least(coalesce(col("_ca"), lit(0L)),
+          coalesce(col("_cb"), lit(0L)))).as("overlap"),
+        sum(coalesce(col("_ca"), lit(0L))).as("n_a"),
+        sum(coalesce(col("_cb"), lit(0L))).as("n_b"))
+    val r = col("overlap").cast("double") / col("n_a").cast("double")
+    val p = col("overlap").cast("double") / col("n_b").cast("double")
+    ov.withColumn("recall", when(col("n_a") > 0, r))
+      .withColumn("precision", when(col("n_b") > 0, p))
+      .withColumn("f1",
+        when(col("n_a") > 0 && col("n_b") > 0 && col("overlap") > 0,
+          lit(2.0) * r * p / (r + p)).otherwise(
+          when(col("n_a") > 0 && col("n_b") > 0, lit(0.0))))
+  }
 }

@@ -47,6 +47,14 @@ object WindowAudit {
     if (order.contains("_bcs_band") || order.contains("_brn_band") ||
         order.contains("_asof_band"))
       Finding("banded", order.take(60))
+    // `_bcs_flat`/`_brn_flat` are produced ONLY by the size-gated flat
+    // branch of core.bandedScan/bandedRowNumber (r12 verdict item 3):
+    // the single-task sort is plan-time bounded at
+    // spark.graft.bandedScan.flatMaxBytes (one shuffle-partition's
+    // worth) — above the bound the same call sites emit the banded
+    // shape, so this window can never be data-sized at scale.
+    else if (order.contains("_bcs_flat") || order.contains("_brn_flat"))
+      Finding("metered-small", order.take(60))
     else if (collect(w.child) { case c if isLimit(c) => c }.nonEmpty)
       Finding("limited", order.take(60))
     else Finding("open", order.take(120))

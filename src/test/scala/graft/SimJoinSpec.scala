@@ -22,6 +22,25 @@ class SimJoinSpec extends SparkSpec {
     assert(r9 == Set((1L, 3L)), s"$r9")
   }
 
+  test("prefix jaccard candidate gate: filters keep the pair frame bounded at sf0.01") {
+    // r12 verdict item 1: q412's load cliff is a candidate-pair blowup in
+    // disguise — gate the candidate:result ratio at fixture scale so a
+    // prefix/positional/length-filter regression fails HERE, not as a 7×
+    // loaded-host bench spread. Measured on the round-13 tree: 35,536
+    // candidates for 9,020 result pairs (3.9×) on the near-dup-heavy
+    // sf0.01 fixture at τ=0.9 — the 8× cap gives 2× headroom while any
+    // lost filter stage (prefix, length, positional, pair-prefix) blows
+    // through it by orders of magnitude.
+    val docs = core.table(spark, sfDir01, "documents")
+    val (_, cand) = SimJoin.prefixCandidates(docs, "doc_id", "text", 0.9)
+    val nCand = cand.count()
+    val nRes = SimJoin.prefixJaccardJoin(docs, "doc_id", "text", 0.9).count()
+    assert(nRes > 0, "fixture produced no near-dup pairs — gate is vacuous")
+    assert(nCand <= 8L * nRes + 100,
+      s"candidate blowup: $nCand candidates for $nRes result pairs — " +
+        "a prefix-filter stage regressed (this is the q412 load-cliff signature)")
+  }
+
   test("tfidf top-k: identical docs are each other's top neighbor") {
     val docs = Seq(
       (1L, "apple banana cherry"), (2L, "apple banana cherry"),

@@ -262,6 +262,31 @@ class StreamSpec extends SparkSpec {
     assert(r2.getAs[String]("tagv") == "A")
   }
 
+  test("redis spout seam: nil sentinel dropped, first-comma framing, out-queue shape") {
+    implicit val sc = spark.sqlContext
+    // PredictorSpout.java:54-60 — chombo MessageQueue hands the spout the
+    // literal "nil" on an empty poll; the spout skips it and first-comma
+    // splits everything else
+    val in = MemoryStream[String]
+    val parsed = StreamScorers.parseRedisQueueRecord(in.toDF().toDF("value"))
+    val q = parsed.writeStream.format("memory").queryName("rq").outputMode("append").start()
+    in.addData("CX77,HNS,1100", "nil", "CY88,LNL,900")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("rq").collect()
+      .map(r => r.getAs[String]("entityID") -> r.getAs[String]("recordData")).toMap
+    assert(rows == Map("CX77" -> "HNS,1100", "CY88" -> "LNL,900"), s"$rows")
+
+    // out-queue alert framing (MarkovModelPredictor.java:318-327):
+    // "entityID : st1 st2 : score" — the fraudQueue message the
+    // tutorial's xaction_queue.py readOutQueue drains
+    import spark.implicits._
+    val scored = Seq(("CX77", "HNS", "HHS", 4.25)).toDF("cid", "s1", "s2", "score")
+    val msg = StreamScorers.toRedisQueueMessage(scored, "cid", Seq("s1", "s2"), "score")
+      .collect().head.getAs[String]("value")
+    assert(msg == "CX77 : HNS HHS : 4.25", msg)
+  }
+
   test("kafkaSource builds a kafka-format reader (fails only at runtime lookup offline)") {
     // The connector jar is absent in this offline build, so the load()
     // must fail at the DataSource registry lookup for "kafka" — proving

@@ -65,7 +65,7 @@ class WindowGuardSpec extends SparkSpec {
   test("whitelisted unpartitioned windows hold their documented caps at sf0.01") {
     whitelist.toSeq.sortBy(_._1).foreach { case (name, (cap, why)) =>
       val rs = WindowAudit.unpartitionedWindowInputRows(
-          SparkEntry.queries(name)(spark, "/root/testdata/sf0.01"))
+          SparkEntry.queries(name)(spark, sfDir01))
         .filter(_._1.kind == "open")
       assert(rs.nonEmpty,
         s"$name has no open unpartitioned window left — drop it from the whitelist")
