@@ -959,6 +959,38 @@ object ScaleProbe {
           multi.Proximity.fastAbodFromKnn(nn, emb2, "vec_id", "embedding")
             .count()
       }
+      // r12 heavies (r12 verdict item 6). copula: stage count is fixed
+      // (3 cols × banded ranks + pair moments) — cost must grow ~linearly
+      val li = scaled("lineitem", Seq("l_orderkey"), n)
+      val nLi2 = li.count()
+      time("copula3", n, nLi2) {
+        model.Assoc.copulaCorrelation(li,
+          Seq("l_quantity", "l_extendedprice", "l_discount")).count()
+      }
+      // hawkes: day grid is keys × span (calendar-bounded) — 4× events
+      // land in the SAME buckets, so cost must stay near-flat
+      time("hawkes", n, nEv) {
+        model.Behavior.hawkesFit(ev, "event_type", "ts", beta = 0.5).count()
+      }
+      // ALS: factor state is (users+items)×2; round cost rides the
+      // ratings aggregate
+      time("als2_r4", n, nEv) {
+        val r = ev.where(col("value").isNotNull)
+          .groupBy(pmod(col("user_id"), lit(50L)).cast("string").as("u"),
+            col("event_type").as("i"))
+          .agg((sum(core.fixedPointLong(col("value"), 4)
+            .cast("decimal(38,0)")).cast("double") / 1e4 /
+            count(lit(1))).as("y"))
+        model.Factorize.als2(r, "u", "i", "y", iters = 4, lambda = 0.1).count()
+      }
+      // RANSAC: candidate frame is WindowGroupLimit-capped at 2·M rows
+      time("ransac16", n, nEv) {
+        model.Assoc.ransacLine(
+          ev.where(col("value").isNotNull)
+            .withColumn("xb", pmod(col("user_id"), lit(100L)).cast("double")),
+          "event_type", "event_id", "xb", "value",
+          candidates = 16, tol = 60.0).count()
+      }
     }
     spark.stop()
   }

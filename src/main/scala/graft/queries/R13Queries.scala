@@ -52,7 +52,7 @@ object R13Queries {
     // Snorkel-style two-round label model over 4 heuristic doc LFs
     "q562_label_model" -> ((s, dir) =>
       canon(graft.model.WeakLabels.labelModel(lfVotes(s, dir),
-        "item", "lf", "vote")
+        "doc_id", "lf", "vote")
         .withColumnRenamed("item", "doc_id"))),
     // content-defined (Rabin) chunk dedup across the corpus
     "q563_cdc_chunks" -> ((s, dir) =>
@@ -65,6 +65,10 @@ object R13Queries {
           col("doc_id").as("id_b"), col("text").as("tb")), "id_a")
       canon(TextOps.rougeN(pairs, Seq("id_a", "id_b"), "ta", "tb", n = 2))
     }),
+    // 2-topic PLSA EM (3 rounds, top-500 vocab) over documents
+    "q566_plsa" -> ((s, dir) =>
+      canon(graft.text.Topics.plsa2(docs(s, dir), "doc_id", "text",
+        vocab = 500, iters = 3))),
     // contrastive hard negatives: cosine band [0.2, 0.9), top-5 per
     // anchor, (v, v+100) positive pairs excluded
     "q565_hard_neg" -> ((s, dir) => {
@@ -217,6 +221,53 @@ object R13Queries {
         |   / (overlap::DOUBLE / n_a + overlap::DOUBLE / n_b)
         |  WHEN n_a > 0 AND n_b > 0 THEN 0.0 END, 4) AS f1
         |FROM o""".stripMargin.replace("\n", " "),
+    "q566_plsa" -> {
+      // round-unrolled EM replay (the q513 unrolled-GD device applied
+      // to EM): each round r derives resp_r from (th_{r-1}, phi_{r-1}),
+      // re-aggregates, and 6dp-freezes — bit-identical to the engine's
+      // localCheckpointed loop
+      def r6(e: String) = s"(${fp(e, "1e6")})::DOUBLE / 1e6"
+      val rounds = (1 to 3).map { r =>
+        val (thP, phiP) = (s"th${r - 1}", s"phi${r - 1}")
+        s"""resp$r AS (SELECT d, w,
+           |  ${fp("c::DOUBLE * r0", "1e9")} AS m0,
+           |  ${fp("c::DOUBLE * (1.0 - r0)", "1e9")} AS m1
+           | FROM (SELECT d, w, c,
+           |   th * p0 / (th * p0 + (1.0 - th) * p1) AS r0
+           |  FROM pairs JOIN $thP USING (d) JOIN $phiP USING (w))),
+           |th$r AS (SELECT d, ${r6("sum(m0)::DOUBLE / (sum(m0) + sum(m1))::DOUBLE")} AS th
+           | FROM resp$r GROUP BY 1),
+           |byw$r AS (SELECT w, sum(m0)::HUGEINT AS n0, sum(m1)::HUGEINT AS n1
+           | FROM resp$r GROUP BY 1),
+           |den$r AS (SELECT sum(n0)::DOUBLE / 1e9 AS d0,
+           |  sum(n1)::DOUBLE / 1e9 AS d1 FROM byw$r),
+           |phi$r AS (SELECT w,
+           |  ${r6(s"(n0::DOUBLE / 1e9 + 1e-6) / ((SELECT d0 FROM den$r) + 1e-6 * (SELECT v FROM tot))")} AS p0,
+           |  ${r6(s"(n1::DOUBLE / 1e9 + 1e-6) / ((SELECT d1 FROM den$r) + 1e-6 * (SELECT v FROM tot))")} AS p1
+           | FROM byw$r)"""
+      }.mkString(",\n")
+      s"""WITH tk AS (SELECT doc_id AS d,
+         |  unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+         | FROM documents WHERE text IS NOT NULL),
+         |wc AS (SELECT w, count(*)::BIGINT AS wc FROM tk GROUP BY 1),
+         |top AS (SELECT w FROM wc
+         | QUALIFY row_number() OVER (ORDER BY wc DESC, w ASC) <= 500),
+         |pairs AS (SELECT d, w, count(*)::BIGINT AS c
+         | FROM tk JOIN top USING (w) GROUP BY 1, 2),
+         |pb AS (SELECT w, 10000 + (${h56("'plsa0:'||w")} % 1000) AS n0,
+         |  10000 + (${h56("'plsa1:'||w")} % 1000) AS n1
+         | FROM (SELECT DISTINCT w FROM pairs)),
+         |tot AS (SELECT sum(n0)::BIGINT AS t0, sum(n1)::BIGINT AS t1,
+         |  count(*)::BIGINT AS v FROM pb),
+         |phi0 AS (SELECT w, n0::DOUBLE / (SELECT t0 FROM tot) AS p0,
+         |  n1::DOUBLE / (SELECT t1 FROM tot) AS p1 FROM pb),
+         |th0 AS (SELECT DISTINCT d, 0.5 AS th FROM pairs),
+         |$rounds,
+         |nt AS (SELECT d, sum(c)::BIGINT AS n_terms FROM pairs GROUP BY 1)
+         |SELECT d AS doc_id, n_terms, round(th, 4) AS theta0,
+         | (CASE WHEN th >= 0.5 THEN 0 ELSE 1 END)::BIGINT AS topic
+         |FROM th3 JOIN nt USING (d)""".stripMargin.replace("\n", " ")
+    },
     "q565_hard_neg" ->
       """WITH p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
         |  list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
