@@ -1,5 +1,6 @@
 package graft.model
 
+import graft.core.fixedPointLong
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -407,5 +408,57 @@ object Causal {
           .cast("double") / 1e8)
       .select("n_treated", "n_control", "overlap", "t_min", "t_max",
         "c_min", "c_max")
+  }
+
+  /** Simpson's-paradox audit (Simpson 1951; the aggregation-reversal
+    * trap every cohort dashboard eventually hits): compares the CRUDE
+    * treated-vs-control rate difference against the size-weighted
+    * average of the per-stratum differences and flags when
+    * stratification flips the sign — the reversal-audit face of
+    * [[postStratATE]] (that reports the adjusted effect; this diagnoses
+    * when the crude number lies). A binary `outcomeCol` gives classic
+    * rate reversal; any bounded numeric works (mean reversal).
+    *
+    * Determinism: all rates are exact integer-count ratios; the
+    * weighted stratified difference freezes each stratum's diff at 9dp
+    * before the n-weighted long sum; the sign compare carries the
+    * engine-wide ±1e-9 zero band. Scale: one hash aggregate to
+    * strata × 2 cells, everything after is model-sized.
+    *
+    * Output per stratum: stratum, n, p_t, p_c, diff — plus the same
+    * crude_diff, strat_diff, reversed columns on every row (the audit
+    * verdict travels with the detail table). Strata missing either arm
+    * are excluded from the stratified average (no counterfactual). */
+  def simpsonAudit(data: DataFrame, stratumCol: String, treatCol: String,
+      outcomeCol: String): DataFrame = {
+    val t = col(treatCol).cast("boolean")
+    val y = col(outcomeCol).cast("double")
+    val cells = data.where(t.isNotNull && y.isNotNull)
+      .groupBy(col(stratumCol).as("stratum"), t.as("_t"))
+      .agg(count(lit(1)).as("_n"),
+        sum(fixedPointLong(y, 9)).as("_s"))
+    def side(tv: Boolean, tag: String) = cells.where(col("_t") === tv)
+      .select(col("stratum"), col("_n").as(s"_n$tag"),
+        (col("_s").cast("double") / 1e9 / col("_n").cast("double"))
+          .as(s"p_$tag"))
+    val s = side(tv = true, "t").join(side(tv = false, "c"), "stratum")
+      .withColumn("n", col("_nt") + col("_nc"))
+      .withColumn("diff", col("p_t") - col("p_c"))
+    val crude = cells.groupBy(col("_t"))
+      .agg(sum(col("_n")).as("_n"), sum(col("_s")).as("_s"))
+      .select(col("_t"), (col("_s").cast("double") / 1e9 /
+        col("_n").cast("double")).as("_p"))
+    val crudeDiff = crude.where(col("_t")).select(col("_p"))
+      .crossJoin(crude.where(!col("_t")).select(col("_p").as("_pc")))
+      .select((col("_p") - col("_pc")).as("crude_diff"))
+    val strat = s.agg((sum(fixedPointLong(col("diff"), 9) * col("n"))
+        .cast("double") / 1e9 / sum(col("n")).cast("double"))
+      .as("strat_diff"))
+    s.crossJoin(broadcast(crudeDiff)).crossJoin(broadcast(strat))
+      .withColumn("reversed",
+        (col("crude_diff") > 1e-9 && col("strat_diff") < -1e-9) ||
+          (col("crude_diff") < -1e-9 && col("strat_diff") > 1e-9))
+      .select(col("stratum"), col("n"), col("p_t"), col("p_c"),
+        col("diff"), col("crude_diff"), col("strat_diff"), col("reversed"))
   }
 }

@@ -439,4 +439,55 @@ object Survival {
         col("_cc").cast("long").as("concordant"),
         col("_tt").cast("long").as("tied"), col("c_index"))
   }
+
+  /** Per-key Weibull(k, λ) fit by profile-likelihood grid MLE over the
+    * shape k (the parametric lifetime model next to the nonparametric
+    * Kaplan-Meier family; reliability engineering's default): given k,
+    * the scale MLE is closed-form λ̂ᵏ = Σxᵏ/n, so the profile
+    * log-likelihood
+    * LL(k) = n·ln k − n·ln(Σxᵏ/n) + (k−1)·Σ ln x − n
+    * is maximized on the grid with ties to the smaller k. k < 1 =
+    * infant-mortality hazard, k ≈ 1 = memoryless, k > 1 = wear-out.
+    *
+    * Determinism: xᵏ is written exp(k·ln x) (libm-parity device) and
+    * 9dp-frozen per row, as is ln x — both cross-row sums are exact
+    * decimals; LL is then a fixed float expression of exact integers
+    * and the argmax orders by (6dp-frozen LL desc, k asc). Positive
+    * values only (Weibull support); zero/negative rows are dropped.
+    * Value-magnitude contract: xᵏ·1e9 must stay inside long (x ≲ 2×10³
+    * at the default k ≤ 3 grid) — rescale durations first otherwise.
+    *
+    * Scale: one hash aggregate to keys × |grid| rows (grid broadcast),
+    * then a model-sized argmax window — the yeoJohnsonFit plan shape.
+    *
+    * Output per key: key, shape, scale, ll, n. */
+  def weibullFit(data: DataFrame, keyCol: String, valCol: String,
+      shapes: Seq[Double] = Seq(0.5, 0.75, 1.0, 1.25, 1.5, 1.75, 2.0,
+        2.25, 2.5, 2.75, 3.0)): DataFrame = {
+    require(shapes.nonEmpty && shapes.forall(_ > 0), "positive shape grid")
+    val spark = data.sparkSession
+    import spark.implicits._
+    val grid = broadcast(shapes.toDF("k"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x = col(valCol).cast("double")
+    val base = data.where(x.isNotNull && x > 0)
+      .select(col(keyCol).as("key"), x.as("_x")).crossJoin(grid)
+    val agg = base.groupBy(col("key"), col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(graft.core.fixedPointLong(
+          exp(col("k") * log(col("_x"))), 9))).as("_sk"),
+        sum(dec(graft.core.fixedPointLong(log(col("_x")), 9))).as("_sl"))
+      .where(col("n") >= 2)
+    val nD = col("n").cast("double")
+    val mk = col("_sk").cast("double") / 1e9 / nD // Σxᵏ/n
+    val ll = nD * log(col("k")) - nD * log(mk) +
+      (col("k") - 1.0) * (col("_sl").cast("double") / 1e9) - nD
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+      .orderBy(graft.core.fixedPointLong(col("ll"), 6).desc, col("k").asc)
+    agg.withColumn("ll", ll)
+      .withColumn("scale", exp(log(mk) / col("k")))
+      .withColumn("_rk", row_number().over(w)).where(col("_rk") === 1)
+      .select(col("key"), col("k").as("shape"), col("scale"), col("ll"),
+        col("n"))
+  }
 }

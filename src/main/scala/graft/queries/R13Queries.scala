@@ -69,6 +69,35 @@ object R13Queries {
     "q566_plsa" -> ((s, dir) =>
       canon(graft.text.Topics.plsa2(docs(s, dir), "doc_id", "text",
         vocab = 500, iters = 3))),
+    // Weibull shape/scale profile-likelihood grid MLE per event_type
+    "q567_weibull" -> ((s, dir) =>
+      canon(graft.model.Survival.weibullFit(ev(s, dir),
+        "event_type", "value"))),
+    // Simpson's-paradox audit: crude vs event_type-stratified
+    // high-value rate difference, arm = user parity
+    "q568_simpson" -> ((s, dir) =>
+      canon(graft.model.Causal.simpsonAudit(
+        ev(s, dir).where(col("value").isNotNull)
+          .withColumn("t", pmod(col("user_id"), lit(2L)) === 0)
+          .withColumn("y",
+            when(col("value") > 150.0, 1.0).otherwise(0.0)),
+        "event_type", "t", "y"))),
+    // Smith-Waterman local alignment of each user's event-type sequence
+    // against the view->click->purchase funnel (match 2, mis/gap -1)
+    "q569_smith_waterman" -> ((s, dir) => {
+      val pat = Seq("view", "click", "purchase")
+      val sw = udf((a: Seq[String]) =>
+        graft.seq.SeriesKernels.smithWaterman(a, pat))
+      canon(ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("len"),
+          transform(array_sort(collect_list(
+            struct(col("event_id"), col("event_type")))),
+            x => x.getField("event_type")).as("_st"))
+        .withColumn("sw", sw(col("_st")).cast("long"))
+        .withColumn("sw_norm", col("sw").cast("double") / 6.0)
+        .select("user_id", "len", "sw", "sw_norm"))
+    }),
     // contrastive hard negatives: cosine band [0.2, 0.9), top-5 per
     // anchor, (v, v+100) positive pairs excluded
     "q565_hard_neg" -> ((s, dir) => {
@@ -221,6 +250,75 @@ object R13Queries {
         |   / (overlap::DOUBLE / n_a + overlap::DOUBLE / n_b)
         |  WHEN n_a > 0 AND n_b > 0 THEN 0.0 END, 4) AS f1
         |FROM o""".stripMargin.replace("\n", " "),
+    "q567_weibull" ->
+      s"""WITH b AS (SELECT event_type AS key, value::DOUBLE AS x
+         |  FROM events WHERE value IS NOT NULL AND value > 0),
+         |g AS (SELECT unnest([0.5,0.75,1.0,1.25,1.5,1.75,2.0,2.25,2.5,
+         |  2.75,3.0]) AS k),
+         |t AS (SELECT key, k, ${fp("exp(k * ln(x))", "1e9")} AS xk,
+         |  ${fp("ln(x)", "1e9")} AS lx FROM b CROSS JOIN g),
+         |a AS (SELECT key, k, count(*)::BIGINT AS n,
+         |  sum(xk)::HUGEINT AS sk, sum(lx)::HUGEINT AS sl
+         | FROM t GROUP BY 1, 2 HAVING count(*) >= 2),
+         |ll AS (SELECT key, k, n,
+         |  n::DOUBLE * ln(k) - n::DOUBLE * ln(sk::DOUBLE / 1e9 / n::DOUBLE)
+         |   + (k - 1.0) * (sl::DOUBLE / 1e9) - n::DOUBLE AS ll,
+         |  exp(ln(sk::DOUBLE / 1e9 / n::DOUBLE) / k) AS scale FROM a),
+         |r AS (SELECT key, k, n, ll, scale, row_number() OVER
+         |  (PARTITION BY key ORDER BY ${fp("ll", "1e6")} DESC, k ASC) AS rk
+         | FROM ll)
+         |SELECT key, k AS shape, round(scale, 4) AS scale,
+         | round(ll, 4) AS ll, n FROM r WHERE rk = 1"""
+        .stripMargin.replace("\n", " "),
+    "q568_simpson" ->
+      s"""WITH b AS (SELECT event_type AS stratum, (user_id % 2 = 0) AS t,
+         |  CASE WHEN value > 150.0 THEN 1.0 ELSE 0.0 END AS y
+         | FROM events WHERE value IS NOT NULL),
+         |cells AS (SELECT stratum, t, count(*)::BIGINT AS n,
+         |  sum(${fp("y", "1e9")})::BIGINT AS s FROM b GROUP BY 1, 2),
+         |sides AS (SELECT a.stratum, a.n AS nt, c.n AS nc,
+         |  a.s::DOUBLE / 1e9 / a.n::DOUBLE AS pt,
+         |  c.s::DOUBLE / 1e9 / c.n::DOUBLE AS pc
+         | FROM (SELECT * FROM cells WHERE t) a
+         | JOIN (SELECT * FROM cells WHERE NOT t) c USING (stratum)),
+         |crude AS (SELECT
+         |  (SELECT sum(s)::DOUBLE / 1e9 / sum(n)::DOUBLE
+         |    FROM cells WHERE t) -
+         |  (SELECT sum(s)::DOUBLE / 1e9 / sum(n)::DOUBLE
+         |    FROM cells WHERE NOT t) AS crude_diff),
+         |strat AS (SELECT sum(${fp("pt - pc", "1e9")} * (nt + nc))::DOUBLE
+         |   / 1e9 / sum(nt + nc)::DOUBLE AS strat_diff FROM sides)
+         |SELECT stratum, (nt + nc) AS n, round(pt, 4) AS p_t,
+         | round(pc, 4) AS p_c, round(pt - pc, 4) AS diff,
+         | round(crude_diff, 4) AS crude_diff,
+         | round(strat_diff, 4) AS strat_diff,
+         | ((crude_diff > 1e-9 AND strat_diff < -1e-9) OR
+         |  (crude_diff < -1e-9 AND strat_diff > 1e-9)) AS reversed
+         |FROM sides, crude, strat""".stripMargin.replace("\n", " "),
+    "q569_smith_waterman" ->
+      """WITH RECURSIVE s AS (SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY event_id, event_type) AS pos FROM events),
+        |seqs AS (SELECT user_id, list(event_type ORDER BY pos) AS st,
+        |  count(*)::BIGINT AS len FROM s GROUP BY 1),
+        |w AS (
+        | SELECT user_id, st, len, 0::BIGINT AS t, 0 AS p1, 0 AS p2,
+        |  0 AS p3, 0 AS best
+        | FROM seqs
+        | UNION ALL
+        | SELECT user_id, st, len, t + 1, n1, n2, n3,
+        |  greatest(best, n1, n2, n3)
+        | FROM (SELECT *, greatest(0, p2 + sc3, p3 - 1, n2 - 1) AS n3
+        |  FROM (SELECT *, greatest(0, p1 + sc2, p2 - 1, n1 - 1) AS n2
+        |   FROM (SELECT *, greatest(0, sc1, p1 - 1) AS n1
+        |    FROM (SELECT user_id, st, len, t, p1, p2, p3, best,
+        |      CASE WHEN st[(t + 1)::INT] = 'view' THEN 2 ELSE -1 END AS sc1,
+        |      CASE WHEN st[(t + 1)::INT] = 'click' THEN 2 ELSE -1 END AS sc2,
+        |      CASE WHEN st[(t + 1)::INT] = 'purchase' THEN 2 ELSE -1 END AS sc3
+        |     FROM w WHERE t < len)))))
+        |SELECT user_id, len, best::BIGINT AS sw,
+        | round(best::DOUBLE / 6.0, 4) AS sw_norm
+        |FROM w WHERE t = len""".stripMargin.replace("\n", " "),
     "q566_plsa" -> {
       // round-unrolled EM replay (the q513 unrolled-GD device applied
       // to EM): each round r derives resp_r from (th_{r-1}, phi_{r-1}),

@@ -722,6 +722,38 @@ object SeriesKernels {
     dp(n)(m).toDouble / math.max(n, m)
   }
 
+  /** Smith-Waterman local alignment score (Smith & Waterman 1981)
+    * against a fixed pattern — the gap-tolerant sequence matcher the
+    * positional/LCS pair lacks: positional demands alignment, LCS
+    * ignores locality; SW scores the best CONTIGUOUS-with-gaps match
+    * anywhere in the sequence (funnel detection: does view→click→
+    * purchase occur, allowing detours, anywhere in a session?). Linear
+    * gap penalty; all-integer DP, one row of `pattern.length + 1`
+    * cells carried per sequence element — O(n·m) time, O(m) space.
+    * Score of the best local alignment; 0 = no positive-scoring match. */
+  def smithWaterman(a: Seq[String], pattern: Seq[String],
+      matchScore: Int = 2, mismatchScore: Int = -1, gapScore: Int = -1): Int = {
+    val m = pattern.length
+    if (a.isEmpty || m == 0) return 0
+    val prev = new Array[Int](m + 1)
+    val cur = new Array[Int](m + 1)
+    var best = 0
+    var i = 0
+    while (i < a.length) {
+      var j = 1
+      while (j <= m) {
+        val s = if (a(i) == pattern(j - 1)) matchScore else mismatchScore
+        cur(j) = math.max(0, math.max(prev(j - 1) + s,
+          math.max(prev(j) + gapScore, cur(j - 1) + gapScore)))
+        if (cur(j) > best) best = cur(j)
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    best
+  }
+
   /** Depth-2 binary-segmentation change-point search with the L2
     * (piecewise-constant-mean) cost (Scott & Knott 1974; the classic
     * top-down alternative to the sliding-window KS family above): find

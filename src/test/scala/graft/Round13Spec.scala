@@ -96,6 +96,55 @@ class Round13Spec extends SparkSpec {
     assert(sportTopics != cookTopics, "clusters collapsed onto one topic")
   }
 
+  test("weibullFit: recovers the generating shape for exponential and k=2 samples") {
+    val rng = new scala.util.Random(5)
+    def weib(k: Double, lam: Double) =
+      lam * math.pow(-math.log(rng.nextDouble()), 1.0 / k)
+    val rows = (1 to 1500).map(_ => ("exp", weib(1.0, 10.0))) ++
+      (1 to 1500).map(_ => ("wear", weib(2.0, 10.0)))
+    val fit = graft.model.Survival.weibullFit(rows.toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getAs[String]("key") ->
+        (r.getAs[Double]("shape"), r.getAs[Double]("scale"))).toMap
+    assert(math.abs(fit("exp")._1 - 1.0) <= 0.25, s"exp shape ${fit("exp")}")
+    assert(math.abs(fit("wear")._1 - 2.0) <= 0.25, s"wear shape ${fit("wear")}")
+    assert(math.abs(fit("exp")._2 - 10.0) <= 1.5, s"exp scale ${fit("exp")}")
+  }
+
+  test("simpsonAudit: classic admission reversal flips the crude sign") {
+    // stratum A: treated 10/100 vs control 2/40 (t better in-stratum? no:
+    // 0.10 vs 0.05 — t better); build the canonical reversal: treatment
+    // concentrates in the hard stratum, so crude favors CONTROL while
+    // every stratum favors TREATMENT
+    def rows(stratum: String, t: Boolean, pos: Int, neg: Int) =
+      (1 to pos).map(_ => (stratum, t, 1.0)) ++
+        (1 to neg).map(_ => (stratum, t, 0.0))
+    val df = (rows("easy", t = true, 18, 2) ++ // 0.90 (n=20)
+      rows("easy", t = false, 80, 20) ++ // 0.80 (n=100)
+      rows("hard", t = true, 30, 70) ++ // 0.30 (n=100)
+      rows("hard", t = false, 4, 16)) // 0.20 (n=20)
+      .toDF("s", "t", "y")
+    val out = graft.model.Causal.simpsonAudit(df, "s", "t", "y").collect()
+    assert(out.forall(_.getAs[Boolean]("reversed")), "reversal not flagged")
+    assert(out.forall(_.getAs[Double]("diff") > 0), "strata favor treatment")
+    assert(out.head.getAs[Double]("crude_diff") < 0, "crude favors control")
+    // no-reversal sanity: balanced design
+    val bal = (rows("a", t = true, 30, 70) ++ rows("a", t = false, 20, 80))
+      .toDF("s", "t", "y")
+    assert(!graft.model.Causal.simpsonAudit(bal, "s", "t", "y")
+      .collect().head.getAs[Boolean]("reversed"))
+  }
+
+  test("smithWaterman: exact, gapped, and absent patterns score as hand-checked") {
+    import graft.seq.SeriesKernels.smithWaterman
+    val pat = Seq("v", "c", "p")
+    assert(smithWaterman(Seq("x", "v", "c", "p", "y"), pat) == 6) // exact: 3 matches ×2
+    // one detour: v c X p → 2+2−1+2 = 5
+    assert(smithWaterman(Seq("v", "c", "x", "p"), pat) == 5)
+    assert(smithWaterman(Seq("x", "y", "z"), pat) == 0) // nothing positive
+    assert(smithWaterman(Seq("v", "p"), pat) == 3) // v then gap-skip c: 2−1+2
+    assert(smithWaterman(Nil, pat) == 0)
+  }
+
   test("hardNegatives: band excludes near-dups and positives, ranks by cosine") {
     def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
     val vecs = Seq(
