@@ -433,10 +433,14 @@ object Causal {
       outcomeCol: String): DataFrame = {
     val t = col(treatCol).cast("boolean")
     val y = col(outcomeCol).cast("double")
+    // strata×2 cells materialize once (localCheckpoint): the lazy frame
+    // feeds four downstream readers (both arms, crude, stratified) and
+    // would otherwise re-scan the data per reader
     val cells = data.where(t.isNotNull && y.isNotNull)
       .groupBy(col(stratumCol).as("stratum"), t.as("_t"))
       .agg(count(lit(1)).as("_n"),
         sum(fixedPointLong(y, 9)).as("_s"))
+      .localCheckpoint(true)
     def side(tv: Boolean, tag: String) = cells.where(col("_t") === tv)
       .select(col("stratum"), col("_n").as(s"_n$tag"),
         (col("_s").cast("double") / 1e9 / col("_n").cast("double"))
