@@ -437,6 +437,31 @@ object StreamScorers {
     }
   }
 
+  /** Streaming CDC chunk admission — the storage-dedup face of
+    * [[graft.text.TextOps.cdcChunkDedup]]: documents chunk at
+    * content-defined (Rabin) boundaries per row (codegen, stateless),
+    * and only the FIRST occurrence of each chunk hash passes — the
+    * dedup'd chunk store an ingest pipeline actually writes, where an
+    * edited re-crawl contributes only its changed chunks. State is one
+    * row per distinct chunk hash (whole-history, or watermark-bounded
+    * via `dropDuplicatesWithinWatermark` when `tsColAndWatermark` is
+    * set). Output: idCol (the first owner), _ch (chunk hash). */
+  def cdcChunkStream(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, base: Int = 31, mask: Int = 64,
+      tsColAndWatermark: Option[(String, String)] = None): DataFrame = {
+    tsColAndWatermark match {
+      case Some((ts, wm)) =>
+        // the event-time column rides through the chunk explode (`keep`)
+        // so the watermark survives to the dedup state operator
+        graft.text.TextOps.cdcChunks(docs.withWatermark(ts, wm),
+          idCol, textCol, window, base, mask, keep = Seq(ts))
+          .dropDuplicatesWithinWatermark("_ch")
+      case None =>
+        graft.text.TextOps.cdcChunks(docs, idCol, textCol, window,
+          base, mask).dropDuplicates("_ch")
+    }
+  }
+
   /** Streaming canonical-URL dedup — the crawl-frontier face of the
     * batch q266 shape: the first document per CANONICAL url passes
     * (case/www/tracking/fragment/slash variants collapse before the

@@ -3190,8 +3190,13 @@ object TextOps {
     *
     * Output per doc: idCol, n_chunks, dup_chunks (chunks whose hash
     * appears in ≥ 2 distinct docs), dup_ratio. */
-  def cdcChunkDedup(docs: DataFrame, idCol: String, textCol: String,
-      window: Int = 8, base: Int = 31, mask: Int = 64): DataFrame = {
+  /** The (id, chunk-hash) frame behind [[cdcChunkDedup]] — exploded
+    * content-defined chunks, one row per chunk occurrence. Pure per-row
+    * codegen (no aggregate), so it is streaming-safe and shared by the
+    * batch dedup stats and the streaming chunk-admission face. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, base: Int = 31, mask: Int = 64,
+      keep: Seq[String] = Nil): DataFrame = {
     require(window >= 2 && window <= 16, "2 <= window <= 16")
     require(base >= 2 && base <= 64, "2 <= base <= 64")
     require(mask >= 2, "mask >= 2")
@@ -3211,13 +3216,21 @@ object TextOps {
          | k -> substring($t, element_at(_cuts, k),
          |   coalesce(try_element_at(_cuts, k + 1), length($t) + 1)
          |     - element_at(_cuts, k)))""".stripMargin.replace("\n", " ")
-    val perChunk = docs
+    val kc = keep.map(col)
+    docs
       .where(col(textCol).isNotNull && length(col(textCol)) >= window)
-      .select(col(idCol), col(textCol).as(t))
+      .select(col(idCol) +: kc :+ col(textCol).as(t): _*)
       .withColumn("_cuts", expr(cuts))
-      .select(col(idCol), explode(expr(chunks)).as("_chunk"))
+      .select(col(idCol) +: kc :+ explode(expr(chunks)).as("_chunk"): _*)
       .where(length(col("_chunk")) > 0)
-      .select(col(idCol), hash56(col("_chunk")).as("_ch"))
+      .select(col(idCol) +: kc :+ hash56(col("_chunk")).as("_ch"): _*)
+  }
+
+  /** Per-doc duplicated-chunk stats over [[cdcChunks]] — see the CDC
+    * contract above. */
+  def cdcChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, base: Int = 31, mask: Int = 64): DataFrame = {
+    val perChunk = cdcChunks(docs, idCol, textCol, window, base, mask)
     val counts = perChunk.groupBy(col("_ch"))
       .agg(countDistinct(col(idCol)).as("_docs"))
     perChunk.join(counts, "_ch")

@@ -287,6 +287,38 @@ class StreamSpec extends SparkSpec {
     assert(msg == "CX77 : HNS HHS : 4.25", msg)
   }
 
+  test("streaming CDC chunk admission: cross-batch chunk dedup, batch parity") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // varied text → many distinct hash windows → several content-defined
+    // boundaries (a pure repeat has ~44 distinct windows and can miss
+    // the 1/64 boundary condition entirely)
+    val base = (0 until 300).map(i => s"tok$i word${i * 7 % 97}").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamScorers.cdcChunkStream(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("cdc").outputMode("append").start()
+    in.addData((1L, base))
+    q.processAllAvailable()
+    val afterFirst = spark.table("cdc").count()
+    // a prefix-edited near-copy arrives in a LATER batch: its re-aligned
+    // chunks are already in state, so only the edited head admits
+    in.addData((2L, "EDITED-HEAD " + base))
+    q.processAllAvailable()
+    val admitted = spark.table("cdc").collect()
+    q.stop()
+    val fromDoc2 = admitted.count(_.getAs[Long]("doc_id") == 2L)
+    assert(afterFirst > 3, s"doc1 produced only $afterFirst chunks")
+    assert(fromDoc2 >= 1 && fromDoc2 <= 2,
+      s"near-copy admitted $fromDoc2 chunks — CDC state failed to dedup across batches")
+    // batch parity: admitted set == batch-distinct chunk hashes
+    val batchDistinct = graft.text.TextOps.cdcChunks(
+      Seq((1L, base), (2L, "EDITED-HEAD " + base)).toDF("doc_id", "text"),
+      "doc_id", "text").select("_ch").distinct().count()
+    assert(admitted.length.toLong == batchDistinct,
+      s"${admitted.length} admitted vs $batchDistinct batch-distinct")
+  }
+
   test("kafkaSource builds a kafka-format reader (fails only at runtime lookup offline)") {
     // The connector jar is absent in this offline build, so the load()
     // must fail at the DataSource registry lookup for "kafka" — proving
