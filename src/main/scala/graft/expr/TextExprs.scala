@@ -4,7 +4,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** MinHash signature as ONE native expression over the token array.
@@ -201,6 +201,109 @@ object JaroWinkler {
     val maxP = math.min(4, math.min(l1, l2))
     while (prefix < maxP && a(prefix) == b(prefix)) prefix += 1
     sim + prefix * 0.1 * (1.0 - sim)
+  }
+}
+
+/** Content-defined chunks (the Rabin-style CDC boundary rule of
+  * TextOps.cdcChunks) as ONE codegen'd expression over the text.
+  *
+  * The higher-order-function formulation it replaces evaluated
+  * `ascii(substring(t, i + j, 1))` per (position, window-offset): each
+  * `substring` walks the UTF8String from byte 0 to find character i+j,
+  * so a length-n document cost O(n²·w) byte scans plus an interpreted
+  * lambda per term (28 s for the q563 suite entry at sf0.1). This
+  * expression decodes the codepoint sequence ONCE (O(bytes)), rolls the
+  * window polynomial in O(1) per position via
+  * h(i+1) = (h(i) − c[i]·baseᵂ⁻¹)·base + c[i+w] — exact in long, the
+  * identical integer sequence as the Horner fold — and slices chunks as
+  * byte ranges at character boundaries.
+  *
+  * Semantics replicated bit-for-bit (CdcExprSpec pins equality against
+  * the HOF chain, multibyte included): char codes are Unicode
+  * codepoints (Spark 4's `ascii` = codePointAt(0) of the first char),
+  * boundary positions are 1-based with position 1 always a cut, a
+  * boundary falls where h % mask == 0 (Java remainder), and each chunk
+  * spans [cut, next cut). Inputs shorter than `window` chars yield the
+  * whole text as one chunk (the caller filters length ≥ window anyway). */
+case class CdcChunks(child: Expression, window: Int, base: Int, mask: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    CdcChunks.compute(input.asInstanceOf[UTF8String], window, base, mask)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.CdcChunks.compute($c, $window, $base, $mask);")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
+object CdcChunks {
+  def compute(s: UTF8String, w: Int, base: Int, mask: Int): ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // character start offsets (UTF-8 lead bytes), one pass
+    var nc = 0
+    var i = 0
+    while (i < nb) { if ((bytes(i) & 0xc0) != 0x80) nc += 1; i += 1 }
+    if (nc < w)
+      return new GenericArrayData(Array[AnyRef](s))
+    val offs = new Array[Int](nc + 1)
+    var c = 0
+    i = 0
+    while (i < nb) {
+      if ((bytes(i) & 0xc0) != 0x80) { offs(c) = i; c += 1 }
+      i += 1
+    }
+    offs(nc) = nb
+    // codepoint per character (= Spark ascii(substring(t, p, 1)))
+    val code = new Array[Long](nc)
+    c = 0
+    while (c < nc) {
+      val o = offs(c)
+      val b0 = bytes(o) & 0xff
+      code(c) =
+        if (b0 < 0x80) b0
+        else if (b0 < 0xe0)
+          ((b0 & 0x1f) << 6) | (bytes(o + 1) & 0x3f)
+        else if (b0 < 0xf0)
+          ((b0 & 0x0f) << 12) | ((bytes(o + 1) & 0x3f) << 6) |
+            (bytes(o + 2) & 0x3f)
+        else
+          ((b0 & 0x07) << 18) | ((bytes(o + 1) & 0x3f) << 12) |
+            ((bytes(o + 2) & 0x3f) << 6) | (bytes(o + 3) & 0x3f)
+      c += 1
+    }
+    // rolling window polynomial, cut char-indices (0-based; 0 always cut)
+    var basePow = 1L // base^(w-1)
+    i = 1
+    while (i < w) { basePow *= base; i += 1 }
+    val cuts = new java.util.ArrayList[Integer]()
+    cuts.add(0)
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * base + code(i); i += 1 }
+    // a boundary at position 1 adds nothing: 1 is always a cut
+    var p = 1
+    val nPos = nc - w + 1
+    while (p < nPos) {
+      h = (h - code(p - 1) * basePow) * base + code(p + w - 1)
+      if (h % mask == 0) cuts.add(p)
+      p += 1
+    }
+    val k = cuts.size()
+    val out = new Array[AnyRef](k)
+    i = 0
+    while (i < k) {
+      val cs = offs(cuts.get(i))
+      val ce = if (i + 1 < k) offs(cuts.get(i + 1)) else nb
+      out(i) = UTF8String.fromBytes(bytes, cs, ce - cs)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

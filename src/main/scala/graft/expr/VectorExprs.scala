@@ -464,6 +464,8 @@ object GraftFunctions {
       VecNearest2Q(Cast(es(0), ArrayType(LongType)), litMatrixL(es(1)))),
     "bit_hamming" -> (es => BitHamming(asLong(es(0)), asLong(es(1)))),
     "minhash_sig" -> (es => MinHashSig(es(0), litInt(es(1)), litInt(es(2)))),
+    "cdc_chunks" -> (es =>
+      CdcChunks(es(0), litInt(es(1)), litInt(es(2)), litInt(es(3)))),
     "winnow_fp" -> (es => Winnow(es(0), litInt(es(1)), litInt(es(2)))),
     "jaro_winkler" -> (es => JaroWinkler(es(0), es(1))))
 

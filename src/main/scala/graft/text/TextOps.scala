@@ -3202,26 +3202,17 @@ object TextOps {
     require(mask >= 2, "mask >= 2")
     require(math.pow(base, window) * 0xFFFF < 9e18,
       s"base^window * 0xFFFF must stay in long: $base^$window")
-    val t = "_cdc_text"
-    val cuts =
-      s"""array_distinct(concat(array(1),
-         | transform(
-         |  filter(sequence(1, greatest(length($t) - ${window - 1}, 1)),
-         |   i -> aggregate(sequence(0, ${window - 1}), 0L,
-         |     (acc, j) -> acc * $base + ascii(substring($t, i + j, 1)))
-         |     % $mask = 0),
-         |  p -> CAST(p AS INT))))""".stripMargin.replace("\n", " ")
-    val chunks =
-      s"""transform(sequence(1, size(_cuts)),
-         | k -> substring($t, element_at(_cuts, k),
-         |   coalesce(try_element_at(_cuts, k + 1), length($t) + 1)
-         |     - element_at(_cuts, k)))""".stripMargin.replace("\n", " ")
+    // chunking is one codegen'd O(bytes) expression per row
+    // (graft.expr.CdcChunks — rolling window polynomial, byte-sliced
+    // chunks); the earlier higher-order-function chain re-walked the
+    // string per (position, offset) for O(len²·window) byte scans and
+    // dominated the suite (28 s at sf0.1 → sub-second)
+    graft.expr.GraftFunctions.register(docs.sparkSession)
     val kc = keep.map(col)
     docs
       .where(col(textCol).isNotNull && length(col(textCol)) >= window)
-      .select(col(idCol) +: kc :+ col(textCol).as(t): _*)
-      .withColumn("_cuts", expr(cuts))
-      .select(col(idCol) +: kc :+ explode(expr(chunks)).as("_chunk"): _*)
+      .select(col(idCol) +: kc :+ explode(call_function("cdc_chunks",
+        col(textCol), lit(window), lit(base), lit(mask))).as("_chunk"): _*)
       .where(length(col("_chunk")) > 0)
       .select(col(idCol) +: kc :+ hash56(col("_chunk")).as("_ch"): _*)
   }
