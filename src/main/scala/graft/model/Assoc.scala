@@ -90,31 +90,42 @@ object Assoc {
     * the closing float expression replays bit-for-bit. Zero variance →
     * NULL (the assortativity guard).
     *
-    * Scale: each pair is one hash aggregate (map-side combined) over
-    * the two columns; output is pair-sized. */
+    * Scale: ONE hash aggregate (map-side combined) computes every
+    * pair's six moments as pairwise-complete conditional sums — the
+    * earlier one-aggregate-PER-pair form re-executed the whole upstream
+    * plan (for spearman/copula: the full rank pipeline) once per pair
+    * (r13 optimization, guide §2.4: share the pass). Output is
+    * pair-sized, assembled from the single 1-row moment frame. */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     val pairs = for (i <- cols.indices; j <- cols.indices if i < j)
       yield (cols(i), cols(j))
-    val per = pairs.map { case (a, b) =>
-      val agg = df.where(col(a).isNotNull && col(b).isNotNull)
-        .select(fixedPointLong(col(a), 4).as("x"),
-          fixedPointLong(col(b), 4).as("y"))
-        .agg(count(lit(1)).as("n"),
-          sum("x").as("sx"), sum("y").as("sy"),
-          // cast each FACTOR to decimal before multiplying: a BIGINT
-          // product of two 4dp longs wraps silently past |v|≈3e5 under
-          // ANSI-off, while DuckDB's HUGEINT stays exact (advice r7) —
-          // the same device arForecast's _svv and ecod's moments use
-          sum(col("x").cast("decimal(38,0)") * col("y").cast("decimal(38,0)")).as("sxy"),
-          sum(col("x").cast("decimal(38,0)") * col("x").cast("decimal(38,0)")).as("sxx"),
-          sum(col("y").cast("decimal(38,0)") * col("y").cast("decimal(38,0)")).as("syy"))
-      val num = col("n").cast("double") * col("sxy").cast("double") -
-        col("sx").cast("double") * col("sy").cast("double")
-      val dx = col("n").cast("double") * col("sxx").cast("double") -
-        col("sx").cast("double") * col("sx").cast("double")
-      val dy = col("n").cast("double") * col("syy").cast("double") -
-        col("sy").cast("double") * col("sy").cast("double")
-      agg.select(lit(a).as("col_x"), lit(b).as("col_y"), col("n"),
+    // cast each FACTOR to decimal before multiplying: a BIGINT
+    // product of two 4dp longs wraps silently past |v|≈3e5 under
+    // ANSI-off, while DuckDB's HUGEINT stays exact (advice r7) —
+    // the same device arForecast's _svv and ecod's moments use
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      val x = fixedPointLong(col(a), 4)
+      val y = fixedPointLong(col(b), 4)
+      val xd = x.cast("decimal(38,0)")
+      val yd = y.cast("decimal(38,0)")
+      Seq(count(when(both, lit(1))).as(s"_n$k"),
+        sum(when(both, x)).as(s"_sx$k"),
+        sum(when(both, y)).as(s"_sy$k"),
+        sum(when(both, xd * yd)).as(s"_sxy$k"),
+        sum(when(both, xd * xd)).as(s"_sxx$k"),
+        sum(when(both, yd * yd)).as(s"_syy$k"))
+    }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val per = pairs.zipWithIndex.map { case ((a, b), k) =>
+      val n = col(s"_n$k")
+      val num = n.cast("double") * col(s"_sxy$k").cast("double") -
+        col(s"_sx$k").cast("double") * col(s"_sy$k").cast("double")
+      val dx = n.cast("double") * col(s"_sxx$k").cast("double") -
+        col(s"_sx$k").cast("double") * col(s"_sx$k").cast("double")
+      val dy = n.cast("double") * col(s"_syy$k").cast("double") -
+        col(s"_sy$k").cast("double") * col(s"_sy$k").cast("double")
+      m.select(lit(a).as("col_x"), lit(b).as("col_y"), n.as("n"),
         when(dx > 0 && dy > 0, num / sqrt(dx * dy)).as("corr"))
     }
     per.reduce(_ unionByName _)
