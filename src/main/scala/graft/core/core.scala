@@ -207,6 +207,44 @@ package object core {
     when(c >= 0, floor(c * f + 0.5)).otherwise(-floor(-c * f + 0.5)).cast("long")
   }
 
+  /** Cache + right-size a frame an iterative fitter will aggregate many
+    * times (r13, guide §1.2 per-task work): persist MEMORY_AND_DISK,
+    * count it (the fitters need n anyway), and — when the frame is
+    * small — coalesce to ~64k rows per task so a 12–60-round GD loop
+    * isn't pure task-scheduling overhead (32 partitions × 60 rounds for
+    * q513's fixture measured ~45% of the fit). The row threshold, not a
+    * host constant, decides: large inputs keep the session's full
+    * parallelism. Returns (handle-to-unpersist, iteration view, n). */
+  def iterCache(df: DataFrame): (DataFrame, DataFrame, Long) = {
+    val handle = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = handle.count()
+    val target = math.max(1L, math.min(
+      df.sparkSession.sparkContext.defaultParallelism.toLong,
+      (n + 65535L) / 65536L)).toInt
+    val view =
+      if (target < handle.rdd.getNumPartitions) handle.coalesce(target)
+      else handle
+    (handle, view, n)
+  }
+
+  /** One-row DataFrame of named double parameters — iterative fitters
+    * join THIS (broadcast) instead of embedding the round's parameters
+    * as literals: literal parameters make every round's generated code
+    * unique, so an iters-round fit pays iters Janino compilations; with
+    * parameter COLUMNS the generated source is round-invariant and
+    * compiles once (r13 — measured 14.4 s → 7.8 s on q513's 60-round
+    * fit). The arithmetic is unchanged: a broadcast-joined column and a
+    * literal produce the same double sequence. */
+  def paramRow(spark: org.apache.spark.sql.SparkSession,
+      params: Seq[(String, Double)]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(params.map { case (k, _) =>
+      org.apache.spark.sql.types.StructField(k,
+        org.apache.spark.sql.types.DoubleType, nullable = false) })
+    spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row.fromSeq(params.map(_._2))), schema)
+  }
+
   /** Flat-window crossover bound for the banded devices (r12 verdict
     * item 3): a frame whose Catalyst size estimate is at most this many
     * bytes routes through the ordinary unpartitioned window — one

@@ -204,6 +204,165 @@ object JaroWinkler {
   }
 }
 
+/** The engine-wide 56-bit md5 hash (`TextOps.hash56`) as one native
+  * expression: first 7 digest bytes big-endian → long, the same value
+  * as `conv(substring(md5(c), 1, 14), 16, 10)` (first 14 hex chars ARE
+  * the first 7 bytes; conv's unsigned base-16 parse is the big-endian
+  * byte fold). The SQL chain it replaces allocated a 32-char hex
+  * string, a substring, and conv's base-conversion string per call —
+  * ~70 call sites ride this hash (token hashing, md5-deterministic
+  * sampling/banding), so the per-call garbage was engine-wide. Null in,
+  * null out (UnaryExpression default), matching md5→conv→cast. */
+case class Hash56(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hash56_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    Hash56.compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.Hash56.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash56 =
+    copy(child = newChild)
+}
+
+object Hash56 {
+  def compute(s: UTF8String): Long = {
+    val md = MinHashSig.md5.get()
+    md.reset()
+    md.update(s.getBytes)
+    val dig = md.digest()
+    var x = 0L
+    var b = 0
+    while (b < 7) { x = (x << 8) | (dig(b) & 0xffL); b += 1 }
+    x
+  }
+}
+
+/** Intersection size of two SORTED, duplicate-free long arrays as one
+  * merge pass — the verify-stage kernel of the prefix-Jaccard join
+  * (SimJoin q412), replacing `size(array_intersect(a, b))`, whose
+  * generic implementation builds a hash set per row (allocation per
+  * candidate pair; ~1M pairs at sf0.1 on the template-heavy corpus).
+  * Contract: both inputs strictly ascending (the `array_sort(
+  * collect_list(distinct-hash))` frames) — equality with
+  * array_intersect under that contract is pinned by SimExprSpec.
+  * Null array in, null out; elements are non-null longs. */
+case class SortedInterCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_inter_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedInterCount.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.SortedInterCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedInterCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedInterCount {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+}
+
+/** The whole prefix-Jaccard VERIFY stage as one allocation-free
+  * expression over the two sorted token-hash arrays: the generalized
+  * pair-prefix filter (PPJoin+'s suffix-side lemma) and the exact
+  * intersection count with the standard early-abort bound
+  * (inter_so_far + min(remaining) < α ⇒ the pair cannot reach
+  * Jaccard ≥ τ). Replaces `arrays_overlap(slice(a,…), slice(b,…))` +
+  * intersect — the two slice() calls allocated copies of both prefix
+  * arrays per candidate pair (~6.35M pairs × ~KB at sf0.1).
+  *
+  * Result contract: for pairs with Jaccard ≥ τ the return value is the
+  * EXACT intersection size (the abort bound can only fire when the true
+  * count is provably below α ≤ ⌈τ/(1+τ)·(n_a+n_b)⌉, and the prefix
+  * filter is the standard no-false-negative lemma); pairs below τ
+  * return a value whose implied Jaccard is also below τ (0 on filter/
+  * abort), so a downstream `jaccard ≥ τ` filter keeps an identical row
+  * set with identical `inter` values — SimJoinSpec's oracle parity and
+  * the q412 hash gate both pin this. α replays the Column-side float
+  * program bit-for-bit: ceil((n_a+n_b)·(τ/(1+τ)) − 1e-9), the 1e-9
+  * slack keeping float dust from ever over-pruning. */
+case class PrefixJaccardInter(left: Expression, right: Expression,
+    tau: Double) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "prefix_jaccard_inter"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PrefixJaccardInter.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], tau)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.PrefixJaccardInter.compute($a, $b, $tau);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PrefixJaccardInter =
+    copy(left = newLeft, right = newRight)
+}
+
+object PrefixJaccardInter {
+  def compute(a: ArrayData, b: ArrayData, tau: Double): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    // identical float program to the Column-side alpha: sizes summed as
+    // ints, one double multiply by the precomputed tau/(1+tau), 1e-9
+    // slack, ceil
+    val aCeil = math.ceil((na + nb).toDouble * (tau / (1.0 + tau)) - 1e-9)
+      .toInt
+    val la = math.max(1, na - aCeil + 1)
+    val lb = math.max(1, nb - aCeil + 1)
+    // pair-prefix filter: the first la/lb elements (shared hash order)
+    // must intersect for overlap >= aCeil to be possible
+    var i = 0
+    var j = 0
+    var seen = false
+    while (!seen && i < la && j < lb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) seen = true
+      else if (x < y) i += 1
+      else j += 1
+    }
+    if (!seen) return 0L
+    // exact merge count with the early-abort bound
+    var n = 0L
+    i = 0
+    j = 0
+    while (i < na && j < nb) {
+      if (n + math.min(na - i, nb - j) < aCeil) return 0L
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+}
+
 /** Content-defined chunks (the Rabin-style CDC boundary rule of
   * TextOps.cdcChunks) as ONE codegen'd expression over the text.
   *

@@ -911,19 +911,21 @@ object Assoc {
     require(tau > 0 && tau < 1, s"tau in (0,1): $tau")
     val spark = data.sparkSession
     import spark.implicits._
-    val cached = data
+    val (handle, cached, _) = graft.core.iterCache(data
       .where(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("double").as("_x"),
-        col(yCol).cast("double").as("_y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        col(yCol).cast("double").as("_y")))
     try {
       var a = 0.0; var b = 0.0; var n = 0L
       def fp9(c: Column) =
         graft.core.fixedPointLong(c, 9).cast("decimal(38,0)")
       for (_ <- 1 to iters) {
-        val g = when(col("_y") < lit(a) + lit(b) * col("_x"),
+        // round params as broadcast columns, not literals (core.paramRow)
+        val g = when(col("_y") < col("_pa") + col("_pb") * col("_x"),
           lit(tau - 1.0)).otherwise(lit(tau))
-        val r = cached.agg(sum(fp9(g)).as("ga"),
+        val r = cached.crossJoin(broadcast(graft.core.paramRow(spark,
+            Seq("_pa" -> a, "_pb" -> b))))
+          .agg(sum(fp9(g)).as("ga"),
           sum(fp9(g * col("_x"))).as("gb"), count(lit(1)).as("n"))
           .collect()(0)
         n = r.getAs[Long]("n")
@@ -944,7 +946,7 @@ object Assoc {
         .cast("double") / 1e9 / count(lit(1))).as("pb")).collect()(0)
       Seq((n, a, b, loss.getAs[Double]("pb")))
         .toDF("n", "a", "b", "pinball")
-    } finally { cached.unpersist(false) }
+    } finally { handle.unpersist(false) }
   }
 
   /** Poisson regression y ~ exp(a + b·x) by full-batch GD on the
@@ -964,11 +966,10 @@ object Assoc {
       iters: Int = 12, lr: Double = 0.1): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
-    val cached = data
+    val (handle, cached, _) = graft.core.iterCache(data
       .where(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("double").as("_x"),
-        col(yCol).cast("double").as("_y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        col(yCol).cast("double").as("_y")))
     try {
       var a = 0.0; var b = 0.0; var n = 0L
       def fp9(c: Column) =
@@ -976,8 +977,11 @@ object Assoc {
       // linear-predictor clamp: exp past ~30 overflows the 9dp grain
       // long before a useful fit exists — the standard GLM safeguard
       for (_ <- 1 to iters) {
-        val lam = exp(least(lit(a) + lit(b) * col("_x"), lit(30.0)))
-        val r = cached.agg(sum(fp9(col("_y") - lam)).as("ga"),
+        // round params as broadcast columns, not literals (core.paramRow)
+        val lam = exp(least(col("_pa") + col("_pb") * col("_x"), lit(30.0)))
+        val r = cached.crossJoin(broadcast(graft.core.paramRow(spark,
+            Seq("_pa" -> a, "_pb" -> b))))
+          .agg(sum(fp9(col("_y") - lam)).as("ga"),
           sum(fp9((col("_y") - lam) * col("_x"))).as("gb"),
           count(lit(1)).as("n")).collect()(0)
         n = r.getAs[Long]("n")
@@ -995,7 +999,7 @@ object Assoc {
         .cast("double") / 1e9 / count(lit(1))).as("m")).collect()(0)
       Seq((n, a, b, mu.getAs[Double]("m")))
         .toDF("n", "a", "b", "mean_mu")
-    } finally { cached.unpersist(false) }
+    } finally { handle.unpersist(false) }
   }
 
   /** RANSAC line fit per key (Fischler & Bolles, CACM 1981,
@@ -1103,19 +1107,21 @@ object Assoc {
     require(alpha >= 0, "dispersion alpha >= 0")
     val spark = data.sparkSession
     import spark.implicits._
-    val cached = data
+    val (handle, cached, _) = graft.core.iterCache(data
       .where(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("double").as("_x"),
-        col(yCol).cast("double").as("_y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        col(yCol).cast("double").as("_y")))
     try {
       var a = 0.0; var b = 0.0; var n = 0L
       def fp9(c: Column) =
         graft.core.fixedPointLong(c, 9).cast("decimal(38,0)")
       for (_ <- 1 to iters) {
-        val mu = exp(least(lit(a) + lit(b) * col("_x"), lit(30.0)))
+        // round params as broadcast columns, not literals (core.paramRow)
+        val mu = exp(least(col("_pa") + col("_pb") * col("_x"), lit(30.0)))
         val w = (col("_y") - mu) / (lit(1.0) + lit(alpha) * mu)
-        val r = cached.agg(sum(fp9(w)).as("ga"),
+        val r = cached.crossJoin(broadcast(graft.core.paramRow(spark,
+            Seq("_pa" -> a, "_pb" -> b))))
+          .agg(sum(fp9(w)).as("ga"),
           sum(fp9(w * col("_x"))).as("gb"),
           count(lit(1)).as("n")).collect()(0)
         n = r.getAs[Long]("n")
@@ -1133,7 +1139,7 @@ object Assoc {
         .cast("double") / 1e9 / count(lit(1))).as("m")).collect()(0)
       Seq((n, a, b, alpha, mu.getAs[Double]("m")))
         .toDF("n", "a", "b", "alpha", "mean_mu")
-    } finally { cached.unpersist(false) }
+    } finally { handle.unpersist(false) }
   }
 
   /** Breusch-Pagan heteroskedasticity test (Econometrica 1979, the

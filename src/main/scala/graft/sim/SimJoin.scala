@@ -72,8 +72,37 @@ object SimJoin {
       least(col("x._sz") - col("x._pos"), col("y._sz") - col("y._pos"))
     val alpha = lit(tau / (1.0 + tau)) *
       (col("sz_a") + col("sz_b")).cast("double") - lit(1e-9)
-    val cand = pfx.as("x").join(pfx.as("y"),
-        col("x._tok") === col("y._tok") && col("x._id") < col("y._id"))
+    // hot-token block split (r13; guide §2.5 "salt the key" adapted to
+    // a self-join): on a template-heavy corpus one prefix token can
+    // carry df ≈ all docs (measured 3.8k of 5k at sf0.1), and a plain
+    // equi-join generates that token's df²/2 matches in ONE sort-merge
+    // task — the single-task straggler/spill behind the 7→50 s spreads.
+    // Splitting each token's postings into ⌈df/B⌉ deterministic blocks
+    // and joining on (token, blk_x, blk_y) — x replicated over blk_y,
+    // y over blk_x — yields every pair exactly once (each pair matches
+    // on the unique key (tok, blk(x), blk(y))) while bounding a join
+    // key's matches at B². Cold tokens have one block: no replication.
+    val blockB = docs.sparkSession.conf
+      .getOption("spark.graft.simjoin.blockSize").map(_.toLong)
+      .getOrElse(1024L)
+    val pdf = pfx.groupBy(col("_tok")).agg(count(lit(1)).as("_pdf"))
+    val pfxB = pfx.join(pdf, "_tok")
+      .withColumn("_g",
+        ceil(col("_pdf").cast("double") / blockB.toDouble).cast("int"))
+      .withColumn("_blk", pmod(graft.text.TextOps.hash56(
+        col("_id").cast("string")), col("_g").cast("long")).cast("int"))
+    val xSide = pfxB
+      .withColumn("_bx", col("_blk"))
+      .withColumn("_by", explode(sequence(lit(0), col("_g") - 1)))
+      .drop("_pdf", "_g", "_blk")
+    val ySide = pfxB
+      .withColumn("_by", col("_blk"))
+      .withColumn("_bx", explode(sequence(lit(0), col("_g") - 1)))
+      .drop("_pdf", "_g", "_blk")
+    val cand = xSide.as("x").join(ySide.as("y"),
+        col("x._tok") === col("y._tok") &&
+          col("x._bx") === col("y._bx") && col("x._by") === col("y._by") &&
+          col("x._id") < col("y._id"))
       .select(col("x._id").as("a"), col("y._id").as("b"),
         col("x._sz").as("sz_a"), col("y._sz").as("sz_b"),
         ub.cast("double").as("_ub"))
@@ -104,6 +133,7 @@ object SimJoin {
   def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
       tau: Double): DataFrame = {
     require(tau > 0 && tau < 1, s"0 < tau < 1: $tau")
+    graft.expr.GraftFunctions.register(docs.sparkSession)
     val (tok, cand) = prefixCandidates(docs, idCol, textCol, tau)
     // verify on packed token ARRAYS, not an exploded token join — the
     // join-based verify expands every candidate pair by its full token
@@ -111,25 +141,20 @@ object SimJoin {
     // array_intersect keeps each pair one row and runs in codegen
     val arrs = tok.groupBy(col("_id"))
       .agg(array_sort(collect_list(col("_tok"))).as("_arr"))
-    // pair-level generalized prefix (the suffix-side filter, PPJoin+
-    // spirit): overlap ≥ α forces the first |x|−α+1 and |y|−α+1 tokens
-    // IN THE SHARED hash order to intersect (Chaudhuri et al.'s prefix
-    // lemma holds for any fixed total order; the arrays are already
-    // hash-sorted) — prunes pairs whose shared tokens live only deep in
-    // both suffixes, for one codegen'd arrays_overlap per candidate
-    // before the full intersect.
-    val aCeil = ceil((col("sz_a") + col("sz_b")).cast("double") *
-      lit(tau / (1.0 + tau)) - lit(1e-9)).cast("int")
+    // whole verify as ONE codegen'd allocation-free expression
+    // (graft.expr.PrefixJaccardInter): the PPJoin+ pair-prefix filter
+    // (Chaudhuri et al.'s lemma in the shared hash order) and the exact
+    // merge intersection with the early-abort bound fused per pair —
+    // the previous slice+arrays_overlap+array_intersect chain allocated
+    // two prefix copies and a hash set per candidate (~6.35M pairs at
+    // sf0.1). Pairs the filter/bound rejects return inter = 0 →
+    // jaccard 0 < τ, so the kept rows and their inter values are
+    // IDENTICAL (only pairs provably below α are cut short).
     cand
       .join(arrs.select(col("_id").as("a"), col("_arr").as("_aa")), "a")
       .join(arrs.select(col("_id").as("b"), col("_arr").as("_ab")), "b")
-      .where(arrays_overlap(
-        slice(col("_aa"), lit(1), greatest(lit(1),
-          col("sz_a").cast("int") - aCeil + 1)),
-        slice(col("_ab"), lit(1), greatest(lit(1),
-          col("sz_b").cast("int") - aCeil + 1))))
-      .withColumn("inter",
-        size(array_intersect(col("_aa"), col("_ab"))).cast("long"))
+      .withColumn("inter", call_function("prefix_jaccard_inter",
+        col("_aa"), col("_ab"), lit(tau)))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .where(col("jaccard") >= tau)

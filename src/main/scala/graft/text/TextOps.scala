@@ -39,9 +39,16 @@ object TextOps {
   private[graft] def round6(x: Double): Double =
     (if (x >= 0) math.floor(x * 1e6 + 0.5) else -math.floor(-x * 1e6 + 0.5)) / 1e6
 
-  /** 56-bit integer hash from the md5 hex prefix — exact cross-engine. */
-  def hash56(c: Column): Column =
-    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+  /** 56-bit integer hash from the md5 hex prefix — exact cross-engine.
+    * One native codegen'd expression (graft.expr.Hash56: first 7 digest
+    * bytes big-endian); the former conv(substring(md5_hex)) chain
+    * allocated three intermediate strings per call across the engine's
+    * ~70 call sites (Hash56ExprSpec pins value equality). */
+  def hash56(c: Column): Column = {
+    graft.expr.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("hash56_md5", c.cast("string"))
+  }
 
   /** Exact deduplication: md5-hash groups; `keep` marks the minimum doc id
     * of each content group (the survivor), dupCount the group size. */
@@ -2618,8 +2625,14 @@ object TextOps {
     *
     * Scale shape: one persisted projection of (features, label); each
     * iteration is ONE scan + one d-column partial-agg collapsing to a
-    * single row (weights ride into the plan as literals — no shuffle
-    * wider than one row, no driver data motion beyond d sums).
+    * single row (no shuffle wider than one row, no driver data motion
+    * beyond d sums). The round's weights ride in as a BROADCAST 1-row
+    * frame, not literals: literal weights made every round's generated
+    * code unique, so a 60-iteration fit (q513) paid 60 Janino
+    * compilations; with weight COLUMNS the plan's generated source is
+    * round-invariant and compiles once (r13, guide §1.2 per-task work).
+    * The arithmetic is unchanged — w·x is the same double sequence
+    * whether w is a literal or a broadcast-joined column.
     *
     * Output: one row per feature — (j, feature, weight) — plus the
     * training n, n_correct (σ̂(w·x) ≥ 0.5 ⟺ w·x ≥ 0, an exact integer
@@ -2630,21 +2643,47 @@ object TextOps {
     val d = featCols.length
     val proj = featCols.map(c => col(c).cast("double")) :+
       col(labelCol).cast("double").as("_y")
-    val cached = data.select(proj: _*)
+    val cached0 = data.select(proj: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // scale-adaptive iteration parallelism: each GD round is a full-frame
+    // aggregate, so on a SMALL cached training set the round cost is pure
+    // task scheduling (32 partitions × 60 rounds for q513's fixture).
+    // Coalesce the cached frame to ~64k rows/task, floored at 1, capped
+    // at the session's parallelism — large inputs keep full parallelism,
+    // the row threshold (not a host constant) decides.
+    val nCache = cached0.count()
+    val targetParts = math.max(1L, math.min(
+      data.sparkSession.sparkContext.defaultParallelism.toLong,
+      (nCache + 65535L) / 65536L)).toInt
+    val cached =
+      if (targetParts < cached0.rdd.getNumPartitions)
+        cached0.coalesce(targetParts)
+      else cached0
     try {
-      def z(w: Array[Double]) = featCols.zipWithIndex
+      // weights as a broadcast 1-row frame → round-invariant codegen
+      def wFrame(w: Array[Double]) = {
+        val schema = org.apache.spark.sql.types.StructType(
+          w.indices.map(j => org.apache.spark.sql.types.StructField(
+            s"_w$j", org.apache.spark.sql.types.DoubleType, nullable = false)))
+        spark.createDataFrame(
+          java.util.Collections.singletonList(
+            org.apache.spark.sql.Row.fromSeq(w.toSeq)), schema)
+      }
+      def z = featCols.zipWithIndex
+        .map { case (c, j) => col(s"_w$j") * col(c) }.reduce(_ + _)
+      def zLit(w: Array[Double]) = featCols.zipWithIndex
         .map { case (c, j) => lit(w(j)) * col(c) }.reduce(_ + _)
       var w = Array.fill(d)(0.0)
       var nTot = 0L
       for (_ <- 1 to iters) {
-        val zc = z(w)
+        val zc = z
         val sig = lit(0.5) + zc / (lit(2.0) * (lit(1.0) + abs(zc)))
         val err = col("_y") - sig
         val gs = featCols.zipWithIndex.map { case (c, j) =>
           sum(graft.core.fixedPointLong(err * col(c), 9)
             .cast("decimal(38,0)")).as(s"g$j") }
-        val r = cached.agg(gs.head, gs.tail :+ count(lit(1)).as("n"): _*)
+        val r = cached.crossJoin(broadcast(wFrame(w)))
+          .agg(gs.head, gs.tail :+ count(lit(1)).as("n"): _*)
           .collect()(0)
         nTot = r.getAs[Long]("n")
         require(nTot > 0, "logRegFit on an empty training set")
@@ -2659,14 +2698,14 @@ object TextOps {
         }
       }
       val acc = cached.agg(
-        sum(when((z(w) >= 0) === (col("_y") === 1.0), 1L).otherwise(0L))
+        sum(when((zLit(w) >= 0) === (col("_y") === 1.0), 1L).otherwise(0L))
           .as("ok"), count(lit(1)).as("n")).collect()(0)
       val (ok, n) = (acc.getAs[Long]("ok"), acc.getAs[Long]("n"))
       import spark.implicits._
       w.zipWithIndex.map { case (wj, j) =>
         (j, featCols(j), wj, ok, n, ok.toDouble / n)
       }.toSeq.toDF("j", "feature", "weight", "n_correct", "n", "accuracy")
-    } finally { cached.unpersist(false) }
+    } finally { cached0.unpersist(false) }
   }
 
   /** BPE tokenizer trainer (Sennrich et al. 2016): learn `nMerges` merge

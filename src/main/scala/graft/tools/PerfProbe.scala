@@ -1,12 +1,12 @@
 package graft.tools
 
-import graft.multi.IsolationForest
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scratch micro-probe (not part of the driver surface). Currently:
-  * decomposes q46's fitDeterministic + score into its constituent Spark
-  * jobs at sf0.1 to locate the round-6 2× fit regression. */
+  * decomposes q412's prefixJaccardJoin into its constituent frames at
+  * sf0.1 to locate where the cold-pass cost concentrates (r13). */
 object PerfProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,7 +17,6 @@ object PerfProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
     graft.expr.GraftFunctions.register(spark)
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -25,91 +24,44 @@ object PerfProbe {
       println(f"[perf] $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       r
     }
-    val data = graft.core.table(spark, sfDir, "events")
-    data.count() // warm the scan
-    val reps = sys.env.getOrElse("PROBE_N", "3").toInt
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val tau = 0.8
+    val docs = graft.core.table(spark, sfDir, "documents")
+    docs.count()
+    val reps = sys.env.getOrElse("PROBE_N", "2").toInt
     for (i <- 1 to reps) {
-      val model = time(s"fitDeterministic#$i") {
-        IsolationForest.fitDeterministic(data, Seq("event_type"),
-          Seq("value"), "event_id", numTrees = 50, subsampleSize = 64, maxDepth = 6)
-      }
-      time(s"score#$i") {
-        IsolationForest.score(data, model, Seq("event_type"), Seq("value"),
-          "event_id", subsampleSize = 64).count()
-      }
-      // 1-job candidate: no count job, no bound prefilter — raw
-      // WindowGroupLimit top-k over the full crossJoin (map-side local
-      // sort of trees·n rows, but a single job end-to-end).
-      // MEASURED (round 7, sf0.1): 13–18 s vs 1.6–1.9 s for the 2-job
-      // prefilter layout — the map-side sort of trees·n rows per
-      // partition dwarfs the count job the prefilter costs. Kept here as
-      // the recorded justification for fitDeterministic's shape.
-      time(s"fitOneJobRaw#$i") {
-        import graft.text.TextOps
-        val P = TextOps.P
-        val trees = broadcast(TextOps.hashParams(50).zipWithIndex
-          .map { case ((a, b), t) => (t, a, b) }.toDF("t", "a", "b"))
-        val keyed = data.select(
-          col("event_type").cast("string").as("key"),
-          (TextOps.hash56(col("event_id").cast("string")) % P).as("base"),
-          array(col("value").cast("double")).as("attrs"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("key", "t").orderBy(col("h"), col("attrs"))
-        keyed.crossJoin(trees)
-          .withColumn("h", (col("a") * col("base") + col("b")) % P)
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") <= 64)
-          .select("key", "t", "attrs")
-          .collect().length
-      }
-    }
-    // stage-by-stage breakdown of the 2-job fit's second (dominant) job
-    for (i <- 1 to reps) {
-      import graft.text.TextOps
-      val P = TextOps.P
-      val trees = broadcast(TextOps.hashParams(50).zipWithIndex
-        .map { case ((a, b), t) => (t, a, b) }.toDF("t", "a", "b"))
-      val keyed = data.select(
-        col("event_type").cast("string").as("key"),
-        (TextOps.hash56(col("event_id").cast("string")) % P).as("base"),
-        array(col("value").cast("double")).as("attrs"))
-        .repartition(spark.sparkContext.defaultParallelism)
-      val nPerKey = keyed.groupBy("key").agg(count(lit(1)).as("n"))
-        .withColumn("bound", least(lit(P - 1),
-          (lit(P.toDouble) * lit(64L * 8) / col("n")).cast("long")))
-      val bounds = time(s"job1 nPerKey#$i") {
-        nPerKey.select("key", "bound", "n").collect()
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      }
-      val caseExpr = bounds.tail.foldLeft(
-        when(col("key") === bounds.head._1, lit(bounds.head._2))) {
-        case (acc, (k, b, _)) => acc.when(col("key") === k, lit(b))
-      }
-      val hashed = keyed.crossJoin(trees)
-        .withColumn("h", (col("a") * col("base") + col("b")) % P)
-      time(s"crossJoin+filter#$i") {
-        hashed.where(col("h") <= caseExpr).count()
-      }
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("key", "t").orderBy(col("h"), col("attrs"))
-      time(s"+window+rank#$i") {
-        hashed.where(col("h") <= caseExpr)
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") <= 64).count()
-      }
-      time(s"+growth collect#$i") {
-        import spark.implicits._
-        hashed.where(col("h") <= caseExpr)
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") <= 64)
-          .select(col("key"), col("t"), col("attrs"))
-          .as[(String, Int, Seq[Double])]
-          .groupByKey(_._1).flatMapGroups { (key, it) =>
-            val byTree = it.toArray.groupBy(_._2)
-            Iterator.single((key, byTree.size))
-          }.collect().length
-      }
-      time(s"scan only#$i") { keyed.count() }
+      import graft.text.TextOps.{tokens, hash56}
+      val tok = docs
+        .select(col("doc_id").as("_id"),
+          explode(array_distinct(tokens(col("text")))).as("_ts"))
+        .where(col("_ts") =!= "")
+        .select(col("_id"), hash56(col("_ts")).as("_tok"))
+      time(s"tok#$i") { noop(tok) }
+      val sizes = tok.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
+      val rank = graft.core.bandedRowNumber(
+        tok.groupBy(col("_tok")).agg(count(lit(1)).as("_df")),
+        band = col("_df"), bandAsc = true, tie = Seq(col("_tok").asc),
+        out = "_rk")
+        .select(col("_tok"), col("_rk"))
+      time(s"rank#$i") { noop(rank) }
+      val pfx = tok.join(rank, "_tok").join(sizes, "_id")
+        .withColumn("_pos", row_number().over(
+          Window.partitionBy(col("_id")).orderBy(col("_rk").asc)))
+        .where(col("_pos") <=
+          col("_sz") - ceil(lit(tau) * col("_sz").cast("double")) + 1)
+        .select(col("_id"), col("_tok"), col("_sz"), col("_pos"))
+      time(s"pfx#$i") { noop(pfx) }
+      val (tokF, candF) = graft.sim.SimJoin.prefixCandidates(
+        docs, "doc_id", "text", tau)
+      time(s"cand#$i") { noop(candF) }
+      val arrs = tok.groupBy(col("_id"))
+        .agg(array_sort(collect_list(col("_tok"))).as("_arr"))
+      time(s"arrs#$i") { noop(arrs) }
+      val full = graft.sim.SimJoin.prefixJaccardJoin(
+        docs, "doc_id", "text", 0.8)
+      time(s"full#$i") { noop(full) }
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
