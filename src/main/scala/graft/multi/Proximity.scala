@@ -269,8 +269,13 @@ object Proximity {
     val v = vecs.select(col(idCol).as("_vid"), vd.as("_v"))
     val dot = (a: Column, b: Column) =>
       org.apache.spark.sql.functions.call_function("vec_dot", a, b)
-    val pairs = nn.select(col("src"), col("trg").as("_a"))
-      .join(nn.select(col("src"), col("trg").as("_b")), "src")
+    // the kNN frame is referenced twice (both sides of the neighbor-pair
+    // self-join); without this cache the whole upstream pair-distance +
+    // top-k subtree executed twice (r13 — measured 2× the q486 plan)
+    val nnC = nn.select(col("src"), col("trg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = nnC.select(col("src"), col("trg").as("_a"))
+      .join(nnC.select(col("src"), col("trg").as("_b")), "src")
       .where(col("_a") < col("_b"))
     val joined = pairs
       .join(v.select(col("_vid").as("src"), col("_v").as("_vp")), "src")
