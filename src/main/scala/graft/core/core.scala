@@ -245,6 +245,18 @@ package object core {
         org.apache.spark.sql.Row.fromSeq(params.map(_._2))), schema)
   }
 
+  /** Long-typed sibling of [[paramRow]] for integer round parameters
+    * (e.g. HITS' renorm divisor). */
+  def paramRowLong(spark: org.apache.spark.sql.SparkSession,
+      params: Seq[(String, Long)]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(params.map { case (k, _) =>
+      org.apache.spark.sql.types.StructField(k,
+        org.apache.spark.sql.types.LongType, nullable = false) })
+    spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row.fromSeq(params.map(_._2))), schema)
+  }
+
   /** Flat-window crossover bound for the banded devices (r12 verdict
     * item 3): a frame whose Catalyst size estimate is at most this many
     * bytes routes through the ordinary unpartitioned window — one

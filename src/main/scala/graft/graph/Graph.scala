@@ -356,11 +356,20 @@ object Graph {
     // a fresh edge-sized exchange on every hub step (5× the largest
     // frame in the loop); with both orientations cached the edge side is
     // stationary and each half-step exchanges only node-sized messages.
-    val eBySrc = edges.select(col(srcCol).cast("string").as("src"),
+    val eRaw = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"))
-      .where(col("src") =!= col("dst")).distinct()
-      .repartition(col("src")).persist()
-    val eByDst = eBySrc.repartition(col("dst")).persist()
+      .where(col("src") =!= col("dst")).distinct().persist()
+    // scale-adaptive edge partitioning (r13, guide §2): each half-step's
+    // join inherits the edge cache's partition count, so on a small
+    // graph 32-partition caches made every half-step a ~100-task
+    // scheduling exercise (0.8 s/half-step at 100k edges). ~64k
+    // edges/partition, capped at the session parallelism — the row
+    // threshold decides, not a host constant.
+    val eParts = math.max(1L, math.min(
+      edges.sparkSession.sparkContext.defaultParallelism.toLong,
+      (eRaw.count() + 65535L) / 65536L)).toInt
+    val eBySrc = eRaw.repartition(eParts, col("src")).persist()
+    val eByDst = eRaw.repartition(eParts, col("dst")).persist()
     val nodes = eBySrc.select(col("src").as("node"))
       .union(eBySrc.select(col("dst").as("node"))).distinct().persist()
     var hub = nodes.withColumn("h", lit(scale))
@@ -401,7 +410,12 @@ object Graph {
         .filter(see(col("s")))
         .localCheckpoint(true)
       val mx = math.max(1L, acc.value)
-      raw.select(col("node"), expr(s"(s * $scale) div $mx").as(outCol))
+      // divisor as a broadcast column, not a literal (core.paramRow
+      // discipline): a per-step literal made every half-step's generated
+      // code unique — 2·iters Janino compilations per fit
+      raw.crossJoin(broadcast(graft.core.paramRowLong(
+          state.sparkSession, Seq("_mx" -> mx))))
+        .select(col("node"), expr(s"(s * $scale) div _mx").as(outCol))
     }
     (1 to iters).foreach { _ =>
       auth = halfStep(eBySrc, hub, "h", "src", "dst", "a")
@@ -411,6 +425,7 @@ object Graph {
     // final zero-fill join below is planned, the edge caches are no
     // longer needed (nodes still backs the lazy output frame — it is
     // node-sized and reclaimed by the ContextCleaner with the result).
+    eRaw.unpersist(false)
     eBySrc.unpersist(false)
     eByDst.unpersist(false)
     nodes.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")

@@ -32,8 +32,12 @@ object JsonOps {
   def jsonProfile(df: DataFrame, jsonCol: String, maxDepth: Int = 2): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 4, s"maxDepth $maxDepth out of 1..4")
     val parsed = from_json(col(jsonCol), MapType(StringType, StringType))
+    // materialize depth-1 once: it feeds BOTH the union output and every
+    // deeper level's re-parse — lazily it was Jackson-parsed per branch
+    // (r13; localCheckpoint = the engine's standard eager lineage cut)
     var level = df.where(col(jsonCol).isNotNull)
       .select(explode(parsed).as(Seq("path", "v")))
+      .localCheckpoint(true)
     var all = level
     (2 to maxDepth).foreach { _ =>
       level = level.where(col("v").startsWith("{"))

@@ -2714,9 +2714,15 @@ object TextOps {
     * at 100 TB: the CORPUS is read exactly once (one tokenize+count
     * pass); every merge round then scans only the vocab-sized
     * (word, count) table — pair counts are corpus-exact because they are
-    * weighted by word frequency. Per round: one explode+hash-agg over
-    * the vocab, one TakeOrdered(1) for the argmax pair (count desc, pair
-    * asc — deterministic), one string rewrite. Symbol sequences are
+    * weighted by word frequency. The merge loop runs ON THE DRIVER over
+    * the collected vocabTopN-row table (model-sized, the engine's
+    * 1-row/model-frame collect precedent): the earlier per-round
+    * explode+hash-agg+rewrite Spark jobs were pure scheduling overhead
+    * on a ≤1000-row frame — 2 jobs × nMerges rounds (r13; the pair
+    * counting, argmax tie order (count desc, pair asc) and the
+    * left-to-right non-overlapping replace are replicated exactly —
+    * symbols are [a-z]+ so Java and UTF8String orderings agree; BpeSpec
+    * pins the fit). Symbol sequences are
     * stored wrapped — "(t)(h)(e)" — so applying a merge is a plain
     * left-to-right non-overlapping string replace of "(a)(b)" with
     * "(ab)": exactly BPE's greedy application order, with no
@@ -2738,43 +2744,47 @@ object TextOps {
       .where(col("w").rlike("^[a-z]+$"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w")).limit(vocabTopN)
-    var vocab = words
-      .select(regexp_replace(col("w"), "(.)", "($1)").as("syms"), col("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    vocab.count()
+    // ONE corpus job; the merge loop is driver-local over ≤vocabTopN rows
+    var vocab: Array[(Array[String], Long)] = words.collect()
+      .map(r => (r.getAs[String]("w").map(_.toString).toArray,
+        r.getAs[Long]("cnt")))
     val merges = collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    try {
-      var r = 1
-      var done = false
-      while (r <= nMerges && !done) {
-        val arr = split(regexp_replace(col("syms"), "^\\(|\\)$", ""), "\\)\\(")
-        val pairs = transform(sequence(lit(1), size(col("_a")) - 1),
-          i => struct(element_at(col("_a"), i).as("a"),
-            element_at(col("_a"), i + 1).as("b")))
-        val top = vocab
-          .withColumn("_a", arr)
-          .where(size(col("_a")) >= 2)
-          .select(explode(pairs).as("p"), col("cnt"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("cnt").as("pc"))
-          .orderBy(col("pc").desc, col("a"), col("b")).limit(1)
-          .collect()
-        if (top.isEmpty) done = true
-        else {
-          val (a, b, pc) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"),
-            top(0).getAs[Long]("pc"))
-          merges += ((r, a, b, a + b, pc))
-          val next = vocab
-            .select(replace(col("syms"), lit(s"($a)($b)"), lit(s"(${a + b})"))
-              .as("syms"), col("cnt"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          next.count()
-          vocab.unpersist(false)
-          vocab = next
-          r += 1
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      // adjacent-pair counts weighted by word frequency — the same
+      // occurrence counting as the exploded (a,b) hash aggregate
+      // (overlapping occurrences each count, exactly like the explode)
+      val pc = collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + cnt)
+          i += 1
         }
       }
-    } finally { vocab.unpersist(false) }
+      if (pc.isEmpty) done = true
+      else {
+        // argmax: count desc, then pair asc — symbols are [a-z]-only,
+        // so Java string order == the engine's UTF8String binary order
+        val ((a, b), n) = pc.minBy { case ((x, y), c) => (-c, x, y) }
+        merges += ((r, a, b, a + b, n))
+        // greedy left-to-right non-overlapping merge — the exact
+        // semantics of the wrapped-string replace "(a)(b)" -> "(ab)"
+        vocab = vocab.map { case (syms, cnt) =>
+          val out = collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, cnt)
+        }
+        r += 1
+      }
+    }
     merges.toSeq.toDF("round", "left", "right", "merged", "pair_count")
   }
 
