@@ -455,8 +455,18 @@ object Diagnostics {
     *
     * Determinism: arg-max rows are exact-integer selections (the
     * grubbs |n·fp − S| device, ties to smaller ord); means/sds come
-    * from exact 4dp moment sums; each round is one aggregate + one
-    * broadcast join over the shrinking remainder (maxK scans total).
+    * from exact 4dp moment sums.
+    *
+    * Scale (r13 — the TailScores.esd candidate device): ONE full-data
+    * moment aggregate + ONE double-ranked candidate cut (2·maxK rows
+    * per end per key always contain every possible arg-max, since
+    * |n·fp − S| is maximized at the remaining min or max value and a
+    * round consumes at most one row from one end, ties resolving in
+    * (_fp, ord) order within the kept prefix); the rounds then run
+    * over the ≤4·maxK-per-key candidate frame with the moment sums
+    * maintained by exact decimal subtraction — output-identical to the
+    * per-round full rescan (the same oracle gates it) while per-round
+    * work drops from data-sized to candidate-sized.
     *
     * Output per (key, round): key, round, n_remaining, outlier_ord,
     * value, r_stat, lambda, significant. */
@@ -469,19 +479,48 @@ object Diagnostics {
       .select(col(keyCol).as("key"), col(ordCol).cast("long").as("_o"),
         v.as("value"), fp(v).as("_fp"))
       .localCheckpoint(true)
+    val cap = 2 * maxK
+    val sums0 = base.groupBy(col("key"))
+      .agg(count(lit(1)).as("_n0"),
+        sum(dec(col("_fp"))).as("_s0"),
+        sum(dec(dec(col("_fp")) * dec(col("_fp")))).as("_q0"))
+    val wa = Window.partitionBy(col("key"))
+      .orderBy(col("_fp").asc, col("_o").asc)
+    val wd = Window.partitionBy(col("key"))
+      .orderBy(col("_fp").desc, col("_o").asc)
+    val cand = base
+      .withColumn("_ra", row_number().over(wa))
+      .withColumn("_rd", row_number().over(wd))
+      .where(col("_ra") <= cap || col("_rd") <= cap)
+      .drop("_ra", "_rd")
+      .localCheckpoint(true)
     var excluded: DataFrame = null
     val rounds = (1 to maxK).map { r =>
       val cur =
-        if (excluded == null) base
-        else base.join(excluded, Seq("key", "_o"), "left_anti")
-      val st = cur.groupBy(col("key"))
-        .agg(count(lit(1)).as("_n"),
-          sum(dec(col("_fp"))).as("_s"),
-          sum(dec(dec(col("_fp")) * dec(col("_fp")))).as("_q"))
+        if (excluded == null) cand
+        else cand.join(excluded.select(col("key"), col("_o")),
+          Seq("key", "_o"), "left_anti")
+      val st =
+        if (excluded == null)
+          sums0.select(col("key"), col("_n0").as("_n"),
+            col("_s0").as("_s"), col("_q0").as("_q"))
+        else {
+          val rem = excluded.groupBy(col("key"))
+            .agg(count(lit(1)).as("_rc"),
+              sum(dec(col("_rfp"))).as("_rs"),
+              sum(dec(dec(col("_rfp")) * dec(col("_rfp")))).as("_rq"))
+          sums0.join(rem, Seq("key"), "left")
+            .select(col("key"),
+              (col("_n0") - coalesce(col("_rc"), lit(0L))).as("_n"),
+              (col("_s0") - coalesce(col("_rs"),
+                lit(0L).cast("decimal(38,0)"))).as("_s"),
+              (col("_q0") - coalesce(col("_rq"),
+                lit(0L).cast("decimal(38,0)"))).as("_q"))
+        }
       val nD = col("_n").cast("double")
       val w = Window.partitionBy(col("key"))
         .orderBy(col("_dev").desc, col("_o").asc)
-      val cand = cur.join(broadcast(st), "key")
+      val pick = cur.join(broadcast(st), "key")
         .withColumn("_dev",
           abs(nD.cast("decimal(38,0)") * dec(col("_fp")) - col("_s")))
         .withColumn("_rn", row_number().over(w))
@@ -494,16 +533,18 @@ object Diagnostics {
         .withColumn("r_stat", abs(col("value") - col("_mu")) / col("_sd"))
       val zp = graft.post.PostOps.probit(
         lit(1.0) - lit(alphaSig) / (lit(2.0) * nD))
-      val out = cand
+      val out = pick
         .withColumn("lambda", (nD - lit(1.0)) * zp /
           sqrt((nD - lit(2.0) + zp * zp) * nD))
         .select(col("key"), lit(r).as("round"),
           col("_n").as("n_remaining"), col("_o").as("outlier_ord"),
-          col("value"), col("r_stat"), col("lambda"))
+          col("value"), col("r_stat"), col("lambda"),
+          col("_fp").as("_rfp"))
         .localCheckpoint(true) // each round's pick feeds the next scan
-      val ex = out.select(col("key"), col("outlier_ord").as("_o"))
+      val ex = out.select(col("key"), col("outlier_ord").as("_o"),
+        col("_rfp"))
       excluded = if (excluded == null) ex else excluded.unionByName(ex)
-      out
+      out.drop("_rfp")
     }
     val all = rounds.reduce(_ unionByName _)
     // Rosner's rule: significant iff any round >= this one exceeds λ

@@ -125,10 +125,24 @@ object AutoEncoder {
     val fp8 = (c: Column) =>
       graft.core.fixedPointLong(c, 8).cast("decimal(38,0)")
 
+    // round parameters as broadcast COLUMNS (core.paramRow discipline):
+    // the Refs indirection already exists for the oracle's CTE refs, so
+    // the training rounds reference _w/_b columns and the generated code
+    // is round-invariant — literal refs recompiled every round (r13)
+    val colRefs = Refs(
+      IndexedSeq.tabulate(h, d)((k, j) => s"_w${k}_$j"),
+      IndexedSeq.tabulate(h)(k => s"_b1_$k"),
+      IndexedSeq.tabulate(d)(j => s"_b2_$j"))
+    def params: Seq[(String, Double)] =
+      (for (k <- 0 until h; j <- 0 until d)
+        yield s"_w${k}_$j" -> w(k)(j)) ++
+        (0 until h).map(k => s"_b1_$k" -> b1(k)) ++
+        (0 until d).map(j => s"_b2_$j" -> b2(j))
     var round = 0
     while (round < rounds) {
-      val ex = exprs(d, h, litRefs)
-      val frame = withSteps(scaled, stepKeys(ex), ex)
+      val ex = exprs(d, h, colRefs)
+      val frame = withSteps(scaled.crossJoin(broadcast(
+        graft.core.paramRow(data.sparkSession, params))), stepKeys(ex), ex)
       val gradKeys = (for (k <- 0 until h; j <- 0 until d)
         yield s"gw${k}_$j") ++
         (0 until h).map(k => s"gb1_$k") ++ (0 until d).map(j => s"gb2_$j")
