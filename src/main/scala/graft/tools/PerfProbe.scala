@@ -26,20 +26,13 @@ object PerfProbe {
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val ev = graft.core.table(spark, sfDir, "events")
-    ev.count()
-    val edges = {
-      import org.apache.spark.sql.expressions.Window
-      ev.select(col("user_id").cast("string").as("a"),
-        lead(col("user_id").cast("string"), 1)
-          .over(Window.partitionBy("event_type").orderBy("event_id")).as("b"))
-        .where(col("b").isNotNull && col("a") =!= col("b"))
-    }
-    println("[perf] edges rows: " + edges.count())
+    val docs = graft.core.table(spark, sfDir, "documents")
+    docs.count()
     val reps = sys.env.getOrElse("PROBE_N", "2").toInt
     for (i <- 1 to reps) {
-      time(s"hits5#$i") {
-        noop(graft.graph.Graph.hits(edges, "a", "b", iters = 5))
+      time(s"plsa#$i") {
+        noop(graft.text.Topics.plsa2(docs, "doc_id", "text",
+          vocab = 500, iters = 3))
       }
       spark.catalog.clearCache()
     }
