@@ -418,7 +418,13 @@ object CdcChunks {
       i += 1
     }
     offs(nc) = nb
-    // codepoint per character (= Spark ascii(substring(t, p, 1)))
+    // codepoint per character (= Spark ascii(substring(t, p, 1))).
+    // Continuation-byte reads are bounds-guarded (missing bytes read as
+    // 0): a truncated multi-byte tail — reachable via binary→string
+    // casts, which Spark does not validate — must degrade like the old
+    // tolerant HOF chain, not throw AIOOBE (advice r13). Valid UTF-8
+    // never takes the guard, so outputs are unchanged.
+    def cont(idx: Int): Long = if (idx < nb) (bytes(idx) & 0x3f).toLong else 0L
     val code = new Array[Long](nc)
     c = 0
     while (c < nc) {
@@ -427,13 +433,13 @@ object CdcChunks {
       code(c) =
         if (b0 < 0x80) b0
         else if (b0 < 0xe0)
-          ((b0 & 0x1f) << 6) | (bytes(o + 1) & 0x3f)
+          ((b0 & 0x1f).toLong << 6) | cont(o + 1)
         else if (b0 < 0xf0)
-          ((b0 & 0x0f) << 12) | ((bytes(o + 1) & 0x3f) << 6) |
-            (bytes(o + 2) & 0x3f)
+          ((b0 & 0x0f).toLong << 12) | (cont(o + 1) << 6) |
+            cont(o + 2)
         else
-          ((b0 & 0x07) << 18) | ((bytes(o + 1) & 0x3f) << 12) |
-            ((bytes(o + 2) & 0x3f) << 6) | (bytes(o + 3) & 0x3f)
+          ((b0 & 0x07).toLong << 18) | (cont(o + 1) << 12) |
+            (cont(o + 2) << 6) | cont(o + 3)
       c += 1
     }
     // rolling window polynomial, cut char-indices (0-based; 0 always cut)

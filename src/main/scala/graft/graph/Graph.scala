@@ -299,22 +299,31 @@ object Graph {
     * the oracle replays it bit-for-bit. One row out. */
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
       labels: DataFrame): DataFrame = {
+    // eager GC-cleaned materialization (edge-sized); feeds the
+    // intra-community join, the degree roll-up AND the edge count —
+    // and replaces an unpersist-less persist (advice-r13 leak class)
     val und = edges.select(col(srcCol).cast("string").as("a"),
       col(dstCol).cast("string").as("b"))
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b")).distinct().persist()
+        greatest(col("a"), col("b")).as("b")).distinct()
+      .localCheckpoint(true)
     // labels may be an expensive lineage (the LPA chain): it feeds both
-    // endpoint joins plus the degree roll-up — persist once
-    val lab = labels.select(col("node"), col("label")).persist()
+    // endpoint joins plus the degree roll-up — materialize once
+    val lab = labels.select(col("node"), col("label")).localCheckpoint(true)
     val la = lab.withColumnRenamed("node", "a").withColumnRenamed("label", "la")
     val lb = lab.withColumnRenamed("node", "b").withColumnRenamed("label", "lb")
     val perC = und.join(la, "a").join(lb, "b")
       .withColumn("label", col("la"))
       .groupBy("label")
       .agg(sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("ec"))
-    val degC = undirectedBoth(edges.select(col(srcCol), col(dstCol)),
-        srcCol, dstCol)
+    // degrees derive from the already-materialized `und` (identical to
+    // undirectedBoth(edges): that helper IS distinct-least/greatest +
+    // both directions), not a third scan of the raw edge lineage (r14,
+    // guide §2.4 — modularity previously re-ran the upstream edge
+    // builder once for the intra-community join and once for degrees)
+    val degC = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
       .join(lab, "node").groupBy("label").agg(sum("d").as("dc"))
     val m = und.agg(count(lit(1)).as("m"))

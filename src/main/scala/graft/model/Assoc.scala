@@ -116,6 +116,17 @@ object Assoc {
         sum(when(both, xd * xd)).as(s"_sxx$k"),
         sum(when(both, yd * yd)).as(s"_syy$k"))
     }
+    // union of per-pair selects over the one aggregate, kept DELIBERATELY
+    // (r14 measured decision): Catalyst column-prunes each branch to its
+    // own 6-moment aggregate pass, and those narrow pruned passes (plus
+    // runtime exchange reuse on any upstream shuffle) measured FASTER
+    // than every structurally-single-pass form — an explode(array(
+    // per-pair structs)) over the full 6·|pairs|-moment aggregate ran
+    // q300 2.0→2.8 s, q552 2.1→3.8 s, q226 0.20→0.48 s (and r13 had
+    // already measured-and-rejected the stack() variant). Callers with
+    // an expensive upstream (spearman/copula) make the single upstream
+    // pass STRUCTURAL by checkpointing the rank-transformed frame before
+    // calling in (advice r13 — no reliance on AQE stage reuse).
     val m = df.agg(aggs.head, aggs.tail: _*)
     val per = pairs.zipWithIndex.map { case ((a, b), k) =>
       val n = col(s"_n$k")
@@ -240,8 +251,13 @@ object Assoc {
             col("_ct") + 1).cast("double")).drop("_ct", "_cum")
       acc.join(vr, c)
     }
+    // checkpoint the rank transform so the per-pair moment passes read a
+    // cached leaf — the single-upstream-pass guarantee is STRUCTURAL, not
+    // an AQE stage-reuse accident (advice r13); the frame is |complete|
+    // rows of longs
     correlationMatrix(
-      ranked.select(cols.map(c => col(s"${c}_r2").as(c)): _*), cols)
+      ranked.select(cols.map(c => col(s"${c}_r2").as(c)): _*)
+        .localCheckpoint(true), cols)
   }
 
   /** Gaussian-copula (normal-scores / van der Waerden) correlation
@@ -276,8 +292,10 @@ object Assoc {
         .drop("_ct", "_cum")
       acc.join(vr, c)
     }
+    // structural single upstream pass (see spearmanMatrix note)
     correlationMatrix(
-      ranked.select(cols.map(c => col(s"${c}_z").as(c)): _*), cols)
+      ranked.select(cols.map(c => col(s"${c}_z").as(c)): _*)
+        .localCheckpoint(true), cols)
   }
 
   /** Smoothed target (mean) encoding: enc(c) = (Σy_c + m·prior)/(n_c + m)
@@ -403,9 +421,16 @@ object Assoc {
     * scan for the frozen products. */
   def biweightMidcorrelation(df: DataFrame, xCol: String, yCol: String)
       : DataFrame = {
+    // base feeds FIVE sibling subtrees (two median histograms, two MAD
+    // deviation frames, the frozen-product scan): materialize the 2-long
+    // projection once (eager, GC-cleaned) so each pass reads n×16 bytes
+    // of cache instead of re-running the upstream scan — q366 feeds this
+    // a get_json_object projection, which otherwise re-parses the JSON
+    // corpus five times (guide §5 reuse>recompute; r14)
     val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(fixedPointLong(col(xCol).cast("double"), 4).as("_x"),
         fixedPointLong(col(yCol).cast("double"), 4).as("_y"))
+      .localCheckpoint(true)
     // exact 2·median of a long-histogram: banded prefix sum (the
     // binaryAuc device) + a broadcast scalar total — NO unpartitioned
     // data-sized window, no unbounded-following total window

@@ -480,10 +480,14 @@ object Diagnostics {
         v.as("value"), fp(v).as("_fp"))
       .localCheckpoint(true)
     val cap = 2 * maxK
+    // key-sized; checkpoint so the ONE full-data moment pass runs once —
+    // uncached it re-aggregated the whole base checkpoint inside every
+    // round's plan (maxK actions × data-sized agg; advice r13)
     val sums0 = base.groupBy(col("key"))
       .agg(count(lit(1)).as("_n0"),
         sum(dec(col("_fp"))).as("_s0"),
         sum(dec(dec(col("_fp")) * dec(col("_fp")))).as("_q0"))
+      .localCheckpoint(true)
     val wa = Window.partitionBy(col("key"))
       .orderBy(col("_fp").asc, col("_o").asc)
     val wd = Window.partitionBy(col("key"))

@@ -82,16 +82,26 @@ object Factorize {
         r6((a22 * b1 - a12 * b2) / det).as("_p1"),
         r6((a11 * b2 - a12 * b1) / det).as("_p2"))
     }
+    // one eager job per ROUND, not per half-step (r14, guide §1.2):
+    // an intermediate round's userF has exactly one consumer — the same
+    // round's item solve — so its eager checkpoint bought nothing;
+    // leaving it lazy folds both half-steps into the itemF checkpoint
+    // job (two chained shuffles) and halves the fit's action count.
+    // itemF stays checkpointed each round, so lineage is still bounded
+    // at one round's depth; values are unchanged (same expressions,
+    // same 6dp freeze).
     for (_ <- 1 to iters) {
       userF = solve("_u", "_i", itemF, "_q1", "_q2", bcast = true)
         .withColumnRenamed("_p1", "_p1u").withColumnRenamed("_p2", "_p2u")
-        .localCheckpoint(true)
       itemF = solve("_i", "_u",
           userF.select(col("_u"), col("_p1u").as("_f1"),
             col("_p2u").as("_f2")), "_f1", "_f2", bcast = false)
         .withColumnRenamed("_p1", "_q1").withColumnRenamed("_p2", "_q2")
         .localCheckpoint(true)
     }
+    // the FINAL userF has two consumers (the rmse pass and the output
+    // union) — materialize it once
+    userF = userF.localCheckpoint(true)
     val pred = base.join(broadcast(itemF), "_i")
       .join(userF, "_u")
       .withColumn("_e",

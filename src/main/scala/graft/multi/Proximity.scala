@@ -135,10 +135,14 @@ object Proximity {
 
   def lofFromKnn(nnIn: DataFrame, k: Int): DataFrame = {
     // the kNN frame feeds three branches (k-dist, reach, neighbor-lrd):
-    // persist it so an expensive upstream (the cellKnn kmeans+pair join)
-    // computes once, not per branch (q193 measured 12.6 s → ~4 s)
+    // materialize it so an expensive upstream (the cellKnn kmeans+pair
+    // join) computes once, not per branch (q193 measured 12.6 s → ~4 s).
+    // Eager localCheckpoint, NOT persist: a persist had no unpersist
+    // site (the returned frame is lazy), leaking a data-sized
+    // CacheManager entry per call in a long-lived session (advice r13);
+    // the checkpoint RDD is GC-cleaned with the result.
     val nn = nnIn.select("src", "trg", "dist")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val kdist = nn.groupBy("src").agg(max("dist").as("kdist"))
     val reach = nn
       .join(kdist.select(col("src").as("trg"), col("kdist")), "trg")
@@ -212,8 +216,9 @@ object Proximity {
     * kNN frame plus one scalar broadcast (nPLOF); feed it `cellKnn`
     * output at corpus scale exactly like LOF (q193's documented path). */
   def loopFromKnn(nnIn: DataFrame, k: Int, lambda: Double = 3.0): DataFrame = {
+    // eager GC-cleaned materialization (see lofFromKnn note)
     val nn = nnIn.select("src", "trg", "dist")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val fp8 = (c: Column) =>
       graft.core.fixedPointLong(c, 8).cast("decimal(38,0)")
     // Divisors use the ACTUAL per-src neighbor count (== k whenever the
@@ -270,10 +275,12 @@ object Proximity {
     val dot = (a: Column, b: Column) =>
       org.apache.spark.sql.functions.call_function("vec_dot", a, b)
     // the kNN frame is referenced twice (both sides of the neighbor-pair
-    // self-join); without this cache the whole upstream pair-distance +
-    // top-k subtree executed twice (r13 — measured 2× the q486 plan)
+    // self-join); without this materialization the whole upstream
+    // pair-distance + top-k subtree executed twice (r13 — measured 2×
+    // the q486 plan). Eager localCheckpoint, not persist: see the
+    // lofFromKnn note (the r13 persist here leaked — advice r13).
     val nnC = nn.select(col("src"), col("trg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val pairs = nnC.select(col("src"), col("trg").as("_a"))
       .join(nnC.select(col("src"), col("trg").as("_b")), "src")
       .where(col("_a") < col("_b"))

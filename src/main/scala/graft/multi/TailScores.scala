@@ -169,10 +169,14 @@ object TailScores {
       .select(keyCols.map(col) :+ col(idCol).as("_id") :+ v.as("_v") :+
         graft.core.fixedPointLong(v, 4).cast("decimal(38,0)").as("_fp"): _*)
       .localCheckpoint(true)
+    // key-sized; checkpoint so the ONE full-data moment pass runs once —
+    // uncached it re-appeared in every round's lazy plan (k data-sized
+    // aggregates over the base cache; the gesd advice-r13 fix applied here)
     val sums0 = base.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).cast("decimal(38,0)").as("_n0"),
         sum(col("_fp")).as("_s0"),
         sum((col("_fp") * col("_fp")).cast("decimal(38,0)")).as("_q0"))
+      .localCheckpoint(true)
     val wa = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_fp").asc, col("_id").asc)
     val wd = Window.partitionBy(keyCols.map(col): _*)

@@ -419,19 +419,27 @@ object StatQueries {
       val rob = Fitters.robustStats(data, Seq("event_type"), Seq("value"))
       val hist = Fitters.histogram(data, Seq("event_type"),
         Seq(("value", 10.0)))
+      // CHAIN the three broadcast-model scorers over one pass of the
+      // data — each adds only a broadcast join + projection — instead
+      // of scanning events three times and sort-merge-joining the three
+      // score frames on event_id (2 shuffles of the data; r14, guide
+      // §2.4). One row per event either way (every scorer is a left
+      // broadcast lookup), and the score expressions are the same
+      // Scorers functions, so rankEnsemble sees an identical frame —
+      // the oracle's own sc CTE is this exact one-pass shape.
       val z = Scorers.zscore(data, stats,
         Cfg(Seq("event_type"), Seq("value"), threshold = 2.0))
-        .select(col("event_id"), col("score").as("s_z"))
-      val r = Scorers.robustZscore(data, rob,
+        .withColumnRenamed("score", "s_z").drop("tag")
+      val zr = Scorers.robustZscore(z, rob,
         Cfg(Seq("event_type"), Seq("value"), threshold = 3.0))
-        .select(col("event_id"), col("score").as("s_r"))
-      val e0 = Scorers.estimatedProbability(data, hist,
+        .withColumnRenamed("score", "s_r").drop("tag")
+      val zre = Scorers.estimatedProbability(zr, hist,
         Cfg(Seq("event_type"), Seq("value"), threshold = 0.99),
         Seq(("value", 10.0)))
-        .select(col("event_id"), col("score").as("s_e"))
+        .select(col("event_id"), col("s_z"), col("s_r"),
+          col("score").as("s_e"))
       canon(graft.post.PostOps.rankEnsemble(
-        z.join(r, "event_id").join(e0, "event_id"),
-        Seq("event_id"), Seq("s_z", "s_r", "s_e")))
+        zre, Seq("event_id"), Seq("s_z", "s_r", "s_e")))
     }),
     "q06_robust_zscore" -> ((s, dir) => {
       val data = ev(s, dir)

@@ -55,19 +55,33 @@ object Topics {
     def nInit(z: Int): Column =
       lit(10000L) + pmod(TextOps.hash56(concat(lit(s"plsa$z:"), col("_w"))),
         lit(1000L))
+    // φ is vocab-sized (≤ `vocab` rows) — the blessed model-sized
+    // driver materialization (the bpeTrain device): ONE collect per
+    // round replaces the former dens.head + phi-checkpoint pair of
+    // jobs, and θ's per-round eager checkpoint is dropped outright (a
+    // single consumer — the next round's resp join — reads it once from
+    // the resp checkpoint, so materializing it bought nothing). Per
+    // round: 2 actions (resp checkpoint + byW collect), down from 4
+    // (r14; guide §1.2 — the fit was action-scheduling-bound, measured
+    // 4 jobs/round over a ~100k-row pair frame). Arithmetic unchanged:
+    // the driver replays the identical double ops (exact decimal sums,
+    // cast-to-double, the 6dp freeze), so every round's φ is
+    // bit-identical to the former column-side computation.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def r6d(x: Double): Double = graft.text.TextOps.round6(x)
     val phiBase = pairs.select(col("_w")).distinct()
       .select(col("_w"), nInit(0).as("_n0"), nInit(1).as("_n1"))
-    val tots = phiBase.agg(sum(col("_n0")).as("_t0"),
-      sum(col("_n1")).as("_t1"), count(lit(1)).as("_v"))
-    val vSize = tots.head()
-    val (t0, t1, vN) = (vSize.getLong(0), vSize.getLong(1), vSize.getLong(2))
-    var phi = phiBase.select(col("_w"),
-        (col("_n0").cast("double") / t0.toDouble).as("_p0"),
-        (col("_n1").cast("double") / t1.toDouble).as("_p1"))
-      .localCheckpoint(true)
+    val pb = phiBase.collect()
+    val t0 = pb.map(_.getAs[Long]("_n0")).sum
+    val t1 = pb.map(_.getAs[Long]("_n1")).sum
+    val vN = pb.length
+    var phi = pb.toSeq.map(r => (r.getAs[String]("_w"),
+        r.getAs[Long]("_n0").toDouble / t0.toDouble,
+        r.getAs[Long]("_n1").toDouble / t1.toDouble))
+      .toDF("_w", "_p0", "_p1")
     var theta = pairs.select(col("_d")).distinct()
       .select(col("_d"), lit(0.5).as("_th"))
-      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val resp = pairs.join(theta, "_d").join(broadcast(phi), "_w")
         .withColumn("_r0",
@@ -81,19 +95,21 @@ object Topics {
         .agg(sum(col("_m0")).as("_s0"), sum(col("_m1")).as("_s1"))
         .select(col("_d"), r6(col("_s0").cast("double") /
           (col("_s0") + col("_s1")).cast("double")).as("_th"))
-        .localCheckpoint(true)
       val byW = resp.groupBy(col("_w"))
         .agg(sum(col("_m0")).as("_n0"), sum(col("_m1")).as("_n1"))
-      val dens = byW.agg(sum(col("_n0")).as("_d0"), sum(col("_n1")).as("_d1"))
-        .head()
-      val (den0, den1) = (dens.getDecimal(0).doubleValue() / 1e9,
-        dens.getDecimal(1).doubleValue() / 1e9)
-      phi = byW.select(col("_w"),
-          r6((col("_n0").cast("double") / 1e9 + eps) /
-            (den0 + eps * vN)).as("_p0"),
-          r6((col("_n1").cast("double") / 1e9 + eps) /
-            (den1 + eps * vN)).as("_p1"))
-        .localCheckpoint(true)
+        .collect()
+      // exact decimal sums on the driver = the former sum(decimal) agg
+      val den0 = byW.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("_n0")))
+        .sum.doubleValue / 1e9
+      val den1 = byW.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("_n1")))
+        .sum.doubleValue / 1e9
+      phi = byW.toSeq.map { r =>
+        val n0 = r.getAs[java.math.BigDecimal]("_n0").doubleValue() / 1e9
+        val n1 = r.getAs[java.math.BigDecimal]("_n1").doubleValue() / 1e9
+        (r.getAs[String]("_w"),
+          r6d((n0 + eps) / (den0 + eps * vN)),
+          r6d((n1 + eps) / (den1 + eps * vN)))
+      }.toDF("_w", "_p0", "_p1")
     }
     val nTerms = pairs.groupBy(col("_d")).agg(sum(col("_c")).as("n_terms"))
     theta.join(nTerms, "_d")
