@@ -61,9 +61,9 @@ object Graph {
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
-    val ew = e.join(deg, "src").repartition(col("src")).persist()
+    val ew = e.join(deg, "src").repartition(col("src")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     val n = nodes.count() // scalar action: N feeds the integer constants
     val init = scale / n
     val teleport = (15L * scale) / (100L * n)
@@ -97,16 +97,16 @@ object Graph {
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
-    val ew = e.join(deg, "src").repartition(col("src")).persist()
+    val ew = e.join(deg, "src").repartition(col("src")).localCheckpoint(true)
     val seedDf = seeds.select(col(seeds.columns.head).cast("string").as("node"))
-      .distinct().persist()
+      .distinct().localCheckpoint(true)
     val nSeeds = seedDf.count()
     require(nSeeds > 0, "personalizedPageRank needs a non-empty seed set")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .join(broadcast(seedDf.withColumn("_seed", lit(true))), Seq("node"), "left")
       .withColumn("_seed", coalesce(col("_seed"), lit(false)))
-      .persist()
+      .localCheckpoint(true)
     val seedInit = scale / nSeeds
     val teleport = (15L * scale) / (100L * nSeeds)
     var ranks = nodes.withColumn("r",
@@ -158,7 +158,7 @@ object Graph {
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("b"))
           .otherwise(col("a")).as("hi"))
-      .persist()
+      .localCheckpoint(true)
     val wedges = dirE.as("e1").join(dirE.as("e2"),
       col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
       .select(col("e1.lo").as("w"), col("e1.hi").as("u"), col("e2.hi").as("v"))
@@ -271,8 +271,8 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3): DataFrame = {
     val e = undirectedBoth(edges, srcCol, dstCol)
-      .repartition(col("src")).persist()
-    val nodes = e.select(col("src").as("node")).distinct().persist()
+      .repartition(col("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(true)
     var labels = nodes.withColumn("label", col("node"))
     (1 to iters).foreach { _ =>
       val best = e.join(labels, e("src") === labels("node"))
@@ -380,7 +380,7 @@ object Graph {
     val eBySrc = eRaw.repartition(eParts, col("src")).persist()
     val eByDst = eRaw.repartition(eParts, col("dst")).persist()
     val nodes = eBySrc.select(col("src").as("node"))
-      .union(eBySrc.select(col("dst").as("node"))).distinct().persist()
+      .union(eBySrc.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     var hub = nodes.withColumn("h", lit(scale))
     var auth = nodes.withColumn("a", lit(0L))
     // ONE eager job per half-step (r7 verdict: the 20-job variant was
@@ -462,8 +462,8 @@ object Graph {
   def kcore(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int = 3): DataFrame = {
     val e = undirectedBoth(edges, srcCol, dstCol)
-      .repartition(col("src")).persist()
-    val nodes = e.select(col("src").as("node")).distinct().persist()
+      .repartition(col("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(true)
     var state = nodes.withColumn("peel_round", lit(-1L))
     (1 to rounds).foreach { i =>
       val alive = state.where(col("peel_round") === -1L).select("node")
@@ -513,7 +513,7 @@ object Graph {
     * anti-join against the edge set removes existing edges. */
   def linkPredict(edges: DataFrame, srcCol: String, dstCol: String,
       maxDeg: Int = 10000): DataFrame = {
-    val e = undirectedBoth(edges, srcCol, dstCol).persist()
+    val e = undirectedBoth(edges, srcCol, dstCol).localCheckpoint(true)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
     val mid = e.join(deg.withColumnRenamed("node", "src"), "src")
       .where(col("d") <= maxDeg)
@@ -597,9 +597,9 @@ object Graph {
       .where(col("w") > 0)
       .groupBy("src", "dst").agg(sum("w").as("w"))
     val sw = e.groupBy("src").agg(sum("w").as("sw"))
-    val ew = e.join(sw, "src").repartition(col("src")).persist()
+    val ew = e.join(sw, "src").repartition(col("src")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     val n = nodes.count()
     val init = scale / n
     val teleport = (15L * scale) / (100L * n)
@@ -636,7 +636,7 @@ object Graph {
     val wIdx = Window.partitionBy(col("src")).orderBy(col("dst"))
     val adj = e.withColumn("idx", row_number().over(wIdx).cast("long"))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
-      .persist()
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node")).distinct()
     var cur = nodes.select(col("node").as("start"),
         explode(sequence(lit(0L), lit(walksPerNode - 1L))).as("walk"))
@@ -715,7 +715,7 @@ object Graph {
     require(sources >= 1, s"sources >= 1: $sources")
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct()
-      .repartition(col("src")).persist()
+      .repartition(col("src")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val srcs = nodes.orderBy(md5(col("node")), col("node"))
@@ -751,7 +751,7 @@ object Graph {
     require(maxDepth >= 1 && sources >= 1, s"bad args: $sources, $maxDepth")
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct()
-      .repartition(col("src")).persist()
+      .repartition(col("src")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val srcs = nodes.orderBy(md5(col("node")), col("node"))
@@ -788,7 +788,7 @@ object Graph {
     require(iters >= 1 && iters <= 10, s"iters 1..10: $iters")
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct()
-      .repartition(col("dst")).persist()
+      .repartition(col("dst")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     var x = nodes.withColumn("x", lit(1000000L)).localCheckpoint(true)
@@ -845,7 +845,7 @@ object Graph {
     require(maxDepth >= 1 && sources >= 1, s"bad args: $sources, $maxDepth")
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct()
-      .repartition(col("src")).persist()
+      .repartition(col("src")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val srcs = nodes.orderBy(md5(col("node")), col("node"))

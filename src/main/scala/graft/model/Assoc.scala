@@ -313,7 +313,7 @@ object Assoc {
       m: Double): DataFrame = {
     val obs = df.where(col(yCol).isNotNull)
       .select(col(catCol).as("category"), fixedPointLong(col(yCol), 4).as("y4"))
-      .persist()
+      .localCheckpoint(true)
     val per = obs.groupBy("category")
       .agg(sum("y4").as("sy"), count(lit(1)).as("n"))
     val g = obs.agg(sum("y4").as("gsy"), count(lit(1)).as("gn"))
@@ -342,7 +342,7 @@ object Assoc {
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
       minCount: Long): DataFrame = {
     val bi = df.select(col(basketCol).as("bk"), col(itemCol).as("item"))
-      .where(col("item").isNotNull).distinct().persist()
+      .where(col("item").isNotNull).distinct().localCheckpoint(true)
     val n = bi.select("bk").distinct().count()
     val items = bi.groupBy("item").agg(count(lit(1)).as("cnt"))
     val pairs = bi.as("x").join(bi.as("y"),

@@ -396,7 +396,7 @@ object Behavior {
       .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(userCol).as("_u"), col(typeCol).as("_t"))
       .agg(min(col(tsCol)).as("_lo"), max(col(tsCol)).as("_hi"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val nUsers = ut.select(col("_u")).distinct().count()
     val a = ut.select(col("_u"), col("_t").as("p1"), col("_lo").as("_alo"))
     val b = ut.select(col("_u"), col("_t").as("p2"), col("_hi").as("_bhi"))

@@ -507,7 +507,7 @@ object Fitters {
     // the plan below reads it three times (count action + both sides of
     // the dense grid) — persist so the corpus is scanned once for it
     val states = df.select(col(stateCol).as("s")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val nStates = states.count() // tiny cardinality; model fit is offline
     val counts = pairs.groupBy((modelKeyCols ++ Seq("fromState", "toState")).map(col): _*)
       .count().withColumnRenamed("count", "cnt")
@@ -575,7 +575,7 @@ object Fitters {
     // read three times below (both state-alphabet columns, the grid
     // join) — persist so the corpus pipeline runs once; the nStates
     // action doubles as the materialization point
-    val counts = counts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = counts0.localCheckpoint(true)
     val states = counts.select(col("fromState").as("s"))
       .union(counts.select(col("toState").as("s"))).distinct()
     val nStates = states.count() // model-sized: |states| is tiny

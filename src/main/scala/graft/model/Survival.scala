@@ -401,7 +401,7 @@ object Survival {
       .agg(count(lit(1)).as("_n"),
         sum(when(col(eventCol).cast("boolean"), 1L).otherwise(0L))
           .as("_ev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val durs = cells.select(col("_d")).distinct()
     val sbs = cells.select(col("_sb")).distinct()
     val grid = durs.crossJoin(sbs)

@@ -106,7 +106,7 @@ object AutoEncoder {
         df.withColumn(s"x$i",
           if (sd > 0) (col(c).cast("double") - lit(m)) / lit(sd)
           else lit(0.0))
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }.localCheckpoint(true)
 
     var w = initW(h, d).map(_.toArray).toArray
     var b1 = Array.fill(h)(0.0)

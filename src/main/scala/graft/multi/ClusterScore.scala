@@ -135,7 +135,7 @@ object ClusterScore {
       // side, the build side and the final assembly; pairs feeds counts,
       // core edges and border attach. The result is lazy, so they must
       // outlive this call — long-lived callers clear them when done.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val offs = (for { dx <- -2 to 2; dy <- -2 to 2 } yield (dx, dy)).toSeq
     val probes = pts
       .withColumn("_o", explode(typedlit(offs)))
@@ -150,7 +150,7 @@ object ClusterScore {
     val pairs = probes.join(pts, Seq("cx", "cy"))
       .where(d2 <= eps * eps)
       .select(col("aid"), col("id").as("bid"), d2.as("d2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val counts = pairs.groupBy("aid").agg(count(lit(1)).as("n_nbrs"))
     val cores = counts.where(col("n_nbrs") >= minPts).select(col("aid").as("id"))
     val coreEdges = pairs

@@ -31,12 +31,21 @@ object Proximity {
   def pairDistances(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     // validated projection: the per-row null scan runs HERE, so the
     // per-pair vec_euclid below sees containsNull=false and emits the
-    // branch-free loop (see expr.VecValidate)
+    // branch-free loop (see expr.VecValidate).
+    // MATERIALIZED before the pair join (r14, guide §4 expression
+    // duplication): whole-stage codegen fuses an un-materialized
+    // projection INTO the nested-loop pair loop, re-running the O(dim)
+    // validate scan once per PAIR instead of once per row — measured
+    // 4.1 s vs 1.2 s on the 4M-pair sf0.1 frame. The checkpoint makes
+    // the join inputs plain attributes (one validate per row, corpus-
+    // sized frame — this operator is bench/test-scale by contract).
     graft.expr.GraftFunctions.register(vecs.sparkSession)
     val vd = (c: Column) =>
       org.apache.spark.sql.functions.call_function("vec_validate", c)
-    val a = vecs.select(col(idCol).as("src"), vd(col(vecCol)).as("va"))
-    val b = vecs.select(col(idCol).as("trg"), vd(col(vecCol)).as("vb"))
+    val v = vecs.select(col(idCol).as("_pid"), vd(col(vecCol)).as("_pv"))
+      .localCheckpoint(true)
+    val a = v.select(col("_pid").as("src"), col("_pv").as("va"))
+    val b = v.select(col("_pid").as("trg"), col("_pv").as("vb"))
     a.join(b, col("src") =!= col("trg"))
       .withColumn("dist", euclidean(col("va"), col("vb")))
       .drop("va", "vb")

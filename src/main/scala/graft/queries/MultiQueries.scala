@@ -259,7 +259,7 @@ object MultiQueries {
       // persist so the fit+score pipeline runs once (at scale this is the
       // checkpoint-the-scores-then-calibrate layout).
       val scored = StatQueries.zscored(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val thr = PostOps.pseudoRelevanceThreshold(scored, Seq("event_type"),
         topFrac = 0.05, minCount = 100L, defaultThreshold = 3.0)
         .select(col("event_type"), col("threshold"))

@@ -794,7 +794,7 @@ object SeriesKernels {
       .withColumn("_cq", sum(col("_q")).over(cum))
       .withColumn("_n", count(lit(1)).over(part))
       .withColumn("_qn", sum(col("_q")).over(part))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     def gain(ql: Column, qc: Column, qr: Column, l: Column, c: Column,
         r: Column): Column = {
       val d1 = (qc - ql).cast("double")

@@ -86,10 +86,13 @@ object KMeansDist {
     val spark = data.sparkSession
     var cents = init(data, idCol, vecCol, k, maxSample)
     val vq = data.select(quantize(col(vecCol)).as("_v"))
-    // one distributed scan + k-row collect per iteration; persist the
+    // one distributed scan + k-row collect per iteration; cache the
     // quantized projection so iterations re-read columnar cache, not
-    // parquet + re-quantize
-    val cached = vq.persist()
+    // parquet + re-quantize. iterCache (r14): the row-threshold coalesce
+    // keeps each of the iters+1 actions from being a full-parallelism
+    // task-scheduling exercise on a small corpus (~64k rows/task) while
+    // large inputs keep the session's parallelism (guide §1.2).
+    val (handle, cached, _) = graft.core.iterCache(vq)
     try {
       val sumCols = (0 until dim).map(j =>
         sum(element_at(col("_v"), j + 1)).as(s"s$j")) :+ count(lit(1)).as("n")
@@ -133,7 +136,7 @@ object KMeansDist {
           (ci, j, cx.toDouble / Grain, n, in6.toDouble / (Grain * Grain))
         }
       }.toSeq.toDF("cell", "j", "cx", "n_members", "inertia")
-    } finally { cached.unpersist(false) }
+    } finally { handle.unpersist(false) }
   }
 
   /** Assignment face: per-row nearest cell + distance at value scale

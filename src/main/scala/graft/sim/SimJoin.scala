@@ -515,7 +515,7 @@ object SimJoin {
       .where(col(idCol) % sampleMod === 0 && col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("_id"),
         call_function("vec_validate", col(vecCol)).as("_v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val proj = sample
       .select(col("_id"), posexplode(col("_v")).as(Seq("_i", "_x")))
       .join(broadcast(signs), "_i")

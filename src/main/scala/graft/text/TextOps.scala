@@ -102,7 +102,7 @@ object TextOps {
     // one broadcast join against the cached ids (measured cheaper at
     // sf0.1 than caching the text column).
     val diff = corpusDiff(oldDocs, newDocs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val fresh = newDocs.join(
       diff.where(col("status").isin("added", "changed")), Seq(idCol))
     val retained = newDocs.join(
@@ -443,17 +443,28 @@ object TextOps {
   def entityResolve(docs: DataFrame, idCol: String, textCol: String,
       blockChars: Int = 16, maxDist: Int = 20): DataFrame = {
     val ids = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-    val reps = ids.groupBy("t").agg(min("id").as("rid")).persist()
-    val d = reps.withColumn("blk", substring(col("t"), 1, blockChars))
-    val pairs = d.as("x").join(d.as("y"),
-        col("x.blk") === col("y.blk") && col("x.rid") < col("y.rid") &&
-          abs(length(col("x.t")) - length(col("y.t"))) <= maxDist)
-      .where(levenshtein(col("x.t"), col("y.t")) <= maxDist)
-      .select(col("x.rid").as("a"), col("y.rid").as("b"))
-    val repClusters = dupClusters(reps.select(col("rid").as("id")), "id", pairs)
-      .withColumnRenamed("id", "rid")
-    ids.join(reps, "t").join(repClusters, "rid")
-      .select(col("id"), col("cluster"))
+    // reps feeds FOUR subtrees (both self-join sides, the cluster seed,
+    // the label join-back): persist — NOT localCheckpoint — because the
+    // InMemoryRelation's size statistics drive the blocked self-join's
+    // broadcast strategy (a stats-less checkpoint leaf measured q211 at
+    // ~7 s vs ~2 s, r14). The cache lifecycle is bounded by
+    // materializing the doc-sized result below and unpersisting in
+    // `finally` — no retained CacheManager entry outlives the call.
+    val reps = ids.groupBy("t").agg(min("id").as("rid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val d = reps.withColumn("blk", substring(col("t"), 1, blockChars))
+      val pairs = d.as("x").join(d.as("y"),
+          col("x.blk") === col("y.blk") && col("x.rid") < col("y.rid") &&
+            abs(length(col("x.t")) - length(col("y.t"))) <= maxDist)
+        .where(levenshtein(col("x.t"), col("y.t")) <= maxDist)
+        .select(col("x.rid").as("a"), col("y.rid").as("b"))
+      val repClusters = dupClusters(reps.select(col("rid").as("id")), "id", pairs)
+        .withColumnRenamed("id", "rid")
+      ids.join(reps, "t").join(repClusters, "rid")
+        .select(col("id"), col("cluster"))
+        .localCheckpoint(true)
+    } finally reps.unpersist(false)
   }
 
   /** Flesch reading-ease (Flesch '48): 206.835 − 1.015·(words/sentences)
@@ -1459,7 +1470,7 @@ object TextOps {
     // vocab scan below leaves lazy materialization to the first score
     val cGram = lmGrams(corpus, idCol, textCol, n)
       .groupBy("ctx", "w").agg(count(lit(1)).as("cGram"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val cCtx = cGram.groupBy("ctx").agg(sum("cGram").as("cCtx"))
     val vocab = corpus.select(explode(tokens(col(textCol))).as("tok"))
       .agg(countDistinct("tok")).head().getLong(0)
@@ -1532,7 +1543,7 @@ object TextOps {
         langPredFrom(langCountExprs(toksC)).as("predLang"),
         call_function("minhash_sig", toksC,
           lit(shingleSize), lit(numHashes)).as("_sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // the one eager scalar (same as lmFit's vocab) doubles as the cache
     // materialization point
     val vocab = feats.select(explode(toksC).as("tok"))
@@ -1920,7 +1931,7 @@ object TextOps {
     // corpus is tokenized+hashed once, not twice; the fit collect
     // doubles as the materialization point
     val rawGrams = hashedGrams(raw, idCol, textCol, nBuckets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     def bucketCounts(g: DataFrame): Map[Long, Long] =
       g.groupBy("b").agg(count(lit(1)).as("c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -2250,7 +2261,7 @@ object TextOps {
       // the (lazy) confirm join; they are eval-sized (benchmark suites,
       // not crawls) and MEMORY_AND_DISK evicts under pressure, so there is
       // no deterministic unpersist point worth blocking the caller for.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val nGrams =
       if (expectedGrams > 0) expectedGrams
       else math.max(evalGrams.count(), 1L)
@@ -2291,7 +2302,7 @@ object TextOps {
     // cached: the set sizes are derived from THIS aggregate (gram-sized,
     // never a second corpus scan) and the pair explosion reuses it lazily
     val perGram = grams.groupBy("shingle").agg(g.as("gs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val sizes = perGram.select(explode(col("gs")).as("grp"))
       .groupBy("grp").agg(count(lit(1)).as("sz"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -2390,7 +2401,7 @@ object TextOps {
       .select(col(groupCol).cast("string").as("grp"),
         explode(tokens(col(textCol))).as("tok"))
       .groupBy("grp", "tok").agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val grpTotals = counts.groupBy("grp").agg(sum("cnt").as("gt"))
     val tokTotals = counts.groupBy("tok").agg(sum("cnt").as("tt"))
     // sum over an empty corpus is SQL NULL — the output is empty then, so
@@ -2557,7 +2568,7 @@ object TextOps {
       .groupBy("tok")
       .agg(sum(when(col("p"), 1L).otherwise(0L)).as("cPos"),
         sum(when(!col("p"), 1L).otherwise(0L)).as("cNeg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val tot = tokTable.agg(sum("cPos"), sum("cNeg"), count(lit(1))).collect()(0)
     val docs = seed.agg(
       sum(when(isPos, 1L).otherwise(0L)),
@@ -2838,7 +2849,7 @@ object TextOps {
     // terms, so nothing term-agnostic is built. Repeated-query callers
     // should [[bm25Build]] once and [[bm25SearchWith]] per term bag.
     val base = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // avgdl as one exact long sum ÷ one exact long count (single final
     // division) — an engine-internal double-accumulating avg() could
     // diverge in the last ulp and flip a 6dp contribution boundary
@@ -2983,7 +2994,7 @@ object TextOps {
     val model = cIn.join(cGen, Seq("tok"), "full_outer")
       .select(col("tok"), coalesce(col("cIn"), lit(0L)).as("cIn"),
         coalesce(col("cGen"), lit(0L)).as("cGen"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val tot = model.agg(sum("cIn").as("tIn"), sum("cGen").as("tGen"),
       count(lit(1)).as("v"))
     val toks = docs.select(col(idCol),
@@ -3040,12 +3051,12 @@ object TextOps {
     // the self-fit default tokenizes ONCE: the scoring grams double as
     // the fit input (persisted — they feed the count fit and the join)
     val docGrams = grams(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val fitGrams =
       if (lmCorpus == null || (lmCorpus eq docs)) docGrams
       else grams(lmCorpus)
     val cAB = fitGrams.groupBy("ctx", "w").agg(count(lit(1)).as("cab"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // per-context total + distinct successor count, one model-sized pass
     val ctxStats = cAB.groupBy("ctx")
       .agg(sum("cab").as("ca"), count(lit(1)).as("n1fwd"))

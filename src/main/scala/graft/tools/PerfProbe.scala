@@ -110,6 +110,43 @@ object PerfProbe {
           time(s"q412-full#$i") {
             noop(graft.sim.SimJoin.prefixJaccardJoin(docs, "doc_id", "text", 0.9))
           }
+        case "q485b" =>
+          graft.expr.GraftFunctions.register(spark)
+          val vd = (c: org.apache.spark.sql.Column) =>
+            call_function("vec_validate", c)
+          val a = emb.select(col("vec_id").as("src"),
+            vd(col("embedding")).as("va"))
+          val b = emb.select(col("vec_id").as("trg"),
+            vd(col("embedding")).as("vb"))
+          time(s"join-ids#$i") {
+            noop(a.join(b, col("src") =!= col("trg"))
+              .select(col("src"), col("trg")))
+          }
+          time(s"join-euclid#$i") {
+            noop(a.join(b, col("src") =!= col("trg"))
+              .withColumn("dist",
+                call_function("vec_euclid", col("va"), col("vb")))
+              .select(col("src"), col("trg"), col("dist")))
+          }
+          time(s"join-euclid-nocodegen#$i") {
+            spark.conf.set("spark.sql.codegen.wholeStage", "false")
+            noop(a.join(b, col("src") =!= col("trg"))
+              .withColumn("dist",
+                call_function("vec_euclid", col("va"), col("vb")))
+              .select(col("src"), col("trg"), col("dist")))
+            spark.conf.set("spark.sql.codegen.wholeStage", "true")
+          }
+          time(s"cross-nofilter#$i") {
+            noop(a.crossJoin(b)
+              .withColumn("dist",
+                call_function("vec_euclid", col("va"), col("vb")))
+              .select(col("src"), col("trg"), col("dist")))
+          }
+          time(s"knn-window#$i") {
+            noop(graft.multi.Proximity.knn(
+              graft.multi.Proximity.pairDistances(emb, "vec_id", "embedding"),
+              5))
+          }
         case "q485" =>
           time(s"pairs-only#$i") {
             noop(graft.multi.Proximity.pairDistances(emb, "vec_id", "embedding"))
