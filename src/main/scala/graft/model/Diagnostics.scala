@@ -886,7 +886,11 @@ object Diagnostics {
         fp(v).as("_fp"))
     val ow = Window.partitionBy(col("key"))
       .orderBy(col("_o").asc, col("_fp").asc)
+    // every block size's branch re-ran the scan + sequencing window
+    // (|sizes| copies of the same subtree in the union) — materialize
+    // the 3-long-column sequenced frame once (r14, guide §2.4)
     val seqd = base.withColumn("_rn", row_number().over(ow).cast("long"))
+      .localCheckpoint(true)
     val perSize = sizes.map { wsz =>
       val blk = seqd
         .withColumn("_b", ((col("_rn") - 1) / wsz).cast("long"))

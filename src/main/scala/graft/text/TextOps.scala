@@ -44,11 +44,17 @@ object TextOps {
     * bytes big-endian); the former conv(substring(md5_hex)) chain
     * allocated three intermediate strings per call across the engine's
     * ~70 call sites (Hash56ExprSpec pins value equality). */
-  def hash56(c: Column): Column = {
-    graft.expr.GraftFunctions.register(
-      org.apache.spark.sql.SparkSession.active)
-    call_function("hash56_md5", c.cast("string"))
-  }
+  def hash56(c: Column): Column =
+    // build the expression directly — no SparkSession.active lookup and
+    // no registry round-trip per Column construction (~70 call sites,
+    // some in tight query-builder loops), and no failure mode when no
+    // session is active on the calling thread (advice r13). SQL-surface
+    // use still goes through GraftFunctions.register.
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expr.Hash56(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.GraftColumnBridge.expression(c),
+          org.apache.spark.sql.types.StringType)))
 
   /** Exact deduplication: md5-hash groups; `keep` marks the minimum doc id
     * of each content group (the survivor), dupCount the group size. */
