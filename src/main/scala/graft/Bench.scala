@@ -84,6 +84,14 @@ object Bench {
           // outside the timed region so every query is measured with only
           // its own caches.
           spark.catalog.clearCache()
+          // r14: clearCache only drops catalog-managed InMemoryRelations;
+          // localCheckpoint blocks (this round's bounded replacement for
+          // unpersist-less persists) are GC-managed and otherwise linger
+          // until collection, pressuring NEIGHBORS' storage exactly like
+          // the retained caches above. Same protocol intent, same
+          // untimed region — additions-only measurement hygiene.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(false))
           rowName -> dt
         }
         if (name == "q46_iforest")

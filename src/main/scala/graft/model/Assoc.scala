@@ -122,11 +122,13 @@ object Assoc {
     // runtime exchange reuse on any upstream shuffle) measured FASTER
     // than every structurally-single-pass form — an explode(array(
     // per-pair structs)) over the full 6·|pairs|-moment aggregate ran
-    // q300 2.0→2.8 s, q552 2.1→3.8 s, q226 0.20→0.48 s (and r13 had
-    // already measured-and-rejected the stack() variant). Callers with
-    // an expensive upstream (spearman/copula) make the single upstream
-    // pass STRUCTURAL by checkpointing the rank-transformed frame before
-    // calling in (advice r13 — no reliance on AQE stage reuse).
+    // q300 2.0→2.8 s, q552 2.1→3.8 s, q226 0.20→0.48 s; a checkpointed
+    // rank transform in spearman/copula cost q552 1.7→3.3 s cold; r13
+    // had already measured-and-rejected the stack() variant. So the
+    // honest plan claim is: |pairs| pruned aggregate passes whose
+    // upstream exchanges reuse at RUNTIME (AQE/exchange reuse, not plan
+    // structure) — correcting OPTIMIZATION_r13.md's "one aggregate"
+    // wording (advice r13).
     val m = df.agg(aggs.head, aggs.tail: _*)
     val per = pairs.zipWithIndex.map { case ((a, b), k) =>
       val n = col(s"_n$k")
@@ -251,13 +253,14 @@ object Assoc {
             col("_ct") + 1).cast("double")).drop("_ct", "_cum")
       acc.join(vr, c)
     }
-    // checkpoint the rank transform so the per-pair moment passes read a
-    // cached leaf — the single-upstream-pass guarantee is STRUCTURAL, not
-    // an AQE stage-reuse accident (advice r13); the frame is |complete|
-    // rows of longs
+    // NOT checkpointed (r14 measured rejection): materializing the rank
+    // transform to make the single upstream pass structural cost q300
+    // 1.6→2.3 s and q552 1.7→3.3 s under the cold-per-query protocol —
+    // the checkpoint job plus stats-less leaves beat the saved work.
+    // The per-pair moment passes stay column-pruned union branches whose
+    // upstream exchanges reuse at runtime (see correlationMatrix note).
     correlationMatrix(
-      ranked.select(cols.map(c => col(s"${c}_r2").as(c)): _*)
-        .localCheckpoint(true), cols)
+      ranked.select(cols.map(c => col(s"${c}_r2").as(c)): _*), cols)
   }
 
   /** Gaussian-copula (normal-scores / van der Waerden) correlation
@@ -292,10 +295,9 @@ object Assoc {
         .drop("_ct", "_cum")
       acc.join(vr, c)
     }
-    // structural single upstream pass (see spearmanMatrix note)
+    // not checkpointed — same measured rejection as spearmanMatrix
     correlationMatrix(
-      ranked.select(cols.map(c => col(s"${c}_z").as(c)): _*)
-        .localCheckpoint(true), cols)
+      ranked.select(cols.map(c => col(s"${c}_z").as(c)): _*), cols)
   }
 
   /** Smoothed target (mean) encoding: enc(c) = (Σy_c + m·prior)/(n_c + m)

@@ -1472,11 +1472,17 @@ object TextOps {
     require(n >= 2, s"LM order $n must be >= 2")
     // gram-type-sized model, corpus-sized lineage (tokenize + explode +
     // agg), and scoring reads it twice (the per-gram join + the cCtx
-    // roll-up) — persist so the corpus pipeline runs once; the eager
-    // vocab scan below leaves lazy materialization to the first score
+    // roll-up) — persist so the corpus pipeline runs once. Persist, NOT
+    // a checkpoint leaf: the InMemoryRelation statistics are what let
+    // the scoring joins BROADCAST the model-sized count tables (a
+    // stats-less leaf dropped q102/q131 to sort-merge scoring joins,
+    // +0.4-0.8 s each — r14 measured). INTENTIONAL model-lifetime cache:
+    // the returned LmModel amortizes the fit across scoring batches by
+    // contract, so there is no in-function unpersist point; long-lived
+    // callers unpersist model.cGram when the model retires.
     val cGram = lmGrams(corpus, idCol, textCol, n)
       .groupBy("ctx", "w").agg(count(lit(1)).as("cGram"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cCtx = cGram.groupBy("ctx").agg(sum("cGram").as("cCtx"))
     val vocab = corpus.select(explode(tokens(col(textCol))).as("tok"))
       .agg(countDistinct("tok")).head().getLong(0)
@@ -2997,10 +3003,14 @@ object TextOps {
         .groupBy("tok").agg(count(lit(1)).as(name))
     val cIn = counts(inDomain, "cIn")
     val cGen = counts(general, "cGen")
+    // INTENTIONAL retained cache (r14 measured): persist keeps the
+    // vocab-sized model's statistics (broadcastable scoring join) and
+    // the lazy result; the eager checkpoint variant cost q487
+    // 0.11→0.44 s. Catalog-managed — clearCache/session end reclaims.
     val model = cIn.join(cGen, Seq("tok"), "full_outer")
       .select(col("tok"), coalesce(col("cIn"), lit(0L)).as("cIn"),
         coalesce(col("cGen"), lit(0L)).as("cGen"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = model.agg(sum("cIn").as("tIn"), sum("cGen").as("tGen"),
       count(lit(1)).as("v"))
     val toks = docs.select(col(idCol),
@@ -3055,14 +3065,18 @@ object TextOps {
         .as("g"))
       .select(col(idCol), col("g.ctx").as("ctx"), col("g.w").as("w"))
     // the self-fit default tokenizes ONCE: the scoring grams double as
-    // the fit input (persisted — they feed the count fit and the join)
+    // the fit input. INTENTIONAL retained caches (r14 measured): persist
+    // keeps the count tables' statistics (broadcastable scoring joins)
+    // AND the lazy result (count-only consumers prune the scoring
+    // joins); an eager bounded variant measured q488 0.1→2.6 s.
+    // Catalog-managed — clearCache/session end reclaims.
     val docGrams = grams(docs)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fitGrams =
       if (lmCorpus == null || (lmCorpus eq docs)) docGrams
       else grams(lmCorpus)
     val cAB = fitGrams.groupBy("ctx", "w").agg(count(lit(1)).as("cab"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-context total + distinct successor count, one model-sized pass
     val ctxStats = cAB.groupBy("ctx")
       .agg(sum("cab").as("ca"), count(lit(1)).as("n1fwd"))
